@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = Sessions.local("graft-test", 4)
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every registered query runs and has stable column names") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      assert(df.columns.distinct.length == df.columns.length,
+        s"$name has duplicate column names")
+    }
+  }
+
+  test("q1 aggregates are internally consistent") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      val sumQty = r.getAs[Double]("sum_qty")
+      val avgQty = r.getAs[Double]("avg_qty")
+      val n = r.getAs[Long]("count_order")
+      assert(math.abs(sumQty / n - avgQty) < 1e-9)
+      assert(r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price"))
+    }
+  }
+
+  test("q2 returns deterministic top-10 ordered by revenue desc") {
+    val rows = SparkEntry.queries("q2_revenue_topn")(spark, sf).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("q5 uses broadcast joins for dims") {
+    val plan = SparkEntry.queries("q5_local_supplier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast join for dims")
+  }
+
+  test("oracle map covers every query or is an intentional subset") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
+  }
+}
