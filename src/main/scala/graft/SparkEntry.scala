@@ -8,9 +8,11 @@ object SparkEntry {
     Relational.q5_local_supplier(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ Windowed.queries ++ Aggregations.queries ++
+      JoinShapes.queries ++ TextDates.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ Windowed.oracles ++ Aggregations.oracles ++
+      JoinShapes.oracles ++ TextDates.oracles
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact
+import graft.functions.Exact.{sql => S}
+import graft.sources.Tables
+
+/** §A advanced aggregation shapes: grouping sets, multi-distinct, pivot,
+  * conditional aggregation, reproducible statistics.
+  *
+  * Scale notes: ROLLUP uses Spark's Expand (one shuffle, grouping-id
+  * tagged rows); count(distinct) pairs expand + two-phase agg — both
+  * partial-aggregate before the shuffle. The stats profile computes
+  * variance from exact decimal power sums so the result is identical
+  * under any partitioning (a raw stddev over doubles is not).
+  */
+object Aggregations {
+
+  /** q9: ROLLUP (region, nation) revenue hierarchy. nation/region joins
+    * are broadcast; NULL subtotal rows come from Spark's native expand. */
+  val q9_rollup: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val geo = broadcast(Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey"))
+    Tables.customer(s, dir)
+      .join(geo, $"c_nationkey" === $"n_nationkey")
+      .join(Tables.orders(s, dir), $"o_custkey" === $"c_custkey")
+      .rollup($"r_name", $"n_name")
+      .agg(Exact.moneySum($"o_totalprice").as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  val q9_sql: String =
+    s"""SELECT r_name, n_name, ${S.moneySum("o_totalprice")} AS revenue,
+       | COUNT(*) AS n_orders
+       |FROM customer
+       | JOIN nation ON c_nationkey = n_nationkey
+       | JOIN region ON n_regionkey = r_regionkey
+       | JOIN orders ON o_custkey = c_custkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  /** q10: multi-distinct aggregation per group. */
+  val q10_distinct_agg: Relational.Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_suppkey").as("n_suppliers"),
+           countDistinct($"l_partkey").as("n_parts"),
+           countDistinct($"l_orderkey").as("n_orders"),
+           count(lit(1)).as("n_lines"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q10_sql: String =
+    """SELECT l_returnflag,
+      | COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      | COUNT(DISTINCT l_partkey) AS n_parts,
+      | COUNT(DISTINCT l_orderkey) AS n_orders,
+      | COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q11: pivot order revenue status×priority into a wide table. Uses
+    * Spark's native pivot with explicit value list (no extra pass to
+    * discover values), columns renamed to SQL-safe aliases. */
+  val q11_pivot: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val aliases = Seq("urgent", "high", "medium", "not_specified", "low")
+    val p = Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .pivot("o_orderpriority", prios)
+      .agg(Exact.moneySum($"o_totalprice"))
+    prios.zip(aliases).foldLeft(p) { case (df, (v, a)) => df.withColumnRenamed(v, a) }
+      .orderBy($"o_orderstatus")
+  }
+
+  val q11_sql: String = {
+    val cases = Seq(
+      "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+      "4-NOT SPECIFIED" -> "not_specified", "5-LOW" -> "low",
+    ).map { case (v, a) =>
+      s"CAST(SUM(CASE WHEN o_orderpriority = '$v' THEN ${S.dec4("o_totalprice")} END) AS DOUBLE) AS $a"
+    }.mkString(",\n ")
+    s"""SELECT o_orderstatus,
+       | $cases
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  }
+
+  /** q12: conditional (filtered) aggregation — CASE WHEN inside agg. */
+  val q12_conditional_agg: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val high = $"o_totalprice" > 300000
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+           sum(when(high, 1L).otherwise(0L)).as("n_high_value"),
+           sum(when(high, Exact.dec4($"o_totalprice"))).cast("double").as("high_value_revenue"),
+           (sum(when(high, 1L).otherwise(0L)).cast("double") / count(lit(1))).as("high_share"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q12_sql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+       | SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS n_high_value,
+       | CAST(SUM(CASE WHEN o_totalprice > 300000 THEN ${S.dec4("o_totalprice")} END) AS DOUBLE) AS high_value_revenue,
+       | CAST(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS high_share
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q20: reproducible numeric profiling. Variance/stddev via exact
+    * decimal power sums surfaced as (exactly representable) doubles, so
+    * the same bits fall out of any engine / any partitioning — Spark's
+    * built-in stddev over doubles is association-order-dependent and
+    * cannot be oracle-checked exactly. */
+  val q20_stats_profile: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val x = Exact.dec2($"l_quantity")
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           min($"l_quantity").as("min_qty"),
+           max($"l_quantity").as("max_qty"),
+           sum(x).cast("double").as("s1"),
+           sum(x * x).cast("double").as("s2"))
+      .select($"l_returnflag", $"n", $"min_qty", $"max_qty",
+        ($"s1" / $"n").as("avg_qty"),
+        sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - lit(1))).as("std_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q20_sql: String = {
+    val x = S.dec2("l_quantity")
+    s"""SELECT l_returnflag, n, min_qty, max_qty, s1/n AS avg_qty,
+       | SQRT((s2 - s1*s1/n)/(n-1)) AS std_qty
+       |FROM (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |   MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       |   CAST(SUM($x) AS DOUBLE) AS s1,
+       |   CAST(SUM($x * $x) AS DOUBLE) AS s2
+       |  FROM lineitem GROUP BY l_returnflag) t
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "q9_rollup" -> q9_rollup,
+    "q10_distinct_agg" -> q10_distinct_agg,
+    "q11_pivot" -> q11_pivot,
+    "q12_conditional_agg" -> q12_conditional_agg,
+    "q20_stats_profile" -> q20_stats_profile,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q9_rollup" -> q9_sql,
+    "q10_distinct_agg" -> q10_sql,
+    "q11_pivot" -> q11_sql,
+    "q12_conditional_agg" -> q12_sql,
+    "q20_stats_profile" -> q20_sql,
+  )
+}
