@@ -9,10 +9,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windowed.queries ++ Aggregations.queries ++
-      JoinShapes.queries ++ TextDates.queries
+      JoinShapes.queries ++ TextDates.queries ++ Events.queries ++
+      Quality.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Windowed.oracles ++ Aggregations.oracles ++
-      JoinShapes.oracles ++ TextDates.oracles
+      JoinShapes.oracles ++ TextDates.oracles ++ Events.oracles ++
+      Quality.oracles
 }

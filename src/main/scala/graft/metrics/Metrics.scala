@@ -1,0 +1,118 @@
+package graft.metrics
+
+import java.sql.Timestamp
+import java.util.UUID
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline metrics logging — the Scala-Spark re-expression of the
+  * reference's dst_metrics module
+  * (reference: modules/dst_metrics/core.py build_record,
+  * spark_logger.py METRICS_SCHEMA/SparkMetricsLogger,
+  * context.py SparkMetricContext, utils.py helpers).
+  *
+  * Records append to a parquet activity log. At scale each append is one
+  * tiny file per job (driver-side, single row) — readers compact via
+  * normal parquet directory reads; the schema is fixed so appends never
+  * conflict.
+  */
+final case class MetricRecord(
+  event_timestamp: Timestamp,
+  run_id: String,
+  layer: String,
+  project: String,
+  dataset_year: Int,
+  description: String,
+  metric_value: Double,
+  metric_unit: String,
+  metric_function: String,
+  job_name: Option[String],
+  extra: Map[String, String],
+  status: Option[String],
+  duration_ms: Option[Long],
+  table_name: Option[String],
+  source_path: Option[String],
+)
+
+object MetricRecord {
+  def build(
+    layer: String, project: String, datasetYear: Int, description: String,
+    value: Double, unit: String, function: String,
+    jobName: Option[String] = None, extra: Map[String, String] = Map.empty,
+    runId: Option[String] = None, status: Option[String] = None,
+    durationMs: Option[Long] = None, tableName: Option[String] = None,
+    sourcePath: Option[String] = None,
+    now: () => Long = () => System.currentTimeMillis(),
+  ): MetricRecord = MetricRecord(
+    new Timestamp(now()), runId.getOrElse(UUID.randomUUID().toString),
+    layer, project, datasetYear, description, value, unit, function,
+    jobName, extra, status, durationMs, tableName, sourcePath)
+}
+
+/** Appends metric records to a parquet activity log (reference appends
+  * to a Delta table at s3a://polaris/metrics/activity_log). */
+class MetricsLogger(spark: SparkSession, val tablePath: String) {
+  def log(rec: MetricRecord): String = {
+    import spark.implicits._
+    Seq(rec).toDS().write.mode("append").parquet(tablePath)
+    rec.run_id
+  }
+
+  def readAll(): DataFrame = spark.read.parquet(tablePath)
+}
+
+/** Context-managed job metrics: one shared run_id, automatic completion
+  * record with status + duration on close (reference: context.py). */
+class MetricContext(
+  spark: SparkSession, tablePath: String,
+  layer: String, project: String, datasetYear: Int, description: String,
+  jobName: Option[String] = None,
+) extends AutoCloseable {
+  val runId: String = UUID.randomUUID().toString
+  val logger = new MetricsLogger(spark, tablePath)
+  private val start = System.currentTimeMillis()
+  private var failed: Option[Throwable] = None
+
+  def logMetric(description: String, value: Double, unit: String,
+                function: String, jobName: Option[String] = None,
+                tableName: Option[String] = None,
+                sourcePath: Option[String] = None): String =
+    logger.log(MetricRecord.build(layer, project, datasetYear, description,
+      value, unit, function, jobName.orElse(this.jobName),
+      runId = Some(runId), tableName = tableName, sourcePath = sourcePath))
+
+  /** Run a body, recording failure status if it throws (mirrors the
+    * Python context manager's __exit__). */
+  def run[T](body: => T): T =
+    try body
+    catch { case t: Throwable => failed = Some(t); close(); throw t }
+
+  override def close(): Unit = {
+    val status = if (failed.isEmpty) "success" else "failure"
+    logger.log(MetricRecord.build(layer, project, datasetYear, description,
+      1.0, "job", "completion", jobName, runId = Some(runId),
+      status = Some(status),
+      durationMs = Some(System.currentTimeMillis() - start)))
+  }
+}
+
+/** DataFrame metric helpers (reference: utils.py). */
+object MetricUtils {
+  def dfCount(df: DataFrame): Long = df.count()
+
+  def dfAvg(df: DataFrame, column: String): Double = {
+    val r = df.agg(avg(col(column))).collect()
+    if (r.nonEmpty && !r(0).isNullAt(0)) r(0).getDouble(0) else 0.0
+  }
+
+  def dfErrorCount(df: DataFrame, errorColumn: String = "is_error"): Long =
+    if (df.columns.contains(errorColumn))
+      df.filter(col(errorColumn) === true).count()
+    else 0L
+
+  def countFiles(path: String): Int = {
+    val f = new java.io.File(path)
+    if (!f.exists()) 0
+    else f.listFiles().count(!_.getName.startsWith("."))
+  }
+}

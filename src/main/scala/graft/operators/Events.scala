@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact
+import graft.functions.Exact.{sql => S}
+import graft.sources.Tables
+
+/** §B event-stream analytics (batch form; streaming variants in
+  * graft.streaming). Covers the reference's time-partitioned event
+  * tables (reference: k8s demo `days(ts)` partitioning,
+  * 03_delta_demo.ipynb event tables) plus the time-series operators a
+  * lakehouse needs: tumbling windows, sessionization, as-of joins,
+  * funnels, top-k.
+  *
+  * Scale notes: every operator shuffles once on (user_id) or the window
+  * bucket; sessionization and as-of are window-function formulations
+  * (sort within partition) rather than self-joins, so cost is
+  * O(n log n_per_key) with no quadratic blowup.
+  *
+  * Timestamps are truncated to seconds at scan: the source parquet
+  * carries nanosecond precision, which Spark truncates to µs while other
+  * engines keep ns — sub-second truncation makes every downstream value
+  * representation-independent.
+  */
+object Events {
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir).withColumn("ts", date_trunc("second", $"ts"))
+  }
+  private val eventsSql =
+    "(SELECT event_id, date_trunc('second', ts) AS ts, user_id, event_type, value FROM events)"
+
+  /** e1: tumbling 1-hour window aggregation — the batch twin of the
+    * Structured Streaming query in graft.streaming. */
+  val e1_tumbling_window: Relational.Q = (s, dir) => {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           Exact.moneySum($"value").as("total_value"))
+      .select($"window.start".as("hour_start"), $"event_type", $"n_events", $"total_value")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  val e1_sql: String =
+    s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       | COUNT(*) AS n_events, ${S.moneySum("value")} AS total_value
+       |FROM $eventsSql e
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** e2: gap-based sessionization (30-min inactivity closes a session).
+    * lag → new-session flag → running sum = session id; one shuffle on
+    * user_id, one sort per user. */
+  val e2_sessionize: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sess = events(s, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+             unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min($"ts").as("session_start"),
+           max($"ts").as("session_end"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val e2_sql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM $eventsSql e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), numbered AS (
+       |  SELECT user_id, ts,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       | MIN(ts) AS session_start, MAX(ts) AS session_end
+       |FROM numbered GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  /** e3: as-of join — each event matched to the user's most recent
+    * 'purchase' at-or-before it. Formulated as union + last_value
+    * (ignore-nulls) over a per-user time sort: one shuffle, no range
+    * self-join. DuckDB verifies with its native ASOF JOIN. */
+  val e3_asof_join: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val ev = events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"))
+    // Tag purchases with ord=0 so that at equal timestamps the purchase
+    // sorts before the event row and is visible to it (ASOF inclusive).
+    val left = ev.select($"event_id", $"user_id", $"ts",
+      lit(null).cast("timestamp").as("p_ts"), lit(1).as("ord"))
+    val right = purchases.select(lit(null).cast("long").as("event_id"),
+      $"user_id", $"p_ts".as("ts"), $"p_ts", lit(0).as("ord"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("last_purchase_ts", last($"p_ts", ignoreNulls = true).over(w))
+      .filter($"event_id".isNotNull)
+      .select($"event_id", $"user_id", $"ts", $"last_purchase_ts")
+      .orderBy($"event_id")
+  }
+
+  val e3_sql: String =
+    s"""SELECT e.event_id, e.user_id, e.ts, p.p_ts AS last_purchase_ts
+       |FROM $eventsSql e
+       |ASOF LEFT JOIN (
+       |  SELECT user_id AS p_user, ts AS p_ts FROM $eventsSql x
+       |  WHERE event_type = 'purchase') p
+       |  ON e.user_id = p.p_user AND p.p_ts <= e.ts
+       |ORDER BY e.event_id""".stripMargin
+
+  /** e4: ordered conversion funnel view→click→purchase: strict
+    * first-occurrence ordering per user, aggregated to stage counts. */
+  val e4_funnel: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val firsts = events(s, dir)
+      .groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"ts")).as("t_view"),
+           min(when($"event_type" === "click", $"ts")).as("t_click"),
+           min(when($"event_type" === "purchase", $"ts")).as("t_purchase"))
+    firsts.agg(
+      sum(when($"t_view".isNotNull, 1L).otherwise(0L)).as("stage_view"),
+      sum(when($"t_view" < $"t_click", 1L).otherwise(0L)).as("stage_click"),
+      sum(when($"t_view" < $"t_click" && $"t_click" < $"t_purchase", 1L)
+        .otherwise(0L)).as("stage_purchase"))
+  }
+
+  val e4_sql: String =
+    s"""SELECT
+       | SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS stage_view,
+       | SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS stage_click,
+       | SUM(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS stage_purchase
+       |FROM (
+       |  SELECT user_id,
+       |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+       |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+       |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+       |  FROM $eventsSql e GROUP BY user_id) t""".stripMargin
+
+  /** e5: global top-k most active users (deterministic tie-break). */
+  val e5_topk_users: Relational.Q = (s, dir) => {
+    import s.implicits._
+    events(s, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+           Exact.moneySum($"value").as("total_value"))
+      .orderBy($"n_events".desc, $"user_id")
+      .limit(10)
+  }
+
+  val e5_sql: String =
+    s"""SELECT user_id, COUNT(*) AS n_events, ${S.moneySum("value")} AS total_value
+       |FROM $eventsSql e GROUP BY user_id
+       |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin
+
+  val queries: Map[String, Relational.Q] = Map(
+    "e1_tumbling_window" -> e1_tumbling_window,
+    "e2_sessionize" -> e2_sessionize,
+    "e3_asof_join" -> e3_asof_join,
+    "e4_funnel" -> e4_funnel,
+    "e5_topk_users" -> e5_topk_users,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e1_tumbling_window" -> e1_sql,
+    "e2_sessionize" -> e2_sql,
+    "e3_asof_join" -> e3_sql,
+    "e4_funnel" -> e4_sql,
+    "e5_topk_users" -> e5_sql,
+  )
+}

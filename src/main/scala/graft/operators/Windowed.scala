@@ -23,8 +23,10 @@ object Windowed {
     * fully deterministic — never window-order on a non-unique key. */
   val q7_window_running: Relational.Q = (s, dir) => {
     import s.implicits._
+    // (orderkey, linenumber) is not unique in this data — quantity joins
+    // the sort so tied rows are interchangeable in the output.
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, dir)
       .filter($"l_shipdate" >= lit("2001-01-01").cast("timestamp"))
@@ -37,12 +39,12 @@ object Windowed {
     s"""SELECT l_suppkey, l_orderkey, l_linenumber,
        | ROW_NUMBER() OVER w AS rn,
        | CAST(SUM(${S.dec2("l_quantity")}) OVER (PARTITION BY l_suppkey
-       |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+       |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
        |FROM lineitem
        |WHERE l_shipdate >= TIMESTAMP '2001-01-01'
        |WINDOW w AS (PARTITION BY l_suppkey
-       |             ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin
+       |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)""".stripMargin
 
   /** q8: top-3 parts per brand by retail price; rank computed once per
     * brand partition, filter prunes before any further work. */
