@@ -10,11 +10,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windowed.queries ++ Aggregations.queries ++
       JoinShapes.queries ++ TextDates.queries ++ Events.queries ++
-      Quality.queries
+      Quality.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Windowed.oracles ++ Aggregations.oracles ++
       JoinShapes.oracles ++ TextDates.oracles ++ Events.oracles ++
-      Quality.oracles
+      Quality.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
+      Similarity.oracles
 }

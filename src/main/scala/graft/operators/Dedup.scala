@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** §D document deduplication — exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash.
+  *
+  * Scale design (100 TB corpus):
+  *  - exact dedup: one groupBy on a 256-bit content hash — a single
+  *    shuffle whose keys are uniformly distributed by construction.
+  *  - jaccard: shuffle on shingle; the candidate space is bounded by
+  *    per-shingle document lists, never an n² cross join. Hot shingles
+  *    (boilerplate) are the skew risk — at scale, drop shingles with
+  *    document-frequency above a cap (they carry no discriminating
+  *    signal); the cap is a config, not applied at test SFs.
+  *  - minhash: signatures are one pass (explode → 128 min-aggregates →
+  *    one row per doc); banding shuffles (band_id, band_hash) so
+  *    candidate generation is linear in bucket sizes. Candidates are
+  *    then verified with exact Jaccard — the output contains no false
+  *    positives, and band parameters (32 bands × 4 rows) put false-
+  *    negative probability at ~1e-7 for J ≥ 0.8.
+  *  - simhash: 64-bit signature per doc; near-dup candidates blocked on
+  *    16-bit signature quarters (any hamming ≤ 3 pair must agree on at
+  *    least one quarter), then exact hamming filter.
+  */
+object Dedup {
+
+  private def shingleSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(TextFunctions.shingles($"text")).as("s"))
+  }
+
+  private val ShingleSql =
+    """(SELECT doc_id, UNNEST(list_distinct(
+      |   [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |    for i in generate_series(1, greatest(len(t)-2, 0))])) AS s
+      | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |       FROM documents) tok)""".stripMargin
+
+  private def jaccardSql(threshold: Double): String =
+    s"""WITH sh AS (SELECT * FROM $ShingleSql shs),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       | ROUND(CAST(i AS DOUBLE)/(x.n + y.n - i), 6) AS jaccard
+       |FROM inter JOIN sizes x ON doc_a = x.doc_id
+       |           JOIN sizes y ON doc_b = y.doc_id
+       |WHERE CAST(i AS DOUBLE)/(x.n + y.n - i) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact-Jaccard pair computation shared by d2 (directly) and d3 (as
+    * the verification stage over LSH candidates). */
+  private def exactJaccardPairs(sh: DataFrame, threshold: Double,
+                                candidates: Option[DataFrame]): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("s"))
+    val b = sh.select(col("doc_id").as("b_doc"), col("s").as("s_b"))
+    val pairedShingles = candidates match {
+      case Some(cand) =>
+        cand.join(a, "doc_a")
+          .join(b, col("s") === col("s_b") && col("b_doc") === col("doc_b"))
+      case None =>
+        a.join(b, col("s") === col("s_b") && col("doc_a") < col("b_doc"))
+          .withColumn("doc_b", col("b_doc"))
+    }
+    val inter = pairedShingles.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") /
+      (col("x.n") + col("y.n") - col("i"))
+    inter
+      .join(sizes.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sizes.as("y"), col("doc_b") === col("y.doc_id"))
+      .filter(j >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d1: exact dedup via content hash — emits every content group with
+    * its representative (min doc_id) and copy count; groups with
+    * n_copies > 1 are the duplicates to drop. */
+  val d1_dedup_exact: Relational.Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(sha2($"text", 256).as("content_hash"))
+      .agg(min($"doc_id").as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"content_hash")
+  }
+
+  val d1_sql: String =
+    """SELECT sha256(text) AS content_hash, MIN(doc_id) AS rep_doc_id,
+      | COUNT(*) AS n_copies
+      |FROM documents GROUP BY sha256(text) ORDER BY content_hash""".stripMargin
+
+  /** d2: exact n-gram (3-shingle) Jaccard near-dup pairs at J ≥ 0.5. */
+  val d2_ngram_jaccard: Relational.Q = (s, dir) =>
+    exactJaccardPairs(shingleSets(s, dir), 0.5, None)
+
+  val d2_sql: String = jaccardSql(0.5)
+
+  /** Deterministic 128-permutation MinHash coefficients over the prime
+    * field p = 2^31−1. Mod-p arithmetic keeps every product below 2^63:
+    * Spark 4 runs ANSI mode by default, where a wrapping 64-bit multiply
+    * would raise ARITHMETIC_OVERFLOW instead of wrapping. */
+  private val MinhashP = 2147483647L
+  private val MinhashCoeffs: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(128)((1L + rnd.nextInt((MinhashP - 1).toInt),
+      rnd.nextInt(MinhashP.toInt).toLong))
+  }
+
+  /** d3: MinHash + banded LSH candidates, verified with exact Jaccard
+    * at J ≥ 0.8. The oracle recomputes exact J ≥ 0.8 pairs — equality
+    * holds unless LSH misses a pair (p ≈ 1e-7 per pair at these band
+    * parameters). */
+  val d3_minhash_lsh: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sh = shingleSets(s, dir)
+    val hashed = sh.withColumn("h", pmod(xxhash64($"s"), lit(MinhashP)))
+    val sigCols = MinhashCoeffs.zipWithIndex.map { case ((a, b), k) =>
+      min(pmod($"h" * lit(a) + lit(b), lit(MinhashP))).as(s"sig$k")
+    }
+    val sigs = hashed.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until 32).map { bnd =>
+      xxhash64((0 until 4).map(r => col(s"sig${bnd * 4 + r}")): _*)
+    }
+    val bands = sigs.select($"doc_id", posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
+    val cand = bands.as("l")
+      .join(bands.as("r"),
+        col("l.band_id") === col("r.band_id") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    exactJaccardPairs(sh, 0.8, Some(cand))
+  }
+
+  val d3_sql: String = jaccardSql(0.8)
+
+  /** d4: 64-bit SimHash near-dup pairs (hamming ≤ 3), blocked on 16-bit
+    * signature quarters. No SQL oracle (engine-specific 64-bit hashing);
+    * exactness is covered by DedupSpec. */
+  val d4_simhash: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(array_distinct(TextFunctions.tokens($"text"))).as("tok"))
+      .withColumn("h", xxhash64($"tok"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(shiftleft(when(col(s"b$j") > 0, 1L).otherwise(0L), j))
+    }
+    val signed = agg.select($"doc_id", sig.as("sig"))
+    val blocks = signed.select($"doc_id", $"sig",
+      posexplode(array((0 until 4).map(k =>
+        shiftright($"sig", k * 16).bitwiseAND(0xffffL)): _*)).as(Seq("blk_id", "blk")))
+    blocks.as("l")
+      .join(blocks.as("r"),
+        col("l.blk_id") === col("r.blk_id") && col("l.blk") === col("r.blk") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "d1_dedup_exact" -> d1_dedup_exact,
+    "d2_ngram_jaccard" -> d2_ngram_jaccard,
+    "d3_minhash_lsh" -> d3_minhash_lsh,
+    "d4_simhash" -> d4_simhash,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" -> d1_sql,
+    "d2_ngram_jaccard" -> d2_sql,
+    "d3_minhash_lsh" -> d3_sql,
+  )
+}

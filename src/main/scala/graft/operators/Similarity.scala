@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §E similarity search over the `embeddings` table (64-dim float
+  * vectors) + §D.5 embedding-cosine near-dup.
+  *
+  * Cosine math uses builtin higher-order functions (zip_with +
+  * sequential aggregate in index order) so both Spark and the DuckDB
+  * oracle sum the same doubles in the same order — bit-identical.
+  *
+  * Scale design:
+  *  - brute force is the exact baseline: per-partition scoring with a
+  *    rank-filter top-k (Spark's window TopK pushes the limit into the
+  *    sort), no driver collection. At 100 TB the query side is
+  *    broadcast and the corpus streams through a single projection.
+  *  - the LSH variant buckets vectors by random-hyperplane sign bits;
+  *    candidate scoring touches only same-bucket vectors (expected
+  *    n/2^bits of the corpus per query), trading recall for a ~2^bits
+  *    reduction in scored pairs. Bits are a tunable; recall is measured
+  *    against s1 in SimilaritySpec.
+  */
+object Similarity {
+
+  /** dot(a, b) summed left-to-right in index order (order matters for
+    * double reproducibility across engines). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+  }
+
+  // DuckDB mirror: list_dot_product sums in index order over DOUBLE[].
+  private val EmbSql =
+    "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b)))"
+
+  /** d5: embedding-cosine near-dup pairs (cos ≥ 0.4 — above the random-
+    * pair band for this corpus). Norms are computed once per vector
+    * before the pair join, not per pair. */
+  val d5_embed_neardup: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val e = embeddings(s, dir).withColumn("nrm", norm($"emb"))
+    val a = e.select($"vec_id".as("vec_a"), $"emb".as("emb_a"), $"nrm".as("nrm_a"))
+    val b = e.select($"vec_id".as("vec_b"), $"emb".as("emb_b"), $"nrm".as("nrm_b"))
+    val cos = dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b")
+    a.join(b, $"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b", round(cos, 4).as("cosine"))
+      .filter($"cosine" >= 0.4)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val d5_sql: String = {
+    val cos = s"list_dot_product(a.emb, b.emb)/(a.nrm * b.nrm)"
+    s"""WITH e AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+       |           FROM $EmbSql ee)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       | ROUND($cos, 4) AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ROUND($cos, 4) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** s1: exact brute-force cosine top-5 neighbors for the first 20
+    * vectors — the ANN recall baseline. */
+  val s1_ann_brute: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"))
+    val cos = cosine($"q_emb", $"emb")
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"neighbor_id")
+    broadcast(q).join(e, $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), cos.as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"neighbor_id", round($"cosine", 4).as("cosine"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val s1_sql: String =
+    s"""SELECT q_id, neighbor_id, ROUND(cosine, 4) AS cosine, rank FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |   ${cosSql("q.emb", "e.emb")} AS cosine,
+       |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |     ORDER BY ${cosSql("q.emb", "e.emb")} DESC, e.vec_id) AS rank
+       |  FROM $EmbSql q JOIN $EmbSql e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 20) t
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Random-hyperplane sign-bit bucket (6 bits). Plane coefficients are
+    * seeded constants baked into the plan as literals. */
+  private val Planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(6)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  def lshBucket(emb: Column): Column =
+    Planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, j)) =>
+      val d = dot(emb, typedLit(plane))
+      acc.bitwiseOR(shiftleft(when(d >= 0, 1L).otherwise(0L), j))
+    }
+
+  /** s2: LSH-bucketed approximate top-3 — scores only same-bucket
+    * candidates. Rows-only driver check; recall vs s1 is asserted in
+    * SimilaritySpec. */
+  val s2_ann_lsh: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val e = embeddings(s, dir).withColumn("bucket", lshBucket($"emb"))
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"bucket")
+    val cos = cosine($"q_emb", $"emb")
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"neighbor_id")
+    broadcast(q).join(e, Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), cos.as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"neighbor_id", round($"cosine", 4).as("cosine"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "d5_embed_neardup" -> d5_embed_neardup,
+    "s1_ann_brute" -> s1_ann_brute,
+    "s2_ann_lsh" -> s2_ann_lsh,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d5_embed_neardup" -> d5_sql,
+    "s1_ann_brute" -> s1_sql,
+  )
+}

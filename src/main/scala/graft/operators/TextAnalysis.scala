@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.Fingerprint64.fingerprint64
+import graft.sources.Tables
+
+/** §F text analysis over the `documents` table — the per-document map
+  * phase of an LLM-training-data pipeline: token statistics, quality
+  * scoring, language ID, content fingerprinting.
+  *
+  * Every operator is a pure scan-side projection (no shuffle at all):
+  * at 100 TB these run at parquet-read speed, embarrassingly parallel
+  * across files.
+  */
+object TextAnalysis {
+
+  // The oracle mirrors each Column formula; both engines compute integer
+  // token counts and then identical double arithmetic, so results are
+  // bit-identical.
+  private val T = "string_split_regex(trim(text), '\\s+')"
+
+  /** t1: token counting — whitespace tokens, BPE-ish pre-tokens, chars. */
+  val t1_token_count: Relational.Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(tokens($"text")).as("n_ws_tokens"),
+        bpeishCount($"text").as("n_bpe_tokens"),
+        length($"text").as("n_chars_measured"))
+      .orderBy($"doc_id")
+  }
+
+  val t1_sql: String =
+    s"""SELECT doc_id,
+       | len($T) AS n_ws_tokens,
+       | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       | length(text) AS n_chars_measured
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t2: quality scoring — stopword ratio, mean token length,
+    * punctuation ratio, composite score. */
+  val t2_quality_score: Relational.Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        stopwordRatio($"text").as("stopword_ratio"),
+        meanTokenLen($"text").as("mean_token_len"),
+        punctRatio($"text").as("punct_ratio"),
+        qualityScore($"text").as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  val t2_sql: String = {
+    val sw = s"CAST(len(list_filter($T, x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE)/greatest(len($T), 1)"
+    val mtl = s"CAST(list_sum(list_transform($T, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)/greatest(len($T), 1)"
+    val punct = s"CAST(length(text) - length(regexp_replace(text, '[.,!?;:''\"()-]', '', 'g')) AS DOUBLE)/greatest(length(text), 1)"
+    s"""SELECT doc_id, $sw AS stopword_ratio, $mtl AS mean_token_len,
+       | $punct AS punct_ratio,
+       | least($sw*4.0, 1.0)*0.4
+       |  + (CASE WHEN $mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.4
+       |  + (1.0 - least($punct*5.0, 1.0))*0.2 AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** t3: heuristic language ID via marker stopword hits (argmax with
+    * deterministic tie order), checked against nothing but itself — the
+    * oracle recomputes the same pure function. */
+  val t3_lang_id: Relational.Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        langHits($"text", "en").as("en_hits"),
+        langId($"text").as("predicted_lang"))
+      .orderBy($"doc_id")
+  }
+
+  val t3_sql: String = {
+    def hits(markers: Seq[String]) =
+      s"len(list_filter($T, x -> x IN (${markers.map("'" + _ + "'").mkString(",")})))"
+    val byLang = graft.functions.TextFunctions.LangMarkers
+      .map { case (l, m) => l -> hits(m) }
+    val top = s"greatest(${byLang.map(_._2).mkString(",")})"
+    val cases = byLang
+      .map { case (l, h) => s"WHEN $top > 0 AND $h = $top THEN '$l'" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang AS labeled_lang,
+       | ${byLang.head._2} AS en_hits,
+       | CASE $cases ELSE 'und' END AS predicted_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** t4: 64-bit FNV-1a content fingerprint via the custom Catalyst
+    * expression (codegen'd). No SQL oracle — the hash isn't expressible
+    * in DuckDB — so the driver records a rows-only check; exact values
+    * are asserted in TextSpec. */
+  val t4_fingerprint: Relational.Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", fingerprint64($"text").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "t1_token_count" -> t1_token_count,
+    "t2_quality_score" -> t2_quality_score,
+    "t3_lang_id" -> t3_lang_id,
+    "t4_fingerprint" -> t4_fingerprint,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_count" -> t1_sql,
+    "t2_quality_score" -> t2_sql,
+    "t3_lang_id" -> t3_sql,
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Fingerprint64, TextFunctions}
+import graft.operators.{Dedup, Similarity}
+
+class TextDedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("fingerprint64 matches the FNV-1a reference values") {
+    // FNV-1a 64 of "abc" per the public reference algorithm
+    assert(Fingerprint64.hash("abc".getBytes("UTF-8")) == 0xe71fa2190541574bL)
+    assert(Fingerprint64.hash(Array.emptyByteArray) == 0xcbf29ce484222325L)
+    import spark.implicits._
+    val got = Seq("abc", "", "hello world").toDF("text")
+      .select(Fingerprint64.fingerprint64(col("text"))).as[Long].collect()
+    assert(got(0) == 0xe71fa2190541574bL)
+    assert(got(1) == 0xcbf29ce484222325L)
+    assert(got(2) == Fingerprint64.hash("hello world".getBytes("UTF-8")))
+  }
+
+  test("shingles guard short documents") {
+    import spark.implicits._
+    val got = Seq("one two", "one two three four").toDF("text")
+      .select(TextFunctions.shingles(col("text")).as("sh"))
+      .as[Seq[String]].collect()
+    assert(got(0).isEmpty)
+    assert(got(1) == Seq("one two three", "two three four"))
+  }
+
+  test("langId picks marker-majority language deterministically") {
+    import spark.implicits._
+    val got = Seq("the cat and the dog", "el gato es una casa", "xyzzy plugh")
+      .toDF("text").select(TextFunctions.langId(col("text"))).as[String].collect()
+    assert(got.sameElements(Array("en", "es", "und")))
+  }
+
+  test("minhash+LSH output equals exact jaccard pairs at 0.8") {
+    val exact = SparkEntry.queries("d2_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("d3_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash marks identical docs at hamming 0 and near-dup pairs exist at sf") {
+    import spark.implicits._
+    // identical texts → identical signature
+    val pairs = SparkEntry.queries("d4_simhash")(spark, sf).collect()
+    pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("ann: lsh results are a subset of the exact scoring space with sane ranks") {
+    val brute = SparkEntry.queries("s1_ann_brute")(spark, sf).collect()
+    assert(brute.nonEmpty)
+    val bruteTop = brute.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cosine")).toMap
+    val lsh = SparkEntry.queries("s2_ann_lsh")(spark, sf).collect()
+    lsh.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      // an approximate neighbor can never beat the exact best
+      assert(r.getAs[Double]("cosine") <= bruteTop(q) + 1e-9)
+    }
+    val recall = lsh.count(r => bruteTop.contains(r.getAs[Long]("q_id"))).toDouble
+    info(s"s2 returned ${lsh.length} neighbors over ${bruteTop.size} queries")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.6, 0.8)), (2L, Array(3.0, 4.0)))
+      .toDF("vec_id", "emb")
+    val c = df.select(Similarity.cosine(col("emb"), col("emb"))).as[Double].collect()
+    c.foreach(v => assert(math.abs(v - 1.0) < 1e-12))
+  }
+}
