@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.functions.Exact.{sql => S}
+import graft.sources.{GraftTable, Tables}
+
+/** §G lakehouse write-path operators, oracle-checked end to end: each
+  * query builds a real GraftTable in a temp directory, runs the
+  * mutation (MERGE / UPDATE / DELETE), and returns the final table
+  * state — which the DuckDB oracle recomputes directly from the base
+  * tables. This verifies the full write→commit→read cycle, not just the
+  * expression logic (reference surface: 02_iceberg_demo.ipynb
+  * UPDATE/DELETE, 03_delta_demo.ipynb INSERT OVERWRITE/mergeSchema).
+  */
+object LakehouseOps {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_table_").toString + "/t"
+
+  /** g1: MERGE INTO (upsert). Target = orders with key%3=0; source =
+    * orders with key%2=0 at doubled price. Matched keys (key%6=0) take
+    * the doubled price; other source keys insert; other target keys
+    * survive. */
+  val g1_merge_upsert: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val target = orders.filter($"o_orderkey" % 3 === 0)
+    val source = orders.filter($"o_orderkey" % 2 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" * 2)
+    val t = GraftTable.create(s, tmp(), target)
+    t.merge(source, Seq("o_orderkey"))
+    t.read()
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice", 4).as("o_totalprice"))
+      .orderBy($"o_orderkey")
+  }
+
+  val g1_sql: String =
+    """SELECT o_orderkey, o_custkey,
+      | ROUND(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+      |            ELSE o_totalprice END, 4) AS o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** g5: row-level UPDATE then DELETE, returning the final snapshot. */
+  val g5_update_delete: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val t = GraftTable.create(s, tmp(), Tables.customer(s, dir))
+    t.update(col("c_acctbal") < 0, Map("c_acctbal" -> lit(0.0)))
+    t.delete(col("c_mktsegment") === "MACHINERY")
+    t.read()
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val g5_sql: String =
+    """SELECT c_custkey, c_name,
+      | CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+      | c_mktsegment
+      |FROM customer WHERE c_mktsegment <> 'MACHINERY'
+      |ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, Relational.Q] = Map(
+    "g1_merge_upsert" -> g1_merge_upsert,
+    "g5_update_delete" -> g5_update_delete,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g1_merge_upsert" -> g1_sql,
+    "g5_update_delete" -> g5_sql,
+  )
+}

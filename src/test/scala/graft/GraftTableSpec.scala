@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.GraftTable
+
+class GraftTableSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_spec_").toString + "/t"
+
+  test("g2: time travel across create/append/overwrite") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    t.overwrite(Seq((9, "z")).toDF("id", "v"))
+    assert(t.readVersion(0).count() == 2)
+    assert(t.readVersion(1).count() == 3)
+    assert(t.readVersion(2).count() == 1)
+    assert(t.read().as[(Int, String)].collect().toSet == Set((9, "z")))
+    // append after overwrite keeps only post-overwrite data
+    t.append(Seq((10, "y")).toDF("id", "v"))
+    assert(t.read().count() == 2)
+  }
+
+  test("g3: history lists operations; vacuum drops unreachable dirs") {
+    import spark.implicits._
+    val path = tmp()
+    val t = GraftTable.create(spark, path, Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    t.overwrite(Seq((3, "c")).toDF("id", "v"))
+    val h = t.history().orderBy("version").collect()
+    assert(h.map(_.getAs[String]("operation")).toSeq ==
+      Seq("create", "append", "overwrite"))
+    // v0/v1 dirs are unreachable from v2 → vacuumed
+    val removed = t.vacuum(retainFromVersion = 2)
+    assert(removed.size == 2)
+    // latest still readable; time travel to v0 now fails (files gone)
+    assert(t.read().count() == 1)
+    intercept[Exception] { t.readVersion(0).collect() }
+  }
+
+  test("g4: schema-merge append reads old rows with nulls in new column") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), Seq((1, "a")).toDF("id", "v"))
+    t.appendMergeSchema(Seq((2, "b", 7.5)).toDF("id", "v", "score"))
+    val rows = t.read().orderBy("id").collect()
+    assert(t.read().columns.toSeq == Seq("id", "v", "score"))
+    assert(rows(0).isNullAt(2))
+    assert(rows(1).getDouble(2) == 7.5)
+  }
+
+  test("merge upserts: source wins on match, inserts otherwise") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1, 10.0), (2, 20.0)).toDF("k", "x"))
+    t.merge(Seq((2, 99.0), (3, 30.0)).toDF("k", "x"), Seq("k"))
+    val got = t.read().as[(Int, Double)].collect().toSet
+    assert(got == Set((1, 10.0), (2, 99.0), (3, 30.0)))
+    assert(t.history().count() == 2)
+  }
+
+  test("load reopens an existing table") {
+    import spark.implicits._
+    val path = tmp()
+    GraftTable.create(spark, path, Seq((1, "a")).toDF("id", "v"))
+    val t2 = GraftTable.load(spark, path)
+    assert(t2.read().count() == 1)
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, path, Seq((1, "a")).toDF("id", "v"))
+    }
+  }
+}
