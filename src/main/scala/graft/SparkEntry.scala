@@ -11,12 +11,14 @@ object SparkEntry {
     Relational.queries ++ Windowed.queries ++ Aggregations.queries ++
       JoinShapes.queries ++ TextDates.queries ++ Events.queries ++
       Quality.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ LakehouseOps.queries
+      Similarity.queries ++ LakehouseOps.queries ++
+      graft.streaming.Streams.queries ++ Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Windowed.oracles ++ Aggregations.oracles ++
       JoinShapes.oracles ++ TextDates.oracles ++ Events.oracles ++
       Quality.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ LakehouseOps.oracles
+      Similarity.oracles ++ LakehouseOps.oracles ++
+      graft.streaming.Streams.oracles ++ Multimodal.oracles
 }

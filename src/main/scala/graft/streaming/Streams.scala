@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.util.UUID
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.functions.Exact
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** §H Structured Streaming over the events table.
+  *
+  * The parquet events directory drives a real streaming query
+  * (readStream → transform → memory sink, drained synchronously with
+  * processAllAvailable) so the streaming path itself is what's
+  * verified — h1's result must equal the batch tumbling-window oracle.
+  *
+  * Scale notes: in production these run with file/Kafka sources and
+  * checkpointed sinks; the aggregations are keyed on (window,
+  * event_type) / event_id / user_id, all shuffle-partitioned, and the
+  * watermark bounds state size. Nothing here is driver-resident.
+  */
+object Streams {
+
+  /** events schema with ts as long nanos (the raw parquet layout —
+    * streaming readers need an explicit schema). */
+  private val RawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the streaming file source wants a directory; select the single
+    // events file with a glob filter
+    s.readStream.schema(RawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", date_trunc("second", timestamp_micros(expr("ts DIV 1000"))))
+  }
+
+  /** Run a streaming aggregate to completion against the finite input
+    * and return the sink table. */
+  private def drain(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+
+  /** h1: watermarked tumbling-window aggregation — must equal the batch
+    * e1 result (same oracle SQL shape). */
+  val h1_stream_window: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           Exact.moneySum($"value").as("total_value"))
+      .select($"window.start".as("hour_start"), $"event_type",
+        $"n_events", $"total_value")
+    drain(agg, OutputMode.Complete()).orderBy($"hour_start", $"event_type")
+  }
+
+  val h1_sql: String =
+    s"""SELECT date_trunc('hour', date_trunc('second', ts)) AS hour_start,
+       | event_type, COUNT(*) AS n_events,
+       | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** h2: streaming dedup — the input is the stream unioned with itself
+    * (every event duplicated), dropDuplicates on event_id restores
+    * exact-once, and the per-type counts equal the batch counts. */
+  val h2_stream_dedup: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val in = eventStream(s, dir).unionByName(eventStream(s, dir))
+    val deduped = in
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"))
+    drain(deduped, OutputMode.Complete()).orderBy($"event_type")
+  }
+
+  val h2_sql: String =
+    """SELECT event_type, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              n_events: Int)
+
+  /** h3: custom stateful sessionization with flatMapGroupsWithState —
+    * emits a session record when a 30-minute gap closes it. Covered by
+    * StreamingSpec (unbounded tail sessions never emit on a finite
+    * stream, so no batch oracle). */
+  def h3_stream_sessionize(s: SparkSession, dir: String): Dataset[SessionOut] = {
+    import s.implicits._
+    val ds = eventStream(s, dir).as[Ev]
+    val out = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        sessionFn)
+    drain(out.toDF(), OutputMode.Append()).as[SessionOut]
+  }
+
+  private[streaming] def sessionFn(
+      userId: Long, events: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val gapMs = 30 * 60 * 1000L
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+    var cur = state.getOption
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(st) if t - st.last <= gapMs =>
+          cur = Some(st.copy(last = t, n = st.n + 1))
+        case Some(st) =>
+          closed += SessionOut(userId, new java.sql.Timestamp(st.start), st.n)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    cur.foreach(state.update)
+    closed.iterator
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "h1_stream_window" -> h1_stream_window,
+    "h2_stream_dedup" -> h2_stream_dedup,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "h1_stream_window" -> h1_sql,
+    "h2_stream_dedup" -> h2_sql,
+  )
+}

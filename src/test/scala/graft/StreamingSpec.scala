@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+import graft.operators.Multimodal
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("h1 streaming window equals the batch tumbling window") {
+    val streamed = SparkEntry.queries("h1_stream_window")(spark, sf).collect()
+    val batch = SparkEntry.queries("e1_tumbling_window")(spark, sf).collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
+  test("h2 streaming dedup removes the injected duplicates") {
+    val got = SparkEntry.queries("h2_stream_dedup")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("h3 stateful sessionization emits gap-closed sessions") {
+    val sessions = Streams.h3_stream_sessionize(spark, sf).collect()
+    assert(sessions.nonEmpty)
+    assert(sessions.forall(_.n_events >= 1))
+    // closed sessions must be a prefix of the batch sessionization (which
+    // also includes each user's trailing open session)
+    val batchSessions = SparkEntry.queries("e2_sessionize")(spark, sf)
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    sessions.foreach { s0 =>
+      assert(batchSessions.contains((s0.user_id, s0.session_start, s0.n_events.toLong)),
+        s"stream session $s0 not found in batch sessionization")
+    }
+  }
+
+  test("m2 batched feature extraction is deterministic with fixed shape") {
+    val a = Multimodal.m2_feature_batch(spark, sf).collect()
+      .sortBy(_.doc_id)
+    val b = Multimodal.m2_feature_batch(spark, sf).collect().sortBy(_.doc_id)
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.doc_id == y.doc_id && x.width == y.width && x.height == y.height)
+      assert(x.feature.length == 4 && x.feature.sameElements(y.feature))
+      assert(x.width >= 64 && x.width < 64 + 1024)
+    }
+  }
+}
