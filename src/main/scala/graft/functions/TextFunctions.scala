@@ -15,18 +15,23 @@ object TextFunctions {
   /** Whitespace tokens of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word k-shingles (distinct), the unit for Jaccard/MinHash dedup.
-    * Guarded for docs shorter than k tokens — sequence(1, 0) would flip
-    * its step sign and emit bogus indices. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val t = tokens(text)
+  /** Word k-shingles (distinct) from a MATERIALIZED token-array column,
+    * the unit for Jaccard/MinHash dedup. The token array must be a plain
+    * column reference (project `tokens(text)` first): inlining the split
+    * here would re-evaluate it for every element_at — measured 5× slower
+    * on the shingle pass. Guarded for docs shorter than k tokens —
+    * sequence(1, 0) would flip its step sign and emit bogus indices. */
+  def shinglesOfTokens(t: Column, k: Int = 3): Column =
     when(size(t) >= k,
       array_distinct(
         transform(
           sequence(lit(1), size(t) - (k - 1)),
           i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience single-expression form (fine for one-shot projections;
+    * hot paths should materialize tokens first — see shinglesOfTokens). */
+  def shingles(text: Column, k: Int = 3): Column = shinglesOfTokens(tokens(text), k)
 
   /** BPE-ish token count: alpha runs, digit runs, and single other
     * non-space chars — the shape of byte-pair pre-tokenization. */

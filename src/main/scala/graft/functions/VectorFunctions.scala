@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Native dot product over two double arrays.
+  *
+  * The composable form (`zip_with` + `aggregate`) evaluates a lambda per
+  * element with boxing — ~50× slower than a primitive loop on a 12M-pair
+  * similarity join. This expression generates a direct loop over the
+  * underlying ArrayData, stays inside whole-stage codegen, and sums
+  * left-to-right in index order — the exact summation order the DuckDB
+  * oracle uses, so results stay bit-identical.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DotProduct.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fraction of positions where two long arrays agree — the unbiased
+  * MinHash similarity estimate. Native loop for the same reason as
+  * [[DotProduct]]: candidate-pair filtering evaluates this millions of
+  * times and lambda-based forms fall off the fast path. */
+case class ArrayEqFraction(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayEqFraction.eqFraction(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ArrayEqFraction.eqFraction($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayEqFraction =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayEqFraction {
+  def eqFraction(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  def array_eq_fraction(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      ArrayEqFraction(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+object DotProduct {
+  /** Sequential (index-order) sum — called from interpreted and
+    * generated paths. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

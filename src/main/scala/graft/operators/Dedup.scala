@@ -28,10 +28,18 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Exploded (doc_id, shingle) pairs, persisted: both dedup operators
+    * reference this relation from multiple join branches, and Spark does
+    * not share common subplans across branches — without persistence the
+    * tokenize+shingle pass recomputes once per branch. Tokens are
+    * materialized in their own projection before shingling (see
+    * TextFunctions.shinglesOfTokens). */
   private def shingleSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id", explode(TextFunctions.shingles($"text")).as("s"))
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", explode(TextFunctions.shinglesOfTokens($"toks")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private val ShingleSql =
@@ -104,40 +112,43 @@ object Dedup {
 
   val d2_sql: String = jaccardSql(0.5)
 
-  /** Deterministic 128-permutation MinHash coefficients over the prime
-    * field p = 2^31−1. Mod-p arithmetic keeps every product below 2^63:
-    * Spark 4 runs ANSI mode by default, where a wrapping 64-bit multiply
-    * would raise ARITHMETIC_OVERFLOW instead of wrapping. */
-  private val MinhashP = 2147483647L
-  private val MinhashCoeffs: Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(128)((1L + rnd.nextInt((MinhashP - 1).toInt),
-      rnd.nextInt(MinhashP.toInt).toLong))
-  }
-
   /** d3: MinHash + banded LSH candidates, verified with exact Jaccard
     * at J ≥ 0.8. The oracle recomputes exact J ≥ 0.8 pairs — equality
     * holds unless LSH misses a pair (p ≈ 1e-7 per pair at these band
-    * parameters). */
+    * parameters). The 128-permutation signature is one typed aggregate
+    * ([[graft.functions.MinHashAgg]]) — 128 separate min() columns blow
+    * past codegen method limits and fall off the fast path. */
   val d3_minhash_lsh: Relational.Q = (s, dir) => {
     import s.implicits._
     val sh = shingleSets(s, dir)
-    val hashed = sh.withColumn("h", pmod(xxhash64($"s"), lit(MinhashP)))
-    val sigCols = MinhashCoeffs.zipWithIndex.map { case ((a, b), k) =>
-      min(pmod($"h" * lit(a) + lit(b), lit(MinhashP))).as(s"sig$k")
-    }
-    val sigs = hashed.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val hashed = sh.withColumn("h",
+      pmod(xxhash64($"s"), lit(graft.functions.MinHashAgg.P)))
+    val sigs = hashed.groupBy($"doc_id")
+      .agg(graft.functions.MinHashAgg.minhash($"h", 128, seed = 42).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until 32).map { bnd =>
-      xxhash64((0 until 4).map(r => col(s"sig${bnd * 4 + r}")): _*)
+      xxhash64((0 until 4).map(r => element_at($"sig", bnd * 4 + r + 1)): _*)
     }
     val bands = sigs.select($"doc_id", posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
-    val cand = bands.as("l")
+    val rawCand = bands.as("l")
       .join(bands.as("r"),
         col("l.band_id") === col("r.band_id") &&
           col("l.band_hash") === col("r.band_hash") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+    // Signature-overlap prefilter: on low-diversity corpora 4-row bands
+    // emit large numbers of weak collisions; the eq-fraction of the full
+    // 128-signature estimates J unbiasedly, so a 0.6 cut (vs the 0.8
+    // target) discards weak pairs for pennies before the exact-verify
+    // join. Signatures are broadcast (one 128-long row per doc).
+    val sigA = sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a"))
+    val sigB = sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b"))
+    val cand = rawCand
+      .join(broadcast(sigA), "doc_a").join(broadcast(sigB), "doc_b")
+      .filter(graft.functions.ArrayEqFraction
+        .array_eq_fraction($"sig_a", $"sig_b") >= 0.6)
+      .select($"doc_a", $"doc_b")
     exactJaccardPairs(sh, 0.8, Some(cand))
   }
 
@@ -159,6 +170,7 @@ object Dedup {
       acc.bitwiseOR(shiftleft(when(col(s"b$j") > 0, 1L).otherwise(0L), j))
     }
     val signed = agg.select($"doc_id", sig.as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = signed.select($"doc_id", $"sig",
       posexplode(array((0 until 4).map(k =>
         shiftright($"sig", k * 16).bitwiseAND(0xffffL)): _*)).as(Seq("blk_id", "blk")))
