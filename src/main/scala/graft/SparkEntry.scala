@@ -12,7 +12,8 @@ object SparkEntry {
       JoinShapes.queries ++ TextDates.queries ++ Events.queries ++
       Quality.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ LakehouseOps.queries ++
-      graft.streaming.Streams.queries ++ Multimodal.queries
+      graft.streaming.Streams.queries ++ Multimodal.queries ++
+      Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -20,5 +21,6 @@ object SparkEntry {
       JoinShapes.oracles ++ TextDates.oracles ++ Events.oracles ++
       Quality.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ LakehouseOps.oracles ++
-      graft.streaming.Streams.oracles ++ Multimodal.oracles
+      graft.streaming.Streams.oracles ++ Multimodal.oracles ++
+      Pipeline.oracles
 }

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** §J end-to-end training-data pipeline operators — the composition
+  * layer a 100 TB curation job is actually made of: sequence packing,
+  * multi-stage curation (language → quality → dedup), and benchmark-
+  * contamination detection.
+  *
+  * Scale notes: packing windows are partitioned per language (the unit
+  * a packing stream owns) — no global ordering anywhere. Curation is a
+  * conjunction of scan-side predicates plus one anti-join against the
+  * (tiny) duplicate list. Contamination joins the corpus against the
+  * benchmark's shingle set, which is broadcast-sized by construction.
+  */
+object Pipeline {
+
+  /** p1: offset packing (concat-then-chunk): documents are laid out
+    * per-language in doc_id order; each doc's token offset is a running
+    * sum and its bin is offset / ctx_len. This is the standard
+    * chunked-concatenation layout for LLM pretraining batches. */
+  val p1_sequence_pack: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val ctx = 2048
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        size(TextFunctions.tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("token_offset", sum($"n_tokens").over(w) - $"n_tokens")
+      .withColumn("bin_id", ($"token_offset" / ctx).cast("long"))
+      .orderBy($"lang", $"doc_id")
+  }
+
+  val p1_sql: String =
+    """SELECT doc_id, lang, n_tokens,
+      | SUM(n_tokens) OVER w - n_tokens AS token_offset,
+      | CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 2048) AS BIGINT) AS bin_id
+      |FROM (SELECT doc_id, lang,
+      |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |      FROM documents) t
+      |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY lang, doc_id""".stripMargin
+
+  /** p2: multi-stage curation — keep documents that (1) are labeled a
+    * kept language, (2) clear the quality score, (3) are within token
+    * bounds, and (4) are not the duplicate side of a near-dup pair
+    * (J ≥ 0.8 ⇒ drop the higher doc_id). The final shape of every
+    * LLM-corpus cleaning job. */
+  val p2_curation_pipeline: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val dupLosers = Dedup.d2_ngram_jaccard(s, dir)
+      .filter($"jaccard" >= 0.8).select($"doc_b".as("doc_id"))
+    docs
+      .filter($"lang".isin("en", "es", "fr", "de"))
+      .withColumn("n_tokens", size(TextFunctions.tokens($"text")))
+      .withColumn("quality", TextFunctions.qualityScore($"text"))
+      .filter($"quality" >= 0.5 && $"n_tokens".between(20, 5000))
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"n_tokens", round($"quality", 6).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  val p2_sql: String = {
+    val T = "string_split_regex(trim(text), '\\s+')"
+    val sw = s"CAST(len(list_filter($T, x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE)/greatest(len($T), 1)"
+    val mtl = s"CAST(list_sum(list_transform($T, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)/greatest(len($T), 1)"
+    val punct = s"CAST(length(text) - length(regexp_replace(text, '[.,!?;:''\"()-]', '', 'g')) AS DOUBLE)/greatest(length(text), 1)"
+    val quality = s"least($sw*4.0, 1.0)*0.4 + (CASE WHEN $mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.4 + (1.0 - least($punct*5.0, 1.0))*0.2"
+    s"""WITH dup_losers AS (
+       |  SELECT doc_b AS doc_id FROM (${Dedup.d2_sql.replace("ORDER BY doc_a, doc_b", "")}) p
+       |  WHERE jaccard >= 0.8)
+       |SELECT doc_id, lang, len($T) AS n_tokens, ROUND($quality, 6) AS quality
+       |FROM documents
+       |WHERE lang IN ('en','es','fr','de')
+       |  AND $quality >= 0.5
+       |  AND len($T) BETWEEN 20 AND 5000
+       |  AND doc_id NOT IN (SELECT doc_id FROM dup_losers)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** p3: benchmark-contamination detection — training docs (everything
+    * outside source src0) sharing ≥ 5 distinct 3-shingles with any
+    * benchmark doc (source src0). The benchmark shingle set is the
+    * broadcast side at any corpus scale. */
+  val p3_contamination: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", $"source", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", $"source",
+        explode(TextFunctions.shinglesOfTokens($"toks")).as("s"))
+    val bench = sh.filter($"source" === "src0")
+      .select($"doc_id".as("bench_id"), $"s")
+    val train = sh.filter($"source" =!= "src0")
+      .select($"doc_id".as("train_id"), $"s")
+    train.join(broadcast(bench), "s")
+      .groupBy($"train_id", $"bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 5)
+      .orderBy($"train_id", $"bench_id")
+  }
+
+  val p3_sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, source, UNNEST(list_distinct(
+      |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |     for i in generate_series(1, greatest(len(t)-2, 0))])) AS s
+      |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+      |        FROM documents) tok)
+      |SELECT a.doc_id AS train_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+      |FROM sh a JOIN sh b ON a.s = b.s
+      |WHERE a.source <> 'src0' AND b.source = 'src0'
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 5
+      |ORDER BY train_id, bench_id""".stripMargin
+
+  val queries: Map[String, Relational.Q] = Map(
+    "p1_sequence_pack" -> p1_sequence_pack,
+    "p2_curation_pipeline" -> p2_curation_pipeline,
+    "p3_contamination" -> p3_contamination,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p1_sequence_pack" -> p1_sql,
+    "p2_curation_pipeline" -> p2_sql,
+    "p3_contamination" -> p3_sql,
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality audit: these assertions pin the physical-plan properties
+  * that make the operators scale — filter pushdown into the parquet
+  * scan, broadcast joins for dimensions, absence of shuffles in
+  * scan-side map pipelines — so a regression in plan shape fails CI,
+  * not just a benchmark. */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def executedPlan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed to the parquet scan") {
+    val plan = executedPlan("q1_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$plan")
+  }
+
+  test("q6: scan predicates pushed, scan pruned to the 4 used columns") {
+    // (PushedFilters lists truncate at 100 chars in toString — assert the
+    // prefix plus the pruned ReadSchema, which proves the same plan shape)
+    val plan = executedPlan("q6_forecast_revenue")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      s"predicates not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"),
+      s"scan not pruned:\n$plan")
+  }
+
+  test("q5: dimension joins broadcast, fact joins shuffle") {
+    val plan = executedPlan("q5_local_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, "dims must broadcast")
+  }
+
+  test("q1/t1: column pruning reaches the scan") {
+    val q1 = executedPlan("q1_pricing_summary")
+    // the q1 scan must not read the join-oriented key columns
+    assert(!q1.contains("l_partkey"), "q1 reads columns it never uses")
+    val t1 = executedPlan("t1_token_count")
+    assert(!t1.contains("ReadSchema: struct<doc_id:bigint,text:string,lang"),
+      "t1 must prune lang/source columns")
+  }
+
+  test("text analysis is shuffle-free (pure scan-side map)") {
+    for (q <- Seq("t1_token_count", "t2_quality_score", "t3_lang_id", "t4_fingerprint")) {
+      val plan = executedPlan(q)
+      // the only exchange allowed is the final presentation orderBy
+      val shuffles = "Exchange".r.findAllIn(plan).size
+      val rangeParts = "rangepartitioning".r.findAllIn(plan).size
+      assert(shuffles == rangeParts, s"$q has a non-sort shuffle:\n$plan")
+    }
+  }
+
+  test("p3: the benchmark side of contamination is broadcast") {
+    val plan = executedPlan("p3_contamination")
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark set must broadcast:\n$plan")
+  }
+
+  test("whole-stage codegen covers the q1 aggregation pipeline") {
+    // codegen'd operators carry the *(n) stage marker in toString
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"q1 fell out of whole-stage codegen:\n$plan")
+  }
+}
