@@ -13,7 +13,7 @@ object SparkEntry {
       Quality.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ LakehouseOps.queries ++
       graft.streaming.Streams.queries ++ Multimodal.queries ++
-      Pipeline.queries
+      Pipeline.queries ++ SqlSurface.queries ++ Skew.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -22,5 +22,5 @@ object SparkEntry {
       Quality.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ LakehouseOps.oracles ++
       graft.streaming.Streams.oracles ++ Multimodal.oracles ++
-      Pipeline.oracles
+      Pipeline.oracles ++ SqlSurface.oracles ++ Skew.oracles
 }

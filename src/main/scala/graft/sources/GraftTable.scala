@@ -59,21 +59,36 @@ class GraftTable private (val spark: SparkSession, val root: String) {
       StandardOpenOption.CREATE_NEW)
   }
 
-  private def writeData(df: DataFrame, version: Int): String = {
+  /** Hive-style partition columns for this table (reference tables use
+    * `PARTITIONED BY (days(ts))`; GraftTable partitions on explicit
+    * columns). Set at create time, constant across commits. */
+  def partitionColumns: Seq[String] = {
+    val v = latestVersion()
+    if (v < 0) Nil else readCommit(v).partitionBy
+  }
+
+  private def writeData(df: DataFrame, version: Int, partitionBy: Seq[String]): String = {
     val dir = f"d$version%04d-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(Paths.get(root, dir).toString)
+    val w = df.write
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(Paths.get(root, dir).toString)
     dir
   }
 
   private def commit(action: String, df: Option[DataFrame],
-                     live: Seq[String] => Seq[String]): Int = {
+                     live: Seq[String] => Seq[String],
+                     partitionBy: Seq[String] = null): Int = {
     val v = latestVersion() + 1
     val prev = if (v == 0) Nil else readCommit(v - 1).liveDirs
+    val parts =
+      if (partitionBy != null) partitionBy
+      else if (v == 0) Nil
+      else readCommit(v - 1).partitionBy
     val (added, schema) = df match {
-      case Some(d) => (Seq(writeData(d, v)), d.schema)
+      case Some(d) => (Seq(writeData(d, v, parts)), d.schema)
       case None => (Nil, if (v == 0) new StructType() else readCommit(v - 1).schemaStruct)
     }
-    writeCommit(Commit(v, action, schema.json, live(prev) ++ added))
+    writeCommit(Commit(v, action, schema.json, live(prev) ++ added, parts))
     v
   }
 
@@ -143,10 +158,20 @@ class GraftTable private (val spark: SparkSession, val root: String) {
   def readVersion(version: Int): DataFrame = {
     val c = readCommit(version)
     val schema = unionSchema(version)
-    if (c.liveDirs.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
-      .parquet(c.liveDirs.map(d => Paths.get(root, d).toString): _*)
+    if (c.liveDirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else if (c.partitionBy.isEmpty)
+      spark.read.schema(schema)
+        .parquet(c.liveDirs.map(d => Paths.get(root, d).toString): _*)
+    else
+      // partitioned commits: each data dir is its own hive-layout tree,
+      // read per-dir (own basePath) and union — partition pruning still
+      // applies per scan
+      c.liveDirs.map { d =>
+        val p = Paths.get(root, d).toString
+        spark.read.schema(schema).option("basePath", p).parquet(p)
+      }.reduce(_.unionByName(_))
   }
 
   /** Schema as of `version`, merged across commits whose directories are
@@ -187,13 +212,15 @@ class GraftTable private (val spark: SparkSession, val root: String) {
 object GraftTable {
   private val LogDirName = "_graft_log"
 
-  /** Create a new table at `path` with `df` as version 0. */
-  def create(spark: SparkSession, path: String, df: DataFrame): GraftTable = {
+  /** Create a new table at `path` with `df` as version 0, optionally
+    * hive-partitioned (partition pruning then applies to reads). */
+  def create(spark: SparkSession, path: String, df: DataFrame,
+             partitionBy: Seq[String] = Nil): GraftTable = {
     val log = Paths.get(path, LogDirName)
     require(!Files.exists(log), s"GraftTable already exists at $path")
     Files.createDirectories(log)
     val t = new GraftTable(spark, path)
-    t.commit("create", Some(df), _ => Nil)
+    t.commit("create", Some(df), _ => Nil, partitionBy)
     t
   }
 
@@ -206,14 +233,15 @@ object GraftTable {
     * by Spark and parsed back by DataType.fromJson — we only add a flat
     * envelope around it). */
   final case class Commit(version: Int, action: String, schemaJson: String,
-                          liveDirs: Seq[String]) {
+                          liveDirs: Seq[String],
+                          partitionBy: Seq[String] = Nil) {
     def schemaStruct: StructType =
       if (schemaJson.isEmpty) new StructType()
       else DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
     def toJson: String = {
       def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      s"""{"version":$version,"action":${q(action)},"schema":${q(schemaJson)},"liveDirs":[${liveDirs.map(q).mkString(",")}]}"""
+      s"""{"version":$version,"action":${q(action)},"schema":${q(schemaJson)},"liveDirs":[${liveDirs.map(q).mkString(",")}],"partitionBy":[${partitionBy.map(q).mkString(",")}]}"""
     }
   }
 
@@ -226,11 +254,16 @@ object GraftTable {
           .replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
       }
       val version = "\"version\":(\\d+)".r.findFirstMatchIn(s).get.group(1).toInt
-      val dirs = "\"liveDirs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(s).get.group(1)
-      val liveDirs =
-        if (dirs.trim.isEmpty) Nil
-        else dirs.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      Commit(version, strField("action"), strField("schema"), liveDirs)
+      def strList(name: String): Seq[String] = {
+        val m = ("\"" + name + "\":\\[([^\\]]*)\\]").r
+        m.findFirstMatchIn(s).map(_.group(1)) match {
+          case Some(body) if body.trim.nonEmpty =>
+            body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          case _ => Nil
+        }
+      }
+      Commit(version, strField("action"), strField("schema"),
+        strList("liveDirs"), strList("partitionBy"))
     }
   }
 }

@@ -62,6 +62,27 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.history().count() == 2)
   }
 
+  test("g6: partitioned table round-trips values and prunes partitions") {
+    import spark.implicits._
+    val src = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"event_type", $"value")
+    val t = graft.sources.GraftTable.create(spark, tmp(), src,
+      partitionBy = Seq("event_type"))
+    // round-trip equality (partition column values preserved)
+    assert(t.read().count() == src.count())
+    val wantClicks = src.filter($"event_type" === "click").count()
+    val clicks = t.read().filter($"event_type" === "click")
+    assert(clicks.count() == wantClicks)
+    // partition pruning reaches the scan
+    val plan = clicks.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition pruning:\n$plan")
+    // appends keep the partition spec
+    t.append(src.limit(10))
+    assert(t.partitionColumns == Seq("event_type"))
+    assert(t.read().count() == src.count() + 10)
+  }
+
   test("load reopens an existing table") {
     import spark.implicits._
     val path = tmp()
