@@ -144,7 +144,63 @@ object Aggregations {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** q21: exact percentiles/median — Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the linear-interpolation definition and match
+    * bit-for-bit (verified empirically, including interpolated values). */
+  val q21_percentiles: Relational.Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+           expr("percentile(l_quantity, 0.9)").as("qty_p90"),
+           expr("percentile(l_extendedprice, 0.25)").as("price_p25"),
+           median($"l_extendedprice").as("price_median"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q21_sql: String =
+    """SELECT l_returnflag,
+      | quantile_cont(l_quantity, 0.5) AS qty_p50,
+      | quantile_cont(l_quantity, 0.9) AS qty_p90,
+      | quantile_cont(l_extendedprice, 0.25) AS price_p25,
+      | median(l_extendedprice) AS price_median
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q22: collection aggregate — distinct part types per brand as a
+    * canonical (sorted, comma-joined) string so the result is order-
+    * stable across engines. */
+  val q22_collect: Relational.Q = (s, dir) => {
+    import s.implicits._
+    Tables.part(s, dir)
+      .groupBy($"p_brand".as("brand"))
+      .agg(array_join(sort_array(collect_set($"p_type")), ",").as("types_sorted"),
+           countDistinct($"p_type").as("n_types"))
+      .orderBy($"brand")
+  }
+
+  val q22_sql: String =
+    """SELECT p_brand AS brand,
+      | array_to_string(list_sort(list(DISTINCT p_type)), ',') AS types_sorted,
+      | COUNT(DISTINCT p_type) AS n_types
+      |FROM part GROUP BY p_brand ORDER BY brand""".stripMargin
+
+  /** a1: HLL-sketch approximate distinct counts — the cardinality
+    * estimator for 100 TB profiling where exact distinct is a full
+    * shuffle. Engine-specific sketch values ⇒ rows-only driver check;
+    * AggregationsSpec bounds the error against the exact count. */
+  val a1_approx_distinct: Relational.Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+           approx_count_distinct($"l_orderkey").as("approx_orders"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q21_percentiles" -> q21_percentiles,
+    "q22_collect" -> q22_collect,
+    "a1_approx_distinct" -> a1_approx_distinct,
     "q9_rollup" -> q9_rollup,
     "q10_distinct_agg" -> q10_distinct_agg,
     "q11_pivot" -> q11_pivot,
@@ -153,6 +209,8 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    "q21_percentiles" -> q21_sql,
+    "q22_collect" -> q22_sql,
     "q9_rollup" -> q9_sql,
     "q10_distinct_agg" -> q10_sql,
     "q11_pivot" -> q11_sql,

@@ -46,6 +46,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast join for dims")
   }
 
+  test("a1: approximate distinct is within HLL error of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("a1_approx_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e < 0.15, s"$k: approx $a vs exact $e")
+    }
+  }
+
   test("oracle map covers every query or is an intentional subset") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
