@@ -123,6 +123,23 @@ object Events {
        |  ON e.user_id = p.p_user AND p.p_ts <= e.ts
        |ORDER BY e.event_id""".stripMargin
 
+  /** e6: the same as-of semantics as e3, but through the CUSTOM PHYSICAL
+    * OPERATOR (graft.plans.AsOfJoin: logical node → strategy → sort-merge
+    * exec). Verified against DuckDB's native ASOF JOIN — and e3 — so the
+    * custom plan's merge logic is oracle-checked end to end. */
+  val e6_asof_custom: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val ev = events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+    graft.plans.AsOf.leftJoin(
+      ev.select($"event_id", $"user_id", $"ts"), purchases,
+      leftKey = "user_id", rightKey = "p_user",
+      leftTime = "ts", rightTime = "p_ts")
+      .select($"event_id", $"user_id", $"ts", $"p_ts".as("last_purchase_ts"))
+      .orderBy($"event_id")
+  }
+
   /** e4: ordered conversion funnel view→click→purchase: strict
     * first-occurrence ordering per user, aggregated to stage counts. */
   val e4_funnel: Relational.Q = (s, dir) => {
@@ -173,9 +190,11 @@ object Events {
     "e3_asof_join" -> e3_asof_join,
     "e4_funnel" -> e4_funnel,
     "e5_topk_users" -> e5_topk_users,
+    "e6_asof_custom" -> e6_asof_custom,
   )
 
   val oracles: Map[String, String] = Map(
+    "e6_asof_custom" -> e3_sql,
     "e1_tumbling_window" -> e1_sql,
     "e2_sessionize" -> e2_sql,
     "e3_asof_join" -> e3_sql,
