@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{ArrayEqFraction, DotProduct, Fingerprint64}
+import graft.plans.AsOfStrategy
+
+/** Session-extension entry point: wires the custom planner strategy and
+  * exposes the native expressions as SQL functions, so the library's
+  * surface is reachable from pure SQL (the reference's users drive
+  * everything through spark.sql).
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => AsOfStrategy)
+    e.injectFunction((
+      new FunctionIdentifier("fingerprint64"),
+      new ExpressionInfo(classOf[Fingerprint64].getName, "fingerprint64"),
+      (args: Seq[Expression]) => Fingerprint64(args.head)))
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    e.injectFunction((
+      new FunctionIdentifier("array_eq_fraction"),
+      new ExpressionInfo(classOf[ArrayEqFraction].getName, "array_eq_fraction"),
+      (args: Seq[Expression]) => ArrayEqFraction(args(0), args(1))))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.metrics.{Lineage, MetricsLogger}
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  // a dedicated session so withExtensions is actually exercised
+  private lazy val extSpark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("custom expressions are callable from pure SQL") {
+    val r = extSpark.sql(
+      """SELECT fingerprint64('abc') AS fp,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  array_eq_fraction(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 4L)) AS eqf
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[Long]("fp") == 0xe71fa2190541574bL)
+    assert(r.getAs[Double]("dp") == 11.0)
+    assert(r.getAs[Double]("eqf") == 0.75)
+  }
+
+  test("as-of strategy is injected by the extension") {
+    import extSpark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, "m")).toDF("rk", "rt", "v")
+    val got = graft.plans.AsOf.leftJoin(left, right, "k", "rk", "t", "rt")
+      .collect()
+    assert(got.length == 1 && got(0).getAs[String]("v") == "m")
+  }
+
+  test("lineage extraction finds the real source tables of a derived frame") {
+    import TestSpark._
+    val df = SparkEntry.queries("c5_medallion_gold")(spark, sf)
+    val inputs = Lineage.inputsOf(df)
+    assert(inputs.exists(_.contains("orders.parquet")), s"inputs=$inputs")
+    assert(inputs.exists(_.contains("customer.parquet")), s"inputs=$inputs")
+    assert(inputs.size == 2)
+
+    val log = Files.createTempDirectory("lineage").toString + "/log"
+    val logger = new MetricsLogger(spark, log)
+    Lineage.record(logger, df, "gold_customer_summary", "3", "demo", 2024)
+    val rec = logger.readAll().collect()(0)
+    assert(rec.getAs[String]("metric_function") == "lineage")
+    assert(rec.getAs[Map[String, String]]("extra").values
+      .exists(_.contains("orders.parquet")))
+  }
+}
