@@ -197,7 +197,62 @@ object Aggregations {
       .orderBy($"l_returnflag")
   }
 
+  /** q23: CUBE — all grouping-set combinations of (status, priority). */
+  val q23_cube: Relational.Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           Exact.moneySum($"o_totalprice").as("revenue"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val q23_sql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       | ${S.moneySum("o_totalprice")} AS revenue
+       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** q24: INTERSECT — customers active in both 1996 and 2000. */
+  val q24_intersect: Relational.Q = (s, dir) => {
+    import s.implicits._
+    def active(y: Int) = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit(s"$y-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    active(1996).intersect(active(2000)).orderBy($"o_custkey")
+  }
+
+  val q24_sql: String =
+    """SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |INTERSECT
+      |SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q25: EXCEPT — customers active in 1996 but gone by 2000 (churn). */
+  val q25_except: Relational.Q = (s, dir) => {
+    import s.implicits._
+    def active(y: Int) = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit(s"$y-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    active(1996).except(active(2000)).orderBy($"o_custkey")
+  }
+
+  val q25_sql: String =
+    """SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |EXCEPT
+      |SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "q23_cube" -> q23_cube,
+    "q24_intersect" -> q24_intersect,
+    "q25_except" -> q25_except,
     "q21_percentiles" -> q21_percentiles,
     "q22_collect" -> q22_collect,
     "a1_approx_distinct" -> a1_approx_distinct,
@@ -209,6 +264,9 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    "q23_cube" -> q23_sql,
+    "q24_intersect" -> q24_sql,
+    "q25_except" -> q25_sql,
     "q21_percentiles" -> q21_sql,
     "q22_collect" -> q22_sql,
     "q9_rollup" -> q9_sql,

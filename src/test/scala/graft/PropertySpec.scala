@@ -1,0 +1,90 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{ArrayEqFraction, Fingerprint64, MinHashAgg}
+
+/** Property-based invariants of the numeric/hashing building blocks —
+  * the properties the cross-engine exactness and LSH guarantees rest
+  * on. (Raw ScalaCheck generators with fixed seeds; the
+  * scalatest-scalacheck bridge artifact isn't available offline.) */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[T](g: Gen[T], n: Int = 100): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("decimal-cents summation is permutation-invariant (doubles are not)") {
+    val gen = Gen.listOfN(200, Gen.chooseNum(1L, 10_000_000L))
+    samples(gen, 50).foreach { cents =>
+      val a = cents.map(BigDecimal(_) / 100)
+      assert(a.sorted.sum == a.sorted.reverse.sum)
+      // contrast: the same data as doubles IS order-sensitive for some
+      // samples; decimal exactness is what the engine relies on
+    }
+  }
+
+  test("fingerprint64 is deterministic and sensitive to any change") {
+    val pairs = samples(Gen.zip(Gen.alphaNumStr, Gen.alphaNumStr), 200)
+    pairs.foreach { case (a, b) =>
+      val fa = Fingerprint64.hash(a.getBytes("UTF-8"))
+      assert(fa == Fingerprint64.hash(a.getBytes("UTF-8")))
+      if (a != b)
+        assert(fa != Fingerprint64.hash(b.getBytes("UTF-8")))
+    }
+  }
+
+  test("minhash coefficients are valid Carter-Wegman parameters") {
+    val cs = MinHashAgg.coefficients(128, seed = 42)
+    assert(cs.length == 128)
+    cs.foreach { case (a, b) =>
+      assert(a >= 1 && a < MinHashAgg.P)
+      assert(b >= 0 && b < MinHashAgg.P)
+      // a*h + b for h < P must stay below 2^63 (ANSI overflow safety)
+      assert(a <= (Long.MaxValue - b) / (MinHashAgg.P - 1))
+    }
+    assert(cs.toSeq == MinHashAgg.coefficients(128, seed = 42).toSeq,
+      "executor-side regeneration must agree")
+  }
+
+  test("array_eq_fraction is a similarity: reflexive, symmetric, bounded") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val gen = Gen.zip(Gen.listOfN(32, Gen.chooseNum(0L, 8L)),
+                      Gen.listOfN(32, Gen.chooseNum(0L, 8L)))
+    def f(a: List[Long], b: List[Long]) =
+      ArrayEqFraction.eqFraction(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+    samples(gen, 100).foreach { case (x, y) =>
+      assert(f(x, x) == 1.0)
+      assert(f(x, y) == f(y, x))
+      val v = f(x, y)
+      assert(v >= 0.0 && v <= 1.0)
+    }
+  }
+
+  test("minhash eq-fraction estimates true jaccard within tolerance") {
+    // two token sets with known overlap → signature agreement ≈ jaccard
+    val coeffs = MinHashAgg.coefficients(128, seed = 42)
+    def sig(tokens: Seq[Long]): Array[Long] = {
+      val buf = Array.fill(128)(Long.MaxValue)
+      tokens.foreach { h =>
+        var k = 0
+        while (k < 128) {
+          val (a, b) = coeffs(k)
+          val p = (a * (math.floorMod(h, MinHashAgg.P)) + b) % MinHashAgg.P
+          if (p < buf(k)) buf(k) = p
+          k += 1
+        }
+      }
+      buf
+    }
+    val shared = (1L to 80L).map(_ * 2654435761L)
+    val onlyA = (1L to 20L).map(_ * 40503L + 7L)
+    val onlyB = (1L to 20L).map(_ * 69069L + 13L)
+    val sa = sig(shared ++ onlyA)
+    val sb = sig(shared ++ onlyB)
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+    val trueJ = 80.0 / 120.0
+    assert(math.abs(est - trueJ) < 0.15, s"estimate $est vs true $trueJ")
+  }
+}
