@@ -159,14 +159,19 @@ object Relational {
       .orderBy($"revenue".desc, $"n_name")
   }
 
+  // explicit join order: comma-join syntax made Catalyst (no stats) plan
+  // a late cartesian — 10× slower when this same text runs through
+  // spark.sql (SqlSurface). DuckDB is order-insensitive either way.
   val q5_sql: String =
     s"""SELECT n_name,
        | ${S.surface(s"SUM(${S.discPrice("l_extendedprice", "l_discount")})")} AS revenue
-       |FROM customer, orders, lineitem, supplier, nation, region
-       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-       |  AND r_name = 'ASIA'
+       |FROM lineitem
+       | JOIN supplier ON l_suppkey = s_suppkey
+       | JOIN nation ON s_nationkey = n_nationkey
+       | JOIN region ON n_regionkey = r_regionkey
+       | JOIN orders ON l_orderkey = o_orderkey
+       | JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       |WHERE r_name = 'ASIA'
        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
        |GROUP BY n_name

@@ -133,10 +133,52 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** s3: IVF-bucketed approximate top-3. Coarse quantizer = 16
+    * deterministic strided "centroids" (a production deployment would
+    * train k-means — the partition/probe machinery is identical and
+    * that training is the only nondeterministic piece); every vector is
+    * assigned to its nearest centroid, queries probe the nprobe=2
+    * nearest cells. Scored candidates shrink from n to ~n·nprobe/k —
+    * the standard memory/recall trade at corpus scale. Rows-only driver
+    * check; recall vs s1 asserted in spec. */
+  val s3_ann_ivf: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val e = embeddings(s, dir).withColumn("nrm", norm($"emb"))
+    val n = e.count()
+    val k = 16
+    val stride = math.max(1L, n / k)
+    val cents = broadcast(
+      e.filter($"vec_id" % stride === 0 && $"vec_id" < stride * k)
+        .select($"vec_id".as("cent_id"), $"emb".as("cent"), $"nrm".as("cent_nrm")))
+    def cellOf(df: DataFrame, embc: Column, nrmc: Column, rank: Int) = {
+      val w = Window.partitionBy($"vec_id").orderBy(
+        (dot(embc, $"cent") / (nrmc * $"cent_nrm")).desc, $"cent_id")
+      df.crossJoin(cents)
+        .withColumn("cr", row_number().over(w))
+        .filter($"cr" <= rank)
+    }
+    val assigned = cellOf(e, $"emb", $"nrm", 1)
+      .select($"vec_id", $"emb", $"nrm", $"cent_id".as("cell"))
+    val queriesDf = cellOf(e.filter($"vec_id" < 20), $"emb", $"nrm", 2)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"),
+        $"cent_id".as("cell"))
+    val cos = dot($"q_emb", $"emb") / ($"q_nrm" * $"nrm")
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"neighbor_id")
+    broadcast(queriesDf).join(assigned, Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), cos.as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"neighbor_id", round($"cosine", 4).as("cosine"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "d5_embed_neardup" -> d5_embed_neardup,
     "s1_ann_brute" -> s1_ann_brute,
     "s2_ann_lsh" -> s2_ann_lsh,
+    "s3_ann_ivf" -> s3_ann_ivf,
   )
 
   val oracles: Map[String, String] = Map(

@@ -133,6 +133,15 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     commit("merge", Some(merged), _ => Nil)
   }
 
+  /** OPTIMIZE analog: rewrite the current snapshot as one fresh data
+    * directory (small-file compaction after many appends). Contents are
+    * unchanged; history keeps the old versions until vacuumed. */
+  def compact(targetPartitions: Int = 0): Int = {
+    val cur = read()
+    val d = if (targetPartitions > 0) cur.coalesce(targetPartitions) else cur
+    commit("compact", Some(d), _ => Nil)
+  }
+
   private def align(df: DataFrame): DataFrame = {
     val v = latestVersion()
     if (v < 0) df

@@ -83,6 +83,23 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.read().count() == src.count() + 10)
   }
 
+  test("compact collapses many appends into one directory, data unchanged") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), Seq((0, "v0")).toDF("id", "v"))
+    (1 to 5).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    val before = t.read().orderBy("id").collect().map(_.toSeq).toSeq
+    val v = t.compact(targetPartitions = 1)
+    assert(t.history().filter(col("operation") === "compact").count() == 1)
+    assert(t.read().orderBy("id").collect().map(_.toSeq).toSeq == before)
+    // after vacuuming to the compacted version, only 1 data dir remains
+    t.vacuum(retainFromVersion = v)
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(t.root))
+      .iterator()
+    val dataDirs = scala.jdk.CollectionConverters.IteratorHasAsScala(dirs)
+      .asScala.count(_.getFileName.toString.startsWith("d"))
+    assert(dataDirs == 1, s"expected 1 data dir after compact+vacuum, got $dataDirs")
+  }
+
   test("load reopens an existing table") {
     import spark.implicits._
     val path = tmp()

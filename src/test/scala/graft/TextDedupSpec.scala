@@ -67,6 +67,18 @@ class TextDedupSpec extends AnyFunSuite {
     info(s"s2 returned ${lsh.length} neighbors over ${bruteTop.size} queries")
   }
 
+  test("ann: ivf probes recover a meaningful share of exact neighbors") {
+    val exact = SparkEntry.queries("s1_ann_brute")(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") <= 3)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = SparkEntry.queries("s3_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(ivf.nonEmpty)
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    info(f"s3 IVF recall@3 = $recall%.2f (nprobe=2 of 16 cells)")
+    assert(recall > 0.05, s"IVF recall collapsed: $recall")
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val df = Seq((1L, Array(0.6, 0.8)), (2L, Array(3.0, 4.0)))
