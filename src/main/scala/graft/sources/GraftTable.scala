@@ -48,6 +48,9 @@ class GraftTable private (val spark: SparkSession, val root: String) {
 
   def latestVersion(): Int = commitFiles().size - 1
 
+  /** Data directories live in the current snapshot (for tests/tools). */
+  def liveDataDirs: Seq[String] = readCommit(latestVersion()).liveDirs
+
   private def readCommit(v: Int): Commit = {
     val p = logDir.resolve(f"$v%08d.json")
     Commit.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
@@ -103,18 +106,49 @@ class GraftTable private (val spark: SparkSession, val root: String) {
   def appendMergeSchema(df: DataFrame): Int =
     commit("appendMergeSchema", Some(df), prev => prev)
 
-  /** Row-level UPDATE: copy-on-write snapshot rewrite. */
-  def update(condition: Column, assignments: Map[String, Column]): Int = {
-    val cur = read()
-    val updated = assignments.foldLeft(cur) { case (d, (c, v)) =>
-      d.withColumn(c, when(condition, v).otherwise(col(c)))
-    }
-    commit("update", Some(updated), _ => Nil)
+  /** Directories (of the current snapshot) containing at least one row
+    * matching `condition` — one pushdown-friendly scan; everything else
+    * is untouched by a row-level mutation. */
+  private def touchedDirs(condition: Column): Set[String] = {
+    read()
+      .filter(condition)
+      .select(regexp_extract(input_file_name(), "(d\\d{4}-[0-9a-f]{8})", 1).as("d"))
+      .distinct().collect().map(_.getString(0)).toSet
   }
 
-  /** Row-level DELETE: copy-on-write snapshot rewrite. */
+  private def readDirs(dirs: Seq[String]): DataFrame = {
+    val schema = readCommit(latestVersion()).schemaStruct
+    dirs.map { d =>
+      val p = Paths.get(root, d).toString
+      spark.read.schema(schema).option("basePath", p).parquet(p)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Row-level mutation with directory-granular copy-on-write: only the
+    * directories that contain matching rows are rewritten; the rest of
+    * the snapshot is carried forward untouched. At 100 TB this is the
+    * difference between rewriting the table and rewriting the few
+    * files a predicate touches (Delta/Iceberg CoW semantics). */
+  private def rewriteTouched(action: String, condition: Column,
+                             transform: DataFrame => DataFrame): Int = {
+    val touched = touchedDirs(condition)
+    if (touched.isEmpty)
+      commit(action, None, prev => prev)
+    else
+      commit(action, Some(transform(readDirs(touched.toSeq))),
+        prev => prev.filterNot(touched))
+  }
+
+  /** Row-level UPDATE (directory-granular copy-on-write). */
+  def update(condition: Column, assignments: Map[String, Column]): Int =
+    rewriteTouched("update", condition, cur =>
+      assignments.foldLeft(cur) { case (d, (c, v)) =>
+        d.withColumn(c, when(condition, v).otherwise(col(c)))
+      })
+
+  /** Row-level DELETE (directory-granular copy-on-write). */
   def delete(condition: Column): Int =
-    commit("delete", Some(read().filter(!condition)), _ => Nil)
+    rewriteTouched("delete", condition, _.filter(!condition))
 
   /** MERGE INTO (upsert): source rows update matching target rows by
     * key and insert the rest — one full-outer-shaped pass, no driver

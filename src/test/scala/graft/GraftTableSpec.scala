@@ -83,6 +83,27 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.read().count() == src.count() + 10)
   }
 
+  test("update/delete rewrite only the directories containing matches") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), Seq((1, 10.0)).toDF("id", "x"))
+    t.append(Seq((2, 20.0)).toDF("id", "x"))
+    t.append(Seq((3, 30.0)).toDF("id", "x"))
+    val before = t.liveDataDirs
+    assert(before.size == 3)
+    // delete touches only the dir holding id=2
+    t.delete(col("id") === 2)
+    val after = t.liveDataDirs
+    assert(after.toSet.intersect(before.toSet).size == 2,
+      s"untouched dirs must be carried forward: $before -> $after")
+    assert(t.read().as[(Int, Double)].collect().toSet == Set((1, 10.0), (3, 30.0)))
+    // update with no matching rows is a metadata-only commit
+    val dirsBefore = t.liveDataDirs
+    t.update(col("id") === 999, Map("x" -> lit(0.0)))
+    assert(t.liveDataDirs == dirsBefore)
+    assert(t.history().orderBy("version").collect().last
+      .getAs[String]("operation") == "update")
+  }
+
   test("compact collapses many appends into one directory, data unchanged") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), Seq((0, "v0")).toDF("id", "v"))
