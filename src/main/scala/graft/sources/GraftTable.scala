@@ -151,20 +151,33 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     rewriteTouched("delete", condition, _.filter(!condition))
 
   /** MERGE INTO (upsert): source rows update matching target rows by
-    * key and insert the rest — one full-outer-shaped pass, no driver
-    * collection. */
+    * key and insert the rest. Directory-granular copy-on-write: a
+    * left-semi join against the source keys finds the directories
+    * holding matched rows — every match necessarily lives in one — and
+    * only those merge with the source; the rest carry forward. */
   def merge(source: DataFrame, keys: Seq[String]): Int = {
-    val target = read()
-    val cols = target.columns.toSeq
+    val cols = read().columns.toSeq
     val src = source.select(cols.map(col): _*)
-    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    val joined = target.as("t").join(src.as("s"), cond, "full_outer")
-    // source wins on match (whole-row update), target rows survive
-    // unmatched, unmatched source rows insert.
-    val merged = joined.select(cols.map(c =>
-      when(col(s"s.${keys.head}").isNotNull, col(s"s.$c"))
-        .otherwise(col(s"t.$c")).as(c)): _*)
-    commit("merge", Some(merged), _ => Nil)
+    val srcKeys = src.select(keys.map(col): _*).distinct()
+    val touched = read()
+      .withColumn("__dir",
+        regexp_extract(input_file_name(), "(d\\d{4}-[0-9a-f]{8})", 1))
+      .join(srcKeys, keys, "left_semi")
+      .select(col("__dir")).distinct().collect().map(_.getString(0)).toSet
+    val target =
+      if (touched.isEmpty) null else readDirs(touched.toSeq)
+    val merged =
+      if (target == null) src
+      else {
+        val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+        val joined = target.as("t").join(src.as("s"), cond, "full_outer")
+        // source wins on match (whole-row update), target rows survive
+        // unmatched, unmatched source rows insert.
+        joined.select(cols.map(c =>
+          when(col(s"s.${keys.head}").isNotNull, col(s"s.$c"))
+            .otherwise(col(s"t.$c")).as(c)): _*)
+      }
+    commit("merge", Some(merged), prev => prev.filterNot(touched))
   }
 
   /** OPTIMIZE analog: rewrite the current snapshot as one fresh data

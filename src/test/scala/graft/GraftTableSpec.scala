@@ -62,6 +62,26 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.history().count() == 2)
   }
 
+  test("merge is copy-on-write: unmatched directories carry forward") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), Seq((1, 10.0)).toDF("k", "x"))
+    t.append(Seq((2, 20.0)).toDF("k", "x"))
+    t.append(Seq((3, 30.0)).toDF("k", "x"))
+    val before = t.liveDataDirs
+    // source touches only key 2 and inserts key 9
+    t.merge(Seq((2, 99.0), (9, 90.0)).toDF("k", "x"), Seq("k"))
+    val after = t.liveDataDirs
+    assert(after.toSet.intersect(before.toSet).size == 2,
+      s"dirs without matches must survive: $before -> $after")
+    assert(t.read().as[(Int, Double)].collect().toSet ==
+      Set((1, 10.0), (2, 99.0), (3, 30.0), (9, 90.0)))
+    // insert-only merge (no key matches): all old dirs survive
+    val b2 = t.liveDataDirs
+    t.merge(Seq((100, 1.0)).toDF("k", "x"), Seq("k"))
+    assert(t.liveDataDirs.toSet.intersect(b2.toSet) == b2.toSet)
+    assert(t.read().count() == 5)
+  }
+
   test("g6: partitioned table round-trips values and prunes partitions") {
     import spark.implicits._
     val src = graft.sources.Tables.events(spark, sf)
