@@ -106,9 +106,37 @@ object Dedup {
       | COUNT(*) AS n_copies
       |FROM documents GROUP BY sha256(text) ORDER BY content_hash""".stripMargin
 
-  /** d2: exact n-gram (3-shingle) Jaccard near-dup pairs at J ≥ 0.5. */
-  val d2_ngram_jaccard: Relational.Q = (s, dir) =>
-    exactJaccardPairs(shingleSets(s, dir), 0.5, None)
+  /** PPJoin-style prefix filtering (lossless): under a global shingle
+    * order, two sets with J ≥ t must share a shingle within their first
+    * |S| − ⌈t·|S|⌉ + 1 elements. Ordering rare-shingles-first keeps hot
+    * (boilerplate) shingles out of prefixes, so the candidate join is a
+    * small fraction of the full Σdf² shingle join — the standard exact
+    * set-similarity algorithm at corpus scale. Candidates then pass the
+    * full intersection verify, so the result is exactly the J ≥ t
+    * pairs. */
+  private def prefixCandidates(sh: DataFrame, t: Double): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val rareFirst = byDoc.orderBy(col("df"), col("s"))
+    val prefixes = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(rareFirst))
+      .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .select(col("doc_id"), col("s"))
+    prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** d2: exact n-gram (3-shingle) Jaccard near-dup pairs at J ≥ 0.5,
+    * found via prefix-filtered candidates + full-intersection verify. */
+  val d2_ngram_jaccard: Relational.Q = (s, dir) => {
+    val sh = shingleSets(s, dir)
+    exactJaccardPairs(sh, 0.5, Some(prefixCandidates(sh, 0.5)))
+  }
 
   val d2_sql: String = jaccardSql(0.5)
 
