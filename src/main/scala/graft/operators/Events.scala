@@ -168,6 +168,41 @@ object Events {
        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
        |  FROM $eventsSql e GROUP BY user_id) t""".stripMargin
 
+  /** e7: range join via time-bucket banding — pairs of events by the
+    * same user where the second falls within 60s after the first,
+    * rolled up by event-type transition. A naive range join is a
+    * per-user cross product; banding probes exactly the two buckets
+    * that can contain matches, so the join is equi on (user, bucket)
+    * and scales like a hash join. The oracle runs the plain inequality
+    * join — identical results. */
+  val e7_range_join: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val ev = events(s, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_timestamp($"ts").as("sec"))
+    val probe = ev
+      .withColumn("bucket", explode(array($"sec".divide(60).cast("long"),
+        $"sec".divide(60).cast("long") + 1)))
+      .select($"user_id", $"sec".as("sec_a"), $"event_type".as("type_a"),
+        $"event_id".as("id_a"), $"bucket")
+    val build = ev
+      .select($"user_id", $"sec".as("sec_b"), $"event_type".as("type_b"),
+        ($"sec".divide(60)).cast("long").as("bucket"))
+    probe.join(build, Seq("user_id", "bucket"))
+      .filter($"sec_b" > $"sec_a" && $"sec_b" <= $"sec_a" + 60)
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val e7_sql: String =
+    s"""SELECT a.event_type AS type_a, b.event_type AS type_b,
+       | COUNT(*) AS n_transitions
+       |FROM (SELECT user_id, event_type, epoch(ts) AS sec FROM $eventsSql e1) a
+       | JOIN (SELECT user_id, event_type, epoch(ts) AS sec FROM $eventsSql e2) b
+       |  ON a.user_id = b.user_id AND b.sec > a.sec AND b.sec <= a.sec + 60
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** e5: global top-k most active users (deterministic tie-break). */
   val e5_topk_users: Relational.Q = (s, dir) => {
     import s.implicits._
@@ -191,10 +226,12 @@ object Events {
     "e4_funnel" -> e4_funnel,
     "e5_topk_users" -> e5_topk_users,
     "e6_asof_custom" -> e6_asof_custom,
+    "e7_range_join" -> e7_range_join,
   )
 
   val oracles: Map[String, String] = Map(
     "e6_asof_custom" -> e3_sql,
+    "e7_range_join" -> e7_sql,
     "e1_tumbling_window" -> e1_sql,
     "e2_sessionize" -> e2_sql,
     "e3_asof_join" -> e3_sql,
