@@ -105,7 +105,7 @@ object Aggregations {
 
   val q12_sql: String =
     s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
-       | SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS n_high_value,
+       | CAST(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
        | CAST(SUM(CASE WHEN o_totalprice > 300000 THEN ${S.dec4("o_totalprice")} END) AS DOUBLE) AS high_value_revenue,
        | CAST(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS high_share
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin

@@ -115,14 +115,28 @@ object Dedup {
     * full intersection verify, so the result is exactly the J ≥ t
     * pairs. */
   private def prefixCandidates(sh: DataFrame, t: Double): DataFrame = {
+    // Document frequency per shingle via groupBy+join — NOT a window over
+    // the full exploded relation (count() over (partition by s) sort-
+    // shuffles every (doc, shingle) row and serializes hot-shingle
+    // partitions; the aggregate is map-side-combined and tiny).
+    val spark = sh.sparkSession
+    val maxDf = spark.conf.getOption("spark.graft.dedup.maxShingleDf")
+      .map(_.toLong).getOrElse(Long.MaxValue)
+    // Hot-shingle cap (config, off by default): boilerplate shingles with
+    // df above the cap carry no discriminating signal and dominate the
+    // candidate join at corpus scale; dropping them is the standard
+    // (slightly lossy) trade documented in the scale notes above.
+    val dfRel = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val rareFirst = byDoc.orderBy(col("df"), col("s"))
-    val prefixes = sh
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+    val prefixes = sh.join(dfRel, "s")
       .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("rk", row_number().over(rareFirst))
       .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      // df = 1 shingles occupy prefix slots (they rank first) but can
+      // never match another document — drop them after rank selection.
+      .filter(col("df") >= 2)
       .select(col("doc_id"), col("s"))
     prefixes.as("a")
       .join(prefixes.as("b"),
@@ -169,11 +183,14 @@ object Dedup {
     // emit large numbers of weak collisions; the eq-fraction of the full
     // 128-signature estimates J unbiasedly, so a 0.6 cut (vs the 0.8
     // target) discards weak pairs for pennies before the exact-verify
-    // join. Signatures are broadcast (one 128-long row per doc).
+    // join. The signature table grows with the corpus (one 128-long row
+    // per document — ~1 TB at 1B docs), so it is NOT broadcast: a
+    // shuffle join on doc_id is the scale-safe shape; AQE may still
+    // choose broadcast at small SFs from observed sizes.
     val sigA = sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a"))
     val sigB = sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b"))
     val cand = rawCand
-      .join(broadcast(sigA), "doc_a").join(broadcast(sigB), "doc_b")
+      .join(sigA, "doc_a").join(sigB, "doc_b")
       .filter(graft.functions.ArrayEqFraction
         .array_eq_fraction($"sig_a", $"sig_b") >= 0.6)
       .select($"doc_a", $"doc_b")
@@ -183,21 +200,18 @@ object Dedup {
   val d3_sql: String = jaccardSql(0.8)
 
   /** d4: 64-bit SimHash near-dup pairs (hamming ≤ 3), blocked on 16-bit
-    * signature quarters. No SQL oracle (engine-specific 64-bit hashing);
-    * exactness is covered by DedupSpec. */
+    * signature quarters. The signature is ONE typed aggregate
+    * ([[graft.functions.SimHashAgg]]) — 64 separate sum() columns blow
+    * past codegen method limits, the same cliff MinHash hit. No SQL
+    * oracle (engine-specific 64-bit hashing); exactness is covered by
+    * DedupSpec. */
   val d4_simhash: Relational.Q = (s, dir) => {
     import s.implicits._
     val toks = Tables.documents(s, dir)
       .select($"doc_id", explode(array_distinct(TextFunctions.tokens($"text"))).as("tok"))
       .withColumn("h", xxhash64($"tok"))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val agg = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
-      acc.bitwiseOR(shiftleft(when(col(s"b$j") > 0, 1L).otherwise(0L), j))
-    }
-    val signed = agg.select($"doc_id", sig.as("sig"))
+    val signed = toks.groupBy($"doc_id")
+      .agg(graft.functions.SimHashAgg.simhash($"h").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = signed.select($"doc_id", $"sig",
       posexplode(array((0 until 4).map(k =>

@@ -82,8 +82,8 @@ object Events {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
        |), numbered AS (
        |  SELECT user_id, ts,
-       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
        |  FROM flagged)
        |SELECT user_id, session_id, COUNT(*) AS n_events,
        | MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -158,9 +158,9 @@ object Events {
 
   val e4_sql: String =
     s"""SELECT
-       | SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS stage_view,
-       | SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS stage_click,
-       | SUM(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS stage_purchase
+       | CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
+       | CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+       | CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
        |FROM (
        |  SELECT user_id,
        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,

@@ -73,10 +73,18 @@ object Multimodal {
   }
 
   /** queries() wrapper for m2 — deterministic, rows-only driver check
-    * (feature derivation uses fingerprint64, not expressible in SQL). */
+    * (feature derivation uses fingerprint64, not expressible in SQL).
+    * The float feature vector is surfaced as a scalar string: the
+    * driver's pandas normalization can't hash an array<float> column
+    * (round-1 harness error), and feature components are k/1000 by
+    * construction, so scaling by 1000 round-trips exactly. */
   val m2_query: Relational.Q = (s, dir) => {
     import s.implicits._
-    m2_feature_batch(s, dir).toDF().orderBy($"doc_id")
+    m2_feature_batch(s, dir).toDF()
+      .select($"doc_id", $"width", $"height", $"n_bytes",
+        concat_ws(",",
+          transform($"feature", x => round(x * 1000).cast("int"))).as("feature_ids"))
+      .orderBy($"doc_id")
   }
 
   val queries: Map[String, Relational.Q] = Map(

@@ -37,7 +37,7 @@ object Pipeline {
 
   val p1_sql: String =
     """SELECT doc_id, lang, n_tokens,
-      | SUM(n_tokens) OVER w - n_tokens AS token_offset,
+      | CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS token_offset,
       | CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 2048) AS BIGINT) AS bin_id
       |FROM (SELECT doc_id, lang,
       |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

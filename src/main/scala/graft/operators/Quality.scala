@@ -47,9 +47,9 @@ object Quality {
 
   val c1_sql: String =
     s"""SELECT COUNT(*) AS n_rows,
-       | SUM(CASE WHEN name IS NULL THEN 1 ELSE 0 END) AS null_name,
-       | SUM(CASE WHEN acctbal IS NULL THEN 1 ELSE 0 END) AS null_acctbal,
-       | SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS null_mktsegment
+       | CAST(SUM(CASE WHEN name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_name,
+       | CAST(SUM(CASE WHEN acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_acctbal,
+       | CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_mktsegment
        |FROM $bronzeSql b""".stripMargin
 
   /** c2: deterministic dedup — keep exactly one row per l_orderkey.
@@ -104,7 +104,7 @@ object Quality {
 
   val c4_sql: String =
     """SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
-      | SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+      | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
       | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS error_rate
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 

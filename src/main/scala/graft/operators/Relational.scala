@@ -134,9 +134,11 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
-  /** q5: 6-way star join. region/nation/supplier are broadcast (tiny dims
-    * at any scale factor: 5 / 25 / 1e-3×customers rows) — the only
-    * shuffles are lineitem×orders and ×customer on their keys. */
+  /** q5: 6-way star join. region/nation are broadcast unconditionally
+    * (constant-size dims at any scale factor: 5 / 25 rows); supplier
+    * GROWS with the scale factor, so its hint is gated on the
+    * optimizer's size estimate ([[Tables.broadcastIfSmall]]) — at a
+    * 100 TB SF it shuffles instead of forcing a multi-GB broadcast. */
   val q5_local_supplier: Q = (s, dir) => {
     import s.implicits._
     val asia = broadcast(
@@ -144,7 +146,8 @@ object Relational {
         .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
               $"n_regionkey" === $"r_regionkey"))
       .select($"n_nationkey", $"n_name")
-    val sup = broadcast(Tables.supplier(s, dir).join(asia, $"s_nationkey" === $"n_nationkey"))
+    val sup = Tables.broadcastIfSmall(
+      Tables.supplier(s, dir).join(asia, $"s_nationkey" === $"n_nationkey"))
       .select($"s_suppkey", $"s_nationkey", $"n_name")
     val o = Tables.orders(s, dir)
       .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&

@@ -49,17 +49,57 @@ object Similarity {
     s"list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b)))"
 
   /** d5: embedding-cosine near-dup pairs (cos ≥ 0.4 — above the random-
-    * pair band for this corpus). Norms are computed once per vector
-    * before the pair join, not per pair. */
+    * pair band for this corpus), EXACT via IVF-cell candidates with
+    * lossless angular pruning — no all-pairs nested-loop join.
+    *
+    * Every vector is assigned to its nearest trained centroid; for any
+    * x in cell i (angle to centroid ≤ rᵢ) and y in cell j,
+    * angle(x,y) ≥ angle(cᵢ,cⱼ) − rᵢ − rⱼ by the triangle inequality on
+    * the sphere, so a cell pair whose bound stays below the cosine
+    * threshold cannot contain a qualifying pair and is skipped — a
+    * correctness-preserving prune for ANY centroids. The candidate join
+    * is equi on the admissible (cell_a, cell_b) list (≤ k² tiny rows,
+    * broadcast), so the physical plan is a hash join, never a
+    * CartesianProduct/BroadcastNestedLoopJoin, and the shuffle keys
+    * distribute work by cell tile. On clustered real-embedding corpora
+    * the prune removes most tiles; on isotropic data (this synthetic
+    * set) it degrades to all tiles — the same work as the exact answer
+    * requires. k is a config (spark.graft.ann.k) and should grow ~√n at
+    * corpus scale so tiles stay bounded. */
   val d5_embed_neardup: Relational.Q = (s, dir) => {
     import s.implicits._
+    val threshold = 0.4
+    val k = s.conf.getOption("spark.graft.ann.k").map(_.toInt).getOrElse(16)
     val e = embeddings(s, dir).withColumn("nrm", norm($"emb"))
-    val a = e.select($"vec_id".as("vec_a"), $"emb".as("emb_a"), $"nrm".as("nrm_a"))
-    val b = e.select($"vec_id".as("vec_b"), $"emb".as("emb_b"), $"nrm".as("nrm_b"))
+    val cents = graft.functions.Quantizer.train(e, "vec_id", "emb", k)
+    val assigned = e
+      .withColumn("cell", element_at(graft.functions.Quantizer.topCells($"emb", cents, 1), 1))
+      .withColumn("theta", acos(greatest(lit(-1.0), least(lit(1.0),
+        element_at(graft.functions.Quantizer.cellCosines($"emb", $"nrm", cents), $"cell" + 1)))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Cell radii: k scalars (metadata-sized collect, like table stats).
+    val radii = new Array[Double](k)
+    assigned.groupBy($"cell").agg(max($"theta").as("r")).collect()
+      .foreach(row => radii(row.getAs[Int]("cell")) = row.getAs[Double]("r"))
+    val thetaMax = math.acos(threshold)
+    def centAngle(i: Int, j: Int): Double = {
+      val d = cents(i).zip(cents(j)).map { case (a, b) => a * b }.sum
+      math.acos(math.max(-1.0, math.min(1.0, d)))
+    }
+    val admissible = for {
+      i <- 0 until k; j <- 0 until k
+      if math.max(0.0, centAngle(i, j) - radii(i) - radii(j)) <= thetaMax
+    } yield (i, j)
+    val cellPairs = admissible.toDF("cell_a", "cell_b")
+    val a = assigned.select($"vec_id".as("vec_a"), $"emb".as("emb_a"),
+      $"nrm".as("nrm_a"), $"cell".as("cell_a"))
+    val b = assigned.select($"vec_id".as("vec_b"), $"emb".as("emb_b"),
+      $"nrm".as("nrm_b"), $"cell".as("cell_b"))
     val cos = dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b")
-    a.join(b, $"vec_a" < $"vec_b")
+    broadcast(cellPairs).join(a, "cell_a").join(b, "cell_b")
+      .filter($"vec_a" < $"vec_b")
       .select($"vec_a", $"vec_b", round(cos, 4).as("cosine"))
-      .filter($"cosine" >= 0.4)
+      .filter($"cosine" >= threshold)
       .orderBy($"vec_a", $"vec_b")
   }
 
@@ -133,35 +173,27 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
-  /** s3: IVF-bucketed approximate top-3. Coarse quantizer = 16
-    * deterministic strided "centroids" (a production deployment would
-    * train k-means — the partition/probe machinery is identical and
-    * that training is the only nondeterministic piece); every vector is
-    * assigned to its nearest centroid, queries probe the nprobe=2
-    * nearest cells. Scored candidates shrink from n to ~n·nprobe/k —
-    * the standard memory/recall trade at corpus scale. Rows-only driver
-    * check; recall vs s1 asserted in spec. */
+  /** s3: IVF approximate top-3 with a TRAINED coarse quantizer
+    * (seeded spherical k-means, [[graft.functions.Quantizer]]).
+    * Centroids are literals baked into the plan, so cell assignment is
+    * a scan-side codegen'd projection — no count(), no crossJoin, no
+    * per-vector window. Database vectors are multi-assigned to their
+    * top-m=3 cells (FAISS-style spilled assignment: 3× index size for a
+    * large recall gain on weakly clustered data); queries probe their
+    * nprobe=4 nearest cells. Scored candidates shrink from n to
+    * ~n·m·nprobe/k — the standard memory/recall trade at corpus scale.
+    * Rows-only driver check; recall@3 ≥ 0.8 vs s1 asserted in spec. */
   val s3_ann_ivf: Relational.Q = (s, dir) => {
     import s.implicits._
+    val k = 16; val m = 3; val nprobe = 4
     val e = embeddings(s, dir).withColumn("nrm", norm($"emb"))
-    val n = e.count()
-    val k = 16
-    val stride = math.max(1L, n / k)
-    val cents = broadcast(
-      e.filter($"vec_id" % stride === 0 && $"vec_id" < stride * k)
-        .select($"vec_id".as("cent_id"), $"emb".as("cent"), $"nrm".as("cent_nrm")))
-    def cellOf(df: DataFrame, embc: Column, nrmc: Column, rank: Int) = {
-      val w = Window.partitionBy($"vec_id").orderBy(
-        (dot(embc, $"cent") / (nrmc * $"cent_nrm")).desc, $"cent_id")
-      df.crossJoin(cents)
-        .withColumn("cr", row_number().over(w))
-        .filter($"cr" <= rank)
-    }
-    val assigned = cellOf(e, $"emb", $"nrm", 1)
-      .select($"vec_id", $"emb", $"nrm", $"cent_id".as("cell"))
-    val queriesDf = cellOf(e.filter($"vec_id" < 20), $"emb", $"nrm", 2)
-      .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"),
-        $"cent_id".as("cell"))
+    val cents = graft.functions.Quantizer.train(e, "vec_id", "emb", k)
+    val assigned = e
+      .withColumn("cell", explode(graft.functions.Quantizer.topCells($"emb", cents, m)))
+      .select($"vec_id", $"emb", $"nrm", $"cell")
+    val queriesDf = e.filter($"vec_id" < 20)
+      .withColumn("cell", explode(graft.functions.Quantizer.topCells($"emb", cents, nprobe)))
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"cell")
     val cos = dot($"q_emb", $"emb") / ($"q_nrm" * $"nrm")
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"neighbor_id")
     broadcast(queriesDf).join(assigned, Seq("cell"))

@@ -21,7 +21,10 @@ object Skew {
 
   /** Inner equi-join of `skewed` and `small` on `key`, salted `salts`
     * ways. `saltSource` must be deterministic per row (any column(s) of
-    * the skewed side). */
+    * the skewed side). `small` MUST be a bounded (dimension-scale)
+    * relation: it is replicated once per salt value, so replicating a
+    * fact table here would push `salts`× the fact through the shuffle —
+    * exactly backwards at 100 TB. */
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
                  saltSource: Column, salts: Int): DataFrame = {
     val l = skewed.withColumn("__salt", pmod(xxhash64(saltSource), lit(salts)))
@@ -29,28 +32,32 @@ object Skew {
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
 
-  /** sk1: salted lineitem⋈orders revenue rollup — must equal the plain
-    * join exactly (salting is a physical rewrite, not a semantic one). */
+  /** sk1: salted fact⋈dim revenue rollup — lineitem (the fact, whose
+    * hot supplier keys are the skew risk) is salted; supplier (the dim,
+    * 1e-4 of the fact's rows) is the replicated side, so the shuffle
+    * carries the fact exactly once and 8× a bounded dim. Must equal the
+    * plain join exactly (salting is a physical rewrite, not a semantic
+    * one — verified by the unsalted oracle). */
   val sk1_salted_join: Relational.Q = (s, dir) => {
     import s.implicits._
     val joined = saltedJoin(
       Tables.lineitem(s, dir),
-      Tables.orders(s, dir).withColumnRenamed("o_orderkey", "l_orderkey"),
-      key = "l_orderkey",
-      saltSource = struct($"l_linenumber", $"l_partkey", $"l_suppkey"), salts = 8)
+      Tables.supplier(s, dir).withColumnRenamed("s_suppkey", "l_suppkey"),
+      key = "l_suppkey",
+      saltSource = struct($"l_orderkey", $"l_linenumber"), salts = 8)
     joined
-      .groupBy($"o_orderstatus")
+      .groupBy($"s_nationkey")
       .agg(count(lit(1)).as("n_lines"),
            Exact.surface(sum(Exact.discPrice($"l_extendedprice", $"l_discount")))
              .as("revenue"))
-      .orderBy($"o_orderstatus")
+      .orderBy($"s_nationkey")
   }
 
   val sk1_sql: String =
-    s"""SELECT o_orderstatus, COUNT(*) AS n_lines,
+    s"""SELECT s_nationkey, COUNT(*) AS n_lines,
        | ${S.surface(s"SUM(${S.discPrice("l_extendedprice", "l_discount")})")} AS revenue
-       |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+       |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
   val queries: Map[String, Relational.Q] = Map(
     "sk1_salted_join" -> sk1_salted_join,

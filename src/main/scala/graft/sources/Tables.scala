@@ -35,4 +35,13 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Broadcast hint gated on the optimizer's size estimate. Constant-size
+    * dims (region/nation) can be hinted unconditionally, but tables that
+    * grow with the corpus (supplier, customer) must not be force-broadcast
+    * — at a 100 TB scale factor the hint would push a multi-GB table to
+    * every executor. Below the cap the hint is free; above it, planning
+    * is left to cost-based selection / AQE. */
+  def broadcastIfSmall(df: DataFrame, maxBytes: Long = 64L << 20): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes) broadcast(df) else df
 }
