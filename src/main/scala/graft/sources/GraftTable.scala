@@ -62,20 +62,42 @@ class GraftTable private (val spark: SparkSession, val root: String) {
       StandardOpenOption.CREATE_NEW)
   }
 
-  /** Hive-style partition columns for this table (reference tables use
-    * `PARTITIONED BY (days(ts))`; GraftTable partitions on explicit
-    * columns). Set at create time, constant across commits. */
+  /** Partition spec for this table: plain column names, or the derived
+    * transform `days(col)` (the reference's `PARTITIONED BY (days(ts))`
+    * — 02_iceberg_demo.ipynb). Set at create time, constant across
+    * commits (modulo renames of identity partition columns). */
   def partitionColumns: Seq[String] = {
     val v = latestVersion()
     if (v < 0) Nil else readCommit(v).partitionBy
   }
 
+  /** Physical layout column for one partition-spec entry: identity specs
+    * partition on the column itself; `days(col)` materializes a hidden
+    * `__p_days_<col>` date column in the file layout (dropped at read). */
+  private def physicalPartCol(spec: String): String = spec match {
+    case DaysSpec(c) => s"__p_days_$c"
+    case c => c
+  }
+
   private def writeData(df: DataFrame, version: Int, partitionBy: Seq[String]): String = {
     val dir = f"d$version%04d-${java.util.UUID.randomUUID().toString.take(8)}"
-    val w = df.write
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    val withDerived = partitionBy.foldLeft(df) { (d, spec) =>
+      spec match {
+        case DaysSpec(c) => d.withColumn(s"__p_days_$c", to_date(col(c)))
+        case _ => d
+      }
+    }
+    val w = withDerived.write
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy.map(physicalPartCol): _*) else w)
       .parquet(Paths.get(root, dir).toString)
     dir
+  }
+
+  /** Commit timestamps are wall-clock, bumped to stay strictly monotonic
+    * per table so timestamp time travel is total-ordered. */
+  private def nextTimestamp(v: Int): Long = {
+    val prev = if (v == 0) 0L else readCommit(v - 1).timestampMs
+    math.max(System.currentTimeMillis(), prev + 1)
   }
 
   private def commit(action: String, df: Option[DataFrame],
@@ -91,7 +113,8 @@ class GraftTable private (val spark: SparkSession, val root: String) {
       case Some(d) => (Seq(writeData(d, v, parts)), d.schema)
       case None => (Nil, if (v == 0) new StructType() else readCommit(v - 1).schemaStruct)
     }
-    writeCommit(Commit(v, action, schema.json, live(prev) ++ added, parts))
+    writeCommit(Commit(v, action, schema.json, live(prev) ++ added, parts,
+      timestampMs = nextTimestamp(v)))
     v
   }
 
@@ -206,21 +229,46 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     }
   }
 
+  /** ALTER TABLE RENAME COLUMN analog: a metadata-only commit. Existing
+    * data directories keep the old physical column name; reads map them
+    * to the new name per directory (each dir name encodes the version
+    * that wrote it, so the applicable rename chain is known exactly). */
+  def renameColumn(oldName: String, newName: String): Int = {
+    val v = latestVersion() + 1
+    val cur = readCommit(v - 1)
+    require(cur.schemaStruct.exists(_.name == oldName), s"no column $oldName")
+    require(!cur.schemaStruct.exists(_.name == newName), s"column $newName exists")
+    val schema = StructType(cur.schemaStruct.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val parts = cur.partitionBy.map(p => if (p == oldName) newName else p)
+    writeCommit(Commit(v, "renameColumn", schema.json, cur.liveDirs, parts,
+      timestampMs = nextTimestamp(v), renames = Seq(oldName -> newName)))
+    v
+  }
+
   // ---- read operations ----
 
   def read(): DataFrame = readVersion(latestVersion())
 
+  /** Version of the data directory name (dirs are immutable and named
+    * d<version>-<uuid>, so the rename chain that applies to a dir is
+    * exactly the renames committed after it was written). */
+  private def dirVersion(d: String): Int = d.substring(1, 5).toInt
+
   /** Time travel: the snapshot exactly as of `version`. */
   def readVersion(version: Int): DataFrame = {
     val c = readCommit(version)
-    val schema = unionSchema(version)
+    val schema = c.schemaStruct
+    val renamesUpTo: Seq[(Int, (String, String))] =
+      (0 to version).flatMap(v => readCommit(v).renames.map(r => (v, r)))
+    val hasDerivedParts = c.partitionBy.exists(p => physicalPartCol(p) != p)
     if (c.liveDirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else if (c.partitionBy.isEmpty)
+    else if (c.partitionBy.isEmpty && renamesUpTo.isEmpty)
       spark.read.schema(schema)
         .parquet(c.liveDirs.map(d => Paths.get(root, d).toString): _*)
-    else
+    else if (!hasDerivedParts && renamesUpTo.isEmpty)
       // partitioned commits: each data dir is its own hive-layout tree,
       // read per-dir (own basePath) and union — partition pruning still
       // applies per scan
@@ -228,21 +276,71 @@ class GraftTable private (val spark: SparkSession, val root: String) {
         val p = Paths.get(root, d).toString
         spark.read.schema(schema).option("basePath", p).parquet(p)
       }.reduce(_.unionByName(_))
+    else
+      // rename- or transform-bearing snapshots: read each dir under its
+      // own (inferred) physical schema, apply the renames committed
+      // after the dir was written, then project to the snapshot schema
+      // (missing columns null-fill — mergeSchema semantics preserved).
+      c.liveDirs.map { d =>
+        val p = Paths.get(root, d).toString
+        val raw = spark.read.option("basePath", p).parquet(p)
+        val applicable = renamesUpTo.filter(_._1 > dirVersion(d)).map(_._2)
+        val renamed = applicable.foldLeft(raw) { case (df, (o, n)) =>
+          if (df.columns.contains(o)) df.withColumnRenamed(o, n) else df
+        }
+        renamed.select(schema.map(f =>
+          if (renamed.columns.contains(f.name)) col(f.name).cast(f.dataType)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      }.reduce(_.unionByName(_))
   }
 
-  /** Schema as of `version`, merged across commits whose directories are
-    * still live (older dirs may lack newly added columns — the parquet
-    * reader fills them with null). */
-  private def unionSchema(version: Int): StructType =
-    readCommit(version).schemaStruct
+  /** Pruned read over a `days(col)`-partitioned table: filters the
+    * hidden layout column so only matching hive partitions are scanned
+    * — the transform-aware partition pruning Iceberg derives from
+    * metadata, surfaced as an explicit API here. `day` is an ISO date
+    * (yyyy-MM-dd). */
+  def readWhereDays(column: String, day: String): DataFrame = {
+    val c = readCommit(latestVersion())
+    require(c.partitionBy.contains(s"days($column)"),
+      s"table is not days($column)-partitioned")
+    val schema = c.schemaStruct
+    c.liveDirs.map { d =>
+      val p = Paths.get(root, d).toString
+      val raw = spark.read.option("basePath", p).parquet(p)
+        .filter(col(s"__p_days_$column") === lit(day))
+      raw.select(schema.map(f =>
+        if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    }.reduce(_.unionByName(_))
+  }
 
-  /** DESCRIBE HISTORY analog: one row per commit. */
+  /** Time travel by wall-clock: the latest snapshot committed at or
+    * before `tsMillis` (Delta `timestampAsOf` / Iceberg
+    * `as-of-timestamp` analog). */
+  def readAsOfTimestamp(tsMillis: Long): DataFrame = {
+    val v = (0 to latestVersion()).takeWhile(readCommit(_).timestampMs <= tsMillis).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot committed at or before $tsMillis"))
+    readVersion(v)
+  }
+
+  /** DESCRIBE HISTORY analog: one row per commit, with its timestamp. */
   def history(): DataFrame = {
     import spark.implicits._
     (0 to latestVersion()).map { v =>
       val c = readCommit(v)
-      (v, c.action, c.liveDirs.size)
-    }.toDF("version", "operation", "n_live_dirs")
+      (v, new java.sql.Timestamp(c.timestampMs), c.action, c.liveDirs.size)
+    }.toDF("version", "timestamp", "operation", "n_live_dirs")
+  }
+
+  /** Iceberg `.snapshots` metadata-table analog. */
+  def snapshots(): DataFrame = {
+    import spark.implicits._
+    (0 to latestVersion()).map { v =>
+      val c = readCommit(v)
+      (v.toLong, new java.sql.Timestamp(c.timestampMs), c.action,
+        c.liveDirs.mkString(","))
+    }.toDF("snapshot_id", "committed_at", "operation", "live_dirs")
   }
 
   /** VACUUM: physically remove data directories referenced by no commit
@@ -268,6 +366,10 @@ class GraftTable private (val spark: SparkSession, val root: String) {
 object GraftTable {
   private val LogDirName = "_graft_log"
 
+  /** Partition-spec transform syntax: `days(col)` (reference:
+    * 02_iceberg_demo.ipynb PARTITIONED BY (days(ts))). */
+  private[sources] val DaysSpec = """days\((\w+)\)""".r
+
   /** Create a new table at `path` with `df` as version 0, optionally
     * hive-partitioned (partition pruning then applies to reads). */
   def create(spark: SparkSession, path: String, df: DataFrame,
@@ -287,17 +389,27 @@ object GraftTable {
 
   /** Minimal commit record with hand-rolled JSON (schema json is emitted
     * by Spark and parsed back by DataType.fromJson — we only add a flat
-    * envelope around it). */
+    * envelope around it).
+    *
+    * `timestampMs` is the commit wall-clock (monotonic per table — equal
+    * clock reads are bumped) enabling timestamp time travel, mirroring
+    * the commit timestamps of DESCRIBE HISTORY / `.snapshots`.
+    * `renames` records column renames applied AT this commit
+    * (`old>new`): data directories written before the rename keep the
+    * old physical name and are mapped at read time. */
   final case class Commit(version: Int, action: String, schemaJson: String,
                           liveDirs: Seq[String],
-                          partitionBy: Seq[String] = Nil) {
+                          partitionBy: Seq[String] = Nil,
+                          timestampMs: Long = 0L,
+                          renames: Seq[(String, String)] = Nil) {
     def schemaStruct: StructType =
       if (schemaJson.isEmpty) new StructType()
       else DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
     def toJson: String = {
       def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      s"""{"version":$version,"action":${q(action)},"schema":${q(schemaJson)},"liveDirs":[${liveDirs.map(q).mkString(",")}],"partitionBy":[${partitionBy.map(q).mkString(",")}]}"""
+      val ren = renames.map { case (o, n) => q(s"$o>$n") }.mkString(",")
+      s"""{"version":$version,"ts":$timestampMs,"action":${q(action)},"schema":${q(schemaJson)},"liveDirs":[${liveDirs.map(q).mkString(",")}],"partitionBy":[${partitionBy.map(q).mkString(",")}],"renames":[$ren]}"""
     }
   }
 
@@ -310,6 +422,7 @@ object GraftTable {
           .replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
       }
       val version = "\"version\":(\\d+)".r.findFirstMatchIn(s).get.group(1).toInt
+      val ts = "\"ts\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
       def strList(name: String): Seq[String] = {
         val m = ("\"" + name + "\":\\[([^\\]]*)\\]").r
         m.findFirstMatchIn(s).map(_.group(1)) match {
@@ -318,8 +431,12 @@ object GraftTable {
           case _ => Nil
         }
       }
+      val renames = strList("renames").map { r =>
+        val i = r.indexOf('>')
+        (r.substring(0, i), r.substring(i + 1))
+      }
       Commit(version, strField("action"), strField("schema"),
-        strList("liveDirs"), strList("partitionBy"))
+        strList("liveDirs"), strList("partitionBy"), ts, renames)
     }
   }
 }

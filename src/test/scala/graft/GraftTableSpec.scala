@@ -141,6 +141,68 @@ class GraftTableSpec extends AnyFunSuite {
     assert(dataDirs == 1, s"expected 1 data dir after compact+vacuum, got $dataDirs")
   }
 
+  test("commit timestamps are monotonic; timestamp time travel resolves snapshots") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    t.overwrite(Seq((9, "z")).toDF("id", "v"))
+    val ts = t.history().orderBy("version").collect()
+      .map(_.getAs[java.sql.Timestamp]("timestamp").getTime)
+    assert(ts.length == 3 && ts.sliding(2).forall(p => p(0) < p(1)),
+      s"timestamps not strictly increasing: ${ts.toSeq}")
+    // as-of each commit's own timestamp → that snapshot
+    assert(t.readAsOfTimestamp(ts(0)).count() == 1)
+    assert(t.readAsOfTimestamp(ts(1)).count() == 2)
+    assert(t.readAsOfTimestamp(ts(1) + 1).count() == 2) // between commits
+    assert(t.readAsOfTimestamp(ts(2)).count() == 1)
+    intercept[IllegalArgumentException] { t.readAsOfTimestamp(ts(0) - 1) }
+    // .snapshots metadata table mirrors history
+    val snaps = t.snapshots().orderBy("snapshot_id").collect()
+    assert(snaps.map(_.getAs[String]("operation")).toSeq ==
+      Seq("create", "append", "overwrite"))
+  }
+
+  test("rename column: old directories read under the new name") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), Seq((1, 10.0), (2, 20.0)).toDF("id", "amount"))
+    t.append(Seq((3, 30.0)).toDF("id", "amount"))
+    t.renameColumn("amount", "total_amount")
+    assert(t.read().columns.toSeq == Seq("id", "total_amount"))
+    assert(t.read().orderBy("id").as[(Int, Double)].collect().toSeq ==
+      Seq((1, 10.0), (2, 20.0), (3, 30.0)))
+    // writes after the rename use the new name; both generations coexist
+    t.append(Seq((4, 40.0)).toDF("id", "total_amount"))
+    assert(t.read().orderBy("id").as[(Int, Double)].collect().toSeq ==
+      Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)))
+    // time travel BEFORE the rename still shows the old name
+    assert(t.readVersion(1).columns.toSeq == Seq("id", "amount"))
+    // chained rename composes
+    t.renameColumn("total_amount", "grand_total")
+    assert(t.read().orderBy("id").as[(Int, Double)].collect().toSeq ==
+      Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)))
+    intercept[IllegalArgumentException] { t.renameColumn("nope", "x") }
+  }
+
+  test("days(ts) partition transform: hidden layout column, pruned reads") {
+    import spark.implicits._
+    val src = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"value")
+    val t = GraftTable.create(spark, tmp(), src, partitionBy = Seq("days(ts)"))
+    // the derived layout column is hidden from the logical schema
+    assert(t.read().columns.toSeq == Seq("event_id", "ts", "value"))
+    assert(t.read().count() == src.count())
+    // values round-trip exactly (the transform only affects layout)
+    val want = src.agg(sum($"value")).first().getDouble(0)
+    val got = t.read().agg(sum($"value")).first().getDouble(0)
+    assert(math.abs(want - got) < 1e-6)
+    // filtering on the derived day column prunes hive partitions
+    val day = src.select(to_date($"ts").cast("string")).first().getString(0)
+    val pruned = t.readWhereDays("ts", day)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition pruning:\n$plan")
+    assert(pruned.count() == src.filter(to_date($"ts") === day).count())
+  }
+
   test("load reopens an existing table") {
     import spark.implicits._
     val path = tmp()
