@@ -63,13 +63,45 @@ object LakehouseOps {
       |FROM customer WHERE c_mktsegment <> 'MACHINERY'
       |ORDER BY c_custkey""".stripMargin
 
+  /** g7: the PURE-SQL table lifecycle through the DSv2 catalog plugin
+    * ([[graft.sources.v2.GraftCatalog]]) — CREATE TABLE … USING graft,
+    * INSERT INTO … SELECT, DELETE FROM … WHERE, then a SELECT aggregate
+    * over the final table state, exactly how the reference drives its
+    * lakehouse (02_iceberg_demo.ipynb / 03_delta_demo.ipynb run DDL/DML
+    * only through spark.sql). The oracle recomputes the final state from
+    * the base table. */
+  val g7_sql_catalog: Relational.Q = (s, dir) => {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+      Files.createTempDirectory("graft_wh_").toString)
+    val tbl = s"graft_cat.db.orders_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sql(s"""CREATE TABLE $tbl (
+             |  o_orderkey BIGINT, o_custkey BIGINT,
+             |  o_orderstatus STRING, o_totalprice DOUBLE) USING graft""".stripMargin)
+    s.sql(s"""INSERT INTO $tbl
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+    s.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'P'")
+    s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+             | ${S.moneySum("o_totalprice")} AS total
+             |FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val g7_sql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+       | ${S.moneySum("o_totalprice")} AS total
+       |FROM orders WHERE o_orderstatus <> 'P'
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
     "g1_merge_upsert" -> g1_merge_upsert,
     "g5_update_delete" -> g5_update_delete,
+    "g7_sql_catalog" -> g7_sql_catalog,
   )
 
   val oracles: Map[String, String] = Map(
     "g1_merge_upsert" -> g1_sql,
     "g5_update_delete" -> g5_sql,
+    "g7_sql_catalog" -> g7_sql,
   )
 }

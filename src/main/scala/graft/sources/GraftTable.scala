@@ -110,7 +110,10 @@ class GraftTable private (val spark: SparkSession, val root: String) {
       else if (v == 0) Nil
       else readCommit(v - 1).partitionBy
     val (added, schema) = df match {
-      case Some(d) => (Seq(writeData(d, v, parts)), d.schema)
+      // table schemas are always nullable (Delta/Iceberg semantics):
+      // a non-null batch must not forbid nulls from other commits
+      case Some(d) => (Seq(writeData(d, v, parts)),
+        StructType(d.schema.map(_.copy(nullable = true))))
       case None => (Nil, if (v == 0) new StructType() else readCommit(v - 1).schemaStruct)
     }
     writeCommit(Commit(v, action, schema.json, live(prev) ++ added, parts,
@@ -227,6 +230,22 @@ class GraftTable private (val spark: SparkSession, val root: String) {
           else lit(null).cast(f.dataType).as(f.name)): _*)
       }
     }
+  }
+
+  /** Commit metadata at `version` (for the SQL catalog integration). */
+  private[sources] def commitAt(version: Int): Commit = readCommit(version)
+
+  /** ALTER TABLE ADD COLUMN analog: a metadata-only commit; existing
+    * data directories read the new column as null. */
+  def addColumn(name: String, dataType: DataType): Int = {
+    val v = latestVersion() + 1
+    val cur = readCommit(v - 1)
+    require(!cur.schemaStruct.exists(_.name == name), s"column $name exists")
+    val schema = StructType(cur.schemaStruct.fields :+
+      org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+    writeCommit(Commit(v, "addColumn", schema.json, cur.liveDirs, cur.partitionBy,
+      timestampMs = nextTimestamp(v)))
+    v
   }
 
   /** ALTER TABLE RENAME COLUMN analog: a metadata-only commit. Existing

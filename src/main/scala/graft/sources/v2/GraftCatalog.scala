@@ -1,0 +1,321 @@
+package graft.sources.v2
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.graftbridge.ParquetTableBridge
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.sources.GraftTable
+
+/** SQL catalog plugin for GraftTable — the reference drives its lakehouse
+  * tables entirely through SQL (CREATE TABLE … PARTITIONED BY, INSERT
+  * INTO/OVERWRITE, DELETE FROM, ALTER TABLE, time travel; reference:
+  * docker/spark-notebook/02_iceberg_demo.ipynb, 03_delta_demo.ipynb), so
+  * the same surface works here:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.g", "graft.sources.v2.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.g.warehouse", "/path/wh")
+  *   spark.sql("CREATE TABLE g.db.t (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts)) USING graft")
+  *   spark.sql("INSERT INTO g.db.t SELECT …")
+  *   spark.sql("DELETE FROM g.db.t WHERE id < 0")
+  *   spark.sql("ALTER TABLE g.db.t RENAME COLUMN id TO uid")
+  *   spark.sql("SELECT * FROM g.db.t VERSION AS OF 1")
+  *   spark.table("g.db.t")
+  * }}}
+  *
+  * Layout: one GraftTable per directory `warehouse/<ns…>/<table>`;
+  * namespaces are plain directories. Reads delegate to Spark's native
+  * DSv2 parquet scan over the snapshot's live directories (full
+  * vectorized reader + pushdown, [[ParquetTableBridge]]); writes go
+  * through the public V1Write escape hatch into the GraftTable commit
+  * log, so SQL writes and the Scala API share one history.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+  private def spark = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option spark.sql.catalog.$name.warehouse"))
+  }
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): Path =
+    Paths.get(warehouse, ident.namespace() :+ ident.name(): _*)
+  private def isTable(p: Path): Boolean = Files.exists(p.resolve("_graft_log"))
+
+  // ---- TableCatalog ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = Paths.get(warehouse, namespace: _*)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Files.list(dir).iterator().asScala
+      .filter(isTable)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftSparkTable(spark, tablePath(ident).toString, ident, None)
+  }
+
+  /** Time travel: SELECT … FROM t VERSION AS OF <v>. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftSparkTable(spark, tablePath(ident).toString, ident, Some(version.toInt))
+  }
+
+  /** Time travel: SELECT … FROM t TIMESTAMP AS OF <ts> (micros). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = GraftTable.load(spark, tablePath(ident).toString)
+    val tsMillis = timestamp / 1000L
+    val v = (0 to t.latestVersion())
+      .takeWhile(t.commitAt(_).timestampMs <= tsMillis).lastOption
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftSparkTable(spark, tablePath(ident).toString, ident, Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val specs = partitions.map(transformToSpec).toSeq
+    Files.createDirectories(tablePath(ident).getParent)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    GraftTable.create(spark, tablePath(ident).toString, empty, specs)
+    loadTable(ident)
+  }
+
+  private def transformToSpec(t: Transform): String = t.name() match {
+    case "identity" => t.references()(0).fieldNames().mkString(".")
+    case "days" => s"days(${t.references()(0).fieldNames().mkString(".")})"
+    case other => throw new UnsupportedOperationException(
+      s"partition transform $other not supported (identity and days only)")
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = GraftTable.load(spark, tablePath(ident).toString)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1, "nested rename not supported")
+        t.renameColumn(r.fieldNames()(0), r.newName())
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1, "nested add not supported")
+        t.addColumn(a.fieldNames()(0), a.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other not supported")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTable(p)) false
+    else { deleteRecursively(p); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(tablePath(newIdent).getParent)
+    Files.move(tablePath(oldIdent), tablePath(newIdent))
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.delete(p)
+  }
+
+  // ---- SupportsNamespaces (namespace = directory) ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = Paths.get(warehouse)
+    if (!Files.isDirectory(root)) Array.empty
+    else Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => Array(p.getFileName.toString)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = Paths.get(warehouse, namespace: _*)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => namespace :+ p.getFileName.toString).toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    val dir = Paths.get(warehouse, namespace: _*)
+    if (!Files.isDirectory(dir) || isTable(dir)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    Files.createDirectories(Paths.get(warehouse, namespace: _*))
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = Paths.get(warehouse, namespace: _*)
+    if (!Files.isDirectory(dir)) false
+    else if (!cascade && Files.list(dir).iterator().hasNext)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
+    else { deleteRecursively(dir); true }
+  }
+}
+
+/** A GraftTable surfaced through the DSv2 Table API: reads delegate to
+  * the native parquet scan over the snapshot's live dirs; writes append
+  * to / overwrite the commit log via V1Write; DELETE FROM maps to the
+  * copy-on-write row-level delete. `pinnedVersion` carries VERSION AS
+  * OF / TIMESTAMP AS OF reads (writes to a pinned snapshot are
+  * rejected). */
+class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
+                      pinnedVersion: Option[Int])
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def table: GraftTable = GraftTable.load(spark, path)
+  private def snapshotVersion: Int = pinnedVersion.getOrElse(table.latestVersion())
+  private def commit = table.commitAt(snapshotVersion)
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = commit.schemaStruct
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  override def partitioning(): Array[Transform] =
+    commit.partitionBy.map {
+      case GraftTable.DaysSpec(c) => Expressions.days(c)
+      case c => Expressions.identity(c)
+    }.toArray
+
+  override def properties(): util.Map[String, String] =
+    Map("provider" -> "graft", "location" -> path,
+      "snapshot-version" -> snapshotVersion.toString).asJava
+
+  /** Does any live dir predate a rename? Those dirs carry the old
+    * physical column name and need the per-dir mapping at read. */
+  private def needsRenameMapping: Boolean = {
+    val renameVersions = (0 to snapshotVersion)
+      .filter(v => table.commitAt(v).renames.nonEmpty)
+    renameVersions.nonEmpty &&
+      commit.liveDirs.exists(d => renameVersions.exists(_ > d.substring(1, 5).toInt))
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (needsRenameMapping) {
+      // rename-bearing snapshots route through the rename-aware Scala
+      // read path via the public V1Scan escape hatch (pushdown happens
+      // inside that DataFrame's own parquet scans; the relation here
+      // just adapts it to the DSv2 contract).
+      val df = table.readVersion(snapshotVersion)
+      new ScanBuilder {
+        override def build(): Scan = new V1Scan {
+          override def readSchema(): StructType = GraftSparkTable.this.schema()
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T =
+            new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = GraftSparkTable.this.schema()
+              override def buildScan(): RDD[Row] = df.rdd
+            }.asInstanceOf[T]
+        }
+      }
+    } else {
+      val dirs = commit.liveDirs.map(d => Paths.get(path, d).toString)
+      ParquetTableBridge.scanBuilder(spark, ident.toString, dirs, schema(), options)
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsOverwrite {
+      private var overwriteFilters: Option[Array[Filter]] = None
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        overwriteFilters = Some(filters); this
+      }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(pinnedVersion.isEmpty, "cannot write to a time-travel snapshot")
+              overwriteFilters match {
+                case Some(fs) if fs.forall(_.isInstanceOf[sources.AlwaysTrue]) =>
+                  table.overwrite(data)
+                case Some(fs) =>
+                  // filtered overwrite: delete matching rows, then append
+                  // (two commits; single-writer semantics make this safe)
+                  table.delete(fs.map(V1Filters.toColumn).reduce(_ && _))
+                  table.append(data)
+                case None =>
+                  if (overwrite) table.overwrite(data) else table.append(data)
+              }
+            }
+          }
+      }
+    }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(V1Filters.translatable)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinnedVersion.isEmpty, "cannot delete from a time-travel snapshot")
+    table.delete(filters.map(V1Filters.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true)))
+  }
+}
+
+/** DSv2 v1-Filter → Column translation for DELETE FROM / filtered
+  * overwrite pushdown. */
+object V1Filters {
+  def translatable(f: Filter): Boolean =
+    try { toColumn(f); true } catch { case _: UnsupportedOperationException => false }
+
+  def toColumn(f: Filter): Column = f match {
+    case sources.EqualTo(a, v) => col(a) === lit(v)
+    case sources.EqualNullSafe(a, v) => col(a) <=> lit(v)
+    case sources.GreaterThan(a, v) => col(a) > lit(v)
+    case sources.GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case sources.LessThan(a, v) => col(a) < lit(v)
+    case sources.LessThanOrEqual(a, v) => col(a) <= lit(v)
+    case sources.In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+    case sources.IsNull(a) => col(a).isNull
+    case sources.IsNotNull(a) => col(a).isNotNull
+    case sources.StringStartsWith(a, v) => col(a).startsWith(v)
+    case sources.StringEndsWith(a, v) => col(a).endsWith(v)
+    case sources.StringContains(a, v) => col(a).contains(v)
+    case sources.And(l, r) => toColumn(l) && toColumn(r)
+    case sources.Or(l, r) => toColumn(l) || toColumn(r)
+    case sources.Not(c) => !toColumn(c)
+    case _: sources.AlwaysTrue => lit(true)
+    case _: sources.AlwaysFalse => lit(false)
+    case other => throw new UnsupportedOperationException(s"predicate $other")
+  }
+}
