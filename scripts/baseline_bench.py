@@ -1,0 +1,243 @@
+#!/usr/bin/env python3
+"""Reference-baseline benchmark (driver-side tooling, not shipped code).
+
+The reference (vifroab/dst-spark-k8-lakehouse) computes with STOCK Spark
+SQL through pyspark notebooks — its engine is Spark itself. So the
+baseline for "match-or-beat the reference's single-node throughput" is
+the same query shapes written the way the reference writes them (plain
+DataFrame ops, no graft-specific optimizations), run at the same scale
+factor on the same local[32] session shape.
+
+Coverage:
+ - the queries the reference's notebooks literally express
+   (06_pipeline_metrics_demo: null profile / dropDuplicates / fillna /
+   gold summary; 05_datahub_lineage: customer_summary, city_analytics)
+ - stock-Spark formulations a reference user would write for the
+   headline graft operators (TPC-H-shaped aggs/joins, windows, dedup
+   via exploded-shingle join, MLlib MinHashLSH, brute-force cosine)
+
+Usage: python3 scripts/baseline_bench.py /root/testdata/sf0.1 [out.json]
+"""
+import json, sys, time
+
+from pyspark.sql import SparkSession, functions as F, Window
+
+
+def main(sf_dir: str, out: str) -> None:
+    spark = (SparkSession.builder.master("local[32]")
+             .appName("reference-baseline")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "16g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def t(name):
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    lineitem, orders, customer = t("lineitem"), t("orders"), t("customer")
+    supplier, nation, region = t("supplier"), t("nation"), t("region")
+    documents = t("documents")
+    embeddings = t("embeddings")
+    events = t("events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+    timings = {}
+
+    def bench(name, fn):
+        start = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - start, 3)
+        print(f"{name}: {timings[name]}s", flush=True)
+
+    # --- reference notebook queries (06_pipeline, 05_lineage) ---
+    def null_profile():
+        bronze = customer.withColumn(
+            "name", F.when(F.col("c_custkey") % 97 != 0, F.col("c_name"))
+        ).withColumn(
+            "acctbal", F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")))
+        bronze.select([
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c)
+            for c in bronze.columns]).collect()
+    bench("c1_null_profile", null_profile)
+
+    bench("c2_dedup_key",
+          lambda: lineitem.dropDuplicates(["l_orderkey"]).count())
+
+    bench("c3_clean_fillna",
+          lambda: customer.na.fill({"c_name": "Unknown", "c_acctbal": 0.0})
+          .count())
+
+    def gold_summary():
+        s = (orders.filter(F.col("o_orderstatus") == "F")
+             .groupBy("o_custkey")
+             .agg(F.count("*").alias("total_orders"),
+                  F.sum("o_totalprice").alias("total_spent"),
+                  F.avg("o_totalprice").alias("avg_order_value"),
+                  F.max("o_orderdate").alias("last_order_date")))
+        s.join(customer, s.o_custkey == customer.c_custkey).collect()
+    bench("c5_medallion_gold", gold_summary)
+
+    # --- TPC-H-shaped relational queries (stock formulations) ---
+    def q1():
+        (lineitem.filter(F.col("l_shipdate") <= "1998-09-02")
+         .groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum("l_quantity"), F.sum("l_extendedprice"),
+              F.avg("l_discount"), F.count("*")).collect())
+    bench("q1_pricing_summary", q1)
+
+    def q5():
+        (lineitem
+         .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(customer, (F.col("o_custkey") == F.col("c_custkey")) &
+               (F.col("c_nationkey") == F.col("s_nationkey")))
+         .filter((F.col("r_name") == "ASIA") &
+                 (F.col("o_orderdate") >= "1996-01-01") &
+                 (F.col("o_orderdate") < "1997-01-01"))
+         .groupBy("n_name")
+         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+         .collect())
+    bench("q5_local_supplier", q5)
+
+    def q7():
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        (orders.withColumn("rn", F.row_number().over(w))
+         .withColumn("run", F.sum("o_totalprice").over(
+             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+         .count())
+    bench("q7_window_running", q7)
+
+    # --- events ---
+    def e1():
+        (events.groupBy(F.window("ts", "1 hour"), "event_type")
+         .agg(F.count("*"), F.sum("value")).collect())
+    bench("e1_tumbling_window", e1)
+
+    def e2():
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        flagged = (events.withColumn("prev", F.lag("ts").over(w))
+                   .withColumn("new_sess",
+                               F.when(F.col("prev").isNull() |
+                                      (F.unix_timestamp("ts") -
+                                       F.unix_timestamp("prev") > 1800), 1)
+                               .otherwise(0)))
+        (flagged.withColumn("session_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+         .groupBy("user_id", "session_id").agg(F.count("*")).count())
+    bench("e2_sessionize", e2)
+
+    # --- LLM-data ops, stock formulations ---
+    bench("d1_dedup_exact",
+          lambda: documents.groupBy(F.sha2("text", 256))
+          .agg(F.min("doc_id"), F.count("*")).count())
+
+    def shingles():
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        return (documents
+                .select("doc_id", F.explode(F.array_distinct(
+                    F.expr("transform(sequence(0, greatest(size(split(trim(text), '\\\\s+'))-3, -1)), "
+                           "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i+1, 3)))")))
+                        .alias("s")))
+
+    def d2():
+        sh = shingles().cache()
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a = sh.alias("a"); b = sh.alias("b")
+        inter = (a.join(b, (F.col("a.s") == F.col("b.s")) &
+                        (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .groupBy(F.col("a.doc_id").alias("da"),
+                          F.col("b.doc_id").alias("db"))
+                 .agg(F.count("*").alias("i")))
+        x = sizes.alias("x"); y = sizes.alias("y")
+        (inter.join(x, F.col("da") == F.col("x.doc_id"))
+         .join(y, F.col("db") == F.col("y.doc_id"))
+         .filter(F.col("i") / (F.col("x.n") + F.col("y.n") - F.col("i")) >= 0.5)
+         .count())
+        sh.unpersist()
+    bench("d2_ngram_jaccard", d2)
+
+    def d3_mllib():
+        from pyspark.ml.feature import MinHashLSH, CountVectorizer, Tokenizer
+        toks = (documents.select("doc_id",
+                F.split(F.trim(F.col("text")), r"\s+").alias("words")))
+        cv = CountVectorizer(inputCol="words", outputCol="features",
+                             binary=True, minDF=1.0)
+        model = cv.fit(toks)
+        feats = model.transform(toks)
+        feats = feats.filter(
+            F.expr("aggregate(transform(words, x -> 1), 0, (a, b) -> a + b) > 0"))
+        mh = MinHashLSH(inputCol="features", outputCol="hashes",
+                        numHashTables=16, seed=42)
+        m = mh.fit(feats)
+        m.approxSimilarityJoin(feats, feats, 0.5, distCol="jac").filter(
+            "datasetA.doc_id < datasetB.doc_id").count()
+    bench("d3_minhash_lsh", d3_mllib)
+
+    def d5():
+        e = embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        e = e.withColumn("nrm", F.sqrt(F.expr(
+            "aggregate(zip_with(emb, emb, (x, y) -> x*y), 0D, (a, b) -> a + b)")))
+        a = e.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"),
+                     F.col("nrm").alias("na"))
+        b = e.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"),
+                     F.col("nrm").alias("nb"))
+        cos = (F.expr("aggregate(zip_with(ea, eb, (x, y) -> x*y), 0D, (a, b) -> a + b)")
+               / (F.col("na") * F.col("nb")))
+        (a.join(b, F.col("va") < F.col("vb"))
+         .select("va", "vb", cos.alias("cos"))
+         .filter(F.col("cos") >= 0.4).count())
+    bench("d5_embed_neardup", d5)
+
+    def s1():
+        e = embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        q = (e.filter(F.col("vec_id") < 20)
+             .select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")))
+        cos = F.expr(
+            "aggregate(zip_with(qemb, emb, (x, y) -> x*y), 0D, (a, b) -> a + b)"
+            " / (sqrt(aggregate(zip_with(qemb, qemb, (x, y) -> x*y), 0D, (a, b) -> a + b))"
+            " * sqrt(aggregate(zip_with(emb, emb, (x, y) -> x*y), 0D, (a, b) -> a + b)))")
+        w = Window.partitionBy("qid").orderBy(F.col("c").desc())
+        (q.crossJoin(e).filter(F.col("vec_id") != F.col("qid"))
+         .select("qid", "vec_id", cos.alias("c"))
+         .withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 5)
+         .collect())
+    bench("s1_ann_brute", s1)
+
+    def t_scans():
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        (documents.select("doc_id", F.size(toks).alias("n_tokens"),
+                          F.length("text").alias("n_chars")).count())
+    bench("t1_token_count", t_scans)
+
+    def p3():
+        sh = shingles()
+        bench_side = sh.join(documents.filter(F.col("source") == "src0")
+                             .select("doc_id"), "doc_id") \
+                       .select(F.col("doc_id").alias("bid"), "s")
+        train = sh.join(documents.filter(F.col("source") != "src0")
+                        .select("doc_id"), "doc_id") \
+                  .select(F.col("doc_id").alias("tid"), "s")
+        (train.join(bench_side, "s").groupBy("tid", "bid")
+         .agg(F.count("*").alias("n")).filter(F.col("n") >= 5).count())
+    bench("p3_contamination", p3)
+
+    total = round(sum(timings.values()), 3)
+    result = {"metric": "reference_baseline_total", "value": total,
+              "unit": "sec", "queries": timings, "sf": sf_dir,
+              "engine": "stock pyspark local[32]"}
+    print(json.dumps(result))
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1",
+         sys.argv[2] if len(sys.argv) > 2 else "/tmp/baseline_bench.json")

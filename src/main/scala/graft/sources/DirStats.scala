@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.types._
+
+/** Per-directory column statistics for GraftTable — the commit-log-level
+  * min/max metadata Delta/Iceberg keep per file, kept here per data
+  * directory (`<dir>/_graft_stats.json`, written once at commit time
+  * since directories are immutable).
+  *
+  * Purpose: metadata-only pruning for row-level mutations. A predicate
+  * like `id = 7` or `seg = 'A' AND ts >= …` can skip every directory
+  * whose [min,max] range provably excludes it WITHOUT scanning any
+  * data — at 100 TB that turns "scan the table to find the dirs to
+  * rewrite" into a driver-side metadata decision plus a scan of only
+  * the overlapping dirs.
+  *
+  * Pruning is conservative and lossless: only conjuncts it can prove
+  * unsatisfiable eliminate a directory; anything unrecognized keeps it.
+  */
+object DirStats {
+
+  private val FileName = "_graft_stats.json"
+
+  /** kind: "num" (compare as double) | "str" (compare lexicographically —
+    * dates/timestamps are stored as ISO strings, which order correctly). */
+  final case class ColStat(kind: String, min: String, max: String)
+
+  /** Compute min/max for every stat-eligible column of the just-written
+    * directory and persist them alongside the data. One cheap columnar
+    * aggregate over data that is hot in the page cache. */
+  def write(spark: SparkSession, dirPath: Path): Unit = {
+    val df = spark.read.parquet(dirPath.toString)
+    val eligible = df.schema.fields.flatMap { f =>
+      f.dataType match {
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+             _: FloatType | _: DoubleType | _: DecimalType => Some(f.name -> "num")
+        case _: StringType => Some(f.name -> "str")
+        case _: DateType | _: TimestampType => Some(f.name -> "str")
+        case _ => None
+      }
+    }
+    if (eligible.isEmpty) return
+    val aggs = eligible.flatMap { case (c, _) =>
+      Seq(min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val stats = eligible.flatMap { case (c, kind) =>
+      val mn = row.getAs[String](s"min_$c")
+      val mx = row.getAs[String](s"max_$c")
+      if (mn == null || mx == null) None else Some(c -> ColStat(kind, mn, mx))
+    }
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val json = stats.map { case (c, st) =>
+      s"${q(c)}:{\"kind\":${q(st.kind)},\"min\":${q(st.min)},\"max\":${q(st.max)}}"
+    }.mkString("{", ",", "}")
+    Files.write(dirPath.resolve(FileName), json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def load(dirPath: Path): Option[Map[String, ColStat]] = {
+    val p = dirPath.resolve(FileName)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val entry =
+        ("\"((?:[^\"\\\\]|\\\\.)*)\":\\{\"kind\":\"(num|str)\"," +
+          "\"min\":\"((?:[^\"\\\\]|\\\\.)*)\",\"max\":\"((?:[^\"\\\\]|\\\\.)*)\"\\}").r
+      def unq(x: String) = x.replace("\\\"", "\"").replace("\\\\", "\\")
+      Some(entry.findAllMatchIn(s).map(m =>
+        unq(m.group(1)) -> ColStat(m.group(2), unq(m.group(3)), unq(m.group(4)))).toMap)
+    }
+  }
+
+  /** Resolve a user predicate Column against `schema` so the expression
+    * tree carries real catalyst comparison nodes (the Spark 4 Column API
+    * wraps ColumnNodes until analysis). Cheap: an empty local relation
+    * analyzed once, no jobs. */
+  def analyze(spark: SparkSession, schema: StructType, condition: Column): Expression = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    empty.filter(condition).queryExecution.analyzed.collectFirst {
+      case f: logical.Filter => f.condition
+    }.getOrElse(Literal(true))
+  }
+
+  /** Could any row in a directory with `stats` satisfy `cond`?
+    * (`cond` is the analyzed predicate from [[analyze]].) */
+  def mayMatch(cond: Expression, stats: Map[String, ColStat]): Boolean = cond match {
+    case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
+    case EqualTo(AttrName(a), Lit(v)) => inRange(stats.get(a), v, v)
+    case EqualTo(Lit(v), AttrName(a)) => inRange(stats.get(a), v, v)
+    case GreaterThan(AttrName(a), Lit(v)) => gt(stats.get(a), v, orEqual = false)
+    case GreaterThanOrEqual(AttrName(a), Lit(v)) => gt(stats.get(a), v, orEqual = true)
+    case LessThan(AttrName(a), Lit(v)) => lt(stats.get(a), v, orEqual = false)
+    case LessThanOrEqual(AttrName(a), Lit(v)) => lt(stats.get(a), v, orEqual = true)
+    case GreaterThan(Lit(v), AttrName(a)) => lt(stats.get(a), v, orEqual = false)
+    case GreaterThanOrEqual(Lit(v), AttrName(a)) => lt(stats.get(a), v, orEqual = true)
+    case LessThan(Lit(v), AttrName(a)) => gt(stats.get(a), v, orEqual = false)
+    case LessThanOrEqual(Lit(v), AttrName(a)) => gt(stats.get(a), v, orEqual = true)
+    case In(AttrName(a), vs) if vs.forall(Lit.unapply(_).isDefined) =>
+      vs.flatMap(Lit.unapply).exists(v => inRange(stats.get(a), v, v))
+    case _ => true // unsupported shape — keep the directory
+  }
+
+  private object AttrName {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+  }
+
+  private object Lit {
+    def unapply(e: Expression): Option[Literal] = e match {
+      case l: Literal if l.value != null => Some(l)
+      case c: Cast => unapply(c.child) // analyzer-inserted literal casts
+      case _ => None
+    }
+  }
+
+  /** Compare stats bounds against a literal: "num" via double, "str"
+    * lexicographically. Type combinations the stored rendering can't
+    * compare safely (e.g. internal timestamp micros vs ISO strings)
+    * return None — the caller keeps the directory. */
+  private def cmp(st: ColStat, l: Literal): Option[(Int, Int)] = {
+    if (st.kind == "num") l.dataType match {
+      case _: NumericType =>
+        val d = l.value.toString.toDouble
+        Some((st.min.toDouble.compare(d), st.max.toDouble.compare(d)))
+      case _ => None
+    } else l.dataType match {
+      case _: StringType =>
+        val s = l.value.toString
+        Some((st.min.compareTo(s), st.max.compareTo(s)))
+      case _ => None
+    }
+  }
+
+  private def inRange(st: Option[ColStat], lo: Literal, hi: Literal): Boolean =
+    st match {
+      case Some(s) => cmp(s, lo).forall { case (_, maxCmp) => maxCmp >= 0 } &&
+        cmp(s, hi).forall { case (minCmp, _) => minCmp <= 0 }
+      case None => true
+    }
+
+  /** may the dir contain x with x > v (or >=)? true iff max > v (>=) */
+  private def gt(st: Option[ColStat], v: Literal, orEqual: Boolean): Boolean =
+    st match {
+      case Some(s) => cmp(s, v).forall { case (_, maxCmp) =>
+        if (orEqual) maxCmp >= 0 else maxCmp > 0 }
+      case None => true
+    }
+
+  /** may the dir contain x with x < v (or <=)? true iff min < v (<=) */
+  private def lt(st: Option[ColStat], v: Literal, orEqual: Boolean): Boolean =
+    st match {
+      case Some(s) => cmp(s, v).forall { case (minCmp, _) =>
+        if (orEqual) minCmp <= 0 else minCmp < 0 }
+      case None => true
+    }
+}

@@ -90,6 +90,8 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     val w = withDerived.write
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy.map(physicalPartCol): _*) else w)
       .parquet(Paths.get(root, dir).toString)
+    if (spark.conf.getOption("spark.graft.stats.enabled").forall(_.toBoolean))
+      DirStats.write(spark, Paths.get(root, dir))
     dir
   }
 
@@ -100,24 +102,57 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     math.max(System.currentTimeMillis(), prev + 1)
   }
 
+  /** Actions whose `live` transform does not depend on the previous
+    * snapshot's contents — safe to retry under the optimistic commit
+    * protocol when another writer wins the version slot. Mutations
+    * (update/delete/merge/overwrite) analyzed a specific snapshot and
+    * must fail instead (the caller re-runs against the new state). */
+  private val RetryableActions = Set("append", "appendMergeSchema")
+
+  /** Commit with optimistic concurrency: the commit file is written
+    * CREATE_NEW, so exactly one writer can land each version (a
+    * conditional put). A losing append re-targets the next version —
+    * its already-written data directory is renamed to carry the new
+    * version prefix (a metadata move) and the commit retries; a losing
+    * mutation raises ConcurrentModificationException. */
   private def commit(action: String, df: Option[DataFrame],
                      live: Seq[String] => Seq[String],
                      partitionBy: Seq[String] = null): Int = {
-    val v = latestVersion() + 1
-    val prev = if (v == 0) Nil else readCommit(v - 1).liveDirs
-    val parts =
+    var v = latestVersion() + 1
+    def parts(pv: Int) =
       if (partitionBy != null) partitionBy
-      else if (v == 0) Nil
-      else readCommit(v - 1).partitionBy
-    val (added, schema) = df match {
+      else if (pv == 0) Nil
+      else readCommit(pv - 1).partitionBy
+    var (added, schema) = df match {
       // table schemas are always nullable (Delta/Iceberg semantics):
       // a non-null batch must not forbid nulls from other commits
-      case Some(d) => (Seq(writeData(d, v, parts)),
+      case Some(d) => (Seq(writeData(d, v, parts(v))),
         StructType(d.schema.map(_.copy(nullable = true))))
-      case None => (Nil, if (v == 0) new StructType() else readCommit(v - 1).schemaStruct)
+      case None => (Nil: Seq[String],
+        if (v == 0) new StructType() else readCommit(v - 1).schemaStruct)
     }
-    writeCommit(Commit(v, action, schema.json, live(prev) ++ added, parts,
-      timestampMs = nextTimestamp(v)))
+    var attempts = 0
+    while (true) {
+      val prev = if (v == 0) Nil else readCommit(v - 1).liveDirs
+      try {
+        writeCommit(Commit(v, action, schema.json, live(prev) ++ added, parts(v),
+          timestampMs = nextTimestamp(v)))
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (!RetryableActions(action) || attempts >= 20)
+            throw new java.util.ConcurrentModificationException(
+              s"concurrent commit beat $action at version $v")
+          attempts += 1
+          val nv = latestVersion() + 1
+          added = added.map { d =>
+            val renamed = f"d$nv%04d-${d.drop(6)}"
+            Files.move(Paths.get(root, d), Paths.get(root, renamed))
+            renamed
+          }
+          v = nv
+      }
+    }
     v
   }
 
@@ -132,11 +167,26 @@ class GraftTable private (val spark: SparkSession, val root: String) {
   def appendMergeSchema(df: DataFrame): Int =
     commit("appendMergeSchema", Some(df), prev => prev)
 
+  /** Directories of the current snapshot whose min/max stats cannot rule
+    * out `condition` — a driver-side metadata decision, no data read. */
+  private def pruneByStats(dirs: Seq[String], condition: Column): Seq[String] = {
+    val e = DirStats.analyze(spark, readCommit(latestVersion()).schemaStruct, condition)
+    dirs.filter { d =>
+      DirStats.load(Paths.get(root, d)) match {
+        case Some(st) => DirStats.mayMatch(e, st)
+        case None => true
+      }
+    }
+  }
+
   /** Directories (of the current snapshot) containing at least one row
-    * matching `condition` — one pushdown-friendly scan; everything else
-    * is untouched by a row-level mutation. */
+    * matching `condition`. Stats-pruned first (metadata only), then one
+    * pushdown-friendly scan over just the surviving dirs; everything
+    * else is untouched by a row-level mutation. */
   private def touchedDirs(condition: Column): Set[String] = {
-    read()
+    val candidates = pruneByStats(readCommit(latestVersion()).liveDirs, condition)
+    if (candidates.isEmpty) Set.empty
+    else readDirs(candidates)
       .filter(condition)
       .select(regexp_extract(input_file_name(), "(d\\d{4}-[0-9a-f]{8})", 1).as("d"))
       .distinct().collect().map(_.getString(0)).toSet
@@ -185,11 +235,21 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     val cols = read().columns.toSeq
     val src = source.select(cols.map(col): _*)
     val srcKeys = src.select(keys.map(col): _*).distinct()
-    val touched = read()
-      .withColumn("__dir",
-        regexp_extract(input_file_name(), "(d\\d{4}-[0-9a-f]{8})", 1))
-      .join(srcKeys, keys, "left_semi")
-      .select(col("__dir")).distinct().collect().map(_.getString(0)).toSet
+    // stats pruning: dirs whose primary-key range misses the source's
+    // key range can't contain a match — skipped without scanning
+    val k = keys.head
+    val kr = srcKeys.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).collect()(0)
+    val live = readCommit(latestVersion()).liveDirs
+    val candidates =
+      if (kr.isNullAt(0)) Nil
+      else pruneByStats(live, col(k) >= lit(kr.get(0)) && col(k) <= lit(kr.get(1)))
+    val touched =
+      if (candidates.isEmpty) Set.empty[String]
+      else readDirs(candidates)
+        .withColumn("__dir",
+          regexp_extract(input_file_name(), "(d\\d{4}-[0-9a-f]{8})", 1))
+        .join(srcKeys, keys, "left_semi")
+        .select(col("__dir")).distinct().collect().map(_.getString(0)).toSet
     val target =
       if (touched.isEmpty) null else readDirs(touched.toSeq)
     val merged =

@@ -203,6 +203,58 @@ class GraftTableSpec extends AnyFunSuite {
     assert(pruned.count() == src.filter(to_date($"ts") === day).count())
   }
 
+  test("per-dir stats: written at commit, prune impossible predicates") {
+    import spark.implicits._
+    import graft.sources.DirStats
+    val df0 = Seq((1L, "a", 10.0), (5L, "b", 50.0)).toDF("id", "seg", "x")
+    val t = GraftTable.create(spark, tmp(), df0)
+    t.append(Seq((100L, "z", 999.0)).toDF("id", "seg", "x"))
+    val dirs = t.liveDataDirs
+    assert(dirs.size == 2)
+    val stats = dirs.map(d => DirStats.load(
+      java.nio.file.Paths.get(t.root, d)).get)
+    // stats carry real ranges
+    val first = stats.find(_("id").min == "1").get
+    assert(first("id").max == "5" && first("seg").min == "a" && first("x").kind == "num")
+    // pruning logic: id = 100 cannot be in dir [1,5]
+    def may(cond: org.apache.spark.sql.Column, st: Map[String, DirStats.ColStat]) =
+      DirStats.mayMatch(DirStats.analyze(spark, df0.schema, cond), st)
+    assert(!may(col("id") === 100, first))
+    assert(may(col("id") === 5, first))
+    assert(!may(col("id") > 5, first))
+    assert(may(col("id") >= 5, first))
+    assert(!may(col("x") < 10.0, first))
+    assert(!may(col("seg") === "z", first))
+    assert(may(col("seg") === "b", first))
+    assert(!may(col("id") === 3 && col("seg") === "z", first)) // conjunct prunes
+    assert(may(col("id") === 3 || col("seg") === "z", first))  // OR kept (conservative)
+    // behavioral: delete of an out-of-range key is metadata-only
+    val before = t.liveDataDirs
+    t.delete(col("id") === 12345)
+    assert(t.liveDataDirs == before)
+  }
+
+  test("optimistic commit: concurrent appends all land, none lost") {
+    import spark.implicits._
+    val path = tmp()
+    val t = GraftTable.create(spark, path, Seq((0L, "seed")).toDF("id", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 12).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          override def call(): Int =
+            GraftTable.load(spark, path).append(Seq((i.toLong, s"w$i")).toDF("id", "v"))
+        })
+      }
+      val versions = futures.map(_.get())
+      assert(versions.distinct.size == 12, s"version collision: $versions")
+    } finally pool.shutdown()
+    assert(t.read().count() == 13)
+    assert(t.latestVersion() == 12)
+    // a mutation that loses the race must fail, not silently drop commits
+    // (covered by the RetryableActions gate; appends above exercised retries)
+  }
+
   test("load reopens an existing table") {
     import spark.implicits._
     val path = tmp()
