@@ -107,7 +107,9 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     * protocol when another writer wins the version slot. Mutations
     * (update/delete/merge/overwrite) analyzed a specific snapshot and
     * must fail instead (the caller re-runs against the new state). */
-  private val RetryableActions = Set("append", "appendMergeSchema")
+  private def retryable(action: String): Boolean =
+    action == "append" || action == "appendMergeSchema" ||
+      action.startsWith("stream-append")
 
   /** Commit with optimistic concurrency: the commit file is written
     * CREATE_NEW, so exactly one writer can land each version (a
@@ -140,7 +142,7 @@ class GraftTable private (val spark: SparkSession, val root: String) {
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          if (!RetryableActions(action) || attempts >= 20)
+          if (!retryable(action) || attempts >= 20)
             throw new java.util.ConcurrentModificationException(
               s"concurrent commit beat $action at version $v")
           attempts += 1
@@ -159,6 +161,13 @@ class GraftTable private (val spark: SparkSession, val root: String) {
   // ---- write operations ----
 
   def append(df: DataFrame): Int = commit("append", Some(align(df)), prev => prev)
+
+  /** Append committed under a caller-supplied action label. Streaming
+    * ingest stamps `stream-append#<batchId>` so a replayed micro-batch
+    * can be detected in `history()` and skipped — the Delta
+    * txn-app-id/version idiom for exactly-once sinks. */
+  def appendBatch(action: String, df: DataFrame): Int =
+    commit(action, Some(align(df)), prev => prev)
 
   def overwrite(df: DataFrame): Int = commit("overwrite", Some(df), _ => Nil)
 

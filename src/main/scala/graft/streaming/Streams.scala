@@ -129,13 +129,93 @@ object Streams {
     closed.iterator
   }
 
+  /** h4: checkpointed continuous ingest into a GraftTable — the
+    * streaming counterpart of the reference's bronze-layer loaders:
+    * readStream → foreachBatch → commit-log append, with exactly-once
+    * semantics on restart (each micro-batch commits under a
+    * `stream-append#<batchId>` action; a replayed batch that already
+    * appears in the table history is skipped, the Delta txn-marker
+    * idiom). The query result is the per-type rollup read back FROM the
+    * ingested table; the oracle recomputes it from the raw events. */
+  val h4_stream_ingest: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_ingest_").toString + "/t"
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft_ingest_ckpt_").toString
+    val q = eventStream(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val action = s"stream-append#$batchId"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "_graft_log"))) {
+          graft.sources.GraftTable.create(s, target, batch): Unit
+        } else {
+          val t = graft.sources.GraftTable.load(s, target)
+          val seen = t.history().filter($"operation" === action).count() > 0
+          if (!seen) t.appendBatch(action, batch): Unit
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.sources.GraftTable.load(s, target).read()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), Exact.moneySum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  val h4_sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** h5: stream-stream interval join — each 'view' joined to the same
+    * user's 'purchase' events landing within 60 s after it, both sides
+    * watermarked so join state is bounded (the production shape for
+    * click-attribution at scale). The joined pairs drain to the sink
+    * and roll up in batch; the oracle recomputes the same interval join
+    * relationally. */
+  val h5_stream_join: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val views = eventStream(s, dir)
+      .filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = eventStream(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      $"user_id" === $"p_user" &&
+        $"p_ts" > $"view_ts" && $"p_ts" <= $"view_ts" + expr("INTERVAL 60 SECONDS"))
+    drain(joined.select($"user_id", $"view_id", $"p_id"), OutputMode.Append())
+      .groupBy($"user_id").agg(count(lit(1)).as("n_attributed"))
+      .orderBy($"user_id")
+  }
+
+  val h5_sql: String =
+    """SELECT v.user_id, COUNT(*) AS n_attributed
+      |FROM (SELECT user_id, date_trunc('second', ts) AS view_ts FROM events
+      |      WHERE event_type = 'view') v
+      |JOIN (SELECT user_id AS p_user, date_trunc('second', ts) AS p_ts FROM events
+      |      WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.p_user
+      | AND p.p_ts > v.view_ts AND p.p_ts <= v.view_ts + INTERVAL 60 SECOND
+      |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
     "h1_stream_window" -> h1_stream_window,
     "h2_stream_dedup" -> h2_stream_dedup,
+    "h4_stream_ingest" -> h4_stream_ingest,
+    "h5_stream_join" -> h5_stream_join,
   )
 
   val oracles: Map[String, String] = Map(
     "h1_stream_window" -> h1_sql,
     "h2_stream_dedup" -> h2_sql,
+    "h4_stream_ingest" -> h4_sql,
+    "h5_stream_join" -> h5_sql,
   )
 }

@@ -23,6 +23,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("h4 checkpointed ingest lands every event exactly once in a GraftTable") {
+    import spark.implicits._
+    val got = SparkEntry.queries("h4_stream_ingest")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("h5 stream-stream interval join equals the batch interval join") {
+    import spark.implicits._
+    val streamed = SparkEntry.queries("h5_stream_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("ts", date_trunc("second", $"ts"))
+    val v = ev.filter($"event_type" === "view").select($"user_id", $"ts".as("vts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"))
+    val batch = v.join(p, $"user_id" === $"pu" &&
+        $"pts" > $"vts" && $"pts" <= $"vts" + expr("INTERVAL 60 SECONDS"))
+      .groupBy($"user_id").count()
+      .orderBy($"user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == batch)
+  }
+
   test("h3 stateful sessionization emits gap-closed sessions") {
     val sessions = Streams.h3_stream_sessionize(spark, sf).collect()
     assert(sessions.nonEmpty)
