@@ -28,6 +28,10 @@ object DirStats {
 
   private val FileName = "_graft_stats.json"
 
+  /** Pseudo-column recording the directory's row count — a dir with no
+    * rows satisfies no predicate, so it prunes under any filter. */
+  val RowCountKey = "__count"
+
   /** kind: "num" (compare as double) | "str" (compare lexicographically —
     * dates/timestamps are stored as ISO strings, which order correctly). */
   final case class ColStat(kind: String, min: String, max: String)
@@ -36,7 +40,17 @@ object DirStats {
     * directory and persist them alongside the data. One cheap columnar
     * aggregate over data that is hot in the page cache. */
   def write(spark: SparkSession, dirPath: Path): Unit = {
-    val df = spark.read.parquet(dirPath.toString)
+    val df =
+      try spark.read.parquet(dirPath.toString)
+      catch {
+        // an empty partitioned write leaves no parquet files at all —
+        // record the zero row count so the dir prunes under any filter
+        case _: org.apache.spark.sql.AnalysisException =>
+          Files.write(dirPath.resolve(FileName),
+            s"""{"$RowCountKey":{"kind":"num","min":"0","max":"0"}}"""
+              .getBytes(StandardCharsets.UTF_8))
+          return
+      }
     val eligible = df.schema.fields.flatMap { f =>
       f.dataType match {
         case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
@@ -46,16 +60,18 @@ object DirStats {
         case _ => None
       }
     }
-    if (eligible.isEmpty) return
-    val aggs = eligible.flatMap { case (c, _) =>
-      Seq(min(col(c)).cast("string").as(s"min_$c"),
-          max(col(c)).cast("string").as(s"max_$c"))
+    val aggs = count(lit(1)).cast("string").as("__count") +: eligible.flatMap {
+      case (c, _) =>
+        Seq(min(col(c)).cast("string").as(s"min_$c"),
+            max(col(c)).cast("string").as(s"max_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val stats = eligible.flatMap { case (c, kind) =>
-      val mn = row.getAs[String](s"min_$c")
-      val mx = row.getAs[String](s"max_$c")
-      if (mn == null || mx == null) None else Some(c -> ColStat(kind, mn, mx))
+    val n = row.getAs[String]("__count")
+    val stats = (RowCountKey -> ColStat("num", n, n)) +: eligible.flatMap {
+      case (c, kind) =>
+        val mn = row.getAs[String](s"min_$c")
+        val mx = row.getAs[String](s"max_$c")
+        if (mn == null || mx == null) None else Some(c -> ColStat(kind, mn, mx))
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val json = stats.map { case (c, st) =>
@@ -92,7 +108,11 @@ object DirStats {
 
   /** Could any row in a directory with `stats` satisfy `cond`?
     * (`cond` is the analyzed predicate from [[analyze]].) */
-  def mayMatch(cond: Expression, stats: Map[String, ColStat]): Boolean = cond match {
+  def mayMatch(cond: Expression, stats: Map[String, ColStat]): Boolean =
+    if (stats.get(RowCountKey).exists(_.max.toDouble == 0)) false
+    else mayMatch0(cond, stats)
+
+  private def mayMatch0(cond: Expression, stats: Map[String, ColStat]): Boolean = cond match {
     case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
     case EqualTo(AttrName(a), Lit(v)) => inRange(stats.get(a), v, v)
     case EqualTo(Lit(v), AttrName(a)) => inRange(stats.get(a), v, v)

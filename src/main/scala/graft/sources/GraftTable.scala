@@ -458,6 +458,11 @@ object GraftTable {
     * 02_iceberg_demo.ipynb PARTITIONED BY (days(ts))). */
   private[sources] val DaysSpec = """days\((\w+)\)""".r
 
+  /** Directory stats for the catalog scan path. */
+  private[sources] def loadStats(root: String, dir: String)
+      : Option[Map[String, DirStats.ColStat]] =
+    DirStats.load(Paths.get(root, dir))
+
   /** Create a new table at `path` with `df` as version 0, optionally
     * hive-partitioned (partition pruning then applies to reads). */
   def create(spark: SparkSession, path: String, df: DataFrame,

@@ -250,8 +250,20 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
         }
       }
     } else {
-      val dirs = commit.liveDirs.map(d => Paths.get(path, d).toString)
-      ParquetTableBridge.scanBuilder(spark, ident.toString, dirs, schema(), options)
+      // stats-skipping scan: pushed filters drop whole directories by
+      // their min/max metadata before the parquet scan ever lists files
+      val live = commit.liveDirs
+      new org.apache.spark.sql.graftbridge.StatsPruningScanBuilder(
+        spark, ident.toString, schema(), options,
+        prune = filters => {
+          val kept = live.filter { d =>
+            GraftTable.loadStats(path, d) match {
+              case Some(st) => filters.forall(f => graft.sources.DirStats.mayMatch(f, st))
+              case None => true
+            }
+          }
+          kept.map(d => Paths.get(path, d).toString)
+        })
     }
   }
 

@@ -23,3 +23,48 @@ object ParquetTableBridge {
     ParquetTable(name, spark, options, paths, Some(schema),
       classOf[ParquetFileFormat]).newScanBuilder(options)
 }
+
+/** Stats-skipping scan builder: intercepts the catalyst filter pushdown
+  * (the file-source pushdown channel, [[SupportsPushDownCatalystFilters]])
+  * to drop whole data directories whose min/max stats preclude any
+  * match, then delegates the surviving paths to the native parquet scan
+  * builder — which re-pushes the same filters for row-group pruning.
+  * All filters are reported residual, so Spark keeps its own Filter
+  * node: pruning is a pure I/O optimization, never a semantic change.
+  *
+  * `prune` maps the pushed conjuncts to the surviving directory paths
+  * (the caller closes over its commit metadata + DirStats).
+  */
+class StatsPruningScanBuilder(
+    spark: SparkSession, name: String, schema: StructType,
+    options: CaseInsensitiveStringMap,
+    prune: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Seq[String])
+  extends ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+  private var required: StructType = schema
+
+  override def pushFilters(
+      fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    filters = fs
+    fs // everything residual — correctness never depends on the skip
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val paths = prune(filters)
+    val delegate = ParquetTable(name, spark, options, paths, Some(schema),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+    delegate.pushFilters(filters)
+    delegate.pruneColumns(required)
+    delegate.build()
+  }
+}

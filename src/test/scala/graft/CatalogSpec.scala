@@ -114,6 +114,24 @@ class CatalogSpec extends AnyFunSuite {
       s"unexpected layout: $partNames")
   }
 
+  test("stats-based directory skipping in the SQL read path") {
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.s (id BIGINT, v DOUBLE) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.s SELECT id, CAST(id AS DOUBLE) FROM range(0, 1000)")
+    spark.sql(s"INSERT INTO $cat.db.s SELECT id, CAST(id AS DOUBLE) FROM range(100000, 101000)")
+    // an unfiltered scan reads all three dirs (create + 2 inserts)
+    val all = spark.table(s"$cat.db.s")
+    assert(all.count() == 2000)
+    assert(all.queryExecution.executedPlan.toString.contains("(3 paths)"),
+      s"expected 3 root paths:\n${all.queryExecution.executedPlan}")
+    // a range predicate that misses dir 2's [100000,101000) prunes it
+    // AND the empty create dir by metadata before file listing
+    val q = spark.sql(s"SELECT * FROM $cat.db.s WHERE id < 500")
+    assert(q.count() == 500)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("(1 paths)"), s"directory not skipped:\n$plan")
+  }
+
   test("DROP TABLE, SHOW TABLES, namespaces") {
     freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ns1")
