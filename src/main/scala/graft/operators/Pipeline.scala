@@ -54,8 +54,13 @@ object Pipeline {
   val p2_curation_pipeline: Relational.Q = (s, dir) => {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val dupLosers = Dedup.d2_ngram_jaccard(s, dir)
-      .filter($"jaccard" >= 0.8).select($"doc_b".as("doc_id"))
+    // near-dup losers at J >= 0.8 via the MinHash+LSH path (d3): it
+    // computes exactly the J >= 0.8 pairs (exact-Jaccard-verified
+    // candidates, miss probability ~1e-7) at a fraction of the full
+    // prefix-join cost of d2 — the right engine for a curation
+    // pipeline that only needs the high-similarity tier.
+    val dupLosers = Dedup.d3_minhash_lsh(s, dir)
+      .select($"doc_b".as("doc_id"))
     docs
       .filter($"lang".isin("en", "es", "fr", "de"))
       .withColumn("n_tokens", size(TextFunctions.tokens($"text")))
@@ -118,15 +123,80 @@ object Pipeline {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 5
       |ORDER BY train_id, bench_id""".stripMargin
 
+  /** Engine-independent deterministic [0,100) bucket for a document:
+    * first 6 hex digits of md5(doc_id) mod 100. md5 of the same string
+    * is identical in every engine, so sampling decisions are
+    * reproducible across Spark, DuckDB, or any future runner — the
+    * property corpus-mixing configs need (re-running the pipeline on a
+    * grown corpus keeps previously-sampled docs sampled). */
+  private def hashBucket(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 6), 16, 10).cast("long") % 100
+  private def bucketSql(c: String) =
+    s"CAST(concat('0x', substring(md5(CAST($c AS VARCHAR)), 1, 6)) AS BIGINT) % 100"
+
+  /** p4: weighted corpus mixing — each source is down-sampled to its
+    * mixture weight (src0 100%, src1 50%, src2 25%, everything else
+    * 10%) by deterministic hash bucket. The standard "data mixing"
+    * stage of an LLM pretraining pipeline: pure scan-side predicate,
+    * no shuffle except the presentation sort, trivially 100 TB-safe. */
+  val p4_mixture_sample: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val pct = when($"source" === "src0", 100L)
+      .when($"source" === "src1", 50L)
+      .when($"source" === "src2", 25L)
+      .otherwise(10L)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", hashBucket($"doc_id").as("bucket"), pct.as("pct"))
+      .filter($"bucket" < $"pct")
+      .select($"doc_id", $"source", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  val p4_sql: String =
+    s"""SELECT doc_id, source, bucket FROM (
+       |  SELECT doc_id, source, ${bucketSql("doc_id")} AS bucket,
+       |    CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+       |                WHEN 'src2' THEN 25 ELSE 10 END AS pct
+       |  FROM documents) t
+       |WHERE bucket < pct ORDER BY doc_id""".stripMargin
+
+  /** p5: stratified exact-N sample — the K lowest hash buckets per
+    * language (deterministic total order: bucket, then doc_id), the
+    * shape of per-language eval/val splits. One shuffle on the stratum
+    * key; the window's top-K filter keeps per-stratum state bounded. */
+  val p5_stratified_sample: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val k = 20
+    val w = Window.partitionBy($"lang")
+      .orderBy($"bucket", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", hashBucket($"doc_id").as("bucket"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"doc_id", $"lang", $"rn".cast("long").as("rn"))
+      .orderBy($"lang", $"rn")
+  }
+
+  val p5_sql: String =
+    s"""SELECT doc_id, lang, rn FROM (
+       |  SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY lang ORDER BY ${bucketSql("doc_id")}, doc_id) AS BIGINT) AS rn
+       |  FROM documents) t
+       |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
     "p1_sequence_pack" -> p1_sequence_pack,
     "p2_curation_pipeline" -> p2_curation_pipeline,
     "p3_contamination" -> p3_contamination,
+    "p4_mixture_sample" -> p4_mixture_sample,
+    "p5_stratified_sample" -> p5_stratified_sample,
   )
 
   val oracles: Map[String, String] = Map(
     "p1_sequence_pack" -> p1_sql,
     "p2_curation_pipeline" -> p2_sql,
     "p3_contamination" -> p3_sql,
+    "p4_mixture_sample" -> p4_sql,
+    "p5_stratified_sample" -> p5_sql,
   )
 }

@@ -40,13 +40,19 @@ object Streams {
   }
 
   /** Run a streaming aggregate to completion against the finite input
-    * and return the sink table. */
+    * and return the sink table. RocksDB state store: the default
+    * HDFS-backed provider snapshots every partition's full state map
+    * per batch — with join/dedup state in the 100k-row range that
+    * dominates wall-time; RocksDB writes incrementally. */
   private def drain(df: DataFrame, mode: OutputMode): DataFrame = {
+    val s = df.sparkSession
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
-    df.sparkSession.table(name)
+    s.table(name)
   }
 
   /** h1: watermarked tumbling-window aggregation — must equal the batch
@@ -179,11 +185,13 @@ object Streams {
     * relationally. */
   val h5_stream_join: Relational.Q = (s, dir) => {
     import s.implicits._
-    val views = eventStream(s, dir)
+    // one source, self-joined: both sides share the stream scan
+    val ev = eventStream(s, dir)
+    val views = ev
       .filter($"event_type" === "view")
       .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id"))
       .withWatermark("view_ts", "1 hour")
-    val purchases = eventStream(s, dir)
+    val purchases = ev
       .filter($"event_type" === "purchase")
       .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_id"))
       .withWatermark("p_ts", "1 hour")

@@ -58,6 +58,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark set must broadcast:\n$plan")
   }
 
+  test("d3: no broadcast of an unbounded relation (signatures shuffle-join)") {
+    // the signature table grows with the corpus — it must never carry a
+    // broadcast hint; at test SF AQE may still *choose* broadcast from
+    // observed sizes, so assert on the optimized logical plan's hints
+    val df = SparkEntry.queries("d3_minhash_lsh")(spark, sf)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("ResolvedHint"), s"broadcast hint survived in d3:\n$logical")
+  }
+
+  test("sk1: the replicated (exploded) side of the salted join is the dim table") {
+    val plan = executedPlan("sk1_salted_join")
+    // the salt-explode Generate must sit over the supplier scan, never a
+    // fact table — find the Generate and check the columns it carries
+    val gen = plan.linesIterator.find(_.contains("Generate explode")).getOrElse(
+      fail(s"no salt explode in plan:\n$plan"))
+    assert(gen.contains("s_suppkey") || gen.contains("l_suppkey"),
+      s"salt explode is not over supplier:\n$gen")
+    assert(!gen.contains("o_orderkey") && !gen.contains("l_orderkey"),
+      s"salt explode replicates a fact table:\n$gen")
+  }
+
   test("whole-stage codegen covers the q1 aggregation pipeline") {
     // codegen'd operators carry the *(n) stage marker in toString
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
