@@ -130,6 +130,8 @@ object Dedup {
       .filter(col("df") <= maxDf)
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val rareFirst = byDoc.orderBy(col("df"), col("s"))
+    // persisted: the self-join references prefixes twice, and Spark
+    // re-evaluates the window pipeline per branch otherwise
     val prefixes = sh.join(dfRel, "s")
       .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("rk", row_number().over(rareFirst))
@@ -138,6 +140,7 @@ object Dedup {
       // never match another document — drop them after rank selection.
       .filter(col("df") >= 2)
       .select(col("doc_id"), col("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -284,6 +284,40 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     commit("compact", Some(d), _ => Nil)
   }
 
+  /** OPTIMIZE … ZORDER analog: rewrite the snapshot as `numDirs`
+    * range-clustered directories on `cols`. Contents are unchanged —
+    * but each directory now covers a narrow, non-overlapping range of
+    * the clustering key, so the per-directory min/max stats make
+    * predicate pruning (mutations AND catalog reads) skip all but the
+    * overlapping directories. The 100 TB story: clustering is the step
+    * that turns stats from bookkeeping into I/O elimination.
+    *
+    * Implementation: range-partition the snapshot on the clustering
+    * key (one shuffle, the same machinery as a global sort) and write
+    * each range as its own directory under a single commit. */
+  def cluster(cols: Seq[String], numDirs: Int): Int = {
+    require(cols.nonEmpty && numDirs > 0)
+    val cur = read().repartitionByRange(numDirs, cols.map(col): _*)
+    val v = latestVersion() + 1
+    val parts = readCommit(v - 1).partitionBy
+    val schema = readCommit(v - 1).schemaStruct
+    // write each range partition as its own directory: tag rows with
+    // their range-partition id, then write per id (numDirs small jobs
+    // over one cached shuffle output)
+    val tagged = cur.withColumn("__range_id", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ids = tagged.select(col("__range_id")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val added = ids.map { id =>
+        writeData(tagged.filter(col("__range_id") === id).drop("__range_id"), v, parts)
+      }
+      writeCommit(Commit(v, "cluster", schema.json, added.toIndexedSeq, parts,
+        timestampMs = nextTimestamp(v)))
+      v
+    } finally { tagged.unpersist(); () }
+  }
+
   private def align(df: DataFrame): DataFrame = {
     val v = latestVersion()
     if (v < 0) df

@@ -255,6 +255,33 @@ class GraftTableSpec extends AnyFunSuite {
     // (covered by the RetryableActions gate; appends above exercised retries)
   }
 
+  test("cluster: range-clustered dirs give tight stats and real pruning") {
+    import spark.implicits._
+    // one wide-range dir: every predicate overlaps it
+    val t = GraftTable.create(spark, tmp(),
+      spark.range(0, 10000).select($"id", ($"id" % 7).as("k")))
+    assert(t.liveDataDirs.size >= 1)
+    val v = t.cluster(Seq("id"), numDirs = 8)
+    assert(t.latestVersion() == v)
+    val dirs = t.liveDataDirs
+    assert(dirs.size == 8, s"expected 8 range dirs, got ${dirs.size}")
+    // contents unchanged
+    assert(t.read().count() == 10000)
+    assert(t.read().agg(sum($"id")).first().getLong(0) == 49995000L)
+    // ranges are narrow and non-overlapping → a point predicate keeps 1 dir
+    import graft.sources.DirStats
+    val statsByDir = dirs.map(d =>
+      d -> DirStats.load(java.nio.file.Paths.get(t.root, d)).get).toMap
+    val cond = DirStats.analyze(spark, t.read().schema, col("id") === 4242)
+    val surviving = dirs.filter(d => DirStats.mayMatch(cond, statsByDir(d)))
+    assert(surviving.size == 1, s"point lookup should keep 1 of 8 dirs, kept $surviving")
+    // and a mutation on that predicate rewrites only that dir
+    t.delete(col("id") === 4242)
+    assert(t.read().count() == 9999)
+    assert(t.liveDataDirs.toSet.intersect(dirs.toSet).size == 7,
+      "delete must carry 7 of 8 clustered dirs forward untouched")
+  }
+
   test("load reopens an existing table") {
     import spark.implicits._
     val path = tmp()
