@@ -338,6 +338,37 @@ class GraftTable private (val spark: SparkSession, val root: String) {
   /** Commit metadata at `version` (for the SQL catalog integration). */
   private[sources] def commitAt(version: Int): Commit = readCommit(version)
 
+  /** Commit a snapshot rewrite whose data directory was written by an
+    * external engine (the SQL row-level operation path: Spark's native
+    * parquet BatchWrite lands the files, this lands the table commit).
+    * The new directory replaces the whole previous snapshot — SQL
+    * UPDATE/MERGE are full-snapshot rewrites in this format version;
+    * the Scala API keeps the directory-granular copy-on-write path.
+    * Mutation semantics: a concurrent commit wins the version slot →
+    * ConcurrentModificationException (analyzed snapshot is stale). */
+  private[sources] def commitRewrite(action: String, dir: String,
+                                     replaced: Seq[String] = null): Int = {
+    if (spark.conf.getOption("spark.graft.stats.enabled").forall(_.toBoolean))
+      DirStats.write(spark, Paths.get(root, dir))
+    val v = latestVersion() + 1
+    // the dir was named with a predicted version — fix the prefix so
+    // rename-chain versioning stays exact
+    val named = f"d$v%04d-${dir.drop(6)}"
+    if (named != dir) Files.move(Paths.get(root, dir), Paths.get(root, named))
+    val cur = readCommit(v - 1)
+    val live =
+      if (replaced == null) Seq(named)
+      else cur.liveDirs.filterNot(replaced.toSet) :+ named
+    try writeCommit(Commit(v, action, cur.schemaJson, live, cur.partitionBy,
+      timestampMs = nextTimestamp(v)))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit beat $action at version $v")
+    }
+    v
+  }
+
   /** ALTER TABLE ADD COLUMN analog: a metadata-only commit; existing
     * data directories read the new column as null. */
   def addColumn(name: String, dataType: DataType): Int = {

@@ -198,7 +198,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * rejected). */
 class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
                       pinnedVersion: Option[Int])
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations {
 
   private def table: GraftTable = GraftTable.load(spark, path)
   private def snapshotVersion: Int = pinnedVersion.getOrElse(table.latestVersion())
@@ -294,6 +295,104 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
       }
     }
 
+  /** SQL UPDATE / MERGE INTO (and DELETEs whose predicate the simple
+    * filter path can't translate) — Spark's group-based row-level
+    * rewrite. The scan is the normal table scan; the write delegates
+    * the physical parquet write to Spark's native DSv2 file writer and
+    * lands a graft snapshot-rewrite commit in BatchWrite.commit. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new org.apache.spark.sql.connector.write.RowLevelOperation {
+          override def command() = info.command()
+
+          // directories this operation's scan covered — the groups the
+          // write replaces (copy-on-write group semantics)
+          @volatile private var scannedDirs: Seq[String] = commit.liveDirs
+
+          /** Group-semantics scan: pushed filters prune DIRECTORIES by
+            * min/max stats but are never applied at row level — the
+            * rewrite plan needs every row of each scanned group (the
+            * unmatched rows carry forward through the plan's
+            * conditional logic). Filters are reported fully consumed so
+            * Spark does not re-filter rows above the scan. */
+          override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+            new ScanBuilder
+              with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+              private var filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+              override def pushFilters(
+                  fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+                filters = fs
+                Nil // groups are complete: nothing to re-apply per row
+              }
+              override def pushedFilters() = Array.empty[org.apache.spark.sql.connector.expressions.filter.Predicate]
+              override def build(): Scan = {
+                val live = commit.liveDirs
+                scannedDirs = live.filter { d =>
+                  GraftTable.loadStats(path, d) match {
+                    case Some(st) =>
+                      filters.forall(f => graft.sources.DirStats.mayMatch(f, st))
+                    case None => true
+                  }
+                }
+                ParquetTableBridge.scanBuilder(spark, ident.toString,
+                  scannedDirs.map(d => Paths.get(path, d).toString),
+                  GraftSparkTable.this.schema(), options).build()
+              }
+            }
+
+          override def newWriteBuilder(wi: LogicalWriteInfo): WriteBuilder =
+            new WriteBuilder {
+              override def build(): Write = new Write {
+                // the rewrite's LogicalWriteInfo schema carries the plan's
+                // metadata attributes; the exec projects rows down to the
+                // table schema before the writer sees them — hand the
+                // delegate an info with the TABLE schema so arities match
+                private val tableInfo = new LogicalWriteInfo {
+                  override def options(): CaseInsensitiveStringMap = wi.options()
+                  override def queryId(): String = wi.queryId()
+                  override def schema(): StructType = GraftSparkTable.this.schema()
+                  override def rowIdSchema(): java.util.Optional[StructType] =
+                    java.util.Optional.empty()
+                  override def metadataSchema(): java.util.Optional[StructType] =
+                    java.util.Optional.empty()
+                }
+                private val dir =
+                  f"d${table.latestVersion() + 1}%04d-${java.util.UUID.randomUUID().toString.take(8)}"
+                override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+                  new org.apache.spark.sql.connector.write.BatchWrite {
+                    private val delegate = ParquetTableBridge
+                      .parquetWrite(spark, Paths.get(path, dir).toString, tableInfo).toBatch
+                    // the rewrite feeds the writer its full plan output —
+                    // leading bookkeeping columns (__row_operation) then
+                    // the data columns in table order (see Spark's
+                    // buildReplaceDataPlan) — and applies no projection
+                    // itself when there are no metadata attributes, so
+                    // project down to the trailing table columns here
+                    override def createBatchWriterFactory(
+                        pi: org.apache.spark.sql.connector.write.PhysicalWriteInfo) =
+                      new ProjectingWriterFactory(
+                        delegate.createBatchWriterFactory(pi),
+                        GraftSparkTable.this.schema())
+                    override def commit(
+                        messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+                      delegate.commit(messages)
+                      table.commitRewrite(command().toString.toLowerCase, dir,
+                        replaced = scannedDirs): Unit
+                    }
+                    override def abort(
+                        messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+                      delegate.abort(messages)
+                    override def useCommitCoordinator(): Boolean =
+                      delegate.useCommitCoordinator()
+                  }
+              }
+            }
+        }
+    }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(V1Filters.translatable)
 
@@ -301,6 +400,39 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
     require(pinnedVersion.isEmpty, "cannot delete from a time-travel snapshot")
     table.delete(filters.map(V1Filters.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true)))
+  }
+}
+
+/** Executor-side adapter for the row-level write path: projects each
+  * incoming row down to the trailing table columns (Spark's rewrite
+  * prepends bookkeeping columns like __row_operation and applies no
+  * projection of its own when the operation declares no metadata
+  * attributes) before handing it to the delegate parquet writer. */
+private class ProjectingWriterFactory(
+    delegate: org.apache.spark.sql.connector.write.DataWriterFactory,
+    schema: StructType)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val d = delegate.createWriter(partitionId, taskId)
+    new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        if (proj == null) {
+          val offset = row.numFields - schema.length
+          require(offset >= 0,
+            s"row has ${row.numFields} fields for ${schema.length} table columns")
+          proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+            schema, (offset until row.numFields).toIndexedSeq)
+        }
+        proj.project(row)
+        d.write(proj)
+      }
+      override def commit() = d.commit()
+      override def abort(): Unit = d.abort()
+      override def close(): Unit = d.close()
+    }
   }
 }
 

@@ -22,6 +22,17 @@ object ParquetTableBridge {
                   schema: StructType, options: CaseInsensitiveStringMap): ScanBuilder =
     ParquetTable(name, spark, options, paths, Some(schema),
       classOf[ParquetFileFormat]).newScanBuilder(options)
+
+  /** A native parquet DSv2 Write targeting `path` — the physical write
+    * engine (executor-side writers + file commit protocol) for graft's
+    * SQL row-level operations; the caller wraps its BatchWrite.commit
+    * to land the table-format commit. */
+  def parquetWrite(spark: SparkSession, path: String,
+                   info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.Write =
+    ParquetTable("graft-rewrite", spark, info.options(), Seq(path),
+      Some(info.schema()), classOf[ParquetFileFormat])
+      .newWriteBuilder(info).build()
 }
 
 /** Stats-skipping scan builder: intercepts the catalyst filter pushdown

@@ -132,6 +132,50 @@ class CatalogSpec extends AnyFunSuite {
     assert(plan.contains("(1 paths)"), s"directory not skipped:\n$plan")
   }
 
+  test("UPDATE ... SET ... WHERE through SQL (row-level rewrite)") {
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.u (id BIGINT, seg STRING, bal DOUBLE) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.u VALUES (1,'a',-5.0), (2,'b',10.0), (3,'a',-1.0)")
+    spark.sql(s"UPDATE $cat.db.u SET bal = 0.0 WHERE bal < 0")
+    val got = spark.table(s"$cat.db.u").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "a", 0.0), (2L, "b", 10.0), (3L, "a", 0.0)))
+    // the rewrite is a table commit: history gains an 'update' version
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val hist = graft.sources.GraftTable.load(spark, s"$wh/db/u").history()
+      .orderBy("version").collect().map(_.getAs[String]("operation")).toSeq
+    assert(hist.last == "update", s"history: $hist")
+    // and time travel still sees the pre-update state
+    assert(spark.sql(s"SELECT bal FROM $cat.db.u VERSION AS OF 1 WHERE id = 1")
+      .collect()(0).getDouble(0) == -5.0)
+    // group semantics: an UPDATE whose predicate misses a directory's
+    // stats range carries that directory forward untouched
+    spark.sql(s"INSERT INTO $cat.db.u VALUES (1000000, 'z', 7.0)")
+    val t = graft.sources.GraftTable.load(spark, s"$wh/db/u")
+    val before = t.liveDataDirs.toSet
+    spark.sql(s"UPDATE $cat.db.u SET bal = -9.0 WHERE id >= 1000000")
+    val after = graft.sources.GraftTable.load(spark, s"$wh/db/u").liveDataDirs.toSet
+    assert(before.intersect(after).nonEmpty,
+      s"dirs outside the predicate range must survive: $before -> $after")
+    assert(spark.table(s"$cat.db.u").count() == 4)
+    assert(spark.sql(s"SELECT bal FROM $cat.db.u WHERE id = 1000000")
+      .collect()(0).getDouble(0) == -9.0)
+  }
+
+  test("MERGE INTO through SQL (upsert via row-level rewrite)") {
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.m (k BIGINT, x DOUBLE) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.m VALUES (1, 10.0), (2, 20.0)")
+    spark.sql(s"""MERGE INTO $cat.db.m t
+                 |USING (SELECT * FROM VALUES (2, 99.0), (3, 30.0) AS s(k, x)) s
+                 |ON t.k = s.k
+                 |WHEN MATCHED THEN UPDATE SET x = s.x
+                 |WHEN NOT MATCHED THEN INSERT (k, x) VALUES (s.k, s.x)""".stripMargin)
+    val got = spark.table(s"$cat.db.m").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+  }
+
   test("DROP TABLE, SHOW TABLES, namespaces") {
     freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ns1")
