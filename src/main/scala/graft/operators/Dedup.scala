@@ -106,6 +106,29 @@ object Dedup {
       | COUNT(*) AS n_copies
       |FROM documents GROUP BY sha256(text) ORDER BY content_hash""".stripMargin
 
+  /** d6: canonicalized exact dedup — hash after lowercasing, stripping
+    * non-alphanumerics and collapsing whitespace. Catches the
+    * trivially-reformatted duplicates byte-exact dedup misses (case,
+    * punctuation, spacing) while staying a single uniform-key shuffle;
+    * the standard first normalization pass of an LLM dedup pipeline.
+    * The regexes are engine-portable (no class escapes), so the DuckDB
+    * oracle reproduces the canonical form exactly. */
+  val d6_dedup_canonical: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val canon = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, dir)
+      .groupBy(sha2(canon, 256).as("canon_hash"))
+      .agg(min($"doc_id").as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"canon_hash")
+  }
+
+  val d6_sql: String =
+    """SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
+      |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_hash,
+      | MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY canon_hash""".stripMargin
+
   /** PPJoin-style prefix filtering (lossless): under a global shingle
     * order, two sets with J ≥ t must share a shingle within their first
     * |S| − ⌈t·|S|⌉ + 1 elements. Ordering rare-shingles-first keeps hot
@@ -235,11 +258,13 @@ object Dedup {
     "d2_ngram_jaccard" -> d2_ngram_jaccard,
     "d3_minhash_lsh" -> d3_minhash_lsh,
     "d4_simhash" -> d4_simhash,
+    "d6_dedup_canonical" -> d6_dedup_canonical,
   )
 
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" -> d1_sql,
     "d2_ngram_jaccard" -> d2_sql,
     "d3_minhash_lsh" -> d3_sql,
+    "d6_dedup_canonical" -> d6_sql,
   )
 }

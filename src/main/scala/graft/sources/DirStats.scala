@@ -146,21 +146,39 @@ object DirStats {
   }
 
   /** Compare stats bounds against a literal: "num" via double, "str"
-    * lexicographically. Type combinations the stored rendering can't
-    * compare safely (e.g. internal timestamp micros vs ISO strings)
-    * return None — the caller keeps the directory. */
+    * lexicographically. Date/timestamp stats are stored as Spark's
+    * cast-to-string rendering (ISO, UTC session) — literals are
+    * rendered the same way, and the trimmed-fraction ISO format orders
+    * lexicographically. Combinations that can't compare safely return
+    * None — the caller keeps the directory. */
   private def cmp(st: ColStat, l: Literal): Option[(Int, Int)] = {
     if (st.kind == "num") l.dataType match {
       case _: NumericType =>
         val d = l.value.toString.toDouble
         Some((st.min.toDouble.compare(d), st.max.toDouble.compare(d)))
       case _ => None
-    } else l.dataType match {
-      case _: StringType =>
-        val s = l.value.toString
-        Some((st.min.compareTo(s), st.max.compareTo(s)))
-      case _ => None
+    } else {
+      val rendered: Option[String] = l.dataType match {
+        case _: StringType => Some(l.value.toString)
+        case _: DateType =>
+          Some(java.time.LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong).toString)
+        case _: TimestampType => Some(renderTimestampMicros(l.value.asInstanceOf[Long]))
+        case _ => None
+      }
+      rendered.map(s => (st.min.compareTo(s), st.max.compareTo(s)))
     }
+  }
+
+  /** Micros-since-epoch → Spark's cast-to-string form
+    * ("yyyy-MM-dd HH:mm:ss[.fraction-with-trailing-zeros-trimmed]",
+    * UTC — graft sessions pin spark.sql.session.timeZone=UTC). */
+  private def renderTimestampMicros(us: Long): String = {
+    val secs = Math.floorDiv(us, 1000000L)
+    val micros = Math.floorMod(us, 1000000L)
+    val base = java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    if (micros == 0) base
+    else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
   }
 
   private def inRange(st: Option[ColStat], lo: Literal, hi: Literal): Boolean =

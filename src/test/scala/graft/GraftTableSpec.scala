@@ -234,6 +234,35 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.liveDataDirs == before)
   }
 
+  test("time-range predicates prune dirs via timestamp stats") {
+    import spark.implicits._
+    import graft.sources.DirStats
+    val jan = Seq((1L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00")),
+                  (2L, java.sql.Timestamp.valueOf("2024-01-20 11:30:00")))
+    val jun = Seq((3L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00")),
+                  (4L, java.sql.Timestamp.valueOf("2024-06-30 23:59:59")))
+    val t = GraftTable.create(spark, tmp(), jan.toDF("id", "ts"))
+    t.append(jun.toDF("id", "ts"))
+    val dirs = t.liveDataDirs
+    val stats = dirs.map(d =>
+      DirStats.load(java.nio.file.Paths.get(t.root, d)).get)
+    val janStats = stats.find(_("ts").min.startsWith("2024-01")).get
+    def may(c: org.apache.spark.sql.Column) =
+      DirStats.mayMatch(DirStats.analyze(spark, t.read().schema, c), janStats)
+    assert(!may(col("ts") >= lit("2024-03-01").cast("timestamp")))
+    assert(may(col("ts") >= lit("2024-01-10").cast("timestamp")))
+    assert(!may(col("ts") < lit("2024-01-01").cast("timestamp")))
+    assert(may(col("ts") === lit("2024-01-05 10:00:00").cast("timestamp")))
+    assert(!may(col("ts") === lit("2024-01-05 10:00:01").cast("timestamp") &&
+      col("ts") > lit("2024-02-01").cast("timestamp")))
+    // behavioral: deleting a June range leaves the January dir untouched
+    val before = t.liveDataDirs
+    t.delete(col("ts") >= lit("2024-06-01").cast("timestamp"))
+    assert(t.read().count() == 2)
+    assert(t.liveDataDirs.toSet.intersect(before.toSet).size == 1,
+      "January dir must carry forward")
+  }
+
   test("optimistic commit: concurrent appends all land, none lost") {
     import spark.implicits._
     val path = tmp()
