@@ -162,6 +162,17 @@ class CatalogSpec extends AnyFunSuite {
       .collect()(0).getDouble(0) == -9.0)
   }
 
+  test("DELETE with a subquery predicate routes through the row-level rewrite") {
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.ds (id BIGINT, v DOUBLE) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.ds VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    // IN (subquery) is not expressible as a v1 filter -> SupportsDelete
+    // can't take it; Spark plans the group-based row-level DELETE
+    spark.sql(s"DELETE FROM $cat.db.ds WHERE id IN (SELECT id * 2 FROM range(1, 2))")
+    assert(spark.table(s"$cat.db.ds").orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 3L))
+  }
+
   test("MERGE INTO through SQL (upsert via row-level rewrite)") {
     freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.m (k BIGINT, x DOUBLE) USING graft")
