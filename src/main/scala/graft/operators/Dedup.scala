@@ -162,11 +162,16 @@ object Dedup {
       // df = 1 shingles occupy prefix slots (they rank first) but can
       // never match another document — drop them after rank selection.
       .filter(col("df") >= 2)
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id"), col("s"), col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          // PPJoin length filter (lossless): J >= t forces
+          // t·max(|A|,|B|) <= min(|A|,|B|) — prune size-mismatched
+          // pairs before the (much costlier) intersection verify
+          least(col("a.n"), col("b.n")) >=
+            ceil(lit(t) * greatest(col("a.n"), col("b.n"))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
