@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,6 +15,10 @@ object Bench {
       // sf0.1. On a real cluster (the 100 TB target) AQE is on — see
       // Sessions.local.
       .config("spark.sql.adaptive.enabled", "false")
+      // state-store instances (not data volume) dominate streaming
+      // wall-time at bench SFs — cap them; production uses the session
+      // shuffle-partition count (see Streams.drain)
+      .config("spark.graft.streaming.statePartitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -28,7 +35,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // 1-minute load averages around the run: flags benches taken on a
+    // contended shared host (observed >4× per-query swings under load —
+    // the end value includes this bench's own threads, so the start
+    // value is the cleaner ambient signal)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg}""")
     spark.stop()
   }
 }

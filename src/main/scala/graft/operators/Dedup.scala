@@ -28,19 +28,51 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** Exploded (doc_id, shingle) pairs, persisted: both dedup operators
-    * reference this relation from multiple join branches, and Spark does
-    * not share common subplans across branches — without persistence the
-    * tokenize+shingle pass recomputes once per branch. Tokens are
-    * materialized in their own projection before shingling (see
-    * TextFunctions.shinglesOfTokens). */
-  private def shingleSets(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
-      .select($"doc_id", explode(TextFunctions.shinglesOfTokens($"toks")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Session-scoped relation cache: d2, d3, and the pipeline compositions
+    * that embed them (p2) all need the same shingle / signature relations.
+    * Without sharing, every query invocation re-persists its own copy —
+    * the tokenize+shingle+minhash pass runs once per query instead of
+    * once per session, and cached copies accumulate for the session's
+    * lifetime. Keyed by (session identity, data dir); bounded (evicts
+    * everything if it ever grows past 64 entries — sessions in practice
+    * touch one or two dirs). A relation that was externally unpersisted
+    * (e.g. catalog.clearCache) is re-persisted on next use. */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def cachedRel(s: SparkSession, dir: String, key: String)
+                       (build: => DataFrame): DataFrame = {
+    if (relCache.size > 64) relCache.clear()
+    val k = s"${System.identityHashCode(s)}:$dir:$key"
+    val df = relCache.computeIfAbsent(k, _ => build)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
   }
+
+  /** Exploded (doc_id, shingle) pairs, persisted once per session: both
+    * dedup operators reference this relation from multiple join branches,
+    * and Spark does not share common subplans across branches — without
+    * persistence the tokenize+shingle pass recomputes once per branch.
+    * Tokens are materialized in their own projection before shingling
+    * (see TextFunctions.shinglesOfTokens). */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    cachedRel(s, dir, "shingles") {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+        .select($"doc_id", explode(TextFunctions.shinglesOfTokens($"toks")).as("s"))
+    }
+
+  /** Per-document sorted shingle arrays (with set size) — the verify-side
+    * representation: candidate pairs fetch two arrays by doc_id (one
+    * shuffle each) and intersect scan-side, instead of re-joining the
+    * exploded shingle relation per pair. */
+  private def shingleArrays(s: SparkSession, dir: String): DataFrame =
+    cachedRel(s, dir, "shingleArrays") {
+      shingleSets(s, dir).groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("s"))).as("arr"),
+          count(lit(1)).as("n"))
+    }
 
   private val ShingleSql =
     """(SELECT doc_id, UNNEST(list_distinct(
@@ -63,28 +95,25 @@ object Dedup {
        |WHERE CAST(i AS DOUBLE)/(x.n + y.n - i) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Exact-Jaccard pair computation shared by d2 (directly) and d3 (as
-    * the verification stage over LSH candidates). */
-  private def exactJaccardPairs(sh: DataFrame, threshold: Double,
-                                candidates: Option[DataFrame]): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("s"))
-    val b = sh.select(col("doc_id").as("b_doc"), col("s").as("s_b"))
-    val pairedShingles = candidates match {
-      case Some(cand) =>
-        cand.join(a, "doc_a")
-          .join(b, col("s") === col("s_b") && col("b_doc") === col("doc_b"))
-      case None =>
-        a.join(b, col("s") === col("s_b") && col("doc_a") < col("b_doc"))
-          .withColumn("doc_b", col("b_doc"))
-    }
-    val inter = pairedShingles.groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    val j = col("i").cast("double") /
-      (col("x.n") + col("y.n") - col("i"))
-    inter
-      .join(sizes.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sizes.as("y"), col("doc_b") === col("y.doc_id"))
+  /** Exact-Jaccard verification over candidate pairs, shared by d2
+    * (prefix-filtered candidates) and d3 (LSH candidates): each pair
+    * fetches the two documents' sorted shingle arrays (two equi-joins on
+    * doc_id) and intersects them scan-side (array_intersect hashes the
+    * smaller side — O(|A|+|B|) per pair, codegen'd). Strictly fewer
+    * shuffles than re-joining the exploded shingle relation per pair and
+    * group-counting matches; shuffle volume is candidates × doc shingles
+    * either way. */
+  private def exactJaccardPairs(s: SparkSession, dir: String,
+                                threshold: Double,
+                                candidates: DataFrame): DataFrame = {
+    val arrs = shingleArrays(s, dir)
+    val i = size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+    val j = i.cast("double") / (col("na") + col("nb") - i)
+    candidates
+      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
+        col("n").as("na")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
+        col("n").as("nb")), "doc_b")
       .filter(j >= threshold)
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -153,17 +182,19 @@ object Dedup {
       .filter(col("df") <= maxDf)
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val rareFirst = byDoc.orderBy(col("df"), col("s"))
-    // persisted: the self-join references prefixes twice, and Spark
-    // re-evaluates the window pipeline per branch otherwise
-    val prefixes = sh.join(dfRel, "s")
-      .withColumn("n", count(lit(1)).over(byDoc))
-      .withColumn("rk", row_number().over(rareFirst))
-      .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
-      // df = 1 shingles occupy prefix slots (they rank first) but can
-      // never match another document — drop them after rank selection.
-      .filter(col("df") >= 2)
-      .select(col("doc_id"), col("s"), col("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted (session-cached): the self-join references prefixes
+    // twice, and Spark re-evaluates the window pipeline per branch
+    // otherwise
+    val prefixes = cachedRel(sh.sparkSession, sh.hashCode.toString, s"prefixes:$t") {
+      sh.join(dfRel, "s")
+        .withColumn("n", count(lit(1)).over(byDoc))
+        .withColumn("rk", row_number().over(rareFirst))
+        .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
+        // df = 1 shingles occupy prefix slots (they rank first) but can
+        // never match another document — drop them after rank selection.
+        .filter(col("df") >= 2)
+        .select(col("doc_id"), col("s"), col("n"))
+    }
     prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
@@ -178,10 +209,8 @@ object Dedup {
 
   /** d2: exact n-gram (3-shingle) Jaccard near-dup pairs at J ≥ 0.5,
     * found via prefix-filtered candidates + full-intersection verify. */
-  val d2_ngram_jaccard: Relational.Q = (s, dir) => {
-    val sh = shingleSets(s, dir)
-    exactJaccardPairs(sh, 0.5, Some(prefixCandidates(sh, 0.5)))
-  }
+  val d2_ngram_jaccard: Relational.Q = (s, dir) =>
+    exactJaccardPairs(s, dir, 0.5, prefixCandidates(shingleSets(s, dir), 0.5))
 
   val d2_sql: String = jaccardSql(0.5)
 
@@ -191,14 +220,20 @@ object Dedup {
     * parameters). The 128-permutation signature is one typed aggregate
     * ([[graft.functions.MinHashAgg]]) — 128 separate min() columns blow
     * past codegen method limits and fall off the fast path. */
+  /** 128-permutation MinHash signatures, persisted once per session
+    * (d3 and the p2 curation pipeline share them). */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    cachedRel(s, dir, "minhashSigs") {
+      import s.implicits._
+      shingleSets(s, dir)
+        .withColumn("h", pmod(xxhash64($"s"), lit(graft.functions.MinHashAgg.P)))
+        .groupBy($"doc_id")
+        .agg(graft.functions.MinHashAgg.minhash($"h", 128, seed = 42).as("sig"))
+    }
+
   val d3_minhash_lsh: Relational.Q = (s, dir) => {
     import s.implicits._
-    val sh = shingleSets(s, dir)
-    val hashed = sh.withColumn("h",
-      pmod(xxhash64($"s"), lit(graft.functions.MinHashAgg.P)))
-    val sigs = hashed.groupBy($"doc_id")
-      .agg(graft.functions.MinHashAgg.minhash($"h", 128, seed = 42).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSigs(s, dir)
     val bandCols = (0 until 32).map { bnd =>
       xxhash64((0 until 4).map(r => element_at($"sig", bnd * 4 + r + 1)): _*)
     }
@@ -225,7 +260,7 @@ object Dedup {
       .filter(graft.functions.ArrayEqFraction
         .array_eq_fraction($"sig_a", $"sig_b") >= 0.6)
       .select($"doc_a", $"doc_b")
-    exactJaccardPairs(sh, 0.8, Some(cand))
+    exactJaccardPairs(s, dir, 0.8, cand)
   }
 
   val d3_sql: String = jaccardSql(0.8)
@@ -238,12 +273,13 @@ object Dedup {
     * DedupSpec. */
   val d4_simhash: Relational.Q = (s, dir) => {
     import s.implicits._
-    val toks = Tables.documents(s, dir)
-      .select($"doc_id", explode(array_distinct(TextFunctions.tokens($"text"))).as("tok"))
-      .withColumn("h", xxhash64($"tok"))
-    val signed = toks.groupBy($"doc_id")
-      .agg(graft.functions.SimHashAgg.simhash($"h").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val signed = cachedRel(s, dir, "simhashSigs") {
+      Tables.documents(s, dir)
+        .select($"doc_id", explode(array_distinct(TextFunctions.tokens($"text"))).as("tok"))
+        .withColumn("h", xxhash64($"tok"))
+        .groupBy($"doc_id")
+        .agg(graft.functions.SimHashAgg.simhash($"h").as("sig"))
+    }
     val blocks = signed.select($"doc_id", $"sig",
       posexplode(array((0 until 4).map(k =>
         shiftright($"sig", k * 16).bitwiseAND(0xffffL)): _*)).as(Seq("blk_id", "blk")))

@@ -48,11 +48,21 @@ object Streams {
     val s = df.sparkSession
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
-    s.table(name)
+    // State-store instance count: each streaming shuffle partition opens
+    // its own store (×4 for a stream-stream join), and instance open/
+    // snapshot overhead dominates wall time at micro scale. The partition
+    // count is locked into the checkpoint at query start, so production
+    // sets it to match cluster parallelism; benches cap it via this conf.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val stateParts = s.conf.getOption("spark.graft.streaming.statePartitions")
+    stateParts.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p))
+    try {
+      val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    } finally stateParts.foreach(_ => s.conf.set("spark.sql.shuffle.partitions", prev))
   }
 
   /** h1: watermarked tumbling-window aggregation — must equal the batch
