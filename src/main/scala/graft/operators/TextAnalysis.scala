@@ -101,16 +101,89 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** t5: repetition filtering (the Gopher/MassiveText repetition rules):
+    * duplicate-bigram fraction and top-token fraction, with a keep flag.
+    * Boilerplate and generated spam repeat n-grams far above natural
+    * prose. All ratios are exact integer quotients cast to double, so
+    * the oracle is bit-identical. Pure scan-side projection. */
+  val t5_repetition: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val nTok = size($"toks")
+    val nBig = greatest(nTok - 1, lit(0))
+    val nDistinctBig = size(shinglesOfTokens($"toks", 2))
+    val dupFrac = (nBig - nDistinctBig).cast("double") / greatest(nBig, lit(1))
+    val topCount = array_max(transform(array_distinct($"toks"),
+      x => size(filter($"toks", y => y === x))))
+    val topFrac = coalesce(topCount, lit(0)).cast("double") / greatest(nTok, lit(1))
+    Tables.documents(s, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id",
+        round(dupFrac, 6).as("dup_bigram_frac"),
+        round(topFrac, 6).as("top_token_frac"),
+        (dupFrac <= 0.125 && topFrac <= 0.09).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val t5_sql: String = {
+    val big = s"list_distinct([t[i] || ' ' || t[i+1] for i in generate_series(1, greatest(len(t)-1, 0))])"
+    val nBig = "greatest(len(t) - 1, 0)"
+    val dup = s"CAST($nBig - len($big) AS DOUBLE)/greatest($nBig, 1)"
+    val top = s"CAST(coalesce(list_max(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x)))), 0) AS DOUBLE)/greatest(len(t), 1)"
+    s"""SELECT doc_id, ROUND($dup, 6) AS dup_bigram_frac,
+       | ROUND($top, 6) AS top_token_frac,
+       | ($dup <= 0.125 AND $top <= 0.09) AS kept
+       |FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |      FROM documents) tok
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** PII patterns — engine-portable RE2/Java-common syntax (no class
+    * escapes, no backreferences). */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PhonePat = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+  /** t6: PII scrubbing — redact emails and phone numbers, report match
+    * counts and the scrubbed content hash. The standard pre-training
+    * privacy pass; scan-side regexes, no shuffle. (This synthetic corpus
+    * contains no PII, so counts are zero here — the redaction behavior
+    * itself is asserted on adversarial rows in TextDedupSpec.) */
+  val t6_pii_scrub: Relational.Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        regexp_count($"text", lit(EmailPat)).as("n_emails"),
+        regexp_count($"text", lit(PhonePat)).as("n_phones"),
+        sha2(scrubPii($"text"), 256).as("scrubbed_hash"))
+      .orderBy($"doc_id")
+  }
+
+  /** The redaction column itself (reused by the spec). */
+  def scrubPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(text, EmailPat, "<EMAIL>"),
+      PhonePat, "<PHONE>")
+
+  val t6_sql: String =
+    s"""SELECT doc_id,
+       | len(regexp_extract_all(text, '$EmailPat')) AS n_emails,
+       | len(regexp_extract_all(text, '$PhonePat')) AS n_phones,
+       | sha256(regexp_replace(regexp_replace(text, '$EmailPat', '<EMAIL>', 'g'),
+       |   '$PhonePat', '<PHONE>', 'g')) AS scrubbed_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
     "t1_token_count" -> t1_token_count,
     "t2_quality_score" -> t2_quality_score,
     "t3_lang_id" -> t3_lang_id,
     "t4_fingerprint" -> t4_fingerprint,
+    "t5_repetition" -> t5_repetition,
+    "t6_pii_scrub" -> t6_pii_scrub,
   )
 
   val oracles: Map[String, String] = Map(
     "t1_token_count" -> t1_sql,
     "t2_quality_score" -> t2_sql,
     "t3_lang_id" -> t3_sql,
+    "t5_repetition" -> t5_sql,
+    "t6_pii_scrub" -> t6_sql,
   )
 }

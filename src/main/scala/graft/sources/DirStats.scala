@@ -126,8 +126,71 @@ object DirStats {
     case LessThanOrEqual(Lit(v), AttrName(a)) => gt(stats.get(a), v, orEqual = true)
     case In(AttrName(a), vs) if vs.forall(Lit.unapply(_).isDefined) =>
       vs.flatMap(Lit.unapply).exists(v => inRange(stats.get(a), v, v))
+    // transform-aware pruning: `to_date(ts) <op> <date>` (analyzed as a
+    // cast of a timestamp attribute to date) compares against the
+    // DAY PREFIX of the timestamp's ISO stats — the stats-level analog
+    // of Iceberg's days() partition-transform predicate rewrite, so
+    // day-grained filters prune directories without a days() layout.
+    case EqualTo(TsDayCast(a), DayLit(d)) => dayCmp(stats.get(a), d, "=")
+    case EqualTo(DayLit(d), TsDayCast(a)) => dayCmp(stats.get(a), d, "=")
+    case GreaterThan(TsDayCast(a), DayLit(d)) => dayCmp(stats.get(a), d, ">")
+    case GreaterThanOrEqual(TsDayCast(a), DayLit(d)) => dayCmp(stats.get(a), d, ">=")
+    case LessThan(TsDayCast(a), DayLit(d)) => dayCmp(stats.get(a), d, "<")
+    case LessThanOrEqual(TsDayCast(a), DayLit(d)) => dayCmp(stats.get(a), d, "<=")
+    case GreaterThan(DayLit(d), TsDayCast(a)) => dayCmp(stats.get(a), d, "<")
+    case GreaterThanOrEqual(DayLit(d), TsDayCast(a)) => dayCmp(stats.get(a), d, "<=")
+    case LessThan(DayLit(d), TsDayCast(a)) => dayCmp(stats.get(a), d, ">")
+    case LessThanOrEqual(DayLit(d), TsDayCast(a)) => dayCmp(stats.get(a), d, ">=")
+    case In(TsDayCast(a), vs) if vs.forall(DayLit.unapply(_).isDefined) =>
+      vs.flatMap(DayLit.unapply).exists(d => dayCmp(stats.get(a), d, "="))
     case _ => true // unsupported shape — keep the directory
   }
+
+  /** `CAST(<timestamp attribute> AS DATE)` — the analyzed form of
+    * `to_date(ts)` / `DATE(ts)` predicates. */
+  private object TsDayCast {
+    def unapply(e: Expression): Option[String] = e match {
+      case Cast(a: AttributeReference, DateType, _, _)
+        if a.dataType.isInstanceOf[TimestampType] => Some(a.name)
+      // analyzed-but-not-yet-optimized form: to_date(ts) stays a
+      // RuntimeReplaceable (ParseToDate) whose replacement is the cast
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        unapply(r.replacement)
+      case _ => None
+    }
+  }
+
+  /** A date literal as its ISO day string: a folded DATE literal, or an
+    * ISO-day string literal under an analyzer-inserted (not yet
+    * constant-folded) cast to date. */
+  private object DayLit {
+    def unapply(e: Expression): Option[String] = e match {
+      case Literal(v: Int, DateType) =>
+        Some(java.time.LocalDate.ofEpochDay(v.toLong).toString)
+      case Literal(s, StringType) if s != null &&
+          s.toString.matches("\\d{4}-\\d{2}-\\d{2}") => Some(s.toString)
+      case c: Cast if c.dataType == DateType => unapply(c.child)
+      case _ => None
+    }
+  }
+
+  /** Day-grained overlap test against a timestamp column's ISO string
+    * stats: the first 10 chars of "yyyy-MM-dd HH:mm:ss…" are the day,
+    * and day strings order lexicographically. */
+  private def dayCmp(st: Option[ColStat], d: String, op: String): Boolean =
+    st match {
+      case Some(s) if s.kind == "str" &&
+          s.min.length >= 10 && s.max.length >= 10 =>
+        val (lo, hi) = (s.min.take(10), s.max.take(10))
+        op match {
+          case "="  => hi >= d && lo <= d
+          case ">"  => hi > d
+          case ">=" => hi >= d
+          case "<"  => lo < d
+          case "<=" => lo <= d
+        }
+      case _ => true
+    }
 
   private object AttrName {
     def unapply(e: Expression): Option[String] = e match {

@@ -297,13 +297,60 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     * each range as its own directory under a single commit. */
   def cluster(cols: Seq[String], numDirs: Int): Int = {
     require(cols.nonEmpty && numDirs > 0)
-    val cur = read().repartitionByRange(numDirs, cols.map(col): _*)
+    writeClustered(read().repartitionByRange(numDirs, cols.map(col): _*),
+      "cluster")
+  }
+
+  /** OPTIMIZE … ZORDER with true multi-dimensional interleaving: each
+    * numeric clustering column is quantized to a 2^bits-cell grid (via
+    * its min/max — two driver scalars), the cell indices are
+    * bit-interleaved into a Z-value, and the snapshot is range-clustered
+    * on that Z-value. Unlike lexicographic `cluster(cols, …)` — where
+    * only the leading column gets tight per-directory bounds — Z-order
+    * tiles the space, so per-directory stats are narrow in EVERY
+    * clustering dimension and a point/range predicate on any one of
+    * them skips most directories. The quantize+interleave is a pure
+    * scan-side codegen'd projection; the only shuffle is the range
+    * partition itself (same cost as a global sort — the price any
+    * OPTIMIZE job pays). */
+  def clusterZOrder(cols: Seq[String], numDirs: Int): Int = {
+    require(cols.size >= 2 && numDirs > 0, "zorder needs >= 2 columns")
+    val cur = read()
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"mn_$c"),
+          max(col(c)).cast("double").as(s"mx_$c")))
+    val row = cur.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bits = math.min(16, 63 / cols.size)
+    val nb = 1L << bits
+    val cells = cols.zipWithIndex.map { case (c, i) =>
+      val mn = row.getDouble(2 * i); val mx = row.getDouble(2 * i + 1)
+      if (!(mx > mn)) lit(0L)
+      else coalesce(
+        least(greatest(
+          width_bucket(col(c).cast("double"), lit(mn), lit(mx), lit(nb)) - 1,
+          lit(0L)), lit(nb - 1)),
+        lit(0L))
+    }
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, bit) =>
+      cells.zipWithIndex.foldLeft(acc) { case (a, (cell, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(cell, bit).bitwiseAND(lit(1L)), bit * cols.size + j))
+      }
+    }
+    writeClustered(
+      cur.withColumn("__z", z).repartitionByRange(numDirs, col("__z"))
+        .drop("__z"),
+      "zorder")
+  }
+
+  /** Write an already-partitioned snapshot rewrite, one directory per
+    * partition, under a single commit: tag rows with their partition id,
+    * then write per id (numDirs small jobs over one cached shuffle
+    * output). */
+  private def writeClustered(cur: DataFrame, action: String): Int = {
     val v = latestVersion() + 1
     val parts = readCommit(v - 1).partitionBy
     val schema = readCommit(v - 1).schemaStruct
-    // write each range partition as its own directory: tag rows with
-    // their range-partition id, then write per id (numDirs small jobs
-    // over one cached shuffle output)
     val tagged = cur.withColumn("__range_id", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -312,7 +359,7 @@ class GraftTable private (val spark: SparkSession, val root: String) {
       val added = ids.map { id =>
         writeData(tagged.filter(col("__range_id") === id).drop("__range_id"), v, parts)
       }
-      writeCommit(Commit(v, "cluster", schema.json, added.toIndexedSeq, parts,
+      writeCommit(Commit(v, action, schema.json, added.toIndexedSeq, parts,
         timestampMs = nextTimestamp(v)))
       v
     } finally { tagged.unpersist(); () }

@@ -132,6 +132,19 @@ class CatalogSpec extends AnyFunSuite {
     assert(plan.contains("(1 paths)"), s"directory not skipped:\n$plan")
   }
 
+  test("to_date(ts) filters skip directories in the SQL read path") {
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.dts (id BIGINT, ts TIMESTAMP) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.dts SELECT id, TIMESTAMP '2024-01-01 10:00:00' FROM range(0, 10)")
+    spark.sql(s"INSERT INTO $cat.db.dts SELECT id, TIMESTAMP '2024-06-15 12:00:00' FROM range(10, 20)")
+    val q = spark.sql(
+      s"SELECT * FROM $cat.db.dts WHERE to_date(ts) = DATE '2024-06-15'")
+    assert(q.count() == 10)
+    // the January dir and the empty create dir are skipped by metadata
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("(1 paths)"), s"day filter did not skip dirs:\n$plan")
+  }
+
   test("UPDATE ... SET ... WHERE through SQL (row-level rewrite)") {
     freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.u (id BIGINT, seg STRING, bal DOUBLE) USING graft")

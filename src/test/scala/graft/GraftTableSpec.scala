@@ -263,6 +263,28 @@ class GraftTableSpec extends AnyFunSuite {
       "January dir must carry forward")
   }
 
+  test("to_date(ts) predicates prune via day-prefix of timestamp stats") {
+    import spark.implicits._
+    import graft.sources.DirStats
+    val jan = Seq((1L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00")),
+                  (2L, java.sql.Timestamp.valueOf("2024-01-20 11:30:00")))
+    val t = GraftTable.create(spark, tmp(), jan.toDF("id", "ts"))
+    val janStats = DirStats.load(
+      java.nio.file.Paths.get(t.root, t.liveDataDirs.head)).get
+    def may(c: org.apache.spark.sql.Column) =
+      DirStats.mayMatch(DirStats.analyze(spark, t.read().schema, c), janStats)
+    def d(s: String) = lit(s).cast("date")
+    assert(!may(to_date(col("ts")) === d("2024-03-01")))
+    assert(may(to_date(col("ts")) === d("2024-01-05")))
+    assert(may(to_date(col("ts")) === d("2024-01-20")))
+    assert(may(to_date(col("ts")) >= d("2024-01-20")))
+    assert(!may(to_date(col("ts")) > d("2024-01-20"))) // later day than max
+    assert(!may(to_date(col("ts")) < d("2024-01-05"))) // earlier day than min
+    assert(may(to_date(col("ts")) <= d("2024-01-05")))
+    assert(!may(to_date(col("ts")).isin(d("2023-12-31"), d("2024-02-01"))))
+    assert(may(to_date(col("ts")).isin(d("2023-12-31"), d("2024-01-10"))))
+  }
+
   test("optimistic commit: concurrent appends all land, none lost") {
     import spark.implicits._
     val path = tmp()
@@ -309,6 +331,39 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.read().count() == 9999)
     assert(t.liveDataDirs.toSet.intersect(dirs.toSet).size == 7,
       "delete must carry 7 of 8 clustered dirs forward untouched")
+  }
+
+  test("zorder: predicates on ANY clustering dimension prune dirs") {
+    import spark.implicits._
+    import graft.sources.DirStats
+    // two independent dimensions: id (0..4095) and y = bit-reversed id,
+    // so lexicographic (id, y) clustering gives y no locality at all
+    val df = spark.range(0, 4096).select($"id",
+      expr("reverse(lpad(bin(id), 12, '0'))").as("yb"))
+      .select($"id", conv($"yb", 2, 10).cast("long").as("y"))
+    def survivors(t: GraftTable, c: org.apache.spark.sql.Column): Int = {
+      val cond = DirStats.analyze(spark, t.read().schema, c)
+      t.liveDataDirs.count(d => DirStats.mayMatch(cond,
+        DirStats.load(java.nio.file.Paths.get(t.root, d)).get))
+    }
+    val lex = GraftTable.create(spark, tmp(), df)
+    lex.cluster(Seq("id", "y"), numDirs = 16)
+    val zed = GraftTable.create(spark, tmp(), df)
+    zed.clusterZOrder(Seq("id", "y"), numDirs = 16)
+    assert(zed.liveDataDirs.size == 16)
+    assert(zed.read().count() == 4096)
+    assert(zed.read().agg(sum($"y")).first().getLong(0) ==
+      lex.read().agg(sum($"y")).first().getLong(0))
+    val yPred = col("y") >= 1000 && col("y") < 1100
+    val idPred = col("id") >= 1000 && col("id") < 1100
+    // leading-dimension predicates prune under both layouts
+    assert(survivors(lex, idPred) <= 4)
+    assert(survivors(zed, idPred) <= 8, s"z: id pred kept ${survivors(zed, idPred)}")
+    // second-dimension predicates prune ONLY under zorder
+    val lexY = survivors(lex, yPred); val zedY = survivors(zed, yPred)
+    info(s"y-range survivors: lexicographic $lexY/16, zorder $zedY/16")
+    assert(lexY == 16, "bit-reversed y should defeat lexicographic stats")
+    assert(zedY <= 8, s"zorder should skip most dirs on y, kept $zedY")
   }
 
   test("load reopens an existing table") {

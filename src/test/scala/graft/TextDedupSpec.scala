@@ -86,6 +86,40 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "d5 plan contains BroadcastNestedLoopJoin")
   }
 
+  test("t5 repetition ratios: exact fractions on constructed docs") {
+    import spark.implicits._
+    // "a b a b a b": 5 bigrams, 2 distinct -> dup 0.6; 'a' appears 3/6 -> top 0.5
+    // 20 distinct tokens: dup 0.0, top 1/20 = 0.05 -> kept
+    val df = Seq((0L, "a b a b a b"),
+      (1L, (1 to 20).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("t5spec_").toString
+    df.write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("t5_repetition")(spark, tmp).collect()
+    assert(got(0).getAs[Double]("dup_bigram_frac") == 0.6)
+    assert(got(0).getAs[Double]("top_token_frac") == 0.5)
+    assert(!got(0).getAs[Boolean]("kept"))
+    assert(got(1).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(got(1).getAs[Boolean]("kept"))
+  }
+
+  test("t6 pii scrub redacts emails and phone numbers") {
+    import spark.implicits._
+    val df = Seq(
+      "contact me at jane.doe+x@example.co.uk or 555-123-4567 today",
+      "no pii here at all").toDF("text")
+    val got = df.select(
+      graft.operators.TextAnalysis.scrubPii(col("text")).as("clean"),
+      regexp_count(col("text"), lit(graft.operators.TextAnalysis.EmailPat)).as("ne"),
+      regexp_count(col("text"), lit(graft.operators.TextAnalysis.PhonePat)).as("np"))
+      .collect()
+    assert(got(0).getAs[String]("clean") == "contact me at <EMAIL> or <PHONE> today")
+    assert(got(0).getAs[Int]("ne") == 1 && got(0).getAs[Int]("np") == 1)
+    assert(got(1).getAs[String]("clean") == "no pii here at all")
+    assert(got(1).getAs[Int]("ne") == 0 && got(1).getAs[Int]("np") == 0)
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val df = Seq((1L, Array(0.6, 0.8)), (2L, Array(3.0, 4.0)))
