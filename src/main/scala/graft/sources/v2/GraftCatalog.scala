@@ -74,9 +74,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      // Iceberg-style metadata tables: `SELECT * FROM cat.db.t.snapshots`
+      // parses as table "snapshots" under namespace [db, t] — if that
+      // namespace IS a table, surface its metadata relation read-only.
+      val ns = ident.namespace()
+      if (ns.nonEmpty && MetadataTables.contains(ident.name())) {
+        val parent = Identifier.of(ns.init, ns.last)
+        if (tableExists(parent))
+          return new GraftMetadataTable(spark, tablePath(parent).toString,
+            ident, ident.name())
+      }
+      throw new NoSuchTableException(ident)
+    }
     new GraftSparkTable(spark, tablePath(ident).toString, ident, None)
   }
+
+  private val MetadataTables = Set("snapshots", "history")
 
   /** Time travel: SELECT … FROM t VERSION AS OF <v>. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -400,6 +414,41 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
     require(pinnedVersion.isEmpty, "cannot delete from a time-travel snapshot")
     table.delete(filters.map(V1Filters.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true)))
+  }
+}
+
+/** Read-only metadata relation (`t.snapshots` / `t.history`) — the
+  * Iceberg metadata-table surface (02_iceberg_demo.ipynb queries
+  * `.snapshots`) through the SQL catalog. Driver-side O(#commits) rows
+  * by construction, served through the V1Scan escape hatch. */
+class GraftMetadataTable(spark: SparkSession, path: String,
+                         ident: Identifier, kind: String)
+  extends Table with SupportsRead {
+
+  private def df: DataFrame = {
+    val t = GraftTable.load(spark, path)
+    if (kind == "snapshots") t.snapshots() else t.history()
+  }
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val data = df
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = data.schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = data.schema
+            override def buildScan(): RDD[Row] = data.rdd
+          }.asInstanceOf[T]
+      }
+    }
   }
 }
 

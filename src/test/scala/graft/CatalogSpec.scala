@@ -132,6 +132,25 @@ class CatalogSpec extends AnyFunSuite {
     assert(plan.contains("(1 paths)"), s"directory not skipped:\n$plan")
   }
 
+  test("metadata tables: t.snapshots and t.history through SQL") {
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.m (id BIGINT) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.m VALUES (1), (2)")
+    spark.sql(s"INSERT INTO $cat.db.m VALUES (3)")
+    val snaps = spark.sql(s"SELECT * FROM $cat.db.m.snapshots ORDER BY snapshot_id")
+      .collect()
+    assert(snaps.length == 3)
+    assert(snaps.map(_.getAs[String]("operation")).toSeq ==
+      Seq("create", "append", "append"))
+    val hist = spark.sql(
+      s"SELECT operation FROM $cat.db.m.history WHERE version = 2").collect()
+    assert(hist.map(_.getString(0)).toSeq == Seq("append"))
+    // timestamps are monotonic
+    val ts = spark.sql(s"SELECT committed_at FROM $cat.db.m.snapshots ORDER BY snapshot_id")
+      .collect().map(_.getTimestamp(0).getTime)
+    assert(ts.sameElements(ts.sorted) && ts.distinct.length == 3)
+  }
+
   test("to_date(ts) filters skip directories in the SQL read path") {
     freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.dts (id BIGINT, ts TIMESTAMP) USING graft")

@@ -67,6 +67,18 @@ class TextDedupSpec extends AnyFunSuite {
     info(s"s2 returned ${lsh.length} neighbors over ${bruteTop.size} queries")
   }
 
+  test("ann: per-shard hnsw reaches recall@3 >= 0.9") {
+    val exact = SparkEntry.queries("s1_ann_brute")(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") <= 3)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val hnsw = SparkEntry.queries("s4_ann_hnsw")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(hnsw.nonEmpty)
+    val recall = hnsw.intersect(exact).size.toDouble / exact.size
+    info(f"s4 HNSW recall@3 = $recall%.2f (8 shards, m=8, ef=48)")
+    assert(recall >= 0.9, s"HNSW recall below bar: $recall")
+  }
+
   test("ann: trained ivf reaches recall@3 >= 0.8 at nprobe=4/16") {
     val exact = SparkEntry.queries("s1_ann_brute")(spark, sf).collect()
       .filter(_.getAs[Int]("rank") <= 3)
