@@ -137,12 +137,69 @@ object Quality {
        |GROUP BY c_custkey, c_name, c_mktsegment
        |ORDER BY c_custkey""".stripMargin
 
+  /** c6: statistical outlier detection — orders whose total price sits
+    * more than 3 sigma from their priority group's mean. The synthetic
+    * prices are uniform (max natural |z| = sqrt(3)), so the bronze view
+    * injects a deterministic 10× data-entry error on every 499th key —
+    * the dirt-then-detect pattern this module uses throughout — and the
+    * detector must recover exactly those rows. Group moments come from
+    * exact decimal power sums (the q20 technique, bit-identical
+    * cross-engine); the 5-row stats table broadcasts back onto the fact
+    * scan, so the whole detector is one aggregation plus one map-side
+    * join at any scale. */
+  val c6_outlier_zscore: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val price = when($"o_orderkey" % 499 === 0, $"o_totalprice" * 10)
+      .otherwise($"o_totalprice")
+    val bronze = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority", price.as("price"))
+    val x = Exact.dec2($"price")
+    val stats = bronze
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           sum(x).cast("double").as("s1"),
+           sum(x * x).cast("double").as("s2"))
+      .select($"o_orderpriority",
+        ($"s1" / $"n").as("mean_price"),
+        sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - lit(1))).as("std_price"))
+    val z = ($"price" - $"mean_price") / $"std_price"
+    bronze
+      .join(broadcast(stats), "o_orderpriority")
+      .withColumn("z", z)
+      .filter(abs($"z") > 3.0)
+      .select($"o_orderkey", $"o_orderpriority", $"price",
+        round($"z", 6).as("z"))
+      .orderBy($"o_orderkey")
+  }
+
+  val c6_sql: String = {
+    val x = S.dec2("price")
+    s"""WITH bronze AS (
+       |  SELECT o_orderkey, o_orderpriority,
+       |   CASE WHEN o_orderkey % 499 = 0 THEN o_totalprice * 10
+       |        ELSE o_totalprice END AS price
+       |  FROM orders),
+       |st AS (
+       |  SELECT o_orderpriority, s1/n AS mean_price,
+       |   SQRT((s2 - s1*s1/n)/(n-1)) AS std_price
+       |  FROM (SELECT o_orderpriority, COUNT(*) AS n,
+       |          CAST(SUM($x) AS DOUBLE) AS s1,
+       |          CAST(SUM($x * $x) AS DOUBLE) AS s2
+       |        FROM bronze GROUP BY o_orderpriority) t)
+       |SELECT o_orderkey, b.o_orderpriority, price,
+       | ROUND((price - mean_price)/std_price, 6) AS z
+       |FROM bronze b JOIN st ON b.o_orderpriority = st.o_orderpriority
+       |WHERE ABS((price - mean_price)/std_price) > 3.0
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "c1_null_profile" -> c1_null_profile,
     "c2_dedup_key" -> c2_dedup_key,
     "c3_clean_fillna" -> c3_clean_fillna,
     "c4_error_rate" -> c4_error_rate,
     "c5_medallion_gold" -> c5_medallion_gold,
+    "c6_outlier_zscore" -> c6_outlier_zscore,
   )
 
   val oracles: Map[String, String] = Map(
@@ -151,5 +208,6 @@ object Quality {
     "c3_clean_fillna" -> c3_sql,
     "c4_error_rate" -> c4_sql,
     "c5_medallion_gold" -> c5_sql,
+    "c6_outlier_zscore" -> c6_sql,
   )
 }

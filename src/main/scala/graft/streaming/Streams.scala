@@ -223,11 +223,59 @@ object Streams {
       | AND p.p_ts > v.view_ts AND p.p_ts <= v.view_ts + INTERVAL 60 SECOND
       |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
 
+  /** h6: continuous CDC upsert — the streaming "latest state per
+    * entity" silver table: each micro-batch reduces to its last event
+    * per user (window over the batch, bounded state) and MERGEs into a
+    * GraftTable keyed on user_id. The production shape for change-data
+    * feeds: upsert-by-key into a versioned table, one merge commit per
+    * batch; the table's directory-granular copy-on-write keeps the
+    * rewrite proportional to the touched key range, not the table. The
+    * result read back is exactly "latest event per user", which the
+    * oracle recomputes relationally. */
+  val h6_stream_cdc_merge: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_cdc_").toString + "/t"
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
+    // pre-created empty target: every batch takes the MERGE path
+    val schema = Tables.events(s, dir).select(cols.map(col): _*).schema
+    graft.sources.GraftTable.create(s, target, s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    val q = eventStream(s, dir)
+      .select(cols.map(col): _*)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        graft.sources.GraftTable.load(s, target)
+          .merge(latest, Seq("user_id")): Unit
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.sources.GraftTable.load(s, target).read()
+      .select(cols.map(col): _*)
+      .orderBy($"user_id")
+  }
+
+  val h6_sql: String =
+    """SELECT user_id, ts, event_id, event_type, value FROM (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM (SELECT user_id, date_trunc('second', ts) AS ts, event_id,
+      |          event_type, value FROM events) e) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
     "h1_stream_window" -> h1_stream_window,
     "h2_stream_dedup" -> h2_stream_dedup,
     "h4_stream_ingest" -> h4_stream_ingest,
     "h5_stream_join" -> h5_stream_join,
+    "h6_stream_cdc_merge" -> h6_stream_cdc_merge,
   )
 
   val oracles: Map[String, String] = Map(
@@ -235,5 +283,6 @@ object Streams {
     "h2_stream_dedup" -> h2_sql,
     "h4_stream_ingest" -> h4_sql,
     "h5_stream_join" -> h5_sql,
+    "h6_stream_cdc_merge" -> h6_sql,
   )
 }
