@@ -43,7 +43,8 @@ import graft.sources.GraftTable
   * through the public V1Write escape hatch into the GraftTable commit
   * log, so SQL writes and the Scala API share one history.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
   private def spark = SparkSession.active
@@ -161,6 +162,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (Files.isDirectory(p))
       Files.list(p).iterator().asScala.foreach(deleteRecursively)
     Files.delete(p)
+  }
+
+  // ---- ProcedureCatalog (CALL cat.system.<proc>, the Iceberg
+  //      maintenance-procedure surface) ----
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live under ${name()}.system")
+    GraftProcedures.load(ident.name(), spark, warehouse)
   }
 
   // ---- SupportsNamespaces (namespace = directory) ----
@@ -415,6 +431,74 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
     table.delete(filters.map(V1Filters.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true)))
   }
+}
+
+/** SQL maintenance procedures (`CALL cat.system.vacuum('db.t', 2)`) —
+  * the Iceberg `CALL catalog.system.*` surface over GraftTable's
+  * maintenance API: vacuum, compact, cluster, zorder. Each returns a
+  * one-column/one-row result relation via LocalScan (driver-side,
+  * metadata-sized); the heavy lifting (snapshot rewrites) runs as
+  * normal distributed jobs inside the table operation. */
+private[v2] object GraftProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val Names: Seq[String] = Seq("vacuum", "compact", "cluster", "zorder")
+
+  private def in(n: String, dt: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(n, dt).build()
+
+  def load(proc: String, spark: SparkSession, warehouse: String): UnboundProcedure = {
+    require(Names.contains(proc), s"unknown procedure $proc")
+    new UnboundProcedure {
+      override def name(): String = proc
+      override def description(): String = s"graft maintenance: $proc"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = proc
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = proc match {
+          case "vacuum" =>
+            Array(in("table", StringType), in("retain_from", IntegerType))
+          case "compact" =>
+            Array(in("table", StringType), in("target_partitions", IntegerType))
+          case _ => // cluster / zorder
+            Array(in("table", StringType), in("cols", StringType),
+              in("num_dirs", IntegerType))
+        }
+        override def call(input: InternalRow): util.Iterator[Scan] = {
+          val tblName = input.getUTF8String(0).toString
+          val path = Paths.get(warehouse, tblName.split("\\."): _*).toString
+          val t = GraftTable.load(spark, path)
+          val (schema, resultRows) = proc match {
+            case "vacuum" =>
+              val removed = t.vacuum(input.getInt(1))
+              (StructType(Seq(StructField("removed_dir", StringType))),
+                removed.map(d => InternalRow(UTF8String.fromString(d))))
+            case "compact" =>
+              (versionSchema, Seq(InternalRow(t.compact(input.getInt(1)))))
+            case "cluster" =>
+              (versionSchema, Seq(InternalRow(
+                t.cluster(splitCols(input), input.getInt(2)))))
+            case "zorder" =>
+              (versionSchema, Seq(InternalRow(
+                t.clusterZOrder(splitCols(input), input.getInt(2)))))
+          }
+          val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+            override def readSchema(): StructType = schema
+            override def rows(): Array[InternalRow] = resultRows.toArray
+          }
+          util.Collections.singletonList(scan).iterator()
+        }
+        private def splitCols(input: InternalRow): Seq[String] =
+          input.getUTF8String(1).toString.split(",").map(_.trim).toSeq
+      }
+    }
+  }
+
+  private val versionSchema =
+    StructType(Seq(StructField("version", IntegerType)))
 }
 
 /** Read-only metadata relation (`t.snapshots` / `t.history`) — the

@@ -132,6 +132,26 @@ class CatalogSpec extends AnyFunSuite {
     assert(plan.contains("(1 paths)"), s"directory not skipped:\n$plan")
   }
 
+  test("CALL cat.system procedures: compact, zorder, vacuum") {
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.pr (id BIGINT, y BIGINT) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.pr SELECT id, id * 7 % 1000 FROM range(0, 1000)")
+    spark.sql(s"INSERT INTO $cat.db.pr SELECT id, id * 7 % 1000 FROM range(1000, 2000)")
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    def table = graft.sources.GraftTable.load(spark, s"$wh/db/pr")
+    val v1 = spark.sql(s"CALL $cat.system.compact('db.pr', 1)").collect()
+    assert(v1.head.getInt(0) == table.latestVersion())
+    assert(table.liveDataDirs.size == 1)
+    val v2 = spark.sql(s"CALL $cat.system.zorder('db.pr', 'id,y', 4)").collect()
+    assert(v2.head.getInt(0) == table.latestVersion())
+    assert(table.liveDataDirs.size == 4)
+    assert(spark.table(s"$cat.db.pr").count() == 2000)
+    val removed = spark.sql(
+      s"CALL $cat.system.vacuum('db.pr', ${table.latestVersion()})").collect()
+    assert(removed.length >= 3, s"vacuum removed ${removed.length} dirs")
+    assert(spark.table(s"$cat.db.pr").count() == 2000)
+  }
+
   test("metadata tables: t.snapshots and t.history through SQL") {
     freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.m (id BIGINT) USING graft")
