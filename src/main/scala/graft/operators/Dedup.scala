@@ -231,7 +231,10 @@ object Dedup {
         .agg(graft.functions.MinHashAgg.minhash($"h", 128, seed = 42).as("sig"))
     }
 
-  val d3_minhash_lsh: Relational.Q = (s, dir) => {
+  /** Cached J ≥ 0.8 pair list: d3's own result, also the input of the
+    * cluster pass (d7) and the curation pipeline (p2) — pairs are tiny
+    * relative to the corpus, so keeping them is the obvious reuse. */
+  val d3_minhash_lsh: Relational.Q = (s, dir) => cachedRel(s, dir, "pairs08") {
     import s.implicits._
     val sigs = minhashSigs(s, dir)
     val bandCols = (0 until 32).map { bnd =>
@@ -294,12 +297,88 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d7: near-dup CLUSTERS — connected components over the J ≥ 0.8 pair
+    * graph (d3), each doc labeled with its component's minimum doc_id as
+    * the canonical representative. Pairs alone under-merge (A~B, B~C
+    * but not A~C); dropping "all but one per component" is the standard
+    * final dedup step.
+    *
+    * Algorithm: hash-min label propagation (the Pregel/large-star
+    * shape): every vertex starts as its own label; each round takes the
+    * min of its neighbors' labels; converged when the global label sum
+    * stops falling (a monotone integer — one cheap agg per round, no
+    * row-level diff join). Rounds = component diameter; near-dup
+    * components are shallow (duplicates of a common source), so a
+    * handful of shuffles on the edge list — each linear in |E| —
+    * finishes the 100 TB case. The driver loop holds only two scalars
+    * per round (Pregel-style iteration control, not data collection). */
+  val d7_dedup_clusters: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val pairs = d3_minhash_lsh(s, dir).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Iteration shuffles sized by the EDGE list (duplicate pairs are a
+    // sliver of the corpus): with AQE off a 32-way shuffle per round on
+    // a small graph is pure scheduling overhead; on a cluster AQE makes
+    // the same call at runtime. ~2M edges per partition.
+    val nEdges = edges.count()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L, math.min(prevParts.toLong, nEdges / 2000000L + 1))
+    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    var labels = edges.select($"src".as("v")).distinct()
+      .select($"v", $"v".as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var prevSum = labels.agg(sum($"label")).first().getLong(0)
+      var converged = false
+      while (!converged) {
+        val nbrMin = edges.join(labels, edges("dst") === labels("v"))
+          .groupBy($"src").agg(min($"label").as("nbr_min"))
+        val next = labels.as("l")
+          .join(nbrMin.as("p"), col("l.v") === col("p.src"), "left")
+          .select(col("l.v").as("v"),
+            least(col("l.label"), coalesce(col("p.nbr_min"), col("l.label"))).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nextSum = next.agg(sum($"label")).first().getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val comp = labels.select($"v".as("doc_id"), $"label".as("cluster_rep"))
+    val sizes = comp.groupBy($"cluster_rep").agg(count(lit(1)).as("cluster_size"))
+    val out = comp.join(sizes, "cluster_rep")
+      .select($"doc_id", $"cluster_rep", $"cluster_size")
+      .orderBy($"doc_id")
+    edges.unpersist()
+    out
+  }
+
+  val d7_sql: String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM (${jaccardSql(0.8).replace("ORDER BY doc_a, doc_b", "")}) jp),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |reach(v, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT reach.v, e.b FROM reach JOIN edges e ON e.a = reach.r),
+       |comp AS (SELECT v AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY v)
+       |SELECT doc_id, cluster_rep, cluster_size
+       |FROM comp JOIN (SELECT cluster_rep, COUNT(*) AS cluster_size
+       |                FROM comp GROUP BY cluster_rep) sz USING (cluster_rep)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
     "d1_dedup_exact" -> d1_dedup_exact,
     "d2_ngram_jaccard" -> d2_ngram_jaccard,
     "d3_minhash_lsh" -> d3_minhash_lsh,
     "d4_simhash" -> d4_simhash,
     "d6_dedup_canonical" -> d6_dedup_canonical,
+    "d7_dedup_clusters" -> d7_dedup_clusters,
   )
 
   val oracles: Map[String, String] = Map(
@@ -307,5 +386,6 @@ object Dedup {
     "d2_ngram_jaccard" -> d2_sql,
     "d3_minhash_lsh" -> d3_sql,
     "d6_dedup_canonical" -> d6_sql,
+    "d7_dedup_clusters" -> d7_sql,
   )
 }

@@ -54,17 +54,19 @@ object Quality {
 
   /** c2: deterministic dedup — keep exactly one row per l_orderkey.
     * `dropDuplicates` keeps an arbitrary row, which is nondeterministic
-    * under shuffling; a rank-filter over a TOTAL order is the
-    * reproducible (and still single-shuffle) form. (linenumber alone is
-    * not unique in this data — every output column is in the sort.) */
+    * under shuffling; the reproducible form picks the minimum under a
+    * TOTAL order (linenumber alone is not unique in this data — every
+    * output column is in the order). Expressed as `min(struct(…))` —
+    * struct comparison IS that lexicographic order — rather than a
+    * row_number window: the aggregate gets map-side partial combine, so
+    * the shuffle carries one candidate row per key instead of sorting
+    * every duplicate through the exchange. */
   val c2_dedup_key: Relational.Q = (s, dir) => {
     import s.implicits._
-    val w = Window.partitionBy($"l_orderkey")
-      .orderBy($"l_linenumber", $"l_partkey", $"l_quantity")
     Tables.lineitem(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity")
+      .groupBy($"l_orderkey")
+      .agg(min(struct($"l_linenumber", $"l_partkey", $"l_quantity")).as("f"))
+      .select($"l_orderkey", $"f.l_partkey", $"f.l_linenumber", $"f.l_quantity")
       .orderBy($"l_orderkey")
   }
 
