@@ -71,6 +71,49 @@ object ArrayEqFraction {
       ArrayEqFraction(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
+/** Intersection size of two SORTED string arrays by linear merge —
+  * O(|A|+|B|) with zero allocation. The builtin
+  * `size(array_intersect(…))` builds a hash set and materializes the
+  * intersection array per row; the Jaccard verify evaluates this once
+  * per candidate pair, so the merge loop keeps the verify stage inside
+  * whole-stage codegen with no per-row garbage. Inputs MUST be sorted
+  * ascending (sort_array) — the binary UTF8String order both
+  * `sort_array` and this comparison use. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.count(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount.count($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
 object DotProduct {
   /** Sequential (index-order) sum — called from interpreted and
     * generated paths. */

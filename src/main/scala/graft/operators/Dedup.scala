@@ -107,7 +107,8 @@ object Dedup {
                                 threshold: Double,
                                 candidates: DataFrame): DataFrame = {
     val arrs = shingleArrays(s, dir)
-    val i = size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+    val i = graft.functions.SortedIntersectCount
+      .sorted_intersect_count(col("arr_a"), col("arr_b"))
     val j = i.cast("double") / (col("na") + col("nb") - i)
     candidates
       .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),

@@ -66,13 +66,43 @@ object Windowed {
       |  FROM part) t
       |WHERE rn <= 3""".stripMargin
 
+  /** q26: RANGE-framed window — trailing 7-day revenue per customer.
+    * The frame is value-based (orders within 6 days before the current
+    * order's day), not row-based: tied days share one frame, so the
+    * result is deterministic with no tie-breaker needed. Ordering is on
+    * an integer day number; both engines frame identically and the
+    * decimal-exact sum makes the values bit-identical. */
+  val q26_window_range: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val day = datediff($"o_orderdate".cast("date"),
+      lit("1992-01-01").cast("date")).cast("long")
+    val w = Window.partitionBy($"o_custkey").orderBy($"day")
+      .rangeBetween(-6, Window.currentRow)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", day.as("day"))
+      .withColumn("wk_revenue",
+        sum(Exact.dec2($"o_totalprice")).over(w).cast("double"))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"wk_revenue")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q26_sql: String =
+    s"""SELECT o_custkey, o_orderkey, o_orderdate,
+       | CAST(SUM(${S.dec2("o_totalprice")}) OVER (PARTITION BY o_custkey
+       |   ORDER BY date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS wk_revenue
+       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
     "q7_window_running" -> q7_window_running,
     "q8_topk_per_group" -> q8_topk_per_group,
+    "q26_window_range" -> q26_window_range,
   )
 
   val oracles: Map[String, String] = Map(
     "q7_window_running" -> q7_sql,
     "q8_topk_per_group" -> q8_sql,
+    "q26_window_range" -> q26_sql,
   )
 }

@@ -98,6 +98,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "d5 plan contains BroadcastNestedLoopJoin")
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c", "x"), Seq("b", "c", "d")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("q"), Seq("q")),
+      (Seq("a", "a", "b"), Seq("a", "b"))) // distinct inputs in practice
+      .toDF("x", "y")
+      .select(sort_array(col("x")).as("x"), sort_array(col("y")).as("y"))
+    val got = df.select(
+      graft.functions.SortedIntersectCount.sorted_intersect_count(col("x"), col("y")).as("m"),
+      size(array_intersect(col("x"), col("y"))).cast("long").as("b")).collect()
+    // rows with distinct elements must agree exactly with the builtin
+    got.take(3).foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    assert(got(2).getLong(0) == 1)
+  }
+
   test("t5 repetition ratios: exact fractions on constructed docs") {
     import spark.implicits._
     // "a b a b a b": 5 bigrams, 2 distinct -> dup 0.6; 'a' appears 3/6 -> top 0.5
