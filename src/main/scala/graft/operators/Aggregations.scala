@@ -249,7 +249,62 @@ object Aggregations {
       |WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'
       |ORDER BY o_custkey""".stripMargin
 
+  /** q27: explicit GROUPING SETS — the general form behind ROLLUP/CUBE
+    * (reference notebooks use hierarchical rollups; arbitrary set lists
+    * are the superset a warehouse user expects). One Expand + one
+    * shuffle, same cost shape as q9/q23. `grouping()` flags distinguish
+    * subtotal rows from genuine NULL group values engine-portably. */
+  val q27_grouping_sets: Relational.Q = (s, dir) => {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"),
+            Seq($"o_orderstatus"), Seq($"o_orderpriority")),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(grouping($"o_orderstatus").cast("int").as("g_status"),
+           grouping($"o_orderpriority").cast("int").as("g_priority"),
+           count(lit(1)).as("n_orders"),
+           Exact.moneySum($"o_totalprice").as("revenue"))
+      .orderBy($"g_status", $"g_priority",
+        $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val q27_sql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       | CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       | CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       | COUNT(*) AS n_orders, ${S.moneySum("o_totalprice")} AS revenue
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+       |                        (o_orderstatus), (o_orderpriority))
+       |ORDER BY g_status, g_priority,
+       | o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** q28: explode / lateral-view — corpus-wide token frequency top-20.
+    * The flat-map (explode) runs scan-side inside codegen; the count is
+    * a partial-agg shuffle on the token, then a global top-k sort of
+    * the tiny aggregated relation. Both engines split on a literal
+    * single space and drop empties, so tokenization is identical. */
+  val q28_explode: Relational.Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(20)
+  }
+
+  val q28_sql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |WHERE length(token) > 0
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "q27_grouping_sets" -> q27_grouping_sets,
+    "q28_explode" -> q28_explode,
     "q23_cube" -> q23_cube,
     "q24_intersect" -> q24_intersect,
     "q25_except" -> q25_except,
@@ -264,6 +319,8 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    "q27_grouping_sets" -> q27_sql,
+    "q28_explode" -> q28_sql,
     "q23_cube" -> q23_sql,
     "q24_intersect" -> q24_sql,
     "q25_except" -> q25_sql,

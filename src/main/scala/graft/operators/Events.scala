@@ -219,7 +219,36 @@ object Events {
        |FROM $eventsSql e GROUP BY user_id
        |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin
 
+  /** e8: semi-structured props — extract the JSON payload's `k` field
+    * and profile it per event type. `from_json` with an explicit schema
+    * parses once per row scan-side (schema-on-read; no shuffle added —
+    * the agg is the usual partial-agg exchange). A malformed payload
+    * yields NULL and is excluded by the n_k count, mirroring
+    * `json_extract`'s NULL semantics in the oracle. */
+  val e8_json_props: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val k = from_json($"props", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType))))("k")
+    Tables.events(s, dir)
+      .select($"event_type", k.as("k"))
+      .groupBy($"event_type")
+      .agg(count($"k").as("n_k"),
+           sum($"k").cast("bigint").as("sum_k"),
+           min($"k").as("min_k"),
+           max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val e8_sql: String =
+    """SELECT event_type, COUNT(k) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+      | MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |      FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "e8_json_props" -> e8_json_props,
     "e1_tumbling_window" -> e1_tumbling_window,
     "e2_sessionize" -> e2_sessionize,
     "e3_asof_join" -> e3_asof_join,
@@ -230,6 +259,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "e8_json_props" -> e8_sql,
     "e6_asof_custom" -> e3_sql,
     "e7_range_join" -> e7_sql,
     "e1_tumbling_window" -> e1_sql,
