@@ -251,7 +251,55 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** s5: IVF-PQ — the memory-bounded ANN tier ([[graft.functions.Pq]],
+    * Jégou et al. 2011). The index side carries (vec_id, cell, codes):
+    * 16 sub-codes ≈ 16 bytes per vector instead of a 256-byte float
+    * vector, so at corpus scale the candidate shuffle moves 16× less
+    * data and a 1000-executor fleet holds the whole index in memory.
+    * Candidates come from the trained IVF cells (same coarse quantizer
+    * as s3); they are scored approximately from codes alone (ADC), the
+    * top-R=32 per query survive, and only those R rows rejoin the
+    * corpus by vec_id for exact re-ranking to top-3 — the standard
+    * two-stage PQ search. Rows-only driver check; recall@3 vs s1
+    * asserted in spec. */
+  val s5_ann_ivfpq: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val k = 16; val m = 3; val nprobe = 4; val rerankR = 32
+    val e = embeddings(s, dir).withColumn("nrm", norm($"emb"))
+    val cents = graft.functions.Quantizer.train(e, "vec_id", "emb", k)
+    val pq = graft.functions.Pq.train(e, "vec_id", "emb", m = 16, k = 16)
+    // Index side: cells + codes only — the vector itself is dropped.
+    val assigned = e
+      .withColumn("cell", explode(graft.functions.Quantizer.topCells($"emb", cents, m)))
+      .select($"vec_id", $"cell", graft.functions.Pq.encode($"emb", pq).as("codes"))
+    val queriesDf = e.filter($"vec_id" < 20)
+      .withColumn("cell", explode(graft.functions.Quantizer.topCells($"emb", cents, nprobe)))
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"cell")
+    val wAdc = Window.partitionBy($"q_id").orderBy($"adc".desc, $"neighbor_id")
+    val shortlist = broadcast(queriesDf).join(assigned, Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"q_emb", $"q_nrm", $"vec_id".as("neighbor_id"),
+        graft.functions.Pq.adcCosine($"q_emb", $"q_nrm", $"codes", pq).as("adc"))
+      .dropDuplicates("q_id", "neighbor_id")
+      .withColumn("r", row_number().over(wAdc))
+      .filter($"r" <= rerankR)
+      .select($"q_id", $"q_emb", $"q_nrm", $"neighbor_id")
+    // Exact re-rank touches only R rows per query.
+    val cand = shortlist.join(
+      e.select($"vec_id".as("neighbor_id"), $"emb".as("n_emb"), $"nrm".as("n_nrm")),
+      Seq("neighbor_id"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"neighbor_id")
+    cand
+      .select($"q_id", $"neighbor_id",
+        (dot($"q_emb", $"n_emb") / ($"q_nrm" * $"n_nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"neighbor_id", round($"cosine", 4).as("cosine"), $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "s5_ann_ivfpq" -> s5_ann_ivfpq,
     "d5_embed_neardup" -> d5_embed_neardup,
     "s1_ann_brute" -> s1_ann_brute,
     "s2_ann_lsh" -> s2_ann_lsh,

@@ -91,6 +91,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall below bar: $recall")
   }
 
+  test("ann: ivf-pq two-stage search reaches recall@3 >= 0.8") {
+    val exact = SparkEntry.queries("s1_ann_brute")(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") <= 3)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = SparkEntry.queries("s5_ann_ivfpq")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(pq.nonEmpty)
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    info(f"s5 IVF-PQ recall@3 = $recall%.2f (16x16 codebooks, ADC shortlist R=32, exact re-rank)")
+    assert(recall >= 0.8, s"IVF-PQ recall below bar: $recall")
+  }
+
   test("d5 near-dup candidate generation is bucketed (no cartesian in plan)") {
     val plan = SparkEntry.queries("d5_embed_neardup")(spark, sf)
       .queryExecution.executedPlan.toString
