@@ -56,10 +56,22 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     Commit.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
   }
 
+  /** Atomic conditional put of the commit file. A plain CREATE_NEW write
+    * claims the version slot but is NOT atomic w.r.t. content: a
+    * concurrent `latestVersion()` reader can list the file and read it
+    * half-written. Writing to a temp name and hard-LINKING it into place
+    * makes content appear atomically AND fails with
+    * FileAlreadyExistsException if another writer won the slot — the
+    * filesystem analog of the object-store conditional put the commit
+    * protocol assumes. */
   private def writeCommit(c: Commit): Unit = {
     val p = logDir.resolve(f"${c.version}%08d.json")
-    Files.write(p, c.toJson.getBytes(StandardCharsets.UTF_8),
+    val tmp = logDir.resolve(
+      s".tmp-${c.version}-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, c.toJson.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW)
+    try Files.createLink(p, tmp)
+    finally Files.deleteIfExists(tmp)
   }
 
   /** Partition spec for this table: plain column names, or the derived

@@ -282,8 +282,19 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
       }
     } else {
       // stats-skipping scan: pushed filters drop whole directories by
-      // their min/max metadata before the parquet scan ever lists files
+      // their min/max metadata before the parquet scan ever lists files.
+      // For days()-partitioned tables the kept dirs are then expanded to
+      // their daily hive subdirs and pruned again at DAY granularity:
+      // each `__p_days_<col>=<d>` subdir implies exact single-day bounds
+      // for the source column, so a time predicate skips every other day
+      // — finer than the whole-dir stats (a dir spanning 30 days has a
+      // 30-day min/max) and decided entirely from directory names, no
+      // file listing. Fused with, not instead of, the stats skip.
       val live = commit.liveDirs
+      val daysCols: Map[String, String] = commit.partitionBy.collect {
+        case GraftTable.DaysSpec(c) => s"__p_days_$c" -> c
+      }.toMap
+      val schemaTypes = schema().fields.map(f => f.name -> f.dataType).toMap
       new org.apache.spark.sql.graftbridge.StatsPruningScanBuilder(
         spark, ident.toString, schema(), options,
         prune = filters => {
@@ -293,7 +304,40 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
               case None => true
             }
           }
-          kept.map(d => Paths.get(path, d).toString)
+          if (daysCols.isEmpty || filters.isEmpty)
+            kept.map(d => Paths.get(path, d).toString)
+          else kept.flatMap { d =>
+            val dirP = Paths.get(path, d)
+            val subs =
+              if (!java.nio.file.Files.isDirectory(dirP)) Nil
+              else {
+                val it = java.nio.file.Files.list(dirP)
+                try scala.jdk.CollectionConverters.IteratorHasAsScala(it.iterator())
+                  .asScala
+                  .filter(p => java.nio.file.Files.isDirectory(p) &&
+                    (p.getFileName.toString.split("=", 2) match {
+                      case Array(k, _) => daysCols.contains(k)
+                      case _ => false
+                    }))
+                  .toVector
+                finally it.close()
+              }
+            if (subs.isEmpty) Seq(dirP.toString)
+            else subs.filter { sub =>
+              val Array(k, day) = sub.getFileName.toString.split("=", 2)
+              val src = daysCols(k)
+              // Day bounds for the source column, rendered the way
+              // DirStats stores that type's stats (timestamps carry a
+              // time-of-day; dates are the bare day).
+              val (lo, hi) = schemaTypes.get(src) match {
+                case Some(_: org.apache.spark.sql.types.TimestampType) =>
+                  (s"$day 00:00:00", s"$day 23:59:59.999999")
+                case _ => (day, day)
+              }
+              val pseudo = Map(src -> graft.sources.DirStats.ColStat("str", lo, hi))
+              filters.forall(f => graft.sources.DirStats.mayMatch(f, pseudo))
+            }.map(_.toString)
+          }
         })
     }
   }

@@ -114,6 +114,30 @@ class CatalogSpec extends AnyFunSuite {
       s"unexpected layout: $partNames")
   }
 
+  test("day filters prune hive subdirs of days()-partitioned tables by name") {
+    freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.dp (id BIGINT, ts TIMESTAMP, v DOUBLE)
+                 |USING graft PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql(s"""INSERT INTO $cat.db.dp VALUES
+                 | (1, TIMESTAMP '2024-01-01 10:00:00', 1.0),
+                 | (2, TIMESTAMP '2024-01-02 11:00:00', 2.0),
+                 | (3, TIMESTAMP '2024-01-03 12:00:00', 3.0)""".stripMargin)
+    // timestamp-range predicate: only the matching day's subdir survives
+    val q1 = spark.sql(
+      s"SELECT id FROM $cat.db.dp WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'")
+    assert(q1.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val p1 = q1.queryExecution.executedPlan.toString
+    assert(p1.contains("(1 paths)"), s"day subdirs not pruned:\n$p1")
+    // to_date form prunes the same way
+    val q2 = spark.sql(
+      s"SELECT id FROM $cat.db.dp WHERE to_date(ts) = DATE '2024-01-02'")
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(q2.queryExecution.executedPlan.toString.contains("(1 paths)"))
+    // an unrelated predicate keeps every day (conservative)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.dp WHERE v > 0")
+      .collect()(0).getLong(0) == 3)
+  }
+
   test("stats-based directory skipping in the SQL read path") {
     freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.s (id BIGINT, v DOUBLE) USING graft")
