@@ -197,6 +197,20 @@ object Aggregations {
       .orderBy($"l_returnflag")
   }
 
+  /** a2: single-pass approximate quantiles — the sketch that replaces
+    * q21's exact per-group sort at 100 TB (KLL/GK-style mergeable
+    * summaries; error bounded by the accuracy knob, 1/10000 here).
+    * Engine-specific sketch values ⇒ rows-only driver check;
+    * AggregationsSpec bounds the error against exact percentiles. */
+  val a2_approx_quantiles: Relational.Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("apx_p50"),
+           expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("apx_p90"))
+      .orderBy($"l_returnflag")
+  }
+
   /** q23: CUBE — all grouping-set combinations of (status, priority). */
   val q23_cube: Relational.Q = (s, dir) => {
     import s.implicits._
@@ -311,6 +325,7 @@ object Aggregations {
     "q21_percentiles" -> q21_percentiles,
     "q22_collect" -> q22_collect,
     "a1_approx_distinct" -> a1_approx_distinct,
+    "a2_approx_quantiles" -> a2_approx_quantiles,
     "q9_rollup" -> q9_rollup,
     "q10_distinct_agg" -> q10_distinct_agg,
     "q11_pivot" -> q11_pivot,

@@ -184,7 +184,34 @@ object Pipeline {
        |  FROM documents) t
        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
 
+  /** p6: APPLY the near-dup clustering — the deduplicated corpus.
+    * d1/d2/d3/d7 find duplicates; this is the step that actually drops
+    * them: every doc keeps its row unless it sits in a J≥0.8 cluster
+    * and is not the cluster's canonical (minimum-id) representative.
+    * The cluster relation is a sliver of the corpus (only docs with a
+    * near-dup), so the anti-join broadcasts at any scale; the corpus
+    * side streams through untouched. */
+  val p6_dedup_apply: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val drop = Dedup.d7_dedup_clusters(s, dir)
+      .filter($"doc_id" =!= $"cluster_rep")
+      .select($"doc_id")
+    Tables.documents(s, dir)
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val p6_sql: String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (
+       |  SELECT doc_id FROM (${graft.operators.Dedup.d7_sql
+            .replace("ORDER BY doc_id", "")}) c
+       |  WHERE doc_id <> cluster_rep)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "p6_dedup_apply" -> p6_dedup_apply,
     "p1_sequence_pack" -> p1_sequence_pack,
     "p2_curation_pipeline" -> p2_curation_pipeline,
     "p3_contamination" -> p3_contamination,
@@ -193,6 +220,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "p6_dedup_apply" -> p6_sql,
     "p1_sequence_pack" -> p1_sql,
     "p2_curation_pipeline" -> p2_sql,
     "p3_contamination" -> p3_sql,

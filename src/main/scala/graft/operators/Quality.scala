@@ -195,7 +195,28 @@ object Quality {
        |ORDER BY o_orderkey""".stripMargin
   }
 
+  /** c7: fixed-width histogram profiling — the distribution sketch a
+    * quality dashboard draws per column. Bin assignment is scan-side
+    * integer arithmetic (exact in double for these magnitudes), the
+    * aggregation is one partial-agg shuffle on (group, bin) — the
+    * 100 TB profile costs the same as any groupBy-count. */
+  val c7_histogram: Relational.Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        floor(($"l_quantity" - 1) / 5).cast("int").as("bin"))
+      .groupBy($"l_returnflag", $"bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"l_returnflag", $"bin")
+  }
+
+  val c7_sql: String =
+    """SELECT l_returnflag, CAST(FLOOR((l_quantity - 1) / 5) AS INTEGER) AS bin,
+      | COUNT(*) AS n
+      |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, bin""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "c7_histogram" -> c7_histogram,
     "c1_null_profile" -> c1_null_profile,
     "c2_dedup_key" -> c2_dedup_key,
     "c3_clean_fillna" -> c3_clean_fillna,
@@ -205,6 +226,7 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "c7_histogram" -> c7_sql,
     "c1_null_profile" -> c1_sql,
     "c2_dedup_key" -> c2_sql,
     "c3_clean_fillna" -> c3_sql,

@@ -276,18 +276,24 @@ object Similarity {
       .withColumn("cell", explode(graft.functions.Quantizer.topCells($"emb", cents, nprobe)))
       .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"cell")
     val wAdc = Window.partitionBy($"q_id").orderBy($"adc".desc, $"neighbor_id")
+    // The ADC shuffle carries only (q_id, neighbor_id, adc) — the query
+    // vector is re-attached after the R-cut from the 20-row broadcast
+    // side, so no float array rides the candidate exchange.
     val shortlist = broadcast(queriesDf).join(assigned, Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
-      .select($"q_id", $"q_emb", $"q_nrm", $"vec_id".as("neighbor_id"),
+      .select($"q_id", $"vec_id".as("neighbor_id"),
         graft.functions.Pq.adcCosine($"q_emb", $"q_nrm", $"codes", pq).as("adc"))
       .dropDuplicates("q_id", "neighbor_id")
       .withColumn("r", row_number().over(wAdc))
       .filter($"r" <= rerankR)
-      .select($"q_id", $"q_emb", $"q_nrm", $"neighbor_id")
+      .select($"q_id", $"neighbor_id")
     // Exact re-rank touches only R rows per query.
-    val cand = shortlist.join(
-      e.select($"vec_id".as("neighbor_id"), $"emb".as("n_emb"), $"nrm".as("n_nrm")),
-      Seq("neighbor_id"))
+    val qVecs = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"))
+    val cand = shortlist
+      .join(e.select($"vec_id".as("neighbor_id"), $"emb".as("n_emb"), $"nrm".as("n_nrm")),
+        Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("q_id"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"neighbor_id")
     cand
       .select($"q_id", $"neighbor_id",

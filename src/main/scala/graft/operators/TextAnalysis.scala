@@ -170,7 +170,43 @@ object TextAnalysis {
        |   '$PhonePat', '<PHONE>', 'g')) AS scrubbed_hash
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** t7: unigram-rarity scoring — the corpus-statistics quality signal
+    * (a DSIR/perplexity-style proxy kept integer-exact for the oracle):
+    * per document, the mean corpus frequency of its tokens. Two passes
+    * over the exploded token relation: a vocabulary-sized groupBy
+    * (bounded by the language, not the corpus), then a frequency join
+    * back — shuffle keys are tokens, so hot tokens distribute across
+    * the vocabulary hash space. Integer power sums → one final double
+    * division → bit-identical across engines. */
+  val t7_unigram_rarity: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter(length($"token") > 0)
+    val freq = tok.groupBy($"token").agg(count(lit(1)).as("f"))
+    tok.join(freq, Seq("token"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum($"f").cast("bigint").as("sum_freq"))
+      .select($"doc_id", $"n_tokens", $"sum_freq",
+        round($"sum_freq".cast("double") / $"n_tokens", 4).as("mean_freq"))
+      .orderBy($"doc_id")
+  }
+
+  val t7_sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |    FROM documents) t
+      |  WHERE length(token) > 0),
+      |freq AS (SELECT token, COUNT(*) AS f FROM tok GROUP BY token)
+      |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(f) AS BIGINT) AS sum_freq,
+      | ROUND(CAST(SUM(f) AS DOUBLE) / COUNT(*), 4) AS mean_freq
+      |FROM tok JOIN freq USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "t7_unigram_rarity" -> t7_unigram_rarity,
     "t1_token_count" -> t1_token_count,
     "t2_quality_score" -> t2_quality_score,
     "t3_lang_id" -> t3_lang_id,
@@ -180,6 +216,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t7_unigram_rarity" -> t7_sql,
     "t1_token_count" -> t1_sql,
     "t2_quality_score" -> t2_sql,
     "t3_lang_id" -> t3_sql,
