@@ -32,14 +32,43 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def r3(v: Double): String = f"$v%.3f"
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // Full per-query detail goes to a FILE: the harness that collects this
+    // bench keeps only the last ~2000 chars of stdout, and a JSON line
+    // carrying 80+ full-precision per-query timings overflows that window
+    // (observed truncated/unparseable in earlier collected runs). The
+    // printed line stays compact; the file has everything.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // Compact stdout line: the BASELINE.md shared subset + the heaviest
+    // queries individually, everything else as per-family subtotals.
+    val headline = Set(
+      "c1_null_profile", "c2_dedup_key", "c3_clean_fillna", "c5_medallion_gold",
+      "q1_pricing_summary", "q5_local_supplier", "q7_window_running",
+      "e1_tumbling_window", "e2_sessionize", "d1_dedup_exact",
+      "d2_ngram_jaccard", "d3_minhash_lsh", "d5_embed_neardup",
+      "s1_ann_brute", "t1_token_count", "p3_contamination",
+      "d4_simhash", "d6_dedup_canonical", "d7_dedup_clusters",
+      "s3_ann_ivf", "s4_ann_hnsw", "s5_ann_ivfpq",
+      "h1_stream_window", "h5_stream_join", "h6_stream_cdc_merge",
+      "p2_curation_pipeline", "p6_dedup_apply", "g1_merge_upsert",
+      "g7_sql_catalog", "q3_shipping_priority", "e6_asof_custom")
+    val groups = results.groupBy { case (k, _) => k.takeWhile(!_.isDigit) }
+      .toSeq.sortBy(_._1).map { case (g, rs) => g -> rs.map(_._2).sum }
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results.filter(r => headline(r._1)))},"groups":${jmap(groups)},"n_queries":${results.size},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"detail":"$detailPath"}"""
     // 1-minute load averages around the run: flags benches taken on a
     // contended shared host (observed >4× per-query swings under load —
     // the end value includes this bench's own threads, so the start
     // value is the cleaner ambient signal)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg}""")
+    println(line)
     spark.stop()
   }
 }
