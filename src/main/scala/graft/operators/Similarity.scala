@@ -25,6 +25,27 @@ import graft.sources.Tables
   */
 object Similarity {
 
+  /** Session-scoped cache of trained quantizer/PQ models: d5, s3 and s5
+    * train the SAME deterministic coarse quantizer (same data, sample
+    * contract, seed), and each training pays a full-table TakeOrdered
+    * sample scan — once per session is enough. Same keying/bounding
+    * contract as Dedup.relCache. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def cachedModel[T <: AnyRef](s: SparkSession, dir: String, key: String)
+                                      (build: => T): T = {
+    if (modelCache.size > 64) modelCache.clear()
+    modelCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir:$key", _ => build).asInstanceOf[T]
+  }
+
+  /** The shared k=16 coarse quantizer (d5 / s3 / s5). */
+  private def coarseCentroids(s: SparkSession, dir: String, k: Int): Array[Array[Double]] =
+    cachedModel(s, dir, s"cents$k") {
+      graft.functions.Quantizer.train(
+        embeddings(s, dir).withColumn("nrm", norm(col("emb"))), "vec_id", "emb", k)
+    }
+
   /** dot(a, b) summed left-to-right in index order (order matters for
     * double reproducibility across engines) — a native codegen'd
     * expression, ~50× the throughput of zip_with + aggregate lambdas on
@@ -71,7 +92,7 @@ object Similarity {
     val threshold = 0.4
     val k = s.conf.getOption("spark.graft.ann.k").map(_.toInt).getOrElse(16)
     val e = embeddings(s, dir).withColumn("nrm", norm($"emb"))
-    val cents = graft.functions.Quantizer.train(e, "vec_id", "emb", k)
+    val cents = coarseCentroids(s, dir, k)
     val assigned = e
       .withColumn("cell", element_at(graft.functions.Quantizer.topCells($"emb", cents, 1), 1))
       .withColumn("theta", acos(greatest(lit(-1.0), least(lit(1.0),
@@ -187,7 +208,7 @@ object Similarity {
     import s.implicits._
     val k = 16; val m = 3; val nprobe = 4
     val e = embeddings(s, dir).withColumn("nrm", norm($"emb"))
-    val cents = graft.functions.Quantizer.train(e, "vec_id", "emb", k)
+    val cents = coarseCentroids(s, dir, k)
     val assigned = e
       .withColumn("cell", explode(graft.functions.Quantizer.topCells($"emb", cents, m)))
       .select($"vec_id", $"emb", $"nrm", $"cell")
@@ -266,8 +287,10 @@ object Similarity {
     import s.implicits._
     val k = 16; val m = 3; val nprobe = 4; val rerankR = 32
     val e = embeddings(s, dir).withColumn("nrm", norm($"emb"))
-    val cents = graft.functions.Quantizer.train(e, "vec_id", "emb", k)
-    val pq = graft.functions.Pq.train(e, "vec_id", "emb", m = 16, k = 16)
+    val cents = coarseCentroids(s, dir, k)
+    val pq = cachedModel(s, dir, "pq16x16") {
+      graft.functions.Pq.train(e, "vec_id", "emb", m = 16, k = 16)
+    }
     // Index side: cells + codes only — the vector itself is dropped.
     val assigned = e
       .withColumn("cell", explode(graft.functions.Quantizer.topCells($"emb", cents, m)))
