@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  private[graft] final case class QResult(name: String, sec: Double, err: Option[String])
+
+  /** Timing loop, factored out so failure handling is unit-testable: a
+    * query that throws is recorded as FAILED (exception class + first
+    * message line), never as a timing — a crashed query that "finishes"
+    * in 0.001 s would otherwise read as a speedup and hide the crash
+    * (exactly how the r4 relCache bug stayed invisible). */
+  private[graft] def measure(qs: Seq[(String, () => Unit)]): Seq[QResult] =
+    qs.map { case (name, run) =>
+      val t0 = System.nanoTime()
+      val err = try { run(); None } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(120)
+          Some(s"${e.getClass.getSimpleName}: $msg")
+      }
+      QResult(name, (System.nanoTime() - t0) / 1e9, err)
+    }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,15 +52,26 @@ object Bench {
     // billed to whichever query happens to run first
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.read.parquet(s"$sfDir/orders.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val results = measure(SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) => name -> (() => { fn(spark, sfDir).count(): Unit })
+    })
+    val ok = results.collect { case QResult(n, s, None) => n -> s }
+    val failed = results.collect { case QResult(n, _, Some(e)) => n -> e }
+    // total counts ONLY successful queries — a failure must never read
+    // as a fast run
+    val total = ok.map(_._2).sum
     def r3(v: Double): String = f"$v%.3f"
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    def jerr(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")
+    // Ambient-load label: benches on this host have shown 4× per-query
+    // swings when the 1-minute load average at start exceeds ~1.5 (32
+    // cores); a "contended" run must not be read as a regression. The
+    // end value includes this bench's own threads, so the start value is
+    // the cleaner ambient signal.
+    val loadLimit = 1.5 * (Runtime.getRuntime.availableProcessors() / 32.0)
+    val loadLabel = if (loadStart > loadLimit) "contended" else "quiet"
     // Full per-query detail goes to a FILE: the harness that collects this
     // bench keeps only the last ~2000 chars of stdout, and a JSON line
     // carrying 80+ full-precision per-query timings overflows that window
@@ -43,7 +79,7 @@ object Bench {
     // printed line stays compact; the file has everything.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(ok)},"n_failed":${failed.size},"errors":${jerr(failed)},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"load_label":"$loadLabel"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -60,10 +96,10 @@ object Bench {
       "h1_stream_window", "h5_stream_join", "h6_stream_cdc_merge",
       "p2_curation_pipeline", "p6_dedup_apply", "g1_merge_upsert",
       "g7_sql_catalog", "q3_shipping_priority", "e6_asof_custom")
-    val groups = results.groupBy { case (k, _) => k.takeWhile(!_.isDigit) }
+    val groups = ok.groupBy { case (k, _) => k.takeWhile(!_.isDigit) }
       .toSeq.sortBy(_._1).map { case (g, rs) => g -> rs.map(_._2).sum }
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results.filter(r => headline(r._1)))},"groups":${jmap(groups)},"n_queries":${results.size},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(ok.filter(r => headline(r._1)))},"groups":${jmap(groups)},"n_queries":${results.size},"n_failed":${failed.size},"errors":${jerr(failed)},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"load_label":"$loadLabel","detail":"$detailPath"}"""
     // 1-minute load averages around the run: flags benches taken on a
     // contended shared host (observed >4× per-query swings under load —
     // the end value includes this bench's own threads, so the start

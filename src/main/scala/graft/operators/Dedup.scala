@@ -39,11 +39,23 @@ object Dedup {
     * (e.g. catalog.clearCache) is re-persisted on next use. */
   private val relCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def cachedRel(s: SparkSession, dir: String, key: String)
-                       (build: => DataFrame): DataFrame = {
+  private[graft] def cachedRel(s: SparkSession, dir: String, key: String)
+                              (build: => DataFrame): DataFrame = {
     if (relCache.size > 64) relCache.clear()
     val k = s"${System.identityHashCode(s)}:$dir:$key"
-    val df = relCache.computeIfAbsent(k, _ => build)
+    // Never build inside a map operation: builds are reentrant (pairs08 →
+    // minhashSigs → shingles all go through this cache), and a nested
+    // computeIfAbsent on the same ConcurrentHashMap is the JDK's
+    // documented "recursive update" IllegalStateException — triggered
+    // only when the two keys land in the same hash bin, i.e. per-JVM
+    // random. get → build unlocked → putIfAbsent is race-safe (a
+    // concurrent duplicate build wastes one lazy plan, nothing else).
+    var df = relCache.get(k)
+    if (df == null) {
+      val built = build
+      val prev = relCache.putIfAbsent(k, built)
+      df = if (prev != null) prev else built
+    }
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df
@@ -324,31 +336,42 @@ object Dedup {
     // sliver of the corpus): with AQE off a 32-way shuffle per round on
     // a small graph is pure scheduling overhead; on a cluster AQE makes
     // the same call at runtime. ~2M edges per partition.
+    // Loop-shuffle sizing is done by explicitly hash-partitioning the
+    // loop relations on their join keys — NEVER by mutating
+    // spark.sql.shuffle.partitions, which is session-global state that
+    // concurrent queries on the same session would inherit mid-flight.
+    // With edges pre-partitioned on dst and labels kept partitioned on v
+    // at the same width, the per-round join is co-partitioned (no
+    // exchange on either side); only the tiny post-aggregation relation
+    // rides a default-width shuffle.
     val nEdges = edges.count()
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(1L, math.min(prevParts.toLong, nEdges / 2000000L + 1))
-    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    var labels = edges.select($"src".as("v")).distinct()
-      .select($"v", $"v".as("label"))
+    val loopParts = math.max(1L, math.min(
+      s.conf.get("spark.sql.shuffle.partitions").toLong,
+      nEdges / 2000000L + 1)).toInt
+    val edgesByDst = edges.repartition(loopParts, $"dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var prevSum = labels.agg(sum($"label")).first().getLong(0)
-      var converged = false
-      while (!converged) {
-        val nbrMin = edges.join(labels, edges("dst") === labels("v"))
-          .groupBy($"src").agg(min($"label").as("nbr_min"))
-        val next = labels.as("l")
-          .join(nbrMin.as("p"), col("l.v") === col("p.src"), "left")
-          .select(col("l.v").as("v"),
-            least(col("l.label"), coalesce(col("p.nbr_min"), col("l.label"))).as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nextSum = next.agg(sum($"label")).first().getLong(0)
-        labels.unpersist()
-        labels = next
-        converged = nextSum == prevSum
-        prevSum = nextSum
-      }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    var labels = edgesByDst.select($"src".as("v")).distinct()
+      .select($"v", $"v".as("label"))
+      .repartition(loopParts, $"v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prevSum = labels.agg(sum($"label")).first().getLong(0)
+    var converged = false
+    while (!converged) {
+      val nbrMin = edgesByDst.join(labels, edgesByDst("dst") === labels("v"))
+        .groupBy($"src").agg(min($"label").as("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin.as("p"), col("l.v") === col("p.src"), "left")
+        .select(col("l.v").as("v"),
+          least(col("l.label"), coalesce(col("p.nbr_min"), col("l.label"))).as("label"))
+        .repartition(loopParts, $"v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextSum = next.agg(sum($"label")).first().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+    }
+    edgesByDst.unpersist()
     val comp = labels.select($"v".as("doc_id"), $"label".as("cluster_rep"))
     val sizes = comp.groupBy($"cluster_rep").agg(count(lit(1)).as("cluster_size"))
     val out = comp.join(sizes, "cluster_rep")

@@ -35,8 +35,18 @@ object Similarity {
   private def cachedModel[T <: AnyRef](s: SparkSession, dir: String, key: String)
                                       (build: => T): T = {
     if (modelCache.size > 64) modelCache.clear()
-    modelCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir:$key", _ => build).asInstanceOf[T]
+    val k = s"${System.identityHashCode(s)}:$dir:$key"
+    // get → build unlocked → putIfAbsent, never computeIfAbsent: model
+    // builds may grow dependencies that re-enter this cache (the exact
+    // nested-computeIfAbsent recursive-update crash Dedup.relCache had),
+    // so keep the build outside the map's bin lock permanently.
+    var v = modelCache.get(k)
+    if (v == null) {
+      val built = build
+      val prev = modelCache.putIfAbsent(k, built)
+      v = if (prev != null) prev else built
+    }
+    v.asInstanceOf[T]
   }
 
   /** The shared k=16 coarse quantizer (d5 / s3 / s5). */

@@ -44,39 +44,48 @@ object Streams {
     * HDFS-backed provider snapshots every partition's full state map
     * per batch — with join/dedup state in the 100k-row range that
     * dominates wall-time; RocksDB writes incrementally. */
-  private def drain(df: DataFrame, mode: OutputMode): DataFrame = {
-    val s = df.sparkSession
+  private def drain(parent: SparkSession, mode: OutputMode)
+                   (mk: SparkSession => DataFrame): DataFrame = {
+    // Conf that shapes the streaming query runs on a CLONED session,
+    // never the caller's. The state-store partition count is locked into
+    // the checkpoint from spark.sql.shuffle.partitions at query start
+    // (Structured Streaming has no per-query knob for it), and each
+    // partition opens its own store instance (×4 for a stream-stream
+    // join) whose open/snapshot overhead dominates wall time at micro
+    // scale — so benches cap it. Mutating the shared session for that
+    // would leak a shrunken value into concurrent queries mid-flight;
+    // newSession() shares the SparkContext (so the memory-sink table
+    // stays readable) with isolated SQL conf. The confs that shape this
+    // query are copied over from the parent explicitly.
+    val s = parent.newSession()
+    s.conf.set("spark.sql.session.timeZone",
+      parent.conf.get("spark.sql.session.timeZone"))
+    s.conf.set("spark.sql.shuffle.partitions",
+      parent.conf.get("spark.sql.shuffle.partitions"))
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // State-store instance count: each streaming shuffle partition opens
-    // its own store (×4 for a stream-stream join), and instance open/
-    // snapshot overhead dominates wall time at micro scale. The partition
-    // count is locked into the checkpoint at query start, so production
-    // sets it to match cluster parallelism; benches cap it via this conf.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val stateParts = s.conf.getOption("spark.graft.streaming.statePartitions")
-    stateParts.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p))
-    try {
-      val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
-      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-      q.processAllAvailable()
-      q.stop()
-      s.table(name)
-    } finally stateParts.foreach(_ => s.conf.set("spark.sql.shuffle.partitions", prev))
+    parent.conf.getOption("spark.graft.streaming.statePartitions")
+      .foreach(p => s.conf.set("spark.sql.shuffle.partitions", p))
+    val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
+    val q = mk(s).writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
   }
 
   /** h1: watermarked tumbling-window aggregation — must equal the batch
     * e1 result (same oracle SQL shape). */
   val h1_stream_window: Relational.Q = (s, dir) => {
     import s.implicits._
-    val agg = eventStream(s, dir)
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("n_events"),
-           Exact.moneySum($"value").as("total_value"))
-      .select($"window.start".as("hour_start"), $"event_type",
-        $"n_events", $"total_value")
-    drain(agg, OutputMode.Complete()).orderBy($"hour_start", $"event_type")
+    drain(s, OutputMode.Complete()) { s2 =>
+      eventStream(s2, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+             Exact.moneySum($"value").as("total_value"))
+        .select($"window.start".as("hour_start"), $"event_type",
+          $"n_events", $"total_value")
+    }.orderBy($"hour_start", $"event_type")
   }
 
   val h1_sql: String =
@@ -90,13 +99,13 @@ object Streams {
     * exact-once, and the per-type counts equal the batch counts. */
   val h2_stream_dedup: Relational.Q = (s, dir) => {
     import s.implicits._
-    val in = eventStream(s, dir).unionByName(eventStream(s, dir))
-    val deduped = in
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("n_events"))
-    drain(deduped, OutputMode.Complete()).orderBy($"event_type")
+    drain(s, OutputMode.Complete()) { s2 =>
+      eventStream(s2, dir).unionByName(eventStream(s2, dir))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"))
+    }.orderBy($"event_type")
   }
 
   val h2_sql: String =
@@ -115,11 +124,13 @@ object Streams {
     * stream, so no batch oracle). */
   def h3_stream_sessionize(s: SparkSession, dir: String): Dataset[SessionOut] = {
     import s.implicits._
-    val ds = eventStream(s, dir).as[Ev]
-    val out = ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
-        sessionFn)
-    drain(out.toDF(), OutputMode.Append()).as[SessionOut]
+    drain(s, OutputMode.Append()) { s2 =>
+      eventStream(s2, dir).as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+          sessionFn)
+        .toDF()
+    }.as[SessionOut]
   }
 
   private[streaming] def sessionFn(
@@ -195,21 +206,22 @@ object Streams {
     * relationally. */
   val h5_stream_join: Relational.Q = (s, dir) => {
     import s.implicits._
-    // one source, self-joined: both sides share the stream scan
-    val ev = eventStream(s, dir)
-    val views = ev
-      .filter($"event_type" === "view")
-      .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id"))
-      .withWatermark("view_ts", "1 hour")
-    val purchases = ev
-      .filter($"event_type" === "purchase")
-      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_id"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = views.join(purchases,
-      $"user_id" === $"p_user" &&
-        $"p_ts" > $"view_ts" && $"p_ts" <= $"view_ts" + expr("INTERVAL 60 SECONDS"))
-    drain(joined.select($"user_id", $"view_id", $"p_id"), OutputMode.Append())
-      .groupBy($"user_id").agg(count(lit(1)).as("n_attributed"))
+    drain(s, OutputMode.Append()) { s2 =>
+      // one source, self-joined: both sides share the stream scan
+      val ev = eventStream(s2, dir)
+      val views = ev
+        .filter($"event_type" === "view")
+        .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id"))
+        .withWatermark("view_ts", "1 hour")
+      val purchases = ev
+        .filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_id"))
+        .withWatermark("p_ts", "1 hour")
+      views.join(purchases,
+        $"user_id" === $"p_user" &&
+          $"p_ts" > $"view_ts" && $"p_ts" <= $"view_ts" + expr("INTERVAL 60 SECONDS"))
+        .select($"user_id", $"view_id", $"p_id")
+    }.groupBy($"user_id").agg(count(lit(1)).as("n_attributed"))
       .orderBy($"user_id")
   }
 

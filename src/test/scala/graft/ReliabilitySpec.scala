@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 reliability guards: the dedup relation cache must tolerate
+  * reentrant builds (the r4 bug: nested computeIfAbsent on one
+  * ConcurrentHashMap throws the JDK's "recursive update"
+  * IllegalStateException whenever two keys land in the same bin —
+  * per-JVM random, so it silently zeroed d3/d7/p2/p6 on unlucky JVMs);
+  * query paths must not mutate session-global conf; Bench must report
+  * failures instead of recording them as ~0s timings. */
+class ReliabilitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("cachedRel survives reentrant builds across many fresh keys") {
+    // 300 fresh key pairs with a nested (dependency-style) build: under
+    // the old computeIfAbsent implementation at least one outer/inner
+    // pair lands in a shared bin with probability > 0.99 and throws
+    // IllegalStateException; the get/build/putIfAbsent shape can never.
+    (1 to 300).foreach { i =>
+      val df = graft.operators.Dedup.cachedRel(spark, s"/reliability/$i", "outer") {
+        val inner = graft.operators.Dedup.cachedRel(spark, s"/reliability/$i", "inner") {
+          spark.range(1).toDF()
+        }
+        inner.select(col("id"))
+      }
+      assert(df.columns.sameElements(Array("id")))
+    }
+    // the full real dependency chain (pairs08 → minhashSigs → shingles)
+    // still produces rows through the restructured cache
+    assert(SparkEntry.queries("d3_minhash_lsh")(spark, sf).count() > 0)
+  }
+
+  test("d7 leaves session shuffle-partition conf untouched") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    assert(SparkEntry.queries("d7_dedup_clusters")(spark, sf).count() > 0)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
+  test("streaming drain leaves the parent session conf untouched") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.graft.streaming.statePartitions", "2")
+    try {
+      assert(SparkEntry.queries("h1_stream_window")(spark, sf).count() > 0)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    } finally spark.conf.unset("spark.graft.streaming.statePartitions")
+  }
+
+  test("bench measure records a failed query as an error, never a timing") {
+    val rs = Bench.measure(Seq(
+      "ok" -> (() => ()),
+      "boom" -> (() => throw new RuntimeException("kaboom\nsecond line"))))
+    assert(rs.find(_.name == "ok").get.err.isEmpty)
+    val boom = rs.find(_.name == "boom").get.err
+    assert(boom.exists(e => e.contains("RuntimeException") && e.contains("kaboom")))
+    assert(boom.forall(!_.contains("second")))
+  }
+}
