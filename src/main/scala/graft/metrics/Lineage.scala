@@ -40,4 +40,36 @@ object Lineage {
       tableName = Some(outputTable),
       extra = inputs.zipWithIndex.map { case (p, i) => s"input_$i" -> p }.toMap))
   }
+
+  /** Emit an OpenLineage-shaped run event into the activity log — the
+    * reference's DataHub surface (05_datahub_lineage_demo.ipynb emits
+    * OpenLineage RunEvents: run+job identity, input/output dataset
+    * lists, producer). One record carries the whole event: job and run
+    * identity, every input dataset (derived from the physical plan's
+    * scans), and the output identifier. The `ol_*` columns ride the
+    * activity log's schema evolution (MetricsLogger.append +
+    * mergeSchema read), so metric records and lineage events share one
+    * log, like the reference's single activity table. */
+  def emitOpenLineage(logger: MetricsLogger, df: DataFrame, jobName: String,
+                      outputId: String, layer: String, project: String,
+                      datasetYear: Int, eventType: String = "COMPLETE"): String = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    val inputs = inputsOf(df)
+    val base = MetricRecord.build(
+      layer, project, datasetYear,
+      description = s"openlineage: $jobName -> $outputId",
+      value = inputs.size.toDouble, unit = "datasets", function = "openlineage",
+      jobName = Some(jobName), tableName = Some(outputId))
+    logger.append(Seq(base).toDS().toDF()
+      .withColumn("ol_event_type", lit(eventType))
+      .withColumn("ol_job_namespace", lit("graft"))
+      .withColumn("ol_job_name", lit(jobName))
+      .withColumn("ol_run_id", lit(base.run_id))
+      .withColumn("ol_inputs", typedLit(inputs))
+      .withColumn("ol_outputs", typedLit(Seq(outputId)))
+      .withColumn("ol_producer", lit("graft/lineage")))
+    base.run_id
+  }
 }

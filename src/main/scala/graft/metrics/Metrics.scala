@@ -50,15 +50,27 @@ object MetricRecord {
 }
 
 /** Appends metric records to a parquet activity log (reference appends
-  * to a Delta table at s3a://polaris/metrics/activity_log). */
+  * to a Delta table at s3a://polaris/metrics/activity_log).
+  *
+  * The log schema EVOLVES (reference: spark_logger.py
+  * _ensure_schema_evolution): a batch may carry columns the existing
+  * log has never seen — parquet appends are file-granular so the write
+  * always succeeds, and `readAll` merges footers so old records surface
+  * the new columns as nulls through one scan. */
 class MetricsLogger(spark: SparkSession, val tablePath: String) {
   def log(rec: MetricRecord): String = {
     import spark.implicits._
-    Seq(rec).toDS().write.mode("append").parquet(tablePath)
+    append(Seq(rec).toDS().toDF())
     rec.run_id
   }
 
-  def readAll(): DataFrame = spark.read.parquet(tablePath)
+  /** Append a record batch whose schema may be a superset of the log's
+    * current schema (new columns evolve the log). */
+  def append(df: DataFrame): Unit =
+    df.write.mode("append").parquet(tablePath)
+
+  def readAll(): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(tablePath)
 }
 
 /** Context-managed job metrics: one shared run_id, automatic completion

@@ -146,19 +146,25 @@ object Similarity {
   }
 
   /** s1: exact brute-force cosine top-5 neighbors for the first 20
-    * vectors — the ANN recall baseline. */
+    * vectors — the ANN recall baseline. Top-k is a partial aggregate
+    * ([[graft.functions.TopKAgg]]): each partition reduces its slice of
+    * the corpus to a k-sized heap map-side, and the exchange carries
+    * only queries × partitions × k buffer rows — NOT the window-rank
+    * shape, which would shuffle all n × q scored rows to q reducers
+    * (2×10¹⁰ rows through 20 reducers at 1 B vectors). */
   val s1_ann_brute: Relational.Q = (s, dir) => {
     import s.implicits._
     val e = embeddings(s, dir)
     val q = e.filter($"vec_id" < 20)
       .select($"vec_id".as("q_id"), $"emb".as("q_emb"))
     val cos = cosine($"q_emb", $"emb")
-    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"neighbor_id")
     broadcast(q).join(e, $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"), cos.as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
-      .select($"q_id", $"neighbor_id", round($"cosine", 4).as("cosine"), $"rank")
+      .groupBy($"q_id")
+      .agg(graft.functions.TopKAgg.topk($"neighbor_id", $"cosine", 5).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", $"col.neighbor_id".as("neighbor_id"),
+        round($"col.cosine", 4).as("cosine"), ($"pos" + 1).cast("int").as("rank"))
       .orderBy($"q_id", $"rank")
   }
 

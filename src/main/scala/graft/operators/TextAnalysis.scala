@@ -184,7 +184,26 @@ object TextAnalysis {
       .select($"doc_id", explode(split($"text", " ")).as("token"))
       .filter(length($"token") > 0)
     val freq = tok.groupBy($"token").agg(count(lit(1)).as("f"))
-    tok.join(freq, Seq("token"))
+    // Skew hardening: a plain `tok JOIN freq ON token` sends every
+    // occurrence of a stopword to one reducer — "the" alone is ~5% of an
+    // English corpus, so at 100 TB one task eats petascale rows. The
+    // top-K hottest tokens (token frequency follows Zipf, so K=1024
+    // covers the overwhelming share of occurrences) join as a BROADCAST
+    // map-side — those rows never shuffle at all; only the tail (whose
+    // per-token frequency is bounded by the K-th hottest) shuffle-joins.
+    // Lossless: each token is in exactly one branch, and the per-doc
+    // aggregate is a sum/count over the union. K is a config; 0 disables.
+    val hotK = s.conf.getOption("spark.graft.text.hotTokens")
+      .map(_.toInt).getOrElse(1024)
+    val joined =
+      if (hotK <= 0) tok.join(freq, Seq("token"))
+      else {
+        val hot = freq.orderBy($"f".desc, $"token").limit(hotK)
+        val tailFreq = freq.join(broadcast(hot.select($"token")), Seq("token"), "left_anti")
+        tok.join(broadcast(hot), Seq("token"))
+          .unionByName(tok.join(tailFreq, Seq("token")))
+      }
+    joined
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
            sum($"f").cast("bigint").as("sum_freq"))

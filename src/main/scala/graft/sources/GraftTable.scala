@@ -555,6 +555,22 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     }.toDF("snapshot_id", "committed_at", "operation", "live_dirs")
   }
 
+  /** Retention-based VACUUM (the Delta `VACUUM … RETAIN` semantics,
+    * reference 03_delta_demo.ipynb): snapshots committed at or before
+    * `olderThanMillis` age out — their exclusively-referenced data
+    * directories are removed and they stop being time-travelable. The
+    * LATEST snapshot is always retained regardless of age (the current
+    * table state must survive any retention window). Age is judged on
+    * the commit timestamps already recorded in the log, so the cut is
+    * deterministic and engine-independent. */
+  def vacuumOlderThan(olderThanMillis: Long): Seq[String] = {
+    val latest = latestVersion()
+    val retainFrom = (0 to latest)
+      .find(v => readCommit(v).timestampMs > olderThanMillis)
+      .getOrElse(latest)
+    vacuum(retainFrom)
+  }
+
   /** VACUUM: physically remove data directories referenced by no commit
     * ≥ `retainFromVersion` (history before that version stops being
     * time-travelable, like VACUUM breaking old snapshots). */

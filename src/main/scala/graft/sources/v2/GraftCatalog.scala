@@ -486,10 +486,11 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
 private[v2] object GraftProcedures {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
-  import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
   import org.apache.spark.unsafe.types.UTF8String
 
-  val Names: Seq[String] = Seq("vacuum", "compact", "cluster", "zorder")
+  val Names: Seq[String] =
+    Seq("vacuum", "vacuum_older_than", "compact", "cluster", "zorder")
 
   private def in(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -505,6 +506,10 @@ private[v2] object GraftProcedures {
         override def parameters(): Array[ProcedureParameter] = proc match {
           case "vacuum" =>
             Array(in("table", StringType), in("retain_from", IntegerType))
+          case "vacuum_older_than" =>
+            // epoch millis: timezone-free, so the retention cut is
+            // deterministic across engines and session zones
+            Array(in("table", StringType), in("older_than_millis", LongType))
           case "compact" =>
             Array(in("table", StringType), in("target_partitions", IntegerType))
           case _ => // cluster / zorder
@@ -518,6 +523,10 @@ private[v2] object GraftProcedures {
           val (schema, resultRows) = proc match {
             case "vacuum" =>
               val removed = t.vacuum(input.getInt(1))
+              (StructType(Seq(StructField("removed_dir", StringType))),
+                removed.map(d => InternalRow(UTF8String.fromString(d))))
+            case "vacuum_older_than" =>
+              val removed = t.vacuumOlderThan(input.getLong(1))
               (StructType(Seq(StructField("removed_dir", StringType))),
                 removed.map(d => InternalRow(UTF8String.fromString(d))))
             case "compact" =>

@@ -176,6 +176,25 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.db.pr").count() == 2000)
   }
 
+  test("CALL cat.system.vacuum_older_than ages out by commit timestamp") {
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.vr (id BIGINT) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.vr VALUES (1), (2)")
+    Thread.sleep(15)
+    // overwrite makes the v0/v1 directories exclusive to aged snapshots
+    spark.sql(s"INSERT OVERWRITE $cat.db.vr VALUES (3)")
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val table = graft.sources.GraftTable.load(spark, s"$wh/db/vr")
+    val ts = table.history().orderBy("version").collect()
+      .map(_.getAs[java.sql.Timestamp]("timestamp").getTime)
+    val cutoff = (ts(1) + ts(2)) / 2
+    val removed = spark.sql(
+      s"CALL $cat.system.vacuum_older_than('db.vr', ${cutoff}L)").collect()
+    assert(removed.length >= 1)
+    assert(spark.table(s"$cat.db.vr").count() == 1)     // latest intact
+    intercept[Exception] { table.readVersion(1).collect() } // aged out
+  }
+
   test("metadata tables: t.snapshots and t.history through SQL") {
     freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.m (id BIGINT) USING graft")

@@ -7,7 +7,10 @@ import graft.metrics.{Lineage, MetricsLogger}
 
 class ExtensionsSpec extends AnyFunSuite {
 
-  // a dedicated session so withExtensions is actually exercised
+  // a dedicated session so withExtensions is actually exercised —
+  // create() (not getOrCreate) because another suite's extension-less
+  // session may already be the default, and getOrCreate would silently
+  // return it, dropping the extensions (order-dependent flake)
   private lazy val extSpark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[2]")
@@ -15,7 +18,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
-      .getOrCreate()
+      .create()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -42,6 +42,25 @@ class GraftTableSpec extends AnyFunSuite {
     intercept[Exception] { t.readVersion(0).collect() }
   }
 
+  test("g3b: retention-based vacuum ages out old snapshots, keeps recent and latest") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), Seq((1, "a")).toDF("id", "v"))
+    Thread.sleep(15) // commit timestamps must straddle the cutoff
+    t.overwrite(Seq((3, "c")).toDF("id", "v")) // v0's dir now exclusive to v0
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    val ts = t.history().orderBy("version").collect()
+      .map(_.getAs[java.sql.Timestamp]("timestamp").getTime)
+    // cutoff between v0 and v1: v0 ages out, v1/v2 retained
+    val removed = t.vacuumOlderThan((ts(0) + ts(1)) / 2)
+    assert(removed.size == 1)
+    assert(t.read().count() == 2)                       // latest intact
+    assert(t.readVersion(1).count() == 1)               // recent retained
+    intercept[Exception] { t.readVersion(0).collect() } // aged out
+    // a cutoff after every commit still retains the latest snapshot
+    t.vacuumOlderThan(ts.last + 1000): Unit
+    assert(t.read().count() == 2)
+  }
+
   test("g4: schema-merge append reads old rows with nulls in new column") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), Seq((1, "a")).toDF("id", "v"))

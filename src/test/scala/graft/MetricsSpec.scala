@@ -35,6 +35,47 @@ class MetricsSpec extends AnyFunSuite {
     assert(completion.length == 1 && completion(0).getAs[String]("status") == "failure")
   }
 
+  test("activity log evolves schema: old and new records through one scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("metrics").toString + "/activity_log"
+    val logger = new MetricsLogger(spark, dir)
+    logger.log(MetricRecord.build("1", "demo", 2024, "old-style", 1.0,
+      "rows", "count")): Unit
+    // a later producer adds a column the log has never seen
+    logger.append(Seq(MetricRecord.build("1", "demo", 2024, "new-style", 2.0,
+      "rows", "count")).toDS().toDF()
+      .withColumn("pipeline_version", lit("v2")))
+    val all = logger.readAll()
+    assert(all.count() == 2)
+    assert(all.columns.contains("pipeline_version"))
+    val byDesc = all.collect().map(r =>
+      r.getAs[String]("description") -> r.getAs[String]("pipeline_version")).toMap
+    assert(byDesc("old-style") == null) // evolved column is null on old rows
+    assert(byDesc("new-style") == "v2")
+  }
+
+  test("openlineage event: one record carries run/job identity, inputs, output") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("metrics").toString + "/activity_log"
+    val logger = new MetricsLogger(spark, dir)
+    val q5 = SparkEntry.queries("q5_local_supplier")(spark, sf)
+    val runId = Lineage.emitOpenLineage(logger, q5, "q5_local_supplier",
+      "gold.local_supplier_revenue", layer = "gold", project = "demo",
+      datasetYear = 2024)
+    val rows = logger.readAll()
+      .filter(col("metric_function") === "openlineage").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("ol_run_id") == runId)
+    assert(r.getAs[String]("ol_job_name") == "q5_local_supplier")
+    assert(r.getAs[String]("ol_event_type") == "COMPLETE")
+    // q5 joins 6 tables — the physical plan must surface at least 3 inputs
+    assert(r.getSeq[String](r.fieldIndex("ol_inputs")).size >= 3)
+    assert(r.getSeq[String](r.fieldIndex("ol_outputs")).toSeq ==
+      Seq("gold.local_supplier_revenue"))
+  }
+
   test("metric utils compute counts and averages") {
     import spark.implicits._
     val df = Seq((1, 2.0, true), (2, 4.0, false), (3, 6.0, true))

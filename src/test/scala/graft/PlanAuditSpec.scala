@@ -79,6 +79,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"salt explode replicates a fact table:\n$gen")
   }
 
+  test("s1: top-k is a partial aggregate, not a window rank") {
+    // the window-rank shape shuffles every scored (q, neighbor) row to
+    // the query's reducer; the TopKAgg shape reduces each partition to a
+    // k-sized buffer map-side, so no WindowExec may appear
+    val plan = executedPlan("s1_ann_brute")
+    assert(!plan.contains("Window"), s"s1 regressed to a window rank:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"s1 top-k aggregate missing:\n$plan")
+    assert(plan.contains("partial_topkagg") || plan.contains("partial_TopKAgg") ||
+      "partial_?topk".r.findFirstIn(plan.toLowerCase).isDefined,
+      s"s1 top-k must partially aggregate map-side:\n$plan")
+  }
+
+  test("t7: hot tokens ride a broadcast join; only the tail shuffles") {
+    val plan = executedPlan("t7_unigram_rarity")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"t7 hot-token branch must be a broadcast join:\n$plan")
+  }
+
   test("whole-stage codegen covers the q1 aggregation pipeline") {
     // codegen'd operators carry the *(n) stage marker in toString
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
