@@ -45,6 +45,12 @@ case class TopKAgg(
     }
     var i = 0
     while (i < buf.length && beats(buf(i)._1, buf(i)._2, id, sc)) i += 1
+    // idempotent on exact duplicates: multi-probe candidate generation
+    // (IVF m×nprobe cell overlap) re-scores the same pair with the same
+    // deterministic double — the duplicate lands adjacent in the sorted
+    // buffer and is rejected here, so no dropDuplicates shuffle is
+    // needed upstream
+    if (i < buf.length && buf(i)._1 == id && buf(i)._2 == sc) return
     buf.insert(i, (id, sc))
     if (buf.length > k) buf.remove(k)
   }

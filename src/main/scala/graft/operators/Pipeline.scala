@@ -210,7 +210,51 @@ object Pipeline {
        |  WHERE doc_id <> cluster_rep)
        |ORDER BY doc_id""".stripMargin
 
+  /** p7: 13-gram exact-match decontamination — the GPT-3/PaLM-style
+    * benchmark-overlap rule (stricter than p3's shared-3-shingle
+    * heuristic): a training doc is contaminated if ANY of its 13-grams
+    * appears verbatim in the benchmark set (source src0). Grams are
+    * reduced to 64-bit hashes scan-side, so the benchmark side is a
+    * hash SET (8 bytes/gram — a benchmark suite is millions of grams,
+    * ~tens of MB broadcast at any corpus scale) and training grams
+    * never shuffle: the probe is a map-side broadcast join, the only
+    * exchange is the per-doc count aggregation. n is a config
+    * (spark.graft.text.contamNgram); the count is over distinct grams
+    * per doc (shinglesOfTokens de-duplicates within a doc), so the
+    * string-keyed oracle agrees exactly (64-bit collisions aside). */
+  val p7_decontam_ngram: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val n = s.conf.getOption("spark.graft.text.contamNgram")
+      .map(_.toInt).getOrElse(13)
+    val g = Tables.documents(s, dir)
+      .select($"doc_id", $"source", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", $"source",
+        explode(TextFunctions.shinglesOfTokens($"toks", n)).as("g"))
+      .select($"doc_id", $"source", xxhash64($"g").as("h"))
+    val bench = g.filter($"source" === "src0").select($"h").distinct()
+    g.filter($"source" =!= "src0")
+      .join(broadcast(bench), "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_contam_ngrams"))
+      .orderBy($"doc_id")
+  }
+
+  val p7_sql: String = {
+    val terms = (0 until 13).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    val ws = "\\s+"
+    s"""WITH tok AS (SELECT doc_id, source,
+       |       string_split_regex(trim(text), '$ws') AS t FROM documents),
+       |g AS (SELECT doc_id, source, UNNEST(list_distinct(
+       |   [$terms for i in generate_series(1, greatest(len(t)-12, 0))])) AS g
+       |  FROM tok),
+       |bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0')
+       |SELECT doc_id, COUNT(*) AS n_contam_ngrams
+       |FROM g JOIN bench USING (g) WHERE source <> 'src0'
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "p7_decontam_ngram" -> p7_decontam_ngram,
     "p6_dedup_apply" -> p6_dedup_apply,
     "p1_sequence_pack" -> p1_sequence_pack,
     "p2_curation_pipeline" -> p2_curation_pipeline,
@@ -220,6 +264,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "p7_decontam_ngram" -> p7_sql,
     "p6_dedup_apply" -> p6_sql,
     "p1_sequence_pack" -> p1_sql,
     "p2_curation_pipeline" -> p2_sql,

@@ -343,8 +343,50 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** s6: k-NN SELF-join — approximate top-5 cosine neighbors for EVERY
+    * corpus vector (not a bounded query set). This is the corpus-scale
+    * primitive behind SemDeDup-style embedding dedup, corpus clustering
+    * and diversity sampling: the output is n×k edges over the whole
+    * table.
+    *
+    * Shape: both sides of the candidate join are the full corpus, so
+    * nothing broadcasts — vectors are IVF-assigned (same trained coarse
+    * quantizer as s3/s5) with data-side m=3 spill and query-side
+    * nprobe=4 probes, and the join is equi on cell: shuffle keys are
+    * cells, candidate volume ~n·m·nprobe/k per vector. Each vector's
+    * top-k is a [[graft.functions.TopKAgg]] partial heap (map-side cut,
+    * exchange carries n×k rows, duplicates from overlapping probes
+    * rejected inside the heap — no dropDuplicates pass). k cells must
+    * grow ~√n at corpus scale (config spark.graft.ann.k) so per-cell
+    * tiles stay bounded. Rows-only driver check; recall@5 vs exact
+    * brute force asserted in SimilaritySpec. */
+  val s6_knn_join: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val k = s.conf.getOption("spark.graft.ann.k").map(_.toInt).getOrElse(16)
+    val m = 3; val nprobe = 4; val topk = 5
+    val e = embeddings(s, dir).withColumn("nrm", norm($"emb"))
+    val cents = coarseCentroids(s, dir, k)
+    val data = e
+      .withColumn("cell", explode(graft.functions.Quantizer.topCells($"emb", cents, m)))
+      .select($"vec_id".as("neighbor_id"), $"emb".as("n_emb"), $"nrm".as("n_nrm"), $"cell")
+    val probes = e
+      .withColumn("cell", explode(graft.functions.Quantizer.topCells($"emb", cents, nprobe)))
+      .select($"vec_id", $"emb", $"nrm", $"cell")
+    val cos = dot($"emb", $"n_emb") / ($"nrm" * $"n_nrm")
+    probes.join(data, Seq("cell"))
+      .filter($"neighbor_id" =!= $"vec_id")
+      .select($"vec_id", $"neighbor_id", cos.as("cosine"))
+      .groupBy($"vec_id")
+      .agg(graft.functions.TopKAgg.topk($"neighbor_id", $"cosine", topk).as("top"))
+      .select($"vec_id", posexplode($"top"))
+      .select($"vec_id", $"col.neighbor_id".as("neighbor_id"),
+        round($"col.cosine", 4).as("cosine"), ($"pos" + 1).cast("int").as("rank"))
+      .orderBy($"vec_id", $"rank")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "s5_ann_ivfpq" -> s5_ann_ivfpq,
+    "s6_knn_join" -> s6_knn_join,
     "d5_embed_neardup" -> d5_embed_neardup,
     "s1_ann_brute" -> s1_ann_brute,
     "s2_ann_lsh" -> s2_ann_lsh,

@@ -67,6 +67,35 @@ class TextDedupSpec extends AnyFunSuite {
     info(s"s2 returned ${lsh.length} neighbors over ${bruteTop.size} queries")
   }
 
+  test("ann: knn self-join reaches recall@5 >= 0.8 vs exact brute force") {
+    import spark.implicits._
+    val got = SparkEntry.queries("s6_knn_join")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // exact reference computed driver-side (sf0.001 corpus is bounded)
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as emb")
+      .as[(Long, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val exact = vecs.flatMap { case (id, v) =>
+      vecs.iterator.filter(_._1 != id)
+        .map { case (nid, nv) => (nid, cos(v, nv)) }.toSeq
+        .sortBy { case (nid, c) => (-c, nid) }.take(5)
+        .map { case (nid, _) => (id, nid) }
+    }.toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(f"s6 knn-join recall@5 = $recall%.2f (k=16 cells, m=3, nprobe=4)")
+    assert(recall >= 0.8, s"knn join recall below bar: $recall")
+    // overlapping probes re-score the same pair — the heap must reject
+    // the duplicate, so (vec, neighbor) pairs are unique
+    val all = SparkEntry.queries("s6_knn_join")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")))
+    assert(all.length == all.distinct.length, "duplicate neighbor pairs in s6")
+  }
+
   test("ann: per-shard hnsw reaches recall@3 >= 0.9") {
     val exact = SparkEntry.queries("s1_ann_brute")(spark, sf).collect()
       .filter(_.getAs[Int]("rank") <= 3)
