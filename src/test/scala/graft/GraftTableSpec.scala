@@ -61,6 +61,21 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.read().count() == 2)
   }
 
+  test("g8: incremental change read between versions (CDF analog)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1, "a"), (2, "b")).toDF("id", "v"))       // v0
+    t.append(Seq((3, "c")).toDF("id", "v"))           // v1
+    t.delete(col("id") === 1)                         // v2 (copy-on-write)
+    def changes(a: Int, b: Int): Set[(Int, String, String)] =
+      t.readChangesBetween(a, b).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getAs[String]("_change_type"))).toSet
+    assert(changes(0, 1) == Set((3, "c", "insert")))
+    assert(changes(1, 2) == Set((1, "a", "delete")))
+    assert(changes(0, 2) == Set((3, "c", "insert"), (1, "a", "delete")))
+    assert(changes(2, 2).isEmpty)
+  }
+
   test("g4: schema-merge append reads old rows with nulls in new column") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), Seq((1, "a")).toDF("id", "v"))

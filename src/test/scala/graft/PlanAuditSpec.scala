@@ -98,6 +98,47 @@ class PlanAuditSpec extends AnyFunSuite {
       s"t7 hot-token branch must be a broadcast join:\n$plan")
   }
 
+  test("bucketed tables co-locate their join: no shuffle exchange") {
+    // the 100 TB fact-fact join strategy: both sides written bucketed on
+    // the join key land pre-partitioned, so the sort-merge join needs no
+    // Exchange on either side — shuffle cost is paid once at write time
+    // and amortized over every subsequent join
+    import org.apache.spark.sql.functions.col
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity")
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse directories persist — clear both layers
+    for (t <- Seq("bkt_orders", "bkt_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("bkt_orders")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("bkt_lineitem")
+    // merge hint: at test SF the planner would broadcast the tiny side,
+    // which hides the property under test — at fact-fact scale sort-merge
+    // is what the planner picks on its own
+    val joined = spark.table("bkt_orders").hint("merge")
+      .join(spark.table("bkt_lineitem"), col("o_orderkey") === col("l_orderkey"))
+    val agg = joined.groupBy(col("o_custkey")).count()
+    assert(joined.count() == lineitem.count())
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    // the downstream aggregation on a NON-bucket key is the only exchange
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(aggPlan).size == 1,
+      s"expected exactly the aggregation exchange:\n$aggPlan")
+  }
+
   test("whole-stage codegen covers the q1 aggregation pipeline") {
     // codegen'd operators carry the *(n) stage marker in toString
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
