@@ -87,12 +87,60 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m3: frame sampling from a "video" payload — the temporal-sampling
+    * plumbing of a video pipeline (decode stays stubbed; the chunking,
+    * stride selection, and per-frame extraction are the real Spark-side
+    * work and are byte-exact, so this one IS oracle-checkable). The
+    * payload splits into fixed 256-byte "frames"; at most 8 frames are
+    * sampled uniformly (stride = ⌈n/8⌉ — the standard uniform temporal
+    * sampling a video feature extractor applies before decoding). Pure
+    * scan-side projection + explode: no shuffle except the presentation
+    * sort; a real decoder slots in per sampled frame, paying decode
+    * cost on 8 frames instead of the full stream. */
+  val m3_frame_sample: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val fs = 256; val maxF = 8
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .filter(octet_length($"payload") > 0)
+      .withColumn("n_frames",
+        expr(s"CAST((octet_length(payload) + ${fs - 1}) DIV $fs AS INT)"))
+      .withColumn("stride",
+        greatest(lit(1), expr(s"CAST((n_frames + ${maxF - 1}) DIV $maxF AS INT)")))
+      .withColumn("frame_idx", explode(sequence(lit(0), $"n_frames" - 1, $"stride")))
+      .select($"doc_id", $"frame_idx",
+        octet_length(expr(s"substring(payload, frame_idx * $fs + 1, $fs)"))
+          .as("frame_bytes"),
+        hex(expr(s"substring(substring(payload, frame_idx * $fs + 1, $fs), 1, 4)"))
+          .as("frame_header"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  // DuckDB has no substring over BLOB, so the oracle slices the VARCHAR
+  // — byte-exact because the corpus is ASCII (octet_length == length,
+  // the same equivalence m1's header check already relies on), and
+  // hex(VARCHAR) hex-encodes the string's bytes like Spark's
+  // hex(BINARY).
+  val m3_sql: String =
+    """WITH f AS (SELECT doc_id, text AS payload,
+      |        CAST((octet_length(encode(text)) + 255) // 256 AS INT) AS n_frames
+      |      FROM documents WHERE octet_length(encode(text)) > 0),
+      |sampled AS (SELECT doc_id, payload, UNNEST(generate_series(0,
+      |        n_frames - 1, greatest(1, (n_frames + 7) // 8))) AS frame_idx
+      |      FROM f)
+      |SELECT doc_id, frame_idx,
+      |  octet_length(encode(substring(payload, frame_idx * 256 + 1, 256))) AS frame_bytes,
+      |  hex(substring(substring(payload, frame_idx * 256 + 1, 256), 1, 4)) AS frame_header
+      |FROM sampled ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
     "m1_binary_meta" -> m1_binary_meta,
     "m2_feature_batch" -> m2_query,
+    "m3_frame_sample" -> m3_frame_sample,
   )
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" -> m1_sql,
+    "m3_frame_sample" -> m3_sql,
   )
 }
