@@ -211,6 +211,35 @@ object Aggregations {
       .orderBy($"l_returnflag")
   }
 
+  /** a3: count-min-sketch heavy hitters — the mergeable frequency
+    * sketch for 100 TB token accounting: one CMS aggregate (eps=0.001,
+    * δ=0.01 → a few hundred KB regardless of corpus size) replaces the
+    * vocabulary-sized exact groupBy when only heavy hitters matter.
+    * Here the exact top-20 tokens (candidate set; at corpus scale the
+    * candidates come from per-partition heavy-hitter lists, not an
+    * exact pass) are probed against the sketch so the CMS guarantee is
+    * visible in the output: cms_n ≥ exact_n always, overshoot ≤ ε·N
+    * w.h.p. Sketch bytes and the top-20 list are bounded driver
+    * collects (metadata-sized, documented contract). Engine-specific
+    * sketch ⇒ rows-only driver check; AggregationsSpec asserts the
+    * sandwich bound. */
+  val a3_cms_heavy_hitters: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("token"))
+      .filter(length($"token") > 0)
+    val sketchBytes = tok
+      .agg(count_min_sketch($"token", lit(0.001d), lit(0.99d), lit(42)).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    val top = tok.groupBy($"token").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"token").limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+    top.toSeq.toDF("token", "exact_n", "cms_n")
+      .orderBy($"exact_n".desc, $"token")
+  }
+
   /** q23: CUBE — all grouping-set combinations of (status, priority). */
   val q23_cube: Relational.Q = (s, dir) => {
     import s.implicits._
@@ -326,6 +355,7 @@ object Aggregations {
     "q22_collect" -> q22_collect,
     "a1_approx_distinct" -> a1_approx_distinct,
     "a2_approx_quantiles" -> a2_approx_quantiles,
+    "a3_cms_heavy_hitters" -> a3_cms_heavy_hitters,
     "q9_rollup" -> q9_rollup,
     "q10_distinct_agg" -> q10_distinct_agg,
     "q11_pivot" -> q11_pivot,

@@ -139,6 +139,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected exactly the aggregation exchange:\n$aggPlan")
   }
 
+  test("AQE splits skewed join partitions at runtime (the production skew path)") {
+    // sk1 is the manual salting escape hatch; on a real cluster AQE's
+    // runtime skew split is the first line of defense — assert it
+    // actually engages on a skewed join under this build of Spark
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession() // isolated conf, shared context
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    // 90% of left rows share key 0 — one reducer would eat them all
+    val left = s2.range(0, 200000)
+      .select(when($"id" < 180000, 0L).otherwise($"id").as("k"), $"id".as("v"))
+    val right = s2.range(0, 2000).select($"id".as("k"), ($"id" * 2).as("w"))
+    val j = left.join(right, "k")
+    // drive THIS QueryExecution (count() would plan a separate one and
+    // leave j's adaptive plan unfinalized)
+    j.queryExecution.toRdd.count(): Unit
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"), s"AQE did not split the skewed join:\n$plan")
+  }
+
   test("whole-stage codegen covers the q1 aggregation pipeline") {
     // codegen'd operators carry the *(n) stage marker in toString
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)

@@ -46,6 +46,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast join for dims")
   }
 
+  test("a3: count-min sketch sandwiches exact counts (never under, bounded over)") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("a3_cms_heavy_hitters")(spark, sf).collect()
+    assert(rows.length == 20)
+    val total = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n"); val est = r.getAs[Long]("cms_n")
+      assert(est >= exact, s"CMS underestimated ${r.getString(0)}: $est < $exact")
+      assert(est <= exact + (0.001 * total).toLong + 1,
+        s"CMS overshoot beyond eps*N for ${r.getString(0)}: $est vs $exact")
+    }
+  }
+
   test("a1: approximate distinct is within HLL error of exact") {
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("a1_approx_distinct")(spark, sf).collect()
