@@ -87,4 +87,35 @@ class PropertySpec extends AnyFunSuite {
     val trueJ = 80.0 / 120.0
     assert(math.abs(est - trueJ) < 0.15, s"estimate $est vs true $trueJ")
   }
+
+  test("topk aggregate equals sort-take-k under any partitioning and merge order") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val gen = for {
+      n <- Gen.chooseNum(0, 120)
+      k <- Gen.chooseNum(1, 10)
+      rows <- Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0, 20).map(_ / 20.0)))
+      nParts <- Gen.chooseNum(1, 5)
+    } yield (k, rows, nParts)
+    samples(gen, 150).foreach { case (k, rows, nParts) =>
+      val agg = graft.functions.TopKAgg(
+        BoundReference(0, LongType, nullable = false),
+        BoundReference(1, DoubleType, nullable = false), k)
+      val parts = rows.zipWithIndex.groupBy(_._2 % nParts)
+        .values.map(_.map(_._1)).toSeq
+      val partials = parts.map { p =>
+        var b = agg.createAggregationBuffer()
+        p.foreach { case (id, sc) => b = agg.update(b, InternalRow(id, sc)) }
+        agg.deserialize(agg.serialize(b)) // exercise the shuffle roundtrip
+      }
+      var merged = agg.createAggregationBuffer()
+      partials.foreach(p => merged = agg.merge(merged, p))
+      // reference: global sort (score desc, id asc) over DISTINCT pairs
+      // (the heap rejects exact duplicates by contract), take k
+      val want = rows.distinct.sortBy { case (id, sc) => (-sc, id) }.take(k)
+      assert(merged.toList == want, s"k=$k nParts=$nParts rows=$rows")
+    }
+  }
 }
