@@ -328,8 +328,26 @@ object Dedup {
   val d7_dedup_clusters: Relational.Q = (s, dir) => {
     import s.implicits._
     val pairs = d3_minhash_lsh(s, dir).select($"doc_a", $"doc_b")
-    val edges = pairs
-      .union(pairs.select($"doc_b", $"doc_a"))
+    val comp = connectedComponents(s, pairs)
+      .select(col("v").as("doc_id"), col("label").as("cluster_rep"))
+    val sizes = comp.groupBy($"cluster_rep").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "cluster_rep")
+      .select($"doc_id", $"cluster_rep", $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  /** Connected components over an undirected pair list (columns: two
+    * vertex ids) via hash-min label propagation — shared by d7 (Jaccard
+    * pair graph) and d8_semdedup (embedding near-dup graph). Returns
+    * (v, label) for every vertex that appears in a pair; label is the
+    * component's minimum vertex id. See d7's scaladoc for the
+    * convergence/scale argument. */
+  private[operators] def connectedComponents(
+      s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val ab = pairs.toDF("pa", "pb")
+    val edges = ab
+      .union(ab.select($"pb", $"pa"))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Iteration shuffles sized by the EDGE list (duplicate pairs are a
@@ -372,13 +390,8 @@ object Dedup {
       prevSum = nextSum
     }
     edgesByDst.unpersist()
-    val comp = labels.select($"v".as("doc_id"), $"label".as("cluster_rep"))
-    val sizes = comp.groupBy($"cluster_rep").agg(count(lit(1)).as("cluster_size"))
-    val out = comp.join(sizes, "cluster_rep")
-      .select($"doc_id", $"cluster_rep", $"cluster_size")
-      .orderBy($"doc_id")
     edges.unpersist()
-    out
+    labels
   }
 
   val d7_sql: String =

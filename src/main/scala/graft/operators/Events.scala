@@ -247,7 +247,47 @@ object Events {
       |      FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** e9: cohort retention — users are cohorted by the week of their
+    * first event (integer weeks since the corpus epoch, engine-
+    * independent day arithmetic — no locale-sensitive week truncation),
+    * then each (cohort, week-offset) cell counts how many of that
+    * cohort's users were active that week. The standard product-
+    * analytics retention matrix.
+    *
+    * Scale shape: first-touch is a min-aggregate on user_id (uniform
+    * key, map-side combined); activity is a distinct (user, week)
+    * projection; the cohort join is keyed on user_id — both sides
+    * shuffle once on the same key and the matrix itself is
+    * weeks² ≈ tiny. */
+  val e9_cohort_retention: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val epoch = to_date(lit("2024-01-01"))
+    val wk = (datediff(to_date($"ts"), epoch) / 7).cast("long")
+    val e = events(s, dir).select($"user_id", wk.as("week"))
+    val cohorts = e.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    val active = e.distinct()
+    active.join(cohorts, "user_id")
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val e9_sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id,
+       |    CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+       |      CAST(date_trunc('second', ts) AS DATE)) / 7) AS BIGINT) AS week
+       |  FROM events),
+       |cohorts AS (SELECT user_id, MIN(week) AS cohort_week
+       |            FROM e GROUP BY user_id),
+       |active AS (SELECT DISTINCT user_id, week FROM e)
+       |SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+       | COUNT(DISTINCT a.user_id) AS n_active
+       |FROM active a JOIN cohorts c USING (user_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "e9_cohort_retention" -> e9_cohort_retention,
     "e8_json_props" -> e8_json_props,
     "e1_tumbling_window" -> e1_tumbling_window,
     "e2_sessionize" -> e2_sessionize,
@@ -259,6 +299,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "e9_cohort_retention" -> e9_sql,
     "e8_json_props" -> e8_sql,
     "e6_asof_custom" -> e3_sql,
     "e7_range_join" -> e7_sql,

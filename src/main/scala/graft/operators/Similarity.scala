@@ -384,7 +384,48 @@ object Similarity {
       .orderBy($"vec_id", $"rank")
   }
 
+  /** d8: SemDeDup (Abbas et al. 2023) — semantic dedup over the
+    * embedding space: connected components of the cosine ≥ 0.45
+    * near-dup graph (the corpus-specific "semantic duplicate" band for
+    * this synthetic set), keep one representative (minimum vec_id) per
+    * component. Composes d5's exact IVF-tiled pair generation with the
+    * same hash-min component pass d7 uses — pair graph edges are a
+    * sliver of the corpus, the corpus side streams through one
+    * broadcast left join. Output: every vector with its cluster rep
+    * (itself when unclustered) and the keep decision. */
+  val d8_semdedup: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val pairs = d5_embed_neardup(s, dir)
+      .filter($"cosine" >= 0.45)
+      .select($"vec_a", $"vec_b")
+    val comp = Dedup.connectedComponents(s, pairs)
+      .select(col("v").as("vec_id"), col("label").as("rep"))
+    embeddings(s, dir).select($"vec_id")
+      .join(broadcast(comp), Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"rep", $"vec_id").as("cluster_rep"),
+        (coalesce($"rep", $"vec_id") === $"vec_id").as("kept"))
+      .orderBy($"vec_id")
+  }
+
+  val d8_sql: String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT vec_a, vec_b FROM (${d5_sql.replace("ORDER BY vec_a, vec_b", "")}) dp
+       |      WHERE cosine >= 0.45),
+       |edges AS (SELECT vec_a AS a, vec_b AS b FROM p
+       |          UNION SELECT vec_b, vec_a FROM p),
+       |reach(v, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT reach.v, e.b FROM reach JOIN edges e ON e.a = reach.r),
+       |comp AS (SELECT v AS vec_id, MIN(r) AS rep FROM reach GROUP BY v)
+       |SELECT e.vec_id AS vec_id, COALESCE(c.rep, e.vec_id) AS cluster_rep,
+       | COALESCE(c.rep, e.vec_id) = e.vec_id AS kept
+       |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "d8_semdedup" -> d8_semdedup,
     "s5_ann_ivfpq" -> s5_ann_ivfpq,
     "s6_knn_join" -> s6_knn_join,
     "d5_embed_neardup" -> d5_embed_neardup,
@@ -395,6 +436,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "d8_semdedup" -> d8_sql,
     "d5_embed_neardup" -> d5_sql,
     "s1_ann_brute" -> s1_sql,
   )

@@ -224,7 +224,76 @@ object TextAnalysis {
       |FROM tok JOIN freq USING (token)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The t8 keyword query and BM25 constants (Robertson/Spärck Jones;
+    * the Lucene-style idf = ln(1 + (N − df + ½)/(df + ½)) form, which
+    * is always positive). */
+  private val Bm25Terms = Seq("spark", "vector", "customer")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** t8: BM25 keyword search — top-20 documents for a fixed query term
+    * set. The retrieval primitive behind corpus exploration and
+    * quality-targeted sampling.
+    *
+    * Scale shape: term frequencies are SCAN-SIDE projections (query
+    * terms are plan literals — no exploded token join, no inverted
+    * index build for ad-hoc queries); corpus statistics (N, Σdl, per-
+    * term df) reduce to ONE row that re-attaches by broadcast; the
+    * final top-k is Spark's TakeOrderedAndProject — per-partition
+    * heaps, merge of k-sized results, never a global sort. Per-term
+    * scores are summed in fixed expression order (not a groupBy over
+    * term rows), so the double arithmetic is reproducible across
+    * engines. */
+  val t8_bm25_search: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select(($"doc_id" +: size($"toks").cast("long").as("dl") +:
+        Bm25Terms.map(t =>
+          size(filter($"toks", x => x === t)).cast("long").as(s"tf_$t"))): _*)
+    val statCols = count(lit(1)).as("n_docs") +: sum($"dl").as("sum_dl") +:
+      Bm25Terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = tf.agg(statCols.head, statCols.tail: _*)
+    val avgdl = $"sum_dl".cast("double") / $"n_docs"
+    def idf(t: String) = log(lit(1.0) +
+      ($"n_docs" - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+    def termScore(t: String) = {
+      val f = col(s"tf_$t").cast("double")
+      idf(t) * (f * (Bm25K1 + 1.0)) /
+        (f + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * ($"dl" / avgdl)))
+    }
+    val score = Bm25Terms.map(termScore).reduce(_ + _)
+    tf.join(broadcast(stats))
+      .filter(Bm25Terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+      .select(($"doc_id" +: Bm25Terms.map(t => col(s"tf_$t"))) :+
+        round(score, 4).as("score"): _*)
+      .orderBy($"score".desc, $"doc_id")
+      .limit(20)
+  }
+
+  val t8_sql: String = {
+    def tf(t: String) = s"CAST(len(list_filter($T, x -> x = '$t')) AS BIGINT)"
+    val stats = s"""(SELECT COUNT(*) AS n_docs, SUM(len($T)) AS sum_dl,
+       ${Bm25Terms.map(t => s"SUM(CASE WHEN ${tf(t)} > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")}
+       FROM documents)"""
+    val avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+    def idf(t: String) = s"ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5))"
+    def termScore(t: String) =
+      s"${idf(t)} * (CAST(tf_$t AS DOUBLE) * ${Bm25K1 + 1.0}) / (CAST(tf_$t AS DOUBLE) + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * (dl / $avgdl)))"
+    val score = Bm25Terms.map(termScore).mkString(" + ")
+    s"""SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+       | ROUND($score, 4) AS score
+       |FROM (SELECT doc_id, CAST(len($T) AS BIGINT) AS dl,
+       |        ${Bm25Terms.map(t => s"${tf(t)} AS tf_$t").mkString(", ")}
+       |      FROM documents) d
+       |CROSS JOIN $stats st
+       |WHERE ${Bm25Terms.map(t => s"tf_$t").mkString(" + ")} > 0
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "t8_bm25_search" -> t8_bm25_search,
     "t7_unigram_rarity" -> t7_unigram_rarity,
     "t1_token_count" -> t1_token_count,
     "t2_quality_score" -> t2_quality_score,

@@ -92,6 +92,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"s1 top-k must partially aggregate map-side:\n$plan")
   }
 
+  test("t8: BM25 top-k is TakeOrdered (per-partition heaps), stats broadcast") {
+    // the global top-20 must never be a full sort: TakeOrderedAndProject
+    // keeps a k-heap per partition and merges k-sized results; the 1-row
+    // corpus-stats relation must re-attach by broadcast, not shuffle
+    val plan = executedPlan("t8_bm25_search")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"t8 top-k regressed to a global sort:\n$plan")
+    assert(!plan.contains("SortExec"), s"t8 must not globally sort:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"t8 stats row must broadcast:\n$plan")
+  }
+
   test("t7: hot tokens ride a broadcast join; only the tail shuffles") {
     val plan = executedPlan("t7_unigram_rarity")
     assert(plan.contains("BroadcastHashJoin"),
