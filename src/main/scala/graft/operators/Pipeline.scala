@@ -253,7 +253,43 @@ object Pipeline {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** p8: Bloom-filter decontamination — p7's membership test with the
+    * benchmark side reduced to a FIXED-size bitset instead of a hash
+    * set that grows 8 bytes per distinct gram: one mergeable
+    * [[graft.functions.BloomAgg]] (map-side OR-combined; the shuffle
+    * carries one m-bit buffer per task, never the gram stream), probed
+    * scan-side by a codegen'd expression after a 1-row broadcast. At a
+    * real benchmark-suite scale (hundreds of millions of grams) the
+    * exact set is GBs; the Bloom stays at its configured bits
+    * (default 2²⁰ ≈ 128 KB) and admits false positives at the classic
+    * (1 − e^(−kn/m))^k rate — flagged-gram counts are an UPPER bound,
+    * never an undercount (no false negatives by construction; asserted
+    * against exact p7 in TextDedupSpec). Rows-only driver check
+    * (engine-specific hashing). */
+  val p8_bloom_decontam: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val n = s.conf.getOption("spark.graft.text.contamNgram")
+      .map(_.toInt).getOrElse(13)
+    val mBits = s.conf.getOption("spark.graft.text.bloomBits")
+      .map(_.toInt).getOrElse(1 << 20)
+    val kHashes = 5
+    val g = Tables.documents(s, dir)
+      .select($"doc_id", $"source", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", $"source",
+        explode(TextFunctions.shinglesOfTokens($"toks", n)).as("g"))
+      .select($"doc_id", $"source", xxhash64($"g").as("h"))
+    val bloomRow = g.filter($"source" === "src0")
+      .agg(graft.functions.Bloom.bloom($"h", mBits, kHashes).as("bloom"))
+    g.filter($"source" =!= "src0")
+      .crossJoin(broadcast(bloomRow))
+      .filter(graft.functions.Bloom.might_contain($"bloom", $"h", kHashes))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_flagged_ngrams"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "p8_bloom_decontam" -> p8_bloom_decontam,
     "p7_decontam_ngram" -> p7_decontam_ngram,
     "p6_dedup_apply" -> p6_dedup_apply,
     "p1_sequence_pack" -> p1_sequence_pack,

@@ -197,4 +197,39 @@ class TextDedupSpec extends AnyFunSuite {
     val c = df.select(Similarity.cosine(col("emb"), col("emb"))).as[Double].collect()
     c.foreach(v => assert(math.abs(v - 1.0) < 1e-12))
   }
+
+  test("bloom set/probe round trip: no false negatives, bounded false positives") {
+    val bits = new Array[Long](1 << 14) // 2^20 bits
+    val rnd = new scala.util.Random(3)
+    val inserted = Array.fill(10000)(rnd.nextLong())
+    inserted.foreach(h => graft.functions.Bloom.set(bits, h, 5))
+    val bytes = {
+      val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+      bits.foreach(bb.putLong)
+      bb.array()
+    }
+    // every inserted hash must be found (no false negatives)
+    inserted.foreach(h =>
+      assert(graft.functions.Bloom.mightContain(bytes, h, 5)))
+    // fp rate at n=10k, m=2^20, k=5 is ~1e-6 — 10k fresh probes ≈ 0 hits
+    val fp = Array.fill(10000)(rnd.nextLong())
+      .count(h => graft.functions.Bloom.mightContain(bytes, h, 5))
+    assert(fp <= 5, s"false-positive count $fp out of bound")
+  }
+
+  test("p8 bloom decontamination never undercounts exact p7") {
+    import spark.implicits._
+    val exact = SparkEntry.queries("p7_decontam_ngram")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val bloom = SparkEntry.queries("p8_bloom_decontam")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // no false negatives: every exactly-contaminated doc is flagged, with
+    // at least the exact count
+    exact.foreach { case (doc, n) =>
+      assert(bloom.contains(doc), s"doc $doc missed by bloom")
+      assert(bloom(doc) >= n, s"doc $doc undercounted: ${bloom(doc)} < $n")
+    }
+    // and at this scale (tiny gram set vs 2^20 bits) no false positives
+    assert(bloom == exact)
+  }
 }
