@@ -286,7 +286,35 @@ object Events {
        |FROM active a JOIN cohorts c USING (user_id)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** e10: sliding (hopping) window — 1-hour windows advancing every
+    * 15 minutes, so each event contributes to exactly 4 overlapping
+    * windows. Spark's native `window(ts, len, slide)` expands the
+    * assignment scan-side (a 4-row generate, epoch-aligned starts);
+    * the aggregation shuffles once on the window key like any tumbling
+    * agg — the overlap factor multiplies map-side rows, never
+    * reducer count. The oracle reproduces the epoch-aligned window
+    * arithmetic with integer second math. */
+  val e10_sliding_window: Relational.Q = (s, dir) => {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct($"user_id").as("n_users"))
+      .select($"window.start".as("window_start"), $"n_events", $"n_users")
+      .orderBy($"window_start")
+  }
+
+  val e10_sql: String =
+    """WITH w AS (
+      |  SELECT make_timestamp(CAST((floor(epoch(date_trunc('second', ts))/900)*900
+      |           - k*900)*1000000 AS BIGINT)) AS window_start, user_id
+      |  FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) ks)
+      |SELECT window_start, COUNT(*) AS n_events,
+      | COUNT(DISTINCT user_id) AS n_users
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "e10_sliding_window" -> e10_sliding_window,
     "e9_cohort_retention" -> e9_cohort_retention,
     "e8_json_props" -> e8_json_props,
     "e1_tumbling_window" -> e1_tumbling_window,
@@ -299,6 +327,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "e10_sliding_window" -> e10_sql,
     "e9_cohort_retention" -> e9_sql,
     "e8_json_props" -> e8_sql,
     "e6_asof_custom" -> e3_sql,

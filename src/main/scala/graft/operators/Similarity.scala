@@ -97,7 +97,13 @@ object Similarity {
     * set) it degrades to all tiles — the same work as the exact answer
     * requires. k is a config (spark.graft.ann.k) and should grow ~√n at
     * corpus scale so tiles stay bounded. */
-  val d5_embed_neardup: Relational.Q = (s, dir) => {
+  val d5_embed_neardup: Relational.Q = (s, dir) =>
+    // session-cached: d8_semdedup consumes these pairs as its edge list,
+    // and the pair relation is tiny relative to the corpus (same reuse
+    // contract as d3's pairs08 → d7/p2/p6)
+    Dedup.cachedRel(s, dir, "embPairs04") { d5Compute(s, dir) }
+
+  private def d5Compute(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val threshold = 0.4
     val k = s.conf.getOption("spark.graft.ann.k").map(_.toInt).getOrElse(16)

@@ -603,6 +603,39 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     * table state must survive any retention window). Age is judged on
     * the commit timestamps already recorded in the log, so the cut is
     * deterministic and engine-independent. */
+  /** Delta `RESTORE TABLE … TO VERSION AS OF` analog: commits a NEW
+    * version whose live set, schema and partitioning are exactly the
+    * target snapshot's. Data directories are immutable and shared
+    * across commits, so restore is a metadata-only commit — no data
+    * moves, and history is preserved (restore adds to it, never
+    * rewrites it). Column renames committed after the target are
+    * reversed inside the restore commit (appended to each older dir's
+    * rename chain), so pre-existing directories read under the restored
+    * names again. Fails if the target snapshot was vacuumed. */
+  def restore(toVersion: Int): Int = {
+    val latest = latestVersion()
+    require(toVersion >= 0 && toVersion <= latest,
+      s"no version $toVersion to restore (latest $latest)")
+    val target = readCommit(toVersion)
+    target.liveDirs.foreach(d =>
+      require(Files.exists(Paths.get(root, d)),
+        s"cannot restore to vacuumed version $toVersion (missing $d)"))
+    val undo = ((toVersion + 1) to latest)
+      .flatMap(v => readCommit(v).renames)
+      .reverse.map { case (o, n) => (n, o) }
+    val v = latest + 1
+    try {
+      writeCommit(Commit(v, s"restore#$toVersion", target.schemaJson,
+        target.liveDirs, target.partitionBy,
+        timestampMs = nextTimestamp(v), renames = undo))
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit beat restore at version $v")
+    }
+    v
+  }
+
   def vacuumOlderThan(olderThanMillis: Long): Seq[String] = {
     val latest = latestVersion()
     val retainFrom = (0 to latest)

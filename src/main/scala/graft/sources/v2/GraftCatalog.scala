@@ -490,7 +490,8 @@ private[v2] object GraftProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val Names: Seq[String] =
-    Seq("vacuum", "vacuum_older_than", "compact", "cluster", "zorder")
+    Seq("vacuum", "vacuum_older_than", "compact", "cluster", "zorder",
+      "restore")
 
   private def in(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -512,6 +513,8 @@ private[v2] object GraftProcedures {
             Array(in("table", StringType), in("older_than_millis", LongType))
           case "compact" =>
             Array(in("table", StringType), in("target_partitions", IntegerType))
+          case "restore" =>
+            Array(in("table", StringType), in("to_version", IntegerType))
           case _ => // cluster / zorder
             Array(in("table", StringType), in("cols", StringType),
               in("num_dirs", IntegerType))
@@ -531,6 +534,8 @@ private[v2] object GraftProcedures {
                 removed.map(d => InternalRow(UTF8String.fromString(d))))
             case "compact" =>
               (versionSchema, Seq(InternalRow(t.compact(input.getInt(1)))))
+            case "restore" =>
+              (versionSchema, Seq(InternalRow(t.restore(input.getInt(1)))))
             case "cluster" =>
               (versionSchema, Seq(InternalRow(
                 t.cluster(splitCols(input), input.getInt(2)))))

@@ -282,7 +282,35 @@ object Streams {
       |          event_type, value FROM events) e) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** h7: watermarked SLIDING-window aggregation (1 h windows every
+    * 15 min — each event feeds 4 overlapping window states). The
+    * sliding assignment is the same scan-side expand as batch e10;
+    * state size is windows-in-watermark × groups, bounded by the
+    * watermark horizon like any windowed agg. Must equal the batch
+    * sliding-window result. */
+  val h7_stream_sliding: Relational.Q = (s, dir) => {
+    import s.implicits._
+    drain(s, OutputMode.Complete()) { s2 =>
+      eventStream(s2, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+             Exact.moneySum($"value").as("total_value"))
+        .select($"window.start".as("window_start"), $"n_events", $"total_value")
+    }.orderBy($"window_start")
+  }
+
+  val h7_sql: String =
+    """WITH w AS (
+      |  SELECT make_timestamp(CAST((floor(epoch(date_trunc('second', ts))/900)*900
+      |           - k*900)*1000000 AS BIGINT)) AS window_start, value
+      |  FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) ks)
+      |SELECT window_start, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "h7_stream_sliding" -> h7_stream_sliding,
     "h1_stream_window" -> h1_stream_window,
     "h2_stream_dedup" -> h2_stream_dedup,
     "h4_stream_ingest" -> h4_stream_ingest,
@@ -291,6 +319,7 @@ object Streams {
   )
 
   val oracles: Map[String, String] = Map(
+    "h7_stream_sliding" -> h7_sql,
     "h1_stream_window" -> h1_sql,
     "h2_stream_dedup" -> h2_sql,
     "h4_stream_ingest" -> h4_sql,

@@ -176,6 +176,21 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.db.pr").count() == 2000)
   }
 
+  test("CALL cat.system.restore rolls back through SQL") {
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.rs (id BIGINT) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.rs VALUES (1), (2)")
+    spark.sql(s"INSERT OVERWRITE $cat.db.rs VALUES (9)")
+    assert(spark.table(s"$cat.db.rs").count() == 1)
+    val v = spark.sql(s"CALL $cat.system.restore('db.rs', 1)").collect()
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val table = graft.sources.GraftTable.load(spark, s"$wh/db/rs")
+    assert(v.head.getInt(0) == table.latestVersion())
+    assert(spark.table(s"$cat.db.rs").count() == 2)
+    // the pre-restore state remains time-travelable through SQL
+    assert(spark.sql(s"SELECT * FROM $cat.db.rs VERSION AS OF 2").count() == 1)
+  }
+
   test("CALL cat.system.vacuum_older_than ages out by commit timestamp") {
     freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.vr (id BIGINT) USING graft")

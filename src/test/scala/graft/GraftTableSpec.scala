@@ -61,6 +61,42 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.read().count() == 2)
   }
 
+  test("g9: restore rolls the table back as a new metadata-only commit") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    t.overwrite(Seq((9, "z")).toDF("id", "v"))
+    val v = t.restore(1)
+    assert(v == 3)
+    // table state is exactly v1 again, but history is append-only
+    assert(t.read().as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+    val h = t.history().orderBy("version").collect()
+    assert(h.map(_.getAs[String]("operation")).toSeq ==
+      Seq("create", "append", "overwrite", "restore#1"))
+    // the overwritten state stays time-travelable (no data rewrites)
+    assert(t.readVersion(2).as[(Int, String)].collect().toSet == Set((9, "z")))
+    // writes continue from the restored state
+    t.append(Seq((4, "d")).toDF("id", "v"))
+    assert(t.read().count() == 4)
+  }
+
+  test("g9b: restore across a rename reverses it; vacuumed targets refuse") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), Seq((1, "a")).toDF("id", "v"))
+    t.renameColumn("v", "label")
+    assert(t.read().columns.toSeq == Seq("id", "label"))
+    t.restore(0)
+    // restored snapshot reads under the ORIGINAL column names
+    assert(t.read().columns.toSeq == Seq("id", "v"))
+    assert(t.read().as[(Int, String)].collect().toSet == Set((1, "a")))
+    // vacuumed target: make v-old dirs unreachable, then refuse restore
+    val t2 = GraftTable.create(spark, tmp(), Seq((1, "a")).toDF("id", "v"))
+    t2.overwrite(Seq((2, "b")).toDF("id", "v"))
+    t2.vacuum(retainFromVersion = 1)
+    intercept[IllegalArgumentException] { t2.restore(0) }
+  }
+
   test("g8: incremental change read between versions (CDF analog)") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(),
