@@ -292,7 +292,69 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** t9: distributed BPE merge training (Sennrich et al. 2016) — learn
+    * the first N byte-pair merges from corpus statistics.
+    *
+    * Scale design: the corpus is touched EXACTLY ONCE (one shuffle for
+    * word frequencies); every merge round then operates on the
+    * persisted vocabulary relation — vocabulary-sized (millions of
+    * rows at 100 TB), not corpus-sized. Each round is: adjacent-pair
+    * counts (map-side-combined aggregate over symbol arrays), an
+    * argmax collect of ONE row (the iteration-control scalar, d7-loop
+    * style), and a scan-side greedy left-to-right fold applying the
+    * merge. Ties break on (count desc, pair) so the learned merge
+    * table is deterministic. Rows-only driver check (iterative — not
+    * SQL-expressible); the merge sequence is asserted against a
+    * reference single-node BPE in TextDedupSpec. */
+  val t9_bpe_train: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val nMerges = s.conf.getOption("spark.graft.text.bpeMerges")
+      .map(_.toInt).getOrElse(10)
+    var vocab = Tables.documents(s, dir)
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      // split into single-char symbols (the zero-width end match leaves a
+      // trailing empty piece under split's limit=-1 — drop empties)
+      .select(filter(split($"w", "(?!^)"), x => x =!= "").as("sym"), $"freq")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= nMerges && !done) {
+      val top = vocab
+        .filter(size($"sym") >= 2)
+        .select($"freq", explode(expr(
+          "transform(sequence(1, size(sym)-1), " +
+            "i -> struct(element_at(sym, i) AS l, element_at(sym, i+1) AS r))")).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"l", $"r")
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, cnt) = (top.head.getAs[String]("l"),
+          top.head.getAs[String]("r"), top.head.getAs[Long]("cnt"))
+        merges += ((round, l, r, cnt))
+        val apply = aggregate($"sym", array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+        val next = vocab.select(apply.as("sym"), $"freq")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+      round += 1
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "pair_freq")
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "t9_bpe_train" -> t9_bpe_train,
     "t8_bm25_search" -> t8_bm25_search,
     "t7_unigram_rarity" -> t7_unigram_rarity,
     "t1_token_count" -> t1_token_count,

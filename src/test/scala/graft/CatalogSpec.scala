@@ -297,6 +297,25 @@ class CatalogSpec extends AnyFunSuite {
     assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
   }
 
+  test("MERGE INTO with NOT MATCHED BY SOURCE (full-sync semantics)") {
+    // the Delta/Iceberg "mirror the source" merge: update matches,
+    // insert new source rows, DELETE target rows the source no longer
+    // has — all through the same group-based row-level rewrite
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.ms (id BIGINT, v STRING) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.ms VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql(
+      s"""MERGE INTO $cat.db.ms t
+         |USING (SELECT * FROM VALUES (2,'B'), (4,'D') AS s(id, v)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = spark.table(s"$cat.db.ms").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "B"), (4L, "D")))
+  }
+
   test("DROP TABLE, SHOW TABLES, namespaces") {
     freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ns1")

@@ -198,6 +198,55 @@ class TextDedupSpec extends AnyFunSuite {
     c.foreach(v => assert(math.abs(v - 1.0) < 1e-12))
   }
 
+  test("t9 distributed bpe merges equal reference single-node bpe") {
+    // reference: the published greedy BPE training loop on the same
+    // word-frequency map, ties broken (count desc, left, right)
+    def refBpe(words: Map[String, Long], n: Int): Seq[(String, String)] = {
+      var vocab = words.toVector.map { case (w, f) =>
+        (w.map(_.toString).toVector, f) }
+      var out = Vector.empty[(String, String)]
+      var rounds = 0
+      while (rounds < n) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (sym, f) =>
+          var i = 0
+          while (i + 1 < sym.length) {
+            val p = (sym(i), sym(i + 1))
+            counts(p) = counts.getOrElse(p, 0L) + f
+            i += 1
+          }
+        }
+        if (counts.isEmpty) rounds = n
+        else {
+          val (l, r) = counts.toSeq
+            .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+          out = out :+ (l, r)
+          vocab = vocab.map { case (sym, f) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < sym.length) {
+              if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += sym(i); i += 1 }
+            }
+            (b.result(), f)
+          }
+        }
+        rounds += 1
+      }
+      out
+    }
+    import spark.implicits._
+    val words = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val expected = refBpe(words, 10)
+    val got = SparkEntry.queries("t9_bpe_train")(spark, sf)
+      .orderBy("rank")
+      .select("left", "right").as[(String, String)].collect().toSeq
+    assert(got == expected, s"merge sequences differ:\n got $got\n exp $expected")
+  }
+
   test("bloom set/probe round trip: no false negatives, bounded false positives") {
     val bits = new Array[Long](1 << 14) // 2^20 bits
     val rnd = new scala.util.Random(3)
