@@ -278,11 +278,19 @@ object Pipeline {
       .select($"doc_id", $"source",
         explode(TextFunctions.shinglesOfTokens($"toks", n)).as("g"))
       .select($"doc_id", $"source", xxhash64($"g").as("h"))
-    val bloomRow = g.filter($"source" === "src0")
+    // The bloom is built DISTRIBUTED (map-side OR-combined partials);
+    // the single m-bit result is collected once (bounded: numBits/8
+    // bytes, the same contract as the trained quantizer models) and
+    // baked into the probe as a plan literal. A literal binary is
+    // referenced ONCE by the generated code, where a broadcast-joined
+    // bloom column is re-copied out of the unsafe row for every probed
+    // gram (a 128 KB memcpy per row); the literal probe also needs no
+    // join at all, so the filter stays inside the scan's codegen stage.
+    val bloomBytes = g.filter($"source" === "src0")
       .agg(graft.functions.Bloom.bloom($"h", mBits, kHashes).as("bloom"))
+      .first().getAs[Array[Byte]]("bloom")
     g.filter($"source" =!= "src0")
-      .crossJoin(broadcast(bloomRow))
-      .filter(graft.functions.Bloom.might_contain($"bloom", $"h", kHashes))
+      .filter(graft.functions.Bloom.might_contain(lit(bloomBytes), $"h", kHashes))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_flagged_ngrams"))
       .orderBy($"doc_id")

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -206,13 +205,14 @@ object Similarity {
     val q = e.filter($"vec_id" < 20)
       .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"bucket")
     val cos = cosine($"q_emb", $"emb")
-    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"neighbor_id")
     broadcast(q).join(e, Seq("bucket"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"), cos.as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"q_id", $"neighbor_id", round($"cosine", 4).as("cosine"), $"rank")
+      .groupBy($"q_id")
+      .agg(graft.functions.TopKAgg.topk($"neighbor_id", $"cosine", 3).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", $"col.neighbor_id".as("neighbor_id"),
+        round($"col.cosine", 4).as("cosine"), ($"pos" + 1).cast("int").as("rank"))
       .orderBy($"q_id", $"rank")
   }
 
@@ -238,14 +238,17 @@ object Similarity {
       .withColumn("cell", explode(graft.functions.Quantizer.topCells($"emb", cents, nprobe)))
       .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"cell")
     val cos = dot($"q_emb", $"emb") / ($"q_nrm" * $"nrm")
-    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"neighbor_id")
+    // the m×nprobe cell overlap re-scores duplicate pairs with the same
+    // deterministic double — TopKAgg rejects them in-heap, so no
+    // distinct() shuffle is needed before the cut
     broadcast(queriesDf).join(assigned, Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"), cos.as("cosine"))
-      .distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"q_id", $"neighbor_id", round($"cosine", 4).as("cosine"), $"rank")
+      .groupBy($"q_id")
+      .agg(graft.functions.TopKAgg.topk($"neighbor_id", $"cosine", 3).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", $"col.neighbor_id".as("neighbor_id"),
+        round($"col.cosine", 4).as("cosine"), ($"pos" + 1).cast("int").as("rank"))
       .orderBy($"q_id", $"rank")
   }
 
@@ -286,11 +289,12 @@ object Similarity {
           }
         }
       }.toDF("q_id", "neighbor_id", "cosine")
-    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"neighbor_id")
     hits
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"q_id", $"neighbor_id", round($"cosine", 4).as("cosine"), $"rank")
+      .groupBy($"q_id")
+      .agg(graft.functions.TopKAgg.topk($"neighbor_id", $"cosine", 3).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", $"col.neighbor_id".as("neighbor_id"),
+        round($"col.cosine", 4).as("cosine"), ($"pos" + 1).cast("int").as("rank"))
       .orderBy($"q_id", $"rank")
   }
 
@@ -320,18 +324,20 @@ object Similarity {
     val queriesDf = e.filter($"vec_id" < 20)
       .withColumn("cell", explode(graft.functions.Quantizer.topCells($"emb", cents, nprobe)))
       .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"cell")
-    val wAdc = Window.partitionBy($"q_id").orderBy($"adc".desc, $"neighbor_id")
-    // The ADC shuffle carries only (q_id, neighbor_id, adc) — the query
-    // vector is re-attached after the R-cut from the 20-row broadcast
-    // side, so no float array rides the candidate exchange.
+    // The ADC cut is a map-side TopKAgg heap (R per query per
+    // partition), so the exchange carries q × partitions × R buffer rows
+    // of (neighbor_id, adc) — the query vector is re-attached after the
+    // cut from the 20-row broadcast side, so no float array rides the
+    // candidate exchange; duplicate pairs from the m×nprobe cell overlap
+    // re-score to the same adc double and are rejected in-heap.
     val shortlist = broadcast(queriesDf).join(assigned, Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
         graft.functions.Pq.adcCosine($"q_emb", $"q_nrm", $"codes", pq).as("adc"))
-      .dropDuplicates("q_id", "neighbor_id")
-      .withColumn("r", row_number().over(wAdc))
-      .filter($"r" <= rerankR)
-      .select($"q_id", $"neighbor_id")
+      .groupBy($"q_id")
+      .agg(graft.functions.TopKAgg.topk($"neighbor_id", $"adc", rerankR).as("top"))
+      .select($"q_id", explode($"top").as("col"))
+      .select($"q_id", $"col.neighbor_id".as("neighbor_id"))
     // Exact re-rank touches only R rows per query.
     val qVecs = e.filter($"vec_id" < 20)
       .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"))
@@ -339,13 +345,14 @@ object Similarity {
       .join(e.select($"vec_id".as("neighbor_id"), $"emb".as("n_emb"), $"nrm".as("n_nrm")),
         Seq("neighbor_id"))
       .join(broadcast(qVecs), Seq("q_id"))
-    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"neighbor_id")
     cand
       .select($"q_id", $"neighbor_id",
         (dot($"q_emb", $"n_emb") / ($"q_nrm" * $"n_nrm")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"q_id", $"neighbor_id", round($"cosine", 4).as("cosine"), $"rank")
+      .groupBy($"q_id")
+      .agg(graft.functions.TopKAgg.topk($"neighbor_id", $"cosine", 3).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", $"col.neighbor_id".as("neighbor_id"),
+        round($"col.cosine", 4).as("cosine"), ($"pos" + 1).cast("int").as("rank"))
       .orderBy($"q_id", $"rank")
   }
 

@@ -92,6 +92,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"s1 top-k must partially aggregate map-side:\n$plan")
   }
 
+  test("ANN tiers: every top-k cut is a heap aggregate, never a window rank") {
+    // s2/s3/s5 candidate sets are pruned, but a window rank still
+    // shuffles every candidate row to its query's reducer; the TopKAgg
+    // shape cuts map-side in all tiers (s1's audit covers the unbounded
+    // case separately)
+    Seq("s2_ann_lsh", "s3_ann_ivf", "s4_ann_hnsw", "s5_ann_ivfpq", "s6_knn_join")
+      .foreach { q =>
+        val plan = executedPlan(q)
+        assert(!plan.contains("Window"), s"$q ranks via a window:\n$plan")
+      }
+  }
+
+  test("p8: bloom probe is a literal filter — no join in the plan") {
+    // the bloom rides the plan as a literal binary (referenced once by
+    // generated code); a broadcast-join formulation re-copies the bitset
+    // out of the unsafe row per probed gram
+    val plan = executedPlan("p8_bloom_decontam")
+    assert(!plan.contains("Join"), s"p8 must not join the bloom:\n$plan")
+    assert(plan.contains("bloommightcontain"), s"probe missing:\n$plan")
+  }
+
   test("t8: BM25 top-k is TakeOrdered (per-partition heaps), stats broadcast") {
     // the global top-20 must never be a full sort: TakeOrderedAndProject
     // keeps a k-heap per partition and merges k-sized results; the 1-row
