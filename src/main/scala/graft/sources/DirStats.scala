@@ -32,8 +32,24 @@ object DirStats {
     * rows satisfies no predicate, so it prunes under any filter. */
   val RowCountKey = "__count"
 
+  /** Key prefix for per-directory Bloom filters (the Delta bloom-filter
+    *-index analog): min/max ranges prune RANGE predicates but are
+    * useless for point lookups on high-cardinality keys spread across
+    * every directory — a per-dir Bloom answers `key = v` with "provably
+    * absent" at a fixed bits budget. Opt-in per table via
+    * `spark.graft.table.bloomCols` (comma-separated columns), sized by
+    * `spark.graft.table.bloomBits` (default 2¹⁷ bits = 16 KB per
+    * column per dir). Values are hashed with xxhash64 (seed 42) on the
+    * write path; the probe hashes the predicate literal identically,
+    * and only when the literal's type equals the column type recorded
+    * with the filter (a cast literal would hash differently — kept
+    * conservative). */
+  val BloomPrefix = "__bloom_"
+  private val BloomHashes = 5
+
   /** kind: "num" (compare as double) | "str" (compare lexicographically —
-    * dates/timestamps are stored as ISO strings, which order correctly). */
+    * dates/timestamps are stored as ISO strings, which order correctly) |
+    * "bloom" (min = base64 bitset, max = the column's catalog type). */
   final case class ColStat(kind: String, min: String, max: String)
 
   /** Compute min/max for every stat-eligible column of the just-written
@@ -60,18 +76,29 @@ object DirStats {
         case _ => None
       }
     }
-    val aggs = count(lit(1)).cast("string").as("__count") +: eligible.flatMap {
+    val bloomCols = spark.conf.getOption("spark.graft.table.bloomCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .filter(c => df.schema.fieldNames.contains(c))
+    val bloomBits = spark.conf.getOption("spark.graft.table.bloomBits")
+      .map(_.toInt).getOrElse(1 << 17)
+    val aggs = (count(lit(1)).cast("string").as("__count") +: eligible.flatMap {
       case (c, _) =>
         Seq(min(col(c)).cast("string").as(s"min_$c"),
             max(col(c)).cast("string").as(s"max_$c"))
-    }
+    }) ++ bloomCols.map(c => graft.functions.Bloom
+      .bloom(xxhash64(col(c)), bloomBits, BloomHashes).as(s"bloom_$c"))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = row.getAs[String]("__count")
-    val stats = (RowCountKey -> ColStat("num", n, n)) +: eligible.flatMap {
+    val stats = ((RowCountKey -> ColStat("num", n, n)) +: eligible.flatMap {
       case (c, kind) =>
         val mn = row.getAs[String](s"min_$c")
         val mx = row.getAs[String](s"max_$c")
         if (mn == null || mx == null) None else Some(c -> ColStat(kind, mn, mx))
+    }) ++ bloomCols.map { c =>
+      (BloomPrefix + c) -> ColStat("bloom",
+        java.util.Base64.getEncoder.encodeToString(
+          row.getAs[Array[Byte]](s"bloom_$c")),
+        df.schema(c).dataType.catalogString)
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val json = stats.map { case (c, st) =>
@@ -85,9 +112,14 @@ object DirStats {
     if (!Files.exists(p)) None
     else {
       val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      // unrolled-loop string pattern ([^"\]* then (\\. [^"\]*)*): the
+      // per-char alternation form ((?:[^"\\]|\\.)*) backtrack-stacks one
+      // frame per character and overflows on multi-KB values (the base64
+      // bloom bitsets); the unrolled form consumes runs iteratively
+      val str = "([^\"\\\\]*(?:\\\\.[^\"\\\\]*)*)"
       val entry =
-        ("\"((?:[^\"\\\\]|\\\\.)*)\":\\{\"kind\":\"(num|str)\"," +
-          "\"min\":\"((?:[^\"\\\\]|\\\\.)*)\",\"max\":\"((?:[^\"\\\\]|\\\\.)*)\"\\}").r
+        ("\"" + str + "\":\\{\"kind\":\"(num|str|bloom)\"," +
+          "\"min\":\"" + str + "\",\"max\":\"" + str + "\"\\}").r
       def unq(x: String) = x.replace("\\\"", "\"").replace("\\\\", "\\")
       Some(entry.findAllMatchIn(s).map(m =>
         unq(m.group(1)) -> ColStat(m.group(2), unq(m.group(3)), unq(m.group(4)))).toMap)
@@ -114,8 +146,10 @@ object DirStats {
 
   private def mayMatch0(cond: Expression, stats: Map[String, ColStat]): Boolean = cond match {
     case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
-    case EqualTo(AttrName(a), Lit(v)) => inRange(stats.get(a), v, v)
-    case EqualTo(Lit(v), AttrName(a)) => inRange(stats.get(a), v, v)
+    case EqualTo(AttrName(a), Lit(v)) =>
+      inRange(stats.get(a), v, v) && bloomMayContain(stats, a, v)
+    case EqualTo(Lit(v), AttrName(a)) =>
+      inRange(stats.get(a), v, v) && bloomMayContain(stats, a, v)
     case GreaterThan(AttrName(a), Lit(v)) => gt(stats.get(a), v, orEqual = false)
     case GreaterThanOrEqual(AttrName(a), Lit(v)) => gt(stats.get(a), v, orEqual = true)
     case LessThan(AttrName(a), Lit(v)) => lt(stats.get(a), v, orEqual = false)
@@ -125,7 +159,8 @@ object DirStats {
     case LessThan(Lit(v), AttrName(a)) => gt(stats.get(a), v, orEqual = false)
     case LessThanOrEqual(Lit(v), AttrName(a)) => gt(stats.get(a), v, orEqual = true)
     case In(AttrName(a), vs) if vs.forall(Lit.unapply(_).isDefined) =>
-      vs.flatMap(Lit.unapply).exists(v => inRange(stats.get(a), v, v))
+      vs.flatMap(Lit.unapply).exists(v =>
+        inRange(stats.get(a), v, v) && bloomMayContain(stats, a, v))
     // transform-aware pruning: `to_date(ts) <op> <date>` (analyzed as a
     // cast of a timestamp attribute to date) compares against the
     // DAY PREFIX of the timestamp's ISO stats — the stats-level analog
@@ -189,6 +224,22 @@ object DirStats {
           case "<"  => lo < d
           case "<=" => lo <= d
         }
+      case _ => true
+    }
+
+  /** Point-lookup skip via the per-dir Bloom: false only when the
+    * filter exists for the column, the literal's type equals the type
+    * the filter was built over (Lit strips analyzer casts, so a
+    * cross-type literal would hash differently), and all probe bits are
+    * clear — provably absent. Anything else keeps the dir. */
+  private def bloomMayContain(stats: Map[String, ColStat], a: String,
+                              l: Literal): Boolean =
+    stats.get(BloomPrefix + a) match {
+      case Some(s) if s.kind == "bloom" && s.max == l.dataType.catalogString =>
+        val h = org.apache.spark.sql.catalyst.expressions
+          .XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]
+        graft.functions.Bloom.mightContain(
+          java.util.Base64.getDecoder.decode(s.min), h, BloomHashes)
       case _ => true
     }
 

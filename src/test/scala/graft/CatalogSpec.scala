@@ -176,6 +176,21 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.db.pr").count() == 2000)
   }
 
+  test("bloom stats skip directories for SQL point lookups") {
+    freshCatalog()
+    spark.conf.set("spark.graft.table.bloomCols", "id")
+    try {
+      spark.sql(s"CREATE TABLE $cat.db.bl (id BIGINT, v STRING) USING graft")
+      // odd then even ids: min/max ranges overlap, only the bloom prunes
+      spark.sql(s"INSERT INTO $cat.db.bl SELECT id*2+1, concat('v', id) FROM range(0, 50)")
+      spark.sql(s"INSERT INTO $cat.db.bl SELECT id*2, concat('v', id) FROM range(0, 50)")
+      val q = spark.sql(s"SELECT * FROM $cat.db.bl WHERE id = 2")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("(1 paths)"), s"odd dir not bloom-skipped:\n$plan")
+      assert(q.count() == 1)
+    } finally spark.conf.unset("spark.graft.table.bloomCols")
+  }
+
   test("CALL cat.system.restore rolls back through SQL") {
     freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.rs (id BIGINT) USING graft")

@@ -304,6 +304,42 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.liveDataDirs == before)
   }
 
+  test("bloom stats: point lookups skip dirs whose bloom excludes the key") {
+    import spark.implicits._
+    import graft.sources.DirStats
+    spark.conf.set("spark.graft.table.bloomCols", "id")
+    try {
+      // odd ids vs even ids: the [min,max] ranges overlap completely, so
+      // range stats CANNOT prune a point lookup — only the bloom can
+      val odd = (1L to 99L by 2).map(i => (i, s"v$i")).toDF("id", "v")
+      val even = (0L to 98L by 2).map(i => (i, s"v$i")).toDF("id", "v")
+      val t = GraftTable.create(spark, tmp(), odd)
+      t.append(even)
+      val dirs = t.liveDataDirs
+      val stats = dirs.map(d => DirStats.load(
+        java.nio.file.Paths.get(t.root, d)).get)
+      val oddStats = stats.find(_("id").min == "1").get
+      val evenStats = stats.find(_("id").min == "0").get
+      assert(oddStats.contains(DirStats.BloomPrefix + "id"))
+      def may(c: org.apache.spark.sql.Column, st: Map[String, DirStats.ColStat]) =
+        DirStats.mayMatch(DirStats.analyze(spark, t.read().schema, c), st)
+      // ranges overlap: both dirs pass the min/max test for id = 2 —
+      // the bloom proves it absent from the odd dir
+      assert(!may(col("id") === 2L, oddStats))
+      assert(may(col("id") === 2L, evenStats))
+      assert(may(col("id") === 3L, oddStats))
+      // IN-lists: prune only when every member is provably absent
+      assert(!may(col("id").isin(2L, 4L), oddStats))
+      assert(may(col("id").isin(2L, 3L), oddStats))
+      // behavioral: point delete of an odd key leaves the even dir alone
+      val before = t.liveDataDirs
+      t.delete(col("id") === 3L)
+      assert(t.read().count() == 99)
+      assert(t.liveDataDirs.toSet.intersect(before.toSet).size == 1,
+        "even dir must carry forward untouched")
+    } finally spark.conf.unset("spark.graft.table.bloomCols")
+  }
+
   test("time-range predicates prune dirs via timestamp stats") {
     import spark.implicits._
     import graft.sources.DirStats
