@@ -313,7 +313,59 @@ object Events {
       | COUNT(DISTINCT user_id) AS n_users
       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** e11: time-series gap fill + forward fill — resample each user's
+    * activity to a dense hourly grid between their first and last
+    * event, filling silent hours with zero events and carrying the
+    * last observed hourly revenue forward (the standard
+    * resample/ffill primitive for downstream feature windows).
+    *
+    * Scale shape: the hourly pre-aggregate is one shuffle on
+    * (user, hour); the dense grid is generated scan-side per user with
+    * `sequence()` (rows ∝ users × their own span — no global
+    * calendar cross join); fill is a left join co-keyed with the grid
+    * plus one ordered window per user. Sums are decimal-exact before
+    * the double surface, so the forward-filled values are
+    * bit-identical cross-engine. */
+  val e11_gap_fill: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val hourly = events(s, dir)
+      .filter($"user_id" < 10)
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n_events"),
+           Exact.moneySum($"value").as("hour_value"))
+    val grid = hourly.groupBy($"user_id")
+      .agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select($"user_id",
+        explode(sequence($"h0", $"h1", expr("INTERVAL 1 HOUR"))).as("h"))
+    val byUser = Window.partitionBy($"user_id").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select($"user_id", $"h",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        last($"hour_value", ignoreNulls = true).over(byUser).as("ffill_value"))
+      .orderBy($"user_id", $"h")
+  }
+
+  val e11_sql: String =
+    s"""WITH hourly AS (
+       |  SELECT user_id, date_trunc('hour', date_trunc('second', ts)) AS h,
+       |   COUNT(*) AS n_events, ${S.moneySum("value")} AS hour_value
+       |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT user_id, UNNEST(generate_series(MIN(h), MAX(h),
+       |    INTERVAL 1 HOUR)) AS h
+       |  FROM hourly GROUP BY user_id)
+       |SELECT g.user_id AS user_id, g.h AS h,
+       | COALESCE(hy.n_events, 0) AS n_events,
+       | last_value(hy.hour_value IGNORE NULLS) OVER (
+       |   PARTITION BY g.user_id ORDER BY g.h
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+       |FROM grid g LEFT JOIN hourly hy
+       |  ON g.user_id = hy.user_id AND g.h = hy.h
+       |ORDER BY user_id, h""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "e11_gap_fill" -> e11_gap_fill,
     "e10_sliding_window" -> e10_sliding_window,
     "e9_cohort_retention" -> e9_cohort_retention,
     "e8_json_props" -> e8_json_props,
@@ -327,6 +379,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "e11_gap_fill" -> e11_sql,
     "e10_sliding_window" -> e10_sql,
     "e9_cohort_retention" -> e9_sql,
     "e8_json_props" -> e8_sql,

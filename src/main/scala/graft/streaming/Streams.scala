@@ -309,7 +309,42 @@ object Streams {
       | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** h8: NATIVE session windows — `session_window(ts, gap)` instead of
+    * the lag/cumsum composition (e2) or hand-rolled state
+    * (h3/flatMapGroupsWithState): the engine merges each event's
+    * [ts, ts+gap) window with overlapping ones and expires sessions
+    * once the watermark passes their end, so state is bounded by OPEN
+    * sessions only. Two events exactly `gap` apart do NOT merge
+    * (half-open windows) — the oracle breaks on `diff >= gap` to
+    * match. */
+  val h8_stream_session: Relational.Q = (s, dir) => {
+    import s.implicits._
+    drain(s, OutputMode.Complete()) { s2 =>
+      eventStream(s2, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"session_window.start".as("session_start"), $"user_id", $"n_events")
+    }.orderBy($"user_id", $"session_start")
+  }
+
+  val h8_sql: String =
+    """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts FROM events),
+      |x AS (SELECT user_id, ts,
+      |        CASE WHEN lag(ts) OVER w IS NULL
+      |               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts,
+      |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM x)
+      |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "h8_stream_session" -> h8_stream_session,
     "h7_stream_sliding" -> h7_stream_sliding,
     "h1_stream_window" -> h1_stream_window,
     "h2_stream_dedup" -> h2_stream_dedup,
@@ -319,6 +354,7 @@ object Streams {
   )
 
   val oracles: Map[String, String] = Map(
+    "h8_stream_session" -> h8_sql,
     "h7_stream_sliding" -> h7_sql,
     "h1_stream_window" -> h1_sql,
     "h2_stream_dedup" -> h2_sql,
