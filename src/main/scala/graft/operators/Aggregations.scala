@@ -345,7 +345,35 @@ object Aggregations {
       |WHERE length(token) > 0
       |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
 
+  /** q29: UNPIVOT (melt) — q11's inverse: the wide per-row measures of
+    * a filtered lineitem slice unpivot to (key, measure, val) long
+    * form via the native `Dataset.unpivot` (an Expand node: scan-side
+    * row expansion, no shuffle except the presentation sort). The
+    * oracle uses the portable UNION ALL formulation. */
+  val q29_unpivot: Relational.Q = (s, dir) => {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate".between("1994-01-01", "1994-01-31"))
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax")
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        "measure", "val")
+      .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+  }
+
+  val q29_sql: String = {
+    def arm(m: String) =
+      s"""SELECT l_orderkey, l_linenumber, '$m' AS measure, $m AS val
+         |FROM lineitem
+         |WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1994-01-31'""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(arm).mkString("", "\nUNION ALL\n", "\nORDER BY l_orderkey, l_linenumber, measure")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q29_unpivot" -> q29_unpivot,
     "q27_grouping_sets" -> q27_grouping_sets,
     "q28_explode" -> q28_explode,
     "q23_cube" -> q23_cube,
@@ -364,6 +392,7 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    "q29_unpivot" -> q29_sql,
     "q27_grouping_sets" -> q27_sql,
     "q28_explode" -> q28_sql,
     "q23_cube" -> q23_sql,

@@ -133,13 +133,60 @@ object Multimodal {
       |  hex(substring(substring(payload, frame_idx * 256 + 1, 256), 1, 4)) AS frame_header
       |FROM sampled ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** m4: chunk-level binary dedup — payloads split into fixed 256-byte
+    * chunks, each chunk content-hashed; payload pairs sharing ≥ 3
+    * distinct chunk hashes are storage-dedup candidates (the block-
+    * level dedup a media lake runs: shared chunks are stored once).
+    * One shuffle keyed on chunk hash; candidate volume is bounded by
+    * per-chunk payload lists like d2's shingle join (a hot-chunk df
+    * cap is the documented skew valve there). Fixed-size chunking is
+    * byte-shift-sensitive — content-defined chunking (rolling-hash
+    * boundaries, same plumbing) is the production upgrade and slots
+    * into the same chunk-hash relation. md5 makes the chunk hash
+    * engine-portable for the oracle. */
+  val m4_chunk_dedup: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val cs = 256
+    val chunks = Tables.documents(s, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .filter(octet_length($"payload") > 0)
+      .withColumn("n_chunks",
+        expr(s"CAST((octet_length(payload) + ${cs - 1}) DIV $cs AS INT)"))
+      .withColumn("ci", explode(sequence(lit(0), $"n_chunks" - 1)))
+      .select($"doc_id",
+        md5(expr(s"substring(payload, ci * $cs + 1, $cs)")).as("h"))
+      .distinct()
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_chunks"))
+      .filter($"n_shared_chunks" >= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val m4_sql: String =
+    """WITH c AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(substring(payload, ci * 256 + 1, 256)) AS h
+      |  FROM (SELECT doc_id, text AS payload, UNNEST(generate_series(0,
+      |          CAST((octet_length(encode(text)) + 255) // 256 AS INT) - 1)) AS ci
+      |        FROM documents WHERE octet_length(encode(text)) > 0) t)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | COUNT(*) AS n_shared_chunks
+      |FROM c a JOIN c b ON a.h = b.h AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "m4_chunk_dedup" -> m4_chunk_dedup,
     "m1_binary_meta" -> m1_binary_meta,
     "m2_feature_batch" -> m2_query,
     "m3_frame_sample" -> m3_frame_sample,
   )
 
   val oracles: Map[String, String] = Map(
+    "m4_chunk_dedup" -> m4_sql,
     "m1_binary_meta" -> m1_sql,
     "m3_frame_sample" -> m3_sql,
   )
