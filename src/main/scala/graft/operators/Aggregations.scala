@@ -240,6 +240,31 @@ object Aggregations {
       .orderBy($"exact_n".desc, $"token")
   }
 
+  /** a4: HLL sketch UNION — the "sketch table" pattern for incremental
+    * distinct counts at 100 TB: per-day DataSketches HLL sketches of
+    * the user set are materialized once (what an incremental pipeline
+    * stores alongside each partition), and weekly/total distinct-user
+    * estimates re-aggregate the STORED sketches alone — `hll_union_agg`
+    * never touches raw events again, so rollups over any horizon cost
+    * O(#sketches), not O(#events). (a1's approx_count_distinct answers
+    * one grain; the sketch column answers every grain above it.)
+    * Engine-specific sketch ⇒ rows-only driver check; the weekly
+    * estimate is error-bounded against exact distincts in
+    * RelationalSpec. */
+  val a4_sketch_union: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select(to_date($"ts").as("day"), $"user_id")
+      .groupBy($"day")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    daily
+      .groupBy((datediff($"day", to_date(lit("2024-01-01"))) / 7)
+        .cast("long").as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"),
+           count(lit(1)).as("n_days"))
+      .orderBy($"week")
+  }
+
   /** q23: CUBE — all grouping-set combinations of (status, priority). */
   val q23_cube: Relational.Q = (s, dir) => {
     import s.implicits._
@@ -382,6 +407,7 @@ object Aggregations {
     "q21_percentiles" -> q21_percentiles,
     "q22_collect" -> q22_collect,
     "a1_approx_distinct" -> a1_approx_distinct,
+    "a4_sketch_union" -> a4_sketch_union,
     "a2_approx_quantiles" -> a2_approx_quantiles,
     "a3_cms_heavy_hitters" -> a3_cms_heavy_hitters,
     "q9_rollup" -> q9_rollup,

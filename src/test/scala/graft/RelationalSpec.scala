@@ -75,6 +75,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("a4: sketch-union weekly estimates match exact distinct users") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("a4_sketch_union")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.events(spark, sf)
+      .select((datediff(to_date(col("ts")), to_date(lit("2024-01-01"))) / 7)
+        .cast("long").as("week"), col("user_id"))
+      .groupBy(col("week")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (w, a) =>
+      val e = exact(w)
+      assert(math.abs(a - e).toDouble / e < 0.1, s"week $w: approx $a vs exact $e")
+    }
+  }
+
   test("oracle map covers every query or is an intentional subset") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
