@@ -1,0 +1,183 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{ArrayEqFraction, MinHashAgg, SortedIntersectCount,
+  TextFunctions, TopKAgg}
+
+/** The DataFrame-level public API: the flagship LLM-pipeline operators
+  * over ARBITRARY DataFrames, not the test-table loaders. The query
+  * catalog (`SparkEntry.queries`) demonstrates these shapes on the
+  * benchmark tables; a user points the same machinery at their own
+  * corpus through this object.
+  *
+  * Each entry point carries the scale contract of its catalog twin
+  * (see the operator scaladoc it mirrors): candidate generation is
+  * always bucketed (banding / cells / chunk hashes), cuts are map-side
+  * heap aggregates, and nothing collects unbounded data to the driver.
+  * Intermediate relations referenced from multiple join branches are
+  * persisted inside the call (Spark re-evaluates per branch otherwise);
+  * callers running many operators over one corpus should persist their
+  * input once outside.
+  *
+  * ApiSpec cross-checks each entry point against its catalog twin on
+  * the benchmark tables, so the two implementations cannot drift.
+  */
+object GraftOps {
+
+  private val Persist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Exact near-duplicate pairs at `threshold` Jaccard over token
+    * 3-shingles, via MinHash + banded LSH candidates verified with the
+    * full sorted-array intersection — the d3 shape. `docs` needs
+    * (idCol: long, textCol: string). Output: (doc_a, doc_b, jaccard).
+    * Band parameters (32 × 4 over 128 permutations) put the miss
+    * probability at ~1e-7 for J ≥ 0.8. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(TextFunctions.shinglesOfTokens(col("toks"))).as("s"))
+      .persist(Persist)
+    val arrs = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("s"))).as("arr"), count(lit(1)).as("n"))
+      .persist(Persist)
+    val sigs = sh
+      .withColumn("h", pmod(xxhash64(col("s")), lit(MinHashAgg.P)))
+      .groupBy(col("doc_id"))
+      .agg(MinHashAgg.minhash(col("h"), 128, seed = 42).as("sig"))
+      .persist(Persist)
+    val bandCols = (0 until 32).map { bnd =>
+      xxhash64((0 until 4).map(r => element_at(col("sig"), bnd * 4 + r + 1)): _*)
+    }
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
+    val rawCand = bands.as("l")
+      .join(bands.as("r"),
+        col("l.band_id") === col("r.band_id") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val cand = rawCand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter(ArrayEqFraction.array_eq_fraction(col("sig_a"), col("sig_b")) >=
+        math.max(0.0, threshold - 0.2))
+      .select(col("doc_a"), col("doc_b"))
+    val i = SortedIntersectCount.sorted_intersect_count(col("arr_a"), col("arr_b"))
+    val j = i.cast("double") / (col("na") + col("nb") - i)
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
+        col("n").as("na")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
+        col("n").as("nb")), "doc_b")
+      .filter(j >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+  }
+
+  /** Connected components over an undirected pair list: every vertex in
+    * a pair labeled with its component's minimum id (hash-min label
+    * propagation — the d7 pass). Output: (id, cluster_rep). */
+  def nearDupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    graft.operators.Dedup.connectedComponents(pairs.sparkSession,
+        pairs.select(col(aCol), col(bCol)))
+      .select(col("v").as("id"), col("label").as("cluster_rep"))
+
+  /** Drop every clustered row except its cluster's representative — the
+    * p6 apply step. `clusters` is nearDupClusters' output; rows of `df`
+    * absent from it are kept (they had no near-dup). */
+  def applyDedup(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val drop = clusters.filter(col("id") =!= col("cluster_rep"))
+      .select(col("id").as(idCol))
+    df.join(broadcast(drop), Seq(idCol), "left_anti")
+  }
+
+  /** Approximate top-k cosine neighbors for EVERY vector (the s6 k-NN
+    * self-join shape): IVF cells from a trained coarse quantizer,
+    * data-side m=3 spill, query-side nprobe=4, map-side TopKAgg heap
+    * cut. `emb` needs (idCol: long, vecCol: array<double|float>).
+    * Output: (idCol, neighbor_id, cosine, rank). `cells` should grow
+    * ~√n at corpus scale. */
+  def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
+              topK: Int = 5, cells: Int = 16): DataFrame = {
+    val e = emb.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(graft.functions.DotProduct.dot_product(col("emb"), col("emb"))))
+      .persist(Persist)
+    val cents = graft.functions.Quantizer.train(e, "vec_id", "emb", cells)
+    val data = e
+      .withColumn("cell", explode(graft.functions.Quantizer.topCells(col("emb"), cents, 3)))
+      .select(col("vec_id").as("neighbor_id"), col("emb").as("n_emb"),
+        col("nrm").as("n_nrm"), col("cell"))
+    val probes = e
+      .withColumn("cell", explode(graft.functions.Quantizer.topCells(col("emb"), cents, 4)))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+    val cos = graft.functions.DotProduct.dot_product(col("emb"), col("n_emb")) /
+      (col("nrm") * col("n_nrm"))
+    probes.join(data, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"), cos.as("cosine"))
+      .groupBy(col("vec_id"))
+      .agg(TopKAgg.topk(col("neighbor_id"), col("cosine"), topK).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id").as(idCol), col("col.neighbor_id").as("neighbor_id"),
+        round(col("col.cosine"), 4).as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** BM25 top-`topN` documents for `terms` — the t8 shape: scan-side
+    * literal-term tf projections, one broadcast stats row, fixed-order
+    * summation, TakeOrdered top-k. Output: (idCol, score). */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], topN: Int = 20,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one term")
+    val tf = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select((col(idCol) +: size(col("toks")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === t)).cast("long").as(s"tf_$i")
+        }): _*)
+    val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = tf.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    def termScore(i: Int) = {
+      val f = col(s"tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      idf * (f * (k1 + 1.0)) /
+        (f + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl)))
+    }
+    val score = terms.indices.map(termScore).reduce(_ + _)
+    tf.join(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
+      .select(col(idCol), round(score, 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topN)
+  }
+
+  /** Training docs sharing at least one verbatim n-gram with the
+    * benchmark corpus — the p7 decontamination rule. The benchmark side
+    * reduces to a broadcast 64-bit hash set. Output: (idCol,
+    * n_contam_ngrams). */
+  def ngramContamination(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(TextFunctions.shinglesOfTokens(col("toks"), n)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("h"))
+    val benchSet = grams(bench).select(col("h")).distinct()
+    grams(train)
+      .join(broadcast(benchSet), "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contam_ngrams"))
+  }
+
+  /** The first `merges` BPE merge rules learned from the corpus — the
+    * t9 trainer. Output: (rank, left, right, pair_freq). */
+  def bpeMerges(docs: DataFrame, textCol: String, merges: Int = 10): DataFrame =
+    graft.operators.TextAnalysis.bpeTrainOn(docs, textCol, merges)
+}

@@ -342,7 +342,7 @@ object Dedup {
     * (v, label) for every vertex that appears in a pair; label is the
     * component's minimum vertex id. See d7's scaladoc for the
     * convergence/scale argument. */
-  private[operators] def connectedComponents(
+  private[graft] def connectedComponents(
       s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
     val ab = pairs.toDF("pa", "pb")

@@ -306,12 +306,18 @@ object TextAnalysis {
     * table is deterministic. Rows-only driver check (iterative — not
     * SQL-expressible); the merge sequence is asserted against a
     * reference single-node BPE in TextDedupSpec. */
-  val t9_bpe_train: Relational.Q = (s, dir) => {
+  val t9_bpe_train: Relational.Q = (s, dir) =>
+    bpeTrainOn(Tables.documents(s, dir), "text",
+      s.conf.getOption("spark.graft.text.bpeMerges").map(_.toInt).getOrElse(10))
+
+  /** The trainer itself, over any docs DataFrame (the GraftOps public
+    * entry point delegates here). */
+  def bpeTrainOn(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                 nMerges: Int): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val nMerges = s.conf.getOption("spark.graft.text.bpeMerges")
-      .map(_.toInt).getOrElse(10)
-    var vocab = Tables.documents(s, dir)
-      .select(explode(tokens($"text")).as("w"))
+    var vocab = docs
+      .select(explode(tokens(col(textCol))).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       // split into single-char symbols (the zero-width end match leaves a
       // trailing empty piece under split's limit=-1 — drop empties)

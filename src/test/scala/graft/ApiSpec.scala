@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.GraftOps
+
+/** The DataFrame-level public API: every entry point exercised on
+  * CONSTRUCTED DataFrames (table independence), plus cross-checks
+  * against the catalog twins on the benchmark tables so the two
+  * implementations cannot drift. */
+class ApiSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("minhashPairs finds the planted near-duplicate on arbitrary data") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val docs = Seq((10L, base), (20L, near), (30L, "something else entirely here now"))
+      .toDF("my_id", "my_text")
+    val pairs = GraftOps.minhashPairs(docs, "my_id", "my_text", threshold = 0.8)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("doc_a") == 10L)
+    assert(pairs.head.getAs[Long]("doc_b") == 20L)
+    assert(pairs.head.getAs[Double]("jaccard") >= 0.8)
+  }
+
+  test("minhashPairs equals the catalog d3 on the benchmark corpus") {
+    val expected = SparkEntry.queries("d3_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = GraftOps.minhashPairs(
+        graft.sources.Tables.documents(spark, sf), "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+  }
+
+  test("nearDupClusters + applyDedup keep one representative per cluster") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val clusters = GraftOps.nearDupClusters(pairs, "a", "b")
+    val labels = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    val df = Seq(1L, 2L, 3L, 7L, 9L, 42L).toDF("my_id")
+    val kept = GraftOps.applyDedup(df, "my_id", clusters)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 7L, 42L)) // reps + the unclustered row
+  }
+
+  test("knnJoin finds planted nearest neighbors on arbitrary vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def noisy(base: Array[Double]) = base.map(_ + rnd.nextGaussian() * 0.01)
+    val a = Array.fill(16)(rnd.nextGaussian())
+    val b = Array.fill(16)(rnd.nextGaussian())
+    val emb = (Seq((1L, a), (2L, noisy(a)), (3L, b), (4L, noisy(b))) ++
+      (5L to 40L).map(i => (i, Array.fill(16)(rnd.nextGaussian()))))
+      .toDF("vid", "vec")
+    val knn = GraftOps.knnJoin(emb, "vid", "vec", topK = 1, cells = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(knn(1L) == 2L && knn(2L) == 1L)
+    assert(knn(3L) == 4L && knn(4L) == 3L)
+  }
+
+  test("bm25Search ranks the term-dense doc first on arbitrary data") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple cherry apple"),
+      (2L, "apple orange pear plum grape kiwi melon fig date lime"),
+      (3L, "no fruit words at all in this document body text")
+    ).toDF("k", "body")
+    val hits = GraftOps.bm25Search(docs, "k", "body", Seq("apple"), topN = 5)
+      .collect()
+    assert(hits.length == 2) // doc 3 has no query term
+    assert(hits.head.getAs[Long]("k") == 1L, "tf-dense doc must rank first")
+  }
+
+  test("ngramContamination flags the planted verbatim overlap") {
+    import spark.implicits._
+    val gram = (1 to 13).map(i => s"w$i").mkString(" ")
+    val train = Seq((100L, s"prefix words $gram suffix tail"),
+                    (200L, "totally clean training document with original content words"))
+      .toDF("id", "txt")
+    val bench = Seq((1L, s"benchmark context $gram more context")).toDF("id", "txt")
+    val flagged = GraftOps.ngramContamination(train, bench, "id", "txt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == Map(100L -> 1L))
+  }
+
+  test("bpeMerges learns the dominant pair first on arbitrary data") {
+    import spark.implicits._
+    val docs = Seq.fill(20)("ababab").toDF("txt")
+    val m = GraftOps.bpeMerges(docs, "txt", merges = 2).orderBy("rank").collect()
+    assert(m.head.getAs[String]("left") == "a" && m.head.getAs[String]("right") == "b")
+    // after (a,b)->ab, the dominant pair is (ab, ab)
+    assert(m(1).getAs[String]("left") == "ab" && m(1).getAs[String]("right") == "ab")
+  }
+}
