@@ -343,7 +343,54 @@ object Streams {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Streaming read of the documents table (explicit schema, like
+    * eventStream). */
+  private val DocSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def docStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(DocSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+
+  /** h9: STREAM-STATIC decontamination — continuously arriving training
+    * documents probed against a fixed benchmark corpus. The static side
+    * is the p8 Bloom bitset (built once batch-side, fixed bytes at any
+    * benchmark size) riding the streaming plan as a literal, so every
+    * micro-batch filters scan-side with no stream-static join state at
+    * all; the only streaming state is the per-doc count aggregate.
+    * This is the production shape for "filter the firehose against a
+    * reference set": reference updates swap in a new literal/broadcast,
+    * stream state stays bounded. Rows-only driver check; equality with
+    * batch p8 is spec-asserted. */
+  val h9_stream_decontam: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val n = s.conf.getOption("spark.graft.text.contamNgram")
+      .map(_.toInt).getOrElse(13)
+    val mBits = s.conf.getOption("spark.graft.text.bloomBits")
+      .map(_.toInt).getOrElse(1 << 20)
+    val kHashes = 5
+    val bloomBytes = graft.sources.Tables.documents(s, dir)
+      .filter($"source" === "src0")
+      .select(explode(graft.functions.TextFunctions.shinglesOfTokens(
+        graft.functions.TextFunctions.tokens($"text"), n)).as("g"))
+      .agg(graft.functions.Bloom.bloom(xxhash64($"g"), mBits, kHashes).as("b"))
+      .first().getAs[Array[Byte]]("b")
+    drain(s, OutputMode.Complete()) { s2 =>
+      docStream(s2, dir)
+        .filter($"source" =!= "src0")
+        .select($"doc_id", explode(graft.functions.TextFunctions.shinglesOfTokens(
+          graft.functions.TextFunctions.tokens($"text"), n)).as("g"))
+        .select($"doc_id", xxhash64($"g").as("h"))
+        .filter(graft.functions.Bloom.might_contain(lit(bloomBytes), $"h", kHashes))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_flagged_ngrams"))
+    }.orderBy($"doc_id")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "h9_stream_decontam" -> h9_stream_decontam,
     "h8_stream_session" -> h8_stream_session,
     "h7_stream_sliding" -> h7_stream_sliding,
     "h1_stream_window" -> h1_stream_window,

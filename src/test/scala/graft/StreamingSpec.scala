@@ -64,6 +64,15 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("h9 stream-static decontamination equals the batch bloom result") {
+    val stream = SparkEntry.queries("h9_stream_decontam")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = SparkEntry.queries("p8_bloom_decontam")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stream == batch)
+    assert(stream.nonEmpty, "planted src0 overlap must flag at least one doc")
+  }
+
   test("m2 batched feature extraction is deterministic with fixed shape") {
     val a = Multimodal.m2_feature_batch(spark, sf).collect()
       .sortBy(_.doc_id)
