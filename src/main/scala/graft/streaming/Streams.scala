@@ -380,6 +380,10 @@ object Streams {
     drain(s, OutputMode.Complete()) { s2 =>
       docStream(s2, dir)
         .filter($"source" =!= "src0")
+        // the file stream source yields ONE partition per input file —
+        // without this exchange the whole 13-gram explode+probe (the
+        // heavy map phase) runs on a single core per file
+        .repartition(s2.sparkContext.defaultParallelism)
         .select($"doc_id", explode(graft.functions.TextFunctions.shinglesOfTokens(
           graft.functions.TextFunctions.tokens($"text"), n)).as("g"))
         .select($"doc_id", xxhash64($"g").as("h"))
