@@ -126,6 +126,29 @@ object GraftOps {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** SemDeDup over an embedding table — the d8 shape: EXACT cosine ≥
+    * `threshold` pairs via IVF-cell candidates with lossless angular
+    * tile pruning, connected components, min-id representative kept.
+    * Output: (idCol, cluster_rep, kept). `cells` should grow ~√n at
+    * corpus scale. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               threshold: Double = 0.45, cells: Int = 16): DataFrame = {
+    val e = emb.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(graft.functions.DotProduct.dot_product(col("emb"), col("emb"))))
+      .persist(Persist)
+    val cents = graft.functions.Quantizer.train(e, "vec_id", "emb", cells)
+    val pairs = graft.operators.Similarity.embedNearDupPairsOn(e, cents, threshold)
+      .select(col("vec_a"), col("vec_b"))
+    val comp = graft.operators.Dedup.connectedComponents(emb.sparkSession, pairs)
+      .select(col("v").as("vec_id"), col("label").as("rep"))
+    e.select(col("vec_id"))
+      .join(broadcast(comp), Seq("vec_id"), "left")
+      .select(col("vec_id").as(idCol),
+        coalesce(col("rep"), col("vec_id")).as("cluster_rep"),
+        (coalesce(col("rep"), col("vec_id")) === col("vec_id")).as("kept"))
+  }
+
   /** BM25 top-`topN` documents for `terms` — the t8 shape: scan-side
     * literal-term tf projections, one broadcast stats row, fixed-order
     * summation, TakeOrdered top-k. Output: (idCol, score). */

@@ -104,10 +104,20 @@ object Similarity {
 
   private def d5Compute(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val threshold = 0.4
     val k = s.conf.getOption("spark.graft.ann.k").map(_.toInt).getOrElse(16)
     val e = embeddings(s, dir).withColumn("nrm", norm($"emb"))
-    val cents = coarseCentroids(s, dir, k)
+    embedNearDupPairsOn(e, coarseCentroids(s, dir, k), 0.4)
+  }
+
+  /** The d5 pair generation over any (vec_id, emb: array<double>, nrm)
+    * relation with pre-trained centroids — shared by the catalog d5 and
+    * the GraftOps public API. See d5's scaladoc for the lossless
+    * angular tile-pruning argument. */
+  private[graft] def embedNearDupPairsOn(e: DataFrame,
+      cents: Array[Array[Double]], threshold: Double): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val k = cents.length
     val assigned = e
       .withColumn("cell", element_at(graft.functions.Quantizer.topCells($"emb", cents, 1), 1))
       .withColumn("theta", acos(greatest(lit(-1.0), least(lit(1.0),

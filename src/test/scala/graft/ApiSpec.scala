@@ -61,6 +61,23 @@ class ApiSpec extends AnyFunSuite {
     assert(knn(3L) == 4L && knn(4L) == 3L)
   }
 
+  test("semDedup clusters planted near-identical vectors, keeps min-id reps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def noisy(base: Array[Double]) = base.map(_ * 1.0001)
+    val a = Array.fill(16)(rnd.nextGaussian())
+    val emb = (Seq((5L, a), (9L, noisy(a))) ++
+      (10L to 40L).map(i => (i, Array.fill(16)(rnd.nextGaussian()))))
+      .toDF("vid", "vec")
+    val out = GraftOps.semDedup(emb, "vid", "vec", threshold = 0.95, cells = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(5L) == ((5L, true)))   // min-id representative kept
+    assert(byId(9L) == ((5L, false)))  // scaled twin dropped into 5's cluster
+    assert(byId(20L)._2, "unclustered vectors are kept")
+    assert(out.length == 33)
+  }
+
   test("bm25Search ranks the term-dense doc first on arbitrary data") {
     import spark.implicits._
     val docs = Seq(
