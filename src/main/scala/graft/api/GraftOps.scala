@@ -76,6 +76,29 @@ object GraftOps {
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
   }
 
+  /** Exact dedup: one row kept per distinct value of `textCol` (the
+    * minimum id wins — deterministic). A single uniform content-hash
+    * shuffle, the d1 shape. */
+  def exactDedupe(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val reps = df
+      .groupBy(sha2(col(textCol).cast("string"), 256).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(reps, Seq(idCol), "left_semi")
+  }
+
+  /** Canonicalized exact dedup — lowercase, strip non-alphanumerics,
+    * collapse whitespace before hashing (the d6 normalization pass). */
+  def canonicalDedupe(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    val reps = df
+      .groupBy(sha2(canon, 256).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(reps, Seq(idCol), "left_semi")
+  }
+
   /** Connected components over an undirected pair list: every vertex in
     * a pair labeled with its component's minimum id (hash-min label
     * propagation — the d7 pass). Output: (id, cluster_rep). */
@@ -203,4 +226,32 @@ object GraftOps {
     * t9 trainer. Output: (rank, left, right, pair_freq). */
   def bpeMerges(docs: DataFrame, textCol: String, merges: Int = 10): DataFrame =
     graft.operators.TextAnalysis.bpeTrainOn(docs, textCol, merges)
+
+  /** Resample each key's series onto a dense grid between its first
+    * and last HOURLY bucket (`step` strides the grid — pass
+    * `expr("INTERVAL 1 HOUR")` for every hour, a multiple for coarser
+    * grids), with event counts zero-filled and the aggregated value
+    * carried forward — the e11 shape. Output: (keyCol, bucket,
+    * n_events, ffill_value). Grid rows scale with each key's own span,
+    * never a global calendar cross join. */
+  def gapFill(events: DataFrame, keyCol: String, tsCol: String,
+              valCol: String, step: Column): DataFrame = {
+    val bucketed = events
+      .select(col(keyCol), date_trunc("hour", col(tsCol)).as("bucket"),
+        col(valCol).as("v"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Exact.moneySum(col("v")).as("bucket_value"))
+    val grid = bucketed.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col(keyCol),
+        explode(sequence(col("b0"), col("b1"), step)).as("bucket"))
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Long.MinValue, 0)
+    grid.join(bucketed, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("bucket_value"), ignoreNulls = true).over(byKey).as("ffill_value"))
+  }
 }

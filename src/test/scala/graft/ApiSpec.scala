@@ -103,6 +103,39 @@ class ApiSpec extends AnyFunSuite {
     assert(flagged == Map(100L -> 1L))
   }
 
+  test("exactDedupe and canonicalDedupe keep one min-id row per content") {
+    import spark.implicits._
+    val df = Seq((3L, "Hello, World!"), (1L, "Hello, World!"),
+      (2L, "hello   world"), (9L, "different")).toDF("id", "body")
+    val exact = GraftOps.exactDedupe(df, "id", "body")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L, 2L, 9L)) // byte-identical pair collapses to min id
+    val canon = GraftOps.canonicalDedupe(df, "id", "body")
+      .collect().map(_.getLong(0)).toSet
+    assert(canon == Set(1L, 9L)) // case/punct/spacing variants collapse too
+  }
+
+  test("gapFill produces a dense per-key grid with forward-filled values") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 5.0),
+      (1L, ts("2024-01-01 03:20:00"), 7.0),
+      (2L, ts("2024-01-01 01:00:00"), 1.0)
+    ).toDF("k", "t", "v")
+    val out = GraftOps.gapFill(events, "k", "t", "v",
+        expr("INTERVAL 1 HOUR"))
+      .orderBy("k", "bucket").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01 00:00:00.0", 1L, 5.0),
+      (1L, "2024-01-01 01:00:00.0", 0L, 5.0), // silent hour, carried forward
+      (1L, "2024-01-01 02:00:00.0", 0L, 5.0),
+      (1L, "2024-01-01 03:00:00.0", 1L, 7.0),
+      (2L, "2024-01-01 01:00:00.0", 1L, 1.0)))
+  }
+
   test("bpeMerges learns the dominant pair first on arbitrary data") {
     import spark.implicits._
     val docs = Seq.fill(20)("ababab").toDF("txt")
