@@ -104,6 +104,33 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("e10: the sliding-window overlap is a scan-side Expand, not a join") {
+    // window(ts, 1h, 15m) must multiply rows in the map phase (Expand/
+    // Generate) and aggregate once — never via a calendar join
+    val plan = executedPlan("e10_sliding_window")
+    assert(plan.contains("Expand") || plan.contains("Generate"),
+      s"sliding windows must expand scan-side:\n$plan")
+    assert(!plan.contains("Join"), s"no join belongs in e10:\n$plan")
+  }
+
+  test("e9: cohort retention joins only on user_id — no cartesian shapes") {
+    val plan = executedPlan("e9_cohort_retention")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"e9 must stay an equi-join on user_id:\n$plan")
+  }
+
+  test("a4: sketch union partially aggregates map-side") {
+    // both the per-day sketch build and the weekly union must have a
+    // partial (map-side) phase — the mergeability the sketch table
+    // pattern depends on
+    val plan = executedPlan("a4_sketch_union").toLowerCase
+    assert(plan.contains("partial_hll_sketch_agg"),
+      s"day sketches must build map-side:\n$plan")
+    assert(plan.contains("partial_hll_union_agg"),
+      s"weekly union must merge map-side:\n$plan")
+  }
+
   test("p8: bloom probe is a literal filter — no join in the plan") {
     // the bloom rides the plan as a literal binary (referenced once by
     // generated code); a broadcast-join formulation re-copies the bitset
