@@ -585,6 +585,24 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     }.toDF("version", "timestamp", "operation", "n_live_dirs")
   }
 
+  /** Iceberg `.files` metadata-table analog: one row per live data
+    * directory of the CURRENT snapshot, surfacing the per-dir stats
+    * (row count, min/max per column) that drive metadata pruning — the
+    * observability view for "why did/didn't my predicate skip". Driver-
+    * side O(#dirs) rows from the stats files alone; no data scan. */
+  def files(): DataFrame = {
+    import spark.implicits._
+    readCommit(latestVersion()).liveDirs.map { d =>
+      val st = DirStats.load(Paths.get(root, d))
+      val rows = st.flatMap(_.get(DirStats.RowCountKey)).map(_.max.toDouble.toLong)
+      val cols = st.getOrElse(Map.empty)
+        .filter { case (k, v) => k != DirStats.RowCountKey && v.kind != "bloom" }
+      (d, rows.getOrElse(-1L),
+        cols.map { case (c, s) => c -> s.min },
+        cols.map { case (c, s) => c -> s.max })
+    }.toDF("dir", "row_count", "min_values", "max_values")
+  }
+
   /** Iceberg `.snapshots` metadata-table analog. */
   def snapshots(): DataFrame = {
     import spark.implicits._

@@ -91,7 +91,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSparkTable(spark, tablePath(ident).toString, ident, None)
   }
 
-  private val MetadataTables = Set("snapshots", "history")
+  private val MetadataTables = Set("snapshots", "history", "files")
 
   /** Time travel: SELECT … FROM t VERSION AS OF <v>. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -569,7 +569,9 @@ class GraftMetadataTable(spark: SparkSession, path: String,
 
   private def df: DataFrame = {
     val t = GraftTable.load(spark, path)
-    if (kind == "snapshots") t.snapshots() else t.history()
+    if (kind == "snapshots") t.snapshots()
+    else if (kind == "files") t.files()
+    else t.history()
   }
 
   override def name(): String = ident.toString

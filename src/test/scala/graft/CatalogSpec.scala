@@ -242,6 +242,13 @@ class CatalogSpec extends AnyFunSuite {
     val ts = spark.sql(s"SELECT committed_at FROM $cat.db.m.snapshots ORDER BY snapshot_id")
       .collect().map(_.getTimestamp(0).getTime)
     assert(ts.sameElements(ts.sorted) && ts.distinct.length == 3)
+    // t.files: one row per live dir of the CURRENT snapshot, carrying
+    // the pruning stats (row counts, per-column min/max)
+    val files = spark.sql(s"SELECT * FROM $cat.db.m.files ORDER BY dir").collect()
+    assert(files.length == 3)
+    assert(files.map(_.getAs[Long]("row_count")).sum == 3)
+    val mins = files.map(_.getAs[Map[String, String]]("min_values"))
+    assert(mins.flatMap(_.get("id")).toSet == Set("1", "3"))
   }
 
   test("to_date(ts) filters skip directories in the SQL read path") {
