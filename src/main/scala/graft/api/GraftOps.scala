@@ -27,6 +27,46 @@ object GraftOps {
 
   private val Persist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+  private def shingleRel(docs: DataFrame, idCol: String, textCol: String) =
+    docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(TextFunctions.shinglesOfTokens(col("toks"))).as("s"))
+      .persist(Persist)
+
+  private def shingleArrs(sh: DataFrame) =
+    sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("s"))).as("arr"), count(lit(1)).as("n"))
+      .persist(Persist)
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    * against per-doc sorted shingle arrays (the scan-side sorted-merge
+    * intersect) — shared by minhashPairs and jaccardPairs. */
+  private def verifyJaccard(arrs: DataFrame, cand: DataFrame,
+                            threshold: Double): DataFrame = {
+    val i = SortedIntersectCount.sorted_intersect_count(col("arr_a"), col("arr_b"))
+    val j = i.cast("double") / (col("na") + col("nb") - i)
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
+        col("n").as("na")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
+        col("n").as("nb")), "doc_b")
+      .filter(j >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+  }
+
+  /** Exact Jaccard ≥ `threshold` pairs over token 3-shingles via
+    * PPJoin prefix-filtered candidates (lossless — no LSH miss
+    * probability; candidate volume grows as the threshold drops) — the
+    * d2 shape. Use minhashPairs for high thresholds on huge corpora,
+    * this for exactness at any threshold. Output: (doc_a, doc_b,
+    * jaccard). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val sh = shingleRel(docs, idCol, textCol)
+    verifyJaccard(shingleArrs(sh),
+      graft.operators.Dedup.prefixCandidates(sh, threshold), threshold)
+  }
+
   /** Exact near-duplicate pairs at `threshold` Jaccard over token
     * 3-shingles, via MinHash + banded LSH candidates verified with the
     * full sorted-array intersection — the d3 shape. `docs` needs
@@ -35,13 +75,8 @@ object GraftOps {
     * probability at ~1e-7 for J ≥ 0.8. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), explode(TextFunctions.shinglesOfTokens(col("toks"))).as("s"))
-      .persist(Persist)
-    val arrs = sh.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("s"))).as("arr"), count(lit(1)).as("n"))
-      .persist(Persist)
+    val sh = shingleRel(docs, idCol, textCol)
+    val arrs = shingleArrs(sh)
     val sigs = sh
       .withColumn("h", pmod(xxhash64(col("s")), lit(MinHashAgg.P)))
       .groupBy(col("doc_id"))
@@ -65,15 +100,7 @@ object GraftOps {
       .filter(ArrayEqFraction.array_eq_fraction(col("sig_a"), col("sig_b")) >=
         math.max(0.0, threshold - 0.2))
       .select(col("doc_a"), col("doc_b"))
-    val i = SortedIntersectCount.sorted_intersect_count(col("arr_a"), col("arr_b"))
-    val j = i.cast("double") / (col("na") + col("nb") - i)
-    cand
-      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
-        col("n").as("na")), "doc_a")
-      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
-        col("n").as("nb")), "doc_b")
-      .filter(j >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+    verifyJaccard(arrs, cand, threshold)
   }
 
   /** Exact dedup: one row kept per distinct value of `textCol` (the

@@ -179,7 +179,7 @@ object Dedup {
     * set-similarity algorithm at corpus scale. Candidates then pass the
     * full intersection verify, so the result is exactly the J ≥ t
     * pairs. */
-  private def prefixCandidates(sh: DataFrame, t: Double): DataFrame = {
+  private[graft] def prefixCandidates(sh: DataFrame, t: Double): DataFrame = {
     // Document frequency per shingle via groupBy+join — NOT a window over
     // the full exploded relation (count() over (partition by s) sort-
     // shuffles every (doc, shingle) row and serializes hot-shingle

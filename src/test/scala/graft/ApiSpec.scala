@@ -34,6 +34,15 @@ class ApiSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("jaccardPairs equals the catalog d2 on the benchmark corpus") {
+    val expected = SparkEntry.queries("d2_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = GraftOps.jaccardPairs(
+        graft.sources.Tables.documents(spark, sf), "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+  }
+
   test("nearDupClusters + applyDedup keep one representative per cluster") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
