@@ -247,6 +247,34 @@ class GraftTable private (val spark: SparkSession, val root: String) {
   def delete(condition: Column): Int =
     rewriteTouched("delete", condition, _.filter(!condition))
 
+  /** Delta `replaceWhere` overwrite: atomically replace exactly the
+    * rows matching `condition` with `df` — ONE commit (a separate
+    * delete + append would expose the gap between them to readers).
+    * Directory-granular like every mutation: untouched directories
+    * carry forward, touched ones rewrite minus their matches, and the
+    * new data lands alongside the remainder. The standard
+    * partition-scoped backfill ("rewrite one day / one source")
+    * without a full-table rewrite. With `validate` (the Delta default)
+    * the new rows must themselves satisfy `condition` — a backfill
+    * that would silently write outside its declared slice fails
+    * instead. */
+  def replaceWhere(condition: Column, df: DataFrame,
+                   validate: Boolean = true): Int = {
+    if (validate) {
+      val violating = df.filter(!coalesce(condition, lit(false))).count()
+      require(violating == 0,
+        s"replaceWhere: $violating new rows violate the replace condition")
+    }
+    val touched = touchedDirs(condition)
+    if (touched.isEmpty)
+      commit("replaceWhere", Some(align(df)), prev => prev)
+    else {
+      val kept = readDirs(touched.toSeq).filter(!condition)
+      commit("replaceWhere", Some(align(df).unionByName(kept)),
+        prev => prev.filterNot(touched))
+    }
+  }
+
   /** MERGE INTO (upsert): source rows update matching target rows by
     * key and insert the rest. Directory-granular copy-on-write: a
     * left-semi join against the source keys finds the directories

@@ -61,6 +61,28 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.read().count() == 2)
   }
 
+  test("g10: replaceWhere swaps exactly the matching slice in one commit") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("id", "src", "x"))
+    t.append(Seq((3L, "b", 3.0)).toDF("id", "src", "x"))
+    val before = t.liveDataDirs
+    // backfill source "a" with corrected rows
+    val v = t.replaceWhere(col("src") === "a",
+      Seq((10L, "a", 10.0), (11L, "a", 11.0)).toDF("id", "src", "x"))
+    assert(v == 2 && t.history().count() == 3) // one commit
+    assert(t.read().as[(Long, String, Double)].collect().toSet ==
+      Set((10L, "a", 10.0), (11L, "a", 11.0), (3L, "b", 3.0)))
+    // the untouched "b" directory carries forward byte-identical
+    assert(t.liveDataDirs.toSet.intersect(before.toSet).size == 1)
+    // time travel still sees the pre-replace slice
+    assert(t.readVersion(1).filter(col("src") === "a").count() == 2)
+    // validation: new rows outside the declared slice are refused
+    intercept[IllegalArgumentException] {
+      t.replaceWhere(col("src") === "a", Seq((99L, "c", 9.9)).toDF("id", "src", "x"))
+    }
+  }
+
   test("g9: restore rolls the table back as a new metadata-only commit") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), Seq((1, "a"), (2, "b")).toDF("id", "v"))
