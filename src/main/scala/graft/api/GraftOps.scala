@@ -1,9 +1,10 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.{ArrayEqFraction, MinHashAgg, SortedIntersectCount,
   TextFunctions, TopKAgg}
+import graft.sources.Tables
 
 /** The DataFrame-level public API: the flagship LLM-pipeline operators
   * over ARBITRARY DataFrames, not the test-table loaders. The query
@@ -16,9 +17,14 @@ import graft.functions.{ArrayEqFraction, MinHashAgg, SortedIntersectCount,
   * always bucketed (banding / cells / chunk hashes), cuts are map-side
   * heap aggregates, and nothing collects unbounded data to the driver.
   * Intermediate relations referenced from multiple join branches are
-  * persisted inside the call (Spark re-evaluates per branch otherwise);
-  * callers running many operators over one corpus should persist their
-  * input once outside.
+  * persisted inside the call (Spark re-evaluates per branch otherwise)
+  * and unpersisted before the call returns: entry points that persist
+  * intermediates materialize their result eagerly (persist + count) so
+  * the per-call caches can be freed — repeated library calls in a
+  * long-lived session must not accumulate cached relations the caller
+  * holds no reference to. The RESULT comes back persisted; the caller
+  * owns it and should `unpersist()` it when done. Callers running many
+  * operators over one corpus should persist their input once outside.
   *
   * ApiSpec cross-checks each entry point against its catalog twin on
   * the benchmark tables, so the two implementations cannot drift.
@@ -26,6 +32,18 @@ import graft.functions.{ArrayEqFraction, MinHashAgg, SortedIntersectCount,
 object GraftOps {
 
   private val Persist = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Materializes `result` (persist + count) while the per-call
+    * intermediates are still cached — so the multi-branch plans compute
+    * them once — then unpersists the intermediates. See the object
+    * scaladoc: this is what keeps repeated library calls from leaking
+    * executor storage. */
+  private def finishing(intermediates: DataFrame*)(result: DataFrame): DataFrame = {
+    val out = result.persist(Persist)
+    out.count()
+    intermediates.foreach(_.unpersist(false))
+    out
+  }
 
   private def shingleRel(docs: DataFrame, idCol: String, textCol: String) =
     docs
@@ -63,8 +81,9 @@ object GraftOps {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5): DataFrame = {
     val sh = shingleRel(docs, idCol, textCol)
-    verifyJaccard(shingleArrs(sh),
-      graft.operators.Dedup.prefixCandidates(sh, threshold), threshold)
+    val arrs = shingleArrs(sh)
+    finishing(sh, arrs)(verifyJaccard(arrs,
+      graft.operators.Dedup.prefixCandidates(sh, threshold), threshold))
   }
 
   /** Exact near-duplicate pairs at `threshold` Jaccard over token
@@ -100,7 +119,7 @@ object GraftOps {
       .filter(ArrayEqFraction.array_eq_fraction(col("sig_a"), col("sig_b")) >=
         math.max(0.0, threshold - 0.2))
       .select(col("doc_a"), col("doc_b"))
-    verifyJaccard(arrs, cand, threshold)
+    finishing(sh, arrs, sigs)(verifyJaccard(arrs, cand, threshold))
   }
 
   /** Exact dedup: one row kept per distinct value of `textCol` (the
@@ -129,18 +148,29 @@ object GraftOps {
   /** Connected components over an undirected pair list: every vertex in
     * a pair labeled with its component's minimum id (hash-min label
     * propagation — the d7 pass). Output: (id, cluster_rep). */
-  def nearDupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    graft.operators.Dedup.connectedComponents(pairs.sparkSession,
-        pairs.select(col(aCol), col(bCol)))
-      .select(col("v").as("id"), col("label").as("cluster_rep"))
+  def nearDupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // The label-propagation loop returns its labels persisted (the loop
+    // materialized them); re-materialize the projection as the caller's
+    // own cache entry and free the loop's — unpersist must go through
+    // the exact persisted reference (a projection's plan doesn't
+    // sameResult the cached one, so unpersisting the projection alone
+    // would leak the loop relation).
+    val labels = graft.operators.Dedup.connectedComponents(pairs.sparkSession,
+      pairs.select(col(aCol), col(bCol)))
+    finishing(labels)(
+      labels.select(col("v").as("id"), col("label").as("cluster_rep")))
+  }
 
   /** Drop every clustered row except its cluster's representative — the
     * p6 apply step. `clusters` is nearDupClusters' output; rows of `df`
-    * absent from it are kept (they had no near-dup). */
+    * absent from it are kept (they had no near-dup). The drop relation
+    * is size-gated, not force-broadcast: a dup-heavy corpus (web crawls
+    * run 30–50% near-duplicates) makes it O(corpus), and above the gate
+    * the anti-join degrades gracefully to a shuffle on `idCol`. */
   def applyDedup(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
     val drop = clusters.filter(col("id") =!= col("cluster_rep"))
       .select(col("id").as(idCol))
-    df.join(broadcast(drop), Seq(idCol), "left_anti")
+    df.join(Tables.broadcastIfSmall(drop), Seq(idCol), "left_anti")
   }
 
   /** Approximate top-k cosine neighbors for EVERY vector (the s6 k-NN
@@ -165,7 +195,7 @@ object GraftOps {
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
     val cos = graft.functions.DotProduct.dot_product(col("emb"), col("n_emb")) /
       (col("nrm") * col("n_nrm"))
-    probes.join(data, Seq("cell"))
+    finishing(e)(probes.join(data, Seq("cell"))
       .filter(col("neighbor_id") =!= col("vec_id"))
       .select(col("vec_id"), col("neighbor_id"), cos.as("cosine"))
       .groupBy(col("vec_id"))
@@ -173,14 +203,16 @@ object GraftOps {
       .select(col("vec_id"), posexplode(col("top")))
       .select(col("vec_id").as(idCol), col("col.neighbor_id").as("neighbor_id"),
         round(col("col.cosine"), 4).as("cosine"),
-        (col("pos") + 1).cast("int").as("rank"))
+        (col("pos") + 1).cast("int").as("rank")))
   }
 
   /** SemDeDup over an embedding table — the d8 shape: EXACT cosine ≥
     * `threshold` pairs via IVF-cell candidates with lossless angular
     * tile pruning, connected components, min-id representative kept.
     * Output: (idCol, cluster_rep, kept). `cells` should grow ~√n at
-    * corpus scale. */
+    * corpus scale. The component map is size-gated, not
+    * force-broadcast — it is O(corpus) on a dup-heavy corpus, and
+    * above the gate the join degrades to a shuffle on the id. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                threshold: Double = 0.45, cells: Int = 16): DataFrame = {
     val e = emb.select(col(idCol).as("vec_id"),
@@ -190,13 +222,13 @@ object GraftOps {
     val cents = graft.functions.Quantizer.train(e, "vec_id", "emb", cells)
     val pairs = graft.operators.Similarity.embedNearDupPairsOn(e, cents, threshold)
       .select(col("vec_a"), col("vec_b"))
-    val comp = graft.operators.Dedup.connectedComponents(emb.sparkSession, pairs)
-      .select(col("v").as("vec_id"), col("label").as("rep"))
-    e.select(col("vec_id"))
-      .join(broadcast(comp), Seq("vec_id"), "left")
+    val labels = graft.operators.Dedup.connectedComponents(emb.sparkSession, pairs)
+    val comp = labels.select(col("v").as("vec_id"), col("label").as("rep"))
+    finishing(e, labels)(e.select(col("vec_id"))
+      .join(Tables.broadcastIfSmall(comp), Seq("vec_id"), "left")
       .select(col("vec_id").as(idCol),
         coalesce(col("rep"), col("vec_id")).as("cluster_rep"),
-        (coalesce(col("rep"), col("vec_id")) === col("vec_id")).as("kept"))
+        (coalesce(col("rep"), col("vec_id")) === col("vec_id")).as("kept")))
   }
 
   /** BM25 top-`topN` documents for `terms` — the t8 shape: scan-side
@@ -255,24 +287,30 @@ object GraftOps {
     graft.operators.TextAnalysis.bpeTrainOn(docs, textCol, merges)
 
   /** Resample each key's series onto a dense grid between its first
-    * and last HOURLY bucket (`step` strides the grid — pass
-    * `expr("INTERVAL 1 HOUR")` for every hour, a multiple for coarser
-    * grids), with event counts zero-filled and the aggregated value
-    * carried forward — the e11 shape. Output: (keyCol, bucket,
-    * n_events, ffill_value). Grid rows scale with each key's own span,
-    * never a global calendar cross join. */
+    * and last bucket at `stepHours` granularity (1 = hourly, 24 =
+    * daily, …), with event counts zero-filled and the aggregated value
+    * carried forward — the e11 shape. Events are bucketed by the
+    * REQUESTED step (epoch-floored), not a fixed hour, so a coarser
+    * grid rolls events up into their step bucket rather than dropping
+    * the ones that miss an hourly grid row on exact equality. Output:
+    * (keyCol, bucket, n_events, ffill_value). Grid rows scale with
+    * each key's own span, never a global calendar cross join. */
   def gapFill(events: DataFrame, keyCol: String, tsCol: String,
-              valCol: String, step: Column): DataFrame = {
+              valCol: String, stepHours: Int = 1): DataFrame = {
+    require(stepHours >= 1, s"stepHours must be >= 1, got $stepHours")
+    val stepSec = stepHours * 3600L
+    val bucket = timestamp_seconds(
+      floor(unix_timestamp(col(tsCol)) / stepSec) * stepSec)
     val bucketed = events
-      .select(col(keyCol), date_trunc("hour", col(tsCol)).as("bucket"),
-        col(valCol).as("v"))
+      .select(col(keyCol), bucket.as("bucket"), col(valCol).as("v"))
       .groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("n_events"),
         graft.functions.Exact.moneySum(col("v")).as("bucket_value"))
     val grid = bucketed.groupBy(col(keyCol))
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
       .select(col(keyCol),
-        explode(sequence(col("b0"), col("b1"), step)).as("bucket"))
+        explode(sequence(col("b0"), col("b1"),
+          expr(s"INTERVAL $stepHours HOUR"))).as("bucket"))
     val byKey = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col("bucket"))
       .rowsBetween(Long.MinValue, 0)

@@ -215,14 +215,25 @@ object Aggregations {
     * sketch for 100 TB token accounting: one CMS aggregate (eps=0.001,
     * δ=0.01 → a few hundred KB regardless of corpus size) replaces the
     * vocabulary-sized exact groupBy when only heavy hitters matter.
-    * Here the exact top-20 tokens (candidate set; at corpus scale the
-    * candidates come from per-partition heavy-hitter lists, not an
-    * exact pass) are probed against the sketch so the CMS guarantee is
-    * visible in the output: cms_n ≥ exact_n always, overshoot ≤ ε·N
-    * w.h.p. Sketch bytes and the top-20 list are bounded driver
-    * collects (metadata-sized, documented contract). Engine-specific
-    * sketch ⇒ rows-only driver check; AggregationsSpec asserts the
-    * sandwich bound. */
+    *
+    * Candidate generation never runs a full-vocabulary exact aggregate
+    * (that pass is precisely what the CMS exists to avoid): each
+    * partition counts its own tokens in a local hashmap and emits only
+    * its top `HeavyHitterCandidatesPerPartition` — the Misra-Gries-
+    * style bound: any token whose global share exceeds 1/candidates is
+    * guaranteed into at least one partition's list, and Zipfian text
+    * puts the global top-20 far above that bar. Only the bounded
+    * candidate lists ever shuffle; the vocabulary itself never does.
+    * (mapPartitions is the honest tool here — a groupBy(pid, token)
+    * formulation would shuffle every partition's full distinct-token
+    * set.) Candidates then get exact counts from a FILTERED aggregate
+    * (≤ candidates×partitions distinct keys) and are probed against
+    * the sketch so the CMS guarantee is visible in the output:
+    * cms_n ≥ exact_n always, overshoot ≤ ε·N w.h.p. Sketch bytes,
+    * candidate set, and the top-20 list are bounded driver collects
+    * (metadata-sized, documented contract). Engine-specific sketch ⇒
+    * rows-only driver check; AggregationsSpec asserts the sandwich
+    * bound and that the candidate pass reproduces the exact top-20. */
   val a3_cms_heavy_hitters: Relational.Q = (s, dir) => {
     import s.implicits._
     val tok = Tables.documents(s, dir)
@@ -233,11 +244,30 @@ object Aggregations {
       .head().getAs[Array[Byte]]("s")
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
-    val top = tok.groupBy($"token").agg(count(lit(1)).as("exact_n"))
+    val cand = heavyHitterCandidates(tok)
+    val top = tok.join(broadcast(cand), Seq("token"))
+      .groupBy($"token").agg(count(lit(1)).as("exact_n"))
       .orderBy($"exact_n".desc, $"token").limit(20).collect()
       .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
     top.toSeq.toDF("token", "exact_n", "cms_n")
       .orderBy($"exact_n".desc, $"token")
+  }
+
+  private val HeavyHitterCandidatesPerPartition = 160
+
+  /** Per-partition heavy-hitter candidate tokens (see a3's scaladoc):
+    * partition-local hashmap count, top-N emitted per partition, union
+    * deduplicated. The returned relation is bounded by
+    * N × numPartitions rows regardless of vocabulary size. */
+  private[graft] def heavyHitterCandidates(tok: DataFrame): DataFrame = {
+    val s = tok.sparkSession
+    import s.implicits._
+    val n = HeavyHitterCandidatesPerPartition
+    tok.select(col("token")).as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+      m.toSeq.sortBy { case (t, c) => (-c, t) }.take(n).map(_._1).iterator
+    }.toDF("token").distinct()
   }
 
   /** a4: HLL sketch UNION — the "sketch table" pattern for incremental
@@ -258,7 +288,9 @@ object Aggregations {
       .groupBy($"day")
       .agg(hll_sketch_agg($"user_id").as("sk"))
     daily
-      .groupBy((datediff($"day", to_date(lit("2024-01-01"))) / 7)
+      // floor matches the oracle's FLOOR for pre-epoch days (cast
+      // truncates toward zero and would collide weeks -1 and 0)
+      .groupBy(floor(datediff($"day", to_date(lit("2024-01-01"))) / 7)
         .cast("long").as("week"))
       .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"),
            count(lit(1)).as("n_days"))

@@ -37,11 +37,21 @@ object Dedup {
     * everything if it ever grows past 64 entries — sessions in practice
     * touch one or two dirs). A relation that was externally unpersisted
     * (e.g. catalog.clearCache) is re-persisted on next use. */
-  private val relCache =
+  private[graft] val relCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private[graft] def cachedRel(s: SparkSession, dir: String, key: String)
                               (build: => DataFrame): DataFrame = {
-    if (relCache.size > 64) relCache.clear()
+    if (relCache.size > 64) {
+      // Eviction must unpersist what it drops: clearing map entries
+      // alone strands the persisted blocks in executor storage (the
+      // cache held the only reference) — a slow memory leak for a
+      // long-lived session cycling >64 dirs. Snapshot-then-clear keeps
+      // the race window harmless: a concurrently re-inserted relation
+      // is re-persisted on its next use (see storageLevel check below).
+      val evicted = new java.util.ArrayList(relCache.values())
+      relCache.clear()
+      evicted.forEach(df => df.unpersist(false))
+    }
     val k = s"${System.identityHashCode(s)}:$dir:$key"
     // Never build inside a map operation: builds are reentrant (pairs08 →
     // minhashSigs → shingles all go through this cache), and a nested

@@ -262,7 +262,9 @@ object Events {
   val e9_cohort_retention: Relational.Q = (s, dir) => {
     import s.implicits._
     val epoch = to_date(lit("2024-01-01"))
-    val wk = (datediff(to_date($"ts"), epoch) / 7).cast("long")
+    // floor, not cast: cast truncates toward zero, so pre-epoch days
+    // -3 and +3 would collide in week 0 — the DuckDB oracle FLOORs.
+    val wk = floor(datediff(to_date($"ts"), epoch) / 7).cast("long")
     val e = events(s, dir).select($"user_id", wk.as("week"))
     val cohorts = e.groupBy($"user_id").agg(min($"week").as("cohort_week"))
     val active = e.distinct()

@@ -188,16 +188,19 @@ object Pipeline {
     * d1/d2/d3/d7 find duplicates; this is the step that actually drops
     * them: every doc keeps its row unless it sits in a J≥0.8 cluster
     * and is not the cluster's canonical (minimum-id) representative.
-    * The cluster relation is a sliver of the corpus (only docs with a
-    * near-dup), so the anti-join broadcasts at any scale; the corpus
-    * side streams through untouched. */
+    * The drop relation is size-gated, not force-broadcast: "only docs
+    * with a near-dup" is data-dependent — a web-scale corpus runs
+    * 30–50% near-duplicates, making the drop list O(corpus). Below the
+    * gate the corpus side streams through a broadcast anti-join; above
+    * it the plan degrades gracefully to a doc_id shuffle anti-join
+    * (AQE can still promote from runtime sizes). */
   val p6_dedup_apply: Relational.Q = (s, dir) => {
     import s.implicits._
     val drop = Dedup.d7_dedup_clusters(s, dir)
       .filter($"doc_id" =!= $"cluster_rep")
       .select($"doc_id")
     Tables.documents(s, dir)
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .join(Tables.broadcastIfSmall(drop), Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang", $"source", $"n_chars")
       .orderBy($"doc_id")
   }

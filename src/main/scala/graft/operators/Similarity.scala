@@ -412,9 +412,13 @@ object Similarity {
     * near-dup graph (the corpus-specific "semantic duplicate" band for
     * this synthetic set), keep one representative (minimum vec_id) per
     * component. Composes d5's exact IVF-tiled pair generation with the
-    * same hash-min component pass d7 uses — pair graph edges are a
-    * sliver of the corpus, the corpus side streams through one
-    * broadcast left join. Output: every vector with its cluster rep
+    * same hash-min component pass d7 uses. The component map is
+    * size-gated, not force-broadcast: on a dup-heavy corpus (web crawls
+    * run 30–50% near-duplicates) it is O(corpus), and a forced hint
+    * would OOM executors exactly when dedup matters most — below the
+    * gate the corpus side streams through a broadcast left join, above
+    * it the join degrades to a doc_id shuffle (AQE can still promote it
+    * from runtime sizes). Output: every vector with its cluster rep
     * (itself when unclustered) and the keep decision. */
   val d8_semdedup: Relational.Q = (s, dir) => {
     import s.implicits._
@@ -424,7 +428,7 @@ object Similarity {
     val comp = Dedup.connectedComponents(s, pairs)
       .select(col("v").as("vec_id"), col("label").as("rep"))
     embeddings(s, dir).select($"vec_id")
-      .join(broadcast(comp), Seq("vec_id"), "left")
+      .join(Tables.broadcastIfSmall(comp), Seq("vec_id"), "left")
       .select($"vec_id",
         coalesce($"rep", $"vec_id").as("cluster_rep"),
         (coalesce($"rep", $"vec_id") === $"vec_id").as("kept"))

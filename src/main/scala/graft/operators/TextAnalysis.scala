@@ -105,15 +105,22 @@ object TextAnalysis {
     * duplicate-bigram fraction and top-token fraction, with a keep flag.
     * Boilerplate and generated spam repeat n-grams far above natural
     * prose. All ratios are exact integer quotients cast to double, so
-    * the oracle is bit-identical. Pure scan-side projection. */
+    * the oracle is bit-identical. Pure scan-side projection.
+    *
+    * The top-token count is computed as the longest equal-run of the
+    * SORTED token array — one O(n log n) pass per document. The naive
+    * distinct×filter nest is O(|distinct|·|tokens|) per row: a
+    * 100k-token document would cost ~10⁹ comparisons inside a single
+    * task, which stalls whole-stage progress at web-document lengths.
+    * TextDedupSpec pins the near-linear growth on a long synthetic
+    * document. */
   val t5_repetition: Relational.Q = (s, dir) => {
     import s.implicits._
     val nTok = size($"toks")
     val nBig = greatest(nTok - 1, lit(0))
     val nDistinctBig = size(shinglesOfTokens($"toks", 2))
     val dupFrac = (nBig - nDistinctBig).cast("double") / greatest(nBig, lit(1))
-    val topCount = array_max(transform(array_distinct($"toks"),
-      x => size(filter($"toks", y => y === x))))
+    val topCount = topTokenCount($"toks")
     val topFrac = coalesce(topCount, lit(0)).cast("double") / greatest(nTok, lit(1))
     Tables.documents(s, dir)
       .select($"doc_id", tokens($"text").as("toks"))
@@ -123,6 +130,24 @@ object TextAnalysis {
         (dupFrac <= 0.125 && topFrac <= 0.09).as("kept"))
       .orderBy($"doc_id")
   }
+
+  /** Count of the most frequent element of a string array, single pass:
+    * sort, then fold tracking (previous element, current run, best run).
+    * Null/empty arrays yield 0. Exact — same integers as the quadratic
+    * distinct×filter formulation, at O(n log n) per row. */
+  private[graft] def topTokenCount(toks: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    aggregate(
+      array_sort(toks),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+        lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + lit(1)).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
 
   val t5_sql: String = {
     val big = s"list_distinct([t[i] || ' ' || t[i+1] for i in generate_series(1, greatest(len(t)-1, 0))])"
@@ -372,6 +397,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t8_bm25_search" -> t8_sql,
     "t7_unigram_rarity" -> t7_sql,
     "t1_token_count" -> t1_sql,
     "t2_quality_score" -> t2_sql,

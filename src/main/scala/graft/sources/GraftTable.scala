@@ -243,9 +243,12 @@ class GraftTable private (val spark: SparkSession, val root: String) {
         d.withColumn(c, when(condition, v).otherwise(col(c)))
       })
 
-  /** Row-level DELETE (directory-granular copy-on-write). */
+  /** Row-level DELETE (directory-granular copy-on-write). Only rows
+    * where the predicate is TRUE are removed — `!condition` alone would
+    * also drop NULL-condition rows (three-valued logic), diverging from
+    * Delta/SQL DELETE semantics. */
   def delete(condition: Column): Int =
-    rewriteTouched("delete", condition, _.filter(!condition))
+    rewriteTouched("delete", condition, _.filter(!coalesce(condition, lit(false))))
 
   /** Delta `replaceWhere` overwrite: atomically replace exactly the
     * rows matching `condition` with `df` — ONE commit (a separate
@@ -269,7 +272,12 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     if (touched.isEmpty)
       commit("replaceWhere", Some(align(df)), prev => prev)
     else {
-      val kept = readDirs(touched.toSeq).filter(!condition)
+      // keep = NOT TRUE, not NOT(condition): a NULL condition row is
+      // neither replaced nor matched by !condition — without the
+      // coalesce it would silently vanish from touched directories
+      // (Delta's replaceWhere only removes rows where the predicate is
+      // TRUE; the validate branch above already coalesces the same way).
+      val kept = readDirs(touched.toSeq).filter(!coalesce(condition, lit(false)))
       commit("replaceWhere", Some(align(df).unionByName(kept)),
         prev => prev.filterNot(touched))
     }

@@ -37,11 +37,21 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Broadcast hint gated on the optimizer's size estimate. Constant-size
-    * dims (region/nation) can be hinted unconditionally, but tables that
-    * grow with the corpus (supplier, customer) must not be force-broadcast
-    * — at a 100 TB scale factor the hint would push a multi-GB table to
-    * every executor. Below the cap the hint is free; above it, planning
-    * is left to cost-based selection / AQE. */
-  def broadcastIfSmall(df: DataFrame, maxBytes: Long = 64L << 20): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes) broadcast(df) else df
+    * dims (region/nation) can be hinted unconditionally, but relations
+    * that grow with the corpus (supplier, customer — and above all the
+    * dedup cluster/drop maps, which are O(corpus) on a dup-heavy web
+    * corpus) must not be force-broadcast: at a 100 TB scale factor the
+    * hint would push a multi-GB relation to every executor and trip
+    * Spark's 8 GB broadcast hard limit. Below the cap the hint is free;
+    * above it, planning is left to cost-based selection / AQE (which can
+    * still pick a broadcast from RUNTIME sizes — the gate only removes
+    * the unconditional hint). `spark.graft.broadcast.maxBytes`
+    * overrides the cap session-wide (0 disables hinting entirely —
+    * used by PlanAuditSpec to prove the degraded plan is a sane
+    * shuffle join, and by operators whose inputs are known-large). */
+  def broadcastIfSmall(df: DataFrame, maxBytes: Long = 64L << 20): DataFrame = {
+    val cap = df.sparkSession.conf.getOption("spark.graft.broadcast.maxBytes")
+      .map(_.toLong).getOrElse(maxBytes)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= cap) broadcast(df) else df
+  }
 }

@@ -132,8 +132,7 @@ class ApiSpec extends AnyFunSuite {
       (1L, ts("2024-01-01 03:20:00"), 7.0),
       (2L, ts("2024-01-01 01:00:00"), 1.0)
     ).toDF("k", "t", "v")
-    val out = GraftOps.gapFill(events, "k", "t", "v",
-        expr("INTERVAL 1 HOUR"))
+    val out = GraftOps.gapFill(events, "k", "t", "v", stepHours = 1)
       .orderBy("k", "bucket").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).toString,
         r.getLong(2), r.getDouble(3)))
@@ -143,6 +142,28 @@ class ApiSpec extends AnyFunSuite {
       (1L, "2024-01-01 02:00:00.0", 0L, 5.0),
       (1L, "2024-01-01 03:00:00.0", 1L, 7.0),
       (2L, "2024-01-01 01:00:00.0", 1L, 1.0)))
+  }
+
+  test("gapFill with a coarser step rolls odd-hour events into their bucket") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // The 01:xx and 05:xx events sit in ODD hours: on a 2-hour grid
+    // bucketed hourly they would match no grid row and vanish (the bug
+    // this test pins down) — step-floored bucketing rolls them up.
+    val events = Seq(
+      (1L, ts("2024-01-01 01:10:00"), 5.0),
+      (1L, ts("2024-01-01 05:45:00"), 7.0)
+    ).toDF("k", "t", "v")
+    val out = GraftOps.gapFill(events, "k", "t", "v", stepHours = 2)
+      .orderBy("k", "bucket").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01 00:00:00.0", 1L, 5.0),
+      (1L, "2024-01-01 02:00:00.0", 0L, 5.0),
+      (1L, "2024-01-01 04:00:00.0", 1L, 7.0)))
+    // total events preserved — nothing dropped on grid mismatch
+    assert(out.map(_._3).sum == 2L)
   }
 
   test("bpeMerges learns the dominant pair first on arbitrary data") {

@@ -158,6 +158,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"t7 hot-token branch must be a broadcast join:\n$plan")
   }
 
+  test("dedup-apply drop relation is size-gated: large estimate degrades to shuffle") {
+    // the apply step of every dedup pipeline anti-joins the corpus
+    // against the cluster/drop map. That map is O(corpus) on a
+    // dup-heavy corpus, so the broadcast hint must be size-GATED — a
+    // forced hint OOMs executors exactly when dedup matters most.
+    // Above the gate the plan must degrade to a plain shuffle
+    // anti-join; below it the hint applies.
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession() // isolated conf, shared context
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    val df = (1L to 100L).toDF("my_id")
+    val clusters = Seq((2L, 1L), (3L, 1L), (9L, 7L)).toDF("id", "cluster_rep")
+
+    s2.conf.set("spark.graft.broadcast.maxBytes", "0") // force "too large"
+    val gated = graft.api.GraftOps.applyDedup(df, "my_id", clusters)
+    val gatedPlan = gated.queryExecution.executedPlan.toString
+    assert(!gatedPlan.contains("Broadcast"),
+      s"gate ignored — still broadcasting:\n$gatedPlan")
+    assert(gatedPlan.contains("SortMergeJoin") || gatedPlan.contains("ShuffledHashJoin"),
+      s"expected a shuffle anti-join above the gate:\n$gatedPlan")
+    assert(gated.collect().map(_.getLong(0)).toSet ==
+      (1L to 100L).toSet -- Set(2L, 3L, 9L), "degraded plan must stay correct")
+
+    s2.conf.set("spark.graft.broadcast.maxBytes", (64L << 20).toString)
+    val hinted = graft.api.GraftOps.applyDedup(df, "my_id", clusters)
+    assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "small drop relation must still broadcast below the gate")
+  }
+
   test("bucketed tables co-locate their join: no shuffle exchange") {
     // the 100 TB fact-fact join strategy: both sides written bucketed on
     // the join key land pre-partitioned, so the sort-merge join needs no

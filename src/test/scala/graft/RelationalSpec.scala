@@ -61,6 +61,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("a3: per-partition candidate pass reproduces the exact top-20") {
+    import org.apache.spark.sql.functions._
+    // a3's candidates come from partition-local heaps (no vocabulary
+    // aggregate); this pins that the heuristic loses nothing — its
+    // (token, exact_n) output equals a reference exact top-20
+    val got = SparkEntry.queries("a3_cms_heavy_hitters")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("exact_n"))).toSeq
+    val want = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
   test("a1: approximate distinct is within HLL error of exact") {
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("a1_approx_distinct")(spark, sf).collect()

@@ -56,4 +56,35 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(boom.exists(e => e.contains("RuntimeException") && e.contains("kaboom")))
     assert(boom.forall(!_.contains("second")))
   }
+
+  test("relCache eviction unpersists the relations it drops") {
+    // Eviction that only clears map entries strands the persisted
+    // blocks in executor storage (the cache held the sole reference) —
+    // a slow leak in a long-lived session cycling >64 dirs. Fill past
+    // the bound and verify the evicted relations are actually
+    // unpersisted, not just forgotten.
+    // Drain residue from earlier suites first (same unpersist-then-
+    // clear discipline) so the fill below crosses the bound exactly
+    // once, on the trigger insert.
+    import scala.jdk.CollectionConverters._
+    graft.operators.Dedup.relCache.values.asScala.foreach(_.unpersist(false))
+    graft.operators.Dedup.relCache.clear()
+    val dfs = (1 to 65).map { i =>
+      graft.operators.Dedup.cachedRel(spark, s"/evict/$i", "k") {
+        spark.range(i).toDF()
+      }
+    }
+    assert(dfs.forall(_.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE), "cache must persist entries")
+    // the 66th insert crosses the bound: everything evicted AND
+    // unpersisted (trigger plan distinct from every dfs plan —
+    // storageLevel resolves by logical plan, so a same-plan trigger
+    // would shadow the unpersist under its own fresh cache entry)
+    graft.operators.Dedup.cachedRel(spark, "/evict/trigger", "k") {
+      spark.range(9999).toDF()
+    }
+    assert(dfs.forall(_.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE),
+      "evicted relations must be unpersisted, not stranded in storage")
+  }
 }

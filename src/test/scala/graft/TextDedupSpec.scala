@@ -174,6 +174,47 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(1).getAs[Boolean]("kept"))
   }
 
+  test("t5 top-token count is exact and near-linear in document length") {
+    import spark.implicits._
+    // exactness on a constructed array (ties, singletons, empty)
+    val c = Seq(
+      (Seq("b", "a", "b", "c", "b", "a"), 3),
+      (Seq("x"), 1),
+      (Seq.empty[String], 0))
+      .toDF("toks", "want")
+      .select(graft.operators.TextAnalysis.topTokenCount(col("toks")).as("got"),
+        col("want"))
+      .collect()
+    c.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+
+    // scaling: equal TOTAL token mass on both sides — 200 docs of 5k
+    // tokens vs 10 docs of 100k tokens, vocabulary growing with doc
+    // length. The old distinct×filter nest is O(|distinct|·n) per doc:
+    // at equal mass the long side costs ~20× the short side. The
+    // sorted-run scan is O(n log n): near-equal. Assert the long side
+    // stays within a generous linear-ish envelope.
+    val rnd = new scala.util.Random(7)
+    def mkDocs(nDocs: Int, nTok: Int) =
+      (1 to nDocs).map { i =>
+        (i.toLong, Array.fill(nTok)("tok" + rnd.nextInt(nTok)).toSeq)
+      }.toDF("doc_id", "toks")
+    def timeIt(df: org.apache.spark.sql.DataFrame): Long = {
+      val q = df.select(
+        graft.operators.TextAnalysis.topTokenCount(col("toks")).as("c"))
+      q.count() // warm: plan + JIT
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        q.agg(sum(col("c"))).collect()
+        System.nanoTime() - t0
+      }.min
+    }
+    val short = timeIt(mkDocs(200, 5000))
+    val long = timeIt(mkDocs(10, 100000))
+    assert(long < short * 6,
+      s"t5 top-token count no longer linear: ${long / 1e6}ms vs ${short / 1e6}ms " +
+        "at equal token mass (quadratic would be ~20x)")
+  }
+
   test("t6 pii scrub redacts emails and phone numbers") {
     import spark.implicits._
     val df = Seq(
