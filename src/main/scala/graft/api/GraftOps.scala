@@ -122,6 +122,64 @@ object GraftOps {
     finishing(sh, arrs, sigs)(verifyJaccard(arrs, cand, threshold))
   }
 
+  /** SimHash near-duplicate pairs at hamming distance ≤ `maxHamming`
+    * over 64-bit token-set signatures — the d4 shape: one typed
+    * aggregate builds each document's signature, candidates block on
+    * 16-bit signature quarters (any hamming ≤ 3 pair must agree on at
+    * least one quarter — pigeonhole), then the exact hamming filter.
+    * Candidate generation shuffles on quarter blocks, never an
+    * all-pairs join. Output: (doc_a, doc_b, hamming). */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "quarter blocking guarantees recall only for hamming <= 3 " +
+        s"(got $maxHamming); widen the block scheme for larger radii")
+    val signed = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhash(col("h")).as("sig"))
+      .persist(Persist)
+    val blocks = signed.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("sig"), k * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("blk_id", "blk")))
+    finishing(signed)(blocks.as("l")
+      .join(blocks.as("r"),
+        col("l.blk_id") === col("r.blk_id") && col("l.blk") === col("r.blk") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming))
+  }
+
+  /** Bloom-filter decontamination — the p8 shape: the benchmark side
+    * reduces to ONE fixed-size mergeable bitset (map-side OR-combined,
+    * `numBits`/8 bytes collected once — never a growing hash set),
+    * probed scan-side as a codegen'd plan literal, so training grams
+    * never shuffle. Flagged counts are an UPPER bound on true overlap
+    * (Bloom false positives at the classic (1−e^(−kn/m))^k rate; no
+    * false negatives by construction) — callers wanting exact counts
+    * re-check flagged docs with [[ngramContamination]]. Output:
+    * (idCol, n_flagged_ngrams). */
+  def bloomDecontamination(train: DataFrame, bench: DataFrame,
+                           idCol: String, textCol: String, n: Int = 13,
+                           numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(TextFunctions.shinglesOfTokens(col("toks"), n)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("h"))
+    val bloomBytes = grams(bench)
+      .agg(graft.functions.Bloom.bloom(col("h"), numBits, numHashes).as("bloom"))
+      .first().getAs[Array[Byte]]("bloom")
+    grams(train)
+      .filter(graft.functions.Bloom.might_contain(lit(bloomBytes), col("h"), numHashes))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_flagged_ngrams"))
+  }
+
   /** Exact dedup: one row kept per distinct value of `textCol` (the
     * minimum id wins — deterministic). A single uniform content-hash
     * shuffle, the d1 shape. */

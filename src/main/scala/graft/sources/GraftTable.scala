@@ -74,29 +74,59 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     finally Files.deleteIfExists(tmp)
   }
 
-  /** Partition spec for this table: plain column names, or the derived
-    * transform `days(col)` (the reference's `PARTITIONED BY (days(ts))`
-    * — 02_iceberg_demo.ipynb). Set at create time, constant across
-    * commits (modulo renames of identity partition columns). */
+  /** Partition spec for this table: plain column names, or a derived
+    * transform — `days(col)` (the reference's `PARTITIONED BY (days(ts))`
+    * — 02_iceberg_demo.ipynb) plus the rest of the Iceberg transform
+    * family: `hours(col)`, `months(col)`, `years(col)`,
+    * `bucket(n, col)`, `truncate(w, col)`. Set at create time, constant
+    * across commits (modulo renames of identity partition columns). */
   def partitionColumns: Seq[String] = {
     val v = latestVersion()
     if (v < 0) Nil else readCommit(v).partitionBy
   }
 
   /** Physical layout column for one partition-spec entry: identity specs
-    * partition on the column itself; `days(col)` materializes a hidden
-    * `__p_days_<col>` date column in the file layout (dropped at read). */
+    * partition on the column itself; derived transforms materialize a
+    * hidden `__p_<transform>_<col>` column in the file layout (dropped
+    * at read). */
   private def physicalPartCol(spec: String): String = spec match {
     case DaysSpec(c) => s"__p_days_$c"
+    case HoursSpec(c) => s"__p_hours_$c"
+    case MonthsSpec(c) => s"__p_months_$c"
+    case YearsSpec(c) => s"__p_years_$c"
+    case BucketSpec(n, c) => s"__p_bucket_${n}_$c"
+    case TruncSpec(w, c) => s"__p_trunc_${w}_$c"
     case c => c
+  }
+
+  /** The derived layout column for a transform spec, or None for
+    * identity specs. Time transforms use sortable string grains (an
+    * hours(ts) predicate prunes lexicographically); bucket hashes with
+    * the same xxhash64 the point-lookup path derives; truncate is
+    * width-prefix for strings and floor-to-multiple for integrals
+    * (Iceberg truncate semantics — works for negatives because pmod is
+    * non-negative). */
+  private def derivedPartCol(spec: String, df: DataFrame)
+      : Option[org.apache.spark.sql.Column] = spec match {
+    case DaysSpec(c) => Some(to_date(col(c)))
+    case HoursSpec(c) => Some(date_format(col(c), "yyyy-MM-dd-HH"))
+    case MonthsSpec(c) => Some(date_format(col(c), "yyyy-MM"))
+    case YearsSpec(c) => Some(date_format(col(c), "yyyy"))
+    case BucketSpec(n, c) => Some(pmod(xxhash64(col(c)), lit(n.toInt)).cast("int"))
+    case TruncSpec(w, c) => df.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        Some(substring(col(c), 1, w.toInt))
+      case _ => Some(col(c) - pmod(col(c), lit(w.toInt)))
+    }
+    case _ => None
   }
 
   private def writeData(df: DataFrame, version: Int, partitionBy: Seq[String]): String = {
     val dir = f"d$version%04d-${java.util.UUID.randomUUID().toString.take(8)}"
     val withDerived = partitionBy.foldLeft(df) { (d, spec) =>
-      spec match {
-        case DaysSpec(c) => d.withColumn(s"__p_days_$c", to_date(col(c)))
-        case _ => d
+      derivedPartCol(spec, df) match {
+        case Some(c) => d.withColumn(physicalPartCol(spec), c)
+        case None => d
       }
     }
     val w = withDerived.write
@@ -548,24 +578,67 @@ class GraftTable private (val spark: SparkSession, val root: String) {
       }.reduce(_.unionByName(_))
   }
 
-  /** Pruned read over a `days(col)`-partitioned table: filters the
-    * hidden layout column so only matching hive partitions are scanned
-    * — the transform-aware partition pruning Iceberg derives from
-    * metadata, surfaced as an explicit API here. `day` is an ISO date
-    * (yyyy-MM-dd). */
-  def readWhereDays(column: String, day: String): DataFrame = {
+  /** Pruned read over a transform-partitioned table: filters the hidden
+    * layout column of `spec` to `value` so only matching hive
+    * partitions are scanned — the transform-aware partition pruning
+    * Iceberg derives from metadata, surfaced as an explicit API.
+    * `value` is the transform grain: `days(ts)` → "2024-01-07",
+    * `hours(ts)` → "2024-01-07-13", `months(ts)` → "2024-01",
+    * `years(ts)` → "2024", `bucket(n, c)` → the bucket ordinal (see
+    * [[readWhereBucketOf]] for key-value point lookups),
+    * `truncate(w, c)` → the truncated prefix/multiple. */
+  def readWherePartition(spec: String, value: String): DataFrame = {
     val c = readCommit(latestVersion())
-    require(c.partitionBy.contains(s"days($column)"),
-      s"table is not days($column)-partitioned")
+    require(c.partitionBy.contains(spec), s"table is not $spec-partitioned")
+    val layout = physicalPartCol(spec)
+    require(layout != spec,
+      s"$spec is an identity partition — filter the column directly")
     val schema = c.schemaStruct
-    c.liveDirs.map { d =>
+    // skip dirs with no hive subdir for this layout column (an empty
+    // CREATE commit has no files — schema inference would fail, and it
+    // can hold no matching rows anyway)
+    val parts = c.liveDirs.filter { d =>
+      val dirP = Paths.get(root, d)
+      Files.isDirectory(dirP) && {
+        val it = Files.list(dirP)
+        try it.iterator().asScala.exists(
+          _.getFileName.toString.startsWith(layout + "="))
+        finally it.close()
+      }
+    }.map { d =>
       val p = Paths.get(root, d).toString
       val raw = spark.read.option("basePath", p).parquet(p)
-        .filter(col(s"__p_days_$column") === lit(day))
+        .filter(col(layout) === lit(value))
       raw.select(schema.map(f =>
         if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType)
         else lit(null).cast(f.dataType).as(f.name)): _*)
-    }.reduce(_.unionByName(_))
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else parts.reduce(_.unionByName(_))
+  }
+
+  /** Pruned read over a `days(col)`-partitioned table; `day` is an ISO
+    * date (yyyy-MM-dd). */
+  def readWhereDays(column: String, day: String): DataFrame =
+    readWherePartition(s"days($column)", day)
+
+  /** Bucket-key point lookup: scan only the hash bucket that can hold
+    * `key` on a `bucket(n, column)`-partitioned table. The bucket
+    * ordinal is derived with the SAME xxhash64 expression the writer
+    * used, so the lookup can never miss. */
+  def readWhereBucketOf(column: String, key: Any): DataFrame = {
+    val c = readCommit(latestVersion())
+    val spec = c.partitionBy.collectFirst {
+      case s @ BucketSpec(n, `column`) => (s, n.toInt)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"table is not bucket(n, $column)-partitioned"))
+    val ordinal = spark.range(1)
+      .select(pmod(xxhash64(lit(key)), lit(spec._2)).cast("int"))
+      .first().getInt(0)
+    readWherePartition(spec._1, ordinal.toString)
+      .filter(col(column) === lit(key))
   }
 
   /** Time travel by wall-clock: the latest snapshot committed at or
@@ -639,14 +712,32 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     }.toDF("dir", "row_count", "min_values", "max_values")
   }
 
-  /** Iceberg `.snapshots` metadata-table analog. */
+  /** Iceberg `.snapshots` metadata-table analog, including the
+    * per-commit `summary` map the reference queries
+    * (`SELECT committed_at, snapshot_id, operation, summary FROM
+    * …snapshots` — 02_iceberg_demo.ipynb): added/removed directory and
+    * record counts diffed from the previous commit's live set, record
+    * counts from the per-dir stats files (metadata-only — no data
+    * scan; a vacuumed dir whose stats are gone contributes 0). */
   def snapshots(): DataFrame = {
     import spark.implicits._
+    def rowsOf(dirs: Seq[String]): Long = dirs.flatMap(d =>
+      DirStats.load(Paths.get(root, d)).flatMap(_.get(DirStats.RowCountKey))
+        .map(_.max.toDouble.toLong)).sum
     (0 to latestVersion()).map { v =>
       val c = readCommit(v)
+      val prev = if (v == 0) Nil else readCommit(v - 1).liveDirs
+      val added = c.liveDirs.filterNot(prev.toSet)
+      val removed = prev.filterNot(c.liveDirs.toSet)
+      val summary = Map(
+        "added-data-dirs" -> added.size.toString,
+        "removed-data-dirs" -> removed.size.toString,
+        "added-records" -> rowsOf(added).toString,
+        "removed-records" -> rowsOf(removed).toString,
+        "total-data-dirs" -> c.liveDirs.size.toString)
       (v.toLong, new java.sql.Timestamp(c.timestampMs), c.action,
-        c.liveDirs.mkString(","))
-    }.toDF("snapshot_id", "committed_at", "operation", "live_dirs")
+        c.liveDirs.mkString(","), summary)
+    }.toDF("snapshot_id", "committed_at", "operation", "live_dirs", "summary")
   }
 
   /** Retention-based VACUUM (the Delta `VACUUM … RETAIN` semantics,
@@ -721,9 +812,16 @@ class GraftTable private (val spark: SparkSession, val root: String) {
 object GraftTable {
   private val LogDirName = "_graft_log"
 
-  /** Partition-spec transform syntax: `days(col)` (reference:
-    * 02_iceberg_demo.ipynb PARTITIONED BY (days(ts))). */
+  /** Partition-spec transform syntax — the Iceberg transform family
+    * (reference: 02_iceberg_demo.ipynb PARTITIONED BY (days(ts));
+    * hours/months/years/bucket/truncate complete the published
+    * Iceberg partition-spec surface). */
   private[sources] val DaysSpec = """days\((\w+)\)""".r
+  private[sources] val HoursSpec = """hours\((\w+)\)""".r
+  private[sources] val MonthsSpec = """months\((\w+)\)""".r
+  private[sources] val YearsSpec = """years\((\w+)\)""".r
+  private[sources] val BucketSpec = """bucket\((\d+),\s*(\w+)\)""".r
+  private[sources] val TruncSpec = """truncate\((\d+),\s*(\w+)\)""".r
 
   /** Directory stats for the catalog scan path. */
   private[sources] def loadStats(root: String, dir: String)
@@ -787,7 +885,11 @@ object GraftTable {
         val m = ("\"" + name + "\":\\[([^\\]]*)\\]").r
         m.findFirstMatchIn(s).map(_.group(1)) match {
           case Some(body) if body.trim.nonEmpty =>
-            body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            // split on the `","` element boundary, NOT on every comma —
+            // partition specs like bucket(4, uid) contain commas inside
+            // one quoted element
+            body.trim.stripPrefix("\"").stripSuffix("\"")
+              .split(java.util.regex.Pattern.quote("\",\""), -1).toSeq
           case _ => Nil
         }
       }

@@ -124,9 +124,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def transformToSpec(t: Transform): String = t.name() match {
     case "identity" => t.references()(0).fieldNames().mkString(".")
-    case "days" => s"days(${t.references()(0).fieldNames().mkString(".")})"
+    case n @ ("days" | "hours" | "months" | "years") =>
+      s"$n(${t.references()(0).fieldNames().mkString(".")})"
+    case n @ ("bucket" | "truncate") =>
+      // arguments carry (literal, field-ref) in parser order; pull the
+      // numeric literal regardless of position
+      val num = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value().toString
+      }.getOrElse(throw new UnsupportedOperationException(
+        s"$n transform needs a numeric argument"))
+      s"$n($num, ${t.references()(0).fieldNames().mkString(".")})"
     case other => throw new UnsupportedOperationException(
-      s"partition transform $other not supported (identity and days only)")
+      s"partition transform $other not supported " +
+        "(identity/days/hours/months/years/bucket/truncate)")
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -245,6 +256,12 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
   override def partitioning(): Array[Transform] =
     commit.partitionBy.map {
       case GraftTable.DaysSpec(c) => Expressions.days(c)
+      case GraftTable.HoursSpec(c) => Expressions.hours(c)
+      case GraftTable.MonthsSpec(c) => Expressions.months(c)
+      case GraftTable.YearsSpec(c) => Expressions.years(c)
+      case GraftTable.BucketSpec(n, c) => Expressions.bucket(n.toInt, c)
+      case GraftTable.TruncSpec(w, c) => Expressions.apply("truncate",
+        Expressions.literal(w.toInt), Expressions.column(c))
       case c => Expressions.identity(c)
     }.toArray
 
@@ -283,18 +300,41 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
     } else {
       // stats-skipping scan: pushed filters drop whole directories by
       // their min/max metadata before the parquet scan ever lists files.
-      // For days()-partitioned tables the kept dirs are then expanded to
-      // their daily hive subdirs and pruned again at DAY granularity:
-      // each `__p_days_<col>=<d>` subdir implies exact single-day bounds
-      // for the source column, so a time predicate skips every other day
-      // — finer than the whole-dir stats (a dir spanning 30 days has a
-      // 30-day min/max) and decided entirely from directory names, no
-      // file listing. Fused with, not instead of, the stats skip.
+      // For time-transform-partitioned tables (days/hours/months/years)
+      // the kept dirs are then expanded to their hive subdirs and pruned
+      // again at TRANSFORM granularity: each `__p_<t>_<col>=<v>` subdir
+      // implies exact grain bounds for the source column, so a time
+      // predicate skips every other grain — finer than the whole-dir
+      // stats (a dir spanning 30 days has a 30-day min/max) and decided
+      // entirely from directory names, no file listing. Fused with, not
+      // instead of, the stats skip. (bucket/truncate subdirs imply no
+      // lexicographic bounds — point lookups go through
+      // GraftTable.readWhereBucketOf / readWherePartition.)
       val live = commit.liveDirs
-      val daysCols: Map[String, String] = commit.partitionBy.collect {
-        case GraftTable.DaysSpec(c) => s"__p_days_$c" -> c
+      val timeCols: Map[String, (String, String)] = commit.partitionBy.collect {
+        case GraftTable.DaysSpec(c) => s"__p_days_$c" -> (c, "days")
+        case GraftTable.HoursSpec(c) => s"__p_hours_$c" -> (c, "hours")
+        case GraftTable.MonthsSpec(c) => s"__p_months_$c" -> (c, "months")
+        case GraftTable.YearsSpec(c) => s"__p_years_$c" -> (c, "years")
       }.toMap
       val schemaTypes = schema().fields.map(f => f.name -> f.dataType).toMap
+      // Grain bounds for the source column, rendered the way DirStats
+      // stores that type's stats (timestamps carry a time-of-day; dates
+      // are the bare day). Month/year highs use over-wide day numbers
+      // (…-31) — a conservative lexicographic cover, never a miss.
+      def grainBounds(kind: String, v: String, isTs: Boolean): (String, String) =
+        kind match {
+          case "days" => if (isTs) (s"$v 00:00:00", s"$v 23:59:59.999999") else (v, v)
+          case "hours" => // layout value yyyy-MM-dd-HH
+            (s"${v.take(10)} ${v.drop(11)}:00:00",
+             s"${v.take(10)} ${v.drop(11)}:59:59.999999")
+          case "months" =>
+            if (isTs) (s"$v-01 00:00:00", s"$v-31 23:59:59.999999")
+            else (s"$v-01", s"$v-31")
+          case "years" =>
+            if (isTs) (s"$v-01-01 00:00:00", s"$v-12-31 23:59:59.999999")
+            else (s"$v-01-01", s"$v-12-31")
+        }
       new org.apache.spark.sql.graftbridge.StatsPruningScanBuilder(
         spark, ident.toString, schema(), options,
         prune = filters => {
@@ -304,7 +344,7 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
               case None => true
             }
           }
-          if (daysCols.isEmpty || filters.isEmpty)
+          if (timeCols.isEmpty || filters.isEmpty)
             kept.map(d => Paths.get(path, d).toString)
           else kept.flatMap { d =>
             val dirP = Paths.get(path, d)
@@ -316,7 +356,7 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
                   .asScala
                   .filter(p => java.nio.file.Files.isDirectory(p) &&
                     (p.getFileName.toString.split("=", 2) match {
-                      case Array(k, _) => daysCols.contains(k)
+                      case Array(k, _) => timeCols.contains(k)
                       case _ => false
                     }))
                   .toVector
@@ -324,16 +364,11 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
               }
             if (subs.isEmpty) Seq(dirP.toString)
             else subs.filter { sub =>
-              val Array(k, day) = sub.getFileName.toString.split("=", 2)
-              val src = daysCols(k)
-              // Day bounds for the source column, rendered the way
-              // DirStats stores that type's stats (timestamps carry a
-              // time-of-day; dates are the bare day).
-              val (lo, hi) = schemaTypes.get(src) match {
-                case Some(_: org.apache.spark.sql.types.TimestampType) =>
-                  (s"$day 00:00:00", s"$day 23:59:59.999999")
-                case _ => (day, day)
-              }
+              val Array(k, v) = sub.getFileName.toString.split("=", 2)
+              val (src, kind) = timeCols(k)
+              val isTs = schemaTypes.get(src)
+                .exists(_.isInstanceOf[org.apache.spark.sql.types.TimestampType])
+              val (lo, hi) = grainBounds(kind, v, isTs)
               val pseudo = Map(src -> graft.sources.DirStats.ColStat("str", lo, hi))
               filters.forall(f => graft.sources.DirStats.mayMatch(f, pseudo))
             }.map(_.toString)

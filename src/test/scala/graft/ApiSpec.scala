@@ -87,6 +87,54 @@ class ApiSpec extends AnyFunSuite {
     assert(out.length == 33)
   }
 
+  test("simHashPairs finds the planted signature twin on arbitrary data") {
+    import spark.implicits._
+    val toks = (1 to 40).map(i => s"tok$i")
+    // same token SET in different order -> identical simhash, hamming 0
+    val docs = Seq(
+      (10L, toks.mkString(" ")),
+      (20L, scala.util.Random.shuffle(toks).mkString(" ")),
+      (30L, (100 to 140).map(i => s"other$i").mkString(" "))
+    ).toDF("my_id", "my_text")
+    val pairs = GraftOps.simHashPairs(docs, "my_id", "my_text").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 10L && pairs.head.getLong(1) == 20L)
+    assert(pairs.head.getInt(2) == 0)
+  }
+
+  test("simHashPairs equals the catalog d4 on the benchmark corpus") {
+    val expected = SparkEntry.queries("d4_simhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = GraftOps.simHashPairs(
+        graft.sources.Tables.documents(spark, sf), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
+  test("bloomDecontamination flags the planted overlap, nothing else") {
+    import spark.implicits._
+    val gram = (1 to 13).map(i => s"w$i").mkString(" ")
+    val train = Seq((100L, s"prefix words $gram suffix tail"),
+                    (200L, "totally clean training document with original content words"))
+      .toDF("id", "txt")
+    val bench = Seq((1L, s"benchmark context $gram more context")).toDF("id", "txt")
+    val flagged = GraftOps.bloomDecontamination(train, bench, "id", "txt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == Map(100L -> 1L))
+  }
+
+  test("bloomDecontamination equals the catalog p8 on the benchmark corpus") {
+    import org.apache.spark.sql.functions.col
+    val expected = SparkEntry.queries("p8_bloom_decontam")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = GraftOps.bloomDecontamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("bm25Search ranks the term-dense doc first on arbitrary data") {
     import spark.implicits._
     val docs = Seq(

@@ -138,6 +138,38 @@ class CatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 3)
   }
 
+  test("hour filters prune hive subdirs of hours()-partitioned tables by name") {
+    freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.hp (id BIGINT, ts TIMESTAMP, v DOUBLE)
+                 |USING graft PARTITIONED BY (hours(ts))""".stripMargin)
+    spark.sql(s"""INSERT INTO $cat.db.hp VALUES
+                 | (1, TIMESTAMP '2024-01-01 03:10:00', 1.0),
+                 | (2, TIMESTAMP '2024-01-01 11:20:00', 2.0),
+                 | (3, TIMESTAMP '2024-01-01 17:30:00', 3.0)""".stripMargin)
+    val q = spark.sql(
+      s"SELECT id FROM $cat.db.hp WHERE ts >= TIMESTAMP '2024-01-01 17:00:00'")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("(1 paths)"), s"hour subdirs not pruned:\n$p")
+  }
+
+  test("bucket(n, col) DDL round-trips partitioning and point-lookup prunes") {
+    freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.bk (uid BIGINT, v DOUBLE)
+                 |USING graft PARTITIONED BY (bucket(4, uid))""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.bk SELECT id, CAST(id AS DOUBLE) FROM range(0, 40)")
+    assert(spark.table(s"$cat.db.bk").count() == 40)
+    // the spec survives the catalog round trip
+    val parts = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.db.bk").collect()
+      .map(_.getString(1)).mkString("\n")
+    // point lookup via the table API scans a single hash bucket
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val t = graft.sources.GraftTable.load(spark, s"$wh/db/bk")
+    assert(t.partitionColumns == Seq("bucket(4, uid)"), s"spec lost: $parts")
+    val hit = t.readWhereBucketOf("uid", 17L)
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(17L))
+  }
+
   test("stats-based directory skipping in the SQL read path") {
     freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.s (id BIGINT, v DOUBLE) USING graft")

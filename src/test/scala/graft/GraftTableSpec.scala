@@ -295,6 +295,74 @@ class GraftTableSpec extends AnyFunSuite {
     assert(pruned.count() == src.filter(to_date($"ts") === day).count())
   }
 
+  test("hours(ts) transform: hidden layout column, hour-grained pruned read") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val src = Seq(
+      (1L, ts("2024-01-01 03:10:00"), 1.0),
+      (2L, ts("2024-01-01 03:55:00"), 2.0),
+      (3L, ts("2024-01-01 17:00:00"), 3.0),
+      (4L, ts("2024-01-02 03:10:00"), 4.0)
+    ).toDF("id", "ts", "v")
+    val t = GraftTable.create(spark, tmp(), src, partitionBy = Seq("hours(ts)"))
+    assert(t.read().columns.toSeq == Seq("id", "ts", "v"))
+    assert(t.read().count() == 4)
+    val pruned = t.readWherePartition("hours(ts)", "2024-01-01-03")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition pruning:\n$plan")
+    assert(pruned.as[(Long, java.sql.Timestamp, Double)].collect().map(_._1).toSet ==
+      Set(1L, 2L), "hour grain must separate 03:xx from 17:xx and next-day 03:xx")
+  }
+
+  test("bucket(n, col) transform: point lookup scans one hash bucket") {
+    import spark.implicits._
+    val src = (1L to 40L).map(i => (i, s"u$i", i * 1.5)).toDF("uid", "name", "v")
+    val t = GraftTable.create(spark, tmp(), src, partitionBy = Seq("bucket(4, uid)"))
+    assert(t.read().columns.toSeq == Seq("uid", "name", "v"))
+    assert(t.read().count() == 40)
+    val hit = t.readWhereBucketOf("uid", 17L)
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition pruning:\n$plan")
+    assert(hit.as[(Long, String, Double)].collect().toSeq == Seq((17L, "u17", 25.5)))
+    // a key the table never held: still prunes to one bucket, zero rows
+    assert(t.readWhereBucketOf("uid", 999L).count() == 0)
+  }
+
+  test("months/years/truncate transforms round-trip and prune") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val src = Seq((1L, ts("2024-01-15 00:00:00"), "alpha"),
+      (2L, ts("2024-02-15 00:00:00"), "alps"),
+      (3L, ts("2025-02-15 00:00:00"), "beta")).toDF("id", "ts", "w")
+    val tm = GraftTable.create(spark, tmp(), src, partitionBy = Seq("months(ts)"))
+    assert(tm.readWherePartition("months(ts)", "2024-02")
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    val ty = GraftTable.create(spark, tmp(), src, partitionBy = Seq("years(ts)"))
+    assert(ty.readWherePartition("years(ts)", "2025")
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+    // truncate on strings: width-2 prefix groups alpha+alps
+    val tt = GraftTable.create(spark, tmp(), src, partitionBy = Seq("truncate(2, w)"))
+    assert(tt.readWherePartition("truncate(2, w)", "al")
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(tt.read().count() == 3)
+  }
+
+  test("snapshots carries an Iceberg-style per-commit summary map") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), (1L to 10L).toDF("id"))
+    t.append((11L to 13L).toDF("id"))
+    t.overwrite(Seq(99L).toDF("id"))
+    val snaps = t.snapshots().orderBy("snapshot_id").collect()
+    assert(snaps.map(_.getString(2)).toSeq == Seq("create", "append", "overwrite"))
+    def sm(i: Int) = snaps(i).getAs[Map[String, String]]("summary")
+    assert(sm(0) == Map("added-data-dirs" -> "1", "removed-data-dirs" -> "0",
+      "added-records" -> "10", "removed-records" -> "0", "total-data-dirs" -> "1"))
+    assert(sm(1)("added-data-dirs") == "1" && sm(1)("added-records") == "3" &&
+      sm(1)("total-data-dirs") == "2")
+    assert(sm(2) == Map("added-data-dirs" -> "1", "removed-data-dirs" -> "2",
+      "added-records" -> "1", "removed-records" -> "13", "total-data-dirs" -> "1"))
+  }
+
   test("per-dir stats: written at commit, prune impossible predicates") {
     import spark.implicits._
     import graft.sources.DirStats
