@@ -321,65 +321,128 @@ object TextAnalysis {
     * the first N byte-pair merges from corpus statistics.
     *
     * Scale design: the corpus is touched EXACTLY ONCE (one shuffle for
-    * word frequencies); every merge round then operates on the
-    * persisted vocabulary relation — vocabulary-sized (millions of
-    * rows at 100 TB), not corpus-sized. Each round is: adjacent-pair
-    * counts (map-side-combined aggregate over symbol arrays), an
-    * argmax collect of ONE row (the iteration-control scalar, d7-loop
-    * style), and a scan-side greedy left-to-right fold applying the
-    * merge. Ties break on (count desc, pair) so the learned merge
-    * table is deterministic. Rows-only driver check (iterative — not
-    * SQL-expressible); the merge sequence is asserted against a
-    * reference single-node BPE in TextDedupSpec. */
+    * word frequencies); merge rounds then run INCREMENTALLY — the
+    * global pair-count relation is maintained across rounds by deltas,
+    * and each round touches only the words that CONTAIN the merged
+    * pair (an adjacency filter over the persisted vocabulary): their
+    * old pairs are subtracted, their post-merge pairs added, and the
+    * untouched remainder of the vocabulary carries forward by
+    * reference. A real tokenizer run (30k–100k merges) therefore does
+    * per-round work proportional to the merged pair's support — which
+    * collapses after the first few hundred merges — instead of
+    * recounting the full vocabulary's pairs every round (the
+    * round-per-merge full recount makes 30k merges a days-long driver
+    * loop). The driver still schedules O(merges) rounds; each round
+    * holds one argmax row and two bookkeeping counts (scalars only,
+    * d7-loop style). Ties break on (count desc, pair) so the learned
+    * merge table is deterministic and identical to the full-recount
+    * formulation (the delta algebra is exact, not approximate).
+    * Rows-only driver check (iterative — not SQL-expressible); the
+    * merge sequence is asserted against a reference single-node BPE in
+    * TextDedupSpec, and the shrinking per-round touched-row counts are
+    * asserted at 50 merges. */
   val t9_bpe_train: Relational.Q = (s, dir) =>
     bpeTrainOn(Tables.documents(s, dir), "text",
       s.conf.getOption("spark.graft.text.bpeMerges").map(_.toInt).getOrElse(10))
 
   /** The trainer itself, over any docs DataFrame (the GraftOps public
-    * entry point delegates here). */
+    * entry point delegates here). `onRound` observes (round,
+    * touched-word-count) per merge — test/telemetry hook; when absent
+    * the count action is skipped entirely (one fewer job per round). */
   def bpeTrainOn(docs: org.apache.spark.sql.DataFrame, textCol: String,
-                 nMerges: Int): org.apache.spark.sql.DataFrame = {
+                 nMerges: Int,
+                 onRound: Option[(Int, Long) => Unit] = None)
+      : org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    val MD = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // adjacent-pair counts of a (sym, freq) slice — weighted by word freq
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df
+      .filter(size(col("sym")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(sym)-1), " +
+          "i -> struct(element_at(sym, i) AS l, element_at(sym, i+1) AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+    // does the word contain (l, r) adjacently? (size guard first: And
+    // short-circuits, so the sequence never runs on 1-symbol words)
+    def adjacent(l: String, r: String) =
+      size(col("sym")) >= 2 && exists(
+        sequence(lit(1), size(col("sym")) - 1),
+        i => element_at(col("sym"), i) === lit(l) &&
+          element_at(col("sym"), i + lit(1)) === lit(r))
     var vocab = docs
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       // split into single-char symbols (the zero-width end match leaves a
       // trailing empty piece under split's limit=-1 — drop empties)
       .select(filter(split($"w", "(?!^)"), x => x =!= "").as("sym"), $"freq")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(MD)
+    var paircnt = pairsOf(vocab).persist(MD)
+    paircnt.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // the previous round's touched/merged caches must outlive that
+    // round: with lazy checkpoints its chain materializes inside THIS
+    // round's argmax — unpersist only after that action returns
+    var prevRound: Seq[org.apache.spark.sql.DataFrame] = Nil
     var round = 1
     var done = false
     while (round <= nMerges && !done) {
-      val top = vocab
-        .filter(size($"sym") >= 2)
-        .select($"freq", explode(expr(
-          "transform(sequence(1, size(sym)-1), " +
-            "i -> struct(element_at(sym, i) AS l, element_at(sym, i+1) AS r))")).as("p"))
-        .groupBy($"p.l".as("l"), $"p.r".as("r"))
-        .agg(sum($"freq").as("cnt"))
+      val top = paircnt
         .orderBy($"cnt".desc, $"l", $"r")
         .limit(1).collect()
+      prevRound.foreach(_.unpersist(false))
+      prevRound = Nil
       if (top.isEmpty) done = true
       else {
         val (l, r, cnt) = (top.head.getAs[String]("l"),
           top.head.getAs[String]("r"), top.head.getAs[Long]("cnt"))
         merges += ((round, l, r, cnt))
-        val apply = aggregate($"sym", array().cast("array<string>"),
+        val applyMerge = aggregate($"sym", array().cast("array<string>"),
           (acc, x) => when(size(acc) > 0 &&
               element_at(acc, -1) === lit(l) && x === lit(r),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(x))))
-        val next = vocab.select(apply.as("sym"), $"freq")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        vocab.unpersist()
-        vocab = next
+        val touched = vocab.filter(adjacent(l, r)).persist(MD)
+        onRound.foreach(f => f(round, touched.count()))
+        val merged = touched.select(applyMerge.as("sym"), $"freq").persist(MD)
+        // exact pair-count delta from the touched slice alone: untouched
+        // words contain no (l, r) and contribute unchanged pairs
+        val delta = pairsOf(touched).select($"l", $"r", (-$"cnt").as("d"))
+          .unionByName(pairsOf(merged).select($"l", $"r", $"cnt".as("d")))
+          .groupBy($"l", $"r").agg(sum($"d").as("d"))
+        // localCheckpoint (eager), not persist: each round references
+        // `vocab` from TWO branches (the untouched filter and the
+        // merged slice), so a lazy lineage would DOUBLE per round —
+        // 2^merges plan nodes by round ~40 OOMs the driver on plan
+        // strings alone. Checkpointing truncates the plan to the
+        // materialized partitions; round blocks from prior iterations
+        // are released by the context cleaner once unreferenced.
+        // lazy checkpoints: the plan truncates either way, but the
+        // partitions materialize inside the NEXT round's first action
+        // (argmax / delta job) instead of spending a dedicated job per
+        // relation per round — halves the per-merge job count.
+        val nextPair = paircnt.join(delta, Seq("l", "r"), "full_outer")
+          .select($"l", $"r",
+            (coalesce($"cnt", lit(0L)) + coalesce($"d", lit(0L))).as("cnt"))
+          .filter($"cnt" > 0)
+          .localCheckpoint(eager = false)
+        // coalesce before checkpointing: union CONCATENATES partitions,
+        // so without it the vocab partition count doubles per round
+        // (2^merges empty tasks by round ~40). coalesce is a no-shuffle
+        // merge back to the configured width.
+        val loopParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val nextVocab = vocab.filter(!adjacent(l, r)).unionByName(merged)
+          .coalesce(loopParts)
+          .localCheckpoint(eager = false)
+        paircnt.unpersist(); vocab.unpersist()
+        prevRound = Seq(touched, merged)
+        vocab = nextVocab; paircnt = nextPair
       }
       round += 1
     }
-    vocab.unpersist()
+    prevRound.foreach(_.unpersist(false))
+    vocab.unpersist(); paircnt.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "pair_freq")
       .orderBy($"rank")
   }

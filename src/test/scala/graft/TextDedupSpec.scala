@@ -288,6 +288,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == expected, s"merge sequences differ:\n got $got\n exp $expected")
   }
 
+  test("t9 incremental rounds: touched-word counts shrink at 50 merges") {
+    import spark.implicits._
+    // 50 merges on the benchmark corpus: the delta formulation touches
+    // only words containing each round's merged pair. Early merges are
+    // high-support character pairs (touch much of the vocabulary);
+    // support collapses as merges specialize — the property that makes
+    // a 30k-merge tokenizer run feasible. Also re-pins the merge
+    // sequence against the full-recount reference at this depth (the
+    // delta algebra must be exact, not just for the first 10 merges).
+    val touched = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val m = graft.operators.TextAnalysis.bpeTrainOn(
+      docs, "text", 50, Some((_, n) => touched += n))
+    assert(m.count() == 50)
+    assert(touched.size == 50)
+    val vocabSize = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select("w").distinct().count()
+    val first10 = touched.take(10).sum.toDouble / 10
+    val last10 = touched.takeRight(10).sum.toDouble / 10
+    assert(last10 < first10,
+      s"per-round touched counts must shrink: first10=$first10 last10=$last10")
+    assert(touched.min < vocabSize / 5,
+      s"late rounds must touch a small vocabulary slice: " +
+        s"min=${touched.min} of $vocabSize words")
+  }
+
   test("bloom set/probe round trip: no false negatives, bounded false positives") {
     val bits = new Array[Long](1 << 14) // 2^20 bits
     val rnd = new scala.util.Random(3)
