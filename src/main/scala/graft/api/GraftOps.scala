@@ -180,6 +180,33 @@ object GraftOps {
       .agg(count(lit(1)).as("n_flagged_ngrams"))
   }
 
+  /** Approximate heavy hitters over a value column — the a3 shape: one
+    * fixed-size mergeable count-min sketch (a few hundred KB at ANY
+    * corpus size) plus per-partition candidate heaps; no step runs a
+    * full-vocabulary exact aggregate. Exact counts are computed only
+    * for the bounded candidate set, so `exact_n` is true and `cms_n`
+    * carries the sketch guarantee (never under, ≤ ε·N over w.h.p.).
+    * Output: top `k` rows of (value, exact_n, cms_n) by exact count. */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int = 20,
+                   eps: Double = 0.001): DataFrame = {
+    val tok = df.select(col(valueCol).cast("string").as("token"))
+      .filter(col("token").isNotNull)
+    val sketchBytes = tok
+      .agg(count_min_sketch(col("token"), lit(eps), lit(0.99d), lit(42)).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    val cand = graft.operators.Aggregations.heavyHitterCandidates(tok)
+    val s = df.sparkSession
+    import s.implicits._
+    val top = tok.join(broadcast(cand), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token")).limit(k).collect()
+      .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+    top.toSeq.toDF(valueCol, "exact_n", "cms_n")
+      .orderBy(col("exact_n").desc, col(valueCol))
+  }
+
   /** Exact dedup: one row kept per distinct value of `textCol` (the
     * minimum id wins — deterministic). A single uniform content-hash
     * shuffle, the d1 shape. */

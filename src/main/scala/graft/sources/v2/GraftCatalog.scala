@@ -317,6 +317,20 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
         case GraftTable.MonthsSpec(c) => s"__p_months_$c" -> (c, "months")
         case GraftTable.YearsSpec(c) => s"__p_years_$c" -> (c, "years")
       }.toMap
+      // bucket/truncate subdirs carry no lexicographic bounds, but an
+      // EQUALITY predicate on the source column pins the one subdir a
+      // match can live in: the bucket ordinal from the writer's own
+      // xxhash64 (seed 42), or the literal's width-truncation. Both are
+      // evaluated driver-side from the pushed conjunct's literal;
+      // anything but a top-level attr=literal conjunct keeps the subdir
+      // (conservative).
+      val bucketCols: Map[String, (String, Int)] = commit.partitionBy.collect {
+        case GraftTable.BucketSpec(n, c) => s"__p_bucket_${n}_$c" -> (c, n.toInt)
+      }.toMap
+      val truncCols: Map[String, (String, Int)] = commit.partitionBy.collect {
+        case GraftTable.TruncSpec(w, c) => s"__p_trunc_${w}_$c" -> (c, w.toInt)
+      }.toMap
+      val derivedCols = timeCols.keySet ++ bucketCols.keySet ++ truncCols.keySet
       val schemaTypes = schema().fields.map(f => f.name -> f.dataType).toMap
       // Grain bounds for the source column, rendered the way DirStats
       // stores that type's stats (timestamps carry a time-of-day; dates
@@ -344,7 +358,17 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
               case None => true
             }
           }
-          if (timeCols.isEmpty || filters.isEmpty)
+          // top-level attr = literal conjuncts, for bucket/trunc pruning
+          val eqLits: Map[String, org.apache.spark.sql.catalyst.expressions.Literal] =
+            filters.collect {
+              case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                  a: org.apache.spark.sql.catalyst.expressions.Attribute,
+                  l: org.apache.spark.sql.catalyst.expressions.Literal) => a.name -> l
+              case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                  l: org.apache.spark.sql.catalyst.expressions.Literal,
+                  a: org.apache.spark.sql.catalyst.expressions.Attribute) => a.name -> l
+            }.toMap
+          if (derivedCols.isEmpty || filters.isEmpty)
             kept.map(d => Paths.get(path, d).toString)
           else kept.flatMap { d =>
             val dirP = Paths.get(path, d)
@@ -356,7 +380,7 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
                   .asScala
                   .filter(p => java.nio.file.Files.isDirectory(p) &&
                     (p.getFileName.toString.split("=", 2) match {
-                      case Array(k, _) => timeCols.contains(k)
+                      case Array(k, _) => derivedCols.contains(k)
                       case _ => false
                     }))
                   .toVector
@@ -365,12 +389,39 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
             if (subs.isEmpty) Seq(dirP.toString)
             else subs.filter { sub =>
               val Array(k, v) = sub.getFileName.toString.split("=", 2)
-              val (src, kind) = timeCols(k)
-              val isTs = schemaTypes.get(src)
-                .exists(_.isInstanceOf[org.apache.spark.sql.types.TimestampType])
-              val (lo, hi) = grainBounds(kind, v, isTs)
-              val pseudo = Map(src -> graft.sources.DirStats.ColStat("str", lo, hi))
-              filters.forall(f => graft.sources.DirStats.mayMatch(f, pseudo))
+              if (timeCols.contains(k)) {
+                val (src, kind) = timeCols(k)
+                val isTs = schemaTypes.get(src)
+                  .exists(_.isInstanceOf[org.apache.spark.sql.types.TimestampType])
+                val (lo, hi) = grainBounds(kind, v, isTs)
+                val pseudo = Map(src -> graft.sources.DirStats.ColStat("str", lo, hi))
+                filters.forall(f => graft.sources.DirStats.mayMatch(f, pseudo))
+              } else if (bucketCols.contains(k)) {
+                val (src, n) = bucketCols(k)
+                eqLits.get(src).forall { l =>
+                  if (l.value == null) true
+                  else {
+                    val h = org.apache.spark.sql.catalyst.expressions
+                      .XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]
+                    (((h % n) + n) % n).toString == v
+                  }
+                }
+              } else {
+                val (src, w) = truncCols(k)
+                val raw = org.apache.spark.sql.catalyst.catalog
+                  .ExternalCatalogUtils.unescapePathName(v)
+                eqLits.get(src).forall { l =>
+                  l.value match {
+                    case null => true
+                    case s: org.apache.spark.unsafe.types.UTF8String =>
+                      s.toString.take(w) == raw
+                    case x: java.lang.Number =>
+                      val xv = x.longValue
+                      (xv - (((xv % w) + w) % w)).toString == raw
+                    case _ => true
+                  }
+                }
+              }
             }.map(_.toString)
           }
         })

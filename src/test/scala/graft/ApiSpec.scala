@@ -135,6 +135,29 @@ class ApiSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("heavyHitters finds the planted hot values with the CMS guarantee") {
+    import spark.implicits._
+    val vals = Seq.fill(500)("hot") ++ Seq.fill(200)("warm") ++
+      (1 to 300).map(i => s"cold$i")
+    val hh = GraftOps.heavyHitters(vals.toDF("v"), "v", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(hh.map(_._1).toSeq == Seq("hot", "warm"))
+    assert(hh(0)._2 == 500L && hh(1)._2 == 200L)
+    hh.foreach { case (_, exact, est) => assert(est >= exact) }
+  }
+
+  test("heavyHitters equals the catalog a3 on the benchmark corpus") {
+    import org.apache.spark.sql.functions.{col, explode, length, split}
+    val expected = SparkEntry.queries("a3_cms_heavy_hitters")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val tok = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val got = GraftOps.heavyHitters(tok, "token")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("bm25Search ranks the term-dense doc first on arbitrary data") {
     import spark.implicits._
     val docs = Seq(

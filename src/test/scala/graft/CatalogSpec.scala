@@ -168,6 +168,26 @@ class CatalogSpec extends AnyFunSuite {
     assert(t.partitionColumns == Seq("bucket(4, uid)"), s"spec lost: $parts")
     val hit = t.readWhereBucketOf("uid", 17L)
     assert(hit.collect().map(_.getLong(0)).toSeq == Seq(17L))
+    // SQL point lookup prunes to the one hash-bucket subdir by name
+    val q = spark.sql(s"SELECT uid, v FROM $cat.db.bk WHERE uid = 17")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(17L))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("(1 paths)"), s"bucket subdir not pruned:\n$p")
+  }
+
+  test("truncate(w, col) SQL equality prunes to the matching prefix subdir") {
+    freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.tr (w STRING, n BIGINT)
+                 |USING graft PARTITIONED BY (truncate(2, w))""".stripMargin)
+    spark.sql(s"""INSERT INTO $cat.db.tr VALUES
+                 | ('alpha', 1), ('alps', 2), ('beta', 3), ('gamma', 4)""".stripMargin)
+    val q = spark.sql(s"SELECT n FROM $cat.db.tr WHERE w = 'beta'")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("(1 paths)"), s"truncate subdir not pruned:\n$p")
+    // the shared-prefix subdir still holds both its members
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.tr WHERE w = 'alpha'")
+      .collect()(0).getLong(0) == 1)
   }
 
   test("stats-based directory skipping in the SQL read path") {
