@@ -411,11 +411,18 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
                 val raw = org.apache.spark.sql.catalyst.catalog
                   .ExternalCatalogUtils.unescapePathName(v)
                 eqLits.get(src).forall { l =>
-                  l.value match {
-                    case null => true
-                    case s: org.apache.spark.unsafe.types.UTF8String =>
+                  (l.value, l.dataType) match {
+                    case (null, _) => true
+                    case (s: org.apache.spark.unsafe.types.UTF8String, _) =>
                       s.toString.take(w) == raw
-                    case x: java.lang.Number =>
+                    // integral types only: a fractional literal's
+                    // longValue-floor would mis-compare against the
+                    // subdir rendering and wrongly prune — keep instead
+                    case (x: java.lang.Number,
+                          _: org.apache.spark.sql.types.ByteType |
+                          _: org.apache.spark.sql.types.ShortType |
+                          _: org.apache.spark.sql.types.IntegerType |
+                          _: org.apache.spark.sql.types.LongType) =>
                       val xv = x.longValue
                       (xv - (((xv % w) + w) % w)).toString == raw
                     case _ => true

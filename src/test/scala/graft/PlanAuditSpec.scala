@@ -158,6 +158,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"t7 hot-token branch must be a broadcast join:\n$plan")
   }
 
+  test("a3 candidate generation: partition-local heaps, no vocabulary aggregate") {
+    // the CMS exists to avoid the vocabulary-sized exact pass — the
+    // candidate path must be a mapPartitions heap whose only aggregate
+    // pair is the distinct over the BOUNDED candidate list (≤ 160 ×
+    // numPartitions rows), never a groupBy over the token stream
+    import org.apache.spark.sql.functions.{col, explode, length, split}
+    val tok = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val cand = graft.operators.Aggregations.heavyHitterCandidates(tok)
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"),
+      s"candidates must come from partition-local heaps:\n$plan")
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs <= 2,
+      s"only the bounded-candidate distinct (partial+final) is allowed, found $aggs:\n$plan")
+  }
+
   test("dedup-apply drop relation is size-gated: large estimate degrades to shuffle") {
     // the apply step of every dedup pipeline anti-joins the corpus
     // against the cluster/drop map. That map is O(corpus) on a
