@@ -184,25 +184,45 @@ object GraftOps {
     * fixed-size mergeable count-min sketch (a few hundred KB at ANY
     * corpus size) plus per-partition candidate heaps; no step runs a
     * full-vocabulary exact aggregate. Exact counts are computed only
-    * for the bounded candidate set, so `exact_n` is true and `cms_n`
-    * carries the sketch guarantee (never under, ≤ ε·N over w.h.p.).
-    * Output: top `k` rows of (value, exact_n, cms_n) by exact count. */
+    * for the bounded candidate set, so `exact_n` is true for every row
+    * EMITTED and `cms_n` carries the sketch guarantee (never under,
+    * ≤ ε·N over w.h.p.). Output: top `k` rows of (value, exact_n,
+    * cms_n) by exact count.
+    *
+    * Recall caveat (inherent to partition-local candidates): a value
+    * is found iff it makes some partition's top-`candidatesPerPart` —
+    * guaranteed when its share of a partition exceeds
+    * 1/candidatesPerPart, which skewed (Zipfian) data satisfies for
+    * any realistic k. For adversarially clustered inputs raise
+    * `candidatesPerPart`, or pre-`repartition(col)` the input so every
+    * value counts within one partition (making the candidate union an
+    * exact superset of the global top-k). The three passes over the
+    * input (sketch, candidates, exact counts) share one persisted
+    * projection, freed before returning. */
   def heavyHitters(df: DataFrame, valueCol: String, k: Int = 20,
-                   eps: Double = 0.001): DataFrame = {
+                   eps: Double = 0.001,
+                   candidatesPerPart: Int =
+                     graft.operators.Aggregations.HeavyHitterCandidatesPerPartition)
+      : DataFrame = {
+    require(k <= candidatesPerPart,
+      s"k=$k exceeds candidatesPerPart=$candidatesPerPart — a single " +
+        "partition could not even nominate k candidates")
     val tok = df.select(col(valueCol).cast("string").as("token"))
       .filter(col("token").isNotNull)
+      .persist(Persist)
     val sketchBytes = tok
       .agg(count_min_sketch(col("token"), lit(eps), lit(0.99d), lit(42)).as("s"))
       .head().getAs[Array[Byte]]("s")
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
-    val cand = graft.operators.Aggregations.heavyHitterCandidates(tok)
+    val cand = graft.operators.Aggregations.heavyHitterCandidates(tok, candidatesPerPart)
     val s = df.sparkSession
     import s.implicits._
     val top = tok.join(broadcast(cand), Seq("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("token")).limit(k).collect()
       .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+    tok.unpersist(false)
     top.toSeq.toDF(valueCol, "exact_n", "cms_n")
       .orderBy(col("exact_n").desc, col(valueCol))
   }
@@ -377,9 +397,16 @@ object GraftOps {
     * carried forward — the e11 shape. Events are bucketed by the
     * REQUESTED step (epoch-floored), not a fixed hour, so a coarser
     * grid rolls events up into their step bucket rather than dropping
-    * the ones that miss an hourly grid row on exact equality. Output:
-    * (keyCol, bucket, n_events, ffill_value). Grid rows scale with
-    * each key's own span, never a global calendar cross join. */
+    * the ones that miss an hourly grid row on exact equality.
+    * Buckets align to the Unix epoch — i.e. UTC hour/day boundaries:
+    * bucketing and grid generation share the same absolute-time
+    * arithmetic, so the grid is self-consistent (no dropped events) in
+    * any session timezone and DST-anomaly-free, but `stepHours = 24`
+    * means UTC days, not local-midnight days, in non-UTC sessions
+    * (matches the catalog twin e11 in UTC sessions, the default
+    * here). Output: (keyCol, bucket, n_events, ffill_value). Grid rows
+    * scale with each key's own span, never a global calendar cross
+    * join. */
   def gapFill(events: DataFrame, keyCol: String, tsCol: String,
               valCol: String, stepHours: Int = 1): DataFrame = {
     require(stepHours >= 1, s"stepHours must be >= 1, got $stepHours")

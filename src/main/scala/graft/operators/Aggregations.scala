@@ -253,16 +253,26 @@ object Aggregations {
       .orderBy($"exact_n".desc, $"token")
   }
 
-  private val HeavyHitterCandidatesPerPartition = 160
+  private[graft] val HeavyHitterCandidatesPerPartition = 160
 
   /** Per-partition heavy-hitter candidate tokens (see a3's scaladoc):
     * partition-local hashmap count, top-N emitted per partition, union
     * deduplicated. The returned relation is bounded by
-    * N × numPartitions rows regardless of vocabulary size. */
-  private[graft] def heavyHitterCandidates(tok: DataFrame): DataFrame = {
+    * N × numPartitions rows regardless of vocabulary size.
+    *
+    * Recall guarantee (Misra-Gries shape): a value enters the
+    * candidate set iff it makes the top N of at least ONE partition —
+    * guaranteed when its share of some partition exceeds 1/N, which
+    * Zipf-distributed data satisfies for any realistic top-k at
+    * N=160. Adversarially clustered inputs (each partition locally
+    * dominated by different values) can hide a globally-hot value:
+    * raise N, or pre-repartition by the value column (then every
+    * value's full count is partition-local and the union of partition
+    * top-Ns contains the exact global top-N). */
+  private[graft] def heavyHitterCandidates(tok: DataFrame,
+      n: Int = HeavyHitterCandidatesPerPartition): DataFrame = {
     val s = tok.sparkSession
     import s.implicits._
-    val n = HeavyHitterCandidatesPerPartition
     tok.select(col("token")).as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))

@@ -205,19 +205,23 @@ object Dedup {
       .filter(col("df") <= maxDf)
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val rareFirst = byDoc.orderBy(col("df"), col("s"))
-    // persisted (session-cached): the self-join references prefixes
-    // twice, and Spark re-evaluates the window pipeline per branch
-    // otherwise
-    val prefixes = cachedRel(sh.sparkSession, sh.hashCode.toString, s"prefixes:$t") {
-      sh.join(dfRel, "s")
-        .withColumn("n", count(lit(1)).over(byDoc))
-        .withColumn("rk", row_number().over(rareFirst))
-        .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
-        // df = 1 shingles occupy prefix slots (they rank first) but can
-        // never match another document — drop them after rank selection.
-        .filter(col("df") >= 2)
-        .select(col("doc_id"), col("s"), col("n"))
-    }
+    // materialized once (eager localCheckpoint): the self-join
+    // references prefixes twice, and Spark re-evaluates the window
+    // pipeline per branch otherwise. NOT the session relCache — `sh`
+    // is caller-supplied (the public API builds a fresh one per call),
+    // so a cache keyed on its identity would insert a dead corpus-sized
+    // entry per invocation that no later call can hit or free;
+    // checkpoint blocks release via the context cleaner once the
+    // candidate relation is dropped.
+    val prefixes = sh.join(dfRel, "s")
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(rareFirst))
+      .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      // df = 1 shingles occupy prefix slots (they rank first) but can
+      // never match another document — drop them after rank selection.
+      .filter(col("df") >= 2)
+      .select(col("doc_id"), col("s"), col("n"))
+      .localCheckpoint()
     prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&

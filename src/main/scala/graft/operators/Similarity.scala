@@ -142,11 +142,21 @@ object Similarity {
     val b = assigned.select($"vec_id".as("vec_b"), $"emb".as("emb_b"),
       $"nrm".as("nrm_b"), $"cell".as("cell_b"))
     val cos = dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b")
-    broadcast(cellPairs).join(a, "cell_a").join(b, "cell_b")
+    val pairs = broadcast(cellPairs).join(a, "cell_a").join(b, "cell_b")
       .filter($"vec_a" < $"vec_b")
       .select($"vec_a", $"vec_b", round(cos, 4).as("cosine"))
       .filter($"cosine" >= threshold)
       .orderBy($"vec_a", $"vec_b")
+    // materialize the (tiny) pair list while `assigned` is cached, then
+    // free it: both call paths want the pairs materialized immediately
+    // (the catalog session-caches them; GraftOps feeds them straight
+    // into the component loop), and returning a lazy plan would leak
+    // one corpus-sized persisted relation per call — the caller holds
+    // no reference to unpersist. Checkpoint blocks are released by the
+    // context cleaner when the result is dropped.
+    val out = pairs.localCheckpoint()
+    assigned.unpersist(false)
+    out
   }
 
   val d5_sql: String = {

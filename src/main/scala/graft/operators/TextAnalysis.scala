@@ -435,8 +435,12 @@ object TextAnalysis {
         val nextVocab = vocab.filter(!adjacent(l, r)).unionByName(merged)
           .coalesce(loopParts)
           .localCheckpoint(eager = false)
-        paircnt.unpersist(); vocab.unpersist()
-        prevRound = Seq(touched, merged)
+        // the outgoing vocab/paircnt are ALSO deferred: round 1's are
+        // genuinely persisted relations the lazy checkpoints still
+        // reference — unpersisting them now would force a full corpus
+        // recompute at the next argmax (later rounds' are checkpoints,
+        // where unpersist is a harmless no-op)
+        prevRound = Seq(touched, merged, paircnt, vocab)
         vocab = nextVocab; paircnt = nextPair
       }
       round += 1

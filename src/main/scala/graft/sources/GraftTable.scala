@@ -627,18 +627,22 @@ class GraftTable private (val spark: SparkSession, val root: String) {
   /** Bucket-key point lookup: scan only the hash bucket that can hold
     * `key` on a `bucket(n, column)`-partitioned table. The bucket
     * ordinal is derived with the SAME xxhash64 expression the writer
-    * used, so the lookup can never miss. */
+    * used — including a cast of the key literal to the COLUMN's type
+    * (xxhash64 hashes an int and a long differently, so an uncast
+    * `17` against a BIGINT column would probe the wrong bucket) — so
+    * the lookup can never miss. */
   def readWhereBucketOf(column: String, key: Any): DataFrame = {
     val c = readCommit(latestVersion())
     val spec = c.partitionBy.collectFirst {
       case s @ BucketSpec(n, `column`) => (s, n.toInt)
     }.getOrElse(throw new IllegalArgumentException(
       s"table is not bucket(n, $column)-partitioned"))
+    val keyT = c.schemaStruct(column).dataType
     val ordinal = spark.range(1)
-      .select(pmod(xxhash64(lit(key)), lit(spec._2)).cast("int"))
+      .select(pmod(xxhash64(lit(key).cast(keyT)), lit(spec._2)).cast("int"))
       .first().getInt(0)
     readWherePartition(spec._1, ordinal.toString)
-      .filter(col(column) === lit(key))
+      .filter(col(column) === lit(key).cast(keyT))
   }
 
   /** Time travel by wall-clock: the latest snapshot committed at or

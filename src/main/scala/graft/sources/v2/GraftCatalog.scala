@@ -340,8 +340,10 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
         kind match {
           case "days" => if (isTs) (s"$v 00:00:00", s"$v 23:59:59.999999") else (v, v)
           case "hours" => // layout value yyyy-MM-dd-HH
-            (s"${v.take(10)} ${v.drop(11)}:00:00",
-             s"${v.take(10)} ${v.drop(11)}:59:59.999999")
+            if (isTs)
+              (s"${v.take(10)} ${v.drop(11)}:00:00",
+               s"${v.take(10)} ${v.drop(11)}:59:59.999999")
+            else (v.take(10), v.take(10)) // DATE col: whole-day bounds
           case "months" =>
             if (isTs) (s"$v-01 00:00:00", s"$v-31 23:59:59.999999")
             else (s"$v-01", s"$v-31")
@@ -413,8 +415,11 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
                 eqLits.get(src).forall { l =>
                   (l.value, l.dataType) match {
                     case (null, _) => true
+                    // substringSQL, not String.take: the writer truncates
+                    // by CODEPOINT (Spark substring), and a UTF-16
+                    // code-unit prefix diverges on supplementary chars
                     case (s: org.apache.spark.unsafe.types.UTF8String, _) =>
-                      s.toString.take(w) == raw
+                      s.substringSQL(1, w).toString == raw
                     // integral types only: a fractional literal's
                     // longValue-floor would mis-compare against the
                     // subdir rendering and wrongly prune — keep instead
