@@ -175,6 +175,19 @@ class CatalogSpec extends AnyFunSuite {
     assert(p.contains("(1 paths)"), s"bucket subdir not pruned:\n$p")
   }
 
+  test("hours() on a DATE column: equality predicates still find rows") {
+    // degenerate but legal spec — the pruner must use whole-day bounds
+    // for DATE sources (timestamp-style bounds lexicographically
+    // exceed a date-rendered literal and would wrongly prune)
+    freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.hd (id BIGINT, d DATE)
+                 |USING graft PARTITIONED BY (hours(d))""".stripMargin)
+    spark.sql(s"""INSERT INTO $cat.db.hd VALUES
+                 | (1, DATE '2024-01-01'), (2, DATE '2024-01-02')""".stripMargin)
+    val q = spark.sql(s"SELECT id FROM $cat.db.hd WHERE d = DATE '2024-01-01'")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("truncate(w, col) SQL equality prunes to the matching prefix subdir") {
     freshCatalog()
     spark.sql(s"""CREATE TABLE $cat.db.tr (w STRING, n BIGINT)

@@ -326,6 +326,11 @@ class GraftTableSpec extends AnyFunSuite {
     assert(hit.as[(Long, String, Double)].collect().toSeq == Seq((17L, "u17", 25.5)))
     // a key the table never held: still prunes to one bucket, zero rows
     assert(t.readWhereBucketOf("uid", 999L).count() == 0)
+    // a type-mismatched key literal (Int vs BIGINT column) must still
+    // hit: the lookup casts to the column type before hashing —
+    // xxhash64 of a 4-byte int differs from the writer's 8-byte hash
+    assert(t.readWhereBucketOf("uid", 17)
+      .as[(Long, String, Double)].collect().toSeq == Seq((17L, "u17", 25.5)))
   }
 
   test("months/years/truncate transforms round-trip and prune") {
