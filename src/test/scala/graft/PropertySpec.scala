@@ -118,4 +118,45 @@ class PropertySpec extends AnyFunSuite {
       assert(merged.toList == want, s"k=$k nParts=$nParts rows=$rows")
     }
   }
+
+  test("topTokenCount equals the naive max-frequency count on random arrays") {
+    import TestSpark._
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "e", "ff", "g"))
+    val cases = samples(gen, 300).map { toks =>
+      val want =
+        if (toks.isEmpty) 0
+        else toks.groupBy(identity).values.map(_.size).max
+      (toks, want)
+    }
+    val got = cases.toDF("toks", "want")
+      .select(graft.operators.TextAnalysis.topTokenCount(col("toks")).as("got"),
+        col("want"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
+  test("commit JSON round-trips specs/dirs/renames — including comma specs") {
+    import graft.sources.GraftTable.Commit
+    val ident = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(12))
+    val spec = Gen.oneOf(
+      ident,
+      ident.map(c => s"days($c)"),
+      ident.map(c => s"hours($c)"),
+      Gen.zip(Gen.chooseNum(1, 64), ident).map { case (n, c) => s"bucket($n, $c)" },
+      Gen.zip(Gen.chooseNum(1, 32), ident).map { case (w, c) => s"truncate($w, $c)" })
+    val gen = for {
+      v <- Gen.chooseNum(0, 9999)
+      action <- Gen.oneOf("create", "append", "overwrite", "replaceWhere")
+      dirs <- Gen.listOfN(3, ident.map(d => s"d0001-$d"))
+      specs <- Gen.listOf(spec).map(_.take(4))
+      ts <- Gen.chooseNum(0L, Long.MaxValue / 2)
+      renames <- Gen.listOf(Gen.zip(ident, ident)).map(_.take(3))
+    } yield Commit(v, action, "", dirs, specs, ts, renames)
+    samples(gen, 200).foreach { c =>
+      val back = Commit.fromJson(c.toJson)
+      assert(back == c, s"round-trip mangled:\n $c\n $back")
+    }
+  }
 }
