@@ -253,18 +253,12 @@ object GraftOps {
   /** Connected components over an undirected pair list: every vertex in
     * a pair labeled with its component's minimum id (hash-min label
     * propagation — the d7 pass). Output: (id, cluster_rep). */
-  def nearDupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // The label-propagation loop returns its labels persisted (the loop
-    // materialized them); re-materialize the projection as the caller's
-    // own cache entry and free the loop's — unpersist must go through
-    // the exact persisted reference (a projection's plan doesn't
-    // sameResult the cached one, so unpersisting the projection alone
-    // would leak the loop relation).
-    val labels = graft.operators.Dedup.connectedComponents(pairs.sparkSession,
-      pairs.select(col(aCol), col(bCol)))
-    finishing(labels)(
-      labels.select(col("v").as("id"), col("label").as("cluster_rep")))
-  }
+  def nearDupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    // the component loop returns an already-materialized checkpoint
+    // (cleaner-released when the caller drops it) — no cache to free
+    graft.operators.Dedup.connectedComponents(pairs.sparkSession,
+        pairs.select(col(aCol), col(bCol)))
+      .select(col("v").as("id"), col("label").as("cluster_rep"))
 
   /** Drop every clustered row except its cluster's representative — the
     * p6 apply step. `clusters` is nearDupClusters' output; rows of `df`
@@ -327,9 +321,9 @@ object GraftOps {
     val cents = graft.functions.Quantizer.train(e, "vec_id", "emb", cells)
     val pairs = graft.operators.Similarity.embedNearDupPairsOn(e, cents, threshold)
       .select(col("vec_a"), col("vec_b"))
-    val labels = graft.operators.Dedup.connectedComponents(emb.sparkSession, pairs)
-    val comp = labels.select(col("v").as("vec_id"), col("label").as("rep"))
-    finishing(e, labels)(e.select(col("vec_id"))
+    val comp = graft.operators.Dedup.connectedComponents(emb.sparkSession, pairs)
+      .select(col("v").as("vec_id"), col("label").as("rep"))
+    finishing(e)(e.select(col("vec_id"))
       .join(Tables.broadcastIfSmall(comp), Seq("vec_id"), "left")
       .select(col("vec_id").as(idCol),
         coalesce(col("rep"), col("vec_id")).as("cluster_rep"),

@@ -405,7 +405,16 @@ object Dedup {
     }
     edgesByDst.unpersist()
     edges.unpersist()
-    labels
+    // hand back a checkpoint, not the persisted loop relation: every
+    // caller (catalog d7/d8, GraftOps) consumes the labels exactly
+    // once, and a persisted return value is a per-invocation storage
+    // leak the caller cannot free (unpersist resolves by logical plan,
+    // so even a projection of it wouldn't). The eager checkpoint
+    // copies from the still-cached labels and releases via the
+    // context cleaner when the result is dropped.
+    val out = labels.localCheckpoint()
+    labels.unpersist(false)
+    out
   }
 
   val d7_sql: String =
