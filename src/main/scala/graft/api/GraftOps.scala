@@ -385,6 +385,14 @@ object GraftOps {
   def bpeMerges(docs: DataFrame, textCol: String, merges: Int = 10): DataFrame =
     graft.operators.TextAnalysis.bpeTrainOn(docs, textCol, merges)
 
+  /** Tokenize with a learned merge table — the apply step pairing with
+    * [[bpeMerges]] (standard lowest-rank-pair BPE encode, broadcast
+    * rank table, per-partition word memo; shuffle-free). Output:
+    * (idCol, n_tokens, tokens). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.bpeEncodeOn(docs, idCol, textCol, merges)
+
   /** Resample each key's series onto a dense grid between its first
     * and last bucket at `stepHours` granularity (1 = hourly, 24 =
     * daily, …), with event counts zero-filled and the aggregated value

@@ -451,7 +451,86 @@ object TextAnalysis {
       .orderBy($"rank")
   }
 
+  /** The tokenizer APPLY step completing [[bpeTrainOn]]'s training
+    * half: encode every document with a learned merge table and count
+    * its tokens. Standard BPE encode loop (Sennrich apply_bpe / HF
+    * tokenizers): per word, split to characters, then repeatedly merge
+    * every left-to-right occurrence of the lowest-rank pair present
+    * until no learned pair remains.
+    *
+    * Scale shape: the merge table is vocabulary-of-merges-sized
+    * (30k–100k rows — broadcast, like a trained model artifact); the
+    * encode itself is genuine per-row imperative logic, so it runs
+    * mapPartitions with a per-partition word→encoding memo — Zipfian
+    * text re-encodes the same words constantly, making the common
+    * case a hashmap hit instead of a merge loop. Nothing shuffles;
+    * the output is a scan-side projection of the corpus. Output:
+    * (idCol, n_tokens, tokens). */
+  def bpeEncodeOn(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, merges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ranks: Map[(String, String), Int] = merges
+      .select(col("left"), col("right"), col("rank").cast("int"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val bc = s.sparkContext.broadcast(ranks)
+    docs.select(col(idCol).cast("long"), tokens(col(textCol)))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val rk = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        def encodeWord(w: String): Array[String] = memo.getOrElseUpdate(w, {
+          var sym: Array[String] = w.map(_.toString).toArray
+          var go = sym.length >= 2
+          while (go) {
+            var best = Int.MaxValue; var bl = ""; var br = ""
+            var i = 0
+            while (i + 1 < sym.length) {
+              val r = rk.getOrElse((sym(i), sym(i + 1)), Int.MaxValue)
+              if (r < best) { best = r; bl = sym(i); br = sym(i + 1) }
+              i += 1
+            }
+            if (best == Int.MaxValue) go = false
+            else {
+              val b = Array.newBuilder[String]
+              i = 0
+              while (i < sym.length) {
+                if (i + 1 < sym.length && sym(i) == bl && sym(i + 1) == br) {
+                  b += (bl + br); i += 2
+                } else { b += sym(i); i += 1 }
+              }
+              sym = b.result()
+              go = sym.length >= 2
+            }
+          }
+          sym
+        })
+        it.map { case (id, toks) =>
+          val enc = toks.iterator.filter(_.nonEmpty).flatMap(encodeWord).toSeq
+          (id, enc.length.toLong, enc)
+        }
+      }
+      .toDF(idCol, "n_tokens", "tokens")
+  }
+
+  /** t10: BPE tokenization — train 10 merges on the corpus, then encode
+    * every document with them and report its learned-token count (the
+    * t1 whitespace count refined by a trained subword vocabulary).
+    * Iterative + engine-specific ⇒ rows-only driver check; encode
+    * semantics pinned in ApiSpec (hand-computed merge application and
+    * losslessness). */
+  val t10_bpe_encode: Relational.Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val merges = bpeTrainOn(docs, "text",
+      s.conf.getOption("spark.graft.text.bpeMerges").map(_.toInt).getOrElse(10))
+    bpeEncodeOn(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "t10_bpe_encode" -> t10_bpe_encode,
     "t9_bpe_train" -> t9_bpe_train,
     "t8_bm25_search" -> t8_bm25_search,
     "t7_unigram_rarity" -> t7_unigram_rarity,

@@ -237,6 +237,34 @@ class ApiSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == 2L)
   }
 
+  test("bpeEncode applies merges by rank and counts tokens") {
+    import spark.implicits._
+    // merges: (a,b)->ab at rank 1, then (ab,c)->abc at rank 2
+    val merges = Seq((1, "a", "b", 10L), (2, "ab", "c", 5L))
+      .toDF("rank", "left", "right", "pair_freq")
+    val docs = Seq((1L, "abcab xyz"), (2L, "abcab xyz")).toDF("id", "txt")
+    val out = GraftOps.bpeEncode(docs, "id", "txt", merges)
+      .orderBy("id").collect()
+    // "abcab": a,b,c,a,b -> (a,b) both occurrences -> [ab,c,ab]
+    //          -> (ab,c) -> [abc, ab]; "xyz" has no learned pairs
+    out.foreach { r =>
+      assert(r.getLong(1) == 5L, r.toString)
+      assert(r.getSeq[String](2) == Seq("abc", "ab", "x", "y", "z"), r.toString)
+    }
+    // encoding is lossless: concatenated tokens rebuild each word
+    assert(out(0).getSeq[String](2).mkString == "abcabxyz")
+  }
+
+  test("bpeEncode round-trips a trained merge table") {
+    import spark.implicits._
+    val docs = Seq.fill(20)((1L, "banana bandana")).toDF("id", "txt")
+    val merges = GraftOps.bpeMerges(docs, "txt", merges = 6)
+    val enc = GraftOps.bpeEncode(docs.limit(1), "id", "txt", merges).collect()(0)
+    // lossless + strictly compressed relative to character count
+    assert(enc.getSeq[String](2).mkString == "bananabandana")
+    assert(enc.getLong(1) < "bananabandana".length)
+  }
+
   test("bpeMerges learns the dominant pair first on arbitrary data") {
     import spark.implicits._
     val docs = Seq.fill(20)("ababab").toDF("txt")
