@@ -470,14 +470,22 @@ object TextAnalysis {
                   textCol: String, merges: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
-    import s.implicits._
     val ranks: Map[(String, String), Int] = merges
       .select(col("left"), col("right"), col("rank").cast("int"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
     val bc = s.sparkContext.broadcast(ranks)
-    docs.select(col(idCol).cast("long"), tokens(col(textCol)))
-      .as[(Long, Seq[String])]
-      .mapPartitions { it =>
+    // id column passes through with its original type (long, string,
+    // struct, …) — a Row encoder over the exact output schema avoids
+    // forcing callers onto numeric ids.
+    val in = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema.head,
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("tokens",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false))))
+    in.mapPartitions { it =>
         val rk = bc.value
         val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
         def encodeWord(w: String): Array[String] = memo.getOrElseUpdate(w, {
@@ -506,11 +514,12 @@ object TextAnalysis {
           }
           sym
         })
-        it.map { case (id, toks) =>
+        it.map { row =>
+          val toks = if (row.isNullAt(1)) Seq.empty[String] else row.getSeq[String](1)
           val enc = toks.iterator.filter(_.nonEmpty).flatMap(encodeWord).toSeq
-          (id, enc.length.toLong, enc)
+          org.apache.spark.sql.Row(row.get(0), enc.length.toLong, enc)
         }
-      }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF(idCol, "n_tokens", "tokens")
   }
 

@@ -255,6 +255,16 @@ class ApiSpec extends AnyFunSuite {
     assert(out(0).getSeq[String](2).mkString == "abcabxyz")
   }
 
+  test("bpeEncode preserves the caller's id type and survives null text") {
+    import spark.implicits._
+    val merges = Seq((1, "a", "b", 10L)).toDF("rank", "left", "right", "pair_freq")
+    val docs = Seq(("u-1", "ab ab"), ("u-2", null)).toDF("uid", "txt")
+    val out = GraftOps.bpeEncode(docs, "uid", "txt", merges).orderBy("uid").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("u-1", "u-2"))
+    assert(out(0).getLong(1) == 2L && out(0).getSeq[String](2) == Seq("ab", "ab"))
+    assert(out(1).getLong(1) == 0L && out(1).getSeq[String](2).isEmpty)
+  }
+
   test("bpeEncode round-trips a trained merge table") {
     import spark.implicits._
     val docs = Seq.fill(20)((1L, "banana bandana")).toDF("id", "txt")
