@@ -39,10 +39,14 @@ object GraftOps {
     * scaladoc: this is what keeps repeated library calls from leaking
     * executor storage. */
   private def finishing(intermediates: DataFrame*)(result: DataFrame): DataFrame = {
-    val out = result.persist(Persist)
-    out.count()
-    intermediates.foreach(_.unpersist(false))
-    out
+    // try/finally: a failed (or cancelled) materialization must still
+    // free the per-call caches — otherwise one OOM'd task strands
+    // corpus-sized relations in executor storage for the session's life
+    try {
+      val out = result.persist(Persist)
+      out.count()
+      out
+    } finally intermediates.foreach(_.unpersist(false))
   }
 
   private def shingleRel(docs: DataFrame, idCol: String, textCol: String) =
@@ -134,25 +138,11 @@ object GraftOps {
     require(maxHamming <= 3,
       "quarter blocking guarantees recall only for hamming <= 3 " +
         s"(got $maxHamming); widen the block scheme for larger radii")
-    val signed = docs
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.SimHashAgg.simhash(col("h")).as("sig"))
+    val signed = graft.operators.Dedup
+      .simHashSignatures(docs, idCol, textCol)
       .persist(Persist)
-    val blocks = signed.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(k =>
-        shiftright(col("sig"), k * 16).bitwiseAND(0xffffL)): _*))
-        .as(Seq("blk_id", "blk")))
-    finishing(signed)(blocks.as("l")
-      .join(blocks.as("r"),
-        col("l.blk_id") === col("r.blk_id") && col("l.blk") === col("r.blk") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming))
+    finishing(signed)(
+      graft.operators.Dedup.simHashBlockPairs(signed, maxHamming))
   }
 
   /** Bloom-filter decontamination — the p8 shape: the benchmark side
@@ -171,13 +161,8 @@ object GraftOps {
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col(idCol), explode(TextFunctions.shinglesOfTokens(col("toks"), n)).as("g"))
       .select(col(idCol), xxhash64(col("g")).as("h"))
-    val bloomBytes = grams(bench)
-      .agg(graft.functions.Bloom.bloom(col("h"), numBits, numHashes).as("bloom"))
-      .first().getAs[Array[Byte]]("bloom")
-    grams(train)
-      .filter(graft.functions.Bloom.might_contain(lit(bloomBytes), col("h"), numHashes))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_flagged_ngrams"))
+    graft.operators.Pipeline.bloomDecontamOn(
+      grams(train), grams(bench).select(col("h")), idCol, numBits, numHashes)
   }
 
   /** Approximate heavy hitters over a value column — the a3 shape: one
@@ -210,21 +195,13 @@ object GraftOps {
     val tok = df.select(col(valueCol).cast("string").as("token"))
       .filter(col("token").isNotNull)
       .persist(Persist)
-    val sketchBytes = tok
-      .agg(count_min_sketch(col("token"), lit(eps), lit(0.99d), lit(42)).as("s"))
-      .head().getAs[Array[Byte]]("s")
-    val cms = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
-    val cand = graft.operators.Aggregations.heavyHitterCandidates(tok, candidatesPerPart)
-    val s = df.sparkSession
-    import s.implicits._
-    val top = tok.join(broadcast(cand), Seq("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("token")).limit(k).collect()
-      .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
-    tok.unpersist(false)
-    top.toSeq.toDF(valueCol, "exact_n", "cms_n")
-      .orderBy(col("exact_n").desc, col(valueCol))
+    // try/finally, same rationale as finishing(): a failed action must
+    // not strand the shared projection in executor storage
+    try
+      graft.operators.Aggregations
+        .heavyHittersOn(tok, k, eps, candidatesPerPart)
+        .withColumnRenamed("token", valueCol)
+    finally tok.unpersist(false)
   }
 
   /** Exact dedup: one row kept per distinct value of `textCol` (the

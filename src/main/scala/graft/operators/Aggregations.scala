@@ -239,15 +239,29 @@ object Aggregations {
     val tok = Tables.documents(s, dir)
       .select(explode(split($"text", " ")).as("token"))
       .filter(length($"token") > 0)
+    heavyHittersOn(tok, k = 20)
+  }
+
+  /** Shared CMS-heavy-hitter core (the a3 shape), also the engine of
+    * [[graft.api.GraftOps.heavyHitters]]: one fixed-size mergeable
+    * count-min sketch + per-partition candidate heaps + exact counts
+    * for the bounded candidate set only. `tok` must carry a single
+    * string column `token`; returns top-`k` (token, exact_n, cms_n)
+    * by exact count. */
+  private[graft] def heavyHittersOn(tok: DataFrame, k: Int,
+      eps: Double = 0.001,
+      candidatesPerPart: Int = HeavyHitterCandidatesPerPartition): DataFrame = {
+    val s = tok.sparkSession
+    import s.implicits._
     val sketchBytes = tok
-      .agg(count_min_sketch($"token", lit(0.001d), lit(0.99d), lit(42)).as("s"))
+      .agg(count_min_sketch($"token", lit(eps), lit(0.99d), lit(42)).as("s"))
       .head().getAs[Array[Byte]]("s")
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
-    val cand = heavyHitterCandidates(tok)
+    val cand = heavyHitterCandidates(tok, candidatesPerPart)
     val top = tok.join(broadcast(cand), Seq("token"))
       .groupBy($"token").agg(count(lit(1)).as("exact_n"))
-      .orderBy($"exact_n".desc, $"token").limit(20).collect()
+      .orderBy($"exact_n".desc, $"token").limit(k).collect()
       .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
     top.toSeq.toDF("token", "exact_n", "cms_n")
       .orderBy($"exact_n".desc, $"token")

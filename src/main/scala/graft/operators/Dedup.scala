@@ -304,15 +304,34 @@ object Dedup {
   val d4_simhash: Relational.Q = (s, dir) => {
     import s.implicits._
     val signed = cachedRel(s, dir, "simhashSigs") {
-      Tables.documents(s, dir)
-        .select($"doc_id", explode(array_distinct(TextFunctions.tokens($"text"))).as("tok"))
-        .withColumn("h", xxhash64($"tok"))
-        .groupBy($"doc_id")
-        .agg(graft.functions.SimHashAgg.simhash($"h").as("sig"))
+      simHashSignatures(Tables.documents(s, dir), "doc_id", "text")
     }
-    val blocks = signed.select($"doc_id", $"sig",
+    simHashBlockPairs(signed, maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Per-document 64-bit SimHash signatures over the distinct-token
+    * set (Charikar 2002) — shared by d4 and
+    * [[graft.api.GraftOps.simHashPairs]]. Output: (doc_id, sig). */
+  private[graft] def simHashSignatures(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = docs
+    .select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+    .withColumn("h", xxhash64(col("tok")))
+    .groupBy(col("doc_id"))
+    .agg(graft.functions.SimHashAgg.simhash(col("h")).as("sig"))
+
+  /** Candidate generation + exact hamming filter over (doc_id, sig)
+    * signatures: block on 16-bit signature quarters (pigeonhole — any
+    * hamming ≤ 3 pair agrees on at least one quarter), shuffle on
+    * quarter blocks only, never an all-pairs join. Output:
+    * (doc_a, doc_b, hamming). */
+  private[graft] def simHashBlockPairs(signed: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val blocks = signed.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(k =>
-        shiftright($"sig", k * 16).bitwiseAND(0xffffL)): _*)).as(Seq("blk_id", "blk")))
+        shiftright(col("sig"), k * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("blk_id", "blk")))
     blocks.as("l")
       .join(blocks.as("r"),
         col("l.blk_id") === col("r.blk_id") && col("l.blk") === col("r.blk") &&
@@ -320,8 +339,7 @@ object Dedup {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** d7: near-dup CLUSTERS — connected components over the J ≥ 0.8 pair
@@ -377,6 +395,13 @@ object Dedup {
     // exchange on either side); only the tiny post-aggregation relation
     // rides a default-width shuffle.
     val nEdges = edges.count()
+    // a duplicate-free corpus is a normal outcome, not an error: no
+    // edges → no labeled vertices (the sum-based convergence probe
+    // below would NPE on a null sum over zero rows)
+    if (nEdges == 0L) {
+      edges.unpersist()
+      return ab.select($"pa".as("v"), $"pa".as("label")).limit(0)
+    }
     val loopParts = math.max(1L, math.min(
       s.conf.get("spark.sql.shuffle.partitions").toLong,
       nEdges / 2000000L + 1)).toInt

@@ -281,22 +281,37 @@ object Pipeline {
       .select($"doc_id", $"source",
         explode(TextFunctions.shinglesOfTokens($"toks", n)).as("g"))
       .select($"doc_id", $"source", xxhash64($"g").as("h"))
-    // The bloom is built DISTRIBUTED (map-side OR-combined partials);
-    // the single m-bit result is collected once (bounded: numBits/8
-    // bytes, the same contract as the trained quantizer models) and
-    // baked into the probe as a plan literal. A literal binary is
-    // referenced ONCE by the generated code, where a broadcast-joined
-    // bloom column is re-copied out of the unsafe row for every probed
-    // gram (a 128 KB memcpy per row); the literal probe also needs no
-    // join at all, so the filter stays inside the scan's codegen stage.
-    val bloomBytes = g.filter($"source" === "src0")
-      .agg(graft.functions.Bloom.bloom($"h", mBits, kHashes).as("bloom"))
-      .first().getAs[Array[Byte]]("bloom")
-    g.filter($"source" =!= "src0")
-      .filter(graft.functions.Bloom.might_contain(lit(bloomBytes), $"h", kHashes))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_flagged_ngrams"))
+    bloomDecontamOn(
+      g.filter($"source" =!= "src0").select($"doc_id", $"h"),
+      g.filter($"source" === "src0").select($"h"),
+      "doc_id", mBits, kHashes)
       .orderBy($"doc_id")
+  }
+
+  /** Shared Bloom-decontamination core (the p8 shape), also the engine
+    * of [[graft.api.GraftOps.bloomDecontamination]]: the benchmark
+    * side reduces to ONE fixed-size mergeable bitset, probed scan-side
+    * as a codegen'd plan literal.
+    *
+    * The bloom is built DISTRIBUTED (map-side OR-combined partials);
+    * the single m-bit result is collected once (bounded: numBits/8
+    * bytes, the same contract as the trained quantizer models) and
+    * baked into the probe as a plan literal. A literal binary is
+    * referenced ONCE by the generated code, where a broadcast-joined
+    * bloom column is re-copied out of the unsafe row for every probed
+    * gram (a 128 KB memcpy per row); the literal probe also needs no
+    * join at all, so the filter stays inside the scan's codegen stage.
+    * `trainGrams` carries (idCol, h); `benchGrams` carries (h). */
+  private[graft] def bloomDecontamOn(trainGrams: org.apache.spark.sql.DataFrame,
+      benchGrams: org.apache.spark.sql.DataFrame, idCol: String,
+      numBits: Int, numHashes: Int): org.apache.spark.sql.DataFrame = {
+    val bloomBytes = benchGrams
+      .agg(graft.functions.Bloom.bloom(col("h"), numBits, numHashes).as("bloom"))
+      .first().getAs[Array[Byte]]("bloom")
+    trainGrams
+      .filter(graft.functions.Bloom.might_contain(lit(bloomBytes), col("h"), numHashes))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_flagged_ngrams"))
   }
 
   val queries: Map[String, Relational.Q] = Map(

@@ -374,24 +374,33 @@ object TextAnalysis {
     var vocab = docs
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
-      // split into single-char symbols (the zero-width end match leaves a
-      // trailing empty piece under split's limit=-1 — drop empties)
-      .select(filter(split($"w", "(?!^)"), x => x =!= "").as("sym"), $"freq")
+      // split into single-CODE-POINT symbols: regexp '.' (DOTALL)
+      // matches one full code point per piece, so surrogate pairs stay
+      // whole — a position-based split ("(?!^)") would cut between
+      // surrogate halves, which UTF8String mangles to '?' and the
+      // JVM-side encode loop could then never match
+      .select(expr("regexp_extract_all(w, '(?s).', 0)").as("sym"), $"freq")
       .persist(MD)
     var paircnt = pairsOf(vocab).persist(MD)
     paircnt.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    // the previous round's touched/merged caches must outlive that
-    // round: with lazy checkpoints its chain materializes inside THIS
-    // round's argmax — unpersist only after that action returns
+    // Round-k caches must survive TWO rounds, not one: paircnt_{k+1}'s
+    // lazy checkpoint materializes inside round k+1's argmax, but
+    // vocab_{k+1}'s materializes later still — at round k+1's
+    // touched.count() — and it references round k's vocab/merged.
+    // Unpersisting round k's relations at the top of round k+1 (the
+    // old one-round policy) forced a full corpus recompute of the
+    // vocab chain every round; retire round k-1's instead.
     var prevRound: Seq[org.apache.spark.sql.DataFrame] = Nil
+    var olderRound: Seq[org.apache.spark.sql.DataFrame] = Nil
     var round = 1
     var done = false
     while (round <= nMerges && !done) {
       val top = paircnt
         .orderBy($"cnt".desc, $"l", $"r")
         .limit(1).collect()
-      prevRound.foreach(_.unpersist(false))
+      olderRound.foreach(_.unpersist(false))
+      olderRound = prevRound
       prevRound = Nil
       if (top.isEmpty) done = true
       else {
@@ -445,6 +454,7 @@ object TextAnalysis {
       }
       round += 1
     }
+    olderRound.foreach(_.unpersist(false))
     prevRound.foreach(_.unpersist(false))
     vocab.unpersist(); paircnt.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "pair_freq")
@@ -489,7 +499,18 @@ object TextAnalysis {
         val rk = bc.value
         val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
         def encodeWord(w: String): Array[String] = memo.getOrElseUpdate(w, {
-          var sym: Array[String] = w.map(_.toString).toArray
+          // code-point split, matching the trainer's symbol alphabet
+          // (a per-char split would strand surrogate halves that can
+          // never equal any learned merge symbol)
+          var sym: Array[String] = {
+            val b = Array.newBuilder[String]
+            var i = 0
+            while (i < w.length) {
+              val n = Character.charCount(w.codePointAt(i))
+              b += w.substring(i, i + n); i += n
+            }
+            b.result()
+          }
           var go = sym.length >= 2
           while (go) {
             var best = Int.MaxValue; var bl = ""; var br = ""

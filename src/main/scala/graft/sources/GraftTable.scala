@@ -596,11 +596,13 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     val schema = c.schemaStruct
     // skip dirs with no hive subdir for this layout column (an empty
     // CREATE commit has no files — schema inference would fail, and it
-    // can hold no matching rows anyway)
+    // can hold no matching rows anyway). The writer nests hive dirs in
+    // partitionBy order, so a non-first spec's dirs sit below the other
+    // specs' levels — walk to the partition depth, not just the top.
     val parts = c.liveDirs.filter { d =>
       val dirP = Paths.get(root, d)
       Files.isDirectory(dirP) && {
-        val it = Files.list(dirP)
+        val it = Files.walk(dirP, c.partitionBy.size)
         try it.iterator().asScala.exists(
           _.getFileName.toString.startsWith(layout + "="))
         finally it.close()

@@ -127,6 +127,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     case n @ ("days" | "hours" | "months" | "years") =>
       s"$n(${t.references()(0).fieldNames().mkString(".")})"
     case n @ ("bucket" | "truncate") =>
+      // single-column only: silently narrowing bucket(4, a, b) to
+      // bucket(4, a) would hand back a table partitioned differently
+      // than declared — reject like any other unsupported transform
+      if (t.references().length != 1)
+        throw new UnsupportedOperationException(
+          s"multi-column $n transform not supported " +
+            s"(got ${t.references().length} columns)")
       // arguments carry (literal, field-ref) in parser order; pull the
       // numeric literal regardless of position
       val num = t.arguments().collectFirst {

@@ -175,6 +175,17 @@ class CatalogSpec extends AnyFunSuite {
     assert(p.contains("(1 paths)"), s"bucket subdir not pruned:\n$p")
   }
 
+  test("multi-column bucket transform is rejected, not silently narrowed") {
+    freshCatalog()
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.db.mb (a BIGINT, b BIGINT, v DOUBLE)
+                   |USING graft PARTITIONED BY (bucket(4, a, b))""".stripMargin)
+    }
+    // narrowing bucket(4, a, b) to bucket(4, a) would hand back a table
+    // partitioned differently than declared
+    assert(e.getMessage.contains("multi-column"), e.getMessage)
+  }
+
   test("hours() on a DATE column: equality predicates still find rows") {
     // degenerate but legal spec — the pruner must use whole-day bounds
     // for DATE sources (timestamp-style bounds lexicographically

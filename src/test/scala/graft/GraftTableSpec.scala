@@ -314,6 +314,24 @@ class GraftTableSpec extends AnyFunSuite {
       Set(1L, 2L), "hour grain must separate 03:xx from 17:xx and next-day 03:xx")
   }
 
+  test("readWherePartition prunes when the transform spec is not first") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val src = Seq(
+      ("web", 1L, ts("2024-01-01 03:10:00")),
+      ("web", 2L, ts("2024-01-02 04:00:00")),
+      ("app", 3L, ts("2024-01-01 09:30:00"))
+    ).toDF("source", "id", "ts")
+    // identity spec FIRST: days(ts) hive dirs nest one level down —
+    // a top-level-only subdir probe would silently return zero rows
+    val t = GraftTable.create(spark, tmp(), src,
+      partitionBy = Seq("source", "days(ts)"))
+    assert(t.read().count() == 3)
+    val pruned = t.readWhereDays("ts", "2024-01-01")
+    assert(pruned.as[(String, Long, java.sql.Timestamp)].collect()
+      .map(_._2).toSet == Set(1L, 3L))
+  }
+
   test("bucket(n, col) transform: point lookup scans one hash bucket") {
     import spark.implicits._
     val src = (1L to 40L).map(i => (i, s"u$i", i * 1.5)).toDF("uid", "name", "v")

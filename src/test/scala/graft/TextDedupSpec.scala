@@ -239,6 +239,50 @@ class TextDedupSpec extends AnyFunSuite {
     c.foreach(v => assert(math.abs(v - 1.0) < 1e-12))
   }
 
+  test("connectedComponents on an empty pair list returns no labels") {
+    // a duplicate-free corpus produces zero edges — must be a normal
+    // empty result, not an NPE from the null convergence sum
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(spark, pairs)
+    assert(out.columns.toSeq == Seq("v", "label"))
+    assert(out.count() == 0)
+  }
+
+  test("semDedup keeps every row of a duplicate-free corpus") {
+    import spark.implicits._
+    // orthogonal unit vectors: no cosine pair ever reaches threshold
+    val emb = (0 until 8).map { i =>
+      (i.toLong, Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f))
+    }.toDF("vid", "vec")
+    val out = graft.api.GraftOps.semDedup(emb, "vid", "vec",
+      threshold = 0.99, cells = 2)
+    assert(out.count() == 8)
+    out.unpersist()
+  }
+
+  test("bpe train+encode round-trips supplementary (non-BMP) characters") {
+    import spark.implicits._
+    val word = "😀😀🙂" // 😀😀🙂 (3 code points)
+    val docs = Seq.fill(10)(s"$word $word ok").toDF("txt")
+    val merges = graft.operators.TextAnalysis.bpeTrainOn(docs, "txt", 3)
+      .collect()
+    // learned symbols are whole code points, never mangled '?' halves
+    merges.foreach { r =>
+      val (l, rr) = (r.getString(1), r.getString(2))
+      assert(!l.contains('?') && !rr.contains('?'), s"mangled merge: $r")
+    }
+    val mergesDf = graft.operators.TextAnalysis.bpeTrainOn(docs, "txt", 3)
+    val enc = graft.operators.TextAnalysis
+      .bpeEncodeOn(docs.limit(1).withColumn("id", lit(1L)), "id", "txt", mergesDf)
+      .collect()(0)
+    // losslessness across the surrogate boundary, and the repeated
+    // emoji pair actually merges (fewer tokens than code points)
+    assert(enc.getSeq[String](2).mkString == s"$word${word}ok")
+    val nCp = word.codePointCount(0, word.length) * 2 + 2
+    assert(enc.getLong(1) < nCp, s"no merge applied: $enc vs $nCp code points")
+  }
+
   test("t9 distributed bpe merges equal reference single-node bpe") {
     // reference: the published greedy BPE training loop on the same
     // word-frequency map, ties broken (count desc, left, right)
@@ -286,6 +330,22 @@ class TextDedupSpec extends AnyFunSuite {
       .orderBy("rank")
       .select("left", "right").as[(String, String)].collect().toSeq
     assert(got == expected, s"merge sequences differ:\n got $got\n exp $expected")
+  }
+
+  test("bpe training reads the corpus exactly once across merge rounds") {
+    import spark.implicits._
+    // count how many times each input row is actually computed: the
+    // word-frequency vocab is built once and cached, so 5 merge rounds
+    // must not re-scan the corpus (the old one-round unpersist policy
+    // retired the cached vocab before the next round's lazy checkpoint
+    // materialized, forcing a full re-scan every round)
+    val acc = spark.sparkContext.longAccumulator("doc_reads")
+    val docs = Seq.fill(50)("aa ab aa cd ab aa").toDF("txt")
+      .as[String].mapPartitions(it => it.map { s => acc.add(1); s })
+      .toDF("txt")
+    graft.operators.TextAnalysis.bpeTrainOn(docs, "txt", 5).collect()
+    assert(acc.value == 50L,
+      s"corpus read ${acc.value / 50.0} times (expected exactly once)")
   }
 
   test("t9 incremental rounds: touched-word counts shrink at 50 merges") {
