@@ -90,6 +90,26 @@ object GraftOps {
       graft.operators.Dedup.prefixCandidates(sh, threshold), threshold))
   }
 
+  /** Incremental dedup — the daily-ingest shape (d9): near-dup pairs
+    * (J ≥ `threshold` over token 3-shingles) where the RIGHT side is a
+    * `delta` doc and the left side is a `base` doc or a lower-id delta
+    * doc; the base is never re-deduped against itself. Candidate
+    * generation probes the prefix index with delta prefixes only, so
+    * each batch pays |delta|-proportional work. Both inputs need
+    * (idCol, textCol); ids must be disjoint across base ∪ delta.
+    * Output: (doc_a, doc_b, jaccard) with doc_b ∈ delta. */
+  def incrementalDedupe(base: DataFrame, delta: DataFrame, idCol: String,
+                        textCol: String, threshold: Double = 0.5): DataFrame = {
+    val all = base.select(col(idCol), col(textCol))
+      .unionByName(delta.select(col(idCol), col(textCol)))
+    val sh = shingleRel(all, idCol, textCol)
+    val arrs = shingleArrs(sh)
+    val deltaIds = delta.select(col(idCol).as("doc_id"))
+    finishing(sh, arrs)(verifyJaccard(arrs,
+      graft.operators.Dedup.incrementalCandidates(sh, deltaIds, threshold),
+      threshold))
+  }
+
   /** Exact near-duplicate pairs at `threshold` Jaccard over token
     * 3-shingles, via MinHash + banded LSH candidates verified with the
     * full sorted-array intersection — the d3 shape. `docs` needs

@@ -190,6 +190,24 @@ object Dedup {
     * full intersection verify, so the result is exactly the J ≥ t
     * pairs. */
   private[graft] def prefixCandidates(sh: DataFrame, t: Double): DataFrame = {
+    val prefixes = prefixesOf(sh, t)
+    prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          // PPJoin length filter (lossless): J >= t forces
+          // t·max(|A|,|B|) <= min(|A|,|B|) — prune size-mismatched
+          // pairs before the (much costlier) intersection verify
+          least(col("a.n"), col("b.n")) >=
+            ceil(lit(t) * greatest(col("a.n"), col("b.n"))))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** PPJoin prefix construction shared by [[prefixCandidates]] (full
+    * self-join) and [[incrementalCandidates]] (delta probe): per-doc
+    * rare-first shingle prefixes of length |S| − ⌈t·|S|⌉ + 1 under the
+    * global (df, shingle) order. Output: (doc_id, s, n), checkpointed. */
+  private def prefixesOf(sh: DataFrame, t: Double): DataFrame = {
     // Document frequency per shingle via groupBy+join — NOT a window over
     // the full exploded relation (count() over (partition by s) sort-
     // shuffles every (doc, shingle) row and serializes hot-shingle
@@ -205,7 +223,7 @@ object Dedup {
       .filter(col("df") <= maxDf)
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val rareFirst = byDoc.orderBy(col("df"), col("s"))
-    // materialized once (eager localCheckpoint): the self-join
+    // materialized once (eager localCheckpoint): the candidate join
     // references prefixes twice, and Spark re-evaluates the window
     // pipeline per branch otherwise. NOT the session relCache — `sh`
     // is caller-supplied (the public API builds a fresh one per call),
@@ -213,7 +231,7 @@ object Dedup {
     // entry per invocation that no later call can hit or free;
     // checkpoint blocks release via the context cleaner once the
     // candidate relation is dropped.
-    val prefixes = sh.join(dfRel, "s")
+    sh.join(dfRel, "s")
       .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("rk", row_number().over(rareFirst))
       .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
@@ -222,12 +240,32 @@ object Dedup {
       .filter(col("df") >= 2)
       .select(col("doc_id"), col("s"), col("n"))
       .localCheckpoint()
-    prefixes.as("a")
-      .join(prefixes.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          // PPJoin length filter (lossless): J >= t forces
-          // t·max(|A|,|B|) <= min(|A|,|B|) — prune size-mismatched
-          // pairs before the (much costlier) intersection verify
+  }
+
+  /** Incremental near-dup candidates: pairs where the RIGHT side is a
+    * newly-arrived delta doc and the left side is any doc (base or a
+    * lower-id delta doc). The candidate join probes the full prefix
+    * index with the DELTA prefixes only, so candidate volume scales
+    * with |delta|, not |corpus|² — the daily-ingest shape: at 100 TB
+    * the base prefix index is a persisted table maintained across
+    * runs, and each batch pays only its own probe. `deltaIds` carries
+    * one column `doc_id`. Output: (doc_a, doc_b) with doc_b ∈ delta. */
+  private[graft] def incrementalCandidates(sh: DataFrame, deltaIds: DataFrame,
+                                           t: Double): DataFrame = {
+    val prefixes = prefixesOf(sh, t)
+    val flagged = prefixes.join(
+        deltaIds.select(col("doc_id"), lit(true).as("__delta")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("s"), col("n"),
+        coalesce(col("__delta"), lit(false)).as("is_delta"))
+    val deltaPrefixes = flagged.filter(col("is_delta")).select("doc_id", "s", "n")
+    flagged.as("a")
+      .join(deltaPrefixes.as("b"),
+        col("a.s") === col("b.s") &&
+          // orientation: base docs pair with any delta doc; two delta
+          // docs orient by id (each unordered pair emitted once)
+          (!col("a.is_delta") && col("a.doc_id") =!= col("b.doc_id") ||
+            col("a.doc_id") < col("b.doc_id")) &&
           least(col("a.n"), col("b.n")) >=
             ceil(lit(t) * greatest(col("a.n"), col("b.n"))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -240,6 +278,43 @@ object Dedup {
     exactJaccardPairs(s, dir, 0.5, prefixCandidates(shingleSets(s, dir), 0.5))
 
   val d2_sql: String = jaccardSql(0.5)
+
+  /** d9: INCREMENTAL dedup — the daily-ingest composition: treat
+    * sources src18/src19 as a newly-arrived batch and find every
+    * delta doc that near-duplicates (J ≥ 0.5) a base-corpus doc or a
+    * lower-id delta doc, WITHOUT re-deduping the base against itself.
+    * Candidate generation probes the prefix index with delta prefixes
+    * only (see [[incrementalCandidates]]) — at 100 TB the base index
+    * persists across runs and each batch pays |delta|-proportional
+    * work, the property that makes continuous-crawl dedup tractable.
+    * Output: (doc_a, doc_b, jaccard) with doc_b ∈ delta. */
+  val d9_dedup_incremental: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val deltaIds = Tables.documents(s, dir)
+      .filter($"source".isin("src18", "src19"))
+      .select($"doc_id")
+    val cand = incrementalCandidates(shingleSets(s, dir), deltaIds, 0.5)
+    exactJaccardPairs(s, dir, 0.5, cand)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val d9_sql: String =
+    s"""WITH sh AS (SELECT * FROM $ShingleSql shs),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |delta AS (SELECT doc_id FROM documents WHERE source IN ('src18','src19')),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s
+       |  WHERE b.doc_id IN (SELECT doc_id FROM delta)
+       |    AND (a.doc_id NOT IN (SELECT doc_id FROM delta) OR a.doc_id < b.doc_id)
+       |    AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       | ROUND(CAST(i AS DOUBLE)/(x.n + y.n - i), 6) AS jaccard
+       |FROM inter JOIN sizes x ON doc_a = x.doc_id
+       |           JOIN sizes y ON doc_b = y.doc_id
+       |WHERE CAST(i AS DOUBLE)/(x.n + y.n - i) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** d3: MinHash + banded LSH candidates, verified with exact Jaccard
     * at J ≥ 0.8. The oracle recomputes exact J ≥ 0.8 pairs — equality
@@ -464,6 +539,7 @@ object Dedup {
     "d4_simhash" -> d4_simhash,
     "d6_dedup_canonical" -> d6_dedup_canonical,
     "d7_dedup_clusters" -> d7_dedup_clusters,
+    "d9_dedup_incremental" -> d9_dedup_incremental,
   )
 
   val oracles: Map[String, String] = Map(
@@ -472,5 +548,6 @@ object Dedup {
     "d3_minhash_lsh" -> d3_sql,
     "d6_dedup_canonical" -> d6_sql,
     "d7_dedup_clusters" -> d7_sql,
+    "d9_dedup_incremental" -> d9_sql,
   )
 }

@@ -43,6 +43,36 @@ class ApiSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("incrementalDedupe flags delta dups, never re-pairs the base") {
+    import spark.implicits._
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val aNear = (1 to 38).map(i => s"w$i").mkString(" ") + " zz yy"
+    // base contains an internal dup pair (1,2) — incremental dedup must
+    // NOT re-emit it; delta doc 50 dups base doc 1; delta 60/61 dup
+    // each other; delta 70 is novel
+    val base = Seq((1L, a), (2L, a), (10L, "completely different stuff here"))
+      .toDF("id", "txt")
+    val delta = Seq((50L, aNear), (60L, "alpha beta gamma delta epsilon zeta"),
+      (61L, "alpha beta gamma delta epsilon zeta"), (70L, "novel content x"))
+      .toDF("id", "txt")
+    val got = GraftOps.incrementalDedupe(base, delta, "id", "txt", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 50L), (2L, 50L), (60L, 61L)), got.toString)
+  }
+
+  test("incrementalDedupe equals the catalog d9 on the benchmark corpus") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val expected = SparkEntry.queries("d9_dedup_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = GraftOps.incrementalDedupe(
+        docs.filter(!$"source".isin("src18", "src19")),
+        docs.filter($"source".isin("src18", "src19")),
+        "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+  }
+
   test("nearDupClusters + applyDedup keep one representative per cluster") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
