@@ -87,4 +87,28 @@ object SimHashAgg {
   /** Column API: 64-bit simhash signature of a hashed-token column. */
   def simhash(h: Column): Column =
     ColumnBridge.column(SimHashAgg(ColumnBridge.expression(h)).toAggregateExpression())
+
+  /** Stateless per-ROW twin of the aggregate: the 64-bit signature of
+    * a token ARRAY column, computed with higher-order functions in one
+    * projection. No aggregation state — it runs scan-side inside a
+    * streaming micro-batch (the h10 ingest path), where a grouped
+    * typed aggregate would force a stateful shuffle per batch. Bit
+    * semantics are identical to [[SimHashAgg]] (counter j: +1 when bit
+    * j of xxhash64(token) is set, −1 otherwise, over the DISTINCT
+    * token set; signature bit j set iff counter > 0) — spec-pinned
+    * equal to the aggregate on the benchmark corpus. */
+  def simhashOfTokens(toks: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val hs = transform(array_distinct(toks), t => xxhash64(t))
+    val counters = aggregate(hs, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)), i =>
+          call_function("shiftrightunsigned", h, i)
+            .bitwiseAND(lit(1L)) * lit(2L) - lit(1L)),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)), (c, i) =>
+        when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (a, b) => a.bitwiseOR(b))
+  }
 }

@@ -393,7 +393,54 @@ object Streams {
     }.orderBy($"doc_id")
   }
 
+  /** h10: STREAM-STATIC near-duplicate flagging — continuously arriving
+    * documents (sources src18/src19, the d9 delta) checked for SimHash
+    * near-duplicates of a FIXED base corpus at ingest time. The static
+    * side is the base corpus's quarter-block signature index, built
+    * once batch-side and persisted across micro-batches; the stream
+    * side computes each arriving doc's 64-bit signature STATELESSLY in
+    * the scan projection ([[graft.functions.SimHashAgg.simhashOfTokens]]
+    * — no streaming aggregate, so no per-batch shuffle state), then a
+    * stream-static equi-join on (blk_id, blk) yields candidates and the
+    * exact hamming filter confirms. The only streaming state is the
+    * pair dedup (a pair matching on several quarters). At 100 TB the
+    * block index is a maintained table and the probe is the same
+    * equi-join; index updates swap in a new static side. Rows-only
+    * driver check; equality with the batch twin is spec-asserted. */
+  val h10_stream_neardup: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val quarters = (sig: org.apache.spark.sql.Column) =>
+      array((0 until 4).map(k =>
+        shiftright(sig, k * 16).bitwiseAND(0xffffL)): _*)
+    val baseBlocks = graft.operators.Dedup
+      .simHashSignatures(
+        graft.sources.Tables.documents(s, dir)
+          .filter(!$"source".isin("src18", "src19")),
+        "doc_id", "text")
+      .select($"doc_id".as("doc_a"), $"sig".as("sig_a"),
+        posexplode(quarters($"sig")).as(Seq("blk_id", "blk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      drain(s, OutputMode.Append()) { s2 =>
+        docStream(s2, dir)
+          .filter($"source".isin("src18", "src19"))
+          .repartition(s2.sparkContext.defaultParallelism)
+          .select($"doc_id".as("doc_b"),
+            graft.functions.SimHashAgg.simhashOfTokens(
+              graft.functions.TextFunctions.tokens($"text")).as("sig_b"))
+          .select($"doc_b", $"sig_b",
+            posexplode(quarters($"sig_b")).as(Seq("blk_id", "blk")))
+          .join(baseBlocks, Seq("blk_id", "blk"))
+          .select($"doc_a", $"doc_b",
+            bit_count($"sig_a".bitwiseXOR($"sig_b")).as("hamming"))
+          .filter($"hamming" <= 3)
+          .dropDuplicates("doc_a", "doc_b")
+      }.orderBy($"doc_a", $"doc_b")
+    } finally baseBlocks.unpersist(false)
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "h10_stream_neardup" -> h10_stream_neardup,
     "h9_stream_decontam" -> h9_stream_decontam,
     "h8_stream_session" -> h8_stream_session,
     "h7_stream_sliding" -> h7_stream_sliding,

@@ -73,6 +73,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty, "planted src0 overlap must flag at least one doc")
   }
 
+  test("scalar simhashOfTokens equals the SimHashAgg aggregate per doc") {
+    import spark.implicits._
+    import graft.functions.{SimHashAgg, TextFunctions}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val viaAgg = docs
+      .select($"doc_id", explode(array_distinct(TextFunctions.tokens($"text"))).as("tok"))
+      .groupBy($"doc_id").agg(SimHashAgg.simhash(xxhash64($"tok")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaScalar = docs
+      .select($"doc_id", SimHashAgg.simhashOfTokens(TextFunctions.tokens($"text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg.nonEmpty)
+    viaAgg.foreach { case (id, sig) => assert(viaScalar(id) == sig, s"doc $id") }
+  }
+
+  test("h10 stream-static near-dup equals the batch base-vs-delta pairs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val stream = SparkEntry.queries("h10_stream_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // batch twin built directly from the aggregate signatures
+    val delta = docs.filter($"source".isin("src18", "src19")).select($"doc_id")
+    val allSigs = Dedup.simHashSignatures(docs, "doc_id", "text")
+    def blocks(df: org.apache.spark.sql.DataFrame) = df.select($"doc_id", $"sig",
+      posexplode(array((0 until 4).map(k =>
+        shiftright($"sig", k * 16).bitwiseAND(0xffffL)): _*)).as(Seq("blk_id", "blk")))
+    val baseB = blocks(allSigs.join(delta, Seq("doc_id"), "left_anti"))
+      .select($"doc_id".as("doc_a"), $"sig".as("sig_a"), $"blk_id", $"blk")
+    val deltaB = blocks(allSigs.join(delta, Seq("doc_id")))
+      .select($"doc_id".as("doc_b"), $"sig".as("sig_b"), $"blk_id", $"blk")
+    val batch = baseB.join(deltaB, Seq("blk_id", "blk"))
+      .select($"doc_a", $"doc_b",
+        bit_count($"sig_a".bitwiseXOR($"sig_b")).as("hamming"))
+      .filter($"hamming" <= 3).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(stream == batch)
+    assert(stream.nonEmpty, "sf corpus plants cross-source near-dups")
+  }
+
   test("m2 batched feature extraction is deterministic with fixed shape") {
     val a = Multimodal.m2_feature_batch(spark, sf).collect()
       .sortBy(_.doc_id)
