@@ -382,6 +382,51 @@ object GraftOps {
   def bpeMerges(docs: DataFrame, textCol: String, merges: Int = 10): DataFrame =
     graft.operators.TextAnalysis.bpeTrainOn(docs, textCol, merges)
 
+  /** The per-document curation feature vector — t1/t2/t3/t5 in ONE
+    * scan-side projection (no shuffle at all: at 100 TB this runs at
+    * parquet-read speed, embarrassingly parallel across files):
+    * token/char counts, stopword/punctuation/mean-token-length quality
+    * signals with the composite score, n-gram language ID, duplicate-
+    * bigram and top-token repetition fractions, and the Gopher-style
+    * `kept` flag (quality ≥ 0.5, repetition within bounds). Output:
+    * one row per input row, idCol + 10 signal columns. */
+  def curationSignals(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val toks = TextFunctions.tokens(t)
+    val nTok = size(toks)
+    val nBig = greatest(nTok - 1, lit(0))
+    val dupFrac = (nBig - size(TextFunctions.shinglesOfTokens(toks, 2)))
+      .cast("double") / greatest(nBig, lit(1))
+    val topFrac = coalesce(
+      graft.operators.TextAnalysis.topTokenCount(toks), lit(0))
+      .cast("double") / greatest(nTok, lit(1))
+    val quality = TextFunctions.qualityScore(t)
+    docs.select(col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      length(t).cast("long").as("n_chars"),
+      round(TextFunctions.stopwordRatio(t), 6).as("stopword_ratio"),
+      round(TextFunctions.meanTokenLen(t), 6).as("mean_token_len"),
+      round(TextFunctions.punctRatio(t), 6).as("punct_ratio"),
+      round(quality, 6).as("quality_score"),
+      TextFunctions.langId(t).as("lang_id"),
+      round(dupFrac, 6).as("dup_bigram_frac"),
+      round(topFrac, 6).as("top_token_frac"),
+      (quality >= 0.5 && dupFrac <= 0.125 && topFrac <= 0.09).as("kept"))
+  }
+
+  /** PII redaction — the t6 shape over arbitrary DataFrames: emails
+    * and phone numbers replaced with <EMAIL>/<PHONE> markers, match
+    * counts reported. Pure scan-side projection. Output: all input
+    * columns with textCol scrubbed, plus (n_emails, n_phones). */
+  def piiScrub(docs: DataFrame, textCol: String): DataFrame = {
+    import graft.operators.TextAnalysis.{EmailPat, PhonePat, scrubPii}
+    docs
+      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailPat)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhonePat)))
+      .withColumn(textCol, scrubPii(col(textCol)))
+  }
+
   /** Tokenize with a learned merge table — the apply step pairing with
     * [[bpeMerges]] (standard lowest-rank-pair BPE encode, broadcast
     * rank table, per-partition word memo; shuffle-free). Output:

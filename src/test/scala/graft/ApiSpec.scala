@@ -267,6 +267,36 @@ class ApiSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == 2L)
   }
 
+  test("curationSignals equals the catalog t2/t5 signal columns") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = GraftOps.curationSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(6), r.getDouble(8), r.getDouble(9))).toMap
+    val t2 = SparkEntry.queries("t2_quality_score")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val t5 = SparkEntry.queries("t5_repetition")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty && got.size == t2.size)
+    got.foreach { case (id, (q, dup, top)) =>
+      // t2 surfaces the raw double; curationSignals rounds to 6 places
+      assert(math.abs(q - t2(id)) < 5e-7, s"quality drift doc $id")
+      assert((dup, top) == t5(id), s"repetition drift doc $id")
+    }
+  }
+
+  test("piiScrub redacts and counts, leaving other columns intact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at a.b@example.com or call 555-123-4567", "keep"),
+      (2L, "no pii here", "keep2")).toDF("id", "body", "extra")
+    val out = GraftOps.piiScrub(docs, "body").orderBy("id").collect()
+    assert(out(0).getAs[String]("body") == "mail me at <EMAIL> or call <PHONE>")
+    assert(out(0).getAs[Int]("n_emails") == 1 && out(0).getAs[Int]("n_phones") == 1)
+    assert(out(1).getAs[String]("body") == "no pii here")
+    assert(out.map(_.getAs[String]("extra")).toSeq == Seq("keep", "keep2"))
+  }
+
   test("bpeEncode applies merges by rank and counts tokens") {
     import spark.implicits._
     // merges: (a,b)->ab at rank 1, then (ab,c)->abc at rank 2
