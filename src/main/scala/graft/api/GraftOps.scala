@@ -41,11 +41,16 @@ object GraftOps {
   private def finishing(intermediates: DataFrame*)(result: DataFrame): DataFrame = {
     // try/finally: a failed (or cancelled) materialization must still
     // free the per-call caches — otherwise one OOM'd task strands
-    // corpus-sized relations in executor storage for the session's life
+    // corpus-sized relations in executor storage for the session's
+    // life. The RESULT registration is freed on failure too: the
+    // caller never receives the reference, so partially-computed
+    // blocks would be just as unreachable as the intermediates.
+    val out = result.persist(Persist)
     try {
-      val out = result.persist(Persist)
       out.count()
       out
+    } catch {
+      case e: Throwable => out.unpersist(false); throw e
     } finally intermediates.foreach(_.unpersist(false))
   }
 
@@ -100,6 +105,12 @@ object GraftOps {
     * Output: (doc_a, doc_b, jaccard) with doc_b ∈ delta. */
   def incrementalDedupe(base: DataFrame, delta: DataFrame, idCol: String,
                         textCol: String, threshold: Double = 0.5): DataFrame = {
+    // enforced, not just documented: a shared id (a re-crawled doc)
+    // would merge both texts' shingles into one multiset and emit
+    // silently wrong Jaccard scores. limit(1) early-outs the probe.
+    require(base.select(col(idCol))
+        .join(delta.select(col(idCol)), idCol).limit(1).count() == 0L,
+      s"base and delta must have disjoint $idCol values")
     val all = base.select(col(idCol), col(textCol))
       .unionByName(delta.select(col(idCol), col(textCol)))
     val sh = shingleRel(all, idCol, textCol)
@@ -392,8 +403,14 @@ object GraftOps {
     * one row per input row, idCol + 10 signal columns. */
   def curationSignals(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    // tokens are MATERIALIZED in their own projection before the
+    // bigram/top-token transforms — shinglesOfTokens' documented
+    // contract (an inlined split re-evaluates per element_at; measured
+    // 5x slower on the shingle pass)
     val t = col(textCol)
-    val toks = TextFunctions.tokens(t)
+    val staged = docs.select(col(idCol), t.as("__t"),
+      TextFunctions.tokens(t).as("__toks"))
+    val toks = col("__toks")
     val nTok = size(toks)
     val nBig = greatest(nTok - 1, lit(0))
     val dupFrac = (nBig - size(TextFunctions.shinglesOfTokens(toks, 2)))
@@ -401,15 +418,15 @@ object GraftOps {
     val topFrac = coalesce(
       graft.operators.TextAnalysis.topTokenCount(toks), lit(0))
       .cast("double") / greatest(nTok, lit(1))
-    val quality = TextFunctions.qualityScore(t)
-    docs.select(col(idCol),
+    val quality = TextFunctions.qualityScore(col("__t"))
+    staged.select(col(idCol),
       nTok.cast("long").as("n_tokens"),
-      length(t).cast("long").as("n_chars"),
-      round(TextFunctions.stopwordRatio(t), 6).as("stopword_ratio"),
-      round(TextFunctions.meanTokenLen(t), 6).as("mean_token_len"),
-      round(TextFunctions.punctRatio(t), 6).as("punct_ratio"),
+      length(col("__t")).cast("long").as("n_chars"),
+      round(TextFunctions.stopwordRatio(col("__t")), 6).as("stopword_ratio"),
+      round(TextFunctions.meanTokenLen(col("__t")), 6).as("mean_token_len"),
+      round(TextFunctions.punctRatio(col("__t")), 6).as("punct_ratio"),
       round(quality, 6).as("quality_score"),
-      TextFunctions.langId(t).as("lang_id"),
+      TextFunctions.langId(col("__t")).as("lang_id"),
       round(dupFrac, 6).as("dup_bigram_frac"),
       round(topFrac, 6).as("top_token_frac"),
       (quality >= 0.5 && dupFrac <= 0.125 && topFrac <= 0.09).as("kept"))
@@ -423,7 +440,12 @@ object GraftOps {
     import graft.operators.TextAnalysis.{EmailPat, PhonePat, scrubPii}
     docs
       .withColumn("n_emails", regexp_count(col(textCol), lit(EmailPat)))
-      .withColumn("n_phones", regexp_count(col(textCol), lit(PhonePat)))
+      // counts must match APPLIED redactions: the email pass runs
+      // first and can consume a phone-shaped local part
+      // ("555-123-4567@x.com" becomes one <EMAIL>, zero <PHONE>), so
+      // phones are counted on the email-scrubbed text
+      .withColumn("n_phones", regexp_count(
+        regexp_replace(col(textCol), EmailPat, "<EMAIL>"), lit(PhonePat)))
       .withColumn(textCol, scrubPii(col(textCol)))
   }
 

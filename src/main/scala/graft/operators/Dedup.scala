@@ -253,12 +253,15 @@ object Dedup {
   private[graft] def incrementalCandidates(sh: DataFrame, deltaIds: DataFrame,
                                            t: Double): DataFrame = {
     val prefixes = prefixesOf(sh, t)
+    // only the probe-TARGET side needs the delta flag (for pair
+    // orientation); the probe side is a plain semi-join
     val flagged = prefixes.join(
         deltaIds.select(col("doc_id"), lit(true).as("__delta")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("s"), col("n"),
         coalesce(col("__delta"), lit(false)).as("is_delta"))
-    val deltaPrefixes = flagged.filter(col("is_delta")).select("doc_id", "s", "n")
+    val deltaPrefixes = prefixes
+      .join(deltaIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
     flagged.as("a")
       .join(deltaPrefixes.as("b"),
         col("a.s") === col("b.s") &&
@@ -396,6 +399,16 @@ object Dedup {
     .groupBy(col("doc_id"))
     .agg(graft.functions.SimHashAgg.simhash(col("h")).as("sig"))
 
+  /** The 16-bit quarter-block explode over (doc_id, sig) signatures —
+    * THE blocking scheme (shared by d4, the public API, h10's stream
+    * probe, and their specs; widening it for hamming > 3 happens here
+    * once). Output: (doc_id, sig, blk_id, blk). */
+  private[graft] def simHashBlocks(signed: DataFrame): DataFrame =
+    signed.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("sig"), k * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("blk_id", "blk")))
+
   /** Candidate generation + exact hamming filter over (doc_id, sig)
     * signatures: block on 16-bit signature quarters (pigeonhole — any
     * hamming ≤ 3 pair agrees on at least one quarter), shuffle on
@@ -403,10 +416,7 @@ object Dedup {
     * (doc_a, doc_b, hamming). */
   private[graft] def simHashBlockPairs(signed: DataFrame,
       maxHamming: Int): DataFrame = {
-    val blocks = signed.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(k =>
-        shiftright(col("sig"), k * 16).bitwiseAND(0xffffL)): _*))
-        .as(Seq("blk_id", "blk")))
+    val blocks = simHashBlocks(signed)
     blocks.as("l")
       .join(blocks.as("r"),
         col("l.blk_id") === col("r.blk_id") && col("l.blk") === col("r.blk") &&

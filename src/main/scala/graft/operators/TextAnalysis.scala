@@ -177,7 +177,11 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .select($"doc_id",
         regexp_count($"text", lit(EmailPat)).as("n_emails"),
-        regexp_count($"text", lit(PhonePat)).as("n_phones"),
+        // counted on the email-scrubbed text so counts equal APPLIED
+        // redactions (the email pass can consume a phone-shaped local
+        // part); mirrored in the oracle SQL
+        regexp_count(regexp_replace($"text", EmailPat, "<EMAIL>"),
+          lit(PhonePat)).as("n_phones"),
         sha2(scrubPii($"text"), 256).as("scrubbed_hash"))
       .orderBy($"doc_id")
   }
@@ -190,7 +194,9 @@ object TextAnalysis {
   val t6_sql: String =
     s"""SELECT doc_id,
        | len(regexp_extract_all(text, '$EmailPat')) AS n_emails,
-       | len(regexp_extract_all(text, '$PhonePat')) AS n_phones,
+       | len(regexp_extract_all(
+       |   regexp_replace(text, '$EmailPat', '<EMAIL>', 'g'),
+       |   '$PhonePat')) AS n_phones,
        | sha256(regexp_replace(regexp_replace(text, '$EmailPat', '<EMAIL>', 'g'),
        |   '$PhonePat', '<PHONE>', 'g')) AS scrubbed_hash
        |FROM documents ORDER BY doc_id""".stripMargin

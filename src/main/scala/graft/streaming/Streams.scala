@@ -409,32 +409,37 @@ object Streams {
     * driver check; equality with the batch twin is spec-asserted. */
   val h10_stream_neardup: Relational.Q = (s, dir) => {
     import s.implicits._
-    val quarters = (sig: org.apache.spark.sql.Column) =>
-      array((0 until 4).map(k =>
-        shiftright(sig, k * 16).bitwiseAND(0xffffL)): _*)
     val baseBlocks = graft.operators.Dedup
-      .simHashSignatures(
+      .simHashBlocks(graft.operators.Dedup.simHashSignatures(
         graft.sources.Tables.documents(s, dir)
           .filter(!$"source".isin("src18", "src19")),
-        "doc_id", "text")
-      .select($"doc_id".as("doc_a"), $"sig".as("sig_a"),
-        posexplode(quarters($"sig")).as(Seq("blk_id", "blk")))
+        "doc_id", "text"))
+      .select($"doc_id".as("doc_a"), $"sig".as("sig_a"), $"blk_id", $"blk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       drain(s, OutputMode.Append()) { s2 =>
-        docStream(s2, dir)
+        val probe = docStream(s2, dir)
           .filter($"source".isin("src18", "src19"))
           .repartition(s2.sparkContext.defaultParallelism)
-          .select($"doc_id".as("doc_b"),
+          .select($"doc_id",
             graft.functions.SimHashAgg.simhashOfTokens(
-              graft.functions.TextFunctions.tokens($"text")).as("sig_b"))
-          .select($"doc_b", $"sig_b",
-            posexplode(quarters($"sig_b")).as(Seq("blk_id", "blk")))
+              graft.functions.TextFunctions.tokens($"text")).as("sig"))
+        graft.operators.Dedup.simHashBlocks(probe)
+          .select($"doc_id".as("doc_b"), $"sig".as("sig_b"), $"blk_id", $"blk",
+            // ingest-time watermark BOUNDS the pair-dedup state (the
+            // only streaming state): a pair matching several quarters
+            // in one window dedups exactly; beyond the window the
+            // flagging is at-least-once — the right trade for an
+            // unbounded crawl (state would otherwise grow one entry
+            // per ever-flagged pair, forever)
+            current_timestamp().as("ingest_ts"))
+          .withWatermark("ingest_ts", "1 hour")
           .join(baseBlocks, Seq("blk_id", "blk"))
-          .select($"doc_a", $"doc_b",
+          .select($"doc_a", $"doc_b", $"ingest_ts",
             bit_count($"sig_a".bitwiseXOR($"sig_b")).as("hamming"))
           .filter($"hamming" <= 3)
-          .dropDuplicates("doc_a", "doc_b")
+          .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+          .select($"doc_a", $"doc_b", $"hamming")
       }.orderBy($"doc_a", $"doc_b")
     } finally baseBlocks.unpersist(false)
   }

@@ -297,6 +297,27 @@ class ApiSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("extra")).toSeq == Seq("keep", "keep2"))
   }
 
+  test("piiScrub counts match applied redactions when patterns overlap") {
+    import spark.implicits._
+    // the email pass consumes the phone-shaped local part — one
+    // <EMAIL> marker, zero <PHONE> markers, and counts must agree
+    val docs = Seq((1L, "reach me: 555-123-4567@corp.com")).toDF("id", "body")
+    val out = GraftOps.piiScrub(docs, "body").collect()(0)
+    assert(out.getAs[String]("body") == "reach me: <EMAIL>")
+    assert(out.getAs[Int]("n_emails") == 1)
+    assert(out.getAs[Int]("n_phones") == 0, "no <PHONE> marker was emitted")
+  }
+
+  test("incrementalDedupe rejects overlapping base/delta ids") {
+    import spark.implicits._
+    val base = Seq((7L, "aa bb cc")).toDF("id", "txt")
+    val delta = Seq((7L, "aa bb cc dd")).toDF("id", "txt")
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.incrementalDedupe(base, delta, "id", "txt")
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("bpeEncode applies merges by rank and counts tokens") {
     import spark.implicits._
     // merges: (a,b)->ab at rank 1, then (ab,c)->abc at rank 2

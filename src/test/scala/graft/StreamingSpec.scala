@@ -97,12 +97,9 @@ class StreamingSpec extends AnyFunSuite {
     // batch twin built directly from the aggregate signatures
     val delta = docs.filter($"source".isin("src18", "src19")).select($"doc_id")
     val allSigs = Dedup.simHashSignatures(docs, "doc_id", "text")
-    def blocks(df: org.apache.spark.sql.DataFrame) = df.select($"doc_id", $"sig",
-      posexplode(array((0 until 4).map(k =>
-        shiftright($"sig", k * 16).bitwiseAND(0xffffL)): _*)).as(Seq("blk_id", "blk")))
-    val baseB = blocks(allSigs.join(delta, Seq("doc_id"), "left_anti"))
+    val baseB = Dedup.simHashBlocks(allSigs.join(delta, Seq("doc_id"), "left_anti"))
       .select($"doc_id".as("doc_a"), $"sig".as("sig_a"), $"blk_id", $"blk")
-    val deltaB = blocks(allSigs.join(delta, Seq("doc_id")))
+    val deltaB = Dedup.simHashBlocks(allSigs.join(delta, Seq("doc_id")))
       .select($"doc_id".as("doc_b"), $"sig".as("sig_b"), $"blk_id", $"blk")
     val batch = baseB.join(deltaB, Seq("blk_id", "blk"))
       .select($"doc_a", $"doc_b",
