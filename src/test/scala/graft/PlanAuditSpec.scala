@@ -207,6 +207,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "small drop relation must still broadcast below the gate")
   }
 
+  test("d9: incremental-dedup probe side is delta-restricted (semi-join), no cartesian") {
+    // the daily-ingest property: candidate volume must scale with
+    // |delta|, not |corpus|² — the probe side of the candidate join is
+    // the prefix index semi-joined down to delta doc_ids, and nothing
+    // in the pipeline may fall back to a cartesian shape
+    val plan = executedPlan("d9_dedup_incremental")
+    assert(plan.contains("LeftSemi"),
+      s"d9 probe side must be a delta semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"d9 must stay an equi-join on shingles:\n$plan")
+  }
+
   test("bucketed tables co-locate their join: no shuffle exchange") {
     // the 100 TB fact-fact join strategy: both sides written bucketed on
     // the join key land pre-partitioned, so the sort-merge join needs no
