@@ -22,9 +22,16 @@ import graft.sources.Tables
   * intermediates materialize their result eagerly (persist + count) so
   * the per-call caches can be freed — repeated library calls in a
   * long-lived session must not accumulate cached relations the caller
-  * holds no reference to. The RESULT comes back persisted; the caller
-  * owns it and should `unpersist()` it when done. Callers running many
-  * operators over one corpus should persist their input once outside.
+  * holds no reference to. For THOSE entry points (the dedup/similarity
+  * family built on `finishing()`) the result comes back persisted and
+  * the caller owns it — `unpersist()` it when done. Single-pass
+  * operators that never fork the plan (curationSignals, piiScrub,
+  * bpeEncode, gapFill, …) return plain lazy projections: persist them
+  * yourself if you'll reference them from more than one action.
+  * heavyHitters/bpeMerges return small locally-backed results, and
+  * nearDupClusters a checkpoint — nothing to unpersist. Callers
+  * running many operators over one corpus should persist their input
+  * once outside.
   *
   * ApiSpec cross-checks each entry point against its catalog twin on
   * the benchmark tables, so the two implementations cannot drift.
@@ -102,15 +109,26 @@ object GraftOps {
     * generation probes the prefix index with delta prefixes only, so
     * each batch pays |delta|-proportional work. Both inputs need
     * (idCol, textCol); ids must be disjoint across base ∪ delta.
-    * Output: (doc_a, doc_b, jaccard) with doc_b ∈ delta. */
+    * Output: (doc_a, doc_b, jaccard) with doc_b ∈ delta.
+    *
+    * `checkDisjoint` (default true) verifies the id contract with an
+    * eager base-vs-delta id probe before any dedup work. That probe
+    * costs one O(|base|) id scan — against the |delta|-proportional
+    * contract of the dedup itself — so callers whose ingest already
+    * guarantees fresh ids (e.g. monotonic crawl ids) should pass
+    * false and keep the per-batch cost delta-sized. */
   def incrementalDedupe(base: DataFrame, delta: DataFrame, idCol: String,
-                        textCol: String, threshold: Double = 0.5): DataFrame = {
-    // enforced, not just documented: a shared id (a re-crawled doc)
-    // would merge both texts' shingles into one multiset and emit
-    // silently wrong Jaccard scores. limit(1) early-outs the probe.
-    require(base.select(col(idCol))
-        .join(delta.select(col(idCol)), idCol).limit(1).count() == 0L,
-      s"base and delta must have disjoint $idCol values")
+                        textCol: String, threshold: Double = 0.5,
+                        checkDisjoint: Boolean = true): DataFrame = {
+    // enforced by default, not just documented: a shared id (a
+    // re-crawled doc) would merge both texts' shingles into one
+    // multiset and emit silently wrong Jaccard scores. limit(1)
+    // early-outs the probe on the first collision.
+    if (checkDisjoint)
+      require(base.select(col(idCol))
+          .join(delta.select(col(idCol)), idCol).limit(1).count() == 0L,
+        s"base and delta must have disjoint $idCol values " +
+          "(pass checkDisjoint = false to skip this O(|base|) probe)")
     val all = base.select(col(idCol), col(textCol))
       .unionByName(delta.select(col(idCol), col(textCol)))
     val sh = shingleRel(all, idCol, textCol)
@@ -214,7 +232,7 @@ object GraftOps {
     * value counts within one partition (making the candidate union an
     * exact superset of the global top-k). The three passes over the
     * input (sketch, candidates, exact counts) share one persisted
-    * projection, freed before returning. */
+    * projection inside the shared core, freed before returning. */
   def heavyHitters(df: DataFrame, valueCol: String, k: Int = 20,
                    eps: Double = 0.001,
                    candidatesPerPart: Int =
@@ -225,14 +243,9 @@ object GraftOps {
         "partition could not even nominate k candidates")
     val tok = df.select(col(valueCol).cast("string").as("token"))
       .filter(col("token").isNotNull)
-      .persist(Persist)
-    // try/finally, same rationale as finishing(): a failed action must
-    // not strand the shared projection in executor storage
-    try
-      graft.operators.Aggregations
-        .heavyHittersOn(tok, k, eps, candidatesPerPart)
-        .withColumnRenamed("token", valueCol)
-    finally tok.unpersist(false)
+    graft.operators.Aggregations
+      .heavyHittersOn(tok, k, eps, candidatesPerPart)
+      .withColumnRenamed("token", valueCol)
   }
 
   /** Exact dedup: one row kept per distinct value of `textCol` (the

@@ -218,12 +218,14 @@ object Aggregations {
     *
     * Candidate generation never runs a full-vocabulary exact aggregate
     * (that pass is precisely what the CMS exists to avoid): each
-    * partition counts its own tokens in a local hashmap and emits only
-    * its top `HeavyHitterCandidatesPerPartition` — the Misra-Gries-
-    * style bound: any token whose global share exceeds 1/candidates is
-    * guaranteed into at least one partition's list, and Zipfian text
-    * puts the global top-20 far above that bar. Only the bounded
-    * candidate lists ever shuffle; the vocabulary itself never does.
+    * partition maintains a capacity-bounded Misra-Gries summary (8×
+    * candidates counters — NOT the partition's whole vocabulary) and
+    * emits only its top `HeavyHitterCandidatesPerPartition`; any token
+    * whose partition share exceeds 1/(capacity+1) is guaranteed into
+    * that partition's summary, and Zipfian text puts the global top-20
+    * far above that bar. Only the bounded candidate lists ever
+    * shuffle; the vocabulary never does — and never sits whole in any
+    * executor's heap either.
     * (mapPartitions is the honest tool here — a groupBy(pid, token)
     * formulation would shuffle every partition's full distinct-token
     * set.) Candidates then get exact counts from a FILTERED aggregate
@@ -247,49 +249,79 @@ object Aggregations {
     * count-min sketch + per-partition candidate heaps + exact counts
     * for the bounded candidate set only. `tok` must carry a single
     * string column `token`; returns top-`k` (token, exact_n, cms_n)
-    * by exact count. */
-  private[graft] def heavyHittersOn(tok: DataFrame, k: Int,
+    * by exact count. The three passes over `tok` (sketch, candidates,
+    * exact counts) share one persisted projection — persisted HERE in
+    * the shared core so both callers get it, and freed before
+    * returning (every action happens inside this call; the result is
+    * a locally-backed top-k). */
+  private[graft] def heavyHittersOn(tok0: DataFrame, k: Int,
       eps: Double = 0.001,
       candidatesPerPart: Int = HeavyHitterCandidatesPerPartition): DataFrame = {
-    val s = tok.sparkSession
+    val s = tok0.sparkSession
     import s.implicits._
-    val sketchBytes = tok
-      .agg(count_min_sketch($"token", lit(eps), lit(0.99d), lit(42)).as("s"))
-      .head().getAs[Array[Byte]]("s")
-    val cms = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
-    val cand = heavyHitterCandidates(tok, candidatesPerPart)
-    val top = tok.join(broadcast(cand), Seq("token"))
-      .groupBy($"token").agg(count(lit(1)).as("exact_n"))
-      .orderBy($"exact_n".desc, $"token").limit(k).collect()
-      .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
-    top.toSeq.toDF("token", "exact_n", "cms_n")
-      .orderBy($"exact_n".desc, $"token")
+    val tok = tok0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // try/finally: a failed action must not strand the projection in
+    // executor storage
+    try {
+      val sketchBytes = tok
+        .agg(count_min_sketch($"token", lit(eps), lit(0.99d), lit(42)).as("s"))
+        .head().getAs[Array[Byte]]("s")
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+      val cand = heavyHitterCandidates(tok, candidatesPerPart)
+      val top = tok.join(broadcast(cand), Seq("token"))
+        .groupBy($"token").agg(count(lit(1)).as("exact_n"))
+        .orderBy($"exact_n".desc, $"token").limit(k).collect()
+        .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+      top.toSeq.toDF("token", "exact_n", "cms_n")
+        .orderBy($"exact_n".desc, $"token")
+    } finally tok.unpersist(false)
   }
 
   private[graft] val HeavyHitterCandidatesPerPartition = 160
 
   /** Per-partition heavy-hitter candidate tokens (see a3's scaladoc):
-    * partition-local hashmap count, top-N emitted per partition, union
-    * deduplicated. The returned relation is bounded by
-    * N × numPartitions rows regardless of vocabulary size.
+    * a partition-local Misra-Gries summary with capacity 8·N (BOUNDED
+    * state — at most 8·N counters live at any moment regardless of the
+    * partition's vocabulary, so a 100 TB partition with tens of
+    * millions of distinct tokens costs the same executor memory as a
+    * toy one), top-N of the summary emitted per partition, union
+    * deduplicated. The returned relation is bounded by N ×
+    * numPartitions rows.
     *
-    * Recall guarantee (Misra-Gries shape): a value enters the
-    * candidate set iff it makes the top N of at least ONE partition —
-    * guaranteed when its share of some partition exceeds 1/N, which
-    * Zipf-distributed data satisfies for any realistic top-k at
-    * N=160. Adversarially clustered inputs (each partition locally
-    * dominated by different values) can hide a globally-hot value:
-    * raise N, or pre-repartition by the value column (then every
-    * value's full count is partition-local and the union of partition
-    * top-Ns contains the exact global top-N). */
+    * Recall guarantee (Misra-Gries): with capacity C = 8·N, any token
+    * whose share of some partition exceeds 1/(C+1) survives that
+    * partition's summary with estimate ≥ true − mₚ/(C+1); Zipfian text
+    * puts every realistic global top-k far above that bar in every
+    * partition. Adversarially clustered inputs (each partition locally
+    * dominated by different values) can still hide a globally-hot
+    * value: raise N, or pre-repartition by the value column (then
+    * every value's full count is partition-local and the union of
+    * partition top-Ns contains the exact global top-N). */
   private[graft] def heavyHitterCandidates(tok: DataFrame,
       n: Int = HeavyHitterCandidatesPerPartition): DataFrame = {
     val s = tok.sparkSession
     import s.implicits._
+    val cap = 8 * n
     tok.select(col("token")).as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+      it.foreach { t =>
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1L)
+          case None if m.size < cap => m.update(t, 1L)
+          case None =>
+            // summary full: decrement every counter, evict zeros
+            // (amortized O(1)/item — each decrement cancels one prior
+            // increment, so total decrement work ≤ total items)
+            val keys = m.keysIterator.toArray
+            var i = 0
+            while (i < keys.length) {
+              val k = keys(i); val c = m(k)
+              if (c == 1L) m.remove(k) else m.update(k, c - 1L)
+              i += 1
+            }
+        }
+      }
       m.toSeq.sortBy { case (t, c) => (-c, t) }.take(n).map(_._1).iterator
     }.toDF("token").distinct()
   }

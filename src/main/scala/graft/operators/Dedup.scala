@@ -189,8 +189,9 @@ object Dedup {
     * set-similarity algorithm at corpus scale. Candidates then pass the
     * full intersection verify, so the result is exactly the J ≥ t
     * pairs. */
-  private[graft] def prefixCandidates(sh: DataFrame, t: Double): DataFrame = {
-    val prefixes = prefixesOf(sh, t)
+  private[graft] def prefixCandidates(sh: DataFrame, t: Double,
+      sessionKey: Option[(SparkSession, String)] = None): DataFrame = {
+    val prefixes = prefixesOf(sh, t, sessionKey)
     prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
@@ -206,8 +207,21 @@ object Dedup {
   /** PPJoin prefix construction shared by [[prefixCandidates]] (full
     * self-join) and [[incrementalCandidates]] (delta probe): per-doc
     * rare-first shingle prefixes of length |S| − ⌈t·|S|⌉ + 1 under the
-    * global (df, shingle) order. Output: (doc_id, s, n), checkpointed. */
-  private def prefixesOf(sh: DataFrame, t: Double): DataFrame = {
+    * global (df, shingle) order. Output: (doc_id, s, n), materialized
+    * once — via the session [[relCache]] when `sessionKey` names the
+    * catalog (session, dir) scope (d2 and d9 then SHARE the prefix
+    * index across invocations in a session, the persisted-index shape
+    * of production incremental dedup), else via an eager
+    * localCheckpoint (the caller-supplied-`sh` API path, where an
+    * identity-keyed cache entry could never be hit again nor freed). */
+  private def prefixesOf(sh: DataFrame, t: Double,
+      sessionKey: Option[(SparkSession, String)] = None): DataFrame =
+    sessionKey match {
+      case Some((s, dir)) => cachedRel(s, dir, s"prefixes:$t")(prefixesPlan(sh, t))
+      case None => prefixesPlan(sh, t).localCheckpoint()
+    }
+
+  private def prefixesPlan(sh: DataFrame, t: Double): DataFrame = {
     // Document frequency per shingle via groupBy+join — NOT a window over
     // the full exploded relation (count() over (partition by s) sort-
     // shuffles every (doc, shingle) row and serializes hot-shingle
@@ -223,14 +237,10 @@ object Dedup {
       .filter(col("df") <= maxDf)
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val rareFirst = byDoc.orderBy(col("df"), col("s"))
-    // materialized once (eager localCheckpoint): the candidate join
-    // references prefixes twice, and Spark re-evaluates the window
-    // pipeline per branch otherwise. NOT the session relCache — `sh`
-    // is caller-supplied (the public API builds a fresh one per call),
-    // so a cache keyed on its identity would insert a dead corpus-sized
-    // entry per invocation that no later call can hit or free;
-    // checkpoint blocks release via the context cleaner once the
-    // candidate relation is dropped.
+    // The candidate join references prefixes twice and Spark
+    // re-evaluates the window pipeline per branch otherwise — hence
+    // prefixesOf materializes this plan exactly once (relCache persist
+    // or localCheckpoint, per the caller path).
     sh.join(dfRel, "s")
       .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("rk", row_number().over(rareFirst))
@@ -239,7 +249,6 @@ object Dedup {
       // never match another document — drop them after rank selection.
       .filter(col("df") >= 2)
       .select(col("doc_id"), col("s"), col("n"))
-      .localCheckpoint()
   }
 
   /** Incremental near-dup candidates: pairs where the RIGHT side is a
@@ -251,8 +260,8 @@ object Dedup {
     * runs, and each batch pays only its own probe. `deltaIds` carries
     * one column `doc_id`. Output: (doc_a, doc_b) with doc_b ∈ delta. */
   private[graft] def incrementalCandidates(sh: DataFrame, deltaIds: DataFrame,
-                                           t: Double): DataFrame = {
-    val prefixes = prefixesOf(sh, t)
+      t: Double, sessionKey: Option[(SparkSession, String)] = None): DataFrame = {
+    val prefixes = prefixesOf(sh, t, sessionKey)
     // only the probe-TARGET side needs the delta flag (for pair
     // orientation); the probe side is a plain semi-join
     val flagged = prefixes.join(
@@ -278,7 +287,8 @@ object Dedup {
   /** d2: exact n-gram (3-shingle) Jaccard near-dup pairs at J ≥ 0.5,
     * found via prefix-filtered candidates + full-intersection verify. */
   val d2_ngram_jaccard: Relational.Q = (s, dir) =>
-    exactJaccardPairs(s, dir, 0.5, prefixCandidates(shingleSets(s, dir), 0.5))
+    exactJaccardPairs(s, dir, 0.5,
+      prefixCandidates(shingleSets(s, dir), 0.5, Some((s, dir))))
 
   val d2_sql: String = jaccardSql(0.5)
 
@@ -296,7 +306,8 @@ object Dedup {
     val deltaIds = Tables.documents(s, dir)
       .filter($"source".isin("src18", "src19"))
       .select($"doc_id")
-    val cand = incrementalCandidates(shingleSets(s, dir), deltaIds, 0.5)
+    val cand = incrementalCandidates(shingleSets(s, dir), deltaIds, 0.5,
+      Some((s, dir)))
     exactJaccardPairs(s, dir, 0.5, cand)
       .orderBy($"doc_a", $"doc_b")
   }

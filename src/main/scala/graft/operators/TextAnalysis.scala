@@ -347,9 +347,33 @@ object TextAnalysis {
     * merge sequence is asserted against a reference single-node BPE in
     * TextDedupSpec, and the shrinking per-round touched-row counts are
     * asserted at 50 merges. */
-  val t9_bpe_train: Relational.Q = (s, dir) =>
-    bpeTrainOn(Tables.documents(s, dir), "text",
-      s.conf.getOption("spark.graft.text.bpeMerges").map(_.toInt).getOrElse(10))
+  val t9_bpe_train: Relational.Q = (s, dir) => trainedMerges(s, dir)
+
+  /** Session-memoized trained merge table for the CATALOG queries: t9
+    * (train) and t10 (encode) both need the same table, and a session
+    * that runs both should train once — the production shape, where
+    * the merge table is a trained-model artifact produced by one job
+    * and consumed by many. The table is tiny (nMerges rows) and
+    * locally backed (driver-built), so the memo holds no executor
+    * storage and nothing needs unpersisting. [[bpeTrainOn]] itself
+    * stays uncached: a memo keyed on caller-supplied DataFrames could
+    * serve stale merges if the underlying data changed between calls. */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def trainedMerges(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    val n = s.conf.getOption("spark.graft.text.bpeMerges").map(_.toInt).getOrElse(10)
+    val k = s"${System.identityHashCode(s)}:$dir:$n"
+    var df = mergeCache.get(k)
+    if (df == null) {
+      // build outside the map op (reentrancy/recursive-update rationale
+      // as Dedup.cachedRel); a racing duplicate train wastes one job
+      val built = bpeTrainOn(Tables.documents(s, dir), "text", n)
+      val prev = mergeCache.putIfAbsent(k, built)
+      df = if (prev != null) prev else built
+    }
+    df
+  }
 
   /** The trainer itself, over any docs DataFrame (the GraftOps public
     * entry point delegates here). `onRound` observes (round,
@@ -477,9 +501,11 @@ object TextAnalysis {
     * Scale shape: the merge table is vocabulary-of-merges-sized
     * (30k–100k rows — broadcast, like a trained model artifact); the
     * encode itself is genuine per-row imperative logic, so it runs
-    * mapPartitions with a per-partition word→encoding memo — Zipfian
-    * text re-encodes the same words constantly, making the common
-    * case a hashmap hit instead of a merge loop. Nothing shuffles;
+    * mapPartitions with a size-capped per-partition word→encoding
+    * memo — Zipfian text re-encodes the same words constantly, making
+    * the common case a hashmap hit instead of a merge loop, while the
+    * cap keeps task heap bounded on long-tail vocabularies. Nothing
+    * shuffles;
     * the output is a scan-side projection of the corpus. Output:
     * (idCol, n_tokens, tokens). */
   def bpeEncodeOn(docs: org.apache.spark.sql.DataFrame, idCol: String,
@@ -503,8 +529,24 @@ object TextAnalysis {
           org.apache.spark.sql.types.StringType, containsNull = false))))
     in.mapPartitions { it =>
         val rk = bc.value
+        // Size-capped memo: Zipf puts nearly all hits in the few
+        // hundred thousand most common words, so a hard cap keeps the
+        // hit rate while bounding task heap — an UNcapped memo grows
+        // with the partition's full long-tail vocabulary (tens of
+        // millions of distinct words at corpus scale) and OOMs the
+        // executor. Past the cap, rare words just re-run the merge
+        // loop (they were one-shot entries anyway).
+        val MemoCap = 200000
         val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
-        def encodeWord(w: String): Array[String] = memo.getOrElseUpdate(w, {
+        def encodeWord(w: String): Array[String] = {
+          val hit = memo.getOrElse(w, null)
+          if (hit != null) hit else {
+            val enc = encodeWordUncached(w)
+            if (memo.size < MemoCap) memo.update(w, enc)
+            enc
+          }
+        }
+        def encodeWordUncached(w: String): Array[String] = {
           // code-point split, matching the trainer's symbol alphabet
           // (a per-char split would strand surrogate halves that can
           // never equal any learned merge symbol)
@@ -540,7 +582,7 @@ object TextAnalysis {
             }
           }
           sym
-        })
+        }
         it.map { row =>
           val toks = if (row.isNullAt(1)) Seq.empty[String] else row.getSeq[String](1)
           val enc = toks.iterator.filter(_.nonEmpty).flatMap(encodeWord).toSeq
@@ -558,8 +600,7 @@ object TextAnalysis {
     * losslessness). */
   val t10_bpe_encode: Relational.Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val merges = bpeTrainOn(docs, "text",
-      s.conf.getOption("spark.graft.text.bpeMerges").map(_.toInt).getOrElse(10))
+    val merges = trainedMerges(s, dir)
     bpeEncodeOn(docs, "doc_id", "text", merges)
       .select(col("doc_id"), col("n_tokens"))
       .orderBy(col("doc_id"))

@@ -77,6 +77,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("a3 candidates: Misra-Gries summary stays bounded yet keeps hot tokens") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // vocabulary (50k distinct fillers) ≫ summary capacity (8×160 =
+    // 1280 counters), all in ONE partition so the summary actually
+    // overflows and runs its decrement-evict path many times; the hot
+    // token holds a ~9% partition share (far above 1/(cap+1)) and must
+    // survive into the emitted candidates. The old full-HashMap code
+    // passed this trivially — under Misra-Gries it pins the recall
+    // guarantee the scaladoc states, at bounded executor memory.
+    val rnd = new scala.util.Random(11)
+    val toks = Seq.fill(500000)("w" + rnd.nextInt(50000)) ++
+      Seq.fill(50000)("hot")
+    val tok = toks.toDF("token").coalesce(1)
+    val cand = graft.operators.Aggregations.heavyHitterCandidates(tok)
+      .as[String].collect().toSet
+    assert(cand.contains("hot"), s"hot token lost from ${cand.size} candidates")
+    assert(cand.size <= 160, s"candidate list not bounded: ${cand.size}")
+  }
+
   test("a1: approximate distinct is within HLL error of exact") {
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("a1_approx_distinct")(spark, sf).collect()

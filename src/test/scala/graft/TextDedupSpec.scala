@@ -210,7 +210,11 @@ class TextDedupSpec extends AnyFunSuite {
     }
     val short = timeIt(mkDocs(200, 5000))
     val long = timeIt(mkDocs(10, 100000))
-    assert(long < short * 6,
+    // Bound sits midway between the regimes (linear ≈ 1–2×, quadratic
+    // ≈ 20×) so a GC pause or noisy-neighbor burst during the min-of-3
+    // can't fail a correct implementation, while a quadratic
+    // regression still trips it with ~2× to spare.
+    assert(long < short * 10,
       s"t5 top-token count no longer linear: ${long / 1e6}ms vs ${short / 1e6}ms " +
         "at equal token mass (quadratic would be ~20x)")
   }
