@@ -259,17 +259,25 @@ object DirStats {
     }
   }
 
-  /** Compare stats bounds against a literal: "num" via double, "str"
-    * lexicographically. Date/timestamp stats are stored as Spark's
-    * cast-to-string rendering (ISO, UTC session) — literals are
-    * rendered the same way, and the trimmed-fraction ISO format orders
-    * lexicographically. Combinations that can't compare safely return
-    * None — the caller keeps the directory. */
+  /** Compare stats bounds against a literal: "num" via BigDecimal
+    * (NOT double — a double round-trip collapses longs above 2^53,
+    * and a strict-inequality predicate on e.g. snowflake-style IDs
+    * could then wrongly prune a directory that contains matching
+    * rows; BigDecimal compares the stored decimal strings exactly at
+    * any magnitude), "str" lexicographically. Date/timestamp stats are
+    * stored as Spark's cast-to-string rendering (ISO, UTC session) —
+    * literals are rendered the same way, and the trimmed-fraction ISO
+    * format orders lexicographically. Combinations that can't compare
+    * safely return None — the caller keeps the directory (NaN/Infinity
+    * bounds land here via the NumberFormatException guard). */
   private def cmp(st: ColStat, l: Literal): Option[(Int, Int)] = {
     if (st.kind == "num") l.dataType match {
       case _: NumericType =>
-        val d = l.value.toString.toDouble
-        Some((st.min.toDouble.compare(d), st.max.toDouble.compare(d)))
+        try {
+          val d = new java.math.BigDecimal(l.value.toString)
+          Some((new java.math.BigDecimal(st.min).compareTo(d),
+                new java.math.BigDecimal(st.max).compareTo(d)))
+        } catch { case _: NumberFormatException => None }
       case _ => None
     } else {
       val rendered: Option[String] = l.dataType match {

@@ -175,12 +175,34 @@ class GraftTable private (val spark: SparkSession, val root: String) {
       case None => (Nil: Seq[String],
         if (v == 0) new StructType() else readCommit(v - 1).schemaStruct)
     }
+    // Append-family commits merge their batch schema with the LATEST
+    // previous schema at every attempt — two reasons: (a) that is what
+    // appendMergeSchema means (the batch's columns JOIN the table
+    // schema; recording only d.schema would silently hide every table
+    // column the batch happens not to carry), and (b) a retried append
+    // that lost its version slot to a schema-evolving writer must not
+    // overwrite the winner's wider schema with its own pre-race one (a
+    // lost update under the very protocol the retry implements).
+    def effectiveSchema(pv: Int): StructType =
+      if (df.isEmpty || pv == 0 ||
+          !(action == "appendMergeSchema" || retryable(action))) schema
+      else {
+        val base = readCommit(pv - 1).schemaStruct
+        val baseNames = base.fieldNames.toSet
+        schema.filter(f => baseNames(f.name)).foreach { f =>
+          val bt = base(f.name).dataType
+          require(bt == f.dataType,
+            s"column ${f.name}: incompatible types $bt vs ${f.dataType}")
+        }
+        StructType(base.map(_.copy(nullable = true)) ++
+          schema.filterNot(f => baseNames(f.name)).map(_.copy(nullable = true)))
+      }
     var attempts = 0
     while (true) {
       val prev = if (v == 0) Nil else readCommit(v - 1).liveDirs
       try {
-        writeCommit(Commit(v, action, schema.json, live(prev) ++ added, parts(v),
-          timestampMs = nextTimestamp(v)))
+        writeCommit(Commit(v, action, effectiveSchema(v).json,
+          live(prev) ++ added, parts(v), timestampMs = nextTimestamp(v)))
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -243,13 +265,14 @@ class GraftTable private (val spark: SparkSession, val root: String) {
       .distinct().collect().map(_.getString(0)).toSet
   }
 
-  private def readDirs(dirs: Seq[String]): DataFrame = {
-    val schema = readCommit(latestVersion()).schemaStruct
-    dirs.map { d =>
-      val p = Paths.get(root, d).toString
-      spark.read.schema(schema).option("basePath", p).parquet(p)
-    }.reduce(_.unionByName(_))
-  }
+  /** Mutation-path read of current-snapshot dirs — MUST go through the
+    * rename- and transform-aware [[readDirsAs]]: a plain forced-schema
+    * read would (a) null-fill a renamed column out of every dir written
+    * before the rename, so the next copy-on-write rewrite destroys that
+    * column's data, and (b) leak discovered __p_* hive layout columns
+    * into the rewritten commit's schema. */
+  private def readDirs(dirs: Seq[String]): DataFrame =
+    readDirsAs(latestVersion(), dirs)
 
   /** Row-level mutation with directory-granular copy-on-write: only the
     * directories that contain matching rows are rewritten; the rest of
@@ -266,12 +289,23 @@ class GraftTable private (val spark: SparkSession, val root: String) {
         prev => prev.filterNot(touched))
   }
 
-  /** Row-level UPDATE (directory-granular copy-on-write). */
+  /** Row-level UPDATE (directory-granular copy-on-write). All
+    * assignment expressions evaluate against the PRE-update row (one
+    * simultaneous projection, SQL UPDATE semantics) — a sequential
+    * withColumn fold would let `a -> col("b"), b -> col("a")` see the
+    * already-updated `a` and silently turn the swap into a copy. */
   def update(condition: Column, assignments: Map[String, Column]): Int =
-    rewriteTouched("update", condition, cur =>
-      assignments.foldLeft(cur) { case (d, (c, v)) =>
-        d.withColumn(c, when(condition, v).otherwise(col(c)))
-      })
+    rewriteTouched("update", condition, cur => {
+      val unknown = assignments.keySet -- cur.columns
+      require(unknown.isEmpty,
+        s"update: unknown column(s) ${unknown.mkString(", ")}")
+      cur.select(cur.columns.toSeq.map { c =>
+        assignments.get(c) match {
+          case Some(v) => when(condition, v).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    })
 
   /** Row-level DELETE (directory-granular copy-on-write). Only rows
     * where the predicate is TRUE are removed — `!condition` alone would
@@ -317,7 +351,15 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     * key and insert the rest. Directory-granular copy-on-write: a
     * left-semi join against the source keys finds the directories
     * holding matched rows — every match necessarily lives in one — and
-    * only those merge with the source; the rest carry forward. */
+    * only those merge with the source; the rest carry forward.
+    *
+    * NULL keys follow SQL MERGE's ON-equality: a NULL never matches
+    * (three-valued logic), so a NULL-key source row inserts and a
+    * NULL-key target row survives untouched. The merge join, the
+    * touched-directory detection, and the match test all share that
+    * rule — the match flag is a marker column on the source, NOT a
+    * key-isNotNull probe (which would mistake a NULL-key source row
+    * for "no match" on its own full-outer row and emit target nulls). */
   def merge(source: DataFrame, keys: Seq[String]): Int = {
     val cols = read().columns.toSeq
     val src = source.select(cols.map(col): _*)
@@ -342,12 +384,13 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     val merged =
       if (target == null) src
       else {
-        val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-        val joined = target.as("t").join(src.as("s"), cond, "full_outer")
+        val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+        val srcM = src.withColumn("__sm", lit(true))
+        val joined = target.as("t").join(srcM.as("s"), cond, "full_outer")
         // source wins on match (whole-row update), target rows survive
         // unmatched, unmatched source rows insert.
         joined.select(cols.map(c =>
-          when(col(s"s.${keys.head}").isNotNull, col(s"s.$c"))
+          when(col("s.__sm").isNotNull, col(s"s.$c"))
             .otherwise(col(s"t.$c")).as(c)): _*)
       }
     commit("merge", Some(merged), prev => prev.filterNot(touched))
@@ -540,12 +583,31 @@ class GraftTable private (val spark: SparkSession, val root: String) {
   /** Read a SUBSET of a version's live directories under that version's
     * schema + rename view — the building block for both full snapshot
     * reads and incremental (changed-dirs-only) reads. */
-  private def readDirsAs(version: Int, dirs: Seq[String]): DataFrame = {
+  /** Does the data dir hold at least one parquet file? An empty CREATE
+    * commit's dir carries only _SUCCESS — schema INFERENCE over it
+    * throws, and it can contribute no rows, so inference-path readers
+    * skip it. */
+  private def hasParquetFiles(d: String): Boolean = {
+    val p = Paths.get(root, d)
+    Files.isDirectory(p) && {
+      val it = Files.walk(p)
+      try it.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally it.close()
+    }
+  }
+
+  private def readDirsAs(version: Int, dirs0: Seq[String]): DataFrame = {
     val c = readCommit(version)
     val schema = c.schemaStruct
     val renamesUpTo: Seq[(Int, (String, String))] =
       (0 to version).flatMap(v => readCommit(v).renames.map(r => (v, r)))
     val hasDerivedParts = c.partitionBy.exists(p => physicalPartCol(p) != p)
+    // the rename/transform branch below must INFER each dir's physical
+    // schema, which throws on a file-less dir (the SQL catalog's empty
+    // CREATE commit) — drop such dirs up front; they hold no rows
+    val dirs =
+      if (hasDerivedParts || renamesUpTo.nonEmpty) dirs0.filter(hasParquetFiles)
+      else dirs0
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -680,9 +742,18 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     val removed = fromDirs.filterNot(toDirs.toSet)
     val added = toDirs.filterNot(fromDirs.toSet)
     val schema = readCommit(toVersion).schemaStruct
-    // old rows project to the newer schema (schema evolution between the
-    // endpoints null-fills, mirroring snapshot reads)
-    val beforeRaw = readDirsAs(fromVersion, removed)
+    // old rows first follow any column renames committed BETWEEN the
+    // endpoints (so a renamed column maps to its new name instead of
+    // null-filling — without this, every carried-over row of a
+    // renamed+rewritten dir would diff as a spurious insert+delete
+    // pair), then project to the newer schema (true schema evolution
+    // null-fills, mirroring snapshot reads)
+    val beforeRaw0 = readDirsAs(fromVersion, removed)
+    val midRenames = (fromVersion + 1 to toVersion)
+      .flatMap(v => readCommit(v).renames)
+    val beforeRaw = midRenames.foldLeft(beforeRaw0) { case (d, (o, n)) =>
+      if (d.columns.contains(o)) d.withColumnRenamed(o, n) else d
+    }
     val before = beforeRaw.select(schema.map(f =>
       if (beforeRaw.columns.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType).as(f.name)): _*)

@@ -95,14 +95,22 @@ object Streams {
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** h2: streaming dedup — the input is the stream unioned with itself
-    * (every event duplicated), dropDuplicates on event_id restores
-    * exact-once, and the per-type counts equal the batch counts. */
+    * (every event duplicated), dropDuplicates on (event_id, ts)
+    * restores exact-once, and the per-type counts equal the batch
+    * counts. The event-time column MUST be part of the dedup subset:
+    * Spark only evicts dropDuplicates state for key combinations whose
+    * subset includes the watermarked column, so dedup on event_id
+    * alone would hold one state row per event FOREVER — an unbounded
+    * state leak on a real at-least-once source. (event_id, ts) is the
+    * exact-duplicate-redelivery shape; for redeliveries whose arrival
+    * ts may differ, use dropDuplicatesWithinWatermark (the h10
+    * pattern). */
   val h2_stream_dedup: Relational.Q = (s, dir) => {
     import s.implicits._
     drain(s, OutputMode.Complete()) { s2 =>
       eventStream(s2, dir).unionByName(eventStream(s2, dir))
         .withWatermark("ts", "1 hour")
-        .dropDuplicates("event_id")
+        .dropDuplicates("event_id", "ts")
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_events"))
     }.orderBy($"event_type")
@@ -176,13 +184,16 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val action = s"stream-append#$batchId"
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "_graft_log"))) {
-          graft.sources.GraftTable.create(s, target, batch): Unit
-        } else {
-          val t = graft.sources.GraftTable.load(s, target)
-          val seen = t.history().filter($"operation" === action).count() > 0
-          if (!seen) t.appendBatch(action, batch): Unit
-        }
+        // the CREATE commit carries the schema only (zero rows): batch
+        // 0's DATA must land under its own stream-append#0 marker like
+        // every other batch, or a replay of batch 0 after a crash
+        // between the create-with-data commit and the checkpoint write
+        // would find no marker and append the rows a second time
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "_graft_log")))
+          graft.sources.GraftTable.create(s, target, batch.limit(0)): Unit
+        val t = graft.sources.GraftTable.load(s, target)
+        val seen = t.history().filter($"operation" === action).count() > 0
+        if (!seen) t.appendBatch(action, batch): Unit
       }
       .start()
     q.processAllAvailable()

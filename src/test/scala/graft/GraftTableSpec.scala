@@ -595,4 +595,118 @@ class GraftTableSpec extends AnyFunSuite {
       GraftTable.create(spark, path, Seq((1, "a")).toDF("id", "v"))
     }
   }
+
+  test("merge follows SQL NULL-key semantics: null source inserts, null target survives") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(),
+      Seq((Some(1L), "t1"), (None, "tnull")).toDF("id", "v"))
+    // force a second dir so the null-key target row sits in a dir the
+    // source's non-null key also touches
+    t.append(Seq((Some(2L), "t2")).toDF("id", "v"))
+    t.merge(Seq((Some(2L), "s2"), (None, "snull")).toDF("id", "v"), Seq("id"))
+    val got = t.read().as[(Option[Long], String)].collect().toSet
+    // id=2 updated; null-key source row INSERTED (ON-equality never
+    // matches NULL); null-key target row untouched; nothing all-null
+    assert(got == Set((Some(1L), "t1"), (Some(2L), "s2"),
+      (None, "tnull"), (None, "snull")), got.toString)
+  }
+
+  test("update evaluates all assignments against the pre-update row (swap works)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("id", "a", "b"))
+    t.update(col("id") === 1L, Map("a" -> col("b"), "b" -> col("a")))
+    val got = t.read().orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 20L, 10L), (2L, 30L, 40L)), got.toString)
+    intercept[IllegalArgumentException] {
+      t.update(col("id") === 1L, Map("nope" -> lit(1)))
+    }
+  }
+
+  test("appendMergeSchema keeps table columns the batch doesn't carry") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "x")).toDF("id", "b"))
+    // batch has a NEW column c but is MISSING b: schema must become
+    // (id, b, c), not narrow to (id, c)
+    t.appendMergeSchema(Seq((2L, "y")).toDF("id", "c"))
+    assert(t.read().columns.toSeq == Seq("id", "b", "c"))
+    val got = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))))
+    assert(got.toSeq == Seq((1L, Some("x"), None), (2L, None, Some("y"))))
+  }
+
+  test("stats pruning compares longs above 2^53 exactly (no double collapse)") {
+    import spark.implicits._
+    val big = 9007199254740992L // 2^53
+    val t = GraftTable.create(spark, tmp(),
+      Seq((big + 1, "keep-me")).toDF("id", "v"))
+    t.append(Seq((1L, "small")).toDF("id", "v"))
+    // dir max = 2^53+1; predicate id > 2^53. A double comparison
+    // rounds both to 2^53 and prunes the dir, silently skipping the
+    // matching row — the delete must find and remove it.
+    t.delete(col("id") > big)
+    val got = t.read().as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "small")), got.toString)
+  }
+
+  test("mutations on a transform-partitioned table leak no __p_ columns") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 11:00:00"), "b"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), "c"))
+      .toDF("id", "ts", "v")
+    val t = GraftTable.create(spark, tmp(), df, Seq("days(ts)"))
+    t.update(col("id") === 2L, Map("v" -> lit("B")))
+    assert(t.read().columns.toSeq == Seq("id", "ts", "v"),
+      "update leaked hidden layout columns into the table schema")
+    t.delete(col("id") === 3L)
+    assert(t.read().columns.toSeq == Seq("id", "ts", "v"))
+    // replaceWhere unions fresh data with kept rows — a leaked __p_
+    // column would fail the unionByName here
+    t.replaceWhere(col("id") === 1L,
+      Seq((10L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), "z"))
+        .toDF("id", "ts", "v"),
+      validate = false)
+    val got = t.read().select("id", "v").as[(Long, String)].collect().toSet
+    assert(got == Set((10L, "z"), (2L, "B")), got.toString)
+  }
+
+  test("scala reads survive an empty transform-partitioned CREATE commit") {
+    import spark.implicits._
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("id", "ts")
+    val t = GraftTable.create(spark, tmp(), df.limit(0), Seq("days(ts)"))
+    assert(t.read().count() == 0) // v0 dir holds only _SUCCESS
+    t.append(df)
+    assert(t.read().count() == 1) // union over [empty, data] dirs
+    assert(t.compact() > 0 && t.read().count() == 1)
+  }
+
+  test("mutations after a rename read through the rename (no null-filled rewrite)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "one"), (2L, "two")).toDF("id", "a"))
+    t.renameColumn("a", "b") // metadata-only; the dir keeps physical 'a'
+    // copy-on-write rewrite must map physical a → b when reading the
+    // touched dir — a forced-schema read would null-fill b and the
+    // rewrite would silently destroy the column's data
+    t.update(col("id") === 1L, Map("b" -> lit("ONE")))
+    val got = t.read().orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "ONE"), (2L, "two")), got.toString)
+  }
+
+  test("readChangesBetween maps renamed columns instead of diffing them as changes") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(),
+      Seq((1L, "keep"), (2L, "goner")).toDF("id", "a"))
+    t.renameColumn("a", "b")          // v1: metadata-only
+    t.delete(col("id") === 2L)        // v2: rewrites the dir
+    val ch = t.readChangesBetween(0, 2)
+      .select("_change_type", "id", "b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // the carried-over row (1, keep) must NOT appear as insert+delete
+    // with a null-filled b; only the true delete of id=2 is a change
+    assert(ch == Set(("delete", 2L, "goner")), ch.toString)
+  }
 }
