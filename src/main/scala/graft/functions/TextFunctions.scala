@@ -80,10 +80,21 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "不", "了"),
   )
 
-  /** Marker-hit count for one language. */
+  /** Marker-hit count for one language. Space-delimited languages
+    * match markers as whole tokens; zh counts marker CHARACTERS as
+    * substrings — CJK text has no whitespace word boundaries, so a
+    * token-equality probe can never fire on real Chinese (tokens()
+    * returns long unsegmented runs) and the zh entry would be dead.
+    * The substring count is the length-difference identity
+    * (len(t) − len(replace(t, m))) per single-char marker — exact,
+    * scan-side, and expressible identically in the DuckDB oracle. */
   def langHits(text: Column, lang: String): Column = {
     val markers = LangMarkers.toMap.apply(lang)
-    size(filter(tokens(text), x => x.isin(markers: _*)))
+    if (lang == "zh")
+      markers.map(m =>
+        length(text) - length(replace(text, lit(m), lit("")))).reduce(_ + _)
+    else
+      size(filter(tokens(text), x => x.isin(markers: _*)))
   }
 
   /** Heuristic language ID: argmax of marker hits, 'und' when no hits;

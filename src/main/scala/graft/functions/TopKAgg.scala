@@ -39,6 +39,11 @@ case class TopKAgg(
     scA > scB || (scA == scB && idA < idB)
 
   private def insert(buf: ArrayBuffer[(Long, Double)], id: Long, sc: Double): Unit = {
+    // NaN beats nothing and nothing beats NaN, so an unguarded NaN
+    // score (0/0 cosine of a zero-norm vector) would fall through the
+    // position loop to index 0 and rank as the BEST neighbor — exclude
+    // it like SQL ORDER BY excludes unknowns from a top-k semantics
+    if (sc.isNaN) return
     if (buf.length == k) {
       val (wid, wsc) = buf(k - 1)
       if (!beats(id, sc, wid, wsc)) return

@@ -13,7 +13,13 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   */
 object Lineage {
 
-  /** Distinct source locations (parquet roots) feeding `df`. */
+  /** Distinct source locations (parquet roots / DSv2 tables) feeding
+    * `df`. Covers V1 file scans, DSv2 scans (BatchScanExec — including
+    * this library's own GraftCatalog tables, which surface their table
+    * identity via Scan.description), cached relations (the inputs of
+    * the plan that BUILT the cache), and V1Scan adapters (the
+    * rename-aware GraftSparkTable path compiles to an RDD scan whose
+    * name carries the scan identity). */
   def inputsOf(df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.executedPlan
     def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
@@ -21,6 +27,14 @@ object Lineage {
         case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
         case f: FileSourceScanExec =>
           f.relation.location.rootPaths.map(_.toString)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              fs.fileIndex.rootPaths.map(_.toString)
+            case s => Seq(s.description())
+          }
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          scans(c.relation.cachedPlan)
         case other =>
           other.children.flatMap(scans) ++
             other.subqueries.flatMap(scans)

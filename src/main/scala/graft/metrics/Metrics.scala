@@ -94,18 +94,24 @@ class MetricContext(
       runId = Some(runId), tableName = tableName, sourcePath = sourcePath))
 
   /** Run a body, recording failure status if it throws (mirrors the
-    * Python context manager's __exit__). */
+    * Python context manager's __exit__): exactly one completion record
+    * lands whether the body succeeds or throws. */
   def run[T](body: => T): T =
-    try body
+    try { val r = body; close(); r }
     catch { case t: Throwable => failed = Some(t); close(); throw t }
 
-  override def close(): Unit = {
+  /** Idempotent: standard AutoCloseable usage (`Using.resource`,
+    * try-with-resources) closes again after run() already has — a
+    * second call must not double-count the completion. */
+  override def close(): Unit = if (!closed) {
+    closed = true
     val status = if (failed.isEmpty) "success" else "failure"
     logger.log(MetricRecord.build(layer, project, datasetYear, description,
       1.0, "job", "completion", jobName, runId = Some(runId),
       status = Some(status),
-      durationMs = Some(System.currentTimeMillis() - start)))
+      durationMs = Some(System.currentTimeMillis() - start))): Unit
   }
+  private var closed = false
 }
 
 /** DataFrame metric helpers (reference: utils.py). */
@@ -124,7 +130,11 @@ object MetricUtils {
 
   def countFiles(path: String): Int = {
     val f = new java.io.File(path)
-    if (!f.exists()) 0
-    else f.listFiles().count(!_.getName.startsWith("."))
+    // listFiles() is null for a regular file or an I/O error — count
+    // a plain file as 1 (it exists), not an NPE
+    Option(f.listFiles()) match {
+      case Some(children) => children.count(!_.getName.startsWith("."))
+      case None => if (f.isFile) 1 else 0
+    }
   }
 }

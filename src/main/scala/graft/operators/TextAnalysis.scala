@@ -76,10 +76,16 @@ object TextAnalysis {
   }
 
   val t3_sql: String = {
-    def hits(markers: Seq[String]) =
-      s"len(list_filter($T, x -> x IN (${markers.map("'" + _ + "'").mkString(",")})))"
+    def hits(lang: String, markers: Seq[String]) =
+      if (lang == "zh")
+        // substring count (no CJK word boundaries) — the same
+        // length-difference identity the Spark expression uses
+        markers.map(m => s"(length(text) - length(replace(text, '$m', '')))")
+          .mkString("(", " + ", ")")
+      else
+        s"len(list_filter($T, x -> x IN (${markers.map("'" + _ + "'").mkString(",")})))"
     val byLang = graft.functions.TextFunctions.LangMarkers
-      .map { case (l, m) => l -> hits(m) }
+      .map { case (l, m) => l -> hits(l, m) }
     val top = s"greatest(${byLang.map(_._2).mkString(",")})"
     val cases = byLang
       .map { case (l, h) => s"WHEN $top > 0 AND $h = $top THEN '$l'" }

@@ -122,17 +122,33 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
 
+      // Projected values may be VIEWS into the projection's reused
+      // buffer (UTF8String for string keys) — anything that must
+      // outlive the next projection call gets copied on save.
+      def copyVal(v: Any): Any = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case a: Array[Byte] => a.clone()
+        case o => o
+      }
+
       // buffered right side: current head + the last row that matched
-      // the current left key at-or-before the current left time
+      // the current left key at-or-before the current left time.
+      // NULL-key/time right rows can never match under SQL comparison
+      // semantics (and would NPE the primitive orderings) — skipped.
       var rHead: InternalRow = null
       var rHeadKey: Any = null
       var rHeadTime: Any = null
-      def advanceRight(): Unit =
-        if (rIter.hasNext) {
-          rHead = rIter.next().copy()
-          rHeadKey = rkProj(rHead).get(0, rk.dataType)
-          rHeadTime = rtProj(rHead).get(0, rt.dataType)
-        } else rHead = null
+      def advanceRight(): Unit = {
+        rHead = null
+        while (rHead == null && rIter.hasNext) {
+          val r = rIter.next()
+          val k = rkProj(r).get(0, rk.dataType)
+          val t = rtProj(r).get(0, rt.dataType)
+          if (k != null && t != null) {
+            rHead = r.copy(); rHeadKey = k; rHeadTime = t
+          }
+        }
+      }
       advanceRight()
 
       var lastMatch: InternalRow = null
@@ -141,24 +157,36 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val key = lkProj(lRow).get(0, lk.dataType)
         val time = ltProj(lRow).get(0, lt.dataType)
-        // drop the remembered match when the key group changes
-        if (lastMatch != null && keyOrd.compare(lastMatchKey, key) != 0) {
-          lastMatch = null
+        if (key == null || time == null) {
+          // a NULL left key/time matches nothing (DuckDB ASOF parity);
+          // the remembered match is untouched — the right cursor holds
+          // its position for the sorted rows that follow
+          outProj(joined(lRow, nullRight))
+        } else {
+          // drop the remembered match when the key group changes
+          if (lastMatch != null && keyOrd.compare(lastMatchKey, key) != 0) {
+            lastMatch = null
+          }
+          // consume right rows with (key, time) <= (left key, left time)
+          var continue = rHead != null
+          while (continue) {
+            val c = keyOrd.compare(rHeadKey, key)
+            if (c < 0) advanceRight()
+            else if (c == 0 && timeOrd.compare(rHeadTime, time) <= 0) {
+              // copy: rHeadKey views rkProj's buffer, which the next
+              // advanceRight() overwrites — an uncopied save would
+              // silently mutate into the NEXT right row's key and
+              // discard valid matches (string keys only; primitives
+              // are by-value)
+              lastMatch = rHead; lastMatchKey = copyVal(rHeadKey)
+              advanceRight()
+            } else continue = false
+            if (rHead == null) continue = false
+          }
+          val r = if (lastMatch != null && keyOrd.compare(lastMatchKey, key) == 0)
+            lastMatch else nullRight
+          outProj(joined(lRow, r))
         }
-        // consume right rows with (key, time) <= (left key, left time)
-        var continue = rHead != null
-        while (continue) {
-          val c = keyOrd.compare(rHeadKey, key)
-          if (c < 0) advanceRight()
-          else if (c == 0 && timeOrd.compare(rHeadTime, time) <= 0) {
-            lastMatch = rHead; lastMatchKey = rHeadKey
-            advanceRight()
-          } else continue = false
-          if (rHead == null) continue = false
-        }
-        val r = if (lastMatch != null && keyOrd.compare(lastMatchKey, key) == 0)
-          lastMatch else nullRight
-        outProj(joined(lRow, r))
       }
     }
   }

@@ -212,7 +212,9 @@ class GraftTable private (val spark: SparkSession, val root: String) {
           attempts += 1
           val nv = latestVersion() + 1
           added = added.map { d =>
-            val renamed = f"d$nv%04d-${d.drop(6)}"
+            // keep the uuid suffix only (split on '-', not a fixed
+            // width — 5-digit versions are longer than 'dNNNN')
+            val renamed = f"d$nv%04d-${d.substring(d.indexOf('-') + 1)}"
             Files.move(Paths.get(root, d), Paths.get(root, renamed))
             renamed
           }
@@ -574,7 +576,11 @@ class GraftTable private (val spark: SparkSession, val root: String) {
   /** Version of the data directory name (dirs are immutable and named
     * d<version>-<uuid>, so the rename chain that applies to a dir is
     * exactly the renames committed after it was written). */
-  private def dirVersion(d: String): Int = d.substring(1, 5).toInt
+  // parse up to the '-', not a fixed width: %04d pads to AT LEAST 4
+  // digits — version 10000 writes 'd10000-…' and substring(1, 5)
+  // would misread it as 1000, mis-ordering dirs against renames
+  private def dirVersion(d: String): Int =
+    d.drop(1).takeWhile(_.isDigit).toInt
 
   /** Time travel: the snapshot exactly as of `version`. */
   def readVersion(version: Int): DataFrame =

@@ -61,12 +61,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Paths.get(warehouse, ident.namespace() :+ ident.name(): _*)
   private def isTable(p: Path): Boolean = Files.exists(p.resolve("_graft_log"))
 
+  /** Files.list with the stream CLOSED: each open stream holds an OS
+    * directory handle until close() — iterating alone never releases
+    * it, so un-closed listings leak one fd per call (per subdirectory,
+    * for the recursive delete) until GC finalization. */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   // ---- TableCatalog ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get(warehouse, namespace: _*)
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    Files.list(dir).iterator().asScala
+    listDir(dir)
       .filter(isTable)
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
@@ -178,7 +187,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      listDir(p).foreach(deleteRecursively)
     Files.delete(p)
   }
 
@@ -202,7 +211,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listNamespaces(): Array[Array[String]] = {
     val root = Paths.get(warehouse)
     if (!Files.isDirectory(root)) Array.empty
-    else Files.list(root).iterator().asScala
+    else listDir(root)
       .filter(p => Files.isDirectory(p) && !isTable(p))
       .map(p => Array(p.getFileName.toString)).toArray
   }
@@ -210,7 +219,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     val dir = Paths.get(warehouse, namespace: _*)
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    Files.list(dir).iterator().asScala
+    listDir(dir)
       .filter(p => Files.isDirectory(p) && !isTable(p))
       .map(p => namespace :+ p.getFileName.toString).toArray
   }
@@ -232,7 +241,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val dir = Paths.get(warehouse, namespace: _*)
     if (!Files.isDirectory(dir)) false
-    else if (!cascade && Files.list(dir).iterator().hasNext)
+    else if (!cascade && listDir(dir).nonEmpty)
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
     else { deleteRecursively(dir); true }
   }
@@ -249,9 +258,17 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations {
 
-  private def table: GraftTable = GraftTable.load(spark, path)
-  private def snapshotVersion: Int = pinnedVersion.getOrElse(table.latestVersion())
-  private def commit = table.commitAt(snapshotVersion)
+  // lazy vals, not defs: Spark calls schema()/partitioning() many
+  // times during analysis, and a def would re-list the commit log and
+  // re-parse commit JSON on every call (thousands of small metadata
+  // reads per plan on a long-lived table) — worse, an unpinned
+  // snapshot could shift mid-query if a writer lands between schema()
+  // and scan build. One resolution per Table instance = one consistent
+  // snapshot per query analysis (Spark loads a fresh Table per query).
+  private lazy val table: GraftTable = GraftTable.load(spark, path)
+  private lazy val snapshotVersion: Int =
+    pinnedVersion.getOrElse(table.latestVersion())
+  private lazy val commit = table.commitAt(snapshotVersion)
 
   override def name(): String = ident.toString
   override def schema(): StructType = commit.schemaStruct
@@ -282,7 +299,11 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
     val renameVersions = (0 to snapshotVersion)
       .filter(v => table.commitAt(v).renames.nonEmpty)
     renameVersions.nonEmpty &&
-      commit.liveDirs.exists(d => renameVersions.exists(_ > d.substring(1, 5).toInt))
+      // parse up to the '-': %04d stops PADDING at 4 digits, it does
+      // not stop the number — substring(1, 5) would read version
+      // 10000 as 1000 and mis-route post-rename dirs forever
+      commit.liveDirs.exists(d =>
+        renameVersions.exists(_ > d.drop(1).takeWhile(_.isDigit).toInt))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

@@ -29,6 +29,38 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Set(("a", "x"), ("b", "y"), ("c", null)))
   }
 
+  test("string keys: saved match key survives the right-cursor advance") {
+    import spark.implicits._
+    // regression: lastMatchKey was a UTF8String VIEW into the reused
+    // projection buffer — advancing the right cursor overwrote it with
+    // the NEXT key ("b"), so the valid ("a",5) match was discarded.
+    // One partition forces both keys through one cursor.
+    val left = Seq(("a", 10L, "L1"), ("b", 10L, "L2"))
+      .toDF("k", "t", "tag").repartition(1)
+    val right = Seq(("a", 5L, "ra"), ("b", 1L, "rb"))
+      .toDF("rk", "rt", "rtag").repartition(1)
+    val got = AsOf.leftJoin(left, right, "k", "rk", "t", "rt")
+      .select($"tag", $"rtag").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("L1", "ra"), ("L2", "rb")), got.toString)
+  }
+
+  test("null keys and times never match and never crash the orderings") {
+    import spark.implicits._
+    val left = Seq((Some(1L), Some(10L), "ok"), (None, Some(10L), "nullkey"),
+      (Some(1L), None, "nulltime")).toDF("k", "t", "tag")
+    val right = Seq((Some(1L), Some(5L), "r1"), (None, Some(1L), "rnullk"),
+      (Some(1L), None, "rnullt")).toDF("rk", "rt", "rtag")
+    val got = AsOf.leftJoin(left, right, "k", "rk", "t", "rt")
+      .select($"tag", $"rtag").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSet
+    // only the fully non-null pair joins; null-key/time rows on either
+    // side neither match nor throw (DuckDB ASOF parity)
+    assert(got == Set(("ok", "r1"), ("nullkey", null), ("nulltime", null)),
+      got.toString)
+  }
+
   test("physical plan has one shuffle per side and sorted merge") {
     import spark.implicits._
     val left = Seq((1L, 10L)).toDF("k", "t")

@@ -36,6 +36,16 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.sameElements(Array("en", "es", "und")))
   }
 
+  test("langId detects unsegmented Chinese (no whitespace word boundaries)") {
+    import spark.implicits._
+    // real CJK text is one unsegmented run — token-equality marker
+    // matching can never fire on it; the zh path counts marker chars
+    // as substrings instead
+    val got = Seq("我的猫是不大的动物了它是好的")
+      .toDF("text").select(TextFunctions.langId(col("text"))).as[String].collect()
+    assert(got.sameElements(Array("zh")), got.mkString(","))
+  }
+
   test("minhash+LSH output equals exact jaccard pairs at 0.8") {
     val exact = SparkEntry.queries("d2_ngram_jaccard")(spark, sf)
       .filter(col("jaccard") >= 0.8)
