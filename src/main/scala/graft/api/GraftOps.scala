@@ -2,8 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.{ArrayEqFraction, MinHashAgg, SortedIntersectCount,
-  TextFunctions, TopKAgg}
+import graft.functions.{SortedIntersectCount, TextFunctions, TopKAgg}
 import graft.sources.Tables
 
 /** The DataFrame-level public API: the flagship LLM-pipeline operators
@@ -107,9 +106,16 @@ object GraftOps {
     * `delta` doc and the left side is a `base` doc or a lower-id delta
     * doc; the base is never re-deduped against itself. Candidate
     * generation probes the prefix index with delta prefixes only, so
-    * each batch pays |delta|-proportional work. Both inputs need
-    * (idCol, textCol); ids must be disjoint across base ∪ delta.
-    * Output: (doc_a, doc_b, jaccard) with doc_b ∈ delta.
+    * CANDIDATE volume scales with |delta|, not |corpus|². Cost honesty
+    * for this self-contained entry point: it still re-tokenizes and
+    * re-indexes base ∪ delta each call (one O(|base|+|delta|) scan +
+    * prefix build — the part a production daily-ingest pipeline
+    * persists across runs, as the catalog d9 does via its session
+    * cache). What the probe-side design saves is the quadratic
+    * candidate join, which is the term that actually explodes at
+    * corpus scale. Both inputs need (idCol, textCol); ids must be
+    * disjoint across base ∪ delta. Output: (doc_a, doc_b, jaccard)
+    * with doc_b ∈ delta.
     *
     * `checkDisjoint` (default true) verifies the id contract with an
     * eager base-vs-delta id probe before any dedup work. That probe
@@ -149,29 +155,11 @@ object GraftOps {
                    threshold: Double = 0.8): DataFrame = {
     val sh = shingleRel(docs, idCol, textCol)
     val arrs = shingleArrs(sh)
-    val sigs = sh
-      .withColumn("h", pmod(xxhash64(col("s")), lit(MinHashAgg.P)))
-      .groupBy(col("doc_id"))
-      .agg(MinHashAgg.minhash(col("h"), 128, seed = 42).as("sig"))
-      .persist(Persist)
-    val bandCols = (0 until 32).map { bnd =>
-      xxhash64((0 until 4).map(r => element_at(col("sig"), bnd * 4 + r + 1)): _*)
-    }
-    val bands = sigs.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
-    val rawCand = bands.as("l")
-      .join(bands.as("r"),
-        col("l.band_id") === col("r.band_id") &&
-          col("l.band_hash") === col("r.band_hash") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
-    val cand = rawCand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .filter(ArrayEqFraction.array_eq_fraction(col("sig_a"), col("sig_b")) >=
-        math.max(0.0, threshold - 0.2))
-      .select(col("doc_a"), col("doc_b"))
+    // signatures + banding + prefilter are the SHARED d3 core
+    // (Dedup.minhashSigsOf / minhashCandidates) — one implementation,
+    // two entry points, no drift
+    val sigs = graft.operators.Dedup.minhashSigsOf(sh).persist(Persist)
+    val cand = graft.operators.Dedup.minhashCandidates(sigs, threshold)
     finishing(sh, arrs, sigs)(verifyJaccard(arrs, cand, threshold))
   }
 
@@ -243,9 +231,14 @@ object GraftOps {
         "partition could not even nominate k candidates")
     val tok = df.select(col(valueCol).cast("string").as("token"))
       .filter(col("token").isNotNull)
+    val srcType = df.schema(valueCol).dataType
     graft.operators.Aggregations
       .heavyHittersOn(tok, k, eps, candidatesPerPart)
       .withColumnRenamed("token", valueCol)
+      // the sketch counts string renderings; hand the value column back
+      // in the CALLER's type so joins against the source don't force
+      // cross-type casts (lossless for the k surviving literals)
+      .withColumn(valueCol, col(valueCol).cast(srcType))
   }
 
   /** Exact dedup: one row kept per distinct value of `textCol` (the
@@ -485,18 +478,28 @@ object GraftOps {
     * (matches the catalog twin e11 in UTC sessions, the default
     * here). Output: (keyCol, bucket, n_events, ffill_value). Grid rows
     * scale with each key's own span, never a global calendar cross
-    * join. */
+    * join.
+    *
+    * `decimalSum` (default true, the catalog-twin behavior) aggregates
+    * the value column as decimal(18,4) — order-independent exact sums
+    * for money-like measures, but a 4-decimal-place contract that
+    * overflows (ANSI error) for |value| ≥ ~1e14 and rounds micro-scale
+    * readings to 0. Pass false for arbitrary-magnitude doubles (plain
+    * double sum: full range, usual float rounding). */
   def gapFill(events: DataFrame, keyCol: String, tsCol: String,
-              valCol: String, stepHours: Int = 1): DataFrame = {
+              valCol: String, stepHours: Int = 1,
+              decimalSum: Boolean = true): DataFrame = {
     require(stepHours >= 1, s"stepHours must be >= 1, got $stepHours")
     val stepSec = stepHours * 3600L
     val bucket = timestamp_seconds(
       floor(unix_timestamp(col(tsCol)) / stepSec) * stepSec)
+    val vSum =
+      if (decimalSum) graft.functions.Exact.moneySum(col("v"))
+      else sum(col("v"))
     val bucketed = events
       .select(col(keyCol), bucket.as("bucket"), col(valCol).as("v"))
       .groupBy(col(keyCol), col("bucket"))
-      .agg(count(lit(1)).as("n_events"),
-        graft.functions.Exact.moneySum(col("v")).as("bucket_value"))
+      .agg(count(lit(1)).as("n_events"), vSum.as("bucket_value"))
     val grid = bucketed.groupBy(col(keyCol))
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
       .select(col(keyCol),

@@ -28,12 +28,22 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Unique id per live SparkSession for cache keys — identity hash
+    * codes are NOT unique, so a new session colliding with a GC'd one
+    * could inherit cache entries bound to a stopped SparkContext. Weak
+    * keys let dead sessions' ids (and hence their map entries' reach-
+    * ability from new lookups) disappear with the session. */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private[graft] def sessionId(s: SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+
   /** Session-scoped relation cache: d2, d3, and the pipeline compositions
     * that embed them (p2) all need the same shingle / signature relations.
     * Without sharing, every query invocation re-persists its own copy —
     * the tokenize+shingle+minhash pass runs once per query instead of
     * once per session, and cached copies accumulate for the session's
-    * lifetime. Keyed by (session identity, data dir); bounded (evicts
+    * lifetime. Keyed by (session id, data dir); bounded (evicts
     * everything if it ever grows past 64 entries — sessions in practice
     * touch one or two dirs). A relation that was externally unpersisted
     * (e.g. catalog.clearCache) is re-persisted on next use. */
@@ -52,7 +62,7 @@ object Dedup {
       relCache.clear()
       evicted.forEach(df => df.unpersist(false))
     }
-    val k = s"${System.identityHashCode(s)}:$dir:$key"
+    val k = s"${sessionId(s)}:$dir:$key"
     // Never build inside a map operation: builds are reentrant (pairs08 →
     // minhashSigs → shingles all go through this cache), and a nested
     // computeIfAbsent on the same ConcurrentHashMap is the JDK's
@@ -339,24 +349,37 @@ object Dedup {
   /** 128-permutation MinHash signatures, persisted once per session
     * (d3 and the p2 curation pipeline share them). */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
-    cachedRel(s, dir, "minhashSigs") {
-      import s.implicits._
-      shingleSets(s, dir)
-        .withColumn("h", pmod(xxhash64($"s"), lit(graft.functions.MinHashAgg.P)))
-        .groupBy($"doc_id")
-        .agg(graft.functions.MinHashAgg.minhash($"h", 128, seed = 42).as("sig"))
-    }
+    cachedRel(s, dir, "minhashSigs") { minhashSigsOf(shingleSets(s, dir)) }
 
-  /** Cached J ≥ 0.8 pair list: d3's own result, also the input of the
-    * cluster pass (d7) and the curation pipeline (p2) — pairs are tiny
-    * relative to the corpus, so keeping them is the obvious reuse. */
-  val d3_minhash_lsh: Relational.Q = (s, dir) => cachedRel(s, dir, "pairs08") {
-    import s.implicits._
-    val sigs = minhashSigs(s, dir)
+  /** 128-permutation MinHash signatures of an exploded (doc_id, s)
+    * shingle relation — shared by the catalog [[minhashSigs]] and
+    * [[graft.api.GraftOps.minhashPairs]]. */
+  private[graft] def minhashSigsOf(sh: DataFrame): DataFrame = sh
+    .withColumn("h", pmod(xxhash64(col("s")), lit(graft.functions.MinHashAgg.P)))
+    .groupBy(col("doc_id"))
+    .agg(graft.functions.MinHashAgg.minhash(col("h"), 128, seed = 42).as("sig"))
+
+  /** Banded-LSH candidate pairs over a (doc_id, sig) relation (32
+    * bands × 4 rows), prefiltered by signature eq-fraction — the
+    * candidate half of the d3 shape, shared with
+    * [[graft.api.GraftOps.minhashPairs]] so the two paths cannot
+    * drift.
+    *
+    * Signature-overlap prefilter: on low-diversity corpora 4-row bands
+    * emit large numbers of weak collisions; the eq-fraction of the full
+    * 128-signature estimates J unbiasedly, so a threshold−0.2 cut
+    * discards weak pairs for pennies before the exact-verify join. The
+    * signature table grows with the corpus (one 128-long row per
+    * document — ~1 TB at 1B docs), so it is NOT broadcast: a shuffle
+    * join on doc_id is the scale-safe shape; AQE may still choose
+    * broadcast at small SFs from observed sizes. */
+  private[graft] def minhashCandidates(sigs: DataFrame,
+      threshold: Double): DataFrame = {
     val bandCols = (0 until 32).map { bnd =>
-      xxhash64((0 until 4).map(r => element_at($"sig", bnd * 4 + r + 1)): _*)
+      xxhash64((0 until 4).map(r => element_at(col("sig"), bnd * 4 + r + 1)): _*)
     }
-    val bands = sigs.select($"doc_id", posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
     val rawCand = bands.as("l")
       .join(bands.as("r"),
         col("l.band_id") === col("r.band_id") &&
@@ -364,22 +387,21 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    // Signature-overlap prefilter: on low-diversity corpora 4-row bands
-    // emit large numbers of weak collisions; the eq-fraction of the full
-    // 128-signature estimates J unbiasedly, so a 0.6 cut (vs the 0.8
-    // target) discards weak pairs for pennies before the exact-verify
-    // join. The signature table grows with the corpus (one 128-long row
-    // per document — ~1 TB at 1B docs), so it is NOT broadcast: a
-    // shuffle join on doc_id is the scale-safe shape; AQE may still
-    // choose broadcast at small SFs from observed sizes.
-    val sigA = sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a"))
-    val sigB = sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b"))
-    val cand = rawCand
-      .join(sigA, "doc_a").join(sigB, "doc_b")
+    rawCand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .filter(graft.functions.ArrayEqFraction
-        .array_eq_fraction($"sig_a", $"sig_b") >= 0.6)
-      .select($"doc_a", $"doc_b")
-    exactJaccardPairs(s, dir, 0.8, cand)
+        .array_eq_fraction(col("sig_a"), col("sig_b")) >=
+          math.max(0.0, threshold - 0.2))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Cached J ≥ 0.8 pair list: d3's own result, also the input of the
+    * cluster pass (d7) and the curation pipeline (p2) — pairs are tiny
+    * relative to the corpus, so keeping them is the obvious reuse. */
+  val d3_minhash_lsh: Relational.Q = (s, dir) => cachedRel(s, dir, "pairs08") {
+    exactJaccardPairs(s, dir, 0.8,
+      minhashCandidates(minhashSigs(s, dir), 0.8))
   }
 
   val d3_sql: String = jaccardSql(0.8)
@@ -503,39 +525,53 @@ object Dedup {
       nEdges / 2000000L + 1)).toInt
     val edgesByDst = edges.repartition(loopParts, $"dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edgesByDst.select($"src".as("v")).distinct()
-      .select($"v", $"v".as("label"))
-      .repartition(loopParts, $"v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var prevSum = labels.agg(sum($"label")).first().getLong(0)
-    var converged = false
-    while (!converged) {
-      val nbrMin = edgesByDst.join(labels, edgesByDst("dst") === labels("v"))
-        .groupBy($"src").agg(min($"label").as("nbr_min"))
-      val next = labels.as("l")
-        .join(nbrMin.as("p"), col("l.v") === col("p.src"), "left")
-        .select(col("l.v").as("v"),
-          least(col("l.label"), coalesce(col("p.nbr_min"), col("l.label"))).as("label"))
+    // Convergence probe: labels only DECREASE (least of self and
+    // neighbor min), so the label sum strictly drops until fixpoint —
+    // equality ⟺ converged. Summed as decimal(38,0), NOT long: a
+    // handful of snowflake-scale (~1e18) vertex ids overflows a long
+    // sum, which is an ArithmeticException under ANSI mode (on by
+    // default in Spark 4) and a silent wrap otherwise.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"label".cast("decimal(38,0)"))).first().getDecimal(0)
+    var labels: DataFrame = null
+    // try/finally: a task failure or cancellation mid-loop must not
+    // strand the persisted loop relations in executor storage (the
+    // caller holds no reference to free them)
+    try {
+      labels = edgesByDst.select($"src".as("v")).distinct()
+        .select($"v", $"v".as("label"))
         .repartition(loopParts, $"v")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.agg(sum($"label")).first().getLong(0)
-      labels.unpersist()
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      var prevSum = labelSum(labels)
+      var converged = false
+      while (!converged) {
+        val nbrMin = edgesByDst.join(labels, edgesByDst("dst") === labels("v"))
+          .groupBy($"src").agg(min($"label").as("nbr_min"))
+        val next = labels.as("l")
+          .join(nbrMin.as("p"), col("l.v") === col("p.src"), "left")
+          .select(col("l.v").as("v"),
+            least(col("l.label"), coalesce(col("p.nbr_min"), col("l.label"))).as("label"))
+          .repartition(loopParts, $"v")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nextSum = labelSum(next)
+        labels.unpersist()
+        labels = next
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      }
+      // hand back a checkpoint, not the persisted loop relation: every
+      // caller (catalog d7/d8, GraftOps) consumes the labels exactly
+      // once, and a persisted return value is a per-invocation storage
+      // leak the caller cannot free (unpersist resolves by logical
+      // plan, so even a projection of it wouldn't). The eager
+      // checkpoint copies from the still-cached labels and releases
+      // via the context cleaner when the result is dropped.
+      labels.localCheckpoint()
+    } finally {
+      edgesByDst.unpersist()
+      edges.unpersist()
+      if (labels != null) labels.unpersist(false)
     }
-    edgesByDst.unpersist()
-    edges.unpersist()
-    // hand back a checkpoint, not the persisted loop relation: every
-    // caller (catalog d7/d8, GraftOps) consumes the labels exactly
-    // once, and a persisted return value is a per-invocation storage
-    // leak the caller cannot free (unpersist resolves by logical plan,
-    // so even a projection of it wouldn't). The eager checkpoint
-    // copies from the still-cached labels and releases via the
-    // context cleaner when the result is dropped.
-    val out = labels.localCheckpoint()
-    labels.unpersist(false)
-    out
   }
 
   val d7_sql: String =

@@ -34,7 +34,7 @@ object Similarity {
   private def cachedModel[T <: AnyRef](s: SparkSession, dir: String, key: String)
                                       (build: => T): T = {
     if (modelCache.size > 64) modelCache.clear()
-    val k = s"${System.identityHashCode(s)}:$dir:$key"
+    val k = s"${Dedup.sessionId(s)}:$dir:$key"
     // get → build unlocked → putIfAbsent, never computeIfAbsent: model
     // builds may grow dependencies that re-enter this cache (the exact
     // nested-computeIfAbsent recursive-update crash Dedup.relCache had),
@@ -145,7 +145,12 @@ object Similarity {
     val pairs = broadcast(cellPairs).join(a, "cell_a").join(b, "cell_b")
       .filter($"vec_a" < $"vec_b")
       .select($"vec_a", $"vec_b", round(cos, 4).as("cosine"))
-      .filter($"cosine" >= threshold)
+      // Spark orders NaN ABOVE every value, so a 0/0 cosine from a
+      // zero-norm vector would pass the threshold and pair that vector
+      // with its whole cell tile — the component pass downstream would
+      // then collapse unrelated vectors into one dedup cluster. Same
+      // hazard TopKAgg.insert guards for the heap paths.
+      .filter($"cosine" >= threshold && !isnan($"cosine"))
       .orderBy($"vec_a", $"vec_b")
     // materialize the (tiny) pair list while `assigned` is cached, then
     // free it: both call paths want the pairs materialized immediately

@@ -369,7 +369,7 @@ object TextAnalysis {
   private def trainedMerges(s: org.apache.spark.sql.SparkSession,
                             dir: String): org.apache.spark.sql.DataFrame = {
     val n = s.conf.getOption("spark.graft.text.bpeMerges").map(_.toInt).getOrElse(10)
-    val k = s"${System.identityHashCode(s)}:$dir:$n"
+    val k = s"${Dedup.sessionId(s)}:$dir:$n" // unique per session (vs identity hash)
     var df = mergeCache.get(k)
     if (df == null) {
       // build outside the map op (reentrancy/recursive-update rationale
