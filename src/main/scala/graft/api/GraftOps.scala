@@ -306,8 +306,11 @@ object GraftOps {
     val probes = e
       .withColumn("cell", explode(graft.functions.Quantizer.topCells(col("emb"), cents, 4)))
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
-    val cos = graft.functions.DotProduct.dot_product(col("emb"), col("n_emb")) /
-      (col("nrm") * col("n_nrm"))
+    // zero-norm guard: ANSI (Spark 4 default) raises double division
+    // by zero; a NULL cosine is skipped by the top-k heap
+    val cos = when(col("nrm") * col("n_nrm") =!= 0.0,
+      graft.functions.DotProduct.dot_product(col("emb"), col("n_emb")) /
+        (col("nrm") * col("n_nrm")))
     finishing(e)(probes.join(data, Seq("cell"))
       .filter(col("neighbor_id") =!= col("vec_id"))
       .select(col("vec_id"), col("neighbor_id"), cos.as("cosine"))

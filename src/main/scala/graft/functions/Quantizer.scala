@@ -102,7 +102,13 @@ object Quantizer {
     transform(slice(array_sort(scored), 1, m), s => s.getField("cell"))
   }
 
-  /** Cosine of `emb` to each centroid as array<double> (index = cell id). */
+  /** Cosine of `emb` to each centroid as array<double> (index = cell
+    * id). A zero-norm vector has no direction: its cosines are 0
+    * (conservative — the caller's acos turns that into a π/2 radius)
+    * rather than a division by zero, which ANSI mode (Spark 4 default)
+    * raises as a hard error even for doubles. */
   def cellCosines(emb: Column, nrm: Column, cents: Array[Array[Double]]): Column =
-    array(cents.map(c => DotProduct.dot_product(emb, typedLit(c.toSeq)) / nrm): _*)
+    array(cents.map(c =>
+      when(nrm =!= 0.0, DotProduct.dot_product(emb, typedLit(c.toSeq)) / nrm)
+        .otherwise(0.0)): _*)
 }

@@ -64,7 +64,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Null-safe cosine: a zero-norm side yields NULL (it has no
+    * direction — comparisons and top-k heaps treat NULL as no-match)
+    * instead of an ANSI DIVIDE_BY_ZERO error (Spark 4 raises it even
+    * for double division). */
+  def cosine(a: Column, b: Column): Column = {
+    val den = norm(a) * norm(b)
+    when(den =!= 0.0, dot(a, b) / den)
+  }
 
   private def embeddings(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -141,7 +148,10 @@ object Similarity {
       $"nrm".as("nrm_a"), $"cell".as("cell_a"))
     val b = assigned.select($"vec_id".as("vec_b"), $"emb".as("emb_b"),
       $"nrm".as("nrm_b"), $"cell".as("cell_b"))
-    val cos = dot($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b")
+    val den = $"nrm_a" * $"nrm_b"
+    // zero-norm guard: ANSI (Spark 4 default) raises double division
+    // by zero; NULL cosine = no match, same contract as `cosine`
+    val cos = when(den =!= 0.0, dot($"emb_a", $"emb_b") / den)
     val pairs = broadcast(cellPairs).join(a, "cell_a").join(b, "cell_b")
       .filter($"vec_a" < $"vec_b")
       .select($"vec_a", $"vec_b", round(cos, 4).as("cosine"))
@@ -372,7 +382,8 @@ object Similarity {
       .join(broadcast(qVecs), Seq("q_id"))
     cand
       .select($"q_id", $"neighbor_id",
-        (dot($"q_emb", $"n_emb") / ($"q_nrm" * $"n_nrm")).as("cosine"))
+        when($"q_nrm" * $"n_nrm" =!= 0.0,
+          dot($"q_emb", $"n_emb") / ($"q_nrm" * $"n_nrm")).as("cosine"))
       .groupBy($"q_id")
       .agg(graft.functions.TopKAgg.topk($"neighbor_id", $"cosine", 3).as("top"))
       .select($"q_id", posexplode($"top"))

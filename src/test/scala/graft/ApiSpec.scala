@@ -176,6 +176,33 @@ class ApiSpec extends AnyFunSuite {
     hh.foreach { case (_, exact, est) => assert(est >= exact) }
   }
 
+  test("heavyHitters returns the value column in the caller's type") {
+    import spark.implicits._
+    val vals = (Seq.fill(50)(7L) ++ Seq.fill(20)(9L) ++ (100L to 130L)).toDF("user_id")
+    val hh = GraftOps.heavyHitters(vals, "user_id", k = 2)
+    assert(hh.schema("user_id").dataType ==
+      org.apache.spark.sql.types.LongType, hh.schema.treeString)
+    assert(hh.collect().map(_.getLong(0)).toSeq == Seq(7L, 9L))
+  }
+
+  test("semDedup excludes zero-norm vectors instead of clustering everything") {
+    import spark.implicits._
+    // regression: a zero vector's cosine is 0/0 = NaN, and NaN >=
+    // threshold is TRUE under Spark's NaN ordering — it used to pair
+    // with every vector in its cell tiles and collapse unrelated
+    // vectors into one cluster marked as duplicates
+    val emb = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.01)),   // true near-dups
+      (3L, Array(-1.0, 0.0)),                          // unrelated
+      (4L, Array(0.0, 0.0))                            // zero-norm
+    ).toDF("vec_id", "emb")
+    val got = GraftOps.semDedup(emb, "vec_id", "emb", threshold = 0.9, cells = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) == (1L, true) && got(2L) == (1L, false), got.toString)
+    assert(got(3L) == (3L, true), s"unrelated vector merged: $got")
+    assert(got(4L) == (4L, true), s"zero vector clustered: $got")
+  }
+
   test("heavyHitters equals the catalog a3 on the benchmark corpus") {
     import org.apache.spark.sql.functions.{col, explode, length, split}
     val expected = SparkEntry.queries("a3_cms_heavy_hitters")(spark, sf)
