@@ -145,6 +145,21 @@ object GraftOps {
       threshold))
   }
 
+  /** Exact substring-span dedup — the d10 shape (Lee et al. 2022):
+    * per document, the token positions covered by any
+    * `windowTokens`-token window occurring verbatim in ANOTHER
+    * document. The complement of whole-document dedup: catches copied
+    * passages (licenses, boilerplate, quotations) inside
+    * otherwise-distinct pages. Windows ship as 64-bit hashes (8 bytes
+    * each, not W tokens of text), duplicated windows are one uniform
+    * hash-keyed aggregate, and coverage is a scan-side sorted-interval
+    * merge — no all-pairs step anywhere. Output: (idCol as doc_id,
+    * n_windows, n_dup_windows, dup_token_frac); filter on
+    * dup_token_frac to drop or trim span-contaminated documents. */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+                     windowTokens: Int = 20): DataFrame =
+    graft.operators.Dedup.substringSpansOn(docs, idCol, textCol, windowTokens)
+
   /** Exact near-duplicate pairs at `threshold` Jaccard over token
     * 3-shingles, via MinHash + banded LSH candidates verified with the
     * full sorted-array intersection — the d3 shape. `docs` needs

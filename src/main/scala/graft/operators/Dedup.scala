@@ -340,6 +340,104 @@ object Dedup {
        |WHERE CAST(i AS DOUBLE)/(x.n + y.n - i) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** d10: EXACT SUBSTRING-span dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): per document, flag
+    * the token positions covered by any W-token window that occurs
+    * VERBATIM in another document. Whole-document near-dup (d2/d3)
+    * misses long copied passages inside otherwise-distinct pages —
+    * licenses, boilerplate, quotations — and span dedup is the
+    * standard complement in LLM pipelines (the reference corpus-prep
+    * notebooks dedup whole docs only; this is the beyond-the-reference
+    * training-data operator).
+    *
+    * Scale shape: each window ships as its 64-bit xxhash (8 bytes, not
+    * W tokens of text — a 20× shuffle-volume cut at W=20), the
+    * duplicated-window set is one uniform hash-keyed aggregate, and
+    * per-document coverage is a scan-side sorted-interval merge over
+    * collected window starts (bounded by document length). No step
+    * holds more than a document's windows in memory. Window width is
+    * `spark.graft.dedup.windowTokens` (default 20; Lee et al. use 50
+    * at web scale). The oracle recomputes the same spans over RAW gram
+    * strings — equal unless two distinct grams collide in xxhash64
+    * (p ≈ n²/2⁶⁴, negligible).
+    *
+    * Output: (doc_id, n_windows, n_dup_windows, dup_token_frac) where
+    * dup_token_frac = fraction of the document's tokens covered by at
+    * least one cross-document duplicated window. */
+  val d10_substring_spans: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val w = s.conf.getOption("spark.graft.dedup.windowTokens")
+      .map(_.toInt).getOrElse(20)
+    substringSpansOn(Tables.documents(s, dir), "doc_id", "text", w)
+      .orderBy($"doc_id")
+  }
+
+  /** The d10 core over any (idCol, textCol) corpus — also the engine
+    * of [[graft.api.GraftOps.substringSpans]]. */
+  private[graft] def substringSpansOn(docs: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame = {
+    require(w >= 2, s"window must be at least 2 tokens, got $w")
+    val toksDf = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    // (doc, window-start, 64-bit window hash); CASE guards sequence's
+    // start>stop auto-negative-step (sequence(1,0) = [1,0], not empty)
+    val winsExpr = expr(
+      s"""CASE WHEN size(toks) >= $w
+         | THEN transform(sequence(1, size(toks) - ${w - 1}),
+         |      i -> xxhash64(array_join(slice(toks, i, $w), ' ')))
+         | ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)
+    val wins = toksDf.select(col("doc_id"),
+      posexplode(winsExpr).as(Seq("pos", "h")))
+    val dup = wins.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    // union length of the flagged [pos, pos+w) intervals: sorted
+    // starts s₁<…<s_k cover Σ min(w, s_{i+1}−s_i) + w tokens
+    val ss = array_sort(col("starts"))
+    val gaps = zip_with(
+      slice(ss, lit(1), size(ss) - 1), slice(ss, lit(2), size(ss) - 1),
+      (a, b) => least(lit(w), b - a))
+    val covered = aggregate(gaps, lit(0), (acc, x) => acc + x) + lit(w)
+    val flagged = wins.join(dup, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        collect_list(col("pos")).as("starts"))
+      .select(col("doc_id"), col("n_dup_windows"), covered.as("covered"))
+    toksDf
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        greatest(size(col("toks")) - (w - 1), lit(0)).as("n_windows"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("covered"), lit(0)).cast("double") /
+          greatest(col("n_toks"), lit(1)), 6).as("dup_token_frac"))
+  }
+
+  val d10_sql: String =
+    """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |             FROM documents),
+      |wins AS (
+      |  SELECT doc_id, UNNEST([{'pos': i - 1,
+      |                          'gram': array_to_string(t[i:i+19], ' ')}
+      |                         for i in generate_series(1, greatest(len(t) - 19, 0))],
+      |                        recursive := true)
+      |  FROM tok),
+      |dup AS (SELECT gram FROM wins GROUP BY gram
+      |        HAVING COUNT(DISTINCT doc_id) >= 2),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_dup_windows,
+      |               list_sort(list(pos)) AS ss
+      |        FROM wins JOIN dup USING (gram) GROUP BY doc_id),
+      |cov AS (SELECT doc_id, n_dup_windows,
+      |               coalesce(list_sum([least(20, ss[i+1] - ss[i])
+      |                 for i in generate_series(1, len(ss) - 1)]), 0) + 20 AS covered
+      |        FROM agg)
+      |SELECT t.doc_id, greatest(len(t.t) - 19, 0) AS n_windows,
+      |       coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+      |       ROUND(CAST(coalesce(c.covered, 0) AS DOUBLE)
+      |             / greatest(len(t.t), 1), 6) AS dup_token_frac
+      |FROM tok t LEFT JOIN cov c USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** d3: MinHash + banded LSH candidates, verified with exact Jaccard
     * at J ≥ 0.8. The oracle recomputes exact J ≥ 0.8 pairs — equality
     * holds unless LSH misses a pair (p ≈ 1e-7 per pair at these band
@@ -597,6 +695,7 @@ object Dedup {
     "d6_dedup_canonical" -> d6_dedup_canonical,
     "d7_dedup_clusters" -> d7_dedup_clusters,
     "d9_dedup_incremental" -> d9_dedup_incremental,
+    "d10_substring_spans" -> d10_substring_spans,
   )
 
   val oracles: Map[String, String] = Map(
@@ -606,5 +705,6 @@ object Dedup {
     "d6_dedup_canonical" -> d6_sql,
     "d7_dedup_clusters" -> d7_sql,
     "d9_dedup_incremental" -> d9_sql,
+    "d10_substring_spans" -> d10_sql,
   )
 }

@@ -46,6 +46,42 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.sameElements(Array("zh")), got.mkString(","))
   }
 
+  test("d10 substring spans: shared 20-token run flagged, coverage exact") {
+    import spark.implicits._
+    // doc 1: 30 tokens; tokens 5..24 (0-based) repeat verbatim as doc
+    // 2's tokens 0..19. doc 3 shares nothing. Windows are 20 tokens, so
+    // doc 1 and doc 2 share exactly ONE window each; doc 1's coverage
+    // is 20/30, doc 2's is 20/20.
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, ((1 to 5).map(i => s"a$i") ++ (1 to 20).map(i => s"s$i") ++
+        (1 to 5).map(i => s"z$i")).mkString(" ")),
+      (2L, shared),
+      (3L, (1 to 25).map(i => s"u$i").mkString(" "))).toDF("id", "body")
+    val got = graft.api.GraftOps.substringSpans(docs, "id", "body")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == (1L, 11, 1L, math.round(20.0 / 30 * 1e6) / 1e6), got(0).toString)
+    assert(got(1) == (2L, 1, 1L, 1.0), got(1).toString)
+    assert(got(2) == (3L, 6, 0L, 0.0), got(2).toString)
+  }
+
+  test("d10 coverage merges overlapping windows (no double count)") {
+    import spark.implicits._
+    // docs 1 and 2 share a 22-token run → 3 overlapping dup windows in
+    // doc 1 starting at 0,1,2... doc1 = 22 shared + 8 unique = 30
+    // tokens, covered = 22 (union of [0,20),[1,21),[2,22)), not 60
+    val run = (1 to 22).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, run + " " + (1 to 8).map(i => s"q$i").mkString(" ")),
+      (2L, run)).toDF("id", "body")
+    val got = graft.api.GraftOps.substringSpans(docs, "id", "body")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == (1L, 3L, math.round(22.0 / 30 * 1e6) / 1e6), got(0).toString)
+    assert(got(1) == (2L, 3L, 1.0), got(1).toString)
+  }
+
   test("minhash+LSH output equals exact jaccard pairs at 0.8") {
     val exact = SparkEntry.queries("d2_ngram_jaccard")(spark, sf)
       .filter(col("jaccard") >= 0.8)
