@@ -207,6 +207,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "small drop relation must still broadcast below the gate")
   }
 
+  test("d10: substring spans join on window hashes only — no cartesian, no gram strings in the shuffle") {
+    // the scale contract: every join/aggregate keys on the 64-bit
+    // window hash (8 B), never the W-token gram text, and nothing
+    // degenerates to an all-pairs shape
+    val plan = executedPlan("d10_substring_spans")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"d10 must stay hash-keyed equi-joins:\n$plan")
+    // every exchange partitions on the window hash or the doc id —
+    // the W-token gram string never appears as a shuffle key
+    val exchanges = "hashpartitioning\\(([a-zA-Z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(k => k.startsWith("h#") || k.startsWith("doc_id#")),
+      s"unexpected shuffle keys $exchanges:\n$plan")
+  }
+
   test("d9: incremental-dedup probe side is delta-restricted (semi-join), no cartesian") {
     // the daily-ingest property: candidate volume must scale with
     // |delta|, not |corpus|² — the probe side of the candidate join is
