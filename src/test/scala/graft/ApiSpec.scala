@@ -203,6 +203,16 @@ class ApiSpec extends AnyFunSuite {
     assert(got(4L) == (4L, true), s"zero vector clustered: $got")
   }
 
+  test("substringSpans equals the catalog d10 on the benchmark corpus") {
+    val expected = SparkEntry.queries("d10_substring_spans")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val got = GraftOps.substringSpans(
+        graft.sources.Tables.documents(spark, sf), "doc_id", "text")
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
+  }
+
   test("heavyHitters equals the catalog a3 on the benchmark corpus") {
     import org.apache.spark.sql.functions.{col, explode, length, split}
     val expected = SparkEntry.queries("a3_cms_heavy_hitters")(spark, sf)
