@@ -43,41 +43,97 @@ object Dedup {
     * Without sharing, every query invocation re-persists its own copy —
     * the tokenize+shingle+minhash pass runs once per query instead of
     * once per session, and cached copies accumulate for the session's
-    * lifetime. Keyed by (session id, data dir); bounded (evicts
-    * everything if it ever grows past 64 entries — sessions in practice
-    * touch one or two dirs). A relation that was externally unpersisted
-    * (e.g. catalog.clearCache) is re-persisted on next use. */
-  private[graft] val relCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * lifetime. Keyed by (session id, data dir).
+    *
+    * Bounded by BYTES, not entries: the map is access-ordered and
+    * eviction drops least-recently-used relations (unpersisting them)
+    * until the MATERIALIZED footprint — read from each cached plan's
+    * `CachedRDDBuilder.sizeInBytesStats` accumulator, i.e. real bytes,
+    * not a plan estimate — fits `spark.graft.cache.maxBytes` (default
+    * half the cluster's storage capacity). An entry cap (64) backstops
+    * unmaterialized relations, which report 0 bytes until first use.
+    * Entry-count-only bounding let the combined footprint grow
+    * unbounded in bytes: on a storage-memory-sized heap whichever
+    * query ran while storage was full paid eviction+recompute thrash
+    * (observed as 10×+ run-to-run swings in the d-family on identical
+    * code). A relation that was externally unpersisted (e.g.
+    * catalog.clearCache) is re-persisted on next use. */
+  private[graft] val relCache: java.util.Map[String, DataFrame] =
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, /*accessOrder=*/ true)
+
+  /** Actual materialized bytes (memory + disk are both charged against
+    * the same storage region) behind a cached DataFrame; 0 until the
+    * relation is first computed. */
+  private def cachedBytes(df: DataFrame): Long =
+    try df.queryExecution.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cacheBuilder.sizeInBytesStats.value.longValue
+    }.sum
+    catch { case scala.util.control.NonFatal(_) => 0L }
+
+  private def cacheMaxBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.cache.maxBytes").map(_.toLong).getOrElse {
+      // half of the aggregate block-manager storage capacity: big
+      // enough that one family's working set stays resident, small
+      // enough that the cache can never starve execution memory or
+      // other persists (stream-static sides, user caches)
+      val cap = s.sparkContext.getExecutorMemoryStatus.values.map(_._1).sum
+      math.max(cap / 2, 256L << 20)
+    }
+
+  /** Evict least-recently-used entries (never `keep`, the one just
+    * touched) until both the byte budget and the entry cap hold.
+    * Unpersist is non-blocking — freed blocks disappear asynchronously,
+    * which is fine because accounting is per-entry, not via storage
+    * polling. */
+  private def evictOverBudget(s: SparkSession, keep: String): Unit =
+    relCache.synchronized {
+      val maxEntries = 64
+      if (relCache.size <= 1) return
+      import scala.jdk.CollectionConverters._
+      // snapshot in access order (eldest first) via the ITERATOR — a
+      // Set.map would re-hash into arbitrary order and evict random
+      // entries instead of the LRU; sizes read off the snapshot, never
+      // via get(), so iteration order stays untouched
+      val snapshot = relCache.entrySet().iterator().asScala
+        .map(e => (e.getKey, e.getValue, cachedBytes(e.getValue))).toList
+      var total = snapshot.map(_._3).sum
+      val budget = cacheMaxBytes(s)
+      var n = snapshot.size
+      snapshot.foreach { case (k, df, bytes) =>
+        if ((total > budget || n > maxEntries) && k != keep) {
+          relCache.remove(k)
+          total -= bytes
+          n -= 1
+          // eviction must unpersist what it drops: clearing the map
+          // entry alone strands the blocks in executor storage (the
+          // cache held the only reference) — a slow leak for a
+          // long-lived session
+          df.unpersist(false)
+        }
+      }
+    }
+
   private[graft] def cachedRel(s: SparkSession, dir: String, key: String)
                               (build: => DataFrame): DataFrame = {
-    if (relCache.size > 64) {
-      // Eviction must unpersist what it drops: clearing map entries
-      // alone strands the persisted blocks in executor storage (the
-      // cache held the only reference) — a slow memory leak for a
-      // long-lived session cycling >64 dirs. Snapshot-then-clear keeps
-      // the race window harmless: a concurrently re-inserted relation
-      // is re-persisted on its next use (see storageLevel check below).
-      val evicted = new java.util.ArrayList(relCache.values())
-      relCache.clear()
-      evicted.forEach(df => df.unpersist(false))
-    }
     val k = s"${sessionId(s)}:$dir:$key"
-    // Never build inside a map operation: builds are reentrant (pairs08 →
-    // minhashSigs → shingles all go through this cache), and a nested
-    // computeIfAbsent on the same ConcurrentHashMap is the JDK's
-    // documented "recursive update" IllegalStateException — triggered
-    // only when the two keys land in the same hash bin, i.e. per-JVM
-    // random. get → build unlocked → putIfAbsent is race-safe (a
-    // concurrent duplicate build wastes one lazy plan, nothing else).
-    var df = relCache.get(k)
+    // Never build while holding the cache lock: builds are reentrant
+    // (pairs08 → minhashSigs → shingles all go through this cache) and
+    // may run long; get → build unlocked → put-if-absent is race-safe
+    // (a concurrent duplicate build wastes one lazy plan, nothing
+    // else). The lock itself is reentrant, so even a build that DID
+    // re-enter the synchronized block could not deadlock.
+    var df = relCache.synchronized(relCache.get(k))
     if (df == null) {
       val built = build
-      val prev = relCache.putIfAbsent(k, built)
-      df = if (prev != null) prev else built
+      df = relCache.synchronized {
+        val prev = relCache.get(k)
+        if (prev != null) prev else { relCache.put(k, built); built }
+      }
     }
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    evictOverBudget(s, keep = k)
     df
   }
 
@@ -636,39 +692,69 @@ object Dedup {
     // strand the persisted loop relations in executor storage (the
     // caller holds no reference to free them)
     try {
+      // Every loop relation is an EAGER localCheckpoint, not a persist:
+      // each round's plan references the previous round's labels
+      // multiple times (the nbr-min join + the left join, and the jump
+      // phase self-joins), so without lineage truncation the logical
+      // tree DOUBLES per round — analysis alone goes exponential and
+      // OOMs the driver after ~12 rounds. Checkpointing stores the
+      // round's partitions (MEMORY_AND_DISK, spillable, freed by the
+      // context cleaner once the next round drops the reference) and
+      // restarts the plan from a LogicalRDD, keeping every round's
+      // analysis O(1). This also makes the returned labels safe to
+      // hand out: callers consume a flat scan, not a loop lineage.
       labels = edgesByDst.select($"src".as("v")).distinct()
         .select($"v", $"v".as("label"))
         .repartition(loopParts, $"v")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       var prevSum = labelSum(labels)
       var converged = false
+      var round = 0
+      // Hash-min alone needs rounds ∝ component DIAMETER — fine for
+      // near-dup cluster graphs (dense blobs, d ≈ 2–4), pathological
+      // for chain-shaped components (a 10k-link chain = 10k rounds,
+      // each a full pass). Past `jumpAfter` rounds the loop adds a
+      // POINTER-JUMPING step per round (label ← label(label), the
+      // shortcutting half of two-phase CC algorithms): remaining chain
+      // depth at least halves per round, so total rounds are bounded by
+      // jumpAfter + O(log diameter) ≤ ~jumpAfter+63 on ANY graph.
+      // Jumping never changes the fixpoint (labels still only decrease,
+      // floored by the component min; at the hash-min fixpoint the jump
+      // is the identity), so the sum probe stays a valid convergence
+      // test. Not enabled from round 0 because the extra self-join
+      // (with its two exchanges) costs more than it saves on the
+      // shallow graphs that dominate in practice.
+      val jumpAfter = s.conf.getOption("spark.graft.cc.jumpAfter")
+        .map(_.toInt).getOrElse(10)
       while (!converged) {
         val nbrMin = edgesByDst.join(labels, edgesByDst("dst") === labels("v"))
           .groupBy($"src").agg(min($"label").as("nbr_min"))
-        val next = labels.as("l")
+        val afterMin = labels.as("l")
           .join(nbrMin.as("p"), col("l.v") === col("p.src"), "left")
           .select(col("l.v").as("v"),
             least(col("l.label"), coalesce(col("p.nbr_min"), col("l.label"))).as("label"))
           .repartition(loopParts, $"v")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
+        val next =
+          if (round < jumpAfter) afterMin
+          else
+            afterMin.as("l")
+              .join(afterMin.select($"v".as("jv"), $"label".as("jl")).as("j"),
+                col("l.label") === col("jv"), "left")
+              .select(col("l.v").as("v"),
+                least(col("l.label"), coalesce(col("jl"), col("l.label"))).as("label"))
+              .repartition(loopParts, $"v")
+              .localCheckpoint(true)
         val nextSum = labelSum(next)
-        labels.unpersist()
         labels = next
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
+        round += 1
       }
-      // hand back a checkpoint, not the persisted loop relation: every
-      // caller (catalog d7/d8, GraftOps) consumes the labels exactly
-      // once, and a persisted return value is a per-invocation storage
-      // leak the caller cannot free (unpersist resolves by logical
-      // plan, so even a projection of it wouldn't). The eager
-      // checkpoint copies from the still-cached labels and releases
-      // via the context cleaner when the result is dropped.
-      labels.localCheckpoint()
+      labels
     } finally {
       edgesByDst.unpersist()
       edges.unpersist()
-      if (labels != null) labels.unpersist(false)
     }
   }
 

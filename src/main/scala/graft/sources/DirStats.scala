@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -52,19 +52,28 @@ object DirStats {
     * "bloom" (min = base64 bitset, max = the column's catalog type). */
   final case class ColStat(kind: String, min: String, max: String)
 
+  /** Overwrite-put of the stats file via the dir's Hadoop FileSystem
+    * (stats are advisory metadata — a torn read is impossible for
+    * whole-object stores and merely drops pruning for one dir
+    * elsewhere, so no conditional-put ceremony needed). */
+  private def put(fs: FileSystem, p: HPath, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
   /** Compute min/max for every stat-eligible column of the just-written
     * directory and persist them alongside the data. One cheap columnar
     * aggregate over data that is hot in the page cache. */
-  def write(spark: SparkSession, dirPath: Path): Unit = {
+  def write(spark: SparkSession, dirPath: HPath): Unit = {
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val df =
       try spark.read.parquet(dirPath.toString)
       catch {
         // an empty partitioned write leaves no parquet files at all —
         // record the zero row count so the dir prunes under any filter
         case _: org.apache.spark.sql.AnalysisException =>
-          Files.write(dirPath.resolve(FileName),
-            s"""{"$RowCountKey":{"kind":"num","min":"0","max":"0"}}"""
-              .getBytes(StandardCharsets.UTF_8))
+          put(fs, new HPath(dirPath, FileName),
+            s"""{"$RowCountKey":{"kind":"num","min":"0","max":"0"}}""")
           return
       }
     val eligible = df.schema.fields.flatMap { f =>
@@ -104,14 +113,18 @@ object DirStats {
     val json = stats.map { case (c, st) =>
       s"${q(c)}:{\"kind\":${q(st.kind)},\"min\":${q(st.min)},\"max\":${q(st.max)}}"
     }.mkString("{", ",", "}")
-    Files.write(dirPath.resolve(FileName), json.getBytes(StandardCharsets.UTF_8))
+    put(fs, new HPath(dirPath, FileName), json)
   }
 
-  def load(dirPath: Path): Option[Map[String, ColStat]] = {
-    val p = dirPath.resolve(FileName)
-    if (!Files.exists(p)) None
+  def load(fs: FileSystem, dirPath: HPath): Option[Map[String, ColStat]] = {
+    val p = new HPath(dirPath, FileName)
+    if (!fs.exists(p)) None
     else {
-      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val s = {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      }
       // unrolled-loop string pattern ([^"\]* then (\\. [^"\]*)*): the
       // per-char alternation form ((?:[^"\\]|\\.)*) backtrack-stacks one
       // frame per character and overflows on multi-KB values (the base64

@@ -1,8 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -38,41 +37,35 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftTable private (val spark: SparkSession, val root: String) {
   import GraftTable._
 
-  private def logDir: Path = Paths.get(root, LogDirName)
+  /** All table I/O routes through the Hadoop FileSystem of `root` (see
+    * [[TableIO]]) — the root may be a local path, `file://`, `hdfs://`
+    * or `s3a://` URI. */
+  private val io = new TableIO(root, spark.sparkContext.hadoopConfiguration)
+
+  private def logDir: HPath = io.path(LogDirName)
 
   // ---- commit log ----
 
-  private def commitFiles(): Seq[Path] =
-    Files.list(logDir).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+  private def commitFiles(): Seq[HPath] =
+    io.list(logDir).map(_.getPath)
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
 
   def latestVersion(): Int = commitFiles().size - 1
 
   /** Data directories live in the current snapshot (for tests/tools). */
   def liveDataDirs: Seq[String] = readCommit(latestVersion()).liveDirs
 
-  private def readCommit(v: Int): Commit = {
-    val p = logDir.resolve(f"$v%08d.json")
-    Commit.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-  }
+  private def readCommit(v: Int): Commit =
+    Commit.fromJson(io.readString(new HPath(logDir, f"$v%08d.json")))
 
-  /** Atomic conditional put of the commit file. A plain CREATE_NEW write
-    * claims the version slot but is NOT atomic w.r.t. content: a
-    * concurrent `latestVersion()` reader can list the file and read it
-    * half-written. Writing to a temp name and hard-LINKING it into place
-    * makes content appear atomically AND fails with
-    * FileAlreadyExistsException if another writer won the slot — the
-    * filesystem analog of the object-store conditional put the commit
-    * protocol assumes. */
-  private def writeCommit(c: Commit): Unit = {
-    val p = logDir.resolve(f"${c.version}%08d.json")
-    val tmp = logDir.resolve(
-      s".tmp-${c.version}-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, c.toJson.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE_NEW)
-    try Files.createLink(p, tmp)
-    finally Files.deleteIfExists(tmp)
-  }
+  /** Atomic conditional put of the commit file — exactly one writer can
+    * land each version slot, and readers never observe partial content
+    * (see [[TableIO.writeExclusive]] for the per-store mechanism: local
+    * hard-link, rename-without-overwrite on HDFS-like stores, and the
+    * documented S3 conditional-PUT requirement). */
+  private def writeCommit(c: Commit): Unit =
+    io.writeExclusive(new HPath(logDir, f"${c.version}%08d.json"),
+      c.toJson.getBytes(StandardCharsets.UTF_8))
 
   /** Partition spec for this table: plain column names, or a derived
     * transform — `days(col)` (the reference's `PARTITIONED BY (days(ts))`
@@ -131,9 +124,9 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     }
     val w = withDerived.write
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy.map(physicalPartCol): _*) else w)
-      .parquet(Paths.get(root, dir).toString)
+      .parquet(io.path(dir).toString)
     if (spark.conf.getOption("spark.graft.stats.enabled").forall(_.toBoolean))
-      DirStats.write(spark, Paths.get(root, dir))
+      DirStats.write(spark, io.path(dir))
     dir
   }
 
@@ -215,7 +208,7 @@ class GraftTable private (val spark: SparkSession, val root: String) {
             // keep the uuid suffix only (split on '-', not a fixed
             // width — 5-digit versions are longer than 'dNNNN')
             val renamed = f"d$nv%04d-${d.substring(d.indexOf('-') + 1)}"
-            Files.move(Paths.get(root, d), Paths.get(root, renamed))
+            io.move(io.path(d), io.path(renamed))
             renamed
           }
           v = nv
@@ -247,7 +240,7 @@ class GraftTable private (val spark: SparkSession, val root: String) {
   private def pruneByStats(dirs: Seq[String], condition: Column): Seq[String] = {
     val e = DirStats.analyze(spark, readCommit(latestVersion()).schemaStruct, condition)
     dirs.filter { d =>
-      DirStats.load(Paths.get(root, d)) match {
+      DirStats.load(io.fs, io.path(d)) match {
         case Some(st) => DirStats.mayMatch(e, st)
         case None => true
       }
@@ -519,12 +512,12 @@ class GraftTable private (val spark: SparkSession, val root: String) {
   private[sources] def commitRewrite(action: String, dir: String,
                                      replaced: Seq[String] = null): Int = {
     if (spark.conf.getOption("spark.graft.stats.enabled").forall(_.toBoolean))
-      DirStats.write(spark, Paths.get(root, dir))
+      DirStats.write(spark, io.path(dir))
     val v = latestVersion() + 1
     // the dir was named with a predicted version — fix the prefix so
     // rename-chain versioning stays exact
     val named = f"d$v%04d-${dir.drop(6)}"
-    if (named != dir) Files.move(Paths.get(root, dir), Paths.get(root, named))
+    if (named != dir) io.move(io.path(dir), io.path(named))
     val cur = readCommit(v - 1)
     val live =
       if (replaced == null) Seq(named)
@@ -594,11 +587,12 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     * throws, and it can contribute no rows, so inference-path readers
     * skip it. */
   private def hasParquetFiles(d: String): Boolean = {
-    val p = Paths.get(root, d)
-    Files.isDirectory(p) && {
-      val it = Files.walk(p)
-      try it.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
-      finally it.close()
+    val p = io.path(d)
+    io.isDir(p) && {
+      val it = io.fs.listFiles(p, /*recursive=*/ true)
+      var found = false
+      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+      found
     }
   }
 
@@ -619,13 +613,13 @@ class GraftTable private (val spark: SparkSession, val root: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else if (c.partitionBy.isEmpty && renamesUpTo.isEmpty)
       spark.read.schema(schema)
-        .parquet(dirs.map(d => Paths.get(root, d).toString): _*)
+        .parquet(dirs.map(d => io.path(d).toString): _*)
     else if (!hasDerivedParts && renamesUpTo.isEmpty)
       // partitioned commits: each data dir is its own hive-layout tree,
       // read per-dir (own basePath) and union — partition pruning still
       // applies per scan
       dirs.map { d =>
-        val p = Paths.get(root, d).toString
+        val p = io.path(d).toString
         spark.read.schema(schema).option("basePath", p).parquet(p)
       }.reduce(_.unionByName(_))
     else
@@ -634,7 +628,7 @@ class GraftTable private (val spark: SparkSession, val root: String) {
       // after the dir was written, then project to the snapshot schema
       // (missing columns null-fill — mergeSchema semantics preserved).
       dirs.map { d =>
-        val p = Paths.get(root, d).toString
+        val p = io.path(d).toString
         val raw = spark.read.option("basePath", p).parquet(p)
         val applicable = renamesUpTo.filter(_._1 > dirVersion(d)).map(_._2)
         val renamed = applicable.foldLeft(raw) { case (df, (o, n)) =>
@@ -667,16 +661,18 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     // can hold no matching rows anyway). The writer nests hive dirs in
     // partitionBy order, so a non-first spec's dirs sit below the other
     // specs' levels — walk to the partition depth, not just the top.
-    val parts = c.liveDirs.filter { d =>
-      val dirP = Paths.get(root, d)
-      Files.isDirectory(dirP) && {
-        val it = Files.walk(dirP, c.partitionBy.size)
-        try it.iterator().asScala.exists(
-          _.getFileName.toString.startsWith(layout + "="))
-        finally it.close()
+    // hive level for a non-first spec sits below the other specs'
+    // levels — walk to the partition depth, not just the top
+    def hasLayoutLevel(p: HPath, depth: Int): Boolean =
+      io.list(p).exists { st =>
+        st.getPath.getName.startsWith(layout + "=") ||
+          (depth > 1 && st.isDirectory && hasLayoutLevel(st.getPath, depth - 1))
       }
+    val parts = c.liveDirs.filter { d =>
+      val dirP = io.path(d)
+      io.isDir(dirP) && hasLayoutLevel(dirP, c.partitionBy.size)
     }.map { d =>
-      val p = Paths.get(root, d).toString
+      val p = io.path(d).toString
       val raw = spark.read.option("basePath", p).parquet(p)
         .filter(col(layout) === lit(value))
       raw.select(schema.map(f =>
@@ -785,7 +781,7 @@ class GraftTable private (val spark: SparkSession, val root: String) {
   def files(): DataFrame = {
     import spark.implicits._
     readCommit(latestVersion()).liveDirs.map { d =>
-      val st = DirStats.load(Paths.get(root, d))
+      val st = DirStats.load(io.fs, io.path(d))
       val rows = st.flatMap(_.get(DirStats.RowCountKey)).map(_.max.toDouble.toLong)
       val cols = st.getOrElse(Map.empty)
         .filter { case (k, v) => k != DirStats.RowCountKey && v.kind != "bloom" }
@@ -805,7 +801,7 @@ class GraftTable private (val spark: SparkSession, val root: String) {
   def snapshots(): DataFrame = {
     import spark.implicits._
     def rowsOf(dirs: Seq[String]): Long = dirs.flatMap(d =>
-      DirStats.load(Paths.get(root, d)).flatMap(_.get(DirStats.RowCountKey))
+      DirStats.load(io.fs, io.path(d)).flatMap(_.get(DirStats.RowCountKey))
         .map(_.max.toDouble.toLong)).sum
     (0 to latestVersion()).map { v =>
       val c = readCommit(v)
@@ -846,7 +842,7 @@ class GraftTable private (val spark: SparkSession, val root: String) {
       s"no version $toVersion to restore (latest $latest)")
     val target = readCommit(toVersion)
     target.liveDirs.foreach(d =>
-      require(Files.exists(Paths.get(root, d)),
+      require(io.exists(io.path(d)),
         s"cannot restore to vacuumed version $toVersion (missing $d)"))
     val undo = ((toVersion + 1) to latest)
       .flatMap(v => readCommit(v).renames)
@@ -878,17 +874,12 @@ class GraftTable private (val spark: SparkSession, val root: String) {
   def vacuum(retainFromVersion: Int): Seq[String] = {
     val keep = (retainFromVersion to latestVersion())
       .flatMap(v => readCommit(v).liveDirs).toSet
-    val all = Files.list(Paths.get(root)).iterator().asScala.toSeq
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d"))
-    val doomed = all.filterNot(p => keep.contains(p.getFileName.toString))
-    doomed.foreach(deleteRecursively)
-    doomed.map(_.getFileName.toString)
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
-    Files.delete(p)
+    val all = io.list(io.root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("d"))
+      .map(_.getPath)
+    val doomed = all.filterNot(p => keep.contains(p.getName))
+    doomed.foreach(io.delete)
+    doomed.map(_.getName)
   }
 }
 
@@ -906,25 +897,37 @@ object GraftTable {
   private[sources] val BucketSpec = """bucket\((\d+),\s*(\w+)\)""".r
   private[sources] val TruncSpec = """truncate\((\d+),\s*(\w+)\)""".r
 
-  /** Directory stats for the catalog scan path. */
-  private[sources] def loadStats(root: String, dir: String)
-      : Option[Map[String, DirStats.ColStat]] =
-    DirStats.load(Paths.get(root, dir))
+  /** Directory stats for the catalog scan path (and specs). Resolves
+    * the FileSystem from the active session's Hadoop conf, so the root
+    * may be any supported URI. */
+  private[graft] def loadStats(root: String, dir: String)
+      : Option[Map[String, DirStats.ColStat]] = {
+    val p = new HPath(new HPath(root), dir)
+    DirStats.load(
+      p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Does a GraftTable exist at `path`? (streaming sinks probe before
+    * their first-batch CREATE). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val io = new TableIO(path, spark.sparkContext.hadoopConfiguration)
+    io.exists(io.path(LogDirName))
+  }
 
   /** Create a new table at `path` with `df` as version 0, optionally
     * hive-partitioned (partition pruning then applies to reads). */
   def create(spark: SparkSession, path: String, df: DataFrame,
              partitionBy: Seq[String] = Nil): GraftTable = {
-    val log = Paths.get(path, LogDirName)
-    require(!Files.exists(log), s"GraftTable already exists at $path")
-    Files.createDirectories(log)
+    val io = new TableIO(path, spark.sparkContext.hadoopConfiguration)
+    require(!io.exists(io.path(LogDirName)), s"GraftTable already exists at $path")
+    io.mkdirs(io.path(LogDirName))
     val t = new GraftTable(spark, path)
     t.commit("create", Some(df), _ => Nil, partitionBy)
     t
   }
 
   def load(spark: SparkSession, path: String): GraftTable = {
-    require(Files.exists(Paths.get(path, LogDirName)), s"no GraftTable at $path")
+    require(exists(spark, path), s"no GraftTable at $path")
     new GraftTable(spark, path)
   }
 

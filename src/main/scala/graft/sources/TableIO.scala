@@ -1,0 +1,102 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** Hadoop-FileSystem-backed I/O for the GraftTable format.
+  *
+  * Every byte the table format reads or writes goes through a Hadoop
+  * `FileSystem` resolved from the table root URI, so the format runs
+  * unchanged on any Hadoop-supported store — `file://` (tests, single
+  * node), `hdfs://`, `s3a://` (the reference lakehouse keeps its
+  * tables on MinIO/S3: k8s/minio/,
+  * docker/spark-notebook/getting_started.py `s3a://` paths) — instead
+  * of being local-disk-only. Schemeless roots resolve through
+  * `fs.defaultFS` exactly like any Spark path.
+  *
+  * The commit protocol needs one primitive with stronger-than-POSIX
+  * semantics: an ATOMIC EXCLUSIVE put of the next commit file (a
+  * conditional put — exactly one writer may land each version slot,
+  * and readers must never observe partial content). Guarantees by
+  * store:
+  *
+  *  - local (`file`): write to a temp name, then hard-LINK into place —
+  *    content appears atomically, and link() fails with
+  *    FileAlreadyExistsException if another writer won the slot. The
+  *    strongest variant, and the one exercised by tests here.
+  *  - HDFS-like rename-atomic stores (hdfs, abfs, gs, viewfs): write a
+  *    temp file, then `rename` WITHOUT overwrite — rename is atomic
+  *    and fails when the destination exists.
+  *  - S3/S3A: `rename` is copy+delete behind a non-atomic existence
+  *    check, so two racing writers have a small window. Production S3
+  *    deployments must either enable a conditional-PUT committer
+  *    (S3 If-None-Match, surfaced by recent s3a releases) or front the
+  *    commit log with a lock/catalog service — the DynamoDB-LogStore /
+  *    Iceberg-catalog pattern. Single-writer S3 pipelines are safe
+  *    as-is; the failure mode under an unprotected race is a lost
+  *    commit, never a torn file (content still lands via whole-object
+  *    PUT).
+  */
+private[sources] final class TableIO(rootStr: String, conf: Configuration) {
+  val root = new HPath(rootStr)
+  val fs: FileSystem = root.getFileSystem(conf)
+
+  def path(children: String*): HPath =
+    children.foldLeft(root)((p, c) => new HPath(p, c))
+
+  def exists(p: HPath): Boolean = fs.exists(p)
+
+  def isDir(p: HPath): Boolean =
+    try fs.getFileStatus(p).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+
+  def mkdirs(p: HPath): Unit = { fs.mkdirs(p); () }
+
+  def list(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(p).toSeq
+
+  def move(src: HPath, dst: HPath): Unit =
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+
+  def delete(p: HPath): Unit = { fs.delete(p, true); () }
+
+  def readString(p: HPath): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def write(p: HPath, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Atomic exclusive put (see class doc). Throws
+    * `java.nio.file.FileAlreadyExistsException` when the slot is
+    * already taken — the commit protocol's uniform retry signal across
+    * stores. */
+  def writeExclusive(p: HPath, bytes: Array[Byte]): Unit =
+    if (fs.getScheme == "file") {
+      val target = java.nio.file.Paths.get(p.toUri.getPath)
+      val tmp = target.resolveSibling(
+        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp, bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      try java.nio.file.Files.createLink(target, tmp)
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      if (fs.exists(p))
+        throw new java.nio.file.FileAlreadyExistsException(p.toString)
+      val tmp = new HPath(p.getParent,
+        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      write(tmp, bytes)
+      val renamed =
+        try fs.rename(tmp, p)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      if (!renamed) {
+        fs.delete(tmp, false)
+        throw new java.nio.file.FileAlreadyExistsException(p.toString)
+      }
+    }
+}

@@ -24,14 +24,46 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright. Read nanos as long and floor-convert to µs — integer DIV,
-    * not `/` (double division is lossy above 2^53, and epoch-nanos are
-    * ~1.7e18). */
+  /** events.ts normalized to session-zoned TimestampType (micro
+    * precision), ADAPTIVELY: the physical layout of the generated
+    * parquet has changed across environments (TIMESTAMP(NANOS) →
+    * TIMESTAMP(MICROS)), so the loader branches on the dtype Spark
+    * actually infers instead of hard-coding a unit:
+    *
+    *  - `LongType`: the legacy TIMESTAMP(NANOS) layout, surfaced as
+    *    raw INT64 epoch-nanos via `nanosAsLong` — floor-convert to µs
+    *    with integer DIV, not `/` (double division is lossy above
+    *    2^53, and epoch-nanos are ~1.7e18).
+    *  - `TimestampNTZType`: TIMESTAMP(MICROS, isAdjustedToUTC=false) —
+    *    cast to TimestampType; graft sessions pin
+    *    spark.sql.session.timeZone=UTC so the cast reinterprets the
+    *    wall-clock value with identical micros (and matches the DuckDB
+    *    oracle, which reads the same column as a naive timestamp).
+    *  - `TimestampType`: already the target type — pass through.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
+    // must be set BEFORE the read so a nanos file loads at all;
+    // harmless no-op for micros files
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = load(s, d, "events")
+    normalizeTs(raw, raw.schema("ts").dataType)
+  }
+
+  /** Shared ts-normalization for batch and streaming event reads (the
+    * streaming source mirrors the batch decision so the two paths can
+    * never drift by a unit — see StreamingSpec's batch≡stream ts-parity
+    * case). */
+  private[graft] def normalizeTs(df: DataFrame,
+                                 dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    dt match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported parquet-inferred type $other — " +
+          "expected INT64 nanos (LongType), TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

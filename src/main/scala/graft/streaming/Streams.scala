@@ -23,20 +23,43 @@ import graft.sources.Tables
   */
 object Streams {
 
-  /** events schema with ts as long nanos (the raw parquet layout —
-    * streaming readers need an explicit schema). */
-  private val RawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events schema for the streaming reader (file sources need an
+    * explicit schema). The ts field's physical type is NOT hard-coded:
+    * the batch reader's footer inference decides it (INT64 nanos →
+    * LongType, TIMESTAMP(MICROS) → TimestampNTZType), and the stream
+    * declares the same type plus the same normalization, so batch and
+    * stream can never drift by a unit — the silent-1000×-compression
+    * failure mode this replaced. */
+  private def rawSchema(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // probe the batch footer for the physical ts type (metadata-only,
+    // no data read), then mirror Tables.events' normalization exactly
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // the streaming file source wants a directory; select the single
     // events file with a glob filter
-    s.readStream.schema(RawSchema)
+    val raw = s.readStream.schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", date_trunc("second", timestamp_micros(expr("ts DIV 1000"))))
+    Tables.normalizeTs(raw, tsType)
+      .withColumn("ts", date_trunc("second", col("ts")))
+  }
+
+  /** Batch≡stream ts-parity probe (spec hook): the event-time range as
+    * seen by the STREAMING reader. Any unit drift between the stream
+    * schema and the batch loader (the failure mode that silently
+    * compressed event time 1000× when the testdata's physical ts type
+    * changed) shows up here as a range mismatch against the batch
+    * read's min/max. */
+  private[graft] def streamTsRange(s: SparkSession, dir: String)
+      : (java.sql.Timestamp, java.sql.Timestamp) = {
+    val r = drain(s, OutputMode.Complete()) { s2 =>
+      eventStream(s2, dir).agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    }.collect()(0)
+    (r.getTimestamp(0), r.getTimestamp(1))
   }
 
   /** Run a streaming aggregate to completion against the finite input
@@ -44,7 +67,8 @@ object Streams {
     * HDFS-backed provider snapshots every partition's full state map
     * per batch — with join/dedup state in the 100k-row range that
     * dominates wall-time; RocksDB writes incrementally. */
-  private def drain(parent: SparkSession, mode: OutputMode)
+  private def drain(parent: SparkSession, mode: OutputMode,
+                    defaultStateParts: Int = -1)
                    (mk: SparkSession => DataFrame): DataFrame = {
     // Conf that shapes the streaming query runs on a CLONED session,
     // never the caller's. The state-store partition count is locked into
@@ -64,12 +88,31 @@ object Streams {
       parent.conf.get("spark.sql.shuffle.partitions"))
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    parent.conf.getOption("spark.graft.streaming.statePartitions")
-      .foreach(p => s.conf.set("spark.sql.shuffle.partitions", p))
+    parent.conf.getOption("spark.graft.streaming.statePartitions") match {
+      case Some(p) => s.conf.set("spark.sql.shuffle.partitions", p)
+      case None if defaultStateParts > 0 =>
+        // per-query floor for queries whose streaming STATE is tiny
+        // (e.g. h9's per-flagged-doc counts): each state partition
+        // opens its own RocksDB instance per batch, so 32 stores for a
+        // handful of keys is pure open/snapshot overhead. Map-side
+        // parallelism is unaffected — the heavy phases repartition
+        // explicitly.
+        s.conf.set("spark.sql.shuffle.partitions", defaultStateParts.toString)
+      case None =>
+    }
     val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
     val q = mk(s).writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
     q.stop()
+    // A finite test/bench input that yields ZERO rows means the source
+    // matched nothing (e.g. the driver renamed events.parquet and the
+    // pathGlobFilter silently selected an empty file set) — that must
+    // crash loudly, not return an empty green-looking result.
+    if (inputRows == 0)
+      throw new IllegalStateException(
+        "streaming source read 0 input rows — source glob matched no data " +
+          "(environment drift?); refusing to return an empty result")
     s.table(name)
   }
 
@@ -189,7 +232,7 @@ object Streams {
         // every other batch, or a replay of batch 0 after a crash
         // between the create-with-data commit and the checkpoint write
         // would find no marker and append the rows a second time
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "_graft_log")))
+        if (!graft.sources.GraftTable.exists(s, target))
           graft.sources.GraftTable.create(s, target, batch.limit(0)): Unit
         val t = graft.sources.GraftTable.load(s, target)
         val seen = t.history().filter($"operation" === action).count() > 0
@@ -388,7 +431,11 @@ object Streams {
         graft.functions.TextFunctions.tokens($"text"), n)).as("g"))
       .agg(graft.functions.Bloom.bloom(xxhash64($"g"), mBits, kHashes).as("b"))
       .first().getAs[Array[Byte]]("b")
-    drain(s, OutputMode.Complete()) { s2 =>
+    // the only streaming state is the per-flagged-doc count: floor the
+    // state-partition width so RocksDB instance open/snapshot overhead
+    // never dominates at micro scale (map parallelism is repartitioned
+    // explicitly below)
+    drain(s, OutputMode.Complete(), defaultStateParts = 8) { s2 =>
       docStream(s2, dir)
         .filter($"source" =!= "src0")
         // the file stream source yields ONE partition per input file —
@@ -428,7 +475,9 @@ object Streams {
       .select($"doc_id".as("doc_a"), $"sig".as("sig_a"), $"blk_id", $"blk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      drain(s, OutputMode.Append()) { s2 =>
+      // streaming state here is only the pair dedup — same tiny-state
+      // floor as h9
+      drain(s, OutputMode.Append(), defaultStateParts = 8) { s2 =>
         val probe = docStream(s2, dir)
           .filter($"source".isin("src18", "src19"))
           .repartition(s2.sparkContext.defaultParallelism)

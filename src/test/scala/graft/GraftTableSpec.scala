@@ -394,8 +394,7 @@ class GraftTableSpec extends AnyFunSuite {
     t.append(Seq((100L, "z", 999.0)).toDF("id", "seg", "x"))
     val dirs = t.liveDataDirs
     assert(dirs.size == 2)
-    val stats = dirs.map(d => DirStats.load(
-      java.nio.file.Paths.get(t.root, d)).get)
+    val stats = dirs.map(d => GraftTable.loadStats(t.root, d).get)
     // stats carry real ranges
     val first = stats.find(_("id").min == "1").get
     assert(first("id").max == "5" && first("seg").min == "a" && first("x").kind == "num")
@@ -429,8 +428,7 @@ class GraftTableSpec extends AnyFunSuite {
       val t = GraftTable.create(spark, tmp(), odd)
       t.append(even)
       val dirs = t.liveDataDirs
-      val stats = dirs.map(d => DirStats.load(
-        java.nio.file.Paths.get(t.root, d)).get)
+      val stats = dirs.map(d => GraftTable.loadStats(t.root, d).get)
       val oddStats = stats.find(_("id").min == "1").get
       val evenStats = stats.find(_("id").min == "0").get
       assert(oddStats.contains(DirStats.BloomPrefix + "id"))
@@ -464,7 +462,7 @@ class GraftTableSpec extends AnyFunSuite {
     t.append(jun.toDF("id", "ts"))
     val dirs = t.liveDataDirs
     val stats = dirs.map(d =>
-      DirStats.load(java.nio.file.Paths.get(t.root, d)).get)
+      GraftTable.loadStats(t.root, d).get)
     val janStats = stats.find(_("ts").min.startsWith("2024-01")).get
     def may(c: org.apache.spark.sql.Column) =
       DirStats.mayMatch(DirStats.analyze(spark, t.read().schema, c), janStats)
@@ -488,8 +486,7 @@ class GraftTableSpec extends AnyFunSuite {
     val jan = Seq((1L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00")),
                   (2L, java.sql.Timestamp.valueOf("2024-01-20 11:30:00")))
     val t = GraftTable.create(spark, tmp(), jan.toDF("id", "ts"))
-    val janStats = DirStats.load(
-      java.nio.file.Paths.get(t.root, t.liveDataDirs.head)).get
+    val janStats = GraftTable.loadStats(t.root, t.liveDataDirs.head).get
     def may(c: org.apache.spark.sql.Column) =
       DirStats.mayMatch(DirStats.analyze(spark, t.read().schema, c), janStats)
     def d(s: String) = lit(s).cast("date")
@@ -541,7 +538,7 @@ class GraftTableSpec extends AnyFunSuite {
     // ranges are narrow and non-overlapping → a point predicate keeps 1 dir
     import graft.sources.DirStats
     val statsByDir = dirs.map(d =>
-      d -> DirStats.load(java.nio.file.Paths.get(t.root, d)).get).toMap
+      d -> GraftTable.loadStats(t.root, d).get).toMap
     val cond = DirStats.analyze(spark, t.read().schema, col("id") === 4242)
     val surviving = dirs.filter(d => DirStats.mayMatch(cond, statsByDir(d)))
     assert(surviving.size == 1, s"point lookup should keep 1 of 8 dirs, kept $surviving")
@@ -563,7 +560,7 @@ class GraftTableSpec extends AnyFunSuite {
     def survivors(t: GraftTable, c: org.apache.spark.sql.Column): Int = {
       val cond = DirStats.analyze(spark, t.read().schema, c)
       t.liveDataDirs.count(d => DirStats.mayMatch(cond,
-        DirStats.load(java.nio.file.Paths.get(t.root, d)).get))
+        GraftTable.loadStats(t.root, d).get))
     }
     val lex = GraftTable.create(spark, tmp(), df)
     lex.cluster(Seq("id", "y"), numDirs = 16)
@@ -709,4 +706,54 @@ class GraftTableSpec extends AnyFunSuite {
     // with a null-filled b; only the true delete of id=2 is a change
     assert(ch == Set(("delete", 2L, "goner")), ch.toString)
   }
+
+  test("hadoop fs: full table lifecycle against an explicit file:// URI root") {
+    import spark.implicits._
+    val uriRoot = "file://" +
+      Files.createTempDirectory("graft_uri_").toString + "/t"
+    val t = GraftTable.create(spark, uriRoot, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    assert(t.read().count() == 3)
+    assert(t.readVersion(0).count() == 2)
+    t.merge(Seq((3, "C"), (4, "d")).toDF("id", "v"), Seq("id"))
+    assert(t.read().as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "C"), (4, "d")))
+    assert(t.history().count() == 3)
+    // stats land and load through the same FS
+    assert(GraftTable.loadStats(uriRoot, t.liveDataDirs.head).isDefined)
+    // vacuum physically removes unreachable dirs through the FS
+    val dropped = t.vacuum(t.latestVersion())
+    assert(dropped.nonEmpty)
+    assert(t.read().count() == 4)
+  }
+
+  test("hadoop fs: non-local scheme takes the rename-based conditional put") {
+    import spark.implicits._
+    // a RawLocalFileSystem under a custom scheme: backed by local disk
+    // but NOT scheme "file", so TableIO routes through the generic
+    // (write-temp + rename-without-overwrite) commit branch — the
+    // HDFS-shaped contract — end-to-end, including Spark parquet I/O
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftest.impl", classOf[GraftTestFs].getName)
+    val root = "graftest://" +
+      Files.createTempDirectory("graft_scheme_").toString + "/t"
+    val t = GraftTable.create(spark, root, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"))
+    t.append(Seq((3L, 30.0)).toDF("k", "x"))
+    t.update(col("k") === 2L, Map("x" -> lit(99.0)))
+    assert(t.read().as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+    assert(t.latestVersion() == 2)
+    // the occupied-slot signal is uniform: a second create must fail
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, root, Seq((9L, 9.0)).toDF("k", "x"))
+    }
+  }
+}
+
+/** RawLocalFileSystem re-registered under a non-`file` scheme, so specs
+  * can exercise TableIO's generic (rename-based) store contract while
+  * physically writing to local disk. */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftest"
+  override def getUri: java.net.URI = java.net.URI.create("graftest:///")
 }

@@ -42,7 +42,11 @@ class ReliabilitySpec extends AnyFunSuite {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.graft.streaming.statePartitions", "2")
     try {
-      assert(SparkEntry.queries("h1_stream_window")(spark, sf).count() > 0)
+      // row-count parity with the batch twin, not a bare count>0 — a
+      // weak >0 assertion stayed green while h1 returned 10 rows
+      // instead of 3385 under the r6 ts-unit drift
+      assert(SparkEntry.queries("h1_stream_window")(spark, sf).count() ==
+        SparkEntry.queries("e1_tumbling_window")(spark, sf).count())
       assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
     } finally spark.conf.unset("spark.graft.streaming.statePartitions")
   }
@@ -57,34 +61,63 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(boom.forall(!_.contains("second")))
   }
 
-  test("relCache eviction unpersists the relations it drops") {
+  test("relCache evicts LRU by entry cap and unpersists what it drops") {
     // Eviction that only clears map entries strands the persisted
     // blocks in executor storage (the cache held the sole reference) —
-    // a slow leak in a long-lived session cycling >64 dirs. Fill past
-    // the bound and verify the evicted relations are actually
-    // unpersisted, not just forgotten.
-    // Drain residue from earlier suites first (same unpersist-then-
-    // clear discipline) so the fill below crosses the bound exactly
-    // once, on the trigger insert.
+    // a slow leak in a long-lived session cycling >64 dirs.
+    // Drain residue from earlier suites first so the fill below
+    // crosses the entry cap exactly when expected.
     import scala.jdk.CollectionConverters._
-    graft.operators.Dedup.relCache.values.asScala.foreach(_.unpersist(false))
-    graft.operators.Dedup.relCache.clear()
-    val dfs = (1 to 65).map { i =>
+    graft.operators.Dedup.relCache.synchronized {
+      graft.operators.Dedup.relCache.values.asScala.foreach(_.unpersist(false))
+      graft.operators.Dedup.relCache.clear()
+    }
+    val dfs = (1 to 64).map { i =>
       graft.operators.Dedup.cachedRel(spark, s"/evict/$i", "k") {
         spark.range(i).toDF()
       }
     }
     assert(dfs.forall(_.storageLevel !=
       org.apache.spark.storage.StorageLevel.NONE), "cache must persist entries")
-    // the 66th insert crosses the bound: everything evicted AND
-    // unpersisted (trigger plan distinct from every dfs plan —
-    // storageLevel resolves by logical plan, so a same-plan trigger
-    // would shadow the unpersist under its own fresh cache entry)
+    // the 65th insert crosses the entry cap: the LEAST-recently-used
+    // entry (and only it) is evicted AND unpersisted (trigger plan
+    // distinct from every dfs plan — storageLevel resolves by logical
+    // plan, so a same-plan trigger would shadow the unpersist under
+    // its own fresh cache entry)
     graft.operators.Dedup.cachedRel(spark, "/evict/trigger", "k") {
       spark.range(9999).toDF()
     }
-    assert(dfs.forall(_.storageLevel ==
+    assert(dfs.head.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "evicted LRU relation must be unpersisted, not stranded in storage")
+    assert(dfs.tail.forall(_.storageLevel !=
       org.apache.spark.storage.StorageLevel.NONE),
-      "evicted relations must be unpersisted, not stranded in storage")
+      "entries within budget must stay persisted")
+  }
+
+  test("relCache evicts LRU by byte budget once relations materialize") {
+    import scala.jdk.CollectionConverters._
+    graft.operators.Dedup.relCache.synchronized {
+      graft.operators.Dedup.relCache.values.asScala.foreach(_.unpersist(false))
+      graft.operators.Dedup.relCache.clear()
+    }
+    spark.conf.set("spark.graft.cache.maxBytes", "1")
+    try {
+      val a = graft.operators.Dedup.cachedRel(spark, "/bytes/a", "k") {
+        spark.range(100000).toDF()
+      }
+      a.count() // materialize: a now reports real bytes > budget
+      val b = graft.operators.Dedup.cachedRel(spark, "/bytes/b", "k") {
+        spark.range(200000).toDF()
+      }
+      // inserting b must evict a (over the 1-byte budget); b itself is
+      // the just-touched entry and survives
+      assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "over-budget LRU relation must be evicted and unpersisted")
+      assert(b.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "the just-touched entry must survive eviction")
+      assert(!graft.operators.Dedup.relCache.containsKey(
+        graft.operators.Dedup.sessionId(spark) + ":/bytes/a:k"))
+    } finally spark.conf.unset("spark.graft.cache.maxBytes")
   }
 }

@@ -8,6 +8,20 @@ import graft.operators.Multimodal
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("batch and stream event readers agree on the event-time range") {
+    // The regression net for physical-ts-unit drift: when the testdata's
+    // parquet layout changed from TIMESTAMP(NANOS) to TIMESTAMP(MICROS),
+    // the old hard-coded stream schema read raw micros as nanos and
+    // compressed event time 1000× — silently. Range parity between the
+    // batch and streaming readers catches any such drift as a red test.
+    val (smn, smx) = Streams.streamTsRange(spark, sf)
+    val b = graft.sources.Tables.events(spark, sf)
+      .agg(min(date_trunc("second", col("ts"))).as("mn"),
+           max(date_trunc("second", col("ts"))).as("mx")).collect()(0)
+    assert(smn == b.getTimestamp(0), "stream min ts != batch min ts")
+    assert(smx == b.getTimestamp(1), "stream max ts != batch max ts")
+  }
+
   test("h1 streaming window equals the batch tumbling window") {
     val streamed = SparkEntry.queries("h1_stream_window")(spark, sf).collect()
     val batch = SparkEntry.queries("e1_tumbling_window")(spark, sf).collect()

@@ -299,6 +299,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("connectedComponents labels a deep chain exactly (pointer-jump phase)") {
+    // A 200-link chain has diameter 200 — hash-min alone would need 200
+    // rounds. With jumpAfter forced low, the pointer-jumping phase must
+    // both engage (or this test crawls) and still converge to the exact
+    // per-component minimum labels.
+    import spark.implicits._
+    spark.conf.set("spark.graft.cc.jumpAfter", "2")
+    try {
+      val n = 200
+      // two parallel chains → two components with distinct minima
+      val pairs = ((0 until n).map(i => (i.toLong, (i + 1).toLong)) ++
+        (0 until n).map(i => (1000L + i, 1000L + i + 1))).toDF("doc_a", "doc_b")
+      val labels = Dedup.connectedComponents(spark, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.size == 2 * (n + 1))
+      assert((0 to n).forall(i => labels(i.toLong) == 0L))
+      assert((0 to n).forall(i => labels(1000L + i) == 1000L))
+    } finally spark.conf.unset("spark.graft.cc.jumpAfter")
+  }
+
   test("semDedup keeps every row of a duplicate-free corpus") {
     import spark.implicits._
     // orthogonal unit vectors: no cosine pair ever reaches threshold
