@@ -49,6 +49,30 @@ object MetricRecord {
     jobName, extra, status, durationMs, tableName, sourcePath)
 }
 
+/** Push-based metric export: every record logged through
+  * [[MetricsLogger.log]] is ALSO offered to each configured sink — the
+  * hook a deployment uses to forward pipeline metrics to an external
+  * backend (the reference emits its lineage/metrics to DataHub:
+  * docker/spark-notebook/05_datahub_lineage_demo.ipynb; a sink
+  * implementation would POST the record to such an endpoint).
+  * Implementations need a public no-arg constructor; register via
+  * `spark.graft.metrics.sinks` = comma-separated class names. Sink
+  * failures are contained (logged, never propagated) — metric export
+  * is best-effort and must not fail the job that emitted it. */
+trait MetricSink {
+  def emit(rec: MetricRecord): Unit
+}
+
+/** Built-in sink: one log4j INFO line per record (the zero-dependency
+  * "external backend" — log shippers pick it up). */
+class LogMetricSink extends MetricSink {
+  private val logger = org.apache.logging.log4j.LogManager.getLogger(getClass)
+  override def emit(rec: MetricRecord): Unit =
+    logger.info(s"graft-metric run=${rec.run_id} layer=${rec.layer} " +
+      s"project=${rec.project} desc=${rec.description} " +
+      s"value=${rec.metric_value} unit=${rec.metric_unit}")
+}
+
 /** Appends metric records to a parquet activity log (reference appends
   * to a Delta table at s3a://polaris/metrics/activity_log).
   *
@@ -58,9 +82,30 @@ object MetricRecord {
   * always succeeds, and `readAll` merges footers so old records surface
   * the new columns as nulls through one scan. */
 class MetricsLogger(spark: SparkSession, val tablePath: String) {
+  private val sinks: Seq[MetricSink] =
+    spark.conf.getOption("spark.graft.metrics.sinks")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .flatMap { cls =>
+        try Some(Class.forName(cls).getDeclaredConstructor()
+          .newInstance().asInstanceOf[MetricSink])
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.apache.logging.log4j.LogManager.getLogger(getClass)
+              .warn(s"metric sink $cls failed to load: $e"); None
+        }
+      }
+
   def log(rec: MetricRecord): String = {
     import spark.implicits._
     append(Seq(rec).toDS().toDF())
+    sinks.foreach { s =>
+      try s.emit(rec)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.apache.logging.log4j.LogManager.getLogger(getClass)
+            .warn(s"metric sink ${s.getClass.getName} failed: $e")
+      }
+    }
     rec.run_id
   }
 

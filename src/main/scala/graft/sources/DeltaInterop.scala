@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Interop with the Delta Lake table format, implemented against the
+  * PUBLIC Delta transaction-log protocol (delta-io PROTOCOL.md: a
+  * `_delta_log/` directory of JSON commit files, one action object per
+  * line — `protocol`, `metaData`, `add`, `remove`). The reference
+  * lakehouse keeps Delta tables next to Iceberg ones
+  * (reference: docker/spark-notebook/03_delta_demo.ipynb), so a
+  * migration path in BOTH directions keeps graft's private format from
+  * locking data in:
+  *
+  *  - [[exportSnapshot]]: materialize a GraftTable's current snapshot
+  *    as a brand-new Delta table any Delta reader (Spark+delta-core,
+  *    Trino, DuckDB delta) can open.
+  *  - [[readDelta]]: open an existing Delta table's current snapshot
+  *    as a DataFrame without any delta dependency — JSON-log tables
+  *    (no parquet checkpoint yet, i.e. < 10 commits by default or
+  *    checkpointInterval unreached); partition columns are
+  *    reconstructed from each add-action's `partitionValues`.
+  *
+  * Scale note: export is one distributed parquet write plus an
+  * O(#files) driver-side log write; readDelta is an O(#commits ×
+  * #files) driver-side log replay feeding a normal pruned parquet scan.
+  * Neither moves data through the driver.
+  */
+object DeltaInterop {
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** Export the CURRENT snapshot of `t` as a new Delta table at
+    * `target` (any Hadoop-FS URI; must not already hold a Delta log).
+    * The snapshot is rewritten as plain unpartitioned parquet — rename
+    * chains, derived partition transforms and directory versioning are
+    * graft-internal and do not leak into the exported table. Returns
+    * the number of data files committed. */
+  def exportSnapshot(t: GraftTable, target: String): Int = {
+    val spark = t.spark
+    val targetPath = new HPath(target)
+    val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new HPath(targetPath, "_delta_log")
+    require(!fs.exists(logDir), s"Delta table already exists at $target")
+    val df = t.read()
+    val schema = StructType(df.schema.map(_.copy(nullable = true)))
+    df.write.parquet(targetPath.toString)
+    val files = fs.listStatus(targetPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val now = System.currentTimeMillis()
+    val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val metaData =
+      s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(schema.json)}","partitionColumns":[],"configuration":{},"createdTime":$now}}"""
+    val adds = files.map { st =>
+      s"""{"add":{"path":"${jsonEscape(st.getPath.getName)}","partitionValues":{},"size":${st.getLen},"modificationTime":$now,"dataChange":true}}"""
+    }
+    fs.mkdirs(logDir)
+    val out = fs.create(new HPath(logDir, f"${0}%020d.json"), false)
+    try out.write((protocol +: metaData +: adds).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    files.size
+  }
+
+  // one JSON action object per line; these pull the fields readDelta
+  // needs (the unrolled string pattern survives multi-KB values)
+  private val Str = "([^\"\\\\]*(?:\\\\.[^\"\\\\]*)*)"
+  private val AddPath = ("\"add\"\\s*:\\s*\\{.*?\"path\":\"" + Str + "\"").r
+  private val RemovePath = ("\"remove\"\\s*:\\s*\\{.*?\"path\":\"" + Str + "\"").r
+  private val PartVals = "\"partitionValues\":\\{([^}]*)\\}".r
+  private val PartEntry = ("\"" + Str + "\":\"" + Str + "\"").r
+  private val SchemaStr = ("\"schemaString\":\"" + Str + "\"").r
+  private val PartCols = "\"partitionColumns\":\\[([^\\]]*)\\]".r
+
+  private def unq(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Open a Delta table's current snapshot as a DataFrame by replaying
+    * its JSON commit log (no checkpoint support — tables past their
+    * first parquet checkpoint need the log tail since the checkpoint,
+    * which this reader does not reconstruct; it fails loudly instead).
+    * Identity-partitioned tables come back with their partition
+    * columns rebuilt from `partitionValues` and cast to the declared
+    * schema types. */
+  def readDelta(spark: SparkSession, path: String): DataFrame = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new HPath(root, "_delta_log")
+    require(fs.exists(logDir), s"no Delta log at $path")
+    require(!fs.exists(new HPath(logDir, "_last_checkpoint")),
+      s"Delta table at $path has a parquet checkpoint — JSON-log replay " +
+        "cannot see files compacted into it; read it with a full Delta client")
+    val commits = fs.listStatus(logDir).toSeq.map(_.getPath)
+      .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
+    require(commits.nonEmpty, s"empty Delta log at $path")
+    var schemaJson: Option[String] = None
+    var partCols: Seq[String] = Nil
+    // last add per path wins; removes tombstone
+    val active = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    commits.foreach { c =>
+      val text = {
+        val in = fs.open(c)
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      }
+      text.split('\n').foreach { line =>
+        SchemaStr.findFirstMatchIn(line).foreach { m =>
+          schemaJson = Some(unq(m.group(1)))
+          partCols = PartCols.findFirstMatchIn(line).map(_.group(1))
+            .filter(_.trim.nonEmpty)
+            .map(_.split(",").toSeq
+              .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+            .getOrElse(Nil)
+        }
+        AddPath.findFirstMatchIn(line).foreach { m =>
+          val p = unq(m.group(1))
+          val pv = PartVals.findFirstMatchIn(line).map(_.group(1)) match {
+            case Some(body) if body.trim.nonEmpty =>
+              PartEntry.findAllMatchIn(body)
+                .map(mm => unq(mm.group(1)) -> unq(mm.group(2))).toMap
+            case _ => Map.empty[String, String]
+          }
+          active(p) = pv
+        }
+        RemovePath.findFirstMatchIn(line).foreach(m => active.remove(unq(m.group(1))))
+      }
+    }
+    val schema = DataType.fromJson(schemaJson.getOrElse(
+      throw new IllegalStateException(s"no metaData action in Delta log at $path")))
+      .asInstanceOf[StructType]
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    if (active.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // group files by partition values: each group is one pruned scan
+    // plus literal partition columns cast to the declared types —
+    // partition values live only in the log, never in the data files
+    active.toSeq.groupBy(_._2).map { case (pv, files) =>
+      val paths = files.map { case (p, _) => new HPath(root, p).toString }
+      val base = spark.read.schema(dataSchema).parquet(paths: _*)
+      val withParts = partCols.foldLeft(base) { (d, pc) =>
+        val f = schema(pc)
+        // Delta renders a null partition value as an absent key
+        val v = pv.get(pc).map(lit(_)).getOrElse(lit(null))
+        d.withColumn(pc, v.cast(f.dataType))
+      }
+      withParts.select(schema.map(f => col(f.name)): _*)
+    }.reduce(_.unionByName(_))
+  }
+}

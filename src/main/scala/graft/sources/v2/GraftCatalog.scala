@@ -1,7 +1,7 @@
 package graft.sources.v2
 
-import java.nio.file.{Files, Path, Paths}
 import java.util
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
@@ -57,27 +57,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
   override def name(): String = catalogName
 
-  private def tablePath(ident: Identifier): Path =
-    Paths.get(warehouse, ident.namespace() :+ ident.name(): _*)
-  private def isTable(p: Path): Boolean = Files.exists(p.resolve("_graft_log"))
+  /** Warehouse I/O goes through the Hadoop FileSystem of the warehouse
+    * URI (local path, file://, hdfs://, s3a:// — mirroring GraftTable's
+    * TableIO), so the SQL catalog is not local-disk-only either.
+    * FileSystem.get caches per (scheme, authority), so resolving per
+    * call is cheap. */
+  private def fs = new HPath(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def whPath(segments: Seq[String]): HPath =
+    segments.foldLeft(new HPath(warehouse))((p, s) => new HPath(p, s))
 
-  /** Files.list with the stream CLOSED: each open stream holds an OS
-    * directory handle until close() — iterating alone never releases
-    * it, so un-closed listings leak one fd per call (per subdirectory,
-    * for the recursive delete) until GC finalization. */
-  private def listDir(p: Path): Seq[Path] = {
-    val s = Files.list(p)
-    try s.iterator().asScala.toSeq finally s.close()
-  }
+  private def tablePath(ident: Identifier): HPath =
+    whPath(ident.namespace().toSeq :+ ident.name())
+  private def isTable(p: HPath): Boolean =
+    fs.exists(new HPath(p, "_graft_log"))
+  private def isDir(p: HPath): Boolean =
+    try fs.getFileStatus(p).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+
+  private def listDir(p: HPath): Seq[FileStatus] = fs.listStatus(p).toSeq
 
   // ---- TableCatalog ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = Paths.get(warehouse, namespace: _*)
-    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val dir = whPath(namespace.toSeq)
+    if (!isDir(dir)) throw new NoSuchNamespaceException(namespace)
     listDir(dir)
-      .filter(isTable)
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .filter(st => isTable(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
       .toArray
   }
 
@@ -124,7 +131,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val specs = partitions.map(transformToSpec).toSeq
-    Files.createDirectories(tablePath(ident).getParent)
+    fs.mkdirs(tablePath(ident).getParent)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     GraftTable.create(spark, tablePath(ident).toString, empty, specs)
@@ -175,20 +182,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
     if (!isTable(p)) false
-    else { deleteRecursively(p); true }
+    else { fs.delete(p, true); true }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
-    Files.createDirectories(tablePath(newIdent).getParent)
-    Files.move(tablePath(oldIdent), tablePath(newIdent))
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      listDir(p).foreach(deleteRecursively)
-    Files.delete(p)
+    fs.mkdirs(tablePath(newIdent).getParent)
+    require(fs.rename(tablePath(oldIdent), tablePath(newIdent)),
+      s"rename ${oldIdent} -> ${newIdent} failed")
   }
 
   // ---- ProcedureCatalog (CALL cat.system.<proc>, the Iceberg
@@ -209,41 +211,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ---- SupportsNamespaces (namespace = directory) ----
 
   override def listNamespaces(): Array[Array[String]] = {
-    val root = Paths.get(warehouse)
-    if (!Files.isDirectory(root)) Array.empty
+    val root = new HPath(warehouse)
+    if (!isDir(root)) Array.empty
     else listDir(root)
-      .filter(p => Files.isDirectory(p) && !isTable(p))
-      .map(p => Array(p.getFileName.toString)).toArray
+      .filter(st => st.isDirectory && !isTable(st.getPath))
+      .map(st => Array(st.getPath.getName)).toArray
   }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
-    val dir = Paths.get(warehouse, namespace: _*)
-    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val dir = whPath(namespace.toSeq)
+    if (!isDir(dir)) throw new NoSuchNamespaceException(namespace)
     listDir(dir)
-      .filter(p => Files.isDirectory(p) && !isTable(p))
-      .map(p => namespace :+ p.getFileName.toString).toArray
+      .filter(st => st.isDirectory && !isTable(st.getPath))
+      .map(st => namespace :+ st.getPath.getName).toArray
   }
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
-    val dir = Paths.get(warehouse, namespace: _*)
-    if (!Files.isDirectory(dir) || isTable(dir)) throw new NoSuchNamespaceException(namespace)
+    val dir = whPath(namespace.toSeq)
+    if (!isDir(dir) || isTable(dir)) throw new NoSuchNamespaceException(namespace)
     util.Collections.emptyMap()
   }
 
   override def createNamespace(namespace: Array[String],
-                               metadata: util.Map[String, String]): Unit =
-    Files.createDirectories(Paths.get(warehouse, namespace: _*))
+                               metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(whPath(namespace.toSeq)); ()
+  }
 
   override def alterNamespace(namespace: Array[String],
                               changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val dir = Paths.get(warehouse, namespace: _*)
-    if (!Files.isDirectory(dir)) false
+    val dir = whPath(namespace.toSeq)
+    if (!isDir(dir)) false
     else if (!cascade && listDir(dir).nonEmpty)
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
-    else { deleteRecursively(dir); true }
+    else { fs.delete(dir, true); true }
   }
 }
 
@@ -399,26 +402,25 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
                   a: org.apache.spark.sql.catalyst.expressions.Attribute) => a.name -> l
             }.toMap
           if (derivedCols.isEmpty || filters.isEmpty)
-            kept.map(d => Paths.get(path, d).toString)
+            kept.map(d => new HPath(new HPath(path), d).toString)
           else kept.flatMap { d =>
-            val dirP = Paths.get(path, d)
+            val dirP = new HPath(new HPath(path), d)
+            val pfs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
             val subs =
-              if (!java.nio.file.Files.isDirectory(dirP)) Nil
-              else {
-                val it = java.nio.file.Files.list(dirP)
-                try scala.jdk.CollectionConverters.IteratorHasAsScala(it.iterator())
-                  .asScala
-                  .filter(p => java.nio.file.Files.isDirectory(p) &&
-                    (p.getFileName.toString.split("=", 2) match {
-                      case Array(k, _) => derivedCols.contains(k)
-                      case _ => false
-                    }))
-                  .toVector
-                finally it.close()
+              (try Some(pfs.getFileStatus(dirP))
+               catch { case _: java.io.FileNotFoundException => None }) match {
+                case Some(st) if st.isDirectory =>
+                  pfs.listStatus(dirP).toVector
+                    .filter(s => s.isDirectory &&
+                      (s.getPath.getName.split("=", 2) match {
+                        case Array(k, _) => derivedCols.contains(k)
+                        case _ => false
+                      }))
+                case _ => Vector.empty
               }
             if (subs.isEmpty) Seq(dirP.toString)
             else subs.filter { sub =>
-              val Array(k, v) = sub.getFileName.toString.split("=", 2)
+              val Array(k, v) = sub.getPath.getName.split("=", 2)
               if (timeCols.contains(k)) {
                 val (src, kind) = timeCols(k)
                 val isTs = schemaTypes.get(src)
@@ -462,7 +464,7 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
                   }
                 }
               }
-            }.map(_.toString)
+            }.map(_.getPath.toString)
           }
         })
     }
@@ -538,7 +540,7 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
                   }
                 }
                 ParquetTableBridge.scanBuilder(spark, ident.toString,
-                  scannedDirs.map(d => Paths.get(path, d).toString),
+                  scannedDirs.map(d => new HPath(new HPath(path), d).toString),
                   GraftSparkTable.this.schema(), options).build()
               }
             }
@@ -564,7 +566,8 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
                 override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
                   new org.apache.spark.sql.connector.write.BatchWrite {
                     private val delegate = ParquetTableBridge
-                      .parquetWrite(spark, Paths.get(path, dir).toString, tableInfo).toBatch
+                      .parquetWrite(spark,
+                        new HPath(new HPath(path), dir).toString, tableInfo).toBatch
                     // the rewrite feeds the writer its full plan output —
                     // leading bookkeeping columns (__row_operation) then
                     // the data columns in table order (see Spark's
@@ -647,7 +650,8 @@ private[v2] object GraftProcedures {
         }
         override def call(input: InternalRow): util.Iterator[Scan] = {
           val tblName = input.getUTF8String(0).toString
-          val path = Paths.get(warehouse, tblName.split("\\."): _*).toString
+          val path = tblName.split("\\.")
+            .foldLeft(new HPath(warehouse))((p, s) => new HPath(p, s)).toString
           val t = GraftTable.load(spark, path)
           val (schema, resultRows) = proc match {
             case "vacuum" =>

@@ -430,4 +430,24 @@ class CatalogSpec extends AnyFunSuite {
     // P-status rows were deleted through SQL
     assert(!got.map(_.getString(0)).contains("P"))
   }
+
+  test("catalog works against a file:// warehouse URI (Hadoop FS path)") {
+    n += 1
+    cat = s"gcat$n"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      "file://" + Files.createTempDirectory("graft_cat_uri_").toString)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v STRING) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a'), (2, 'b')")
+    assert(spark.table(s"$cat.db.t").count() == 2)
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id = 1")
+    assert(spark.table(s"$cat.db.t").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val tables = spark.sql(s"SHOW TABLES IN $cat.db").collect().map(_.getString(1))
+    assert(tables.contains("t"))
+    spark.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN v TO label")
+    assert(spark.table(s"$cat.db.t").columns.toSeq == Seq("id", "label"))
+    spark.sql(s"DROP TABLE $cat.db.t")
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").count() == 0)
+  }
 }

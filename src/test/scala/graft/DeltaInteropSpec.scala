@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{DeltaInterop, GraftTable}
+
+class DeltaInteropSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  test("export snapshot round-trips through the Delta log reader") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_dx_"),
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "v", "x"))
+    t.append(Seq((3L, "c", 3.5)).toDF("id", "v", "x"))
+    t.delete(col("id") === 2L)
+    val target = tmp("graft_delta_")
+    val nFiles = DeltaInterop.exportSnapshot(t, target)
+    assert(nFiles > 0)
+    // the log is well-formed per the public protocol: one action per
+    // line, protocol first, then metaData carrying the Spark schema
+    val log = new String(Files.readAllBytes(
+      Paths.get(target, "_delta_log", "0" * 20 + ".json")), "UTF-8")
+    val lines = log.trim.split('\n')
+    assert(lines(0).contains("\"protocol\""))
+    assert(lines(1).contains("\"schemaString\""))
+    assert(lines.count(_.contains("\"add\"")) == nFiles)
+    // replaying the log returns exactly the snapshot
+    val got = DeltaInterop.readDelta(spark, target)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "a", 1.5), (3L, "c", 3.5)))
+  }
+
+  test("readDelta replays adds/removes and rebuilds partition columns") {
+    import spark.implicits._
+    // hand-build a partitioned Delta table the way a writer following
+    // the public protocol lays it out: data files WITHOUT the partition
+    // column, partitionValues carried in the add actions, one remove
+    // tombstoning a file from an earlier commit
+    val root = tmp("graft_dread_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def writeDataFile(sub: String, rows: Seq[(Long, Double)]): String = {
+      val dir = root + "/" + sub
+      rows.toDF("id", "x").coalesce(1).write.parquet(dir)
+      val f = Files.list(Paths.get(dir)).iterator()
+      var name: String = null
+      while (f.hasNext) {
+        val p = f.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          name = sub + "/" + p.getFileName.toString
+      }
+      name
+    }
+    val fA = writeDataFile("seg=A", Seq((1L, 1.0), (2L, 2.0)))
+    val fB = writeDataFile("seg=B", Seq((3L, 3.0)))
+    val fB2 = writeDataFile("seg=B2", Seq((9L, 9.0)))
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("seg",
+        org.apache.spark.sql.types.StringType))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":["seg"],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(fA)}","partitionValues":{"seg":"A"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"${esc(fB2)}","partitionValues":{"seg":"B2"},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.write(Paths.get(root, "_delta_log", "0" * 19 + "1.json"), Seq(
+      s"""{"add":{"path":"${esc(fB)}","partitionValues":{"seg":"B"},"size":1,"modificationTime":2,"dataChange":true}}""",
+      s"""{"remove":{"path":"${esc(fB2)}","deletionTimestamp":2,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val got = DeltaInterop.readDelta(spark, root)
+      .as[(Long, Double, String)].collect().toSet
+    // fB2 was tombstoned in commit 1; seg comes from partitionValues
+    assert(got == Set((1L, 1.0, "A"), (2L, 2.0, "A"), (3L, 3.0, "B")))
+  }
+
+  test("readDelta refuses checkpointed logs loudly") {
+    val root = tmp("graft_dckpt_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""".getBytes("UTF-8"))
+    Files.write(Paths.get(root, "_delta_log", "_last_checkpoint"),
+      """{"version":10,"size":1}""".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, root)
+    }
+    assert(e.getMessage.contains("checkpoint"))
+  }
+}

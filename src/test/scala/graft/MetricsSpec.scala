@@ -85,4 +85,37 @@ class MetricsSpec extends AnyFunSuite {
     assert(MetricUtils.dfErrorCount(df) == 2)
     assert(MetricUtils.dfErrorCount(df.drop("is_error")) == 0)
   }
+
+  test("configured sinks receive every logged record; sink failures are contained") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    TestMetricSink.received.clear()
+    spark.conf.set("spark.graft.metrics.sinks",
+      classOf[TestMetricSink].getName + "," +
+        classOf[ThrowingMetricSink].getName + ",no.such.Class")
+    try {
+      val logger = new MetricsLogger(spark, dir)
+      // the throwing sink and the unloadable class must not break the
+      // parquet append or the healthy sink
+      logger.log(graft.metrics.MetricRecord.build(
+        "silver", "proj", 2024, "row-count", 42.0, "rows", "count"))
+      assert(TestMetricSink.received.size == 1)
+      assert(TestMetricSink.received.head.metric_value == 42.0)
+      assert(logger.readAll().count() == 1)
+    } finally spark.conf.unset("spark.graft.metrics.sinks")
+  }
+}
+
+/** Spec sink: collects records statically so the reflective
+  * instantiation path is what's under test. */
+class TestMetricSink extends graft.metrics.MetricSink {
+  override def emit(rec: graft.metrics.MetricRecord): Unit =
+    TestMetricSink.received += rec
+}
+object TestMetricSink {
+  val received = scala.collection.mutable.ArrayBuffer[graft.metrics.MetricRecord]()
+}
+
+class ThrowingMetricSink extends graft.metrics.MetricSink {
+  override def emit(rec: graft.metrics.MetricRecord): Unit =
+    throw new RuntimeException("sink down")
 }
