@@ -93,15 +93,44 @@ object LakehouseOps {
        |FROM orders WHERE o_orderstatus <> 'P'
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** g8: Delta Lake interop round-trip
+    * ([[graft.sources.DeltaInterop]]) — build a GraftTable from orders,
+    * run a row-level mutation, EXPORT the snapshot as a Delta table per
+    * the public transaction-log protocol, then read it back through the
+    * dependency-free Delta log reader. The oracle recomputes the final
+    * state relationally, so the whole
+    * commit-log → export → Delta-replay cycle must be value-exact —
+    * the migration path the reference's Delta-resident data would take
+    * (03_delta_demo.ipynb). */
+  val g8_delta_roundtrip: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val t = GraftTable.create(s, tmp(), Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice"))
+    t.delete(col("o_orderstatus") === "P")
+    val target = Files.createTempDirectory("graft_delta_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice", 4).as("o_totalprice"))
+      .orderBy($"o_orderkey")
+  }
+
+  val g8_sql: String =
+    """SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 4) AS o_totalprice
+      |FROM orders WHERE o_orderstatus <> 'P'
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
     "g1_merge_upsert" -> g1_merge_upsert,
     "g5_update_delete" -> g5_update_delete,
     "g7_sql_catalog" -> g7_sql_catalog,
+    "g8_delta_roundtrip" -> g8_delta_roundtrip,
   )
 
   val oracles: Map[String, String] = Map(
     "g1_merge_upsert" -> g1_sql,
     "g5_update_delete" -> g5_sql,
     "g7_sql_catalog" -> g7_sql,
+    "g8_delta_roundtrip" -> g8_sql,
   )
 }
