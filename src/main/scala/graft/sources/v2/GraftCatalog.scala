@@ -278,7 +278,8 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.MICRO_BATCH_READ)
 
   override def partitioning(): Array[Transform] =
     commit.partitionBy.map {
@@ -382,7 +383,7 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
             if (isTs) (s"$v-01-01 00:00:00", s"$v-12-31 23:59:59.999999")
             else (s"$v-01-01", s"$v-12-31")
         }
-      new org.apache.spark.sql.graftbridge.StatsPruningScanBuilder(
+      val statsBuilder = new org.apache.spark.sql.graftbridge.StatsPruningScanBuilder(
         spark, ident.toString, schema(), options,
         prune = filters => {
           val kept = live.filter { d =>
@@ -467,6 +468,41 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
             }.map(_.getPath.toString)
           }
         })
+      // Wrap the built scan so the SAME table also serves micro-batch
+      // streaming reads (spark.readStream.table) — toBatch keeps the
+      // stats-pruned native parquet scan untouched; toMicroBatchStream
+      // hands off to the commit-log tailing source.
+      new ScanBuilder
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+        override def pushFilters(
+            fs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+          statsBuilder.pushFilters(fs)
+        override def pushedFilters() = statsBuilder.pushedFilters()
+        override def pruneColumns(r: StructType): Unit = statsBuilder.pruneColumns(r)
+        override def build(): Scan = {
+          val delegate = statsBuilder.build()
+          new Scan {
+            override def readSchema(): StructType = delegate.readSchema()
+            override def description(): String = delegate.description()
+            override def toBatch: org.apache.spark.sql.connector.read.Batch =
+              delegate.toBatch
+            override def supportedCustomMetrics() = delegate.supportedCustomMetrics()
+            override def reportDriverMetrics() = delegate.reportDriverMetrics()
+            override def columnarSupportMode() = delegate.columnarSupportMode()
+            override def toMicroBatchStream(checkpointLocation: String)
+                : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+              require(commit.partitionBy.isEmpty,
+                s"graft streaming reads support unpartitioned tables; " +
+                  s"${ident} is partitioned by ${commit.partitionBy.mkString(", ")}")
+              require(pinnedVersion.isEmpty,
+                "streaming reads tail the live table — drop VERSION/TIMESTAMP AS OF")
+              new GraftMicroBatchStream(spark, path, GraftSparkTable.this.schema(),
+                options)
+            }
+          }
+        }
+      }
     }
   }
 

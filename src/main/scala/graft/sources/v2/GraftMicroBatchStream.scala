@@ -1,0 +1,112 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.graftbridge.ParquetTableBridge
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.sources.GraftTable
+
+/** Stream offset = table commit version (total-ordered, durable,
+  * human-readable in the checkpoint). */
+case class GraftOffset(version: Int) extends Offset {
+  override def json: String = s"""{"version":$version}"""
+}
+
+object GraftOffset {
+  private val V = "\"version\"\\s*:\\s*(-?\\d+)".r
+  def fromJson(json: String): GraftOffset =
+    GraftOffset(V.findFirstMatchIn(json).getOrElse(
+      throw new IllegalArgumentException(s"bad graft offset: $json")).group(1).toInt)
+}
+
+/** Micro-batch streaming source tailing a GraftTable's commit log — the
+  * Delta streaming-source analog (`spark.readStream.table("cat.db.t")`):
+  *
+  *  - The FIRST batch is the table's current snapshot (every live
+  *    directory at stream start), so a new consumer begins from a
+  *    complete state.
+  *  - Every later batch is exactly the directories ADDED by the commits
+  *    between the two offsets — appends stream through incrementally,
+  *    with cost proportional to the new data, never the table.
+  *  - A commit that REMOVES live directories (overwrite, delete, merge,
+  *    compact — a change, not an append) fails the stream loudly, like
+  *    Delta's source without `skipChangeCommits`; with read option
+  *    `skipChangeCommits=true` the WHOLE change commit is skipped
+  *    (its added directories are rewrites of existing rows, so
+  *    streaming them would duplicate) and only pure-append commits
+  *    stream. Consumers that need rewritten rows read
+  *    `readChangesBetween` batch-side — the CDF contract.
+  *
+  * Offsets are commit versions, so checkpoint recovery replans the same
+  * directory sets deterministically (directories are immutable).
+  * Restart after vacuum of a not-yet-committed range fails on the
+  * missing files rather than silently skipping — retention must outlive
+  * consumer lag, the same contract as any log-compacted source.
+  *
+  * Scale shape: planning is O(#commits + #dirs) driver-side metadata;
+  * the data path is the native vectorized parquet batch reader over the
+  * added directories only.
+  */
+class GraftMicroBatchStream(spark: SparkSession, path: String,
+    schema: StructType, options: CaseInsensitiveStringMap)
+  extends MicroBatchStream {
+
+  private val skipChangeCommits =
+    Option(options.get("skipchangecommits")).exists(_.toBoolean)
+
+  // re-load per call: a stream outlives any single snapshot, so the
+  // latest offset must see commits landed after the stream started
+  private def table: GraftTable = GraftTable.load(spark, path)
+
+  override def initialOffset(): Offset = GraftOffset(-1)
+
+  override def latestOffset(): Offset = GraftOffset(table.latestVersion())
+
+  override def deserializeOffset(json: String): Offset = GraftOffset.fromJson(json)
+
+  private def scanBatch(dirs: Seq[String]): Batch =
+    ParquetTableBridge.scanBuilder(spark, s"graft-stream",
+      dirs.map(d => new HPath(new HPath(path), d).toString), schema, options)
+      .build().toBatch
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].version
+    val e = end.asInstanceOf[GraftOffset].version
+    if (e <= s) return Array.empty
+    val t = table
+    val dirs =
+      if (s < 0) t.commitAt(e).liveDirs // initial snapshot
+      else
+        // per COMMIT, not a net diff over the span: a net diff would
+        // misread a change commit's rewritten output directory as an
+        // append (duplicating its surviving rows), and would miss the
+        // distinction between an append later rewritten and a pure
+        // rewrite
+        (s + 1 to e).flatMap { v =>
+          val prev = t.commitAt(v - 1).liveDirs
+          val cur = t.commitAt(v).liveDirs
+          val removed = prev.filterNot(cur.toSet)
+          val added = cur.filterNot(prev.toSet)
+          if (removed.isEmpty) added
+          else if (skipChangeCommits) Nil
+          else throw new IllegalStateException(
+            s"graft stream over $path: commit $v removes or rewrites data " +
+              s"directories (${removed.mkString(", ")}) — the source tails " +
+              "APPENDS; set read option skipChangeCommits=true to skip " +
+              "change commits, or consume changes batch-side via " +
+              "readChangesBetween")
+        }
+    if (dirs.isEmpty) Array.empty else scanBatch(dirs).planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // the factory binds schema + conf, not files — partitions carry
+    // their own file lists, so one factory serves every micro-batch
+    scanBatch(table.commitAt(table.latestVersion()).liveDirs).createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

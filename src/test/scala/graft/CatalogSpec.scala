@@ -431,6 +431,81 @@ class CatalogSpec extends AnyFunSuite {
     assert(!got.map(_.getString(0)).contains("P"))
   }
 
+  test("streaming read tails the commit log: snapshot, appends, change refusal") {
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.ev (id BIGINT, v STRING) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (1, 'a'), (2, 'b')")
+    val name = "gstream_" + n
+    val q = spark.readStream.table(s"$cat.db.ev")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // batch 0 = the full snapshot at stream start
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 2)
+      // appends landed AFTER stream start flow through incrementally
+      spark.sql(s"INSERT INTO $cat.db.ev VALUES (3, 'c')")
+      spark.sql(s"INSERT INTO $cat.db.ev VALUES (4, 'd')")
+      q.processAllAvailable()
+      assert(spark.table(name).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+        Seq(1L, 2L, 3L, 4L))
+      // a change commit (DELETE rewrites a directory) fails the stream
+      // loudly — the source tails appends
+      spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 1")
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(_.getMessage != null) &&
+        causes(e).flatMap(c => Option(c.getMessage)).exists(_.contains("skipChangeCommits")),
+        s"expected change-commit refusal, got $e")
+    } finally q.stop()
+    // with skipChangeCommits the stream resumes past the rewrite and
+    // keeps tailing genuinely new directories
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (5, 'e')")
+    val name2 = name + "_skip"
+    val q2 = spark.readStream.option("skipChangeCommits", "true")
+      .table(s"$cat.db.ev")
+      .writeStream.outputMode("append").format("memory").queryName(name2).start()
+    try {
+      q2.processAllAvailable()
+      // fresh stream: initial snapshot of the current state (post-delete)
+      assert(spark.table(name2).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+        Seq(2L, 3L, 4L, 5L))
+      spark.sql(s"INSERT INTO $cat.db.ev VALUES (6, 'f')")
+      spark.sql(s"DELETE FROM $cat.db.ev WHERE id = 2") // change commit: skipped
+      spark.sql(s"INSERT INTO $cat.db.ev VALUES (7, 'g')")
+      q2.processAllAvailable()
+      val got = spark.table(name2).orderBy("id").collect().map(_.getLong(0)).toSeq
+      // 6 and 7 stream; the rewrite of {3,4,5,6} directories is skipped
+      // (no duplicates), id=2's removal is invisible to the append feed
+      assert(got == Seq(2L, 3L, 4L, 5L, 6L, 7L), got.toString)
+    } finally q2.stop()
+  }
+
+  test("path-based provider: batch + streaming reads without a catalog") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_src_").toString + "/t"
+    val t = graft.sources.GraftTable.create(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val fmt = "graft.sources.v2.GraftSource"
+    assert(spark.read.format(fmt).load(path).count() == 2)
+    // versionAsOf through the provider
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(spark.read.format(fmt).option("versionAsOf", "0").load(path).count() == 2)
+    assert(spark.read.format(fmt).load(path).count() == 3)
+    // streaming tail without any catalog registration
+    val name = "gsrc_sink_" + System.nanoTime()
+    val q = spark.readStream.format(fmt).load(path)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 3)
+      t.append(Seq((4L, "d")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table(name).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+        Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("catalog works against a file:// warehouse URI (Hadoop FS path)") {
     n += 1
     cat = s"gcat$n"

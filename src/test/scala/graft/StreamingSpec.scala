@@ -22,6 +22,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(smx == b.getTimestamp(1), "stream max ts != batch max ts")
   }
 
+  test("multi-batch stream: windowed agg over time-split files equals batch") {
+    // Every catalog stream reads ONE parquet file = one micro-batch, so
+    // cross-batch semantics (watermark advance, state carry-over,
+    // append-mode window closing) are never exercised there. Split the
+    // events by time into several files, feed them one per micro-batch
+    // (maxFilesPerTrigger=1) in event-time order, and the APPEND-mode
+    // watermark path must still reproduce the batch answer for every
+    // window the watermark closed.
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mb_").toString
+    // 4 time-ordered slices, one file each (file order = arrival order)
+    val (mn, mx) = ev.agg(min($"ts"), max($"ts")).as[(java.sql.Timestamp,
+      java.sql.Timestamp)].collect()(0)
+    val span = mx.getTime - mn.getTime
+    (0 until 4).foreach { i =>
+      val lo = mn.getTime + span * i / 4
+      val hi = if (i == 3) mx.getTime + 1 else mn.getTime + span * (i + 1) / 4
+      ev.filter($"ts" >= new java.sql.Timestamp(lo) &&
+          $"ts" < new java.sql.Timestamp(hi))
+        .coalesce(1).write.parquet(s"$dir/slice$i")
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/slice$i"))
+        .iterator()
+      while (f.hasNext) {
+        val p = f.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          // zero-pad so file listing order matches event-time order
+          java.nio.file.Files.move(p,
+            java.nio.file.Paths.get(dir, f"batch$i%02d.parquet"))
+      }
+    }
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val name = "mb_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s2.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "batch*.parquet")
+      .parquet(dir)
+      .withWatermark("ts", "1 minute")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("h"), $"event_type", $"n")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s2.table(name)
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.TIMESTAMP,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong)).collect().toSet
+    assert(streamed.nonEmpty, "append mode must have closed some windows")
+    val batch = ev.groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("h"), $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(t => (t._1, t._2, t._3)).toSet
+    // every emitted (closed) window must match the batch value exactly;
+    // unclosed tail windows are legitimately absent from append output
+    assert(streamed.subsetOf(batch),
+      "closed windows must equal the batch computation")
+    // the watermark must have closed at least the windows that end
+    // before the last slice began (proof cross-batch state closed)
+    val closeBefore = new java.sql.Timestamp(mn.getTime + span * 3 / 4 - 3600000)
+    val expectedClosed = batch.filter(_._1.before(closeBefore))
+    assert(expectedClosed.subsetOf(streamed),
+      "windows ended before the final batch's watermark must be emitted")
+  }
+
   test("h1 streaming window equals the batch tumbling window") {
     val streamed = SparkEntry.queries("h1_stream_window")(spark, sf).collect()
     val batch = SparkEntry.queries("e1_tumbling_window")(spark, sf).collect()
