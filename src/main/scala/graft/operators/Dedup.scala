@@ -698,11 +698,23 @@ object Dedup {
       // phase self-joins), so without lineage truncation the logical
       // tree DOUBLES per round — analysis alone goes exponential and
       // OOMs the driver after ~12 rounds. Checkpointing stores the
-      // round's partitions (MEMORY_AND_DISK, spillable, freed by the
-      // context cleaner once the next round drops the reference) and
-      // restarts the plan from a LogicalRDD, keeping every round's
-      // analysis O(1). This also makes the returned labels safe to
-      // hand out: callers consume a flat scan, not a loop lineage.
+      // round's partitions (MEMORY_AND_DISK, spillable) and restarts
+      // the plan from a LogicalRDD, keeping every round's analysis
+      // O(1). This also makes the returned labels safe to hand out:
+      // callers consume a flat scan, not a loop lineage.
+      //
+      // Superseded rounds are unpersisted EXPLICITLY (via the
+      // LogicalRDD's backing rdd) as soon as the next round has
+      // materialized from them — waiting for driver GC + the context
+      // cleaner would pin up to jumpAfter+~63 full label-table copies
+      // in storage on exactly the deep graphs the jump phase targets.
+      // Only the FINAL labels stay resident for the caller.
+      def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+        df.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }
+      def release(df: DataFrame): Unit =
+        backingRdd(df).foreach(_.unpersist(false))
       labels = edgesByDst.select($"src".as("v")).distinct()
         .select($"v", $"v".as("label"))
         .repartition(loopParts, $"v")
@@ -737,15 +749,19 @@ object Dedup {
           .localCheckpoint(true)
         val next =
           if (round < jumpAfter) afterMin
-          else
-            afterMin.as("l")
+          else {
+            val jumped = afterMin.as("l")
               .join(afterMin.select($"v".as("jv"), $"label".as("jl")).as("j"),
                 col("l.label") === col("jv"), "left")
               .select(col("l.v").as("v"),
                 least(col("l.label"), coalesce(col("jl"), col("l.label"))).as("label"))
               .repartition(loopParts, $"v")
               .localCheckpoint(true)
+            release(afterMin) // jumped is materialized; afterMin is dead
+            jumped
+          }
         val nextSum = labelSum(next)
+        release(labels) // next is materialized; the old round is dead
         labels = next
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum

@@ -77,13 +77,23 @@ object DeltaInterop {
   private val Str = "([^\"\\\\]*(?:\\\\.[^\"\\\\]*)*)"
   private val AddPath = ("\"add\"\\s*:\\s*\\{.*?\"path\":\"" + Str + "\"").r
   private val RemovePath = ("\"remove\"\\s*:\\s*\\{.*?\"path\":\"" + Str + "\"").r
-  private val PartVals = "\"partitionValues\":\\{([^}]*)\\}".r
+  // the body may contain '}' INSIDE quoted values — consume quoted
+  // strings wholesale instead of stopping at the first brace
+  private val PartVals =
+    ("\"partitionValues\":\\{((?:[^{}\"]|\"" + Str + "\")*)\\}").r
   private val PartEntry = ("\"" + Str + "\":\"" + Str + "\"").r
   private val SchemaStr = ("\"schemaString\":\"" + Str + "\"").r
   private val PartCols = "\"partitionColumns\":\\[([^\\]]*)\\]".r
 
   private def unq(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Delta add/remove paths are percent-encoded relative URIs
+    * (PROTOCOL.md): decode before resolving against the table root,
+    * falling back to the raw string for writers that didn't encode. */
+  private def decodePath(p: String): String =
+    try new java.net.URI(p).getPath
+    catch { case _: java.net.URISyntaxException => p }
 
   /** Open a Delta table's current snapshot as a DataFrame by replaying
     * its JSON commit log (no checkpoint support — tables past their
@@ -123,7 +133,7 @@ object DeltaInterop {
             .getOrElse(Nil)
         }
         AddPath.findFirstMatchIn(line).foreach { m =>
-          val p = unq(m.group(1))
+          val p = decodePath(unq(m.group(1)))
           val pv = PartVals.findFirstMatchIn(line).map(_.group(1)) match {
             case Some(body) if body.trim.nonEmpty =>
               PartEntry.findAllMatchIn(body)
@@ -132,7 +142,8 @@ object DeltaInterop {
           }
           active(p) = pv
         }
-        RemovePath.findFirstMatchIn(line).foreach(m => active.remove(unq(m.group(1))))
+        RemovePath.findFirstMatchIn(line).foreach(m =>
+          active.remove(decodePath(unq(m.group(1)))))
       }
     }
     val schema = DataType.fromJson(schemaJson.getOrElse(

@@ -96,7 +96,12 @@ private[sources] final class TableIO(rootStr: String, conf: Configuration) {
         catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
       if (!renamed) {
         fs.delete(tmp, false)
-        throw new java.nio.file.FileAlreadyExistsException(p.toString)
+        // only report slot contention when the slot is actually taken;
+        // a rename failing for an I/O reason must surface as an error,
+        // not loop through the commit protocol's 20 retries
+        if (fs.exists(p))
+          throw new java.nio.file.FileAlreadyExistsException(p.toString)
+        throw new java.io.IOException(s"rename $tmp -> $p failed")
       }
     }
 }

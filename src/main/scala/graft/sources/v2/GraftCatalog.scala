@@ -320,6 +320,15 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
       new ScanBuilder {
         override def build(): Scan = new V1Scan {
           override def readSchema(): StructType = GraftSparkTable.this.schema()
+          // MICRO_BATCH_READ is a table-level capability; this branch
+          // can't stream (old dirs need per-dir rename mapping) — say
+          // so instead of the interface default's opaque error
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+            throw new UnsupportedOperationException(
+              s"$ident has live directories written before a column " +
+                "rename — streaming reads need a rename-free snapshot " +
+                "(compact/rewrite the table first)")
           override def toV1TableScan[T <: BaseRelation with TableScan](
               context: SQLContext): T =
             new BaseRelation with TableScan {
@@ -482,7 +491,12 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
         override def pruneColumns(r: StructType): Unit = statsBuilder.pruneColumns(r)
         override def build(): Scan = {
           val delegate = statsBuilder.build()
-          new Scan {
+          // the wrapper must keep reporting the delegate's statistics:
+          // dropping SupportsReportStatistics would make every batch
+          // read fall back to defaultSizeInBytes and lose
+          // broadcast-join planning for small catalog tables
+          new Scan
+            with org.apache.spark.sql.connector.read.SupportsReportStatistics {
             override def readSchema(): StructType = delegate.readSchema()
             override def description(): String = delegate.description()
             override def toBatch: org.apache.spark.sql.connector.read.Batch =
@@ -490,6 +504,15 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
             override def supportedCustomMetrics() = delegate.supportedCustomMetrics()
             override def reportDriverMetrics() = delegate.reportDriverMetrics()
             override def columnarSupportMode() = delegate.columnarSupportMode()
+            override def estimateStatistics()
+                : org.apache.spark.sql.connector.read.Statistics = delegate match {
+              case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+                s.estimateStatistics()
+              case _ => new org.apache.spark.sql.connector.read.Statistics {
+                override def sizeInBytes() = java.util.OptionalLong.empty()
+                override def numRows() = java.util.OptionalLong.empty()
+              }
+            }
             override def toMicroBatchStream(checkpointLocation: String)
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
               require(commit.partitionBy.isEmpty,

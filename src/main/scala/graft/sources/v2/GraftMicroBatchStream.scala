@@ -86,8 +86,21 @@ class GraftMicroBatchStream(spark: SparkSession, path: String,
         // distinction between an append later rewritten and a pure
         // rewrite
         (s + 1 to e).flatMap { v =>
+          val commit = t.commitAt(v)
+          // A RENAME COLUMN landing mid-stream would make every later
+          // directory's physical column names diverge from the schema
+          // this stream was planned with — the fixed-schema scan would
+          // read the renamed column as silent nulls. Schema changes
+          // require a stream restart (the Delta source contract for
+          // column-mapping changes); fail loudly, never null-fill.
+          // skipChangeCommits does NOT cover metadata changes.
+          if (commit.renames.nonEmpty)
+            throw new IllegalStateException(
+              s"graft stream over $path: commit $v renames columns " +
+                s"(${commit.renames.map { case (o, nn) => s"$o->$nn" }.mkString(", ")}) — " +
+                "restart the stream to pick up the new schema")
           val prev = t.commitAt(v - 1).liveDirs
-          val cur = t.commitAt(v).liveDirs
+          val cur = commit.liveDirs
           val removed = prev.filterNot(cur.toSet)
           val added = cur.filterNot(prev.toSet)
           if (removed.isEmpty) added
@@ -102,10 +115,13 @@ class GraftMicroBatchStream(spark: SparkSession, path: String,
     if (dirs.isEmpty) Array.empty else scanBatch(dirs).planInputPartitions()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    // the factory binds schema + conf, not files — partitions carry
-    // their own file lists, so one factory serves every micro-batch
-    scanBatch(table.commitAt(table.latestVersion()).liveDirs).createReaderFactory()
+  // the factory binds schema + conf, not files — partitions carry
+  // their own file lists, so ONE factory (built over an empty file
+  // index, no table metadata touched) serves every micro-batch
+  private lazy val readerFactory: PartitionReaderFactory =
+    scanBatch(Nil).createReaderFactory()
+
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

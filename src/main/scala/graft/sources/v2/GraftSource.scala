@@ -28,9 +28,13 @@ class GraftSource extends TableProvider {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTable.load(SparkSession.active, pathOf(options))
-      .read().schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // the commit log records the schema — one small JSON read, never
+    // the snapshot-read machinery (whose per-dir footer inference on
+    // rename/transform tables is real I/O) just to take .schema
+    val t = GraftTable.load(SparkSession.active, pathOf(options))
+    t.commitAt(t.latestVersion()).schemaStruct
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {

@@ -481,6 +481,42 @@ class CatalogSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming read fails loudly on a mid-stream column rename") {
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.r (id BIGINT, v STRING) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.r VALUES (1, 'a')")
+    val name = "grename_" + n
+    val q = spark.readStream.table(s"$cat.db.r")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 1)
+      // a rename landing mid-stream must kill the stream with a clear
+      // message, never null-fill later appends under the old schema
+      spark.sql(s"ALTER TABLE $cat.db.r RENAME COLUMN v TO label")
+      spark.sql(s"INSERT INTO $cat.db.r VALUES (2, 'b')")
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("renames columns")), s"got $e")
+    } finally q.stop()
+  }
+
+  test("catalog scan reports real statistics (broadcast planning survives)") {
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.s (id BIGINT, v STRING) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.s VALUES (1, 'a'), (2, 'b')")
+    // the streaming-capable Scan wrapper must forward
+    // SupportsReportStatistics — a dropped interface falls back to
+    // defaultSizeInBytes and a tiny table would sort-merge-join forever
+    val stats = spark.table(s"$cat.db.s").queryExecution
+      .optimizedPlan.stats.sizeInBytes
+    val default = BigInt(spark.conf.get("spark.sql.defaultSizeInBytes",
+      Long.MaxValue.toString))
+    assert(stats > 0 && stats < default,
+      s"scan must report its real size, got $stats")
+  }
+
   test("path-based provider: batch + streaming reads without a catalog") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_src_").toString + "/t"

@@ -81,6 +81,43 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(got == Set((1L, 1.0, "A"), (2L, 2.0, "A"), (3L, 3.0, "B")))
   }
 
+  test("readDelta handles brace-bearing partition values and encoded paths") {
+    import spark.implicits._
+    val root = tmp("graft_desc_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    // data file under a directory whose name needs percent-encoding in
+    // the add path (space), partition value containing '}' and '"'
+    val sub = "seg=a b"
+    Seq((1L, 1.0)).toDF("id", "x").coalesce(1)
+      .write.parquet(root + "/" + sub)
+    val f = Files.list(Paths.get(root, sub)).iterator()
+    var dataFile: String = null
+    while (f.hasNext) {
+      val p = f.next()
+      if (p.getFileName.toString.endsWith(".parquet"))
+        dataFile = p.getFileName.toString
+    }
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("seg",
+        org.apache.spark.sql.types.StringType))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // the add path is percent-encoded per the protocol; the partition
+    // value exercises '}' inside the partitionValues object body
+    val encPath = "seg=a%20b/" + dataFile
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":["seg"],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"$encPath","partitionValues":{"seg":"a}\\"b"},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val got = DeltaInterop.readDelta(spark, root)
+      .as[(Long, Double, String)].collect().toSeq
+    assert(got == Seq((1L, 1.0, "a}\"b")), got.toString)
+  }
+
   test("readDelta refuses checkpointed logs loudly") {
     val root = tmp("graft_dckpt_")
     Files.createDirectories(Paths.get(root, "_delta_log"))

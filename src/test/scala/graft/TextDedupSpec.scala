@@ -319,6 +319,24 @@ class TextDedupSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cc.jumpAfter")
   }
 
+  test("connectedComponents frees superseded rounds' checkpoint storage") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.cc.jumpAfter", "2")
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.size
+      val n = 100
+      val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+      val comp = graft.operators.Dedup.connectedComponents(spark, pairs)
+      assert(comp.count() == n + 1)
+      // a deep chain runs many rounds; only the FINAL labels (plus at
+      // most transient cleanup lag) may stay persisted — superseded
+      // rounds are released explicitly, not left to GC
+      val after = spark.sparkContext.getPersistentRDDs.size
+      assert(after - before <= 2,
+        s"CC leaked ${after - before} persisted round relations")
+    } finally spark.conf.unset("spark.graft.cc.jumpAfter")
+  }
+
   test("semDedup keeps every row of a duplicate-free corpus") {
     import spark.implicits._
     // orthogonal unit vectors: no cosine pair ever reaches threshold
