@@ -3,7 +3,7 @@ package graft.sources.v2
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.graftbridge.ParquetTableBridge
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -52,10 +52,19 @@ object GraftOffset {
   */
 class GraftMicroBatchStream(spark: SparkSession, path: String,
     schema: StructType, options: CaseInsensitiveStringMap)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private val skipChangeCommits =
     Option(options.get("skipchangecommits")).exists(_.toBoolean)
+
+  /** Admission control: at most this many COMMITS per micro-batch
+    * (read option `maxCommitsPerTrigger`). Commit granularity is the
+    * natural rate unit for a log-tailing source — each commit's added
+    * directories are one writer batch — and it bounds a catch-up
+    * consumer's batch size after downtime instead of replaying the
+    * whole backlog in one giant batch. */
+  private val maxCommitsPerTrigger =
+    Option(options.get("maxcommitspertrigger")).map(_.toInt)
 
   // re-load per call: a stream outlives any single snapshot, so the
   // latest offset must see commits landed after the stream started
@@ -64,6 +73,23 @@ class GraftMicroBatchStream(spark: SparkSession, path: String,
   override def initialOffset(): Offset = GraftOffset(-1)
 
   override def latestOffset(): Offset = GraftOffset(table.latestVersion())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxCommitsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val latest = table.latestVersion()
+    val s = start.asInstanceOf[GraftOffset].version
+    maxCommitsPerTrigger match {
+      // the initial snapshot (start = -1 → first real offset) is one
+      // indivisible batch regardless of the limit
+      case Some(n) if s >= 0 => GraftOffset(math.min(latest, s + n))
+      case _ => GraftOffset(latest)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = GraftOffset(table.latestVersion())
 
   override def deserializeOffset(json: String): Offset = GraftOffset.fromJson(json)
 

@@ -481,6 +481,40 @@ class CatalogSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming read recovers from a checkpoint exactly-once; rate limit bounds batches") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_ckr_").toString + "/t"
+    val t = graft.sources.GraftTable.create(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val fmt = "graft.sources.v2.GraftSource"
+    val out = Files.createTempDirectory("graft_ckr_out_").toString
+    val ckpt = Files.createTempDirectory("graft_ckr_ck_").toString
+    def run() = spark.readStream.format(fmt)
+      .option("maxCommitsPerTrigger", "1").load(path)
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).outputMode("append").start()
+    val q1 = run()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 2)
+    // appends land while NO stream is running; the restarted stream
+    // must resume from the checkpointed commit offset — the snapshot
+    // batch must not replay (exactly-once), and with
+    // maxCommitsPerTrigger=1 the two missed commits arrive as two
+    // bounded batches rather than one catch-up batch
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      val batches = q2.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 2,
+        s"expected 2 rate-limited catch-up batches, got ${batches.length}")
+    } finally q2.stop()
+    val got = spark.read.parquet(out).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L), got.toString)
+  }
+
   test("streaming read fails loudly on a mid-stream column rename") {
     freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.r (id BIGINT, v STRING) USING graft")
