@@ -397,15 +397,14 @@ object Streams {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
-  /** Streaming read of the documents table (explicit schema, like
-    * eventStream). */
-  private val DocSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("text", StringType),
-    StructField("lang", StringType), StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
+  /** Streaming read of the documents table. The explicit schema the
+    * file source demands comes from the BATCH reader's footer
+    * inference — never hard-coded physical types, so a regenerated
+    * documents.parquet with different physical widths cannot silently
+    * desync the stream from the batch view (the failure class the
+    * events ts drift exposed). */
   private def docStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream.schema(DocSchema)
+    s.readStream.schema(Tables.documents(s, dir).schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
 
   /** h9: STREAM-STATIC decontamination — continuously arriving training
