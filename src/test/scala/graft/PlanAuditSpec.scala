@@ -311,4 +311,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), s"q1 fell out of whole-stage codegen:\n$plan")
   }
+
+  test("delta replay reads push filters into the parquet scans") {
+    import spark.implicits._
+    // readDelta returns plain parquet scans (possibly unioned per
+    // partition group) — a predicate over it must reach the scan as a
+    // pushed filter, not evaluate above a full read
+    val t = graft.sources.GraftTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_pa_dx_").toString + "/t",
+      (1L to 1000L).map(i => (i, s"v$i", i * 1.5)).toDF("id", "v", "x"))
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_pa_delta_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    val df = graft.sources.DeltaInterop.readDelta(spark, target)
+      .filter($"id" === 7L).select($"id", $"x")
+    assert(df.count() == 1)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: [IsNotNull(id), EqualTo(id,7)]"),
+      s"filter did not reach the parquet scan:\n$formatted")
+    assert(formatted.contains("ReadSchema") && !formatted.contains("\"v\""),
+      "column pruning must drop the unused string column")
+  }
 }
