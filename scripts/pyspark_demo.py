@@ -97,5 +97,34 @@ spark.sql(
     "FROM deduped"
 ).show()
 
+print("== 6. Versioned lakehouse table + Delta export, from Python ==")
+import tempfile
+
+gt = spark._jvm.graft.sources.GraftTable
+table_path = tempfile.mkdtemp(prefix="graft_py_") + "/t"
+# Scala default args surface as $default$N static forwarders
+no_partitions = getattr(gt, "create$default$4")()
+t = gt.create(spark._jsparkSession, table_path, kept._jdf, no_partitions)
+t.append(docs.filter("doc_id < 0")._jdf)  # empty append -> new version
+print(f"table versions: {t.latestVersion() + 1}, "
+      f"rows: {from_jvm(t.read()).count()}")
+
+delta_path = tempfile.mkdtemp(prefix="graft_py_delta_") + "/t"
+dx = spark._jvm.graft.sources.DeltaInterop
+n_files = dx.exportSnapshot(t, delta_path)
+replayed = from_jvm(dx.readDelta(spark._jsparkSession, delta_path))
+print(f"delta export: {n_files} data files; replayed rows: {replayed.count()}")
+assert replayed.count() == from_jvm(t.read()).count()
+
+# the same Delta table through the SQL catalog's streaming-capable
+# sibling: register a graft catalog and tail the ORIGINAL table
+spark.conf.set("spark.sql.catalog.pydemo", "graft.sources.v2.GraftCatalog")
+spark.conf.set("spark.sql.catalog.pydemo.warehouse",
+               tempfile.mkdtemp(prefix="graft_py_wh_"))
+spark.sql("CREATE NAMESPACE pydemo.db")
+spark.sql("CREATE TABLE pydemo.db.t (doc_id BIGINT, n BIGINT) USING graft")
+spark.sql("INSERT INTO pydemo.db.t SELECT doc_id, n_chars FROM documents LIMIT 10")
+print(f"catalog table rows: {spark.table('pydemo.db.t').count()}")
+
 spark.stop()
 print("demo complete")
