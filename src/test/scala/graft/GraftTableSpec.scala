@@ -522,6 +522,33 @@ class GraftTableSpec extends AnyFunSuite {
     // (covered by the RetryableActions gate; appends above exercised retries)
   }
 
+  test("optimistic commit under contention on a rename-atomic (HDFS-like) store") {
+    import spark.implicits._
+    // same concurrent-appends protocol as the local test, but through
+    // TableIO's GENERIC branch against a store whose rename fails on an
+    // existing destination — the conditional-put contract HDFS-class
+    // stores provide. Every writer must land, none may be lost, and
+    // version slots must stay unique.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftest.impl", classOf[GraftTestFs].getName)
+    val path = "graftest://" +
+      Files.createTempDirectory("graft_hdfs_cc_").toString + "/t"
+    val t = GraftTable.create(spark, path, Seq((0L, "seed")).toDF("id", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          override def call(): Int =
+            GraftTable.load(spark, path).append(Seq((i.toLong, s"w$i")).toDF("id", "v"))
+        })
+      }
+      val versions = futures.map(_.get())
+      assert(versions.distinct.size == 8, s"version collision: $versions")
+    } finally pool.shutdown()
+    assert(t.read().count() == 9)
+    assert(t.latestVersion() == 8)
+  }
+
   test("cluster: range-clustered dirs give tight stats and real pruning") {
     import spark.implicits._
     // one wide-range dir: every predicate overlaps it
@@ -750,10 +777,26 @@ class GraftTableSpec extends AnyFunSuite {
   }
 }
 
-/** RawLocalFileSystem re-registered under a non-`file` scheme, so specs
-  * can exercise TableIO's generic (rename-based) store contract while
-  * physically writing to local disk. */
+/** RawLocalFileSystem re-registered under a non-`file` scheme with
+  * HDFS-shaped rename semantics (rename FAILS when the destination
+  * exists, instead of POSIX-overwriting), so specs can exercise
+  * TableIO's generic (rename-based) conditional-put contract — the
+  * semantics the commit protocol assumes of HDFS/ABFS/GCS-class
+  * stores — while physically writing to local disk. The raw POSIX
+  * rename alone is NOT a conditional put; on such stores only the
+  * single-writer precheck protects the slot (documented in TableIO). */
 class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "graftest"
   override def getUri: java.net.URI = java.net.URI.create("graftest:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean =
+    // the exists+rename pair is made atomic w.r.t. OTHER renames via
+    // the JVM-wide lock — faithful to a namenode's serialized rename
+    GraftTestFs.renameLock.synchronized {
+      if (exists(dst) && !getFileStatus(dst).isDirectory) false
+      else super.rename(src, dst)
+    }
+}
+object GraftTestFs {
+  private[graft] val renameLock = new Object
 }
