@@ -310,12 +310,27 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
         renameVersions.exists(_ > d.drop(1).takeWhile(_.isDigit).toInt))
   }
 
+  /** Identity partition specs (no transform): their hive layout splits
+    * EACH data directory into its own `col=value` tree, and the
+    * column's values live only in directory names. Spark's file index
+    * cannot infer one partitioning across several such roots
+    * (CONFLICTING_DIRECTORY_STRUCTURES), so snapshots holding more
+    * than one data directory must read per-dir (own basePath) and
+    * union — the Scala read path — not the single multi-root DSv2
+    * parquet scan. Transform specs are unaffected: their hidden
+    * `__p_*` layout columns are expanded to leaf subdir paths and
+    * projected away. */
+  private def identityPartitioned: Boolean =
+    commit.partitionBy.exists(p => !p.contains("(")) &&
+      commit.liveDirs.size > 1
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    if (needsRenameMapping) {
-      // rename-bearing snapshots route through the rename-aware Scala
-      // read path via the public V1Scan escape hatch (pushdown happens
-      // inside that DataFrame's own parquet scans; the relation here
-      // just adapts it to the DSv2 contract).
+    if (needsRenameMapping || identityPartitioned) {
+      // rename-bearing and multi-dir identity-partitioned snapshots
+      // route through the per-dir Scala read path via the public
+      // V1Scan escape hatch (pushdown happens inside that DataFrame's
+      // own parquet scans; the relation here just adapts it to the
+      // DSv2 contract).
       val df = table.readVersion(snapshotVersion)
       new ScanBuilder {
         override def build(): Scan = new V1Scan {
@@ -326,9 +341,10 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
           override def toMicroBatchStream(checkpointLocation: String)
               : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
             throw new UnsupportedOperationException(
-              s"$ident has live directories written before a column " +
-                "rename — streaming reads need a rename-free snapshot " +
-                "(compact/rewrite the table first)")
+              s"$ident needs the per-directory read path (live dirs " +
+                "written before a column rename, or identity hive " +
+                "partitioning across several dirs) — streaming reads " +
+                "support unpartitioned rename-free tables")
           override def toV1TableScan[T <: BaseRelation with TableScan](
               context: SQLContext): T =
             new BaseRelation with TableScan {

@@ -576,6 +576,33 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("identity-partitioned tables: multi-commit reads and mutations through SQL") {
+    // Each commit writes its OWN col=value hive tree, and Spark's file
+    // index cannot infer one partitioning across several such roots
+    // (CONFLICTING_DIRECTORY_STRUCTURES) — identity-partitioned
+    // snapshots with >1 data dir must take the per-dir read path.
+    // Regression: this crashed for every identity-partitioned catalog
+    // table after its second commit.
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.p (id BIGINT, seg STRING) " +
+      "USING graft PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $cat.db.p VALUES (1, 'x'), (2, 'y')")
+    spark.sql(s"INSERT INTO $cat.db.p VALUES (3, 'x')")
+    val got = spark.table(s"$cat.db.p").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "x"), (2L, "y"), (3L, "x")))
+    // partition-column predicate
+    assert(spark.sql(s"SELECT id FROM $cat.db.p WHERE seg = 'x'").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    // row-level mutations over the identity-partitioned snapshot
+    spark.sql(s"DELETE FROM $cat.db.p WHERE id = 2")
+    assert(spark.table(s"$cat.db.p").count() == 2)
+    spark.sql(s"UPDATE $cat.db.p SET id = 30 WHERE seg = 'x' AND id = 3")
+    assert(spark.table(s"$cat.db.p").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "x"), (30L, "x")))
+  }
+
   test("catalog works against a file:// warehouse URI (Hadoop FS path)") {
     n += 1
     cat = s"gcat$n"
