@@ -427,26 +427,10 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
                   l: org.apache.spark.sql.catalyst.expressions.Literal,
                   a: org.apache.spark.sql.catalyst.expressions.Attribute) => a.name -> l
             }.toMap
-          if (derivedCols.isEmpty || filters.isEmpty)
-            kept.map(d => new HPath(new HPath(path), d).toString)
-          else kept.flatMap { d =>
-            val dirP = new HPath(new HPath(path), d)
-            val pfs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            val subs =
-              (try Some(pfs.getFileStatus(dirP))
-               catch { case _: java.io.FileNotFoundException => None }) match {
-                case Some(st) if st.isDirectory =>
-                  pfs.listStatus(dirP).toVector
-                    .filter(s => s.isDirectory &&
-                      (s.getPath.getName.split("=", 2) match {
-                        case Array(k, _) => derivedCols.contains(k)
-                        case _ => false
-                      }))
-                case _ => Vector.empty
-              }
-            if (subs.isEmpty) Seq(dirP.toString)
-            else subs.filter { sub =>
-              val Array(k, v) = sub.getPath.getName.split("=", 2)
+          // Per-subdir keep/skip decision for one hive level of a
+          // derived-transform layout (true = the subdir may hold
+          // matching rows; with no pushed filters everything keeps).
+          def keepSubdir(k: String, v: String): Boolean = {
               if (timeCols.contains(k)) {
                 val (src, kind) = timeCols(k)
                 val isTs = schemaTypes.get(src)
@@ -490,7 +474,43 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
                   }
                 }
               }
-            }.map(_.getPath.toString)
+          }
+          // Pure-transform tables ALWAYS expand each kept data dir to
+          // its LEAF hive subdirs (depth = #specs): leaf dirs are flat
+          // parquet directories, so the multi-root scan never asks
+          // Spark to infer one partitioning across several `col=value`
+          // trees — which it refuses to do
+          // (CONFLICTING_DIRECTORY_STRUCTURES) the moment a second
+          // commit lands. Expansion doubles as transform-grained
+          // pruning when filters are pushed (keepSubdir). Identity and
+          // mixed layouts never reach here: multi-dir snapshots route
+          // through the per-dir V1 path, and a single-dir snapshot is
+          // one root (inference works).
+          val pureTransform = commit.partitionBy.nonEmpty &&
+            commit.partitionBy.forall(_.contains("("))
+          if (derivedCols.isEmpty || !pureTransform)
+            kept.map(d => new HPath(new HPath(path), d).toString)
+          else kept.flatMap { d =>
+            val dirP = new HPath(new HPath(path), d)
+            val pfs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            def leaves(p: HPath, depth: Int): Seq[String] =
+              if (depth == 0) Seq(p.toString)
+              else {
+                val isDir =
+                  try pfs.getFileStatus(p).isDirectory
+                  catch { case _: java.io.FileNotFoundException => false }
+                if (!isDir) Nil
+                else pfs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { c =>
+                  c.getPath.getName.split("=", 2) match {
+                    case Array(k, v) if derivedCols.contains(k) =>
+                      if (keepSubdir(k, v)) leaves(c.getPath, depth - 1) else Nil
+                    // unexpected layout level: keep the dir whole
+                    // (conservative — never drop data on surprise)
+                    case _ => Seq(c.getPath.toString)
+                  }
+                }
+              }
+            leaves(dirP, commit.partitionBy.size)
           }
         })
       // Wrap the built scan so the SAME table also serves micro-batch

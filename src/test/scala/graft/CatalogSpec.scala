@@ -603,6 +603,34 @@ class CatalogSpec extends AnyFunSuite {
       Set((1L, "x"), (30L, "x")))
   }
 
+  test("transform-partitioned tables: multi-commit UNFILTERED reads expand to leaves") {
+    // Regression: the leaf-subdir expansion only ran when filters were
+    // pushed, so a bare SELECT * over a days(ts) table crashed with
+    // CONFLICTING_DIRECTORY_STRUCTURES once a second commit landed
+    // (multi-root partition inference over the __p_* trees).
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.tt (id BIGINT, ts TIMESTAMP) " +
+      "USING graft PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO $cat.db.tt VALUES " +
+      "(1, TIMESTAMP'2024-01-01 10:00:00'), (2, TIMESTAMP'2024-01-02 10:00:00')")
+    spark.sql(s"INSERT INTO $cat.db.tt VALUES (3, TIMESTAMP'2024-01-01 11:00:00')")
+    assert(spark.table(s"$cat.db.tt").count() == 3)
+    assert(spark.sql(
+      s"SELECT id FROM $cat.db.tt WHERE to_date(ts) = DATE'2024-01-01'")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // mixed transform+identity: routed per-dir, values intact
+    spark.sql(s"CREATE TABLE $cat.db.mx (id BIGINT, ts TIMESTAMP, region STRING) " +
+      "USING graft PARTITIONED BY (days(ts), region)")
+    spark.sql(s"INSERT INTO $cat.db.mx VALUES " +
+      "(1, TIMESTAMP'2024-01-01 10:00:00', 'eu'), (2, TIMESTAMP'2024-01-02 10:00:00', 'us')")
+    spark.sql(s"INSERT INTO $cat.db.mx VALUES (3, TIMESTAMP'2024-01-01 11:00:00', 'eu')")
+    assert(spark.table(s"$cat.db.mx").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet ==
+      Set((1L, "eu"), (2L, "us"), (3L, "eu")))
+    assert(spark.sql(s"SELECT id FROM $cat.db.mx WHERE region = 'eu'")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("catalog works against a file:// warehouse URI (Hadoop FS path)") {
     n += 1
     cat = s"gcat$n"

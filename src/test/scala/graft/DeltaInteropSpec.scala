@@ -118,6 +118,22 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1.0, "a}\"b")), got.toString)
   }
 
+  test("export round-trips timestamps, dates, decimals and nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a"), Option(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        Option(java.sql.Date.valueOf("2024-02-03")), Option(BigDecimal("12.3456"))),
+      (2L, None, None, None, None)
+    ).toDF("id", "v", "ts", "d", "dec")
+    val t = GraftTable.create(spark, tmp("graft_dxt_"), df)
+    val target = tmp("graft_dxt_out_")
+    DeltaInterop.exportSnapshot(t, target)
+    val back = DeltaInterop.readDelta(spark, target)
+    assert(back.schema == t.read().schema)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      t.read().orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
   test("readDelta refuses checkpointed logs loudly") {
     val root = tmp("graft_dckpt_")
     Files.createDirectories(Paths.get(root, "_delta_log"))
