@@ -84,39 +84,145 @@ object DeltaInterop {
   private val PartEntry = ("\"" + Str + "\":\"" + Str + "\"").r
   private val SchemaStr = ("\"schemaString\":\"" + Str + "\"").r
   private val PartCols = "\"partitionColumns\":\\[([^\\]]*)\\]".r
+  private val MinReader = "\"minReaderVersion\"\\s*:\\s*(\\d+)".r
+  private val ReaderFeats = "\"readerFeatures\"\\s*:\\s*\\[([^\\]]*)\\]".r
+  private val ColMapMode =
+    ("\"delta\\.columnMapping\\.mode\"\\s*:\\s*\"" + Str + "\"").r
+  private val CpVersion = "\"version\"\\s*:\\s*(\\d+)".r
 
   private def unq(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
-  /** Delta add/remove paths are percent-encoded relative URIs
-    * (PROTOCOL.md): decode before resolving against the table root,
-    * falling back to the raw string for writers that didn't encode. */
+  /** Reader-protocol gate: this replay implements reader version 1
+    * (plain add/remove over parquet). A table demanding more —
+    * minReaderVersion > 1, readerFeatures (deletion vectors, v2
+    * checkpoints, …) or column mapping — would be SILENTLY misread
+    * (DV-deleted rows resurfacing, mapped columns read as nulls), so
+    * it must refuse instead. */
+  private def checkProtocol(path: String, minReader: Int,
+      readerFeatures: Seq[String]): Unit =
+    if (minReader > 1 || readerFeatures.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Delta table at $path requires reader protocol $minReader" +
+          (if (readerFeatures.nonEmpty)
+            s" with features [${readerFeatures.mkString(", ")}]" else "") +
+          " — this dependency-free replay supports reader version 1 only " +
+          "(no deletion vectors / column mapping / v2 checkpoints); " +
+          "read it with a full Delta client")
+
+  private def checkColumnMapping(path: String, mode: String): Unit =
+    if (mode.nonEmpty && mode != "none")
+      throw new IllegalArgumentException(
+        s"Delta table at $path uses column mapping mode '$mode' — physical " +
+          "parquet column names diverge from the declared schema and a " +
+          "name-based scan would read nulls; read it with a full Delta client")
+
+  /** Delta add/remove paths are percent-encoded RELATIVE URIs resolved
+    * against the table root — or ABSOLUTE URIs for external files
+    * (shallow clones etc., PROTOCOL.md), which must be used as-is, not
+    * re-rooted. Returns a decoded canonical string; [[resolveFile]]
+    * makes it concrete. Falls back to the raw string for writers that
+    * didn't encode. */
   private def decodePath(p: String): String =
-    try new java.net.URI(p).getPath
-    catch { case _: java.net.URISyntaxException => p }
+    try {
+      val u = new java.net.URI(p)
+      if (u.getScheme == null) u.getPath
+      else if (u.getAuthority != null)
+        s"${u.getScheme}://${u.getAuthority}${u.getPath}"
+      else s"${u.getScheme}:${u.getPath}"
+    } catch { case _: java.net.URISyntaxException => p }
+
+  private val SchemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*:".r
+
+  private def resolveFile(root: HPath, p: String): String =
+    if (p.startsWith("/") || SchemePrefix.findFirstIn(p).isDefined) p
+    else new HPath(root, p).toString
 
   /** Open a Delta table's current snapshot as a DataFrame by replaying
-    * its JSON commit log (no checkpoint support — tables past their
-    * first parquet checkpoint need the log tail since the checkpoint,
-    * which this reader does not reconstruct; it fails loudly instead).
-    * Identity-partitioned tables come back with their partition
-    * columns rebuilt from `partitionValues` and cast to the declared
-    * schema types. */
+    * its log: the latest parquet CHECKPOINT (single- or multi-part, v1
+    * classic format) as the base state, then the JSON commit tail on
+    * top. Reader protocol is gated at version 1 — deletion vectors,
+    * column mapping and v2 checkpoints refuse loudly rather than
+    * misread. Identity-partitioned tables come back with their
+    * partition columns rebuilt from `partitionValues` and cast to the
+    * declared schema types; absolute-URI add paths (external files,
+    * shallow clones) are read in place. */
   def readDelta(spark: SparkSession, path: String): DataFrame = {
     val root = new HPath(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new HPath(root, "_delta_log")
     require(fs.exists(logDir), s"no Delta log at $path")
-    require(!fs.exists(new HPath(logDir, "_last_checkpoint")),
-      s"Delta table at $path has a parquet checkpoint — JSON-log replay " +
-        "cannot see files compacted into it; read it with a full Delta client")
-    val commits = fs.listStatus(logDir).toSeq.map(_.getPath)
-      .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
-    require(commits.nonEmpty, s"empty Delta log at $path")
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     // last add per path wins; removes tombstone
     val active = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+
+    // ---- checkpoint base state (O(#files) metadata through one scan) ----
+    val lastCp = new HPath(logDir, "_last_checkpoint")
+    val cpVersion: Long = if (!fs.exists(lastCp)) -1L else {
+      val txt = {
+        val in = fs.open(lastCp)
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      }
+      val v = CpVersion.findFirstMatchIn(txt).getOrElse(throw new
+          IllegalStateException(s"malformed _last_checkpoint at $path"))
+        .group(1).toLong
+      val cpFiles = fs.listStatus(logDir).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith(f"$v%020d.checkpoint") &&
+          p.getName.endsWith(".parquet"))
+      require(cpFiles.nonEmpty,
+        s"_last_checkpoint at $path names version $v but no checkpoint parquet exists")
+      val cp = spark.read.parquet(cpFiles.map(_.toString): _*)
+      val fields = cp.schema.fieldNames.toSet
+      // v2 checkpoints carry checkpointMetadata + sidecar actions and
+      // may not list the data files inline — misreading one as v1
+      // would silently drop files
+      if (fields.contains("checkpointMetadata") || fields.contains("sidecar"))
+        checkProtocol(path, 1, Seq("v2Checkpoint"))
+      if (fields.contains("protocol")) {
+        val protoFields =
+          cp.schema("protocol").dataType.asInstanceOf[StructType].fieldNames.toSet
+        val rf =
+          if (protoFields.contains("readerFeatures")) col("protocol.readerFeatures")
+          else lit(null).cast("array<string>")
+        cp.where(col("protocol.minReaderVersion").isNotNull)
+          .select(col("protocol.minReaderVersion"), rf.as("rf"))
+          .collect().foreach { r =>
+            checkProtocol(path, r.getInt(0),
+              if (r.isNullAt(1)) Nil else r.getSeq[String](1))
+          }
+      }
+      if (fields.contains("metaData"))
+        cp.where(col("metaData.schemaString").isNotNull)
+          .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
+            col("metaData.configuration"))
+          .collect().foreach { r =>
+            schemaJson = Some(r.getString(0))
+            partCols = if (r.isNullAt(1)) Nil else r.getSeq[String](1)
+            val conf = if (r.isNullAt(2)) Map.empty[String, String]
+              else r.getMap[String, String](2).filter(_._2 != null).toMap
+            checkColumnMapping(path, conf.getOrElse("delta.columnMapping.mode", ""))
+          }
+      // checkpoint `remove` actions are vacuum tombstones of files
+      // already gone from the snapshot — active state is the adds alone
+      if (fields.contains("add"))
+        cp.where(col("add.path").isNotNull)
+          .select(col("add.path"), col("add.partitionValues"))
+          .collect().foreach { r =>
+            val pv = if (r.isNullAt(1)) Map.empty[String, String]
+              else r.getMap[String, String](1).filter(_._2 != null).toMap
+            active(decodePath(r.getString(0))) = pv
+          }
+      v
+    }
+
+    // ---- JSON tail on top of the checkpoint ----
+    val commits = fs.listStatus(logDir).toSeq.map(_.getPath)
+      .filter(_.getName.matches("\\d{20}\\.json"))
+      .filter(_.getName.dropRight(5).toLong > cpVersion)
+      .sortBy(_.getName)
+    require(cpVersion >= 0 || commits.nonEmpty, s"empty Delta log at $path")
     commits.foreach { c =>
       val text = {
         val in = fs.open(c)
@@ -124,6 +230,15 @@ object DeltaInterop {
         finally in.close()
       }
       text.split('\n').foreach { line =>
+        if (line.contains("\"protocol\""))
+          MinReader.findFirstMatchIn(line).foreach { m =>
+            val rf = ReaderFeats.findFirstMatchIn(line).map(_.group(1))
+              .filter(_.trim.nonEmpty)
+              .map(_.split(",").toSeq
+                .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+              .getOrElse(Nil)
+            checkProtocol(path, m.group(1).toInt, rf)
+          }
         SchemaStr.findFirstMatchIn(line).foreach { m =>
           schemaJson = Some(unq(m.group(1)))
           partCols = PartCols.findFirstMatchIn(line).map(_.group(1))
@@ -131,6 +246,8 @@ object DeltaInterop {
             .map(_.split(",").toSeq
               .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
             .getOrElse(Nil)
+          ColMapMode.findFirstMatchIn(line).foreach(m =>
+            checkColumnMapping(path, unq(m.group(1))))
         }
         AddPath.findFirstMatchIn(line).foreach { m =>
           val p = decodePath(unq(m.group(1)))
@@ -157,7 +274,7 @@ object DeltaInterop {
     // plus literal partition columns cast to the declared types —
     // partition values live only in the log, never in the data files
     active.toSeq.groupBy(_._2).map { case (pv, files) =>
-      val paths = files.map { case (p, _) => new HPath(root, p).toString }
+      val paths = files.map { case (p, _) => resolveFile(root, p) }
       val base = spark.read.schema(dataSchema).parquet(paths: _*)
       val withParts = partCols.foldLeft(base) { (d, pc) =>
         val f = schema(pc)

@@ -3,7 +3,7 @@ package graft.sources.v2
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.graftbridge.ParquetTableBridge
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -74,14 +74,30 @@ class GraftMicroBatchStream(spark: SparkSession, path: String,
 
   override def latestOffset(): Offset = GraftOffset(table.latestVersion())
 
+  // Commits are this source's admission unit; ReadLimit has no
+  // maxCommits flavor, so maxFiles carries the commit cap (one commit =
+  // one writer batch of files — the closest unit Spark models).
   override def getDefaultReadLimit: ReadLimit =
     maxCommitsPerTrigger.map(n => ReadLimit.maxFiles(n))
       .getOrElse(ReadLimit.allAvailable())
 
+  /** The commit cap implied by the ReadLimit the ENGINE passed — Spark
+    * may hand back something other than our default (AvailableNow
+    * wraps, composites compose), so honor it rather than re-deriving
+    * from the option; the option is only the fallback for
+    * allAvailable. A composite takes the tightest file cap it holds. */
+  private def commitCap(limit: ReadLimit): Option[Int] = limit match {
+    case f: ReadMaxFiles => Some(f.maxFiles)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(commitCap).minOption
+    case _: ReadAllAvailable => maxCommitsPerTrigger
+    case _ => maxCommitsPerTrigger // rows/bytes caps don't map to commits
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val latest = table.latestVersion()
     val s = start.asInstanceOf[GraftOffset].version
-    maxCommitsPerTrigger match {
+    commitCap(limit) match {
       // the initial snapshot (start = -1 → first real offset) is one
       // indivisible batch regardless of the limit
       case Some(n) if s >= 0 => GraftOffset(math.min(latest, s + n))

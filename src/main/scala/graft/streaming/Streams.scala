@@ -101,15 +101,39 @@ object Streams {
       case None =>
     }
     val name = "graft_sink_" + UUID.randomUUID().toString.replace("-", "")
-    val q = mk(s).writeStream.outputMode(mode).format("memory").queryName(name).start()
-    q.processAllAvailable()
-    val inputRows = q.recentProgress.map(_.numInputRows).sum
-    q.stop()
+    // Input rows are totalled by a listener, NOT q.recentProgress — that
+    // is a ring buffer capped at numRecentProgressUpdates (default 100),
+    // so a drain taking >100 micro-batches with its input arriving early
+    // would have its early batches rotated out and trip the guard
+    // spuriously. The listener sees every progress event; this session
+    // runs exactly one query, so no id filtering is needed.
+    val inputRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val terminated = new java.util.concurrent.CountDownLatch(1)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        inputRows.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        terminated.countDown()
+    }
+    s.streams.addListener(listener)
+    try {
+      val q = mk(s).writeStream.outputMode(mode).format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      // the listener bus is async but ordered: the terminated event is
+      // delivered after every progress event of this query, so once it
+      // lands the accumulated total is complete
+      terminated.await(60, java.util.concurrent.TimeUnit.SECONDS)
+    } finally s.streams.removeListener(listener)
     // A finite test/bench input that yields ZERO rows means the source
     // matched nothing (e.g. the driver renamed events.parquet and the
     // pathGlobFilter silently selected an empty file set) — that must
     // crash loudly, not return an empty green-looking result.
-    if (inputRows == 0)
+    if (inputRows.get == 0)
       throw new IllegalStateException(
         "streaming source read 0 input rows — source glob matched no data " +
           "(environment drift?); refusing to return an empty result")

@@ -515,6 +515,40 @@ class CatalogSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 3L, 4L), got.toString)
   }
 
+  test("micro-batch stream honors the engine-passed ReadLimit") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.v2.{GraftMicroBatchStream, GraftOffset}
+    val path = Files.createTempDirectory("graft_rl_").toString + "/t"
+    val t = graft.sources.GraftTable.create(spark, path,
+      Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.append(Seq((4L, "d")).toDF("id", "v")) // latest version = 3
+    def mk(opts: Map[String, String]) = new GraftMicroBatchStream(spark, path,
+      t.read().schema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava))
+    // the engine may pass a limit the source never declared (e.g.
+    // Trigger.AvailableNow wrapping) — it must be honored, not
+    // re-derived from the source's own option
+    val bare = mk(Map.empty)
+    assert(bare.latestOffset(GraftOffset(0), ReadLimit.maxFiles(1))
+      .asInstanceOf[GraftOffset].version == 1)
+    assert(bare.latestOffset(GraftOffset(0), ReadLimit.compositeLimit(
+        Array(ReadLimit.maxFiles(2), ReadLimit.maxFiles(1))))
+      .asInstanceOf[GraftOffset].version == 1)
+    assert(bare.latestOffset(GraftOffset(0), ReadLimit.allAvailable())
+      .asInstanceOf[GraftOffset].version == 3)
+    // allAvailable falls back to the source's own maxCommitsPerTrigger
+    val opt = mk(Map("maxCommitsPerTrigger" -> "2"))
+    assert(opt.latestOffset(GraftOffset(0), ReadLimit.allAvailable())
+      .asInstanceOf[GraftOffset].version == 2)
+    // the initial snapshot is one indivisible batch regardless of limit
+    assert(opt.latestOffset(GraftOffset(-1), ReadLimit.maxFiles(1))
+      .asInstanceOf[GraftOffset].version == 3)
+  }
+
   test("streaming read fails loudly on a mid-stream column rename") {
     freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.r (id BIGINT, v STRING) USING graft")

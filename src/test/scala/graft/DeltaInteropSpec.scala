@@ -134,7 +134,7 @@ class DeltaInteropSpec extends AnyFunSuite {
       t.read().orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
-  test("readDelta refuses checkpointed logs loudly") {
+  test("readDelta fails loudly when _last_checkpoint names a missing file") {
     val root = tmp("graft_dckpt_")
     Files.createDirectories(Paths.get(root, "_delta_log"))
     Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"),
@@ -145,5 +145,164 @@ class DeltaInteropSpec extends AnyFunSuite {
       DeltaInterop.readDelta(spark, root)
     }
     assert(e.getMessage.contains("checkpoint"))
+  }
+
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private val cpAddType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", MapType(StringType, StringType)),
+    StructField("size", LongType), StructField("modificationTime", LongType),
+    StructField("dataChange", BooleanType)))
+  private val cpMdType = StructType(Seq(
+    StructField("id", StringType), StructField("schemaString", StringType),
+    StructField("partitionColumns", ArrayType(StringType)),
+    StructField("configuration", MapType(StringType, StringType))))
+  private val cpProtoType = StructType(Seq(
+    StructField("minReaderVersion", IntegerType),
+    StructField("minWriterVersion", IntegerType)))
+
+  /** Write `rows` as the single-file v1 checkpoint parquet for
+    * `version` and the matching _last_checkpoint pointer. */
+  private def writeCheckpoint(root: String, version: Long,
+      schema: StructType, rows: Seq[Row]): Unit = {
+    val stage = Files.createTempDirectory("graft_cpstage_").toString
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.parquet(stage + "/cp")
+    val part = Files.list(Paths.get(stage, "cp")).iterator()
+    var src: java.nio.file.Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    }
+    Files.copy(src, Paths.get(root, "_delta_log",
+      f"$version%020d.checkpoint.parquet"))
+    Files.write(Paths.get(root, "_delta_log", "_last_checkpoint"),
+      s"""{"version":$version,"size":${rows.size}}""".getBytes("UTF-8"))
+  }
+
+  test("readDelta replays a parquet checkpoint plus the JSON tail") {
+    import spark.implicits._
+    val root = tmp("graft_dcpr_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def writeDataFile(sub: String, rows: Seq[(Long, Double)]): String = {
+      rows.toDF("id", "x").coalesce(1).write.parquet(root + "/" + sub)
+      val it = Files.list(Paths.get(root, sub)).iterator()
+      var name: String = null
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          name = sub + "/" + p.getFileName.toString
+      }
+      name
+    }
+    val f1 = writeDataFile("d1", Seq((1L, 1.0)))
+    val f2 = writeDataFile("d2", Seq((2L, 2.0)))
+    val f3 = writeDataFile("d3", Seq((3L, 3.0)))
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType))).json
+    // pre-checkpoint JSON commits reference a file that does not exist:
+    // a reader that wrongly replays them instead of the checkpoint
+    // crashes on the missing file
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"),
+      """{"add":{"path":"bogus.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+        .getBytes("UTF-8"))
+    val cpSchema = StructType(Seq(StructField("add", cpAddType),
+      StructField("metaData", cpMdType), StructField("protocol", cpProtoType)))
+    writeCheckpoint(root, 1L, cpSchema, Seq(
+      Row(Row(f1, Map.empty[String, String], 1L, 1L, true), null, null),
+      Row(Row(f2, Map.empty[String, String], 1L, 1L, true), null, null),
+      Row(null, Row("m", schemaJson, Seq.empty[String],
+        Map.empty[String, String]), null),
+      Row(null, null, Row(1, 2))))
+    // JSON tail: commit 2 adds f3 and tombstones f2
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 19 + "2.json"), Seq(
+      s"""{"add":{"path":"${esc(f3)}","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""",
+      s"""{"remove":{"path":"${esc(f2)}","deletionTimestamp":2,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val got = DeltaInterop.readDelta(spark, root)
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 1.0), (3L, 3.0)))
+  }
+
+  test("readDelta refuses v2 checkpoints") {
+    val root = tmp("graft_dcpv2_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val cpSchema = StructType(Seq(
+      StructField("checkpointMetadata",
+        StructType(Seq(StructField("version", LongType)))),
+      StructField("protocol", cpProtoType)))
+    writeCheckpoint(root, 0L, cpSchema, Seq(Row(Row(0L), null)))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, root)
+    }
+    assert(e.getMessage.contains("full Delta client"), e.getMessage)
+  }
+
+  test("readDelta refuses reader protocol > 1 and readerFeatures") {
+    val root = tmp("graft_dproto_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, root)
+    }
+    assert(e.getMessage.contains("deletionVectors"), e.getMessage)
+    assert(e.getMessage.contains("full Delta client"))
+  }
+
+  test("readDelta refuses column-mapped tables") {
+    val root = tmp("graft_dcmap_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val schemaJson = StructType(Seq(StructField("id", LongType))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, root)
+    }
+    assert(e.getMessage.contains("column mapping"), e.getMessage)
+  }
+
+  test("readDelta reads absolute-URI add paths in place") {
+    import spark.implicits._
+    val root = tmp("graft_dabs_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    // external data files OUTSIDE the table root — one bare absolute
+    // path, one file: URI with a percent-encoded space; re-rooting
+    // either under the table root would fail to find them
+    val ext = Files.createTempDirectory("graft_dext_").toString
+    def writeExt(sub: String, rows: Seq[(Long, Double)]): String = {
+      rows.toDF("id", "x").coalesce(1).write.parquet(ext + "/" + sub)
+      val it = Files.list(Paths.get(ext, sub)).iterator()
+      var name: String = null
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          name = ext + "/" + sub + "/" + p.getFileName.toString
+      }
+      name
+    }
+    val bare = writeExt("plain dir", Seq((1L, 1.0)))
+    val withScheme = "file://" + writeExt("schemed", Seq((2L, 2.0)))
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def enc(s: String) = s.replace(" ", "%20")
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(enc(bare))}","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"${esc(enc(withScheme))}","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val got = DeltaInterop.readDelta(spark, root)
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 1.0), (2L, 2.0)))
   }
 }
