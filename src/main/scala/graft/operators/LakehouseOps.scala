@@ -120,11 +120,42 @@ object LakehouseOps {
       |FROM orders WHERE o_orderstatus <> 'P'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** g9: Iceberg interop round-trip
+    * ([[graft.sources.IcebergInterop]]) — build a GraftTable from
+    * customer, run an UPDATE, EXPORT the snapshot as a file-based
+    * Iceberg v1 table per the public Iceberg table spec (metadata.json
+    * + Avro manifest list/manifest), then read it back through the
+    * dependency-free Iceberg metadata reader. The oracle recomputes
+    * the final state relationally, so the whole
+    * commit-log → export → manifest-replay cycle must be value-exact —
+    * Iceberg is the reference's PRIMARY table format
+    * (02_iceberg_demo.ipynb, Polaris REST catalog). */
+  val g9_iceberg_roundtrip: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val t = GraftTable.create(s, tmp(), Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal"))
+    t.update(col("c_acctbal") < 0, Map("c_acctbal" -> lit(0.0)))
+    val target = Files.createTempDirectory("graft_iceberg_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, target)
+    graft.sources.IcebergInterop.readIceberg(s, target)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        graft.functions.Exact.moneySum($"c_acctbal").as("total_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val g9_sql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+       | ${S.moneySum("CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END")} AS total_bal
+       |FROM customer
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
     "g1_merge_upsert" -> g1_merge_upsert,
     "g5_update_delete" -> g5_update_delete,
     "g7_sql_catalog" -> g7_sql_catalog,
     "g8_delta_roundtrip" -> g8_delta_roundtrip,
+    "g9_iceberg_roundtrip" -> g9_iceberg_roundtrip,
   )
 
   val oracles: Map[String, String] = Map(
@@ -132,5 +163,6 @@ object LakehouseOps {
     "g5_update_delete" -> g5_sql,
     "g7_sql_catalog" -> g7_sql,
     "g8_delta_roundtrip" -> g8_sql,
+    "g9_iceberg_roundtrip" -> g9_sql,
   )
 }

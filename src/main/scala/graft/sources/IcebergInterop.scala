@@ -1,0 +1,475 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Interop with the Apache Iceberg table format, implemented against
+  * the PUBLIC Iceberg table spec (iceberg.apache.org/spec/): a
+  * `metadata/` directory of versioned JSON table metadata, Avro
+  * manifest lists + manifests, and parquet data files. Iceberg is the
+  * reference lakehouse's PRIMARY format — its Polaris catalog serves
+  * Iceberg REST, and 02_iceberg_demo.ipynb drives Iceberg DDL/DML —
+  * so graft needs a migration path in both directions, like
+  * [[DeltaInterop]] provides for Delta:
+  *
+  *  - [[exportSnapshot]]: materialize a GraftTable's current snapshot
+  *    as a brand-new HadoopCatalog-style Iceberg v1 table (data/,
+  *    metadata/v1.metadata.json, version-hint.text) any Iceberg
+  *    reader can open.
+  *  - [[readIceberg]]: open an existing file-based Iceberg table's
+  *    current snapshot as a DataFrame without any iceberg dependency —
+  *    metadata.json (v1 or v2) → manifest list → manifests → pruned
+  *    parquet scan. Row-level deletes (delete manifests / delete
+  *    files), non-parquet data files and format v3+ refuse loudly
+  *    rather than misread.
+  *
+  * Columns are resolved BY NAME against the parquet footers (a
+  * first-file probe verifies every declared top-level column exists);
+  * an Iceberg table whose columns were renamed after data was written
+  * resolves by field id, which a name-based scan would misread — the
+  * probe turns that into a loud failure.
+  *
+  * Scale note: export is one distributed parquet write plus O(#files)
+  * driver-side metadata; readIceberg replays O(#manifests + #files)
+  * metadata into a normal pruned parquet scan. Neither moves data
+  * through the driver.
+  */
+object IcebergInterop {
+
+  private val om = new ObjectMapper()
+
+  // ---------------------------------------------------------------
+  // Schema conversion: Spark StructType <-> Iceberg schema JSON
+  // ---------------------------------------------------------------
+
+  /** Allocates Iceberg field ids depth-first, the way a fresh table
+    * gets them assigned. Returns (schema JSON node, last column id). */
+  private def toIcebergSchema(st: StructType): (ObjectNode, Int) = {
+    var nextId = 0
+    def allocate(): Int = { nextId += 1; nextId }
+    def typeNode(dt: DataType): Object = dt match {
+      case BooleanType => "boolean"
+      case ByteType | ShortType | IntegerType => "int"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case DateType => "date"
+      case TimestampType => "timestamptz"
+      case TimestampNTZType => "timestamp"
+      case StringType => "string"
+      case BinaryType => "binary"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case s: StructType =>
+        val n = om.createObjectNode()
+        n.put("type", "struct")
+        val fields = n.putArray("fields")
+        s.fields.foreach { f =>
+          val fn = om.createObjectNode()
+          fn.put("id", allocate())
+          fn.put("name", f.name)
+          fn.put("required", false)
+          fn.set("type", om.valueToTree[JsonNode](typeNode(f.dataType)))
+          fields.add(fn)
+        }
+        n
+      case a: ArrayType =>
+        val n = om.createObjectNode()
+        n.put("type", "list")
+        n.put("element-id", allocate())
+        n.set("element", om.valueToTree[JsonNode](typeNode(a.elementType)))
+        n.put("element-required", false)
+        n
+      case m: MapType =>
+        val n = om.createObjectNode()
+        n.put("type", "map")
+        n.put("key-id", allocate())
+        n.set("key", om.valueToTree[JsonNode](typeNode(m.keyType)))
+        n.put("value-id", allocate())
+        n.set("value", om.valueToTree[JsonNode](typeNode(m.valueType)))
+        n.put("value-required", false)
+        n
+      case other => throw new IllegalArgumentException(
+        s"cannot export Spark type $other to Iceberg")
+    }
+    val root = om.createObjectNode()
+    root.put("type", "struct")
+    root.put("schema-id", 0)
+    val fields = root.putArray("fields")
+    st.fields.foreach { f =>
+      val fn = om.createObjectNode()
+      fn.put("id", allocate())
+      fn.put("name", f.name)
+      fn.put("required", false)
+      fn.set("type", om.valueToTree[JsonNode](typeNode(f.dataType)))
+      fields.add(fn)
+    }
+    (root, nextId)
+  }
+
+  private val DecimalRe = "decimal\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
+  private val FixedRe = "fixed\\[(\\d+)\\]".r
+
+  private def fromIcebergType(t: JsonNode, path: String): DataType =
+    if (t.isTextual) t.asText() match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case "string" => StringType
+      case "binary" => BinaryType
+      case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+      case FixedRe(_) => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"Iceberg table at $path uses type '$other' — unsupported by this " +
+          "dependency-free reader; read it with a full Iceberg client")
+    } else t.get("type").asText() match {
+      case "struct" => fromIcebergStruct(t, path)
+      case "list" =>
+        ArrayType(fromIcebergType(t.get("element"), path),
+          containsNull = !t.path("element-required").asBoolean(false))
+      case "map" =>
+        MapType(fromIcebergType(t.get("key"), path),
+          fromIcebergType(t.get("value"), path),
+          valueContainsNull = !t.path("value-required").asBoolean(false))
+      case other => throw new IllegalArgumentException(
+        s"Iceberg table at $path: unknown nested type '$other'")
+    }
+
+  private def fromIcebergStruct(node: JsonNode, path: String): StructType =
+    StructType(node.get("fields").elements().asScala().map { f =>
+      StructField(f.get("name").asText(),
+        fromIcebergType(f.get("type"), path),
+        nullable = !f.path("required").asBoolean(false))
+    }.toSeq)
+
+  // jackson's java iterators, scala-fied without extra imports at use sites
+  private implicit class RichJIterator[T](it: java.util.Iterator[T]) {
+    def asScala(): Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Avro manifest schemas (v1, per spec field ids)
+  // ---------------------------------------------------------------
+
+  private def avroField(name: String, typ: String, fieldId: Int,
+      optional: Boolean = false): String = {
+    val t = if (optional) s"""["null", $typ]""" else typ
+    val dflt = if (optional) ""","default":null""" else ""
+    s"""{"name":"$name","type":$t,"field-id":$fieldId$dflt}"""
+  }
+
+  private val manifestEntrySchema: AvroSchema = new AvroSchema.Parser().parse(
+    s"""{"type":"record","name":"manifest_entry","fields":[
+       |${avroField("status", "\"int\"", 0)},
+       |${avroField("snapshot_id", "\"long\"", 1)},
+       |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+       |${avroField("file_path", "\"string\"", 100)},
+       |${avroField("file_format", "\"string\"", 101)},
+       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+       |${avroField("record_count", "\"long\"", 103)},
+       |${avroField("file_size_in_bytes", "\"long\"", 104)},
+       |${avroField("block_size_in_bytes", "\"long\"", 105)}
+       |]}}]}""".stripMargin.replace("\n", ""))
+
+  private val manifestFileSchema: AvroSchema = new AvroSchema.Parser().parse(
+    s"""{"type":"record","name":"manifest_file","fields":[
+       |${avroField("manifest_path", "\"string\"", 500)},
+       |${avroField("manifest_length", "\"long\"", 501)},
+       |${avroField("partition_spec_id", "\"int\"", 502)},
+       |${avroField("added_snapshot_id", "\"long\"", 503, optional = true)},
+       |${avroField("added_data_files_count", "\"int\"", 504, optional = true)},
+       |${avroField("existing_data_files_count", "\"int\"", 505, optional = true)},
+       |${avroField("deleted_data_files_count", "\"int\"", 506, optional = true)}
+       |]}""".stripMargin.replace("\n", ""))
+
+  private def writeAvro(schema: AvroSchema, meta: Map[String, String],
+      records: Seq[GenericRecord]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    w.create(schema, out)
+    try records.foreach(w.append) finally w.close()
+    out.toByteArray
+  }
+
+  private def readAvro(bytes: Array[Byte]): Seq[GenericRecord] = {
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+    try {
+      val buf = Seq.newBuilder[GenericRecord]
+      while (r.hasNext) buf += r.next()
+      buf.result()
+    } finally r.close()
+  }
+
+  private def readBytes(fs: org.apache.hadoop.fs.FileSystem, p: HPath): Array[Byte] = {
+    val in = fs.open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def writeBytes(fs: org.apache.hadoop.fs.FileSystem, p: HPath,
+      bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, false)
+    try out.write(bytes) finally out.close()
+  }
+
+  // optional-field access: GenericData.Record.get(String) THROWS on a
+  // name the writer schema lacks (e.g. v1 manifests have no `content`)
+  private def fieldOpt(r: GenericRecord, name: String): Option[AnyRef] =
+    if (r.getSchema.getField(name) == null) None else Option(r.get(name))
+
+  private def longOf(v: AnyRef): Long = v match {
+    case n: java.lang.Number => n.longValue()
+    case other => other.toString.toLong
+  }
+
+  // ---------------------------------------------------------------
+  // Export
+  // ---------------------------------------------------------------
+
+  /** Export the CURRENT snapshot of `t` as a new file-based Iceberg v1
+    * table at `target` (any Hadoop-FS URI; must not already hold
+    * Iceberg metadata). The snapshot is rewritten as plain
+    * unpartitioned parquet — graft's directory versioning and derived
+    * partition transforms stay internal. Returns the number of data
+    * files committed. */
+  def exportSnapshot(t: GraftTable, target: String): Int = {
+    val spark = t.spark
+    val conf = spark.sparkContext.hadoopConfiguration
+    val targetPath = new HPath(target)
+    val fs = targetPath.getFileSystem(conf)
+    val metaDir = new HPath(targetPath, "metadata")
+    require(!fs.exists(metaDir), s"Iceberg table already exists at $target")
+    val df = t.read()
+    val schema = StructType(df.schema.map(_.copy(nullable = true)))
+    val dataDir = new HPath(targetPath, "data")
+    df.write.parquet(dataDir.toString)
+    val files = fs.listStatus(dataDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val now = System.currentTimeMillis()
+    val snapId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val (schemaNode, lastColId) = toIcebergSchema(schema)
+
+    // per-file record counts from the parquet footers (metadata-only):
+    // Iceberg clients trust record_count for count(*) pushdown
+    def recordCount(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try rdr.getRecordCount finally rdr.close()
+    }
+
+    fs.mkdirs(metaDir)
+    // manifest: one ADDED entry per data file
+    val entries = files.map { st =>
+      val dataFile = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      dataFile.put("file_path", st.getPath.toString)
+      dataFile.put("file_format", "PARQUET")
+      dataFile.put("partition", new GenericData.Record(
+        dataFile.getSchema.getField("partition").schema()))
+      dataFile.put("record_count", recordCount(st))
+      dataFile.put("file_size_in_bytes", st.getLen)
+      dataFile.put("block_size_in_bytes", 64L * 1024 * 1024)
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapId)
+      e.put("data_file", dataFile)
+      e
+    }
+    val schemaJson = om.writeValueAsString(schemaNode)
+    val manifestBytes = writeAvro(manifestEntrySchema, Map(
+      "schema" -> schemaJson, "schema-id" -> "0",
+      "partition-spec" -> "[]", "partition-spec-id" -> "0",
+      "format-version" -> "1"), entries)
+    val manifestPath = new HPath(metaDir,
+      s"${java.util.UUID.randomUUID()}-m0.avro")
+    writeBytes(fs, manifestPath, manifestBytes)
+
+    // manifest list: one entry naming the manifest
+    val mf = new GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", manifestPath.toString)
+    mf.put("manifest_length", manifestBytes.length.toLong)
+    mf.put("partition_spec_id", 0)
+    mf.put("added_snapshot_id", snapId)
+    mf.put("added_data_files_count", files.size)
+    mf.put("existing_data_files_count", 0)
+    mf.put("deleted_data_files_count", 0)
+    val listBytes = writeAvro(manifestFileSchema,
+      Map("snapshot-id" -> snapId.toString, "format-version" -> "1"), Seq(mf))
+    val listPath = new HPath(metaDir,
+      s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
+    writeBytes(fs, listPath, listBytes)
+
+    // table metadata v1 + the HadoopCatalog version hint
+    val md = om.createObjectNode()
+    md.put("format-version", 1)
+    md.put("table-uuid", java.util.UUID.randomUUID().toString)
+    md.put("location", targetPath.toString)
+    md.put("last-updated-ms", now)
+    md.put("last-column-id", lastColId)
+    md.set[ObjectNode]("schema", schemaNode)
+    md.putArray("schemas").add(schemaNode)
+    md.put("current-schema-id", 0)
+    md.putArray("partition-spec")
+    val specs = md.putArray("partition-specs")
+    val spec0 = om.createObjectNode()
+    spec0.put("spec-id", 0)
+    spec0.putArray("fields")
+    specs.add(spec0)
+    md.put("default-spec-id", 0)
+    md.put("last-partition-id", 999)
+    val orders = md.putArray("sort-orders")
+    val order0 = om.createObjectNode()
+    order0.put("order-id", 0)
+    order0.putArray("fields")
+    orders.add(order0)
+    md.put("default-sort-order-id", 0)
+    md.putObject("properties")
+    md.put("current-snapshot-id", snapId)
+    val snaps = md.putArray("snapshots")
+    val snap = om.createObjectNode()
+    snap.put("snapshot-id", snapId)
+    snap.put("timestamp-ms", now)
+    val summary = snap.putObject("summary")
+    summary.put("operation", "append")
+    snap.put("manifest-list", listPath.toString)
+    snap.put("schema-id", 0)
+    snaps.add(snap)
+    md.putArray("snapshot-log")
+    md.putArray("metadata-log")
+    writeBytes(fs, new HPath(metaDir, "v1.metadata.json"),
+      om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+    writeBytes(fs, new HPath(metaDir, "version-hint.text"),
+      "1".getBytes(StandardCharsets.UTF_8))
+    files.size
+  }
+
+  // ---------------------------------------------------------------
+  // Read
+  // ---------------------------------------------------------------
+
+  private val VMeta = "v(\\d+)\\.metadata\\.json".r
+  private val SeqMeta = "(\\d+)-[^/]*\\.metadata\\.json".r
+
+  private def refuse(path: String, what: String): Nothing =
+    throw new IllegalArgumentException(
+      s"Iceberg table at $path $what — unsupported by this dependency-free " +
+        "reader; read it with a full Iceberg client")
+
+  /** Open a file-based Iceberg table's current snapshot as a DataFrame
+    * by replaying its metadata: version-hint.text (or the
+    * highest-numbered *.metadata.json) → table metadata → manifest
+    * list → manifests → parquet scan. Supports format v1 and v2 data;
+    * refuses v3+, delete manifests/files, non-parquet data files, and
+    * tables whose parquet column names no longer match the declared
+    * schema (rename-by-field-id). */
+  def readIceberg(spark: SparkSession, path: String): DataFrame = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new HPath(root, "metadata")
+    require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
+
+    val hint = new HPath(metaDir, "version-hint.text")
+    val metaFile: HPath =
+      if (fs.exists(hint)) {
+        val v = new String(readBytes(fs, hint), StandardCharsets.UTF_8).trim
+        val p = new HPath(metaDir, s"v$v.metadata.json")
+        require(fs.exists(p), s"version-hint.text names v$v but $p is missing")
+        p
+      } else {
+        val candidates = fs.listStatus(metaDir).toSeq.map(_.getPath)
+          .flatMap { p =>
+            p.getName match {
+              case VMeta(n) => Some((n.toLong, p))
+              case SeqMeta(n) => Some((n.toLong, p))
+              case _ => None
+            }
+          }
+        require(candidates.nonEmpty, s"no *.metadata.json under $metaDir")
+        candidates.maxBy(_._1)._2
+      }
+
+    val md = om.readTree(readBytes(fs, metaFile))
+    val formatVersion = md.path("format-version").asInt(1)
+    if (formatVersion > 2)
+      refuse(path, s"is format version $formatVersion (v3 adds deletion " +
+        "vectors and new types)")
+
+    // declared schema: v2 carries a schemas array + current-schema-id,
+    // v1 a single schema object
+    val schemaNode =
+      if (md.has("schemas") && md.has("current-schema-id")) {
+        val want = md.get("current-schema-id").asInt()
+        md.get("schemas").elements().asScala()
+          .find(_.path("schema-id").asInt(-1) == want)
+          .getOrElse(throw new IllegalStateException(
+            s"current-schema-id $want not present in schemas at $path"))
+      } else md.get("schema")
+    val schema = fromIcebergStruct(schemaNode, path)
+
+    val snapId = md.path("current-snapshot-id").asLong(-1L)
+    if (snapId == -1L)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val snapshot = md.get("snapshots").elements().asScala()
+      .find(_.get("snapshot-id").asLong() == snapId)
+      .getOrElse(throw new IllegalStateException(
+        s"current snapshot $snapId not found in metadata at $path"))
+
+    // manifest list → manifest paths (refusing delete manifests)
+    val listPath = snapshot.get("manifest-list").asText()
+    val manifests = readAvro(readBytes(fs, new HPath(listPath))).map { r =>
+      fieldOpt(r, "content").map(longOf).getOrElse(0L) match {
+        case 0L => r.get("manifest_path").toString
+        case _ => refuse(path, "has delete manifests (row-level deletes)")
+      }
+    }
+
+    // manifests → live data files (status 2 = DELETED in this snapshot)
+    val dataFiles = manifests.flatMap { mp =>
+      readAvro(readBytes(fs, new HPath(mp))).flatMap { e =>
+        val status = longOf(e.get("status"))
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        if (fieldOpt(df, "content").map(longOf).getOrElse(0L) != 0L)
+          refuse(path, "has delete files (row-level deletes)")
+        val fmt = df.get("file_format").toString
+        if (!fmt.equalsIgnoreCase("parquet"))
+          refuse(path, s"has $fmt data files")
+        if (status == 2L) None else Some(df.get("file_path").toString)
+      }
+    }.distinct
+    if (dataFiles.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+    // name-resolution probe: Iceberg resolves columns by field id; this
+    // reader resolves by name. If any declared column is missing from a
+    // data file footer (e.g. renamed after writes), fail loudly rather
+    // than silently null-fill.
+    val probe = spark.read.parquet(dataFiles.head).schema.fieldNames.toSet
+    val missing = schema.fieldNames.filterNot(probe.contains)
+    if (missing.nonEmpty)
+      refuse(path, s"data files lack declared columns ${missing.mkString(", ")} " +
+        "(renamed by field id?)")
+
+    spark.read.schema(schema).parquet(dataFiles: _*)
+      .select(schema.map(f => col(f.name)): _*)
+  }
+}

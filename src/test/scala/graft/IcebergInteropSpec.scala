@@ -1,0 +1,210 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{GraftTable, IcebergInterop}
+
+class IcebergInteropSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  /** Patch a file the export wrote through the Hadoop local FS: drop
+    * the sibling .crc so the checksummed reader doesn't reject the
+    * hand-edited bytes. */
+  private def patch(p: java.nio.file.Path, bytes: Array[Byte]): Unit = {
+    Files.write(p, bytes)
+    Files.deleteIfExists(p.getParent.resolve("." + p.getFileName.toString + ".crc"))
+  }
+
+  test("export snapshot round-trips through the Iceberg metadata reader") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_ix_"),
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "v", "x"))
+    t.append(Seq((3L, "c", 3.5)).toDF("id", "v", "x"))
+    t.delete(col("id") === 2L)
+    val target = tmp("graft_iceberg_")
+    val nFiles = IcebergInterop.exportSnapshot(t, target)
+    assert(nFiles > 0)
+    // the layout is the HadoopCatalog file-based convention
+    assert(Files.exists(Paths.get(target, "metadata", "v1.metadata.json")))
+    assert(Files.exists(Paths.get(target, "metadata", "version-hint.text")))
+    val md = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(Paths.get(target, "metadata", "v1.metadata.json")))
+    assert(md.get("format-version").asInt() == 1)
+    assert(md.get("current-snapshot-id").asLong() ==
+      md.get("snapshots").get(0).get("snapshot-id").asLong())
+    // field ids are assigned and last-column-id tracks them
+    assert(md.get("schema").get("fields").get(0).get("id").asInt() == 1)
+    assert(md.get("last-column-id").asInt() == 3)
+    val got = IcebergInterop.readIceberg(spark, target)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "a", 1.5), (3L, "c", 3.5)))
+  }
+
+  test("export round-trips timestamps, dates, decimals, arrays and nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a"), Option(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        Option(java.sql.Date.valueOf("2024-02-03")), Option(BigDecimal("12.3456")),
+        Seq(1.0f, 2.0f)),
+      (2L, None, None, None, None, Seq.empty[Float])
+    ).toDF("id", "v", "ts", "d", "dec", "emb")
+    val t = GraftTable.create(spark, tmp("graft_ixt_"), df)
+    val target = tmp("graft_ixt_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    val back = IcebergInterop.readIceberg(spark, target)
+    assert(back.schema == t.read().schema)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      t.read().orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("manifest record counts are real footer counts, not guesses") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_ixc_"),
+      (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "x"))
+    val target = tmp("graft_ixc_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    // count(*) pushdown in Iceberg clients trusts manifest record_count
+    val manifest = Files.list(Paths.get(target, "metadata")).iterator()
+    var mPath: java.nio.file.Path = null
+    while (manifest.hasNext) {
+      val p = manifest.next()
+      if (p.getFileName.toString.endsWith("-m0.avro")) mPath = p
+    }
+    assert(mPath != null)
+    val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.file.SeekableFileInput(mPath.toFile),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    var total = 0L
+    var entries = 0
+    while (r.hasNext) {
+      val e = r.next()
+      assert(e.get("status").asInstanceOf[Int] == 1) // ADDED
+      val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(df.get("file_format").toString == "PARQUET")
+      total += df.get("record_count").asInstanceOf[Long]
+      entries += 1
+    }
+    r.close()
+    assert(entries > 0)
+    assert(total == 100L, s"manifest record_count sum $total")
+  }
+
+  test("reader picks the highest metadata version when version-hint is absent") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_ixh_"),
+      Seq((1L, 1.0)).toDF("id", "x"))
+    val target = tmp("graft_ixh_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    Files.delete(Paths.get(target, "metadata", "version-hint.text"))
+    Files.deleteIfExists(Paths.get(target, "metadata", ".version-hint.text.crc"))
+    // a stale lower version with an EMPTY current snapshot: if the
+    // reader picked it, the result would be empty
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val stale = md.deepCopy()
+    stale.put("current-snapshot-id", -1L)
+    stale.set("snapshots", om.createArrayNode())
+    patch(Paths.get(target, "metadata", "v0.metadata.json"),
+      om.writeValueAsBytes(stale))
+    val got = IcebergInterop.readIceberg(spark, target)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.0)))
+  }
+
+  test("v2 metadata (schemas array + current-schema-id) reads fine") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_ixv2_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val target = tmp("graft_ixv2_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val md = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md.put("format-version", 2)
+    md.put("last-sequence-number", 1)
+    md.remove("schema")
+    md.remove("partition-spec")
+    patch(Paths.get(target, "metadata", "v2.metadata.json"),
+      om.writeValueAsBytes(md))
+    patch(Paths.get(target, "metadata", "version-hint.text"),
+      "2".getBytes("UTF-8"))
+    val got = IcebergInterop.readIceberg(spark, target)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("refuses format v3, delete manifests, and renamed columns") {
+    import spark.implicits._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    // v3 metadata
+    val t = GraftTable.create(spark, tmp("graft_ixr_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_ixr_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val orig = Files.readAllBytes(mdPath)
+    val md = om.readTree(orig)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md.put("format-version", 3)
+    patch(mdPath, om.writeValueAsBytes(md))
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, target)
+    }
+    assert(e1.getMessage.contains("full Iceberg client"), e1.getMessage)
+    patch(mdPath, orig)
+
+    // a manifest list carrying a DELETE manifest (content=1)
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin.replace("\n", ""))
+    val rec = new org.apache.avro.generic.GenericData.Record(listSchema)
+    rec.put("manifest_path", "unused.avro")
+    rec.put("manifest_length", 1L)
+    rec.put("partition_spec_id", 0)
+    rec.put("content", 1)
+    rec.put("added_snapshot_id", 1L)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](listSchema))
+    w.create(listSchema, bos)
+    w.append(rec)
+    w.close()
+    val fakeList = Paths.get(target, "metadata", "snap-del.avro")
+    patch(fakeList, bos.toByteArray)
+    val md2 = om.readTree(orig)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md2.get("snapshots").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("manifest-list", fakeList.toString)
+    patch(mdPath, om.writeValueAsBytes(md2))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, target)
+    }
+    assert(e2.getMessage.contains("delete manifests"), e2.getMessage)
+    patch(mdPath, orig)
+
+    // declared column renamed after data was written (field-id rename):
+    // name-based resolution must refuse, not null-fill
+    val renamed = new String(orig, "UTF-8").replace("\"name\" : \"v\"", "\"name\" : \"label\"")
+      .replace("\"name\":\"v\"", "\"name\":\"label\"")
+    assert(renamed != new String(orig, "UTF-8"))
+    patch(mdPath, renamed.getBytes("UTF-8"))
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, target)
+    }
+    assert(e3.getMessage.contains("label"), e3.getMessage)
+  }
+}
