@@ -146,12 +146,17 @@ object DeltaInterop {
     * misread. Identity-partitioned tables come back with their
     * partition columns rebuilt from `partitionValues` and cast to the
     * declared schema types; absolute-URI add paths (external files,
-    * shallow clones) are read in place. */
-  def readDelta(spark: SparkSession, path: String): DataFrame = {
+    * shallow clones) are read in place. `versionAsOf` time-travels to
+    * an earlier version — through retained JSON commits when the
+    * checkpoint has compacted past it, refusing only when that history
+    * is truly gone. */
+  def readDelta(spark: SparkSession, path: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
     val root = new HPath(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new HPath(root, "_delta_log")
     require(fs.exists(logDir), s"no Delta log at $path")
+    val capVersion = versionAsOf.getOrElse(Long.MaxValue)
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     // last add per path wins; removes tombstone
@@ -159,15 +164,27 @@ object DeltaInterop {
 
     // ---- checkpoint base state (O(#files) metadata through one scan) ----
     val lastCp = new HPath(logDir, "_last_checkpoint")
-    val cpVersion: Long = if (!fs.exists(lastCp)) -1L else {
+    val namedCpVersion: Long = if (!fs.exists(lastCp)) -1L else {
       val txt = {
         val in = fs.open(lastCp)
         try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
       }
-      val v = CpVersion.findFirstMatchIn(txt).getOrElse(throw new
+      CpVersion.findFirstMatchIn(txt).getOrElse(throw new
           IllegalStateException(s"malformed _last_checkpoint at $path"))
         .group(1).toLong
+    }
+    // a checkpoint past the requested version is unusable for time
+    // travel — fall back to full JSON replay if commit 0 is retained
+    val cpVersion: Long =
+      if (namedCpVersion <= capVersion) namedCpVersion
+      else if (fs.exists(new HPath(logDir, f"${0L}%020d.json"))) -1L
+      else throw new IllegalArgumentException(
+        s"cannot time-travel to version $capVersion at $path: the " +
+          s"checkpoint at $namedCpVersion compacted earlier history and " +
+          "commit 0 is no longer retained; read it with a full Delta client")
+    if (cpVersion >= 0) {
+      val v = cpVersion
       val cpFiles = fs.listStatus(logDir).toSeq.map(_.getPath)
         .filter(p => p.getName.startsWith(f"$v%020d.checkpoint") &&
           p.getName.endsWith(".parquet"))
@@ -214,15 +231,23 @@ object DeltaInterop {
               else r.getMap[String, String](1).filter(_._2 != null).toMap
             active(decodePath(r.getString(0))) = pv
           }
-      v
     }
 
     // ---- JSON tail on top of the checkpoint ----
     val commits = fs.listStatus(logDir).toSeq.map(_.getPath)
       .filter(_.getName.matches("\\d{20}\\.json"))
-      .filter(_.getName.dropRight(5).toLong > cpVersion)
+      .filter { p =>
+        val v = p.getName.dropRight(5).toLong
+        v > cpVersion && v <= capVersion
+      }
       .sortBy(_.getName)
     require(cpVersion >= 0 || commits.nonEmpty, s"empty Delta log at $path")
+    // the requested version must actually be reachable
+    versionAsOf.foreach { v =>
+      val top = (cpVersion +: commits.map(_.getName.dropRight(5).toLong)).max
+      require(top == v,
+        s"version $v not found at $path (history reaches $top)")
+    }
     commits.foreach { c =>
       val text = {
         val in = fs.open(c)

@@ -379,8 +379,12 @@ object IcebergInterop {
     * list → manifests → parquet scan. Supports format v1 and v2 data;
     * refuses v3+, delete manifests/files, non-parquet data files, and
     * tables whose parquet column names no longer match the declared
-    * schema (rename-by-field-id). */
-  def readIceberg(spark: SparkSession, path: String): DataFrame = {
+    * schema (rename-by-field-id). `asOfSnapshotId` time-travels to a
+    * retained snapshot instead of the current one (the declared schema
+    * stays the CURRENT one, matching Iceberg's schema-evolution
+    * semantics for time travel). */
+  def readIceberg(spark: SparkSession, path: String,
+      asOfSnapshotId: Option[Long] = None): DataFrame = {
     val root = new HPath(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new HPath(root, "metadata")
@@ -424,23 +428,31 @@ object IcebergInterop {
       } else md.get("schema")
     val schema = fromIcebergStruct(schemaNode, path)
 
-    val snapId = md.path("current-snapshot-id").asLong(-1L)
+    val snapId = asOfSnapshotId.getOrElse(md.path("current-snapshot-id").asLong(-1L))
     if (snapId == -1L)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val snapshot = md.get("snapshots").elements().asScala()
       .find(_.get("snapshot-id").asLong() == snapId)
-      .getOrElse(throw new IllegalStateException(
-        s"current snapshot $snapId not found in metadata at $path"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapId not found in metadata at $path" +
+          (if (asOfSnapshotId.isDefined) " (expired or never existed?)" else "")))
 
-    // manifest list → manifest paths (refusing delete manifests)
-    val listPath = snapshot.get("manifest-list").asText()
-    val manifests = readAvro(readBytes(fs, new HPath(listPath))).map { r =>
-      fieldOpt(r, "content").map(longOf).getOrElse(0L) match {
-        case 0L => r.get("manifest_path").toString
-        case _ => refuse(path, "has delete manifests (row-level deletes)")
-      }
-    }
+    // manifest list → manifest paths (refusing delete manifests); old
+    // v1 writers may inline a `manifests` path array instead
+    val manifests: Seq[String] =
+      if (snapshot.has("manifest-list")) {
+        val listPath = snapshot.get("manifest-list").asText()
+        readAvro(readBytes(fs, new HPath(listPath))).map { r =>
+          fieldOpt(r, "content").map(longOf).getOrElse(0L) match {
+            case 0L => r.get("manifest_path").toString
+            case _ => refuse(path, "has delete manifests (row-level deletes)")
+          }
+        }
+      } else if (snapshot.has("manifests"))
+        snapshot.get("manifests").elements().asScala().map(_.asText()).toSeq
+      else throw new IllegalStateException(
+        s"snapshot $snapId at $path names neither manifest-list nor manifests")
 
     // manifests → live data files (status 2 = DELETED in this snapshot)
     val dataFiles = manifests.flatMap { mp =>

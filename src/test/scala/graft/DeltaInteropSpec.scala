@@ -270,6 +270,61 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("column mapping"), e.getMessage)
   }
 
+  test("readDelta versionAsOf: JSON travel, checkpoint fallback, gone-history refusal") {
+    import spark.implicits._
+    val root = tmp("graft_dtt_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def writeDataFile(sub: String, rows: Seq[(Long, Double)]): String = {
+      rows.toDF("id", "x").coalesce(1).write.parquet(root + "/" + sub)
+      val it = Files.list(Paths.get(root, sub)).iterator()
+      var name: String = null
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          name = sub + "/" + p.getFileName.toString
+      }
+      name
+    }
+    val f1 = writeDataFile("d1", Seq((1L, 1.0)))
+    val f2 = writeDataFile("d2", Seq((2L, 2.0)))
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(f1)}","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.write(Paths.get(root, "_delta_log", "0" * 19 + "1.json"),
+      s"""{"add":{"path":"${esc(f2)}","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(root, "_delta_log", "0" * 19 + "2.json"),
+      s"""{"remove":{"path":"${esc(f1)}","deletionTimestamp":3,"dataChange":true}}"""
+        .getBytes("UTF-8"))
+    def ids(v: Option[Long]) = DeltaInterop.readDelta(spark, root, v)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(ids(None) == Set(2L))
+    assert(ids(Some(1L)) == Set(1L, 2L))
+    assert(ids(Some(0L)) == Set(1L))
+    val eMissing = intercept[IllegalArgumentException] { ids(Some(9L)) }
+    assert(eMissing.getMessage.contains("not found"), eMissing.getMessage)
+    // a checkpoint at version 2 compacts history; JSON commits retained
+    // → travel to 1 still works via full JSON replay
+    val cpSchema = StructType(Seq(StructField("add", cpAddType),
+      StructField("metaData", cpMdType), StructField("protocol", cpProtoType)))
+    writeCheckpoint(root, 2L, cpSchema, Seq(
+      Row(Row(f2, Map.empty[String, String], 1L, 1L, true), null, null),
+      Row(null, Row("m", schemaJson, Seq.empty[String],
+        Map.empty[String, String]), null),
+      Row(null, null, Row(1, 2))))
+    assert(ids(None) == Set(2L))
+    assert(ids(Some(1L)) == Set(1L, 2L))
+    // commit 0 vacuumed away → pre-checkpoint history is truly gone
+    Files.delete(Paths.get(root, "_delta_log", "0" * 20 + ".json"))
+    val eGone = intercept[IllegalArgumentException] { ids(Some(1L)) }
+    assert(eGone.getMessage.contains("full Delta client"), eGone.getMessage)
+  }
+
   test("readDelta reads absolute-URI add paths in place") {
     import spark.implicits._
     val root = tmp("graft_dabs_")

@@ -140,6 +140,50 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(got == Set((1L, "a"), (2L, "b")))
   }
 
+  test("asOfSnapshotId time-travels to a retained snapshot") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_ixtt_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_ixtt_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val md = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val dataSnapId = md.get("current-snapshot-id").asLong()
+    // append a NEWER empty snapshot (empty manifest list) and make it
+    // current — asOf the older id must still see the data
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"}
+        |]}""".stripMargin.replace("\n", ""))
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](listSchema))
+    w.create(listSchema, bos)
+    w.close()
+    val emptyList = Paths.get(target, "metadata", "snap-empty.avro")
+    patch(emptyList, bos.toByteArray)
+    val newSnap = md.get("snapshots").get(0).deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val newSnapId = dataSnapId + 1
+    newSnap.put("snapshot-id", newSnapId)
+    newSnap.put("manifest-list", emptyList.toString)
+    md.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(newSnap)
+    md.put("current-snapshot-id", newSnapId)
+    patch(mdPath, om.writeValueAsBytes(md))
+    assert(IcebergInterop.readIceberg(spark, target).count() == 0)
+    assert(IcebergInterop.readIceberg(spark, target, Some(dataSnapId))
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, target, Some(424242L))
+    }
+    assert(e.getMessage.contains("not found"), e.getMessage)
+  }
+
   test("refuses format v3, delete manifests, and renamed columns") {
     import spark.implicits._
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
