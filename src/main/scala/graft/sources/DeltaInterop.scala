@@ -72,6 +72,187 @@ object DeltaInterop {
     files.size
   }
 
+  /** Percent-encode a relative path for a Delta add/remove action
+    * (PROTOCOL.md requires percent-encoded relative URIs). Hive-escaped
+    * directory names contain literal '%' on disk — encoding them keeps
+    * a decoding reader (ours or a real Delta client) byte-exact. */
+  private def encodePath(p: String): String = {
+    val sb = new StringBuilder
+    p.getBytes(StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && b >= 0) sb.append(c)
+      else if ("/-._~=:@".indexOf(c) >= 0) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** Undo Spark/Hive path-name escaping (%XX) in a `col=value`
+    * directory segment. */
+  private def unescapeHive(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length &&
+          s.substring(i + 1, i + 3).forall(ch => Character.digit(ch, 16) >= 0)) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Zero-copy Delta mirror — publish a live GraftTable AS a Delta
+    * table (the UniForm-style dual-format idea): maintain a
+    * `_delta_log/` inside the table root whose commits reference the
+    * graft data files IN PLACE, one Delta commit per graft commit.
+    * After a sync, `t.root` opens in any Delta client (and in
+    * [[readDelta]]) with the same content as `t.read()` — no data is
+    * copied, ever.
+    *
+    *  - Appends/overwrites/deletes/merges/compactions map to Delta
+    *    add/remove actions from the commit's directory diff; a
+    *    `commitInfo` action carries the graft action name.
+    *  - Identity-partitioned tables (hive `col=value` layout, column
+    *    dropped from the files) become identity-partitioned Delta
+    *    tables: `partitionColumns` + per-file `partitionValues` parsed
+    *    from the directory segments. Derived transform layouts
+    *    (`__p_*=...`) are layout-only and mirror as unpartitioned.
+    *  - Schema changes emit a new `metaData` action; column RENAMES
+    *    refuse loudly (physical parquet names diverge — Delta needs
+    *    column mapping for that, which readers here can't assume).
+    *  - Directories vacuumed before their history was mirrored yield
+    *    empty intermediate versions (final state stays exact; Delta
+    *    time travel into pre-vacuum versions shows them as empty, the
+    *    same information loss vacuum already caused).
+    *
+    * Idempotent and incremental: each call mirrors only graft commits
+    * newer than the last mirrored Delta version. Returns the number of
+    * Delta commits written. Scale: O(#new-commits × #files) driver-side
+    * metadata; no data movement. */
+  def mirrorToDelta(t: GraftTable): Int = {
+    val root = new HPath(t.root)
+    val conf = t.spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val io = new TableIO(t.root, conf)
+    val logDir = new HPath(root, "_delta_log")
+    val latest = t.latestVersion()
+    require(latest >= 0, s"empty graft table at ${t.root}")
+    val mirrored: Int =
+      if (!fs.exists(logDir)) -1
+      else fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+        .filter(_.matches("\\d{20}\\.json"))
+        .map(_.dropRight(5).toInt).maxOption.getOrElse(-1)
+    if (mirrored >= latest) return 0
+    fs.mkdirs(logDir)
+
+    // Replay our own mirror log: which relative files belong to each
+    // live top-level directory (a dir being REMOVED now may already be
+    // vacuum-deleted from disk, so its file list must come from the
+    // log, not a listing), and the last mirrored schema.
+    val activeByDir = scala.collection.mutable.Map[String, List[String]]()
+    var prevSchema: String = null
+    (0 to mirrored).foreach { v =>
+      val text = {
+        val in = fs.open(new HPath(logDir, f"$v%020d.json"))
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      }
+      text.split('\n').foreach { line =>
+        SchemaStr.findFirstMatchIn(line).foreach(m => prevSchema = unq(m.group(1)))
+        AddPath.findFirstMatchIn(line).foreach { m =>
+          val p = decodePath(unq(m.group(1)))
+          val top = p.takeWhile(_ != '/')
+          activeByDir(top) = p :: activeByDir.getOrElse(top, Nil)
+        }
+        RemovePath.findFirstMatchIn(line).foreach { m =>
+          val p = decodePath(unq(m.group(1)))
+          val top = p.takeWhile(_ != '/')
+          activeByDir.get(top).foreach { files =>
+            val rest = files.filterNot(_ == p)
+            if (rest.isEmpty) activeByDir.remove(top) else activeByDir(top) = rest
+          }
+        }
+      }
+    }
+
+    def listParquetRec(dir: HPath, rel: String): Seq[(String, Long, Long)] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        // skip metadata (_SUCCESS, .crc, stats) but NOT partition dirs —
+        // derived transform segments (__p_days_ts=...) start with '_'
+        if ((name.startsWith("_") || name.startsWith(".")) && !name.contains("=")) Nil
+        else if (st.isDirectory) listParquetRec(st.getPath, s"$rel/$name")
+        else if (name.endsWith(".parquet"))
+          Seq((s"$rel/$name", st.getLen, st.getModificationTime))
+        else Nil
+      }
+
+    var written = 0
+    ((mirrored + 1) to latest).foreach { v =>
+      val c = t.commitAt(v)
+      if (c.renames.nonEmpty)
+        throw new IllegalArgumentException(
+          s"cannot mirror ${t.root} to Delta: commit $v renames columns " +
+            s"(${c.renames.map { case (o, n) => s"$o->$n" }.mkString(", ")}) — " +
+            "physical parquet names diverge from the schema; Delta needs " +
+            "column mapping for renames")
+      val identityCols = c.partitionBy.filterNot(_.contains("("))
+      val prev = if (v == 0) Nil else t.commitAt(v - 1).liveDirs
+      val added = c.liveDirs.filterNot(prev.toSet)
+      val removed = prev.filterNot(c.liveDirs.toSet)
+      val actions = Seq.newBuilder[String]
+      actions += s"""{"commitInfo":{"timestamp":${c.timestampMs},"operation":"${jsonEscape(c.action)}","operationParameters":{},"engineInfo":"graft-mirror"}}"""
+      if (v == 0)
+        actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      if (c.schemaJson != prevSchema) {
+        val pcJson = identityCols.map(pc => "\"" + jsonEscape(pc) + "\"").mkString(",")
+        actions +=
+          s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(c.schemaJson)}","partitionColumns":[$pcJson],"configuration":{},"createdTime":${c.timestampMs}}}"""
+        prevSchema = c.schemaJson
+      }
+      removed.foreach { d =>
+        activeByDir.remove(d).toSeq.flatten.foreach { p =>
+          actions += s"""{"remove":{"path":"${jsonEscape(encodePath(p))}","deletionTimestamp":${c.timestampMs},"dataChange":true}}"""
+        }
+      }
+      added.foreach { d =>
+        val dirPath = new HPath(root, d)
+        if (!fs.exists(dirPath)) {
+          // vacuumed before it was mirrored — legal only if some later
+          // commit removes it again (it must not be live at `latest`)
+          require(!t.commitAt(latest).liveDirs.contains(d),
+            s"live data directory $d of ${t.root} is missing on disk")
+        } else {
+          val files = listParquetRec(dirPath, d)
+          activeByDir(d) = files.map(_._1).toList
+          files.foreach { case (p, size, modTime) =>
+            // identity partition values ride in hive `col=value`
+            // segments; `__p_*` transform segments are layout-only
+            val pv = p.split('/').toSeq.filter(_.contains("="))
+              .map { seg =>
+                val k = seg.takeWhile(_ != '=')
+                k -> unescapeHive(seg.drop(k.length + 1))
+              }
+              .filter { case (k, _) => identityCols.contains(k) }
+              .filterNot(_._2 == "__HIVE_DEFAULT_PARTITION__")
+            val pvJson = pv.map { case (k, vv) =>
+              "\"" + jsonEscape(k) + "\":\"" + jsonEscape(vv) + "\""
+            }.mkString(",")
+            actions += s"""{"add":{"path":"${jsonEscape(encodePath(p))}","partitionValues":{$pvJson},"size":$size,"modificationTime":$modTime,"dataChange":true}}"""
+          }
+        }
+      }
+      // atomic exclusive put (same primitive as the graft commit log):
+      // concurrent mirrors race safely and readers never see partials
+      io.writeExclusive(new HPath(logDir, f"$v%020d.json"),
+        actions.result().mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      written += 1
+    }
+    written
+  }
+
   // one JSON action object per line; these pull the fields readDelta
   // needs (the unrolled string pattern survives multi-KB values)
   private val Str = "([^\"\\\\]*(?:\\\\.[^\"\\\\]*)*)"

@@ -715,7 +715,7 @@ private[v2] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("vacuum", "vacuum_older_than", "compact", "cluster", "zorder",
-      "restore")
+      "restore", "export_delta", "export_iceberg", "mirror_delta")
 
   private def in(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -739,6 +739,10 @@ private[v2] object GraftProcedures {
             Array(in("table", StringType), in("target_partitions", IntegerType))
           case "restore" =>
             Array(in("table", StringType), in("to_version", IntegerType))
+          case "export_delta" | "export_iceberg" =>
+            Array(in("table", StringType), in("target", StringType))
+          case "mirror_delta" =>
+            Array(in("table", StringType))
           case _ => // cluster / zorder
             Array(in("table", StringType), in("cols", StringType),
               in("num_dirs", IntegerType))
@@ -767,6 +771,17 @@ private[v2] object GraftProcedures {
             case "zorder" =>
               (versionSchema, Seq(InternalRow(
                 t.clusterZOrder(splitCols(input), input.getInt(2)))))
+            // interop exports: snapshot out to an open table format
+            case "export_delta" =>
+              (filesSchema, Seq(InternalRow(graft.sources.DeltaInterop
+                .exportSnapshot(t, input.getUTF8String(1).toString))))
+            case "export_iceberg" =>
+              (filesSchema, Seq(InternalRow(graft.sources.IcebergInterop
+                .exportSnapshot(t, input.getUTF8String(1).toString))))
+            // zero-copy in-place Delta publication (UniForm-style)
+            case "mirror_delta" =>
+              (StructType(Seq(StructField("delta_commits", IntegerType))),
+                Seq(InternalRow(graft.sources.DeltaInterop.mirrorToDelta(t))))
           }
           val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
             override def readSchema(): StructType = schema
@@ -782,6 +797,9 @@ private[v2] object GraftProcedures {
 
   private val versionSchema =
     StructType(Seq(StructField("version", IntegerType)))
+
+  private val filesSchema =
+    StructType(Seq(StructField("data_files", IntegerType)))
 }
 
 /** Read-only metadata relation (`t.snapshots` / `t.history`) — the

@@ -267,6 +267,33 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.table.bloomCols")
   }
 
+  test("CALL cat.system.export_delta / export_iceberg from SQL") {
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.ex (id BIGINT, v STRING) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.ex VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(s"DELETE FROM $cat.db.ex WHERE id = 2")
+    val deltaDir = Files.createTempDirectory("graft_exd_").toString + "/t"
+    val iceDir = Files.createTempDirectory("graft_exi_").toString + "/t"
+    val r1 = spark.sql(s"CALL $cat.system.export_delta('db.ex', '$deltaDir')")
+    assert(r1.collect()(0).getInt(0) > 0)
+    val r2 = spark.sql(s"CALL $cat.system.export_iceberg('db.ex', '$iceDir')")
+    assert(r2.collect()(0).getInt(0) > 0)
+    val want = Set((1L, "a"), (3L, "c"))
+    assert(graft.sources.DeltaInterop.readDelta(spark, deltaDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == want)
+    assert(graft.sources.IcebergInterop.readIceberg(spark, iceDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == want)
+    // in-place zero-copy mirror: the graft table itself becomes
+    // Delta-readable, and later syncs are incremental
+    val r3 = spark.sql(s"CALL $cat.system.mirror_delta('db.ex')")
+    assert(r3.collect()(0).getInt(0) > 0)
+    val tblRoot = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/db/ex"
+    assert(graft.sources.DeltaInterop.readDelta(spark, tblRoot)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == want)
+    assert(spark.sql(s"CALL $cat.system.mirror_delta('db.ex')")
+      .collect()(0).getInt(0) == 0)
+  }
+
   test("CALL cat.system.restore rolls back through SQL") {
     freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.rs (id BIGINT) USING graft")

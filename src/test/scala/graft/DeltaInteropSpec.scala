@@ -325,6 +325,80 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(eGone.getMessage.contains("full Delta client"), eGone.getMessage)
   }
 
+  test("mirrorToDelta: zero-copy dual-format publication, incremental sync") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_mir_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.delete(col("id") === 1L) // copy-on-write rewrite: removes + adds
+    assert(DeltaInterop.mirrorToDelta(t) == 3) // graft versions 0..2
+    def viaDelta(v: Option[Long] = None) =
+      DeltaInterop.readDelta(spark, t.root, v)
+        .as[(Long, String)].collect().toSet
+    assert(viaDelta() == Set((2L, "b"), (3L, "c")))
+    // zero-copy: every add action references a graft data dir in place
+    val log0 = new String(Files.readAllBytes(
+      Paths.get(t.root, "_delta_log", "0" * 20 + ".json")), "UTF-8")
+    assert(log0.contains("\"add\":{\"path\":\"d0000-"), log0)
+    assert(log0.contains("\"commitInfo\""))
+    // idempotent + incremental
+    assert(DeltaInterop.mirrorToDelta(t) == 0)
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    assert(DeltaInterop.mirrorToDelta(t) == 1)
+    assert(viaDelta() == Set((2L, "b"), (3L, "c"), (4L, "d")))
+    // the mirror log carries graft's full history: Delta time travel
+    assert(viaDelta(Some(1L)) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(viaDelta(Some(0L)) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("mirrorToDelta: identity-partitioned hive layout round-trips") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_mirp_"),
+      Seq((1L, Option("a b")), (2L, Option("x:y")), (3L, None))
+        .toDF("id", "seg"),
+      partitionBy = Seq("seg"))
+    assert(DeltaInterop.mirrorToDelta(t) == 1)
+    val got = DeltaInterop.readDelta(spark, t.root)
+      .select("id", "seg").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got == Set((1L, Some("a b")), (2L, Some("x:y")), (3L, None)), got)
+    // partition values live in the log; files lack the column
+    val log0 = new String(Files.readAllBytes(
+      Paths.get(t.root, "_delta_log", "0" * 20 + ".json")), "UTF-8")
+    assert(log0.contains("\"partitionColumns\":[\"seg\"]"), log0)
+    assert(log0.contains("\"partitionValues\":{\"seg\":\"a b\"}"), log0)
+  }
+
+  test("mirrorToDelta: transform-partitioned days(ts) mirrors as unpartitioned") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_mirt_"),
+      Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2024-01-02 11:00:00")))
+        .toDF("id", "ts"),
+      partitionBy = Seq("days(ts)"))
+    assert(DeltaInterop.mirrorToDelta(t) == 1)
+    val got = DeltaInterop.readDelta(spark, t.root)
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    assert(got == Set(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 11:00:00"))), got)
+    val log0 = new String(Files.readAllBytes(
+      Paths.get(t.root, "_delta_log", "0" * 20 + ".json")), "UTF-8")
+    assert(log0.contains("\"partitionColumns\":[]"), log0)
+  }
+
+  test("mirrorToDelta refuses column renames") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_mirr_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    t.renameColumn("v", "label")
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.mirrorToDelta(t)
+    }
+    assert(e.getMessage.contains("renames columns"), e.getMessage)
+  }
+
   test("readDelta reads absolute-URI add paths in place") {
     import spark.implicits._
     val root = tmp("graft_dabs_")
