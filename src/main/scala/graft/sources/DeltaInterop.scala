@@ -154,11 +154,7 @@ object DeltaInterop {
     val activeByDir = scala.collection.mutable.Map[String, List[String]]()
     var prevSchema: String = null
     (0 to mirrored).foreach { v =>
-      val text = {
-        val in = fs.open(new HPath(logDir, f"$v%020d.json"))
-        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        finally in.close()
-      }
+      val text = readString(fs, new HPath(logDir, f"$v%020d.json"))
       text.split('\n').foreach { line =>
         SchemaStr.findFirstMatchIn(line).foreach(m => prevSchema = unq(m.group(1)))
         AddPath.findFirstMatchIn(line).foreach { m =>
@@ -190,6 +186,9 @@ object DeltaInterop {
       }
 
     var written = 0
+    val latestLive = t.commitAt(latest).liveDirs.toSet
+    var prevCommit: Option[GraftTable.Commit] =
+      if (mirrored >= 0) Some(t.commitAt(mirrored)) else None
     ((mirrored + 1) to latest).foreach { v =>
       val c = t.commitAt(v)
       if (c.renames.nonEmpty)
@@ -199,7 +198,8 @@ object DeltaInterop {
             "physical parquet names diverge from the schema; Delta needs " +
             "column mapping for renames")
       val identityCols = c.partitionBy.filterNot(_.contains("("))
-      val prev = if (v == 0) Nil else t.commitAt(v - 1).liveDirs
+      val prev = prevCommit.map(_.liveDirs).getOrElse(Nil)
+      prevCommit = Some(c)
       val added = c.liveDirs.filterNot(prev.toSet)
       val removed = prev.filterNot(c.liveDirs.toSet)
       val actions = Seq.newBuilder[String]
@@ -222,7 +222,7 @@ object DeltaInterop {
         if (!fs.exists(dirPath)) {
           // vacuumed before it was mirrored — legal only if some later
           // commit removes it again (it must not be live at `latest`)
-          require(!t.commitAt(latest).liveDirs.contains(d),
+          require(!latestLive.contains(d),
             s"live data directory $d of ${t.root} is missing on disk")
         } else {
           val files = listParquetRec(dirPath, d)
@@ -245,10 +245,16 @@ object DeltaInterop {
         }
       }
       // atomic exclusive put (same primitive as the graft commit log):
-      // concurrent mirrors race safely and readers never see partials
-      io.writeExclusive(new HPath(logDir, f"$v%020d.json"),
-        actions.result().mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-      written += 1
+      // readers never see partials, and a concurrent mirror losing the
+      // race treats the peer's commit as done — both derive identical
+      // content from the same commit log and immutable directories
+      try {
+        io.writeExclusive(new HPath(logDir, f"$v%020d.json"),
+          actions.result().mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+        written += 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => // peer mirrored v
+      }
     }
     written
   }
@@ -273,6 +279,12 @@ object DeltaInterop {
 
   private def unq(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private def readString(fs: org.apache.hadoop.fs.FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
 
   /** Reader-protocol gate: this replay implements reader version 1
     * (plain add/remove over parquet). A table demanding more —
@@ -345,16 +357,13 @@ object DeltaInterop {
 
     // ---- checkpoint base state (O(#files) metadata through one scan) ----
     val lastCp = new HPath(logDir, "_last_checkpoint")
-    val namedCpVersion: Long = if (!fs.exists(lastCp)) -1L else {
-      val txt = {
-        val in = fs.open(lastCp)
-        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        finally in.close()
-      }
+    val lastCpText: Option[String] =
+      if (fs.exists(lastCp)) Some(readString(fs, lastCp)) else None
+    val namedCpVersion: Long = lastCpText.map { txt =>
       CpVersion.findFirstMatchIn(txt).getOrElse(throw new
           IllegalStateException(s"malformed _last_checkpoint at $path"))
         .group(1).toLong
-    }
+    }.getOrElse(-1L)
     // a checkpoint past the requested version is unusable for time
     // travel — fall back to full JSON replay if commit 0 is retained
     val cpVersion: Long =
@@ -371,6 +380,13 @@ object DeltaInterop {
           p.getName.endsWith(".parquet"))
       require(cpFiles.nonEmpty,
         s"_last_checkpoint at $path names version $v but no checkpoint parquet exists")
+      // a multi-part checkpoint missing a part would silently drop the
+      // files listed only there — the `parts` field exists to catch that
+      val declaredParts = lastCpText.flatMap(t =>
+        "\"parts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(t).map(_.group(1).toInt))
+      declaredParts.foreach(parts => require(cpFiles.size == parts,
+        s"checkpoint at $path version $v declares $parts parts but " +
+          s"${cpFiles.size} are present — refusing a partial base state"))
       val cp = spark.read.parquet(cpFiles.map(_.toString): _*)
       val fields = cp.schema.fieldNames.toSet
       // v2 checkpoints carry checkpointMetadata + sidecar actions and
@@ -423,6 +439,19 @@ object DeltaInterop {
       }
       .sortBy(_.getName)
     require(cpVersion >= 0 || commits.nonEmpty, s"empty Delta log at $path")
+    // The tail must be CONTIGUOUS from the base state: a log whose early
+    // commits were cleaned up without a readable checkpoint (deleted or
+    // corrupt _last_checkpoint) would otherwise replay only the tail and
+    // return a silently partial snapshot.
+    locally {
+      val versions = commits.map(_.getName.dropRight(5).toLong)
+      val expected = (cpVersion + 1) until (cpVersion + 1 + versions.size)
+      require(versions == expected.toSeq,
+        s"Delta log at $path is not contiguous after version $cpVersion " +
+          s"(found commits ${versions.mkString(", ")}) — earlier commits were " +
+          "cleaned up and no usable checkpoint covers them; read it with a " +
+          "full Delta client")
+    }
     // the requested version must actually be reachable
     versionAsOf.foreach { v =>
       val top = (cpVersion +: commits.map(_.getName.dropRight(5).toLong)).max
@@ -430,11 +459,7 @@ object DeltaInterop {
         s"version $v not found at $path (history reaches $top)")
     }
     commits.foreach { c =>
-      val text = {
-        val in = fs.open(c)
-        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        finally in.close()
-      }
+      val text = readString(fs, c)
       text.split('\n').foreach { line =>
         if (line.contains("\"protocol\""))
           MinReader.findFirstMatchIn(line).foreach { m =>

@@ -148,6 +148,28 @@ object IcebergInterop {
         s"Iceberg table at $path: unknown nested type '$other'")
     }
 
+  /** Collect field-id → names recursively across an Iceberg schema
+    * (struct fields at any nesting depth, including inside list/map
+    * element types). */
+  private def fieldNamesById(node: JsonNode,
+      acc: scala.collection.mutable.Map[Int, Set[String]]): Unit = {
+    val fields = node.path("fields")
+    if (fields.isArray) fields.elements().asScala().foreach { f =>
+      val id = f.path("id").asInt(-1)
+      val nm = f.path("name").asText(null)
+      if (id >= 0 && nm != null)
+        acc(id) = acc.getOrElse(id, Set.empty) + nm
+      val t = f.path("type")
+      if (t.isObject) {
+        fieldNamesById(t, acc)
+        Seq("element", "key", "value").foreach { k =>
+          val sub = t.path(k)
+          if (sub.isObject) fieldNamesById(sub, acc)
+        }
+      }
+    }
+  }
+
   private def fromIcebergStruct(node: JsonNode, path: String): StructType =
     StructType(node.get("fields").elements().asScala().map { f =>
       StructField(f.get("name").asText(),
@@ -427,6 +449,24 @@ object IcebergInterop {
             s"current-schema-id $want not present in schemas at $path"))
       } else md.get("schema")
     val schema = fromIcebergStruct(schemaNode, path)
+
+    // Rename detection #1 — schema history: Iceberg resolves columns by
+    // FIELD ID, this reader by name. A field id carrying different
+    // names across retained schema versions means data files written
+    // under the old name coexist with the new declared name — a
+    // name-based scan would silently null-fill the old files. (The
+    // first-file footer probe below is detection #2, for single-schema
+    // metadata.)
+    if (md.has("schemas")) {
+      val byId = scala.collection.mutable.Map[Int, Set[String]]()
+      md.get("schemas").elements().asScala().foreach(s => fieldNamesById(s, byId))
+      val renamed = byId.filter(_._2.size > 1)
+      if (renamed.nonEmpty)
+        refuse(path, "renamed columns across schema versions (" +
+          renamed.map { case (id, names) =>
+            s"field $id: ${names.mkString("/")}" }.mkString("; ") +
+          ") — column resolution here is by name, Iceberg's is by field id")
+    }
 
     val snapId = asOfSnapshotId.getOrElse(md.path("current-snapshot-id").asLong(-1L))
     if (snapId == -1L)

@@ -120,23 +120,30 @@ object Streams {
         terminated.countDown()
     }
     s.streams.addListener(listener)
-    try {
-      val q = mk(s).writeStream.outputMode(mode).format("memory").queryName(name).start()
-      q.processAllAvailable()
-      q.stop()
-      // the listener bus is async but ordered: the terminated event is
-      // delivered after every progress event of this query, so once it
-      // lands the accumulated total is complete
-      terminated.await(60, java.util.concurrent.TimeUnit.SECONDS)
-    } finally s.streams.removeListener(listener)
+    val delivered =
+      try {
+        val q = mk(s).writeStream.outputMode(mode).format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+        // the listener bus is async but ordered: the terminated event is
+        // delivered after every progress event of this query, so once it
+        // lands the accumulated total is complete
+        terminated.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      } finally s.streams.removeListener(listener)
     // A finite test/bench input that yields ZERO rows means the source
     // matched nothing (e.g. the driver renamed events.parquet and the
     // pathGlobFilter silently selected an empty file set) — that must
-    // crash loudly, not return an empty green-looking result.
+    // crash loudly, not return an empty green-looking result. A stalled
+    // listener bus makes the count indeterminate — distinguish that
+    // from a genuine zero, never report the wrong one.
     if (inputRows.get == 0)
       throw new IllegalStateException(
-        "streaming source read 0 input rows — source glob matched no data " +
-          "(environment drift?); refusing to return an empty result")
+        if (delivered)
+          "streaming source read 0 input rows — source glob matched no data " +
+            "(environment drift?); refusing to return an empty result"
+        else
+          "listener bus did not deliver streaming progress within 60s — " +
+            "input-row count indeterminate; refusing to return a result")
     s.table(name)
   }
 

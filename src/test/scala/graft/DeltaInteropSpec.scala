@@ -325,6 +325,40 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(eGone.getMessage.contains("full Delta client"), eGone.getMessage)
   }
 
+  test("readDelta refuses a non-contiguous log and a partial multi-part checkpoint") {
+    // early commits cleaned up with no (readable) checkpoint: replaying
+    // just the tail would return a silently partial snapshot
+    val root = tmp("graft_dgap_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val schemaJson = StructType(Seq(StructField("id", LongType))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 19 + "2.json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, root)
+    }
+    assert(e1.getMessage.contains("not contiguous"), e1.getMessage)
+
+    // a multi-part checkpoint with a missing part would silently drop
+    // the adds listed only there — the declared `parts` count catches it
+    val root2 = tmp("graft_dpart_")
+    Files.createDirectories(Paths.get(root2, "_delta_log"))
+    val cpSchema = StructType(Seq(StructField("add", cpAddType),
+      StructField("metaData", cpMdType), StructField("protocol", cpProtoType)))
+    writeCheckpoint(root2, 1L, cpSchema, Seq(
+      Row(null, Row("m", schemaJson, Seq.empty[String],
+        Map.empty[String, String]), null),
+      Row(null, null, Row(1, 2))))
+    Files.write(Paths.get(root2, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":2,"parts":3}""".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, root2)
+    }
+    assert(e2.getMessage.contains("parts"), e2.getMessage)
+  }
+
   test("mirrorToDelta: zero-copy dual-format publication, incremental sync") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_mir_"),

@@ -250,5 +250,27 @@ class IcebergInteropSpec extends AnyFunSuite {
       IcebergInterop.readIceberg(spark, target)
     }
     assert(e3.getMessage.contains("label"), e3.getMessage)
+
+    // rename recorded in schema HISTORY: old-name and new-name data
+    // files coexist (a first-file probe could sample only the new
+    // ones), so the field-id/name conflict across `schemas` must
+    // refuse on its own
+    val md3 = om.readTree(orig)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schemas = md3.get("schemas")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val renamedSchema = schemas.get(0).deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    renamedSchema.put("schema-id", 1)
+    renamedSchema.get("fields").get(1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("name", "label")
+    schemas.add(renamedSchema)
+    md3.put("current-schema-id", 1)
+    patch(mdPath, om.writeValueAsBytes(md3))
+    val e4 = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, target)
+    }
+    assert(e4.getMessage.contains("schema versions"), e4.getMessage)
   }
 }
