@@ -265,6 +265,46 @@ object IcebergInterop {
   // Export
   // ---------------------------------------------------------------
 
+  private def manifestEntry(filePath: String, size: Long, records: Long,
+      status: Int, snapId: Long): GenericRecord = {
+    val dataFile = new GenericData.Record(
+      manifestEntrySchema.getField("data_file").schema())
+    dataFile.put("file_path", filePath)
+    dataFile.put("file_format", "PARQUET")
+    dataFile.put("partition", new GenericData.Record(
+      dataFile.getSchema.getField("partition").schema()))
+    dataFile.put("record_count", records)
+    dataFile.put("file_size_in_bytes", size)
+    dataFile.put("block_size_in_bytes", 64L * 1024 * 1024)
+    val e = new GenericData.Record(manifestEntrySchema)
+    e.put("status", status) // 0 EXISTING / 1 ADDED
+    e.put("snapshot_id", snapId)
+    e.put("data_file", dataFile)
+    e
+  }
+
+  private def manifestListEntry(manifestPath: String, manifestLen: Long,
+      snapId: Long, added: Int, existing: Int): GenericRecord = {
+    val mf = new GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", manifestPath)
+    mf.put("manifest_length", manifestLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("added_snapshot_id", snapId)
+    mf.put("added_data_files_count", added)
+    mf.put("existing_data_files_count", existing)
+    mf.put("deleted_data_files_count", 0)
+    mf
+  }
+
+  /** Parquet footer row count (driver metadata read — Iceberg clients
+    * trust manifest record_count for count(*) pushdown). */
+  private def footerRecordCount(conf: org.apache.hadoop.conf.Configuration,
+      st: org.apache.hadoop.fs.FileStatus): Long = {
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+    try rdr.getRecordCount finally rdr.close()
+  }
+
   /** Export the CURRENT snapshot of `t` as a new file-based Iceberg v1
     * table at `target` (any Hadoop-FS URI; must not already hold
     * Iceberg metadata). The snapshot is rewritten as plain
@@ -289,32 +329,10 @@ object IcebergInterop {
     val snapId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val (schemaNode, lastColId) = toIcebergSchema(schema)
 
-    // per-file record counts from the parquet footers (metadata-only):
-    // Iceberg clients trust record_count for count(*) pushdown
-    def recordCount(st: org.apache.hadoop.fs.FileStatus): Long = {
-      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-      try rdr.getRecordCount finally rdr.close()
-    }
-
     fs.mkdirs(metaDir)
     // manifest: one ADDED entry per data file
-    val entries = files.map { st =>
-      val dataFile = new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema())
-      dataFile.put("file_path", st.getPath.toString)
-      dataFile.put("file_format", "PARQUET")
-      dataFile.put("partition", new GenericData.Record(
-        dataFile.getSchema.getField("partition").schema()))
-      dataFile.put("record_count", recordCount(st))
-      dataFile.put("file_size_in_bytes", st.getLen)
-      dataFile.put("block_size_in_bytes", 64L * 1024 * 1024)
-      val e = new GenericData.Record(manifestEntrySchema)
-      e.put("status", 1) // ADDED
-      e.put("snapshot_id", snapId)
-      e.put("data_file", dataFile)
-      e
-    }
+    val entries = files.map(st => manifestEntry(st.getPath.toString,
+      st.getLen, footerRecordCount(conf, st), 1, snapId))
     val schemaJson = om.writeValueAsString(schemaNode)
     val manifestBytes = writeAvro(manifestEntrySchema, Map(
       "schema" -> schemaJson, "schema-id" -> "0",
@@ -325,30 +343,38 @@ object IcebergInterop {
     writeBytes(fs, manifestPath, manifestBytes)
 
     // manifest list: one entry naming the manifest
-    val mf = new GenericData.Record(manifestFileSchema)
-    mf.put("manifest_path", manifestPath.toString)
-    mf.put("manifest_length", manifestBytes.length.toLong)
-    mf.put("partition_spec_id", 0)
-    mf.put("added_snapshot_id", snapId)
-    mf.put("added_data_files_count", files.size)
-    mf.put("existing_data_files_count", 0)
-    mf.put("deleted_data_files_count", 0)
     val listBytes = writeAvro(manifestFileSchema,
-      Map("snapshot-id" -> snapId.toString, "format-version" -> "1"), Seq(mf))
+      Map("snapshot-id" -> snapId.toString, "format-version" -> "1"),
+      Seq(manifestListEntry(manifestPath.toString, manifestBytes.length.toLong,
+        snapId, files.size, 0)))
     val listPath = new HPath(metaDir,
       s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
     writeBytes(fs, listPath, listBytes)
 
     // table metadata v1 + the HadoopCatalog version hint
-    val md = om.createObjectNode()
-    md.put("format-version", 1)
-    md.put("table-uuid", java.util.UUID.randomUUID().toString)
-    md.put("location", targetPath.toString)
-    md.put("last-updated-ms", now)
+    val md = baseMetadata(targetPath.toString, now)
     md.put("last-column-id", lastColId)
     md.set[ObjectNode]("schema", schemaNode)
     md.putArray("schemas").add(schemaNode)
     md.put("current-schema-id", 0)
+    md.put("current-snapshot-id", snapId)
+    md.putArray("snapshots")
+      .add(snapshotNode(snapId, now, "append", listPath.toString, 0))
+    writeBytes(fs, new HPath(metaDir, "v1.metadata.json"),
+      om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+    writeBytes(fs, new HPath(metaDir, "version-hint.text"),
+      "1".getBytes(StandardCharsets.UTF_8))
+    files.size
+  }
+
+  /** Static v1 table-metadata skeleton shared by export and mirror:
+    * unpartitioned spec, unsorted order, empty logs. */
+  private def baseMetadata(location: String, now: Long): ObjectNode = {
+    val md = om.createObjectNode()
+    md.put("format-version", 1)
+    md.put("table-uuid", java.util.UUID.randomUUID().toString)
+    md.put("location", location)
+    md.put("last-updated-ms", now)
     md.putArray("partition-spec")
     val specs = md.putArray("partition-specs")
     val spec0 = om.createObjectNode()
@@ -364,23 +390,185 @@ object IcebergInterop {
     orders.add(order0)
     md.put("default-sort-order-id", 0)
     md.putObject("properties")
-    md.put("current-snapshot-id", snapId)
-    val snaps = md.putArray("snapshots")
-    val snap = om.createObjectNode()
-    snap.put("snapshot-id", snapId)
-    snap.put("timestamp-ms", now)
-    val summary = snap.putObject("summary")
-    summary.put("operation", "append")
-    snap.put("manifest-list", listPath.toString)
-    snap.put("schema-id", 0)
-    snaps.add(snap)
     md.putArray("snapshot-log")
     md.putArray("metadata-log")
-    writeBytes(fs, new HPath(metaDir, "v1.metadata.json"),
-      om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
-    writeBytes(fs, new HPath(metaDir, "version-hint.text"),
-      "1".getBytes(StandardCharsets.UTF_8))
-    files.size
+    md
+  }
+
+  private def snapshotNode(snapId: Long, tsMs: Long, operation: String,
+      manifestList: String, schemaId: Int): ObjectNode = {
+    val snap = om.createObjectNode()
+    snap.put("snapshot-id", snapId)
+    snap.put("timestamp-ms", tsMs)
+    snap.putObject("summary").put("operation", operation)
+    snap.put("manifest-list", manifestList)
+    snap.put("schema-id", schemaId)
+    snap
+  }
+
+  /** Zero-copy Iceberg mirror — publish a live GraftTable AS a
+    * file-based Iceberg table (the UniForm-style dual-format idea,
+    * Iceberg side): maintain `metadata/` inside the table root whose
+    * snapshots reference the graft data files IN PLACE — one Iceberg
+    * snapshot + metadata version per graft commit, no data copied.
+    * After a sync, `t.root` opens in any Iceberg client (and in
+    * [[readIceberg]]) with the same content as `t.read()`, and
+    * `asOfSnapshotId = graftVersion + 1` time-travels the history.
+    *
+    *  - Each sync writes ONE manifest covering the commit's full live
+    *    file set (files new in the commit are ADDED, carried files
+    *    EXISTING) plus its manifest list and `v<N>.metadata.json` —
+    *    O(#live-files) driver-side metadata per commit; incremental
+    *    manifest reuse is the upgrade path, not a format change.
+    *  - IDENTITY-partitioned tables refuse: their hive layout drops
+    *    the partition column from the data files, and Iceberg requires
+    *    data files to carry all columns. Derived transform layouts
+    *    (`__p_*=...`) keep all declared columns in the files and
+    *    mirror as unpartitioned. Column renames refuse (physical
+    *    names diverge; Iceberg handles renames by field id, which
+    *    files written before the rename would contradict).
+    *  - Schema changes append to the `schemas` array with a fresh
+    *    schema id; unchanged schemas are reused by deep equality.
+    *
+    * Idempotent and incremental via version-hint.text; a concurrent
+    * mirror losing the metadata-file race treats the peer's identical
+    * commit as done. Returns the number of metadata versions written. */
+  def mirrorToIceberg(t: GraftTable): Int = {
+    val conf = t.spark.sparkContext.hadoopConfiguration
+    val root = new HPath(t.root)
+    val fs = root.getFileSystem(conf)
+    val metaDir = new HPath(root, "metadata")
+    val latest = t.latestVersion()
+    require(latest >= 0, s"empty graft table at ${t.root}")
+    val hint = new HPath(metaDir, "version-hint.text")
+    val mirrored: Int =
+      if (!fs.exists(hint)) -1
+      else new String(readBytes(fs, hint), StandardCharsets.UTF_8).trim.toInt - 1
+    if (mirrored >= latest) return 0
+    fs.mkdirs(metaDir)
+
+    // immutable dirs: list + footer-count each once per sync. A dir
+    // vacuumed before its history was mirrored lists as empty (legal
+    // only when a later commit removed it — same information loss
+    // vacuum already caused); a LIVE dir missing on disk is corruption.
+    val latestLive = t.commitAt(latest).liveDirs.toSet
+    val dirCache = scala.collection.mutable.Map[String, Seq[(String, Long, Long)]]()
+    def dirFiles(d: String): Seq[(String, Long, Long)] =
+      dirCache.getOrElseUpdate(d, {
+        if (!fs.exists(new HPath(root, d))) {
+          require(!latestLive.contains(d),
+            s"live data directory $d of ${t.root} is missing on disk")
+          Nil
+        } else {
+          def rec(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+            fs.listStatus(p).toSeq.flatMap { st =>
+              val n = st.getPath.getName
+              if ((n.startsWith("_") || n.startsWith(".")) && !n.contains("=")) Nil
+              else if (st.isDirectory) rec(st.getPath)
+              else if (n.endsWith(".parquet")) Seq(st)
+              else Nil
+            }
+          rec(new HPath(root, d)).map(st =>
+            (st.getPath.toString, st.getLen, footerRecordCount(conf, st)))
+        }
+      })
+
+    var md: ObjectNode =
+      if (mirrored < 0) null
+      else om.readTree(readBytes(fs,
+        new HPath(metaDir, s"v${mirrored + 1}.metadata.json")))
+        .asInstanceOf[ObjectNode]
+    var prevFiles: Set[String] =
+      if (mirrored < 0) Set.empty
+      else t.commitAt(mirrored).liveDirs.flatMap(d => dirFiles(d).map(_._1)).toSet
+
+    var written = 0
+    ((mirrored + 1) to latest).foreach { v =>
+      val c = t.commitAt(v)
+      if (c.renames.nonEmpty)
+        throw new IllegalArgumentException(
+          s"cannot mirror ${t.root} to Iceberg: commit $v renames columns " +
+            s"(${c.renames.map { case (o, n) => s"$o->$n" }.mkString(", ")}) — " +
+            "physical parquet names diverge from the schema")
+      val identityCols = c.partitionBy.filterNot(_.contains("("))
+      if (identityCols.nonEmpty)
+        throw new IllegalArgumentException(
+          s"cannot mirror ${t.root} to Iceberg: identity partitioning on " +
+            s"${identityCols.mkString(", ")} drops the column from the data " +
+            "files (hive layout); Iceberg data files must carry all columns")
+      val snapId = v + 1L
+      val files = c.liveDirs.flatMap(dirFiles)
+      val (schemaNode, lastColId) =
+        toIcebergSchema(StructType(c.schemaStruct.map(_.copy(nullable = true))))
+
+      val entries = files.map { case (p, size, rc) =>
+        manifestEntry(p, size, rc, if (prevFiles.contains(p)) 0 else 1, snapId)
+      }
+      prevFiles = files.map(_._1).toSet
+      val schemaJson = om.writeValueAsString(schemaNode)
+      val manifestBytes = writeAvro(manifestEntrySchema, Map(
+        "schema" -> schemaJson, "schema-id" -> "0",
+        "partition-spec" -> "[]", "partition-spec-id" -> "0",
+        "format-version" -> "1"), entries)
+      val manifestPath = new HPath(metaDir,
+        s"${java.util.UUID.randomUUID()}-m0.avro")
+      writeBytes(fs, manifestPath, manifestBytes)
+      val added = entries.count(_.get("status") == 1)
+      val listBytes = writeAvro(manifestFileSchema,
+        Map("snapshot-id" -> snapId.toString, "format-version" -> "1"),
+        Seq(manifestListEntry(manifestPath.toString, manifestBytes.length.toLong,
+          snapId, added, entries.size - added)))
+      val listPath = new HPath(metaDir,
+        s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
+      writeBytes(fs, listPath, listBytes)
+
+      if (md == null) md = baseMetadata(root.toString, c.timestampMs)
+      md.put("last-updated-ms", c.timestampMs)
+      // reuse a deep-equal schema's id; else append with a fresh id
+      val schemas =
+        if (md.has("schemas"))
+          md.get("schemas").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        else md.putArray("schemas")
+      val schemaId = schemas.elements().asScala()
+        .find(s => s.get("fields") == schemaNode.get("fields"))
+        .map(_.get("schema-id").asInt())
+        .getOrElse {
+          val next = schemas.elements().asScala()
+            .map(_.path("schema-id").asInt(0)).maxOption.map(_ + 1).getOrElse(0)
+          schemaNode.put("schema-id", next)
+          schemas.add(schemaNode)
+          next
+        }
+      md.put("current-schema-id", schemaId)
+      md.set[ObjectNode]("schema", schemas.elements().asScala()
+        .find(_.path("schema-id").asInt(-1) == schemaId).get.deepCopy())
+      md.put("last-column-id",
+        math.max(md.path("last-column-id").asInt(0), lastColId))
+      md.put("current-snapshot-id", snapId)
+      val snaps =
+        if (md.has("snapshots"))
+          md.get("snapshots").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        else md.putArray("snapshots")
+      snaps.add(snapshotNode(snapId, c.timestampMs, c.action,
+        listPath.toString, schemaId))
+
+      // exclusive metadata-version put; a racing peer writing the same
+      // version derived identical content from the same commit log
+      try {
+        writeBytes(fs, new HPath(metaDir, s"v${v + 1}.metadata.json"),
+          om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+        written += 1
+      } catch {
+        case _: java.io.IOException
+          if fs.exists(new HPath(metaDir, s"v${v + 1}.metadata.json")) =>
+          md = om.readTree(readBytes(fs,
+            new HPath(metaDir, s"v${v + 1}.metadata.json"))).asInstanceOf[ObjectNode]
+      }
+      val out = fs.create(hint, true)
+      try out.write((v + 1).toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    written
   }
 
   // ---------------------------------------------------------------
@@ -511,12 +699,23 @@ object IcebergInterop {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-    // name-resolution probe: Iceberg resolves columns by field id; this
-    // reader resolves by name. If any declared column is missing from a
-    // data file footer (e.g. renamed after writes), fail loudly rather
-    // than silently null-fill.
+    // Rename detection #2 — footer probe: a declared column missing
+    // from a data file footer is a likely field-id rename this
+    // name-based reader would silently null-fill. Columns ADDED by
+    // schema evolution are legitimately absent from older files (they
+    // null-fill by name, matching Iceberg's by-id semantics), so only
+    // columns present in EVERY retained schema version are required in
+    // the probed footer.
+    val stableCols: Seq[String] =
+      if (!md.has("schemas")) schema.fieldNames.toSeq
+      else {
+        val perSchema = md.get("schemas").elements().asScala().map(s =>
+          s.path("fields").elements().asScala()
+            .map(_.path("name").asText()).toSet).toSeq
+        schema.fieldNames.toSeq.filter(n => perSchema.forall(_.contains(n)))
+      }
     val probe = spark.read.parquet(dataFiles.head).schema.fieldNames.toSet
-    val missing = schema.fieldNames.filterNot(probe.contains)
+    val missing = stableCols.filterNot(probe.contains)
     if (missing.nonEmpty)
       refuse(path, s"data files lack declared columns ${missing.mkString(", ")} " +
         "(renamed by field id?)")

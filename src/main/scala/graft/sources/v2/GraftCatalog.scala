@@ -715,7 +715,8 @@ private[v2] object GraftProcedures {
 
   val Names: Seq[String] =
     Seq("vacuum", "vacuum_older_than", "compact", "cluster", "zorder",
-      "restore", "export_delta", "export_iceberg", "mirror_delta")
+      "restore", "export_delta", "export_iceberg", "mirror_delta",
+      "mirror_iceberg")
 
   private def in(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -741,7 +742,7 @@ private[v2] object GraftProcedures {
             Array(in("table", StringType), in("to_version", IntegerType))
           case "export_delta" | "export_iceberg" =>
             Array(in("table", StringType), in("target", StringType))
-          case "mirror_delta" =>
+          case "mirror_delta" | "mirror_iceberg" =>
             Array(in("table", StringType))
           case _ => // cluster / zorder
             Array(in("table", StringType), in("cols", StringType),
@@ -782,6 +783,9 @@ private[v2] object GraftProcedures {
             case "mirror_delta" =>
               (StructType(Seq(StructField("delta_commits", IntegerType))),
                 Seq(InternalRow(graft.sources.DeltaInterop.mirrorToDelta(t))))
+            case "mirror_iceberg" =>
+              (StructType(Seq(StructField("metadata_versions", IntegerType))),
+                Seq(InternalRow(graft.sources.IcebergInterop.mirrorToIceberg(t))))
           }
           val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
             override def readSchema(): StructType = schema

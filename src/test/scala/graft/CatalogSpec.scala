@@ -292,6 +292,12 @@ class CatalogSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet == want)
     assert(spark.sql(s"CALL $cat.system.mirror_delta('db.ex')")
       .collect()(0).getInt(0) == 0)
+    val r4 = spark.sql(s"CALL $cat.system.mirror_iceberg('db.ex')")
+    assert(r4.collect()(0).getInt(0) > 0)
+    assert(graft.sources.IcebergInterop.readIceberg(spark, tblRoot)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == want)
+    assert(spark.sql(s"CALL $cat.system.mirror_iceberg('db.ex')")
+      .collect()(0).getInt(0) == 0)
   }
 
   test("CALL cat.system.restore rolls back through SQL") {

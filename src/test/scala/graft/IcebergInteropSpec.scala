@@ -184,6 +184,66 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not found"), e.getMessage)
   }
 
+  test("mirrorToIceberg: zero-copy dual-format publication, incremental sync") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_imir_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.delete(col("id") === 1L)
+    assert(IcebergInterop.mirrorToIceberg(t) == 3) // graft versions 0..2
+    def via(snap: Option[Long] = None) =
+      IcebergInterop.readIceberg(spark, t.root, snap)
+        .as[(Long, String)].collect().toSet
+    assert(via() == Set((2L, "b"), (3L, "c")))
+    // zero-copy: manifests point into the graft data dirs in place
+    assert(Files.exists(Paths.get(t.root, "metadata", "v3.metadata.json")))
+    // idempotent + incremental
+    assert(IcebergInterop.mirrorToIceberg(t) == 0)
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    assert(IcebergInterop.mirrorToIceberg(t) == 1)
+    assert(via() == Set((2L, "b"), (3L, "c"), (4L, "d")))
+    // snapshot id = graft version + 1: full history time travel
+    assert(via(Some(2L)) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(via(Some(1L)) == Set((1L, "a"), (2L, "b")))
+    // schema evolution appends a schema version; reads still green
+    t.appendMergeSchema(Seq((5L, "e", 1.5)).toDF("id", "v", "x"))
+    assert(IcebergInterop.mirrorToIceberg(t) == 1)
+    val got = IcebergInterop.readIceberg(spark, t.root)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+  }
+
+  test("mirrorToIceberg refuses identity partitioning and renames") {
+    import spark.implicits._
+    val t1 = GraftTable.create(spark, tmp("graft_imip_"),
+      Seq((1L, "a")).toDF("id", "seg"), partitionBy = Seq("seg"))
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergInterop.mirrorToIceberg(t1)
+    }
+    assert(e1.getMessage.contains("identity partitioning"), e1.getMessage)
+    val t2 = GraftTable.create(spark, tmp("graft_imir2_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    t2.renameColumn("v", "label")
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergInterop.mirrorToIceberg(t2)
+    }
+    assert(e2.getMessage.contains("renames columns"), e2.getMessage)
+  }
+
+  test("mirrorToIceberg handles transform-partitioned layouts") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_imit_"),
+      Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2024-01-02 11:00:00")))
+        .toDF("id", "ts"),
+      partitionBy = Seq("days(ts)"))
+    assert(IcebergInterop.mirrorToIceberg(t) == 1)
+    val got = IcebergInterop.readIceberg(spark, t.root)
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    assert(got.map(_._1) == Set(1L, 2L), got)
+  }
+
   test("refuses format v3, delete manifests, and renamed columns") {
     import spark.implicits._
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
