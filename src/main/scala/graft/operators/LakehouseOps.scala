@@ -150,12 +150,66 @@ object LakehouseOps {
        |FROM customer
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** g10: ZERO-COPY Delta mirror gate — build a GraftTable from
+    * orders, append + delete across commits, `mirrorToDelta` (the
+    * in-place `_delta_log` referencing graft's own files), then read
+    * the TABLE ROOT back through the Delta log reader. The oracle
+    * recomputes the final state relationally, so the mirror's
+    * add/remove bookkeeping across a copy-on-write rewrite must be
+    * value-exact. */
+  val g10_delta_mirror: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val t = GraftTable.create(s, tmp(), orders.filter($"o_orderkey" % 2 === 1))
+    t.append(orders.filter($"o_orderkey" % 2 === 0))
+    t.delete(col("o_orderstatus") === "F")
+    graft.sources.DeltaInterop.mirrorToDelta(t)
+    graft.sources.DeltaInterop.readDelta(s, t.root)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Exact.moneySum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val g10_sql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+       | ${S.moneySum("o_totalprice")} AS total
+       |FROM orders WHERE o_orderstatus <> 'F'
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** g11: zero-copy Iceberg mirror gate — same shape as g10 on the
+    * Iceberg side (metadata/ in the table root, snapshot per commit),
+    * over a different mutation mix (overwrite-free append + update). */
+  val g11_iceberg_mirror: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+    val t = GraftTable.create(s, tmp(), li.filter($"l_orderkey" % 2 === 1))
+    t.append(li.filter($"l_orderkey" % 2 === 0))
+    t.update(col("l_returnflag") === "R", Map("l_quantity" -> lit(0.0)))
+    graft.sources.IcebergInterop.mirrorToIceberg(t)
+    graft.sources.IcebergInterop.readIceberg(s, t.root)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.Exact.moneySum($"l_quantity").as("total_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val g11_sql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_items,
+       | ${S.moneySum("CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_quantity END")} AS total_qty
+       |FROM lineitem
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
     "g1_merge_upsert" -> g1_merge_upsert,
     "g5_update_delete" -> g5_update_delete,
     "g7_sql_catalog" -> g7_sql_catalog,
     "g8_delta_roundtrip" -> g8_delta_roundtrip,
     "g9_iceberg_roundtrip" -> g9_iceberg_roundtrip,
+    "g10_delta_mirror" -> g10_delta_mirror,
+    "g11_iceberg_mirror" -> g11_iceberg_mirror,
   )
 
   val oracles: Map[String, String] = Map(
@@ -164,5 +218,7 @@ object LakehouseOps {
     "g7_sql_catalog" -> g7_sql,
     "g8_delta_roundtrip" -> g8_sql,
     "g9_iceberg_roundtrip" -> g9_sql,
+    "g10_delta_mirror" -> g10_sql,
+    "g11_iceberg_mirror" -> g11_sql,
   )
 }
