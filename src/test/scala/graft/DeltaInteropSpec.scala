@@ -422,6 +422,74 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(log0.contains("\"partitionColumns\":[]"), log0)
   }
 
+  test("mirror fuzz: random op sequences keep both mirrors exact") {
+    import spark.implicits._
+    // Deterministic pseudo-random sequences of table operations with a
+    // mirror sync at random points — the corner interleavings
+    // (overwrite after delete, compact, restore, vacuum of mirrored
+    // history) are where dual-format bookkeeping breaks, not the happy
+    // path. Both mirrors and both readers must stay value-exact with
+    // the graft read after EVERY sync.
+    (0 until 3).foreach { trial =>
+      val rnd = new scala.util.Random(42 + trial)
+      def batch(): org.apache.spark.sql.DataFrame = {
+        val n = 1 + rnd.nextInt(4)
+        (0 until n).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(100).toDouble))
+          .toDF("id", "x")
+      }
+      val t = GraftTable.create(spark, tmp(s"graft_fuzz${trial}_"), batch())
+      var restorable = 0 // highest version safe to restore to
+      def sync(): Unit = {
+        DeltaInterop.mirrorToDelta(t)
+        graft.sources.IcebergInterop.mirrorToIceberg(t)
+        val want = t.read().as[(Long, Double)].collect().sorted.toSeq
+        val viaDelta = DeltaInterop.readDelta(spark, t.root)
+          .as[(Long, Double)].collect().sorted.toSeq
+        val viaIce = graft.sources.IcebergInterop.readIceberg(spark, t.root)
+          .as[(Long, Double)].collect().sorted.toSeq
+        assert(viaDelta == want, s"trial $trial delta v${t.latestVersion()}")
+        assert(viaIce == want, s"trial $trial iceberg v${t.latestVersion()}")
+      }
+      (0 until 10).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 | 1 => t.append(batch())
+          case 2 => t.delete(col("id") < rnd.nextInt(25))
+          case 3 => t.overwrite(batch())
+          case 4 => t.compact(1)
+          case 5 =>
+            val v = restorable + rnd.nextInt(t.latestVersion() - restorable + 1)
+            t.restore(v)
+        }
+        if (rnd.nextBoolean()) sync()
+      }
+      sync()
+      // vacuum everything non-live, append once more, sync again: the
+      // mirrors must tombstone vacuumed history from their own logs
+      restorable = t.latestVersion()
+      t.vacuum(t.latestVersion())
+      t.append(batch())
+      sync()
+    }
+  }
+
+  test("mirrors handle history vacuumed before it was ever mirrored") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_mirv_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    t.overwrite(Seq((2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.vacuum(t.latestVersion()) // v0's directory is deleted from disk
+    assert(DeltaInterop.mirrorToDelta(t) == 2)
+    assert(graft.sources.IcebergInterop.mirrorToIceberg(t) == 2)
+    val want = Set((2L, "b"), (3L, "c"))
+    assert(DeltaInterop.readDelta(spark, t.root)
+      .as[(Long, String)].collect().toSet == want)
+    assert(graft.sources.IcebergInterop.readIceberg(spark, t.root)
+      .as[(Long, String)].collect().toSet == want)
+    // pre-vacuum versions mirror as empty — the same information loss
+    // vacuum already caused, never a crash or a partial misread
+    assert(DeltaInterop.readDelta(spark, t.root, Some(0L)).count() == 0)
+  }
+
   test("mirrorToDelta refuses column renames") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_mirr_"),
