@@ -83,19 +83,20 @@ object JoinShapes {
 
   /** q16: segments whose revenue exceeds the all-segment mean. The
     * threshold is formed without division (5·seg > total) over exact
-    * decimals, and the global total comes from an unpartitioned window
-    * over the 5 aggregated rows — not a driver collect. */
+    * decimals, and the global total comes from a scalar aggregate over
+    * the 5 grouped rows, re-attached via a broadcast cross join — no
+    * single-partition window, no driver collect. */
   val q16_having_subquery: Relational.Q = (s, dir) => {
     import s.implicits._
     val perSeg = Tables.customer(s, dir)
       .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey")
       .groupBy($"c_mktsegment")
       .agg(sum(Exact.dec4($"o_totalprice")).as("rev_dec"))
-    val nSeg = count(lit(1)).over(Window.partitionBy())
-    val total = sum($"rev_dec").over(Window.partitionBy())
+    val totals = perSeg.agg(
+      count(lit(1)).as("n_segments"),
+      sum($"rev_dec").as("total"))
     perSeg
-      .withColumn("n_segments", nSeg)
-      .withColumn("total", total)
+      .crossJoin(broadcast(totals))
       .filter($"rev_dec" * $"n_segments" > $"total")
       .select($"c_mktsegment", $"rev_dec".cast("double").as("revenue"))
       .orderBy($"c_mktsegment")

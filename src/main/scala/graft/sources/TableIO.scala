@@ -28,16 +28,30 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *  - HDFS-like rename-atomic stores (hdfs, abfs, gs, viewfs): write a
   *    temp file, then `rename` WITHOUT overwrite — rename is atomic
   *    and fails when the destination exists.
-  *  - S3/S3A: `rename` is copy+delete behind a non-atomic existence
-  *    check, so two racing writers have a small window. Production S3
-  *    deployments must either enable a conditional-PUT committer
-  *    (S3 If-None-Match, surfaced by recent s3a releases) or front the
-  *    commit log with a lock/catalog service — the DynamoDB-LogStore /
+  *  - stores advertising the `fs.option.create.conditional.overwrite`
+  *    path capability (Hadoop 3.4+ conditional writes; s3a with S3
+  *    conditional-PUT support): `createFile(p).overwrite(false)` — the
+  *    store enforces create-if-absent atomically (If-None-Match on the
+  *    closing PUT), so the exists-then-rename window disappears and
+  *    content appears whole-object-atomically at close.
+  *  - S3/S3A WITHOUT that capability: `rename` is copy+delete behind a
+  *    non-atomic existence check, so two racing writers have a small
+  *    window. Such deployments must either upgrade to an s3a with
+  *    conditional-PUT support (previous bullet) or front the commit
+  *    log with a lock/catalog service — the DynamoDB-LogStore /
   *    Iceberg-catalog pattern. Single-writer S3 pipelines are safe
   *    as-is; the failure mode under an unprotected race is a lost
   *    commit, never a torn file (content still lands via whole-object
   *    PUT).
   */
+private[sources] object TableIO {
+  /** Hadoop 3.4+ conditional-write builder option, doubling as the
+    * path capability a store advertises when `createFile(p)
+    * .overwrite(false)` is enforced ATOMICALLY (create-if-absent /
+    * If-None-Match) rather than by a client-side existence check. */
+  val ConditionalCreate = "fs.option.create.conditional.overwrite"
+}
+
 private[sources] final class TableIO(rootStr: String, conf: Configuration) {
   val root = new HPath(rootStr)
   val fs: FileSystem = root.getFileSystem(conf)
@@ -85,6 +99,30 @@ private[sources] final class TableIO(rootStr: String, conf: Configuration) {
         java.nio.file.StandardOpenOption.CREATE_NEW)
       try java.nio.file.Files.createLink(target, tmp)
       finally java.nio.file.Files.deleteIfExists(tmp)
+    } else if (fs.hasPathCapability(p, TableIO.ConditionalCreate)) {
+      // true conditional create: the store enforces create-if-absent
+      // atomically when the builder declares overwrite(false) (S3
+      // If-None-Match on the closing PUT). The slot-taken signal can
+      // surface at build() (HDFS-class: namenode create) or at close()
+      // (object stores: the PUT itself) — both map to the protocol's
+      // uniform FileAlreadyExistsException.
+      try {
+        val out = fs.createFile(p).overwrite(false).build()
+        try { out.write(bytes); out.close() }
+        catch {
+          case e: java.io.IOException =>
+            // a failed conditional PUT reports as an I/O failure on
+            // close; re-probe so contention surfaces as the retry
+            // signal and real I/O errors stay errors
+            try out.close() catch { case _: Throwable => () }
+            if (fs.exists(p))
+              throw new java.nio.file.FileAlreadyExistsException(p.toString)
+            throw e
+        }
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new java.nio.file.FileAlreadyExistsException(p.toString)
+      }
     } else {
       if (fs.exists(p))
         throw new java.nio.file.FileAlreadyExistsException(p.toString)

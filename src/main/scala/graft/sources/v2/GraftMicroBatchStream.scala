@@ -141,6 +141,27 @@ class GraftMicroBatchStream(spark: SparkSession, path: String,
               s"graft stream over $path: commit $v renames columns " +
                 s"(${commit.renames.map { case (o, nn) => s"$o->$nn" }.mkString(", ")}) — " +
                 "restart the stream to pick up the new schema")
+          // Same contract for ADD COLUMN / schema-merge appends (the
+          // Delta source's additive-schema-change behavior): the stream
+          // was planned with a fixed schema, so later appends carrying
+          // a WIDER schema would stream with their new columns silently
+          // dropped. Fail non-retryably; a restarted stream plans with
+          // the widened schema and null-fills pre-change batches.
+          val commitCols = commit.schemaStruct.fieldNames
+            .filterNot(_.startsWith("__p_")).toSet
+          val plannedCols =
+            schema.fieldNames.filterNot(_.startsWith("__p_")).toSet
+          if (commitCols.nonEmpty && commitCols != plannedCols) {
+            val diff = Seq(
+              Option((commitCols -- plannedCols).toSeq.sorted)
+                .filter(_.nonEmpty).map(a => s"added ${a.mkString(", ")}"),
+              Option((plannedCols -- commitCols).toSeq.sorted)
+                .filter(_.nonEmpty).map(d => s"dropped ${d.mkString(", ")}")
+            ).flatten.mkString("; ")
+            throw new IllegalStateException(
+              s"graft stream over $path: commit $v changes the table schema " +
+                s"($diff) — restart the stream to pick up the new schema")
+          }
           val prev = t.commitAt(v - 1).liveDirs
           val cur = commit.liveDirs
           val removed = prev.filterNot(cur.toSet)

@@ -603,6 +603,40 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming read fails loudly on a mid-stream ADD COLUMN; restart widens") {
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.ac (id BIGINT, v STRING) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.ac VALUES (1, 'a')")
+    val name = "gaddcol_" + n
+    val q = spark.readStream.table(s"$cat.db.ac")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 1)
+      // an additive schema change mid-stream must fail non-retryably
+      // (the Delta source contract) — later appends carry a column the
+      // running stream's fixed plan would silently drop
+      spark.sql(s"ALTER TABLE $cat.db.ac ADD COLUMN score DOUBLE")
+      spark.sql(s"INSERT INTO $cat.db.ac VALUES (2, 'b', 7.5)")
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("changes the table schema")), s"got $e")
+    } finally q.stop()
+    // a RESTARTED stream plans with the widened schema: its snapshot
+    // batch null-fills pre-change rows and carries the new column
+    val name2 = name + "_restart"
+    val q2 = spark.readStream.table(s"$cat.db.ac")
+      .writeStream.outputMode("append").format("memory").queryName(name2).start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table(name2).orderBy("id").collect()
+      assert(spark.table(name2).columns.toSeq == Seq("id", "v", "score"))
+      assert(rows.length == 2 && rows(0).isNullAt(2) && rows(1).getDouble(2) == 7.5,
+        rows.mkString(", "))
+    } finally q2.stop()
+  }
+
   test("catalog scan reports real statistics (broadcast planning survives)") {
     freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.s (id BIGINT, v STRING) USING graft")

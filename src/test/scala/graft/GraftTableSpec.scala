@@ -775,6 +775,48 @@ class GraftTableSpec extends AnyFunSuite {
       GraftTable.create(spark, root, Seq((9L, 9.0)).toDF("k", "x"))
     }
   }
+
+  test("hadoop fs: conditional-create capability takes the atomic-put branch") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.condput.impl", classOf[CondPutTestFs].getName)
+    val root = "condput://" +
+      Files.createTempDirectory("graft_condput_").toString + "/t"
+    CondPutTestFs.conditionalCreates.set(0)
+    val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // every commit landed through the conditional-create branch (one
+    // overwrite(false) build per commit slot), not temp+rename
+    assert(CondPutTestFs.conditionalCreates.get() >= 2,
+      s"conditional creates: ${CondPutTestFs.conditionalCreates.get()}")
+    // the occupied-slot signal stays uniform through this branch
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, root, Seq((9L, "x")).toDF("k", "v"))
+    }
+  }
+
+  test("hadoop fs: 8-writer contention through the conditional-create branch") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.condput.impl", classOf[CondPutTestFs].getName)
+    val root = "condput://" +
+      Files.createTempDirectory("graft_condput_race_").toString + "/t"
+    val t = GraftTable.create(spark, root, Seq((0L, 0L)).toDF("k", "n"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int =
+            GraftTable.load(spark, root).append(Seq((i.toLong, i.toLong)).toDF("k", "n"))
+        })
+      }
+      val versions = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.toSet.size == 8, s"duplicate version slots: $versions")
+      assert(GraftTable.load(spark, root).read().count() == 9)
+    } finally pool.shutdownNow()
+  }
 }
 
 /** RawLocalFileSystem re-registered under a non-`file` scheme with
@@ -799,4 +841,75 @@ class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
 }
 object GraftTestFs {
   private[graft] val renameLock = new Object
+}
+
+/** RawLocalFileSystem advertising the Hadoop 3.4+ conditional-create
+  * path capability (`fs.option.create.conditional.overwrite`) and
+  * honoring its contract: `createFile(p).overwrite(false)` enforces
+  * create-if-absent ATOMICALLY (serialized here by a JVM-wide lock —
+  * faithful to a store-side If-None-Match PUT), raising Hadoop's
+  * FileAlreadyExistsException on an occupied slot. Specs use it to
+  * exercise TableIO's conditional-create commit branch. */
+class CondPutTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "condput"
+  override def getUri: java.net.URI = java.net.URI.create("condput:///")
+  override def hasPathCapability(p: org.apache.hadoop.fs.Path,
+                                 capability: String): Boolean =
+    capability == "fs.option.create.conditional.overwrite" ||
+      super.hasPathCapability(p, capability)
+  // Conditional creates buffer the content and publish it ATOMICALLY
+  // at close (temp + hard-link under the lock), like a store-side
+  // If-None-Match PUT: readers never observe a partial file, and the
+  // occupied-slot check happens at publish time.
+  private def conditionalPut(f: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    CondPutTestFs.conditionalCreates.incrementAndGet()
+    val target = java.nio.file.Paths.get(f.toUri.getPath)
+    val buf = new java.io.ByteArrayOutputStream() {
+      override def close(): Unit = CondPutTestFs.putLock.synchronized {
+        if (java.nio.file.Files.exists(target))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+        val tmp = target.resolveSibling(
+          s".condput-${java.util.UUID.randomUUID().toString.take(8)}")
+        java.nio.file.Files.write(tmp, toByteArray)
+        try java.nio.file.Files.createLink(target, tmp)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      }
+    }
+    new org.apache.hadoop.fs.FSDataOutputStream(buf, null)
+  }
+
+  // the default createFile builder routes here (non-recursive) with
+  // overwrite = flags.contains(OVERWRITE)
+  override def createNonRecursive(
+      f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      flags: java.util.EnumSet[org.apache.hadoop.fs.CreateFlag],
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    if (flags.contains(org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      super.createNonRecursive(f, permission, flags, bufferSize, replication,
+        blockSize, progress)
+    else conditionalPut(f)
+
+  // direct create(overwrite = false) calls honor the same contract
+  override def create(f: org.apache.hadoop.fs.Path,
+                      permission: org.apache.hadoop.fs.permission.FsPermission,
+                      overwrite: Boolean, bufferSize: Int, replication: Short,
+                      blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    if (overwrite)
+      super.create(f, permission, overwrite, bufferSize, replication,
+        blockSize, progress)
+    else conditionalPut(f)
+}
+object CondPutTestFs {
+  private[graft] val putLock = new Object
+  private[graft] val conditionalCreates =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 }
