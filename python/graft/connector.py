@@ -1,0 +1,43 @@
+"""Session factory — the reference connector.py analog: a SparkSession
+wired with the graft jar, GraftExtensions (SQL-registered expressions +
+the as-of join strategy), UTC session time, and tuned shuffle
+parallelism."""
+import glob
+import os
+
+from pyspark.sql import SparkSession
+
+
+def find_jar(repo_root=None):
+    """Locate the built graft jar: $GRAFT_JAR if set, else the newest
+    jar under <repo_root>/target/scala-2.13 (run `sbt package` first)."""
+    env = os.environ.get("GRAFT_JAR")
+    if env:
+        return env
+    root = repo_root or os.getcwd()
+    jars = sorted(glob.glob(os.path.join(root, "target", "scala-2.13", "*.jar")))
+    if not jars:
+        raise FileNotFoundError(
+            "no graft jar under %s/target/scala-2.13 — run `sbt package` "
+            "or set GRAFT_JAR" % root)
+    return os.path.abspath(jars[-1])
+
+
+def connect(app_name="graft", master="local[*]", jar=None,
+            shuffle_partitions=8, conf=None):
+    """Build (or reuse) a SparkSession with the graft library attached.
+
+    conf: optional dict of extra Spark confs (e.g. a graft SQL catalog:
+    {"spark.sql.catalog.g": "graft.sources.v2.GraftCatalog",
+     "spark.sql.catalog.g.warehouse": "/data/warehouse"}).
+    """
+    b = (SparkSession.builder
+         .master(master)
+         .appName(app_name)
+         .config("spark.jars", jar or find_jar())
+         .config("spark.sql.extensions", "graft.GraftExtensions")
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.session.timeZone", "UTC"))
+    for k, v in (conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,111 @@
+"""The graft versioned table format and its Delta/Iceberg interop from
+Python. For the SQL surface (CREATE TABLE ... USING graft, MERGE, time
+travel, CALL procedures), register a catalog via connect(conf={...})
+and use spark.sql — this module wraps the programmatic API."""
+from pyspark.sql import DataFrame
+
+
+def _seq(spark, values):
+    return spark._jvm.PythonUtils.toSeq(list(values))
+
+
+class GraftTable(object):
+    """Versioned parquet table (commit log + immutable snapshot dirs):
+    append / merge / delete, time travel, history, vacuum."""
+
+    def __init__(self, spark, jtable):
+        self._spark = spark
+        self._j = jtable
+
+    @staticmethod
+    def create(spark, path, df, partition_by=None):
+        j = spark._jvm.graft.sources.GraftTable.create(
+            spark._jsparkSession, path, df._jdf,
+            _seq(spark, partition_by or []))
+        return GraftTable(spark, j)
+
+    @staticmethod
+    def load(spark, path):
+        j = spark._jvm.graft.sources.GraftTable.load(
+            spark._jsparkSession, path)
+        return GraftTable(spark, j)
+
+    @property
+    def root(self):
+        return self._j.root()
+
+    def read(self):
+        return DataFrame(self._j.read(), self._spark)
+
+    def read_version(self, version):
+        return DataFrame(self._j.readVersion(int(version)), self._spark)
+
+    def latest_version(self):
+        return self._j.latestVersion()
+
+    def history(self):
+        return DataFrame(self._j.history(), self._spark)
+
+    def append(self, df):
+        return self._j.append(df._jdf)
+
+    def overwrite(self, df):
+        return self._j.overwrite(df._jdf)
+
+    def merge(self, source_df, key_cols):
+        """MERGE (upsert) by key columns: source wins on match."""
+        return self._j.merge(source_df._jdf, _seq(self._spark, key_cols))
+
+    def delete(self, condition_col):
+        """Row-level delete; condition_col is a pyspark Column."""
+        return self._j.delete(condition_col._jc)
+
+    def vacuum(self, retain_from_version):
+        return list(self._j.vacuum(int(retain_from_version)))
+
+    # ------------------------------------------------ format interop
+
+    def export_delta(self, target):
+        """One-shot copy export as a standalone Delta table."""
+        return self._spark._jvm.graft.sources.DeltaInterop.exportSnapshot(
+            self._j, target)
+
+    def export_iceberg(self, target):
+        """One-shot copy export as a standalone Iceberg v1 table."""
+        return self._spark._jvm.graft.sources.IcebergInterop.exportSnapshot(
+            self._j, target)
+
+    def mirror_to_delta(self):
+        """Zero-copy: publish this table's live state + history as a
+        Delta log inside the table root (idempotent incremental sync)."""
+        return self._spark._jvm.graft.sources.DeltaInterop.mirrorToDelta(self._j)
+
+    def mirror_to_iceberg(self):
+        """Zero-copy: publish as Iceberg metadata inside the table root."""
+        return self._spark._jvm.graft.sources.IcebergInterop.mirrorToIceberg(self._j)
+
+
+def _opt_long(spark, v):
+    """Scala Option[Long] across the gateway (None -> Option.empty;
+    boxing forced to java.lang.Long so the Scala side unboxes cleanly)."""
+    opt = spark._jvm.scala.Option
+    if v is None:
+        return opt.empty()
+    return opt.apply(spark._jvm.java.lang.Long.valueOf(str(int(v))))
+
+
+def read_delta(spark, path, version_as_of=None):
+    """Open a Delta table dependency-free (JSON log + v1 parquet
+    checkpoints; refuses deletion vectors / column mapping). Optional
+    versionAsOf time travel."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return DataFrame(dx.readDelta(
+        spark._jsparkSession, path, _opt_long(spark, version_as_of)), spark)
+
+
+def read_iceberg(spark, path, snapshot_id=None):
+    """Open an Iceberg v1/v2 table dependency-free (refuses v3+, delete
+    files, field-id renames). Optional snapshot-id time travel."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return DataFrame(ix.readIceberg(
+        spark._jsparkSession, path, _opt_long(spark, snapshot_id)), spark)

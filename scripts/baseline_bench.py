@@ -41,8 +41,17 @@ def main(sf_dir: str, out: str) -> None:
     supplier, nation, region = t("supplier"), t("nation"), t("region")
     documents = t("documents")
     embeddings = t("embeddings")
-    events = t("events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # schema-adaptive ts normalization (same contract as graft's
+    # Tables.events): legacy LongType nanos -> micros; timestamp_ntz
+    # (regenerated testdata) -> session-UTC timestamp; timestamp as-is
+    ev = t("events")
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
+        events = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        events = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        events = ev
 
     timings = {}
     CUTOFF = 300  # per-query watchdog: a stock formulation that cannot

@@ -1,130 +1,126 @@
 #!/usr/bin/env python3
-"""Notebook-style pyspark tour of the graft data-curation surface.
+"""Notebook-style pyspark tour of the graft data-curation surface,
+built on the importable `graft` Python module (python/graft — the
+reference's modules/dst_metrics + connector.py analog).
 
 The reference lakehouse's users live in pyspark notebooks
 (reference: docker/spark-notebook/*.ipynb); this script is the same
-workflow against graft: SparkSession + the graft jar + GraftExtensions,
-then dedup / clustering / decontamination through the public
-`graft.api.GraftOps` entry points (via the JVM gateway) and the
-SQL-registered native expressions (fingerprint64, dot_product,
-array_eq_fraction) through plain `spark.sql`.
+workflow against graft: `connect()` gives a wired session, `ops.*`
+are the curation entry points, `metrics` the activity log, `table`
+the versioned format + Delta/Iceberg interop.
 
 Usage (from the repo root):
     sbt package                                  # builds the graft jar
     python3 scripts/pyspark_demo.py [sf_dir]     # default sf0.001
 
-Every step prints a small sample; total runtime is a few seconds at
-sf0.001.
+Every step prints a small sample and asserts its expected shape; total
+runtime is a few seconds at sf0.001.
 """
-import glob
 import os
 import sys
+import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "python"))
+
+from graft import connect, metrics, ops, table  # noqa: E402
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-jars = sorted(glob.glob("target/scala-2.13/*.jar"))
-if not jars:
-    sys.exit("no graft jar under target/scala-2.13 - run `sbt package` first")
-jar = os.path.abspath(jars[-1])
 
-spark = (
-    SparkSession.builder
-    .master("local[4]")
-    .appName("graft-pyspark-demo")
-    .config("spark.jars", jar)
-    .config("spark.sql.extensions", "graft.GraftExtensions")
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
-)
+spark = connect(app_name="graft-pyspark-demo", master="local[4]",
+                conf={"spark.sql.catalog.pydemo": "graft.sources.v2.GraftCatalog",
+                      "spark.sql.catalog.pydemo.warehouse":
+                          tempfile.mkdtemp(prefix="graft_py_wh_")})
 spark.sparkContext.setLogLevel("WARN")
 
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 docs.createOrReplaceTempView("documents")
 emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-emb.createOrReplaceTempView("embeddings")
-
-# The Scala API surface, callable through the JVM gateway. Scala default
-# arguments are not synthesized across the gateway - pass every
-# parameter explicitly.
-ops = spark._jvm.graft.api.GraftOps
-
-
-def from_jvm(jdf):
-    """Wrap a JVM Dataset[Row] returned by GraftOps as a pyspark DataFrame."""
-    return DataFrame(jdf, spark)
-
+n_docs = docs.count()
+assert n_docs > 0, sf_dir
 
 print("== 1. SQL-native graft expressions (GraftExtensions) ==")
 spark.sql(
     "SELECT doc_id, fingerprint64(text) AS fp, length(text) AS n "
     "FROM documents ORDER BY doc_id LIMIT 5"
 ).show(truncate=False)
-spark.sql(
-    "SELECT a.vec_id, dot_product(CAST(a.embedding AS ARRAY<DOUBLE>), "
-    "CAST(a.embedding AS ARRAY<DOUBLE>)) AS self_dot "
-    "FROM embeddings a ORDER BY a.vec_id LIMIT 3"
-).show()
 
 print("== 2. MinHash+LSH near-duplicate pairs (the d3 shape) ==")
-pairs = from_jvm(ops.minhashPairs(docs._jdf, "doc_id", "text", 0.8))
-pairs.createOrReplaceTempView("pairs")
-print(f"pairs at J>=0.8: {pairs.count()}")
+pairs = ops.minhash_pairs(docs, "doc_id", "text", threshold=0.8)
+n_pairs = pairs.count()
+print(f"pairs at J>=0.8: {n_pairs}")
+assert n_pairs > 0, "sf0.001 has planted near-duplicates"
 pairs.orderBy("doc_a", "doc_b").show(5)
 
 print("== 3. Connected components + dedup apply (d7 + p6) ==")
-clusters = from_jvm(ops.nearDupClusters(pairs._jdf, "doc_a", "doc_b"))
-kept = from_jvm(ops.applyDedup(docs._jdf, "doc_id", clusters._jdf))
-print(f"docs: {docs.count()} -> kept after near-dup removal: {kept.count()}")
+clusters = ops.near_dup_clusters(pairs, "doc_a", "doc_b")
+kept = ops.apply_dedup(docs, "doc_id", clusters)
+n_kept = kept.count()
+print(f"docs: {n_docs} -> kept after near-dup removal: {n_kept}")
+assert 0 < n_kept < n_docs
 
 print("== 4. Bloom decontamination against a benchmark set (p8) ==")
 bench = docs.filter("source = 'src0'")
 train = docs.filter("source <> 'src0'")
-flagged = from_jvm(
-    ops.bloomDecontamination(
-        train._jdf, bench._jdf, "doc_id", "text", 13, 1 << 20, 5
-    )
-)
-print(f"training docs sharing a 13-gram with the benchmark: {flagged.count()}")
-flagged.orderBy("doc_id").show(5)
+flagged = ops.bloom_decontamination(train, bench, "doc_id", "text",
+                                    n=13, num_bits=1 << 20, num_hashes=5)
+n_flagged = flagged.count()
+print(f"training docs sharing a 13-gram with the benchmark: {n_flagged}")
+# Bloom has no false negatives: it flags at least the exact-match set
+assert n_flagged >= ops.ngram_contamination(
+    train, bench, "doc_id", "text", n=13).count()
 
-print("== 5. Exact dedup via SQL over the same session ==")
-deduped = from_jvm(ops.exactDedupe(docs._jdf, "doc_id", "text"))
-deduped.createOrReplaceTempView("deduped")
-spark.sql(
-    "SELECT (SELECT COUNT(*) FROM documents) AS total, COUNT(*) AS distinct_docs "
-    "FROM deduped"
-).show()
+print("== 5. Curation signals + PII scrub (t1/t2/t5 + t6) ==")
+sig = ops.curation_signals(docs, "doc_id", "text")
+sig.orderBy("doc_id").show(3)
+assert sig.count() == n_docs
+scrubbed = ops.pii_scrub(docs.limit(50), "text")
+assert scrubbed.count() == 50
 
-print("== 6. Versioned lakehouse table + Delta export, from Python ==")
-import tempfile
+print("== 6. Metrics activity log with a managed run context ==")
+log_path = tempfile.mkdtemp(prefix="graft_py_metrics_") + "/log"
+with metrics.metric_context(spark, log_path, "gold", "pydemo", 2026,
+                            "demo curation run") as m:
+    m.log_metric("near-dup pairs", float(n_pairs), "pairs", "count")
+    m.log_metric("kept docs", float(n_kept), "rows", "count")
+try:
+    with metrics.metric_context(spark, log_path, "gold", "pydemo", 2026,
+                                "failing step"):
+        raise RuntimeError("boom")
+except RuntimeError:
+    pass
+log_df = metrics.MetricsLogger(spark, log_path).read_all()
+# two metric records + one completion per context (success + failure)
+assert log_df.filter("metric_function = 'completion'").count() == 2
+assert log_df.filter("status = 'failure'").count() == 1
+assert log_df.count() == 4
 
-gt = spark._jvm.graft.sources.GraftTable
-table_path = tempfile.mkdtemp(prefix="graft_py_") + "/t"
-# Scala default args surface as $default$N static forwarders
-no_partitions = getattr(gt, "create$default$4")()
-t = gt.create(spark._jsparkSession, table_path, kept._jdf, no_partitions)
-t.append(docs.filter("doc_id < 0")._jdf)  # empty append -> new version
-print(f"table versions: {t.latestVersion() + 1}, "
-      f"rows: {from_jvm(t.read()).count()}")
+print("== 7. Versioned lakehouse table + Delta/Iceberg interop ==")
+t = table.GraftTable.create(
+    spark, tempfile.mkdtemp(prefix="graft_py_") + "/t", kept)
+t.append(docs.filter("doc_id < 0"))  # empty append -> new version
+assert t.latest_version() == 1
+assert t.read().count() == n_kept
 
 delta_path = tempfile.mkdtemp(prefix="graft_py_delta_") + "/t"
-dx = spark._jvm.graft.sources.DeltaInterop
-n_files = dx.exportSnapshot(t, delta_path)
-replayed = from_jvm(dx.readDelta(spark._jsparkSession, delta_path))
+n_files = t.export_delta(delta_path)
+replayed = table.read_delta(spark, delta_path)
 print(f"delta export: {n_files} data files; replayed rows: {replayed.count()}")
-assert replayed.count() == from_jvm(t.read()).count()
+assert replayed.count() == n_kept
 
-# the same Delta table through the SQL catalog's streaming-capable
-# sibling: register a graft catalog and tail the ORIGINAL table
-spark.conf.set("spark.sql.catalog.pydemo", "graft.sources.v2.GraftCatalog")
-spark.conf.set("spark.sql.catalog.pydemo.warehouse",
-               tempfile.mkdtemp(prefix="graft_py_wh_"))
-spark.sql("CREATE NAMESPACE pydemo.db")
+ice_path = tempfile.mkdtemp(prefix="graft_py_ice_") + "/t"
+t.export_iceberg(ice_path)
+assert table.read_iceberg(spark, ice_path).count() == n_kept
+
+# zero-copy: the graft table root itself becomes a Delta table
+t.mirror_to_delta()
+assert table.read_delta(spark, t.root).count() == n_kept
+
+print("== 8. SQL catalog from Python ==")
+spark.sql("CREATE NAMESPACE IF NOT EXISTS pydemo.db")
 spark.sql("CREATE TABLE pydemo.db.t (doc_id BIGINT, n BIGINT) USING graft")
 spark.sql("INSERT INTO pydemo.db.t SELECT doc_id, n_chars FROM documents LIMIT 10")
+assert spark.table("pydemo.db.t").count() == 10
 print(f"catalog table rows: {spark.table('pydemo.db.t').count()}")
 
 spark.stop()
-print("demo complete")
+print("demo complete — all assertions passed")

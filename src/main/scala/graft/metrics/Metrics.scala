@@ -73,6 +73,156 @@ class LogMetricSink extends MetricSink {
       s"value=${rec.metric_value} unit=${rec.metric_unit}")
 }
 
+/** HTTP push sink: POSTs one OpenLineage-shaped RunEvent per metric
+  * record to a configurable endpoint — the reference forwards its
+  * pipeline metrics/lineage to DataHub over HTTP
+  * (docker/spark-notebook/connector.py enable_lineage,
+  * 05_datahub_lineage_demo.ipynb).
+  *
+  * Config (resolved from the ACTIVE session on the first emit, i.e. on
+  * the logging thread — the delivery thread never touches the session):
+  *  - `spark.graft.metrics.http.endpoint`  — POST target URL. Unset =
+  *    the sink disables itself with one warning (never fails the job).
+  *  - `spark.graft.metrics.http.timeoutMs` — per-request timeout
+  *    (default 2000).
+  *
+  * Delivery is BUFFERED and best-effort, per the [[MetricSink]]
+  * contract: emit() enqueues into a bounded buffer and returns
+  * immediately; a daemon thread drains it and POSTs. A down endpoint,
+  * slow responses, or buffer overflow DROP records with a warning —
+  * metric export never fails, blocks, or slows the job that emitted
+  * the metric. `flush()` waits for the buffer to drain (shutdown
+  * hooks, tests). */
+class HttpMetricSink extends MetricSink {
+  import HttpMetricSink._
+  private val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
+  private val queue =
+    new java.util.concurrent.LinkedBlockingQueue[(Config, MetricRecord)](4096)
+  /** queued + in-flight records (flush waits on this, not just the queue) */
+  private val pending = new java.util.concurrent.atomic.AtomicLong(0)
+  private val droppedCount = new java.util.concurrent.atomic.AtomicLong(0)
+  // null = not yet resolved; Some/None after first emit
+  @volatile private var config: Option[Config] = null
+  @volatile private var workerStarted = false
+
+  override def emit(rec: MetricRecord): Unit = resolveConfig().foreach { c =>
+    ensureWorker()
+    pending.incrementAndGet()
+    if (!queue.offer((c, rec))) {
+      pending.decrementAndGet()
+      if (droppedCount.incrementAndGet() % 100 == 1)
+        log.warn(s"HttpMetricSink buffer full — dropped " +
+          s"${droppedCount.get()} records so far (endpoint ${c.endpoint})")
+    }
+  }
+
+  /** Wait until every buffered record has been attempted (delivered or
+    * dropped). Returns false on deadline. */
+  def flush(timeoutMs: Long = 10000): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (pending.get() > 0 && System.nanoTime() < deadline) Thread.sleep(10)
+    pending.get() == 0
+  }
+
+  private def resolveConfig(): Option[Config] = {
+    var c = config
+    if (c == null) {
+      c = try {
+        val conf = SparkSession.active.conf
+        conf.getOption("spark.graft.metrics.http.endpoint") match {
+          case Some(url) => Some(Config(java.net.URI.create(url),
+            conf.getOption("spark.graft.metrics.http.timeoutMs")
+              .map(_.toLong).getOrElse(2000L)))
+          case None =>
+            log.warn("HttpMetricSink registered but " +
+              "spark.graft.metrics.http.endpoint is unset — sink disabled")
+            None
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"HttpMetricSink config resolution failed: $e"); None
+      }
+      config = c
+      if (c.isDefined) instances.add(this): Unit
+    }
+    c
+  }
+
+  private def ensureWorker(): Unit = if (!workerStarted) synchronized {
+    if (!workerStarted) {
+      val t = new Thread(() => drainLoop(), "graft-http-metric-sink")
+      t.setDaemon(true)
+      t.start()
+      workerStarted = true
+    }
+  }
+
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+
+  private def drainLoop(): Unit = while (true) {
+    val item = queue.take()
+    try post(item._1, item._2)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        if (droppedCount.incrementAndGet() % 100 == 1)
+          log.warn(s"HttpMetricSink delivery to ${item._1.endpoint} failed " +
+            s"(${droppedCount.get()} drops so far): $e")
+    } finally pending.decrementAndGet(): Unit
+  }
+
+  private def post(c: Config, rec: MetricRecord): Unit = {
+    val req = java.net.http.HttpRequest.newBuilder(c.endpoint)
+      .timeout(java.time.Duration.ofMillis(c.timeoutMs))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(eventJson(rec)))
+      .build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.discarding())
+    if (resp.statusCode() >= 400)
+      throw new java.io.IOException(s"HTTP ${resp.statusCode()}")
+  }
+
+  /** OpenLineage RunEvent shape (run/job identity + the metric as a run
+    * facet) — the same record shape Lineage.emitOpenLineage writes to
+    * the activity log, serialized for the wire. */
+  private def eventJson(r: MetricRecord): String = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+    val v = if (java.lang.Double.isFinite(r.metric_value)) r.metric_value.toString
+            else "\"" + r.metric_value + "\""
+    val eventType = if (r.status.contains("failure")) "FAIL" else "COMPLETE"
+    val iso = java.time.Instant.ofEpochMilli(r.event_timestamp.getTime).toString
+    s"""{"eventType":"$eventType","eventTime":"$iso",""" +
+      s""""producer":"graft/metrics",""" +
+      s""""run":{"runId":"${esc(r.run_id)}","facets":{"graftMetric":{""" +
+      s""""layer":"${esc(r.layer)}","project":"${esc(r.project)}",""" +
+      s""""description":"${esc(r.description)}","value":$v,""" +
+      s""""unit":"${esc(r.metric_unit)}",""" +
+      s""""function":"${esc(r.metric_function)}"}}},""" +
+      s""""job":{"namespace":"graft",""" +
+      s""""name":"${esc(r.job_name.getOrElse(r.metric_function))}"}}"""
+  }
+}
+
+object HttpMetricSink {
+  private final case class Config(endpoint: java.net.URI, timeoutMs: Long)
+  private val instances =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[HttpMetricSink]()
+  /** Drain every live HTTP sink (MetricsLogger constructs sinks
+    * internally, so shutdown hooks and tests flush through here). */
+  def flushAll(timeoutMs: Long = 10000): Boolean = {
+    val it = instances.iterator()
+    var ok = true
+    while (it.hasNext) ok &= it.next().flush(timeoutMs)
+    ok
+  }
+}
+
 /** Appends metric records to a parquet activity log (reference appends
   * to a Delta table at s3a://polaris/metrics/activity_log).
   *
@@ -108,6 +258,20 @@ class MetricsLogger(spark: SparkSession, val tablePath: String) {
     }
     rec.run_id
   }
+
+  /** Gateway-friendly logging entry (Scala Options and default args do
+    * not synthesize across py4j — the Python module calls this): null
+    * means unset for every trailing field. Returns the run id. */
+  def logRecord(layer: String, project: String, datasetYear: Int,
+                description: String, value: Double, unit: String,
+                function: String, jobName: String, runId: String,
+                status: String, durationMs: java.lang.Long,
+                tableName: String, sourcePath: String): String =
+    log(MetricRecord.build(layer, project, datasetYear, description, value,
+      unit, function, Option(jobName), runId = Option(runId),
+      status = Option(status),
+      durationMs = Option(durationMs).map(_.longValue()),
+      tableName = Option(tableName), sourcePath = Option(sourcePath)))
 
   /** Append a record batch whose schema may be a superset of the log's
     * current schema (new columns evolve the log). */

@@ -41,10 +41,18 @@ object DeltaInterop {
 
   /** Export the CURRENT snapshot of `t` as a new Delta table at
     * `target` (any Hadoop-FS URI; must not already hold a Delta log).
-    * The snapshot is rewritten as plain unpartitioned parquet — rename
-    * chains, derived partition transforms and directory versioning are
-    * graft-internal and do not leak into the exported table. Returns
-    * the number of data files committed. */
+    *
+    * Identity-partitioned tables (`PARTITIONED BY (col)`) export as
+    * identity-partitioned DELTA tables — hive `col=value` layout,
+    * `partitionColumns` in metaData, per-file `partitionValues` — so a
+    * Delta reader keeps partition pruning. Derived transform layouts
+    * (`days(ts)` etc.) and rename chains are graft-internal: those
+    * snapshots are rewritten as plain unpartitioned parquet (a Delta
+    * client would need generated columns to express the transform;
+    * [[mirrorToDelta]] documents the same boundary). Incremental
+    * tracking of a LIVE table belongs to [[mirrorToDelta]] — export is
+    * the one-shot migration path. Returns the number of data files
+    * committed. */
   def exportSnapshot(t: GraftTable, target: String): Int = {
     val spark = t.spark
     val targetPath = new HPath(target)
@@ -53,16 +61,41 @@ object DeltaInterop {
     require(!fs.exists(logDir), s"Delta table already exists at $target")
     val df = t.read()
     val schema = StructType(df.schema.map(_.copy(nullable = true)))
-    df.write.parquet(targetPath.toString)
-    val files = fs.listStatus(targetPath).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
+    val specs = t.partitionColumns
+    val idCols: Seq[String] =
+      if (specs.nonEmpty && specs.forall(!_.contains("("))) specs else Nil
+    if (idCols.isEmpty) df.write.parquet(targetPath.toString)
+    else df.write.partitionBy(idCols: _*).parquet(targetPath.toString)
+    def listRec(dir: HPath, rel: String): Seq[(String, Long)] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        val childRel = if (rel.isEmpty) name else s"$rel/$name"
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (st.isDirectory) listRec(st.getPath, childRel)
+        else if (name.endsWith(".parquet")) Seq((childRel, st.getLen))
+        else Nil
+      }
+    val files = listRec(targetPath, "").sortBy(_._1)
     val now = System.currentTimeMillis()
     val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val pcJson = idCols.map(c => "\"" + jsonEscape(c) + "\"").mkString(",")
     val metaData =
-      s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(schema.json)}","partitionColumns":[],"configuration":{},"createdTime":$now}}"""
-    val adds = files.map { st =>
-      s"""{"add":{"path":"${jsonEscape(st.getPath.getName)}","partitionValues":{},"size":${st.getLen},"modificationTime":$now,"dataChange":true}}"""
+      s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(schema.json)}","partitionColumns":[$pcJson],"configuration":{},"createdTime":$now}}"""
+    val adds = files.map { case (rel, size) =>
+      // partition values ride in the hive segments; nulls
+      // (__HIVE_DEFAULT_PARTITION__) stay absent from the map, matching
+      // the mirror's convention (readers surface absent keys as null)
+      val pv = rel.split('/').toSeq.filter(_.contains("="))
+        .map { seg =>
+          val k = seg.takeWhile(_ != '=')
+          k -> unescapeHive(seg.drop(k.length + 1))
+        }
+        .filter { case (k, _) => idCols.contains(k) }
+        .filterNot(_._2 == "__HIVE_DEFAULT_PARTITION__")
+      val pvJson = pv.map { case (k, vv) =>
+        "\"" + jsonEscape(k) + "\":\"" + jsonEscape(vv) + "\""
+      }.mkString(",")
+      s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{$pvJson},"size":$size,"modificationTime":$now,"dataChange":true}}"""
     }
     fs.mkdirs(logDir)
     val out = fs.create(new HPath(logDir, f"${0}%020d.json"), false)

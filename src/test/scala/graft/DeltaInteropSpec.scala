@@ -34,6 +34,40 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(got == Set((1L, "a", 1.5), (3L, "c", 3.5)))
   }
 
+  test("export preserves an identity partition layout; transforms export unpartitioned") {
+    import spark.implicits._
+    // identity layout: the exported Delta table keeps col=value dirs,
+    // declares partitionColumns, and carries per-file partitionValues
+    val t = GraftTable.create(spark, tmp("graft_dxp_"),
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5), (4L, null, 4.5))
+        .toDF("id", "src", "x"),
+      partitionBy = Seq("src"))
+    val target = tmp("graft_delta_p_")
+    assert(DeltaInterop.exportSnapshot(t, target) > 0)
+    val log = new String(Files.readAllBytes(
+      Paths.get(target, "_delta_log", "0" * 20 + ".json")), "UTF-8")
+    assert(log.contains(""""partitionColumns":["src"]"""), log)
+    assert(log.contains(""""src":"a""""), log)
+    assert(Files.exists(Paths.get(target, "src=a"))) // hive layout on disk
+    val got = DeltaInterop.readDelta(spark, target)
+      .select("id", "src", "x").as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5),
+      (4L, null, 4.5)), got.toString)
+    // derived transform layout (days(ts)) is graft-internal: exports as
+    // plain unpartitioned parquet with the full rows intact
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val t2 = GraftTable.create(spark, tmp("graft_dxt_"),
+      Seq((1L, ts), (2L, java.sql.Timestamp.valueOf("2024-03-02 11:00:00")))
+        .toDF("id", "ts"),
+      partitionBy = Seq("days(ts)"))
+    val target2 = tmp("graft_delta_t_")
+    assert(DeltaInterop.exportSnapshot(t2, target2) > 0)
+    val log2 = new String(Files.readAllBytes(
+      Paths.get(target2, "_delta_log", "0" * 20 + ".json")), "UTF-8")
+    assert(log2.contains(""""partitionColumns":[]"""), log2)
+    assert(DeltaInterop.readDelta(spark, target2).count() == 2)
+  }
+
   test("readDelta replays adds/removes and rebuilds partition columns") {
     import spark.implicits._
     // hand-build a partitioned Delta table the way a writer following

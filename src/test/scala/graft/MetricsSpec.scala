@@ -103,6 +103,48 @@ class MetricsSpec extends AnyFunSuite {
       assert(logger.readAll().count() == 1)
     } finally spark.conf.unset("spark.graft.metrics.sinks")
   }
+
+  test("HTTP sink posts OpenLineage-shaped events; endpoint-down never fails the job") {
+    import graft.metrics.HttpMetricSink
+    val received = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/lineage", (x: com.sun.net.httpserver.HttpExchange) => {
+      received.add(new String(x.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)): Unit
+      x.sendResponseHeaders(200, -1)
+      x.close()
+    })
+    server.start()
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_sink_").toString
+    spark.conf.set("spark.graft.metrics.sinks", classOf[HttpMetricSink].getName)
+    spark.conf.set("spark.graft.metrics.http.endpoint",
+      s"http://127.0.0.1:${server.getAddress.getPort}/lineage")
+    try {
+      val logger = new MetricsLogger(spark, dir)
+      val runId = logger.log(graft.metrics.MetricRecord.build(
+        "gold", "proj", 2024, "rows \"written\"", 42.0, "rows", "count",
+        jobName = Some("job1")))
+      assert(HttpMetricSink.flushAll(10000), "flush timed out")
+      assert(received.size == 1, s"got ${received.size} requests")
+      val json = received.get(0)
+      assert(json.contains(s""""runId":"$runId""""), json)
+      assert(json.contains(""""value":42.0"""), json)
+      assert(json.contains(""""name":"job1""""), json)
+      assert(json.contains(""""description":"rows \"written\""""), json)
+      // endpoint down: the job's logging path must stay healthy — the
+      // sink drops the record after its timeout, nothing propagates
+      server.stop(0)
+      val logger2 = new MetricsLogger(spark, dir)
+      logger2.log(graft.metrics.MetricRecord.build(
+        "gold", "proj", 2024, "late", 7.0, "rows", "count"))
+      HttpMetricSink.flushAll(15000): Unit // drains by dropping; no throw
+      assert(logger2.readAll().count() == 2) // the activity log kept both
+    } finally {
+      spark.conf.unset("spark.graft.metrics.sinks")
+      spark.conf.unset("spark.graft.metrics.http.endpoint")
+    }
+  }
 }
 
 /** Spec sink: collects records statically so the reflective
