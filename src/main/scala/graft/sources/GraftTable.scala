@@ -230,6 +230,12 @@ class GraftTable private (val spark: SparkSession, val root: String) {
 
   def overwrite(df: DataFrame): Int = commit("overwrite", Some(df), _ => Nil)
 
+  /** Overwrite committed under a caller-supplied action label — the
+    * Complete-mode streaming sink stamps `stream-complete#<batchId>`
+    * for replay detection, like [[appendBatch]]. */
+  def overwriteBatch(action: String, df: DataFrame): Int =
+    commit(action, Some(df), _ => Nil)
+
   /** Append with schema evolution: new columns join the table schema,
     * old data reads them as null (mergeSchema semantics). */
   def appendMergeSchema(df: DataFrame): Int =

@@ -23,6 +23,20 @@ object ParquetTableBridge {
     ParquetTable(name, spark, options, paths, Some(schema),
       classOf[ParquetFileFormat]).newScanBuilder(options)
 
+  /** Re-plan a streaming micro-batch Dataset as a BATCH DataFrame over
+    * its already-planned physical rows — the V1 `Sink.addBatch`
+    * contract (the ForeachBatchSink idiom): the sink must consume the
+    * incremental execution's RDD, never re-analyze the streaming plan
+    * as a fresh query. */
+  def asBatchDF(data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ds = data.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      ds.queryExecution.toRdd, ds, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, node)
+  }
+
   /** A native parquet DSv2 Write targeting `path` — the physical write
     * engine (executor-side writers + file commit protocol) for graft's
     * SQL row-level operations; the caller wraps its BatchWrite.commit
