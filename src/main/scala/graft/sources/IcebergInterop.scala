@@ -196,18 +196,50 @@ object IcebergInterop {
     s"""{"name":"$name","type":$t,"field-id":$fieldId$dflt}"""
   }
 
-  private val manifestEntrySchema: AvroSchema = new AvroSchema.Parser().parse(
-    s"""{"type":"record","name":"manifest_entry","fields":[
-       |${avroField("status", "\"int\"", 0)},
-       |${avroField("snapshot_id", "\"long\"", 1)},
-       |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
-       |${avroField("file_path", "\"string\"", 100)},
-       |${avroField("file_format", "\"string\"", 101)},
-       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
-       |${avroField("record_count", "\"long\"", 103)},
-       |${avroField("file_size_in_bytes", "\"long\"", 104)},
-       |${avroField("block_size_in_bytes", "\"long\"", 105)}
-       |]}}]}""".stripMargin.replace("\n", ""))
+  /** Identity partition field of a spec: `name` is the column, `sourceId`
+    * its field id in the table schema, `fieldId` the partition field id
+    * (spec: 1000+), `dt` the Spark column type. */
+  private case class PartField(name: String, sourceId: Int, fieldId: Int,
+                               dt: DataType)
+
+  /** Partition-struct Avro type for an identity column. The supported
+    * types cover the identity keys hive layouts produce; others refuse
+    * loudly rather than mis-encode. */
+  private def partAvroType(dt: DataType): String = dt match {
+    case StringType => "\"string\""
+    case IntegerType | ShortType | ByteType => "\"int\""
+    case DateType => """{"type":"int","logicalType":"date"}"""
+    case LongType => "\"long\""
+    case BooleanType => "\"boolean\""
+    case other => throw new IllegalArgumentException(
+      s"identity partition column type $other is not supported by the " +
+        "Iceberg mirror (use string/int/long/date/boolean keys)")
+  }
+
+  /** Manifest-entry schema whose `partition` struct carries one
+    * nullable field per identity partition column (empty for
+    * unpartitioned tables — the historical layout). */
+  private def manifestEntrySchemaFor(parts: Seq[PartField]): AvroSchema = {
+    parts.foreach(p => require(p.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"identity partition column '${p.name}' is not a valid Avro field name"))
+    val pfields = parts.map(p =>
+      s"""{"name":"${p.name}","type":["null",${partAvroType(p.dt)}],"field-id":${p.fieldId},"default":null}""")
+      .mkString(",")
+    new AvroSchema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |${avroField("status", "\"int\"", 0)},
+         |${avroField("snapshot_id", "\"long\"", 1)},
+         |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |${avroField("file_path", "\"string\"", 100)},
+         |${avroField("file_format", "\"string\"", 101)},
+         |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pfields]}},
+         |${avroField("record_count", "\"long\"", 103)},
+         |${avroField("file_size_in_bytes", "\"long\"", 104)},
+         |${avroField("block_size_in_bytes", "\"long\"", 105)}
+         |]}}]}""".stripMargin.replace("\n", ""))
+  }
+
+  private val manifestEntrySchema: AvroSchema = manifestEntrySchemaFor(Nil)
 
   private val manifestFileSchema: AvroSchema = new AvroSchema.Parser().parse(
     s"""{"type":"record","name":"manifest_file","fields":[
@@ -265,18 +297,21 @@ object IcebergInterop {
   // Export
   // ---------------------------------------------------------------
 
-  private def manifestEntry(filePath: String, size: Long, records: Long,
-      status: Int, snapId: Long): GenericRecord = {
+  private def manifestEntry(entrySchema: AvroSchema, filePath: String,
+      size: Long, records: Long, status: Int, snapId: Long,
+      partValues: Seq[AnyRef] = Nil): GenericRecord = {
     val dataFile = new GenericData.Record(
-      manifestEntrySchema.getField("data_file").schema())
+      entrySchema.getField("data_file").schema())
     dataFile.put("file_path", filePath)
     dataFile.put("file_format", "PARQUET")
-    dataFile.put("partition", new GenericData.Record(
-      dataFile.getSchema.getField("partition").schema()))
+    val part = new GenericData.Record(
+      dataFile.getSchema.getField("partition").schema())
+    partValues.zipWithIndex.foreach { case (v, i) => part.put(i, v) }
+    dataFile.put("partition", part)
     dataFile.put("record_count", records)
     dataFile.put("file_size_in_bytes", size)
     dataFile.put("block_size_in_bytes", 64L * 1024 * 1024)
-    val e = new GenericData.Record(manifestEntrySchema)
+    val e = new GenericData.Record(entrySchema)
     e.put("status", status) // 0 EXISTING / 1 ADDED
     e.put("snapshot_id", snapId)
     e.put("data_file", dataFile)
@@ -331,8 +366,8 @@ object IcebergInterop {
 
     fs.mkdirs(metaDir)
     // manifest: one ADDED entry per data file
-    val entries = files.map(st => manifestEntry(st.getPath.toString,
-      st.getLen, footerRecordCount(conf, st), 1, snapId))
+    val entries = files.map(st => manifestEntry(manifestEntrySchema,
+      st.getPath.toString, st.getLen, footerRecordCount(conf, st), 1, snapId))
     val schemaJson = om.writeValueAsString(schemaNode)
     val manifestBytes = writeAvro(manifestEntrySchema, Map(
       "schema" -> schemaJson, "schema-id" -> "0",
@@ -367,22 +402,67 @@ object IcebergInterop {
     files.size
   }
 
+  /** One spec-field JSON node for an identity partition column. */
+  private def specFieldNode(p: PartField): ObjectNode = {
+    val n = om.createObjectNode()
+    n.put("name", p.name)
+    n.put("transform", "identity")
+    n.put("source-id", p.sourceId)
+    n.put("field-id", p.fieldId)
+    n
+  }
+
+  /** Undo Spark/Hive path-name escaping (%XX) in a `col=value`
+    * directory segment. */
+  private def unescapeHive(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length &&
+          s.substring(i + 1, i + 3).forall(ch => Character.digit(ch, 16) >= 0)) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Typed partition value for the Avro partition struct, from a hive
+    * segment's raw (unescaped) value. */
+  private def partValue(dt: DataType, raw: String): AnyRef =
+    if (raw == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case StringType => raw
+      case IntegerType | ShortType | ByteType => Integer.valueOf(raw.toInt)
+      case LongType => java.lang.Long.valueOf(raw.toLong)
+      case BooleanType => java.lang.Boolean.valueOf(raw.toBoolean)
+      case DateType => // Iceberg date = int days since epoch
+        Integer.valueOf(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+      case other => throw new IllegalArgumentException(
+        s"identity partition column type $other is not supported")
+    }
+
   /** Static v1 table-metadata skeleton shared by export and mirror:
-    * unpartitioned spec, unsorted order, empty logs. */
-  private def baseMetadata(location: String, now: Long): ObjectNode = {
+    * identity partition spec (empty for unpartitioned), unsorted
+    * order, empty logs. */
+  private def baseMetadata(location: String, now: Long,
+      parts: Seq[PartField] = Nil): ObjectNode = {
     val md = om.createObjectNode()
     md.put("format-version", 1)
     md.put("table-uuid", java.util.UUID.randomUUID().toString)
     md.put("location", location)
     md.put("last-updated-ms", now)
-    md.putArray("partition-spec")
+    val flat = md.putArray("partition-spec")
+    parts.foreach(p => flat.add(specFieldNode(p)))
     val specs = md.putArray("partition-specs")
     val spec0 = om.createObjectNode()
     spec0.put("spec-id", 0)
-    spec0.putArray("fields")
+    val sf = spec0.putArray("fields")
+    parts.foreach(p => sf.add(specFieldNode(p)))
     specs.add(spec0)
     md.put("default-spec-id", 0)
-    md.put("last-partition-id", 999)
+    md.put("last-partition-id", 999 + parts.size)
     val orders = md.putArray("sort-orders")
     val order0 = om.createObjectNode()
     order0.put("order-id", 0)
@@ -420,13 +500,18 @@ object IcebergInterop {
     *    EXISTING) plus its manifest list and `v<N>.metadata.json` —
     *    O(#live-files) driver-side metadata per commit; incremental
     *    manifest reuse is the upgrade path, not a format change.
-    *  - IDENTITY-partitioned tables refuse: their hive layout drops
-    *    the partition column from the data files, and Iceberg requires
-    *    data files to carry all columns. Derived transform layouts
-    *    (`__p_*=...`) keep all declared columns in the files and
-    *    mirror as unpartitioned. Column renames refuse (physical
-    *    names diverge; Iceberg handles renames by field id, which
-    *    files written before the rename would contradict).
+    *  - IDENTITY-partitioned tables mirror as identity-partitioned
+    *    Iceberg: the partition spec declares the columns, each data
+    *    file's manifest entry carries its typed partition struct
+    *    (values parsed from the hive `col=value` segments), and
+    *    readers take the column values from that struct per the spec's
+    *    Column Projection rule 2 — the same mechanism Hive-migrated
+    *    Iceberg tables use, so the files NOT carrying the column is
+    *    fully legal. Derived transform layouts (`__p_*=...`) keep all
+    *    declared columns in the files and mirror as unpartitioned.
+    *    Column renames refuse (physical names diverge; Iceberg handles
+    *    renames by field id, which files written before the rename
+    *    would contradict).
     *  - Schema changes append to the `schemas` array with a fresh
     *    schema id; unchanged schemas are reused by deep equality.
     *
@@ -482,6 +567,18 @@ object IcebergInterop {
       if (mirrored < 0) Set.empty
       else t.commitAt(mirrored).liveDirs.flatMap(d => dirFiles(d).map(_._1)).toSet
 
+    // Field ids are allocated POSITIONALLY per schema, so they stay
+    // stable only if column order does. Graft commits can record the
+    // same columns in a different order (a copy-on-write rewrite of an
+    // identity-partitioned table reads partition columns last) — so
+    // mirror schemas canonicalize to FIRST-SEEN order, new columns
+    // appended: unchanged columns keep their ids across every commit,
+    // exactly Iceberg's id-stability contract.
+    var nameOrder: Seq[String] =
+      if (md == null) Nil
+      else md.path("schema").path("fields").elements().asScala()
+        .map(_.path("name").asText()).toSeq
+
     var written = 0
     ((mirrored + 1) to latest).foreach { v =>
       val c = t.commitAt(v)
@@ -491,24 +588,53 @@ object IcebergInterop {
             s"(${c.renames.map { case (o, n) => s"$o->$n" }.mkString(", ")}) — " +
             "physical parquet names diverge from the schema")
       val identityCols = c.partitionBy.filterNot(_.contains("("))
-      if (identityCols.nonEmpty)
-        throw new IllegalArgumentException(
-          s"cannot mirror ${t.root} to Iceberg: identity partitioning on " +
-            s"${identityCols.mkString(", ")} drops the column from the data " +
-            "files (hive layout); Iceberg data files must carry all columns")
       val snapId = v + 1L
       val files = c.liveDirs.flatMap(dirFiles)
-      val (schemaNode, lastColId) =
-        toIcebergSchema(StructType(c.schemaStruct.map(_.copy(nullable = true))))
+      val rawSchema = StructType(c.schemaStruct.map(_.copy(nullable = true)))
+      val rawNames = rawSchema.fieldNames.toSet
+      val commitSchema = StructType(
+        nameOrder.filter(rawNames.contains).map(n => rawSchema(n)) ++
+          rawSchema.fields.filterNot(f => nameOrder.contains(f.name)))
+      nameOrder = nameOrder.filter(rawNames.contains) ++
+        commitSchema.fieldNames.filterNot(nameOrder.contains)
+      val (schemaNode, lastColId) = toIcebergSchema(commitSchema)
+
+      // Identity partitioning mirrors as a REAL Iceberg identity spec:
+      // the hive layout drops the column from the data files, which the
+      // Iceberg spec handles via Column Projection rule 2 — readers
+      // take an identity-transform field's value from the data file's
+      // partition struct in the manifest. Values parse from the hive
+      // `col=value` path segments.
+      val parts: Seq[PartField] = identityCols.zipWithIndex.map { case (n, i) =>
+        val sourceId = schemaNode.get("fields").elements().asScala()
+          .find(_.get("name").asText() == n)
+          .map(_.get("id").asInt())
+          .getOrElse(throw new IllegalStateException(
+            s"partition column $n missing from schema of commit $v"))
+        PartField(n, sourceId, 1000 + i, commitSchema(n).dataType)
+      }
+      val entrySchema =
+        if (parts.isEmpty) manifestEntrySchema else manifestEntrySchemaFor(parts)
+      def partValuesOf(path: String): Seq[AnyRef] = {
+        val segs = path.split('/').filter(_.contains("=")).map { seg =>
+          val k = seg.takeWhile(_ != '=')
+          k -> unescapeHive(seg.drop(k.length + 1))
+        }.toMap
+        parts.map(p => segs.get(p.name).map(raw => partValue(p.dt, raw)).orNull)
+      }
 
       val entries = files.map { case (p, size, rc) =>
-        manifestEntry(p, size, rc, if (prevFiles.contains(p)) 0 else 1, snapId)
+        manifestEntry(entrySchema, p, size, rc,
+          if (prevFiles.contains(p)) 0 else 1, snapId, partValuesOf(p))
       }
       prevFiles = files.map(_._1).toSet
       val schemaJson = om.writeValueAsString(schemaNode)
-      val manifestBytes = writeAvro(manifestEntrySchema, Map(
+      val specArr = om.createArrayNode()
+      parts.foreach(p => specArr.add(specFieldNode(p)))
+      val specJson = om.writeValueAsString(specArr)
+      val manifestBytes = writeAvro(entrySchema, Map(
         "schema" -> schemaJson, "schema-id" -> "0",
-        "partition-spec" -> "[]", "partition-spec-id" -> "0",
+        "partition-spec" -> specJson, "partition-spec-id" -> "0",
         "format-version" -> "1"), entries)
       val manifestPath = new HPath(metaDir,
         s"${java.util.UUID.randomUUID()}-m0.avro")
@@ -522,7 +648,7 @@ object IcebergInterop {
         s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
       writeBytes(fs, listPath, listBytes)
 
-      if (md == null) md = baseMetadata(root.toString, c.timestampMs)
+      if (md == null) md = baseMetadata(root.toString, c.timestampMs, parts)
       md.put("last-updated-ms", c.timestampMs)
       // reuse a deep-equal schema's id; else append with a fresh id
       val schemas =
@@ -656,6 +782,36 @@ object IcebergInterop {
           ") — column resolution here is by name, Iceberg's is by field id")
     }
 
+    // Default partition spec → identity fields. Column Projection
+    // rule 2 of the Iceberg spec: an identity-transform field's value
+    // comes from the data file's partition struct in the manifest —
+    // data files (hive-migrated tables, graft mirrors) may not carry
+    // the column at all. Non-identity transforms need no handling:
+    // their SOURCE columns must be present in the data files.
+    val specFields: Seq[JsonNode] =
+      if (md.has("partition-specs")) {
+        val want = md.path("default-spec-id").asInt(0)
+        md.get("partition-specs").elements().asScala()
+          .find(_.path("spec-id").asInt(-1) == want)
+          .map(_.path("fields").elements().asScala().toSeq).getOrElse(Nil)
+      } else if (md.has("partition-spec"))
+        md.get("partition-spec").elements().asScala().toSeq
+      else Nil
+    val nameBySourceId: Map[Int, String] = schemaNode.path("fields")
+      .elements().asScala()
+      .map(f => f.path("id").asInt(-1) -> f.path("name").asText()).toMap
+    // (column name, type, position in the partition struct)
+    val identityParts: Seq[(String, DataType, Int)] =
+      specFields.zipWithIndex.collect {
+        case (f, i) if f.path("transform").asText() == "identity" =>
+          val srcId = f.path("source-id").asInt(-1)
+          val name = nameBySourceId.getOrElse(srcId,
+            refuse(path, s"has an identity partition field with source-id " +
+              s"$srcId that is not a top-level column"))
+          (name, schema(name).dataType, i)
+      }
+    val idNames = identityParts.map(_._1).toSet
+
     val snapId = asOfSnapshotId.getOrElse(md.path("current-snapshot-id").asLong(-1L))
     if (snapId == -1L)
       return spark.createDataFrame(
@@ -682,8 +838,9 @@ object IcebergInterop {
       else throw new IllegalStateException(
         s"snapshot $snapId at $path names neither manifest-list nor manifests")
 
-    // manifests → live data files (status 2 = DELETED in this snapshot)
-    val dataFiles = manifests.flatMap { mp =>
+    // manifests → live data files (status 2 = DELETED in this
+    // snapshot), each with its identity partition values
+    val dataFiles: Seq[(String, Seq[AnyRef])] = manifests.flatMap { mp =>
       readAvro(readBytes(fs, new HPath(mp))).flatMap { e =>
         val status = longOf(e.get("status"))
         val df = e.get("data_file").asInstanceOf[GenericRecord]
@@ -692,7 +849,20 @@ object IcebergInterop {
         val fmt = df.get("file_format").toString
         if (!fmt.equalsIgnoreCase("parquet"))
           refuse(path, s"has $fmt data files")
-        if (status == 2L) None else Some(df.get("file_path").toString)
+        if (status == 2L) None
+        else {
+          val pv: Seq[AnyRef] = identityParts.map { case (_, _, i) =>
+            df.get("partition") match {
+              case pr: GenericRecord if pr.getSchema.getFields.size() > i =>
+                pr.get(i) match {
+                  case u: org.apache.avro.util.Utf8 => u.toString
+                  case other => other
+                }
+              case _ => null
+            }
+          }
+          Some((df.get("file_path").toString, pv))
+        }
       }
     }.distinct
     if (dataFiles.isEmpty)
@@ -707,20 +877,47 @@ object IcebergInterop {
     // columns present in EVERY retained schema version are required in
     // the probed footer.
     val stableCols: Seq[String] =
-      if (!md.has("schemas")) schema.fieldNames.toSeq
-      else {
-        val perSchema = md.get("schemas").elements().asScala().map(s =>
-          s.path("fields").elements().asScala()
-            .map(_.path("name").asText()).toSet).toSeq
-        schema.fieldNames.toSeq.filter(n => perSchema.forall(_.contains(n)))
-      }
-    val probe = spark.read.parquet(dataFiles.head).schema.fieldNames.toSet
+      (if (!md.has("schemas")) schema.fieldNames.toSeq
+       else {
+         val perSchema = md.get("schemas").elements().asScala().map(s =>
+           s.path("fields").elements().asScala()
+             .map(_.path("name").asText()).toSet).toSeq
+         schema.fieldNames.toSeq.filter(n => perSchema.forall(_.contains(n)))
+       // identity partition columns legitimately live in the manifest's
+       // partition struct, not the files (Column Projection rule 2)
+       }).filterNot(idNames.contains)
+    val probe = spark.read.parquet(dataFiles.head._1).schema.fieldNames.toSet
     val missing = stableCols.filterNot(probe.contains)
     if (missing.nonEmpty)
       refuse(path, s"data files lack declared columns ${missing.mkString(", ")} " +
         "(renamed by field id?)")
 
-    spark.read.schema(schema).parquet(dataFiles: _*)
-      .select(schema.map(f => col(f.name)): _*)
+    if (identityParts.isEmpty)
+      spark.read.schema(schema).parquet(dataFiles.map(_._1): _*)
+        .select(schema.map(f => col(f.name)): _*)
+    else {
+      // identity columns come from partition metadata, constant per
+      // file: scan each distinct partition tuple's files once and
+      // attach the values as literals (whether or not the files also
+      // carry the column — metadata wins, per the spec)
+      import org.apache.spark.sql.functions.lit
+      def idLit(dt: DataType, v: AnyRef): org.apache.spark.sql.Column =
+        if (v == null) lit(null).cast(dt)
+        else dt match {
+          case DateType => lit(java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(longOf(v))))
+          case StringType => lit(v.toString)
+          case _ => lit(v).cast(dt)
+        }
+      val scanSchema = StructType(schema.filterNot(f => idNames.contains(f.name)))
+      dataFiles.groupBy(_._2).map { case (pv, fsOfPart) =>
+        var df = spark.read.schema(scanSchema)
+          .parquet(fsOfPart.map(_._1): _*)
+        identityParts.zip(pv).foreach { case ((n, dt, _), v) =>
+          df = df.withColumn(n, idLit(dt, v))
+        }
+        df.select(schema.map(f => col(f.name)): _*)
+      }.reduce(_.unionAll(_))
+    }
   }
 }

@@ -240,12 +240,14 @@ object Streams {
 
   /** h4: checkpointed continuous ingest into a GraftTable — the
     * streaming counterpart of the reference's bronze-layer loaders:
-    * readStream → foreachBatch → commit-log append, with exactly-once
-    * semantics on restart (each micro-batch commits under a
-    * `stream-append#<batchId>` action; a replayed batch that already
-    * appears in the table history is skipped, the Delta txn-marker
-    * idiom). The query result is the per-type rollup read back FROM the
-    * ingested table; the oracle recomputes it from the raw events. */
+    * readStream → the NATIVE graft streaming sink
+    * (`writeStream.format(GraftSource).start(path)`, the Delta-sink
+    * analog) — each micro-batch lands as one `stream-append#<batchId>`
+    * table commit, and a batch replayed after a crash is detected in
+    * the history and skipped (exactly-once, the Delta txn-marker
+    * idiom; sink mechanics spec'd in CatalogSpec). The query result is
+    * the per-type rollup read back FROM the ingested table; the oracle
+    * recomputes it from the raw events. */
   val h4_stream_ingest: Relational.Q = (s, dir) => {
     import s.implicits._
     val target = java.nio.file.Files
@@ -255,21 +257,9 @@ object Streams {
     val q = eventStream(s, dir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .writeStream
+      .format("graft.sources.v2.GraftSource")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val action = s"stream-append#$batchId"
-        // the CREATE commit carries the schema only (zero rows): batch
-        // 0's DATA must land under its own stream-append#0 marker like
-        // every other batch, or a replay of batch 0 after a crash
-        // between the create-with-data commit and the checkpoint write
-        // would find no marker and append the rows a second time
-        if (!graft.sources.GraftTable.exists(s, target))
-          graft.sources.GraftTable.create(s, target, batch.limit(0)): Unit
-        val t = graft.sources.GraftTable.load(s, target)
-        val seen = t.history().filter($"operation" === action).count() > 0
-        if (!seen) t.appendBatch(action, batch): Unit
-      }
-      .start()
+      .start(target)
     q.processAllAvailable()
     q.stop()
     graft.sources.GraftTable.load(s, target).read()

@@ -506,6 +506,49 @@ class DeltaInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("mirror fuzz: identity-partitioned op sequences keep both mirrors exact") {
+    import spark.implicits._
+    // same shape as the unpartitioned fuzz, but on an identity hive
+    // layout (nullable string key): both mirrors must carry the
+    // partition column through partitionValues / the Iceberg partition
+    // struct across appends, deletes, overwrites and compactions
+    val rnd = new scala.util.Random(1234)
+    val segs = Seq("us", "eu", "ap", null)
+    def batch(): org.apache.spark.sql.DataFrame = {
+      val n = 1 + rnd.nextInt(4)
+      (0 until n).map(_ => (rnd.nextInt(50).toLong,
+        segs(rnd.nextInt(segs.size)), rnd.nextInt(100).toDouble))
+        .toDF("id", "seg", "x")
+    }
+    val t = GraftTable.create(spark, tmp("graft_fuzzp_"), batch(),
+      partitionBy = Seq("seg"))
+    def sync(): Unit = {
+      DeltaInterop.mirrorToDelta(t)
+      graft.sources.IcebergInterop.mirrorToIceberg(t)
+      val want = t.read().select("id", "seg", "x")
+        .as[(Long, String, Double)].collect()
+        .sortBy(r => (r._1, Option(r._2).getOrElse(""), r._3)).toSeq
+      val viaDelta = DeltaInterop.readDelta(spark, t.root)
+        .select("id", "seg", "x").as[(Long, String, Double)].collect()
+        .sortBy(r => (r._1, Option(r._2).getOrElse(""), r._3)).toSeq
+      val viaIce = graft.sources.IcebergInterop.readIceberg(spark, t.root)
+        .select("id", "seg", "x").as[(Long, String, Double)].collect()
+        .sortBy(r => (r._1, Option(r._2).getOrElse(""), r._3)).toSeq
+      assert(viaDelta == want, s"delta v${t.latestVersion()}")
+      assert(viaIce == want, s"iceberg v${t.latestVersion()}")
+    }
+    (0 until 10).foreach { _ =>
+      rnd.nextInt(5) match {
+        case 0 | 1 => t.append(batch())
+        case 2 => t.delete(col("id") < rnd.nextInt(25))
+        case 3 => t.overwrite(batch())
+        case 4 => t.compact(1)
+      }
+      if (rnd.nextBoolean()) sync()
+    }
+    sync()
+  }
+
   test("mirrors handle history vacuumed before it was ever mirrored") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_mirv_"),

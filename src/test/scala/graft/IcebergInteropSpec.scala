@@ -213,14 +213,42 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(got == Seq((2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
   }
 
-  test("mirrorToIceberg refuses identity partitioning and renames") {
+  test("mirrorToIceberg: identity hive layout becomes an identity partition spec") {
     import spark.implicits._
-    val t1 = GraftTable.create(spark, tmp("graft_imip_"),
-      Seq((1L, "a")).toDF("id", "seg"), partitionBy = Seq("seg"))
-    val e1 = intercept[IllegalArgumentException] {
-      IcebergInterop.mirrorToIceberg(t1)
-    }
-    assert(e1.getMessage.contains("identity partitioning"), e1.getMessage)
+    // string + date identity keys, a null key row, a space in a value
+    // (hive-escaped on disk) — the files DROP both partition columns;
+    // readers get them from the manifest partition struct (Column
+    // Projection rule 2)
+    val d1 = java.sql.Date.valueOf("2024-03-01")
+    val d2 = java.sql.Date.valueOf("2024-03-02")
+    val t = GraftTable.create(spark, tmp("graft_imip_"),
+      Seq((1L, "us east", d1, 1.5), (2L, "eu", d1, 2.5),
+          (3L, "us east", d2, 3.5), (4L, null, d2, 4.5))
+        .toDF("id", "region", "d", "x"),
+      partitionBy = Seq("region", "d"))
+    t.append(Seq((5L, "eu", d2, 5.5)).toDF("id", "region", "d", "x"))
+    assert(IcebergInterop.mirrorToIceberg(t) == 2)
+    // the metadata declares a real identity spec
+    val md = new String(Files.readAllBytes(
+      Paths.get(t.root, "metadata", "v2.metadata.json")), "UTF-8")
+    assert(md.contains(""""transform" : "identity""") ||
+      md.contains(""""transform":"identity""""), md.take(500))
+    val got = IcebergInterop.readIceberg(spark, t.root)
+      .as[(Long, String, java.sql.Date, Double)].collect().toSet
+    assert(got == Set((1L, "us east", d1, 1.5), (2L, "eu", d1, 2.5),
+      (3L, "us east", d2, 3.5), (4L, null, d2, 4.5), (5L, "eu", d2, 5.5)),
+      got.toString)
+    // time travel keeps partition reconstruction
+    assert(IcebergInterop.readIceberg(spark, t.root, Some(1L)).count() == 4)
+    // incremental sync stays green
+    t.append(Seq((6L, "ap", d1, 6.5)).toDF("id", "region", "d", "x"))
+    assert(IcebergInterop.mirrorToIceberg(t) == 1)
+    assert(IcebergInterop.readIceberg(spark, t.root)
+      .filter($"region" === "ap").count() == 1)
+  }
+
+  test("mirrorToIceberg refuses renames") {
+    import spark.implicits._
     val t2 = GraftTable.create(spark, tmp("graft_imir2_"),
       Seq((1L, "a")).toDF("id", "v"))
     t2.renameColumn("v", "label")
