@@ -147,6 +147,20 @@ def heavy_hitters(df, value_col, k=20, eps=0.001):
     return _wrap(o.heavyHitters(df._jdf, value_col, int(k), float(eps), cpp), df)
 
 
+def lm_score(docs, id_col, text_col):
+    """Bigram language-model quality score per doc (CCNet-style
+    perplexity filter trained on the corpus itself): mean bigram log
+    probability under an add-one-smoothed bigram LM."""
+    return _wrap(_ops(docs).lmScore(docs._jdf, id_col, text_col), docs)
+
+
+def phash_pairs(docs, id_col, payload_col, max_hamming=3):
+    """Perceptual-hash near-dup pairs over media payloads (aHash-style
+    64-bit signature, quarter-block banding, exact hamming confirm)."""
+    return _wrap(_ops(docs).phashPairs(
+        docs._jdf, id_col, payload_col, int(max_hamming)), docs)
+
+
 def bpe_merges(docs, text_col, merges=10):
     """Train a BPE merge table over the corpus (incremental pair-count
     maintenance; corpus scanned once)."""

@@ -417,6 +417,26 @@ object GraftOps {
   def bpeMerges(docs: DataFrame, textCol: String, merges: Int = 10): DataFrame =
     graft.operators.TextAnalysis.bpeTrainOn(docs, textCol, merges)
 
+  /** Bigram language-model quality scoring — the t11 shape (CCNet-style
+    * perplexity filtering with the LM trained on the corpus itself):
+    * each document's mean log probability of its adjacent token bigrams
+    * under an add-one-smoothed bigram model. The LM is a TABLE (one
+    * shuffle each for bigram/unigram counts, hot-token broadcast split
+    * for the unigram join), never a broadcast. Output: (idCol,
+    * n_bigrams, avg_logp) — high avg_logp = fluent/typical text. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.TextAnalysis.lmScoreOn(docs, idCol, textCol)
+
+  /** Perceptual-hash near-dup pairs for media payloads — the m5 shape
+    * (aHash-style 64-bit signature with the decode step stubbed as
+    * stride-sampled payload codepoints; a real image decoder replaces
+    * only the cell extraction), quarter-block candidate generation,
+    * exact hamming confirm. Output: (doc_a, doc_b, hamming ≤
+    * maxHamming ≤ 3). */
+  def phashPairs(docs: DataFrame, idCol: String, payloadCol: String,
+                 maxHamming: Int = 3): DataFrame =
+    graft.operators.Multimodal.phashPairsOn(docs, idCol, payloadCol, maxHamming)
+
   /** The per-document curation feature vector — t1/t2/t3/t5 in ONE
     * scan-side projection (no shuffle at all: at 100 TB this runs at
     * parquet-read speed, embarrassingly parallel across files):

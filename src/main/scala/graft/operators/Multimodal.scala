@@ -178,7 +178,103 @@ object Multimodal {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** m5: perceptual-hash near-dup over media payloads — the media twin
+    * of d4's SimHash: an aHash-style 64-bit signature (downsample to 64
+    * cells, threshold by the mean — the decode step stays stubbed per
+    * the m1/m2 contract, so a cell is a stride-sampled payload
+    * codepoint; a real image decoder replaces the cell extraction with
+    * 8×8 grayscale and NOTHING downstream changes), quarter-block
+    * banding for candidates (hamming ≤ 3 ⇒ ≥ 1 of the 4 16-bit blocks
+    * equal — the same pigeonhole guarantee d4 uses), exact hamming
+    * confirm via bit_count(xor).
+    *
+    * Thresholding is integer-exact (`v·64 > Σv` instead of a double
+    * mean), so the signature — and therefore the oracle — is
+    * bit-identical across engines. Scale shape: signatures are a pure
+    * scan-side projection; the only shuffle keys on (block index,
+    * block value) with bounded bucket width — never an all-pairs
+    * join. */
+  val m5_phash_neardup: Relational.Q = (s, dir) =>
+    phashPairsOn(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The m5 core over an arbitrary DataFrame (public twin:
+    * `GraftOps.phashPairs`). `maxHamming` must stay ≤ 3 — the
+    * quarter-block pigeonhole guarantees full recall only there.
+    * Output: (doc_a, doc_b, hamming). */
+  def phashPairsOn(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "quarter blocking guarantees recall only for hamming <= 3")
+    val sig = docs
+      .select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= 1)
+      .withColumn("n", length(col("__t")))
+      .withColumn("v", expr(
+        "transform(sequence(0, 63), i -> CAST(ascii(substring(__t, CAST(i * n DIV 64 AS INT) + 1, 1)) AS BIGINT))"))
+      .withColumn("sv", expr("aggregate(v, 0L, (a, x) -> a + x)"))
+      .withColumn("bits", expr(
+        "transform(v, x -> CASE WHEN x * 64 > sv THEN 1L ELSE 0L END)"))
+      .select(col("__id") +: (0 until 4).map(j => expr(
+        s"aggregate(sequence(0, 15), 0L, (a, i) -> a + shiftleft(element_at(bits, ${j * 16} + i + 1), CAST(i AS INT)))")
+        .as(s"b$j")): _*)
+    val blocks = sig.select(col("__id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("blk", "bv")))
+    val cand = blocks.as("x")
+      .join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("__id").as("doc_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("doc_a"))
+      .join(sig.select(col("__id").as("doc_b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), Seq("doc_b"))
+      .withColumn("hamming", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  val m5_sql: String =
+    """WITH v AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 64), i ->
+      |      CAST(ascii(substring(text, CAST(i * length(text) // 64 AS INT) + 1, 1)) AS BIGINT)) AS v
+      |  FROM documents WHERE length(text) >= 1),
+      |b AS (SELECT doc_id, list_transform(v, x ->
+      |        CASE WHEN x * 64 > list_sum(v) THEN 1 ELSE 0 END) AS bits
+      |      FROM v),
+      |sigb AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(0,16), i -> bits[CAST(i + 1 AS INT)]  * (1::BIGINT << i))) AS b0,
+      |    list_sum(list_transform(range(0,16), i -> bits[CAST(i + 17 AS INT)] * (1::BIGINT << i))) AS b1,
+      |    list_sum(list_transform(range(0,16), i -> bits[CAST(i + 33 AS INT)] * (1::BIGINT << i))) AS b2,
+      |    list_sum(list_transform(range(0,16), i -> bits[CAST(i + 49 AS INT)] * (1::BIGINT << i))) AS b3
+      |  FROM b),
+      |blocks AS (
+      |  SELECT doc_id, 0 AS blk, b0 AS bv FROM sigb
+      |  UNION ALL SELECT doc_id, 1, b1 FROM sigb
+      |  UNION ALL SELECT doc_id, 2, b2 FROM sigb
+      |  UNION ALL SELECT doc_id, 3, b3 FROM sigb),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM blocks x JOIN blocks y
+      |    ON x.blk = y.blk AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      |SELECT c.doc_a, c.doc_b,
+      |  CAST(bit_count(xor(a.b0, bb.b0)) + bit_count(xor(a.b1, bb.b1)) +
+      |       bit_count(xor(a.b2, bb.b2)) + bit_count(xor(a.b3, bb.b3)) AS INT) AS hamming
+      |FROM cand c
+      |JOIN sigb a ON c.doc_a = a.doc_id
+      |JOIN sigb bb ON c.doc_b = bb.doc_id
+      |WHERE bit_count(xor(a.b0, bb.b0)) + bit_count(xor(a.b1, bb.b1)) +
+      |      bit_count(xor(a.b2, bb.b2)) + bit_count(xor(a.b3, bb.b3)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "m5_phash_neardup" -> m5_phash_neardup,
     "m4_chunk_dedup" -> m4_chunk_dedup,
     "m1_binary_meta" -> m1_binary_meta,
     "m2_feature_batch" -> m2_query,
@@ -186,6 +282,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "m5_phash_neardup" -> m5_sql,
     "m4_chunk_dedup" -> m4_sql,
     "m1_binary_meta" -> m1_sql,
     "m3_frame_sample" -> m3_sql,

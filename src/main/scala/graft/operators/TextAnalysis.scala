@@ -612,7 +612,93 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t11: bigram language-model quality scoring — the CCNet-style
+    * perplexity filter (Wenzek et al. 2020) with the LM trained on the
+    * corpus itself: every document is scored by the mean log
+    * probability of its adjacent token bigrams under an
+    * add-one-smoothed bigram model (fluent, typical text scores high;
+    * boilerplate/noise scores low — the standard third axis next to
+    * the t2 heuristics and t7 rarity).
+    *
+    * Scale shape: the LM is a TABLE, never a broadcast (a web-scale
+    * bigram table dwarfs driver memory). Counts are one shuffle each
+    * over the exploded streams; scoring joins the doc bigram stream to
+    * the bigram table on (w1,w2) — the bigram key spreads stopword
+    * mass across thousands of contexts — and to the unigram table with
+    * the t7 hot-token broadcast split, so "the" never lands on one
+    * reducer. Per-bigram log-probs round into DECIMAL(18,6) BEFORE the
+    * per-doc sum, making the aggregation exact, associative and
+    * order-independent — bit-identical across engines like every §A
+    * money sum. */
+  val t11_lm_score: Relational.Q = (s, dir) =>
+    lmScoreOn(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** The t11 core over an arbitrary DataFrame (public twin:
+    * `GraftOps.lmScore`). Output: (idCol, n_bigrams, avg_logp). */
+  def lmScoreOn(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+      tokens(col(textCol)).as("toks"))
+    // adjacent-pair stream (named struct fields — stable across engines)
+    val bi = toks
+      .select(col("__id"), explode(expr(
+        """transform(slice(toks, 1, greatest(size(toks)-1, 0)),
+          |(x, i) -> struct(x AS w1, element_at(toks, i + 2) AS w2))""".stripMargin))
+        .as("p"))
+      .select(col("__id"), col("p.w1"), col("p.w2"))
+    val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uni = toks.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v_sz"))
+    val hotK = docs.sparkSession.conf.getOption("spark.graft.text.hotTokens")
+      .map(_.toInt).getOrElse(1024)
+    val withCu =
+      if (hotK <= 0) bi.join(uni, Seq("w1"))
+      else {
+        val hot = uni.orderBy(col("cu").desc, col("w1")).limit(hotK)
+        val tailU = uni.join(broadcast(hot.select(col("w1"))), Seq("w1"), "left_anti")
+        bi.join(broadcast(hot), Seq("w1"))
+          .unionByName(bi.join(tailU, Seq("w1")))
+      }
+    val scored = withCu
+      .join(big, Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", expr(
+        "CAST(round(ln((cb + 1.0)/(cu + v_sz)), 6) AS DECIMAL(18,6))"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+    docs.select(col(idCol).as("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("slp").cast("double") / col("n_bigrams"), 4).as("avg_logp"))
+  }
+
+  val t11_sql: String =
+    s"""WITH toks AS (SELECT doc_id, $T AS t FROM documents),
+       |bi AS (
+       |  SELECT doc_id, p[1] AS w1, p[2] AS w2
+       |  FROM (SELECT doc_id,
+       |          unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+       |        FROM toks)),
+       |b AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+       |u AS (SELECT w1, COUNT(*) AS cu
+       |      FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+       |v AS (SELECT COUNT(*) AS v_sz FROM u),
+       |agg AS (
+       |  SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+       |    SUM(CAST(round(ln((b.cb + 1.0)/(u.cu + v.v_sz)), 6)
+       |        AS DECIMAL(18,6))) AS slp
+       |  FROM bi JOIN b USING (w1, w2) JOIN u USING (w1) CROSS JOIN v
+       |  GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+       |  round(CAST(agg.slp AS DOUBLE)/agg.n_bigrams, 4) AS avg_logp
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "t11_lm_score" -> t11_lm_score,
     "t10_bpe_encode" -> t10_bpe_encode,
     "t9_bpe_train" -> t9_bpe_train,
     "t8_bm25_search" -> t8_bm25_search,
@@ -626,6 +712,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t11_lm_score" -> t11_sql,
     "t8_bm25_search" -> t8_sql,
     "t7_unigram_rarity" -> t7_sql,
     "t1_token_count" -> t1_sql,

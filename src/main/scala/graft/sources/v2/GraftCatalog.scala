@@ -260,6 +260,12 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
                       pinnedVersion: Option[Int])
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations {
+  // NOTE: streaming writes use the path-based sink
+  // (`df.writeStream.format(GraftSource).start(table root)`). Wiring
+  // `toTable` through Spark's V2TableWithV1Fallback was tried and
+  // reverted: the fallback is also PREFERRED for streaming reads, which
+  // would replace the DSv2 micro-batch source (admission control,
+  // skipChangeCommits, schema-change refusal) with a legacy V1 source.
 
   // lazy vals, not defs: Spark calls schema()/partitioning() many
   // times during analysis, and a def would re-list the commit log and

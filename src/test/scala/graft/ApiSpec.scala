@@ -322,6 +322,44 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("lmScore equals the catalog t11 and ranks gibberish below fluent text") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = GraftOps.lmScore(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    val cat = SparkEntry.queries("t11_lm_score")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got == cat && got.nonEmpty)
+    // behavioral: repeated typical text scores above one-off gibberish
+    val mixed = Seq(
+      (1L, "the cat sat on the mat and the dog sat on the mat"),
+      (2L, "the cat sat on the mat and the dog lay on the mat"),
+      (3L, "zq xv qp wk jx vz qj kx zw pq xq zv wj")).toDF("id", "body")
+    val scores = GraftOps.lmScore(mixed, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) > scores(3L) && scores(2L) > scores(3L), scores.toString)
+  }
+
+  test("phashPairs equals the catalog m5 and flags shared-prefix payloads") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = GraftOps.phashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val cat = SparkEntry.queries("m5_phash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == cat)
+    // behavioral: identical payloads pair at hamming 0; unrelated don't
+    val payloadA = (1 to 200).map(i => ('a' + i % 26).toChar).mkString
+    val payloadB = (1 to 200).map(i => ('A' + (i * 7) % 26).toChar).mkString("", "x", "")
+    val media = Seq((1L, payloadA), (2L, payloadA), (3L, payloadB))
+      .toDF("id", "payload")
+    val pairs = GraftOps.phashPairs(media, "id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)), pairs.mkString(", "))
+  }
+
   test("piiScrub redacts and counts, leaving other columns intact") {
     import spark.implicits._
     val docs = Seq(
