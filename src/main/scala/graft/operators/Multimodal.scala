@@ -206,18 +206,16 @@ object Multimodal {
                    textCol: String, maxHamming: Int): org.apache.spark.sql.DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "quarter blocking guarantees recall only for hamming <= 3")
+    // signature via the native one-pass PHash64 expression (see its
+    // Scaladoc: the HOF formulation melts down under project-collapse
+    // in interpreted evaluation); block j is bits [16j, 16j+16) of the
+    // 64-bit hash — bit-identical to summing bits[16j+i] << i
     val sig = docs
       .select(col(idCol).as("__id"), col(textCol).as("__t"))
       .filter(length(col("__t")) >= 1)
-      .withColumn("n", length(col("__t")))
-      .withColumn("v", expr(
-        "transform(sequence(0, 63), i -> CAST(ascii(substring(__t, CAST(i * n DIV 64 AS INT) + 1, 1)) AS BIGINT))"))
-      .withColumn("sv", expr("aggregate(v, 0L, (a, x) -> a + x)"))
-      .withColumn("bits", expr(
-        "transform(v, x -> CASE WHEN x * 64 > sv THEN 1L ELSE 0L END)"))
-      .select(col("__id") +: (0 until 4).map(j => expr(
-        s"aggregate(sequence(0, 15), 0L, (a, i) -> a + shiftleft(element_at(bits, ${j * 16} + i + 1), CAST(i AS INT)))")
-        .as(s"b$j")): _*)
+      .withColumn("h", graft.functions.PHash64.phash64(col("__t")))
+      .select(col("__id") +: (0 until 4).map(j =>
+        expr(s"shiftrightunsigned(h, ${j * 16}) & 65535").as(s"b$j")): _*)
     val blocks = sig.select(col("__id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("blk", "bv")))

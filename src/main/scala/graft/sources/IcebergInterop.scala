@@ -196,15 +196,28 @@ object IcebergInterop {
     s"""{"name":"$name","type":$t,"field-id":$fieldId$dflt}"""
   }
 
-  /** Identity partition field of a spec: `name` is the column, `sourceId`
-    * its field id in the table schema, `fieldId` the partition field id
-    * (spec: 1000+), `dt` the Spark column type. */
+  /** One partition field of a spec: `name` is the Iceberg partition
+    * field name (the column itself for identity, `<col>_day`-style for
+    * transforms), `sourceId` the SOURCE column's field id in the table
+    * schema, `fieldId` the partition field id (spec: 1000+), `dt` the
+    * transform's RESULT type (drives the Avro partition-struct
+    * encoding: `DateType` ⇒ int/date logical for `day`, `IntegerType`
+    * for `month`/`year`/`hour`, the source type for identity and
+    * `truncate`), `transform` the Iceberg transform string, and
+    * `hiveKey` the physical `key=value` directory key the value parses
+    * from (`__p_days_ts` for `days(ts)`; the column name for
+    * identity). */
   private case class PartField(name: String, sourceId: Int, fieldId: Int,
-                               dt: DataType)
+                               dt: DataType, transform: String = "identity",
+                               hiveKeyOpt: Option[String] = None) {
+    def hiveKey: String = hiveKeyOpt.getOrElse(name)
+  }
 
-  /** Partition-struct Avro type for an identity column. The supported
-    * types cover the identity keys hive layouts produce; others refuse
-    * loudly rather than mis-encode. */
+  /** Partition-struct Avro type for a partition field's result type.
+    * The supported types cover the identity keys hive layouts produce
+    * plus the transform result types (`date` for `day`, int for the
+    * other time transforms); others refuse loudly rather than
+    * mis-encode. */
   private def partAvroType(dt: DataType): String = dt match {
     case StringType => "\"string\""
     case IntegerType | ShortType | ByteType => "\"int\""
@@ -212,16 +225,16 @@ object IcebergInterop {
     case LongType => "\"long\""
     case BooleanType => "\"boolean\""
     case other => throw new IllegalArgumentException(
-      s"identity partition column type $other is not supported by the " +
+      s"partition field type $other is not supported by the " +
         "Iceberg mirror (use string/int/long/date/boolean keys)")
   }
 
   /** Manifest-entry schema whose `partition` struct carries one
-    * nullable field per identity partition column (empty for
-    * unpartitioned tables — the historical layout). */
+    * nullable field per partition field (empty for unpartitioned
+    * tables — the historical layout). */
   private def manifestEntrySchemaFor(parts: Seq[PartField]): AvroSchema = {
     parts.foreach(p => require(p.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"identity partition column '${p.name}' is not a valid Avro field name"))
+      s"partition field '${p.name}' is not a valid Avro field name"))
     val pfields = parts.map(p =>
       s"""{"name":"${p.name}","type":["null",${partAvroType(p.dt)}],"field-id":${p.fieldId},"default":null}""")
       .mkString(",")
@@ -402,15 +415,66 @@ object IcebergInterop {
     files.size
   }
 
-  /** One spec-field JSON node for an identity partition column. */
+  /** One spec-field JSON node for a partition field. */
   private def specFieldNode(p: PartField): ObjectNode = {
     val n = om.createObjectNode()
     n.put("name", p.name)
-    n.put("transform", "identity")
+    n.put("transform", p.transform)
     n.put("source-id", p.sourceId)
     n.put("field-id", p.fieldId)
     n
   }
+
+  /** Map a graft partition-spec entry to its Iceberg transform field,
+    * or None for `bucket(n, col)` — graft buckets with xxhash64 while
+    * Iceberg's bucket transform mandates murmur3_x86_32, so declaring
+    * the field would make foreign engines prune with the WRONG hash;
+    * bucket layouts mirror with that field omitted (a partition spec
+    * need not describe the full physical layout — files simply carry
+    * no value for it). `days/hours/months/years` map to the
+    * identically-defined Iceberg time transforms; `truncate(w, col)`
+    * maps to `truncate[w]` (graft's width-prefix / floor-to-multiple
+    * semantics are Iceberg's, see GraftTable.derivedPartCol). */
+  private def transformField(spec: String, schema: StructType)
+      : Option[(String, String, String, DataType, String)] = {
+    // (icebergFieldName, transform, hiveKey, resultType, sourceColumn)
+    import GraftTable.{DaysSpec, HoursSpec, MonthsSpec, YearsSpec, BucketSpec, TruncSpec}
+    spec match {
+      case DaysSpec(c) => Some((s"${c}_day", "day", s"__p_days_$c", DateType, c))
+      case HoursSpec(c) => Some((s"${c}_hour", "hour", s"__p_hours_$c", IntegerType, c))
+      case MonthsSpec(c) => Some((s"${c}_month", "month", s"__p_months_$c", IntegerType, c))
+      case YearsSpec(c) => Some((s"${c}_year", "year", s"__p_years_$c", IntegerType, c))
+      case BucketSpec(_, _) => None
+      case TruncSpec(w, c) =>
+        Some((s"${c}_trunc", s"truncate[$w]", s"__p_trunc_${w}_$c",
+          schema(c).dataType, c))
+      case c => Some((c, "identity", c, schema(c).dataType, c))
+    }
+  }
+
+  /** Typed Iceberg partition value for a TRANSFORM field, from the hive
+    * segment's raw (unescaped) grain. Graft renders time grains with
+    * the session's clock rules and graft sessions pin
+    * `spark.sql.session.timeZone=UTC` (Sessions/Bench/Verify), so the
+    * grains are the UTC values the Iceberg time transforms define
+    * ("days/hours/… from 1970-01-01 UTC"); [[mirrorToIceberg]] refuses
+    * non-UTC sessions rather than record values a foreign engine would
+    * re-derive differently. */
+  private def transformValue(p: PartField, raw: String): AnyRef =
+    if (raw == "__HIVE_DEFAULT_PARTITION__") null
+    else p.transform match {
+      case "identity" => partValue(p.dt, raw)
+      case "day" =>
+        Integer.valueOf(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+      case "hour" => // grain "yyyy-MM-dd-HH"
+        val d = java.time.LocalDate.parse(raw.take(10))
+        Integer.valueOf((d.toEpochDay * 24 + raw.drop(11).toInt).toInt)
+      case "month" => // grain "yyyy-MM"
+        Integer.valueOf((raw.take(4).toInt - 1970) * 12 + raw.drop(5).toInt - 1)
+      case "year" => Integer.valueOf(raw.toInt - 1970)
+      case t if t.startsWith("truncate") => partValue(p.dt, raw)
+      case other => throw new IllegalStateException(s"unmapped transform $other")
+    }
 
   /** Undo Spark/Hive path-name escaping (%XX) in a `col=value`
     * directory segment. */
@@ -500,18 +564,23 @@ object IcebergInterop {
     *    EXISTING) plus its manifest list and `v<N>.metadata.json` —
     *    O(#live-files) driver-side metadata per commit; incremental
     *    manifest reuse is the upgrade path, not a format change.
-    *  - IDENTITY-partitioned tables mirror as identity-partitioned
-    *    Iceberg: the partition spec declares the columns, each data
-    *    file's manifest entry carries its typed partition struct
-    *    (values parsed from the hive `col=value` segments), and
-    *    readers take the column values from that struct per the spec's
-    *    Column Projection rule 2 — the same mechanism Hive-migrated
-    *    Iceberg tables use, so the files NOT carrying the column is
-    *    fully legal. Derived transform layouts (`__p_*=...`) keep all
-    *    declared columns in the files and mirror as unpartitioned.
-    *    Column renames refuse (physical names diverge; Iceberg handles
-    *    renames by field id, which files written before the rename
-    *    would contradict).
+    *  - Partition layouts mirror as a REAL Iceberg partition spec:
+    *    identity columns declare identity fields (each data file's
+    *    manifest entry carries its typed partition struct parsed from
+    *    the hive `col=value` segments, and readers take the column
+    *    values from that struct per the spec's Column Projection
+    *    rule 2 — the same mechanism Hive-migrated Iceberg tables use,
+    *    so the files NOT carrying the column is fully legal), and
+    *    `days/hours/months/years/truncate` layouts declare the
+    *    identically-defined Iceberg transforms with their typed values
+    *    (epoch-relative ints for the time transforms — graft sessions
+    *    pin UTC, and non-UTC sessions refuse). Only `bucket(n, col)`
+    *    fields are omitted from the spec (graft buckets with xxhash64,
+    *    Iceberg mandates murmur3 — a declared field would mis-prune);
+    *    their source columns stay in the data files, so content is
+    *    unaffected. Column renames refuse (physical names diverge;
+    *    Iceberg handles renames by field id, which files written
+    *    before the rename would contradict).
     *  - Schema changes append to the `schemas` array with a fresh
     *    schema id; unchanged schemas are reused by deep equality.
     *
@@ -587,7 +656,6 @@ object IcebergInterop {
           s"cannot mirror ${t.root} to Iceberg: commit $v renames columns " +
             s"(${c.renames.map { case (o, n) => s"$o->$n" }.mkString(", ")}) — " +
             "physical parquet names diverge from the schema")
-      val identityCols = c.partitionBy.filterNot(_.contains("("))
       val snapId = v + 1L
       val files = c.liveDirs.flatMap(dirFiles)
       val rawSchema = StructType(c.schemaStruct.map(_.copy(nullable = true)))
@@ -599,19 +667,36 @@ object IcebergInterop {
         commitSchema.fieldNames.filterNot(nameOrder.contains)
       val (schemaNode, lastColId) = toIcebergSchema(commitSchema)
 
-      // Identity partitioning mirrors as a REAL Iceberg identity spec:
-      // the hive layout drops the column from the data files, which the
-      // Iceberg spec handles via Column Projection rule 2 — readers
-      // take an identity-transform field's value from the data file's
-      // partition struct in the manifest. Values parse from the hive
-      // `col=value` path segments.
-      val parts: Seq[PartField] = identityCols.zipWithIndex.map { case (n, i) =>
-        val sourceId = schemaNode.get("fields").elements().asScala()
-          .find(_.get("name").asText() == n)
-          .map(_.get("id").asInt())
-          .getOrElse(throw new IllegalStateException(
-            s"partition column $n missing from schema of commit $v"))
-        PartField(n, sourceId, 1000 + i, commitSchema(n).dataType)
+      // The partition spec mirrors as REAL Iceberg partition fields:
+      // identity columns (whose values the hive layout drops from the
+      // data files — Column Projection rule 2 has readers take them
+      // from the manifest's partition struct) AND derived time/truncate
+      // transforms, whose Iceberg definitions graft's grains match
+      // (days/hours/months/years from 1970 UTC; width truncation).
+      // Only bucket fields are omitted — graft's xxhash64 bucketing is
+      // not Iceberg's murmur3 bucket transform, and a declared-but-
+      // differently-hashed field would mis-prune in foreign engines.
+      // Values parse from the hive `key=value` path segments.
+      val parts: Seq[PartField] =
+        c.partitionBy.flatMap(transformField(_, commitSchema)).zipWithIndex
+          .map { case ((fname, transform, hiveKey, dt, srcCol), i) =>
+            val sourceId = schemaNode.get("fields").elements().asScala()
+              .find(_.get("name").asText() == srcCol)
+              .map(_.get("id").asInt())
+              .getOrElse(throw new IllegalStateException(
+                s"partition source column $srcCol missing from schema of commit $v"))
+            PartField(fname, sourceId, 1000 + i, dt, transform,
+              if (hiveKey == fname) None else Some(hiveKey))
+          }
+      if (parts.exists(p => Set("day", "hour", "month", "year")(p.transform))) {
+        val tz = t.spark.conf.get("spark.sql.session.timeZone",
+          java.util.TimeZone.getDefault.getID)
+        require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+          s"cannot mirror time-transform partitions under session time zone " +
+            s"'$tz': graft's grain directories render in the session zone, but " +
+            "Iceberg time transforms are defined in UTC — mirror (and write) " +
+            "this table from a UTC session (graft sessions pin " +
+            "spark.sql.session.timeZone=UTC)")
       }
       val entrySchema =
         if (parts.isEmpty) manifestEntrySchema else manifestEntrySchemaFor(parts)
@@ -620,7 +705,7 @@ object IcebergInterop {
           val k = seg.takeWhile(_ != '=')
           k -> unescapeHive(seg.drop(k.length + 1))
         }.toMap
-        parts.map(p => segs.get(p.name).map(raw => partValue(p.dt, raw)).orNull)
+        parts.map(p => segs.get(p.hiveKey).map(raw => transformValue(p, raw)).orNull)
       }
 
       val entries = files.map { case (p, size, rc) =>

@@ -360,6 +360,35 @@ class ApiSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 0)), pairs.mkString(", "))
   }
 
+  test("native PHash64 is bit-identical to the builtin ascii/substring pipeline") {
+    import spark.implicits._
+    // includes short (<64 chars), long, ASCII-only, multibyte (é, €)
+    // and supplementary-plane (𝄞) codepoints — the exact semantics the
+    // DuckDB oracle shares (ascii = codePointAt of the first char)
+    val texts = Seq(
+      "a", "ab", "hello world", "x" * 64, "y" * 1000,
+      ("the quick brown fox " * 20).trim,
+      "héllo wörld é€" * 10, "𝄞music𝄞" * 20,
+      (0 until 200).map(i => ('!' + i % 90).toChar).mkString)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "t")
+    val native = df
+      .withColumn("h", graft.functions.PHash64.phash64($"t"))
+      .select($"id", $"h").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBuiltins = df
+      .withColumn("n", length($"t"))
+      .withColumn("v", expr(
+        "transform(sequence(0, 63), i -> CAST(ascii(substring(t, CAST(i * n DIV 64 AS INT) + 1, 1)) AS BIGINT))"))
+      .withColumn("sv", expr("aggregate(v, 0L, (a, x) -> a + x)"))
+      .withColumn("bits", expr(
+        "transform(v, x -> CASE WHEN x * 64 > sv THEN 1L ELSE 0L END)"))
+      .withColumn("h", expr(
+        "aggregate(sequence(0, 63), 0L, (a, i) -> a + shiftleft(element_at(bits, i + 1), CAST(i AS INT)))"))
+      .select($"id", $"h").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == viaBuiltins,
+      texts.map(t => s"${t._1}: ${native(t._1)} vs ${viaBuiltins(t._1)}").mkString("\n"))
+  }
+
   test("piiScrub redacts and counts, leaving other columns intact") {
     import spark.implicits._
     val docs = Seq(

@@ -258,18 +258,124 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("renames columns"), e2.getMessage)
   }
 
-  test("mirrorToIceberg handles transform-partitioned layouts") {
+  /** All partition tuples in the table's manifests, one Seq per data
+    * file, decoded from the Avro partition structs. */
+  private def manifestPartitionTuples(root: String): Seq[Seq[Any]] = {
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    new java.io.File(root, "metadata").listFiles.toSeq
+      .filter(_.getName.endsWith("-m0.avro")).flatMap { f =>
+        val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+          f, new GenericDatumReader[GenericRecord]())
+        try {
+          val buf = scala.collection.mutable.Buffer[Seq[Any]]()
+          while (r.hasNext) {
+            val e = r.next()
+            val p = e.get("data_file").asInstanceOf[GenericRecord]
+              .get("partition").asInstanceOf[GenericRecord]
+            buf += (0 until p.getSchema.getFields.size()).map(i => p.get(i))
+          }
+          buf.toSeq
+        } finally r.close()
+      }
+  }
+
+  test("mirrorToIceberg: days(ts) layout becomes a real Iceberg day transform") {
     import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val t = GraftTable.create(spark, tmp("graft_imit_"),
-      Seq(
-        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
-        (2L, java.sql.Timestamp.valueOf("2024-01-02 11:00:00")))
+      Seq((1L, Some(ts("2024-01-01 10:00:00"))),
+          (2L, Some(ts("2024-01-02 11:00:00"))),
+          (3L, Some(ts("2024-01-02 23:59:59"))),
+          (4L, None: Option[java.sql.Timestamp]))
         .toDF("id", "ts"),
       partitionBy = Seq("days(ts)"))
-    assert(IcebergInterop.mirrorToIceberg(t) == 1)
+    t.append(Seq((5L, Some(ts("2024-02-10 00:00:00")))).toDF("id", "ts"))
+    assert(IcebergInterop.mirrorToIceberg(t) == 2)
+    // the metadata declares the day transform on the ts column
+    val md = new String(Files.readAllBytes(
+      Paths.get(t.root, "metadata", "v2.metadata.json")), "UTF-8")
+    assert(md.contains(""""transform" : "day"""") ||
+      md.contains(""""transform":"day""""), md.take(800))
+    assert(md.contains(""""ts_day""""), md.take(800))
+    // manifest partition values are epoch days (and null for null ts)
+    val days = manifestPartitionTuples(t.root).map(_.head)
+    val epochDay = (s: String) => java.time.LocalDate.parse(s).toEpochDay.toInt
+    assert(days.contains(epochDay("2024-01-01")), days)
+    assert(days.contains(epochDay("2024-01-02")), days)
+    assert(days.contains(epochDay("2024-02-10")), days)
+    assert(days.contains(null), days)
+    // content and time travel round-trip
     val got = IcebergInterop.readIceberg(spark, t.root)
-      .as[(Long, java.sql.Timestamp)].collect().toSet
-    assert(got.map(_._1) == Set(1L, 2L), got)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 4L, 5L), got)
+    assert(IcebergInterop.readIceberg(spark, t.root, Some(1L)).count() == 4)
+  }
+
+  test("mirrorToIceberg: mixed identity + days + truncate spec; bucket omitted") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val t = GraftTable.create(spark, tmp("graft_imix_"),
+      Seq((1L, "eu", ts("2024-03-01 01:00:00"), "alpha"),
+          (2L, "us", ts("2024-03-02 02:00:00"), "beta"))
+        .toDF("id", "region", "ts", "code"),
+      partitionBy = Seq("region", "days(ts)", "truncate(2, code)"))
+    assert(IcebergInterop.mirrorToIceberg(t) == 1)
+    val md = new String(Files.readAllBytes(
+      Paths.get(t.root, "metadata", "v1.metadata.json")), "UTF-8")
+    assert(md.contains(""""transform" : "identity"""") ||
+      md.contains(""""transform":"identity""""), md.take(900))
+    assert(md.contains("truncate[2]"), md.take(900))
+    val tuples = manifestPartitionTuples(t.root).map(_.map {
+      case u: org.apache.avro.util.Utf8 => u.toString
+      case x => x
+    })
+    val epochDay = (s: String) => java.time.LocalDate.parse(s).toEpochDay.toInt
+    assert(tuples.contains(Seq("eu", epochDay("2024-03-01"), "al")), tuples)
+    assert(tuples.contains(Seq("us", epochDay("2024-03-02"), "be")), tuples)
+    val got = IcebergInterop.readIceberg(spark, t.root)
+      .as[(Long, String, java.sql.Timestamp, String)].collect().toSet
+    assert(got.map(r => (r._1, r._2, r._4)) ==
+      Set((1L, "eu", "alpha"), (2L, "us", "beta")), got)
+
+    // bucket fields are omitted from the spec (xxhash64 != murmur3):
+    // content must still round-trip, with an EMPTY partition spec
+    val tb = GraftTable.create(spark, tmp("graft_imib_"),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      partitionBy = Seq("bucket(4, id)"))
+    assert(IcebergInterop.mirrorToIceberg(tb) == 1)
+    val mdb = new String(Files.readAllBytes(
+      Paths.get(tb.root, "metadata", "v1.metadata.json")), "UTF-8")
+    assert(!mdb.contains("bucket"), mdb.take(900))
+    assert(IcebergInterop.readIceberg(spark, tb.root)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("mirrorToIceberg: months layout carries epoch-relative month ints") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val t = GraftTable.create(spark, tmp("graft_imim_"),
+      Seq((1L, ts("2024-01-15 00:00:00")), (2L, ts("1969-12-31 23:00:00")))
+        .toDF("id", "ts"),
+      partitionBy = Seq("months(ts)"))
+    assert(IcebergInterop.mirrorToIceberg(t) == 1)
+    val months = manifestPartitionTuples(t.root).map(_.head)
+    assert(months.contains((2024 - 1970) * 12), months)     // 2024-01
+    assert(months.contains((1969 - 1970) * 12 + 11), months) // 1969-12
+    assert(IcebergInterop.readIceberg(spark, t.root).count() == 2)
+  }
+
+  test("mirrorToIceberg refuses time transforms under a non-UTC session") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_imtz_"),
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))).toDF("id", "ts"),
+      partitionBy = Seq("days(ts)"))
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IcebergInterop.mirrorToIceberg(t)
+      }
+      assert(e.getMessage.contains("UTC"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   test("refuses format v3, delete manifests, and renamed columns") {

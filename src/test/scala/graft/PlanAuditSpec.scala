@@ -140,6 +140,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("bloommightcontain"), s"probe missing:\n$plan")
   }
 
+  test("t11: the only cross join is the broadcast 1-row vocab scalar; unigrams hot-broadcast") {
+    val plan = executedPlan("t11_lm_score")
+    // the vocabulary-size scalar re-attaches as a broadcast nested-loop
+    // over ONE row — any other cartesian shape would be a real bug
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the hot-unigram split rides broadcast joins (at micro-scale the
+    // optimizer may ALSO broadcast the small LM count tables — that's
+    // size-based planning, not a fixed broadcast hint on an unbounded
+    // relation, so it degrades to shuffle joins at corpus scale)
+    assert(plan.contains("BroadcastHashJoin"), s"no hot broadcast in:\n$plan")
+  }
+
+  test("m5: candidates come from a (block, value) equi-join, never all-pairs") {
+    val plan = executedPlan("m5_phash_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs shape in:\n$plan")
+  }
+
   test("t8: BM25 top-k is TakeOrdered (per-partition heaps), stats broadcast") {
     // the global top-20 must never be a full sort: TakeOrderedAndProject
     // keeps a k-heap per partition and merges k-sized results; the 1-row
