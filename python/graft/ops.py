@@ -154,6 +154,13 @@ def lm_score(docs, id_col, text_col):
     return _wrap(_ops(docs).lmScore(docs._jdf, id_col, text_col), docs)
 
 
+def compression_signals(docs, id_col, text_col):
+    """Compression-ratio quality signal per doc: deflate the text and
+    band deflate_bytes/raw_bytes to [0.25, 0.95] — below is
+    boilerplate/template spam, above is high-entropy junk."""
+    return _wrap(_ops(docs).compressionSignals(docs._jdf, id_col, text_col), docs)
+
+
 def phash_pairs(docs, id_col, payload_col, max_hamming=3):
     """Perceptual-hash near-dup pairs over media payloads (aHash-style
     64-bit signature, quarter-block banding, exact hamming confirm)."""

@@ -75,6 +75,10 @@ sig.orderBy("doc_id").show(3)
 assert sig.count() == n_docs
 scrubbed = ops.pii_scrub(docs.limit(50), "text")
 assert scrubbed.count() == 50
+czip = ops.compression_signals(docs, "doc_id", "text")
+assert czip.count() == n_docs
+# prose-like synthetic docs sit inside the [0.25, 0.95] deflate band
+assert czip.filter("kept").count() > 0
 
 print("== 6. Metrics activity log with a managed run context ==")
 log_path = tempfile.mkdtemp(prefix="graft_py_metrics_") + "/log"

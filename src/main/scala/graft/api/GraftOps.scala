@@ -437,6 +437,15 @@ object GraftOps {
                  maxHamming: Int = 3): DataFrame =
     graft.operators.Multimodal.phashPairsOn(docs, idCol, payloadCol, maxHamming)
 
+  /** Compression-ratio quality signal — the t12 shape: deflate each
+    * document (native codegen'd expression, ThreadLocal zlib) and band
+    * `deflate_bytes/raw_bytes` to [0.25, 0.95] — below is boilerplate/
+    * template spam, above is high-entropy junk. Pure scan-side
+    * projection, no shuffle at any scale. Output: (idCol, raw_bytes,
+    * deflate_bytes, compress_ratio, kept). */
+  def compressionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.TextAnalysis.compressionSignalsOn(docs, idCol, textCol)
+
   /** The per-document curation feature vector — t1/t2/t3/t5 in ONE
     * scan-side projection (no shuffle at all: at 100 TB this runs at
     * parquet-read speed, embarrassingly parallel across files):

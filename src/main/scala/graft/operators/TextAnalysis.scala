@@ -697,7 +697,37 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN agg USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** t12: compression-ratio quality signal — deflate the document and
+    * band on `compressed/raw` (see [[graft.functions.DeflateLen]]):
+    * boilerplate/template spam compresses far below prose, encoded
+    * blobs barely compress. Rows-only (zlib output is not defined
+    * cross-library, so no DuckDB oracle); behaviorally spec'd in
+    * ApiSpec. Scan-side projection: no shuffle, no UDF — the plan is a
+    * parquet scan + codegen'd project at any corpus size. */
+  val t12_compress_ratio: Relational.Q = (s, dir) =>
+    compressionSignalsOn(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** The t12 core over an arbitrary DataFrame (public twin:
+    * `GraftOps.compressionSignals`). Output: (id, raw_bytes,
+    * deflate_bytes, compress_ratio, kept); `kept` bands the ratio to
+    * [0.25, 0.95] — below: near-duplicate boilerplate, above:
+    * high-entropy junk. */
+  def compressionSignalsOn(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{greatest, lit, octet_length, round}
+    docs
+      .select(col(idCol), octet_length(col(textCol)).as("raw_bytes"),
+        graft.functions.Compress.deflate_len(col(textCol)).as("deflate_bytes"))
+      .withColumn("compress_ratio",
+        round(col("deflate_bytes").cast("double") /
+          greatest(col("raw_bytes").cast("double"), lit(1.0)), 6))
+      .withColumn("kept",
+        col("compress_ratio") >= 0.25 && col("compress_ratio") <= 0.95)
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "t12_compress_ratio" -> t12_compress_ratio,
     "t11_lm_score" -> t11_lm_score,
     "t10_bpe_encode" -> t10_bpe_encode,
     "t9_bpe_train" -> t9_bpe_train,

@@ -360,6 +360,31 @@ class ApiSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 0)), pairs.mkString(", "))
   }
 
+  test("compressionSignals bands repetitive below prose below gibberish") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam " * 200),                 // boilerplate
+      (2L, (0 until 300).map(i =>                         // varied "words"
+        java.lang.Long.toString((i * 2654435761L) & 0x7fffffffL, 36))
+        .mkString(" ")),
+      (3L, { val r = new scala.util.Random(7)             // dense gibberish
+        (0 until 4000).map(_ => (33 + r.nextInt(94)).toChar).mkString }))
+      .toDF("id", "body")
+    val out = GraftOps.compressionSignals(docs, "id", "body")
+      .orderBy("id").collect()
+    val ratio = out.map(r => r.getAs[Double]("compress_ratio"))
+    assert(ratio(0) < ratio(1) && ratio(1) < ratio(2), ratio.toSeq.toString)
+    assert(ratio(0) < 0.25 && !out(0).getAs[Boolean]("kept"), ratio(0).toString)
+    assert(out(1).getAs[Boolean]("kept"), ratio(1).toString)
+    // deterministic across evaluations (ThreadLocal deflater reuse)
+    val again = GraftOps.compressionSignals(docs, "id", "body")
+      .orderBy("id").collect().map(_.getAs[Int]("deflate_bytes")).toSeq
+    assert(again == out.map(_.getAs[Int]("deflate_bytes")).toSeq)
+    // catalog twin runs on the documents table with one row per doc
+    val cat = SparkEntry.queries("t12_compress_ratio")(spark, sf)
+    assert(cat.count() == graft.sources.Tables.documents(spark, sf).count())
+  }
+
   test("native PHash64 is bit-identical to the builtin ascii/substring pipeline") {
     import spark.implicits._
     // includes short (<64 chars), long, ASCII-only, multibyte (é, €)

@@ -549,6 +549,61 @@ class DeltaInteropSpec extends AnyFunSuite {
     sync()
   }
 
+  test("mirror fuzz: days(ts)-transform op sequences keep both mirrors exact") {
+    import spark.implicits._
+    // transform-layout twin of the identity fuzz: the Delta mirror
+    // keeps these unpartitioned (format-honest — Delta partition
+    // columns must be physical), the Iceberg mirror declares a REAL
+    // day transform with epoch-day partition values; both must stay
+    // value-exact across appends, deletes, overwrites, compactions,
+    // null timestamps and multi-day batches
+    val rnd = new scala.util.Random(5678)
+    val days = Seq("2024-01-01", "2024-01-02", "2024-02-29", null)
+    def batch(): org.apache.spark.sql.DataFrame = {
+      val n = 1 + rnd.nextInt(4)
+      (0 until n).map { _ =>
+        val d = days(rnd.nextInt(days.size))
+        (rnd.nextInt(50).toLong,
+          if (d == null) null
+          else java.sql.Timestamp.valueOf(s"$d 0${rnd.nextInt(10)}:00:00"),
+          rnd.nextInt(100).toDouble)
+      }.toDF("id", "ts", "x")
+    }
+    val t = GraftTable.create(spark, tmp("graft_fuzzt_"), batch(),
+      partitionBy = Seq("days(ts)"))
+    def key(r: (Long, java.sql.Timestamp, Double)) =
+      (r._1, Option(r._2).map(_.getTime).getOrElse(Long.MinValue), r._3)
+    def sync(): Unit = {
+      DeltaInterop.mirrorToDelta(t)
+      graft.sources.IcebergInterop.mirrorToIceberg(t)
+      val want = t.read().select("id", "ts", "x")
+        .as[(Long, java.sql.Timestamp, Double)].collect().sortBy(key).toSeq
+      val viaDelta = DeltaInterop.readDelta(spark, t.root)
+        .select("id", "ts", "x").as[(Long, java.sql.Timestamp, Double)]
+        .collect().sortBy(key).toSeq
+      val viaIce = graft.sources.IcebergInterop.readIceberg(spark, t.root)
+        .select("id", "ts", "x").as[(Long, java.sql.Timestamp, Double)]
+        .collect().sortBy(key).toSeq
+      assert(viaDelta == want, s"delta v${t.latestVersion()}")
+      assert(viaIce == want, s"iceberg v${t.latestVersion()}")
+    }
+    (0 until 10).foreach { _ =>
+      rnd.nextInt(5) match {
+        case 0 | 1 => t.append(batch())
+        case 2 => t.delete(col("id") < rnd.nextInt(25))
+        case 3 => t.overwrite(batch())
+        case 4 => t.compact(1)
+      }
+      if (rnd.nextBoolean()) sync()
+    }
+    sync()
+    // the final metadata really declares the day transform
+    val md = new String(Files.readAllBytes(Paths.get(t.root, "metadata",
+      s"v${t.latestVersion() + 1}.metadata.json")), "UTF-8")
+    assert(md.contains("\"transform\" : \"day\"") ||
+      md.contains("\"transform\":\"day\""), md.take(600))
+  }
+
   test("mirrors handle history vacuumed before it was ever mirrored") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_mirv_"),

@@ -152,6 +152,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no hot broadcast in:\n$plan")
   }
 
+  test("t12: compression signal is a pure scan-side projection — zero Exchange") {
+    val plan = executedPlan("t12_compress_ratio")
+    // deflate_len rides the scan projection; the only allowed movement
+    // is the output ordering's sort — no aggregation, no join, no
+    // repartition at any corpus size
+    assert(!plan.contains("Exchange hashpartitioning"), s"shuffle in:\n$plan")
+    assert(!plan.contains("Join"), s"join in:\n$plan")
+  }
+
   test("m5: candidates come from a (block, value) equi-join, never all-pairs") {
     val plan = executedPlan("m5_phash_neardup")
     assert(!plan.contains("CartesianProduct") &&
