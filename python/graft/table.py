@@ -105,7 +105,21 @@ def read_delta(spark, path, version_as_of=None):
 
 def read_iceberg(spark, path, snapshot_id=None):
     """Open an Iceberg v1/v2 table dependency-free (refuses v3+, delete
-    files, field-id renames). Optional snapshot-id time travel."""
+    files, field-id renames, partition-spec evolution). Optional
+    snapshot-id time travel."""
     ix = spark._jvm.graft.sources.IcebergInterop
     return DataFrame(ix.readIceberg(
-        spark._jsparkSession, path, _opt_long(spark, snapshot_id)), spark)
+        spark._jsparkSession, path, _opt_long(spark, snapshot_id),
+        getattr(ix, "readIceberg$default$4")()), spark)
+
+
+def read_iceberg_where(spark, path, field, grain, snapshot_id=None):
+    """Open ONE partition of an Iceberg table by metadata-only pruning:
+    `field` is a partition-spec field (identity column or transform
+    field like 'ts_day'), `grain` its value ('2024-03-02' for day,
+    '2024-03' for month, raw value for identity/truncate; None selects
+    the null partition)."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return DataFrame(ix.readIcebergWhere(
+        spark._jsparkSession, path, field, grain,
+        _opt_long(spark, snapshot_id)), spark)

@@ -473,6 +473,8 @@ object IcebergInterop {
         Integer.valueOf((raw.take(4).toInt - 1970) * 12 + raw.drop(5).toInt - 1)
       case "year" => Integer.valueOf(raw.toInt - 1970)
       case t if t.startsWith("truncate") => partValue(p.dt, raw)
+      case t if t.startsWith("bucket") => // foreign tables' bucket ordinals
+        Integer.valueOf(raw.toInt)
       case other => throw new IllegalStateException(s"unmapped transform $other")
     }
 
@@ -788,6 +790,33 @@ object IcebergInterop {
 
   private val VMeta = "v(\\d+)\\.metadata\\.json".r
   private val SeqMeta = "(\\d+)-[^/]*\\.metadata\\.json".r
+  private val TruncRe = "truncate\\[\\d+\\]".r
+  private val BucketRe = "bucket\\[\\d+\\]".r
+
+  /** Equality between a decoded Avro partition value and a parsed
+    * expected value: integral widths compare by value (Avro int vs our
+    * boxed Integer/Long), strings by content, null only to null. */
+  private def avroEq(got: AnyRef, want: AnyRef): Boolean = (got, want) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (a: java.lang.Number, b: java.lang.Number) =>
+      a.longValue() == b.longValue()
+    case (a, b) => a.toString == b.toString
+  }
+
+  /** Open one partition of a file-based Iceberg table: `field` is a
+    * partition-spec field name (an identity column, or a transform
+    * field like `ts_day`), `grain` its value in the same string form
+    * [[GraftTable.readWherePartition]] takes — identity/truncate
+    * values as written, `day` "2024-01-07", `hour` "2024-01-07-05",
+    * `month` "2024-01", `year` "2024", `bucket[n]` the ordinal; null
+    * selects the null partition. Pruning is METADATA-ONLY: the
+    * manifest entries' typed partition structs are filtered on the
+    * driver and only matching data files reach the scan — the
+    * time-sliced read path for 100 TB mirrored tables. */
+  def readIcebergWhere(spark: SparkSession, path: String, field: String,
+      grain: String, asOfSnapshotId: Option[Long] = None): DataFrame =
+    readIceberg(spark, path, asOfSnapshotId, Some(field -> grain))
 
   private def refuse(path: String, what: String): Nothing =
     throw new IllegalArgumentException(
@@ -800,12 +829,17 @@ object IcebergInterop {
     * list → manifests → parquet scan. Supports format v1 and v2 data;
     * refuses v3+, delete manifests/files, non-parquet data files, and
     * tables whose parquet column names no longer match the declared
-    * schema (rename-by-field-id). `asOfSnapshotId` time-travels to a
-    * retained snapshot instead of the current one (the declared schema
-    * stays the CURRENT one, matching Iceberg's schema-evolution
-    * semantics for time travel). */
+    * schema (rename-by-field-id), and partition-spec evolution (old
+    * manifests lay their partition structs out per a different spec —
+    * resolving them against the default spec would misread).
+    * `asOfSnapshotId` time-travels to a retained snapshot instead of
+    * the current one (the declared schema stays the CURRENT one,
+    * matching Iceberg's schema-evolution semantics for time travel).
+    * `partitionWhere = Some(field -> grain)` prunes to one partition
+    * value by METADATA only — see [[readIcebergWhere]]. */
   def readIceberg(spark: SparkSession, path: String,
-      asOfSnapshotId: Option[Long] = None): DataFrame = {
+      asOfSnapshotId: Option[Long] = None,
+      partitionWhere: Option[(String, String)] = None): DataFrame = {
     val root = new HPath(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new HPath(root, "metadata")
@@ -908,11 +942,24 @@ object IcebergInterop {
           (if (asOfSnapshotId.isDefined) " (expired or never existed?)" else "")))
 
     // manifest list → manifest paths (refusing delete manifests); old
-    // v1 writers may inline a `manifests` path array instead
+    // v1 writers may inline a `manifests` path array instead.
+    // Partition-spec EVOLUTION refuses loudly: each manifest's entries
+    // lay their partition structs out per the spec the manifest was
+    // written under, but this reader resolves positions against the
+    // DEFAULT spec — a table whose spec changed would have old files'
+    // values silently misread (the footer probe only catches it when
+    // the probed file happens to be an old one).
+    val defaultSpecId = md.path("default-spec-id").asInt(0)
     val manifests: Seq[String] =
       if (snapshot.has("manifest-list")) {
         val listPath = snapshot.get("manifest-list").asText()
         readAvro(readBytes(fs, new HPath(listPath))).map { r =>
+          fieldOpt(r, "partition_spec_id").map(longOf).foreach { sid =>
+            if (sid != defaultSpecId)
+              refuse(path, s"has manifests written under partition spec $sid " +
+                s"while the default spec is $defaultSpecId (partition spec " +
+                "evolution)")
+          }
           fieldOpt(r, "content").map(longOf).getOrElse(0L) match {
             case 0L => r.get("manifest_path").toString
             case _ => refuse(path, "has delete manifests (row-level deletes)")
@@ -923,8 +970,41 @@ object IcebergInterop {
       else throw new IllegalStateException(
         s"snapshot $snapId at $path names neither manifest-list nor manifests")
 
+    // optional metadata-only partition pruning: resolve the requested
+    // field against the default spec, parse the grain to its typed
+    // partition value, and keep only manifest entries whose struct
+    // matches — at 100 TB a time-sliced read of a mirrored table is a
+    // driver-side filter over file metadata plus a scan of ONLY the
+    // matching files, never a full-table scan.
+    val whereIdx: Option[(Int, AnyRef)] = partitionWhere.map { case (fname, raw) =>
+      val j = specFields.indexWhere(_.path("name").asText() == fname)
+      if (j < 0)
+        throw new IllegalArgumentException(
+          s"partition field '$fname' not in the default partition spec of " +
+            s"$path (fields: ${specFields.map(_.path("name").asText()).mkString(", ")})")
+      val f = specFields(j)
+      val transform = f.path("transform").asText()
+      val dt: DataType = transform match {
+        case "identity" | TruncRe() =>
+          val srcId = f.path("source-id").asInt(-1)
+          val n = nameBySourceId.getOrElse(srcId,
+            refuse(path, s"partition field '$fname' has source-id $srcId " +
+              "that is not a top-level column"))
+          schema(n).dataType
+        case "day" => DateType
+        case "hour" | "month" | "year" => IntegerType
+        case BucketRe() => IntegerType
+        case other => refuse(path, s"partition pruning on transform '$other'")
+      }
+      val expected: AnyRef =
+        if (raw == null) null
+        else transformValue(PartField(fname, 0, 0, dt, transform), raw)
+      (j, expected)
+    }
+
     // manifests → live data files (status 2 = DELETED in this
-    // snapshot), each with its identity partition values
+    // snapshot), each with its identity partition values; pruned by
+    // the optional partition filter
     val dataFiles: Seq[(String, Seq[AnyRef])] = manifests.flatMap { mp =>
       readAvro(readBytes(fs, new HPath(mp))).flatMap { e =>
         val status = longOf(e.get("status"))
@@ -934,18 +1014,19 @@ object IcebergInterop {
         val fmt = df.get("file_format").toString
         if (!fmt.equalsIgnoreCase("parquet"))
           refuse(path, s"has $fmt data files")
-        if (status == 2L) None
-        else {
-          val pv: Seq[AnyRef] = identityParts.map { case (_, _, i) =>
-            df.get("partition") match {
-              case pr: GenericRecord if pr.getSchema.getFields.size() > i =>
-                pr.get(i) match {
-                  case u: org.apache.avro.util.Utf8 => u.toString
-                  case other => other
-                }
-              case _ => null
+        def structAt(i: Int): AnyRef = df.get("partition") match {
+          case pr: GenericRecord if pr.getSchema.getFields.size() > i =>
+            pr.get(i) match {
+              case u: org.apache.avro.util.Utf8 => u.toString
+              case other => other
             }
-          }
+          case _ => null
+        }
+        if (status == 2L) None
+        else if (whereIdx.exists { case (j, want) => !avroEq(structAt(j), want) })
+          None
+        else {
+          val pv: Seq[AnyRef] = identityParts.map { case (_, _, i) => structAt(i) }
           Some((df.get("file_path").toString, pv))
         }
       }

@@ -364,6 +364,75 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(IcebergInterop.readIceberg(spark, t.root).count() == 2)
   }
 
+  test("readIcebergWhere prunes by partition metadata, identity and transforms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.input_file_name
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val t = GraftTable.create(spark, tmp("graft_irw_"),
+      Seq((1L, "eu", Some(ts("2024-03-01 01:00:00")), "alpha"),
+          (2L, "us", Some(ts("2024-03-02 02:00:00")), "beta"),
+          (3L, "eu", Some(ts("2024-03-02 03:00:00")), "alto"),
+          (4L, "us", None: Option[java.sql.Timestamp], "beta"))
+        .toDF("id", "region", "ts", "code"),
+      partitionBy = Seq("region", "days(ts)", "truncate(2, code)"))
+    assert(IcebergInterop.mirrorToIceberg(t) == 1)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").as[Long].collect().toSet
+    // identity pruning
+    assert(ids(IcebergInterop.readIcebergWhere(spark, t.root, "region", "eu"))
+      == Set(1L, 3L))
+    // day-transform pruning (grain form = GraftTable.readWherePartition's)
+    assert(ids(IcebergInterop.readIcebergWhere(spark, t.root, "ts_day", "2024-03-02"))
+      == Set(2L, 3L))
+    // truncate pruning
+    assert(ids(IcebergInterop.readIcebergWhere(spark, t.root, "code_trunc", "be"))
+      == Set(2L, 4L))
+    // null partition
+    assert(ids(IcebergInterop.readIcebergWhere(spark, t.root, "ts_day", null))
+      == Set(4L))
+    // the pruning is metadata-only: fewer files reach the scan
+    val allFiles = IcebergInterop.readIceberg(spark, t.root)
+      .select(input_file_name()).distinct().count()
+    val dayFiles = IcebergInterop.readIcebergWhere(spark, t.root, "ts_day", "2024-03-02")
+      .select(input_file_name()).distinct().count()
+    assert(dayFiles < allFiles, s"$dayFiles vs $allFiles")
+    // unknown field names fail loudly with the available fields
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readIcebergWhere(spark, t.root, "nope", "x")
+    }
+    assert(e.getMessage.contains("not in the default partition spec"), e.getMessage)
+  }
+
+  test("readIceberg refuses partition-spec evolution") {
+    import spark.implicits._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val t = GraftTable.create(spark, tmp("graft_ipse_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val target = tmp("graft_ipse_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    // evolve the default spec away from the one the manifest was
+    // written under: old entries' partition structs would be laid out
+    // per spec 0, the reader would resolve per spec 1 — must refuse
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val md = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val specs = md.get("partition-specs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val spec1 = om.createObjectNode()
+    spec1.put("spec-id", 1)
+    val f = om.createObjectNode()
+    f.put("name", "v"); f.put("transform", "identity")
+    f.put("source-id", 2); f.put("field-id", 1000)
+    spec1.putArray("fields").add(f)
+    specs.add(spec1)
+    md.put("default-spec-id", 1)
+    patch(mdPath, om.writeValueAsBytes(md))
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, target)
+    }
+    assert(e.getMessage.contains("partition spec evolution"), e.getMessage)
+  }
+
   test("mirrorToIceberg refuses time transforms under a non-UTC session") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_imtz_"),
