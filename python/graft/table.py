@@ -100,7 +100,18 @@ def read_delta(spark, path, version_as_of=None):
     versionAsOf time travel."""
     dx = spark._jvm.graft.sources.DeltaInterop
     return DataFrame(dx.readDelta(
-        spark._jsparkSession, path, _opt_long(spark, version_as_of)), spark)
+        spark._jsparkSession, path, _opt_long(spark, version_as_of),
+        getattr(dx, "readDelta$default$4")()), spark)
+
+
+def read_delta_where(spark, path, column, value, version_as_of=None):
+    """Open ONE partition of a Delta table by metadata-only pruning:
+    `column` is a partition column, `value` its canonical log string
+    (None selects the null partition)."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return DataFrame(dx.readDeltaWhere(
+        spark._jsparkSession, path, column, value,
+        _opt_long(spark, version_as_of)), spark)
 
 
 def read_iceberg(spark, path, snapshot_id=None):

@@ -375,9 +375,11 @@ object DeltaInterop {
     * shallow clones) are read in place. `versionAsOf` time-travels to
     * an earlier version — through retained JSON commits when the
     * checkpoint has compacted past it, refusing only when that history
-    * is truly gone. */
+    * is truly gone. `partitionWhere = Some(col -> value)` prunes to
+    * one partition by METADATA only — see [[readDeltaWhere]]. */
   def readDelta(spark: SparkSession, path: String,
-      versionAsOf: Option[Long] = None): DataFrame = {
+      versionAsOf: Option[Long] = None,
+      partitionWhere: Option[(String, String)] = None): DataFrame = {
     val root = new HPath(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new HPath(root, "_delta_log")
@@ -531,6 +533,23 @@ object DeltaInterop {
       throw new IllegalStateException(s"no metaData action in Delta log at $path")))
       .asInstanceOf[StructType]
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    // optional metadata-only partition pruning: Delta partition values
+    // live ONLY in the log (canonical string form, absent key = null),
+    // so one partition's read is a driver-side filter over the active
+    // file map plus a scan of only the matching files
+    partitionWhere.foreach { case (c, want) =>
+      require(partCols.contains(c),
+        s"'$c' is not a partition column of the Delta table at $path " +
+          s"(partition columns: ${partCols.mkString(", ")})")
+      val keep = active.filter { case (_, pv) =>
+        pv.get(c) match {
+          case Some(v) => v == want
+          case None => want == null
+        }
+      }
+      active.clear()
+      keep.foreach { case (k, v) => active(k) = v }
+    }
     if (active.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -549,4 +568,14 @@ object DeltaInterop {
       withParts.select(schema.map(f => col(f.name)): _*)
     }.reduce(_.unionByName(_))
   }
+
+  /** Open ONE partition of a Delta table: `column` is an identity
+    * partition column, `value` its canonical log string form (null
+    * selects the null partition). Pruning is METADATA-ONLY — the
+    * active file map is filtered on the driver and only matching data
+    * files reach the scan, the same time-sliced read path
+    * [[IcebergInterop.readIcebergWhere]] gives mirrored tables. */
+  def readDeltaWhere(spark: SparkSession, path: String, column: String,
+      value: String, versionAsOf: Option[Long] = None): DataFrame =
+    readDelta(spark, path, versionAsOf, Some(column -> value))
 }

@@ -549,6 +549,38 @@ class DeltaInteropSpec extends AnyFunSuite {
     sync()
   }
 
+  test("readDeltaWhere prunes one partition by log metadata only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.input_file_name
+    val t = GraftTable.create(spark, tmp("graft_drw_"),
+      Seq((1L, "eu", 1.5), (2L, "us", 2.5), (3L, "eu", 3.5),
+          (4L, null, 4.5)).toDF("id", "seg", "x"),
+      partitionBy = Seq("seg"))
+    t.append(Seq((5L, "us", 5.5)).toDF("id", "seg", "x"))
+    DeltaInterop.mirrorToDelta(t)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").as[Long].collect().toSet
+    assert(ids(DeltaInterop.readDeltaWhere(spark, t.root, "seg", "eu"))
+      == Set(1L, 3L))
+    assert(ids(DeltaInterop.readDeltaWhere(spark, t.root, "seg", "us"))
+      == Set(2L, 5L))
+    assert(ids(DeltaInterop.readDeltaWhere(spark, t.root, "seg", null))
+      == Set(4L))
+    // metadata-only: fewer files reach the scan than the full read
+    val allFiles = DeltaInterop.readDelta(spark, t.root)
+      .select(input_file_name()).distinct().count()
+    val euFiles = DeltaInterop.readDeltaWhere(spark, t.root, "seg", "eu")
+      .select(input_file_name()).distinct().count()
+    assert(euFiles < allFiles, s"$euFiles vs $allFiles")
+    // non-partition columns fail loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.readDeltaWhere(spark, t.root, "x", "1.5")
+    }
+    assert(e.getMessage.contains("not a partition column"), e.getMessage)
+    // no-match value returns an empty frame with the declared schema
+    assert(DeltaInterop.readDeltaWhere(spark, t.root, "seg", "ap").count() == 0)
+  }
+
   test("mirror fuzz: days(ts)-transform op sequences keep both mirrors exact") {
     import spark.implicits._
     // transform-layout twin of the identity fuzz: the Delta mirror
