@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayEqFraction, DotProduct, Fingerprint64}
+import graft.functions.{ArrayEqFraction, DeflateLen, DotProduct, Fingerprint64, PHash64}
 import graft.plans.AsOfStrategy
 
 /** Session-extension entry point: wires the custom planner strategy and
@@ -32,5 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("array_eq_fraction"),
       new ExpressionInfo(classOf[ArrayEqFraction].getName, "array_eq_fraction"),
       (args: Seq[Expression]) => ArrayEqFraction(args(0), args(1))))
+    e.injectFunction((
+      new FunctionIdentifier("phash64"),
+      new ExpressionInfo(classOf[PHash64].getName, "phash64"),
+      (args: Seq[Expression]) => PHash64(args.head)))
+    e.injectFunction((
+      new FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (args: Seq[Expression]) => DeflateLen(args.head)))
   }
 }

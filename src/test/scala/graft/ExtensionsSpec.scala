@@ -27,11 +27,20 @@ class ExtensionsSpec extends AnyFunSuite {
     val r = extSpark.sql(
       """SELECT fingerprint64('abc') AS fp,
         |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
-        |  array_eq_fraction(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 4L)) AS eqf
+        |  array_eq_fraction(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 4L)) AS eqf,
+        |  phash64('abcdefgh') AS ph,
+        |  deflate_len('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS dl
         |""".stripMargin).collect()(0)
     assert(r.getAs[Long]("fp") == 0xe71fa2190541574bL)
     assert(r.getAs[Double]("dp") == 11.0)
     assert(r.getAs[Double]("eqf") == 0.75)
+    // phash64 SQL form matches the column-API expression
+    import extSpark.implicits._
+    val viaCol = Seq("abcdefgh").toDF("t")
+      .select(graft.functions.PHash64.phash64($"t")).collect()(0).getLong(0)
+    assert(r.getAs[Long]("ph") == viaCol)
+    // 32 identical bytes deflate far below raw size
+    assert(r.getAs[Int]("dl") > 0 && r.getAs[Int]("dl") < 16, r.getAs[Int]("dl"))
   }
 
   test("as-of strategy is injected by the extension") {
