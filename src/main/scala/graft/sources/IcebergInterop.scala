@@ -650,6 +650,25 @@ object IcebergInterop {
       else md.path("schema").path("fields").elements().asScala()
         .map(_.path("name").asText()).toSeq
 
+    // Prior snapshot's manifest-list records, carried for FAST-APPEND
+    // reuse: an append-only commit writes one manifest holding only the
+    // NEW files and re-references the prior manifests unchanged —
+    // O(|delta|) metadata per append instead of O(#live-files), the
+    // way Iceberg's own fast-append scales long-lived tables. Commits
+    // that remove files (delete/overwrite/compact/restore) fall back
+    // to one full manifest. Recovered from the previous metadata when
+    // a mirror resumes.
+    var priorManifests: Seq[GenericRecord] =
+      if (md == null) Nil
+      else {
+        val cur = md.path("current-snapshot-id").asLong(-1L)
+        md.path("snapshots").elements().asScala().toSeq
+          .find(_.path("snapshot-id").asLong() == cur)
+          .map(sn => readAvro(readBytes(fs,
+            new HPath(sn.get("manifest-list").asText()))))
+          .getOrElse(Nil)
+      }
+
     var written = 0
     ((mirrored + 1) to latest).foreach { v =>
       val c = t.commitAt(v)
@@ -710,30 +729,52 @@ object IcebergInterop {
         parts.map(p => segs.get(p.hiveKey).map(raw => transformValue(p, raw)).orNull)
       }
 
-      val entries = files.map { case (p, size, rc) =>
-        manifestEntry(entrySchema, p, size, rc,
-          if (prevFiles.contains(p)) 0 else 1, snapId, partValuesOf(p))
-      }
-      prevFiles = files.map(_._1).toSet
       val schemaJson = om.writeValueAsString(schemaNode)
       val specArr = om.createArrayNode()
       parts.foreach(p => specArr.add(specFieldNode(p)))
       val specJson = om.writeValueAsString(specArr)
-      val manifestBytes = writeAvro(entrySchema, Map(
-        "schema" -> schemaJson, "schema-id" -> "0",
-        "partition-spec" -> specJson, "partition-spec-id" -> "0",
-        "format-version" -> "1"), entries)
-      val manifestPath = new HPath(metaDir,
-        s"${java.util.UUID.randomUUID()}-m0.avro")
-      writeBytes(fs, manifestPath, manifestBytes)
-      val added = entries.count(_.get("status") == 1)
+      def writeManifest(ents: Seq[GenericRecord]): (HPath, Long) = {
+        val bytes = writeAvro(entrySchema, Map(
+          "schema" -> schemaJson, "schema-id" -> "0",
+          "partition-spec" -> specJson, "partition-spec-id" -> "0",
+          "format-version" -> "1"), ents)
+        val p = new HPath(metaDir, s"${java.util.UUID.randomUUID()}-m0.avro")
+        writeBytes(fs, p, bytes)
+        (p, bytes.length.toLong)
+      }
+      val fileSet = files.map(_._1).toSet
+      val appendOnly = priorManifests.nonEmpty && prevFiles.nonEmpty &&
+        prevFiles.subsetOf(fileSet)
+      val listRecords: Seq[GenericRecord] =
+        if (appendOnly && fileSet == prevFiles)
+          // file-neutral commit (e.g. schema-only): reuse wholesale
+          priorManifests
+        else if (appendOnly) {
+          val delta = files.filterNot { case (p, _, _) => prevFiles.contains(p) }
+          val ents = delta.map { case (p, size, rc) =>
+            manifestEntry(entrySchema, p, size, rc, 1, snapId, partValuesOf(p))
+          }
+          val (mp, mlen) = writeManifest(ents)
+          priorManifests :+
+            manifestListEntry(mp.toString, mlen, snapId, delta.size, 0)
+        } else {
+          val ents = files.map { case (p, size, rc) =>
+            manifestEntry(entrySchema, p, size, rc,
+              if (prevFiles.contains(p)) 0 else 1, snapId, partValuesOf(p))
+          }
+          val (mp, mlen) = writeManifest(ents)
+          val added = ents.count(_.get("status") == 1)
+          Seq(manifestListEntry(mp.toString, mlen, snapId,
+            added, ents.size - added))
+        }
+      prevFiles = fileSet
       val listBytes = writeAvro(manifestFileSchema,
         Map("snapshot-id" -> snapId.toString, "format-version" -> "1"),
-        Seq(manifestListEntry(manifestPath.toString, manifestBytes.length.toLong,
-          snapId, added, entries.size - added)))
+        listRecords)
       val listPath = new HPath(metaDir,
         s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
       writeBytes(fs, listPath, listBytes)
+      priorManifests = listRecords
 
       if (md == null) md = baseMetadata(root.toString, c.timestampMs, parts)
       md.put("last-updated-ms", c.timestampMs)

@@ -433,6 +433,58 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partition spec evolution"), e.getMessage)
   }
 
+  test("mirrorToIceberg fast-appends: O(delta) manifests, full rewrite on removal") {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    def listRecords(root: String, snapId: Long): Seq[(String, Long)] = {
+      val f = new java.io.File(root, "metadata").listFiles.toSeq
+        .filter(_.getName.startsWith(s"snap-$snapId-")).head
+      val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+        f, new GenericDatumReader[GenericRecord]())
+      try {
+        val buf = scala.collection.mutable.Buffer[(String, Long)]()
+        while (r.hasNext) {
+          val m = r.next()
+          buf += ((m.get("manifest_path").toString,
+            m.get("added_snapshot_id").asInstanceOf[Long]))
+        }
+        buf.toSeq
+      } finally r.close()
+    }
+    val t = GraftTable.create(spark, tmp("graft_ifa_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(IcebergInterop.mirrorToIceberg(t) == 3)
+    // each append reuses the prior manifests and adds ONE delta manifest
+    val l1 = listRecords(t.root, 1L)
+    val l2 = listRecords(t.root, 2L)
+    val l3 = listRecords(t.root, 3L)
+    assert(l1.size == 1 && l2.size == 2 && l3.size == 3,
+      s"${l1.size}/${l2.size}/${l3.size}")
+    assert(l2.head._1 == l1.head._1, "v2 must re-reference v1's manifest")
+    assert(l3.take(2).map(_._1) == l2.map(_._1))
+    // carried manifests keep their original added_snapshot_id
+    assert(l3.map(_._2) == Seq(1L, 2L, 3L), l3.map(_._2).toString)
+    // a removal collapses back to one full manifest
+    t.delete(col("id") === 1L)
+    assert(IcebergInterop.mirrorToIceberg(t) == 1)
+    assert(listRecords(t.root, 4L).size == 1)
+    // and the content stays exact through both paths
+    assert(IcebergInterop.readIceberg(spark, t.root)
+      .as[(Long, String)].collect().toSet == Set((2L, "b"), (3L, "c")))
+    assert(IcebergInterop.readIceberg(spark, t.root, Some(3L))
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // a resumed mirror (fresh invocation) still fast-appends
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    assert(IcebergInterop.mirrorToIceberg(t) == 1)
+    assert(listRecords(t.root, 5L).size == 2)
+    assert(IcebergInterop.readIceberg(spark, t.root)
+      .as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
   test("mirrorToIceberg refuses time transforms under a non-UTC session") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_imtz_"),
