@@ -163,8 +163,15 @@ object DeltaInterop {
     * Idempotent and incremental: each call mirrors only graft commits
     * newer than the last mirrored Delta version. Returns the number of
     * Delta commits written. Scale: O(#new-commits × #files) driver-side
-    * metadata; no data movement. */
-  def mirrorToDelta(t: GraftTable): Int = {
+    * metadata; no data movement. Every `checkpointInterval`-th version
+    * additionally lands a v1 parquet CHECKPOINT + `_last_checkpoint`,
+    * so foreign Delta readers of a long-lived mirror replay one
+    * checkpoint plus a short JSON tail instead of the whole log — and
+    * may clean up pre-checkpoint JSON commits per Delta's log
+    * retention without breaking current-state reads. A checkpoint is
+    * skipped (never partial) when a historical version's files were
+    * already vacuumed from disk. */
+  def mirrorToDelta(t: GraftTable, checkpointInterval: Int = 10): Int = {
     val root = new HPath(t.root)
     val conf = t.spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
@@ -187,7 +194,16 @@ object DeltaInterop {
     val activeByDir = scala.collection.mutable.Map[String, List[String]]()
     var prevSchema: String = null
     (0 to mirrored).foreach { v =>
-      val text = readString(fs, new HPath(logDir, f"$v%020d.json"))
+      val text =
+        try readString(fs, new HPath(logDir, f"$v%020d.json"))
+        catch {
+          case _: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"mirror log at ${t.root} is missing commit $v — " +
+                "pre-checkpoint JSON commits were cleaned up; the mirror " +
+                "needs its own full JSON log to resume (foreign READERS " +
+                "are unaffected: they replay the checkpoint)")
+        }
       text.split('\n').foreach { line =>
         SchemaStr.findFirstMatchIn(line).foreach(m => prevSchema = unq(m.group(1)))
         AddPath.findFirstMatchIn(line).foreach { m =>
@@ -285,11 +301,93 @@ object DeltaInterop {
         io.writeExclusive(new HPath(logDir, f"$v%020d.json"),
           actions.result().mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
         written += 1
+        if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
+          writeCheckpoint(t, root, fs, logDir, v, c, activeByDir, prevSchema,
+            identityCols)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => // peer mirrored v
       }
     }
     written
+  }
+
+  /** Land the v1 classic parquet checkpoint for mirror version `v`:
+    * one row per action (protocol, metaData, one add per active file
+    * with its partitionValues/size/modificationTime), written as a
+    * single parquet part and published with `_last_checkpoint`. Sizes
+    * come from a stat of each active file — O(state) driver metadata
+    * every Nth commit, the price Delta itself pays for checkpoints.
+    * If any active file is missing on disk (a HISTORICAL version whose
+    * directory was vacuumed before mirroring), the checkpoint is
+    * skipped whole — a partial base state would silently drop files. */
+  private def writeCheckpoint(t: GraftTable, root: HPath,
+      fs: org.apache.hadoop.fs.FileSystem, logDir: HPath, v: Int,
+      c: GraftTable.Commit,
+      activeByDir: scala.collection.mutable.Map[String, List[String]],
+      schemaJsonStr: String, identityCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = t.spark
+    val files = activeByDir.values.flatten.toSeq.sorted
+    val stats: Seq[(String, Long, Long)] =
+      try files.map { p =>
+        val st = fs.getFileStatus(new HPath(root, p))
+        (p, st.getLen, st.getModificationTime)
+      } catch {
+        case _: java.io.FileNotFoundException => return // vacuumed history
+      }
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val cpSchema = StructType(Seq(
+      StructField("protocol", protoType), StructField("metaData", metaType),
+      StructField("add", addType)))
+    def pvOf(p: String): Map[String, String] =
+      p.split('/').toSeq.filter(_.contains("="))
+        .map { seg =>
+          val k = seg.takeWhile(_ != '=')
+          k -> unescapeHive(seg.drop(k.length + 1))
+        }
+        .filter { case (k, _) => identityCols.contains(k) }
+        .filterNot(_._2 == "__HIVE_DEFAULT_PARTITION__").toMap
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(Row(1, 2), null, null))
+    rows.add(Row(null, Row(java.util.UUID.randomUUID().toString,
+      Row("parquet", Map.empty[String, String]), schemaJsonStr,
+      identityCols, Map.empty[String, String], c.timestampMs), null))
+    stats.foreach { case (p, size, mod) =>
+      rows.add(Row(null, null, Row(encodePath(p), pvOf(p), size, mod, true)))
+    }
+    val tmp = new HPath(logDir, s".cp-$v-${java.util.UUID.randomUUID()}")
+    spark.createDataFrame(rows, cpSchema).repartition(1)
+      .write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no checkpoint part under $tmp"))
+    val cpPath = new HPath(logDir, f"$v%020d.checkpoint.parquet")
+    if (!fs.rename(part, cpPath) && !fs.exists(cpPath))
+      throw new java.io.IOException(s"could not publish checkpoint $cpPath")
+    fs.delete(tmp, true)
+    val lastCp = fs.create(new HPath(logDir, "_last_checkpoint"), true)
+    try lastCp.write(
+      ("{\"version\":" + v + ",\"size\":" + rows.size() + "}")
+        .getBytes(StandardCharsets.UTF_8))
+    finally lastCp.close()
   }
 
   // one JSON action object per line; these pull the fields readDelta

@@ -549,6 +549,44 @@ class DeltaInteropSpec extends AnyFunSuite {
     sync()
   }
 
+  test("mirror writes v1 checkpoints; readers survive pre-checkpoint log cleanup") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_mcp_"),
+      Seq((0L, "x0")).toDF("id", "v"))
+    (1 to 7).foreach(i => t.append(Seq((i.toLong, s"x$i")).toDF("id", "v")))
+    assert(DeltaInterop.mirrorToDelta(t, checkpointInterval = 3) == 8)
+    // checkpoints landed at versions 3 and 6, _last_checkpoint names 6
+    val logDir = Paths.get(t.root, "_delta_log")
+    assert(Files.exists(logDir.resolve(f"${3L}%020d.checkpoint.parquet")))
+    assert(Files.exists(logDir.resolve(f"${6L}%020d.checkpoint.parquet")))
+    val lastCp = new String(Files.readAllBytes(
+      logDir.resolve("_last_checkpoint")), "UTF-8")
+    assert(lastCp.contains("\"version\":6"), lastCp)
+    val want = (0 to 7).map(i => (i.toLong, s"x$i")).toSet
+    assert(DeltaInterop.readDelta(spark, t.root)
+      .as[(Long, String)].collect().toSet == want)
+    // Delta log retention: pre-checkpoint JSON commits removed — the
+    // reader replays checkpoint 6 + the JSON tail and stays exact
+    (0 to 5).foreach { i =>
+      Files.delete(logDir.resolve(f"$i%020d.json"))
+      Files.deleteIfExists(logDir.resolve(f".$i%020d.json.crc"))
+    }
+    assert(DeltaInterop.readDelta(spark, t.root)
+      .as[(Long, String)].collect().toSet == want)
+    // time travel into the cleaned-up range refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, t.root, Some(2L))
+    }
+    assert(e.getMessage.contains("full Delta client"), e.getMessage)
+    // resuming the mirror without its early JSON log is a loud error,
+    // not a silent partial mirror
+    t.append(Seq((8L, "x8")).toDF("id", "v"))
+    val e2 = intercept[IllegalStateException] {
+      DeltaInterop.mirrorToDelta(t, checkpointInterval = 3)
+    }
+    assert(e2.getMessage.contains("missing commit"), e2.getMessage)
+  }
+
   test("readDeltaWhere prunes one partition by log metadata only") {
     import spark.implicits._
     import org.apache.spark.sql.functions.input_file_name
