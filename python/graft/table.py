@@ -75,10 +75,13 @@ class GraftTable(object):
         return self._spark._jvm.graft.sources.IcebergInterop.exportSnapshot(
             self._j, target)
 
-    def mirror_to_delta(self):
+    def mirror_to_delta(self, checkpoint_interval=10):
         """Zero-copy: publish this table's live state + history as a
-        Delta log inside the table root (idempotent incremental sync)."""
-        return self._spark._jvm.graft.sources.DeltaInterop.mirrorToDelta(self._j)
+        Delta log inside the table root (idempotent incremental sync);
+        every checkpoint_interval-th version also lands a parquet
+        checkpoint (0 disables)."""
+        return self._spark._jvm.graft.sources.DeltaInterop.mirrorToDelta(
+            self._j, int(checkpoint_interval))
 
     def mirror_to_iceberg(self):
         """Zero-copy: publish as Iceberg metadata inside the table root."""
@@ -101,7 +104,7 @@ def read_delta(spark, path, version_as_of=None):
     dx = spark._jvm.graft.sources.DeltaInterop
     return DataFrame(dx.readDelta(
         spark._jsparkSession, path, _opt_long(spark, version_as_of),
-        getattr(dx, "readDelta$default$4")()), spark)
+        spark._jvm.scala.Option.empty()), spark)
 
 
 def read_delta_where(spark, path, column, value, version_as_of=None):
@@ -121,7 +124,7 @@ def read_iceberg(spark, path, snapshot_id=None):
     ix = spark._jvm.graft.sources.IcebergInterop
     return DataFrame(ix.readIceberg(
         spark._jsparkSession, path, _opt_long(spark, snapshot_id),
-        getattr(ix, "readIceberg$default$4")()), spark)
+        spark._jvm.scala.Option.empty()), spark)
 
 
 def read_iceberg_where(spark, path, field, grain, snapshot_id=None):

@@ -35,10 +35,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("phash64"),
       new ExpressionInfo(classOf[PHash64].getName, "phash64"),
-      (args: Seq[Expression]) => PHash64(args.head)))
+      (args: Seq[Expression]) => {
+        require(args.size == 1, s"phash64 takes 1 argument, got ${args.size}")
+        PHash64(args.head)
+      }))
     e.injectFunction((
       new FunctionIdentifier("deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
-      (args: Seq[Expression]) => DeflateLen(args.head)))
+      (args: Seq[Expression]) => {
+        require(args.size == 1, s"deflate_len takes 1 argument, got ${args.size}")
+        DeflateLen(args.head)
+      }))
   }
 }

@@ -82,16 +82,7 @@ object DeltaInterop {
     val metaData =
       s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(schema.json)}","partitionColumns":[$pcJson],"configuration":{},"createdTime":$now}}"""
     val adds = files.map { case (rel, size) =>
-      // partition values ride in the hive segments; nulls
-      // (__HIVE_DEFAULT_PARTITION__) stay absent from the map, matching
-      // the mirror's convention (readers surface absent keys as null)
-      val pv = rel.split('/').toSeq.filter(_.contains("="))
-        .map { seg =>
-          val k = seg.takeWhile(_ != '=')
-          k -> unescapeHive(seg.drop(k.length + 1))
-        }
-        .filter { case (k, _) => idCols.contains(k) }
-        .filterNot(_._2 == "__HIVE_DEFAULT_PARTITION__")
+      val pv = hivePartitionValues(rel, idCols)
       val pvJson = pv.map { case (k, vv) =>
         "\"" + jsonEscape(k) + "\":\"" + jsonEscape(vv) + "\""
       }.mkString(",")
@@ -135,6 +126,22 @@ object DeltaInterop {
     }
     sb.toString
   }
+
+  /** Identity partition values parsed from a file's hive `col=value`
+    * path segments — the ONE definition the export, mirror-commit and
+    * checkpoint writers share (a divergent copy would make
+    * checkpoint-based reads disagree with JSON replay). Null keys
+    * (__HIVE_DEFAULT_PARTITION__) stay absent, matching Delta's
+    * absent-key-is-null convention. */
+  private def hivePartitionValues(p: String,
+      identityCols: Seq[String]): Seq[(String, String)] =
+    p.split('/').toSeq.filter(_.contains("="))
+      .map { seg =>
+        val k = seg.takeWhile(_ != '=')
+        k -> unescapeHive(seg.drop(k.length + 1))
+      }
+      .filter { case (k, _) => identityCols.contains(k) }
+      .filterNot(_._2 == "__HIVE_DEFAULT_PARTITION__")
 
   /** Zero-copy Delta mirror — publish a live GraftTable AS a Delta
     * table (the UniForm-style dual-format idea): maintain a
@@ -193,16 +200,44 @@ object DeltaInterop {
     // log, not a listing), and the last mirrored schema.
     val activeByDir = scala.collection.mutable.Map[String, List[String]]()
     var prevSchema: String = null
-    (0 to mirrored).foreach { v =>
+    // resume bootstrap: start the replay from the newest single-part
+    // checkpoint ≤ mirrored when one exists — O(checkpoint + tail)
+    // instead of O(#commits), and the mirror survives pre-checkpoint
+    // JSON cleanup per Delta's log retention (the checkpoint holds
+    // exactly the state the replay reconstructs: active adds + schema)
+    val bootCp: Int = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .flatMap { n =>
+        "(\\d{20})\\.checkpoint\\.parquet".r.unapplySeq(n)
+          .flatMap(_.headOption).map(_.toInt)
+      }
+      .filter(_ <= mirrored).maxOption.getOrElse(-1)
+    if (bootCp >= 0) {
+      val cp = t.spark.read.parquet(
+        new HPath(logDir, f"$bootCp%020d.checkpoint.parquet").toString)
+      val fields = cp.schema.fieldNames.toSet
+      if (fields.contains("metaData"))
+        cp.where(col("metaData.schemaString").isNotNull)
+          .select(col("metaData.schemaString")).collect()
+          .foreach(r => prevSchema = r.getString(0))
+      if (fields.contains("add"))
+        cp.where(col("add.path").isNotNull).select(col("add.path"))
+          .collect().foreach { r =>
+            val p = decodePath(r.getString(0))
+            val top = p.takeWhile(_ != '/')
+            activeByDir(top) = p :: activeByDir.getOrElse(top, Nil)
+          }
+    }
+    ((bootCp + 1) to mirrored).foreach { v =>
       val text =
         try readString(fs, new HPath(logDir, f"$v%020d.json"))
         catch {
           case _: java.io.FileNotFoundException =>
             throw new IllegalStateException(
-              s"mirror log at ${t.root} is missing commit $v — " +
-                "pre-checkpoint JSON commits were cleaned up; the mirror " +
-                "needs its own full JSON log to resume (foreign READERS " +
-                "are unaffected: they replay the checkpoint)")
+              s"mirror log at ${t.root} is missing commit $v — JSON " +
+                "commits after the newest checkpoint were cleaned up; " +
+                "the mirror cannot reconstruct its state to resume " +
+                "(foreign READERS are unaffected: they replay the " +
+                "checkpoint)")
         }
       text.split('\n').foreach { line =>
         SchemaStr.findFirstMatchIn(line).foreach(m => prevSchema = unq(m.group(1)))
@@ -277,15 +312,9 @@ object DeltaInterop {
           val files = listParquetRec(dirPath, d)
           activeByDir(d) = files.map(_._1).toList
           files.foreach { case (p, size, modTime) =>
-            // identity partition values ride in hive `col=value`
-            // segments; `__p_*` transform segments are layout-only
-            val pv = p.split('/').toSeq.filter(_.contains("="))
-              .map { seg =>
-                val k = seg.takeWhile(_ != '=')
-                k -> unescapeHive(seg.drop(k.length + 1))
-              }
-              .filter { case (k, _) => identityCols.contains(k) }
-              .filterNot(_._2 == "__HIVE_DEFAULT_PARTITION__")
+            // identity values only; `__p_*` transform segments are
+            // layout-only and stay out of partitionValues
+            val pv = hivePartitionValues(p, identityCols)
             val pvJson = pv.map { case (k, vv) =>
               "\"" + jsonEscape(k) + "\":\"" + jsonEscape(vv) + "\""
             }.mkString(",")
@@ -358,13 +387,7 @@ object DeltaInterop {
       StructField("protocol", protoType), StructField("metaData", metaType),
       StructField("add", addType)))
     def pvOf(p: String): Map[String, String] =
-      p.split('/').toSeq.filter(_.contains("="))
-        .map { seg =>
-          val k = seg.takeWhile(_ != '=')
-          k -> unescapeHive(seg.drop(k.length + 1))
-        }
-        .filter { case (k, _) => identityCols.contains(k) }
-        .filterNot(_._2 == "__HIVE_DEFAULT_PARTITION__").toMap
+      hivePartitionValues(p, identityCols).toMap
     val rows = new java.util.ArrayList[Row]()
     rows.add(Row(Row(1, 2), null, null))
     rows.add(Row(null, Row(java.util.UUID.randomUUID().toString,
@@ -492,30 +515,54 @@ object DeltaInterop {
     val lastCp = new HPath(logDir, "_last_checkpoint")
     val lastCpText: Option[String] =
       if (fs.exists(lastCp)) Some(readString(fs, lastCp)) else None
-    val namedCpVersion: Long = lastCpText.map { txt =>
-      CpVersion.findFirstMatchIn(txt).getOrElse(throw new
-          IllegalStateException(s"malformed _last_checkpoint at $path"))
-        .group(1).toLong
-    }.getOrElse(-1L)
-    // a checkpoint past the requested version is unusable for time
-    // travel — fall back to full JSON replay if commit 0 is retained
+    // a torn/partial _last_checkpoint (non-atomic overwrite is the
+    // protocol reality) must NOT fail the read: per the Delta spec,
+    // readers fall back to discovering checkpoints from the log listing
+    val namedCpVersion: Long = lastCpText.flatMap(txt =>
+      CpVersion.findFirstMatchIn(txt).map(_.group(1).toLong)).getOrElse(-1L)
+    // complete SINGLE-PART checkpoints on disk — usable without the
+    // `parts` validation that multi-part checkpoints need from
+    // _last_checkpoint; serves time travel PAST the newest checkpoint
+    // (an older on-disk checkpoint + retained JSON tail still fully
+    // determines the requested version) and malformed-_last_checkpoint
+    // recovery
+    lazy val diskCps: Seq[Long] = fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .flatMap { n =>
+        "(\\d{20})\\.checkpoint\\.parquet".r.unapplySeq(n)
+          .flatMap(_.headOption).map(_.toLong)
+      }
+    val usableNamed = namedCpVersion >= 0 && namedCpVersion <= capVersion
     val cpVersion: Long =
-      if (namedCpVersion <= capVersion) namedCpVersion
-      else if (fs.exists(new HPath(logDir, f"${0L}%020d.json"))) -1L
-      else throw new IllegalArgumentException(
-        s"cannot time-travel to version $capVersion at $path: the " +
-          s"checkpoint at $namedCpVersion compacted earlier history and " +
-          "commit 0 is no longer retained; read it with a full Delta client")
+      if (usableNamed) namedCpVersion
+      else diskCps.filter(_ <= capVersion).maxOption.getOrElse {
+        val someCpCompacted = namedCpVersion >= 0 || diskCps.nonEmpty
+        if (someCpCompacted && !fs.exists(new HPath(logDir, f"${0L}%020d.json")))
+          throw new IllegalArgumentException(
+            s"cannot time-travel to version $capVersion at $path: the " +
+              s"checkpoint at $namedCpVersion compacted earlier history and " +
+              "commit 0 is no longer retained; read it with a full Delta client")
+        // no checkpoint exists anywhere: full JSON replay — a gapped
+        // log is diagnosed precisely by the contiguity check below
+        -1L
+      }
     if (cpVersion >= 0) {
       val v = cpVersion
       val cpFiles = fs.listStatus(logDir).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith(f"$v%020d.checkpoint") &&
-          p.getName.endsWith(".parquet"))
+        .filter { p =>
+          if (usableNamed)
+            p.getName.startsWith(f"$v%020d.checkpoint") &&
+              p.getName.endsWith(".parquet")
+          else p.getName == f"$v%020d.checkpoint.parquet"
+        }
       require(cpFiles.nonEmpty,
         s"_last_checkpoint at $path names version $v but no checkpoint parquet exists")
       // a multi-part checkpoint missing a part would silently drop the
       // files listed only there — the `parts` field exists to catch that
-      val declaredParts = lastCpText.flatMap(t =>
+      // the `parts` count in _last_checkpoint describes the NAMED
+      // version only — a disk-discovered fallback checkpoint is always
+      // the exact single-part file
+      val declaredParts = (if (usableNamed) lastCpText else None).flatMap(t =>
         "\"parts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(t).map(_.group(1).toInt))
       declaredParts.foreach(parts => require(cpFiles.size == parts,
         s"checkpoint at $path version $v declares $parts parts but " +

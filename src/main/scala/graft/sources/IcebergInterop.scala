@@ -634,9 +634,6 @@ object IcebergInterop {
       else om.readTree(readBytes(fs,
         new HPath(metaDir, s"v${mirrored + 1}.metadata.json")))
         .asInstanceOf[ObjectNode]
-    var prevFiles: Set[String] =
-      if (mirrored < 0) Set.empty
-      else t.commitAt(mirrored).liveDirs.flatMap(d => dirFiles(d).map(_._1)).toSet
 
     // Field ids are allocated POSITIONALLY per schema, so they stay
     // stable only if column order does. Graft commits can record the
@@ -668,6 +665,18 @@ object IcebergInterop {
             new HPath(sn.get("manifest-list").asText()))))
           .getOrElse(Nil)
       }
+    // The prior snapshot's file set must come from the MANIFESTS, not a
+    // disk listing: a directory live at `mirrored` but vacuumed since
+    // lists as empty, which would (a) mislabel carried files as ADDED
+    // and — worse — (b) make a removing commit look append-only, so
+    // stale manifests still referencing the removed files would be
+    // carried into the new snapshot and deleted rows would resurrect.
+    var prevFiles: Set[String] = priorManifests.flatMap { mf =>
+      readAvro(readBytes(fs, new HPath(mf.get("manifest_path").toString)))
+        .filter(e => longOf(e.get("status")) != 2L)
+        .map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString)
+    }.toSet
 
     var written = 0
     ((mirrored + 1) to latest).foreach { v =>

@@ -573,18 +573,33 @@ class DeltaInteropSpec extends AnyFunSuite {
     }
     assert(DeltaInterop.readDelta(spark, t.root)
       .as[(Long, String)].collect().toSet == want)
-    // time travel into the cleaned-up range refuses loudly
+    // time travel to an OLDER checkpointed version still works: the
+    // reader falls back from _last_checkpoint (v6 > 3) to the on-disk
+    // v3 single-part checkpoint
+    assert(DeltaInterop.readDelta(spark, t.root, Some(3L))
+      .as[(Long, String)].collect().toSet ==
+      (0 to 3).map(i => (i.toLong, s"x$i")).toSet)
+    // time travel to a version whose JSON is truly gone refuses loudly
     val e = intercept[IllegalArgumentException] {
-      DeltaInterop.readDelta(spark, t.root, Some(2L))
+      DeltaInterop.readDelta(spark, t.root, Some(4L))
     }
-    assert(e.getMessage.contains("full Delta client"), e.getMessage)
-    // resuming the mirror without its early JSON log is a loud error,
-    // not a silent partial mirror
+    assert(e.getMessage.contains("not found"), e.getMessage)
+    // a torn _last_checkpoint must not fail the read: the reader
+    // discovers the newest complete single-part checkpoint instead
+    val lastCpPath = logDir.resolve("_last_checkpoint")
+    val goodLastCp = Files.readAllBytes(lastCpPath)
+    Files.write(lastCpPath, "{\"ver".getBytes("UTF-8"))
+    Files.deleteIfExists(logDir.resolve("._last_checkpoint.crc"))
+    assert(DeltaInterop.readDelta(spark, t.root)
+      .as[(Long, String)].collect().toSet == want)
+    Files.write(lastCpPath, goodLastCp)
+    Files.deleteIfExists(logDir.resolve("._last_checkpoint.crc"))
+    // resuming the mirror after cleanup bootstraps from its own
+    // checkpoint + JSON tail instead of wedging
     t.append(Seq((8L, "x8")).toDF("id", "v"))
-    val e2 = intercept[IllegalStateException] {
-      DeltaInterop.mirrorToDelta(t, checkpointInterval = 3)
-    }
-    assert(e2.getMessage.contains("missing commit"), e2.getMessage)
+    assert(DeltaInterop.mirrorToDelta(t, checkpointInterval = 3) == 1)
+    assert(DeltaInterop.readDelta(spark, t.root)
+      .as[(Long, String)].collect().toSet == want + ((8L, "x8")))
   }
 
   test("readDeltaWhere prunes one partition by log metadata only") {

@@ -485,6 +485,55 @@ class IcebergInteropSpec extends AnyFunSuite {
       Set((2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("fast-append stays correct when a mirror resumes after vacuum") {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    // dir A (v0) + dir B (v1), mirror, then a commit that REMOVES B's
+    // rows followed by vacuum (B deleted from disk) before the next
+    // mirror: the resumed mirror must see the removal (prior file set
+    // from the MANIFESTS, not a disk listing of vacuumed dirs) and do
+    // a full rewrite — carrying the stale manifests would resurrect
+    // the deleted rows / reference vacuumed paths
+    val t = GraftTable.create(spark, tmp("graft_ifv_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((10L, "x"), (11L, "y")).toDF("id", "v"))
+    assert(IcebergInterop.mirrorToIceberg(t) == 2)
+    t.delete(col("id") >= 10L)
+    t.vacuum(t.latestVersion())
+    assert(IcebergInterop.mirrorToIceberg(t) == 1)
+    assert(IcebergInterop.readIceberg(spark, t.root)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // every referenced data file of the current snapshot exists on disk
+    val metaDir = new java.io.File(t.root, "metadata")
+    val hint = new String(Files.readAllBytes(
+      metaDir.toPath.resolve("version-hint.text")), "UTF-8").trim.toInt
+    val md = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(
+        metaDir.toPath.resolve(s"v$hint.metadata.json")))
+    val cur = md.get("current-snapshot-id").asLong()
+    val listFile = metaDir.listFiles.toSeq
+      .find(_.getName.startsWith(s"snap-$cur-")).get
+    val lr = new org.apache.avro.file.DataFileReader[GenericRecord](
+      listFile, new GenericDatumReader[GenericRecord]())
+    val manifestPaths = scala.collection.mutable.Buffer[String]()
+    try while (lr.hasNext) manifestPaths += lr.next().get("manifest_path").toString
+    finally lr.close()
+    manifestPaths.foreach { mp =>
+      val mr = new org.apache.avro.file.DataFileReader[GenericRecord](
+        new java.io.File(new java.net.URI(
+          if (mp.startsWith("file:")) mp else "file://" + mp)),
+        new GenericDatumReader[GenericRecord]())
+      try while (mr.hasNext) {
+        val e = mr.next()
+        val p = e.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString
+        assert(Files.exists(java.nio.file.Paths.get(
+          new java.net.URI(if (p.startsWith("file:")) p else "file://" + p))),
+          s"snapshot references vacuumed file $p")
+      } finally mr.close()
+    }
+  }
+
   test("mirrorToIceberg refuses time transforms under a non-UTC session") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_imtz_"),
