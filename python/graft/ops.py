@@ -143,7 +143,8 @@ def heavy_hitters(df, value_col, k=20, eps=0.001):
     """Top-k most frequent values with count-min-sketch bounds
     (Misra-Gries-bounded candidate generation — no full-vocabulary state)."""
     o = _ops(df)
-    cpp = getattr(o, "heavyHitters$default$4")()
+    # $default$N is 1-based: candidatesPerPart is the 5th parameter
+    cpp = getattr(o, "heavyHitters$default$5")()
     return _wrap(o.heavyHitters(df._jdf, value_col, int(k), float(eps), cpp), df)
 
 

@@ -61,7 +61,10 @@ class GraftTable(object):
         return self._j.delete(condition_col._jc)
 
     def vacuum(self, retain_from_version):
-        return list(self._j.vacuum(int(retain_from_version)))
+        # Scala Seq -> java.util.List so py4j can iterate it
+        seq = self._j.vacuum(int(retain_from_version))
+        jlist = self._spark._jvm.scala.jdk.javaapi.CollectionConverters.asJava(seq)
+        return list(jlist)
 
     # ------------------------------------------------ format interop
 

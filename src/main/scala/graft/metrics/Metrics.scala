@@ -235,15 +235,7 @@ class MetricsLogger(spark: SparkSession, val tablePath: String) {
   private val sinks: Seq[MetricSink] =
     spark.conf.getOption("spark.graft.metrics.sinks")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-      .flatMap { cls =>
-        try Some(Class.forName(cls).getDeclaredConstructor()
-          .newInstance().asInstanceOf[MetricSink])
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            org.apache.logging.log4j.LogManager.getLogger(getClass)
-              .warn(s"metric sink $cls failed to load: $e"); None
-        }
-      }
+      .flatMap(MetricsLogger.sinkFor)
 
   def log(rec: MetricRecord): String = {
     import spark.implicits._
@@ -280,6 +272,27 @@ class MetricsLogger(spark: SparkSession, val tablePath: String) {
 
   def readAll(): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(tablePath)
+}
+
+object MetricsLogger {
+  /** ONE sink instance per class per JVM: sinks own daemon threads and
+    * HTTP clients, and notebook workloads construct a fresh
+    * MetricsLogger per run — a per-logger instance would accumulate an
+    * un-stoppable thread + client + registry entry per run, unbounded.
+    * A class that fails to load is cached as absent (it will not
+    * appear on the classpath mid-session). */
+  private val sinkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[MetricSink]]()
+
+  private[metrics] def sinkFor(cls: String): Option[MetricSink] =
+    sinkCache.computeIfAbsent(cls, c =>
+      try Some(Class.forName(c).getDeclaredConstructor()
+        .newInstance().asInstanceOf[MetricSink])
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.apache.logging.log4j.LogManager.getLogger(getClass)
+            .warn(s"metric sink $c failed to load: $e"); None
+      })
 }
 
 /** Context-managed job metrics: one shared run_id, automatic completion

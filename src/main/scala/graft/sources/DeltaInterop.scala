@@ -70,7 +70,11 @@ object DeltaInterop {
       fs.listStatus(dir).toSeq.flatMap { st =>
         val name = st.getPath.getName
         val childRel = if (rel.isEmpty) name else s"$rel/$name"
-        if (name.startsWith("_") || name.startsWith(".")) Nil
+        // skip metadata (_delta_log, _SUCCESS, .crc) but NOT hive
+        // partition dirs — a partition COLUMN named '_year' is legal
+        // and its 'col=value' dirs start with '_'
+        if ((name.startsWith("_") || name.startsWith(".")) &&
+            !name.contains("=")) Nil
         else if (st.isDirectory) listRec(st.getPath, childRel)
         else if (name.endsWith(".parquet")) Seq((childRel, st.getLen))
         else Nil
@@ -111,21 +115,7 @@ object DeltaInterop {
     sb.toString
   }
 
-  /** Undo Spark/Hive path-name escaping (%XX) in a `col=value`
-    * directory segment. */
-  private def unescapeHive(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length + 1 && i + 3 <= s.length &&
-          s.substring(i + 1, i + 3).forall(ch => Character.digit(ch, 16) >= 0)) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private def unescapeHive(s: String): String = HivePath.unescape(s)
 
   /** Identity partition values parsed from a file's hive `col=value`
     * path segments — the ONE definition the export, mirror-commit and

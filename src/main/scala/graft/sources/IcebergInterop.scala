@@ -478,21 +478,7 @@ object IcebergInterop {
       case other => throw new IllegalStateException(s"unmapped transform $other")
     }
 
-  /** Undo Spark/Hive path-name escaping (%XX) in a `col=value`
-    * directory segment. */
-  private def unescapeHive(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 3 <= s.length &&
-          s.substring(i + 1, i + 3).forall(ch => Character.digit(ch, 16) >= 0)) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private def unescapeHive(s: String): String = HivePath.unescape(s)
 
   /** Typed partition value for the Avro partition struct, from a hive
     * segment's raw (unescaped) value. */
@@ -597,9 +583,18 @@ object IcebergInterop {
     val latest = t.latestVersion()
     require(latest >= 0, s"empty graft table at ${t.root}")
     val hint = new HPath(metaDir, "version-hint.text")
+    // a torn/absent hint (non-atomic stores, or read inside the
+    // delete+rename publish window) falls back to the metadata listing
+    // — resuming from -1 would try to re-mirror already-written versions
+    def listedTop: Int =
+      if (!fs.exists(metaDir)) -1
+      else fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+        .flatMap(n => VMeta.unapplySeq(n).flatMap(_.headOption).map(_.toInt))
+        .maxOption.map(_ - 1).getOrElse(-1)
     val mirrored: Int =
-      if (!fs.exists(hint)) -1
-      else new String(readBytes(fs, hint), StandardCharsets.UTF_8).trim.toInt - 1
+      if (!fs.exists(hint)) listedTop
+      else new String(readBytes(fs, hint), StandardCharsets.UTF_8)
+        .trim.toIntOption.map(_ - 1).getOrElse(listedTop)
     if (mirrored >= latest) return 0
     fs.mkdirs(metaDir)
 
@@ -827,9 +822,14 @@ object IcebergInterop {
           md = om.readTree(readBytes(fs,
             new HPath(metaDir, s"v${v + 1}.metadata.json"))).asInstanceOf[ObjectNode]
       }
-      val out = fs.create(hint, true)
-      try out.write((v + 1).toString.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      // temp + rename, never truncate-in-place: a reader between a
+      // truncate and the write would see an empty hint (Iceberg's own
+      // HadoopTableOperations publishes the hint the same way)
+      val tmpHint = new HPath(metaDir,
+        s".version-hint-${java.util.UUID.randomUUID()}.tmp")
+      writeBytes(fs, tmpHint, (v + 1).toString.getBytes(StandardCharsets.UTF_8))
+      fs.delete(hint, false)
+      if (!fs.rename(tmpHint, hint)) fs.delete(tmpHint, false)
     }
     written
   }
@@ -896,9 +896,16 @@ object IcebergInterop {
     require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
 
     val hint = new HPath(metaDir, "version-hint.text")
+    // a torn/non-numeric hint falls back to the listing (Iceberg's
+    // HadoopTableOperations reader behavior) — only a WELL-FORMED hint
+    // naming a missing version is a loud inconsistency
+    val hintVersion: Option[Long] =
+      if (!fs.exists(hint)) None
+      else new String(readBytes(fs, hint), StandardCharsets.UTF_8)
+        .trim.toLongOption
     val metaFile: HPath =
-      if (fs.exists(hint)) {
-        val v = new String(readBytes(fs, hint), StandardCharsets.UTF_8).trim
+      if (hintVersion.isDefined) {
+        val v = hintVersion.get
         val p = new HPath(metaDir, s"v$v.metadata.json")
         require(fs.exists(p), s"version-hint.text names v$v but $p is missing")
         p

@@ -90,6 +90,25 @@ private[sources] final class TableIO(rootStr: String, conf: Configuration) {
     * `java.nio.file.FileAlreadyExistsException` when the slot is
     * already taken — the commit protocol's uniform retry signal across
     * stores. */
+  /** Does this store MATERIALIZE the path at `createFile().build()`
+    * (HDFS-class: the namenode create is the exclusivity point) or
+    * only at the closing PUT (object stores: If-None-Match on close)?
+    * Detected ONCE per TableIO with a contention-free throwaway probe
+    * file — probing the real commit path instead would race: a peer's
+    * completed object appearing between our build() and the probe
+    * would be mistaken for our own create. Decides torn-file handling
+    * in [[writeExclusive]]'s conditional-create branch. */
+  private lazy val createMaterializes: Boolean = {
+    val probe = new HPath(root,
+      s".graft-capability-probe-${java.util.UUID.randomUUID()}")
+    val out = fs.createFile(probe).overwrite(false).build()
+    try fs.exists(probe)
+    finally {
+      try out.close() catch { case _: Throwable => () }
+      try fs.delete(probe, false) catch { case _: Throwable => () }
+    }
+  }
+
   def writeExclusive(p: HPath, bytes: Array[Byte]): Unit =
     if (fs.getScheme == "file") {
       val target = java.nio.file.Paths.get(p.toUri.getPath)
@@ -111,10 +130,22 @@ private[sources] final class TableIO(rootStr: String, conf: Configuration) {
         try { out.write(bytes); out.close() }
         catch {
           case e: java.io.IOException =>
-            // a failed conditional PUT reports as an I/O failure on
-            // close; re-probe so contention surfaces as the retry
-            // signal and real I/O errors stay errors
             try out.close() catch { case _: Throwable => () }
+            if (createMaterializes) {
+              // HDFS-class semantics: our EXCLUSIVE create already
+              // materialized the path, so the file there is OUR torn
+              // partial — clean it up and surface the real I/O error.
+              // Re-probing existence here would see our own partial,
+              // misreport contention, and leave a truncated commit in
+              // the slot for readers to replay.
+              try fs.delete(p, false) catch { case _: Throwable => () }
+              throw e
+            }
+            // object-store semantics (nothing materializes before the
+            // closing PUT): a failed conditional PUT reports as an I/O
+            // failure on close, and a visible file IS a peer's complete
+            // object — re-probe so contention surfaces as the retry
+            // signal and real I/O errors stay errors
             if (fs.exists(p))
               throw new java.nio.file.FileAlreadyExistsException(p.toString)
             throw e

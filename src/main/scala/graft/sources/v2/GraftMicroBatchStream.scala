@@ -144,24 +144,34 @@ class GraftMicroBatchStream(spark: SparkSession, path: String,
           // Same contract for ADD COLUMN / schema-merge appends (the
           // Delta source's additive-schema-change behavior): the stream
           // was planned with a fixed schema, so later appends carrying
-          // a WIDER schema would stream with their new columns silently
-          // dropped. Fail non-retryably; a restarted stream plans with
-          // the widened schema and null-fills pre-change batches.
+          // columns the PLAN LACKS would stream with those columns
+          // silently dropped — fail non-retryably; a restarted stream
+          // plans with the widened schema. Commits NARROWER than the
+          // plan are allowed: they are the pre-change history a
+          // RESTARTED stream replays while catching up, and the
+          // fixed-schema scan null-fills them exactly like Delta's
+          // additive evolution (strict equality here would wedge every
+          // restart whose replayed batch spans the schema change). A
+          // commit that DROPS columns relative to its predecessor is a
+          // non-additive change and refuses in both directions.
           val commitCols = commit.schemaStruct.fieldNames
             .filterNot(_.startsWith("__p_")).toSet
           val plannedCols =
             schema.fieldNames.filterNot(_.startsWith("__p_")).toSet
-          if (commitCols.nonEmpty && commitCols != plannedCols) {
-            val diff = Seq(
-              Option((commitCols -- plannedCols).toSeq.sorted)
-                .filter(_.nonEmpty).map(a => s"added ${a.mkString(", ")}"),
-              Option((plannedCols -- commitCols).toSeq.sorted)
-                .filter(_.nonEmpty).map(d => s"dropped ${d.mkString(", ")}")
-            ).flatten.mkString("; ")
+          val prevCols = t.commitAt(v - 1).schemaStruct.fieldNames
+            .filterNot(_.startsWith("__p_")).toSet
+          if (commitCols.nonEmpty && (commitCols -- plannedCols).nonEmpty)
             throw new IllegalStateException(
               s"graft stream over $path: commit $v changes the table schema " +
-                s"($diff) — restart the stream to pick up the new schema")
-          }
+                s"(added ${(commitCols -- plannedCols).toSeq.sorted.mkString(", ")}) " +
+                "— restart the stream to pick up the new schema")
+          if (commitCols.nonEmpty && prevCols.nonEmpty &&
+              (prevCols -- commitCols).nonEmpty)
+            throw new IllegalStateException(
+              s"graft stream over $path: commit $v changes the table schema " +
+                s"(dropped ${(prevCols -- commitCols).toSeq.sorted.mkString(", ")}) " +
+                "— a non-additive schema change; a fixed-schema stream " +
+                "cannot continue across it")
           val prev = t.commitAt(v - 1).liveDirs
           val cur = commit.liveDirs
           val removed = prev.filterNot(cur.toSet)

@@ -80,9 +80,10 @@ class GraftSource extends TableProvider
   * analog (`writeStream.format(...).start(path)`; Delta's own sink is
   * the same V1 `Sink` shape). First batch creates the table (with the
   * writer's `partitionBy` columns, identity or transform specs); every
-  * micro-batch then lands as ONE table commit stamped with the batch
-  * id — `stream-append#<id>` (Append mode) or `stream-complete#<id>`
-  * (Complete mode, an overwrite) — so a batch replayed after a crash
+  * micro-batch then lands as ONE table commit stamped with the
+  * streaming query id + batch id — `stream-append#<queryId>#<id>`
+  * (Append mode) or `stream-complete#<queryId>#<id>` (Complete mode,
+  * an overwrite) — so a batch replayed after a crash
   * between the table commit and the checkpoint write is detected in
   * the history and skipped: exactly-once end to end, the Delta
   * txn-app-id/version idiom. Update mode needs row-level merge
@@ -110,9 +111,21 @@ class GraftStreamingSink(spark: SparkSession, path: String,
       data: org.apache.spark.sql.DataFrame): Unit = synchronized {
     import org.apache.spark.sql.functions.col
     val batch = org.apache.spark.sql.graftbridge.ParquetTableBridge.asBatchDF(data)
-    val marker =
-      if (outputMode == OutputMode.Complete()) s"stream-complete#$batchId"
-      else s"stream-append#$batchId"
+    // The marker carries the STREAMING QUERY ID (stable across restarts
+    // from the same checkpoint, fresh for a new checkpoint — Spark sets
+    // it as a local property on the stream thread; the Delta sink reads
+    // it the same way for its txn appId). Without it, a NEW query
+    // (reprocessing into an existing target after dropping its
+    // checkpoint) would collide with a previous query's batch ids and
+    // silently skip every batch. Legacy id-less markers are still
+    // probed so pre-upgrade tables keep their replay protection.
+    val queryId = Option(
+      spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+    val kind =
+      if (outputMode == OutputMode.Complete()) "stream-complete"
+      else "stream-append"
+    val marker = s"$kind#${queryId.map(q => s"$q#").getOrElse("")}$batchId"
+    val legacyMarker = s"$kind#$batchId"
     // the CREATE commit carries the schema only (zero rows): every
     // batch's DATA — including batch 0's — lands under its own marker,
     // or a replay of batch 0 after a crash between the create-with-data
@@ -120,7 +133,8 @@ class GraftStreamingSink(spark: SparkSession, path: String,
     if (!GraftTable.exists(spark, path))
       GraftTable.create(spark, path, batch.limit(0), partitionBy): Unit
     val t = GraftTable.load(spark, path)
-    if (t.history().filter(col("operation") === marker).count() > 0) return
+    if (t.history().filter(col("operation").isin(marker, legacyMarker))
+        .count() > 0) return
     if (outputMode == OutputMode.Complete()) t.overwriteBatch(marker, batch): Unit
     else t.appendBatch(marker, batch): Unit
   }

@@ -561,27 +561,43 @@ class CatalogSpec extends AnyFunSuite {
       .writeStream.format(fmt).option("checkpointLocation", ckpt)
       .outputMode("append").start(tgtPath)
     val q1 = run()
+    val queryId = q1.id.toString // stable across restarts from this checkpoint
     try q1.processAllAvailable() finally q1.stop()
     val tgt = graft.sources.GraftTable.load(spark, tgtPath)
     assert(tgt.read().count() == 2)
-    // every batch is one marker-stamped table commit
-    assert(tgt.history().filter(col("operation") === "stream-append#0").count() == 1)
+    // every batch is one marker-stamped table commit, scoped to the
+    // streaming query id (the Delta txn appId idiom)
+    assert(tgt.history()
+      .filter(col("operation") === s"stream-append#$queryId#0").count() == 1)
     // appends land while no stream runs; the restarted stream resumes
     // from the checkpoint — no snapshot replay, two rate-limited batches
     src.append(Seq((3L, "c")).toDF("id", "v"))
     src.append(Seq((4L, "d")).toDF("id", "v"))
     val q2 = run()
+    assert(q2.id.toString == queryId) // same checkpoint -> same query id
     try q2.processAllAvailable() finally q2.stop()
     val got = graft.sources.GraftTable.load(spark, tgtPath).read()
       .as[(Long, String)].collect().toSet
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")), got.toString)
     // create + 3 data commits (batch 0 snapshot + 2 catch-up batches)
     assert(graft.sources.GraftTable.load(spark, tgtPath).history().count() == 4)
-    // a replayed marker is skipped: simulate by re-running addBatch 0
-    new graft.sources.v2.GraftStreamingSink(spark, tgtPath, Nil,
+    // a replayed batch OF THE SAME QUERY is skipped: simulate the
+    // post-crash addBatch re-run under the query's id local property
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", queryId)
+    try new graft.sources.v2.GraftStreamingSink(spark, tgtPath, Nil,
       org.apache.spark.sql.streaming.OutputMode.Append())
       .addBatch(0, Seq((9L, "dup")).toDF("id", "v"))
+    finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
     assert(graft.sources.GraftTable.load(spark, tgtPath).read().count() == 4)
+    // a NEW query (fresh checkpoint) into the same target must NOT be
+    // skipped by the old query's batch ids — its batches really land
+    val ckpt2 = Files.createTempDirectory("graft_sink_ck2_").toString
+    val q3 = spark.readStream.format(fmt).load(srcPath)
+      .writeStream.format(fmt).option("checkpointLocation", ckpt2)
+      .outputMode("append").start(tgtPath)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(graft.sources.GraftTable.load(spark, tgtPath).read().count() == 8,
+      "fresh-checkpoint query must reprocess, not silently skip")
   }
 
   test("streaming sink complete mode keeps the latest aggregate; update refused") {
@@ -709,6 +725,36 @@ class CatalogSpec extends AnyFunSuite {
       assert(rows.length == 2 && rows(0).isNullAt(2) && rows(1).getDouble(2) == 7.5,
         rows.mkString(", "))
     } finally q2.stop()
+  }
+
+  test("restarted stream catches up ACROSS an ADD COLUMN without wedging") {
+    // the batch a restarted stream replays can span commits on BOTH
+    // sides of the schema change; pre-change commits are NARROWER than
+    // the widened plan and must null-fill (strict schema equality here
+    // wedged every such restart permanently)
+    freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.acw (id BIGINT, v STRING) USING graft")
+    spark.sql(s"INSERT INTO $cat.db.acw VALUES (1, 'a')")
+    val ckpt = Files.createTempDirectory("graft_acw_ck_").toString
+    val out = Files.createTempDirectory("graft_acw_out_").toString
+    def run() = spark.readStream.table(s"$cat.db.acw")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    val q = run()
+    try q.processAllAvailable() finally q.stop()
+    // while the stream is DOWN: a pre-change append, the ADD COLUMN,
+    // and a post-change append — the catch-up batch spans all three
+    spark.sql(s"INSERT INTO $cat.db.acw VALUES (2, 'b')")
+    spark.sql(s"ALTER TABLE $cat.db.acw ADD COLUMN score DOUBLE")
+    spark.sql(s"INSERT INTO $cat.db.acw VALUES (3, 'c', 7.5)")
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.option("mergeSchema", "true").parquet(out)
+      .orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), rows.mkString(", "))
+    val score = rows.map(r => Option(r.getAs[Any]("score")))
+    assert(score(0).isEmpty && score(1).isEmpty && score(2).contains(7.5),
+      rows.mkString(", "))
   }
 
   test("catalog scan reports real statistics (broadcast planning survives)") {
