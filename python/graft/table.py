@@ -61,10 +61,10 @@ class GraftTable(object):
         return self._j.delete(condition_col._jc)
 
     def vacuum(self, retain_from_version):
-        # Scala Seq -> java.util.List so py4j can iterate it
-        seq = self._j.vacuum(int(retain_from_version))
-        jlist = self._spark._jvm.scala.jdk.javaapi.CollectionConverters.asJava(seq)
-        return list(jlist)
+        # vacuumAsJava returns java.util.List directly -- converting the
+        # Scala Seq gateway-side via CollectionConverters.asJava depends
+        # on py4j overload resolution picking the list()-able variant
+        return list(self._j.vacuumAsJava(int(retain_from_version)))
 
     # ------------------------------------------------ format interop
 

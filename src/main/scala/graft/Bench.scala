@@ -77,7 +77,11 @@ object Bench {
     // carrying 80+ full-precision per-query timings overflows that window
     // (observed truncated/unparseable in earlier collected runs). The
     // printed line stays compact; the file has everything.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
+    // timestamped by default so verification/iteration runs never
+    // clobber a committed artifact — copy the chosen run to
+    // BENCH_DETAIL.json explicitly when committing a round's numbers
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      s"/tmp/graft-bench-detail-${System.currentTimeMillis()}.json")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(ok)},"n_failed":${failed.size},"errors":${jerr(failed)},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"load_label":"$loadLabel"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

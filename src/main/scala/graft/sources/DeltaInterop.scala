@@ -396,11 +396,20 @@ object DeltaInterop {
     if (!fs.rename(part, cpPath) && !fs.exists(cpPath))
       throw new java.io.IOException(s"could not publish checkpoint $cpPath")
     fs.delete(tmp, true)
-    val lastCp = fs.create(new HPath(logDir, "_last_checkpoint"), true)
+    // temp + delete + rename, never truncate-in-place: a reader between
+    // a truncate and the rewrite would see an empty/partial
+    // _last_checkpoint (the reader's listing fallback survives it, but
+    // the publish should not depend on that) — same publish sequence as
+    // the Iceberg version hint
+    val lcPath = new HPath(logDir, "_last_checkpoint")
+    val tmpLc = new HPath(logDir, s"._last_checkpoint-${java.util.UUID.randomUUID()}.tmp")
+    val lastCp = fs.create(tmpLc, false)
     try lastCp.write(
       ("{\"version\":" + v + ",\"size\":" + rows.size() + "}")
         .getBytes(StandardCharsets.UTF_8))
     finally lastCp.close()
+    fs.delete(lcPath, false)
+    if (!fs.rename(tmpLc, lcPath)) fs.delete(tmpLc, false)
   }
 
   // one JSON action object per line; these pull the fields readDelta

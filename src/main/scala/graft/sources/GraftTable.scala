@@ -887,6 +887,16 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     doomed.foreach(io.delete)
     doomed.map(_.getName)
   }
+
+  /** [[vacuum]] returning a `java.util.List` for py4j callers —
+    * converting the Scala Seq gateway-side would rely on py4j picking
+    * the right of `CollectionConverters.asJava`'s ~10 overloads, which
+    * is not guaranteed to select the list()-able one. */
+  def vacuumAsJava(retainFromVersion: Int): java.util.List[String] = {
+    val l = new java.util.ArrayList[String]()
+    vacuum(retainFromVersion).foreach(l.add)
+    l
+  }
 }
 
 object GraftTable {

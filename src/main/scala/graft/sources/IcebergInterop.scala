@@ -685,6 +685,20 @@ object IcebergInterop {
       val files = c.liveDirs.flatMap(dirFiles)
       val rawSchema = StructType(c.schemaStruct.map(_.copy(nullable = true)))
       val rawNames = rawSchema.fieldNames.toSet
+      // Field ids allocate positionally over nameOrder, so a DROPPED
+      // column would hand its ids to whatever column follows — breaking
+      // Iceberg's never-reuse-field-ids rule and silently re-pointing
+      // any partition spec source-id at a different column in foreign
+      // engines. Refuse, like the rename refusal above.
+      locally {
+        val dropped = nameOrder.filterNot(rawNames.contains)
+        if (dropped.nonEmpty)
+          throw new IllegalArgumentException(
+            s"cannot mirror ${t.root} to Iceberg: commit $v drops column(s) " +
+              s"${dropped.mkString(", ")} — positional field-id allocation " +
+              "would reassign their Iceberg field ids to later columns, " +
+              "violating the spec's never-reuse-field-ids rule")
+      }
       val commitSchema = StructType(
         nameOrder.filter(rawNames.contains).map(n => rawSchema(n)) ++
           rawSchema.fields.filterNot(f => nameOrder.contains(f.name)))
@@ -1119,28 +1133,64 @@ object IcebergInterop {
       spark.read.schema(schema).parquet(dataFiles.map(_._1): _*)
         .select(schema.map(f => col(f.name)): _*)
     else {
-      // identity columns come from partition metadata, constant per
+      // Identity columns come from partition metadata, constant per
       // file: scan each distinct partition tuple's files once and
       // attach the values as literals (whether or not the files also
-      // carry the column — metadata wins, per the spec)
+      // carry the column — metadata wins, per the spec). Substitution
+      // is RESTRICTED to the types whose Avro partition-struct encoding
+      // this decodes exactly — Iceberg stores timestamp partition
+      // values as micros-since-epoch longs (lit(long).cast(timestamp)
+      // would misread them as SECONDS) and decimal/fixed/binary arrive
+      // as ByteBuffers; those columns instead read from the data files
+      // themselves, and files that don't carry them (hive-migrated
+      // layouts) refuse loudly below rather than null-fill.
       import org.apache.spark.sql.functions.lit
+      def metaSubstitutable(dt: DataType): Boolean = dt match {
+        case DateType | StringType | TimestampType | TimestampNTZType |
+             IntegerType | LongType | ShortType | ByteType | BooleanType |
+             FloatType | DoubleType => true
+        case _ => false
+      }
+      def microsInstant(v: AnyRef): java.time.Instant = {
+        val us = longOf(v)
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      }
       def idLit(dt: DataType, v: AnyRef): org.apache.spark.sql.Column =
         if (v == null) lit(null).cast(dt)
         else dt match {
           case DateType => lit(java.sql.Date.valueOf(
             java.time.LocalDate.ofEpochDay(longOf(v))))
           case StringType => lit(v.toString)
+          case TimestampType => lit(microsInstant(v))
+          case TimestampNTZType =>
+            lit(java.time.LocalDateTime.ofInstant(
+              microsInstant(v), java.time.ZoneOffset.UTC))
           case _ => lit(v).cast(dt)
         }
-      val scanSchema = StructType(schema.filterNot(f => idNames.contains(f.name)))
-      dataFiles.groupBy(_._2).map { case (pv, fsOfPart) =>
-        var df = spark.read.schema(scanSchema)
-          .parquet(fsOfPart.map(_._1): _*)
-        identityParts.zip(pv).foreach { case ((n, dt, _), v) =>
-          df = df.withColumn(n, idLit(dt, v))
-        }
-        df.select(schema.map(f => col(f.name)): _*)
-      }.reduce(_.unionAll(_))
+      // pv vectors are parallel to identityParts; k = index into pv
+      val metaParts = identityParts.zipWithIndex
+        .collect { case ((n, dt, _), k) if metaSubstitutable(dt) => (n, dt, k) }
+      val fileParts = identityParts.zipWithIndex
+        .collect { case ((n, dt, _), k) if !metaSubstitutable(dt) => n }
+      locally {
+        val absent = fileParts.filterNot(probe.contains)
+        if (absent.nonEmpty)
+          refuse(path, "has identity partition columns of types this reader " +
+            s"cannot decode from partition metadata (${absent.mkString(", ")}) " +
+            "and the data files do not carry them either")
+      }
+      val metaNames = metaParts.map(_._1).toSet
+      val scanSchema = StructType(schema.filterNot(f => metaNames.contains(f.name)))
+      dataFiles.groupBy { case (_, pv) => metaParts.map { case (_, _, k) => pv(k) } }
+        .map { case (_, fsOfPart) =>
+          var df = spark.read.schema(scanSchema)
+            .parquet(fsOfPart.map(_._1): _*)
+          metaParts.foreach { case (n, dt, k) =>
+            df = df.withColumn(n, idLit(dt, fsOfPart.head._2(k)))
+          }
+          df.select(schema.map(f => col(f.name)): _*)
+        }.reduce(_.unionAll(_))
     }
   }
 }

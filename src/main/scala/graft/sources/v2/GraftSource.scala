@@ -133,8 +133,19 @@ class GraftStreamingSink(spark: SparkSession, path: String,
     if (!GraftTable.exists(spark, path))
       GraftTable.create(spark, path, batch.limit(0), partitionBy): Unit
     val t = GraftTable.load(spark, path)
-    if (t.history().filter(col("operation").isin(marker, legacyMarker))
-        .count() > 0) return
+    // Legacy id-less markers are honored ONLY while the table carries no
+    // query-scoped markers at all (a genuinely pre-upgrade sink target):
+    // once any query has written scoped markers, a NEW query whose batch
+    // ids happen to collide with old legacy markers must not silently
+    // skip its batches — the exact data-loss mode the query id prevents.
+    val streamOps = t.history().select("operation")
+      .filter(col("operation").startsWith("stream-"))
+      .collect().map(_.getString(0))
+    if (streamOps.contains(marker)) return
+    val anyScoped = streamOps.exists(op =>
+      (op.startsWith("stream-append#") || op.startsWith("stream-complete#")) &&
+        op.count(_ == '#') >= 2)
+    if (!anyScoped && streamOps.contains(legacyMarker)) return
     if (outputMode == OutputMode.Complete()) t.overwriteBatch(marker, batch): Unit
     else t.appendBatch(marker, batch): Unit
   }

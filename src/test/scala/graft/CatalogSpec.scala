@@ -600,6 +600,37 @@ class CatalogSpec extends AnyFunSuite {
       "fresh-checkpoint query must reprocess, not silently skip")
   }
 
+  test("legacy id-less markers only protect tables with no query-scoped markers") {
+    import spark.implicits._
+    def sinkBatch(path: String, qid: String, batchId: Long, rows: Seq[Long]): Unit = {
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", qid)
+      try new graft.sources.v2.GraftStreamingSink(spark, path, Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .addBatch(batchId, rows.toDF("id"))
+      finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    }
+    // pre-upgrade table: ONLY legacy markers — replay protection holds
+    val legacy = Files.createTempDirectory("graft_lm1_").toString + "/t"
+    val t1 = graft.sources.GraftTable.create(spark, legacy, Seq.empty[Long].toDF("id"))
+    t1.appendBatch("stream-append#0", Seq(1L).toDF("id"))
+    sinkBatch(legacy, "q-new", 0, Seq(9L))
+    assert(graft.sources.GraftTable.load(spark, legacy).read().count() == 1,
+      "legacy marker must still skip the replayed batch on a pre-upgrade table")
+    // upgraded table: query-scoped markers exist — a NEW query whose
+    // batch ids collide with OLD legacy markers must land its batches
+    // (the data-loss mode the query-id marker exists to prevent)
+    val mixed = Files.createTempDirectory("graft_lm2_").toString + "/t"
+    val t2 = graft.sources.GraftTable.create(spark, mixed, Seq.empty[Long].toDF("id"))
+    t2.appendBatch("stream-append#0", Seq(1L).toDF("id")) // old pre-upgrade marker
+    sinkBatch(mixed, "q-a", 5, Seq(2L))                   // scoped marker exists now
+    sinkBatch(mixed, "q-b", 0, Seq(3L))                   // fresh query, batch 0
+    assert(graft.sources.GraftTable.load(spark, mixed).read().count() == 3,
+      "new query's batch 0 must not be skipped by a stale legacy marker")
+    // same query replayed is still skipped, of course
+    sinkBatch(mixed, "q-b", 0, Seq(4L))
+    assert(graft.sources.GraftTable.load(spark, mixed).read().count() == 3)
+  }
+
   test("streaming sink complete mode keeps the latest aggregate; update refused") {
     import spark.implicits._
     val fmt = "graft.sources.v2.GraftSource"

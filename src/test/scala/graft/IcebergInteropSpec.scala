@@ -637,4 +637,149 @@ class IcebergInteropSpec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("schema versions"), e4.getMessage)
   }
+
+  /** Hand-build a minimal FOREIGN file-based Iceberg v1 table whose
+    * single data file is `dataDf` written as parquet, identity-
+    * partitioned on a column NOT necessarily present in the file: the
+    * manifest's partition struct carries `partAvroType`/`partValue`.
+    * Exercises the reader against layouts graft's own mirror never
+    * writes (hive-migrated tables with exotic identity types). */
+  private def buildForeignIdentityTable(dataDf: org.apache.spark.sql.DataFrame,
+      schemaFieldsJson: String, partName: String, partSourceId: Int,
+      partAvroType: String, partValue: AnyRef): String = {
+    import org.apache.avro.{Schema => AvroSchema}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val target = tmp("graft_ifg_")
+    val dataDir = Paths.get(target, "data")
+    dataDf.coalesce(1).write.parquet(dataDir.toString)
+    val dataFile = Files.list(dataDir).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val metaDir = Paths.get(target, "metadata")
+    Files.createDirectories(metaDir)
+    def writeAvro(p: java.nio.file.Path, schema: AvroSchema,
+        recs: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, p.toFile)
+      try recs.foreach(w.append) finally w.close()
+    }
+    val entrySchema = new AvroSchema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int"},
+         |{"name":"snapshot_id","type":"long"},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |{"name":"file_path","type":"string"},
+         |{"name":"file_format","type":"string"},
+         |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+         |{"name":"$partName","type":["null",$partAvroType],"default":null}]}},
+         |{"name":"record_count","type":"long"},
+         |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+        .stripMargin.replace("\n", ""))
+    val dfRec = new GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    dfRec.put("file_path", dataFile)
+    dfRec.put("file_format", "PARQUET")
+    val part = new GenericData.Record(
+      dfRec.getSchema.getField("partition").schema())
+    part.put(0, partValue)
+    dfRec.put("partition", part)
+    dfRec.put("record_count", dataDf.count())
+    dfRec.put("file_size_in_bytes", new java.io.File(dataFile).length())
+    val entry = new GenericData.Record(entrySchema)
+    entry.put("status", 1)
+    entry.put("snapshot_id", 99L)
+    entry.put("data_file", dfRec)
+    val manifestPath = metaDir.resolve("m0.avro")
+    writeAvro(manifestPath, entrySchema, Seq(entry))
+    val listSchema = new AvroSchema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"}]}"""
+        .stripMargin.replace("\n", ""))
+    val mf = new GenericData.Record(listSchema)
+    mf.put("manifest_path", manifestPath.toString)
+    mf.put("manifest_length", manifestPath.toFile.length())
+    mf.put("partition_spec_id", 0)
+    val listPath = metaDir.resolve("snap-99.avro")
+    writeAvro(listPath, listSchema, Seq(mf))
+    val md =
+      s"""{"format-version":1,"table-uuid":"00000000-0000-0000-0000-000000000001",
+         |"location":"$target","last-updated-ms":1700000000000,"last-column-id":9,
+         |"schema":{"type":"struct","schema-id":0,"fields":[$schemaFieldsJson]},
+         |"partition-spec":[{"name":"$partName","transform":"identity",
+         |"source-id":$partSourceId,"field-id":1000}],
+         |"default-spec-id":0,"properties":{},
+         |"current-snapshot-id":99,
+         |"snapshots":[{"snapshot-id":99,"timestamp-ms":1700000000000,
+         |"manifest-list":"$listPath"}]}""".stripMargin.replace("\n", "")
+    Files.write(metaDir.resolve("v1.metadata.json"), md.getBytes("UTF-8"))
+    Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+    target
+  }
+
+  test("foreign identity TIMESTAMP partition values decode as micros, not seconds") {
+    import spark.implicits._
+    // 2017-11-16T22:31:08 UTC = 1510871468000000 micros — the Iceberg
+    // partition-struct encoding for timestamp identity values; before
+    // the fix, lit(1510871468000000L).cast(timestamp) read it as
+    // SECONDS (year ~49 million)
+    val micros = 1510871468000000L
+    val target = buildForeignIdentityTable(
+      Seq(1L, 2L).toDF("id"),
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"ts","required":false,"type":"timestamptz"}"""
+        .stripMargin.replace("\n", ""),
+      "ts", 2, "\"long\"", java.lang.Long.valueOf(micros))
+    val got = IcebergInterop.readIceberg(spark, target)
+      .select(col("id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "2017-11-16 22:31:08"), (2L, "2017-11-16 22:31:08")),
+      got.toString)
+  }
+
+  test("foreign identity DECIMAL partition falls back to the data files or refuses") {
+    import spark.implicits._
+    // decimal identity values arrive as Avro ByteBuffers this reader
+    // does not decode — when the data files carry the column, read it
+    // from them (correct for non-hive-migrated layouts)...
+    val withCol = Seq((1L, BigDecimal("12.34")), (2L, BigDecimal("56.78")))
+      .toDF("id", "dec")
+      .select(col("id"), col("dec").cast("decimal(9,2)").as("dec"))
+    val schemaJson =
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"dec","required":false,"type":"decimal(9, 2)"}"""
+        .stripMargin.replace("\n", "")
+    val unscaled = java.nio.ByteBuffer.wrap(
+      BigDecimal("12.34").underlying().unscaledValue().toByteArray)
+    val t1 = buildForeignIdentityTable(withCol, schemaJson, "dec", 2,
+      "\"bytes\"", unscaled)
+    val got = IcebergInterop.readIceberg(spark, t1)
+      .select(col("id"), col("dec").cast("string"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "12.34"), (2L, "56.78")), got.toString)
+    // ...and when they don't (hive-migrated shape), refuse loudly
+    // instead of crashing on the ByteBuffer or null-filling
+    val t2 = buildForeignIdentityTable(Seq(1L).toDF("id"), schemaJson,
+      "dec", 2, "\"bytes\"", unscaled)
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, t2).collect()
+    }
+    assert(e.getMessage.contains("cannot decode"), e.getMessage)
+  }
+
+  test("mirrorToIceberg refuses commits that drop columns (field-id reuse)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_idrop_"),
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "v", "x"))
+    assert(IcebergInterop.mirrorToIceberg(t) == 1)
+    // overwrite with a NARROWER schema: positional id allocation would
+    // hand x's field id to whatever column a later commit appends
+    t.overwrite(Seq((3L, "c")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.mirrorToIceberg(t)
+    }
+    assert(e.getMessage.contains("drops column"), e.getMessage)
+  }
 }
