@@ -1,0 +1,407 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Delta Lake deletion vectors, implemented against the PUBLIC protocol
+  * (delta-io PROTOCOL.md §Deletion Vectors): per-file sets of deleted
+  * row indexes, serialized as 64-bit RoaringBitmapArrays ("portable"
+  * format) and referenced from `add` actions by a descriptor —
+  * inline (`storageType "i"`, Z85-coded bytes), relative-with-UUID
+  * (`"u"`, Z85-coded UUID naming a `deletion_vector_<uuid>.bin` under
+  * the table root) or absolute path (`"p"`). Post-2023 Delta writers
+  * enable DVs on most tables, so [[DeltaInterop.readDelta]] needs them
+  * to open real-world tables at all.
+  *
+  * Everything here is from public specs: Z85 is ZeroMQ RFC 32; the
+  * bitmap wire format is the RoaringFormatSpec (github.com/RoaringBitmap)
+  * wrapped in Delta's magic-number + 64-bit key layout; the `.bin` file
+  * framing (1-byte version, per-DV big-endian length + CRC-32) is
+  * PROTOCOL.md. No Delta or RoaringBitmap code is imported — the
+  * formats are hand-implemented.
+  *
+  * Scale note: bitmaps are decoded ONCE on the driver per DV'd file
+  * (each a few KB–MB of compressed metadata, the same cost a real
+  * Delta client pays) and shipped to executors inside a codegen'd
+  * predicate — the scan stays one distributed parquet read filtered
+  * row-by-row on `_metadata.row_index`, no join, no shuffle. */
+object DeletionVectors {
+
+  // ---------------------------------------------------------------
+  // Z85 (ZeroMQ RFC 32): 4 bytes <-> 5 chars, big-endian groups
+  // ---------------------------------------------------------------
+
+  private val Z85: String =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      ".-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Rev: Array[Int] = {
+    val a = Array.fill(128)(-1)
+    Z85.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    a
+  }
+
+  def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0, s"z85 input length ${bytes.length} not a multiple of 4")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (bytes(i + j) & 0xffL); j += 1 }
+      var div = 85L * 85 * 85 * 85
+      while (div > 0) { sb.append(Z85(((v / div) % 85).toInt)); div /= 85 }
+      i += 4
+    }
+    sb.toString
+  }
+
+  def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"z85 input length ${s.length} not a multiple of 5")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    var o = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) {
+        val c = s.charAt(i + j)
+        val d = if (c < 128) Z85Rev(c.toInt) else -1
+        require(d >= 0, s"invalid z85 character '$c'")
+        v = v * 85 + d
+        j += 1
+      }
+      out(o) = ((v >>> 24) & 0xff).toByte
+      out(o + 1) = ((v >>> 16) & 0xff).toByte
+      out(o + 2) = ((v >>> 8) & 0xff).toByte
+      out(o + 3) = (v & 0xff).toByte
+      i += 5; o += 4
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------
+  // RoaringBitmapArray — Delta's 64-bit "portable" serialization:
+  // 4-byte LE magic 1681511377, 8-byte LE bitmap count, then per
+  // 32-bit bitmap a 4-byte LE key (high 32 bits) + the standard
+  // RoaringFormatSpec 32-bit serialization.
+  // ---------------------------------------------------------------
+
+  private val Magic = 1681511377
+  private val CookieNoRun = 12346
+  private val CookieRun = 12347
+
+  sealed trait Container extends Serializable {
+    /** membership of a low-16-bit value (0..65535) */
+    def contains(low: Int): Boolean
+    def cardinality: Int
+  }
+  /** sorted unsigned 16-bit values */
+  final class ArrayC(vals: Array[Char]) extends Container {
+    def contains(low: Int): Boolean =
+      java.util.Arrays.binarySearch(vals, low.toChar) >= 0
+    def cardinality: Int = vals.length
+  }
+  /** 1024-word bitset */
+  final class BitmapC(words: Array[Long], val cardinality: Int) extends Container {
+    def contains(low: Int): Boolean =
+      (words(low >>> 6) & (1L << (low & 63))) != 0
+  }
+  /** sorted non-overlapping runs: starts(i)..starts(i)+lens(i) incl. */
+  final class RunC(starts: Array[Char], lens: Array[Char]) extends Container {
+    def contains(low: Int): Boolean = {
+      var lo = 0
+      var hi = starts.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val s = starts(mid).toInt
+        if (low < s) hi = mid - 1
+        else if (low > s + lens(mid).toInt) lo = mid + 1
+        else return true
+      }
+      false
+    }
+    def cardinality: Int = {
+      var c = 0; var i = 0
+      while (i < starts.length) { c += lens(i).toInt + 1; i += 1 }
+      c
+    }
+  }
+
+  /** One 32-bit roaring bitmap: sorted 16-bit container keys. */
+  final class Bitmap32(keys: Array[Char], containers: Array[Container])
+      extends Serializable {
+    def contains(v: Int): Boolean = {
+      val i = java.util.Arrays.binarySearch(keys, (v >>> 16).toChar)
+      i >= 0 && containers(i).contains(v & 0xffff)
+    }
+    def cardinality: Long = {
+      var c = 0L; var i = 0
+      while (i < containers.length) { c += containers(i).cardinality; i += 1 }
+      c
+    }
+  }
+
+  /** 64-bit bitmap: sorted 32-bit high keys, one [[Bitmap32]] each. */
+  final class Roaring64(keys: Array[Int], maps: Array[Bitmap32])
+      extends Serializable {
+    def contains(v: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(keys, (v >>> 32).toInt)
+      i >= 0 && maps(i).contains(v.toInt)
+    }
+    def cardinality: Long = {
+      var c = 0L; var i = 0
+      while (i < maps.length) { c += maps(i).cardinality; i += 1 }
+      c
+    }
+  }
+
+  private def parseBitmap32(bb: ByteBuffer): Bitmap32 = {
+    val cookie = bb.getInt
+    val (n, runFlags) =
+      if ((cookie & 0xffff) == CookieRun) {
+        val count = (cookie >>> 16) + 1
+        val flags = new Array[Byte]((count + 7) / 8)
+        bb.get(flags)
+        (count, flags)
+      } else if (cookie == CookieNoRun) (bb.getInt, null)
+      else throw new IllegalArgumentException(
+        s"unrecognized RoaringBitmap cookie $cookie")
+    val keys = new Array[Char](n)
+    val cards = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      keys(i) = (bb.getShort & 0xffff).toChar
+      cards(i) = (bb.getShort & 0xffff) + 1
+      i += 1
+    }
+    // offset header: always present without runs; with runs only when
+    // the container count reaches the spec's NO_OFFSET_THRESHOLD (4)
+    if (runFlags == null || n >= 4) bb.position(bb.position() + 4 * n)
+    def isRun(i: Int): Boolean =
+      runFlags != null && (runFlags(i >>> 3) & (1 << (i & 7))) != 0
+    val containers = new Array[Container](n)
+    i = 0
+    while (i < n) {
+      if (isRun(i)) {
+        val nRuns = bb.getShort & 0xffff
+        val starts = new Array[Char](nRuns)
+        val lens = new Array[Char](nRuns)
+        var j = 0
+        while (j < nRuns) {
+          starts(j) = (bb.getShort & 0xffff).toChar
+          lens(j) = (bb.getShort & 0xffff).toChar
+          j += 1
+        }
+        containers(i) = new RunC(starts, lens)
+      } else if (cards(i) <= 4096) {
+        val vals = new Array[Char](cards(i))
+        var j = 0
+        while (j < cards(i)) { vals(j) = (bb.getShort & 0xffff).toChar; j += 1 }
+        containers(i) = new ArrayC(vals)
+      } else {
+        val words = new Array[Long](1024)
+        var j = 0
+        while (j < 1024) { words(j) = bb.getLong; j += 1 }
+        containers(i) = new BitmapC(words, cards(i))
+      }
+      i += 1
+    }
+    new Bitmap32(keys, containers)
+  }
+
+  /** Parse a serialized RoaringBitmapArray (magic + 64-bit portable). */
+  def deserialize(bytes: Array[Byte]): Roaring64 = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    require(magic == Magic,
+      s"deletion vector bitmap has magic $magic, expected $Magic")
+    val n = bb.getLong
+    require(n >= 0 && n <= Int.MaxValue, s"absurd bitmap count $n")
+    val keys = new Array[Int](n.toInt)
+    val maps = new Array[Bitmap32](n.toInt)
+    var i = 0
+    while (i < n) {
+      keys(i) = bb.getInt
+      maps(i) = parseBitmap32(bb)
+      i += 1
+    }
+    new Roaring64(keys, maps)
+  }
+
+  /** Serialize sorted distinct row indexes as a RoaringBitmapArray
+    * (no-run-container form) — the writer half, used by specs and any
+    * future DV-emitting delete path. */
+  def serialize(values: Seq[Long]): Array[Byte] = {
+    val sorted = values.distinct.sorted
+    require(sorted.forall(_ >= 0), "row indexes must be non-negative")
+    val byHigh = sorted.groupBy(v => (v >>> 32).toInt).toSeq.sortBy(_._1)
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    le32(Magic)
+    le32(byHigh.size); le32(0) // 8-byte LE count
+    byHigh.foreach { case (high, vs) =>
+      le32(high)
+      val low32 = vs.map(_.toInt)
+      val byKey = low32.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+      le32(CookieNoRun)
+      le32(byKey.size)
+      byKey.foreach { case (k, cvs) => le16(k); le16(cvs.size - 1) }
+      // offset header (present in no-run format); offsets are from the
+      // start of this 32-bit bitmap's serialization
+      var off = 4 + 4 + 4 * byKey.size + 4 * byKey.size
+      byKey.foreach { case (_, cvs) =>
+        le32(off)
+        off += (if (cvs.size <= 4096) 2 * cvs.size else 8192)
+      }
+      byKey.foreach { case (_, cvs) =>
+        if (cvs.size <= 4096) cvs.foreach(v => le16(v & 0xffff))
+        else {
+          val words = new Array[Long](1024)
+          cvs.foreach { v => val low = v & 0xffff; words(low >>> 6) |= 1L << (low & 63) }
+          words.foreach { w =>
+            var j = 0
+            while (j < 8) { out.write(((w >>> (8 * j)) & 0xff).toInt); j += 1 }
+          }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // Descriptors + the on-disk .bin framing
+  // ---------------------------------------------------------------
+
+  /** The `deletionVector` struct of an `add` action (PROTOCOL.md). */
+  case class Descriptor(storageType: String, pathOrInlineDv: String,
+      offset: Option[Long], sizeInBytes: Long, cardinality: Long)
+
+  /** Absolute path of an on-disk DV file: `"p"` is used as-is
+    * (absolute, or relative to the table root); `"u"`'s last 20 chars
+    * Z85-decode to the 16-byte UUID naming
+    * `deletion_vector_<uuid>.bin`, any preceding chars are an optional
+    * random directory prefix under the table root. */
+  def dvFilePath(tableRoot: HPath, d: Descriptor): HPath = d.storageType match {
+    case "p" =>
+      val p = new HPath(d.pathOrInlineDv)
+      if (p.isAbsolute || d.pathOrInlineDv.contains(":")) p
+      else new HPath(tableRoot, d.pathOrInlineDv)
+    case "u" =>
+      require(d.pathOrInlineDv.length >= 20,
+        s"uuid deletion-vector path '${d.pathOrInlineDv}' shorter than a z85 uuid")
+      val prefix = d.pathOrInlineDv.dropRight(20)
+      val raw = z85Decode(d.pathOrInlineDv.takeRight(20))
+      val bb = ByteBuffer.wrap(raw)
+      val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+      val name = s"deletion_vector_$uuid.bin"
+      if (prefix.isEmpty) new HPath(tableRoot, name)
+      else new HPath(new HPath(tableRoot, prefix), name)
+    case other => throw new IllegalArgumentException(
+      s"deletion-vector storage type '$other' has no file path")
+  }
+
+  /** Load and decode a descriptor's bitmap. On-disk DVs are framed per
+    * PROTOCOL.md: the file starts with a 1-byte format version (1);
+    * at `offset` a 4-byte BIG-endian data length (== sizeInBytes), the
+    * serialized bitmap, then its 4-byte big-endian CRC-32. A checksum
+    * or size mismatch refuses loudly — a torn DV read would silently
+    * resurrect deleted rows. */
+  def load(conf: Configuration, tableRoot: HPath, d: Descriptor): Roaring64 = {
+    val bitmap = d.storageType match {
+      case "i" => deserialize(z85Decode(d.pathOrInlineDv))
+      case "u" | "p" =>
+        val p = dvFilePath(tableRoot, d)
+        val fs = p.getFileSystem(conf)
+        val in = fs.open(p)
+        val bytes =
+          try in.readAllBytes()
+          finally in.close()
+        require(bytes.nonEmpty && bytes(0) == 1,
+          s"deletion vector file $p has format version ${if (bytes.isEmpty) "<empty>" else bytes(0)}, expected 1")
+        val off = d.offset.getOrElse(1L).toInt
+        require(off + 4 <= bytes.length, s"deletion vector offset $off beyond $p")
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+        val len = bb.getInt(off)
+        require(len == d.sizeInBytes,
+          s"deletion vector at $p offset $off has length $len, descriptor says ${d.sizeInBytes}")
+        require(off + 4 + len + 4 <= bytes.length,
+          s"deletion vector at $p offset $off overruns the file")
+        val data = java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len)
+        val storedCrc = bb.getInt(off + 4 + len)
+        val crc = new java.util.zip.CRC32()
+        crc.update(data)
+        require(crc.getValue.toInt == storedCrc,
+          s"deletion vector at $p offset $off fails its CRC-32 check")
+        deserialize(data)
+      case other => throw new IllegalArgumentException(
+        s"unknown deletion-vector storage type '$other'")
+    }
+    require(bitmap.cardinality == d.cardinality,
+      s"deletion vector decodes to ${bitmap.cardinality} rows, descriptor " +
+        s"says ${d.cardinality}")
+    bitmap
+  }
+
+  /** Write an on-disk DV file (version byte + one framed bitmap) and
+    * return the descriptor fields (offset, sizeInBytes). Spec/tooling
+    * helper for building DV'd tables. */
+  def writeDvFile(conf: Configuration, p: HPath, values: Seq[Long]): (Long, Long) = {
+    val data = serialize(values)
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    val bb = ByteBuffer.allocate(1 + 4 + data.length + 4).order(ByteOrder.BIG_ENDIAN)
+    bb.put(1.toByte)
+    bb.putInt(data.length)
+    bb.put(data)
+    bb.putInt(crc.getValue.toInt)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, false)
+    try out.write(bb.array()) finally out.close()
+    (1L, data.length.toLong)
+  }
+}
+
+/** Per-file deleted-row membership, shipped to executors inside
+  * [[DvDeleted]]. Keys are the qualified file paths exactly as
+  * `_metadata.file_path` renders them (UTF8String keys: zero per-row
+  * conversion). */
+final class DvLookup(m: java.util.HashMap[UTF8String, DeletionVectors.Roaring64])
+    extends Serializable {
+  def deleted(file: UTF8String, idx: Long): Boolean = {
+    val b = m.get(file)
+    b != null && b.contains(idx)
+  }
+}
+
+/** Codegen predicate `deleted(_metadata.file_path, _metadata.row_index)`
+  * — the DV filter rides the parquet scan inside whole-stage codegen
+  * (no join, no shuffle), the same shape Delta's own DV scan uses. */
+case class DvDeleted(left: Expression, right: Expression, lookup: DvLookup)
+    extends BinaryExpression with Predicate {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"dv_deleted requires (string, long), got $other")
+    }
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullSafeEval(file: Any, idx: Any): Any =
+    lookup.deleted(file.asInstanceOf[UTF8String], idx.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dvLookup", lookup, classOf[DvLookup].getName)
+    defineCodeGen(ctx, ev, (f, i) => s"$ref.deleted($f, $i)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DvDeleted = copy(left = newLeft, right = newRight)
+}

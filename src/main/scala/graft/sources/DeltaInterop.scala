@@ -429,6 +429,32 @@ object DeltaInterop {
   private val ColMapMode =
     ("\"delta\\.columnMapping\\.mode\"\\s*:\\s*\"" + Str + "\"").r
   private val CpVersion = "\"version\"\\s*:\\s*(\\d+)".r
+  // the deletionVector struct of an add action; fields pulled from the
+  // captured body individually (foreign writers order keys freely)
+  private val DvObj =
+    ("\"deletionVector\"\\s*:\\s*\\{((?:[^{}\"]|\"" + Str + "\")*)\\}").r
+  private val DvStorage = ("\"storageType\"\\s*:\\s*\"" + Str + "\"").r
+  private val DvPathOrInline = ("\"pathOrInlineDv\"\\s*:\\s*\"" + Str + "\"").r
+  private val DvOffset = "\"offset\"\\s*:\\s*(\\d+)".r
+  private val DvSize = "\"sizeInBytes\"\\s*:\\s*(\\d+)".r
+  private val DvCard = "\"cardinality\"\\s*:\\s*(\\d+)".r
+
+  private def parseDvDescriptor(line: String): Option[DeletionVectors.Descriptor] =
+    DvObj.findFirstMatchIn(line).map(_.group(1)).map { body =>
+      def str(re: scala.util.matching.Regex, what: String): String =
+        re.findFirstMatchIn(body).map(m => unq(m.group(1)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"deletionVector descriptor lacks $what: $body"))
+      def num(re: scala.util.matching.Regex): Option[Long] =
+        re.findFirstMatchIn(body).map(_.group(1).toLong)
+      DeletionVectors.Descriptor(
+        str(DvStorage, "storageType"), str(DvPathOrInline, "pathOrInlineDv"),
+        num(DvOffset),
+        num(DvSize).getOrElse(throw new IllegalArgumentException(
+          s"deletionVector descriptor lacks sizeInBytes: $body")),
+        num(DvCard).getOrElse(throw new IllegalArgumentException(
+          s"deletionVector descriptor lacks cardinality: $body")))
+    }
 
   private def unq(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
@@ -439,22 +465,32 @@ object DeltaInterop {
     finally in.close()
   }
 
-  /** Reader-protocol gate: this replay implements reader version 1
-    * (plain add/remove over parquet). A table demanding more —
-    * minReaderVersion > 1, readerFeatures (deletion vectors, v2
-    * checkpoints, …) or column mapping — would be SILENTLY misread
-    * (DV-deleted rows resurfacing, mapped columns read as nulls), so
-    * it must refuse instead. */
+  /** Reader features this replay actually implements. Deletion vectors
+    * (reader version 3) are supported — most post-2023 Delta writers
+    * enable them, so refusing would lock out real-world tables.
+    * Everything else (column mapping = version 2, v2 checkpoints,
+    * timestampNtz-with-feature-flag, …) still refuses: a silent misread
+    * would resurface DV-deleted rows or null-fill mapped columns. */
+  private val SupportedReaderFeatures = Set("deletionVectors")
+
+  /** Reader-protocol gate: version 1 (plain add/remove over parquet)
+    * and version 3 with only supported readerFeatures pass; anything
+    * else refuses loudly rather than misread. */
   private def checkProtocol(path: String, minReader: Int,
-      readerFeatures: Seq[String]): Unit =
-    if (minReader > 1 || readerFeatures.nonEmpty)
+      readerFeatures: Seq[String]): Unit = {
+    val ok =
+      (minReader <= 1 && readerFeatures.isEmpty) ||
+        (minReader == 3 && readerFeatures.nonEmpty &&
+          readerFeatures.forall(SupportedReaderFeatures.contains))
+    if (!ok)
       throw new IllegalArgumentException(
         s"Delta table at $path requires reader protocol $minReader" +
           (if (readerFeatures.nonEmpty)
             s" with features [${readerFeatures.mkString(", ")}]" else "") +
-          " — this dependency-free replay supports reader version 1 only " +
-          "(no deletion vectors / column mapping / v2 checkpoints); " +
-          "read it with a full Delta client")
+          " — this dependency-free replay supports reader version 1 plus " +
+          s"[${SupportedReaderFeatures.mkString(", ")}] only (no column " +
+          "mapping / v2 checkpoints); read it with a full Delta client")
+  }
 
   private def checkColumnMapping(path: String, mode: String): Unit =
     if (mode.nonEmpty && mode != "none")
@@ -487,8 +523,10 @@ object DeltaInterop {
   /** Open a Delta table's current snapshot as a DataFrame by replaying
     * its log: the latest parquet CHECKPOINT (single- or multi-part, v1
     * classic format) as the base state, then the JSON commit tail on
-    * top. Reader protocol is gated at version 1 — deletion vectors,
-    * column mapping and v2 checkpoints refuse loudly rather than
+    * top. Reader protocol versions 1 and 3-with-deletionVectors are
+    * supported — DV'd files scan with their deleted row indexes
+    * filtered out (see [[DeletionVectors]]); column mapping and v2
+    * checkpoints refuse loudly rather than
     * misread. Identity-partitioned tables come back with their
     * partition columns rebuilt from `partitionValues` and cast to the
     * declared schema types; absolute-URI add paths (external files,
@@ -507,8 +545,10 @@ object DeltaInterop {
     val capVersion = versionAsOf.getOrElse(Long.MaxValue)
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
-    // last add per path wins; removes tombstone
-    val active = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    // last add per path wins (a row-level DELETE re-adds the same path
+    // with a fresh deletion vector); removes tombstone
+    val active = scala.collection.mutable.LinkedHashMap[
+      String, (Map[String, String], Option[DeletionVectors.Descriptor])]()
 
     // ---- checkpoint base state (O(#files) metadata through one scan) ----
     val lastCp = new HPath(logDir, "_last_checkpoint")
@@ -599,14 +639,32 @@ object DeltaInterop {
           }
       // checkpoint `remove` actions are vacuum tombstones of files
       // already gone from the snapshot — active state is the adds alone
-      if (fields.contains("add"))
+      if (fields.contains("add")) {
+        val addFields = cp.schema("add").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        val dvCol =
+          if (addFields.contains("deletionVector")) col("add.deletionVector")
+          else lit(null).cast(
+            "struct<storageType:string,pathOrInlineDv:string,offset:bigint," +
+              "sizeInBytes:bigint,cardinality:bigint>")
         cp.where(col("add.path").isNotNull)
-          .select(col("add.path"), col("add.partitionValues"))
+          .select(col("add.path"), col("add.partitionValues"), dvCol.as("dv"))
           .collect().foreach { r =>
             val pv = if (r.isNullAt(1)) Map.empty[String, String]
               else r.getMap[String, String](1).filter(_._2 != null).toMap
-            active(decodePath(r.getString(0))) = pv
+            val dv =
+              if (r.isNullAt(2)) None
+              else {
+                val s = r.getStruct(2)
+                Some(DeletionVectors.Descriptor(
+                  s.getAs[String]("storageType"), s.getAs[String]("pathOrInlineDv"),
+                  Option(s.getAs[Any]("offset")).map(_.toString.toLong),
+                  s.getAs[Number]("sizeInBytes").longValue(),
+                  s.getAs[Number]("cardinality").longValue()))
+              }
+            active(decodePath(r.getString(0))) = (pv, dv)
           }
+      }
     }
 
     // ---- JSON tail on top of the checkpoint ----
@@ -667,7 +725,7 @@ object DeltaInterop {
                 .map(mm => unq(mm.group(1)) -> unq(mm.group(2))).toMap
             case _ => Map.empty[String, String]
           }
-          active(p) = pv
+          active(p) = (pv, parseDvDescriptor(line))
         }
         RemovePath.findFirstMatchIn(line).foreach(m =>
           active.remove(decodePath(unq(m.group(1)))))
@@ -685,7 +743,7 @@ object DeltaInterop {
       require(partCols.contains(c),
         s"'$c' is not a partition column of the Delta table at $path " +
           s"(partition columns: ${partCols.mkString(", ")})")
-      val keep = active.filter { case (_, pv) =>
+      val keep = active.filter { case (_, (pv, _)) =>
         pv.get(c) match {
           case Some(v) => v == want
           case None => want == null
@@ -699,10 +757,39 @@ object DeltaInterop {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     // group files by partition values: each group is one pruned scan
     // plus literal partition columns cast to the declared types —
-    // partition values live only in the log, never in the data files
-    active.toSeq.groupBy(_._2).map { case (pv, files) =>
-      val paths = files.map { case (p, _) => resolveFile(root, p) }
-      val base = spark.read.schema(dataSchema).parquet(paths: _*)
+    // partition values live only in the log, never in the data files.
+    // Files carrying a deletion vector scan separately with a codegen'd
+    // `_metadata.row_index` membership filter riding the scan (driver
+    // decodes each compact bitmap once; no join, no shuffle).
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): String = {
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    def dvScan(files: Seq[(String, Option[DeletionVectors.Descriptor])])
+        : DataFrame = {
+      val lookupMap = new java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, DeletionVectors.Roaring64]()
+      files.foreach { case (p, dv) =>
+        lookupMap.put(
+          org.apache.spark.unsafe.types.UTF8String.fromString(qualified(p)),
+          DeletionVectors.load(conf, root, dv.get))
+      }
+      val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+      val base = spark.read.schema(dataSchema).parquet(files.map(_._1): _*)
+      val pred = bridge.column(DvDeleted(
+        bridge.expression(col("_metadata.file_path")),
+        bridge.expression(col("_metadata.row_index")), new DvLookup(lookupMap)))
+      base.where(!pred).select(dataSchema.map(f => col(f.name)): _*)
+    }
+    active.toSeq.groupBy(_._2._1).map { case (pv, entries) =>
+      val files = entries.map { case (p, (_, dv)) => (resolveFile(root, p), dv) }
+      val (dvFiles, plain) = files.partition(_._2.isDefined)
+      val scans = Seq(
+        if (plain.isEmpty) None
+        else Some(spark.read.schema(dataSchema).parquet(plain.map(_._1): _*)),
+        if (dvFiles.isEmpty) None else Some(dvScan(dvFiles))).flatten
+      val base = scans.reduce(_.unionByName(_))
       val withParts = partCols.foldLeft(base) { (d, pc) =>
         val f = schema(pc)
         // Delta renders a null partition value as an absent key

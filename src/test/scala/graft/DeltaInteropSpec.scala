@@ -276,17 +276,142 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("full Delta client"), e.getMessage)
   }
 
-  test("readDelta refuses reader protocol > 1 and readerFeatures") {
+  test("readDelta refuses unsupported reader protocols and features") {
+    // reader version 2 (column mapping capability) refuses
+    val root2 = tmp("graft_dproto2_")
+    Files.createDirectories(Paths.get(root2, "_delta_log"))
+    Files.write(Paths.get(root2, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, root2)
+    }
+    assert(e2.getMessage.contains("full Delta client"), e2.getMessage)
+    // reader version 3 with a feature beyond deletionVectors refuses,
+    // naming the features
     val root = tmp("graft_dproto_")
     Files.createDirectories(Paths.get(root, "_delta_log"))
     Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"],"writerFeatures":["deletionVectors","v2Checkpoint"]}}"""
     ).mkString("", "\n", "\n").getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] {
       DeltaInterop.readDelta(spark, root)
     }
-    assert(e.getMessage.contains("deletionVectors"), e.getMessage)
+    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
     assert(e.getMessage.contains("full Delta client"))
+  }
+
+  test("roaring bitmap array: serialize/deserialize round-trip across container kinds") {
+    import graft.sources.DeletionVectors
+    // array container (sparse), bitmap container (>4096 dense in one
+    // 64k chunk), values under a second 32-bit high key
+    val sparse = Seq(0L, 1L, 17L, 65535L)
+    val dense = (0 until 5000).map(i => 65536L + i * 2L)
+    val high = Seq((1L << 32) + 7L, (1L << 32) + 65536L + 3L)
+    val all = sparse ++ dense ++ high
+    val bytes = DeletionVectors.serialize(all)
+    val bm = DeletionVectors.deserialize(bytes)
+    assert(bm.cardinality == all.distinct.size.toLong)
+    all.foreach(v => assert(bm.contains(v), s"missing $v"))
+    Seq(2L, 65536L + 1L, (1L << 32) + 8L, 3L << 32).foreach(v =>
+      assert(!bm.contains(v), s"phantom $v"))
+    // z85 round-trip (the inline-DV and uuid-path encoding)
+    val raw = Array.tabulate[Byte](32)(i => (i * 7 - 100).toByte)
+    assert(DeletionVectors.z85Decode(DeletionVectors.z85Encode(raw)).toSeq
+      == raw.toSeq)
+    // ZeroMQ RFC 32 reference vector: "HelloWorld" decodes to these bytes
+    assert(DeletionVectors.z85Decode("HelloWorld").map(b => b & 0xff).toSeq
+      == Seq(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b))
+  }
+
+  test("roaring bitmap array: run-container format parses") {
+    import graft.sources.DeletionVectors
+    // hand-craft cookie-12347 serialization: one bitmap, one run
+    // container holding [5, 9] — layout per the RoaringFormatSpec
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1681511377) // delta magic
+    bb.putLong(1L)        // one 32-bit bitmap
+    bb.putInt(0)          // its high-32 key
+    bb.putInt(12347 | (0 << 16)) // run cookie, containerCount-1 = 0
+    bb.put(1.toByte)      // run flag bitset: container 0 is a run
+    bb.putShort(0.toShort)      // key
+    bb.putShort(4.toShort)      // cardinality-1 (5 values)
+    // < 4 containers -> no offset header
+    bb.putShort(1.toShort)      // numRuns
+    bb.putShort(5.toShort)      // run start
+    bb.putShort(4.toShort)      // run length-1
+    val bytes = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val bm = DeletionVectors.deserialize(bytes)
+    assert(bm.cardinality == 5L)
+    (5L to 9L).foreach(v => assert(bm.contains(v)))
+    assert(!bm.contains(4L) && !bm.contains(10L))
+  }
+
+  test("readDelta filters deletion-vector'd rows (on-disk u + inline i + time travel)") {
+    import spark.implicits._
+    import graft.sources.DeletionVectors
+    val root = tmp("graft_dv_")
+    Seq.range(0L, 10L).toDF("id").coalesce(1).write.parquet(root)
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val dataFile = Files.list(Paths.get(root)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val rel = Paths.get(root).relativize(Paths.get(dataFile)).toString
+    // learn which physical row indexes hold ids 2 and 5
+    val idxOf = spark.read.parquet(dataFile)
+      .select(col("id"), col("_metadata.row_index"))
+      .as[(Long, Long)].collect().toMap
+    // on-disk DV, storageType "u": z85 uuid names the .bin file
+    val uuid = new java.util.UUID(0x0123456789abcdefL, 0xfedcba9876543210L)
+    val ub = java.nio.ByteBuffer.allocate(16)
+    ub.putLong(uuid.getMostSignificantBits); ub.putLong(uuid.getLeastSignificantBits)
+    val z85uuid = DeletionVectors.z85Encode(ub.array())
+    val (off, size) = DeletionVectors.writeDvFile(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(root, s"deletion_vector_$uuid.bin"),
+      Seq(idxOf(2L), idxOf(5L)))
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    // commit 1: row-level DELETE of ids 2,5 = remove + re-add with DV
+    Files.write(Paths.get(root, "_delta_log", "0" * 19 + "1.json"), Seq(
+      s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":2,"dataChange":true}}""",
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$z85uuid","offset":$off,"sizeInBytes":$size,"cardinality":2}}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val got = DeltaInterop.readDelta(spark, root).as[Long].collect().toSet
+    assert(got == Set(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L), got.toString)
+    // time travel to before the delete sees all rows
+    val v0 = DeltaInterop.readDelta(spark, root, versionAsOf = Some(0L))
+      .as[Long].collect().toSet
+    assert(v0 == (0L until 10L).toSet, v0.toString)
+    // commit 2: widen the DV INLINE (storageType "i") to also drop id 7
+    val inline = DeletionVectors.serialize(Seq(idxOf(2L), idxOf(5L), idxOf(7L)))
+    val padded = java.util.Arrays.copyOf(inline,
+      (inline.length + 3) / 4 * 4) // z85 needs 4-byte groups
+    val z85dv = DeletionVectors.z85Encode(padded)
+    Files.write(Paths.get(root, "_delta_log", "0" * 19 + "2.json"), Seq(
+      s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":3,"dataChange":true}}""",
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{},"size":1,"modificationTime":3,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$z85dv","sizeInBytes":${padded.length},"cardinality":3}}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val got2 = DeltaInterop.readDelta(spark, root).as[Long].collect().toSet
+    assert(got2 == Set(0L, 1L, 3L, 4L, 6L, 8L, 9L), got2.toString)
+    // a corrupted on-disk DV (flipped byte) refuses via CRC, never
+    // silently resurrects deleted rows
+    val dvPath = Paths.get(root, s"deletion_vector_$uuid.bin")
+    val bytes = Files.readAllBytes(dvPath)
+    bytes(bytes.length - 6) = (bytes(bytes.length - 6) ^ 0x40).toByte
+    Files.write(dvPath, bytes)
+    Files.deleteIfExists(Paths.get(root, s".deletion_vector_$uuid.bin.crc"))
+    val e = intercept[Exception] {
+      DeltaInterop.readDelta(spark, root, versionAsOf = Some(1L)).collect()
+    }
+    assert(e.getMessage.contains("CRC"), e.getMessage)
   }
 
   test("readDelta refuses column-mapped tables") {
