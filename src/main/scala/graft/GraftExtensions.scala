@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayEqFraction, DeflateLen, DotProduct, Fingerprint64, PHash64}
+import graft.functions.{ArrayEqFraction, DeflateLen, DotProduct, Fingerprint64, IcebergBucket, PHash64}
 import graft.plans.AsOfStrategy
 
 /** Session-extension entry point: wires the custom planner strategy and
@@ -45,6 +45,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 1, s"deflate_len takes 1 argument, got ${args.size}")
         DeflateLen(args.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("iceberg_bucket"),
+      new ExpressionInfo(classOf[IcebergBucket].getName, "iceberg_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          s"iceberg_bucket takes (numBuckets, col), got ${args.size} arguments")
+        val n = args.head match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"iceberg_bucket numBuckets must be an integer literal, got $other")
+        }
+        IcebergBucket(n, args(1))
       }))
   }
 }

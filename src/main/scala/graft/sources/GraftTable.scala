@@ -88,6 +88,7 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     case MonthsSpec(c) => s"__p_months_$c"
     case YearsSpec(c) => s"__p_years_$c"
     case BucketSpec(n, c) => s"__p_bucket_${n}_$c"
+    case MBucketSpec(n, c) => s"__p_mbucket_${n}_$c"
     case TruncSpec(w, c) => s"__p_trunc_${w}_$c"
     case c => c
   }
@@ -106,6 +107,8 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     case MonthsSpec(c) => Some(date_format(col(c), "yyyy-MM"))
     case YearsSpec(c) => Some(date_format(col(c), "yyyy"))
     case BucketSpec(n, c) => Some(pmod(xxhash64(col(c)), lit(n.toInt)).cast("int"))
+    case MBucketSpec(n, c) =>
+      Some(graft.functions.IcebergHash.iceberg_bucket(n.toInt, col(c)))
     case TruncSpec(w, c) => df.schema(c).dataType match {
       case org.apache.spark.sql.types.StringType =>
         Some(substring(col(c), 1, w.toInt))
@@ -706,13 +709,16 @@ class GraftTable private (val spark: SparkSession, val root: String) {
   def readWhereBucketOf(column: String, key: Any): DataFrame = {
     val c = readCommit(latestVersion())
     val spec = c.partitionBy.collectFirst {
-      case s @ BucketSpec(n, `column`) => (s, n.toInt)
+      case s @ BucketSpec(n, `column`) => (s, n.toInt, false)
+      case s @ MBucketSpec(n, `column`) => (s, n.toInt, true)
     }.getOrElse(throw new IllegalArgumentException(
       s"table is not bucket(n, $column)-partitioned"))
     val keyT = c.schemaStruct(column).dataType
-    val ordinal = spark.range(1)
-      .select(pmod(xxhash64(lit(key).cast(keyT)), lit(spec._2)).cast("int"))
-      .first().getInt(0)
+    val bucketCol =
+      if (spec._3) graft.functions.IcebergHash.iceberg_bucket(
+        spec._2, lit(key).cast(keyT))
+      else pmod(xxhash64(lit(key).cast(keyT)), lit(spec._2)).cast("int")
+    val ordinal = spark.range(1).select(bucketCol).first().getInt(0)
     readWherePartition(spec._1, ordinal.toString)
       .filter(col(column) === lit(key).cast(keyT))
   }
@@ -911,6 +917,7 @@ object GraftTable {
   private[sources] val MonthsSpec = """months\((\w+)\)""".r
   private[sources] val YearsSpec = """years\((\w+)\)""".r
   private[sources] val BucketSpec = """bucket\((\d+),\s*(\w+)\)""".r
+  private[sources] val MBucketSpec = """mbucket\((\d+),\s*(\w+)\)""".r
   private[sources] val TruncSpec = """truncate\((\d+),\s*(\w+)\)""".r
 
   /** Directory stats for the catalog scan path (and specs). Resolves

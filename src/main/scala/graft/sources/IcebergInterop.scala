@@ -426,25 +426,32 @@ object IcebergInterop {
   }
 
   /** Map a graft partition-spec entry to its Iceberg transform field,
-    * or None for `bucket(n, col)` — graft buckets with xxhash64 while
-    * Iceberg's bucket transform mandates murmur3_x86_32, so declaring
-    * the field would make foreign engines prune with the WRONG hash;
-    * bucket layouts mirror with that field omitted (a partition spec
-    * need not describe the full physical layout — files simply carry
-    * no value for it). `days/hours/months/years` map to the
+    * or None for `bucket(n, col)` — graft's default bucket layout
+    * hashes with xxhash64 while Iceberg's bucket transform mandates
+    * murmur3_x86_32, so declaring the field would make foreign engines
+    * prune with the WRONG hash; xxhash64 bucket layouts mirror with
+    * that field omitted (a partition spec need not describe the full
+    * physical layout — files simply carry no value for it). The
+    * `mbucket(n, col)` layout buckets with Iceberg's own murmur3 hash
+    * ([[graft.functions.IcebergBucket]]) and DOES declare a real
+    * `bucket[n]` field — foreign engines keep bucket point-lookup
+    * pruning on those mirrors. `days/hours/months/years` map to the
     * identically-defined Iceberg time transforms; `truncate(w, col)`
     * maps to `truncate[w]` (graft's width-prefix / floor-to-multiple
     * semantics are Iceberg's, see GraftTable.derivedPartCol). */
   private def transformField(spec: String, schema: StructType)
       : Option[(String, String, String, DataType, String)] = {
     // (icebergFieldName, transform, hiveKey, resultType, sourceColumn)
-    import GraftTable.{DaysSpec, HoursSpec, MonthsSpec, YearsSpec, BucketSpec, TruncSpec}
+    import GraftTable.{DaysSpec, HoursSpec, MonthsSpec, YearsSpec, BucketSpec, MBucketSpec, TruncSpec}
     spec match {
       case DaysSpec(c) => Some((s"${c}_day", "day", s"__p_days_$c", DateType, c))
       case HoursSpec(c) => Some((s"${c}_hour", "hour", s"__p_hours_$c", IntegerType, c))
       case MonthsSpec(c) => Some((s"${c}_month", "month", s"__p_months_$c", IntegerType, c))
       case YearsSpec(c) => Some((s"${c}_year", "year", s"__p_years_$c", IntegerType, c))
       case BucketSpec(_, _) => None
+      case MBucketSpec(n, c) =>
+        Some((s"${c}_bucket", s"bucket[$n]", s"__p_mbucket_${n}_$c",
+          IntegerType, c))
       case TruncSpec(w, c) =>
         Some((s"${c}_trunc", s"truncate[$w]", s"__p_trunc_${w}_$c",
           schema(c).dataType, c))

@@ -294,6 +294,8 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
       case GraftTable.MonthsSpec(c) => Expressions.months(c)
       case GraftTable.YearsSpec(c) => Expressions.years(c)
       case GraftTable.BucketSpec(n, c) => Expressions.bucket(n.toInt, c)
+      case GraftTable.MBucketSpec(n, c) => Expressions.apply("mbucket",
+        Expressions.literal(n.toInt), Expressions.column(c))
       case GraftTable.TruncSpec(w, c) => Expressions.apply("truncate",
         Expressions.literal(w.toInt), Expressions.column(c))
       case c => Expressions.identity(c)
@@ -390,10 +392,14 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
       val bucketCols: Map[String, (String, Int)] = commit.partitionBy.collect {
         case GraftTable.BucketSpec(n, c) => s"__p_bucket_${n}_$c" -> (c, n.toInt)
       }.toMap
+      val mbucketCols: Map[String, (String, Int)] = commit.partitionBy.collect {
+        case GraftTable.MBucketSpec(n, c) => s"__p_mbucket_${n}_$c" -> (c, n.toInt)
+      }.toMap
       val truncCols: Map[String, (String, Int)] = commit.partitionBy.collect {
         case GraftTable.TruncSpec(w, c) => s"__p_trunc_${w}_$c" -> (c, w.toInt)
       }.toMap
-      val derivedCols = timeCols.keySet ++ bucketCols.keySet ++ truncCols.keySet
+      val derivedCols = timeCols.keySet ++ bucketCols.keySet ++
+        mbucketCols.keySet ++ truncCols.keySet
       val schemaTypes = schema().fields.map(f => f.name -> f.dataType).toMap
       // Grain bounds for the source column, rendered the way DirStats
       // stores that type's stats (timestamps carry a time-of-day; dates
@@ -453,6 +459,13 @@ class GraftSparkTable(spark: SparkSession, path: String, ident: Identifier,
                       .XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]
                     (((h % n) + n) % n).toString == v
                   }
+                }
+              } else if (mbucketCols.contains(k)) {
+                val (src, n) = mbucketCols(k)
+                eqLits.get(src).forall { l =>
+                  if (l.value == null) true
+                  else graft.functions.IcebergBucket(n, l)
+                    .eval(null).asInstanceOf[Int].toString == v
                 }
               } else {
                 val (src, w) = truncCols(k)

@@ -29,9 +29,12 @@ class ExtensionsSpec extends AnyFunSuite {
         |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
         |  array_eq_fraction(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 4L)) AS eqf,
         |  phash64('abcdefgh') AS ph,
-        |  deflate_len('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS dl
+        |  deflate_len('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS dl,
+        |  iceberg_bucket(16, CAST(34 AS BIGINT)) AS ib
         |""".stripMargin).collect()(0)
     assert(r.getAs[Long]("fp") == 0xe71fa2190541574bL)
+    // Iceberg spec Appendix B: murmur3(34L) = 2017239379
+    assert(r.getAs[Int]("ib") == ((2017239379 & Int.MaxValue) % 16))
     assert(r.getAs[Double]("dp") == 11.0)
     assert(r.getAs[Double]("eqf") == 0.75)
     // phash64 SQL form matches the column-API expression

@@ -769,6 +769,68 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot decode"), e.getMessage)
   }
 
+  test("murmur3 bucket hash matches the Iceberg spec's published vectors") {
+    import graft.functions.IcebergHash._
+    // Iceberg table spec, Appendix B "32-bit Hash Requirements"
+    assert(hashLong(34L) == 2017239379)   // int 34 and long 34 agree
+    assert(hashBytes("iceberg".getBytes("UTF-8")) == 1210000089)
+    assert(hashLong(17486L) == -653330422)            // date 2017-11-16
+    assert(hashLong(1510871468000000L) == -2047944441) // ts 2017-11-16T22:31:08 UTC
+    assert(hashBytes(java.math.BigDecimal.valueOf(1420, 2)
+      .unscaledValue().toByteArray) == -500754589)     // decimal 14.20
+    assert(hashBytes(Array[Byte](0, 1, 2, 3)) == -188683207) // binary 00010203
+    // the codegen expression computes the same ordinals end to end
+    import spark.implicits._
+    val got = Seq(34L, 35L).toDF("id")
+      .select(iceberg_bucket(16, col("id")).as("b"))
+      .as[Int].collect().toSeq
+    assert(got.head == ((2017239379 & Int.MaxValue) % 16), got.toString)
+    // (the `iceberg_bucket` SQL registration is covered in ExtensionsSpec,
+    // whose session carries GraftExtensions)
+  }
+
+  test("mbucket layout: murmur3 point lookup; mirror declares a real bucket[n] field") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.input_file_name
+    val ids = Seq(34L, 35L, 100L, 101L, 7L, 9L)
+    val t = GraftTable.create(spark, tmp("graft_mb_"),
+      ids.map(i => (i, s"v$i")).toDF("id", "v"),
+      partitionBy = Seq("mbucket(16, id)"))
+    // point lookup probes exactly the murmur3 bucket
+    val hit = t.readWhereBucketOf("id", 34L).as[(Long, String)].collect().toSeq
+    assert(hit == Seq((34L, "v34")), hit.toString)
+    // physical layout dirs carry Iceberg's ordinals (hash & MAX % 16)
+    val ord34 = (2017239379 & Int.MaxValue) % 16
+    assert(Files.walk(Paths.get(t.root)).toArray.map(_.toString)
+      .exists(_.contains(s"__p_mbucket_16_id=$ord34")))
+    // the mirror declares bucket[16] — unlike the xxhash64 layout,
+    // which must omit the field
+    assert(IcebergInterop.mirrorToIceberg(t) == 1)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = om.readTree(Files.readAllBytes(
+      Paths.get(t.root, "metadata", "v1.metadata.json")))
+    val field = md.get("partition-spec").get(0)
+    assert(field.get("transform").asText() == "bucket[16]", field.toString)
+    assert(field.get("name").asText() == "id_bucket")
+    // full content round-trips
+    val all = IcebergInterop.readIceberg(spark, t.root)
+      .as[(Long, String)].collect().toSet
+    assert(all == ids.map(i => (i, s"v$i")).toSet)
+    // bucket point-lookup pruning through the foreign-format reader:
+    // only the one bucket's files reach the scan (the bucket holds every
+    // id whose murmur3 ordinal collides with 34's — e.g. 7 shares it)
+    val sameBucket = ids.filter(i =>
+      graft.functions.IcebergHash.bucketLong(i, 16) == ord34).toSet
+    assert(sameBucket.contains(34L))
+    val pruned = IcebergInterop.readIcebergWhere(
+      spark, t.root, "id_bucket", ord34.toString)
+    assert(pruned.select("id").as[Long].collect().toSet == sameBucket)
+    val allFiles = IcebergInterop.readIceberg(spark, t.root)
+      .select(input_file_name()).distinct().count()
+    val prunedFiles = pruned.select(input_file_name()).distinct().count()
+    assert(prunedFiles < allFiles, s"$prunedFiles vs $allFiles")
+  }
+
   test("mirrorToIceberg refuses commits that drop columns (field-id reuse)") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_idrop_"),
