@@ -90,6 +90,22 @@ class GraftTable(object):
         """Zero-copy: publish as Iceberg metadata inside the table root."""
         return self._spark._jvm.graft.sources.IcebergInterop.mirrorToIceberg(self._j)
 
+    def expire_snapshots(self, keep_last):
+        """Iceberg expire_snapshots analog for the mirror: retain the
+        newest keep_last snapshots, delete expired manifest lists /
+        unreferenced manifests / old metadata versions. Returns the
+        number of files deleted."""
+        return self._spark._jvm.graft.sources.IcebergInterop.expireSnapshots(
+            self._j, int(keep_last))
+
+    def cleanup_delta_log(self, keep_versions=30):
+        """Delta log-retention analog for the mirror: delete JSON commits
+        (and superseded checkpoints) covered by the newest checkpoint,
+        keeping at least the last keep_versions. Returns the number of
+        files deleted."""
+        return self._spark._jvm.graft.sources.DeltaInterop.cleanupMirrorLog(
+            self._j, int(keep_versions))
+
 
 def _opt_long(spark, v):
     """Scala Option[Long] across the gateway (None -> Option.empty;

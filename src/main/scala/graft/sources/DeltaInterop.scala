@@ -190,20 +190,17 @@ object DeltaInterop {
     // log, not a listing), and the last mirrored schema.
     val activeByDir = scala.collection.mutable.Map[String, List[String]]()
     var prevSchema: String = null
-    // resume bootstrap: start the replay from the newest single-part
+    // resume bootstrap: start the replay from the newest COMPLETE
     // checkpoint ≤ mirrored when one exists — O(checkpoint + tail)
     // instead of O(#commits), and the mirror survives pre-checkpoint
     // JSON cleanup per Delta's log retention (the checkpoint holds
     // exactly the state the replay reconstructs: active adds + schema)
-    val bootCp: Int = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
-      .flatMap { n =>
-        "(\\d{20})\\.checkpoint\\.parquet".r.unapplySeq(n)
-          .flatMap(_.headOption).map(_.toInt)
-      }
-      .filter(_ <= mirrored).maxOption.getOrElse(-1)
+    val cpsOnDisk = completedCheckpoints(fs, logDir)
+    val bootCp: Int = cpsOnDisk.keySet.filter(_ <= mirrored)
+      .maxOption.map(_.toInt).getOrElse(-1)
     if (bootCp >= 0) {
       val cp = t.spark.read.parquet(
-        new HPath(logDir, f"$bootCp%020d.checkpoint.parquet").toString)
+        cpsOnDisk(bootCp.toLong).map(_.toString): _*)
       val fields = cp.schema.fieldNames.toSet
       if (fields.contains("metaData"))
         cp.where(col("metaData.schemaString").isNotNull)
@@ -386,16 +383,36 @@ object DeltaInterop {
     stats.foreach { case (p, size, mod) =>
       rows.add(Row(null, null, Row(encodePath(p), pvOf(p), size, mod, true)))
     }
-    val tmp = new HPath(logDir, s".cp-$v-${java.util.UUID.randomUUID()}")
-    spark.createDataFrame(rows, cpSchema).repartition(1)
-      .write.parquet(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath)
-      .find(p => p.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"no checkpoint part under $tmp"))
-    val cpPath = new HPath(logDir, f"$v%020d.checkpoint.parquet")
-    if (!fs.rename(part, cpPath) && !fs.exists(cpPath))
-      throw new java.io.IOException(s"could not publish checkpoint $cpPath")
-    fs.delete(tmp, true)
+    // MULTI-PART when the action count exceeds the per-part threshold
+    // (PROTOCOL.md classic multi-part naming v.checkpoint.i.n.parquet,
+    // 1-based, with the `parts` field in _last_checkpoint — the reader
+    // side validates part completeness against it, spec'd in r8): a
+    // mirror of a very large table otherwise produces one giant
+    // checkpoint parquet. Single-part tables keep the classic name.
+    val partSize = t.spark.conf.getOption("spark.graft.delta.checkpointPartSize")
+      .map(_.toInt).getOrElse(1000000)
+    require(partSize > 0, "spark.graft.delta.checkpointPartSize must be positive")
+    val nParts = math.max(1, (rows.size() + partSize - 1) / partSize)
+    def publishPart(slice: java.util.List[Row], target: HPath): Unit = {
+      val tmp = new HPath(logDir, s".cp-$v-${java.util.UUID.randomUUID()}")
+      spark.createDataFrame(slice, cpSchema).repartition(1)
+        .write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(p => p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no checkpoint part under $tmp"))
+      if (!fs.rename(part, target) && !fs.exists(target))
+        throw new java.io.IOException(s"could not publish checkpoint $target")
+      fs.delete(tmp, true)
+    }
+    if (nParts == 1)
+      publishPart(rows, new HPath(logDir, f"$v%020d.checkpoint.parquet"))
+    else (0 until nParts).foreach { i =>
+      publishPart(
+        new java.util.ArrayList(rows.subList(i * partSize,
+          math.min((i + 1) * partSize, rows.size()))),
+        new HPath(logDir,
+          f"$v%020d.checkpoint.${i + 1}%010d.$nParts%010d.parquet"))
+    }
     // temp + delete + rename, never truncate-in-place: a reader between
     // a truncate and the rewrite would see an empty/partial
     // _last_checkpoint (the reader's listing fallback survives it, but
@@ -403,13 +420,80 @@ object DeltaInterop {
     // the Iceberg version hint
     val lcPath = new HPath(logDir, "_last_checkpoint")
     val tmpLc = new HPath(logDir, s"._last_checkpoint-${java.util.UUID.randomUUID()}.tmp")
+    val partsField = if (nParts > 1) s""","parts":$nParts""" else ""
     val lastCp = fs.create(tmpLc, false)
     try lastCp.write(
-      ("{\"version\":" + v + ",\"size\":" + rows.size() + "}")
+      ("{\"version\":" + v + ",\"size\":" + rows.size() + partsField + "}")
         .getBytes(StandardCharsets.UTF_8))
     finally lastCp.close()
     fs.delete(lcPath, false)
     if (!fs.rename(tmpLc, lcPath)) fs.delete(tmpLc, false)
+  }
+
+  private val SinglePartCp = "(\\d{20})\\.checkpoint\\.parquet".r
+  private val MultiPartCp =
+    "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
+
+  /** COMPLETE checkpoints on disk, version → part files: the classic
+    * single-part file, and multi-part sets only when every declared
+    * part is present (a partial set must never serve as a base state). */
+  private def completedCheckpoints(fs: org.apache.hadoop.fs.FileSystem,
+      logDir: HPath): Map[Long, Seq[HPath]] = {
+    val names = fs.listStatus(logDir).toSeq.map(_.getPath)
+    val singles = names.flatMap { p =>
+      p.getName match {
+        case SinglePartCp(v) => Some(v.toLong -> Seq(p))
+        case _ => None
+      }
+    }
+    val multis = names.flatMap { p =>
+      p.getName match {
+        case MultiPartCp(v, _, n) => Some(((v.toLong, n.toInt), p))
+        case _ => None
+      }
+    }.groupBy(_._1).collect {
+      case ((v, n), parts) if parts.size == n =>
+        v -> parts.map(_._2).sortBy(_.getName)
+    }
+    (singles ++ multis).toMap
+  }
+
+  /** Delta log-retention analog for mirrors: delete JSON commits (and
+    * superseded checkpoints) already covered by the newest checkpoint,
+    * keeping at least the last `keepVersions` commits' JSON — the
+    * `delta.logRetentionDuration` cleanup shape, version-counted
+    * because mirror cadence is commit-driven. Readers of the current
+    * state replay the checkpoint + the retained tail (spec'd in r8);
+    * `versionAsOf` into the cleaned prefix refuses loudly via
+    * readDelta's existing compacted-history check, and mirror RESUME
+    * bootstraps from the checkpoint. A mirror with no checkpoint yet
+    * cleans nothing — the JSON log is the only state. Returns the
+    * number of files deleted. */
+  def cleanupMirrorLog(t: GraftTable, keepVersions: Int = 30): Int = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val root = new HPath(t.root)
+    val fs = root.getFileSystem(t.spark.sparkContext.hadoopConfiguration)
+    val logDir = new HPath(root, "_delta_log")
+    if (!fs.exists(logDir)) return 0
+    val jsons = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.json"))
+      .map(_.dropRight(5).toLong)
+    val cpFiles = completedCheckpoints(fs, logDir)
+    val cp = cpFiles.keySet.maxOption.getOrElse(return 0)
+    val top = jsons.maxOption.getOrElse(return 0)
+    // deletable: covered by the newest checkpoint AND outside the
+    // retained tail (the tail after the checkpoint must stay for
+    // readers; never touch it)
+    val threshold = top - keepVersions
+    var deleted = 0
+    jsons.filter(v => v <= cp && v <= threshold).foreach { v =>
+      if (fs.delete(new HPath(logDir, f"$v%020d.json"), false)) deleted += 1
+    }
+    cpFiles.filter { case (v, _) => v < cp && v <= threshold }
+      .foreach { case (_, parts) =>
+        parts.foreach(p => if (fs.delete(p, false)) deleted += 1)
+      }
+    deleted
   }
 
   // one JSON action object per line; these pull the fields readDelta

@@ -590,20 +590,39 @@ object IcebergInterop {
     val latest = t.latestVersion()
     require(latest >= 0, s"empty graft table at ${t.root}")
     val hint = new HPath(metaDir, "version-hint.text")
-    // a torn/absent hint (non-atomic stores, or read inside the
-    // delete+rename publish window) falls back to the metadata listing
-    // — resuming from -1 would try to re-mirror already-written versions
+    // Current METADATA version from the hint, falling back to the
+    // listing for a torn/absent hint (non-atomic stores, or a read
+    // inside the delete+rename publish window). Metadata numbering is
+    // DECOUPLED from graft commit numbering — [[expireSnapshots]]
+    // writes extra metadata versions — so mirror progress comes from
+    // the `graft.mirror.version` table property, with `metaVersion - 1`
+    // as the pre-property legacy fallback.
     def listedTop: Int =
       if (!fs.exists(metaDir)) -1
       else fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
         .flatMap(n => VMeta.unapplySeq(n).flatMap(_.headOption).map(_.toInt))
-        .maxOption.map(_ - 1).getOrElse(-1)
-    val mirrored: Int =
+        .maxOption.getOrElse(-1)
+    val curMeta: Int =
       if (!fs.exists(hint)) listedTop
       else new String(readBytes(fs, hint), StandardCharsets.UTF_8)
-        .trim.toIntOption.map(_ - 1).getOrElse(listedTop)
+        .trim.toIntOption.getOrElse(listedTop)
+    var md: ObjectNode =
+      if (curMeta < 0) null
+      else om.readTree(readBytes(fs,
+        new HPath(metaDir, s"v$curMeta.metadata.json")))
+        .asInstanceOf[ObjectNode]
+    val mirrored: Int =
+      if (md == null) -1
+      else {
+        val prop = md.path("properties").path("graft.mirror.version")
+        if (!prop.isMissingNode && prop.asText().toIntOption.isDefined)
+          prop.asText().toInt
+        else curMeta - 1
+      }
     if (mirrored >= latest) return 0
     fs.mkdirs(metaDir)
+    // HadoopCatalog numbering starts at v1
+    var nextMeta = math.max(curMeta + 1, 1)
 
     // immutable dirs: list + footer-count each once per sync. A dir
     // vacuumed before its history was mirrored lists as empty (legal
@@ -630,12 +649,6 @@ object IcebergInterop {
             (st.getPath.toString, st.getLen, footerRecordCount(conf, st)))
         }
       })
-
-    var md: ObjectNode =
-      if (mirrored < 0) null
-      else om.readTree(readBytes(fs,
-        new HPath(metaDir, s"v${mirrored + 1}.metadata.json")))
-        .asInstanceOf[ObjectNode]
 
     // Field ids are allocated POSITIONALLY per schema, so they stay
     // stable only if column order does. Graft commits can record the
@@ -830,29 +843,106 @@ object IcebergInterop {
         else md.putArray("snapshots")
       snaps.add(snapshotNode(snapId, c.timestampMs, c.action,
         listPath.toString, schemaId))
+      // mirror progress rides the metadata (Iceberg table properties):
+      // metadata version numbers diverge from graft versions once
+      // expireSnapshots has written retention-only versions
+      md.path("properties") match {
+        case o: ObjectNode => o.put("graft.mirror.version", v.toString)
+        case _ => md.putObject("properties").put("graft.mirror.version", v.toString)
+      }
 
       // exclusive metadata-version put; a racing peer writing the same
       // version derived identical content from the same commit log
       try {
-        writeBytes(fs, new HPath(metaDir, s"v${v + 1}.metadata.json"),
+        writeBytes(fs, new HPath(metaDir, s"v$nextMeta.metadata.json"),
           om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
         written += 1
       } catch {
         case _: java.io.IOException
-          if fs.exists(new HPath(metaDir, s"v${v + 1}.metadata.json")) =>
+          if fs.exists(new HPath(metaDir, s"v$nextMeta.metadata.json")) =>
           md = om.readTree(readBytes(fs,
-            new HPath(metaDir, s"v${v + 1}.metadata.json"))).asInstanceOf[ObjectNode]
+            new HPath(metaDir, s"v$nextMeta.metadata.json"))).asInstanceOf[ObjectNode]
       }
-      // temp + rename, never truncate-in-place: a reader between a
-      // truncate and the write would see an empty hint (Iceberg's own
-      // HadoopTableOperations publishes the hint the same way)
-      val tmpHint = new HPath(metaDir,
-        s".version-hint-${java.util.UUID.randomUUID()}.tmp")
-      writeBytes(fs, tmpHint, (v + 1).toString.getBytes(StandardCharsets.UTF_8))
-      fs.delete(hint, false)
-      if (!fs.rename(tmpHint, hint)) fs.delete(tmpHint, false)
+      publishHint(fs, metaDir, nextMeta)
+      nextMeta += 1
     }
     written
+  }
+
+  /** temp + rename, never truncate-in-place: a reader between a
+    * truncate and the write would see an empty hint (Iceberg's own
+    * HadoopTableOperations publishes the hint the same way). */
+  private def publishHint(fs: org.apache.hadoop.fs.FileSystem,
+      metaDir: HPath, version: Int): Unit = {
+    val hint = new HPath(metaDir, "version-hint.text")
+    val tmpHint = new HPath(metaDir,
+      s".version-hint-${java.util.UUID.randomUUID()}.tmp")
+    writeBytes(fs, tmpHint, version.toString.getBytes(StandardCharsets.UTF_8))
+    fs.delete(hint, false)
+    if (!fs.rename(tmpHint, hint)) fs.delete(tmpHint, false)
+  }
+
+  /** Iceberg `expire_snapshots` analog for mirrors (and exported
+    * tables): retain the newest `keepLast` snapshots (always including
+    * the current one), publish a new metadata version without the
+    * expired ones, and physically delete what only they referenced —
+    * their manifest lists, manifests referenced by NO retained
+    * snapshot, and metadata versions older than the previous one.
+    * Long-lived 100 TB mirrors otherwise accumulate O(#commits)
+    * metadata forever. Time travel to an expired snapshot id refuses
+    * loudly through [[readIceberg]]'s existing not-found path.
+    * Returns the number of files deleted. */
+  def expireSnapshots(t: GraftTable, keepLast: Int): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val conf = t.spark.sparkContext.hadoopConfiguration
+    val root = new HPath(t.root)
+    val fs = root.getFileSystem(conf)
+    val metaDir = new HPath(root, "metadata")
+    val hint = new HPath(metaDir, "version-hint.text")
+    require(fs.exists(hint), s"no mirrored Iceberg metadata at ${t.root}")
+    val curMeta = new String(readBytes(fs, hint), StandardCharsets.UTF_8).trim.toInt
+    val md = om.readTree(readBytes(fs,
+      new HPath(metaDir, s"v$curMeta.metadata.json"))).asInstanceOf[ObjectNode]
+    val currentSnap = md.path("current-snapshot-id").asLong(-1L)
+    val snaps = md.path("snapshots").elements().asScala().toSeq
+    val byIdAsc = snaps.sortBy(_.path("snapshot-id").asLong())
+    val keepIds = (byIdAsc.takeRight(keepLast).map(_.path("snapshot-id").asLong())
+      :+ currentSnap).toSet
+    val (retained, expired) = byIdAsc.partition(s => keepIds(s.path("snapshot-id").asLong()))
+    if (expired.isEmpty) return 0
+
+    def manifestsOf(listPath: String): Seq[String] =
+      readAvro(readBytes(fs, new HPath(listPath)))
+        .map(_.get("manifest_path").toString)
+    val keepManifests = retained
+      .flatMap(s => manifestsOf(s.path("manifest-list").asText())).toSet
+    val doomedLists = expired.map(_.path("manifest-list").asText())
+    val doomedManifests = doomedLists.flatMap(manifestsOf)
+      .filterNot(keepManifests.contains).distinct
+
+    // publish the trimmed metadata FIRST — only then delete, so a
+    // concurrent reader never holds a hint whose referenced files died
+    val trimmed = md.deepCopy[ObjectNode]()
+    val arr = trimmed.putArray("snapshots")
+    retained.foreach(s => arr.add(s))
+    writeBytes(fs, new HPath(metaDir, s"v${curMeta + 1}.metadata.json"),
+      om.writerWithDefaultPrettyPrinter().writeValueAsBytes(trimmed))
+    publishHint(fs, metaDir, curMeta + 1)
+
+    var deleted = 0
+    (doomedLists ++ doomedManifests).foreach { p =>
+      if (fs.delete(new HPath(p), false)) deleted += 1
+    }
+    // metadata retention: keep the new version and its immediate
+    // predecessor (a reader racing the hint publish may still open it)
+    fs.listStatus(metaDir).toSeq.map(_.getPath).foreach { p =>
+      p.getName match {
+        case VMeta(n) if n.toInt < curMeta =>
+          if (fs.delete(p, false)) deleted += 1
+        case _ => ()
+      }
+    }
+    deleted
   }
 
   // ---------------------------------------------------------------

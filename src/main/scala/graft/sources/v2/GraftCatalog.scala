@@ -735,7 +735,7 @@ private[v2] object GraftProcedures {
   val Names: Seq[String] =
     Seq("vacuum", "vacuum_older_than", "compact", "cluster", "zorder",
       "restore", "export_delta", "export_iceberg", "mirror_delta",
-      "mirror_iceberg")
+      "mirror_iceberg", "expire_snapshots", "cleanup_delta_log")
 
   private def in(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -763,6 +763,10 @@ private[v2] object GraftProcedures {
             Array(in("table", StringType), in("target", StringType))
           case "mirror_delta" | "mirror_iceberg" =>
             Array(in("table", StringType))
+          case "expire_snapshots" =>
+            Array(in("table", StringType), in("keep_last", IntegerType))
+          case "cleanup_delta_log" =>
+            Array(in("table", StringType), in("keep_versions", IntegerType))
           case _ => // cluster / zorder
             Array(in("table", StringType), in("cols", StringType),
               in("num_dirs", IntegerType))
@@ -805,6 +809,16 @@ private[v2] object GraftProcedures {
             case "mirror_iceberg" =>
               (StructType(Seq(StructField("metadata_versions", IntegerType))),
                 Seq(InternalRow(graft.sources.IcebergInterop.mirrorToIceberg(t))))
+            // mirror metadata retention (Iceberg expire_snapshots /
+            // Delta log-retention analogs)
+            case "expire_snapshots" =>
+              (StructType(Seq(StructField("deleted_files", IntegerType))),
+                Seq(InternalRow(graft.sources.IcebergInterop
+                  .expireSnapshots(t, input.getInt(1)))))
+            case "cleanup_delta_log" =>
+              (StructType(Seq(StructField("deleted_files", IntegerType))),
+                Seq(InternalRow(graft.sources.DeltaInterop
+                  .cleanupMirrorLog(t, input.getInt(1)))))
           }
           val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
             override def readSchema(): StructType = schema

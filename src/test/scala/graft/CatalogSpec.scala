@@ -298,6 +298,18 @@ class CatalogSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet == want)
     assert(spark.sql(s"CALL $cat.system.mirror_iceberg('db.ex')")
       .collect()(0).getInt(0) == 0)
+    // retention procedures run through SQL too (deep behavior is
+    // spec'd in the interop suites; here: callable, sane results,
+    // current reads stay green afterwards)
+    spark.sql(s"INSERT INTO $cat.db.ex VALUES (4, 'd')")
+    spark.sql(s"CALL $cat.system.mirror_iceberg('db.ex')")
+    val r5 = spark.sql(s"CALL $cat.system.expire_snapshots('db.ex', 1)")
+    assert(r5.collect()(0).getInt(0) > 0)
+    assert(graft.sources.IcebergInterop.readIceberg(spark, tblRoot)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == want + ((4L, "d")))
+    val r6 = spark.sql(s"CALL $cat.system.cleanup_delta_log('db.ex', 1)")
+    assert(r6.collect()(0).getInt(0) >= 0)
   }
 
   test("CALL cat.system.restore rolls back through SQL") {

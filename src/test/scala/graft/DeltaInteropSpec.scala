@@ -276,6 +276,77 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("full Delta client"), e.getMessage)
   }
 
+  test("cleanupMirrorLog deletes checkpoint-covered JSON; reads + resume stay green") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_dclean_"),
+      Seq((0L, "v0")).toDF("id", "v"))
+    (1 to 11).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    assert(DeltaInterop.mirrorToDelta(t) == 12) // checkpoint lands at v10
+    val logDir = Paths.get(t.root, "_delta_log")
+    def jsons() = Files.list(logDir).toArray.map(_.toString)
+      .filter(_.endsWith(".json")).toSeq
+    assert(jsons().size == 12)
+    val deleted = DeltaInterop.cleanupMirrorLog(t, keepVersions = 3)
+    // v0..v8 are covered by the v10 checkpoint and outside the 3-deep
+    // tail; v9..v11 stay (v9/v10 within keepVersions of top=11)
+    assert(deleted == 9, deleted.toString)
+    assert(jsons().size == 3)
+    // current read replays checkpoint + tail exactly
+    val cur = DeltaInterop.readDelta(spark, t.root)
+      .as[(Long, String)].collect().toSet
+    assert(cur == (0 to 11).map(i => (i.toLong, s"v$i")).toSet)
+    // travel into the retained tail works; the cleaned prefix refuses
+    val v10 = DeltaInterop.readDelta(spark, t.root, versionAsOf = Some(10L))
+      .as[(Long, String)].collect().toSet
+    assert(v10 == (0 to 10).map(i => (i.toLong, s"v$i")).toSet)
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, t.root, versionAsOf = Some(5L))
+    }
+    assert(e.getMessage.contains("full Delta client"), e.getMessage)
+    // mirror resume bootstraps from the checkpoint across the cleanup
+    t.append(Seq((12L, "v12")).toDF("id", "v"))
+    assert(DeltaInterop.mirrorToDelta(t) == 1)
+    val cur2 = DeltaInterop.readDelta(spark, t.root)
+      .as[(Long, String)].collect().toSet
+    assert(cur2 == (0 to 12).map(i => (i.toLong, s"v$i")).toSet)
+    // the tail window slid: v9 is now outside keepVersions of top=12
+    // and still checkpoint-covered; repeated cleanup is then a no-op
+    assert(DeltaInterop.cleanupMirrorLog(t, keepVersions = 3) == 1)
+    assert(DeltaInterop.cleanupMirrorLog(t, keepVersions = 3) == 0)
+  }
+
+  test("mirror writes MULTI-PART checkpoints past the part-size threshold") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.delta.checkpointPartSize", "2")
+    try {
+      val t = GraftTable.create(spark, tmp("graft_dmp_"),
+        Seq((0L, "v0")).toDF("id", "v"))
+      (1 to 10).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+      assert(DeltaInterop.mirrorToDelta(t) == 11) // checkpoint at v10
+      val logDir = Paths.get(t.root, "_delta_log")
+      val names = Files.list(logDir).toArray.map(_.toString.split('/').last)
+      val parts = names.filter(_.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+      assert(parts.nonEmpty, names.mkString(", "))
+      assert(!names.exists(_.matches("\\d{20}\\.checkpoint\\.parquet")))
+      val declared = parts.head.split('.')(3).toInt
+      assert(parts.length == declared, s"${parts.length} vs declared $declared")
+      val lc = new String(Files.readAllBytes(logDir.resolve("_last_checkpoint")))
+      assert(lc.contains(s""""parts":$declared"""), lc)
+      // byte-identical state through the reader: checkpoint + no tail
+      val got = DeltaInterop.readDelta(spark, t.root)
+        .as[(Long, String)].collect().toSet
+      assert(got == (0 to 10).map(i => (i.toLong, s"v$i")).toSet)
+      // cleanup covered JSON, then mirror RESUME bootstraps from the
+      // multi-part checkpoint (no JSON prefix left to replay)
+      assert(DeltaInterop.cleanupMirrorLog(t, keepVersions = 1) > 0)
+      t.append(Seq((11L, "v11")).toDF("id", "v"))
+      assert(DeltaInterop.mirrorToDelta(t) == 1)
+      val got2 = DeltaInterop.readDelta(spark, t.root)
+        .as[(Long, String)].collect().toSet
+      assert(got2 == (0 to 11).map(i => (i.toLong, s"v$i")).toSet)
+    } finally spark.conf.unset("spark.graft.delta.checkpointPartSize")
+  }
+
   test("readDelta refuses unsupported reader protocols and features") {
     // reader version 2 (column mapping capability) refuses
     val root2 = tmp("graft_dproto2_")

@@ -831,6 +831,46 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(prunedFiles < allFiles, s"$prunedFiles vs $allFiles")
   }
 
+  test("expireSnapshots trims mirror metadata; retained travel green, expired refuses") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_iexp_"),
+      Seq((0L, "v0")).toDF("id", "v"))
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    assert(IcebergInterop.mirrorToIceberg(t) == 6)
+    val metaDir = Paths.get(t.root, "metadata")
+    def metaFiles() = Files.list(metaDir).toArray.map(_.toString)
+      .filterNot(_.contains("version-hint")).toSeq
+    val before = metaFiles().size
+    val deleted = IcebergInterop.expireSnapshots(t, keepLast = 2)
+    assert(deleted > 0)
+    assert(metaFiles().size < before, s"$before -> ${metaFiles().size}")
+    // hint moved to the retention-only metadata version
+    assert(new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text"))).trim == "7")
+    // current read still exact
+    val cur = IcebergInterop.readIceberg(spark, t.root)
+      .as[(Long, String)].collect().toSet
+    assert(cur == (0 to 5).map(i => (i.toLong, s"v$i")).toSet)
+    // retained snapshot (latest-1 = graft v4 -> snapshot 5) time-travels
+    val v4 = IcebergInterop.readIceberg(spark, t.root, Some(5L))
+      .as[(Long, String)].collect().toSet
+    assert(v4 == (0 to 4).map(i => (i.toLong, s"v$i")).toSet)
+    // expired snapshot refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, t.root, Some(2L))
+    }
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    // mirror RESUME after expire: metadata numbering is decoupled from
+    // graft versions via the graft.mirror.version property
+    t.append(Seq((6L, "v6")).toDF("id", "v"))
+    assert(IcebergInterop.mirrorToIceberg(t) == 1)
+    val cur2 = IcebergInterop.readIceberg(spark, t.root)
+      .as[(Long, String)].collect().toSet
+    assert(cur2 == (0 to 6).map(i => (i.toLong, s"v$i")).toSet)
+    // idempotent: nothing new to expire after keeping the same horizon
+    assert(IcebergInterop.mirrorToIceberg(t) == 0)
+  }
+
   test("mirrorToIceberg refuses commits that drop columns (field-id reuse)") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_idrop_"),
