@@ -532,8 +532,10 @@ object Dedup {
     val bandCols = (0 until 32).map { bnd =>
       xxhash64((0 until 4).map(r => element_at(col("sig"), bnd * 4 + r + 1)): _*)
     }
-    val bands = sigs.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash")))
+    val bands = capBuckets(
+      sigs.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band_id", "band_hash"))),
+      Seq("band_id", "band_hash"))
     val rawCand = bands.as("l")
       .join(bands.as("r"),
         col("l.band_id") === col("r.band_id") &&
@@ -596,6 +598,35 @@ object Dedup {
         shiftright(col("sig"), k * 16).bitwiseAND(0xffffL)): _*))
         .as(Seq("blk_id", "blk")))
 
+  /** Hot-bucket guardrail for banded candidate self-joins (d3 bands,
+    * d4/h10 SimHash quarters, m5 pHash quarters) — the companion of
+    * d2's `maxShingleDf`. A pathological corpus (millions of
+    * tiny/near-identical docs sharing one block value, e.g. quarter
+    * b0 = 0) makes a single band bucket quadratic in the candidate
+    * join; AQE skew-split rebalances the work but cannot bound the
+    * pair EXPLOSION itself. With `spark.graft.dedup.maxBandBucket`
+    * set, bucket values wider than the cap are dropped before the
+    * self-join, bounding per-bucket candidates at cap² — the
+    * documented recall trade: a pair is missed only if EVERY band it
+    * agrees on is over-cap, i.e. the pair sits inside a ≥cap-wide
+    * near-identical cluster, exactly the rows exact dedup (d1) already
+    * collapses. Off by default (no extra aggregation in the plan);
+    * when on, the width count is one map-side-combined agg on the
+    * existing shuffle keys. */
+  private[graft] def capBuckets(blocks: DataFrame, keys: Seq[String]): DataFrame = {
+    val cap = blocks.sparkSession.conf.getOption("spark.graft.dedup.maxBandBucket")
+      .map(_.toLong).getOrElse(Long.MaxValue)
+    if (cap == Long.MaxValue) blocks
+    else {
+      require(cap >= 2, s"spark.graft.dedup.maxBandBucket must be >= 2, got $cap")
+      val hot = blocks.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__bucket_width"))
+        .filter(col("__bucket_width") > cap)
+        .select(keys.map(col): _*)
+      blocks.join(hot, keys, "left_anti")
+    }
+  }
+
   /** Candidate generation + exact hamming filter over (doc_id, sig)
     * signatures: block on 16-bit signature quarters (pigeonhole — any
     * hamming ≤ 3 pair agrees on at least one quarter), shuffle on
@@ -603,7 +634,7 @@ object Dedup {
     * (doc_a, doc_b, hamming). */
   private[graft] def simHashBlockPairs(signed: DataFrame,
       maxHamming: Int): DataFrame = {
-    val blocks = simHashBlocks(signed)
+    val blocks = capBuckets(simHashBlocks(signed), Seq("blk_id", "blk"))
     blocks.as("l")
       .join(blocks.as("r"),
         col("l.blk_id") === col("r.blk_id") && col("l.blk") === col("r.blk") &&

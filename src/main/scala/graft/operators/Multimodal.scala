@@ -216,9 +216,11 @@ object Multimodal {
       .withColumn("h", graft.functions.PHash64.phash64(col("__t")))
       .select(col("__id") +: (0 until 4).map(j =>
         expr(s"shiftrightunsigned(h, ${j * 16}) & 65535").as(s"b$j")): _*)
-    val blocks = sig.select(col("__id"),
-      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-        .as(Seq("blk", "bv")))
+    val blocks = graft.operators.Dedup.capBuckets(
+      sig.select(col("__id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("blk", "bv"))),
+      Seq("blk", "bv"))
     val cand = blocks.as("x")
       .join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&

@@ -487,11 +487,16 @@ object Streams {
     * driver check; equality with the batch twin is spec-asserted. */
   val h10_stream_neardup: Relational.Q = (s, dir) => {
     import s.implicits._
-    val baseBlocks = graft.operators.Dedup
-      .simHashBlocks(graft.operators.Dedup.simHashSignatures(
-        graft.sources.Tables.documents(s, dir)
-          .filter(!$"source".isin("src18", "src19")),
-        "doc_id", "text"))
+    // the hot-bucket cap (spark.graft.dedup.maxBandBucket) applies to
+    // the STATIC index side — an over-cap quarter value never enters
+    // the stream-static join, bounding per-batch candidate fan-out
+    val baseBlocks = graft.operators.Dedup.capBuckets(
+      graft.operators.Dedup
+        .simHashBlocks(graft.operators.Dedup.simHashSignatures(
+          graft.sources.Tables.documents(s, dir)
+            .filter(!$"source".isin("src18", "src19")),
+          "doc_id", "text")),
+      Seq("blk_id", "blk"))
       .select($"doc_id".as("doc_a"), $"sig".as("sig_a"), $"blk_id", $"blk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

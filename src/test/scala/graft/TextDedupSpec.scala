@@ -299,6 +299,37 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("maxBandBucket caps hot band buckets in the banded near-dup joins") {
+    import spark.implicits._
+    // Adversarial corpus: 60 docs with IDENTICAL text — every quarter
+    // block collides, so the uncapped candidate join is quadratic in
+    // the cluster (C(60,2) = 1770 pairs) — plus a 3-doc near-identical
+    // cluster that must SURVIVE the cap (width 3 ≤ 10).
+    val docs = ((0 until 60).map(i =>
+        (i.toLong, "the same boilerplate text repeated verbatim across the crawl")) ++
+      Seq(1000L, 1001L, 1002L).map(id =>
+        (id, "a genuinely distinct document about alpha beta gamma delta")))
+      .toDF("doc_id", "text")
+    val signed = Dedup.simHashSignatures(docs, "doc_id", "text")
+    assert(Dedup.simHashBlockPairs(signed, 3).count() == 1770 + 3)
+    spark.conf.set("spark.graft.dedup.maxBandBucket", "10")
+    try {
+      val capped = Dedup.simHashBlockPairs(signed, 3).collect()
+      // the over-cap cluster's pairs are gone (the documented recall
+      // trade: those rows are what exact dedup collapses anyway); the
+      // small cluster is untouched
+      assert(capped.length == 3)
+      assert(capped.forall(r => r.getLong(0) >= 1000L && r.getLong(1) >= 1000L))
+      // same guardrail through the m5 pHash path
+      val phashCapped = graft.operators.Multimodal
+        .phashPairsOn(docs, "doc_id", "text", maxHamming = 3).collect()
+      assert(phashCapped.length == 3)
+      assert(phashCapped.forall(r => r.getLong(0) >= 1000L))
+    } finally spark.conf.unset("spark.graft.dedup.maxBandBucket")
+    // cap removed → uncapped behavior restored (no lingering plan state)
+    assert(Dedup.simHashBlockPairs(signed, 3).count() == 1770 + 3)
+  }
+
   test("connectedComponents labels a deep chain exactly (pointer-jump phase)") {
     // A 200-link chain has diameter 200 — hash-min alone would need 200
     // rounds. With jumpAfter forced low, the pointer-jumping phase must
