@@ -1,0 +1,286 @@
+package graft.sources.rest
+
+import java.nio.charset.StandardCharsets
+import java.util
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.GraftTable
+import graft.sources.v2.{GraftCatalog, GraftSparkTable}
+
+/** Spark catalog plugin CLIENT for a [[RestCatalogServer]] — the
+  * `type=rest` session wiring the reference uses for its Polaris
+  * catalog (docker/spark-notebook/getting_started.py:82-95: every
+  * session gets `type=rest` + `uri=…`; 01_polaris_demo.ipynb), pointed
+  * at graft's own catalog service:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.g", "graft.sources.rest.GraftRestCatalog")
+  *   spark.conf.set("spark.sql.catalog.g.type", "rest")
+  *   spark.conf.set("spark.sql.catalog.g.uri", "http://host:8181")
+  *   spark.sql("CREATE TABLE g.db.t (id BIGINT) USING graft")   // via HTTP
+  *   spark.table("g.db.t")                                      // data: direct
+  * }}}
+  *
+  * Split of responsibilities (the Iceberg REST model): all CATALOG
+  * questions — what namespaces/tables exist, create/drop/rename, load
+  * — are one small HTTP call each, so any number of sessions (or
+  * engines) share one source of truth; DATA reads and commits go
+  * directly against the table root the service returns, and concurrent
+  * writers stay exactly-once through the table format's optimistic
+  * exclusive-put commit protocol — a DDL race lost at the service
+  * surfaces as the server's 409, re-thrown here as the same typed
+  * exceptions the in-process [[GraftCatalog]] throws. ALTER TABLE and
+  * time travel operate on the loaded table root (table-log commits are
+  * themselves optimistic; the catalog service only brokers existence,
+  * exactly like Polaris with Iceberg metadata-location pointers). */
+class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
+  import RestCatalogServer.{dec => _, _}
+
+  private val om = new ObjectMapper()
+  private var catalogName: String = _
+  private var uri: String = _
+  private def spark = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    Option(options.get("type")).foreach(t => require(t == "rest",
+      s"catalog $name: graft.sources.rest.GraftRestCatalog serves type=rest, got type=$t"))
+    uri = Option(options.get("uri")).map(_.stripSuffix("/")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option spark.sql.catalog.$name.uri"))
+    // fetch /v1/config up front (the Iceberg REST client handshake):
+    // fails fast on a dead endpoint and verifies it speaks this protocol
+    val (code, body) = http("GET", "/v1/config")
+    require(code == 200 && body.path("overrides").has("graft-rest-catalog"),
+      s"catalog $name: $uri is not a graft REST catalog endpoint (HTTP $code)")
+  }
+  override def name(): String = catalogName
+
+  // ------------------------------------------------------------ HTTP
+
+  /** One request; returns (status, parsed JSON body — MissingNode on
+    * empty 204/404 bodies). */
+  private def http(method: String, path: String,
+                   body: Option[JsonNode] = None): (Int, JsonNode) = {
+    val conn = new java.net.URL(uri + path).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod(method)
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      body.foreach { b =>
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", "application/json")
+        val bytes = om.writeValueAsBytes(b)
+        conn.getOutputStream.write(bytes)
+        conn.getOutputStream.close()
+      }
+      val code = conn.getResponseCode
+      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val text =
+        if (stream == null) ""
+        else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+      (code, if (text.isEmpty) om.missingNode() else om.readTree(text))
+    } finally conn.disconnect()
+  }
+
+  private def nsPath(ns: Seq[String]): String = "/v1/namespaces/" + encodeNs(ns)
+  private def tblPath(ident: Identifier): String =
+    nsPath(ident.namespace().toSeq) + "/tables/" +
+      java.net.URLEncoder.encode(ident.name(), "UTF-8")
+
+  private def errMsg(body: JsonNode): String =
+    body.path("error").path("message").asText("catalog service error")
+
+  /** Common status → typed-exception mapping; `onOk` handles 2xx. */
+  private def expect[T](code: Int, body: JsonNode,
+                        ident: => Either[Seq[String], Identifier])(onOk: => T): T =
+    code match {
+      case ok if ok / 100 == 2 => onOk
+      case 404 => ident match {
+        case Left(ns) => throw new NoSuchNamespaceException(ns.toArray)
+        case Right(id) =>
+          if (body.path("error").path("type").asText() == "NoSuchNamespaceException")
+            throw new NoSuchNamespaceException(id.namespace())
+          else throw new NoSuchTableException(id)
+      }
+      case 409 => ident match {
+        case Left(ns) => throw new IllegalStateException(errMsg(body))
+        case Right(id) => throw new TableAlreadyExistsException(id)
+      }
+      case other => throw new IllegalStateException(
+        s"catalog service $uri: HTTP $other — ${errMsg(body)}")
+    }
+
+  // ------------------------------------------------------ namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val (code, body) = http("GET", "/v1/namespaces")
+    expect(code, body, Left(Nil)) {
+      body.path("namespaces").iterator().asScalaSeq
+        .map(n => (0 until n.size()).map(n.get(_).asText()).toArray).toArray
+    }
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val (code, body) =
+      http("GET", "/v1/namespaces?parent=" + encodeNs(namespace.toSeq))
+    expect(code, body, Left(namespace.toSeq)) {
+      body.path("namespaces").iterator().asScalaSeq
+        .map(n => (0 until n.size()).map(n.get(_).asText()).toArray).toArray
+    }
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    val (code, body) = http("GET", nsPath(namespace.toSeq))
+    expect(code, body, Left(namespace.toSeq))(util.Collections.emptyMap())
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val b = om.createObjectNode()
+    val arr = om.createArrayNode()
+    namespace.foreach(arr.add)
+    b.set[JsonNode]("namespace", arr)
+    b.set[JsonNode]("properties", om.createObjectNode())
+    val (code, body) = http("POST", "/v1/namespaces", Some(b))
+    // CREATE NAMESPACE IF NOT EXISTS reaches the catalog unconditionally;
+    // 409 here is the namespace-exists signal Spark expects as a throw
+    if (code == 409) throw new org.apache.spark.sql.catalyst.analysis
+      .NamespaceAlreadyExistsException(namespace)
+    expect(code, body, Left(namespace.toSeq))(())
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    http("HEAD", nsPath(namespace.toSeq))._1 == 204
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (cascade)
+      listTables(namespace).foreach(dropTable)
+    val (code, body) = http("DELETE", nsPath(namespace.toSeq))
+    if (code == 404) false
+    else expect(code, body, Left(namespace.toSeq))(true)
+  }
+
+  // --------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val (code, body) = http("GET", nsPath(namespace.toSeq) + "/tables")
+    expect(code, body, Left(namespace.toSeq)) {
+      body.path("identifiers").iterator().asScalaSeq.map { id =>
+        val ns = id.path("namespace")
+        Identifier.of((0 until ns.size()).map(ns.get(_).asText()).toArray,
+          id.path("name").asText())
+      }.toArray
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    http("HEAD", tblPath(ident))._1 == 204
+
+  /** Load via the service; data access then runs directly against the
+    * returned table root. */
+  private def location(ident: Identifier): String = {
+    val (code, body) = http("GET", tblPath(ident))
+    expect(code, body, Right(ident))(body.path("location").asText())
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    new GraftSparkTable(spark, location(ident), ident, None)
+
+  override def loadTable(ident: Identifier, version: String): Table =
+    new GraftSparkTable(spark, location(ident), ident, Some(version.toInt))
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val loc = location(ident)
+    val t = GraftTable.load(spark, loc)
+    val tsMillis = timestamp / 1000L
+    val v = (0 to t.latestVersion())
+      .takeWhile(t.commitAt(_).timestampMs <= tsMillis).lastOption
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftSparkTable(spark, loc, ident, Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val b = om.createObjectNode()
+    b.put("name", ident.name())
+    b.put("schema-json", schema.json)
+    val specs = om.createArrayNode()
+    partitions.map(GraftCatalog.transformToSpec).foreach(specs.add)
+    b.set[JsonNode]("partition-specs", specs)
+    val (code, body) =
+      http("POST", nsPath(ident.namespace().toSeq) + "/tables", Some(b))
+    expect(code, body, Right(ident))(loadTable(ident))
+  }
+
+  /** Column changes commit to the table log directly (the log's
+    * optimistic protocol already arbitrates concurrent metadata
+    * commits); the catalog service brokered only the location. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = GraftTable.load(spark, location(ident))
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1, "nested rename not supported")
+        t.renameColumn(r.fieldNames()(0), r.newName())
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1, "nested add not supported")
+        t.addColumn(a.fieldNames()(0), a.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other not supported")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    http("DELETE", tblPath(ident))._1 == 204
+
+  override def renameTable(oldIdent: Identifier, newIdentRaw: Identifier): Unit = {
+    // RENAME TO hands over the destination UNRESOLVED: empty namespace
+    // (bare `RENAME TO t2`) or catalog-prefixed (`RENAME TO cat.db.t2`
+    // keeps `cat` as a namespace segment) — normalize both
+    val newIdent = {
+      val ns = newIdentRaw.namespace()
+      if (ns.isEmpty) Identifier.of(oldIdent.namespace(), newIdentRaw.name())
+      else if (ns.head == catalogName)
+        Identifier.of(ns.tail, newIdentRaw.name())
+      else newIdentRaw
+    }
+    def identNode(id: Identifier) = {
+      val n = om.createObjectNode()
+      val arr = om.createArrayNode()
+      id.namespace().foreach(arr.add)
+      n.set[JsonNode]("namespace", arr)
+      n.put("name", id.name())
+      n
+    }
+    val b = om.createObjectNode()
+    b.set[JsonNode]("source", identNode(oldIdent))
+    b.set[JsonNode]("destination", identNode(newIdent))
+    val (code, body) = http("POST", "/v1/tables/rename", Some(b))
+    if (code == 404 &&
+        body.path("error").path("type").asText() == "NoSuchTableException")
+      throw new NoSuchTableException(oldIdent)
+    expect(code, body, Right(newIdent))(())
+  }
+
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScalaSeq: Seq[A] = {
+      val b = Seq.newBuilder[A]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+  }
+}

@@ -130,37 +130,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val specs = partitions.map(transformToSpec).toSeq
+    val specs = partitions.map(GraftCatalog.transformToSpec).toSeq
     fs.mkdirs(tablePath(ident).getParent)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     GraftTable.create(spark, tablePath(ident).toString, empty, specs)
     loadTable(ident)
-  }
-
-  private def transformToSpec(t: Transform): String = t.name() match {
-    case "identity" => t.references()(0).fieldNames().mkString(".")
-    case n @ ("days" | "hours" | "months" | "years") =>
-      s"$n(${t.references()(0).fieldNames().mkString(".")})"
-    case n @ ("bucket" | "truncate") =>
-      // single-column only: silently narrowing bucket(4, a, b) to
-      // bucket(4, a) would hand back a table partitioned differently
-      // than declared — reject like any other unsupported transform
-      if (t.references().length != 1)
-        throw new UnsupportedOperationException(
-          s"multi-column $n transform not supported " +
-            s"(got ${t.references().length} columns)")
-      // arguments carry (literal, field-ref) in parser order; pull the
-      // numeric literal regardless of position
-      val num = t.arguments().collectFirst {
-        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-          l.value().toString
-      }.getOrElse(throw new UnsupportedOperationException(
-        s"$n transform needs a numeric argument"))
-      s"$n($num, ${t.references()(0).fieldNames().mkString(".")})"
-    case other => throw new UnsupportedOperationException(
-      s"partition transform $other not supported " +
-        "(identity/days/hours/months/years/bucket/truncate)")
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -185,7 +160,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else { fs.delete(p, true); true }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+  override def renameTable(oldIdent: Identifier, newIdentRaw: Identifier): Unit = {
+    // RENAME TO hands over the destination UNRESOLVED: empty namespace
+    // (bare `RENAME TO t2`) or catalog-prefixed (`RENAME TO cat.db.t2`
+    // keeps `cat` as a namespace segment) — normalize both, else the
+    // table would silently relocate under a wrong warehouse dir
+    val newIdent = {
+      val ns = newIdentRaw.namespace()
+      if (ns.isEmpty) Identifier.of(oldIdent.namespace(), newIdentRaw.name())
+      else if (ns.head == catalogName)
+        Identifier.of(ns.tail, newIdentRaw.name())
+      else newIdentRaw
+    }
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     fs.mkdirs(tablePath(newIdent).getParent)
@@ -247,6 +233,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (!cascade && listDir(dir).nonEmpty)
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} not empty")
     else { fs.delete(dir, true); true }
+  }
+}
+
+object GraftCatalog {
+  /** DSv2 partition Transform → GraftTable layout-spec string (shared
+    * with the REST catalog client, which ships the string form). */
+  private[graft] def transformToSpec(t: Transform): String = t.name() match {
+    case "identity" => t.references()(0).fieldNames().mkString(".")
+    case n @ ("days" | "hours" | "months" | "years") =>
+      s"$n(${t.references()(0).fieldNames().mkString(".")})"
+    case n @ ("bucket" | "truncate") =>
+      // single-column only: silently narrowing bucket(4, a, b) to
+      // bucket(4, a) would hand back a table partitioned differently
+      // than declared — reject like any other unsupported transform
+      if (t.references().length != 1)
+        throw new UnsupportedOperationException(
+          s"multi-column $n transform not supported " +
+            s"(got ${t.references().length} columns)")
+      // arguments carry (literal, field-ref) in parser order; pull the
+      // numeric literal regardless of position
+      val num = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value().toString
+      }.getOrElse(throw new UnsupportedOperationException(
+        s"$n transform needs a numeric argument"))
+      s"$n($num, ${t.references()(0).fieldNames().mkString(".")})"
+    case other => throw new UnsupportedOperationException(
+      s"partition transform $other not supported " +
+        "(identity/days/hours/months/years/bucket/truncate)")
   }
 }
 

@@ -469,6 +469,19 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SHOW TABLES IN $cat.ns1").count() == 0)
   }
 
+  test("ALTER TABLE RENAME TO stays in the namespace (catalog-prefixed dest)") {
+    freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.rn")
+    spark.sql(s"CREATE TABLE $cat.rn.t1 (id BIGINT) USING graft")
+    spark.sql(s"INSERT INTO $cat.rn.t1 VALUES (9)")
+    // the destination reaches renameTable catalog-prefixed — the table
+    // must land at <warehouse>/rn/t2, not <warehouse>/$cat/rn/t2
+    spark.sql(s"ALTER TABLE $cat.rn.t1 RENAME TO $cat.rn.t2")
+    assert(spark.table(s"$cat.rn.t2").count() == 1)
+    val shown = spark.sql(s"SHOW TABLES IN $cat.rn").collect().map(_.getString(1))
+    assert(shown.toSeq == Seq("t2"))
+  }
+
   test("g7 query: pure-SQL lifecycle matches the relational recomputation") {
     val got = SparkEntry.queries("g7_sql_catalog")(spark, sf).collect()
     assert(got.nonEmpty)

@@ -1,0 +1,198 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.rest.RestCatalogServer
+
+/** The REST catalog endpoint: one catalog SERVICE over a warehouse,
+  * shared by independent sessions through `type=rest` + `uri` wiring
+  * (the reference's Polaris deployment shape). Asserts the protocol at
+  * two levels: through Spark SQL in two separate sessions, and at the
+  * raw HTTP surface (status codes, error envelopes). */
+class RestCatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft_rest_wh_").toString
+  private lazy val server = new RestCatalogServer(spark, warehouse)
+  private lazy val port = server.start()
+
+  /** A fresh session wired to the endpoint the way the reference wires
+    * Polaris: type=rest + uri, nothing filesystem-specific. */
+  private def restSession(cat: String): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.rest.GraftRestCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.type", "rest")
+    s.conf.set(s"spark.sql.catalog.$cat.uri", s"http://127.0.0.1:$port")
+    s
+  }
+
+  private def httpGet(path: String): (Int, String) = httpReq("GET", path, None)
+
+  private def httpReq(method: String, path: String,
+                      body: Option[String]): (Int, String) = {
+    val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod(method)
+      body.foreach { b =>
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+        conn.getOutputStream.close()
+      }
+      val code = conn.getResponseCode
+      val st = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      (code, if (st == null) ""
+             else new String(st.readAllBytes(), StandardCharsets.UTF_8))
+    } finally conn.disconnect()
+  }
+
+  test("two sessions share one catalog through the endpoint") {
+    val a = restSession("rca")
+    val b = restSession("rcb")   // different catalog NAME, same service
+    a.sql("CREATE NAMESPACE rca.db")
+    a.sql("CREATE TABLE rca.db.t (id BIGINT, v DOUBLE) USING graft")
+    a.sql("INSERT INTO rca.db.t VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    // CREATE in session A is SELECTable in session B — the catalog
+    // service, not A's in-process state, answered B's lookup
+    assert(b.table("rcb.db.t").count() == 3)
+    assert(b.sql("SHOW TABLES IN rcb.db").collect().map(_.getString(1))
+      .contains("t"))
+    assert(b.sql("SHOW NAMESPACES IN rcb").collect().map(_.getString(0))
+      .contains("db"))
+    // and B's write is visible back in A (data plane: direct commit)
+    b.sql("INSERT INTO rcb.db.t VALUES (4, 4.5)")
+    assert(a.table("rca.db.t").count() == 4)
+    // time travel through the REST catalog
+    assert(a.sql("SELECT * FROM rca.db.t VERSION AS OF 1").count() == 3)
+  }
+
+  test("DDL races surface as 409 -> the typed AlreadyExists exceptions") {
+    val a = restSession("rcc")
+    val b = restSession("rcd")
+    a.sql("CREATE NAMESPACE IF NOT EXISTS rcc.db")
+    a.sql("CREATE TABLE rcc.db.dup (id BIGINT) USING graft")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      b.sql("CREATE TABLE rcd.db.dup (id BIGINT) USING graft")
+    }
+    assert(e.getCondition == "TABLE_OR_VIEW_ALREADY_EXISTS", e.getMessage)
+    // IF NOT EXISTS swallows the conflict
+    b.sql("CREATE TABLE IF NOT EXISTS rcd.db.dup (id BIGINT) USING graft")
+    val en = intercept[org.apache.spark.sql.AnalysisException] {
+      b.sql("CREATE NAMESPACE rcd.db")
+    }
+    assert(en.getCondition == "SCHEMA_ALREADY_EXISTS", en.getMessage)
+    // raw surface: same create -> Iceberg-style 409 envelope
+    val (code, body) = httpReq("POST", "/v1/namespaces/db/tables", Some(
+      """{"name":"dup","schema-json":"{\"type\":\"struct\",\"fields\":[]}"}"""))
+    assert(code == 409 && body.contains("AlreadyExistsException"), body)
+  }
+
+  test("missing namespaces/tables surface as 404 -> NoSuch* exceptions") {
+    val a = restSession("rce")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      a.table("rce.db.never_created")
+    }
+    assert(e.getCondition == "TABLE_OR_VIEW_NOT_FOUND", e.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      a.sql("SHOW TABLES IN rce.no_such_ns")
+    }
+    assert(httpGet("/v1/namespaces/no_such_ns")._1 == 404)
+    assert(httpGet("/v1/namespaces/db/tables/never_created")._1 == 404)
+    assert(httpReq("HEAD", "/v1/namespaces/db/tables/never_created", None)._1 == 404)
+    assert(httpReq("HEAD", "/v1/namespaces/db/tables/dup", None)._1 == 204)
+    // malformed body -> 400, unknown route -> 404
+    assert(httpReq("POST", "/v1/namespaces", Some("{not json"))._1 == 400)
+    assert(httpGet("/v1/nope")._1 == 404)
+  }
+
+  test("rename, drop, and non-empty-namespace 409 through the endpoint") {
+    val a = restSession("rcf")
+    a.sql("CREATE NAMESPACE rcf.ops")
+    a.sql("CREATE TABLE rcf.ops.t1 (id BIGINT) USING graft")
+    a.sql("INSERT INTO rcf.ops.t1 VALUES (7)")
+    a.sql("ALTER TABLE rcf.ops.t1 RENAME TO rcf.ops.t2")
+    assert(a.table("rcf.ops.t2").count() == 1)
+    assert(!a.sql("SHOW TABLES IN rcf.ops").collect()
+      .map(_.getString(1)).contains("t1"))
+    // dropping a non-empty namespace (no cascade) -> the server's 409
+    val (code, body) = httpReq("DELETE", "/v1/namespaces/ops", None)
+    assert(code == 409 && body.contains("NamespaceNotEmpty"), body)
+    a.sql("DROP TABLE rcf.ops.t2")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      a.table("rcf.ops.t2")
+    }
+    assert(e.getCondition == "TABLE_OR_VIEW_NOT_FOUND")
+    a.sql("DROP NAMESPACE rcf.ops")
+    assert(httpGet("/v1/namespaces/ops")._1 == 404)
+  }
+
+  test("partition transforms and ALTER ride the REST create/load path") {
+    val a = restSession("rcg")
+    a.sql("CREATE NAMESPACE IF NOT EXISTS rcg.pt")
+    a.sql("CREATE TABLE rcg.pt.ev (id BIGINT, ts TIMESTAMP) " +
+      "USING graft PARTITIONED BY (days(ts))")
+    a.sql("INSERT INTO rcg.pt.ev VALUES " +
+      "(1, TIMESTAMP'2024-03-01 10:00:00'), (2, TIMESTAMP'2024-03-02 11:00:00')")
+    assert(a.table("rcg.pt.ev").count() == 2)
+    // the transform reached the table format: the day-grained pruned
+    // read resolves (only a days(ts)-layouted table supports it)
+    val t = graft.sources.GraftTable.load(spark, s"$warehouse/pt/ev")
+    assert(t.readWhereDays("ts", "2024-03-01").count() == 1)
+    a.sql("ALTER TABLE rcg.pt.ev ADD COLUMN note STRING")
+    assert(a.table("rcg.pt.ev").columns.toSeq ==
+      Seq("id", "ts", "note"))
+  }
+
+  test("concurrent writers from separate sessions: optimistic protocol holds") {
+    val a = restSession("rch")
+    val b = restSession("rci")
+    a.sql("CREATE NAMESPACE IF NOT EXISTS rch.cw")
+    a.sql("CREATE TABLE rch.cw.t (id BIGINT) USING graft")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new Runnable {
+        def run(): Unit = (0 until 3).foreach(i =>
+          a.sql(s"INSERT INTO rch.cw.t VALUES ($i)"))
+      })
+      val fb = pool.submit(new Runnable {
+        def run(): Unit = (10 until 13).foreach(i =>
+          b.sql(s"INSERT INTO rci.cw.t VALUES ($i)"))
+      })
+      fa.get(); fb.get()
+    } finally pool.shutdown()
+    // every commit landed exactly once: 6 rows, 6 distinct ids, and the
+    // table history holds one version per insert (0 = create)
+    assert(a.table("rch.cw.t").count() == 6)
+    assert(b.table("rci.cw.t").select("id").distinct().count() == 6)
+    val t = graft.sources.GraftTable.load(spark, s"$warehouse/cw/t")
+    assert(t.latestVersion() == 6)
+  }
+
+  test("config handshake rejects a non-graft endpoint") {
+    // a server that answers 200 but not the graft profile
+    val other = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(
+        java.net.InetAddress.getLoopbackAddress, 0), 0)
+    other.createContext("/", (x: com.sun.net.httpserver.HttpExchange) => {
+      val b = """{"ok":true}""".getBytes(StandardCharsets.UTF_8)
+      x.sendResponseHeaders(200, b.length)
+      x.getResponseBody.write(b)
+      x.close()
+    })
+    other.start()
+    try {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.catalog.bad", "graft.sources.rest.GraftRestCatalog")
+      s.conf.set("spark.sql.catalog.bad.type", "rest")
+      s.conf.set("spark.sql.catalog.bad.uri",
+        s"http://127.0.0.1:${other.getAddress.getPort}")
+      val e = intercept[Exception] { s.sql("SHOW NAMESPACES IN bad") }
+      assert(e.getMessage != null)
+    } finally other.stop(0)
+  }
+}
