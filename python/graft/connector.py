@@ -24,12 +24,17 @@ def find_jar(repo_root=None):
 
 
 def connect(app_name="graft", master="local[*]", jar=None,
-            shuffle_partitions=8, conf=None):
+            shuffle_partitions=8, conf=None, rest_catalogs=None):
     """Build (or reuse) a SparkSession with the graft library attached.
 
     conf: optional dict of extra Spark confs (e.g. a graft SQL catalog:
     {"spark.sql.catalog.g": "graft.sources.v2.GraftCatalog",
      "spark.sql.catalog.g.warehouse": "/data/warehouse"}).
+
+    rest_catalogs: optional {name: uri} mapping wiring each name as a
+    graft REST catalog client (the type=rest + uri session shape the
+    reference uses for its Polaris endpoint):
+    connect(rest_catalogs={"g": "http://catalog-host:8181"}).
     """
     b = (SparkSession.builder
          .master(master)
@@ -40,4 +45,19 @@ def connect(app_name="graft", master="local[*]", jar=None,
          .config("spark.sql.session.timeZone", "UTC"))
     for k, v in (conf or {}).items():
         b = b.config(k, v)
+    for name, uri in (rest_catalogs or {}).items():
+        b = (b.config("spark.sql.catalog.%s" % name,
+                      "graft.sources.rest.GraftRestCatalog")
+             .config("spark.sql.catalog.%s.type" % name, "rest")
+             .config("spark.sql.catalog.%s.uri" % name, uri))
     return b.getOrCreate()
+
+
+def serve_catalog(spark, warehouse, port=0):
+    """Start a graft REST catalog service over `warehouse` in this
+    session's JVM (the Polaris-analog endpoint other sessions point
+    their `rest_catalogs=` wiring at). Returns (server, bound_port);
+    call server.stop() to shut down. port=0 binds an ephemeral port."""
+    server = spark._jvm.graft.sources.rest.RestCatalogServer(
+        spark._jsparkSession, warehouse, int(port))
+    return server, server.start()

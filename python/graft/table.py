@@ -107,6 +107,41 @@ class GraftTable(object):
             self._j, int(keep_versions))
 
 
+_SOURCE_FORMAT = "graft.sources.v2.GraftSource"
+
+
+def read_stream(spark, path, skip_change_commits=False,
+                max_commits_per_trigger=None):
+    """Streaming read of a GraftTable: tails the commit log, one
+    micro-batch per new commit range (the Delta streaming-source
+    analog). `skip_change_commits=True` passes overwrite/delete commits
+    through silently instead of failing the query;
+    `max_commits_per_trigger` bounds per-batch admission."""
+    r = spark.readStream.format(_SOURCE_FORMAT)
+    if skip_change_commits:
+        r = r.option("skipChangeCommits", "true")
+    if max_commits_per_trigger is not None:
+        r = r.option("maxCommitsPerTrigger", str(int(max_commits_per_trigger)))
+    return r.load(path)
+
+
+def write_stream(df, path, checkpoint_location, partition_by=None,
+                 output_mode="append", trigger_available_now=False):
+    """Exactly-once streaming sink into a GraftTable: batch 0 creates
+    the table, every micro-batch lands as one commit stamped with the
+    query id + batch id, so a batch replayed after a crash between the
+    table commit and the checkpoint write is skipped. Returns the
+    started StreamingQuery."""
+    w = (df.writeStream.format(_SOURCE_FORMAT)
+         .option("checkpointLocation", checkpoint_location)
+         .outputMode(output_mode))
+    if partition_by:
+        w = w.partitionBy(*list(partition_by))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start(path)
+
+
 def _opt_long(spark, v):
     """Scala Option[Long] across the gateway (None -> Option.empty;
     boxing forced to java.lang.Long so the Scala side unboxes cleanly)."""

@@ -126,5 +126,52 @@ spark.sql("INSERT INTO pydemo.db.t SELECT doc_id, n_chars FROM documents LIMIT 1
 assert spark.table("pydemo.db.t").count() == 10
 print(f"catalog table rows: {spark.table('pydemo.db.t').count()}")
 
+print("== 8b. REST catalog endpoint (the Polaris-analog deployment) ==")
+from graft.connector import serve_catalog  # noqa: E402
+srv, port = serve_catalog(spark, tempfile.mkdtemp(prefix="graft_py_restwh_"))
+sess_a = spark.newSession()
+sess_b = spark.newSession()
+for s, cat in ((sess_a, "resta"), (sess_b, "restb")):
+    s.conf.set("spark.sql.catalog.%s" % cat,
+               "graft.sources.rest.GraftRestCatalog")
+    s.conf.set("spark.sql.catalog.%s.type" % cat, "rest")
+    s.conf.set("spark.sql.catalog.%s.uri" % cat, "http://127.0.0.1:%d" % port)
+sess_a.sql("CREATE NAMESPACE resta.db")
+sess_a.sql("CREATE TABLE resta.db.r (id BIGINT) USING graft")
+sess_a.sql("INSERT INTO resta.db.r VALUES (1), (2)")
+# a separate session shares the catalog purely through the endpoint
+assert sess_b.table("restb.db.r").count() == 2
+print("REST catalog on port %d: table created in one session, read in another" % port)
+srv.stop()
+
+print("== 9. Streaming: graft source -> graft sink, checkpoint restart ==")
+# src: an upstream graft table receiving appends; sink: a downstream
+# graft table fed by the streaming pipeline. availableNow triggers
+# drain whatever is committed, stop, and RESUME from the checkpoint.
+# deterministic 40/10 split by doc_id order
+base = docs.select("doc_id", "n_chars").orderBy("doc_id")
+src_t = table.GraftTable.create(
+    spark, tempfile.mkdtemp(prefix="graft_py_src_") + "/t", base.limit(40))
+sink_path = tempfile.mkdtemp(prefix="graft_py_sink_") + "/t"
+ckpt = tempfile.mkdtemp(prefix="graft_py_ckpt_")
+
+q = table.write_stream(table.read_stream(spark, src_t.root),
+                       sink_path, ckpt, trigger_available_now=True)
+q.awaitTermination(120)
+assert table.GraftTable.load(spark, sink_path).read().count() == 40
+
+# new upstream commit, then RESTART from the same checkpoint: only the
+# delta flows (exactly-once -- the first 40 rows are not re-landed)
+src_t.append(base.limit(50).exceptAll(base.limit(40)))
+q2 = table.write_stream(table.read_stream(spark, src_t.root),
+                        sink_path, ckpt, trigger_available_now=True)
+q2.awaitTermination(120)
+sink_t = table.GraftTable.load(spark, sink_path)
+n_sunk = sink_t.read().count()
+print(f"rows in streaming sink after restart: {n_sunk} "
+      f"(sink table version {sink_t.latest_version()})")
+assert n_sunk == 50, n_sunk
+assert sink_t.read().select("doc_id").distinct().count() == 50
+
 spark.stop()
 print("demo complete — all assertions passed")
