@@ -28,9 +28,9 @@ import org.apache.spark.sql.types._
   *  - [[readIceberg]]: open an existing file-based Iceberg table's
   *    current snapshot as a DataFrame without any iceberg dependency —
   *    metadata.json (v1 or v2) → manifest list → manifests → pruned
-  *    parquet scan. Row-level deletes (delete manifests / delete
-  *    files), non-parquet data files and format v3+ refuse loudly
-  *    rather than misread.
+  *    parquet scan. v2 merge-on-read POSITION deletes apply as one
+  *    left_anti (file, pos) equi-join; equality deletes, non-parquet
+  *    data files and format v3+ refuse loudly rather than misread.
   *
   * Columns are resolved BY NAME against the parquet footers (a
   * first-file probe verifies every declared top-level column exists);
@@ -987,12 +987,15 @@ object IcebergInterop {
   /** Open a file-based Iceberg table's current snapshot as a DataFrame
     * by replaying its metadata: version-hint.text (or the
     * highest-numbered *.metadata.json) → table metadata → manifest
-    * list → manifests → parquet scan. Supports format v1 and v2 data;
-    * refuses v3+, delete manifests/files, non-parquet data files, and
-    * tables whose parquet column names no longer match the declared
-    * schema (rename-by-field-id), and partition-spec evolution (old
-    * manifests lay their partition structs out per a different spec —
-    * resolving them against the default spec would misread).
+    * list → manifests → parquet scan. Supports format v1 and v2 data,
+    * including v2 merge-on-read POSITION deletes (applied as one
+    * distributed left_anti (file, pos) equi-join — never a driver-side
+    * decode of the deleted-row set); refuses v3+, equality delete
+    * files, non-parquet data files, tables whose parquet column names
+    * no longer match the declared schema (rename-by-field-id), and
+    * partition-spec evolution (old manifests lay their partition
+    * structs out per a different spec — resolving them against the
+    * default spec would misread).
     * `asOfSnapshotId` time-travels to a retained snapshot instead of
     * the current one (the declared schema stays the CURRENT one,
     * matching Iceberg's schema-evolution semantics for time travel).
@@ -1109,8 +1112,9 @@ object IcebergInterop {
         s"snapshot $snapId not found in metadata at $path" +
           (if (asOfSnapshotId.isDefined) " (expired or never existed?)" else "")))
 
-    // manifest list → manifest paths (refusing delete manifests); old
-    // v1 writers may inline a `manifests` path array instead.
+    // manifest list → DATA manifest paths + DELETE manifest paths
+    // (v2 merge-on-read); old v1 writers may inline a `manifests` path
+    // array instead.
     // Partition-spec EVOLUTION refuses loudly: each manifest's entries
     // lay their partition structs out per the spec the manifest was
     // written under, but this reader resolves positions against the
@@ -1118,25 +1122,54 @@ object IcebergInterop {
     // values silently misread (the footer probe only catches it when
     // the probed file happens to be an old one).
     val defaultSpecId = md.path("default-spec-id").asInt(0)
-    val manifests: Seq[String] =
+    val (manifests: Seq[String], deleteManifests: Seq[String]) =
       if (snapshot.has("manifest-list")) {
         val listPath = snapshot.get("manifest-list").asText()
-        readAvro(readBytes(fs, new HPath(listPath))).map { r =>
+        val tagged = readAvro(readBytes(fs, new HPath(listPath))).map { r =>
           fieldOpt(r, "partition_spec_id").map(longOf).foreach { sid =>
             if (sid != defaultSpecId)
               refuse(path, s"has manifests written under partition spec $sid " +
                 s"while the default spec is $defaultSpecId (partition spec " +
                 "evolution)")
           }
-          fieldOpt(r, "content").map(longOf).getOrElse(0L) match {
-            case 0L => r.get("manifest_path").toString
-            case _ => refuse(path, "has delete manifests (row-level deletes)")
-          }
+          (fieldOpt(r, "content").map(longOf).getOrElse(0L),
+            r.get("manifest_path").toString)
         }
+        (tagged.collect { case (0L, p) => p },
+          tagged.collect { case (1L, p) => p })
       } else if (snapshot.has("manifests"))
-        snapshot.get("manifests").elements().asScala().map(_.asText()).toSeq
+        (snapshot.get("manifests").elements().asScala().map(_.asText()).toSeq,
+          Seq.empty[String])
       else throw new IllegalStateException(
         s"snapshot $snapId at $path names neither manifest-list nor manifests")
+
+    // delete manifests → POSITION delete parquet files (content 1):
+    // merge-on-read DELETEs as Spark/Trino write them. A position
+    // delete names its target row by (data-file URI, row position) —
+    // data-file paths are immutable and unique, so the named row is
+    // identified regardless of sequence numbers (those only enable
+    // pruning). Equality deletes (content 2, Flink CDC's shape) need
+    // sequence-number-aware application and still refuse. Applied
+    // below as one left_anti equi-join on (file, pos) — distributed,
+    // broadcast-able when the delete set is small, never a
+    // driver-side decode of O(#deleted rows).
+    val posDeleteFiles: Seq[String] = deleteManifests.flatMap { mp =>
+      readAvro(readBytes(fs, new HPath(mp))).flatMap { e =>
+        val status = longOf(e.get("status"))
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        fieldOpt(df, "content").map(longOf).getOrElse(-1L) match {
+          case 1L =>
+            val fmt = df.get("file_format").toString
+            if (!fmt.equalsIgnoreCase("parquet"))
+              refuse(path, s"has $fmt position delete files")
+            if (status == 2L) None else Some(df.get("file_path").toString)
+          case 2L => refuse(path, "has equality delete files (sequence-" +
+            "number-ordered row matching); read it with a full Iceberg client")
+          case other => refuse(path,
+            s"has a delete manifest entry with content=$other")
+        }
+      }
+    }.distinct
 
     // optional metadata-only partition pruning: resolve the requested
     // field against the default spec, parse the grain to its typed
@@ -1178,7 +1211,8 @@ object IcebergInterop {
         val status = longOf(e.get("status"))
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         if (fieldOpt(df, "content").map(longOf).getOrElse(0L) != 0L)
-          refuse(path, "has delete files (row-level deletes)")
+          refuse(path, "has a delete file inside a DATA manifest " +
+            "(malformed metadata: delete files belong in delete manifests)")
         val fmt = df.get("file_format").toString
         if (!fmt.equalsIgnoreCase("parquet"))
           refuse(path, s"has $fmt data files")
@@ -1226,9 +1260,42 @@ object IcebergInterop {
       refuse(path, s"data files lack declared columns ${missing.mkString(", ")} " +
         "(renamed by field id?)")
 
+    // Position-delete application: each scan keeps its (file, pos) row
+    // identity via _metadata columns until ONE left_anti equi-join
+    // strips the deleted rows. Delete files reference data files by the
+    // same URI string the manifests carry, while _metadata.file_path
+    // renders the QUALIFIED form — bridged by a driver-built
+    // (manifest path → qualified) map joined into the delete relation
+    // (the qualification convention the Delta DV reader pins). Deletes
+    // for files pruned or removed from this snapshot drop out of that
+    // inner join as no-ops.
+    val metaCols: Seq[org.apache.spark.sql.Column] =
+      if (posDeleteFiles.isEmpty) Nil
+      else Seq(col("_metadata.file_path").as("__fp"),
+        col("_metadata.row_index").as("__pos"))
+    def applyPosDeletes(scan: DataFrame): DataFrame =
+      if (posDeleteFiles.isEmpty) scan
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        import spark.implicits._
+        val pathMap = dataFiles.map(_._1).distinct
+          .map { p =>
+            val hp = new HPath(p)
+            (p, hp.getFileSystem(conf).makeQualified(hp).toString)
+          }.toDF("file_path", "__fp")
+        val del = spark.read.parquet(posDeleteFiles: _*)
+          .select(col("file_path").cast("string").as("file_path"),
+            col("pos").cast("long").as("__pos"))
+          .join(pathMap, Seq("file_path"))
+          .select(col("__fp"), col("__pos"))
+        scan.join(del, Seq("__fp", "__pos"), "left_anti")
+          .select(schema.map(f => col(f.name)): _*)
+      }
+
     if (identityParts.isEmpty)
-      spark.read.schema(schema).parquet(dataFiles.map(_._1): _*)
-        .select(schema.map(f => col(f.name)): _*)
+      applyPosDeletes(
+        spark.read.schema(schema).parquet(dataFiles.map(_._1): _*)
+          .select(schema.map(f => col(f.name)) ++ metaCols: _*))
     else {
       // Identity columns come from partition metadata, constant per
       // file: scan each distinct partition tuple's files once and
@@ -1279,15 +1346,16 @@ object IcebergInterop {
       }
       val metaNames = metaParts.map(_._1).toSet
       val scanSchema = StructType(schema.filterNot(f => metaNames.contains(f.name)))
-      dataFiles.groupBy { case (_, pv) => metaParts.map { case (_, _, k) => pv(k) } }
+      applyPosDeletes(dataFiles
+        .groupBy { case (_, pv) => metaParts.map { case (_, _, k) => pv(k) } }
         .map { case (_, fsOfPart) =>
           var df = spark.read.schema(scanSchema)
             .parquet(fsOfPart.map(_._1): _*)
           metaParts.foreach { case (n, dt, k) =>
             df = df.withColumn(n, idLit(dt, fsOfPart.head._2(k)))
           }
-          df.select(schema.map(f => col(f.name)): _*)
-        }.reduce(_.unionAll(_))
+          df.select(schema.map(f => col(f.name)) ++ metaCols: _*)
+        }.reduce(_.unionAll(_)))
     }
   }
 }

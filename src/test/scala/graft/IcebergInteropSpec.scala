@@ -548,7 +548,7 @@ class IcebergInteropSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
-  test("refuses format v3, delete manifests, and renamed columns") {
+  test("refuses format v3 and renamed columns") {
     import spark.implicits._
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -569,40 +569,8 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("full Iceberg client"), e1.getMessage)
     patch(mdPath, orig)
 
-    // a manifest list carrying a DELETE manifest (content=1)
-    val listSchema = new org.apache.avro.Schema.Parser().parse(
-      """{"type":"record","name":"manifest_file","fields":[
-        |{"name":"manifest_path","type":"string"},
-        |{"name":"manifest_length","type":"long"},
-        |{"name":"partition_spec_id","type":"int"},
-        |{"name":"content","type":"int"},
-        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
-        |]}""".stripMargin.replace("\n", ""))
-    val rec = new org.apache.avro.generic.GenericData.Record(listSchema)
-    rec.put("manifest_path", "unused.avro")
-    rec.put("manifest_length", 1L)
-    rec.put("partition_spec_id", 0)
-    rec.put("content", 1)
-    rec.put("added_snapshot_id", 1L)
-    val bos = new java.io.ByteArrayOutputStream()
-    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
-      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](listSchema))
-    w.create(listSchema, bos)
-    w.append(rec)
-    w.close()
-    val fakeList = Paths.get(target, "metadata", "snap-del.avro")
-    patch(fakeList, bos.toByteArray)
-    val md2 = om.readTree(orig)
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    md2.get("snapshots").get(0)
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      .put("manifest-list", fakeList.toString)
-    patch(mdPath, om.writeValueAsBytes(md2))
-    val e2 = intercept[IllegalArgumentException] {
-      IcebergInterop.readIceberg(spark, target)
-    }
-    assert(e2.getMessage.contains("delete manifests"), e2.getMessage)
-    patch(mdPath, orig)
+    // (delete manifests are READ since r9 — covered, with the equality
+    // refusal, by the "v2 position deletes" test)
 
     // declared column renamed after data was written (field-id rename):
     // name-based resolution must refuse, not null-fill
@@ -636,6 +604,153 @@ class IcebergInteropSpec extends AnyFunSuite {
       IcebergInterop.readIceberg(spark, target)
     }
     assert(e4.getMessage.contains("schema versions"), e4.getMessage)
+  }
+
+  test("v2 position deletes filter named rows; equality deletes refuse") {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    val t = GraftTable.create(spark, tmp("graft_ipd_"),
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.append((10L until 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val target = tmp("graft_ipd_out_")
+    IcebergInterop.exportSnapshot(t, target)
+
+    // data-file paths EXACTLY as the manifests carry them, and the id
+    // living at each (file, pos) — positions are _metadata.row_index
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val origMd = Files.readAllBytes(mdPath)
+    val mdNode = om.readTree(origMd)
+    val listPath = mdNode.get("snapshots").get(0).get("manifest-list").asText()
+    // metadata carries fs-qualified strings (file:/…) — strip for java.io
+    def localFile(p: String): java.io.File = {
+      val u = new java.net.URI(p)
+      new java.io.File(if (u.getScheme == null) p else u.getPath)
+    }
+    def avroRecords(f: java.io.File): Seq[GenericRecord] = {
+      val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+        f, new GenericDatumReader[GenericRecord]())
+      try Iterator.continually(r).takeWhile(_.hasNext).map(_.next()).toList
+      finally r.close()
+    }
+    val dataManifests = avroRecords(localFile(listPath))
+      .map(_.get("manifest_path").toString)
+    val filePaths = dataManifests.flatMap(mp => avroRecords(localFile(mp))
+      .map(_.get("data_file").asInstanceOf[GenericRecord]
+        .get("file_path").toString)).sorted
+    assert(filePaths.size >= 2, filePaths)
+    def rowsAt(p: String): Map[Long, Long] = // pos -> id
+      spark.read.parquet(p)
+        .select(org.apache.spark.sql.functions.col("_metadata.row_index"), $"id")
+        .as[(Long, Long)].collect().toMap
+    val byFile = filePaths.map(p => p -> rowsAt(p)).toMap
+
+    // delete two positions of one file and one of another; plus a
+    // delete naming a file absent from the snapshot (a no-op, not an
+    // error). Positions chosen from what the files actually hold.
+    val fileA = filePaths.maxBy(byFile(_).size)
+    val fileB = filePaths.filter(_ != fileA).maxBy(byFile(_).size)
+    val delA = byFile(fileA).keys.toSeq.sorted.take(2)
+    val delB = byFile(fileB).keys.toSeq.sorted.takeRight(1)
+    assert(delA.size == 2 && delB.size == 1)
+    val deletedIds =
+      (delA.map(byFile(fileA)) ++ delB.map(byFile(fileB))).toSet
+    val delDir = tmp("graft_ipd_del_")
+    (delA.map((fileA, _)) ++ delB.map((fileB, _)) :+
+        (("file:/no/such/data/file.parquet", 0L)))
+      .toDF("file_path", "pos").coalesce(1).write.mode("overwrite").parquet(delDir)
+    val delParquet = new java.io.File(delDir).listFiles
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+
+    // hand-written DELETE manifest + a new manifest list carrying the
+    // data manifests (content 0) and the delete manifest (content 1)
+    val delManifestSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}]}}
+        |]}""".stripMargin.replace("\n", ""))
+    def writeDeleteManifest(dest: java.nio.file.Path, content: Int): Unit = {
+      val e = new GenericData.Record(delManifestSchema)
+      e.put("status", 1)
+      val df = new GenericData.Record(
+        delManifestSchema.getField("data_file").schema())
+      df.put("content", content)
+      df.put("file_path", delParquet)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", 4L)
+      df.put("file_size_in_bytes", new java.io.File(delParquet).length())
+      e.put("data_file", df)
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](delManifestSchema))
+      w.create(delManifestSchema, dest.toFile)
+      w.append(e)
+      w.close()
+    }
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin.replace("\n", ""))
+    def writeList(dest: java.nio.file.Path, delManifest: String): Unit = {
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      w.create(listSchema, dest.toFile)
+      (dataManifests.map((_, 0)) :+ (delManifest, 1)).foreach { case (p, c) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", p)
+        r.put("manifest_length", 1L)
+        r.put("partition_spec_id", 0)
+        r.put("content", c)
+        r.put("added_snapshot_id", 1L)
+        w.append(r)
+      }
+      w.close()
+    }
+    val posManifest = Paths.get(target, "metadata", "del-m0.avro")
+    writeDeleteManifest(posManifest, content = 1)
+    val newList = Paths.get(target, "metadata", "snap-pos-del.avro")
+    writeList(newList, posManifest.toString)
+    val md2 = om.readTree(origMd)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md2.put("format-version", 2)
+    md2.get("snapshots").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("manifest-list", newList.toString)
+    patch(mdPath, om.writeValueAsBytes(md2))
+
+    val got = IcebergInterop.readIceberg(spark, target)
+      .as[(Long, String)].collect().toMap
+    assert(got.keySet == (0L until 20L).toSet -- deletedIds,
+      s"deleted=$deletedIds got=${got.keySet}")
+    assert(deletedIds.forall(i => !got.contains(i)))
+    // surviving values untouched
+    assert(got.forall { case (k, v) => v == s"v$k" })
+
+    // an EQUALITY delete file (content 2) must refuse loudly
+    val eqManifest = Paths.get(target, "metadata", "del-eq-m0.avro")
+    writeDeleteManifest(eqManifest, content = 2)
+    val eqList = Paths.get(target, "metadata", "snap-eq-del.avro")
+    writeList(eqList, eqManifest.toString)
+    val md3 = om.readTree(origMd)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md3.put("format-version", 2)
+    md3.get("snapshots").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("manifest-list", eqList.toString)
+    patch(mdPath, om.writeValueAsBytes(md3))
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, target)
+    }
+    assert(e.getMessage.contains("equality delete"), e.getMessage)
   }
 
   /** Hand-build a minimal FOREIGN file-based Iceberg v1 table whose
