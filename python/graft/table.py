@@ -153,8 +153,9 @@ def _opt_long(spark, v):
 
 def read_delta(spark, path, version_as_of=None):
     """Open a Delta table dependency-free (JSON log + v1 parquet
-    checkpoints + deletion vectors; refuses column mapping and v2
-    checkpoints). Optional versionAsOf time travel."""
+    checkpoints + deletion vectors + name-mode column mapping; refuses
+    id-mode mapping and v2 checkpoints). Optional versionAsOf time
+    travel."""
     dx = spark._jvm.graft.sources.DeltaInterop
     return DataFrame(dx.readDelta(
         spark._jsparkSession, path, _opt_long(spark, version_as_of),

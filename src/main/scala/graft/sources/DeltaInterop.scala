@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Interop with the Delta Lake table format, implemented against the
   * PUBLIC Delta transaction-log protocol (delta-io PROTOCOL.md: a
@@ -550,20 +550,22 @@ object DeltaInterop {
   }
 
   /** Reader features this replay actually implements. Deletion vectors
-    * (reader version 3) are supported — most post-2023 Delta writers
-    * enable them, so refusing would lock out real-world tables.
-    * Everything else (column mapping = version 2, v2 checkpoints,
+    * (reader version 3) and NAME-mode column mapping (reader version 2,
+    * or 3 with the feature) are supported — most post-2023 Delta
+    * writers enable one or both, so refusing would lock out real-world
+    * tables. Everything else (id-mode mapping, v2 checkpoints,
     * timestampNtz-with-feature-flag, …) still refuses: a silent misread
     * would resurface DV-deleted rows or null-fill mapped columns. */
-  private val SupportedReaderFeatures = Set("deletionVectors")
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
 
-  /** Reader-protocol gate: version 1 (plain add/remove over parquet)
+  /** Reader-protocol gate: version 1 (plain add/remove over parquet),
+    * version 2 (column mapping — the MODE gate below refuses 'id'),
     * and version 3 with only supported readerFeatures pass; anything
     * else refuses loudly rather than misread. */
   private def checkProtocol(path: String, minReader: Int,
       readerFeatures: Seq[String]): Unit = {
     val ok =
-      (minReader <= 1 && readerFeatures.isEmpty) ||
+      (minReader <= 2 && readerFeatures.isEmpty) ||
         (minReader == 3 && readerFeatures.nonEmpty &&
           readerFeatures.forall(SupportedReaderFeatures.contains))
     if (!ok)
@@ -571,17 +573,44 @@ object DeltaInterop {
         s"Delta table at $path requires reader protocol $minReader" +
           (if (readerFeatures.nonEmpty)
             s" with features [${readerFeatures.mkString(", ")}]" else "") +
-          " — this dependency-free replay supports reader version 1 plus " +
-          s"[${SupportedReaderFeatures.mkString(", ")}] only (no column " +
-          "mapping / v2 checkpoints); read it with a full Delta client")
+          " — this dependency-free replay supports reader versions 1-2 plus " +
+          s"[${SupportedReaderFeatures.mkString(", ")}] only (no v2 " +
+          "checkpoints); read it with a full Delta client")
   }
 
-  private def checkColumnMapping(path: String, mode: String): Unit =
-    if (mode.nonEmpty && mode != "none")
-      throw new IllegalArgumentException(
-        s"Delta table at $path uses column mapping mode '$mode' — physical " +
-          "parquet column names diverge from the declared schema and a " +
-          "name-based scan would read nulls; read it with a full Delta client")
+  /** Column-mapping-mode gate: 'name' mode is readable (parquet files
+    * carry physical names, renamed back to the declared schema at scan
+    * time); 'id' mode resolves by parquet field ids, which this
+    * name-based replay cannot — refuse rather than null-fill. Returns
+    * the normalized mode. */
+  private def checkColumnMapping(path: String, mode: String): String =
+    mode match {
+      case "" | "none" => "none"
+      case "name" => "name"
+      case other => throw new IllegalArgumentException(
+        s"Delta table at $path uses column mapping mode '$other' — only " +
+          "'name' mode is supported by this dependency-free replay; read " +
+          "it with a full Delta client")
+    }
+
+  /** Physical (parquet) schema of a logical Delta schema under
+    * name-mode column mapping: every field at every nesting level is
+    * renamed to its `delta.columnMapping.physicalName`. */
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+  private def physicalField(f: StructField): StructField =
+    StructField(
+      if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+      else f.name,
+      physicalType(f.dataType), f.nullable)
+  private def physicalType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(physicalField))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = physicalType(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = physicalType(m.keyType),
+        valueType = physicalType(m.valueType))
+    case other => other
+  }
 
   /** Delta add/remove paths are percent-encoded RELATIVE URIs resolved
     * against the table root — or ABSOLUTE URIs for external files
@@ -607,11 +636,11 @@ object DeltaInterop {
   /** Open a Delta table's current snapshot as a DataFrame by replaying
     * its log: the latest parquet CHECKPOINT (single- or multi-part, v1
     * classic format) as the base state, then the JSON commit tail on
-    * top. Reader protocol versions 1 and 3-with-deletionVectors are
-    * supported — DV'd files scan with their deleted row indexes
-    * filtered out (see [[DeletionVectors]]); column mapping and v2
-    * checkpoints refuse loudly rather than
-    * misread. Identity-partitioned tables come back with their
+    * top. Reader protocols 1-3 are supported: DV'd files scan with
+    * their deleted row indexes filtered out (see [[DeletionVectors]]),
+    * and NAME-mode column-mapped tables scan by physical parquet names
+    * renamed back to the declared schema; id-mode mapping and v2
+    * checkpoints refuse loudly rather than misread. Identity-partitioned tables come back with their
     * partition columns rebuilt from `partitionValues` and cast to the
     * declared schema types; absolute-URI add paths (external files,
     * shallow clones) are read in place. `versionAsOf` time-travels to
@@ -629,6 +658,7 @@ object DeltaInterop {
     val capVersion = versionAsOf.getOrElse(Long.MaxValue)
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
+    var colMapMode: String = "none"
     // last add per path wins (a row-level DELETE re-adds the same path
     // with a fresh deletion vector); removes tombstone
     val active = scala.collection.mutable.LinkedHashMap[
@@ -719,7 +749,8 @@ object DeltaInterop {
             partCols = if (r.isNullAt(1)) Nil else r.getSeq[String](1)
             val conf = if (r.isNullAt(2)) Map.empty[String, String]
               else r.getMap[String, String](2).filter(_._2 != null).toMap
-            checkColumnMapping(path, conf.getOrElse("delta.columnMapping.mode", ""))
+            colMapMode = checkColumnMapping(path,
+              conf.getOrElse("delta.columnMapping.mode", ""))
           }
       // checkpoint `remove` actions are vacuum tombstones of files
       // already gone from the snapshot — active state is the adds alone
@@ -798,8 +829,9 @@ object DeltaInterop {
             .map(_.split(",").toSeq
               .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
             .getOrElse(Nil)
-          ColMapMode.findFirstMatchIn(line).foreach(m =>
-            checkColumnMapping(path, unq(m.group(1))))
+          colMapMode = checkColumnMapping(path,
+            ColMapMode.findFirstMatchIn(line).map(m => unq(m.group(1)))
+              .getOrElse(""))
         }
         AddPath.findFirstMatchIn(line).foreach { m =>
           val p = decodePath(unq(m.group(1)))
@@ -818,7 +850,23 @@ object DeltaInterop {
     val schema = DataType.fromJson(schemaJson.getOrElse(
       throw new IllegalStateException(s"no metaData action in Delta log at $path")))
       .asInstanceOf[StructType]
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    // name-mode column mapping: parquet files (and partitionValues
+    // keys, per the protocol's writer requirements) carry PHYSICAL
+    // names — scan with the physical schema, then one select renames
+    // every level back to the declared schema (nested renames via a
+    // positional struct cast)
+    val mapped = colMapMode == "name"
+    val physSchema =
+      if (mapped) StructType(schema.fields.map(physicalField)) else schema
+    val physName: Map[String, String] = schema.fields.zip(physSchema.fields)
+      .map { case (lf, pf) => lf.name -> pf.name }.toMap
+    val dataPairs = schema.fields.zip(physSchema.fields)
+      .filterNot { case (lf, _) => partCols.contains(lf.name) }
+    val dataSchema = StructType(dataPairs.map(_._2))
+    def toLogical(df: DataFrame): DataFrame =
+      if (!mapped) df
+      else df.select(dataPairs.map { case (lf, pf) =>
+        col(pf.name).cast(lf.dataType).as(lf.name) }: _*)
     // optional metadata-only partition pruning: Delta partition values
     // live ONLY in the log (canonical string form, absent key = null),
     // so one partition's read is a driver-side filter over the active
@@ -828,7 +876,7 @@ object DeltaInterop {
         s"'$c' is not a partition column of the Delta table at $path " +
           s"(partition columns: ${partCols.mkString(", ")})")
       val keep = active.filter { case (_, (pv, _)) =>
-        pv.get(c) match {
+        pv.get(physName(c)) match {
           case Some(v) => v == want
           case None => want == null
         }
@@ -873,11 +921,12 @@ object DeltaInterop {
         if (plain.isEmpty) None
         else Some(spark.read.schema(dataSchema).parquet(plain.map(_._1): _*)),
         if (dvFiles.isEmpty) None else Some(dvScan(dvFiles))).flatten
-      val base = scans.reduce(_.unionByName(_))
+      val base = toLogical(scans.reduce(_.unionByName(_)))
       val withParts = partCols.foldLeft(base) { (d, pc) =>
         val f = schema(pc)
-        // Delta renders a null partition value as an absent key
-        val v = pv.get(pc).map(lit(_)).getOrElse(lit(null))
+        // Delta renders a null partition value as an absent key; under
+        // column mapping the key is the PHYSICAL name
+        val v = pv.get(physName(pc)).map(lit(_)).getOrElse(lit(null))
         d.withColumn(pc, v.cast(f.dataType))
       }
       withParts.select(schema.map(f => col(f.name)): _*)

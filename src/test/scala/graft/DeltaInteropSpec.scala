@@ -348,11 +348,12 @@ class DeltaInteropSpec extends AnyFunSuite {
   }
 
   test("readDelta refuses unsupported reader protocols and features") {
-    // reader version 2 (column mapping capability) refuses
+    // a future reader version beyond the supported 1-3 range refuses
+    // (version 2 = column mapping reads since r9)
     val root2 = tmp("graft_dproto2_")
     Files.createDirectories(Paths.get(root2, "_delta_log"))
     Files.write(Paths.get(root2, "_delta_log", "0" * 20 + ".json"), Seq(
-      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":9}}"""
     ).mkString("", "\n", "\n").getBytes("UTF-8"))
     val e2 = intercept[IllegalArgumentException] {
       DeltaInterop.readDelta(spark, root2)
@@ -485,19 +486,76 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC"), e.getMessage)
   }
 
-  test("readDelta refuses column-mapped tables") {
+  test("readDelta reads NAME-mode column-mapped tables; id mode refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.struct
+    // a post-2023 writer's layout: parquet columns carry PHYSICAL
+    // names (nested levels too), partitionValues are keyed by the
+    // partition column's physical name, the declared schema maps back
+    // through delta.columnMapping.physicalName field metadata
     val root = tmp("graft_dcmap_")
     Files.createDirectories(Paths.get(root, "_delta_log"))
-    val schemaJson = StructType(Seq(StructField("id", LongType))).json
+    def writeDataFile(sub: String, rows: Seq[(Long, Int, String)]): String = {
+      rows.toDF("a", "b", "c")
+        .select(col("a").as("col-1"),
+          struct(col("b").as("col-3"), col("c").as("col-4")).as("col-2"))
+        .coalesce(1).write.parquet(root + "/" + sub)
+      val f = Files.list(Paths.get(root, sub)).iterator()
+      var name: String = null
+      while (f.hasNext) {
+        val p = f.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          name = sub + "/" + p.getFileName.toString
+      }
+      name
+    }
+    val fA = writeDataFile("pA", Seq((1L, 10, "x"), (2L, 20, "y")))
+    val fB = writeDataFile("pB", Seq((3L, 30, "z")))
+    def meta(phys: String, id: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-1", 1)),
+      StructField("info", StructType(Seq(
+        StructField("a", org.apache.spark.sql.types.IntegerType,
+          nullable = true, meta("col-3", 3)),
+        StructField("b", StringType, nullable = true, meta("col-4", 4)))),
+        nullable = true, meta("col-2", 2)),
+      StructField("seg", StringType, nullable = true, meta("col-5", 5)))).json
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}"""
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":["seg"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"5"},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(fA)}","partitionValues":{"col-5":"A"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"${esc(fB)}","partitionValues":{"col-5":"B"},"size":1,"modificationTime":1,"dataChange":true}}"""
     ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val got = DeltaInterop.readDelta(spark, root)
+    assert(got.columns.toSeq == Seq("id", "info", "seg"))
+    assert(got.select($"id", $"info.a", $"info.b", $"seg")
+      .as[(Long, Int, String, String)].collect().toSet ==
+      Set((1L, 10, "x", "A"), (2L, 20, "y", "A"), (3L, 30, "z", "B")))
+    // metadata-only pruning resolves the LOGICAL column name
+    val pruned = DeltaInterop.readDeltaWhere(spark, root, "seg", "A")
+    assert(pruned.select($"id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(pruned.inputFiles.length == 1, pruned.inputFiles.toSeq)
+
+    // protocol 3 with the columnMapping reader FEATURE reads the same
+    val log0 = Paths.get(root, "_delta_log", "0" * 20 + ".json")
+    val orig = new String(Files.readAllBytes(log0), "UTF-8")
+    Files.write(log0, orig.replace(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""")
+      .getBytes("UTF-8"))
+    assert(DeltaInterop.readDelta(spark, root).count() == 3)
+
+    // id-mode mapping refuses loudly
+    Files.write(log0, orig.replace(
+      """"delta.columnMapping.mode":"name"""",
+      """"delta.columnMapping.mode":"id"""").getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] {
       DeltaInterop.readDelta(spark, root)
     }
-    assert(e.getMessage.contains("column mapping"), e.getMessage)
+    assert(e.getMessage.contains("column mapping mode 'id'"), e.getMessage)
   }
 
   test("readDelta versionAsOf: JSON travel, checkpoint fallback, gone-history refusal") {
