@@ -174,9 +174,9 @@ def read_delta_where(spark, path, column, value, version_as_of=None):
 
 def read_iceberg(spark, path, snapshot_id=None):
     """Open an Iceberg v1/v2 table dependency-free, including v2
-    merge-on-read position deletes (refuses v3+, equality deletes,
-    field-id renames, partition-spec evolution). Optional snapshot-id
-    time travel."""
+    merge-on-read position AND equality deletes (refuses v3+, field-id
+    renames, partition-spec evolution). Optional snapshot-id time
+    travel."""
     ix = spark._jvm.graft.sources.IcebergInterop
     return DataFrame(ix.readIceberg(
         spark._jsparkSession, path, _opt_long(spark, snapshot_id),

@@ -9,7 +9,7 @@ import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayIn
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
 /** Interop with the Apache Iceberg table format, implemented against
@@ -28,8 +28,9 @@ import org.apache.spark.sql.types._
   *  - [[readIceberg]]: open an existing file-based Iceberg table's
   *    current snapshot as a DataFrame without any iceberg dependency —
   *    metadata.json (v1 or v2) → manifest list → manifests → pruned
-  *    parquet scan. v2 merge-on-read POSITION deletes apply as one
-  *    left_anti (file, pos) equi-join; equality deletes, non-parquet
+  *    parquet scan. v2 merge-on-read deletes apply as distributed
+  *    anti-joins — position deletes on (file, pos), equality deletes
+  *    null-safe per id set under the sequence-number guard; non-parquet
   *    data files and format v3+ refuse loudly rather than misread.
   *
   * Columns are resolved BY NAME against the parquet footers (a
@@ -988,14 +989,16 @@ object IcebergInterop {
     * by replaying its metadata: version-hint.text (or the
     * highest-numbered *.metadata.json) → table metadata → manifest
     * list → manifests → parquet scan. Supports format v1 and v2 data,
-    * including v2 merge-on-read POSITION deletes (applied as one
-    * distributed left_anti (file, pos) equi-join — never a driver-side
-    * decode of the deleted-row set); refuses v3+, equality delete
-    * files, non-parquet data files, tables whose parquet column names
-    * no longer match the declared schema (rename-by-field-id), and
-    * partition-spec evolution (old manifests lay their partition
-    * structs out per a different spec — resolving them against the
-    * default spec would misread).
+    * including v2 merge-on-read deletes — POSITION deletes apply as
+    * one distributed left_anti (file, pos) equi-join, EQUALITY deletes
+    * as one null-safe-equality anti-join per distinct equality-id set
+    * with the sequence-number guard `dataSeq < deleteSeq` (never a
+    * driver-side decode of the deleted-row set); refuses v3+,
+    * non-parquet files, equality ids addressing nested fields, tables
+    * whose parquet column names no longer match the declared schema
+    * (rename-by-field-id), and partition-spec evolution (old manifests
+    * lay their partition structs out per a different spec — resolving
+    * them against the default spec would misread).
     * `asOfSnapshotId` time-travels to a retained snapshot instead of
     * the current one (the declared schema stays the CURRENT one,
     * matching Iceberg's schema-evolution semantics for time travel).
@@ -1122,7 +1125,10 @@ object IcebergInterop {
     // values silently misread (the footer probe only catches it when
     // the probed file happens to be an old one).
     val defaultSpecId = md.path("default-spec-id").asInt(0)
-    val (manifests: Seq[String], deleteManifests: Seq[String]) =
+    // (manifest path, manifest sequence number) — v1 lists carry no
+    // sequence numbers (0); v2 entries inherit the manifest's when
+    // their own is absent
+    val (manifests: Seq[(String, Long)], deleteManifests: Seq[(String, Long)]) =
       if (snapshot.has("manifest-list")) {
         val listPath = snapshot.get("manifest-list").asText()
         val tagged = readAvro(readBytes(fs, new HPath(listPath))).map { r =>
@@ -1133,43 +1139,63 @@ object IcebergInterop {
                 "evolution)")
           }
           (fieldOpt(r, "content").map(longOf).getOrElse(0L),
-            r.get("manifest_path").toString)
+            r.get("manifest_path").toString,
+            fieldOpt(r, "sequence_number").map(longOf).getOrElse(0L))
         }
-        (tagged.collect { case (0L, p) => p },
-          tagged.collect { case (1L, p) => p })
+        (tagged.collect { case (0L, p, s) => (p, s) },
+          tagged.collect { case (1L, p, s) => (p, s) })
       } else if (snapshot.has("manifests"))
-        (snapshot.get("manifests").elements().asScala().map(_.asText()).toSeq,
-          Seq.empty[String])
+        (snapshot.get("manifests").elements().asScala().map(_.asText()).toSeq
+          .map((_, 0L)), Seq.empty[(String, Long)])
       else throw new IllegalStateException(
         s"snapshot $snapId at $path names neither manifest-list nor manifests")
 
-    // delete manifests → POSITION delete parquet files (content 1):
-    // merge-on-read DELETEs as Spark/Trino write them. A position
-    // delete names its target row by (data-file URI, row position) —
-    // data-file paths are immutable and unique, so the named row is
-    // identified regardless of sequence numbers (those only enable
-    // pruning). Equality deletes (content 2, Flink CDC's shape) need
-    // sequence-number-aware application and still refuse. Applied
-    // below as one left_anti equi-join on (file, pos) — distributed,
-    // broadcast-able when the delete set is small, never a
-    // driver-side decode of O(#deleted rows).
-    val posDeleteFiles: Seq[String] = deleteManifests.flatMap { mp =>
-      readAvro(readBytes(fs, new HPath(mp))).flatMap { e =>
-        val status = longOf(e.get("status"))
-        val df = e.get("data_file").asInstanceOf[GenericRecord]
-        fieldOpt(df, "content").map(longOf).getOrElse(-1L) match {
-          case 1L =>
-            val fmt = df.get("file_format").toString
-            if (!fmt.equalsIgnoreCase("parquet"))
-              refuse(path, s"has $fmt position delete files")
-            if (status == 2L) None else Some(df.get("file_path").toString)
-          case 2L => refuse(path, "has equality delete files (sequence-" +
-            "number-ordered row matching); read it with a full Iceberg client")
-          case other => refuse(path,
-            s"has a delete manifest entry with content=$other")
+    // delete manifests → merge-on-read delete files.
+    //  - POSITION deletes (content 1, Spark/Trino MoR DELETE): target a
+    //    row by (data-file URI, row position) — data-file paths are
+    //    immutable and unique, so the named row is identified
+    //    regardless of sequence numbers (those only enable pruning).
+    //  - EQUALITY deletes (content 2, Flink CDC's shape): delete every
+    //    row whose listed columns null-safe-equal a delete row, but
+    //    ONLY in data files with a STRICTLY SMALLER data sequence
+    //    number (a row re-inserted after the delete must survive) —
+    //    so each delete file carries its sequence number.
+    // Both apply below as distributed left_anti joins — broadcast-able
+    // when the delete set is small, never a driver-side decode of
+    // O(#deleted rows).
+    final case class DelFile(path: String, seq: Long, eqIds: Seq[Int])
+    val deleteFiles: Seq[(Long, DelFile)] = deleteManifests.flatMap {
+      case (mp, mseq) =>
+        readAvro(readBytes(fs, new HPath(mp))).flatMap { e =>
+          val status = longOf(e.get("status"))
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val seq = fieldOpt(e, "sequence_number").map(longOf).getOrElse(mseq)
+          val content = fieldOpt(df, "content").map(longOf).getOrElse(-1L)
+          val fmt = df.get("file_format").toString
+          if (!fmt.equalsIgnoreCase("parquet"))
+            refuse(path, s"has $fmt delete files")
+          if (status == 2L) None
+          else content match {
+            case 1L =>
+              Some((1L, DelFile(df.get("file_path").toString, seq, Nil)))
+            case 2L =>
+              val ids = fieldOpt(df, "equality_ids")
+                .collect { case c: java.util.Collection[_] =>
+                  c.iterator().asScala()
+                    .map(x => longOf(x.asInstanceOf[AnyRef]).toInt).toSeq
+                }.getOrElse(Seq.empty)
+              if (ids.isEmpty)
+                refuse(path, "has an equality delete file without equality_ids")
+              Some((2L, DelFile(df.get("file_path").toString, seq, ids)))
+            case other => refuse(path,
+              s"has a delete manifest entry with content=$other")
+          }
         }
-      }
-    }.distinct
+    }
+    val posDeleteFiles: Seq[String] =
+      deleteFiles.collect { case (1L, d) => d.path }.distinct
+    val eqDeleteFiles: Seq[DelFile] =
+      deleteFiles.collect { case (2L, d) => d }.distinct
 
     // optional metadata-only partition pruning: resolve the requested
     // field against the default spec, parse the grain to its typed
@@ -1204,11 +1230,14 @@ object IcebergInterop {
     }
 
     // manifests → live data files (status 2 = DELETED in this
-    // snapshot), each with its identity partition values; pruned by
-    // the optional partition filter
-    val dataFiles: Seq[(String, Seq[AnyRef])] = manifests.flatMap { mp =>
+    // snapshot), each with its identity partition values and data
+    // sequence number (for equality-delete ordering); pruned by the
+    // optional partition filter
+    val dataFiles: Seq[(String, Seq[AnyRef], Long)] = manifests.flatMap {
+      case (mp, mseq) =>
       readAvro(readBytes(fs, new HPath(mp))).flatMap { e =>
         val status = longOf(e.get("status"))
+        val seq = fieldOpt(e, "sequence_number").map(longOf).getOrElse(mseq)
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         if (fieldOpt(df, "content").map(longOf).getOrElse(0L) != 0L)
           refuse(path, "has a delete file inside a DATA manifest " +
@@ -1229,7 +1258,7 @@ object IcebergInterop {
           None
         else {
           val pv: Seq[AnyRef] = identityParts.map { case (_, _, i) => structAt(i) }
-          Some((df.get("file_path").toString, pv))
+          Some((df.get("file_path").toString, pv, seq))
         }
       }
     }.distinct
@@ -1260,36 +1289,67 @@ object IcebergInterop {
       refuse(path, s"data files lack declared columns ${missing.mkString(", ")} " +
         "(renamed by field id?)")
 
-    // Position-delete application: each scan keeps its (file, pos) row
-    // identity via _metadata columns until ONE left_anti equi-join
-    // strips the deleted rows. Delete files reference data files by the
-    // same URI string the manifests carry, while _metadata.file_path
-    // renders the QUALIFIED form — bridged by a driver-built
-    // (manifest path → qualified) map joined into the delete relation
-    // (the qualification convention the Delta DV reader pins). Deletes
-    // for files pruned or removed from this snapshot drop out of that
-    // inner join as no-ops.
+    // Delete application: each scan keeps its (file, pos) row identity
+    // via _metadata columns until left_anti joins strip the deleted
+    // rows — position deletes as ONE (file, pos) equi-join, equality
+    // deletes as one null-safe-equality join per distinct equality-id
+    // set with the sequence-number guard `dataSeq < deleteSeq` (a row
+    // re-inserted after the delete survives). Delete files reference
+    // data files by the same URI string the manifests carry, while
+    // _metadata.file_path renders the QUALIFIED form — bridged by
+    // driver-built (manifest path → qualified) maps (the qualification
+    // convention the Delta DV reader pins). Deletes for files pruned
+    // or removed from this snapshot drop out as no-ops.
+    val anyDeletes = posDeleteFiles.nonEmpty || eqDeleteFiles.nonEmpty
     val metaCols: Seq[org.apache.spark.sql.Column] =
-      if (posDeleteFiles.isEmpty) Nil
+      if (!anyDeletes) Nil
       else Seq(col("_metadata.file_path").as("__fp"),
         col("_metadata.row_index").as("__pos"))
     def applyPosDeletes(scan: DataFrame): DataFrame =
-      if (posDeleteFiles.isEmpty) scan
+      if (!anyDeletes) scan
       else {
         val conf = spark.sparkContext.hadoopConfiguration
+        def qualified(p: String): String = {
+          val hp = new HPath(p)
+          hp.getFileSystem(conf).makeQualified(hp).toString
+        }
         import spark.implicits._
-        val pathMap = dataFiles.map(_._1).distinct
-          .map { p =>
-            val hp = new HPath(p)
-            (p, hp.getFileSystem(conf).makeQualified(hp).toString)
-          }.toDF("file_path", "__fp")
-        val del = spark.read.parquet(posDeleteFiles: _*)
-          .select(col("file_path").cast("string").as("file_path"),
-            col("pos").cast("long").as("__pos"))
-          .join(pathMap, Seq("file_path"))
-          .select(col("__fp"), col("__pos"))
-        scan.join(del, Seq("__fp", "__pos"), "left_anti")
-          .select(schema.map(f => col(f.name)): _*)
+        var cur = scan
+        if (posDeleteFiles.nonEmpty) {
+          val pathMap = dataFiles.map(_._1).distinct
+            .map(p => (p, qualified(p))).toDF("file_path", "__fp")
+          val del = spark.read.parquet(posDeleteFiles: _*)
+            .select(col("file_path").cast("string").as("file_path"),
+              col("pos").cast("long").as("__pos"))
+            .join(pathMap, Seq("file_path"))
+            .select(col("__fp"), col("__pos"))
+          cur = cur.join(del, Seq("__fp", "__pos"), "left_anti")
+        }
+        if (eqDeleteFiles.nonEmpty) {
+          // equality ids resolve against TOP-LEVEL schema fields by id
+          // (delete files carry those columns under their table names)
+          val topIds: Map[Int, String] = schemaNode.get("fields").elements()
+            .asScala()
+            .map(f => f.path("id").asInt(-1) -> f.path("name").asText()).toMap
+          val seqMap = dataFiles.map { case (p, _, s) => (qualified(p), s) }
+            .distinct.toDF("__fp", "__dseq")
+          cur = cur.join(seqMap, Seq("__fp"))
+          eqDeleteFiles.groupBy(_.eqIds).toSeq.sortBy(_._1.mkString(","))
+            .foreach { case (ids, files) =>
+              val names = ids.map(id => topIds.getOrElse(id, refuse(path,
+                s"has an equality delete on field id $id, which is not a " +
+                  "top-level column")))
+              val rel = files.groupBy(_.seq).toSeq.map { case (s, fs2) =>
+                spark.read.parquet(fs2.map(_.path).distinct: _*)
+                  .select(names.map(n => col(n).as(s"__eq_$n")) :+
+                    lit(s).as("__eseq"): _*)
+              }.reduce(_.unionAll(_))
+              val cond = names.map(n => cur(n) <=> rel(s"__eq_$n"))
+                .reduce(_ && _) && cur("__dseq") < rel("__eseq")
+              cur = cur.join(rel, cond, "left_anti")
+            }
+        }
+        cur.select(schema.map(f => col(f.name)): _*)
       }
 
     if (identityParts.isEmpty)
@@ -1347,7 +1407,7 @@ object IcebergInterop {
       val metaNames = metaParts.map(_._1).toSet
       val scanSchema = StructType(schema.filterNot(f => metaNames.contains(f.name)))
       applyPosDeletes(dataFiles
-        .groupBy { case (_, pv) => metaParts.map { case (_, _, k) => pv(k) } }
+        .groupBy { case (_, pv, _) => metaParts.map { case (_, _, k) => pv(k) } }
         .map { case (_, fsOfPart) =>
           var df = spark.read.schema(scanSchema)
             .parquet(fsOfPart.map(_._1): _*)

@@ -606,7 +606,7 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("schema versions"), e4.getMessage)
   }
 
-  test("v2 position deletes filter named rows; equality deletes refuse") {
+  test("v2 position deletes filter named rows; id-less equality deletes refuse") {
     import spark.implicits._
     import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -735,7 +735,9 @@ class IcebergInteropSpec extends AnyFunSuite {
     // surviving values untouched
     assert(got.forall { case (k, v) => v == s"v$k" })
 
-    // an EQUALITY delete file (content 2) must refuse loudly
+    // an equality delete file (content 2) WITHOUT equality_ids is
+    // malformed and must refuse loudly (well-formed ones read — see
+    // the equality-deletes test)
     val eqManifest = Paths.get(target, "metadata", "del-eq-m0.avro")
     writeDeleteManifest(eqManifest, content = 2)
     val eqList = Paths.get(target, "metadata", "snap-eq-del.avro")
@@ -751,6 +753,139 @@ class IcebergInteropSpec extends AnyFunSuite {
       IcebergInterop.readIceberg(spark, target)
     }
     assert(e.getMessage.contains("equality delete"), e.getMessage)
+  }
+
+  test("v2 equality deletes: null-safe matching, sequence-number guard") {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    // base data (sequence 0): ids 0-9, v null at 5
+    val t = GraftTable.create(spark, tmp("graft_ieq_"),
+      (0L until 10L).map(i => (i, if (i == 5) null else s"v$i")).toDF("id", "v"))
+    val target = tmp("graft_ieq_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val origMd = Files.readAllBytes(mdPath)
+    def localFile(p: String): java.io.File = {
+      val u = new java.net.URI(p)
+      new java.io.File(if (u.getScheme == null) p else u.getPath)
+    }
+    def avroRecords(f: java.io.File): Seq[GenericRecord] = {
+      val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+        f, new GenericDatumReader[GenericRecord]())
+      try Iterator.continually(r).takeWhile(_.hasNext).map(_.next()).toList
+      finally r.close()
+    }
+    val listPath = om.readTree(origMd)
+      .get("snapshots").get(0).get("manifest-list").asText()
+    val dataManifests = avroRecords(localFile(listPath))
+      .map(_.get("manifest_path").toString)
+
+    // equality delete file (sequence 2): column `v` (field id 2) —
+    // "v3" plus a NULL row, which must match the null-v row (id 5)
+    val eqDir = tmp("graft_ieq_del_")
+    Seq(Option("v3"), Option.empty[String]).toDF("v")
+      .coalesce(1).write.mode("overwrite").parquet(eqDir)
+    val eqParquet = new java.io.File(eqDir).listFiles
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+
+    // re-insert data file (sequence 3): a NEW row with v = "v3" that
+    // must SURVIVE the earlier delete
+    val reDir = tmp("graft_ieq_re_")
+    Seq((100L, "v3")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(reDir)
+    val reParquet = new java.io.File(reDir).listFiles
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
+        |]}}]}""".stripMargin.replace("\n", ""))
+    def writeManifest(dest: java.nio.file.Path, content: Int, fp: String,
+                      eqIds: Seq[Int]): Unit = {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+      df.put("content", content)
+      df.put("file_path", fp)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", 2L)
+      df.put("file_size_in_bytes", new java.io.File(fp).length())
+      if (eqIds.nonEmpty) {
+        val arr = new java.util.ArrayList[Integer]()
+        eqIds.foreach(i => arr.add(i))
+        df.put("equality_ids", arr)
+      }
+      e.put("data_file", df)
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, dest.toFile)
+      w.append(e)
+      w.close()
+    }
+    val eqManifest = Paths.get(target, "metadata", "eq-m0.avro")
+    writeManifest(eqManifest, content = 2, eqParquet, Seq(2))
+    val reManifest = Paths.get(target, "metadata", "re-m0.avro")
+    writeManifest(reManifest, content = 0, reParquet, Nil)
+
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":"long"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin.replace("\n", ""))
+    val newList = Paths.get(target, "metadata", "snap-eq.avro")
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      w.create(listSchema, newList.toFile)
+      (dataManifests.map((_, 0, 0L)) ++
+        Seq((eqManifest.toString, 1, 2L), (reManifest.toString, 0, 3L)))
+        .foreach { case (p, c, s) =>
+          val r = new GenericData.Record(listSchema)
+          r.put("manifest_path", p)
+          r.put("manifest_length", 1L)
+          r.put("partition_spec_id", 0)
+          r.put("content", c)
+          r.put("sequence_number", s)
+          r.put("added_snapshot_id", 1L)
+          w.append(r)
+        }
+      w.close()
+    }
+    val md2 = om.readTree(origMd)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md2.put("format-version", 2)
+    md2.get("snapshots").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("manifest-list", newList.toString)
+    patch(mdPath, om.writeValueAsBytes(md2))
+
+    val got = IcebergInterop.readIceberg(spark, target)
+      .as[(Long, Option[String])].collect().toMap
+    // "v3" and the null row deleted from sequence-0 data; the
+    // sequence-3 re-insert of "v3" survives the sequence-2 delete
+    val expectIds = ((0L until 10L).toSet -- Set(3L, 5L)) + 100L
+    assert(got.keySet == expectIds, s"got=${got.keySet}")
+    assert(got(100L).contains("v3"))
+
+    // an equality id addressing no top-level column refuses loudly
+    writeManifest(eqManifest, content = 2, eqParquet, Seq(99))
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, target)
+    }
+    assert(e.getMessage.contains("field id 99"), e.getMessage)
   }
 
   /** Hand-build a minimal FOREIGN file-based Iceberg v1 table whose
