@@ -172,6 +172,21 @@ def read_delta_where(spark, path, column, value, version_as_of=None):
         _opt_long(spark, version_as_of)), spark)
 
 
+def read_delta_stream(spark, path, skip_change_commits=False,
+                      max_commits_per_trigger=None):
+    """Streaming read of a FOREIGN Delta table: tails its _delta_log,
+    batch 0 = the complete snapshot, later batches = appended files
+    per commit. Change commits (removes / deletion vectors) fail the
+    stream unless skip_change_commits=True skips them. Requires a
+    column-mapping-free table."""
+    r = spark.readStream.format("graft.sources.v2.DeltaSource")
+    if skip_change_commits:
+        r = r.option("skipChangeCommits", "true")
+    if max_commits_per_trigger is not None:
+        r = r.option("maxCommitsPerTrigger", str(int(max_commits_per_trigger)))
+    return r.load(path)
+
+
 def read_iceberg(spark, path, snapshot_id=None):
     """Open an Iceberg v1/v2 table dependency-free, including v2
     merge-on-read position AND equality deletes (refuses v3+, field-id

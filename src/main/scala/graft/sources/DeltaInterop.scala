@@ -629,7 +629,7 @@ object DeltaInterop {
 
   private val SchemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*:".r
 
-  private def resolveFile(root: HPath, p: String): String =
+  private[sources] def resolveFile(root: HPath, p: String): String =
     if (p.startsWith("/") || SchemePrefix.findFirstIn(p).isDefined) p
     else new HPath(root, p).toString
 
@@ -650,7 +650,27 @@ object DeltaInterop {
     * one partition by METADATA only — see [[readDeltaWhere]]. */
   def readDelta(spark: SparkSession, path: String,
       versionAsOf: Option[Long] = None,
-      partitionWhere: Option[(String, String)] = None): DataFrame = {
+      partitionWhere: Option[(String, String)] = None): DataFrame =
+    assembleSnapshot(spark, path, replaySnapshot(spark, path, versionAsOf),
+      partitionWhere)
+
+  /** A replayed Delta snapshot: the driver-side metadata state the
+    * scan assembly (and the streaming source's initial batch) builds
+    * from — declared schema JSON, partition columns, column-mapping
+    * mode, the active (path → partitionValues, deletionVector) file
+    * map in commit order, and the snapshot version. */
+  private[sources] final case class DeltaSnapshot(
+      schemaJson: String, partCols: Seq[String], colMapMode: String,
+      active: Seq[(String, (Map[String, String],
+        Option[DeletionVectors.Descriptor]))],
+      version: Long)
+
+  /** Replay a Delta log to its snapshot state at `versionAsOf` (or the
+    * latest version): parquet checkpoint base + JSON tail, protocol /
+    * column-mapping gates applied. Pure driver-side metadata — the
+    * only distributed work is the checkpoint parquet scan. */
+  private[sources] def replaySnapshot(spark: SparkSession, path: String,
+      versionAsOf: Option[Long]): DeltaSnapshot = {
     val root = new HPath(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new HPath(root, "_delta_log")
@@ -811,45 +831,90 @@ object DeltaInterop {
         s"version $v not found at $path (history reaches $top)")
     }
     commits.foreach { c =>
-      val text = readString(fs, c)
-      text.split('\n').foreach { line =>
-        if (line.contains("\"protocol\""))
-          MinReader.findFirstMatchIn(line).foreach { m =>
-            val rf = ReaderFeats.findFirstMatchIn(line).map(_.group(1))
-              .filter(_.trim.nonEmpty)
-              .map(_.split(",").toSeq
-                .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
-              .getOrElse(Nil)
-            checkProtocol(path, m.group(1).toInt, rf)
-          }
-        SchemaStr.findFirstMatchIn(line).foreach { m =>
-          schemaJson = Some(unq(m.group(1)))
-          partCols = PartCols.findFirstMatchIn(line).map(_.group(1))
+      val a = parseCommitText(path, readString(fs, c))
+      a.meta.foreach { case (sj, pc, mode) =>
+        schemaJson = Some(sj); partCols = pc; colMapMode = mode
+      }
+      // actions within one commit are UNORDERED per the protocol; a
+      // commit carrying both remove and add of a path means "replace"
+      // — removes apply first so the re-add survives
+      a.removes.foreach(active.remove)
+      a.adds.foreach { case (p, pv, dv) => active(p) = (pv, dv) }
+    }
+    DeltaSnapshot(
+      schemaJson.getOrElse(throw new IllegalStateException(
+        s"no metaData action in Delta log at $path")),
+      partCols, colMapMode, active.toSeq,
+      (cpVersion +: commits.map(_.getName.dropRight(5).toLong)).max)
+  }
+
+  /** One parsed JSON commit: the latest metaData (schema JSON,
+    * partition columns, validated column-mapping mode) if present, the
+    * added files with their partitionValues + deletionVector, and the
+    * removed paths. Protocol gates fire during the parse. Shared by
+    * the snapshot replay and the streaming source's incremental
+    * batches. */
+  private[sources] final case class DeltaActions(
+      meta: Option[(String, Seq[String], String)],
+      adds: Seq[(String, Map[String, String],
+        Option[DeletionVectors.Descriptor])],
+      removes: Seq[String])
+
+  private[sources] def parseCommitText(path: String, text: String): DeltaActions = {
+    var meta: Option[(String, Seq[String], String)] = None
+    val adds = Seq.newBuilder[(String, Map[String, String],
+      Option[DeletionVectors.Descriptor])]
+    val removes = Seq.newBuilder[String]
+    text.split('\n').foreach { line =>
+      if (line.contains("\"protocol\""))
+        MinReader.findFirstMatchIn(line).foreach { m =>
+          val rf = ReaderFeats.findFirstMatchIn(line).map(_.group(1))
             .filter(_.trim.nonEmpty)
             .map(_.split(",").toSeq
               .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
             .getOrElse(Nil)
-          colMapMode = checkColumnMapping(path,
-            ColMapMode.findFirstMatchIn(line).map(m => unq(m.group(1)))
-              .getOrElse(""))
+          checkProtocol(path, m.group(1).toInt, rf)
         }
-        AddPath.findFirstMatchIn(line).foreach { m =>
-          val p = decodePath(unq(m.group(1)))
-          val pv = PartVals.findFirstMatchIn(line).map(_.group(1)) match {
-            case Some(body) if body.trim.nonEmpty =>
-              PartEntry.findAllMatchIn(body)
-                .map(mm => unq(mm.group(1)) -> unq(mm.group(2))).toMap
-            case _ => Map.empty[String, String]
-          }
-          active(p) = (pv, parseDvDescriptor(line))
-        }
-        RemovePath.findFirstMatchIn(line).foreach(m =>
-          active.remove(decodePath(unq(m.group(1)))))
+      SchemaStr.findFirstMatchIn(line).foreach { m =>
+        val pc = PartCols.findFirstMatchIn(line).map(_.group(1))
+          .filter(_.trim.nonEmpty)
+          .map(_.split(",").toSeq
+            .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+          .getOrElse(Nil)
+        val mode = checkColumnMapping(path,
+          ColMapMode.findFirstMatchIn(line).map(mm => unq(mm.group(1)))
+            .getOrElse(""))
+        meta = Some((unq(m.group(1)), pc, mode))
       }
+      AddPath.findFirstMatchIn(line).foreach { m =>
+        val p = decodePath(unq(m.group(1)))
+        val pv = PartVals.findFirstMatchIn(line).map(_.group(1)) match {
+          case Some(body) if body.trim.nonEmpty =>
+            PartEntry.findAllMatchIn(body)
+              .map(mm => unq(mm.group(1)) -> unq(mm.group(2))).toMap
+          case _ => Map.empty[String, String]
+        }
+        adds += ((p, pv, parseDvDescriptor(line)))
+      }
+      RemovePath.findFirstMatchIn(line).foreach(m =>
+        removes += decodePath(unq(m.group(1))))
     }
-    val schema = DataType.fromJson(schemaJson.getOrElse(
-      throw new IllegalStateException(s"no metaData action in Delta log at $path")))
-      .asInstanceOf[StructType]
+    DeltaActions(meta, adds.result(), removes.result())
+  }
+
+  /** Assemble the snapshot's DataFrame from replayed state: grouped
+    * pruned scans + partition literals + DV filters + column-mapping
+    * rename. */
+  private def assembleSnapshot(spark: SparkSession, path: String,
+      st: DeltaSnapshot,
+      partitionWhere: Option[(String, String)]): DataFrame = {
+    val root = new HPath(path)
+    val partCols = st.partCols
+    val colMapMode = st.colMapMode
+    val active = scala.collection.mutable.LinkedHashMap[
+      String, (Map[String, String], Option[DeletionVectors.Descriptor])](
+      st.active: _*)
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     // name-mode column mapping: parquet files (and partitionValues
     // keys, per the protocol's writer requirements) carry PHYSICAL
     // names — scan with the physical schema, then one select renames

@@ -1006,6 +1006,76 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("renames columns"), e.getMessage)
   }
 
+  test("DeltaSource streams a foreign Delta table: snapshot, appends, change refusal") {
+    import spark.implicits._
+    // a partitioned foreign Delta table (export = protocol-1 hive
+    // layout), then hand-appended commits the way a foreign writer
+    // would land them
+    val t = GraftTable.create(spark, tmp("graft_dstr_src_"),
+      Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "seg"), Seq("seg"))
+    val target = tmp("graft_dstr_")
+    DeltaInterop.exportSnapshot(t, target)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def addCommit(v: Long, seg: String, rows: Seq[Long]): Unit = {
+      val sub = s"seg=$seg"
+      val stage = tmp(s"graft_dstr_stage_")
+      rows.toDF("id").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      Files.createDirectories(Paths.get(target, sub))
+      val dest = s"$sub/add-$v.parquet"
+      Files.copy(part, Paths.get(target, dest))
+      Files.write(Paths.get(target, "_delta_log", f"$v%020d.json"), Seq(
+        s"""{"add":{"path":"${esc(dest)}","partitionValues":{"seg":"$seg"},"size":1,"modificationTime":$v,"dataChange":true}}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+
+    val name = "dstream_mem"
+    val q = spark.readStream.format("graft.sources.v2.DeltaSource")
+      .load(target)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 0 = complete snapshot, partition column recovered from dirs
+      assert(spark.table(name).as[(Long, String)].collect().toSet ==
+        Set((1L, "A"), (2L, "A"), (3L, "B")))
+      // appends flow incrementally
+      addCommit(1L, "C", Seq(10L))
+      addCommit(2L, "A", Seq(11L))
+      q.processAllAvailable()
+      assert(spark.table(name).as[(Long, String)].collect().toSet ==
+        Set((1L, "A"), (2L, "A"), (3L, "B"), (10L, "C"), (11L, "A")))
+      // a change commit (remove) fails the stream loudly
+      Files.write(Paths.get(target, "_delta_log", f"${3L}%020d.json"), Seq(
+        s"""{"remove":{"path":"x.parquet","deletionTimestamp":3,"dataChange":true}}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("skipChangeCommits"), e.getMessage)
+    } finally q.stop()
+
+    // skipChangeCommits: a fresh query passes the change commit and
+    // keeps tailing later appends
+    val name2 = "dstream_mem2"
+    val q2 = spark.readStream.format("graft.sources.v2.DeltaSource")
+      .option("skipChangeCommits", "true")
+      .load(target)
+      .writeStream.format("memory").queryName(name2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      addCommit(4L, "B", Seq(20L))
+      q2.processAllAvailable()
+      val got = spark.table(name2).as[(Long, String)].collect().toSet
+      assert(got.contains((20L, "B")), got)
+      assert(got.size == 6, got) // 5 snapshot rows + 1 append
+    } finally q2.stop()
+
+    // the same source string also batch-reads (= readDelta)
+    assert(spark.read.format("graft.sources.v2.DeltaSource").load(target)
+      .count() == 6)
+  }
+
   test("readDelta reads absolute-URI add paths in place") {
     import spark.implicits._
     val root = tmp("graft_dabs_")
