@@ -187,6 +187,22 @@ def read_delta_stream(spark, path, skip_change_commits=False,
     return r.load(path)
 
 
+def read_iceberg_stream(spark, path, skip_change_commits=False,
+                        max_snapshots_per_trigger=None):
+    """Streaming read of an Iceberg table (foreign or a graft mirror):
+    tails its snapshot history, batch 0 = the complete snapshot, later
+    batches = files added by append snapshots. Non-append snapshots
+    (overwrite/delete/replace, or delete files) fail the stream unless
+    skip_change_commits=True skips them."""
+    r = spark.readStream.format("graft.sources.v2.IcebergSource")
+    if skip_change_commits:
+        r = r.option("skipChangeCommits", "true")
+    if max_snapshots_per_trigger is not None:
+        r = r.option("maxSnapshotsPerTrigger",
+                     str(int(max_snapshots_per_trigger)))
+    return r.load(path)
+
+
 def read_iceberg(spark, path, snapshot_id=None):
     """Open an Iceberg v1/v2 table dependency-free, including v2
     merge-on-read position AND equality deletes (refuses v3+, field-id

@@ -171,7 +171,7 @@ object IcebergInterop {
     }
   }
 
-  private def fromIcebergStruct(node: JsonNode, path: String): StructType =
+  private[sources] def fromIcebergStruct(node: JsonNode, path: String): StructType =
     StructType(node.get("fields").elements().asScala().map { f =>
       StructField(f.get("name").asText(),
         fromIcebergType(f.get("type"), path),
@@ -276,7 +276,7 @@ object IcebergInterop {
     out.toByteArray
   }
 
-  private def readAvro(bytes: Array[Byte]): Seq[GenericRecord] = {
+  private[sources] def readAvro(bytes: Array[Byte]): Seq[GenericRecord] = {
     val r = new DataFileReader[GenericRecord](
       new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
     try {
@@ -286,7 +286,7 @@ object IcebergInterop {
     } finally r.close()
   }
 
-  private def readBytes(fs: org.apache.hadoop.fs.FileSystem, p: HPath): Array[Byte] = {
+  private[sources] def readBytes(fs: org.apache.hadoop.fs.FileSystem, p: HPath): Array[Byte] = {
     val in = fs.open(p)
     try in.readAllBytes() finally in.close()
   }
@@ -299,10 +299,10 @@ object IcebergInterop {
 
   // optional-field access: GenericData.Record.get(String) THROWS on a
   // name the writer schema lacks (e.g. v1 manifests have no `content`)
-  private def fieldOpt(r: GenericRecord, name: String): Option[AnyRef] =
+  private[sources] def fieldOpt(r: GenericRecord, name: String): Option[AnyRef] =
     if (r.getSchema.getField(name) == null) None else Option(r.get(name))
 
-  private def longOf(v: AnyRef): Long = v match {
+  private[sources] def longOf(v: AnyRef): Long = v match {
     case n: java.lang.Number => n.longValue()
     case other => other.toString.toLong
   }
@@ -980,7 +980,7 @@ object IcebergInterop {
       grain: String, asOfSnapshotId: Option[Long] = None): DataFrame =
     readIceberg(spark, path, asOfSnapshotId, Some(field -> grain))
 
-  private def refuse(path: String, what: String): Nothing =
+  private[sources] def refuse(path: String, what: String): Nothing =
     throw new IllegalArgumentException(
       s"Iceberg table at $path $what — unsupported by this dependency-free " +
         "reader; read it with a full Iceberg client")
@@ -1004,18 +1004,20 @@ object IcebergInterop {
     * matching Iceberg's schema-evolution semantics for time travel).
     * `partitionWhere = Some(field -> grain)` prunes to one partition
     * value by METADATA only — see [[readIcebergWhere]]. */
-  def readIceberg(spark: SparkSession, path: String,
-      asOfSnapshotId: Option[Long] = None,
-      partitionWhere: Option[(String, String)] = None): DataFrame = {
+  /** Resolve and parse the CURRENT table metadata (version-hint.text,
+    * falling back to the highest-numbered *.metadata.json — Iceberg's
+    * HadoopTableOperations reader behavior; a torn/non-numeric hint
+    * falls back to the listing, only a WELL-FORMED hint naming a
+    * missing version is a loud inconsistency). Shared by the batch
+    * reader and the streaming source. */
+  private[sources] def currentMetadata(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, JsonNode) = {
     val root = new HPath(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new HPath(root, "metadata")
     require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
 
     val hint = new HPath(metaDir, "version-hint.text")
-    // a torn/non-numeric hint falls back to the listing (Iceberg's
-    // HadoopTableOperations reader behavior) — only a WELL-FORMED hint
-    // naming a missing version is a loud inconsistency
     val hintVersion: Option[Long] =
       if (!fs.exists(hint)) None
       else new String(readBytes(fs, hint), StandardCharsets.UTF_8)
@@ -1038,8 +1040,25 @@ object IcebergInterop {
         require(candidates.nonEmpty, s"no *.metadata.json under $metaDir")
         candidates.maxBy(_._1)._2
       }
+    (fs, om.readTree(readBytes(fs, metaFile)))
+  }
 
-    val md = om.readTree(readBytes(fs, metaFile))
+  /** The CURRENT declared schema node: v2 carries a schemas array +
+    * current-schema-id, v1 a single schema object. */
+  private[sources] def currentSchemaNode(md: JsonNode, path: String): JsonNode =
+    if (md.has("schemas") && md.has("current-schema-id")) {
+      val want = md.get("current-schema-id").asInt()
+      md.get("schemas").elements().asScala()
+        .find(_.path("schema-id").asInt(-1) == want)
+        .getOrElse(throw new IllegalStateException(
+          s"current-schema-id $want not present in schemas at $path"))
+    } else md.get("schema")
+
+  def readIceberg(spark: SparkSession, path: String,
+      asOfSnapshotId: Option[Long] = None,
+      partitionWhere: Option[(String, String)] = None): DataFrame = {
+    val root = new HPath(path)
+    val (fs, md) = currentMetadata(spark, path)
     val formatVersion = md.path("format-version").asInt(1)
     if (formatVersion > 2)
       refuse(path, s"is format version $formatVersion (v3 adds deletion " +
@@ -1047,14 +1066,7 @@ object IcebergInterop {
 
     // declared schema: v2 carries a schemas array + current-schema-id,
     // v1 a single schema object
-    val schemaNode =
-      if (md.has("schemas") && md.has("current-schema-id")) {
-        val want = md.get("current-schema-id").asInt()
-        md.get("schemas").elements().asScala()
-          .find(_.path("schema-id").asInt(-1) == want)
-          .getOrElse(throw new IllegalStateException(
-            s"current-schema-id $want not present in schemas at $path"))
-      } else md.get("schema")
+    val schemaNode = currentSchemaNode(md, path)
     val schema = fromIcebergStruct(schemaNode, path)
 
     // Rename detection #1 — schema history: Iceberg resolves columns by

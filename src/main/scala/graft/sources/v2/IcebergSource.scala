@@ -1,0 +1,296 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.avro.generic.GenericRecord
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.graftbridge.ParquetTableBridge
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.IcebergInterop
+
+/** FOREIGN (or mirrored) Iceberg tables as a Spark data source,
+  * dependency-free — the streaming half of the Iceberg interop (the
+  * reference's primary format: docker/spark-notebook/02_iceberg_demo
+  * .ipynb; production pipelines tail such tables with
+  * `spark.readStream`):
+  *
+  * {{{
+  *   spark.read.format("graft.sources.v2.IcebergSource").load(path)   // = readIceberg
+  *   spark.readStream.format("graft.sources.v2.IcebergSource")
+  *     .option("skipChangeCommits", "true").load(path)                // tail snapshots
+  * }}}
+  *
+  * Contract (the [[DeltaSource]] / graft-source shape over Iceberg
+  * snapshots): offset = snapshot id, ordered by the metadata's
+  * snapshots array (append-ordered by writers; the mirror appends one
+  * per graft commit). Batch 0 is the complete snapshot at stream
+  * start; every later batch is exactly the data files ADDED by the
+  * `append`-operation snapshots in between — any other operation
+  * (overwrite, delete, replace/compaction, or a snapshot carrying
+  * delete manifests) fails loudly unless `skipChangeCommits=true`
+  * skips that whole snapshot. Mid-stream schema changes refuse
+  * non-retryably. Streaming scans read every declared column FROM the
+  * data files (verified by a footer probe per batch) — tables whose
+  * identity partition values live only in manifest metadata
+  * (hive-migrated layouts) refuse toward batch `readIceberg`, which
+  * implements the Column Projection rule. An expired start snapshot
+  * (expire_snapshots outran the consumer) refuses with a restart
+  * message.
+  *
+  * Scale shape: planning is O(#manifests + #files) driver-side
+  * metadata per batch; the data path is the native vectorized parquet
+  * reader over only the added files. */
+class IcebergSource extends TableProvider {
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "iceberg source needs a path: .load(<table root>)"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val path = pathOf(options)
+    val (_, md) = IcebergInterop.currentMetadata(spark, path)
+    IcebergInterop.fromIcebergStruct(
+      IcebergInterop.currentSchemaNode(md, path), path)
+  }
+
+  override def getTable(tableSchema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val path = pathOf(options)
+    new Table with SupportsRead {
+      override def name(): String = s"iceberg:$path"
+      override def schema(): StructType = tableSchema
+      override def capabilities(): util.Set[TableCapability] =
+        util.EnumSet.of(TableCapability.BATCH_READ,
+          TableCapability.MICRO_BATCH_READ)
+      override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build(): Scan = new V1Scan {
+            override def readSchema(): StructType = tableSchema
+            override def toMicroBatchStream(checkpointLocation: String)
+                : MicroBatchStream =
+              new IcebergMicroBatchStream(SparkSession.active, path,
+                tableSchema, opts)
+            override def toV1TableScan[T <: BaseRelation with TableScan](
+                context: SQLContext): T =
+              new BaseRelation with TableScan {
+                override def sqlContext: SQLContext = context
+                override def schema: StructType = readSchema()
+                override def buildScan(): RDD[Row] =
+                  IcebergInterop.readIceberg(SparkSession.active, path).rdd
+              }.asInstanceOf[T]
+          }
+        }
+    }
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+/** Stream offset = Iceberg snapshot id (-1 = nothing processed). */
+case class IcebergSnapshotOffset(snapshotId: Long) extends Offset {
+  override def json: String = s"""{"snapshotId":$snapshotId}"""
+}
+
+object IcebergSnapshotOffset {
+  private val V = "\"snapshotId\"\\s*:\\s*(-?\\d+)".r
+  def fromJson(json: String): IcebergSnapshotOffset =
+    IcebergSnapshotOffset(V.findFirstMatchIn(json).getOrElse(
+      throw new IllegalArgumentException(s"bad iceberg offset: $json"))
+      .group(1).toLong)
+}
+
+/** Micro-batch stream tailing an Iceberg table's snapshot history —
+  * see [[IcebergSource]] for the contract. */
+class IcebergMicroBatchStream(spark: SparkSession, path: String,
+    schema: StructType, options: CaseInsensitiveStringMap)
+  extends MicroBatchStream with SupportsAdmissionControl {
+
+  import IcebergInterop.{currentMetadata, fieldOpt, longOf, readAvro, readBytes, refuse}
+
+  private val skipChangeCommits =
+    Option(options.get("skipchangecommits")).exists(_.toBoolean)
+  private val maxSnapshotsPerTrigger =
+    Option(options.get("maxsnapshotspertrigger")).map(_.toInt)
+
+  /** Snapshot ids in history order (the metadata's append-ordered
+    * snapshots array); re-read per call so the stream sees snapshots
+    * landed after it started. */
+  private def history(): Seq[Long] = {
+    val (_, md) = currentMetadata(spark, path)
+    if (!md.has("snapshots")) return Nil
+    val it = md.get("snapshots").elements()
+    val b = Seq.newBuilder[Long]
+    while (it.hasNext) b += it.next().get("snapshot-id").asLong()
+    b.result()
+  }
+
+  override def initialOffset(): Offset = IcebergSnapshotOffset(-1L)
+  override def latestOffset(): Offset =
+    IcebergSnapshotOffset(history().lastOption.getOrElse(-1L))
+  override def reportLatestOffset(): Offset = latestOffset()
+  override def deserializeOffset(json: String): Offset =
+    IcebergSnapshotOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSnapshotsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  private def snapCap(limit: ReadLimit): Option[Int] = limit match {
+    case f: ReadMaxFiles => Some(f.maxFiles)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(snapCap).minOption
+    case _: ReadAllAvailable => maxSnapshotsPerTrigger
+    case _ => maxSnapshotsPerTrigger
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val hist = history()
+    if (hist.isEmpty) return IcebergSnapshotOffset(-1L)
+    val s = start.asInstanceOf[IcebergSnapshotOffset].snapshotId
+    snapCap(limit) match {
+      case Some(n) if s >= 0 =>
+        val idx = hist.indexOf(s)
+        if (idx < 0) IcebergSnapshotOffset(hist.last)
+        else IcebergSnapshotOffset(hist(math.min(hist.size - 1, idx + n)))
+      case _ => IcebergSnapshotOffset(hist.last)
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[IcebergSnapshotOffset].snapshotId
+    val e = end.asInstanceOf[IcebergSnapshotOffset].snapshotId
+    if (e == s || e < 0) return Array.empty
+    val (fs, md) = currentMetadata(spark, path)
+    if (md.path("format-version").asInt(1) > 2)
+      refuse(path, "is format version 3+")
+    def snapshotNode(id: Long) = {
+      val it = md.get("snapshots").elements()
+      var found: com.fasterxml.jackson.databind.JsonNode = null
+      while (it.hasNext && found == null) {
+        val n = it.next()
+        if (n.get("snapshot-id").asLong() == id) found = n
+      }
+      if (found == null)
+        throw new IllegalStateException(
+          s"iceberg stream over $path: snapshot $id is no longer " +
+            "retained (expire_snapshots outran this consumer) — restart " +
+            "the stream from a fresh checkpoint")
+      found
+    }
+    // manifest-list records of one snapshot: (content, manifest path,
+    // manifest added_snapshot_id)
+    def listRecords(snap: com.fasterxml.jackson.databind.JsonNode)
+        : Seq[(Long, String, Long)] =
+      readAvro(readBytes(fs, new HPath(
+        snap.get("manifest-list").asText()))).map { r =>
+        (fieldOpt(r, "content").map(longOf).getOrElse(0L),
+          r.get("manifest_path").toString,
+          fieldOpt(r, "added_snapshot_id").map(longOf).getOrElse(-1L))
+      }
+    def dataFileOf(e2: GenericRecord): GenericRecord =
+      e2.get("data_file").asInstanceOf[GenericRecord]
+    def checkParquet(df: GenericRecord): Unit = {
+      val fmt = df.get("file_format").toString
+      if (!fmt.equalsIgnoreCase("parquet")) refuse(path, s"has $fmt data files")
+    }
+
+    val files: Seq[String] =
+      if (s < 0) {
+        // batch 0: the complete file set of snapshot e
+        val snap = snapshotNode(e)
+        val recs = listRecords(snap)
+        if (recs.exists(_._1 != 0L))
+          throw new IllegalStateException(
+            s"iceberg stream over $path: the table carries row-level " +
+              "delete files — a merge-on-read state cannot stream " +
+              "append-only; read it batch-side via readIceberg")
+        recs.flatMap { case (_, mp, _) =>
+          readAvro(readBytes(fs, new HPath(mp))).flatMap { e2 =>
+            val df = dataFileOf(e2)
+            checkParquet(df)
+            if (longOf(e2.get("status")) == 2L) None
+            else Some(df.get("file_path").toString)
+          }
+        }.distinct
+      } else {
+        val hist = history()
+        val si = hist.indexOf(s)
+        val ei = hist.indexOf(e)
+        if (si < 0)
+          throw new IllegalStateException(
+            s"iceberg stream over $path: snapshot $s is no longer " +
+              "retained (expire_snapshots outran this consumer) — restart " +
+              "the stream from a fresh checkpoint")
+        require(ei > si, s"iceberg stream over $path: end $e not after $s")
+        hist.slice(si + 1, ei + 1).flatMap { id =>
+          val snap = snapshotNode(id)
+          // the declared schema is fixed at stream start; a snapshot
+          // switching schema-id mid-stream would silently null-fill or
+          // drop columns — refuse non-retryably like the graft source
+          if (snap.has("schema-id") && md.has("current-schema-id") &&
+              snap.get("schema-id").asInt() != md.get("current-schema-id").asInt())
+            throw new IllegalStateException(
+              s"iceberg stream over $path: snapshot $id changes the table " +
+                "schema — restart the stream to pick up the new schema")
+          val op = snap.path("summary").path("operation").asText("")
+          val recs = listRecords(snap)
+          val isChange = op != "append" || recs.exists(_._1 != 0L)
+          if (isChange && !skipChangeCommits)
+            throw new IllegalStateException(
+              s"iceberg stream over $path: snapshot $id is operation " +
+                s"'$op' — the source tails APPENDS; set read option " +
+                "skipChangeCommits=true to skip change snapshots")
+          if (isChange) Nil
+          else recs.flatMap { case (_, mp, addedBy) =>
+            readAvro(readBytes(fs, new HPath(mp))).flatMap { e2 =>
+              val df = dataFileOf(e2)
+              checkParquet(df)
+              val entrySnap = fieldOpt(e2, "snapshot_id").map(longOf)
+                .getOrElse(addedBy)
+              if (longOf(e2.get("status")) == 1L && entrySnap == id)
+                Some(df.get("file_path").toString)
+              else None
+            }
+          }.distinct
+        }
+      }
+    if (files.isEmpty) return Array.empty
+    // every declared column must come FROM the files — identity
+    // partition values living only in manifest metadata would
+    // null-fill through this fixed-schema scan
+    val probe = spark.read.parquet(files.head).schema.fieldNames.toSet
+    val missing = schema.fieldNames.filterNot(probe.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"iceberg stream over $path: data files lack declared columns " +
+          s"${missing.mkString(", ")} (identity partition values in " +
+          "manifest metadata, or a rename) — read this table batch-side " +
+          "via readIceberg")
+    val b = scanBatch(files)
+    currentBatch = b
+    b.planInputPartitions()
+  }
+
+  private def scanBatch(files: Seq[String]): Batch =
+    ParquetTableBridge.scanBuilder(spark, "iceberg-stream", files, schema,
+      options).build().toBatch
+
+  // factory from the same per-batch scan (see DeltaMicroBatchStream)
+  @volatile private var currentBatch: Batch = _
+  override def createReaderFactory(): PartitionReaderFactory =
+    (if (currentBatch != null) currentBatch else scanBatch(Nil))
+      .createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

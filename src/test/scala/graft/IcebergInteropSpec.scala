@@ -755,6 +755,60 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("equality delete"), e.getMessage)
   }
 
+  test("IcebergSource streams a mirrored table: snapshot, appends, change refusal") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_istr_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    IcebergInterop.mirrorToIceberg(t)
+
+    val name = "istream_mem"
+    val q = spark.readStream.format("graft.sources.v2.IcebergSource")
+      .load(t.root)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b")))
+      // appended snapshots flow incrementally (fast-append manifests:
+      // only the NEW manifest's ADDED entries stream, not the carried
+      // prior files)
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      IcebergInterop.mirrorToIceberg(t)
+      t.append(Seq((4L, "d")).toDF("id", "v"))
+      IcebergInterop.mirrorToIceberg(t)
+      q.processAllAvailable()
+      assert(spark.table(name).as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+      // a change snapshot (row-level delete) fails the stream loudly
+      t.delete(col("id") === 1L)
+      IcebergInterop.mirrorToIceberg(t)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("skipChangeCommits"), e.getMessage)
+    } finally q.stop()
+
+    // skipChangeCommits: fresh query passes the change snapshot and
+    // keeps tailing appends
+    val name2 = "istream_mem2"
+    val q2 = spark.readStream.format("graft.sources.v2.IcebergSource")
+      .option("skipChangeCommits", "true")
+      .load(t.root)
+      .writeStream.format("memory").queryName(name2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      t.append(Seq((5L, "e")).toDF("id", "v"))
+      IcebergInterop.mirrorToIceberg(t)
+      q2.processAllAvailable()
+      assert(spark.table(name2).as[(Long, String)].collect().toSet ==
+        Set((2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    } finally q2.stop()
+
+    // the same source string also batch-reads (= readIceberg)
+    assert(spark.read.format("graft.sources.v2.IcebergSource").load(t.root)
+      .count() == 4)
+  }
+
   test("v2 equality deletes: null-safe matching, sequence-number guard") {
     import spark.implicits._
     import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
