@@ -153,9 +153,8 @@ def _opt_long(spark, v):
 
 def read_delta(spark, path, version_as_of=None):
     """Open a Delta table dependency-free (JSON log + v1 parquet
-    checkpoints + deletion vectors + name-mode column mapping; refuses
-    id-mode mapping and v2 checkpoints). Optional versionAsOf time
-    travel."""
+    checkpoints + deletion vectors + name- and id-mode column mapping;
+    refuses v2 checkpoints). Optional versionAsOf time travel."""
     dx = spark._jvm.graft.sources.DeltaInterop
     return DataFrame(dx.readDelta(
         spark._jsparkSession, path, _opt_long(spark, version_as_of),
@@ -205,9 +204,9 @@ def read_iceberg_stream(spark, path, skip_change_commits=False,
 
 def read_iceberg(spark, path, snapshot_id=None):
     """Open an Iceberg v1/v2 table dependency-free, including v2
-    merge-on-read position AND equality deletes (refuses v3+, field-id
-    renames, partition-spec evolution). Optional snapshot-id time
-    travel."""
+    merge-on-read position AND equality deletes and field-id renames
+    when the files carry parquet field ids (refuses v3+ and
+    partition-spec evolution). Optional snapshot-id time travel."""
     ix = spark._jvm.graft.sources.IcebergInterop
     return DataFrame(ix.readIceberg(
         spark._jsparkSession, path, _opt_long(spark, snapshot_id),

@@ -578,37 +578,49 @@ object DeltaInterop {
           "checkpoints); read it with a full Delta client")
   }
 
-  /** Column-mapping-mode gate: 'name' mode is readable (parquet files
-    * carry physical names, renamed back to the declared schema at scan
-    * time); 'id' mode resolves by parquet field ids, which this
-    * name-based replay cannot — refuse rather than null-fill. Returns
-    * the normalized mode. */
+  /** Column-mapping-mode gate: 'name' mode reads by physical parquet
+    * names, 'id' mode by parquet FIELD IDS (the files' column names
+    * are arbitrary there) — both renamed back to the declared schema
+    * at scan time. Anything else refuses rather than null-fill.
+    * Returns the normalized mode. */
   private def checkColumnMapping(path: String, mode: String): String =
     mode match {
       case "" | "none" => "none"
       case "name" => "name"
+      case "id" => "id"
       case other => throw new IllegalArgumentException(
         s"Delta table at $path uses column mapping mode '$other' — only " +
-          "'name' mode is supported by this dependency-free replay; read " +
-          "it with a full Delta client")
+          "'name' and 'id' modes are supported by this dependency-free " +
+          "replay; read it with a full Delta client")
     }
 
-  /** Physical (parquet) schema of a logical Delta schema under
-    * name-mode column mapping: every field at every nesting level is
-    * renamed to its `delta.columnMapping.physicalName`. */
+  /** Physical (parquet) schema of a logical Delta schema under column
+    * mapping: every field at every nesting level is renamed to its
+    * `delta.columnMapping.physicalName`; under id mode each field also
+    * carries `parquet.field.id` (= `delta.columnMapping.id`) so
+    * Spark's parquet readers match columns by FIELD ID — id-mode files
+    * may name their columns arbitrarily. */
   private val PhysNameKey = "delta.columnMapping.physicalName"
-  private def physicalField(f: StructField): StructField =
-    StructField(
+  private val ColMapIdKey = "delta.columnMapping.id"
+  private val ParquetIdKey = "parquet.field.id"
+  private def physicalField(f: StructField, withIds: Boolean): StructField = {
+    val name =
       if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
-      else f.name,
-      physicalType(f.dataType), f.nullable)
-  private def physicalType(dt: DataType): DataType = dt match {
-    case s: StructType => StructType(s.fields.map(physicalField))
+      else f.name
+    val meta =
+      if (withIds && f.metadata.contains(ColMapIdKey))
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(ParquetIdKey, f.metadata.getLong(ColMapIdKey)).build()
+      else org.apache.spark.sql.types.Metadata.empty
+    StructField(name, physicalType(f.dataType, withIds), f.nullable, meta)
+  }
+  private def physicalType(dt: DataType, withIds: Boolean): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(physicalField(_, withIds)))
     case a: org.apache.spark.sql.types.ArrayType =>
-      a.copy(elementType = physicalType(a.elementType))
+      a.copy(elementType = physicalType(a.elementType, withIds))
     case m: org.apache.spark.sql.types.MapType =>
-      m.copy(keyType = physicalType(m.keyType),
-        valueType = physicalType(m.valueType))
+      m.copy(keyType = physicalType(m.keyType, withIds),
+        valueType = physicalType(m.valueType, withIds))
     case other => other
   }
 
@@ -915,14 +927,21 @@ object DeltaInterop {
       String, (Map[String, String], Option[DeletionVectors.Descriptor])](
       st.active: _*)
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-    // name-mode column mapping: parquet files (and partitionValues
-    // keys, per the protocol's writer requirements) carry PHYSICAL
-    // names — scan with the physical schema, then one select renames
-    // every level back to the declared schema (nested renames via a
-    // positional struct cast)
-    val mapped = colMapMode == "name"
+    // column mapping: parquet files (and partitionValues keys, per the
+    // protocol's writer requirements) carry PHYSICAL names — scan with
+    // the physical schema, then one select renames every level back to
+    // the declared schema (nested renames via a positional struct
+    // cast). Under ID mode the physical schema also carries
+    // parquet.field.id metadata and the scan matches columns by FIELD
+    // ID — that needs the session flag below; files without ids then
+    // fail loudly (ignoreMissing stays false), never null-fill.
+    val mapped = colMapMode != "none"
+    if (colMapMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val physSchema =
-      if (mapped) StructType(schema.fields.map(physicalField)) else schema
+      if (mapped)
+        StructType(schema.fields.map(physicalField(_, colMapMode == "id")))
+      else schema
     val physName: Map[String, String] = schema.fields.zip(physSchema.fields)
       .map { case (lf, pf) => lf.name -> pf.name }.toMap
     val dataPairs = schema.fields.zip(physSchema.fields)

@@ -1043,6 +1043,31 @@ object IcebergInterop {
     (fs, om.readTree(readBytes(fs, metaFile)))
   }
 
+  /** Annotate a declared schema with `parquet.field.id` metadata from
+    * its Iceberg schema node (recursively through nested structs) —
+    * the read-schema form Spark's field-id matching consumes. Nested
+    * list/map element ids stay unannotated (Spark models field ids on
+    * struct fields only); their inner columns resolve by name within
+    * the id-matched group, which is stable because Iceberg renames
+    * happen at field granularity with ids. */
+  private def annotateFieldIds(schema: StructType, node: JsonNode): StructType =
+    StructType(schema.fields.map { f =>
+      val fieldNode = node.path("fields").elements().asScala()
+        .find(_.path("name").asText() == f.name)
+      val id = fieldNode.map(_.path("id").asInt(-1)).getOrElse(-1)
+      val dt = f.dataType match {
+        case s: StructType =>
+          fieldNode.map(_.path("type")).filter(_.isObject)
+            .map(tn => annotateFieldIds(s, tn)).getOrElse(s)
+        case other => other
+      }
+      if (id >= 0)
+        f.copy(dataType = dt,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id.toLong).build())
+      else f.copy(dataType = dt)
+    })
+
   /** The CURRENT declared schema node: v2 carries a schemas array +
     * current-schema-id, v1 a single schema object. */
   private[sources] def currentSchemaNode(md: JsonNode, path: String): JsonNode =
@@ -1073,18 +1098,20 @@ object IcebergInterop {
     // FIELD ID, this reader by name. A field id carrying different
     // names across retained schema versions means data files written
     // under the old name coexist with the new declared name — a
-    // name-based scan would silently null-fill the old files. (The
-    // first-file footer probe below is detection #2, for single-schema
-    // metadata.)
+    // name-based scan would silently null-fill the old files. When the
+    // data files carry parquet FIELD IDS (real Iceberg writers always
+    // stamp them), the scan upgrades to id-resolution at the footer
+    // probe below instead of refusing. (The first-file probe is
+    // detection #2, for single-schema metadata.)
+    var renameDetail: Option[String] = None
     if (md.has("schemas")) {
       val byId = scala.collection.mutable.Map[Int, Set[String]]()
       md.get("schemas").elements().asScala().foreach(s => fieldNamesById(s, byId))
       val renamed = byId.filter(_._2.size > 1)
       if (renamed.nonEmpty)
-        refuse(path, "renamed columns across schema versions (" +
+        renameDetail = Some("renamed columns across schema versions (" +
           renamed.map { case (id, names) =>
-            s"field $id: ${names.mkString("/")}" }.mkString("; ") +
-          ") — column resolution here is by name, Iceberg's is by field id")
+            s"field $id: ${names.mkString("/")}" }.mkString("; ") + ")")
     }
 
     // Default partition spec → identity fields. Column Projection
@@ -1295,11 +1322,42 @@ object IcebergInterop {
        // identity partition columns legitimately live in the manifest's
        // partition struct, not the files (Column Projection rule 2)
        }).filterNot(idNames.contains)
-    val probe = spark.read.parquet(dataFiles.head._1).schema.fieldNames.toSet
+    val probeSchema = spark.read.parquet(dataFiles.head._1).schema
+    val probe = probeSchema.fieldNames.toSet
     val missing = stableCols.filterNot(probe.contains)
-    if (missing.nonEmpty)
-      refuse(path, s"data files lack declared columns ${missing.mkString(", ")} " +
-        "(renamed by field id?)")
+    // Field-id upgrade: when a rename is detected (schema history or
+    // probe) AND the files carry parquet field ids, resolve columns BY
+    // ID — Iceberg's own semantics — by annotating the read schema
+    // with parquet.field.id and enabling Spark's field-id matching.
+    // Files without ids keep the loud refusal (never null-fill); a
+    // file lacking ids in an id-read scan errors (ignoreMissing false).
+    val needIdRead = renameDetail.isDefined || missing.nonEmpty
+    // Spark's inferred schema drops parquet field ids — ask the footer
+    // itself whether every top-level column carries one
+    def footerHasFieldIds: Boolean = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val hp = new HPath(dataFiles.head._1)
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf))
+      try {
+        val mt = rdr.getFooter.getFileMetaData.getSchema
+        (0 until mt.getFieldCount).forall(i => mt.getType(i).getId != null)
+      } finally rdr.close()
+    }
+    val idRead = needIdRead && footerHasFieldIds
+    if (needIdRead && !idRead)
+      refuse(path, renameDetail.getOrElse(
+        s"data files lack declared columns ${missing.mkString(", ")} " +
+          "(renamed by field id?)") +
+        " — and the data files carry no parquet field ids to resolve by")
+    // the flag is session-sticky by Spark's design (the scan reads it
+    // from session conf at planning); harmless for every other scan —
+    // matching only engages for schemas that CARRY parquet.field.id
+    // metadata, which only these upgraded reads construct
+    if (idRead)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val readSchema: StructType =
+      if (idRead) annotateFieldIds(schema, schemaNode) else schema
 
     // Delete application: each scan keeps its (file, pos) row identity
     // via _metadata columns until left_anti joins strip the deleted
@@ -1366,7 +1424,7 @@ object IcebergInterop {
 
     if (identityParts.isEmpty)
       applyPosDeletes(
-        spark.read.schema(schema).parquet(dataFiles.map(_._1): _*)
+        spark.read.schema(readSchema).parquet(dataFiles.map(_._1): _*)
           .select(schema.map(f => col(f.name)) ++ metaCols: _*))
     else {
       // Identity columns come from partition metadata, constant per
@@ -1417,7 +1475,7 @@ object IcebergInterop {
             "and the data files do not carry them either")
       }
       val metaNames = metaParts.map(_._1).toSet
-      val scanSchema = StructType(schema.filterNot(f => metaNames.contains(f.name)))
+      val scanSchema = StructType(readSchema.filterNot(f => metaNames.contains(f.name)))
       applyPosDeletes(dataFiles
         .groupBy { case (_, pv, _) => metaParts.map { case (_, _, k) => pv(k) } }
         .map { case (_, fsOfPart) =>

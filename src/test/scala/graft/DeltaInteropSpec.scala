@@ -486,7 +486,7 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC"), e.getMessage)
   }
 
-  test("readDelta reads NAME-mode column-mapped tables; id mode refuses") {
+  test("readDelta reads NAME-mode column-mapped tables; unknown modes refuse") {
     import spark.implicits._
     import org.apache.spark.sql.functions.struct
     // a post-2023 writer's layout: parquet columns carry PHYSICAL
@@ -548,14 +548,52 @@ class DeltaInteropSpec extends AnyFunSuite {
       .getBytes("UTF-8"))
     assert(DeltaInterop.readDelta(spark, root).count() == 3)
 
-    // id-mode mapping refuses loudly
+    // an unknown mapping mode refuses loudly
     Files.write(log0, orig.replace(
       """"delta.columnMapping.mode":"name"""",
-      """"delta.columnMapping.mode":"id"""").getBytes("UTF-8"))
+      """"delta.columnMapping.mode":"weird"""").getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] {
       DeltaInterop.readDelta(spark, root)
     }
-    assert(e.getMessage.contains("column mapping mode 'id'"), e.getMessage)
+    assert(e.getMessage.contains("column mapping mode 'weird'"), e.getMessage)
+  }
+
+  test("readDelta reads ID-mode column-mapped tables by parquet field id") {
+    import spark.implicits._
+    // id-mode files may name their columns ANYTHING — only the parquet
+    // field ids identify them. File columns named xyz/abc with ids 1/2;
+    // the log's physicalNames (col-1/col-2) match nothing in the files,
+    // so a correct read can only come from id resolution.
+    val root = tmp("graft_dcmid_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def idMeta(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val fileSchema = StructType(Seq(
+      StructField("xyz", LongType, nullable = true, idMeta(1)),
+      StructField("abc", StringType, nullable = true, idMeta(2))))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.add(org.apache.spark.sql.Row(7L, "seven"))
+    rows.add(org.apache.spark.sql.Row(8L, "eight"))
+    spark.createDataFrame(rows, fileSchema).coalesce(1)
+      .write.parquet(root + "/d0")
+    val part = new java.io.File(root + "/d0").listFiles
+      .filter(_.getName.endsWith(".parquet")).head.getName
+    def meta(phys: String, id: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-1", 1)),
+      StructField("v", StringType, nullable = true, meta("col-2", 2)))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}""",
+      s"""{"add":{"path":"d0/$part","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val got = DeltaInterop.readDelta(spark, root)
+    assert(got.columns.toSeq == Seq("id", "v"))
+    assert(got.as[(Long, String)].collect().toSet ==
+      Set((7L, "seven"), (8L, "eight")))
   }
 
   test("readDelta versionAsOf: JSON travel, checkpoint fallback, gone-history refusal") {

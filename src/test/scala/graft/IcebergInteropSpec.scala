@@ -809,6 +809,52 @@ class IcebergInteropSpec extends AnyFunSuite {
       .count() == 4)
   }
 
+  test("renamed Iceberg tables read by parquet field id when files carry ids") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_ifid_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val target = tmp("graft_ifid_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    // replace the exported data file with one carrying parquet FIELD
+    // IDS (1=id, 2=v) — what a real Iceberg writer always stamps
+    val dataFiles0 = new java.io.File(target, "data").listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles0.length == 1, dataFiles0.toSeq)
+    val dataFile = dataFiles0.head
+    def idMeta(i: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", i).build()
+    val fileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true, idMeta(1)),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType, nullable = true, idMeta(2))))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.add(org.apache.spark.sql.Row(1L, "a"))
+    rows.add(org.apache.spark.sql.Row(2L, "b"))
+    val stage = tmp("graft_ifid_stage_")
+    spark.createDataFrame(rows, fileSchema).coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, dataFile.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the local-FS checksum sidecar of the replaced file
+    Files.deleteIfExists(
+      dataFile.toPath.resolveSibling("." + dataFile.getName + ".crc"))
+    // rename v -> label in the declared schema (field id 2 unchanged)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val renamed = new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"name\" : \"v\"", "\"name\" : \"label\"")
+      .replace("\"name\":\"v\"", "\"name\":\"label\"")
+    patch(mdPath, renamed.getBytes("UTF-8"))
+    // the name-based probe sees the rename, finds ids in the footer,
+    // and resolves BY FIELD ID instead of refusing
+    val got = IcebergInterop.readIceberg(spark, target)
+    assert(got.columns.toSeq == Seq("id", "label"))
+    assert(got.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("v2 equality deletes: null-safe matching, sequence-number guard") {
     import spark.implicits._
     import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
