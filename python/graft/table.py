@@ -171,6 +171,18 @@ def read_delta_where(spark, path, column, value, version_as_of=None):
         _opt_long(spark, version_as_of)), spark)
 
 
+def read_delta_changes(spark, path, from_version, to_version):
+    """Change Data Feed read of a FOREIGN Delta table: one row per
+    changed row per commit in [from_version, to_version], with
+    _change_type / _commit_version / _commit_timestamp columns. cdc
+    actions are authoritative; commits without them fall back to
+    add=insert / remove=delete (ambiguous update rewrites refuse)."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return DataFrame(dx.readDeltaChanges(
+        spark._jsparkSession, path, int(from_version), int(to_version)),
+        spark)
+
+
 def read_delta_stream(spark, path, skip_change_commits=False,
                       max_commits_per_trigger=None):
     """Streaming read of a FOREIGN Delta table: tails its _delta_log,

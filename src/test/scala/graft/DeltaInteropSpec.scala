@@ -1114,6 +1114,74 @@ class DeltaInteropSpec extends AnyFunSuite {
       .count() == 6)
   }
 
+  test("readDeltaChanges: CDF rows across insert, delete, and cdc commits") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_dcdf_src_"),
+      Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "seg"), Seq("seg"))
+    val target = tmp("graft_dcdf_")
+    DeltaInterop.exportSnapshot(t, target)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def stageFile(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val stage = tmp("graft_dcdf_stage_")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      Files.createDirectories(Paths.get(target, dest).getParent)
+      Files.copy(part, Paths.get(target, dest))
+    }
+    // commit 1: INSERT into seg=C
+    stageFile(Seq(10L).toDF("id"), "seg=C/add-1.parquet")
+    Files.write(Paths.get(target, "_delta_log", f"${1L}%020d.json"), Seq(
+      s"""{"add":{"path":"seg=C/add-1.parquet","partitionValues":{"seg":"C"},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    // commit 2: DELETE that file (no partitionValues on the remove —
+    // the replayed state supplies them)
+    Files.write(Paths.get(target, "_delta_log", f"${2L}%020d.json"), Seq(
+      s"""{"remove":{"path":"seg=C/add-1.parquet","deletionTimestamp":2,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    // commit 3: a CDF writer's UPDATE — cdc files are authoritative,
+    // the rewrite's add/remove pair must produce no extra rows
+    stageFile(Seq(("update_preimage", 2L), ("update_postimage", 20L))
+      .toDF("_change_type", "id").select($"id", $"_change_type"),
+      "_change_data/cdc-3.parquet")
+    stageFile(Seq(20L).toDF("id"), "seg=A/add-3.parquet")
+    Files.write(Paths.get(target, "_delta_log", f"${3L}%020d.json"), Seq(
+      s"""{"cdc":{"path":"_change_data/cdc-3.parquet","partitionValues":{"seg":"A"},"size":1,"dataChange":false}}""",
+      s"""{"add":{"path":"seg=A/add-3.parquet","partitionValues":{"seg":"A"},"size":1,"modificationTime":3,"dataChange":true}}""",
+      s"""{"remove":{"path":"bogus-rewritten.parquet","deletionTimestamp":3,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+
+    val got = DeltaInterop.readDeltaChanges(spark, target, 0, 3)
+      .select($"id", $"seg", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "A", "insert", 0L), (2L, "A", "insert", 0L), (3L, "B", "insert", 0L),
+      (10L, "C", "insert", 1L),
+      (10L, "C", "delete", 2L),
+      (2L, "A", "update_preimage", 3L), (20L, "A", "update_postimage", 3L)),
+      got.toString)
+    // a sub-range starts from its own replayed base state
+    val sub = DeltaInterop.readDeltaChanges(spark, target, 1, 2)
+      .select($"id", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(sub == Set((10L, "insert", 1L), (10L, "delete", 2L)), sub.toString)
+
+    // commit 4: an update rewrite WITHOUT cdc files is ambiguous
+    Files.write(Paths.get(target, "_delta_log", f"${4L}%020d.json"), Seq(
+      s"""{"add":{"path":"seg=A/add-3.parquet","partitionValues":{"seg":"A"},"size":1,"modificationTime":4,"dataChange":true}}""",
+      s"""{"remove":{"path":"seg=C/gone.parquet","deletionTimestamp":4,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.readDeltaChanges(spark, target, 4, 4)
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+    // compaction (dataChange=false) produces no rows
+    Files.write(Paths.get(target, "_delta_log", f"${5L}%020d.json"), Seq(
+      s"""{"add":{"path":"seg=A/add-3.parquet","partitionValues":{"seg":"A"},"size":1,"modificationTime":5,"dataChange":false}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(DeltaInterop.readDeltaChanges(spark, target, 5, 5).count() == 0)
+  }
+
   test("readDelta reads absolute-URI add paths in place") {
     import spark.implicits._
     val root = tmp("graft_dabs_")
