@@ -118,6 +118,9 @@ assert table.read_iceberg(spark, ice_path).count() == n_kept
 # zero-copy: the graft table root itself becomes a Delta table
 t.mirror_to_delta()
 assert table.read_delta(spark, t.root).count() == n_kept
+# ... with a Change Data Feed: version 0's adds read back as inserts
+chg = table.read_delta_changes(spark, t.root, 0, 0)
+assert chg.filter("_change_type = 'insert'").count() == n_kept
 
 print("== 8. SQL catalog from Python ==")
 spark.sql("CREATE NAMESPACE IF NOT EXISTS pydemo.db")

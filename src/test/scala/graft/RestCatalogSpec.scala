@@ -173,6 +173,25 @@ class RestCatalogSpec extends AnyFunSuite {
     assert(t.latestVersion() == 6)
   }
 
+  test("streaming reads ride the REST catalog table path") {
+    val a = restSession("rcs")
+    a.sql("CREATE NAMESPACE IF NOT EXISTS rcs.st")
+    a.sql("CREATE TABLE rcs.st.ev (id BIGINT) USING graft")
+    a.sql("INSERT INTO rcs.st.ev VALUES (1), (2)")
+    val name = "rest_stream_mem"
+    // the catalog service resolves the table; the stream then tails
+    // the commit log directly at the returned location
+    val q = a.readStream.table("rcs.st.ev")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(a.table(name).count() == 2)
+      a.sql("INSERT INTO rcs.st.ev VALUES (3)")
+      q.processAllAvailable()
+      assert(a.table(name).count() == 3)
+    } finally q.stop()
+  }
+
   test("config handshake rejects a non-graft endpoint") {
     // a server that answers 200 but not the graft profile
     val other = com.sun.net.httpserver.HttpServer.create(
