@@ -210,12 +210,21 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
             throw new IllegalStateException(
               s"delta stream over $path: commit $v enables column " +
                 "mapping — restart batch-side")
+          // schema gate mirrors the graft source's restart-safe rule:
+          // a commit ADDING columns the plan lacks refuses (the fixed-
+          // schema scan would silently drop them; a restarted stream
+          // plans with the widened schema and passes), while NARROWER
+          // metaData is the pre-change history a restarted stream
+          // replays while catching up — null-filled like additive
+          // evolution, never a wedge
           val newCols = DataType.fromJson(sj).asInstanceOf[StructType]
             .fieldNames.toSet
-          if (newCols != schema.fieldNames.toSet)
+          val added = newCols -- schema.fieldNames.toSet
+          if (added.nonEmpty)
             throw new IllegalStateException(
               s"delta stream over $path: commit $v changes the table " +
-                s"schema — restart the stream to pick up the new schema")
+                s"schema (added ${added.toSeq.sorted.mkString(", ")}) — " +
+                "restart the stream to pick up the new schema")
         }
         val isChange = a.removes.nonEmpty || a.adds.exists(_._3.isDefined)
         if (isChange && !skipChangeCommits)

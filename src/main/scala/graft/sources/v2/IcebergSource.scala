@@ -234,14 +234,31 @@ class IcebergMicroBatchStream(spark: SparkSession, path: String,
         require(ei > si, s"iceberg stream over $path: end $e not after $s")
         hist.slice(si + 1, ei + 1).flatMap { id =>
           val snap = snapshotNode(id)
-          // the declared schema is fixed at stream start; a snapshot
-          // switching schema-id mid-stream would silently null-fill or
-          // drop columns — refuse non-retryably like the graft source
-          if (snap.has("schema-id") && md.has("current-schema-id") &&
-              snap.get("schema-id").asInt() != md.get("current-schema-id").asInt())
-            throw new IllegalStateException(
-              s"iceberg stream over $path: snapshot $id changes the table " +
-                "schema — restart the stream to pick up the new schema")
+          // schema gate mirrors the graft source's restart-safe rule:
+          // a snapshot whose schema ADDS columns the plan lacks refuses
+          // (the fixed-schema scan would silently drop them; a
+          // restarted stream plans with the widened schema and passes),
+          // while a NARROWER snapshot schema is the pre-change history
+          // a restarted stream replays while catching up — null-filled
+          // like additive evolution, never a wedge
+          if (snap.has("schema-id") && md.has("schemas")) {
+            val sid = snap.get("schema-id").asInt()
+            val snapCols = md.get("schemas").elements()
+            var cols = Set.empty[String]
+            while (snapCols.hasNext) {
+              val sn = snapCols.next()
+              if (sn.path("schema-id").asInt(-1) == sid) {
+                val fit = sn.path("fields").elements()
+                while (fit.hasNext) cols += fit.next().path("name").asText()
+              }
+            }
+            val added = cols -- schema.fieldNames.toSet
+            if (added.nonEmpty)
+              throw new IllegalStateException(
+                s"iceberg stream over $path: snapshot $id changes the " +
+                  s"table schema (added ${added.toSeq.sorted.mkString(", ")}) " +
+                  "— restart the stream to pick up the new schema")
+          }
           val op = snap.path("summary").path("operation").asText("")
           val recs = listRecords(snap)
           val isChange = op != "append" || recs.exists(_._1 != 0L)
@@ -265,11 +282,29 @@ class IcebergMicroBatchStream(spark: SparkSession, path: String,
         }
       }
     if (files.isEmpty) return Array.empty
-    // every declared column must come FROM the files — identity
-    // partition values living only in manifest metadata would
-    // null-fill through this fixed-schema scan
+    // Footer probe (the batch reader's stable-columns rule): columns
+    // present in EVERY retained schema version must come FROM the
+    // files — identity partition values living only in manifest
+    // metadata, or renames, would null-fill through this fixed-schema
+    // scan. Columns ADDED by schema evolution are legitimately absent
+    // from older files (a restarted stream's catch-up batch spans
+    // them) and null-fill by name, matching Iceberg's by-id semantics.
+    val stableCols: Seq[String] =
+      if (!md.has("schemas")) schema.fieldNames.toSeq
+      else {
+        val perSchema = scala.collection.mutable.Buffer[Set[String]]()
+        val sit = md.get("schemas").elements()
+        while (sit.hasNext) {
+          val sn = sit.next()
+          var cols = Set.empty[String]
+          val fit = sn.path("fields").elements()
+          while (fit.hasNext) cols += fit.next().path("name").asText()
+          perSchema += cols
+        }
+        schema.fieldNames.toSeq.filter(n => perSchema.forall(_.contains(n)))
+      }
     val probe = spark.read.parquet(files.head).schema.fieldNames.toSet
-    val missing = schema.fieldNames.filterNot(probe.contains)
+    val missing = stableCols.filterNot(probe.contains)
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"iceberg stream over $path: data files lack declared columns " +

@@ -1114,6 +1114,67 @@ class DeltaInteropSpec extends AnyFunSuite {
       .count() == 6)
   }
 
+  test("DeltaSource schema gate: narrower catch-up passes, widening refuses") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_dsg_src_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_dsg_")
+    DeltaInterop.exportSnapshot(t, target)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def addFile(dest: String, rows: Seq[Long]): Unit = {
+      val stage = tmp("graft_dsg_stage_")
+      rows.toDF("id").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      Files.createDirectories(Paths.get(target, dest).getParent)
+      Files.copy(part, Paths.get(target, dest))
+    }
+    val ckpt = Files.createTempDirectory("graft_dsg_ck_").toString
+    val out = Files.createTempDirectory("graft_dsg_out_").toString
+    def start() = spark.readStream.format("graft.sources.v2.DeltaSource")
+      .load(target)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q = start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    // commit 1 re-states the SAME schema (metaData rewrite, e.g. a
+    // property change) — not a schema change, must flow
+    val sameSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))).json
+    addFile("d1/f.parquet", Seq(2L))
+    Files.write(Paths.get(target, "_delta_log", f"${1L}%020d.json"), Seq(
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(sameSchema)}","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"d1/f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    // a RESTARTED stream (fresh planning, same checkpoint) replays it
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 2)
+    } finally q2.stop()
+
+    // commit 2 ADDS a column the RUNNING plan lacks — refuse with the
+    // restart hint (a stream restarted after the change plans the
+    // wider schema and replays this same commit as narrower-or-equal)
+    val q3 = start()
+    try {
+      q3.processAllAvailable()
+      val widened = StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType),
+        StructField("extra", LongType))).json
+      addFile("d2/f.parquet", Seq(3L))
+      Files.write(Paths.get(target, "_delta_log", f"${2L}%020d.json"), Seq(
+        s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(widened)}","partitionColumns":[],"configuration":{},"createdTime":2}}""",
+        s"""{"add":{"path":"d2/f.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      assert(e.getMessage.contains("added extra"), e.getMessage)
+    } finally q3.stop()
+  }
+
   test("readDeltaChanges: CDF rows across insert, delete, and cdc commits") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_dcdf_src_"),

@@ -809,6 +809,44 @@ class IcebergInteropSpec extends AnyFunSuite {
       .count() == 4)
   }
 
+  test("IcebergSource restart catches up ACROSS an ADD COLUMN without wedging") {
+    import spark.implicits._
+    // the catch-up batch of a restarted stream spans snapshots on BOTH
+    // sides of a schema change: pre-change snapshots are NARROWER than
+    // the widened plan and must null-fill (a strict schema-id or
+    // full-schema footer probe here wedged every such restart)
+    val t = GraftTable.create(spark, tmp("graft_isg_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    IcebergInterop.mirrorToIceberg(t)
+    val ckpt = Files.createTempDirectory("graft_isg_ck_").toString
+    val out = Files.createTempDirectory("graft_isg_out_").toString
+    // skipChangeCommits passes the metadata-only ADD COLUMN snapshot
+    // (a non-append operation with no data content)
+    def run() = spark.readStream.format("graft.sources.v2.IcebergSource")
+      .option("skipChangeCommits", "true")
+      .load(t.root)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    val q = run()
+    try q.processAllAvailable() finally q.stop()
+    // while the stream is DOWN: pre-change append, ADD COLUMN,
+    // post-change append — each mirrored as its own snapshot
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    IcebergInterop.mirrorToIceberg(t)
+    t.addColumn("score", org.apache.spark.sql.types.DoubleType)
+    IcebergInterop.mirrorToIceberg(t)
+    t.append(Seq((3L, "c", 7.5)).toDF("id", "v", "score"))
+    IcebergInterop.mirrorToIceberg(t)
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.option("mergeSchema", "true").parquet(out)
+      .orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), rows.mkString(", "))
+    val score = rows.map(r => Option(r.getAs[Any]("score")))
+    assert(score(0).isEmpty && score(1).isEmpty && score(2).contains(7.5),
+      rows.mkString(", "))
+  }
+
   test("renamed Iceberg tables read by parquet field id when files carry ids") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_ifid_"),
