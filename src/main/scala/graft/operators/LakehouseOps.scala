@@ -202,7 +202,38 @@ object LakehouseOps {
        |FROM lineitem
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** g12: Delta Change Data Feed gate — build a GraftTable from
+    * supplier in TWO append commits (odd keys, then even), mirror
+    * zero-copy, then read the mirror's change feed: every row must
+    * come back as an `insert` stamped with the commit that added it.
+    * The oracle recomputes both halves relationally (odd → version 0,
+    * even → version 1), so the per-commit add attribution of
+    * [[graft.sources.DeltaInterop.readDeltaChanges]] must be
+    * value-exact. `_commit_timestamp` is wall-clock and excluded. */
+  val g12_delta_cdf: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 2 === 1))
+    t.append(sup.filter($"s_suppkey" % 2 === 0))
+    graft.sources.DeltaInterop.mirrorToDelta(t)
+    graft.sources.DeltaInterop.readDeltaChanges(s, t.root, 0, 1)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"),
+        $"_change_type".as("change_type"),
+        $"_commit_version".as("commit_version"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g12_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal,
+      | 'insert' AS change_type,
+      | CAST(CASE WHEN s_suppkey % 2 = 1 THEN 0 ELSE 1 END AS BIGINT)
+      |   AS commit_version
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g12_delta_cdf" -> g12_delta_cdf,
     "g1_merge_upsert" -> g1_merge_upsert,
     "g5_update_delete" -> g5_update_delete,
     "g7_sql_catalog" -> g7_sql_catalog,
@@ -213,6 +244,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g12_delta_cdf" -> g12_sql,
     "g1_merge_upsert" -> g1_sql,
     "g5_update_delete" -> g5_sql,
     "g7_sql_catalog" -> g7_sql,
