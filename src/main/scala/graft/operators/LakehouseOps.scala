@@ -232,7 +232,65 @@ object LakehouseOps {
       |   AS commit_version
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** Drain a foreign-format stream into a memory sink with
+    * AvailableNow and return the sink table — the g13/g14 harness
+    * (the stateless log-tailing streams need none of the state-store
+    * shaping the h-family's drain does). */
+  private def drainForeign(s: org.apache.spark.sql.SparkSession,
+      format: String, path: String): org.apache.spark.sql.DataFrame = {
+    val name = "gfs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.format(format).load(path)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** g13: foreign-Delta STREAMING gate — mirror a two-commit
+    * GraftTable zero-copy, stream THE MIRROR through
+    * [[graft.sources.v2.DeltaSource]] (AvailableNow), and compare the
+    * drained rows against the relational recomputation: the
+    * log-tailing stream must deliver the exact table content. */
+  val g13_delta_stream: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 3 === 0))
+    t.append(sup.filter($"s_suppkey" % 3 =!= 0))
+    graft.sources.DeltaInterop.mirrorToDelta(t)
+    drainForeign(s, "graft.sources.v2.DeltaSource", t.root)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g13_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  /** g14: Iceberg STREAMING gate — the g13 shape through
+    * [[graft.sources.v2.IcebergSource]] over the Iceberg mirror. */
+  val g14_iceberg_stream: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+    val t = GraftTable.create(s, tmp(), cust.filter($"c_custkey" % 3 === 0))
+    t.append(cust.filter($"c_custkey" % 3 =!= 0))
+    graft.sources.IcebergInterop.mirrorToIceberg(t)
+    drainForeign(s, "graft.sources.v2.IcebergSource", t.root)
+      .select($"c_custkey", $"c_mktsegment",
+        round($"c_acctbal", 4).as("c_acctbal"))
+      .orderBy($"c_custkey")
+  }
+
+  val g14_sql: String =
+    """SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 4) AS c_acctbal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g13_delta_stream" -> g13_delta_stream,
+    "g14_iceberg_stream" -> g14_iceberg_stream,
     "g12_delta_cdf" -> g12_delta_cdf,
     "g1_merge_upsert" -> g1_merge_upsert,
     "g5_update_delete" -> g5_update_delete,
@@ -244,6 +302,8 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g13_delta_stream" -> g13_sql,
+    "g14_iceberg_stream" -> g14_sql,
     "g12_delta_cdf" -> g12_sql,
     "g1_merge_upsert" -> g1_sql,
     "g5_update_delete" -> g5_sql,
