@@ -868,17 +868,27 @@ object DeltaInterop {
     * removed paths. Protocol gates fire during the parse. Shared by
     * the snapshot replay and the streaming source's incremental
     * batches. */
+  /** One parsed add action: path, partitionValues, deletionVector,
+    * and the action's dataChange flag (absent = true — the
+    * conservative reading). */
+  private[sources] final case class DeltaAdd(path: String,
+      pv: Map[String, String], dv: Option[DeletionVectors.Descriptor],
+      dataChange: Boolean)
+
   private[sources] final case class DeltaActions(
       meta: Option[(String, Seq[String], String)],
-      adds: Seq[(String, Map[String, String],
-        Option[DeletionVectors.Descriptor])],
-      removes: Seq[String])
+      addActions: Seq[DeltaAdd],
+      removeActions: Seq[(String, Boolean)]) {
+    def adds: Seq[(String, Map[String, String],
+      Option[DeletionVectors.Descriptor])] =
+      addActions.map(a => (a.path, a.pv, a.dv))
+    def removes: Seq[String] = removeActions.map(_._1)
+  }
 
   private[sources] def parseCommitText(path: String, text: String): DeltaActions = {
     var meta: Option[(String, Seq[String], String)] = None
-    val adds = Seq.newBuilder[(String, Map[String, String],
-      Option[DeletionVectors.Descriptor])]
-    val removes = Seq.newBuilder[String]
+    val adds = Seq.newBuilder[DeltaAdd]
+    val removes = Seq.newBuilder[(String, Boolean)]
     text.split('\n').foreach { line =>
       if (line.contains("\"protocol\""))
         MinReader.findFirstMatchIn(line).foreach { m =>
@@ -908,10 +918,12 @@ object DeltaInterop {
               .map(mm => unq(mm.group(1)) -> unq(mm.group(2))).toMap
           case _ => Map.empty[String, String]
         }
-        adds += ((p, pv, parseDvDescriptor(line)))
+        adds += DeltaAdd(p, pv, parseDvDescriptor(line),
+          DataChangeRe.findFirstMatchIn(line).forall(_.group(1) == "true"))
       }
       RemovePath.findFirstMatchIn(line).foreach(m =>
-        removes += decodePath(unq(m.group(1))))
+        removes += ((decodePath(unq(m.group(1))),
+          DataChangeRe.findFirstMatchIn(line).forall(_.group(1) == "true"))))
     }
     DeltaActions(meta, adds.result(), removes.result())
   }

@@ -279,6 +279,10 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     }
 
   private def renameTable(x: HttpExchange, body: JsonNode): Unit = {
+    if (!body.path("source").isObject || !body.path("destination").isObject ||
+        !body.path("source").has("name") || !body.path("destination").has("name"))
+      return error(x, 400, "BadRequestException",
+        "rename needs source and destination identifiers")
     def identOf(n: JsonNode) = (jsonNs(n.get("namespace")), n.get("name").asText())
     val (srcNs, srcName) = identOf(body.get("source"))
     val (dstNs, dstName) = identOf(body.get("destination"))

@@ -226,16 +226,21 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
                 s"schema (added ${added.toSeq.sorted.mkString(", ")}) — " +
                 "restart the stream to pick up the new schema")
         }
-        val isChange = a.removes.nonEmpty || a.adds.exists(_._3.isDefined)
+        // the Delta source contract: dataChange=false actions
+        // (compaction/optimize rewrites) are INVISIBLE to streams —
+        // only dataChange removes / DV'd adds make a change commit
+        val isChange =
+          a.removeActions.exists(_._2) ||
+            a.addActions.exists(ad => ad.dataChange && ad.dv.isDefined)
         if (isChange && !skipChangeCommits)
           throw new IllegalStateException(
             s"delta stream over $path: commit $v removes or rewrites " +
-              "data (removes or deletion vectors) — the source tails " +
-              "APPENDS; set read option skipChangeCommits=true to skip " +
-              "change commits")
+              "data (dataChange removes or deletion vectors) — the source " +
+              "tails APPENDS; set read option skipChangeCommits=true to " +
+              "skip change commits")
         if (isChange) Nil
-        else a.adds.map { case (p, _, _) =>
-          val f = DeltaInterop.resolveFile(root, p)
+        else a.addActions.filter(_.dataChange).map { ad =>
+          val f = DeltaInterop.resolveFile(root, ad.path)
           checkPartitionEncoding(partColsAtStart, f)
           f
         }

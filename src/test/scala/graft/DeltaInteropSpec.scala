@@ -1083,9 +1083,22 @@ class DeltaInteropSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table(name).as[(Long, String)].collect().toSet ==
         Set((1L, "A"), (2L, "A"), (3L, "B"), (10L, "C"), (11L, "A")))
-      // a change commit (remove) fails the stream loudly
-      Files.write(Paths.get(target, "_delta_log", f"${3L}%020d.json"), Seq(
-        s"""{"remove":{"path":"x.parquet","deletionTimestamp":3,"dataChange":true}}"""
+      // a COMPACTION commit (dataChange=false rewrite) is invisible to
+      // the stream — the Delta source contract: no rows, no failure
+      addCommit(3L, "A", Seq(99L))   // helper writes dataChange=true...
+      locally {                      // ...rewrite commit 3 as dataChange=false
+        val p3 = Paths.get(target, "_delta_log", f"${3L}%020d.json")
+        val txt = new String(Files.readAllBytes(p3), "UTF-8")
+          .replace("\"dataChange\":true", "\"dataChange\":false")
+        Files.write(p3, (txt.stripLineEnd + "\n" +
+          s"""{"remove":{"path":"compacted-away.parquet","deletionTimestamp":3,"dataChange":false}}""" +
+          "\n").getBytes("UTF-8"))
+      }
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 5) // unchanged
+      // a change commit (dataChange remove) fails the stream loudly
+      Files.write(Paths.get(target, "_delta_log", f"${4L}%020d.json"), Seq(
+        s"""{"remove":{"path":"x.parquet","deletionTimestamp":4,"dataChange":true}}"""
       ).mkString("", "\n", "\n").getBytes("UTF-8"))
       val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
         q.processAllAvailable()
@@ -1102,16 +1115,19 @@ class DeltaInteropSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName(name2).outputMode("append").start()
     try {
       q2.processAllAvailable()
-      addCommit(4L, "B", Seq(20L))
+      addCommit(5L, "B", Seq(20L))
       q2.processAllAvailable()
       val got = spark.table(name2).as[(Long, String)].collect().toSet
       assert(got.contains((20L, "B")), got)
-      assert(got.size == 6, got) // 5 snapshot rows + 1 append
+      // 6 snapshot rows (incl. the compaction-added 99, part of the
+      // STATE even though it never streamed) + 1 append
+      assert(got.contains((99L, "A")), got)
+      assert(got.size == 7, got)
     } finally q2.stop()
 
     // the same source string also batch-reads (= readDelta)
     assert(spark.read.format("graft.sources.v2.DeltaSource").load(target)
-      .count() == 6)
+      .count() == 7)
   }
 
   test("DeltaSource schema gate: narrower catch-up passes, widening refuses") {

@@ -107,6 +107,7 @@ class RestCatalogSpec extends AnyFunSuite {
     assert(httpReq("HEAD", "/v1/namespaces/db/tables/dup", None)._1 == 204)
     // malformed body -> 400, unknown route -> 404
     assert(httpReq("POST", "/v1/namespaces", Some("{not json"))._1 == 400)
+    assert(httpReq("POST", "/v1/tables/rename", Some("{}"))._1 == 400)
     assert(httpGet("/v1/nope")._1 == 404)
   }
 
