@@ -261,13 +261,21 @@ class IcebergMicroBatchStream(spark: SparkSession, path: String,
           }
           val op = snap.path("summary").path("operation").asText("")
           val recs = listRecords(snap)
-          val isChange = op != "append" || recs.exists(_._1 != 0L)
+          // `replace` (Iceberg's compaction operation) and the graft
+          // mirror's `compact`/`cluster` rewrite the same rows into new
+          // files — invisible to a stream by Iceberg's own source
+          // contract: skipped silently, never streamed, never a
+          // failure. Anything else non-append is a row-level change.
+          val isRewrite = op == "replace" ||
+            op.startsWith("compact") || op.startsWith("cluster")
+          val isChange = !isRewrite &&
+            (op != "append" || recs.exists(_._1 != 0L))
           if (isChange && !skipChangeCommits)
             throw new IllegalStateException(
               s"iceberg stream over $path: snapshot $id is operation " +
                 s"'$op' — the source tails APPENDS; set read option " +
                 "skipChangeCommits=true to skip change snapshots")
-          if (isChange) Nil
+          if (isChange || isRewrite) Nil
           else recs.flatMap { case (_, mp, addedBy) =>
             readAvro(readBytes(fs, new HPath(mp))).flatMap { e2 =>
               val df = dataFileOf(e2)

@@ -779,6 +779,12 @@ class IcebergInteropSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table(name).as[(Long, String)].collect().toSet ==
         Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+      // a COMPACTION snapshot rewrites the same rows — invisible to
+      // the stream (Iceberg's own source contract): no rows, no failure
+      t.compact(1)
+      IcebergInterop.mirrorToIceberg(t)
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 4)
       // a change snapshot (row-level delete) fails the stream loudly
       t.delete(col("id") === 1L)
       IcebergInterop.mirrorToIceberg(t)
