@@ -993,12 +993,13 @@ object IcebergInterop {
     * one distributed left_anti (file, pos) equi-join, EQUALITY deletes
     * as one null-safe-equality anti-join per distinct equality-id set
     * with the sequence-number guard `dataSeq < deleteSeq` (never a
-    * driver-side decode of the deleted-row set); refuses v3+,
-    * non-parquet files, equality ids addressing nested fields, tables
-    * whose parquet column names no longer match the declared schema
-    * (rename-by-field-id), and partition-spec evolution (old manifests
-    * lay their partition structs out per a different spec — resolving
-    * them against the default spec would misread).
+    * driver-side decode of the deleted-row set); handles
+    * partition-spec EVOLUTION by resolving each manifest's partition
+    * structs against its own partition_spec_id (identity substitution
+    * and pruning are per-spec); refuses v3+, non-parquet files,
+    * equality ids addressing nested fields, and tables whose parquet
+    * column names no longer match the declared schema
+    * (rename-by-field-id) when the files carry no field ids.
     * `asOfSnapshotId` time-travels to a retained snapshot instead of
     * the current one (the declared schema stays the CURRENT one,
     * matching Iceberg's schema-evolution semantics for time travel).
@@ -1120,29 +1121,42 @@ object IcebergInterop {
     // data files (hive-migrated tables, graft mirrors) may not carry
     // the column at all. Non-identity transforms need no handling:
     // their SOURCE columns must be present in the data files.
-    val specFields: Seq[JsonNode] =
-      if (md.has("partition-specs")) {
-        val want = md.path("default-spec-id").asInt(0)
-        md.get("partition-specs").elements().asScala()
-          .find(_.path("spec-id").asInt(-1) == want)
-          .map(_.path("fields").elements().asScala().toSeq).getOrElse(Nil)
-      } else if (md.has("partition-spec"))
-        md.get("partition-spec").elements().asScala().toSeq
-      else Nil
+    // Partition specs BY ID — partition-spec EVOLUTION lays each
+    // manifest's partition structs out per the spec the manifest was
+    // written under, so everything below (identity substitution,
+    // pruning) resolves positions against the manifest's own
+    // partition_spec_id, never blindly against the default.
+    val defaultSpecId = md.path("default-spec-id").asInt(0)
+    val specFieldsById: Map[Int, Seq[JsonNode]] =
+      if (md.has("partition-specs"))
+        md.get("partition-specs").elements().asScala().map { s =>
+          s.path("spec-id").asInt(0) ->
+            s.path("fields").elements().asScala().toSeq
+        }.toMap
+      else if (md.has("partition-spec"))
+        Map(defaultSpecId -> md.get("partition-spec").elements().asScala().toSeq)
+      else Map(defaultSpecId -> Seq.empty[JsonNode])
+    def specFieldsOf(specId: Int): Seq[JsonNode] =
+      specFieldsById.getOrElse(specId,
+        refuse(path, s"has manifests written under partition spec $specId, " +
+          "which is absent from partition-specs"))
     val nameBySourceId: Map[Int, String] = schemaNode.path("fields")
       .elements().asScala()
       .map(f => f.path("id").asInt(-1) -> f.path("name").asText()).toMap
-    // (column name, type, position in the partition struct)
-    val identityParts: Seq[(String, DataType, Int)] =
-      specFields.zipWithIndex.collect {
-        case (f, i) if f.path("transform").asText() == "identity" =>
-          val srcId = f.path("source-id").asInt(-1)
-          val name = nameBySourceId.getOrElse(srcId,
-            refuse(path, s"has an identity partition field with source-id " +
-              s"$srcId that is not a top-level column"))
-          (name, schema(name).dataType, i)
-      }
-    val idNames = identityParts.map(_._1).toSet
+    // Per-spec identity fields: (column name, type, position in that
+    // spec's partition struct). Memoized — specs repeat per manifest.
+    val identityPartsCache =
+      scala.collection.mutable.Map[Int, Seq[(String, DataType, Int)]]()
+    def identityPartsOf(specId: Int): Seq[(String, DataType, Int)] =
+      identityPartsCache.getOrElseUpdate(specId,
+        specFieldsOf(specId).zipWithIndex.collect {
+          case (f, i) if f.path("transform").asText() == "identity" =>
+            val srcId = f.path("source-id").asInt(-1)
+            val name = nameBySourceId.getOrElse(srcId,
+              refuse(path, s"has an identity partition field with source-id " +
+                s"$srcId that is not a top-level column"))
+            (name, schema(name).dataType, i)
+        })
 
     val snapId = asOfSnapshotId.getOrElse(md.path("current-snapshot-id").asLong(-1L))
     if (snapId == -1L)
@@ -1157,35 +1171,26 @@ object IcebergInterop {
     // manifest list → DATA manifest paths + DELETE manifest paths
     // (v2 merge-on-read); old v1 writers may inline a `manifests` path
     // array instead.
-    // Partition-spec EVOLUTION refuses loudly: each manifest's entries
-    // lay their partition structs out per the spec the manifest was
-    // written under, but this reader resolves positions against the
-    // DEFAULT spec — a table whose spec changed would have old files'
-    // values silently misread (the footer probe only catches it when
-    // the probed file happens to be an old one).
-    val defaultSpecId = md.path("default-spec-id").asInt(0)
-    // (manifest path, manifest sequence number) — v1 lists carry no
-    // sequence numbers (0); v2 entries inherit the manifest's when
-    // their own is absent
-    val (manifests: Seq[(String, Long)], deleteManifests: Seq[(String, Long)]) =
+    // (manifest path, manifest sequence number, partition spec id) —
+    // v1 lists carry no sequence numbers (0); v2 entries inherit the
+    // manifest's when their own is absent. A missing spec id means the
+    // default spec (old v1 writers).
+    val (manifests: Seq[(String, Long, Int)],
+         deleteManifests: Seq[(String, Long)]) =
       if (snapshot.has("manifest-list")) {
         val listPath = snapshot.get("manifest-list").asText()
         val tagged = readAvro(readBytes(fs, new HPath(listPath))).map { r =>
-          fieldOpt(r, "partition_spec_id").map(longOf).foreach { sid =>
-            if (sid != defaultSpecId)
-              refuse(path, s"has manifests written under partition spec $sid " +
-                s"while the default spec is $defaultSpecId (partition spec " +
-                "evolution)")
-          }
           (fieldOpt(r, "content").map(longOf).getOrElse(0L),
             r.get("manifest_path").toString,
-            fieldOpt(r, "sequence_number").map(longOf).getOrElse(0L))
+            fieldOpt(r, "sequence_number").map(longOf).getOrElse(0L),
+            fieldOpt(r, "partition_spec_id").map(longOf(_).toInt)
+              .getOrElse(defaultSpecId))
         }
-        (tagged.collect { case (0L, p, s) => (p, s) },
-          tagged.collect { case (1L, p, s) => (p, s) })
+        (tagged.collect { case (0L, p, s, sid) => (p, s, sid) },
+          tagged.collect { case (1L, p, s, _) => (p, s) })
       } else if (snapshot.has("manifests"))
         (snapshot.get("manifests").elements().asScala().map(_.asText()).toSeq
-          .map((_, 0L)), Seq.empty[(String, Long)])
+          .map((_, 0L, defaultSpecId)), Seq.empty[(String, Long)])
       else throw new IllegalStateException(
         s"snapshot $snapId at $path names neither manifest-list nor manifests")
 
@@ -1237,43 +1242,62 @@ object IcebergInterop {
       deleteFiles.collect { case (2L, d) => d }.distinct
 
     // optional metadata-only partition pruning: resolve the requested
-    // field against the default spec, parse the grain to its typed
-    // partition value, and keep only manifest entries whose struct
-    // matches — at 100 TB a time-sliced read of a mirrored table is a
-    // driver-side filter over file metadata plus a scan of ONLY the
-    // matching files, never a full-table scan.
-    val whereIdx: Option[(Int, AnyRef)] = partitionWhere.map { case (fname, raw) =>
-      val j = specFields.indexWhere(_.path("name").asText() == fname)
-      if (j < 0)
-        throw new IllegalArgumentException(
-          s"partition field '$fname' not in the default partition spec of " +
-            s"$path (fields: ${specFields.map(_.path("name").asText()).mkString(", ")})")
-      val f = specFields(j)
-      val transform = f.path("transform").asText()
-      val dt: DataType = transform match {
-        case "identity" | TruncRe() =>
-          val srcId = f.path("source-id").asInt(-1)
-          val n = nameBySourceId.getOrElse(srcId,
-            refuse(path, s"partition field '$fname' has source-id $srcId " +
-              "that is not a top-level column"))
-          schema(n).dataType
-        case "day" => DateType
-        case "hour" | "month" | "year" => IntegerType
-        case BucketRe() => IntegerType
-        case other => refuse(path, s"partition pruning on transform '$other'")
+    // field PER SPEC (spec evolution can move a field's struct
+    // position, or change its transform), parse the grain to each
+    // spec's typed partition value, and keep only manifest entries
+    // whose struct matches — at 100 TB a time-sliced read of a
+    // mirrored table is a driver-side filter over file metadata plus a
+    // scan of ONLY the matching files, never a full-table scan. A live
+    // manifest whose spec does NOT carry the field cannot be
+    // classified by metadata, so the metadata-only contract refuses
+    // loudly instead of silently returning extra partitions.
+    val whereBySpec = scala.collection.mutable.Map[Int, (Int, AnyRef)]()
+    def whereFor(specId: Int): Option[(Int, AnyRef)] =
+      partitionWhere.map { case (fname, raw) =>
+        whereBySpec.getOrElseUpdate(specId, {
+          val sf = specFieldsOf(specId)
+          val j = sf.indexWhere(_.path("name").asText() == fname)
+          if (j < 0) {
+            if (specId == defaultSpecId)
+              throw new IllegalArgumentException(
+                s"partition field '$fname' not in the default partition spec " +
+                  s"of $path (fields: " +
+                  s"${sf.map(_.path("name").asText()).mkString(", ")})")
+            else refuse(path, s"has live manifests under partition spec " +
+              s"$specId, which does not carry partition field '$fname' — " +
+              "metadata-only pruning cannot classify those files")
+          }
+          val f = sf(j)
+          val transform = f.path("transform").asText()
+          val dt: DataType = transform match {
+            case "identity" | TruncRe() =>
+              val srcId = f.path("source-id").asInt(-1)
+              val n = nameBySourceId.getOrElse(srcId,
+                refuse(path, s"partition field '$fname' has source-id $srcId " +
+                  "that is not a top-level column"))
+              schema(n).dataType
+            case "day" => DateType
+            case "hour" | "month" | "year" => IntegerType
+            case BucketRe() => IntegerType
+            case other =>
+              refuse(path, s"partition pruning on transform '$other'")
+          }
+          val expected: AnyRef =
+            if (raw == null) null
+            else transformValue(PartField(fname, 0, 0, dt, transform), raw)
+          (j, expected)
+        })
       }
-      val expected: AnyRef =
-        if (raw == null) null
-        else transformValue(PartField(fname, 0, 0, dt, transform), raw)
-      (j, expected)
-    }
 
     // manifests → live data files (status 2 = DELETED in this
-    // snapshot), each with its identity partition values and data
-    // sequence number (for equality-delete ordering); pruned by the
-    // optional partition filter
-    val dataFiles: Seq[(String, Seq[AnyRef], Long)] = manifests.flatMap {
-      case (mp, mseq) =>
+    // snapshot), each with its identity partition substitutions
+    // (name, type, value) resolved per ITS manifest's spec and its
+    // data sequence number (for equality-delete ordering); pruned by
+    // the optional partition filter
+    val dataFiles: Seq[(String, Seq[(String, DataType, AnyRef)], Long)] =
+      manifests.flatMap { case (mp, mseq, specId) =>
+      val idParts = identityPartsOf(specId)
+      val where = whereFor(specId)
       readAvro(readBytes(fs, new HPath(mp))).flatMap { e =>
         val status = longOf(e.get("status"))
         val seq = fieldOpt(e, "sequence_number").map(longOf).getOrElse(mseq)
@@ -1293,10 +1317,10 @@ object IcebergInterop {
           case _ => null
         }
         if (status == 2L) None
-        else if (whereIdx.exists { case (j, want) => !avroEq(structAt(j), want) })
+        else if (where.exists { case (j, want) => !avroEq(structAt(j), want) })
           None
         else {
-          val pv: Seq[AnyRef] = identityParts.map { case (_, _, i) => structAt(i) }
+          val pv = idParts.map { case (n, dt, i) => (n, dt, structAt(i)) }
           Some((df.get("file_path").toString, pv, seq))
         }
       }
@@ -1320,8 +1344,9 @@ object IcebergInterop {
              .map(_.path("name").asText()).toSet).toSeq
          schema.fieldNames.toSeq.filter(n => perSchema.forall(_.contains(n)))
        // identity partition columns legitimately live in the manifest's
-       // partition struct, not the files (Column Projection rule 2)
-       }).filterNot(idNames.contains)
+       // partition struct, not the files (Column Projection rule 2) —
+       // under any LIVE spec, since each file follows its own spec
+       }).filterNot(dataFiles.iterator.flatMap(_._2.map(_._1)).toSet.contains)
     val probeSchema = spark.read.parquet(dataFiles.head._1).schema
     val probe = probeSchema.fieldNames.toSet
     val missing = stableCols.filterNot(probe.contains)
@@ -1422,16 +1447,21 @@ object IcebergInterop {
         cur.select(schema.map(f => col(f.name)): _*)
       }
 
-    if (identityParts.isEmpty)
+    if (dataFiles.forall(_._2.isEmpty))
       applyPosDeletes(
         spark.read.schema(readSchema).parquet(dataFiles.map(_._1): _*)
           .select(schema.map(f => col(f.name)) ++ metaCols: _*))
     else {
       // Identity columns come from partition metadata, constant per
-      // file: scan each distinct partition tuple's files once and
+      // file: scan each distinct substitution tuple's files once and
       // attach the values as literals (whether or not the files also
-      // carry the column — metadata wins, per the spec). Substitution
-      // is RESTRICTED to the types whose Avro partition-struct encoding
+      // carry the column — metadata wins, per the spec). Under spec
+      // evolution, WHICH columns substitute varies per file: a column
+      // identity-partitioned under one spec reads from partition
+      // metadata for that spec's files and from the data files for
+      // every other spec's — the grouping key carries the substituted
+      // column NAMES as well as their values. Substitution is
+      // RESTRICTED to the types whose Avro partition-struct encoding
       // this decodes exactly — Iceberg stores timestamp partition
       // values as micros-since-epoch longs (lit(long).cast(timestamp)
       // would misread them as SECONDS) and decimal/fixed/binary arrive
@@ -1462,27 +1492,31 @@ object IcebergInterop {
               microsInstant(v), java.time.ZoneOffset.UTC))
           case _ => lit(v).cast(dt)
         }
-      // pv vectors are parallel to identityParts; k = index into pv
-      val metaParts = identityParts.zipWithIndex
-        .collect { case ((n, dt, _), k) if metaSubstitutable(dt) => (n, dt, k) }
-      val fileParts = identityParts.zipWithIndex
-        .collect { case ((n, dt, _), k) if !metaSubstitutable(dt) => n }
+      // non-substitutable identity columns (under ANY live spec) must
+      // come from the data files themselves
       locally {
+        val fileParts = dataFiles.flatMap(_._2.collect {
+          case (n, dt, _) if !metaSubstitutable(dt) => n }).distinct
         val absent = fileParts.filterNot(probe.contains)
         if (absent.nonEmpty)
           refuse(path, "has identity partition columns of types this reader " +
             s"cannot decode from partition metadata (${absent.mkString(", ")}) " +
             "and the data files do not carry them either")
       }
-      val metaNames = metaParts.map(_._1).toSet
-      val scanSchema = StructType(readSchema.filterNot(f => metaNames.contains(f.name)))
+      def subsOf(pv: Seq[(String, DataType, AnyRef)]) =
+        pv.filter { case (_, dt, _) => metaSubstitutable(dt) }
       applyPosDeletes(dataFiles
-        .groupBy { case (_, pv, _) => metaParts.map { case (_, _, k) => pv(k) } }
+        .groupBy { case (_, pv, _) =>
+          subsOf(pv).map { case (n, _, v) => (n, Option(v).map(_.toString)) } }
         .map { case (_, fsOfPart) =>
+          val subs = subsOf(fsOfPart.head._2)
+          val metaNames = subs.map(_._1).toSet
+          val scanSchema =
+            StructType(readSchema.filterNot(f => metaNames.contains(f.name)))
           var df = spark.read.schema(scanSchema)
             .parquet(fsOfPart.map(_._1): _*)
-          metaParts.foreach { case (n, dt, k) =>
-            df = df.withColumn(n, idLit(dt, fsOfPart.head._2(k)))
+          subs.foreach { case (n, dt, v) =>
+            df = df.withColumn(n, idLit(dt, v))
           }
           df.select(schema.map(f => col(f.name)) ++ metaCols: _*)
         }.reduce(_.unionAll(_)))

@@ -403,7 +403,7 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not in the default partition spec"), e.getMessage)
   }
 
-  test("readIceberg refuses partition-spec evolution") {
+  test("readIceberg reads across a default-spec change (manifests keep spec 0)") {
     import spark.implicits._
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val t = GraftTable.create(spark, tmp("graft_ipse_"),
@@ -411,8 +411,9 @@ class IcebergInteropSpec extends AnyFunSuite {
     val target = tmp("graft_ipse_out_")
     IcebergInterop.exportSnapshot(t, target)
     // evolve the default spec away from the one the manifest was
-    // written under: old entries' partition structs would be laid out
-    // per spec 0, the reader would resolve per spec 1 — must refuse
+    // written under: old entries' partition structs stay laid out per
+    // spec 0 (their manifest's partition_spec_id) — the reader must
+    // resolve them per spec 0, not the new default
     val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
     val md = om.readTree(Files.readAllBytes(mdPath))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -427,10 +428,143 @@ class IcebergInteropSpec extends AnyFunSuite {
     specs.add(spec1)
     md.put("default-spec-id", 1)
     patch(mdPath, om.writeValueAsBytes(md))
-    val e = intercept[IllegalArgumentException] {
-      IcebergInterop.readIceberg(spark, target)
+    val got = IcebergInterop.readIceberg(spark, target)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+  }
+
+  /** Hand-build a FOREIGN v1 Iceberg table with TWO partition specs —
+    * spec 0 `[identity(region)]`, spec 1 `[identity(code),
+    * identity(region)]` (region MOVES to struct position 1) — and one
+    * manifest per spec, to exercise spec-evolution reads: per-spec
+    * identity substitution and per-spec prune positions. */
+  test("readIceberg resolves partition structs per manifest spec (spec evolution)") {
+    import spark.implicits._
+    import org.apache.avro.{Schema => AvroSchema}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val target = tmp("graft_ise2_")
+    val metaDir = Paths.get(target, "metadata")
+    Files.createDirectories(metaDir)
+    def oneParquet(dir: String, df: org.apache.spark.sql.DataFrame): String = {
+      df.coalesce(1).write.parquet(dir)
+      new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
     }
-    assert(e.getMessage.contains("partition spec evolution"), e.getMessage)
+    // file A under spec 0: region comes from partition metadata ("eu")
+    val fileA = oneParquet(target + "/data/a",
+      Seq((1L, "a1", "aa"), (2L, "a2", "aa")).toDF("id", "v", "code"))
+    // files B/C under spec 1: region AND code from metadata
+    val fileB = oneParquet(target + "/data/b", Seq((3L, "b1")).toDF("id", "v"))
+    val fileC = oneParquet(target + "/data/c", Seq((4L, "c1")).toDF("id", "v"))
+
+    def entrySchema(partFields: Seq[String]): AvroSchema = {
+      val pf = partFields.map(n =>
+        s"""{"name":"$n","type":["null","string"],"default":null}""")
+        .mkString(",")
+      new AvroSchema.Parser().parse(
+        s"""{"type":"record","name":"manifest_entry","fields":[
+           |{"name":"status","type":"int"},
+           |{"name":"snapshot_id","type":"long"},
+           |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+           |{"name":"file_path","type":"string"},
+           |{"name":"file_format","type":"string"},
+           |{"name":"partition","type":{"type":"record","name":"r102","fields":[$pf]}},
+           |{"name":"record_count","type":"long"},
+           |{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+          .stripMargin.replace("\n", ""))
+    }
+    def writeAvro(p: java.nio.file.Path, schema: AvroSchema,
+        recs: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, p.toFile)
+      try recs.foreach(w.append) finally w.close()
+    }
+    def manifest(p: java.nio.file.Path, es: AvroSchema,
+        files: Seq[(String, Seq[String])]): Unit =
+      writeAvro(p, es, files.map { case (fp, pv) =>
+        val dfRec = new GenericData.Record(es.getField("data_file").schema())
+        dfRec.put("file_path", fp)
+        dfRec.put("file_format", "PARQUET")
+        val part = new GenericData.Record(
+          dfRec.getSchema.getField("partition").schema())
+        pv.zipWithIndex.foreach { case (v, i) => part.put(i, v) }
+        dfRec.put("partition", part)
+        dfRec.put("record_count", 1L)
+        dfRec.put("file_size_in_bytes", new java.io.File(fp).length())
+        val e = new GenericData.Record(es)
+        e.put("status", 1); e.put("snapshot_id", 7L); e.put("data_file", dfRec)
+        e
+      })
+    val m0 = metaDir.resolve("m-spec0.avro")
+    manifest(m0, entrySchema(Seq("region")), Seq((fileA, Seq("eu"))))
+    val m1 = metaDir.resolve("m-spec1.avro")
+    manifest(m1, entrySchema(Seq("code", "region")),
+      Seq((fileB, Seq("bb", "eu")), (fileC, Seq("cc", "us"))))
+    val listSchema = new AvroSchema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"}]}"""
+        .stripMargin.replace("\n", ""))
+    val listPath = metaDir.resolve("snap-7.avro")
+    writeAvro(listPath, listSchema, Seq((m0, 0), (m1, 1)).map { case (p, sid) =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", p.toString)
+      r.put("manifest_length", p.toFile.length())
+      r.put("partition_spec_id", sid)
+      r
+    })
+    val mdJson =
+      s"""{"format-version":1,"table-uuid":"00000000-0000-0000-0000-000000000002",
+         |"location":"$target","last-updated-ms":1700000000000,"last-column-id":4,
+         |"schema":{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"id","required":false,"type":"long"},
+         |{"id":2,"name":"v","required":false,"type":"string"},
+         |{"id":3,"name":"region","required":false,"type":"string"},
+         |{"id":4,"name":"code","required":false,"type":"string"}]},
+         |"partition-specs":[
+         |{"spec-id":0,"fields":[
+         |{"name":"region","transform":"identity","source-id":3,"field-id":1000}]},
+         |{"spec-id":1,"fields":[
+         |{"name":"code","transform":"identity","source-id":4,"field-id":1001},
+         |{"name":"region","transform":"identity","source-id":3,"field-id":1000}]}],
+         |"default-spec-id":1,"properties":{},
+         |"current-snapshot-id":7,
+         |"snapshots":[{"snapshot-id":7,"timestamp-ms":1700000000000,
+         |"manifest-list":"$listPath"}]}""".stripMargin.replace("\n", "")
+    Files.write(metaDir.resolve("v1.metadata.json"), mdJson.getBytes("UTF-8"))
+    Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+
+    // full read: spec-0 file substitutes region only (code from file);
+    // spec-1 files substitute code AND region
+    val all = IcebergInterop.readIceberg(spark, target)
+      .select("id", "v", "region", "code")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(all == Set(
+      (1L, "a1", "eu", "aa"), (2L, "a2", "eu", "aa"),
+      (3L, "b1", "eu", "bb"), (4L, "c1", "us", "cc")), all.toString)
+
+    // prune on region: struct position 0 under spec 0, position 1
+    // under spec 1 — must pick files A and B, not C
+    val eu = IcebergInterop.readIcebergWhere(spark, target, "region", "eu")
+      .select("id").as[Long].collect().toSet
+    assert(eu == Set(1L, 2L, 3L))
+    val us = IcebergInterop.readIcebergWhere(spark, target, "region", "us")
+      .select("id").as[Long].collect().toSet
+    assert(us == Set(4L))
+    // the pruned scan must touch only the matching files
+    val usFiles = IcebergInterop.readIcebergWhere(spark, target, "region", "us")
+      .inputFiles.toSeq
+    assert(usFiles.forall(_.contains("/data/c")), usFiles.toString)
+
+    // prune on code: spec 0 (live manifest m0) lacks the field —
+    // metadata-only pruning cannot classify file A, refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readIcebergWhere(spark, target, "code", "bb").collect()
+    }
+    assert(e.getMessage.contains("does not carry partition field"), e.getMessage)
   }
 
   test("mirrorToIceberg fast-appends: O(delta) manifests, full rewrite on removal") {
