@@ -552,13 +552,16 @@ object DeltaInterop {
   }
 
   /** Reader features this replay actually implements. Deletion vectors
-    * (reader version 3) and NAME-mode column mapping (reader version 2,
-    * or 3 with the feature) are supported — most post-2023 Delta
-    * writers enable one or both, so refusing would lock out real-world
-    * tables. Everything else (id-mode mapping, v2 checkpoints,
-    * timestampNtz-with-feature-flag, …) still refuses: a silent misread
-    * would resurface DV-deleted rows or null-fill mapped columns. */
-  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+    * (reader version 3), column mapping in BOTH name and id mode
+    * (reader version 2, or 3 with the feature), and v2 checkpoints
+    * (UUID-named top-level checkpoint + `_sidecars/` parquet) are
+    * supported — most post-2023 Delta writers enable one or more, so
+    * refusing would lock out real-world tables. Everything else
+    * (timestampNtz-with-feature-flag, unknown modes, …) still refuses:
+    * a silent misread would resurface DV-deleted rows or null-fill
+    * mapped columns. */
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "v2Checkpoint")
 
   /** Reader-protocol gate: version 1 (plain add/remove over parquet),
     * version 2 (column mapping — the MODE gate below refuses 'id'),
@@ -576,8 +579,8 @@ object DeltaInterop {
           (if (readerFeatures.nonEmpty)
             s" with features [${readerFeatures.mkString(", ")}]" else "") +
           " — this dependency-free replay supports reader versions 1-2 plus " +
-          s"[${SupportedReaderFeatures.mkString(", ")}] only (no v2 " +
-          "checkpoints); read it with a full Delta client")
+          s"[${SupportedReaderFeatures.mkString(", ")}] only; read it with " +
+          "a full Delta client")
   }
 
   /** Column-mapping-mode gate: 'name' mode reads by physical parquet
@@ -648,13 +651,14 @@ object DeltaInterop {
     else new HPath(root, p).toString
 
   /** Open a Delta table's current snapshot as a DataFrame by replaying
-    * its log: the latest parquet CHECKPOINT (single- or multi-part, v1
-    * classic format) as the base state, then the JSON commit tail on
-    * top. Reader protocols 1-3 are supported: DV'd files scan with
-    * their deleted row indexes filtered out (see [[DeletionVectors]]),
-    * and NAME-mode column-mapped tables scan by physical parquet names
-    * renamed back to the declared schema; id-mode mapping and v2
-    * checkpoints refuse loudly rather than misread. Identity-partitioned tables come back with their
+    * its log: the latest parquet CHECKPOINT (classic single- or
+    * multi-part v1, or a UUID-named v2 checkpoint with its sidecars)
+    * as the base state, then the JSON commit tail on top. Reader
+    * protocols 1-3 are supported: DV'd files scan with their deleted
+    * row indexes filtered out (see [[DeletionVectors]]), and
+    * column-mapped tables (name AND id mode) scan by physical parquet
+    * names/field ids renamed back to the declared schema; unknown
+    * modes and features refuse loudly rather than misread. Identity-partitioned tables come back with their
     * partition columns rebuilt from `partitionValues` and cast to the
     * declared schema types; absolute-URI add paths (external files,
     * shallow clones) are read in place. `versionAsOf` time-travels to
@@ -707,18 +711,25 @@ object DeltaInterop {
     // readers fall back to discovering checkpoints from the log listing
     val namedCpVersion: Long = lastCpText.flatMap(txt =>
       CpVersion.findFirstMatchIn(txt).map(_.group(1).toLong)).getOrElse(-1L)
-    // complete SINGLE-PART checkpoints on disk — usable without the
-    // `parts` validation that multi-part checkpoints need from
-    // _last_checkpoint; serves time travel PAST the newest checkpoint
+    // complete checkpoints on disk — classic single-part files plus
+    // v2 UUID-named ones (any single UUID-named file is a complete
+    // checkpoint by construction); both usable without the `parts`
+    // validation that multi-part v1 checkpoints need from
+    // _last_checkpoint. Serves time travel PAST the newest checkpoint
     // (an older on-disk checkpoint + retained JSON tail still fully
     // determines the requested version) and malformed-_last_checkpoint
-    // recovery
+    // recovery. V2 names are `v.checkpoint.<uniqueStr>.{parquet,json}`
+    // — the single non-dot token distinguishes them from multi-part
+    // `v.checkpoint.iiiiiiiiii.nnnnnnnnnn.parquet` names.
+    val V2Cp = "(\\d{20})\\.checkpoint\\.([^.]+)\\.(parquet|json)".r
     lazy val diskCps: Seq[Long] = fs.listStatus(logDir).toSeq
       .map(_.getPath.getName)
-      .flatMap { n =>
-        "(\\d{20})\\.checkpoint\\.parquet".r.unapplySeq(n)
-          .flatMap(_.headOption).map(_.toLong)
-      }
+      .flatMap {
+        case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
+          Some(n.take(20).toLong)
+        case V2Cp(vv, _, _) => Some(vv.toLong)
+        case _ => None
+      }.distinct
     val usableNamed = namedCpVersion >= 0 && namedCpVersion <= capVersion
     val cpVersion: Long =
       if (usableNamed) namedCpVersion
@@ -735,32 +746,11 @@ object DeltaInterop {
       }
     if (cpVersion >= 0) {
       val v = cpVersion
-      val cpFiles = fs.listStatus(logDir).toSeq.map(_.getPath)
-        .filter { p =>
-          if (usableNamed)
-            p.getName.startsWith(f"$v%020d.checkpoint") &&
-              p.getName.endsWith(".parquet")
-          else p.getName == f"$v%020d.checkpoint.parquet"
-        }
-      require(cpFiles.nonEmpty,
-        s"_last_checkpoint at $path names version $v but no checkpoint parquet exists")
-      // a multi-part checkpoint missing a part would silently drop the
-      // files listed only there — the `parts` field exists to catch that
-      // the `parts` count in _last_checkpoint describes the NAMED
-      // version only — a disk-discovered fallback checkpoint is always
-      // the exact single-part file
-      val declaredParts = (if (usableNamed) lastCpText else None).flatMap(t =>
-        "\"parts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(t).map(_.group(1).toInt))
-      declaredParts.foreach(parts => require(cpFiles.size == parts,
-        s"checkpoint at $path version $v declares $parts parts but " +
-          s"${cpFiles.size} are present — refusing a partial base state"))
-      val cp = spark.read.parquet(cpFiles.map(_.toString): _*)
+      // ingest one base-state slice — the v1 checkpoint parquet (all
+      // parts), a v2 top-level checkpoint, or a v2 sidecar file:
+      // protocol/column-mapping gates, latest metaData, active adds.
+      def ingest(cp: DataFrame): Unit = {
       val fields = cp.schema.fieldNames.toSet
-      // v2 checkpoints carry checkpointMetadata + sidecar actions and
-      // may not list the data files inline — misreading one as v1
-      // would silently drop files
-      if (fields.contains("checkpointMetadata") || fields.contains("sidecar"))
-        checkProtocol(path, 1, Seq("v2Checkpoint"))
       if (fields.contains("protocol")) {
         val protoFields =
           cp.schema("protocol").dataType.asInstanceOf[StructType].fieldNames.toSet
@@ -813,6 +803,88 @@ object DeltaInterop {
               }
             active(decodePath(r.getString(0))) = (pv, dv)
           }
+      }
+      }
+
+      val v2Files = fs.listStatus(logDir).toSeq.map(_.getPath)
+        .filter(p => p.getName match {
+          case V2Cp(vv, _, _) => vv.toLong == v
+          case _ => false
+        })
+      if (v2Files.nonEmpty) {
+        // ---- v2 checkpoint (PROTOCOL.md "V2 Checkpoint Table
+        // Feature"): a UUID-named top-level file carrying
+        // checkpointMetadata + protocol + metaData, with file actions
+        // either inline or in `_delta_log/_sidecars/` parquet named by
+        // `sidecar` actions. Any single UUID-named file is complete —
+        // multiple coexisting ones are equivalent; pick one
+        // deterministically.
+        val parquetV2 = v2Files.filter(_.getName.endsWith(".parquet"))
+        if (parquetV2.isEmpty)
+          throw new IllegalArgumentException(
+            s"Delta table at $path has only JSON-format v2 checkpoints at " +
+              s"version $v — this dependency-free replay reads parquet " +
+              "checkpoints only; read it with a full Delta client")
+        val topPath = parquetV2.maxBy(_.getName)
+        val top = spark.read.parquet(topPath.toString)
+        val topFields = top.schema.fieldNames.toSet
+        if (topFields.contains("checkpointMetadata"))
+          top.where(col("checkpointMetadata.version").isNotNull)
+            .select(col("checkpointMetadata.version"))
+            .collect().foreach { r =>
+              require(r.getLong(0) == v,
+                s"v2 checkpoint ${topPath.getName} at $path declares version " +
+                  s"${r.getLong(0)} in checkpointMetadata — corrupt checkpoint")
+            }
+        ingest(top)
+        if (topFields.contains("sidecar")) {
+          // sidecar paths are file names relative to _delta_log/_sidecars/
+          // or absolute URIs; each sidecar parquet carries file actions
+          // only (add/remove) — remove tombstones are skipped by ingest
+          val sidecarDir = new HPath(logDir, "_sidecars")
+          val scPaths = top.where(col("sidecar.path").isNotNull)
+            .select(col("sidecar.path")).collect().map(_.getString(0)).toSeq
+            .map { p =>
+              val dp = decodePath(p)
+              if (dp.startsWith("/") || SchemePrefix.findFirstIn(dp).isDefined) dp
+              else new HPath(sidecarDir, dp).toString
+            }
+          scPaths.foreach(p => require(
+            fs.exists(new HPath(p)),
+            s"v2 checkpoint at $path names sidecar $p which does not exist — " +
+              "refusing a partial base state"))
+          if (scPaths.nonEmpty) ingest(spark.read.parquet(scPaths: _*))
+        }
+      } else {
+        // ---- classic v1 checkpoint (single- or multi-part) ----
+        val cpFiles = fs.listStatus(logDir).toSeq.map(_.getPath)
+          .filter { p =>
+            if (usableNamed)
+              p.getName.startsWith(f"$v%020d.checkpoint") &&
+                p.getName.endsWith(".parquet")
+            else p.getName == f"$v%020d.checkpoint.parquet"
+          }
+        require(cpFiles.nonEmpty,
+          s"_last_checkpoint at $path names version $v but no checkpoint parquet exists")
+        // a multi-part checkpoint missing a part would silently drop the
+        // files listed only there — the `parts` field exists to catch that
+        // the `parts` count in _last_checkpoint describes the NAMED
+        // version only — a disk-discovered fallback checkpoint is always
+        // the exact single-part file
+        val declaredParts = (if (usableNamed) lastCpText else None).flatMap(t =>
+          "\"parts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(t).map(_.group(1).toInt))
+        declaredParts.foreach(parts => require(cpFiles.size == parts,
+          s"checkpoint at $path version $v declares $parts parts but " +
+            s"${cpFiles.size} are present — refusing a partial base state"))
+        val cp = spark.read.parquet(cpFiles.map(_.toString): _*)
+        // a CLASSIC-named checkpoint carrying v2 actions is malformed
+        // (v2 checkpoints must use UUID naming) — a v1 read of it could
+        // silently drop files listed only in sidecars
+        val f2 = cp.schema.fieldNames.toSet
+        require(!f2.contains("checkpointMetadata") && !f2.contains("sidecar"),
+          s"checkpoint at $path version $v is classic-named but carries v2 " +
+            "checkpoint actions — malformed log")
+        ingest(cp)
       }
     }
 
@@ -1056,9 +1128,11 @@ object DeltaInterop {
     *  - Commits without cdc actions fall back to the protocol's
     *    add/remove interpretation: dataChange adds read as inserts,
     *    dataChange removes as deletes (the removed files must still
-    *    exist — vacuumed history fails at the scan); a commit pairing
-    *    dataChange adds AND removes without cdc is an ambiguous
-    *    update rewrite and refuses.
+    *    exist — vacuumed history fails at the scan); a removed file
+    *    whose latest add carried a deletion vector emits only its
+    *    still-live rows (DV-struck rows were deleted before the
+    *    range); a commit pairing dataChange adds AND removes without
+    *    cdc is an ambiguous update rewrite and refuses.
     *  - dataChange=false actions (compaction/optimize) produce no
     *    rows. Schema changes inside the range and column-mapped
     *    tables refuse. Commits cleaned below `fromVersion`'s base
@@ -1082,14 +1156,20 @@ object DeltaInterop {
     base.foreach(st => require(st.colMapMode == "none",
       s"CDF read of $path: column-mapped tables are not supported here"))
     val pvOf = scala.collection.mutable.HashMap[String, Map[String, String]]()
-    base.foreach(_.active.foreach { case (p, (pv, _)) => pvOf(p) = pv })
+    // DV descriptors ride along: a dataChange remove of a DV-carrying
+    // file must emit only the still-LIVE rows as deletes — rows struck
+    // by the DV were deleted in earlier commits, outside this range
+    val dvOf = scala.collection.mutable.HashMap[
+      String, Option[DeletionVectors.Descriptor]]()
+    base.foreach(_.active.foreach { case (p, (pv, dv)) =>
+      pvOf(p) = pv; dvOf(p) = dv })
     var schemaJson: Option[String] = base.map(_.schemaJson)
     var partCols: Seq[String] = base.map(_.partCols).getOrElse(Nil)
 
-    // (version, commitTimestampMs, kind, files with pv); kind:
-    // cdc | insert | delete
-    val pieces = scala.collection.mutable.Buffer[
-      (Long, Long, String, Seq[(String, Map[String, String])])]()
+    // (version, commitTimestampMs, kind, files with pv + dv); kind:
+    // cdc | insert | delete — only delete files can carry a DV
+    val pieces = scala.collection.mutable.Buffer[(Long, Long, String,
+      Seq[(String, Map[String, String], Option[DeletionVectors.Descriptor])])]()
     (fromVersion to toVersion).foreach { v =>
       val commitPath = new HPath(logDir, f"$v%020d.json")
       if (!fs.exists(commitPath))
@@ -1098,9 +1178,12 @@ object DeltaInterop {
             "a change feed needs the JSON commits of its range")
       val ts = fs.getFileStatus(commitPath).getModificationTime
       val text = readString(fs, commitPath)
-      val cdc = scala.collection.mutable.Buffer[(String, Map[String, String])]()
-      val ins = scala.collection.mutable.Buffer[(String, Map[String, String])]()
-      val del = scala.collection.mutable.Buffer[(String, Map[String, String])]()
+      val cdc = scala.collection.mutable.Buffer[
+        (String, Map[String, String], Option[DeletionVectors.Descriptor])]()
+      val ins = scala.collection.mutable.Buffer[
+        (String, Map[String, String], Option[DeletionVectors.Descriptor])]()
+      val del = scala.collection.mutable.Buffer[
+        (String, Map[String, String], Option[DeletionVectors.Descriptor])]()
       var dvAdd = false
       text.split('\n').foreach { line =>
         def pvIn: Map[String, String] =
@@ -1113,7 +1196,7 @@ object DeltaInterop {
         def dataChange: Boolean =
           DataChangeRe.findFirstMatchIn(line).forall(_.group(1) == "true")
         CdcPath.findFirstMatchIn(line).foreach(m =>
-          cdc += ((decodePath(unq(m.group(1))), pvIn)))
+          cdc += ((decodePath(unq(m.group(1))), pvIn, None)))
         SchemaStr.findFirstMatchIn(line).foreach { m =>
           val sj = unq(m.group(1))
           if (checkColumnMapping(path, ColMapMode.findFirstMatchIn(line)
@@ -1138,16 +1221,19 @@ object DeltaInterop {
         if (!line.contains("\"cdc\"")) {
           AddPath.findFirstMatchIn(line).foreach { m =>
             val p = decodePath(unq(m.group(1)))
+            val dvHere = parseDvDescriptor(line)
             pvOf(p) = pvIn
+            dvOf(p) = dvHere
             if (dataChange) {
-              if (parseDvDescriptor(line).isDefined) dvAdd = true
-              ins += ((p, pvIn))
+              if (dvHere.isDefined) dvAdd = true
+              ins += ((p, pvIn, None))
             }
           }
           RemovePath.findFirstMatchIn(line).foreach { m =>
             val p = decodePath(unq(m.group(1)))
             val pv = pvOf.remove(p).getOrElse(pvIn)
-            if (dataChange) del += ((p, pv))
+            val dv = dvOf.remove(p).getOrElse(None)
+            if (dataChange) del += ((p, pv, dv))
           }
         }
       }
@@ -1178,16 +1264,48 @@ object DeltaInterop {
     val outCols = schema.map(f => col(f.name)) ++ Seq(
       col("_change_type"), col("_commit_version"), col("_commit_timestamp"))
 
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): String = {
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
     def emit(v: Long, ts: Long, kind: String,
-             files: Seq[(String, Map[String, String])]): Seq[DataFrame] =
+             files: Seq[(String, Map[String, String],
+               Option[DeletionVectors.Descriptor])]): Seq[DataFrame] =
       files.groupBy(_._2).toSeq.map { case (pv, fsOfPart) =>
-        val paths = fsOfPart.map { case (p, _) => resolveFile(root, p) }
-        val base0 =
+        val resolved = fsOfPart.map { case (p, _, dv) =>
+          (resolveFile(root, p), dv) }
+        val (dvFiles, plain) = resolved.partition(_._2.isDefined)
+        def scanOf(paths: Seq[String]): DataFrame =
           if (kind == "cdc")
             spark.read.schema(cdcSchema).parquet(paths: _*)
           else
             spark.read.schema(dataSchema).parquet(paths: _*)
               .withColumn("_change_type", lit(kind))
+        // a removed DV-carrying file: its DV-struck rows were deleted
+        // BEFORE this range — emit only the still-live rows as deletes
+        // (same codegen'd membership filter the snapshot reader uses)
+        val dvScan: Option[DataFrame] =
+          if (dvFiles.isEmpty) None
+          else Some {
+            val lookupMap = new java.util.HashMap[
+              org.apache.spark.unsafe.types.UTF8String,
+              DeletionVectors.Roaring64]()
+            dvFiles.foreach { case (p, dv) =>
+              lookupMap.put(
+                org.apache.spark.unsafe.types.UTF8String.fromString(qualified(p)),
+                DeletionVectors.load(conf, root, dv.get))
+            }
+            val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+            val pred = bridge.column(DvDeleted(
+              bridge.expression(col("_metadata.file_path")),
+              bridge.expression(col("_metadata.row_index")),
+              new DvLookup(lookupMap)))
+            scanOf(dvFiles.map(_._1)).where(!pred)
+          }
+        val plainScan: Option[DataFrame] =
+          if (plain.isEmpty) None else Some(scanOf(plain.map(_._1)))
+        val base0 = (plainScan.toSeq ++ dvScan.toSeq).reduce(_.unionByName(_))
         val withParts = partCols.foldLeft(base0) { (d, pc) =>
           val f = schema(pc)
           d.withColumn(pc, pv.get(pc).map(lit(_)).getOrElse(lit(null))

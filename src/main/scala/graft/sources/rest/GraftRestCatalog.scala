@@ -166,8 +166,14 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
     http("HEAD", nsPath(namespace.toSeq))._1 == 204
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    if (cascade)
+    if (cascade) {
+      // Spark's cascade contract covers the whole subtree: child
+      // namespaces drop (recursively) before their parent, tables
+      // before their namespace — otherwise the server's 409
+      // NamespaceNotEmpty surfaces as a bare IllegalStateException
+      listNamespaces(namespace).foreach(dropNamespace(_, cascade = true))
       listTables(namespace).foreach(dropTable)
+    }
     val (code, body) = http("DELETE", nsPath(namespace.toSeq))
     if (code == 404) false
     else expect(code, body, Left(namespace.toSeq))(true)

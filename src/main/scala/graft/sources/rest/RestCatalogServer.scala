@@ -97,7 +97,11 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     // session so GraftTable/TableIO resolve the right one
     SparkSession.setActiveSession(spark)
     try {
-      val segs = x.getRequestURI.getPath.split("/").filter(_.nonEmpty).toSeq
+      // RAW path: getPath is already percent-decoded, and decodeNs/dec
+      // decode each segment — decoding twice would turn literal '+'
+      // into spaces, blow up on literal '%' sequences, and let an
+      // encoded '/' in a name break segment routing
+      val segs = x.getRequestURI.getRawPath.split("/").filter(_.nonEmpty).toSeq
       val method = x.getRequestMethod
       (method, segs) match {
         case ("GET", Seq("v1", "config")) =>
@@ -110,6 +114,8 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
           reply(x, 200, n)
 
         case ("GET", Seq("v1", "namespaces")) =>
+          // query() returns the RAW value — decodeNs applies the one
+          // and only decode
           val parent = Option(query(x, "parent")).map(decodeNs).getOrElse(Nil)
           listNamespaces(x, parent)
         case ("POST", Seq("v1", "namespaces")) =>
@@ -314,11 +320,13 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     else (0 until n.size()).map(n.get(_).asText())
   private def nsMsg(ns: Seq[String]) = s"namespace ${ns.mkString(".")}"
 
+  /** RAW (still-encoded) query value — callers decode exactly once
+    * (decodeNs for namespace params). */
   private def query(x: HttpExchange, key: String): String = {
     val q = x.getRequestURI.getRawQuery
     if (q == null) null
     else q.split("&").map(_.split("=", 2))
-      .collectFirst { case Array(k, v) if k == key => dec(v) }.orNull
+      .collectFirst { case Array(k, v) if k == key => v }.orNull
   }
 
   private def bodyOf(x: HttpExchange): String =

@@ -191,12 +191,19 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
                 "vector at stream start — a DV'd snapshot cannot stream " +
                 "append-only; compact the table or read it batch-side")
         }
+        partColsAt(e) = st.partCols
         st.active.map { case (p, _) =>
           val f = DeltaInterop.resolveFile(root, p)
           checkPartitionEncoding(st.partCols, f)
           f
         }
-      } else (s + 1 to e).flatMap { v =>
+      } else {
+        // partition columns IN EFFECT at each commit being replayed —
+        // a checkpoint-restart catching up across a partition-layout
+        // change must validate old commits' files against the OLD
+        // layout, not the latest snapshot's
+        var pcNow = partColsOf(s)
+        val out = (s + 1 to e).flatMap { v =>
         val commitPath = new HPath(logDir, f"$v%020d.json")
         if (!fs.exists(commitPath))
           throw new IllegalStateException(
@@ -205,7 +212,8 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
               "from a fresh checkpoint")
         val a = DeltaInterop.parseCommitText(path,
           readText(commitPath))
-        a.meta.foreach { case (sj, _, mode) =>
+        a.meta.foreach { case (sj, pc, mode) =>
+          pcNow = pc
           if (mode != "none")
             throw new IllegalStateException(
               s"delta stream over $path: commit $v enables column " +
@@ -241,9 +249,12 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
         if (isChange) Nil
         else a.addActions.filter(_.dataChange).map { ad =>
           val f = DeltaInterop.resolveFile(root, ad.path)
-          checkPartitionEncoding(partColsAtStart, f)
+          checkPartitionEncoding(pcNow, f)
           f
         }
+        }
+        partColsAt(e) = pcNow
+        out
       }
     if (files.isEmpty) Array.empty
     else {
@@ -253,9 +264,14 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
     }
   }
 
-  // partition columns fixed at stream start (schema changes refuse)
-  private lazy val partColsAtStart: Seq[String] =
-    DeltaInterop.replaySnapshot(spark, path, None).partCols
+  // partition columns BY VERSION: seeded by one log replay per
+  // (re)start, then advanced incrementally from each commit's metaData
+  // as batches process — each trigger's start version hits the cache
+  // entry the previous trigger stored
+  private val partColsAt = scala.collection.mutable.Map[Long, Seq[String]]()
+  private def partColsOf(v: Long): Seq[String] =
+    partColsAt.getOrElseUpdate(v,
+      DeltaInterop.replaySnapshot(spark, path, Some(v)).partCols)
 
   private def readText(p: HPath): String = {
     val in = fs.open(p)
@@ -283,8 +299,20 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
   // unpartitioned tables and can share one file-less factory).
   @volatile private var currentBatch: Batch = _
   override def createReaderFactory(): PartitionReaderFactory =
-    (if (currentBatch != null) currentBatch else scanBatch(Nil))
-      .createReaderFactory()
+    if (currentBatch != null) currentBatch.createReaderFactory()
+    else {
+      // unreachable under MicroBatchExecution's call order (plan, then
+      // factory); if a future engine inverts it, an empty-index
+      // factory would null-fill hive partition columns — fail loudly
+      // for partitioned tables instead
+      val pcs = DeltaInterop.replaySnapshot(spark, path, None).partCols
+      if (pcs.nonEmpty)
+        throw new IllegalStateException(
+          s"delta stream over $path: createReaderFactory called before " +
+            "planInputPartitions on a partitioned table — an empty-index " +
+            "factory would null-fill the hive-recovered partition columns")
+      scanBatch(Nil).createReaderFactory()
+    }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

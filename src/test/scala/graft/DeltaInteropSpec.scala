@@ -262,18 +262,113 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(got == Set((1L, 1.0), (3L, 3.0)))
   }
 
-  test("readDelta refuses v2 checkpoints") {
+  /** Write `rows` as ONE parquet file at exactly `dest` (relative to
+    * root) — for hand-building v2 checkpoints and sidecars. */
+  private def writeParquetAs(root: String, dest: String,
+      schema: StructType, rows: Seq[Row]): Unit = {
+    val stage = Files.createTempDirectory("graft_cpstage_").toString
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.parquet(stage + "/cp")
+    val part = Files.list(Paths.get(stage, "cp")).iterator()
+    var src: java.nio.file.Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    }
+    Files.copy(src, Paths.get(root, dest))
+  }
+
+  test("readDelta replays a v2 checkpoint (UUID name + sidecar) plus JSON tail") {
+    import spark.implicits._
     val root = tmp("graft_dcpv2_")
-    Files.createDirectories(Paths.get(root, "_delta_log"))
-    val cpSchema = StructType(Seq(
+    Files.createDirectories(Paths.get(root, "_delta_log", "_sidecars"))
+    def writeDataFile(sub: String, rows: Seq[(Long, Double)]): String = {
+      rows.toDF("id", "x").coalesce(1).write.parquet(root + "/" + sub)
+      val it = Files.list(Paths.get(root, sub)).iterator()
+      var name: String = null
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          name = sub + "/" + p.getFileName.toString
+      }
+      name
+    }
+    val f1 = writeDataFile("d1", Seq((1L, 1.0)))
+    val f2 = writeDataFile("d2", Seq((2L, 2.0)))
+    val f3 = writeDataFile("d3", Seq((3L, 3.0)))
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType))).json
+    // sidecar parquet carries the file actions (none inline in the top)
+    writeParquetAs(root, "_delta_log/_sidecars/sc-001.parquet",
+      StructType(Seq(StructField("add", cpAddType))), Seq(
+        Row(Row(f1, Map.empty[String, String], 1L, 1L, true)),
+        Row(Row(f2, Map.empty[String, String], 1L, 1L, true))))
+    // top-level UUID-named checkpoint: checkpointMetadata + protocol
+    // (v2Checkpoint reader feature) + metaData + sidecar pointer
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
+    val sidecarType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType)))
+    val topSchema = StructType(Seq(
       StructField("checkpointMetadata",
         StructType(Seq(StructField("version", LongType)))),
-      StructField("protocol", cpProtoType)))
-    writeCheckpoint(root, 0L, cpSchema, Seq(Row(Row(0L), null)))
+      StructField("protocol", protoType),
+      StructField("metaData", cpMdType),
+      StructField("sidecar", sidecarType)))
+    val cpName =
+      "0" * 19 + "1.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"
+    writeParquetAs(root, s"_delta_log/$cpName", topSchema, Seq(
+      Row(Row(1L), null, null, null),
+      Row(null, Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null, null),
+      Row(null, null, Row("m", schemaJson, Seq.empty[String],
+        Map.empty[String, String]), null),
+      Row(null, null, null, Row("sc-001.parquet", 10L, 1L))))
+    Files.write(Paths.get(root, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":4}""".getBytes("UTF-8"))
+    // commits 0 and 1 were CLEANED UP per Delta log retention — the v2
+    // checkpoint is the only base state; JSON tail adds f3 at 2
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 19 + "2.json"),
+      (s"""{"add":{"path":"${esc(f3)}","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+    val got = DeltaInterop.readDelta(spark, root)
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    // time travel to the checkpoint version itself
+    val at1 = DeltaInterop.readDelta(spark, root, versionAsOf = Some(1L))
+      .as[(Long, Double)].collect().toSet
+    assert(at1 == Set((1L, 1.0), (2L, 2.0)))
+    // a missing sidecar must refuse (partial base state), not misread
+    Files.delete(Paths.get(root, "_delta_log", "_sidecars", "sc-001.parquet"))
     val e = intercept[IllegalArgumentException] {
       DeltaInterop.readDelta(spark, root)
     }
-    assert(e.getMessage.contains("full Delta client"), e.getMessage)
+    assert(e.getMessage.contains("sidecar"), e.getMessage)
+  }
+
+  test("v2 checkpoint with mismatched checkpointMetadata version refuses") {
+    val root = tmp("graft_dcpv2bad_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val topSchema = StructType(Seq(
+      StructField("checkpointMetadata",
+        StructType(Seq(StructField("version", LongType)))),
+      StructField("protocol", cpProtoType)))
+    val cpName =
+      "0" * 19 + "1.checkpoint.5bd06bc1-05e8-4c24-92b5-4866e1b7da99.parquet"
+    writeParquetAs(root, s"_delta_log/$cpName", topSchema, Seq(
+      Row(Row(7L), null), Row(null, Row(1, 2))))
+    Files.write(Paths.get(root, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":2}""".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, root)
+    }
+    assert(e.getMessage.contains("corrupt checkpoint"), e.getMessage)
   }
 
   test("cleanupMirrorLog deletes checkpoint-covered JSON; reads + resume stay green") {
@@ -359,17 +454,17 @@ class DeltaInteropSpec extends AnyFunSuite {
       DeltaInterop.readDelta(spark, root2)
     }
     assert(e2.getMessage.contains("full Delta client"), e2.getMessage)
-    // reader version 3 with a feature beyond deletionVectors refuses,
-    // naming the features
+    // reader version 3 with a feature beyond the supported set
+    // (deletionVectors/columnMapping/v2Checkpoint) refuses, naming it
     val root = tmp("graft_dproto_")
     Files.createDirectories(Paths.get(root, "_delta_log"))
     Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"],"writerFeatures":["deletionVectors","v2Checkpoint"]}}"""
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","timestampNtz"],"writerFeatures":["deletionVectors","timestampNtz"]}}"""
     ).mkString("", "\n", "\n").getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] {
       DeltaInterop.readDelta(spark, root)
     }
-    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+    assert(e.getMessage.contains("timestampNtz"), e.getMessage)
     assert(e.getMessage.contains("full Delta client"))
   }
 
@@ -1293,5 +1388,46 @@ class DeltaInteropSpec extends AnyFunSuite {
     val got = DeltaInterop.readDelta(spark, root)
       .as[(Long, Double)].collect().toSet
     assert(got == Set((1L, 1.0), (2L, 2.0)))
+  }
+
+  test("CDF delete of a DV-carrying file emits only the still-live rows") {
+    import spark.implicits._
+    import graft.sources.DeletionVectors
+    val root = tmp("graft_cdfdv_")
+    Seq.range(0L, 10L).toDF("id").coalesce(1).write.parquet(root)
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val dataFile = Files.list(Paths.get(root)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val rel = Paths.get(root).relativize(Paths.get(dataFile)).toString
+    val idxOf = spark.read.parquet(dataFile)
+      .select(col("id"), col("_metadata.row_index"))
+      .as[(Long, Long)].collect().toMap
+    val schemaJson = StructType(Seq(StructField("id", LongType))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    // commit 1 (BEFORE the CDF range): row-level DELETE of ids 2,5 =
+    // remove + re-add with an inline DV
+    val inline = DeletionVectors.serialize(Seq(idxOf(2L), idxOf(5L)))
+    val padded = java.util.Arrays.copyOf(inline, (inline.length + 3) / 4 * 4)
+    val z85dv = DeletionVectors.z85Encode(padded)
+    Files.write(Paths.get(root, "_delta_log", "0" * 19 + "1.json"), Seq(
+      s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":2,"dataChange":true}}""",
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$z85dv","sizeInBytes":${padded.length},"cardinality":2}}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    // commit 2 (IN range): full DELETE — removes the DV-carrying file
+    Files.write(Paths.get(root, "_delta_log", "0" * 19 + "2.json"), Seq(
+      s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":3,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val changes = DeltaInterop.readDeltaChanges(spark, root, 2L, 2L)
+      .select(col("id"), col("_change_type"))
+      .as[(Long, String)].collect().toSet
+    // ids 2 and 5 were deleted in commit 1, before the range — the
+    // range-2 delete must NOT resurface them as delete events
+    assert(changes == Set(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L)
+      .map((_, "delete")), changes.toString)
   }
 }

@@ -215,4 +215,31 @@ class RestCatalogSpec extends AnyFunSuite {
       assert(e.getMessage != null)
     } finally other.stop(0)
   }
+
+  test("DROP NAMESPACE CASCADE recurses into child namespaces") {
+    val s = restSession("rcc")
+    s.sql("CREATE NAMESPACE rcc.top")
+    s.sql("CREATE NAMESPACE rcc.top.mid")
+    s.sql("CREATE TABLE rcc.top.mid.t (id BIGINT) USING graft")
+    s.sql("CREATE TABLE rcc.top.u (id BIGINT) USING graft")
+    s.sql("DROP NAMESPACE rcc.top CASCADE")
+    assert(s.sql("SHOW NAMESPACES IN rcc").collect()
+      .forall(_.getString(0) != "top"))
+  }
+
+  test("names with '+' and '%' survive routing (single decode of raw path)") {
+    val s = restSession("rcd")
+    s.sql("CREATE NAMESPACE rcd.enc")
+    // '+' in a table name must stay a plus through the URL round-trip,
+    // and '%' must not break percent-decoding of the path
+    s.sql("CREATE TABLE rcd.enc.`a+b` (id BIGINT) USING graft")
+    s.sql("INSERT INTO rcd.enc.`a+b` VALUES (7)")
+    assert(s.sql("SELECT id FROM rcd.enc.`a+b`").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+    assert(s.sql("SHOW TABLES IN rcd.enc").collect()
+      .exists(_.getString(1) == "a+b"))
+    s.sql("DROP TABLE rcd.enc.`a+b`")
+    assert(s.sql("SHOW TABLES IN rcd.enc").collect()
+      .forall(_.getString(1) != "a+b"))
+  }
 }
