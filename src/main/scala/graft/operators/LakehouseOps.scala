@@ -288,10 +288,71 @@ object LakehouseOps {
     """SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 4) AS c_acctbal
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** g15: foreign-Delta APPEND gate
+    * ([[graft.sources.DeltaInterop.appendToDelta]]) — export part of
+    * supplier as a standalone Delta table, APPEND the rest through the
+    * optimistic foreign-commit path, and read the result back through
+    * the log replay. The oracle recomputes the union relationally, so
+    * the written parquet + dataChange add commit must be value-exact. */
+  val g15_delta_append: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 4 === 0))
+    val target = Files.createTempDirectory("graft_dappend_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    graft.sources.DeltaInterop.appendToDelta(
+      sup.filter($"s_suppkey" % 4 =!= 0), target)
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g15_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  /** g16: STREAMING change-data-feed gate — mirror a two-commit
+    * GraftTable, stream its CDF (`readChangeFeed=true` on
+    * [[graft.sources.v2.DeltaSource]], V1 micro-batch path), and
+    * compare the drained `_change_type`-tagged rows against the
+    * relational recomputation — the streaming twin of g12. */
+  val g16_delta_cdf_stream: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 2 === 1))
+    t.append(sup.filter($"s_suppkey" % 2 === 0))
+    graft.sources.DeltaInterop.mirrorToDelta(t)
+    val name = "gcdf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.format("graft.sources.v2.DeltaSource")
+      .option("readChangeFeed", "true").load(t.root)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination()
+    s.table(name)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"),
+        $"_change_type".as("change_type"),
+        $"_commit_version".as("commit_version"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g16_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal,
+      | 'insert' AS change_type,
+      | CAST(CASE WHEN s_suppkey % 2 = 1 THEN 0 ELSE 1 END AS BIGINT)
+      |   AS commit_version
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
     "g13_delta_stream" -> g13_delta_stream,
     "g14_iceberg_stream" -> g14_iceberg_stream,
     "g12_delta_cdf" -> g12_delta_cdf,
+    "g15_delta_append" -> g15_delta_append,
+    "g16_delta_cdf_stream" -> g16_delta_cdf_stream,
     "g1_merge_upsert" -> g1_merge_upsert,
     "g5_update_delete" -> g5_update_delete,
     "g7_sql_catalog" -> g7_sql_catalog,
@@ -305,6 +366,8 @@ object LakehouseOps {
     "g13_delta_stream" -> g13_sql,
     "g14_iceberg_stream" -> g14_sql,
     "g12_delta_cdf" -> g12_sql,
+    "g15_delta_append" -> g15_sql,
+    "g16_delta_cdf_stream" -> g16_sql,
     "g1_merge_upsert" -> g1_sql,
     "g5_update_delete" -> g5_sql,
     "g7_sql_catalog" -> g7_sql,

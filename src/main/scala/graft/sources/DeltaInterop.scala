@@ -510,6 +510,10 @@ object DeltaInterop {
   private val PartCols = "\"partitionColumns\":\\[([^\\]]*)\\]".r
   private val MinReader = "\"minReaderVersion\"\\s*:\\s*(\\d+)".r
   private val ReaderFeats = "\"readerFeatures\"\\s*:\\s*\\[([^\\]]*)\\]".r
+  private val MinWriter = "\"minWriterVersion\"\\s*:\\s*(\\d+)".r
+  private val WriterFeats = "\"writerFeatures\"\\s*:\\s*\\[([^\\]]*)\\]".r
+  private val ConfigObj =
+    ("\"configuration\":\\{((?:[^{}\"]|\"" + Str + "\")*)\\}").r
   private val ColMapMode =
     ("\"delta\\.columnMapping\\.mode\"\\s*:\\s*\"" + Str + "\"").r
   private val CpVersion = "\"version\"\\s*:\\s*(\\d+)".r
@@ -681,7 +685,9 @@ object DeltaInterop {
       schemaJson: String, partCols: Seq[String], colMapMode: String,
       active: Seq[(String, (Map[String, String],
         Option[DeletionVectors.Descriptor]))],
-      version: Long)
+      version: Long,
+      configuration: Map[String, String] = Map.empty,
+      minWriter: Int = 1, writerFeatures: Seq[String] = Nil)
 
   /** Replay a Delta log to its snapshot state at `versionAsOf` (or the
     * latest version): parquet checkpoint base + JSON tail, protocol /
@@ -697,6 +703,9 @@ object DeltaInterop {
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     var colMapMode: String = "none"
+    var configuration: Map[String, String] = Map.empty
+    var minWriter: Int = 1
+    var writerFeatures: Seq[String] = Nil
     // last add per path wins (a row-level DELETE re-adds the same path
     // with a fresh deletion vector); removes tombstone
     val active = scala.collection.mutable.LinkedHashMap[
@@ -757,11 +766,21 @@ object DeltaInterop {
         val rf =
           if (protoFields.contains("readerFeatures")) col("protocol.readerFeatures")
           else lit(null).cast("array<string>")
+        val wf =
+          if (protoFields.contains("writerFeatures")) col("protocol.writerFeatures")
+          else lit(null).cast("array<string>")
+        val mw =
+          if (protoFields.contains("minWriterVersion"))
+            col("protocol.minWriterVersion")
+          else lit(null).cast("int")
         cp.where(col("protocol.minReaderVersion").isNotNull)
-          .select(col("protocol.minReaderVersion"), rf.as("rf"))
+          .select(col("protocol.minReaderVersion"), rf.as("rf"),
+            mw.as("mw"), wf.as("wf"))
           .collect().foreach { r =>
             checkProtocol(path, r.getInt(0),
               if (r.isNullAt(1)) Nil else r.getSeq[String](1))
+            if (!r.isNullAt(2)) minWriter = r.getInt(2)
+            if (!r.isNullAt(3)) writerFeatures = r.getSeq[String](3)
           }
       }
       if (fields.contains("metaData"))
@@ -773,6 +792,7 @@ object DeltaInterop {
             partCols = if (r.isNullAt(1)) Nil else r.getSeq[String](1)
             val conf = if (r.isNullAt(2)) Map.empty[String, String]
               else r.getMap[String, String](2).filter(_._2 != null).toMap
+            configuration = conf
             colMapMode = checkColumnMapping(path,
               conf.getOrElse("delta.columnMapping.mode", ""))
           }
@@ -921,6 +941,10 @@ object DeltaInterop {
       a.meta.foreach { case (sj, pc, mode) =>
         schemaJson = Some(sj); partCols = pc; colMapMode = mode
       }
+      a.config.foreach(configuration = _)
+      a.writerProto.foreach { case (w, wf) =>
+        minWriter = w; writerFeatures = wf
+      }
       // actions within one commit are UNORDERED per the protocol; a
       // commit carrying both remove and add of a path means "replace"
       // — removes apply first so the re-add survives
@@ -931,7 +955,8 @@ object DeltaInterop {
       schemaJson.getOrElse(throw new IllegalStateException(
         s"no metaData action in Delta log at $path")),
       partCols, colMapMode, active.toSeq,
-      (cpVersion +: commits.map(_.getName.dropRight(5).toLong)).max)
+      (cpVersion +: commits.map(_.getName.dropRight(5).toLong)).max,
+      configuration, minWriter, writerFeatures)
   }
 
   /** One parsed JSON commit: the latest metaData (schema JSON,
@@ -950,7 +975,9 @@ object DeltaInterop {
   private[sources] final case class DeltaActions(
       meta: Option[(String, Seq[String], String)],
       addActions: Seq[DeltaAdd],
-      removeActions: Seq[(String, Boolean)]) {
+      removeActions: Seq[(String, Boolean)],
+      config: Option[Map[String, String]] = None,
+      writerProto: Option[(Int, Seq[String])] = None) {
     def adds: Seq[(String, Map[String, String],
       Option[DeletionVectors.Descriptor])] =
       addActions.map(a => (a.path, a.pv, a.dv))
@@ -959,28 +986,38 @@ object DeltaInterop {
 
   private[sources] def parseCommitText(path: String, text: String): DeltaActions = {
     var meta: Option[(String, Seq[String], String)] = None
+    var config: Option[Map[String, String]] = None
+    var writerProto: Option[(Int, Seq[String])] = None
     val adds = Seq.newBuilder[DeltaAdd]
     val removes = Seq.newBuilder[(String, Boolean)]
+    def strList(body: Option[String]): Seq[String] =
+      body.filter(_.trim.nonEmpty)
+        .map(_.split(",").toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+        .getOrElse(Nil)
     text.split('\n').foreach { line =>
-      if (line.contains("\"protocol\""))
+      if (line.contains("\"protocol\"")) {
         MinReader.findFirstMatchIn(line).foreach { m =>
-          val rf = ReaderFeats.findFirstMatchIn(line).map(_.group(1))
-            .filter(_.trim.nonEmpty)
-            .map(_.split(",").toSeq
-              .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
-            .getOrElse(Nil)
+          val rf = strList(ReaderFeats.findFirstMatchIn(line).map(_.group(1)))
           checkProtocol(path, m.group(1).toInt, rf)
         }
+        MinWriter.findFirstMatchIn(line).foreach { m =>
+          writerProto = Some((m.group(1).toInt,
+            strList(WriterFeats.findFirstMatchIn(line).map(_.group(1)))))
+        }
+      }
       SchemaStr.findFirstMatchIn(line).foreach { m =>
-        val pc = PartCols.findFirstMatchIn(line).map(_.group(1))
-          .filter(_.trim.nonEmpty)
-          .map(_.split(",").toSeq
-            .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
-          .getOrElse(Nil)
+        val pc = strList(PartCols.findFirstMatchIn(line).map(_.group(1)))
         val mode = checkColumnMapping(path,
           ColMapMode.findFirstMatchIn(line).map(mm => unq(mm.group(1)))
             .getOrElse(""))
         meta = Some((unq(m.group(1)), pc, mode))
+        config = Some(ConfigObj.findFirstMatchIn(line).map(_.group(1)) match {
+          case Some(body) if body.trim.nonEmpty =>
+            PartEntry.findAllMatchIn(body)
+              .map(mm => unq(mm.group(1)) -> unq(mm.group(2))).toMap
+          case _ => Map.empty[String, String]
+        })
       }
       AddPath.findFirstMatchIn(line).foreach { m =>
         val p = decodePath(unq(m.group(1)))
@@ -997,7 +1034,7 @@ object DeltaInterop {
         removes += ((decodePath(unq(m.group(1))),
           DataChangeRe.findFirstMatchIn(line).forall(_.group(1) == "true"))))
     }
-    DeltaActions(meta, adds.result(), removes.result())
+    DeltaActions(meta, adds.result(), removes.result(), config, writerProto)
   }
 
   /** Assemble the snapshot's DataFrame from replayed state: grouped
@@ -1112,6 +1149,178 @@ object DeltaInterop {
   def readDeltaWhere(spark: SparkSession, path: String, column: String,
       value: String, versionAsOf: Option[Long] = None): DataFrame =
     readDelta(spark, path, versionAsOf, Some(column -> value))
+
+  /** APPEND `df` to an existing Delta table (foreign or mirrored) by
+    * committing a dataChange add to its `_delta_log` through the same
+    * optimistic conditional-put protocol graft's own commits use:
+    * write the parquet files (honoring the table's identity partition
+    * layout), then claim the next version slot; a lost race
+    * re-validates against the peer's commit and retries the next slot
+    * — blind appends never conflict semantically, so the retry only
+    * re-checks schema/protocol gates.
+    *
+    * Writer obligations are gated honestly: refuses column mapping
+    * (this writer does not produce physical names), CHECK constraints,
+    * column invariants, generated/identity columns (obligations it
+    * will not evaluate), and unknown writer features. Features that
+    * impose no obligation on a plain append (appendOnly,
+    * deletionVectors, changeDataFeed — blind-append inserts derive
+    * from the add actions per PROTOCOL.md, v2Checkpoint — appends
+    * write no checkpoints, domainMetadata, timestampNtz) pass.
+    *
+    * The input schema must match the table's top-level columns and
+    * types exactly (cast beforehand; no implicit evolution). Returns
+    * the committed version.
+    *
+    * Scale shape: one distributed parquet write + O(#new files)
+    * driver-side metadata; the commit payload never carries data. */
+  def appendToDelta(df: DataFrame, path: String, maxRetries: Int = 20): Long = {
+    val spark = df.sparkSession
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val io = new TableIO(path, conf)
+    val logDir = new HPath(root, "_delta_log")
+    require(fs.exists(logDir), s"no Delta log at $path — appendToDelta " +
+      "appends to existing tables (exportSnapshot/mirrorToDelta create one)")
+
+    def refuseW(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"cannot append to Delta table at $path: $what — write it with a " +
+          "full Delta client")
+
+    // writer features that impose NO obligation on a blind append; the
+    // declaration-level obligations (constraints, invariants, generated
+    // columns) are checked against the actual table state below
+    val HarmlessOnAppend = Set("appendOnly", "invariants",
+      "checkConstraints", "generatedColumns", "changeDataFeed",
+      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata",
+      "columnMapping")
+
+    def validate(): DeltaSnapshot = {
+      val st = replaySnapshot(spark, path, None)
+      if (st.colMapMode != "none")
+        refuseW("the table uses column mapping — this writer does not " +
+          "produce physical column names")
+      if (st.minWriter > 7)
+        refuseW(s"the table requires writer protocol ${st.minWriter}")
+      if (st.minWriter == 7) {
+        val unknown = st.writerFeatures.filterNot(HarmlessOnAppend.contains)
+        if (unknown.nonEmpty)
+          refuseW("the table requires writer features " +
+            s"[${unknown.mkString(", ")}] this writer does not implement")
+      }
+      if (st.configuration.keys.exists(_.startsWith("delta.constraints.")))
+        refuseW("the table declares CHECK constraints this writer does " +
+          "not evaluate")
+      val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+      schema.fields.foreach { f =>
+        if (f.metadata.contains("delta.invariants"))
+          refuseW(s"column '${f.name}' declares an invariant this writer " +
+            "does not evaluate")
+        if (f.metadata.contains("delta.generationExpression"))
+          refuseW(s"column '${f.name}' is a generated column this writer " +
+            "does not compute")
+        if (f.metadata.contains("delta.identity.start"))
+          refuseW(s"column '${f.name}' is an identity column this writer " +
+            "does not assign")
+      }
+      require(schema.fieldNames.toSet == df.schema.fieldNames.toSet,
+        s"append schema mismatch at $path: table columns " +
+          s"[${schema.fieldNames.mkString(", ")}], input columns " +
+          s"[${df.schema.fieldNames.mkString(", ")}]")
+      schema.fields.foreach { f =>
+        val have = df.schema(f.name).dataType
+        require(f.dataType == have,
+          s"append schema mismatch at $path: column '${f.name}' is " +
+            s"${f.dataType.simpleString} in the table, ${have.simpleString} " +
+            "in the input — cast before appending")
+      }
+      st
+    }
+    var st = validate()
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val partCols = st.partCols
+
+    // ---- distributed parquet write into a staging dir, then move the
+    // parts into place (the hive layout from partitionBy IS the
+    // destination layout; part names carry task UUIDs, so no
+    // collisions) ----
+    val stagingName = s"_graft_append_${java.util.UUID.randomUUID()}"
+    val staging = new HPath(root, stagingName)
+    val ordered = df.select(schema.fieldNames.map(col).toSeq: _*)
+    if (partCols.nonEmpty)
+      ordered.write.partitionBy(partCols: _*).parquet(staging.toString)
+    else ordered.write.parquet(staging.toString)
+    def listParquetRec(dir: HPath, rel: String): Seq[(String, Long, Long)] =
+      fs.listStatus(dir).toSeq.flatMap { stat =>
+        val name = stat.getPath.getName
+        val childRel = if (rel.isEmpty) name else s"$rel/$name"
+        if ((name.startsWith("_") || name.startsWith(".")) && !name.contains("="))
+          Nil
+        else if (stat.isDirectory) listParquetRec(stat.getPath, childRel)
+        else if (name.endsWith(".parquet"))
+          Seq((childRel, stat.getLen, stat.getModificationTime))
+        else Nil
+      }
+    val staged = listParquetRec(staging, "")
+    val moved = scala.collection.mutable.Buffer[String]()
+    def cleanup(): Unit = {
+      moved.foreach(p => fs.delete(new HPath(root, p), false))
+      fs.delete(staging, true)
+    }
+    try {
+      staged.foreach { case (rel, _, _) =>
+        val dst = new HPath(root, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(new HPath(staging, rel), dst))
+          throw new java.io.IOException(
+            s"could not move staged append file $rel into $path")
+        moved += rel
+      }
+      fs.delete(staging, true)
+
+      val now = System.currentTimeMillis()
+      val actions = Seq.newBuilder[String]
+      actions += s"""{"commitInfo":{"timestamp":$now,"operation":"WRITE","operationParameters":{"mode":"Append"},"engineInfo":"graft-append"}}"""
+      staged.foreach { case (rel, size, _) =>
+        val pv = hivePartitionValues(rel, partCols)
+        val pvJson = pv.map { case (k, vv) =>
+          "\"" + jsonEscape(k) + "\":\"" + jsonEscape(vv) + "\""
+        }.mkString(",")
+        actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{$pvJson},"size":$size,"modificationTime":$now,"dataChange":true}}"""
+      }
+      val bytes = actions.result().mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8)
+
+      // ---- optimistic commit: claim version slots until one lands ----
+      var v = st.version + 1
+      var attempts = 0
+      var committed = -1L
+      while (committed < 0) {
+        try {
+          io.writeExclusive(new HPath(logDir, f"$v%020d.json"), bytes)
+          committed = v
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            attempts += 1
+            if (attempts > maxRetries)
+              throw new IllegalStateException(
+                s"appendToDelta lost $maxRetries version races at $path — " +
+                  "giving up")
+            // a peer landed this version: re-validate (its commit may
+            // have changed schema or protocol) and take the next slot
+            st = validate()
+            v = math.max(v + 1, st.version + 1)
+        }
+      }
+      committed
+    } catch {
+      case e: Throwable =>
+        try cleanup() catch { case _: Exception => () }
+        throw e
+    }
+  }
 
   /** Change Data Feed read of a foreign Delta table: one row per
     * changed row per commit in [fromVersion, toVersion] (inclusive),

@@ -46,6 +46,8 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
   private val om = new ObjectMapper()
   private var catalogName: String = _
   private var uri: String = _
+  private var bearerToken: Option[String] = None
+  private var pageSize: Option[Int] = None
   private def spark = SparkSession.active
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -55,6 +57,25 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
     uri = Option(options.get("uri")).map(_.stripSuffix("/")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires option spark.sql.catalog.$name.uri"))
+    pageSize = Option(options.get("page-size")).map(_.toInt)
+    // auth handshake first when configured the reference's way
+    // (getting_started.py:82-99: `credential=id:secret` [+ optional
+    // `scope`, `oauth2-server-uri`]): exchange client credentials for
+    // a bearer token, carried on every subsequent request
+    Option(options.get("credential")).foreach { cred =>
+      val tokenUri = Option(options.get("oauth2-server-uri"))
+        .map(_.stripSuffix("/")).getOrElse(uri + "/v1/oauth/tokens")
+      val Array(id, secret) = cred.split(":", 2)
+      val scope = Option(options.get("scope")).getOrElse("PRINCIPAL_ROLE:ALL")
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val form = s"grant_type=client_credentials&client_id=${enc(id)}" +
+        s"&client_secret=${enc(secret)}&scope=${enc(scope)}"
+      val (code, body) = httpRaw("POST", tokenUri, form,
+        "application/x-www-form-urlencoded")
+      require(code == 200, s"catalog $name: token exchange at $tokenUri " +
+        s"failed (HTTP $code): ${body.path("error_description").asText("")}")
+      bearerToken = Some(body.path("access_token").asText())
+    }
     // fetch /v1/config up front (the Iceberg REST client handshake):
     // fails fast on a dead endpoint and verifies it speaks this protocol
     val (code, body) = http("GET", "/v1/config")
@@ -68,18 +89,24 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
   /** One request; returns (status, parsed JSON body — MissingNode on
     * empty 204/404 bodies). */
   private def http(method: String, path: String,
-                   body: Option[JsonNode] = None): (Int, JsonNode) = {
-    val conn = new java.net.URL(uri + path).openConnection()
+                   body: Option[JsonNode] = None): (Int, JsonNode) =
+    httpRaw(method, uri + path, body.map(om.writeValueAsString).orNull,
+      "application/json")
+
+  private def httpRaw(method: String, fullUri: String, body: String,
+                      contentType: String): (Int, JsonNode) = {
+    val conn = new java.net.URL(fullUri).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     try {
       conn.setRequestMethod(method)
       conn.setConnectTimeout(10000)
       conn.setReadTimeout(30000)
-      body.foreach { b =>
+      bearerToken.foreach(t =>
+        conn.setRequestProperty("Authorization", s"Bearer $t"))
+      Option(body).foreach { b =>
         conn.setDoOutput(true)
-        conn.setRequestProperty("Content-Type", "application/json")
-        val bytes = om.writeValueAsBytes(b)
-        conn.getOutputStream.write(bytes)
+        conn.setRequestProperty("Content-Type", contentType)
+        conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
         conn.getOutputStream.close()
       }
       val code = conn.getResponseCode
@@ -89,6 +116,31 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
         else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
       (code, if (text.isEmpty) om.missingNode() else om.readTree(text))
     } finally conn.disconnect()
+  }
+
+  /** Drain a paged listing: collect `field`'s elements across pages,
+    * following `next-page-token` until the server stops returning one
+    * (one round trip total for unpaged responses). `base` must already
+    * carry its own query params if it has any (`sep` is `?` or `&`). */
+  private def pagedList(base: String, sep: String, field: String,
+                        ident: => Either[Seq[String], Identifier]): Seq[JsonNode] = {
+    val out = Seq.newBuilder[JsonNode]
+    var token: Option[String] = None
+    var more = true
+    val sized = pageSize.map(k => base + sep + s"pageSize=$k").getOrElse(base)
+    val tokenSep = if (pageSize.isDefined || sep == "&") "&" else "?"
+    while (more) {
+      val q = token.map(t =>
+        tokenSep + "pageToken=" + java.net.URLEncoder.encode(t, "UTF-8"))
+        .getOrElse("")
+      val (code, body) = http("GET", sized + q)
+      expect(code, body, ident) {
+        out ++= body.path(field).iterator().asScalaSeq
+      }
+      token = Option(body.get("next-page-token")).map(_.asText()).filter(_.nonEmpty)
+      more = token.isDefined
+    }
+    out.result()
   }
 
   private def nsPath(ns: Seq[String]): String = "/v1/namespaces/" + encodeNs(ns)
@@ -121,26 +173,26 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
 
   // ------------------------------------------------------ namespaces
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val (code, body) = http("GET", "/v1/namespaces")
-    expect(code, body, Left(Nil)) {
-      body.path("namespaces").iterator().asScalaSeq
-        .map(n => (0 until n.size()).map(n.get(_).asText()).toArray).toArray
-    }
-  }
+  override def listNamespaces(): Array[Array[String]] =
+    pagedList("/v1/namespaces", "?", "namespaces", Left(Nil))
+      .map(n => (0 until n.size()).map(n.get(_).asText()).toArray).toArray
 
-  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
-    val (code, body) =
-      http("GET", "/v1/namespaces?parent=" + encodeNs(namespace.toSeq))
-    expect(code, body, Left(namespace.toSeq)) {
-      body.path("namespaces").iterator().asScalaSeq
-        .map(n => (0 until n.size()).map(n.get(_).asText()).toArray).toArray
-    }
-  }
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    pagedList("/v1/namespaces?parent=" + encodeNs(namespace.toSeq), "&",
+        "namespaces", Left(namespace.toSeq))
+      .map(n => (0 until n.size()).map(n.get(_).asText()).toArray).toArray
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     val (code, body) = http("GET", nsPath(namespace.toSeq))
-    expect(code, body, Left(namespace.toSeq))(util.Collections.emptyMap())
+    expect(code, body, Left(namespace.toSeq)) {
+      val m = new util.HashMap[String, String]()
+      val it = body.path("properties").fields()
+      while (it.hasNext) {
+        val e = it.next()
+        m.put(e.getKey, e.getValue.asText())
+      }
+      m
+    }
   }
 
   override def createNamespace(namespace: Array[String],
@@ -149,7 +201,9 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
     val arr = om.createArrayNode()
     namespace.foreach(arr.add)
     b.set[JsonNode]("namespace", arr)
-    b.set[JsonNode]("properties", om.createObjectNode())
+    val props = om.createObjectNode()
+    metadata.forEach((k, v) => props.put(k, v): Unit)
+    b.set[JsonNode]("properties", props)
     val (code, body) = http("POST", "/v1/namespaces", Some(b))
     // CREATE NAMESPACE IF NOT EXISTS reaches the catalog unconditionally;
     // 409 here is the namespace-exists signal Spark expects as a throw
@@ -158,9 +212,27 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
     expect(code, body, Left(namespace.toSeq))(())
   }
 
+  /** SET/UNSET namespace properties ride the spec's updateProperties
+    * route; other namespace changes have no graft meaning. */
   override def alterNamespace(namespace: Array[String],
-                              changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+                              changes: NamespaceChange*): Unit = {
+    val updates = om.createObjectNode()
+    val removals = om.createArrayNode()
+    changes.foreach {
+      case s: NamespaceChange.SetProperty =>
+        updates.put(s.property(), s.value()): Unit
+      case r: NamespaceChange.RemoveProperty =>
+        removals.add(r.property()): Unit
+      case other => throw new UnsupportedOperationException(
+        s"ALTER NAMESPACE change $other not supported")
+    }
+    val b = om.createObjectNode()
+    b.set[JsonNode]("updates", updates)
+    b.set[JsonNode]("removals", removals)
+    val (code, body) =
+      http("POST", nsPath(namespace.toSeq) + "/properties", Some(b))
+    expect(code, body, Left(namespace.toSeq))(())
+  }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     http("HEAD", nsPath(namespace.toSeq))._1 == 204
@@ -181,16 +253,13 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
 
   // --------------------------------------------------------- tables
 
-  override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val (code, body) = http("GET", nsPath(namespace.toSeq) + "/tables")
-    expect(code, body, Left(namespace.toSeq)) {
-      body.path("identifiers").iterator().asScalaSeq.map { id =>
-        val ns = id.path("namespace")
-        Identifier.of((0 until ns.size()).map(ns.get(_).asText()).toArray,
-          id.path("name").asText())
-      }.toArray
-    }
-  }
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    pagedList(nsPath(namespace.toSeq) + "/tables", "?", "identifiers",
+        Left(namespace.toSeq)).map { id =>
+      val ns = id.path("namespace")
+      Identifier.of((0 until ns.size()).map(ns.get(_).asText()).toArray,
+        id.path("name").asText())
+    }.toArray
 
   override def tableExists(ident: Identifier): Boolean =
     http("HEAD", tblPath(ident))._1 == 204
@@ -237,6 +306,8 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
     * commits); the catalog service brokered only the location. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = GraftTable.load(spark, location(ident))
+    val setProps = om.createObjectNode()
+    val rmProps = om.createArrayNode()
     changes.foreach {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1, "nested rename not supported")
@@ -244,8 +315,33 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1, "nested add not supported")
         t.addColumn(a.fieldNames()(0), a.dataType())
+      case s: TableChange.SetProperty =>
+        setProps.put(s.property(), s.value()): Unit
+      case r: TableChange.RemoveProperty =>
+        rmProps.add(r.property()): Unit
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other not supported")
+    }
+    // property changes commit through the CATALOG (the commitTable
+    // route) — properties are catalog metadata, not table-log content
+    if (setProps.size() > 0 || rmProps.size() > 0) {
+      val updates = om.createArrayNode()
+      if (setProps.size() > 0) {
+        val u = om.createObjectNode()
+        u.put("action", "set-properties")
+        u.set[JsonNode]("updates", setProps)
+        updates.add(u)
+      }
+      if (rmProps.size() > 0) {
+        val u = om.createObjectNode()
+        u.put("action", "remove-properties")
+        u.set[JsonNode]("removals", rmProps)
+        updates.add(u)
+      }
+      val b = om.createObjectNode()
+      b.set[JsonNode]("updates", updates)
+      val (code, body) = http("POST", tblPath(ident), Some(b))
+      expect(code, body, Right(ident))(())
     }
     loadTable(ident)
   }

@@ -49,15 +49,29 @@ import graft.sources.GraftTable
   *
   * Bounded-daemon HTTP machinery as
   * [[graft.metrics.HttpMetricSink]]: a small daemon pool, never
-  * blocking the session that started it; `port = 0` binds ephemeral. */
+  * blocking the session that started it; `port = 0` binds ephemeral.
+  *
+  * `credential = Some("client_id:client_secret")` turns on the
+  * reference deployment's auth handshake (getting_started.py:82-99
+  * wires `credential` + `scope=PRINCIPAL_ROLE:ALL` +
+  * `oauth2-server-uri` into every session): `POST /v1/oauth/tokens`
+  * exchanges client-credentials for a bearer token (RFC 6749 form
+  * body and error shapes), and every other route then requires
+  * `Authorization: Bearer <issued token>` — 401 with the catalog
+  * error envelope otherwise. With no credential the endpoint stays
+  * open and the token route still answers (clients wired for auth
+  * work unchanged). */
 class RestCatalogServer(spark: SparkSession, val warehouse: String,
-                        port: Int = 0) {
+                        port: Int = 0,
+                        credential: Option[String] = None) {
   import RestCatalogServer._
 
   private val om = new ObjectMapper()
   private val started = new AtomicBoolean(false)
   private val ddlLock = new Object
   private var server: HttpServer = _
+  private val issuedTokens =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def fs = new HPath(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -103,7 +117,20 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
       // encoded '/' in a name break segment routing
       val segs = x.getRequestURI.getRawPath.split("/").filter(_.nonEmpty).toSeq
       val method = x.getRequestMethod
+      // the token route is the ONLY unauthenticated surface when a
+      // credential is configured (it IS the way in)
+      if (segs != Seq("v1", "oauth", "tokens") && credential.isDefined) {
+        val presented = Option(x.getRequestHeaders.getFirst("Authorization"))
+          .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+        if (!presented.exists(issuedTokens.contains))
+          return error(x, 401, "NotAuthorizedException",
+            "missing or unknown bearer token — POST /v1/oauth/tokens " +
+              "with client credentials first")
+      }
       (method, segs) match {
+        case ("POST", Seq("v1", "oauth", "tokens")) =>
+          oauthToken(x)
+
         case ("GET", Seq("v1", "config")) =>
           val n = om.createObjectNode()
           n.set[JsonNode]("defaults", om.createObjectNode())
@@ -126,6 +153,8 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
           headReply(x, if (namespaceExists(decodeNs(ns))) 204 else 404)
         case ("DELETE", Seq("v1", "namespaces", ns)) =>
           dropNamespace(x, decodeNs(ns))
+        case ("POST", Seq("v1", "namespaces", ns, "properties")) =>
+          updateNamespaceProperties(x, decodeNs(ns), om.readTree(bodyOf(x)))
 
         case ("GET", Seq("v1", "namespaces", ns, "tables")) =>
           listTables(x, decodeNs(ns))
@@ -133,6 +162,8 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
           createTable(x, decodeNs(ns), om.readTree(bodyOf(x)))
         case ("GET", Seq("v1", "namespaces", ns, "tables", t)) =>
           loadTable(x, decodeNs(ns), dec(t))
+        case ("POST", Seq("v1", "namespaces", ns, "tables", t)) =>
+          commitTable(x, decodeNs(ns), dec(t), om.readTree(bodyOf(x)))
         case ("HEAD", Seq("v1", "namespaces", ns, "tables", t)) =>
           headReply(x, if (isTable(whPath(decodeNs(ns) :+ dec(t)))) 204 else 404)
         case ("DELETE", Seq("v1", "namespaces", ns, "tables", t)) =>
@@ -162,16 +193,21 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     val dir = whPath(parent)
     if (parent.nonEmpty && !namespaceExists(parent))
       return error(x, 404, "NoSuchNamespaceException", nsMsg(parent))
+    val all =
+      if (!isDir(dir)) Nil
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && !isTable(st.getPath))
+        .map(_.getPath.getName).sorted
+    val (page, next) = paginate(x, all)
     val arr = om.createArrayNode()
-    if (isDir(dir)) fs.listStatus(dir).toSeq
-      .filter(st => st.isDirectory && !isTable(st.getPath))
-      .foreach { st =>
-        val one = om.createArrayNode()
-        (parent :+ st.getPath.getName).foreach(one.add)
-        arr.add(one)
-      }
+    page.foreach { name =>
+      val one = om.createArrayNode()
+      (parent :+ name).foreach(one.add)
+      arr.add(one)
+    }
     val n = om.createObjectNode()
     n.set[JsonNode]("namespaces", arr)
+    next.foreach(n.put("next-page-token", _))
     reply(x, 200, n)
   }
 
@@ -179,14 +215,17 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     val ns = jsonNs(body.get("namespace"))
     if (ns.isEmpty)
       return error(x, 400, "BadRequestException", "empty namespace")
+    val props: Map[String, String] = Option(body.get("properties"))
+      .filter(_.isObject).map(objFields(_).toMap).getOrElse(Map.empty)
     ddlLock.synchronized {
       if (namespaceExists(ns) || isTable(whPath(ns)))
         return error(x, 409, "AlreadyExistsException", nsMsg(ns) + " exists")
       fs.mkdirs(whPath(ns))
+      if (props.nonEmpty) writeProps(new HPath(whPath(ns), NsPropsFile), props)
     }
     val n = om.createObjectNode()
     n.set[JsonNode]("namespace", nsArray(ns))
-    n.set[JsonNode]("properties", om.createObjectNode())
+    n.set[JsonNode]("properties", propsNode(props))
     reply(x, 200, n)
   }
 
@@ -195,8 +234,40 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
       return error(x, 404, "NoSuchNamespaceException", nsMsg(ns))
     val n = om.createObjectNode()
     n.set[JsonNode]("namespace", nsArray(ns))
-    n.set[JsonNode]("properties", om.createObjectNode())
+    n.set[JsonNode]("properties",
+      propsNode(readProps(new HPath(whPath(ns), NsPropsFile))))
     reply(x, 200, n)
+  }
+
+  /** The spec's updateProperties route: apply `removals` +
+    * `updates`, report which keys were `updated` / `removed` /
+    * `missing` (a removal of an absent key). */
+  private def updateNamespaceProperties(x: HttpExchange, ns: Seq[String],
+                                        body: JsonNode): Unit = {
+    if (!namespaceExists(ns))
+      return error(x, 404, "NoSuchNamespaceException", nsMsg(ns))
+    val removals = Option(body.get("removals")).filter(_.isArray)
+      .map(a => (0 until a.size()).map(a.get(_).asText())).getOrElse(Nil)
+    val updates = Option(body.get("updates")).filter(_.isObject)
+      .map(objFields).getOrElse(Nil)
+    val overlap = removals.toSet.intersect(updates.map(_._1).toSet)
+    if (overlap.nonEmpty)
+      return error(x, 400, "BadRequestException",
+        s"keys in both removals and updates: ${overlap.mkString(", ")}")
+    val file = new HPath(whPath(ns), NsPropsFile)
+    ddlLock.synchronized {
+      val cur = readProps(file)
+      val (removed, missing) = removals.partition(cur.contains)
+      writeProps(file, cur -- removals ++ updates)
+      val n = om.createObjectNode()
+      def strArr(ss: Seq[String]) = {
+        val a = om.createArrayNode(); ss.foreach(a.add); a
+      }
+      n.set[JsonNode]("updated", strArr(updates.map(_._1)))
+      n.set[JsonNode]("removed", strArr(removed))
+      n.set[JsonNode]("missing", strArr(missing))
+      reply(x, 200, n)
+    }
   }
 
   private def dropNamespace(x: HttpExchange, ns: Seq[String]): Unit =
@@ -204,7 +275,8 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
       val dir = whPath(ns)
       if (!namespaceExists(ns))
         error(x, 404, "NoSuchNamespaceException", nsMsg(ns))
-      else if (fs.listStatus(dir).nonEmpty)
+      // the properties sidecar is catalog bookkeeping, not content
+      else if (fs.listStatus(dir).exists(_.getPath.getName != NsPropsFile))
         error(x, 409, "NamespaceNotEmptyException", nsMsg(ns) + " is not empty")
       else { fs.delete(dir, true); headReply(x, 204) }
     }
@@ -214,16 +286,19 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
   private def listTables(x: HttpExchange, ns: Seq[String]): Unit = {
     if (!namespaceExists(ns))
       return error(x, 404, "NoSuchNamespaceException", nsMsg(ns))
+    val all = fs.listStatus(whPath(ns)).toSeq
+      .filter(st => isTable(st.getPath)).map(_.getPath.getName).sorted
+    val (page, next) = paginate(x, all)
     val arr = om.createArrayNode()
-    fs.listStatus(whPath(ns)).toSeq.filter(st => isTable(st.getPath))
-      .foreach { st =>
-        val id = om.createObjectNode()
-        id.set[JsonNode]("namespace", nsArray(ns))
-        id.put("name", st.getPath.getName)
-        arr.add(id)
-      }
+    page.foreach { name =>
+      val id = om.createObjectNode()
+      id.set[JsonNode]("namespace", nsArray(ns))
+      id.put("name", name)
+      arr.add(id)
+    }
     val n = om.createObjectNode()
     n.set[JsonNode]("identifiers", arr)
+    next.foreach(n.put("next-page-token", _))
     reply(x, 200, n)
   }
 
@@ -264,6 +339,42 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     tableJson(x, ns, name, path)
   }
 
+  /** The Iceberg REST commitTable route, restricted to the property
+    * actions (`set-properties` / `remove-properties`) — the catalog
+    * stores table properties in a `_graft_props.json` sidecar at the
+    * table root (the role Polaris' metadata pointer plays); schema and
+    * snapshot changes commit to the table log directly, so the other
+    * update actions refuse with 400 rather than pretending. */
+  private def commitTable(x: HttpExchange, ns: Seq[String], name: String,
+                          body: JsonNode): Unit = {
+    val path = whPath(ns :+ name)
+    if (!isTable(path))
+      return error(x, 404, "NoSuchTableException",
+        s"table ${ns.mkString(".")}.$name not found")
+    val updates = Option(body.get("updates")).filter(_.isArray)
+      .map(a => (0 until a.size()).map(a.get)).getOrElse(Nil)
+    val file = new HPath(path, TablePropsFile)
+    ddlLock.synchronized {
+      var props = readProps(file)
+      updates.foreach { u =>
+        u.path("action").asText() match {
+          case "set-properties" =>
+            props = props ++ objFields(u.path("updates"))
+          case "remove-properties" =>
+            val rm = Option(u.get("removals")).filter(_.isArray)
+              .map(a => (0 until a.size()).map(a.get(_).asText())).getOrElse(Nil)
+            props = props -- rm
+          case other =>
+            return error(x, 400, "BadRequestException",
+              s"unsupported table update action '$other' — this catalog " +
+                "commits properties; schema and data commit to the table log")
+        }
+      }
+      writeProps(file, props)
+    }
+    tableJson(x, ns, name, path)
+  }
+
   private def tableJson(x: HttpExchange, ns: Seq[String], name: String,
                         path: HPath): Unit = {
     val t = GraftTable.load(spark, path.toString)
@@ -272,6 +383,24 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     n.put("location", path.toString)
     n.put("schema-json", t.commitAt(latest).schemaJson)
     n.put("latest-version", latest)
+    n.set[JsonNode]("properties", propsNode(readProps(
+      new HPath(path, TablePropsFile))))
+    // Iceberg-client compatibility: a mirrorToIceberg'd table carries
+    // REAL Iceberg metadata under <root>/metadata — serve the spec's
+    // LoadTableResult fields (`metadata-location` + embedded
+    // `metadata`) so a stock Iceberg REST client can plan its own scan
+    // from this response, the reference's Polaris loadTable shape
+    val metaDir = new HPath(path, "metadata")
+    val hint = new HPath(metaDir, "version-hint.text")
+    if (fs.exists(hint)) {
+      val v = new String(readAll(hint), StandardCharsets.UTF_8).trim
+      val mloc = new HPath(metaDir, s"v$v.metadata.json")
+      if (fs.exists(mloc)) {
+        n.put("metadata-location", mloc.toString)
+        n.set[JsonNode]("metadata", om.readTree(readAll(mloc)))
+        n.set[JsonNode]("config", om.createObjectNode())
+      }
+    }
     reply(x, 200, n)
   }
 
@@ -310,7 +439,106 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     }
   }
 
+  // ----------------------------------------------------------- auth
+
+  /** RFC 6749 client-credentials grant (the handshake the reference's
+    * sessions run against Polaris before any catalog call): form body
+    * `grant_type=client_credentials&client_id=…&client_secret=…`
+    * (scope accepted and echoed). Wrong grant type or credentials get
+    * the RFC's OAuth error JSON; success mints an opaque bearer token
+    * this server honors for its lifetime. */
+  private def oauthToken(x: HttpExchange): Unit = {
+    val form = bodyOf(x).split("&").filter(_.nonEmpty).map(_.split("=", 2))
+      .map { case Array(k, v) => RestCatalogServer.dec(k) -> RestCatalogServer.dec(v)
+             case Array(k) => RestCatalogServer.dec(k) -> "" }.toMap
+    def oauthError(code: Int, err: String, desc: String): Unit = {
+      val n = om.createObjectNode()
+      n.put("error", err)
+      n.put("error_description", desc)
+      reply(x, code, n)
+    }
+    if (!form.get("grant_type").contains("client_credentials"))
+      return oauthError(400, "unsupported_grant_type",
+        "only client_credentials is supported")
+    // Basic auth carries id:secret too (either form is spec-legal)
+    val basic = Option(x.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Basic ")).map(h => new String(
+        java.util.Base64.getDecoder.decode(h.stripPrefix("Basic ")),
+        StandardCharsets.UTF_8))
+    val presented = (form.get("client_id"), form.get("client_secret")) match {
+      case (Some(id), Some(sec)) => Some(s"$id:$sec")
+      case _ => basic
+    }
+    credential match {
+      case Some(want) if !presented.contains(want) =>
+        return oauthError(401, "invalid_client", "unknown client credentials")
+      case _ => ()
+    }
+    val token = java.util.UUID.randomUUID().toString.replace("-", "")
+    issuedTokens.add(token)
+    val n = om.createObjectNode()
+    n.put("access_token", token)
+    n.put("token_type", "bearer")
+    n.put("expires_in", 3600)
+    form.get("scope").foreach(n.put("scope", _))
+    reply(x, 200, n)
+  }
+
   // -------------------------------------------------------- plumbing
+
+  /** Page a sorted listing by the spec's `pageToken`/`pageSize` query
+    * params: the token is the last name already delivered (names added
+    * or dropped between pages behave sanely under sort order), and the
+    * response carries `next-page-token` only when more remain. No
+    * params → the whole listing, unpaged. */
+  private def paginate(x: HttpExchange,
+                       sorted: Seq[String]): (Seq[String], Option[String]) = {
+    val after = Option(query(x, "pageToken")).map(RestCatalogServer.dec)
+      .filter(_.nonEmpty)
+    val size = Option(query(x, "pageSize")).map(_.toInt)
+    val fromToken = after match {
+      case Some(tok) => sorted.dropWhile(_ <= tok)
+      case None => sorted
+    }
+    size match {
+      case Some(k) if fromToken.size > k =>
+        val page = fromToken.take(k)
+        (page, Some(page.last))
+      case _ => (fromToken, None)
+    }
+  }
+
+  private def objFields(n: JsonNode): Seq[(String, String)] =
+    if (n == null || !n.isObject) Nil
+    else {
+      val it = n.fields()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> e.getValue.asText()
+      }
+      b.result()
+    }
+
+  private def propsNode(props: Map[String, String]): ObjectNode = {
+    val n = om.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => n.put(k, v) }
+    n
+  }
+
+  private def readAll(p: HPath): Array[Byte] = {
+    val in = fs.open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def readProps(file: HPath): Map[String, String] =
+    if (!fs.exists(file)) Map.empty
+    else objFields(om.readTree(readAll(file))).toMap
+
+  private def writeProps(file: HPath, props: Map[String, String]): Unit = {
+    val out = fs.create(file, true)
+    try out.write(om.writeValueAsBytes(propsNode(props))) finally out.close()
+  }
 
   private def nsArray(ns: Seq[String]): ArrayNode = {
     val a = om.createArrayNode(); ns.foreach(a.add); a
@@ -366,4 +594,8 @@ object RestCatalogServer {
     dec(seg).split("\u001F").toSeq.filter(_.nonEmpty)
   private[rest] def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Filenames of the catalog's property sidecars. */
+  private[rest] val NsPropsFile = ".graft_ns_props.json"
+  private[rest] val TablePropsFile = "_graft_props.json"
 }

@@ -45,26 +45,37 @@ import graft.sources.DeltaInterop
   * Scale shape: planning is O(#commits + #files) driver-side metadata;
   * the data path is the native vectorized parquet batch reader over
   * only the added files. */
-class DeltaSource extends TableProvider {
+class DeltaSource extends TableProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   private def pathOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       "delta source needs a path: .load(<table root>)"))
 
+  private def cdfOf(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val st = DeltaInterop.replaySnapshot(spark, pathOf(options), None)
-    DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val base = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    if (cdfOf(options)) DeltaSource.cdfSchema(base) else base
   }
 
   override def getTable(tableSchema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val path = pathOf(options)
+    val cdf = cdfOf(options)
     new Table with org.apache.spark.sql.connector.catalog.SupportsRead {
       override def name(): String = s"delta:$path"
       override def schema(): StructType = tableSchema
+      // CDF tables advertise NO micro-batch capability: streaming CDF
+      // rides the V1 StreamSourceProvider fallback below (its
+      // per-batch data is an arbitrary composed DataFrame, which the
+      // V1 contract hands the engine directly)
       override def capabilities(): util.Set[TableCapability] =
-        util.EnumSet.of(TableCapability.BATCH_READ,
+        if (cdf) util.EnumSet.of(TableCapability.BATCH_READ)
+        else util.EnumSet.of(TableCapability.BATCH_READ,
           TableCapability.MICRO_BATCH_READ)
       override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
         new ScanBuilder {
@@ -80,14 +91,157 @@ class DeltaSource extends TableProvider {
                 override def sqlContext: SQLContext = context
                 override def schema: StructType = readSchema()
                 override def buildScan(): RDD[Row] =
-                  DeltaInterop.readDelta(SparkSession.active, path).rdd
+                  if (!cdf)
+                    DeltaInterop.readDelta(SparkSession.active, path).rdd
+                  else {
+                    // batch CDF: startingVersion..endingVersion (ends
+                    // default to the full retained range)
+                    val s = SparkSession.active
+                    val from = Option(options.get("startingVersion"))
+                      .map(_.toLong).getOrElse(0L)
+                    val to = Option(options.get("endingVersion")).map(_.toLong)
+                      .getOrElse(DeltaInterop.replaySnapshot(s, path, None)
+                        .version)
+                    DeltaInterop.readDeltaChanges(s, path, from, to)
+                      .select(readSchema().fieldNames.map(
+                        org.apache.spark.sql.functions.col).toSeq: _*).rdd
+                  }
               }.asInstanceOf[T]
           }
         }
     }
   }
 
+  // ---- V1 streaming fallback: CDF micro-batches ----
+  // NOTE: the analyzer builds the V1 StreamingRelation eagerly as the
+  // fallback arm of StreamingRelationV2 even when the V2 micro-batch
+  // scan will serve the query, so sourceSchema must answer for BOTH
+  // modes without constructing a Source; the CDF-only gate lives in
+  // createSource, which only runs when the V1 arm is actually chosen
+  // (i.e. the CDF table that advertises no MICRO_BATCH_READ).
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val params = parameters.map {
+      case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
+    }
+    val path = params.getOrElse("path", throw new IllegalArgumentException(
+      "delta source needs a path: .load(<table root>)"))
+    val base = DataType.fromJson(DeltaInterop
+      .replaySnapshot(sqlContext.sparkSession, path, None).schemaJson)
+      .asInstanceOf[StructType]
+    if (params.get("readchangefeed").exists(_.toBoolean))
+      ("delta-cdf", DeltaSource.cdfSchema(base))
+    else ("delta", base)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    require(parameters.exists { case (k, v) =>
+      k.equalsIgnoreCase("readChangeFeed") && v.toBoolean
+    }, "the V1 streaming path of DeltaSource serves only " +
+      "readChangeFeed=true reads — plain streaming rides the " +
+      "micro-batch scan")
+    new DeltaCdfStreamSource(sqlContext.sparkSession, parameters)
+  }
+
   override def supportsExternalMetadata(): Boolean = false
+}
+
+object DeltaSource {
+  /** The CDF read schema: table columns plus the protocol's change
+    * metadata columns. */
+  private[v2] def cdfSchema(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType)))
+}
+
+/** Streaming CDF over a foreign Delta log
+  * (`option("readChangeFeed", "true")`): each micro-batch is the
+  * row-level change feed of the commits between two versions, produced
+  * by [[DeltaInterop.readDeltaChanges]] — `_change_type`-tagged rows
+  * with `_commit_version`/`_commit_timestamp`. `startingVersion`
+  * (number, or "latest" for only-new-changes) defaults to 0, i.e. the
+  * full retained history; ranges whose commits were cleaned up refuse
+  * loudly, exactly like the batch CDF read. Offsets are Delta versions
+  * (durable in the checkpoint); schema changes inside a batch range
+  * refuse via the underlying reader. */
+class DeltaCdfStreamSource(spark: SparkSession,
+    parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Source {
+  private val params =
+    parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+  private val path = params.getOrElse("path",
+    throw new IllegalArgumentException(
+      "delta CDF source needs a path: .load(<table root>)"))
+  private val root = new HPath(path)
+  private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def logDir = new HPath(root, "_delta_log")
+
+  private def latestVersion(): Long = {
+    val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+    val jsons = names.collect { case n if n.matches("\\d{20}\\.json") =>
+      n.dropRight(5).toLong }
+    val cps = names.flatMap(n =>
+      "(\\d{20})\\.checkpoint.*\\.parquet".r.findFirstMatchIn(n)
+        .map(_.group(1).toLong))
+    (jsons ++ cps).maxOption.getOrElse(
+      throw new IllegalArgumentException(s"empty Delta log at $path"))
+  }
+
+  private val startingVersion: Long =
+    params.get("startingversion") match {
+      case Some("latest") => latestVersion() + 1
+      case Some(v) => v.toLong
+      case None => 0L
+    }
+
+  override val schema: StructType = DeltaSource.cdfSchema(
+    DataType.fromJson(DeltaInterop.replaySnapshot(spark, path, None)
+      .schemaJson).asInstanceOf[StructType])
+
+  private def versionOf(
+      o: org.apache.spark.sql.execution.streaming.Offset): Long =
+    o.json.trim.toLong
+
+  override def getOffset
+      : Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    val latest = latestVersion()
+    if (latest < startingVersion) None
+    else Some(DeltaCdfOffset(latest))
+  }
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset)
+      : org.apache.spark.sql.DataFrame = {
+    val from = start.map(versionOf(_) + 1).getOrElse(startingVersion)
+    val to = versionOf(end)
+    val df =
+      if (from > to)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else DeltaInterop.readDeltaChanges(spark, path, from, to)
+    org.apache.spark.sql.graftbridge.ColumnBridge.asStreamingDataFrame(
+      df.select(schema.fieldNames.map(
+        org.apache.spark.sql.functions.col).toSeq: _*))
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** V1 stream offset = Delta version (bare number JSON, restart-safe
+  * through the checkpoint's SerializedOffset round-trip). */
+case class DeltaCdfOffset(version: Long)
+    extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json: String = version.toString
 }
 
 /** Stream offset = Delta version. */

@@ -25,4 +25,18 @@ object ColumnBridge {
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+
+  /** Re-issue a batch DataFrame as a STREAMING one (isStreaming=true)
+    * — the V1 `Source.getBatch` contract: the engine asserts the
+    * returned plan is streaming, and `internalCreateDataFrame` (the
+    * blessed way FileStreamSource/KafkaSource mark theirs) is
+    * `private[sql]`. The physical plan is materialized lazily via
+    * `queryExecution.toRdd`. */
+  def asStreamingDataFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+      org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
 }

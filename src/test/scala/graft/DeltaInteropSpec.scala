@@ -1390,6 +1390,163 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(got == Set((1L, 1.0), (2L, 2.0)))
   }
 
+  test("appendToDelta commits dataChange adds to a foreign log") {
+    import spark.implicits._
+    // a graft-exported Delta table is a plain foreign Delta table
+    val t = GraftTable.create(spark, tmp("graft_dapp_src_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val target = tmp("graft_dapp_out_")
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    val v1 = DeltaInterop.appendToDelta(
+      Seq((3L, "c"), (4L, "d")).toDF("id", "v"), target)
+    assert(v1 == 1L)
+    val got = DeltaInterop.readDelta(spark, target)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // second append takes the next slot; time travel sees each state
+    val v2 = DeltaInterop.appendToDelta(Seq((5L, "e")).toDF("id", "v"), target)
+    assert(v2 == 2L)
+    assert(DeltaInterop.readDelta(spark, target, versionAsOf = Some(1L))
+      .count() == 4)
+    assert(DeltaInterop.readDelta(spark, target).count() == 5)
+    // schema mismatches refuse before any write
+    val eCols = intercept[IllegalArgumentException] {
+      DeltaInterop.appendToDelta(Seq((6L, "f", 1.0)).toDF("id", "v", "x"), target)
+    }
+    assert(eCols.getMessage.contains("schema mismatch"), eCols.getMessage)
+    val eType = intercept[IllegalArgumentException] {
+      DeltaInterop.appendToDelta(Seq((7, "g")).toDF("id", "v"), target)
+    }
+    assert(eType.getMessage.contains("cast before appending"), eType.getMessage)
+    // no orphan staging dirs or files survived the refusals
+    val stray = Files.list(Paths.get(target)).toArray.map(_.toString)
+      .filter(_.contains("_graft_append_"))
+    assert(stray.isEmpty, stray.mkString(", "))
+  }
+
+  test("appendToDelta honors identity partitioning; writer gates refuse") {
+    import spark.implicits._
+    // hand-build a partitioned foreign table (hive layout)
+    val root = tmp("graft_dapp_part_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def writeDataFile(sub: String, rows: Seq[(Long, Double)]): String = {
+      rows.toDF("id", "x").coalesce(1).write.parquet(root + "/" + sub)
+      Files.list(Paths.get(root, sub)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).map(p =>
+          sub + "/" + Paths.get(p).getFileName).head
+    }
+    val fA = writeDataFile("seg=A", Seq((1L, 1.0)))
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType),
+      StructField("seg", StringType))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":["seg"],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(fA)}","partitionValues":{"seg":"A"},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    DeltaInterop.appendToDelta(
+      Seq((2L, 2.0, "A"), (3L, 3.0, "B"), (4L, 4.0, null))
+        .toDF("id", "x", "seg"), root)
+    val got = DeltaInterop.readDelta(spark, root)
+      .as[(Long, Double, Option[String])].collect().toSet
+    assert(got == Set((1L, 1.0, Some("A")), (2L, 2.0, Some("A")),
+      (3L, 3.0, Some("B")), (4L, 4.0, None)), got.toString)
+    // the new files landed in hive layout and pruning still works
+    val bOnly = DeltaInterop.readDeltaWhere(spark, root, "seg", "B")
+      .as[(Long, Double, Option[String])].collect().toSet
+    assert(bOnly == Set((3L, 3.0, Some("B"))))
+    // CHECK constraints refuse
+    Files.write(Paths.get(root, "_delta_log", "0" * 19 + "2.json"), Seq(
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":["seg"],"configuration":{"delta.constraints.pos":"id > 0"},"createdTime":2}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.appendToDelta(Seq((9L, 9.0, "C")).toDF("id", "x", "seg"), root)
+    }
+    assert(e.getMessage.contains("CHECK constraints"), e.getMessage)
+    // unknown writer features refuse; harmless-on-append features pass
+    val root3 = tmp("graft_dapp_wf_")
+    Files.createDirectories(Paths.get(root3, "_delta_log"))
+    val sj3 = StructType(Seq(StructField("id", LongType))).json
+    Files.write(Paths.get(root3, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","rowTracking"]}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(sj3)}","partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaInterop.appendToDelta(Seq(1L).toDF("id"), root3)
+    }
+    assert(e3.getMessage.contains("rowTracking"), e3.getMessage)
+  }
+
+  test("appendToDelta contention: every writer lands a distinct version") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_dapp_conc_"),
+      Seq((0L, "base")).toDF("id", "v"))
+    val target = tmp("graft_dapp_conc_out_")
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val versions = try Await.result(Future.sequence((1 to 8).map { i =>
+      Future(DeltaInterop.appendToDelta(
+        Seq((i.toLong, s"w$i")).toDF("id", "v"), target))
+    }), 120.seconds).toList
+    finally pool.shutdown()
+    assert(versions.toSet.size == 8, s"version collision: $versions")
+    assert(versions.toSet == (1L to 8L).toSet, versions.toString)
+    val got = DeltaInterop.readDelta(spark, target).count()
+    assert(got == 9L)
+  }
+
+  test("streaming CDF: readChangeFeed batches equal the batch change feed") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_cdfstream_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    DeltaInterop.mirrorToDelta(t)
+    val latest = 2L // create + two appends
+
+    // batch CDF through the data source options
+    val batch = spark.read.format("graft.sources.v2.DeltaSource")
+      .option("readChangeFeed", "true").load(t.root)
+      .select($"id", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    val direct = DeltaInterop.readDeltaChanges(spark, t.root, 0, latest)
+      .select($"id", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(batch == direct && batch.size == 4, batch.toString)
+
+    // streaming CDF drains the same rows
+    val name = "cdfsink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("graft.sources.v2.DeltaSource")
+      .option("readChangeFeed", "true").load(t.root)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+      .select($"id", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(streamed == direct, streamed.toString)
+
+    // startingVersion skips the earlier commits
+    val name2 = "cdfsink2_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q2 = spark.readStream.format("graft.sources.v2.DeltaSource")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(t.root)
+      .writeStream.format("memory").queryName(name2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q2.awaitTermination()
+    val tail = spark.table(name2)
+      .select($"id", $"_commit_version")
+      .as[(Long, Long)].collect().toSet
+    assert(tail == Set((4L, 2L)), tail.toString)
+  }
+
   test("CDF delete of a DV-carrying file emits only the still-live rows") {
     import spark.implicits._
     import graft.sources.DeletionVectors

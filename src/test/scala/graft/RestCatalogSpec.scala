@@ -242,4 +242,177 @@ class RestCatalogSpec extends AnyFunSuite {
     assert(s.sql("SHOW TABLES IN rcd.enc").collect()
       .forall(_.getString(1) != "a+b"))
   }
+
+  test("oauth: token handshake gates every route when credential is set") {
+    val wh = Files.createTempDirectory("graft_rest_auth_wh_").toString
+    val authed = new RestCatalogServer(spark, wh,
+      credential = Some("gid:gsecret"))
+    val p = authed.start()
+    def req(method: String, path: String, body: Option[String],
+            headers: Map[String, String]): (Int, String) = {
+      val conn = new java.net.URL(s"http://127.0.0.1:$p$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try {
+        conn.setRequestMethod(method)
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        body.foreach { b =>
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+          conn.getOutputStream.close()
+        }
+        val code = conn.getResponseCode
+        val st = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        (code, if (st == null) ""
+               else new String(st.readAllBytes(), StandardCharsets.UTF_8))
+      } finally conn.disconnect()
+    }
+    try {
+      // no token -> 401 with the catalog error envelope
+      val (noTok, envelope) = req("GET", "/v1/config", None, Map.empty)
+      assert(noTok == 401 && envelope.contains("NotAuthorizedException"))
+      // wrong credentials -> RFC 6749 invalid_client
+      val (bad, badBody) = req("POST", "/v1/oauth/tokens",
+        Some("grant_type=client_credentials&client_id=gid&client_secret=nope"),
+        Map.empty)
+      assert(bad == 401 && badBody.contains("invalid_client"), badBody)
+      // wrong grant type -> unsupported_grant_type
+      val (gt, gtBody) = req("POST", "/v1/oauth/tokens",
+        Some("grant_type=password&client_id=gid&client_secret=gsecret"),
+        Map.empty)
+      assert(gt == 400 && gtBody.contains("unsupported_grant_type"), gtBody)
+      // the real handshake mints a token the routes accept
+      val (ok, tokBody) = req("POST", "/v1/oauth/tokens",
+        Some("grant_type=client_credentials&client_id=gid" +
+          "&client_secret=gsecret&scope=PRINCIPAL_ROLE:ALL"), Map.empty)
+      assert(ok == 200 && tokBody.contains("access_token"), tokBody)
+      val token = tokBody.split("\"access_token\":\"")(1).split("\"")(0)
+      val (cfg, _) = req("GET", "/v1/config", None,
+        Map("Authorization" -> s"Bearer $token"))
+      assert(cfg == 200)
+      // a made-up bearer is rejected
+      assert(req("GET", "/v1/config", None,
+        Map("Authorization" -> "Bearer forged"))._1 == 401)
+      // and a full Spark session works through the credential option,
+      // the reference's session wiring
+      val s = spark.newSession()
+      s.conf.set("spark.sql.catalog.rauth", "graft.sources.rest.GraftRestCatalog")
+      s.conf.set("spark.sql.catalog.rauth.type", "rest")
+      s.conf.set("spark.sql.catalog.rauth.uri", s"http://127.0.0.1:$p")
+      s.conf.set("spark.sql.catalog.rauth.credential", "gid:gsecret")
+      s.conf.set("spark.sql.catalog.rauth.scope", "PRINCIPAL_ROLE:ALL")
+      s.sql("CREATE NAMESPACE rauth.db")
+      s.sql("CREATE TABLE rauth.db.t (id BIGINT) USING graft")
+      s.sql("INSERT INTO rauth.db.t VALUES (11)")
+      assert(s.sql("SELECT id FROM rauth.db.t").collect()
+        .map(_.getLong(0)).toSeq == Seq(11L))
+      // a session with the wrong secret fails the handshake loudly
+      val w = spark.newSession()
+      w.conf.set("spark.sql.catalog.rbad", "graft.sources.rest.GraftRestCatalog")
+      w.conf.set("spark.sql.catalog.rbad.type", "rest")
+      w.conf.set("spark.sql.catalog.rbad.uri", s"http://127.0.0.1:$p")
+      w.conf.set("spark.sql.catalog.rbad.credential", "gid:wrong")
+      val e = intercept[Exception] { w.sql("SHOW NAMESPACES IN rbad") }
+      assert(e.getMessage.contains("token exchange") ||
+        String.valueOf(e.getCause).contains("token exchange"), e.getMessage)
+    } finally authed.stop()
+  }
+
+  test("loadTable serves real Iceberg metadata for mirrored tables") {
+    val s = restSession("rice")
+    s.sql("CREATE NAMESPACE rice.icedb")
+    s.sql("CREATE TABLE rice.icedb.m (id BIGINT, v DOUBLE) USING graft")
+    s.sql("INSERT INTO rice.icedb.m VALUES (1, 1.5), (2, 2.5)")
+    // pre-mirror: the graft-profile response has no metadata-location
+    val before = httpGet("/v1/namespaces/icedb/tables/m")._2
+    assert(!before.contains("metadata-location"))
+    // mirror, then loadTable carries the Iceberg LoadTableResult fields
+    val t = graft.sources.GraftTable.load(spark, s"$warehouse/icedb/m")
+    graft.sources.IcebergInterop.mirrorToIceberg(t)
+    val (code, body) = httpGet("/v1/namespaces/icedb/tables/m")
+    assert(code == 200)
+    assert(body.contains("\"metadata-location\""), body)
+    assert(body.contains("\"format-version\""), body)
+    assert(body.contains("\"current-snapshot-id\""), body)
+    assert(body.contains("\"snapshots\""), body)
+    // the embedded pointer names the hinted metadata file, and a stock
+    // Iceberg client could equally fetch it from disk: spot-check the
+    // pointed-at file parses as Iceberg table metadata
+    val loc = body.split("\"metadata-location\":\"")(1).split("\"")(0)
+    assert(loc.endsWith(".metadata.json"), loc)
+    val onDisk = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(loc.stripPrefix("file:"))), StandardCharsets.UTF_8)
+    assert(onDisk.contains("\"format-version\""))
+    // and graft itself can read back through that metadata
+    assert(graft.sources.IcebergInterop.readIceberg(spark, s"$warehouse/icedb/m")
+      .count() == 2)
+  }
+
+  test("paged listings: pageToken/pageSize server-side, page-size client-side") {
+    val s = restSession("rpag")
+    s.sql("CREATE NAMESPACE rpag.pg")
+    (1 to 7).foreach(i =>
+      s.sql(s"CREATE TABLE rpag.pg.t$i (id BIGINT) USING graft"))
+    // raw pages of 3: 3 + 3 + 1, token chaining, no token on last page
+    val (c1, p1) = httpGet("/v1/namespaces/pg/tables?pageSize=3")
+    assert(c1 == 200 && p1.contains("next-page-token"), p1)
+    assert(p1.split("\"name\"").length - 1 == 3, p1)
+    val tok1 = p1.split("\"next-page-token\":\"")(1).split("\"")(0)
+    val (_, p2) = httpGet(s"/v1/namespaces/pg/tables?pageSize=3&pageToken=$tok1")
+    assert(p2.contains("next-page-token") &&
+      p2.split("\"name\"").length - 1 == 3, p2)
+    val tok2 = p2.split("\"next-page-token\":\"")(1).split("\"")(0)
+    val (_, p3) = httpGet(s"/v1/namespaces/pg/tables?pageSize=3&pageToken=$tok2")
+    assert(!p3.contains("next-page-token") &&
+      p3.split("\"name\"").length - 1 == 1, p3)
+    // namespaces page the same way
+    val (_, n1) = httpGet("/v1/namespaces?pageSize=2")
+    assert(n1.contains("namespaces"))
+    // a client wired with page-size drains all pages transparently
+    val pg = spark.newSession()
+    pg.conf.set("spark.sql.catalog.rpg2", "graft.sources.rest.GraftRestCatalog")
+    pg.conf.set("spark.sql.catalog.rpg2.type", "rest")
+    pg.conf.set("spark.sql.catalog.rpg2.uri", s"http://127.0.0.1:$port")
+    pg.conf.set("spark.sql.catalog.rpg2.page-size", "2")
+    val names = pg.sql("SHOW TABLES IN rpg2.pg").collect()
+      .map(_.getString(1)).toSet
+    assert(names == (1 to 7).map(i => s"t$i").toSet, names.toString)
+  }
+
+  test("namespace and table properties CRUD") {
+    val s = restSession("rprop")
+    s.sql("CREATE NAMESPACE rprop.propdb WITH PROPERTIES ('team'='ana', 'tier'='gold')")
+    // stored at create, served by loadNamespace
+    val (_, load1) = httpGet("/v1/namespaces/propdb")
+    assert(load1.contains("\"team\":\"ana\"") &&
+      load1.contains("\"tier\":\"gold\""), load1)
+    // the spec's updateProperties route reports updated/removed/missing
+    val (uc, upd) = httpReq("POST", "/v1/namespaces/propdb/properties", Some(
+      """{"removals":["tier","ghost"],"updates":{"team":"bo","region":"eu"}}"""))
+    assert(uc == 200, upd)
+    assert(upd.contains("\"updated\":[\"team\",\"region\"]"), upd)
+    assert(upd.contains("\"removed\":[\"tier\"]"), upd)
+    assert(upd.contains("\"missing\":[\"ghost\"]"), upd)
+    // SQL surface: ALTER NAMESPACE SET/UNSET and DESCRIBE round-trip
+    s.sql("ALTER NAMESPACE rprop.propdb SET PROPERTIES ('lake'='alpha')")
+    val (_, load2) = httpGet("/v1/namespaces/propdb")
+    assert(load2.contains("\"lake\":\"alpha\"") &&
+      load2.contains("\"team\":\"bo\"") && !load2.contains("tier"), load2)
+    // a key in both updates and removals is the spec's 400
+    assert(httpReq("POST", "/v1/namespaces/propdb/properties", Some(
+      """{"removals":["x"],"updates":{"x":"1"}}"""))._1 == 400)
+    // the properties sidecar does not make an empty namespace non-empty
+    s.sql("CREATE NAMESPACE rprop.scratch WITH PROPERTIES ('a'='1')")
+    s.sql("DROP NAMESPACE rprop.scratch")
+    assert(httpReq("HEAD", "/v1/namespaces/scratch", None)._1 == 404)
+    // table properties commit through the commitTable route
+    s.sql("CREATE TABLE rprop.propdb.t (id BIGINT) USING graft")
+    s.sql("ALTER TABLE rprop.propdb.t SET TBLPROPERTIES ('retention'='30d')")
+    val (_, tbl) = httpGet("/v1/namespaces/propdb/tables/t")
+    assert(tbl.contains("\"retention\":\"30d\""), tbl)
+    s.sql("ALTER TABLE rprop.propdb.t UNSET TBLPROPERTIES ('retention')")
+    assert(!httpGet("/v1/namespaces/propdb/tables/t")._2.contains("retention"))
+    // non-property commit actions refuse with 400
+    assert(httpReq("POST", "/v1/namespaces/propdb/tables/t", Some(
+      """{"updates":[{"action":"add-snapshot","snapshot":{}}]}"""))._1 == 400)
+  }
 }
