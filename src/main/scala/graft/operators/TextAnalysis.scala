@@ -382,12 +382,34 @@ object TextAnalysis {
   }
 
   /** The trainer itself, over any docs DataFrame (the GraftOps public
-    * entry point delegates here). `onRound` observes (round,
-    * touched-word-count) per merge — test/telemetry hook; when absent
-    * the count action is skipped entirely (one fewer job per round). */
+    * entry point delegates here). `onRound` observes (rank,
+    * touched-word-count) per learned merge — test/telemetry hook; when
+    * absent the count action is skipped entirely (one fewer job per
+    * round).
+    *
+    * `mergeBatch` > 1 learns up to that many merges per DRIVER ROUND
+    * while provably preserving the single-merge-per-round result: a
+    * round takes the maximal prefix of the ranked pair list whose
+    * members are pairwise symbol-disjoint (and whose merged strings
+    * are not another member's input symbol — rules that can never
+    * cascade or interact), applies them in one pass, and then verifies
+    * a safety bound before committing: no pair whose count ROSE under
+    * the batch (a new `(x, l+r)` / `(l+r, y)` adjacency, or an
+    * existing pair whose symbol coincides with a merged string) may
+    * outrank the batch's last member — risen counts are bounded by
+    * old + all additions, and batch members' own counts are invariant
+    * under each other's merges, so a clean bound means the sequential
+    * trainer would have picked exactly this batch in this order. On a
+    * violated bound the round falls back to the classic single merge
+    * (always safe). This is the standard multi-merge optimization for
+    * a 30k-merge production run: the driver schedules ~nMerges/B
+    * rounds instead of nMerges, removing the per-round scheduling
+    * floor from the critical path without changing the learned
+    * table. */
   def bpeTrainOn(docs: org.apache.spark.sql.DataFrame, textCol: String,
                  nMerges: Int,
-                 onRound: Option[(Int, Long) => Unit] = None)
+                 onRound: Option[(Int, Long) => Unit] = None,
+                 mergeBatch: Int = 8)
       : org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -429,66 +451,150 @@ object TextAnalysis {
     // vocab chain every round; retire round k-1's instead.
     var prevRound: Seq[org.apache.spark.sql.DataFrame] = Nil
     var olderRound: Seq[org.apache.spark.sql.DataFrame] = Nil
-    var round = 1
+
+    /** Apply one driver round's batch of merges. Returns false (and
+      * retires its intermediates) when the multi-merge safety bound is
+      * violated — the caller retries with the single top pair, which
+      * is always safe. */
+    def applyRound(batch: Seq[(String, String, Long)]): Boolean = {
+      val adjAny = batch.map { case (l, r, _) => adjacent(l, r) }.reduce(_ || _)
+      val touched = vocab.filter(adjAny).persist(MD)
+      // one fold applies every batch rule left-to-right; the batch
+      // construction guarantees no rule's merged string is another
+      // rule's input symbol, so rules never cascade, at most one rule
+      // matches at each position, and the fold's result equals
+      // applying the rules one after another in rank order
+      val applyMerge = aggregate($"sym", array().cast("array<string>"),
+        (acc, x) => batch.foldLeft(concat(acc, array(x))) {
+          case (els, (l, r, _)) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(els)
+        })
+      val merged = touched.select(applyMerge.as("sym"), $"freq").persist(MD)
+      val adds = pairsOf(merged).persist(MD)
+      // multi-merge SAFETY BOUND: a pair whose count rose under the
+      // batch (new (x, l+r)/(l+r, y) adjacencies — including collisions
+      // with a pre-existing symbol spelled l+r) is capped by
+      // old + all additions; if even that cap ranks strictly after the
+      // batch's LAST member, no risen pair could have outranked ANY
+      // member at its sequential step, so the sequential trainer picks
+      // exactly this batch in this order. (Batch members' own counts
+      // are invariant under each other's merges; non-members rank
+      // after the last member by prefix construction and only ever
+      // fall, except for risen pairs — which this bound covers.)
+      if (batch.size > 1) {
+        val (lB, rB, cntB) = batch.last
+        val unsafe = adds
+          .join(paircnt.select($"l", $"r", $"cnt".as("old")), Seq("l", "r"), "left")
+          .select($"l", $"r", (coalesce($"old", lit(0L)) + $"cnt").as("bound"))
+          .filter($"bound" > cntB ||
+            ($"bound" === cntB &&
+              ($"l" < lB || ($"l" === lB && $"r" <= rB))))
+          .limit(1).count() > 0
+        if (unsafe) {
+          Seq(touched, merged, adds).foreach(_.unpersist(false))
+          return false
+        }
+      }
+      val startRank = merges.size
+      batch.foreach { case (l, r, c) => merges += ((merges.size + 1, l, r, c)) }
+      // telemetry contract: one (rank, touched-word-count) call per
+      // LEARNED MERGE — per-pair adjacency counts come from ONE
+      // aggregate job (adjacency to each pair is invariant under the
+      // other, symbol-disjoint, merges of the batch, so counting on
+      // the pre-batch vocabulary matches the sequential per-round
+      // counts exactly)
+      onRound.foreach { f =>
+        val counts =
+          if (batch.size == 1) Seq(touched.count())
+          else {
+            val row = vocab.select(batch.map { case (l, r, _) =>
+              sum(when(adjacent(l, r), 1L).otherwise(0L)) }: _*).collect().head
+            batch.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i))
+          }
+        counts.zipWithIndex.foreach { case (n, i) => f(startRank + i + 1, n) }
+      }
+      // exact pair-count delta from the touched slice alone: untouched
+      // words contain no batch pair and contribute unchanged pairs
+      val delta = pairsOf(touched).select($"l", $"r", (-$"cnt").as("d"))
+        .unionByName(adds.select($"l", $"r", $"cnt".as("d")))
+        .groupBy($"l", $"r").agg(sum($"d").as("d"))
+      // localCheckpoint (eager), not persist: each round references
+      // `vocab` from TWO branches (the untouched filter and the
+      // merged slice), so a lazy lineage would DOUBLE per round —
+      // 2^merges plan nodes by round ~40 OOMs the driver on plan
+      // strings alone. Checkpointing truncates the plan to the
+      // materialized partitions; round blocks from prior iterations
+      // are released by the context cleaner once unreferenced.
+      // lazy checkpoints: the plan truncates either way, but the
+      // partitions materialize inside the NEXT round's first action
+      // (argmax / delta job) instead of spending a dedicated job per
+      // relation per round — halves the per-merge job count.
+      val nextPair = paircnt.join(delta, Seq("l", "r"), "full_outer")
+        .select($"l", $"r",
+          (coalesce($"cnt", lit(0L)) + coalesce($"d", lit(0L))).as("cnt"))
+        .filter($"cnt" > 0)
+        .localCheckpoint(eager = false)
+      // coalesce before checkpointing: union CONCATENATES partitions,
+      // so without it the vocab partition count doubles per round
+      // (2^merges empty tasks by round ~40). coalesce is a no-shuffle
+      // merge back to the configured width.
+      val loopParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val nextVocab = vocab.filter(!adjAny).unionByName(merged)
+        .coalesce(loopParts)
+        .localCheckpoint(eager = false)
+      // the outgoing vocab/paircnt are ALSO deferred: round 1's are
+      // genuinely persisted relations the lazy checkpoints still
+      // reference — unpersisting them now would force a full corpus
+      // recompute at the next argmax (later rounds' are checkpoints,
+      // where unpersist is a harmless no-op)
+      prevRound = Seq(touched, merged, adds, paircnt, vocab)
+      vocab = nextVocab; paircnt = nextPair
+      true
+    }
+
     var done = false
-    while (round <= nMerges && !done) {
+    val B = math.max(1, mergeBatch)
+    while (merges.size < nMerges && !done) {
+      val want = math.min(B, nMerges - merges.size)
       val top = paircnt
         .orderBy($"cnt".desc, $"l", $"r")
-        .limit(1).collect()
+        .limit(want).collect()
+        .map(r => (r.getAs[String]("l"), r.getAs[String]("r"),
+          r.getAs[Long]("cnt"))).toSeq
       olderRound.foreach(_.unpersist(false))
       olderRound = prevRound
       prevRound = Nil
       if (top.isEmpty) done = true
       else {
-        val (l, r, cnt) = (top.head.getAs[String]("l"),
-          top.head.getAs[String]("r"), top.head.getAs[Long]("cnt"))
-        merges += ((round, l, r, cnt))
-        val applyMerge = aggregate($"sym", array().cast("array<string>"),
-          (acc, x) => when(size(acc) > 0 &&
-              element_at(acc, -1) === lit(l) && x === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-            .otherwise(concat(acc, array(x))))
-        val touched = vocab.filter(adjacent(l, r)).persist(MD)
-        onRound.foreach(f => f(round, touched.count()))
-        val merged = touched.select(applyMerge.as("sym"), $"freq").persist(MD)
-        // exact pair-count delta from the touched slice alone: untouched
-        // words contain no (l, r) and contribute unchanged pairs
-        val delta = pairsOf(touched).select($"l", $"r", (-$"cnt").as("d"))
-          .unionByName(pairsOf(merged).select($"l", $"r", $"cnt".as("d")))
-          .groupBy($"l", $"r").agg(sum($"d").as("d"))
-        // localCheckpoint (eager), not persist: each round references
-        // `vocab` from TWO branches (the untouched filter and the
-        // merged slice), so a lazy lineage would DOUBLE per round —
-        // 2^merges plan nodes by round ~40 OOMs the driver on plan
-        // strings alone. Checkpointing truncates the plan to the
-        // materialized partitions; round blocks from prior iterations
-        // are released by the context cleaner once unreferenced.
-        // lazy checkpoints: the plan truncates either way, but the
-        // partitions materialize inside the NEXT round's first action
-        // (argmax / delta job) instead of spending a dedicated job per
-        // relation per round — halves the per-merge job count.
-        val nextPair = paircnt.join(delta, Seq("l", "r"), "full_outer")
-          .select($"l", $"r",
-            (coalesce($"cnt", lit(0L)) + coalesce($"d", lit(0L))).as("cnt"))
-          .filter($"cnt" > 0)
-          .localCheckpoint(eager = false)
-        // coalesce before checkpointing: union CONCATENATES partitions,
-        // so without it the vocab partition count doubles per round
-        // (2^merges empty tasks by round ~40). coalesce is a no-shuffle
-        // merge back to the configured width.
-        val loopParts = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val nextVocab = vocab.filter(!adjacent(l, r)).unionByName(merged)
-          .coalesce(loopParts)
-          .localCheckpoint(eager = false)
-        // the outgoing vocab/paircnt are ALSO deferred: round 1's are
-        // genuinely persisted relations the lazy checkpoints still
-        // reference — unpersisting them now would force a full corpus
-        // recompute at the next argmax (later rounds' are checkpoints,
-        // where unpersist is a harmless no-op)
-        prevRound = Seq(touched, merged, paircnt, vocab)
-        vocab = nextVocab; paircnt = nextPair
+        // maximal SAFE PREFIX of the ranked pair list: stop at the
+        // first candidate that shares a symbol with an earlier pick,
+        // whose input symbol is an earlier pick's merged string, or
+        // whose merged string is an earlier pick's input symbol —
+        // everything excluded ranks after the whole batch and only
+        // ever falls (or is covered by the risen-pair bound)
+        val batch = {
+          val picked = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String, Long)]
+          val used = scala.collection.mutable.Set.empty[String]
+          val madeSyms = scala.collection.mutable.Set.empty[String]
+          var stop = false
+          top.foreach { case p @ (l, r, _) =>
+            val conflict = used(l) || used(r) || madeSyms(l) ||
+              madeSyms(r) || used(l + r)
+            if (!stop && !conflict) {
+              picked += p; used += l; used += r; madeSyms += (l + r)
+            } else stop = true
+          }
+          picked.toSeq
+        }
+        if (!applyRound(batch)) {
+          val ok = applyRound(batch.take(1))
+          assert(ok, "single-merge rounds are unconditionally safe")
+        }
       }
-      round += 1
     }
     olderRound.foreach(_.unpersist(false))
     prevRound.foreach(_.unpersist(false))

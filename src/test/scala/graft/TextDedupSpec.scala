@@ -380,6 +380,41 @@ class TextDedupSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("multi-merge rounds learn the exact single-merge table (adversarial corpora)") {
+    import spark.implicits._
+    // Small alphabets make batch interactions LIKELY: ties everywhere,
+    // merged strings colliding with later candidates' symbols ("ab"
+    // created in round k reappearing as a round-k+n input), and risen
+    // pairs (new (x, l+r) adjacencies outranking the batch tail) that
+    // must trip the safety bound and fall back to a single merge. Any
+    // divergence between mergeBatch=1 and mergeBatch=4 on ANY seed is
+    // a correctness bug in the batch selection or the safety bound.
+    val alphabet = "abc"
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(120) {
+        (0 until (1 + rnd.nextInt(6)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val docs = words.grouped(8).map(_.mkString(" ")).toSeq.toDF("txt")
+      val seqTable = graft.operators.TextAnalysis
+        .bpeTrainOn(docs, "txt", 12, mergeBatch = 1).collect().toSeq
+      val batTable = graft.operators.TextAnalysis
+        .bpeTrainOn(docs, "txt", 12, mergeBatch = 4).collect().toSeq
+      assert(batTable.map(_.toSeq) == seqTable.map(_.toSeq),
+        s"seed=$seed: batched table diverged\nseq: $seqTable\nbat: $batTable")
+    }
+  }
+
+  test("multi-merge equals single-merge on the documents corpus at depth 20") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val seqTable = graft.operators.TextAnalysis
+      .bpeTrainOn(docs, "text", 20, mergeBatch = 1).collect().toSeq
+    val batTable = graft.operators.TextAnalysis
+      .bpeTrainOn(docs, "text", 20, mergeBatch = 8).collect().toSeq
+    assert(batTable.map(_.toSeq) == seqTable.map(_.toSeq))
+  }
+
   test("bpe train+encode round-trips supplementary (non-BMP) characters") {
     import spark.implicits._
     val word = "😀😀🙂" // 😀😀🙂 (3 code points)
