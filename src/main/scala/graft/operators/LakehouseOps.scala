@@ -347,12 +347,40 @@ object LakehouseOps {
       |   AS commit_version
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** g17: foreign-Iceberg APPEND gate
+    * ([[graft.sources.IcebergInterop.appendToIceberg]]) — the Iceberg
+    * twin of g15: export part of supplier as a standalone Iceberg v1
+    * table, APPEND the rest as a fast-append snapshot through the
+    * optimistic metadata-version commit, and read the result back
+    * through the manifest reader. The oracle recomputes the union
+    * relationally, so the written parquet + manifest + metadata chain
+    * must be value-exact. */
+  val g17_iceberg_append: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 4 === 0))
+    val target = Files.createTempDirectory("graft_iappend_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, target)
+    graft.sources.IcebergInterop.appendToIceberg(
+      sup.filter($"s_suppkey" % 4 =!= 0), target)
+    graft.sources.IcebergInterop.readIceberg(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g17_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
     "g13_delta_stream" -> g13_delta_stream,
     "g14_iceberg_stream" -> g14_iceberg_stream,
     "g12_delta_cdf" -> g12_delta_cdf,
     "g15_delta_append" -> g15_delta_append,
     "g16_delta_cdf_stream" -> g16_delta_cdf_stream,
+    "g17_iceberg_append" -> g17_iceberg_append,
     "g1_merge_upsert" -> g1_merge_upsert,
     "g5_update_delete" -> g5_update_delete,
     "g7_sql_catalog" -> g7_sql_catalog,
@@ -368,6 +396,7 @@ object LakehouseOps {
     "g12_delta_cdf" -> g12_sql,
     "g15_delta_append" -> g15_sql,
     "g16_delta_cdf_stream" -> g16_sql,
+    "g17_iceberg_append" -> g17_sql,
     "g1_merge_upsert" -> g1_sql,
     "g5_update_delete" -> g5_sql,
     "g7_sql_catalog" -> g7_sql,

@@ -9,7 +9,7 @@ import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayIn
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, date_format, lit, pmod, substring, to_date}
 import org.apache.spark.sql.types._
 
 /** Interop with the Apache Iceberg table format, implemented against
@@ -333,15 +333,46 @@ object IcebergInterop {
   }
 
   private def manifestListEntry(manifestPath: String, manifestLen: Long,
-      snapId: Long, added: Int, existing: Int): GenericRecord = {
+      snapId: Long, added: Int, existing: Int,
+      specId: Int = 0): GenericRecord = {
     val mf = new GenericData.Record(manifestFileSchema)
     mf.put("manifest_path", manifestPath)
     mf.put("manifest_length", manifestLen)
-    mf.put("partition_spec_id", 0)
+    mf.put("partition_spec_id", specId)
     mf.put("added_snapshot_id", snapId)
     mf.put("added_data_files_count", added)
     mf.put("existing_data_files_count", existing)
     mf.put("deleted_data_files_count", 0)
+    mf
+  }
+
+  /** Rebuild a manifest-list record read from a FOREIGN file under this
+    * writer's manifest_file schema, copying fields BY NAME. Avro's
+    * GenericDatumWriter reads record fields positionally against the
+    * writer schema, so re-serializing a foreign record directly would
+    * misalign values whenever the foreign schema orders (or extends —
+    * real Iceberg writers add partition summaries, row counts) the
+    * fields differently. Optional fields this schema lacks are dropped
+    * (spec-legal; summaries are advisory pruning hints). */
+  private def reserializeManifestFile(r: GenericRecord,
+      fallbackSpecId: Int): GenericRecord = {
+    def intOpt(names: String*): Option[Int] =
+      names.iterator.flatMap(n => fieldOpt(r, n)).nextOption()
+        .map(v => longOf(v).toInt)
+    val mf = new GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", r.get("manifest_path").toString)
+    mf.put("manifest_length", longOf(r.get("manifest_length")))
+    mf.put("partition_spec_id",
+      intOpt("partition_spec_id").getOrElse(fallbackSpecId))
+    fieldOpt(r, "added_snapshot_id").foreach(v =>
+      mf.put("added_snapshot_id", java.lang.Long.valueOf(longOf(v))))
+    // v2 renamed the count fields (added_files_count, …); accept both
+    intOpt("added_data_files_count", "added_files_count")
+      .foreach(v => mf.put("added_data_files_count", Int.box(v)))
+    intOpt("existing_data_files_count", "existing_files_count")
+      .foreach(v => mf.put("existing_data_files_count", Int.box(v)))
+    intOpt("deleted_data_files_count", "deleted_files_count")
+      .foreach(v => mf.put("deleted_data_files_count", Int.box(v)))
     mf
   }
 
@@ -944,6 +975,300 @@ object IcebergInterop {
       }
     }
     deleted
+  }
+
+  /** APPEND `df` to an existing file-based Iceberg v1 table (foreign,
+    * mirrored, or exported) as a new fast-append snapshot: write the
+    * data files (field-id-stamped parquet, laid out per the table's
+    * DEFAULT partition spec), one manifest holding only the new files,
+    * a manifest list carrying the prior snapshot's manifests unchanged,
+    * and the next `v<N>.metadata.json` through the same conditional-put
+    * protocol graft's own commits use — a lost version race re-reads
+    * the peer's metadata, re-carries its manifests, and retries the
+    * next slot (blind appends never conflict semantically).
+    *
+    * Supported partition transforms: identity, day/hour/month/year
+    * (UTC sessions only — the transforms are UTC-defined),
+    * `truncate[w]` (string prefix / integral floor-to-multiple),
+    * `bucket[n]` (true murmur3 per Appendix B via
+    * [[graft.functions.IcebergHash]]), and `void`. Refuses
+    * format-version 2 targets (appends there must maintain
+    * sequence-number bookkeeping this writer does not produce) and
+    * catalog-managed metadata naming (`00000-<uuid>.metadata.json`
+    * without a version hint — the catalog pointer, not the directory,
+    * names the current metadata, so a directory commit would be
+    * invisible). The input schema must match the table's top-level
+    * columns and types exactly. Returns the committed snapshot id.
+    *
+    * Scale shape: one distributed parquet write; metadata is
+    * O(#new files + #prior manifests) driver-side — the fast-append
+    * shape that keeps long-lived table appends O(|delta|). */
+  def appendToIceberg(df: DataFrame, path: String, maxRetries: Int = 20): Long = {
+    val spark = df.sparkSession
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val io = new TableIO(path, conf)
+    val metaDir = new HPath(root, "metadata")
+
+    def refuseW(what: String): Nothing = throw new IllegalArgumentException(
+      s"cannot append to Iceberg table at $path: $what — write it with a " +
+        "full Iceberg client")
+
+    case class State(md: ObjectNode, metaVersion: Int, schemaNode: JsonNode,
+        schemaId: Int, schema: StructType, specId: Int,
+        specFieldsNode: Seq[JsonNode], parts: Seq[(PartField, String)],
+        currentSnap: Long, priorManifests: Seq[GenericRecord])
+
+    def validate(): State = {
+      require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
+      // commit base = the HIGHEST LISTED metadata version, never the
+      // version hint: a racing peer publishes the hint only AFTER its
+      // exclusive metadata write, so a loser revalidating in that
+      // window would rebuild from the hint's stale state while
+      // targeting a fresh version slot — silently dropping the peer's
+      // snapshot from its lineage
+      val listed = fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+      val vTop = listed.flatMap {
+        case VMeta(n) => Some(n.toInt)
+        case _ => None
+      }.maxOption
+      if (vTop.isEmpty)
+        refuseW("the metadata is catalog-managed " +
+          "(no v<N>.metadata.json / version-hint naming) — a directory " +
+          "commit would be invisible to the catalog pointer")
+      val md = om.readTree(readBytes(fs,
+        new HPath(metaDir, s"v${vTop.get}.metadata.json")))
+        .deepCopy[ObjectNode]()
+      val fv = md.path("format-version").asInt(1)
+      if (fv != 1)
+        refuseW(s"the table is format version $fv — appends there must " +
+          "maintain sequence-number bookkeeping this writer does not produce")
+      val schemaNode = currentSchemaNode(md, path)
+      val schemaId = md.path("current-schema-id").asInt(
+        schemaNode.path("schema-id").asInt(0))
+      val schema = fromIcebergStruct(schemaNode, path)
+      require(schema.fieldNames.toSet == df.schema.fieldNames.toSet,
+        s"append schema mismatch at $path: table columns " +
+          s"[${schema.fieldNames.mkString(", ")}], input columns " +
+          s"[${df.schema.fieldNames.mkString(", ")}]")
+      schema.fields.foreach { f =>
+        val have = df.schema(f.name).dataType
+        require(f.dataType == have,
+          s"append schema mismatch at $path: column '${f.name}' is " +
+            s"${f.dataType.simpleString} in the table, ${have.simpleString} " +
+            "in the input — cast before appending")
+      }
+      val specId = md.path("default-spec-id").asInt(0)
+      val specFieldsNode: Seq[JsonNode] =
+        if (md.has("partition-specs"))
+          md.get("partition-specs").elements().asScala()
+            .find(_.path("spec-id").asInt(0) == specId)
+            .map(_.path("fields").elements().asScala().toSeq)
+            .getOrElse(refuseW(s"default-spec-id $specId is absent from " +
+              "partition-specs"))
+        else if (md.has("partition-spec"))
+          md.get("partition-spec").elements().asScala().toSeq
+        else Nil
+      val nameBySourceId: Map[Int, String] = schemaNode.path("fields")
+        .elements().asScala()
+        .map(f => f.path("id").asInt(-1) -> f.path("name").asText()).toMap
+      val parts: Seq[(PartField, String)] = specFieldsNode.zipWithIndex.map {
+        case (f, i) =>
+          val name = f.path("name").asText()
+          val transform = f.path("transform").asText()
+          val srcId = f.path("source-id").asInt(-1)
+          val fieldId = f.path("field-id").asInt(1000 + i)
+          val src = nameBySourceId.getOrElse(srcId,
+            refuseW(s"partition field '$name' sources field id $srcId, " +
+              "which is not a top-level column"))
+          val srcType = schema(src).dataType
+          val dt: DataType = transform match {
+            case "identity" => srcType
+            case "day" => DateType
+            case "hour" | "month" | "year" => IntegerType
+            case t if TruncRe.matches(t) => srcType
+            case t if BucketRe.matches(t) => IntegerType
+            case "void" => StringType
+            case other => refuseW(s"partition field '$name' uses " +
+              s"transform '$other' this writer cannot produce")
+          }
+          if (Set("day", "hour", "month", "year")(transform)) {
+            val tz = spark.conf.get("spark.sql.session.timeZone",
+              java.util.TimeZone.getDefault.getID)
+            require(
+              java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+              s"cannot append under session time zone '$tz': Iceberg time " +
+                "transforms are defined in UTC — append from a UTC session")
+          }
+          (PartField(name, srcId, fieldId, dt, transform,
+            Some(s"__gp_$name")), src)
+      }
+      val currentSnap = md.path("current-snapshot-id").asLong(-1L)
+      val priorManifests: Seq[GenericRecord] =
+        md.path("snapshots").elements().asScala().toSeq
+          .find(_.path("snapshot-id").asLong() == currentSnap)
+          .map(sn => readAvro(readBytes(fs,
+            new HPath(sn.get("manifest-list").asText())))
+            .map(reserializeManifestFile(_, specId)))
+          .getOrElse(Nil)
+      State(md, vTop.get, schemaNode, schemaId, schema, specId,
+        specFieldsNode, parts, currentSnap, priorManifests)
+    }
+    var st = validate()
+
+    // ---- distributed parquet write: field-id-stamped files under a
+    // fresh data/ subdirectory, hive-laid-out on computed partition
+    // columns (the source columns STAY in the files — real Iceberg
+    // writers keep identity sources; readers use the manifest's
+    // partition struct either way) ----
+    def transformCol(transform: String, src: org.apache.spark.sql.Column,
+        srcType: DataType): org.apache.spark.sql.Column = transform match {
+      case "identity" => src
+      case "day" => to_date(src)
+      case "hour" => date_format(src, "yyyy-MM-dd-HH")
+      case "month" => date_format(src, "yyyy-MM")
+      case "year" => date_format(src, "yyyy")
+      case t if TruncRe.matches(t) =>
+        val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
+        srcType match {
+          case StringType => substring(src, 1, w)
+          case _ => src - pmod(src, lit(w))
+        }
+      case t if BucketRe.matches(t) =>
+        val n = t.stripPrefix("bucket[").stripSuffix("]").toInt
+        graft.functions.IcebergHash.iceberg_bucket(n, src)
+      case "void" => lit(null).cast(StringType)
+      case other => throw new IllegalStateException(s"unmapped $other")
+    }
+    val annotated = annotateFieldIds(
+      StructType(st.schema.fieldNames.map(df.schema(_))), st.schemaNode)
+    val ordered = df.select(annotated.fields.toSeq.map(f =>
+      col(f.name).as(f.name, f.metadata)): _*)
+    val withParts = st.parts.foldLeft(ordered) { case (d, (p, src)) =>
+      d.withColumn(p.hiveKey, transformCol(p.transform, col(src),
+        st.schema(src).dataType))
+    }
+    val dataDir = new HPath(new HPath(root, "data"),
+      s"graft-append-${java.util.UUID.randomUUID()}")
+    if (st.parts.nonEmpty)
+      withParts.write.partitionBy(st.parts.map(_._1.hiveKey): _*)
+        .parquet(dataDir.toString)
+    else withParts.write.parquet(dataDir.toString)
+
+    try {
+      def listParquet(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).toSeq.flatMap { f =>
+          val n = f.getPath.getName
+          if ((n.startsWith("_") || n.startsWith(".")) && !n.contains("=")) Nil
+          else if (f.isDirectory) listParquet(f.getPath)
+          else if (n.endsWith(".parquet")) Seq(f)
+          else Nil
+        }
+      val files = listParquet(dataDir).map(f =>
+        (f.getPath, f.getLen, footerRecordCount(conf, f)))
+      def partValuesOf(p: HPath): Seq[AnyRef] = {
+        val segs = p.toString.split('/').filter(_.contains("=")).map { seg =>
+          val k = seg.takeWhile(_ != '=')
+          k -> unescapeHive(seg.drop(k.length + 1))
+        }.toMap
+        st.parts.map { case (pf, _) =>
+          segs.get(pf.hiveKey).map(raw => transformValue(pf, raw)).orNull
+        }
+      }
+      val partFields = st.parts.map(_._1)
+      val entrySchema =
+        if (partFields.isEmpty) manifestEntrySchema
+        else manifestEntrySchemaFor(partFields)
+      // serialize the table's OWN spec fields verbatim — same field
+      // ids, names, transforms the table declares
+      val specArr = om.createArrayNode()
+      st.specFieldsNode.foreach(f => specArr.add(f.deepCopy[JsonNode]()))
+      val snapIdOf: ObjectNode => Long = m =>
+        m.path("snapshots").elements().asScala()
+          .map(_.path("snapshot-id").asLong(0L)).maxOption.getOrElse(0L) + 1L
+
+      var attempts = 0
+      var committed = -1L
+      while (committed < 0) {
+        val snapId = snapIdOf(st.md)
+        val now = System.currentTimeMillis()
+        // the manifest is (re)written per attempt: its entries embed
+        // the adding snapshot's id, which moves when a lost race bumps
+        // the id past the peer's
+        val ents = files.map { case (p, size, rc) =>
+          manifestEntry(entrySchema, p.toString, size, rc, 1, snapId,
+            partValuesOf(p))
+        }
+        val manifestBytes = writeAvro(entrySchema, Map(
+          "schema" -> om.writeValueAsString(st.schemaNode),
+          "schema-id" -> st.schemaId.toString,
+          "partition-spec" -> om.writeValueAsString(specArr),
+          "partition-spec-id" -> st.specId.toString,
+          "format-version" -> "1"), ents)
+        val manifestPath = new HPath(metaDir,
+          s"${java.util.UUID.randomUUID()}-m0.avro")
+        writeBytes(fs, manifestPath, manifestBytes)
+        val listRecords = st.priorManifests :+ manifestListEntry(
+          manifestPath.toString, manifestBytes.length.toLong, snapId,
+          files.size, 0, st.specId)
+        val listBytes = writeAvro(manifestFileSchema,
+          Map("snapshot-id" -> snapId.toString, "format-version" -> "1"),
+          listRecords)
+        val listPath = new HPath(metaDir,
+          s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
+        writeBytes(fs, listPath, listBytes)
+        val md = st.md
+        md.put("last-updated-ms", now)
+        md.put("current-snapshot-id", snapId)
+        val snaps =
+          if (md.has("snapshots"))
+            md.get("snapshots")
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+          else md.putArray("snapshots")
+        val sn = snapshotNode(snapId, now, "append", listPath.toString,
+          st.schemaId)
+        if (st.currentSnap >= 0) sn.put("parent-snapshot-id", st.currentSnap)
+        snaps.add(sn)
+        md.path("snapshot-log") match {
+          case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+            val e = om.createObjectNode()
+            e.put("timestamp-ms", now); e.put("snapshot-id", snapId)
+            a.add(e)
+          case _ => ()
+        }
+        val nextMeta = st.metaVersion + 1
+        try {
+          io.writeExclusive(new HPath(metaDir, s"v$nextMeta.metadata.json"),
+            om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+          publishHint(fs, metaDir, nextMeta)
+          committed = snapId
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            attempts += 1
+            if (attempts > maxRetries)
+              throw new IllegalStateException(
+                s"appendToIceberg lost $maxRetries version races at $path — " +
+                  "giving up")
+            fs.delete(listPath, false)
+            fs.delete(manifestPath, false)
+            // a peer landed this version: re-validate against ITS state
+            // (schema/spec may have changed; its manifests now carry)
+            val fresh = validate()
+            require(fresh.schemaNode == st.schemaNode &&
+              fresh.specFieldsNode == st.specFieldsNode &&
+              fresh.specId == st.specId,
+              s"table at $path changed schema or partition spec during " +
+                "the append — retry the append against the new state")
+            st = fresh
+        }
+      }
+      committed
+    } catch {
+      case e: Throwable =>
+        try fs.delete(dataDir, true) catch { case _: Exception => () }
+        throw e
+    }
   }
 
   // ---------------------------------------------------------------

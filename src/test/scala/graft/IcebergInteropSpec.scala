@@ -1412,4 +1412,177 @@ class IcebergInteropSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("drops column"), e.getMessage)
   }
+
+  test("appendToIceberg: fast-append snapshot on an exported table") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_ap_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val target = tmp("graft_ap_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val snap = IcebergInterop.appendToIceberg(
+      Seq((3L, "c"), (4L, "d")).toDF("id", "v"), target)
+    // content round-trips (both through graft's reader and the union)
+    val got = IcebergInterop.readIceberg(spark, target)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // time travel to the pre-append snapshot still sees the old rows
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = om.readTree(Files.readAllBytes(
+      Paths.get(target, "metadata", "v2.metadata.json")))
+    assert(md.get("current-snapshot-id").asLong() == snap)
+    val snaps = md.get("snapshots")
+    assert(snaps.size() == 2)
+    val firstSnap = snaps.get(0).get("snapshot-id").asLong()
+    assert(snaps.get(1).get("parent-snapshot-id").asLong() == firstSnap)
+    assert(IcebergInterop.readIceberg(spark, target, Some(firstSnap))
+      .count() == 2)
+    // FAST append: the new manifest list carries the prior manifest
+    // unchanged plus exactly one new manifest for the new files
+    def manifestPathsOf(listUri: String): Seq[String] = {
+      import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+      val f = new java.io.File(new java.net.URI(listUri).getPath)
+      val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+        f, new GenericDatumReader[GenericRecord]())
+      try {
+        val buf = scala.collection.mutable.Buffer[String]()
+        while (r.hasNext) buf += r.next().get("manifest_path").toString
+        buf.toSeq
+      } finally r.close()
+    }
+    val list = manifestPathsOf(snaps.get(1).get("manifest-list").asText())
+    assert(list.size == 2, list.mkString(", "))
+    val prevList = manifestPathsOf(snaps.get(0).get("manifest-list").asText())
+    assert(list.contains(prevList.head))
+    // appended parquet files are FIELD-ID stamped (real Iceberg readers
+    // resolve columns by id, not name)
+    val dataFile = Files.walk(Paths.get(target, "data")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dataFile),
+        spark.sparkContext.hadoopConfiguration))
+    val pqFields = try rdr.getFileMetaData.getSchema.getFields finally rdr.close()
+    assert(pqFields.get(0).getId != null && pqFields.get(0).getId.intValue == 1,
+      pqFields.toString)
+  }
+
+  test("appendToIceberg honors identity + day partition specs and prunes") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val t = GraftTable.create(spark, tmp("graft_apd_"),
+      Seq((1L, "eu", ts("2024-01-01 10:00:00")),
+          (2L, "us", ts("2024-01-02 11:00:00"))).toDF("id", "region", "ts"),
+      partitionBy = Seq("region", "days(ts)"))
+    IcebergInterop.mirrorToIceberg(t)
+    IcebergInterop.appendToIceberg(
+      Seq((3L, "eu", ts("2024-03-05 09:00:00")),
+          (4L, "ap", ts("2024-03-05 10:00:00"))).toDF("id", "region", "ts"),
+      t.root)
+    val got = IcebergInterop.readIceberg(spark, t.root)
+      .select("id", "region").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "eu"), (2L, "us"), (3L, "eu"), (4L, "ap")))
+    // the appended manifest carries typed partition tuples (identity
+    // string + epoch-day int) parsed from the computed hive layout
+    val tuples = manifestPartitionTuples(t.root)
+      .map(_.map(v => if (v == null) null else v match {
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case other => other
+      }))
+    val epochDay = java.time.LocalDate.parse("2024-03-05").toEpochDay.toInt
+    assert(tuples.contains(Seq("eu", epochDay)), tuples)
+    assert(tuples.contains(Seq("ap", epochDay)), tuples)
+    // partition pruning reaches the appended files
+    import org.apache.spark.sql.functions.input_file_name
+    val pruned = IcebergInterop.readIcebergWhere(spark, t.root, "region", "ap")
+    assert(pruned.select("id").as[Long].collect().toSeq == Seq(4L))
+    assert(pruned.select(input_file_name()).distinct().count() == 1)
+  }
+
+  test("appendToIceberg: murmur3 bucket layout keeps point-lookup pruning exact") {
+    import spark.implicits._
+    val ids = Seq(34L, 35L, 100L)
+    val t = GraftTable.create(spark, tmp("graft_apb_"),
+      ids.map(i => (i, s"v$i")).toDF("id", "v"),
+      partitionBy = Seq("mbucket(16, id)"))
+    IcebergInterop.mirrorToIceberg(t)
+    IcebergInterop.appendToIceberg(
+      Seq((7L, "v7"), (9L, "v9")).toDF("id", "v"), t.root)
+    val all = IcebergInterop.readIceberg(spark, t.root)
+      .as[(Long, String)].collect().toSet
+    assert(all == Set((34L, "v34"), (35L, "v35"), (100L, "v100"),
+      (7L, "v7"), (9L, "v9")))
+    // every id still lands in its true murmur3 bucket ordinal
+    val ord7 = graft.functions.IcebergHash.bucketLong(7L, 16)
+    val sameBucket = (ids ++ Seq(7L, 9L)).filter(i =>
+      graft.functions.IcebergHash.bucketLong(i, 16) == ord7).toSet
+    val pruned = IcebergInterop.readIcebergWhere(
+      spark, t.root, "id_bucket", ord7.toString)
+    assert(pruned.select("id").as[Long].collect().toSet == sameBucket)
+  }
+
+  test("appendToIceberg refusals: v2 format, schema mismatch, catalog naming") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_apr_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_apr_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    // schema mismatch: missing column / wrong type
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergInterop.appendToIceberg(Seq(2L).toDF("id"), target)
+    }
+    assert(e1.getMessage.contains("schema mismatch"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergInterop.appendToIceberg(
+        Seq((2, "b")).toDF("id", "v"), target) // int id, table has long
+    }
+    assert(e2.getMessage.contains("cast before appending"), e2.getMessage)
+    // format v2 refuses (sequence-number bookkeeping)
+    val mp = Paths.get(target, "metadata", "v1.metadata.json")
+    val md = new String(Files.readAllBytes(mp), "UTF-8")
+    patch(mp, md.replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergInterop.appendToIceberg(Seq((2L, "b")).toDF("id", "v"), target)
+    }
+    assert(e3.getMessage.contains("format version 2"), e3.getMessage)
+    patch(mp, md.getBytes("UTF-8"))
+    // catalog-managed metadata naming refuses (no vN files, no hint)
+    val target2 = tmp("graft_apr_cat_")
+    IcebergInterop.exportSnapshot(t, target2)
+    Files.move(Paths.get(target2, "metadata", "v1.metadata.json"),
+      Paths.get(target2, "metadata", "00000-abc.metadata.json"))
+    Files.deleteIfExists(Paths.get(target2, "metadata", "version-hint.text"))
+    Files.deleteIfExists(Paths.get(target2, "metadata", ".v1.metadata.json.crc"))
+    val e4 = intercept[IllegalArgumentException] {
+      IcebergInterop.appendToIceberg(Seq((2L, "b")).toDF("id", "v"), target2)
+    }
+    assert(e4.getMessage.contains("catalog-managed"), e4.getMessage)
+  }
+
+  test("appendToIceberg: concurrent appends all land via version races") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_apc_"),
+      Seq((0L, "seed")).toDF("id", "v"))
+    val target = tmp("graft_apc_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = IcebergInterop.appendToIceberg(
+            Seq((i.toLong, s"w$i")).toDF("id", "v"), target)
+        })
+      }
+      val snapIds = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(snapIds.distinct.size == 4, snapIds.toString)
+    } finally pool.shutdown()
+    val got = IcebergInterop.readIceberg(spark, target)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(0L, 1L, 2L, 3L, 4L))
+    // every append became its own snapshot, chained by parent ids
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = om.readTree(Files.readAllBytes(
+      Paths.get(target, "metadata", "v5.metadata.json")))
+    assert(md.get("snapshots").size() == 5)
+  }
 }
