@@ -190,6 +190,7 @@ object DeltaInterop {
     // log, not a listing), and the last mirrored schema.
     val activeByDir = scala.collection.mutable.Map[String, List[String]]()
     var prevSchema: String = null
+    var prevPartCols: Seq[String] = null
     // resume bootstrap: start the replay from the newest COMPLETE
     // checkpoint ≤ mirrored when one exists — O(checkpoint + tail)
     // instead of O(#commits), and the mirror survives pre-checkpoint
@@ -204,8 +205,12 @@ object DeltaInterop {
       val fields = cp.schema.fieldNames.toSet
       if (fields.contains("metaData"))
         cp.where(col("metaData.schemaString").isNotNull)
-          .select(col("metaData.schemaString")).collect()
-          .foreach(r => prevSchema = r.getString(0))
+          .select(col("metaData.schemaString"),
+            col("metaData.partitionColumns")).collect()
+          .foreach { r =>
+            prevSchema = r.getString(0)
+            prevPartCols = if (r.isNullAt(1)) Nil else r.getSeq[String](1)
+          }
       if (fields.contains("add"))
         cp.where(col("add.path").isNotNull).select(col("add.path"))
           .collect().foreach { r =>
@@ -227,7 +232,15 @@ object DeltaInterop {
                 "checkpoint)")
         }
       text.split('\n').foreach { line =>
-        SchemaStr.findFirstMatchIn(line).foreach(m => prevSchema = unq(m.group(1)))
+        SchemaStr.findFirstMatchIn(line).foreach { m =>
+          prevSchema = unq(m.group(1))
+          // metaData lines also carry the layout — recover it so a
+          // resumed mirror detects (and only then re-emits) changes
+          prevPartCols = PartCols.findFirstMatchIn(line).map(_.group(1))
+            .map(s => if (s.trim.isEmpty) Nil
+              else s.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+            .getOrElse(Nil)
+        }
         AddPath.findFirstMatchIn(line).foreach { m =>
           val p = decodePath(unq(m.group(1)))
           val top = p.takeWhile(_ != '/')
@@ -277,11 +290,12 @@ object DeltaInterop {
       actions += s"""{"commitInfo":{"timestamp":${c.timestampMs},"operation":"${jsonEscape(c.action)}","operationParameters":{},"engineInfo":"graft-mirror"}}"""
       if (v == 0)
         actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      if (c.schemaJson != prevSchema) {
+      if (c.schemaJson != prevSchema || identityCols != prevPartCols) {
         val pcJson = identityCols.map(pc => "\"" + jsonEscape(pc) + "\"").mkString(",")
         actions +=
           s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(c.schemaJson)}","partitionColumns":[$pcJson],"configuration":{},"createdTime":${c.timestampMs}}}"""
         prevSchema = c.schemaJson
+        prevPartCols = identityCols
       }
       removed.foreach { d =>
         activeByDir.remove(d).toSeq.flatten.foreach { p =>

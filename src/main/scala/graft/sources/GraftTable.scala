@@ -233,6 +233,17 @@ class GraftTable private (val spark: SparkSession, val root: String) {
 
   def overwrite(df: DataFrame): Int = commit("overwrite", Some(df), _ => Nil)
 
+  /** Overwrite that also CHANGES the partition layout — the
+    * partition-spec-evolution commit (Iceberg `REPLACE TABLE ...
+    * PARTITIONED BY` / `ALTER TABLE ... WRITE ORDERED BY` family):
+    * the snapshot is rewritten under `newPartitionBy` and every later
+    * commit follows the new layout. History keeps each commit's own
+    * spec — time travel and restore reproduce the old layout, and the
+    * Iceberg mirror publishes the change as a real partition-spec
+    * evolution (new spec-id; manifests resolve per their own spec). */
+  def overwriteRepartition(df: DataFrame, newPartitionBy: Seq[String]): Int =
+    commit("overwriteRepartition", Some(df), _ => Nil, newPartitionBy)
+
   /** Overwrite committed under a caller-supplied action label — the
     * Complete-mode streaming sink stamps `stream-complete#<batchId>`
     * for replay detection, like [[appendBatch]]. */

@@ -636,8 +636,9 @@ object IcebergInterop {
         .maxOption.getOrElse(-1)
     val curMeta: Int =
       if (!fs.exists(hint)) listedTop
-      else new String(readBytes(fs, hint), StandardCharsets.UTF_8)
+      else try new String(readBytes(fs, hint), StandardCharsets.UTF_8)
         .trim.toIntOption.getOrElse(listedTop)
+      catch { case _: java.io.FileNotFoundException => listedTop }
     var md: ObjectNode =
       if (curMeta < 0) null
       else om.readTree(readBytes(fs,
@@ -768,17 +769,57 @@ object IcebergInterop {
       // not Iceberg's murmur3 bucket transform, and a declared-but-
       // differently-hashed field would mis-prune in foreign engines.
       // Values parse from the hive `key=value` path segments.
-      val parts: Seq[PartField] =
-        c.partitionBy.flatMap(transformField(_, commitSchema)).zipWithIndex
-          .map { case ((fname, transform, hiveKey, dt, srcCol), i) =>
+      val rawParts: Seq[PartField] =
+        c.partitionBy.flatMap(transformField(_, commitSchema))
+          .map { case (fname, transform, hiveKey, dt, srcCol) =>
             val sourceId = schemaNode.get("fields").elements().asScala()
               .find(_.get("name").asText() == srcCol)
               .map(_.get("id").asInt())
               .getOrElse(throw new IllegalStateException(
                 s"partition source column $srcCol missing from schema of commit $v"))
-            PartField(fname, sourceId, 1000 + i, dt, transform,
+            PartField(fname, sourceId, -1, dt, transform,
               if (hiveKey == fname) None else Some(hiveKey))
           }
+      // ---- partition-spec EVOLUTION: resolve this commit's spec id.
+      // A commit whose fields (name, transform, source-id) match a
+      // recorded spec REUSES that spec and its field ids; otherwise a
+      // fresh spec id is allocated — fields carried over from the
+      // previous default spec keep their ids, new fields take ids
+      // past last-partition-id (the never-reuse rule) — and
+      // default-spec-id moves. Manifests below are stamped with their
+      // own spec id, which the reader resolves per manifest.
+      val existingSpecs: Seq[(Int, Seq[(String, String, Int, Int)])] =
+        if (md == null) Nil
+        else md.path("partition-specs").elements().asScala().toSeq.map { s =>
+          s.path("spec-id").asInt(0) ->
+            s.path("fields").elements().asScala().toSeq.map(f =>
+              (f.path("name").asText(), f.path("transform").asText(),
+                f.path("source-id").asInt(-1), f.path("field-id").asInt(-1)))
+        }
+      val wantSig = rawParts.map(p => (p.name, p.transform, p.sourceId))
+      val (specId, parts): (Int, Seq[PartField]) = existingSpecs
+        .find(_._2.map(t => (t._1, t._2, t._3)) == wantSig) match {
+        case Some((id, fields)) =>
+          (id, rawParts.zip(fields).map { case (p, f) => p.copy(fieldId = f._4) })
+        case None if md == null =>
+          (0, rawParts.zipWithIndex.map { case (p, i) =>
+            p.copy(fieldId = 1000 + i) })
+        case None =>
+          val newId = existingSpecs.map(_._1).maxOption.getOrElse(-1) + 1
+          val prevFields = existingSpecs
+            .find(_._1 == md.path("default-spec-id").asInt(0))
+            .map(_._2).getOrElse(Nil)
+          var nextFieldId = math.max(md.path("last-partition-id").asInt(999),
+            existingSpecs.flatMap(_._2.map(_._4)).maxOption.getOrElse(999))
+          val resolved = rawParts.map { p =>
+            prevFields.find(f =>
+              (f._1, f._2, f._3) == (p.name, p.transform, p.sourceId)) match {
+              case Some(f) => p.copy(fieldId = f._4)
+              case None => nextFieldId += 1; p.copy(fieldId = nextFieldId)
+            }
+          }
+          (newId, resolved)
+      }
       if (parts.exists(p => Set("day", "hour", "month", "year")(p.transform))) {
         val tz = t.spark.conf.get("spark.sql.session.timeZone",
           java.util.TimeZone.getDefault.getID)
@@ -806,7 +847,8 @@ object IcebergInterop {
       def writeManifest(ents: Seq[GenericRecord]): (HPath, Long) = {
         val bytes = writeAvro(entrySchema, Map(
           "schema" -> schemaJson, "schema-id" -> "0",
-          "partition-spec" -> specJson, "partition-spec-id" -> "0",
+          "partition-spec" -> specJson,
+          "partition-spec-id" -> specId.toString,
           "format-version" -> "1"), ents)
         val p = new HPath(metaDir, s"${java.util.UUID.randomUUID()}-m0.avro")
         writeBytes(fs, p, bytes)
@@ -826,7 +868,7 @@ object IcebergInterop {
           }
           val (mp, mlen) = writeManifest(ents)
           priorManifests :+
-            manifestListEntry(mp.toString, mlen, snapId, delta.size, 0)
+            manifestListEntry(mp.toString, mlen, snapId, delta.size, 0, specId)
         } else {
           val ents = files.map { case (p, size, rc) =>
             manifestEntry(entrySchema, p, size, rc,
@@ -835,7 +877,7 @@ object IcebergInterop {
           val (mp, mlen) = writeManifest(ents)
           val added = ents.count(_.get("status") == 1)
           Seq(manifestListEntry(mp.toString, mlen, snapId,
-            added, ents.size - added))
+            added, ents.size - added, specId))
         }
       prevFiles = fileSet
       val listBytes = writeAvro(manifestFileSchema,
@@ -847,6 +889,28 @@ object IcebergInterop {
       priorManifests = listRecords
 
       if (md == null) md = baseMetadata(root.toString, c.timestampMs, parts)
+      // spec evolution bookkeeping: record a NEW spec, move the
+      // default, refresh the v1 legacy flat field, advance
+      // last-partition-id (ids are never reused across specs)
+      locally {
+        val specsArr = md.path("partition-specs") match {
+          case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+          case _ => md.putArray("partition-specs")
+        }
+        if (!specsArr.elements().asScala()
+            .exists(_.path("spec-id").asInt(-1) == specId)) {
+          val n = om.createObjectNode()
+          n.put("spec-id", specId)
+          val f = n.putArray("fields")
+          parts.foreach(p => f.add(specFieldNode(p)))
+          specsArr.add(n)
+        }
+        md.put("default-spec-id", specId)
+        val flat = md.putArray("partition-spec")
+        parts.foreach(p => flat.add(specFieldNode(p)))
+        md.put("last-partition-id",
+          (md.path("last-partition-id").asInt(999) +: parts.map(_.fieldId)).max)
+      }
       md.put("last-updated-ms", c.timestampMs)
       // reuse a deep-equal schema's id; else append with a fresh id
       val schemas =
@@ -1344,10 +1408,15 @@ object IcebergInterop {
     require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
 
     val hint = new HPath(metaDir, "version-hint.text")
+    // the hint read must tolerate the publisher's delete -> rename
+    // window (publishHint): existing at the check but gone at the open
+    // is a concurrent publish, not corruption — fall back to the
+    // listing like an absent hint
     val hintVersion: Option[Long] =
       if (!fs.exists(hint)) None
-      else new String(readBytes(fs, hint), StandardCharsets.UTF_8)
+      else try new String(readBytes(fs, hint), StandardCharsets.UTF_8)
         .trim.toLongOption
+      catch { case _: java.io.FileNotFoundException => None }
     val metaFile: HPath =
       if (hintVersion.isDefined) {
         val v = hintVersion.get

@@ -1076,6 +1076,128 @@ class DeltaInteropSpec extends AnyFunSuite {
       md.contains("\"transform\":\"day\""), md.take(600))
   }
 
+  test("overwriteRepartition publishes REAL Iceberg spec evolution; Delta follows") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val t = GraftTable.create(spark, tmp("graft_evo_"),
+      Seq((1L, "eu", ts("2024-01-01 10:00:00"), 1.0),
+          (2L, "us", ts("2024-01-02 11:00:00"), 2.0))
+        .toDF("id", "seg", "ts", "x"),
+      partitionBy = Seq("days(ts)"))
+    DeltaInterop.mirrorToDelta(t)
+    graft.sources.IcebergInterop.mirrorToIceberg(t)
+    // evolve days(ts) -> identity(seg), then append under the new layout
+    t.overwriteRepartition(
+      Seq((3L, "eu", ts("2024-02-01 09:00:00"), 3.0),
+          (4L, "ap", ts("2024-02-02 08:00:00"), 4.0))
+        .toDF("id", "seg", "ts", "x"), Seq("seg"))
+    t.append(Seq((5L, "us", ts("2024-02-03 07:00:00"), 5.0))
+      .toDF("id", "seg", "ts", "x"))
+    DeltaInterop.mirrorToDelta(t)
+    graft.sources.IcebergInterop.mirrorToIceberg(t)
+    val want = Set((3L, "eu"), (4L, "ap"), (5L, "us"))
+    assert(DeltaInterop.readDelta(spark, t.root)
+      .select("id", "seg").as[(Long, String)].collect().toSet == want)
+    assert(graft.sources.IcebergInterop.readIceberg(spark, t.root)
+      .select("id", "seg").as[(Long, String)].collect().toSet == want)
+    // Iceberg metadata: two specs, fresh non-colliding field ids,
+    // default moved to the new one
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = om.readTree(Files.readAllBytes(Paths.get(t.root, "metadata",
+      s"v${t.latestVersion() + 1}.metadata.json")))
+    val specs = md.get("partition-specs")
+    assert(specs.size() == 2, specs.toString)
+    val spec0 = specs.get(0); val spec1 = specs.get(1)
+    assert(spec0.get("fields").get(0).get("transform").asText() == "day")
+    assert(spec1.get("fields").get(0).get("transform").asText() == "identity")
+    val id0 = spec0.get("fields").get(0).get("field-id").asInt()
+    val id1 = spec1.get("fields").get(0).get("field-id").asInt()
+    assert(id0 != id1, s"field ids must never be reused: $id0 vs $id1")
+    assert(md.get("default-spec-id").asInt() == 1)
+    assert(md.get("last-partition-id").asInt() == math.max(id0, id1))
+    // time travel BEFORE the evolution resolves the old spec's
+    // manifests (per-manifest spec resolution)
+    val old = graft.sources.IcebergInterop.readIceberg(spark, t.root, Some(1L))
+      .select("id").as[Long].collect().toSet
+    assert(old == Set(1L, 2L))
+    // Delta metaData moved partitionColumns [] -> [seg]
+    val lastLog = Files.readAllLines(Paths.get(t.root, "_delta_log",
+      f"${1L}%020d.json")).toArray.mkString("\n")
+    assert(lastLog.contains("\"partitionColumns\":[\"seg\"]"), lastLog.take(400))
+    // restore back to the days layout: the spec is REUSED, not re-added
+    t.restore(0)
+    graft.sources.IcebergInterop.mirrorToIceberg(t)
+    DeltaInterop.mirrorToDelta(t)
+    val md2 = om.readTree(Files.readAllBytes(Paths.get(t.root, "metadata",
+      s"v${t.latestVersion() + 1}.metadata.json")))
+    assert(md2.get("partition-specs").size() == 2, md2.get("partition-specs").toString)
+    assert(md2.get("default-spec-id").asInt() == 0)
+    assert(graft.sources.IcebergInterop.readIceberg(spark, t.root)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(DeltaInterop.readDelta(spark, t.root)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("mirror fuzz: interleaved LAYOUT CHANGES keep both mirrors exact") {
+    import spark.implicits._
+    // the spec-evolution fuzz the fixed-layout fuzzes can't cover:
+    // random op sequences that also change the partition layout
+    // mid-history (days transform -> identity -> unpartitioned and
+    // back) and restore across layout boundaries, with mirror syncs
+    // (and therefore mirror RESUMES) at random points
+    val layouts = Seq(Seq("days(ts)"), Seq("seg"), Nil)
+    (0 until 2).foreach { trial =>
+      val rnd = new scala.util.Random(9100 + trial)
+      val days = Seq("2024-01-01", "2024-03-05", null)
+      val segs = Seq("us", "eu", null)
+      def batch(): org.apache.spark.sql.DataFrame = {
+        val n = 1 + rnd.nextInt(4)
+        (0 until n).map { _ =>
+          val d = days(rnd.nextInt(days.size))
+          (rnd.nextInt(50).toLong, segs(rnd.nextInt(segs.size)),
+            if (d == null) null
+            else java.sql.Timestamp.valueOf(s"$d 0${rnd.nextInt(10)}:00:00"),
+            rnd.nextInt(100).toDouble)
+        }.toDF("id", "seg", "ts", "x")
+      }
+      val t = GraftTable.create(spark, tmp(s"graft_fuzzl${trial}_"), batch(),
+        partitionBy = layouts(rnd.nextInt(layouts.size)))
+      def key(r: (Long, String, java.sql.Timestamp, Double)) =
+        (r._1, Option(r._2).getOrElse(""),
+          Option(r._3).map(_.getTime).getOrElse(Long.MinValue), r._4)
+      def sync(): Unit = {
+        DeltaInterop.mirrorToDelta(t)
+        graft.sources.IcebergInterop.mirrorToIceberg(t)
+        val want = t.read().select("id", "seg", "ts", "x")
+          .as[(Long, String, java.sql.Timestamp, Double)].collect()
+          .sortBy(key).toSeq
+        val viaDelta = DeltaInterop.readDelta(spark, t.root)
+          .select("id", "seg", "ts", "x")
+          .as[(Long, String, java.sql.Timestamp, Double)].collect()
+          .sortBy(key).toSeq
+        val viaIce = graft.sources.IcebergInterop.readIceberg(spark, t.root)
+          .select("id", "seg", "ts", "x")
+          .as[(Long, String, java.sql.Timestamp, Double)].collect()
+          .sortBy(key).toSeq
+        assert(viaDelta == want, s"trial $trial delta v${t.latestVersion()}")
+        assert(viaIce == want, s"trial $trial iceberg v${t.latestVersion()}")
+      }
+      (0 until 12).foreach { _ =>
+        rnd.nextInt(7) match {
+          case 0 | 1 => t.append(batch())
+          case 2 => t.delete(col("id") < rnd.nextInt(25))
+          case 3 => t.overwrite(batch())
+          case 4 => t.compact(1)
+          case 5 => t.overwriteRepartition(batch(),
+            layouts(rnd.nextInt(layouts.size)))
+          case 6 => t.restore(rnd.nextInt(t.latestVersion() + 1))
+        }
+        if (rnd.nextBoolean()) sync()
+      }
+      sync()
+    }
+  }
+
   test("adversarial partition values round-trip through BOTH mirrors exactly") {
     import spark.implicits._
     // hive-escaped characters ('%', '=', ':', spaces), dots, leading

@@ -1456,7 +1456,8 @@ class IcebergInteropSpec extends AnyFunSuite {
     // appended parquet files are FIELD-ID stamped (real Iceberg readers
     // resolve columns by id, not name)
     val dataFile = Files.walk(Paths.get(target, "data")).toArray
-      .map(_.toString).filter(_.endsWith(".parquet")).head
+      .map(_.toString)
+      .filter(p => p.contains("graft-append-") && p.endsWith(".parquet")).head
     val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(dataFile),
