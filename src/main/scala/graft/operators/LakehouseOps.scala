@@ -374,7 +374,35 @@ object LakehouseOps {
     """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** g18: foreign-Delta DELETE gate
+    * ([[graft.sources.DeltaInterop.deleteFromDelta]]) — export supplier
+    * as an identity-partitioned Delta table, row-level DELETE through
+    * the copy-on-write foreign commit path (partial files rewritten,
+    * full files removed), and read the result back through the log
+    * replay. The oracle recomputes the filter relationally, so the
+    * rewritten parquet + remove/add commit must be value-exact. */
+  val g18_delta_delete: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup,
+      partitionBy = Seq("s_nationkey"))
+    val target = Files.createTempDirectory("graft_ddelete_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    graft.sources.DeltaInterop.deleteFromDelta(s, target,
+      $"s_suppkey" % 3 === 0)
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g18_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+      |FROM supplier WHERE s_suppkey % 3 <> 0 ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g18_delta_delete" -> g18_delta_delete,
     "g13_delta_stream" -> g13_delta_stream,
     "g14_iceberg_stream" -> g14_iceberg_stream,
     "g12_delta_cdf" -> g12_delta_cdf,
@@ -391,6 +419,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g18_delta_delete" -> g18_sql,
     "g13_delta_stream" -> g13_sql,
     "g14_iceberg_stream" -> g14_sql,
     "g12_delta_cdf" -> g12_sql,

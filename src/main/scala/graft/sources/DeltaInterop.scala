@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
@@ -1334,6 +1334,356 @@ object DeltaInterop {
         try cleanup() catch { case _: Exception => () }
         throw e
     }
+  }
+
+  /** DELETE the rows matching `condition` from an existing Delta table
+    * (foreign or mirrored) with copy-on-write rewrites — the foreign
+    * twin of `GraftTable.delete` and the protocol shape of Delta's own
+    * `DELETE FROM`:
+    *
+    *  - A predicate referencing ONLY partition columns is a
+    *    METADATA-ONLY delete: the condition is evaluated against the
+    *    distinct partition tuples on the driver (typed via the declared
+    *    schema) and the matching files are removed whole — no data
+    *    scan, the `DELETE WHERE date < X` retention shape at any scale.
+    *  - Otherwise one distributed scan (deletion-vector rows already
+    *    filtered) finds the affected files and per-file survivor
+    *    counts; fully-matched files are removed whole, partially-
+    *    matched files are rewritten without the matching rows (one
+    *    distributed write into the table's hive layout) and committed
+    *    as remove+add.
+    *  - When `delta.enableChangeDataFeed` is set AND the commit
+    *    rewrites files, the deleted rows are also written as
+    *    `_change_data/` cdc files (`_change_type='delete'`) with `cdc`
+    *    actions — per the protocol, readers treat cdc as authoritative
+    *    for such commits, so the feed stays unambiguous; remove-only
+    *    commits carry no cdc (CDF readers derive deletes from the
+    *    remove actions, DV-aware).
+    *
+    * Writer obligations: refuses column mapping (rewritten files would
+    * need physical names), append-only tables (`delta.appendOnly`),
+    * writer protocols above 7, and unknown writer features; CHECK
+    * constraints, invariants and generated columns impose no
+    * obligation on DELETE (surviving rows are carried verbatim).
+    *
+    * Concurrency: the commit claims the next version slot via the
+    * conditional-put protocol; a lost race RESTARTS the whole
+    * operation against the peer's state (a delete's read set is the
+    * table, so re-validation alone is not enough), bounded by
+    * `maxRetries`. A no-match delete commits nothing and returns the
+    * current version. Returns the committed (or current) version. */
+  def deleteFromDelta(spark: SparkSession, path: String, condition: Column,
+      maxRetries: Int = 20): Long = {
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val io = new TableIO(path, conf)
+    val logDir = new HPath(root, "_delta_log")
+    require(fs.exists(logDir), s"no Delta log at $path — deleteFromDelta " +
+      "mutates existing tables")
+
+    def refuseW(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"cannot delete from Delta table at $path: $what — write it with " +
+          "a full Delta client")
+
+    // constraints / invariants / generated columns impose no obligation
+    // on DELETE (surviving rows are carried verbatim); appendOnly is
+    // enforced below via the delta.appendOnly table property
+    val HarmlessOnDelete = Set("appendOnly", "invariants",
+      "checkConstraints", "generatedColumns", "changeDataFeed",
+      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata",
+      "columnMapping")
+
+    def validate(): DeltaSnapshot = {
+      val st = replaySnapshot(spark, path, None)
+      if (st.colMapMode != "none")
+        refuseW("the table uses column mapping — rewritten files would " +
+          "need physical column names")
+      if (st.configuration.get("delta.appendOnly").contains("true"))
+        refuseW("the table is append-only (delta.appendOnly=true)")
+      if (st.minWriter > 7)
+        refuseW(s"the table requires writer protocol ${st.minWriter}")
+      if (st.minWriter == 7) {
+        val unknown = st.writerFeatures.filterNot(HarmlessOnDelete.contains)
+        if (unknown.nonEmpty)
+          refuseW("the table requires writer features " +
+            s"[${unknown.mkString(", ")}] this writer does not implement")
+      }
+      st
+    }
+
+    val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+    // predicate column references from the (unresolved) expression tree
+    val refNames: Set[String] = bridge.expression(condition).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.name
+    }.toSet
+
+    def qualified(p: String): String = {
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+
+    var attempts = 0
+    var result = -1L
+    while (result < 0) {
+      val st = validate()
+      val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+      val partCols = st.partCols
+      val dataSchema =
+        StructType(schema.filterNot(f => partCols.contains(f.name)))
+      val cdfEnabled =
+        st.configuration.get("delta.enableChangeDataFeed").contains("true")
+      val partitionOnly = refNames.nonEmpty && partCols.nonEmpty &&
+        refNames.forall(n => partCols.exists(_.equalsIgnoreCase(n)))
+
+      // (logPath, pv, dv) → whole-file removes; (logPath, pv) → rewrites
+      var removeWhole: Seq[(String, Map[String, String])] = Nil
+      var rewriteFiles: Seq[(String, (Map[String, String],
+        Option[DeletionVectors.Descriptor]))] = Nil
+
+      if (partitionOnly) {
+        // METADATA-ONLY: type the distinct partition tuples and let the
+        // condition select them on the driver — no data scan
+        val pvs = st.active.map(_._2._1).distinct
+        val idxed = pvs.zipWithIndex
+        val pvSchema = StructType(partCols.map(pc =>
+          StructField(pc, org.apache.spark.sql.types.StringType)) :+
+          StructField("__pv_idx", org.apache.spark.sql.types.LongType,
+            nullable = false))
+        val rows = idxed.map { case (pv, i) =>
+          org.apache.spark.sql.Row.fromSeq(
+            partCols.map(pc => pv.get(pc).orNull) :+ i.toLong)
+        }
+        val typed = partCols.foldLeft(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), pvSchema)) { (d, pc) =>
+          d.withColumn(pc, col(pc).cast(schema(pc).dataType))
+        }
+        val matched = typed.filter(condition).select(col("__pv_idx"))
+          .collect().map(_.getLong(0)).toSet
+        val matchedPvs =
+          idxed.filter(t => matched(t._2.toLong)).map(_._1).toSet
+        removeWhole = st.active.collect {
+          case (p, (pv, _)) if matchedPvs(pv) => (p, pv)
+        }
+        if (removeWhole.isEmpty) result = st.version
+        else {
+          try {
+            result = commitDelete(io, logDir, st,
+              System.currentTimeMillis(), condition.toString, removeWhole,
+              Nil, Nil, partCols)
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              attempts += 1
+              if (attempts > maxRetries)
+                throw new IllegalStateException(
+                  s"deleteFromDelta lost $maxRetries version races at " +
+                    s"$path — giving up")
+          }
+        }
+      } else {
+        // one distributed detection scan: DV-live rows only, per-file
+        // matched/total counts decide remove-whole vs rewrite
+        val lookupMap = new java.util.HashMap[
+          org.apache.spark.unsafe.types.UTF8String,
+          DeletionVectors.Roaring64]()
+        st.active.foreach { case (p, (_, dv)) =>
+          dv.foreach(d => lookupMap.put(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              qualified(resolveFile(root, p))),
+            DeletionVectors.load(conf, root, d)))
+        }
+        val dvLookup = new DvLookup(lookupMap)
+        val byQualified: Map[String, (String, (Map[String, String],
+          Option[DeletionVectors.Descriptor]))] =
+          st.active.map(e => qualified(resolveFile(root, e._1)) -> e).toMap
+        def liveScan(entries: Seq[(String, (Map[String, String],
+            Option[DeletionVectors.Descriptor]))]): DataFrame =
+          entries.groupBy(_._2._1).map { case (pv, es) =>
+            val base = spark.read.schema(dataSchema)
+              .parquet(es.map(e => resolveFile(root, e._1)): _*)
+            val dvPred = bridge.column(DvDeleted(
+              bridge.expression(col("_metadata.file_path")),
+              bridge.expression(col("_metadata.row_index")), dvLookup))
+            val withParts = partCols.foldLeft(
+              base.withColumn("__file", col("_metadata.file_path"))
+                .where(!dvPred)) { (d, pc) =>
+              d.withColumn(pc,
+                pv.get(pc).map(lit(_)).getOrElse(lit(null))
+                  .cast(schema(pc).dataType))
+            }
+            withParts
+          }.reduceOption(_.unionByName(_)).getOrElse(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(dataSchema.fields ++
+                partCols.map(pc => schema(pc)) :+
+                StructField("__file", org.apache.spark.sql.types.StringType))))
+        val counts = liveScan(st.active)
+          .groupBy(col("__file"))
+          .agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(condition, 1L).otherwise(0L))
+            .as("__matched"),
+            org.apache.spark.sql.functions.count(lit(1)).as("__total"))
+          .where(col("__matched") > 0)
+          .collect()
+        val rw = Seq.newBuilder[(String, (Map[String, String],
+          Option[DeletionVectors.Descriptor]))]
+        val rm = Seq.newBuilder[(String, Map[String, String])]
+        counts.foreach { r =>
+          val entry = byQualified(r.getString(0))
+          if (r.getLong(1) == r.getLong(2)) rm += ((entry._1, entry._2._1))
+          else rw += entry
+        }
+        removeWhole = rm.result()
+        rewriteFiles = rw.result()
+        if (removeWhole.isEmpty && rewriteFiles.isEmpty) result = st.version
+
+        // helper reused for the rewrite write and the cdc write
+        def affectedScan(keep: Column, extra: Seq[(String, Column)])
+            : DataFrame = {
+          val src = liveScan(rewriteFiles ++ removeWhole.map { case (p, pv) =>
+            (p, (pv, byQualified(qualified(resolveFile(root, p)))._2._2))
+          })
+          val out = extra.foldLeft(src.where(keep).drop("__file")) {
+            case (d, (n, c)) => d.withColumn(n, c)
+          }
+          out
+        }
+
+        if (result < 0) {
+        val now0 = System.currentTimeMillis()
+        val staging = new HPath(root, s"_graft_delete_${java.util.UUID.randomUUID()}")
+        val cdcStaging = new HPath(root,
+          s"_graft_cdc_${java.util.UUID.randomUUID()}")
+        val moved = scala.collection.mutable.Buffer[String]()
+        def cleanupStaged(): Unit = {
+          moved.foreach(p => fs.delete(new HPath(root, p), false))
+          fs.delete(staging, true); fs.delete(cdcStaging, true)
+        }
+        try {
+          // rewrite survivors of partially-matched files
+          var adds: Seq[(String, Long)] = Nil
+          if (rewriteFiles.nonEmpty) {
+            // survivors = rows where the predicate is NOT TRUE (false
+            // or null) — SQL DELETE keeps null-condition rows
+            val survivors = liveScan(rewriteFiles)
+              .where(!org.apache.spark.sql.functions.coalesce(
+                condition, lit(false)))
+              .drop("__file").select(schema.fieldNames.map(col).toSeq: _*)
+            if (partCols.nonEmpty)
+              survivors.write.partitionBy(partCols: _*)
+                .parquet(staging.toString)
+            else survivors.write.parquet(staging.toString)
+            val staged = listStagedParquet(fs, staging)
+            staged.foreach { case (rel, _) =>
+              val dst = new HPath(root, rel)
+              fs.mkdirs(dst.getParent)
+              if (!fs.rename(new HPath(staging, rel), dst))
+                throw new java.io.IOException(
+                  s"could not move rewritten file $rel into $path")
+              moved += rel
+            }
+            fs.delete(staging, true)
+            adds = staged
+          }
+          // cdc files: ALL deleted rows of the commit (cdc is
+          // authoritative once present), only when the commit rewrites
+          var cdcAdds: Seq[(String, Long)] = Nil
+          if (cdfEnabled && rewriteFiles.nonEmpty) {
+            val deleted = affectedScan(condition,
+              Seq("_change_type" -> lit("delete")))
+              .select((schema.fieldNames.map(col) :+
+                col("_change_type")).toSeq: _*)
+            if (partCols.nonEmpty)
+              deleted.write.partitionBy(partCols: _*)
+                .parquet(cdcStaging.toString)
+            else deleted.write.parquet(cdcStaging.toString)
+            val staged = listStagedParquet(fs, cdcStaging)
+            staged.foreach { case (rel, _) =>
+              val dst = new HPath(root, s"_change_data/$rel")
+              fs.mkdirs(dst.getParent)
+              if (!fs.rename(new HPath(cdcStaging, rel), dst))
+                throw new java.io.IOException(
+                  s"could not move cdc file $rel into $path")
+              moved += s"_change_data/$rel"
+            }
+            fs.delete(cdcStaging, true)
+            cdcAdds = staged
+          }
+          // tombstone the fully-matched files AND the rewritten sources
+          result = commitDelete(io, logDir, st, now0, condition.toString,
+            removeWhole ++ rewriteFiles.map { case (p, (pv, _)) => (p, pv) },
+            adds, cdcAdds, partCols)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            cleanupStaged()
+            attempts += 1
+            if (attempts > maxRetries)
+              throw new IllegalStateException(
+                s"deleteFromDelta lost $maxRetries version races at $path " +
+                  "— giving up")
+          case e: Throwable =>
+            try cleanupStaged() catch { case _: Exception => () }
+            throw e
+        }
+        }
+      }
+    }
+    result
+  }
+
+  /** Single-attempt DELETE commit: cdc + remove + add actions into the
+    * next version slot (throws FileAlreadyExistsException on a lost
+    * race — the caller recomputes). */
+  private def commitDelete(io: TableIO, logDir: HPath, st: DeltaSnapshot,
+      now: Long, predicate: String,
+      removeWhole: Seq[(String, Map[String, String])],
+      adds: Seq[(String, Long)], cdcAdds: Seq[(String, Long)],
+      partCols: Seq[String]): Long = {
+    val actions = Seq.newBuilder[String]
+    actions += s"""{"commitInfo":{"timestamp":$now,"operation":"DELETE","operationParameters":{"predicate":"${jsonEscape(predicate)}"},"engineInfo":"graft-delete"}}"""
+    def pvJson(pv: Seq[(String, String)]): String =
+      pv.map { case (k, v) =>
+        "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\""
+      }.mkString(",")
+    cdcAdds.foreach { case (rel, size) =>
+      val pv = hivePartitionValues(rel, partCols)
+      actions += s"""{"cdc":{"path":"${jsonEscape(encodePath(s"_change_data/$rel"))}","partitionValues":{${pvJson(pv)}},"size":$size,"dataChange":false}}"""
+    }
+    removeWhole.foreach { case (p, pv) =>
+      val pvSeq = pv.toSeq
+      actions += s"""{"remove":{"path":"${jsonEscape(encodePath(p))}","deletionTimestamp":$now,"dataChange":true,"extendedFileMetadata":true,"partitionValues":{${pvJson(pvSeq)}}}}"""
+    }
+    adds.foreach { case (rel, size) =>
+      val pv = hivePartitionValues(rel, partCols)
+      actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{${pvJson(pv)}},"size":$size,"modificationTime":$now,"dataChange":true}}"""
+    }
+    val bytes = actions.result().mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val v = st.version + 1
+    io.writeExclusive(new HPath(logDir, f"$v%020d.json"), bytes)
+    v
+  }
+
+  /** Relative (path, size) of every data parquet under a staging dir,
+    * recursing through hive `col=value` subdirectories. */
+  private def listStagedParquet(fs: org.apache.hadoop.fs.FileSystem,
+      staging: HPath): Seq[(String, Long)] = {
+    def rec(dir: HPath, rel: String): Seq[(String, Long)] =
+      fs.listStatus(dir).toSeq.flatMap { stat =>
+        val name = stat.getPath.getName
+        val childRel = if (rel.isEmpty) name else s"$rel/$name"
+        if ((name.startsWith("_") || name.startsWith(".")) && !name.contains("="))
+          Nil
+        else if (stat.isDirectory) rec(stat.getPath, childRel)
+        else if (name.endsWith(".parquet")) Seq((childRel, stat.getLen))
+        else Nil
+      }
+    rec(staging, "")
   }
 
   /** Change Data Feed read of a foreign Delta table: one row per

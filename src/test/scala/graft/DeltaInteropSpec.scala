@@ -1709,4 +1709,198 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(changes == Set(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L)
       .map((_, "delete")), changes.toString)
   }
+
+  test("deleteFromDelta rewrites partial files, removes full ones") {
+    import spark.implicits._
+    // seg=A holds ids 1..4 (partially matched), seg=B holds 10..12
+    // (fully matched), seg=C holds 20 (untouched)
+    val t = GraftTable.create(spark, tmp("graft_ddel_"),
+      (Seq(1L, 2L, 3L, 4L).map((_, "A")) ++ Seq(10L, 11L, 12L).map((_, "B"))
+        ++ Seq(20L).map((_, "C"))).toDF("id", "seg").repartition(1),
+      partitionBy = Seq("seg"))
+    val target = tmp("graft_ddel_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    val v = DeltaInterop.deleteFromDelta(spark, target,
+      col("id") >= 3L && col("id") <= 12L)
+    assert(v == 1L)
+    val got = DeltaInterop.readDelta(spark, target)
+      .select("id", "seg").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "A"), (2L, "A"), (20L, "C")), got.toString)
+    val log = new String(Files.readAllBytes(Paths.get(target,
+      "_delta_log", "0" * 19 + "1.json")), "UTF-8")
+    // seg=A rewritten (remove + add), seg=B removed whole, seg=C silent
+    assert(log.contains("\"operation\":\"DELETE\""), log.take(300))
+    val lines = log.trim.split('\n').toSeq
+    assert(lines.count(_.contains("\"remove\"")) >= 2, log)
+    val addLines = lines.filter(_.contains("\"add\""))
+    assert(addLines.nonEmpty && addLines.forall(_.contains("seg=A")), log)
+    assert(!lines.exists(l => l.contains("\"remove\"") && l.contains("seg=C")), log)
+  }
+
+  test("deleteFromDelta partition-only predicate is metadata-only") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_ddelp_"),
+      Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, null)).toDF("id", "seg"),
+      partitionBy = Seq("seg"))
+    val target = tmp("graft_ddelp_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    def parquetCount: Long = Files.walk(Paths.get(target)).toArray
+      .map(_.toString).count(_.endsWith(".parquet")).toLong
+    val before = parquetCount
+    DeltaInterop.deleteFromDelta(spark, target, col("seg") === "A")
+    // no data was scanned or written — the condition selected whole
+    // partitions from the log metadata alone
+    assert(parquetCount == before)
+    val log = new String(Files.readAllBytes(Paths.get(target,
+      "_delta_log", "0" * 19 + "1.json")), "UTF-8")
+    assert(!log.contains("\"add\""), log)
+    assert(log.contains("\"remove\""), log)
+    val got = DeltaInterop.readDelta(spark, target)
+      .select("id", "seg").as[(Long, String)].collect().toSet
+    // null-seg row survives: seg === 'A' is null there, not true
+    assert(got == Set((3L, "B"), (4L, null)), got.toString)
+  }
+
+  test("deleteFromDelta keeps null-condition rows and no-ops cleanly") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_ddeln_"),
+      Seq((1L, Some(1.0)), (2L, None), (3L, Some(9.0)))
+        .toDF("id", "x"))
+    val target = tmp("graft_ddeln_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    DeltaInterop.deleteFromDelta(spark, target, col("x") > 5.0)
+    val got = DeltaInterop.readDelta(spark, target)
+      .select("id").as[Long].collect().toSet
+    // x=null row: condition NULL -> kept, per SQL DELETE semantics
+    assert(got == Set(1L, 2L), got.toString)
+    // no matching rows: nothing commits, version unchanged
+    val v = DeltaInterop.deleteFromDelta(spark, target, col("x") > 99.0)
+    assert(v == 1L)
+    assert(!Files.exists(Paths.get(target, "_delta_log", "0" * 19 + "2.json")))
+  }
+
+  test("deleteFromDelta writes authoritative cdc files on CDF tables") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_ddelc_"),
+      Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "seg")
+        .repartition(1),
+      partitionBy = Seq("seg"))
+    val target = tmp("graft_ddelc_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    // flip on CDF the way a real table property would carry it
+    val v0 = Paths.get(target, "_delta_log", "0" * 20 + ".json")
+    Files.write(v0, new String(Files.readAllBytes(v0), "UTF-8")
+      .replace("\"configuration\":{}",
+        "\"configuration\":{\"delta.enableChangeDataFeed\":\"true\"}")
+      .getBytes("UTF-8"))
+    // the in-place edit invalidates Hadoop LocalFileSystem's checksum
+    // sidecar — drop it so the reader re-reads the patched file
+    Files.deleteIfExists(Paths.get(target, "_delta_log",
+      "." + "0" * 20 + ".json.crc"))
+    // partial match in seg=A forces a rewrite -> cdc becomes mandatory
+    DeltaInterop.deleteFromDelta(spark, target,
+      col("id") === 2L || col("id") === 3L)
+    val log = new String(Files.readAllBytes(Paths.get(target,
+      "_delta_log", "0" * 19 + "1.json")), "UTF-8")
+    assert(log.contains("\"cdc\""), log)
+    assert(Files.exists(Paths.get(target, "_change_data")))
+    // the feed reads the cdc files as authoritative
+    val changes = DeltaInterop.readDeltaChanges(spark, target, 1L, 1L)
+      .select(col("id"), col("seg"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSet
+    assert(changes == Set((2L, "A", "delete"), (3L, "B", "delete")),
+      changes.toString)
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("deleteFromDelta applies existing deletion vectors to rewrites") {
+    import spark.implicits._
+    val root = tmp("graft_ddeldv_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    (0L until 10L).toDF("id").coalesce(1).write.parquet(root + "/d")
+    var rel: String = null
+    Files.list(Paths.get(root, "d")).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        rel = "d/" + p.getFileName.toString
+    }
+    val idxOf = spark.read.parquet(root + "/d")
+      .select(col("id"), col("_metadata.row_index"))
+      .as[(Long, Long)].collect().toMap
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val inline = graft.sources.DeletionVectors.serialize(
+      Seq(idxOf(2L), idxOf(5L)))
+    val padded = java.util.Arrays.copyOf(inline, (inline.length + 3) / 4 * 4)
+    val z85dv = graft.sources.DeletionVectors.z85Encode(padded)
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$z85dv","sizeInBytes":${padded.length},"cardinality":2}}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    // live rows are 0,1,3,4,6,7,8,9; delete >= 7 -> rewrite keeps
+    // 0,1,3,4,6 and must NOT resurrect the DV-struck 2 and 5
+    DeltaInterop.deleteFromDelta(spark, root, col("id") >= 7L)
+    val got = DeltaInterop.readDelta(spark, root)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(0L, 1L, 3L, 4L, 6L), got.toString)
+  }
+
+  test("deleteFromDelta refuses append-only and column-mapped tables") {
+    import spark.implicits._
+    def build(config: String): String = {
+      val root = tmp("graft_ddelr_")
+      Files.createDirectories(Paths.get(root, "_delta_log"))
+      Seq(1L).toDF("id").coalesce(1).write.parquet(root + "/d")
+      var rel: String = null
+      Files.list(Paths.get(root, "d")).forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet"))
+          rel = "d/" + p.getFileName.toString
+      }
+      val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))).json
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{$config},"createdTime":1}}""",
+        s"""{"add":{"path":"${esc(rel)}","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      root
+    }
+    val ao = intercept[IllegalArgumentException] {
+      DeltaInterop.deleteFromDelta(spark,
+        build("\"delta.appendOnly\":\"true\""), lit(true))
+    }
+    assert(ao.getMessage.contains("append-only"), ao.getMessage)
+    val cm = intercept[IllegalArgumentException] {
+      DeltaInterop.deleteFromDelta(spark,
+        build("\"delta.columnMapping.mode\":\"name\"," +
+          "\"delta.columnMapping.maxColumnId\":\"1\""), lit(true))
+    }
+    assert(cm.getMessage.contains("column mapping"), cm.getMessage)
+  }
+
+  test("concurrent deleteFromDelta writers: both land through retries") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_ddelcc_"),
+      Seq((1L, "A"), (2L, "B"), (3L, "C"), (4L, "D")).toDF("id", "seg"),
+      partitionBy = Seq("seg"))
+    val target = tmp("graft_ddelcc_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("A", "B").map { s =>
+      new Thread(() =>
+        try DeltaInterop.deleteFromDelta(spark, target, col("seg") === s)
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+    val got = DeltaInterop.readDelta(spark, target)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(3L, 4L), got.toString)
+    assert(Files.exists(Paths.get(target, "_delta_log", "0" * 19 + "2.json")))
+  }
 }
