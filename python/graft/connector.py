@@ -53,11 +53,15 @@ def connect(app_name="graft", master="local[*]", jar=None,
     return b.getOrCreate()
 
 
-def serve_catalog(spark, warehouse, port=0):
+def serve_catalog(spark, warehouse, port=0, credential=None):
     """Start a graft REST catalog service over `warehouse` in this
     session's JVM (the Polaris-analog endpoint other sessions point
     their `rest_catalogs=` wiring at). Returns (server, bound_port);
-    call server.stop() to shut down. port=0 binds an ephemeral port."""
+    call server.stop() to shut down. port=0 binds an ephemeral port.
+    `credential="id:secret"` enables the OAuth2 client-credentials
+    gate (clients pass the same string as their catalog credential)."""
+    opt = spark._jvm.scala.Option
+    cred = opt.empty() if credential is None else opt.apply(credential)
     server = spark._jvm.graft.sources.rest.RestCatalogServer(
-        spark._jsparkSession, warehouse, int(port))
+        spark._jsparkSession, warehouse, int(port), cred)
     return server, server.start()

@@ -153,8 +153,8 @@ def _opt_long(spark, v):
 
 def read_delta(spark, path, version_as_of=None):
     """Open a Delta table dependency-free (JSON log + v1 parquet
-    checkpoints + deletion vectors + name- and id-mode column mapping;
-    refuses v2 checkpoints). Optional versionAsOf time travel."""
+    checkpoints + v2 checkpoints with sidecars + deletion vectors +
+    name- and id-mode column mapping). Optional versionAsOf travel."""
     dx = spark._jvm.graft.sources.DeltaInterop
     return DataFrame(dx.readDelta(
         spark._jsparkSession, path, _opt_long(spark, version_as_of),
@@ -216,9 +216,10 @@ def read_iceberg_stream(spark, path, skip_change_commits=False,
 
 def read_iceberg(spark, path, snapshot_id=None):
     """Open an Iceberg v1/v2 table dependency-free, including v2
-    merge-on-read position AND equality deletes and field-id renames
-    when the files carry parquet field ids (refuses v3+ and
-    partition-spec evolution). Optional snapshot-id time travel."""
+    merge-on-read position AND equality deletes, field-id renames
+    when the files carry parquet field ids, and partition-spec
+    evolution (per-manifest spec resolution); refuses v3+. Optional
+    snapshot-id time travel."""
     ix = spark._jvm.graft.sources.IcebergInterop
     return DataFrame(ix.readIceberg(
         spark._jsparkSession, path, _opt_long(spark, snapshot_id),
@@ -235,3 +236,47 @@ def read_iceberg_where(spark, path, field, grain, snapshot_id=None):
     return DataFrame(ix.readIcebergWhere(
         spark._jsparkSession, path, field, grain,
         _opt_long(spark, snapshot_id)), spark)
+
+def append_to_delta(df, path):
+    """APPEND a DataFrame to an existing Delta table (foreign or
+    mirrored) via the optimistic conditional-put commit protocol.
+    Honors identity partition layouts and name-/id-mode column mapping
+    (physical names + parquet field ids); refuses constraints,
+    invariants, generated columns and unknown writer features. Returns
+    the committed version."""
+    dx = df.sparkSession._jvm.graft.sources.DeltaInterop
+    return dx.appendToDelta(df._jdf, path, 20)
+
+
+def delete_from_delta(spark, path, condition_col):
+    """Row-level DELETE from an existing Delta table with copy-on-write
+    rewrites: partition-only predicates are metadata-only (files
+    removed whole, no scan), general predicates rewrite the partially-
+    matched files; CDF tables get authoritative cdc files on rewriting
+    commits. `condition_col` is a pyspark Column. Returns the committed
+    (or, for a no-match delete, the current) version."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return dx.deleteFromDelta(spark._jsparkSession, path,
+                              condition_col._jc, 20)
+
+
+def append_to_iceberg(df, path):
+    """APPEND a DataFrame to an existing file-based Iceberg table as a
+    fast-append snapshot (format v1 AND v2 — v2 appends maintain the
+    spec's sequence-number bookkeeping, so existing merge-on-read
+    deletes keep applying only to older data). Writes field-id-stamped
+    parquet laid out per the table's default partition spec. Returns
+    the committed snapshot id."""
+    ix = df.sparkSession._jvm.graft.sources.IcebergInterop
+    return ix.appendToIceberg(df._jdf, path, 20)
+
+
+def read_delta_cdf_stream(spark, path, max_commits_per_trigger=None):
+    """STREAMING Change Data Feed of a Delta table: per-trigger batches
+    of _change_type / _commit_version / _commit_timestamp-tagged rows
+    (batch 0 = the snapshot as inserts at the pinned version)."""
+    r = (spark.readStream.format("graft.sources.v2.DeltaSource")
+         .option("readChangeFeed", "true"))
+    if max_commits_per_trigger is not None:
+        r = r.option("maxCommitsPerTrigger", str(int(max_commits_per_trigger)))
+    return r.load(path)

@@ -176,5 +176,27 @@ print(f"rows in streaming sink after restart: {n_sunk} "
 assert n_sunk == 50, n_sunk
 assert sink_t.read().select("doc_id").distinct().count() == 50
 
+print("== 10. Foreign-format writes: Delta append + delete, Iceberg append ==")
+# export a small table to both formats, then mutate the FOREIGN copies
+# directly through the protocol-level writers
+fdoc = docs.select("doc_id", "lang", "n_chars").orderBy("doc_id").limit(30)
+base_t = table.GraftTable.create(
+    spark, tempfile.mkdtemp(prefix="graft_py_fw_") + "/t", fdoc.limit(20))
+delta_path = tempfile.mkdtemp(prefix="graft_py_fwd_") + "/t"
+ice_path = tempfile.mkdtemp(prefix="graft_py_fwi_") + "/t"
+base_t.export_delta(delta_path)
+base_t.export_iceberg(ice_path)
+v = table.append_to_delta(fdoc.exceptAll(fdoc.limit(20)), delta_path)
+assert table.read_delta(spark, delta_path).count() == 30, v
+sid = table.append_to_iceberg(fdoc.exceptAll(fdoc.limit(20)), ice_path)
+assert table.read_iceberg(spark, ice_path).count() == 30, sid
+from pyspark.sql import functions as F
+table.delete_from_delta(spark, delta_path, F.col("n_chars") < 200)
+kept = table.read_delta(spark, delta_path)
+n_kept = kept.count()
+assert n_kept == fdoc.filter("n_chars >= 200 OR n_chars IS NULL").count()
+print(f"foreign Delta after append+delete: {n_kept} rows "
+      f"(version {v + 1}); foreign Iceberg snapshot {sid}")
+
 spark.stop()
 print("demo complete — all assertions passed")

@@ -1173,8 +1173,14 @@ object DeltaInterop {
     * — blind appends never conflict semantically, so the retry only
     * re-checks schema/protocol gates.
     *
-    * Writer obligations are gated honestly: refuses column mapping
-    * (this writer does not produce physical names), CHECK constraints,
+    * COLUMN-MAPPED tables (name and id mode) append correctly: the
+    * files are written with the physical names at every nesting level
+    * (nested renames via a positional struct cast), id mode stamps
+    * `parquet.field.id` from `delta.columnMapping.id`, and
+    * partitionValues keys / hive dirs use the physical partition
+    * names, per the protocol's writer requirements.
+    *
+    * Writer obligations are gated honestly: refuses CHECK constraints,
     * column invariants, generated/identity columns (obligations it
     * will not evaluate), and unknown writer features. Features that
     * impose no obligation on a plain append (appendOnly,
@@ -1213,9 +1219,6 @@ object DeltaInterop {
 
     def validate(): DeltaSnapshot = {
       val st = replaySnapshot(spark, path, None)
-      if (st.colMapMode != "none")
-        refuseW("the table uses column mapping — this writer does not " +
-          "produce physical column names")
       if (st.minWriter > 7)
         refuseW(s"the table requires writer protocol ${st.minWriter}")
       if (st.minWriter == 7) {
@@ -1245,7 +1248,12 @@ object DeltaInterop {
           s"[${df.schema.fieldNames.mkString(", ")}]")
       schema.fields.foreach { f =>
         val have = df.schema(f.name).dataType
-        require(f.dataType == have,
+        // structural comparison: nested names + types must match, the
+        // table's column-mapping / comment METADATA must not (the
+        // input never carries it), and non-null input may feed a
+        // nullable column
+        require(DataType.equalsStructurally(have, f.dataType,
+            ignoreNullability = true),
           s"append schema mismatch at $path: column '${f.name}' is " +
             s"${f.dataType.simpleString} in the table, ${have.simpleString} " +
             "in the input — cast before appending")
@@ -1255,6 +1263,23 @@ object DeltaInterop {
     var st = validate()
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     val partCols = st.partCols
+    // column-mapped tables (name or id mode): the files must carry
+    // PHYSICAL names at every nesting level (nested renames via a
+    // positional struct cast — the write-side inverse of readDelta's
+    // rename-back), and under id mode the parquet fields carry
+    // `parquet.field.id` = delta.columnMapping.id; partitionValues
+    // keys and the hive layout use the physical names too, per the
+    // protocol's writer requirements
+    val mapped = st.colMapMode != "none"
+    if (st.colMapMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val physSchema =
+      if (mapped)
+        StructType(schema.fields.map(physicalField(_, st.colMapMode == "id")))
+      else schema
+    val physNameOf: Map[String, String] = schema.fields.zip(physSchema.fields)
+      .map { case (lf, pf) => lf.name -> pf.name }.toMap
+    val physPartCols = partCols.map(physNameOf)
 
     // ---- distributed parquet write into a staging dir, then move the
     // parts into place (the hive layout from partitionBy IS the
@@ -1262,9 +1287,13 @@ object DeltaInterop {
     // collisions) ----
     val stagingName = s"_graft_append_${java.util.UUID.randomUUID()}"
     val staging = new HPath(root, stagingName)
-    val ordered = df.select(schema.fieldNames.map(col).toSeq: _*)
-    if (partCols.nonEmpty)
-      ordered.write.partitionBy(partCols: _*).parquet(staging.toString)
+    val ordered =
+      if (!mapped) df.select(schema.fieldNames.map(col).toSeq: _*)
+      else df.select(schema.fields.zip(physSchema.fields).map {
+        case (lf, pf) => col(lf.name).cast(pf.dataType).as(pf.name, pf.metadata)
+      }.toSeq: _*)
+    if (physPartCols.nonEmpty)
+      ordered.write.partitionBy(physPartCols: _*).parquet(staging.toString)
     else ordered.write.parquet(staging.toString)
     def listParquetRec(dir: HPath, rel: String): Seq[(String, Long, Long)] =
       fs.listStatus(dir).toSeq.flatMap { stat =>
@@ -1298,7 +1327,7 @@ object DeltaInterop {
       val actions = Seq.newBuilder[String]
       actions += s"""{"commitInfo":{"timestamp":$now,"operation":"WRITE","operationParameters":{"mode":"Append"},"engineInfo":"graft-append"}}"""
       staged.foreach { case (rel, size, _) =>
-        val pv = hivePartitionValues(rel, partCols)
+        val pv = hivePartitionValues(rel, physPartCols)
         val pvJson = pv.map { case (k, vv) =>
           "\"" + jsonEscape(k) + "\":\"" + jsonEscape(vv) + "\""
         }.mkString(",")
@@ -1323,8 +1352,21 @@ object DeltaInterop {
                 s"appendToDelta lost $maxRetries version races at $path — " +
                   "giving up")
             // a peer landed this version: re-validate (its commit may
-            // have changed schema or protocol) and take the next slot
+            // have changed schema or protocol) and take the next slot.
+            // The staged files were written under the PRE-RACE physical
+            // layout — a peer changing the column mapping mid-race
+            // would make them wrong, so that also refuses.
             st = validate()
+            val freshPhys =
+              if (st.colMapMode == "none")
+                DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+              else StructType(DataType.fromJson(st.schemaJson)
+                .asInstanceOf[StructType].fields
+                .map(physicalField(_, st.colMapMode == "id")))
+            require((st.colMapMode != "none") == mapped &&
+                freshPhys == physSchema,
+              s"table at $path changed its schema or column mapping " +
+                "during the append — retry the append against the new state")
             v = math.max(v + 1, st.version + 1)
         }
       }

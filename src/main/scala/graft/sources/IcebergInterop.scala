@@ -266,6 +266,55 @@ object IcebergInterop {
        |${avroField("deleted_data_files_count", "\"int\"", 506, optional = true)}
        |]}""".stripMargin.replace("\n", ""))
 
+  /** Format-v2 manifest-list schema (spec "Manifest Lists" v2 columns):
+    * `content`/`sequence_number`/`min_sequence_number` become required,
+    * the count fields are renamed (`added_files_count`, …) and row
+    * counts join — carried foreign manifests keep their sequence
+    * numbers through [[reserializeManifestFileV2]]. */
+  private val manifestFileSchemaV2: AvroSchema = new AvroSchema.Parser().parse(
+    s"""{"type":"record","name":"manifest_file","fields":[
+       |${avroField("manifest_path", "\"string\"", 500)},
+       |${avroField("manifest_length", "\"long\"", 501)},
+       |${avroField("partition_spec_id", "\"int\"", 502)},
+       |${avroField("content", "\"int\"", 517)},
+       |${avroField("sequence_number", "\"long\"", 515)},
+       |${avroField("min_sequence_number", "\"long\"", 516)},
+       |${avroField("added_snapshot_id", "\"long\"", 503)},
+       |${avroField("added_files_count", "\"int\"", 504)},
+       |${avroField("existing_files_count", "\"int\"", 505)},
+       |${avroField("deleted_files_count", "\"int\"", 506)},
+       |${avroField("added_rows_count", "\"long\"", 512)},
+       |${avroField("existing_rows_count", "\"long\"", 513)},
+       |${avroField("deleted_rows_count", "\"long\"", 514)}
+       |]}""".stripMargin.replace("\n", ""))
+
+  /** Format-v2 manifest entry schema: `snapshot_id` and the sequence
+    * numbers are optional (null on ADDED entries = inherit from the
+    * committing snapshot / the manifest-list entry), `data_file` gains
+    * the required `content` field (0 = data) and drops v1's
+    * `block_size_in_bytes`. */
+  private def manifestEntrySchemaV2For(parts: Seq[PartField]): AvroSchema = {
+    parts.foreach(p => require(p.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"partition field '${p.name}' is not a valid Avro field name"))
+    val pfields = parts.map(p =>
+      s"""{"name":"${p.name}","type":["null",${partAvroType(p.dt)}],"field-id":${p.fieldId},"default":null}""")
+      .mkString(",")
+    new AvroSchema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |${avroField("status", "\"int\"", 0)},
+         |${avroField("snapshot_id", "\"long\"", 1, optional = true)},
+         |${avroField("sequence_number", "\"long\"", 3, optional = true)},
+         |${avroField("file_sequence_number", "\"long\"", 4, optional = true)},
+         |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |${avroField("content", "\"int\"", 134)},
+         |${avroField("file_path", "\"string\"", 100)},
+         |${avroField("file_format", "\"string\"", 101)},
+         |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pfields]}},
+         |${avroField("record_count", "\"long\"", 103)},
+         |${avroField("file_size_in_bytes", "\"long\"", 104)}
+         |]}}]}""".stripMargin.replace("\n", ""))
+  }
+
   private def writeAvro(schema: AvroSchema, meta: Map[String, String],
       records: Seq[GenericRecord]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -343,6 +392,63 @@ object IcebergInterop {
     mf.put("added_data_files_count", added)
     mf.put("existing_data_files_count", existing)
     mf.put("deleted_data_files_count", 0)
+    mf
+  }
+
+  /** A v2 ADDED manifest entry for a freshly-written data file:
+    * `snapshot_id`/`sequence_number`/`file_sequence_number` stay null —
+    * the spec's inheritance rule fills them from the committing
+    * snapshot, which keeps the manifest bytes valid across commit
+    * retries. `data_file.content` = 0 (data). */
+  private def manifestEntryV2(entrySchema: AvroSchema, filePath: String,
+      size: Long, records: Long, partValues: Seq[AnyRef]): GenericRecord = {
+    val dataFile = new GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    dataFile.put("content", 0)
+    dataFile.put("file_path", filePath)
+    dataFile.put("file_format", "PARQUET")
+    val part = new GenericData.Record(
+      dataFile.getSchema.getField("partition").schema())
+    partValues.zipWithIndex.foreach { case (v, i) => part.put(i, v) }
+    dataFile.put("partition", part)
+    dataFile.put("record_count", records)
+    dataFile.put("file_size_in_bytes", size)
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", 1) // ADDED
+    e.put("data_file", dataFile)
+    e
+  }
+
+  /** v2 sibling of [[reserializeManifestFile]]: carried foreign
+    * manifests keep their `content` and sequence numbers (required in
+    * v2 — dropping them would break the reader's `dataSeq < deleteSeq`
+    * merge-on-read guard); missing v1-era fields default to 0. */
+  private def reserializeManifestFileV2(r: GenericRecord,
+      fallbackSpecId: Int, fallbackSnapId: Long): GenericRecord = {
+    def num(names: String*): Option[Long] =
+      names.iterator.flatMap(n => fieldOpt(r, n)).nextOption().map(longOf)
+    val mf = new GenericData.Record(manifestFileSchemaV2)
+    mf.put("manifest_path", r.get("manifest_path").toString)
+    mf.put("manifest_length", longOf(r.get("manifest_length")))
+    mf.put("partition_spec_id",
+      num("partition_spec_id").map(_.toInt).getOrElse(fallbackSpecId))
+    mf.put("content", num("content").map(_.toInt).getOrElse(0))
+    mf.put("sequence_number", num("sequence_number").getOrElse(0L))
+    mf.put("min_sequence_number", num("min_sequence_number").getOrElse(0L))
+    mf.put("added_snapshot_id",
+      num("added_snapshot_id").getOrElse(fallbackSnapId))
+    mf.put("added_files_count",
+      num("added_files_count", "added_data_files_count")
+        .map(_.toInt).getOrElse(0))
+    mf.put("existing_files_count",
+      num("existing_files_count", "existing_data_files_count")
+        .map(_.toInt).getOrElse(0))
+    mf.put("deleted_files_count",
+      num("deleted_files_count", "deleted_data_files_count")
+        .map(_.toInt).getOrElse(0))
+    mf.put("added_rows_count", num("added_rows_count").getOrElse(0L))
+    mf.put("existing_rows_count", num("existing_rows_count").getOrElse(0L))
+    mf.put("deleted_rows_count", num("deleted_rows_count").getOrElse(0L))
     mf
   }
 
@@ -1055,9 +1161,18 @@ object IcebergInterop {
     * (UTC sessions only — the transforms are UTC-defined),
     * `truncate[w]` (string prefix / integral floor-to-multiple),
     * `bucket[n]` (true murmur3 per Appendix B via
-    * [[graft.functions.IcebergHash]]), and `void`. Refuses
-    * format-version 2 targets (appends there must maintain
-    * sequence-number bookkeeping this writer does not produce) and
+    * [[graft.functions.IcebergHash]]), and `void`.
+    *
+    * Format v1 AND v2 targets are supported. A v2 append maintains the
+    * sequence-number bookkeeping the spec requires: the new snapshot
+    * takes `last-sequence-number + 1`, the manifest list carries
+    * v2-schema records (content/sequence_number/min_sequence_number/
+    * row counts) with carried foreign manifests keeping their own
+    * sequence numbers — existing merge-on-read deletes keep applying
+    * only to OLDER data (`dataSeq < deleteSeq`), never to the appended
+    * rows — and the new manifest's ADDED entries leave
+    * snapshot_id/sequence_number null for the spec's inheritance rule.
+    * Refuses format v3+ and
     * catalog-managed metadata naming (`00000-<uuid>.metadata.json`
     * without a version hint — the catalog pointer, not the directory,
     * names the current metadata, so a directory commit would be
@@ -1082,7 +1197,8 @@ object IcebergInterop {
     case class State(md: ObjectNode, metaVersion: Int, schemaNode: JsonNode,
         schemaId: Int, schema: StructType, specId: Int,
         specFieldsNode: Seq[JsonNode], parts: Seq[(PartField, String)],
-        currentSnap: Long, priorManifests: Seq[GenericRecord])
+        currentSnap: Long, priorManifests: Seq[GenericRecord],
+        formatVersion: Int, lastSeq: Long)
 
     def validate(): State = {
       require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
@@ -1105,9 +1221,9 @@ object IcebergInterop {
         new HPath(metaDir, s"v${vTop.get}.metadata.json")))
         .deepCopy[ObjectNode]()
       val fv = md.path("format-version").asInt(1)
-      if (fv != 1)
-        refuseW(s"the table is format version $fv — appends there must " +
-          "maintain sequence-number bookkeeping this writer does not produce")
+      if (fv > 2)
+        refuseW(s"the table is format version $fv — this writer produces " +
+          "v1 and v2 (sequence-numbered) appends only")
       val schemaNode = currentSchemaNode(md, path)
       val schemaId = md.path("current-schema-id").asInt(
         schemaNode.path("schema-id").asInt(0))
@@ -1174,10 +1290,13 @@ object IcebergInterop {
           .find(_.path("snapshot-id").asLong() == currentSnap)
           .map(sn => readAvro(readBytes(fs,
             new HPath(sn.get("manifest-list").asText())))
-            .map(reserializeManifestFile(_, specId)))
+            .map(r =>
+              if (fv == 2) reserializeManifestFileV2(r, specId, currentSnap)
+              else reserializeManifestFile(r, specId)))
           .getOrElse(Nil)
       State(md, vTop.get, schemaNode, schemaId, schema, specId,
-        specFieldsNode, parts, currentSnap, priorManifests)
+        specFieldsNode, parts, currentSnap, priorManifests, fv,
+        md.path("last-sequence-number").asLong(0L))
     }
     var st = validate()
 
@@ -1241,8 +1360,10 @@ object IcebergInterop {
         }
       }
       val partFields = st.parts.map(_._1)
+      val v2 = st.formatVersion == 2
       val entrySchema =
-        if (partFields.isEmpty) manifestEntrySchema
+        if (v2) manifestEntrySchemaV2For(partFields)
+        else if (partFields.isEmpty) manifestEntrySchema
         else manifestEntrySchemaFor(partFields)
       // serialize the table's OWN spec fields verbatim — same field
       // ids, names, transforms the table declares
@@ -1256,35 +1377,62 @@ object IcebergInterop {
       var committed = -1L
       while (committed < 0) {
         val snapId = snapIdOf(st.md)
+        val newSeq = st.lastSeq + 1
         val now = System.currentTimeMillis()
-        // the manifest is (re)written per attempt: its entries embed
+        // the manifest is (re)written per attempt: its v1 entries embed
         // the adding snapshot's id, which moves when a lost race bumps
-        // the id past the peer's
+        // the id past the peer's (v2 entries inherit both ids as null)
         val ents = files.map { case (p, size, rc) =>
-          manifestEntry(entrySchema, p.toString, size, rc, 1, snapId,
+          if (v2) manifestEntryV2(entrySchema, p.toString, size, rc,
+            partValuesOf(p))
+          else manifestEntry(entrySchema, p.toString, size, rc, 1, snapId,
             partValuesOf(p))
         }
-        val manifestBytes = writeAvro(entrySchema, Map(
+        val manifestMeta = Map(
           "schema" -> om.writeValueAsString(st.schemaNode),
           "schema-id" -> st.schemaId.toString,
           "partition-spec" -> om.writeValueAsString(specArr),
           "partition-spec-id" -> st.specId.toString,
-          "format-version" -> "1"), ents)
+          "format-version" -> st.formatVersion.toString) ++
+          (if (v2) Map("content" -> "data") else Map.empty)
+        val manifestBytes = writeAvro(entrySchema, manifestMeta, ents)
         val manifestPath = new HPath(metaDir,
           s"${java.util.UUID.randomUUID()}-m0.avro")
         writeBytes(fs, manifestPath, manifestBytes)
-        val listRecords = st.priorManifests :+ manifestListEntry(
-          manifestPath.toString, manifestBytes.length.toLong, snapId,
-          files.size, 0, st.specId)
-        val listBytes = writeAvro(manifestFileSchema,
-          Map("snapshot-id" -> snapId.toString, "format-version" -> "1"),
-          listRecords)
+        val newListRecord: GenericRecord =
+          if (v2) {
+            val mf = new GenericData.Record(manifestFileSchemaV2)
+            mf.put("manifest_path", manifestPath.toString)
+            mf.put("manifest_length", manifestBytes.length.toLong)
+            mf.put("partition_spec_id", st.specId)
+            mf.put("content", 0)
+            mf.put("sequence_number", newSeq)
+            mf.put("min_sequence_number", newSeq)
+            mf.put("added_snapshot_id", snapId)
+            mf.put("added_files_count", files.size)
+            mf.put("existing_files_count", 0)
+            mf.put("deleted_files_count", 0)
+            mf.put("added_rows_count", files.map(_._3).sum)
+            mf.put("existing_rows_count", 0L)
+            mf.put("deleted_rows_count", 0L)
+            mf
+          } else manifestListEntry(
+            manifestPath.toString, manifestBytes.length.toLong, snapId,
+            files.size, 0, st.specId)
+        val listRecords = st.priorManifests :+ newListRecord
+        val listMeta = Map("snapshot-id" -> snapId.toString,
+          "format-version" -> st.formatVersion.toString) ++
+          (if (v2) Map("sequence-number" -> newSeq.toString) else Map.empty)
+        val listBytes = writeAvro(
+          if (v2) manifestFileSchemaV2 else manifestFileSchema,
+          listMeta, listRecords)
         val listPath = new HPath(metaDir,
           s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
         writeBytes(fs, listPath, listBytes)
         val md = st.md
         md.put("last-updated-ms", now)
         md.put("current-snapshot-id", snapId)
+        if (v2) md.put("last-sequence-number", newSeq)
         val snaps =
           if (md.has("snapshots"))
             md.get("snapshots")
@@ -1292,6 +1440,7 @@ object IcebergInterop {
           else md.putArray("snapshots")
         val sn = snapshotNode(snapId, now, "append", listPath.toString,
           st.schemaId)
+        if (v2) sn.put("sequence-number", newSeq)
         if (st.currentSnap >= 0) sn.put("parent-snapshot-id", st.currentSnap)
         snaps.add(sn)
         md.path("snapshot-log") match {

@@ -1883,6 +1883,123 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(cm.getMessage.contains("column mapping"), cm.getMessage)
   }
 
+  test("appendToDelta writes physical names into column-mapped tables") {
+    import spark.implicits._
+    // NAME-mode partitioned table with a nested struct (the r9 read
+    // fixture shape): append in LOGICAL names, verify physical layout
+    val root = tmp("graft_dacm_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def writeDataFile(sub: String, rows: Seq[(Long, Int, String)]): String = {
+      rows.toDF("col-1", "a0", "b0")
+        .select(col("col-1"), struct(col("a0").as("col-3"),
+          col("b0").as("col-4")).as("col-2"))
+        .coalesce(1).write.parquet(root + "/" + sub)
+      val f = Files.list(Paths.get(root, sub)).iterator()
+      var name: String = null
+      while (f.hasNext) {
+        val p = f.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          name = sub + "/" + p.getFileName.toString
+      }
+      name
+    }
+    val fA = writeDataFile("pA", Seq((1L, 10, "x")))
+    def meta(phys: String, id: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-1", 1)),
+      StructField("info", StructType(Seq(
+        StructField("a", org.apache.spark.sql.types.IntegerType,
+          nullable = true, meta("col-3", 3)),
+        StructField("b", StringType, nullable = true, meta("col-4", 4)))),
+        nullable = true, meta("col-2", 2)),
+      StructField("seg", StringType, nullable = true, meta("col-5", 5)))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":["seg"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"5"},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(fA)}","partitionValues":{"col-5":"A"},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val batch = Seq((2L, 20, "y", "A"), (3L, 30, "z", "B"))
+      .toDF("id", "a0", "b0", "seg")
+      .select(col("id"), struct(col("a0").as("a"), col("b0").as("b"))
+        .as("info"), col("seg"))
+    val v = DeltaInterop.appendToDelta(batch, root)
+    assert(v == 1L)
+    val got = DeltaInterop.readDelta(spark, root)
+      .select($"id", $"info.a", $"info.b", $"seg")
+      .as[(Long, Int, String, String)].collect().toSet
+    assert(got == Set((1L, 10, "x", "A"), (2L, 20, "y", "A"),
+      (3L, 30, "z", "B")), got.toString)
+    // the commit's partitionValues + hive dirs use PHYSICAL names
+    val log = new String(Files.readAllBytes(Paths.get(root, "_delta_log",
+      "0" * 19 + "1.json")), "UTF-8")
+    assert(log.contains("\"col-5\":\"A\""), log)
+    assert(log.contains("col-5=B"), log)
+    // the appended parquet carries physical names at both levels
+    val newFile = log.split('\n').filter(_.contains("\"add\""))
+      .map(l => l.split("\"path\":\"")(1).takeWhile(_ != '"')).head
+    val fileSchema = spark.read
+      .parquet(root + "/" + java.net.URLDecoder.decode(newFile, "UTF-8"))
+      .schema
+    assert(fileSchema.fieldNames.toSet == Set("col-1", "col-2"),
+      fileSchema.treeString)
+    assert(fileSchema("col-2").dataType.asInstanceOf[StructType]
+      .fieldNames.toSet == Set("col-3", "col-4"), fileSchema.treeString)
+  }
+
+  test("appendToDelta stamps parquet field ids on ID-mode tables") {
+    import spark.implicits._
+    val root = tmp("graft_daid_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def idMeta(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val fileSchema = StructType(Seq(
+      StructField("xyz", LongType, nullable = true, idMeta(1)),
+      StructField("abc", StringType, nullable = true, idMeta(2))))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.add(org.apache.spark.sql.Row(7L, "seven"))
+    spark.createDataFrame(rows, fileSchema).coalesce(1)
+      .write.parquet(root + "/d0")
+    val part = new java.io.File(root + "/d0").listFiles
+      .filter(_.getName.endsWith(".parquet")).head.getName
+    def meta(phys: String, id: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-1", 1)),
+      StructField("v", StringType, nullable = true, meta("col-2", 2)))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}""",
+      s"""{"add":{"path":"d0/$part","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    DeltaInterop.appendToDelta(Seq((8L, "eight")).toDF("id", "v"), root)
+    // the read resolves old AND new files by field id
+    val got = DeltaInterop.readDelta(spark, root)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((7L, "seven"), (8L, "eight")), got.toString)
+    // the appended file physically carries ids 1 and 2
+    val log = new String(Files.readAllBytes(Paths.get(root, "_delta_log",
+      "0" * 19 + "1.json")), "UTF-8")
+    val newFile = log.split('\n').filter(_.contains("\"add\""))
+      .map(l => l.split("\"path\":\"")(1).takeWhile(_ != '"')).head
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(root + "/" +
+          java.net.URLDecoder.decode(newFile, "UTF-8")),
+        spark.sparkContext.hadoopConfiguration))
+    val pqSchema = try rdr.getFooter.getFileMetaData.getSchema
+      finally rdr.close()
+    import scala.jdk.CollectionConverters._
+    val ids = pqSchema.getFields.asScala
+      .map(f => f.getName -> Option(f.getId).map(_.intValue())).toMap
+    assert(ids("col-1").contains(1), ids.toString)
+    assert(ids("col-2").contains(2), ids.toString)
+  }
+
   test("concurrent deleteFromDelta writers: both land through retries") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_ddelcc_"),

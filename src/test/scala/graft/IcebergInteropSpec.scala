@@ -1521,7 +1521,7 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(pruned.select("id").as[Long].collect().toSet == sameBucket)
   }
 
-  test("appendToIceberg refusals: v2 format, schema mismatch, catalog naming") {
+  test("appendToIceberg refusals: v3 format, schema mismatch, catalog naming") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_apr_"),
       Seq((1L, "a")).toDF("id", "v"))
@@ -1537,15 +1537,15 @@ class IcebergInteropSpec extends AnyFunSuite {
         Seq((2, "b")).toDF("id", "v"), target) // int id, table has long
     }
     assert(e2.getMessage.contains("cast before appending"), e2.getMessage)
-    // format v2 refuses (sequence-number bookkeeping)
+    // format v3 refuses (v1 and v2 are the supported targets)
     val mp = Paths.get(target, "metadata", "v1.metadata.json")
     val md = new String(Files.readAllBytes(mp), "UTF-8")
-    patch(mp, md.replace("\"format-version\" : 1", "\"format-version\" : 2")
+    patch(mp, md.replace("\"format-version\" : 1", "\"format-version\" : 3")
       .getBytes("UTF-8"))
     val e3 = intercept[IllegalArgumentException] {
       IcebergInterop.appendToIceberg(Seq((2L, "b")).toDF("id", "v"), target)
     }
-    assert(e3.getMessage.contains("format version 2"), e3.getMessage)
+    assert(e3.getMessage.contains("format version 3"), e3.getMessage)
     patch(mp, md.getBytes("UTF-8"))
     // catalog-managed metadata naming refuses (no vN files, no hint)
     val target2 = tmp("graft_apr_cat_")
@@ -1558,6 +1558,153 @@ class IcebergInteropSpec extends AnyFunSuite {
       IcebergInterop.appendToIceberg(Seq((2L, "b")).toDF("id", "v"), target2)
     }
     assert(e4.getMessage.contains("catalog-managed"), e4.getMessage)
+  }
+
+  test("appendToIceberg v2: sequence numbers maintained, MoR deletes stay scoped") {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // base data (sequence 0 era): ids 0-9, v3 at id 3
+    val t = GraftTable.create(spark, tmp("graft_apv2_"),
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val target = tmp("graft_apv2_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val origMd = Files.readAllBytes(mdPath)
+    def localFile(p: String): java.io.File = {
+      val u = new java.net.URI(p)
+      new java.io.File(if (u.getScheme == null) p else u.getPath)
+    }
+    def avroRecords(f: java.io.File): Seq[GenericRecord] = {
+      val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+        f, new GenericDatumReader[GenericRecord]())
+      try Iterator.continually(r).takeWhile(_.hasNext).map(_.next()).toList
+      finally r.close()
+    }
+    val listPath0 = om.readTree(origMd)
+      .get("snapshots").get(0).get("manifest-list").asText()
+    val dataManifests = avroRecords(localFile(listPath0))
+      .map(_.get("manifest_path").toString)
+    // equality delete (sequence 2) on column v (field id 2): kills "v3"
+    val eqDir = tmp("graft_apv2_del_")
+    Seq("v3").toDF("v").coalesce(1).write.mode("overwrite").parquet(eqDir)
+    val eqParquet = new java.io.File(eqDir).listFiles
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
+        |]}}]}""".stripMargin.replace("\n", ""))
+    val eqManifest = Paths.get(target, "metadata", "eq-m0.avro")
+    locally {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+      df.put("content", 2)
+      df.put("file_path", eqParquet)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", 1L)
+      df.put("file_size_in_bytes", new java.io.File(eqParquet).length())
+      val arr = new java.util.ArrayList[Integer](); arr.add(2)
+      df.put("equality_ids", arr)
+      e.put("data_file", df)
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, eqManifest.toFile)
+      w.append(e); w.close()
+    }
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":"long"},
+        |{"name":"min_sequence_number","type":"long"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin.replace("\n", ""))
+    val newList = Paths.get(target, "metadata", "snap-v2base.avro")
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      w.create(listSchema, newList.toFile)
+      (dataManifests.map((_, 0, 0L)) ++ Seq((eqManifest.toString, 1, 2L)))
+        .foreach { case (p, c, s) =>
+          val r = new GenericData.Record(listSchema)
+          r.put("manifest_path", p)
+          r.put("manifest_length", 1L)
+          r.put("partition_spec_id", 0)
+          r.put("content", c)
+          r.put("sequence_number", s)
+          r.put("min_sequence_number", s)
+          r.put("added_snapshot_id", 1L)
+          w.append(r)
+        }
+      w.close()
+    }
+    val md2 = om.readTree(origMd)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md2.put("format-version", 2)
+    md2.put("last-sequence-number", 3L)
+    md2.get("snapshots").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("manifest-list", newList.toString)
+    patch(mdPath, om.writeValueAsBytes(md2))
+    // sanity: the v2 base reads with the equality delete applied
+    assert(IcebergInterop.readIceberg(spark, target)
+      .select("id").as[Long].collect().toSet ==
+      (0L until 10L).toSet - 3L)
+
+    // APPEND (200, "v3"): sequence 4 > deleteSeq 2 — must SURVIVE
+    val snapId = IcebergInterop.appendToIceberg(
+      Seq((200L, "v3")).toDF("id", "v"), target)
+    val got = IcebergInterop.readIceberg(spark, target)
+      .select("id").as[Long].collect().toSet
+    assert(got == ((0L until 10L).toSet - 3L) + 200L, got.toString)
+
+    // metadata: last-sequence-number advanced, snapshot stamped with it
+    val md3 = om.readTree(Files.readAllBytes(
+      Paths.get(target, "metadata", "v2.metadata.json")))
+    assert(md3.get("last-sequence-number").asLong() == 4L)
+    val sn = md3.get("snapshots").elements()
+    var newSnap: com.fasterxml.jackson.databind.JsonNode = null
+    while (sn.hasNext) {
+      val s = sn.next()
+      if (s.get("snapshot-id").asLong() == snapId) newSnap = s
+    }
+    assert(newSnap != null && newSnap.get("sequence-number").asLong() == 4L)
+    // the new manifest list: carried records keep their sequence
+    // numbers (0 and 2), the new data manifest takes 4
+    def lv(v: AnyRef): Long = v match {
+      case n: java.lang.Number => n.longValue()
+      case other => other.toString.toLong
+    }
+    val recs = avroRecords(localFile(newSnap.get("manifest-list").asText()))
+    val seqByContent = recs.map(r =>
+      (lv(r.get("content")), lv(r.get("sequence_number"))))
+    assert(seqByContent.contains((1L, 2L)), seqByContent.toString) // delete kept
+    assert(seqByContent.contains((0L, 4L)), seqByContent.toString) // new data
+    assert(seqByContent.contains((0L, 0L)), seqByContent.toString) // base kept
+    // the new manifest's ADDED entry leaves ids null for inheritance
+    // and carries data_file.content = 0
+    val newManifest = recs.find(r =>
+      lv(r.get("sequence_number")) == 4L).get
+    val ents = avroRecords(localFile(
+      newManifest.get("manifest_path").toString))
+    assert(ents.nonEmpty)
+    ents.foreach { e =>
+      assert(lv(e.get("status")) == 1L)
+      assert(e.get("snapshot_id") == null)
+      assert(e.get("sequence_number") == null)
+      val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+      assert(lv(dfr.get("content")) == 0L)
+    }
   }
 
   test("appendToIceberg: concurrent appends all land via version races") {
