@@ -280,3 +280,14 @@ def read_delta_cdf_stream(spark, path, max_commits_per_trigger=None):
     if max_commits_per_trigger is not None:
         r = r.option("maxCommitsPerTrigger", str(int(max_commits_per_trigger)))
     return r.load(path)
+
+
+def delete_from_iceberg(spark, path, condition_col):
+    """Row-level DELETE from a file-based Iceberg format-v2 table as a
+    merge-on-read position-delete snapshot (Spark's own MoR DELETE
+    shape): cost proportional to the deleted row count, no data file
+    rewritten. `condition_col` is a pyspark Column. Returns the
+    committed (or, for a no-match delete, the current) snapshot id."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.deleteFromIceberg(spark._jsparkSession, path,
+                                condition_col._jc, 20)

@@ -401,7 +401,41 @@ object LakehouseOps {
     """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
       |FROM supplier WHERE s_suppkey % 3 <> 0 ORDER BY s_suppkey""".stripMargin
 
+  /** g19: foreign-Iceberg DELETE gate
+    * ([[graft.sources.IcebergInterop.deleteFromIceberg]]) — export
+    * supplier as Iceberg, promote it to format v2, row-level DELETE as
+    * a merge-on-read position-delete snapshot, and read the result
+    * back through the manifest reader (which applies the deletes as a
+    * distributed anti-join). The oracle recomputes the filter
+    * relationally. */
+  val g19_iceberg_delete: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup)
+    val target = Files.createTempDirectory("graft_idelete_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, target)
+    val mdPath = java.nio.file.Paths.get(target, "metadata", "v1.metadata.json")
+    Files.write(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    // the in-place edit invalidates the local FS checksum sidecar
+    Files.deleteIfExists(java.nio.file.Paths.get(target, "metadata",
+      ".v1.metadata.json.crc"))
+    graft.sources.IcebergInterop.deleteFromIceberg(s, target,
+      $"s_suppkey" % 3 === 0)
+    graft.sources.IcebergInterop.readIceberg(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g19_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+      |FROM supplier WHERE s_suppkey % 3 <> 0 ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g19_iceberg_delete" -> g19_iceberg_delete,
     "g18_delta_delete" -> g18_delta_delete,
     "g13_delta_stream" -> g13_delta_stream,
     "g14_iceberg_stream" -> g14_iceberg_stream,
@@ -419,6 +453,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g19_iceberg_delete" -> g19_sql,
     "g18_delta_delete" -> g18_sql,
     "g13_delta_stream" -> g13_sql,
     "g14_iceberg_stream" -> g14_sql,

@@ -401,10 +401,11 @@ object IcebergInterop {
     * snapshot, which keeps the manifest bytes valid across commit
     * retries. `data_file.content` = 0 (data). */
   private def manifestEntryV2(entrySchema: AvroSchema, filePath: String,
-      size: Long, records: Long, partValues: Seq[AnyRef]): GenericRecord = {
+      size: Long, records: Long, partValues: Seq[AnyRef],
+      content: Int = 0): GenericRecord = {
     val dataFile = new GenericData.Record(
       entrySchema.getField("data_file").schema())
-    dataFile.put("content", 0)
+    dataFile.put("content", content)
     dataFile.put("file_path", filePath)
     dataFile.put("file_format", "PARQUET")
     val part = new GenericData.Record(
@@ -1484,6 +1485,227 @@ object IcebergInterop {
     }
   }
 
+  /** DELETE the rows matching `condition` from an existing file-based
+    * Iceberg FORMAT-V2 table by publishing a MERGE-ON-READ position-
+    * delete snapshot — the shape Spark's own MoR `DELETE FROM` writes:
+    *
+    *  - one distributed lineage scan ([[readIcebergInternal]], existing
+    *    position/equality deletes already applied) finds the matching
+    *    rows' (data file, position) coordinates;
+    *  - they are written as position delete parquet files (columns
+    *    `file_path`/`pos` with the spec's reserved field ids
+    *    2147483546/2147483545, sorted by file then position) under an
+    *    UNPARTITIONED spec — the spec's global-delete rule applies them
+    *    to every partition, so no partition-struct bookkeeping can
+    *    drift; the unpartitioned spec is added to `partition-specs` if
+    *    the table doesn't already declare one (default-spec-id does NOT
+    *    move);
+    *  - the new snapshot (operation `delete`) takes `last-sequence-
+    *    number + 1`; its manifest list re-carries the prior snapshot's
+    *    manifests with their own sequence numbers and adds ONE delete
+    *    manifest (content 1) at the new sequence number — appended-
+    *    later data keeps sequencing above it.
+    *
+    * No data file is rewritten or removed — cost is proportional to
+    * the DELETED row count, the right shape for sparse deletes at
+    * 100 TB (compaction is the amortized cleanup, as in Iceberg
+    * itself). Format v1 refuses (v1 has no delete files — use a full
+    * client's copy-on-write DELETE). A lost version race recomputes
+    * the whole delete against the peer's state, bounded by
+    * `maxRetries`; a no-match delete commits nothing. Returns the
+    * committed (or, for a no-op, the current) snapshot id. */
+  def deleteFromIceberg(spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column, maxRetries: Int = 20): Long = {
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val io = new TableIO(path, conf)
+    val metaDir = new HPath(root, "metadata")
+    require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
+
+    def refuseW(what: String): Nothing = throw new IllegalArgumentException(
+      s"cannot delete from Iceberg table at $path: $what — write it with " +
+        "a full Iceberg client")
+    def qualified(p: String): String = {
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+
+    var attempts = 0
+    var result = Long.MinValue
+    while (result == Long.MinValue) {
+      // commit base = the highest LISTED metadata version (the
+      // appendToIceberg rule — the hint trails exclusive writes)
+      val listed = fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+      val vTop = listed.flatMap {
+        case VMeta(n) => Some(n.toInt)
+        case _ => None
+      }.maxOption.getOrElse(refuseW("the metadata is catalog-managed " +
+        "(no v<N>.metadata.json / version-hint naming) — a directory " +
+        "commit would be invisible to the catalog pointer"))
+      val md = om.readTree(readBytes(fs,
+        new HPath(metaDir, s"v$vTop.metadata.json"))).deepCopy[ObjectNode]()
+      val fv = md.path("format-version").asInt(1)
+      if (fv != 2)
+        refuseW(s"the table is format version $fv — row-level deletes " +
+          "need v2 merge-on-read position deletes")
+      val currentSnap = md.path("current-snapshot-id").asLong(-1L)
+      if (currentSnap < 0) { result = currentSnap }
+      else {
+        val newSeq = md.path("last-sequence-number").asLong(0L) + 1
+        val schemaNode = currentSchemaNode(md, path)
+        val schemaId = md.path("current-schema-id").asInt(
+          schemaNode.path("schema-id").asInt(0))
+        // the lineage scan must see the LISTED version — catch the
+        // hint up first (idempotent; readers fall back to it anyway)
+        publishHint(fs, metaDir, vTop)
+        val snapNode = md.get("snapshots").elements().asScala()
+          .find(_.get("snapshot-id").asLong() == currentSnap)
+          .getOrElse(refuseW(s"current snapshot $currentSnap missing from " +
+            "the snapshots array"))
+        val priorList = readAvro(readBytes(fs,
+          new HPath(snapNode.get("manifest-list").asText())))
+        // manifest file-path URIs bridge the scan's qualified
+        // _metadata paths back to the strings delete files must carry
+        val filePaths: Seq[String] = priorList
+          .filter(r => fieldOpt(r, "content").map(longOf).getOrElse(0L) == 0L)
+          .map(_.get("manifest_path").toString)
+          .flatMap { mp =>
+            readAvro(readBytes(fs, new HPath(mp))).flatMap { e =>
+              if (longOf(e.get("status")) == 2L) None
+              else Some(e.get("data_file").asInstanceOf[GenericRecord]
+                .get("file_path").toString)
+            }
+          }.distinct
+
+        // ---- distributed: matched rows -> position delete parquet ----
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        import spark.implicits._
+        val pathMap = filePaths.map(p => (qualified(p), p))
+          .toDF("__fp", "__uri")
+        def reservedId(id: Long) =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id).build()
+        val matched = readIcebergInternal(spark, path, None, None,
+            withLineage = true)
+          .where(condition)
+          .join(pathMap, Seq("__fp"))
+          .select(col("__uri").as("file_path", reservedId(2147483546L)),
+            col("__pos").as("pos", reservedId(2147483545L)))
+          .sortWithinPartitions(col("file_path"), col("pos"))
+        val delDir = new HPath(new HPath(root, "data"),
+          s"graft-delete-${java.util.UUID.randomUUID()}")
+        matched.write.parquet(delDir.toString)
+        val delFiles = fs.listStatus(delDir).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath, f.getLen, footerRecordCount(conf, f)))
+          .filter(_._3 > 0)
+        if (delFiles.isEmpty) {
+          fs.delete(delDir, true)
+          result = currentSnap // nothing matched: no commit
+        } else {
+          // unpartitioned spec for the GLOBAL position deletes
+          val specsArr = md.path("partition-specs") match {
+            case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+            case _ => md.putArray("partition-specs")
+          }
+          val unpartSpecId = specsArr.elements().asScala()
+            .find(_.path("fields").size() == 0)
+            .map(_.path("spec-id").asInt(0))
+            .getOrElse {
+              val id = specsArr.elements().asScala()
+                .map(_.path("spec-id").asInt(0)).maxOption.getOrElse(-1) + 1
+              val n = om.createObjectNode()
+              n.put("spec-id", id); n.putArray("fields")
+              specsArr.add(n)
+              id
+            }
+          val entrySchema = manifestEntrySchemaV2For(Nil)
+          val snapId = md.path("snapshots").elements().asScala()
+            .map(_.path("snapshot-id").asLong(0L)).maxOption.getOrElse(0L) + 1L
+          val now = System.currentTimeMillis()
+          val ents = delFiles.map { case (p, size, rc) =>
+            manifestEntryV2(entrySchema, p.toString, size, rc, Nil,
+              content = 1)
+          }
+          val manifestBytes = writeAvro(entrySchema, Map(
+            "schema" -> om.writeValueAsString(schemaNode),
+            "schema-id" -> schemaId.toString,
+            "partition-spec" -> "[]",
+            "partition-spec-id" -> unpartSpecId.toString,
+            "format-version" -> "2",
+            "content" -> "deletes"), ents)
+          val manifestPath = new HPath(metaDir,
+            s"${java.util.UUID.randomUUID()}-m0.avro")
+          writeBytes(fs, manifestPath, manifestBytes)
+          val delRecord = {
+            val mf = new GenericData.Record(manifestFileSchemaV2)
+            mf.put("manifest_path", manifestPath.toString)
+            mf.put("manifest_length", manifestBytes.length.toLong)
+            mf.put("partition_spec_id", unpartSpecId)
+            mf.put("content", 1)
+            mf.put("sequence_number", newSeq)
+            mf.put("min_sequence_number", newSeq)
+            mf.put("added_snapshot_id", snapId)
+            mf.put("added_files_count", delFiles.size)
+            mf.put("existing_files_count", 0)
+            mf.put("deleted_files_count", 0)
+            mf.put("added_rows_count", delFiles.map(_._3).sum)
+            mf.put("existing_rows_count", 0L)
+            mf.put("deleted_rows_count", 0L)
+            mf
+          }
+          val defaultSpecId = md.path("default-spec-id").asInt(0)
+          val listRecords = priorList.map(
+            reserializeManifestFileV2(_, defaultSpecId, currentSnap)) :+
+            delRecord
+          val listBytes = writeAvro(manifestFileSchemaV2,
+            Map("snapshot-id" -> snapId.toString, "format-version" -> "2",
+              "sequence-number" -> newSeq.toString), listRecords)
+          val listPath = new HPath(metaDir,
+            s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
+          writeBytes(fs, listPath, listBytes)
+          md.put("last-updated-ms", now)
+          md.put("current-snapshot-id", snapId)
+          md.put("last-sequence-number", newSeq)
+          val snaps = md.get("snapshots")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+          val sn = snapshotNode(snapId, now, "delete", listPath.toString,
+            schemaId)
+          sn.put("sequence-number", newSeq)
+          sn.put("parent-snapshot-id", currentSnap)
+          snaps.add(sn)
+          md.path("snapshot-log") match {
+            case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+              val e = om.createObjectNode()
+              e.put("timestamp-ms", now); e.put("snapshot-id", snapId)
+              a.add(e)
+            case _ => ()
+          }
+          try {
+            io.writeExclusive(new HPath(metaDir, s"v${vTop + 1}.metadata.json"),
+              om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+            publishHint(fs, metaDir, vTop + 1)
+            result = snapId
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              // a peer landed this version: the matched set may have
+              // changed — clean this attempt up and RECOMPUTE
+              fs.delete(listPath, false)
+              fs.delete(manifestPath, false)
+              fs.delete(delDir, true)
+              attempts += 1
+              if (attempts > maxRetries)
+                throw new IllegalStateException(
+                  s"deleteFromIceberg lost $maxRetries version races at " +
+                    s"$path — giving up")
+          }
+        }
+      }
+    }
+    result
+  }
+
   // ---------------------------------------------------------------
   // Read
   // ---------------------------------------------------------------
@@ -1625,7 +1847,20 @@ object IcebergInterop {
 
   def readIceberg(spark: SparkSession, path: String,
       asOfSnapshotId: Option[Long] = None,
-      partitionWhere: Option[(String, String)] = None): DataFrame = {
+      partitionWhere: Option[(String, String)] = None): DataFrame =
+    readIcebergInternal(spark, path, asOfSnapshotId, partitionWhere,
+      withLineage = false)
+
+  /** [[readIceberg]] with ROW LINEAGE: the result carries two extra
+    * columns `__fp` (the data file's qualified path) and `__pos` (the
+    * row's ordinal in that file — Iceberg's position-delete `pos`),
+    * after existing merge-on-read deletes are applied. The write path
+    * ([[deleteFromIceberg]]) turns matched rows into position delete
+    * files with exactly these coordinates. */
+  private[sources] def readIcebergInternal(spark: SparkSession, path: String,
+      asOfSnapshotId: Option[Long],
+      partitionWhere: Option[(String, String)],
+      withLineage: Boolean): DataFrame = {
     val root = new HPath(path)
     val (fs, md) = currentMetadata(spark, path)
     val formatVersion = md.path("format-version").asInt(1)
@@ -1701,10 +1936,13 @@ object IcebergInterop {
             (name, schema(name).dataType, i)
         })
 
+    val lineageSchema = StructType(schema.fields ++ Seq(
+      StructField("__fp", StringType), StructField("__pos", LongType)))
+    def emptyResult: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      if (withLineage) lineageSchema else schema)
     val snapId = asOfSnapshotId.getOrElse(md.path("current-snapshot-id").asLong(-1L))
-    if (snapId == -1L)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (snapId == -1L) return emptyResult
     val snapshot = md.get("snapshots").elements().asScala()
       .find(_.get("snapshot-id").asLong() == snapId)
       .getOrElse(throw new IllegalArgumentException(
@@ -1868,9 +2106,7 @@ object IcebergInterop {
         }
       }
     }.distinct
-    if (dataFiles.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (dataFiles.isEmpty) return emptyResult
 
     // Rename detection #2 — footer probe: a declared column missing
     // from a data file footer is a likely field-id rename this
@@ -1940,9 +2176,11 @@ object IcebergInterop {
     // or removed from this snapshot drop out as no-ops.
     val anyDeletes = posDeleteFiles.nonEmpty || eqDeleteFiles.nonEmpty
     val metaCols: Seq[org.apache.spark.sql.Column] =
-      if (!anyDeletes) Nil
+      if (!anyDeletes && !withLineage) Nil
       else Seq(col("_metadata.file_path").as("__fp"),
         col("_metadata.row_index").as("__pos"))
+    val lineageOut: Seq[org.apache.spark.sql.Column] =
+      if (withLineage) Seq(col("__fp"), col("__pos")) else Nil
     def applyPosDeletes(scan: DataFrame): DataFrame =
       if (!anyDeletes) scan
       else {
@@ -1987,7 +2225,7 @@ object IcebergInterop {
               cur = cur.join(rel, cond, "left_anti")
             }
         }
-        cur.select(schema.map(f => col(f.name)): _*)
+        cur.select(schema.map(f => col(f.name)) ++ lineageOut: _*)
       }
 
     if (dataFiles.forall(_._2.isEmpty))

@@ -1707,6 +1707,107 @@ class IcebergInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteFromIceberg: v2 position-delete snapshots, repeated + interleaved") {
+    import spark.implicits._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val t = GraftTable.create(spark, tmp("graft_idel_"),
+      (0L until 12L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val target = tmp("graft_idel_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    // promote the exported v1 table to format v2 (fresh modern table)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val md0 = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md0.put("format-version", 2)
+    md0.put("last-sequence-number", 0L)
+    patch(mdPath, om.writeValueAsBytes(md0))
+
+    // delete 1: multiples of 3
+    val s1 = IcebergInterop.deleteFromIceberg(spark, target,
+      col("id") % 3 === 0)
+    val after1 = IcebergInterop.readIceberg(spark, target)
+      .select("id").as[Long].collect().toSet
+    assert(after1 == (0L until 12L).toSet.filter(_ % 3 != 0), after1.toString)
+    val md1 = om.readTree(Files.readAllBytes(
+      Paths.get(target, "metadata", "v2.metadata.json")))
+    assert(md1.get("last-sequence-number").asLong() == 1L)
+    val snap1 = md1.get("snapshots").get(1)
+    assert(snap1.get("snapshot-id").asLong() == s1)
+    assert(snap1.get("summary").get("operation").asText() == "delete")
+    assert(snap1.get("sequence-number").asLong() == 1L)
+    // time travel BEFORE the delete still sees every row
+    assert(IcebergInterop.readIceberg(spark, target, Some(s1 - 1))
+      .count() == 12L)
+
+    // append AFTER the delete: a row reusing a deleted id survives
+    // (position deletes name files, never values)
+    IcebergInterop.appendToIceberg(Seq((3L, "reborn")).toDF("id", "v"), target)
+    val after2 = IcebergInterop.readIceberg(spark, target)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(after2.contains((3L, "reborn")), after2.toString)
+    assert(!after2.contains((3L, "v3")))
+
+    // delete 2 on top (repeated MoR, both delete manifests carried):
+    // kills the reborn row by value match this time
+    IcebergInterop.deleteFromIceberg(spark, target, col("v") === "reborn")
+    val after3 = IcebergInterop.readIceberg(spark, target)
+      .select("id").as[Long].collect().toSet
+    assert(after3 == (0L until 12L).toSet.filter(_ % 3 != 0), after3.toString)
+
+    // no-match delete: no metadata version is published
+    val before = Files.list(Paths.get(target, "metadata")).toArray.length
+    val r = IcebergInterop.deleteFromIceberg(spark, target, col("id") > 999L)
+    assert(Files.list(Paths.get(target, "metadata")).toArray.length == before, r)
+  }
+
+  test("deleteFromIceberg: partitioned mirror gets a global unpartitioned spec") {
+    import spark.implicits._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // the MIRROR declares a REAL identity spec (hive layout, seg only
+    // in partition metadata) — the hardest shape: the lineage scan must
+    // substitute identity values, and the delete needs a NEW
+    // unpartitioned spec for its global position deletes
+    val t = GraftTable.create(spark, tmp("graft_idelp_"),
+      Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B")).toDF("id", "seg"),
+      partitionBy = Seq("seg"))
+    IcebergInterop.mirrorToIceberg(t)
+    val mdPath = Paths.get(t.root, "metadata",
+      s"v${t.latestVersion() + 1}.metadata.json")
+    val md0 = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md0.put("format-version", 2)
+    md0.put("last-sequence-number", 0L)
+    patch(mdPath, om.writeValueAsBytes(md0))
+    // predicate on a NON-partition column, crossing partitions
+    IcebergInterop.deleteFromIceberg(spark, t.root, col("id") % 2 === 0)
+    val got = IcebergInterop.readIceberg(spark, t.root)
+      .select("id", "seg").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "A"), (3L, "B")), got.toString)
+    val md1 = om.readTree(Files.readAllBytes(Paths.get(t.root, "metadata",
+      s"v${t.latestVersion() + 2}.metadata.json")))
+    // the identity spec keeps id 0 and stays DEFAULT; the global
+    // delete rides a NEW unpartitioned spec
+    assert(md1.get("default-spec-id").asInt() == 0)
+    val specs = md1.get("partition-specs")
+    assert(specs.size() == 2, specs.toString)
+    assert(specs.get(1).get("fields").size() == 0, specs.toString)
+    // partition pruning still works on the survivors
+    val pruned = IcebergInterop.readIcebergWhere(spark, t.root, "seg", "A")
+    assert(pruned.select("id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("deleteFromIceberg refuses format v1") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_idelv1_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_idelv1_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.deleteFromIceberg(spark, target, col("id") === 1L)
+    }
+    assert(e.getMessage.contains("format version 1"), e.getMessage)
+  }
+
   test("appendToIceberg: concurrent appends all land via version races") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_apc_"),
