@@ -291,3 +291,18 @@ def delete_from_iceberg(spark, path, condition_col):
     ix = spark._jvm.graft.sources.IcebergInterop
     return ix.deleteFromIceberg(spark._jsparkSession, path,
                                 condition_col._jc, 20)
+
+
+def update_delta(spark, path, condition_col, assignments):
+    """Row-level UPDATE of an existing Delta table with copy-on-write
+    rewrites: `assignments` is a dict of column -> pyspark Column, each
+    evaluated against the PRE-update row (swaps work). CDF tables get
+    update_preimage/update_postimage cdc files. Returns the committed
+    (or, for a no-match update, the current) version."""
+    jvm = spark._jvm
+    m = jvm.scala.collection.immutable.HashMap()
+    for k, v in assignments.items():
+        m = m.updated(k, v._jc)
+    dx = jvm.graft.sources.DeltaInterop
+    return dx.updateDelta(spark._jsparkSession, path, condition_col._jc,
+                          m, 20)

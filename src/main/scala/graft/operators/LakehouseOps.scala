@@ -434,7 +434,36 @@ object LakehouseOps {
     """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
       |FROM supplier WHERE s_suppkey % 3 <> 0 ORDER BY s_suppkey""".stripMargin
 
+  /** g20: foreign-Delta UPDATE gate
+    * ([[graft.sources.DeltaInterop.updateDelta]]) — export supplier as
+    * Delta, copy-on-write UPDATE with the assignment evaluated against
+    * the pre-update row, read back through the log replay. The oracle
+    * recomputes the CASE relationally. */
+  val g20_delta_update: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup,
+      partitionBy = Seq("s_nationkey"))
+    val target = Files.createTempDirectory("graft_dupdate_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    graft.sources.DeltaInterop.updateDelta(s, target,
+      $"s_suppkey" % 2 === 0,
+      Map("s_acctbal" -> ($"s_acctbal" + lit(1000.0))))
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g20_sql: String =
+    """SELECT s_suppkey, s_nationkey,
+      | ROUND(CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal + 1000.0
+      |            ELSE s_acctbal END, 4) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g20_delta_update" -> g20_delta_update,
     "g19_iceberg_delete" -> g19_iceberg_delete,
     "g18_delta_delete" -> g18_delta_delete,
     "g13_delta_stream" -> g13_delta_stream,
@@ -453,6 +482,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g20_delta_update" -> g20_sql,
     "g19_iceberg_delete" -> g19_sql,
     "g18_delta_delete" -> g18_sql,
     "g13_delta_stream" -> g13_sql,

@@ -1529,41 +1529,11 @@ object DeltaInterop {
       } else {
         // one distributed detection scan: DV-live rows only, per-file
         // matched/total counts decide remove-whole vs rewrite
-        val lookupMap = new java.util.HashMap[
-          org.apache.spark.unsafe.types.UTF8String,
-          DeletionVectors.Roaring64]()
-        st.active.foreach { case (p, (_, dv)) =>
-          dv.foreach(d => lookupMap.put(
-            org.apache.spark.unsafe.types.UTF8String.fromString(
-              qualified(resolveFile(root, p))),
-            DeletionVectors.load(conf, root, d)))
-        }
-        val dvLookup = new DvLookup(lookupMap)
         val byQualified: Map[String, (String, (Map[String, String],
           Option[DeletionVectors.Descriptor]))] =
           st.active.map(e => qualified(resolveFile(root, e._1)) -> e).toMap
-        def liveScan(entries: Seq[(String, (Map[String, String],
-            Option[DeletionVectors.Descriptor]))]): DataFrame =
-          entries.groupBy(_._2._1).map { case (pv, es) =>
-            val base = spark.read.schema(dataSchema)
-              .parquet(es.map(e => resolveFile(root, e._1)): _*)
-            val dvPred = bridge.column(DvDeleted(
-              bridge.expression(col("_metadata.file_path")),
-              bridge.expression(col("_metadata.row_index")), dvLookup))
-            val withParts = partCols.foldLeft(
-              base.withColumn("__file", col("_metadata.file_path"))
-                .where(!dvPred)) { (d, pc) =>
-              d.withColumn(pc,
-                pv.get(pc).map(lit(_)).getOrElse(lit(null))
-                  .cast(schema(pc).dataType))
-            }
-            withParts
-          }.reduceOption(_.unionByName(_)).getOrElse(
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(dataSchema.fields ++
-                partCols.map(pc => schema(pc)) :+
-                StructField("__file", org.apache.spark.sql.types.StringType))))
+        val liveScan = liveMutationScan(spark, root, st, schema, partCols,
+          dataSchema)
         val counts = liveScan(st.active)
           .groupBy(col("__file"))
           .agg(org.apache.spark.sql.functions.sum(
@@ -1678,16 +1648,260 @@ object DeltaInterop {
     result
   }
 
-  /** Single-attempt DELETE commit: cdc + remove + add actions into the
-    * next version slot (throws FileAlreadyExistsException on a lost
-    * race — the caller recomputes). */
+  /** UPDATE the rows matching `condition` in an existing Delta table
+    * (foreign or mirrored), setting `assignments` (column → new-value
+    * expression, evaluated against the PRE-update row — Delta/SQL
+    * UPDATE semantics, so swaps work) with copy-on-write rewrites:
+    * one distributed detection scan (deletion-vector rows filtered)
+    * finds the affected files, each is rewritten with matched rows
+    * transformed and unmatched rows carried verbatim, and the commit
+    * is remove+add per affected file. Rows where the condition is
+    * NULL are not updated.
+    *
+    * When `delta.enableChangeDataFeed` is set, the matched rows are
+    * also written as `_change_data/` cdc files in Delta's UPDATE shape
+    * — `update_preimage` (old values) + `update_postimage` (new
+    * values) — making the feed authoritative and unambiguous.
+    *
+    * Writer obligations: refuses column mapping, append-only tables,
+    * CHECK constraints and invariants (an update could violate them),
+    * generated/identity columns (they would need recomputation),
+    * partition-column assignments (rows would have to MOVE partitions
+    * — use delete+append), and unknown writer features. A lost
+    * version race restarts the whole operation; a no-match update
+    * commits nothing. Returns the committed (or current) version. */
+  def updateDelta(spark: SparkSession, path: String, condition: Column,
+      assignments: Map[String, Column], maxRetries: Int = 20): Long = {
+    require(assignments.nonEmpty, "updateDelta needs at least one SET assignment")
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val io = new TableIO(path, conf)
+    val logDir = new HPath(root, "_delta_log")
+    require(fs.exists(logDir), s"no Delta log at $path — updateDelta " +
+      "mutates existing tables")
+
+    def refuseW(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"cannot update Delta table at $path: $what — write it with " +
+          "a full Delta client")
+
+    val HarmlessOnUpdate = Set("appendOnly", "invariants",
+      "checkConstraints", "generatedColumns", "changeDataFeed",
+      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata",
+      "columnMapping")
+
+    def validate(): DeltaSnapshot = {
+      val st = replaySnapshot(spark, path, None)
+      if (st.colMapMode != "none")
+        refuseW("the table uses column mapping — rewritten files would " +
+          "need physical column names")
+      if (st.configuration.get("delta.appendOnly").contains("true"))
+        refuseW("the table is append-only (delta.appendOnly=true)")
+      if (st.minWriter > 7)
+        refuseW(s"the table requires writer protocol ${st.minWriter}")
+      if (st.minWriter == 7) {
+        val unknown = st.writerFeatures.filterNot(HarmlessOnUpdate.contains)
+        if (unknown.nonEmpty)
+          refuseW("the table requires writer features " +
+            s"[${unknown.mkString(", ")}] this writer does not implement")
+      }
+      if (st.configuration.keys.exists(_.startsWith("delta.constraints.")))
+        refuseW("the table declares CHECK constraints this writer does " +
+          "not evaluate against updated rows")
+      val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+      schema.fields.foreach { f =>
+        if (f.metadata.contains("delta.invariants"))
+          refuseW(s"column '${f.name}' declares an invariant this writer " +
+            "does not evaluate against updated rows")
+        if (f.metadata.contains("delta.generationExpression"))
+          refuseW(s"column '${f.name}' is a generated column this writer " +
+            "does not recompute")
+        if (f.metadata.contains("delta.identity.start"))
+          refuseW(s"column '${f.name}' is an identity column")
+      }
+      assignments.keys.foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"updateDelta at $path: SET column '$c' is not a table column")
+        if (st.partCols.contains(c))
+          refuseW(s"SET touches partition column '$c' — updated rows " +
+            "would have to move partitions; delete + append instead")
+      }
+      st
+    }
+
+    def qualified(p: String): String = {
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+
+    var attempts = 0
+    var result = -1L
+    while (result < 0) {
+      val st = validate()
+      val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+      val partCols = st.partCols
+      val dataSchema =
+        StructType(schema.filterNot(f => partCols.contains(f.name)))
+      val cdfEnabled =
+        st.configuration.get("delta.enableChangeDataFeed").contains("true")
+      val byQualified: Map[String, (String, (Map[String, String],
+        Option[DeletionVectors.Descriptor]))] =
+        st.active.map(e => qualified(resolveFile(root, e._1)) -> e).toMap
+      val liveScan = liveMutationScan(spark, root, st, schema, partCols,
+        dataSchema)
+
+      val matchedTrue = org.apache.spark.sql.functions.coalesce(
+        condition, lit(false))
+      // SET evaluated against the PRE-update row: every assignment
+      // reads the original columns (one select, no chaining)
+      def applied(d: DataFrame): DataFrame =
+        d.select((schema.fields.map { f =>
+          assignments.get(f.name) match {
+            case Some(v) =>
+              org.apache.spark.sql.functions.when(matchedTrue,
+                v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        } :+ col("__file")).toSeq: _*)
+
+      val affected = liveScan(st.active)
+        .where(matchedTrue)
+        .select(col("__file")).distinct().collect().map(_.getString(0))
+      if (affected.isEmpty) { result = st.version }
+      else {
+        val entries = affected.toSeq.map(byQualified)
+        val staging = new HPath(root,
+          s"_graft_update_${java.util.UUID.randomUUID()}")
+        val cdcStaging = new HPath(root,
+          s"_graft_cdc_${java.util.UUID.randomUUID()}")
+        val moved = scala.collection.mutable.Buffer[String]()
+        def cleanupStaged(): Unit = {
+          moved.foreach(p => fs.delete(new HPath(root, p), false))
+          fs.delete(staging, true); fs.delete(cdcStaging, true)
+        }
+        try {
+          val now = System.currentTimeMillis()
+          val rewritten = applied(liveScan(entries)).drop("__file")
+            .select(schema.fieldNames.map(col).toSeq: _*)
+          if (partCols.nonEmpty)
+            rewritten.write.partitionBy(partCols: _*)
+              .parquet(staging.toString)
+          else rewritten.write.parquet(staging.toString)
+          val staged = listStagedParquet(fs, staging)
+          staged.foreach { case (rel, _) =>
+            val dst = new HPath(root, rel)
+            fs.mkdirs(dst.getParent)
+            if (!fs.rename(new HPath(staging, rel), dst))
+              throw new java.io.IOException(
+                s"could not move rewritten file $rel into $path")
+            moved += rel
+          }
+          fs.delete(staging, true)
+
+          var cdcAdds: Seq[(String, Long)] = Nil
+          if (cdfEnabled) {
+            val matchedRows = liveScan(entries).where(matchedTrue)
+            val pre = matchedRows.drop("__file")
+              .select(schema.fieldNames.map(col).toSeq: _*)
+              .withColumn("_change_type", lit("update_preimage"))
+            val post = applied(matchedRows).drop("__file")
+              .select(schema.fieldNames.map(col).toSeq: _*)
+              .withColumn("_change_type", lit("update_postimage"))
+            val cdc = pre.unionByName(post)
+            if (partCols.nonEmpty)
+              cdc.write.partitionBy(partCols: _*).parquet(cdcStaging.toString)
+            else cdc.write.parquet(cdcStaging.toString)
+            val cstaged = listStagedParquet(fs, cdcStaging)
+            cstaged.foreach { case (rel, _) =>
+              val dst = new HPath(root, s"_change_data/$rel")
+              fs.mkdirs(dst.getParent)
+              if (!fs.rename(new HPath(cdcStaging, rel), dst))
+                throw new java.io.IOException(
+                  s"could not move cdc file $rel into $path")
+              moved += s"_change_data/$rel"
+            }
+            fs.delete(cdcStaging, true)
+            cdcAdds = cstaged
+          }
+          result = commitDelete(io, logDir, st, now, condition.toString,
+            entries.map { case (p, (pv, _)) => (p, pv) }, staged, cdcAdds,
+            partCols, operation = "UPDATE")
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            cleanupStaged()
+            attempts += 1
+            if (attempts > maxRetries)
+              throw new IllegalStateException(
+                s"updateDelta lost $maxRetries version races at $path — " +
+                  "giving up")
+          case e: Throwable =>
+            try cleanupStaged() catch { case _: Exception => () }
+            throw e
+        }
+      }
+    }
+    result
+  }
+
+  /** The shared row-level-mutation scan: open a set of snapshot files
+    * with deletion-vector rows filtered out, partition-value literals
+    * attached, and a `__file` column carrying each row's QUALIFIED
+    * data-file path — the detection/rewrite primitive
+    * [[deleteFromDelta]] and [[updateDelta]] build on. */
+  private def liveMutationScan(spark: SparkSession, root: HPath,
+      st: DeltaSnapshot, schema: StructType, partCols: Seq[String],
+      dataSchema: StructType): Seq[(String, (Map[String, String],
+        Option[DeletionVectors.Descriptor]))] => DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): String = {
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+    val lookupMap = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String,
+      DeletionVectors.Roaring64]()
+    st.active.foreach { case (p, (_, dv)) =>
+      dv.foreach(d => lookupMap.put(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          qualified(resolveFile(root, p))),
+        DeletionVectors.load(conf, root, d)))
+    }
+    val dvLookup = new DvLookup(lookupMap)
+    entries =>
+      entries.groupBy(_._2._1).map { case (pv, es) =>
+        val base = spark.read.schema(dataSchema)
+          .parquet(es.map(e => resolveFile(root, e._1)): _*)
+        val dvPred = bridge.column(DvDeleted(
+          bridge.expression(col("_metadata.file_path")),
+          bridge.expression(col("_metadata.row_index")), dvLookup))
+        partCols.foldLeft(
+          base.withColumn("__file", col("_metadata.file_path"))
+            .where(!dvPred)) { (d, pc) =>
+          d.withColumn(pc,
+            pv.get(pc).map(lit(_)).getOrElse(lit(null))
+              .cast(schema(pc).dataType))
+        }
+      }.reduceOption(_.unionByName(_)).getOrElse(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(dataSchema.fields ++
+            partCols.map(pc => schema(pc)) :+
+            StructField("__file", org.apache.spark.sql.types.StringType))))
+  }
+
+  /** Single-attempt row-level-mutation commit (DELETE / UPDATE): cdc +
+    * remove + add actions into the next version slot (throws
+    * FileAlreadyExistsException on a lost race — the caller
+    * recomputes). */
   private def commitDelete(io: TableIO, logDir: HPath, st: DeltaSnapshot,
       now: Long, predicate: String,
       removeWhole: Seq[(String, Map[String, String])],
       adds: Seq[(String, Long)], cdcAdds: Seq[(String, Long)],
-      partCols: Seq[String]): Long = {
+      partCols: Seq[String], operation: String = "DELETE"): Long = {
     val actions = Seq.newBuilder[String]
-    actions += s"""{"commitInfo":{"timestamp":$now,"operation":"DELETE","operationParameters":{"predicate":"${jsonEscape(predicate)}"},"engineInfo":"graft-delete"}}"""
+    actions += s"""{"commitInfo":{"timestamp":$now,"operation":"$operation","operationParameters":{"predicate":"${jsonEscape(predicate)}"},"engineInfo":"graft-${operation.toLowerCase}"}}"""
     def pvJson(pv: Seq[(String, String)]): String =
       pv.map { case (k, v) =>
         "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\""

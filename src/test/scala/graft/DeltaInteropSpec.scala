@@ -2000,6 +2000,107 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(ids("col-2").contains(2), ids.toString)
   }
 
+  test("updateDelta: pre-update SET evaluation, partial files, null cond") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_dup_"),
+      Seq((1L, 10L, 20L, "A"), (2L, 30L, 40L, "A"), (3L, 50L, 60L, "B"),
+        (4L, 70L, 80L, "B")).toDF("id", "a", "b", "seg").repartition(1),
+      partitionBy = Seq("seg"))
+    val target = tmp("graft_dup_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    // swap a and b where id in (2,3): both read the PRE-update row
+    val v = DeltaInterop.updateDelta(spark, target,
+      col("id") === 2L || col("id") === 3L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    assert(v == 1L)
+    val got = DeltaInterop.readDelta(spark, target)
+      .select("id", "a", "b", "seg").as[(Long, Long, Long, String)]
+      .collect().toSet
+    assert(got == Set((1L, 10L, 20L, "A"), (2L, 40L, 30L, "A"),
+      (3L, 60L, 50L, "B"), (4L, 70L, 80L, "B")), got.toString)
+    val log = new String(Files.readAllBytes(Paths.get(target, "_delta_log",
+      "0" * 19 + "1.json")), "UTF-8")
+    assert(log.contains("\"operation\":\"UPDATE\""), log.take(200))
+    // both partitions rewritten: remove+add per affected file
+    val lines = log.trim.split('\n').toSeq
+    assert(lines.count(_.contains("\"remove\"")) == 2, log)
+    assert(lines.count(_.contains("\"add\"")) == 2, log)
+    // a null-condition row stays untouched; no-match commits nothing
+    val v2 = DeltaInterop.updateDelta(spark, target,
+      col("id") > 999L, Map("a" -> lit(0L)))
+    assert(v2 == 1L)
+    assert(!Files.exists(Paths.get(target, "_delta_log", "0" * 19 + "2.json")))
+  }
+
+  test("updateDelta writes update_preimage/postimage cdc on CDF tables") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_dupc_"),
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "x").repartition(1))
+    val target = tmp("graft_dupc_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    val v0 = Paths.get(target, "_delta_log", "0" * 20 + ".json")
+    Files.write(v0, new String(Files.readAllBytes(v0), "UTF-8")
+      .replace("\"configuration\":{}",
+        "\"configuration\":{\"delta.enableChangeDataFeed\":\"true\"}")
+      .getBytes("UTF-8"))
+    Files.deleteIfExists(Paths.get(target, "_delta_log",
+      "." + "0" * 20 + ".json.crc"))
+    DeltaInterop.updateDelta(spark, target, col("id") === 2L,
+      Map("x" -> (col("x") + 5L)))
+    val changes = DeltaInterop.readDeltaChanges(spark, target, 1L, 1L)
+      .select(col("id"), col("x"), col("_change_type"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(changes == Set((2L, 20L, "update_preimage"),
+      (2L, 25L, "update_postimage")), changes.toString)
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("x").as[Long].collect().toSet == Set(10L, 25L, 30L))
+  }
+
+  test("updateDelta applies deletion vectors and refuses partition SET") {
+    import spark.implicits._
+    // DV table: update must not resurrect DV-struck rows
+    val root = tmp("graft_dupdv_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    (0L until 6L).toDF("id").coalesce(1).write.parquet(root + "/d")
+    var rel: String = null
+    Files.list(Paths.get(root, "d")).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        rel = "d/" + p.getFileName.toString
+    }
+    val idxOf = spark.read.parquet(root + "/d")
+      .select(col("id"), col("_metadata.row_index"))
+      .as[(Long, Long)].collect().toMap
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val inline = graft.sources.DeletionVectors.serialize(Seq(idxOf(2L)))
+    val padded = java.util.Arrays.copyOf(inline, (inline.length + 3) / 4 * 4)
+    val z85dv = graft.sources.DeletionVectors.z85Encode(padded)
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$z85dv","sizeInBytes":${padded.length},"cardinality":1}}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    // live rows 0,1,3,4,5; add 100 to all of them
+    DeltaInterop.updateDelta(spark, root, lit(true),
+      Map("id" -> (col("id") + 100L)))
+    val got = DeltaInterop.readDelta(spark, root)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(100L, 101L, 103L, 104L, 105L), got.toString)
+
+    // partition-column SET refuses
+    val t2 = GraftTable.create(spark, tmp("graft_dupp_"),
+      Seq((1L, "A")).toDF("id", "seg"), partitionBy = Seq("seg"))
+    val target2 = tmp("graft_dupp_t_")
+    DeltaInterop.exportSnapshot(t2, target2)
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.updateDelta(spark, target2, lit(true),
+        Map("seg" -> lit("B")))
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+  }
+
   test("concurrent deleteFromDelta writers: both land through retries") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_ddelcc_"),
