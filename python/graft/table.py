@@ -306,3 +306,20 @@ def update_delta(spark, path, condition_col, assignments):
     dx = jvm.graft.sources.DeltaInterop
     return dx.updateDelta(spark._jsparkSession, path, condition_col._jc,
                           m, 20)
+
+
+def update_iceberg(spark, path, condition_col, assignments):
+    """Row-level UPDATE of a file-based Iceberg format-v2 table as ONE
+    atomic merge-on-read overwrite snapshot (position deletes + new
+    data files laid out per the default partition spec — updates that
+    change a partition source column move rows to their new
+    partitions). `assignments` is a dict of column -> pyspark Column
+    evaluated against the pre-update row. Returns the committed (or,
+    for a no-match update, the current) snapshot id."""
+    jvm = spark._jvm
+    m = jvm.scala.collection.immutable.HashMap()
+    for k, v in assignments.items():
+        m = m.updated(k, v._jc)
+    ix = jvm.graft.sources.IcebergInterop
+    return ix.updateIceberg(spark._jsparkSession, path, condition_col._jc,
+                            m, 20)

@@ -462,7 +462,41 @@ object LakehouseOps {
       |            ELSE s_acctbal END, 4) AS s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** g21: foreign-Iceberg UPDATE gate
+    * ([[graft.sources.IcebergInterop.updateIceberg]]) — export
+    * supplier, promote to format v2, atomic merge-on-read UPDATE (one
+    * overwrite snapshot: position deletes + transformed-row data
+    * files), manifest-reader readback vs the relational CASE. */
+  val g21_iceberg_update: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup)
+    val target = Files.createTempDirectory("graft_iupdate_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, target)
+    val mdPath = java.nio.file.Paths.get(target, "metadata", "v1.metadata.json")
+    Files.write(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    Files.deleteIfExists(java.nio.file.Paths.get(target, "metadata",
+      ".v1.metadata.json.crc"))
+    graft.sources.IcebergInterop.updateIceberg(s, target,
+      $"s_suppkey" % 2 === 0,
+      Map("s_acctbal" -> ($"s_acctbal" + lit(1000.0))))
+    graft.sources.IcebergInterop.readIceberg(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g21_sql: String =
+    """SELECT s_suppkey, s_nationkey,
+      | ROUND(CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal + 1000.0
+      |            ELSE s_acctbal END, 4) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g21_iceberg_update" -> g21_iceberg_update,
     "g20_delta_update" -> g20_delta_update,
     "g19_iceberg_delete" -> g19_iceberg_delete,
     "g18_delta_delete" -> g18_delta_delete,
@@ -482,6 +516,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g21_iceberg_update" -> g21_sql,
     "g20_delta_update" -> g20_sql,
     "g19_iceberg_delete" -> g19_sql,
     "g18_delta_delete" -> g18_sql,

@@ -1183,6 +1183,130 @@ object IcebergInterop {
     * Scale shape: one distributed parquet write; metadata is
     * O(#new files + #prior manifests) driver-side — the fast-append
     * shape that keeps long-lived table appends O(|delta|). */
+  /** Resolve a table's DEFAULT partition spec into writable parts:
+    * spec id, the raw spec-field nodes (serialized verbatim into
+    * manifests), and (PartField, source column) pairs with the UTC
+    * gate for time transforms — the layout every foreign write
+    * ([[appendToIceberg]], [[updateIceberg]]) lays new files out by. */
+  private def defaultSpecParts(spark: SparkSession, md: ObjectNode,
+      schemaNode: JsonNode, schema: StructType,
+      refuseW: String => Nothing)
+      : (Int, Seq[JsonNode], Seq[(PartField, String)]) = {
+    val specId = md.path("default-spec-id").asInt(0)
+    val specFieldsNode: Seq[JsonNode] =
+      if (md.has("partition-specs"))
+        md.get("partition-specs").elements().asScala()
+          .find(_.path("spec-id").asInt(0) == specId)
+          .map(_.path("fields").elements().asScala().toSeq)
+          .getOrElse(refuseW(s"default-spec-id $specId is absent from " +
+            "partition-specs"))
+      else if (md.has("partition-spec"))
+        md.get("partition-spec").elements().asScala().toSeq
+      else Nil
+    val nameBySourceId: Map[Int, String] = schemaNode.path("fields")
+      .elements().asScala()
+      .map(f => f.path("id").asInt(-1) -> f.path("name").asText()).toMap
+    val parts: Seq[(PartField, String)] = specFieldsNode.zipWithIndex.map {
+      case (f, i) =>
+        val name = f.path("name").asText()
+        val transform = f.path("transform").asText()
+        val srcId = f.path("source-id").asInt(-1)
+        val fieldId = f.path("field-id").asInt(1000 + i)
+        val src = nameBySourceId.getOrElse(srcId,
+          refuseW(s"partition field '$name' sources field id $srcId, " +
+            "which is not a top-level column"))
+        val srcType = schema(src).dataType
+        val dt: DataType = transform match {
+          case "identity" => srcType
+          case "day" => DateType
+          case "hour" | "month" | "year" => IntegerType
+          case t if TruncRe.matches(t) => srcType
+          case t if BucketRe.matches(t) => IntegerType
+          case "void" => StringType
+          case other => refuseW(s"partition field '$name' uses " +
+            s"transform '$other' this writer cannot produce")
+        }
+        if (Set("day", "hour", "month", "year")(transform)) {
+          val tz = spark.conf.get("spark.sql.session.timeZone",
+            java.util.TimeZone.getDefault.getID)
+          require(
+            java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+            s"cannot append under session time zone '$tz': Iceberg time " +
+              "transforms are defined in UTC — append from a UTC session")
+        }
+        (PartField(name, srcId, fieldId, dt, transform,
+          Some(s"__gp_$name")), src)
+    }
+    (specId, specFieldsNode, parts)
+  }
+
+  /** Distributed data-file write per a resolved spec layout: field-id-
+    * stamped parquet, hive-laid-out on computed transform columns
+    * (identity source columns stay in the files — real Iceberg writers
+    * keep them), under a fresh `data/<dirPrefix>-<uuid>` directory.
+    * Returns (directory, files with sizes + footer row counts, and a
+    * path → typed-partition-values resolver for manifest entries). */
+  private def writeSpecData(df: DataFrame, root: HPath,
+      fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      parts: Seq[(PartField, String)], schemaNode: JsonNode,
+      schema: StructType, dirPrefix: String)
+      : (HPath, Seq[(HPath, Long, Long)], HPath => Seq[AnyRef]) = {
+    def transformCol(transform: String, src: org.apache.spark.sql.Column,
+        srcType: DataType): org.apache.spark.sql.Column = transform match {
+      case "identity" => src
+      case "day" => to_date(src)
+      case "hour" => date_format(src, "yyyy-MM-dd-HH")
+      case "month" => date_format(src, "yyyy-MM")
+      case "year" => date_format(src, "yyyy")
+      case t if TruncRe.matches(t) =>
+        val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
+        srcType match {
+          case StringType => substring(src, 1, w)
+          case _ => src - pmod(src, lit(w))
+        }
+      case t if BucketRe.matches(t) =>
+        val n = t.stripPrefix("bucket[").stripSuffix("]").toInt
+        graft.functions.IcebergHash.iceberg_bucket(n, src)
+      case "void" => lit(null).cast(StringType)
+      case other => throw new IllegalStateException(s"unmapped $other")
+    }
+    val annotated = annotateFieldIds(
+      StructType(schema.fieldNames.map(df.schema(_))), schemaNode)
+    val ordered = df.select(annotated.fields.toSeq.map(f =>
+      col(f.name).as(f.name, f.metadata)): _*)
+    val withParts = parts.foldLeft(ordered) { case (d, (p, src)) =>
+      d.withColumn(p.hiveKey, transformCol(p.transform, col(src),
+        schema(src).dataType))
+    }
+    val dataDir = new HPath(new HPath(root, "data"),
+      s"$dirPrefix-${java.util.UUID.randomUUID()}")
+    if (parts.nonEmpty)
+      withParts.write.partitionBy(parts.map(_._1.hiveKey): _*)
+        .parquet(dataDir.toString)
+    else withParts.write.parquet(dataDir.toString)
+    def listParquet(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { f =>
+        val n = f.getPath.getName
+        if ((n.startsWith("_") || n.startsWith(".")) && !n.contains("=")) Nil
+        else if (f.isDirectory) listParquet(f.getPath)
+        else if (n.endsWith(".parquet")) Seq(f)
+        else Nil
+      }
+    val files = listParquet(dataDir).map(f =>
+      (f.getPath, f.getLen, footerRecordCount(conf, f)))
+    def partValuesOf(p: HPath): Seq[AnyRef] = {
+      val segs = p.toString.split('/').filter(_.contains("=")).map { seg =>
+        val k = seg.takeWhile(_ != '=')
+        k -> unescapeHive(seg.drop(k.length + 1))
+      }.toMap
+      parts.map { case (pf, _) =>
+        segs.get(pf.hiveKey).map(raw => transformValue(pf, raw)).orNull
+      }
+    }
+    (dataDir, files, partValuesOf)
+  }
+
   def appendToIceberg(df: DataFrame, path: String, maxRetries: Int = 20): Long = {
     val spark = df.sparkSession
     val root = new HPath(path)
@@ -1240,51 +1364,8 @@ object IcebergInterop {
             s"${f.dataType.simpleString} in the table, ${have.simpleString} " +
             "in the input — cast before appending")
       }
-      val specId = md.path("default-spec-id").asInt(0)
-      val specFieldsNode: Seq[JsonNode] =
-        if (md.has("partition-specs"))
-          md.get("partition-specs").elements().asScala()
-            .find(_.path("spec-id").asInt(0) == specId)
-            .map(_.path("fields").elements().asScala().toSeq)
-            .getOrElse(refuseW(s"default-spec-id $specId is absent from " +
-              "partition-specs"))
-        else if (md.has("partition-spec"))
-          md.get("partition-spec").elements().asScala().toSeq
-        else Nil
-      val nameBySourceId: Map[Int, String] = schemaNode.path("fields")
-        .elements().asScala()
-        .map(f => f.path("id").asInt(-1) -> f.path("name").asText()).toMap
-      val parts: Seq[(PartField, String)] = specFieldsNode.zipWithIndex.map {
-        case (f, i) =>
-          val name = f.path("name").asText()
-          val transform = f.path("transform").asText()
-          val srcId = f.path("source-id").asInt(-1)
-          val fieldId = f.path("field-id").asInt(1000 + i)
-          val src = nameBySourceId.getOrElse(srcId,
-            refuseW(s"partition field '$name' sources field id $srcId, " +
-              "which is not a top-level column"))
-          val srcType = schema(src).dataType
-          val dt: DataType = transform match {
-            case "identity" => srcType
-            case "day" => DateType
-            case "hour" | "month" | "year" => IntegerType
-            case t if TruncRe.matches(t) => srcType
-            case t if BucketRe.matches(t) => IntegerType
-            case "void" => StringType
-            case other => refuseW(s"partition field '$name' uses " +
-              s"transform '$other' this writer cannot produce")
-          }
-          if (Set("day", "hour", "month", "year")(transform)) {
-            val tz = spark.conf.get("spark.sql.session.timeZone",
-              java.util.TimeZone.getDefault.getID)
-            require(
-              java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
-              s"cannot append under session time zone '$tz': Iceberg time " +
-                "transforms are defined in UTC — append from a UTC session")
-          }
-          (PartField(name, srcId, fieldId, dt, transform,
-            Some(s"__gp_$name")), src)
-      }
+      val (specId, specFieldsNode, parts) =
+        defaultSpecParts(spark, md, schemaNode, schema, refuseW)
       val currentSnap = md.path("current-snapshot-id").asLong(-1L)
       val priorManifests: Seq[GenericRecord] =
         md.path("snapshots").elements().asScala().toSeq
@@ -1301,65 +1382,9 @@ object IcebergInterop {
     }
     var st = validate()
 
-    // ---- distributed parquet write: field-id-stamped files under a
-    // fresh data/ subdirectory, hive-laid-out on computed partition
-    // columns (the source columns STAY in the files — real Iceberg
-    // writers keep identity sources; readers use the manifest's
-    // partition struct either way) ----
-    def transformCol(transform: String, src: org.apache.spark.sql.Column,
-        srcType: DataType): org.apache.spark.sql.Column = transform match {
-      case "identity" => src
-      case "day" => to_date(src)
-      case "hour" => date_format(src, "yyyy-MM-dd-HH")
-      case "month" => date_format(src, "yyyy-MM")
-      case "year" => date_format(src, "yyyy")
-      case t if TruncRe.matches(t) =>
-        val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
-        srcType match {
-          case StringType => substring(src, 1, w)
-          case _ => src - pmod(src, lit(w))
-        }
-      case t if BucketRe.matches(t) =>
-        val n = t.stripPrefix("bucket[").stripSuffix("]").toInt
-        graft.functions.IcebergHash.iceberg_bucket(n, src)
-      case "void" => lit(null).cast(StringType)
-      case other => throw new IllegalStateException(s"unmapped $other")
-    }
-    val annotated = annotateFieldIds(
-      StructType(st.schema.fieldNames.map(df.schema(_))), st.schemaNode)
-    val ordered = df.select(annotated.fields.toSeq.map(f =>
-      col(f.name).as(f.name, f.metadata)): _*)
-    val withParts = st.parts.foldLeft(ordered) { case (d, (p, src)) =>
-      d.withColumn(p.hiveKey, transformCol(p.transform, col(src),
-        st.schema(src).dataType))
-    }
-    val dataDir = new HPath(new HPath(root, "data"),
-      s"graft-append-${java.util.UUID.randomUUID()}")
-    if (st.parts.nonEmpty)
-      withParts.write.partitionBy(st.parts.map(_._1.hiveKey): _*)
-        .parquet(dataDir.toString)
-    else withParts.write.parquet(dataDir.toString)
-
+    val (dataDir, files, partValuesOf) = writeSpecData(df, root, fs, conf,
+      st.parts, st.schemaNode, st.schema, "graft-append")
     try {
-      def listParquet(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
-        fs.listStatus(p).toSeq.flatMap { f =>
-          val n = f.getPath.getName
-          if ((n.startsWith("_") || n.startsWith(".")) && !n.contains("=")) Nil
-          else if (f.isDirectory) listParquet(f.getPath)
-          else if (n.endsWith(".parquet")) Seq(f)
-          else Nil
-        }
-      val files = listParquet(dataDir).map(f =>
-        (f.getPath, f.getLen, footerRecordCount(conf, f)))
-      def partValuesOf(p: HPath): Seq[AnyRef] = {
-        val segs = p.toString.split('/').filter(_.contains("=")).map { seg =>
-          val k = seg.takeWhile(_ != '=')
-          k -> unescapeHive(seg.drop(k.length + 1))
-        }.toMap
-        st.parts.map { case (pf, _) =>
-          segs.get(pf.hiveKey).map(raw => transformValue(pf, raw)).orNull
-        }
-      }
       val partFields = st.parts.map(_._1)
       val v2 = st.formatVersion == 2
       val entrySchema =
@@ -1701,6 +1726,271 @@ object IcebergInterop {
                     s"$path — giving up")
           }
         }
+      }
+    }
+    result
+  }
+
+  /** UPDATE the rows matching `condition` in an existing file-based
+    * Iceberg FORMAT-V2 table, setting `assignments` (column → new-value
+    * expression, evaluated against the PRE-update row) — published as
+    * ONE atomic merge-on-read `overwrite` snapshot, the shape Spark's
+    * MoR UPDATE writes: position delete files retire the old row
+    * versions (global unpartitioned spec, as in [[deleteFromIceberg]])
+    * and new data files carry the transformed rows laid out per the
+    * table's DEFAULT partition spec (so an update that changes a
+    * partition source column moves rows to their new partitions —
+    * legal here, unlike Delta's in-place CoW). Both manifests commit
+    * at `last-sequence-number + 1` in a single snapshot: readers never
+    * observe the delete without the re-insert.
+    *
+    * Cost ∝ updated rows. Format v1 refuses; lost version races
+    * recompute; a no-match update commits nothing. Returns the
+    * committed (or current) snapshot id. */
+  def updateIceberg(spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      maxRetries: Int = 20): Long = {
+    require(assignments.nonEmpty,
+      "updateIceberg needs at least one SET assignment")
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val io = new TableIO(path, conf)
+    val metaDir = new HPath(root, "metadata")
+    require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
+
+    def refuseW(what: String): Nothing = throw new IllegalArgumentException(
+      s"cannot update Iceberg table at $path: $what — write it with " +
+        "a full Iceberg client")
+    def qualified(p: String): String = {
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+
+    var attempts = 0
+    var result = Long.MinValue
+    while (result == Long.MinValue) {
+      val listed = fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+      val vTop = listed.flatMap {
+        case VMeta(n) => Some(n.toInt)
+        case _ => None
+      }.maxOption.getOrElse(refuseW("the metadata is catalog-managed " +
+        "(no v<N>.metadata.json / version-hint naming) — a directory " +
+        "commit would be invisible to the catalog pointer"))
+      val md = om.readTree(readBytes(fs,
+        new HPath(metaDir, s"v$vTop.metadata.json"))).deepCopy[ObjectNode]()
+      val fv = md.path("format-version").asInt(1)
+      if (fv != 2)
+        refuseW(s"the table is format version $fv — row-level updates " +
+          "need v2 merge-on-read position deletes")
+      val currentSnap = md.path("current-snapshot-id").asLong(-1L)
+      if (currentSnap < 0) { result = currentSnap }
+      else {
+        val newSeq = md.path("last-sequence-number").asLong(0L) + 1
+        val schemaNode = currentSchemaNode(md, path)
+        val schemaId = md.path("current-schema-id").asInt(
+          schemaNode.path("schema-id").asInt(0))
+        val schema = fromIcebergStruct(schemaNode, path)
+        assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
+          s"updateIceberg at $path: SET column '$c' is not a table column"))
+        val (specId, _, parts) =
+          defaultSpecParts(spark, md, schemaNode, schema, refuseW)
+        publishHint(fs, metaDir, vTop)
+        val snapNode = md.get("snapshots").elements().asScala()
+          .find(_.get("snapshot-id").asLong() == currentSnap)
+          .getOrElse(refuseW(s"current snapshot $currentSnap missing from " +
+            "the snapshots array"))
+        val priorList = readAvro(readBytes(fs,
+          new HPath(snapNode.get("manifest-list").asText())))
+        val filePaths: Seq[String] = priorList
+          .filter(r => fieldOpt(r, "content").map(longOf).getOrElse(0L) == 0L)
+          .map(_.get("manifest_path").toString)
+          .flatMap { mp =>
+            readAvro(readBytes(fs, new HPath(mp))).flatMap { e =>
+              if (longOf(e.get("status")) == 2L) None
+              else Some(e.get("data_file").asInstanceOf[GenericRecord]
+                .get("file_path").toString)
+            }
+          }.distinct
+
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        import spark.implicits._
+        val matched = readIcebergInternal(spark, path, None, None,
+          withLineage = true).where(condition).cache()
+        try {
+          // ---- old row versions -> position delete parquet ----
+          val pathMap = filePaths.map(p => (qualified(p), p))
+            .toDF("__fp", "__uri")
+          def reservedId(id: Long) =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", id).build()
+          val delRows = matched
+            .join(pathMap, Seq("__fp"))
+            .select(col("__uri").as("file_path", reservedId(2147483546L)),
+              col("__pos").as("pos", reservedId(2147483545L)))
+            .sortWithinPartitions(col("file_path"), col("pos"))
+          val delDir = new HPath(new HPath(root, "data"),
+            s"graft-updel-${java.util.UUID.randomUUID()}")
+          delRows.write.parquet(delDir.toString)
+          val delFiles = fs.listStatus(delDir).toSeq
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(f => (f.getPath, f.getLen, footerRecordCount(conf, f)))
+            .filter(_._3 > 0)
+          if (delFiles.isEmpty) {
+            fs.delete(delDir, true)
+            result = currentSnap // nothing matched
+          } else {
+            // ---- transformed rows -> new data files per the spec ----
+            val newRows = matched.select(schema.fields.map { f =>
+              assignments.get(f.name)
+                .map(_.cast(f.dataType).as(f.name))
+                .getOrElse(col(f.name))
+            }.toSeq: _*)
+            val (newDir, newFiles, partValuesOf) = writeSpecData(newRows,
+              root, fs, conf, parts, schemaNode, schema, "graft-update")
+            val cleanupDirs = () => {
+              fs.delete(delDir, true); fs.delete(newDir, true)
+            }
+            try {
+              val now = System.currentTimeMillis()
+              val snapId = md.path("snapshots").elements().asScala()
+                .map(_.path("snapshot-id").asLong(0L)).maxOption
+                .getOrElse(0L) + 1L
+              // delete manifest under the global unpartitioned spec
+              val specsArr = md.path("partition-specs") match {
+                case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+                case _ => md.putArray("partition-specs")
+              }
+              val unpartSpecId = specsArr.elements().asScala()
+                .find(_.path("fields").size() == 0)
+                .map(_.path("spec-id").asInt(0))
+                .getOrElse {
+                  val id = specsArr.elements().asScala()
+                    .map(_.path("spec-id").asInt(0)).maxOption
+                    .getOrElse(-1) + 1
+                  val n = om.createObjectNode()
+                  n.put("spec-id", id); n.putArray("fields")
+                  specsArr.add(n)
+                  id
+                }
+              val delEntrySchema = manifestEntrySchemaV2For(Nil)
+              val delEnts = delFiles.map { case (p, size, rc) =>
+                manifestEntryV2(delEntrySchema, p.toString, size, rc, Nil,
+                  content = 1)
+              }
+              val delManifestBytes = writeAvro(delEntrySchema, Map(
+                "schema" -> om.writeValueAsString(schemaNode),
+                "schema-id" -> schemaId.toString,
+                "partition-spec" -> "[]",
+                "partition-spec-id" -> unpartSpecId.toString,
+                "format-version" -> "2",
+                "content" -> "deletes"), delEnts)
+              val delManifestPath = new HPath(metaDir,
+                s"${java.util.UUID.randomUUID()}-m0.avro")
+              writeBytes(fs, delManifestPath, delManifestBytes)
+              // data manifest under the DEFAULT spec
+              val partFields = parts.map(_._1)
+              val dataEntrySchema = manifestEntrySchemaV2For(partFields)
+              val specArr = om.createArrayNode()
+              val specFieldsNode: Seq[JsonNode] =
+                if (md.has("partition-specs"))
+                  md.get("partition-specs").elements().asScala()
+                    .find(_.path("spec-id").asInt(0) == specId)
+                    .map(_.path("fields").elements().asScala().toSeq)
+                    .getOrElse(Nil)
+                else Nil
+              specFieldsNode.foreach(f => specArr.add(f.deepCopy[JsonNode]()))
+              val dataEnts = newFiles.map { case (p, size, rc) =>
+                manifestEntryV2(dataEntrySchema, p.toString, size, rc,
+                  partValuesOf(p))
+              }
+              val dataManifestBytes = writeAvro(dataEntrySchema, Map(
+                "schema" -> om.writeValueAsString(schemaNode),
+                "schema-id" -> schemaId.toString,
+                "partition-spec" -> om.writeValueAsString(specArr),
+                "partition-spec-id" -> specId.toString,
+                "format-version" -> "2",
+                "content" -> "data"), dataEnts)
+              val dataManifestPath = new HPath(metaDir,
+                s"${java.util.UUID.randomUUID()}-m0.avro")
+              writeBytes(fs, dataManifestPath, dataManifestBytes)
+              def listRecordOf(mPath: HPath, mLen: Long, content: Int,
+                  nFiles: Int, nRows: Long, sid: Int): GenericRecord = {
+                val mf = new GenericData.Record(manifestFileSchemaV2)
+                mf.put("manifest_path", mPath.toString)
+                mf.put("manifest_length", mLen)
+                mf.put("partition_spec_id", sid)
+                mf.put("content", content)
+                mf.put("sequence_number", newSeq)
+                mf.put("min_sequence_number", newSeq)
+                mf.put("added_snapshot_id", snapId)
+                mf.put("added_files_count", nFiles)
+                mf.put("existing_files_count", 0)
+                mf.put("deleted_files_count", 0)
+                mf.put("added_rows_count", nRows)
+                mf.put("existing_rows_count", 0L)
+                mf.put("deleted_rows_count", 0L)
+                mf
+              }
+              val defaultSpecIdNow = md.path("default-spec-id").asInt(0)
+              val listRecords = priorList.map(
+                reserializeManifestFileV2(_, defaultSpecIdNow, currentSnap)) ++
+                Seq(
+                  listRecordOf(dataManifestPath,
+                    dataManifestBytes.length.toLong, 0, newFiles.size,
+                    newFiles.map(_._3).sum, specId),
+                  listRecordOf(delManifestPath,
+                    delManifestBytes.length.toLong, 1, delFiles.size,
+                    delFiles.map(_._3).sum, unpartSpecId))
+              val listBytes = writeAvro(manifestFileSchemaV2,
+                Map("snapshot-id" -> snapId.toString, "format-version" -> "2",
+                  "sequence-number" -> newSeq.toString), listRecords)
+              val listPath = new HPath(metaDir,
+                s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
+              writeBytes(fs, listPath, listBytes)
+              md.put("last-updated-ms", now)
+              md.put("current-snapshot-id", snapId)
+              md.put("last-sequence-number", newSeq)
+              val snaps = md.get("snapshots")
+                .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+              val sn = snapshotNode(snapId, now, "overwrite",
+                listPath.toString, schemaId)
+              sn.put("sequence-number", newSeq)
+              sn.put("parent-snapshot-id", currentSnap)
+              snaps.add(sn)
+              md.path("snapshot-log") match {
+                case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+                  val e = om.createObjectNode()
+                  e.put("timestamp-ms", now); e.put("snapshot-id", snapId)
+                  a.add(e)
+                case _ => ()
+              }
+              try {
+                io.writeExclusive(
+                  new HPath(metaDir, s"v${vTop + 1}.metadata.json"),
+                  om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+                publishHint(fs, metaDir, vTop + 1)
+                result = snapId
+              } catch {
+                case _: java.nio.file.FileAlreadyExistsException =>
+                  fs.delete(listPath, false)
+                  fs.delete(delManifestPath, false)
+                  fs.delete(dataManifestPath, false)
+                  cleanupDirs()
+                  attempts += 1
+                  if (attempts > maxRetries)
+                    throw new IllegalStateException(
+                      s"updateIceberg lost $maxRetries version races at " +
+                        s"$path — giving up")
+              }
+            } catch {
+              case e: Throwable =>
+                try cleanupDirs() catch { case _: Exception => () }
+                throw e
+            }
+          }
+        } finally matched.unpersist()
       }
     }
     result

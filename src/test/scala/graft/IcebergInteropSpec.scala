@@ -1796,6 +1796,77 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(pruned.select("id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("updateIceberg: atomic MoR overwrite snapshot, pre-row SET") {
+    import spark.implicits._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val t = GraftTable.create(spark, tmp("graft_iup_"),
+      Seq((1L, 10L, 20L), (2L, 30L, 40L), (3L, 50L, 60L))
+        .toDF("id", "a", "b"))
+    val target = tmp("graft_iup_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val md0 = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md0.put("format-version", 2)
+    md0.put("last-sequence-number", 0L)
+    patch(mdPath, om.writeValueAsBytes(md0))
+    // swap a/b where id = 2 — assignments read the PRE-update row
+    val s1 = IcebergInterop.updateIceberg(spark, target, col("id") === 2L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val got = IcebergInterop.readIceberg(spark, target)
+      .select("id", "a", "b").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 20L), (2L, 40L, 30L), (3L, 50L, 60L)),
+      got.toString)
+    // ONE snapshot, operation overwrite, sequence bookkeeping
+    val md1 = om.readTree(Files.readAllBytes(
+      Paths.get(target, "metadata", "v2.metadata.json")))
+    assert(md1.get("snapshots").size() == 2)
+    val snap = md1.get("snapshots").get(1)
+    assert(snap.get("snapshot-id").asLong() == s1)
+    assert(snap.get("summary").get("operation").asText() == "overwrite")
+    assert(md1.get("last-sequence-number").asLong() == 1L)
+    // the update is invisible before its snapshot
+    assert(IcebergInterop.readIceberg(spark, target, Some(s1 - 1))
+      .where(col("id") === 2L).select("a").as[Long].head() == 30L)
+    // repeated update composes on top of the first
+    IcebergInterop.updateIceberg(spark, target, col("id") === 2L,
+      Map("a" -> (col("a") + 1L)))
+    assert(IcebergInterop.readIceberg(spark, target)
+      .where(col("id") === 2L).select("a").as[Long].head() == 41L)
+    // no-match update publishes nothing
+    val before = Files.list(Paths.get(target, "metadata")).toArray.length
+    IcebergInterop.updateIceberg(spark, target, col("id") > 99L,
+      Map("a" -> lit(0L)))
+    assert(Files.list(Paths.get(target, "metadata")).toArray.length == before)
+  }
+
+  test("updateIceberg moves rows across partitions (default-spec layout)") {
+    import spark.implicits._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val t = GraftTable.create(spark, tmp("graft_iupp_"),
+      Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "seg"),
+      partitionBy = Seq("seg"))
+    IcebergInterop.mirrorToIceberg(t)
+    val mdPath = Paths.get(t.root, "metadata",
+      s"v${t.latestVersion() + 1}.metadata.json")
+    val md0 = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md0.put("format-version", 2)
+    md0.put("last-sequence-number", 0L)
+    patch(mdPath, om.writeValueAsBytes(md0))
+    // move id=1 from seg A to C: the new row lands in a NEW partition
+    IcebergInterop.updateIceberg(spark, t.root, col("id") === 1L,
+      Map("seg" -> lit("C")))
+    val got = IcebergInterop.readIceberg(spark, t.root)
+      .select("id", "seg").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "C"), (2L, "A"), (3L, "B")), got.toString)
+    // metadata-only partition pruning agrees on all three partitions
+    assert(IcebergInterop.readIcebergWhere(spark, t.root, "seg", "C")
+      .select("id").as[Long].collect().toSet == Set(1L))
+    assert(IcebergInterop.readIcebergWhere(spark, t.root, "seg", "A")
+      .select("id").as[Long].collect().toSet == Set(2L))
+  }
+
   test("deleteFromIceberg refuses format v1") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_idelv1_"),
