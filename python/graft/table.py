@@ -308,6 +308,20 @@ def update_delta(spark, path, condition_col, assignments):
                           m, 20)
 
 
+def merge_delta(source_df, path, keys):
+    """MERGE (upsert) a source DataFrame into an existing Delta table
+    on `keys` — the protocol shape of `MERGE INTO ... WHEN MATCHED THEN
+    UPDATE SET * WHEN NOT MATCHED THEN INSERT *`: matched target rows
+    are replaced by their source row (copy-on-write, only the files
+    holding matched rows rewritten), unmatched source rows are
+    inserted, and CDF tables get update_preimage/update_postimage/
+    insert cdc files. Source keys must be unique. Returns the
+    committed version."""
+    spark = source_df.sparkSession
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return dx.mergeDelta(source_df._jdf, path, _seq(spark, keys), 20)
+
+
 def update_iceberg(spark, path, condition_col, assignments):
     """Row-level UPDATE of a file-based Iceberg format-v2 table as ONE
     atomic merge-on-read overwrite snapshot (position deletes + new

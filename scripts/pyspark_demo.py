@@ -195,8 +195,16 @@ table.delete_from_delta(spark, delta_path, F.col("n_chars") < 200)
 kept = table.read_delta(spark, delta_path)
 n_kept = kept.count()
 assert n_kept == fdoc.filter("n_chars >= 200 OR n_chars IS NULL").count()
-print(f"foreign Delta after append+delete: {n_kept} rows "
-      f"(version {v + 1}); foreign Iceberg snapshot {sid}")
+# MERGE: flip every surviving row's lang and add one brand-new row
+merge_src = kept.withColumn("lang", F.lit("xx")).unionByName(
+    spark.createDataFrame([(999999, "zz", 1234)],
+                          "doc_id long, lang string, n_chars long"))
+table.merge_delta(merge_src, delta_path, ["doc_id"])
+merged = table.read_delta(spark, delta_path)
+assert merged.count() == n_kept + 1
+assert merged.filter("lang = 'xx'").count() == n_kept
+print(f"foreign Delta after append+delete+merge: {merged.count()} rows "
+      f"(version {v + 2}); foreign Iceberg snapshot {sid}")
 
 spark.stop()
 print("demo complete — all assertions passed")

@@ -495,7 +495,43 @@ object LakehouseOps {
       |            ELSE s_acctbal END, 4) AS s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** g22: foreign-Delta MERGE gate
+    * ([[graft.sources.DeltaInterop.mergeDelta]]) — export supplier as
+    * partitioned Delta, upsert a source of updated + brand-new rows
+    * through the CoW merge commit, read back through the log replay.
+    * The oracle recomputes the upsert relationally. */
+  val g22_delta_merge: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup,
+      partitionBy = Seq("s_nationkey"))
+    val target = Files.createTempDirectory("graft_dmerge_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    val src = sup.filter($"s_suppkey" % 5 === 0)
+      .withColumn("s_acctbal", $"s_acctbal" + lit(500.0))
+      .unionByName(sup.filter($"s_suppkey" % 7 === 0)
+        .withColumn("s_suppkey", $"s_suppkey" + lit(100000L)))
+    graft.sources.DeltaInterop.mergeDelta(src, target, Seq("s_suppkey"))
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g22_sql: String =
+    """SELECT * FROM (
+      | SELECT s_suppkey, s_nationkey,
+      |  ROUND(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 500.0
+      |             ELSE s_acctbal END, 4) AS s_acctbal
+      | FROM supplier
+      | UNION ALL
+      | SELECT s_suppkey + 100000, s_nationkey, ROUND(s_acctbal, 4)
+      | FROM supplier WHERE s_suppkey % 7 = 0
+      |) ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g22_delta_merge" -> g22_delta_merge,
     "g21_iceberg_update" -> g21_iceberg_update,
     "g20_delta_update" -> g20_delta_update,
     "g19_iceberg_delete" -> g19_iceberg_delete,
@@ -516,6 +552,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g22_delta_merge" -> g22_sql,
     "g21_iceberg_update" -> g21_sql,
     "g20_delta_update" -> g20_sql,
     "g19_iceberg_delete" -> g19_sql,

@@ -582,9 +582,9 @@ object DeltaInterop {
     Set("deletionVectors", "columnMapping", "v2Checkpoint")
 
   /** Reader-protocol gate: version 1 (plain add/remove over parquet),
-    * version 2 (column mapping — the MODE gate below refuses 'id'),
-    * and version 3 with only supported readerFeatures pass; anything
-    * else refuses loudly rather than misread. */
+    * version 2 (column mapping, name- and id-mode), and version 3 with
+    * only supported readerFeatures pass; anything else refuses loudly
+    * rather than misread. */
   private def checkProtocol(path: String, minReader: Int,
       readerFeatures: Seq[String]): Unit = {
     val ok =
@@ -1839,6 +1839,220 @@ object DeltaInterop {
             try cleanupStaged() catch { case _: Exception => () }
             throw e
         }
+      }
+    }
+    result
+  }
+
+  /** MERGE (upsert) `source` into an existing Delta table (foreign or
+    * mirrored) on `keys` — the protocol shape of Delta's
+    * `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    * THEN INSERT *`, the reference notebooks' workhorse:
+    *
+    *  - target rows whose key equi-matches a source row are REPLACED
+    *    by that source row (SQL equi-join null semantics: null-key
+    *    source rows always insert, null-key target rows always
+    *    survive — `GraftTable.merge`'s pinned behavior);
+    *  - source rows matching no target row are INSERTED;
+    *  - only the files containing matched rows are rewritten (CoW,
+    *    remove+add); untouched files carry forward;
+    *  - CDF tables get authoritative cdc files — update_preimage/
+    *    update_postimage for replaced rows, insert for new rows.
+    *
+    * The source must carry exactly the table's columns, and its keys
+    * must be UNIQUE (a target row matching several source rows is the
+    * same ambiguity Delta's MERGE rejects). Writer gates are
+    * [[updateDelta]]'s (an upsert can violate constraints/invariants).
+    * A lost version race restarts the whole operation. Returns the
+    * committed version. */
+  def mergeDelta(source: DataFrame, path: String, keys: Seq[String],
+      maxRetries: Int = 20): Long = {
+    require(keys.nonEmpty, "mergeDelta needs at least one key column")
+    val spark = source.sparkSession
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val io = new TableIO(path, conf)
+    val logDir = new HPath(root, "_delta_log")
+    require(fs.exists(logDir), s"no Delta log at $path — mergeDelta " +
+      "mutates existing tables")
+
+    def refuseW(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"cannot merge into Delta table at $path: $what — write it with " +
+          "a full Delta client")
+
+    val Harmless = Set("appendOnly", "invariants", "checkConstraints",
+      "generatedColumns", "changeDataFeed", "deletionVectors",
+      "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping")
+
+    def validate(): DeltaSnapshot = {
+      val st = replaySnapshot(spark, path, None)
+      if (st.colMapMode != "none")
+        refuseW("the table uses column mapping — rewritten files would " +
+          "need physical column names")
+      if (st.configuration.get("delta.appendOnly").contains("true"))
+        refuseW("the table is append-only (delta.appendOnly=true)")
+      if (st.minWriter > 7)
+        refuseW(s"the table requires writer protocol ${st.minWriter}")
+      if (st.minWriter == 7) {
+        val unknown = st.writerFeatures.filterNot(Harmless.contains)
+        if (unknown.nonEmpty)
+          refuseW("the table requires writer features " +
+            s"[${unknown.mkString(", ")}] this writer does not implement")
+      }
+      if (st.configuration.keys.exists(_.startsWith("delta.constraints.")))
+        refuseW("the table declares CHECK constraints this writer does " +
+          "not evaluate against merged rows")
+      val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+      schema.fields.foreach { f =>
+        if (f.metadata.contains("delta.invariants"))
+          refuseW(s"column '${f.name}' declares an invariant")
+        if (f.metadata.contains("delta.generationExpression"))
+          refuseW(s"column '${f.name}' is a generated column")
+        if (f.metadata.contains("delta.identity.start"))
+          refuseW(s"column '${f.name}' is an identity column")
+      }
+      require(schema.fieldNames.toSet == source.schema.fieldNames.toSet,
+        s"merge schema mismatch at $path: table columns " +
+          s"[${schema.fieldNames.mkString(", ")}], source columns " +
+          s"[${source.schema.fieldNames.mkString(", ")}]")
+      keys.foreach(k => require(schema.fieldNames.contains(k),
+        s"mergeDelta at $path: key '$k' is not a table column"))
+      st
+    }
+
+    def qualified(p: String): String = {
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+
+    var attempts = 0
+    var result = -1L
+    while (result < 0) {
+      val st = validate()
+      val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+      val partCols = st.partCols
+      val dataSchema =
+        StructType(schema.filterNot(f => partCols.contains(f.name)))
+      val cdfEnabled =
+        st.configuration.get("delta.enableChangeDataFeed").contains("true")
+      val byQualified: Map[String, (String, (Map[String, String],
+        Option[DeletionVectors.Descriptor]))] =
+        st.active.map(e => qualified(resolveFile(root, e._1)) -> e).toMap
+      val liveScan = liveMutationScan(spark, root, st, schema, partCols,
+        dataSchema)
+      val src = source.select(schema.fieldNames.map(col).toSeq: _*)
+      // source non-key columns under __src_ aliases for the rewrite join
+      val srcAliased = src.select(keys.map(col) ++
+        schema.fieldNames.filterNot(keys.contains).map(c =>
+          col(c).as(s"__src_$c")) :+ lit(1).as("__m"): _*)
+
+      // one full key pass: matched target rows -> affected files;
+      // unmatched source rows -> inserts
+      val scanAll = liveScan(st.active)
+      val affected = scanAll
+        .join(srcAliased.select(keys.map(col) :+ col("__m"): _*),
+          keys, "inner")
+        .select(col("__file")).distinct().collect().map(_.getString(0))
+      val inserts = src.join(scanAll.select(keys.map(col): _*),
+        keys, "left_anti")
+
+      val entries = affected.toSeq.map(byQualified)
+      val staging = new HPath(root,
+        s"_graft_merge_${java.util.UUID.randomUUID()}")
+      val cdcStaging = new HPath(root,
+        s"_graft_cdc_${java.util.UUID.randomUUID()}")
+      val moved = scala.collection.mutable.Buffer[String]()
+      def cleanupStaged(): Unit = {
+        moved.foreach(p => fs.delete(new HPath(root, p), false))
+        fs.delete(staging, true); fs.delete(cdcStaging, true)
+      }
+      try {
+        val now = System.currentTimeMillis()
+        // rewritten = affected files with matched rows replaced by the
+        // source row, unioned with the brand-new inserts
+        def replaced(d: DataFrame): DataFrame =
+          d.join(srcAliased, keys, "left")
+            .select(schema.fields.map { f =>
+              if (keys.contains(f.name)) col(f.name)
+              else org.apache.spark.sql.functions.when(col("__m") === 1,
+                col(s"__src_${f.name}").cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+            }.toSeq: _*)
+        val rewritten =
+          (if (entries.isEmpty)
+             inserts.select(schema.fieldNames.map(col).toSeq: _*)
+           else replaced(liveScan(entries))
+             .unionByName(inserts.select(schema.fieldNames.map(col).toSeq: _*)))
+        if (partCols.nonEmpty)
+          rewritten.write.partitionBy(partCols: _*).parquet(staging.toString)
+        else rewritten.write.parquet(staging.toString)
+        val staged = listStagedParquet(fs, staging)
+        if (staged.isEmpty && entries.isEmpty) {
+          // empty source, nothing matched: no-op
+          fs.delete(staging, true)
+          result = st.version
+        } else {
+          staged.foreach { case (rel, _) =>
+            val dst = new HPath(root, rel)
+            fs.mkdirs(dst.getParent)
+            if (!fs.rename(new HPath(staging, rel), dst))
+              throw new java.io.IOException(
+                s"could not move staged merge file $rel into $path")
+            moved += rel
+          }
+          fs.delete(staging, true)
+
+          var cdcAdds: Seq[(String, Long)] = Nil
+          if (cdfEnabled) {
+            val matchedRows =
+              if (entries.isEmpty) None
+              else Some(liveScan(entries).join(srcAliased, keys, "inner"))
+            val pre = matchedRows.map(_
+              .select(schema.fieldNames.map(col).toSeq: _*)
+              .withColumn("_change_type", lit("update_preimage")))
+            // every matchedRows row IS matched: the postimage is just
+            // the source values (already joined in as __src_ columns)
+            val post = matchedRows.map(_.select(schema.fields.map { f =>
+              if (keys.contains(f.name)) col(f.name)
+              else col(s"__src_${f.name}").cast(f.dataType).as(f.name)
+            }.toSeq: _*).withColumn("_change_type", lit("update_postimage")))
+            val ins = inserts.select(schema.fieldNames.map(col).toSeq: _*)
+              .withColumn("_change_type", lit("insert"))
+            val cdc = (pre.toSeq ++ post.toSeq :+ ins)
+              .reduce(_.unionByName(_))
+            if (partCols.nonEmpty)
+              cdc.write.partitionBy(partCols: _*).parquet(cdcStaging.toString)
+            else cdc.write.parquet(cdcStaging.toString)
+            val cstaged = listStagedParquet(fs, cdcStaging)
+            cstaged.foreach { case (rel, _) =>
+              val dst = new HPath(root, s"_change_data/$rel")
+              fs.mkdirs(dst.getParent)
+              if (!fs.rename(new HPath(cdcStaging, rel), dst))
+                throw new java.io.IOException(
+                  s"could not move cdc file $rel into $path")
+              moved += s"_change_data/$rel"
+            }
+            fs.delete(cdcStaging, true)
+            cdcAdds = cstaged
+          }
+          result = commitDelete(io, logDir, st, now,
+            s"merge on (${keys.mkString(", ")})",
+            entries.map { case (p, (pv, _)) => (p, pv) }, staged, cdcAdds,
+            partCols, operation = "MERGE")
+        }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          cleanupStaged()
+          attempts += 1
+          if (attempts > maxRetries)
+            throw new IllegalStateException(
+              s"mergeDelta lost $maxRetries version races at $path — " +
+                "giving up")
+        case e: Throwable =>
+          try cleanupStaged() catch { case _: Exception => () }
+          throw e
       }
     }
     result

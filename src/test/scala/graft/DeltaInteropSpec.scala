@@ -2101,6 +2101,78 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partition column"), e.getMessage)
   }
 
+  test("mergeDelta upserts: replace matched, insert new, null keys insert") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_dm_"),
+      Seq((1L, "old1", "A"), (2L, "old2", "A"), (3L, "old3", "B"))
+        .toDF("id", "v", "seg").repartition(1),
+      partitionBy = Seq("seg"))
+    val target = tmp("graft_dm_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    // source: update id=2 (moves nothing — seg stays), insert id=9,
+    // and a NULL-key row which must INSERT per SQL join semantics
+    val srcRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    srcRows.add(org.apache.spark.sql.Row(2L, "new2", "A"))
+    srcRows.add(org.apache.spark.sql.Row(9L, "new9", "B"))
+    srcRows.add(org.apache.spark.sql.Row(null, "nullrow", "B"))
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seg",
+        org.apache.spark.sql.types.StringType)))
+    val src = spark.createDataFrame(srcRows, srcSchema)
+    val v = DeltaInterop.mergeDelta(src, target, Seq("id"))
+    assert(v == 1L)
+    val got = DeltaInterop.readDelta(spark, target)
+      .select("id", "v", "seg").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "old1", "A"), (2L, "new2", "A"),
+      (3L, "old3", "B"), (9L, "new9", "B"), (-1L, "nullrow", "B")),
+      got.toString)
+    val log = new String(Files.readAllBytes(Paths.get(target, "_delta_log",
+      "0" * 19 + "1.json")), "UTF-8")
+    assert(log.contains("\"operation\":\"MERGE\""), log.take(200))
+    // only seg=A's file was rewritten (it held the matched id=2); the
+    // seg=B file carries forward untouched
+    val lines = log.trim.split('\n').toSeq
+    val removes = lines.filter(_.contains("\"remove\""))
+    assert(removes.size == 1 && removes.head.contains("seg=A"), log)
+  }
+
+  test("mergeDelta: pure-insert merge and cdc upsert feed") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_dmc_"),
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "x").repartition(1))
+    val target = tmp("graft_dmc_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    val v0 = Paths.get(target, "_delta_log", "0" * 20 + ".json")
+    Files.write(v0, new String(Files.readAllBytes(v0), "UTF-8")
+      .replace("\"configuration\":{}",
+        "\"configuration\":{\"delta.enableChangeDataFeed\":\"true\"}")
+      .getBytes("UTF-8"))
+    Files.deleteIfExists(Paths.get(target, "_delta_log",
+      "." + "0" * 20 + ".json.crc"))
+    DeltaInterop.mergeDelta(Seq((2L, 25L), (3L, 30L)).toDF("id", "x"),
+      target, Seq("id"))
+    val changes = DeltaInterop.readDeltaChanges(spark, target, 1L, 1L)
+      .select(col("id"), col("x"), col("_change_type"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(changes == Set((2L, 20L, "update_preimage"),
+      (2L, 25L, "update_postimage"), (3L, 30L, "insert")), changes.toString)
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("x").as[Long].collect().toSet == Set(10L, 25L, 30L))
+    // pure-insert merge (no key matches): append-shaped commit
+    DeltaInterop.mergeDelta(Seq((7L, 70L)).toDF("id", "x"),
+      target, Seq("id"))
+    val log2 = new String(Files.readAllBytes(Paths.get(target, "_delta_log",
+      "0" * 19 + "2.json")), "UTF-8")
+    assert(!log2.contains("\"remove\""), log2)
+    assert(DeltaInterop.readDelta(spark, target).count() == 4)
+  }
+
   test("concurrent deleteFromDelta writers: both land through retries") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_ddelcc_"),
