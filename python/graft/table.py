@@ -322,6 +322,19 @@ def merge_delta(source_df, path, keys):
     return dx.mergeDelta(source_df._jdf, path, _seq(spark, keys), 20)
 
 
+def merge_iceberg(source_df, path, keys):
+    """MERGE (upsert) a source DataFrame into a file-based Iceberg
+    format-v2 table on `keys` as ONE atomic merge-on-read overwrite
+    snapshot: position deletes retire the matched target row versions,
+    new data files carry the replacements + inserts laid out per the
+    default partition spec (an upsert that changes a partition source
+    column migrates the row). Source keys must be unique. Returns the
+    committed snapshot id."""
+    spark = source_df.sparkSession
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.mergeIceberg(source_df._jdf, path, _seq(spark, keys), 20)
+
+
 def update_iceberg(spark, path, condition_col, assignments):
     """Row-level UPDATE of a file-based Iceberg format-v2 table as ONE
     atomic merge-on-read overwrite snapshot (position deletes + new

@@ -530,7 +530,53 @@ object LakehouseOps {
       | FROM supplier WHERE s_suppkey % 7 = 0
       |) ORDER BY s_suppkey""".stripMargin
 
+  /** g23: foreign-Iceberg MERGE gate
+    * ([[graft.sources.IcebergInterop.mergeIceberg]]) — export supplier
+    * as a partitioned format-v2 Iceberg table, upsert a source whose
+    * updates MOVE rows across partitions (nationkey reassignment) plus
+    * brand-new rows, as ONE atomic MoR overwrite snapshot; read back
+    * through the manifest reader. The oracle recomputes relationally. */
+  val g23_iceberg_merge: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup,
+      partitionBy = Seq("s_nationkey"))
+    val target = Files.createTempDirectory("graft_imerge_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, target)
+    val mdPath = java.nio.file.Paths.get(target, "metadata", "v1.metadata.json")
+    Files.write(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    Files.deleteIfExists(java.nio.file.Paths.get(target, "metadata",
+      ".v1.metadata.json.crc"))
+    val src = sup.filter($"s_suppkey" % 5 === 0)
+      .withColumn("s_acctbal", $"s_acctbal" + lit(500.0))
+      .withColumn("s_nationkey", ($"s_nationkey" + lit(1)) % lit(25))
+      .unionByName(sup.filter($"s_suppkey" % 7 === 0)
+        .withColumn("s_suppkey", $"s_suppkey" + lit(100000L)))
+    graft.sources.IcebergInterop.mergeIceberg(src, target, Seq("s_suppkey"))
+    graft.sources.IcebergInterop.readIceberg(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g23_sql: String =
+    """SELECT * FROM (
+      | SELECT s_suppkey,
+      |  CASE WHEN s_suppkey % 5 = 0 THEN (s_nationkey + 1) % 25
+      |       ELSE s_nationkey END AS s_nationkey,
+      |  ROUND(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 500.0
+      |             ELSE s_acctbal END, 4) AS s_acctbal
+      | FROM supplier
+      | UNION ALL
+      | SELECT s_suppkey + 100000, s_nationkey, ROUND(s_acctbal, 4)
+      | FROM supplier WHERE s_suppkey % 7 = 0
+      |) ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g23_iceberg_merge" -> g23_iceberg_merge,
     "g22_delta_merge" -> g22_delta_merge,
     "g21_iceberg_update" -> g21_iceberg_update,
     "g20_delta_update" -> g20_delta_update,
@@ -552,6 +598,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g23_iceberg_merge" -> g23_sql,
     "g22_delta_merge" -> g22_sql,
     "g21_iceberg_update" -> g21_sql,
     "g20_delta_update" -> g20_sql,

@@ -1982,9 +1982,11 @@ object DeltaInterop {
             }.toSeq: _*)
         val rewritten =
           (if (entries.isEmpty)
-             inserts.select(schema.fieldNames.map(col).toSeq: _*)
+             inserts.select(schema.fields.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
            else replaced(liveScan(entries))
-             .unionByName(inserts.select(schema.fieldNames.map(col).toSeq: _*)))
+             .unionByName(inserts.select(schema.fields.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)))
         if (partCols.nonEmpty)
           rewritten.write.partitionBy(partCols: _*).parquet(staging.toString)
         else rewritten.write.parquet(staging.toString)
@@ -2018,7 +2020,8 @@ object DeltaInterop {
               if (keys.contains(f.name)) col(f.name)
               else col(s"__src_${f.name}").cast(f.dataType).as(f.name)
             }.toSeq: _*).withColumn("_change_type", lit("update_postimage")))
-            val ins = inserts.select(schema.fieldNames.map(col).toSeq: _*)
+            val ins = inserts.select(schema.fields.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
               .withColumn("_change_type", lit("insert"))
             val cdc = (pre.toSeq ++ post.toSeq :+ ins)
               .reduce(_.unionByName(_))

@@ -1852,146 +1852,346 @@ object IcebergInterop {
             val cleanupDirs = () => {
               fs.delete(delDir, true); fs.delete(newDir, true)
             }
-            try {
-              val now = System.currentTimeMillis()
-              val snapId = md.path("snapshots").elements().asScala()
-                .map(_.path("snapshot-id").asLong(0L)).maxOption
-                .getOrElse(0L) + 1L
-              // delete manifest under the global unpartitioned spec
-              val specsArr = md.path("partition-specs") match {
-                case a: com.fasterxml.jackson.databind.node.ArrayNode => a
-                case _ => md.putArray("partition-specs")
+            val committed =
+              try commitOverwriteSnapshot(fs, io, metaDir, md, vTop,
+                currentSnap, newSeq, schemaNode, schemaId, specId, parts,
+                priorList, delFiles, newFiles, partValuesOf)
+              catch {
+                case e: Throwable =>
+                  try cleanupDirs() catch { case _: Exception => () }
+                  throw e
               }
-              val unpartSpecId = specsArr.elements().asScala()
-                .find(_.path("fields").size() == 0)
-                .map(_.path("spec-id").asInt(0))
-                .getOrElse {
-                  val id = specsArr.elements().asScala()
-                    .map(_.path("spec-id").asInt(0)).maxOption
-                    .getOrElse(-1) + 1
-                  val n = om.createObjectNode()
-                  n.put("spec-id", id); n.putArray("fields")
-                  specsArr.add(n)
-                  id
-                }
-              val delEntrySchema = manifestEntrySchemaV2For(Nil)
-              val delEnts = delFiles.map { case (p, size, rc) =>
-                manifestEntryV2(delEntrySchema, p.toString, size, rc, Nil,
-                  content = 1)
-              }
-              val delManifestBytes = writeAvro(delEntrySchema, Map(
-                "schema" -> om.writeValueAsString(schemaNode),
-                "schema-id" -> schemaId.toString,
-                "partition-spec" -> "[]",
-                "partition-spec-id" -> unpartSpecId.toString,
-                "format-version" -> "2",
-                "content" -> "deletes"), delEnts)
-              val delManifestPath = new HPath(metaDir,
-                s"${java.util.UUID.randomUUID()}-m0.avro")
-              writeBytes(fs, delManifestPath, delManifestBytes)
-              // data manifest under the DEFAULT spec
-              val partFields = parts.map(_._1)
-              val dataEntrySchema = manifestEntrySchemaV2For(partFields)
-              val specArr = om.createArrayNode()
-              val specFieldsNode: Seq[JsonNode] =
-                if (md.has("partition-specs"))
-                  md.get("partition-specs").elements().asScala()
-                    .find(_.path("spec-id").asInt(0) == specId)
-                    .map(_.path("fields").elements().asScala().toSeq)
-                    .getOrElse(Nil)
-                else Nil
-              specFieldsNode.foreach(f => specArr.add(f.deepCopy[JsonNode]()))
-              val dataEnts = newFiles.map { case (p, size, rc) =>
-                manifestEntryV2(dataEntrySchema, p.toString, size, rc,
-                  partValuesOf(p))
-              }
-              val dataManifestBytes = writeAvro(dataEntrySchema, Map(
-                "schema" -> om.writeValueAsString(schemaNode),
-                "schema-id" -> schemaId.toString,
-                "partition-spec" -> om.writeValueAsString(specArr),
-                "partition-spec-id" -> specId.toString,
-                "format-version" -> "2",
-                "content" -> "data"), dataEnts)
-              val dataManifestPath = new HPath(metaDir,
-                s"${java.util.UUID.randomUUID()}-m0.avro")
-              writeBytes(fs, dataManifestPath, dataManifestBytes)
-              def listRecordOf(mPath: HPath, mLen: Long, content: Int,
-                  nFiles: Int, nRows: Long, sid: Int): GenericRecord = {
-                val mf = new GenericData.Record(manifestFileSchemaV2)
-                mf.put("manifest_path", mPath.toString)
-                mf.put("manifest_length", mLen)
-                mf.put("partition_spec_id", sid)
-                mf.put("content", content)
-                mf.put("sequence_number", newSeq)
-                mf.put("min_sequence_number", newSeq)
-                mf.put("added_snapshot_id", snapId)
-                mf.put("added_files_count", nFiles)
-                mf.put("existing_files_count", 0)
-                mf.put("deleted_files_count", 0)
-                mf.put("added_rows_count", nRows)
-                mf.put("existing_rows_count", 0L)
-                mf.put("deleted_rows_count", 0L)
-                mf
-              }
-              val defaultSpecIdNow = md.path("default-spec-id").asInt(0)
-              val listRecords = priorList.map(
-                reserializeManifestFileV2(_, defaultSpecIdNow, currentSnap)) ++
-                Seq(
-                  listRecordOf(dataManifestPath,
-                    dataManifestBytes.length.toLong, 0, newFiles.size,
-                    newFiles.map(_._3).sum, specId),
-                  listRecordOf(delManifestPath,
-                    delManifestBytes.length.toLong, 1, delFiles.size,
-                    delFiles.map(_._3).sum, unpartSpecId))
-              val listBytes = writeAvro(manifestFileSchemaV2,
-                Map("snapshot-id" -> snapId.toString, "format-version" -> "2",
-                  "sequence-number" -> newSeq.toString), listRecords)
-              val listPath = new HPath(metaDir,
-                s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
-              writeBytes(fs, listPath, listBytes)
-              md.put("last-updated-ms", now)
-              md.put("current-snapshot-id", snapId)
-              md.put("last-sequence-number", newSeq)
-              val snaps = md.get("snapshots")
-                .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
-              val sn = snapshotNode(snapId, now, "overwrite",
-                listPath.toString, schemaId)
-              sn.put("sequence-number", newSeq)
-              sn.put("parent-snapshot-id", currentSnap)
-              snaps.add(sn)
-              md.path("snapshot-log") match {
-                case a: com.fasterxml.jackson.databind.node.ArrayNode =>
-                  val e = om.createObjectNode()
-                  e.put("timestamp-ms", now); e.put("snapshot-id", snapId)
-                  a.add(e)
-                case _ => ()
-              }
-              try {
-                io.writeExclusive(
-                  new HPath(metaDir, s"v${vTop + 1}.metadata.json"),
-                  om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
-                publishHint(fs, metaDir, vTop + 1)
-                result = snapId
-              } catch {
-                case _: java.nio.file.FileAlreadyExistsException =>
-                  fs.delete(listPath, false)
-                  fs.delete(delManifestPath, false)
-                  fs.delete(dataManifestPath, false)
-                  cleanupDirs()
-                  attempts += 1
-                  if (attempts > maxRetries)
-                    throw new IllegalStateException(
-                      s"updateIceberg lost $maxRetries version races at " +
-                        s"$path — giving up")
-              }
-            } catch {
-              case e: Throwable =>
-                try cleanupDirs() catch { case _: Exception => () }
-                throw e
+            committed match {
+              case Some(snapId) => result = snapId
+              case None =>
+                cleanupDirs()
+                attempts += 1
+                if (attempts > maxRetries)
+                  throw new IllegalStateException(
+                    s"updateIceberg lost $maxRetries version races at " +
+                      s"$path — giving up")
             }
           }
         } finally matched.unpersist()
       }
+    }
+    result
+  }
+
+  /** Publish ONE atomic merge-on-read `overwrite` snapshot: an optional
+    * position-delete manifest (global unpartitioned spec), an optional
+    * new-data manifest (the table's default spec), prior manifests
+    * carried forward, all at `last-sequence-number + 1`, committed via
+    * conditional put of `v<N+1>.metadata.json`. Mutates `md` (caller
+    * re-reads on retry). Returns the new snapshot id, or None on a lost
+    * version race after deleting this attempt's manifest/list files
+    * (the caller cleans its data dirs and recomputes). Shared by
+    * [[updateIceberg]] and [[mergeIceberg]]. */
+  private def commitOverwriteSnapshot(
+      fs: org.apache.hadoop.fs.FileSystem, io: TableIO, metaDir: HPath,
+      md: ObjectNode, vTop: Int, currentSnap: Long, newSeq: Long,
+      schemaNode: JsonNode, schemaId: Int, specId: Int,
+      parts: Seq[(PartField, String)], priorList: Seq[GenericRecord],
+      delFiles: Seq[(HPath, Long, Long)],
+      newFiles: Seq[(HPath, Long, Long)],
+      partValuesOf: HPath => Seq[AnyRef]): Option[Long] = {
+    val now = System.currentTimeMillis()
+    val snapId = md.path("snapshots").elements().asScala()
+      .map(_.path("snapshot-id").asLong(0L)).maxOption.getOrElse(0L) + 1L
+    val written = scala.collection.mutable.Buffer[HPath]()
+    // position-delete manifest under the global unpartitioned spec
+    val delPart: Option[(HPath, Long, Int)] =
+      if (delFiles.isEmpty) None
+      else {
+        val specsArr = md.path("partition-specs") match {
+          case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+          case _ => md.putArray("partition-specs")
+        }
+        val unpartSpecId = specsArr.elements().asScala()
+          .find(_.path("fields").size() == 0)
+          .map(_.path("spec-id").asInt(0))
+          .getOrElse {
+            val id = specsArr.elements().asScala()
+              .map(_.path("spec-id").asInt(0)).maxOption.getOrElse(-1) + 1
+            val n = om.createObjectNode()
+            n.put("spec-id", id); n.putArray("fields")
+            specsArr.add(n)
+            id
+          }
+        val delEntrySchema = manifestEntrySchemaV2For(Nil)
+        val delEnts = delFiles.map { case (p, size, rc) =>
+          manifestEntryV2(delEntrySchema, p.toString, size, rc, Nil,
+            content = 1)
+        }
+        val bytes = writeAvro(delEntrySchema, Map(
+          "schema" -> om.writeValueAsString(schemaNode),
+          "schema-id" -> schemaId.toString,
+          "partition-spec" -> "[]",
+          "partition-spec-id" -> unpartSpecId.toString,
+          "format-version" -> "2",
+          "content" -> "deletes"), delEnts)
+        val p = new HPath(metaDir, s"${java.util.UUID.randomUUID()}-m0.avro")
+        writeBytes(fs, p, bytes)
+        written += p
+        Some((p, bytes.length.toLong, unpartSpecId))
+      }
+    // new-data manifest under the DEFAULT spec
+    val dataPart: Option[(HPath, Long)] =
+      if (newFiles.isEmpty) None
+      else {
+        val dataEntrySchema = manifestEntrySchemaV2For(parts.map(_._1))
+        val specArr = om.createArrayNode()
+        val specFieldsNode: Seq[JsonNode] =
+          if (md.has("partition-specs"))
+            md.get("partition-specs").elements().asScala()
+              .find(_.path("spec-id").asInt(0) == specId)
+              .map(_.path("fields").elements().asScala().toSeq)
+              .getOrElse(Nil)
+          else Nil
+        specFieldsNode.foreach(f => specArr.add(f.deepCopy[JsonNode]()))
+        val dataEnts = newFiles.map { case (p, size, rc) =>
+          manifestEntryV2(dataEntrySchema, p.toString, size, rc,
+            partValuesOf(p))
+        }
+        val bytes = writeAvro(dataEntrySchema, Map(
+          "schema" -> om.writeValueAsString(schemaNode),
+          "schema-id" -> schemaId.toString,
+          "partition-spec" -> om.writeValueAsString(specArr),
+          "partition-spec-id" -> specId.toString,
+          "format-version" -> "2",
+          "content" -> "data"), dataEnts)
+        val p = new HPath(metaDir, s"${java.util.UUID.randomUUID()}-m0.avro")
+        writeBytes(fs, p, bytes)
+        written += p
+        Some((p, bytes.length.toLong))
+      }
+    def listRecordOf(mPath: HPath, mLen: Long, content: Int,
+        nFiles: Int, nRows: Long, sid: Int): GenericRecord = {
+      val mf = new GenericData.Record(manifestFileSchemaV2)
+      mf.put("manifest_path", mPath.toString)
+      mf.put("manifest_length", mLen)
+      mf.put("partition_spec_id", sid)
+      mf.put("content", content)
+      mf.put("sequence_number", newSeq)
+      mf.put("min_sequence_number", newSeq)
+      mf.put("added_snapshot_id", snapId)
+      mf.put("added_files_count", nFiles)
+      mf.put("existing_files_count", 0)
+      mf.put("deleted_files_count", 0)
+      mf.put("added_rows_count", nRows)
+      mf.put("existing_rows_count", 0L)
+      mf.put("deleted_rows_count", 0L)
+      mf
+    }
+    val defaultSpecIdNow = md.path("default-spec-id").asInt(0)
+    val listRecords = priorList.map(
+      reserializeManifestFileV2(_, defaultSpecIdNow, currentSnap)) ++
+      dataPart.map { case (p, len) =>
+        listRecordOf(p, len, 0, newFiles.size, newFiles.map(_._3).sum,
+          specId)
+      } ++
+      delPart.map { case (p, len, usid) =>
+        listRecordOf(p, len, 1, delFiles.size, delFiles.map(_._3).sum, usid)
+      }
+    val listBytes = writeAvro(manifestFileSchemaV2,
+      Map("snapshot-id" -> snapId.toString, "format-version" -> "2",
+        "sequence-number" -> newSeq.toString), listRecords)
+    val listPath = new HPath(metaDir,
+      s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
+    writeBytes(fs, listPath, listBytes)
+    written += listPath
+    md.put("last-updated-ms", now)
+    md.put("current-snapshot-id", snapId)
+    md.put("last-sequence-number", newSeq)
+    val snaps = md.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val sn = snapshotNode(snapId, now, "overwrite", listPath.toString,
+      schemaId)
+    sn.put("sequence-number", newSeq)
+    sn.put("parent-snapshot-id", currentSnap)
+    snaps.add(sn)
+    md.path("snapshot-log") match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        val e = om.createObjectNode()
+        e.put("timestamp-ms", now); e.put("snapshot-id", snapId)
+        a.add(e)
+      case _ => ()
+    }
+    try {
+      io.writeExclusive(new HPath(metaDir, s"v${vTop + 1}.metadata.json"),
+        om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+      publishHint(fs, metaDir, vTop + 1)
+      Some(snapId)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        written.foreach(p => fs.delete(p, false))
+        None
+    }
+  }
+
+  /** MERGE (upsert) `source` into an existing file-based Iceberg
+    * FORMAT-V2 table on `keys` — Spark's `MERGE INTO ... WHEN MATCHED
+    * THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` in its
+    * merge-on-read shape: ONE atomic `overwrite` snapshot whose
+    * position deletes retire the matched target row versions and whose
+    * new data files carry the source rows (replacements + brand-new
+    * inserts) laid out per the table's DEFAULT partition spec — an
+    * upsert that changes a partition source column migrates the row to
+    * its new partition, and readers never observe the delete without
+    * the re-insert. SQL equi-join null semantics: null-key source rows
+    * always insert, null-key target rows always survive.
+    *
+    * The source must carry exactly the table's columns; a target row
+    * matching several source rows refuses (the ambiguity SQL MERGE
+    * rejects). Cost ∝ matched + inserted rows (untouched data files
+    * are never rewritten). An empty table takes the whole source as a
+    * fast-append. Format v1 refuses; lost version races recompute.
+    * Returns the committed snapshot id. */
+  def mergeIceberg(source: DataFrame, path: String, keys: Seq[String],
+      maxRetries: Int = 20): Long = {
+    require(keys.nonEmpty, "mergeIceberg needs at least one key column")
+    val spark = source.sparkSession
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val io = new TableIO(path, conf)
+    val metaDir = new HPath(root, "metadata")
+    require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
+    def refuseW(what: String): Nothing = throw new IllegalArgumentException(
+      s"cannot merge into Iceberg table at $path: $what — write it with " +
+        "a full Iceberg client")
+    def qualified(p: String): String = {
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+
+    var attempts = 0
+    var result = Long.MinValue
+    while (result == Long.MinValue) {
+      val listed = fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+      val vTop = listed.flatMap {
+        case VMeta(n) => Some(n.toInt)
+        case _ => None
+      }.maxOption.getOrElse(refuseW("the metadata is catalog-managed " +
+        "(no v<N>.metadata.json / version-hint naming) — a directory " +
+        "commit would be invisible to the catalog pointer"))
+      val md = om.readTree(readBytes(fs,
+        new HPath(metaDir, s"v$vTop.metadata.json"))).deepCopy[ObjectNode]()
+      val fv = md.path("format-version").asInt(1)
+      if (fv != 2)
+        refuseW(s"the table is format version $fv — row-level upserts " +
+          "need v2 merge-on-read position deletes")
+      val schemaNode = currentSchemaNode(md, path)
+      val schemaId = md.path("current-schema-id").asInt(
+        schemaNode.path("schema-id").asInt(0))
+      val schema = fromIcebergStruct(schemaNode, path)
+      require(schema.fieldNames.toSet == source.schema.fieldNames.toSet,
+        s"merge schema mismatch at $path: table columns " +
+          s"[${schema.fieldNames.mkString(", ")}], source columns " +
+          s"[${source.schema.fieldNames.mkString(", ")}]")
+      keys.foreach(k => require(schema.fieldNames.contains(k),
+        s"mergeIceberg at $path: key '$k' is not a table column"))
+      val currentSnap = md.path("current-snapshot-id").asLong(-1L)
+      if (currentSnap < 0)
+        // empty table: every source row inserts
+        return appendToIceberg(source, path, maxRetries)
+      val (specId, _, parts) =
+        defaultSpecParts(spark, md, schemaNode, schema, refuseW)
+      val newSeq = md.path("last-sequence-number").asLong(0L) + 1
+      publishHint(fs, metaDir, vTop)
+      val snapNode = md.get("snapshots").elements().asScala()
+        .find(_.get("snapshot-id").asLong() == currentSnap)
+        .getOrElse(refuseW(s"current snapshot $currentSnap missing from " +
+          "the snapshots array"))
+      val priorList = readAvro(readBytes(fs,
+        new HPath(snapNode.get("manifest-list").asText())))
+      val filePaths: Seq[String] = priorList
+        .filter(r => fieldOpt(r, "content").map(longOf).getOrElse(0L) == 0L)
+        .map(_.get("manifest_path").toString)
+        .flatMap { mp =>
+          readAvro(readBytes(fs, new HPath(mp))).flatMap { e =>
+            if (longOf(e.get("status")) == 2L) None
+            else Some(e.get("data_file").asInstanceOf[GenericRecord]
+              .get("file_path").toString)
+          }
+        }.distinct
+
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      import spark.implicits._
+      val src = source.select(schema.fieldNames.map(col).toSeq: _*)
+      // source non-key columns under __src_ aliases for the rewrite join
+      val srcAliased = src.select(keys.map(col) ++
+        schema.fieldNames.filterNot(keys.contains).map(c =>
+          col(c).as(s"__src_$c")): _*)
+      val tgt = readIcebergInternal(spark, path, None, None,
+        withLineage = true)
+      val matched = tgt.join(srcAliased, keys.toSeq, "inner").cache()
+      try {
+        // refuse the SQL-MERGE ambiguity: one target row, many sources
+        val dup = matched.groupBy(col("__fp"), col("__pos")).count()
+          .filter(col("count") > 1).limit(1).count()
+        require(dup == 0, s"mergeIceberg at $path: a target row matches " +
+          "multiple source rows — MERGE needs unique source keys")
+        val inserts = src.join(
+          tgt.select(keys.map(col).toSeq: _*), keys.toSeq, "left_anti")
+        // ---- matched old row versions -> position delete parquet ----
+        val pathMap = filePaths.map(p => (qualified(p), p))
+          .toDF("__fp", "__uri")
+        def reservedId(id: Long) =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id).build()
+        val delRows = matched
+          .join(pathMap, Seq("__fp"))
+          .select(col("__uri").as("file_path", reservedId(2147483546L)),
+            col("__pos").as("pos", reservedId(2147483545L)))
+          .sortWithinPartitions(col("file_path"), col("pos"))
+        val delDir = new HPath(new HPath(root, "data"),
+          s"graft-mergedel-${java.util.UUID.randomUUID()}")
+        delRows.write.parquet(delDir.toString)
+        val delFiles = fs.listStatus(delDir).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath, f.getLen, footerRecordCount(conf, f)))
+          .filter(_._3 > 0)
+        // ---- replacement rows + brand-new inserts -> data files ----
+        val replaced = matched.select(schema.fields.map { f =>
+          if (keys.contains(f.name)) col(f.name)
+          else col(s"__src_${f.name}").cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+        val newRows = replaced.unionByName(inserts.select(
+          schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toSeq: _*))
+        val (newDir, allNewFiles, partValuesOf) = writeSpecData(newRows,
+          root, fs, conf, parts, schemaNode, schema, "graft-merge")
+        val newFiles = allNewFiles.filter(_._3 > 0)
+        if (delFiles.isEmpty && newFiles.isEmpty) {
+          // empty source: no-op
+          fs.delete(delDir, true); fs.delete(newDir, true)
+          result = currentSnap
+        } else {
+          val cleanupDirs = () => {
+            fs.delete(delDir, true); fs.delete(newDir, true)
+          }
+          val committed =
+            try commitOverwriteSnapshot(fs, io, metaDir, md, vTop,
+              currentSnap, newSeq, schemaNode, schemaId, specId, parts,
+              priorList, delFiles, newFiles, partValuesOf)
+            catch {
+              case e: Throwable =>
+                try cleanupDirs() catch { case _: Exception => () }
+                throw e
+            }
+          committed match {
+            case Some(snapId) => result = snapId
+            case None =>
+              cleanupDirs()
+              attempts += 1
+              if (attempts > maxRetries)
+                throw new IllegalStateException(
+                  s"mergeIceberg lost $maxRetries version races at " +
+                    s"$path — giving up")
+          }
+        }
+      } finally matched.unpersist()
     }
     result
   }

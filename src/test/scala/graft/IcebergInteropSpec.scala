@@ -1867,6 +1867,97 @@ class IcebergInteropSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("mergeIceberg upserts: replace matched, insert new, move partitions") {
+    import spark.implicits._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val t = GraftTable.create(spark, tmp("graft_imrg_"),
+      Seq((1L, "x1", "A"), (2L, "x2", "A"), (3L, "x3", "B"))
+        .toDF("id", "v", "seg"), partitionBy = Seq("seg"))
+    IcebergInterop.mirrorToIceberg(t)
+    val mdPath = Paths.get(t.root, "metadata",
+      s"v${t.latestVersion() + 1}.metadata.json")
+    val md0 = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md0.put("format-version", 2)
+    md0.put("last-sequence-number", 0L)
+    patch(mdPath, om.writeValueAsBytes(md0))
+    // source: replace id=2 MOVING it A->C, insert id=9, and a NULL-key
+    // row which must INSERT per SQL equi-join semantics
+    val srcRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    srcRows.add(org.apache.spark.sql.Row(2L, "new2", "C"))
+    srcRows.add(org.apache.spark.sql.Row(9L, "new9", "B"))
+    srcRows.add(org.apache.spark.sql.Row(null, "nullrow", "B"))
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seg",
+        org.apache.spark.sql.types.StringType)))
+    val src = spark.createDataFrame(srcRows, srcSchema)
+    val s1 = IcebergInterop.mergeIceberg(src, t.root, Seq("id"))
+    val got = IcebergInterop.readIceberg(spark, t.root)
+      .select("id", "v", "seg").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1),
+        r.getString(2))).toSet
+    assert(got == Set((1L, "x1", "A"), (2L, "new2", "C"), (3L, "x3", "B"),
+      (9L, "new9", "B"), (-1L, "nullrow", "B")), got.toString)
+    // ONE atomic overwrite snapshot with sequence bookkeeping
+    val mdPath2 = Paths.get(t.root, "metadata",
+      s"v${t.latestVersion() + 2}.metadata.json")
+    val md1 = om.readTree(Files.readAllBytes(mdPath2))
+    assert(md1.get("snapshots").size() == 2)
+    val snap = md1.get("snapshots").get(1)
+    assert(snap.get("snapshot-id").asLong() == s1)
+    assert(snap.get("summary").get("operation").asText() == "overwrite")
+    assert(md1.get("last-sequence-number").asLong() == 1L)
+    // partition pruning agrees with the row's NEW home
+    assert(IcebergInterop.readIcebergWhere(spark, t.root, "seg", "C")
+      .select("v").as[String].collect().toSet == Set("new2"))
+    assert(IcebergInterop.readIcebergWhere(spark, t.root, "seg", "A")
+      .select("id").as[Long].collect().toSet == Set(1L))
+    // the merge is invisible at the prior snapshot
+    assert(IcebergInterop.readIceberg(spark, t.root, Some(s1 - 1))
+      .count() == 3)
+  }
+
+  test("mergeIceberg: pure-insert, empty-source no-op, ambiguity refusal") {
+    import spark.implicits._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val t = GraftTable.create(spark, tmp("graft_imrg2_"),
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "x"))
+    val target = tmp("graft_imrg2_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val md0 = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md0.put("format-version", 2)
+    md0.put("last-sequence-number", 0L)
+    patch(mdPath, om.writeValueAsBytes(md0))
+    // no key matches: data-manifest-only overwrite, nothing deleted
+    IcebergInterop.mergeIceberg(Seq((7L, 70L)).toDF("id", "x"),
+      target, Seq("id"))
+    assert(IcebergInterop.readIceberg(spark, target)
+      .select("x").as[Long].collect().toSet == Set(10L, 20L, 70L))
+    // empty source: no new metadata version published
+    val before = Files.list(Paths.get(target, "metadata")).toArray.length
+    IcebergInterop.mergeIceberg(
+      Seq.empty[(Long, Long)].toDF("id", "x"), target, Seq("id"))
+    assert(Files.list(Paths.get(target, "metadata")).toArray.length
+      == before)
+    // two source rows hitting one target row: the SQL-MERGE ambiguity
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.mergeIceberg(
+        Seq((7L, 1L), (7L, 2L)).toDF("id", "x"), target, Seq("id"))
+    }
+    assert(e.getMessage.contains("multiple source rows"), e.getMessage)
+    // then a merge composing on top of the earlier upsert still works
+    IcebergInterop.mergeIceberg(Seq((7L, 77L), (8L, 80L)).toDF("id", "x"),
+      target, Seq("id"))
+    assert(IcebergInterop.readIceberg(spark, target)
+      .select("x").as[Long].collect().toSet == Set(10L, 20L, 77L, 80L))
+  }
+
   test("deleteFromIceberg refuses format v1") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_idelv1_"),
