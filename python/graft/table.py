@@ -322,6 +322,18 @@ def merge_delta(source_df, path, keys):
     return dx.mergeDelta(source_df._jdf, path, _seq(spark, keys), 20)
 
 
+def optimize_delta(spark, path, target_file_bytes=128 << 20):
+    """OPTIMIZE (bin-packing compaction) of an existing Delta table:
+    per partition, files smaller than target_file_bytes are bin-packed
+    into fewer larger files, and deletion vectors are materialized
+    away. All remove+add actions carry dataChange=false, so CDF reads
+    and streaming tails skip the commit. Returns the committed (or,
+    when nothing needs compacting, the current) version."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return dx.optimizeDelta(spark._jsparkSession, path,
+                            int(target_file_bytes), 20)
+
+
 def merge_iceberg(source_df, path, keys):
     """MERGE (upsert) a source DataFrame into a file-based Iceberg
     format-v2 table on `keys` as ONE atomic merge-on-read overwrite

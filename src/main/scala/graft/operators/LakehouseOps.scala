@@ -575,7 +575,35 @@ object LakehouseOps {
       | FROM supplier WHERE s_suppkey % 7 = 0
       |) ORDER BY s_suppkey""".stripMargin
 
+  /** g24: foreign-Delta OPTIMIZE gate
+    * ([[graft.sources.DeltaInterop.optimizeDelta]]) — build a
+    * partitioned Delta table through several small appends, bin-pack
+    * it, and read back: compaction must be row-for-row invisible. */
+  val g24_delta_optimize: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 3 === 0),
+      partitionBy = Seq("s_nationkey"))
+    val target = Files.createTempDirectory("graft_dopt_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    graft.sources.DeltaInterop.appendToDelta(
+      sup.filter($"s_suppkey" % 3 === 1), target)
+    graft.sources.DeltaInterop.appendToDelta(
+      sup.filter($"s_suppkey" % 3 === 2), target)
+    graft.sources.DeltaInterop.optimizeDelta(s, target)
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g24_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g24_delta_optimize" -> g24_delta_optimize,
     "g23_iceberg_merge" -> g23_iceberg_merge,
     "g22_delta_merge" -> g22_delta_merge,
     "g21_iceberg_update" -> g21_iceberg_update,
@@ -598,6 +626,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g24_delta_optimize" -> g24_sql,
     "g23_iceberg_merge" -> g23_sql,
     "g22_delta_merge" -> g22_sql,
     "g21_iceberg_update" -> g21_sql,

@@ -2061,6 +2061,149 @@ object DeltaInterop {
     result
   }
 
+  /** OPTIMIZE (bin-packing compaction) of an existing Delta table
+    * (foreign or mirrored): per partition, files smaller than
+    * `targetFileBytes` are bin-packed (first-fit decreasing) and
+    * rewritten as fewer, larger files; a file carrying a deletion
+    * vector is always eligible and its DV is MATERIALIZED away (the
+    * compacted file holds only live rows, the add carries no DV) —
+    * exactly Delta's own OPTIMIZE behavior. The commit's remove+add
+    * actions all carry `dataChange=false`: no logical rows change, so
+    * CDF reads skip the commit and a streaming tail emits nothing.
+    *
+    * Row contents are untouched, so constraints / invariants /
+    * generated columns / append-only don't gate this (Delta allows
+    * OPTIMIZE on append-only tables); column mapping still refuses
+    * (rewritten files would need physical column names). A table with
+    * nothing to compact (no partition holds two sub-target files or a
+    * DV carrier) is a no-op. Lost version races restart against the
+    * fresh state. Returns the committed (or current) version. */
+  def optimizeDelta(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20, maxRetries: Int = 20): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val io = new TableIO(path, conf)
+    val logDir = new HPath(root, "_delta_log")
+    require(fs.exists(logDir), s"no Delta log at $path — optimizeDelta " +
+      "compacts existing tables")
+    def refuseW(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"cannot optimize Delta table at $path: $what — compact it with " +
+          "a full Delta client")
+    val Harmless = Set("appendOnly", "invariants", "checkConstraints",
+      "generatedColumns", "changeDataFeed", "deletionVectors",
+      "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping")
+
+    var attempts = 0
+    var result = -1L
+    while (result < 0) {
+      val st = replaySnapshot(spark, path, None)
+      if (st.colMapMode != "none")
+        refuseW("the table uses column mapping — rewritten files would " +
+          "need physical column names")
+      if (st.minWriter > 7)
+        refuseW(s"the table requires writer protocol ${st.minWriter}")
+      if (st.minWriter == 7) {
+        val unknown = st.writerFeatures.filterNot(Harmless.contains)
+        if (unknown.nonEmpty)
+          refuseW("the table requires writer features " +
+            s"[${unknown.mkString(", ")}] this writer does not implement")
+      }
+      val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+      val partCols = st.partCols
+      val dataSchema =
+        StructType(schema.filterNot(f => partCols.contains(f.name)))
+      // driver-side metadata stat of candidate sizes — O(state), the
+      // same price every engine's OPTIMIZE planner pays
+      val sized = st.active.map { e =>
+        (e, fs.getFileStatus(new HPath(resolveFile(root, e._1))).getLen)
+      }
+      // first-fit-decreasing bins per partition: a partition compacts
+      // when it holds 2+ sub-target files or any DV carrier (whose DV
+      // gets materialized)
+      val binOf = scala.collection.mutable.Map[String, Int]()
+      var nBins = 0
+      sized.groupBy(_._1._2._1).valuesIterator.foreach { es =>
+        val eligible = es.filter { case ((_, (_, dv)), len) =>
+          len < targetFileBytes || dv.isDefined }
+        if (eligible.size >= 2 || eligible.exists(_._1._2._2.isDefined)) {
+          val open = scala.collection.mutable.Buffer[(Int, Long)]()
+          eligible.sortBy(-_._2).foreach { case ((p, _), len) =>
+            open.indexWhere(_._2 >= len) match {
+              case -1 =>
+                open += ((nBins, math.max(0L, targetFileBytes - len)))
+                binOf(p) = nBins
+                nBins += 1
+              case i =>
+                binOf(p) = open(i)._1
+                open(i) = (open(i)._1, open(i)._2 - len)
+            }
+          }
+        }
+      }
+      if (binOf.isEmpty) { result = st.version } // nothing to compact
+      else {
+        val byPath = st.active.toMap
+        val entries = binOf.keys.toSeq.sorted.map(p => (p, byPath(p)))
+        val qualifiedBin = entries.map { case (p, _) =>
+          val hp = new HPath(resolveFile(root, p))
+          (hp.getFileSystem(conf).makeQualified(hp).toString, binOf(p))
+        }
+        val liveScan = liveMutationScan(spark, root, st, schema, partCols,
+          dataSchema)
+        import spark.implicits._
+        val binMap = qualifiedBin.toDF("__file", "__bin")
+        val compacted = liveScan(entries)
+          .join(org.apache.spark.sql.functions.broadcast(binMap),
+            Seq("__file"))
+          .repartition(math.max(1, nBins), col("__bin"))
+          .select(schema.fieldNames.map(col).toSeq: _*)
+        val staging = new HPath(root,
+          s"_graft_optimize_${java.util.UUID.randomUUID()}")
+        val moved = scala.collection.mutable.Buffer[String]()
+        def cleanupStaged(): Unit = {
+          moved.foreach(p => fs.delete(new HPath(root, p), false))
+          fs.delete(staging, true)
+        }
+        try {
+          val now = System.currentTimeMillis()
+          if (partCols.nonEmpty)
+            compacted.write.partitionBy(partCols: _*)
+              .parquet(staging.toString)
+          else compacted.write.parquet(staging.toString)
+          val staged = listStagedParquet(fs, staging)
+          staged.foreach { case (rel, _) =>
+            val dst = new HPath(root, rel)
+            fs.mkdirs(dst.getParent)
+            if (!fs.rename(new HPath(staging, rel), dst))
+              throw new java.io.IOException(
+                s"could not move staged optimize file $rel into $path")
+            moved += rel
+          }
+          fs.delete(staging, true)
+          result = commitDelete(io, logDir, st, now,
+            s"optimize targetSize=$targetFileBytes",
+            entries.map { case (p, (pv, _)) => (p, pv) }, staged, Nil,
+            partCols, operation = "OPTIMIZE", dataChange = false)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            cleanupStaged()
+            attempts += 1
+            if (attempts > maxRetries)
+              throw new IllegalStateException(
+                s"optimizeDelta lost $maxRetries version races at $path — " +
+                  "giving up")
+          case e: Throwable =>
+            try cleanupStaged() catch { case _: Exception => () }
+            throw e
+        }
+      }
+    }
+    result
+  }
+
   /** The shared row-level-mutation scan: open a set of snapshot files
     * with deletion-vector rows filtered out, partition-value literals
     * attached, and a `__file` column carrying each row's QUALIFIED
@@ -2116,7 +2259,8 @@ object DeltaInterop {
       now: Long, predicate: String,
       removeWhole: Seq[(String, Map[String, String])],
       adds: Seq[(String, Long)], cdcAdds: Seq[(String, Long)],
-      partCols: Seq[String], operation: String = "DELETE"): Long = {
+      partCols: Seq[String], operation: String = "DELETE",
+      dataChange: Boolean = true): Long = {
     val actions = Seq.newBuilder[String]
     actions += s"""{"commitInfo":{"timestamp":$now,"operation":"$operation","operationParameters":{"predicate":"${jsonEscape(predicate)}"},"engineInfo":"graft-${operation.toLowerCase}"}}"""
     def pvJson(pv: Seq[(String, String)]): String =
@@ -2129,11 +2273,11 @@ object DeltaInterop {
     }
     removeWhole.foreach { case (p, pv) =>
       val pvSeq = pv.toSeq
-      actions += s"""{"remove":{"path":"${jsonEscape(encodePath(p))}","deletionTimestamp":$now,"dataChange":true,"extendedFileMetadata":true,"partitionValues":{${pvJson(pvSeq)}}}}"""
+      actions += s"""{"remove":{"path":"${jsonEscape(encodePath(p))}","deletionTimestamp":$now,"dataChange":$dataChange,"extendedFileMetadata":true,"partitionValues":{${pvJson(pvSeq)}}}}"""
     }
     adds.foreach { case (rel, size) =>
       val pv = hivePartitionValues(rel, partCols)
-      actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{${pvJson(pv)}},"size":$size,"modificationTime":$now,"dataChange":true}}"""
+      actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{${pvJson(pv)}},"size":$size,"modificationTime":$now,"dataChange":$dataChange}}"""
     }
     val bytes = actions.result().mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8)

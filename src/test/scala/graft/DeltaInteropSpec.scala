@@ -2173,6 +2173,72 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(DeltaInterop.readDelta(spark, target).count() == 4)
   }
 
+  test("optimizeDelta bin-packs small files; dataChange=false everywhere") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_opt_"),
+      Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "seg")
+        .repartition(1), partitionBy = Seq("seg"))
+    val target = tmp("graft_opt_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    // three more small appends: seg=A now holds 4 small files
+    (4L to 6L).foreach { i =>
+      DeltaInterop.appendToDelta(Seq((i, "A")).toDF("id", "seg"), target)
+    }
+    val before = DeltaInterop.readDelta(spark, target)
+      .select("id", "seg").as[(Long, String)].collect().toSet
+    val v = DeltaInterop.optimizeDelta(spark, target)
+    assert(v == 4L)
+    // identical rows, fewer files: seg=A's four -> one, seg=B untouched
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("id", "seg").as[(Long, String)].collect().toSet == before)
+    val log = new String(Files.readAllBytes(Paths.get(target, "_delta_log",
+      "0" * 19 + "4.json")), "UTF-8")
+    assert(log.contains("\"operation\":\"OPTIMIZE\""), log.take(200))
+    assert(!log.contains("\"dataChange\":true"), log)
+    val removes = log.split('\n').count(_.contains("\"remove\""))
+    val adds = log.split('\n').count(_.contains("\"add\""))
+    assert(removes == 4 && adds == 1, s"removes=$removes adds=$adds\n$log")
+    assert(log.split('\n').filter(_.contains("\"add\""))
+      .forall(_.contains("seg=A")), log)
+    // no logical change: the optimize commit is CDF-invisible
+    assert(DeltaInterop.readDeltaChanges(spark, target, 4L, 4L).count() == 0)
+    // a second optimize finds nothing to compact: no-op, same version
+    assert(DeltaInterop.optimizeDelta(spark, target) == 4L)
+  }
+
+  test("optimizeDelta materializes deletion vectors away") {
+    import spark.implicits._
+    import graft.sources.DeletionVectors
+    val root = tmp("graft_optdv_")
+    Seq.range(0L, 10L).toDF("id").coalesce(1).write.parquet(root)
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val dataFile = Files.list(Paths.get(root)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val rel = Paths.get(root).relativize(Paths.get(dataFile)).toString
+    val idxOf = spark.read.parquet(dataFile)
+      .select(col("id"), col("_metadata.row_index"))
+      .as[(Long, Long)].collect().toMap
+    val schemaJson = StructType(Seq(StructField("id", LongType))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val inline = DeletionVectors.serialize(Seq(idxOf(2L), idxOf(5L)))
+    val padded = java.util.Arrays.copyOf(inline, (inline.length + 3) / 4 * 4)
+    val z85dv = DeletionVectors.z85Encode(padded)
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$z85dv","sizeInBytes":${padded.length},"cardinality":2}}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    // the single DV-carrying file compacts even alone: DV materialized
+    DeltaInterop.optimizeDelta(spark, root)
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("id").as[Long].collect().toSet ==
+      Set(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L))
+    val log = new String(Files.readAllBytes(Paths.get(root, "_delta_log",
+      "0" * 19 + "1.json")), "UTF-8")
+    assert(!log.contains("deletionVector"), log)
+    assert(!log.contains("\"dataChange\":true"), log)
+  }
+
   test("concurrent deleteFromDelta writers: both land through retries") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_ddelcc_"),
