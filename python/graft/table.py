@@ -334,6 +334,26 @@ def optimize_delta(spark, path, target_file_bytes=128 << 20):
                             int(target_file_bytes), 20)
 
 
+def checkpoint_delta(spark, path):
+    """Write a classic parquet checkpoint (+ _last_checkpoint) for an
+    existing Delta table at its current version, carrying the full
+    protocol, metaData identity, active adds (with deletion vectors),
+    remove tombstones and setTransaction watermarks. Returns the
+    checkpointed version."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return dx.checkpointDelta(spark._jsparkSession, path)
+
+
+def cleanup_delta_log(spark, path, retain_versions=0):
+    """Delete JSON commits (and superseded checkpoints) the newest
+    classic checkpoint already covers — Delta's metadata-cleanup
+    maintenance step. Time travel to the cleaned versions stops
+    working. Returns the number of files deleted."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return dx.cleanupDeltaLog(spark._jsparkSession, path,
+                              int(retain_versions))
+
+
 def merge_iceberg(source_df, path, keys):
     """MERGE (upsert) a source DataFrame into a file-based Iceberg
     format-v2 table on `keys` as ONE atomic merge-on-read overwrite

@@ -602,7 +602,35 @@ object LakehouseOps {
     """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** g25: foreign-Delta checkpoint + log-cleanup gate
+    * ([[graft.sources.DeltaInterop.checkpointDelta]]) — build a Delta
+    * table through several commits, write a classic checkpoint, DELETE
+    * every covered JSON commit, and read back: the checkpoint alone
+    * must reconstruct the exact state. */
+  val g25_delta_checkpoint: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 2 === 0),
+      partitionBy = Seq("s_nationkey"))
+    val target = Files.createTempDirectory("graft_dcp_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    graft.sources.DeltaInterop.appendToDelta(
+      sup.filter($"s_suppkey" % 2 === 1), target)
+    graft.sources.DeltaInterop.checkpointDelta(s, target)
+    graft.sources.DeltaInterop.cleanupDeltaLog(s, target)
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g25_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g25_delta_checkpoint" -> g25_delta_checkpoint,
     "g24_delta_optimize" -> g24_delta_optimize,
     "g23_iceberg_merge" -> g23_iceberg_merge,
     "g22_delta_merge" -> g22_delta_merge,
@@ -626,6 +654,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g25_delta_checkpoint" -> g25_sql,
     "g24_delta_optimize" -> g24_sql,
     "g23_iceberg_merge" -> g23_sql,
     "g22_delta_merge" -> g22_sql,

@@ -397,17 +397,30 @@ object DeltaInterop {
     stats.foreach { case (p, size, mod) =>
       rows.add(Row(null, null, Row(encodePath(p), pvOf(p), size, mod, true)))
     }
-    // MULTI-PART when the action count exceeds the per-part threshold
-    // (PROTOCOL.md classic multi-part naming v.checkpoint.i.n.parquet,
-    // 1-based, with the `parts` field in _last_checkpoint — the reader
-    // side validates part completeness against it, spec'd in r8): a
-    // mirror of a very large table otherwise produces one giant
-    // checkpoint parquet. Single-part tables keep the classic name.
-    val partSize = t.spark.conf.getOption("spark.graft.delta.checkpointPartSize")
+    publishCheckpointParts(spark, fs, logDir, v, rows, cpSchema)
+  }
+
+  /** Publish checkpoint rows as classic single-/multi-part parquet +
+    * `_last_checkpoint` — MULTI-PART when the action count exceeds the
+    * per-part threshold (PROTOCOL.md naming v.checkpoint.i.n.parquet,
+    * 1-based, with the `parts` field in _last_checkpoint — the reader
+    * side validates part completeness against it): a checkpoint of a
+    * very large table otherwise produces one giant parquet.
+    * `_last_checkpoint` goes temp + delete + rename, never
+    * truncate-in-place: a reader between a truncate and the rewrite
+    * would see an empty/partial file (the reader's listing fallback
+    * survives that, but the publish should not depend on it) — same
+    * publish sequence as the Iceberg version hint. */
+  private def publishCheckpointParts(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, logDir: HPath, v: Long,
+      rows: java.util.List[org.apache.spark.sql.Row],
+      cpSchema: StructType): Unit = {
+    val partSize = spark.conf.getOption("spark.graft.delta.checkpointPartSize")
       .map(_.toInt).getOrElse(1000000)
     require(partSize > 0, "spark.graft.delta.checkpointPartSize must be positive")
     val nParts = math.max(1, (rows.size() + partSize - 1) / partSize)
-    def publishPart(slice: java.util.List[Row], target: HPath): Unit = {
+    def publishPart(slice: java.util.List[org.apache.spark.sql.Row],
+        target: HPath): Unit = {
       val tmp = new HPath(logDir, s".cp-$v-${java.util.UUID.randomUUID()}")
       spark.createDataFrame(slice, cpSchema).repartition(1)
         .write.parquet(tmp.toString)
@@ -427,11 +440,6 @@ object DeltaInterop {
         new HPath(logDir,
           f"$v%020d.checkpoint.${i + 1}%010d.$nParts%010d.parquet"))
     }
-    // temp + delete + rename, never truncate-in-place: a reader between
-    // a truncate and the rewrite would see an empty/partial
-    // _last_checkpoint (the reader's listing fallback survives it, but
-    // the publish should not depend on that) — same publish sequence as
-    // the Iceberg version hint
     val lcPath = new HPath(logDir, "_last_checkpoint")
     val tmpLc = new HPath(logDir, s"._last_checkpoint-${java.util.UUID.randomUUID()}.tmp")
     val partsField = if (nParts > 1) s""","parts":$nParts""" else ""
@@ -707,8 +715,133 @@ object DeltaInterop {
     * latest version): parquet checkpoint base + JSON tail, protocol /
     * column-mapping gates applied. Pure driver-side metadata — the
     * only distributed work is the checkpoint parquet scan. */
+  /** Mutable side-collector [[checkpointDelta]] hands to
+    * [[replaySnapshot]]: gathers the checkpoint-only state the normal
+    * snapshot replay discards — the protocol's reader half, the full
+    * metaData identity, remove tombstones, setTransaction watermarks,
+    * and flags for state a classic checkpoint could not carry
+    * faithfully (v2-checkpoint base, domainMetadata). */
+  private[sources] final class CheckpointCollector {
+    private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    var minReader: Int = 1
+    var readerFeatures: Seq[String] = Nil
+    var metaId: Option[String] = None
+    var metaName: Option[String] = None
+    var metaDescription: Option[String] = None
+    var createdTime: Option[Long] = None
+    var baseWasV2: Boolean = false
+    var sawDomainMetadata: Boolean = false
+    /** removed path → deletionTimestamp; re-adds clear the tombstone */
+    val tombstones = scala.collection.mutable.LinkedHashMap[String, Long]()
+    /** appId → (version, lastUpdated) */
+    val txns =
+      scala.collection.mutable.LinkedHashMap[String, (Long, Option[Long])]()
+
+    def ingestBase(cp: DataFrame): Unit = {
+      val fields = cp.schema.fieldNames.toSet
+      if (fields.contains("protocol")) {
+        val pf = cp.schema("protocol").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        val rf =
+          if (pf.contains("readerFeatures")) col("protocol.readerFeatures")
+          else lit(null).cast("array<string>")
+        cp.where(col("protocol.minReaderVersion").isNotNull)
+          .select(col("protocol.minReaderVersion"), rf)
+          .collect().foreach { r =>
+            minReader = r.getInt(0)
+            readerFeatures = if (r.isNullAt(1)) Nil else r.getSeq[String](1)
+          }
+      }
+      if (fields.contains("metaData")) {
+        val mf = cp.schema("metaData").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        def strOr(name: String) =
+          if (mf.contains(name)) col(s"metaData.$name")
+          else lit(null).cast("string")
+        val ct =
+          if (mf.contains("createdTime")) col("metaData.createdTime")
+          else lit(null).cast("bigint")
+        cp.where(col("metaData.schemaString").isNotNull)
+          .select(strOr("id"), strOr("name"), strOr("description"), ct)
+          .collect().foreach { r =>
+            metaId = Option(r.getString(0))
+            metaName = Option(r.getString(1))
+            metaDescription = Option(r.getString(2))
+            createdTime = if (r.isNullAt(3)) None else Some(r.getLong(3))
+          }
+      }
+      if (fields.contains("remove"))
+        cp.where(col("remove.path").isNotNull)
+          .select(col("remove.path"), col("remove.deletionTimestamp"))
+          .collect().foreach { r =>
+            tombstones(decodePath(r.getString(0))) =
+              if (r.isNullAt(1)) 0L else r.getLong(1)
+          }
+      if (fields.contains("txn"))
+        cp.where(col("txn.appId").isNotNull)
+          .select(col("txn.appId"), col("txn.version"),
+            col("txn.lastUpdated"))
+          .collect().foreach { r =>
+            txns(r.getString(0)) = (r.getLong(1),
+              if (r.isNullAt(2)) None else Some(r.getLong(2)))
+          }
+      if (fields.contains("domainMetadata") &&
+          cp.where(col("domainMetadata.domain").isNotNull).limit(1)
+            .count() > 0)
+        sawDomainMetadata = true
+    }
+
+    def ingestCommit(text: String): Unit =
+      text.split('\n').foreach { line =>
+        def node(root: String) = Option(om.readTree(line).get(root))
+        if (line.contains("\"protocol\"")) node("protocol").foreach { p =>
+          if (p.has("minReaderVersion")) {
+            minReader = p.get("minReaderVersion").asInt(1)
+            readerFeatures =
+              if (p.has("readerFeatures")) {
+                val it = p.get("readerFeatures").elements()
+                val b = Seq.newBuilder[String]
+                while (it.hasNext) b += it.next().asText()
+                b.result()
+              } else Nil
+          }
+        }
+        if (line.contains("\"metaData\"")) node("metaData").foreach { m =>
+          metaId = Option(m.get("id")).map(_.asText())
+          metaName = Option(m.get("name")).filterNot(_.isNull)
+            .map(_.asText())
+          metaDescription = Option(m.get("description"))
+            .filterNot(_.isNull).map(_.asText())
+          createdTime = Option(m.get("createdTime")).filterNot(_.isNull)
+            .map(_.asLong())
+        }
+        if (line.contains("\"remove\"")) node("remove").foreach { rm =>
+          Option(rm.get("path")).foreach { p =>
+            tombstones(decodePath(p.asText())) =
+              Option(rm.get("deletionTimestamp")).map(_.asLong())
+                .getOrElse(0L)
+          }
+        }
+        if (line.contains("\"add\"") && !line.contains("\"cdc\""))
+          node("add").foreach(a => Option(a.get("path")).foreach(p =>
+            tombstones.remove(decodePath(p.asText()))))
+        if (line.contains("\"txn\"")) node("txn").foreach { t =>
+          Option(t.get("appId")).foreach { app =>
+            txns(app.asText()) = (
+              Option(t.get("version")).map(_.asLong()).getOrElse(0L),
+              Option(t.get("lastUpdated")).filterNot(_.isNull)
+                .map(_.asLong()))
+          }
+        }
+        if (line.contains("\"domainMetadata\"") &&
+            node("domainMetadata").isDefined)
+          sawDomainMetadata = true
+      }
+  }
+
   private[sources] def replaySnapshot(spark: SparkSession, path: String,
-      versionAsOf: Option[Long]): DeltaSnapshot = {
+      versionAsOf: Option[Long],
+      collector: Option[CheckpointCollector] = None): DeltaSnapshot = {
     val root = new HPath(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new HPath(root, "_delta_log")
@@ -838,6 +971,7 @@ object DeltaInterop {
             active(decodePath(r.getString(0))) = (pv, dv)
           }
       }
+      collector.foreach(_.ingestBase(cp))
       }
 
       val v2Files = fs.listStatus(logDir).toSeq.map(_.getPath)
@@ -860,6 +994,7 @@ object DeltaInterop {
               s"version $v — this dependency-free replay reads parquet " +
               "checkpoints only; read it with a full Delta client")
         val topPath = parquetV2.maxBy(_.getName)
+        collector.foreach(_.baseWasV2 = true)
         val top = spark.read.parquet(topPath.toString)
         val topFields = top.schema.fieldNames.toSet
         if (topFields.contains("checkpointMetadata"))
@@ -951,7 +1086,9 @@ object DeltaInterop {
         s"version $v not found at $path (history reaches $top)")
     }
     commits.foreach { c =>
-      val a = parseCommitText(path, readString(fs, c))
+      val text = readString(fs, c)
+      collector.foreach(_.ingestCommit(text))
+      val a = parseCommitText(path, text)
       a.meta.foreach { case (sj, pc, mode) =>
         schemaJson = Some(sj); partCols = pc; colMapMode = mode
       }
@@ -2202,6 +2339,185 @@ object DeltaInterop {
       }
     }
     result
+  }
+
+  /** Write a CLASSIC parquet checkpoint (+ `_last_checkpoint`) for an
+    * existing Delta table (foreign or graft-written) at its current
+    * version — the maintenance companion to [[appendToDelta]] /
+    * [[mergeDelta]] / [[optimizeDelta]]: a long graft-written
+    * `_delta_log` otherwise replays every JSON commit on every read,
+    * and engines can only clean old commits once a checkpoint covers
+    * them. The checkpoint carries the full protocol (reader AND writer
+    * halves, incl. feature lists), the complete metaData identity
+    * (id/name/description/createdTime — preserved, not regenerated),
+    * every active add with its partitionValues and deletionVector
+    * (sizes statted from storage), unexpired remove tombstones, and
+    * setTransaction watermarks — the whole per-action state the
+    * protocol's Checkpoints section requires, so foreign streaming
+    * writers' exactly-once txn state survives the compaction.
+    *
+    * Refuses rather than drop state: delta.checkpointPolicy=v2 tables,
+    * histories whose base is itself a v2 checkpoint (its sidecar
+    * tombstones/txns aren't re-read here), domainMetadata carriers,
+    * and unknown writer features. Column mapping is fine — adds and
+    * schemaString pass through exactly as the log recorded them.
+    * Checkpointing commits no version (a concurrent writer landing
+    * v+1 stays fully consistent). Returns the checkpointed version. */
+  def checkpointDelta(spark: SparkSession, path: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val logDir = new HPath(root, "_delta_log")
+    require(fs.exists(logDir), s"no Delta log at $path")
+    def refuseW(what: String): Nothing = throw new IllegalArgumentException(
+      s"cannot checkpoint Delta table at $path: $what — checkpoint it " +
+        "with a full Delta client")
+    val coll = new CheckpointCollector()
+    val st = replaySnapshot(spark, path, None, Some(coll))
+    if (st.configuration.get("delta.checkpointPolicy").contains("v2"))
+      refuseW("delta.checkpointPolicy=v2 demands v2 checkpoints")
+    if (coll.baseWasV2)
+      refuseW("the base state is a v2 checkpoint whose sidecar " +
+        "tombstones/transactions a classic rewrite cannot carry")
+    if (coll.sawDomainMetadata)
+      refuseW("the log carries domainMetadata actions a classic " +
+        "checkpoint written here would drop")
+    if (st.minWriter > 7)
+      refuseW(s"the table requires writer protocol ${st.minWriter}")
+    if (st.minWriter == 7) {
+      val Harmless = Set("appendOnly", "invariants", "checkConstraints",
+        "generatedColumns", "changeDataFeed", "deletionVectors",
+        "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping")
+      val unknown = st.writerFeatures.filterNot(Harmless.contains)
+      if (unknown.nonEmpty)
+        refuseW("the table requires writer features " +
+          s"[${unknown.mkString(", ")}] whose checkpoint state is unknown " +
+          "to this writer")
+    }
+
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", LongType),
+      StructField("sizeInBytes", LongType),
+      StructField("cardinality", LongType)))
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvType)))
+    val removeType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("description", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
+    val txnType = StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType),
+      StructField("lastUpdated", LongType)))
+    val cpSchema = StructType(Seq(
+      StructField("protocol", protoType),
+      StructField("metaData", metaType),
+      StructField("txn", txnType),
+      StructField("add", addType),
+      StructField("remove", removeType)))
+
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(Row(coll.minReader, st.minWriter,
+      if (coll.readerFeatures.nonEmpty) coll.readerFeatures else null,
+      if (st.writerFeatures.nonEmpty) st.writerFeatures else null),
+      null, null, null, null))
+    rows.add(Row(null, Row(
+      coll.metaId.getOrElse(java.util.UUID.randomUUID().toString),
+      coll.metaName.orNull, coll.metaDescription.orNull,
+      Row("parquet", Map.empty[String, String]), st.schemaJson,
+      st.partCols, st.configuration,
+      coll.createdTime.map(Long.box).orNull), null, null, null))
+    coll.txns.foreach { case (app, (txv, lu)) =>
+      rows.add(Row(null, null, Row(app, txv, lu.map(Long.box).orNull),
+        null, null))
+    }
+    st.active.foreach { case (p, (pv, dv)) =>
+      val stt =
+        try fs.getFileStatus(new HPath(resolveFile(root, p)))
+        catch {
+          case _: java.io.FileNotFoundException =>
+            refuseW(s"active file '$p' is missing on storage — a " +
+              "checkpoint of a partial state would silently drop it")
+        }
+      val dvRow = dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(Long.box).orNull, d.sizeInBytes, d.cardinality)).orNull
+      rows.add(Row(null, null, null,
+        Row(encodePath(p), pv, stt.getLen, stt.getModificationTime,
+          false, dvRow), null))
+    }
+    val activePaths = st.active.map(_._1).toSet
+    coll.tombstones.filterNot(t => activePaths.contains(t._1))
+      .foreach { case (p, ts) =>
+        rows.add(Row(null, null, null, null, Row(encodePath(p), ts, false)))
+      }
+    publishCheckpointParts(spark, fs, logDir, st.version, rows, cpSchema)
+    st.version
+  }
+
+  /** Delete JSON commits (and superseded checkpoint files) a classic
+    * checkpoint already covers — the Delta "metadata cleanup"
+    * maintenance step, safe only behind a checkpoint: every commit
+    * `<= checkpointVersion - retainVersions` whose state the newest
+    * complete checkpoint at-or-before that bound subsumes is removed.
+    * With the default `retainVersions = 0`, everything up to and
+    * including the newest checkpoint's version goes (time travel to
+    * those versions stops working — same trade Delta's own
+    * log-retention cleanup makes). Never touches data files (that is
+    * VACUUM's job), `_last_checkpoint`, or any commit newer than the
+    * checkpoint. Returns the number of files deleted. */
+  def cleanupDeltaLog(spark: SparkSession, path: String,
+      retainVersions: Int = 0): Int = {
+    require(retainVersions >= 0, "retainVersions must be >= 0")
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new HPath(root, "_delta_log")
+    require(fs.exists(logDir), s"no Delta log at $path")
+    val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+    val cps = completedCheckpoints(fs, logDir)
+    if (cps.isEmpty) return 0
+    val latestCp = cps.keys.max
+    val cutoff = latestCp - retainVersions
+    // the newest complete checkpoint at-or-before the cutoff subsumes
+    // every earlier commit; keep everything after it
+    val baseCp = cps.keys.filter(_ <= cutoff).maxOption.getOrElse(return 0)
+    var deleted = 0
+    names.foreach { n =>
+      val isCommit = n.matches("\\d{20}\\.json")
+      val isCp = n.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet")
+      if (isCommit || isCp) {
+        val v = n.take(20).toLong
+        val drop =
+          if (isCommit) v <= baseCp
+          else v < baseCp // keep the base checkpoint itself
+        if (drop && fs.delete(new HPath(logDir, n), false)) deleted += 1
+      }
+    }
+    deleted
   }
 
   /** The shared row-level-mutation scan: open a set of snapshot files

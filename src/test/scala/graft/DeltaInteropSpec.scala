@@ -2239,6 +2239,113 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(!log.contains("\"dataChange\":true"), log)
   }
 
+  test("checkpointDelta + cleanupDeltaLog: log compaction keeps reads green") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_cpd_"),
+      Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "seg")
+        .repartition(1), partitionBy = Seq("seg"))
+    val target = tmp("graft_cpd_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    (4L to 6L).foreach { i =>
+      DeltaInterop.appendToDelta(Seq((i, "B")).toDF("id", "seg"), target)
+    }
+    DeltaInterop.deleteFromDelta(spark, target, col("id") === 2L)
+    val v = DeltaInterop.checkpointDelta(spark, target)
+    assert(v == 4L)
+    assert(Files.exists(Paths.get(target, "_delta_log",
+      "0" * 19 + "4.checkpoint.parquet")))
+    assert(Files.exists(Paths.get(target, "_delta_log", "_last_checkpoint")))
+    // the checkpoint carries remove tombstones for the delete's rewrite
+    val cp = spark.read.parquet(
+      Paths.get(target, "_delta_log", "0" * 19 + "4.checkpoint.parquet")
+        .toString)
+    assert(cp.where(col("remove.path").isNotNull).count() >= 1)
+    assert(cp.where(col("add.path").isNotNull).count() == 5)
+    // cleanup drops the five covered commits; reads replay cp + tail
+    val removed = DeltaInterop.cleanupDeltaLog(spark, target)
+    assert(removed == 5, removed.toString)
+    assert(!Files.exists(Paths.get(target, "_delta_log",
+      "0" * 20 + ".json")))
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("id", "seg").as[(Long, String)].collect().toSet ==
+      Set((1L, "A"), (3L, "B"), (4L, "B"), (5L, "B"), (6L, "B")))
+    // the table still takes commits on top of the compacted log
+    DeltaInterop.appendToDelta(Seq((7L, "A")).toDF("id", "seg"), target)
+    assert(DeltaInterop.readDelta(spark, target).count() == 6)
+    // a second checkpoint at v5 supersedes v4's files on next cleanup
+    DeltaInterop.checkpointDelta(spark, target)
+    assert(DeltaInterop.cleanupDeltaLog(spark, target) == 2)
+    assert(!Files.exists(Paths.get(target, "_delta_log",
+      "0" * 19 + "4.checkpoint.parquet")))
+    assert(DeltaInterop.readDelta(spark, target).count() == 6)
+  }
+
+  test("checkpointDelta preserves DV adds, txn watermarks, and identity") {
+    import spark.implicits._
+    import graft.sources.DeletionVectors
+    val root = tmp("graft_cpdv_")
+    Seq.range(0L, 10L).toDF("id").coalesce(1).write.parquet(root)
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val dataFile = Files.list(Paths.get(root)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val rel = Paths.get(root).relativize(Paths.get(dataFile)).toString
+    val idxOf = spark.read.parquet(dataFile)
+      .select(col("id"), col("_metadata.row_index"))
+      .as[(Long, Long)].collect().toMap
+    val schemaJson = StructType(Seq(StructField("id", LongType))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val inline = DeletionVectors.serialize(Seq(idxOf(3L)))
+    val padded = java.util.Arrays.copyOf(inline, (inline.length + 3) / 4 * 4)
+    val z85dv = DeletionVectors.z85Encode(padded)
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"table-id-42","name":"events","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":77}}""",
+      s"""{"txn":{"appId":"stream-1","version":5,"lastUpdated":9}}""",
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$z85dv","sizeInBytes":${padded.length},"cardinality":1}}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val v = DeltaInterop.checkpointDelta(spark, root)
+    assert(v == 0L)
+    val cp = spark.read.parquet(
+      Paths.get(root, "_delta_log", "0" * 20 + ".checkpoint.parquet")
+        .toString)
+    // txn watermark survives (a foreign streaming writer's exactly-once)
+    assert(cp.where(col("txn.appId") === "stream-1")
+      .select(col("txn.version")).as[Long].collect().toSeq == Seq(5L))
+    // DV descriptor survives on the add
+    assert(cp.where(col("add.deletionVector.storageType").isNotNull)
+      .count() == 1)
+    // table identity preserved, not regenerated
+    assert(cp.where(col("metaData.id").isNotNull)
+      .select(col("metaData.id"), col("metaData.name"),
+        col("metaData.createdTime"))
+      .as[(String, String, Long)].collect().toSeq ==
+      Seq(("table-id-42", "events", 77L)))
+    // protocol keeps both feature lists
+    assert(cp.where(col("protocol.minReaderVersion").isNotNull)
+      .select(col("protocol.readerFeatures")).as[Seq[String]]
+      .collect().head == Seq("deletionVectors"))
+    // reads through the checkpoint (JSON tail deleted) stay DV-filtered
+    assert(DeltaInterop.cleanupDeltaLog(spark, root) == 1)
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("id").as[Long].collect().toSet ==
+      Set(0L, 1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L))
+  }
+
+  test("checkpointDelta refuses domainMetadata carriers") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_cpdm_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_cpdm_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    Files.write(Paths.get(target, "_delta_log", "0" * 19 + "1.json"),
+      """{"domainMetadata":{"domain":"delta.clustering","configuration":"{}","removed":false}}"""
+        .concat("\n").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.checkpointDelta(spark, target)
+    }
+    assert(e.getMessage.contains("domainMetadata"), e.getMessage)
+  }
+
   test("concurrent deleteFromDelta writers: both land through retries") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_ddelcc_"),
