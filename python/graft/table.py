@@ -367,6 +367,18 @@ def merge_iceberg(source_df, path, keys):
     return ix.mergeIceberg(source_df._jdf, path, _seq(spark, keys), 20)
 
 
+def compact_iceberg(spark, path, target_file_bytes=128 << 20):
+    """Compact a file-based Iceberg format-v2 table (rewrite_data_files
+    analog) at manifest granularity: data manifests whose live files
+    are all sub-target are folded into right-sized files with all
+    current deletes applied, and fully-consumed position-delete
+    manifests are dropped, in one replace snapshot. Returns the
+    committed (or current) snapshot id."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.compactIceberg(spark._jsparkSession, path,
+                             int(target_file_bytes), 20)
+
+
 def update_iceberg(spark, path, condition_col, assignments):
     """Row-level UPDATE of a file-based Iceberg format-v2 table as ONE
     atomic merge-on-read overwrite snapshot (position deletes + new

@@ -629,7 +629,44 @@ object LakehouseOps {
     """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** g26: foreign-Iceberg compaction gate
+    * ([[graft.sources.IcebergInterop.compactIceberg]]) — build a v2
+    * Iceberg table through several small appends plus a MoR delete,
+    * compact (applying + consuming the position deletes), read back:
+    * the rewrite must be row-for-row invisible. */
+  val g26_iceberg_compact: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 3 === 0),
+      partitionBy = Seq("s_nationkey"))
+    val target = Files.createTempDirectory("graft_icompact_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, target)
+    val mdPath = java.nio.file.Paths.get(target, "metadata", "v1.metadata.json")
+    Files.write(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    Files.deleteIfExists(java.nio.file.Paths.get(target, "metadata",
+      ".v1.metadata.json.crc"))
+    graft.sources.IcebergInterop.appendToIceberg(
+      sup.filter($"s_suppkey" % 3 === 1), target)
+    graft.sources.IcebergInterop.appendToIceberg(
+      sup.filter($"s_suppkey" % 3 === 2), target)
+    graft.sources.IcebergInterop.deleteFromIceberg(s, target,
+      $"s_suppkey" % 10 === 0)
+    graft.sources.IcebergInterop.compactIceberg(s, target)
+    graft.sources.IcebergInterop.readIceberg(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g26_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+      |FROM supplier WHERE s_suppkey % 10 <> 0 ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g26_iceberg_compact" -> g26_iceberg_compact,
     "g25_delta_checkpoint" -> g25_delta_checkpoint,
     "g24_delta_optimize" -> g24_delta_optimize,
     "g23_iceberg_merge" -> g23_iceberg_merge,
@@ -654,6 +691,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g26_iceberg_compact" -> g26_sql,
     "g25_delta_checkpoint" -> g25_sql,
     "g24_delta_optimize" -> g24_sql,
     "g23_iceberg_merge" -> g23_sql,

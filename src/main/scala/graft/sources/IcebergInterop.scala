@@ -325,7 +325,7 @@ object IcebergInterop {
     out.toByteArray
   }
 
-  private[sources] def readAvro(bytes: Array[Byte]): Seq[GenericRecord] = {
+  private[graft] def readAvro(bytes: Array[Byte]): Seq[GenericRecord] = {
     val r = new DataFileReader[GenericRecord](
       new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
     try {
@@ -1894,7 +1894,8 @@ object IcebergInterop {
       parts: Seq[(PartField, String)], priorList: Seq[GenericRecord],
       delFiles: Seq[(HPath, Long, Long)],
       newFiles: Seq[(HPath, Long, Long)],
-      partValuesOf: HPath => Seq[AnyRef]): Option[Long] = {
+      partValuesOf: HPath => Seq[AnyRef],
+      operation: String = "overwrite"): Option[Long] = {
     val now = System.currentTimeMillis()
     val snapId = md.path("snapshots").elements().asScala()
       .map(_.path("snapshot-id").asLong(0L)).maxOption.getOrElse(0L) + 1L
@@ -2005,7 +2006,7 @@ object IcebergInterop {
     md.put("last-sequence-number", newSeq)
     val snaps = md.get("snapshots")
       .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
-    val sn = snapshotNode(snapId, now, "overwrite", listPath.toString,
+    val sn = snapshotNode(snapId, now, operation, listPath.toString,
       schemaId)
     sn.put("sequence-number", newSeq)
     sn.put("parent-snapshot-id", currentSnap)
@@ -2192,6 +2193,162 @@ object IcebergInterop {
           }
         }
       } finally matched.unpersist()
+    }
+    result
+  }
+
+  /** Compact a file-based Iceberg FORMAT-V2 table — the
+    * rewrite_data_files maintenance analog — at MANIFEST granularity:
+    * every data manifest whose live files are ALL smaller than
+    * `targetFileBytes` is retired; its rows are re-read with all
+    * current position/equality deletes APPLIED and rewritten as
+    * right-sized files laid out per the table's DEFAULT partition spec
+    * (compaction thereby also migrates old-spec data forward), in one
+    * `replace` snapshot at `last-sequence-number + 1`. Position-delete
+    * manifests whose delete files only target compacted data files are
+    * dropped too — the rewrite consumed them, shedding merge-on-read
+    * debt. Every other manifest carries forward byte-identical: no
+    * per-entry manifest rewriting, so kept manifests lose no stats.
+    *
+    * Manifest granularity fits how incremental writers behave — each
+    * small append lands one small manifest, exactly what compaction
+    * should fold — while keeping foreign mixed manifests safe (a
+    * manifest with one large file is left alone). The new files commit
+    * at a sequence number above every existing delete, so consumed
+    * deletes can never re-apply. Format v1 refuses; lost version races
+    * recompute; nothing to compact is a no-op. Returns the committed
+    * (or current) snapshot id. */
+  def compactIceberg(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20, maxRetries: Int = 20): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val io = new TableIO(path, conf)
+    val metaDir = new HPath(root, "metadata")
+    require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
+    def refuseW(what: String): Nothing = throw new IllegalArgumentException(
+      s"cannot compact Iceberg table at $path: $what — compact it with " +
+        "a full Iceberg client")
+    def qualified(p: String): String = {
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+
+    var attempts = 0
+    var result = Long.MinValue
+    while (result == Long.MinValue) {
+      val listed = fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+      val vTop = listed.flatMap {
+        case VMeta(n) => Some(n.toInt)
+        case _ => None
+      }.maxOption.getOrElse(refuseW("the metadata is catalog-managed " +
+        "(no v<N>.metadata.json / version-hint naming) — a directory " +
+        "commit would be invisible to the catalog pointer"))
+      val md = om.readTree(readBytes(fs,
+        new HPath(metaDir, s"v$vTop.metadata.json"))).deepCopy[ObjectNode]()
+      val fv = md.path("format-version").asInt(1)
+      if (fv != 2)
+        refuseW(s"the table is format version $fv — the replace-snapshot " +
+          "rewrite needs v2 sequence numbers")
+      val currentSnap = md.path("current-snapshot-id").asLong(-1L)
+      if (currentSnap < 0) { result = currentSnap } // empty table
+      else {
+        val schemaNode = currentSchemaNode(md, path)
+        val schemaId = md.path("current-schema-id").asInt(
+          schemaNode.path("schema-id").asInt(0))
+        val schema = fromIcebergStruct(schemaNode, path)
+        val (specId, _, parts) =
+          defaultSpecParts(spark, md, schemaNode, schema, refuseW)
+        val newSeq = md.path("last-sequence-number").asLong(0L) + 1
+        publishHint(fs, metaDir, vTop)
+        val snapNode = md.get("snapshots").elements().asScala()
+          .find(_.get("snapshot-id").asLong() == currentSnap)
+          .getOrElse(refuseW(s"current snapshot $currentSnap missing from " +
+            "the snapshots array"))
+        val priorList = readAvro(readBytes(fs,
+          new HPath(snapNode.get("manifest-list").asText())))
+        def contentOf(r: GenericRecord): Long =
+          fieldOpt(r, "content").map(longOf).getOrElse(0L)
+        def liveEntries(r: GenericRecord): Seq[GenericRecord] =
+          readAvro(readBytes(fs,
+            new HPath(r.get("manifest_path").toString)))
+            .filter(e => longOf(e.get("status")) != 2L)
+            .map(_.get("data_file").asInstanceOf[GenericRecord])
+        // data manifests whose every live file is sub-target
+        val chosenData = priorList.filter { r =>
+          contentOf(r) == 0L && {
+            val live = liveEntries(r)
+            live.nonEmpty && live.forall(df =>
+              longOf(df.get("file_size_in_bytes")) < targetFileBytes)
+          }
+        }
+        val chosenFiles: Set[String] = chosenData.flatMap(r =>
+          liveEntries(r).map(_.get("file_path").toString)).toSet
+        val chosenQualified = chosenFiles.map(qualified)
+        val deleteManifests = priorList.filter(contentOf(_) == 1L)
+        // convergence guard: folding a SINGLE manifest with no deletes
+        // to consume rewrites it into itself forever — compaction only
+        // pays when manifests merge or merge-on-read debt sheds
+        if (chosenData.size < 2 &&
+            !(chosenData.nonEmpty && deleteManifests.nonEmpty)) {
+          result = currentSnap // nothing worth compacting
+        } else {
+          // position-delete manifests fully consumed by this rewrite
+          val dropDeletes = deleteManifests.filter { r =>
+            val live = liveEntries(r)
+            live.nonEmpty &&
+            live.forall(df => fieldOpt(df, "content").map(longOf)
+              .getOrElse(0L) == 1L) && {
+              val targets = spark.read
+                .parquet(live.map(_.get("file_path").toString): _*)
+                .select(col("file_path")).distinct()
+                .collect().map(_.getString(0)).toSet
+              targets.forall(t => chosenFiles.contains(t) ||
+                chosenQualified.contains(qualified(t)))
+            }
+          }
+          spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+          import spark.implicits._
+          val fDf = chosenQualified.toSeq.sorted.toDF("__fp")
+          val rows = readIcebergInternal(spark, path, None, None,
+            withLineage = true)
+            .join(org.apache.spark.sql.functions.broadcast(fDf),
+              Seq("__fp"), "left_semi")
+            .select(schema.fieldNames.map(col).toSeq: _*)
+          val totalBytes = chosenData.flatMap(liveEntries)
+            .map(df => longOf(df.get("file_size_in_bytes"))).sum
+          val nBins = math.max(1L,
+            (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+          val (newDir, allNewFiles, partValuesOf) = writeSpecData(
+            rows.repartition(nBins), root, fs, conf, parts, schemaNode,
+            schema, "graft-compact")
+          val newFiles = allNewFiles.filter(_._3 > 0)
+          val keptPrior = priorList.filterNot(r =>
+            chosenData.exists(_ eq r) || dropDeletes.exists(_ eq r))
+          val cleanupDirs = () => { fs.delete(newDir, true); () }
+          val committed =
+            try commitOverwriteSnapshot(fs, io, metaDir, md, vTop,
+              currentSnap, newSeq, schemaNode, schemaId, specId, parts,
+              keptPrior, Nil, newFiles, partValuesOf,
+              operation = "replace")
+            catch {
+              case e: Throwable =>
+                try cleanupDirs() catch { case _: Exception => () }
+                throw e
+            }
+          committed match {
+            case Some(snapId) => result = snapId
+            case None =>
+              cleanupDirs()
+              attempts += 1
+              if (attempts > maxRetries)
+                throw new IllegalStateException(
+                  s"compactIceberg lost $maxRetries version races at " +
+                    s"$path — giving up")
+          }
+        }
+      }
     }
     result
   }

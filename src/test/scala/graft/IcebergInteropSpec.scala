@@ -1958,6 +1958,104 @@ class IcebergInteropSpec extends AnyFunSuite {
       .select("x").as[Long].collect().toSet == Set(10L, 20L, 77L, 80L))
   }
 
+  private def manifestListOfCurrent(root: String)
+      : (Long, Seq[org.apache.avro.generic.GenericRecord]) = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaDir = Paths.get(root, "metadata")
+    val vTop = Files.list(metaDir).toArray.map(_.toString.split('/').last)
+      .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toInt }.max
+    val md = om.readTree(Files.readAllBytes(
+      metaDir.resolve(s"v$vTop.metadata.json")))
+    val cur = md.get("current-snapshot-id").asLong()
+    val snaps = md.get("snapshots")
+    val it = snaps.elements()
+    var listPath: String = null
+    var op: String = null
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.get("snapshot-id").asLong() == cur) {
+        listPath = s.get("manifest-list").asText()
+        op = s.get("summary").get("operation").asText()
+      }
+    }
+    assert(op != null)
+    val recs = IcebergInterop.readAvro(
+      Files.readAllBytes(Paths.get(new java.net.URI(
+        if (listPath.startsWith("file:")) listPath else s"file:$listPath"))))
+    (cur, recs)
+  }
+
+  test("compactIceberg folds small-append manifests into one replace") {
+    import spark.implicits._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val t = GraftTable.create(spark, tmp("graft_icp_"),
+      Seq((1L, "A"), (2L, "B")).toDF("id", "seg"),
+      partitionBy = Seq("seg"))
+    IcebergInterop.mirrorToIceberg(t)
+    val mdPath = Paths.get(t.root, "metadata",
+      s"v${t.latestVersion() + 1}.metadata.json")
+    val md0 = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md0.put("format-version", 2)
+    md0.put("last-sequence-number", 0L)
+    patch(mdPath, om.writeValueAsBytes(md0))
+    // four small appends: four single-file data manifests
+    (3L to 6L).foreach { i =>
+      IcebergInterop.appendToIceberg(
+        Seq((i, if (i % 2 == 0) "A" else "B")).toDF("id", "seg"), t.root)
+    }
+    val (_, before) = manifestListOfCurrent(t.root)
+    assert(before.size == 5, before.size.toString)
+    val expect = IcebergInterop.readIceberg(spark, t.root)
+      .select("id", "seg").as[(Long, String)].collect().toSet
+    val s1 = IcebergInterop.compactIceberg(spark, t.root)
+    assert(IcebergInterop.readIceberg(spark, t.root)
+      .select("id", "seg").as[(Long, String)].collect().toSet == expect)
+    // the replace snapshot holds ONE data manifest; partition pruning
+    // still works on the compacted layout
+    val (cur, after) = manifestListOfCurrent(t.root)
+    assert(cur == s1)
+    assert(after.size == 1, after.size.toString)
+    assert(IcebergInterop.readIcebergWhere(spark, t.root, "seg", "A")
+      .select("id").as[Long].collect().toSet == Set(1L, 4L, 6L))
+    // time travel to the pre-compaction snapshot still replays it
+    assert(IcebergInterop.readIceberg(spark, t.root, Some(s1 - 1))
+      .select("id").as[Long].collect().toSet == expect.map(_._1))
+    // nothing left to compact: no-op
+    assert(IcebergInterop.compactIceberg(spark, t.root) == s1)
+  }
+
+  test("compactIceberg applies and consumes position deletes") {
+    import spark.implicits._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val t = GraftTable.create(spark, tmp("graft_icpd_"),
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "x")
+        .repartition(2))
+    val target = tmp("graft_icpd_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val md0 = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md0.put("format-version", 2)
+    md0.put("last-sequence-number", 0L)
+    patch(mdPath, om.writeValueAsBytes(md0))
+    IcebergInterop.deleteFromIceberg(spark, target, col("id") === 2L)
+    val (_, before) = manifestListOfCurrent(target)
+    assert(before.exists(r => r.get("content").toString.toLong == 1L))
+    IcebergInterop.compactIceberg(spark, target)
+    // deletes applied into the rewrite AND their manifest dropped
+    assert(IcebergInterop.readIceberg(spark, target)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    val (_, after) = manifestListOfCurrent(target)
+    assert(after.forall(r => r.get("content").toString.toLong == 0L),
+      after.map(_.get("content")).toString)
+    // further row-level writes compose on the compacted table
+    IcebergInterop.deleteFromIceberg(spark, target, col("id") === 4L)
+    assert(IcebergInterop.readIceberg(spark, target)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("deleteFromIceberg refuses format v1") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_idelv1_"),
