@@ -354,6 +354,27 @@ def cleanup_delta_log(spark, path, retain_versions=0):
                               int(retain_versions))
 
 
+def vacuum_delta(spark, path, retention_ms=7 * 24 * 3600 * 1000):
+    """VACUUM a Delta table: physically delete files the current
+    version no longer references and that are older than retention_ms.
+    Active data files, their deletion vectors, and hidden dirs
+    (_delta_log, _change_data) are never touched. Returns the number
+    of files deleted."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return dx.vacuumDelta(spark._jsparkSession, path, int(retention_ms))
+
+
+def expire_iceberg_snapshots(spark, path, keep_last):
+    """Expire old snapshots of any file-based Iceberg table: retain the
+    last keep_last snapshots (plus current), publish trimmed metadata
+    via the conditional-put protocol, then delete expired manifest
+    lists / orphaned manifests / old metadata versions. Returns the
+    number of files deleted."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.expireIcebergSnapshots(spark._jsparkSession, path,
+                                     int(keep_last), 20)
+
+
 def merge_iceberg(source_df, path, keys):
     """MERGE (upsert) a source DataFrame into a file-based Iceberg
     format-v2 table on `keys` as ONE atomic merge-on-read overwrite

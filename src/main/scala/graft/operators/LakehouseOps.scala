@@ -665,7 +665,33 @@ object LakehouseOps {
     """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
       |FROM supplier WHERE s_suppkey % 10 <> 0 ORDER BY s_suppkey""".stripMargin
 
+  /** g27: foreign-Delta VACUUM gate
+    * ([[graft.sources.DeltaInterop.vacuumDelta]]) — CoW-delete rows
+    * (stranding the originals), vacuum at retention 0, read back:
+    * physical cleanup must not change a single surviving row. */
+  val g27_delta_vacuum: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup,
+      partitionBy = Seq("s_nationkey"))
+    val target = Files.createTempDirectory("graft_dvac_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    graft.sources.DeltaInterop.deleteFromDelta(s, target,
+      $"s_suppkey" % 4 === 0)
+    graft.sources.DeltaInterop.vacuumDelta(s, target, retentionMs = 0L)
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g27_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+      |FROM supplier WHERE s_suppkey % 4 <> 0 ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g27_delta_vacuum" -> g27_delta_vacuum,
     "g26_iceberg_compact" -> g26_iceberg_compact,
     "g25_delta_checkpoint" -> g25_delta_checkpoint,
     "g24_delta_optimize" -> g24_delta_optimize,
@@ -691,6 +717,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g27_delta_vacuum" -> g27_sql,
     "g26_iceberg_compact" -> g26_sql,
     "g25_delta_checkpoint" -> g25_sql,
     "g24_delta_optimize" -> g24_sql,

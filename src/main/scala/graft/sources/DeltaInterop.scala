@@ -2520,6 +2520,55 @@ object DeltaInterop {
     deleted
   }
 
+  /** VACUUM an existing Delta table: physically delete files under the
+    * table directory that the CURRENT version no longer references
+    * (CoW rewrite leftovers, compacted-away originals, orphaned
+    * writes) and whose modification time is older than `retentionMs`
+    * (default 7 days — Delta's own retention floor, protecting
+    * concurrent readers of recent versions and in-flight writers'
+    * staged files). Active data files and their on-disk deletion
+    * vectors are never touched; neither are hidden (`_`/`.`) files and
+    * directories — `_delta_log` and `_change_data` stay intact — with
+    * one exception: crashed graft staging dirs (`_graft_*`) are
+    * vacuum debris and age out like data. Time travel to versions
+    * whose files were vacuumed stops working, the same trade Delta's
+    * VACUUM makes. Returns the number of files deleted. */
+  def vacuumDelta(spark: SparkSession, path: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Long = {
+    require(retentionMs >= 0, "retentionMs must be >= 0")
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new HPath(root, "_delta_log")),
+      s"no Delta log at $path")
+    val st = replaySnapshot(spark, path, None)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    def canon(p: HPath): String = fs.makeQualified(p).toString
+    val keep = scala.collection.mutable.Set[String]()
+    st.active.foreach { case (p, (_, dv)) =>
+      keep += canon(new HPath(resolveFile(root, p)))
+      dv.foreach(d => if (d.storageType != "i")
+        keep += canon(DeletionVectors.dvFilePath(root, d)))
+    }
+    var deleted = 0L
+    def walk(dir: HPath): Unit =
+      fs.listStatus(dir).foreach { s =>
+        val n = s.getPath.getName
+        val hidden = n.startsWith("_") || n.startsWith(".")
+        if (s.isDirectory) {
+          if (!hidden || n.startsWith("_graft_")) {
+            walk(s.getPath)
+            if (fs.listStatus(s.getPath).isEmpty)
+              fs.delete(s.getPath, false)
+          }
+        } else if (!hidden &&
+            !keep.contains(canon(s.getPath)) &&
+            s.getModificationTime < cutoff &&
+            fs.delete(s.getPath, false)) deleted += 1
+      }
+    walk(root)
+    deleted
+  }
+
   /** The shared row-level-mutation scan: open a set of snapshot files
     * with deletion-vector rows filtered out, partition-value literals
     * attached, and a `__file` column carrying each row's QUALIFIED

@@ -1095,57 +1095,99 @@ object IcebergInterop {
     * metadata forever. Time travel to an expired snapshot id refuses
     * loudly through [[readIceberg]]'s existing not-found path.
     * Returns the number of files deleted. */
-  def expireSnapshots(t: GraftTable, keepLast: Int): Int = {
+  def expireSnapshots(t: GraftTable, keepLast: Int): Int =
+    expireIcebergSnapshots(t.spark, t.root, keepLast)
+
+  /** Path-based snapshot expiry for ANY file-based Iceberg table
+    * (foreign, exported, or mirrored — [[expireSnapshots]] delegates
+    * here): retain the last `keepLast` snapshots (plus the current
+    * one), publish a trimmed metadata version through the optimistic
+    * conditional-put protocol, and only THEN physically delete what no
+    * retained snapshot references — expired manifest lists, manifests
+    * referenced by no retained snapshot, metadata versions older than
+    * the immediate predecessor — so a concurrent reader never holds a
+    * pointer whose files died. Expired snapshot-log entries are
+    * trimmed too (the spec requires log entries reference live
+    * snapshots). A lost version race re-reads and retries. Returns the
+    * number of files deleted. */
+  def expireIcebergSnapshots(spark: SparkSession, path: String,
+      keepLast: Int, maxRetries: Int = 20): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val conf = t.spark.sparkContext.hadoopConfiguration
-    val root = new HPath(t.root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new HPath(path)
     val fs = root.getFileSystem(conf)
+    val io = new TableIO(path, conf)
     val metaDir = new HPath(root, "metadata")
-    val hint = new HPath(metaDir, "version-hint.text")
-    require(fs.exists(hint), s"no mirrored Iceberg metadata at ${t.root}")
-    val curMeta = new String(readBytes(fs, hint), StandardCharsets.UTF_8).trim.toInt
-    val md = om.readTree(readBytes(fs,
-      new HPath(metaDir, s"v$curMeta.metadata.json"))).asInstanceOf[ObjectNode]
-    val currentSnap = md.path("current-snapshot-id").asLong(-1L)
-    val snaps = md.path("snapshots").elements().asScala().toSeq
-    val byIdAsc = snaps.sortBy(_.path("snapshot-id").asLong())
-    val keepIds = (byIdAsc.takeRight(keepLast).map(_.path("snapshot-id").asLong())
-      :+ currentSnap).toSet
-    val (retained, expired) = byIdAsc.partition(s => keepIds(s.path("snapshot-id").asLong()))
-    if (expired.isEmpty) return 0
+    require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
+    var attempts = 0
+    while (true) {
+      val listed = fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+      val curMeta = listed.flatMap {
+        case VMeta(n) => Some(n.toInt)
+        case _ => None
+      }.maxOption.getOrElse(throw new IllegalArgumentException(
+        s"cannot expire snapshots at $path: the metadata is " +
+          "catalog-managed (no v<N>.metadata.json naming)"))
+      val md = om.readTree(readBytes(fs,
+        new HPath(metaDir, s"v$curMeta.metadata.json"))).asInstanceOf[ObjectNode]
+      val currentSnap = md.path("current-snapshot-id").asLong(-1L)
+      val snaps = md.path("snapshots").elements().asScala().toSeq
+      val byIdAsc = snaps.sortBy(_.path("snapshot-id").asLong())
+      val keepIds = (byIdAsc.takeRight(keepLast).map(_.path("snapshot-id").asLong())
+        :+ currentSnap).toSet
+      val (retained, expired) = byIdAsc.partition(s => keepIds(s.path("snapshot-id").asLong()))
+      if (expired.isEmpty) return 0
 
-    def manifestsOf(listPath: String): Seq[String] =
-      readAvro(readBytes(fs, new HPath(listPath)))
-        .map(_.get("manifest_path").toString)
-    val keepManifests = retained
-      .flatMap(s => manifestsOf(s.path("manifest-list").asText())).toSet
-    val doomedLists = expired.map(_.path("manifest-list").asText())
-    val doomedManifests = doomedLists.flatMap(manifestsOf)
-      .filterNot(keepManifests.contains).distinct
+      def manifestsOf(listPath: String): Seq[String] =
+        readAvro(readBytes(fs, new HPath(listPath)))
+          .map(_.get("manifest_path").toString)
+      val keepManifests = retained
+        .flatMap(s => manifestsOf(s.path("manifest-list").asText())).toSet
+      val doomedLists = expired.map(_.path("manifest-list").asText())
+      val doomedManifests = doomedLists.flatMap(manifestsOf)
+        .filterNot(keepManifests.contains).distinct
 
-    // publish the trimmed metadata FIRST — only then delete, so a
-    // concurrent reader never holds a hint whose referenced files died
-    val trimmed = md.deepCopy[ObjectNode]()
-    val arr = trimmed.putArray("snapshots")
-    retained.foreach(s => arr.add(s))
-    writeBytes(fs, new HPath(metaDir, s"v${curMeta + 1}.metadata.json"),
-      om.writerWithDefaultPrettyPrinter().writeValueAsBytes(trimmed))
-    publishHint(fs, metaDir, curMeta + 1)
-
-    var deleted = 0
-    (doomedLists ++ doomedManifests).foreach { p =>
-      if (fs.delete(new HPath(p), false)) deleted += 1
-    }
-    // metadata retention: keep the new version and its immediate
-    // predecessor (a reader racing the hint publish may still open it)
-    fs.listStatus(metaDir).toSeq.map(_.getPath).foreach { p =>
-      p.getName match {
-        case VMeta(n) if n.toInt < curMeta =>
-          if (fs.delete(p, false)) deleted += 1
+      // publish the trimmed metadata FIRST — only then delete, so a
+      // concurrent reader never holds a hint whose referenced files died
+      val trimmed = md.deepCopy[ObjectNode]()
+      val arr = trimmed.putArray("snapshots")
+      retained.foreach(s => arr.add(s))
+      trimmed.path("snapshot-log") match {
+        case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+          val kept = a.elements().asScala().toSeq
+            .filter(e => keepIds(e.path("snapshot-id").asLong()))
+          val na = trimmed.putArray("snapshot-log")
+          kept.foreach(na.add)
         case _ => ()
       }
+      try {
+        io.writeExclusive(new HPath(metaDir, s"v${curMeta + 1}.metadata.json"),
+          om.writerWithDefaultPrettyPrinter().writeValueAsBytes(trimmed))
+        publishHint(fs, metaDir, curMeta + 1)
+        var deleted = 0
+        (doomedLists ++ doomedManifests).foreach { p =>
+          if (fs.delete(new HPath(p), false)) deleted += 1
+        }
+        // metadata retention: keep the new version and its immediate
+        // predecessor (a reader racing the hint publish may still open it)
+        fs.listStatus(metaDir).toSeq.map(_.getPath).foreach { p =>
+          p.getName match {
+            case VMeta(n) if n.toInt < curMeta =>
+              if (fs.delete(p, false)) deleted += 1
+            case _ => ()
+          }
+        }
+        return deleted
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+          if (attempts > maxRetries)
+            throw new IllegalStateException(
+              s"expireIcebergSnapshots lost $maxRetries version races " +
+                s"at $path — giving up")
+      }
     }
-    deleted
+    0 // unreachable
   }
 
   /** APPEND `df` to an existing file-based Iceberg v1 table (foreign,

@@ -2346,6 +2346,46 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("domainMetadata"), e.getMessage)
   }
 
+  test("vacuumDelta deletes unreferenced files, protects active + hidden") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_vac_"),
+      Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "seg")
+        .repartition(1), partitionBy = Seq("seg"))
+    val target = tmp("graft_vac_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    // CoW delete rewrites seg=A's file: the original becomes
+    // unreferenced; plus crashed-staging debris
+    DeltaInterop.deleteFromDelta(spark, target, col("id") === 2L)
+    val debris = Paths.get(target, "_graft_merge_dead", "seg=A")
+    Files.createDirectories(debris)
+    Files.write(debris.resolve("leftover.parquet"), Array[Byte](1, 2, 3))
+    def countData() = {
+      def rec(p: java.nio.file.Path): Long =
+        Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path]).map {
+          q => if (Files.isDirectory(q)) rec(q)
+          else if (q.toString.endsWith(".parquet")) 1L else 0L
+        }.sum
+      rec(Paths.get(target))
+    }
+    val before = countData()
+    val expect = DeltaInterop.readDelta(spark, target)
+      .select("id", "seg").as[(Long, String)].collect().toSet
+    // retention far in the future deletes nothing
+    assert(DeltaInterop.vacuumDelta(spark, target,
+      retentionMs = 7L * 24 * 3600 * 1000) == 0L)
+    assert(countData() == before)
+    // retention 0: the rewritten-away original + debris go; the log,
+    // active files, and reads stay intact
+    val deleted = DeltaInterop.vacuumDelta(spark, target, retentionMs = 0L)
+    assert(deleted >= 2, deleted.toString)
+    assert(!Files.exists(debris.resolve("leftover.parquet")))
+    assert(Files.exists(Paths.get(target, "_delta_log",
+      "0" * 20 + ".json")))
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("id", "seg").as[(Long, String)].collect().toSet == expect)
+    assert(expect == Set((1L, "A"), (3L, "B")))
+  }
+
   test("concurrent deleteFromDelta writers: both land through retries") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_ddelcc_"),

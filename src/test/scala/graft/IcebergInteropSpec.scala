@@ -2056,6 +2056,37 @@ class IcebergInteropSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("expireIcebergSnapshots trims a FOREIGN table's history") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_fexp_"),
+      Seq((0L, "v0")).toDF("id", "v"))
+    val target = tmp("graft_fexp_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    // grow foreign history through appends (each lands a snapshot)
+    (1 to 4).foreach { i =>
+      IcebergInterop.appendToIceberg(
+        Seq((i.toLong, s"v$i")).toDF("id", "v"), target)
+    }
+    val metaDir = Paths.get(target, "metadata")
+    def metaCount() = Files.list(metaDir).toArray.length
+    val before = metaCount()
+    val deleted = IcebergInterop.expireIcebergSnapshots(spark, target, 2)
+    assert(deleted > 0)
+    assert(metaCount() < before)
+    // current read exact; expired travel refuses; retained travel green
+    assert(IcebergInterop.readIceberg(spark, target)
+      .as[(Long, String)].collect().toSet ==
+      (0 to 4).map(i => (i.toLong, s"v$i")).toSet)
+    intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, target, Some(2L))
+    }
+    // appends continue on the trimmed history
+    IcebergInterop.appendToIceberg(Seq((5L, "v5")).toDF("id", "v"), target)
+    assert(IcebergInterop.readIceberg(spark, target).count() == 6)
+    // idempotent at the same horizon (current + last-2 within new set)
+    assert(IcebergInterop.expireIcebergSnapshots(spark, target, 3) == 0)
+  }
+
   test("deleteFromIceberg refuses format v1") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_idelv1_"),
