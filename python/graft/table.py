@@ -248,6 +248,24 @@ def append_to_delta(df, path):
     return dx.appendToDelta(df._jdf, path, 20)
 
 
+def append_to_delta_txn(df, path, app_id, txn_version):
+    """IDEMPOTENT append carrying a setTransaction watermark: an append
+    whose (app_id, txn_version) is at-or-below the table's recorded
+    watermark is a no-op returning the current version — Delta's
+    txnAppId/txnVersion exactly-once contract. Use from foreachBatch
+    with the stream's batch id as txn_version for exactly-once
+    streaming into a foreign Delta table."""
+    dx = df.sparkSession._jvm.graft.sources.DeltaInterop
+    return dx.appendToDeltaTxn(df._jdf, path, app_id, int(txn_version), 20)
+
+
+def last_delta_txn_version(spark, path, app_id):
+    """The app_id's last committed setTransaction version at path, or
+    -1 when the app never committed."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return dx.lastDeltaTxnVersion(spark._jsparkSession, path, app_id)
+
+
 def delete_from_delta(spark, path, condition_col):
     """Row-level DELETE from an existing Delta table with copy-on-write
     rewrites: partition-only predicates are metadata-only (files

@@ -690,7 +690,39 @@ object LakehouseOps {
     """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
       |FROM supplier WHERE s_suppkey % 4 <> 0 ORDER BY s_suppkey""".stripMargin
 
+  /** g28: exactly-once foreign-Delta ingestion gate
+    * ([[graft.sources.DeltaInterop.appendToDeltaTxn]]) — load supplier
+    * in three epochs with every epoch REPLAYED (the restarted-stream
+    * shape); the setTransaction watermark must land each batch exactly
+    * once. */
+  val g28_delta_txn: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 3 === 0),
+      partitionBy = Seq("s_nationkey"))
+    val target = Files.createTempDirectory("graft_dtxn_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    Seq(0L, 1L).foreach { epoch =>
+      val chunk = sup.filter($"s_suppkey" % 3 === (epoch + 1))
+      graft.sources.DeltaInterop.appendToDeltaTxn(chunk, target,
+        "g28-loader", epoch)
+      // zombie replay of the same epoch: must commit nothing
+      graft.sources.DeltaInterop.appendToDeltaTxn(chunk, target,
+        "g28-loader", epoch)
+    }
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g28_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g28_delta_txn" -> g28_delta_txn,
     "g27_delta_vacuum" -> g27_delta_vacuum,
     "g26_iceberg_compact" -> g26_iceberg_compact,
     "g25_delta_checkpoint" -> g25_delta_checkpoint,
@@ -717,6 +749,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g28_delta_txn" -> g28_sql,
     "g27_delta_vacuum" -> g27_sql,
     "g26_iceberg_compact" -> g26_sql,
     "g25_delta_checkpoint" -> g25_sql,

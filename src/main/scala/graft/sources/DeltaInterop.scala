@@ -1331,7 +1331,8 @@ object DeltaInterop {
     *
     * Scale shape: one distributed parquet write + O(#new files)
     * driver-side metadata; the commit payload never carries data. */
-  def appendToDelta(df: DataFrame, path: String, maxRetries: Int = 20): Long = {
+  def appendToDelta(df: DataFrame, path: String, maxRetries: Int = 20,
+      txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val root = new HPath(path)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1354,8 +1355,15 @@ object DeltaInterop {
       "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata",
       "columnMapping")
 
+    // txn mode (the protocol's setTransaction idempotence): replay with
+    // the collector so the appId's last committed version is visible
+    var lastColl: Option[CheckpointCollector] = None
+    def alreadyApplied: Boolean = txn.exists { case (app, tv) =>
+      lastColl.flatMap(_.txns.get(app)).exists(_._1 >= tv)
+    }
     def validate(): DeltaSnapshot = {
-      val st = replaySnapshot(spark, path, None)
+      lastColl = txn.map(_ => new CheckpointCollector())
+      val st = replaySnapshot(spark, path, None, lastColl)
       if (st.minWriter > 7)
         refuseW(s"the table requires writer protocol ${st.minWriter}")
       if (st.minWriter == 7) {
@@ -1398,6 +1406,7 @@ object DeltaInterop {
       st
     }
     var st = validate()
+    if (alreadyApplied) return st.version // this batch already landed
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     val partCols = st.partCols
     // column-mapped tables (name or id mode): the files must carry
@@ -1463,6 +1472,9 @@ object DeltaInterop {
       val now = System.currentTimeMillis()
       val actions = Seq.newBuilder[String]
       actions += s"""{"commitInfo":{"timestamp":$now,"operation":"WRITE","operationParameters":{"mode":"Append"},"engineInfo":"graft-append"}}"""
+      txn.foreach { case (app, tv) =>
+        actions += s"""{"txn":{"appId":"${jsonEscape(app)}","version":$tv,"lastUpdated":$now}}"""
+      }
       staged.foreach { case (rel, size, _) =>
         val pv = hivePartitionValues(rel, physPartCols)
         val pvJson = pv.map { case (k, vv) =>
@@ -1494,17 +1506,25 @@ object DeltaInterop {
             // layout — a peer changing the column mapping mid-race
             // would make them wrong, so that also refuses.
             st = validate()
-            val freshPhys =
-              if (st.colMapMode == "none")
-                DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-              else StructType(DataType.fromJson(st.schemaJson)
-                .asInstanceOf[StructType].fields
-                .map(physicalField(_, st.colMapMode == "id")))
-            require((st.colMapMode != "none") == mapped &&
-                freshPhys == physSchema,
-              s"table at $path changed its schema or column mapping " +
-                "during the append — retry the append against the new state")
-            v = math.max(v + 1, st.version + 1)
+            if (alreadyApplied) {
+              // the peer WAS this appId's batch (a restarted twin):
+              // drop our copy of the data — committing it would
+              // double-apply the batch
+              cleanup()
+              committed = st.version
+            } else {
+              val freshPhys =
+                if (st.colMapMode == "none")
+                  DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+                else StructType(DataType.fromJson(st.schemaJson)
+                  .asInstanceOf[StructType].fields
+                  .map(physicalField(_, st.colMapMode == "id")))
+              require((st.colMapMode != "none") == mapped &&
+                  freshPhys == physSchema,
+                s"table at $path changed its schema or column mapping " +
+                  "during the append — retry the append against the new state")
+              v = math.max(v + 1, st.version + 1)
+            }
         }
       }
       committed
@@ -1514,6 +1534,50 @@ object DeltaInterop {
         throw e
     }
   }
+
+  /** IDEMPOTENT append — [[appendToDelta]] with the protocol's
+    * `setTransaction` watermark: the commit carries
+    * `txn(appId, txnVersion)`, and an append whose (appId, version) is
+    * already at-or-below the table's recorded watermark is a NO-OP
+    * returning the current version (its data was committed by a
+    * previous attempt — a restarted streaming epoch, a retried job).
+    * The watermark re-checks after every lost version race, so a
+    * racing twin of the same appId can never double-apply a batch.
+    * This is exactly Delta's `txnAppId`/`txnVersion` idempotent-write
+    * contract, which [[exactlyOnceDeltaAppender]] builds on. */
+  def appendToDeltaTxn(df: DataFrame, path: String, appId: String,
+      txnVersion: Long, maxRetries: Int = 20): Long =
+    appendToDelta(df, path, maxRetries, Some((appId, txnVersion)))
+
+  /** The appId's last committed `setTransaction` version at `path`, or
+    * -1 when the app never committed — the read half of the
+    * idempotent-write contract. */
+  def lastDeltaTxnVersion(spark: SparkSession, path: String,
+      appId: String): Long = {
+    val coll = new CheckpointCollector()
+    replaySnapshot(spark, path, None, Some(coll))
+    coll.txns.get(appId).map(_._1).getOrElse(-1L)
+  }
+
+  /** EXACTLY-ONCE streaming into a foreign Delta table: a
+    * `foreachBatch` function appending each micro-batch through the
+    * txn watermark, so replayed epochs after a checkpoint restart
+    * commit nothing twice:
+    * {{{
+    * df.writeStream
+    *   .option("checkpointLocation", ckpt)
+    *   .foreachBatch(DeltaInterop.exactlyOnceDeltaAppender(path, appId))
+    *   .start()
+    * }}}
+    * The appId names the stream (stable across restarts); Structured
+    * Streaming's batchId is the txn version. Any Delta engine reading
+    * the table sees each batch once. */
+  def exactlyOnceDeltaAppender(path: String, appId: String)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      appendToDeltaTxn(batch, path, appId, batchId)
+      ()
+    }
 
   /** DELETE the rows matching `condition` from an existing Delta table
     * (foreign or mirrored) with copy-on-write rewrites — the foreign

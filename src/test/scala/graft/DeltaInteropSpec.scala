@@ -2386,6 +2386,94 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(expect == Set((1L, "A"), (3L, "B")))
   }
 
+  test("appendToDeltaTxn: idempotent epochs; watermark survives checkpoint") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_txn_"),
+      Seq((0L, "seed")).toDF("id", "v"))
+    val target = tmp("graft_txn_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    val v1 = DeltaInterop.appendToDeltaTxn(
+      Seq((1L, "b0")).toDF("id", "v"), target, "stream-A", 0L)
+    assert(v1 == 1L)
+    // replaying epoch 0 is a NO-OP — no commit, no duplicate rows
+    assert(DeltaInterop.appendToDeltaTxn(
+      Seq((1L, "b0")).toDF("id", "v"), target, "stream-A", 0L) == 1L)
+    assert(DeltaInterop.readDelta(spark, target).count() == 2)
+    // a DIFFERENT appId at the same version is independent
+    DeltaInterop.appendToDeltaTxn(
+      Seq((10L, "other")).toDF("id", "v"), target, "stream-B", 0L)
+    val v3 = DeltaInterop.appendToDeltaTxn(
+      Seq((2L, "b1")).toDF("id", "v"), target, "stream-A", 1L)
+    assert(v3 == 3L)
+    assert(DeltaInterop.lastDeltaTxnVersion(spark, target, "stream-A") == 1L)
+    assert(DeltaInterop.lastDeltaTxnVersion(spark, target, "stream-B") == 0L)
+    assert(DeltaInterop.lastDeltaTxnVersion(spark, target, "nobody") == -1L)
+    // the watermark survives checkpoint + log cleanup (txn rows ride
+    // the checkpoint) — replayed epochs STILL skip
+    DeltaInterop.checkpointDelta(spark, target)
+    assert(DeltaInterop.cleanupDeltaLog(spark, target) == 4)
+    assert(DeltaInterop.appendToDeltaTxn(
+      Seq((2L, "b1")).toDF("id", "v"), target, "stream-A", 1L) == 3L)
+    assert(DeltaInterop.readDelta(spark, target).count() == 4)
+    // and the next epoch commits normally
+    DeltaInterop.appendToDeltaTxn(
+      Seq((3L, "b2")).toDF("id", "v"), target, "stream-A", 2L)
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L, 10L))
+  }
+
+  test("racing twins of one appId epoch: the batch lands exactly once") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_txnr_"),
+      Seq((0L, 0L)).toDF("id", "x"))
+    val target = tmp("graft_txnr_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = DeltaInterop.appendToDeltaTxn(
+            Seq((99L, i.toLong)).toDF("id", "x"), target, "twin", 7L)
+        })
+      }
+      futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // exactly ONE twin committed its copy of epoch 7
+    assert(DeltaInterop.readDelta(spark, target)
+      .where(col("id") === 99L).count() == 1)
+    assert(DeltaInterop.lastDeltaTxnVersion(spark, target, "twin") == 7L)
+  }
+
+  test("exactlyOnceDeltaAppender streams micro-batches into foreign Delta") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_txns_"),
+      Seq((-1L, -1L)).toDF("id", "x"))
+    val target = tmp("graft_txns_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    val mem = {
+      implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+      org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+    }
+    mem.addData((1L, 10L), (2L, 20L))
+    val ckpt = Files.createTempDirectory("graft_txns_ck_").toString
+    val q = mem.toDF().toDF("id", "x").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(DeltaInterop.exactlyOnceDeltaAppender(target, "mstream"))
+      .start()
+    try {
+      mem.addData((3L, 30L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("id").as[Long].collect().toSet == Set(-1L, 1L, 2L, 3L))
+    // a zombie replay of the last epoch commits nothing
+    val last = DeltaInterop.lastDeltaTxnVersion(spark, target, "mstream")
+    DeltaInterop.exactlyOnceDeltaAppender(target, "mstream")(
+      Seq((3L, 30L)).toDF("id", "x"), last)
+    assert(DeltaInterop.readDelta(spark, target).count() == 4)
+  }
+
   test("concurrent deleteFromDelta writers: both land through retries") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_ddelcc_"),
