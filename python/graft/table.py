@@ -393,6 +393,24 @@ def expire_iceberg_snapshots(spark, path, keep_last):
                                      int(keep_last), 20)
 
 
+def convert_parquet_to_delta(spark, path):
+    """CONVERT an existing plain-parquet directory (flat or
+    hive-partitioned) into a Delta table in place — no data moves; a
+    version-0 log registers the files. Returns the file count."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return dx.convertParquetToDelta(spark._jsparkSession, path)
+
+
+def convert_parquet_to_iceberg(spark, path):
+    """CONVERT an existing plain-parquet directory into an Iceberg v1
+    table in place (the migrate/add_files shape): hive dirs become an
+    identity partition spec and the metadata declares
+    schema.name-mapping.default for id-less files. Returns the file
+    count."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.convertParquetToIceberg(spark._jsparkSession, path)
+
+
 def merge_iceberg(source_df, path, keys):
     """MERGE (upsert) a source DataFrame into a file-based Iceberg
     format-v2 table on `keys` as ONE atomic merge-on-read overwrite

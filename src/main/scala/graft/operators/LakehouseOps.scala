@@ -721,7 +721,44 @@ object LakehouseOps {
     """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** g29/g30: in-place CONVERT gates — register a plain
+    * hive-partitioned parquet directory as a Delta
+    * ([[graft.sources.DeltaInterop.convertParquetToDelta]]) or Iceberg
+    * ([[graft.sources.IcebergInterop.convertParquetToIceberg]]) table
+    * without moving data, then read through the format's own replay. */
+  val g29_delta_convert: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val target = Files.createTempDirectory("graft_dcvt_").toString + "/t"
+    sup.write.partitionBy("s_nationkey").parquet(target)
+    graft.sources.DeltaInterop.convertParquetToDelta(s, target)
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey".cast("long").as("s_nationkey"),
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g30_iceberg_convert: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val target = Files.createTempDirectory("graft_icvt_").toString + "/t"
+    sup.write.partitionBy("s_nationkey").parquet(target)
+    graft.sources.IcebergInterop.convertParquetToIceberg(s, target)
+    graft.sources.IcebergInterop.readIceberg(s, target)
+      .select($"s_suppkey", $"s_nationkey".cast("long").as("s_nationkey"),
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g29_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g29_delta_convert" -> g29_delta_convert,
+    "g30_iceberg_convert" -> g30_iceberg_convert,
     "g28_delta_txn" -> g28_delta_txn,
     "g27_delta_vacuum" -> g27_delta_vacuum,
     "g26_iceberg_compact" -> g26_iceberg_compact,
@@ -749,6 +786,8 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g29_delta_convert" -> g29_sql,
+    "g30_iceberg_convert" -> g29_sql,
     "g28_delta_txn" -> g28_sql,
     "g27_delta_vacuum" -> g27_sql,
     "g26_iceberg_compact" -> g26_sql,

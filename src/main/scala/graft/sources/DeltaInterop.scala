@@ -100,6 +100,62 @@ object DeltaInterop {
     files.size
   }
 
+  /** CONVERT an existing plain-parquet directory (flat or
+    * hive-partitioned) into a Delta table IN PLACE — the `CONVERT TO
+    * DELTA` shape the reference stack uses for lakehouse onboarding:
+    * no data moves; the existing files are registered by a freshly
+    * written version-0 log. Partition columns and their types come
+    * from Spark's partition discovery (values stay hive strings in the
+    * log, typed through the schema on read — Delta's own convention
+    * for converted tables). Refuses when a `_delta_log` already
+    * exists. Returns the number of files registered. */
+  def convertParquetToDelta(spark: SparkSession, path: String): Int = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new HPath(root, "_delta_log")
+    require(!fs.exists(logDir), s"Delta table already exists at $path")
+    val df = spark.read.parquet(path)
+    val schema = StructType(df.schema.map(_.copy(nullable = true)))
+    def listRec(dir: HPath, rel: String): Seq[(String, Long)] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        val childRel = if (rel.isEmpty) name else s"$rel/$name"
+        if ((name.startsWith("_") || name.startsWith(".")) &&
+            !name.contains("=")) Nil
+        else if (st.isDirectory) listRec(st.getPath, childRel)
+        else if (name.endsWith(".parquet")) Seq((childRel, st.getLen))
+        else Nil
+      }
+    val files = listRec(root, "").sortBy(_._1)
+    require(files.nonEmpty, s"no parquet files to convert under $path")
+    // partition columns = inferred columns absent from the files
+    // themselves; Spark appends them in hive-layout order
+    val dataCols = spark.read
+      .parquet(new HPath(root, files.head._1).toString)
+      .schema.fieldNames.toSet
+    val partCols = schema.fieldNames.toSeq.filterNot(dataCols.contains)
+    val now = System.currentTimeMillis()
+    val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val pcJson = partCols.map(c => "\"" + jsonEscape(c) + "\"").mkString(",")
+    val metaData =
+      s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(schema.json)}","partitionColumns":[$pcJson],"configuration":{},"createdTime":$now}}"""
+    val adds = files.map { case (rel, size) =>
+      val pv = hivePartitionValues(rel, partCols)
+      val pvJson = pv.map { case (k, vv) =>
+        "\"" + jsonEscape(k) + "\":\"" + jsonEscape(vv) + "\""
+      }.mkString(",")
+      s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{$pvJson},"size":$size,"modificationTime":$now,"dataChange":true}}"""
+    }
+    val commitInfo =
+      s"""{"commitInfo":{"timestamp":$now,"operation":"CONVERT","operationParameters":{"numFiles":${files.size}},"engineInfo":"graft-convert"}}"""
+    fs.mkdirs(logDir)
+    val out = fs.create(new HPath(logDir, f"${0}%020d.json"), false)
+    try out.write((commitInfo +: protocol +: metaData +: adds)
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    files.size
+  }
+
   /** Percent-encode a relative path for a Delta add/remove action
     * (PROTOCOL.md requires percent-encoded relative URIs). Hive-escaped
     * directory names contain literal '%' on disk — encoding them keeps

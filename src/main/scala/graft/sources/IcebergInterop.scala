@@ -554,6 +554,119 @@ object IcebergInterop {
     files.size
   }
 
+  /** CONVERT an existing plain-parquet directory (flat or
+    * hive-partitioned) into an Iceberg FORMAT-V1 table IN PLACE — the
+    * `migrate`/`add_files` shape: no data moves; the files register in
+    * one append snapshot. Hive partition directories become a real
+    * identity partition spec, with each file's partition tuple parsed
+    * from its path — identity values the layout dropped from the files
+    * come back through Column Projection rule 2 (readers take them
+    * from the manifest partition struct). Because pre-Iceberg parquet
+    * carries no field ids, the metadata declares
+    * `schema.name-mapping.default` so FOREIGN engines resolve columns
+    * by name, exactly as Iceberg's own migrate procedure does.
+    * Refuses when a `metadata` directory already exists. Returns the
+    * number of files registered. */
+  def convertParquetToIceberg(spark: SparkSession, path: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    val metaDir = new HPath(root, "metadata")
+    require(!fs.exists(metaDir), s"Iceberg table already exists at $path")
+    val df = spark.read.parquet(path)
+    val schema = StructType(df.schema.map(_.copy(nullable = true)))
+    def listRec(dir: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if ((name.startsWith("_") || name.startsWith(".")) &&
+            !name.contains("=")) Nil
+        else if (st.isDirectory) listRec(st.getPath)
+        else if (name.endsWith(".parquet")) Seq(st)
+        else Nil
+      }
+    val files = listRec(root).sortBy(_.getPath.toString)
+    require(files.nonEmpty, s"no parquet files to convert under $path")
+    val dataCols = spark.read.parquet(files.head.getPath.toString)
+      .schema.fieldNames.toSet
+    val partCols = schema.fieldNames.toSeq.filterNot(dataCols.contains)
+    val (schemaNode, lastColId) = toIcebergSchema(schema)
+    val idOf: Map[String, Int] = {
+      val b = Map.newBuilder[String, Int]
+      val it = schemaNode.get("fields").elements()
+      while (it.hasNext) {
+        val f = it.next()
+        b += f.get("name").asText() -> f.get("id").asInt()
+      }
+      b.result()
+    }
+    val parts: Seq[PartField] = partCols.zipWithIndex.map { case (c, i) =>
+      PartField(c, idOf(c), 1000 + i, schema(c).dataType, "identity", None)
+    }
+    val now = System.currentTimeMillis()
+    val snapId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val entrySchema =
+      if (parts.isEmpty) manifestEntrySchema else manifestEntrySchemaFor(parts)
+    def partValuesOf(p: HPath): Seq[AnyRef] = {
+      val segs = p.toString.split('/').filter(_.contains("=")).map { seg =>
+        val k = seg.takeWhile(_ != '=')
+        k -> unescapeHive(seg.drop(k.length + 1))
+      }.toMap
+      parts.map(pf => segs.get(pf.hiveKey)
+        .filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+        .map(raw => transformValue(pf, raw)).orNull)
+    }
+    val entries = files.map(st => manifestEntry(entrySchema,
+      st.getPath.toString, st.getLen, footerRecordCount(conf, st), 1,
+      snapId, partValuesOf(st.getPath)))
+    val schemaJson = om.writeValueAsString(schemaNode)
+    val specArr = om.createArrayNode()
+    parts.foreach(p => specArr.add(specFieldNode(p)))
+    fs.mkdirs(metaDir)
+    val manifestBytes = writeAvro(entrySchema, Map(
+      "schema" -> schemaJson, "schema-id" -> "0",
+      "partition-spec" -> om.writeValueAsString(specArr),
+      "partition-spec-id" -> "0",
+      "format-version" -> "1"), entries)
+    val manifestPath = new HPath(metaDir,
+      s"${java.util.UUID.randomUUID()}-m0.avro")
+    writeBytes(fs, manifestPath, manifestBytes)
+    val listBytes = writeAvro(manifestFileSchema,
+      Map("snapshot-id" -> snapId.toString, "format-version" -> "1"),
+      Seq(manifestListEntry(manifestPath.toString,
+        manifestBytes.length.toLong, snapId, files.size, 0)))
+    val listPath = new HPath(metaDir,
+      s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
+    writeBytes(fs, listPath, listBytes)
+    val md = baseMetadata(root.toString, now, parts)
+    md.put("last-column-id", lastColId)
+    md.set[ObjectNode]("schema", schemaNode)
+    md.putArray("schemas").add(schemaNode)
+    md.put("current-schema-id", 0)
+    md.put("current-snapshot-id", snapId)
+    md.putArray("snapshots")
+      .add(snapshotNode(snapId, now, "append", listPath.toString, 0))
+    // name mapping: converted files carry no field ids — foreign
+    // engines resolve by name through this property (Iceberg's own
+    // migrate/add_files write it the same way)
+    val mapping = om.createArrayNode()
+    schemaNode.get("fields").elements().asScala().foreach { f =>
+      val m = om.createObjectNode()
+      m.put("field-id", f.get("id").asInt())
+      m.putArray("names").add(f.get("name").asText())
+      mapping.add(m)
+    }
+    md.path("properties") match {
+      case p: ObjectNode =>
+        p.put("schema.name-mapping.default", om.writeValueAsString(mapping))
+      case _ => ()
+    }
+    writeBytes(fs, new HPath(metaDir, "v1.metadata.json"),
+      om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+    writeBytes(fs, new HPath(metaDir, "version-hint.text"),
+      "1".getBytes(StandardCharsets.UTF_8))
+    files.size
+  }
+
   /** One spec-field JSON node for a partition field. */
   private def specFieldNode(p: PartField): ObjectNode = {
     val n = om.createObjectNode()

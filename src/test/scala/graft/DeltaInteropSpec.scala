@@ -2474,6 +2474,33 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(DeltaInterop.readDelta(spark, target).count() == 4)
   }
 
+  test("convertParquetToDelta registers a hive-partitioned dir in place") {
+    import spark.implicits._
+    val root = tmp("graft_cvt_")
+    Seq((1L, "x1", "A"), (2L, "x2", "A"), (3L, "x3", "B"))
+      .toDF("id", "v", "seg")
+      .write.partitionBy("seg").parquet(root)
+    val n = DeltaInterop.convertParquetToDelta(spark, root)
+    assert(n >= 2)
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("id", "v", "seg").as[(Long, String, String)]
+      .collect().toSet == Set((1L, "x1", "A"), (2L, "x2", "A"),
+      (3L, "x3", "B")))
+    // partition pruning through the converted log
+    assert(DeltaInterop.readDeltaWhere(spark, root, "seg", "B")
+      .select("id").as[Long].collect().toSet == Set(3L))
+    // the converted table takes normal commits
+    DeltaInterop.appendToDelta(Seq((4L, "x4", "B")).toDF("id", "v", "seg"),
+      root)
+    DeltaInterop.deleteFromDelta(spark, root, col("id") === 1L)
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("id").as[Long].collect().toSet == Set(2L, 3L, 4L))
+    // converting twice refuses
+    intercept[IllegalArgumentException] {
+      DeltaInterop.convertParquetToDelta(spark, root)
+    }
+  }
+
   test("concurrent deleteFromDelta writers: both land through retries") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_ddelcc_"),

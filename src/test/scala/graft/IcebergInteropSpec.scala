@@ -2087,6 +2087,35 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(IcebergInterop.expireIcebergSnapshots(spark, target, 3) == 0)
   }
 
+  test("convertParquetToIceberg registers a hive dir with name mapping") {
+    import spark.implicits._
+    val root = tmp("graft_icvt_")
+    Seq((1L, "x1", "A"), (2L, "x2", "A"), (3L, "x3", "B"))
+      .toDF("id", "v", "seg")
+      .write.partitionBy("seg").parquet(root)
+    val n = IcebergInterop.convertParquetToIceberg(spark, root)
+    assert(n >= 2)
+    // identity partition values come back from the manifest struct
+    assert(IcebergInterop.readIceberg(spark, root)
+      .select("id", "v", "seg").as[(Long, String, String)]
+      .collect().toSet == Set((1L, "x1", "A"), (2L, "x2", "A"),
+      (3L, "x3", "B")))
+    assert(IcebergInterop.readIcebergWhere(spark, root, "seg", "B")
+      .select("id").as[Long].collect().toSet == Set(3L))
+    // the metadata declares the migrate-style name mapping
+    val mdText = new String(Files.readAllBytes(
+      Paths.get(root, "metadata", "v1.metadata.json")), "UTF-8")
+    assert(mdText.contains("schema.name-mapping.default"), mdText.take(400))
+    // the converted table takes appends through the normal write path
+    IcebergInterop.appendToIceberg(
+      Seq((4L, "x4", "B")).toDF("id", "v", "seg"), root)
+    assert(IcebergInterop.readIceberg(spark, root)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      IcebergInterop.convertParquetToIceberg(spark, root)
+    }
+  }
+
   test("deleteFromIceberg refuses format v1") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_idelv1_"),
