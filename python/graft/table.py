@@ -300,6 +300,21 @@ def read_delta_cdf_stream(spark, path, max_commits_per_trigger=None):
     return r.load(path)
 
 
+def append_to_iceberg_txn(df, path, app_id, txn_version):
+    """IDEMPOTENT Iceberg append: the exactly-once watermark lives in
+    table properties (graft.txn.<app_id>), robust to snapshot expiry.
+    A replayed epoch at-or-below the watermark commits nothing."""
+    ix = df.sparkSession._jvm.graft.sources.IcebergInterop
+    return ix.appendToIcebergTxn(df._jdf, path, app_id,
+                                 int(txn_version), 20)
+
+
+def last_iceberg_txn_version(spark, path, app_id):
+    """The app_id's last committed exactly-once watermark, or -1."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.lastIcebergTxnVersion(spark._jsparkSession, path, app_id)
+
+
 def delete_from_iceberg(spark, path, condition_col):
     """Row-level DELETE from a file-based Iceberg format-v2 table as a
     merge-on-read position-delete snapshot (Spark's own MoR DELETE

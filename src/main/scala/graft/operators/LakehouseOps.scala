@@ -756,7 +756,33 @@ object LakehouseOps {
     """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** g31: exactly-once foreign-Iceberg ingestion gate
+    * ([[graft.sources.IcebergInterop.appendToIcebergTxn]]) — the
+    * Iceberg twin of g28: three epochs, every one replayed; the
+    * property watermark must land each batch exactly once. */
+  val g31_iceberg_txn: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 3 === 0),
+      partitionBy = Seq("s_nationkey"))
+    val target = Files.createTempDirectory("graft_itxn_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, target)
+    Seq(0L, 1L).foreach { epoch =>
+      val chunk = sup.filter($"s_suppkey" % 3 === (epoch + 1))
+      graft.sources.IcebergInterop.appendToIcebergTxn(chunk, target,
+        "g31-loader", epoch)
+      graft.sources.IcebergInterop.appendToIcebergTxn(chunk, target,
+        "g31-loader", epoch)
+    }
+    graft.sources.IcebergInterop.readIceberg(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "g31_iceberg_txn" -> g31_iceberg_txn,
     "g29_delta_convert" -> g29_delta_convert,
     "g30_iceberg_convert" -> g30_iceberg_convert,
     "g28_delta_txn" -> g28_delta_txn,
@@ -786,6 +812,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g31_iceberg_txn" -> g28_sql,
     "g29_delta_convert" -> g29_sql,
     "g30_iceberg_convert" -> g29_sql,
     "g28_delta_txn" -> g28_sql,

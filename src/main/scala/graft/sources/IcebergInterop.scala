@@ -1462,7 +1462,8 @@ object IcebergInterop {
     (dataDir, files, partValuesOf)
   }
 
-  def appendToIceberg(df: DataFrame, path: String, maxRetries: Int = 20): Long = {
+  def appendToIceberg(df: DataFrame, path: String, maxRetries: Int = 20,
+      txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val root = new HPath(path)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1535,7 +1536,18 @@ object IcebergInterop {
         specFieldsNode, parts, currentSnap, priorManifests, fv,
         md.path("last-sequence-number").asLong(0L))
     }
+    // txn mode: the watermark lives in TABLE PROPERTIES
+    // (graft.txn.<appId>), which survive snapshot expiry — unlike
+    // summary-based watermarks
+    def txnWatermark(md: ObjectNode): Long = txn.map { case (app, _) =>
+      Option(md.path("properties").get(s"graft.txn.$app"))
+        .map(_.asText().toLong).getOrElse(-1L)
+    }.getOrElse(-1L)
+    def alreadyApplied(md: ObjectNode): Boolean =
+      txn.exists { case (_, tv) => txnWatermark(md) >= tv }
+
     var st = validate()
+    if (alreadyApplied(st.md)) return st.currentSnap
 
     val (dataDir, files, partValuesOf) = writeSpecData(df, root, fs, conf,
       st.parts, st.schemaNode, st.schema, "graft-append")
@@ -1631,6 +1643,13 @@ object IcebergInterop {
             a.add(e)
           case _ => ()
         }
+        txn.foreach { case (app, tv) =>
+          md.path("properties") match {
+            case p: ObjectNode => p.put(s"graft.txn.$app", tv.toString)
+            case _ => md.putObject("properties")
+              .put(s"graft.txn.$app", tv.toString)
+          }
+        }
         val nextMeta = st.metaVersion + 1
         try {
           io.writeExclusive(new HPath(metaDir, s"v$nextMeta.metadata.json"),
@@ -1649,12 +1668,18 @@ object IcebergInterop {
             // a peer landed this version: re-validate against ITS state
             // (schema/spec may have changed; its manifests now carry)
             val fresh = validate()
-            require(fresh.schemaNode == st.schemaNode &&
-              fresh.specFieldsNode == st.specFieldsNode &&
-              fresh.specId == st.specId,
-              s"table at $path changed schema or partition spec during " +
-                "the append — retry the append against the new state")
-            st = fresh
+            if (alreadyApplied(fresh.md)) {
+              // the peer WAS this appId's batch — drop our data copy
+              fs.delete(dataDir, true)
+              committed = fresh.currentSnap
+            } else {
+              require(fresh.schemaNode == st.schemaNode &&
+                fresh.specFieldsNode == st.specFieldsNode &&
+                fresh.specId == st.specId,
+                s"table at $path changed schema or partition spec during " +
+                  "the append — retry the append against the new state")
+              st = fresh
+            }
         }
       }
       committed
@@ -1664,6 +1689,45 @@ object IcebergInterop {
         throw e
     }
   }
+
+  /** IDEMPOTENT append — [[appendToIceberg]] with an exactly-once
+    * watermark in TABLE PROPERTIES (`graft.txn.<appId>` = version, the
+    * property analog of Flink's checkpoint-id summary convention, but
+    * robust to snapshot expiry): an append at-or-below the recorded
+    * watermark is a no-op, and the watermark re-checks after every
+    * lost version race, so a restarted twin can never double-apply a
+    * batch. [[exactlyOnceIcebergAppender]] packages it for
+    * `foreachBatch` streaming. */
+  def appendToIcebergTxn(df: DataFrame, path: String, appId: String,
+      txnVersion: Long, maxRetries: Int = 20): Long =
+    appendToIceberg(df, path, maxRetries, Some((appId, txnVersion)))
+
+  /** The appId's last committed watermark at `path`, or -1. */
+  def lastIcebergTxnVersion(spark: SparkSession, path: String,
+      appId: String): Long = {
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val metaDir = new HPath(root, "metadata")
+    require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
+    val vTop = fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+      .flatMap { case VMeta(n) => Some(n.toInt); case _ => None }
+      .maxOption.getOrElse(throw new IllegalArgumentException(
+        s"catalog-managed metadata at $path"))
+    val md = om.readTree(readBytes(fs,
+      new HPath(metaDir, s"v$vTop.metadata.json")))
+    Option(md.path("properties").get(s"graft.txn.$appId"))
+      .map(_.asText().toLong).getOrElse(-1L)
+  }
+
+  /** EXACTLY-ONCE streaming into a foreign Iceberg table — the
+    * `foreachBatch` companion of [[appendToIcebergTxn]]. */
+  def exactlyOnceIcebergAppender(path: String, appId: String)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      appendToIcebergTxn(batch, path, appId, batchId)
+      ()
+    }
 
   /** DELETE the rows matching `condition` from an existing file-based
     * Iceberg FORMAT-V2 table by publishing a MERGE-ON-READ position-

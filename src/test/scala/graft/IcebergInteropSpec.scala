@@ -2116,6 +2116,39 @@ class IcebergInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("appendToIcebergTxn: idempotent epochs; watermark survives expiry") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_itxn_"),
+      Seq((0L, "seed")).toDF("id", "v"))
+    val target = tmp("graft_itxn_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val s1 = IcebergInterop.appendToIcebergTxn(
+      Seq((1L, "b0")).toDF("id", "v"), target, "stream-A", 0L)
+    // zombie replay of epoch 0: no-op, no duplicate rows
+    assert(IcebergInterop.appendToIcebergTxn(
+      Seq((1L, "b0")).toDF("id", "v"), target, "stream-A", 0L) == s1)
+    assert(IcebergInterop.readIceberg(spark, target).count() == 2)
+    // other appIds are independent; next epoch commits
+    IcebergInterop.appendToIcebergTxn(
+      Seq((10L, "other")).toDF("id", "v"), target, "stream-B", 0L)
+    IcebergInterop.appendToIcebergTxn(
+      Seq((2L, "b1")).toDF("id", "v"), target, "stream-A", 1L)
+    assert(IcebergInterop.lastIcebergTxnVersion(spark, target,
+      "stream-A") == 1L)
+    assert(IcebergInterop.lastIcebergTxnVersion(spark, target,
+      "nobody") == -1L)
+    // snapshot expiry keeps the PROPERTY watermark: replays still skip
+    IcebergInterop.expireIcebergSnapshots(spark, target, 1)
+    IcebergInterop.appendToIcebergTxn(
+      Seq((2L, "b1")).toDF("id", "v"), target, "stream-A", 1L)
+    assert(IcebergInterop.readIceberg(spark, target).count() == 4)
+    IcebergInterop.appendToIcebergTxn(
+      Seq((3L, "b2")).toDF("id", "v"), target, "stream-A", 2L)
+    assert(IcebergInterop.readIceberg(spark, target)
+      .select("id").as[Long].collect().toSet ==
+      Set(0L, 1L, 2L, 3L, 10L))
+  }
+
   test("deleteFromIceberg refuses format v1") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_idelv1_"),
