@@ -1246,8 +1246,9 @@ object IcebergInterop {
       val currentSnap = md.path("current-snapshot-id").asLong(-1L)
       val snaps = md.path("snapshots").elements().asScala().toSeq
       val byIdAsc = snaps.sortBy(_.path("snapshot-id").asLong())
+      // tag/branch refs PIN their snapshots — expiry never breaks a ref
       val keepIds = (byIdAsc.takeRight(keepLast).map(_.path("snapshot-id").asLong())
-        :+ currentSnap).toSet
+        :+ currentSnap).toSet ++ refPinnedSnapshots(md)
       val (retained, expired) = byIdAsc.partition(s => keepIds(s.path("snapshot-id").asLong()))
       if (expired.isEmpty) return 0
 
@@ -3168,5 +3169,344 @@ object IcebergInterop {
           df.select(schema.map(f => col(f.name)) ++ metaCols: _*)
         }.reduce(_.unionAll(_)))
     }
+  }
+
+  // ---------------------------------------------------------------
+  // History management: incremental reads, rollback, refs, orphans
+  // ---------------------------------------------------------------
+
+  /** INCREMENTAL APPEND SCAN — Iceberg's incremental read: the rows
+    * added by every snapshot AFTER `fromSnapshotId` (exclusive) up to
+    * `toSnapshotId` (inclusive; default the current snapshot), each
+    * tagged with `_snapshot_id` and a 1-based `_change_ordinal` (the
+    * snapshot's position in the range — snapshot ids are opaque, the
+    * ordinal is the comparable "which batch" column). The Iceberg twin
+    * of [[DeltaInterop.readDeltaChanges]] for append-only histories:
+    * a downstream consumer syncs `|delta|` rows instead of re-reading
+    * the table.
+    *
+    * Semantics follow Iceberg's own incremental append scan: `append`
+    * snapshots contribute exactly their ADDED files; `replace` /
+    * compaction / clustering snapshots rewrite the same rows and
+    * contribute NOTHING; any row-level change in the range (overwrite,
+    * delete, or a snapshot carrying delete manifests) refuses loudly —
+    * an append scan cannot express it. An expired `fromSnapshotId`
+    * refuses with a restart message. Scale: O(#range manifests) driver
+    * metadata + a scan of ONLY the added files. */
+  def readIcebergChanges(spark: SparkSession, path: String,
+      fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
+    val (fs, md) = currentMetadata(spark, path)
+    if (md.path("format-version").asInt(1) > 2)
+      refuse(path, "is format version 3+")
+    val schemaNode = currentSchemaNode(md, path)
+    val schema = fromIcebergStruct(schemaNode, path)
+    val hist: Seq[JsonNode] =
+      if (md.has("snapshots")) md.get("snapshots").elements().asScala().toSeq
+      else Nil
+    val ids = hist.map(_.path("snapshot-id").asLong())
+    val si = ids.indexOf(fromSnapshotId)
+    require(si >= 0, s"snapshot $fromSnapshotId is no longer retained at " +
+      s"$path (expired or never existed) — incremental reads need a " +
+      "retained start; re-sync from a full readIceberg")
+    val endId = toSnapshotId.getOrElse(md.path("current-snapshot-id").asLong(-1L))
+    val ei = ids.indexOf(endId)
+    require(ei >= 0, s"snapshot $endId not found at $path")
+    require(ei >= si,
+      s"end snapshot $endId precedes start $fromSnapshotId at $path")
+    val out = StructType(schema.fields ++ Seq(
+      StructField("_snapshot_id", LongType),
+      StructField("_change_ordinal", IntegerType)))
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    if (ei == si) return empty
+    def listRecords(snap: JsonNode): Seq[(Long, String, Long)] =
+      readAvro(readBytes(fs, new HPath(snap.get("manifest-list").asText())))
+        .map { r =>
+          (fieldOpt(r, "content").map(longOf).getOrElse(0L),
+            r.get("manifest_path").toString,
+            fieldOpt(r, "added_snapshot_id").map(longOf).getOrElse(-1L))
+        }
+    val perSnap: Seq[(Long, Seq[String])] =
+      hist.slice(si + 1, ei + 1).flatMap { snap =>
+        val id = snap.path("snapshot-id").asLong()
+        val op = snap.path("summary").path("operation").asText("")
+        val recs = listRecords(snap)
+        val isRewrite = op == "replace" ||
+          op.startsWith("compact") || op.startsWith("cluster")
+        // a delete manifest matters only if THIS snapshot added it —
+        // a live delete manifest from before the range rides every
+        // later snapshot's list without making those appends changes
+        def addedDeletes = recs.exists(r => r._1 != 0L && r._3 == id)
+        val isChange = !isRewrite && (op != "append" || addedDeletes)
+        if (isChange)
+          refuse(path, s"snapshot $id in the range is operation '$op'" +
+            (if (addedDeletes) " carrying delete manifests" else "") +
+            " — an incremental APPEND scan cannot express row-level " +
+            "changes; diff full reads at the two snapshots instead")
+        if (isRewrite) None
+        else {
+          // only manifests this snapshot added can carry its ADDED
+          // entries — skipping the carried-over rest keeps the driver
+          // cost O(range manifests), not O(history × range)
+          val added = recs.flatMap { case (_, mp, addedBy) =>
+            if (addedBy >= 0 && addedBy != id) Nil
+            else readAvro(readBytes(fs, new HPath(mp))).flatMap { e =>
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              val fmt = df.get("file_format").toString
+              if (!fmt.equalsIgnoreCase("parquet"))
+                refuse(path, s"has $fmt data files")
+              val entrySnap = fieldOpt(e, "snapshot_id").map(longOf)
+                .getOrElse(addedBy)
+              if (longOf(e.get("status")) == 1L && entrySnap == id)
+                Some(df.get("file_path").toString)
+              else None
+            }
+          }.distinct
+          if (added.isEmpty) None else Some((id, added))
+        }
+      }
+    if (perSnap.isEmpty) return empty
+    // identity partition values may live only in manifest metadata
+    // (Column Projection rule 2) — this fixed-schema scan reads files
+    // by name, so declared columns must come from the files; the
+    // first-file probe turns the alternative into a loud refusal
+    val probe = spark.read.parquet(perSnap.head._2.head).schema.fieldNames.toSet
+    val missing = schema.fieldNames.filterNot(probe.contains)
+    if (missing.nonEmpty)
+      refuse(path, "has data files lacking declared columns " +
+        s"${missing.mkString(", ")} (identity partition values in " +
+        "manifest metadata, or a rename) — read it via readIceberg")
+    perSnap.zipWithIndex.map { case ((id, files), i) =>
+      spark.read.schema(schema).parquet(files: _*)
+        .withColumn("_snapshot_id", lit(id))
+        .withColumn("_change_ordinal", lit(i + 1))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** One optimistic metadata-only commit: read the newest
+    * `v<N>.metadata.json`, apply `edit`, claim `v<N+1>` via conditional
+    * put. Lost races re-read and re-apply — the edit closure sees the
+    * WINNER's state each attempt. Returns the published version. */
+  private def commitMetadataEdit(spark: SparkSession, path: String,
+      maxRetries: Int, what: String)(edit: ObjectNode => Unit): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    val io = new TableIO(path, conf)
+    val metaDir = new HPath(root, "metadata")
+    require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
+    var attempts = 0
+    while (true) {
+      val listed = fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+      val cur = listed.flatMap {
+        case VMeta(n) => Some(n.toInt)
+        case _ => None
+      }.maxOption.getOrElse(throw new IllegalArgumentException(
+        s"cannot $what at $path: the metadata is catalog-managed " +
+          "(no v<N>.metadata.json naming)"))
+      val md = om.readTree(readBytes(fs,
+        new HPath(metaDir, s"v$cur.metadata.json"))).asInstanceOf[ObjectNode]
+      if (md.path("format-version").asInt(1) > 2)
+        refuse(path, "is format version 3+")
+      edit(md)
+      md.put("last-updated-ms", System.currentTimeMillis())
+      try {
+        io.writeExclusive(new HPath(metaDir, s"v${cur + 1}.metadata.json"),
+          om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+        publishHint(fs, metaDir, cur + 1)
+        return cur + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+          if (attempts > maxRetries)
+            throw new IllegalStateException(
+              s"$what lost $maxRetries version races at $path — giving up")
+      }
+    }
+    0 // unreachable
+  }
+
+  private def snapshotIds(md: ObjectNode): Seq[Long] =
+    if (md.has("snapshots"))
+      md.get("snapshots").elements().asScala()
+        .map(_.path("snapshot-id").asLong()).toSeq
+    else Nil
+
+  /** ROLLBACK a file-based Iceberg table to a RETAINED snapshot —
+    * Iceberg's `set_current_snapshot` procedure: a METADATA-ONLY
+    * commit pointing `current-snapshot-id` (and the `main` branch ref,
+    * when the table carries refs) back at `snapshotId`. No snapshot is
+    * deleted — the rolled-over history stays time-travelable until
+    * [[expireIcebergSnapshots]] ages it out, and the NEXT append
+    * parents the restored snapshot. O(metadata), zero data I/O —
+    * the cheapest possible "undo a bad write". */
+  def rollbackIceberg(spark: SparkSession, path: String, snapshotId: Long,
+      maxRetries: Int = 20): Int =
+    commitMetadataEdit(spark, path, maxRetries, "rollback") { md =>
+      require(snapshotIds(md).contains(snapshotId),
+        s"snapshot $snapshotId is not retained at $path — only retained " +
+          "snapshots can become current")
+      md.put("current-snapshot-id", snapshotId)
+      md.path("refs") match {
+        case r: ObjectNode if r.has("main") =>
+          r.path("main") match {
+            case m: ObjectNode => m.put("snapshot-id", snapshotId)
+            case _ => ()
+          }
+        case _ => ()
+      }
+      md.path("snapshot-log") match {
+        case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+          val e = om.createObjectNode()
+          e.put("timestamp-ms", System.currentTimeMillis())
+          e.put("snapshot-id", snapshotId)
+          a.add(e)
+        case _ => ()
+      }
+    }
+
+  private def putRef(spark: SparkSession, path: String, name: String,
+      snapshotId: Option[Long], refType: String, maxRetries: Int): Long = {
+    require(name.nonEmpty, "ref name must be non-empty")
+    require(name != "main" || refType == "branch",
+      "'main' is the reserved current-state branch")
+    var resolved = -1L
+    commitMetadataEdit(spark, path, maxRetries, s"create $refType $name") {
+      md =>
+        val id = snapshotId.getOrElse(md.path("current-snapshot-id").asLong(-1L))
+        require(id >= 0 && snapshotIds(md).contains(id),
+          s"snapshot $id is not retained at $path")
+        val refs = md.path("refs") match {
+          case r: ObjectNode => r
+          case _ => md.putObject("refs")
+        }
+        require(!refs.has(name),
+          s"ref '$name' already exists at $path — dropIcebergRef it first")
+        val node = refs.putObject(name)
+        node.put("snapshot-id", id)
+        node.put("type", refType)
+        resolved = id
+    }
+    resolved
+  }
+
+  /** TAG a retained snapshot (default: the current one) under `name` —
+    * Iceberg table-spec refs: an immutable named pointer readers
+    * resolve via [[icebergRefSnapshot]] and [[expireIcebergSnapshots]]
+    * PINS (a tagged snapshot never expires while the tag lives).
+    * Returns the tagged snapshot id. */
+  def tagIceberg(spark: SparkSession, path: String, name: String,
+      snapshotId: Option[Long] = None, maxRetries: Int = 20): Long =
+    putRef(spark, path, name, snapshotId, "tag", maxRetries)
+
+  /** Create a BRANCH ref at a retained snapshot (default: current).
+    * graft's writes always advance `main`/current — a branch here is a
+    * durable named read point (audit, WAP-style inspection), pinned
+    * against expiry exactly like a tag. Returns the snapshot id. */
+  def branchIceberg(spark: SparkSession, path: String, name: String,
+      snapshotId: Option[Long] = None, maxRetries: Int = 20): Long =
+    putRef(spark, path, name, snapshotId, "branch", maxRetries)
+
+  /** Drop a tag/branch ref (the snapshot it pinned stays retained
+    * until the next [[expireIcebergSnapshots]]). */
+  def dropIcebergRef(spark: SparkSession, path: String, name: String,
+      maxRetries: Int = 20): Unit = {
+    require(name != "main", "cannot drop the reserved 'main' branch")
+    commitMetadataEdit(spark, path, maxRetries, s"drop ref $name") { md =>
+      md.path("refs") match {
+        case r: ObjectNode if r.has(name) => r.remove(name)
+        case _ => throw new IllegalArgumentException(
+          s"no ref '$name' at $path")
+      }
+    }
+  }
+
+  /** Resolve a ref name to its snapshot id ("main" falls back to the
+    * current snapshot when the table carries no refs object) — compose
+    * with [[readIceberg]]'s `asOfSnapshotId` for branch/tag reads:
+    * `readIceberg(spark, path, Some(icebergRefSnapshot(spark, path,
+    * "audit-2026")))`. */
+  def icebergRefSnapshot(spark: SparkSession, path: String,
+      name: String): Long = {
+    val (_, md) = currentMetadata(spark, path)
+    md.path("refs").path(name) match {
+      case r: ObjectNode => r.path("snapshot-id").asLong(-1L)
+      case _ if name == "main" => md.path("current-snapshot-id").asLong(-1L)
+      case _ => throw new IllegalArgumentException(s"no ref '$name' at $path")
+    }
+  }
+
+  /** Ref-pinned snapshot ids — [[expireIcebergSnapshots]] must never
+    * expire these while their tag/branch lives. */
+  private[sources] def refPinnedSnapshots(md: JsonNode): Set[Long] =
+    md.path("refs") match {
+      case r: ObjectNode =>
+        r.properties().iterator().asScala()
+          .map(_.getValue.path("snapshot-id").asLong())
+          .filter(_ >= 0).toSet
+      case _ => Set.empty
+    }
+
+  /** Iceberg `remove_orphan_files`: delete data-area files REFERENCED
+    * BY NO retained snapshot and older than `olderThanMs` (default 3
+    * days, Iceberg's own default — the age gate keeps in-flight
+    * writers' uncommitted files safe). References = every retained
+    * snapshot's manifest list, its manifests, and every data/delete
+    * file those manifests name (any status — an entry deleted in one
+    * snapshot is usually live in an earlier one). The `metadata/`
+    * directory is never touched, and a root that also carries a
+    * `_delta_log` (dual-published mirror) refuses — the Delta side's
+    * live files are invisible to Iceberg metadata, so cleaning here
+    * could destroy them (use [[DeltaInterop.vacuumDelta]] +
+    * [[expireIcebergSnapshots]] on such roots). Returns the number of
+    * files deleted. Scale: O(#snapshots × #manifests) driver metadata
+    * + one recursive listing. */
+  def removeOrphanIcebergFiles(spark: SparkSession, path: String,
+      olderThanMs: Long = 3L * 24 * 3600 * 1000): Long = {
+    require(olderThanMs >= 0, "olderThanMs must be >= 0")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(new HPath(root, "metadata")),
+      s"no Iceberg metadata directory at $path")
+    require(!fs.exists(new HPath(root, "_delta_log")),
+      s"$path is dual-published (a _delta_log exists) — orphan cleanup " +
+        "against one format's metadata could delete the other's live " +
+        "files; use vacuumDelta + expireIcebergSnapshots instead")
+    val (_, md) = currentMetadata(spark, path)
+    def canon(p: String): String = {
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val referenced = scala.collection.mutable.Set[String]()
+    if (md.has("snapshots"))
+      md.get("snapshots").elements().asScala().foreach { snap =>
+        if (snap.has("manifest-list")) {
+          val lp = snap.get("manifest-list").asText()
+          referenced += canon(lp)
+          readAvro(readBytes(fs, new HPath(lp))).foreach { r =>
+            val mp = r.get("manifest_path").toString
+            referenced += canon(mp)
+            readAvro(readBytes(fs, new HPath(mp))).foreach { e =>
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              referenced += canon(df.get("file_path").toString)
+            }
+          }
+        }
+      }
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var deleted = 0L
+    def walk(dir: HPath): Unit =
+      fs.listStatus(dir).foreach { s =>
+        val n = s.getPath.getName
+        if (n == "metadata") () // never touch the metadata area
+        else if (s.isDirectory) walk(s.getPath)
+        else if (!referenced.contains(canon(s.getPath.toString)) &&
+            s.getModificationTime < cutoff) {
+          if (fs.delete(s.getPath, false)) deleted += 1
+        }
+      }
+    walk(root)
+    deleted
   }
 }

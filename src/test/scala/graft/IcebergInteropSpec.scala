@@ -2187,4 +2187,205 @@ class IcebergInteropSpec extends AnyFunSuite {
       Paths.get(target, "metadata", "v5.metadata.json")))
     assert(md.get("snapshots").size() == 5)
   }
+
+  /** Latest committed v<N>.metadata.json of a file-based table. */
+  private def latestMeta(target: String): com.fasterxml.jackson.databind.JsonNode = {
+    val dir = new java.io.File(target, "metadata")
+    val v = dir.list().collect {
+      case n if n.matches("v\\d+\\.metadata\\.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toInt
+    }.max
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readAllBytes(Paths.get(target, "metadata", s"v$v.metadata.json")))
+  }
+
+  private def currentSnapId(target: String): Long =
+    latestMeta(target).get("current-snapshot-id").asLong()
+
+  test("readIcebergChanges: per-snapshot append batches; bounded + empty ranges") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_ichg_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val target = tmp("graft_ichg_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val s1 = currentSnapId(target)
+    IcebergInterop.appendToIceberg(Seq((3L, "c")).toDF("id", "v"), target)
+    val s2 = currentSnapId(target)
+    IcebergInterop.appendToIceberg(
+      Seq((4L, "d"), (5L, "e")).toDF("id", "v"), target)
+    val s3 = currentSnapId(target)
+
+    val all = IcebergInterop.readIcebergChanges(spark, target, s1)
+    assert(all.columns.toSeq ==
+      Seq("id", "v", "_snapshot_id", "_change_ordinal"))
+    assert(all.select($"id", $"_snapshot_id", $"_change_ordinal")
+      .as[(Long, Long, Int)].collect().toSet ==
+      Set((3L, s2, 1), (4L, s3, 2), (5L, s3, 2)))
+    // bounded range stops at toSnapshotId inclusive
+    assert(IcebergInterop.readIcebergChanges(spark, target, s1, Some(s2))
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+    assert(IcebergInterop.readIcebergChanges(spark, target, s2)
+      .select("id").as[Long].collect().toSet == Set(4L, 5L))
+    // empty range: nothing after the current snapshot
+    assert(IcebergInterop.readIcebergChanges(spark, target, s3).count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readIcebergChanges(spark, target, 424242L)
+    }
+    assert(e.getMessage.contains("no longer retained"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergInterop.readIcebergChanges(spark, target, s3, Some(s1))
+    }
+    assert(e2.getMessage.contains("precedes"), e2.getMessage)
+  }
+
+  test("readIcebergChanges: rewrites invisible; in-range deletes refuse") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_ichg2_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_ichg2_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    patch(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    val s1 = currentSnapId(target)
+    IcebergInterop.appendToIceberg(Seq((2L, "b")).toDF("id", "v"), target)
+    IcebergInterop.appendToIceberg(Seq((3L, "c")).toDF("id", "v"), target)
+    val s3 = currentSnapId(target)
+    val s4 = IcebergInterop.compactIceberg(spark, target)
+    assert(s4 != s3) // three small files really did compact
+    // the replace snapshot contributes NOTHING; earlier appends flow
+    assert(IcebergInterop.readIcebergChanges(spark, target, s1)
+      .select("id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(IcebergInterop.readIcebergChanges(spark, target, s3).count() == 0)
+    // a delete BEFORE the range doesn't block later appends...
+    IcebergInterop.deleteFromIceberg(spark, target, col("id") === 2L)
+    val s5 = currentSnapId(target)
+    IcebergInterop.appendToIceberg(Seq((6L, "f")).toDF("id", "v"), target)
+    assert(IcebergInterop.readIcebergChanges(spark, target, s5)
+      .select("id").as[Long].collect().toSeq == Seq(6L))
+    // ...but a range CONTAINING the delete refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readIcebergChanges(spark, target, s4)
+    }
+    assert(e.getMessage.contains("cannot express row-level"), e.getMessage)
+  }
+
+  test("rollbackIceberg: metadata-only undo; history retained; appends re-chain") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_irb_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_irb_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val s1 = currentSnapId(target)
+    IcebergInterop.appendToIceberg(Seq((2L, "bad")).toDF("id", "v"), target)
+    val s2 = currentSnapId(target)
+    assert(IcebergInterop.readIceberg(spark, target).count() == 2)
+    IcebergInterop.rollbackIceberg(spark, target, s1)
+    // current state is the restored snapshot; no data was deleted
+    assert(IcebergInterop.readIceberg(spark, target)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    assert(IcebergInterop.readIceberg(spark, target, Some(s2))
+      .count() == 2) // the rolled-over snapshot stays time-travelable
+    // the NEXT append parents the restored snapshot, not the bad one
+    IcebergInterop.appendToIceberg(Seq((3L, "c")).toDF("id", "v"), target)
+    assert(IcebergInterop.readIceberg(spark, target)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+    val md = latestMeta(target)
+    val cur = md.get("current-snapshot-id").asLong()
+    val parent = md.get("snapshots").elements()
+    var parentOfCur = -1L
+    while (parent.hasNext) {
+      val n = parent.next()
+      if (n.get("snapshot-id").asLong() == cur)
+        parentOfCur = n.path("parent-snapshot-id").asLong(-1L)
+    }
+    assert(parentOfCur == s1, s"expected parent $s1, got $parentOfCur")
+    // rollback to an unknown snapshot refuses
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.rollbackIceberg(spark, target, 424242L)
+    }
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+  }
+
+  test("tags and branches pin snapshots against expiry until dropped") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_iref_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_iref_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val s1 = currentSnapId(target)
+    assert(IcebergInterop.tagIceberg(spark, target, "audit-v1") == s1)
+    IcebergInterop.appendToIceberg(Seq((2L, "b")).toDF("id", "v"), target)
+    val s2 = currentSnapId(target)
+    IcebergInterop.appendToIceberg(Seq((3L, "c")).toDF("id", "v"), target)
+    val s3 = currentSnapId(target)
+    assert(IcebergInterop.branchIceberg(spark, target, "wap", Some(s2)) == s2)
+    // resolve refs; read through a tag
+    assert(IcebergInterop.icebergRefSnapshot(spark, target, "audit-v1") == s1)
+    assert(IcebergInterop.icebergRefSnapshot(spark, target, "main") == s3)
+    assert(IcebergInterop.readIceberg(spark, target,
+      Some(IcebergInterop.icebergRefSnapshot(spark, target, "audit-v1")))
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // expiry keeps refs' snapshots even past keepLast
+    IcebergInterop.expireIcebergSnapshots(spark, target, 1)
+    assert(IcebergInterop.readIceberg(spark, target, Some(s1)).count() == 1)
+    assert(IcebergInterop.readIceberg(spark, target, Some(s2)).count() == 2)
+    // dropping the tag un-pins; the next expiry ages it out
+    IcebergInterop.dropIcebergRef(spark, target, "audit-v1")
+    IcebergInterop.dropIcebergRef(spark, target, "wap")
+    IcebergInterop.expireIcebergSnapshots(spark, target, 1)
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, target, Some(s1))
+    }
+    assert(e.getMessage.contains("not found"), e.getMessage)
+    assert(IcebergInterop.readIceberg(spark, target).count() == 3)
+    // refusals: duplicate names, reserved main, unknown drops
+    IcebergInterop.tagIceberg(spark, target, "t2")
+    intercept[IllegalArgumentException] {
+      IcebergInterop.tagIceberg(spark, target, "t2")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergInterop.dropIcebergRef(spark, target, "main")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergInterop.dropIcebergRef(spark, target, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergInterop.tagIceberg(spark, target, "t3", Some(424242L))
+    }
+  }
+
+  test("removeOrphanIcebergFiles: unreferenced + old only; metadata untouched") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_iorph_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val target = tmp("graft_iorph_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    IcebergInterop.appendToIceberg(Seq((3L, "c")).toDF("id", "v"), target)
+    // plant two strays: one ancient (collectable), one fresh (kept)
+    val dataDir = Paths.get(target, "data")
+    assert(Files.isDirectory(dataDir))
+    val oldStray = dataDir.resolve("stray-old.parquet")
+    val newStray = dataDir.resolve("stray-new.parquet")
+    Files.write(oldStray, Array[Byte](1, 2, 3))
+    Files.write(newStray, Array[Byte](4, 5, 6))
+    Files.setLastModifiedTime(oldStray,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    val before = IcebergInterop.readIceberg(spark, target)
+      .as[(Long, String)].collect().toSet
+    val deleted = IcebergInterop.removeOrphanIcebergFiles(spark, target)
+    assert(deleted == 1L, s"deleted=$deleted")
+    assert(!Files.exists(oldStray) && Files.exists(newStray))
+    // every referenced file survived: reads are unchanged
+    assert(IcebergInterop.readIceberg(spark, target)
+      .as[(Long, String)].collect().toSet == before)
+    assert(Files.exists(Paths.get(target, "metadata", "version-hint.text")))
+    // dual-published roots refuse — the Delta side's files are invisible
+    Files.createDirectories(Paths.get(target, "_delta_log"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.removeOrphanIcebergFiles(spark, target)
+    }
+    assert(e.getMessage.contains("dual-published"), e.getMessage)
+  }
 }
