@@ -781,7 +781,94 @@ object LakehouseOps {
       .orderBy($"s_suppkey")
   }
 
+  /** g32: Iceberg incremental append-scan gate
+    * ([[graft.sources.IcebergInterop.readIcebergChanges]]) — seed a
+    * third of supplier, append the other two thirds as two snapshots,
+    * then sync ONLY what changed after the seed: each appended third
+    * rides out tagged with its batch ordinal, and the seed never
+    * re-scans. */
+  val g32_iceberg_changes: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 3 === 0))
+    val target = Files.createTempDirectory("graft_ichg_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, target)
+    val seeded = graft.sources.IcebergInterop
+      .icebergRefSnapshot(s, target, "main")
+    graft.sources.IcebergInterop.appendToIceberg(
+      sup.filter($"s_suppkey" % 3 === 1), target)
+    graft.sources.IcebergInterop.appendToIceberg(
+      sup.filter($"s_suppkey" % 3 === 2), target)
+    graft.sources.IcebergInterop.readIcebergChanges(s, target, seeded)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"),
+        $"_change_ordinal".as("batch"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g32_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal,
+      |CAST(s_suppkey % 3 AS INT) AS batch
+      |FROM supplier WHERE s_suppkey % 3 <> 0 ORDER BY s_suppkey""".stripMargin
+
+  /** g33: Delta RESTORE gate
+    * ([[graft.sources.DeltaInterop.restoreDelta]]) — export supplier,
+    * land a corrupting CoW delete AND a garbage append, then restore
+    * version 0 in one metadata commit: the read must be byte-identical
+    * to the export, with zero data I/O spent undoing. */
+  val g33_delta_restore: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup)
+    val target = Files.createTempDirectory("graft_drst_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    graft.sources.DeltaInterop.deleteFromDelta(s, target,
+      $"s_suppkey" % 4 === 0)
+    graft.sources.DeltaInterop.appendToDelta(
+      sup.filter($"s_suppkey" <= 5)
+        .withColumn("s_acctbal", lit(-99999.0)), target)
+    graft.sources.DeltaInterop.restoreDelta(s, target, 0L)
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** g34: Iceberg rollback gate
+    * ([[graft.sources.IcebergInterop.rollbackIceberg]] +
+    * [[graft.sources.IcebergInterop.tagIceberg]]) — tag the good
+    * snapshot, land a corrupting append, roll the table back to the
+    * tag: the read must be byte-identical to the pre-append state,
+    * with zero data I/O spent undoing it. */
+  val g34_iceberg_rollback: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup)
+    val target = Files.createTempDirectory("graft_irb_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, target)
+    graft.sources.IcebergInterop.tagIceberg(s, target, "good")
+    graft.sources.IcebergInterop.appendToIceberg(
+      sup.filter($"s_suppkey" <= 5)
+        .withColumn("s_acctbal", lit(-99999.0)), target)
+    graft.sources.IcebergInterop.rollbackIceberg(s, target,
+      graft.sources.IcebergInterop.icebergRefSnapshot(s, target, "good"))
+    graft.sources.IcebergInterop.readIceberg(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g34_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g32_iceberg_changes" -> g32_iceberg_changes,
+    "g33_delta_restore" -> g33_delta_restore,
+    "g34_iceberg_rollback" -> g34_iceberg_rollback,
     "g31_iceberg_txn" -> g31_iceberg_txn,
     "g29_delta_convert" -> g29_delta_convert,
     "g30_iceberg_convert" -> g30_iceberg_convert,
@@ -812,6 +899,9 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g32_iceberg_changes" -> g32_sql,
+    "g33_delta_restore" -> g34_sql,
+    "g34_iceberg_rollback" -> g34_sql,
     "g31_iceberg_txn" -> g28_sql,
     "g29_delta_convert" -> g29_sql,
     "g30_iceberg_convert" -> g29_sql,

@@ -2788,6 +2788,130 @@ object DeltaInterop {
     rec(staging, "")
   }
 
+  /** RESTORE a foreign Delta table to an earlier `version` — Delta's
+    * `RESTORE TABLE ... TO VERSION AS OF v`: ONE commit whose remove
+    * actions drop every file live now but absent at `version`, and
+    * whose add actions re-surface every file live at `version` but
+    * absent now, each with its original partitionValues and
+    * deletionVector. Nothing is copied: a restore is O(|file diff|)
+    * driver metadata, the cheapest possible undo, and the restored
+    * history stays time-travelable (the undone versions are still in
+    * the log until [[cleanupDeltaLog]]).
+    *
+    * Refusals, all loud: a re-added data or DV file that VACUUM
+    * already deleted (named in the error); a schema / partition-layout
+    * change between `version` and now (a faithful restore would need a
+    * metaData re-commit); append-only tables; unknown writer features.
+    * CDF note: the restore commit carries plain dataChange
+    * adds+removes, so a [[readDeltaChanges]] range crossing it refuses
+    * as an ambiguous rewrite rather than fabricating row-level events.
+    * Lost version races re-diff against the winner and retry. Returns
+    * the committed version (or the current one when the diff is
+    * empty). */
+  def restoreDelta(spark: SparkSession, path: String, version: Long,
+      maxRetries: Int = 20): Long = {
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val io = new TableIO(path, conf)
+    val logDir = new HPath(root, "_delta_log")
+    require(fs.exists(logDir),
+      s"no Delta log at $path — restoreDelta mutates existing tables")
+    def refuseW(what: String): Nothing = throw new IllegalArgumentException(
+      s"cannot restore Delta table at $path: $what — restore it with a " +
+        "full Delta client")
+    val HarmlessOnRestore = Set("appendOnly", "invariants",
+      "checkConstraints", "generatedColumns", "changeDataFeed",
+      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata",
+      "columnMapping")
+    val target = replaySnapshot(spark, path, Some(version))
+    require(target.version == version,
+      s"version $version does not exist at $path (log ends at " +
+        s"${target.version})")
+    def dvJson(d: DeletionVectors.Descriptor): String = {
+      val off = d.offset.map(o => s""","offset":$o""").getOrElse("")
+      s""","deletionVector":{"storageType":"${jsonEscape(d.storageType)}"""" +
+        s""","pathOrInlineDv":"${jsonEscape(d.pathOrInlineDv)}"$off""" +
+        s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    }
+    def pvJson(pv: Map[String, String]): String =
+      pv.map { case (k, v) =>
+        "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\""
+      }.mkString(",")
+    def key(p: String, dv: Option[DeletionVectors.Descriptor]) =
+      (p, dv.map(d => (d.storageType, d.pathOrInlineDv, d.offset)))
+
+    var attempts = 0
+    while (true) {
+      val cur = replaySnapshot(spark, path, None)
+      if (cur.version < version)
+        refuseW(s"version $version is ahead of the log (at ${cur.version})")
+      if (cur.configuration.get("delta.appendOnly").contains("true"))
+        refuseW("the table is append-only (delta.appendOnly=true)")
+      if (cur.minWriter > 7)
+        refuseW(s"the table requires writer protocol ${cur.minWriter}")
+      if (cur.minWriter == 7) {
+        val unknown = cur.writerFeatures.filterNot(HarmlessOnRestore.contains)
+        if (unknown.nonEmpty)
+          refuseW("the table requires writer features " +
+            s"[${unknown.mkString(", ")}] this writer does not implement")
+      }
+      if (cur.schemaJson != target.schemaJson)
+        refuseW(s"the schema changed between version $version and " +
+          s"${cur.version} — a faithful restore needs a metaData re-commit")
+      if (cur.partCols != target.partCols)
+        refuseW(s"the partition layout changed between version $version " +
+          s"and ${cur.version}")
+      val curKeys = cur.active.map { case (p, (_, dv)) => key(p, dv) }.toSet
+      val tgtKeys = target.active.map { case (p, (_, dv)) => key(p, dv) }.toSet
+      val removes = cur.active.filterNot {
+        case (p, (_, dv)) => tgtKeys(key(p, dv)) }
+      val adds = target.active.filterNot {
+        case (p, (_, dv)) => curKeys(key(p, dv)) }
+      if (removes.isEmpty && adds.isEmpty) return cur.version
+      // every re-surfaced file must still exist — VACUUM after the
+      // target version makes the restore impossible, not silent
+      val statted = adds.map { case (p, (pv, dv)) =>
+        val hp = new HPath(resolveFile(root, p))
+        val st = try fs.getFileStatus(hp) catch {
+          case _: java.io.FileNotFoundException =>
+            refuseW(s"data file $p of version $version was vacuumed")
+        }
+        dv.filter(_.storageType != "i").foreach { d =>
+          val dvp = DeletionVectors.dvFilePath(root, d)
+          if (!fs.exists(dvp))
+            refuseW(s"deletion-vector file $dvp of version $version " +
+              "was vacuumed")
+        }
+        (p, pv, dv, st.getLen, st.getModificationTime)
+      }
+      val now = System.currentTimeMillis()
+      val actions = Seq.newBuilder[String]
+      actions += s"""{"commitInfo":{"timestamp":$now,"operation":"RESTORE","operationParameters":{"version":"$version"},"engineInfo":"graft-restore"}}"""
+      removes.foreach { case (p, (pv, _)) =>
+        actions += s"""{"remove":{"path":"${jsonEscape(encodePath(p))}","deletionTimestamp":$now,"dataChange":true,"extendedFileMetadata":true,"partitionValues":{${pvJson(pv)}}}}"""
+      }
+      statted.foreach { case (p, pv, dv, size, mod) =>
+        actions += s"""{"add":{"path":"${jsonEscape(encodePath(p))}","partitionValues":{${pvJson(pv)}},"size":$size,"modificationTime":$mod,"dataChange":true${dv.map(dvJson).getOrElse("")}}}"""
+      }
+      val bytes = actions.result().mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8)
+      try {
+        io.writeExclusive(new HPath(logDir, f"${cur.version + 1}%020d.json"),
+          bytes)
+        return cur.version + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+          if (attempts > maxRetries)
+            throw new IllegalStateException(
+              s"restoreDelta lost $maxRetries version races at $path — " +
+                "giving up")
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Change Data Feed read of a foreign Delta table: one row per
     * changed row per commit in [fromVersion, toVersion] (inclusive),
     * with Delta's CDF columns `_change_type` and `_commit_version` —

@@ -2521,4 +2521,82 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(got == Set(3L, 4L), got.toString)
     assert(Files.exists(Paths.get(target, "_delta_log", "0" * 19 + "2.json")))
   }
+
+  test("restoreDelta: one metadata commit undoes deletes+appends; vacuum refuses") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_drst_"),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val target = tmp("graft_drst_delta_")
+    DeltaInterop.exportSnapshot(t, target) // version 0
+    DeltaInterop.deleteFromDelta(spark, target, col("id") === 2L) // v1
+    DeltaInterop.appendToDelta(Seq((4L, "d")).toDF("id", "v"), target) // v2
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    assert(DeltaInterop.restoreDelta(spark, target, 0L) == 3L)
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // the undone history stays time-travelable
+    assert(DeltaInterop.readDelta(spark, target, Some(2L))
+      .select("id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    // restore FORWARD to the undone state works the same way
+    assert(DeltaInterop.restoreDelta(spark, target, 2L) == 4L)
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    // empty diff: restoring the current state commits nothing
+    assert(DeltaInterop.restoreDelta(spark, target, 4L) == 4L)
+    assert(!Files.exists(Paths.get(target, "_delta_log",
+      "0" * 19 + "5.json")))
+    // a version past the log refuses
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.restoreDelta(spark, target, 99L)
+    }
+    assert(e.getMessage.contains("not found"), e.getMessage)
+    // vacuum kills the files version 0 needs → restore refuses loudly
+    DeltaInterop.vacuumDelta(spark, target, retentionMs = 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaInterop.restoreDelta(spark, target, 0L)
+    }
+    assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+  }
+
+  test("restoreDelta re-adds deletion-vector descriptors byte-faithfully") {
+    import spark.implicits._
+    import graft.sources.DeletionVectors
+    val root = tmp("graft_drstdv_")
+    Seq.range(0L, 6L).toDF("id").coalesce(1).write.parquet(root)
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val dataFile = Files.list(Paths.get(root)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val rel = Paths.get(root).relativize(Paths.get(dataFile)).toString
+    val idxOf = spark.read.parquet(dataFile)
+      .select(col("id"), col("_metadata.row_index"))
+      .as[(Long, Long)].collect().toMap
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    // v1: row-level delete of ids 1,4 = remove + re-add with inline DV
+    val inline = DeletionVectors.serialize(Seq(idxOf(1L), idxOf(4L)))
+    val padded = java.util.Arrays.copyOf(inline, (inline.length + 3) / 4 * 4)
+    val z85dv = DeletionVectors.z85Encode(padded)
+    Files.write(Paths.get(root, "_delta_log", "0" * 19 + "1.json"), Seq(
+      s"""{"remove":{"path":"${esc(rel)}","deletionTimestamp":2,"dataChange":true}}""",
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$z85dv","sizeInBytes":${padded.length},"cardinality":2}}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("id").as[Long].collect().toSet == Set(0L, 2L, 3L, 5L))
+    // restore to v0: the full file is live again, no DV
+    assert(DeltaInterop.restoreDelta(spark, root, 0L) == 2L)
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("id").as[Long].collect().toSet == (0L to 5L).toSet)
+    // restore forward to v1: the re-added add must CARRY the DV again
+    assert(DeltaInterop.restoreDelta(spark, root, 1L) == 3L)
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("id").as[Long].collect().toSet == Set(0L, 2L, 3L, 5L))
+  }
 }
