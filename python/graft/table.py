@@ -355,16 +355,32 @@ def merge_delta(source_df, path, keys):
     return dx.mergeDelta(source_df._jdf, path, _seq(spark, keys), 20)
 
 
-def optimize_delta(spark, path, target_file_bytes=128 << 20):
+def optimize_delta(spark, path, target_file_bytes=128 << 20,
+                   zorder_by=None):
     """OPTIMIZE (bin-packing compaction) of an existing Delta table:
     per partition, files smaller than target_file_bytes are bin-packed
     into fewer larger files, and deletion vectors are materialized
     away. All remove+add actions carry dataChange=false, so CDF reads
-    and streaming tails skip the commit. Returns the committed (or,
-    when nothing needs compacting, the current) version."""
+    and streaming tails skip the commit. zorder_by=[cols] switches to
+    OPTIMIZE ZORDER BY: every live file rewritten, rows range-clustered
+    by (partition cols, Z-value) so predicates on any Z column touch
+    few files. Returns the committed (or, when nothing needs
+    compacting, the current) version."""
     dx = spark._jvm.graft.sources.DeltaInterop
     return dx.optimizeDelta(spark._jsparkSession, path,
-                            int(target_file_bytes), 20)
+                            int(target_file_bytes), 20,
+                            _seq(spark, zorder_by or []))
+
+
+def clone_delta(spark, source, target):
+    """SHALLOW CLONE a Delta table: a new table at target whose v0
+    commit re-declares the source's protocol/schema/partitioning and
+    adds every live source file BY ABSOLUTE URI — zero data copied.
+    The clone then evolves independently (mutations write clone-local
+    files; the source is never touched, and VACUUM of either root
+    cannot see the other). Returns the clone's version (0)."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return dx.cloneDelta(spark._jsparkSession, source, target)
 
 
 def checkpoint_delta(spark, path):
@@ -466,3 +482,78 @@ def update_iceberg(spark, path, condition_col, assignments):
     ix = jvm.graft.sources.IcebergInterop
     return ix.updateIceberg(spark._jsparkSession, path, condition_col._jc,
                             m, 20)
+
+
+def read_iceberg_changes(spark, path, from_snapshot_id, to_snapshot_id=None):
+    """Incremental APPEND scan of a file-based Iceberg table: the rows
+    added by every snapshot after from_snapshot_id (exclusive) up to
+    to_snapshot_id (inclusive; default current), tagged _snapshot_id +
+    1-based _change_ordinal. Rewrite (replace/compaction) snapshots
+    contribute nothing; row-level changes in the range refuse."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return DataFrame(ix.readIcebergChanges(
+        spark._jsparkSession, path, int(from_snapshot_id),
+        _opt_long(spark, to_snapshot_id)), spark)
+
+
+def restore_delta(spark, path, version):
+    """RESTORE a Delta table to an earlier version in ONE metadata
+    commit: removes files live now but absent then, re-adds files live
+    then but absent now (original partitionValues + deletionVector).
+    Vacuumed files and cross-schema restores refuse loudly. Returns
+    the committed version."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return dx.restoreDelta(spark._jsparkSession, path, int(version), 20)
+
+
+def rollback_iceberg(spark, path, snapshot_id):
+    """Roll an Iceberg table back to a RETAINED snapshot (Iceberg's
+    set_current_snapshot): one metadata-only commit, zero data I/O; the
+    rolled-over history stays time-travelable until expiry. Returns the
+    published metadata version."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.rollbackIceberg(spark._jsparkSession, path,
+                              int(snapshot_id), 20)
+
+
+def tag_iceberg(spark, path, name, snapshot_id=None):
+    """TAG a retained snapshot (default: current) — an immutable named
+    pointer that PINS its snapshot against expire_iceberg_snapshots
+    while the tag lives. Returns the tagged snapshot id."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.tagIceberg(spark._jsparkSession, path, name,
+                         _opt_long(spark, snapshot_id), 20)
+
+
+def branch_iceberg(spark, path, name, snapshot_id=None):
+    """Create a BRANCH ref at a retained snapshot (default: current) —
+    a durable named read point, pinned against expiry like a tag.
+    Returns the snapshot id."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.branchIceberg(spark._jsparkSession, path, name,
+                            _opt_long(spark, snapshot_id), 20)
+
+
+def drop_iceberg_ref(spark, path, name):
+    """Drop a tag/branch ref; its snapshot stays retained until the
+    next expire_iceberg_snapshots."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    ix.dropIcebergRef(spark._jsparkSession, path, name, 20)
+
+
+def iceberg_ref_snapshot(spark, path, name):
+    """Resolve a ref name to its snapshot id ('main' = current). Use
+    with read_iceberg(spark, path, snapshot_id=...) for tag reads."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.icebergRefSnapshot(spark._jsparkSession, path, name)
+
+
+def remove_orphan_iceberg_files(spark, path,
+                                older_than_ms=3 * 24 * 3600 * 1000):
+    """Delete data-area files referenced by NO retained snapshot and
+    older than older_than_ms (Iceberg's remove_orphan_files; the age
+    gate protects in-flight writers). metadata/ is never touched;
+    dual-published roots refuse. Returns the number deleted."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.removeOrphanIcebergFiles(spark._jsparkSession, path,
+                                       int(older_than_ms))

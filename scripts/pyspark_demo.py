@@ -206,5 +206,26 @@ assert merged.filter("lang = 'xx'").count() == n_kept
 print(f"foreign Delta after append+delete+merge: {merged.count()} rows "
       f"(version {v + 2}); foreign Iceberg snapshot {sid}")
 
+print("== 11. History management: restore, rollback, tags, incremental ==")
+# Delta: one metadata commit undoes the delete+merge storm above
+restored_v = table.restore_delta(spark, delta_path, 1)
+assert table.read_delta(spark, delta_path).count() == 30, restored_v
+# Iceberg: tag the good state, land a bad append, roll back to the tag
+good = table.tag_iceberg(spark, ice_path, "good")
+table.append_to_iceberg(
+    spark.createDataFrame([(888888, "zz", -1)],
+                          "doc_id long, lang string, n_chars long"),
+    ice_path)
+assert table.read_iceberg(spark, ice_path).count() == 31
+# incremental read sees exactly the bad batch ...
+assert table.read_iceberg_changes(spark, ice_path, good).count() == 1
+table.rollback_iceberg(
+    spark, ice_path, table.iceberg_ref_snapshot(spark, ice_path, "good"))
+assert table.read_iceberg(spark, ice_path).count() == 30
+# ... and the rollback hides it from the incremental tail too
+assert table.read_iceberg_changes(spark, ice_path, good).count() == 0
+print(f"restored Delta to v1 (commit {restored_v}); Iceberg back at "
+      f"snapshot {good}; incremental tail after rollback is empty")
+
 spark.stop()
 print("demo complete — all assertions passed")

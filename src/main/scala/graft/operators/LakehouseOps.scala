@@ -865,9 +865,56 @@ object LakehouseOps {
     """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** g35: Delta SHALLOW CLONE gate
+    * ([[graft.sources.DeltaInterop.cloneDelta]]) — clone supplier
+    * zero-copy, then mutate ONLY the clone (CoW delete): the clone
+    * reads the filtered state while the source must still read
+    * complete (asserted in-query — divergence is the whole point). */
+  val g35_delta_clone: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup)
+    val src = Files.createTempDirectory("graft_clone_src_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, src)
+    val dst = Files.createTempDirectory("graft_clone_dst_").toString + "/t"
+    graft.sources.DeltaInterop.cloneDelta(s, src, dst)
+    graft.sources.DeltaInterop.deleteFromDelta(s, dst,
+      $"s_suppkey" % 4 === 0)
+    require(graft.sources.DeltaInterop.readDelta(s, src).count() ==
+      sup.count(), "clone mutation leaked into the source")
+    graft.sources.DeltaInterop.readDelta(s, dst)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** g36: Delta OPTIMIZE ZORDER BY gate
+    * ([[graft.sources.DeltaInterop.optimizeDelta]] with `zorderBy`) —
+    * re-cluster a partitioned export by (s_acctbal, s_suppkey); a pure
+    * layout change, so the readback must be byte-identical to the
+    * pre-optimize state. */
+  val g36_delta_zorder: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup,
+      partitionBy = Seq("s_nationkey"))
+    val target = Files.createTempDirectory("graft_zord_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    graft.sources.DeltaInterop.optimizeDelta(s, target,
+      targetFileBytes = 64L << 10, zorderBy = Seq("s_acctbal", "s_suppkey"))
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "g32_iceberg_changes" -> g32_iceberg_changes,
     "g33_delta_restore" -> g33_delta_restore,
+    "g35_delta_clone" -> g35_delta_clone,
+    "g36_delta_zorder" -> g36_delta_zorder,
     "g34_iceberg_rollback" -> g34_iceberg_rollback,
     "g31_iceberg_txn" -> g31_iceberg_txn,
     "g29_delta_convert" -> g29_delta_convert,
@@ -901,6 +948,8 @@ object LakehouseOps {
   val oracles: Map[String, String] = Map(
     "g32_iceberg_changes" -> g32_sql,
     "g33_delta_restore" -> g34_sql,
+    "g35_delta_clone" -> g27_sql,
+    "g36_delta_zorder" -> g34_sql,
     "g34_iceberg_rollback" -> g34_sql,
     "g31_iceberg_txn" -> g28_sql,
     "g29_delta_convert" -> g29_sql,

@@ -2334,10 +2334,23 @@ object DeltaInterop {
     * (rewritten files would need physical column names). A table with
     * nothing to compact (no partition holds two sub-target files or a
     * DV carrier) is a no-op. Lost version races restart against the
-    * fresh state. Returns the committed (or current) version. */
+    * fresh state. Returns the committed (or current) version.
+    *
+    * `zorderBy` switches to OPTIMIZE ZORDER BY: EVERY live file is
+    * rewritten (re-clustering is a full rewrite, as in Delta itself),
+    * rows range-clustered by (partition cols, Z-value) into
+    * ceil(live bytes / target) files — one column sorts linearly, 2+
+    * columns quantize to a global min/max grid and bit-interleave
+    * (the same Z-curve [[GraftTable.clusterZOrder]] uses), so a
+    * point/range predicate on ANY Z column touches few files once
+    * engines skip by per-file min/max stats. Same dataChange=false /
+    * DV-materializing / CDF-silent commit shape. */
   def optimizeDelta(spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L << 20, maxRetries: Int = 20): Long = {
+      targetFileBytes: Long = 128L << 20, maxRetries: Int = 20,
+      zorderBy: Seq[String] = Nil): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(zorderBy.distinct.size == zorderBy.size,
+      s"duplicate z-order columns: ${zorderBy.mkString(", ")}")
     val root = new HPath(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
@@ -2379,44 +2392,70 @@ object DeltaInterop {
       }
       // first-fit-decreasing bins per partition: a partition compacts
       // when it holds 2+ sub-target files or any DV carrier (whose DV
-      // gets materialized)
+      // gets materialized). Z-order mode instead rewrites EVERY live
+      // file (re-clustering is a full rewrite, as in Delta's own
+      // OPTIMIZE ZORDER BY).
       val binOf = scala.collection.mutable.Map[String, Int]()
       var nBins = 0
-      sized.groupBy(_._1._2._1).valuesIterator.foreach { es =>
-        val eligible = es.filter { case ((_, (_, dv)), len) =>
-          len < targetFileBytes || dv.isDefined }
-        if (eligible.size >= 2 || eligible.exists(_._1._2._2.isDefined)) {
-          val open = scala.collection.mutable.Buffer[(Int, Long)]()
-          eligible.sortBy(-_._2).foreach { case ((p, _), len) =>
-            open.indexWhere(_._2 >= len) match {
-              case -1 =>
-                open += ((nBins, math.max(0L, targetFileBytes - len)))
-                binOf(p) = nBins
-                nBins += 1
-              case i =>
-                binOf(p) = open(i)._1
-                open(i) = (open(i)._1, open(i)._2 - len)
+      if (zorderBy.isEmpty)
+        sized.groupBy(_._1._2._1).valuesIterator.foreach { es =>
+          val eligible = es.filter { case ((_, (_, dv)), len) =>
+            len < targetFileBytes || dv.isDefined }
+          if (eligible.size >= 2 || eligible.exists(_._1._2._2.isDefined)) {
+            val open = scala.collection.mutable.Buffer[(Int, Long)]()
+            eligible.sortBy(-_._2).foreach { case ((p, _), len) =>
+              open.indexWhere(_._2 >= len) match {
+                case -1 =>
+                  open += ((nBins, math.max(0L, targetFileBytes - len)))
+                  binOf(p) = nBins
+                  nBins += 1
+                case i =>
+                  binOf(p) = open(i)._1
+                  open(i) = (open(i)._1, open(i)._2 - len)
+              }
             }
           }
         }
-      }
-      if (binOf.isEmpty) { result = st.version } // nothing to compact
       else {
+        zorderBy.foreach(c => require(dataSchema.fieldNames.contains(c),
+          s"z-order column '$c' is not a data column of $path"))
+        nBins = math.max(1, math.ceil(
+          sized.map(_._2).sum.toDouble / targetFileBytes).toInt)
+      }
+      val rewriteAll = zorderBy.nonEmpty && st.active.nonEmpty
+      if (binOf.isEmpty && !rewriteAll) {
+        result = st.version // nothing to compact
+      } else {
         val byPath = st.active.toMap
-        val entries = binOf.keys.toSeq.sorted.map(p => (p, byPath(p)))
-        val qualifiedBin = entries.map { case (p, _) =>
-          val hp = new HPath(resolveFile(root, p))
-          (hp.getFileSystem(conf).makeQualified(hp).toString, binOf(p))
-        }
+        val entries =
+          if (rewriteAll) st.active
+          else binOf.keys.toSeq.sorted.map(p => (p, byPath(p)))
         val liveScan = liveMutationScan(spark, root, st, schema, partCols,
           dataSchema)
         import spark.implicits._
-        val binMap = qualifiedBin.toDF("__file", "__bin")
-        val compacted = liveScan(entries)
-          .join(org.apache.spark.sql.functions.broadcast(binMap),
-            Seq("__file"))
-          .repartition(math.max(1, nBins), col("__bin"))
-          .select(schema.fieldNames.map(col).toSeq: _*)
+        val compacted = if (zorderBy.isEmpty) {
+          val qualifiedBin = entries.map { case (p, _) =>
+            val hp = new HPath(resolveFile(root, p))
+            (hp.getFileSystem(conf).makeQualified(hp).toString, binOf(p))
+          }
+          val binMap = qualifiedBin.toDF("__file", "__bin")
+          liveScan(entries)
+            .join(org.apache.spark.sql.functions.broadcast(binMap),
+              Seq("__file"))
+            .repartition(math.max(1, nBins), col("__bin"))
+            .select(schema.fieldNames.map(col).toSeq: _*)
+        } else {
+          // range-cluster by (partition cols, Z-value): each hive
+          // partition's rows land contiguous and Z-ordered, file count
+          // sized by total live bytes / target
+          val rows = liveScan(entries)
+          rows.withColumn("__z", zValueColumn(rows, zorderBy))
+            .repartitionByRange(nBins,
+              (partCols.map(col) :+ col("__z")): _*)
+            .sortWithinPartitions(
+              (partCols.map(col) :+ col("__z")): _*)
+            .select(schema.fieldNames.map(col).toSeq: _*)
+        }
         val staging = new HPath(root,
           s"_graft_optimize_${java.util.UUID.randomUUID()}")
         val moved = scala.collection.mutable.Buffer[String]()
@@ -2441,7 +2480,9 @@ object DeltaInterop {
           }
           fs.delete(staging, true)
           result = commitDelete(io, logDir, st, now,
-            s"optimize targetSize=$targetFileBytes",
+            s"optimize targetSize=$targetFileBytes" +
+              (if (zorderBy.nonEmpty)
+                s" zOrderBy=[${zorderBy.mkString(",")}]" else ""),
             entries.map { case (p, (pv, _)) => (p, pv) }, staged, Nil,
             partCols, operation = "OPTIMIZE", dataChange = false)
         } catch {
@@ -2459,6 +2500,43 @@ object DeltaInterop {
       }
     }
     result
+  }
+
+  /** Z-clustering key over `cols` of `df`: one column sorts by its
+    * raw value (type-preserving); 2+ columns quantize each to a
+    * min/max-scaled 2^bits grid (one driver-side agg over the live
+    * rows) and bit-interleave into a Long Z-value. Null or
+    * constant-valued columns contribute cell 0 — degraded clustering,
+    * never wrong data. */
+  private def zValueColumn(df: DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{min, max, coalesce, least,
+      greatest, width_bucket, shiftleft, shiftright}
+    if (cols.size == 1) return col(cols.head)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bits = math.min(16, 63 / cols.size)
+    val nb = 1L << bits
+    val cells = cols.zipWithIndex.map { case (c, i) =>
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(0L)
+      else {
+        val mn = row.getDouble(2 * i); val mx = row.getDouble(2 * i + 1)
+        if (!(mx > mn)) lit(0L)
+        else coalesce(
+          least(greatest(
+            width_bucket(col(c).cast("double"), lit(mn), lit(mx), lit(nb))
+              - 1, lit(0L)), lit(nb - 1)),
+          lit(0L))
+      }
+    }
+    (0 until bits).foldLeft(lit(0L)) { (acc, bit) =>
+      cells.zipWithIndex.foldLeft(acc) { case (a, (cell, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(cell, bit).bitwiseAND(lit(1L)), bit * cols.size + j))
+      }
+    }
   }
 
   /** Write a CLASSIC parquet checkpoint (+ `_last_checkpoint`) for an
@@ -2910,6 +2988,93 @@ object DeltaInterop {
       }
     }
     -1L // unreachable
+  }
+
+  /** SHALLOW CLONE of a Delta table — Delta's `CREATE TABLE … SHALLOW
+    * CLONE src`: a NEW table at `target` whose version-0 commit
+    * re-declares the source's protocol, schema, partitioning and
+    * configuration (fresh table id) and adds every currently-live
+    * source file BY ABSOLUTE URI — zero data copied, O(#files) driver
+    * metadata. Deletion vectors ride along: on-disk descriptors are
+    * rewritten to absolute `p` storage (they'd otherwise resolve
+    * against the clone's root), inline `i` descriptors pass through.
+    * The clone then evolves independently — appends/deletes/updates
+    * write clone-local files (a CoW rewrite of a source-owned file
+    * lands under the clone; the source is never touched), and a VACUUM
+    * of either table cannot see the other's root (nested roots refuse
+    * at clone time for exactly that reason). setTransaction watermarks
+    * are NOT carried (Delta's CLONE drops them — the clone is a new
+    * ingestion target); domainMetadata carriers refuse rather than
+    * silently drop state. Returns the clone's version (0). */
+  def cloneDelta(spark: SparkSession, source: String,
+      target: String): Long = {
+    val srcRoot = new HPath(source)
+    val dstRoot = new HPath(target)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = srcRoot.getFileSystem(conf)
+    val dstFs = dstRoot.getFileSystem(conf)
+    require(srcFs.exists(new HPath(srcRoot, "_delta_log")),
+      s"no Delta log at $source")
+    require(!dstFs.exists(new HPath(dstRoot, "_delta_log")),
+      s"a Delta table already exists at $target")
+    val srcQ = srcFs.makeQualified(srcRoot).toString
+    val dstQ = dstFs.makeQualified(dstRoot).toString
+    require(!(dstQ + "/").startsWith(srcQ + "/") &&
+        !(srcQ + "/").startsWith(dstQ + "/"),
+      s"clone target $target nests with source $source — a VACUUM of " +
+        "one root would destroy the other's files")
+    def refuseW(what: String): Nothing = throw new IllegalArgumentException(
+      s"cannot clone Delta table at $source: $what — clone it with a " +
+        "full Delta client")
+    val coll = new CheckpointCollector()
+    val st = replaySnapshot(spark, source, None, Some(coll))
+    if (coll.sawDomainMetadata)
+      refuseW("the source carries domainMetadata actions a clone " +
+        "written here would drop")
+    val now = System.currentTimeMillis()
+    def strArr(xs: Seq[String]): String =
+      xs.map(x => "\"" + jsonEscape(x) + "\"").mkString(",")
+    val actions = Seq.newBuilder[String]
+    actions += s"""{"commitInfo":{"timestamp":$now,"operation":"CLONE","operationParameters":{"source":"${jsonEscape(source)}"},"engineInfo":"graft-clone"}}"""
+    val rf = if (coll.readerFeatures.nonEmpty)
+      s""","readerFeatures":[${strArr(coll.readerFeatures)}]""" else ""
+    val wf = if (st.writerFeatures.nonEmpty)
+      s""","writerFeatures":[${strArr(st.writerFeatures)}]""" else ""
+    actions += s"""{"protocol":{"minReaderVersion":${coll.minReader},"minWriterVersion":${st.minWriter}$rf$wf}}"""
+    val confJson = st.configuration.map { case (k, v) =>
+      "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\"" }.mkString(",")
+    actions += s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(st.schemaJson)}","partitionColumns":[${strArr(st.partCols)}],"configuration":{$confJson},"createdTime":$now}}"""
+    st.active.foreach { case (p, (pv, dv)) =>
+      val hp = new HPath(resolveFile(srcRoot, p))
+      val hpFs = hp.getFileSystem(conf)
+      val abs = hpFs.makeQualified(hp).toString
+      val stt = try hpFs.getFileStatus(hp) catch {
+        case _: java.io.FileNotFoundException =>
+          refuseW(s"active file $p is missing from storage")
+      }
+      val dvj = dv.map { d =>
+        val (sty, pidv) =
+          if (d.storageType == "i") (d.storageType, d.pathOrInlineDv)
+          else {
+            val dvp = DeletionVectors.dvFilePath(srcRoot, d)
+            if (!srcFs.exists(dvp))
+              refuseW(s"deletion-vector file $dvp is missing from storage")
+            (("p"), dvp.getFileSystem(conf).makeQualified(dvp).toString)
+          }
+        val off = d.offset.map(o => s""","offset":$o""").getOrElse("")
+        s""","deletionVector":{"storageType":"${jsonEscape(sty)}","pathOrInlineDv":"${jsonEscape(pidv)}"$off,"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+      }.getOrElse("")
+      val pvJson = pv.map { case (k, v) =>
+        "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\""
+      }.mkString(",")
+      actions += s"""{"add":{"path":"${jsonEscape(encodePath(abs))}","partitionValues":{$pvJson},"size":${stt.getLen},"modificationTime":${stt.getModificationTime},"dataChange":true$dvj}}"""
+    }
+    dstFs.mkdirs(new HPath(dstRoot, "_delta_log"))
+    new TableIO(target, conf).writeExclusive(
+      new HPath(new HPath(dstRoot, "_delta_log"), f"${0L}%020d.json"),
+      actions.result().mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    0L
   }
 
   /** Change Data Feed read of a foreign Delta table: one row per

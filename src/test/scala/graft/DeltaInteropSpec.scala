@@ -2599,4 +2599,134 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(DeltaInterop.readDelta(spark, root)
       .select("id").as[Long].collect().toSet == Set(0L, 2L, 3L, 5L))
   }
+
+  test("cloneDelta: zero-copy shallow clone diverges without touching the source") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_clsrc_t_"),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val src = tmp("graft_clsrc_")
+    DeltaInterop.exportSnapshot(t, src)
+    DeltaInterop.deleteFromDelta(spark, src, col("id") === 3L) // src v1
+    val dst = tmp("graft_cldst_")
+    assert(DeltaInterop.cloneDelta(spark, src, dst) == 0L)
+    assert(DeltaInterop.readDelta(spark, dst)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // the clone diverges: append lands clone-local, a CoW delete
+    // rewrites a SOURCE-owned file into the clone
+    DeltaInterop.appendToDelta(Seq((4L, "d")).toDF("id", "v"), dst)
+    DeltaInterop.deleteFromDelta(spark, dst, col("id") === 1L)
+    assert(DeltaInterop.readDelta(spark, dst)
+      .select("id").as[Long].collect().toSet == Set(2L, 4L))
+    assert(DeltaInterop.readDelta(spark, src)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // zero-retention VACUUM of the clone cannot reach source files
+    DeltaInterop.vacuumDelta(spark, dst, retentionMs = 0L)
+    assert(DeltaInterop.readDelta(spark, dst)
+      .select("id").as[Long].collect().toSet == Set(2L, 4L))
+    assert(DeltaInterop.readDelta(spark, src)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // refusals: existing target, nested roots
+    intercept[IllegalArgumentException] {
+      DeltaInterop.cloneDelta(spark, src, dst)
+    }
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.cloneDelta(spark, src, src + "/sub")
+    }
+    assert(e.getMessage.contains("nests"), e.getMessage)
+  }
+
+  test("cloneDelta rewrites on-disk DV descriptors to absolute p storage") {
+    import spark.implicits._
+    import graft.sources.DeletionVectors
+    val root = tmp("graft_cldv_")
+    Seq.range(0L, 10L).toDF("id").coalesce(1).write.parquet(root)
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val dataFile = Files.list(Paths.get(root)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val rel = Paths.get(root).relativize(Paths.get(dataFile)).toString
+    val idxOf = spark.read.parquet(dataFile)
+      .select(col("id"), col("_metadata.row_index"))
+      .as[(Long, Long)].collect().toMap
+    val uuid = new java.util.UUID(0x1122334455667788L, 0x99aabbccddeeff00L)
+    val ub = java.nio.ByteBuffer.allocate(16)
+    ub.putLong(uuid.getMostSignificantBits)
+    ub.putLong(uuid.getLeastSignificantBits)
+    val z85uuid = DeletionVectors.z85Encode(ub.array())
+    val (off, size) = DeletionVectors.writeDvFile(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(root, s"deletion_vector_$uuid.bin"),
+      Seq(idxOf(2L), idxOf(5L)))
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$z85uuid","offset":$off,"sizeInBytes":$size,"cardinality":2}}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(DeltaInterop.readDelta(spark, root)
+      .as[Long].collect().toSet == Set(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L))
+    val dst = tmp("graft_cldv_dst_")
+    DeltaInterop.cloneDelta(spark, root, dst)
+    // the clone filters the same rows through the source's DV file
+    assert(DeltaInterop.readDelta(spark, dst)
+      .as[Long].collect().toSet == Set(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L))
+    val v0 = new String(Files.readAllBytes(
+      Paths.get(dst, "_delta_log", "0" * 20 + ".json")), "UTF-8")
+    assert(v0.contains("\"storageType\":\"p\""), v0)
+    assert(!v0.contains("\"storageType\":\"u\""), v0)
+  }
+
+  test("optimizeDelta ZORDER BY: full rewrite, disjoint ranges, data intact") {
+    import spark.implicits._
+    val target = tmp("graft_zord_")
+    // 8 hash-scattered files: every file spans most of the id range
+    scala.util.Random.shuffle(Seq.range(0L, 1000L)).toDF("id")
+      .repartition(8).write.parquet(target)
+    DeltaInterop.convertParquetToDelta(spark, target)
+    val v = DeltaInterop.optimizeDelta(spark, target,
+      targetFileBytes = 2048L, zorderBy = Seq("id"))
+    assert(v == 1L)
+    val back = DeltaInterop.readDelta(spark, target)
+    assert(back.as[Long].collect().toSet == (0L until 1000L).toSet)
+    // single-column z-order = a linear sort: per-file id ranges are
+    // pairwise disjoint
+    val ranges = back
+      .groupBy(col("_metadata.file_path").as("f"))
+      .agg(min("id").as("mn"), max("id").as("mx"))
+      .select("mn", "mx").as[(Long, Long)].collect().sortBy(_._1)
+    assert(ranges.length >= 2, s"expected a multi-file rewrite: $ranges")
+    ranges.sliding(2).foreach { case Array((_, mx1), (mn2, _)) =>
+      assert(mx1 < mn2, s"overlapping ranges: ${ranges.toSeq}")
+    }
+    // the commit is pure layout: dataChange=false adds+removes, no cdc
+    val commit = new String(Files.readAllBytes(
+      Paths.get(target, "_delta_log", "0" * 19 + "1.json")), "UTF-8")
+    assert(!commit.contains("\"dataChange\":true"), commit.take(400))
+    // 2-column z-curve: a corner quadrant of the grid lands in FEW
+    // files, not smeared across all of them
+    val target2 = tmp("graft_zord2_")
+    scala.util.Random.shuffle(
+      Seq.tabulate(1024)(i => (i % 32L, i / 32L))).toDF("x", "y")
+      .repartition(8).write.parquet(target2)
+    DeltaInterop.convertParquetToDelta(spark, target2)
+    DeltaInterop.optimizeDelta(spark, target2,
+      targetFileBytes = 2048L, zorderBy = Seq("x", "y"))
+    val back2 = DeltaInterop.readDelta(spark, target2)
+    assert(back2.as[(Long, Long)].collect().toSet ==
+      Seq.tabulate(1024)(i => (i % 32L, i / 32L)).toSet)
+    val boxes = back2
+      .groupBy(col("_metadata.file_path").as("f"))
+      .agg(min("x").as("mnx"), max("x").as("mxx"),
+        min("y").as("mny"), max("y").as("mxy"))
+      .select("mnx", "mxx", "mny", "mxy")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(boxes.length >= 3, s"expected a multi-file rewrite: ${boxes.length}")
+    val touching = boxes.count { case (mnx, mxx, mny, mxy) =>
+      mnx <= 7 && mxx >= 0 && mny <= 7 && mxy >= 0 }
+    assert(touching <= math.max(1, boxes.length / 2),
+      s"quadrant smeared over $touching of ${boxes.length} files: " +
+        boxes.mkString(", "))
+  }
 }
