@@ -244,8 +244,9 @@ def append_to_delta(df, path):
     (physical names + parquet field ids); refuses constraints,
     invariants, generated columns and unknown writer features. Returns
     the committed version."""
-    dx = df.sparkSession._jvm.graft.sources.DeltaInterop
-    return dx.appendToDelta(df._jdf, path, 20)
+    jvm = df.sparkSession._jvm
+    dx = jvm.graft.sources.DeltaInterop
+    return dx.appendToDelta(df._jdf, path, 20, jvm.scala.Option.empty())
 
 
 def append_to_delta_txn(df, path, app_id, txn_version):
@@ -285,8 +286,9 @@ def append_to_iceberg(df, path):
     deletes keep applying only to older data). Writes field-id-stamped
     parquet laid out per the table's default partition spec. Returns
     the committed snapshot id."""
-    ix = df.sparkSession._jvm.graft.sources.IcebergInterop
-    return ix.appendToIceberg(df._jdf, path, 20)
+    jvm = df.sparkSession._jvm
+    ix = jvm.graft.sources.IcebergInterop
+    return ix.appendToIceberg(df._jdf, path, 20, jvm.scala.Option.empty())
 
 
 def read_delta_cdf_stream(spark, path, max_commits_per_trigger=None):
