@@ -559,3 +559,50 @@ def remove_orphan_iceberg_files(spark, path,
     ix = spark._jvm.graft.sources.IcebergInterop
     return ix.removeOrphanIcebergFiles(spark._jsparkSession, path,
                                        int(older_than_ms))
+
+
+def delta_history(spark, path):
+    """DESCRIBE HISTORY of a foreign Delta table: one row per retained
+    commit, newest first — version, commit timestamp (monotonically
+    adjusted), operation, engine_info."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return DataFrame(dx.deltaHistory(spark._jsparkSession, path), spark)
+
+
+def delta_version_at_timestamp(spark, path, ts_millis):
+    """The Delta version current at a wall-clock instant (TIMESTAMP AS
+    OF): the last retained commit at-or-before ts_millis. Before the
+    earliest retained commit refuses."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return dx.deltaVersionAtTimestamp(spark._jsparkSession, path,
+                                      int(ts_millis))
+
+
+def read_delta_as_of_timestamp(spark, path, ts_millis):
+    """TIMESTAMP AS OF read of a foreign Delta table."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return DataFrame(dx.readDeltaAsOfTimestamp(
+        spark._jsparkSession, path, int(ts_millis)), spark)
+
+
+def iceberg_history(spark, path):
+    """Snapshot history of a file-based Iceberg table, newest first:
+    snapshot_id, parent_id, timestamp_ms, operation, is_current."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return DataFrame(ix.icebergHistory(spark._jsparkSession, path), spark)
+
+
+def iceberg_snapshot_at_timestamp(spark, path, ts_millis):
+    """The snapshot current at a wall-clock instant per the table's
+    snapshot log (rollbacks append entries, so this resolves to what a
+    reader actually saw then)."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.icebergSnapshotAtTimestamp(spark._jsparkSession, path,
+                                         int(ts_millis))
+
+
+def read_iceberg_as_of_timestamp(spark, path, ts_millis):
+    """TIMESTAMP AS OF read of a file-based Iceberg table."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return DataFrame(ix.readIcebergAsOfTimestamp(
+        spark._jsparkSession, path, int(ts_millis)), spark)

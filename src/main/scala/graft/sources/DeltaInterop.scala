@@ -3077,6 +3077,80 @@ object DeltaInterop {
     0L
   }
 
+  /** (version, adjusted timestamp, operation, engineInfo) of every
+    * RETAINED JSON commit, oldest first. `commitInfo.timestamp` is
+    * preferred (every mainstream writer stamps it), the commit file's
+    * modification time is the fallback, and the sequence is made
+    * strictly MONOTONIC the way Delta's own time travel treats clock
+    * skew: each commit's effective timestamp = max(prev + 1 ms, its
+    * own). O(#retained commits) driver-side reads — the price every
+    * engine's DESCRIBE HISTORY pays. */
+  private def commitHistory(spark: SparkSession,
+      path: String): Seq[(Long, Long, String, String)] = {
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val logDir = new HPath(root, "_delta_log")
+    require(fs.exists(logDir), s"no Delta log at $path")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val commits = fs.listStatus(logDir).toSeq
+      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+      .sortBy(_.getPath.getName)
+    var prev = Long.MinValue
+    commits.map { st =>
+      val v = st.getPath.getName.take(20).toLong
+      var ts = st.getModificationTime
+      var op = ""
+      var engine = ""
+      readString(fs, st.getPath)
+        .split("\n").find(_.contains("\"commitInfo\"")).foreach { line =>
+          try {
+            val ci = om.readTree(line).path("commitInfo")
+            if (ci.has("timestamp")) ts = ci.get("timestamp").asLong()
+            op = ci.path("operation").asText("")
+            engine = ci.path("engineInfo").asText("")
+          } catch { // an unparseable action line keeps the mtime
+            case _: com.fasterxml.jackson.core.JacksonException => ()
+          }
+        }
+      val adj = math.max(ts, prev + 1)
+      prev = adj
+      (v, adj, op, engine)
+    }
+  }
+
+  /** DESCRIBE HISTORY of a foreign Delta table: one row per retained
+    * commit, newest first — version, commit timestamp (monotonically
+    * adjusted), operation, engineInfo. */
+  def deltaHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    commitHistory(spark, path).reverse
+      .toDF("version", "timestamp_ms", "operation", "engine_info")
+  }
+
+  /** Resolve a wall-clock timestamp to the Delta version current at
+    * that instant — the LAST retained commit at-or-before `tsMillis`
+    * (Delta's `TIMESTAMP AS OF` contract). A timestamp before the
+    * earliest retained commit refuses (cleaned history makes the
+    * answer unknowable); one after the latest resolves to the latest
+    * version. */
+  def deltaVersionAtTimestamp(spark: SparkSession, path: String,
+      tsMillis: Long): Long = {
+    val hist = commitHistory(spark, path)
+    require(hist.nonEmpty, s"no commits at $path")
+    require(tsMillis >= hist.head._2,
+      s"timestamp $tsMillis precedes the earliest retained commit " +
+        s"(version ${hist.head._1} at ${hist.head._2}) at $path — " +
+        "earlier history was cleaned")
+    hist.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  /** `TIMESTAMP AS OF` read: the snapshot current at `tsMillis`. */
+  def readDeltaAsOfTimestamp(spark: SparkSession, path: String,
+      tsMillis: Long): DataFrame =
+    readDelta(spark, path,
+      Some(deltaVersionAtTimestamp(spark, path, tsMillis)))
+
   /** Change Data Feed read of a foreign Delta table: one row per
     * changed row per commit in [fromVersion, toVersion] (inclusive),
     * with Delta's CDF columns `_change_type` and `_commit_version` —

@@ -3436,6 +3436,60 @@ object IcebergInterop {
     }
   }
 
+  /** Snapshot HISTORY of a file-based Iceberg table: one row per
+    * retained snapshot, newest first — snapshot id, parent id,
+    * commit timestamp, operation, and whether it is current. Pure
+    * driver metadata (one metadata.json read). */
+  def icebergHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (_, md) = currentMetadata(spark, path)
+    val cur = md.path("current-snapshot-id").asLong(-1L)
+    val rows =
+      (if (md.has("snapshots"))
+        md.get("snapshots").elements().asScala().toSeq
+      else Nil).map { s =>
+        (s.path("snapshot-id").asLong(),
+          s.path("parent-snapshot-id").asLong(-1L),
+          s.path("timestamp-ms").asLong(),
+          s.path("summary").path("operation").asText(""),
+          s.path("snapshot-id").asLong() == cur)
+      }.sortBy(-_._3)
+    rows.toDF("snapshot_id", "parent_id", "timestamp_ms", "operation",
+      "is_current")
+  }
+
+  /** Resolve a wall-clock timestamp to the snapshot current at that
+    * instant per the table's SNAPSHOT LOG (the spec's source of truth
+    * for as-of-timestamp reads — rollbacks append log entries, so a
+    * rolled-back table resolves to what a reader actually saw then):
+    * the last log entry at-or-before `tsMillis` whose snapshot is
+    * still retained. Before the earliest entry refuses; an entry
+    * pointing at an expired snapshot refuses with the expiry story. */
+  def icebergSnapshotAtTimestamp(spark: SparkSession, path: String,
+      tsMillis: Long): Long = {
+    val (_, md) = currentMetadata(spark, path)
+    val log = md.path("snapshot-log") match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        a.elements().asScala().toSeq.map(e =>
+          (e.path("timestamp-ms").asLong(), e.path("snapshot-id").asLong()))
+      case _ => Nil
+    }
+    require(log.nonEmpty, s"no snapshot log at $path")
+    require(tsMillis >= log.head._1,
+      s"timestamp $tsMillis precedes the earliest retained snapshot-log " +
+        s"entry (${log.head._1}) at $path — earlier history was expired")
+    val id = log.takeWhile(_._1 <= tsMillis).last._2
+    require(snapshotIds(md.asInstanceOf[ObjectNode]).contains(id),
+      s"the snapshot current at $tsMillis ($id) has been expired at $path")
+    id
+  }
+
+  /** `TIMESTAMP AS OF` read: the snapshot current at `tsMillis`. */
+  def readIcebergAsOfTimestamp(spark: SparkSession, path: String,
+      tsMillis: Long): DataFrame =
+    readIceberg(spark, path,
+      Some(icebergSnapshotAtTimestamp(spark, path, tsMillis)))
+
   /** Ref-pinned snapshot ids — [[expireIcebergSnapshots]] must never
     * expire these while their tag/branch lives. */
   private[sources] def refPinnedSnapshots(md: JsonNode): Set[Long] =

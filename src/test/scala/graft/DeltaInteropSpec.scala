@@ -2729,4 +2729,45 @@ class DeltaInteropSpec extends AnyFunSuite {
       s"quadrant smeared over $touching of ${boxes.length} files: " +
         boxes.mkString(", "))
   }
+
+  test("timestamp time travel + history for foreign Delta logs") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_tts_t_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_tts_")
+    DeltaInterop.exportSnapshot(t, target) // v0
+    DeltaInterop.appendToDelta(Seq((2L, "b")).toDF("id", "v"), target) // v1
+    DeltaInterop.deleteFromDelta(spark, target, col("id") === 1L) // v2
+    // pin the clock: rewrite each commitInfo timestamp AND the file
+    // mtime (v0's export commit carries no commitInfo — the mtime
+    // fallback serves it); v2 is set NON-monotonic (1500 < v1's 2000)
+    // to exercise the adjustment
+    Seq(0L -> 1000L, 1L -> 2000L, 2L -> 1500L).foreach { case (v, ts) =>
+      val p = Paths.get(target, "_delta_log", f"$v%020d.json")
+      val txt = new String(Files.readAllBytes(p), "UTF-8")
+        .replaceAll("\"timestamp\":\\d+", s""""timestamp":$ts""")
+      Files.write(p, txt.getBytes("UTF-8"))
+      Files.deleteIfExists(p.getParent.resolve("." + p.getFileName + ".crc"))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    }
+    val hist = DeltaInterop.deltaHistory(spark, target)
+      .as[(Long, Long, String, String)].collect().toSeq
+    // newest first; v2's 1500 adjusted to 2001; operations recorded
+    assert(hist.map(h => (h._1, h._2)) ==
+      Seq((2L, 2001L), (1L, 2000L), (0L, 1000L)), hist.toString)
+    assert(hist.map(_._3) == Seq("DELETE", "WRITE", ""), hist)
+    assert(DeltaInterop.deltaVersionAtTimestamp(spark, target, 1000L) == 0L)
+    assert(DeltaInterop.deltaVersionAtTimestamp(spark, target, 1999L) == 0L)
+    assert(DeltaInterop.deltaVersionAtTimestamp(spark, target, 2000L) == 1L)
+    assert(DeltaInterop.deltaVersionAtTimestamp(spark, target, 9999L) == 2L)
+    assert(DeltaInterop.readDeltaAsOfTimestamp(spark, target, 2000L)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(DeltaInterop.readDeltaAsOfTimestamp(spark, target, 2001L)
+      .select("id").as[Long].collect().toSet == Set(2L))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.deltaVersionAtTimestamp(spark, target, 999L)
+    }
+    assert(e.getMessage.contains("precedes"), e.getMessage)
+  }
 }

@@ -2356,6 +2356,56 @@ class IcebergInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp travel resolves via the snapshot log; history lists snapshots") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_itts_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_itts_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val s1 = currentSnapId(target)
+    IcebergInterop.appendToIceberg(Seq((2L, "b")).toDF("id", "v"), target)
+    val s2 = currentSnapId(target)
+    IcebergInterop.rollbackIceberg(spark, target, s1)
+    // pin the snapshot-log clock: 1000 (s1), 2000 (s2), 3000 (rollback)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = new java.io.File(target, "metadata")
+    val vTop = dir.list().collect {
+      case n if n.matches("v\\d+\\.metadata\\.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toInt
+    }.max
+    val mdPath = Paths.get(target, "metadata", s"v$vTop.metadata.json")
+    val md = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    // the EXPORT snapshot predates snapshot-log bookkeeping, so the
+    // log holds the append (s2) and the rollback's re-point (s1)
+    val log = md.get("snapshot-log")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    assert(log.size() == 2, md.toString)
+    (0 until 2).foreach(i => log.get(i)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("timestamp-ms", (i + 2) * 1000L))
+    patch(mdPath, om.writeValueAsBytes(md))
+    assert(IcebergInterop.icebergSnapshotAtTimestamp(spark, target,
+      2500L) == s2)
+    // the rollback APPENDED a log entry, so "now" resolves to s1 — what
+    // a reader actually saw after the rollback
+    assert(IcebergInterop.icebergSnapshotAtTimestamp(spark, target,
+      9999L) == s1)
+    assert(IcebergInterop.readIcebergAsOfTimestamp(spark, target, 2500L)
+      .count() == 2)
+    assert(IcebergInterop.readIcebergAsOfTimestamp(spark, target, 9999L)
+      .count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.icebergSnapshotAtTimestamp(spark, target, 1999L)
+    }
+    assert(e.getMessage.contains("precedes"), e.getMessage)
+    val hist = IcebergInterop.icebergHistory(spark, target)
+      .as[(Long, Long, Long, String, Boolean)].collect().toSeq
+    assert(hist.map(_._1).toSet == Set(s1, s2), hist.toString)
+    assert(hist.filter(_._5).map(_._1) == Seq(s1), hist.toString)
+    assert(hist.find(_._1 == s2).get._2 == s1) // parent chain recorded
+  }
+
   test("removeOrphanIcebergFiles: unreferenced + old only; metadata untouched") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_iorph_"),
