@@ -606,3 +606,69 @@ def read_iceberg_as_of_timestamp(spark, path, ts_millis):
     ix = spark._jvm.graft.sources.IcebergInterop
     return DataFrame(ix.readIcebergAsOfTimestamp(
         spark._jsparkSession, path, int(ts_millis)), spark)
+
+
+def _smap(spark, d):
+    m = spark._jvm.scala.collection.immutable.HashMap()
+    for k, v in (d or {}).items():
+        m = m.updated(k, v)
+    return m
+
+
+def add_column_to_delta(spark, path, name, ddl_type):
+    """ALTER TABLE ... ADD COLUMN on a foreign Delta table: one
+    metadata-only commit appending a NULLABLE column (ddl_type is a DDL
+    string like 'bigint'); old files null-fill it, appends must then
+    include it. Column-mapped tables get a fresh mapping id + physical
+    name. Returns the committed version."""
+    jvm = spark._jvm
+    dt = jvm.org.apache.spark.sql.types.DataType.fromDDL(ddl_type)
+    dx = jvm.graft.sources.DeltaInterop
+    return dx.addColumnToDelta(spark._jsparkSession, path, name, dt, 20)
+
+
+def set_delta_properties(spark, path, props):
+    """SET TBLPROPERTIES on a foreign Delta table (one metadata-only
+    commit; identity/schema/layout preserved)."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return dx.setDeltaProperties(spark._jsparkSession, path,
+                                 _smap(spark, props), 20)
+
+
+def unset_delta_properties(spark, path, keys):
+    """UNSET TBLPROPERTIES on a foreign Delta table."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return dx.unsetDeltaProperties(spark._jsparkSession, path,
+                                   _seq(spark, keys), 20)
+
+
+def add_column_to_iceberg(spark, path, name, ddl_type):
+    """ALTER TABLE ... ADD COLUMN on a file-based Iceberg table: one
+    metadata-only commit appending an OPTIONAL primitive column with
+    the next field id. Returns the published metadata version."""
+    jvm = spark._jvm
+    dt = jvm.org.apache.spark.sql.types.DataType.fromDDL(ddl_type)
+    ix = jvm.graft.sources.IcebergInterop
+    return ix.addColumnToIceberg(spark._jsparkSession, path, name, dt, 20)
+
+
+def rename_iceberg_column(spark, path, old, new):
+    """ALTER TABLE ... RENAME COLUMN on a file-based Iceberg table —
+    field ids never change, so every existing data file keeps reading
+    under the new name."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.renameIcebergColumn(spark._jsparkSession, path, old, new, 20)
+
+
+def set_iceberg_properties(spark, path, props):
+    """SET TBLPROPERTIES on a file-based Iceberg table."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.setIcebergProperties(spark._jsparkSession, path,
+                                   _smap(spark, props), 20)
+
+
+def remove_iceberg_properties(spark, path, keys):
+    """UNSET TBLPROPERTIES on a file-based Iceberg table."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.removeIcebergProperties(spark._jsparkSession, path,
+                                      _seq(spark, keys), 20)

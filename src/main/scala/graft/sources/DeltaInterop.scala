@@ -3077,6 +3077,128 @@ object DeltaInterop {
     0L
   }
 
+  /** One optimistic METADATA-ONLY commit to a foreign Delta log: edit
+    * (schema, configuration) against the current state, preserve the
+    * table identity (id / name / description / createdTime) from the
+    * replayed metaData, and claim the next version slot. Lost races
+    * re-replay and re-edit against the winner. */
+  private def commitDeltaMetaData(spark: SparkSession, path: String,
+      operation: String, params: Map[String, String],
+      maxRetries: Int = 20)(
+      edit: (StructType, Map[String, String]) =>
+        (StructType, Map[String, String])): Long = {
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val io = new TableIO(path, conf)
+    val logDir = new HPath(root, "_delta_log")
+    require(root.getFileSystem(conf).exists(logDir), s"no Delta log at $path")
+    def refuseW(what: String): Nothing = throw new IllegalArgumentException(
+      s"cannot alter Delta table at $path: $what — alter it with a full " +
+        "Delta client")
+    val Harmless = Set("appendOnly", "invariants", "checkConstraints",
+      "generatedColumns", "changeDataFeed", "deletionVectors",
+      "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping")
+    var attempts = 0
+    while (true) {
+      val coll = new CheckpointCollector()
+      val st = replaySnapshot(spark, path, None, Some(coll))
+      if (st.minWriter > 7)
+        refuseW(s"the table requires writer protocol ${st.minWriter}")
+      if (st.minWriter == 7) {
+        val unknown = st.writerFeatures.filterNot(Harmless.contains)
+        if (unknown.nonEmpty)
+          refuseW("the table requires writer features " +
+            s"[${unknown.mkString(", ")}] this writer does not implement")
+      }
+      val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+      val (newSchema, newConf) = edit(schema, st.configuration)
+      val now = System.currentTimeMillis()
+      val paramsJson = params.map { case (k, v) =>
+        "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\""
+      }.mkString(",")
+      val confJson = newConf.map { case (k, v) =>
+        "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\""
+      }.mkString(",")
+      val nameJson = coll.metaName
+        .map(n => s""","name":"${jsonEscape(n)}"""").getOrElse("")
+      val descJson = coll.metaDescription
+        .map(d => s""","description":"${jsonEscape(d)}"""").getOrElse("")
+      val actions = Seq(
+        s"""{"commitInfo":{"timestamp":$now,"operation":"${jsonEscape(operation)}","operationParameters":{$paramsJson},"engineInfo":"graft-alter"}}""",
+        s"""{"metaData":{"id":"${jsonEscape(coll.metaId.getOrElse(
+          java.util.UUID.randomUUID().toString))}"$nameJson$descJson,"format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(newSchema.json)}","partitionColumns":[${st.partCols.map(c =>
+          "\"" + jsonEscape(c) + "\"").mkString(",")}],"configuration":{$confJson},"createdTime":${coll.createdTime.getOrElse(now)}}}""")
+      try {
+        io.writeExclusive(new HPath(logDir, f"${st.version + 1}%020d.json"),
+          actions.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+        return st.version + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+          if (attempts > maxRetries)
+            throw new IllegalStateException(
+              s"$operation lost $maxRetries version races at $path — " +
+                "giving up")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** SET TBLPROPERTIES on a foreign Delta table — one metadata-only
+    * commit updating `configuration` (identity, schema, and layout
+    * preserved). The live switchboard every engine respects:
+    * `delta.appendOnly`, `delta.enableChangeDataFeed`,
+    * retention knobs, … Returns the committed version. */
+  def setDeltaProperties(spark: SparkSession, path: String,
+      props: Map[String, String], maxRetries: Int = 20): Long =
+    commitDeltaMetaData(spark, path, "SET TBLPROPERTIES", props,
+      maxRetries)((s, c) => (s, c ++ props))
+
+  /** UNSET TBLPROPERTIES — drops `keys` from `configuration`. */
+  def unsetDeltaProperties(spark: SparkSession, path: String,
+      keys: Seq[String], maxRetries: Int = 20): Long =
+    commitDeltaMetaData(spark, path, "UNSET TBLPROPERTIES",
+      keys.map(k => k -> "").toMap, maxRetries)((s, c) => (s, c -- keys))
+
+  /** ALTER TABLE … ADD COLUMN on a foreign Delta table: append a
+    * NULLABLE column as one metadata-only commit — existing files
+    * null-fill it on read (parquet schema evolution), appends must
+    * then include it. Column-mapped tables (name AND id mode) get a
+    * fresh mapping id + UUID physical name and a bumped
+    * `delta.columnMapping.maxColumnId`, per the protocol's writer
+    * requirements. Duplicate names (case-insensitive) refuse. */
+  def addColumnToDelta(spark: SparkSession, path: String, name: String,
+      dataType: DataType, maxRetries: Int = 20): Long =
+    commitDeltaMetaData(spark, path, "ADD COLUMNS",
+      Map("column" -> name), maxRetries) { (schema, c) =>
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column '$name' already exists at $path")
+      if (c.getOrElse("delta.columnMapping.mode", "none") == "none")
+        (schema.add(StructField(name, dataType, nullable = true)), c)
+      else {
+        def fieldIds(st: StructType): Seq[Long] = st.fields.toSeq.flatMap {
+          f =>
+            val own =
+              if (f.metadata.contains(ColMapIdKey))
+                Seq(f.metadata.getLong(ColMapIdKey))
+              else Nil
+            own ++ (f.dataType match {
+              case s: StructType => fieldIds(s)
+              case _ => Nil
+            })
+        }
+        val maxId = (c.get("delta.columnMapping.maxColumnId")
+          .map(_.toLong).getOrElse(0L) +: fieldIds(schema)).max
+        val id = maxId + 1
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(ColMapIdKey, id)
+          .putString(PhysNameKey, s"col-${java.util.UUID.randomUUID()}")
+          .build()
+        (schema.add(StructField(name, dataType, nullable = true, md)),
+          c + ("delta.columnMapping.maxColumnId" -> id.toString))
+      }
+    }
+
   /** (version, adjusted timestamp, operation, engineInfo) of every
     * RETAINED JSON commit, oldest first. `commitInfo.timestamp` is
     * preferred (every mainstream writer stamps it), the commit file's

@@ -3005,30 +3005,88 @@ object IcebergInterop {
     val needIdRead = renameDetail.isDefined || missing.nonEmpty
     // Spark's inferred schema drops parquet field ids — ask the footer
     // itself whether every top-level column carries one
-    def footerHasFieldIds: Boolean = {
+    def footerHasFieldIds(file: String): Boolean = {
       val conf = spark.sparkContext.hadoopConfiguration
-      val hp = new HPath(dataFiles.head._1)
       val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf))
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new HPath(file), conf))
       try {
         val mt = rdr.getFooter.getFileMetaData.getSchema
         (0 until mt.getFieldCount).forall(i => mt.getType(i).getId != null)
       } finally rdr.close()
     }
-    val idRead = needIdRead && footerHasFieldIds
-    if (needIdRead && !idRead)
-      refuse(path, renameDetail.getOrElse(
-        s"data files lack declared columns ${missing.mkString(", ")} " +
-          "(renamed by field id?)") +
-        " — and the data files carry no parquet field ids to resolve by")
-    // the flag is session-sticky by Spark's design (the scan reads it
-    // from session conf at planning); harmless for every other scan —
-    // matching only engages for schemas that CARRY parquet.field.id
-    // metadata, which only these upgraded reads construct
-    if (idRead)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val readSchema: StructType =
-      if (idRead) annotateFieldIds(schema, schemaNode) else schema
+    // Per-file rename resolution, Iceberg's own precedence: files WITH
+    // parquet field ids resolve BY ID (Spark's field-id matching over
+    // an annotated schema); id-less files resolve through the table's
+    // `schema.name-mapping.default` (field-id → the name the files
+    // carry — written by migrate/convert paths); a file with neither
+    // refuses loudly, never null-fills. The footer split is O(#files)
+    // driver opens, paid only when a rename/absence is detected.
+    val nameMapping: Map[Int, String] =
+      if (!needIdRead) Map.empty
+      else md.path("properties").path("schema.name-mapping.default") match {
+        case t if t.isTextual =>
+          try om.readTree(t.asText()).elements().asScala().flatMap { e =>
+            val id = e.path("field-id").asInt(-1)
+            val names = e.path("names").elements().asScala()
+              .map(_.asText()).toSeq
+            if (id >= 0 && names.nonEmpty) Some(id -> names.head) else None
+          }.toMap
+          catch { case _: Exception => Map.empty[Int, String] }
+        case _ => Map.empty
+      }
+    val idOfName: Map[String, Int] =
+      if (!needIdRead) Map.empty
+      else schemaNode.get("fields").elements().asScala()
+        .map(f => f.path("name").asText() -> f.path("id").asInt(-1)).toMap
+    val idFileSet: Set[String] =
+      if (!needIdRead) Set.empty
+      else dataFiles.map(_._1).distinct.filter(footerHasFieldIds).toSet
+    if (needIdRead) {
+      if (nameMapping.isEmpty &&
+          dataFiles.map(_._1).distinct.exists(!idFileSet.contains(_)))
+        refuse(path, renameDetail.getOrElse(
+          s"data files lack declared columns ${missing.mkString(", ")} " +
+            "(renamed by field id?)") +
+          " — and the data files carry no parquet field ids (nor a " +
+          "schema.name-mapping.default) to resolve by")
+      // the flag is session-sticky by Spark's design (the scan reads it
+      // from session conf at planning); harmless for every other scan —
+      // matching only engages for schemas that CARRY parquet.field.id
+      // metadata, which only these upgraded reads construct
+      if (idFileSet.nonEmpty)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    }
+    val readSchema: StructType = schema
+    /** Scan `files` at `scanSchema`, splitting id-resolvable from
+      * name-mapped files when renames are in play, and project the
+      * logical columns (+ `extra`, e.g. _metadata refs — selected
+      * per-scan because hidden columns don't survive a union). */
+    def readFiles(scanSchema: StructType, files: Seq[String],
+        extra: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      def project(df: DataFrame) =
+        df.select(scanSchema.map(f => col(f.name)) ++ extra: _*)
+      if (!needIdRead)
+        project(spark.read.schema(scanSchema).parquet(files: _*))
+      else {
+        val (withIds, without) = files.partition(idFileSet.contains)
+        val scans = Seq.newBuilder[DataFrame]
+        if (withIds.nonEmpty)
+          scans += project(spark.read
+            .schema(annotateFieldIds(scanSchema, schemaNode))
+            .parquet(withIds: _*))
+        if (without.nonEmpty) {
+          def physName(f: StructField): String =
+            idOfName.get(f.name).flatMap(nameMapping.get).getOrElse(f.name)
+          val physSchema =
+            StructType(scanSchema.map(f => f.copy(name = physName(f))))
+          scans += spark.read.schema(physSchema).parquet(without: _*)
+            .select(scanSchema.map(f => col(physName(f)).as(f.name)) ++
+              extra: _*)
+        }
+        scans.result().reduce(_.unionAll(_))
+      }
+    }
 
     // Delete application: each scan keeps its (file, pos) row identity
     // via _metadata columns until left_anti joins strip the deleted
@@ -3097,8 +3155,7 @@ object IcebergInterop {
 
     if (dataFiles.forall(_._2.isEmpty))
       applyPosDeletes(
-        spark.read.schema(readSchema).parquet(dataFiles.map(_._1): _*)
-          .select(schema.map(f => col(f.name)) ++ metaCols: _*))
+        readFiles(readSchema, dataFiles.map(_._1).distinct, metaCols))
     else {
       // Identity columns come from partition metadata, constant per
       // file: scan each distinct substitution tuple's files once and
@@ -3161,12 +3218,16 @@ object IcebergInterop {
           val metaNames = subs.map(_._1).toSet
           val scanSchema =
             StructType(readSchema.filterNot(f => metaNames.contains(f.name)))
-          var df = spark.read.schema(scanSchema)
-            .parquet(fsOfPart.map(_._1): _*)
+          var df = readFiles(scanSchema, fsOfPart.map(_._1).distinct,
+            metaCols)
           subs.foreach { case (n, dt, v) =>
             df = df.withColumn(n, idLit(dt, v))
           }
-          df.select(schema.map(f => col(f.name)) ++ metaCols: _*)
+          // _metadata refs were projected inside readFiles — reference
+          // them by their projected aliases here
+          df.select(schema.map(f => col(f.name)) ++
+            (if (metaCols.isEmpty) Nil
+             else Seq(col("__fp"), col("__pos"))): _*)
         }.reduce(_.unionAll(_)))
     }
   }
@@ -3489,6 +3550,129 @@ object IcebergInterop {
       tsMillis: Long): DataFrame =
     readIceberg(spark, path,
       Some(icebergSnapshotAtTimestamp(spark, path, tsMillis)))
+
+  /** Publish an edited current schema into `md`: append to `schemas`
+    * with a fresh schema-id (or reuse a deep-equal one), repoint
+    * `current-schema-id` and the v1-compat `schema`, bump
+    * `last-column-id` to cover `lastColId`. */
+  private def publishSchema(md: ObjectNode, newSchema: ObjectNode,
+      lastColId: Int): Unit = {
+    val schemas =
+      if (md.has("schemas"))
+        md.get("schemas")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      else md.putArray("schemas")
+    val schemaId = schemas.elements().asScala()
+      .find(s => s.get("fields") == newSchema.get("fields"))
+      .map(_.get("schema-id").asInt())
+      .getOrElse {
+        val next = schemas.elements().asScala()
+          .map(_.path("schema-id").asInt(0)).maxOption.map(_ + 1)
+          .getOrElse(0)
+        newSchema.put("schema-id", next)
+        schemas.add(newSchema)
+        next
+      }
+    md.put("current-schema-id", schemaId)
+    md.set[ObjectNode]("schema", schemas.elements().asScala()
+      .find(_.path("schema-id").asInt(-1) == schemaId).get
+      .deepCopy[ObjectNode]())
+    md.put("last-column-id",
+      math.max(md.path("last-column-id").asInt(0), lastColId))
+  }
+
+  private def primitiveIcebergType(dt: DataType, what: String): String =
+    dt match {
+      case BooleanType => "boolean"
+      case ByteType | ShortType | IntegerType => "int"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case DateType => "date"
+      case TimestampType => "timestamptz"
+      case TimestampNTZType => "timestamp"
+      case StringType => "string"
+      case BinaryType => "binary"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case other => throw new IllegalArgumentException(
+        s"$what: type ${other.simpleString} is not a primitive Iceberg " +
+          "type — nested additions need multi-field-id allocation; use a " +
+          "full Iceberg client")
+    }
+
+  /** ALTER TABLE … ADD COLUMN on a file-based Iceberg table: one
+    * metadata-only commit appending an OPTIONAL primitive column with
+    * the next field id — existing files null-fill it on read, appends
+    * must then include it. Duplicate names (case-insensitive) refuse;
+    * nested types refuse (multi-id allocation). */
+  def addColumnToIceberg(spark: SparkSession, path: String, name: String,
+      dataType: DataType, maxRetries: Int = 20): Int =
+    commitMetadataEdit(spark, path, maxRetries, s"add column $name") { md =>
+      val cur = currentSchemaNode(md, path)
+      val existing = cur.get("fields").elements().asScala()
+        .map(_.get("name").asText()).toSeq
+      require(!existing.exists(_.equalsIgnoreCase(name)),
+        s"column '$name' already exists at $path")
+      val newId = md.path("last-column-id").asInt(0) + 1
+      val newSchema = cur.deepCopy[ObjectNode]()
+      val fn = om.createObjectNode()
+      fn.put("id", newId)
+      fn.put("name", name)
+      fn.put("required", false)
+      fn.put("type", primitiveIcebergType(dataType,
+        s"cannot add column '$name' to $path"))
+      newSchema.get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(fn)
+      publishSchema(md, newSchema, newId)
+    }
+
+  /** ALTER TABLE … RENAME COLUMN on a file-based Iceberg table: field
+    * IDS never change, so every existing data file keeps reading under
+    * the new name (the field-id resolution [[readIceberg]] already
+    * implements) — one metadata-only commit. */
+  def renameIcebergColumn(spark: SparkSession, path: String, from: String,
+      to: String, maxRetries: Int = 20): Int =
+    commitMetadataEdit(spark, path, maxRetries,
+      s"rename column $from to $to") { md =>
+      val cur = currentSchemaNode(md, path)
+      val names = cur.get("fields").elements().asScala()
+        .map(_.get("name").asText()).toSeq
+      require(names.contains(from), s"no column '$from' at $path")
+      require(!names.exists(n => n.equalsIgnoreCase(to) && n != from),
+        s"column '$to' already exists at $path")
+      val newSchema = cur.deepCopy[ObjectNode]()
+      newSchema.get("fields").elements().asScala().foreach {
+        case f: ObjectNode if f.get("name").asText() == from =>
+          f.put("name", to)
+        case _ => ()
+      }
+      publishSchema(md, newSchema,
+        md.path("last-column-id").asInt(0))
+    }
+
+  /** SET TBLPROPERTIES on a file-based Iceberg table — one
+    * metadata-only commit updating the `properties` map (retention
+    * knobs, write targets, …; the same map graft's exactly-once txn
+    * watermarks ride, so concurrent edits race-retry safely). */
+  def setIcebergProperties(spark: SparkSession, path: String,
+      props: Map[String, String], maxRetries: Int = 20): Int =
+    commitMetadataEdit(spark, path, maxRetries, "set properties") { md =>
+      val o = md.path("properties") match {
+        case p: ObjectNode => p
+        case _ => md.putObject("properties")
+      }
+      props.foreach { case (k, v) => o.put(k, v) }
+    }
+
+  /** UNSET TBLPROPERTIES — drops `keys` from the properties map. */
+  def removeIcebergProperties(spark: SparkSession, path: String,
+      keys: Seq[String], maxRetries: Int = 20): Int =
+    commitMetadataEdit(spark, path, maxRetries, "remove properties") { md =>
+      md.path("properties") match {
+        case p: ObjectNode => keys.foreach(p.remove)
+        case _ => ()
+      }
+    }
 
   /** Ref-pinned snapshot ids — [[expireIcebergSnapshots]] must never
     * expire these while their tag/branch lives. */

@@ -2770,4 +2770,93 @@ class DeltaInteropSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("precedes"), e.getMessage)
   }
+
+  test("foreign Delta DDL: ADD COLUMN + property CRUD, identity preserved") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_ddl_t_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_ddl_")
+    DeltaInterop.exportSnapshot(t, target) // v0
+    assert(DeltaInterop.addColumnToDelta(spark, target, "n",
+      org.apache.spark.sql.types.IntegerType) == 1L)
+    val widened = DeltaInterop.readDelta(spark, target)
+    assert(widened.columns.toSeq == Seq("id", "v", "n"))
+    assert(widened.as[(Long, String, Option[Int])].collect().toSeq ==
+      Seq((1L, "a", None))) // old files null-fill the new column
+    DeltaInterop.appendToDelta(Seq((2L, "b", 7)).toDF("id", "v", "n"),
+      target)
+    assert(DeltaInterop.readDelta(spark, target)
+      .as[(Long, String, Option[Int])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", Some(7))))
+    // duplicate names refuse, case-insensitively
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.addColumnToDelta(spark, target, "V",
+        org.apache.spark.sql.types.IntegerType)
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // properties are live switches other writers respect
+    DeltaInterop.setDeltaProperties(spark, target,
+      Map("delta.appendOnly" -> "true"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaInterop.deleteFromDelta(spark, target, col("id") === 1L)
+    }
+    assert(e2.getMessage.contains("append-only"), e2.getMessage)
+    DeltaInterop.unsetDeltaProperties(spark, target,
+      Seq("delta.appendOnly"))
+    DeltaInterop.deleteFromDelta(spark, target, col("id") === 1L)
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    // the table id survives every metadata re-commit
+    def metaIdOf(v: Long): String = {
+      val txt = new String(Files.readAllBytes(
+        Paths.get(target, "_delta_log", f"$v%020d.json")), "UTF-8")
+      "\"metaData\":\\{\"id\":\"([^\"]+)\"".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    }
+    assert(metaIdOf(0L).nonEmpty && metaIdOf(0L) == metaIdOf(1L) &&
+      metaIdOf(0L) == metaIdOf(3L))
+    val ops = DeltaInterop.deltaHistory(spark, target)
+      .select("operation").as[String].collect().toSeq
+    assert(ops.contains("ADD COLUMNS") && ops.contains("SET TBLPROPERTIES")
+      && ops.contains("UNSET TBLPROPERTIES"), ops.toString)
+  }
+
+  test("foreign Delta ADD COLUMN assigns mapping id + physical name on mapped tables") {
+    import spark.implicits._
+    val root = tmp("graft_ddlmap_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    Seq((1L, "x")).toDF("a", "b")
+      .select(col("a").as("col-1"), col("b").as("col-2"))
+      .coalesce(1).write.parquet(root + "/d0")
+    val f0 = Files.list(Paths.get(root, "d0")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val rel = Paths.get(root).relativize(Paths.get(f0)).toString
+    def meta(phys: String, id: Int) =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build()
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-1", 1)),
+      StructField("v", StringType, nullable = true, meta("col-2", 2)))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    DeltaInterop.addColumnToDelta(spark, root, "extra", LongType)
+    assert(DeltaInterop.readDelta(spark, root)
+      .as[(Long, String, Option[Long])].collect().toSeq ==
+      Seq((1L, "x", None)))
+    // the appended row writes the new column under its PHYSICAL name
+    DeltaInterop.appendToDelta(
+      Seq((2L, "y", 42L)).toDF("id", "v", "extra"), root)
+    assert(DeltaInterop.readDelta(spark, root)
+      .as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "x", None), (2L, "y", Some(42L))))
+    val v1 = new String(Files.readAllBytes(
+      Paths.get(root, "_delta_log", "0" * 19 + "1.json")), "UTF-8")
+    assert(v1.contains("\"delta.columnMapping.maxColumnId\":\"3\""), v1)
+    assert(v1.contains("delta.columnMapping.physicalName"), v1)
+  }
 }

@@ -2406,6 +2406,61 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(hist.find(_._1 == s2).get._2 == s1) // parent chain recorded
   }
 
+  test("foreign Iceberg DDL: add/rename columns by field id, property CRUD") {
+    import spark.implicits._
+    val src = tmp("graft_iddl_src_")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(src)
+    IcebergInterop.convertParquetToIceberg(spark, src)
+    IcebergInterop.addColumnToIceberg(spark, src, "n",
+      org.apache.spark.sql.types.LongType)
+    assert(IcebergInterop.readIceberg(spark, src)
+      .as[(Long, String, Option[Long])].collect().toSeq ==
+      Seq((1L, "a", None))) // old files null-fill
+    IcebergInterop.appendToIceberg(
+      Seq((2L, "b", 7L)).toDF("id", "v", "n"), src)
+    assert(IcebergInterop.readIceberg(spark, src)
+      .as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", Some(7L))))
+    // rename: field ids never change, so EVERY existing file (the
+    // id-less converted one via name-mapping, the id-stamped appended
+    // one via parquet field ids) reads under the new name
+    IcebergInterop.renameIcebergColumn(spark, src, "v", "label")
+    val renamed = IcebergInterop.readIceberg(spark, src)
+    assert(renamed.columns.toSeq == Seq("id", "label", "n"))
+    assert(renamed.as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", Some(7L))))
+    IcebergInterop.appendToIceberg(
+      Seq((3L, "c", 9L)).toDF("id", "label", "n"), src)
+    assert(IcebergInterop.readIceberg(spark, src).count() == 3)
+    // refusals: duplicates, unknown sources, nested types
+    intercept[IllegalArgumentException] {
+      IcebergInterop.addColumnToIceberg(spark, src, "LABEL",
+        org.apache.spark.sql.types.LongType)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergInterop.renameIcebergColumn(spark, src, "nope", "x")
+    }
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.addColumnToIceberg(spark, src, "arr",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))
+    }
+    assert(e.getMessage.contains("primitive"), e.getMessage)
+    // properties CRUD
+    IcebergInterop.setIcebergProperties(spark, src,
+      Map("commit.retry.num-retries" -> "5", "graft.test" -> "yes"))
+    assert(latestMeta(src).path("properties")
+      .path("commit.retry.num-retries").asText() == "5")
+    IcebergInterop.removeIcebergProperties(spark, src, Seq("graft.test"))
+    val props = latestMeta(src).path("properties")
+    assert(!props.has("graft.test") &&
+      props.path("commit.retry.num-retries").asText() == "5")
+    // schema bookkeeping: ids advanced, last-column-id covers the add
+    val md = latestMeta(src)
+    assert(md.get("last-column-id").asInt() == 3, md.toString)
+    assert(md.get("schemas").size() >= 3, md.toString)
+  }
+
   test("removeOrphanIcebergFiles: unreferenced + old only; metadata untouched") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_iorph_"),
