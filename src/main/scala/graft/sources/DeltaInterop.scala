@@ -2876,10 +2876,12 @@ object DeltaInterop {
     * history stays time-travelable (the undone versions are still in
     * the log until [[cleanupDeltaLog]]).
     *
-    * Refusals, all loud: a re-added data or DV file that VACUUM
-    * already deleted (named in the error); a schema / partition-layout
-    * change between `version` and now (a faithful restore would need a
-    * metaData re-commit); append-only tables; unknown writer features.
+    * Schema, partition-layout, and property changes since `version`
+    * restore too: the commit re-declares the TARGET metaData with the
+    * table identity preserved — Delta's own RESTORE reverts metadata
+    * alongside data. Refusals, all loud: a re-added data or DV file
+    * that VACUUM already deleted (named in the error); append-only
+    * tables; unknown writer features.
     * CDF note: the restore commit carries plain dataChange
     * adds+removes, so a [[readDeltaChanges]] range crossing it refuses
     * as an ambiguous rewrite rather than fabricating row-level events.
@@ -2921,7 +2923,8 @@ object DeltaInterop {
 
     var attempts = 0
     while (true) {
-      val cur = replaySnapshot(spark, path, None)
+      val coll = new CheckpointCollector()
+      val cur = replaySnapshot(spark, path, None, Some(coll))
       if (cur.version < version)
         refuseW(s"version $version is ahead of the log (at ${cur.version})")
       if (cur.configuration.get("delta.appendOnly").contains("true"))
@@ -2934,19 +2937,19 @@ object DeltaInterop {
           refuseW("the table requires writer features " +
             s"[${unknown.mkString(", ")}] this writer does not implement")
       }
-      if (cur.schemaJson != target.schemaJson)
-        refuseW(s"the schema changed between version $version and " +
-          s"${cur.version} — a faithful restore needs a metaData re-commit")
-      if (cur.partCols != target.partCols)
-        refuseW(s"the partition layout changed between version $version " +
-          s"and ${cur.version}")
+      // schema / layout / property changes since `version` restore too:
+      // the commit re-declares the TARGET metaData (identity preserved)
+      val metaChanged = cur.schemaJson != target.schemaJson ||
+        cur.partCols != target.partCols ||
+        cur.configuration != target.configuration
       val curKeys = cur.active.map { case (p, (_, dv)) => key(p, dv) }.toSet
       val tgtKeys = target.active.map { case (p, (_, dv)) => key(p, dv) }.toSet
       val removes = cur.active.filterNot {
         case (p, (_, dv)) => tgtKeys(key(p, dv)) }
       val adds = target.active.filterNot {
         case (p, (_, dv)) => curKeys(key(p, dv)) }
-      if (removes.isEmpty && adds.isEmpty) return cur.version
+      if (removes.isEmpty && adds.isEmpty && !metaChanged)
+        return cur.version
       // every re-surfaced file must still exist — VACUUM after the
       // target version makes the restore impossible, not silent
       val statted = adds.map { case (p, (pv, dv)) =>
@@ -2966,6 +2969,19 @@ object DeltaInterop {
       val now = System.currentTimeMillis()
       val actions = Seq.newBuilder[String]
       actions += s"""{"commitInfo":{"timestamp":$now,"operation":"RESTORE","operationParameters":{"version":"$version"},"engineInfo":"graft-restore"}}"""
+      if (metaChanged) {
+        val confJson = target.configuration.map { case (k, v) =>
+          "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\""
+        }.mkString(",")
+        val partJson = target.partCols.map(c =>
+          "\"" + jsonEscape(c) + "\"").mkString(",")
+        val nameJson = coll.metaName
+          .map(n => s""","name":"${jsonEscape(n)}"""").getOrElse("")
+        val descJson = coll.metaDescription
+          .map(d => s""","description":"${jsonEscape(d)}"""").getOrElse("")
+        actions += s"""{"metaData":{"id":"${jsonEscape(coll.metaId.getOrElse(
+          java.util.UUID.randomUUID().toString))}"$nameJson$descJson,"format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(target.schemaJson)}","partitionColumns":[$partJson],"configuration":{$confJson},"createdTime":${coll.createdTime.getOrElse(now)}}}"""
+      }
       removes.foreach { case (p, (pv, _)) =>
         actions += s"""{"remove":{"path":"${jsonEscape(encodePath(p))}","deletionTimestamp":$now,"dataChange":true,"extendedFileMetadata":true,"partitionValues":{${pvJson(pv)}}}}"""
       }

@@ -750,7 +750,14 @@ private[v2] object GraftProcedures {
   val Names: Seq[String] =
     Seq("vacuum", "vacuum_older_than", "compact", "cluster", "zorder",
       "restore", "export_delta", "export_iceberg", "mirror_delta",
-      "mirror_iceberg", "expire_snapshots", "cleanup_delta_log")
+      "mirror_iceberg", "expire_snapshots", "cleanup_delta_log",
+      // FOREIGN-path maintenance: first arg is a raw table root (any
+      // Hadoop-FS URI), not a warehouse name — the SQL face of the
+      // Delta/Iceberg interop writers
+      "delta_vacuum", "delta_optimize", "delta_checkpoint",
+      "delta_restore", "delta_clone", "iceberg_expire_snapshots",
+      "iceberg_compact", "iceberg_rollback", "iceberg_remove_orphans",
+      "iceberg_tag", "iceberg_drop_ref")
 
   private def in(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -782,12 +789,92 @@ private[v2] object GraftProcedures {
             Array(in("table", StringType), in("keep_last", IntegerType))
           case "cleanup_delta_log" =>
             Array(in("table", StringType), in("keep_versions", IntegerType))
+          case "delta_vacuum" =>
+            Array(in("path", StringType), in("retention_ms", LongType))
+          case "delta_optimize" =>
+            Array(in("path", StringType), in("target_bytes", LongType),
+              in("zorder_cols", StringType))
+          case "delta_checkpoint" =>
+            Array(in("path", StringType))
+          case "delta_restore" =>
+            Array(in("path", StringType), in("to_version", LongType))
+          case "delta_clone" =>
+            Array(in("source", StringType), in("target", StringType))
+          case "iceberg_expire_snapshots" =>
+            Array(in("path", StringType), in("keep_last", IntegerType))
+          case "iceberg_compact" =>
+            Array(in("path", StringType), in("target_bytes", LongType))
+          case "iceberg_rollback" =>
+            Array(in("path", StringType), in("snapshot_id", LongType))
+          case "iceberg_remove_orphans" =>
+            Array(in("path", StringType), in("older_than_ms", LongType))
+          case "iceberg_tag" | "iceberg_drop_ref" =>
+            Array(in("path", StringType), in("name", StringType))
           case _ => // cluster / zorder
             Array(in("table", StringType), in("cols", StringType),
               in("num_dirs", IntegerType))
         }
         override def call(input: InternalRow): util.Iterator[Scan] = {
-          val tblName = input.getUTF8String(0).toString
+          val arg0 = input.getUTF8String(0).toString
+          // foreign procedures address raw roots, not warehouse names
+          if (proc.startsWith("delta_") || proc.startsWith("iceberg_")) {
+            val longSchema = (n: String) =>
+              StructType(Seq(StructField(n, LongType)))
+            val (schema, outRows): (StructType, Seq[InternalRow]) = proc match {
+              case "delta_vacuum" =>
+                (longSchema("deleted_files"), Seq(InternalRow(
+                  graft.sources.DeltaInterop.vacuumDelta(spark, arg0,
+                    input.getLong(1)))))
+              case "delta_optimize" =>
+                val z = Option(input.getUTF8String(2)).map(_.toString)
+                  .filter(_.nonEmpty).map(_.split(",").map(_.trim).toSeq)
+                  .getOrElse(Nil)
+                (longSchema("version"), Seq(InternalRow(
+                  graft.sources.DeltaInterop.optimizeDelta(spark, arg0,
+                    input.getLong(1), 20, z))))
+              case "delta_checkpoint" =>
+                (longSchema("version"), Seq(InternalRow(
+                  graft.sources.DeltaInterop.checkpointDelta(spark, arg0))))
+              case "delta_restore" =>
+                (longSchema("version"), Seq(InternalRow(
+                  graft.sources.DeltaInterop.restoreDelta(spark, arg0,
+                    input.getLong(1)))))
+              case "delta_clone" =>
+                (longSchema("version"), Seq(InternalRow(
+                  graft.sources.DeltaInterop.cloneDelta(spark, arg0,
+                    input.getUTF8String(1).toString))))
+              case "iceberg_expire_snapshots" =>
+                (longSchema("deleted_files"), Seq(InternalRow(
+                  graft.sources.IcebergInterop.expireIcebergSnapshots(
+                    spark, arg0, input.getInt(1)).toLong)))
+              case "iceberg_compact" =>
+                (longSchema("snapshot_id"), Seq(InternalRow(
+                  graft.sources.IcebergInterop.compactIceberg(spark, arg0,
+                    input.getLong(1)))))
+              case "iceberg_rollback" =>
+                (longSchema("metadata_version"), Seq(InternalRow(
+                  graft.sources.IcebergInterop.rollbackIceberg(spark, arg0,
+                    input.getLong(1)).toLong)))
+              case "iceberg_remove_orphans" =>
+                (longSchema("deleted_files"), Seq(InternalRow(
+                  graft.sources.IcebergInterop.removeOrphanIcebergFiles(
+                    spark, arg0, input.getLong(1)))))
+              case "iceberg_tag" =>
+                (longSchema("snapshot_id"), Seq(InternalRow(
+                  graft.sources.IcebergInterop.tagIceberg(spark, arg0,
+                    input.getUTF8String(1).toString))))
+              case "iceberg_drop_ref" =>
+                graft.sources.IcebergInterop.dropIcebergRef(spark, arg0,
+                  input.getUTF8String(1).toString)
+                (longSchema("ok"), Seq(InternalRow(1L)))
+            }
+            val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+              override def readSchema(): StructType = schema
+              override def rows(): Array[InternalRow] = outRows.toArray
+            }
+            return util.Collections.singletonList(scan).iterator()
+          }
+          val tblName = arg0
           val path = tblName.split("\\.")
             .foldLeft(new HPath(warehouse))((p, s) => new HPath(p, s)).toString
           val t = GraftTable.load(spark, path)

@@ -927,4 +927,56 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $cat.db.t")
     assert(spark.sql(s"SHOW TABLES IN $cat.db").count() == 0)
   }
+
+  test("CALL cat.system foreign-path procedures drive Delta/Iceberg roots") {
+    import spark.implicits._
+    freshCatalog()
+    // Delta: export → restore → clone → optimize(zorder) → vacuum,
+    // every verb through SQL against the raw root
+    val t = graft.sources.GraftTable.create(spark,
+      Files.createTempDirectory("graft_prt_").toString + "/t",
+      Seq.range(0L, 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val dRoot = Files.createTempDirectory("graft_prd_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, dRoot)
+    graft.sources.DeltaInterop.deleteFromDelta(spark, dRoot,
+      org.apache.spark.sql.functions.col("id") < 50L)
+    assert(spark.sql(s"CALL $cat.system.delta_restore('$dRoot', 0)")
+      .collect()(0).getLong(0) == 2L)
+    assert(graft.sources.DeltaInterop.readDelta(spark, dRoot)
+      .count() == 100)
+    val cRoot = Files.createTempDirectory("graft_prc_").toString + "/t"
+    assert(spark.sql(s"CALL $cat.system.delta_clone('$dRoot', '$cRoot')")
+      .collect()(0).getLong(0) == 0L)
+    assert(graft.sources.DeltaInterop.readDelta(spark, cRoot)
+      .count() == 100)
+    spark.sql(
+      s"CALL $cat.system.delta_optimize('$cRoot', ${64L << 10}, 'id')")
+    assert(graft.sources.DeltaInterop.readDelta(spark, cRoot)
+      .count() == 100)
+    assert(spark.sql(s"CALL $cat.system.delta_checkpoint('$cRoot')")
+      .collect()(0).getLong(0) >= 1L)
+    assert(spark.sql(s"CALL $cat.system.delta_vacuum('$cRoot', 0)")
+      .collect()(0).getLong(0) >= 0L)
+    assert(graft.sources.DeltaInterop.readDelta(spark, cRoot)
+      .count() == 100)
+    // Iceberg: export → tag → rollback via the tag → expire → orphans
+    val iRoot = Files.createTempDirectory("graft_pri_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, iRoot)
+    val tagged = spark.sql(s"CALL $cat.system.iceberg_tag('$iRoot', 'good')")
+      .collect()(0).getLong(0)
+    graft.sources.IcebergInterop.appendToIceberg(
+      Seq((999L, "bad")).toDF("id", "v"), iRoot)
+    assert(spark.sql(
+      s"CALL $cat.system.iceberg_rollback('$iRoot', $tagged)")
+      .collect()(0).getLong(0) >= 2L)
+    assert(graft.sources.IcebergInterop.readIceberg(spark, iRoot)
+      .count() == 100)
+    spark.sql(s"CALL $cat.system.iceberg_drop_ref('$iRoot', 'good')")
+    spark.sql(s"CALL $cat.system.iceberg_expire_snapshots('$iRoot', 1)")
+    assert(spark.sql(
+      s"CALL $cat.system.iceberg_remove_orphans('$iRoot', 0)")
+      .collect()(0).getLong(0) >= 0L)
+    assert(graft.sources.IcebergInterop.readIceberg(spark, iRoot)
+      .count() == 100)
+  }
 }

@@ -2559,6 +2559,38 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
   }
 
+  test("restoreDelta reverts schema and properties alongside the data") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_rstm_t_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_rstm_")
+    DeltaInterop.exportSnapshot(t, target) // v0: (id, v)
+    DeltaInterop.addColumnToDelta(spark, target, "n", LongType) // v1
+    DeltaInterop.setDeltaProperties(spark, target,
+      Map("graft.k" -> "yes")) // v2
+    DeltaInterop.appendToDelta(
+      Seq((2L, "b", 7L)).toDF("id", "v", "n"), target) // v3
+    // restore to v0: data AND schema AND properties revert
+    DeltaInterop.restoreDelta(spark, target, 0L)
+    val back = DeltaInterop.readDelta(spark, target)
+    assert(back.columns.toSeq == Seq("id", "v"))
+    assert(back.as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // ... and the id survives (same table, not a re-created one)
+    def metaIdOf(v: Long): String = {
+      val txt = new String(Files.readAllBytes(
+        Paths.get(target, "_delta_log", f"$v%020d.json")), "UTF-8")
+      "\"metaData\":\\{\"id\":\"([^\"]+)\"".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    }
+    assert(metaIdOf(0L).nonEmpty && metaIdOf(0L) == metaIdOf(4L))
+    // restore FORWARD to v3: the widened schema + property come back
+    DeltaInterop.restoreDelta(spark, target, 3L)
+    val fwd = DeltaInterop.readDelta(spark, target)
+    assert(fwd.columns.toSeq == Seq("id", "v", "n"))
+    assert(fwd.as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", Some(7L))))
+  }
+
   test("restoreDelta re-adds deletion-vector descriptors byte-faithfully") {
     import spark.implicits._
     import graft.sources.DeletionVectors
