@@ -457,7 +457,8 @@ def merge_iceberg(source_df, path, keys):
     return ix.mergeIceberg(source_df._jdf, path, _seq(spark, keys), 20)
 
 
-def compact_iceberg(spark, path, target_file_bytes=128 << 20):
+def compact_iceberg(spark, path, target_file_bytes=128 << 20,
+                    zorder_by=None):
     """Compact a file-based Iceberg format-v2 table (rewrite_data_files
     analog) at manifest granularity: data manifests whose live files
     are all sub-target are folded into right-sized files with all
@@ -466,7 +467,8 @@ def compact_iceberg(spark, path, target_file_bytes=128 << 20):
     committed (or current) snapshot id."""
     ix = spark._jvm.graft.sources.IcebergInterop
     return ix.compactIceberg(spark._jsparkSession, path,
-                             int(target_file_bytes), 20)
+                             int(target_file_bytes), 20,
+                             _seq(spark, zorder_by or []))
 
 
 def update_iceberg(spark, path, condition_col, assignments):

@@ -2508,7 +2508,7 @@ object DeltaInterop {
     * rows) and bit-interleave into a Long Z-value. Null or
     * constant-valued columns contribute cell 0 — degraded clustering,
     * never wrong data. */
-  private def zValueColumn(df: DataFrame,
+  private[sources] def zValueColumn(df: DataFrame,
       cols: Seq[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{min, max, coalesce, least,
       greatest, width_bucket, shiftleft, shiftright}

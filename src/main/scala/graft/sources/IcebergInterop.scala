@@ -2437,10 +2437,20 @@ object IcebergInterop {
     * at a sequence number above every existing delete, so consumed
     * deletes can never re-apply. Format v1 refuses; lost version races
     * recompute; nothing to compact is a no-op. Returns the committed
-    * (or current) snapshot id. */
+    * (or current) snapshot id.
+    *
+    * `zorderBy` switches to the sort-order rewrite: EVERY live data
+    * manifest is retired and rows re-cluster by Z-value
+    * ([[DeltaInterop.zValueColumn]] — one column sorts linearly, 2+
+    * interleave on a min/max grid) into ceil(live bytes/target) files,
+    * so predicates on any Z column touch few files via per-file
+    * min/max stats. */
   def compactIceberg(spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L << 20, maxRetries: Int = 20): Long = {
+      targetFileBytes: Long = 128L << 20, maxRetries: Int = 20,
+      zorderBy: Seq[String] = Nil): Long = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(zorderBy.distinct.size == zorderBy.size,
+      s"duplicate z-order columns: ${zorderBy.mkString(", ")}")
     val root = new HPath(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
@@ -2495,12 +2505,14 @@ object IcebergInterop {
             new HPath(r.get("manifest_path").toString)))
             .filter(e => longOf(e.get("status")) != 2L)
             .map(_.get("data_file").asInstanceOf[GenericRecord])
-        // data manifests whose every live file is sub-target
+        // data manifests whose every live file is sub-target; Z-order
+        // mode instead rewrites EVERY live data manifest (re-clustering
+        // is a full rewrite, as in Iceberg's own sort-order rewrite)
         val chosenData = priorList.filter { r =>
           contentOf(r) == 0L && {
             val live = liveEntries(r)
-            live.nonEmpty && live.forall(df =>
-              longOf(df.get("file_size_in_bytes")) < targetFileBytes)
+            live.nonEmpty && (zorderBy.nonEmpty || live.forall(df =>
+              longOf(df.get("file_size_in_bytes")) < targetFileBytes))
           }
         }
         val chosenFiles: Set[String] = chosenData.flatMap(r =>
@@ -2510,8 +2522,9 @@ object IcebergInterop {
         // convergence guard: folding a SINGLE manifest with no deletes
         // to consume rewrites it into itself forever — compaction only
         // pays when manifests merge or merge-on-read debt sheds
-        if (chosenData.size < 2 &&
-            !(chosenData.nonEmpty && deleteManifests.nonEmpty)) {
+        if ((zorderBy.isEmpty && chosenData.size < 2 &&
+            !(chosenData.nonEmpty && deleteManifests.nonEmpty)) ||
+            chosenData.isEmpty) {
           result = currentSnap // nothing worth compacting
         } else {
           // position-delete manifests fully consumed by this rewrite
@@ -2540,8 +2553,18 @@ object IcebergInterop {
             .map(df => longOf(df.get("file_size_in_bytes"))).sum
           val nBins = math.max(1L,
             (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+          val clustered =
+            if (zorderBy.isEmpty) rows.repartition(nBins)
+            else {
+              zorderBy.foreach(c => require(schema.fieldNames.contains(c),
+                s"z-order column '$c' is not a column of $path"))
+              rows.withColumn("__z", DeltaInterop.zValueColumn(rows, zorderBy))
+                .repartitionByRange(nBins, col("__z"))
+                .sortWithinPartitions(col("__z"))
+                .select(schema.fieldNames.map(col).toSeq: _*)
+            }
           val (newDir, allNewFiles, partValuesOf) = writeSpecData(
-            rows.repartition(nBins), root, fs, conf, parts, schemaNode,
+            clustered, root, fs, conf, parts, schemaNode,
             schema, "graft-compact")
           val newFiles = allNewFiles.filter(_._3 > 0)
           val keptPrior = priorList.filterNot(r =>

@@ -2461,6 +2461,39 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(md.get("schemas").size() >= 3, md.toString)
   }
 
+  test("compactIceberg ZORDER: full rewrite, disjoint ranges, data intact") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_izord_t_"),
+      Seq((-1L, "seed")).toDF("id", "v"))
+    val target = tmp("graft_izord_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    patch(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    // four hash-scattered appends: every file spans most of the range
+    val all = scala.util.Random.shuffle(Seq.range(0L, 1000L))
+    all.grouped(250).foreach { chunk =>
+      IcebergInterop.appendToIceberg(
+        chunk.map(i => (i, s"v$i")).toDF("id", "v").repartition(2), target)
+    }
+    val snap = IcebergInterop.compactIceberg(spark, target,
+      targetFileBytes = 4096L, zorderBy = Seq("id"))
+    assert(snap > 0)
+    val back = IcebergInterop.readIceberg(spark, target)
+    assert(back.select("id").as[Long].collect().toSet ==
+      (Set(-1L) ++ (0L until 1000L)))
+    // 1-col z-order = a linear sort: per-file id ranges are disjoint
+    val ranges = back
+      .groupBy(col("_metadata.file_path").as("f"))
+      .agg(min("id").as("mn"), max("id").as("mx"))
+      .select("mn", "mx").as[(Long, Long)].collect().sortBy(_._1)
+    assert(ranges.length >= 2, s"expected a multi-file rewrite: ${ranges.toSeq}")
+    ranges.sliding(2).foreach { case Array((_, mx1), (mn2, _)) =>
+      assert(mx1 < mn2, s"overlapping ranges: ${ranges.toSeq}")
+    }
+  }
+
   test("removeOrphanIcebergFiles: unreferenced + old only; metadata untouched") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_iorph_"),
