@@ -674,3 +674,22 @@ def remove_iceberg_properties(spark, path, keys):
     ix = spark._jvm.graft.sources.IcebergInterop
     return ix.removeIcebergProperties(spark._jsparkSession, path,
                                       _seq(spark, keys), 20)
+
+
+def convert_delta_to_iceberg(spark, path):
+    """UniForm-shape dual publication: write Iceberg metadata INSIDE a
+    foreign Delta table's root, listing the current snapshot's live
+    files (identity partition spec + name mapping). Zero data copied;
+    the directory then reads as both formats. Refuses deletion-vector
+    carriers and column-mapped tables. Returns the Iceberg snapshot."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.convertDeltaToIceberg(spark._jsparkSession, path)
+
+
+def convert_iceberg_to_delta(spark, path):
+    """Reverse UniForm: write a Delta log INSIDE a file-based Iceberg
+    table's root listing the current snapshot's live files (partition
+    values recovered from the manifests). Refuses live merge-on-read
+    deletes and renamed histories. Returns the Delta version (0)."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return dx.convertIcebergToDelta(spark._jsparkSession, path)

@@ -910,7 +910,54 @@ object LakehouseOps {
       .orderBy($"s_suppkey")
   }
 
+  /** g37: UniForm-shape gate
+    * ([[graft.sources.IcebergInterop.convertDeltaToIceberg]]) — a
+    * FOREIGN Delta table (with a CoW delete in its history) gains
+    * in-place Iceberg metadata; the Iceberg read of the shared files
+    * must equal the relational recomputation. */
+  val g37_delta_to_iceberg: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup, partitionBy = Seq("s_nationkey"))
+    val target = Files.createTempDirectory("graft_d2i_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    graft.sources.DeltaInterop.deleteFromDelta(s, target,
+      $"s_suppkey" % 4 === 0)
+    graft.sources.IcebergInterop.convertDeltaToIceberg(s, target)
+    graft.sources.IcebergInterop.readIceberg(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** g38: reverse UniForm gate
+    * ([[graft.sources.DeltaInterop.convertIcebergToDelta]]) — a plain
+    * parquet dump becomes Iceberg in place, then gains a Delta log
+    * over the same files; the Delta read (plus a Delta-side append)
+    * must equal the relational recomputation. */
+  val g38_iceberg_to_delta: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val target = Files.createTempDirectory("graft_i2d_").toString + "/t"
+    sup.filter($"s_suppkey" % 2 === 0)
+      .write.partitionBy("s_nationkey").parquet(target)
+    graft.sources.IcebergInterop.convertParquetToIceberg(s, target)
+    graft.sources.DeltaInterop.convertIcebergToDelta(s, target)
+    // hive partition inference types s_nationkey INT — match it
+    graft.sources.DeltaInterop.appendToDelta(
+      sup.filter($"s_suppkey" % 2 === 1)
+        .withColumn("s_nationkey", $"s_nationkey".cast("int")), target)
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey".cast("long").as("s_nationkey"),
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "g37_delta_to_iceberg" -> g37_delta_to_iceberg,
+    "g38_iceberg_to_delta" -> g38_iceberg_to_delta,
     "g32_iceberg_changes" -> g32_iceberg_changes,
     "g33_delta_restore" -> g33_delta_restore,
     "g35_delta_clone" -> g35_delta_clone,
@@ -946,6 +993,8 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g37_delta_to_iceberg" -> g27_sql,
+    "g38_iceberg_to_delta" -> g28_sql,
     "g32_iceberg_changes" -> g32_sql,
     "g33_delta_restore" -> g34_sql,
     "g35_delta_clone" -> g27_sql,

@@ -156,6 +156,177 @@ object DeltaInterop {
     files.size
   }
 
+  /** ZERO-COPY dual-format publication of a file-based Iceberg table
+    * as Delta — the reverse UniForm shape: write a `_delta_log` INSIDE
+    * the Iceberg root whose version-0 commit lists the CURRENT
+    * snapshot's live data files (sizes from the manifests, partition
+    * values stringified from the identity partition metadata). No data
+    * moves; the directory then reads as both formats.
+    *
+    * Refusals, all loud: live merge-on-read delete files (a Delta
+    * reader would resurface struck rows — `compactIceberg` first),
+    * renamed columns anywhere in the schema history or a
+    * name-mapping/current-name mismatch (Delta resolves by NAME, so a
+    * renamed file column would silently null-fill), manifests under a
+    * non-default partition spec, identity partition values of types
+    * whose canonical Delta string is ambiguous (timestamp/decimal/
+    * binary), non-parquet files, an existing `_delta_log`. Returns the
+    * Delta version (0). */
+  def convertIcebergToDelta(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    val logDir = new HPath(root, "_delta_log")
+    require(!fs.exists(logDir), s"Delta table already exists at $path")
+    def refuseW(what: String): Nothing = throw new IllegalArgumentException(
+      s"cannot publish a Delta log over the Iceberg table at $path: " +
+        s"$what — convert it with a full client")
+    val (ifs, md) = IcebergInterop.currentMetadata(spark, path)
+    if (md.path("format-version").asInt(1) > 2)
+      refuseW("the table is format version 3+")
+    val schemaNode = IcebergInterop.currentSchemaNode(md, path)
+    val schema = StructType(IcebergInterop
+      .fromIcebergStruct(schemaNode, path).map(_.copy(nullable = true)))
+    // rename histories: Delta readers resolve file columns by NAME, so
+    // any field id that ever carried a different name would null-fill
+    import scala.jdk.CollectionConverters._
+    val currentNames: Map[Int, String] = schemaNode.get("fields").elements()
+      .asScala.map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    if (md.has("schemas"))
+      md.get("schemas").elements().asScala.foreach { s =>
+        s.path("fields").elements().asScala.foreach { f =>
+          val id = f.path("id").asInt(-1)
+          val n = f.path("name").asText()
+          if (currentNames.get(id).exists(_ != n))
+            refuseW(s"field $id was renamed (${n} → ${currentNames(id)}) " +
+              "— Delta resolves columns by name, so old files would " +
+              "silently null-fill")
+        }
+      }
+    md.path("properties").path("schema.name-mapping.default") match {
+      case t if t.isTextual =>
+        val om2 = new com.fasterxml.jackson.databind.ObjectMapper()
+        om2.readTree(t.asText()).elements().asScala.foreach { e =>
+          val id = e.path("field-id").asInt(-1)
+          val names = e.path("names").elements().asScala
+            .map(_.asText()).toSeq
+          if (currentNames.get(id).exists(cn => !names.contains(cn)))
+            refuseW(s"field $id's name mapping [${names.mkString(", ")}] " +
+              s"does not cover its current name ${currentNames(id)} " +
+              "(renamed) — old files would silently null-fill")
+        }
+      case _ => ()
+    }
+    val currentSnap = md.path("current-snapshot-id").asLong(-1L)
+    require(currentSnap >= 0, s"nothing to convert at $path")
+    val snapNode = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == currentSnap)
+      .getOrElse(refuseW("the current snapshot is missing from the " +
+        "snapshots array"))
+    val defaultSpecId = md.path("default-spec-id").asInt(0)
+    val specFields: Seq[com.fasterxml.jackson.databind.JsonNode] =
+      md.path("partition-specs").elements().asScala.toSeq
+        .find(_.path("spec-id").asInt(-1) == defaultSpecId)
+        .map(_.path("fields").elements().asScala.toSeq)
+        .getOrElse(Nil)
+    // identity fields: (delta partition column, struct position, type)
+    val idParts: Seq[(String, Int, DataType)] = specFields.zipWithIndex
+      .collect { case (f, i) if f.path("transform").asText() == "identity" =>
+        val srcId = f.path("source-id").asInt(-1)
+        val n = currentNames.getOrElse(srcId, refuseW(
+          s"identity partition source-id $srcId is not a top-level column"))
+        (n, i, schema(n).dataType)
+      }
+    def pvString(dt: DataType, v: AnyRef): String =
+      if (v == null) null
+      else dt match {
+        case org.apache.spark.sql.types.StringType => v.toString
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.BooleanType |
+             org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => v.toString
+        case org.apache.spark.sql.types.DateType =>
+          java.time.LocalDate.ofEpochDay(
+            v.asInstanceOf[Number].longValue()).toString
+        case other => refuseW("identity partition column of type " +
+          s"${other.simpleString} has no unambiguous Delta string form")
+      }
+    val rootQ = fs.makeQualified(root).toString
+    val adds = Seq.newBuilder[String]
+    var nFiles = 0
+    snapNode.path("manifest-list") match {
+      case l if l.isTextual =>
+        IcebergInterop.readAvro(IcebergInterop.readBytes(ifs,
+          new HPath(l.asText()))).foreach { r =>
+          val content = IcebergInterop.fieldOpt(r, "content")
+            .map(IcebergInterop.longOf).getOrElse(0L)
+          val mp = r.get("manifest_path").toString
+          val specId = IcebergInterop.fieldOpt(r, "partition_spec_id")
+            .map(IcebergInterop.longOf).getOrElse(0L).toInt
+          val entries = IcebergInterop.readAvro(
+            IcebergInterop.readBytes(ifs, new HPath(mp)))
+            .filter(e => e.get("status").toString.toLong != 2L)
+          if (content == 1L && entries.nonEmpty)
+            refuseW("the current snapshot carries live merge-on-read " +
+              "delete files — a Delta reader would resurface the struck " +
+              "rows; run compactIceberg first")
+          if (content == 0L && entries.nonEmpty && specId != defaultSpecId)
+            refuseW(s"live manifests under evolved partition spec $specId " +
+              "— a single Delta partitionColumns list cannot describe " +
+              "both layouts")
+          entries.foreach { e =>
+            val df = e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            if (!df.get("file_format").toString.equalsIgnoreCase("parquet"))
+              refuseW(s"has ${df.get("file_format")} data files")
+            val fp = df.get("file_path").toString
+            val fpQ = {
+              val hp = new HPath(fp)
+              hp.getFileSystem(conf).makeQualified(hp).toString
+            }
+            val rel = if (fpQ.startsWith(rootQ + "/"))
+              fpQ.drop(rootQ.length + 1) else fpQ
+            val size = df.get("file_size_in_bytes").toString.toLong
+            val pvJson = idParts.map { case (n, i, dt) =>
+              val raw = df.get("partition") match {
+                case pr: org.apache.avro.generic.GenericRecord
+                  if pr.getSchema.getFields.size() > i =>
+                  pr.get(i) match {
+                    case u: org.apache.avro.util.Utf8 => u.toString
+                    case other => other.asInstanceOf[AnyRef]
+                  }
+                case _ => null
+              }
+              val sv = pvString(dt, raw)
+              "\"" + jsonEscape(n) + "\":" +
+                (if (sv == null) "null" else "\"" + jsonEscape(sv) + "\"")
+            }.mkString(",")
+            adds += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{$pvJson},"size":$size,"modificationTime":${System.currentTimeMillis()},"dataChange":true}}"""
+            nFiles += 1
+          }
+        }
+      case _ => refuseW("the current snapshot names no manifest list")
+    }
+    require(nFiles > 0, s"nothing to convert at $path")
+    val now = System.currentTimeMillis()
+    val pcJson = idParts.map(p =>
+      "\"" + jsonEscape(p._1) + "\"").mkString(",")
+    val actions =
+      Seq(s"""{"commitInfo":{"timestamp":$now,"operation":"CONVERT","operationParameters":{"numFiles":$nFiles},"engineInfo":"graft-convert"}}""",
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(schema.json)}","partitionColumns":[$pcJson],"configuration":{},"createdTime":$now}}""") ++
+        adds.result()
+    fs.mkdirs(logDir)
+    val out = fs.create(new HPath(logDir, f"${0}%020d.json"), false)
+    try out.write(actions.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    0L
+  }
+
   /** Percent-encode a relative path for a Delta add/remove action
     * (PROTOCOL.md requires percent-encoded relative URIs). Hive-escaped
     * directory names contain literal '%' on disk — encoding them keeps
@@ -2747,13 +2918,21 @@ object DeltaInterop {
       dv.foreach(d => if (d.storageType != "i")
         keep += canon(DeletionVectors.dvFilePath(root, d)))
     }
+    // a dual-published root (UniForm shape) carries Iceberg metadata
+    // in `metadata/` — invisible to the Delta log, never vacuumable
+    def isIcebergMetaDir(p: HPath): Boolean =
+      p.getName == "metadata" &&
+        (fs.exists(new HPath(p, "version-hint.text")) ||
+          fs.listStatus(p).exists(
+            _.getPath.getName.matches("v\\d+\\.metadata\\.json")))
     var deleted = 0L
     def walk(dir: HPath): Unit =
       fs.listStatus(dir).foreach { s =>
         val n = s.getPath.getName
         val hidden = n.startsWith("_") || n.startsWith(".")
         if (s.isDirectory) {
-          if (!hidden || n.startsWith("_graft_")) {
+          if ((!hidden || n.startsWith("_graft_")) &&
+              !isIcebergMetaDir(s.getPath)) {
             walk(s.getPath)
             if (fs.listStatus(s.getPath).isEmpty)
               fs.delete(s.getPath, false)

@@ -667,6 +667,109 @@ object IcebergInterop {
     files.size
   }
 
+  /** ZERO-COPY dual-format publication of a FOREIGN Delta table — the
+    * UniForm shape, without a graft table in the middle: write Iceberg
+    * `metadata/` INSIDE the Delta root, listing the CURRENT Delta
+    * snapshot's active files (absolute paths, footer-true record
+    * counts) under an identity partition spec derived from the Delta
+    * partition columns, partition values typed from the log's
+    * partitionValues strings. Files carry no Iceberg field ids, so the
+    * metadata declares `schema.name-mapping.default` exactly like
+    * Iceberg's own migrate procedure. One metadata commit; no data
+    * moves; the directory then reads as BOTH formats.
+    *
+    * Refusals: deletion-vector carriers (an Iceberg reader would
+    * resurface the struck rows), column-mapped tables (files carry
+    * physical names the Iceberg schema wouldn't match), an existing
+    * `metadata/` directory. [[vacuumDelta]] never touches the
+    * published metadata area. Returns the Iceberg snapshot id. */
+  def convertDeltaToIceberg(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    val metaDir = new HPath(root, "metadata")
+    require(!fs.exists(metaDir), s"Iceberg table already exists at $path")
+    def refuseW(what: String): Nothing = throw new IllegalArgumentException(
+      s"cannot publish Iceberg metadata over the Delta table at $path: " +
+        s"$what — convert it with a full UniForm-capable client")
+    val st = DeltaInterop.replaySnapshot(spark, path, None)
+    if (st.colMapMode != "none")
+      refuseW("the table uses column mapping — its files carry physical " +
+        "column names an Iceberg schema would not match")
+    if (st.active.exists(_._2._2.isDefined))
+      refuseW("the table carries deletion vectors — an Iceberg reader " +
+        "would resurface the struck rows")
+    require(st.active.nonEmpty, s"nothing to convert at $path")
+    val schema = StructType(org.apache.spark.sql.types.DataType
+      .fromJson(st.schemaJson).asInstanceOf[StructType]
+      .map(_.copy(nullable = true)))
+    val (schemaNode, lastColId) = toIcebergSchema(schema)
+    val idOf: Map[String, Int] = schemaNode.get("fields").elements()
+      .asScala().map(f => f.get("name").asText() -> f.get("id").asInt())
+      .toMap
+    val parts: Seq[PartField] = st.partCols.zipWithIndex.map {
+      case (c, i) =>
+        PartField(c, idOf(c), 1000 + i, schema(c).dataType, "identity", None)
+    }
+    val now = System.currentTimeMillis()
+    val snapId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val entrySchema =
+      if (parts.isEmpty) manifestEntrySchema else manifestEntrySchemaFor(parts)
+    val entries = st.active.map { case (p, (pv, _)) =>
+      val hp = new HPath(DeltaInterop.resolveFile(root, p))
+      val stt = hp.getFileSystem(conf).getFileStatus(hp)
+      val partValues = parts.map(pf => Option(pv.getOrElse(pf.name, null))
+        .map(raw => transformValue(pf, raw)).orNull)
+      manifestEntry(entrySchema,
+        hp.getFileSystem(conf).makeQualified(hp).toString,
+        stt.getLen, footerRecordCount(conf, stt), 1, snapId, partValues)
+    }
+    val specArr = om.createArrayNode()
+    parts.foreach(p => specArr.add(specFieldNode(p)))
+    fs.mkdirs(metaDir)
+    val manifestBytes = writeAvro(entrySchema, Map(
+      "schema" -> om.writeValueAsString(schemaNode), "schema-id" -> "0",
+      "partition-spec" -> om.writeValueAsString(specArr),
+      "partition-spec-id" -> "0",
+      "format-version" -> "1"), entries)
+    val manifestPath = new HPath(metaDir,
+      s"${java.util.UUID.randomUUID()}-m0.avro")
+    writeBytes(fs, manifestPath, manifestBytes)
+    val listBytes = writeAvro(manifestFileSchema,
+      Map("snapshot-id" -> snapId.toString, "format-version" -> "1"),
+      Seq(manifestListEntry(manifestPath.toString,
+        manifestBytes.length.toLong, snapId, entries.size, 0)))
+    val listPath = new HPath(metaDir,
+      s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
+    writeBytes(fs, listPath, listBytes)
+    val md = baseMetadata(root.toString, now, parts)
+    md.put("last-column-id", lastColId)
+    md.set[ObjectNode]("schema", schemaNode)
+    md.putArray("schemas").add(schemaNode)
+    md.put("current-schema-id", 0)
+    md.put("current-snapshot-id", snapId)
+    md.putArray("snapshots")
+      .add(snapshotNode(snapId, now, "append", listPath.toString, 0))
+    val mapping = om.createArrayNode()
+    schemaNode.get("fields").elements().asScala().foreach { f =>
+      val m = om.createObjectNode()
+      m.put("field-id", f.get("id").asInt())
+      m.putArray("names").add(f.get("name").asText())
+      mapping.add(m)
+    }
+    md.path("properties") match {
+      case p: ObjectNode =>
+        p.put("schema.name-mapping.default", om.writeValueAsString(mapping))
+        p.put("graft.delta.converted-version", st.version.toString)
+      case _ => ()
+    }
+    writeBytes(fs, new HPath(metaDir, "v1.metadata.json"),
+      om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+    writeBytes(fs, new HPath(metaDir, "version-hint.text"),
+      "1".getBytes(StandardCharsets.UTF_8))
+    snapId
+  }
+
   /** One spec-field JSON node for a partition field. */
   private def specFieldNode(p: PartField): ObjectNode = {
     val n = om.createObjectNode()

@@ -2494,6 +2494,109 @@ class IcebergInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("convertDeltaToIceberg: dual-format publication of a foreign Delta table") {
+    import spark.implicits._
+    import graft.sources.DeltaInterop
+    val t = GraftTable.create(spark, tmp("graft_d2i_t_"),
+      Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x"), (4L, "d", "y"))
+        .toDF("id", "v", "seg"),
+      partitionBy = Seq("seg"))
+    val root = tmp("graft_d2i_")
+    DeltaInterop.exportSnapshot(t, root) // identity hive layout
+    DeltaInterop.deleteFromDelta(spark, root, col("id") === 2L) // CoW
+    val snap = IcebergInterop.convertDeltaToIceberg(spark, root)
+    assert(snap > 0)
+    // both formats read the SAME state from the SAME files
+    val want = Set((1L, "a", "x"), (3L, "c", "x"), (4L, "d", "y"))
+    assert(IcebergInterop.readIceberg(spark, root)
+      .as[(Long, String, String)].collect().toSet == want)
+    assert(DeltaInterop.readDelta(spark, root)
+      .as[(Long, String, String)].collect().toSet == want)
+    // identity partition values rode the manifests: metadata-only prune
+    assert(IcebergInterop.readIcebergWhere(spark, root, "seg", "x")
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // Delta VACUUM never touches the published Iceberg metadata area
+    DeltaInterop.vacuumDelta(spark, root, retentionMs = 0L)
+    assert(Files.exists(Paths.get(root, "metadata", "version-hint.text")))
+    assert(IcebergInterop.readIceberg(spark, root).count() == 3)
+    // double-convert refuses
+    intercept[IllegalArgumentException] {
+      IcebergInterop.convertDeltaToIceberg(spark, root)
+    }
+    // a DV-carrying table refuses (rows would resurface)
+    val dvRoot = tmp("graft_d2i_dv_")
+    Seq.range(0L, 6L).toDF("id").coalesce(1).write.parquet(dvRoot)
+    Files.createDirectories(Paths.get(dvRoot, "_delta_log"))
+    val dataFile = Files.list(Paths.get(dvRoot)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val rel = Paths.get(dvRoot).relativize(Paths.get(dataFile)).toString
+    val inline = graft.sources.DeletionVectors.serialize(Seq(0L))
+    val padded = java.util.Arrays.copyOf(inline, (inline.length + 3) / 4 * 4)
+    val z85dv = graft.sources.DeletionVectors.z85Encode(padded)
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(dvRoot, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$z85dv","sizeInBytes":${padded.length},"cardinality":1}}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.convertDeltaToIceberg(spark, dvRoot)
+    }
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+  }
+
+  test("convertIcebergToDelta: parquet → Iceberg → Delta, zero copies") {
+    import spark.implicits._
+    import graft.sources.DeltaInterop
+    val root = tmp("graft_i2d_")
+    Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x"))
+      .toDF("id", "v", "seg")
+      .write.partitionBy("seg").parquet(root)
+    IcebergInterop.convertParquetToIceberg(spark, root)
+    assert(DeltaInterop.convertIcebergToDelta(spark, root) == 0L)
+    // both formats agree, partition values recovered from manifests
+    val want = Set((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x"))
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("id", "v", "seg")
+      .as[(Long, String, String)].collect().toSet == want)
+    assert(DeltaInterop.readDeltaWhere(spark, root, "seg", "x")
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // appends through the DELTA side stay invisible to Iceberg (each
+    // format's log is independent after the split)
+    DeltaInterop.appendToDelta(
+      Seq((9L, "z", "x")).toDF("id", "v", "seg"), root)
+    assert(DeltaInterop.readDelta(spark, root).count() == 4)
+    assert(IcebergInterop.readIceberg(spark, root).count() == 3)
+    // refusals: live MoR deletes, renamed histories, double convert
+    intercept[IllegalArgumentException] {
+      DeltaInterop.convertIcebergToDelta(spark, root)
+    }
+    val mor = tmp("graft_i2d_mor_")
+    val t2 = GraftTable.create(spark, tmp("graft_i2d_t2_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    IcebergInterop.exportSnapshot(t2, mor)
+    val mdPath = Paths.get(mor, "metadata", "v1.metadata.json")
+    patch(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    IcebergInterop.deleteFromIceberg(spark, mor, col("id") === 1L)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaInterop.convertIcebergToDelta(spark, mor)
+    }
+    assert(e2.getMessage.contains("merge-on-read"), e2.getMessage)
+    val ren = tmp("graft_i2d_ren_")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(ren)
+    IcebergInterop.convertParquetToIceberg(spark, ren)
+    IcebergInterop.renameIcebergColumn(spark, ren, "v", "label")
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaInterop.convertIcebergToDelta(spark, ren)
+    }
+    assert(e3.getMessage.contains("renamed"), e3.getMessage)
+  }
+
   test("removeOrphanIcebergFiles: unreferenced + old only; metadata untouched") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_iorph_"),
