@@ -1754,6 +1754,17 @@ object DeltaInterop {
             }
         }
       }
+      // honor an EXPLICIT delta.checkpointInterval (real writers
+      // checkpoint every N commits so the JSON tail stays bounded);
+      // best-effort — a checkpoint refusal (v2 policy, domainMetadata)
+      // or race never fails the landed append
+      st.configuration.get("delta.checkpointInterval")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .filter(i => i > 0 && committed > 0 && committed % i == 0)
+        .foreach { _ =>
+          try checkpointDelta(spark, path)
+          catch { case _: Exception => () }
+        }
       committed
     } catch {
       case e: Throwable =>

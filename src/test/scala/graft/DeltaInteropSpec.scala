@@ -2853,6 +2853,27 @@ class DeltaInteropSpec extends AnyFunSuite {
       && ops.contains("UNSET TBLPROPERTIES"), ops.toString)
   }
 
+  test("appendToDelta honors an explicit delta.checkpointInterval") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_ckpi_t_"),
+      Seq((0L, "seed")).toDF("id", "v"))
+    val target = tmp("graft_ckpi_")
+    DeltaInterop.exportSnapshot(t, target) // v0
+    DeltaInterop.appendToDelta(Seq((1L, "a")).toDF("id", "v"), target) // v1
+    def cps = new java.io.File(target, "_delta_log").list()
+      .count(_.matches("\\d{20}\\.checkpoint\\.parquet"))
+    assert(cps == 0) // no property → no auto-checkpoint
+    DeltaInterop.setDeltaProperties(spark, target,
+      Map("delta.checkpointInterval" -> "2")) // v2
+    DeltaInterop.appendToDelta(Seq((2L, "b")).toDF("id", "v"), target) // v3
+    assert(cps == 0) // v3 % 2 != 0
+    DeltaInterop.appendToDelta(Seq((3L, "c")).toDF("id", "v"), target) // v4
+    assert(cps == 1) // v4 % 2 == 0 → checkpointed
+    assert(Files.exists(Paths.get(target, "_delta_log", "_last_checkpoint")))
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L))
+  }
+
   test("foreign Delta ADD COLUMN assigns mapping id + physical name on mapped tables") {
     import spark.implicits._
     val root = tmp("graft_ddlmap_")
