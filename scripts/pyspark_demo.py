@@ -227,5 +227,21 @@ assert table.read_iceberg_changes(spark, ice_path, good).count() == 0
 print(f"restored Delta to v1 (commit {restored_v}); Iceberg back at "
       f"snapshot {good}; incremental tail after rollback is empty")
 
+print("== 12. Zero-copy conversion + SQL maintenance procedures ==")
+# the UniForm shape: the foreign Delta table from section 10 gains
+# in-place Iceberg metadata — one directory, two formats
+table.convert_delta_to_iceberg(spark, delta_path)
+n_delta = table.read_delta(spark, delta_path).count()
+assert table.read_iceberg(spark, delta_path).count() == n_delta
+# the whole maintenance matrix is SQL-callable against raw roots
+cloned = tempfile.mkdtemp(prefix="graft_py_cl_") + "/t"
+spark.sql(f"CALL pydemo.system.delta_clone('{delta_path}', '{cloned}')")
+assert table.read_delta(spark, cloned).count() == n_delta
+spark.sql(f"CALL pydemo.system.delta_optimize('{cloned}', {64 * 1024}, 'doc_id')")
+row = spark.sql(f"CALL pydemo.system.delta_vacuum('{cloned}', 0)").collect()[0]
+assert table.read_delta(spark, cloned).count() == n_delta
+print(f"dual-format root reads {n_delta} rows from BOTH formats; "
+      f"SQL clone+zorder+vacuum done ({row[0]} files reclaimed)")
+
 spark.stop()
 print("demo complete — all assertions passed")

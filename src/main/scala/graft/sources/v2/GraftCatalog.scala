@@ -755,7 +755,8 @@ private[v2] object GraftProcedures {
       // Hadoop-FS URI), not a warehouse name — the SQL face of the
       // Delta/Iceberg interop writers
       "delta_vacuum", "delta_optimize", "delta_checkpoint",
-      "delta_restore", "delta_clone", "iceberg_expire_snapshots",
+      "delta_restore", "delta_clone", "delta_to_iceberg",
+      "iceberg_to_delta", "iceberg_expire_snapshots",
       "iceberg_compact", "iceberg_rollback", "iceberg_remove_orphans",
       "iceberg_tag", "iceberg_drop_ref")
 
@@ -794,7 +795,8 @@ private[v2] object GraftProcedures {
           case "delta_optimize" =>
             Array(in("path", StringType), in("target_bytes", LongType),
               in("zorder_cols", StringType))
-          case "delta_checkpoint" =>
+          case "delta_checkpoint" | "delta_to_iceberg" |
+               "iceberg_to_delta" =>
             Array(in("path", StringType))
           case "delta_restore" =>
             Array(in("path", StringType), in("to_version", LongType))
@@ -843,6 +845,14 @@ private[v2] object GraftProcedures {
                 (longSchema("version"), Seq(InternalRow(
                   graft.sources.DeltaInterop.cloneDelta(spark, arg0,
                     input.getUTF8String(1).toString))))
+              case "delta_to_iceberg" =>
+                (longSchema("snapshot_id"), Seq(InternalRow(
+                  graft.sources.IcebergInterop.convertDeltaToIceberg(
+                    spark, arg0))))
+              case "iceberg_to_delta" =>
+                (longSchema("version"), Seq(InternalRow(
+                  graft.sources.DeltaInterop.convertIcebergToDelta(
+                    spark, arg0))))
               case "iceberg_expire_snapshots" =>
                 (longSchema("deleted_files"), Seq(InternalRow(
                   graft.sources.IcebergInterop.expireIcebergSnapshots(

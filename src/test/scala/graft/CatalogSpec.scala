@@ -978,5 +978,15 @@ class CatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) >= 0L)
     assert(graft.sources.IcebergInterop.readIceberg(spark, iRoot)
       .count() == 100)
+    // zero-copy conversion from SQL: the Delta clone gains Iceberg
+    // metadata; the Iceberg root gains a Delta log
+    assert(spark.sql(s"CALL $cat.system.delta_to_iceberg('$cRoot')")
+      .collect()(0).getLong(0) > 0L)
+    assert(graft.sources.IcebergInterop.readIceberg(spark, cRoot)
+      .count() == 100)
+    assert(spark.sql(s"CALL $cat.system.iceberg_to_delta('$iRoot')")
+      .collect()(0).getLong(0) == 0L)
+    assert(graft.sources.DeltaInterop.readDelta(spark, iRoot)
+      .count() == 100)
   }
 }
