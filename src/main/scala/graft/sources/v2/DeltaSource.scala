@@ -284,7 +284,24 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
       throw new IllegalArgumentException(s"empty Delta log at $path"))
   }
 
-  override def initialOffset(): Offset = DeltaVersionOffset(-1L)
+  /** `startingVersion` (Delta's own source option): skip the initial
+    * snapshot and stream commits FROM this version on — the only way
+    * to tail a 100 TB table without scanning it first. "latest" =
+    * future commits only. The named commit must still be retained
+    * (the per-commit catch-up path validates). */
+  private val startingVersion: Option[Long] =
+    Option(options.get("startingversion")).map {
+      case "latest" => latestVersion() + 1
+      case v =>
+        val n = v.toLong
+        require(n >= 1, s"startingVersion must be >= 1 (got $n) — " +
+          "version 0 is the stream's default initial-snapshot behavior; " +
+          "omit the option")
+        n
+    }
+
+  override def initialOffset(): Offset =
+    DeltaVersionOffset(startingVersion.map(_ - 1L).getOrElse(-1L))
   override def latestOffset(): Offset = DeltaVersionOffset(latestVersion())
   override def reportLatestOffset(): Offset = DeltaVersionOffset(latestVersion())
   override def deserializeOffset(json: String): Offset =

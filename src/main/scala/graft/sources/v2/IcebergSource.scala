@@ -134,7 +134,17 @@ class IcebergMicroBatchStream(spark: SparkSession, path: String,
     b.result()
   }
 
-  override def initialOffset(): Offset = IcebergSnapshotOffset(-1L)
+  /** `startingSnapshotId`: skip the initial snapshot scan and stream
+    * appends AFTER this retained snapshot (exclusive) — the Iceberg
+    * twin of Delta's startingVersion. "latest" = future appends only. */
+  private val startingSnapshotId: Option[Long] =
+    Option(options.get("startingsnapshotid")).map {
+      case "latest" => history().lastOption.getOrElse(-1L)
+      case v => v.toLong
+    }
+
+  override def initialOffset(): Offset =
+    IcebergSnapshotOffset(startingSnapshotId.getOrElse(-1L))
   override def latestOffset(): Offset =
     IcebergSnapshotOffset(history().lastOption.getOrElse(-1L))
   override def reportLatestOffset(): Offset = latestOffset()

@@ -2853,6 +2853,54 @@ class DeltaInteropSpec extends AnyFunSuite {
       && ops.contains("UNSET TBLPROPERTIES"), ops.toString)
   }
 
+  test("DeltaSource startingVersion skips the initial snapshot") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_dsv_t_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_dsv_")
+    DeltaInterop.exportSnapshot(t, target) // v0
+    DeltaInterop.appendToDelta(Seq((2L, "b")).toDF("id", "v"), target) // v1
+    DeltaInterop.appendToDelta(Seq((3L, "c")).toDF("id", "v"), target) // v2
+    val name = "dsv_mem"
+    val q = spark.readStream.format("graft.sources.v2.DeltaSource")
+      .option("startingVersion", "2")
+      .load(target)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // only commit 2 streamed — no snapshot, no commit 1
+      assert(spark.table(name).select("id").as[Long].collect().toSet ==
+        Set(3L))
+      DeltaInterop.appendToDelta(Seq((4L, "d")).toDF("id", "v"), target)
+      q.processAllAvailable()
+      assert(spark.table(name).select("id").as[Long].collect().toSet ==
+        Set(3L, 4L))
+    } finally q.stop()
+    // "latest": future commits only
+    val name2 = "dsv_mem2"
+    val q2 = spark.readStream.format("graft.sources.v2.DeltaSource")
+      .option("startingVersion", "latest")
+      .load(target)
+      .writeStream.format("memory").queryName(name2)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(name2).count() == 0)
+      DeltaInterop.appendToDelta(Seq((5L, "e")).toDF("id", "v"), target)
+      q2.processAllAvailable()
+      assert(spark.table(name2).select("id").as[Long].collect().toSet ==
+        Set(5L))
+    } finally q2.stop()
+    // version 0 is the default snapshot behavior — refuse the alias
+    intercept[Exception] {
+      spark.readStream.format("graft.sources.v2.DeltaSource")
+        .option("startingVersion", "0").load(target)
+        .writeStream.format("memory").queryName("dsv_mem3")
+        .outputMode("append").start().processAllAvailable()
+    }
+  }
+
   test("appendToDelta honors an explicit delta.checkpointInterval") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_ckpi_t_"),

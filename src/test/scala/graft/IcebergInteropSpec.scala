@@ -2597,6 +2597,48 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("renamed"), e3.getMessage)
   }
 
+  test("IcebergSource startingSnapshotId skips the initial snapshot") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_issv_t_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_issv_")
+    IcebergInterop.exportSnapshot(t, target)
+    IcebergInterop.appendToIceberg(Seq((2L, "b")).toDF("id", "v"), target)
+    val s2 = currentSnapId(target)
+    IcebergInterop.appendToIceberg(Seq((3L, "c")).toDF("id", "v"), target)
+    val name = "issv_mem"
+    val q = spark.readStream.format("graft.sources.v2.IcebergSource")
+      .option("startingSnapshotId", s2.toString)
+      .load(target)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // only the append AFTER s2 streamed — exclusive start, no snapshot
+      assert(spark.table(name).select("id").as[Long].collect().toSet ==
+        Set(3L))
+      IcebergInterop.appendToIceberg(Seq((4L, "d")).toDF("id", "v"), target)
+      q.processAllAvailable()
+      assert(spark.table(name).select("id").as[Long].collect().toSet ==
+        Set(3L, 4L))
+    } finally q.stop()
+    // "latest": future appends only
+    val name2 = "issv_mem2"
+    val q2 = spark.readStream.format("graft.sources.v2.IcebergSource")
+      .option("startingSnapshotId", "latest")
+      .load(target)
+      .writeStream.format("memory").queryName(name2)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(name2).count() == 0)
+      IcebergInterop.appendToIceberg(Seq((5L, "e")).toDF("id", "v"), target)
+      q2.processAllAvailable()
+      assert(spark.table(name2).select("id").as[Long].collect().toSet ==
+        Set(5L))
+    } finally q2.stop()
+  }
+
   test("removeOrphanIcebergFiles: unreferenced + old only; metadata untouched") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_iorph_"),
