@@ -237,16 +237,19 @@ def read_iceberg_where(spark, path, field, grain, snapshot_id=None):
         spark._jsparkSession, path, field, grain,
         _opt_long(spark, snapshot_id)), spark)
 
-def append_to_delta(df, path):
+def append_to_delta(df, path, merge_schema=False):
     """APPEND a DataFrame to an existing Delta table (foreign or
     mirrored) via the optimistic conditional-put commit protocol.
     Honors identity partition layouts and name-/id-mode column mapping
     (physical names + parquet field ids); refuses constraints,
-    invariants, generated columns and unknown writer features. Returns
-    the committed version."""
+    invariants, generated columns and unknown writer features.
+    merge_schema=True widens the table with the input's extra columns
+    in the same commit (Delta's mergeSchema option). Returns the
+    committed version."""
     jvm = df.sparkSession._jvm
     dx = jvm.graft.sources.DeltaInterop
-    return dx.appendToDelta(df._jdf, path, 20, jvm.scala.Option.empty())
+    return dx.appendToDelta(df._jdf, path, 20, jvm.scala.Option.empty(),
+                            bool(merge_schema))
 
 
 def append_to_delta_txn(df, path, app_id, txn_version):

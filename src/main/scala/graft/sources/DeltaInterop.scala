@@ -1553,13 +1553,19 @@ object DeltaInterop {
     * write no checkpoints, domainMetadata, timestampNtz) pass.
     *
     * The input schema must match the table's top-level columns and
-    * types exactly (cast beforehand; no implicit evolution). Returns
-    * the committed version.
+    * types exactly (cast beforehand) — unless `mergeSchema=true`,
+    * Delta's own mergeSchema option: the input's EXTRA columns widen
+    * the table as nullable fields in the SAME commit (fresh mapping
+    * ids + physical names on column-mapped tables, identity
+    * preserved); the input must still cover every existing column, and
+    * a peer changing the schema mid-race refuses. Returns the
+    * committed version.
     *
     * Scale shape: one distributed parquet write + O(#new files)
     * driver-side metadata; the commit payload never carries data. */
   def appendToDelta(df: DataFrame, path: String, maxRetries: Int = 20,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val root = new HPath(path)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1589,7 +1595,11 @@ object DeltaInterop {
       lastColl.flatMap(_.txns.get(app)).exists(_._1 >= tv)
     }
     def validate(): DeltaSnapshot = {
-      lastColl = txn.map(_ => new CheckpointCollector())
+      // the collector carries txn watermarks AND the metaData identity
+      // a mergeSchema commit must preserve
+      lastColl =
+        if (txn.isDefined || mergeSchema) Some(new CheckpointCollector())
+        else None
       val st = replaySnapshot(spark, path, None, lastColl)
       if (st.minWriter > 7)
         refuseW(s"the table requires writer protocol ${st.minWriter}")
@@ -1614,10 +1624,20 @@ object DeltaInterop {
           refuseW(s"column '${f.name}' is an identity column this writer " +
             "does not assign")
       }
-      require(schema.fieldNames.toSet == df.schema.fieldNames.toSet,
-        s"append schema mismatch at $path: table columns " +
-          s"[${schema.fieldNames.mkString(", ")}], input columns " +
-          s"[${df.schema.fieldNames.mkString(", ")}]")
+      if (mergeSchema)
+        // extra input columns WIDEN the table below; the input must
+        // still cover every existing column
+        require((schema.fieldNames.toSet -- df.schema.fieldNames.toSet)
+          .isEmpty,
+          s"append schema mismatch at $path: input lacks table columns " +
+            s"[${(schema.fieldNames.toSet -- df.schema.fieldNames.toSet)
+              .mkString(", ")}] — mergeSchema only ADDS columns")
+      else
+        require(schema.fieldNames.toSet == df.schema.fieldNames.toSet,
+          s"append schema mismatch at $path: table columns " +
+            s"[${schema.fieldNames.mkString(", ")}], input columns " +
+            s"[${df.schema.fieldNames.mkString(", ")}] — pass " +
+            "mergeSchema=true to widen")
       schema.fields.foreach { f =>
         val have = df.schema(f.name).dataType
         // structural comparison: nested names + types must match, the
@@ -1634,7 +1654,20 @@ object DeltaInterop {
     }
     var st = validate()
     if (alreadyApplied) return st.version // this batch already landed
-    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val tableSchema = DataType.fromJson(st.schemaJson)
+      .asInstanceOf[StructType]
+    // mergeSchema: widen with the input's extra columns (nullable;
+    // fresh mapping ids under column mapping) — the commit below
+    // re-declares the metaData when anything widened
+    val (schema, mergedConf): (StructType, Map[String, String]) =
+      if (!mergeSchema) (tableSchema, st.configuration)
+      else df.schema.fields
+        .filterNot(f => tableSchema.fieldNames
+          .exists(_.equalsIgnoreCase(f.name)))
+        .foldLeft((tableSchema, st.configuration)) {
+          case ((sc, cf), f) => appendSchemaField(sc, cf, f.name, f.dataType)
+        }
+    val schemaWidened = schema.length != tableSchema.length
     val partCols = st.partCols
     // column-mapped tables (name or id mode): the files must carry
     // PHYSICAL names at every nesting level (nested renames via a
@@ -1699,6 +1732,19 @@ object DeltaInterop {
       val now = System.currentTimeMillis()
       val actions = Seq.newBuilder[String]
       actions += s"""{"commitInfo":{"timestamp":$now,"operation":"WRITE","operationParameters":{"mode":"Append"},"engineInfo":"graft-append"}}"""
+      if (schemaWidened) {
+        val confJson = mergedConf.map { case (k, vv) =>
+          "\"" + jsonEscape(k) + "\":\"" + jsonEscape(vv) + "\""
+        }.mkString(",")
+        val nameJson = lastColl.flatMap(_.metaName)
+          .map(n => s""","name":"${jsonEscape(n)}"""").getOrElse("")
+        val descJson = lastColl.flatMap(_.metaDescription)
+          .map(d => s""","description":"${jsonEscape(d)}"""").getOrElse("")
+        actions += s"""{"metaData":{"id":"${jsonEscape(
+          lastColl.flatMap(_.metaId).getOrElse(
+            java.util.UUID.randomUUID().toString))}"$nameJson$descJson,"format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(schema.json)}","partitionColumns":[${partCols.map(c =>
+          "\"" + jsonEscape(c) + "\"").mkString(",")}],"configuration":{$confJson},"createdTime":${lastColl.flatMap(_.createdTime).getOrElse(now)}}}"""
+      }
       txn.foreach { case (app, tv) =>
         actions += s"""{"txn":{"appId":"${jsonEscape(app)}","version":$tv,"lastUpdated":$now}}"""
       }
@@ -1740,6 +1786,14 @@ object DeltaInterop {
               cleanup()
               committed = st.version
             } else {
+              // the peer must not have changed the TABLE's schema or
+              // mapping (under mergeSchema, compare against the
+              // pre-widen state — our metaData action still declares
+              // the correct union over pure-append peers)
+              val basePhys =
+                if (!mapped) tableSchema
+                else StructType(tableSchema.fields
+                  .map(physicalField(_, st.colMapMode == "id")))
               val freshPhys =
                 if (st.colMapMode == "none")
                   DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
@@ -1747,7 +1801,7 @@ object DeltaInterop {
                   .asInstanceOf[StructType].fields
                   .map(physicalField(_, st.colMapMode == "id")))
               require((st.colMapMode != "none") == mapped &&
-                  freshPhys == physSchema,
+                  freshPhys == basePhys,
                 s"table at $path changed its schema or column mapping " +
                   "during the append — retry the append against the new state")
               v = math.max(v + 1, st.version + 1)
@@ -3379,30 +3433,38 @@ object DeltaInterop {
       Map("column" -> name), maxRetries) { (schema, c) =>
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"column '$name' already exists at $path")
-      if (c.getOrElse("delta.columnMapping.mode", "none") == "none")
-        (schema.add(StructField(name, dataType, nullable = true)), c)
-      else {
-        def fieldIds(st: StructType): Seq[Long] = st.fields.toSeq.flatMap {
-          f =>
-            val own =
-              if (f.metadata.contains(ColMapIdKey))
-                Seq(f.metadata.getLong(ColMapIdKey))
-              else Nil
-            own ++ (f.dataType match {
-              case s: StructType => fieldIds(s)
-              case _ => Nil
-            })
-        }
-        val maxId = (c.get("delta.columnMapping.maxColumnId")
-          .map(_.toLong).getOrElse(0L) +: fieldIds(schema)).max
-        val id = maxId + 1
-        val md = new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong(ColMapIdKey, id)
-          .putString(PhysNameKey, s"col-${java.util.UUID.randomUUID()}")
-          .build()
-        (schema.add(StructField(name, dataType, nullable = true, md)),
-          c + ("delta.columnMapping.maxColumnId" -> id.toString))
+      appendSchemaField(schema, c, name, dataType)
+    }
+
+  /** Append one nullable column to a Delta schema, assigning a fresh
+    * mapping id + UUID physical name (and bumping maxColumnId) when the
+    * configuration declares column mapping. */
+  private def appendSchemaField(schema: StructType, c: Map[String, String],
+      name: String, dataType: DataType)
+      : (StructType, Map[String, String]) =
+    if (c.getOrElse("delta.columnMapping.mode", "none") == "none")
+      (schema.add(StructField(name, dataType, nullable = true)), c)
+    else {
+      def fieldIds(st: StructType): Seq[Long] = st.fields.toSeq.flatMap {
+        f =>
+          val own =
+            if (f.metadata.contains(ColMapIdKey))
+              Seq(f.metadata.getLong(ColMapIdKey))
+            else Nil
+          own ++ (f.dataType match {
+            case s: StructType => fieldIds(s)
+            case _ => Nil
+          })
       }
+      val maxId = (c.get("delta.columnMapping.maxColumnId")
+        .map(_.toLong).getOrElse(0L) +: fieldIds(schema)).max
+      val id = maxId + 1
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(ColMapIdKey, id)
+        .putString(PhysNameKey, s"col-${java.util.UUID.randomUUID()}")
+        .build()
+      (schema.add(StructField(name, dataType, nullable = true, md)),
+        c + ("delta.columnMapping.maxColumnId" -> id.toString))
     }
 
   /** (version, adjusted timestamp, operation, engineInfo) of every

@@ -2901,6 +2901,74 @@ class DeltaInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("appendToDelta mergeSchema widens the table in the same commit") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_msch_t_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_msch_")
+    DeltaInterop.exportSnapshot(t, target) // v0
+    // plain append with extra columns refuses and names the fix
+    val e0 = intercept[Exception] {
+      DeltaInterop.appendToDelta(
+        Seq((2L, "b", 7L)).toDF("id", "v", "n"), target)
+    }
+    assert(e0.getMessage.contains("mergeSchema"), e0.getMessage)
+    DeltaInterop.appendToDelta(
+      Seq((2L, "b", 7L)).toDF("id", "v", "n"), target,
+      mergeSchema = true) // v1: adds + metaData in ONE commit
+    val widened = DeltaInterop.readDelta(spark, target)
+    assert(widened.columns.toSeq == Seq("id", "v", "n"))
+    assert(widened.as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", Some(7L))))
+    // identity preserved; exactly one commit landed
+    def metaIdOf(v: Long): String = {
+      val txt = new String(Files.readAllBytes(
+        Paths.get(target, "_delta_log", f"$v%020d.json")), "UTF-8")
+      "\"metaData\":\\{\"id\":\"([^\"]+)\"".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    }
+    assert(metaIdOf(0L).nonEmpty && metaIdOf(0L) == metaIdOf(1L))
+    assert(!Files.exists(Paths.get(target, "_delta_log",
+      "0" * 19 + "2.json")))
+    // mergeSchema still demands every EXISTING column
+    val e1 = intercept[Exception] {
+      DeltaInterop.appendToDelta(Seq(3L).toDF("id"), target,
+        mergeSchema = true)
+    }
+    assert(e1.getMessage.contains("lacks table columns"), e1.getMessage)
+    // a NAME-mapped table widens with a mapping id + physical name
+    val root = tmp("graft_mschm_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    Seq((1L, "x")).toDF("a", "b")
+      .select(col("a").as("col-1"), col("b").as("col-2"))
+      .coalesce(1).write.parquet(root + "/d0")
+    val f0 = Files.list(Paths.get(root, "d0")).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    val rel = Paths.get(root).relativize(Paths.get(f0)).toString
+    def meta(phys: String, id: Int) =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build()
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-1", 1)),
+      StructField("v", StringType, nullable = true, meta("col-2", 2)))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    DeltaInterop.appendToDelta(
+      Seq((2L, "y", 42L)).toDF("id", "v", "extra"), root,
+      mergeSchema = true)
+    assert(DeltaInterop.readDelta(spark, root)
+      .as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "x", None), (2L, "y", Some(42L))))
+    val v1 = new String(Files.readAllBytes(
+      Paths.get(root, "_delta_log", "0" * 19 + "1.json")), "UTF-8")
+    assert(v1.contains("\"delta.columnMapping.maxColumnId\":\"3\""), v1)
+  }
+
   test("appendToDelta honors an explicit delta.checkpointInterval") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_ckpi_t_"),
