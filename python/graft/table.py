@@ -184,22 +184,27 @@ def read_delta_changes(spark, path, from_version, to_version):
 
 
 def read_delta_stream(spark, path, skip_change_commits=False,
-                      max_commits_per_trigger=None):
+                      max_commits_per_trigger=None,
+                      starting_version=None):
     """Streaming read of a FOREIGN Delta table: tails its _delta_log,
     batch 0 = the complete snapshot, later batches = appended files
     per commit. Change commits (removes / deletion vectors) fail the
     stream unless skip_change_commits=True skips them. Requires a
-    column-mapping-free table."""
+    column-mapping-free table. starting_version (N or "latest") skips
+    the initial snapshot and tails commits from N on."""
     r = spark.readStream.format("graft.sources.v2.DeltaSource")
     if skip_change_commits:
         r = r.option("skipChangeCommits", "true")
     if max_commits_per_trigger is not None:
         r = r.option("maxCommitsPerTrigger", str(int(max_commits_per_trigger)))
+    if starting_version is not None:
+        r = r.option("startingVersion", str(starting_version))
     return r.load(path)
 
 
 def read_iceberg_stream(spark, path, skip_change_commits=False,
-                        max_snapshots_per_trigger=None):
+                        max_snapshots_per_trigger=None,
+                        starting_snapshot_id=None):
     """Streaming read of an Iceberg table (foreign or a graft mirror):
     tails its snapshot history, batch 0 = the complete snapshot, later
     batches = files added by append snapshots. Non-append snapshots
@@ -211,6 +216,8 @@ def read_iceberg_stream(spark, path, skip_change_commits=False,
     if max_snapshots_per_trigger is not None:
         r = r.option("maxSnapshotsPerTrigger",
                      str(int(max_snapshots_per_trigger)))
+    if starting_snapshot_id is not None:
+        r = r.option("startingSnapshotId", str(starting_snapshot_id))
     return r.load(path)
 
 
@@ -282,7 +289,7 @@ def delete_from_delta(spark, path, condition_col):
                               condition_col._jc, 20)
 
 
-def append_to_iceberg(df, path):
+def append_to_iceberg(df, path, merge_schema=False):
     """APPEND a DataFrame to an existing file-based Iceberg table as a
     fast-append snapshot (format v1 AND v2 — v2 appends maintain the
     spec's sequence-number bookkeeping, so existing merge-on-read
@@ -291,7 +298,8 @@ def append_to_iceberg(df, path):
     the committed snapshot id."""
     jvm = df.sparkSession._jvm
     ix = jvm.graft.sources.IcebergInterop
-    return ix.appendToIceberg(df._jdf, path, 20, jvm.scala.Option.empty())
+    return ix.appendToIceberg(df._jdf, path, 20, jvm.scala.Option.empty(),
+                              bool(merge_schema))
 
 
 def read_delta_cdf_stream(spark, path, max_commits_per_trigger=None):

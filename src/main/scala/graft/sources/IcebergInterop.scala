@@ -1567,7 +1567,8 @@ object IcebergInterop {
   }
 
   def appendToIceberg(df: DataFrame, path: String, maxRetries: Int = 20,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val root = new HPath(path)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1609,14 +1610,46 @@ object IcebergInterop {
       if (fv > 2)
         refuseW(s"the table is format version $fv — this writer produces " +
           "v1 and v2 (sequence-numbered) appends only")
-      val schemaNode = currentSchemaNode(md, path)
-      val schemaId = md.path("current-schema-id").asInt(
+      var schemaNode = currentSchemaNode(md, path)
+      var schemaId = md.path("current-schema-id").asInt(
         schemaNode.path("schema-id").asInt(0))
-      val schema = fromIcebergStruct(schemaNode, path)
-      require(schema.fieldNames.toSet == df.schema.fieldNames.toSet,
-        s"append schema mismatch at $path: table columns " +
-          s"[${schema.fieldNames.mkString(", ")}], input columns " +
-          s"[${df.schema.fieldNames.mkString(", ")}]")
+      var schema = fromIcebergStruct(schemaNode, path)
+      // mergeSchema: the input's extra columns WIDEN the schema in
+      // this same commit (next field ids, schemas-array bookkeeping);
+      // deterministic re-derivation keeps lost races convergent
+      val extras = df.schema.fields.filterNot(f =>
+        schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      if (extras.nonEmpty && mergeSchema) {
+        require((schema.fieldNames.toSet -- df.schema.fieldNames.toSet)
+          .isEmpty,
+          s"append schema mismatch at $path: input lacks table columns " +
+            s"[${(schema.fieldNames.toSet -- df.schema.fieldNames.toSet)
+              .mkString(", ")}] — mergeSchema only ADDS columns")
+        val widened = schemaNode.deepCopy[ObjectNode]()
+        var nextId = md.path("last-column-id").asInt(0)
+        extras.foreach { f =>
+          nextId += 1
+          val fn = om.createObjectNode()
+          fn.put("id", nextId)
+          fn.put("name", f.name)
+          fn.put("required", false)
+          fn.put("type", primitiveIcebergType(f.dataType,
+            s"cannot mergeSchema-append column '${f.name}' to $path"))
+          widened.get("fields")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+            .add(fn)
+        }
+        publishSchema(md, widened, nextId)
+        schemaNode = currentSchemaNode(md, path)
+        schemaId = md.path("current-schema-id").asInt(0)
+        schema = fromIcebergStruct(schemaNode, path)
+      } else
+        require(schema.fieldNames.toSet == df.schema.fieldNames.toSet,
+          s"append schema mismatch at $path: table columns " +
+            s"[${schema.fieldNames.mkString(", ")}], input columns " +
+            s"[${df.schema.fieldNames.mkString(", ")}]" +
+            (if (extras.nonEmpty) " — pass mergeSchema=true to widen"
+             else ""))
       schema.fields.foreach { f =>
         val have = df.schema(f.name).dataType
         require(f.dataType == have,

@@ -2639,6 +2639,49 @@ class IcebergInteropSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("appendToIceberg mergeSchema widens the schema in the same snapshot") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_imsch_t_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_imsch_")
+    IcebergInterop.exportSnapshot(t, target)
+    // plain append with extras refuses and names the fix
+    val e0 = intercept[Exception] {
+      IcebergInterop.appendToIceberg(
+        Seq((2L, "b", 7L)).toDF("id", "v", "n"), target)
+    }
+    assert(e0.getMessage.contains("mergeSchema"), e0.getMessage)
+    IcebergInterop.appendToIceberg(
+      Seq((2L, "b", 7L)).toDF("id", "v", "n"), target, mergeSchema = true)
+    val widened = IcebergInterop.readIceberg(spark, target)
+    assert(widened.columns.toSeq == Seq("id", "v", "n"))
+    assert(widened.as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", Some(7L))))
+    // bookkeeping: new field id allocated, schemas array advanced,
+    // exactly ONE metadata version landed for the append
+    val md = latestMeta(target)
+    assert(md.get("last-column-id").asInt() == 3, md.toString)
+    assert(md.get("schemas").size() == 2, md.toString)
+    assert(!Files.exists(Paths.get(target, "metadata", "v4.metadata.json")))
+    // next appends carry the widened schema plainly
+    IcebergInterop.appendToIceberg(
+      Seq((3L, "c", 9L)).toDF("id", "v", "n"), target)
+    assert(IcebergInterop.readIceberg(spark, target).count() == 3)
+    // still demands every EXISTING column under mergeSchema
+    val e1 = intercept[Exception] {
+      IcebergInterop.appendToIceberg(Seq(4L).toDF("id"), target,
+        mergeSchema = true)
+    }
+    assert(e1.getMessage.contains("append schema mismatch"), e1.getMessage)
+    // nested extras refuse with the primitive message
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergInterop.appendToIceberg(
+        Seq((4L, "d", 1L, Seq(1L))).toDF("id", "v", "n", "arr"), target,
+        mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("primitive"), e2.getMessage)
+  }
+
   test("removeOrphanIcebergFiles: unreferenced + old only; metadata untouched") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_iorph_"),
