@@ -1544,9 +1544,12 @@ object DeltaInterop {
     * partitionValues keys / hive dirs use the physical partition
     * names, per the protocol's writer requirements.
     *
-    * Writer obligations are gated honestly: refuses CHECK constraints,
-    * column invariants, generated/identity columns (obligations it
-    * will not evaluate), and unknown writer features. Features that
+    * Writer obligations: CHECK constraints and column invariants are
+    * ENFORCED — one aggregate pass over the input evaluates every
+    * declared predicate (SQL CHECK semantics, NULL passes) and a
+    * violation fails the append before any file lands; generated and
+    * identity columns refuse (values this writer will not compute), as
+    * do unknown writer features. Features that
     * impose no obligation on a plain append (appendOnly,
     * deletionVectors, changeDataFeed — blind-append inserts derive
     * from the add actions per PROTOCOL.md, v2Checkpoint — appends
@@ -1609,20 +1612,45 @@ object DeltaInterop {
           refuseW("the table requires writer features " +
             s"[${unknown.mkString(", ")}] this writer does not implement")
       }
-      if (st.configuration.keys.exists(_.startsWith("delta.constraints.")))
-        refuseW("the table declares CHECK constraints this writer does " +
-          "not evaluate")
       val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
       schema.fields.foreach { f =>
-        if (f.metadata.contains("delta.invariants"))
-          refuseW(s"column '${f.name}' declares an invariant this writer " +
-            "does not evaluate")
         if (f.metadata.contains("delta.generationExpression"))
           refuseW(s"column '${f.name}' is a generated column this writer " +
             "does not compute")
         if (f.metadata.contains("delta.identity.start"))
           refuseW(s"column '${f.name}' is an identity column this writer " +
             "does not assign")
+      }
+      // CHECK constraints + column invariants are ENFORCED, not
+      // refused: one aggregate pass over the input evaluates every
+      // declared predicate (SQL CHECK semantics — NULL passes), and a
+      // single violation fails the append before any file lands
+      val checks: Seq[(String, String)] =
+        st.configuration.toSeq.collect {
+          case (k, v) if k.startsWith("delta.constraints.") =>
+            (s"CHECK constraint ${k.stripPrefix("delta.constraints.")}", v)
+        } ++ schema.fields.flatMap { f =>
+          if (!f.metadata.contains("delta.invariants")) None
+          else {
+            val expr = new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(f.metadata.getString("delta.invariants"))
+              .path("expression").path("expression").asText("")
+            if (expr.isEmpty) refuseW(s"column '${f.name}' declares an " +
+              "invariant this writer cannot parse")
+            Some((s"invariant on column '${f.name}'", expr))
+          }
+        }
+      if (checks.nonEmpty) {
+        import org.apache.spark.sql.functions.{coalesce, expr, lit, min => fmin}
+        val aggs = checks.zipWithIndex.map { case ((_, e), i) =>
+          fmin(coalesce(expr(e).cast("boolean"), lit(true)))
+            .as(s"__ok_$i")
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        checks.zipWithIndex.foreach { case ((what, e), i) =>
+          if (!row.isNullAt(i) && !row.getBoolean(i))
+            refuseW(s"the input violates $what ($e)")
+        }
       }
       if (mergeSchema)
         // extra input columns WIDEN the table below; the input must

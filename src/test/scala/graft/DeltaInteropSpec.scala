@@ -1578,14 +1578,43 @@ class DeltaInteropSpec extends AnyFunSuite {
     val bOnly = DeltaInterop.readDeltaWhere(spark, root, "seg", "B")
       .as[(Long, Double, Option[String])].collect().toSet
     assert(bOnly == Set((3L, 3.0, Some("B"))))
-    // CHECK constraints refuse
+    // CHECK constraints are ENFORCED: satisfying input lands, a
+    // violating row fails the whole append before any file commits
     Files.write(Paths.get(root, "_delta_log", "0" * 19 + "2.json"), Seq(
       s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":["seg"],"configuration":{"delta.constraints.pos":"id > 0"},"createdTime":2}}"""
     ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    DeltaInterop.appendToDelta(
+      Seq((9L, 9.0, "C")).toDF("id", "x", "seg"), root)
     val e = intercept[IllegalArgumentException] {
-      DeltaInterop.appendToDelta(Seq((9L, 9.0, "C")).toDF("id", "x", "seg"), root)
+      DeltaInterop.appendToDelta(
+        Seq((10L, 1.0, "C"), (-1L, 2.0, "C")).toDF("id", "x", "seg"), root)
     }
-    assert(e.getMessage.contains("CHECK constraints"), e.getMessage)
+    assert(e.getMessage.contains("violates CHECK constraint pos"),
+      e.getMessage)
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L, 9L)) // the violating batch left nothing
+    // NULL passes (SQL CHECK semantics); column invariants enforce too
+    DeltaInterop.appendToDelta(
+      Seq((null.asInstanceOf[java.lang.Long], 5.0, "C"))
+        .toDF("id", "x", "seg")
+        .select(col("id").cast("long").as("id"), col("x"), col("seg")),
+      root)
+    val invSchema = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType,
+        nullable = true, new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.invariants",
+            """{"expression":{"expression":"x < 100"}}""").build()),
+      StructField("seg", StringType))).json
+    Files.write(Paths.get(root, "_delta_log", "0" * 19 + "5.json"), Seq(
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(invSchema)}","partitionColumns":["seg"],"configuration":{},"createdTime":3}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val e2i = intercept[IllegalArgumentException] {
+      DeltaInterop.appendToDelta(
+        Seq((11L, 999.0, "C")).toDF("id", "x", "seg"), root)
+    }
+    assert(e2i.getMessage.contains("invariant on column 'x'"),
+      e2i.getMessage)
     // unknown writer features refuse; harmless-on-append features pass
     val root3 = tmp("graft_dapp_wf_")
     Files.createDirectories(Paths.get(root3, "_delta_log"))
