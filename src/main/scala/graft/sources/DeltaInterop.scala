@@ -3386,6 +3386,13 @@ object DeltaInterop {
     val Harmless = Set("appendOnly", "invariants", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors",
       "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping")
+    // the writer features a legacy minWriterVersion implies, per the
+    // protocol's version-to-feature table — needed when an upgrade
+    // moves a legacy table to explicit feature lists
+    def impliedWriter(v: Int): Seq[String] = Seq(
+      2 -> "appendOnly", 2 -> "invariants", 3 -> "checkConstraints",
+      4 -> "changeDataFeed", 4 -> "generatedColumns", 5 -> "columnMapping",
+      6 -> "identityColumns").collect { case (mv, f) if v >= mv => f }
     var attempts = 0
     while (true) {
       val coll = new CheckpointCollector()
@@ -3401,6 +3408,42 @@ object DeltaInterop {
       val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
       val (newSchema, newConf) = edit(schema, st.configuration)
       val now = System.currentTimeMillis()
+      // properties that carry PROTOCOL obligations auto-upgrade the
+      // protocol in the same commit (Delta's ALTER TBLPROPERTIES
+      // behavior) — a CDF/DV flag without its feature would make
+      // honest readers/writers ignore or reject the table's contract
+      val needWriter = Seq(
+        "delta.enableChangeDataFeed" -> "changeDataFeed",
+        "delta.enableDeletionVectors" -> "deletionVectors",
+        "delta.appendOnly" -> "appendOnly").collect {
+        case (k, f) if newConf.get(k).contains("true") => f
+      }
+      val needReader: Seq[String] =
+        if (newConf.get("delta.enableDeletionVectors").contains("true"))
+          Seq("deletionVectors")
+        else Nil
+      val haveWriter =
+        if (st.minWriter == 7) st.writerFeatures
+        else impliedWriter(st.minWriter)
+      val haveReader =
+        if (coll.minReader >= 3) coll.readerFeatures
+        else if (coll.minReader >= 2) Seq("columnMapping")
+        else Nil
+      val missingW = needWriter.filterNot(haveWriter.contains)
+      val missingR = needReader.filterNot(haveReader.contains)
+      val protocolAction: Option[String] =
+        if (missingW.isEmpty && missingR.isEmpty) None
+        else {
+          val wf = (haveWriter ++ missingW).distinct.sorted
+          val rf = ((if (coll.minReader >= 3) coll.readerFeatures
+            else haveReader) ++ missingR).distinct.sorted
+          val mr = if (rf.nonEmpty) 3 else math.max(coll.minReader, 1)
+          val rfJson = if (rf.nonEmpty)
+            s""","readerFeatures":[${rf.map(f =>
+              "\"" + jsonEscape(f) + "\"").mkString(",")}]""" else ""
+          Some(s"""{"protocol":{"minReaderVersion":$mr,"minWriterVersion":7$rfJson,"writerFeatures":[${wf.map(f =>
+            "\"" + jsonEscape(f) + "\"").mkString(",")}]}}""")
+        }
       val paramsJson = params.map { case (k, v) =>
         "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\""
       }.mkString(",")
@@ -3412,7 +3455,8 @@ object DeltaInterop {
       val descJson = coll.metaDescription
         .map(d => s""","description":"${jsonEscape(d)}"""").getOrElse("")
       val actions = Seq(
-        s"""{"commitInfo":{"timestamp":$now,"operation":"${jsonEscape(operation)}","operationParameters":{$paramsJson},"engineInfo":"graft-alter"}}""",
+        s"""{"commitInfo":{"timestamp":$now,"operation":"${jsonEscape(operation)}","operationParameters":{$paramsJson},"engineInfo":"graft-alter"}}""") ++
+        protocolAction ++ Seq(
         s"""{"metaData":{"id":"${jsonEscape(coll.metaId.getOrElse(
           java.util.UUID.randomUUID().toString))}"$nameJson$descJson,"format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(newSchema.json)}","partitionColumns":[${st.partCols.map(c =>
           "\"" + jsonEscape(c) + "\"").mkString(",")}],"configuration":{$confJson},"createdTime":${coll.createdTime.getOrElse(now)}}}""")

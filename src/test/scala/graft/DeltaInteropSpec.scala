@@ -3019,6 +3019,46 @@ class DeltaInteropSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L))
   }
 
+  test("setDeltaProperties auto-upgrades the protocol for feature flags") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_pup_t_"),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val target = tmp("graft_pup_")
+    DeltaInterop.exportSnapshot(t, target) // v0, minWriter 2
+    DeltaInterop.setDeltaProperties(spark, target,
+      Map("delta.enableChangeDataFeed" -> "true")) // v1
+    val v1 = new String(Files.readAllBytes(
+      Paths.get(target, "_delta_log", "0" * 19 + "1.json")), "UTF-8")
+    assert(v1.contains("\"minWriterVersion\":7"), v1)
+    assert(v1.contains("changeDataFeed"), v1)
+    assert(!v1.contains("readerFeatures"), v1) // CDF needs no reader bump
+    // the upgraded contract WORKS: a delete now writes authoritative
+    // cdc files the Change Data Feed reads back
+    DeltaInterop.deleteFromDelta(spark, target, col("id") === 2L) // v2
+    val changes = DeltaInterop.readDeltaChanges(spark, target, 2L, 2L)
+    assert(changes.select("id", "_change_type")
+      .as[(Long, String)].collect().toSet == Set((2L, "delete")))
+    // a reader-feature flag bumps the reader half too
+    DeltaInterop.setDeltaProperties(spark, target,
+      Map("delta.enableDeletionVectors" -> "true")) // v3
+    val v3 = new String(Files.readAllBytes(
+      Paths.get(target, "_delta_log", "0" * 19 + "3.json")), "UTF-8")
+    assert(v3.contains("\"minReaderVersion\":3"), v3)
+    assert(v3.contains("\"readerFeatures\""), v3)
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // a property with no protocol obligation upgrades nothing
+    val t2 = GraftTable.create(spark, tmp("graft_pup2_t_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target2 = tmp("graft_pup2_")
+    DeltaInterop.exportSnapshot(t2, target2)
+    DeltaInterop.setDeltaProperties(spark, target2,
+      Map("graft.custom" -> "x"))
+    val w1 = new String(Files.readAllBytes(
+      Paths.get(target2, "_delta_log", "0" * 19 + "1.json")), "UTF-8")
+    assert(!w1.contains("\"protocol\""), w1)
+  }
+
   test("foreign Delta ADD COLUMN assigns mapping id + physical name on mapped tables") {
     import spark.implicits._
     val root = tmp("graft_ddlmap_")
