@@ -2098,9 +2098,74 @@ object DeltaInterop {
           fs.delete(staging, true); fs.delete(cdcStaging, true)
         }
         try {
-          // rewrite survivors of partially-matched files
+          // MERGE-ON-READ mode (delta.enableDeletionVectors=true): a
+          // partially-matched file is re-added with a fresh deletion
+          // vector covering (old DV ∪ newly matched rows) — O(deleted
+          // rows) instead of a file rewrite, Delta's own modern DELETE.
+          // Positions come from one distributed scan; the per-file
+          // bitmaps are then written driver-side (payload ∝ deleted
+          // rows — the same order as the commit's cdc files).
+          val dvMode = st.configuration
+            .get("delta.enableDeletionVectors").contains("true")
           var adds: Seq[(String, Long)] = Nil
-          if (rewriteFiles.nonEmpty) {
+          var dvAdds: Seq[(String, Map[String, String], Long,
+            DeletionVectors.Descriptor)] = Nil
+          if (rewriteFiles.nonEmpty && dvMode) {
+            val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+            val lookupMap = new java.util.HashMap[
+              org.apache.spark.unsafe.types.UTF8String,
+              DeletionVectors.Roaring64]()
+            rewriteFiles.foreach { case (p, (_, dv)) =>
+              dv.foreach(d => lookupMap.put(
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  qualified(resolveFile(root, p))),
+                DeletionVectors.load(conf, root, d)))
+            }
+            val dvLookup = new DvLookup(lookupMap)
+            // union per file: rows already struck by the OLD DV, plus
+            // rows the predicate matches now (no live-filtering — old
+            // positions must re-appear in the merged vector)
+            val matchedOrStruck = rewriteFiles.groupBy(_._2._1).map {
+              case (pv, es) =>
+                val base = spark.read.schema(dataSchema)
+                  .parquet(es.map(e => resolveFile(root, e._1)): _*)
+                val withMeta = base
+                  .withColumn("__file", col("_metadata.file_path"))
+                  .withColumn("__pos", col("_metadata.row_index"))
+                val dvPred = bridge.column(DvDeleted(
+                  bridge.expression(col("_metadata.file_path")),
+                  bridge.expression(col("_metadata.row_index")), dvLookup))
+                partCols.foldLeft(withMeta) { (d, pc) =>
+                  d.withColumn(pc,
+                    pv.get(pc).map(lit(_)).getOrElse(lit(null))
+                      .cast(schema(pc).dataType))
+                }.where(org.apache.spark.sql.functions.coalesce(
+                  condition, lit(false)) || dvPred)
+                  .select(col("__file"), col("__pos"))
+            }.reduce(_.unionByName(_))
+            val posByFile: Map[String, Seq[Long]] = matchedOrStruck
+              .collect().groupBy(_.getString(0))
+              .map { case (f, rows) =>
+                f -> rows.map(_.getLong(1)).toSeq.sorted }
+            dvAdds = rewriteFiles.map { case (p, (pv, _)) =>
+              val q = qualified(resolveFile(root, p))
+              val positions = posByFile.getOrElse(q, Nil)
+              val uuid = java.util.UUID.randomUUID()
+              val ub = java.nio.ByteBuffer.allocate(16)
+              ub.putLong(uuid.getMostSignificantBits)
+              ub.putLong(uuid.getLeastSignificantBits)
+              val (off, size) = DeletionVectors.writeDvFile(conf,
+                new HPath(root, s"deletion_vector_$uuid.bin"), positions)
+              moved += s"deletion_vector_$uuid.bin"
+              val fileSize =
+                fs.getFileStatus(new HPath(resolveFile(root, p))).getLen
+              (p, pv, fileSize, DeletionVectors.Descriptor("u",
+                DeletionVectors.z85Encode(ub.array()), Some(off), size,
+                positions.length.toLong))
+            }
+          }
+          // rewrite survivors of partially-matched files
+          if (rewriteFiles.nonEmpty && !dvMode) {
             // survivors = rows where the predicate is NOT TRUE (false
             // or null) — SQL DELETE keeps null-condition rows
             val survivors = liveScan(rewriteFiles)
@@ -2147,10 +2212,11 @@ object DeltaInterop {
             fs.delete(cdcStaging, true)
             cdcAdds = staged
           }
-          // tombstone the fully-matched files AND the rewritten sources
+          // tombstone the fully-matched files AND the rewritten (or
+          // DV-re-added) sources
           result = commitDelete(io, logDir, st, now0, condition.toString,
             removeWhole ++ rewriteFiles.map { case (p, (pv, _)) => (p, pv) },
-            adds, cdcAdds, partCols)
+            adds, cdcAdds, partCols, dvAdds = dvAdds)
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             cleanupStaged()
@@ -3090,12 +3156,22 @@ object DeltaInterop {
     * remove + add actions into the next version slot (throws
     * FileAlreadyExistsException on a lost race — the caller
     * recomputes). */
+  /** The `deletionVector` suffix of an add action. */
+  private def descriptorJson(d: DeletionVectors.Descriptor): String = {
+    val off = d.offset.map(o => s""","offset":$o""").getOrElse("")
+    s""","deletionVector":{"storageType":"${jsonEscape(d.storageType)}"""" +
+      s""","pathOrInlineDv":"${jsonEscape(d.pathOrInlineDv)}"$off""" +
+      s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+  }
+
   private def commitDelete(io: TableIO, logDir: HPath, st: DeltaSnapshot,
       now: Long, predicate: String,
       removeWhole: Seq[(String, Map[String, String])],
       adds: Seq[(String, Long)], cdcAdds: Seq[(String, Long)],
       partCols: Seq[String], operation: String = "DELETE",
-      dataChange: Boolean = true): Long = {
+      dataChange: Boolean = true,
+      dvAdds: Seq[(String, Map[String, String], Long,
+        DeletionVectors.Descriptor)] = Nil): Long = {
     val actions = Seq.newBuilder[String]
     actions += s"""{"commitInfo":{"timestamp":$now,"operation":"$operation","operationParameters":{"predicate":"${jsonEscape(predicate)}"},"engineInfo":"graft-${operation.toLowerCase}"}}"""
     def pvJson(pv: Seq[(String, String)]): String =
@@ -3113,6 +3189,11 @@ object DeltaInterop {
     adds.foreach { case (rel, size) =>
       val pv = hivePartitionValues(rel, partCols)
       actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{${pvJson(pv)}},"size":$size,"modificationTime":$now,"dataChange":$dataChange}}"""
+    }
+    // merge-on-read deletes: the SAME data file re-added with a fresh
+    // deletion vector (its remove rides removeWhole above)
+    dvAdds.foreach { case (rel, pv, size, d) =>
+      actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{${pvJson(pv.toSeq)}},"size":$size,"modificationTime":$now,"dataChange":$dataChange${descriptorJson(d)}}}"""
     }
     val bytes = actions.result().mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8)
@@ -3180,12 +3261,7 @@ object DeltaInterop {
     require(target.version == version,
       s"version $version does not exist at $path (log ends at " +
         s"${target.version})")
-    def dvJson(d: DeletionVectors.Descriptor): String = {
-      val off = d.offset.map(o => s""","offset":$o""").getOrElse("")
-      s""","deletionVector":{"storageType":"${jsonEscape(d.storageType)}"""" +
-        s""","pathOrInlineDv":"${jsonEscape(d.pathOrInlineDv)}"$off""" +
-        s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
-    }
+    def dvJson(d: DeletionVectors.Descriptor): String = descriptorJson(d)
     def pvJson(pv: Map[String, String]): String =
       pv.map { case (k, v) =>
         "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\""

@@ -3019,6 +3019,49 @@ class DeltaInteropSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L))
   }
 
+  test("deleteFromDelta writes merged deletion vectors when enabled") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_dvw_t_"),
+      Seq.range(0L, 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val target = tmp("graft_dvw_")
+    DeltaInterop.exportSnapshot(t, target) // v0: one data file
+    DeltaInterop.setDeltaProperties(spark, target,
+      Map("delta.enableDeletionVectors" -> "true")) // v1 + protocol
+    def dataFiles = new java.io.File(target).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = dataFiles
+    DeltaInterop.deleteFromDelta(spark, target,
+      col("id") === 2L || col("id") === 5L) // v2: DV, no rewrite
+    assert(dataFiles == before, "MoR delete must not rewrite data files")
+    val v2 = new String(Files.readAllBytes(
+      Paths.get(target, "_delta_log", "0" * 19 + "2.json")), "UTF-8")
+    assert(v2.contains("\"storageType\":\"u\""), v2)
+    assert(v2.contains("\"cardinality\":2"), v2)
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("id").as[Long].collect().toSet ==
+      (0L until 10L).toSet -- Set(2L, 5L))
+    // a second delete MERGES into a fresh vector (old ∪ new)
+    DeltaInterop.deleteFromDelta(spark, target, col("id") === 7L) // v3
+    val v3 = new String(Files.readAllBytes(
+      Paths.get(target, "_delta_log", "0" * 19 + "3.json")), "UTF-8")
+    assert(v3.contains("\"cardinality\":3"), v3)
+    assert(dataFiles == before)
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("id").as[Long].collect().toSet ==
+      (0L until 10L).toSet -- Set(2L, 5L, 7L))
+    // time travel sees the pre-delete states
+    assert(DeltaInterop.readDelta(spark, target, Some(2L))
+      .count() == 8)
+    assert(DeltaInterop.readDelta(spark, target, Some(1L))
+      .count() == 10)
+    // a FULLY-matched file still removes whole — no pointless vector
+    DeltaInterop.deleteFromDelta(spark, target, col("id") >= 0L) // v4
+    assert(DeltaInterop.readDelta(spark, target).count() == 0)
+    val v4 = new String(Files.readAllBytes(
+      Paths.get(target, "_delta_log", "0" * 19 + "4.json")), "UTF-8")
+    assert(!v4.contains("deletionVector"), v4)
+  }
+
   test("setDeltaProperties auto-upgrades the protocol for feature flags") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_pup_t_"),
