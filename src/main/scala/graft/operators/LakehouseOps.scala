@@ -955,7 +955,40 @@ object LakehouseOps {
       .orderBy($"s_suppkey")
   }
 
+  /** g39: merge-on-read Delta DELETE gate
+    * ([[graft.sources.DeltaInterop.deleteFromDelta]] with
+    * delta.enableDeletionVectors) — enable DVs via the
+    * protocol-upgrading property commit, run two deletes (the second
+    * MERGES vectors), read back through the DV-filtering replay: no
+    * data file is rewritten, yet the rows must match the relational
+    * recomputation exactly. */
+  val g39_delta_dv_delete: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup,
+      partitionBy = Seq("s_nationkey"))
+    val target = Files.createTempDirectory("graft_dvdel_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    graft.sources.DeltaInterop.setDeltaProperties(s, target,
+      Map("delta.enableDeletionVectors" -> "true"))
+    graft.sources.DeltaInterop.deleteFromDelta(s, target,
+      $"s_suppkey" % 4 === 0)
+    graft.sources.DeltaInterop.deleteFromDelta(s, target,
+      $"s_suppkey" % 7 === 0)
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g39_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+      |FROM supplier WHERE s_suppkey % 4 <> 0 AND s_suppkey % 7 <> 0
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g39_delta_dv_delete" -> g39_delta_dv_delete,
     "g37_delta_to_iceberg" -> g37_delta_to_iceberg,
     "g38_iceberg_to_delta" -> g38_iceberg_to_delta,
     "g32_iceberg_changes" -> g32_iceberg_changes,
@@ -993,6 +1026,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g39_delta_dv_delete" -> g39_sql,
     "g37_delta_to_iceberg" -> g27_sql,
     "g38_iceberg_to_delta" -> g28_sql,
     "g32_iceberg_changes" -> g32_sql,
