@@ -248,8 +248,9 @@ def append_to_delta(df, path, merge_schema=False):
     """APPEND a DataFrame to an existing Delta table (foreign or
     mirrored) via the optimistic conditional-put commit protocol.
     Honors identity partition layouts and name-/id-mode column mapping
-    (physical names + parquet field ids); refuses constraints,
-    invariants, generated columns and unknown writer features.
+    (physical names + parquet field ids); CHECK constraints and
+    invariants are enforced over the input, generated columns and
+    unknown writer features refuse.
     merge_schema=True widens the table with the input's extra columns
     in the same commit (Delta's mergeSchema option). Returns the
     committed version."""
