@@ -48,6 +48,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // temp-dir hygiene: reap graft_ dirs leaked by crashed earlier runs,
+    // and (below, untimed, after all queries drain) this run's own roots
+    TempRoots.sweepStale()
     // untimed warmup: session/codegen/parquet-footer init should not be
     // billed to whichever query happens to run first
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
@@ -55,6 +58,7 @@ object Bench {
     val results = measure(SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) => name -> (() => { fn(spark, sfDir).count(): Unit })
     })
+    TempRoots.cleanup() // every result is materialized (count() above)
     val ok = results.collect { case QResult(n, s, None) => n -> s }
     val failed = results.collect { case QResult(n, _, Some(e)) => n -> e }
     // total counts ONLY successful queries — a failure must never read

@@ -18,6 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    TempRoots.sweepStale()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) =>
@@ -37,6 +38,8 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e2.getMessage}")
         }
       }
+      // the dump materialized the result — temp table copies can go
+      TempRoots.cleanup()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

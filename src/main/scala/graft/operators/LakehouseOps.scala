@@ -16,7 +16,7 @@ import graft.sources.{GraftTable, Tables}
 object LakehouseOps {
 
   private def tmp(): String =
-    Files.createTempDirectory("graft_table_").toString + "/t"
+    graft.TempRoots.create("graft_table_").toString + "/t"
 
   /** g1: MERGE INTO (upsert). Target = orders with key%3=0; source =
     * orders with key%2=0 at doubled price. Matched keys (key%6=0) take
@@ -73,7 +73,7 @@ object LakehouseOps {
   val g7_sql_catalog: Relational.Q = (s, dir) => {
     s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-      Files.createTempDirectory("graft_wh_").toString)
+      graft.TempRoots.create("graft_wh_").toString)
     val tbl = s"graft_cat.db.orders_${java.util.UUID.randomUUID().toString.take(8)}"
     s.sql(s"""CREATE TABLE $tbl (
              |  o_orderkey BIGINT, o_custkey BIGINT,
@@ -107,7 +107,7 @@ object LakehouseOps {
     val t = GraftTable.create(s, tmp(), Tables.orders(s, dir)
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice"))
     t.delete(col("o_orderstatus") === "P")
-    val target = Files.createTempDirectory("graft_delta_").toString + "/t"
+    val target = graft.TempRoots.create("graft_delta_").toString + "/t"
     graft.sources.DeltaInterop.exportSnapshot(t, target)
     graft.sources.DeltaInterop.readDelta(s, target)
       .select($"o_orderkey", $"o_orderstatus",
@@ -135,7 +135,7 @@ object LakehouseOps {
     val t = GraftTable.create(s, tmp(), Tables.customer(s, dir)
       .select($"c_custkey", $"c_mktsegment", $"c_acctbal"))
     t.update(col("c_acctbal") < 0, Map("c_acctbal" -> lit(0.0)))
-    val target = Files.createTempDirectory("graft_iceberg_").toString + "/t"
+    val target = graft.TempRoots.create("graft_iceberg_").toString + "/t"
     graft.sources.IcebergInterop.exportSnapshot(t, target)
     graft.sources.IcebergInterop.readIceberg(s, target)
       .groupBy($"c_mktsegment")
@@ -299,7 +299,7 @@ object LakehouseOps {
     val sup = Tables.supplier(s, dir)
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 4 === 0))
-    val target = Files.createTempDirectory("graft_dappend_").toString + "/t"
+    val target = graft.TempRoots.create("graft_dappend_").toString + "/t"
     graft.sources.DeltaInterop.exportSnapshot(t, target)
     graft.sources.DeltaInterop.appendToDelta(
       sup.filter($"s_suppkey" % 4 =!= 0), target)
@@ -360,7 +360,7 @@ object LakehouseOps {
     val sup = Tables.supplier(s, dir)
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 4 === 0))
-    val target = Files.createTempDirectory("graft_iappend_").toString + "/t"
+    val target = graft.TempRoots.create("graft_iappend_").toString + "/t"
     graft.sources.IcebergInterop.exportSnapshot(t, target)
     graft.sources.IcebergInterop.appendToIceberg(
       sup.filter($"s_suppkey" % 4 =!= 0), target)
@@ -387,7 +387,7 @@ object LakehouseOps {
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup,
       partitionBy = Seq("s_nationkey"))
-    val target = Files.createTempDirectory("graft_ddelete_").toString + "/t"
+    val target = graft.TempRoots.create("graft_ddelete_").toString + "/t"
     graft.sources.DeltaInterop.exportSnapshot(t, target)
     graft.sources.DeltaInterop.deleteFromDelta(s, target,
       $"s_suppkey" % 3 === 0)
@@ -413,7 +413,7 @@ object LakehouseOps {
     val sup = Tables.supplier(s, dir)
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup)
-    val target = Files.createTempDirectory("graft_idelete_").toString + "/t"
+    val target = graft.TempRoots.create("graft_idelete_").toString + "/t"
     graft.sources.IcebergInterop.exportSnapshot(t, target)
     val mdPath = java.nio.file.Paths.get(target, "metadata", "v1.metadata.json")
     Files.write(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
@@ -445,7 +445,7 @@ object LakehouseOps {
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup,
       partitionBy = Seq("s_nationkey"))
-    val target = Files.createTempDirectory("graft_dupdate_").toString + "/t"
+    val target = graft.TempRoots.create("graft_dupdate_").toString + "/t"
     graft.sources.DeltaInterop.exportSnapshot(t, target)
     graft.sources.DeltaInterop.updateDelta(s, target,
       $"s_suppkey" % 2 === 0,
@@ -472,7 +472,7 @@ object LakehouseOps {
     val sup = Tables.supplier(s, dir)
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup)
-    val target = Files.createTempDirectory("graft_iupdate_").toString + "/t"
+    val target = graft.TempRoots.create("graft_iupdate_").toString + "/t"
     graft.sources.IcebergInterop.exportSnapshot(t, target)
     val mdPath = java.nio.file.Paths.get(target, "metadata", "v1.metadata.json")
     Files.write(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
@@ -506,7 +506,7 @@ object LakehouseOps {
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup,
       partitionBy = Seq("s_nationkey"))
-    val target = Files.createTempDirectory("graft_dmerge_").toString + "/t"
+    val target = graft.TempRoots.create("graft_dmerge_").toString + "/t"
     graft.sources.DeltaInterop.exportSnapshot(t, target)
     val src = sup.filter($"s_suppkey" % 5 === 0)
       .withColumn("s_acctbal", $"s_acctbal" + lit(500.0))
@@ -542,7 +542,7 @@ object LakehouseOps {
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup,
       partitionBy = Seq("s_nationkey"))
-    val target = Files.createTempDirectory("graft_imerge_").toString + "/t"
+    val target = graft.TempRoots.create("graft_imerge_").toString + "/t"
     graft.sources.IcebergInterop.exportSnapshot(t, target)
     val mdPath = java.nio.file.Paths.get(target, "metadata", "v1.metadata.json")
     Files.write(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
@@ -585,7 +585,7 @@ object LakehouseOps {
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 3 === 0),
       partitionBy = Seq("s_nationkey"))
-    val target = Files.createTempDirectory("graft_dopt_").toString + "/t"
+    val target = graft.TempRoots.create("graft_dopt_").toString + "/t"
     graft.sources.DeltaInterop.exportSnapshot(t, target)
     graft.sources.DeltaInterop.appendToDelta(
       sup.filter($"s_suppkey" % 3 === 1), target)
@@ -613,7 +613,7 @@ object LakehouseOps {
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 2 === 0),
       partitionBy = Seq("s_nationkey"))
-    val target = Files.createTempDirectory("graft_dcp_").toString + "/t"
+    val target = graft.TempRoots.create("graft_dcp_").toString + "/t"
     graft.sources.DeltaInterop.exportSnapshot(t, target)
     graft.sources.DeltaInterop.appendToDelta(
       sup.filter($"s_suppkey" % 2 === 1), target)
@@ -640,7 +640,7 @@ object LakehouseOps {
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 3 === 0),
       partitionBy = Seq("s_nationkey"))
-    val target = Files.createTempDirectory("graft_icompact_").toString + "/t"
+    val target = graft.TempRoots.create("graft_icompact_").toString + "/t"
     graft.sources.IcebergInterop.exportSnapshot(t, target)
     val mdPath = java.nio.file.Paths.get(target, "metadata", "v1.metadata.json")
     Files.write(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
@@ -675,7 +675,7 @@ object LakehouseOps {
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup,
       partitionBy = Seq("s_nationkey"))
-    val target = Files.createTempDirectory("graft_dvac_").toString + "/t"
+    val target = graft.TempRoots.create("graft_dvac_").toString + "/t"
     graft.sources.DeltaInterop.exportSnapshot(t, target)
     graft.sources.DeltaInterop.deleteFromDelta(s, target,
       $"s_suppkey" % 4 === 0)
@@ -701,7 +701,7 @@ object LakehouseOps {
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 3 === 0),
       partitionBy = Seq("s_nationkey"))
-    val target = Files.createTempDirectory("graft_dtxn_").toString + "/t"
+    val target = graft.TempRoots.create("graft_dtxn_").toString + "/t"
     graft.sources.DeltaInterop.exportSnapshot(t, target)
     Seq(0L, 1L).foreach { epoch =>
       val chunk = sup.filter($"s_suppkey" % 3 === (epoch + 1))
@@ -730,7 +730,7 @@ object LakehouseOps {
     import s.implicits._
     val sup = Tables.supplier(s, dir)
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
-    val target = Files.createTempDirectory("graft_dcvt_").toString + "/t"
+    val target = graft.TempRoots.create("graft_dcvt_").toString + "/t"
     sup.write.partitionBy("s_nationkey").parquet(target)
     graft.sources.DeltaInterop.convertParquetToDelta(s, target)
     graft.sources.DeltaInterop.readDelta(s, target)
@@ -743,7 +743,7 @@ object LakehouseOps {
     import s.implicits._
     val sup = Tables.supplier(s, dir)
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
-    val target = Files.createTempDirectory("graft_icvt_").toString + "/t"
+    val target = graft.TempRoots.create("graft_icvt_").toString + "/t"
     sup.write.partitionBy("s_nationkey").parquet(target)
     graft.sources.IcebergInterop.convertParquetToIceberg(s, target)
     graft.sources.IcebergInterop.readIceberg(s, target)
@@ -766,7 +766,7 @@ object LakehouseOps {
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 3 === 0),
       partitionBy = Seq("s_nationkey"))
-    val target = Files.createTempDirectory("graft_itxn_").toString + "/t"
+    val target = graft.TempRoots.create("graft_itxn_").toString + "/t"
     graft.sources.IcebergInterop.exportSnapshot(t, target)
     Seq(0L, 1L).foreach { epoch =>
       val chunk = sup.filter($"s_suppkey" % 3 === (epoch + 1))
@@ -792,7 +792,7 @@ object LakehouseOps {
     val sup = Tables.supplier(s, dir)
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 3 === 0))
-    val target = Files.createTempDirectory("graft_ichg_").toString + "/t"
+    val target = graft.TempRoots.create("graft_ichg_").toString + "/t"
     graft.sources.IcebergInterop.exportSnapshot(t, target)
     val seeded = graft.sources.IcebergInterop
       .icebergRefSnapshot(s, target, "main")
@@ -822,7 +822,7 @@ object LakehouseOps {
     val sup = Tables.supplier(s, dir)
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup)
-    val target = Files.createTempDirectory("graft_drst_").toString + "/t"
+    val target = graft.TempRoots.create("graft_drst_").toString + "/t"
     graft.sources.DeltaInterop.exportSnapshot(t, target)
     graft.sources.DeltaInterop.deleteFromDelta(s, target,
       $"s_suppkey" % 4 === 0)
@@ -847,7 +847,7 @@ object LakehouseOps {
     val sup = Tables.supplier(s, dir)
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup)
-    val target = Files.createTempDirectory("graft_irb_").toString + "/t"
+    val target = graft.TempRoots.create("graft_irb_").toString + "/t"
     graft.sources.IcebergInterop.exportSnapshot(t, target)
     graft.sources.IcebergInterop.tagIceberg(s, target, "good")
     graft.sources.IcebergInterop.appendToIceberg(
@@ -875,9 +875,9 @@ object LakehouseOps {
     val sup = Tables.supplier(s, dir)
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup)
-    val src = Files.createTempDirectory("graft_clone_src_").toString + "/t"
+    val src = graft.TempRoots.create("graft_clone_src_").toString + "/t"
     graft.sources.DeltaInterop.exportSnapshot(t, src)
-    val dst = Files.createTempDirectory("graft_clone_dst_").toString + "/t"
+    val dst = graft.TempRoots.create("graft_clone_dst_").toString + "/t"
     graft.sources.DeltaInterop.cloneDelta(s, src, dst)
     graft.sources.DeltaInterop.deleteFromDelta(s, dst,
       $"s_suppkey" % 4 === 0)
@@ -900,7 +900,7 @@ object LakehouseOps {
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup,
       partitionBy = Seq("s_nationkey"))
-    val target = Files.createTempDirectory("graft_zord_").toString + "/t"
+    val target = graft.TempRoots.create("graft_zord_").toString + "/t"
     graft.sources.DeltaInterop.exportSnapshot(t, target)
     graft.sources.DeltaInterop.optimizeDelta(s, target,
       targetFileBytes = 64L << 10, zorderBy = Seq("s_acctbal", "s_suppkey"))
@@ -920,7 +920,7 @@ object LakehouseOps {
     val sup = Tables.supplier(s, dir)
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup, partitionBy = Seq("s_nationkey"))
-    val target = Files.createTempDirectory("graft_d2i_").toString + "/t"
+    val target = graft.TempRoots.create("graft_d2i_").toString + "/t"
     graft.sources.DeltaInterop.exportSnapshot(t, target)
     graft.sources.DeltaInterop.deleteFromDelta(s, target,
       $"s_suppkey" % 4 === 0)
@@ -940,7 +940,7 @@ object LakehouseOps {
     import s.implicits._
     val sup = Tables.supplier(s, dir)
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
-    val target = Files.createTempDirectory("graft_i2d_").toString + "/t"
+    val target = graft.TempRoots.create("graft_i2d_").toString + "/t"
     sup.filter($"s_suppkey" % 2 === 0)
       .write.partitionBy("s_nationkey").parquet(target)
     graft.sources.IcebergInterop.convertParquetToIceberg(s, target)
@@ -968,7 +968,7 @@ object LakehouseOps {
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
     val t = GraftTable.create(s, tmp(), sup,
       partitionBy = Seq("s_nationkey"))
-    val target = Files.createTempDirectory("graft_dvdel_").toString + "/t"
+    val target = graft.TempRoots.create("graft_dvdel_").toString + "/t"
     graft.sources.DeltaInterop.exportSnapshot(t, target)
     graft.sources.DeltaInterop.setDeltaProperties(s, target,
       Map("delta.enableDeletionVectors" -> "true"))

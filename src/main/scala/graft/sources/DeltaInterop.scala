@@ -1639,6 +1639,14 @@ object DeltaInterop {
               "invariant this writer cannot parse")
             Some((s"invariant on column '${f.name}'", expr))
           }
+        } ++ schema.fields.toSeq.collect {
+          // protocol writer requirement: nullable=false columns must
+          // never receive null — a structurally-matching nullable input
+          // rides the same aggregate pass as the CHECK constraints
+          case f if !f.nullable && df.schema.fieldNames.contains(f.name) &&
+              df.schema(f.name).nullable =>
+            (s"NOT NULL column '${f.name}'",
+              s"`${f.name.replace("`", "``")}` IS NOT NULL")
         }
       if (checks.nonEmpty) {
         import org.apache.spark.sql.functions.{coalesce, expr, lit, min => fmin}
@@ -2447,8 +2455,9 @@ object DeltaInterop {
     *    update_postimage for replaced rows, insert for new rows.
     *
     * The source must carry exactly the table's columns, and its keys
-    * must be UNIQUE (a target row matching several source rows is the
-    * same ambiguity Delta's MERGE rejects). Writer gates are
+    * must be UNIQUE — ENFORCED with one bounded pass before any file
+    * moves (a target row matching several source rows is the same
+    * ambiguity Delta's MERGE rejects). Writer gates are
     * [[updateDelta]]'s (an upsert can violate constraints/invariants).
     * A lost version race restarts the whole operation. Returns the
     * committed version. */
@@ -2512,6 +2521,19 @@ object DeltaInterop {
     def qualified(p: String): String = {
       val hp = new HPath(p)
       hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+
+    // refuse the SQL-MERGE ambiguity up front: duplicate source keys
+    // would silently fan matched target rows out through the rewrite
+    // join (null-key source rows always insert — they cannot match, so
+    // several of them are fine). One bounded pass over the source.
+    if (keys.forall(source.schema.fieldNames.contains)) {
+      val dup = source
+        .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0, s"mergeDelta at $path: a target row matches " +
+        "multiple source rows — MERGE needs unique source keys")
     }
 
     var attempts = 0

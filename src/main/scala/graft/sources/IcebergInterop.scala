@@ -1348,11 +1348,16 @@ object IcebergInterop {
         new HPath(metaDir, s"v$curMeta.metadata.json"))).asInstanceOf[ObjectNode]
       val currentSnap = md.path("current-snapshot-id").asLong(-1L)
       val snaps = md.path("snapshots").elements().asScala().toSeq
-      val byIdAsc = snaps.sortBy(_.path("snapshot-id").asLong())
+      // retention order is COMMIT order, not snapshot-id order: graft
+      // mirrors mint monotonic ids, but foreign Iceberg snapshot ids
+      // are random longs — keep-last-N must pick by timestamp-ms
+      // (sequence number, then id, break same-millisecond ties)
+      val byTimeAsc = snaps.sortBy(s => (s.path("timestamp-ms").asLong(),
+        s.path("sequence-number").asLong(), s.path("snapshot-id").asLong()))
       // tag/branch refs PIN their snapshots — expiry never breaks a ref
-      val keepIds = (byIdAsc.takeRight(keepLast).map(_.path("snapshot-id").asLong())
+      val keepIds = (byTimeAsc.takeRight(keepLast).map(_.path("snapshot-id").asLong())
         :+ currentSnap).toSet ++ refPinnedSnapshots(md)
-      val (retained, expired) = byIdAsc.partition(s => keepIds(s.path("snapshot-id").asLong()))
+      val (retained, expired) = byTimeAsc.partition(s => keepIds(s.path("snapshot-id").asLong()))
       if (expired.isEmpty) return 0
 
       def manifestsOf(listPath: String): Seq[String] =

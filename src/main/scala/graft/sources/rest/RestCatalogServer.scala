@@ -70,8 +70,18 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
   private val started = new AtomicBoolean(false)
   private val ddlLock = new Object
   private var server: HttpServer = _
+  /** token → expiry epoch-millis; the advertised `expires_in` is
+    * honored (expired tokens 401) and expired entries are pruned on
+    * access so the map stays bounded under repeated token exchanges. */
   private val issuedTokens =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] var tokenTtlMs = 3600L * 1000L // spec hook: shrink to test expiry
+
+  private def tokenValid(tok: String): Boolean = {
+    val now = System.currentTimeMillis()
+    issuedTokens.entrySet().removeIf(e => e.getValue < now)
+    Option[java.lang.Long](issuedTokens.get(tok)).exists(_ >= now)
+  }
 
   private def fs = new HPath(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -122,10 +132,10 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
       if (segs != Seq("v1", "oauth", "tokens") && credential.isDefined) {
         val presented = Option(x.getRequestHeaders.getFirst("Authorization"))
           .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
-        if (!presented.exists(issuedTokens.contains))
+        if (!presented.exists(tokenValid))
           return error(x, 401, "NotAuthorizedException",
-            "missing or unknown bearer token — POST /v1/oauth/tokens " +
-              "with client credentials first")
+            "missing, unknown, or expired bearer token — POST " +
+              "/v1/oauth/tokens with client credentials first")
       }
       (method, segs) match {
         case ("POST", Seq("v1", "oauth", "tokens")) =>
@@ -446,7 +456,7 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     * `grant_type=client_credentials&client_id=…&client_secret=…`
     * (scope accepted and echoed). Wrong grant type or credentials get
     * the RFC's OAuth error JSON; success mints an opaque bearer token
-    * this server honors for its lifetime. */
+    * this server honors until its advertised expiry. */
   private def oauthToken(x: HttpExchange): Unit = {
     val form = bodyOf(x).split("&").filter(_.nonEmpty).map(_.split("=", 2))
       .map { case Array(k, v) => RestCatalogServer.dec(k) -> RestCatalogServer.dec(v)
@@ -475,11 +485,11 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
       case _ => ()
     }
     val token = java.util.UUID.randomUUID().toString.replace("-", "")
-    issuedTokens.add(token)
+    issuedTokens.put(token, System.currentTimeMillis() + tokenTtlMs)
     val n = om.createObjectNode()
     n.put("access_token", token)
     n.put("token_type", "bearer")
-    n.put("expires_in", 3600)
+    n.put("expires_in", (tokenTtlMs / 1000L).toInt)
     form.get("scope").foreach(n.put("scope", _))
     reply(x, 200, n)
   }

@@ -250,10 +250,8 @@ object Streams {
     * recomputes it from the raw events. */
   val h4_stream_ingest: Relational.Q = (s, dir) => {
     import s.implicits._
-    val target = java.nio.file.Files
-      .createTempDirectory("graft_ingest_").toString + "/t"
-    val checkpoint = java.nio.file.Files
-      .createTempDirectory("graft_ingest_ckpt_").toString
+    val target = graft.TempRoots.create("graft_ingest_").toString + "/t"
+    val checkpoint = graft.TempRoots.create("graft_ingest_ckpt_").toString
     val q = eventStream(s, dir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .writeStream
@@ -321,8 +319,7 @@ object Streams {
     * oracle recomputes relationally. */
   val h6_stream_cdc_merge: Relational.Q = (s, dir) => {
     import s.implicits._
-    val target = java.nio.file.Files
-      .createTempDirectory("graft_cdc_").toString + "/t"
+    val target = graft.TempRoots.create("graft_cdc_").toString + "/t"
     val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
     // pre-created empty target: every batch takes the MERGE path
     val schema = Tables.events(s, dir).select(cols.map(col): _*).schema

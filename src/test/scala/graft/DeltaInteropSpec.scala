@@ -2171,6 +2171,72 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(removes.size == 1 && removes.head.contains("seg=A"), log)
   }
 
+  test("mergeDelta refuses duplicate source keys; duplicate null keys insert") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_dmdup_"),
+      Seq((1L, "old1"), (2L, "old2")).toDF("id", "v"))
+    val target = tmp("graft_dmdup_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    // two source rows with the same key: Delta's MERGE ambiguity —
+    // refuse loudly BEFORE any file moves
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.mergeDelta(
+        Seq((2L, "a"), (2L, "b")).toDF("id", "v"), target, Seq("id"))
+    }
+    assert(e.getMessage.contains("unique source keys"), e.getMessage)
+    assert(DeltaInterop.readDelta(spark, target).count() == 2) // untouched
+    // several NULL-key source rows are NOT ambiguous (each inserts)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.add(org.apache.spark.sql.Row(null, "n1"))
+    rows.add(org.apache.spark.sql.Row(null, "n2"))
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    DeltaInterop.mergeDelta(spark.createDataFrame(rows, sch), target,
+      Seq("id"))
+    assert(DeltaInterop.readDelta(spark, target).count() == 4)
+  }
+
+  test("appendToDelta enforces nullable=false columns") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_dnn_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_dnn_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    // graft reads its own parquet back nullable, so the export declares
+    // nullable columns — tighten `id` to NOT NULL in the schemaString
+    // the way a foreign writer would have declared it
+    val logFile = Paths.get(target, "_delta_log", "0" * 20 + ".json")
+    val doctored = new String(Files.readAllBytes(logFile), "UTF-8").replace(
+      """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true""",
+      """{\"name\":\"id\",\"type\":\"long\",\"nullable\":false""")
+    assert(doctored.contains("\\\"nullable\\\":false"), "schema patch missed")
+    Files.write(logFile, doctored.getBytes("UTF-8"))
+    Files.deleteIfExists(
+      logFile.getParent.resolve("." + logFile.getFileName + ".crc"))
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType), // nullable input column
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    // null in a NOT NULL column: refused before any file lands
+    val bad = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    bad.add(org.apache.spark.sql.Row(null, "x"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.appendToDelta(spark.createDataFrame(bad, sch), target)
+    }
+    assert(e.getMessage.contains("NOT NULL column 'id'"), e.getMessage)
+    assert(DeltaInterop.readDelta(spark, target).count() == 1)
+    // a NULLABLE input whose values are all non-null appends fine —
+    // enforcement, not a structural refusal
+    val good = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    good.add(org.apache.spark.sql.Row(2L, "b"))
+    DeltaInterop.appendToDelta(spark.createDataFrame(good, sch), target)
+    assert(DeltaInterop.readDelta(spark, target).count() == 2)
+  }
+
   test("mergeDelta: pure-insert merge and cdc upsert feed") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_dmc_"),

@@ -2087,6 +2087,55 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(IcebergInterop.expireIcebergSnapshots(spark, target, 3) == 0)
   }
 
+  test("expireIcebergSnapshots keeps last N by COMMIT TIME, not snapshot id") {
+    import spark.implicits._
+    // foreign Iceberg snapshot ids are random longs — a table whose
+    // id order disagrees with commit order must still expire the
+    // OLDEST-by-time snapshots. Build 4 snapshots, then doctor the
+    // timestamps so time order is the REVERSE of id order.
+    val t = GraftTable.create(spark, tmp("graft_texp_"),
+      Seq((0L, "v0")).toDF("id", "v"))
+    val target = tmp("graft_texp_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    (1 to 3).foreach { i =>
+      IcebergInterop.appendToIceberg(
+        Seq((i.toLong, s"v$i")).toDF("id", "v"), target)
+    }
+    val metaDir = Paths.get(target, "metadata")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val curMeta = Files.list(metaDir).toArray.map(_.toString)
+      .flatMap("v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).max
+    val mdPath = metaDir.resolve(s"v$curMeta.metadata.json")
+    val md = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snaps = md.get("snapshots").elements()
+    val idsInOrder = Seq.newBuilder[Long]
+    val base = 1700000000000L
+    var k = 0
+    while (snaps.hasNext) {
+      val sn = snaps.next()
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      idsInOrder += sn.get("snapshot-id").asLong()
+      sn.put("timestamp-ms", base - k * 60000L) // later snapshot, older time
+      k += 1
+    }
+    val ids = idsInOrder.result() // minted ascending by the appenders
+    assert(ids == ids.sorted, "test precondition: ids minted ascending")
+    patch(mdPath, om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+    IcebergInterop.expireIcebergSnapshots(spark, target, 2)
+    val after = om.readTree(Files.readAllBytes(
+      metaDir.resolve(s"v${curMeta + 1}.metadata.json")))
+    val kept = after.get("snapshots").elements()
+    val keptIds = Seq.newBuilder[Long]
+    while (kept.hasNext) keptIds += kept.next().get("snapshot-id").asLong()
+    // newest-by-time are the FIRST two snapshots (ids(0), ids(1)); the
+    // current snapshot (ids(3)) is always pinned; ids(2) expires. An
+    // id-ordered retention would instead have expired ids(0)/ids(1).
+    assert(keptIds.result().toSet == Set(ids(0), ids(1), ids(3)),
+      s"kept ${keptIds.result()} of $ids")
+  }
+
   test("convertParquetToIceberg registers a hive dir with name mapping") {
     import spark.implicits._
     val root = tmp("graft_icvt_")

@@ -292,6 +292,19 @@ class RestCatalogSpec extends AnyFunSuite {
       // a made-up bearer is rejected
       assert(req("GET", "/v1/config", None,
         Map("Authorization" -> "Bearer forged"))._1 == 401)
+      // expires_in is honored: a token minted past its TTL 401s (and
+      // the prune-on-access keeps the issued set bounded)
+      authed.tokenTtlMs = -1000L
+      val (_, deadBody) = req("POST", "/v1/oauth/tokens",
+        Some("grant_type=client_credentials&client_id=gid" +
+          "&client_secret=gsecret"), Map.empty)
+      val deadTok = deadBody.split("\"access_token\":\"")(1).split("\"")(0)
+      assert(req("GET", "/v1/config", None,
+        Map("Authorization" -> s"Bearer $deadTok"))._1 == 401)
+      authed.tokenTtlMs = 3600L * 1000L
+      // the live token from the original handshake still works
+      assert(req("GET", "/v1/config", None,
+        Map("Authorization" -> s"Bearer $token"))._1 == 200)
       // and a full Spark session works through the credential option,
       // the reference's session wiring
       val s = spark.newSession()
