@@ -85,12 +85,20 @@ object DeltaInterop {
     val pcJson = idCols.map(c => "\"" + jsonEscape(c) + "\"").mkString(",")
     val metaData =
       s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(schema.json)}","partitionColumns":[$pcJson],"configuration":{},"createdTime":$now}}"""
+    // per-file data-skipping stats from the parquet footers — any Delta
+    // engine (and graft's own DML detection scans) can prune by them
+    val statsMap = DeltaStats.footerStatsAll(
+      spark.sparkContext.hadoopConfiguration,
+      files.map { case (rel, _) => rel -> new HPath(targetPath, rel) },
+      StructType(schema.filterNot(f => idCols.contains(f.name))))
     val adds = files.map { case (rel, size) =>
       val pv = hivePartitionValues(rel, idCols)
       val pvJson = pv.map { case (k, vv) =>
         "\"" + jsonEscape(k) + "\":\"" + jsonEscape(vv) + "\""
       }.mkString(",")
-      s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{$pvJson},"size":$size,"modificationTime":$now,"dataChange":true}}"""
+      val sj = statsMap.get(rel)
+        .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
+      s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{$pvJson},"size":$size,"modificationTime":$now,"dataChange":true$sj}}"""
     }
     fs.mkdirs(logDir)
     val out = fs.create(new HPath(logDir, f"${0}%020d.json"), false)
@@ -139,12 +147,18 @@ object DeltaInterop {
     val pcJson = partCols.map(c => "\"" + jsonEscape(c) + "\"").mkString(",")
     val metaData =
       s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(schema.json)}","partitionColumns":[$pcJson],"configuration":{},"createdTime":$now}}"""
+    val statsMap = DeltaStats.footerStatsAll(
+      spark.sparkContext.hadoopConfiguration,
+      files.map { case (rel, _) => rel -> new HPath(root, rel) },
+      StructType(schema.filterNot(f => partCols.contains(f.name))))
     val adds = files.map { case (rel, size) =>
       val pv = hivePartitionValues(rel, partCols)
       val pvJson = pv.map { case (k, vv) =>
         "\"" + jsonEscape(k) + "\":\"" + jsonEscape(vv) + "\""
       }.mkString(",")
-      s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{$pvJson},"size":$size,"modificationTime":$now,"dataChange":true}}"""
+      val sj = statsMap.get(rel)
+        .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
+      s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{$pvJson},"size":$size,"modificationTime":$now,"dataChange":true$sj}}"""
     }
     val commitInfo =
       s"""{"commitInfo":{"timestamp":$now,"operation":"CONVERT","operationParameters":{"numFiles":${files.size}},"engineInfo":"graft-convert"}}"""
@@ -770,6 +784,7 @@ object DeltaInterop {
   // captured body individually (foreign writers order keys freely)
   private val CdcPath = ("\"cdc\"\\s*:\\s*\\{.*?\"path\":\"" + Str + "\"").r
   private val DataChangeRe = "\"dataChange\"\\s*:\\s*(true|false)".r
+  private val StatsRe = ("\"stats\"\\s*:\\s*\"" + Str + "\"").r
   private val DvObj =
     ("\"deletionVector\"\\s*:\\s*\\{((?:[^{}\"]|\"" + Str + "\")*)\\}").r
   private val DvStorage = ("\"storageType\"\\s*:\\s*\"" + Str + "\"").r
@@ -936,7 +951,10 @@ object DeltaInterop {
         Option[DeletionVectors.Descriptor]))],
       version: Long,
       configuration: Map[String, String] = Map.empty,
-      minWriter: Int = 1, writerFeatures: Seq[String] = Nil)
+      minWriter: Int = 1, writerFeatures: Seq[String] = Nil,
+      /** path → data-skipping `stats` JSON, for active files that
+        * carry one (foreign writers and every graft write path) */
+      stats: Map[String, String] = Map.empty)
 
   /** Replay a Delta log to its snapshot state at `versionAsOf` (or the
     * latest version): parquet checkpoint base + JSON tail, protocol /
@@ -1084,6 +1102,9 @@ object DeltaInterop {
     // with a fresh deletion vector); removes tombstone
     val active = scala.collection.mutable.LinkedHashMap[
       String, (Map[String, String], Option[DeletionVectors.Descriptor])]()
+    // path → stats JSON; follows `active` (a re-add without stats
+    // clears the stale entry)
+    val statsMap = scala.collection.mutable.LinkedHashMap[String, String]()
 
     // ---- checkpoint base state (O(#files) metadata through one scan) ----
     val lastCp = new HPath(logDir, "_last_checkpoint")
@@ -1180,8 +1201,12 @@ object DeltaInterop {
           else lit(null).cast(
             "struct<storageType:string,pathOrInlineDv:string,offset:bigint," +
               "sizeInBytes:bigint,cardinality:bigint>")
+        val statsCol =
+          if (addFields.contains("stats")) col("add.stats")
+          else lit(null).cast("string")
         cp.where(col("add.path").isNotNull)
-          .select(col("add.path"), col("add.partitionValues"), dvCol.as("dv"))
+          .select(col("add.path"), col("add.partitionValues"), dvCol.as("dv"),
+            statsCol.as("stats"))
           .collect().foreach { r =>
             val pv = if (r.isNullAt(1)) Map.empty[String, String]
               else r.getMap[String, String](1).filter(_._2 != null).toMap
@@ -1195,7 +1220,11 @@ object DeltaInterop {
                   s.getAs[Number]("sizeInBytes").longValue(),
                   s.getAs[Number]("cardinality").longValue()))
               }
-            active(decodePath(r.getString(0))) = (pv, dv)
+            val p = decodePath(r.getString(0))
+            active(p) = (pv, dv)
+            if (!r.isNullAt(3) && r.getString(3).nonEmpty)
+              statsMap(p) = r.getString(3)
+            else statsMap.remove(p)
           }
       }
       collector.foreach(_.ingestBase(cp))
@@ -1326,15 +1355,21 @@ object DeltaInterop {
       // actions within one commit are UNORDERED per the protocol; a
       // commit carrying both remove and add of a path means "replace"
       // — removes apply first so the re-add survives
-      a.removes.foreach(active.remove)
-      a.adds.foreach { case (p, pv, dv) => active(p) = (pv, dv) }
+      a.removes.foreach { p => active.remove(p); statsMap.remove(p) }
+      a.addActions.foreach { ad =>
+        active(ad.path) = (ad.pv, ad.dv)
+        ad.stats match {
+          case Some(s) => statsMap(ad.path) = s
+          case None => statsMap.remove(ad.path)
+        }
+      }
     }
     DeltaSnapshot(
       schemaJson.getOrElse(throw new IllegalStateException(
         s"no metaData action in Delta log at $path")),
       partCols, colMapMode, active.toSeq,
       (cpVersion +: commits.map(_.getName.dropRight(5).toLong)).max,
-      configuration, minWriter, writerFeatures)
+      configuration, minWriter, writerFeatures, statsMap.toMap)
   }
 
   /** One parsed JSON commit: the latest metaData (schema JSON,
@@ -1344,11 +1379,11 @@ object DeltaInterop {
     * the snapshot replay and the streaming source's incremental
     * batches. */
   /** One parsed add action: path, partitionValues, deletionVector,
-    * and the action's dataChange flag (absent = true — the
-    * conservative reading). */
+    * the action's dataChange flag (absent = true — the conservative
+    * reading), and the data-skipping `stats` JSON when carried. */
   private[sources] final case class DeltaAdd(path: String,
       pv: Map[String, String], dv: Option[DeletionVectors.Descriptor],
-      dataChange: Boolean)
+      dataChange: Boolean, stats: Option[String] = None)
 
   private[sources] final case class DeltaActions(
       meta: Option[(String, Seq[String], String)],
@@ -1406,7 +1441,9 @@ object DeltaInterop {
           case _ => Map.empty[String, String]
         }
         adds += DeltaAdd(p, pv, parseDvDescriptor(line),
-          DataChangeRe.findFirstMatchIn(line).forall(_.group(1) == "true"))
+          DataChangeRe.findFirstMatchIn(line).forall(_.group(1) == "true"),
+          StatsRe.findFirstMatchIn(line).map(m => unq(m.group(1)))
+            .filter(_.nonEmpty))
       }
       RemovePath.findFirstMatchIn(line).foreach(m =>
         removes += ((decodePath(unq(m.group(1))),
@@ -1784,12 +1821,21 @@ object DeltaInterop {
       txn.foreach { case (app, tv) =>
         actions += s"""{"txn":{"appId":"${jsonEscape(app)}","version":$tv,"lastUpdated":$now}}"""
       }
+      // footer-derived stats per landed file (physical column names
+      // under column mapping, matching the file contents per protocol)
+      val physDataSchema = StructType(
+        physSchema.filterNot(f => physPartCols.contains(f.name)))
+      val statsMap = DeltaStats.footerStatsAll(conf,
+        staged.map { case (rel, _, _) => rel -> new HPath(root, rel) },
+        physDataSchema)
       staged.foreach { case (rel, size, _) =>
         val pv = hivePartitionValues(rel, physPartCols)
         val pvJson = pv.map { case (k, vv) =>
           "\"" + jsonEscape(k) + "\":\"" + jsonEscape(vv) + "\""
         }.mkString(",")
-        actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{$pvJson},"size":$size,"modificationTime":$now,"dataChange":true}}"""
+        val sj = statsMap.get(rel)
+          .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
+        actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{$pvJson},"size":$size,"modificationTime":$now,"dataChange":true$sj}}"""
       }
       val bytes = actions.result().mkString("", "\n", "\n")
         .getBytes(StandardCharsets.UTF_8)
@@ -2056,14 +2102,19 @@ object DeltaInterop {
           }
         }
       } else {
-        // one distributed detection scan: DV-live rows only, per-file
-        // matched/total counts decide remove-whole vs rewrite
+        // one distributed detection scan — over the STATS-PRUNED
+        // candidates only (per-file min/max vs the predicate's
+        // conjuncts): a keyed delete on a stats-carrying table reads
+        // O(|candidate files|), not O(table). DV-live rows only;
+        // per-file matched/total counts decide remove-whole vs rewrite
+        val candidates = pruneCandidates(st, schema,
+          DeltaStats.conjuncts(spark, schema, condition))
         val byQualified: Map[String, (String, (Map[String, String],
           Option[DeletionVectors.Descriptor]))] =
           st.active.map(e => qualified(resolveFile(root, e._1)) -> e).toMap
         val liveScan = liveMutationScan(spark, root, st, schema, partCols,
           dataSchema)
-        val counts = liveScan(st.active)
+        val counts = liveScan(candidates)
           .groupBy(col("__file"))
           .agg(org.apache.spark.sql.functions.sum(
             org.apache.spark.sql.functions.when(condition, 1L).otherwise(0L))
@@ -2221,10 +2272,16 @@ object DeltaInterop {
             cdcAdds = staged
           }
           // tombstone the fully-matched files AND the rewritten (or
-          // DV-re-added) sources
+          // DV-re-added) sources; rewritten survivors get fresh footer
+          // stats, DV re-adds carry the original file's (still-valid
+          // bounds — a DV only strikes rows)
+          val addStats = DeltaStats.footerStatsAll(conf,
+            adds.map { case (rel, _) => rel -> new HPath(root, rel) },
+            dataSchema)
           result = commitDelete(io, logDir, st, now0, condition.toString,
             removeWhole ++ rewriteFiles.map { case (p, (pv, _)) => (p, pv) },
-            adds, cdcAdds, partCols, dvAdds = dvAdds)
+            adds, cdcAdds, partCols, dvAdds = dvAdds,
+            statsOf = p => addStats.get(p).orElse(st.stats.get(p)))
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             cleanupStaged()
@@ -2360,7 +2417,11 @@ object DeltaInterop {
           }
         } :+ col("__file")).toSeq: _*)
 
-      val affected = liveScan(st.active)
+      // detection scan over the stats-pruned candidates only — a keyed
+      // UPDATE on a stats-carrying table reads O(|candidates|)
+      val candidates = pruneCandidates(st, schema,
+        DeltaStats.conjuncts(spark, schema, condition))
+      val affected = liveScan(candidates)
         .where(matchedTrue)
         .select(col("__file")).distinct().collect().map(_.getString(0))
       if (affected.isEmpty) { result = st.version }
@@ -2419,9 +2480,12 @@ object DeltaInterop {
             fs.delete(cdcStaging, true)
             cdcAdds = cstaged
           }
+          val addStats = DeltaStats.footerStatsAll(conf,
+            staged.map { case (rel, _) => rel -> new HPath(root, rel) },
+            dataSchema)
           result = commitDelete(io, logDir, st, now, condition.toString,
             entries.map { case (p, (pv, _)) => (p, pv) }, staged, cdcAdds,
-            partCols, operation = "UPDATE")
+            partCols, operation = "UPDATE", statsOf = addStats.get)
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             cleanupStaged()
@@ -2557,9 +2621,31 @@ object DeltaInterop {
         schema.fieldNames.filterNot(keys.contains).map(c =>
           col(c).as(s"__src_$c")) :+ lit(1).as("__m"): _*)
 
-      // one full key pass: matched target rows -> affected files;
-      // unmatched source rows -> inserts
-      val scanAll = liveScan(st.active)
+      // stats pruning by SOURCE KEY RANGE: a file whose min/max on any
+      // key column misses the source's [min, max] entirely can hold no
+      // matched row — skip it in the detection scan (and, soundly, in
+      // the insert anti-join: a skipped file has no key any source row
+      // carries). One tiny agg over the source computes the ranges.
+      val keyRanges: Seq[(String, Any, Any)] = {
+        import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+        val aggs = keys.flatMap(k =>
+          Seq(fmin(col(k)).as(s"__mn_$k"), fmax(col(k)).as(s"__mx_$k")))
+        val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+        keys.zipWithIndex.map { case (k, i) =>
+          (k, r.get(2 * i), r.get(2 * i + 1)) }
+      }
+      val candidates =
+        if (keyRanges.exists(_._2 == null))
+          // a key column with NO non-null source value: nothing matches
+          Nil
+        else pruneCandidates(st, schema, DeltaStats.conjuncts(spark,
+          schema, keyRanges.map { case (k, mn, mx) =>
+            col(k) >= lit(mn) && col(k) <= lit(mx)
+          }.reduce(_ && _)))
+
+      // one key pass over the candidates: matched target rows ->
+      // affected files; unmatched source rows -> inserts
+      val scanAll = liveScan(candidates)
       val affected = scanAll
         .join(srcAliased.select(keys.map(col) :+ col("__m"): _*),
           keys, "inner")
@@ -2649,10 +2735,13 @@ object DeltaInterop {
             fs.delete(cdcStaging, true)
             cdcAdds = cstaged
           }
+          val addStats = DeltaStats.footerStatsAll(conf,
+            staged.map { case (rel, _) => rel -> new HPath(root, rel) },
+            dataSchema)
           result = commitDelete(io, logDir, st, now,
             s"merge on (${keys.mkString(", ")})",
             entries.map { case (p, (pv, _)) => (p, pv) }, staged, cdcAdds,
-            partCols, operation = "MERGE")
+            partCols, operation = "MERGE", statsOf = addStats.get)
         }
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -2831,12 +2920,18 @@ object DeltaInterop {
             moved += rel
           }
           fs.delete(staging, true)
+          // fresh footer stats per compacted file — after a Z-order
+          // rewrite these are what make the clustering skippable
+          val addStats = DeltaStats.footerStatsAll(conf,
+            staged.map { case (rel, _) => rel -> new HPath(root, rel) },
+            dataSchema)
           result = commitDelete(io, logDir, st, now,
             s"optimize targetSize=$targetFileBytes" +
               (if (zorderBy.nonEmpty)
                 s" zOrderBy=[${zorderBy.mkString(",")}]" else ""),
             entries.map { case (p, (pv, _)) => (p, pv) }, staged, Nil,
-            partCols, operation = "OPTIMIZE", dataChange = false)
+            partCols, operation = "OPTIMIZE", dataChange = false,
+            statsOf = addStats.get)
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             cleanupStaged()
@@ -2959,7 +3054,8 @@ object DeltaInterop {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("deletionVector", dvType)))
+      StructField("deletionVector", dvType),
+      StructField("stats", StringType)))
     val removeType = StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -3018,7 +3114,7 @@ object DeltaInterop {
         d.offset.map(Long.box).orNull, d.sizeInBytes, d.cardinality)).orNull
       rows.add(Row(null, null, null,
         Row(encodePath(p), pv, stt.getLen, stt.getModificationTime,
-          false, dvRow), null))
+          false, dvRow, st.stats.get(p).orNull), null))
     }
     val activePaths = st.active.map(_._1).toSet
     coll.tombstones.filterNot(t => activePaths.contains(t._1))
@@ -3132,6 +3228,36 @@ object DeltaInterop {
     * attached, and a `__file` column carrying each row's QUALIFIED
     * data-file path — the detection/rewrite primitive
     * [[deleteFromDelta]] and [[updateDelta]] build on. */
+  /** Stats/partition-value pruning for the DML detection scans: keep
+    * only active files that MAY hold a row where `conjs` all hold
+    * (per-file min/max/nullCount from add-action stats, plus literal
+    * partition values). Files without stats always survive — skipping
+    * is an optimization, never a semantics change. */
+  private def pruneCandidates(st: DeltaSnapshot, schema: StructType,
+      conjs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[(String, (Map[String, String],
+        Option[DeletionVectors.Descriptor]))] =
+    st.active.filter { case (p, (pv, _)) =>
+      DeltaStats.mayMatch(conjs, schema, st.partCols, pv, st.stats.get(p))
+    }
+
+  /** TEST HOOK: the file paths the DELETE/UPDATE detection scan for
+    * `condition` would read at `path` — exactly the pruning
+    * [[deleteFromDelta]]/[[updateDelta]] apply, observable without
+    * committing anything. */
+  private[graft] def candidateFiles(spark: SparkSession, path: String,
+      condition: Column): Seq[String] = {
+    val st = replaySnapshot(spark, path, None)
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    pruneCandidates(st, schema,
+      DeltaStats.conjuncts(spark, schema, condition)).map(_._1)
+  }
+
+  /** TEST HOOK: active-path → stats JSON of the current snapshot. */
+  private[graft] def deltaFileStats(spark: SparkSession,
+      path: String): Map[String, String] =
+    replaySnapshot(spark, path, None).stats
+
   private def liveMutationScan(spark: SparkSession, root: HPath,
       st: DeltaSnapshot, schema: StructType, partCols: Seq[String],
       dataSchema: StructType): Seq[(String, (Map[String, String],
@@ -3193,7 +3319,8 @@ object DeltaInterop {
       partCols: Seq[String], operation: String = "DELETE",
       dataChange: Boolean = true,
       dvAdds: Seq[(String, Map[String, String], Long,
-        DeletionVectors.Descriptor)] = Nil): Long = {
+        DeletionVectors.Descriptor)] = Nil,
+      statsOf: String => Option[String] = _ => None): Long = {
     val actions = Seq.newBuilder[String]
     actions += s"""{"commitInfo":{"timestamp":$now,"operation":"$operation","operationParameters":{"predicate":"${jsonEscape(predicate)}"},"engineInfo":"graft-${operation.toLowerCase}"}}"""
     def pvJson(pv: Seq[(String, String)]): String =
@@ -3208,14 +3335,18 @@ object DeltaInterop {
       val pvSeq = pv.toSeq
       actions += s"""{"remove":{"path":"${jsonEscape(encodePath(p))}","deletionTimestamp":$now,"dataChange":$dataChange,"extendedFileMetadata":true,"partitionValues":{${pvJson(pvSeq)}}}}"""
     }
+    def statsJson(rel: String): String = statsOf(rel)
+      .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
     adds.foreach { case (rel, size) =>
       val pv = hivePartitionValues(rel, partCols)
-      actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{${pvJson(pv)}},"size":$size,"modificationTime":$now,"dataChange":$dataChange}}"""
+      actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{${pvJson(pv)}},"size":$size,"modificationTime":$now,"dataChange":$dataChange${statsJson(rel)}}}"""
     }
     // merge-on-read deletes: the SAME data file re-added with a fresh
-    // deletion vector (its remove rides removeWhole above)
+    // deletion vector (its remove rides removeWhole above); stats —
+    // when the caller carries the file's original ones forward — stay
+    // VALID bounds (a DV only strikes rows, never widens min/max)
     dvAdds.foreach { case (rel, pv, size, d) =>
-      actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{${pvJson(pv.toSeq)}},"size":$size,"modificationTime":$now,"dataChange":$dataChange${descriptorJson(d)}}}"""
+      actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{${pvJson(pv.toSeq)}},"size":$size,"modificationTime":$now,"dataChange":$dataChange${descriptorJson(d)}${statsJson(rel)}}}"""
     }
     val bytes = actions.result().mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8)
@@ -3356,7 +3487,10 @@ object DeltaInterop {
         actions += s"""{"remove":{"path":"${jsonEscape(encodePath(p))}","deletionTimestamp":$now,"dataChange":true,"extendedFileMetadata":true,"partitionValues":{${pvJson(pv)}}}}"""
       }
       statted.foreach { case (p, pv, dv, size, mod) =>
-        actions += s"""{"add":{"path":"${jsonEscape(encodePath(p))}","partitionValues":{${pvJson(pv)}},"size":$size,"modificationTime":$mod,"dataChange":true${dv.map(dvJson).getOrElse("")}}}"""
+        // the re-surfaced file's stats at the target version ride back
+        val sj = target.stats.get(p)
+          .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
+        actions += s"""{"add":{"path":"${jsonEscape(encodePath(p))}","partitionValues":{${pvJson(pv)}},"size":$size,"modificationTime":$mod,"dataChange":true${dv.map(dvJson).getOrElse("")}$sj}}"""
       }
       val bytes = actions.result().mkString("", "\n", "\n")
         .getBytes(StandardCharsets.UTF_8)

@@ -1,0 +1,177 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{DeltaInterop, DeltaStats, GraftTable}
+
+/** Data-skipping statistics on the Delta write paths + the pruning
+  * they enable in the DML detection scans (reference surface:
+  * 03_delta_demo.ipynb relies on engine stats skipping for keyed DML). */
+class DeltaStatsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  /** A Delta export of (id, v, d) rows 0..99 range-clustered into 4
+    * files with disjoint id ranges — the shape stats skipping needs. */
+  private def rangedExport(): String = {
+    import spark.implicits._
+    val df = (0 until 100).map(i =>
+      (i.toLong, s"v$i", java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d")))
+      .toDF("id", "v", "d")
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+    val t = GraftTable.create(spark, tmp("graft_st_src_"), df)
+    val target = tmp("graft_st_delta_")
+    DeltaInterop.exportSnapshot(t, target)
+    target
+  }
+
+  test("exportSnapshot writes footer-derived stats every Delta engine can read") {
+    val target = rangedExport()
+    val stats = DeltaInterop.deltaFileStats(spark, target)
+    assert(stats.size == 4, stats.keys.toSeq)
+    // every stats JSON parses and carries numRecords + typed min/max
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.DateType)))
+    val parsed = stats.values.map(DeltaStats.parse(_, schema)).toSeq
+    assert(parsed.forall(_.isDefined))
+    assert(parsed.flatten.map(_.numRecords.get).sum == 100)
+    // id ranges are disjoint across the 4 range-clustered files
+    val ranges = parsed.flatten.map(s =>
+      (s.min("id").asInstanceOf[BigDecimal],
+        s.max("id").asInstanceOf[BigDecimal])).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo2, _)) => hi < lo2
+      case _ => true
+    }, ranges)
+    // raw JSON shape is the protocol's (a foreign engine's contract)
+    assert(stats.values.forall(s => s.contains("\"numRecords\"") &&
+      s.contains("\"minValues\"") && s.contains("\"nullCount\"")))
+  }
+
+  test("detection scan prunes by stats; DELETE/UPDATE stay exact") {
+    import spark.implicits._
+    val target = rangedExport()
+    val all = DeltaInterop.candidateFiles(spark, target, lit(true))
+    assert(all.size == 4)
+    // a point predicate hits exactly one file's range
+    assert(DeltaInterop.candidateFiles(spark, target, $"id" === 7L).size == 1)
+    // a range predicate over ~half the keys hits a strict subset
+    val half = DeltaInterop.candidateFiles(spark, target, $"id" < 40L)
+    assert(half.size < all.size && half.nonEmpty, half)
+    // string equality prunes too (ASCII min/max)
+    assert(DeltaInterop.candidateFiles(spark, target,
+      $"v" === "zzz").isEmpty)
+    // un-analyzable predicates keep everything (sound fallback)
+    assert(DeltaInterop.candidateFiles(spark, target,
+      $"id" % 3 === 0).size == 4)
+    // end-to-end: the pruned DELETE and UPDATE produce exact results
+    DeltaInterop.deleteFromDelta(spark, target, $"id" < 10L)
+    DeltaInterop.updateDelta(spark, target, $"id" >= 90L,
+      Map("v" -> lit("hi")))
+    val got = DeltaInterop.readDelta(spark, target)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(got.size == 90 && !got.contains(5L) && got(95L) == "hi" &&
+      got(50L) == "v50")
+    // the rewritten files carry FRESH stats (and pruning keeps working)
+    val stats2 = DeltaInterop.deltaFileStats(spark, target)
+    assert(stats2.nonEmpty)
+    assert(DeltaInterop.candidateFiles(spark, target, $"id" === 5L).isEmpty)
+  }
+
+  test("appendToDelta and merge rewrites carry stats; merge prunes by key range") {
+    import spark.implicits._
+    val target = rangedExport()
+    DeltaInterop.appendToDelta(
+      Seq((200L, "x", java.sql.Date.valueOf("2024-02-01")))
+        .toDF("id", "v", "d"), target)
+    val stats = DeltaInterop.deltaFileStats(spark, target)
+    assert(stats.size == 5, stats.keys.toSeq)
+    // the appended file's stats bound its single row
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val appended = stats.values.flatMap(DeltaStats.parse(_, schema))
+      .find(_.min.get("id").contains(BigDecimal(200)))
+    assert(appended.isDefined && appended.get.numRecords.contains(1L))
+    // a keyed merge whose source range covers one file region updates
+    // exactly; its rewrite adds carry stats
+    DeltaInterop.mergeDelta(
+      Seq((7L, "m7", java.sql.Date.valueOf("2024-03-01")),
+        (8L, "m8", java.sql.Date.valueOf("2024-03-01")))
+        .toDF("id", "v", "d"), target, Seq("id"))
+    val got = DeltaInterop.readDelta(spark, target)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(got(7L) == "m7" && got(8L) == "m8" && got(9L) == "v9" &&
+      got.size == 101)
+    assert(DeltaInterop.deltaFileStats(spark, target).nonEmpty)
+  }
+
+  test("stats survive checkpoint + log cleanup") {
+    val target = rangedExport()
+    DeltaInterop.checkpointDelta(spark, target)
+    DeltaInterop.cleanupDeltaLog(spark, target)
+    val stats = DeltaInterop.deltaFileStats(spark, target)
+    assert(stats.size == 4, s"stats lost through checkpoint: ${stats.size}")
+    import spark.implicits._
+    assert(DeltaInterop.candidateFiles(spark, target, $"id" === 7L).size == 1)
+  }
+
+  test("mayMatch is conservative: nulls, non-ASCII, IN, IsNull") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("seg", StringType)))
+    def conj(c: org.apache.spark.sql.Column) =
+      DeltaStats.conjuncts(spark, schema, c)
+    val stats = """{"numRecords":10,"minValues":{"id":5,"v":"aa"},
+      |"maxValues":{"id":9,"v":"bb"},"nullCount":{"id":0,"v":3}}"""
+      .stripMargin.replace("\n", "")
+    import spark.implicits._
+    def may(c: org.apache.spark.sql.Column,
+        pv: Map[String, String] = Map.empty,
+        s: Option[String] = Some(stats)) =
+      DeltaStats.mayMatch(conj(c), schema, Seq("seg"), pv, s)
+    assert(!may($"id" === 4L) && may($"id" === 5L) && !may($"id" > 9L))
+    assert(may($"id" >= 9L) && !may($"id" < 5L) && may($"id" <= 5L))
+    assert(!may($"id".isin(1L, 2L, 20L)) && may($"id".isin(2L, 7L)))
+    // nullCount drives IsNull/IsNotNull
+    assert(!may($"id".isNull) && may($"v".isNull))
+    // partition values act as point intervals; absent key = all-null
+    assert(may($"seg" === "A", pv = Map("seg" -> "A")))
+    assert(!may($"seg" === "B", pv = Map("seg" -> "A")))
+    assert(!may($"seg" === "B", pv = Map.empty))
+    assert(may($"seg".isNull, pv = Map.empty))
+    // missing stats keep the file; non-ASCII string bounds keep it too
+    assert(may($"id" === 4L, s = None))
+    val uni = """{"numRecords":2,"minValues":{"v":"é"},
+      |"maxValues":{"v":"ű"},"nullCount":{"v":0}}"""
+      .stripMargin.replace("\n", "")
+    assert(may($"v" === "zz", s = Some(uni)))
+    // all-null column disproves any comparison
+    val alln = """{"numRecords":3,"minValues":{},"maxValues":{},
+      |"nullCount":{"id":3}}""".stripMargin.replace("\n", "")
+    assert(!may($"id" === 1L, s = Some(alln)))
+    assert(!may($"id".isNotNull, s = Some(alln)))
+  }
+
+  test("DV re-adds keep the original file's stats (still-valid bounds)") {
+    import spark.implicits._
+    val target = rangedExport()
+    DeltaInterop.setDeltaProperties(spark, target,
+      Map("delta.enableDeletionVectors" -> "true"))
+    val before = DeltaInterop.deltaFileStats(spark, target)
+    DeltaInterop.deleteFromDelta(spark, target, $"id" === 7L)
+    val after = DeltaInterop.deltaFileStats(spark, target)
+    // merge-on-read: same files, same stats, nothing rewritten
+    assert(after == before, "DV delete should not drop or change stats")
+    assert(DeltaInterop.readDelta(spark, target).count() == 99)
+  }
+}
