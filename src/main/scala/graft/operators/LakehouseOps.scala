@@ -987,7 +987,59 @@ object LakehouseOps {
       |FROM supplier WHERE s_suppkey % 4 <> 0 AND s_suppkey % 7 <> 0
       |ORDER BY s_suppkey""".stripMargin
 
+  /** g40: FULL-CLAUSE foreign-Delta MERGE gate
+    * ([[graft.sources.DeltaInterop.mergeDeltaClauses]]) — export
+    * supplier as partitioned Delta, then one merge exercising every
+    * clause family: `WHEN MATCHED AND bal<0 THEN DELETE`, `WHEN
+    * MATCHED THEN UPDATE SET bal = src.bal + 1` (partial SET reading
+    * the source row), `WHEN NOT MATCHED AND bal>5000 THEN INSERT`,
+    * and `WHEN NOT MATCHED BY SOURCE AND key%5=0 THEN DELETE`
+    * (full-sync). The oracle recomputes all four dispositions
+    * relationally. */
+  val g40_delta_merge_clauses: Relational.Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Merge
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup,
+      partitionBy = Seq("s_nationkey"))
+    val target = graft.TempRoots.create("graft_dmc_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    val src = sup.filter($"s_suppkey" % 2 === 0)
+      .withColumn("s_acctbal", $"s_acctbal" + lit(500.0))
+      .unionByName(sup.filter($"s_suppkey" % 7 === 0)
+        .withColumn("s_suppkey", $"s_suppkey" + lit(100000L)))
+    graft.sources.DeltaInterop.mergeDeltaClauses(src, target,
+      Seq("s_suppkey"),
+      matched = Seq(
+        Merge.MatchedDelete(Some($"s_acctbal" < 0)),
+        Merge.MatchedUpdate(None,
+          Map("s_acctbal" -> (Merge.source("s_acctbal") + lit(1.0))))),
+      notMatched = Seq(
+        Merge.NotMatchedInsert(Some($"s_acctbal" > 5000))),
+      notMatchedBySource = Seq(
+        Merge.BySourceDelete(Some($"s_suppkey" % 5 === 0))))
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g40_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+      |FROM (
+      | SELECT s_suppkey, s_nationkey, s_acctbal + 501.0 AS s_acctbal
+      | FROM supplier WHERE s_suppkey % 2 = 0 AND s_acctbal >= 0
+      | UNION ALL
+      | SELECT s_suppkey, s_nationkey, s_acctbal
+      | FROM supplier WHERE s_suppkey % 2 = 1 AND s_suppkey % 5 <> 0
+      | UNION ALL
+      | SELECT s_suppkey + 100000, s_nationkey, s_acctbal
+      | FROM supplier WHERE s_suppkey % 7 = 0 AND s_acctbal > 5000
+      |) ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g40_delta_merge_clauses" -> g40_delta_merge_clauses,
     "g39_delta_dv_delete" -> g39_delta_dv_delete,
     "g37_delta_to_iceberg" -> g37_delta_to_iceberg,
     "g38_iceberg_to_delta" -> g38_iceberg_to_delta,
@@ -1026,6 +1078,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g40_delta_merge_clauses" -> g40_sql,
     "g39_delta_dv_delete" -> g39_sql,
     "g37_delta_to_iceberg" -> g27_sql,
     "g38_iceberg_to_delta" -> g28_sql,

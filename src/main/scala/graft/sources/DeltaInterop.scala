@@ -1603,6 +1603,51 @@ object DeltaInterop {
     *
     * Scale shape: one distributed parquet write + O(#new files)
     * driver-side metadata; the commit payload never carries data. */
+  /** The table's declared row obligations as (description, SQL
+    * predicate) pairs: `delta.constraints.*` CHECK constraints plus
+    * column invariants (an unparseable invariant refuses loudly). */
+  private def tableChecks(st: DeltaSnapshot, schema: StructType,
+      refuse: String => Nothing): Seq[(String, String)] =
+    st.configuration.toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        (s"CHECK constraint ${k.stripPrefix("delta.constraints.")}", v)
+    } ++ schema.fields.toSeq.flatMap { f =>
+      if (!f.metadata.contains("delta.invariants")) None
+      else {
+        val expr = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(f.metadata.getString("delta.invariants"))
+          .path("expression").path("expression").asText("")
+        if (expr.isEmpty) refuse(s"column '${f.name}' declares an " +
+          "invariant this writer cannot parse")
+        Some((s"invariant on column '${f.name}'", expr))
+      }
+    }
+
+  /** `col IS NOT NULL` checks for the named nullable=false columns —
+    * rides the same aggregate pass as the CHECK constraints. */
+  private def notNullChecks(schema: StructType,
+      cols: Seq[String]): Seq[(String, String)] =
+    cols.filter(c => schema.fieldNames.contains(c)).map(c =>
+      (s"NOT NULL column '$c'",
+        s"`${c.replace("`", "``")}` IS NOT NULL"))
+
+  /** One aggregate pass evaluating every check over `df` (SQL CHECK
+    * semantics — a NULL predicate passes); the first violation
+    * refuses, before any commit. */
+  private def enforceChecks(df: DataFrame, checks: Seq[(String, String)],
+      refuse: String => Nothing): Unit =
+    if (checks.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, min => fmin}
+      val aggs = checks.zipWithIndex.map { case ((_, e), i) =>
+        fmin(coalesce(expr(e).cast("boolean"), lit(true))).as(s"__ok_$i")
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      checks.zipWithIndex.foreach { case ((what, e), i) =>
+        if (!row.isNullAt(i) && !row.getBoolean(i))
+          refuse(s"the input violates $what ($e)")
+      }
+    }
+
   def appendToDelta(df: DataFrame, path: String, maxRetries: Int = 20,
       txn: Option[(String, Long)] = None,
       mergeSchema: Boolean = false): Long = {
@@ -1661,42 +1706,16 @@ object DeltaInterop {
       // CHECK constraints + column invariants are ENFORCED, not
       // refused: one aggregate pass over the input evaluates every
       // declared predicate (SQL CHECK semantics — NULL passes), and a
-      // single violation fails the append before any file lands
-      val checks: Seq[(String, String)] =
-        st.configuration.toSeq.collect {
-          case (k, v) if k.startsWith("delta.constraints.") =>
-            (s"CHECK constraint ${k.stripPrefix("delta.constraints.")}", v)
-        } ++ schema.fields.flatMap { f =>
-          if (!f.metadata.contains("delta.invariants")) None
-          else {
-            val expr = new com.fasterxml.jackson.databind.ObjectMapper()
-              .readTree(f.metadata.getString("delta.invariants"))
-              .path("expression").path("expression").asText("")
-            if (expr.isEmpty) refuseW(s"column '${f.name}' declares an " +
-              "invariant this writer cannot parse")
-            Some((s"invariant on column '${f.name}'", expr))
-          }
-        } ++ schema.fields.toSeq.collect {
-          // protocol writer requirement: nullable=false columns must
-          // never receive null — a structurally-matching nullable input
-          // rides the same aggregate pass as the CHECK constraints
-          case f if !f.nullable && df.schema.fieldNames.contains(f.name) &&
-              df.schema(f.name).nullable =>
-            (s"NOT NULL column '${f.name}'",
-              s"`${f.name.replace("`", "``")}` IS NOT NULL")
-        }
-      if (checks.nonEmpty) {
-        import org.apache.spark.sql.functions.{coalesce, expr, lit, min => fmin}
-        val aggs = checks.zipWithIndex.map { case ((_, e), i) =>
-          fmin(coalesce(expr(e).cast("boolean"), lit(true)))
-            .as(s"__ok_$i")
-        }
-        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        checks.zipWithIndex.foreach { case ((what, e), i) =>
-          if (!row.isNullAt(i) && !row.getBoolean(i))
-            refuseW(s"the input violates $what ($e)")
-        }
-      }
+      // single violation fails the append before any file lands.
+      // NOT NULL columns fed by a nullable input ride the same pass
+      // (the protocol's writer nullability requirement).
+      enforceChecks(df,
+        tableChecks(st, schema, refuseW) ++
+          notNullChecks(schema, schema.fields.toSeq.collect {
+            case f if !f.nullable &&
+                df.schema.fieldNames.contains(f.name) &&
+                df.schema(f.name).nullable => f.name
+          }), refuseW)
       if (mergeSchema)
         // extra input columns WIDEN the table below; the input must
         // still cover every existing column
@@ -2315,8 +2334,10 @@ object DeltaInterop {
     * — `update_preimage` (old values) + `update_postimage` (new
     * values) — making the feed authoritative and unambiguous.
     *
-    * Writer obligations: refuses column mapping, append-only tables,
-    * CHECK constraints and invariants (an update could violate them),
+    * Writer obligations: CHECK constraints, invariants, and assigned
+    * NOT NULL columns are ENFORCED over the rewritten rows in one
+    * aggregate pass before any commit (the same pass appendToDelta
+    * runs). Refuses column mapping, append-only tables,
     * generated/identity columns (they would need recomputation),
     * partition-column assignments (rows would have to MOVE partitions
     * — use delete+append), and unknown writer features. A lost
@@ -2358,14 +2379,10 @@ object DeltaInterop {
           refuseW("the table requires writer features " +
             s"[${unknown.mkString(", ")}] this writer does not implement")
       }
-      if (st.configuration.keys.exists(_.startsWith("delta.constraints.")))
-        refuseW("the table declares CHECK constraints this writer does " +
-          "not evaluate against updated rows")
+      // CHECK constraints + invariants are ENFORCED over the rewritten
+      // rows before the commit (see below), not refused
       val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
       schema.fields.foreach { f =>
-        if (f.metadata.contains("delta.invariants"))
-          refuseW(s"column '${f.name}' declares an invariant this writer " +
-            "does not evaluate against updated rows")
         if (f.metadata.contains("delta.generationExpression"))
           refuseW(s"column '${f.name}' is a generated column this writer " +
             "does not recompute")
@@ -2440,6 +2457,15 @@ object DeltaInterop {
           val now = System.currentTimeMillis()
           val rewritten = applied(liveScan(entries)).drop("__file")
             .select(schema.fieldNames.map(col).toSeq: _*)
+          // the table's declared obligations hold for what this UPDATE
+          // writes — one aggregate pass, refusing before any file lands
+          // (assigned NOT NULL columns ride it too)
+          enforceChecks(rewritten,
+            tableChecks(st, schema, refuseW) ++
+              notNullChecks(schema, schema.fields.toSeq.collect {
+                case f if !f.nullable &&
+                    assignments.contains(f.name) => f.name
+              }), refuseW)
           if (partCols.nonEmpty)
             rewritten.write.partitionBy(partCols: _*)
               .parquet(staging.toString)
@@ -2518,23 +2544,66 @@ object DeltaInterop {
     *  - CDF tables get authoritative cdc files — update_preimage/
     *    update_postimage for replaced rows, insert for new rows.
     *
+    * This is [[mergeDeltaClauses]] with the classic clause pair
+    * `WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
+    * INSERT *` — see there for the full contract. */
+  def mergeDelta(source: DataFrame, path: String, keys: Seq[String],
+      maxRetries: Int = 20): Long =
+    mergeDeltaClauses(source, path, keys,
+      matched = Seq(Merge.MatchedUpdate()),
+      notMatched = Seq(Merge.NotMatchedInsert()),
+      maxRetries = maxRetries)
+
+  /** Full-clause MERGE into an existing Delta table (foreign or
+    * mirrored) on `keys` — conditional clauses, partial `SET`,
+    * `WHEN MATCHED … THEN DELETE`, and `WHEN NOT MATCHED BY SOURCE`,
+    * per the [[Merge]] clause model (bare names = target row,
+    * [[Merge.source]] = source row; first matching clause of a family
+    * wins; a row matching no clause carries forward):
+    *
+    *  - ONE detection pass finds the affected files: those holding a
+    *    matched row some matched-clause fires on, plus — when
+    *    by-source clauses exist — those holding an unmatched target
+    *    row some by-source clause fires on. With no by-source clauses
+    *    the detection scan is PRUNED by the source's key range against
+    *    per-file stats (O(candidate files), the 100 TB shape);
+    *    by-source semantics inspect every target row by definition.
+    *  - Affected files are rewritten CoW: clause-updated rows
+    *    transformed (SET expressions see the pre-merge target row and
+    *    the source row), clause-deleted rows dropped, everything else
+    *    carried verbatim; unmatched source rows passing a
+    *    NOT MATCHED clause append as inserts.
+    *  - CHECK constraints, column invariants, and NOT NULL columns
+    *    are ENFORCED over the rewritten + inserted rows in one
+    *    aggregate pass before any commit (the same pass
+    *    [[appendToDelta]] runs); generated/identity columns still
+    *    refuse (this writer cannot recompute them).
+    *  - CDF tables get authoritative cdc files — update_preimage/
+    *    update_postimage for updated rows, `delete` for deleted rows,
+    *    `insert` for inserted rows.
+    *
     * The source must carry exactly the table's columns, and its keys
     * must be UNIQUE — ENFORCED with one bounded pass before any file
     * moves (a target row matching several source rows is the same
-    * ambiguity Delta's MERGE rejects). Writer gates are
-    * [[updateDelta]]'s (an upsert can violate constraints/invariants).
-    * A lost version race restarts the whole operation. Returns the
-    * committed version. */
-  def mergeDelta(source: DataFrame, path: String, keys: Seq[String],
+    * ambiguity Delta's MERGE rejects). A lost version race restarts
+    * the whole operation. Returns the committed (or current)
+    * version. */
+  def mergeDeltaClauses(source: DataFrame, path: String,
+      keys: Seq[String],
+      matched: Seq[Merge.MatchedClause] = Nil,
+      notMatched: Seq[Merge.NotMatchedInsert] = Nil,
+      notMatchedBySource: Seq[Merge.BySourceClause] = Nil,
       maxRetries: Int = 20): Long = {
-    require(keys.nonEmpty, "mergeDelta needs at least one key column")
+    require(keys.nonEmpty, "mergeDeltaClauses needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "MERGE needs at least one clause")
     val spark = source.sparkSession
     val root = new HPath(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
     val io = new TableIO(path, conf)
     val logDir = new HPath(root, "_delta_log")
-    require(fs.exists(logDir), s"no Delta log at $path — mergeDelta " +
+    require(fs.exists(logDir), s"no Delta log at $path — mergeDeltaClauses " +
       "mutates existing tables")
 
     def refuseW(what: String): Nothing =
@@ -2561,13 +2630,8 @@ object DeltaInterop {
           refuseW("the table requires writer features " +
             s"[${unknown.mkString(", ")}] this writer does not implement")
       }
-      if (st.configuration.keys.exists(_.startsWith("delta.constraints.")))
-        refuseW("the table declares CHECK constraints this writer does " +
-          "not evaluate against merged rows")
       val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
       schema.fields.foreach { f =>
-        if (f.metadata.contains("delta.invariants"))
-          refuseW(s"column '${f.name}' declares an invariant")
         if (f.metadata.contains("delta.generationExpression"))
           refuseW(s"column '${f.name}' is a generated column")
         if (f.metadata.contains("delta.identity.start"))
@@ -2578,7 +2642,14 @@ object DeltaInterop {
           s"[${schema.fieldNames.mkString(", ")}], source columns " +
           s"[${source.schema.fieldNames.mkString(", ")}]")
       keys.foreach(k => require(schema.fieldNames.contains(k),
-        s"mergeDelta at $path: key '$k' is not a table column"))
+        s"mergeDeltaClauses at $path: key '$k' is not a table column"))
+      (matched.collect { case u: Merge.MatchedUpdate => u.set } ++
+        notMatchedBySource.collect {
+          case u: Merge.BySourceUpdate => u.set })
+        .flatMap(_.keys).foreach(c =>
+          require(schema.fieldNames.contains(c),
+            s"mergeDeltaClauses at $path: SET column '$c' is not a " +
+              "table column"))
       st
     }
 
@@ -2600,6 +2671,8 @@ object DeltaInterop {
         "multiple source rows — MERGE needs unique source keys")
     }
 
+    import org.apache.spark.sql.functions.{coalesce, when}
+
     var attempts = 0
     var result = -1L
     while (result < 0) {
@@ -2616,42 +2689,100 @@ object DeltaInterop {
       val liveScan = liveMutationScan(spark, root, st, schema, partCols,
         dataSchema)
       val src = source.select(schema.fieldNames.map(col).toSeq: _*)
-      // source non-key columns under __src_ aliases for the rewrite join
+      // source columns under __src_ aliases (keys stay bare for the
+      // equi-join; non-keys dual-ride so clause conditions can read
+      // them through Merge.source)
       val srcAliased = src.select(keys.map(col) ++
-        schema.fieldNames.filterNot(keys.contains).map(c =>
-          col(c).as(s"__src_$c")) :+ lit(1).as("__m"): _*)
+        schema.fieldNames.map(c =>
+          col(c).as(Merge.SrcPrefix + c)) :+ lit(1).as("__m"): _*)
 
-      // stats pruning by SOURCE KEY RANGE: a file whose min/max on any
-      // key column misses the source's [min, max] entirely can hold no
-      // matched row — skip it in the detection scan (and, soundly, in
-      // the insert anti-join: a skipped file has no key any source row
-      // carries). One tiny agg over the source computes the ranges.
-      val keyRanges: Seq[(String, Any, Any)] = {
-        import org.apache.spark.sql.functions.{min => fmin, max => fmax}
-        val aggs = keys.flatMap(k =>
-          Seq(fmin(col(k)).as(s"__mn_$k"), fmax(col(k)).as(s"__mx_$k")))
-        val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
-        keys.zipWithIndex.map { case (k, i) =>
-          (k, r.get(2 * i), r.get(2 * i + 1)) }
+      def clauseCond(c: Option[Column]): Column =
+        c.map(cc => coalesce(cc, lit(false))).getOrElse(lit(true))
+      // first-match-wins clause index per family (-1 = none applies)
+      val mIdx = matched.zipWithIndex.foldRight(lit(-1)) {
+        case ((cl, i), els) => when(clauseCond(cl.condition), lit(i))
+          .otherwise(els)
       }
-      val candidates =
-        if (keyRanges.exists(_._2 == null))
-          // a key column with NO non-null source value: nothing matches
-          Nil
-        else pruneCandidates(st, schema, DeltaStats.conjuncts(spark,
-          schema, keyRanges.map { case (k, mn, mx) =>
-            col(k) >= lit(mn) && col(k) <= lit(mx)
-          }.reduce(_ && _)))
+      val sIdx = notMatchedBySource.zipWithIndex.foldRight(lit(-1)) {
+        case ((cl, i), els) => when(clauseCond(cl.condition), lit(i))
+          .otherwise(els)
+      }
+      val mDeletes = matched.zipWithIndex.collect {
+        case (_: Merge.MatchedDelete, i) => i }.toSet
+      val sDeletes = notMatchedBySource.zipWithIndex.collect {
+        case (_: Merge.BySourceDelete, i) => i }.toSet
+      // family index lands in a DELETE clause? (guarded: isin of an
+      // empty set is not a valid Column)
+      def hitsDelete(idxCol: String, dels: Set[Int]): Column =
+        if (dels.isEmpty) lit(false)
+        else col(idxCol).isin(dels.toSeq.map(Int.box): _*)
+      def hitsUpdate(idxCol: String, dels: Set[Int]): Column =
+        col(idxCol) =!= -1 && !hitsDelete(idxCol, dels)
 
-      // one key pass over the candidates: matched target rows ->
-      // affected files; unmatched source rows -> inserts
+      // per-row disposition over the target×source left join:
+      // __mi / __si = applicable clause index of the row's family
+      def disposed(d: DataFrame): DataFrame =
+        d.join(srcAliased, keys, "left")
+          .withColumn("__mi",
+            when(col("__m") === 1, mIdx).otherwise(lit(-1)))
+          .withColumn("__si",
+            when(col("__m").isNull, sIdx).otherwise(lit(-1)))
+
+      // the post-merge value of column f for a kept (non-deleted) row
+      def newVal(f: StructField): Column = {
+        var e: Column = col(f.name)
+        matched.zipWithIndex.foreach {
+          case (Merge.MatchedUpdate(_, set), i) =>
+            val v =
+              if (set.nonEmpty) set.get(f.name)
+                .map(_.cast(f.dataType)).getOrElse(col(f.name))
+              else if (keys.contains(f.name)) col(f.name)
+              else col(Merge.SrcPrefix + f.name).cast(f.dataType)
+            e = when(col("__mi") === i, v).otherwise(e)
+          case _ => ()
+        }
+        notMatchedBySource.zipWithIndex.foreach {
+          case (Merge.BySourceUpdate(_, set), i) =>
+            val v = set.get(f.name).map(_.cast(f.dataType))
+              .getOrElse(col(f.name))
+            e = when(col("__si") === i, v).otherwise(e)
+          case _ => ()
+        }
+        e.as(f.name)
+      }
+
+      // ---- detection: which files must rewrite? ----
+      // no by-source clauses → prune by the source's key range against
+      // per-file stats (sound for the insert anti-join too: a pruned
+      // file holds no key any source row carries); by-source clauses
+      // inspect every target row by definition
+      val candidates =
+        if (notMatchedBySource.nonEmpty) st.active
+        else {
+          import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+          val aggs = keys.flatMap(k =>
+            Seq(fmin(col(k)).as(s"__mn_$k"), fmax(col(k)).as(s"__mx_$k")))
+          val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+          val keyRanges = keys.zipWithIndex.map { case (k, i) =>
+            (k, r.get(2 * i), r.get(2 * i + 1)) }
+          if (keyRanges.exists(_._2 == null)) Nil
+          else pruneCandidates(st, schema, DeltaStats.conjuncts(spark,
+            schema, keyRanges.map { case (k, mn, mx) =>
+              col(k) >= lit(mn) && col(k) <= lit(mx)
+            }.reduce(_ && _)))
+        }
       val scanAll = liveScan(candidates)
-      val affected = scanAll
-        .join(srcAliased.select(keys.map(col) :+ col("__m"): _*),
-          keys, "inner")
+      val affected = disposed(scanAll)
+        .where(col("__mi") =!= -1 || col("__si") =!= -1)
         .select(col("__file")).distinct().collect().map(_.getString(0))
-      val inserts = src.join(scanAll.select(keys.map(col): _*),
-        keys, "left_anti")
+      val insertCond =
+        if (notMatched.isEmpty) lit(false)
+        else notMatched.map(c => clauseCond(c.condition)).reduce(_ || _)
+      val inserts = src
+        .join(scanAll.select(keys.map(col): _*), keys, "left_anti")
+        .where(insertCond)
+        .select(schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
 
       val entries = affected.toSeq.map(byQualified)
       val staging = new HPath(root,
@@ -2665,23 +2796,26 @@ object DeltaInterop {
       }
       try {
         val now = System.currentTimeMillis()
-        // rewritten = affected files with matched rows replaced by the
-        // source row, unioned with the brand-new inserts
-        def replaced(d: DataFrame): DataFrame =
-          d.join(srcAliased, keys, "left")
-            .select(schema.fields.map { f =>
-              if (keys.contains(f.name)) col(f.name)
-              else org.apache.spark.sql.functions.when(col("__m") === 1,
-                col(s"__src_${f.name}").cast(f.dataType))
-                .otherwise(col(f.name)).as(f.name)
-            }.toSeq: _*)
+        // rewritten = affected files with clause-deleted rows dropped
+        // and clause-updated rows transformed, plus the inserts
+        def keptTransformed(d: DataFrame): DataFrame =
+          disposed(d)
+            .where(!hitsDelete("__mi", mDeletes) &&
+              !hitsDelete("__si", sDeletes))
+            .select(schema.fields.map(newVal).toSeq: _*)
         val rewritten =
-          (if (entries.isEmpty)
-             inserts.select(schema.fields.map(f =>
-              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-           else replaced(liveScan(entries))
-             .unionByName(inserts.select(schema.fields.map(f =>
-              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)))
+          if (entries.isEmpty) inserts
+          else keptTransformed(liveScan(entries)).unionByName(inserts)
+
+        // enforce the table's declared obligations over everything
+        // this merge writes (transformed + carried + inserted rows) —
+        // the same single-aggregate pass appendToDelta runs
+        enforceChecks(rewritten,
+          tableChecks(st, schema, refuseW) ++
+            notNullChecks(schema,
+              schema.fields.toSeq.filterNot(_.nullable).map(_.name)),
+          refuseW)
+
         if (partCols.nonEmpty)
           rewritten.write.partitionBy(partCols: _*).parquet(staging.toString)
         else rewritten.write.parquet(staging.toString)
@@ -2703,22 +2837,23 @@ object DeltaInterop {
 
           var cdcAdds: Seq[(String, Long)] = Nil
           if (cdfEnabled) {
-            val matchedRows =
-              if (entries.isEmpty) None
-              else Some(liveScan(entries).join(srcAliased, keys, "inner"))
-            val pre = matchedRows.map(_
+            val d = if (entries.isEmpty) None
+              else Some(disposed(liveScan(entries)))
+            def updCond = hitsUpdate("__mi", mDeletes) ||
+              hitsUpdate("__si", sDeletes)
+            def delCond = hitsDelete("__mi", mDeletes) ||
+              hitsDelete("__si", sDeletes)
+            val pre = d.map(_.where(updCond)
               .select(schema.fieldNames.map(col).toSeq: _*)
               .withColumn("_change_type", lit("update_preimage")))
-            // every matchedRows row IS matched: the postimage is just
-            // the source values (already joined in as __src_ columns)
-            val post = matchedRows.map(_.select(schema.fields.map { f =>
-              if (keys.contains(f.name)) col(f.name)
-              else col(s"__src_${f.name}").cast(f.dataType).as(f.name)
-            }.toSeq: _*).withColumn("_change_type", lit("update_postimage")))
-            val ins = inserts.select(schema.fields.map(f =>
-              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-              .withColumn("_change_type", lit("insert"))
-            val cdc = (pre.toSeq ++ post.toSeq :+ ins)
+            val post = d.map(_.where(updCond)
+              .select(schema.fields.map(newVal).toSeq: _*)
+              .withColumn("_change_type", lit("update_postimage")))
+            val dels = d.map(_.where(delCond)
+              .select(schema.fieldNames.map(col).toSeq: _*)
+              .withColumn("_change_type", lit("delete")))
+            val ins = inserts.withColumn("_change_type", lit("insert"))
+            val cdc = (pre.toSeq ++ post.toSeq ++ dels.toSeq :+ ins)
               .reduce(_.unionByName(_))
             if (partCols.nonEmpty)
               cdc.write.partitionBy(partCols: _*).parquet(cdcStaging.toString)
@@ -2758,6 +2893,7 @@ object DeltaInterop {
     }
     result
   }
+
 
   /** OPTIMIZE (bin-packing compaction) of an existing Delta table
     * (foreign or mirrored): per partition, files smaller than
