@@ -1038,7 +1038,60 @@ object LakehouseOps {
       | FROM supplier WHERE s_suppkey % 7 = 0 AND s_acctbal > 5000
       |) ORDER BY s_suppkey""".stripMargin
 
+  /** g41: merge-on-read Delta UPDATE + MERGE gate — with
+    * delta.enableDeletionVectors, [[graft.sources.DeltaInterop.updateDelta]]
+    * and [[graft.sources.DeltaInterop.mergeDelta]] retire matched rows
+    * through MERGED deletion vectors and append only the transformed
+    * rows (O(changed rows), no data file rewritten — asserted
+    * in-query via the commit's actions), then the DV-filtering replay
+    * must match the relational recomputation exactly. */
+  val g41_delta_dv_update_merge: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup,
+      partitionBy = Seq("s_nationkey"))
+    val target = graft.TempRoots.create("graft_dvum_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    graft.sources.DeltaInterop.setDeltaProperties(s, target,
+      Map("delta.enableDeletionVectors" -> "true"))
+    val updV = graft.sources.DeltaInterop.updateDelta(s, target,
+      $"s_suppkey" % 2 === 0,
+      Map("s_acctbal" -> ($"s_acctbal" + lit(1000.0))))
+    // the UPDATE commit re-adds files with deletion vectors instead of
+    // rewriting them — the merge-on-read contract, asserted here
+    val updLog = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(target, "_delta_log",
+        f"$updV%020d.json")), "UTF-8")
+    require(updLog.contains("\"deletionVector\""),
+      "DV-mode UPDATE must strike rows through deletion vectors")
+    val src = sup.filter($"s_suppkey" % 3 === 0)
+      .withColumn("s_acctbal", lit(77.0))
+      .unionByName(sup.filter($"s_suppkey" % 11 === 0)
+        .withColumn("s_suppkey", $"s_suppkey" + lit(200000L))
+        .withColumn("s_acctbal", lit(88.0)))
+    graft.sources.DeltaInterop.mergeDelta(src, target, Seq("s_suppkey"))
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g41_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(bal, 4) AS s_acctbal
+      |FROM (
+      | SELECT s_suppkey, s_nationkey,
+      |  CASE WHEN s_suppkey % 3 = 0 THEN 77.0
+      |       WHEN s_suppkey % 2 = 0 THEN s_acctbal + 1000.0
+      |       ELSE s_acctbal END AS bal
+      | FROM supplier
+      | UNION ALL
+      | SELECT s_suppkey + 200000, s_nationkey, 88.0
+      | FROM supplier WHERE s_suppkey % 11 = 0
+      |) ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g41_delta_dv_update_merge" -> g41_delta_dv_update_merge,
     "g40_delta_merge_clauses" -> g40_delta_merge_clauses,
     "g39_delta_dv_delete" -> g39_delta_dv_delete,
     "g37_delta_to_iceberg" -> g37_delta_to_iceberg,
@@ -1078,6 +1131,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g41_delta_dv_update_merge" -> g41_sql,
     "g40_delta_merge_clauses" -> g40_sql,
     "g39_delta_dv_delete" -> g39_sql,
     "g37_delta_to_iceberg" -> g27_sql,

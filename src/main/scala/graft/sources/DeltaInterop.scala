@@ -2189,58 +2189,16 @@ object DeltaInterop {
           var dvAdds: Seq[(String, Map[String, String], Long,
             DeletionVectors.Descriptor)] = Nil
           if (rewriteFiles.nonEmpty && dvMode) {
-            val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
-            val lookupMap = new java.util.HashMap[
-              org.apache.spark.unsafe.types.UTF8String,
-              DeletionVectors.Roaring64]()
-            rewriteFiles.foreach { case (p, (_, dv)) =>
-              dv.foreach(d => lookupMap.put(
-                org.apache.spark.unsafe.types.UTF8String.fromString(
-                  qualified(resolveFile(root, p))),
-                DeletionVectors.load(conf, root, d)))
-            }
-            val dvLookup = new DvLookup(lookupMap)
-            // union per file: rows already struck by the OLD DV, plus
-            // rows the predicate matches now (no live-filtering — old
-            // positions must re-appear in the merged vector)
-            val matchedOrStruck = rewriteFiles.groupBy(_._2._1).map {
-              case (pv, es) =>
-                val base = spark.read.schema(dataSchema)
-                  .parquet(es.map(e => resolveFile(root, e._1)): _*)
-                val withMeta = base
-                  .withColumn("__file", col("_metadata.file_path"))
-                  .withColumn("__pos", col("_metadata.row_index"))
-                val dvPred = bridge.column(DvDeleted(
-                  bridge.expression(col("_metadata.file_path")),
-                  bridge.expression(col("_metadata.row_index")), dvLookup))
-                partCols.foldLeft(withMeta) { (d, pc) =>
-                  d.withColumn(pc,
-                    pv.get(pc).map(lit(_)).getOrElse(lit(null))
-                      .cast(schema(pc).dataType))
-                }.where(org.apache.spark.sql.functions.coalesce(
-                  condition, lit(false)) || dvPred)
-                  .select(col("__file"), col("__pos"))
-            }.reduce(_.unionByName(_))
-            val posByFile: Map[String, Seq[Long]] = matchedOrStruck
-              .collect().groupBy(_.getString(0))
-              .map { case (f, rows) =>
-                f -> rows.map(_.getLong(1)).toSeq.sorted }
-            dvAdds = rewriteFiles.map { case (p, (pv, _)) =>
-              val q = qualified(resolveFile(root, p))
-              val positions = posByFile.getOrElse(q, Nil)
-              val uuid = java.util.UUID.randomUUID()
-              val ub = java.nio.ByteBuffer.allocate(16)
-              ub.putLong(uuid.getMostSignificantBits)
-              ub.putLong(uuid.getLeastSignificantBits)
-              val (off, size) = DeletionVectors.writeDvFile(conf,
-                new HPath(root, s"deletion_vector_$uuid.bin"), positions)
-              moved += s"deletion_vector_$uuid.bin"
-              val fileSize =
-                fs.getFileStatus(new HPath(resolveFile(root, p))).getLen
-              (p, pv, fileSize, DeletionVectors.Descriptor("u",
-                DeletionVectors.z85Encode(ub.array()), Some(off), size,
-                positions.length.toLong))
-            }
+            // newly struck = LIVE rows the predicate matches (the old
+            // DV's positions re-ride via the merge inside the helper)
+            val livePos = liveMutationScan(spark, root, st, schema,
+              partCols, dataSchema, withPos = true)
+            val newly = livePos(rewriteFiles)
+              .where(org.apache.spark.sql.functions.coalesce(
+                condition, lit(false)))
+              .select(col("__file"), col("__pos"))
+            dvAdds = writeMergedDvs(spark, root, dataSchema,
+              rewriteFiles, newly, moved)
           }
           // rewrite survivors of partially-matched files
           if (rewriteFiles.nonEmpty && !dvMode) {
@@ -2455,8 +2413,28 @@ object DeltaInterop {
         }
         try {
           val now = System.currentTimeMillis()
-          val rewritten = applied(liveScan(entries)).drop("__file")
-            .select(schema.fieldNames.map(col).toSeq: _*)
+          // MERGE-ON-READ mode (delta.enableDeletionVectors=true):
+          // strike the matched rows with merged deletion vectors and
+          // append ONLY the transformed rows — O(changed rows),
+          // Delta's own modern UPDATE. Otherwise CoW-rewrite the
+          // affected files whole.
+          val dvMode = st.configuration
+            .get("delta.enableDeletionVectors").contains("true")
+          var dvAdds: Seq[(String, Map[String, String], Long,
+            DeletionVectors.Descriptor)] = Nil
+          val rewritten =
+            if (!dvMode)
+              applied(liveScan(entries)).drop("__file")
+                .select(schema.fieldNames.map(col).toSeq: _*)
+            else {
+              val livePos = liveMutationScan(spark, root, st, schema,
+                partCols, dataSchema, withPos = true)
+              val matchedRows = livePos(entries).where(matchedTrue)
+              dvAdds = writeMergedDvs(spark, root, dataSchema, entries,
+                matchedRows.select(col("__file"), col("__pos")), moved)
+              applied(matchedRows.drop("__pos")).drop("__file")
+                .select(schema.fieldNames.map(col).toSeq: _*)
+            }
           // the table's declared obligations hold for what this UPDATE
           // writes — one aggregate pass, refusing before any file lands
           // (assigned NOT NULL columns ride it too)
@@ -2511,7 +2489,8 @@ object DeltaInterop {
             dataSchema)
           result = commitDelete(io, logDir, st, now, condition.toString,
             entries.map { case (p, (pv, _)) => (p, pv) }, staged, cdcAdds,
-            partCols, operation = "UPDATE", statsOf = addStats.get)
+            partCols, operation = "UPDATE", dvAdds = dvAdds,
+            statsOf = p => addStats.get(p).orElse(st.stats.get(p)))
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             cleanupStaged()
@@ -2803,9 +2782,29 @@ object DeltaInterop {
             .where(!hitsDelete("__mi", mDeletes) &&
               !hitsDelete("__si", sDeletes))
             .select(schema.fields.map(newVal).toSeq: _*)
+        // MERGE-ON-READ mode: strike clause-hit rows (updates AND
+        // deletes) with merged deletion vectors, append only the
+        // transformed rows + inserts — O(changed rows); otherwise CoW
+        val dvMode = st.configuration
+          .get("delta.enableDeletionVectors").contains("true")
+        var dvAdds: Seq[(String, Map[String, String], Long,
+          DeletionVectors.Descriptor)] = Nil
         val rewritten =
           if (entries.isEmpty) inserts
-          else keptTransformed(liveScan(entries)).unionByName(inserts)
+          else if (!dvMode)
+            keptTransformed(liveScan(entries)).unionByName(inserts)
+          else {
+            val livePos = liveMutationScan(spark, root, st, schema,
+              partCols, dataSchema, withPos = true)
+            val dd = disposed(livePos(entries))
+            dvAdds = writeMergedDvs(spark, root, dataSchema, entries,
+              dd.where(col("__mi") =!= -1 || col("__si") =!= -1)
+                .select(col("__file"), col("__pos")), moved)
+            dd.where(hitsUpdate("__mi", mDeletes) ||
+                hitsUpdate("__si", sDeletes))
+              .select(schema.fields.map(newVal).toSeq: _*)
+              .unionByName(inserts)
+          }
 
         // enforce the table's declared obligations over everything
         // this merge writes (transformed + carried + inserted rows) —
@@ -2876,7 +2875,8 @@ object DeltaInterop {
           result = commitDelete(io, logDir, st, now,
             s"merge on (${keys.mkString(", ")})",
             entries.map { case (p, (pv, _)) => (p, pv) }, staged, cdcAdds,
-            partCols, operation = "MERGE", statsOf = addStats.get)
+            partCols, operation = "MERGE", dvAdds = dvAdds,
+            statsOf = p => addStats.get(p).orElse(st.stats.get(p)))
         }
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -3396,7 +3396,8 @@ object DeltaInterop {
 
   private def liveMutationScan(spark: SparkSession, root: HPath,
       st: DeltaSnapshot, schema: StructType, partCols: Seq[String],
-      dataSchema: StructType): Seq[(String, (Map[String, String],
+      dataSchema: StructType, withPos: Boolean = false)
+      : Seq[(String, (Map[String, String],
         Option[DeletionVectors.Descriptor]))] => DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     def qualified(p: String): String = {
@@ -3421,9 +3422,12 @@ object DeltaInterop {
         val dvPred = bridge.column(DvDeleted(
           bridge.expression(col("_metadata.file_path")),
           bridge.expression(col("_metadata.row_index")), dvLookup))
-        partCols.foldLeft(
-          base.withColumn("__file", col("_metadata.file_path"))
-            .where(!dvPred)) { (d, pc) =>
+        val withMeta =
+          if (withPos)
+            base.withColumn("__file", col("_metadata.file_path"))
+              .withColumn("__pos", col("_metadata.row_index"))
+          else base.withColumn("__file", col("_metadata.file_path"))
+        partCols.foldLeft(withMeta.where(!dvPred)) { (d, pc) =>
           d.withColumn(pc,
             pv.get(pc).map(lit(_)).getOrElse(lit(null))
               .cast(schema(pc).dataType))
@@ -3432,8 +3436,81 @@ object DeltaInterop {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(dataSchema.fields ++
-            partCols.map(pc => schema(pc)) :+
-            StructField("__file", org.apache.spark.sql.types.StringType))))
+            partCols.map(pc => schema(pc)) ++
+            (StructField("__file", org.apache.spark.sql.types.StringType) +:
+              (if (withPos)
+                 Seq(StructField("__pos", org.apache.spark.sql.types.LongType))
+               else Nil)))))
+  }
+
+  /** MERGE-ON-READ strike shared by DV-mode DELETE/UPDATE/MERGE: write
+    * one merged deletion vector per entry covering (the file's old DV
+    * positions ∪ `newlyStruck`), returning the dvAdds rows for
+    * [[commitDelete]]. Payload ∝ struck rows — no data file is read
+    * beyond the old-DV position recovery, none is rewritten. Written
+    * DV files are registered in `moved` for crash cleanup. */
+  private def writeMergedDvs(spark: SparkSession, root: HPath,
+      dataSchema: StructType,
+      entries: Seq[(String, (Map[String, String],
+        Option[DeletionVectors.Descriptor]))],
+      newlyStruck: DataFrame,
+      moved: scala.collection.mutable.Buffer[String])
+      : Seq[(String, Map[String, String], Long,
+        DeletionVectors.Descriptor)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    def qualified(p: String): String = {
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+    // positions already struck by the OLD vectors must re-appear in
+    // the merged ones — recover them from the DV-carrying files
+    val withDv = entries.filter(_._2._2.isDefined)
+    val oldPos: Option[DataFrame] =
+      if (withDv.isEmpty) None
+      else {
+        val lookupMap = new java.util.HashMap[
+          org.apache.spark.unsafe.types.UTF8String,
+          DeletionVectors.Roaring64]()
+        withDv.foreach { case (p, (_, dv)) =>
+          dv.foreach(d => lookupMap.put(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              qualified(resolveFile(root, p))),
+            DeletionVectors.load(conf, root, d)))
+        }
+        val dvLookup = new DvLookup(lookupMap)
+        val base = spark.read.schema(dataSchema)
+          .parquet(withDv.map(e => resolveFile(root, e._1)): _*)
+        val dvPred = bridge.column(DvDeleted(
+          bridge.expression(col("_metadata.file_path")),
+          bridge.expression(col("_metadata.row_index")), dvLookup))
+        Some(base.withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .where(dvPred).select(col("__file"), col("__pos")))
+      }
+    val posByFile: Map[String, Seq[Long]] =
+      (oldPos.toSeq :+ newlyStruck.select(col("__file"), col("__pos")))
+        .reduce(_.unionByName(_))
+        .collect().groupBy(_.getString(0))
+        .map { case (f, rows) =>
+          f -> rows.map(_.getLong(1)).distinct.sorted.toSeq }
+    entries.map { case (p, (pv, _)) =>
+      val q = qualified(resolveFile(root, p))
+      val positions = posByFile.getOrElse(q, Nil)
+      val uuid = java.util.UUID.randomUUID()
+      val ub = java.nio.ByteBuffer.allocate(16)
+      ub.putLong(uuid.getMostSignificantBits)
+      ub.putLong(uuid.getLeastSignificantBits)
+      val (off, size) = DeletionVectors.writeDvFile(conf,
+        new HPath(root, s"deletion_vector_$uuid.bin"), positions)
+      moved += s"deletion_vector_$uuid.bin"
+      val fileSize =
+        fs.getFileStatus(new HPath(resolveFile(root, p))).getLen
+      (p, pv, fileSize, DeletionVectors.Descriptor("u",
+        DeletionVectors.z85Encode(ub.array()), Some(off), size,
+        positions.length.toLong))
+    }
   }
 
   /** Single-attempt row-level-mutation commit (DELETE / UPDATE): cdc +

@@ -165,6 +165,57 @@ class MergeClausesSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("NOT NULL column 'v'"), e3.getMessage)
   }
 
+  test("DV-mode UPDATE strikes via merged vectors, rewrites no data file") {
+    import spark.implicits._
+    val target = export(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    DeltaInterop.setDeltaProperties(spark, target,
+      Map("delta.enableDeletionVectors" -> "true"))
+    val dataFilesBefore = Files.list(Paths.get(target)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSet
+    // first delete installs a DV; the update must MERGE into it
+    DeltaInterop.deleteFromDelta(spark, target, $"id" === 3L)
+    val v = DeltaInterop.updateDelta(spark, target, $"id" === 2L,
+      Map("bal" -> lit(20.0)))
+    // original data files all still present (struck, not rewritten)
+    val after = Files.list(Paths.get(target)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSet
+    assert(dataFilesBefore.subsetOf(after), "a data file was rewritten")
+    val log = new String(Files.readAllBytes(Paths.get(target,
+      "_delta_log", f"$v%020d.json")), "UTF-8")
+    assert(log.contains("\"deletionVector\""), log.take(300))
+    // the merged vector still strikes the DELETEd row AND the updated
+    // row's old version; the new version rides an appended file
+    assert(readAll(target) == Map(1L -> (("a", 1.0)),
+      2L -> (("b", 20.0))), readAll(target))
+  }
+
+  test("DV-mode merge with delete clause: CDF parity, no rewrite") {
+    import spark.implicits._
+    val target = export(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    DeltaInterop.setDeltaProperties(spark, target, Map(
+      "delta.enableDeletionVectors" -> "true",
+      "delta.enableChangeDataFeed" -> "true"))
+    val v = DeltaInterop.mergeDeltaClauses(
+      Seq((1L, "a2", 10.0), (2L, "x", 0.0), (9L, "new", 9.0))
+        .toDF("id", "v", "bal"), target, Seq("id"),
+      matched = Seq(
+        Merge.MatchedDelete(Some(Merge.source("bal") === 0.0)),
+        Merge.MatchedUpdate()),
+      notMatched = Seq(Merge.NotMatchedInsert()))
+    val log = new String(Files.readAllBytes(Paths.get(target,
+      "_delta_log", f"$v%020d.json")), "UTF-8")
+    assert(log.contains("\"deletionVector\""), log.take(300))
+    assert(readAll(target) == Map(1L -> (("a2", 10.0)),
+      3L -> (("c", 3.0)), 9L -> (("new", 9.0))))
+    // the CDF feed is identical to the CoW merge's
+    val feed = DeltaInterop.readDeltaChanges(spark, target, v, v)
+      .select($"id", $"_change_type").as[(Long, String)].collect().toSet
+    assert(feed == Set((1L, "update_preimage"), (1L, "update_postimage"),
+      (2L, "delete"), (9L, "insert")), feed)
+  }
+
   test("classic mergeDelta still equals UPDATE SET * / INSERT *") {
     import spark.implicits._
     val target = export(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
