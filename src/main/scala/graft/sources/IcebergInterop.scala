@@ -1291,7 +1291,7 @@ object IcebergInterop {
   /** temp + rename, never truncate-in-place: a reader between a
     * truncate and the write would see an empty hint (Iceberg's own
     * HadoopTableOperations publishes the hint the same way). */
-  private def publishHint(fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def publishHint(fs: org.apache.hadoop.fs.FileSystem,
       metaDir: HPath, version: Int): Unit = {
     val hint = new HPath(metaDir, "version-hint.text")
     val tmpHint = new HPath(metaDir,
@@ -2741,7 +2741,7 @@ object IcebergInterop {
   // Read
   // ---------------------------------------------------------------
 
-  private val VMeta = "v(\\d+)\\.metadata\\.json".r
+  private[sources] val VMeta = "v(\\d+)\\.metadata\\.json".r
   private val SeqMeta = "(\\d+)-[^/]*\\.metadata\\.json".r
   private val TruncRe = "truncate\\[\\d+\\]".r
   private val BucketRe = "bucket\\[\\d+\\]".r

@@ -349,12 +349,18 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     tableJson(x, ns, name, path)
   }
 
-  /** The Iceberg REST commitTable route, restricted to the property
-    * actions (`set-properties` / `remove-properties`) — the catalog
-    * stores table properties in a `_graft_props.json` sidecar at the
-    * table root (the role Polaris' metadata pointer plays); schema and
-    * snapshot changes commit to the table log directly, so the other
-    * update actions refuse with 400 rather than pretending. */
+  /** The Iceberg REST commitTable route. Tables carrying REAL Iceberg
+    * metadata (a mirror's `metadata/version-hint.text`) take the full
+    * Iceberg-spec commit protocol — `requirements` validated against
+    * the current metadata, `updates` applied in order, the new
+    * `v<N+1>.metadata.json` published through the optimistic
+    * conditional-put — so a STOCK Iceberg REST client (PyIceberg,
+    * Spark) that wrote its data files, manifests, and manifest list
+    * directly to storage can land its append here, the reference's
+    * read-write Polaris shape (getting_started.py:82-99). Tables
+    * without Iceberg metadata keep the legacy property-only commit
+    * (`_graft_props.json` sidecar); their other update actions refuse
+    * with 400 rather than pretending. */
   private def commitTable(x: HttpExchange, ns: Seq[String], name: String,
                           body: JsonNode): Unit = {
     val path = whPath(ns :+ name)
@@ -363,6 +369,9 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
         s"table ${ns.mkString(".")}.$name not found")
     val updates = Option(body.get("updates")).filter(_.isArray)
       .map(a => (0 until a.size()).map(a.get)).getOrElse(Nil)
+    val metaDir = new HPath(path, "metadata")
+    if (fs.exists(new HPath(metaDir, "version-hint.text")))
+      return commitIcebergTable(x, ns, name, path, metaDir, body, updates)
     val file = new HPath(path, TablePropsFile)
     ddlLock.synchronized {
       var props = readProps(file)
@@ -383,6 +392,187 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
       writeProps(file, props)
     }
     tableJson(x, ns, name, path)
+  }
+
+  /** Iceberg-spec commit: validate `requirements` against the current
+    * metadata, apply `updates` in order, publish `v<N+1>` through the
+    * conditional-put (a lost race is the spec's 409
+    * CommitFailedException — the client re-reads and retries), reply
+    * with the CommitTableResponse (`metadata-location` + `metadata`). */
+  private def commitIcebergTable(x: HttpExchange, ns: Seq[String],
+      name: String, path: HPath, metaDir: HPath, body: JsonNode,
+      updates: Seq[JsonNode]): Unit = {
+    import graft.sources.IcebergInterop.VMeta
+    val curV = fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+      .flatMap { case VMeta(v) => Some(v.toInt); case _ => None }
+      .maxOption.getOrElse(
+        return error(x, 409, "CommitFailedException",
+          s"no versioned metadata at $path"))
+    val md = om.readTree(readAll(new HPath(metaDir,
+      s"v$curV.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+
+    // ---- requirements (CommitFailedException on any mismatch) ----
+    def fail(msg: String): Unit = error(x, 409, "CommitFailedException", msg)
+    val requirements = Option(body.get("requirements")).filter(_.isArray)
+      .map(a => (0 until a.size()).map(a.get)).getOrElse(Nil)
+    requirements.foreach { r =>
+      r.path("type").asText() match {
+        case "assert-table-uuid" =>
+          val want = r.path("uuid").asText()
+          if (md.path("table-uuid").asText() != want)
+            return fail(s"table uuid changed (now " +
+              s"${md.path("table-uuid").asText()}, asserted $want)")
+        case "assert-ref-snapshot-id" =>
+          val ref = r.path("ref").asText()
+          val want: Option[Long] =
+            if (r.path("snapshot-id").isNull ||
+                r.path("snapshot-id").isMissingNode) None
+            else Some(r.path("snapshot-id").asLong())
+          val have: Option[Long] = {
+            val refs = md.path("refs")
+            if (refs.has(ref))
+              Some(refs.path(ref).path("snapshot-id").asLong())
+            else if (ref == "main" &&
+                md.path("current-snapshot-id").asLong(-1L) >= 0)
+              Some(md.path("current-snapshot-id").asLong())
+            else None
+          }
+          if (have != want)
+            return fail(s"ref '$ref' moved (now $have, asserted $want) " +
+              "— refresh and retry")
+        case "assert-current-schema-id" =>
+          if (md.path("current-schema-id").asInt() !=
+              r.path("current-schema-id").asInt())
+            return fail("current schema changed")
+        case "assert-default-spec-id" =>
+          if (md.path("default-spec-id").asInt() !=
+              r.path("default-spec-id").asInt())
+            return fail("default partition spec changed")
+        case "assert-last-assigned-field-id" =>
+          if (md.path("last-column-id").asInt() !=
+              r.path("last-assigned-field-id").asInt())
+            return fail("last assigned field id changed")
+        case "assert-last-assigned-partition-id" =>
+          if (md.path("last-partition-id").asInt() !=
+              r.path("last-assigned-partition-id").asInt())
+            return fail("last assigned partition id changed")
+        case "assert-create" =>
+          return fail(s"table ${ns.mkString(".")}.$name already exists")
+        case other =>
+          return error(x, 400, "BadRequestException",
+            s"unknown commit requirement '$other'")
+      }
+    }
+
+    // ---- updates, applied in order ----
+    def arr(field: String): com.fasterxml.jackson.databind.node.ArrayNode =
+      md.path(field) match {
+        case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+        case _ => md.putArray(field)
+      }
+    def props(): com.fasterxml.jackson.databind.node.ObjectNode =
+      md.path("properties") match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+        case _ => md.putObject("properties")
+      }
+    val now = System.currentTimeMillis()
+    var lastAddedSchemaId: Option[Int] = None
+    updates.foreach { u =>
+      u.path("action").asText() match {
+        case "assign-uuid" =>
+          md.put("table-uuid", u.path("uuid").asText())
+        case "upgrade-format-version" =>
+          md.put("format-version", u.path("format-version").asInt())
+        case "set-location" =>
+          md.put("location", u.path("location").asText())
+        case "set-properties" =>
+          val ups = u.path("updates")
+          val it = ups.fieldNames()
+          val p = props()
+          while (it.hasNext) { val k = it.next(); p.put(k, ups.path(k).asText()) }
+        case "remove-properties" =>
+          val p = props()
+          Option(u.get("removals")).filter(_.isArray).foreach(a =>
+            (0 until a.size()).foreach(i => p.remove(a.get(i).asText())))
+        case "add-schema" =>
+          val sc = u.path("schema")
+          arr("schemas").add(sc)
+          val sid = sc.path("schema-id").asInt()
+          lastAddedSchemaId = Some(sid)
+          if (u.has("last-column-id"))
+            md.put("last-column-id",
+              math.max(md.path("last-column-id").asInt(),
+                u.path("last-column-id").asInt()))
+        case "set-current-schema" =>
+          val sid = u.path("schema-id").asInt()
+          md.put("current-schema-id",
+            if (sid == -1) lastAddedSchemaId.getOrElse(
+              return error(x, 400, "BadRequestException",
+                "set-current-schema -1 without a prior add-schema"))
+            else sid)
+        case "add-spec" =>
+          arr("partition-specs").add(u.path("spec"))
+        case "set-default-spec" =>
+          md.put("default-spec-id", u.path("spec-id").asInt())
+        case "add-sort-order" =>
+          arr("sort-orders").add(u.path("sort-order"))
+        case "set-default-sort-order" =>
+          md.put("default-sort-order-id", u.path("sort-order-id").asInt())
+        case "add-snapshot" =>
+          val sn = u.path("snapshot")
+          arr("snapshots").add(sn)
+          if (sn.has("sequence-number"))
+            md.put("last-sequence-number",
+              math.max(md.path("last-sequence-number").asLong(0L),
+                sn.path("sequence-number").asLong()))
+          md.put("last-updated-ms",
+            math.max(now, sn.path("timestamp-ms").asLong(now)))
+        case "set-snapshot-ref" =>
+          val refName = u.path("ref-name").asText()
+          val sid = u.path("snapshot-id").asLong()
+          val refs = md.path("refs") match {
+            case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+            case _ => md.putObject("refs")
+          }
+          val entry = refs.putObject(refName)
+          entry.put("snapshot-id", sid)
+          entry.put("type", u.path("type").asText("branch"))
+          if (refName == "main") {
+            md.put("current-snapshot-id", sid)
+            val logEntry = om.createObjectNode()
+            logEntry.put("timestamp-ms", now)
+            logEntry.put("snapshot-id", sid)
+            arr("snapshot-log").add(logEntry)
+          }
+        case "remove-snapshot-ref" =>
+          md.path("refs") match {
+            case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+              o.remove(u.path("ref-name").asText()): Unit
+            case _ => ()
+          }
+        case other =>
+          return error(x, 400, "BadRequestException",
+            s"unsupported table update action '$other'")
+      }
+    }
+
+    // ---- optimistic publish: the conditional put IS the commit ----
+    val newLoc = new HPath(metaDir, s"v${curV + 1}.metadata.json")
+    try {
+      new graft.sources.TableIO(path.toString,
+        spark.sparkContext.hadoopConfiguration).writeExclusive(newLoc,
+        om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        return fail(s"version ${curV + 1} was committed concurrently — " +
+          "refresh and retry")
+    }
+    graft.sources.IcebergInterop.publishHint(fs, metaDir, curV + 1)
+    val n = om.createObjectNode()
+    n.put("metadata-location", newLoc.toString)
+    n.set[JsonNode]("metadata", md)
+    reply(x, 200, n)
   }
 
   private def tableJson(x: HttpExchange, ns: Seq[String], name: String,

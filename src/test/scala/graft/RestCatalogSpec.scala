@@ -360,6 +360,88 @@ class RestCatalogSpec extends AnyFunSuite {
       .count() == 2)
   }
 
+  test("commitTable: a raw HTTP client lands an append snapshot") {
+    val s = restSession("rcommit")
+    s.sql("CREATE NAMESPACE rcommit.cdb")
+    s.sql("CREATE TABLE rcommit.cdb.c (id BIGINT, v DOUBLE) USING graft")
+    s.sql("INSERT INTO rcommit.cdb.c VALUES (1, 1.5), (2, 2.5)")
+    val root = s"$warehouse/cdb/c"
+    graft.sources.IcebergInterop.mirrorToIceberg(
+      graft.sources.GraftTable.load(spark, root))
+    // ---- the "foreign client" loads the table for uuid + ref state
+    val load1 = httpGet("/v1/namespaces/cdb/tables/c")._2
+    val uuid = load1.split("\"table-uuid\"\\s*:\\s*\"")(1).split("\"")(0)
+    val curSnap = load1.split("\"current-snapshot-id\"\\s*:\\s*")(1)
+      .split("[,}\\s]")(0).toLong
+    // Prepare the append's storage files exactly as an Iceberg client
+    // library would (data parquet + manifest + manifest list), then
+    // REWIND the local metadata publication so the ONLY route to
+    // visibility is the REST commit below.
+    import spark.implicits._
+    graft.sources.IcebergInterop.appendToIceberg(
+      Seq((3L, 3.5), (4L, 4.5)).toDF("id", "v"), root)
+    val metaDir = java.nio.file.Paths.get(root, "metadata")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val vNew = Files.list(metaDir).toArray.map(_.toString)
+      .flatMap("v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).max
+    val published = om.readTree(
+      Files.readAllBytes(metaDir.resolve(s"v$vNew.metadata.json")))
+    val newSnapId = published.path("current-snapshot-id").asLong()
+    assert(newSnapId != curSnap)
+    val snapNode = {
+      val it = published.path("snapshots").elements()
+      var found: com.fasterxml.jackson.databind.JsonNode = null
+      while (it.hasNext) {
+        val n = it.next()
+        if (n.path("snapshot-id").asLong() == newSnapId) found = n
+      }
+      found
+    }
+    assert(snapNode != null)
+    Files.delete(metaDir.resolve(s"v$vNew.metadata.json"))
+    Files.deleteIfExists(metaDir.resolve(s".v$vNew.metadata.json.crc"))
+    Files.write(metaDir.resolve("version-hint.text"),
+      String.valueOf(vNew - 1).getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(metaDir.resolve(".version-hint.text.crc"))
+    assert(graft.sources.IcebergInterop.readIceberg(spark, root)
+      .count() == 2) // rewound: the append is invisible pre-commit
+    // ---- raw HTTP Iceberg-spec commit: requirements + updates ----
+    val payload = s"""{
+      "requirements": [
+        {"type": "assert-table-uuid", "uuid": "$uuid"},
+        {"type": "assert-ref-snapshot-id", "ref": "main",
+         "snapshot-id": $curSnap}
+      ],
+      "updates": [
+        {"action": "add-snapshot",
+         "snapshot": ${om.writeValueAsString(snapNode)}},
+        {"action": "set-snapshot-ref", "ref-name": "main",
+         "type": "branch", "snapshot-id": $newSnapId},
+        {"action": "set-properties",
+         "updates": {"committed-by": "raw-http"}}
+      ]
+    }"""
+    val (code, resp) =
+      httpReq("POST", "/v1/namespaces/cdb/tables/c", Some(payload))
+    assert(code == 200, resp)
+    assert(resp.contains("\"metadata-location\""), resp)
+    // a graft read now sees the committed rows
+    assert(graft.sources.IcebergInterop.readIceberg(spark, root)
+      .count() == 4)
+    val after = new String(Files.readAllBytes(
+      metaDir.resolve(s"v$vNew.metadata.json")), StandardCharsets.UTF_8)
+    assert(after.contains("committed-by"), after.take(200))
+    // a STALE retry (same assert-ref-snapshot-id) 409s per the spec
+    val (code2, resp2) =
+      httpReq("POST", "/v1/namespaces/cdb/tables/c", Some(payload))
+    assert(code2 == 409 && resp2.contains("CommitFailedException"), resp2)
+    // unknown actions refuse with 400, not silent acceptance
+    val (code3, resp3) = httpReq("POST", "/v1/namespaces/cdb/tables/c",
+      Some("""{"updates":[{"action":"no-such-action"}]}"""))
+    assert(code3 == 400 && resp3.contains("unsupported"), resp3)
+  }
+
   test("paged listings: pageToken/pageSize server-side, page-size client-side") {
     val s = restSession("rpag")
     s.sql("CREATE NAMESPACE rpag.pg")
