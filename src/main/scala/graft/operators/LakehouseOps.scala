@@ -1090,7 +1090,43 @@ object LakehouseOps {
       | FROM supplier WHERE s_suppkey % 11 = 0
       |) ORDER BY s_suppkey""".stripMargin
 
+  /** g42: Iceberg EQUALITY-DELETE gate
+    * ([[graft.sources.IcebergInterop.deleteFromIcebergByKey]]) —
+    * export supplier as v2, delete keys s_suppkey%4=0 as a pure
+    * content-2 equality-delete commit (no detection scan), then
+    * RE-APPEND the %8=0 subset: the spec's sequence-number guard must
+    * let the re-inserts survive the earlier delete. The oracle
+    * recomputes both effects relationally. */
+  val g42_iceberg_eq_delete: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup)
+    val target = graft.TempRoots.create("graft_ieqd_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, target)
+    val mdPath = java.nio.file.Paths.get(target, "metadata", "v1.metadata.json")
+    Files.write(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    Files.deleteIfExists(java.nio.file.Paths.get(target, "metadata",
+      ".v1.metadata.json.crc"))
+    graft.sources.IcebergInterop.deleteFromIcebergByKey(
+      sup.filter($"s_suppkey" % 4 === 0).select($"s_suppkey"), target)
+    graft.sources.IcebergInterop.appendToIceberg(
+      sup.filter($"s_suppkey" % 8 === 0), target)
+    graft.sources.IcebergInterop.readIceberg(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g42_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal
+      |FROM supplier WHERE s_suppkey % 4 <> 0 OR s_suppkey % 8 = 0
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g42_iceberg_eq_delete" -> g42_iceberg_eq_delete,
     "g41_delta_dv_update_merge" -> g41_delta_dv_update_merge,
     "g40_delta_merge_clauses" -> g40_delta_merge_clauses,
     "g39_delta_dv_delete" -> g39_delta_dv_delete,
@@ -1131,6 +1167,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g42_iceberg_eq_delete" -> g42_sql,
     "g41_delta_dv_update_merge" -> g41_sql,
     "g40_delta_merge_clauses" -> g40_sql,
     "g39_delta_dv_delete" -> g39_sql,

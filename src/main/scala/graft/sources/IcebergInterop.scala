@@ -2092,6 +2092,256 @@ object IcebergInterop {
     result
   }
 
+  /** KEYED DELETE as a pure EQUALITY-DELETE commit (content 2 — the
+    * Flink-CDC interop shape): `keyRows`' columns name top-level table
+    * fields, and every table row equal to some key row on ALL of them
+    * is struck. The key rows are written verbatim as an equality
+    * delete parquet (field ids = the table's), registered through ONE
+    * delete manifest at `last-sequence-number + 1` under the global
+    * unpartitioned spec — NO detection scan touches the data: cost is
+    * the key rows themselves, metadata-sized for keyed deletes at any
+    * table size.
+    *
+    * The spec's sequence-number guard scopes the strike: only rows
+    * whose DATA sequence number is lower than the delete's are
+    * removed, so a later re-insert of the same key survives — exactly
+    * how a CDC upsert stream lands deletes. NULL key values never
+    * match (the reader's null-safe join treats the spec's equality
+    * semantics; a null-keyed key row strikes nothing... keys should be
+    * non-null identifiers). Format v1 refuses; a lost version race
+    * re-reads and retries (the key set is commit-state-independent, so
+    * no recompute is needed). Returns the committed snapshot id. */
+  def deleteFromIcebergByKey(keyRows: DataFrame, path: String,
+      maxRetries: Int = 20): Long = {
+    require(keyRows.schema.nonEmpty,
+      "deleteFromIcebergByKey needs at least one key column")
+    val spark = keyRows.sparkSession
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val io = new TableIO(path, conf)
+    val metaDir = new HPath(root, "metadata")
+    require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
+
+    def refuseW(what: String): Nothing = throw new IllegalArgumentException(
+      s"cannot delete from Iceberg table at $path: $what — write it with " +
+        "a full Iceberg client")
+
+    // ---- write the equality-delete parquet ONCE (its content does
+    // not depend on the commit base, unlike position deletes) ----
+    var delDir: HPath = null
+    var delFiles: Seq[(HPath, Long, Long)] = Nil
+    var eqIds: Seq[Int] = Nil
+
+    var attempts = 0
+    var result = Long.MinValue
+    while (result == Long.MinValue) {
+      val listed = fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+      val vTop = listed.flatMap {
+        case VMeta(n) => Some(n.toInt)
+        case _ => None
+      }.maxOption.getOrElse(refuseW("the metadata is catalog-managed " +
+        "(no v<N>.metadata.json / version-hint naming)"))
+      val md = om.readTree(readBytes(fs,
+        new HPath(metaDir, s"v$vTop.metadata.json"))).deepCopy[ObjectNode]()
+      val fv = md.path("format-version").asInt(1)
+      if (fv != 2)
+        refuseW(s"the table is format version $fv — equality deletes " +
+          "need v2 merge-on-read")
+      val schemaNode = currentSchemaNode(md, path)
+      val schemaId = md.path("current-schema-id").asInt(
+        schemaNode.path("schema-id").asInt(0))
+      // key columns → top-level field ids + declared types
+      val topFields: Map[String, (Int, DataType)] =
+        schemaNode.path("fields").elements().asScala().map { f =>
+          f.path("name").asText() ->
+            ((f.path("id").asInt(),
+              fromIcebergType(f.path("type"), path)))
+        }.toMap
+      val keyCols = keyRows.schema.fieldNames.toSeq
+      keyCols.foreach(c => if (!topFields.contains(c))
+        refuseW(s"key column '$c' is not a top-level table column"))
+      eqIds = keyCols.map(c => topFields(c)._1)
+
+      if (delDir == null) {
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        def reservedId(id: Long) =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id).build()
+        val typed = keyRows.select(keyCols.map { c =>
+          org.apache.spark.sql.functions.col(c)
+            .cast(topFields(c)._2).as(c, reservedId(topFields(c)._1.toLong))
+        }: _*)
+        delDir = new HPath(new HPath(root, "data"),
+          s"graft-eqdelete-${java.util.UUID.randomUUID()}")
+        typed.write.parquet(delDir.toString)
+        delFiles = fs.listStatus(delDir).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath, f.getLen, footerRecordCount(conf, f)))
+          .filter(_._3 > 0)
+      }
+      val currentSnap = md.path("current-snapshot-id").asLong(-1L)
+      if (delFiles.isEmpty) {
+        fs.delete(delDir, true)
+        result = currentSnap // no keys: no commit
+      } else {
+        val newSeq = md.path("last-sequence-number").asLong(0L) + 1
+        publishHint(fs, metaDir, vTop)
+        val priorList: Seq[GenericRecord] =
+          if (currentSnap < 0) Nil
+          else {
+            val snapNode = md.get("snapshots").elements().asScala()
+              .find(_.get("snapshot-id").asLong() == currentSnap)
+              .getOrElse(refuseW(s"current snapshot $currentSnap missing " +
+                "from the snapshots array"))
+            readAvro(readBytes(fs,
+              new HPath(snapNode.get("manifest-list").asText())))
+          }
+        val specsArr = md.path("partition-specs") match {
+          case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+          case _ => md.putArray("partition-specs")
+        }
+        val unpartSpecId = specsArr.elements().asScala()
+          .find(_.path("fields").size() == 0)
+          .map(_.path("spec-id").asInt(0))
+          .getOrElse {
+            val id = specsArr.elements().asScala()
+              .map(_.path("spec-id").asInt(0)).maxOption.getOrElse(-1) + 1
+            val n = om.createObjectNode()
+            n.put("spec-id", id); n.putArray("fields")
+            specsArr.add(n)
+            id
+          }
+        val entrySchema = manifestEntrySchemaV2Eq()
+        val snapId = md.path("snapshots").elements().asScala()
+          .map(_.path("snapshot-id").asLong(0L)).maxOption.getOrElse(0L) + 1L
+        val now = System.currentTimeMillis()
+        val ents = delFiles.map { case (p, size, rc) =>
+          manifestEntryV2Eq(entrySchema, p.toString, size, rc, eqIds)
+        }
+        val manifestBytes = writeAvro(entrySchema, Map(
+          "schema" -> om.writeValueAsString(schemaNode),
+          "schema-id" -> schemaId.toString,
+          "partition-spec" -> "[]",
+          "partition-spec-id" -> unpartSpecId.toString,
+          "format-version" -> "2",
+          "content" -> "deletes"), ents)
+        val manifestPath = new HPath(metaDir,
+          s"${java.util.UUID.randomUUID()}-m0.avro")
+        writeBytes(fs, manifestPath, manifestBytes)
+        val delRecord = {
+          val mf = new GenericData.Record(manifestFileSchemaV2)
+          mf.put("manifest_path", manifestPath.toString)
+          mf.put("manifest_length", manifestBytes.length.toLong)
+          mf.put("partition_spec_id", unpartSpecId)
+          mf.put("content", 1)
+          mf.put("sequence_number", newSeq)
+          mf.put("min_sequence_number", newSeq)
+          mf.put("added_snapshot_id", snapId)
+          mf.put("added_files_count", delFiles.size)
+          mf.put("existing_files_count", 0)
+          mf.put("deleted_files_count", 0)
+          mf.put("added_rows_count", delFiles.map(_._3).sum)
+          mf.put("existing_rows_count", 0L)
+          mf.put("deleted_rows_count", 0L)
+          mf
+        }
+        val defaultSpecId = md.path("default-spec-id").asInt(0)
+        val listRecords = priorList.map(
+          reserializeManifestFileV2(_, defaultSpecId, currentSnap)) :+
+          delRecord
+        val listBytes = writeAvro(manifestFileSchemaV2,
+          Map("snapshot-id" -> snapId.toString, "format-version" -> "2",
+            "sequence-number" -> newSeq.toString), listRecords)
+        val listPath = new HPath(metaDir,
+          s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
+        writeBytes(fs, listPath, listBytes)
+        md.put("last-updated-ms", now)
+        md.put("current-snapshot-id", snapId)
+        md.put("last-sequence-number", newSeq)
+        val snaps = md.get("snapshots")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        val sn = snapshotNode(snapId, now, "delete", listPath.toString,
+          schemaId)
+        sn.put("sequence-number", newSeq)
+        if (currentSnap >= 0) sn.put("parent-snapshot-id", currentSnap)
+        snaps.add(sn)
+        md.path("snapshot-log") match {
+          case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+            val e = om.createObjectNode()
+            e.put("timestamp-ms", now); e.put("snapshot-id", snapId)
+            a.add(e)
+          case _ => ()
+        }
+        try {
+          io.writeExclusive(new HPath(metaDir, s"v${vTop + 1}.metadata.json"),
+            om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+          publishHint(fs, metaDir, vTop + 1)
+          result = snapId
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            // lost race: the delete parquet stays valid (its content is
+            // state-independent) — just drop this attempt's metadata
+            // files and retry against the peer's state
+            fs.delete(listPath, false)
+            fs.delete(manifestPath, false)
+            attempts += 1
+            if (attempts > maxRetries) {
+              fs.delete(delDir, true)
+              throw new IllegalStateException(
+                s"deleteFromIcebergByKey lost $maxRetries version races " +
+                  s"at $path — giving up")
+            }
+        }
+      }
+    }
+    result
+  }
+
+  /** [[manifestEntrySchemaV2For]] (unpartitioned) plus the spec's
+    * `equality_ids` field (135/136) — the data_file shape equality
+    * delete files require. */
+  private def manifestEntrySchemaV2Eq(): AvroSchema =
+    new AvroSchema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |${avroField("status", "\"int\"", 0)},
+         |${avroField("snapshot_id", "\"long\"", 1, optional = true)},
+         |${avroField("sequence_number", "\"long\"", 3, optional = true)},
+         |${avroField("file_sequence_number", "\"long\"", 4, optional = true)},
+         |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |${avroField("content", "\"int\"", 134)},
+         |${avroField("file_path", "\"string\"", 100)},
+         |${avroField("file_format", "\"string\"", 101)},
+         |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+         |${avroField("record_count", "\"long\"", 103)},
+         |${avroField("file_size_in_bytes", "\"long\"", 104)},
+         |{"name":"equality_ids","field-id":135,"type":["null",{"type":"array","items":"int","element-id":136}],"default":null}
+         |]}}]}""".stripMargin.replace("\n", ""))
+
+  /** An ADDED equality-delete entry: `data_file.content` = 2, the key
+    * field ids in `equality_ids`, sequence numbers left to snapshot
+    * inheritance. */
+  private def manifestEntryV2Eq(entrySchema: AvroSchema, filePath: String,
+      size: Long, records: Long, equalityIds: Seq[Int]): GenericRecord = {
+    val dataFile = new GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    dataFile.put("content", 2)
+    dataFile.put("file_path", filePath)
+    dataFile.put("file_format", "PARQUET")
+    val part = new GenericData.Record(
+      dataFile.getSchema.getField("partition").schema())
+    dataFile.put("partition", part)
+    dataFile.put("record_count", records)
+    dataFile.put("file_size_in_bytes", size)
+    val ids = new java.util.ArrayList[Integer]()
+    equalityIds.foreach(i => ids.add(Int.box(i)))
+    dataFile.put("equality_ids", ids)
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", 1) // ADDED
+    e.put("data_file", dataFile)
+    e
+  }
+
   /** UPDATE the rows matching `condition` in an existing file-based
     * Iceberg FORMAT-V2 table, setting `assignments` (column → new-value
     * expression, evaluated against the PRE-update row) — published as

@@ -2320,6 +2320,58 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot express row-level"), e.getMessage)
   }
 
+  test("deleteFromIcebergByKey: equality-delete file, no scan; re-insert survives") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_ieq_"),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val target = tmp("graft_ieq_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    patch(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    val dataFilesBefore = Files.walk(Paths.get(target)).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    IcebergInterop.deleteFromIcebergByKey(
+      Seq(2L, 99L).toDF("id"), target)
+    // the strike is visible through graft's own equality-delete reader
+    assert(IcebergInterop.readIceberg(spark, target)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // no data file was rewritten or removed — every pre-existing file
+    // survives and the only additions are the equality-delete parquet
+    // itself (cost ∝ key rows, zero detection scan)
+    val dataFilesAfter = Files.walk(Paths.get(target)).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    assert(dataFilesBefore.subsetOf(dataFilesAfter))
+    assert((dataFilesAfter -- dataFilesBefore)
+      .forall(_.contains("graft-eqdelete-")),
+      (dataFilesAfter -- dataFilesBefore).toString)
+    // the sequence-number guard: a LATER re-insert of the deleted key
+    // rides a higher data sequence number and survives the old delete
+    IcebergInterop.appendToIceberg(Seq((2L, "b2")).toDF("id", "v"), target)
+    assert(IcebergInterop.readIceberg(spark, target)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // multi-column keys strike on ALL columns equal
+    IcebergInterop.deleteFromIcebergByKey(
+      Seq((2L, "nope"), (3L, "c")).toDF("id", "v"), target)
+    assert(IcebergInterop.readIceberg(spark, target)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // format v1 and unknown columns refuse loudly
+    val t1 = GraftTable.create(spark, tmp("graft_ieqv1_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val v1target = tmp("graft_ieqv1_ice_")
+    IcebergInterop.exportSnapshot(t1, v1target)
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergInterop.deleteFromIcebergByKey(Seq(1L).toDF("id"), v1target)
+    }
+    assert(e1.getMessage.contains("format version 1"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergInterop.deleteFromIcebergByKey(Seq(1L).toDF("nope"), target)
+    }
+    assert(e2.getMessage.contains("not a top-level"), e2.getMessage)
+  }
+
   test("rollbackIceberg: metadata-only undo; history retained; appends re-chain") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_irb_"),
