@@ -1125,7 +1125,51 @@ object LakehouseOps {
       |FROM supplier WHERE s_suppkey % 4 <> 0 OR s_suppkey % 8 = 0
       |ORDER BY s_suppkey""".stripMargin
 
+  /** g43: FULL-CLAUSE foreign-Iceberg MERGE gate
+    * ([[graft.sources.IcebergInterop.mergeIcebergClauses]]) — the g40
+    * clause mix in its merge-on-read shape: one atomic overwrite
+    * snapshot whose position deletes retire every clause-hit row
+    * (matched DELETE + matched partial-SET + by-source DELETE) and
+    * whose data files carry the transformed + conditionally-inserted
+    * rows. Same oracle as g40 — the clause semantics must agree
+    * across formats. */
+  val g43_iceberg_merge_clauses: Relational.Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Merge
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup,
+      partitionBy = Seq("s_nationkey"))
+    val target = graft.TempRoots.create("graft_imc_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, target)
+    val mdPath = java.nio.file.Paths.get(target, "metadata", "v1.metadata.json")
+    Files.write(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    Files.deleteIfExists(java.nio.file.Paths.get(target, "metadata",
+      ".v1.metadata.json.crc"))
+    val src = sup.filter($"s_suppkey" % 2 === 0)
+      .withColumn("s_acctbal", $"s_acctbal" + lit(500.0))
+      .unionByName(sup.filter($"s_suppkey" % 7 === 0)
+        .withColumn("s_suppkey", $"s_suppkey" + lit(100000L)))
+    graft.sources.IcebergInterop.mergeIcebergClauses(src, target,
+      Seq("s_suppkey"),
+      matched = Seq(
+        Merge.MatchedDelete(Some($"s_acctbal" < 0)),
+        Merge.MatchedUpdate(None,
+          Map("s_acctbal" -> (Merge.source("s_acctbal") + lit(1.0))))),
+      notMatched = Seq(
+        Merge.NotMatchedInsert(Some($"s_acctbal" > 5000))),
+      notMatchedBySource = Seq(
+        Merge.BySourceDelete(Some($"s_suppkey" % 5 === 0))))
+    graft.sources.IcebergInterop.readIceberg(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "g43_iceberg_merge_clauses" -> g43_iceberg_merge_clauses,
     "g42_iceberg_eq_delete" -> g42_iceberg_eq_delete,
     "g41_delta_dv_update_merge" -> g41_delta_dv_update_merge,
     "g40_delta_merge_clauses" -> g40_delta_merge_clauses,
@@ -1167,6 +1211,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g43_iceberg_merge_clauses" -> g40_sql,
     "g42_iceberg_eq_delete" -> g42_sql,
     "g41_delta_dv_update_merge" -> g41_sql,
     "g40_delta_merge_clauses" -> g40_sql,

@@ -2644,24 +2644,46 @@ object IcebergInterop {
   /** MERGE (upsert) `source` into an existing file-based Iceberg
     * FORMAT-V2 table on `keys` — Spark's `MERGE INTO ... WHEN MATCHED
     * THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` in its
-    * merge-on-read shape: ONE atomic `overwrite` snapshot whose
-    * position deletes retire the matched target row versions and whose
-    * new data files carry the source rows (replacements + brand-new
-    * inserts) laid out per the table's DEFAULT partition spec — an
-    * upsert that changes a partition source column migrates the row to
-    * its new partition, and readers never observe the delete without
-    * the re-insert. SQL equi-join null semantics: null-key source rows
-    * always insert, null-key target rows always survive.
+    * merge-on-read shape. This is [[mergeIcebergClauses]] with the
+    * classic clause pair — see there for the full contract. */
+  def mergeIceberg(source: DataFrame, path: String, keys: Seq[String],
+      maxRetries: Int = 20): Long =
+    mergeIcebergClauses(source, path, keys,
+      matched = Seq(Merge.MatchedUpdate()),
+      notMatched = Seq(Merge.NotMatchedInsert()),
+      maxRetries = maxRetries)
+
+  /** Full-clause MERGE into an existing file-based Iceberg FORMAT-V2
+    * table on `keys`, in the merge-on-read shape: conditional clauses,
+    * partial `SET`, `WHEN MATCHED … THEN DELETE`, and `WHEN NOT
+    * MATCHED BY SOURCE`, per the [[Merge]] clause model (bare names =
+    * target row, [[Merge.source]] = source row; first matching clause
+    * of a family wins; a row matching no clause carries forward):
+    *
+    *  - ONE atomic `overwrite` snapshot: position deletes retire every
+    *    clause-hit target row version (updates AND deletes), new data
+    *    files carry the transformed rows + conditional inserts laid
+    *    out per the table's DEFAULT partition spec — readers never
+    *    observe the delete without the re-insert. Cost ∝ clause-hit +
+    *    inserted rows; untouched data files are never rewritten.
+    *  - SQL equi-join null semantics: null-key source rows only ever
+    *    insert, null-key target rows are never matched (by-source
+    *    clauses still see them).
     *
     * The source must carry exactly the table's columns; a target row
     * matching several source rows refuses (the ambiguity SQL MERGE
-    * rejects). Cost ∝ matched + inserted rows (untouched data files
-    * are never rewritten). An empty table takes the whole source as a
-    * fast-append. Format v1 refuses; lost version races recompute.
-    * Returns the committed snapshot id. */
-  def mergeIceberg(source: DataFrame, path: String, keys: Seq[String],
+    * rejects). An empty table reduces to a fast-append of the insert
+    * clauses' survivors. Format v1 refuses; lost version races
+    * recompute. Returns the committed snapshot id. */
+  def mergeIcebergClauses(source: DataFrame, path: String,
+      keys: Seq[String],
+      matched: Seq[Merge.MatchedClause] = Nil,
+      notMatched: Seq[Merge.NotMatchedInsert] = Nil,
+      notMatchedBySource: Seq[Merge.BySourceClause] = Nil,
       maxRetries: Int = 20): Long = {
-    require(keys.nonEmpty, "mergeIceberg needs at least one key column")
+    require(keys.nonEmpty, "mergeIcebergClauses needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "MERGE needs at least one clause")
     val spark = source.sparkSession
     val root = new HPath(path)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -2676,6 +2698,29 @@ object IcebergInterop {
       val hp = new HPath(p)
       hp.getFileSystem(conf).makeQualified(hp).toString
     }
+    import org.apache.spark.sql.functions.{coalesce, when}
+    def clauseCond(c: Option[org.apache.spark.sql.Column]) =
+      c.map(cc => coalesce(cc, lit(false))).getOrElse(lit(true))
+    val mIdx = matched.zipWithIndex.foldRight(lit(-1)) {
+      case ((cl, i), els) => when(clauseCond(cl.condition), lit(i))
+        .otherwise(els)
+    }
+    val sIdx = notMatchedBySource.zipWithIndex.foldRight(lit(-1)) {
+      case ((cl, i), els) => when(clauseCond(cl.condition), lit(i))
+        .otherwise(els)
+    }
+    val mDeletes = matched.zipWithIndex.collect {
+      case (_: Merge.MatchedDelete, i) => i }.toSet
+    val sDeletes = notMatchedBySource.zipWithIndex.collect {
+      case (_: Merge.BySourceDelete, i) => i }.toSet
+    def hitsDelete(dels: Set[Int]): org.apache.spark.sql.Column =
+      if (dels.isEmpty) lit(false)
+      else col("__ci").isin(dels.toSeq.map(Int.box): _*)
+    def hitsUpdate(dels: Set[Int]): org.apache.spark.sql.Column =
+      col("__ci") =!= -1 && !hitsDelete(dels)
+    val insertCond =
+      if (notMatched.isEmpty) lit(false)
+      else notMatched.map(c => clauseCond(c.condition)).reduce(_ || _)
 
     var attempts = 0
     var result = Long.MinValue
@@ -2702,11 +2747,20 @@ object IcebergInterop {
           s"[${schema.fieldNames.mkString(", ")}], source columns " +
           s"[${source.schema.fieldNames.mkString(", ")}]")
       keys.foreach(k => require(schema.fieldNames.contains(k),
-        s"mergeIceberg at $path: key '$k' is not a table column"))
+        s"mergeIcebergClauses at $path: key '$k' is not a table column"))
+      (matched.collect { case u: Merge.MatchedUpdate => u.set } ++
+        notMatchedBySource.collect {
+          case u: Merge.BySourceUpdate => u.set })
+        .flatMap(_.keys).foreach(c =>
+          require(schema.fieldNames.contains(c),
+            s"mergeIcebergClauses at $path: SET column '$c' is not a " +
+              "table column"))
       val currentSnap = md.path("current-snapshot-id").asLong(-1L)
-      if (currentSnap < 0)
-        // empty table: every source row inserts
-        return appendToIceberg(source, path, maxRetries)
+      if (currentSnap < 0) {
+        // empty table: only the insert clauses can contribute
+        if (notMatched.isEmpty) return currentSnap
+        return appendToIceberg(source.where(insertCond), path, maxRetries)
+      }
       val (specId, _, parts) =
         defaultSpecParts(spark, md, schemaNode, schema, refuseW)
       val newSeq = md.path("last-sequence-number").asLong(0L) + 1
@@ -2731,28 +2785,44 @@ object IcebergInterop {
       spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
       import spark.implicits._
       val src = source.select(schema.fieldNames.map(col).toSeq: _*)
-      // source non-key columns under __src_ aliases for the rewrite join
+      // all source columns dual-ride under __src_ aliases (clause
+      // conditions and SET values read them via Merge.source); keys
+      // stay bare for the equi-join
       val srcAliased = src.select(keys.map(col) ++
-        schema.fieldNames.filterNot(keys.contains).map(c =>
-          col(c).as(s"__src_$c")): _*)
+        schema.fieldNames.map(c =>
+          col(c).as(Merge.SrcPrefix + c)): _*)
       val tgt = readIcebergInternal(spark, path, None, None,
         withLineage = true)
-      val matched = tgt.join(srcAliased, keys.toSeq, "inner").cache()
+      // matched pairs, then the family disposition index __ci
+      val matchedDf = tgt.join(srcAliased, keys.toSeq, "inner").cache()
+      val mFrame = matchedDf.withColumn("__ci", mIdx)
+      // target rows with NO source match — only scanned when a
+      // by-source clause exists
+      val sFrame =
+        if (notMatchedBySource.isEmpty) None
+        else Some(tgt.join(srcAliased.select(keys.map(col).toSeq: _*),
+          keys.toSeq, "left_anti").withColumn("__ci", sIdx))
       try {
         // refuse the SQL-MERGE ambiguity: one target row, many sources
-        val dup = matched.groupBy(col("__fp"), col("__pos")).count()
+        val dup = matchedDf.groupBy(col("__fp"), col("__pos")).count()
           .filter(col("count") > 1).limit(1).count()
         require(dup == 0, s"mergeIceberg at $path: a target row matches " +
           "multiple source rows — MERGE needs unique source keys")
         val inserts = src.join(
           tgt.select(keys.map(col).toSeq: _*), keys.toSeq, "left_anti")
-        // ---- matched old row versions -> position delete parquet ----
+          .where(insertCond)
+        // ---- clause-hit old row versions -> position delete parquet ----
         val pathMap = filePaths.map(p => (qualified(p), p))
           .toDF("__fp", "__uri")
         def reservedId(id: Long) =
           new org.apache.spark.sql.types.MetadataBuilder()
             .putLong("parquet.field.id", id).build()
-        val delRows = matched
+        val struck = (mFrame.where(col("__ci") =!= -1)
+          .select(col("__fp"), col("__pos")) +:
+          sFrame.map(_.where(col("__ci") =!= -1)
+            .select(col("__fp"), col("__pos"))).toSeq)
+          .reduce(_.unionByName(_))
+        val delRows = struck
           .join(pathMap, Seq("__fp"))
           .select(col("__uri").as("file_path", reservedId(2147483546L)),
             col("__pos").as("pos", reservedId(2147483545L)))
@@ -2764,19 +2834,44 @@ object IcebergInterop {
           .filter(_.getPath.getName.endsWith(".parquet"))
           .map(f => (f.getPath, f.getLen, footerRecordCount(conf, f)))
           .filter(_._3 > 0)
-        // ---- replacement rows + brand-new inserts -> data files ----
-        val replaced = matched.select(schema.fields.map { f =>
-          if (keys.contains(f.name)) col(f.name)
-          else col(s"__src_${f.name}").cast(f.dataType).as(f.name)
-        }.toSeq: _*)
-        val newRows = replaced.unionByName(inserts.select(
-          schema.fields.map(f =>
+        // ---- transformed rows + conditional inserts -> data files ----
+        def matchedVal(f: org.apache.spark.sql.types.StructField) = {
+          var e: org.apache.spark.sql.Column = col(f.name)
+          matched.zipWithIndex.foreach {
+            case (Merge.MatchedUpdate(_, set), i) =>
+              val v =
+                if (set.nonEmpty) set.get(f.name)
+                  .map(_.cast(f.dataType)).getOrElse(col(f.name))
+                else if (keys.contains(f.name)) col(f.name)
+                else col(Merge.SrcPrefix + f.name).cast(f.dataType)
+              e = when(col("__ci") === i, v).otherwise(e)
+            case _ => ()
+          }
+          e.as(f.name)
+        }
+        def bySourceVal(f: org.apache.spark.sql.types.StructField) = {
+          var e: org.apache.spark.sql.Column = col(f.name)
+          notMatchedBySource.zipWithIndex.foreach {
+            case (Merge.BySourceUpdate(_, set), i) =>
+              val v = set.get(f.name).map(_.cast(f.dataType))
+                .getOrElse(col(f.name))
+              e = when(col("__ci") === i, v).otherwise(e)
+            case _ => ()
+          }
+          e.as(f.name)
+        }
+        val newRows = (mFrame.where(hitsUpdate(mDeletes))
+          .select(schema.fields.map(matchedVal).toSeq: _*) +:
+          sFrame.map(_.where(hitsUpdate(sDeletes))
+            .select(schema.fields.map(bySourceVal).toSeq: _*)).toSeq)
+          .reduce(_.unionByName(_))
+          .unionByName(inserts.select(schema.fields.map(f =>
             col(f.name).cast(f.dataType).as(f.name)).toSeq: _*))
         val (newDir, allNewFiles, partValuesOf) = writeSpecData(newRows,
           root, fs, conf, parts, schemaNode, schema, "graft-merge")
         val newFiles = allNewFiles.filter(_._3 > 0)
         if (delFiles.isEmpty && newFiles.isEmpty) {
-          // empty source: no-op
+          // empty source, no clause fired: no-op
           fs.delete(delDir, true); fs.delete(newDir, true)
           result = currentSnap
         } else {
@@ -2803,10 +2898,12 @@ object IcebergInterop {
                     s"$path — giving up")
           }
         }
-      } finally matched.unpersist()
+      } finally matchedDf.unpersist()
     }
     result
   }
+
+
 
   /** Compact a file-based Iceberg FORMAT-V2 table — the
     * rewrite_data_files maintenance analog — at MANIFEST granularity:

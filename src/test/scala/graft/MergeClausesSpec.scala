@@ -216,6 +216,68 @@ class MergeClausesSpec extends AnyFunSuite {
       (2L, "delete"), (9L, "insert")), feed)
   }
 
+  private def exportIceV2(rows: Seq[(Long, String, Double)]): String = {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_mci_src_"),
+      rows.toDF("id", "v", "bal"))
+    val target = tmp("graft_mci_ice_")
+    graft.sources.IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    Files.write(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    Files.deleteIfExists(Paths.get(target, "metadata",
+      ".v1.metadata.json.crc"))
+    target
+  }
+
+  private def readIce(target: String): Map[Long, (String, Double)] = {
+    import spark.implicits._
+    graft.sources.IcebergInterop.readIceberg(spark, target)
+      .select($"id", $"v", $"bal").as[(Long, String, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("Iceberg full-clause merge: cond delete, partial SET, cond insert, by-source") {
+    import spark.implicits._
+    val target = exportIceV2(Seq(
+      (1L, "t1", -5.0),  // matched, bal<0 -> DELETE
+      (2L, "t2", 10.0),  // matched -> partial SET bal = src.bal + 1
+      (3L, "t3", 20.0),  // not matched by source, id%5!=0 -> carried
+      (5L, "t5", 30.0),  // not matched by source, id%5=0 -> DELETE
+      (6L, "t6", 40.0))) // matched -> partial SET
+    val dataBefore = Files.walk(Paths.get(target)).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    val src = Seq(
+      (1L, "s1", 100.0), (2L, "s2", 200.0), (6L, "s6", 300.0),
+      (7L, "s7", 9000.0), (8L, "s8", 1.0)).toDF("id", "v", "bal")
+    graft.sources.IcebergInterop.mergeIcebergClauses(src, target, Seq("id"),
+      matched = Seq(
+        Merge.MatchedDelete(Some($"bal" < 0)),
+        Merge.MatchedUpdate(None,
+          Map("bal" -> (Merge.source("bal") + lit(1.0))))),
+      notMatched = Seq(Merge.NotMatchedInsert(Some($"bal" > 5000))),
+      notMatchedBySource = Seq(
+        Merge.BySourceDelete(Some($"id" % 5 === 0))))
+    assert(readIce(target) == Map(
+      2L -> (("t2", 201.0)), 3L -> (("t3", 20.0)),
+      6L -> (("t6", 301.0)), 7L -> (("s7", 9000.0))), readIce(target))
+    // merge-on-read: every pre-existing data file survived (position
+    // deletes struck rows; nothing was rewritten)
+    val dataAfter = Files.walk(Paths.get(target)).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    assert(dataBefore.subsetOf(dataAfter), "a data file was rewritten")
+    // by-source UPDATE flags stale rows instead of deleting them
+    graft.sources.IcebergInterop.mergeIcebergClauses(
+      Seq((2L, "x", 0.0)).toDF("id", "v", "bal"), target, Seq("id"),
+      matched = Seq(Merge.MatchedUpdate()),
+      notMatchedBySource = Seq(
+        Merge.BySourceUpdate(None, Map("v" -> lit("stale")))))
+    val got = readIce(target)
+    assert(got(2L) == (("x", 0.0)) && got(3L) == (("stale", 20.0)) &&
+      got(7L) == (("stale", 9000.0)), got)
+  }
+
   test("classic mergeDelta still equals UPDATE SET * / INSERT *") {
     import spark.implicits._
     val target = export(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
