@@ -696,16 +696,27 @@ object DeltaInterop {
   private val SinglePartCp = "(\\d{20})\\.checkpoint\\.parquet".r
   private val MultiPartCp =
     "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
+  // v2 UUID-named checkpoints: the single non-dot token distinguishes
+  // them from multi-part names; any one such file is complete
+  private val V2NamedCp = "(\\d{20})\\.checkpoint\\.([^.]+)\\.parquet".r
 
   /** COMPLETE checkpoints on disk, version → part files: the classic
-    * single-part file, and multi-part sets only when every declared
-    * part is present (a partial set must never serve as a base state). */
+    * single-part file, multi-part sets only when every declared part
+    * is present (a partial set must never serve as a base state), and
+    * v2 UUID-named checkpoints (complete by construction). */
   private def completedCheckpoints(fs: org.apache.hadoop.fs.FileSystem,
       logDir: HPath): Map[Long, Seq[HPath]] = {
     val names = fs.listStatus(logDir).toSeq.map(_.getPath)
     val singles = names.flatMap { p =>
       p.getName match {
         case SinglePartCp(v) => Some(v.toLong -> Seq(p))
+        case _ => None
+      }
+    }
+    val v2s = names.flatMap { p =>
+      p.getName match {
+        case MultiPartCp(_, _, _) => None
+        case V2NamedCp(v, _) => Some(v.toLong -> Seq(p))
         case _ => None
       }
     }
@@ -718,7 +729,7 @@ object DeltaInterop {
       case ((v, n), parts) if parts.size == n =>
         v -> parts.map(_._2).sortBy(_.getName)
     }
-    (singles ++ multis).toMap
+    (v2s ++ singles ++ multis).toMap
   }
 
   /** Delta log-retention analog for mirrors: delete JSON commits (and
@@ -3157,14 +3168,15 @@ object DeltaInterop {
         "with a full Delta client")
     val coll = new CheckpointCollector()
     val st = replaySnapshot(spark, path, None, Some(coll))
-    if (st.configuration.get("delta.checkpointPolicy").contains("v2"))
-      refuseW("delta.checkpointPolicy=v2 demands v2 checkpoints")
-    if (coll.baseWasV2)
-      refuseW("the base state is a v2 checkpoint whose sidecar " +
-        "tombstones/transactions a classic rewrite cannot carry")
+    // v2-checkpoint tables (explicit policy, or a base state that was
+    // already v2) get a UUID-named v2 checkpoint with sidecar file
+    // actions; everything else gets the classic single-/multi-part one
+    val wantV2 =
+      st.configuration.get("delta.checkpointPolicy").contains("v2") ||
+        coll.baseWasV2
     if (coll.sawDomainMetadata)
-      refuseW("the log carries domainMetadata actions a classic " +
-        "checkpoint written here would drop")
+      refuseW("the log carries domainMetadata actions a checkpoint " +
+        "written here would drop")
     if (st.minWriter > 7)
       refuseW(s"the table requires writer protocol ${st.minWriter}")
     if (st.minWriter == 7) {
@@ -3257,7 +3269,73 @@ object DeltaInterop {
       .foreach { case (p, ts) =>
         rows.add(Row(null, null, null, null, Row(encodePath(p), ts, false)))
       }
-    publishCheckpointParts(spark, fs, logDir, st.version, rows, cpSchema)
+    if (!wantV2) {
+      publishCheckpointParts(spark, fs, logDir, st.version, rows, cpSchema)
+      return st.version
+    }
+
+    // ---- v2 checkpoint (PROTOCOL.md "V2 Checkpoint Table Feature"):
+    // file actions go to a `_delta_log/_sidecars/` parquet named by a
+    // `sidecar` action; the UUID-named top-level file carries
+    // checkpointMetadata + protocol + metaData + txn + the sidecar
+    // pointer. Our own v2 replay (and any modern Delta reader)
+    // reconstructs the state from exactly these pieces. ----
+    import scala.jdk.CollectionConverters._
+    val (fileRows, metaRows) = rows.asScala.toSeq.partition(r =>
+      !r.isNullAt(3) || !r.isNullAt(4))
+    def writeSingleParquet(slice: Seq[Row], schema2: StructType,
+        target: HPath): Long = {
+      val tmp = new HPath(logDir,
+        s".cpv2-${st.version}-${java.util.UUID.randomUUID()}")
+      spark.createDataFrame(slice.asJava, schema2).repartition(1)
+        .write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"no checkpoint part under $tmp"))
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(part, target) && !fs.exists(target))
+        throw new java.io.IOException(s"could not publish $target")
+      fs.delete(tmp, true)
+      fs.getFileStatus(target).getLen
+    }
+    val sidecarSchema = StructType(Seq(
+      StructField("add", addType), StructField("remove", removeType)))
+    val sidecarName = s"${java.util.UUID.randomUUID()}.parquet"
+    val sidecarPath = new HPath(new HPath(logDir, "_sidecars"), sidecarName)
+    val sidecarSize = writeSingleParquet(
+      fileRows.map(r => Row(r.get(3), r.get(4))), sidecarSchema, sidecarPath)
+    val cpMetaType = StructType(Seq(StructField("version", LongType)))
+    val sidecarActType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType)))
+    val topSchema = StructType(Seq(
+      StructField("checkpointMetadata", cpMetaType),
+      StructField("protocol", protoType),
+      StructField("metaData", metaType),
+      StructField("txn", txnType),
+      StructField("sidecar", sidecarActType)))
+    val now = System.currentTimeMillis()
+    val topRows = Seq(
+      Row(Row(st.version), null, null, null, null),
+      Row(null, null, null, null, Row(sidecarName, sidecarSize, now))) ++
+      metaRows.map(r => Row(null, r.get(0), r.get(1), r.get(2), null))
+    writeSingleParquet(topRows, topSchema, new HPath(logDir,
+      f"${st.version}%020d.checkpoint.${java.util.UUID.randomUUID()
+        .toString.replace("-", "")}.parquet"))
+    // _last_checkpoint names the version (no `parts`); the reader's
+    // UUID-name discovery works even without it
+    val lcPath = new HPath(logDir, "_last_checkpoint")
+    val tmpLc = new HPath(logDir,
+      s"._last_checkpoint-${java.util.UUID.randomUUID()}.tmp")
+    val lastCp = fs.create(tmpLc, false)
+    try lastCp.write(
+      ("{\"version\":" + st.version + ",\"size\":" + rows.size() + "}")
+        .getBytes(StandardCharsets.UTF_8))
+    finally lastCp.close()
+    fs.delete(lcPath, false)
+    if (!fs.rename(tmpLc, lcPath)) fs.delete(tmpLc, false)
     st.version
   }
 
@@ -3290,7 +3368,14 @@ object DeltaInterop {
     var deleted = 0
     names.foreach { n =>
       val isCommit = n.matches("\\d{20}\\.json")
-      val isCp = n.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet")
+      // superseded checkpoints: classic, multi-part, and v2 UUID-named
+      // top-level files. Sidecars under _delta_log/_sidecars/ are
+      // never touched — foreign checkpoints may SHARE sidecar files,
+      // so deleting them could break a retained checkpoint; orphaned
+      // sidecars are bounded by checkpoint count and metadata-sized.
+      val isCp =
+        n.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet") ||
+          n.matches("\\d{20}\\.checkpoint\\.[^.]+\\.parquet")
       if (isCommit || isCp) {
         val v = n.take(20).toLong
         val drop =

@@ -279,6 +279,39 @@ class DeltaInteropSpec extends AnyFunSuite {
     Files.copy(src, Paths.get(root, dest))
   }
 
+  test("checkpointDelta WRITES v2 checkpoints under checkpointPolicy=v2") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_cpv2_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val target = tmp("graft_cpv2_t_")
+    DeltaInterop.exportSnapshot(t, target)
+    DeltaInterop.setDeltaProperties(spark, target,
+      Map("delta.checkpointPolicy" -> "v2"))
+    DeltaInterop.appendToDelta(Seq((3L, "c")).toDF("id", "v"), target)
+    DeltaInterop.deleteFromDelta(spark, target, col("id") === 1L)
+    val v = DeltaInterop.checkpointDelta(spark, target)
+    // UUID-named top-level checkpoint + one sidecar on disk
+    val logDir = Paths.get(target, "_delta_log")
+    val names = Files.list(logDir).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+    val v2Name = names.find(_.matches(f"$v%020d\\.checkpoint\\.[^.]+\\.parquet"))
+    assert(v2Name.isDefined, names.toSeq.sorted)
+    assert(Files.list(logDir.resolve("_sidecars")).toArray.nonEmpty)
+    // log cleanup treats it as the base; the v2 reader reconstructs
+    // the exact state (tombstones + adds + stats) from it alone
+    assert(DeltaInterop.cleanupDeltaLog(spark, target) > 0)
+    assert(DeltaInterop.readDelta(spark, target)
+      .as[(Long, String)].collect().toSet == Set((2L, "b"), (3L, "c")))
+    assert(DeltaInterop.deltaFileStats(spark, target).nonEmpty)
+    // appends continue on the v2-checkpointed log; a SECOND v2
+    // checkpoint supersedes the first through the same path
+    DeltaInterop.appendToDelta(Seq((4L, "d")).toDF("id", "v"), target)
+    val v2 = DeltaInterop.checkpointDelta(spark, target)
+    assert(v2 > v)
+    DeltaInterop.cleanupDeltaLog(spark, target)
+    assert(DeltaInterop.readDelta(spark, target).count() == 3)
+  }
+
   test("readDelta replays a v2 checkpoint (UUID name + sidecar) plus JSON tail") {
     import spark.implicits._
     val root = tmp("graft_dcpv2_")
