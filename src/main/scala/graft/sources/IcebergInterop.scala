@@ -3242,9 +3242,35 @@ object IcebergInterop {
     val root = new HPath(path)
     val (fs, md) = currentMetadata(spark, path)
     val formatVersion = md.path("format-version").asInt(1)
-    if (formatVersion > 2)
-      refuse(path, s"is format version $formatVersion (v3 adds deletion " +
-        "vectors and new types)")
+    if (formatVersion > 3)
+      refuse(path, s"is format version $formatVersion — this reader " +
+        "supports v1-v3")
+    // v3 is readable UNLESS a v3-only feature is actually in play:
+    // Puffin deletion vectors refuse at the delete-manifest gate below
+    // (file_format != parquet names them), v3 types refuse in the
+    // schema mapping, and column DEFAULT VALUES refuse here — a
+    // name-based scan would null-fill missing columns where the spec
+    // demands the declared default. Row lineage needs nothing from a
+    // plain read.
+    if (formatVersion >= 3) {
+      def hasDefault(node: JsonNode): Option[String] = {
+        val fields = node.path("fields")
+        if (!fields.isArray) None
+        else fields.elements().asScala().flatMap { f =>
+          val own = Option(f.get("initial-default")).filterNot(_.isNull)
+            .map(_ => f.path("name").asText())
+          own.orElse(if (f.path("type").isObject)
+            hasDefault(f.path("type")) else None)
+        }.nextOption()
+      }
+      (Option(md.get("schemas")).filter(_.isArray).toSeq
+        .flatMap(_.elements().asScala()) ++
+        Option(md.get("schema")).toSeq)
+        .flatMap(hasDefault).headOption.foreach(colName =>
+          refuse(path, s"declares an initial-default on column " +
+            s"'$colName' (Iceberg v3 default values) — a name-based " +
+            "scan would null-fill instead of applying the default"))
+    }
 
     // declared schema: v2 carries a schemas array + current-schema-id,
     // v1 a single schema object
@@ -3376,7 +3402,11 @@ object IcebergInterop {
           val content = fieldOpt(df, "content").map(longOf).getOrElse(-1L)
           val fmt = df.get("file_format").toString
           if (!fmt.equalsIgnoreCase("parquet"))
-            refuse(path, s"has $fmt delete files")
+            refuse(path, s"has $fmt delete files" +
+              (if (fmt.equalsIgnoreCase("puffin"))
+                 " (Iceberg v3 deletion vectors) — rewrite them as " +
+                   "position deletes or compact with a full client"
+               else ""))
           if (status == 2L) None
           else content match {
             case 1L =>

@@ -102,12 +102,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           return new GraftMetadataTable(spark, tablePath(parent).toString,
             ident, ident.name())
       }
+      foreignPathTable(ident).foreach(t => return t)
       throw new NoSuchTableException(ident)
     }
     new GraftSparkTable(spark, tablePath(ident).toString, ident, None)
   }
 
   private val MetadataTables = Set("snapshots", "history", "files")
+
+  /** Raw FOREIGN roots through SQL, no CALL procedures needed — the
+    * reference notebooks' `DESCRIBE HISTORY` / `.snapshots` shapes on
+    * path-addressed tables:
+    * {{{
+    * SELECT * FROM cat.delta.`/raw/root`             -- current state
+    * SELECT * FROM cat.delta.`/raw/root`.history     -- DESCRIBE HISTORY
+    * SELECT * FROM cat.iceberg.`/raw/root`.snapshots -- snapshot list
+    * }}}
+    * The `delta`/`iceberg` pseudo-namespaces resolve only when the
+    * named directory really carries that format's metadata, so they
+    * can never shadow a warehouse table. Read-only. */
+  private def foreignPathTable(ident: Identifier): Option[Table] = {
+    def isDelta(p: String) =
+      isDir(new HPath(new HPath(p), "_delta_log"))
+    def isIce(p: String) =
+      isDir(new HPath(new HPath(p), "metadata"))
+    def mk(df: () => org.apache.spark.sql.DataFrame) =
+      Some(new GraftDataFrameTable(spark, ident, df))
+    ident.namespace().toSeq match {
+      case Seq("delta") if isDelta(ident.name()) =>
+        mk(() => graft.sources.DeltaInterop.readDelta(spark, ident.name()))
+      case Seq("iceberg") if isIce(ident.name()) =>
+        mk(() => graft.sources.IcebergInterop.readIceberg(spark, ident.name()))
+      case Seq("delta", p) if ident.name() == "history" && isDelta(p) =>
+        mk(() => graft.sources.DeltaInterop.deltaHistory(spark, p))
+      case Seq("iceberg", p)
+          if Set("history", "snapshots")(ident.name()) && isIce(p) =>
+        mk(() => graft.sources.IcebergInterop.icebergHistory(spark, p))
+      case _ => None
+    }
+  }
 
   /** Time travel: SELECT … FROM t VERSION AS OF <v>. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -957,14 +990,20 @@ private[v2] object GraftProcedures {
   * by construction, served through the V1Scan escape hatch. */
 class GraftMetadataTable(spark: SparkSession, path: String,
                          ident: Identifier, kind: String)
-  extends Table with SupportsRead {
-
-  private def df: DataFrame = {
+  extends GraftDataFrameTable(spark, ident, () => {
     val t = GraftTable.load(spark, path)
     if (kind == "snapshots") t.snapshots()
     else if (kind == "files") t.files()
     else t.history()
-  }
+  })
+
+/** Read-only DSv2 table over a driver-built DataFrame — the metadata
+  * relations and the raw foreign-root reads route through this. */
+class GraftDataFrameTable(spark: SparkSession, ident: Identifier,
+                          mkDf: () => DataFrame)
+  extends Table with SupportsRead {
+
+  private def df: DataFrame = mkDf()
 
   override def name(): String = ident.toString
   override def schema(): StructType = df.schema

@@ -989,4 +989,45 @@ class CatalogSpec extends AnyFunSuite {
     assert(graft.sources.DeltaInterop.readDelta(spark, iRoot)
       .count() == 100)
   }
+
+  test("raw foreign roots through SQL: reads + history/snapshots, no CALL") {
+    freshCatalog()
+    import spark.implicits._
+    // a foreign Delta table at a raw path
+    val t = graft.sources.GraftTable.create(spark,
+      Files.createTempDirectory("graft_fsql_").toString + "/t",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val droot = Files.createTempDirectory("graft_fsql_d_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, droot)
+    graft.sources.DeltaInterop.deleteFromDelta(spark, droot, col("id") === 1L)
+    // current state + DESCRIBE HISTORY, both pure SELECTs
+    assert(spark.sql(s"SELECT id, v FROM $cat.delta.`$droot` ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "b")))
+    val hist = spark.sql(
+      s"SELECT version, operation FROM $cat.delta.`$droot`.history")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.map(_._1).toSeq == Seq(1L, 0L), hist.toSeq)
+    assert(hist.exists(_._2 == "DELETE"), hist.toSeq)
+    // a foreign Iceberg table at a raw path
+    val iroot = Files.createTempDirectory("graft_fsql_i_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, iroot)
+    graft.sources.IcebergInterop.appendToIceberg(
+      Seq((3L, "c")).toDF("id", "v"), iroot)
+    assert(spark.sql(s"SELECT id FROM $cat.iceberg.`$iroot` ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    val snaps = spark.sql(
+      s"SELECT snapshot_id, operation, is_current FROM " +
+        s"$cat.iceberg.`$iroot`.snapshots").collect()
+    assert(snaps.length == 2 && snaps.count(_.getBoolean(2)) == 1,
+      snaps.toSeq)
+    assert(spark.sql(s"SELECT * FROM $cat.iceberg.`$iroot`.history")
+      .count() == 2)
+    // a non-table path still surfaces the proper NoSuchTable error
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.delta.`/no/such/root`").collect()
+    }
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.contains("cannot be found"), e.getMessage)
+  }
 }

@@ -682,11 +682,13 @@ class IcebergInteropSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
-  test("refuses format v3 and renamed columns") {
+  test("refuses formats beyond v3 and renamed columns") {
     import spark.implicits._
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
 
-    // v3 metadata
+    // v3 metadata with no v3-only feature READS (scoped support; the
+    // feature-level refusals are pinned by the dedicated v3 test);
+    // beyond v3 refuses wholesale
     val t = GraftTable.create(spark, tmp("graft_ixr_"),
       Seq((1L, "a")).toDF("id", "v"))
     val target = tmp("graft_ixr_out_")
@@ -697,10 +699,13 @@ class IcebergInteropSpec extends AnyFunSuite {
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     md.put("format-version", 3)
     patch(mdPath, om.writeValueAsBytes(md))
+    assert(IcebergInterop.readIceberg(spark, target).count() == 1)
+    md.put("format-version", 4)
+    patch(mdPath, om.writeValueAsBytes(md))
     val e1 = intercept[IllegalArgumentException] {
       IcebergInterop.readIceberg(spark, target)
     }
-    assert(e1.getMessage.contains("full Iceberg client"), e1.getMessage)
+    assert(e1.getMessage.contains("v1-v3"), e1.getMessage)
     patch(mdPath, orig)
 
     // (delete manifests are READ since r9 — covered, with the equality
@@ -2318,6 +2323,80 @@ class IcebergInteropSpec extends AnyFunSuite {
       IcebergInterop.readIcebergChanges(spark, target, s4)
     }
     assert(e.getMessage.contains("cannot express row-level"), e.getMessage)
+  }
+
+  test("v3 reads: plain tables read; DVs and default values refuse by name") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_v3_"),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val target = tmp("graft_v3_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val mdV1 = new String(Files.readAllBytes(mdPath), "UTF-8")
+    patch(mdPath, mdV1
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    // exercise a v2 MoR delete, THEN promote to v3: the reader must
+    // still apply the position deletes (v3 keeps reading v2 deletes)
+    IcebergInterop.deleteFromIceberg(spark, target, col("id") === 2L)
+    val curMeta = Files.list(Paths.get(target, "metadata")).toArray
+      .map(_.toString)
+      .flatMap("v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).max
+    val curPath = Paths.get(target, "metadata", s"v$curMeta.metadata.json")
+    val mdCur = new String(Files.readAllBytes(curPath), "UTF-8")
+    patch(curPath, mdCur
+      .replace("\"format-version\" : 2", "\"format-version\" : 3")
+      .getBytes("UTF-8"))
+    // a v3 table with no v3-only feature in play reads exactly
+    assert(IcebergInterop.readIceberg(spark, target)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (3L, "c")))
+    // v3 default values refuse BY NAME (null-filling would be wrong)
+    patch(curPath, new String(Files.readAllBytes(curPath), "UTF-8")
+      .replace("\"name\" : \"v\",", "\"name\":\"v\",\"initial-default\":\"dflt\",")
+      .replace("\"name\":\"v\",\"required\"",
+        "\"name\":\"v\",\"initial-default\":\"dflt\",\"required\"")
+      .getBytes("UTF-8"))
+    val hasDefault = new String(Files.readAllBytes(curPath), "UTF-8")
+      .contains("initial-default")
+    assert(hasDefault, "test setup: default not injected")
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, target).collect()
+    }
+    assert(e1.getMessage.contains("initial-default") &&
+      e1.getMessage.contains("'v'"), e1.getMessage)
+    patch(curPath, new String(Files.readAllBytes(curPath), "UTF-8")
+      .replace("\"initial-default\":\"dflt\",", "").getBytes("UTF-8"))
+    // v3 deletion vectors (Puffin delete files) refuse by name: flip
+    // the delete manifest's file_format to PUFFIN in place
+    val delManifest = Files.list(Paths.get(target, "metadata")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith("-m0.avro"))
+      .maxBy(p => Files.getLastModifiedTime(p).toMillis)
+    val ents = IcebergInterop.readAvro(Files.readAllBytes(delManifest))
+    assert(ents.nonEmpty)
+    ents.foreach(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .put("file_format", "PUFFIN"))
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](ents.head.getSchema))
+    w.create(ents.head.getSchema, out)
+    ents.foreach(w.append); w.close()
+    patch(delManifest, out.toByteArray)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, target).collect()
+    }
+    assert(e2.getMessage.contains("deletion vectors"), e2.getMessage)
+    // format versions beyond 3 still refuse wholesale
+    patch(curPath, new String(Files.readAllBytes(curPath), "UTF-8")
+      .replace("\"format-version\" : 3", "\"format-version\" : 4")
+      .getBytes("UTF-8"))
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, target).collect()
+    }
+    assert(e3.getMessage.contains("v1-v3"), e3.getMessage)
   }
 
   test("deleteFromIcebergByKey: equality-delete file, no scan; re-insert survives") {
