@@ -327,8 +327,17 @@ private[graft] object DeltaStats {
     * `statsJson` the add action's stats if carried. */
   def mayMatch(conjs: Seq[Expression], schema: StructType,
       partCols: Seq[String], pv: Map[String, String],
-      statsJson: Option[String]): Boolean = {
-    lazy val fstats = statsJson.flatMap(parse(_, schema))
+      statsJson: Option[String]): Boolean =
+    mayMatchStats(conjs, schema, partCols, pv,
+      statsJson.flatMap(parse(_, schema)))
+
+  /** [[mayMatch]] over already-normalized [[FileStats]] — the shape
+    * [[IcebergStats]] decodes manifest bound maps into. By-name so a
+    * purely partition-value prune never pays for stats parsing. */
+  def mayMatchStats(conjs: Seq[Expression], schema: StructType,
+      partCols: Seq[String], pv: Map[String, String],
+      fstatsIn: => Option[FileStats]): Boolean = {
+    lazy val fstats = fstatsIn
 
     // (lo, hi, mayBeNull, allNull) in the normalized domain; None
     // components are unknown

@@ -230,6 +230,20 @@ object IcebergInterop {
         "Iceberg mirror (use string/int/long/date/boolean keys)")
   }
 
+  /** One of the `data_file` statistics maps (spec: `value_counts` 109,
+    * `null_value_counts` 110, `lower_bounds` 125, `upper_bounds` 128)
+    * in Iceberg's array-of-key/value-records map encoding — Avro maps
+    * proper require string keys, these are keyed by field id. */
+  private def statMapField(name: String, fieldId: Int, kId: Int, vId: Int,
+      vType: String): String =
+    s"""{"name":"$name","field-id":$fieldId,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k${kId}_v$vId","fields":[{"name":"key","type":"int","field-id":$kId},{"name":"value","type":"$vType","field-id":$vId}]}}],"default":null}"""
+
+  private def statMapFields: String = Seq(
+    statMapField("value_counts", 109, 119, 120, "long"),
+    statMapField("null_value_counts", 110, 121, 122, "long"),
+    statMapField("lower_bounds", 125, 126, 127, "bytes"),
+    statMapField("upper_bounds", 128, 129, 130, "bytes")).mkString(",")
+
   /** Manifest-entry schema whose `partition` struct carries one
     * nullable field per partition field (empty for unpartitioned
     * tables — the historical layout). */
@@ -249,7 +263,8 @@ object IcebergInterop {
          |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pfields]}},
          |${avroField("record_count", "\"long\"", 103)},
          |${avroField("file_size_in_bytes", "\"long\"", 104)},
-         |${avroField("block_size_in_bytes", "\"long\"", 105)}
+         |${avroField("block_size_in_bytes", "\"long\"", 105)},
+         |$statMapFields
          |]}}]}""".stripMargin.replace("\n", ""))
   }
 
@@ -311,7 +326,8 @@ object IcebergInterop {
          |${avroField("file_format", "\"string\"", 101)},
          |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pfields]}},
          |${avroField("record_count", "\"long\"", 103)},
-         |${avroField("file_size_in_bytes", "\"long\"", 104)}
+         |${avroField("file_size_in_bytes", "\"long\"", 104)},
+         |$statMapFields
          |]}}]}""".stripMargin.replace("\n", ""))
   }
 
@@ -360,9 +376,40 @@ object IcebergInterop {
   // Export
   // ---------------------------------------------------------------
 
+  /** Fill a data_file record's statistics maps (field-id-keyed
+    * array-of-record encoding) from footer-derived [[IcebergStats]]
+    * bounds — foreign engines (and graft's own DML detection scans)
+    * skip files by these. */
+  private def putStatMaps(dataFile: GenericRecord,
+      bounds: IcebergStats.Bounds): Unit = {
+    def put(fieldName: String, m: Map[Int, AnyRef]): Unit =
+      if (m.nonEmpty && dataFile.getSchema.getField(fieldName) != null) {
+        val arrSchema = dataFile.getSchema.getField(fieldName).schema()
+          .getTypes.get(1) // the non-null union branch
+        val itemSchema = arrSchema.getElementType
+        val arr = new GenericData.Array[GenericRecord](m.size, arrSchema)
+        m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val r = new GenericData.Record(itemSchema)
+          r.put("key", k)
+          r.put("value", v)
+          arr.add(r)
+        }
+        dataFile.put(fieldName, arr)
+      }
+    put("value_counts", bounds.valueCounts.map { case (k, v) =>
+      k -> (java.lang.Long.valueOf(v): AnyRef) })
+    put("null_value_counts", bounds.nullCounts.map { case (k, v) =>
+      k -> (java.lang.Long.valueOf(v): AnyRef) })
+    put("lower_bounds", bounds.lowers.map { case (k, v) =>
+      k -> (java.nio.ByteBuffer.wrap(v): AnyRef) })
+    put("upper_bounds", bounds.uppers.map { case (k, v) =>
+      k -> (java.nio.ByteBuffer.wrap(v): AnyRef) })
+  }
+
   private def manifestEntry(entrySchema: AvroSchema, filePath: String,
       size: Long, records: Long, status: Int, snapId: Long,
-      partValues: Seq[AnyRef] = Nil): GenericRecord = {
+      partValues: Seq[AnyRef] = Nil,
+      bounds: Option[IcebergStats.Bounds] = None): GenericRecord = {
     val dataFile = new GenericData.Record(
       entrySchema.getField("data_file").schema())
     dataFile.put("file_path", filePath)
@@ -374,6 +421,7 @@ object IcebergInterop {
     dataFile.put("record_count", records)
     dataFile.put("file_size_in_bytes", size)
     dataFile.put("block_size_in_bytes", 64L * 1024 * 1024)
+    bounds.foreach(putStatMaps(dataFile, _))
     val e = new GenericData.Record(entrySchema)
     e.put("status", status) // 0 EXISTING / 1 ADDED
     e.put("snapshot_id", snapId)
@@ -402,7 +450,8 @@ object IcebergInterop {
     * retries. `data_file.content` = 0 (data). */
   private def manifestEntryV2(entrySchema: AvroSchema, filePath: String,
       size: Long, records: Long, partValues: Seq[AnyRef],
-      content: Int = 0): GenericRecord = {
+      content: Int = 0,
+      bounds: Option[IcebergStats.Bounds] = None): GenericRecord = {
     val dataFile = new GenericData.Record(
       entrySchema.getField("data_file").schema())
     dataFile.put("content", content)
@@ -414,6 +463,7 @@ object IcebergInterop {
     dataFile.put("partition", part)
     dataFile.put("record_count", records)
     dataFile.put("file_size_in_bytes", size)
+    bounds.foreach(putStatMaps(dataFile, _))
     val e = new GenericData.Record(entrySchema)
     e.put("status", 1) // ADDED
     e.put("data_file", dataFile)
@@ -492,6 +542,16 @@ object IcebergInterop {
     try rdr.getRecordCount finally rdr.close()
   }
 
+  /** Footer-derived manifest bounds for data files of `schema` whose
+    * field ids come from `schemaNode` — one KB-scale footer read per
+    * file, None (= no stats, never a failure) when unreadable. */
+  private def boundsFn(conf: org.apache.hadoop.conf.Configuration,
+      schema: StructType, schemaNode: JsonNode)
+      : HPath => Option[IcebergStats.Bounds] = {
+    val idOf = IcebergStats.fieldIdsOf(schemaNode)
+    p => IcebergStats.footerBounds(conf, p, schema, idOf)
+  }
+
   /** Export the CURRENT snapshot of `t` as a new file-based Iceberg v1
     * table at `target` (any Hadoop-FS URI; must not already hold
     * Iceberg metadata). The snapshot is rewritten as plain
@@ -517,9 +577,11 @@ object IcebergInterop {
     val (schemaNode, lastColId) = toIcebergSchema(schema)
 
     fs.mkdirs(metaDir)
-    // manifest: one ADDED entry per data file
+    // manifest: one ADDED entry per data file, with footer bounds
+    val boundsOf = boundsFn(conf, schema, schemaNode)
     val entries = files.map(st => manifestEntry(manifestEntrySchema,
-      st.getPath.toString, st.getLen, footerRecordCount(conf, st), 1, snapId))
+      st.getPath.toString, st.getLen, footerRecordCount(conf, st), 1, snapId,
+      bounds = boundsOf(st.getPath)))
     val schemaJson = om.writeValueAsString(schemaNode)
     val manifestBytes = writeAvro(manifestEntrySchema, Map(
       "schema" -> schemaJson, "schema-id" -> "0",
@@ -615,9 +677,10 @@ object IcebergInterop {
         .filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
         .map(raw => transformValue(pf, raw)).orNull)
     }
+    val boundsOf = boundsFn(conf, schema, schemaNode)
     val entries = files.map(st => manifestEntry(entrySchema,
       st.getPath.toString, st.getLen, footerRecordCount(conf, st), 1,
-      snapId, partValuesOf(st.getPath)))
+      snapId, partValuesOf(st.getPath), bounds = boundsOf(st.getPath)))
     val schemaJson = om.writeValueAsString(schemaNode)
     val specArr = om.createArrayNode()
     parts.foreach(p => specArr.add(specFieldNode(p)))
@@ -715,6 +778,7 @@ object IcebergInterop {
     val snapId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val entrySchema =
       if (parts.isEmpty) manifestEntrySchema else manifestEntrySchemaFor(parts)
+    val boundsOf = boundsFn(conf, schema, schemaNode)
     val entries = st.active.map { case (p, (pv, _)) =>
       val hp = new HPath(DeltaInterop.resolveFile(root, p))
       val stt = hp.getFileSystem(conf).getFileStatus(hp)
@@ -722,7 +786,8 @@ object IcebergInterop {
         .map(raw => transformValue(pf, raw)).orNull)
       manifestEntry(entrySchema,
         hp.getFileSystem(conf).makeQualified(hp).toString,
-        stt.getLen, footerRecordCount(conf, stt), 1, snapId, partValues)
+        stt.getLen, footerRecordCount(conf, stt), 1, snapId, partValues,
+        bounds = boundsOf(hp))
     }
     val specArr = om.createArrayNode()
     parts.foreach(p => specArr.add(specFieldNode(p)))
@@ -1164,6 +1229,8 @@ object IcebergInterop {
       }
 
       val schemaJson = om.writeValueAsString(schemaNode)
+      val boundsOf = boundsFn(conf, commitSchema, schemaNode)
+        .compose((p: String) => new HPath(p))
       val specArr = om.createArrayNode()
       parts.foreach(p => specArr.add(specFieldNode(p)))
       val specJson = om.writeValueAsString(specArr)
@@ -1187,7 +1254,8 @@ object IcebergInterop {
         else if (appendOnly) {
           val delta = files.filterNot { case (p, _, _) => prevFiles.contains(p) }
           val ents = delta.map { case (p, size, rc) =>
-            manifestEntry(entrySchema, p, size, rc, 1, snapId, partValuesOf(p))
+            manifestEntry(entrySchema, p, size, rc, 1, snapId, partValuesOf(p),
+              bounds = boundsOf(p))
           }
           val (mp, mlen) = writeManifest(ents)
           priorManifests :+
@@ -1195,7 +1263,8 @@ object IcebergInterop {
         } else {
           val ents = files.map { case (p, size, rc) =>
             manifestEntry(entrySchema, p, size, rc,
-              if (prevFiles.contains(p)) 0 else 1, snapId, partValuesOf(p))
+              if (prevFiles.contains(p)) 0 else 1, snapId, partValuesOf(p),
+              bounds = boundsOf(p))
           }
           val (mp, mlen) = writeManifest(ents)
           val added = ents.count(_.get("status") == 1)
@@ -1708,6 +1777,12 @@ object IcebergInterop {
         m.path("snapshots").elements().asScala()
           .map(_.path("snapshot-id").asLong(0L)).maxOption.getOrElse(0L) + 1L
 
+      // footer bounds once per file — attempts re-serialize entries but
+      // the file contents (and so the bounds) never change across retries
+      val boundsOf = boundsFn(conf, st.schema, st.schemaNode)
+      val boundsByPath: Map[HPath, Option[IcebergStats.Bounds]] =
+        files.map { case (p, _, _) => p -> boundsOf(p) }.toMap
+
       var attempts = 0
       var committed = -1L
       while (committed < 0) {
@@ -1719,9 +1794,9 @@ object IcebergInterop {
         // the id past the peer's (v2 entries inherit both ids as null)
         val ents = files.map { case (p, size, rc) =>
           if (v2) manifestEntryV2(entrySchema, p.toString, size, rc,
-            partValuesOf(p))
+            partValuesOf(p), bounds = boundsByPath(p))
           else manifestEntry(entrySchema, p.toString, size, rc, 1, snapId,
-            partValuesOf(p))
+            partValuesOf(p), bounds = boundsByPath(p))
         }
         val manifestMeta = Map(
           "schema" -> om.writeValueAsString(st.schemaNode),
@@ -1973,7 +2048,7 @@ object IcebergInterop {
           new org.apache.spark.sql.types.MetadataBuilder()
             .putLong("parquet.field.id", id).build()
         val matched = readIcebergInternal(spark, path, None, None,
-            withLineage = true)
+            withLineage = true, pruneWhere = Some(condition))
           .where(condition)
           .join(pathMap, Seq("__fp"))
           .select(col("__uri").as("file_path", reservedId(2147483546L)),
@@ -2428,7 +2503,8 @@ object IcebergInterop {
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         import spark.implicits._
         val matched = readIcebergInternal(spark, path, None, None,
-          withLineage = true).where(condition).cache()
+          withLineage = true, pruneWhere = Some(condition))
+          .where(condition).cache()
         try {
           // ---- old row versions -> position delete parquet ----
           val pathMap = filePaths.map(p => (qualified(p), p))
@@ -2561,9 +2637,11 @@ object IcebergInterop {
               .getOrElse(Nil)
           else Nil
         specFieldsNode.foreach(f => specArr.add(f.deepCopy[JsonNode]()))
+        val boundsOf = boundsFn(fs.getConf,
+          fromIcebergStruct(schemaNode, metaDir.toString), schemaNode)
         val dataEnts = newFiles.map { case (p, size, rc) =>
           manifestEntryV2(dataEntrySchema, p.toString, size, rc,
-            partValuesOf(p))
+            partValuesOf(p), bounds = boundsOf(p))
         }
         val bytes = writeAvro(dataEntrySchema, Map(
           "schema" -> om.writeValueAsString(schemaNode),
@@ -2791,8 +2869,27 @@ object IcebergInterop {
       val srcAliased = src.select(keys.map(col) ++
         schema.fieldNames.map(c =>
           col(c).as(Merge.SrcPrefix + c)): _*)
+      // no by-source clauses → prune the target scan by the source's
+      // key range against per-entry manifest bounds (sound for the
+      // insert anti-join too: a pruned file holds no key any source row
+      // carries); by-source clauses inspect every target row by
+      // definition
+      val pruneWhere: Option[org.apache.spark.sql.Column] =
+        if (notMatchedBySource.nonEmpty) None
+        else {
+          import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+          val aggs = keys.flatMap(k =>
+            Seq(fmin(col(k)).as(s"__mn_$k"), fmax(col(k)).as(s"__mx_$k")))
+          val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+          val keyRanges = keys.zipWithIndex.map { case (k, i) =>
+            (k, r.get(2 * i), r.get(2 * i + 1)) }
+          if (keyRanges.exists(_._2 == null)) None
+          else Some(keyRanges.map { case (k, mn, mx) =>
+            col(k) >= lit(mn) && col(k) <= lit(mx)
+          }.reduce(_ && _))
+        }
       val tgt = readIcebergInternal(spark, path, None, None,
-        withLineage = true)
+        withLineage = true, pruneWhere = pruneWhere)
       // matched pairs, then the family disposition index __ci
       val matchedDf = tgt.join(srcAliased, keys.toSeq, "inner").cache()
       val mFrame = matchedDf.withColumn("__ci", mIdx)
@@ -3229,6 +3326,16 @@ object IcebergInterop {
     readIcebergInternal(spark, path, asOfSnapshotId, partitionWhere,
       withLineage = false)
 
+  /** TEST HOOK: the distinct data-file paths the DELETE/UPDATE
+    * detection scan for `condition` would read at `path` — exactly the
+    * manifest-bounds pruning the DML paths apply, observable without
+    * committing anything. */
+  private[graft] def icebergCandidateFiles(spark: SparkSession,
+      path: String, condition: org.apache.spark.sql.Column): Seq[String] =
+    readIcebergInternal(spark, path, None, None, withLineage = true,
+      pruneWhere = Some(condition))
+      .select(col("__fp")).distinct().collect().map(_.getString(0)).toSeq
+
   /** [[readIceberg]] with ROW LINEAGE: the result carries two extra
     * columns `__fp` (the data file's qualified path) and `__pos` (the
     * row's ordinal in that file — Iceberg's position-delete `pos`),
@@ -3238,7 +3345,8 @@ object IcebergInterop {
   private[sources] def readIcebergInternal(spark: SparkSession, path: String,
       asOfSnapshotId: Option[Long],
       partitionWhere: Option[(String, String)],
-      withLineage: Boolean): DataFrame = {
+      withLineage: Boolean,
+      pruneWhere: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val root = new HPath(path)
     val (fs, md) = currentMetadata(spark, path)
     val formatVersion = md.path("format-version").asInt(1)
@@ -3478,6 +3586,59 @@ object IcebergInterop {
         })
       }
 
+    // optional conservative stats pruning for the DML detection scans:
+    // `pruneWhere`'s AND-conjuncts against each entry's bounds maps
+    // (lower_bounds/upper_bounds/null_value_counts, decoded per the
+    // spec's single-value serialization) plus its identity partition
+    // values — a dropped file provably holds no matching row, so
+    // restricting the scan never changes results, and a keyed mutation
+    // on a stats-carrying table reads O(|candidate files|) not O(table)
+    val pruneConjs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      pruneWhere.map(c => DeltaStats.conjuncts(spark, schema, c))
+        .getOrElse(Nil)
+    lazy val pruneIdOf: Map[String, Int] = IcebergStats.fieldIdsOf(schemaNode)
+    def bytesOf(v: AnyRef): Option[Array[Byte]] = v match {
+      case bb: java.nio.ByteBuffer =>
+        val d = bb.duplicate()
+        val a = new Array[Byte](d.remaining()); d.get(a); Some(a)
+      case f: org.apache.avro.generic.GenericFixed => Some(f.bytes())
+      case a: Array[Byte] => Some(a)
+      case _ => None
+    }
+    def statMapOf(df: GenericRecord, name: String): Map[Int, AnyRef] =
+      fieldOpt(df, name) match {
+        case Some(c: java.util.Collection[_]) =>
+          c.iterator().asScala().flatMap {
+            case r: GenericRecord => scala.util
+              .Try((longOf(r.get("key")).toInt, r.get("value"))).toOption
+            case _ => None
+          }.toMap
+        case _ => Map.empty
+      }
+    // identity partition value → Delta's canonical string form, which
+    // DeltaStats treats as a [v, v] interval (absent = all-null)
+    def canonicalPv(dt: DataType, v: AnyRef): Option[String] = v match {
+      case null => None
+      case days: java.lang.Number if dt == DateType =>
+        Some(java.time.LocalDate.ofEpochDay(days.longValue()).toString)
+      case other => Some(other.toString)
+    }
+    def entryMayMatch(df: GenericRecord,
+        pv: Seq[(String, DataType, AnyRef)]): Boolean = {
+      val pvStr = pv.flatMap { case (n, dt, v) =>
+        canonicalPv(dt, v).map(n -> _) }.toMap
+      DeltaStats.mayMatchStats(pruneConjs, schema, pv.map(_._1), pvStr, {
+        val lowers = statMapOf(df, "lower_bounds").flatMap { case (k, v) =>
+          bytesOf(v).map(k -> _) }
+        val uppers = statMapOf(df, "upper_bounds").flatMap { case (k, v) =>
+          bytesOf(v).map(k -> _) }
+        val nulls = statMapOf(df, "null_value_counts").flatMap {
+          case (k, v) => scala.util.Try(longOf(v)).toOption.map(k -> _) }
+        IcebergStats.toFileStats(schema, pruneIdOf,
+          longOf(df.get("record_count")), nulls, lowers, uppers)
+      })
+    }
+
     // manifests → live data files (status 2 = DELETED in this
     // snapshot), each with its identity partition substitutions
     // (name, type, value) resolved per ITS manifest's spec and its
@@ -3510,7 +3671,8 @@ object IcebergInterop {
           None
         else {
           val pv = idParts.map { case (n, dt, i) => (n, dt, structAt(i)) }
-          Some((df.get("file_path").toString, pv, seq))
+          if (pruneConjs.nonEmpty && !entryMayMatch(df, pv)) None
+          else Some((df.get("file_path").toString, pv, seq))
         }
       }
     }.distinct

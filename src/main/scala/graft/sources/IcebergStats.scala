@@ -1,0 +1,250 @@
+package graft.sources
+
+import scala.util.Try
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics for the Iceberg interop layer — the
+  * manifest `data_file` maps `value_counts` (field-id 109),
+  * `null_value_counts` (110), `lower_bounds` (125) and `upper_bounds`
+  * (128), keyed by Iceberg FIELD ID with values in the spec's
+  * single-value binary serialization (Appendix D: little-endian
+  * numerics, UTF-8 strings, big-endian unscaled decimals).
+  *
+  * Write side: [[footerBounds]] derives the maps from a just-written
+  * parquet file's FOOTER alone (row-group statistics, no data scan),
+  * so every graft-written manifest entry carries bounds any Iceberg
+  * engine can skip by. Read side: [[toFileStats]] decodes a foreign
+  * (or graft) manifest entry's maps into [[DeltaStats.FileStats]]'
+  * normalized comparison domain, so the DELETE/UPDATE/MERGE detection
+  * scans reuse [[DeltaStats.mayMatch]]'s conservative pruning — the
+  * difference between O(|candidate files|) and O(table) per keyed
+  * mutation at 100 TB.
+  *
+  * Strings longer than 16 characters truncate the way Iceberg's own
+  * writers do: the lower bound keeps the 16-char prefix (≤ every value
+  * with that prefix), the upper bound increments the last
+  * non-surrogate character of the prefix (> every such value); if no
+  * character can go up, the upper bound is omitted. Skipping stays
+  * conservative end-to-end: unsupported types, NaN/∞ floats, and
+  * undecodable bounds simply contribute nothing.
+  * Reference surface: 02_iceberg_demo.ipynb's keyed DML relies on the
+  * engine's metadata skipping.
+  */
+private[graft] object IcebergStats {
+
+  /** Stats-indexed column budget (matches [[DeltaStats.MaxIndexedCols]]
+    * and Iceberg writers' default behavior of bounding stats width). */
+  val MaxIndexedCols = 32
+
+  /** Manifest statistics maps for one data file, keyed by field id. */
+  final case class Bounds(valueCounts: Map[Int, Long],
+      nullCounts: Map[Int, Long],
+      lowers: Map[Int, Array[Byte]],
+      uppers: Map[Int, Array[Byte]])
+
+  /** Top-level `name → field id` of an Iceberg schema node. */
+  def fieldIdsOf(schemaNode: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, Int] = {
+    val b = Map.newBuilder[String, Int]
+    val it = schemaNode.path("fields").elements()
+    while (it.hasNext) {
+      val f = it.next()
+      val id = f.path("id").asInt(-1)
+      if (id >= 0) b += f.path("name").asText() -> id
+    }
+    b.result()
+  }
+
+  // ------------------------------------------------- binary encoding
+
+  private def le(n: Int, f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    f(bb)
+    bb.array()
+  }
+
+  /** Single-value serialization of a bound, or None when the type (or
+    * this particular value — NaN floats, un-incrementable truncated
+    * upper strings) can't carry one. `v` is the JVM value parquet
+    * footer statistics yield for the column's Spark type. */
+  def encodeBound(dt: DataType, v: AnyRef,
+      isUpper: Boolean): Option[Array[Byte]] = Try {
+    dt match {
+      case BooleanType =>
+        Some(Array[Byte](
+          if (v.asInstanceOf[java.lang.Boolean]) 1.toByte else 0.toByte))
+      case ByteType | ShortType | IntegerType =>
+        Some(le(4, _.putInt(v.asInstanceOf[Number].intValue())))
+      case LongType =>
+        Some(le(8, _.putLong(v.asInstanceOf[Number].longValue())))
+      case FloatType =>
+        val f = v.asInstanceOf[Number].floatValue()
+        if (f.isNaN || f.isInfinite) None else Some(le(4, _.putFloat(f)))
+      case DoubleType =>
+        val d = v.asInstanceOf[Number].doubleValue()
+        if (d.isNaN || d.isInfinite) None else Some(le(8, _.putDouble(d)))
+      case DateType => // days since epoch, stored as an int
+        Some(le(4, _.putInt(v.asInstanceOf[Number].intValue())))
+      case t: DecimalType if t.precision <= 18 =>
+        // long-backed parquet decimal: minimal big-endian unscaled
+        val unscaled = java.math.BigInteger.valueOf(
+          v.asInstanceOf[Number].longValue())
+        Some(unscaled.toByteArray)
+      case StringType =>
+        val s = v match {
+          case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+          case other => other.toString
+        }
+        val bounded =
+          if (s.length <= 16) Some(s)
+          else if (!isUpper) Some(s.substring(0, 16))
+          else truncatedUpper(s)
+        bounded.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }
+  }.toOption.flatten
+
+  /** A 16-char prefix with its last incrementable character bumped —
+    * strictly greater than every string sharing the full prefix, in
+    * code-point (= UTF-8 byte) order. None when every prefix char sits
+    * at the surrogate boundary. */
+  private[graft] def truncatedUpper(s: String): Option[String] = {
+    val cs = s.substring(0, 16).toCharArray
+    var i = cs.length - 1
+    while (i >= 0) {
+      if (cs(i) < 0xD7FF.toChar) {
+        cs(i) = (cs(i) + 1).toChar
+        return Some(new String(cs, 0, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+
+  /** Decode a bound into [[DeltaStats]]' normalized comparison domain
+    * (numeric/date → BigDecimal, string → String, boolean → Boolean).
+    * Wrong-length or otherwise undecodable bytes → None (never prune
+    * by them). */
+  def decodeBound(dt: DataType, bytes: Array[Byte]): Option[Any] = Try {
+    def leBuf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case BooleanType if bytes.length == 1 => Some(bytes(0) != 0.toByte)
+      case ByteType | ShortType | IntegerType if bytes.length == 4 =>
+        Some(BigDecimal(leBuf.getInt()))
+      case LongType if bytes.length == 8 =>
+        Some(BigDecimal(leBuf.getLong()))
+      case FloatType if bytes.length == 4 =>
+        val f = leBuf.getFloat()
+        if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.toDouble))
+      case DoubleType if bytes.length == 8 =>
+        val d = leBuf.getDouble()
+        if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
+      case DateType if bytes.length == 4 => Some(BigDecimal(leBuf.getInt()))
+      case t: DecimalType if bytes.nonEmpty =>
+        Some(BigDecimal(new java.math.BigDecimal(
+          new java.math.BigInteger(bytes), t.scale)))
+      case StringType =>
+        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }
+  }.toOption.flatten
+
+  // ------------------------------------------------------ write side
+
+  /** The statistics maps for one parquet file, from its footer only:
+    * counts and bounds for the first [[MaxIndexedCols]] TOP-LEVEL
+    * columns that have a field id and a serializable type. A column
+    * whose row-group statistics are absent or unusable contributes
+    * counts at most. Returns None when the footer is unreadable —
+    * stats are an optimization, never worth failing a commit. */
+  def footerBounds(conf: Configuration, file: HPath, schema: StructType,
+      idOf: Map[String, Int]): Option[Bounds] = Try {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(file, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      val vc = Map.newBuilder[Int, Long]
+      val nc = Map.newBuilder[Int, Long]
+      val lo = Map.newBuilder[Int, Array[Byte]]
+      val hi = Map.newBuilder[Int, Array[Byte]]
+      schema.fields.take(MaxIndexedCols).foreach { f =>
+        idOf.get(f.name).foreach { id =>
+          val chunks = blocks.flatMap(_.getColumns.asScala.find { c =>
+            val p = c.getPath.toArray
+            p.length == 1 && p(0) == f.name
+          })
+          if (chunks.size == blocks.size && blocks.nonEmpty) {
+            vc += id -> numRecords // top-level column: one value per row
+            val stats = chunks.map(_.getStatistics)
+            if (stats.forall(s => s != null && !s.isEmpty)) {
+              val nullCount =
+                if (stats.forall(_.isNumNullsSet))
+                  Some(stats.map(_.getNumNulls).sum)
+                else None
+              nullCount.foreach(n => nc += id -> n)
+              val allNull = nullCount.contains(numRecords)
+              if (!allNull && stats.forall(_.hasNonNullValue)) {
+                val mins = stats.flatMap(s => encodeBound(f.dataType,
+                  s.genericGetMin.asInstanceOf[AnyRef], isUpper = false)
+                  .flatMap(b => decodeBound(f.dataType, b).map((b, _))))
+                val maxs = stats.flatMap(s => encodeBound(f.dataType,
+                  s.genericGetMax.asInstanceOf[AnyRef], isUpper = true)
+                  .flatMap(b => decodeBound(f.dataType, b).map((b, _))))
+                // every row group must contribute, else bounds are
+                // partial and unsound
+                if (mins.size == stats.size && maxs.size == stats.size) {
+                  lo += id -> mins.minBy(_._2)(boundOrdering)._1
+                  hi += id -> maxs.maxBy(_._2)(boundOrdering)._1
+                }
+              }
+            }
+          }
+        }
+      }
+      Bounds(vc.result(), nc.result(), lo.result(), hi.result())
+    } finally reader.close()
+  }.toOption
+
+  private val boundOrdering: Ordering[Any] = (a: Any, b: Any) =>
+    (a, b) match {
+      case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+      case (x: String, y: String) => x.compareTo(y)
+      case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+      case _ => throw new IllegalStateException("incomparable bounds")
+    }
+
+  // ------------------------------------------------------- read side
+
+  /** Decode a manifest entry's statistics maps into the shape
+    * [[DeltaStats.mayMatch]] prunes by. `recordCount` is the entry's
+    * `record_count`; a column decodes only when its field id maps to a
+    * top-level schema column of a comparable type. Returns None when
+    * the entry carries no usable bounds or counts at all. */
+  def toFileStats(schema: StructType, idOf: Map[String, Int],
+      recordCount: Long, nullCounts: Map[Int, Long],
+      lowers: Map[Int, Array[Byte]], uppers: Map[Int, Array[Byte]])
+      : Option[DeltaStats.FileStats] = {
+    val nameOf: Map[Int, StructField] = schema.fields.flatMap(f =>
+      idOf.get(f.name).map(_ -> f)).toMap
+    def decoded(m: Map[Int, Array[Byte]]): Map[String, Any] =
+      m.flatMap { case (id, bytes) =>
+        nameOf.get(id).flatMap(f =>
+          decodeBound(f.dataType, bytes).map(f.name -> _))
+      }
+    val min = decoded(lowers)
+    val max = decoded(uppers)
+    val nulls = nullCounts.flatMap { case (id, n) =>
+      nameOf.get(id).map(_.name -> n)
+    }
+    if (min.isEmpty && max.isEmpty && nulls.isEmpty) None
+    else Some(DeltaStats.FileStats(Some(recordCount), min, max, nulls))
+  }
+}
