@@ -100,17 +100,35 @@ object DeletionVectors {
     /** membership of a low-16-bit value (0..65535) */
     def contains(low: Int): Boolean
     def cardinality: Int
+    /** visit every low-16-bit member in ascending order */
+    def foreachLow(f: Int => Unit): Unit
   }
   /** sorted unsigned 16-bit values */
   final class ArrayC(vals: Array[Char]) extends Container {
     def contains(low: Int): Boolean =
       java.util.Arrays.binarySearch(vals, low.toChar) >= 0
     def cardinality: Int = vals.length
+    def foreachLow(f: Int => Unit): Unit = {
+      var i = 0
+      while (i < vals.length) { f(vals(i).toInt); i += 1 }
+    }
   }
   /** 1024-word bitset */
   final class BitmapC(words: Array[Long], val cardinality: Int) extends Container {
     def contains(low: Int): Boolean =
       (words(low >>> 6) & (1L << (low & 63))) != 0
+    def foreachLow(f: Int => Unit): Unit = {
+      var w = 0
+      while (w < words.length) {
+        var bits = words(w)
+        while (bits != 0L) {
+          val b = java.lang.Long.numberOfTrailingZeros(bits)
+          f((w << 6) | b)
+          bits &= bits - 1
+        }
+        w += 1
+      }
+    }
   }
   /** sorted non-overlapping runs: starts(i)..starts(i)+lens(i) incl. */
   final class RunC(starts: Array[Char], lens: Array[Char]) extends Container {
@@ -131,6 +149,15 @@ object DeletionVectors {
       while (i < starts.length) { c += lens(i).toInt + 1; i += 1 }
       c
     }
+    def foreachLow(f: Int => Unit): Unit = {
+      var i = 0
+      while (i < starts.length) {
+        var v = starts(i).toInt
+        val end = v + lens(i).toInt
+        while (v <= end) { f(v); v += 1 }
+        i += 1
+      }
+    }
   }
 
   /** One 32-bit roaring bitmap: sorted 16-bit container keys. */
@@ -145,6 +172,14 @@ object DeletionVectors {
       while (i < containers.length) { c += containers(i).cardinality; i += 1 }
       c
     }
+    def foreach(f: Int => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) {
+        val high = keys(i).toInt << 16
+        containers(i).foreachLow(low => f(high | low))
+        i += 1
+      }
+    }
   }
 
   /** 64-bit bitmap: sorted 32-bit high keys, one [[Bitmap32]] each. */
@@ -158,6 +193,20 @@ object DeletionVectors {
       var c = 0L; var i = 0
       while (i < maps.length) { c += maps(i).cardinality; i += 1 }
       c
+    }
+    /** visit every member in ascending order */
+    def foreach(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) {
+        val high = keys(i).toLong << 32
+        maps(i).foreach(low => f(high | (low.toLong & 0xffffffffL)))
+        i += 1
+      }
+    }
+    def toSeq: Seq[Long] = {
+      val b = Seq.newBuilder[Long]
+      foreach(b += _)
+      b.result()
     }
   }
 

@@ -331,6 +331,31 @@ object IcebergInterop {
          |]}}]}""".stripMargin.replace("\n", ""))
   }
 
+  /** Format-v3 DELETE-manifest entry schema for DELETION VECTORS: the
+    * v2 delete shape plus the DV reference triple — the referenced
+    * data file (field 143) and the Puffin blob's coordinates
+    * (content_offset 144, content_size_in_bytes 145). Unpartitioned
+    * (graft registers DVs under the global unpartitioned spec, like
+    * its v2 position deletes). */
+  private val manifestEntrySchemaV3Dv: AvroSchema =
+    new AvroSchema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |${avroField("status", "\"int\"", 0)},
+         |${avroField("snapshot_id", "\"long\"", 1, optional = true)},
+         |${avroField("sequence_number", "\"long\"", 3, optional = true)},
+         |${avroField("file_sequence_number", "\"long\"", 4, optional = true)},
+         |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |${avroField("content", "\"int\"", 134)},
+         |${avroField("file_path", "\"string\"", 100)},
+         |${avroField("file_format", "\"string\"", 101)},
+         |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+         |${avroField("record_count", "\"long\"", 103)},
+         |${avroField("file_size_in_bytes", "\"long\"", 104)},
+         |${avroField("referenced_data_file", "\"string\"", 143, optional = true)},
+         |${avroField("content_offset", "\"long\"", 144, optional = true)},
+         |${avroField("content_size_in_bytes", "\"long\"", 145, optional = true)}
+         |]}}]}""".stripMargin.replace("\n", ""))
+
   private def writeAvro(schema: AvroSchema, meta: Map[String, String],
       records: Seq[GenericRecord]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -348,6 +373,25 @@ object IcebergInterop {
       val buf = Seq.newBuilder[GenericRecord]
       while (r.hasNext) buf += r.next()
       buf.result()
+    } finally r.close()
+  }
+
+  /** [[readAvro]] plus the container's writer schema and string
+    * metadata — what a faithful manifest REWRITE needs to carry a
+    * foreign manifest's entries under their own layout. */
+  private def readAvroFull(bytes: Array[Byte])
+      : (Seq[GenericRecord], AvroSchema, Map[String, String]) = {
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+    try {
+      val buf = Seq.newBuilder[GenericRecord]
+      while (r.hasNext) buf += r.next()
+      val meta = {
+        import scala.jdk.CollectionConverters._
+        r.getMetaKeys.asScala.filterNot(_.startsWith("avro."))
+          .map(k => k -> r.getMetaString(k)).toMap
+      }
+      (buf.result(), r.getSchema, meta)
     } finally r.close()
   }
 
@@ -1983,6 +2027,9 @@ object IcebergInterop {
     val io = new TableIO(path, conf)
     val metaDir = new HPath(root, "metadata")
     require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
+    // format v3 deletes write DELETION VECTORS, not position deletes
+    if (currentMetadata(spark, path)._2.path("format-version").asInt(1) == 3)
+      return deleteFromIcebergV3(spark, path, condition, maxRetries)
 
     def refuseW(what: String): Nothing = throw new IllegalArgumentException(
       s"cannot delete from Iceberg table at $path: $what — write it with " +
@@ -2155,6 +2202,308 @@ object IcebergInterop {
               fs.delete(listPath, false)
               fs.delete(manifestPath, false)
               fs.delete(delDir, true)
+              attempts += 1
+              if (attempts > maxRetries)
+                throw new IllegalStateException(
+                  s"deleteFromIceberg lost $maxRetries version races at " +
+                    s"$path — giving up")
+          }
+        }
+      }
+    }
+    result
+  }
+
+  /** DELETE on a FORMAT-V3 file-based Iceberg table — the v3 shape:
+    * matched rows retire through Puffin DELETION VECTORS, one
+    * `deletion-vector-v1` blob per affected data file, MERGED with any
+    * existing DV for that file (whose manifest entry the same commit
+    * retires — the spec's at-most-one-DV-per-file rule). No data file
+    * is rewritten; v3 forbids adding position delete files, and a v3
+    * table still carrying live parquet position deletes (a botched
+    * upgrade) refuses loudly. Cost: one stats-pruned detection scan +
+    * struck-row coordinates on the driver (the DV bytes themselves) —
+    * the same O(|change|) class as the Delta DV delete. Dispatched
+    * from [[deleteFromIceberg]]; returns the committed snapshot id. */
+  private def deleteFromIcebergV3(spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column, maxRetries: Int): Long = {
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val io = new TableIO(path, conf)
+    val metaDir = new HPath(root, "metadata")
+    def refuseW(what: String): Nothing = throw new IllegalArgumentException(
+      s"cannot delete from Iceberg table at $path: $what — write it with " +
+        "a full Iceberg client")
+    def qualified(p: String): String = {
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+
+    var attempts = 0
+    var result = Long.MinValue
+    while (result == Long.MinValue) {
+      val listed = fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+      val vTop = listed.flatMap {
+        case VMeta(n) => Some(n.toInt)
+        case _ => None
+      }.maxOption.getOrElse(refuseW("the metadata is catalog-managed " +
+        "(no v<N>.metadata.json / version-hint naming) — a directory " +
+        "commit would be invisible to the catalog pointer"))
+      val md = om.readTree(readBytes(fs,
+        new HPath(metaDir, s"v$vTop.metadata.json"))).deepCopy[ObjectNode]()
+      val fv = md.path("format-version").asInt(1)
+      if (fv != 3)
+        refuseW(s"the table changed to format version $fv mid-delete")
+      val currentSnap = md.path("current-snapshot-id").asLong(-1L)
+      if (currentSnap < 0) { result = currentSnap }
+      else {
+        val newSeq = md.path("last-sequence-number").asLong(0L) + 1
+        val schemaNode = currentSchemaNode(md, path)
+        val schemaId = md.path("current-schema-id").asInt(
+          schemaNode.path("schema-id").asInt(0))
+        publishHint(fs, metaDir, vTop)
+        val snapNode = md.get("snapshots").elements().asScala()
+          .find(_.get("snapshot-id").asLong() == currentSnap)
+          .getOrElse(refuseW(s"current snapshot $currentSnap missing from " +
+            "the snapshots array"))
+        val priorList = readAvro(readBytes(fs,
+          new HPath(snapNode.get("manifest-list").asText())))
+        def contentOf(r: GenericRecord): Long =
+          fieldOpt(r, "content").map(longOf).getOrElse(0L)
+        val filePaths: Seq[String] = priorList
+          .filter(contentOf(_) == 0L)
+          .map(_.get("manifest_path").toString)
+          .flatMap { mp =>
+            readAvro(readBytes(fs, new HPath(mp))).flatMap { e =>
+              if (longOf(e.get("status")) == 2L) None
+              else Some(e.get("data_file").asInstanceOf[GenericRecord]
+                .get("file_path").toString)
+            }
+          }.distinct
+
+        // prior delete manifests, each with its live DV references —
+        // and the v3 legality check: no live parquet position deletes
+        case class PriorDeleteManifest(listRecord: GenericRecord,
+            dvRefs: Seq[(String, String, Long, Long)])
+        val priorDeletes: Seq[PriorDeleteManifest] =
+          priorList.filter(contentOf(_) == 1L).map { r =>
+            val ents = readAvro(readBytes(fs,
+              new HPath(r.get("manifest_path").toString)))
+            val dvRefs = ents.flatMap { e =>
+              if (longOf(e.get("status")) == 2L) None
+              else {
+                val df = e.get("data_file").asInstanceOf[GenericRecord]
+                val fmt = df.get("file_format").toString
+                val content = fieldOpt(df, "content").map(longOf)
+                  .getOrElse(-1L)
+                if (fmt.equalsIgnoreCase("puffin") && content == 1L)
+                  Some((fieldOpt(df, "referenced_data_file").map(_.toString)
+                    .getOrElse(refuseW("a deletion-vector entry misses " +
+                      "referenced_data_file")),
+                    df.get("file_path").toString,
+                    fieldOpt(df, "content_offset").map(longOf).getOrElse(
+                      refuseW("a deletion-vector entry misses content_offset")),
+                    fieldOpt(df, "content_size_in_bytes").map(longOf)
+                      .getOrElse(refuseW("a deletion-vector entry misses " +
+                        "content_size_in_bytes"))))
+                else if (content == 1L)
+                  refuseW("the v3 table carries live parquet position " +
+                    "delete files — v3 allows only deletion vectors; " +
+                    "finish the upgrade by rewriting them as DVs")
+                else None // equality deletes carry forward untouched
+              }
+            }
+            PriorDeleteManifest(r, dvRefs)
+          }
+
+        // ---- distributed, stats-pruned detection scan ----
+        import spark.implicits._
+        val pathMap = filePaths.map(p => (qualified(p), p))
+          .toDF("__fp", "__uri")
+        val matched = readIcebergInternal(spark, path, None, None,
+            withLineage = true, pruneWhere = Some(condition))
+          .where(condition)
+          .join(pathMap, Seq("__fp"))
+          .select(col("__uri"), col("__pos"))
+        val struck: Map[String, Seq[Long]] = matched.collect()
+          .groupBy(_.getString(0))
+          .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq }
+        if (struck.isEmpty) { result = currentSnap }
+        else {
+          // merge each affected file's existing DV into its new one
+          val oldDvByRef: Map[String, (String, Long, Long)] =
+            priorDeletes.flatMap(_.dvRefs)
+              .map { case (ref, pf, off, sz) => ref -> ((pf, off, sz)) }
+              .toMap
+          val mergedDvs: Seq[(String, Seq[Long])] = struck.toSeq
+            .map { case (ref, fresh) =>
+              val old = oldDvByRef.get(ref)
+                .map { case (pf, off, sz) =>
+                  Puffin.readDvBlob(conf, pf, off, sz).toSeq }
+                .getOrElse(Nil)
+              ref -> (old ++ fresh)
+            }
+          val affected = struck.keySet
+          val puffinPath = new HPath(new HPath(root, "data"),
+            s"graft-dv-${java.util.UUID.randomUUID()}.puffin")
+          val snapId = md.path("snapshots").elements().asScala()
+            .map(_.path("snapshot-id").asLong(0L)).maxOption.getOrElse(0L) + 1L
+          val blobs = Puffin.writeDvFile(conf, puffinPath, mergedDvs,
+            snapId, newSeq)
+          val puffinLen = fs.getFileStatus(puffinPath).getLen
+          val written = scala.collection.mutable.Buffer[HPath](puffinPath)
+          try {
+            // global unpartitioned spec for the DV manifest
+            val specsArr = md.path("partition-specs") match {
+              case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+              case _ => md.putArray("partition-specs")
+            }
+            val unpartSpecId = specsArr.elements().asScala()
+              .find(_.path("fields").size() == 0)
+              .map(_.path("spec-id").asInt(0))
+              .getOrElse {
+                val id = specsArr.elements().asScala()
+                  .map(_.path("spec-id").asInt(0)).maxOption.getOrElse(-1) + 1
+                val n = om.createObjectNode()
+                n.put("spec-id", id); n.putArray("fields")
+                specsArr.add(n)
+                id
+              }
+            val dvEnts = blobs.map { b =>
+              val dataFile = new GenericData.Record(
+                manifestEntrySchemaV3Dv.getField("data_file").schema())
+              dataFile.put("content", 1)
+              dataFile.put("file_path", puffinPath.toString)
+              dataFile.put("file_format", "PUFFIN")
+              dataFile.put("partition", new GenericData.Record(
+                dataFile.getSchema.getField("partition").schema()))
+              dataFile.put("record_count", b.cardinality)
+              dataFile.put("file_size_in_bytes", puffinLen)
+              dataFile.put("referenced_data_file", b.referencedDataFile)
+              dataFile.put("content_offset", b.offset)
+              dataFile.put("content_size_in_bytes", b.sizeInBytes)
+              val e = new GenericData.Record(manifestEntrySchemaV3Dv)
+              e.put("status", 1) // ADDED; ids/seqs inherit
+              e.put("data_file", dataFile)
+              e
+            }
+            val dvManifestBytes = writeAvro(manifestEntrySchemaV3Dv, Map(
+              "schema" -> om.writeValueAsString(schemaNode),
+              "schema-id" -> schemaId.toString,
+              "partition-spec" -> "[]",
+              "partition-spec-id" -> unpartSpecId.toString,
+              "format-version" -> "3",
+              "content" -> "deletes"), dvEnts)
+            val dvManifestPath = new HPath(metaDir,
+              s"${java.util.UUID.randomUUID()}-m0.avro")
+            writeBytes(fs, dvManifestPath, dvManifestBytes)
+            written += dvManifestPath
+            val dvListRecord = {
+              val mf = new GenericData.Record(manifestFileSchemaV2)
+              mf.put("manifest_path", dvManifestPath.toString)
+              mf.put("manifest_length", dvManifestBytes.length.toLong)
+              mf.put("partition_spec_id", unpartSpecId)
+              mf.put("content", 1)
+              mf.put("sequence_number", newSeq)
+              mf.put("min_sequence_number", newSeq)
+              mf.put("added_snapshot_id", snapId)
+              mf.put("added_files_count", dvEnts.size)
+              mf.put("existing_files_count", 0)
+              mf.put("deleted_files_count", 0)
+              mf.put("added_rows_count", blobs.map(_.cardinality).sum)
+              mf.put("existing_rows_count", 0L)
+              mf.put("deleted_rows_count", 0L)
+              mf
+            }
+
+            // rewrite prior delete manifests that carry a superseded
+            // DV: same writer schema + metadata, superseded entries
+            // dropped; a manifest left with no live entries drops from
+            // the list entirely
+            val defaultSpecId = md.path("default-spec-id").asInt(0)
+            val carriedDeletes: Seq[GenericRecord] = priorDeletes.flatMap {
+              pm =>
+                val superseded = pm.dvRefs.filter(r => affected(r._1))
+                if (superseded.isEmpty)
+                  Some(reserializeManifestFileV2(pm.listRecord,
+                    defaultSpecId, currentSnap))
+                else {
+                  val mp = pm.listRecord.get("manifest_path").toString
+                  val (ents, wSchema, meta) =
+                    readAvroFull(readBytes(fs, new HPath(mp)))
+                  val survivors = ents.filter { e =>
+                    longOf(e.get("status")) == 2L || {
+                      val df = e.get("data_file").asInstanceOf[GenericRecord]
+                      !(df.get("file_format").toString
+                        .equalsIgnoreCase("puffin") &&
+                        fieldOpt(df, "referenced_data_file")
+                          .exists(r => affected(r.toString)))
+                    }
+                  }
+                  if (survivors.forall(e => longOf(e.get("status")) == 2L))
+                    None // nothing live left — drop the manifest
+                  else {
+                    val bytes = writeAvro(wSchema, meta, survivors)
+                    val p = new HPath(metaDir,
+                      s"${java.util.UUID.randomUUID()}-m0.avro")
+                    writeBytes(fs, p, bytes)
+                    written += p
+                    val mf = reserializeManifestFileV2(pm.listRecord,
+                      defaultSpecId, currentSnap)
+                    mf.put("manifest_path", p.toString)
+                    mf.put("manifest_length", bytes.length.toLong)
+                    def rc(st: Long) = survivors.count(e =>
+                      longOf(e.get("status")) == st)
+                    mf.put("added_files_count", rc(1L))
+                    mf.put("existing_files_count", rc(0L))
+                    mf.put("deleted_files_count", rc(2L))
+                    Some(mf)
+                  }
+                }
+            }
+            val carriedData = priorList.filter(contentOf(_) == 0L)
+              .map(reserializeManifestFileV2(_, defaultSpecId, currentSnap))
+            val listRecords = carriedData ++ carriedDeletes :+ dvListRecord
+            val listBytes = writeAvro(manifestFileSchemaV2,
+              Map("snapshot-id" -> snapId.toString, "format-version" -> "3",
+                "sequence-number" -> newSeq.toString), listRecords)
+            val listPath = new HPath(metaDir,
+              s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
+            writeBytes(fs, listPath, listBytes)
+            written += listPath
+            val now = System.currentTimeMillis()
+            md.put("last-updated-ms", now)
+            md.put("current-snapshot-id", snapId)
+            md.put("last-sequence-number", newSeq)
+            val snaps = md.get("snapshots")
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+            val sn = snapshotNode(snapId, now, "delete", listPath.toString,
+              schemaId)
+            sn.put("sequence-number", newSeq)
+            sn.put("parent-snapshot-id", currentSnap)
+            // v3 row lineage: a delete-only snapshot assigns no new row
+            // ids — first-row-id is the current high-water mark and
+            // next-row-id stays put
+            if (md.has("next-row-id"))
+              sn.put("first-row-id", md.get("next-row-id").asLong())
+            snaps.add(sn)
+            md.path("snapshot-log") match {
+              case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+                val e = om.createObjectNode()
+                e.put("timestamp-ms", now); e.put("snapshot-id", snapId)
+                a.add(e)
+              case _ => ()
+            }
+            io.writeExclusive(new HPath(metaDir, s"v${vTop + 1}.metadata.json"),
+              om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+            publishHint(fs, metaDir, vTop + 1)
+            result = snapId
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              // a peer landed this version: the matched set may have
+              // changed — clean this attempt up and RECOMPUTE
+              written.foreach(p => fs.delete(p, false))
               attempts += 1
               if (attempts > maxRetries)
                 throw new IllegalStateException(
@@ -3353,13 +3702,12 @@ object IcebergInterop {
     if (formatVersion > 3)
       refuse(path, s"is format version $formatVersion — this reader " +
         "supports v1-v3")
-    // v3 is readable UNLESS a v3-only feature is actually in play:
-    // Puffin deletion vectors refuse at the delete-manifest gate below
-    // (file_format != parquet names them), v3 types refuse in the
-    // schema mapping, and column DEFAULT VALUES refuse here — a
-    // name-based scan would null-fill missing columns where the spec
-    // demands the declared default. Row lineage needs nothing from a
-    // plain read.
+    // v3 is readable: Puffin deletion vectors apply below as a
+    // codegen'd bitmap filter, v2-era deletes keep working, and v3
+    // types refuse in the schema mapping. Column DEFAULT VALUES refuse
+    // here — a name-based scan would null-fill missing columns where
+    // the spec demands the declared default. Row lineage needs nothing
+    // from a plain read.
     if (formatVersion >= 3) {
       def hasDefault(node: JsonNode): Option[String] = {
         val fields = node.path("fields")
@@ -3500,7 +3848,8 @@ object IcebergInterop {
     // Both apply below as distributed left_anti joins — broadcast-able
     // when the delete set is small, never a driver-side decode of
     // O(#deleted rows).
-    final case class DelFile(path: String, seq: Long, eqIds: Seq[Int])
+    final case class DelFile(path: String, seq: Long, eqIds: Seq[Int],
+      dv: Option[(String, Long, Long)] = None) // (referenced file, off, size)
     val deleteFiles: Seq[(Long, DelFile)] = deleteManifests.flatMap {
       case (mp, mseq) =>
         readAvro(readBytes(fs, new HPath(mp))).flatMap { e =>
@@ -3509,13 +3858,24 @@ object IcebergInterop {
           val seq = fieldOpt(e, "sequence_number").map(longOf).getOrElse(mseq)
           val content = fieldOpt(df, "content").map(longOf).getOrElse(-1L)
           val fmt = df.get("file_format").toString
-          if (!fmt.equalsIgnoreCase("parquet"))
-            refuse(path, s"has $fmt delete files" +
-              (if (fmt.equalsIgnoreCase("puffin"))
-                 " (Iceberg v3 deletion vectors) — rewrite them as " +
-                   "position deletes or compact with a full client"
-               else ""))
+          val isPuffin = fmt.equalsIgnoreCase("puffin")
+          if (!fmt.equalsIgnoreCase("parquet") && !isPuffin)
+            refuse(path, s"has $fmt delete files")
           if (status == 2L) None
+          else if (isPuffin) {
+            // Iceberg v3 DELETION VECTOR: a Puffin deletion-vector-v1
+            // blob referenced by (file, content_offset, size)
+            if (content != 1L)
+              refuse(path, s"has a puffin delete file with content=$content")
+            val ref = fieldOpt(df, "referenced_data_file").map(_.toString)
+            val off = fieldOpt(df, "content_offset").map(longOf)
+            val sz = fieldOpt(df, "content_size_in_bytes").map(longOf)
+            if (ref.isEmpty || off.isEmpty || sz.isEmpty)
+              refuse(path, "has a puffin deletion-vector entry missing " +
+                "referenced_data_file/content_offset/content_size_in_bytes")
+            Some((3L, DelFile(df.get("file_path").toString, seq, Nil,
+              Some((ref.get, off.get, sz.get)))))
+          }
           else content match {
             case 1L =>
               Some((1L, DelFile(df.get("file_path").toString, seq, Nil)))
@@ -3537,6 +3897,17 @@ object IcebergInterop {
       deleteFiles.collect { case (1L, d) => d.path }.distinct
     val eqDeleteFiles: Seq[DelFile] =
       deleteFiles.collect { case (2L, d) => d }.distinct
+    // (referenced data file → (puffin path, offset, size)); the spec
+    // allows at most one DV per data file — a duplicate means a writer
+    // failed to replace the old vector, and applying "both" could only
+    // be right if one contains the other, which can't be verified
+    // cheaply, so refuse.
+    val dvDeleteRefs: Seq[(String, (String, Long, Long))] =
+      deleteFiles.collect { case (3L, d) =>
+        (d.dv.get._1, (d.path, d.dv.get._2, d.dv.get._3)) }.distinct
+    dvDeleteRefs.groupBy(_._1).find(_._2.size > 1).foreach { case (ref, _) =>
+      refuse(path, s"has multiple deletion vectors for data file $ref")
+    }
 
     // optional metadata-only partition pruning: resolve the requested
     // field PER SPEC (spec evolution can move a field's struct
@@ -3802,7 +4173,8 @@ object IcebergInterop {
     // driver-built (manifest path → qualified) maps (the qualification
     // convention the Delta DV reader pins). Deletes for files pruned
     // or removed from this snapshot drop out as no-ops.
-    val anyDeletes = posDeleteFiles.nonEmpty || eqDeleteFiles.nonEmpty
+    val anyDeletes = posDeleteFiles.nonEmpty || eqDeleteFiles.nonEmpty ||
+      dvDeleteRefs.nonEmpty
     val metaCols: Seq[org.apache.spark.sql.Column] =
       if (!anyDeletes && !withLineage) Nil
       else Seq(col("_metadata.file_path").as("__fp"),
@@ -3819,6 +4191,26 @@ object IcebergInterop {
         }
         import spark.implicits._
         var cur = scan
+        if (dvDeleteRefs.nonEmpty) {
+          // v3 deletion vectors: driver-decoded roaring bitmaps (KB
+          // per file) ride the scan as a codegen'd filter — no join,
+          // no shuffle, no driver pass over deleted ROWS (only bitmap
+          // bytes), the same shape the Delta DV reader uses
+          val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+          val lookupMap = new java.util.HashMap[
+            org.apache.spark.unsafe.types.UTF8String,
+            DeletionVectors.Roaring64]()
+          dvDeleteRefs.foreach { case (ref, (pf, off, sz)) =>
+            lookupMap.put(
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                qualified(ref)),
+              Puffin.readDvBlob(conf, pf, off, sz))
+          }
+          val dvPred = bridge.column(DvDeleted(
+            bridge.expression(col("__fp")),
+            bridge.expression(col("__pos")), new DvLookup(lookupMap)))
+          cur = cur.where(!dvPred)
+        }
         if (posDeleteFiles.nonEmpty) {
           val pathMap = dataFiles.map(_._1).distinct
             .map(p => (p, qualified(p))).toDF("file_path", "__fp")

@@ -2367,8 +2367,9 @@ class IcebergInteropSpec extends AnyFunSuite {
       e1.getMessage.contains("'v'"), e1.getMessage)
     patch(curPath, new String(Files.readAllBytes(curPath), "UTF-8")
       .replace("\"initial-default\":\"dflt\",", "").getBytes("UTF-8"))
-    // v3 deletion vectors (Puffin delete files) refuse by name: flip
-    // the delete manifest's file_format to PUFFIN in place
+    // a MALFORMED deletion-vector entry (puffin format but no blob
+    // coordinates) refuses by name rather than misreading: flip the
+    // delete manifest's file_format to PUFFIN in place
     val delManifest = Files.list(Paths.get(target, "metadata")).toArray
       .map(_.asInstanceOf[java.nio.file.Path])
       .filter(_.getFileName.toString.endsWith("-m0.avro"))
@@ -2388,7 +2389,7 @@ class IcebergInteropSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException] {
       IcebergInterop.readIceberg(spark, target).collect()
     }
-    assert(e2.getMessage.contains("deletion vectors"), e2.getMessage)
+    assert(e2.getMessage.contains("referenced_data_file"), e2.getMessage)
     // format versions beyond 3 still refuse wholesale
     patch(curPath, new String(Files.readAllBytes(curPath), "UTF-8")
       .replace("\"format-version\" : 3", "\"format-version\" : 4")
@@ -2397,6 +2398,114 @@ class IcebergInteropSpec extends AnyFunSuite {
       IcebergInterop.readIceberg(spark, target).collect()
     }
     assert(e3.getMessage.contains("v1-v3"), e3.getMessage)
+  }
+
+  test("v3 deletes write merged Puffin deletion vectors; reads apply them") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    val t = GraftTable.create(spark, tmp("graft_v3dv_"), df)
+    val target = tmp("graft_v3dv_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    patch(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 3")
+      .getBytes("UTF-8"))
+    val dataFilesBefore = Files.list(Paths.get(target, "data")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+
+    // ---- first delete: a DV commit, no data file rewritten ----
+    IcebergInterop.deleteFromIceberg(spark, target, col("id") < 10L)
+    assert(IcebergInterop.readIceberg(spark, target)
+      .select("id").as[Long].collect().toSet == (10L until 100L).toSet)
+    val dataFilesAfter = Files.list(Paths.get(target, "data")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+    assert(dataFilesAfter == dataFilesBefore, "a DV delete must not rewrite")
+    assert(Files.list(Paths.get(target, "data")).toArray.map(_.toString)
+      .count(_.endsWith(".puffin")) == 1)
+
+    // ---- second delete on the SAME file: the DV must merge and the
+    // superseded entry retire (at most one DV per data file) ----
+    IcebergInterop.deleteFromIceberg(spark, target, col("id") === 20L)
+    assert(IcebergInterop.readIceberg(spark, target).count() == 89)
+    // count live DV entries across all delete manifests
+    def liveDvEntries(): Seq[(String, Long)] = {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val hint = new String(Files.readAllBytes(
+        Paths.get(target, "metadata", "version-hint.text")), "UTF-8").trim
+      val md = om.readTree(Files.readAllBytes(
+        Paths.get(target, "metadata", s"v$hint.metadata.json")))
+      val cur = md.get("current-snapshot-id").asLong()
+      val it = md.get("snapshots").elements()
+      var listPath: String = null
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.get("snapshot-id").asLong() == cur)
+          listPath = s.get("manifest-list").asText()
+      }
+      IcebergInterop.readAvro(Files.readAllBytes(Paths.get(
+        new java.net.URI(listPath).getPath match {
+          case "" => listPath
+          case p => p
+        })))
+        .filter { r =>
+          val f = r.getSchema.getField("content")
+          f != null && r.get("content").asInstanceOf[Number].intValue() == 1
+        }
+        .flatMap { r =>
+          val mp = r.get("manifest_path").toString
+          val pp = new java.net.URI(mp).getPath match {
+            case "" => mp
+            case p => p
+          }
+          IcebergInterop.readAvro(Files.readAllBytes(Paths.get(pp)))
+        }
+        .filter(_.get("status").asInstanceOf[Number].intValue() != 2)
+        .map(_.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord])
+        .filter(_.get("file_format").toString.equalsIgnoreCase("puffin"))
+        .map(df => (df.get("referenced_data_file").toString,
+          df.get("record_count").asInstanceOf[Number].longValue()))
+    }
+    val dvs1 = liveDvEntries()
+    assert(dvs1.size == 1 && dvs1.head._2 == 11L, dvs1)
+
+    // ---- a delete hitting ANOTHER file adds a second DV ----
+    IcebergInterop.deleteFromIceberg(spark, target, col("v") === "v30")
+    assert(IcebergInterop.readIceberg(spark, target).count() == 88)
+    val dvs2 = liveDvEntries()
+    assert(dvs2.size == 2, dvs2)
+    assert(dvs2.map(_._1).distinct.size == 2, "one DV per data file")
+    // surviving values intact
+    val left = IcebergInterop.readIceberg(spark, target)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(!left.contains(20L) && !left.contains(30L) &&
+      left(50L) == "v50" && left(10L) == "v10")
+
+    // ---- v3 tables still carrying parquet position deletes refuse
+    // further row-level deletes until the upgrade finishes ----
+    val t2 = GraftTable.create(spark, tmp("graft_v3pd_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val tgt2 = tmp("graft_v3pd_ice_")
+    IcebergInterop.exportSnapshot(t2, tgt2)
+    val md2 = Paths.get(tgt2, "metadata", "v1.metadata.json")
+    patch(md2, new String(Files.readAllBytes(md2), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    IcebergInterop.deleteFromIceberg(spark, tgt2, col("id") === 1L) // v2 pos
+    val cur2 = Files.list(Paths.get(tgt2, "metadata")).toArray
+      .map(_.toString)
+      .flatMap("v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).max
+    val mdp2 = Paths.get(tgt2, "metadata", s"v$cur2.metadata.json")
+    patch(mdp2, new String(Files.readAllBytes(mdp2), "UTF-8")
+      .replace("\"format-version\" : 2", "\"format-version\" : 3")
+      .getBytes("UTF-8"))
+    assert(IcebergInterop.readIceberg(spark, tgt2).count() == 1) // reads fine
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.deleteFromIceberg(spark, tgt2, col("id") === 2L)
+    }
+    assert(e.getMessage.contains("finish the upgrade"), e.getMessage)
   }
 
   test("deleteFromIcebergByKey: equality-delete file, no scan; re-insert survives") {
