@@ -1168,7 +1168,39 @@ object LakehouseOps {
       .orderBy($"s_suppkey")
   }
 
+  /** g44: Iceberg v3 DELETION-VECTOR gate
+    * ([[graft.sources.IcebergInterop.deleteFromIceberg]] on a format-v3
+    * table) — two deletes land as Puffin deletion-vector commits, the
+    * second MERGING each affected file's vector (the spec's
+    * at-most-one-DV rule), no data file rewritten; the DV-filtering
+    * replay must match the relational recomputation exactly. Same
+    * oracle as g39 — Delta DVs and Iceberg v3 DVs share semantics
+    * (and the bitmap serialization). */
+  val g44_iceberg_v3_dv: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup)
+    val target = graft.TempRoots.create("graft_iv3dv_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, target)
+    val mdPath = java.nio.file.Paths.get(target, "metadata", "v1.metadata.json")
+    Files.write(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 3")
+      .getBytes("UTF-8"))
+    Files.deleteIfExists(java.nio.file.Paths.get(target, "metadata",
+      ".v1.metadata.json.crc"))
+    graft.sources.IcebergInterop.deleteFromIceberg(s, target,
+      $"s_suppkey" % 4 === 0)
+    graft.sources.IcebergInterop.deleteFromIceberg(s, target,
+      $"s_suppkey" % 7 === 0)
+    graft.sources.IcebergInterop.readIceberg(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "g44_iceberg_v3_dv" -> g44_iceberg_v3_dv,
     "g43_iceberg_merge_clauses" -> g43_iceberg_merge_clauses,
     "g42_iceberg_eq_delete" -> g42_iceberg_eq_delete,
     "g41_delta_dv_update_merge" -> g41_delta_dv_update_merge,
@@ -1211,6 +1243,7 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g44_iceberg_v3_dv" -> g39_sql,
     "g43_iceberg_merge_clauses" -> g40_sql,
     "g42_iceberg_eq_delete" -> g42_sql,
     "g41_delta_dv_update_merge" -> g41_sql,

@@ -303,6 +303,27 @@ object IcebergInterop {
        |${avroField("deleted_rows_count", "\"long\"", 514)}
        |]}""".stripMargin.replace("\n", ""))
 
+  /** Format-v3 manifest-list schema: v2 plus the ROW-LINEAGE
+    * `first_row_id` (field 520) — the first row id assigned to rows the
+    * manifest's ADDED data files carry; null on delete manifests. */
+  private val manifestFileSchemaV3: AvroSchema = new AvroSchema.Parser().parse(
+    s"""{"type":"record","name":"manifest_file","fields":[
+       |${avroField("manifest_path", "\"string\"", 500)},
+       |${avroField("manifest_length", "\"long\"", 501)},
+       |${avroField("partition_spec_id", "\"int\"", 502)},
+       |${avroField("content", "\"int\"", 517)},
+       |${avroField("sequence_number", "\"long\"", 515)},
+       |${avroField("min_sequence_number", "\"long\"", 516)},
+       |${avroField("added_snapshot_id", "\"long\"", 503)},
+       |${avroField("added_files_count", "\"int\"", 504)},
+       |${avroField("existing_files_count", "\"int\"", 505)},
+       |${avroField("deleted_files_count", "\"int\"", 506)},
+       |${avroField("added_rows_count", "\"long\"", 512)},
+       |${avroField("existing_rows_count", "\"long\"", 513)},
+       |${avroField("deleted_rows_count", "\"long\"", 514)},
+       |${avroField("first_row_id", "\"long\"", 520, optional = true)}
+       |]}""".stripMargin.replace("\n", ""))
+
   /** Format-v2 manifest entry schema: `snapshot_id` and the sequence
     * numbers are optional (null on ADDED entries = inherit from the
     * committing snapshot / the manifest-list entry), `data_file` gains
@@ -519,10 +540,15 @@ object IcebergInterop {
     * v2 — dropping them would break the reader's `dataSeq < deleteSeq`
     * merge-on-read guard); missing v1-era fields default to 0. */
   private def reserializeManifestFileV2(r: GenericRecord,
-      fallbackSpecId: Int, fallbackSnapId: Long): GenericRecord = {
+      fallbackSpecId: Int, fallbackSnapId: Long,
+      schema: AvroSchema = manifestFileSchemaV2): GenericRecord = {
     def num(names: String*): Option[Long] =
       names.iterator.flatMap(n => fieldOpt(r, n)).nextOption().map(longOf)
-    val mf = new GenericData.Record(manifestFileSchemaV2)
+    val mf = new GenericData.Record(schema)
+    // v3 row lineage: carried data manifests keep their assigned ids
+    if (schema.getField("first_row_id") != null)
+      num("first_row_id").foreach(v =>
+        mf.put("first_row_id", java.lang.Long.valueOf(v)))
     mf.put("manifest_path", r.get("manifest_path").toString)
     mf.put("manifest_length", longOf(r.get("manifest_length")))
     mf.put("partition_spec_id",
@@ -1725,9 +1751,9 @@ object IcebergInterop {
         new HPath(metaDir, s"v${vTop.get}.metadata.json")))
         .deepCopy[ObjectNode]()
       val fv = md.path("format-version").asInt(1)
-      if (fv > 2)
+      if (fv > 3)
         refuseW(s"the table is format version $fv — this writer produces " +
-          "v1 and v2 (sequence-numbered) appends only")
+          "v1-v3 appends only")
       var schemaNode = currentSchemaNode(md, path)
       var schemaId = md.path("current-schema-id").asInt(
         schemaNode.path("schema-id").asInt(0))
@@ -1784,7 +1810,10 @@ object IcebergInterop {
           .map(sn => readAvro(readBytes(fs,
             new HPath(sn.get("manifest-list").asText())))
             .map(r =>
-              if (fv == 2) reserializeManifestFileV2(r, specId, currentSnap)
+              if (fv == 3) reserializeManifestFileV2(r, specId, currentSnap,
+                manifestFileSchemaV3)
+              else if (fv == 2)
+                reserializeManifestFileV2(r, specId, currentSnap)
               else reserializeManifestFile(r, specId)))
           .getOrElse(Nil)
       State(md, vTop.get, schemaNode, schemaId, schema, specId,
@@ -1808,7 +1837,8 @@ object IcebergInterop {
       st.parts, st.schemaNode, st.schema, "graft-append")
     try {
       val partFields = st.parts.map(_._1)
-      val v2 = st.formatVersion == 2
+      val v2 = st.formatVersion >= 2 // v3 appends are v2-shaped + lineage
+      val v3 = st.formatVersion == 3
       val entrySchema =
         if (v2) manifestEntrySchemaV2For(partFields)
         else if (partFields.isEmpty) manifestEntrySchema
@@ -1853,9 +1883,19 @@ object IcebergInterop {
         val manifestPath = new HPath(metaDir,
           s"${java.util.UUID.randomUUID()}-m0.avro")
         writeBytes(fs, manifestPath, manifestBytes)
+        // v3 ROW LINEAGE: this append's rows take ids from the table's
+        // next-row-id high-water mark (data files inherit through the
+        // manifest-list entry's first_row_id); delete-free, so only the
+        // new data manifest assigns
+        val addedRows = files.map(_._3).sum
+        val rowIdBase: Option[Long] =
+          if (v3 && st.md.has("next-row-id"))
+            Some(st.md.get("next-row-id").asLong())
+          else None
         val newListRecord: GenericRecord =
           if (v2) {
-            val mf = new GenericData.Record(manifestFileSchemaV2)
+            val mf = new GenericData.Record(
+              if (v3) manifestFileSchemaV3 else manifestFileSchemaV2)
             mf.put("manifest_path", manifestPath.toString)
             mf.put("manifest_length", manifestBytes.length.toLong)
             mf.put("partition_spec_id", st.specId)
@@ -1866,9 +1906,11 @@ object IcebergInterop {
             mf.put("added_files_count", files.size)
             mf.put("existing_files_count", 0)
             mf.put("deleted_files_count", 0)
-            mf.put("added_rows_count", files.map(_._3).sum)
+            mf.put("added_rows_count", addedRows)
             mf.put("existing_rows_count", 0L)
             mf.put("deleted_rows_count", 0L)
+            rowIdBase.foreach(b =>
+              mf.put("first_row_id", java.lang.Long.valueOf(b)))
             mf
           } else manifestListEntry(
             manifestPath.toString, manifestBytes.length.toLong, snapId,
@@ -1878,7 +1920,8 @@ object IcebergInterop {
           "format-version" -> st.formatVersion.toString) ++
           (if (v2) Map("sequence-number" -> newSeq.toString) else Map.empty)
         val listBytes = writeAvro(
-          if (v2) manifestFileSchemaV2 else manifestFileSchema,
+          if (v3) manifestFileSchemaV3
+          else if (v2) manifestFileSchemaV2 else manifestFileSchema,
           listMeta, listRecords)
         val listPath = new HPath(metaDir,
           s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
@@ -1896,6 +1939,10 @@ object IcebergInterop {
           st.schemaId)
         if (v2) sn.put("sequence-number", newSeq)
         if (st.currentSnap >= 0) sn.put("parent-snapshot-id", st.currentSnap)
+        rowIdBase.foreach { b =>
+          sn.put("first-row-id", b)
+          md.put("next-row-id", b + addedRows)
+        }
         snaps.add(sn)
         md.path("snapshot-log") match {
           case a: com.fasterxml.jackson.databind.node.ArrayNode =>
@@ -2282,41 +2329,6 @@ object IcebergInterop {
             }
           }.distinct
 
-        // prior delete manifests, each with its live DV references —
-        // and the v3 legality check: no live parquet position deletes
-        case class PriorDeleteManifest(listRecord: GenericRecord,
-            dvRefs: Seq[(String, String, Long, Long)])
-        val priorDeletes: Seq[PriorDeleteManifest] =
-          priorList.filter(contentOf(_) == 1L).map { r =>
-            val ents = readAvro(readBytes(fs,
-              new HPath(r.get("manifest_path").toString)))
-            val dvRefs = ents.flatMap { e =>
-              if (longOf(e.get("status")) == 2L) None
-              else {
-                val df = e.get("data_file").asInstanceOf[GenericRecord]
-                val fmt = df.get("file_format").toString
-                val content = fieldOpt(df, "content").map(longOf)
-                  .getOrElse(-1L)
-                if (fmt.equalsIgnoreCase("puffin") && content == 1L)
-                  Some((fieldOpt(df, "referenced_data_file").map(_.toString)
-                    .getOrElse(refuseW("a deletion-vector entry misses " +
-                      "referenced_data_file")),
-                    df.get("file_path").toString,
-                    fieldOpt(df, "content_offset").map(longOf).getOrElse(
-                      refuseW("a deletion-vector entry misses content_offset")),
-                    fieldOpt(df, "content_size_in_bytes").map(longOf)
-                      .getOrElse(refuseW("a deletion-vector entry misses " +
-                        "content_size_in_bytes"))))
-                else if (content == 1L)
-                  refuseW("the v3 table carries live parquet position " +
-                    "delete files — v3 allows only deletion vectors; " +
-                    "finish the upgrade by rewriting them as DVs")
-                else None // equality deletes carry forward untouched
-              }
-            }
-            PriorDeleteManifest(r, dvRefs)
-          }
-
         // ---- distributed, stats-pruned detection scan ----
         import spark.implicits._
         val pathMap = filePaths.map(p => (qualified(p), p))
@@ -2330,190 +2342,314 @@ object IcebergInterop {
           .groupBy(_.getString(0))
           .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq }
         if (struck.isEmpty) { result = currentSnap }
-        else {
-          // merge each affected file's existing DV into its new one
-          val oldDvByRef: Map[String, (String, Long, Long)] =
-            priorDeletes.flatMap(_.dvRefs)
-              .map { case (ref, pf, off, sz) => ref -> ((pf, off, sz)) }
-              .toMap
-          val mergedDvs: Seq[(String, Seq[Long])] = struck.toSeq
-            .map { case (ref, fresh) =>
-              val old = oldDvByRef.get(ref)
-                .map { case (pf, off, sz) =>
-                  Puffin.readDvBlob(conf, pf, off, sz).toSeq }
-                .getOrElse(Nil)
-              ref -> (old ++ fresh)
-            }
-          val affected = struck.keySet
-          val puffinPath = new HPath(new HPath(root, "data"),
-            s"graft-dv-${java.util.UUID.randomUUID()}.puffin")
-          val snapId = md.path("snapshots").elements().asScala()
-            .map(_.path("snapshot-id").asLong(0L)).maxOption.getOrElse(0L) + 1L
-          val blobs = Puffin.writeDvFile(conf, puffinPath, mergedDvs,
-            snapId, newSeq)
-          val puffinLen = fs.getFileStatus(puffinPath).getLen
-          val written = scala.collection.mutable.Buffer[HPath](puffinPath)
-          try {
-            // global unpartitioned spec for the DV manifest
-            val specsArr = md.path("partition-specs") match {
-              case a: com.fasterxml.jackson.databind.node.ArrayNode => a
-              case _ => md.putArray("partition-specs")
-            }
-            val unpartSpecId = specsArr.elements().asScala()
-              .find(_.path("fields").size() == 0)
-              .map(_.path("spec-id").asInt(0))
-              .getOrElse {
-                val id = specsArr.elements().asScala()
-                  .map(_.path("spec-id").asInt(0)).maxOption.getOrElse(-1) + 1
-                val n = om.createObjectNode()
-                n.put("spec-id", id); n.putArray("fields")
-                specsArr.add(n)
-                id
-              }
-            val dvEnts = blobs.map { b =>
-              val dataFile = new GenericData.Record(
-                manifestEntrySchemaV3Dv.getField("data_file").schema())
-              dataFile.put("content", 1)
-              dataFile.put("file_path", puffinPath.toString)
-              dataFile.put("file_format", "PUFFIN")
-              dataFile.put("partition", new GenericData.Record(
-                dataFile.getSchema.getField("partition").schema()))
-              dataFile.put("record_count", b.cardinality)
-              dataFile.put("file_size_in_bytes", puffinLen)
-              dataFile.put("referenced_data_file", b.referencedDataFile)
-              dataFile.put("content_offset", b.offset)
-              dataFile.put("content_size_in_bytes", b.sizeInBytes)
-              val e = new GenericData.Record(manifestEntrySchemaV3Dv)
-              e.put("status", 1) // ADDED; ids/seqs inherit
-              e.put("data_file", dataFile)
-              e
-            }
-            val dvManifestBytes = writeAvro(manifestEntrySchemaV3Dv, Map(
-              "schema" -> om.writeValueAsString(schemaNode),
-              "schema-id" -> schemaId.toString,
-              "partition-spec" -> "[]",
-              "partition-spec-id" -> unpartSpecId.toString,
-              "format-version" -> "3",
-              "content" -> "deletes"), dvEnts)
-            val dvManifestPath = new HPath(metaDir,
-              s"${java.util.UUID.randomUUID()}-m0.avro")
-            writeBytes(fs, dvManifestPath, dvManifestBytes)
-            written += dvManifestPath
-            val dvListRecord = {
-              val mf = new GenericData.Record(manifestFileSchemaV2)
-              mf.put("manifest_path", dvManifestPath.toString)
-              mf.put("manifest_length", dvManifestBytes.length.toLong)
-              mf.put("partition_spec_id", unpartSpecId)
-              mf.put("content", 1)
-              mf.put("sequence_number", newSeq)
-              mf.put("min_sequence_number", newSeq)
-              mf.put("added_snapshot_id", snapId)
-              mf.put("added_files_count", dvEnts.size)
-              mf.put("existing_files_count", 0)
-              mf.put("deleted_files_count", 0)
-              mf.put("added_rows_count", blobs.map(_.cardinality).sum)
-              mf.put("existing_rows_count", 0L)
-              mf.put("deleted_rows_count", 0L)
-              mf
-            }
-
-            // rewrite prior delete manifests that carry a superseded
-            // DV: same writer schema + metadata, superseded entries
-            // dropped; a manifest left with no live entries drops from
-            // the list entirely
-            val defaultSpecId = md.path("default-spec-id").asInt(0)
-            val carriedDeletes: Seq[GenericRecord] = priorDeletes.flatMap {
-              pm =>
-                val superseded = pm.dvRefs.filter(r => affected(r._1))
-                if (superseded.isEmpty)
-                  Some(reserializeManifestFileV2(pm.listRecord,
-                    defaultSpecId, currentSnap))
-                else {
-                  val mp = pm.listRecord.get("manifest_path").toString
-                  val (ents, wSchema, meta) =
-                    readAvroFull(readBytes(fs, new HPath(mp)))
-                  val survivors = ents.filter { e =>
-                    longOf(e.get("status")) == 2L || {
-                      val df = e.get("data_file").asInstanceOf[GenericRecord]
-                      !(df.get("file_format").toString
-                        .equalsIgnoreCase("puffin") &&
-                        fieldOpt(df, "referenced_data_file")
-                          .exists(r => affected(r.toString)))
-                    }
-                  }
-                  if (survivors.forall(e => longOf(e.get("status")) == 2L))
-                    None // nothing live left — drop the manifest
-                  else {
-                    val bytes = writeAvro(wSchema, meta, survivors)
-                    val p = new HPath(metaDir,
-                      s"${java.util.UUID.randomUUID()}-m0.avro")
-                    writeBytes(fs, p, bytes)
-                    written += p
-                    val mf = reserializeManifestFileV2(pm.listRecord,
-                      defaultSpecId, currentSnap)
-                    mf.put("manifest_path", p.toString)
-                    mf.put("manifest_length", bytes.length.toLong)
-                    def rc(st: Long) = survivors.count(e =>
-                      longOf(e.get("status")) == st)
-                    mf.put("added_files_count", rc(1L))
-                    mf.put("existing_files_count", rc(0L))
-                    mf.put("deleted_files_count", rc(2L))
-                    Some(mf)
-                  }
-                }
-            }
-            val carriedData = priorList.filter(contentOf(_) == 0L)
-              .map(reserializeManifestFileV2(_, defaultSpecId, currentSnap))
-            val listRecords = carriedData ++ carriedDeletes :+ dvListRecord
-            val listBytes = writeAvro(manifestFileSchemaV2,
-              Map("snapshot-id" -> snapId.toString, "format-version" -> "3",
-                "sequence-number" -> newSeq.toString), listRecords)
-            val listPath = new HPath(metaDir,
-              s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
-            writeBytes(fs, listPath, listBytes)
-            written += listPath
-            val now = System.currentTimeMillis()
-            md.put("last-updated-ms", now)
-            md.put("current-snapshot-id", snapId)
-            md.put("last-sequence-number", newSeq)
-            val snaps = md.get("snapshots")
-              .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
-            val sn = snapshotNode(snapId, now, "delete", listPath.toString,
-              schemaId)
-            sn.put("sequence-number", newSeq)
-            sn.put("parent-snapshot-id", currentSnap)
-            // v3 row lineage: a delete-only snapshot assigns no new row
-            // ids — first-row-id is the current high-water mark and
-            // next-row-id stays put
-            if (md.has("next-row-id"))
-              sn.put("first-row-id", md.get("next-row-id").asLong())
-            snaps.add(sn)
-            md.path("snapshot-log") match {
-              case a: com.fasterxml.jackson.databind.node.ArrayNode =>
-                val e = om.createObjectNode()
-                e.put("timestamp-ms", now); e.put("snapshot-id", snapId)
-                a.add(e)
-              case _ => ()
-            }
-            io.writeExclusive(new HPath(metaDir, s"v${vTop + 1}.metadata.json"),
-              om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
-            publishHint(fs, metaDir, vTop + 1)
-            result = snapId
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              // a peer landed this version: the matched set may have
-              // changed — clean this attempt up and RECOMPUTE
-              written.foreach(p => fs.delete(p, false))
-              attempts += 1
-              if (attempts > maxRetries)
-                throw new IllegalStateException(
-                  s"deleteFromIceberg lost $maxRetries version races at " +
-                    s"$path — giving up")
-          }
+        else commitV3DvSnapshot(fs, io, root, metaDir, md, vTop,
+          currentSnap, newSeq, schemaNode, schemaId, priorList, struck,
+          0, Nil, Nil, _ => Nil, "delete", refuseW) match {
+          case Some(snapId) => result = snapId
+          case None =>
+            attempts += 1
+            if (attempts > maxRetries)
+              throw new IllegalStateException(
+                s"deleteFromIceberg lost $maxRetries version races at " +
+                  s"$path — giving up")
         }
       }
     }
     result
+  }
+
+  /** Single-attempt FORMAT-V3 merge-on-read commit, shared by the v3
+    * DELETE/UPDATE/MERGE paths: `struck` rows per data file land as
+    * merged Puffin DELETION VECTORS (each affected file's existing DV
+    * folds in and its superseded manifest entry retires — the spec's
+    * at-most-one-DV rule), `newFiles` register under the default spec
+    * with footer bounds and ROW LINEAGE assigned from `next-row-id`.
+    * Refuses v3 tables still carrying live parquet position deletes.
+    * Returns the new snapshot id, or None on a lost version race after
+    * deleting this attempt's files (callers recompute). */
+  private def commitV3DvSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+      io: TableIO, root: HPath, metaDir: HPath, md: ObjectNode, vTop: Int,
+      currentSnap: Long, newSeq: Long, schemaNode: JsonNode, schemaId: Int,
+      priorList: Seq[GenericRecord], struck: Map[String, Seq[Long]],
+      specId: Int, parts: Seq[(PartField, String)],
+      newFiles: Seq[(HPath, Long, Long)],
+      partValuesOf: HPath => Seq[AnyRef], operation: String,
+      refuseW: String => Nothing): Option[Long] = {
+    val conf = fs.getConf
+    def contentOf(r: GenericRecord): Long =
+      fieldOpt(r, "content").map(longOf).getOrElse(0L)
+
+    // prior delete manifests, each with its live DV references —
+    // and the v3 legality check: no live parquet position deletes
+    case class PriorDeleteManifest(listRecord: GenericRecord,
+        dvRefs: Seq[(String, String, Long, Long)])
+    val priorDeletes: Seq[PriorDeleteManifest] =
+      priorList.filter(contentOf(_) == 1L).map { r =>
+        val ents = readAvro(readBytes(fs,
+          new HPath(r.get("manifest_path").toString)))
+        val dvRefs = ents.flatMap { e =>
+          if (longOf(e.get("status")) == 2L) None
+          else {
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val fmt = df.get("file_format").toString
+            val content = fieldOpt(df, "content").map(longOf)
+              .getOrElse(-1L)
+            if (fmt.equalsIgnoreCase("puffin") && content == 1L)
+              Some((fieldOpt(df, "referenced_data_file").map(_.toString)
+                .getOrElse(refuseW("a deletion-vector entry misses " +
+                  "referenced_data_file")),
+                df.get("file_path").toString,
+                fieldOpt(df, "content_offset").map(longOf).getOrElse(
+                  refuseW("a deletion-vector entry misses content_offset")),
+                fieldOpt(df, "content_size_in_bytes").map(longOf)
+                  .getOrElse(refuseW("a deletion-vector entry misses " +
+                    "content_size_in_bytes"))))
+            else if (content == 1L)
+              refuseW("the v3 table carries live parquet position " +
+                "delete files — v3 allows only deletion vectors; " +
+                "finish the upgrade by rewriting them as DVs")
+            else None // equality deletes carry forward untouched
+          }
+        }
+        PriorDeleteManifest(r, dvRefs)
+      }
+
+    // merge each affected file's existing DV into its new one
+    val affected = struck.keySet
+    val oldDvByRef: Map[String, (String, Long, Long)] =
+      priorDeletes.flatMap(_.dvRefs)
+        .map { case (ref, pf, off, sz) => ref -> ((pf, off, sz)) }
+        .toMap
+    val mergedDvs: Seq[(String, Seq[Long])] = struck.toSeq
+      .map { case (ref, fresh) =>
+        val old = oldDvByRef.get(ref)
+          .map { case (pf, off, sz) =>
+            Puffin.readDvBlob(conf, pf, off, sz).toSeq }
+          .getOrElse(Nil)
+        ref -> (old ++ fresh)
+      }
+    val snapId = md.path("snapshots").elements().asScala()
+      .map(_.path("snapshot-id").asLong(0L)).maxOption.getOrElse(0L) + 1L
+    val written = scala.collection.mutable.Buffer[HPath]()
+    try {
+      // ---- DV part: one Puffin file + one v3 delete manifest ----
+      val dvListRecord: Option[GenericRecord] =
+        if (struck.isEmpty) None
+        else {
+          val puffinPath = new HPath(new HPath(root, "data"),
+            s"graft-dv-${java.util.UUID.randomUUID()}.puffin")
+          val blobs = Puffin.writeDvFile(conf, puffinPath, mergedDvs,
+            snapId, newSeq)
+          val puffinLen = fs.getFileStatus(puffinPath).getLen
+          written += puffinPath
+          // global unpartitioned spec for the DV manifest
+          val specsArr = md.path("partition-specs") match {
+            case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+            case _ => md.putArray("partition-specs")
+          }
+          val unpartSpecId = specsArr.elements().asScala()
+            .find(_.path("fields").size() == 0)
+            .map(_.path("spec-id").asInt(0))
+            .getOrElse {
+              val id = specsArr.elements().asScala()
+                .map(_.path("spec-id").asInt(0)).maxOption.getOrElse(-1) + 1
+              val n = om.createObjectNode()
+              n.put("spec-id", id); n.putArray("fields")
+              specsArr.add(n)
+              id
+            }
+          val dvEnts = blobs.map { b =>
+            val dataFile = new GenericData.Record(
+              manifestEntrySchemaV3Dv.getField("data_file").schema())
+            dataFile.put("content", 1)
+            dataFile.put("file_path", puffinPath.toString)
+            dataFile.put("file_format", "PUFFIN")
+            dataFile.put("partition", new GenericData.Record(
+              dataFile.getSchema.getField("partition").schema()))
+            dataFile.put("record_count", b.cardinality)
+            dataFile.put("file_size_in_bytes", puffinLen)
+            dataFile.put("referenced_data_file", b.referencedDataFile)
+            dataFile.put("content_offset", b.offset)
+            dataFile.put("content_size_in_bytes", b.sizeInBytes)
+            val e = new GenericData.Record(manifestEntrySchemaV3Dv)
+            e.put("status", 1) // ADDED; ids/seqs inherit
+            e.put("data_file", dataFile)
+            e
+          }
+          val dvManifestBytes = writeAvro(manifestEntrySchemaV3Dv, Map(
+            "schema" -> om.writeValueAsString(schemaNode),
+            "schema-id" -> schemaId.toString,
+            "partition-spec" -> "[]",
+            "partition-spec-id" -> unpartSpecId.toString,
+            "format-version" -> "3",
+            "content" -> "deletes"), dvEnts)
+          val dvManifestPath = new HPath(metaDir,
+            s"${java.util.UUID.randomUUID()}-m0.avro")
+          writeBytes(fs, dvManifestPath, dvManifestBytes)
+          written += dvManifestPath
+          val mf = new GenericData.Record(manifestFileSchemaV3)
+          mf.put("manifest_path", dvManifestPath.toString)
+          mf.put("manifest_length", dvManifestBytes.length.toLong)
+          mf.put("partition_spec_id", unpartSpecId)
+          mf.put("content", 1)
+          mf.put("sequence_number", newSeq)
+          mf.put("min_sequence_number", newSeq)
+          mf.put("added_snapshot_id", snapId)
+          mf.put("added_files_count", dvEnts.size)
+          mf.put("existing_files_count", 0)
+          mf.put("deleted_files_count", 0)
+          mf.put("added_rows_count", blobs.map(_.cardinality).sum)
+          mf.put("existing_rows_count", 0L)
+          mf.put("deleted_rows_count", 0L)
+          Some(mf)
+        }
+
+      // ---- data part: new files under the DEFAULT spec, with bounds
+      // and row-lineage inheritance from the list entry ----
+      val rowIdBase: Option[Long] =
+        if (md.has("next-row-id")) Some(md.get("next-row-id").asLong())
+        else None
+      val addedRows = newFiles.map(_._3).sum
+      val dataListRecord: Option[GenericRecord] =
+        if (newFiles.isEmpty) None
+        else {
+          val dataEntrySchema = manifestEntrySchemaV2For(parts.map(_._1))
+          val specArr = om.createArrayNode()
+          val specFieldsNode: Seq[JsonNode] =
+            if (md.has("partition-specs"))
+              md.get("partition-specs").elements().asScala()
+                .find(_.path("spec-id").asInt(0) == specId)
+                .map(_.path("fields").elements().asScala().toSeq)
+                .getOrElse(Nil)
+            else Nil
+          specFieldsNode.foreach(f => specArr.add(f.deepCopy[JsonNode]()))
+          val boundsOf = boundsFn(conf,
+            fromIcebergStruct(schemaNode, metaDir.toString), schemaNode)
+          val dataEnts = newFiles.map { case (p, size, rc) =>
+            manifestEntryV2(dataEntrySchema, p.toString, size, rc,
+              partValuesOf(p), bounds = boundsOf(p))
+          }
+          val bytes = writeAvro(dataEntrySchema, Map(
+            "schema" -> om.writeValueAsString(schemaNode),
+            "schema-id" -> schemaId.toString,
+            "partition-spec" -> om.writeValueAsString(specArr),
+            "partition-spec-id" -> specId.toString,
+            "format-version" -> "3",
+            "content" -> "data"), dataEnts)
+          val p = new HPath(metaDir, s"${java.util.UUID.randomUUID()}-m0.avro")
+          writeBytes(fs, p, bytes)
+          written += p
+          val mf = new GenericData.Record(manifestFileSchemaV3)
+          mf.put("manifest_path", p.toString)
+          mf.put("manifest_length", bytes.length.toLong)
+          mf.put("partition_spec_id", specId)
+          mf.put("content", 0)
+          mf.put("sequence_number", newSeq)
+          mf.put("min_sequence_number", newSeq)
+          mf.put("added_snapshot_id", snapId)
+          mf.put("added_files_count", newFiles.size)
+          mf.put("existing_files_count", 0)
+          mf.put("deleted_files_count", 0)
+          mf.put("added_rows_count", addedRows)
+          mf.put("existing_rows_count", 0L)
+          mf.put("deleted_rows_count", 0L)
+          rowIdBase.foreach(b =>
+            mf.put("first_row_id", java.lang.Long.valueOf(b)))
+          Some(mf)
+        }
+
+      // rewrite prior delete manifests that carry a superseded
+      // DV: same writer schema + metadata, superseded entries
+      // dropped; a manifest left with no live entries drops from
+      // the list entirely
+      val defaultSpecId = md.path("default-spec-id").asInt(0)
+      val carriedDeletes: Seq[GenericRecord] = priorDeletes.flatMap {
+        pm =>
+          val superseded = pm.dvRefs.filter(r => affected(r._1))
+          if (superseded.isEmpty)
+            Some(reserializeManifestFileV2(pm.listRecord,
+              defaultSpecId, currentSnap, manifestFileSchemaV3))
+          else {
+            val mp = pm.listRecord.get("manifest_path").toString
+            val (ents, wSchema, meta) =
+              readAvroFull(readBytes(fs, new HPath(mp)))
+            val survivors = ents.filter { e =>
+              longOf(e.get("status")) == 2L || {
+                val df = e.get("data_file").asInstanceOf[GenericRecord]
+                !(df.get("file_format").toString
+                  .equalsIgnoreCase("puffin") &&
+                  fieldOpt(df, "referenced_data_file")
+                    .exists(r => affected(r.toString)))
+              }
+            }
+            if (survivors.forall(e => longOf(e.get("status")) == 2L))
+              None // nothing live left — drop the manifest
+            else {
+              val bytes = writeAvro(wSchema, meta, survivors)
+              val p = new HPath(metaDir,
+                s"${java.util.UUID.randomUUID()}-m0.avro")
+              writeBytes(fs, p, bytes)
+              written += p
+              val mf = reserializeManifestFileV2(pm.listRecord,
+                defaultSpecId, currentSnap, manifestFileSchemaV3)
+              mf.put("manifest_path", p.toString)
+              mf.put("manifest_length", bytes.length.toLong)
+              def rc(st: Long) = survivors.count(e =>
+                longOf(e.get("status")) == st)
+              mf.put("added_files_count", rc(1L))
+              mf.put("existing_files_count", rc(0L))
+              mf.put("deleted_files_count", rc(2L))
+              Some(mf)
+            }
+          }
+      }
+      val carriedData = priorList.filter(contentOf(_) == 0L)
+        .map(reserializeManifestFileV2(_, defaultSpecId, currentSnap,
+          manifestFileSchemaV3))
+      val listRecords = carriedData ++ carriedDeletes ++
+        dvListRecord.toSeq ++ dataListRecord.toSeq
+      val listBytes = writeAvro(manifestFileSchemaV3,
+        Map("snapshot-id" -> snapId.toString, "format-version" -> "3",
+          "sequence-number" -> newSeq.toString), listRecords)
+      val listPath = new HPath(metaDir,
+        s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
+      writeBytes(fs, listPath, listBytes)
+      written += listPath
+      val now = System.currentTimeMillis()
+      md.put("last-updated-ms", now)
+      md.put("current-snapshot-id", snapId)
+      md.put("last-sequence-number", newSeq)
+      val snaps = md.get("snapshots")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val sn = snapshotNode(snapId, now, operation, listPath.toString,
+        schemaId)
+      sn.put("sequence-number", newSeq)
+      sn.put("parent-snapshot-id", currentSnap)
+      // v3 row lineage: first-row-id is the current high-water mark;
+      // it advances only by the rows the new data files carry
+      rowIdBase.foreach { b =>
+        sn.put("first-row-id", b)
+        if (addedRows > 0) md.put("next-row-id", b + addedRows)
+      }
+      snaps.add(sn)
+      md.path("snapshot-log") match {
+        case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+          val e = om.createObjectNode()
+          e.put("timestamp-ms", now); e.put("snapshot-id", snapId)
+          a.add(e)
+        case _ => ()
+      }
+      io.writeExclusive(new HPath(metaDir, s"v${vTop + 1}.metadata.json"),
+        om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+      publishHint(fs, metaDir, vTop + 1)
+      Some(snapId)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // a peer landed this version: the matched set may have
+        // changed — clean this attempt up; the caller recomputes
+        written.foreach(p => fs.delete(p, false))
+        None
+    }
   }
 
   /** KEYED DELETE as a pure EQUALITY-DELETE commit (content 2 — the
@@ -2816,9 +2952,9 @@ object IcebergInterop {
       val md = om.readTree(readBytes(fs,
         new HPath(metaDir, s"v$vTop.metadata.json"))).deepCopy[ObjectNode]()
       val fv = md.path("format-version").asInt(1)
-      if (fv != 2)
+      if (fv != 2 && fv != 3)
         refuseW(s"the table is format version $fv — row-level updates " +
-          "need v2 merge-on-read position deletes")
+          "need v2 merge-on-read position deletes or v3 deletion vectors")
       val currentSnap = md.path("current-snapshot-id").asLong(-1L)
       if (currentSnap < 0) { result = currentSnap }
       else {
@@ -2855,9 +2991,44 @@ object IcebergInterop {
           withLineage = true, pruneWhere = Some(condition))
           .where(condition).cache()
         try {
-          // ---- old row versions -> position delete parquet ----
           val pathMap = filePaths.map(p => (qualified(p), p))
             .toDF("__fp", "__uri")
+          // ---- transformed rows -> new data files per the spec ----
+          def mkNewRows = matched.select(schema.fields.map { f =>
+            assignments.get(f.name)
+              .map(_.cast(f.dataType).as(f.name))
+              .getOrElse(col(f.name))
+          }.toSeq: _*)
+          def raceOut(): Unit = {
+            attempts += 1
+            if (attempts > maxRetries)
+              throw new IllegalStateException(
+                s"updateIceberg lost $maxRetries version races at " +
+                  s"$path — giving up")
+          }
+          if (fv == 3) {
+            // ---- v3: old row versions retire through merged DVs ----
+            val struck: Map[String, Seq[Long]] = matched
+              .join(pathMap, Seq("__fp"))
+              .select(col("__uri"), col("__pos")).collect()
+              .groupBy(_.getString(0))
+              .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq }
+            if (struck.isEmpty) { result = currentSnap }
+            else {
+              val (newDir, newFiles, partValuesOf) = writeSpecData(mkNewRows,
+                root, fs, conf, parts, schemaNode, schema, "graft-update")
+              commitV3DvSnapshot(fs, io, root, metaDir, md, vTop,
+                currentSnap, newSeq, schemaNode, schemaId, priorList,
+                struck, specId, parts, newFiles.filter(_._3 > 0),
+                partValuesOf, "overwrite", refuseW) match {
+                case Some(snapId) => result = snapId
+                case None =>
+                  fs.delete(newDir, true)
+                  raceOut()
+              }
+            }
+          } else {
+          // ---- v2: old row versions -> position delete parquet ----
           def reservedId(id: Long) =
             new org.apache.spark.sql.types.MetadataBuilder()
               .putLong("parquet.field.id", id).build()
@@ -2877,13 +3048,7 @@ object IcebergInterop {
             fs.delete(delDir, true)
             result = currentSnap // nothing matched
           } else {
-            // ---- transformed rows -> new data files per the spec ----
-            val newRows = matched.select(schema.fields.map { f =>
-              assignments.get(f.name)
-                .map(_.cast(f.dataType).as(f.name))
-                .getOrElse(col(f.name))
-            }.toSeq: _*)
-            val (newDir, newFiles, partValuesOf) = writeSpecData(newRows,
+            val (newDir, newFiles, partValuesOf) = writeSpecData(mkNewRows,
               root, fs, conf, parts, schemaNode, schema, "graft-update")
             val cleanupDirs = () => {
               fs.delete(delDir, true); fs.delete(newDir, true)
@@ -2901,12 +3066,9 @@ object IcebergInterop {
               case Some(snapId) => result = snapId
               case None =>
                 cleanupDirs()
-                attempts += 1
-                if (attempts > maxRetries)
-                  throw new IllegalStateException(
-                    s"updateIceberg lost $maxRetries version races at " +
-                      s"$path — giving up")
+                raceOut()
             }
+          }
           }
         } finally matched.unpersist()
       }
@@ -3162,9 +3324,9 @@ object IcebergInterop {
       val md = om.readTree(readBytes(fs,
         new HPath(metaDir, s"v$vTop.metadata.json"))).deepCopy[ObjectNode]()
       val fv = md.path("format-version").asInt(1)
-      if (fv != 2)
+      if (fv != 2 && fv != 3)
         refuseW(s"the table is format version $fv — row-level upserts " +
-          "need v2 merge-on-read position deletes")
+          "need v2 merge-on-read position deletes or v3 deletion vectors")
       val schemaNode = currentSchemaNode(md, path)
       val schemaId = md.path("current-schema-id").asInt(
         schemaNode.path("schema-id").asInt(0))
@@ -3268,18 +3430,6 @@ object IcebergInterop {
           sFrame.map(_.where(col("__ci") =!= -1)
             .select(col("__fp"), col("__pos"))).toSeq)
           .reduce(_.unionByName(_))
-        val delRows = struck
-          .join(pathMap, Seq("__fp"))
-          .select(col("__uri").as("file_path", reservedId(2147483546L)),
-            col("__pos").as("pos", reservedId(2147483545L)))
-          .sortWithinPartitions(col("file_path"), col("pos"))
-        val delDir = new HPath(new HPath(root, "data"),
-          s"graft-mergedel-${java.util.UUID.randomUUID()}")
-        delRows.write.parquet(delDir.toString)
-        val delFiles = fs.listStatus(delDir).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(f => (f.getPath, f.getLen, footerRecordCount(conf, f)))
-          .filter(_._3 > 0)
         // ---- transformed rows + conditional inserts -> data files ----
         def matchedVal(f: org.apache.spark.sql.types.StructField) = {
           var e: org.apache.spark.sql.Column = col(f.name)
@@ -3313,6 +3463,48 @@ object IcebergInterop {
           .reduce(_.unionByName(_))
           .unionByName(inserts.select(schema.fields.map(f =>
             col(f.name).cast(f.dataType).as(f.name)).toSeq: _*))
+        def raceOut(): Unit = {
+          attempts += 1
+          if (attempts > maxRetries)
+            throw new IllegalStateException(
+              s"mergeIceberg lost $maxRetries version races at " +
+                s"$path — giving up")
+        }
+        if (fv == 3) {
+          // ---- v3: clause-hit rows retire through merged DVs ----
+          val struckMap: Map[String, Seq[Long]] = struck
+            .join(pathMap, Seq("__fp"))
+            .select(col("__uri"), col("__pos")).collect()
+            .groupBy(_.getString(0))
+            .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq }
+          val (newDir, allNewFiles, partValuesOf) = writeSpecData(newRows,
+            root, fs, conf, parts, schemaNode, schema, "graft-merge")
+          val newFiles = allNewFiles.filter(_._3 > 0)
+          if (struckMap.isEmpty && newFiles.isEmpty) {
+            fs.delete(newDir, true)
+            result = currentSnap // empty source, no clause fired: no-op
+          } else commitV3DvSnapshot(fs, io, root, metaDir, md, vTop,
+            currentSnap, newSeq, schemaNode, schemaId, priorList,
+            struckMap, specId, parts, newFiles, partValuesOf,
+            "overwrite", refuseW) match {
+            case Some(snapId) => result = snapId
+            case None =>
+              fs.delete(newDir, true)
+              raceOut()
+          }
+        } else {
+        val delRows = struck
+          .join(pathMap, Seq("__fp"))
+          .select(col("__uri").as("file_path", reservedId(2147483546L)),
+            col("__pos").as("pos", reservedId(2147483545L)))
+          .sortWithinPartitions(col("file_path"), col("pos"))
+        val delDir = new HPath(new HPath(root, "data"),
+          s"graft-mergedel-${java.util.UUID.randomUUID()}")
+        delRows.write.parquet(delDir.toString)
+        val delFiles = fs.listStatus(delDir).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath, f.getLen, footerRecordCount(conf, f)))
+          .filter(_._3 > 0)
         val (newDir, allNewFiles, partValuesOf) = writeSpecData(newRows,
           root, fs, conf, parts, schemaNode, schema, "graft-merge")
         val newFiles = allNewFiles.filter(_._3 > 0)
@@ -3337,12 +3529,9 @@ object IcebergInterop {
             case Some(snapId) => result = snapId
             case None =>
               cleanupDirs()
-              attempts += 1
-              if (attempts > maxRetries)
-                throw new IllegalStateException(
-                  s"mergeIceberg lost $maxRetries version races at " +
-                    s"$path — giving up")
+              raceOut()
           }
+        }
         }
       } finally matchedDf.unpersist()
     }

@@ -1526,7 +1526,7 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(pruned.select("id").as[Long].collect().toSet == sameBucket)
   }
 
-  test("appendToIceberg refusals: v3 format, schema mismatch, catalog naming") {
+  test("appendToIceberg refusals: v4 format, schema mismatch, catalog naming") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_apr_"),
       Seq((1L, "a")).toDF("id", "v"))
@@ -1542,15 +1542,15 @@ class IcebergInteropSpec extends AnyFunSuite {
         Seq((2, "b")).toDF("id", "v"), target) // int id, table has long
     }
     assert(e2.getMessage.contains("cast before appending"), e2.getMessage)
-    // format v3 refuses (v1 and v2 are the supported targets)
+    // format v4 refuses (v1-v3 are the supported targets)
     val mp = Paths.get(target, "metadata", "v1.metadata.json")
     val md = new String(Files.readAllBytes(mp), "UTF-8")
-    patch(mp, md.replace("\"format-version\" : 1", "\"format-version\" : 3")
+    patch(mp, md.replace("\"format-version\" : 1", "\"format-version\" : 4")
       .getBytes("UTF-8"))
     val e3 = intercept[IllegalArgumentException] {
       IcebergInterop.appendToIceberg(Seq((2L, "b")).toDF("id", "v"), target)
     }
-    assert(e3.getMessage.contains("format version 3"), e3.getMessage)
+    assert(e3.getMessage.contains("format version 4"), e3.getMessage)
     patch(mp, md.getBytes("UTF-8"))
     // catalog-managed metadata naming refuses (no vN files, no hint)
     val target2 = tmp("graft_apr_cat_")
@@ -2481,6 +2481,58 @@ class IcebergInteropSpec extends AnyFunSuite {
       .select("id", "v").as[(Long, String)].collect().toMap
     assert(!left.contains(20L) && !left.contains(30L) &&
       left(50L) == "v50" && left(10L) == "v10")
+
+    // ---- v3 UPDATE: DVs strike old versions, new files carry the
+    // transformed rows; no .parquet position deletes appear ----
+    IcebergInterop.updateIceberg(spark, target, col("id") === 50L,
+      Map("v" -> lit("upd")))
+    val got2 = IcebergInterop.readIceberg(spark, target)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got2.size == 88 && got2(50L) == "upd" && got2(51L) == "v51")
+    assert(liveDvEntries().size == 3, liveDvEntries())
+
+    // ---- v3 MERGE: one overwrite commit, clause semantics intact ----
+    IcebergInterop.mergeIceberg(
+      Seq((60L, "m60"), (300L, "m300")).toDF("id", "v"), target, Seq("id"))
+    val got3 = IcebergInterop.readIceberg(spark, target)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got3.size == 89 && got3(60L) == "m60" && got3(300L) == "m300" &&
+      got3(50L) == "upd" && !got3.contains(20L))
+
+    // ---- v3 APPEND with row lineage: first-row-id assigned, the
+    // high-water mark advances by the appended rows ----
+    val curMeta3 = Files.list(Paths.get(target, "metadata")).toArray
+      .map(_.toString)
+      .flatMap("v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).max
+    val mdp3 = Paths.get(target, "metadata", s"v$curMeta3.metadata.json")
+    patch(mdp3, new String(Files.readAllBytes(mdp3), "UTF-8")
+      .replaceFirst("\\{", "{\n  \"next-row-id\" : 500,")
+      .getBytes("UTF-8"))
+    IcebergInterop.appendToIceberg(
+      Seq((400L, "x"), (401L, "y")).toDF("id", "v"), target)
+    assert(IcebergInterop.readIceberg(spark, target).count() == 91)
+    val om3 = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hint3 = new String(Files.readAllBytes(
+      Paths.get(target, "metadata", "version-hint.text")), "UTF-8").trim
+    val md3 = om3.readTree(Files.readAllBytes(
+      Paths.get(target, "metadata", s"v$hint3.metadata.json")))
+    assert(md3.get("next-row-id").asLong() == 502L, md3.get("next-row-id"))
+    val lastSnap3 = {
+      val it = md3.get("snapshots").elements()
+      var last: com.fasterxml.jackson.databind.JsonNode = null
+      while (it.hasNext) last = it.next()
+      last
+    }
+    assert(lastSnap3.get("first-row-id").asLong() == 500L)
+    // a row-lineage DELETE keeps the high-water mark put
+    IcebergInterop.deleteFromIceberg(spark, target, col("id") === 400L)
+    val hint4 = new String(Files.readAllBytes(
+      Paths.get(target, "metadata", "version-hint.text")), "UTF-8").trim
+    val md4 = om3.readTree(Files.readAllBytes(
+      Paths.get(target, "metadata", s"v$hint4.metadata.json")))
+    assert(md4.get("next-row-id").asLong() == 502L)
+    assert(IcebergInterop.readIceberg(spark, target).count() == 90)
 
     // ---- v3 tables still carrying parquet position deletes refuse
     // further row-level deletes until the upgrade finishes ----
