@@ -705,3 +705,99 @@ def convert_iceberg_to_delta(spark, path):
     deletes and renamed histories. Returns the Delta version (0)."""
     dx = spark._jvm.graft.sources.DeltaInterop
     return dx.convertIcebergToDelta(spark._jsparkSession, path)
+
+
+def _obj_array(spark, items):
+    gw = spark.sparkContext._gateway
+    arr = gw.new_array(gw.jvm.java.lang.Object, len(items))
+    for i, it in enumerate(items):
+        arr[i] = it
+    return arr
+
+
+def _str_array(spark, items):
+    gw = spark.sparkContext._gateway
+    arr = gw.new_array(gw.jvm.java.lang.String, len(items))
+    for i, it in enumerate(items):
+        arr[i] = it
+    return arr
+
+
+def merge_source(spark, name):
+    """The SOURCE row's `name` column inside merge-clause conditions
+    and SET expressions (bare names are the TARGET row's values)."""
+    from pyspark.sql.column import Column as PyColumn
+    return PyColumn(spark._jvm.graft.sources.MergeBridge.source(name))
+
+
+def _build_clauses(spark, clauses, family):
+    """clauses: list of dicts — {"action": "update"|"delete"|"insert",
+    "condition": Column|None, "set": {name: Column}}."""
+    mb = spark._jvm.graft.sources.MergeBridge
+    out = []
+    for c in clauses or []:
+        action = c.get("action")
+        cond = c.get("condition")
+        jcond = cond._jc if cond is not None else None
+        set_items = list((c.get("set") or {}).items())
+        names = _str_array(spark, [k for k, _ in set_items])
+        values = _obj_array(spark, [v._jc for _, v in set_items])
+        if family == "matched" and action == "update":
+            out.append(mb.matchedUpdate(jcond, names, values))
+        elif family == "matched" and action == "delete":
+            out.append(mb.matchedDelete(jcond))
+        elif family == "not_matched" and action == "insert":
+            out.append(mb.notMatchedInsert(jcond))
+        elif family == "by_source" and action == "update":
+            out.append(mb.bySourceUpdate(jcond, names, values))
+        elif family == "by_source" and action == "delete":
+            out.append(mb.bySourceDelete(jcond))
+        else:
+            raise ValueError(
+                "unsupported %s clause action: %r" % (family, action))
+    return _obj_array(spark, out)
+
+
+def merge_delta_clauses(source_df, path, keys, matched=None,
+                        not_matched=None, not_matched_by_source=None):
+    """FULL-CLAUSE MERGE into a foreign Delta table: conditional WHEN
+    MATCHED UPDATE (partial SET via {"set": {...}}, source row reached
+    with merge_source) / DELETE, conditional NOT MATCHED INSERT, and
+    NOT MATCHED BY SOURCE UPDATE/DELETE (full-sync). Each clause is a
+    dict: {"action": ..., "condition": Column|None, "set": {...}}.
+    First matching clause of a family wins, like SQL MERGE. Returns
+    the committed Delta version."""
+    spark = source_df.sparkSession
+    mb = spark._jvm.graft.sources.MergeBridge
+    return mb.runDelta(
+        source_df._jdf, path, _str_array(spark, list(keys)),
+        _build_clauses(spark, matched, "matched"),
+        _build_clauses(spark, not_matched, "not_matched"),
+        _build_clauses(spark, not_matched_by_source, "by_source"))
+
+
+def merge_iceberg_clauses(source_df, path, keys, matched=None,
+                          not_matched=None, not_matched_by_source=None):
+    """FULL-CLAUSE MERGE into a file-based Iceberg v2/v3 table — the
+    merge_delta_clauses semantics in ONE atomic merge-on-read
+    overwrite snapshot (v2: position deletes; v3: merged deletion
+    vectors). Returns the committed snapshot id."""
+    spark = source_df.sparkSession
+    mb = spark._jvm.graft.sources.MergeBridge
+    return mb.runIceberg(
+        source_df._jdf, path, _str_array(spark, list(keys)),
+        _build_clauses(spark, matched, "matched"),
+        _build_clauses(spark, not_matched, "not_matched"),
+        _build_clauses(spark, not_matched_by_source, "by_source"))
+
+
+def delete_from_iceberg_by_key(key_rows_df, path):
+    """KEYED DELETE on a file-based Iceberg v2 table as a pure
+    EQUALITY-DELETE commit (content 2, the Flink-CDC shape): every
+    table row equal to some key row on ALL the key columns is struck,
+    with NO detection scan — cost is the key rows themselves. A later
+    re-insert of the same key survives (the spec's sequence-number
+    guard). Returns the committed snapshot id."""
+    spark = key_rows_df.sparkSession
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return ix.deleteFromIcebergByKey(key_rows_df._jdf, path, 20)

@@ -206,6 +206,64 @@ assert merged.filter("lang = 'xx'").count() == n_kept
 print(f"foreign Delta after append+delete+merge: {merged.count()} rows "
       f"(version {v + 2}); foreign Iceberg snapshot {sid}")
 
+print("== 10b. Clause MERGE, keyed equality delete, v3 deletion vectors ==")
+# full-clause MERGE on the foreign Delta copy: delete small docs,
+# bump the rest from the source row, full-sync away unmatched evens
+clause_src = merged.filter("doc_id % 2 = 0") \
+    .withColumn("n_chars", F.col("n_chars") + 1)
+table.merge_delta_clauses(
+    clause_src, delta_path, ["doc_id"],
+    matched=[
+        {"action": "delete", "condition": F.col("n_chars") < 300},
+        {"action": "update",
+         "set": {"n_chars": table.merge_source(spark, "n_chars")}},
+    ],
+    not_matched=[{"action": "insert"}],
+    not_matched_by_source=[
+        {"action": "update", "set": {"lang": F.lit("keep")}}])
+after = table.read_delta(spark, delta_path)
+n_evens = clause_src.filter("n_chars >= 300").count()
+assert after.filter("doc_id % 2 = 0").count() == n_evens
+assert after.filter("lang = 'keep'").count() == \
+    after.filter("doc_id % 2 = 1").count()
+# keyed equality delete on a v2 Iceberg copy: no detection scan
+ice2 = tempfile.mkdtemp(prefix="graft_py_eq_") + "/t"
+base_t.export_iceberg(ice2)
+mdp = os.path.join(ice2, "metadata", "v1.metadata.json")
+with open(mdp) as fh:
+    md_txt = fh.read()
+with open(mdp, "w") as fh:
+    fh.write(md_txt.replace('"format-version" : 1', '"format-version" : 2'))
+crc = os.path.join(ice2, "metadata", ".v1.metadata.json.crc")
+if os.path.exists(crc):
+    os.remove(crc)
+n0 = table.read_iceberg(spark, ice2).count()
+keys = table.read_iceberg(spark, ice2).select("doc_id").limit(5)
+n_keys = keys.distinct().count()
+table.delete_from_iceberg_by_key(keys, ice2)
+assert table.read_iceberg(spark, ice2).count() == n0 - n_keys
+# v3 deletion vectors: promote, delete -> a Puffin DV commit
+with open(os.path.join(ice2, "metadata", "version-hint.text")) as fh:
+    hv = fh.read().strip()
+mdp3 = os.path.join(ice2, "metadata", "v%s.metadata.json" % hv)
+with open(mdp3) as fh:
+    t3 = fh.read()
+with open(mdp3, "w") as fh:
+    fh.write(t3.replace('"format-version" : 2', '"format-version" : 3'))
+crc3 = os.path.join(os.path.dirname(mdp3),
+                    "." + os.path.basename(mdp3) + ".crc")
+if os.path.exists(crc3):
+    os.remove(crc3)
+n_before = table.read_iceberg(spark, ice2).count()
+table.delete_from_iceberg(spark, ice2, F.col("n_chars") < 500)
+n_after = table.read_iceberg(spark, ice2).count()
+assert n_after < n_before
+assert any(f.endswith(".puffin")
+           for f in os.listdir(os.path.join(ice2, "data"))), \
+    "v3 delete must write a Puffin deletion vector"
+print(f"clause merge kept {after.count()} rows; equality delete struck "
+      f"{n_keys}; v3 DV delete {n_before} -> {n_after} rows, zero rewrites")
+
 print("== 11. History management: restore, rollback, tags, incremental ==")
 # Delta: one metadata commit undoes the delete+merge storm above
 restored_v = table.restore_delta(spark, delta_path, 1)

@@ -65,3 +65,52 @@ object Merge {
   final case class BySourceDelete(condition: Option[Column] = None)
       extends BySourceClause
 }
+
+/** Py4J-friendly constructors for the [[Merge]] clause model — scala
+  * Options and Maps are awkward to build from Python, so each builder
+  * takes a nullable condition Column and parallel name/value arrays.
+  * The Python module's `merge_delta_clauses`/`merge_iceberg_clauses`
+  * are thin wrappers over [[runDelta]]/[[runIceberg]]. */
+object MergeBridge {
+  private def opt(c: Column): Option[Column] = Option(c)
+  private def setMap(names: Array[String],
+      values: Array[AnyRef]): Map[String, Column] = {
+    require(names.length == values.length,
+      "SET names and values must align")
+    names.zip(values.map(_.asInstanceOf[Column])).toMap
+  }
+
+  def matchedUpdate(condition: Column, setNames: Array[String],
+      setValues: Array[AnyRef]): Merge.MatchedUpdate =
+    Merge.MatchedUpdate(opt(condition), setMap(setNames, setValues))
+  def matchedDelete(condition: Column): Merge.MatchedDelete =
+    Merge.MatchedDelete(opt(condition))
+  def notMatchedInsert(condition: Column): Merge.NotMatchedInsert =
+    Merge.NotMatchedInsert(opt(condition))
+  def bySourceUpdate(condition: Column, setNames: Array[String],
+      setValues: Array[AnyRef]): Merge.BySourceUpdate =
+    Merge.BySourceUpdate(opt(condition), setMap(setNames, setValues))
+  def bySourceDelete(condition: Column): Merge.BySourceDelete =
+    Merge.BySourceDelete(opt(condition))
+
+  /** The SOURCE row's `name` column (Python: `merge_source("qty")`). */
+  def source(name: String): Column = Merge.source(name)
+
+  def runDelta(source: org.apache.spark.sql.DataFrame, path: String,
+      keys: Array[String], matched: Array[AnyRef],
+      notMatched: Array[AnyRef],
+      notMatchedBySource: Array[AnyRef]): Long =
+    DeltaInterop.mergeDeltaClauses(source, path, keys.toSeq,
+      matched.toSeq.map(_.asInstanceOf[Merge.MatchedClause]),
+      notMatched.toSeq.map(_.asInstanceOf[Merge.NotMatchedInsert]),
+      notMatchedBySource.toSeq.map(_.asInstanceOf[Merge.BySourceClause]))
+
+  def runIceberg(source: org.apache.spark.sql.DataFrame, path: String,
+      keys: Array[String], matched: Array[AnyRef],
+      notMatched: Array[AnyRef],
+      notMatchedBySource: Array[AnyRef]): Long =
+    IcebergInterop.mergeIcebergClauses(source, path, keys.toSeq,
+      matched.toSeq.map(_.asInstanceOf[Merge.MatchedClause]),
+      notMatched.toSeq.map(_.asInstanceOf[Merge.NotMatchedInsert]),
+      notMatchedBySource.toSeq.map(_.asInstanceOf[Merge.BySourceClause]))
+}
