@@ -3601,9 +3601,13 @@ object IcebergInterop {
       val md = om.readTree(readBytes(fs,
         new HPath(metaDir, s"v$vTop.metadata.json"))).deepCopy[ObjectNode]()
       val fv = md.path("format-version").asInt(1)
-      if (fv != 2)
+      if (fv != 2 && fv != 3)
         refuseW(s"the table is format version $fv — the replace-snapshot " +
-          "rewrite needs v2 sequence numbers")
+          "rewrite needs v2/v3 sequence numbers")
+      if (fv == 3 && md.has("next-row-id"))
+        refuseW("the v3 table tracks ROW LINEAGE (next-row-id) — a " +
+          "compaction rewrite must preserve each row's assigned id, " +
+          "which this writer does not implement")
       val currentSnap = md.path("current-snapshot-id").asLong(-1L)
       if (currentSnap < 0) { result = currentSnap } // empty table
       else {
@@ -3650,18 +3654,27 @@ object IcebergInterop {
             chosenData.isEmpty) {
           result = currentSnap // nothing worth compacting
         } else {
-          // position-delete manifests fully consumed by this rewrite
+          // position-delete / deletion-vector manifests fully consumed
+          // by this rewrite: every live entry's referenced data files
+          // are all being rewritten (equality deletes never consume —
+          // they may scope future re-inserts)
+          def chosen(t: String): Boolean =
+            chosenFiles.contains(t) || chosenQualified.contains(qualified(t))
           val dropDeletes = deleteManifests.filter { r =>
             val live = liveEntries(r)
-            live.nonEmpty &&
-            live.forall(df => fieldOpt(df, "content").map(longOf)
-              .getOrElse(0L) == 1L) && {
-              val targets = spark.read
-                .parquet(live.map(_.get("file_path").toString): _*)
-                .select(col("file_path")).distinct()
-                .collect().map(_.getString(0)).toSet
-              targets.forall(t => chosenFiles.contains(t) ||
-                chosenQualified.contains(qualified(t)))
+            live.nonEmpty && live.forall { df =>
+              val isPos = fieldOpt(df, "content").map(longOf)
+                .getOrElse(0L) == 1L
+              isPos && {
+                if (df.get("file_format").toString
+                    .equalsIgnoreCase("puffin"))
+                  fieldOpt(df, "referenced_data_file")
+                    .exists(ref => chosen(ref.toString))
+                else spark.read
+                  .parquet(df.get("file_path").toString)
+                  .select(col("file_path")).distinct()
+                  .collect().map(_.getString(0)).forall(chosen)
+              }
             }
           }
           spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
@@ -3694,11 +3707,17 @@ object IcebergInterop {
             chosenData.exists(_ eq r) || dropDeletes.exists(_ eq r))
           val cleanupDirs = () => { fs.delete(newDir, true); () }
           val committed =
-            try commitOverwriteSnapshot(fs, io, metaDir, md, vTop,
-              currentSnap, newSeq, schemaNode, schemaId, specId, parts,
-              keptPrior, Nil, newFiles, partValuesOf,
-              operation = "replace")
-            catch {
+            try {
+              if (fv == 3)
+                commitV3DvSnapshot(fs, io, root, metaDir, md, vTop,
+                  currentSnap, newSeq, schemaNode, schemaId, keptPrior,
+                  Map.empty, specId, parts, newFiles, partValuesOf,
+                  "replace", refuseW)
+              else commitOverwriteSnapshot(fs, io, metaDir, md, vTop,
+                currentSnap, newSeq, schemaNode, schemaId, specId, parts,
+                keptPrior, Nil, newFiles, partValuesOf,
+                operation = "replace")
+            } catch {
               case e: Throwable =>
                 try cleanupDirs() catch { case _: Exception => () }
                 throw e

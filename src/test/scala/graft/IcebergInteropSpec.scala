@@ -2560,6 +2560,62 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("finish the upgrade"), e.getMessage)
   }
 
+  test("v3 compaction folds deletion vectors in; row-lineage tables refuse") {
+    import spark.implicits._
+    val df = (0 until 60).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(3, col("id")).sortWithinPartitions("id")
+    val t = GraftTable.create(spark, tmp("graft_v3c_"), df)
+    val target = tmp("graft_v3c_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    patch(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 3")
+      .getBytes("UTF-8"))
+    IcebergInterop.deleteFromIceberg(spark, target, col("id") < 5L)
+    IcebergInterop.deleteFromIceberg(spark, target, col("id") === 30L)
+    val expect = (5L until 60L).toSet - 30L
+    val before = IcebergInterop.readIceberg(spark, target)
+      .select("id").as[Long].collect().toSet
+    assert(before == expect)
+    val s = IcebergInterop.compactIceberg(spark, target)
+    assert(IcebergInterop.readIceberg(spark, target)
+      .select("id").as[Long].collect().toSet == expect)
+    // the DV manifests are consumed: no puffin entries remain live
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hint = new String(Files.readAllBytes(
+      Paths.get(target, "metadata", "version-hint.text")), "UTF-8").trim
+    val md = om.readTree(Files.readAllBytes(
+      Paths.get(target, "metadata", s"v$hint.metadata.json")))
+    val it = md.get("snapshots").elements()
+    var listPath: String = null
+    while (it.hasNext) {
+      val sn = it.next()
+      if (sn.get("snapshot-id").asLong() == s)
+        listPath = sn.get("manifest-list").asText()
+    }
+    val deleteManifests = IcebergInterop.readAvro(
+      Files.readAllBytes(Paths.get(listPath)))
+      .filter { r =>
+        val f = r.getSchema.getField("content")
+        f != null && r.get("content").asInstanceOf[Number].intValue() == 1
+      }
+    assert(deleteManifests.isEmpty, s"DV manifests should be consumed: " +
+      s"${deleteManifests.size}")
+    // row-lineage v3 tables refuse compaction (ids must be preserved)
+    val curMeta = Files.list(Paths.get(target, "metadata")).toArray
+      .map(_.toString)
+      .flatMap("v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).max
+    val mdp = Paths.get(target, "metadata", s"v$curMeta.metadata.json")
+    patch(mdp, new String(Files.readAllBytes(mdp), "UTF-8")
+      .replaceFirst("\\{", "{\n  \"next-row-id\" : 7,")
+      .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.compactIceberg(spark, target)
+    }
+    assert(e.getMessage.contains("ROW LINEAGE"), e.getMessage)
+  }
+
   test("deleteFromIcebergByKey: equality-delete file, no scan; re-insert survives") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_ieq_"),
