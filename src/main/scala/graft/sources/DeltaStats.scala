@@ -179,12 +179,15 @@ private[graft] object DeltaStats {
       min: Map[String, Any], max: Map[String, Any],
       nullCount: Map[String, Long])
 
-  /** Comparison family of a column type: 'n' numeric (incl. decimal),
+  /** Comparison family of a column type: 'n' numeric (incl. decimal,
+    * and timestamps as epoch micros — Iceberg bounds decode to that
+    * domain; Delta's ISO-string stats JSON stays unparsed → no prune),
     * 'd' date, 's' string, 'b' boolean. Unsupported → None (never
     * prune by that column). */
-  private def familyOf(dt: DataType): Option[Char] = dt match {
+  private[sources] def familyOf(dt: DataType): Option[Char] = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
-        DoubleType | _: DecimalType => Some('n')
+        DoubleType | _: DecimalType | TimestampType | TimestampNTZType =>
+      Some('n')
     case StringType => Some('s')
     case BooleanType => Some('b')
     case DateType => Some('d')
@@ -244,6 +247,8 @@ private[graft] object DeltaStats {
       case ('n', _: DecimalType) =>
         Some(l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
           .toBigDecimal)
+      case ('n', TimestampType | TimestampNTZType) => // epoch micros
+        Some(BigDecimal(l.value.asInstanceOf[Long]))
       case ('n', StringType) => Try(BigDecimal(l.value.toString)).toOption
       case ('s', StringType) => Some(l.value.toString)
       case ('b', BooleanType) => Some(l.value.asInstanceOf[Boolean])

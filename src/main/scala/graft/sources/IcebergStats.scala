@@ -89,6 +89,8 @@ private[graft] object IcebergStats {
         if (d.isNaN || d.isInfinite) None else Some(le(8, _.putDouble(d)))
       case DateType => // days since epoch, stored as an int
         Some(le(4, _.putInt(v.asInstanceOf[Number].intValue())))
+      case TimestampType | TimestampNTZType => // epoch micros
+        Some(le(8, _.putLong(v.asInstanceOf[Number].longValue())))
       case t: DecimalType if t.precision <= 18 =>
         // long-backed parquet decimal: minimal big-endian unscaled
         val unscaled = java.math.BigInteger.valueOf(
@@ -145,6 +147,8 @@ private[graft] object IcebergStats {
         val d = leBuf.getDouble()
         if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
       case DateType if bytes.length == 4 => Some(BigDecimal(leBuf.getInt()))
+      case TimestampType | TimestampNTZType if bytes.length == 8 =>
+        Some(BigDecimal(leBuf.getLong())) // epoch micros
       case t: DecimalType if bytes.nonEmpty =>
         Some(BigDecimal(new java.math.BigDecimal(
           new java.math.BigInteger(bytes), t.scale)))

@@ -130,6 +130,33 @@ class IcebergStatsSpec extends AnyFunSuite {
       Map.empty).isEmpty)
   }
 
+  test("timestamp bounds: epoch-micros round-trip drives time-range pruning") {
+    import graft.sources.DeltaStats
+    val us = 1700000000000000L
+    assert(IcebergStats.encodeBound(TimestampType, Long.box(us),
+      isUpper = false).get.length == 8)
+    assert(IcebergStats.encodeBound(TimestampType, Long.box(us),
+      isUpper = false).flatMap(IcebergStats.decodeBound(TimestampType, _))
+      == Some(BigDecimal(us)))
+    // a file whose ts range ends before the predicate's instant prunes
+    val schema = StructType(Seq(StructField("ts", TimestampType)))
+    def micros(s: String): Long =
+      java.sql.Timestamp.valueOf(s).toInstant.toEpochMilli * 1000L
+    val st = DeltaStats.FileStats(Some(10L),
+      Map("ts" -> BigDecimal(micros("2024-01-01 00:00:00"))),
+      Map("ts" -> BigDecimal(micros("2024-03-01 00:00:00"))),
+      Map("ts" -> 0L))
+    def may(c: org.apache.spark.sql.Column) =
+      DeltaStats.mayMatchStats(DeltaStats.conjuncts(spark, schema, c),
+        schema, Nil, Map.empty, Some(st))
+    assert(!may(col("ts") > lit(java.sql.Timestamp.valueOf(
+      "2024-06-01 00:00:00"))))
+    assert(may(col("ts") > lit(java.sql.Timestamp.valueOf(
+      "2024-02-01 00:00:00"))))
+    assert(!may(col("ts") === lit(java.sql.Timestamp.valueOf(
+      "2023-12-31 00:00:00"))))
+  }
+
   test("exportSnapshot writes spec-encoded bounds any Iceberg engine reads") {
     val target = rangedExport()
     val dfs = dataFileRecords(target)
