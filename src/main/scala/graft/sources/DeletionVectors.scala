@@ -366,8 +366,20 @@ object DeletionVectors {
     * or size mismatch refuses loudly — a torn DV read would silently
     * resurrect deleted rows. */
   def load(conf: Configuration, tableRoot: HPath, d: Descriptor): Roaring64 = {
-    val bitmap = d.storageType match {
-      case "i" => deserialize(z85Decode(d.pathOrInlineDv))
+    val bitmap = deserialize(loadData(conf, tableRoot, d))
+    require(bitmap.cardinality == d.cardinality,
+      s"deletion vector decodes to ${bitmap.cardinality} rows, descriptor " +
+        s"says ${d.cardinality}")
+    bitmap
+  }
+
+  /** [[load]]'s verified SERIALIZED form (magic + vector bytes) — what
+    * a bitmap-level merge ships to executors without decoding on the
+    * driver. */
+  def loadData(conf: Configuration, tableRoot: HPath,
+      d: Descriptor): Array[Byte] =
+    d.storageType match {
+      case "i" => z85Decode(d.pathOrInlineDv)
       case "u" | "p" =>
         val p = dvFilePath(tableRoot, d)
         val fs = p.getFileSystem(conf)
@@ -391,21 +403,44 @@ object DeletionVectors {
         crc.update(data)
         require(crc.getValue.toInt == storedCrc,
           s"deletion vector at $p offset $off fails its CRC-32 check")
-        deserialize(data)
+        data
       case other => throw new IllegalArgumentException(
         s"unknown deletion-vector storage type '$other'")
     }
-    require(bitmap.cardinality == d.cardinality,
-      s"deletion vector decodes to ${bitmap.cardinality} rows, descriptor " +
-        s"says ${d.cardinality}")
-    bitmap
+
+  /** Build per-file deletion-vector bitmaps DISTRIBUTED: `pairs` is a
+    * (file: string, pos: long) DataFrame of newly struck rows; each
+    * file's positions union with its EXISTING bitmap (serialized form,
+    * shipped as a broadcast) and serialize ON THE EXECUTORS — the
+    * driver only ever holds roaring bytes (KB per file), never
+    * O(deleted rows) of row coordinates. Returns (file, serialized
+    * merged bitmap, cardinality) for exactly the files with new
+    * strikes. */
+  def serializeStruckBitmaps(pairs: org.apache.spark.sql.DataFrame,
+      oldBitmaps: Map[String, Array[Byte]])
+      : Array[(String, Array[Byte], Long)] = {
+    val sc = pairs.sparkSession.sparkContext
+    val bc = sc.broadcast(oldBitmaps)
+    pairs.rdd.map(r => (r.getString(0), r.getLong(1)))
+      .groupByKey()
+      .map { case (f, ps) =>
+        val old = bc.value.get(f)
+          .map(b => deserialize(b).toSeq).getOrElse(Nil)
+        val data = serialize(old ++ ps.toSeq)
+        (f, data, deserialize(data).cardinality)
+      }.collect()
   }
 
   /** Write an on-disk DV file (version byte + one framed bitmap) and
     * return the descriptor fields (offset, sizeInBytes). Spec/tooling
     * helper for building DV'd tables. */
-  def writeDvFile(conf: Configuration, p: HPath, values: Seq[Long]): (Long, Long) = {
-    val data = serialize(values)
+  def writeDvFile(conf: Configuration, p: HPath, values: Seq[Long]): (Long, Long) =
+    writeDvFileData(conf, p, serialize(values))
+
+  /** [[writeDvFile]] from an already-serialized bitmap (the executor-
+    * built merge output). */
+  def writeDvFileData(conf: Configuration, p: HPath,
+      data: Array[Byte]): (Long, Long) = {
     val crc = new java.util.zip.CRC32()
     crc.update(data)
     val bb = ByteBuffer.allocate(1 + 4 + data.length + 4).order(ByteOrder.BIG_ENDIAN)

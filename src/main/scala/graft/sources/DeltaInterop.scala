@@ -3548,53 +3548,40 @@ object DeltaInterop {
       val hp = new HPath(p)
       hp.getFileSystem(conf).makeQualified(hp).toString
     }
-    val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
     // positions already struck by the OLD vectors must re-appear in
-    // the merged ones — recover them from the DV-carrying files
-    val withDv = entries.filter(_._2._2.isDefined)
-    val oldPos: Option[DataFrame] =
-      if (withDv.isEmpty) None
-      else {
-        val lookupMap = new java.util.HashMap[
-          org.apache.spark.unsafe.types.UTF8String,
-          DeletionVectors.Roaring64]()
-        withDv.foreach { case (p, (_, dv)) =>
-          dv.foreach(d => lookupMap.put(
-            org.apache.spark.unsafe.types.UTF8String.fromString(
-              qualified(resolveFile(root, p))),
-            DeletionVectors.load(conf, root, d)))
-        }
-        val dvLookup = new DvLookup(lookupMap)
-        val base = spark.read.schema(dataSchema)
-          .parquet(withDv.map(e => resolveFile(root, e._1)): _*)
-        val dvPred = bridge.column(DvDeleted(
-          bridge.expression(col("_metadata.file_path")),
-          bridge.expression(col("_metadata.row_index")), dvLookup))
-        Some(base.withColumn("__file", col("_metadata.file_path"))
-          .withColumn("__pos", col("_metadata.row_index"))
-          .where(dvPred).select(col("__file"), col("__pos")))
-      }
-    val posByFile: Map[String, Seq[Long]] =
-      (oldPos.toSeq :+ newlyStruck.select(col("__file"), col("__pos")))
-        .reduce(_.unionByName(_))
-        .collect().groupBy(_.getString(0))
-        .map { case (f, rows) =>
-          f -> rows.map(_.getLong(1)).distinct.sorted.toSeq }
+    // the merged ones: the old bitmaps ride a broadcast in SERIALIZED
+    // form and union with the new strikes ON THE EXECUTORS — the
+    // driver only ever holds roaring bytes, never O(deleted rows) of
+    // row coordinates, and no data file is re-scanned to recover them
+    val oldBitmaps: Map[String, Array[Byte]] = entries.flatMap {
+      case (p, (_, dv)) =>
+        dv.map(d => qualified(resolveFile(root, p)) ->
+          DeletionVectors.loadData(conf, root, d))
+    }.toMap
+    val merged: Map[String, (Array[Byte], Long)] =
+      DeletionVectors.serializeStruckBitmaps(
+        newlyStruck.select(col("__file"), col("__pos")), oldBitmaps)
+        .map { case (f, data, card) => f -> ((data, card)) }.toMap
     entries.map { case (p, (pv, _)) =>
       val q = qualified(resolveFile(root, p))
-      val positions = posByFile.getOrElse(q, Nil)
+      // an entry can miss from `merged` only when no NEW row struck it
+      // (callers pass matched files, so this is belt-and-braces): its
+      // old bitmap, or an empty one, carries over
+      val (data, card) = merged.getOrElse(q,
+        oldBitmaps.get(q)
+          .map(b => (b, DeletionVectors.deserialize(b).cardinality))
+          .getOrElse((DeletionVectors.serialize(Nil), 0L)))
       val uuid = java.util.UUID.randomUUID()
       val ub = java.nio.ByteBuffer.allocate(16)
       ub.putLong(uuid.getMostSignificantBits)
       ub.putLong(uuid.getLeastSignificantBits)
-      val (off, size) = DeletionVectors.writeDvFile(conf,
-        new HPath(root, s"deletion_vector_$uuid.bin"), positions)
+      val (off, size) = DeletionVectors.writeDvFileData(conf,
+        new HPath(root, s"deletion_vector_$uuid.bin"), data)
       moved += s"deletion_vector_$uuid.bin"
       val fileSize =
         fs.getFileStatus(new HPath(resolveFile(root, p))).getLen
       (p, pv, fileSize, DeletionVectors.Descriptor("u",
-        DeletionVectors.z85Encode(ub.array()), Some(off), size,
-        positions.length.toLong))
+        DeletionVectors.z85Encode(ub.array()), Some(off), size, card))
     }
   }
 

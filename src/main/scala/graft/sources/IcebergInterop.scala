@@ -2329,8 +2329,11 @@ object IcebergInterop {
             }
           }.distinct
 
-        // ---- distributed, stats-pruned detection scan ----
+        // ---- distributed, stats-pruned detection scan; per-file
+        // merged bitmaps built ON THE EXECUTORS (the driver never
+        // holds row coordinates, only roaring bytes) ----
         import spark.implicits._
+        val priorDeletes = classifyV3Deletes(fs, priorList, refuseW)
         val pathMap = filePaths.map(p => (qualified(p), p))
           .toDF("__fp", "__uri")
         val matched = readIcebergInternal(spark, path, None, None,
@@ -2338,13 +2341,13 @@ object IcebergInterop {
           .where(condition)
           .join(pathMap, Seq("__fp"))
           .select(col("__uri"), col("__pos"))
-        val struck: Map[String, Seq[Long]] = matched.collect()
-          .groupBy(_.getString(0))
-          .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq }
+        val struck = DeletionVectors.serializeStruckBitmaps(matched,
+          v3OldDvBytes(conf, priorDeletes))
         if (struck.isEmpty) { result = currentSnap }
         else commitV3DvSnapshot(fs, io, root, metaDir, md, vTop,
-          currentSnap, newSeq, schemaNode, schemaId, priorList, struck,
-          0, Nil, Nil, _ => Nil, "delete", refuseW) match {
+          currentSnap, newSeq, schemaNode, schemaId, priorList,
+          priorDeletes, struck.toSeq, 0, Nil, Nil, _ => Nil, "delete",
+          refuseW) match {
           case Some(snapId) => result = snapId
           case None =>
             attempts += 1
@@ -2358,33 +2361,22 @@ object IcebergInterop {
     result
   }
 
-  /** Single-attempt FORMAT-V3 merge-on-read commit, shared by the v3
-    * DELETE/UPDATE/MERGE paths: `struck` rows per data file land as
-    * merged Puffin DELETION VECTORS (each affected file's existing DV
-    * folds in and its superseded manifest entry retires — the spec's
-    * at-most-one-DV rule), `newFiles` register under the default spec
-    * with footer bounds and ROW LINEAGE assigned from `next-row-id`.
-    * Refuses v3 tables still carrying live parquet position deletes.
-    * Returns the new snapshot id, or None on a lost version race after
-    * deleting this attempt's files (callers recompute). */
-  private def commitV3DvSnapshot(fs: org.apache.hadoop.fs.FileSystem,
-      io: TableIO, root: HPath, metaDir: HPath, md: ObjectNode, vTop: Int,
-      currentSnap: Long, newSeq: Long, schemaNode: JsonNode, schemaId: Int,
-      priorList: Seq[GenericRecord], struck: Map[String, Seq[Long]],
-      specId: Int, parts: Seq[(PartField, String)],
-      newFiles: Seq[(HPath, Long, Long)],
-      partValuesOf: HPath => Seq[AnyRef], operation: String,
-      refuseW: String => Nothing): Option[Long] = {
-    val conf = fs.getConf
-    def contentOf(r: GenericRecord): Long =
-      fieldOpt(r, "content").map(longOf).getOrElse(0L)
+  /** One prior delete manifest of a v3 table: its manifest-list record
+    * and every live deletion-vector reference
+    * (referenced data file, puffin path, offset, size). */
+  private case class V3DeleteManifest(listRecord: GenericRecord,
+      dvRefs: Seq[(String, String, Long, Long)])
 
-    // prior delete manifests, each with its live DV references —
-    // and the v3 legality check: no live parquet position deletes
-    case class PriorDeleteManifest(listRecord: GenericRecord,
-        dvRefs: Seq[(String, String, Long, Long)])
-    val priorDeletes: Seq[PriorDeleteManifest] =
-      priorList.filter(contentOf(_) == 1L).map { r =>
+  /** Classify a v3 snapshot's delete manifests — collecting live DV
+    * references and refusing live parquet position deletes (v3 allows
+    * only deletion vectors; a table still carrying them is a botched
+    * upgrade). Shared by the v3 DELETE/UPDATE/MERGE/compact paths. */
+  private def classifyV3Deletes(fs: org.apache.hadoop.fs.FileSystem,
+      priorList: Seq[GenericRecord],
+      refuseW: String => Nothing): Seq[V3DeleteManifest] =
+    priorList
+      .filter(r => fieldOpt(r, "content").map(longOf).getOrElse(0L) == 1L)
+      .map { r =>
         val ents = readAvro(readBytes(fs,
           new HPath(r.get("manifest_path").toString)))
         val dvRefs = ents.flatMap { e =>
@@ -2411,23 +2403,44 @@ object IcebergInterop {
             else None // equality deletes carry forward untouched
           }
         }
-        PriorDeleteManifest(r, dvRefs)
+        V3DeleteManifest(r, dvRefs)
       }
 
-    // merge each affected file's existing DV into its new one
-    val affected = struck.keySet
-    val oldDvByRef: Map[String, (String, Long, Long)] =
-      priorDeletes.flatMap(_.dvRefs)
-        .map { case (ref, pf, off, sz) => ref -> ((pf, off, sz)) }
-        .toMap
-    val mergedDvs: Seq[(String, Seq[Long])] = struck.toSeq
-      .map { case (ref, fresh) =>
-        val old = oldDvByRef.get(ref)
-          .map { case (pf, off, sz) =>
-            Puffin.readDvBlob(conf, pf, off, sz).toSeq }
-          .getOrElse(Nil)
-        ref -> (old ++ fresh)
-      }
+  /** The verified serialized bitmaps of every live DV, keyed by
+    * referenced data file — the broadcastable old side of the
+    * executor-built bitmap merge. */
+  private def v3OldDvBytes(conf: org.apache.hadoop.conf.Configuration,
+      priorDeletes: Seq[V3DeleteManifest]): Map[String, Array[Byte]] =
+    priorDeletes.flatMap(_.dvRefs).map { case (ref, pf, off, sz) =>
+      ref -> Puffin.readDvBlobData(conf, pf, off, sz)
+    }.toMap
+
+  /** Single-attempt FORMAT-V3 merge-on-read commit, shared by the v3
+    * DELETE/UPDATE/MERGE/compact paths: `struck` carries ONE
+    * executor-built merged bitmap per affected data file (new strikes
+    * ∪ the file's existing DV — see
+    * [[DeletionVectors.serializeStruckBitmaps]]; the driver never
+    * holds row coordinates), landing as Puffin DELETION VECTORS whose
+    * superseded manifest entries retire (the spec's at-most-one-DV
+    * rule); `newFiles` register under the default spec with footer
+    * bounds and ROW LINEAGE assigned from `next-row-id`. Returns the
+    * new snapshot id, or None on a lost version race after deleting
+    * this attempt's files (callers recompute). */
+  private def commitV3DvSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+      io: TableIO, root: HPath, metaDir: HPath, md: ObjectNode, vTop: Int,
+      currentSnap: Long, newSeq: Long, schemaNode: JsonNode, schemaId: Int,
+      priorList: Seq[GenericRecord],
+      priorDeletes: Seq[V3DeleteManifest],
+      struck: Seq[(String, Array[Byte], Long)],
+      specId: Int, parts: Seq[(PartField, String)],
+      newFiles: Seq[(HPath, Long, Long)],
+      partValuesOf: HPath => Seq[AnyRef], operation: String,
+      refuseW: String => Nothing): Option[Long] = {
+    val conf = fs.getConf
+    def contentOf(r: GenericRecord): Long =
+      fieldOpt(r, "content").map(longOf).getOrElse(0L)
+
+    val affected: Set[String] = struck.map(_._1).toSet
     val snapId = md.path("snapshots").elements().asScala()
       .map(_.path("snapshot-id").asLong(0L)).maxOption.getOrElse(0L) + 1L
     val written = scala.collection.mutable.Buffer[HPath]()
@@ -2438,7 +2451,7 @@ object IcebergInterop {
         else {
           val puffinPath = new HPath(new HPath(root, "data"),
             s"graft-dv-${java.util.UUID.randomUUID()}.puffin")
-          val blobs = Puffin.writeDvFile(conf, puffinPath, mergedDvs,
+          val blobs = Puffin.writeDvFileData(conf, puffinPath, struck,
             snapId, newSeq)
           val puffinLen = fs.getFileStatus(puffinPath).getLen
           written += puffinPath
@@ -3007,19 +3020,21 @@ object IcebergInterop {
                   s"$path — giving up")
           }
           if (fv == 3) {
-            // ---- v3: old row versions retire through merged DVs ----
-            val struck: Map[String, Seq[Long]] = matched
-              .join(pathMap, Seq("__fp"))
-              .select(col("__uri"), col("__pos")).collect()
-              .groupBy(_.getString(0))
-              .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq }
+            // ---- v3: old row versions retire through merged DVs,
+            // bitmaps built on the executors ----
+            val priorDeletes = classifyV3Deletes(fs, priorList, refuseW)
+            val struck = DeletionVectors.serializeStruckBitmaps(
+              matched.join(pathMap, Seq("__fp"))
+                .select(col("__uri"), col("__pos")),
+              v3OldDvBytes(conf, priorDeletes))
             if (struck.isEmpty) { result = currentSnap }
             else {
               val (newDir, newFiles, partValuesOf) = writeSpecData(mkNewRows,
                 root, fs, conf, parts, schemaNode, schema, "graft-update")
               commitV3DvSnapshot(fs, io, root, metaDir, md, vTop,
                 currentSnap, newSeq, schemaNode, schemaId, priorList,
-                struck, specId, parts, newFiles.filter(_._3 > 0),
+                priorDeletes, struck.toSeq, specId, parts,
+                newFiles.filter(_._3 > 0),
                 partValuesOf, "overwrite", refuseW) match {
                 case Some(snapId) => result = snapId
                 case None =>
@@ -3471,22 +3486,23 @@ object IcebergInterop {
                 s"$path — giving up")
         }
         if (fv == 3) {
-          // ---- v3: clause-hit rows retire through merged DVs ----
-          val struckMap: Map[String, Seq[Long]] = struck
-            .join(pathMap, Seq("__fp"))
-            .select(col("__uri"), col("__pos")).collect()
-            .groupBy(_.getString(0))
-            .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq }
+          // ---- v3: clause-hit rows retire through merged DVs,
+          // bitmaps built on the executors ----
+          val priorDeletes = classifyV3Deletes(fs, priorList, refuseW)
+          val struckDvs = DeletionVectors.serializeStruckBitmaps(
+            struck.join(pathMap, Seq("__fp"))
+              .select(col("__uri"), col("__pos")),
+            v3OldDvBytes(conf, priorDeletes))
           val (newDir, allNewFiles, partValuesOf) = writeSpecData(newRows,
             root, fs, conf, parts, schemaNode, schema, "graft-merge")
           val newFiles = allNewFiles.filter(_._3 > 0)
-          if (struckMap.isEmpty && newFiles.isEmpty) {
+          if (struckDvs.isEmpty && newFiles.isEmpty) {
             fs.delete(newDir, true)
             result = currentSnap // empty source, no clause fired: no-op
           } else commitV3DvSnapshot(fs, io, root, metaDir, md, vTop,
             currentSnap, newSeq, schemaNode, schemaId, priorList,
-            struckMap, specId, parts, newFiles, partValuesOf,
-            "overwrite", refuseW) match {
+            priorDeletes, struckDvs.toSeq, specId, parts, newFiles,
+            partValuesOf, "overwrite", refuseW) match {
             case Some(snapId) => result = snapId
             case None =>
               fs.delete(newDir, true)
@@ -3711,7 +3727,8 @@ object IcebergInterop {
               if (fv == 3)
                 commitV3DvSnapshot(fs, io, root, metaDir, md, vTop,
                   currentSnap, newSeq, schemaNode, schemaId, keptPrior,
-                  Map.empty, specId, parts, newFiles, partValuesOf,
+                  classifyV3Deletes(fs, keptPrior, refuseW),
+                  Nil, specId, parts, newFiles, partValuesOf,
                   "replace", refuseW)
               else commitOverwriteSnapshot(fs, io, metaDir, md, vTop,
                 currentSnap, newSeq, schemaNode, schemaId, specId, parts,

@@ -37,8 +37,7 @@ private[graft] object Puffin {
   /** One DV blob's bytes: BE length of magic+vector, then the
     * Delta-framed serialized bitmap (which itself starts with the
     * `D1 D3 39 64` magic), then the BE CRC-32 of magic+vector. */
-  private[sources] def dvBlobBytes(positions: Seq[Long]): Array[Byte] = {
-    val data = DeletionVectors.serialize(positions) // magic + vector
+  private[sources] def dvBlobBytes(data: Array[Byte]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + data.length + 4)
       .order(ByteOrder.BIG_ENDIAN)
     bb.putInt(data.length)
@@ -57,17 +56,28 @@ private[graft] object Puffin {
     * `cardinality`. Returns each blob's manifest coordinates. */
   def writeDvFile(conf: Configuration, p: HPath,
       dvs: Seq[(String, Seq[Long])], snapshotId: Long,
+      sequenceNumber: Long): Seq[DvBlob] =
+    writeDvFileData(conf, p,
+      dvs.map { case (ref, ps) =>
+        (ref, DeletionVectors.serialize(ps), ps.distinct.size.toLong) },
+      snapshotId, sequenceNumber)
+
+  /** [[writeDvFile]] from already-serialized bitmaps (the executor-
+    * built merge output: (referenced data file, magic+vector bytes,
+    * cardinality)). */
+  def writeDvFileData(conf: Configuration, p: HPath,
+      dvs: Seq[(String, Array[Byte], Long)], snapshotId: Long,
       sequenceNumber: Long): Seq[DvBlob] = {
     require(dvs.nonEmpty, "writeDvFile needs at least one deletion vector")
     require(dvs.map(_._1).distinct.size == dvs.size,
       "at most one deletion vector per data file")
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic)
-    val blobs = dvs.sortBy(_._1).map { case (ref, positions) =>
+    val blobs = dvs.sortBy(_._1).map { case (ref, data, card) =>
       val offset = out.size().toLong
-      val bytes = dvBlobBytes(positions)
+      val bytes = dvBlobBytes(data)
       out.write(bytes)
-      (ref, offset, bytes.length.toLong, positions.distinct.size.toLong)
+      (ref, offset, bytes.length.toLong, card)
     }
     def jsonEscape(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -100,7 +110,14 @@ private[graft] object Puffin {
     * length framing and CRC — a torn DV read would silently resurrect
     * deleted rows, so any mismatch refuses loudly. */
   def readDvBlob(conf: Configuration, puffinPath: String, offset: Long,
-      sizeInBytes: Long): DeletionVectors.Roaring64 = {
+      sizeInBytes: Long): DeletionVectors.Roaring64 =
+    DeletionVectors.deserialize(
+      readDvBlobData(conf, puffinPath, offset, sizeInBytes))
+
+  /** [[readDvBlob]]'s verified SERIALIZED form (magic + vector bytes),
+    * for bitmap-level merges that never decode on the driver. */
+  def readDvBlobData(conf: Configuration, puffinPath: String, offset: Long,
+      sizeInBytes: Long): Array[Byte] = {
     val p = new HPath(puffinPath)
     val fs = p.getFileSystem(conf)
     require(sizeInBytes >= 12 && sizeInBytes <= Int.MaxValue,
@@ -119,6 +136,6 @@ private[graft] object Puffin {
     require(crc32(data) == storedCrc,
       s"deletion-vector blob at $puffinPath offset $offset fails its " +
         "CRC-32 check")
-    DeletionVectors.deserialize(data)
+    data
   }
 }
