@@ -801,3 +801,15 @@ def delete_from_iceberg_by_key(key_rows_df, path):
     spark = key_rows_df.sparkSession
     ix = spark._jvm.graft.sources.IcebergInterop
     return ix.deleteFromIcebergByKey(key_rows_df._jdf, path, 20)
+
+
+def read_iceberg_filtered(spark, path, condition_col):
+    """Filtered Iceberg read with MANIFEST-LEVEL file skipping: the
+    condition applies as a normal filter AND its AND-conjuncts prune
+    the planned file list by each manifest entry's column bounds before
+    any file opens — O(candidate files) planning on bounds-carrying
+    tables, on top of parquet row-group skipping."""
+    from pyspark.sql import DataFrame
+    ix = spark._jvm.graft.sources.IcebergInterop
+    return DataFrame(ix.readIcebergFiltered(
+        spark._jsparkSession, path, condition_col._jc), spark)

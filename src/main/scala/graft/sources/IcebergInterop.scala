@@ -2718,9 +2718,9 @@ object IcebergInterop {
       val md = om.readTree(readBytes(fs,
         new HPath(metaDir, s"v$vTop.metadata.json"))).deepCopy[ObjectNode]()
       val fv = md.path("format-version").asInt(1)
-      if (fv != 2)
+      if (fv != 2 && fv != 3)
         refuseW(s"the table is format version $fv — equality deletes " +
-          "need v2 merge-on-read")
+          "need v2/v3 merge-on-read")
       val schemaNode = currentSchemaNode(md, path)
       val schemaId = md.path("current-schema-id").asInt(
         schemaNode.path("schema-id").asInt(0))
@@ -2797,13 +2797,15 @@ object IcebergInterop {
           "schema-id" -> schemaId.toString,
           "partition-spec" -> "[]",
           "partition-spec-id" -> unpartSpecId.toString,
-          "format-version" -> "2",
+          "format-version" -> fv.toString,
           "content" -> "deletes"), ents)
         val manifestPath = new HPath(metaDir,
           s"${java.util.UUID.randomUUID()}-m0.avro")
         writeBytes(fs, manifestPath, manifestBytes)
+        val listSchema =
+          if (fv == 3) manifestFileSchemaV3 else manifestFileSchemaV2
         val delRecord = {
-          val mf = new GenericData.Record(manifestFileSchemaV2)
+          val mf = new GenericData.Record(listSchema)
           mf.put("manifest_path", manifestPath.toString)
           mf.put("manifest_length", manifestBytes.length.toLong)
           mf.put("partition_spec_id", unpartSpecId)
@@ -2821,10 +2823,11 @@ object IcebergInterop {
         }
         val defaultSpecId = md.path("default-spec-id").asInt(0)
         val listRecords = priorList.map(
-          reserializeManifestFileV2(_, defaultSpecId, currentSnap)) :+
-          delRecord
-        val listBytes = writeAvro(manifestFileSchemaV2,
-          Map("snapshot-id" -> snapId.toString, "format-version" -> "2",
+          reserializeManifestFileV2(_, defaultSpecId, currentSnap,
+            listSchema)) :+ delRecord
+        val listBytes = writeAvro(listSchema,
+          Map("snapshot-id" -> snapId.toString,
+            "format-version" -> fv.toString,
             "sequence-number" -> newSeq.toString), listRecords)
         val listPath = new HPath(metaDir,
           s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
@@ -2838,6 +2841,9 @@ object IcebergInterop {
           schemaId)
         sn.put("sequence-number", newSeq)
         if (currentSnap >= 0) sn.put("parent-snapshot-id", currentSnap)
+        // v3 row lineage: a delete-only commit holds the mark still
+        if (fv == 3 && md.has("next-row-id"))
+          sn.put("first-row-id", md.get("next-row-id").asLong())
         snaps.add(sn)
         md.path("snapshot-log") match {
           case a: com.fasterxml.jackson.databind.node.ArrayNode =>
@@ -3899,6 +3905,19 @@ object IcebergInterop {
       partitionWhere: Option[(String, String)] = None): DataFrame =
     readIcebergInternal(spark, path, asOfSnapshotId, partitionWhere,
       withLineage = false)
+
+  /** FILTERED read with MANIFEST-LEVEL file skipping: `condition`
+    * applies as a normal filter AND its AND-conjuncts prune the file
+    * list by each entry's column bounds + identity partition values
+    * before any file opens — on a bounds-carrying 100 TB table a keyed
+    * or time-ranged read plans O(candidate files), not O(table), on
+    * top of parquet's own row-group skipping. Conservative: files
+    * without usable bounds always scan. */
+  def readIcebergFiltered(spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column): DataFrame =
+    readIcebergInternal(spark, path, None, None, withLineage = false,
+      pruneWhere = Some(condition))
+      .where(condition)
 
   /** TEST HOOK: the distinct data-file paths the DELETE/UPDATE
     * detection scan for `condition` would read at `path` — exactly the

@@ -181,8 +181,36 @@ class IcebergMicroBatchStream(spark: SparkSession, path: String,
     val e = end.asInstanceOf[IcebergSnapshotOffset].snapshotId
     if (e == s || e < 0) return Array.empty
     val (fs, md) = currentMetadata(spark, path)
-    if (md.path("format-version").asInt(1) > 2)
-      refuse(path, "is format version 3+")
+    if (md.path("format-version").asInt(1) > 3)
+      refuse(path, "is format version 4+")
+    // v3 streams like v2 (appends only; MoR states refuse at batch 0,
+    // DV-writing snapshots are change snapshots) — except column
+    // DEFAULT VALUES, which a fixed-schema scan would null-fill
+    if (md.path("format-version").asInt(1) >= 3) {
+      def hasDefault(node: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+        val fields = node.path("fields")
+        fields.isArray && {
+          val it = fields.elements()
+          var found = false
+          while (it.hasNext && !found) {
+            val f = it.next()
+            found = (f.has("initial-default") && !f.get("initial-default").isNull) ||
+              (f.path("type").isObject && hasDefault(f.path("type")))
+          }
+          found
+        }
+      }
+      val schemaNodes =
+        (if (md.path("schemas").isArray) {
+          val b = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+          val it = md.get("schemas").elements()
+          while (it.hasNext) b += it.next()
+          b.result()
+        } else Nil) ++ Option(md.get("schema")).toSeq
+      if (schemaNodes.exists(hasDefault))
+        refuse(path, "declares Iceberg v3 column default values — a " +
+          "fixed-schema stream would null-fill them")
+    }
     def snapshotNode(id: Long) = {
       val it = md.get("snapshots").elements()
       var found: com.fasterxml.jackson.databind.JsonNode = null
@@ -276,18 +304,27 @@ class IcebergMicroBatchStream(spark: SparkSession, path: String,
           // files — invisible to a stream by Iceberg's own source
           // contract: skipped silently, never streamed, never a
           // failure. Anything else non-append is a row-level change.
+          // Delete manifests CARRIED from older snapshots don't make an
+          // append a change: position deletes reference files that
+          // existed before, and equality deletes strike only LOWER data
+          // sequence numbers — neither can touch this snapshot's added
+          // rows. Only a delete manifest the snapshot itself ADDED does.
           val isRewrite = op == "replace" ||
             op.startsWith("compact") || op.startsWith("cluster")
           val isChange = !isRewrite &&
-            (op != "append" || recs.exists(_._1 != 0L))
+            (op != "append" ||
+              recs.exists(r => r._1 != 0L && r._3 == id))
           if (isChange && !skipChangeCommits)
             throw new IllegalStateException(
               s"iceberg stream over $path: snapshot $id is operation " +
                 s"'$op' — the source tails APPENDS; set read option " +
                 "skipChangeCommits=true to skip change snapshots")
           if (isChange || isRewrite) Nil
-          else recs.flatMap { case (_, mp, addedBy) =>
-            readAvro(readBytes(fs, new HPath(mp))).flatMap { e2 =>
+          else recs.flatMap { case (content, mp, addedBy) =>
+            // carried delete manifests contribute no streamed files
+            // (and may hold non-parquet DV entries) — data only
+            if (content != 0L) Nil
+            else readAvro(readBytes(fs, new HPath(mp))).flatMap { e2 =>
               val df = dataFileOf(e2)
               checkParquet(df)
               val entrySnap = fieldOpt(e2, "snapshot_id").map(longOf)

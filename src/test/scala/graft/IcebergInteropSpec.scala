@@ -954,6 +954,37 @@ class IcebergInteropSpec extends AnyFunSuite {
       .count() == 4)
   }
 
+  test("IcebergSource streams v3 tables; v3 DV delete is a change snapshot") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_iv3s_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val target = tmp("graft_iv3s_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    patch(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 3")
+      .getBytes("UTF-8"))
+    IcebergInterop.appendToIceberg(Seq((3L, "c")).toDF("id", "v"), target)
+    val name = "iv3stream_mem"
+    val q = spark.readStream.format("graft.sources.v2.IcebergSource")
+      .option("skipChangeCommits", "true")
+      .load(target)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // a v3 DV delete is a change snapshot — skipped under the
+      // option, appends after it keep flowing
+      IcebergInterop.deleteFromIceberg(spark, target, col("id") === 1L)
+      IcebergInterop.appendToIceberg(Seq((4L, "d")).toDF("id", "v"), target)
+      q.processAllAvailable()
+      assert(spark.table(name).as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    } finally q.stop()
+  }
+
   test("IcebergSource restart catches up ACROSS an ADD COLUMN without wedging") {
     import spark.implicits._
     // the catch-up batch of a restarted stream spans snapshots on BOTH
@@ -2666,6 +2697,18 @@ class IcebergInteropSpec extends AnyFunSuite {
       IcebergInterop.deleteFromIcebergByKey(Seq(1L).toDF("nope"), target)
     }
     assert(e2.getMessage.contains("not a top-level"), e2.getMessage)
+    // v3 tables take keyed equality deletes too (still legal in v3)
+    val curMeta = Files.list(Paths.get(target, "metadata")).toArray
+      .map(_.toString)
+      .flatMap("v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).max
+    val mdp = Paths.get(target, "metadata", s"v$curMeta.metadata.json")
+    patch(mdp, new String(Files.readAllBytes(mdp), "UTF-8")
+      .replace("\"format-version\" : 2", "\"format-version\" : 3")
+      .getBytes("UTF-8"))
+    IcebergInterop.deleteFromIcebergByKey(Seq(2L).toDF("id"), target)
+    assert(IcebergInterop.readIceberg(spark, target)
+      .select("id").as[Long].collect().toSet == Set(1L))
   }
 
   test("rollbackIceberg: metadata-only undo; history retained; appends re-chain") {

@@ -223,6 +223,21 @@ class IcebergStatsSpec extends AnyFunSuite {
     assert(candidates($"id" === 200L).size == 1)
   }
 
+  test("readIcebergFiltered plans only bound-matching files") {
+    import spark.implicits._
+    val target = rangedExport()
+    // values exact under the filter
+    val got = IcebergInterop.readIcebergFiltered(spark, target,
+      $"id" >= 90L).select("id").as[Long].collect().toSet
+    assert(got == (90L until 100L).toSet)
+    // and the plan touches one file, not four (the hook shares the
+    // same pruning)
+    assert(IcebergInterop.icebergCandidateFiles(spark, target,
+      $"id" >= 90L).size == 1)
+    assert(IcebergInterop.readIcebergFiltered(spark, target,
+      $"v" === "zzz").count() == 0)
+  }
+
   test("appendToIceberg carries bounds on v1 and v2 tables") {
     import spark.implicits._
     for (v2 <- Seq(false, true)) {
