@@ -84,9 +84,11 @@ private[graft] object DeltaStats {
             if (!allNull && stats.forall(_.hasNonNullValue)) {
               val lohi = for {
                 los <- Try(stats.map(s => statJson(f.dataType,
-                  s.genericGetMin.asInstanceOf[AnyRef]))).toOption
+                  s.genericGetMin.asInstanceOf[AnyRef],
+                  isUpper = false))).toOption
                 his <- Try(stats.map(s => statJson(f.dataType,
-                  s.genericGetMax.asInstanceOf[AnyRef]))).toOption
+                  s.genericGetMax.asInstanceOf[AnyRef],
+                  isUpper = true))).toOption
                 lo <- reduceOpt(los, keepMin = true)
                 hi <- reduceOpt(his, keepMin = false)
               } yield (lo, hi)
@@ -111,8 +113,26 @@ private[graft] object DeltaStats {
   }.toOption
 
   /** (rendered JSON value, comparable) for one footer min/max value —
-    * None (via exception → Try in the caller) kills the column. */
-  private def statJson(dt: DataType, v: AnyRef): (String, Any) = dt match {
+    * None (via exception → Try in the caller) kills the column.
+    * Timestamps truncate to MILLIS the way Delta's own writer does:
+    * the min floors, the max CEILS to the next millisecond so the
+    * rendered value stays a valid upper bound (INT96-written footers
+    * carry no usable stats and simply skip the column). */
+  private def statJson(dt: DataType, v: AnyRef,
+      isUpper: Boolean): (String, Any) = dt match {
+    case TimestampType | TimestampNTZType =>
+      val us = v.asInstanceOf[Number].longValue // INT64 epoch micros
+      val ms =
+        if (isUpper) Math.floorDiv(us + 999L, 1000L)
+        else Math.floorDiv(us, 1000L)
+      val odt = java.time.Instant.ofEpochMilli(ms)
+        .atOffset(java.time.ZoneOffset.UTC)
+      val base = odt.toLocalDateTime.format(
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS"))
+      val rendered =
+        if (dt == TimestampType) s""""${base}Z"""" else s""""$base""""
+      (rendered, BigDecimal(ms * 1000L))
     case ByteType | ShortType | IntegerType | LongType =>
       val l = v.asInstanceOf[Number].longValue
       (l.toString, BigDecimal(l))
@@ -205,9 +225,7 @@ private[graft] object DeltaStats {
     def section(name: String): Map[String, Any] =
       schema.fields.flatMap { f =>
         val node = root.path(name).path(f.name)
-        familyOf(f.dataType).flatMap { fam =>
-          normNode(fam, node).map(f.name -> _)
-        }
+        normNode(f.dataType, node).map(f.name -> _)
       }.toMap
     val nulls = schema.fields.flatMap { f =>
       val node = root.path("nullCount").path(f.name)
@@ -216,18 +234,32 @@ private[graft] object DeltaStats {
     FileStats(numRecords, section("minValues"), section("maxValues"), nulls)
   }.toOption
 
-  /** One JSON stats value → normalized domain, by column family. */
-  private def normNode(fam: Char,
+  /** One JSON stats value → normalized domain, by column type.
+    * Timestamps arrive as the protocol's ISO-8601 strings (with or
+    * without a zone suffix) and normalize to epoch micros — the domain
+    * timestamp LITERALS already compare in. */
+  private def normNode(dt: DataType,
       node: com.fasterxml.jackson.databind.JsonNode): Option[Any] =
-    fam match {
-      case _ if node == null || node.isMissingNode || node.isNull => None
-      case 'n' if node.isNumber => Some(BigDecimal(node.decimalValue()))
-      case 'd' if node.isTextual =>
-        Try(BigDecimal(
-          java.time.LocalDate.parse(node.asText()).toEpochDay)).toOption
-      case 's' if node.isTextual => Some(node.asText())
-      case 'b' if node.isBoolean => Some(node.asBoolean())
-      case _ => None
+    if (node == null || node.isMissingNode || node.isNull) None
+    else dt match {
+      case TimestampType | TimestampNTZType if node.isTextual =>
+        Try {
+          val s = node.asText()
+          val instant = Try(java.time.OffsetDateTime.parse(s).toInstant)
+            .getOrElse(java.time.LocalDateTime.parse(s)
+              .toInstant(java.time.ZoneOffset.UTC))
+          BigDecimal(Math.multiplyExact(instant.getEpochSecond, 1000000L) +
+            instant.getNano / 1000L)
+        }.toOption
+      case _ => familyOf(dt).flatMap {
+        case 'n' if node.isNumber => Some(BigDecimal(node.decimalValue()))
+        case 'd' if node.isTextual =>
+          Try(BigDecimal(
+            java.time.LocalDate.parse(node.asText()).toEpochDay)).toOption
+        case 's' if node.isTextual => Some(node.asText())
+        case 'b' if node.isBoolean => Some(node.asBoolean())
+        case _ => None
+      }
     }
 
   /** A Literal → normalized domain, relative to the COLUMN's family

@@ -125,6 +125,42 @@ class DeltaStatsSpec extends AnyFunSuite {
     assert(DeltaInterop.candidateFiles(spark, target, $"id" === 7L).size == 1)
   }
 
+  test("timestamp stats: ISO millis-truncated bounds prune time ranges") {
+    import spark.implicits._
+    val prior = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    try {
+      val df = (0 until 40).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-${i / 2 + 1}%02d 10:00:00.1235")))
+        .toDF("id", "ts")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      val t = GraftTable.create(spark, tmp("graft_ts_src_"), df)
+      val target = tmp("graft_ts_delta_")
+      DeltaInterop.exportSnapshot(t, target)
+      val stats = DeltaInterop.deltaFileStats(spark, target)
+      assert(stats.values.forall(s =>
+        s.contains("\"ts\":\"2024-01-") && s.contains("Z\"")), stats)
+      // a range beyond all data prunes everything
+      assert(DeltaInterop.candidateFiles(spark, target,
+        $"ts" > lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+        .isEmpty)
+      // a tight range hits a strict subset
+      val some = DeltaInterop.candidateFiles(spark, target,
+        $"ts" < lit(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+      assert(some.nonEmpty && some.size < 4, some)
+      // the max CEILS to the next millisecond: equality on micros the
+      // truncation dropped still keeps the file (never a wrong prune)
+      assert(DeltaInterop.candidateFiles(spark, target,
+        $"ts" === lit(java.sql.Timestamp.valueOf("2024-01-20 10:00:00.1235")))
+        .nonEmpty)
+      // and the pruned DELETE stays exact across the truncated edges
+      DeltaInterop.deleteFromDelta(spark, target,
+        $"ts" >= lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+      assert(DeltaInterop.readDelta(spark, target).count() == 38)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
+  }
+
   test("mayMatch is conservative: nulls, non-ASCII, IN, IsNull") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType),
