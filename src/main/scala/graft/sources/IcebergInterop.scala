@@ -3679,24 +3679,27 @@ object IcebergInterop {
           // position-delete / deletion-vector manifests fully consumed
           // by this rewrite: every live entry's referenced data files
           // are all being rewritten (equality deletes never consume —
-          // they may scope future re-inserts)
+          // they may scope future re-inserts). Parquet position-delete
+          // targets read in ONE job per manifest, never per entry.
           def chosen(t: String): Boolean =
             chosenFiles.contains(t) || chosenQualified.contains(qualified(t))
           val dropDeletes = deleteManifests.filter { r =>
             val live = liveEntries(r)
-            live.nonEmpty && live.forall { df =>
-              val isPos = fieldOpt(df, "content").map(longOf)
-                .getOrElse(0L) == 1L
-              isPos && {
-                if (df.get("file_format").toString
-                    .equalsIgnoreCase("puffin"))
-                  fieldOpt(df, "referenced_data_file")
-                    .exists(ref => chosen(ref.toString))
-                else spark.read
-                  .parquet(df.get("file_path").toString)
+            live.nonEmpty &&
+            live.forall(df => fieldOpt(df, "content").map(longOf)
+              .getOrElse(0L) == 1L) && {
+              val (puffins, parquets) = live.partition(
+                _.get("file_format").toString.equalsIgnoreCase("puffin"))
+              puffins.forall(df =>
+                fieldOpt(df, "referenced_data_file")
+                  .exists(ref => chosen(ref.toString))) &&
+              (parquets.isEmpty || {
+                val targets = spark.read
+                  .parquet(parquets.map(_.get("file_path").toString): _*)
                   .select(col("file_path")).distinct()
-                  .collect().map(_.getString(0)).forall(chosen)
-              }
+                  .collect().map(_.getString(0)).toSet
+                targets.forall(chosen)
+              })
             }
           }
           spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
