@@ -27,11 +27,13 @@ import org.apache.spark.sql.types._
   *    reader can open.
   *  - [[readIceberg]]: open an existing file-based Iceberg table's
   *    current snapshot as a DataFrame without any iceberg dependency —
-  *    metadata.json (v1 or v2) → manifest list → manifests → pruned
-  *    parquet scan. v2 merge-on-read deletes apply as distributed
-  *    anti-joins — position deletes on (file, pos), equality deletes
-  *    null-safe per id set under the sequence-number guard; non-parquet
-  *    data files and format v3+ refuse loudly rather than misread.
+  *    metadata.json (v1, v2 or v3) → manifest list → manifests →
+  *    pruned parquet scan. v2 merge-on-read deletes apply as
+  *    distributed anti-joins — position deletes on (file, pos),
+  *    equality deletes null-safe per id set under the sequence-number
+  *    guard — and v3 Puffin DELETION VECTORS as a codegen'd per-file
+  *    bitmap filter; non-parquet data files and format v4+ refuse
+  *    loudly rather than misread.
   *
   * Columns are resolved BY NAME against the parquet footers (a
   * first-file probe verifies every declared top-level column exists);
@@ -1567,16 +1569,19 @@ object IcebergInterop {
     * `bucket[n]` (true murmur3 per Appendix B via
     * [[graft.functions.IcebergHash]]), and `void`.
     *
-    * Format v1 AND v2 targets are supported. A v2 append maintains the
-    * sequence-number bookkeeping the spec requires: the new snapshot
-    * takes `last-sequence-number + 1`, the manifest list carries
-    * v2-schema records (content/sequence_number/min_sequence_number/
-    * row counts) with carried foreign manifests keeping their own
-    * sequence numbers — existing merge-on-read deletes keep applying
-    * only to OLDER data (`dataSeq < deleteSeq`), never to the appended
-    * rows — and the new manifest's ADDED entries leave
-    * snapshot_id/sequence_number null for the spec's inheritance rule.
-    * Refuses format v3+ and
+    * Format v1, v2 AND v3 targets are supported. A v2 append maintains
+    * the sequence-number bookkeeping the spec requires: the new
+    * snapshot takes `last-sequence-number + 1`, the manifest list
+    * carries v2-schema records (content/sequence_number/
+    * min_sequence_number/row counts) with carried foreign manifests
+    * keeping their own sequence numbers — existing merge-on-read
+    * deletes keep applying only to OLDER data (`dataSeq < deleteSeq`),
+    * never to the appended rows — and the new manifest's ADDED entries
+    * leave snapshot_id/sequence_number null for the spec's inheritance
+    * rule. A v3 append additionally assigns ROW LINEAGE: the snapshot
+    * and data-manifest `first_row_id` take the table's `next-row-id`
+    * high-water mark, which advances by the appended row count.
+    * Refuses format v4+ and
     * catalog-managed metadata naming (`00000-<uuid>.metadata.json`
     * without a version hint — the catalog pointer, not the directory,
     * names the current metadata, so a directory commit would be
@@ -3806,15 +3811,17 @@ object IcebergInterop {
   /** Open a file-based Iceberg table's current snapshot as a DataFrame
     * by replaying its metadata: version-hint.text (or the
     * highest-numbered *.metadata.json) → table metadata → manifest
-    * list → manifests → parquet scan. Supports format v1 and v2 data,
-    * including v2 merge-on-read deletes — POSITION deletes apply as
+    * list → manifests → parquet scan. Supports format v1-v3 data,
+    * including merge-on-read deletes — POSITION deletes apply as
     * one distributed left_anti (file, pos) equi-join, EQUALITY deletes
     * as one null-safe-equality anti-join per distinct equality-id set
     * with the sequence-number guard `dataSeq < deleteSeq` (never a
-    * driver-side decode of the deleted-row set); handles
-    * partition-spec EVOLUTION by resolving each manifest's partition
-    * structs against its own partition_spec_id (identity substitution
-    * and pruning are per-spec); refuses v3+, non-parquet files,
+    * driver-side decode of the deleted-row set), and v3 Puffin
+    * DELETION VECTORS as a codegen'd per-file bitmap filter riding the
+    * scan; handles partition-spec EVOLUTION by resolving each
+    * manifest's partition structs against its own partition_spec_id
+    * (identity substitution and pruning are per-spec); refuses v4+,
+    * v3 column default values, non-parquet data files,
     * equality ids addressing nested fields, and tables whose parquet
     * column names no longer match the declared schema
     * (rename-by-field-id) when the files carry no field ids.
