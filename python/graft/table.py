@@ -813,3 +813,14 @@ def read_iceberg_filtered(spark, path, condition_col):
     ix = spark._jvm.graft.sources.IcebergInterop
     return DataFrame(ix.readIcebergFiltered(
         spark._jsparkSession, path, condition_col._jc), spark)
+
+
+def read_delta_filtered(spark, path, condition_col):
+    """Filtered Delta read with PER-FILE stats skipping: the condition
+    applies as a normal filter AND its AND-conjuncts prune the planned
+    file list by each add action's stats min/max before any file opens
+    — O(candidate files) planning on stats-carrying tables."""
+    from pyspark.sql import DataFrame
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return DataFrame(dx.readDeltaFiltered(
+        spark._jsparkSession, path, condition_col._jc), spark)

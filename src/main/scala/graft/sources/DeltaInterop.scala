@@ -1468,7 +1468,8 @@ object DeltaInterop {
     * rename. */
   private def assembleSnapshot(spark: SparkSession, path: String,
       st: DeltaSnapshot,
-      partitionWhere: Option[(String, String)]): DataFrame = {
+      partitionWhere: Option[(String, String)],
+      pruneWhere: Option[Column] = None): DataFrame = {
     val root = new HPath(path)
     val partCols = st.partCols
     val colMapMode = st.colMapMode
@@ -1476,6 +1477,21 @@ object DeltaInterop {
       String, (Map[String, String], Option[DeletionVectors.Descriptor])](
       st.active: _*)
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    // optional conservative stats pruning (the filtered-read path):
+    // AND-conjuncts of `pruneWhere` against each file's stats JSON +
+    // partition values — a dropped file provably holds no matching
+    // row. Column-mapped tables skip pruning (stats keys are physical
+    // names); skipping less is always sound.
+    pruneWhere.filter(_ => colMapMode == "none").foreach { c =>
+      val conjs = DeltaStats.conjuncts(spark, schema, c)
+      if (conjs.nonEmpty) {
+        val keep = active.filter { case (p, (pv, _)) =>
+          DeltaStats.mayMatch(conjs, schema, partCols, pv, st.stats.get(p))
+        }
+        active.clear()
+        keep.foreach { case (k, v) => active(k) = v }
+      }
+    }
     // column mapping: parquet files (and partitionValues keys, per the
     // protocol's writer requirements) carry PHYSICAL names — scan with
     // the physical schema, then one select renames every level back to
@@ -1575,6 +1591,19 @@ object DeltaInterop {
   def readDeltaWhere(spark: SparkSession, path: String, column: String,
       value: String, versionAsOf: Option[Long] = None): DataFrame =
     readDelta(spark, path, versionAsOf, Some(column -> value))
+
+  /** FILTERED read with PER-FILE stats skipping: `condition` applies
+    * as a normal filter AND its AND-conjuncts prune the planned file
+    * list by each add action's `stats` min/max/nullCount (plus literal
+    * partition values) before any file opens — on a stats-carrying
+    * 100 TB table a keyed or time-ranged read plans O(candidate
+    * files), not O(table), on top of parquet's own row-group skipping.
+    * Conservative: files without stats always scan; column-mapped
+    * tables skip pruning entirely. */
+  def readDeltaFiltered(spark: SparkSession, path: String,
+      condition: Column): DataFrame =
+    assembleSnapshot(spark, path, replaySnapshot(spark, path, None),
+      None, Some(condition)).where(condition)
 
   /** APPEND `df` to an existing Delta table (foreign or mirrored) by
     * committing a dataChange add to its `_delta_log` through the same

@@ -125,6 +125,19 @@ class DeltaStatsSpec extends AnyFunSuite {
     assert(DeltaInterop.candidateFiles(spark, target, $"id" === 7L).size == 1)
   }
 
+  test("readDeltaFiltered plans only stat-matching files, values exact") {
+    import spark.implicits._
+    val target = rangedExport()
+    val got = DeltaInterop.readDeltaFiltered(spark, target, $"id" >= 90L)
+      .select("id").as[Long].collect().toSet
+    assert(got == (90L until 100L).toSet)
+    assert(DeltaInterop.readDeltaFiltered(spark, target,
+      $"v" === "zzz").count() == 0)
+    // null-condition rows are excluded by the filter, kept by pruning
+    assert(DeltaInterop.readDeltaFiltered(spark, target,
+      $"id" % 3 === 0).count() == 34)
+  }
+
   test("timestamp stats: ISO millis-truncated bounds prune time ranges") {
     import spark.implicits._
     val prior = spark.conf.get("spark.sql.parquet.outputTimestampType")
