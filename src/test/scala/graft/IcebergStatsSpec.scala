@@ -223,6 +223,35 @@ class IcebergStatsSpec extends AnyFunSuite {
     assert(candidates($"id" === 200L).size == 1)
   }
 
+  test("identity partition values prune alongside bounds (date + int keys)") {
+    import spark.implicits._
+    // hive-partitioned parquet → CONVERT: identity date partition whose
+    // values live in the manifest partition struct, not the files
+    val root = Files.createTempDirectory("graft_ipp_").toString + "/t"
+    (0 until 40).map(i => (i.toLong,
+      java.sql.Date.valueOf(f"2024-01-${i % 4 + 1}%02d")))
+      .toDF("id", "d")
+      .repartition(col("d"))
+      .write.partitionBy("d").parquet(root)
+    IcebergInterop.convertParquetToIceberg(spark, root)
+    def candidates(c: org.apache.spark.sql.Column) =
+      IcebergInterop.icebergCandidateFiles(spark, root, c)
+    val all = candidates(lit(true)).size
+    assert(all >= 4, s"expected >=4 files, got $all")
+    // a date partition-value predicate prunes to one day's files
+    val one = candidates($"d" === lit(java.sql.Date.valueOf("2024-01-02")))
+    assert(one.nonEmpty && one.size < all, (one.size, all))
+    assert(candidates($"d" === lit(java.sql.Date.valueOf("2030-06-01")))
+      .isEmpty)
+    // bounds on the non-partition column prune WITHIN partitions too
+    assert(candidates($"id" === 999L).isEmpty)
+    // and the combined read stays exact
+    assert(IcebergInterop.readIcebergFiltered(spark, root,
+      $"d" === lit(java.sql.Date.valueOf("2024-01-02")) && $"id" < 10L)
+      .select("id").as[Long].collect().toSet ==
+      (0L until 10L).filter(_ % 4 == 1).toSet)
+  }
+
   test("readIcebergFiltered plans only bound-matching files") {
     import spark.implicits._
     val target = rangedExport()
