@@ -791,7 +791,10 @@ private[v2] object GraftProcedures {
       "delta_restore", "delta_clone", "delta_to_iceberg",
       "iceberg_to_delta", "iceberg_expire_snapshots",
       "iceberg_compact", "iceberg_rollback", "iceberg_remove_orphans",
-      "iceberg_tag", "iceberg_drop_ref")
+      "iceberg_tag", "iceberg_drop_ref",
+      // row-level DML over raw roots: the predicate is a SQL
+      // expression string (the reference notebooks' DELETE shape)
+      "delta_delete", "iceberg_delete")
 
   private def in(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -845,6 +848,8 @@ private[v2] object GraftProcedures {
             Array(in("path", StringType), in("older_than_ms", LongType))
           case "iceberg_tag" | "iceberg_drop_ref" =>
             Array(in("path", StringType), in("name", StringType))
+          case "delta_delete" | "iceberg_delete" =>
+            Array(in("path", StringType), in("predicate", StringType))
           case _ => // cluster / zorder
             Array(in("table", StringType), in("cols", StringType),
               in("num_dirs", IntegerType))
@@ -910,6 +915,16 @@ private[v2] object GraftProcedures {
                 graft.sources.IcebergInterop.dropIcebergRef(spark, arg0,
                   input.getUTF8String(1).toString)
                 (longSchema("ok"), Seq(InternalRow(1L)))
+              case "delta_delete" =>
+                (longSchema("version"), Seq(InternalRow(
+                  graft.sources.DeltaInterop.deleteFromDelta(spark, arg0,
+                    org.apache.spark.sql.functions.expr(
+                      input.getUTF8String(1).toString)))))
+              case "iceberg_delete" =>
+                (longSchema("snapshot_id"), Seq(InternalRow(
+                  graft.sources.IcebergInterop.deleteFromIceberg(spark,
+                    arg0, org.apache.spark.sql.functions.expr(
+                      input.getUTF8String(1).toString)))))
             }
             val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
               override def readSchema(): StructType = schema

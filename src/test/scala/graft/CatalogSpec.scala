@@ -990,6 +990,36 @@ class CatalogSpec extends AnyFunSuite {
       .count() == 100)
   }
 
+  test("row-level DELETE procedures over raw roots (predicate strings)") {
+    freshCatalog()
+    import spark.implicits._
+    val t = graft.sources.GraftTable.create(spark,
+      Files.createTempDirectory("graft_pdel_").toString + "/t",
+      (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    // Delta: CoW delete through CALL, version comes back
+    val droot = Files.createTempDirectory("graft_pdel_d_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, droot)
+    val dv = spark.sql(
+      s"CALL $cat.system.delta_delete('$droot', 'id < 5')")
+      .collect()(0).getLong(0)
+    assert(dv == 1L)
+    assert(graft.sources.DeltaInterop.readDelta(spark, droot)
+      .count() == 15)
+    // Iceberg: v2 merge-on-read delete through CALL
+    val iroot = Files.createTempDirectory("graft_pdel_i_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, iroot)
+    val mdp = java.nio.file.Paths.get(iroot, "metadata", "v1.metadata.json")
+    Files.write(mdp, new String(Files.readAllBytes(mdp), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    Files.deleteIfExists(java.nio.file.Paths.get(iroot, "metadata",
+      ".v1.metadata.json.crc"))
+    spark.sql(s"CALL $cat.system.iceberg_delete('$iroot', 'id >= 15')")
+    assert(graft.sources.IcebergInterop.readIceberg(spark, iroot)
+      .select("id").as[Long].collect().toSet == (5L until 15L).toSet ++
+      (0L until 5L).toSet)
+  }
+
   test("raw foreign roots through SQL: reads + history/snapshots, no CALL") {
     freshCatalog()
     import spark.implicits._
