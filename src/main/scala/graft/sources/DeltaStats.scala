@@ -73,6 +73,10 @@ private[graft] object DeltaStats {
         })
         if (chunks.size == blocks.size && blocks.nonEmpty) {
           val stats = chunks.map(_.getStatistics)
+          val tsConv: Option[(Long, Boolean) => Long] = f.dataType match {
+            case TimestampType | TimestampNTZType => tsToMicros(chunks)
+            case _ => Some((v, _) => v)
+          }
           if (stats.forall(s => s != null && !s.isEmpty)) {
             val nullCount =
               if (stats.forall(_.isNumNullsSet))
@@ -81,14 +85,24 @@ private[graft] object DeltaStats {
             nullCount.foreach(n =>
               nulls += s""""${jsonEscape(f.name)}":$n""")
             val allNull = nullCount.contains(numRecords)
-            if (!allNull && stats.forall(_.hasNonNullValue)) {
+            if (!allNull && tsConv.isDefined &&
+                stats.forall(_.hasNonNullValue)) {
+              def footerVal(s: org.apache.parquet.column.statistics
+                  .Statistics[_], upper: Boolean): AnyRef = {
+                val raw = (if (upper) s.genericGetMax else s.genericGetMin)
+                  .asInstanceOf[AnyRef]
+                f.dataType match {
+                  case TimestampType | TimestampNTZType =>
+                    java.lang.Long.valueOf(tsConv.get(
+                      raw.asInstanceOf[Number].longValue, upper))
+                  case _ => raw
+                }
+              }
               val lohi = for {
                 los <- Try(stats.map(s => statJson(f.dataType,
-                  s.genericGetMin.asInstanceOf[AnyRef],
-                  isUpper = false))).toOption
+                  footerVal(s, upper = false), isUpper = false))).toOption
                 his <- Try(stats.map(s => statJson(f.dataType,
-                  s.genericGetMax.asInstanceOf[AnyRef],
-                  isUpper = true))).toOption
+                  footerVal(s, upper = true), isUpper = true))).toOption
                 lo <- reduceOpt(los, keepMin = true)
                 hi <- reduceOpt(his, keepMin = false)
               } yield (lo, hi)
@@ -112,12 +126,45 @@ private[graft] object DeltaStats {
     } finally reader.close()
   }.toOption
 
+  /** Micros conversion for a timestamp column's INT64 footer values,
+    * from the parquet LOGICAL-TYPE annotation — the footer's raw longs
+    * are epoch micros only when the file says TIMESTAMP(MICROS).
+    * TIMESTAMP(MILLIS) values (e.g. a foreign converter input, or
+    * spark.sql.parquet.outputTimestampType=TIMESTAMP_MILLIS) are 1000×
+    * smaller and TIMESTAMP(NANOS) 1000× larger; trusting them raw
+    * would publish bounds ~1000× off and prune LIVE files. Returns
+    * None (→ the column contributes no bounds) when the annotation is
+    * absent or not a timestamp (bare INT64, INT96). Upper bounds round
+    * UP on the lossy nanos→micros path so they stay valid bounds. */
+  private[sources] def tsToMicros(
+      chunks: Seq[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+      : Option[(Long, Boolean) => Long] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import LogicalTypeAnnotation.TimeUnit
+    chunks.headOption
+      .map(_.getPrimitiveType.getLogicalTypeAnnotation)
+      .collect {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit
+      }
+      .flatMap {
+        case TimeUnit.MICROS => Some((v: Long, _: Boolean) => v)
+        case TimeUnit.MILLIS =>
+          Some((v: Long, _: Boolean) => Math.multiplyExact(v, 1000L))
+        case TimeUnit.NANOS => Some((v: Long, up: Boolean) =>
+          if (up) Math.floorDiv(Math.addExact(v, 999L), 1000L)
+          else Math.floorDiv(v, 1000L))
+        case _ => None
+      }
+  }
+
   /** (rendered JSON value, comparable) for one footer min/max value —
     * None (via exception → Try in the caller) kills the column.
-    * Timestamps truncate to MILLIS the way Delta's own writer does:
-    * the min floors, the max CEILS to the next millisecond so the
-    * rendered value stays a valid upper bound (INT96-written footers
-    * carry no usable stats and simply skip the column). */
+    * Timestamp values arrive ALREADY normalized to epoch micros (the
+    * caller checked the file's logical-type unit via [[tsToMicros]])
+    * and truncate to MILLIS the way Delta's own writer does: the min
+    * floors, the max CEILS to the next millisecond so the rendered
+    * value stays a valid upper bound. */
   private def statJson(dt: DataType, v: AnyRef,
       isUpper: Boolean): (String, Any) = dt match {
     case TimestampType | TimestampNTZType =>
@@ -384,12 +431,16 @@ private[graft] object DeltaStats {
         .getOrElse(return None)
       val fam = familyOf(f.dataType).getOrElse(return None)
       if (partCols.exists(_.equalsIgnoreCase(f.name))) {
-        pv.get(f.name).filter(_ != null) match {
-          case Some(v) => normPartValue(fam, v) match {
+        // An EXPLICIT null value is an all-null partition; a key that is
+        // simply absent (protocol violation, or a case-mismatched writer)
+        // is UNKNOWN — pruning by it would drop live files.
+        pv.find(_._1.equalsIgnoreCase(f.name)) match {
+          case Some((_, null)) => Some((None, None, Some(true), true))
+          case Some((_, v)) => normPartValue(fam, v) match {
             case Some(n) => Some((Some(n), Some(n), Some(false), false))
             case None => Some((None, None, Some(false), false))
           }
-          case None => Some((None, None, Some(true), true)) // null partition
+          case None => Some((None, None, None, false))
         }
       } else fstats.map { st =>
         val nc = st.nullCount.get(f.name)

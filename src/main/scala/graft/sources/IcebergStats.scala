@@ -188,6 +188,25 @@ private[graft] object IcebergStats {
           if (chunks.size == blocks.size && blocks.nonEmpty) {
             vc += id -> numRecords // top-level column: one value per row
             val stats = chunks.map(_.getStatistics)
+            // Timestamp footer values carry bounds only when the file's
+            // logical type declares the unit; normalize to epoch micros
+            // (the spec's serialization domain). See DeltaStats.tsToMicros.
+            val tsConv: Option[(Long, Boolean) => Long] = f.dataType match {
+              case TimestampType | TimestampNTZType =>
+                DeltaStats.tsToMicros(chunks)
+              case _ => Some((v, _) => v)
+            }
+            def footerVal(s: org.apache.parquet.column.statistics
+                .Statistics[_], upper: Boolean): AnyRef = {
+              val raw = (if (upper) s.genericGetMax else s.genericGetMin)
+                .asInstanceOf[AnyRef]
+              f.dataType match {
+                case TimestampType | TimestampNTZType =>
+                  java.lang.Long.valueOf(tsConv.get(
+                    raw.asInstanceOf[Number].longValue, upper))
+                case _ => raw
+              }
+            }
             if (stats.forall(s => s != null && !s.isEmpty)) {
               val nullCount =
                 if (stats.forall(_.isNumNullsSet))
@@ -195,12 +214,13 @@ private[graft] object IcebergStats {
                 else None
               nullCount.foreach(n => nc += id -> n)
               val allNull = nullCount.contains(numRecords)
-              if (!allNull && stats.forall(_.hasNonNullValue)) {
+              if (!allNull && tsConv.isDefined &&
+                  stats.forall(_.hasNonNullValue)) {
                 val mins = stats.flatMap(s => encodeBound(f.dataType,
-                  s.genericGetMin.asInstanceOf[AnyRef], isUpper = false)
+                  footerVal(s, upper = false), isUpper = false)
                   .flatMap(b => decodeBound(f.dataType, b).map((b, _))))
                 val maxs = stats.flatMap(s => encodeBound(f.dataType,
-                  s.genericGetMax.asInstanceOf[AnyRef], isUpper = true)
+                  footerVal(s, upper = true), isUpper = true)
                   .flatMap(b => decodeBound(f.dataType, b).map((b, _))))
                 // every row group must contribute, else bounds are
                 // partial and unsound

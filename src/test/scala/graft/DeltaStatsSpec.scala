@@ -174,6 +174,43 @@ class DeltaStatsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
   }
 
+  test("TIMESTAMP_MILLIS footers convert to sound bounds; bare INT96 skips") {
+    import spark.implicits._
+    val prior = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      // a foreign MILLIS-unit parquet directory converted in place: the
+      // footer's raw longs are epoch MILLIS — trusted raw they'd be
+      // ~1000× too small and a point predicate would WRONGLY prune
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MILLIS")
+      val dir = Files.createTempDirectory("graft_ts_millis_").toString
+      (0 until 20).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-03-${i / 5 + 1}%02d 09:00:00")))
+        .toDF("id", "ts").coalesce(1).write.mode("overwrite").parquet(dir)
+      DeltaInterop.convertParquetToDelta(spark, dir)
+      assert(DeltaInterop.candidateFiles(spark, dir,
+        $"ts" === lit(java.sql.Timestamp.valueOf("2024-03-02 09:00:00")))
+        .nonEmpty, "millis-unit bounds must keep the matching file")
+      // bounds are real (unit-corrected), not merely absent: a range
+      // beyond all data still prunes
+      assert(DeltaInterop.candidateFiles(spark, dir,
+        $"ts" > lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+        .isEmpty, "corrected millis bounds should still prune")
+      // INT96 footers carry no trustworthy unit: no ts bounds, no prune
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      val dir96 = Files.createTempDirectory("graft_ts_int96_").toString
+      (0 until 10).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf("2024-03-01 09:00:00")))
+        .toDF("id", "ts").coalesce(1).write.mode("overwrite").parquet(dir96)
+      DeltaInterop.convertParquetToDelta(spark, dir96)
+      assert(DeltaInterop.candidateFiles(spark, dir96,
+        $"ts" > lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+        .nonEmpty, "INT96 must stay conservative (no ts bounds)")
+      assert(DeltaInterop.candidateFiles(spark, dir96,
+        $"id" > 100L).isEmpty, "non-ts columns still prune")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
+  }
+
   test("mayMatch is conservative: nulls, non-ASCII, IN, IsNull") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType),
@@ -193,11 +230,19 @@ class DeltaStatsSpec extends AnyFunSuite {
     assert(!may($"id".isin(1L, 2L, 20L)) && may($"id".isin(2L, 7L)))
     // nullCount drives IsNull/IsNotNull
     assert(!may($"id".isNull) && may($"v".isNull))
-    // partition values act as point intervals; absent key = all-null
+    // partition values act as point intervals; an EXPLICIT null value
+    // is an all-null partition; an ABSENT key is unknown — a foreign
+    // log that omits it (protocol violation) must not lose live files
     assert(may($"seg" === "A", pv = Map("seg" -> "A")))
     assert(!may($"seg" === "B", pv = Map("seg" -> "A")))
-    assert(!may($"seg" === "B", pv = Map.empty))
+    assert(may($"seg" === "B", pv = Map.empty))
     assert(may($"seg".isNull, pv = Map.empty))
+    assert(!may($"seg" === "B", pv = Map("seg" -> null)))
+    assert(may($"seg".isNull, pv = Map("seg" -> null)))
+    assert(!may($"seg".isNull, pv = Map("seg" -> "A")))
+    // a case-mismatched writer key still binds to the partition column
+    assert(!may($"seg" === "B", pv = Map("SEG" -> "A")))
+    assert(may($"seg" === "A", pv = Map("SEG" -> "A")))
     // missing stats keep the file; non-ASCII string bounds keep it too
     assert(may($"id" === 4L, s = None))
     val uni = """{"numRecords":2,"minValues":{"v":"é"},

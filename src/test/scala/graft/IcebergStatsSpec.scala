@@ -267,6 +267,31 @@ class IcebergStatsSpec extends AnyFunSuite {
       $"v" === "zzz").count() == 0)
   }
 
+  test("TIMESTAMP_MILLIS footers convert to sound micros bounds") {
+    import spark.implicits._
+    val prior = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MILLIS")
+      val dir = Files.createTempDirectory("graft_ice_millis_").toString
+      (0 until 20).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-03-${i / 5 + 1}%02d 09:00:00")))
+        .toDF("id", "ts").coalesce(1).write.mode("overwrite").parquet(dir)
+      IcebergInterop.convertParquetToIceberg(spark, dir)
+      def candidates(c: org.apache.spark.sql.Column) =
+        IcebergInterop.icebergCandidateFiles(spark, dir, c)
+      // raw millis read as micros would land in 1970 and WRONGLY prune
+      // a point predicate on the real instant
+      assert(candidates($"ts" === lit(
+        java.sql.Timestamp.valueOf("2024-03-02 09:00:00"))).nonEmpty,
+        "millis-unit bounds must keep the matching file")
+      // bounds are unit-corrected, not merely absent
+      assert(candidates($"ts" > lit(
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))).isEmpty,
+        "corrected millis bounds should still prune")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
+  }
+
   test("appendToIceberg carries bounds on v1 and v2 tables") {
     import spark.implicits._
     for (v2 <- Seq(false, true)) {
