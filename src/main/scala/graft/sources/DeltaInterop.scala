@@ -64,8 +64,11 @@ object DeltaInterop {
     val specs = t.partitionColumns
     val idCols: Seq[String] =
       if (specs.nonEmpty && specs.forall(!_.contains("("))) specs else Nil
-    if (idCols.isEmpty) df.write.parquet(targetPath.toString)
-    else df.write.partitionBy(idCols: _*).parquet(targetPath.toString)
+    // per-file data-skipping stats ride along with the write tasks —
+    // any Delta engine (and graft's own DML detection scans) can prune
+    // by them
+    val statsMap = DeltaStats.writeWithStats(df, targetPath.toString,
+      idCols, StructType(schema.filterNot(f => idCols.contains(f.name))))
     def listRec(dir: HPath, rel: String): Seq[(String, Long)] =
       fs.listStatus(dir).toSeq.flatMap { st =>
         val name = st.getPath.getName
@@ -85,12 +88,6 @@ object DeltaInterop {
     val pcJson = idCols.map(c => "\"" + jsonEscape(c) + "\"").mkString(",")
     val metaData =
       s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(schema.json)}","partitionColumns":[$pcJson],"configuration":{},"createdTime":$now}}"""
-    // per-file data-skipping stats from the parquet footers — any Delta
-    // engine (and graft's own DML detection scans) can prune by them
-    val statsMap = DeltaStats.footerStatsAll(
-      spark.sparkContext.hadoopConfiguration,
-      files.map { case (rel, _) => rel -> new HPath(targetPath, rel) },
-      StructType(schema.filterNot(f => idCols.contains(f.name))))
     val adds = files.map { case (rel, size) =>
       val pv = hivePartitionValues(rel, idCols)
       val pvJson = pv.map { case (k, vv) =>
@@ -147,8 +144,7 @@ object DeltaInterop {
     val pcJson = partCols.map(c => "\"" + jsonEscape(c) + "\"").mkString(",")
     val metaData =
       s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(schema.json)}","partitionColumns":[$pcJson],"configuration":{},"createdTime":$now}}"""
-    val statsMap = DeltaStats.footerStatsAll(
-      spark.sparkContext.hadoopConfiguration,
+    val statsMap = DeltaStats.footerStatsScan(spark,
       files.map { case (rel, _) => rel -> new HPath(root, rel) },
       StructType(schema.filterNot(f => partCols.contains(f.name))))
     val adds = files.map { case (rel, size) =>
@@ -1830,9 +1826,13 @@ object DeltaInterop {
       else df.select(schema.fields.zip(physSchema.fields).map {
         case (lf, pf) => col(lf.name).cast(pf.dataType).as(pf.name, pf.metadata)
       }.toSeq: _*)
-    if (physPartCols.nonEmpty)
-      ordered.write.partitionBy(physPartCols: _*).parquet(staging.toString)
-    else ordered.write.parquet(staging.toString)
+    // the write tasks collect each landed file's stats JSON in-flight
+    // (physical column names under column mapping, matching the file
+    // contents per protocol) — no post-write footer re-read pass
+    val physDataSchema = StructType(
+      physSchema.filterNot(f => physPartCols.contains(f.name)))
+    val statsMap = DeltaStats.writeWithStats(ordered, staging.toString,
+      physPartCols, physDataSchema)
     def listParquetRec(dir: HPath, rel: String): Seq[(String, Long, Long)] =
       fs.listStatus(dir).toSeq.flatMap { stat =>
         val name = stat.getPath.getName
@@ -1880,13 +1880,6 @@ object DeltaInterop {
       txn.foreach { case (app, tv) =>
         actions += s"""{"txn":{"appId":"${jsonEscape(app)}","version":$tv,"lastUpdated":$now}}"""
       }
-      // footer-derived stats per landed file (physical column names
-      // under column mapping, matching the file contents per protocol)
-      val physDataSchema = StructType(
-        physSchema.filterNot(f => physPartCols.contains(f.name)))
-      val statsMap = DeltaStats.footerStatsAll(conf,
-        staged.map { case (rel, _, _) => rel -> new HPath(root, rel) },
-        physDataSchema)
       staged.foreach { case (rel, size, _) =>
         val pv = hivePartitionValues(rel, physPartCols)
         val pvJson = pv.map { case (k, vv) =>
@@ -2240,7 +2233,9 @@ object DeltaInterop {
             dvAdds = writeMergedDvs(spark, root, dataSchema,
               rewriteFiles, newly, moved)
           }
-          // rewrite survivors of partially-matched files
+          // rewrite survivors of partially-matched files; the write
+          // tasks collect each rewritten file's stats in-flight
+          var addStats: Map[String, String] = Map.empty
           if (rewriteFiles.nonEmpty && !dvMode) {
             // survivors = rows where the predicate is NOT TRUE (false
             // or null) — SQL DELETE keeps null-condition rows
@@ -2248,10 +2243,8 @@ object DeltaInterop {
               .where(!org.apache.spark.sql.functions.coalesce(
                 condition, lit(false)))
               .drop("__file").select(schema.fieldNames.map(col).toSeq: _*)
-            if (partCols.nonEmpty)
-              survivors.write.partitionBy(partCols: _*)
-                .parquet(staging.toString)
-            else survivors.write.parquet(staging.toString)
+            addStats = DeltaStats.writeWithStats(survivors,
+              staging.toString, partCols, dataSchema)
             val staged = listStagedParquet(fs, staging)
             staged.foreach { case (rel, _) =>
               val dst = new HPath(root, rel)
@@ -2289,12 +2282,9 @@ object DeltaInterop {
             cdcAdds = staged
           }
           // tombstone the fully-matched files AND the rewritten (or
-          // DV-re-added) sources; rewritten survivors get fresh footer
-          // stats, DV re-adds carry the original file's (still-valid
-          // bounds — a DV only strikes rows)
-          val addStats = DeltaStats.footerStatsAll(conf,
-            adds.map { case (rel, _) => rel -> new HPath(root, rel) },
-            dataSchema)
+          // DV-re-added) sources; rewritten survivors carry the fresh
+          // in-flight stats, DV re-adds the original file's
+          // (still-valid bounds — a DV only strikes rows)
           result = commitDelete(io, logDir, st, now0, condition.toString,
             removeWhole ++ rewriteFiles.map { case (p, (pv, _)) => (p, pv) },
             adds, cdcAdds, partCols, dvAdds = dvAdds,
@@ -2484,10 +2474,8 @@ object DeltaInterop {
                 case f if !f.nullable &&
                     assignments.contains(f.name) => f.name
               }), refuseW)
-          if (partCols.nonEmpty)
-            rewritten.write.partitionBy(partCols: _*)
-              .parquet(staging.toString)
-          else rewritten.write.parquet(staging.toString)
+          val addStats = DeltaStats.writeWithStats(rewritten,
+            staging.toString, partCols, dataSchema)
           val staged = listStagedParquet(fs, staging)
           staged.foreach { case (rel, _) =>
             val dst = new HPath(root, rel)
@@ -2524,9 +2512,6 @@ object DeltaInterop {
             fs.delete(cdcStaging, true)
             cdcAdds = cstaged
           }
-          val addStats = DeltaStats.footerStatsAll(conf,
-            staged.map { case (rel, _) => rel -> new HPath(root, rel) },
-            dataSchema)
           result = commitDelete(io, logDir, st, now, condition.toString,
             entries.map { case (p, (pv, _)) => (p, pv) }, staged, cdcAdds,
             partCols, operation = "UPDATE", dvAdds = dvAdds,
@@ -2855,9 +2840,8 @@ object DeltaInterop {
               schema.fields.toSeq.filterNot(_.nullable).map(_.name)),
           refuseW)
 
-        if (partCols.nonEmpty)
-          rewritten.write.partitionBy(partCols: _*).parquet(staging.toString)
-        else rewritten.write.parquet(staging.toString)
+        val addStats = DeltaStats.writeWithStats(rewritten,
+          staging.toString, partCols, dataSchema)
         val staged = listStagedParquet(fs, staging)
         if (staged.isEmpty && entries.isEmpty) {
           // empty source, nothing matched: no-op
@@ -2909,9 +2893,6 @@ object DeltaInterop {
             fs.delete(cdcStaging, true)
             cdcAdds = cstaged
           }
-          val addStats = DeltaStats.footerStatsAll(conf,
-            staged.map { case (rel, _) => rel -> new HPath(root, rel) },
-            dataSchema)
           result = commitDelete(io, logDir, st, now,
             s"merge on (${keys.mkString(", ")})",
             entries.map { case (p, (pv, _)) => (p, pv) }, staged, cdcAdds,
@@ -3082,10 +3063,10 @@ object DeltaInterop {
         }
         try {
           val now = System.currentTimeMillis()
-          if (partCols.nonEmpty)
-            compacted.write.partitionBy(partCols: _*)
-              .parquet(staging.toString)
-          else compacted.write.parquet(staging.toString)
+          // fresh in-flight stats per compacted file — after a Z-order
+          // rewrite these are what make the clustering skippable
+          val addStats = DeltaStats.writeWithStats(compacted,
+            staging.toString, partCols, dataSchema)
           val staged = listStagedParquet(fs, staging)
           staged.foreach { case (rel, _) =>
             val dst = new HPath(root, rel)
@@ -3096,11 +3077,6 @@ object DeltaInterop {
             moved += rel
           }
           fs.delete(staging, true)
-          // fresh footer stats per compacted file — after a Z-order
-          // rewrite these are what make the clustering skippable
-          val addStats = DeltaStats.footerStatsAll(conf,
-            staged.map { case (rel, _) => rel -> new HPath(root, rel) },
-            dataSchema)
           result = commitDelete(io, logDir, st, now,
             s"optimize targetSize=$targetFileBytes" +
               (if (zorderBy.nonEmpty)

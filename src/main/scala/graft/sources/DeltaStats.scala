@@ -218,6 +218,63 @@ private[graft] object DeltaStats {
       if ((c <= 0) == keepMin) a else b
     }
 
+  /** Distributed parquet write with IN-FLIGHT stats: writes `df`
+    * under `staging` (hive layout from `partCols`, like
+    * `df.write.partitionBy(...).parquet(...)`) and returns
+    * relPath → stats JSON derived by each WRITE TASK from the footer
+    * it just closed — the same bytes [[footerStats]] yields, without
+    * a post-write driver re-read pass (at a 1000-file commit on an
+    * object store, that pass is thousands of serialized round-trips
+    * through one machine). A file whose payload went missing (an
+    * exotic committer staging layout the task-side path mapping
+    * didn't recognize) is repaired with one driver footer read, so
+    * stats coverage never regresses. */
+  def writeWithStats(df: org.apache.spark.sql.DataFrame, staging: String,
+      partCols: Seq[String], dataSchema: StructType): Map[String, String] = {
+    import org.apache.spark.sql.graftbridge.StatsWriteBridge
+    val fn = new StatsWriteBridge.FooterPayload {
+      def apply(conf: Configuration, file: HPath): Option[String] =
+        footerStats(conf, file, dataSchema)
+    }
+    val collected =
+      StatsWriteBridge.writeWithPayloads(df, staging, partCols, fn)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val root = new HPath(staging)
+    val fs = root.getFileSystem(conf)
+    def list(dir: HPath, rel: String): Seq[String] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        val childRel = if (rel.isEmpty) name else s"$rel/$name"
+        if ((name.startsWith("_") || name.startsWith(".")) &&
+            !name.contains("=")) Nil
+        else if (st.isDirectory) list(st.getPath, childRel)
+        else if (name.endsWith(".parquet")) Seq(childRel)
+        else Nil
+      }
+    val missing = list(root, "").filterNot(collected.contains)
+    collected ++ missing.flatMap(rel =>
+      footerStats(conf, new HPath(root, rel), dataSchema).map(rel -> _))
+  }
+
+  /** Footer stats for PRE-EXISTING files (the convert paths — no
+    * write to collect from): distributed as one Spark map job above a
+    * small-file threshold (a 100k-file convert reads footers where
+    * the executors are, not through one driver), driver thread pool
+    * below it (job overhead dominates). Returns relPath → stats JSON. */
+  def footerStatsScan(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[(String, HPath)], dataSchema: StructType)
+      : Map[String, String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (files.size < 64) return footerStatsAll(conf, files, dataSchema)
+    import org.apache.spark.sql.graftbridge.StatsWriteBridge
+    StatsWriteBridge.mapFiles(spark, conf,
+      files.map { case (rel, p) => rel -> p.toString },
+      new StatsWriteBridge.FooterPayload {
+        def apply(c: Configuration, file: HPath): Option[String] =
+          footerStats(c, file, dataSchema)
+      })
+  }
+
   /** Footer stats for many files through a bounded local thread pool
     * (footers are KB-scale metadata; the parallelism hides per-file
     * open latency on remote stores). Returns relPath → stats JSON. */

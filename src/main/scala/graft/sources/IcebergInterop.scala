@@ -640,20 +640,26 @@ object IcebergInterop {
     val df = t.read()
     val schema = StructType(df.schema.map(_.copy(nullable = true)))
     val dataDir = new HPath(targetPath, "data")
-    df.write.parquet(dataDir.toString)
-    val files = fs.listStatus(dataDir).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
     val now = System.currentTimeMillis()
     val snapId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val (schemaNode, lastColId) = toIcebergSchema(schema)
+    // row counts + manifest bounds collected IN-FLIGHT by the write
+    // tasks (each from the footer it just closed)
+    val payloads = IcebergStats.writeWithBounds(df, dataDir.toString,
+      Nil, schema, IcebergStats.fieldIdsOf(schemaNode))
+    val files = fs.listStatus(dataDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
 
     fs.mkdirs(metaDir)
     // manifest: one ADDED entry per data file, with footer bounds
-    val boundsOf = boundsFn(conf, schema, schemaNode)
-    val entries = files.map(st => manifestEntry(manifestEntrySchema,
-      st.getPath.toString, st.getLen, footerRecordCount(conf, st), 1, snapId,
-      bounds = boundsOf(st.getPath)))
+    val entries = files.map { st =>
+      val payload = payloads.get(st.getPath.getName)
+      manifestEntry(manifestEntrySchema,
+        st.getPath.toString, st.getLen,
+        payload.map(_._1).getOrElse(footerRecordCount(conf, st)), 1, snapId,
+        bounds = payload.map(_._2))
+    }
     val schemaJson = om.writeValueAsString(schemaNode)
     val manifestBytes = writeAvro(manifestEntrySchema, Map(
       "schema" -> schemaJson, "schema-id" -> "0",
@@ -749,10 +755,18 @@ object IcebergInterop {
         .filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
         .map(raw => transformValue(pf, raw)).orNull)
     }
-    val boundsOf = boundsFn(conf, schema, schemaNode)
-    val entries = files.map(st => manifestEntry(entrySchema,
-      st.getPath.toString, st.getLen, footerRecordCount(conf, st), 1,
-      snapId, partValuesOf(st.getPath), bounds = boundsOf(st.getPath)))
+    // counts + bounds in one scan, distributed above the small-file
+    // threshold — converts can register very large foreign directories
+    val payloads = IcebergStats.boundsScan(spark,
+      files.map(st => st.getPath.toString -> st.getPath),
+      schema, IcebergStats.fieldIdsOf(schemaNode))
+    val entries = files.map { st =>
+      val payload = payloads.get(st.getPath.toString)
+      manifestEntry(entrySchema,
+        st.getPath.toString, st.getLen,
+        payload.map(_._1).getOrElse(footerRecordCount(conf, st)), 1,
+        snapId, partValuesOf(st.getPath), bounds = payload.map(_._2))
+    }
     val schemaJson = om.writeValueAsString(schemaNode)
     val specArr = om.createArrayNode()
     parts.foreach(p => specArr.add(specFieldNode(p)))
@@ -850,16 +864,23 @@ object IcebergInterop {
     val snapId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val entrySchema =
       if (parts.isEmpty) manifestEntrySchema else manifestEntrySchemaFor(parts)
-    val boundsOf = boundsFn(conf, schema, schemaNode)
+    val activePaths = st.active.map { case (p, _) =>
+      p -> new HPath(DeltaInterop.resolveFile(root, p))
+    }
+    val payloads = IcebergStats.boundsScan(spark, activePaths,
+      schema, IcebergStats.fieldIdsOf(schemaNode))
+    val pathOf = activePaths.toMap
     val entries = st.active.map { case (p, (pv, _)) =>
-      val hp = new HPath(DeltaInterop.resolveFile(root, p))
+      val hp = pathOf(p)
       val stt = hp.getFileSystem(conf).getFileStatus(hp)
       val partValues = parts.map(pf => Option(pv.getOrElse(pf.name, null))
         .map(raw => transformValue(pf, raw)).orNull)
+      val payload = payloads.get(p)
       manifestEntry(entrySchema,
         hp.getFileSystem(conf).makeQualified(hp).toString,
-        stt.getLen, footerRecordCount(conf, stt), 1, snapId, partValues,
-        bounds = boundsOf(hp))
+        stt.getLen,
+        payload.map(_._1).getOrElse(footerRecordCount(conf, stt)), 1,
+        snapId, partValues, bounds = payload.map(_._2))
     }
     val specArr = om.createArrayNode()
     parts.foreach(p => specArr.add(specFieldNode(p)))
@@ -1123,6 +1144,11 @@ object IcebergInterop {
     // vacuum already caused); a LIVE dir missing on disk is corruption.
     val latestLive = t.commitAt(latest).liveDirs.toSet
     val dirCache = scala.collection.mutable.Map[String, Seq[(String, Long, Long)]]()
+    // bounds once per (immutable file, schema shape) across the sync —
+    // a full-manifest commit re-serializes every live entry, but only
+    // NEW (path, schema) pairs pay a footer read, batched/distributed
+    val boundsCache = scala.collection.mutable
+      .Map[(String, Int), Option[IcebergStats.Bounds]]()
     def dirFiles(d: String): Seq[(String, Long, Long)] =
       dirCache.getOrElseUpdate(d, {
         if (!fs.exists(new HPath(root, d))) {
@@ -1138,8 +1164,11 @@ object IcebergInterop {
               else if (n.endsWith(".parquet")) Seq(st)
               else Nil
             }
-          rec(new HPath(root, d)).map(st =>
-            (st.getPath.toString, st.getLen, footerRecordCount(conf, st)))
+          val sts = rec(new HPath(root, d))
+          val counts = IcebergStats.countsScan(t.spark,
+            sts.map(st => st.getPath.toString -> st.getPath))
+          sts.map(st => (st.getPath.toString, st.getLen, counts
+            .getOrElse(st.getPath.toString, footerRecordCount(conf, st))))
         }
       })
 
@@ -1301,8 +1330,20 @@ object IcebergInterop {
       }
 
       val schemaJson = om.writeValueAsString(schemaNode)
-      val boundsOf = boundsFn(conf, commitSchema, schemaNode)
-        .compose((p: String) => new HPath(p))
+      val schemaKey = schemaJson.hashCode
+      def boundsBatch(paths: Seq[String])
+          : String => Option[IcebergStats.Bounds] = {
+        val missing = paths.distinct
+          .filterNot(p => boundsCache.contains((p, schemaKey)))
+        if (missing.nonEmpty) {
+          val scanned = IcebergStats.boundsScan(t.spark,
+            missing.map(p => p -> new HPath(p)), commitSchema,
+            IcebergStats.fieldIdsOf(schemaNode))
+          missing.foreach(p =>
+            boundsCache((p, schemaKey)) = scanned.get(p).map(_._2))
+        }
+        p => boundsCache.getOrElse((p, schemaKey), None)
+      }
       val specArr = om.createArrayNode()
       parts.foreach(p => specArr.add(specFieldNode(p)))
       val specJson = om.writeValueAsString(specArr)
@@ -1325,6 +1366,7 @@ object IcebergInterop {
           priorManifests
         else if (appendOnly) {
           val delta = files.filterNot { case (p, _, _) => prevFiles.contains(p) }
+          val boundsOf = boundsBatch(delta.map(_._1))
           val ents = delta.map { case (p, size, rc) =>
             manifestEntry(entrySchema, p, size, rc, 1, snapId, partValuesOf(p),
               bounds = boundsOf(p))
@@ -1333,6 +1375,7 @@ object IcebergInterop {
           priorManifests :+
             manifestListEntry(mp.toString, mlen, snapId, delta.size, 0, specId)
         } else {
+          val boundsOf = boundsBatch(files.map(_._1))
           val ents = files.map { case (p, size, rc) =>
             manifestEntry(entrySchema, p, size, rc,
               if (prevFiles.contains(p)) 0 else 1, snapId, partValuesOf(p),
@@ -1652,14 +1695,18 @@ object IcebergInterop {
     * stamped parquet, hive-laid-out on computed transform columns
     * (identity source columns stay in the files — real Iceberg writers
     * keep them), under a fresh `data/<dirPrefix>-<uuid>` directory.
-    * Returns (directory, files with sizes + footer row counts, and a
-    * path → typed-partition-values resolver for manifest entries). */
+    * Returns (directory, files with sizes + row counts, a
+    * path → typed-partition-values resolver, and a path → manifest
+    * bounds resolver). Row counts AND bounds are collected IN-FLIGHT
+    * by the write tasks from the footers they just closed — no
+    * post-write driver footer re-reads. */
   private def writeSpecData(df: DataFrame, root: HPath,
       fs: org.apache.hadoop.fs.FileSystem,
       conf: org.apache.hadoop.conf.Configuration,
       parts: Seq[(PartField, String)], schemaNode: JsonNode,
       schema: StructType, dirPrefix: String)
-      : (HPath, Seq[(HPath, Long, Long)], HPath => Seq[AnyRef]) = {
+      : (HPath, Seq[(HPath, Long, Long)], HPath => Seq[AnyRef],
+        HPath => Option[IcebergStats.Bounds]) = {
     def transformCol(transform: String, src: org.apache.spark.sql.Column,
         srcType: DataType): org.apache.spark.sql.Column = transform match {
       case "identity" => src
@@ -1689,10 +1736,9 @@ object IcebergInterop {
     }
     val dataDir = new HPath(new HPath(root, "data"),
       s"$dirPrefix-${java.util.UUID.randomUUID()}")
-    if (parts.nonEmpty)
-      withParts.write.partitionBy(parts.map(_._1.hiveKey): _*)
-        .parquet(dataDir.toString)
-    else withParts.write.parquet(dataDir.toString)
+    val payloads = IcebergStats.writeWithBounds(withParts,
+      dataDir.toString, parts.map(_._1.hiveKey),
+      schema, IcebergStats.fieldIdsOf(schemaNode))
     def listParquet(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { f =>
         val n = f.getPath.getName
@@ -1701,8 +1747,20 @@ object IcebergInterop {
         else if (n.endsWith(".parquet")) Seq(f)
         else Nil
       }
-    val files = listParquet(dataDir).map(f =>
-      (f.getPath, f.getLen, footerRecordCount(conf, f)))
+    val qDir = fs.makeQualified(dataDir).toString
+    def relOf(p: HPath): String = {
+      val s = p.toString
+      if (s.startsWith(qDir + "/")) s.drop(qDir.length + 1) else p.getName
+    }
+    val statusList = listParquet(dataDir)
+    val files = statusList.map { f =>
+      val rc = payloads.get(relOf(f.getPath)).map(_._1)
+        .getOrElse(footerRecordCount(conf, f))
+      (f.getPath, f.getLen, rc)
+    }
+    val boundsByPath: Map[HPath, IcebergStats.Bounds] =
+      statusList.flatMap(f =>
+        payloads.get(relOf(f.getPath)).map(f.getPath -> _._2)).toMap
     def partValuesOf(p: HPath): Seq[AnyRef] = {
       val segs = p.toString.split('/').filter(_.contains("=")).map { seg =>
         val k = seg.takeWhile(_ != '=')
@@ -1712,7 +1770,7 @@ object IcebergInterop {
         segs.get(pf.hiveKey).map(raw => transformValue(pf, raw)).orNull
       }
     }
-    (dataDir, files, partValuesOf)
+    (dataDir, files, partValuesOf, boundsByPath.get _)
   }
 
   def appendToIceberg(df: DataFrame, path: String, maxRetries: Int = 20,
@@ -1838,8 +1896,9 @@ object IcebergInterop {
     var st = validate()
     if (alreadyApplied(st.md)) return st.currentSnap
 
-    val (dataDir, files, partValuesOf) = writeSpecData(df, root, fs, conf,
-      st.parts, st.schemaNode, st.schema, "graft-append")
+    val (dataDir, files, partValuesOf, inflightBounds) =
+      writeSpecData(df, root, fs, conf,
+        st.parts, st.schemaNode, st.schema, "graft-append")
     try {
       val partFields = st.parts.map(_._1)
       val v2 = st.formatVersion >= 2 // v3 appends are v2-shaped + lineage
@@ -1856,11 +1915,11 @@ object IcebergInterop {
         m.path("snapshots").elements().asScala()
           .map(_.path("snapshot-id").asLong(0L)).maxOption.getOrElse(0L) + 1L
 
-      // footer bounds once per file — attempts re-serialize entries but
-      // the file contents (and so the bounds) never change across retries
-      val boundsOf = boundsFn(conf, st.schema, st.schemaNode)
+      // bounds collected in-flight by the write tasks — attempts
+      // re-serialize entries but the file contents (and so the bounds)
+      // never change across retries
       val boundsByPath: Map[HPath, Option[IcebergStats.Bounds]] =
-        files.map { case (p, _, _) => p -> boundsOf(p) }.toMap
+        files.map { case (p, _, _) => p -> inflightBounds(p) }.toMap
 
       var attempts = 0
       var committed = -1L
@@ -2155,10 +2214,12 @@ object IcebergInterop {
           .sortWithinPartitions(col("file_path"), col("pos"))
         val delDir = new HPath(new HPath(root, "data"),
           s"graft-delete-${java.util.UUID.randomUUID()}")
-        matched.write.parquet(delDir.toString)
+        val delCounts = IcebergStats.writeWithCounts(
+          matched, delDir.toString)
         val delFiles = fs.listStatus(delDir).toSeq
           .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(f => (f.getPath, f.getLen, footerRecordCount(conf, f)))
+          .map(f => (f.getPath, f.getLen, delCounts
+            .getOrElse(f.getPath.getName, footerRecordCount(conf, f))))
           .filter(_._3 > 0)
         if (delFiles.isEmpty) {
           fs.delete(delDir, true)
@@ -2440,7 +2501,9 @@ object IcebergInterop {
       specId: Int, parts: Seq[(PartField, String)],
       newFiles: Seq[(HPath, Long, Long)],
       partValuesOf: HPath => Seq[AnyRef], operation: String,
-      refuseW: String => Nothing): Option[Long] = {
+      refuseW: String => Nothing,
+      newBounds: HPath => Option[IcebergStats.Bounds] = null)
+      : Option[Long] = {
     val conf = fs.getConf
     def contentOf(r: GenericRecord): Long =
       fieldOpt(r, "content").map(longOf).getOrElse(0L)
@@ -2541,8 +2604,12 @@ object IcebergInterop {
                 .getOrElse(Nil)
             else Nil
           specFieldsNode.foreach(f => specArr.add(f.deepCopy[JsonNode]()))
-          val boundsOf = boundsFn(conf,
-            fromIcebergStruct(schemaNode, metaDir.toString), schemaNode)
+          // in-flight bounds from the write tasks when the caller has
+          // them; footer reads only as the fallback
+          val boundsOf =
+            if (newBounds != null) newBounds
+            else boundsFn(conf,
+              fromIcebergStruct(schemaNode, metaDir.toString), schemaNode)
           val dataEnts = newFiles.map { case (p, size, rc) =>
             manifestEntryV2(dataEntrySchema, p.toString, size, rc,
               partValuesOf(p), bounds = boundsOf(p))
@@ -2752,10 +2819,12 @@ object IcebergInterop {
         }: _*)
         delDir = new HPath(new HPath(root, "data"),
           s"graft-eqdelete-${java.util.UUID.randomUUID()}")
-        typed.write.parquet(delDir.toString)
+        val delCounts = IcebergStats.writeWithCounts(
+          typed, delDir.toString)
         delFiles = fs.listStatus(delDir).toSeq
           .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(f => (f.getPath, f.getLen, footerRecordCount(conf, f)))
+          .map(f => (f.getPath, f.getLen, delCounts
+            .getOrElse(f.getPath.getName, footerRecordCount(conf, f))))
           .filter(_._3 > 0)
       }
       val currentSnap = md.path("current-snapshot-id").asLong(-1L)
@@ -3040,13 +3109,14 @@ object IcebergInterop {
               v3OldDvBytes(conf, priorDeletes))
             if (struck.isEmpty) { result = currentSnap }
             else {
-              val (newDir, newFiles, partValuesOf) = writeSpecData(mkNewRows,
-                root, fs, conf, parts, schemaNode, schema, "graft-update")
+              val (newDir, newFiles, partValuesOf, nb) =
+                writeSpecData(mkNewRows,
+                  root, fs, conf, parts, schemaNode, schema, "graft-update")
               commitV3DvSnapshot(fs, io, root, metaDir, md, vTop,
                 currentSnap, newSeq, schemaNode, schemaId, priorList,
                 priorDeletes, struck.toSeq, specId, parts,
                 newFiles.filter(_._3 > 0),
-                partValuesOf, "overwrite", refuseW) match {
+                partValuesOf, "overwrite", refuseW, newBounds = nb) match {
                 case Some(snapId) => result = snapId
                 case None =>
                   fs.delete(newDir, true)
@@ -3065,24 +3135,28 @@ object IcebergInterop {
             .sortWithinPartitions(col("file_path"), col("pos"))
           val delDir = new HPath(new HPath(root, "data"),
             s"graft-updel-${java.util.UUID.randomUUID()}")
-          delRows.write.parquet(delDir.toString)
+          val delCounts = IcebergStats.writeWithCounts(
+            delRows, delDir.toString)
           val delFiles = fs.listStatus(delDir).toSeq
             .filter(_.getPath.getName.endsWith(".parquet"))
-            .map(f => (f.getPath, f.getLen, footerRecordCount(conf, f)))
+            .map(f => (f.getPath, f.getLen, delCounts
+              .getOrElse(f.getPath.getName, footerRecordCount(conf, f))))
             .filter(_._3 > 0)
           if (delFiles.isEmpty) {
             fs.delete(delDir, true)
             result = currentSnap // nothing matched
           } else {
-            val (newDir, newFiles, partValuesOf) = writeSpecData(mkNewRows,
-              root, fs, conf, parts, schemaNode, schema, "graft-update")
+            val (newDir, newFiles, partValuesOf, nb) =
+              writeSpecData(mkNewRows,
+                root, fs, conf, parts, schemaNode, schema, "graft-update")
             val cleanupDirs = () => {
               fs.delete(delDir, true); fs.delete(newDir, true)
             }
             val committed =
               try commitOverwriteSnapshot(fs, io, metaDir, md, vTop,
                 currentSnap, newSeq, schemaNode, schemaId, specId, parts,
-                priorList, delFiles, newFiles, partValuesOf)
+                priorList, delFiles, newFiles, partValuesOf,
+                newBounds = nb)
               catch {
                 case e: Throwable =>
                   try cleanupDirs() catch { case _: Exception => () }
@@ -3119,7 +3193,9 @@ object IcebergInterop {
       delFiles: Seq[(HPath, Long, Long)],
       newFiles: Seq[(HPath, Long, Long)],
       partValuesOf: HPath => Seq[AnyRef],
-      operation: String = "overwrite"): Option[Long] = {
+      operation: String = "overwrite",
+      newBounds: HPath => Option[IcebergStats.Bounds] = null)
+      : Option[Long] = {
     val now = System.currentTimeMillis()
     val snapId = md.path("snapshots").elements().asScala()
       .map(_.path("snapshot-id").asLong(0L)).maxOption.getOrElse(0L) + 1L
@@ -3174,8 +3250,10 @@ object IcebergInterop {
               .getOrElse(Nil)
           else Nil
         specFieldsNode.foreach(f => specArr.add(f.deepCopy[JsonNode]()))
-        val boundsOf = boundsFn(fs.getConf,
-          fromIcebergStruct(schemaNode, metaDir.toString), schemaNode)
+        val boundsOf =
+          if (newBounds != null) newBounds
+          else boundsFn(fs.getConf,
+            fromIcebergStruct(schemaNode, metaDir.toString), schemaNode)
         val dataEnts = newFiles.map { case (p, size, rc) =>
           manifestEntryV2(dataEntrySchema, p.toString, size, rc,
             partValuesOf(p), bounds = boundsOf(p))
@@ -3504,8 +3582,9 @@ object IcebergInterop {
             struck.join(pathMap, Seq("__fp"))
               .select(col("__uri"), col("__pos")),
             v3OldDvBytes(conf, priorDeletes))
-          val (newDir, allNewFiles, partValuesOf) = writeSpecData(newRows,
-            root, fs, conf, parts, schemaNode, schema, "graft-merge")
+          val (newDir, allNewFiles, partValuesOf, nb) =
+            writeSpecData(newRows,
+              root, fs, conf, parts, schemaNode, schema, "graft-merge")
           val newFiles = allNewFiles.filter(_._3 > 0)
           if (struckDvs.isEmpty && newFiles.isEmpty) {
             fs.delete(newDir, true)
@@ -3513,7 +3592,7 @@ object IcebergInterop {
           } else commitV3DvSnapshot(fs, io, root, metaDir, md, vTop,
             currentSnap, newSeq, schemaNode, schemaId, priorList,
             priorDeletes, struckDvs.toSeq, specId, parts, newFiles,
-            partValuesOf, "overwrite", refuseW) match {
+            partValuesOf, "overwrite", refuseW, newBounds = nb) match {
             case Some(snapId) => result = snapId
             case None =>
               fs.delete(newDir, true)
@@ -3527,13 +3606,16 @@ object IcebergInterop {
           .sortWithinPartitions(col("file_path"), col("pos"))
         val delDir = new HPath(new HPath(root, "data"),
           s"graft-mergedel-${java.util.UUID.randomUUID()}")
-        delRows.write.parquet(delDir.toString)
+        val delCounts = IcebergStats.writeWithCounts(
+          delRows, delDir.toString)
         val delFiles = fs.listStatus(delDir).toSeq
           .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(f => (f.getPath, f.getLen, footerRecordCount(conf, f)))
+          .map(f => (f.getPath, f.getLen, delCounts
+            .getOrElse(f.getPath.getName, footerRecordCount(conf, f))))
           .filter(_._3 > 0)
-        val (newDir, allNewFiles, partValuesOf) = writeSpecData(newRows,
-          root, fs, conf, parts, schemaNode, schema, "graft-merge")
+        val (newDir, allNewFiles, partValuesOf, nb) =
+          writeSpecData(newRows,
+            root, fs, conf, parts, schemaNode, schema, "graft-merge")
         val newFiles = allNewFiles.filter(_._3 > 0)
         if (delFiles.isEmpty && newFiles.isEmpty) {
           // empty source, no clause fired: no-op
@@ -3546,7 +3628,8 @@ object IcebergInterop {
           val committed =
             try commitOverwriteSnapshot(fs, io, metaDir, md, vTop,
               currentSnap, newSeq, schemaNode, schemaId, specId, parts,
-              priorList, delFiles, newFiles, partValuesOf)
+              priorList, delFiles, newFiles, partValuesOf,
+              newBounds = nb)
             catch {
               case e: Throwable =>
                 try cleanupDirs() catch { case _: Exception => () }
@@ -3729,7 +3812,7 @@ object IcebergInterop {
                 .sortWithinPartitions(col("__z"))
                 .select(schema.fieldNames.map(col).toSeq: _*)
             }
-          val (newDir, allNewFiles, partValuesOf) = writeSpecData(
+          val (newDir, allNewFiles, partValuesOf, nb) = writeSpecData(
             clustered, root, fs, conf, parts, schemaNode,
             schema, "graft-compact")
           val newFiles = allNewFiles.filter(_._3 > 0)
@@ -3743,11 +3826,11 @@ object IcebergInterop {
                   currentSnap, newSeq, schemaNode, schemaId, keptPrior,
                   classifyV3Deletes(fs, keptPrior, refuseW),
                   Nil, specId, parts, newFiles, partValuesOf,
-                  "replace", refuseW)
+                  "replace", refuseW, newBounds = nb)
               else commitOverwriteSnapshot(fs, io, metaDir, md, vTop,
                 currentSnap, newSeq, schemaNode, schemaId, specId, parts,
                 keptPrior, Nil, newFiles, partValuesOf,
-                operation = "replace")
+                operation = "replace", newBounds = nb)
             } catch {
               case e: Throwable =>
                 try cleanupDirs() catch { case _: Exception => () }

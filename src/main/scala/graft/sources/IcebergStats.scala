@@ -167,7 +167,15 @@ private[graft] object IcebergStats {
     * counts at most. Returns None when the footer is unreadable —
     * stats are an optimization, never worth failing a commit. */
   def footerBounds(conf: Configuration, file: HPath, schema: StructType,
-      idOf: Map[String, Int]): Option[Bounds] = Try {
+      idOf: Map[String, Int]): Option[Bounds] =
+    footerBoundsCount(conf, file, schema, idOf).map(_._2)
+
+  /** [[footerBounds]] plus the footer's total record count — ONE
+    * footer read for both (manifest entries need `record_count` and
+    * the statistics maps together). */
+  def footerBoundsCount(conf: Configuration, file: HPath,
+      schema: StructType, idOf: Map[String, Int])
+      : Option[(Long, Bounds)] = Try {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(file, conf)
@@ -233,7 +241,7 @@ private[graft] object IcebergStats {
           }
         }
       }
-      Bounds(vc.result(), nc.result(), lo.result(), hi.result())
+      (numRecords, Bounds(vc.result(), nc.result(), lo.result(), hi.result()))
     } finally reader.close()
   }.toOption
 
@@ -244,6 +252,156 @@ private[graft] object IcebergStats {
       case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
       case _ => throw new IllegalStateException("incomparable bounds")
     }
+
+  // ------------------------------------------- in-flight write side
+
+  /** Compact one-line codec for the in-flight write-task payload:
+    * record count + statistics maps (binary bounds base64-encoded) —
+    * the string each write task ships to the driver with its commit
+    * message. */
+  def encodePayload(recordCount: Long, bounds: Bounds): String = {
+    val b64 = java.util.Base64.getEncoder
+    def longs(m: Map[Int, Long]) = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    def bins(m: Map[Int, Array[Byte]]) = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"${b64.encodeToString(v)}"""" }
+      .mkString("{", ",", "}")
+    s"""{"n":$recordCount,"vc":${longs(bounds.valueCounts)},""" +
+      s""""nc":${longs(bounds.nullCounts)},"lo":${bins(bounds.lowers)},""" +
+      s""""hi":${bins(bounds.uppers)}}"""
+  }
+
+  def decodePayload(s: String): Option[(Long, Bounds)] = Try {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(s)
+    val b64 = java.util.Base64.getDecoder
+    def longs(name: String): Map[Int, Long] = {
+      val b = Map.newBuilder[Int, Long]
+      val it = root.path(name).fields()
+      while (it.hasNext) {
+        val e = it.next(); b += e.getKey.toInt -> e.getValue.asLong()
+      }
+      b.result()
+    }
+    def bins(name: String): Map[Int, Array[Byte]] = {
+      val b = Map.newBuilder[Int, Array[Byte]]
+      val it = root.path(name).fields()
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey.toInt -> b64.decode(e.getValue.asText())
+      }
+      b.result()
+    }
+    (root.path("n").asLong(),
+      Bounds(longs("vc"), longs("nc"), bins("lo"), bins("hi")))
+  }.toOption
+
+  /** Distributed parquet write with IN-FLIGHT manifest statistics:
+    * writes `df` under `dir` (hive layout from `partCols`) and
+    * returns relPath → (recordCount, Bounds), each derived by the
+    * write task from the footer it just closed — no post-write driver
+    * footer re-reads (at a 1000-file commit on an object store that
+    * pass is thousands of serialized round-trips). `schema` is the
+    * DATA columns the files carry (hive-stripped transform columns
+    * excluded). A file whose payload went missing is repaired with
+    * one driver footer read, so manifest stats never regress. */
+  def writeWithBounds(df: org.apache.spark.sql.DataFrame, dir: String,
+      partCols: Seq[String], schema: StructType, idOf: Map[String, Int])
+      : Map[String, (Long, Bounds)] = {
+    import org.apache.spark.sql.graftbridge.StatsWriteBridge
+    val fn = new StatsWriteBridge.FooterPayload {
+      def apply(conf: Configuration, file: HPath): Option[String] =
+        footerBoundsCount(conf, file, schema, idOf)
+          .map { case (n, b) => encodePayload(n, b) }
+    }
+    val collected =
+      StatsWriteBridge.writeWithPayloads(df, dir, partCols, fn)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(conf)
+    def list(d: HPath, rel: String): Seq[String] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        val childRel = if (rel.isEmpty) name else s"$rel/$name"
+        if ((name.startsWith("_") || name.startsWith(".")) &&
+            !name.contains("=")) Nil
+        else if (st.isDirectory) list(st.getPath, childRel)
+        else if (name.endsWith(".parquet")) Seq(childRel)
+        else Nil
+      }
+    val decoded = collected.flatMap { case (rel, payload) =>
+      decodePayload(payload).map(rel -> _)
+    }
+    val missing = list(root, "").filterNot(decoded.contains)
+    decoded ++ missing.flatMap(rel =>
+      footerBoundsCount(conf, new HPath(root, rel), schema, idOf)
+        .map(rel -> _))
+  }
+
+  /** (recordCount, Bounds) for PRE-EXISTING files — the convert/
+    * registration paths, where there is no write to collect from:
+    * distributed as one Spark map job above a small-file threshold
+    * (a 100k-file convert reads footers where the executors are, not
+    * through one driver), driver reads below it. Keys are the input
+    * keys. */
+  def boundsScan(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[(String, HPath)], schema: StructType,
+      idOf: Map[String, Int]): Map[String, (Long, Bounds)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (files.size < 64)
+      return files.flatMap { case (k, p) =>
+        footerBoundsCount(conf, p, schema, idOf).map(k -> _)
+      }.toMap
+    import org.apache.spark.sql.graftbridge.StatsWriteBridge
+    StatsWriteBridge.mapFiles(spark, conf,
+      files.map { case (k, p) => k -> p.toString },
+      new StatsWriteBridge.FooterPayload {
+        def apply(c: Configuration, file: HPath): Option[String] =
+          footerBoundsCount(c, file, schema, idOf)
+            .map { case (n, b) => encodePayload(n, b) }
+      }).flatMap { case (k, s) => decodePayload(s).map(k -> _) }
+  }
+
+  /** Row counts for PRE-EXISTING files, distributed above the same
+    * small-file threshold as [[boundsScan]]. */
+  def countsScan(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[(String, HPath)]): Map[String, Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def count(c: Configuration, file: HPath): Option[Long] = Try {
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, c))
+      try rdr.getRecordCount finally rdr.close()
+    }.toOption
+    if (files.size < 64)
+      return files.flatMap { case (k, p) =>
+        count(conf, p).map(k -> _) }.toMap
+    import org.apache.spark.sql.graftbridge.StatsWriteBridge
+    StatsWriteBridge.mapFiles(spark, conf,
+      files.map { case (k, p) => k -> p.toString },
+      new StatsWriteBridge.FooterPayload {
+        def apply(c: Configuration, file: HPath): Option[String] =
+          count(c, file).map(_.toString)
+      }).flatMap { case (k, s) => Try(s.toLong).toOption.map(k -> _) }
+  }
+
+  /** Distributed parquet write collecting only each file's ROW COUNT
+    * in-flight (position/equality delete files: their manifest entries
+    * need `record_count`; column bounds are not emitted for them).
+    * Returns relPath → row count for every written file. */
+  def writeWithCounts(df: org.apache.spark.sql.DataFrame, dir: String)
+      : Map[String, Long] = {
+    import org.apache.spark.sql.graftbridge.StatsWriteBridge
+    val fn = new StatsWriteBridge.FooterPayload {
+      def apply(conf: Configuration, file: HPath): Option[String] = Try {
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(file, conf))
+        try rdr.getRecordCount.toString finally rdr.close()
+      }.toOption
+    }
+    StatsWriteBridge.writeWithPayloads(df, dir, Nil, fn)
+      .flatMap { case (rel, s) => Try(s.toLong).toOption.map(rel -> _) }
+  }
 
   // ------------------------------------------------------- read side
 
