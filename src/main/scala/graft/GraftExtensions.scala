@@ -20,6 +20,9 @@ import graft.plans.AsOfStrategy
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfStrategy)
+    // SQL views over DSv2 view catalogs (stock Spark ships only the
+    // SPI); the hint batch runs before ResolveSessionCatalog's refusal
+    e.injectHintResolutionRule(graft.plans.ResolveGraftViews)
     e.injectFunction((
       new FunctionIdentifier("fingerprint64"),
       new ExpressionInfo(classOf[Fingerprint64].getName, "fingerprint64"),

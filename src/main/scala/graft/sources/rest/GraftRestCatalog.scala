@@ -40,7 +40,8 @@ import graft.sources.v2.{GraftCatalog, GraftSparkTable}
   * time travel operate on the loaded table root (table-log commits are
   * themselves optimistic; the catalog service only brokers existence,
   * exactly like Polaris with Iceberg metadata-location pointers). */
-class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
+class GraftRestCatalog extends TableCatalog with SupportsNamespaces
+  with ViewCatalog {
   import RestCatalogServer.{dec => _, _}
 
   private val om = new ObjectMapper()
@@ -375,6 +376,145 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
     if (code == 404 &&
         body.path("error").path("type").asText() == "NoSuchTableException")
       throw new NoSuchTableException(oldIdent)
+    expect(code, body, Right(newIdent))(())
+  }
+
+  // ----------------------------------------------------------- views
+
+  private def viewPath(ident: Identifier): String =
+    nsPath(ident.namespace().toSeq) + "/views/" +
+      java.net.URLEncoder.encode(ident.name(), "UTF-8")
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    pagedList(nsPath(namespace.toSeq) + "/views", "?", "identifiers",
+        Left(namespace.toSeq)).map { id =>
+      val ns = id.path("namespace")
+      Identifier.of((0 until ns.size()).map(ns.get(_).asText()).toArray,
+        id.path("name").asText())
+    }.toArray
+
+  override def viewExists(ident: Identifier): Boolean =
+    http("HEAD", viewPath(ident))._1 == 204
+
+  private def viewOf(ident: Identifier,
+      meta: graft.sources.GraftView.Meta): View = {
+    val cur = meta.current
+    val viewSchema = cur.schemaJson
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[StructType])
+      .getOrElse(spark.sql(cur.sql).schema)
+    val self = this
+    new View {
+      override def name(): String =
+        (catalogName +: ident.namespace().toSeq :+ ident.name())
+          .mkString(".")
+      override def query(): String = cur.sql
+      override def currentCatalog(): String =
+        cur.defaultCatalog.getOrElse(self.name())
+      override def currentNamespace(): Array[String] =
+        if (cur.defaultNamespace.nonEmpty) cur.defaultNamespace.toArray
+        else ident.namespace()
+      override def schema(): StructType = viewSchema
+      override def queryColumnNames(): Array[String] = Array.empty
+      override def columnAliases(): Array[String] = Array.empty
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): util.Map[String, String] = {
+        import scala.jdk.CollectionConverters._
+        meta.properties.asJava
+      }
+    }
+  }
+
+  private def loadViewMeta(ident: Identifier)
+      : graft.sources.GraftView.Meta = {
+    val (code, body) = http("GET", viewPath(ident))
+    if (code == 404)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    expect(code, body, Right(ident))(
+      graft.sources.GraftView.fromJson(body.path("metadata")))
+  }
+
+  override def loadView(ident: Identifier): View =
+    viewOf(ident, loadViewMeta(ident))
+
+  override def createView(info: ViewInfo): View = {
+    import graft.sources.GraftView
+    val ident = info.ident
+    val b = om.createObjectNode()
+    b.put("name", ident.name())
+    val vv = b.putObject("view-version")
+    vv.put("version-id", 1)
+    vv.put("timestamp-ms", System.currentTimeMillis())
+    vv.put("schema-id", 0)
+    val rep = vv.putArray("representations").addObject()
+    rep.put("type", "sql")
+    rep.put("sql", info.sql)
+    rep.put("dialect", "spark")
+    Option(info.currentCatalog).foreach(vv.put("default-catalog", _))
+    val dns = vv.putArray("default-namespace")
+    info.currentNamespace.foreach(dns.add)
+    Option(info.schema).foreach(sc => vv.put("graft:schema-json", sc.json))
+    val props = b.putObject("properties")
+    info.properties.forEach((k, v) => { props.put(k, v); () })
+    val (code, body) =
+      http("POST", nsPath(ident.namespace().toSeq) + "/views", Some(b))
+    if (code == 409)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    expect(code, body, Right(ident))(
+      viewOf(ident, GraftView.fromJson(body.path("metadata"))))
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    import graft.sources.GraftView
+    val meta = loadViewMeta(ident)
+    val b = om.createObjectNode()
+    val reqs = b.putArray("requirements")
+    val req = reqs.addObject()
+    req.put("type", "assert-view-uuid")
+    req.put("uuid", meta.uuid)
+    val ups = b.putArray("updates")
+    changes.foreach {
+      case st: ViewChange.SetProperty =>
+        val u = ups.addObject()
+        u.put("action", "set-properties")
+        u.putObject("updates").put(st.property(), st.value())
+      case rm: ViewChange.RemoveProperty =>
+        val u = ups.addObject()
+        u.put("action", "remove-properties")
+        u.putArray("removals").add(rm.property())
+      case other => throw new IllegalArgumentException(
+        s"ALTER VIEW change $other not supported")
+    }
+    val (code, body) = http("POST", viewPath(ident), Some(b))
+    expect(code, body, Right(ident))(
+      viewOf(ident, GraftView.fromJson(body.path("metadata"))))
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    http("DELETE", viewPath(ident))._1 == 204
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    def identNode(id: Identifier) = {
+      val n = om.createObjectNode()
+      val arr = om.createArrayNode()
+      id.namespace().foreach(arr.add)
+      n.set[JsonNode]("namespace", arr)
+      n.put("name", id.name())
+      n
+    }
+    val b = om.createObjectNode()
+    b.set[JsonNode]("source", identNode(oldIdent))
+    b.set[JsonNode]("destination", identNode(newIdent))
+    val (code, body) = http("POST", "/v1/views/rename", Some(b))
+    if (code == 404 &&
+        body.path("error").path("type").asText() == "NoSuchViewException")
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    if (code == 409)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
     expect(code, body, Right(newIdent))(())
   }
 

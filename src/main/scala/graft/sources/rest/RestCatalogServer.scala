@@ -89,6 +89,8 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     segments.foldLeft(new HPath(warehouse))((p, s) => new HPath(p, s))
   private def isTable(p: HPath): Boolean =
     fs.exists(new HPath(p, "_graft_log"))
+  private def isView(p: HPath): Boolean =
+    graft.sources.GraftView.isView(fs, p)
   private def isDir(p: HPath): Boolean =
     try fs.getFileStatus(p).isDirectory
     catch { case _: java.io.FileNotFoundException => false }
@@ -181,6 +183,22 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
         case ("POST", Seq("v1", "tables", "rename")) =>
           renameTable(x, om.readTree(bodyOf(x)))
 
+        case ("GET", Seq("v1", "namespaces", ns, "views")) =>
+          listViews(x, decodeNs(ns))
+        case ("POST", Seq("v1", "namespaces", ns, "views")) =>
+          createView(x, decodeNs(ns), om.readTree(bodyOf(x)))
+        case ("GET", Seq("v1", "namespaces", ns, "views", v)) =>
+          loadView(x, decodeNs(ns), dec(v))
+        case ("POST", Seq("v1", "namespaces", ns, "views", v)) =>
+          commitView(x, decodeNs(ns), dec(v), om.readTree(bodyOf(x)))
+        case ("HEAD", Seq("v1", "namespaces", ns, "views", v)) =>
+          headReply(x,
+            if (isView(whPath(decodeNs(ns) :+ dec(v)))) 204 else 404)
+        case ("DELETE", Seq("v1", "namespaces", ns, "views", v)) =>
+          dropView(x, decodeNs(ns), dec(v))
+        case ("POST", Seq("v1", "views", "rename")) =>
+          renameView(x, om.readTree(bodyOf(x)))
+
         case _ => error(x, 404, "NotFoundException",
           s"no route: $method ${x.getRequestURI.getPath}")
       }
@@ -196,7 +214,7 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
 
   private def namespaceExists(ns: Seq[String]): Boolean = {
     val p = whPath(ns)
-    ns.nonEmpty && isDir(p) && !isTable(p)
+    ns.nonEmpty && isDir(p) && !isTable(p) && !isView(p)
   }
 
   private def listNamespaces(x: HttpExchange, parent: Seq[String]): Unit = {
@@ -206,7 +224,8 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     val all =
       if (!isDir(dir)) Nil
       else fs.listStatus(dir).toSeq
-        .filter(st => st.isDirectory && !isTable(st.getPath))
+        .filter(st => st.isDirectory && !isTable(st.getPath) &&
+          !isView(st.getPath))
         .map(_.getPath.getName).sorted
     val (page, next) = paginate(x, all)
     val arr = om.createArrayNode()
@@ -632,6 +651,230 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
       else if (isTable(dst))
         error(x, 409, "AlreadyExistsException",
           s"table ${dstNs.mkString(".")}.$dstName exists")
+      else {
+        require(fs.rename(src, dst), s"rename $src -> $dst failed")
+        headReply(x, 204)
+      }
+    }
+  }
+
+  // -------------------------------------------------------- views
+
+  /** The Iceberg REST views route group the reference's Polaris ships
+    * (k8s/polaris/, 01_polaris_demo.ipynb): list/create/load/commit/
+    * drop/rename over the versioned [[graft.sources.GraftView]] store.
+    * Payload profile matches the table routes (the spec's route and
+    * envelope shapes; `graft:schema-json` carries a Spark StructType
+    * where Polaris speaks Iceberg schema JSON). Every metadata change
+    * publishes `v<N+1>` through the same optimistic conditional put
+    * the table commits use — a conflicting replace surfaces as the
+    * spec's 409 CommitFailedException even across two servers on one
+    * warehouse. */
+  private def listViews(x: HttpExchange, ns: Seq[String]): Unit = {
+    if (!namespaceExists(ns))
+      return error(x, 404, "NoSuchNamespaceException", nsMsg(ns))
+    val all = fs.listStatus(whPath(ns)).toSeq
+      .filter(st => isView(st.getPath)).map(_.getPath.getName).sorted
+    val (page, next) = paginate(x, all)
+    val arr = om.createArrayNode()
+    page.foreach { name =>
+      val id = om.createArrayNode()
+      val o = om.createObjectNode()
+      o.set[JsonNode]("namespace", nsArray(ns))
+      o.put("name", name)
+      arr.add(o)
+      id
+    }
+    val n = om.createObjectNode()
+    n.set[JsonNode]("identifiers", arr)
+    next.foreach(n.put("next-page-token", _))
+    reply(x, 200, n)
+  }
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private def viewJson(x: HttpExchange, root: HPath): Unit = {
+    import graft.sources.GraftView
+    GraftView.load(conf, root.toString) match {
+      case None => error(x, 404, "NoSuchViewException",
+        s"view at $root not found")
+      case Some((fileV, meta)) =>
+        val n = om.createObjectNode()
+        n.put("metadata-location", new HPath(new HPath(root,
+          GraftView.MetaDir), s"v$fileV.metadata.json").toString)
+        n.set[JsonNode]("metadata", GraftView.toJson(meta))
+        n.set[JsonNode]("config", om.createObjectNode())
+        reply(x, 200, n)
+    }
+  }
+
+  private def createView(x: HttpExchange, ns: Seq[String],
+                         body: JsonNode): Unit = {
+    import graft.sources.GraftView
+    if (!namespaceExists(ns))
+      return error(x, 404, "NoSuchNamespaceException", nsMsg(ns))
+    val name = Option(body.get("name")).map(_.asText()).getOrElse(
+      return error(x, 400, "BadRequestException", "missing view name"))
+    val vv = body.path("view-version")
+    if (vv.isMissingNode || !vv.path("representations").isArray)
+      return error(x, 400, "BadRequestException",
+        "missing view-version with representations")
+    val root = whPath(ns :+ name)
+    if (isTable(root))
+      return error(x, 409, "AlreadyExistsException",
+        s"table ${ns.mkString(".")}.$name exists")
+    val version0 =
+      try GraftView.versionFromJson(vv)
+      catch {
+        case e: IllegalArgumentException =>
+          return error(x, 400, "BadRequestException", e.getMessage)
+      }
+    val version = version0.copy(
+      versionId = if (version0.versionId > 0) version0.versionId else 1,
+      schemaJson = version0.schemaJson.orElse(
+        Option(body.get("graft:schema-json")).map(_.asText())))
+    val props = Option(body.get("properties")).filter(_.isObject)
+      .map(objFields(_).toMap).getOrElse(Map.empty)
+    val meta = GraftView.Meta(GraftView.newUuid(), root.toString,
+      version.versionId, Seq(version), props,
+      Seq((version.timestampMs, version.versionId)))
+    try GraftView.publish(conf, root.toString, 1, meta)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        return error(x, 409, "AlreadyExistsException",
+          s"view ${ns.mkString(".")}.$name exists")
+    }
+    viewJson(x, root)
+  }
+
+  private def loadView(x: HttpExchange, ns: Seq[String],
+                       name: String): Unit =
+    viewJson(x, whPath(ns :+ name))
+
+  /** The spec's commitView: `requirements` (assert-view-uuid) checked
+    * against the current metadata, `updates` applied in order, the new
+    * file version published through the conditional put — a lost race
+    * is the spec's 409 CommitFailedException. */
+  private def commitView(x: HttpExchange, ns: Seq[String], name: String,
+                         body: JsonNode): Unit = {
+    import graft.sources.GraftView
+    val root = whPath(ns :+ name)
+    val (fileV, meta0) = GraftView.load(conf, root.toString).getOrElse(
+      return error(x, 404, "NoSuchViewException",
+        s"view ${ns.mkString(".")}.$name not found"))
+    val requirements = Option(body.get("requirements")).filter(_.isArray)
+      .map(a => (0 until a.size()).map(a.get)).getOrElse(Nil)
+    requirements.foreach { r =>
+      r.path("type").asText() match {
+        case "assert-view-uuid" =>
+          val want = r.path("uuid").asText()
+          if (meta0.uuid != want)
+            return error(x, 409, "CommitFailedException",
+              s"view uuid changed (now ${meta0.uuid}, asserted $want)")
+        case other =>
+          return error(x, 400, "BadRequestException",
+            s"unknown view commit requirement '$other'")
+      }
+    }
+    var meta = meta0
+    var lastAdded: Option[Int] = None
+    val updates = Option(body.get("updates")).filter(_.isArray)
+      .map(a => (0 until a.size()).map(a.get)).getOrElse(Nil)
+    updates.foreach { u =>
+      u.path("action").asText() match {
+        case "assign-uuid" =>
+          meta = meta.copy(uuid = u.path("uuid").asText())
+        case "set-location" =>
+          meta = meta.copy(location = u.path("location").asText())
+        case "set-properties" =>
+          meta = meta.copy(properties =
+            meta.properties ++ objFields(u.path("updates")))
+        case "remove-properties" =>
+          val rm = Option(u.get("removals")).filter(_.isArray)
+            .map(a => (0 until a.size()).map(a.get(_).asText()))
+            .getOrElse(Nil)
+          meta = meta.copy(properties = meta.properties -- rm)
+        case "upgrade-format-version" =>
+          if (u.path("format-version").asInt() != 1)
+            return error(x, 400, "BadRequestException",
+              "only view format-version 1 is supported")
+        case "add-schema" => () // graft schemas ride the version payload
+        case "add-view-version" =>
+          val v0 =
+            try GraftView.versionFromJson(u.path("view-version"))
+            catch {
+              case e: IllegalArgumentException =>
+                return error(x, 400, "BadRequestException", e.getMessage)
+            }
+          val nextId =
+            if (v0.versionId > 0) v0.versionId
+            else meta.versions.map(_.versionId).max + 1
+          if (meta.versions.exists(_.versionId == nextId))
+            return error(x, 409, "CommitFailedException",
+              s"view version $nextId already exists")
+          meta = meta.copy(versions =
+            meta.versions :+ v0.copy(versionId = nextId))
+          lastAdded = Some(nextId)
+        case "set-current-view-version" =>
+          val id = u.path("view-version-id").asInt()
+          val target =
+            if (id == -1) lastAdded.getOrElse(
+              return error(x, 400, "BadRequestException",
+                "set-current-view-version -1 without a prior " +
+                  "add-view-version"))
+            else id
+          if (!meta.versions.exists(_.versionId == target))
+            return error(x, 400, "BadRequestException",
+              s"no view version $target")
+          meta = meta.copy(currentVersionId = target,
+            versionLog = meta.versionLog :+
+              ((GraftView.nowMs(), target)))
+        case other =>
+          return error(x, 400, "BadRequestException",
+            s"unsupported view update action '$other'")
+      }
+    }
+    try GraftView.publish(conf, root.toString, fileV + 1, meta)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        return error(x, 409, "CommitFailedException",
+          s"view metadata version ${fileV + 1} was committed " +
+            "concurrently — refresh and retry")
+    }
+    viewJson(x, root)
+  }
+
+  private def dropView(x: HttpExchange, ns: Seq[String],
+                       name: String): Unit =
+    ddlLock.synchronized {
+      val p = whPath(ns :+ name)
+      if (!isView(p))
+        error(x, 404, "NoSuchViewException",
+          s"view ${ns.mkString(".")}.$name not found")
+      else { fs.delete(p, true); headReply(x, 204) }
+    }
+
+  private def renameView(x: HttpExchange, body: JsonNode): Unit = {
+    if (!body.path("source").isObject || !body.path("destination").isObject ||
+        !body.path("source").has("name") ||
+        !body.path("destination").has("name"))
+      return error(x, 400, "BadRequestException",
+        "rename needs source and destination identifiers")
+    def identOf(n: JsonNode) =
+      (jsonNs(n.get("namespace")), n.get("name").asText())
+    val (srcNs, srcName) = identOf(body.get("source"))
+    val (dstNs, dstName) = identOf(body.get("destination"))
+    ddlLock.synchronized {
+      val src = whPath(srcNs :+ srcName)
+      val dst = whPath(dstNs :+ dstName)
+      if (!isView(src))
+        error(x, 404, "NoSuchViewException",
+          s"view ${srcNs.mkString(".")}.$srcName not found")
+      else if (!namespaceExists(dstNs))
+        error(x, 404, "NoSuchNamespaceException", nsMsg(dstNs))
+      else if (isView(dst) || isTable(dst))
+        error(x, 409, "AlreadyExistsException",
+          s"${dstNs.mkString(".")}.$dstName exists")
       else {
         require(fs.rename(src, dst), s"rename $src -> $dst failed")
         headReply(x, 204)

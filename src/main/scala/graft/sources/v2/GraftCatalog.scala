@@ -44,7 +44,7 @@ import graft.sources.GraftTable
   * log, so SQL writes and the Scala API share one history.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog {
+  with ProcedureCatalog with ViewCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
   private def spark = SparkSession.active
@@ -212,6 +212,111 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"rename ${oldIdent} -> ${newIdent} failed")
   }
 
+  // ---- ViewCatalog (CREATE/DROP/ALTER VIEW + SELECT through views;
+  //      shares the versioned [[graft.sources.GraftView]] store with
+  //      the REST catalog's /v1/…/views routes) ----
+
+  private def isView(p: HPath): Boolean =
+    graft.sources.GraftView.isView(fs, p)
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val dir = whPath(ns.toSeq)
+    if (!isDir(dir)) throw new NoSuchNamespaceException(ns)
+    listDir(dir).filter(st => isView(st.getPath))
+      .map(st => Identifier.of(ns, st.getPath.getName)).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    isView(tablePath(ident))
+
+  override def loadView(ident: Identifier): View = {
+    val root = tablePath(ident).toString
+    val meta = graft.sources.GraftView.load(conf, root).map(_._2)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    val cur = meta.current
+    // a REST-created view may omit the schema; infer it by analyzing
+    // the view text once (driver-only, no job)
+    val viewSchema = cur.schemaJson
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[StructType])
+      .getOrElse(spark.sql(cur.sql).schema)
+    val self = this
+    new View {
+      override def name(): String =
+        (catalogName +: ident.namespace().toSeq :+ ident.name())
+          .mkString(".")
+      override def query(): String = cur.sql
+      override def currentCatalog(): String =
+        cur.defaultCatalog.getOrElse(self.name())
+      override def currentNamespace(): Array[String] =
+        if (cur.defaultNamespace.nonEmpty) cur.defaultNamespace.toArray
+        else ident.namespace()
+      override def schema(): StructType = viewSchema
+      override def queryColumnNames(): Array[String] = Array.empty
+      override def columnAliases(): Array[String] = Array.empty
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): util.Map[String, String] =
+        meta.properties.asJava
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    import graft.sources.GraftView
+    val ident = info.ident
+    val p = tablePath(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    if (!isDir(whPath(ident.namespace().toSeq)))
+      throw new NoSuchNamespaceException(ident.namespace())
+    val now = GraftView.nowMs()
+    val version = GraftView.Version(1, now, info.sql, "spark",
+      Option(info.schema).map(_.json),
+      Option(info.currentCatalog), info.currentNamespace.toSeq)
+    val meta = GraftView.Meta(GraftView.newUuid(), p.toString, 1,
+      Seq(version), info.properties.asScala.toMap, Seq((now, 1)))
+    try GraftView.publish(conf, p.toString, 1, meta)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(ident)
+    }
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    import graft.sources.GraftView
+    val root = tablePath(ident).toString
+    val (fileV, meta) = GraftView.load(conf, root)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    val props = changes.foldLeft(meta.properties) {
+      case (acc, s: ViewChange.SetProperty) =>
+        acc + (s.property() -> s.value())
+      case (acc, r: ViewChange.RemoveProperty) => acc - r.property()
+      case (_, other) => throw new IllegalArgumentException(
+        s"ALTER VIEW change $other not supported")
+    }
+    GraftView.publish(conf, root, fileV + 1, meta.copy(properties = props))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    graft.sources.GraftView.drop(conf, tablePath(ident).toString)
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    if (viewExists(newIdent) || isTable(tablePath(newIdent)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    fs.mkdirs(tablePath(newIdent).getParent)
+    require(fs.rename(tablePath(oldIdent), tablePath(newIdent)),
+      s"rename $oldIdent -> $newIdent failed")
+  }
+
   // ---- ProcedureCatalog (CALL cat.system.<proc>, the Iceberg
   //      maintenance-procedure surface) ----
 
@@ -233,7 +338,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = new HPath(warehouse)
     if (!isDir(root)) Array.empty
     else listDir(root)
-      .filter(st => st.isDirectory && !isTable(st.getPath))
+      .filter(st => st.isDirectory && !isTable(st.getPath) &&
+        !isView(st.getPath))
       .map(st => Array(st.getPath.getName)).toArray
   }
 
@@ -241,7 +347,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = whPath(namespace.toSeq)
     if (!isDir(dir)) throw new NoSuchNamespaceException(namespace)
     listDir(dir)
-      .filter(st => st.isDirectory && !isTable(st.getPath))
+      .filter(st => st.isDirectory && !isTable(st.getPath) &&
+        !isView(st.getPath))
       .map(st => namespace :+ st.getPath.getName).toArray
   }
 
@@ -792,12 +899,50 @@ private[v2] object GraftProcedures {
       "iceberg_to_delta", "iceberg_expire_snapshots",
       "iceberg_compact", "iceberg_rollback", "iceberg_remove_orphans",
       "iceberg_tag", "iceberg_drop_ref",
-      // row-level DML over raw roots: the predicate is a SQL
-      // expression string (the reference notebooks' DELETE shape)
-      "delta_delete", "iceberg_delete")
+      // row-level DML over raw roots: predicates and SET clauses are
+      // SQL expression strings, merge sources are SQL queries or table
+      // names (the reference notebooks' pure-SQL DML surface, no Scala)
+      "delta_delete", "iceberg_delete",
+      "delta_update", "iceberg_update",
+      "delta_merge", "iceberg_merge")
 
   private def in(n: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(n, dt).build()
+
+  /** `"col1 = expr1, col2 = expr2"` → assignment map; commas inside
+    * parentheses or quotes stay inside their expression. */
+  private[v2] def parseAssignments(setClause: String)
+      : Map[String, org.apache.spark.sql.Column] = {
+    val parts = Seq.newBuilder[String]
+    var depth = 0
+    var quote: Char = 0
+    val cur = new StringBuilder
+    setClause.foreach { c =>
+      if (quote != 0) { if (c == quote) quote = 0; cur += c }
+      else c match {
+        case '\'' | '"' => quote = c; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => parts += cur.result(); cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.nonEmpty) parts += cur.result()
+    parts.result().map(_.trim).filter(_.nonEmpty).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"malformed SET assignment '$a' — need col = expr")
+      a.take(i).trim -> org.apache.spark.sql.functions.expr(a.drop(i + 1))
+    }.toMap
+  }
+
+  /** A merge source argument: a `SELECT …` query, or a table name
+    * resolvable in the session. */
+  private[v2] def sourceDf(spark: SparkSession,
+      source: String): org.apache.spark.sql.DataFrame =
+    if (source.trim.toLowerCase.startsWith("select ") ||
+        source.trim.toLowerCase.startsWith("with "))
+      spark.sql(source)
+    else spark.table(source)
 
   def load(proc: String, spark: SparkSession, warehouse: String): UnboundProcedure = {
     require(Names.contains(proc), s"unknown procedure $proc")
@@ -850,6 +995,12 @@ private[v2] object GraftProcedures {
             Array(in("path", StringType), in("name", StringType))
           case "delta_delete" | "iceberg_delete" =>
             Array(in("path", StringType), in("predicate", StringType))
+          case "delta_update" | "iceberg_update" =>
+            Array(in("path", StringType), in("predicate", StringType),
+              in("set", StringType))
+          case "delta_merge" | "iceberg_merge" =>
+            Array(in("path", StringType), in("source", StringType),
+              in("keys", StringType))
           case _ => // cluster / zorder
             Array(in("table", StringType), in("cols", StringType),
               in("num_dirs", IntegerType))
@@ -925,6 +1076,30 @@ private[v2] object GraftProcedures {
                   graft.sources.IcebergInterop.deleteFromIceberg(spark,
                     arg0, org.apache.spark.sql.functions.expr(
                       input.getUTF8String(1).toString)))))
+              case "delta_update" =>
+                (longSchema("version"), Seq(InternalRow(
+                  graft.sources.DeltaInterop.updateDelta(spark, arg0,
+                    org.apache.spark.sql.functions.expr(
+                      input.getUTF8String(1).toString),
+                    parseAssignments(input.getUTF8String(2).toString)))))
+              case "iceberg_update" =>
+                (longSchema("snapshot_id"), Seq(InternalRow(
+                  graft.sources.IcebergInterop.updateIceberg(spark, arg0,
+                    org.apache.spark.sql.functions.expr(
+                      input.getUTF8String(1).toString),
+                    parseAssignments(input.getUTF8String(2).toString)))))
+              case "delta_merge" =>
+                (longSchema("version"), Seq(InternalRow(
+                  graft.sources.DeltaInterop.mergeDelta(
+                    sourceDf(spark, input.getUTF8String(1).toString), arg0,
+                    input.getUTF8String(2).toString
+                      .split(",").map(_.trim).filter(_.nonEmpty).toSeq))))
+              case "iceberg_merge" =>
+                (longSchema("snapshot_id"), Seq(InternalRow(
+                  graft.sources.IcebergInterop.mergeIceberg(
+                    sourceDf(spark, input.getUTF8String(1).toString), arg0,
+                    input.getUTF8String(2).toString
+                      .split(",").map(_.trim).filter(_.nonEmpty).toSeq))))
             }
             val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
               override def readSchema(): StructType = schema

@@ -1020,6 +1020,50 @@ class CatalogSpec extends AnyFunSuite {
       (0L until 5L).toSet)
   }
 
+  test("row-level UPDATE/MERGE procedures complete the raw-root verb set") {
+    freshCatalog()
+    import spark.implicits._
+    val t = graft.sources.GraftTable.create(spark,
+      Files.createTempDirectory("graft_pupd_").toString + "/t",
+      (0 until 20).map(i => (i.toLong, s"v$i", 1.0 * i))
+        .toDF("id", "v", "w"))
+    // Delta: UPDATE with a multi-assignment SET (comma inside an
+    // expression stays inside), then a keyed MERGE from a SQL source
+    val droot = Files.createTempDirectory("graft_pupd_d_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, droot)
+    spark.sql(s"CALL $cat.system.delta_update('$droot', 'id >= 15', " +
+      "'v = concat(v, ''!''), w = coalesce(w, 0.0) + 100')")
+    val dGot = graft.sources.DeltaInterop.readDelta(spark, droot)
+      .select("id", "v", "w").as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(dGot(15L) == (("v15!", 115.0)) && dGot(5L) == (("v5", 5.0)))
+    spark.sql(s"CALL $cat.system.delta_merge('$droot', " +
+      "'SELECT 3L AS id, ''m3'' AS v, 0.5 AS w " +
+      "UNION ALL SELECT 99L, ''m99'', 9.9', 'id')")
+    val dGot2 = graft.sources.DeltaInterop.readDelta(spark, droot)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(dGot2(3L) == "m3" && dGot2(99L) == "m99" && dGot2.size == 21)
+    // Iceberg: same verb chain on a v2 root
+    val iroot = Files.createTempDirectory("graft_pupd_i_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, iroot)
+    val mdp = java.nio.file.Paths.get(iroot, "metadata", "v1.metadata.json")
+    Files.write(mdp, new String(Files.readAllBytes(mdp), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    Files.deleteIfExists(java.nio.file.Paths.get(iroot, "metadata",
+      ".v1.metadata.json.crc"))
+    spark.sql(s"CALL $cat.system.iceberg_update('$iroot', 'id < 3', " +
+      "'v = upper(v)')")
+    val iGot = graft.sources.IcebergInterop.readIceberg(spark, iroot)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(iGot(1L) == "V1" && iGot(10L) == "v10")
+    spark.sql(s"CALL $cat.system.iceberg_merge('$iroot', " +
+      "'SELECT 10L AS id, ''m10'' AS v, 1.5 AS w', 'id')")
+    val iGot2 = graft.sources.IcebergInterop.readIceberg(spark, iroot)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(iGot2(10L) == "m10" && iGot2.size == 20)
+  }
+
   test("raw foreign roots through SQL: reads + history/snapshots, no CALL") {
     freshCatalog()
     import spark.implicits._
