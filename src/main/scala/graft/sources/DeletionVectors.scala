@@ -408,26 +408,120 @@ object DeletionVectors {
         s"unknown deletion-vector storage type '$other'")
     }
 
+  /** Mutable per-file bitmap COMBINER for the executor-side DV merge:
+    * positions fold straight into word-aligned bitsets (one
+    * java.util.BitSet per high-32 bucket — DV positions are parquet
+    * row ordinals, dense in [0, rows-per-file)). Memory is
+    * maxPosition/8 bits regardless of strike count: a full-file delete
+    * of a 10M-row parquet holds ~1.25 MB per task, never 10M boxed
+    * longs. */
+  final class BitmapBuilder extends Serializable {
+    private[DeletionVectors] val buckets =
+      new java.util.TreeMap[Integer, java.util.BitSet]()
+    def add(v: Long): BitmapBuilder = {
+      require(v >= 0, "row indexes must be non-negative")
+      val low = v & 0xffffffffL
+      require(low <= Int.MaxValue,
+        s"row index $v is outside any parquet file's row-ordinal range")
+      buckets.computeIfAbsent(Int.box((v >>> 32).toInt),
+        _ => new java.util.BitSet()).set(low.toInt)
+      this
+    }
+    def merge(o: BitmapBuilder): BitmapBuilder = {
+      o.buckets.forEach { (k, bs) =>
+        val mine = buckets.get(k)
+        if (mine == null) buckets.put(k, bs) else mine.or(bs)
+      }
+      this
+    }
+    def addSerialized(bytes: Array[Byte]): BitmapBuilder = {
+      deserialize(bytes).foreach(v => add(v)); this
+    }
+    def cardinality: Long = {
+      var c = 0L
+      buckets.forEach((_, bs) => c += bs.cardinality())
+      c
+    }
+  }
+
+  /** Serialize a [[BitmapBuilder]] as a RoaringBitmapArray — the same
+    * no-run-container bytes [[serialize]] writes, produced straight
+    * from the bitset words without ever materializing the positions. */
+  def serializeBuilder(b: BitmapBuilder): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    }
+    le32(Magic)
+    le32(b.buckets.size); le32(0) // 8-byte LE count
+    b.buckets.forEach { (high, bs) =>
+      le32(high)
+      val words = bs.toLongArray
+      // container k = 2^16-value region = 1024 bitset words
+      def slice(k: Int): Array[Long] = {
+        val w = new Array[Long](1024)
+        val from = k * 1024
+        val n = math.min(1024, words.length - from)
+        if (n > 0) System.arraycopy(words, from, w, 0, n)
+        w
+      }
+      val ks = (0 to (if (words.isEmpty) -1 else (words.length - 1) / 1024))
+        .map(k => k -> slice(k))
+        .map { case (k, w) => (k, w, w.map(java.lang.Long.bitCount).sum) }
+        .filter(_._3 > 0)
+      le32(CookieNoRun)
+      le32(ks.size)
+      ks.foreach { case (k, _, card) => le16(k); le16(card - 1) }
+      var off = 4 + 4 + 4 * ks.size + 4 * ks.size
+      ks.foreach { case (_, _, card) =>
+        le32(off)
+        off += (if (card <= 4096) 2 * card else 8192)
+      }
+      ks.foreach { case (_, w, card) =>
+        if (card <= 4096) {
+          var i = 0
+          while (i < 1024) {
+            var word = w(i)
+            while (word != 0L) {
+              val bit = java.lang.Long.numberOfTrailingZeros(word)
+              le16(i * 64 + bit)
+              word &= word - 1
+            }
+            i += 1
+          }
+        } else w.foreach { word =>
+          var j = 0
+          while (j < 8) { out.write(((word >>> (8 * j)) & 0xff).toInt); j += 1 }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
   /** Build per-file deletion-vector bitmaps DISTRIBUTED: `pairs` is a
     * (file: string, pos: long) DataFrame of newly struck rows; each
-    * file's positions union with its EXISTING bitmap (serialized form,
-    * shipped as a broadcast) and serialize ON THE EXECUTORS — the
-    * driver only ever holds roaring bytes (KB per file), never
-    * O(deleted rows) of row coordinates. Returns (file, serialized
-    * merged bitmap, cardinality) for exactly the files with new
-    * strikes. */
+    * position folds MAP-SIDE into a [[BitmapBuilder]] combiner
+    * (aggregateByKey — word-aligned bitsets, never a task-resident
+    * Seq of positions), the file's EXISTING bitmap (serialized form,
+    * shipped as a broadcast) unions in, and the merge serializes ON
+    * THE EXECUTORS — the driver only ever holds roaring bytes (KB per
+    * file), never O(deleted rows) of row coordinates. Returns (file,
+    * serialized merged bitmap, cardinality) for exactly the files
+    * with new strikes. */
   def serializeStruckBitmaps(pairs: org.apache.spark.sql.DataFrame,
       oldBitmaps: Map[String, Array[Byte]])
       : Array[(String, Array[Byte], Long)] = {
     val sc = pairs.sparkSession.sparkContext
     val bc = sc.broadcast(oldBitmaps)
     pairs.rdd.map(r => (r.getString(0), r.getLong(1)))
-      .groupByKey()
-      .map { case (f, ps) =>
-        val old = bc.value.get(f)
-          .map(b => deserialize(b).toSeq).getOrElse(Nil)
-        val data = serialize(old ++ ps.toSeq)
-        (f, data, deserialize(data).cardinality)
+      .aggregateByKey(new BitmapBuilder)(_.add(_), _.merge(_))
+      .map { case (f, b) =>
+        bc.value.get(f).foreach(b.addSerialized)
+        (f, serializeBuilder(b), b.cardinality)
       }.collect()
   }
 

@@ -792,6 +792,9 @@ object DeltaInterop {
   private val CdcPath = ("\"cdc\"\\s*:\\s*\\{.*?\"path\":\"" + Str + "\"").r
   private val DataChangeRe = "\"dataChange\"\\s*:\\s*(true|false)".r
   private val StatsRe = ("\"stats\"\\s*:\\s*\"" + Str + "\"").r
+  private val BaseRowIdRe = "\"baseRowId\"\\s*:\\s*(\\d+)".r
+  private val DefaultRcvRe =
+    "\"defaultRowCommitVersion\"\\s*:\\s*(\\d+)".r
   private val DvObj =
     ("\"deletionVector\"\\s*:\\s*\\{((?:[^{}\"]|\"" + Str + "\")*)\\}").r
   private val DvStorage = ("\"storageType\"\\s*:\\s*\"" + Str + "\"").r
@@ -961,7 +964,12 @@ object DeltaInterop {
       minWriter: Int = 1, writerFeatures: Seq[String] = Nil,
       /** path → data-skipping `stats` JSON, for active files that
         * carry one (foreign writers and every graft write path) */
-      stats: Map[String, String] = Map.empty)
+      stats: Map[String, String] = Map.empty,
+      /** path → (baseRowId, defaultRowCommitVersion) for active files
+        * that carry row-tracking fields */
+      rowIds: Map[String, (Option[Long], Option[Long])] = Map.empty,
+      /** the row-tracking domainMetadata high watermark, when present */
+      rowIdHighWaterMark: Option[Long] = None)
 
   /** Replay a Delta log to its snapshot state at `versionAsOf` (or the
     * latest version): parquet checkpoint base + JSON tail, protocol /
@@ -1112,6 +1120,10 @@ object DeltaInterop {
     // path → stats JSON; follows `active` (a re-add without stats
     // clears the stale entry)
     val statsMap = scala.collection.mutable.LinkedHashMap[String, String]()
+    // path → row-tracking fields; follows `active` the same way
+    val rowIdMap = scala.collection.mutable
+      .LinkedHashMap[String, (Option[Long], Option[Long])]()
+    var rowIdWm: Option[Long] = None
 
     // ---- checkpoint base state (O(#files) metadata through one scan) ----
     val lastCp = new HPath(logDir, "_last_checkpoint")
@@ -1211,9 +1223,16 @@ object DeltaInterop {
         val statsCol =
           if (addFields.contains("stats")) col("add.stats")
           else lit(null).cast("string")
+        val bridCol =
+          if (addFields.contains("baseRowId")) col("add.baseRowId")
+          else lit(null).cast("bigint")
+        val rcvCol =
+          if (addFields.contains("defaultRowCommitVersion"))
+            col("add.defaultRowCommitVersion")
+          else lit(null).cast("bigint")
         cp.where(col("add.path").isNotNull)
           .select(col("add.path"), col("add.partitionValues"), dvCol.as("dv"),
-            statsCol.as("stats"))
+            statsCol.as("stats"), bridCol.as("brid"), rcvCol.as("rcv"))
           .collect().foreach { r =>
             val pv = if (r.isNullAt(1)) Map.empty[String, String]
               else r.getMap[String, String](1).filter(_._2 != null).toMap
@@ -1232,6 +1251,22 @@ object DeltaInterop {
             if (!r.isNullAt(3) && r.getString(3).nonEmpty)
               statsMap(p) = r.getString(3)
             else statsMap.remove(p)
+            val brid = if (r.isNullAt(4)) None else Some(r.getLong(4))
+            val rcv = if (r.isNullAt(5)) None else Some(r.getLong(5))
+            if (brid.isDefined || rcv.isDefined) rowIdMap(p) = (brid, rcv)
+            else rowIdMap.remove(p)
+          }
+      }
+      if (fields.contains("domainMetadata")) {
+        cp.where(col("domainMetadata.domain") === "delta.rowTracking")
+          .select(col("domainMetadata.configuration"))
+          .collect().foreach { r =>
+            try {
+              val om2 = new com.fasterxml.jackson.databind.ObjectMapper()
+              val cfg = om2.readTree(r.getString(0))
+              if (cfg.has("rowIdHighWaterMark"))
+                rowIdWm = Some(cfg.get("rowIdHighWaterMark").asLong())
+            } catch { case _: Exception => () }
           }
       }
       collector.foreach(_.ingestBase(cp))
@@ -1362,21 +1397,28 @@ object DeltaInterop {
       // actions within one commit are UNORDERED per the protocol; a
       // commit carrying both remove and add of a path means "replace"
       // — removes apply first so the re-add survives
-      a.removes.foreach { p => active.remove(p); statsMap.remove(p) }
+      a.removes.foreach { p =>
+        active.remove(p); statsMap.remove(p); rowIdMap.remove(p)
+      }
       a.addActions.foreach { ad =>
         active(ad.path) = (ad.pv, ad.dv)
         ad.stats match {
           case Some(s) => statsMap(ad.path) = s
           case None => statsMap.remove(ad.path)
         }
+        if (ad.baseRowId.isDefined || ad.defaultRowCommitVersion.isDefined)
+          rowIdMap(ad.path) = (ad.baseRowId, ad.defaultRowCommitVersion)
+        else rowIdMap.remove(ad.path)
       }
+      a.rowIdHighWaterMark.foreach(w => rowIdWm = Some(w))
     }
     DeltaSnapshot(
       schemaJson.getOrElse(throw new IllegalStateException(
         s"no metaData action in Delta log at $path")),
       partCols, colMapMode, active.toSeq,
       (cpVersion +: commits.map(_.getName.dropRight(5).toLong)).max,
-      configuration, minWriter, writerFeatures, statsMap.toMap)
+      configuration, minWriter, writerFeatures, statsMap.toMap,
+      rowIdMap.toMap, rowIdWm)
   }
 
   /** One parsed JSON commit: the latest metaData (schema JSON,
@@ -1390,14 +1432,18 @@ object DeltaInterop {
     * reading), and the data-skipping `stats` JSON when carried. */
   private[sources] final case class DeltaAdd(path: String,
       pv: Map[String, String], dv: Option[DeletionVectors.Descriptor],
-      dataChange: Boolean, stats: Option[String] = None)
+      dataChange: Boolean, stats: Option[String] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   private[sources] final case class DeltaActions(
       meta: Option[(String, Seq[String], String)],
       addActions: Seq[DeltaAdd],
       removeActions: Seq[(String, Boolean)],
       config: Option[Map[String, String]] = None,
-      writerProto: Option[(Int, Seq[String])] = None) {
+      writerProto: Option[(Int, Seq[String])] = None,
+      /** row-tracking domainMetadata: the commit's rowIdHighWaterMark */
+      rowIdHighWaterMark: Option[Long] = None) {
     def adds: Seq[(String, Map[String, String],
       Option[DeletionVectors.Descriptor])] =
       addActions.map(a => (a.path, a.pv, a.dv))
@@ -1408,6 +1454,7 @@ object DeltaInterop {
     var meta: Option[(String, Seq[String], String)] = None
     var config: Option[Map[String, String]] = None
     var writerProto: Option[(Int, Seq[String])] = None
+    var rowIdWm: Option[Long] = None
     val adds = Seq.newBuilder[DeltaAdd]
     val removes = Seq.newBuilder[(String, Boolean)]
     def strList(body: Option[String]): Seq[String] =
@@ -1450,13 +1497,32 @@ object DeltaInterop {
         adds += DeltaAdd(p, pv, parseDvDescriptor(line),
           DataChangeRe.findFirstMatchIn(line).forall(_.group(1) == "true"),
           StatsRe.findFirstMatchIn(line).map(m => unq(m.group(1)))
-            .filter(_.nonEmpty))
+            .filter(_.nonEmpty),
+          BaseRowIdRe.findFirstMatchIn(line).map(_.group(1).toLong),
+          DefaultRcvRe.findFirstMatchIn(line).map(_.group(1).toLong))
       }
       RemovePath.findFirstMatchIn(line).foreach(m =>
         removes += ((decodePath(unq(m.group(1))),
           DataChangeRe.findFirstMatchIn(line).forall(_.group(1) == "true"))))
+      // row-tracking high watermark rides a domainMetadata action whose
+      // configuration is a JSON-escaped string — jackson-parse the rare
+      // matching lines rather than regex-chasing escaped quotes
+      if (line.contains("\"domainMetadata\"") &&
+          line.contains("delta.rowTracking")) {
+        try {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val dm = om.readTree(line).path("domainMetadata")
+          if (dm.path("domain").asText() == "delta.rowTracking" &&
+              !dm.path("removed").asBoolean(false)) {
+            val cfg = om.readTree(dm.path("configuration").asText())
+            if (cfg.has("rowIdHighWaterMark"))
+              rowIdWm = Some(cfg.get("rowIdHighWaterMark").asLong())
+          }
+        } catch { case _: Exception => () }
+      }
     }
-    DeltaActions(meta, adds.result(), removes.result(), config, writerProto)
+    DeltaActions(meta, adds.result(), removes.result(), config, writerProto,
+      rowIdWm)
   }
 
   /** Assemble the snapshot's DataFrame from replayed state: grouped
@@ -1707,7 +1773,10 @@ object DeltaInterop {
     val HarmlessOnAppend = Set("appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed",
       "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata",
-      "columnMapping")
+      // rowTracking is ACCEPTED, not merely tolerated: the adds below
+      // assign baseRowId/defaultRowCommitVersion and advance the
+      // domainMetadata high watermark per the protocol
+      "columnMapping", "rowTracking")
 
     // txn mode (the protocol's setTransaction idempotence): replay with
     // the collector so the appId's last committed version is visible
@@ -1880,17 +1949,47 @@ object DeltaInterop {
       txn.foreach { case (app, tv) =>
         actions += s"""{"txn":{"appId":"${jsonEscape(app)}","version":$tv,"lastUpdated":$now}}"""
       }
-      staged.foreach { case (rel, size, _) =>
-        val pv = hivePartitionValues(rel, physPartCols)
-        val pvJson = pv.map { case (k, vv) =>
-          "\"" + jsonEscape(k) + "\":\"" + jsonEscape(vv) + "\""
-        }.mkString(",")
-        val sj = statsMap.get(rel)
-          .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
-        actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{$pvJson},"size":$size,"modificationTime":$now,"dataChange":true$sj}}"""
+      // row tracking: each add gets a fresh contiguous baseRowId range
+      // and this commit's version; the high watermark advances through
+      // a domainMetadata action. Version and watermark move on lost
+      // races, so the row-tracking half re-renders per attempt.
+      val rowTracking = st.writerFeatures.contains("rowTracking")
+      lazy val recordsOf: Map[String, Long] = staged.map {
+        case (rel, _, _) =>
+          rel -> statsMap.get(rel)
+            .flatMap(DeltaStats.parse(_, physDataSchema))
+            .flatMap(_.numRecords)
+            .getOrElse {
+              val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                  new HPath(root, rel), conf))
+              try rdr.getRecordCount finally rdr.close()
+            }
+      }.toMap
+      def bytesFor(stNow: DeltaSnapshot, v: Long): Array[Byte] = {
+        val tail = Seq.newBuilder[String]
+        var wm = stNow.rowIdHighWaterMark.getOrElse(-1L)
+        staged.foreach { case (rel, size, _) =>
+          val pv = hivePartitionValues(rel, physPartCols)
+          val pvJson = pv.map { case (k, vv) =>
+            "\"" + jsonEscape(k) + "\":\"" + jsonEscape(vv) + "\""
+          }.mkString(",")
+          val sj = statsMap.get(rel)
+            .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
+          val rj =
+            if (!rowTracking) ""
+            else {
+              val base = wm + 1
+              wm += recordsOf(rel)
+              s""","baseRowId":$base,"defaultRowCommitVersion":$v"""
+            }
+          tail += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{$pvJson},"size":$size,"modificationTime":$now,"dataChange":true$sj$rj}}"""
+        }
+        if (rowTracking && staged.nonEmpty)
+          tail += s"""{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\\"rowIdHighWaterMark\\":$wm}","removed":false}}"""
+        (actions.result() ++ tail.result()).mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8)
       }
-      val bytes = actions.result().mkString("", "\n", "\n")
-        .getBytes(StandardCharsets.UTF_8)
 
       // ---- optimistic commit: claim version slots until one lands ----
       var v = st.version + 1
@@ -1898,7 +1997,8 @@ object DeltaInterop {
       var committed = -1L
       while (committed < 0) {
         try {
-          io.writeExclusive(new HPath(logDir, f"$v%020d.json"), bytes)
+          io.writeExclusive(new HPath(logDir, f"$v%020d.json"),
+            bytesFor(st, v))
           committed = v
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
@@ -2059,7 +2159,7 @@ object DeltaInterop {
     // constraints / invariants / generated columns impose no obligation
     // on DELETE (surviving rows are carried verbatim); appendOnly is
     // enforced below via the delta.appendOnly table property
-    val HarmlessOnDelete = Set("appendOnly", "invariants",
+    val HarmlessOnDelete = Set("rowTracking", "appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed",
       "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata",
       "columnMapping")
@@ -2235,6 +2335,12 @@ object DeltaInterop {
           }
           // rewrite survivors of partially-matched files; the write
           // tasks collect each rewritten file's stats in-flight
+          if (rewriteFiles.nonEmpty && !dvMode && st.configuration
+              .get("delta.enableRowTracking").contains("true"))
+            refuseW("the table GUARANTEES stable row ids " +
+              "(delta.enableRowTracking) and this DELETE would rewrite " +
+              "files without materializing them — enable deletion " +
+              "vectors (merge-on-read preserves ids)")
           var addStats: Map[String, String] = Map.empty
           if (rewriteFiles.nonEmpty && !dvMode) {
             // survivors = rows where the predicate is NOT TRUE (false
@@ -2347,7 +2453,7 @@ object DeltaInterop {
         s"cannot update Delta table at $path: $what — write it with " +
           "a full Delta client")
 
-    val HarmlessOnUpdate = Set("appendOnly", "invariants",
+    val HarmlessOnUpdate = Set("rowTracking", "appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed",
       "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata",
       "columnMapping")
@@ -2450,6 +2556,12 @@ object DeltaInterop {
           // affected files whole.
           val dvMode = st.configuration
             .get("delta.enableDeletionVectors").contains("true")
+          if (!dvMode && entries.nonEmpty && st.configuration
+              .get("delta.enableRowTracking").contains("true"))
+            refuseW("the table GUARANTEES stable row ids " +
+              "(delta.enableRowTracking) and this UPDATE would rewrite " +
+              "files without materializing them — enable deletion " +
+              "vectors (merge-on-read preserves ids)")
           var dvAdds: Seq[(String, Map[String, String], Long,
             DeletionVectors.Descriptor)] = Nil
           val rewritten =
@@ -2617,7 +2729,8 @@ object DeltaInterop {
 
     val Harmless = Set("appendOnly", "invariants", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors",
-      "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping")
+      "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping",
+      "rowTracking")
 
     def validate(): DeltaSnapshot = {
       val st = replaySnapshot(spark, path, None)
@@ -2812,6 +2925,12 @@ object DeltaInterop {
         // transformed rows + inserts — O(changed rows); otherwise CoW
         val dvMode = st.configuration
           .get("delta.enableDeletionVectors").contains("true")
+        if (!dvMode && entries.nonEmpty && st.configuration
+            .get("delta.enableRowTracking").contains("true"))
+          refuseW("the table GUARANTEES stable row ids " +
+            "(delta.enableRowTracking) and this MERGE would rewrite " +
+            "files without materializing them — enable deletion " +
+            "vectors (merge-on-read preserves ids)")
         var dvAdds: Seq[(String, Map[String, String], Long,
           DeletionVectors.Descriptor)] = Nil
         val rewritten =
@@ -2962,7 +3081,8 @@ object DeltaInterop {
           "a full Delta client")
     val Harmless = Set("appendOnly", "invariants", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors",
-      "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping")
+      "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping",
+      "rowTracking")
 
     var attempts = 0
     var result = -1L
@@ -2971,6 +3091,10 @@ object DeltaInterop {
       if (st.colMapMode != "none")
         refuseW("the table uses column mapping — rewritten files would " +
           "need physical column names")
+      if (st.configuration.get("delta.enableRowTracking").contains("true"))
+        refuseW("the table GUARANTEES stable row ids " +
+          "(delta.enableRowTracking) and a compaction rewrite would " +
+          "reassign them without materialization")
       if (st.minWriter > 7)
         refuseW(s"the table requires writer protocol ${st.minWriter}")
       if (st.minWriter == 7) {
@@ -3187,7 +3311,8 @@ object DeltaInterop {
     if (st.minWriter == 7) {
       val Harmless = Set("appendOnly", "invariants", "checkConstraints",
         "generatedColumns", "changeDataFeed", "deletionVectors",
-        "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping")
+        "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping",
+        "rowTracking")
       val unknown = st.writerFeatures.filterNot(Harmless.contains)
       if (unknown.nonEmpty)
         refuseW("the table requires writer features " +
@@ -3480,6 +3605,19 @@ object DeltaInterop {
   }
 
   /** TEST HOOK: active-path → stats JSON of the current snapshot. */
+  /** TEST HOOK: the table's declared writer features. */
+  private[graft] def deltaWriterFeatures(spark: SparkSession,
+      path: String): Seq[String] =
+    replaySnapshot(spark, path, None).writerFeatures
+
+  /** TEST HOOK: active path → (baseRowId, defaultRowCommitVersion) +
+    * the row-tracking high watermark. */
+  private[graft] def deltaRowIds(spark: SparkSession, path: String)
+      : (Map[String, (Option[Long], Option[Long])], Option[Long]) = {
+    val st = replaySnapshot(spark, path, None)
+    (st.rowIds, st.rowIdHighWaterMark)
+  }
+
   private[graft] def deltaFileStats(spark: SparkSession,
       path: String): Map[String, String] =
     replaySnapshot(spark, path, None).stats
@@ -3627,20 +3765,47 @@ object DeltaInterop {
     }
     def statsJson(rel: String): String = statsOf(rel)
       .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
+    val v = st.version + 1
+    // row tracking: rewritten files take a FRESH contiguous id range
+    // (stability through rewrites needs materialized ids; the callers
+    // refuse the CoW shapes on `delta.enableRowTracking` tables), DV
+    // re-adds carry the ORIGINAL file's fields — a deletion vector
+    // only strikes rows, the surviving ids stand
+    val rowTracking = st.writerFeatures.contains("rowTracking")
+    var wm = st.rowIdHighWaterMark.getOrElse(-1L)
+    def freshRowIds(rel: String): String =
+      if (!rowTracking) ""
+      else {
+        val records = statsOf(rel).flatMap(DeltaStats.numRecordsOf)
+          .getOrElse(throw new IllegalStateException(
+            s"row tracking needs numRecords stats for $rel"))
+        val base = wm + 1
+        wm += records
+        s""","baseRowId":$base,"defaultRowCommitVersion":$v"""
+      }
+    def carriedRowIds(rel: String): String =
+      if (!rowTracking) ""
+      else st.rowIds.get(rel) match {
+        case Some((brid, rcv)) =>
+          brid.map(b => s""","baseRowId":$b""").getOrElse("") +
+            rcv.map(r => s""","defaultRowCommitVersion":$r""").getOrElse("")
+        case None => ""
+      }
     adds.foreach { case (rel, size) =>
       val pv = hivePartitionValues(rel, partCols)
-      actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{${pvJson(pv)}},"size":$size,"modificationTime":$now,"dataChange":$dataChange${statsJson(rel)}}}"""
+      actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{${pvJson(pv)}},"size":$size,"modificationTime":$now,"dataChange":$dataChange${statsJson(rel)}${freshRowIds(rel)}}}"""
     }
     // merge-on-read deletes: the SAME data file re-added with a fresh
     // deletion vector (its remove rides removeWhole above); stats —
     // when the caller carries the file's original ones forward — stay
     // VALID bounds (a DV only strikes rows, never widens min/max)
     dvAdds.foreach { case (rel, pv, size, d) =>
-      actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{${pvJson(pv.toSeq)}},"size":$size,"modificationTime":$now,"dataChange":$dataChange${descriptorJson(d)}${statsJson(rel)}}}"""
+      actions += s"""{"add":{"path":"${jsonEscape(encodePath(rel))}","partitionValues":{${pvJson(pv.toSeq)}},"size":$size,"modificationTime":$now,"dataChange":$dataChange${descriptorJson(d)}${statsJson(rel)}${carriedRowIds(rel)}}}"""
     }
+    if (rowTracking && adds.nonEmpty)
+      actions += s"""{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\\"rowIdHighWaterMark\\":$wm}","removed":false}}"""
     val bytes = actions.result().mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8)
-    val v = st.version + 1
     io.writeExclusive(new HPath(logDir, f"$v%020d.json"), bytes)
     v
   }
@@ -3696,7 +3861,7 @@ object DeltaInterop {
     def refuseW(what: String): Nothing = throw new IllegalArgumentException(
       s"cannot restore Delta table at $path: $what — restore it with a " +
         "full Delta client")
-    val HarmlessOnRestore = Set("appendOnly", "invariants",
+    val HarmlessOnRestore = Set("rowTracking", "appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed",
       "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata",
       "columnMapping")
@@ -3780,7 +3945,13 @@ object DeltaInterop {
         // the re-surfaced file's stats at the target version ride back
         val sj = target.stats.get(p)
           .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
-        actions += s"""{"add":{"path":"${jsonEscape(encodePath(p))}","partitionValues":{${pvJson(pv)}},"size":$size,"modificationTime":$mod,"dataChange":true${dv.map(dvJson).getOrElse("")}$sj}}"""
+        // row tracking: the file's ORIGINAL ids ride back too (the
+        // high watermark stays put — it is monotonic by protocol)
+        val rj = target.rowIds.get(p).map { case (brid, rcv) =>
+          brid.map(b => s""","baseRowId":$b""").getOrElse("") +
+            rcv.map(r => s""","defaultRowCommitVersion":$r""").getOrElse("")
+        }.getOrElse("")
+        actions += s"""{"add":{"path":"${jsonEscape(encodePath(p))}","partitionValues":{${pvJson(pv)}},"size":$size,"modificationTime":$mod,"dataChange":true${dv.map(dvJson).getOrElse("")}$sj$rj}}"""
       }
       val bytes = actions.result().mkString("", "\n", "\n")
         .getBytes(StandardCharsets.UTF_8)
@@ -3907,7 +4078,8 @@ object DeltaInterop {
         "Delta client")
     val Harmless = Set("appendOnly", "invariants", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors",
-      "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping")
+      "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping",
+      "rowTracking")
     // the writer features a legacy minWriterVersion implies, per the
     // protocol's version-to-feature table — needed when an upgrade
     // moves a legacy table to explicit feature lists
@@ -3937,6 +4109,9 @@ object DeltaInterop {
       val needWriter = Seq(
         "delta.enableChangeDataFeed" -> "changeDataFeed",
         "delta.enableDeletionVectors" -> "deletionVectors",
+        "delta.enableRowTracking" -> "rowTracking",
+        // rowTracking's high watermark rides domainMetadata actions
+        "delta.enableRowTracking" -> "domainMetadata",
         "delta.appendOnly" -> "appendOnly").collect {
         case (k, f) if newConf.get(k).contains("true") => f
       }

@@ -294,6 +294,14 @@ private[graft] object DeltaStats {
     } finally pool.shutdown()
   }
 
+  /** Just the `numRecords` of a stats JSON — the row-tracking commit
+    * paths need per-file record counts without a schema in hand. */
+  def numRecordsOf(json: String): Option[Long] = Try {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.readTree(json).path("numRecords")
+    if (n.isNumber) Some(n.asLong()) else None
+  }.toOption.flatten
+
   // ------------------------------------------------------- read side
 
   /** Parsed per-file stats in the normalized comparison domain:

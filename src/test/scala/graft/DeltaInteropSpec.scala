@@ -1653,13 +1653,13 @@ class DeltaInteropSpec extends AnyFunSuite {
     Files.createDirectories(Paths.get(root3, "_delta_log"))
     val sj3 = StructType(Seq(StructField("id", LongType))).json
     Files.write(Paths.get(root3, "_delta_log", "0" * 20 + ".json"), Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","rowTracking"]}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","collations"]}}""",
       s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(sj3)}","partitionColumns":[],"configuration":{},"createdTime":1}}"""
     ).mkString("", "\n", "\n").getBytes("UTF-8"))
     val e3 = intercept[IllegalArgumentException] {
       DeltaInterop.appendToDelta(Seq(1L).toDF("id"), root3)
     }
-    assert(e3.getMessage.contains("rowTracking"), e3.getMessage)
+    assert(e3.getMessage.contains("collations"), e3.getMessage)
   }
 
   test("appendToDelta contention: every writer lands a distinct version") {

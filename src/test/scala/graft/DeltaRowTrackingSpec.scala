@@ -1,0 +1,246 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{DeltaInterop, GraftTable}
+
+/** Delta ROW TRACKING (PROTOCOL.md): every add action on a
+  * feature-carrying table gets `baseRowId` + `defaultRowCommitVersion`,
+  * the `delta.rowTracking` domainMetadata high watermark advances with
+  * the assigned ranges, deletion-vector DML re-adds carry the original
+  * file's fields (a DV only strikes rows — surviving ids stand), and
+  * the copy-on-write shapes that would silently reassign GUARANTEED
+  * ids (`delta.enableRowTracking`) refuse toward the merge-on-read
+  * path. Reference stack: Delta 3.2.0
+  * (reference scripts/download-jars.sh:90) ships row tracking as a
+  * modern default. */
+class DeltaRowTrackingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  private def mkTable(rows: Int = 40, files: Int = 4): String = {
+    import spark.implicits._
+    val df = (0 until rows).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(files, col("id")).sortWithinPartitions("id")
+    val t = GraftTable.create(spark, tmp("graft_rt_src_"), df)
+    val target = tmp("graft_rt_delta_")
+    DeltaInterop.exportSnapshot(t, target)
+    target
+  }
+
+  test("enableRowTracking auto-upgrades the protocol with its features") {
+    val target = mkTable()
+    DeltaInterop.setDeltaProperties(spark, target,
+      Map("delta.enableRowTracking" -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+    val feats = DeltaInterop.deltaWriterFeatures(spark, target)
+    assert(feats.contains("rowTracking") &&
+      feats.contains("domainMetadata") &&
+      feats.contains("deletionVectors"), feats)
+  }
+
+  test("appends assign contiguous baseRowId ranges and advance the watermark") {
+    import spark.implicits._
+    val target = mkTable()
+    DeltaInterop.setDeltaProperties(spark, target,
+      Map("delta.enableRowTracking" -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+    val v1 = DeltaInterop.appendToDelta(
+      (100 until 110).map(i => (i.toLong, s"a$i")).toDF("id", "v"), target)
+    val (ids1, wm1) = DeltaInterop.deltaRowIds(spark, target)
+    // only the appended files carry ids (the export predates tracking)
+    val assigned1 = ids1.filter(_._2._1.isDefined)
+    assert(assigned1.nonEmpty)
+    assert(wm1.contains(9L), wm1) // 10 rows -> ids 0..9
+    assert(assigned1.values.forall(_._2.contains(v1)),
+      "defaultRowCommitVersion must be the committed version")
+    // second append starts past the watermark, contiguous per file
+    DeltaInterop.appendToDelta(
+      (200 until 205).map(i => (i.toLong, s"b$i")).toDF("id", "v"), target)
+    val (ids2, wm2) = DeltaInterop.deltaRowIds(spark, target)
+    assert(wm2.contains(14L), wm2)
+    val bases = ids2.values.flatMap(_._1).toSeq.sorted
+    assert(bases.head == 0L && bases.forall(_ <= 14L), bases)
+    assert(DeltaInterop.readDelta(spark, target).count() == 55)
+  }
+
+  test("DV DELETE and UPDATE keep the original file's ids; new rows get fresh") {
+    import spark.implicits._
+    val target = mkTable()
+    DeltaInterop.setDeltaProperties(spark, target,
+      Map("delta.enableRowTracking" -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+    DeltaInterop.appendToDelta(
+      (100 until 120).map(i => (i.toLong, s"a$i")).toDF("id", "v"), target)
+    val (before, wmBefore) = DeltaInterop.deltaRowIds(spark, target)
+    val tracked = before.filter(_._2._1.isDefined)
+    assert(tracked.nonEmpty && wmBefore.contains(19L))
+    // merge-on-read DELETE: same file re-added with a DV, SAME ids
+    DeltaInterop.deleteFromDelta(spark, target, $"id" === 105L)
+    val (afterDel, wmDel) = DeltaInterop.deltaRowIds(spark, target)
+    tracked.foreach { case (p, ids) =>
+      assert(afterDel.get(p).contains(ids),
+        s"DV delete must carry row ids for $p")
+    }
+    assert(wmDel == wmBefore, "a pure DV delete assigns no new ids")
+    assert(DeltaInterop.readDelta(spark, target).count() == 59)
+    // merge-on-read UPDATE: struck file keeps ids; the appended
+    // transformed-rows file gets a FRESH range past the watermark
+    val vUpd = DeltaInterop.updateDelta(spark, target, $"id" === 110L,
+      Map("v" -> lit("upd")))
+    val (afterUpd, wmUpd) = DeltaInterop.deltaRowIds(spark, target)
+    tracked.foreach { case (p, ids) =>
+      assert(afterUpd.get(p).contains(ids),
+        s"DV update must carry row ids for $p")
+    }
+    val fresh = afterUpd.filter { case (p, (b, _)) =>
+      !before.contains(p) && b.exists(_ > 19L) }
+    assert(fresh.nonEmpty, "the update's new file needs a fresh id range")
+    assert(fresh.values.forall(_._2.contains(vUpd)))
+    assert(wmUpd.exists(_ > 19L))
+    assert(DeltaInterop.readDelta(spark, target)
+      .where($"id" === 110L).select("v").head().getString(0) == "upd")
+  }
+
+  test("CoW shapes refuse on guaranteed tables; merely-supported proceeds") {
+    import spark.implicits._
+    // GUARANTEED (enableRowTracking) without DVs: rewrites refuse
+    val guaranteed = mkTable()
+    DeltaInterop.setDeltaProperties(spark, guaranteed,
+      Map("delta.enableRowTracking" -> "true"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.deleteFromDelta(spark, guaranteed, $"id" === 5L)
+    }
+    assert(e.getMessage.contains("enableRowTracking"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaInterop.updateDelta(spark, guaranteed, $"id" === 5L,
+        Map("v" -> lit("x")))
+    }
+    assert(e2.getMessage.contains("enableRowTracking"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaInterop.optimizeDelta(spark, guaranteed)
+    }
+    assert(e3.getMessage.contains("enableRowTracking"), e3.getMessage)
+    // whole-file DELETE never rewrites: fine even on guaranteed tables
+    DeltaInterop.deleteFromDelta(spark, guaranteed, lit(true))
+    assert(DeltaInterop.readDelta(spark, guaranteed).count() == 0)
+    // feature SUPPORTED but not enabled: CoW proceeds, fresh ids stand
+    val supported = mkTable()
+    DeltaInterop.setDeltaProperties(spark, supported,
+      Map("delta.enableRowTracking" -> "true"))
+    DeltaInterop.unsetDeltaProperties(spark, supported,
+      Seq("delta.enableRowTracking"))
+    DeltaInterop.appendToDelta(
+      Seq((100L, "x")).toDF("id", "v"), supported)
+    DeltaInterop.deleteFromDelta(spark, supported, $"id" < 10L)
+    val (ids, wm) = DeltaInterop.deltaRowIds(spark, supported)
+    assert(DeltaInterop.readDelta(spark, supported).count() == 31)
+    // every surviving rewritten file carries a fresh assigned range
+    assert(ids.nonEmpty && wm.isDefined)
+    val spans = ids.values.flatMap(_._1).toSeq
+    assert(spans.distinct.size == spans.size, "id ranges must not collide")
+  }
+
+  test("bitmap combiner: builder bytes match serialize; 1M strikes stay bitset-backed") {
+    import graft.sources.DeletionVectors
+    val rnd = new scala.util.Random(42)
+    val sparse = Seq.fill(3000)(rnd.nextInt(5000000).toLong).distinct
+    val b = new DeletionVectors.BitmapBuilder
+    sparse.foreach(b.add)
+    assert(DeletionVectors.serializeBuilder(b).toSeq ==
+      DeletionVectors.serialize(sparse).toSeq,
+      "builder must serialize byte-identically to the Seq writer")
+    assert(b.cardinality == sparse.size)
+    // dense full-file shape: 1M contiguous strikes — the combiner is
+    // a bitset (125 KB), asserted by type through the whole path
+    import TestSpark.spark.implicits._
+    val pairs = TestSpark.spark.range(1000000)
+      .select(org.apache.spark.sql.functions.lit("f1").as("f"),
+        org.apache.spark.sql.functions.col("id"))
+    val out = DeletionVectors.serializeStruckBitmaps(pairs, Map.empty)
+    assert(out.length == 1 && out.head._3 == 1000000L)
+    val rt = DeletionVectors.deserialize(out.head._2)
+    assert(rt.cardinality == 1000000L && rt.contains(0L) &&
+      rt.contains(999999L) && !rt.contains(1000000L))
+    // merging an existing serialized bitmap unions, never double-counts
+    val out2 = DeletionVectors.serializeStruckBitmaps(pairs,
+      Map("f1" -> DeletionVectors.serialize(Seq(5L, 2000000L))))
+    assert(out2.head._3 == 1000001L)
+  }
+
+  test("restore carries the original ids back") {
+    import spark.implicits._
+    val target = mkTable()
+    DeltaInterop.setDeltaProperties(spark, target,
+      Map("delta.enableRowTracking" -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+    val vA = DeltaInterop.appendToDelta(
+      (100 until 105).map(i => (i.toLong, s"a$i")).toDF("id", "v"), target)
+    val (idsA, _) = DeltaInterop.deltaRowIds(spark, target)
+    DeltaInterop.deleteFromDelta(spark, target, $"id" >= 100L)
+    DeltaInterop.restoreDelta(spark, target, vA)
+    val (idsR, _) = DeltaInterop.deltaRowIds(spark, target)
+    idsA.filter(_._2._1.isDefined).foreach { case (p, ids) =>
+      assert(idsR.get(p).contains(ids), s"restore must carry ids for $p")
+    }
+    assert(DeltaInterop.readDelta(spark, target).count() == 45)
+  }
+}
+
+/** `Trigger.AvailableNow` on the DSv2 streams: the run drains exactly
+  * the commits present at start, in maxCommitsPerTrigger-bounded
+  * MULTIPLE batches (never the single-batch fallback), then stops —
+  * the scale-relevant half of admission control for a 100 TB
+  * catch-up. */
+class AvailableNowSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  test("Delta stream drains a multi-commit tail in bounded batches") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_an_src_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val target = tmp("graft_an_delta_")
+    DeltaInterop.exportSnapshot(t, target)
+    (2 to 5).foreach(i => DeltaInterop.appendToDelta(
+      Seq((i.toLong, s"v$i")).toDF("id", "v"), target))
+    val name = "ansink_" + java.util.UUID.randomUUID().toString
+      .replace("-", "")
+    val q = spark.readStream.format("graft.sources.v2.DeltaSource")
+      .option("maxCommitsPerTrigger", "1").load(target)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination()
+    // all five rows landed…
+    assert(spark.table(name).count() == 5)
+    // …across MULTIPLE rate-limited batches, not one unbounded one
+    val batches = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    assert(batches.size >= 4,
+      s"expected a bounded multi-batch drain, got ${batches.size}")
+  }
+
+  test("graft-table stream drains under AvailableNow in bounded batches") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_an_g_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    (2 to 4).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val name = "angsink_" + java.util.UUID.randomUUID().toString
+      .replace("-", "")
+    val q = spark.readStream.format("graft.sources.v2.GraftSource")
+      .option("maxCommitsPerTrigger", "1").load(t.root)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination()
+    assert(spark.table(name).count() == 4)
+    val batches = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    assert(batches.size >= 3,
+      s"expected a bounded multi-batch drain, got ${batches.size}")
+  }
+}
