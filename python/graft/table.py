@@ -791,6 +791,37 @@ def merge_iceberg_clauses(source_df, path, keys, matched=None,
         _build_clauses(spark, not_matched_by_source, "by_source"))
 
 
+def write_iceberg_statistics(spark, path, columns=None, nominal=4096):
+    """Publish a Puffin table-statistics file for the CURRENT snapshot
+    (one apache-datasketches-theta-v1 NDV sketch blob per eligible
+    column) and commit the spec's `statistics` metadata entry, so a
+    stock engine's CBO reads graft-computed NDVs. Returns
+    {column: ndv estimate}."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    cols = _seq(spark, columns or [])
+    jmap = ix.writeIcebergStatistics(spark._jsparkSession, path, cols,
+                                     nominal, 20)
+    out = {}
+    it = jmap.iterator()
+    while it.hasNext():
+        e = it.next()
+        out[e._1()] = e._2()
+    return out
+
+
+def read_iceberg_statistics_ndv(spark, path):
+    """Read the current snapshot's published NDVs back — decoded from
+    the theta sketches themselves, through the Puffin footer."""
+    ix = spark._jvm.graft.sources.IcebergInterop
+    jmap = ix.readIcebergStatisticsNdv(spark._jsparkSession, path)
+    out = {}
+    it = jmap.iterator()
+    while it.hasNext():
+        e = it.next()
+        out[e._1()] = e._2()
+    return out
+
+
 def delete_from_iceberg_by_key(key_rows_df, path):
     """KEYED DELETE on a file-based Iceberg v2 table as a pure
     EQUALITY-DELETE commit (content 2, the Flink-CDC shape): every

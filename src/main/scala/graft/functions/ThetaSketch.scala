@@ -1,0 +1,192 @@
+package graft.functions
+
+/** Dependency-free Theta sketch in the Apache DataSketches
+  * `apache-datasketches-theta-v1` serialized form (the blob type the
+  * Iceberg spec's Puffin statistics files carry for per-column NDV).
+  *
+  * The shapes implemented are the public format's compact ORDERED
+  * sketch images (datasketches.apache.org memory layouts):
+  *
+  *  - empty: 1 preamble long (preLongs=1, serVer=3, family=3,
+  *    flags EMPTY|COMPACT|ORDERED|READONLY, seed hash)
+  *  - exact mode (≤ k retained): 2 preamble longs (retained count +
+  *    p=1.0) followed by the sorted retained hashes; theta implied 1.0
+  *  - estimating mode: 3 preamble longs (the third is thetaLong)
+  *    followed by the k smallest hashes; estimate = k / (theta/MAX)
+  *
+  * Values hash through MurmurHash3 x64-128 with the DataSketches
+  * default seed 9001 (longs as 8 little-endian bytes, strings as
+  * UTF-8, doubles canonicalized via `+0.0` then their LE long bits —
+  * the library's own update rules), keeping the low 63 bits of h1.
+  * Correctness here is round-trip + estimate-accuracy; byte layout
+  * follows the published format so stock readers can decode.
+  */
+private[graft] object ThetaSketch {
+
+  val DefaultNominal = 4096
+  val DefaultSeed = 9001L
+  private val MaxThetaLong = Long.MaxValue
+
+  // ---------------------------------------------- murmur3 x64 128
+
+  /** MurmurHash3 x64 128 (public algorithm), returning (h1, h2). */
+  def murmur128(data: Array[Byte], seed: Long): (Long, Long) = {
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    var h1 = seed
+    var h2 = seed
+    val nblocks = data.length / 16
+    def getLong(i: Int): Long = {
+      var v = 0L
+      var j = 7
+      while (j >= 0) { v = (v << 8) | (data(i + j) & 0xffL); j -= 1 }
+      v
+    }
+    var b = 0
+    while (b < nblocks) {
+      var k1 = getLong(b * 16)
+      var k2 = getLong(b * 16 + 8)
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1
+      h1 = java.lang.Long.rotateLeft(h1, 27); h1 += h2
+      h1 = h1 * 5 + 0x52dce729L
+      k2 *= c2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= c1; h2 ^= k2
+      h2 = java.lang.Long.rotateLeft(h2, 31); h2 += h1
+      h2 = h2 * 5 + 0x38495ab5L
+      b += 1
+    }
+    var k1 = 0L
+    var k2 = 0L
+    val tail = nblocks * 16
+    val rem = data.length & 15
+    if (rem > 8) {
+      var j = rem - 1
+      while (j >= 8) { k2 = (k2 << 8) | (data(tail + j) & 0xffL); j -= 1 }
+      k2 *= c2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= c1; h2 ^= k2
+    }
+    if (rem > 0) {
+      var j = math.min(rem, 8) - 1
+      while (j >= 0) { k1 = (k1 << 8) | (data(tail + j) & 0xffL); j -= 1 }
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= data.length.toLong
+    h2 ^= data.length.toLong
+    h1 += h2; h2 += h1
+    def fmix(v0: Long): Long = {
+      var v = v0
+      v ^= v >>> 33; v *= 0xff51afd7ed558ccdL
+      v ^= v >>> 33; v *= 0xc4ceb9fe1a85ec53L
+      v ^= v >>> 33
+      v
+    }
+    h1 = fmix(h1); h2 = fmix(h2)
+    h1 += h2; h2 += h1
+    (h1, h2)
+  }
+
+  /** A value's theta hash: low 63 bits of h1 (the DataSketches update
+    * rule — `>>> 1` keeps hashes in [0, 2^63)). */
+  def hashBytes(data: Array[Byte], seed: Long = DefaultSeed): Long =
+    murmur128(data, seed)._1 >>> 1
+
+  def hashLong(v: Long, seed: Long = DefaultSeed): Long = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    hashBytes(b, seed)
+  }
+
+  def hashString(s: String, seed: Long = DefaultSeed): Long =
+    hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
+
+  def hashDouble(d: Double, seed: Long = DefaultSeed): Long =
+    hashLong(java.lang.Double.doubleToLongBits(d + 0.0), seed)
+
+  /** Seed hash (the preamble's 16-bit check): murmur of the seed's
+    * 8 LE bytes with seed 0, low 16 bits, must be non-zero. */
+  def seedHash(seed: Long): Int = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((seed >>> (8 * i)) & 0xff).toByte; i += 1 }
+    val h = (murmur128(b, 0L)._1 & 0xffffL).toInt
+    require(h != 0, s"seed $seed hashes to 0 — pick another seed")
+    h
+  }
+
+  // -------------------------------------------------- sketch model
+
+  /** A compact ordered theta sketch: the retained hashes (sorted,
+    * all < thetaLong) and the theta. */
+  final case class Sketch(thetaLong: Long, hashes: Array[Long],
+      seed: Long = DefaultSeed) {
+    def estimate: Double =
+      if (thetaLong == MaxThetaLong) hashes.length.toDouble
+      else hashes.length.toDouble * MaxThetaLong.toDouble / thetaLong.toDouble
+  }
+
+  /** Build a sketch from raw theta hashes (deduplicated here):
+    * exact up to `nominal` distinct, then KMV-style estimating with
+    * theta = the (nominal+1)-th smallest hash. */
+  def fromHashes(hashes: Iterable[Long],
+      nominal: Int = DefaultNominal, seed: Long = DefaultSeed): Sketch = {
+    val distinct = hashes.toArray.distinct.sorted
+    if (distinct.length <= nominal)
+      Sketch(MaxThetaLong, distinct, seed)
+    else {
+      val theta = distinct(nominal)
+      Sketch(theta, distinct.take(nominal), seed)
+    }
+  }
+
+  // ----------------------------------------------------- serialize
+
+  /** The `apache-datasketches-theta-v1` blob bytes (compact ordered
+    * image, little-endian). */
+  def serialize(s: Sketch): Array[Byte] = {
+    val empty = s.hashes.isEmpty && s.thetaLong == MaxThetaLong
+    val exact = s.thetaLong == MaxThetaLong
+    val preLongs = if (empty) 1 else if (exact) 2 else 3
+    val bb = java.nio.ByteBuffer
+      .allocate(preLongs * 8 + s.hashes.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(preLongs.toByte)
+    bb.put(3.toByte) // serVer
+    bb.put(3.toByte) // family: COMPACT
+    bb.put(0.toByte) // lgNomLongs unused in compact images
+    // flags: READONLY(2) | EMPTY(4) | COMPACT(8) | ORDERED(16)
+    bb.put(((if (empty) 4 else 0) | 2 | 8 | 16).toByte)
+    bb.put(0.toByte)
+    bb.putShort(seedHash(s.seed).toShort)
+    if (!empty) {
+      bb.putInt(s.hashes.length)
+      bb.putFloat(1.0f) // p
+      if (!exact) bb.putLong(s.thetaLong)
+      s.hashes.foreach(bb.putLong)
+    }
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte],
+      seed: Long = DefaultSeed): Sketch = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val preLongs = bb.get() & 0xff
+    val serVer = bb.get() & 0xff
+    require(serVer == 3, s"theta sketch serVer $serVer, expected 3")
+    bb.get() // family
+    bb.get()
+    val flags = bb.get() & 0xff
+    bb.get()
+    val sh = bb.getShort() & 0xffff
+    require(sh == seedHash(seed),
+      s"theta sketch seed hash $sh does not match seed $seed")
+    if ((flags & 4) != 0 || preLongs == 1)
+      return Sketch(MaxThetaLong, Array.empty, seed)
+    val count = bb.getInt()
+    bb.getFloat()
+    val theta = if (preLongs >= 3) bb.getLong() else MaxThetaLong
+    val hs = new Array[Long](count)
+    var i = 0
+    while (i < count) { hs(i) = bb.getLong(); i += 1 }
+    Sketch(theta, hs, seed)
+  }
+}

@@ -350,6 +350,7 @@ object IcebergInterop {
          |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pfields]}},
          |${avroField("record_count", "\"long\"", 103)},
          |${avroField("file_size_in_bytes", "\"long\"", 104)},
+         |${avroField("sort_order_id", "\"int\"", 140, optional = true)},
          |$statMapFields
          |]}}]}""".stripMargin.replace("\n", ""))
   }
@@ -518,7 +519,8 @@ object IcebergInterop {
   private def manifestEntryV2(entrySchema: AvroSchema, filePath: String,
       size: Long, records: Long, partValues: Seq[AnyRef],
       content: Int = 0,
-      bounds: Option[IcebergStats.Bounds] = None): GenericRecord = {
+      bounds: Option[IcebergStats.Bounds] = None,
+      sortOrderId: Option[Int] = None): GenericRecord = {
     val dataFile = new GenericData.Record(
       entrySchema.getField("data_file").schema())
     dataFile.put("content", content)
@@ -530,6 +532,9 @@ object IcebergInterop {
     dataFile.put("partition", part)
     dataFile.put("record_count", records)
     dataFile.put("file_size_in_bytes", size)
+    if (dataFile.getSchema.getField("sort_order_id") != null)
+      sortOrderId.foreach(id =>
+        dataFile.put("sort_order_id", Int.box(id)))
     bounds.foreach(putStatMaps(dataFile, _))
     val e = new GenericData.Record(entrySchema)
     e.put("status", 1) // ADDED
@@ -1510,6 +1515,167 @@ object IcebergInterop {
     * trimmed too (the spec requires log entries reference live
     * snapshots). A lost version race re-reads and retries. Returns the
     * number of files deleted. */
+  /** Publish a Puffin TABLE-STATISTICS file for the CURRENT snapshot —
+    * one `apache-datasketches-theta-v1` NDV sketch blob per eligible
+    * top-level column (integral/date/timestamp, string, float/double)
+    * — and commit a metadata version carrying the spec's `statistics`
+    * entry, so a stock engine's CBO reads graft-computed NDVs. Per
+    * column: one distributed bottom-(k+1) pass over DISTINCT theta
+    * hashes (a sort-limit, never a full collect) feeds the KMV
+    * estimator — exact below k distinct, theta-estimating above.
+    * Returns column → NDV estimate. */
+  def writeIcebergStatistics(spark: SparkSession, path: String,
+      columns: Seq[String] = Nil, nominal: Int = 4096,
+      maxRetries: Int = 20): Map[String, Long] = {
+    import graft.functions.ThetaSketch
+    import org.apache.spark.sql.functions.{col, udf}
+    import org.apache.spark.sql.types._
+    val root = new HPath(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val metaDir = new HPath(root, "metadata")
+    require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
+    val io = new TableIO(path, conf)
+    val (_, md0) = currentMetadata(spark, path)
+    val currentSnap = md0.path("current-snapshot-id").asLong(-1L)
+    require(currentSnap >= 0, s"no current snapshot at $path")
+    val seq = md0.path("last-sequence-number").asLong(0L)
+    val schemaNode = currentSchemaNode(md0, path)
+    val schema = fromIcebergStruct(schemaNode, path)
+    val idOf = IcebergStats.fieldIdsOf(schemaNode)
+    val hashLongU = udf((v: Long) => ThetaSketch.hashLong(v))
+    val hashStrU = udf((v: String) => ThetaSketch.hashString(v))
+    val hashDblU = udf((v: Double) => ThetaSketch.hashDouble(v))
+    val table = readIceberg(spark, path)
+    val picked = schema.fields.toSeq
+      .filter(f => columns.isEmpty || columns.contains(f.name))
+      .flatMap { f =>
+        val h: Option[org.apache.spark.sql.Column] = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+               DateType | TimestampType | TimestampNTZType =>
+            Some(hashLongU(col(f.name).cast("long")))
+          case StringType => Some(hashStrU(col(f.name)))
+          case FloatType | DoubleType =>
+            Some(hashDblU(col(f.name).cast("double")))
+          case _ => None
+        }
+        h.map(f.name -> _)
+      }
+    require(picked.nonEmpty,
+      s"no statistics-eligible columns at $path among " +
+        s"[${columns.mkString(", ")}]")
+    val sketches = picked.map { case (name, h) =>
+      val hashes = table.where(col(name).isNotNull)
+        .select(h.as("__h")).distinct()
+        .orderBy(col("__h")).limit(nominal + 1)
+        .collect().map(_.getLong(0)).toSeq
+      val sk = ThetaSketch.fromHashes(hashes, nominal)
+      (name, sk, math.round(sk.estimate))
+    }
+    val statsPath = new HPath(metaDir,
+      s"$currentSnap-${java.util.UUID.randomUUID()}.stats")
+    val written = Puffin.writeStatsFile(conf, statsPath,
+      sketches.map { case (name, sk, ndv) =>
+        Puffin.StatsBlob("apache-datasketches-theta-v1",
+          Seq(idOf(name)), currentSnap, seq,
+          ThetaSketch.serialize(sk), Map("ndv" -> ndv.toString))
+      })
+    // commit the `statistics` entry (replacing any prior entry for
+    // this snapshot) through the optimistic conditional put
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val listed = fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+      val vTop = listed.flatMap {
+        case VMeta(n) => Some(n.toInt)
+        case _ => None
+      }.maxOption.getOrElse(throw new IllegalArgumentException(
+        s"catalog-managed metadata at $path — commit statistics with " +
+          "a full Iceberg client"))
+      val md = om.readTree(readBytes(fs,
+        new HPath(metaDir, s"v$vTop.metadata.json"))).deepCopy[ObjectNode]()
+      val fresh = om.createArrayNode()
+      md.path("statistics") match {
+        case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+          val it = a.elements()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.path("snapshot-id").asLong(-1L) != currentSnap)
+              fresh.add(e)
+          }
+        case _ => ()
+      }
+      val entry = om.createObjectNode()
+      entry.put("snapshot-id", currentSnap)
+      entry.put("statistics-path", statsPath.toString)
+      entry.put("file-size-in-bytes", written.fileSizeInBytes)
+      entry.put("file-footer-size-in-bytes", written.footerSizeInBytes)
+      val bm = entry.putArray("blob-metadata")
+      written.blobs.foreach { case (b, _, _) =>
+        val n = bm.addObject()
+        n.put("type", b.blobType)
+        n.put("snapshot-id", b.snapshotId)
+        n.put("sequence-number", b.sequenceNumber)
+        val fArr = n.putArray("fields")
+        b.fields.foreach(fArr.add)
+        val pn = n.putObject("properties")
+        b.properties.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          pn.put(k, v) }
+      }
+      fresh.add(entry)
+      md.set[JsonNode]("statistics", fresh)
+      md.put("last-updated-ms", System.currentTimeMillis())
+      try {
+        io.writeExclusive(new HPath(metaDir,
+          s"v${vTop + 1}.metadata.json"),
+          om.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+        publishHint(fs, metaDir, vTop + 1)
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+          if (attempts > maxRetries)
+            throw new IllegalStateException(
+              s"writeIcebergStatistics lost $maxRetries races at $path")
+      }
+    }
+    sketches.map { case (name, _, ndv) => name -> ndv }.toMap
+  }
+
+  /** Read the CURRENT snapshot's published NDV statistics back — each
+    * theta blob is decoded (not just its `ndv` property) so the
+    * estimate comes from the sketch itself. */
+  def readIcebergStatisticsNdv(spark: SparkSession, path: String)
+      : Map[String, Long] = {
+    import graft.functions.ThetaSketch
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (_, md) = currentMetadata(spark, path)
+    val currentSnap = md.path("current-snapshot-id").asLong(-1L)
+    val schemaNode = currentSchemaNode(md, path)
+    val nameOf: Map[Int, String] = IcebergStats.fieldIdsOf(schemaNode)
+      .map(_.swap)
+    val out = Map.newBuilder[String, Long]
+    val it = md.path("statistics").elements()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.path("snapshot-id").asLong(-1L) == currentSnap) {
+        val sp = e.path("statistics-path").asText()
+        Puffin.readFooter(conf, sp).foreach {
+          case (tpe, fields, off, len, _)
+              if tpe == "apache-datasketches-theta-v1" &&
+                fields.size == 1 =>
+            nameOf.get(fields.head).foreach { name =>
+              val sk = ThetaSketch.deserialize(
+                Puffin.readBlob(conf, sp, off, len))
+              out += name -> math.round(sk.estimate)
+            }
+          case _ => ()
+        }
+      }
+    }
+    out.result()
+  }
+
   def expireIcebergSnapshots(spark: SparkSession, path: String,
       keepLast: Int, maxRetries: Int = 20): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
@@ -1728,8 +1894,23 @@ object IcebergInterop {
     }
     val annotated = annotateFieldIds(
       StructType(schema.fieldNames.map(df.schema(_))), schemaNode)
+    // v3 row lineage: MATERIALIZED _row_id / _last_updated_sequence_
+    // number columns ride through rewrites under their spec-reserved
+    // field ids (2147483540 / 2147483539)
+    val lineagePass: Seq[(String, Long)] = Seq(
+      "_row_id" -> 2147483540L,
+      "_last_updated_sequence_number" -> 2147483539L)
+      .filter { case (n, _) => df.schema.fieldNames.contains(n) }
+    if (lineagePass.nonEmpty)
+      df.sparkSession.conf.set(
+        "spark.sql.parquet.fieldId.write.enabled", "true")
     val ordered = df.select(annotated.fields.toSeq.map(f =>
-      col(f.name).as(f.name, f.metadata)): _*)
+      col(f.name).as(f.name, f.metadata)) ++
+      lineagePass.map { case (n, id) =>
+        col(n).cast("long").as(n,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id).build())
+      }: _*)
     val withParts = parts.foldLeft(ordered) { case (d, (p, src)) =>
       d.withColumn(p.hiveKey, transformCol(p.transform, col(src),
         schema(src).dataType))
@@ -2502,7 +2683,8 @@ object IcebergInterop {
       newFiles: Seq[(HPath, Long, Long)],
       partValuesOf: HPath => Seq[AnyRef], operation: String,
       refuseW: String => Nothing,
-      newBounds: HPath => Option[IcebergStats.Bounds] = null)
+      newBounds: HPath => Option[IcebergStats.Bounds] = null,
+      newSortOrderId: Option[Int] = None)
       : Option[Long] = {
     val conf = fs.getConf
     def contentOf(r: GenericRecord): Long =
@@ -2612,7 +2794,8 @@ object IcebergInterop {
               fromIcebergStruct(schemaNode, metaDir.toString), schemaNode)
           val dataEnts = newFiles.map { case (p, size, rc) =>
             manifestEntryV2(dataEntrySchema, p.toString, size, rc,
-              partValuesOf(p), bounds = boundsOf(p))
+              partValuesOf(p), bounds = boundsOf(p),
+              sortOrderId = newSortOrderId)
           }
           val bytes = writeAvro(dataEntrySchema, Map(
             "schema" -> om.writeValueAsString(schemaNode),
@@ -2643,10 +2826,12 @@ object IcebergInterop {
           Some(mf)
         }
 
-      // rewrite prior delete manifests that carry a superseded
-      // DV: same writer schema + metadata, superseded entries
-      // dropped; a manifest left with no live entries drops from
-      // the list entirely
+      // rewrite prior delete manifests that carry a superseded DV:
+      // same writer schema + metadata, superseded entries carried
+      // with status 2 DELETED (never silently dropped — snapshot
+      // expiry attributes the retired Puffin blobs to THIS snapshot);
+      // a manifest whose every entry was already deleted in an older
+      // snapshot drops from the list
       val defaultSpecId = md.path("default-spec-id").asInt(0)
       val carriedDeletes: Seq[GenericRecord] = priorDeletes.flatMap {
         pm =>
@@ -2658,19 +2843,21 @@ object IcebergInterop {
             val mp = pm.listRecord.get("manifest_path").toString
             val (ents, wSchema, meta) =
               readAvroFull(readBytes(fs, new HPath(mp)))
-            val survivors = ents.filter { e =>
-              longOf(e.get("status")) == 2L || {
+            val hadLive = ents.exists(e => longOf(e.get("status")) != 2L)
+            val rewritten = ents.map { e =>
+              val isSuperseded = longOf(e.get("status")) != 2L && {
                 val df = e.get("data_file").asInstanceOf[GenericRecord]
-                !(df.get("file_format").toString
+                df.get("file_format").toString
                   .equalsIgnoreCase("puffin") &&
                   fieldOpt(df, "referenced_data_file")
-                    .exists(r => affected(r.toString)))
+                    .exists(r => affected(r.toString))
               }
+              if (isSuperseded) e.put("status", 2)
+              e
             }
-            if (survivors.forall(e => longOf(e.get("status")) == 2L))
-              None // nothing live left — drop the manifest
+            if (!hadLive) None // already all-deleted in a prior snapshot
             else {
-              val bytes = writeAvro(wSchema, meta, survivors)
+              val bytes = writeAvro(wSchema, meta, rewritten)
               val p = new HPath(metaDir,
                 s"${java.util.UUID.randomUUID()}-m0.avro")
               writeBytes(fs, p, bytes)
@@ -2679,7 +2866,7 @@ object IcebergInterop {
                 defaultSpecId, currentSnap, manifestFileSchemaV3)
               mf.put("manifest_path", p.toString)
               mf.put("manifest_length", bytes.length.toLong)
-              def rc(st: Long) = survivors.count(e =>
+              def rc(st: Long) = rewritten.count(e =>
                 longOf(e.get("status")) == st)
               mf.put("added_files_count", rc(1L))
               mf.put("existing_files_count", rc(0L))
@@ -3080,8 +3267,13 @@ object IcebergInterop {
 
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         import spark.implicits._
+        // v3 row lineage: updated rows KEEP their _row_id (materialized
+        // into the new files); _last_updated_sequence_number stays
+        // unmaterialized so it inherits this commit's sequence number
+        val v3Lineage = fv == 3 && md.has("next-row-id")
         val matched = readIcebergInternal(spark, path, None, None,
-          withLineage = true, pruneWhere = Some(condition))
+          withLineage = true, pruneWhere = Some(condition),
+          withRowLineage = v3Lineage)
           .where(condition).cache()
         try {
           val pathMap = filePaths.map(p => (qualified(p), p))
@@ -3091,7 +3283,8 @@ object IcebergInterop {
             assignments.get(f.name)
               .map(_.cast(f.dataType).as(f.name))
               .getOrElse(col(f.name))
-          }.toSeq: _*)
+          }.toSeq ++
+            (if (v3Lineage) Seq(col("_row_id")) else Nil): _*)
           def raceOut(): Unit = {
             attempts += 1
             if (attempts > maxRetries)
@@ -3194,7 +3387,8 @@ object IcebergInterop {
       newFiles: Seq[(HPath, Long, Long)],
       partValuesOf: HPath => Seq[AnyRef],
       operation: String = "overwrite",
-      newBounds: HPath => Option[IcebergStats.Bounds] = null)
+      newBounds: HPath => Option[IcebergStats.Bounds] = null,
+      newSortOrderId: Option[Int] = None)
       : Option[Long] = {
     val now = System.currentTimeMillis()
     val snapId = md.path("snapshots").elements().asScala()
@@ -3256,7 +3450,8 @@ object IcebergInterop {
             fromIcebergStruct(schemaNode, metaDir.toString), schemaNode)
         val dataEnts = newFiles.map { case (p, size, rc) =>
           manifestEntryV2(dataEntrySchema, p.toString, size, rc,
-            partValuesOf(p), bounds = boundsOf(p))
+            partValuesOf(p), bounds = boundsOf(p),
+            sortOrderId = newSortOrderId)
         }
         val bytes = writeAvro(dataEntrySchema, Map(
           "schema" -> om.writeValueAsString(schemaNode),
@@ -3477,6 +3672,9 @@ object IcebergInterop {
 
       spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
       import spark.implicits._
+      // v3 row lineage: clause-updated target rows KEEP their _row_id;
+      // inserted rows take fresh ids by inheritance (null materialized)
+      val v3Lineage = fv == 3 && md.has("next-row-id")
       val src = source.select(schema.fieldNames.map(col).toSeq: _*)
       // all source columns dual-ride under __src_ aliases (clause
       // conditions and SET values read them via Merge.source); keys
@@ -3504,7 +3702,8 @@ object IcebergInterop {
           }.reduce(_ && _))
         }
       val tgt = readIcebergInternal(spark, path, None, None,
-        withLineage = true, pruneWhere = pruneWhere)
+        withLineage = true, pruneWhere = pruneWhere,
+        withRowLineage = v3Lineage)
       // matched pairs, then the family disposition index __ci
       val matchedDf = tgt.join(srcAliased, keys.toSeq, "inner").cache()
       val mFrame = matchedDf.withColumn("__ci", mIdx)
@@ -3560,13 +3759,18 @@ object IcebergInterop {
           }
           e.as(f.name)
         }
+        val ridKeep: Seq[org.apache.spark.sql.Column] =
+          if (v3Lineage) Seq(col("_row_id")) else Nil
+        val ridNull: Seq[org.apache.spark.sql.Column] =
+          if (v3Lineage) Seq(lit(null).cast("long").as("_row_id")) else Nil
         val newRows = (mFrame.where(hitsUpdate(mDeletes))
-          .select(schema.fields.map(matchedVal).toSeq: _*) +:
+          .select(schema.fields.map(matchedVal).toSeq ++ ridKeep: _*) +:
           sFrame.map(_.where(hitsUpdate(sDeletes))
-            .select(schema.fields.map(bySourceVal).toSeq: _*)).toSeq)
+            .select(schema.fields.map(bySourceVal).toSeq ++ ridKeep: _*))
+            .toSeq)
           .reduce(_.unionByName(_))
           .unionByName(inserts.select(schema.fields.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)).toSeq: _*))
+            col(f.name).cast(f.dataType).as(f.name)).toSeq ++ ridNull: _*))
         def raceOut(): Unit = {
           attempts += 1
           if (attempts > maxRetries)
@@ -3714,10 +3918,10 @@ object IcebergInterop {
       if (fv != 2 && fv != 3)
         refuseW(s"the table is format version $fv — the replace-snapshot " +
           "rewrite needs v2/v3 sequence numbers")
-      if (fv == 3 && md.has("next-row-id"))
-        refuseW("the v3 table tracks ROW LINEAGE (next-row-id) — a " +
-          "compaction rewrite must preserve each row's assigned id, " +
-          "which this writer does not implement")
+      // v3 row lineage: the rewrite MATERIALIZES each surviving row's
+      // _row_id and _last_updated_sequence_number into the compacted
+      // files, per the spec's rewrite obligation
+      val v3Lineage = fv == 3 && md.has("next-row-id")
       val currentSnap = md.path("current-snapshot-id").asLong(-1L)
       if (currentSnap < 0) { result = currentSnap } // empty table
       else {
@@ -3793,11 +3997,14 @@ object IcebergInterop {
           spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
           import spark.implicits._
           val fDf = chosenQualified.toSeq.sorted.toDF("__fp")
+          val lineageCols: Seq[org.apache.spark.sql.Column] =
+            if (v3Lineage) Seq(col("_row_id"),
+              col("_last_updated_sequence_number")) else Nil
           val rows = readIcebergInternal(spark, path, None, None,
-            withLineage = true)
+            withLineage = true, withRowLineage = v3Lineage)
             .join(org.apache.spark.sql.functions.broadcast(fDf),
               Seq("__fp"), "left_semi")
-            .select(schema.fieldNames.map(col).toSeq: _*)
+            .select(schema.fieldNames.map(col).toSeq ++ lineageCols: _*)
           val totalBytes = chosenData.flatMap(liveEntries)
             .map(df => longOf(df.get("file_size_in_bytes"))).sum
           val nBins = math.max(1L,
@@ -3810,12 +4017,62 @@ object IcebergInterop {
               rows.withColumn("__z", DeltaInterop.zValueColumn(rows, zorderBy))
                 .repartitionByRange(nBins, col("__z"))
                 .sortWithinPartitions(col("__z"))
-                .select(schema.fieldNames.map(col).toSeq: _*)
+                .select(schema.fieldNames.map(col).toSeq ++ lineageCols: _*)
             }
           val (newDir, allNewFiles, partValuesOf, nb) = writeSpecData(
             clustered, root, fs, conf, parts, schemaNode,
             schema, "graft-compact")
           val newFiles = allNewFiles.filter(_._3 > 0)
+          // a z-order rewrite DECLARES its clustering: the spec has no
+          // z-order transform, so the documented closest order — the
+          // z-columns as identity/asc/nulls-first — lands in
+          // `sort-orders` (existing equal orders reused) and every
+          // rewritten file stamps its `sort_order_id`, so stock
+          // readers see the clustering
+          val sortOrderId: Option[Int] =
+            if (zorderBy.isEmpty) None
+            else {
+              val idOf = IcebergStats.fieldIdsOf(schemaNode)
+              val wanted = zorderBy.map(c => idOf.getOrElse(c,
+                refuseW(s"z-order column '$c' has no field id")))
+              val orders = md.path("sort-orders") match {
+                case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+                case _ => md.putArray("sort-orders")
+              }
+              def fieldsOf(o: JsonNode): Seq[(String, Int, String, String)] = {
+                val b = Seq.newBuilder[(String, Int, String, String)]
+                val it = o.path("fields").elements()
+                while (it.hasNext) {
+                  val f = it.next()
+                  b += ((f.path("transform").asText(),
+                    f.path("source-id").asInt(-1),
+                    f.path("direction").asText(),
+                    f.path("null-order").asText()))
+                }
+                b.result()
+              }
+              val wantedFields = wanted.map(id =>
+                ("identity", id, "asc", "nulls-first"))
+              val existing = orders.elements().asScala()
+                .find(o => fieldsOf(o) == wantedFields)
+              val oid = existing.map(_.path("order-id").asInt()).getOrElse {
+                val next = orders.elements().asScala()
+                  .map(_.path("order-id").asInt(0)).maxOption.getOrElse(0) + 1
+                val node = om.createObjectNode()
+                node.put("order-id", next)
+                val fs2 = node.putArray("fields")
+                wanted.foreach { id =>
+                  val f = fs2.addObject()
+                  f.put("transform", "identity")
+                  f.put("source-id", id)
+                  f.put("direction", "asc")
+                  f.put("null-order", "nulls-first")
+                }
+                orders.add(node)
+                next
+              }
+              Some(oid)
+            }
           val keptPrior = priorList.filterNot(r =>
             chosenData.exists(_ eq r) || dropDeletes.exists(_ eq r))
           val cleanupDirs = () => { fs.delete(newDir, true); () }
@@ -3826,11 +4083,13 @@ object IcebergInterop {
                   currentSnap, newSeq, schemaNode, schemaId, keptPrior,
                   classifyV3Deletes(fs, keptPrior, refuseW),
                   Nil, specId, parts, newFiles, partValuesOf,
-                  "replace", refuseW, newBounds = nb)
+                  "replace", refuseW, newBounds = nb,
+                  newSortOrderId = sortOrderId)
               else commitOverwriteSnapshot(fs, io, metaDir, md, vTop,
                 currentSnap, newSeq, schemaNode, schemaId, specId, parts,
                 keptPrior, Nil, newFiles, partValuesOf,
-                operation = "replace", newBounds = nb)
+                operation = "replace", newBounds = nb,
+                newSortOrderId = sortOrderId)
             } catch {
               case e: Throwable =>
                 try cleanupDirs() catch { case _: Exception => () }
@@ -4012,6 +4271,17 @@ object IcebergInterop {
       pruneWhere = Some(condition))
       .where(condition)
 
+  /** [[readIceberg]] with the v3 spec's ROW LINEAGE: two extra
+    * columns `_row_id` and `_last_updated_sequence_number`, each the
+    * row's MATERIALIZED value when its file carries one (rewritten
+    * files) else inherited per the spec — the file's assigned
+    * `first_row_id` + row position, and the file's data sequence
+    * number. Non-lineage tables yield nulls. */
+  def readIcebergRowLineage(spark: SparkSession, path: String): DataFrame =
+    readIcebergInternal(spark, path, None, None, withLineage = false,
+      withRowLineage = true)
+      .drop("__fp", "__pos")
+
   /** TEST HOOK: the distinct data-file paths the DELETE/UPDATE
     * detection scan for `condition` would read at `path` — exactly the
     * manifest-bounds pruning the DML paths apply, observable without
@@ -4032,7 +4302,8 @@ object IcebergInterop {
       asOfSnapshotId: Option[Long],
       partitionWhere: Option[(String, String)],
       withLineage: Boolean,
-      pruneWhere: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      pruneWhere: Option[org.apache.spark.sql.Column] = None,
+      withRowLineage: Boolean = false): DataFrame = {
     val root = new HPath(path)
     val (fs, md) = currentMetadata(spark, path)
     val formatVersion = md.path("format-version").asInt(1)
@@ -4135,9 +4406,13 @@ object IcebergInterop {
 
     val lineageSchema = StructType(schema.fields ++ Seq(
       StructField("__fp", StringType), StructField("__pos", LongType)))
+    val rowLineageSchema = StructType(lineageSchema.fields ++ Seq(
+      StructField("_row_id", LongType),
+      StructField("_last_updated_sequence_number", LongType)))
     def emptyResult: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      if (withLineage) lineageSchema else schema)
+      if (withRowLineage) rowLineageSchema
+      else if (withLineage) lineageSchema else schema)
     val snapId = asOfSnapshotId.getOrElse(md.path("current-snapshot-id").asLong(-1L))
     if (snapId == -1L) return emptyResult
     val snapshot = md.get("snapshots").elements().asScala()
@@ -4153,7 +4428,7 @@ object IcebergInterop {
     // v1 lists carry no sequence numbers (0); v2 entries inherit the
     // manifest's when their own is absent. A missing spec id means the
     // default spec (old v1 writers).
-    val (manifests: Seq[(String, Long, Int)],
+    val (manifests: Seq[(String, Long, Int, Option[Long])],
          deleteManifests: Seq[(String, Long)]) =
       if (snapshot.has("manifest-list")) {
         val listPath = snapshot.get("manifest-list").asText()
@@ -4162,13 +4437,14 @@ object IcebergInterop {
             r.get("manifest_path").toString,
             fieldOpt(r, "sequence_number").map(longOf).getOrElse(0L),
             fieldOpt(r, "partition_spec_id").map(longOf(_).toInt)
-              .getOrElse(defaultSpecId))
+              .getOrElse(defaultSpecId),
+            fieldOpt(r, "first_row_id").map(longOf))
         }
-        (tagged.collect { case (0L, p, s, sid) => (p, s, sid) },
-          tagged.collect { case (1L, p, s, _) => (p, s) })
+        (tagged.collect { case (0L, p, s, sid, frid) => (p, s, sid, frid) },
+          tagged.collect { case (1L, p, s, _, _) => (p, s) })
       } else if (snapshot.has("manifests"))
         (snapshot.get("manifests").elements().asScala().map(_.asText()).toSeq
-          .map((_, 0L, defaultSpecId)), Seq.empty[(String, Long)])
+          .map((_, 0L, defaultSpecId, None)), Seq.empty[(String, Long)])
       else throw new IllegalStateException(
         s"snapshot $snapId at $path names neither manifest-list nor manifests")
 
@@ -4352,10 +4628,16 @@ object IcebergInterop {
     // (name, type, value) resolved per ITS manifest's spec and its
     // data sequence number (for equality-delete ordering); pruned by
     // the optional partition filter
-    val dataFiles: Seq[(String, Seq[(String, DataType, AnyRef)], Long)] =
-      manifests.flatMap { case (mp, mseq, specId) =>
+    val dataFiles
+        : Seq[(String, Seq[(String, DataType, AnyRef)], Long, Option[Long])] =
+      manifests.flatMap { case (mp, mseq, specId, mfrid) =>
       val idParts = identityPartsOf(specId)
       val where = whereFor(specId)
+      // v3 row-lineage inheritance: an entry with no assigned
+      // first_row_id takes the manifest's plus the record counts of
+      // the live entries BEFORE it — accumulated over every live
+      // entry, pruned or not (pruning must not shift later files' ids)
+      var rcAcc = 0L
       readAvro(readBytes(fs, new HPath(mp))).flatMap { e =>
         val status = longOf(e.get("status"))
         val seq = fieldOpt(e, "sequence_number").map(longOf).getOrElse(mseq)
@@ -4366,6 +4648,9 @@ object IcebergInterop {
         val fmt = df.get("file_format").toString
         if (!fmt.equalsIgnoreCase("parquet"))
           refuse(path, s"has $fmt data files")
+        val frid = fieldOpt(df, "first_row_id").map(longOf)
+          .orElse(mfrid.map(_ + rcAcc))
+        if (status != 2L) rcAcc += longOf(df.get("record_count"))
         def structAt(i: Int): AnyRef = df.get("partition") match {
           case pr: GenericRecord if pr.getSchema.getFields.size() > i =>
             pr.get(i) match {
@@ -4380,7 +4665,7 @@ object IcebergInterop {
         else {
           val pv = idParts.map { case (n, dt, i) => (n, dt, structAt(i)) }
           if (pruneConjs.nonEmpty && !entryMayMatch(df, pv)) None
-          else Some((df.get("file_path").toString, pv, seq))
+          else Some((df.get("file_path").toString, pv, seq, frid))
         }
       }
     }.distinct
@@ -4473,8 +4758,17 @@ object IcebergInterop {
       * name-mapped files when renames are in play, and project the
       * logical columns (+ `extra`, e.g. _metadata refs — selected
       * per-scan because hidden columns don't survive a union). */
-    def readFiles(scanSchema: StructType, files: Seq[String],
+    def readFiles(scanSchema0: StructType, files: Seq[String],
         extra: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      // v3 row lineage: rewritten files MATERIALIZE _row_id /
+      // _last_updated_sequence_number; files that never rewrote
+      // null-fill and inherit below
+      val scanSchema =
+        if (!withRowLineage) scanSchema0
+        else StructType(scanSchema0.fields ++ Seq(
+          StructField("_row_id", LongType),
+          StructField("_last_updated_sequence_number", LongType))
+          .filterNot(f => scanSchema0.fieldNames.contains(f.name)))
       def project(df: DataFrame) =
         df.select(scanSchema.map(f => col(f.name)) ++ extra: _*)
       if (!needIdRead)
@@ -4513,11 +4807,14 @@ object IcebergInterop {
     val anyDeletes = posDeleteFiles.nonEmpty || eqDeleteFiles.nonEmpty ||
       dvDeleteRefs.nonEmpty
     val metaCols: Seq[org.apache.spark.sql.Column] =
-      if (!anyDeletes && !withLineage) Nil
+      if (!anyDeletes && !withLineage && !withRowLineage) Nil
       else Seq(col("_metadata.file_path").as("__fp"),
         col("_metadata.row_index").as("__pos"))
     val lineageOut: Seq[org.apache.spark.sql.Column] =
-      if (withLineage) Seq(col("__fp"), col("__pos")) else Nil
+      (if (withLineage || withRowLineage) Seq(col("__fp"), col("__pos"))
+       else Nil) ++
+      (if (withRowLineage) Seq(col("_row_id"),
+        col("_last_updated_sequence_number")) else Nil)
     def applyPosDeletes(scan: DataFrame): DataFrame =
       if (!anyDeletes) scan
       else {
@@ -4564,7 +4861,8 @@ object IcebergInterop {
           val topIds: Map[Int, String] = schemaNode.get("fields").elements()
             .asScala()
             .map(f => f.path("id").asInt(-1) -> f.path("name").asText()).toMap
-          val seqMap = dataFiles.map { case (p, _, s) => (qualified(p), s) }
+          val seqMap = dataFiles.map { case (p, _, s, _) =>
+            (qualified(p), s) }
             .distinct.toDF("__fp", "__dseq")
           cur = cur.join(seqMap, Seq("__fp"))
           eqDeleteFiles.groupBy(_.eqIds).toSeq.sortBy(_._1.mkString(","))
@@ -4585,9 +4883,35 @@ object IcebergInterop {
         cur.select(schema.map(f => col(f.name)) ++ lineageOut: _*)
       }
 
+    def withInheritedRowIds(base: DataFrame): DataFrame = {
+      if (!withRowLineage) return base
+      import org.apache.spark.sql.functions.{broadcast, coalesce}
+      val conf2 = spark.sparkContext.hadoopConfiguration
+      def qual(p: String): String = {
+        val hp = new HPath(p)
+        hp.getFileSystem(conf2).makeQualified(hp).toString
+      }
+      val fridRows = dataFiles.map { case (p, _, seq, frid) =>
+        org.apache.spark.sql.Row(qual(p), seq,
+          frid.map(Long.box).orNull)
+      }.distinct
+      val fridMap = spark.createDataFrame(
+        spark.sparkContext.parallelize(fridRows, 1),
+        StructType(Seq(StructField("__fp", StringType),
+          StructField("__dseq_rl", LongType),
+          StructField("__frid", LongType))))
+      base.join(broadcast(fridMap), Seq("__fp"))
+        .withColumn("_row_id",
+          coalesce(col("_row_id"), col("__frid") + col("__pos")))
+        .withColumn("_last_updated_sequence_number",
+          coalesce(col("_last_updated_sequence_number"), col("__dseq_rl")))
+        .select(schema.map(f => col(f.name)) ++ Seq(col("__fp"),
+          col("__pos"), col("_row_id"),
+          col("_last_updated_sequence_number")): _*)
+    }
     if (dataFiles.forall(_._2.isEmpty))
-      applyPosDeletes(
-        readFiles(readSchema, dataFiles.map(_._1).distinct, metaCols))
+      withInheritedRowIds(applyPosDeletes(
+        readFiles(readSchema, dataFiles.map(_._1).distinct, metaCols)))
     else {
       // Identity columns come from partition metadata, constant per
       // file: scan each distinct substitution tuple's files once and
@@ -4642,8 +4966,8 @@ object IcebergInterop {
       }
       def subsOf(pv: Seq[(String, DataType, AnyRef)]) =
         pv.filter { case (_, dt, _) => metaSubstitutable(dt) }
-      applyPosDeletes(dataFiles
-        .groupBy { case (_, pv, _) =>
+      withInheritedRowIds(applyPosDeletes(dataFiles
+        .groupBy { case (_, pv, _, _) =>
           subsOf(pv).map { case (n, _, v) => (n, Option(v).map(_.toString)) } }
         .map { case (_, fsOfPart) =>
           val subs = subsOf(fsOfPart.head._2)
@@ -4659,8 +4983,10 @@ object IcebergInterop {
           // them by their projected aliases here
           df.select(schema.map(f => col(f.name)) ++
             (if (metaCols.isEmpty) Nil
-             else Seq(col("__fp"), col("__pos"))): _*)
-        }.reduce(_.unionAll(_)))
+             else Seq(col("__fp"), col("__pos"))) ++
+            (if (withRowLineage) Seq(col("_row_id"),
+              col("_last_updated_sequence_number")) else Nil): _*)
+        }.reduce(_.unionAll(_))))
     }
   }
 

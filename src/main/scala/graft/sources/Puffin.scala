@@ -106,6 +106,131 @@ private[graft] object Puffin {
     blobs.map { case (ref, off, len, card) => DvBlob(ref, off, len, card) }
   }
 
+  /** One generic statistics blob for [[writeStatsFile]] (e.g.
+    * `apache-datasketches-theta-v1` NDV sketches). */
+  final case class StatsBlob(blobType: String, fields: Seq[Int],
+      snapshotId: Long, sequenceNumber: Long, data: Array[Byte],
+      properties: Map[String, String])
+
+  /** A written blob's coordinates + the file/footer sizes the
+    * metadata `statistics` entry needs. */
+  final case class StatsFile(fileSizeInBytes: Long,
+      footerSizeInBytes: Long,
+      blobs: Seq[(StatsBlob, Long, Long)]) // (blob, offset, length)
+
+  /** Write a Puffin STATISTICS file: one uncompressed blob per entry,
+    * raw bytes (generic blobs carry no DV framing), the spec's footer
+    * naming each blob's type/fields/snapshot/sequence/properties. */
+  def writeStatsFile(conf: Configuration, p: HPath,
+      blobs: Seq[StatsBlob]): StatsFile = {
+    require(blobs.nonEmpty, "writeStatsFile needs at least one blob")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic)
+    val placed = blobs.map { b =>
+      val off = out.size().toLong
+      out.write(b.data)
+      (b, off, b.data.length.toLong)
+    }
+    def jsonEscape(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val footerJson = placed.map { case (b, off, len) =>
+      val props = b.properties.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
+      s"""{"type":"${jsonEscape(b.blobType)}","fields":[${
+        b.fields.mkString(",")}],""" +
+        s""""snapshot-id":${b.snapshotId},""" +
+        s""""sequence-number":${b.sequenceNumber},""" +
+        s""""offset":$off,"length":$len,"properties":{$props}}"""
+    }.mkString("""{"blobs":[""", ",",
+      """],"properties":{"created-by":"graft"}}""")
+    out.write(Magic)
+    val payload = footerJson.getBytes(StandardCharsets.UTF_8)
+    out.write(payload)
+    val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    tail.putInt(payload.length)
+    tail.putInt(0)
+    out.write(tail.array())
+    out.write(Magic)
+    val bytes = out.toByteArray
+    val fs = p.getFileSystem(conf)
+    val os = fs.create(p, false)
+    try os.write(bytes) finally os.close()
+    StatsFile(bytes.length.toLong,
+      (4 + payload.length + 4 + 4 + 4).toLong, placed)
+  }
+
+  /** Read a generic blob's raw bytes by footer coordinates. */
+  def readBlob(conf: Configuration, puffinPath: String, offset: Long,
+      sizeInBytes: Long): Array[Byte] = {
+    val p = new HPath(puffinPath)
+    val fs = p.getFileSystem(conf)
+    require(sizeInBytes >= 0 && sizeInBytes <= Int.MaxValue,
+      s"absurd blob size $sizeInBytes in $puffinPath")
+    val bytes = new Array[Byte](sizeInBytes.toInt)
+    val in = fs.open(p)
+    try { in.seek(offset); in.readFully(bytes) } finally in.close()
+    bytes
+  }
+
+  /** Parse a Puffin file's FOOTER: each blob's (type, fields, offset,
+    * length, properties). The spec's tail is
+    * `payloadSize(4 LE) | flags(4) | Magic`, the payload JSON sits
+    * just before it, preceded by its own Magic. */
+  def readFooter(conf: Configuration, puffinPath: String)
+      : Seq[(String, Seq[Int], Long, Long, Map[String, String])] = {
+    val p = new HPath(puffinPath)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    require(len >= 20, s"$puffinPath is too small to be a Puffin file")
+    val in = fs.open(p)
+    try {
+      val tail = new Array[Byte](12)
+      in.seek(len - 12); in.readFully(tail)
+      val bb = ByteBuffer.wrap(tail).order(ByteOrder.LITTLE_ENDIAN)
+      val payloadSize = bb.getInt(0)
+      require(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(tail, 8, 12), Magic),
+        s"$puffinPath: bad trailing magic")
+      require(payloadSize >= 2 && payloadSize <= len - 20,
+        s"$puffinPath: absurd footer payload size $payloadSize")
+      val payload = new Array[Byte](payloadSize)
+      in.seek(len - 12 - payloadSize); in.readFully(payload)
+      val magicCheck = new Array[Byte](4)
+      in.seek(len - 12 - payloadSize - 4); in.readFully(magicCheck)
+      require(java.util.Arrays.equals(magicCheck, Magic),
+        s"$puffinPath: bad footer magic")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(payload)
+      val out = Seq.newBuilder[(String, Seq[Int], Long, Long,
+        Map[String, String])]
+      val it = root.path("blobs").elements()
+      while (it.hasNext) {
+        val b = it.next()
+        val fields = {
+          val fb = Seq.newBuilder[Int]
+          val fit = b.path("fields").elements()
+          while (fit.hasNext) fb += fit.next().asInt()
+          fb.result()
+        }
+        val props = {
+          val pb = Map.newBuilder[String, String]
+          val pit = b.path("properties").fields()
+          while (pit.hasNext) {
+            val e = pit.next(); pb += e.getKey -> e.getValue.asText()
+          }
+          pb.result()
+        }
+        out += ((b.path("type").asText(), fields,
+          b.path("offset").asLong(), b.path("length").asLong(), props))
+      }
+      out.result()
+    } finally in.close()
+  }
+
   /** Read one DV blob by its manifest coordinates, verifying the
     * length framing and CRC — a torn DV read would silently resurrect
     * deleted rows, so any mismatch refuses loudly. */

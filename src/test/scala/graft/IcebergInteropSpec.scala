@@ -2591,7 +2591,7 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("finish the upgrade"), e.getMessage)
   }
 
-  test("v3 compaction folds deletion vectors in; row-lineage tables refuse") {
+  test("v3 compaction folds deletion vectors in; row-lineage ids preserved") {
     import spark.implicits._
     val df = (0 until 60).map(i => (i.toLong, s"v$i")).toDF("id", "v")
       .repartitionByRange(3, col("id")).sortWithinPartitions("id")
@@ -2632,19 +2632,172 @@ class IcebergInteropSpec extends AnyFunSuite {
       }
     assert(deleteManifests.isEmpty, s"DV manifests should be consumed: " +
       s"${deleteManifests.size}")
-    // row-lineage v3 tables refuse compaction (ids must be preserved)
+    // row-lineage v3 tables COMPACT WITH IDS PRESERVED: pre-lineage
+    // rows gain ids (assignment at first rewrite), already-assigned
+    // rows keep theirs, materialized into the rewritten files
     val curMeta = Files.list(Paths.get(target, "metadata")).toArray
       .map(_.toString)
       .flatMap("v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(_))
       .map(_.group(1).toInt).max
     val mdp = Paths.get(target, "metadata", s"v$curMeta.metadata.json")
     patch(mdp, new String(Files.readAllBytes(mdp), "UTF-8")
-      .replaceFirst("\\{", "{\n  \"next-row-id\" : 7,")
+      .replaceFirst("\\{", "{\n  \"next-row-id\" : 7000,")
       .getBytes("UTF-8"))
-    val e = intercept[IllegalArgumentException] {
-      IcebergInterop.compactIceberg(spark, target)
+    IcebergInterop.appendToIceberg(
+      Seq((900L, "a9"), (901L, "b9")).toDF("id", "v"), target)
+    val lineageBefore = IcebergInterop.readIcebergRowLineage(spark, target)
+      .select("id", "_row_id").as[(Long, java.lang.Long)].collect().toMap
+    assert(lineageBefore(900L) != null && lineageBefore(901L) != null &&
+      lineageBefore(900L) >= 7000L, lineageBefore.get(900L))
+    IcebergInterop.compactIceberg(spark, target, zorderBy = Seq("id"))
+    val lineageAfter = IcebergInterop.readIcebergRowLineage(spark, target)
+      .select("id", "_row_id").as[(Long, java.lang.Long)].collect().toMap
+    assert(lineageAfter(900L) == lineageBefore(900L) &&
+      lineageAfter(901L) == lineageBefore(901L),
+      "assigned row ids must survive compaction")
+    // pre-lineage rows gained ids through the rewrite
+    assert(lineageAfter(10L) != null)
+    assert(lineageAfter.values.filter(_ != null).toSeq.distinct.size ==
+      lineageAfter.values.count(_ != null), "row ids must stay unique")
+  }
+
+  test("v3 row lineage: UPDATE/MERGE keep _row_id, advance last-updated seq") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_v3rl_"),
+      (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val target = tmp("graft_v3rl_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    patch(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 3")
+      .replaceFirst("\\{", "{\n  \"next-row-id\" : 0,")
+      .getBytes("UTF-8"))
+    // rows written BEFORE lineage carry no ids; an append under
+    // lineage gets assigned ones
+    IcebergInterop.appendToIceberg(
+      (100 until 110).map(i => (i.toLong, s"n$i")).toDF("id", "v"), target)
+    def lineage(): Map[Long, (java.lang.Long, java.lang.Long)] =
+      IcebergInterop.readIcebergRowLineage(spark, target)
+        .select("id", "_row_id", "_last_updated_sequence_number")
+        .as[(Long, java.lang.Long, java.lang.Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val l0 = lineage()
+    assert((100L until 110L).forall(i => l0(i)._1 != null))
+    assert((100L until 110L).map(i => l0(i)._1.longValue).toSet.size == 10)
+    // UPDATE: the transformed row KEEPS its _row_id; its
+    // _last_updated_sequence_number moves to the new commit's
+    IcebergInterop.updateIceberg(spark, target, col("id") === 105L,
+      Map("v" -> lit("upd")))
+    val l1 = lineage()
+    assert(l1(105L)._1 == l0(105L)._1,
+      s"update must preserve _row_id: ${l0(105L)} -> ${l1(105L)}")
+    assert(l1(105L)._2.longValue > l0(105L)._2.longValue,
+      "update must advance _last_updated_sequence_number")
+    assert(l1(106L) == l0(106L), "untouched rows keep both")
+    // MERGE: updated rows keep ids, inserted rows get FRESH unique ids
+    IcebergInterop.mergeIceberg(
+      Seq((107L, "m107"), (500L, "m500")).toDF("id", "v"),
+      target, Seq("id"))
+    val l2 = lineage()
+    assert(l2(107L)._1 == l0(107L)._1, "merge-update must preserve _row_id")
+    assert(l2(107L)._2.longValue > l1(107L)._2.longValue)
+    assert(l2(500L)._1 != null, "merge-insert gets an assigned id")
+    val ids = l2.values.flatMap(v => Option(v._1)).map(_.longValue).toSeq
+    assert(ids.distinct.size == ids.size, "row ids must stay unique")
+    // the rewritten file MATERIALIZES the columns for foreign readers
+    val matFiles = Files.walk(Paths.get(target, "data")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet"))
+      .filter(p => spark.read.parquet(p).columns.contains("_row_id"))
+    assert(matFiles.nonEmpty, "rewritten files must carry _row_id")
+    // readback matches oracle recomputation through a plain read too
+    assert(IcebergInterop.readIceberg(spark, target)
+      .select("id", "v").as[(Long, String)].collect().toMap
+      .get(105L).contains("upd"))
+  }
+
+  test("z-order compaction declares its sort order; files stamp sort_order_id") {
+    import spark.implicits._
+    val df = (0 until 60).map(i => (i.toLong, (i * 37 % 60).toLong))
+      .toDF("a", "b").repartitionByRange(3, col("a"))
+      .sortWithinPartitions("a")
+    val t = GraftTable.create(spark, tmp("graft_so_"), df)
+    val target = tmp("graft_so_ice_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    patch(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    IcebergInterop.compactIceberg(spark, target, zorderBy = Seq("a", "b"))
+    // metadata declares the documented closest order (identity asc)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hint = new String(Files.readAllBytes(
+      Paths.get(target, "metadata", "version-hint.text")), "UTF-8").trim
+    val md = om.readTree(Files.readAllBytes(
+      Paths.get(target, "metadata", s"v$hint.metadata.json")))
+    val orders = md.path("sort-orders")
+    var declared: com.fasterxml.jackson.databind.JsonNode = null
+    val it = orders.elements()
+    while (it.hasNext) {
+      val o = it.next()
+      if (o.path("fields").size() == 2) declared = o
     }
-    assert(e.getMessage.contains("ROW LINEAGE"), e.getMessage)
+    assert(declared != null, orders.toString)
+    assert(declared.path("fields").get(0).path("transform").asText()
+      == "identity")
+    assert(declared.path("fields").get(0).path("source-id").asInt() == 1)
+    assert(declared.path("fields").get(1).path("source-id").asInt() == 2)
+    val oid = declared.path("order-id").asInt()
+    assert(oid > 0)
+    // every rewritten data-file entry stamps that sort_order_id
+    def currentDataFiles(): Seq[org.apache.avro.generic.GenericRecord] = {
+      val h = new String(Files.readAllBytes(
+        Paths.get(target, "metadata", "version-hint.text")), "UTF-8").trim
+      val m = om.readTree(Files.readAllBytes(
+        Paths.get(target, "metadata", s"v$h.metadata.json")))
+      val cur = m.get("current-snapshot-id").asLong()
+      var lp: String = null
+      val sit = m.get("snapshots").elements()
+      while (sit.hasNext) {
+        val sn = sit.next()
+        if (sn.get("snapshot-id").asLong() == cur)
+          lp = sn.get("manifest-list").asText()
+      }
+      IcebergInterop.readAvro(Files.readAllBytes(Paths.get(lp)))
+        .filter { r =>
+          val f = r.getSchema.getField("content")
+          f == null || r.get("content").asInstanceOf[Number].intValue() == 0
+        }
+        .flatMap(r => IcebergInterop.readAvro(Files.readAllBytes(
+          Paths.get(r.get("manifest_path").toString))))
+        .filter(_.get("status").asInstanceOf[Number].intValue() != 2)
+        .map(_.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord])
+    }
+    val stamped = currentDataFiles().map { dfr =>
+      Option(dfr.get("sort_order_id"))
+        .map(_.asInstanceOf[Number].intValue())
+    }
+    assert(stamped.nonEmpty && stamped.forall(_.contains(oid)), stamped)
+    // a SECOND z-order rewrite on the same columns REUSES the order
+    IcebergInterop.appendToIceberg(
+      Seq((100L, 1L), (101L, 2L)).toDF("a", "b"), target)
+    IcebergInterop.compactIceberg(spark, target, zorderBy = Seq("a", "b"))
+    val hint2 = new String(Files.readAllBytes(
+      Paths.get(target, "metadata", "version-hint.text")), "UTF-8").trim
+    val md2 = om.readTree(Files.readAllBytes(
+      Paths.get(target, "metadata", s"v$hint2.metadata.json")))
+    val twoField = {
+      val b = Seq.newBuilder[Int]
+      val it2 = md2.path("sort-orders").elements()
+      while (it2.hasNext) {
+        val o = it2.next()
+        if (o.path("fields").size() == 2) b += o.path("order-id").asInt()
+      }
+      b.result()
+    }
+    assert(twoField == Seq(oid), s"order must be reused, got $twoField")
+    // data rows exact after both rewrites
+    assert(IcebergInterop.readIceberg(spark, target).count() == 62)
   }
 
   test("deleteFromIcebergByKey: equality-delete file, no scan; re-insert survives") {
