@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.graftbridge.ParquetTableBridge
 import org.apache.spark.sql.sources.{BaseRelation, TableScan}
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -262,7 +262,16 @@ object DeltaVersionOffset {
   * See [[DeltaSource]] for the contract. */
 class DeltaMicroBatchStream(spark: SparkSession, path: String,
     schema: StructType, options: CaseInsensitiveStringMap)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow: the run drains exactly the commits present
+    * at START, in maxCommitsPerTrigger-bounded batches, then stops —
+    * a 100 TB catch-up admits rate-limited batches instead of one
+    * unbounded batch. */
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(latestVersion())
 
   private val skipChangeCommits =
     Option(options.get("skipchangecommits")).exists(_.toBoolean)
@@ -320,7 +329,9 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val latest = latestVersion()
+    val latest = availableNowEnd
+      .map(e => math.min(e, latestVersion()))
+      .getOrElse(latestVersion())
     val s = start.asInstanceOf[DeltaVersionOffset].version
     commitCap(limit) match {
       case Some(n) if s >= 0 => DeltaVersionOffset(math.min(latest, s + n))

@@ -3,7 +3,7 @@ package graft.sources.v2
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.graftbridge.ParquetTableBridge
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -52,7 +52,14 @@ object GraftOffset {
   */
 class GraftMicroBatchStream(spark: SparkSession, path: String,
     schema: StructType, options: CaseInsensitiveStringMap)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow: drain exactly the commits present at start,
+    * in maxCommitsPerTrigger-bounded batches, then stop. */
+  @volatile private var availableNowEnd: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(table.latestVersion())
 
   private val skipChangeCommits =
     Option(options.get("skipchangecommits")).exists(_.toBoolean)
@@ -95,7 +102,9 @@ class GraftMicroBatchStream(spark: SparkSession, path: String,
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val latest = table.latestVersion()
+    val latest = availableNowEnd
+      .map(e => math.min(e, table.latestVersion()))
+      .getOrElse(table.latestVersion())
     val s = start.asInstanceOf[GraftOffset].version
     commitCap(limit) match {
       // the initial snapshot (start = -1 → first real offset) is one

@@ -9,7 +9,7 @@ import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.graftbridge.ParquetTableBridge
 import org.apache.spark.sql.sources.{BaseRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -113,7 +113,14 @@ object IcebergSnapshotOffset {
   * see [[IcebergSource]] for the contract. */
 class IcebergMicroBatchStream(spark: SparkSession, path: String,
     schema: StructType, options: CaseInsensitiveStringMap)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow: drain exactly the snapshots present at
+    * start, in maxSnapshotsPerTrigger-bounded batches, then stop. */
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(history().lastOption.getOrElse(-1L))
 
   import IcebergInterop.{currentMetadata, fieldOpt, longOf, readAvro, readBytes, refuse}
 
@@ -164,7 +171,14 @@ class IcebergMicroBatchStream(spark: SparkSession, path: String,
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val hist = history()
+    val hist0 = history()
+    val hist = availableNowEnd match {
+      case Some(end) if end >= 0 =>
+        val i = hist0.indexOf(end)
+        if (i >= 0) hist0.take(i + 1) else hist0
+      case Some(_) => Nil
+      case None => hist0
+    }
     if (hist.isEmpty) return IcebergSnapshotOffset(-1L)
     val s = start.asInstanceOf[IcebergSnapshotOffset].snapshotId
     snapCap(limit) match {

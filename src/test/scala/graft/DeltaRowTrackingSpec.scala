@@ -207,20 +207,26 @@ class AvailableNowSpec extends AnyFunSuite {
       Seq((1L, "a")).toDF("id", "v"))
     val target = tmp("graft_an_delta_")
     DeltaInterop.exportSnapshot(t, target)
+    val ckpt = Files.createTempDirectory("graft_an_ck_").toString
+    val outDir = Files.createTempDirectory("graft_an_out_").toString
+    def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = spark.readStream.format("graft.sources.v2.DeltaSource")
+        .option("maxCommitsPerTrigger", "1").load(target)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.awaitTermination()
+      q
+    }
+    drain() // batch 0 = the indivisible initial snapshot
+    // a 4-commit TAIL accumulates; the catch-up must admit it in
+    // maxCommitsPerTrigger-bounded batches, not one unbounded batch
     (2 to 5).foreach(i => DeltaInterop.appendToDelta(
       Seq((i.toLong, s"v$i")).toDF("id", "v"), target))
-    val name = "ansink_" + java.util.UUID.randomUUID().toString
-      .replace("-", "")
-    val q = spark.readStream.format("graft.sources.v2.DeltaSource")
-      .option("maxCommitsPerTrigger", "1").load(target)
-      .writeStream.format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .outputMode("append").start()
-    q.awaitTermination()
-    // all five rows landed…
-    assert(spark.table(name).count() == 5)
-    // …across MULTIPLE rate-limited batches, not one unbounded one
-    val batches = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val q2 = drain()
+    assert(spark.read.parquet(outDir).count() == 5)
+    val batches = q2.recentProgress.toSeq.filter(_.numInputRows > 0)
     assert(batches.size >= 4,
       s"expected a bounded multi-batch drain, got ${batches.size}")
   }
@@ -229,17 +235,23 @@ class AvailableNowSpec extends AnyFunSuite {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_an_g_"),
       Seq((1L, "a")).toDF("id", "v"))
+    val ckpt = Files.createTempDirectory("graft_ang_ck_").toString
+    val outDir = Files.createTempDirectory("graft_ang_out_").toString
+    def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = spark.readStream.format("graft.sources.v2.GraftSource")
+        .option("maxCommitsPerTrigger", "1").load(t.root)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.awaitTermination()
+      q
+    }
+    drain()
     (2 to 4).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
-    val name = "angsink_" + java.util.UUID.randomUUID().toString
-      .replace("-", "")
-    val q = spark.readStream.format("graft.sources.v2.GraftSource")
-      .option("maxCommitsPerTrigger", "1").load(t.root)
-      .writeStream.format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .outputMode("append").start()
-    q.awaitTermination()
-    assert(spark.table(name).count() == 4)
-    val batches = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val q2 = drain()
+    assert(spark.read.parquet(outDir).count() == 4)
+    val batches = q2.recentProgress.toSeq.filter(_.numInputRows > 0)
     assert(batches.size >= 3,
       s"expected a bounded multi-batch drain, got ${batches.size}")
   }
