@@ -45,6 +45,7 @@ object Bench {
       // shuffle-partition count (see Streams.drain)
       .config("spark.graft.streaming.statePartitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

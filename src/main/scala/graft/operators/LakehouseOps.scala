@@ -1199,7 +1199,85 @@ object LakehouseOps {
       .orderBy($"s_suppkey")
   }
 
+  /** g45: Delta ROW TRACKING lifecycle gate — enable the feature via
+    * the protocol-upgrading property commit, append a ROW-TRACKED
+    * batch (baseRowId + defaultRowCommitVersion assigned, watermark
+    * advanced), run a DV DELETE and a DV UPDATE, and assert IN-QUERY
+    * from the raw log that the surviving files' ids were carried
+    * unchanged — then return the final state for the relational
+    * oracle. */
+  val g45_delta_row_tracking: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 2 === 1))
+    val target = graft.TempRoots.create("graft_rt45_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, target)
+    graft.sources.DeltaInterop.setDeltaProperties(s, target,
+      Map("delta.enableRowTracking" -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+    graft.sources.DeltaInterop.appendToDelta(
+      sup.filter($"s_suppkey" % 2 === 0), target)
+    val (before, wm0) = graft.sources.DeltaInterop.deltaRowIds(s, target)
+    val tracked = before.filter(_._2._1.isDefined)
+    require(tracked.nonEmpty && wm0.isDefined,
+      "g45: the append must assign row ids and advance the watermark")
+    graft.sources.DeltaInterop.deleteFromDelta(s, target,
+      $"s_suppkey" % 6 === 0)
+    graft.sources.DeltaInterop.updateDelta(s, target,
+      $"s_suppkey" % 11 === 0,
+      Map("s_acctbal" -> ($"s_acctbal" + lit(100.0))))
+    val (after, _) = graft.sources.DeltaInterop.deltaRowIds(s, target)
+    tracked.foreach { case (p, ids) =>
+      after.get(p).foreach(got => require(got == ids,
+        s"g45: DV DML must carry row ids unchanged for $p"))
+    }
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
+  val g45_sql: String =
+    """SELECT s_suppkey, s_nationkey,
+      |  ROUND(CASE WHEN s_suppkey % 11 = 0 THEN s_acctbal + 100.0
+      |             ELSE s_acctbal END, 4) AS s_acctbal
+      |FROM supplier WHERE s_suppkey % 6 <> 0
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** g46: SQL VIEWS end to end — the ViewCatalog face the REST
+    * catalog's `/v1/…/views` routes share: CREATE VIEW through the
+    * graft SQL catalog, then aggregate THROUGH the view; the oracle
+    * recomputes the same query over the base table directly. */
+  val g46_sql_views: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val cat = "gviewq"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        graft.TempRoots.create("graft_vw46_").toString)
+    }
+    val name = "t" + java.util.UUID.randomUUID().toString.replace("-", "")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    GraftTable.create(s, s"$wh/db/$name",
+      Tables.lineitem(s, dir).select($"l_orderkey", $"l_quantity"))
+    s.sql(s"CREATE VIEW $cat.db.${name}_v AS " +
+      s"SELECT l_orderkey, l_quantity FROM $cat.db.$name " +
+      "WHERE l_quantity > 30")
+    s.sql(s"SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS qty, " +
+      s"COUNT(*) AS n FROM $cat.db.${name}_v " +
+      "GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 500")
+  }
+
+  val g46_sql: String =
+    """SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS qty, COUNT(*) AS n
+      |FROM lineitem WHERE l_quantity > 30
+      |GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 500""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g46_sql_views" -> g46_sql_views,
+    "g45_delta_row_tracking" -> g45_delta_row_tracking,
     "g44_iceberg_v3_dv" -> g44_iceberg_v3_dv,
     "g43_iceberg_merge_clauses" -> g43_iceberg_merge_clauses,
     "g42_iceberg_eq_delete" -> g42_iceberg_eq_delete,
@@ -1243,6 +1321,8 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g46_sql_views" -> g46_sql,
+    "g45_delta_row_tracking" -> g45_sql,
     "g44_iceberg_v3_dv" -> g39_sql,
     "g43_iceberg_merge_clauses" -> g40_sql,
     "g42_iceberg_eq_delete" -> g42_sql,
