@@ -2334,21 +2334,27 @@ object DeltaInterop {
               rewriteFiles, newly, moved)
           }
           // rewrite survivors of partially-matched files; the write
-          // tasks collect each rewritten file's stats in-flight
-          if (rewriteFiles.nonEmpty && !dvMode && st.configuration
-              .get("delta.enableRowTracking").contains("true"))
-            refuseW("the table GUARANTEES stable row ids " +
-              "(delta.enableRowTracking) and this DELETE would rewrite " +
-              "files without materializing them — enable deletion " +
-              "vectors (merge-on-read preserves ids)")
+          // tasks collect each rewritten file's stats in-flight. On a
+          // GUARANTEED row-tracking table the survivors MATERIALIZE
+          // their current row ids + commit versions into the new files
           var addStats: Map[String, String] = Map.empty
           if (rewriteFiles.nonEmpty && !dvMode) {
+            val mat = rowIdMaterialization(spark, root, st, schema,
+              partCols, dataSchema, refuseW)
             // survivors = rows where the predicate is NOT TRUE (false
             // or null) — SQL DELETE keeps null-condition rows
-            val survivors = liveScan(rewriteFiles)
-              .where(!org.apache.spark.sql.functions.coalesce(
-                condition, lit(false)))
-              .drop("__file").select(schema.fieldNames.map(col).toSeq: _*)
+            val keep = !org.apache.spark.sql.functions.coalesce(
+              condition, lit(false))
+            val survivors = mat match {
+              case Some((idN, rcvN, matScan)) =>
+                matScan(rewriteFiles).where(keep)
+                  .select(schema.fieldNames.map(col) ++ Seq(
+                    col("__rowid").as(idN), col("__rowrcv").as(rcvN)): _*)
+              case None =>
+                liveScan(rewriteFiles).where(keep)
+                  .drop("__file")
+                  .select(schema.fieldNames.map(col).toSeq: _*)
+            }
             addStats = DeltaStats.writeWithStats(survivors,
               staging.toString, partCols, dataSchema)
             val staged = listStagedParquet(fs, staging)
@@ -2556,26 +2562,59 @@ object DeltaInterop {
           // affected files whole.
           val dvMode = st.configuration
             .get("delta.enableDeletionVectors").contains("true")
-          if (!dvMode && entries.nonEmpty && st.configuration
-              .get("delta.enableRowTracking").contains("true"))
-            refuseW("the table GUARANTEES stable row ids " +
-              "(delta.enableRowTracking) and this UPDATE would rewrite " +
-              "files without materializing them — enable deletion " +
-              "vectors (merge-on-read preserves ids)")
+          // GUARANTEED row-tracking tables MATERIALIZE: carried rows
+          // keep (id, commit version), updated rows keep the id and
+          // null the version (it inherits the new add's)
+          val mat = rowIdMaterialization(spark, root, st, schema,
+            partCols, dataSchema, refuseW)
+          def matCols(idN: String, rcvN: String)
+              : Seq[org.apache.spark.sql.Column] = Seq(
+            col("__rowid").as(idN),
+            org.apache.spark.sql.functions.when(matchedTrue,
+              lit(null).cast("long"))
+              .otherwise(col("__rowrcv")).as(rcvN))
           var dvAdds: Seq[(String, Map[String, String], Long,
             DeletionVectors.Descriptor)] = Nil
           val rewritten =
-            if (!dvMode)
-              applied(liveScan(entries)).drop("__file")
-                .select(schema.fieldNames.map(col).toSeq: _*)
+            if (!dvMode) mat match {
+              case Some((idN, rcvN, matScan)) =>
+                val d = matScan(entries)
+                d.select(schema.fields.map { f =>
+                  assignments.get(f.name) match {
+                    case Some(v) =>
+                      org.apache.spark.sql.functions.when(matchedTrue,
+                        v.cast(f.dataType)).otherwise(col(f.name))
+                        .as(f.name)
+                    case None => col(f.name)
+                  }
+                }.toSeq ++ matCols(idN, rcvN): _*)
+              case None =>
+                applied(liveScan(entries)).drop("__file")
+                  .select(schema.fieldNames.map(col).toSeq: _*)
+            }
             else {
               val livePos = liveMutationScan(spark, root, st, schema,
                 partCols, dataSchema, withPos = true)
-              val matchedRows = livePos(entries).where(matchedTrue)
-              dvAdds = writeMergedDvs(spark, root, dataSchema, entries,
-                matchedRows.select(col("__file"), col("__pos")), moved)
-              applied(matchedRows.drop("__pos")).drop("__file")
-                .select(schema.fieldNames.map(col).toSeq: _*)
+              mat match {
+                case Some((idN, rcvN, matScan)) =>
+                  val matchedRows = matScan(entries).where(matchedTrue)
+                  dvAdds = writeMergedDvs(spark, root, dataSchema, entries,
+                    matchedRows.select(col("__file"), col("__pos")), moved)
+                  // transformed rows append with their PRESERVED ids
+                  matchedRows.select(schema.fields.map { f =>
+                    assignments.get(f.name) match {
+                      case Some(v) => v.cast(f.dataType).as(f.name)
+                      case None => col(f.name)
+                    }
+                  }.toSeq ++ Seq(col("__rowid").as(idN),
+                    lit(null).cast("long").as(rcvN)): _*)
+                case None =>
+                  val matchedRows = livePos(entries).where(matchedTrue)
+                  dvAdds = writeMergedDvs(spark, root, dataSchema, entries,
+                    matchedRows.select(col("__file"), col("__pos")), moved)
+                  applied(matchedRows.drop("__pos")).drop("__file")
+                    .select(schema.fieldNames.map(col).toSeq: _*)
+              }
             }
           // the table's declared obligations hold for what this UPDATE
           // writes — one aggregate pass, refusing before any file lands
@@ -2925,29 +2964,64 @@ object DeltaInterop {
         // transformed rows + inserts — O(changed rows); otherwise CoW
         val dvMode = st.configuration
           .get("delta.enableDeletionVectors").contains("true")
-        if (!dvMode && entries.nonEmpty && st.configuration
-            .get("delta.enableRowTracking").contains("true"))
-          refuseW("the table GUARANTEES stable row ids " +
-            "(delta.enableRowTracking) and this MERGE would rewrite " +
-            "files without materializing them — enable deletion " +
-            "vectors (merge-on-read preserves ids)")
+        // GUARANTEED row-tracking tables MATERIALIZE through the merge:
+        // clause-updated rows keep their id (commit version inherits
+        // the new add's), carried rows keep both, inserts take fresh
+        // ids by assignment
+        val mat = rowIdMaterialization(spark, root, st, schema,
+          partCols, dataSchema, refuseW)
+        def updHit = hitsUpdate("__mi", mDeletes) ||
+          hitsUpdate("__si", sDeletes)
+        def matMergeCols(idN: String, rcvN: String)
+            : Seq[org.apache.spark.sql.Column] = Seq(
+          col("__rowid").as(idN),
+          org.apache.spark.sql.functions.when(updHit,
+            lit(null).cast("long")).otherwise(col("__rowrcv")).as(rcvN))
+        def insertsWith(matOpt: Option[(String, String, _)]): DataFrame =
+          matOpt match {
+            case Some((idN, rcvN, _)) => inserts
+              .withColumn(idN, lit(null).cast("long"))
+              .withColumn(rcvN, lit(null).cast("long"))
+            case None => inserts
+          }
         var dvAdds: Seq[(String, Map[String, String], Long,
           DeletionVectors.Descriptor)] = Nil
         val rewritten =
-          if (entries.isEmpty) inserts
-          else if (!dvMode)
-            keptTransformed(liveScan(entries)).unionByName(inserts)
+          if (entries.isEmpty) insertsWith(mat)
+          else if (!dvMode) mat match {
+            case Some((idN, rcvN, matScan)) =>
+              disposed(matScan(entries))
+                .where(!hitsDelete("__mi", mDeletes) &&
+                  !hitsDelete("__si", sDeletes))
+                .select(schema.fields.map(newVal).toSeq ++
+                  matMergeCols(idN, rcvN): _*)
+                .unionByName(insertsWith(mat))
+            case None =>
+              keptTransformed(liveScan(entries)).unionByName(inserts)
+          }
           else {
             val livePos = liveMutationScan(spark, root, st, schema,
               partCols, dataSchema, withPos = true)
-            val dd = disposed(livePos(entries))
-            dvAdds = writeMergedDvs(spark, root, dataSchema, entries,
-              dd.where(col("__mi") =!= -1 || col("__si") =!= -1)
-                .select(col("__file"), col("__pos")), moved)
-            dd.where(hitsUpdate("__mi", mDeletes) ||
-                hitsUpdate("__si", sDeletes))
-              .select(schema.fields.map(newVal).toSeq: _*)
-              .unionByName(inserts)
+            mat match {
+              case Some((idN, rcvN, matScan)) =>
+                val dd = disposed(matScan(entries))
+                dvAdds = writeMergedDvs(spark, root, dataSchema, entries,
+                  dd.where(col("__mi") =!= -1 || col("__si") =!= -1)
+                    .select(col("__file"), col("__pos")), moved)
+                dd.where(updHit)
+                  .select(schema.fields.map(newVal).toSeq ++ Seq(
+                    col("__rowid").as(idN),
+                    lit(null).cast("long").as(rcvN)): _*)
+                  .unionByName(insertsWith(mat))
+              case None =>
+                val dd = disposed(livePos(entries))
+                dvAdds = writeMergedDvs(spark, root, dataSchema, entries,
+                  dd.where(col("__mi") =!= -1 || col("__si") =!= -1)
+                    .select(col("__file"), col("__pos")), moved)
+                dd.where(updHit)
+                  .select(schema.fields.map(newVal).toSeq: _*)
+                  .unionByName(inserts)
+            }
           }
 
         // enforce the table's declared obligations over everything
@@ -3091,10 +3165,6 @@ object DeltaInterop {
       if (st.colMapMode != "none")
         refuseW("the table uses column mapping — rewritten files would " +
           "need physical column names")
-      if (st.configuration.get("delta.enableRowTracking").contains("true"))
-        refuseW("the table GUARANTEES stable row ids " +
-          "(delta.enableRowTracking) and a compaction rewrite would " +
-          "reassign them without materialization")
       if (st.minWriter > 7)
         refuseW(s"the table requires writer protocol ${st.minWriter}")
       if (st.minWriter == 7) {
@@ -3155,28 +3225,43 @@ object DeltaInterop {
         val liveScan = liveMutationScan(spark, root, st, schema, partCols,
           dataSchema)
         import spark.implicits._
+        // GUARANTEED row-tracking tables MATERIALIZE both id and commit
+        // version through the rewrite — rows are unchanged, both stand
+        val mat = rowIdMaterialization(spark, root, st, schema,
+          partCols, dataSchema, refuseW)
+        def scanWithIds(es: Seq[(String, (Map[String, String],
+            Option[DeletionVectors.Descriptor]))]): DataFrame =
+          mat match {
+            case Some((idN, rcvN, matScan)) => matScan(es)
+              .withColumn(idN, col("__rowid"))
+              .withColumn(rcvN, col("__rowrcv"))
+            case None => liveScan(es)
+          }
+        val outCols = schema.fieldNames.map(col).toSeq ++
+          mat.toSeq.flatMap { case (idN, rcvN, _) =>
+            Seq(col(idN), col(rcvN)) }
         val compacted = if (zorderBy.isEmpty) {
           val qualifiedBin = entries.map { case (p, _) =>
             val hp = new HPath(resolveFile(root, p))
             (hp.getFileSystem(conf).makeQualified(hp).toString, binOf(p))
           }
           val binMap = qualifiedBin.toDF("__file", "__bin")
-          liveScan(entries)
+          scanWithIds(entries)
             .join(org.apache.spark.sql.functions.broadcast(binMap),
               Seq("__file"))
             .repartition(math.max(1, nBins), col("__bin"))
-            .select(schema.fieldNames.map(col).toSeq: _*)
+            .select(outCols: _*)
         } else {
           // range-cluster by (partition cols, Z-value): each hive
           // partition's rows land contiguous and Z-ordered, file count
           // sized by total live bytes / target
-          val rows = liveScan(entries)
+          val rows = scanWithIds(entries)
           rows.withColumn("__z", zValueColumn(rows, zorderBy))
             .repartitionByRange(nBins,
               (partCols.map(col) :+ col("__z")): _*)
             .sortWithinPartitions(
               (partCols.map(col) :+ col("__z")): _*)
-            .select(schema.fieldNames.map(col).toSeq: _*)
+            .select(outCols: _*)
         }
         val staging = new HPath(root,
           s"_graft_optimize_${java.util.UUID.randomUUID()}")
@@ -3605,6 +3690,28 @@ object DeltaInterop {
   }
 
   /** TEST HOOK: active-path → stats JSON of the current snapshot. */
+  /** TEST HOOK / reader: the current rows of a GUARANTEED
+    * row-tracking table with `_row_id` / `_row_commit_version`
+    * resolved per the protocol (materialized value when the file
+    * carries one, else baseRowId + position / the add's default). */
+  private[graft] def readDeltaWithRowIds(spark: SparkSession,
+      path: String): DataFrame = {
+    val root = new HPath(path)
+    val st = replaySnapshot(spark, path, None)
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val partCols = st.partCols
+    val dataSchema =
+      StructType(schema.filterNot(f => partCols.contains(f.name)))
+    def refuse(m: String): Nothing = throw new IllegalArgumentException(m)
+    val (_, _, matScan) = rowIdMaterialization(spark, root, st, schema,
+      partCols, dataSchema, refuse).getOrElse(
+      refuse(s"table at $path does not guarantee row tracking"))
+    matScan(st.active)
+      .select(schema.fieldNames.map(col) ++ Seq(
+        col("__rowid").as("_row_id"),
+        col("__rowrcv").as("_row_commit_version")): _*)
+  }
+
   /** TEST HOOK: the table's declared writer features. */
   private[graft] def deltaWriterFeatures(spark: SparkSession,
       path: String): Seq[String] =
@@ -3669,6 +3776,69 @@ object DeltaInterop {
               (if (withPos)
                  Seq(StructField("__pos", org.apache.spark.sql.types.LongType))
                else Nil)))))
+  }
+
+  /** Row-tracking MATERIALIZATION support for rewrites on tables
+    * where ids are GUARANTEED stable (`delta.enableRowTracking`):
+    * returns the materialized column names and a scan producing
+    * dataSchema + partCols + `__file`/`__pos` + each row's CURRENT
+    * `__rowid`/`__rowrcv` (the file's materialized value when present,
+    * else baseRowId + position / the add's defaultRowCommitVersion).
+    * None when the table does not guarantee stability (a merely
+    * SUPPORTED table rewrites with fresh ranges per the protocol).
+    * Tables enabled by a foreign writer without recording the
+    * materialized column names refuse loudly — writing under invented
+    * names would hide the ids from that writer. */
+  private def rowIdMaterialization(spark: SparkSession, root: HPath,
+      st: DeltaSnapshot, schema: StructType, partCols: Seq[String],
+      dataSchema: StructType, refuseW: String => Nothing)
+      : Option[(String, String,
+        Seq[(String, (Map[String, String],
+          Option[DeletionVectors.Descriptor]))] => DataFrame)] = {
+    if (!st.configuration.get("delta.enableRowTracking").contains("true"))
+      return None
+    val idName = st.configuration.getOrElse(
+      "delta.rowTracking.materializedRowIdColumnName",
+      refuseW("the table guarantees stable row ids but records no " +
+        "delta.rowTracking.materializedRowIdColumnName — rewrite it " +
+        "with the writer that enabled row tracking"))
+    val rcvName = st.configuration.getOrElse(
+      "delta.rowTracking.materializedRowCommitVersionColumnName",
+      refuseW("the table guarantees stable row ids but records no " +
+        "delta.rowTracking.materializedRowCommitVersionColumnName — " +
+        "rewrite it with the writer that enabled row tracking"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): String = {
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val matSchema = StructType(dataSchema.fields ++ Seq(
+      StructField(idName, org.apache.spark.sql.types.LongType),
+      StructField(rcvName, org.apache.spark.sql.types.LongType)))
+    val inner = liveMutationScan(spark, root, st, schema, partCols,
+      matSchema, withPos = true)
+    val scan = (entries: Seq[(String, (Map[String, String],
+        Option[DeletionVectors.Descriptor]))]) => {
+      val baseRows = entries.map { case (p, _) =>
+        org.apache.spark.sql.Row(qualified(resolveFile(root, p)),
+          st.rowIds.get(p).flatMap(_._1).map(Long.box).orNull,
+          st.rowIds.get(p).flatMap(_._2).map(Long.box).orNull)
+      }
+      val baseMap = spark.createDataFrame(
+        spark.sparkContext.parallelize(baseRows, 1),
+        StructType(Seq(
+          StructField("__file", org.apache.spark.sql.types.StringType),
+          StructField("__brid", org.apache.spark.sql.types.LongType),
+          StructField("__rcvd", org.apache.spark.sql.types.LongType))))
+      import org.apache.spark.sql.functions.{broadcast, coalesce}
+      inner(entries)
+        .join(broadcast(baseMap), Seq("__file"), "left")
+        .withColumn("__rowid",
+          coalesce(col(idName), col("__brid") + col("__pos")))
+        .withColumn("__rowrcv", coalesce(col(rcvName), col("__rcvd")))
+        .drop(idName, rcvName, "__brid", "__rcvd")
+    }
+    Some((idName, rcvName, scan))
   }
 
   /** MERGE-ON-READ strike shared by DV-mode DELETE/UPDATE/MERGE: write
@@ -4100,7 +4270,22 @@ object DeltaInterop {
             s"[${unknown.mkString(", ")}] this writer does not implement")
       }
       val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-      val (newSchema, newConf) = edit(schema, st.configuration)
+      val (newSchema, newConf0) = edit(schema, st.configuration)
+      // enabling row tracking RECORDS the materialized column names in
+      // the same commit (Delta's own enablement behavior) — rewrites
+      // materialize preserved ids under them
+      val newConf =
+        if (!newConf0.get("delta.enableRowTracking").contains("true"))
+          newConf0
+        else newConf0 ++ Seq(
+          "delta.rowTracking.materializedRowIdColumnName" ->
+            newConf0.getOrElse(
+              "delta.rowTracking.materializedRowIdColumnName",
+              s"_row-id-col-${java.util.UUID.randomUUID()}"),
+          "delta.rowTracking.materializedRowCommitVersionColumnName" ->
+            newConf0.getOrElse(
+              "delta.rowTracking.materializedRowCommitVersionColumnName",
+              s"_row-commit-version-col-${java.util.UUID.randomUUID()}"))
       val now = System.currentTimeMillis()
       // properties that carry PROTOCOL obligations auto-upgrade the
       // protocol in the same commit (Delta's ALTER TBLPROPERTIES

@@ -105,28 +105,59 @@ class DeltaRowTrackingSpec extends AnyFunSuite {
       .where($"id" === 110L).select("v").head().getString(0) == "upd")
   }
 
-  test("CoW shapes refuse on guaranteed tables; merely-supported proceeds") {
+  test("CoW rewrites MATERIALIZE ids on guaranteed tables; supported-only takes fresh ranges") {
     import spark.implicits._
-    // GUARANTEED (enableRowTracking) without DVs: rewrites refuse
-    val guaranteed = mkTable()
-    DeltaInterop.setDeltaProperties(spark, guaranteed,
+    val target = mkTable()
+    // GUARANTEED, NO deletion vectors: every rewrite must preserve ids
+    DeltaInterop.setDeltaProperties(spark, target,
       Map("delta.enableRowTracking" -> "true"))
-    val e = intercept[IllegalArgumentException] {
-      DeltaInterop.deleteFromDelta(spark, guaranteed, $"id" === 5L)
+    DeltaInterop.appendToDelta(
+      (100 until 120).map(i => (i.toLong, s"a$i")).toDF("id", "v"), target)
+    def idsOf(): Map[Long, (java.lang.Long, java.lang.Long)] =
+      DeltaInterop.readDeltaWithRowIds(spark, target)
+        .select("id", "_row_id", "_row_commit_version")
+        .as[(Long, java.lang.Long, java.lang.Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val before = idsOf()
+    assert((100L until 120L).forall(i => before(i)._1 != null))
+    // CoW DELETE: survivors of rewritten files keep their ids
+    DeltaInterop.deleteFromDelta(spark, target, $"id" === 105L)
+    val afterDel = idsOf()
+    (100L until 120L).filterNot(_ == 105L).foreach { i =>
+      assert(afterDel(i)._1 == before(i)._1,
+        s"CoW delete must preserve the id of row $i")
     }
-    assert(e.getMessage.contains("enableRowTracking"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
-      DeltaInterop.updateDelta(spark, guaranteed, $"id" === 5L,
-        Map("v" -> lit("x")))
+    // CoW UPDATE: the updated row keeps its id; its commit version
+    // advances; untouched appended rows keep both
+    DeltaInterop.updateDelta(spark, target, $"id" === 110L,
+      Map("v" -> lit("upd")))
+    val afterUpd = idsOf()
+    assert(afterUpd(110L)._1 == before(110L)._1,
+      "CoW update must preserve the updated row's id")
+    assert(afterUpd(110L)._2.longValue > before(110L)._2.longValue,
+      "the updated row's commit version must advance")
+    assert(afterUpd(111L) == afterDel(111L))
+    // CoW MERGE: matched keeps its id, the insert takes a fresh one
+    DeltaInterop.mergeDelta(
+      Seq((112L, "m112"), (777L, "m777")).toDF("id", "v"),
+      target, Seq("id"))
+    val afterMerge = idsOf()
+    assert(afterMerge(112L)._1 == before(112L)._1,
+      "merge-update must preserve the matched row's id")
+    assert(afterMerge(777L)._1 != null)
+    // OPTIMIZE: carried rows keep id AND commit version
+    DeltaInterop.optimizeDelta(spark, target)
+    val afterOpt = idsOf()
+    Seq(100L, 107L, 111L).foreach { i =>
+      assert(afterOpt(i) == afterMerge(i),
+        s"compaction must preserve id + commit version of row $i")
     }
-    assert(e2.getMessage.contains("enableRowTracking"), e2.getMessage)
-    val e3 = intercept[IllegalArgumentException] {
-      DeltaInterop.optimizeDelta(spark, guaranteed)
-    }
-    assert(e3.getMessage.contains("enableRowTracking"), e3.getMessage)
-    // whole-file DELETE never rewrites: fine even on guaranteed tables
-    DeltaInterop.deleteFromDelta(spark, guaranteed, lit(true))
-    assert(DeltaInterop.readDelta(spark, guaranteed).count() == 0)
+    // ids stay unique across everything (pre-tracking rows gained
+    // ids through the rewrites)
+    val all = afterOpt.values.flatMap(v => Option(v._1))
+      .map(_.longValue).toSeq
+    assert(all.distinct.size == all.size, "row ids must stay unique")
+    assert(DeltaInterop.readDelta(spark, target).count() == 60)
     // feature SUPPORTED but not enabled: CoW proceeds, fresh ids stand
     val supported = mkTable()
     DeltaInterop.setDeltaProperties(spark, supported,
@@ -138,7 +169,6 @@ class DeltaRowTrackingSpec extends AnyFunSuite {
     DeltaInterop.deleteFromDelta(spark, supported, $"id" < 10L)
     val (ids, wm) = DeltaInterop.deltaRowIds(spark, supported)
     assert(DeltaInterop.readDelta(spark, supported).count() == 31)
-    // every surviving rewritten file carries a fresh assigned range
     assert(ids.nonEmpty && wm.isDefined)
     val spans = ids.values.flatMap(_._1).toSeq
     assert(spans.distinct.size == spans.size, "id ranges must not collide")
