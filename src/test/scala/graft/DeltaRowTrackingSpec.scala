@@ -201,6 +201,49 @@ class DeltaRowTrackingSpec extends AnyFunSuite {
     assert(out2.head._3 == 1000001L)
   }
 
+  test("racing row-tracked appends land DISJOINT contiguous id ranges") {
+    import spark.implicits._
+    val target = mkTable(rows = 4, files = 1)
+    DeltaInterop.setDeltaProperties(spark, target,
+      Map("delta.enableRowTracking" -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // 6 racing writers of 5 rows each: lost races must re-read the
+    // moved watermark before re-rendering their adds
+    try Await.result(Future.sequence((1 to 6).map { i =>
+      Future(DeltaInterop.appendToDelta(
+        (0 until 5).map(j => ((i * 100 + j).toLong, s"w$i-$j"))
+          .toDF("id", "v"), target))
+    }), 180.seconds)
+    finally pool.shutdown()
+    val (ids, wm) = DeltaInterop.deltaRowIds(spark, target)
+    val stats = DeltaInterop.deltaFileStats(spark, target)
+    // every tracked file's [baseRowId, baseRowId + numRecords) interval;
+    // together they must TILE [0, 30) exactly — disjoint, gap-free,
+    // nothing double-assigned across the racing writers
+    val intervals = ids.toSeq.flatMap { case (p, (b, _)) =>
+      b.map { base =>
+        val n = stats.get(p).flatMap(graft.sources.DeltaStats.numRecordsOf)
+          .getOrElse(0L)
+        (base.longValue, base.longValue + n)
+      }
+    }.sorted
+    assert(intervals.nonEmpty)
+    assert(intervals.head._1 == 0L, intervals)
+    intervals.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi == lo2, s"gap or overlap at $hi vs $lo2: $intervals")
+      case _ => ()
+    }
+    assert(intervals.last._2 == 30L, intervals)
+    assert(wm.contains(29L), wm)
+    assert(DeltaInterop.readDelta(spark, target).count() == 34)
+  }
+
   test("restore carries the original ids back") {
     import spark.implicits._
     val target = mkTable()
