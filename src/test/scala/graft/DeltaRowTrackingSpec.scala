@@ -244,6 +244,26 @@ class DeltaRowTrackingSpec extends AnyFunSuite {
     assert(DeltaInterop.readDelta(spark, target).count() == 34)
   }
 
+  test("the row-id resolution scan broadcasts its per-file base map") {
+    import spark.implicits._
+    // the CoW materialization joins each row against a driver-built
+    // (file -> baseRowId) map: at 100 TB that map is KB-scale metadata
+    // and MUST ride a broadcast, never shuffle the rewrite
+    val target = mkTable()
+    DeltaInterop.setDeltaProperties(spark, target,
+      Map("delta.enableRowTracking" -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+    DeltaInterop.appendToDelta(
+      (100 until 110).map(i => (i.toLong, s"a$i")).toDF("id", "v"), target)
+    val plan = DeltaInterop.readDeltaWithRowIds(spark, target)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"base-map join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the rewrite scan must never sort-merge on the file map")
+  }
+
   test("restore carries the original ids back") {
     import spark.implicits._
     val target = mkTable()
