@@ -24,7 +24,8 @@ def find_jar(repo_root=None):
 
 
 def connect(app_name="graft", master="local[*]", jar=None,
-            shuffle_partitions=8, conf=None, rest_catalogs=None):
+            shuffle_partitions=8, conf=None, rest_catalogs=None,
+            lineage=None, lineage_namespace=None):
     """Build (or reuse) a SparkSession with the graft library attached.
 
     conf: optional dict of extra Spark confs (e.g. a graft SQL catalog:
@@ -35,6 +36,12 @@ def connect(app_name="graft", master="local[*]", jar=None,
     graft REST catalog client (the type=rest + uri session shape the
     reference uses for its Polaris endpoint):
     connect(rest_catalogs={"g": "http://catalog-host:8181"}).
+
+    lineage: optional OpenLineage endpoint URL — the reference's
+    `create_spark_session(enable_lineage=True)` flow (its connector.py
+    wires spark.openlineage.transport.url + the OpenLineage listener):
+    every executed query automatically POSTs a RunEvent with its
+    input/output datasets, zero per-query code.
     """
     b = (SparkSession.builder
          .master(master)
@@ -50,7 +57,29 @@ def connect(app_name="graft", master="local[*]", jar=None,
                       "graft.sources.rest.GraftRestCatalog")
              .config("spark.sql.catalog.%s.type" % name, "rest")
              .config("spark.sql.catalog.%s.uri" % name, uri))
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    if lineage:
+        enable_lineage(spark, lineage, lineage_namespace)
+    return spark
+
+
+def enable_lineage(spark, endpoint, namespace=None):
+    """Register automatic OpenLineage capture on an existing session:
+    each query execution POSTs one RunEvent (run/job identity +
+    input/output dataset facets) to `endpoint`, best-effort — a down
+    backend never fails or slows a query. Returns nothing; call
+    disable_lineage(spark) to stop, flush_lineage() in tests."""
+    spark._jvm.graft.metrics.OpenLineageListener.enable(
+        spark._jsparkSession, endpoint, namespace)
+
+
+def disable_lineage(spark):
+    spark._jvm.graft.metrics.OpenLineageListener.disable(spark._jsparkSession)
+
+
+def flush_lineage(spark, timeout_ms=10000):
+    """Wait until every captured event has been POSTed or dropped."""
+    return spark._jvm.graft.metrics.OpenLineageListener.flushAll(timeout_ms)
 
 
 def serve_catalog(spark, warehouse, port=0, credential=None):

@@ -320,5 +320,52 @@ assert any(r[1] == "docview"
 spark.sql("DROP VIEW pydemo.db.docview")
 print(f"view evaluated {n_view} rows, listed and dropped")
 
+print("== 15. Automatic OpenLineage capture (enable_lineage UX) ==")
+# the reference's create_spark_session(enable_lineage=True) flow: wire
+# an endpoint once, and every query auto-posts a RunEvent — no
+# per-query logger calls
+import http.server  # noqa: E402
+import json as _json  # noqa: E402
+import threading  # noqa: E402
+
+from graft.connector import disable_lineage, enable_lineage, flush_lineage  # noqa: E402
+
+_events = []
+
+
+class _Collector(http.server.BaseHTTPRequestHandler):
+    def do_POST(self):
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        _events.append(_json.loads(body))
+        self.send_response(200)
+        self.end_headers()
+
+    def log_message(self, *a):
+        pass
+
+
+_httpd = http.server.HTTPServer(("127.0.0.1", 0), _Collector)
+threading.Thread(target=_httpd.serve_forever, daemon=True).start()
+enable_lineage(spark, "http://127.0.0.1:%d/lineage" % _httpd.server_port,
+               namespace="pydemo")
+ol_out = tempfile.mkdtemp(prefix="graft_py_ol_") + "/t"
+spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    .groupBy("lang").count().write.parquet(ol_out)
+import time  # noqa: E402
+deadline = time.time() + 20
+while time.time() < deadline and not any(e.get("outputs") for e in _events):
+    flush_lineage(spark, 1000)
+    time.sleep(0.05)
+write_evt = next(e for e in _events if e.get("outputs"))
+assert any("documents.parquet" in i["name"] for i in write_evt["inputs"]), write_evt
+assert any(ol_out in o["name"] for o in write_evt["outputs"]), write_evt
+assert write_evt["job"]["namespace"] == "pydemo"
+disable_lineage(spark)
+_httpd.shutdown()
+print("RunEvent captured: %s -> %s (job %s)" % (
+    [i["name"] for i in write_evt["inputs"]],
+    [o["name"] for o in write_evt["outputs"]],
+    write_evt["job"]["name"]))
+
 spark.stop()
 print("demo complete — all assertions passed")

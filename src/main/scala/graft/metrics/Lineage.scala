@@ -20,8 +20,12 @@ object Lineage {
     * the plan that BUILT the cache), and V1Scan adapters (the
     * rename-aware GraftSparkTable path compiles to an RDD scan whose
     * name carries the scan identity). */
-  def inputsOf(df: DataFrame): Seq[String] = {
-    val plan = df.queryExecution.executedPlan
+  def inputsOf(df: DataFrame): Seq[String] = inputsOf(df.queryExecution)
+
+  /** Same derivation over an already-executed QueryExecution — the form
+    * [[OpenLineageListener]] uses, where there is no Dataset handle. */
+  def inputsOf(qe: org.apache.spark.sql.execution.QueryExecution): Seq[String] = {
+    val plan = qe.executedPlan
     def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
       p match {
         case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
@@ -40,6 +44,48 @@ object Lineage {
             other.subqueries.flatMap(scans)
       }
     scans(plan).distinct.sorted
+  }
+
+  /** Leaf source relations of an ANALYZED logical plan. The physical
+    * walk above misses sources whose execution is opaque to the plan
+    * tree (LeafRunnableCommands hold their query as innerChildren, not
+    * children) — the listener unions both derivations. */
+  def logicalInputsOf(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, SaveIntoDataSourceCommand}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    def walk(p: LogicalPlan): Seq[String] = p match {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case other => Seq(other.toString)
+      }
+      case d: DataSourceV2Relation => Seq(d.table.name)
+      case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        Seq(h.tableMeta.qualifiedName)
+      case s: SaveIntoDataSourceCommand => walk(s.query)
+      case other =>
+        other.children.flatMap(walk) ++ other.subqueries.flatMap(walk)
+    }
+    walk(plan).distinct.sorted
+  }
+
+  /** Output datasets of a write command's analyzed plan: V1 file
+    * inserts, DSv1 saves, V2 write commands (append / overwrite /
+    * replace — the shape every graft catalog write takes), and
+    * CTAS into the session catalog. Empty for pure reads. */
+  def outputsOf(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand
+    import org.apache.spark.sql.execution.command.CreateDataSourceTableAsSelectCommand
+    import org.apache.spark.sql.execution.datasources.{InsertIntoHadoopFsRelationCommand, SaveIntoDataSourceCommand}
+    plan.collect {
+      case i: InsertIntoHadoopFsRelationCommand => Seq(i.outputPath.toString)
+      case s: SaveIntoDataSourceCommand => s.options.get("path").toSeq
+      case c: CreateDataSourceTableAsSelectCommand =>
+        Seq(c.table.identifier.unquotedString)
+      case w: V2WriteCommand => Seq(w.table.name)
+    }.flatten.distinct.sorted
   }
 
   /** Log a lineage edge set (inputs → outputTable) to the activity log,

@@ -1,0 +1,163 @@
+package graft.metrics
+
+import java.util.UUID
+import scala.util.control.NonFatal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Automatic OpenLineage capture — zero user code per query, the graft
+  * analog of the reference attaching openlineage-spark as a listener
+  * (reference: docker/spark-notebook/connector.py:136-144 wires
+  * `spark.openlineage.transport.url` + OpenLineageSparkListener when
+  * `enable_lineage=True`; scripts/download-jars.sh:96 ships the agent
+  * jar; 05_datahub_lineage_demo.ipynb demos the DataHub surface).
+  *
+  * Registered once per session (via [[OpenLineageListener.enable]] or
+  * the stock `spark.sql.queryExecutionListeners` static conf), the
+  * listener derives each executed query's input datasets (physical scan
+  * walk ∪ analyzed-plan leaves — [[Lineage.inputsOf]] /
+  * [[Lineage.logicalInputsOf]]) and output datasets
+  * ([[Lineage.outputsOf]]: V1 file inserts, DSv1 saves, V2 write
+  * commands, CTAS), and POSTs one OpenLineage RunEvent per execution to
+  * `spark.graft.lineage.endpoint`.
+  *
+  * Conf (all runtime, read per event — a notebook can repoint the
+  * endpoint mid-session):
+  *  - `spark.graft.lineage.endpoint`      — POST target. Unset = the
+  *    listener is a no-op (registration is safe session-wide).
+  *  - `spark.graft.lineage.namespace`     — job + default dataset
+  *    namespace (default "graft"; the reference uses "spark-k8s-hub").
+  *  - `spark.graft.lineage.parentJobName` — job-name prefix (default:
+  *    the Spark app name, whitespace → '_'), mirroring
+  *    `spark.openlineage.parentJobName`.
+  *  - `spark.graft.lineage.timeoutMs`     — per-POST timeout (2000).
+  *
+  * Scale + safety: the callback does NO Spark work (plan walking and a
+  * bounded-queue enqueue only — delivery is [[AsyncHttpPoster]]'s
+  * daemon thread), so a down lineage backend can never fail, block, or
+  * slow a query; every derivation is wrapped so a plan shape this walk
+  * has never seen degrades to fewer facets, not an error. Queries that
+  * touch no named dataset (pure literals / local relations) are
+  * skipped as noise. */
+class OpenLineageListener extends QueryExecutionListener {
+  private val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
+
+  override def onSuccess(funcName: String, qe: QueryExecution,
+                         durationNs: Long): Unit =
+    handle(funcName, qe, durationNs / 1000000L, failed = false)
+
+  override def onFailure(funcName: String, qe: QueryExecution,
+                         exception: Exception): Unit =
+    handle(funcName, qe, 0L, failed = true)
+
+  private def handle(funcName: String, qe: QueryExecution,
+                     durationMs: Long, failed: Boolean): Unit =
+    try {
+      val conf = qe.sparkSession.conf
+      conf.getOption("spark.graft.lineage.endpoint").foreach { url =>
+        val namespace =
+          conf.getOption("spark.graft.lineage.namespace").getOrElse("graft")
+        val timeoutMs = conf.getOption("spark.graft.lineage.timeoutMs")
+          .map(_.toLong).getOrElse(2000L)
+        // Each derivation guarded independently: onFailure can carry a
+        // plan that never analyzed (no executedPlan to walk).
+        val outputs = scala.util.Try(Lineage.outputsOf(qe.analyzed)).getOrElse(Nil)
+        val inputs =
+          (scala.util.Try(Lineage.inputsOf(qe)).getOrElse(Nil) ++
+            scala.util.Try(Lineage.logicalInputsOf(qe.analyzed)).getOrElse(Nil))
+            .distinct.sorted.filterNot(outputs.contains)
+        if (inputs.nonEmpty || outputs.nonEmpty) {
+          val parent = conf.getOption("spark.graft.lineage.parentJobName")
+            .getOrElse(qe.sparkSession.sparkContext.appName.trim
+              .replaceAll("\\s+", "_"))
+          val json = OpenLineageListener.runEvent(
+            if (failed) "FAIL" else "COMPLETE",
+            jobName = s"$parent.$funcName", namespace = namespace,
+            inputs = inputs, outputs = outputs, durationMs = durationMs)
+          OpenLineageListener.poster.offer(
+            java.net.URI.create(url), timeoutMs, json)
+        }
+      }
+    } catch {
+      case NonFatal(e) =>
+        log.warn(s"lineage capture for '$funcName' failed (the query is " +
+          s"unaffected): $e")
+    }
+}
+
+object OpenLineageListener {
+  private[metrics] val poster = new AsyncHttpPoster("OpenLineageListener")
+
+  /** Register automatic lineage on `spark` — the `enable_lineage=True`
+    * UX (reference connector.py:136-144) as one call. Pass null to keep
+    * a conf's existing/default value; returns the listener so callers
+    * can `spark.listenerManager.unregister` it. Idempotent per session:
+    * a second enable repoints the confs without stacking a duplicate
+    * listener. */
+  def enable(spark: SparkSession, endpoint: String,
+             namespace: String): OpenLineageListener = {
+    if (endpoint != null) spark.conf.set("spark.graft.lineage.endpoint", endpoint)
+    if (namespace != null) spark.conf.set("spark.graft.lineage.namespace", namespace)
+    registered.computeIfAbsent(spark, s => {
+      val l = new OpenLineageListener
+      s.listenerManager.register(l)
+      l
+    })
+  }
+
+  def enable(spark: SparkSession): OpenLineageListener =
+    enable(spark, null, null)
+
+  /** Deregister and forget this session's listener (tests, teardown). */
+  def disable(spark: SparkSession): Unit = {
+    val l = registered.remove(spark)
+    if (l != null) spark.listenerManager.unregister(l)
+  }
+
+  /** Wait until every captured event has been POSTed or dropped. */
+  def flushAll(timeoutMs: Long = 10000): Boolean = poster.flush(timeoutMs)
+
+  // Weak keys: a discarded session must not pin its listener (the
+  // listener itself is held by the session's listener bus anyway).
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, OpenLineageListener]())
+
+  /** One OpenLineage RunEvent: run/job identity, input/output dataset
+    * facets, duration. Dataset ids that look like URIs split into
+    * (scheme[://authority], path) per the OpenLineage file-dataset
+    * naming convention; catalog identifiers keep the job namespace. */
+  private[metrics] def runEvent(eventType: String, jobName: String,
+                                namespace: String, inputs: Seq[String],
+                                outputs: Seq[String],
+                                durationMs: Long): String = {
+    import MetricsJson.esc
+    def ds(id: String): String = {
+      val (ns, name) = splitDataset(id, namespace)
+      s"""{"namespace":"${esc(ns)}","name":"${esc(name)}"}"""
+    }
+    val iso = java.time.Instant.now().toString
+    s"""{"eventType":"$eventType","eventTime":"$iso",""" +
+      s""""producer":"graft/lineage",""" +
+      s""""schemaURL":"https://openlineage.io/spec/1-0-5/OpenLineage.json",""" +
+      s""""run":{"runId":"${UUID.randomUUID()}","facets":{""" +
+      s""""graftExecution":{"durationMs":$durationMs}}},""" +
+      s""""job":{"namespace":"${esc(namespace)}","name":"${esc(jobName)}"},""" +
+      s""""inputs":[${inputs.map(ds).mkString(",")}],""" +
+      s""""outputs":[${outputs.map(ds).mkString(",")}]}"""
+  }
+
+  private[metrics] def splitDataset(id: String,
+                                    default: String): (String, String) =
+    try {
+      val u = java.net.URI.create(id)
+      val scheme = u.getScheme
+      if (scheme == null) (default, id)
+      else {
+        val auth = Option(u.getAuthority).filter(_.nonEmpty)
+        val ns = auth.map(a => s"$scheme://$a").getOrElse(scheme)
+        val path = Option(u.getPath).filter(_.nonEmpty).getOrElse(id)
+        (ns, path)
+      }
+    } catch { case NonFatal(_) => (default, id) }
+}

@@ -73,6 +73,86 @@ class LogMetricSink extends MetricSink {
       s"value=${rec.metric_value} unit=${rec.metric_unit}")
 }
 
+/** JSON string escaping shared by every wire-shaped emitter here. */
+private[metrics] object MetricsJson {
+  def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => "\\u%04x".format(c.toInt)
+    case c => c.toString
+  }
+}
+
+/** Buffered best-effort HTTP delivery shared by [[HttpMetricSink]] and
+  * [[OpenLineageListener]]: offer() enqueues into a bounded buffer and
+  * returns immediately; one daemon thread drains it and POSTs. A down
+  * endpoint, slow responses, or buffer overflow DROP payloads with a
+  * warning — delivery never fails, blocks, or slows the caller.
+  * `flush()` waits until every buffered payload has been attempted. */
+private[metrics] final class AsyncHttpPoster(label: String) {
+  private val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
+  private val queue = new java.util.concurrent
+    .LinkedBlockingQueue[(java.net.URI, Long, String)](4096)
+  /** queued + in-flight payloads (flush waits on this, not just the queue) */
+  private val pending = new java.util.concurrent.atomic.AtomicLong(0)
+  private val droppedCount = new java.util.concurrent.atomic.AtomicLong(0)
+  @volatile private var workerStarted = false
+
+  def offer(endpoint: java.net.URI, timeoutMs: Long, json: String): Unit = {
+    ensureWorker()
+    pending.incrementAndGet()
+    if (!queue.offer((endpoint, timeoutMs, json))) {
+      pending.decrementAndGet()
+      if (droppedCount.incrementAndGet() % 100 == 1)
+        log.warn(s"$label buffer full — dropped " +
+          s"${droppedCount.get()} payloads so far (endpoint $endpoint)")
+    }
+  }
+
+  /** Wait until every buffered payload has been attempted (delivered or
+    * dropped). Returns false on deadline. */
+  def flush(timeoutMs: Long = 10000): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (pending.get() > 0 && System.nanoTime() < deadline) Thread.sleep(10)
+    pending.get() == 0
+  }
+
+  private def ensureWorker(): Unit = if (!workerStarted) synchronized {
+    if (!workerStarted) {
+      val t = new Thread(() => drainLoop(), s"graft-$label-poster")
+      t.setDaemon(true)
+      t.start()
+      workerStarted = true
+    }
+  }
+
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+
+  private def drainLoop(): Unit = while (true) {
+    val (endpoint, timeoutMs, json) = queue.take()
+    try post(endpoint, timeoutMs, json)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        if (droppedCount.incrementAndGet() % 100 == 1)
+          log.warn(s"$label delivery to $endpoint failed " +
+            s"(${droppedCount.get()} drops so far): $e")
+    } finally pending.decrementAndGet(): Unit
+  }
+
+  private def post(endpoint: java.net.URI, timeoutMs: Long, json: String): Unit = {
+    val req = java.net.http.HttpRequest.newBuilder(endpoint)
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(json))
+      .build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.discarding())
+    if (resp.statusCode() >= 400)
+      throw new java.io.IOException(s"HTTP ${resp.statusCode()}")
+  }
+}
+
 /** HTTP push sink: POSTs one OpenLineage-shaped RunEvent per metric
   * record to a configurable endpoint — the reference forwards its
   * pipeline metrics/lineage to DataHub over HTTP
@@ -86,43 +166,22 @@ class LogMetricSink extends MetricSink {
   *  - `spark.graft.metrics.http.timeoutMs` — per-request timeout
   *    (default 2000).
   *
-  * Delivery is BUFFERED and best-effort, per the [[MetricSink]]
-  * contract: emit() enqueues into a bounded buffer and returns
-  * immediately; a daemon thread drains it and POSTs. A down endpoint,
-  * slow responses, or buffer overflow DROP records with a warning —
-  * metric export never fails, blocks, or slows the job that emitted
-  * the metric. `flush()` waits for the buffer to drain (shutdown
-  * hooks, tests). */
+  * Delivery rides [[AsyncHttpPoster]]'s best-effort contract: a down
+  * endpoint or buffer overflow drops records with a warning — metric
+  * export never fails the job that emitted the metric. */
 class HttpMetricSink extends MetricSink {
   import HttpMetricSink._
   private val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
-  private val queue =
-    new java.util.concurrent.LinkedBlockingQueue[(Config, MetricRecord)](4096)
-  /** queued + in-flight records (flush waits on this, not just the queue) */
-  private val pending = new java.util.concurrent.atomic.AtomicLong(0)
-  private val droppedCount = new java.util.concurrent.atomic.AtomicLong(0)
   // null = not yet resolved; Some/None after first emit
   @volatile private var config: Option[Config] = null
-  @volatile private var workerStarted = false
 
   override def emit(rec: MetricRecord): Unit = resolveConfig().foreach { c =>
-    ensureWorker()
-    pending.incrementAndGet()
-    if (!queue.offer((c, rec))) {
-      pending.decrementAndGet()
-      if (droppedCount.incrementAndGet() % 100 == 1)
-        log.warn(s"HttpMetricSink buffer full — dropped " +
-          s"${droppedCount.get()} records so far (endpoint ${c.endpoint})")
-    }
+    poster.offer(c.endpoint, c.timeoutMs, eventJson(rec))
   }
 
   /** Wait until every buffered record has been attempted (delivered or
     * dropped). Returns false on deadline. */
-  def flush(timeoutMs: Long = 10000): Boolean = {
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
-    while (pending.get() > 0 && System.nanoTime() < deadline) Thread.sleep(10)
-    pending.get() == 0
-  }
+  def flush(timeoutMs: Long = 10000): Boolean = poster.flush(timeoutMs)
 
   private def resolveConfig(): Option[Config] = {
     var c = config
@@ -148,51 +207,11 @@ class HttpMetricSink extends MetricSink {
     c
   }
 
-  private def ensureWorker(): Unit = if (!workerStarted) synchronized {
-    if (!workerStarted) {
-      val t = new Thread(() => drainLoop(), "graft-http-metric-sink")
-      t.setDaemon(true)
-      t.start()
-      workerStarted = true
-    }
-  }
-
-  private lazy val client = java.net.http.HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofSeconds(5)).build()
-
-  private def drainLoop(): Unit = while (true) {
-    val item = queue.take()
-    try post(item._1, item._2)
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        if (droppedCount.incrementAndGet() % 100 == 1)
-          log.warn(s"HttpMetricSink delivery to ${item._1.endpoint} failed " +
-            s"(${droppedCount.get()} drops so far): $e")
-    } finally pending.decrementAndGet(): Unit
-  }
-
-  private def post(c: Config, rec: MetricRecord): Unit = {
-    val req = java.net.http.HttpRequest.newBuilder(c.endpoint)
-      .timeout(java.time.Duration.ofMillis(c.timeoutMs))
-      .header("Content-Type", "application/json")
-      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(eventJson(rec)))
-      .build()
-    val resp = client.send(req,
-      java.net.http.HttpResponse.BodyHandlers.discarding())
-    if (resp.statusCode() >= 400)
-      throw new java.io.IOException(s"HTTP ${resp.statusCode()}")
-  }
-
   /** OpenLineage RunEvent shape (run/job identity + the metric as a run
     * facet) — the same record shape Lineage.emitOpenLineage writes to
     * the activity log, serialized for the wire. */
   private def eventJson(r: MetricRecord): String = {
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => "\\u%04x".format(c.toInt)
-      case c => c.toString
-    }
+    import MetricsJson.esc
     val v = if (java.lang.Double.isFinite(r.metric_value)) r.metric_value.toString
             else "\"" + r.metric_value + "\""
     val eventType = if (r.status.contains("failure")) "FAIL" else "COMPLETE"
@@ -211,6 +230,7 @@ class HttpMetricSink extends MetricSink {
 
 object HttpMetricSink {
   private final case class Config(endpoint: java.net.URI, timeoutMs: Long)
+  private val poster = new AsyncHttpPoster("HttpMetricSink")
   private val instances =
     java.util.concurrent.ConcurrentHashMap.newKeySet[HttpMetricSink]()
   /** Drain every live HTTP sink (MetricsLogger constructs sinks

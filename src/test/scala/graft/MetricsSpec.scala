@@ -76,6 +76,66 @@ class MetricsSpec extends AnyFunSuite {
       Seq("gold.local_supplier_revenue"))
   }
 
+  test("automatic lineage listener: queries emit RunEvents with input/output facets, zero user code") {
+    import graft.metrics.OpenLineageListener
+    import scala.jdk.CollectionConverters._
+    val received = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v1/lineage", (x: com.sun.net.httpserver.HttpExchange) => {
+      received.add(new String(x.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)): Unit
+      x.sendResponseHeaders(200, -1)
+      x.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/lineage"
+    val l1 = OpenLineageListener.enable(spark, url, "testns")
+    // idempotent: a second enable must reuse, not stack, the listener
+    assert(OpenLineageListener.enable(spark) eq l1)
+    def await(cond: => Boolean): Boolean = {
+      val deadline = System.currentTimeMillis() + 20000
+      while (!cond && System.currentTimeMillis() < deadline) {
+        OpenLineageListener.flushAll(1000): Unit; Thread.sleep(50)
+      }
+      cond
+    }
+    try {
+      // 1: a pure read action — inputs only, no user logger calls
+      spark.read.parquet(s"$sf/customer.parquet").count(): Unit
+      assert(await(received.asScala.exists(j =>
+          j.contains("customer.parquet") && j.contains(""""outputs":[]"""))),
+        s"no read event among ${received.size}: ${received.asScala.take(3)}")
+      val readEvt = received.asScala
+        .find(j => j.contains("customer.parquet") && j.contains(""""outputs":[]""")).get
+      assert(readEvt.contains(""""eventType":"COMPLETE""""), readEvt)
+      assert(readEvt.contains(""""job":{"namespace":"testns""""), readEvt)
+      assert(readEvt.contains(""""namespace":"file""""), readEvt) // file dataset split
+      // 2: a read → write — the event carries BOTH facets
+      val out = java.nio.file.Files.createTempDirectory("graft_ol_").toString + "/t"
+      spark.read.parquet(s"$sf/orders.parquet").limit(5).write.parquet(out)
+      assert(await(received.asScala.exists(j =>
+          j.contains("orders.parquet") && j.contains(out))),
+        s"no write event among ${received.size}")
+      val writeEvt = received.asScala
+        .find(j => j.contains("orders.parquet") && j.contains(out)).get
+      // the output dataset must be in outputs, not echoed as an input
+      val inputsPart = writeEvt.substring(
+        writeEvt.indexOf(""""inputs":"""), writeEvt.indexOf(""""outputs":"""))
+      assert(!inputsPart.contains(out), writeEvt)
+    } finally {
+      OpenLineageListener.disable(spark)
+      spark.conf.unset("spark.graft.lineage.endpoint")
+      spark.conf.unset("spark.graft.lineage.namespace")
+      server.stop(0)
+    }
+    // disabled: no further events for new queries
+    val before = received.size
+    spark.read.parquet(s"$sf/customer.parquet").count(): Unit
+    OpenLineageListener.flushAll(2000): Unit
+    assert(received.size == before)
+  }
+
   test("metric utils compute counts and averages") {
     import spark.implicits._
     val df = Seq((1, 2.0, true), (2, 4.0, false), (3, 6.0, true))
