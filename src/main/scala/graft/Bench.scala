@@ -56,9 +56,19 @@ object Bench {
     // billed to whichever query happens to run first
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.read.parquet(s"$sfDir/orders.parquet").count()
-    val results = measure(SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) => name -> (() => { fn(spark, sfDir).count(): Unit })
-    })
+    // -quick mode for local iteration: skip whole families (usually
+    // "g" — the lakehouse lifecycle gates, whose wall time is
+    // sequential commit I/O already correctness-gated per round by
+    // CORRECTNESS_r{N}, not engine performance). The default (driver)
+    // run keeps everything so rounds stay comparable.
+    val skipGroups = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP_GROUPS", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val results = measure(SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) =>
+        skipGroups(name.takeWhile(!_.isDigit)) }
+      .map {
+        case (name, fn) => name -> (() => { fn(spark, sfDir).count(): Unit })
+      })
     TempRoots.cleanup() // every result is materialized (count() above)
     val ok = results.collect { case QResult(n, s, None) => n -> s }
     val failed = results.collect { case QResult(n, _, Some(e)) => n -> e }
@@ -107,8 +117,13 @@ object Bench {
       "g7_sql_catalog", "q3_shipping_priority", "e6_asof_custom")
     val groups = ok.groupBy { case (k, _) => k.takeWhile(!_.isDigit) }
       .toSeq.sortBy(_._1).map { case (g, rs) => g -> rs.map(_._2).sum }
+    // analytic_total = everything but the g-lifecycle gates: the
+    // engine-performance number to compare round-over-round and against
+    // BASELINE.md (the gates' wall time is sequential commit I/O)
+    val analyticTotal = ok.collect {
+      case (k, s) if k.takeWhile(!_.isDigit) != "g" => s }.sum
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(ok.filter(r => headline(r._1)))},"groups":${jmap(groups)},"n_queries":${results.size},"n_failed":${failed.size},"errors":${jerr(failed)},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"load_label":"$loadLabel","detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","analytic_total":${r3(analyticTotal)},"queries":${jmap(ok.filter(r => headline(r._1)))},"groups":${jmap(groups)},"n_queries":${results.size},"n_failed":${failed.size},"errors":${jerr(failed)},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"load_label":"$loadLabel","detail":"$detailPath"}"""
     // 1-minute load averages around the run: flags benches taken on a
     // contended shared host (observed >4× per-query swings under load —
     // the end value includes this bench's own threads, so the start

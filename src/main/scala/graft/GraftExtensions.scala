@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL views over DSv2 view catalogs (stock Spark ships only the
     // SPI); the hint batch runs before ResolveSessionCatalog's refusal
     e.injectHintResolutionRule(graft.plans.ResolveGraftViews)
+    // UPDATE/DELETE/MERGE on raw foreign roots (cat.delta.`/p`):
+    // post-hoc, after Spark's own row-level rewrites have passed over
+    // the non-SupportsRowLevelOperations target untouched
+    e.injectPostHocResolutionRule(graft.plans.ResolveForeignDml)
     e.injectFunction((
       new FunctionIdentifier("fingerprint64"),
       new ExpressionInfo(classOf[Fingerprint64].getName, "fingerprint64"),

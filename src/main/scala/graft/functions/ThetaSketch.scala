@@ -101,6 +101,14 @@ private[graft] object ThetaSketch {
   def hashDouble(d: Double, seed: Long = DefaultSeed): Long =
     hashLong(java.lang.Double.doubleToLongBits(d + 0.0), seed)
 
+  // Explicit-arity entry points for GENERATED code (Java call sites
+  // cannot pass Scala default arguments); UTF8String avoids a
+  // String re-copy on the hot path.
+  def hashLongDefault(v: Long): Long = hashLong(v)
+  def hashDoubleDefault(d: Double): Long = hashDouble(d)
+  def hashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    hashBytes(s.getBytes)
+
   /** Seed hash (the preamble's 16-bit check): murmur of the seed's
     * 8 LE bytes with seed 0, low 16 bits, must be non-zero. */
   def seedHash(seed: Long): Int = {
@@ -189,4 +197,48 @@ private[graft] object ThetaSketch {
     while (i < count) { hs(i) = bb.getLong(); i += 1 }
     Sketch(theta, hs, seed)
   }
+}
+
+/** Codegen theta-hash of a column value (long / string / double after
+  * the caller's cast) — the per-row kernel of
+  * [[graft.sources.IcebergInterop.writeIcebergStatistics]]'s
+  * distinct-hash pass. A Scala UDF here would put a per-row closure +
+  * catalyst↔scala conversion on every value of every eligible column
+  * of a wide table; this stays inside whole-stage codegen. */
+case class ThetaHash(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | StringType | DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"theta_hash takes bigint/string/double (cast first), got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case LongType => ThetaSketch.hashLong(input.asInstanceOf[Long])
+    case StringType =>
+      ThetaSketch.hashUtf8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    case DoubleType => ThetaSketch.hashDouble(input.asInstanceOf[Double])
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => child.dataType match {
+      case LongType =>
+        s"${ev.value} = graft.functions.ThetaSketch.hashLongDefault($c);"
+      case StringType =>
+        s"${ev.value} = graft.functions.ThetaSketch.hashUtf8($c);"
+      case DoubleType =>
+        s"${ev.value} = graft.functions.ThetaSketch.hashDoubleDefault($c);"
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ThetaHash =
+    copy(child = newChild)
 }

@@ -1275,7 +1275,82 @@ object LakehouseOps {
       |FROM lineitem WHERE l_quantity > 30
       |GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 500""".stripMargin
 
+  /** g47: plain SQL DML on a raw FOREIGN Delta root — the reference
+    * notebooks' `UPDATE … SET` / `DELETE FROM` / `MERGE INTO` cells
+    * run verbatim against `cat.delta.`/root``
+    * (plans/ForeignDml.scala dispatches to the interop writers); the
+    * oracle recomputes the three-step lifecycle over the base table. */
+  val g47_foreign_sql_dml: Relational.Q = (s, dir) => {
+    import s.implicits._
+    foreignSqlDml(s, dir, "delta")
+  }
+
+  /** g48: the identical verbatim-SQL lifecycle against a raw Iceberg
+    * v2 root (merge-on-read position deletes under the hood). */
+  val g48_foreign_sql_dml_iceberg: Relational.Q = (s, dir) => {
+    import s.implicits._
+    foreignSqlDml(s, dir, "iceberg")
+  }
+
+  private def foreignSqlDml(s: org.apache.spark.sql.SparkSession, dir: String,
+      format: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val cat = "gdmlq"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        graft.TempRoots.create("graft_dml47_wh_").toString)
+    }
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup)
+    val target = graft.TempRoots.create(s"graft_dml47_$format").toString + "/t"
+    if (format == "delta")
+      graft.sources.DeltaInterop.exportSnapshot(t, target): Unit
+    else {
+      graft.sources.IcebergInterop.exportSnapshot(t, target)
+      val mdPath = java.nio.file.Paths.get(target, "metadata", "v1.metadata.json")
+      Files.write(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+        .replace("\"format-version\" : 1", "\"format-version\" : 2")
+        .getBytes("UTF-8"))
+      Files.deleteIfExists(java.nio.file.Paths.get(target, "metadata",
+        ".v1.metadata.json.crc")): Unit
+    }
+    val ref = s"$cat.$format.`$target`"
+    s.sql(s"UPDATE $ref SET s_acctbal = s_acctbal + 50 WHERE s_suppkey % 7 = 0")
+    s.sql(s"DELETE FROM $ref WHERE s_nationkey = 3")
+    val srcView = "dml47_src_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    sup.filter($"s_suppkey" % 10 === 0)
+      .withColumn("s_acctbal", lit(-1.0))
+      .unionByName(sup.select(($"s_suppkey" + 100000).as("s_suppkey"),
+        $"s_nationkey", lit(-1.0).as("s_acctbal")))
+      .createOrReplaceTempView(srcView)
+    s.sql(s"MERGE INTO $ref t USING $srcView src " +
+      "ON t.s_suppkey = src.s_suppkey " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    s.sql(s"SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal " +
+      s"FROM $ref ORDER BY s_suppkey")
+  }
+
+  val g47_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(bal, 4) AS s_acctbal FROM (
+      |  SELECT s_suppkey, s_nationkey,
+      |    CASE WHEN s_suppkey % 10 = 0 THEN -1.0
+      |         WHEN s_suppkey % 7 = 0 THEN s_acctbal + 50
+      |         ELSE s_acctbal END AS bal
+      |  FROM supplier WHERE s_nationkey <> 3
+      |  UNION ALL
+      |  SELECT s_suppkey, s_nationkey, -1.0 AS bal FROM supplier
+      |  WHERE s_nationkey = 3 AND s_suppkey % 10 = 0
+      |  UNION ALL
+      |  SELECT s_suppkey + 100000 AS s_suppkey, s_nationkey, -1.0 AS bal
+      |  FROM supplier
+      |) ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "g47_foreign_sql_dml" -> g47_foreign_sql_dml,
+    "g48_foreign_sql_dml_iceberg" -> g48_foreign_sql_dml_iceberg,
     "g46_sql_views" -> g46_sql_views,
     "g45_delta_row_tracking" -> g45_delta_row_tracking,
     "g44_iceberg_v3_dv" -> g44_iceberg_v3_dv,
@@ -1321,6 +1396,8 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g47_foreign_sql_dml" -> g47_sql,
+    "g48_foreign_sql_dml_iceberg" -> g47_sql,
     "g46_sql_views" -> g46_sql,
     "g45_delta_row_tracking" -> g45_sql,
     "g44_iceberg_v3_dv" -> g39_sql,

@@ -12,9 +12,10 @@ import graft.sources.Tables
   * oracle sum the same doubles in the same order — bit-identical.
   *
   * Scale design:
-  *  - brute force is the exact baseline: per-partition scoring with a
-  *    rank-filter top-k (Spark's window TopK pushes the limit into the
-  *    sort), no driver collection. At 100 TB the query side is
+  *  - brute force is the exact baseline: per-query top-k via the
+  *    TopKAgg map-side k-heap aggregate (partial heaps merge in the
+  *    exchange; NO WindowExec / global sort — PlanAuditSpec pins the
+  *    plan shape), no driver collection. At 100 TB the query side is
   *    broadcast and the corpus streams through a single projection.
   *  - the LSH variant buckets vectors by random-hyperplane sign bits;
   *    candidate scoring touches only same-bucket vectors (expected

@@ -1527,8 +1527,9 @@ object IcebergInterop {
   def writeIcebergStatistics(spark: SparkSession, path: String,
       columns: Seq[String] = Nil, nominal: Int = 4096,
       maxRetries: Int = 20): Map[String, Long] = {
-    import graft.functions.ThetaSketch
-    import org.apache.spark.sql.functions.{col, udf}
+    import graft.functions.{ThetaHash, ThetaSketch}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.types._
     val root = new HPath(path)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1543,9 +1544,11 @@ object IcebergInterop {
     val schemaNode = currentSchemaNode(md0, path)
     val schema = fromIcebergStruct(schemaNode, path)
     val idOf = IcebergStats.fieldIdsOf(schemaNode)
-    val hashLongU = udf((v: Long) => ThetaSketch.hashLong(v))
-    val hashStrU = udf((v: String) => ThetaSketch.hashString(v))
-    val hashDblU = udf((v: Double) => ThetaSketch.hashDouble(v))
+    // codegen ThetaHash expression, not a Scala UDF: the pass touches
+    // every row of every eligible column of the table, so the per-row
+    // kernel must stay inside whole-stage codegen
+    def theta(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ColumnBridge.column(ThetaHash(ColumnBridge.expression(c)))
     val table = readIceberg(spark, path)
     val picked = schema.fields.toSeq
       .filter(f => columns.isEmpty || columns.contains(f.name))
@@ -1553,10 +1556,10 @@ object IcebergInterop {
         val h: Option[org.apache.spark.sql.Column] = f.dataType match {
           case ByteType | ShortType | IntegerType | LongType |
                DateType | TimestampType | TimestampNTZType =>
-            Some(hashLongU(col(f.name).cast("long")))
-          case StringType => Some(hashStrU(col(f.name)))
+            Some(theta(col(f.name).cast("long")))
+          case StringType => Some(theta(col(f.name)))
           case FloatType | DoubleType =>
-            Some(hashDblU(col(f.name).cast("double")))
+            Some(theta(col(f.name).cast("double")))
           case _ => None
         }
         h.map(f.name -> _)

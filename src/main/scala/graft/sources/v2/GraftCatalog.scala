@@ -120,7 +120,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * }}}
     * The `delta`/`iceberg` pseudo-namespaces resolve only when the
     * named directory really carries that format's metadata, so they
-    * can never shadow a warehouse table. Read-only. */
+    * can never shadow a warehouse table. Reads are always available;
+    * UPDATE/DELETE/MERGE on the base table dispatch to the interop
+    * writers via [[graft.plans.ResolveForeignDml]] (metadata tables
+    * stay read-only). */
   private def foreignPathTable(ident: Identifier): Option[Table] = {
     def isDelta(p: String) =
       isDir(new HPath(new HPath(p), "_delta_log"))
@@ -130,9 +133,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Some(new GraftDataFrameTable(spark, ident, df))
     ident.namespace().toSeq match {
       case Seq("delta") if isDelta(ident.name()) =>
-        mk(() => graft.sources.DeltaInterop.readDelta(spark, ident.name()))
+        Some(new ForeignRootTable(spark, ident, "delta", ident.name(),
+          () => graft.sources.DeltaInterop.readDelta(spark, ident.name())))
       case Seq("iceberg") if isIce(ident.name()) =>
-        mk(() => graft.sources.IcebergInterop.readIceberg(spark, ident.name()))
+        Some(new ForeignRootTable(spark, ident, "iceberg", ident.name(),
+          () => graft.sources.IcebergInterop.readIceberg(spark, ident.name())))
       case Seq("delta", p) if ident.name() == "history" && isDelta(p) =>
         mk(() => graft.sources.DeltaInterop.deltaHistory(spark, p))
       case Seq("iceberg", p)
@@ -1186,6 +1191,19 @@ class GraftMetadataTable(spark: SparkSession, path: String,
     else if (kind == "files") t.files()
     else t.history()
   })
+
+/** A raw FOREIGN root (`cat.delta.`/root``/`cat.iceberg.`/root``)
+  * surfaced as a table: scans are the read-only DataFrame path, and
+  * carrying (format, root) here lets [[graft.plans.ResolveForeignDml]]
+  * dispatch plain SQL `UPDATE`/`DELETE FROM`/`MERGE INTO` on the
+  * identifier to the protocol-level interop writers — the reference
+  * notebooks' DML cells (02_iceberg_demo.ipynb `UPDATE … SET`,
+  * `DELETE FROM`, MERGE) run verbatim against any Delta/Iceberg
+  * directory. */
+class ForeignRootTable(spark: SparkSession, ident: Identifier,
+                       val format: String, val root: String,
+                       mkDf: () => DataFrame)
+  extends GraftDataFrameTable(spark, ident, mkDf)
 
 /** Read-only DSv2 table over a driver-built DataFrame — the metadata
   * relations and the raw foreign-root reads route through this. */

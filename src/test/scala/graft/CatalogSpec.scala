@@ -1104,4 +1104,86 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       e.getMessage.contains("cannot be found"), e.getMessage)
   }
+
+  test("plain SQL DML on raw foreign roots: UPDATE / DELETE / MERGE, no CALL") {
+    freshCatalog()
+    import spark.implicits._
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "w")
+    val t = graft.sources.GraftTable.create(spark,
+      Files.createTempDirectory("graft_dml_").toString + "/t", base)
+    val droot = Files.createTempDirectory("graft_dml_d_").toString + "/t"
+    graft.sources.DeltaInterop.exportSnapshot(t, droot)
+
+    def deltaState() = graft.sources.DeltaInterop.readDelta(spark, droot)
+      .select("id", "v", "w").as[(Long, String, Long)].collect().sorted.toSeq
+
+    // UPDATE with expressions over the target row — verbatim notebook SQL
+    val upd = spark.sql(
+      s"UPDATE $cat.delta.`$droot` SET v = upper(v), w = w + 1 WHERE id <= 2")
+    assert(upd.columns.toSeq == Seq("version")) // returns the committed version
+    assert(deltaState() ==
+      Seq((1L, "A", 11L), (2L, "B", 21L), (3L, "c", 30L)))
+
+    // DELETE FROM
+    spark.sql(s"DELETE FROM $cat.delta.`$droot` WHERE id = 3")
+    assert(deltaState() == Seq((1L, "A", 11L), (2L, "B", 21L)))
+
+    // classic upsert MERGE (SET * / INSERT *)
+    Seq((2L, "x", 99L), (4L, "d", 40L)).toDF("id", "v", "w")
+      .createOrReplaceTempView("dml_src")
+    spark.sql(s"MERGE INTO $cat.delta.`$droot` t USING dml_src s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(deltaState() ==
+      Seq((1L, "A", 11L), (2L, "x", 99L), (4L, "d", 40L)))
+
+    // full-clause MERGE: conditional UPDATE referencing both rows,
+    // conditional DELETE, and NOT MATCHED BY SOURCE
+    spark.sql(s"MERGE INTO $cat.delta.`$droot` t USING dml_src s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED AND s.w > 50 THEN UPDATE SET w = t.w + s.w " +
+      "WHEN MATCHED THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'ns'")
+    // id 2: matched, s.w=99 → w=99+99; id 4: matched, s.w=40 → DELETE;
+    // id 1: not matched by source → v='ns'
+    assert(deltaState() == Seq((1L, "ns", 11L), (2L, "x", 198L)))
+
+    // the same statements against a raw Iceberg root (v2: row-level
+    // DML needs merge-on-read position deletes)
+    val iroot = Files.createTempDirectory("graft_dml_i_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, iroot)
+    val mdp = java.nio.file.Paths.get(iroot, "metadata", "v1.metadata.json")
+    Files.write(mdp, new String(Files.readAllBytes(mdp), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    Files.deleteIfExists(java.nio.file.Paths.get(iroot, "metadata",
+      ".v1.metadata.json.crc"))
+    def iceState() = graft.sources.IcebergInterop.readIceberg(spark, iroot)
+      .select("id", "v", "w").as[(Long, String, Long)].collect().sorted.toSeq
+    val iupd = spark.sql(
+      s"UPDATE $cat.iceberg.`$iroot` SET w = w * 10 WHERE v = 'a'")
+    assert(iupd.columns.toSeq == Seq("snapshot_id"))
+    assert(iceState() ==
+      Seq((1L, "a", 100L), (2L, "b", 20L), (3L, "c", 30L)))
+    spark.sql(s"DELETE FROM $cat.iceberg.`$iroot` WHERE w = 20")
+    spark.sql(s"MERGE INTO $cat.iceberg.`$iroot` t USING dml_src s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(iceState() ==
+      Seq((1L, "a", 100L), (2L, "x", 99L), (3L, "c", 30L), (4L, "d", 40L)))
+
+    // unsupported shapes refuse loudly with a pointer, not silently
+    val e1 = intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.delta.`$droot` t USING dml_src s " +
+        "ON t.id > s.id WHEN MATCHED THEN DELETE").collect()
+    }
+    assert(e1.getMessage.contains("same-named key equalities"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.delta.`$droot`.history SET version = 0")
+        .collect()
+    }
+    // metadata tables stay read-only (no ForeignRootTable → no dispatch)
+    assert(e2.getMessage.nonEmpty)
+  }
 }
