@@ -990,7 +990,13 @@ object DeltaInterop {
     var metaDescription: Option[String] = None
     var createdTime: Option[Long] = None
     var baseWasV2: Boolean = false
-    var sawDomainMetadata: Boolean = false
+    /** domain → (configuration JSON text, removed): the LATEST
+      * domainMetadata action per domain (checkpoint base, then commits
+      * in order) — what a checkpoint written here must carry so
+      * clustering/row-tracking state survives log cleanup. */
+    val domains =
+      scala.collection.mutable.LinkedHashMap[String, (String, Boolean)]()
+    def sawDomainMetadata: Boolean = domains.nonEmpty
     /** removed path → deletionTimestamp; re-adds clear the tombstone */
     val tombstones = scala.collection.mutable.LinkedHashMap[String, Long]()
     /** appId → (version, lastUpdated) */
@@ -1045,10 +1051,16 @@ object DeltaInterop {
             txns(r.getString(0)) = (r.getLong(1),
               if (r.isNullAt(2)) None else Some(r.getLong(2)))
           }
-      if (fields.contains("domainMetadata") &&
-          cp.where(col("domainMetadata.domain").isNotNull).limit(1)
-            .count() > 0)
-        sawDomainMetadata = true
+      if (fields.contains("domainMetadata"))
+        cp.where(col("domainMetadata.domain").isNotNull)
+          .select(col("domainMetadata.domain"),
+            col("domainMetadata.configuration"),
+            col("domainMetadata.removed"))
+          .collect().foreach { r =>
+            domains(r.getString(0)) = (
+              Option(r.getString(1)).getOrElse(""),
+              !r.isNullAt(2) && r.getBoolean(2))
+          }
     }
 
     def ingestCommit(text: String): Unit =
@@ -1093,9 +1105,15 @@ object DeltaInterop {
                 .map(_.asLong()))
           }
         }
-        if (line.contains("\"domainMetadata\"") &&
-            node("domainMetadata").isDefined)
-          sawDomainMetadata = true
+        if (line.contains("\"domainMetadata\""))
+          node("domainMetadata").foreach { dm =>
+            Option(dm.get("domain")).foreach { d =>
+              domains(d.asText()) = (
+                Option(dm.get("configuration")).filterNot(_.isNull)
+                  .map(_.asText()).getOrElse(""),
+                Option(dm.get("removed")).exists(_.asBoolean(false)))
+            }
+          }
       }
   }
 
@@ -3136,6 +3154,27 @@ object DeltaInterop {
     * point/range predicate on ANY Z column touches few files once
     * engines skip by per-file min/max stats. Same dataChange=false /
     * DV-materializing / CDF-silent commit shape. */
+  /** Columns of a `delta.clustering` domain configuration —
+    * `{"clusteringColumns":[["c1"],["a","b"]]}` (each entry a physical
+    * name path; nested paths join with '.'). */
+  private[sources] def clusteringColumnsOf(cfg: String): Seq[String] = {
+    if (cfg == null || cfg.isEmpty) return Nil
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(cfg).path("clusteringColumns")
+    val b = Seq.newBuilder[String]
+    val it = node.elements()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.isArray) {
+        val parts = Seq.newBuilder[String]
+        val pit = e.elements()
+        while (pit.hasNext) parts += pit.next().asText()
+        b += parts.result().mkString(".")
+      } else b += e.asText()
+    }
+    b.result()
+  }
+
   def optimizeDelta(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20, maxRetries: Int = 20,
       zorderBy: Seq[String] = Nil): Long = {
@@ -3161,7 +3200,18 @@ object DeltaInterop {
     var attempts = 0
     var result = -1L
     while (result < 0) {
-      val st = replaySnapshot(spark, path, None)
+      val coll = new CheckpointCollector()
+      val st = replaySnapshot(spark, path, None, Some(coll))
+      // Delta liquid clustering: with no explicit zorderBy, a CLUSTER BY
+      // table (delta.clustering domain — Delta 3.2's clustered-table
+      // state) re-clusters by its DECLARED columns, matching Delta's own
+      // OPTIMIZE behavior on clustered tables; plain tables bin-pack.
+      val zCols =
+        if (zorderBy.nonEmpty) zorderBy
+        else coll.domains.get("delta.clustering")
+          .collect { case (cfg, removed) if !removed =>
+            clusteringColumnsOf(cfg) }
+          .getOrElse(Nil)
       if (st.colMapMode != "none")
         refuseW("the table uses column mapping — rewritten files would " +
           "need physical column names")
@@ -3189,7 +3239,7 @@ object DeltaInterop {
       // OPTIMIZE ZORDER BY).
       val binOf = scala.collection.mutable.Map[String, Int]()
       var nBins = 0
-      if (zorderBy.isEmpty)
+      if (zCols.isEmpty)
         sized.groupBy(_._1._2._1).valuesIterator.foreach { es =>
           val eligible = es.filter { case ((_, (_, dv)), len) =>
             len < targetFileBytes || dv.isDefined }
@@ -3209,12 +3259,12 @@ object DeltaInterop {
           }
         }
       else {
-        zorderBy.foreach(c => require(dataSchema.fieldNames.contains(c),
+        zCols.foreach(c => require(dataSchema.fieldNames.contains(c),
           s"z-order column '$c' is not a data column of $path"))
         nBins = math.max(1, math.ceil(
           sized.map(_._2).sum.toDouble / targetFileBytes).toInt)
       }
-      val rewriteAll = zorderBy.nonEmpty && st.active.nonEmpty
+      val rewriteAll = zCols.nonEmpty && st.active.nonEmpty
       if (binOf.isEmpty && !rewriteAll) {
         result = st.version // nothing to compact
       } else {
@@ -3240,7 +3290,7 @@ object DeltaInterop {
         val outCols = schema.fieldNames.map(col).toSeq ++
           mat.toSeq.flatMap { case (idN, rcvN, _) =>
             Seq(col(idN), col(rcvN)) }
-        val compacted = if (zorderBy.isEmpty) {
+        val compacted = if (zCols.isEmpty) {
           val qualifiedBin = entries.map { case (p, _) =>
             val hp = new HPath(resolveFile(root, p))
             (hp.getFileSystem(conf).makeQualified(hp).toString, binOf(p))
@@ -3256,7 +3306,7 @@ object DeltaInterop {
           // partition's rows land contiguous and Z-ordered, file count
           // sized by total live bytes / target
           val rows = scanWithIds(entries)
-          rows.withColumn("__z", zValueColumn(rows, zorderBy))
+          rows.withColumn("__z", zValueColumn(rows, zCols))
             .repartitionByRange(nBins,
               (partCols.map(col) :+ col("__z")): _*)
             .sortWithinPartitions(
@@ -3288,8 +3338,8 @@ object DeltaInterop {
           fs.delete(staging, true)
           result = commitDelete(io, logDir, st, now,
             s"optimize targetSize=$targetFileBytes" +
-              (if (zorderBy.nonEmpty)
-                s" zOrderBy=[${zorderBy.mkString(",")}]" else ""),
+              (if (zCols.nonEmpty)
+                s" zOrderBy=[${zCols.mkString(",")}]" else ""),
             entries.map { case (p, (pv, _)) => (p, pv) }, staged, Nil,
             partCols, operation = "OPTIMIZE", dataChange = false,
             statsOf = addStats.get)
@@ -3388,9 +3438,6 @@ object DeltaInterop {
     val wantV2 =
       st.configuration.get("delta.checkpointPolicy").contains("v2") ||
         coll.baseWasV2
-    if (coll.sawDomainMetadata)
-      refuseW("the log carries domainMetadata actions a checkpoint " +
-        "written here would drop")
     if (st.minWriter > 7)
       refuseW(s"the table requires writer protocol ${st.minWriter}")
     if (st.minWriter == 7) {
@@ -3443,27 +3490,39 @@ object DeltaInterop {
       StructField("appId", StringType),
       StructField("version", LongType),
       StructField("lastUpdated", LongType)))
+    // domainMetadata rides the checkpoint (latest action per domain,
+    // removed tombstones included) so clustering / row-tracking state
+    // survives log cleanup — the refusal this replaced predates domain
+    // tracking in the collector
+    val dmType = StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType)))
     val cpSchema = StructType(Seq(
       StructField("protocol", protoType),
       StructField("metaData", metaType),
       StructField("txn", txnType),
       StructField("add", addType),
-      StructField("remove", removeType)))
+      StructField("remove", removeType),
+      StructField("domainMetadata", dmType)))
 
     val rows = new java.util.ArrayList[Row]()
     rows.add(Row(Row(coll.minReader, st.minWriter,
       if (coll.readerFeatures.nonEmpty) coll.readerFeatures else null,
       if (st.writerFeatures.nonEmpty) st.writerFeatures else null),
-      null, null, null, null))
+      null, null, null, null, null))
     rows.add(Row(null, Row(
       coll.metaId.getOrElse(java.util.UUID.randomUUID().toString),
       coll.metaName.orNull, coll.metaDescription.orNull,
       Row("parquet", Map.empty[String, String]), st.schemaJson,
       st.partCols, st.configuration,
-      coll.createdTime.map(Long.box).orNull), null, null, null))
+      coll.createdTime.map(Long.box).orNull), null, null, null, null))
     coll.txns.foreach { case (app, (txv, lu)) =>
       rows.add(Row(null, null, Row(app, txv, lu.map(Long.box).orNull),
-        null, null))
+        null, null, null))
+    }
+    coll.domains.foreach { case (d, (cfg, removed)) =>
+      rows.add(Row(null, null, null, null, null, Row(d, cfg, removed)))
     }
     st.active.foreach { case (p, (pv, dv)) =>
       val stt =
@@ -3477,12 +3536,13 @@ object DeltaInterop {
         d.offset.map(Long.box).orNull, d.sizeInBytes, d.cardinality)).orNull
       rows.add(Row(null, null, null,
         Row(encodePath(p), pv, stt.getLen, stt.getModificationTime,
-          false, dvRow, st.stats.get(p).orNull), null))
+          false, dvRow, st.stats.get(p).orNull), null, null))
     }
     val activePaths = st.active.map(_._1).toSet
     coll.tombstones.filterNot(t => activePaths.contains(t._1))
       .foreach { case (p, ts) =>
-        rows.add(Row(null, null, null, null, Row(encodePath(p), ts, false)))
+        rows.add(Row(null, null, null, null,
+          Row(encodePath(p), ts, false), null))
       }
     if (!wantV2) {
       publishCheckpointParts(spark, fs, logDir, st.version, rows, cpSchema)
@@ -3530,12 +3590,15 @@ object DeltaInterop {
       StructField("protocol", protoType),
       StructField("metaData", metaType),
       StructField("txn", txnType),
-      StructField("sidecar", sidecarActType)))
+      StructField("sidecar", sidecarActType),
+      StructField("domainMetadata", dmType)))
     val now = System.currentTimeMillis()
     val topRows = Seq(
-      Row(Row(st.version), null, null, null, null),
-      Row(null, null, null, null, Row(sidecarName, sidecarSize, now))) ++
-      metaRows.map(r => Row(null, r.get(0), r.get(1), r.get(2), null))
+      Row(Row(st.version), null, null, null, null, null),
+      Row(null, null, null, null,
+        Row(sidecarName, sidecarSize, now), null)) ++
+      metaRows.map(r =>
+        Row(null, r.get(0), r.get(1), r.get(2), null, r.get(5)))
     writeSingleParquet(topRows, topSchema, new HPath(logDir,
       f"${st.version}%020d.checkpoint.${java.util.UUID.randomUUID()
         .toString.replace("-", "")}.parquet"))

@@ -1053,11 +1053,22 @@ object IcebergInterop {
   }
 
   private def snapshotNode(snapId: Long, tsMs: Long, operation: String,
-      manifestList: String, schemaId: Int): ObjectNode = {
+      manifestList: String, schemaId: Int,
+      addedFilesSize: Long = -1L, addedDataFiles: Int = -1,
+      addedRecords: Long = -1L): ObjectNode = {
     val snap = om.createObjectNode()
     snap.put("snapshot-id", snapId)
     snap.put("timestamp-ms", tsMs)
-    snap.putObject("summary").put("operation", operation)
+    val summary = snap.putObject("summary")
+    summary.put("operation", operation)
+    // spec summary metrics (string-valued): what byte-based streaming
+    // admission (maxBytesPerTrigger) and engine planners read
+    if (addedFilesSize >= 0)
+      summary.put("added-files-size", addedFilesSize.toString)
+    if (addedDataFiles >= 0)
+      summary.put("added-data-files", addedDataFiles.toString)
+    if (addedRecords >= 0)
+      summary.put("added-records", addedRecords.toString)
     snap.put("manifest-list", manifestList)
     snap.put("schema-id", schemaId)
     snap
@@ -2184,7 +2195,8 @@ object IcebergInterop {
               .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
           else md.putArray("snapshots")
         val sn = snapshotNode(snapId, now, "append", listPath.toString,
-          st.schemaId)
+          st.schemaId, addedFilesSize = files.map(_._2).sum,
+          addedDataFiles = files.size, addedRecords = addedRows)
         if (v2) sn.put("sequence-number", newSeq)
         if (st.currentSnap >= 0) sn.put("parent-snapshot-id", st.currentSnap)
         rowIdBase.foreach { b =>

@@ -277,6 +277,15 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
     Option(options.get("skipchangecommits")).exists(_.toBoolean)
   private val maxCommitsPerTrigger =
     Option(options.get("maxcommitspertrigger")).map(_.toInt)
+  /** Byte-based admission (Delta's own source option): cap each
+    * micro-batch by the admitted commits' add-action bytes, not their
+    * COUNT — at scale commit sizes are wildly skewed, so a
+    * count-bounded catch-up batch can still be arbitrarily large. At
+    * least one commit always admits (progress guarantee); composes
+    * with maxCommitsPerTrigger (tighter wins) and AvailableNow's
+    * pinned drain end. */
+  private val maxBytesPerTrigger =
+    Option(options.get("maxbytespertrigger")).map(_.toLong)
 
   private val root = new HPath(path)
   private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -328,15 +337,46 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
     case _ => maxCommitsPerTrigger
   }
 
+  /** add-action bytes of commit `v` — one driver-side log-file read
+    * (the size field every Delta writer records on its adds). */
+  private def commitBytes(v: Long): Long = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = fs.open(new HPath(logDir, f"$v%020d.json"))
+    val text = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    text.split('\n').filter(_.contains("\"add\"")).map { line =>
+      Option(om.readTree(line).get("add"))
+        .map(_.path("size").asLong(0L)).getOrElse(0L)
+    }.sum
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val latest = availableNowEnd
       .map(e => math.min(e, latestVersion()))
       .getOrElse(latestVersion())
     val s = start.asInstanceOf[DeltaVersionOffset].version
-    commitCap(limit) match {
-      case Some(n) if s >= 0 => DeltaVersionOffset(math.min(latest, s + n))
-      case _ => DeltaVersionOffset(latest)
+    val countEnd = commitCap(limit) match {
+      case Some(n) if s >= 0 => math.min(latest, s + n)
+      case _ => latest
     }
+    val end = maxBytesPerTrigger match {
+      // the initial snapshot (s < 0) stays one indivisible batch — the
+      // version pins a consistent state; byte admission governs the
+      // per-commit tail
+      case Some(budget) if s >= 0 =>
+        var e = s
+        var acc = 0L
+        var stop = false
+        while (!stop && e < countEnd) {
+          val b = commitBytes(e + 1)
+          if (e > s && acc + b > budget) stop = true
+          else { acc += b; e += 1; if (acc >= budget) stop = true }
+        }
+        e
+      case _ => countEnd
+    }
+    DeltaVersionOffset(end)
   }
 
   /** Every partition column must be path-encoded (`…/col=value/…`) for

@@ -72,6 +72,31 @@ class GraftMicroBatchStream(spark: SparkSession, path: String,
     * whole backlog in one giant batch. */
   private val maxCommitsPerTrigger =
     Option(options.get("maxcommitspertrigger")).map(_.toInt)
+  /** Byte-based admission: cap each micro-batch by the admitted
+    * commits' added-directory bytes — commit COUNT is a poor rate unit
+    * when writer batch sizes are skewed (a count-bounded catch-up can
+    * still be arbitrarily large). At least one commit always admits;
+    * composes with maxCommitsPerTrigger (tighter wins) and
+    * AvailableNow's pinned drain end. */
+  private val maxBytesPerTrigger =
+    Option(options.get("maxbytespertrigger")).map(_.toLong)
+
+  /** Bytes a commit ADDED: its live dirs minus the predecessor's, file
+    * sizes statted driver-side (O(files in admitted commits), the same
+    * listing the scan itself is about to do). */
+  private def commitBytes(t: GraftTable, v: Int): Long = {
+    val prev = if (v == 0) Set.empty[String]
+      else t.commitAt(v - 1).liveDirs.toSet
+    val added = t.commitAt(v).liveDirs.filterNot(prev)
+    val fs = new HPath(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    added.map { d =>
+      val dir = new HPath(new HPath(path), d)
+      if (fs.exists(dir))
+        fs.listStatus(dir).filter(_.isFile).map(_.getLen).sum
+      else 0L
+    }.sum
+  }
 
   // re-load per call: a stream outlives any single snapshot, so the
   // latest offset must see commits landed after the stream started
@@ -102,16 +127,31 @@ class GraftMicroBatchStream(spark: SparkSession, path: String,
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val t = table
     val latest = availableNowEnd
-      .map(e => math.min(e, table.latestVersion()))
-      .getOrElse(table.latestVersion())
+      .map(e => math.min(e, t.latestVersion()))
+      .getOrElse(t.latestVersion())
     val s = start.asInstanceOf[GraftOffset].version
-    commitCap(limit) match {
+    val countEnd = commitCap(limit) match {
       // the initial snapshot (start = -1 → first real offset) is one
       // indivisible batch regardless of the limit
-      case Some(n) if s >= 0 => GraftOffset(math.min(latest, s + n))
-      case _ => GraftOffset(latest)
+      case Some(n) if s >= 0 => math.min(latest, s + n)
+      case _ => latest
     }
+    val end = maxBytesPerTrigger match {
+      case Some(budget) if s >= 0 =>
+        var e = s
+        var acc = 0L
+        var stop = false
+        while (!stop && e < countEnd) {
+          val b = commitBytes(t, e + 1)
+          if (e > s && acc + b > budget) stop = true
+          else { acc += b; e += 1; if (acc >= budget) stop = true }
+        }
+        e
+      case _ => countEnd
+    }
+    GraftOffset(end)
   }
 
   override def reportLatestOffset(): Offset = GraftOffset(table.latestVersion())

@@ -128,6 +128,30 @@ class IcebergMicroBatchStream(spark: SparkSession, path: String,
     Option(options.get("skipchangecommits")).exists(_.toBoolean)
   private val maxSnapshotsPerTrigger =
     Option(options.get("maxsnapshotspertrigger")).map(_.toInt)
+  /** Byte-based admission: cap each micro-batch by the admitted
+    * snapshots' `added-files-size` summary bytes (the field every
+    * Iceberg writer stamps), not their COUNT — skewed snapshot sizes
+    * make a count-bounded catch-up batch arbitrarily large. At least
+    * one snapshot always admits; composes with maxSnapshotsPerTrigger
+    * (tighter wins) and AvailableNow. A snapshot missing the summary
+    * field admits as 0 bytes (conservative toward progress). */
+  private val maxBytesPerTrigger =
+    Option(options.get("maxbytespertrigger")).map(_.toLong)
+
+  /** snapshot id → added-files-size, from the metadata's snapshots
+    * array (driver-side, already parsed for history()). */
+  private def addedBytes(): Map[Long, Long] = {
+    val (_, md) = currentMetadata(spark, path)
+    if (!md.has("snapshots")) return Map.empty
+    val it = md.get("snapshots").elements()
+    val b = Map.newBuilder[Long, Long]
+    while (it.hasNext) {
+      val s = it.next()
+      b += s.get("snapshot-id").asLong() ->
+        s.path("summary").path("added-files-size").asLong(0L)
+    }
+    b.result()
+  }
 
   /** Snapshot ids in history order (the metadata's append-ordered
     * snapshots array); re-read per call so the stream sees snapshots
@@ -181,13 +205,29 @@ class IcebergMicroBatchStream(spark: SparkSession, path: String,
     }
     if (hist.isEmpty) return IcebergSnapshotOffset(-1L)
     val s = start.asInstanceOf[IcebergSnapshotOffset].snapshotId
-    snapCap(limit) match {
-      case Some(n) if s >= 0 =>
-        val idx = hist.indexOf(s)
-        if (idx < 0) IcebergSnapshotOffset(hist.last)
-        else IcebergSnapshotOffset(hist(math.min(hist.size - 1, idx + n)))
-      case _ => IcebergSnapshotOffset(hist.last)
+    val startIdx = if (s >= 0) hist.indexOf(s) else -1
+    if (s >= 0 && startIdx < 0) return IcebergSnapshotOffset(hist.last)
+    val countIdx = snapCap(limit) match {
+      case Some(n) if s >= 0 => math.min(hist.size - 1, startIdx + n)
+      case _ => hist.size - 1
     }
+    val endIdx = maxBytesPerTrigger match {
+      // batch 0 (the initial snapshot state) stays indivisible; byte
+      // admission governs the per-snapshot tail
+      case Some(budget) if s >= 0 =>
+        val bytes = addedBytes()
+        var i = startIdx
+        var acc = 0L
+        var stop = false
+        while (!stop && i < countIdx) {
+          val b = bytes.getOrElse(hist(i + 1), 0L)
+          if (i > startIdx && acc + b > budget) stop = true
+          else { acc += b; i += 1; if (acc >= budget) stop = true }
+        }
+        i
+      case _ => countIdx
+    }
+    IcebergSnapshotOffset(hist(endIdx))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -2459,19 +2459,50 @@ class DeltaInteropSpec extends AnyFunSuite {
       Set(0L, 1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L))
   }
 
-  test("checkpointDelta refuses domainMetadata carriers") {
+  test("checkpointDelta carries domainMetadata; clustering survives log cleanup") {
     import spark.implicits._
-    val t = GraftTable.create(spark, tmp("graft_cpdm_"),
-      Seq((1L, "a")).toDF("id", "v"))
+    // 4 hash-scattered files on a table declaring CLUSTER BY (id) state
     val target = tmp("graft_cpdm_t_")
-    DeltaInterop.exportSnapshot(t, target)
+    scala.util.Random.shuffle(Seq.range(0L, 400L))
+      .map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4).write.parquet(target)
+    DeltaInterop.convertParquetToDelta(spark, target)
+    val cfg = """{\"clusteringColumns\":[[\"id\"]]}"""
     Files.write(Paths.get(target, "_delta_log", "0" * 19 + "1.json"),
-      """{"domainMetadata":{"domain":"delta.clustering","configuration":"{}","removed":false}}"""
+      (s"""{"domainMetadata":{"domain":"delta.clustering","configuration":"$cfg","removed":false}}""" +
+        "\n" +
+        """{"domainMetadata":{"domain":"dead.domain","configuration":"{}","removed":true}}""")
         .concat("\n").getBytes("UTF-8"))
-    val e = intercept[IllegalArgumentException] {
-      DeltaInterop.checkpointDelta(spark, target)
+    // checkpoint no longer refuses: the latest per-domain state rides it
+    val v = DeltaInterop.checkpointDelta(spark, target)
+    assert(v == 1L)
+    val cp = spark.read.parquet(
+      Paths.get(target, "_delta_log", "0" * 19 + "1.checkpoint.parquet")
+        .toString)
+    val dms = cp.where(col("domainMetadata.domain").isNotNull)
+      .select(col("domainMetadata.domain"),
+        col("domainMetadata.configuration"),
+        col("domainMetadata.removed"))
+      .as[(String, String, Boolean)].collect().sortBy(_._1)
+    assert(dms.map(_._1).toSeq == Seq("dead.domain", "delta.clustering"), dms.toSeq)
+    assert(dms(1)._2.contains("clusteringColumns") && !dms(1)._3, dms.toSeq)
+    assert(dms(0)._3, dms.toSeq) // removed tombstone carried as removed
+    // drop the JSON tail: state now comes only from the checkpoint …
+    assert(DeltaInterop.cleanupDeltaLog(spark, target) >= 1)
+    assert(DeltaInterop.readDelta(spark, target).count() == 400)
+    // … and OPTIMIZE still sees the clustering domain: with NO explicit
+    // zorderBy it re-clusters by the declared column (disjoint ranges)
+    DeltaInterop.optimizeDelta(spark, target, targetFileBytes = 4096L)
+    val ranges = DeltaInterop.readDelta(spark, target)
+      .groupBy(col("_metadata.file_path").as("f"))
+      .agg(min("id").as("mn"), max("id").as("mx"))
+      .select("mn", "mx").as[(Long, Long)].collect().sortBy(_._1)
+    assert(ranges.length >= 2, s"expected a multi-file rewrite: ${ranges.toSeq}")
+    ranges.sliding(2).foreach { case Array((_, mx1), (mn2, _)) =>
+      assert(mx1 < mn2, s"overlapping ranges: ${ranges.toSeq}")
     }
-    assert(e.getMessage.contains("domainMetadata"), e.getMessage)
+    assert(DeltaInterop.readDelta(spark, target)
+      .select("id").as[Long].collect().toSet == (0L until 400L).toSet)
   }
 
   test("vacuumDelta deletes unreferenced files, protects active + hidden") {

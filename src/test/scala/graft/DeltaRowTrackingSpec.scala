@@ -348,4 +348,62 @@ class AvailableNowSpec extends AnyFunSuite {
     assert(batches.size >= 3,
       s"expected a bounded multi-batch drain, got ${batches.size}")
   }
+
+  test("maxBytesPerTrigger: skewed commit sizes drain in byte-bounded batches") {
+    import spark.implicits._
+    // commit sizes are SKEWED: one huge commit then two tiny ones — a
+    // count bound admits them 1+1+1 or all at once; the byte bound must
+    // admit the huge one alone (progress guarantee) and pack the tiny
+    // ones together
+    def skewedDrain(fmt: String, target: String,
+        append: org.apache.spark.sql.DataFrame => Unit): Unit = {
+      val ckpt = Files.createTempDirectory("graft_anb_ck_").toString
+      val outDir = Files.createTempDirectory("graft_anb_out_").toString
+      def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val q = spark.readStream.format(fmt)
+          .option("maxBytesPerTrigger", "50000").load(target)
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", outDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append").start()
+        q.awaitTermination()
+        q
+      }
+      drain() // batch 0: the indivisible initial snapshot
+      append(spark.range(20000).select($"id", concat(lit("pad-"), $"id")
+        .as("v")).coalesce(1).toDF("id", "v")) // huge: >> 50 kB
+      append(Seq((900001L, "s1")).toDF("id", "v")) // tiny
+      append(Seq((900002L, "s2")).toDF("id", "v")) // tiny
+      val q2 = drain()
+      assert(spark.read.parquet(outDir).count() == 1 + 20000 + 2,
+        s"$fmt lost rows")
+      val batches = q2.recentProgress.toSeq.filter(_.numInputRows > 0)
+      // huge commit alone (admits despite exceeding the budget — at
+      // least one commit per batch), then both tiny ones together
+      assert(batches.size == 2,
+        s"$fmt: expected 2 byte-bounded batches, got " +
+          s"${batches.map(_.numInputRows).mkString(",")}")
+      assert(batches.head.numInputRows == 20000 &&
+        batches(1).numInputRows == 2,
+        batches.map(_.numInputRows).mkString(","))
+    }
+    // Delta: commit bytes from the add actions' size field
+    val t = GraftTable.create(spark, tmp("graft_anb_src_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    val dTarget = tmp("graft_anb_delta_")
+    DeltaInterop.exportSnapshot(t, dTarget)
+    skewedDrain("graft.sources.v2.DeltaSource", dTarget,
+      df => { DeltaInterop.appendToDelta(df, dTarget): Unit })
+    // Iceberg: commit bytes from the snapshot summary's
+    // added-files-size (stamped by the append writer)
+    val iTarget = tmp("graft_anb_ice_")
+    graft.sources.IcebergInterop.exportSnapshot(t, iTarget)
+    skewedDrain("graft.sources.v2.IcebergSource", iTarget,
+      df => { graft.sources.IcebergInterop.appendToIceberg(df, iTarget): Unit })
+    // graft table: commit bytes from the added directories' file sizes
+    val g = GraftTable.create(spark, tmp("graft_anb_g_"),
+      Seq((1L, "a")).toDF("id", "v"))
+    skewedDrain("graft.sources.v2.GraftSource", g.root,
+      df => { g.append(df): Unit })
+  }
 }
