@@ -4297,6 +4297,96 @@ object IcebergInterop {
       withRowLineage = true)
       .drop("__fp", "__pos")
 
+  /** One planned file of a server-side scan (REST planTableScan):
+    * path, size, record count, spec id. */
+  final case class PlannedFile(path: String, sizeBytes: Long,
+      recordCount: Long, specId: Int)
+
+  /** SERVER-SIDE scan planning (the Iceberg REST spec's planTableScan
+    * route): the current (or pinned) snapshot's live data files after
+    * manifest-bounds pruning by `cond` — METADATA-ONLY (manifest list +
+    * manifests; no data file opens, no Spark job), the shape a catalog
+    * service can afford per request at fleet scale. The pruning is the
+    * same conservative bounds test the filtered reads and DML
+    * detection scans apply (lower/upper bounds + null counts per the
+    * spec's single-value serialization), so the served file list
+    * equals graft's own pruned plan; identity-partition substitution
+    * pruning is NOT applied here (conservative superset — a dropped
+    * file is still provably matchless). Refuses snapshots carrying
+    * delete manifests: their tasks would need delete-files the caller
+    * must apply, and silently omitting them would serve deleted rows. */
+  def planIcebergScanTasks(spark: SparkSession, path: String,
+      asOfSnapshotId: Option[Long] = None,
+      cond: Option[org.apache.spark.sql.Column] = None): Seq[PlannedFile] = {
+    val (fs, md) = currentMetadata(spark, path)
+    val snapId = asOfSnapshotId.getOrElse(
+      md.path("current-snapshot-id").asLong(-1L))
+    if (snapId < 0) return Nil
+    val snap = Option(md.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala())
+      .find(_.path("snapshot-id").asLong() == snapId)
+      .getOrElse(refuse(path, s"has no snapshot $snapId"))
+    val manifests = readAvro(readBytes(fs,
+      new HPath(snap.path("manifest-list").asText())))
+    manifests.foreach { m =>
+      if (fieldOpt(m, "content").map(longOf).getOrElse(0L) != 0L)
+        refuse(path, "carries delete manifests at the planned snapshot " +
+          "— server-side planning serves append-only states; plan " +
+          "client-side from metadata-location")
+    }
+    val schemaNode = currentSchemaNode(md, path)
+    val schema = fromIcebergStruct(schemaNode, path)
+    val pruneConjs = cond.map(c => DeltaStats.conjuncts(spark, schema, c))
+      .getOrElse(Nil)
+    lazy val idOf = IcebergStats.fieldIdsOf(schemaNode)
+    def bytesOf(v: AnyRef): Option[Array[Byte]] = v match {
+      case bb: java.nio.ByteBuffer =>
+        val d = bb.duplicate()
+        val a = new Array[Byte](d.remaining()); d.get(a); Some(a)
+      case f: org.apache.avro.generic.GenericFixed => Some(f.bytes())
+      case a: Array[Byte] => Some(a)
+      case _ => None
+    }
+    def statMapOf(df: GenericRecord, name: String): Map[Int, AnyRef] =
+      fieldOpt(df, name) match {
+        case Some(c: java.util.Collection[_]) =>
+          c.iterator().asScala().flatMap {
+            case r: GenericRecord => scala.util
+              .Try((longOf(r.get("key")).toInt, r.get("value"))).toOption
+            case _ => None
+          }.toMap
+        case _ => Map.empty
+      }
+    manifests.flatMap { m =>
+      val specId = fieldOpt(m, "partition_spec_id").map(longOf)
+        .getOrElse(0L).toInt
+      readAvro(readBytes(fs,
+        new HPath(m.get("manifest_path").toString))).flatMap { e =>
+        if (longOf(e.get("status")) == 2L) None // DELETED in this snapshot
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          if (fieldOpt(df, "content").map(longOf).getOrElse(0L) != 0L)
+            refuse(path, "has a delete file inside a data manifest")
+          val keep = pruneConjs.isEmpty ||
+            DeltaStats.mayMatchStats(pruneConjs, schema, Nil, Map.empty, {
+              val lowers = statMapOf(df, "lower_bounds").flatMap {
+                case (k, v) => bytesOf(v).map(k -> _) }
+              val uppers = statMapOf(df, "upper_bounds").flatMap {
+                case (k, v) => bytesOf(v).map(k -> _) }
+              val nulls = statMapOf(df, "null_value_counts").flatMap {
+                case (k, v) => scala.util.Try(longOf(v)).toOption.map(k -> _) }
+              IcebergStats.toFileStats(schema, idOf,
+                longOf(df.get("record_count")), nulls, lowers, uppers)
+            })
+          if (!keep) None
+          else Some(PlannedFile(df.get("file_path").toString,
+            longOf(df.get("file_size_in_bytes")),
+            longOf(df.get("record_count")), specId))
+        }
+      }
+    }.distinct
+  }
+
   /** TEST HOOK: the distinct data-file paths the DELETE/UPDATE
     * detection scan for `condition` would read at `path` — exactly the
     * manifest-bounds pruning the DML paths apply, observable without

@@ -89,6 +89,11 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     segments.foldLeft(new HPath(warehouse))((p, s) => new HPath(p, s))
   private def isTable(p: HPath): Boolean =
     fs.exists(new HPath(p, "_graft_log"))
+  /** A REGISTERED foreign Iceberg table: a catalog pointer at an
+    * existing metadata-location, no data or metadata copied
+    * ([[registerTable]]). */
+  private def isRegistered(p: HPath): Boolean =
+    fs.exists(new HPath(p, IcebergPointerFile))
   private def isView(p: HPath): Boolean =
     graft.sources.GraftView.isView(fs, p)
   private def isDir(p: HPath): Boolean =
@@ -177,11 +182,16 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
         case ("POST", Seq("v1", "namespaces", ns, "tables", t)) =>
           commitTable(x, decodeNs(ns), dec(t), om.readTree(bodyOf(x)))
         case ("HEAD", Seq("v1", "namespaces", ns, "tables", t)) =>
-          headReply(x, if (isTable(whPath(decodeNs(ns) :+ dec(t)))) 204 else 404)
+          val p = whPath(decodeNs(ns) :+ dec(t))
+          headReply(x, if (isTable(p) || isRegistered(p)) 204 else 404)
         case ("DELETE", Seq("v1", "namespaces", ns, "tables", t)) =>
           dropTable(x, decodeNs(ns), dec(t))
         case ("POST", Seq("v1", "tables", "rename")) =>
           renameTable(x, om.readTree(bodyOf(x)))
+        case ("POST", Seq("v1", "namespaces", ns, "register")) =>
+          registerTable(x, decodeNs(ns), om.readTree(bodyOf(x)))
+        case ("POST", Seq("v1", "namespaces", ns, "tables", t, "plan")) =>
+          planTableScan(x, decodeNs(ns), dec(t), om.readTree(bodyOf(x)))
 
         case ("GET", Seq("v1", "namespaces", ns, "views")) =>
           listViews(x, decodeNs(ns))
@@ -214,7 +224,7 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
 
   private def namespaceExists(ns: Seq[String]): Boolean = {
     val p = whPath(ns)
-    ns.nonEmpty && isDir(p) && !isTable(p) && !isView(p)
+    ns.nonEmpty && isDir(p) && !isTable(p) && !isView(p) && !isRegistered(p)
   }
 
   private def listNamespaces(x: HttpExchange, parent: Seq[String]): Unit = {
@@ -225,7 +235,7 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
       if (!isDir(dir)) Nil
       else fs.listStatus(dir).toSeq
         .filter(st => st.isDirectory && !isTable(st.getPath) &&
-          !isView(st.getPath))
+          !isView(st.getPath) && !isRegistered(st.getPath))
         .map(_.getPath.getName).sorted
     val (page, next) = paginate(x, all)
     val arr = om.createArrayNode()
@@ -316,7 +326,8 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     if (!namespaceExists(ns))
       return error(x, 404, "NoSuchNamespaceException", nsMsg(ns))
     val all = fs.listStatus(whPath(ns)).toSeq
-      .filter(st => isTable(st.getPath)).map(_.getPath.getName).sorted
+      .filter(st => isTable(st.getPath) || isRegistered(st.getPath))
+      .map(_.getPath.getName).sorted
     val (page, next) = paginate(x, all)
     val arr = om.createArrayNode()
     page.foreach { name =>
@@ -362,10 +373,162 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
 
   private def loadTable(x: HttpExchange, ns: Seq[String], name: String): Unit = {
     val path = whPath(ns :+ name)
+    if (isRegistered(path)) return registeredJson(x, path)
     if (!isTable(path))
       return error(x, 404, "NoSuchTableException",
         s"table ${ns.mkString(".")}.$name not found")
     tableJson(x, ns, name, path)
+  }
+
+  /** REST spec registerTable: adopt an EXISTING Iceberg table into the
+    * catalog by its metadata-location — nothing is copied; the catalog
+    * records a pointer and serves loadTable (and server-side scan
+    * planning) from the pointed-at metadata. The Polaris shape for
+    * bringing storage-first tables under catalog control. */
+  private def registerTable(x: HttpExchange, ns: Seq[String],
+                            body: JsonNode): Unit = {
+    if (!namespaceExists(ns))
+      return error(x, 404, "NoSuchNamespaceException", nsMsg(ns))
+    val name = Option(body.get("name")).map(_.asText()).getOrElse(
+      return error(x, 400, "BadRequestException", "missing table name"))
+    val mloc = Option(body.get("metadata-location")).map(_.asText()).getOrElse(
+      return error(x, 400, "BadRequestException", "missing metadata-location"))
+    val mpath = new HPath(mloc)
+    if (!fs.exists(mpath))
+      return error(x, 400, "BadRequestException",
+        s"metadata-location $mloc does not exist")
+    val md = om.readTree(readAll(mpath))
+    if (!md.has("format-version"))
+      return error(x, 400, "BadRequestException",
+        s"$mloc is not Iceberg table metadata (no format-version)")
+    val dir = whPath(ns :+ name)
+    ddlLock.synchronized {
+      if (isTable(dir) || isRegistered(dir) || isView(dir))
+        return error(x, 409, "AlreadyExistsException",
+          s"table ${ns.mkString(".")}.$name exists")
+      fs.mkdirs(dir)
+      val ptr = om.createObjectNode()
+      ptr.put("metadata-location", mloc)
+      val out = fs.create(new HPath(dir, IcebergPointerFile), false)
+      try out.write(om.writeValueAsBytes(ptr)) finally out.close()
+    }
+    registeredJson(x, dir)
+  }
+
+  /** LoadTableResult for a registered table, straight from the
+    * pointed-at metadata. */
+  private def registeredJson(x: HttpExchange, dir: HPath): Unit = {
+    val ptr = om.readTree(readAll(new HPath(dir, IcebergPointerFile)))
+    val mloc = ptr.path("metadata-location").asText()
+    val md = om.readTree(readAll(new HPath(mloc)))
+    val n = om.createObjectNode()
+    n.put("metadata-location", mloc)
+    n.set[JsonNode]("metadata", md)
+    n.put("location", md.path("location").asText(
+      new HPath(mloc).getParent.getParent.toString))
+    n.set[JsonNode]("config", om.createObjectNode())
+    reply(x, 200, n)
+  }
+
+  /** The REST spec's planTableScan route (server-side scan planning):
+    * answer a completed plan whose file-scan-tasks come from graft's
+    * own metadata-only manifest walk + bounds pruning
+    * ([[graft.sources.IcebergInterop.planIcebergScanTasks]]). Works on
+    * registered foreign tables and on graft tables carrying real
+    * Iceberg metadata (mirrors). The filter subset the server prunes
+    * by is eq/lt/lt-eq/gt/gt-eq on a column + and; other filters plan
+    * unpruned and echo back as each task's residual-filter (the spec's
+    * client-reapplies contract). Delete-carrying snapshots refuse
+    * (400) — plan those client-side from metadata-location. */
+  private def planTableScan(x: HttpExchange, ns: Seq[String], name: String,
+                            body: JsonNode): Unit = {
+    val path = whPath(ns :+ name)
+    val root: String =
+      if (isRegistered(path)) {
+        val ptr = om.readTree(readAll(new HPath(path, IcebergPointerFile)))
+        val mloc = new HPath(ptr.path("metadata-location").asText())
+        mloc.getParent.getParent.toString
+      } else if (isTable(path) &&
+          fs.exists(new HPath(new HPath(path, "metadata"), "version-hint.text")))
+        path.toString
+      else if (isTable(path))
+        return error(x, 400, "BadRequestException",
+          s"table ${ns.mkString(".")}.$name carries no Iceberg metadata — " +
+            "mirror it first (mirrorToIceberg) or read it as a graft table")
+      else
+        return error(x, 404, "NoSuchTableException",
+          s"table ${ns.mkString(".")}.$name not found")
+    val snapId = Option(body.get("snapshot-id")).filterNot(_.isNull)
+      .map(_.asLong())
+    val filterNode = Option(body.get("filter")).filterNot(_.isNull)
+    val cond = filterNode.flatMap(filterToColumn)
+    val tasks =
+      try graft.sources.IcebergInterop.planIcebergScanTasks(
+        spark, root, snapId, cond)
+      catch {
+        case e: IllegalArgumentException =>
+          return error(x, 400, "BadRequestException",
+            String.valueOf(e.getMessage))
+      }
+    val n = om.createObjectNode()
+    n.put("status", "completed")
+    val arr = om.createArrayNode()
+    tasks.foreach { t =>
+      val task = om.createObjectNode()
+      val dfn = task.putObject("data-file")
+      dfn.put("spec-id", t.specId)
+      dfn.put("content", "data")
+      dfn.put("file-path", t.path)
+      dfn.put("file-format", "parquet")
+      dfn.putObject("partition")
+      dfn.put("file-size-in-bytes", t.sizeBytes)
+      dfn.put("record-count", t.recordCount)
+      task.putArray("delete-file-references")
+      filterNode.foreach(f => task.set[JsonNode]("residual-filter", f))
+      arr.add(task)
+    }
+    n.set[JsonNode]("file-scan-tasks", arr)
+    n.putArray("delete-files")
+    n.putArray("plan-tasks")
+    reply(x, 200, n)
+  }
+
+  /** Iceberg REST expression JSON → pruning Column (the subset the
+    * server prunes by); None = no server pruning, residual echoes. */
+  private def filterToColumn(n: JsonNode)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    // integral numbers normalize to Long, floating to Double: a
+    // narrower literal (Jackson Integer) against a wider column makes
+    // the analyzer cast the LITERAL side, which the conservative bound
+    // test cannot unwrap — the plan would silently stop pruning
+    def value(v: JsonNode): Any =
+      if (v.isIntegralNumber) v.asLong()
+      else if (v.isNumber) v.asDouble()
+      else if (v.isBoolean) v.asBoolean()
+      else v.asText()
+    n.path("type").asText() match {
+      case "and" =>
+        for {
+          l <- filterToColumn(n.path("left"))
+          r <- filterToColumn(n.path("right"))
+        } yield l && r
+      case op @ ("eq" | "lt" | "lt-eq" | "gt" | "gt-eq") =>
+        val t = n.path("term")
+        if (!t.isTextual) None
+        else {
+          val c = col(t.asText())
+          val v = value(n.path("value"))
+          Some(op match {
+            case "eq" => c === v
+            case "lt" => c < v
+            case "lt-eq" => c <= v
+            case "gt" => c > v
+            case "gt-eq" => c >= v
+          })
+        }
+      case _ => None
+    }
   }
 
   /** The Iceberg REST commitTable route. Tables carrying REAL Iceberg
@@ -626,7 +789,10 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
   private def dropTable(x: HttpExchange, ns: Seq[String], name: String): Unit =
     ddlLock.synchronized {
       val path = whPath(ns :+ name)
-      if (!isTable(path))
+      // dropping a REGISTERED table removes only the catalog pointer
+      // dir — the adopted table's own metadata and data are elsewhere
+      // and stay untouched (the spec's non-purging drop)
+      if (!isTable(path) && !isRegistered(path))
         error(x, 404, "NoSuchTableException",
           s"table ${ns.mkString(".")}.$name not found")
       else { fs.delete(path, true); headReply(x, 204) }
@@ -1041,4 +1207,5 @@ object RestCatalogServer {
   /** Filenames of the catalog's property sidecars. */
   private[rest] val NsPropsFile = ".graft_ns_props.json"
   private[rest] val TablePropsFile = "_graft_props.json"
+  private[rest] val IcebergPointerFile = "_graft_iceberg_pointer.json"
 }

@@ -510,4 +510,75 @@ class RestCatalogSpec extends AnyFunSuite {
     assert(httpReq("POST", "/v1/namespaces/propdb/tables/t", Some(
       """{"updates":[{"action":"add-snapshot","snapshot":{}}]}"""))._1 == 400)
   }
+
+  test("register-table adopts existing metadata; plan route equals graft's pruned plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // an Iceberg table OUTSIDE the warehouse: 4 range-disjoint appended
+    // files (appends carry in-flight bounds) so pruning can drop files
+    val src = graft.sources.GraftTable.create(spark,
+      Files.createTempDirectory("graft_reg_src_").toString + "/t",
+      spark.range(0, 250).select($"id", ($"id" * 2).as("v")).coalesce(1))
+    val ext = Files.createTempDirectory("graft_reg_ice_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(src, ext)
+    (1 to 3).foreach(i => graft.sources.IcebergInterop.appendToIceberg(
+      spark.range(i * 250L, i * 250L + 250).select($"id", ($"id" * 2).as("v"))
+        .coalesce(1), ext))
+    val hint = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      ext, "metadata", "version-hint.text")), StandardCharsets.UTF_8).trim
+    val mloc = s"$ext/metadata/v$hint.metadata.json"
+    assert(httpReq("POST", "/v1/namespaces", Some(
+      """{"namespace":["regdb"]}"""))._1 == 200)
+    // register: the catalog adopts the table by metadata-location
+    val (rc, rbody) = httpReq("POST", "/v1/namespaces/regdb/register",
+      Some(s"""{"name":"adopted","metadata-location":"$mloc"}"""))
+    assert(rc == 200, rbody)
+    assert(rbody.contains("\"metadata-location\"") &&
+      rbody.contains("\"format-version\""), rbody)
+    // a second register of the same name is the spec's 409
+    assert(httpReq("POST", "/v1/namespaces/regdb/register",
+      Some(s"""{"name":"adopted","metadata-location":"$mloc"}"""))._1 == 409)
+    // loadTable + HEAD + list see the adopted table
+    val (lc, lbody) = httpGet("/v1/namespaces/regdb/tables/adopted")
+    assert(lc == 200 && lbody.contains("\"snapshots\""), lbody)
+    assert(httpReq("HEAD", "/v1/namespaces/regdb/tables/adopted", None)._1 == 204)
+    assert(httpGet("/v1/namespaces/regdb/tables")._2.contains("adopted"))
+    def plannedFiles(body: String): Set[String] =
+      "\"file-path\":\"([^\"]+)\"".r.findAllMatchIn(body)
+        .map(_.group(1)).toSet
+    // unfiltered plan = every live data file
+    val (pc, pbody) = httpReq("POST",
+      "/v1/namespaces/regdb/tables/adopted/plan", Some("{}"))
+    assert(pc == 200 && pbody.contains("\"status\":\"completed\""), pbody)
+    val all = plannedFiles(pbody)
+    assert(all.size == 4, s"expected 4 files, got $all")
+    assert(graft.sources.IcebergInterop.readIceberg(spark, ext)
+      .count() == 1000)
+    assert(pbody.contains("\"record-count\"") &&
+      pbody.contains("\"file-size-in-bytes\""), pbody)
+    // filtered plan: the served file list EQUALS graft's own pruned
+    // plan for the same predicate (the DML detection-scan pruning)
+    val (fc, fbody) = httpReq("POST",
+      "/v1/namespaces/regdb/tables/adopted/plan",
+      Some("""{"filter":{"type":"lt","term":"id","value":100}}"""))
+    assert(fc == 200, fbody)
+    val pruned = plannedFiles(fbody)
+    val own = graft.sources.IcebergInterop
+      .icebergCandidateFiles(spark, ext, col("id") < 100L).toSet
+    assert(pruned == own, s"served $pruned vs graft's own $own")
+    assert(pruned.size < all.size, "filter should prune range-disjoint files")
+    // the filter echoes back as each task's residual (client re-applies)
+    assert(fbody.contains("\"residual-filter\""), fbody)
+    // an unplannable filter shape plans unpruned (conservative), 200
+    val (uc, ubody) = httpReq("POST",
+      "/v1/namespaces/regdb/tables/adopted/plan",
+      Some("""{"filter":{"type":"starts-with","term":"id","value":"1"}}"""))
+    assert(uc == 200 && plannedFiles(ubody) == all, ubody)
+    // DROP removes only the catalog pointer — the adopted table stays
+    assert(httpReq("DELETE", "/v1/namespaces/regdb/tables/adopted",
+      None)._1 == 204)
+    assert(httpReq("HEAD", "/v1/namespaces/regdb/tables/adopted",
+      None)._1 == 404)
+    assert(graft.sources.IcebergInterop.readIceberg(spark, ext).count() == 1000)
+  }
 }
