@@ -111,17 +111,21 @@ _SOURCE_FORMAT = "graft.sources.v2.GraftSource"
 
 
 def read_stream(spark, path, skip_change_commits=False,
-                max_commits_per_trigger=None):
+                max_commits_per_trigger=None, max_bytes_per_trigger=None):
     """Streaming read of a GraftTable: tails the commit log, one
     micro-batch per new commit range (the Delta streaming-source
     analog). `skip_change_commits=True` passes overwrite/delete commits
     through silently instead of failing the query;
-    `max_commits_per_trigger` bounds per-batch admission."""
+    `max_commits_per_trigger` bounds per-batch admission by commit
+    count, `max_bytes_per_trigger` by the admitted commits' added bytes
+    (at least one commit always admits; the tighter bound wins)."""
     r = spark.readStream.format(_SOURCE_FORMAT)
     if skip_change_commits:
         r = r.option("skipChangeCommits", "true")
     if max_commits_per_trigger is not None:
         r = r.option("maxCommitsPerTrigger", str(int(max_commits_per_trigger)))
+    if max_bytes_per_trigger is not None:
+        r = r.option("maxBytesPerTrigger", str(int(max_bytes_per_trigger)))
     return r.load(path)
 
 

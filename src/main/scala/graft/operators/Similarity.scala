@@ -49,7 +49,23 @@ object Similarity {
     v.asInstanceOf[T]
   }
 
-  /** The shared k=16 coarse quantizer (d5 / s3 / s5). */
+  /** Coarse-cell count for the IVF-tiled operators (d5 / s6):
+    * `spark.graft.ann.k` when set, else ~√n clamped to [16, 4096] —
+    * the documented corpus-scale growth. Per-probe candidate volume is
+    * ~n/k per cell, so fixed k makes the kNN join quadratic as the
+    * corpus grows; √n keeps tiles bounded (sf1 checkpoint: s6 at fixed
+    * k=16 ran ~n², √n restores ~linear). At the test SFs (n ≤ 2000)
+    * the clamp floors at the historical 16, so every oracle and recall
+    * gate sees the same cells as before. d5's pair set is k-invariant
+    * (the tile prune is lossless). The count() is parquet metadata. */
+  private def defaultK(s: SparkSession, dir: String): Int =
+    s.conf.getOption("spark.graft.ann.k").map(_.toInt).getOrElse {
+      val n = embeddings(s, dir).count()
+      math.max(16, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+    }
+
+  /** The shared coarse quantizer (d5 / s6 via [[defaultK]]; s3 / s5
+    * keep their own fixed k). */
   private def coarseCentroids(s: SparkSession, dir: String, k: Int): Array[Array[Double]] =
     cachedModel(s, dir, s"cents$k") {
       graft.functions.Quantizer.train(
@@ -112,7 +128,7 @@ object Similarity {
 
   private def d5Compute(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val k = s.conf.getOption("spark.graft.ann.k").map(_.toInt).getOrElse(16)
+    val k = defaultK(s, dir)
     val e = embeddings(s, dir).withColumn("nrm", norm($"emb"))
     embedNearDupPairsOn(e, coarseCentroids(s, dir, k), 0.4)
   }
@@ -412,7 +428,7 @@ object Similarity {
     * brute force asserted in SimilaritySpec. */
   val s6_knn_join: Relational.Q = (s, dir) => {
     import s.implicits._
-    val k = s.conf.getOption("spark.graft.ann.k").map(_.toInt).getOrElse(16)
+    val k = defaultK(s, dir)
     val m = 3; val nprobe = 4; val topk = 5
     val e = embeddings(s, dir).withColumn("nrm", norm($"emb"))
     val cents = coarseCentroids(s, dir, k)

@@ -4242,9 +4242,14 @@ object DeltaInterop {
         "full Delta client")
     val coll = new CheckpointCollector()
     val st = replaySnapshot(spark, source, None, Some(coll))
-    if (coll.sawDomainMetadata)
-      refuseW("the source carries domainMetadata actions a clone " +
-        "written here would drop")
+    // Domains carry into the clone's commit 0 — EXCEPT row tracking:
+    // the clone synthesizes fresh add actions without the source's
+    // baseRowId assignments, so carrying the high-watermark domain
+    // would claim row ids the cloned files do not actually hold.
+    if (coll.domains.exists { case (d, (_, removed)) =>
+        !removed && d == "delta.rowTracking" })
+      refuseW("the source tracks row ids (delta.rowTracking) — the " +
+        "clone's synthesized adds would drop the id assignments")
     val now = System.currentTimeMillis()
     def strArr(xs: Seq[String]): String =
       xs.map(x => "\"" + jsonEscape(x) + "\"").mkString(",")
@@ -4258,6 +4263,10 @@ object DeltaInterop {
     val confJson = st.configuration.map { case (k, v) =>
       "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\"" }.mkString(",")
     actions += s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}","format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(st.schemaJson)}","partitionColumns":[${strArr(st.partCols)}],"configuration":{$confJson},"createdTime":$now}}"""
+    coll.domains.foreach { case (d, (cfg, removed)) =>
+      if (!removed)
+        actions += s"""{"domainMetadata":{"domain":"${jsonEscape(d)}","configuration":"${jsonEscape(cfg)}","removed":false}}"""
+    }
     st.active.foreach { case (p, (pv, dv)) =>
       val hp = new HPath(resolveFile(srcRoot, p))
       val hpFs = hp.getFileSystem(conf)

@@ -272,8 +272,22 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces
     expect(code, body, Right(ident))(body.path("location").asText())
   }
 
-  override def loadTable(ident: Identifier): Table =
-    new GraftSparkTable(spark, location(ident), ident, None)
+  override def loadTable(ident: Identifier): Table = {
+    val (code, body) = http("GET", tblPath(ident))
+    expect(code, body, Right(ident)) {
+      if (body.has("latest-version"))
+        new GraftSparkTable(spark, body.path("location").asText(), ident, None)
+      else {
+        // a REGISTERED foreign Iceberg table (register-table route):
+        // no graft log to scan — serve the pointed-at metadata
+        // read-only, exactly what a Polaris client does with the
+        // LoadTableResult's metadata-location
+        val root = body.path("location").asText()
+        new graft.sources.v2.GraftDataFrameTable(spark, ident,
+          () => graft.sources.IcebergInterop.readIceberg(spark, root))
+      }
+    }
+  }
 
   override def loadTable(ident: Identifier, version: String): Table =
     new GraftSparkTable(spark, location(ident), ident, Some(version.toInt))

@@ -415,17 +415,32 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     registeredJson(x, dir)
   }
 
-  /** LoadTableResult for a registered table, straight from the
-    * pointed-at metadata. */
-  private def registeredJson(x: HttpExchange, dir: HPath): Unit = {
+  /** (iceberg table root, CURRENT metadata-location) of a registered
+    * table: the pointer names the adoption-time metadata file; commits
+    * through this catalog publish `v<N+1>` beside it, so the current
+    * version resolves from the same directory (max versioned file,
+    * falling back to the pointed one). */
+  private def registeredCurrent(dir: HPath): (String, HPath) = {
+    import graft.sources.IcebergInterop.VMeta
     val ptr = om.readTree(readAll(new HPath(dir, IcebergPointerFile)))
-    val mloc = ptr.path("metadata-location").asText()
-    val md = om.readTree(readAll(new HPath(mloc)))
+    val pointed = new HPath(ptr.path("metadata-location").asText())
+    val mdir = pointed.getParent
+    val latest = fs.listStatus(mdir).toSeq.map(_.getPath.getName)
+      .flatMap { case VMeta(v) => Some(v.toInt); case _ => None }
+      .maxOption.map(v => new HPath(mdir, s"v$v.metadata.json"))
+      .getOrElse(pointed)
+    (mdir.getParent.toString, latest)
+  }
+
+  /** LoadTableResult for a registered table, from its CURRENT
+    * metadata. */
+  private def registeredJson(x: HttpExchange, dir: HPath): Unit = {
+    val (root, mloc) = registeredCurrent(dir)
+    val md = om.readTree(readAll(mloc))
     val n = om.createObjectNode()
-    n.put("metadata-location", mloc)
+    n.put("metadata-location", mloc.toString)
     n.set[JsonNode]("metadata", md)
-    n.put("location", md.path("location").asText(
-      new HPath(mloc).getParent.getParent.toString))
+    n.put("location", md.path("location").asText(root))
     n.set[JsonNode]("config", om.createObjectNode())
     reply(x, 200, n)
   }
@@ -445,9 +460,7 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     val path = whPath(ns :+ name)
     val root: String =
       if (isRegistered(path)) {
-        val ptr = om.readTree(readAll(new HPath(path, IcebergPointerFile)))
-        val mloc = new HPath(ptr.path("metadata-location").asText())
-        mloc.getParent.getParent.toString
+        registeredCurrent(path)._1
       } else if (isTable(path) &&
           fs.exists(new HPath(new HPath(path, "metadata"), "version-hint.text")))
         path.toString
@@ -546,6 +559,14 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
   private def commitTable(x: HttpExchange, ns: Seq[String], name: String,
                           body: JsonNode): Unit = {
     val path = whPath(ns :+ name)
+    if (isRegistered(path)) {
+      // a REGISTERED table commits against its EXTERNAL metadata dir —
+      // the adopted table is fully read-write through the catalog
+      val updates = Option(body.get("updates")).filter(_.isArray)
+        .map(a => (0 until a.size()).map(a.get)).getOrElse(Nil)
+      return commitIcebergTable(x, ns, name, path,
+        registeredCurrent(path)._2.getParent, body, updates)
+    }
     if (!isTable(path))
       return error(x, 404, "NoSuchTableException",
         s"table ${ns.mkString(".")}.$name not found")

@@ -2824,6 +2824,27 @@ class DeltaInteropSpec extends AnyFunSuite {
       DeltaInterop.cloneDelta(spark, src, src + "/sub")
     }
     assert(e.getMessage.contains("nests"), e.getMessage)
+
+    // clustering domains CARRY into the clone's commit 0; a
+    // row-tracking source still refuses (the synthesized adds would
+    // drop the source's row-id assignments)
+    val cfg = """{\"clusteringColumns\":[[\"id\"]]}"""
+    Files.write(Paths.get(src, "_delta_log", "0" * 19 + "2.json"),
+      (s"""{"domainMetadata":{"domain":"delta.clustering","configuration":"$cfg","removed":false}}""" +
+        "\n").getBytes("UTF-8"))
+    val dst2 = tmp("graft_cldst2_")
+    assert(DeltaInterop.cloneDelta(spark, src, dst2) == 0L)
+    val commit0 = new String(Files.readAllBytes(
+      Paths.get(dst2, "_delta_log", "0" * 20 + ".json")), "UTF-8")
+    assert(commit0.contains("delta.clustering") &&
+      commit0.contains("clusteringColumns"), commit0.take(600))
+    Files.write(Paths.get(src, "_delta_log", "0" * 19 + "3.json"),
+      ("""{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":5}","removed":false}}""" +
+        "\n").getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaInterop.cloneDelta(spark, src, tmp("graft_cldst3_"))
+    }
+    assert(e2.getMessage.contains("rowTracking"), e2.getMessage)
   }
 
   test("cloneDelta rewrites on-disk DV descriptors to absolute p storage") {

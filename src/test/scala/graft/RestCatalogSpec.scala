@@ -574,6 +574,27 @@ class RestCatalogSpec extends AnyFunSuite {
       "/v1/namespaces/regdb/tables/adopted/plan",
       Some("""{"filter":{"type":"starts-with","term":"id","value":"1"}}"""))
     assert(uc == 200 && plannedFiles(ubody) == all, ubody)
+    // the adopted table is read-WRITE through the catalog: a commit
+    // publishes v<N+1> beside the external metadata and loadTable
+    // serves the new current version
+    val (cc, cbody) = httpReq("POST", "/v1/namespaces/regdb/tables/adopted",
+      Some("""{"updates":[{"action":"set-properties",
+              |"updates":{"owner":"adopted-writer"}}]}""".stripMargin))
+    assert(cc == 200, cbody)
+    val newV = hint.toInt + 1
+    assert(cbody.contains(s"v$newV.metadata.json"), cbody.take(300))
+    assert(Files.exists(java.nio.file.Paths.get(
+      ext, "metadata", s"v$newV.metadata.json")))
+    val reload = httpGet("/v1/namespaces/regdb/tables/adopted")._2
+    assert(reload.contains(s"v$newV.metadata.json") &&
+      reload.contains("adopted-writer"), reload.take(300))
+    // a REST-wired session reads the adopted table through plain SQL
+    // (the client serves the pointed-at Iceberg metadata read-only)
+    val s = restSession("rreg")
+    assert(s.sql("SELECT count(*) FROM rreg.regdb.adopted")
+      .collect()(0).getLong(0) == 1000L)
+    assert(s.sql("SELECT sum(v) FROM rreg.regdb.adopted WHERE id < 10")
+      .collect()(0).getLong(0) == (0L until 10L).map(_ * 2).sum)
     // DROP removes only the catalog pointer — the adopted table stays
     assert(httpReq("DELETE", "/v1/namespaces/regdb/tables/adopted",
       None)._1 == 204)
