@@ -129,6 +129,14 @@ def pii_scrub(docs, text_col):
     return _wrap(_ops(docs).piiScrub(docs._jdf, text_col), docs)
 
 
+def unicode_clean(docs, text_col):
+    """Unicode text cleaning: NFC-normalize (decomposed accents fold
+    into composed form so dedup/fingerprints don't fragment), strip
+    control characters, collapse whitespace runs, trim. Replaces
+    text_col in place; scan-side, no shuffle."""
+    return _wrap(_ops(docs).unicodeClean(docs._jdf, text_col), docs)
+
+
 def bm25_search(docs, id_col, text_col, terms, top_n=20, k1=1.2, b=0.75):
     """BM25 keyword search: top_n docs for the term list (scan-side term
     frequencies, no inverted index)."""

@@ -47,6 +47,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PHash64(args.head)
       }))
     e.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName,
+        "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1,
+          s"nfc_normalize takes 1 argument, got ${args.size}")
+        graft.functions.NfcNormalize(args.head)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("deflate_len"),
       new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
       (args: Seq[Expression]) => {

@@ -446,6 +446,21 @@ object GraftOps {
   def compressionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.operators.TextAnalysis.compressionSignalsOn(docs, idCol, textCol)
 
+  /** Unicode text cleaning (t13): NFC canonicalization (codegen
+    * [[graft.functions.NfcNormalize]] — decomposed and composed accent
+    * sequences must hash identically or dedup fragments), control
+    * characters stripped, whitespace runs collapsed, ends trimmed.
+    * Replaces `textCol` in place. Scan-side projection: no shuffle, no
+    * UDF — runs at parquet-read speed at any corpus size. */
+  def unicodeClean(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn(textCol,
+      trim(regexp_replace(regexp_replace(
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.NfcNormalize(
+            org.apache.spark.sql.graftbridge.ColumnBridge
+              .expression(col(textCol)))),
+        "[\\x00-\\x1f\\x7f]", ""), " +", " ")))
+
   /** The per-document curation feature vector — t1/t2/t3/t5 in ONE
     * scan-side projection (no shuffle at all: at 100 TB this runs at
     * parquet-read speed, embarrassingly parallel across files):

@@ -832,7 +832,39 @@ object TextAnalysis {
         col("compress_ratio") >= 0.25 && col("compress_ratio") <= 0.95)
   }
 
+  /** t13: Unicode text cleaning — NFC canonicalization (the codegen
+    * [[graft.functions.NfcNormalize]]; decomposed `e`+U+0301 and
+    * composed `é` must hash identically or dedup/fingerprinting
+    * silently fragments) + control-character stripping + whitespace
+    * collapse, the standard pre-dedup normalization pass (CCNet /
+    * RefinedWeb-style pipelines). The synthetic corpus is ASCII, so
+    * the query INJECTS decomposed accents and control characters
+    * first — both engines apply the same injection, then their own
+    * NFC + cleanup, and the full cleaned strings must hash-match.
+    * Scan-side projection: no shuffle, no UDF, whole-stage codegen. */
+  val t13_unicode_clean: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val noisy = regexp_replace(
+      regexp_replace($"text", "e", "é"), "o", "o")
+    graft.api.GraftOps.unicodeClean(
+      Tables.documents(s, dir).select($"doc_id", noisy.as("cleaned")),
+      "cleaned")
+      .withColumn("n_clean", length($"cleaned"))
+      .orderBy($"doc_id")
+  }
+
+  val t13_sql: String =
+    """SELECT doc_id,
+      | trim(regexp_replace(regexp_replace(nfc_normalize(
+      |   replace(replace(text, 'e', 'e' || chr(769)), 'o', 'o' || chr(7))),
+      |   '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g')) AS cleaned,
+      | length(trim(regexp_replace(regexp_replace(nfc_normalize(
+      |   replace(replace(text, 'e', 'e' || chr(769)), 'o', 'o' || chr(7))),
+      |   '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g'))) AS n_clean
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "t13_unicode_clean" -> t13_unicode_clean,
     "t12_compress_ratio" -> t12_compress_ratio,
     "t11_lm_score" -> t11_lm_score,
     "t10_bpe_encode" -> t10_bpe_encode,
@@ -848,6 +880,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t13_unicode_clean" -> t13_sql,
     "t11_lm_score" -> t11_sql,
     "t8_bm25_search" -> t8_sql,
     "t7_unigram_rarity" -> t7_sql,

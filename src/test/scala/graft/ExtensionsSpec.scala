@@ -46,6 +46,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("dl") > 0 && r.getAs[Int]("dl") < 16, r.getAs[Int]("dl"))
   }
 
+  test("nfc_normalize: decomposed and composed forms converge; zero-copy on normalized input") {
+    import graft.functions.NfcNormalize
+    import org.apache.spark.unsafe.types.UTF8String
+    // SQL surface: e + COMBINING ACUTE (U+0301) normalizes to the
+    // composed form; idempotent; NULL passes through
+    val r = extSpark.sql(
+      "SELECT nfc_normalize('Caf' || 'é') AS a, " +
+        "nfc_normalize(nfc_normalize('Caf' || 'é')) AS b, " +
+        "nfc_normalize('Café') AS c, " +
+        "nfc_normalize(CAST(NULL AS STRING)) AS d, " +
+        "length('é') AS pre, length(nfc_normalize('é')) AS post")
+      .collect()(0)
+    assert(r.getAs[String]("a") == "Café", r.getAs[String]("a"))
+    assert(r.getAs[String]("b") == "Café")
+    assert(r.getAs[String]("c") == "Café")
+    assert(r.isNullAt(r.fieldIndex("d")))
+    assert(r.getAs[Int]("pre") == 2 && r.getAs[Int]("post") == 1)
+    // already-normalized input returns the SAME buffer (no copy) —
+    // the ASCII-corpus fast path
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(NfcNormalize.normalize(ascii) eq ascii)
+    // interpreted path agrees with the generated one exercised above
+    assert(NfcNormalize(org.apache.spark.sql.catalyst.expressions.Literal(
+      UTF8String.fromString("é"), org.apache.spark.sql.types.StringType))
+      .eval(null).toString == "é")
+  }
+
   test("as-of strategy is injected by the extension") {
     import extSpark.implicits._
     val left = Seq((1L, 10L)).toDF("k", "t")
