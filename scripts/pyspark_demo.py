@@ -320,6 +320,67 @@ assert any(r[1] == "docview"
 spark.sql("DROP VIEW pydemo.db.docview")
 print(f"view evaluated {n_view} rows, listed and dropped")
 
+print("== 14b. Plain SQL DML on raw foreign roots (no CALL, no Scala) ==")
+# the notebooks' UPDATE/DELETE/MERGE cells run verbatim against any
+# Delta directory through the delta pseudo-namespace
+dml_root = tempfile.mkdtemp(prefix="graft_py_dml_") + "/t"
+table.GraftTable.create(
+    spark, tempfile.mkdtemp(prefix="graft_py_dmls_") + "/t",
+    spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+                          "id long, v string, w double")).export_delta(dml_root)
+spark.sql(f"UPDATE pydemo.delta.`{dml_root}` SET w = w + 5 WHERE id <= 2")
+spark.sql(f"DELETE FROM pydemo.delta.`{dml_root}` WHERE id = 3")
+spark.createDataFrame([(2, "x", 99.0), (4, "d", 40.0)],
+                      "id long, v string, w double") \
+    .createOrReplaceTempView("dml_source")
+spark.sql(f"MERGE INTO pydemo.delta.`{dml_root}` t USING dml_source s "
+          "ON t.id = s.id "
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+dml_state = {r["id"]: (r["v"], r["w"])
+             for r in table.read_delta(spark, dml_root).collect()}
+assert dml_state == {1: ("a", 15.0), 2: ("x", 99.0), 4: ("d", 40.0)}, dml_state
+print(f"verbatim UPDATE/DELETE/MERGE left {dml_state}")
+
+print("== 14c. REST register-table + server-side scan planning ==")
+# adopt an existing Iceberg table into the catalog service by its
+# metadata-location, then ask the SERVER for a pruned scan plan
+import json as _j  # noqa: E402
+import urllib.request  # noqa: E402
+
+srv2, port2 = serve_catalog(spark, tempfile.mkdtemp(prefix="graft_py_regwh_"))
+ice_ext = tempfile.mkdtemp(prefix="graft_py_ext_") + "/t"
+table.GraftTable.create(
+    spark, tempfile.mkdtemp(prefix="graft_py_exts_") + "/t",
+    docs.select("doc_id", "n_chars").limit(100).coalesce(1)) \
+    .export_iceberg(ice_ext)
+
+
+def _rest(method, path, body=None):
+    req = urllib.request.Request(
+        "http://127.0.0.1:%d%s" % (port2, path),
+        data=None if body is None else _j.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method=method)
+    with urllib.request.urlopen(req) as resp:
+        return _j.loads(resp.read() or b"{}")
+
+
+_rest("POST", "/v1/namespaces", {"namespace": ["ext"]})
+_rest("POST", "/v1/namespaces/ext/register",
+      {"name": "adopted",
+       "metadata-location": f"{ice_ext}/metadata/v1.metadata.json"})
+plan = _rest("POST", "/v1/namespaces/ext/tables/adopted/plan", {})
+assert plan["status"] == "completed" and plan["file-scan-tasks"], plan
+# and the adopted table answers plain SQL through a REST-wired session
+sess_r = spark.newSession()
+sess_r.conf.set("spark.sql.catalog.extcat", "graft.sources.rest.GraftRestCatalog")
+sess_r.conf.set("spark.sql.catalog.extcat.type", "rest")
+sess_r.conf.set("spark.sql.catalog.extcat.uri", "http://127.0.0.1:%d" % port2)
+n_adopted = sess_r.table("extcat.ext.adopted").count()
+assert n_adopted == 100, n_adopted
+srv2.stop()
+print(f"adopted table: {len(plan['file-scan-tasks'])} planned file(s), "
+      f"{n_adopted} rows through SQL")
+
 print("== 15. Automatic OpenLineage capture (enable_lineage UX) ==")
 # the reference's create_spark_session(enable_lineage=True) flow: wire
 # an endpoint once, and every query auto-posts a RunEvent — no

@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("text analysis is shuffle-free (pure scan-side map)") {
-    for (q <- Seq("t1_token_count", "t2_quality_score", "t3_lang_id", "t4_fingerprint")) {
+    for (q <- Seq("t1_token_count", "t2_quality_score", "t3_lang_id",
+        "t4_fingerprint", "t13_unicode_clean")) {
       val plan = executedPlan(q)
       // the only exchange allowed is the final presentation orderBy
       val shuffles = "Exchange".r.findAllIn(plan).size
