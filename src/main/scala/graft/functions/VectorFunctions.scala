@@ -20,12 +20,24 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  // Each side may be array<double> or array<float>: floats widen to
+  // double per element BEFORE the multiply, which is exact (every
+  // float is exactly representable as a double), so a float-shipped
+  // vector dots bit-identically to its double-cast twin — the property
+  // that lets the d5 shuffle carry half the bytes. Dispatch is static
+  // per side (resolved at planning), not per row.
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    DotProduct.dot(a.asInstanceOf[ArrayData], isFloat(left),
+      b.asInstanceOf[ArrayData], isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.DotProduct.dot($a, $b);")
+      s"${ev.value} = graft.functions.DotProduct.dot($a, ${isFloat(left)}, $b, ${isFloat(right)});")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
@@ -124,6 +136,25 @@ object DotProduct {
     while (i < n) {
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
+    }
+    acc
+  }
+
+  /** Type-dispatched entry point (from interpreted and generated
+    * code): either side may hold float elements, widened exactly. The
+    * flags are compile-time constants in generated code, so the JIT
+    * sees four monomorphic loops. */
+  def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    if (!aFloat && !bFloat) return dot(a, b)
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    if (aFloat && bFloat) {
+      while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    } else if (aFloat) {
+      while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    } else {
+      while (i < n) { acc += a.getDouble(i) * b.getFloat(i).toDouble; i += 1 }
     }
     acc
   }

@@ -112,8 +112,9 @@ object Similarity {
     * the sphere, so a cell pair whose bound stays below the cosine
     * threshold cannot contain a qualifying pair and is skipped — a
     * correctness-preserving prune for ANY centroids. The candidate join
-    * is equi on the admissible (cell_a, cell_b) list (≤ k² tiny rows,
-    * broadcast), so the physical plan is a hash join, never a
+    * is equi on the admissible UNORDERED (cell_a ≤ cell_b) tile list
+    * (≤ k(k+1)/2 tiny rows, broadcast; ids oriented at emit), so the
+    * physical plan is a hash join over cell-distributed probes, never a
     * CartesianProduct/BroadcastNestedLoopJoin, and the shuffle keys
     * distribute work by cell tile. On clustered real-embedding corpora
     * the prune removes most tiles; on isotropic data (this synthetic
@@ -130,19 +131,35 @@ object Similarity {
     import s.implicits._
     val k = defaultK(s, dir)
     val e = embeddings(s, dir).withColumn("nrm", norm($"emb"))
-    embedNearDupPairsOn(e, coarseCentroids(s, dir, k), 0.4)
+    embedNearDupPairsOn(e, coarseCentroids(s, dir, k), 0.4, shipAsFloat = true)
   }
 
   /** The d5 pair generation over any (vec_id, emb: array<double>, nrm)
     * relation with pre-trained centroids — shared by the catalog d5 and
     * the GraftOps public API. See d5's scaladoc for the lossless
     * angular tile-pruning argument. */
+  /** @param shipAsFloat carry the vectors through the tile-join
+    *   shuffle as array&lt;float&gt; (HALF the exchange bytes — the
+    *   replicated a-side dominates this plan's I/O). Only sound when
+    *   the doubles are float-sourced (the embeddings table is), so the
+    *   down-cast is exact recovery and [[graft.functions.DotProduct]]'s
+    *   widening dot is bit-identical to the double path. */
   private[graft] def embedNearDupPairsOn(e: DataFrame,
-      cents: Array[Array[Double]], threshold: Double): DataFrame = {
+      cents: Array[Array[Double]], threshold: Double,
+      shipAsFloat: Boolean = false): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     val k = cents.length
     val assigned = e
+      // Spread the corpus BEFORE assignment: it usually arrives in a
+      // handful of scan partitions (one small parquet file = ONE task),
+      // and everything downstream — the k-centroid assignment pass here
+      // and the broadcast-shaped tile joins below, which preserve their
+      // input's partitioning — would inherit that parallelism and run
+      // on one core. One corpus-sized round-robin shuffle buys a
+      // cluster-wide assignment + probe (measured 256 s → tens of
+      // seconds at sf1 before the other fixes).
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .withColumn("cell", element_at(graft.functions.Quantizer.topCells($"emb", cents, 1), 1))
       .withColumn("theta", acos(greatest(lit(-1.0), least(lit(1.0),
         element_at(graft.functions.Quantizer.cellCosines($"emb", $"nrm", cents), $"cell" + 1)))))
@@ -156,27 +173,69 @@ object Similarity {
       val d = cents(i).zip(cents(j)).map { case (a, b) => a * b }.sum
       math.acos(math.max(-1.0, math.min(1.0, d)))
     }
+    // Unordered tiles (i ≤ j): each cross-cell pair (x∈i, y∈j) shows up
+    // exactly once and is oriented by id at emit time; only the
+    // diagonal tiles need the id-order filter to drop mirror duplicates.
+    // Half the candidate work of the ordered i×j enumeration.
     val admissible = for {
-      i <- 0 until k; j <- 0 until k
+      i <- 0 until k; j <- i until k
       if math.max(0.0, centAngle(i, j) - radii(i) - radii(j)) <= thetaMax
     } yield (i, j)
     val cellPairs = admissible.toDF("cell_a", "cell_b")
-    val a = assigned.select($"vec_id".as("vec_a"), $"emb".as("emb_a"),
-      $"nrm".as("nrm_a"), $"cell".as("cell_a"))
-    val b = assigned.select($"vec_id".as("vec_b"), $"emb".as("emb_b"),
-      $"nrm".as("nrm_b"), $"cell".as("cell_b"))
-    val den = $"nrm_a" * $"nrm_b"
-    // zero-norm guard: ANSI (Spark 4 default) raises double division
-    // by zero; NULL cosine = no match, same contract as `cosine`
-    val cos = when(den =!= 0.0, dot($"emb_a", $"emb_b") / den)
-    val pairs = broadcast(cellPairs).join(a, "cell_a").join(b, "cell_b")
-      .filter($"vec_a" < $"vec_b")
-      .select($"vec_a", $"vec_b", round(cos, 4).as("cosine"))
-      // Spark orders NaN ABOVE every value, so a 0/0 cosine from a
-      // zero-norm vector would pass the threshold and pair that vector
-      // with its whole cell tile — the component pass downstream would
-      // then collapse unrelated vectors into one dedup cluster. Same
-      // hazard TopKAgg.insert guards for the heap paths.
+    // Pack each cell into ONE flat block (ids / norms / row-major
+    // vector data, vec_id order so packing is deterministic). The tile
+    // join then moves k block rows instead of n vector rows, and the
+    // scoring loop runs over primitive arrays — measured ~10× over the
+    // row-per-vector join at sf1, whose per-candidate cost was join
+    // machinery (a ~1 KB joined-row copy + a join-condition that
+    // re-evaluated the dot per reference), not flops. Zero-norm
+    // vectors are dropped here: NULL cosine = no match, the same
+    // contract the row formulation enforced via its `when` guard.
+    val shipped =
+      if (shipAsFloat) $"emb".cast("array<float>") else $"emb"
+    val blocks = assigned
+      .filter($"nrm" =!= 0.0)
+      .select($"cell", struct($"vec_id", shipped.as("emb"), $"nrm").as("v"))
+      .groupBy($"cell")
+      .agg(sort_array(collect_list($"v")).as("vs"))
+      .select($"cell",
+        transform($"vs", v => v("vec_id")).as("ids"),
+        transform($"vs", v => v("nrm")).as("nrms"),
+        flatten(transform($"vs", v => v("emb"))).as("packed"))
+    val a = blocks.select($"cell".as("cell_a"), $"ids".as("ids_a"),
+      $"nrms".as("nrms_a"), $"packed".as("packed_a"))
+    val b = blocks.select($"cell".as("cell_b"), $"ids".as("ids_b"),
+      $"nrms".as("nrms_b"), $"packed".as("packed_b"))
+    // SHUFFLE_HASH on the b side: it also FORBIDS broadcasting it —
+    // the packed corpus can look broadcastable at test scale, and a
+    // 100 TB corpus is not. The exchanged left side is the a-blocks
+    // replicated per admissible partner tile (the inherent n·k/2 data
+    // movement of any tile join), which a sort-merge join would sort.
+    val tiles = broadcast(cellPairs).join(a, "cell_a")
+      .join(b.hint("shuffle_hash"), "cell_b")
+      .select($"cell_a", $"ids_a", $"nrms_a", $"packed_a",
+        $"cell_b", $"ids_b", $"nrms_b", $"packed_b")
+    // Kernel admits cos ≥ threshold − 6e-5 (a superset: HALF_UP
+    // 4-decimal rounding can lift a cosine by at most 5e-5 across the
+    // threshold); the exact published predicate — Spark's own
+    // round(·,4) ≥ threshold — re-filters the tiny survivor set below,
+    // so results are bit-identical to the row formulation. The isnan
+    // guard survives for NaN-poisoned input vectors: Spark orders NaN
+    // ABOVE every value, so an unguarded NaN cosine would pass the
+    // threshold and collapse unrelated vectors downstream.
+    val scored =
+      if (shipAsFloat)
+        tiles.as[(Int, Array[Long], Array[Double], Array[Float],
+            Int, Array[Long], Array[Double], Array[Float])]
+          .flatMap { case (ca, ia, na, pa, cb, ib, nb, pb) =>
+            scoreTile(ca, ia, na, widen(pa), cb, ib, nb, widen(pb), threshold) }
+      else
+        tiles.as[(Int, Array[Long], Array[Double], Array[Double],
+            Int, Array[Long], Array[Double], Array[Double])]
+          .flatMap { case (ca, ia, na, pa, cb, ib, nb, pb) =>
+            scoreTile(ca, ia, na, pa, cb, ib, nb, pb, threshold) }
+    val pairs = scored.toDF("vec_a", "vec_b", "raw")
+      .select($"vec_a", $"vec_b", round($"raw", 4).as("cosine"))
       .filter($"cosine" >= threshold && !isnan($"cosine"))
       .orderBy($"vec_a", $"vec_b")
     // materialize the (tiny) pair list while `assigned` is cached, then
@@ -186,9 +245,62 @@ object Similarity {
     // one corpus-sized persisted relation per call — the caller holds
     // no reference to unpersist. Checkpoint blocks are released by the
     // context cleaner when the result is dropped.
+    if (sys.env.contains("GRAFT_DEBUG_EXPLAIN")) pairs.explain("formatted")
     val out = pairs.localCheckpoint()
     assigned.unpersist(false)
     out
+  }
+
+  /** Exact float→double widening copy (every float is exactly
+    * representable), done once per tile AFTER the exchange — the wire
+    * carried half the bytes, the kernel still sums doubles in index
+    * order, bit-identical to the double path. */
+  private def widen(fs: Array[Float]): Array[Double] = {
+    val out = new Array[Double](fs.length)
+    var i = 0
+    while (i < fs.length) { out(i) = fs(i).toDouble; i += 1 }
+    out
+  }
+
+  /** Score one admissible cell tile: all cross pairs for cell_a <
+    * cell_b (ids oriented at emit — cosine is exactly symmetric, an
+    * index-order sum of identical products), id-ordered pairs for the
+    * diagonal. Tight row-major loop over the packed block, summed
+    * left-to-right in index order — the exact summation the DuckDB
+    * oracle uses. */
+  private[graft] def scoreTile(
+      cellA: Int, idsA: Array[Long], nrmsA: Array[Double], packA: Array[Double],
+      cellB: Int, idsB: Array[Long], nrmsB: Array[Double], packB: Array[Double],
+      threshold: Double): Iterator[(Long, Long, Double)] = {
+    val nA = idsA.length
+    val nB = idsB.length
+    if (nA == 0 || nB == 0) return Iterator.empty
+    val same = cellA == cellB
+    val dim = packA.length / nA
+    val tLow = threshold - 6e-5
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var i = 0
+    while (i < nA) {
+      val ia = idsA(i)
+      val na = nrmsA(i)
+      val ao = i * dim
+      var j = 0
+      while (j < nB) {
+        val ib = idsB(j)
+        if (!same || ia < ib) {
+          var acc = 0.0
+          var d = 0
+          val bo = j * dim
+          while (d < dim) { acc += packA(ao + d) * packB(bo + d); d += 1 }
+          val cos = acc / (na * nrmsB(j))
+          if (cos >= tLow && !java.lang.Double.isNaN(cos))
+            out += ((math.min(ia, ib), math.max(ia, ib), cos))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.iterator
   }
 
   val d5_sql: String = {
