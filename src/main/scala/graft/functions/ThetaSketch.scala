@@ -242,3 +242,117 @@ case class ThetaHash(child: org.apache.spark.sql.catalyst.expressions.Expression
   override protected def withNewChildInternal(newChild: Expression): ThetaHash =
     copy(child = newChild)
 }
+
+/** One-pass bounded theta-sketch build as a typed aggregate (KMV /
+  * QuickSelect): the buffer is the ≤`nominal` smallest DISTINCT theta
+  * hashes seen plus the running theta, so partial aggregates are
+  * map-side (the shuffle carries one ≤32 KiB buffer per group, never
+  * the raw values) and merge is the standard theta union. Input is a
+  * pre-hashed long column (apply [[ThetaHash]] scan-side — it stays in
+  * whole-stage codegen); eval emits the compact-ordered
+  * `apache-datasketches-theta-v1` blob, so the result is directly
+  * interchangeable with the Puffin statistics path and any
+  * DataSketches reader. Unlike HLL (a1/a4), theta sketches support set
+  * INTERSECTION with bounded error — the capability a5 exercises. */
+case class ThetaSketchAgg(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    nominal: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[ThetaSketchAgg.Buf] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.types.{BinaryType, DataType}
+  import ThetaSketchAgg.Buf
+
+  override def createAggregationBuffer(): Buf =
+    new Buf(Long.MaxValue, new java.util.TreeSet[java.lang.Long]())
+
+  private def insert(buf: Buf, h: Long): Unit =
+    if (h < buf.theta && buf.set.add(h) && buf.set.size > nominal) {
+      // (nominal+1)-th smallest seen becomes the new exclusive theta
+      val largest = buf.set.pollLast()
+      buf.theta = largest
+    }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = {
+    if (other.theta < buf.theta) {
+      buf.theta = other.theta
+      // theta tightened: retained hashes at or above it are dead
+      val it = buf.set.tailSet(other.theta, true).iterator()
+      while (it.hasNext) { it.next(); it.remove() }
+    }
+    val it = other.set.iterator()
+    while (it.hasNext) insert(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: Buf): Any = {
+    val hs = new Array[Long](buf.set.size)
+    val it = buf.set.iterator()
+    var i = 0
+    while (it.hasNext) { hs(i) = it.next(); i += 1 }
+    ThetaSketch.serialize(ThetaSketch.Sketch(buf.theta, hs))
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + buf.set.size * 8)
+    bb.putLong(buf.theta)
+    val it = buf.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val theta = bb.getLong
+    val set = new java.util.TreeSet[java.lang.Long]()
+    while (bb.hasRemaining) set.add(bb.getLong)
+    new Buf(theta, set)
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = o)
+}
+
+object ThetaSketchAgg {
+  /** theta + retained distinct hashes (all < theta), ordered. */
+  final class Buf(var theta: Long, val set: java.util.TreeSet[java.lang.Long])
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Codegen theta hash of a bigint/string/double column. */
+  def theta_hash(c: Column): Column =
+    ColumnBridge.column(ThetaHash(ColumnBridge.expression(c)))
+
+  /** Aggregate a pre-hashed long column into a serialized theta
+    * sketch (compact-ordered DataSketches v1 bytes). */
+  def theta_sketch(h: Column, nominal: Int = ThetaSketch.DefaultNominal): Column =
+    ColumnBridge.column(
+      ThetaSketchAgg(ColumnBridge.expression(h), nominal)
+        .toAggregateExpression())
+
+  /** Intersection estimate of two sketches (driver-side, on the
+    * deserialized compact images): theta = min, retained = common
+    * hashes below it, estimate = |retained| / theta-fraction. */
+  def intersect(a: ThetaSketch.Sketch, b: ThetaSketch.Sketch): ThetaSketch.Sketch = {
+    val theta = math.min(a.thetaLong, b.thetaLong)
+    val bs = b.hashes.toSet
+    val common = a.hashes.filter(h => h < theta && bs.contains(h))
+    ThetaSketch.Sketch(theta, common, a.seed)
+  }
+}

@@ -353,6 +353,40 @@ object Aggregations {
       .orderBy($"week")
   }
 
+  /** a5: theta-sketch distinct-user OVERLAP between event types — the
+    * set operation HLL cannot do: theta sketches (KMV) support
+    * intersection with bounded error, so "how many users did both X
+    * and Y" costs one sketch per type + O(k) per pair instead of a
+    * self-join of the event log. One pass over events builds a ≤4096-
+    * hash sketch per type ([[graft.functions.ThetaSketchAgg]] — the
+    * shuffle carries one ≤32 KiB buffer per type, never user ids); the
+    * pairwise intersections run on the collected sketches
+    * (#types² × k — metadata-sized, same contract as a3's candidate
+    * collect). Sketch bytes are compact-ordered DataSketches v1, the
+    * same blobs the Puffin statistics path publishes. Engine-specific
+    * estimates ⇒ rows-only driver check; AggregationsSpec asserts the
+    * exact-mode estimates equal exact distinct overlaps and bounds the
+    * estimating-mode error on a >k synthetic set. */
+  val a5_theta_overlap: Relational.Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.{ThetaSketch, ThetaSketchAgg}
+    val sk = Tables.events(s, dir)
+      .select($"event_type", ThetaSketchAgg.theta_hash($"user_id").as("h"))
+      .groupBy($"event_type")
+      .agg(ThetaSketchAgg.theta_sketch($"h").as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> ThetaSketch.deserialize(r.getAs[Array[Byte]]("sk")))
+      .sortBy(_._1)
+    val rows = for {
+      i <- sk.indices; j <- (i + 1) until sk.length
+      (ta, sa) = sk(i); (tb, sbx) = sk(j)
+    } yield (ta, tb, sa.estimate, sbx.estimate,
+      ThetaSketchAgg.intersect(sa, sbx).estimate)
+    s.createDataFrame(rows).toDF(
+      "type_a", "type_b", "est_users_a", "est_users_b", "est_users_both")
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** q23: CUBE — all grouping-set combinations of (status, priority). */
   val q23_cube: Relational.Q = (s, dir) => {
     import s.implicits._
@@ -498,6 +532,7 @@ object Aggregations {
     "a4_sketch_union" -> a4_sketch_union,
     "a2_approx_quantiles" -> a2_approx_quantiles,
     "a3_cms_heavy_hitters" -> a3_cms_heavy_hitters,
+    "a5_theta_overlap" -> a5_theta_overlap,
     "q9_rollup" -> q9_rollup,
     "q10_distinct_agg" -> q10_distinct_agg,
     "q11_pivot" -> q11_pivot,

@@ -863,7 +863,103 @@ object TextAnalysis {
       |   '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g'))) AS n_clean
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Gopher-rule document signals over any (id, text) relation — the
+    * published quality-filter rule set (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Table A1): word-count bounds, mean-word-length band,
+    * symbol-to-word ratio (# and ellipses), bullet-line and
+    * ellipsis-line fractions, alphabetic-word fraction, and a minimum
+    * stop-word hit count (the stop list is language/corpus-tunable —
+    * callers pass their own). Pure scan-side projection built from
+    * codegen'd higher-order functions: no shuffle, no UDF, so at 100 TB
+    * this runs at parquet-scan speed and composes with any downstream
+    * filter pushdown. Ratio denominators are guarded with greatest(n,1)
+    * so ANSI mode never raises on empty docs. */
+  def gopherSignalsOn(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, stopwords: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val toks = filter(split(trim(text), "\\s+"), w => w =!= "")
+    val lines = split(text, "\n")
+    val nWords = size(toks).cast("long")
+    val nWordsD = greatest(nWords, lit(1L)).cast("double")
+    val wlenSum = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+    val hashes = length(text) - length(replace(text, lit("#")))
+    val ellipses = (length(text) - length(replace(text, lit("...")))) / lit(3)
+    val nLinesD = greatest(size(lines), lit(1)).cast("double")
+    val bulletLines = size(filter(lines, l => l.startsWith("-") || l.startsWith("*")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
+    val lowered = transform(toks, w => lower(w))
+    val stopHits = size(filter(
+      array(stopwords.map(lit): _*), sw => array_contains(lowered, sw))).cast("long")
+    docs.select(col(idCol),
+      nWords.as("n_words"),
+      (wlenSum.cast("double") / nWordsD).as("mean_wlen"),
+      ((hashes + ellipses.cast("double")) / nWordsD).as("symbol_ratio"),
+      (bulletLines.cast("double") / nLinesD).as("bullet_frac"),
+      (ellipsisLines.cast("double") / nLinesD).as("ellipsis_frac"),
+      (alphaWords.cast("double") / nWordsD).as("alpha_frac"),
+      stopHits.as("stop_hits"))
+      .withColumn("kept",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_wlen").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 && col("bullet_frac") <= 0.9 &&
+          col("ellipsis_frac") <= 0.3 && col("alpha_frac") >= 0.8 &&
+          col("stop_hits") >= 2L)
+  }
+
+  /** The corpus-tuned stop list for t14: Gopher's eight English stop
+    * words plus the article 'a' (the synthetic vocabulary carries only
+    * 'the'/'a' as function words — with the untuned list the hit count
+    * saturates at 1 and the rule filters nothing). */
+  private[graft] val GopherStops =
+    Seq("the", "a", "be", "to", "of", "and", "that", "have", "with")
+
+  /** t14: Gopher quality rules. The synthetic corpus is single-line
+    * prose, so the query INJECTS deterministic line structure first —
+    * ' row ' starts a bullet line, ' sort ' ends an ellipsis line —
+    * identically in both engines (same precedent as t13's accent
+    * injection), then computes the published signals + keep verdict. */
+  val t14_gopher_quality: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val injected = replace(replace($"text", lit(" row "), lit("\n- row ")),
+      lit(" sort "), lit(" sort...\n"))
+    gopherSignalsOn(
+      Tables.documents(s, dir).select($"doc_id", injected.as("text")),
+      "doc_id", "text", GopherStops)
+      .orderBy($"doc_id")
+  }
+
+  val t14_sql: String = {
+    val inj = "replace(replace(text, ' row ', chr(10) || '- row '), ' sort ', ' sort...' || chr(10))"
+    s"""WITH d AS (SELECT doc_id, $inj AS text FROM documents),
+       |w AS (SELECT doc_id, text,
+       |  list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+       |  string_split(text, chr(10)) AS lines FROM d),
+       |sig AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_words,
+       |  CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+       |    / greatest(len(toks), 1) AS mean_wlen,
+       |  CAST((length(text) - length(replace(text, '#', '')))
+       |     + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+       |    / greatest(len(toks), 1) AS symbol_ratio,
+       |  CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) AS DOUBLE)
+       |    / greatest(len(lines), 1) AS bullet_frac,
+       |  CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+       |    / greatest(len(lines), 1) AS ellipsis_frac,
+       |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+       |    / greatest(len(toks), 1) AS alpha_frac,
+       |  CAST(len(list_filter(['the','a','be','to','of','and','that','have','with'],
+       |    sw -> list_contains(list_transform(toks, x -> lower(x)), sw))) AS BIGINT) AS stop_hits
+       |  FROM w)
+       |SELECT *, (n_words BETWEEN 50 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0
+       |  AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+       |  AND alpha_frac >= 0.8 AND stop_hits >= 2) AS kept
+       |FROM sig ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "t14_gopher_quality" -> t14_gopher_quality,
     "t13_unicode_clean" -> t13_unicode_clean,
     "t12_compress_ratio" -> t12_compress_ratio,
     "t11_lm_score" -> t11_lm_score,
@@ -880,6 +976,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t14_gopher_quality" -> t14_sql,
     "t13_unicode_clean" -> t13_sql,
     "t11_lm_score" -> t11_sql,
     "t8_bm25_search" -> t8_sql,

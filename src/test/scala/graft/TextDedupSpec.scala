@@ -563,4 +563,67 @@ class TextDedupSpec extends AnyFunSuite {
     // and at this scale (tiny gram set vs 2^20 bits) no false positives
     assert(bloom == exact)
   }
+
+  test("t14 gopher rules: exact signals and keep verdicts on constructed docs") {
+    import spark.implicits._
+    // none of the constructed words are 'row'/'sort', so t14's line
+    // injection is a no-op except where \n is placed explicitly
+    def filler(n: Int) = (1 to n).map(i => f"tok$i%02d").mkString(" ")
+    val docs = Seq(
+      // 60 words, 'the'+'a' stopwords, all alphabetic, one line -> kept
+      (0L, "the a " + filler(58)),
+      // 10 words -> word-count rule fails
+      (1L, "the a " + filler(8)),
+      // symbol soup: alpha_frac 0, symbol_ratio 5 -> fails
+      (2L, (1 to 60).map(_ => "#####").mkString(" ")),
+      // every line a bullet -> bullet_frac 1.0 fails
+      (3L, (1 to 20).map(i => s"- tok$i xx").mkString("\n")),
+      // every line ends with ellipsis -> ellipsis_frac 1.0 fails
+      (4L, (1 to 20).map(i => s"tok$i xx yy...").mkString("\n")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("t14spec_").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("t14_gopher_quality")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[Long]("n_words") == 60L)
+    assert(got(0L).getAs[Double]("mean_wlen") == 294.0 / 60.0)
+    assert(got(0L).getAs[Long]("stop_hits") == 2L)
+    assert(got(0L).getAs[Double]("alpha_frac") == 1.0)
+    assert(got(0L).getAs[Boolean]("kept"))
+    assert(got(1L).getAs[Long]("n_words") == 10L)
+    assert(!got(1L).getAs[Boolean]("kept"))
+    assert(got(2L).getAs[Double]("alpha_frac") == 0.0)
+    assert(got(2L).getAs[Double]("symbol_ratio") == 5.0)
+    assert(!got(2L).getAs[Boolean]("kept"))
+    assert(got(3L).getAs[Double]("bullet_frac") == 1.0)
+    assert(!got(3L).getAs[Boolean]("kept"))
+    assert(got(4L).getAs[Double]("ellipsis_frac") == 1.0)
+    assert(!got(4L).getAs[Boolean]("kept"))
+  }
+
+  test("d5 scoreTile: orientation, diagonal dedup, and threshold admission") {
+    import graft.operators.Similarity
+    // two unit vectors 60° apart and one identical pair across cells
+    val e1 = Array(1.0, 0.0)
+    val e2 = Array(0.5, math.sqrt(3) / 2)
+    val packA = e1 ++ e2
+    val idsA = Array(10L, 20L)
+    val nrms = Array(1.0, 1.0)
+    // diagonal tile: only id-ordered pairs, cos(60°)=0.5 admitted at 0.4
+    val diag = Similarity.scoreTile(0, idsA, nrms, packA,
+      0, idsA, nrms, packA, 0.4).toList
+    assert(diag.map(p => (p._1, p._2)) == List((10L, 20L)))
+    assert(math.abs(diag.head._3 - 0.5) < 1e-12)
+    // cross tile with reversed id magnitudes: emitted min-first
+    val cross = Similarity.scoreTile(0, Array(99L), Array(1.0), e1,
+      1, Array(5L), Array(1.0), e1, 0.4).toList
+    assert(cross.map(p => (p._1, p._2)) == List((5L, 99L)))
+    assert(cross.head._3 == 1.0)
+    // below threshold: 90° apart -> nothing
+    val none = Similarity.scoreTile(0, Array(1L), Array(1.0), Array(1.0, 0.0),
+      1, Array(2L), Array(1.0), Array(0.0, 1.0), 0.4).toList
+    assert(none.isEmpty)
+  }
 }

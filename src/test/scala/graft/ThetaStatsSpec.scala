@@ -96,4 +96,55 @@ class ThetaStatsSpec extends AnyFunSuite {
       columns = Seq("u"))
     assert(math.abs(ndv2("u") - 60000.0) / 60000.0 < 0.05, ndv2)
   }
+
+  test("ThetaSketchAgg: distributed build equals the single-node sketch") {
+    import spark.implicits._
+    import graft.functions.ThetaSketchAgg
+    // the KMV retained set is a pure function of the distinct hash set,
+    // so the aggregate (any partitioning, any merge order) must produce
+    // the SAME compact sketch fromHashes builds single-node — both in
+    // exact mode (below nominal) and estimating mode (50k > 4096)
+    for (distincts <- Seq(1000, 50000)) {
+      val df = spark.range(distincts * 3).select(
+        (col("id") % distincts).as("v")).repartition(8)
+      val bytes = df
+        .select(ThetaSketchAgg.theta_hash(col("v")).as("h"))
+        .agg(ThetaSketchAgg.theta_sketch(col("h")).as("sk"))
+        .collect()(0).getAs[Array[Byte]]("sk")
+      val got = ThetaSketch.deserialize(bytes)
+      val want = ThetaSketch.fromHashes(
+        (0 until distincts).map(i => ThetaSketch.hashLong(i.toLong)))
+      assert(got.thetaLong == want.thetaLong)
+      assert(got.hashes.toSeq == want.hashes.toSeq)
+      if (distincts <= 4096) assert(got.estimate == distincts.toDouble)
+      else assert(math.abs(got.estimate - distincts) / distincts < 0.05,
+        got.estimate)
+    }
+  }
+
+  test("a5 theta overlap: exact mode equals exact distinct overlaps") {
+    val sf = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("a5_theta_overlap")(spark, sf).collect()
+    assert(got.nonEmpty)
+    // distinct users per event type at sf0.01 sit below the nominal
+    // (4096), so every sketch is in exact mode and intersection
+    // estimates must EQUAL the exact overlaps
+    val events = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getLong(1)).toSet }
+    got.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      assert(r.getDouble(2) == events(ta).size.toDouble, s"$ta distinct")
+      assert(r.getDouble(3) == events(tb).size.toDouble, s"$tb distinct")
+      assert(r.getDouble(4) == events(ta).intersect(events(tb)).size.toDouble,
+        s"$ta x $tb overlap")
+    }
+    // estimating-mode intersection error: two 30k-sets sharing 15k
+    import graft.functions.{ThetaSketchAgg => TA}
+    val a = ThetaSketch.fromHashes((0 until 30000).map(i => ThetaSketch.hashLong(i.toLong)))
+    val b = ThetaSketch.fromHashes((15000 until 45000).map(i => ThetaSketch.hashLong(i.toLong)))
+    val est = TA.intersect(a, b).estimate
+    assert(math.abs(est - 15000.0) / 15000.0 < 0.10, est)
+  }
 }
