@@ -92,8 +92,17 @@ object Similarity {
 
   private def embeddings(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.embeddings(s, dir)
+    val raw = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+    // Small-source guard: a corpus that scans as fewer partitions than
+    // the session parallelism (one parquet file = 1-2 tasks) starves
+    // every downstream broadcast-shaped candidate join — those preserve
+    // their streamed input's partitioning, so an s6 probe over a
+    // 2-partition scan runs on 2 cores no matter the cluster (measured
+    // 174 s of a 191 s sf1 run in ONE such stage). At real corpus scale
+    // the scan already exceeds the parallelism and this is a no-op.
+    val n = s.sessionState.conf.numShufflePartitions
+    if (raw.rdd.getNumPartitions < n) raw.repartition(n) else raw
   }
 
   // DuckDB mirror: list_dot_product sums in index order over DOUBLE[].
