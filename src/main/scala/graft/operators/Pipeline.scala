@@ -314,7 +314,50 @@ object Pipeline {
       .agg(count(lit(1)).as("n_flagged_ngrams"))
   }
 
+  /** p9: balanced shard EXPORT — the last step of a curation pipeline:
+    * lay the corpus out as N deterministic shards (webdataset /
+    * Megatron-style) for the training loader. shard = md5(doc_id) mod N
+    * is a pure scan-side projection — no global sort, no window, so the
+    * assignment parallelizes embarrassingly and balances in expectation
+    * at any corpus size (a row_number()-based packer would serialize
+    * through one window partition). The write repartitions ON the shard
+    * key so each shard is written contiguously and `partitionBy` makes
+    * per-shard reads partition-pruned downstream; at 100 TB the
+    * repartition key becomes (shard, writer-subsplit) so each shard
+    * gets many writer tasks — the layout contract is identical. The
+    * returned manifest is recomputed FROM THE WRITTEN FILES, so the
+    * oracle gate (which recomputes from the source table) also proves
+    * the write round-trip lost and duplicated nothing. */
+  val p9_shard_export: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val n = 16
+    val shard = (conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+      .cast("long") % n).as("shard")
+    val root = graft.TempRoots.create("graft_shards_").toString + "/docs"
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source", $"text", shard,
+        size(TextFunctions.tokens($"text")).cast("long").as("n_tokens"))
+      .repartition(n, $"shard")
+      .write.partitionBy("shard").parquet(root)
+    s.read.parquet(root)
+      .groupBy($"shard".cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .orderBy($"shard")
+  }
+
+  val p9_sql: String =
+    """SELECT shard, COUNT(*) AS n_docs,
+      | CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      | MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM (SELECT doc_id,
+      |        CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 16 AS BIGINT) AS shard,
+      |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |      FROM documents) t
+      |GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, Relational.Q] = Map(
+    "p9_shard_export" -> p9_shard_export,
     "p8_bloom_decontam" -> p8_bloom_decontam,
     "p7_decontam_ngram" -> p7_decontam_ngram,
     "p6_dedup_apply" -> p6_dedup_apply,
@@ -326,6 +369,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "p9_shard_export" -> p9_sql,
     "p7_decontam_ngram" -> p7_sql,
     "p6_dedup_apply" -> p6_sql,
     "p1_sequence_pack" -> p1_sql,
