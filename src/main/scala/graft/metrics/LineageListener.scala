@@ -86,6 +86,80 @@ class OpenLineageListener extends QueryExecutionListener {
     }
 }
 
+/** Streaming twin of [[OpenLineageListener]]: Structured Streaming
+  * queries never fire QueryExecutionListener, so automatic capture
+  * registers this StreamingQueryListener alongside it (one `enable`
+  * wires both). One OpenLineage run per streaming query — the
+  * OpenLineage runId IS the streaming runId, so all of a query's
+  * events correlate: START at query start, RUNNING once per progress
+  * batch carrying the batch's source/sink descriptions as
+  * input/output datasets plus the batch duration, COMPLETE (or FAIL
+  * with the exception present) at termination. Same endpoint confs,
+  * same bounded-queue async delivery, same no-op-when-unset and
+  * never-fail-the-query contract as the batch listener. */
+class OpenLineageStreamingListener(session: SparkSession)
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+  private val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
+
+  private def post(eventType: String, runId: java.util.UUID, name: String,
+                   inputs: Seq[String], outputs: Seq[String],
+                   durationMs: Long): Unit =
+    try {
+      val conf = session.conf
+      conf.getOption("spark.graft.lineage.endpoint").foreach { url =>
+        val namespace =
+          conf.getOption("spark.graft.lineage.namespace").getOrElse("graft")
+        val timeoutMs = conf.getOption("spark.graft.lineage.timeoutMs")
+          .map(_.toLong).getOrElse(2000L)
+        val parent = conf.getOption("spark.graft.lineage.parentJobName")
+          .getOrElse(session.sparkContext.appName.trim.replaceAll("\\s+", "_"))
+        val json = OpenLineageListener.runEvent(eventType,
+          jobName = s"$parent.$name", namespace = namespace,
+          inputs = inputs, outputs = outputs, durationMs = durationMs,
+          runId = runId.toString)
+        OpenLineageListener.poster.offer(
+          java.net.URI.create(url), timeoutMs, json)
+      }
+    } catch {
+      case NonFatal(e) =>
+        log.warn(s"streaming lineage capture for '$name' failed (the " +
+          s"query is unaffected): $e")
+    }
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit =
+    post("START", e.runId,
+      Option(e.name).getOrElse(s"stream_${e.id}"), Nil, Nil, 0L)
+
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    val p = e.progress
+    post("RUNNING", p.runId, Option(p.name).getOrElse(s"stream_${p.id}"),
+      p.sources.toSeq.map(s =>
+        OpenLineageStreamingListener.datasetOf(s.description)),
+      Option(p.sink).map(s =>
+        OpenLineageStreamingListener.datasetOf(s.description)).toSeq,
+      p.batchDuration)
+  }
+
+  // QueryTerminatedEvent carries no name: terminal events use the
+  // stable stream_<id> job name; the shared runId still ties them to
+  // the named START/RUNNING run.
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+    post(if (e.exception.isDefined) "FAIL" else "COMPLETE", e.runId,
+      s"stream_${e.id}", Nil, Nil, 0L)
+}
+
+object OpenLineageStreamingListener {
+  /** Source/sink descriptions name their dataset in brackets —
+    * `FileStreamSource[file:/data/in]`, `FileSink[/data/out]` — so the
+    * bracket payload is the dataset id; descriptions without one (e.g.
+    * `MemorySink`) pass through whole. */
+  private[metrics] def datasetOf(description: String): String = {
+    val m = """\[(.+)\]""".r.findFirstMatchIn(description)
+    m.map(_.group(1)).getOrElse(description)
+  }
+}
+
 object OpenLineageListener {
   private[metrics] val poster = new AsyncHttpPoster("OpenLineageListener")
 
@@ -102,17 +176,24 @@ object OpenLineageListener {
     registered.computeIfAbsent(spark, s => {
       val l = new OpenLineageListener
       s.listenerManager.register(l)
-      l
-    })
+      // streaming queries never fire QueryExecutionListener — wire the
+      // streaming twin in the same call so enable covers both engines
+      val sl = new OpenLineageStreamingListener(s)
+      s.streams.addListener(sl)
+      (l, sl)
+    })._1
   }
 
   def enable(spark: SparkSession): OpenLineageListener =
     enable(spark, null, null)
 
-  /** Deregister and forget this session's listener (tests, teardown). */
+  /** Deregister and forget this session's listeners (tests, teardown). */
   def disable(spark: SparkSession): Unit = {
-    val l = registered.remove(spark)
-    if (l != null) spark.listenerManager.unregister(l)
+    val pair = registered.remove(spark)
+    if (pair != null) {
+      spark.listenerManager.unregister(pair._1)
+      spark.streams.removeListener(pair._2)
+    }
   }
 
   /** Wait until every captured event has been POSTed or dropped. */
@@ -121,7 +202,8 @@ object OpenLineageListener {
   // Weak keys: a discarded session must not pin its listener (the
   // listener itself is held by the session's listener bus anyway).
   private val registered = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, OpenLineageListener]())
+    new java.util.WeakHashMap[SparkSession,
+      (OpenLineageListener, OpenLineageStreamingListener)]())
 
   /** One OpenLineage RunEvent: run/job identity, input/output dataset
     * facets, duration. Dataset ids that look like URIs split into
@@ -130,17 +212,21 @@ object OpenLineageListener {
   private[metrics] def runEvent(eventType: String, jobName: String,
                                 namespace: String, inputs: Seq[String],
                                 outputs: Seq[String],
-                                durationMs: Long): String = {
+                                durationMs: Long,
+                                runId: String = null): String = {
     import MetricsJson.esc
     def ds(id: String): String = {
       val (ns, name) = splitDataset(id, namespace)
       s"""{"namespace":"${esc(ns)}","name":"${esc(name)}"}"""
     }
     val iso = java.time.Instant.now().toString
+    // batch executions are one-event runs (fresh id); streaming passes
+    // its stable per-query runId so START/RUNNING/COMPLETE correlate
+    val rid = if (runId == null) UUID.randomUUID().toString else runId
     s"""{"eventType":"$eventType","eventTime":"$iso",""" +
       s""""producer":"graft/lineage",""" +
       s""""schemaURL":"https://openlineage.io/spec/1-0-5/OpenLineage.json",""" +
-      s""""run":{"runId":"${UUID.randomUUID()}","facets":{""" +
+      s""""run":{"runId":"$rid","facets":{""" +
       s""""graftExecution":{"durationMs":$durationMs}}},""" +
       s""""job":{"namespace":"${esc(namespace)}","name":"${esc(jobName)}"},""" +
       s""""inputs":[${inputs.map(ds).mkString(",")}],""" +

@@ -136,6 +136,61 @@ class MetricsSpec extends AnyFunSuite {
     assert(received.size == before)
   }
 
+  test("streaming lineage: START/RUNNING/COMPLETE events share the query runId") {
+    import graft.metrics.OpenLineageListener
+    import scala.jdk.CollectionConverters._
+    val received = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v1/lineage", (x: com.sun.net.httpserver.HttpExchange) => {
+      received.add(new String(x.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)): Unit
+      x.sendResponseHeaders(200, -1)
+      x.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/lineage"
+    OpenLineageListener.enable(spark, url, "streamns"): Unit
+    def await(cond: => Boolean): Boolean = {
+      val deadline = System.currentTimeMillis() + 20000
+      while (!cond && System.currentTimeMillis() < deadline) {
+        OpenLineageListener.flushAll(1000): Unit; Thread.sleep(50)
+      }
+      cond
+    }
+    try {
+      val schema = spark.read.parquet(s"$sf/customer.parquet").schema
+      // FileStreamSource wants a directory — stage the file into one
+      val srcDir = java.nio.file.Files.createTempDirectory("ol_stream_src_")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/customer.parquet"),
+        srcDir.resolve("customer.parquet")): Unit
+      val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+        .writeStream.format("memory").queryName("ol_stream")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop(); q.awaitTermination(20000): Unit
+      val rid = q.runId.toString
+      def evts = received.asScala.filter(_.contains(rid))
+      assert(await(evts.exists(_.contains(""""eventType":"START""""))
+          && evts.exists(_.contains(""""eventType":"RUNNING""""))
+          && evts.exists(_.contains(""""eventType":"COMPLETE""""))),
+        s"missing stream events for $rid among ${received.size}: ${received.asScala.take(5)}")
+      val start = evts.find(_.contains(""""eventType":"START"""")).get
+      assert(start.contains("ol_stream"), start)
+      val running = evts.find(_.contains(""""eventType":"RUNNING"""")).get
+      // the batch's source path is the input dataset; the memory sink
+      // the output (description without brackets passes through whole)
+      assert(running.contains("ol_stream_src_"), running)
+      assert(running.contains("MemorySink"), running)
+    } finally {
+      OpenLineageListener.disable(spark)
+      spark.conf.unset("spark.graft.lineage.endpoint")
+      spark.conf.unset("spark.graft.lineage.namespace")
+      server.stop(0)
+    }
+  }
+
   test("metric utils compute counts and averages") {
     import spark.implicits._
     val df = Seq((1, 2.0, true), (2, 4.0, false), (3, 6.0, true))
