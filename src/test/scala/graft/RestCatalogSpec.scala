@@ -602,4 +602,31 @@ class RestCatalogSpec extends AnyFunSuite {
       None)._1 == 404)
     assert(graft.sources.IcebergInterop.readIceberg(spark, ext).count() == 1000)
   }
+
+  test("metrics route: scan reports accepted (204), retained per table, bad input typed") {
+    val s = restSession("rcm")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS rcm.mdb")
+    s.sql("CREATE TABLE rcm.mdb.mt (id BIGINT) USING graft")
+    val scanReport =
+      """{"report-type":"scan-report","table-name":"mdb.mt",
+        |"snapshot-id":1,"filter":true,"schema-id":0,
+        |"metrics":{"total-planning-duration":{"count":1,"time-unit":"nanoseconds","total-duration":100}}}"""
+        .stripMargin.replace("\n", "")
+    // accepted with 204 and retained in order
+    assert(httpReq("POST", "/v1/namespaces/mdb/tables/mt/metrics",
+      Some(scanReport))._1 == 204)
+    val commitReport = scanReport.replace("scan-report", "commit-report")
+    assert(httpReq("POST", "/v1/namespaces/mdb/tables/mt/metrics",
+      Some(commitReport))._1 == 204)
+    val kept = server.metricsReports(Seq("mdb"), "mt")
+    assert(kept.size == 2)
+    assert(kept.head.contains("scan-report") && kept.last.contains("commit-report"))
+    // unknown table -> the catalog's typed 404 envelope
+    val (c404, b404) = httpReq("POST",
+      "/v1/namespaces/mdb/tables/nope/metrics", Some(scanReport))
+    assert(c404 == 404 && b404.contains("NoSuchTableException"), b404)
+    // a report without report-type is a 400, not a silent accept
+    assert(httpReq("POST", "/v1/namespaces/mdb/tables/mt/metrics",
+      Some("""{"snapshot-id":1}"""))._1 == 400)
+  }
 }
