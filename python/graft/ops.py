@@ -137,6 +137,33 @@ def unicode_clean(docs, text_col):
     return _wrap(_ops(docs).unicodeClean(docs._jdf, text_col), docs)
 
 
+def gopher_signals(docs, id_col, text_col, stopwords=None):
+    """Gopher quality-filter signals (Rae et al. 2021) per document:
+    word-count/mean-word-length bands, symbol ratio, bullet/ellipsis
+    line fractions, alphabetic-word fraction, stop-word hits, and the
+    conjunction `kept` verdict. Scan-side, no shuffle; the stop list is
+    language/corpus-tunable (default: Gopher's English eight)."""
+    return _wrap(_ops(docs).gopherSignals(
+        docs._jdf, id_col, text_col, _to_seq(docs, stopwords or [])), docs)
+
+
+def shard_assign(df, id_col, num_shards=16):
+    """Deterministic balanced shard assignment for training export:
+    adds `shard` = md5(id) mod num_shards — reproducible across engines
+    and corpus growth, no global sort; write via
+    .repartition('shard').write.partitionBy('shard')."""
+    return _wrap(_ops(df).shardAssign(df._jdf, id_col, int(num_shards)), df)
+
+
+def distinct_overlap(df, key_col, value_col, nominal=4096):
+    """Pairwise distinct-value overlap between groups via theta
+    sketches (the set intersection HLL cannot do): exact below
+    `nominal` distincts per key, ~1/sqrt(nominal) relative error
+    above."""
+    return _wrap(_ops(df).distinctOverlap(
+        df._jdf, key_col, value_col, int(nominal)), df)
+
+
 def bm25_search(docs, id_col, text_col, terms, top_n=20, k1=1.2, b=0.75):
     """BM25 keyword search: top_n docs for the term list (scan-side term
     frequencies, no inverted index)."""

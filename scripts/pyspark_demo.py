@@ -80,6 +80,22 @@ assert czip.count() == n_docs
 # prose-like synthetic docs sit inside the [0.25, 0.95] deflate band
 assert czip.filter("kept").count() > 0
 
+print("== 5b. Gopher rules, shard export, theta overlap (t14/p9/a5) ==")
+gs = ops.gopher_signals(docs, "doc_id", "text",
+                        stopwords=["the", "a", "of", "and", "to"])
+gs.orderBy("doc_id").show(3)
+assert gs.count() == n_docs and "kept" in gs.columns
+sharded = ops.shard_assign(docs, "doc_id", num_shards=8)
+per_shard = sharded.groupBy("shard").count()
+assert per_shard.count() == 8  # every shard populated at this size
+overlap = ops.distinct_overlap(
+    spark.read.parquet(f"{sf_dir}/events.parquet"), "event_type", "user_id")
+overlap.show(3)
+# overlap can never exceed either side's distinct estimate
+assert overlap.filter(
+    "est_overlap > est_distinct_a OR est_overlap > est_distinct_b") \
+    .count() == 0
+
 print("== 6. Metrics activity log with a managed run context ==")
 log_path = tempfile.mkdtemp(prefix="graft_py_metrics_") + "/log"
 with metrics.metric_context(spark, log_path, "gold", "pydemo", 2026,

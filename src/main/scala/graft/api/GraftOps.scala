@@ -461,6 +461,61 @@ object GraftOps {
               .expression(col(textCol)))),
         "[\\x00-\\x1f\\x7f]", ""), " +", " ")))
 
+  /** The published Gopher quality-filter rule set (t14) over any
+    * (id, text) relation: word-count / mean-word-length bands,
+    * symbol-to-word ratio, bullet/ellipsis line fractions,
+    * alphabetic-word fraction, stop-word hits, and the conjunction
+    * `kept` verdict. Pure scan-side projection — no shuffle, no UDF.
+    * The stop list is language/corpus-tunable; defaults to Gopher's
+    * English eight. */
+  def gopherSignals(docs: DataFrame, idCol: String, textCol: String,
+                    stopwords: Seq[String]): DataFrame =
+    graft.operators.TextAnalysis.gopherSignalsOn(docs, idCol, textCol,
+      if (stopwords == null || stopwords.isEmpty)
+        Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      else stopwords)
+
+  /** Deterministic balanced shard assignment (p9's scan-side core):
+    * adds `shard` = md5(id) mod numShards — reproducible across
+    * engines and corpus growth, no global sort or window, so it
+    * parallelizes embarrassingly at any scale. Write with
+    * `.repartition(col("shard")).write.partitionBy("shard")` for the
+    * contiguous export layout. */
+  def shardAssign(df: DataFrame, idCol: String, numShards: Int): DataFrame =
+    df.withColumn("shard",
+      conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+        .cast("long") % numShards)
+
+  /** Pairwise distinct-value overlap between groups via theta sketches
+    * (a5's core — the set INTERSECTION HLL cannot do): one pass builds
+    * a bounded KMV sketch per key (≤32 KiB shuffle buffer per group),
+    * pairwise intersections run on the collected per-key sketches.
+    * Output: (key_a, key_b, est_distinct_a, est_distinct_b,
+    * est_overlap) for key_a < key_b. Exact below `nominal` distinct
+    * values per key; ~1/√nominal relative error above. */
+  def distinctOverlap(df: DataFrame, keyCol: String, valueCol: String,
+                      nominal: Int = 4096): DataFrame = {
+    import graft.functions.{ThetaSketch, ThetaSketchAgg}
+    val s = df.sparkSession
+    import s.implicits._
+    val sk = df
+      .select(col(keyCol).cast("string").as("k"),
+        ThetaSketchAgg.theta_hash(col(valueCol)).as("h"))
+      .groupBy($"k")
+      .agg(ThetaSketchAgg.theta_sketch($"h", nominal).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> ThetaSketch.deserialize(r.getAs[Array[Byte]]("sk")))
+      .sortBy(_._1)
+    val rows = for {
+      i <- sk.indices; j <- (i + 1) until sk.length
+      (ka, sa) = sk(i); (kb, sb) = sk(j)
+    } yield (ka, kb, sa.estimate, sb.estimate,
+      ThetaSketchAgg.intersect(sa, sb).estimate)
+    s.createDataFrame(rows).toDF("key_a", "key_b",
+      "est_distinct_a", "est_distinct_b", "est_overlap")
+      .orderBy($"key_a", $"key_b")
+  }
+
   /** The per-document curation feature vector — t1/t2/t3/t5 in ONE
     * scan-side projection (no shuffle at all: at 100 TB this runs at
     * parquet-read speed, embarrassingly parallel across files):

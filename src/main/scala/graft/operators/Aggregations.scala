@@ -367,25 +367,10 @@ object Aggregations {
     * estimates ⇒ rows-only driver check; AggregationsSpec asserts the
     * exact-mode estimates equal exact distinct overlaps and bounds the
     * estimating-mode error on a >k synthetic set. */
-  val a5_theta_overlap: Relational.Q = (s, dir) => {
-    import s.implicits._
-    import graft.functions.{ThetaSketch, ThetaSketchAgg}
-    val sk = Tables.events(s, dir)
-      .select($"event_type", ThetaSketchAgg.theta_hash($"user_id").as("h"))
-      .groupBy($"event_type")
-      .agg(ThetaSketchAgg.theta_sketch($"h").as("sk"))
-      .collect()
-      .map(r => r.getString(0) -> ThetaSketch.deserialize(r.getAs[Array[Byte]]("sk")))
-      .sortBy(_._1)
-    val rows = for {
-      i <- sk.indices; j <- (i + 1) until sk.length
-      (ta, sa) = sk(i); (tb, sbx) = sk(j)
-    } yield (ta, tb, sa.estimate, sbx.estimate,
-      ThetaSketchAgg.intersect(sa, sbx).estimate)
-    s.createDataFrame(rows).toDF(
-      "type_a", "type_b", "est_users_a", "est_users_b", "est_users_both")
-      .orderBy($"type_a", $"type_b")
-  }
+  val a5_theta_overlap: Relational.Q = (s, dir) =>
+    graft.api.GraftOps.distinctOverlap(
+      Tables.events(s, dir), "event_type", "user_id")
+      .toDF("type_a", "type_b", "est_users_a", "est_users_b", "est_users_both")
 
   /** q23: CUBE — all grouping-set combinations of (status, priority). */
   val q23_cube: Relational.Q = (s, dir) => {

@@ -146,7 +146,7 @@ object Dedup {
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     cachedRel(s, dir, "shingles") {
       import s.implicits._
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
         .select($"doc_id", explode(TextFunctions.shinglesOfTokens($"toks")).as("s"))
     }
@@ -424,7 +424,7 @@ object Dedup {
     import s.implicits._
     val w = s.conf.getOption("spark.graft.dedup.windowTokens")
       .map(_.toInt).getOrElse(20)
-    substringSpansOn(Tables.documents(s, dir), "doc_id", "text", w)
+    substringSpansOn(Tables.documentsSpread(s, dir), "doc_id", "text", w)
       .orderBy($"doc_id")
   }
 
@@ -571,7 +571,7 @@ object Dedup {
   val d4_simhash: Relational.Q = (s, dir) => {
     import s.implicits._
     val signed = cachedRel(s, dir, "simhashSigs") {
-      simHashSignatures(Tables.documents(s, dir), "doc_id", "text")
+      simHashSignatures(Tables.documentsSpread(s, dir), "doc_id", "text")
     }
     simHashBlockPairs(signed, maxHamming = 3)
       .orderBy(col("doc_a"), col("doc_b"))

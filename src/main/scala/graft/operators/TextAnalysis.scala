@@ -217,7 +217,7 @@ object TextAnalysis {
     * division → bit-identical across engines. */
   val t7_unigram_rarity: Relational.Q = (s, dir) => {
     import s.implicits._
-    val tok = Tables.documents(s, dir)
+    val tok = Tables.documentsSpread(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("token"))
       .filter(length($"token") > 0)
     val freq = tok.groupBy($"token").agg(count(lit(1)).as("f"))
@@ -283,7 +283,7 @@ object TextAnalysis {
     * engines. */
   val t8_bm25_search: Relational.Q = (s, dir) => {
     import s.implicits._
-    val tf = Tables.documents(s, dir)
+    val tf = Tables.documentsSpread(s, dir)
       .select($"doc_id", tokens($"text").as("toks"))
       .select(($"doc_id" +: size($"toks").cast("long").as("dl") +:
         Bm25Terms.map(t =>
@@ -374,7 +374,7 @@ object TextAnalysis {
     if (df == null) {
       // build outside the map op (reentrancy/recursive-update rationale
       // as Dedup.cachedRel); a racing duplicate train wastes one job
-      val built = bpeTrainOn(Tables.documents(s, dir), "text", n)
+      val built = bpeTrainOn(Tables.documentsSpread(s, dir), "text", n)
       val prev = mergeCache.putIfAbsent(k, built)
       df = if (prev != null) prev else built
     }
@@ -711,7 +711,7 @@ object TextAnalysis {
     * semantics pinned in ApiSpec (hand-computed merge application and
     * losslessness). */
   val t10_bpe_encode: Relational.Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsSpread(s, dir)
     val merges = trainedMerges(s, dir)
     bpeEncodeOn(docs, "doc_id", "text", merges)
       .select(col("doc_id"), col("n_tokens"))
@@ -737,7 +737,7 @@ object TextAnalysis {
     * order-independent — bit-identical across engines like every §A
     * money sum. */
   val t11_lm_score: Relational.Q = (s, dir) =>
-    lmScoreOn(Tables.documents(s, dir), "doc_id", "text")
+    lmScoreOn(Tables.documentsSpread(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   /** The t11 core over an arbitrary DataFrame (public twin:

@@ -68,6 +68,21 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** `documents`, round-robined up to the session parallelism when the
+    * scan provides fewer partitions. Map work BEFORE a query's first
+    * exchange runs at scan parallelism, and a single parquet file with
+    * one row group cannot split — so heavy per-document passes
+    * (shingling, signatures, BPE) over a small-file corpus would run on
+    * 1-2 cores no matter the cluster. Only the heavy paths use this:
+    * scan-side projection operators (t1/t12/t13/t14…) stay on the bare
+    * scan so their zero-Exchange plans hold. At real corpus scale the
+    * scan already exceeds the parallelism and this is a no-op. */
+  def documentsSpread(s: SparkSession, d: String): DataFrame = {
+    val raw = documents(s, d)
+    val n = s.sessionState.conf.numShufflePartitions
+    if (raw.rdd.getNumPartitions < n) raw.repartition(n) else raw
+  }
+
   /** Broadcast hint gated on the optimizer's size estimate. Constant-size
     * dims (region/nation) can be hinted unconditionally, but relations
     * that grow with the corpus (supplier, customer — and above all the

@@ -493,4 +493,42 @@ class ApiSpec extends AnyFunSuite {
     // after (a,b)->ab, the dominant pair is (ab, ab)
     assert(m(1).getAs[String]("left") == "ab" && m(1).getAs[String]("right") == "ab")
   }
+
+  test("gopherSignals: default stop list, verdict matches the rule conjunction") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the " + (1 to 60).map(i => f"tok$i%02d").mkString(" ") + " with"),
+      (2L, "short doc")).toDF("doc_id", "text")
+    val got = GraftOps.gopherSignals(docs, "doc_id", "text", Seq.empty)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("stop_hits") == 2L) // 'the' + 'with'
+    assert(got(1L).getAs[Boolean]("kept"))
+    assert(!got(2L).getAs[Boolean]("kept")) // word-count rule
+  }
+
+  test("shardAssign: deterministic, in-range, every shard populated") {
+    import spark.implicits._
+    val df = spark.range(2000).toDF("id")
+    val a = GraftOps.shardAssign(df, "id", 16).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("shard")).toMap
+    assert(a.values.forall(s => s >= 0 && s < 16))
+    assert(a.values.toSet.size == 16)
+    val b = GraftOps.shardAssign(df, "id", 16).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("shard")).toMap
+    assert(a == b) // reproducible across runs
+  }
+
+  test("distinctOverlap: exact mode equals exact set intersections") {
+    import spark.implicits._
+    // A = {0..99}, B = {50..149}, C = {200..209}; duplicates everywhere
+    val df = (
+      (0 until 100).map(v => ("A", v)) ++ (0 until 100).map(v => ("A", v)) ++
+      (50 until 150).map(v => ("B", v)) ++ (200 until 210).map(v => ("C", v))
+    ).toDF("k", "v").withColumn("v", org.apache.spark.sql.functions.col("v").cast("long"))
+    val got = GraftOps.distinctOverlap(df, "k", "v").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(got(("A", "B")) == 50.0)
+    assert(got(("A", "C")) == 0.0)
+    assert(got(("B", "C")) == 0.0)
+  }
 }
