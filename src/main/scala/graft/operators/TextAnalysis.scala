@@ -374,7 +374,7 @@ object TextAnalysis {
     if (df == null) {
       // build outside the map op (reentrancy/recursive-update rationale
       // as Dedup.cachedRel); a racing duplicate train wastes one job
-      val built = bpeTrainOn(Tables.documentsSpread(s, dir), "text", n)
+      val built = bpeTrainOn(Tables.documents(s, dir), "text", n)
       val prev = mergeCache.putIfAbsent(k, built)
       df = if (prev != null) prev else built
     }
@@ -711,7 +711,12 @@ object TextAnalysis {
     * semantics pinned in ApiSpec (hand-computed merge application and
     * losslessness). */
   val t10_bpe_encode: Relational.Q = (s, dir) => {
-    val docs = Tables.documentsSpread(s, dir)
+    // NOT spread: the per-partition word->encoding memo exploits Zipfian
+    // re-use, and fragmenting the corpus 2->32 partitions multiplies the
+    // distinct-word decode work per partition past the parallelism win
+    // (measured 6.3 s -> 18.8 s at sf0.1). The encode pass is memo-bound,
+    // not scan-bound.
+    val docs = Tables.documents(s, dir)
     val merges = trainedMerges(s, dir)
     bpeEncodeOn(docs, "doc_id", "text", merges)
       .select(col("doc_id"), col("n_tokens"))
