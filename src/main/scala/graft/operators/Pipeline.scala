@@ -95,7 +95,7 @@ object Pipeline {
     * broadcast side at any corpus scale. */
   val p3_contamination: Relational.Q = (s, dir) => {
     import s.implicits._
-    val sh = Tables.documents(s, dir)
+    val sh = Tables.documentsSpread(s, dir)
       .select($"doc_id", $"source", TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id", $"source",
         explode(TextFunctions.shinglesOfTokens($"toks")).as("s"))
@@ -229,7 +229,7 @@ object Pipeline {
     import s.implicits._
     val n = s.conf.getOption("spark.graft.text.contamNgram")
       .map(_.toInt).getOrElse(13)
-    val g = Tables.documents(s, dir)
+    val g = Tables.documentsSpread(s, dir)
       .select($"doc_id", $"source", TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id", $"source",
         explode(TextFunctions.shinglesOfTokens($"toks", n)).as("g"))
@@ -276,7 +276,7 @@ object Pipeline {
     val mBits = s.conf.getOption("spark.graft.text.bloomBits")
       .map(_.toInt).getOrElse(1 << 20)
     val kHashes = 5
-    val g = Tables.documents(s, dir)
+    val g = Tables.documentsSpread(s, dir)
       .select($"doc_id", $"source", TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id", $"source",
         explode(TextFunctions.shinglesOfTokens($"toks", n)).as("g"))

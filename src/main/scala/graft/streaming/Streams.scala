@@ -442,7 +442,9 @@ object Streams {
     val mBits = s.conf.getOption("spark.graft.text.bloomBits")
       .map(_.toInt).getOrElse(1 << 20)
     val kHashes = 5
-    val bloomBytes = graft.sources.Tables.documents(s, dir)
+    // spread guard: the benchmark-side shingle+hash pass is the heavy
+    // batch stage here, and a single-file corpus scans as 1-2 tasks
+    val bloomBytes = graft.sources.Tables.documentsSpread(s, dir)
       .filter($"source" === "src0")
       .select(explode(graft.functions.TextFunctions.shinglesOfTokens(
         graft.functions.TextFunctions.tokens($"text"), n)).as("g"))
