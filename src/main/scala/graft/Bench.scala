@@ -31,6 +31,21 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Quiet-band admission: a bench captured on a contended host is
+    // junk data (observed: a load-4 start inflated even a bare scan
+    // 20× and a whole round artifact read as a 5× regression). Wait —
+    // untimed, before the session exists — for the 1-minute load to
+    // drop under the threshold, up to SPARK_GRAFT_BENCH_LOAD_WAIT
+    // seconds (default 300; 0 disables). If it never quiets, run
+    // anyway and stamp load_label:"contended" so the artifact is
+    // self-labeling rather than silently wrong.
+    val quietLimit = 1.5 * (Runtime.getRuntime.availableProcessors() / 32.0)
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "300").toInt
+    val waitDeadline = System.nanoTime() + maxWaitSec * 1000000000L
+    while (loadAvg > quietLimit && System.nanoTime() < waitDeadline) {
+      System.err.println(f"bench: host load ${loadAvg}%.2f > $quietLimit%.2f, waiting for quiet band")
+      Thread.sleep(15000)
+    }
     val loadStart = loadAvg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,8 +102,7 @@ object Bench {
     // cores); a "contended" run must not be read as a regression. The
     // end value includes this bench's own threads, so the start value is
     // the cleaner ambient signal.
-    val loadLimit = 1.5 * (Runtime.getRuntime.availableProcessors() / 32.0)
-    val loadLabel = if (loadStart > loadLimit) "contended" else "quiet"
+    val loadLabel = if (loadStart > quietLimit) "contended" else "quiet"
     // Full per-query detail goes to a FILE: the harness that collects this
     // bench keeps only the last ~2000 chars of stdout, and a JSON line
     // carrying 80+ full-precision per-query timings overflows that window

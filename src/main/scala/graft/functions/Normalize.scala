@@ -36,6 +36,12 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
 object NfcNormalize {
   def normalize(s: UTF8String): UTF8String = {
+    // Pure-ASCII is definitionally NFC (every ASCII code point is its
+    // own canonical composition) — detect it on the raw UTF-8 buffer
+    // BEFORE any toString, so ASCII corpora truly never allocate: the
+    // previous fast path still paid a full String copy just to ask
+    // isNormalized.
+    if (s.isFullAscii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

@@ -88,6 +88,109 @@ object Lineage {
     }.flatten.distinct.sorted
   }
 
+  /** The written query inside an analyzed write command — the plan whose
+    * output schema is what lands in the output dataset. None for pure
+    * reads. */
+  def writeQueryOf(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand
+    import org.apache.spark.sql.execution.command.CreateDataSourceTableAsSelectCommand
+    import org.apache.spark.sql.execution.datasources.{InsertIntoHadoopFsRelationCommand, SaveIntoDataSourceCommand}
+    plan.collectFirst {
+      case i: InsertIntoHadoopFsRelationCommand => i.query
+      case s: SaveIntoDataSourceCommand => s.query
+      case c: CreateDataSourceTableAsSelectCommand => c.query
+      case w: V2WriteCommand => w.query
+    }
+  }
+
+  /** Dataset id of a leaf source relation (the same identities
+    * [[logicalInputsOf]] reports), None for non-leaf/non-source nodes. */
+  private def leafDatasetId(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    p match {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.headOption.map(_.toString)
+        case other => Some(other.toString)
+      }
+      case d: DataSourceV2Relation => Some(d.table.name)
+      case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        Some(h.tableMeta.qualifiedName)
+      case _ => None
+    }
+  }
+
+  /** (dataset id → schema) for every leaf source relation of an
+    * analyzed plan — feeds the OpenLineage `schema` dataset facet. */
+  def inputSchemasOf(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      Map[String, org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.datasources.SaveIntoDataSourceCommand
+    def walk(p: LogicalPlan): Seq[(String, org.apache.spark.sql.types.StructType)] =
+      leafDatasetId(p) match {
+        case Some(id) =>
+          Seq(id -> org.apache.spark.sql.types.StructType(
+            p.output.map(a =>
+              org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))))
+        case None => p match {
+          case s: SaveIntoDataSourceCommand => walk(s.query)
+          case other =>
+            other.children.flatMap(walk) ++ other.subqueries.flatMap(walk)
+        }
+      }
+    walk(plan).toMap
+  }
+
+  /** Transitive column origins of an analyzed plan: for every output
+    * attribute of `plan`, the set of (leaf dataset id, source column)
+    * it derives from — the OpenLineage `columnLineage` facet's payload.
+    *
+    * Bottom-up fixpoint-free walk: leaves originate their own columns;
+    * Alias-introducing nodes (Project/Aggregate/Window — any node, via
+    * its expression list) attribute the alias to the union of origins
+    * of every attribute its child expression references; Union merges
+    * positionally; everything else passes attributes through by exprId.
+    * Purely structural — never executes anything, safe inside a
+    * listener callback. */
+  def columnOriginsOf(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      Seq[(String, Seq[(String, String)])] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Union}
+    type Origins = Map[ExprId, Set[(String, String)]]
+    def merge(ms: Seq[Origins]): Origins =
+      ms.flatten.groupMapReduce(_._1)(_._2)(_ ++ _)
+    def walk(p: LogicalPlan): Origins = leafDatasetId(p) match {
+      case Some(id) =>
+        p.output.map(a => a.exprId -> Set(id -> a.name)).toMap
+      case None => p match {
+        case u: Union =>
+          val childMaps = u.children.map(walk)
+          val positional = u.output.zipWithIndex.map { case (a, i) =>
+            a.exprId -> u.children.zip(childMaps).flatMap { case (c, m) =>
+              if (i < c.output.length) m.getOrElse(c.output(i).exprId, Set.empty)
+              else Set.empty[(String, String)]
+            }.toSet
+          }.toMap
+          merge(childMaps :+ positional)
+        case other =>
+          val childOrigins = merge(other.children.map(walk))
+          val aliases = other.expressions.flatMap(_.collect { case a: Alias => a })
+            .map { a =>
+              a.exprId -> a.child.collect { case at: Attribute => at }
+                .flatMap(at => childOrigins.getOrElse(at.exprId, Set.empty)).toSet
+            }.toMap
+          childOrigins ++ aliases
+      }
+    }
+    val all = walk(plan)
+    plan.output.map(a => a.name -> all.getOrElse(a.exprId, Set.empty).toSeq.sorted)
+  }
+
   /** Log a lineage edge set (inputs → outputTable) to the activity log,
     * one record with the inputs in `extra`. */
   def record(logger: MetricsLogger, df: DataFrame, outputTable: String,

@@ -71,10 +71,29 @@ class OpenLineageListener extends QueryExecutionListener {
           val parent = conf.getOption("spark.graft.lineage.parentJobName")
             .getOrElse(qe.sparkSession.sparkContext.appName.trim
               .replaceAll("\\s+", "_"))
+          // schema + columnLineage dataset facets (what DataHub renders
+          // as column-level lineage): input schemas come from the leaf
+          // relations, the output schema and per-column attribution
+          // from the write command's query. Each independently guarded
+          // — an unknown plan shape degrades to fewer facets.
+          val inputSchemas = scala.util.Try(
+            Lineage.inputSchemasOf(qe.analyzed).map { case (id, st) =>
+              id -> st.fields.toSeq.map(f => f.name -> f.dataType.catalogString)
+            }).getOrElse(Map.empty[String, Seq[(String, String)]])
+          val writeQuery =
+            scala.util.Try(Lineage.writeQueryOf(qe.analyzed)).toOption.flatten
+          val outputSchema = writeQuery.map(q => scala.util.Try(
+            q.output.map(a => a.name -> a.dataType.catalogString).toSeq)
+            .getOrElse(Seq.empty)).getOrElse(Seq.empty)
+          val colLineage = writeQuery.map(q => scala.util.Try(
+            Lineage.columnOriginsOf(q).filter(_._2.nonEmpty))
+            .getOrElse(Seq.empty)).getOrElse(Seq.empty)
           val json = OpenLineageListener.runEvent(
             if (failed) "FAIL" else "COMPLETE",
             jobName = s"$parent.$funcName", namespace = namespace,
-            inputs = inputs, outputs = outputs, durationMs = durationMs)
+            inputs = inputs, outputs = outputs, durationMs = durationMs,
+            inputSchemas = inputSchemas, outputSchema = outputSchema,
+            columnLineage = colLineage)
           OpenLineageListener.poster.offer(
             java.net.URI.create(url), timeoutMs, json)
         }
@@ -102,10 +121,20 @@ class OpenLineageStreamingListener(session: SparkSession)
   import org.apache.spark.sql.streaming.StreamingQueryListener._
   private val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
 
+  // WEAK session handle: this listener is the VALUE of the registry's
+  // weak-KEYED map (OpenLineageListener.registered) — a strong session
+  // field here would make the value reach the key and defeat weak
+  // collection, pinning every enabled-then-discarded session forever.
+  // A collected session has no live streams, so a cleared ref = no-op.
+  private val sessionRef =
+    new java.lang.ref.WeakReference[SparkSession](session)
+
   private def post(eventType: String, runId: java.util.UUID, name: String,
                    inputs: Seq[String], outputs: Seq[String],
                    durationMs: Long): Unit =
     try {
+      val session = sessionRef.get()
+      if (session == null) return
       val conf = session.conf
       conf.getOption("spark.graft.lineage.endpoint").foreach { url =>
         val namespace =
@@ -205,19 +234,53 @@ object OpenLineageListener {
     new java.util.WeakHashMap[SparkSession,
       (OpenLineageListener, OpenLineageStreamingListener)]())
 
-  /** One OpenLineage RunEvent: run/job identity, input/output dataset
-    * facets, duration. Dataset ids that look like URIs split into
+  /** One OpenLineage RunEvent: run/job identity, input/output datasets
+    * with `schema` and (outputs) `columnLineage` facets, duration.
+    * Dataset ids that look like URIs split into
     * (scheme[://authority], path) per the OpenLineage file-dataset
-    * naming convention; catalog identifiers keep the job namespace. */
+    * naming convention; catalog identifiers keep the job namespace.
+    *
+    * @param inputSchemas  dataset id → (column, catalog type) — emitted
+    *   as the spec's `schema` dataset facet on matching inputs
+    * @param outputSchema  the written query's (column, catalog type)
+    *   list — the `schema` facet on every output dataset
+    * @param columnLineage output column → originating (dataset id,
+    *   column) pairs — the `columnLineage` facet on outputs */
   private[metrics] def runEvent(eventType: String, jobName: String,
                                 namespace: String, inputs: Seq[String],
                                 outputs: Seq[String],
                                 durationMs: Long,
-                                runId: String = null): String = {
+                                runId: String = null,
+                                inputSchemas: Map[String, Seq[(String, String)]] = Map.empty,
+                                outputSchema: Seq[(String, String)] = Seq.empty,
+                                columnLineage: Seq[(String, Seq[(String, String)])] = Seq.empty): String = {
     import MetricsJson.esc
-    def ds(id: String): String = {
+    def schemaFacet(fields: Seq[(String, String)]): String =
+      s""""schema":{"_producer":"graft/lineage",""" +
+        s""""_schemaURL":"https://openlineage.io/spec/facets/1-1-1/SchemaDatasetFacet.json",""" +
+        s""""fields":[${fields.map { case (n, t) =>
+          s"""{"name":"${esc(n)}","type":"${esc(t)}"}""" }.mkString(",")}]}"""
+    def columnLineageFacet(cols: Seq[(String, Seq[(String, String)])]): String =
+      s""""columnLineage":{"_producer":"graft/lineage",""" +
+        s""""_schemaURL":"https://openlineage.io/spec/facets/1-2-0/ColumnLineageDatasetFacet.json",""" +
+        s""""fields":{${cols.map { case (out, origins) =>
+          val fs = origins.map { case (dsId, col) =>
+            val (ons, oname) = splitDataset(dsId, namespace)
+            s"""{"namespace":"${esc(ons)}","name":"${esc(oname)}","field":"${esc(col)}"}"""
+          }.mkString(",")
+          s""""${esc(out)}":{"inputFields":[$fs]}"""
+        }.mkString(",")}}}"""
+    def ds(id: String, isOutput: Boolean): String = {
       val (ns, name) = splitDataset(id, namespace)
-      s"""{"namespace":"${esc(ns)}","name":"${esc(name)}"}"""
+      val schema = if (isOutput) outputSchema
+        else inputSchemas.getOrElse(id, Seq.empty)
+      val facets =
+        (if (schema.nonEmpty) Seq(schemaFacet(schema)) else Nil) ++
+        (if (isOutput && columnLineage.nonEmpty)
+          Seq(columnLineageFacet(columnLineage)) else Nil)
+      val facetJson =
+        if (facets.isEmpty) "" else s""","facets":{${facets.mkString(",")}}"""
+      s"""{"namespace":"${esc(ns)}","name":"${esc(name)}"$facetJson}"""
     }
     val iso = java.time.Instant.now().toString
     // batch executions are one-event runs (fresh id); streaming passes
@@ -229,8 +292,8 @@ object OpenLineageListener {
       s""""run":{"runId":"$rid","facets":{""" +
       s""""graftExecution":{"durationMs":$durationMs}}},""" +
       s""""job":{"namespace":"${esc(namespace)}","name":"${esc(jobName)}"},""" +
-      s""""inputs":[${inputs.map(ds).mkString(",")}],""" +
-      s""""outputs":[${outputs.map(ds).mkString(",")}]}"""
+      s""""inputs":[${inputs.map(ds(_, isOutput = false)).mkString(",")}],""" +
+      s""""outputs":[${outputs.map(ds(_, isOutput = true)).mkString(",")}]}"""
   }
 
   private[metrics] def splitDataset(id: String,

@@ -159,24 +159,32 @@ object Similarity {
     val s = e.sparkSession
     import s.implicits._
     val k = cents.length
-    val assigned = e
-      // Spread the corpus BEFORE assignment: it usually arrives in a
-      // handful of scan partitions (one small parquet file = ONE task),
-      // and everything downstream — the k-centroid assignment pass here
-      // and the broadcast-shaped tile joins below, which preserve their
-      // input's partitioning — would inherit that parallelism and run
-      // on one core. One corpus-sized round-robin shuffle buys a
-      // cluster-wide assignment + probe (measured 256 s → tens of
-      // seconds at sf1 before the other fixes).
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    // Spread the corpus BEFORE assignment: it usually arrives in a
+    // handful of scan partitions (one small parquet file = ONE task),
+    // and everything downstream — the k-centroid assignment pass here
+    // and the broadcast-shaped tile joins below, which preserve their
+    // input's partitioning — would inherit that parallelism and run
+    // on one core. One corpus-sized round-robin shuffle buys a
+    // cluster-wide assignment + probe (measured 256 s → tens of
+    // seconds at sf1 before the other fixes). Conditional: the catalog
+    // path already arrives spread by embeddings(), so don't pay the
+    // same corpus shuffle twice.
+    val np = s.sessionState.conf.numShufflePartitions
+    val spread = if (e.rdd.getNumPartitions < np) e.repartition(np) else e
+    val assigned = spread
       .withColumn("cell", element_at(graft.functions.Quantizer.topCells($"emb", cents, 1), 1))
       .withColumn("theta", acos(greatest(lit(-1.0), least(lit(1.0),
         element_at(graft.functions.Quantizer.cellCosines($"emb", $"nrm", cents), $"cell" + 1)))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Cell radii: k scalars (metadata-sized collect, like table stats).
+    // Cell radii + populations: 2k scalars (metadata-sized collect,
+    // like table stats). Populations size the per-cell block split.
     val radii = new Array[Double](k)
-    assigned.groupBy($"cell").agg(max($"theta").as("r")).collect()
-      .foreach(row => radii(row.getAs[Int]("cell")) = row.getAs[Double]("r"))
+    val cellRows = new Array[Long](k)
+    assigned.groupBy($"cell").agg(max($"theta").as("r"), count(lit(1)).as("n"))
+      .collect().foreach { row =>
+        radii(row.getAs[Int]("cell")) = row.getAs[Double]("r")
+        cellRows(row.getAs[Int]("cell")) = row.getAs[Long]("n")
+      }
     val thetaMax = math.acos(threshold)
     def centAngle(i: Int, j: Int): Double = {
       val d = cents(i).zip(cents(j)).map { case (a, b) => a * b }.sum
@@ -190,40 +198,67 @@ object Similarity {
       i <- 0 until k; j <- i until k
       if math.max(0.0, centAngle(i, j) - radii(i) - radii(j)) <= thetaMax
     } yield (i, j)
-    val cellPairs = admissible.toDF("cell_a", "cell_b")
-    // Pack each cell into ONE flat block (ids / norms / row-major
-    // vector data, vec_id order so packing is deterministic). The tile
-    // join then moves k block rows instead of n vector rows, and the
-    // scoring loop runs over primitive arrays — measured ~10× over the
-    // row-per-vector join at sf1, whose per-candidate cost was join
+    // Bound the packed rows: a cell packs as ONE row only while cells
+    // stay small, and cell population grows linearly with the corpus
+    // once the k cap binds (past ~16M vectors at k=4096 a cell is
+    // >4096 vectors — hundreds of MB per row at 1B+, straggler-prone
+    // and eventually over the 2 GiB array ceiling). Sub-split each
+    // cell into ceil(n_cell / maxBlockRows) hash-assigned blocks (so
+    // per-row size and per-task work stay bounded in expectation) and
+    // enumerate (cell, blockA ≤ blockB) tiles — every cross pair still
+    // appears exactly once (blocks partition the cell), the angular
+    // prune is untouched, results are bit-identical. The tile list is
+    // candidateVolume/maxBlockRows² rows of 4 ints — always metadata-
+    // sized relative to the work it schedules.
+    val maxBlockRows = s.conf.getOption("spark.graft.ann.maxBlockRows")
+      .map(_.toInt).getOrElse(4096)
+    require(maxBlockRows >= 1,
+      s"spark.graft.ann.maxBlockRows must be >= 1, got $maxBlockRows")
+    val nBlocks: Array[Int] = cellRows.map(n =>
+      math.max(1, math.ceil(n.toDouble / maxBlockRows).toInt))
+    val blockTiles = admissible.flatMap { case (i, j) =>
+      if (i == j) for { bi <- 0 until nBlocks(i); bj <- bi until nBlocks(i) }
+        yield (i, bi, j, bj)
+      else for { bi <- 0 until nBlocks(i); bj <- 0 until nBlocks(j) }
+        yield (i, bi, j, bj)
+    }
+    val cellPairs = blockTiles.toDF("cell_a", "block_a", "cell_b", "block_b")
+    // Pack each (cell, block) into ONE flat block (ids / norms /
+    // row-major vector data, vec_id order so packing is deterministic).
+    // The tile join then moves block rows instead of n vector rows, and
+    // the scoring loop runs over primitive arrays — measured ~10× over
+    // the row-per-vector join at sf1, whose per-candidate cost was join
     // machinery (a ~1 KB joined-row copy + a join-condition that
     // re-evaluated the dot per reference), not flops. Zero-norm
     // vectors are dropped here: NULL cosine = no match, the same
     // contract the row formulation enforced via its `when` guard.
     val shipped =
       if (shipAsFloat) $"emb".cast("array<float>") else $"emb"
+    val nBlocksCol = element_at(typedlit(nBlocks.toSeq), $"cell" + 1)
     val blocks = assigned
       .filter($"nrm" =!= 0.0)
-      .select($"cell", struct($"vec_id", shipped.as("emb"), $"nrm").as("v"))
-      .groupBy($"cell")
+      .withColumn("block", pmod(xxhash64($"vec_id"), nBlocksCol).cast("int"))
+      .select($"cell", $"block", struct($"vec_id", shipped.as("emb"), $"nrm").as("v"))
+      .groupBy($"cell", $"block")
       .agg(sort_array(collect_list($"v")).as("vs"))
-      .select($"cell",
+      .select($"cell", $"block",
         transform($"vs", v => v("vec_id")).as("ids"),
         transform($"vs", v => v("nrm")).as("nrms"),
         flatten(transform($"vs", v => v("emb"))).as("packed"))
-    val a = blocks.select($"cell".as("cell_a"), $"ids".as("ids_a"),
-      $"nrms".as("nrms_a"), $"packed".as("packed_a"))
-    val b = blocks.select($"cell".as("cell_b"), $"ids".as("ids_b"),
-      $"nrms".as("nrms_b"), $"packed".as("packed_b"))
+    val a = blocks.select($"cell".as("cell_a"), $"block".as("block_a"),
+      $"ids".as("ids_a"), $"nrms".as("nrms_a"), $"packed".as("packed_a"))
+    val b = blocks.select($"cell".as("cell_b"), $"block".as("block_b"),
+      $"ids".as("ids_b"), $"nrms".as("nrms_b"), $"packed".as("packed_b"))
     // SHUFFLE_HASH on the b side: it also FORBIDS broadcasting it —
     // the packed corpus can look broadcastable at test scale, and a
     // 100 TB corpus is not. The exchanged left side is the a-blocks
     // replicated per admissible partner tile (the inherent n·k/2 data
     // movement of any tile join), which a sort-merge join would sort.
-    val tiles = broadcast(cellPairs).join(a, "cell_a")
-      .join(b.hint("shuffle_hash"), "cell_b")
-      .select($"cell_a", $"ids_a", $"nrms_a", $"packed_a",
-        $"cell_b", $"ids_b", $"nrms_b", $"packed_b")
+    val tiles = broadcast(cellPairs).join(a, Seq("cell_a", "block_a"))
+      .join(b.hint("shuffle_hash"), Seq("cell_b", "block_b"))
+      .select(($"cell_a" === $"cell_b" && $"block_a" === $"block_b").as("same"),
+        $"ids_a", $"nrms_a", $"packed_a",
+        $"ids_b", $"nrms_b", $"packed_b")
     // Kernel admits cos ≥ threshold − 6e-5 (a superset: HALF_UP
     // 4-decimal rounding can lift a cosine by at most 5e-5 across the
     // threshold); the exact published predicate — Spark's own
@@ -232,17 +267,21 @@ object Similarity {
     // guard survives for NaN-poisoned input vectors: Spark orders NaN
     // ABOVE every value, so an unguarded NaN cosine would pass the
     // threshold and collapse unrelated vectors downstream.
+    // The mirror-dedup id filter fires on same-BLOCK (a block self-
+    // joined with itself is the only tile where a pair can appear with
+    // both orientations); two distinct blocks of the same cell are
+    // disjoint vector sets, so their cross pairs appear exactly once.
     val scored =
       if (shipAsFloat)
-        tiles.as[(Int, Array[Long], Array[Double], Array[Float],
-            Int, Array[Long], Array[Double], Array[Float])]
-          .flatMap { case (ca, ia, na, pa, cb, ib, nb, pb) =>
-            scoreTile(ca, ia, na, widen(pa), cb, ib, nb, widen(pb), threshold) }
+        tiles.as[(Boolean, Array[Long], Array[Double], Array[Float],
+            Array[Long], Array[Double], Array[Float])]
+          .flatMap { case (same, ia, na, pa, ib, nb, pb) =>
+            scoreTile(same, ia, na, widen(pa), ib, nb, widen(pb), threshold) }
       else
-        tiles.as[(Int, Array[Long], Array[Double], Array[Double],
-            Int, Array[Long], Array[Double], Array[Double])]
-          .flatMap { case (ca, ia, na, pa, cb, ib, nb, pb) =>
-            scoreTile(ca, ia, na, pa, cb, ib, nb, pb, threshold) }
+        tiles.as[(Boolean, Array[Long], Array[Double], Array[Double],
+            Array[Long], Array[Double], Array[Double])]
+          .flatMap { case (same, ia, na, pa, ib, nb, pb) =>
+            scoreTile(same, ia, na, pa, ib, nb, pb, threshold) }
     val pairs = scored.toDF("vec_a", "vec_b", "raw")
       .select($"vec_a", $"vec_b", round($"raw", 4).as("cosine"))
       .filter($"cosine" >= threshold && !isnan($"cosine"))
@@ -271,20 +310,20 @@ object Similarity {
     out
   }
 
-  /** Score one admissible cell tile: all cross pairs for cell_a <
-    * cell_b (ids oriented at emit — cosine is exactly symmetric, an
-    * index-order sum of identical products), id-ordered pairs for the
-    * diagonal. Tight row-major loop over the packed block, summed
-    * left-to-right in index order — the exact summation the DuckDB
-    * oracle uses. */
+  /** Score one admissible block tile: all cross pairs for distinct
+    * blocks (ids oriented at emit — cosine is exactly symmetric, an
+    * index-order sum of identical products), id-ordered pairs when a
+    * block is tiled against itself (`same`). Tight row-major loop over
+    * the packed block, summed left-to-right in index order — the exact
+    * summation the DuckDB oracle uses. */
   private[graft] def scoreTile(
-      cellA: Int, idsA: Array[Long], nrmsA: Array[Double], packA: Array[Double],
-      cellB: Int, idsB: Array[Long], nrmsB: Array[Double], packB: Array[Double],
+      same: Boolean,
+      idsA: Array[Long], nrmsA: Array[Double], packA: Array[Double],
+      idsB: Array[Long], nrmsB: Array[Double], packB: Array[Double],
       threshold: Double): Iterator[(Long, Long, Double)] = {
     val nA = idsA.length
     val nB = idsB.length
     if (nA == 0 || nB == 0) return Iterator.empty
-    val same = cellA == cellB
     val dim = packA.length / nA
     val tLow = threshold - 6e-5
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]

@@ -63,10 +63,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[String]("c") == "Café")
     assert(r.isNullAt(r.fieldIndex("d")))
     assert(r.getAs[Int]("pre") == 2 && r.getAs[Int]("post") == 1)
-    // already-normalized input returns the SAME buffer (no copy) —
-    // the ASCII-corpus fast path
+    // already-normalized input returns the SAME buffer (no copy).
+    // ASCII takes the byte-scan fast path (isFullAscii, no toString at
+    // all); composed non-ASCII takes the isNormalized path — both must
+    // be reference-identical to the input.
     val ascii = UTF8String.fromString("plain ascii text")
     assert(NfcNormalize.normalize(ascii) eq ascii)
+    val composed = UTF8String.fromString("Café")
+    assert(!composed.isFullAscii)
+    assert(NfcNormalize.normalize(composed) eq composed)
     // interpreted path agrees with the generated one exercised above
     assert(NfcNormalize(org.apache.spark.sql.catalyst.expressions.Literal(
       UTF8String.fromString("é"), org.apache.spark.sql.types.StringType))

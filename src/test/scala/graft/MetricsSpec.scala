@@ -123,6 +123,27 @@ class MetricsSpec extends AnyFunSuite {
       val inputsPart = writeEvt.substring(
         writeEvt.indexOf(""""inputs":"""), writeEvt.indexOf(""""outputs":"""))
       assert(!inputsPart.contains(out), writeEvt)
+      // 3: schema + columnLineage dataset facets (the DataHub column-
+      // level surface): the input carries its relation schema, the
+      // output carries the written schema and per-column attribution
+      assert(writeEvt.contains(""""schema":{"_producer":"graft/lineage""""), writeEvt)
+      assert(writeEvt.contains("SchemaDatasetFacet.json"), writeEvt)
+      assert(inputsPart.contains(""""name":"o_orderkey""""), writeEvt)
+      assert(writeEvt.contains(""""columnLineage":{"""), writeEvt)
+      assert(writeEvt.contains(""""o_orderkey":{"inputFields":[{"namespace":"file""""), writeEvt)
+      assert(writeEvt.contains(""""field":"o_orderkey""""), writeEvt)
+      // 4: a computed column's attribution traces through the
+      // projection to the source column it was derived from
+      val out2 = java.nio.file.Files.createTempDirectory("graft_ol_").toString + "/t2"
+      spark.read.parquet(s"$sf/orders.parquet")
+        .selectExpr("o_orderkey", "o_totalprice * 2 AS doubled")
+        .limit(5).write.parquet(out2)
+      assert(await(received.asScala.exists(_.contains(out2))),
+        s"no derived write event among ${received.size}")
+      val derivedEvt = received.asScala.find(_.contains(out2)).get
+      assert(derivedEvt.contains(""""doubled":{"inputFields":[{"namespace":"file""""), derivedEvt)
+      assert(derivedEvt.contains(""""field":"o_totalprice""""), derivedEvt)
+      assert(derivedEvt.contains(""""name":"doubled","type":"""), derivedEvt)
     } finally {
       OpenLineageListener.disable(spark)
       spark.conf.unset("spark.graft.lineage.endpoint")

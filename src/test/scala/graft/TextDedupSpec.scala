@@ -605,25 +605,55 @@ class TextDedupSpec extends AnyFunSuite {
 
   test("d5 scoreTile: orientation, diagonal dedup, and threshold admission") {
     import graft.operators.Similarity
-    // two unit vectors 60° apart and one identical pair across cells
+    // two unit vectors 60° apart and one identical pair across blocks
     val e1 = Array(1.0, 0.0)
     val e2 = Array(0.5, math.sqrt(3) / 2)
     val packA = e1 ++ e2
     val idsA = Array(10L, 20L)
     val nrms = Array(1.0, 1.0)
-    // diagonal tile: only id-ordered pairs, cos(60°)=0.5 admitted at 0.4
-    val diag = Similarity.scoreTile(0, idsA, nrms, packA,
-      0, idsA, nrms, packA, 0.4).toList
+    // self tile: only id-ordered pairs, cos(60°)=0.5 admitted at 0.4
+    val diag = Similarity.scoreTile(same = true, idsA, nrms, packA,
+      idsA, nrms, packA, 0.4).toList
     assert(diag.map(p => (p._1, p._2)) == List((10L, 20L)))
     assert(math.abs(diag.head._3 - 0.5) < 1e-12)
     // cross tile with reversed id magnitudes: emitted min-first
-    val cross = Similarity.scoreTile(0, Array(99L), Array(1.0), e1,
-      1, Array(5L), Array(1.0), e1, 0.4).toList
+    val cross = Similarity.scoreTile(same = false, Array(99L), Array(1.0), e1,
+      Array(5L), Array(1.0), e1, 0.4).toList
     assert(cross.map(p => (p._1, p._2)) == List((5L, 99L)))
     assert(cross.head._3 == 1.0)
     // below threshold: 90° apart -> nothing
-    val none = Similarity.scoreTile(0, Array(1L), Array(1.0), Array(1.0, 0.0),
-      1, Array(2L), Array(1.0), Array(0.0, 1.0), 0.4).toList
+    val none = Similarity.scoreTile(same = false, Array(1L), Array(1.0), Array(1.0, 0.0),
+      Array(2L), Array(1.0), Array(0.0, 1.0), 0.4).toList
     assert(none.isEmpty)
+  }
+
+  test("d5 packed blocks: bounded sub-split yields the identical pair set") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 300 random 8-dim unit vectors; random 8-dim cosines spread wide
+    // enough that the 0.4 threshold admits a real pair population
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      val v = Array.fill(8)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n))
+    }
+    val e = rows.toDF("vec_id", "emb")
+      .withColumn("nrm", Similarity.norm(col("emb")))
+    val cents = graft.functions.Quantizer.train(e, "vec_id", "emb", 4)
+    def pairs(): Set[(Long, Long, Double)] =
+      Similarity.embedNearDupPairsOn(e, cents, 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // single-block baseline (default cap 4096 >> any cell here)
+    val whole = pairs()
+    assert(whole.nonEmpty)
+    // force ≥3 blocks per cell: ~75 rows/cell at cap 8 → ~10 blocks
+    spark.conf.set("spark.graft.ann.maxBlockRows", "8")
+    try {
+      assert(pairs() == whole)
+      // degenerate cap: one vector per block, still the same set
+      spark.conf.set("spark.graft.ann.maxBlockRows", "1")
+      assert(pairs() == whole)
+    } finally spark.conf.unset("spark.graft.ann.maxBlockRows")
   }
 }
