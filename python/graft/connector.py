@@ -91,6 +91,8 @@ def serve_catalog(spark, warehouse, port=0, credential=None):
     gate (clients pass the same string as their catalog credential)."""
     opt = spark._jvm.scala.Option
     cred = opt.empty() if credential is None else opt.apply(credential)
+    # 5th arg: credentialVendor (None — vending needs a JVM-side
+    # provider function; wire it from Scala when deploying vending)
     server = spark._jvm.graft.sources.rest.RestCatalogServer(
-        spark._jsparkSession, warehouse, int(port), cred)
+        spark._jsparkSession, warehouse, int(port), cred, opt.empty())
     return server, server.start()

@@ -226,11 +226,12 @@ def read_iceberg_stream(spark, path, skip_change_commits=False,
 
 
 def read_iceberg(spark, path, snapshot_id=None):
-    """Open an Iceberg v1/v2 table dependency-free, including v2
-    merge-on-read position AND equality deletes, field-id renames
-    when the files carry parquet field ids, and partition-spec
-    evolution (per-manifest spec resolution); refuses v3+. Optional
-    snapshot-id time travel."""
+    """Open an Iceberg v1/v2/v3 table dependency-free, including v2
+    merge-on-read position AND equality deletes, v3 Puffin deletion
+    vectors and column initial-defaults (pre-add files fill the
+    declared default), field-id renames when the files carry parquet
+    field ids, and partition-spec evolution (per-manifest spec
+    resolution); refuses v4+. Optional snapshot-id time travel."""
     ix = spark._jvm.graft.sources.IcebergInterop
     return DataFrame(ix.readIceberg(
         spark._jsparkSession, path, _opt_long(spark, snapshot_id),
@@ -253,8 +254,10 @@ def append_to_delta(df, path, merge_schema=False):
     mirrored) via the optimistic conditional-put commit protocol.
     Honors identity partition layouts and name-/id-mode column mapping
     (physical names + parquet field ids); CHECK constraints and
-    invariants are enforced over the input, generated columns and
-    unknown writer features refuse.
+    invariants are enforced over the input; generated columns the
+    input omits are COMPUTED from their stored expression (supplied
+    values are check-on-write verified); identity columns and unknown
+    writer features refuse.
     merge_schema=True widens the table with the input's extra columns
     in the same commit (Delta's mergeSchema option). Returns the
     committed version."""
@@ -388,6 +391,19 @@ def optimize_delta(spark, path, target_file_bytes=128 << 20,
     return dx.optimizeDelta(spark._jsparkSession, path,
                             int(target_file_bytes), 20,
                             _seq(spark, zorder_by or []))
+
+
+def cluster_by_delta(spark, path, cols):
+    """DECLARE liquid clustering on an existing Delta table (the
+    `ALTER TABLE ... CLUSTER BY (cols)` verb): one metadata commit
+    writes the delta.clustering domain and upgrades the protocol to
+    the clusteredTable writer feature. A later optimize_delta with no
+    zorder_by re-clusters by the declared columns; checkpoints and
+    clones carry the domain. Clustered tables are unpartitioned per
+    the protocol. Returns the committed version."""
+    dx = spark._jvm.graft.sources.DeltaInterop
+    return dx.clusterByDelta(spark._jsparkSession, path,
+                             _seq(spark, cols), 20)
 
 
 def clone_delta(spark, source, target):

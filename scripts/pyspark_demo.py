@@ -314,8 +314,13 @@ assert table.read_delta(spark, cloned).count() == n_delta
 spark.sql(f"CALL pydemo.system.delta_optimize('{cloned}', {64 * 1024}, 'doc_id')")
 row = spark.sql(f"CALL pydemo.system.delta_vacuum('{cloned}', 0)").collect()[0]
 assert table.read_delta(spark, cloned).count() == n_delta
+# declare liquid clustering: a later PLAIN optimize re-clusters by it
+lc_v = table.cluster_by_delta(spark, cloned, ["doc_id"])
+table.optimize_delta(spark, cloned, 64 * 1024)
+assert table.read_delta(spark, cloned).count() == n_delta
 print(f"dual-format root reads {n_delta} rows from BOTH formats; "
-      f"SQL clone+zorder+vacuum done ({row[0]} files reclaimed)")
+      f"SQL clone+zorder+vacuum done ({row[0]} files reclaimed); "
+      f"CLUSTER BY declared at v{lc_v} and honored by plain OPTIMIZE")
 
 print("== 13. Table statistics: theta NDV sketches through Puffin ==")
 # publish NDV statistics a stock engine's CBO can read; decode them
@@ -386,6 +391,15 @@ _rest("POST", "/v1/namespaces/ext/register",
        "metadata-location": f"{ice_ext}/metadata/v1.metadata.json"})
 plan = _rest("POST", "/v1/namespaces/ext/tables/adopted/plan", {})
 assert plan["status"] == "completed" and plan["file-scan-tasks"], plan
+# atomic multi-table transaction (here one table — the Polaris verb):
+# all requirements validate before anything publishes
+_rest("POST", "/v1/transactions/commit",
+      {"table-changes": [{"identifier": {"namespace": ["ext"],
+                                         "name": "adopted"},
+                          "updates": [{"action": "set-properties",
+                                       "updates": {"demo": "txn"}}]}]})
+loaded = _rest("GET", "/v1/namespaces/ext/tables/adopted")
+assert loaded["metadata"]["properties"]["demo"] == "txn", loaded
 # and the adopted table answers plain SQL through a REST-wired session
 sess_r = spark.newSession()
 sess_r.conf.set("spark.sql.catalog.extcat", "graft.sources.rest.GraftRestCatalog")
@@ -437,6 +451,14 @@ write_evt = next(e for e in _events if e.get("outputs"))
 assert any("documents.parquet" in i["name"] for i in write_evt["inputs"]), write_evt
 assert any(ol_out in o["name"] for o in write_evt["outputs"]), write_evt
 assert write_evt["job"]["namespace"] == "pydemo"
+# column-level lineage: the written dataset carries schema +
+# columnLineage facets (the DataHub column view's payload)
+out_ds = next(o for o in write_evt["outputs"] if ol_out in o["name"])
+assert {f["name"] for f in out_ds["facets"]["schema"]["fields"]} == \
+    {"lang", "count"}, out_ds
+cl = out_ds["facets"]["columnLineage"]["fields"]
+assert any("documents.parquet" in f["name"]
+           for f in cl["lang"]["inputFields"]), cl
 disable_lineage(spark)
 _httpd.shutdown()
 print("RunEvent captured: %s -> %s (job %s)" % (

@@ -28,7 +28,19 @@ object Sessions {
       // the fallback only adds a full sort of the candidate stream —
       // measured 3x on the sf1 kNN self-join (20k groups). 128k groups
       // x <=32 KiB is still executor-safe.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      //
+      // CAVEAT — the threshold is session-wide, so collect_list
+      // aggregations share it. The big ones are bounded by
+      // construction (d5/s6 cell blocks cap at
+      // spark.graft.ann.maxBlockRows rows per group); the per-document
+      // shingle arrays (Dedup.shingleArrays / GraftOps.shingleArrs)
+      // are bounded by document length — at 128k groups x a 500-token
+      // doc's ~12 KiB array that is ~1.6 GiB per task, fine here, but
+      // a corpus of multi-MB documents should lower this via
+      // SPARK_GRAFT_AGG_FALLBACK (or trim documents first, which every
+      // published pipeline does before shingling).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK", "131072"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

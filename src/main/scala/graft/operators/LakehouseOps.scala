@@ -1397,6 +1397,11 @@ object LakehouseOps {
 
   val oracles: Map[String, String] = Map(
     "g47_foreign_sql_dml" -> g47_sql,
+    // g48 runs g47's EXACT DML lifecycle against an Iceberg root
+    // instead of a Delta root, and the oracle checks only the
+    // format-independent FINAL table state — so the same SQL is the
+    // correct oracle for both. If g48's Scala lifecycle ever diverges
+    // from g47's, split this alias.
     "g48_foreign_sql_dml_iceberg" -> g47_sql,
     "g46_sql_views" -> g46_sql,
     "g45_delta_row_tracking" -> g45_sql,

@@ -1704,9 +1704,12 @@ object DeltaInterop {
     * Writer obligations: CHECK constraints and column invariants are
     * ENFORCED — one aggregate pass over the input evaluates every
     * declared predicate (SQL CHECK semantics, NULL passes) and a
-    * violation fails the append before any file lands; generated and
-    * identity columns refuse (values this writer will not compute), as
-    * do unknown writer features. Features that
+    * violation fails the append before any file lands; generated
+    * columns (`delta.generationExpression`) are COMPUTED when the
+    * input omits them and check-on-write enforced (value must equal
+    * the expression) when the input supplies them, matching a full
+    * Delta client; identity columns refuse (values this writer will
+    * not assign), as do unknown writer features. Features that
     * impose no obligation on a plain append (appendOnly,
     * deletionVectors, changeDataFeed — blind-append inserts derive
     * from the add actions per PROTOCOL.md, v2Checkpoint — appends
@@ -1790,7 +1793,7 @@ object DeltaInterop {
     // columns) are checked against the actual table state below
     val HarmlessOnAppend = Set("appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed",
-      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata",
+      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable",
       // rowTracking is ACCEPTED, not merely tolerated: the adds below
       // assign baseRowId/defaultRowCommitVersion and advance the
       // domainMetadata high watermark per the protocol
@@ -1802,6 +1805,9 @@ object DeltaInterop {
     def alreadyApplied: Boolean = txn.exists { case (app, tv) =>
       lastColl.flatMap(_.txns.get(app)).exists(_._1 >= tv)
     }
+    // the effective input: `df` plus any generated columns this writer
+    // computes (set by validate(), which knows the table schema)
+    var dfW: DataFrame = df
     def validate(): DeltaSnapshot = {
       // the collector carries txn watermarks AND the metaData identity
       // a mergeSchema commit must preserve
@@ -1819,42 +1825,60 @@ object DeltaInterop {
       }
       val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
       schema.fields.foreach { f =>
-        if (f.metadata.contains("delta.generationExpression"))
-          refuseW(s"column '${f.name}' is a generated column this writer " +
-            "does not compute")
         if (f.metadata.contains("delta.identity.start"))
           refuseW(s"column '${f.name}' is an identity column this writer " +
             "does not assign")
+      }
+      // Generated columns (delta.generationExpression) are COMPUTED
+      // when the input omits them — what a full Delta client does
+      // silently (the common case: a generated date partition column) —
+      // and check-on-write ENFORCED when the input supplies them: the
+      // protocol requires the stored value to equal the expression, so
+      // a user-supplied mismatch must refuse, not silently land.
+      val genCols = schema.fields.toSeq.collect {
+        case f if f.metadata.contains("delta.generationExpression") =>
+          f -> f.metadata.getString("delta.generationExpression")
+      }
+      dfW = genCols.foldLeft(df) { case (d, (f, g)) =>
+        if (d.schema.fieldNames.contains(f.name)) d
+        else d.withColumn(f.name,
+          org.apache.spark.sql.functions.expr(g).cast(f.dataType))
+      }
+      val genChecks = genCols.collect {
+        case (f, g) if df.schema.fieldNames.contains(f.name) =>
+          (s"generated column '${f.name}' check-on-write",
+            s"`${f.name.replace("`", "``")}` <=> (($g))")
       }
       // CHECK constraints + column invariants are ENFORCED, not
       // refused: one aggregate pass over the input evaluates every
       // declared predicate (SQL CHECK semantics — NULL passes), and a
       // single violation fails the append before any file lands.
       // NOT NULL columns fed by a nullable input ride the same pass
-      // (the protocol's writer nullability requirement).
-      enforceChecks(df,
-        tableChecks(st, schema, refuseW) ++
+      // (the protocol's writer nullability requirement), as do the
+      // generated-column equality checks.
+      enforceChecks(dfW,
+        tableChecks(st, schema, refuseW) ++ genChecks ++
           notNullChecks(schema, schema.fields.toSeq.collect {
             case f if !f.nullable &&
-                df.schema.fieldNames.contains(f.name) &&
-                df.schema(f.name).nullable => f.name
+                dfW.schema.fieldNames.contains(f.name) &&
+                dfW.schema(f.name).nullable => f.name
           }), refuseW)
       if (mergeSchema)
         // extra input columns WIDEN the table below; the input must
         // still cover every existing column
-        require((schema.fieldNames.toSet -- df.schema.fieldNames.toSet)
+        require((schema.fieldNames.toSet -- dfW.schema.fieldNames.toSet)
           .isEmpty,
           s"append schema mismatch at $path: input lacks table columns " +
-            s"[${(schema.fieldNames.toSet -- df.schema.fieldNames.toSet)
+            s"[${(schema.fieldNames.toSet -- dfW.schema.fieldNames.toSet)
               .mkString(", ")}] — mergeSchema only ADDS columns")
       else
-        require(schema.fieldNames.toSet == df.schema.fieldNames.toSet,
+        require(schema.fieldNames.toSet == dfW.schema.fieldNames.toSet,
           s"append schema mismatch at $path: table columns " +
             s"[${schema.fieldNames.mkString(", ")}], input columns " +
-            s"[${df.schema.fieldNames.mkString(", ")}] — pass " +
+            s"[${dfW.schema.fieldNames.mkString(", ")}] — pass " +
             "mergeSchema=true to widen")
       schema.fields.foreach { f =>
-        val have = df.schema(f.name).dataType
+        val have = dfW.schema(f.name).dataType
         // structural comparison: nested names + types must match, the
         // table's column-mapping / comment METADATA must not (the
         // input never carries it), and non-null input may feed a
@@ -1876,7 +1900,7 @@ object DeltaInterop {
     // re-declares the metaData when anything widened
     val (schema, mergedConf): (StructType, Map[String, String]) =
       if (!mergeSchema) (tableSchema, st.configuration)
-      else df.schema.fields
+      else dfW.schema.fields
         .filterNot(f => tableSchema.fieldNames
           .exists(_.equalsIgnoreCase(f.name)))
         .foldLeft((tableSchema, st.configuration)) {
@@ -1909,8 +1933,8 @@ object DeltaInterop {
     val stagingName = s"_graft_append_${java.util.UUID.randomUUID()}"
     val staging = new HPath(root, stagingName)
     val ordered =
-      if (!mapped) df.select(schema.fieldNames.map(col).toSeq: _*)
-      else df.select(schema.fields.zip(physSchema.fields).map {
+      if (!mapped) dfW.select(schema.fieldNames.map(col).toSeq: _*)
+      else dfW.select(schema.fields.zip(physSchema.fields).map {
         case (lf, pf) => col(lf.name).cast(pf.dataType).as(pf.name, pf.metadata)
       }.toSeq: _*)
     // the write tasks collect each landed file's stats JSON in-flight
@@ -2179,7 +2203,7 @@ object DeltaInterop {
     // enforced below via the delta.appendOnly table property
     val HarmlessOnDelete = Set("rowTracking", "appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed",
-      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata",
+      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable",
       "columnMapping")
 
     def validate(): DeltaSnapshot = {
@@ -2479,7 +2503,7 @@ object DeltaInterop {
 
     val HarmlessOnUpdate = Set("rowTracking", "appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed",
-      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata",
+      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable",
       "columnMapping")
 
     def validate(): DeltaSnapshot = {
@@ -2786,7 +2810,7 @@ object DeltaInterop {
 
     val Harmless = Set("appendOnly", "invariants", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors",
-      "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping",
+      "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "columnMapping",
       "rowTracking")
 
     def validate(): DeltaSnapshot = {
@@ -3194,7 +3218,7 @@ object DeltaInterop {
           "a full Delta client")
     val Harmless = Set("appendOnly", "invariants", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors",
-      "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping",
+      "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "columnMapping",
       "rowTracking")
 
     var attempts = 0
@@ -3443,7 +3467,7 @@ object DeltaInterop {
     if (st.minWriter == 7) {
       val Harmless = Set("appendOnly", "invariants", "checkConstraints",
         "generatedColumns", "changeDataFeed", "deletionVectors",
-        "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping",
+        "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "columnMapping",
         "rowTracking")
       val unknown = st.writerFeatures.filterNot(Harmless.contains)
       if (unknown.nonEmpty)
@@ -4096,7 +4120,7 @@ object DeltaInterop {
         "full Delta client")
     val HarmlessOnRestore = Set("rowTracking", "appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed",
-      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata",
+      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable",
       "columnMapping")
     val target = replaySnapshot(spark, path, Some(version))
     require(target.version == version,
@@ -4307,7 +4331,9 @@ object DeltaInterop {
     * re-replay and re-edit against the winner. */
   private def commitDeltaMetaData(spark: SparkSession, path: String,
       operation: String, params: Map[String, String],
-      maxRetries: Int = 20)(
+      maxRetries: Int = 20,
+      requireWriterFeatures: Seq[String] = Nil,
+      extraActions: DeltaSnapshot => Seq[String] = _ => Nil)(
       edit: (StructType, Map[String, String]) =>
         (StructType, Map[String, String])): Long = {
     val root = new HPath(path)
@@ -4320,7 +4346,7 @@ object DeltaInterop {
         "Delta client")
     val Harmless = Set("appendOnly", "invariants", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors",
-      "timestampNtz", "v2Checkpoint", "domainMetadata", "columnMapping",
+      "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "columnMapping",
       "rowTracking")
     // the writer features a legacy minWriterVersion implies, per the
     // protocol's version-to-feature table — needed when an upgrade
@@ -4371,7 +4397,7 @@ object DeltaInterop {
         "delta.enableRowTracking" -> "domainMetadata",
         "delta.appendOnly" -> "appendOnly").collect {
         case (k, f) if newConf.get(k).contains("true") => f
-      }
+      } ++ requireWriterFeatures
       val needReader: Seq[String] =
         if (newConf.get("delta.enableDeletionVectors").contains("true"))
           Seq("deletionVectors")
@@ -4413,7 +4439,8 @@ object DeltaInterop {
         protocolAction ++ Seq(
         s"""{"metaData":{"id":"${jsonEscape(coll.metaId.getOrElse(
           java.util.UUID.randomUUID().toString))}"$nameJson$descJson,"format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(newSchema.json)}","partitionColumns":[${st.partCols.map(c =>
-          "\"" + jsonEscape(c) + "\"").mkString(",")}],"configuration":{$confJson},"createdTime":${coll.createdTime.getOrElse(now)}}}""")
+          "\"" + jsonEscape(c) + "\"").mkString(",")}],"configuration":{$confJson},"createdTime":${coll.createdTime.getOrElse(now)}}}""") ++
+        extraActions(st)
       try {
         io.writeExclusive(new HPath(logDir, f"${st.version + 1}%020d.json"),
           actions.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
@@ -4445,6 +4472,44 @@ object DeltaInterop {
       keys: Seq[String], maxRetries: Int = 20): Long =
     commitDeltaMetaData(spark, path, "UNSET TBLPROPERTIES",
       keys.map(k => k -> "").toMap, maxRetries)((s, c) => (s, c -- keys))
+
+  /** DECLARE liquid clustering on an existing Delta table — the
+    * `ALTER TABLE … CLUSTER BY (cols)` / clustered-`CREATE TABLE` verb
+    * (Delta 3.2's clustered tables, which the reference writes through
+    * delta-spark 3.2.0 — scripts/download-jars.sh:90): one metadata
+    * commit writing the `delta.clustering` domainMetadata
+    * (`{"clusteringColumns":[["c1"],…]}` per the protocol's
+    * Clustered-Table feature) and auto-upgrading the protocol to carry
+    * the `clusteredTable` + `domainMetadata` writer features. This is
+    * the graft-side PRODUCER for the maintenance paths that already
+    * exist: [[optimizeDelta]] with no explicit zorderBy re-clusters by
+    * the declared columns, and [[checkpointDelta]]/[[cloneDelta]] carry
+    * the domain. Clustered tables are unpartitioned per the spec;
+    * columns must exist in the schema. Returns the committed version. */
+  def clusterByDelta(spark: SparkSession, path: String, cols: Seq[String],
+      maxRetries: Int = 20): Long = {
+    require(cols.nonEmpty, "CLUSTER BY needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"duplicate clustering columns: ${cols.mkString(", ")}")
+    val cfg = s"""{"clusteringColumns":[${cols.map(c =>
+      "[\"" + jsonEscape(c) + "\"]").mkString(",")}]}"""
+    commitDeltaMetaData(spark, path, "CLUSTER BY",
+      Map("clusterBy" -> cols.mkString("[", ", ", "]")), maxRetries,
+      requireWriterFeatures = Seq("domainMetadata", "clusteredTable"),
+      extraActions = st => {
+        require(st.partCols.isEmpty,
+          s"cannot CLUSTER BY a partitioned table (partitioned by " +
+            s"[${st.partCols.mkString(", ")}]) — clustered Delta tables " +
+            "are unpartitioned per the protocol")
+        Seq(s"""{"domainMetadata":{"domain":"delta.clustering","configuration":"${jsonEscape(cfg)}","removed":false}}""")
+      }) { (schema, conf) =>
+      val missing = cols.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty, s"clustering columns " +
+        s"[${missing.mkString(", ")}] not in the table schema " +
+        s"[${schema.fieldNames.mkString(", ")}]")
+      (schema, conf)
+    }
+  }
 
   /** ALTER TABLE … ADD COLUMN on a foreign Delta table: append a
     * NULLABLE column as one metadata-only commit — existing files

@@ -4417,28 +4417,40 @@ object IcebergInterop {
         "supports v1-v3")
     // v3 is readable: Puffin deletion vectors apply below as a
     // codegen'd bitmap filter, v2-era deletes keep working, and v3
-    // types refuse in the schema mapping. Column DEFAULT VALUES refuse
-    // here — a name-based scan would null-fill missing columns where
-    // the spec demands the declared default. Row lineage needs nothing
-    // from a plain read.
+    // types refuse in the schema mapping. Column DEFAULT VALUES
+    // (`initial-default` on a field of the CURRENT schema) are APPLIED:
+    // rows in data files written before the field existed take the
+    // declared default instead of null — the footer split below fills
+    // exactly the files that physically lack the column, so explicit
+    // nulls written after the add stay null, matching the spec's
+    // read contract. `write-default` imposes nothing here (it binds
+    // writers that omit columns; graft's own Iceberg writers always
+    // supply every column explicitly). NESTED defaults still refuse —
+    // the fill below is top-level. Row lineage needs nothing from a
+    // plain read.
+    var initialDefaults: Map[String, JsonNode] = Map.empty
     if (formatVersion >= 3) {
-      def hasDefault(node: JsonNode): Option[String] = {
+      def nestedDefault(node: JsonNode, top: Boolean): Option[String] = {
         val fields = node.path("fields")
         if (!fields.isArray) None
         else fields.elements().asScala().flatMap { f =>
-          val own = Option(f.get("initial-default")).filterNot(_.isNull)
-            .map(_ => f.path("name").asText())
+          val own =
+            if (top) None // top-level defaults are the FILLED ones
+            else Option(f.get("initial-default")).filterNot(_.isNull)
+              .map(_ => f.path("name").asText())
           own.orElse(if (f.path("type").isObject)
-            hasDefault(f.path("type")) else None)
+            nestedDefault(f.path("type"), top = false) else None)
         }.nextOption()
       }
-      (Option(md.get("schemas")).filter(_.isArray).toSeq
-        .flatMap(_.elements().asScala()) ++
-        Option(md.get("schema")).toSeq)
-        .flatMap(hasDefault).headOption.foreach(colName =>
-          refuse(path, s"declares an initial-default on column " +
-            s"'$colName' (Iceberg v3 default values) — a name-based " +
-            "scan would null-fill instead of applying the default"))
+      val cur = currentSchemaNode(md, path)
+      nestedDefault(cur, top = true).foreach(colName =>
+        refuse(path, s"declares an initial-default on NESTED column " +
+          s"'$colName' (Iceberg v3 default values) — this reader fills " +
+          "top-level defaults only"))
+      initialDefaults = cur.path("fields").elements().asScala().flatMap { f =>
+        Option(f.get("initial-default")).filterNot(_.isNull)
+          .map(v => f.path("name").asText() -> v)
+      }.toMap
     }
 
     // declared schema: v2 carries a schemas array + current-schema-id,
@@ -4794,6 +4806,10 @@ object IcebergInterop {
        // partition struct, not the files (Column Projection rule 2) —
        // under any LIVE spec, since each file follows its own spec
        }).filterNot(dataFiles.iterator.flatMap(_._2.map(_._1)).toSet.contains)
+       // a declared initial-default EXPLAINS absence: pre-add files
+       // legitimately lack the column and fill the default, not a
+       // rename suspicion
+        .filterNot(initialDefaults.contains)
     val probeSchema = spark.read.parquet(dataFiles.head._1).schema
     val probe = probeSchema.fieldNames.toSet
     val missing = stableCols.filterNot(probe.contains)
@@ -4859,11 +4875,67 @@ object IcebergInterop {
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     }
     val readSchema: StructType = schema
+    // v3 initial-default: the JSON single-value serialization of the
+    // supported primitive defaults as a typed literal. Unsupported
+    // combinations refuse loudly rather than silently null-filling.
+    def defaultLiteral(name: String): org.apache.spark.sql.Column = {
+      val v = initialDefaults(name)
+      val dt = schema(name).dataType
+      (dt match {
+        case IntegerType if v.isNumber => Some(lit(v.asInt()))
+        case LongType if v.isNumber => Some(lit(v.asLong()))
+        case FloatType if v.isNumber => Some(lit(v.floatValue()))
+        case DoubleType if v.isNumber => Some(lit(v.asDouble()))
+        case BooleanType if v.isBoolean => Some(lit(v.asBoolean()))
+        case StringType if v.isTextual => Some(lit(v.asText()))
+        case DateType if v.isTextual =>
+          Some(lit(v.asText()).cast(DateType))
+        case TimestampType if v.isTextual =>
+          Some(lit(v.asText()).cast(TimestampType))
+        case d: org.apache.spark.sql.types.DecimalType =>
+          Some(lit(v.asText()).cast(d))
+        case _ => None
+      }).getOrElse(refuse(path, s"declares an initial-default " +
+        s"${v.toString} this reader cannot render as ${dt.simpleString}"))
+    }
+    // The defaulted columns a data file physically LACKS (footer field
+    // names, driver-side open) — the exact fill set per the spec:
+    // files written before the add take the default, files written
+    // after carry the column (explicit nulls stay null). Paid only on
+    // default-carrying v3 tables, O(#files-with-defaults-declared).
+    def absentDefaulted(file: String): Set[String] =
+      if (initialDefaults.isEmpty) Set.empty
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new HPath(file), conf))
+        try {
+          val mt = rdr.getFooter.getFileMetaData.getSchema
+          val present = (0 until mt.getFieldCount)
+            .map(mt.getType(_).getName).toSet
+          initialDefaults.keySet.filterNot(present.contains)
+        } finally rdr.close()
+      }
     /** Scan `files` at `scanSchema`, splitting id-resolvable from
-      * name-mapped files when renames are in play, and project the
-      * logical columns (+ `extra`, e.g. _metadata refs — selected
-      * per-scan because hidden columns don't survive a union). */
+      * name-mapped files when renames are in play, filling v3
+      * initial-defaults per file group, and project the logical
+      * columns (+ `extra`, e.g. _metadata refs — selected per-scan
+      * because hidden columns don't survive a union). */
     def readFiles(scanSchema0: StructType, files: Seq[String],
+        extra: Seq[org.apache.spark.sql.Column]): DataFrame =
+      if (initialDefaults.isEmpty) readFilesRaw(scanSchema0, files, extra)
+      else files.groupBy(absentDefaulted).toSeq
+        // deterministic union order (groupBy is hash-ordered)
+        .sortBy(_._1.toSeq.sorted.mkString(","))
+        .map { case (absent, group) =>
+          val scanned = readFilesRaw(scanSchema0, group, extra)
+          if (absent.isEmpty) scanned
+          else scanned.select(scanned.columns.toSeq.map(c =>
+            if (absent(c)) defaultLiteral(c).as(c)
+            else col(s"`$c`")): _*)
+        }.reduce(_.unionAll(_))
+    def readFilesRaw(scanSchema0: StructType, files: Seq[String],
         extra: Seq[org.apache.spark.sql.Column]): DataFrame = {
       // v3 row lineage: rewritten files MATERIALIZE _row_id /
       // _last_updated_sequence_number; files that never rewrote

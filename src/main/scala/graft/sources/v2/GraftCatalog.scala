@@ -900,7 +900,7 @@ private[v2] object GraftProcedures {
       // Hadoop-FS URI), not a warehouse name — the SQL face of the
       // Delta/Iceberg interop writers
       "delta_vacuum", "delta_optimize", "delta_checkpoint",
-      "delta_restore", "delta_clone", "delta_to_iceberg",
+      "delta_restore", "delta_clone", "delta_cluster_by", "delta_to_iceberg",
       "iceberg_to_delta", "iceberg_expire_snapshots",
       "iceberg_compact", "iceberg_rollback", "iceberg_remove_orphans",
       "iceberg_tag", "iceberg_drop_ref",
@@ -988,6 +988,8 @@ private[v2] object GraftProcedures {
             Array(in("path", StringType), in("to_version", LongType))
           case "delta_clone" =>
             Array(in("source", StringType), in("target", StringType))
+          case "delta_cluster_by" =>
+            Array(in("path", StringType), in("cols", StringType))
           case "iceberg_expire_snapshots" =>
             Array(in("path", StringType), in("keep_last", IntegerType))
           case "iceberg_compact" =>
@@ -1039,6 +1041,11 @@ private[v2] object GraftProcedures {
                 (longSchema("version"), Seq(InternalRow(
                   graft.sources.DeltaInterop.cloneDelta(spark, arg0,
                     input.getUTF8String(1).toString))))
+              case "delta_cluster_by" =>
+                (longSchema("version"), Seq(InternalRow(
+                  graft.sources.DeltaInterop.clusterByDelta(spark, arg0,
+                    input.getUTF8String(1).toString.split(",")
+                      .map(_.trim).filter(_.nonEmpty).toSeq))))
               case "delta_to_iceberg" =>
                 (longSchema("snapshot_id"), Seq(InternalRow(
                   graft.sources.IcebergInterop.convertDeltaToIceberg(

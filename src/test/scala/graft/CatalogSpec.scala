@@ -953,6 +953,14 @@ class CatalogSpec extends AnyFunSuite {
       s"CALL $cat.system.delta_optimize('$cRoot', ${64L << 10}, 'id')")
     assert(graft.sources.DeltaInterop.readDelta(spark, cRoot)
       .count() == 100)
+    // liquid-clustering declaration through SQL: the CLUSTER BY commit
+    // lands the delta.clustering domain
+    val lcV = spark.sql(s"CALL $cat.system.delta_cluster_by('$cRoot', 'id')")
+      .collect()(0).getLong(0)
+    assert(lcV >= 1L)
+    assert(new String(Files.readAllBytes(java.nio.file.Paths.get(
+      cRoot, "_delta_log", f"$lcV%020d.json")), "UTF-8")
+      .contains("delta.clustering"))
     assert(spark.sql(s"CALL $cat.system.delta_checkpoint('$cRoot')")
       .collect()(0).getLong(0) >= 1L)
     assert(spark.sql(s"CALL $cat.system.delta_vacuum('$cRoot', 0)")

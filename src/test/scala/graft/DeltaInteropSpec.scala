@@ -1662,6 +1662,51 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("collations"), e3.getMessage)
   }
 
+  test("appendToDelta computes generated columns; supplied values check-on-write") {
+    import spark.implicits._
+    // a generated DATE partition column — the common Delta shape
+    // (CAST(ts AS DATE) date-partitioning a timestamped event table)
+    val root = tmp("graft_dapp_gen_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val genSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", TimestampType),
+      StructField("d", DateType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.generationExpression", "CAST(ts AS DATE)")
+          .build()))).json
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(genSchema)}","partitionColumns":["d"],"configuration":{},"createdTime":1}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val t1 = java.sql.Timestamp.valueOf("2024-03-01 10:30:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-03-02 23:59:59")
+    // input OMITS the generated column -> the engine computes it
+    DeltaInterop.appendToDelta(Seq((1L, t1), (2L, t2)).toDF("id", "ts"), root)
+    val got = DeltaInterop.readDelta(spark, root)
+      .select("id", "d").as[(Long, java.sql.Date)].collect().toMap
+    assert(got(1L) == java.sql.Date.valueOf("2024-03-01"), got.toString)
+    assert(got(2L) == java.sql.Date.valueOf("2024-03-02"), got.toString)
+    // the computed column landed as a REAL hive partition: pruning works
+    assert(DeltaInterop.readDeltaWhere(spark, root, "d", "2024-03-01")
+      .select("id").as[Long].collect().toSet == Set(1L))
+    // supplied values that MATCH the expression land
+    DeltaInterop.appendToDelta(
+      Seq((3L, t1, java.sql.Date.valueOf("2024-03-01"))).toDF("id", "ts", "d"),
+      root)
+    // a supplied MISMATCH refuses before any file lands
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.appendToDelta(
+        Seq((4L, t1, java.sql.Date.valueOf("1999-01-01"))).toDF("id", "ts", "d"),
+        root)
+    }
+    assert(e.getMessage.contains("generated column 'd' check-on-write"),
+      e.getMessage)
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("appendToDelta contention: every writer lands a distinct version") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_dapp_conc_"),
@@ -2503,6 +2548,62 @@ class DeltaInteropSpec extends AnyFunSuite {
     }
     assert(DeltaInterop.readDelta(spark, target)
       .select("id").as[Long].collect().toSet == (0L until 400L).toSet)
+  }
+
+  test("clusterByDelta declares liquid clustering that OPTIMIZE then honors") {
+    import spark.implicits._
+    // plain unclustered table, 4 hash-scattered files
+    val root = tmp("graft_lcdecl_")
+    scala.util.Random.shuffle(Seq.range(0L, 400L))
+      .map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4).write.parquet(root)
+    DeltaInterop.convertParquetToDelta(spark, root)
+    // declare CLUSTER BY (id): one metadata commit
+    val v = DeltaInterop.clusterByDelta(spark, root, Seq("id"))
+    assert(v == 1L)
+    val commit = new String(Files.readAllBytes(
+      Paths.get(root, "_delta_log", "0" * 19 + "1.json")), "UTF-8")
+    // the protocol upgraded to the clustered-table writer feature and
+    // the domain carries the declared columns
+    assert(commit.contains("\"clusteredTable\"") &&
+      commit.contains("\"domainMetadata\"") &&
+      commit.contains("delta.clustering") &&
+      commit.contains("clusteringColumns"), commit.take(800))
+    // appends still land on the clustered table
+    DeltaInterop.appendToDelta(
+      Seq((400L, "v400"), (401L, "v401")).toDF("id", "v"), root)
+    // OPTIMIZE with NO explicit zorderBy re-clusters by the DECLARED
+    // column: disjoint per-file id ranges
+    DeltaInterop.optimizeDelta(spark, root, targetFileBytes = 4096L)
+    val ranges = DeltaInterop.readDelta(spark, root)
+      .groupBy(col("_metadata.file_path").as("f"))
+      .agg(min("id").as("mn"), max("id").as("mx"))
+      .select("mn", "mx").as[(Long, Long)].collect().sortBy(_._1)
+    assert(ranges.length >= 2, s"expected a multi-file rewrite: ${ranges.toSeq}")
+    ranges.sliding(2).foreach { case Array((_, mx1), (mn2, _)) =>
+      assert(mx1 < mn2, s"overlapping ranges: ${ranges.toSeq}")
+    }
+    assert(DeltaInterop.readDelta(spark, root)
+      .select("id").as[Long].collect().toSet == (0L until 402L).toSet)
+    // the checkpoint carries the declared domain (survives log cleanup)
+    val cpv = DeltaInterop.checkpointDelta(spark, root)
+    val cp = spark.read.parquet(
+      Paths.get(root, "_delta_log", f"$cpv%020d.checkpoint.parquet").toString)
+    assert(cp.where(col("domainMetadata.domain") === "delta.clustering")
+      .count() == 1)
+    // refusals: unknown column, partitioned table
+    val eCol = intercept[IllegalArgumentException] {
+      DeltaInterop.clusterByDelta(spark, root, Seq("nope"))
+    }
+    assert(eCol.getMessage.contains("not in the table schema"), eCol.getMessage)
+    val tPart = GraftTable.create(spark, tmp("graft_lcpart_"),
+      Seq((1L, "A"), (2L, "B")).toDF("id", "seg"), partitionBy = Seq("seg"))
+    val partRoot = tmp("graft_lcpart_t_")
+    DeltaInterop.exportSnapshot(tPart, partRoot)
+    val ePart = intercept[IllegalArgumentException] {
+      DeltaInterop.clusterByDelta(spark, partRoot, Seq("id"))
+    }
+    assert(ePart.getMessage.contains("partitioned"), ePart.getMessage)
   }
 
   test("vacuumDelta deletes unreferenced files, protects active + hidden") {

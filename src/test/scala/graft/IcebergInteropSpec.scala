@@ -682,6 +682,69 @@ class IcebergInteropSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  test("v3 initial-default fills pre-add files; explicit nulls stay null") {
+    import spark.implicits._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // a v1 export: data file 1 predates the column add (no 'flag')
+    val t = GraftTable.create(spark, tmp("graft_idflt_"),
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val target = tmp("graft_idflt_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val md = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md.put("format-version", 3)
+    // add 'flag INT' with initial-default 7 (and a write-default, which
+    // imposes nothing on reads or on explicit-value writers) to every
+    // retained schema node
+    val lastId = md.path("last-column-id").asInt()
+    def addFlag(sc: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      val f = om.createObjectNode()
+      f.put("id", lastId + 1); f.put("name", "flag")
+      f.put("required", false); f.put("type", "int")
+      f.put("initial-default", 7); f.put("write-default", 7)
+      sc.path("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(f): Unit
+    }
+    if (md.has("schemas")) md.get("schemas").forEach(addFlag(_))
+    if (md.has("schema")) addFlag(md.get("schema"))
+    md.put("last-column-id", lastId + 1)
+    patch(mdPath, om.writeValueAsBytes(md))
+    // post-add file CARRIES the column, including an explicit NULL
+    IcebergInterop.appendToIceberg(
+      Seq((10L, "x", Option(1)), (11L, "y", Option.empty[Int]))
+        .toDF("id", "v", "flag"), target)
+    val got = IcebergInterop.readIceberg(spark, target)
+      .select("id", "flag").as[(Long, Option[Int])].collect().toMap
+    assert(got(1L) == Some(7) && got(2L) == Some(7), got.toString) // filled
+    assert(got(10L) == Some(1), got.toString) // written value kept
+    assert(got(11L) == None, got.toString)    // explicit null stays null
+    // nested defaults refuse loudly (this reader fills top-level only)
+    val md2 = om.readTree(Files.readAllBytes(Paths.get(target, "metadata",
+      "v2.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    def firstSchema = if (md2.has("schemas")) md2.get("schemas").get(0)
+      else md2.get("schema")
+    val nested = om.createObjectNode()
+    nested.put("id", lastId + 2); nested.put("name", "s")
+    nested.put("required", false)
+    val st = nested.putObject("type")
+    st.put("type", "struct")
+    val inner = om.createObjectNode()
+    inner.put("id", lastId + 3); inner.put("name", "x")
+    inner.put("required", false); inner.put("type", "int")
+    inner.put("initial-default", 1)
+    st.putArray("fields").add(inner)
+    firstSchema.path("fields")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(nested)
+    patch(Paths.get(target, "metadata", "v2.metadata.json"),
+      om.writeValueAsBytes(md2))
+    val eNested = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, target)
+    }
+    assert(eNested.getMessage.contains("NESTED"), eNested.getMessage)
+  }
+
   test("refuses formats beyond v3 and renamed columns") {
     import spark.implicits._
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -2356,7 +2419,7 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot express row-level"), e.getMessage)
   }
 
-  test("v3 reads: plain tables read; DVs and default values refuse by name") {
+  test("v3 reads: plain tables read; defaults never override data; malformed DVs refuse") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_v3_"),
       Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
@@ -2382,7 +2445,9 @@ class IcebergInteropSpec extends AnyFunSuite {
     // a v3 table with no v3-only feature in play reads exactly
     assert(IcebergInterop.readIceberg(spark, target)
       .as[(Long, String)].collect().toSet == Set((1L, "a"), (3L, "c")))
-    // v3 default values refuse BY NAME (null-filling would be wrong)
+    // v3 default values on a column EVERY file carries: nothing fills,
+    // the written values win (the dedicated initial-default test pins
+    // the pre-add fill; this pins that defaults never OVERRIDE data)
     patch(curPath, new String(Files.readAllBytes(curPath), "UTF-8")
       .replace("\"name\" : \"v\",", "\"name\":\"v\",\"initial-default\":\"dflt\",")
       .replace("\"name\":\"v\",\"required\"",
@@ -2391,11 +2456,8 @@ class IcebergInteropSpec extends AnyFunSuite {
     val hasDefault = new String(Files.readAllBytes(curPath), "UTF-8")
       .contains("initial-default")
     assert(hasDefault, "test setup: default not injected")
-    val e1 = intercept[IllegalArgumentException] {
-      IcebergInterop.readIceberg(spark, target).collect()
-    }
-    assert(e1.getMessage.contains("initial-default") &&
-      e1.getMessage.contains("'v'"), e1.getMessage)
+    assert(IcebergInterop.readIceberg(spark, target)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (3L, "c")))
     patch(curPath, new String(Files.readAllBytes(curPath), "UTF-8")
       .replace("\"initial-default\":\"dflt\",", "").getBytes("UTF-8"))
     // a MALFORMED deletion-vector entry (puffin format but no blob

@@ -629,4 +629,118 @@ class RestCatalogSpec extends AnyFunSuite {
     assert(httpReq("POST", "/v1/namespaces/mdb/tables/mt/metrics",
       Some("""{"snapshot-id":1}"""))._1 == 400)
   }
+
+  test("transactions/commit: multi-table atomic commit, all-or-nothing") {
+    val s = restSession("rtxn")
+    s.sql("CREATE NAMESPACE rtxn.xdb")
+    s.sql("CREATE TABLE rtxn.xdb.t1 (id BIGINT) USING graft")
+    s.sql("CREATE TABLE rtxn.xdb.t2 (id BIGINT) USING graft")
+    s.sql("INSERT INTO rtxn.xdb.t1 VALUES (1)")
+    s.sql("INSERT INTO rtxn.xdb.t2 VALUES (2)")
+    import graft.sources.{GraftTable, IcebergInterop}
+    IcebergInterop.mirrorToIceberg(GraftTable.load(spark, s"$warehouse/xdb/t1"))
+    IcebergInterop.mirrorToIceberg(GraftTable.load(spark, s"$warehouse/xdb/t2"))
+    def uuidOf(t: String): String = {
+      val b = httpGet(s"/v1/namespaces/xdb/tables/$t")._2
+      b.split("\"table-uuid\"\\s*:\\s*\"")(1).split("\"")(0)
+    }
+    def metaDir(t: String) =
+      java.nio.file.Paths.get(s"$warehouse/xdb/$t/metadata")
+    def maxV(t: String): Int =
+      Files.list(metaDir(t)).toArray.map(_.toString)
+        .flatMap("v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(_))
+        .map(_.group(1).toInt).max
+    val (u1, u2) = (uuidOf("t1"), uuidOf("t2"))
+    val (v1, v2) = (maxV("t1"), maxV("t2"))
+    def txn(uuid2: String) = s"""{
+      "table-changes": [
+        {"identifier": {"namespace": ["xdb"], "name": "t1"},
+         "requirements": [{"type": "assert-table-uuid", "uuid": "$u1"}],
+         "updates": [{"action": "set-properties",
+                      "updates": {"txn-mark": "one"}}]},
+        {"identifier": {"namespace": ["xdb"], "name": "t2"},
+         "requirements": [{"type": "assert-table-uuid", "uuid": "$uuid2"}],
+         "updates": [{"action": "set-properties",
+                      "updates": {"txn-mark": "two"}}]}
+      ]}"""
+    // atomic success: 204, BOTH tables advance one version with the mark
+    val (c, b) = httpReq("POST", "/v1/transactions/commit", Some(txn(u2)))
+    assert(c == 204, b)
+    assert(maxV("t1") == v1 + 1 && maxV("t2") == v2 + 1)
+    assert(httpGet("/v1/namespaces/xdb/tables/t1")._2.contains("txn-mark"))
+    assert(httpGet("/v1/namespaces/xdb/tables/t2")._2.contains("txn-mark"))
+    // a requirement mismatch on the SECOND table: 409, NEITHER advances
+    val (c2, b2) = httpReq("POST", "/v1/transactions/commit",
+      Some(txn("not-the-uuid")))
+    assert(c2 == 409 && b2.contains("CommitFailedException"), b2)
+    assert(maxV("t1") == v1 + 1 && maxV("t2") == v2 + 1)
+    // a publish race mid-transaction rolls the transaction back: a
+    // "concurrent" writer (the race hook — the window is inside the
+    // server's locked section, unreachable deterministically from
+    // outside) claims t2's next slot after t1 already published, so
+    // t1's published version must be withdrawn
+    server.publishRaceHook = Some((ident, v) =>
+      if (ident == "xdb.t2")
+        Files.write(metaDir("t2").resolve(s"v$v.metadata.json"),
+          "{}".getBytes(StandardCharsets.UTF_8)): Unit)
+    try {
+      val (c3, b3) = httpReq("POST", "/v1/transactions/commit", Some(txn(u2)))
+      assert(c3 == 409 && b3.contains("rolled back"), b3)
+      assert(maxV("t1") == v1 + 1, s"t1 not rolled back: v=${maxV("t1")}")
+    } finally {
+      server.publishRaceHook = None
+      Files.delete(metaDir("t2").resolve(s"v${v2 + 2}.metadata.json"))
+    }
+    // malformed shapes are typed 400s
+    assert(httpReq("POST", "/v1/transactions/commit",
+      Some("""{"table-changes":[]}"""))._1 == 400)
+    val dup = """{"table-changes":[
+      {"identifier":{"namespace":["xdb"],"name":"t1"},"updates":[]},
+      {"identifier":{"namespace":["xdb"],"name":"t1"},"updates":[]}]}"""
+    val (c4, b4) = httpReq("POST", "/v1/transactions/commit", Some(dup))
+    assert(c4 == 400 && b4.contains("twice"), b4)
+    // unknown table -> 404 and nothing published anywhere
+    val ghost = """{"table-changes":[
+      {"identifier":{"namespace":["xdb"],"name":"nope"},"updates":[]}]}"""
+    assert(httpReq("POST", "/v1/transactions/commit", Some(ghost))._1 == 404)
+  }
+
+  test("credential vending: header-gated storage credentials in loadTable") {
+    val wh = Files.createTempDirectory("graft_rest_vend_wh_").toString
+    val vendServer = new RestCatalogServer(spark, wh,
+      credentialVendor = Some(loc => Map(
+        "s3.access-key-id" -> "AKTEST",
+        "s3.secret-access-key" -> "SKTEST",
+        "s3.session-token" -> s"tok:$loc")))
+    val p = vendServer.start()
+    def req(path: String, headers: Map[String, String]): (Int, String) = {
+      val conn = new java.net.URL(s"http://127.0.0.1:$p$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try {
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        val code = conn.getResponseCode
+        val st = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        (code, if (st == null) ""
+               else new String(st.readAllBytes(), StandardCharsets.UTF_8))
+      } finally conn.disconnect()
+    }
+    try {
+      Files.createDirectories(java.nio.file.Paths.get(wh, "vdb"))
+      import spark.implicits._
+      graft.sources.GraftTable.create(spark, s"$wh/vdb/vt",
+        Seq((1L, "a")).toDF("id", "v"))
+      // no delegation header -> a plain response, no credentials leak
+      val (c1, b1) = req("/v1/namespaces/vdb/tables/vt", Map.empty)
+      assert(c1 == 200 && !b1.contains("AKTEST") &&
+        !b1.contains("storage-credentials"), b1)
+      // the spec header -> config carries the vended keys AND the
+      // storage-credentials array scoped to the table location
+      val (c2, b2) = req("/v1/namespaces/vdb/tables/vt",
+        Map("X-Iceberg-Access-Delegation" -> "vended-credentials"))
+      assert(c2 == 200, b2)
+      assert(b2.contains(""""s3.access-key-id":"AKTEST""""), b2)
+      assert(b2.contains(""""storage-credentials""""), b2)
+      assert(b2.contains(s""""prefix":"$wh/vdb/vt""""), b2)
+    } finally vendServer.stop()
+  }
 }
