@@ -256,8 +256,10 @@ def append_to_delta(df, path, merge_schema=False):
     (physical names + parquet field ids); CHECK constraints and
     invariants are enforced over the input; generated columns the
     input omits are COMPUTED from their stored expression (supplied
-    values are check-on-write verified); identity columns and unknown
-    writer features refuse.
+    values are check-on-write verified); identity columns the input
+    omits are ASSIGNED (monotone beyond the recorded high watermark,
+    which the commit advances; supplied values need the column's
+    allowExplicit); unknown writer features refuse.
     merge_schema=True widens the table with the input's extra columns
     in the same commit (Delta's mergeSchema option). Returns the
     committed version."""
@@ -301,9 +303,10 @@ def append_to_iceberg(df, path, merge_schema=False):
     """APPEND a DataFrame to an existing file-based Iceberg table as a
     fast-append snapshot (format v1 AND v2 — v2 appends maintain the
     spec's sequence-number bookkeeping, so existing merge-on-read
-    deletes keep applying only to older data). Writes field-id-stamped
-    parquet laid out per the table's default partition spec. Returns
-    the committed snapshot id."""
+    deletes keep applying only to older data). Omitted columns with a
+    declared v3 write-default are filled at write time. Writes
+    field-id-stamped parquet laid out per the table's default
+    partition spec. Returns the committed snapshot id."""
     jvm = df.sparkSession._jvm
     ix = jvm.graft.sources.IcebergInterop
     return ix.appendToIceberg(df._jdf, path, 20, jvm.scala.Option.empty(),

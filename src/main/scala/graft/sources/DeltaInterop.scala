@@ -1708,8 +1708,11 @@ object DeltaInterop {
     * columns (`delta.generationExpression`) are COMPUTED when the
     * input omits them and check-on-write enforced (value must equal
     * the expression) when the input supplies them, matching a full
-    * Delta client; identity columns refuse (values this writer will
-    * not assign), as do unknown writer features. Features that
+    * Delta client; identity columns (`delta.identity.*`) are ASSIGNED
+    * when omitted (monotone-beyond-watermark values, the
+    * highWaterMark advanced in the same commit) and accepted when
+    * supplied only under allowExplicit; unknown writer features
+    * refuse. Features that
     * impose no obligation on a plain append (appendOnly,
     * deletionVectors, changeDataFeed — blind-append inserts derive
     * from the add actions per PROTOCOL.md, v2Checkpoint — appends
@@ -1794,6 +1797,9 @@ object DeltaInterop {
     val HarmlessOnAppend = Set("appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed",
       "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable",
+      // identityColumns is ACCEPTED: omitted identity values are
+      // assigned and the high watermark advances in this commit
+      "identityColumns",
       // rowTracking is ACCEPTED, not merely tolerated: the adds below
       // assign baseRowId/defaultRowCommitVersion and advance the
       // domainMetadata high watermark per the protocol
@@ -1806,14 +1812,20 @@ object DeltaInterop {
       lastColl.flatMap(_.txns.get(app)).exists(_._1 >= tv)
     }
     // the effective input: `df` plus any generated columns this writer
-    // computes (set by validate(), which knows the table schema)
+    // computes and identity columns it assigns (built by the FIRST
+    // validate(), which knows the table schema; race re-validations
+    // must keep it — the staged files embed the first assignment)
     var dfW: DataFrame = df
+    var dfWBuilt = false
+    var identityWm: Map[String, Long] = Map.empty
+    var persistedInput: Option[DataFrame] = None
     def validate(): DeltaSnapshot = {
       // the collector carries txn watermarks AND the metaData identity
-      // a mergeSchema commit must preserve
-      lastColl =
-        if (txn.isDefined || mergeSchema) Some(new CheckpointCollector())
-        else None
+      // any schema-re-declaring commit must preserve (mergeSchema
+      // widening, identity watermark advance — which isn't knowable
+      // until the schema is replayed, so collect always; it's a few
+      // extra fields captured during the replay this call runs anyway)
+      lastColl = Some(new CheckpointCollector())
       val st = replaySnapshot(spark, path, None, lastColl)
       if (st.minWriter > 7)
         refuseW(s"the table requires writer protocol ${st.minWriter}")
@@ -1824,11 +1836,6 @@ object DeltaInterop {
             s"[${unknown.mkString(", ")}] this writer does not implement")
       }
       val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-      schema.fields.foreach { f =>
-        if (f.metadata.contains("delta.identity.start"))
-          refuseW(s"column '${f.name}' is an identity column this writer " +
-            "does not assign")
-      }
       // Generated columns (delta.generationExpression) are COMPUTED
       // when the input omits them — what a full Delta client does
       // silently (the common case: a generated date partition column) —
@@ -1839,16 +1846,94 @@ object DeltaInterop {
         case f if f.metadata.contains("delta.generationExpression") =>
           f -> f.metadata.getString("delta.generationExpression")
       }
-      dfW = genCols.foldLeft(df) { case (d, (f, g)) =>
-        if (d.schema.fieldNames.contains(f.name)) d
-        else d.withColumn(f.name,
-          org.apache.spark.sql.functions.expr(g).cast(f.dataType))
-      }
+      if (!dfWBuilt)
+        dfW = genCols.foldLeft(df) { case (d, (f, g)) =>
+          if (d.schema.fieldNames.contains(f.name)) d
+          else d.withColumn(f.name,
+            org.apache.spark.sql.functions.expr(g).cast(f.dataType))
+        }
       val genChecks = genCols.collect {
         case (f, g) if df.schema.fieldNames.contains(f.name) =>
           (s"generated column '${f.name}' check-on-write",
             s"`${f.name.replace("`", "``")}` <=> (($g))")
       }
+      // Identity columns (delta.identity.{start,step,highWaterMark}):
+      // an OMITTED identity column is ASSIGNED here — values
+      // base + k·step strictly beyond the recorded high watermark in
+      // step direction (k from monotonically_increasing_id, so values
+      // are unique and monotone but GAPPED — the protocol permits
+      // gaps, and Delta's own assignment leaves them too) — and the
+      // commit advances delta.identity.highWaterMark in the same
+      // metaData action. SUPPLIED values are accepted only when the
+      // column declares allowExplicit (GENERATED BY DEFAULT); the
+      // watermark still advances past them. A peer moving the
+      // watermark mid-race changes the schema metadata, which the
+      // race re-validation refuses — concurrent identity appends
+      // serialize instead of colliding. Costs one extra aggregation
+      // pass over the input (the watermark read-back).
+      if (!dfWBuilt) { // first validate() only: the staged files
+        // embed the first pass's assignment
+        val idCols = schema.fields.toSeq.filter(
+          _.metadata.contains("delta.identity.start"))
+        var assigned = false
+        idCols.foreach { f =>
+          val start = f.metadata.getLong("delta.identity.start")
+          val step = f.metadata.getLong("delta.identity.step")
+          require(step != 0, s"identity column '${f.name}' declares step 0")
+          val wm =
+            if (f.metadata.contains("delta.identity.highWaterMark"))
+              Some(f.metadata.getLong("delta.identity.highWaterMark"))
+            else None
+          if (!dfW.schema.fieldNames.contains(f.name)) {
+            val base = wm.getOrElse(start - step)
+            dfW = dfW.withColumn(f.name,
+              (org.apache.spark.sql.functions.lit(base) +
+                (org.apache.spark.sql.functions
+                  .monotonically_increasing_id() + 1L) *
+                  org.apache.spark.sql.functions.lit(step))
+                .cast(f.dataType))
+            assigned = true
+          } else if (!(f.metadata.contains("delta.identity.allowExplicit") &&
+              f.metadata.getBoolean("delta.identity.allowExplicit")))
+            refuseW(s"column '${f.name}' is GENERATED ALWAYS AS IDENTITY " +
+              "— it cannot take user-supplied values (omit it and this " +
+              "writer assigns)")
+        }
+        if (idCols.nonEmpty) {
+          // pin the assignment: the watermark read-back below and the
+          // file write later must see the SAME monotonic ids
+          if (assigned) {
+            dfW = dfW.persist(org.apache.spark.storage.StorageLevel
+              .MEMORY_AND_DISK)
+            persistedInput = Some(dfW)
+          }
+          import org.apache.spark.sql.functions.{max => fmax, min => fmin, col => fcol}
+          val aggs = idCols.map { f =>
+            val step = f.metadata.getLong("delta.identity.step")
+            (if (step > 0) fmax(fcol(f.name)) else fmin(fcol(f.name)))
+              .as(s"__wm_${f.name}")
+          }
+          val row = dfW.agg(aggs.head, aggs.tail: _*).collect()(0)
+          identityWm = idCols.zipWithIndex.flatMap { case (f, i) =>
+            if (row.isNullAt(i)) None // empty input: watermark keeps
+            else {
+              val step = f.metadata.getLong("delta.identity.step")
+              val got = row.getLong(i)
+              val old =
+                if (f.metadata.contains("delta.identity.highWaterMark"))
+                  Some(f.metadata.getLong("delta.identity.highWaterMark"))
+                else None
+              val next = old match {
+                case Some(o) =>
+                  if (step > 0) math.max(o, got) else math.min(o, got)
+                case None => got
+              }
+              if (old.contains(next)) None else Some(f.name -> next)
+            }
+          }.toMap
+        }
+      }
+      dfWBuilt = true
       // CHECK constraints + column invariants are ENFORCED, not
       // refused: one aggregate pass over the input evaluates every
       // declared predicate (SQL CHECK semantics — NULL passes), and a
@@ -1907,6 +1992,18 @@ object DeltaInterop {
           case ((sc, cf), f) => appendSchemaField(sc, cf, f.name, f.dataType)
         }
     val schemaWidened = schema.length != tableSchema.length
+    // identity appends advance delta.identity.highWaterMark in the
+    // same commit's metaData (the protocol's watermark bookkeeping)
+    val schemaWithWm =
+      if (identityWm.isEmpty) schema
+      else StructType(schema.fields.map { f =>
+        identityWm.get(f.name).map { wm =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("delta.identity.highWaterMark", wm).build())
+        }.getOrElse(f)
+      })
+    val schemaChanged = schemaWidened || identityWm.nonEmpty
     val partCols = st.partCols
     // column-mapped tables (name or id mode): the files must carry
     // PHYSICAL names at every nesting level (nested renames via a
@@ -1942,8 +2039,10 @@ object DeltaInterop {
     // contents per protocol) — no post-write footer re-read pass
     val physDataSchema = StructType(
       physSchema.filterNot(f => physPartCols.contains(f.name)))
-    val statsMap = DeltaStats.writeWithStats(ordered, staging.toString,
-      physPartCols, physDataSchema)
+    val statsMap =
+      try DeltaStats.writeWithStats(ordered, staging.toString,
+        physPartCols, physDataSchema)
+      finally persistedInput.foreach(_.unpersist(false))
     def listParquetRec(dir: HPath, rel: String): Seq[(String, Long, Long)] =
       fs.listStatus(dir).toSeq.flatMap { stat =>
         val name = stat.getPath.getName
@@ -1975,7 +2074,7 @@ object DeltaInterop {
       val now = System.currentTimeMillis()
       val actions = Seq.newBuilder[String]
       actions += s"""{"commitInfo":{"timestamp":$now,"operation":"WRITE","operationParameters":{"mode":"Append"},"engineInfo":"graft-append"}}"""
-      if (schemaWidened) {
+      if (schemaChanged) {
         val confJson = mergedConf.map { case (k, vv) =>
           "\"" + jsonEscape(k) + "\":\"" + jsonEscape(vv) + "\""
         }.mkString(",")
@@ -1985,7 +2084,7 @@ object DeltaInterop {
           .map(d => s""","description":"${jsonEscape(d)}"""").getOrElse("")
         actions += s"""{"metaData":{"id":"${jsonEscape(
           lastColl.flatMap(_.metaId).getOrElse(
-            java.util.UUID.randomUUID().toString))}"$nameJson$descJson,"format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(schema.json)}","partitionColumns":[${partCols.map(c =>
+            java.util.UUID.randomUUID().toString))}"$nameJson$descJson,"format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(schemaWithWm.json)}","partitionColumns":[${partCols.map(c =>
           "\"" + jsonEscape(c) + "\"").mkString(",")}],"configuration":{$confJson},"createdTime":${lastColl.flatMap(_.createdTime).getOrElse(now)}}}"""
       }
       txn.foreach { case (app, tv) =>

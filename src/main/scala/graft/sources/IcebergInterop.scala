@@ -1988,6 +1988,9 @@ object IcebergInterop {
         currentSnap: Long, priorManifests: Seq[GenericRecord],
         formatVersion: Int, lastSeq: Long)
 
+    // the effective input: `df` plus any v3 write-default columns this
+    // writer fills (set by validate(), which knows the table schema)
+    var dfW: DataFrame = df
     def validate(): State = {
       require(fs.exists(metaDir), s"no Iceberg metadata directory at $path")
       // commit base = the HIGHEST LISTED metadata version, never the
@@ -2045,15 +2048,35 @@ object IcebergInterop {
         schemaNode = currentSchemaNode(md, path)
         schemaId = md.path("current-schema-id").asInt(0)
         schema = fromIcebergStruct(schemaNode, path)
-      } else
-        require(schema.fieldNames.toSet == df.schema.fieldNames.toSet,
+      } else {
+        // v3 write-default: an omitted column with a declared
+        // write-default is FILLED by this writer — the spec's writer
+        // obligation when a row omits the column; any other omission
+        // keeps refusing
+        val writeDefaults: Map[String, JsonNode] = schemaNode.path("fields")
+          .elements().asScala().flatMap { f =>
+            Option(f.get("write-default")).filterNot(_.isNull)
+              .map(v => f.path("name").asText() -> v)
+          }.toMap
+        val omitted = schema.fieldNames.toSet -- df.schema.fieldNames.toSet
+        val unfillable = omitted.filterNot(writeDefaults.contains)
+        require(unfillable.isEmpty && extras.isEmpty,
           s"append schema mismatch at $path: table columns " +
             s"[${schema.fieldNames.mkString(", ")}], input columns " +
             s"[${df.schema.fieldNames.mkString(", ")}]" +
             (if (extras.nonEmpty) " — pass mergeSchema=true to widen"
              else ""))
+        dfW = omitted.foldLeft(df) { (d, name) =>
+          val dt = schema(name).dataType
+          d.withColumn(name,
+            jsonSingleValueLiteral(dt, writeDefaults(name)).getOrElse(
+              refuseW(s"column '$name' declares a write-default " +
+                s"${writeDefaults(name).toString} this writer cannot " +
+                s"render as ${dt.simpleString}")))
+        }
+      }
       schema.fields.foreach { f =>
-        val have = df.schema(f.name).dataType
+        val have = dfW.schema(f.name).dataType
         require(f.dataType == have,
           s"append schema mismatch at $path: column '${f.name}' is " +
             s"${f.dataType.simpleString} in the table, ${have.simpleString} " +
@@ -2092,7 +2115,7 @@ object IcebergInterop {
     if (alreadyApplied(st.md)) return st.currentSnap
 
     val (dataDir, files, partValuesOf, inflightBounds) =
-      writeSpecData(df, root, fs, conf,
+      writeSpecData(dfW, root, fs, conf,
         st.parts, st.schemaNode, st.schema, "graft-append")
     try {
       val partFields = st.parts.map(_._1)
@@ -4387,6 +4410,27 @@ object IcebergInterop {
     }.distinct
   }
 
+  /** The Iceberg spec's JSON single-value serialization of a column
+    * default, rendered as a typed Spark literal — shared by the
+    * read-side `initial-default` fill and the write-side
+    * `write-default` fill. None = a combination this engine cannot
+    * render (callers refuse loudly). */
+  private def jsonSingleValueLiteral(dt: DataType, v: JsonNode)
+      : Option[org.apache.spark.sql.Column] = dt match {
+    case IntegerType if v.isNumber => Some(lit(v.asInt()))
+    case LongType if v.isNumber => Some(lit(v.asLong()))
+    case FloatType if v.isNumber => Some(lit(v.floatValue()))
+    case DoubleType if v.isNumber => Some(lit(v.asDouble()))
+    case BooleanType if v.isBoolean => Some(lit(v.asBoolean()))
+    case StringType if v.isTextual => Some(lit(v.asText()))
+    case DateType if v.isTextual => Some(lit(v.asText()).cast(DateType))
+    case TimestampType if v.isTextual =>
+      Some(lit(v.asText()).cast(TimestampType))
+    case d: org.apache.spark.sql.types.DecimalType =>
+      Some(lit(v.asText()).cast(d))
+    case _ => None
+  }
+
   /** TEST HOOK: the distinct data-file paths the DELETE/UPDATE
     * detection scan for `condition` would read at `path` — exactly the
     * manifest-bounds pruning the DML paths apply, observable without
@@ -4875,29 +4919,13 @@ object IcebergInterop {
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     }
     val readSchema: StructType = schema
-    // v3 initial-default: the JSON single-value serialization of the
-    // supported primitive defaults as a typed literal. Unsupported
-    // combinations refuse loudly rather than silently null-filling.
-    def defaultLiteral(name: String): org.apache.spark.sql.Column = {
-      val v = initialDefaults(name)
-      val dt = schema(name).dataType
-      (dt match {
-        case IntegerType if v.isNumber => Some(lit(v.asInt()))
-        case LongType if v.isNumber => Some(lit(v.asLong()))
-        case FloatType if v.isNumber => Some(lit(v.floatValue()))
-        case DoubleType if v.isNumber => Some(lit(v.asDouble()))
-        case BooleanType if v.isBoolean => Some(lit(v.asBoolean()))
-        case StringType if v.isTextual => Some(lit(v.asText()))
-        case DateType if v.isTextual =>
-          Some(lit(v.asText()).cast(DateType))
-        case TimestampType if v.isTextual =>
-          Some(lit(v.asText()).cast(TimestampType))
-        case d: org.apache.spark.sql.types.DecimalType =>
-          Some(lit(v.asText()).cast(d))
-        case _ => None
-      }).getOrElse(refuse(path, s"declares an initial-default " +
-        s"${v.toString} this reader cannot render as ${dt.simpleString}"))
-    }
+    // v3 initial-default as a typed literal; unsupported combinations
+    // refuse loudly rather than silently null-filling.
+    def defaultLiteral(name: String): org.apache.spark.sql.Column =
+      jsonSingleValueLiteral(schema(name).dataType, initialDefaults(name))
+        .getOrElse(refuse(path, s"declares an initial-default " +
+          s"${initialDefaults(name).toString} this reader cannot render " +
+          s"as ${schema(name).dataType.simpleString}"))
     // The defaulted columns a data file physically LACKS (footer field
     // names, driver-side open) — the exact fill set per the spec:
     // files written before the add take the default, files written

@@ -1707,6 +1707,62 @@ class DeltaInteropSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("appendToDelta assigns identity columns and advances the watermark") {
+    import spark.implicits._
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def identitySchema(allowExplicit: Boolean) = StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        new MetadataBuilder()
+          .putLong("delta.identity.start", 100L)
+          .putLong("delta.identity.step", 10L)
+          .putBoolean("delta.identity.allowExplicit", allowExplicit)
+          .build()),
+      StructField("v", StringType))).json
+    def mkTable(allowExplicit: Boolean): String = {
+      val root = tmp("graft_dapp_id_")
+      Files.createDirectories(Paths.get(root, "_delta_log"))
+      Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
+        s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(identitySchema(allowExplicit))}","partitionColumns":[],"configuration":{},"createdTime":1}}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      root
+    }
+    // GENERATED ALWAYS: omitted -> assigned (unique, in the declared
+    // arithmetic sequence, beyond start)
+    val root = mkTable(allowExplicit = false)
+    DeltaInterop.appendToDelta(Seq("a", "b", "c").toDF("v"), root)
+    val ids1 = DeltaInterop.readDelta(spark, root)
+      .select("id").as[Long].collect().toSeq
+    assert(ids1.size == 3 && ids1.distinct.size == 3, ids1.toString)
+    assert(ids1.forall(i => i >= 100L && (i - 100L) % 10L == 0L), ids1.toString)
+    // the commit advanced the watermark: a second append lands STRICTLY
+    // beyond the first batch's values
+    DeltaInterop.appendToDelta(Seq("d", "e").toDF("v"), root)
+    val ids2 = DeltaInterop.readDelta(spark, root)
+      .select("id").as[Long].collect().toSeq
+    assert(ids2.size == 5 && ids2.distinct.size == 5, ids2.toString)
+    assert(ids2.filterNot(ids1.contains).forall(_ > ids1.max), ids2.toString)
+    // the watermark rides the commit's metaData action
+    val commit1 = new String(Files.readAllBytes(
+      Paths.get(root, "_delta_log", "0" * 19 + "1.json")), "UTF-8")
+    assert(commit1.contains("delta.identity.highWaterMark"), commit1.take(600))
+    // supplied values refuse on GENERATED ALWAYS
+    val eAlways = intercept[IllegalArgumentException] {
+      DeltaInterop.appendToDelta(Seq((5L, "x")).toDF("id", "v"), root)
+    }
+    assert(eAlways.getMessage.contains("GENERATED ALWAYS"), eAlways.getMessage)
+    // GENERATED BY DEFAULT (allowExplicit): supplied values land and
+    // push the watermark — later assigned values go beyond them
+    val root2 = mkTable(allowExplicit = true)
+    DeltaInterop.appendToDelta(Seq((1000L, "e")).toDF("id", "v"), root2)
+    DeltaInterop.appendToDelta(Seq("f").toDF("v"), root2)
+    val byDefault = DeltaInterop.readDelta(spark, root2)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(byDefault.size == 2 && byDefault(1000L) == "e", byDefault.toString)
+    assert(byDefault.keys.filter(_ != 1000L).forall(_ > 1000L),
+      byDefault.toString)
+  }
+
   test("appendToDelta contention: every writer lands a distinct version") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_dapp_conc_"),

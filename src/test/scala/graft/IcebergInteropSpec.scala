@@ -719,9 +719,24 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(got(1L) == Some(7) && got(2L) == Some(7), got.toString) // filled
     assert(got(10L) == Some(1), got.toString) // written value kept
     assert(got(11L) == None, got.toString)    // explicit null stays null
+    // write-default: an append OMITTING the column fills the declared
+    // default at write time (the file physically carries it)
+    IcebergInterop.appendToIceberg(Seq((20L, "wd")).toDF("id", "v"), target)
+    val got1 = IcebergInterop.readIceberg(spark, target)
+      .select("id", "flag").as[(Long, Option[Int])].collect().toMap
+    assert(got1(20L) == Some(7), got1.toString)
+    // omitting a column with NO write-default still refuses
+    val eMiss = intercept[IllegalArgumentException] {
+      IcebergInterop.appendToIceberg(Seq(Tuple1(30L)).toDF("id"), target)
+    }
+    assert(eMiss.getMessage.contains("schema mismatch"), eMiss.getMessage)
     // nested defaults refuse loudly (this reader fills top-level only)
+    val curV = Files.list(Paths.get(target, "metadata")).toArray
+      .map(_.toString)
+      .flatMap("v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).max
     val md2 = om.readTree(Files.readAllBytes(Paths.get(target, "metadata",
-      "v2.metadata.json")))
+      s"v$curV.metadata.json")))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     def firstSchema = if (md2.has("schemas")) md2.get("schemas").get(0)
       else md2.get("schema")
@@ -737,7 +752,7 @@ class IcebergInteropSpec extends AnyFunSuite {
     st.putArray("fields").add(inner)
     firstSchema.path("fields")
       .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(nested)
-    patch(Paths.get(target, "metadata", "v2.metadata.json"),
+    patch(Paths.get(target, "metadata", s"v$curV.metadata.json"),
       om.writeValueAsBytes(md2))
     val eNested = intercept[IllegalArgumentException] {
       IcebergInterop.readIceberg(spark, target)
