@@ -1749,6 +1749,26 @@ object DeltaInterop {
       }
     }
 
+  /** Generated-column consistency predicates for row-level mutations:
+    * `col <=> (expr)` over the POST-mutation rows, riding the same
+    * aggregate pass as the CHECK constraints. This writer VERIFIES
+    * instead of recomputing — a SET that stales a generated value
+    * (touching its inputs without re-setting the column consistently)
+    * refuses before any file lands, never corrupts; mutations that
+    * leave the generated column and its inputs alone pass untouched
+    * (the common case: updating an unrelated column on a
+    * generated-date-partitioned table). */
+  private def generatedConsistencyChecks(schema: StructType,
+      verb: String): Seq[(String, String)] =
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains("delta.generationExpression") =>
+        (s"generated column '${f.name}' consistency after $verb (this " +
+          "writer verifies, not recomputes — SET the column to its " +
+          "expression value, or use a full client)",
+          s"`${f.name.replace("`", "``")}` <=> ((${
+            f.metadata.getString("delta.generationExpression")}))")
+    }
+
   /** `col IS NOT NULL` checks for the named nullable=false columns —
     * rides the same aggregate pass as the CHECK constraints. */
   private def notNullChecks(schema: StructType,
@@ -1796,10 +1816,7 @@ object DeltaInterop {
     // columns) are checked against the actual table state below
     val HarmlessOnAppend = Set("appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed",
-      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable",
-      // identityColumns is ACCEPTED: omitted identity values are
-      // assigned and the high watermark advances in this commit
-      "identityColumns",
+      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "identityColumns",
       // rowTracking is ACCEPTED, not merely tolerated: the adds below
       // assign baseRowId/defaultRowCommitVersion and advance the
       // domainMetadata high watermark per the protocol
@@ -2302,7 +2319,7 @@ object DeltaInterop {
     // enforced below via the delta.appendOnly table property
     val HarmlessOnDelete = Set("rowTracking", "appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed",
-      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable",
+      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "identityColumns",
       "columnMapping")
 
     def validate(): DeltaSnapshot = {
@@ -2575,11 +2592,14 @@ object DeltaInterop {
     * — `update_preimage` (old values) + `update_postimage` (new
     * values) — making the feed authoritative and unambiguous.
     *
-    * Writer obligations: CHECK constraints, invariants, and assigned
-    * NOT NULL columns are ENFORCED over the rewritten rows in one
+    * Writer obligations: CHECK constraints, invariants, assigned
+    * NOT NULL columns, and generated-column consistency
+    * (`col <=> (expr)` — VERIFIED, not recomputed: a SET that stales
+    * a generated value refuses loudly; SETs not touching it or its
+    * inputs pass) are ENFORCED over the rewritten rows in one
     * aggregate pass before any commit (the same pass appendToDelta
     * runs). Refuses column mapping, append-only tables,
-    * generated/identity columns (they would need recomputation),
+    * identity-column assignments (identity values never change),
     * partition-column assignments (rows would have to MOVE partitions
     * — use delete+append), and unknown writer features. A lost
     * version race restarts the whole operation; a no-match update
@@ -2602,7 +2622,7 @@ object DeltaInterop {
 
     val HarmlessOnUpdate = Set("rowTracking", "appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed",
-      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable",
+      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "identityColumns",
       "columnMapping")
 
     def validate(): DeltaSnapshot = {
@@ -2623,12 +2643,14 @@ object DeltaInterop {
       // CHECK constraints + invariants are ENFORCED over the rewritten
       // rows before the commit (see below), not refused
       val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+      // generated columns are allowed — their consistency is VERIFIED
+      // over the post-update rows (generatedConsistencyChecks rides
+      // the constraint pass below); identity values must never change
       schema.fields.foreach { f =>
-        if (f.metadata.contains("delta.generationExpression"))
-          refuseW(s"column '${f.name}' is a generated column this writer " +
-            "does not recompute")
-        if (f.metadata.contains("delta.identity.start"))
-          refuseW(s"column '${f.name}' is an identity column")
+        if (f.metadata.contains("delta.identity.start") &&
+            assignments.contains(f.name))
+          refuseW(s"SET touches identity column '${f.name}' — identity " +
+            "values cannot be updated")
       }
       assignments.keys.foreach { c =>
         require(schema.fieldNames.contains(c),
@@ -2759,9 +2781,11 @@ object DeltaInterop {
             }
           // the table's declared obligations hold for what this UPDATE
           // writes — one aggregate pass, refusing before any file lands
-          // (assigned NOT NULL columns ride it too)
+          // (assigned NOT NULL columns and generated-column consistency
+          // ride it too)
           enforceChecks(rewritten,
             tableChecks(st, schema, refuseW) ++
+              generatedConsistencyChecks(schema, "UPDATE") ++
               notNullChecks(schema, schema.fields.toSeq.collect {
                 case f if !f.nullable &&
                     assignments.contains(f.name) => f.name
@@ -2869,11 +2893,14 @@ object DeltaInterop {
     *    the source row), clause-deleted rows dropped, everything else
     *    carried verbatim; unmatched source rows passing a
     *    NOT MATCHED clause append as inserts.
-    *  - CHECK constraints, column invariants, and NOT NULL columns
-    *    are ENFORCED over the rewritten + inserted rows in one
-    *    aggregate pass before any commit (the same pass
-    *    [[appendToDelta]] runs); generated/identity columns still
-    *    refuse (this writer cannot recompute them).
+    *  - CHECK constraints, column invariants, NOT NULL columns, and
+    *    generated-column consistency (`col <=> (expr)` — VERIFIED,
+    *    not recomputed: a clause that stales a generated value
+    *    refuses loudly) are ENFORCED over the rewritten + inserted
+    *    rows in one aggregate pass before any commit (the same pass
+    *    [[appendToDelta]] runs). Identity tables take update/delete-
+    *    only merges; INSERT clauses and identity-touching SETs refuse
+    *    (the bookkeeping belongs to [[appendToDelta]]).
     *  - CDF tables get authoritative cdc files — update_preimage/
     *    update_postimage for updated rows, `delete` for deleted rows,
     *    `insert` for inserted rows.
@@ -2909,7 +2936,7 @@ object DeltaInterop {
 
     val Harmless = Set("appendOnly", "invariants", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors",
-      "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "columnMapping",
+      "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "identityColumns", "columnMapping",
       "rowTracking")
 
     def validate(): DeltaSnapshot = {
@@ -2928,11 +2955,33 @@ object DeltaInterop {
             s"[${unknown.mkString(", ")}] this writer does not implement")
       }
       val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+      // generated columns are allowed — consistency is VERIFIED over
+      // everything the merge writes (transformed + carried + inserted
+      // rows) via generatedConsistencyChecks on the constraint pass;
+      // identity columns: no clause may CHANGE or CREATE identity
+      // values this writer would have to book-keep, so SET */SET
+      // touching the column and INSERT clauses refuse — update/delete-
+      // only merges (the CDC apply shape) work
       schema.fields.foreach { f =>
-        if (f.metadata.contains("delta.generationExpression"))
-          refuseW(s"column '${f.name}' is a generated column")
-        if (f.metadata.contains("delta.identity.start"))
-          refuseW(s"column '${f.name}' is an identity column")
+        if (f.metadata.contains("delta.identity.start")) {
+          val idTouched =
+            matched.exists {
+              case u: Merge.MatchedUpdate =>
+                u.set.isEmpty || u.set.contains(f.name)
+              case _ => false
+            } || notMatchedBySource.exists {
+              case u: Merge.BySourceUpdate => u.set.contains(f.name)
+              case _ => false
+            }
+          if (idTouched)
+            refuseW(s"an UPDATE clause touches identity column " +
+              s"'${f.name}' — identity values cannot be updated (a " +
+              "partial SET that skips it works)")
+          if (notMatched.nonEmpty)
+            refuseW(s"INSERT clauses on a table with identity column " +
+              s"'${f.name}' would need identity bookkeeping — append " +
+              "the new rows with appendToDelta, which assigns")
+        }
       }
       require(schema.fieldNames.toSet == source.schema.fieldNames.toSet,
         s"merge schema mismatch at $path: table columns " +
@@ -3167,9 +3216,11 @@ object DeltaInterop {
 
         // enforce the table's declared obligations over everything
         // this merge writes (transformed + carried + inserted rows) —
-        // the same single-aggregate pass appendToDelta runs
+        // the same single-aggregate pass appendToDelta runs, plus
+        // generated-column consistency (verified, not recomputed)
         enforceChecks(rewritten,
           tableChecks(st, schema, refuseW) ++
+            generatedConsistencyChecks(schema, "MERGE") ++
             notNullChecks(schema,
               schema.fields.toSeq.filterNot(_.nullable).map(_.name)),
           refuseW)
@@ -3317,7 +3368,7 @@ object DeltaInterop {
           "a full Delta client")
     val Harmless = Set("appendOnly", "invariants", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors",
-      "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "columnMapping",
+      "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "identityColumns", "columnMapping",
       "rowTracking")
 
     var attempts = 0
@@ -3566,7 +3617,7 @@ object DeltaInterop {
     if (st.minWriter == 7) {
       val Harmless = Set("appendOnly", "invariants", "checkConstraints",
         "generatedColumns", "changeDataFeed", "deletionVectors",
-        "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "columnMapping",
+        "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "identityColumns", "columnMapping",
         "rowTracking")
       val unknown = st.writerFeatures.filterNot(Harmless.contains)
       if (unknown.nonEmpty)
@@ -4219,7 +4270,7 @@ object DeltaInterop {
         "full Delta client")
     val HarmlessOnRestore = Set("rowTracking", "appendOnly", "invariants",
       "checkConstraints", "generatedColumns", "changeDataFeed",
-      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable",
+      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "identityColumns",
       "columnMapping")
     val target = replaySnapshot(spark, path, Some(version))
     require(target.version == version,
@@ -4445,7 +4496,7 @@ object DeltaInterop {
         "Delta client")
     val Harmless = Set("appendOnly", "invariants", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors",
-      "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "columnMapping",
+      "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "identityColumns", "columnMapping",
       "rowTracking")
     // the writer features a legacy minWriterVersion implies, per the
     // protocol's version-to-feature table — needed when an upgrade

@@ -4325,6 +4325,19 @@ object IcebergInterop {
   final case class PlannedFile(path: String, sizeBytes: Long,
       recordCount: Long, specId: Int)
 
+  /** One delete file of a server-side scan: content 1 =
+    * position deletes (puffin format = a v3 deletion vector, with blob
+    * coordinates), content 2 = equality deletes (with equality ids). */
+  final case class PlannedDelete(path: String, sizeBytes: Long,
+      recordCount: Long, content: Long, fileFormat: String,
+      equalityIds: Seq[Int], referencedDataFile: Option[String],
+      contentOffset: Option[Long], contentSizeInBytes: Option[Long])
+
+  /** A complete server-side scan plan: pruned live data files + the
+    * snapshot's delete files the caller must apply. */
+  final case class PlannedScan(dataFiles: Seq[PlannedFile],
+      deleteFiles: Seq[PlannedDelete])
+
   /** SERVER-SIDE scan planning (the Iceberg REST spec's planTableScan
     * route): the current (or pinned) snapshot's live data files after
     * manifest-bounds pruning by `cond` — METADATA-ONLY (manifest list +
@@ -4335,28 +4348,50 @@ object IcebergInterop {
     * spec's single-value serialization), so the served file list
     * equals graft's own pruned plan; identity-partition substitution
     * pruning is NOT applied here (conservative superset — a dropped
-    * file is still provably matchless). Refuses snapshots carrying
-    * delete manifests: their tasks would need delete-files the caller
-    * must apply, and silently omitting them would serve deleted rows. */
+    * file is still provably matchless). Delete-carrying snapshots
+    * plan too: the snapshot's live delete files (position, equality,
+    * v3 deletion vectors) return alongside, for the caller to apply —
+    * the spec's merge-on-read planning contract. */
   def planIcebergScanTasks(spark: SparkSession, path: String,
       asOfSnapshotId: Option[Long] = None,
-      cond: Option[org.apache.spark.sql.Column] = None): Seq[PlannedFile] = {
+      cond: Option[org.apache.spark.sql.Column] = None): PlannedScan = {
     val (fs, md) = currentMetadata(spark, path)
     val snapId = asOfSnapshotId.getOrElse(
       md.path("current-snapshot-id").asLong(-1L))
-    if (snapId < 0) return Nil
+    if (snapId < 0) return PlannedScan(Nil, Nil)
     val snap = Option(md.get("snapshots")).toSeq
       .flatMap(_.elements().asScala())
       .find(_.path("snapshot-id").asLong() == snapId)
       .getOrElse(refuse(path, s"has no snapshot $snapId"))
-    val manifests = readAvro(readBytes(fs,
+    val allManifests = readAvro(readBytes(fs,
       new HPath(snap.path("manifest-list").asText())))
-    manifests.foreach { m =>
-      if (fieldOpt(m, "content").map(longOf).getOrElse(0L) != 0L)
-        refuse(path, "carries delete manifests at the planned snapshot " +
-          "— server-side planning serves append-only states; plan " +
-          "client-side from metadata-location")
-    }
+    val (manifests, deleteManifests) = allManifests.partition(m =>
+      fieldOpt(m, "content").map(longOf).getOrElse(0L) == 0L)
+    // the snapshot's live delete files — served whole (no per-task
+    // narrowing: a position delete naming another data file matches
+    // nothing when applied, so the superset is correct)
+    val plannedDeletes: Seq[PlannedDelete] = deleteManifests.flatMap { m =>
+      readAvro(readBytes(fs,
+        new HPath(m.get("manifest_path").toString))).flatMap { e =>
+        if (longOf(e.get("status")) == 2L) None
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val eqIds = fieldOpt(df, "equality_ids").collect {
+            case c: java.util.Collection[_] => c.iterator().asScala()
+              .map(x => longOf(x.asInstanceOf[AnyRef]).toInt).toSeq
+          }.getOrElse(Nil)
+          Some(PlannedDelete(df.get("file_path").toString,
+            longOf(df.get("file_size_in_bytes")),
+            longOf(df.get("record_count")),
+            fieldOpt(df, "content").map(longOf).getOrElse(-1L),
+            df.get("file_format").toString,
+            eqIds,
+            fieldOpt(df, "referenced_data_file").map(_.toString),
+            fieldOpt(df, "content_offset").map(longOf),
+            fieldOpt(df, "content_size_in_bytes").map(longOf)))
+        }
+      }
+    }.distinct
     val schemaNode = currentSchemaNode(md, path)
     val schema = fromIcebergStruct(schemaNode, path)
     val pruneConjs = cond.map(c => DeltaStats.conjuncts(spark, schema, c))
@@ -4380,7 +4415,7 @@ object IcebergInterop {
           }.toMap
         case _ => Map.empty
       }
-    manifests.flatMap { m =>
+    val planned: Seq[PlannedFile] = manifests.flatMap { m =>
       val specId = fieldOpt(m, "partition_spec_id").map(longOf)
         .getOrElse(0L).toInt
       readAvro(readBytes(fs,
@@ -4408,6 +4443,7 @@ object IcebergInterop {
         }
       }
     }.distinct
+    PlannedScan(planned, plannedDeletes)
   }
 
   /** The Iceberg spec's JSON single-value serialization of a column

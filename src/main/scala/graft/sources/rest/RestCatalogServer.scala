@@ -543,8 +543,11 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     * Iceberg metadata (mirrors). The filter subset the server prunes
     * by is eq/lt/lt-eq/gt/gt-eq on a column + and; other filters plan
     * unpruned and echo back as each task's residual-filter (the spec's
-    * client-reapplies contract). Delete-carrying snapshots refuse
-    * (400) — plan those client-side from metadata-location. */
+    * client-reapplies contract). Delete-carrying snapshots serve their
+    * live delete files in the response's `delete-files` (position,
+    * equality, v3 deletion vectors) with every task referencing all of
+    * them — the merge-on-read planning contract; the caller applies
+    * them. */
   private def planTableScan(x: HttpExchange, ns: Seq[String], name: String,
                             body: JsonNode): Unit = {
     val path = whPath(ns :+ name)
@@ -565,7 +568,7 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
       .map(_.asLong())
     val filterNode = Option(body.get("filter")).filterNot(_.isNull)
     val cond = filterNode.flatMap(filterToColumn)
-    val tasks =
+    val plan =
       try graft.sources.IcebergInterop.planIcebergScanTasks(
         spark, root, snapId, cond)
       catch {
@@ -575,8 +578,31 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
       }
     val n = om.createObjectNode()
     n.put("status", "completed")
+    // the snapshot's delete files, served whole; every task references
+    // all of them (a position delete naming another data file matches
+    // nothing when applied, so the superset is correct) — the spec's
+    // merge-on-read planning contract
+    val delArr = om.createArrayNode()
+    plan.deleteFiles.foreach { d =>
+      val dn = om.createObjectNode()
+      dn.put("content",
+        if (d.content == 2L) "equality-deletes" else "position-deletes")
+      dn.put("file-path", d.path)
+      dn.put("file-format", d.fileFormat.toLowerCase)
+      dn.put("file-size-in-bytes", d.sizeBytes)
+      dn.put("record-count", d.recordCount)
+      if (d.equalityIds.nonEmpty) {
+        val ids = dn.putArray("equality-ids")
+        d.equalityIds.foreach(ids.add)
+      }
+      d.referencedDataFile.foreach(dn.put("referenced-data-file", _))
+      d.contentOffset.foreach(dn.put("content-offset", _))
+      d.contentSizeInBytes.foreach(dn.put("content-size-in-bytes", _))
+      delArr.add(dn)
+    }
+    val allRefs = plan.deleteFiles.indices
     val arr = om.createArrayNode()
-    tasks.foreach { t =>
+    plan.dataFiles.foreach { t =>
       val task = om.createObjectNode()
       val dfn = task.putObject("data-file")
       dfn.put("spec-id", t.specId)
@@ -586,12 +612,13 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
       dfn.putObject("partition")
       dfn.put("file-size-in-bytes", t.sizeBytes)
       dfn.put("record-count", t.recordCount)
-      task.putArray("delete-file-references")
+      val refs = task.putArray("delete-file-references")
+      allRefs.foreach(refs.add)
       filterNode.foreach(f => task.set[JsonNode]("residual-filter", f))
       arr.add(task)
     }
     n.set[JsonNode]("file-scan-tasks", arr)
-    n.putArray("delete-files")
+    n.set[JsonNode]("delete-files", delArr)
     n.putArray("plan-tasks")
     reply(x, 200, n)
   }

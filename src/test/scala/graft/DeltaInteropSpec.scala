@@ -1763,6 +1763,82 @@ class DeltaInteropSpec extends AnyFunSuite {
       byDefault.toString)
   }
 
+  test("UPDATE/MERGE on generated/identity tables: safe mutations land, staling refuses") {
+    import spark.implicits._
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // generated column y = id * 2, plus an identity column k
+    val root = tmp("graft_dml_gen_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val sj = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", StringType),
+      StructField("y", LongType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.generationExpression", "id * 2").build()),
+      StructField("k", LongType, nullable = true,
+        new MetadataBuilder()
+          .putLong("delta.identity.start", 1L)
+          .putLong("delta.identity.step", 1L).build()))).json
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(sj)}","partitionColumns":[],"configuration":{},"createdTime":1}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    // seed through the append path (computes y, assigns k)
+    DeltaInterop.appendToDelta(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), root)
+    // UPDATE of an unrelated column: lands (y/k untouched, still valid)
+    DeltaInterop.updateDelta(spark, root, col("id") === 2L,
+      Map("v" -> lit("B")))
+    val afterUpd = DeltaInterop.readDelta(spark, root)
+      .select("id", "v", "y").as[(Long, String, Long)].collect().toSet
+    assert(afterUpd.contains((2L, "B", 4L)), afterUpd.toString)
+    // UPDATE that would STALE the generated column refuses pre-commit
+    val eStale = intercept[IllegalArgumentException] {
+      DeltaInterop.updateDelta(spark, root, col("id") === 1L,
+        Map("id" -> lit(100L)))
+    }
+    assert(eStale.getMessage.contains("generated column 'y' consistency"),
+      eStale.getMessage)
+    // consistent co-update of the input AND the generated column lands
+    DeltaInterop.updateDelta(spark, root, col("id") === 1L,
+      Map("id" -> lit(100L), "y" -> lit(200L)))
+    assert(DeltaInterop.readDelta(spark, root).where(col("id") === 100L)
+      .select("y").as[Long].collect().toSeq == Seq(200L))
+    // SET on the identity column refuses
+    val eId = intercept[IllegalArgumentException] {
+      DeltaInterop.updateDelta(spark, root, col("id") === 2L,
+        Map("k" -> lit(99L)))
+    }
+    assert(eId.getMessage.contains("identity column 'k'"), eId.getMessage)
+    // MERGE: update/delete-only clauses work on the identity table
+    // (partial SET skipping y's inputs and k)
+    DeltaInterop.mergeDeltaClauses(
+      Seq((2L, "merged", 4L, 0L), (3L, "gone", 6L, 0L))
+        .toDF("id", "v", "y", "k"),
+      root, Seq("id"),
+      matched = Seq(
+        graft.sources.Merge.MatchedDelete(
+          Some(graft.sources.Merge.source("v") === "gone")),
+        graft.sources.Merge.MatchedUpdate(None,
+          Map("v" -> graft.sources.Merge.source("v")))))
+    val afterMerge = DeltaInterop.readDelta(spark, root)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(afterMerge == Set((100L, "a"), (2L, "merged")), afterMerge.toString)
+    // INSERT clauses on the identity table refuse with the append hint
+    val eIns = intercept[IllegalArgumentException] {
+      DeltaInterop.mergeDeltaClauses(
+        Seq((9L, "i", 18L, 9L)).toDF("id", "v", "y", "k"), root, Seq("id"),
+        notMatched = Seq(graft.sources.Merge.NotMatchedInsert()))
+    }
+    assert(eIns.getMessage.contains("identity bookkeeping"), eIns.getMessage)
+    // SET * (full replacement) touches the identity column -> refuses
+    val eStar = intercept[IllegalArgumentException] {
+      DeltaInterop.mergeDelta(
+        Seq((9L, "i", 18L, 9L)).toDF("id", "v", "y", "k"), root, Seq("id"))
+    }
+    assert(eStar.getMessage.contains("identity column 'k'"), eStar.getMessage)
+  }
+
   test("appendToDelta contention: every writer lands a distinct version") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_dapp_conc_"),

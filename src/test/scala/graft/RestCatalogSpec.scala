@@ -630,6 +630,48 @@ class RestCatalogSpec extends AnyFunSuite {
       Some("""{"snapshot-id":1}"""))._1 == 400)
   }
 
+  test("plan route serves delete files for merge-on-read snapshots") {
+    val s = restSession("rmor")
+    s.sql("CREATE NAMESPACE rmor.ddb")
+    s.sql("CREATE TABLE rmor.ddb.dt (id BIGINT, v DOUBLE) USING graft")
+    s.sql("INSERT INTO rmor.ddb.dt VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    val root = s"$warehouse/ddb/dt"
+    graft.sources.IcebergInterop.mirrorToIceberg(
+      graft.sources.GraftTable.load(spark, root))
+    // promote to v2 (merge-on-read needs it), then a MoR DELETE: the
+    // snapshot now carries a position delete file the plan must
+    // SERVE, not refuse
+    val mdV = Files.list(java.nio.file.Paths.get(root, "metadata")).toArray
+      .map(_.toString)
+      .flatMap("v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).max
+    val mdP = java.nio.file.Paths.get(root, "metadata", s"v$mdV.metadata.json")
+    Files.write(mdP, new String(Files.readAllBytes(mdP), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    Files.deleteIfExists(java.nio.file.Paths.get(root, "metadata",
+      s".v$mdV.metadata.json.crc"))
+    graft.sources.IcebergInterop.deleteFromIceberg(spark, root,
+      org.apache.spark.sql.functions.col("id") === 2L)
+    val (code, resp) =
+      httpReq("POST", "/v1/namespaces/ddb/tables/dt/plan", Some("{}"))
+    assert(code == 200, resp)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val plan = om.readTree(resp)
+    assert(plan.path("status").asText() == "completed", resp)
+    val dels = plan.path("delete-files")
+    assert(dels.isArray && dels.size() == 1, resp)
+    assert(dels.get(0).path("content").asText() == "position-deletes", resp)
+    assert(dels.get(0).path("file-path").asText().nonEmpty, resp)
+    // every task references the delete file by index
+    val tasks = plan.path("file-scan-tasks")
+    assert(tasks.size() > 0, resp)
+    (0 until tasks.size()).foreach { i =>
+      val refs = tasks.get(i).path("delete-file-references")
+      assert(refs.size() == 1 && refs.get(0).asInt() == 0, resp)
+    }
+  }
+
   test("transactions/commit: multi-table atomic commit, all-or-nothing") {
     val s = restSession("rtxn")
     s.sql("CREATE NAMESPACE rtxn.xdb")
