@@ -1729,6 +1729,21 @@ object DeltaInterop {
     *
     * Scale shape: one distributed parquet write + O(#new files)
     * driver-side metadata; the commit payload never carries data. */
+  /** Writer features every graft mutation verb can honor on a
+    * protocol-v7 table — one shared allowlist so a new feature cannot
+    * be accepted by six verbs and silently refused by the seventh.
+    * Semantics per verb live where they are implemented: appends
+    * COMPUTE generated columns, ASSIGN identity values (advancing the
+    * watermark), and assign rowTracking baseRowIds; row-level
+    * mutations VERIFY generated-column consistency and refuse
+    * identity-touching writes; constraints/invariants are enforced on
+    * every write path; the rest impose no obligation on the verb that
+    * names this set. */
+  private val HarmlessWriterFeatures = Set("appendOnly", "invariants",
+    "checkConstraints", "generatedColumns", "identityColumns",
+    "changeDataFeed", "deletionVectors", "timestampNtz", "v2Checkpoint",
+    "domainMetadata", "clusteredTable", "columnMapping", "rowTracking")
+
   /** The table's declared row obligations as (description, SQL
     * predicate) pairs: `delta.constraints.*` CHECK constraints plus
     * column invariants (an unparseable invariant refuses loudly). */
@@ -1814,13 +1829,7 @@ object DeltaInterop {
     // writer features that impose NO obligation on a blind append; the
     // declaration-level obligations (constraints, invariants, generated
     // columns) are checked against the actual table state below
-    val HarmlessOnAppend = Set("appendOnly", "invariants",
-      "checkConstraints", "generatedColumns", "changeDataFeed",
-      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "identityColumns",
-      // rowTracking is ACCEPTED, not merely tolerated: the adds below
-      // assign baseRowId/defaultRowCommitVersion and advance the
-      // domainMetadata high watermark per the protocol
-      "columnMapping", "rowTracking")
+    val HarmlessOnAppend = HarmlessWriterFeatures
 
     // txn mode (the protocol's setTransaction idempotence): replay with
     // the collector so the appId's last committed version is visible
@@ -1915,6 +1924,14 @@ object DeltaInterop {
             refuseW(s"column '${f.name}' is GENERATED ALWAYS AS IDENTITY " +
               "— it cannot take user-supplied values (omit it and this " +
               "writer assigns)")
+          else
+            // the watermark read-back below getLongs the aggregate —
+            // mistyped input must hit the friendly refusal, not a CCE
+            require(dfW.schema(f.name).dataType == f.dataType,
+              s"append schema mismatch at $path: identity column " +
+                s"'${f.name}' is ${f.dataType.simpleString} in the table, " +
+                s"${dfW.schema(f.name).dataType.simpleString} in the " +
+                "input — cast before appending")
         }
         if (idCols.nonEmpty) {
           // pin the assignment: the watermark read-back below and the
@@ -1993,8 +2010,23 @@ object DeltaInterop {
       }
       st
     }
-    var st = validate()
-    if (alreadyApplied) return st.version // this batch already landed
+    // any refusal after the identity persist (CHECK violation, schema
+    // mismatch — both thrown inside validate, after the pin) must
+    // release the pinned input; the success path releases it after the
+    // staged write
+    var st =
+      try validate()
+      catch {
+        case e: Throwable =>
+          persistedInput.foreach(_.unpersist(false))
+          throw e
+      }
+    if (alreadyApplied) { // this batch already landed
+      // the idempotent skip bypasses the write whose finally releases
+      // the pinned identity assignment — release it here
+      persistedInput.foreach(_.unpersist(false))
+      return st.version
+    }
     val tableSchema = DataType.fromJson(st.schemaJson)
       .asInstanceOf[StructType]
     // mergeSchema: widen with the input's extra columns (nullable;
@@ -2317,10 +2349,7 @@ object DeltaInterop {
     // constraints / invariants / generated columns impose no obligation
     // on DELETE (surviving rows are carried verbatim); appendOnly is
     // enforced below via the delta.appendOnly table property
-    val HarmlessOnDelete = Set("rowTracking", "appendOnly", "invariants",
-      "checkConstraints", "generatedColumns", "changeDataFeed",
-      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "identityColumns",
-      "columnMapping")
+    val HarmlessOnDelete = HarmlessWriterFeatures
 
     def validate(): DeltaSnapshot = {
       val st = replaySnapshot(spark, path, None)
@@ -2620,10 +2649,7 @@ object DeltaInterop {
         s"cannot update Delta table at $path: $what — write it with " +
           "a full Delta client")
 
-    val HarmlessOnUpdate = Set("rowTracking", "appendOnly", "invariants",
-      "checkConstraints", "generatedColumns", "changeDataFeed",
-      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "identityColumns",
-      "columnMapping")
+    val HarmlessOnUpdate = HarmlessWriterFeatures
 
     def validate(): DeltaSnapshot = {
       val st = replaySnapshot(spark, path, None)
@@ -2934,10 +2960,7 @@ object DeltaInterop {
         s"cannot merge into Delta table at $path: $what — write it with " +
           "a full Delta client")
 
-    val Harmless = Set("appendOnly", "invariants", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors",
-      "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "identityColumns", "columnMapping",
-      "rowTracking")
+    val Harmless = HarmlessWriterFeatures
 
     def validate(): DeltaSnapshot = {
       val st = replaySnapshot(spark, path, None)
@@ -3366,10 +3389,7 @@ object DeltaInterop {
       throw new IllegalArgumentException(
         s"cannot optimize Delta table at $path: $what — compact it with " +
           "a full Delta client")
-    val Harmless = Set("appendOnly", "invariants", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors",
-      "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "identityColumns", "columnMapping",
-      "rowTracking")
+    val Harmless = HarmlessWriterFeatures
 
     var attempts = 0
     var result = -1L
@@ -3615,10 +3635,7 @@ object DeltaInterop {
     if (st.minWriter > 7)
       refuseW(s"the table requires writer protocol ${st.minWriter}")
     if (st.minWriter == 7) {
-      val Harmless = Set("appendOnly", "invariants", "checkConstraints",
-        "generatedColumns", "changeDataFeed", "deletionVectors",
-        "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "identityColumns", "columnMapping",
-        "rowTracking")
+      val Harmless = HarmlessWriterFeatures
       val unknown = st.writerFeatures.filterNot(Harmless.contains)
       if (unknown.nonEmpty)
         refuseW("the table requires writer features " +
@@ -4268,10 +4285,7 @@ object DeltaInterop {
     def refuseW(what: String): Nothing = throw new IllegalArgumentException(
       s"cannot restore Delta table at $path: $what — restore it with a " +
         "full Delta client")
-    val HarmlessOnRestore = Set("rowTracking", "appendOnly", "invariants",
-      "checkConstraints", "generatedColumns", "changeDataFeed",
-      "deletionVectors", "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "identityColumns",
-      "columnMapping")
+    val HarmlessOnRestore = HarmlessWriterFeatures
     val target = replaySnapshot(spark, path, Some(version))
     require(target.version == version,
       s"version $version does not exist at $path (log ends at " +
@@ -4494,10 +4508,7 @@ object DeltaInterop {
     def refuseW(what: String): Nothing = throw new IllegalArgumentException(
       s"cannot alter Delta table at $path: $what — alter it with a full " +
         "Delta client")
-    val Harmless = Set("appendOnly", "invariants", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors",
-      "timestampNtz", "v2Checkpoint", "domainMetadata", "clusteredTable", "identityColumns", "columnMapping",
-      "rowTracking")
+    val Harmless = HarmlessWriterFeatures
     // the writer features a legacy minWriterVersion implies, per the
     // protocol's version-to-feature table — needed when an upgrade
     // moves a legacy table to explicit feature lists

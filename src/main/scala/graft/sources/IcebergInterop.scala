@@ -2019,16 +2019,35 @@ object IcebergInterop {
       var schemaId = md.path("current-schema-id").asInt(
         schemaNode.path("schema-id").asInt(0))
       var schema = fromIcebergStruct(schemaNode, path)
+      // v3 write-default: an omitted column with a declared
+      // write-default is FILLED by this writer (the spec's writer
+      // obligation when a row omits the column) — BEFORE the
+      // mergeSchema branch, so widening appends get the fill too; any
+      // other omission keeps refusing below
+      val writeDefaults: Map[String, JsonNode] = schemaNode.path("fields")
+        .elements().asScala().flatMap { f =>
+          Option(f.get("write-default")).filterNot(_.isNull)
+            .map(v => f.path("name").asText() -> v)
+        }.toMap
+      dfW = (schema.fieldNames.toSet -- df.schema.fieldNames.toSet)
+        .intersect(writeDefaults.keySet).foldLeft(df) { (d, name) =>
+          val dt = schema(name).dataType
+          d.withColumn(name,
+            jsonSingleValueLiteral(dt, writeDefaults(name)).getOrElse(
+              refuseW(s"column '$name' declares a write-default " +
+                s"${writeDefaults(name).toString} this writer cannot " +
+                s"render as ${dt.simpleString}")))
+        }
       // mergeSchema: the input's extra columns WIDEN the schema in
       // this same commit (next field ids, schemas-array bookkeeping);
       // deterministic re-derivation keeps lost races convergent
-      val extras = df.schema.fields.filterNot(f =>
+      val extras = dfW.schema.fields.filterNot(f =>
         schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
       if (extras.nonEmpty && mergeSchema) {
-        require((schema.fieldNames.toSet -- df.schema.fieldNames.toSet)
+        require((schema.fieldNames.toSet -- dfW.schema.fieldNames.toSet)
           .isEmpty,
           s"append schema mismatch at $path: input lacks table columns " +
-            s"[${(schema.fieldNames.toSet -- df.schema.fieldNames.toSet)
+            s"[${(schema.fieldNames.toSet -- dfW.schema.fieldNames.toSet)
               .mkString(", ")}] — mergeSchema only ADDS columns")
         val widened = schemaNode.deepCopy[ObjectNode]()
         var nextId = md.path("last-column-id").asInt(0)
@@ -2048,33 +2067,16 @@ object IcebergInterop {
         schemaNode = currentSchemaNode(md, path)
         schemaId = md.path("current-schema-id").asInt(0)
         schema = fromIcebergStruct(schemaNode, path)
-      } else {
-        // v3 write-default: an omitted column with a declared
-        // write-default is FILLED by this writer — the spec's writer
-        // obligation when a row omits the column; any other omission
-        // keeps refusing
-        val writeDefaults: Map[String, JsonNode] = schemaNode.path("fields")
-          .elements().asScala().flatMap { f =>
-            Option(f.get("write-default")).filterNot(_.isNull)
-              .map(v => f.path("name").asText() -> v)
-          }.toMap
-        val omitted = schema.fieldNames.toSet -- df.schema.fieldNames.toSet
-        val unfillable = omitted.filterNot(writeDefaults.contains)
-        require(unfillable.isEmpty && extras.isEmpty,
+      } else
+        // the fill above already covered write-defaulted omissions;
+        // anything still missing (or extra, without mergeSchema) is a
+        // genuine mismatch
+        require(schema.fieldNames.toSet == dfW.schema.fieldNames.toSet,
           s"append schema mismatch at $path: table columns " +
             s"[${schema.fieldNames.mkString(", ")}], input columns " +
             s"[${df.schema.fieldNames.mkString(", ")}]" +
             (if (extras.nonEmpty) " — pass mergeSchema=true to widen"
              else ""))
-        dfW = omitted.foldLeft(df) { (d, name) =>
-          val dt = schema(name).dataType
-          d.withColumn(name,
-            jsonSingleValueLiteral(dt, writeDefaults(name)).getOrElse(
-              refuseW(s"column '$name' declares a write-default " +
-                s"${writeDefaults(name).toString} this writer cannot " +
-                s"render as ${dt.simpleString}")))
-        }
-      }
       schema.fields.foreach { f =>
         val have = dfW.schema(f.name).dataType
         require(f.dataType == have,
@@ -4321,17 +4323,21 @@ object IcebergInterop {
       .drop("__fp", "__pos")
 
   /** One planned file of a server-side scan (REST planTableScan):
-    * path, size, record count, spec id. */
+    * path, size, record count, spec id, data sequence number (for
+    * scoping equality deletes). */
   final case class PlannedFile(path: String, sizeBytes: Long,
-      recordCount: Long, specId: Int)
+      recordCount: Long, specId: Int, seq: Long)
 
   /** One delete file of a server-side scan: content 1 =
     * position deletes (puffin format = a v3 deletion vector, with blob
-    * coordinates), content 2 = equality deletes (with equality ids). */
+    * coordinates), content 2 = equality deletes (with equality ids,
+    * applying only to data files with a STRICTLY SMALLER sequence
+    * number — `seq` carries the delete's). */
   final case class PlannedDelete(path: String, sizeBytes: Long,
       recordCount: Long, content: Long, fileFormat: String,
       equalityIds: Seq[Int], referencedDataFile: Option[String],
-      contentOffset: Option[Long], contentSizeInBytes: Option[Long])
+      contentOffset: Option[Long], contentSizeInBytes: Option[Long],
+      seq: Long)
 
   /** A complete server-side scan plan: pruned live data files + the
     * snapshot's delete files the caller must apply. */
@@ -4371,6 +4377,7 @@ object IcebergInterop {
     // narrowing: a position delete naming another data file matches
     // nothing when applied, so the superset is correct)
     val plannedDeletes: Seq[PlannedDelete] = deleteManifests.flatMap { m =>
+      val mseq = fieldOpt(m, "sequence_number").map(longOf).getOrElse(0L)
       readAvro(readBytes(fs,
         new HPath(m.get("manifest_path").toString))).flatMap { e =>
         if (longOf(e.get("status")) == 2L) None
@@ -4388,7 +4395,8 @@ object IcebergInterop {
             eqIds,
             fieldOpt(df, "referenced_data_file").map(_.toString),
             fieldOpt(df, "content_offset").map(longOf),
-            fieldOpt(df, "content_size_in_bytes").map(longOf)))
+            fieldOpt(df, "content_size_in_bytes").map(longOf),
+            fieldOpt(e, "sequence_number").map(longOf).getOrElse(mseq)))
         }
       }
     }.distinct
@@ -4418,6 +4426,7 @@ object IcebergInterop {
     val planned: Seq[PlannedFile] = manifests.flatMap { m =>
       val specId = fieldOpt(m, "partition_spec_id").map(longOf)
         .getOrElse(0L).toInt
+      val mseq = fieldOpt(m, "sequence_number").map(longOf).getOrElse(0L)
       readAvro(readBytes(fs,
         new HPath(m.get("manifest_path").toString))).flatMap { e =>
         if (longOf(e.get("status")) == 2L) None // DELETED in this snapshot
@@ -4439,7 +4448,8 @@ object IcebergInterop {
           if (!keep) None
           else Some(PlannedFile(df.get("file_path").toString,
             longOf(df.get("file_size_in_bytes")),
-            longOf(df.get("record_count")), specId))
+            longOf(df.get("record_count")), specId,
+            fieldOpt(e, "sequence_number").map(longOf).getOrElse(mseq)))
         }
       }
     }.distinct
@@ -4537,6 +4547,50 @@ object IcebergInterop {
     // v1 a single schema object
     val schemaNode = currentSchemaNode(md, path)
     val schema = fromIcebergStruct(schemaNode, path)
+
+    // One cached driver-side footer read per file — (top-level field
+    // names, field ids, every-field-has-an-id) — shared by the
+    // default-fill split and the rename scan so neither pays a second
+    // footer pass over the same files.
+    val footerCache =
+      scala.collection.mutable.Map[String, (Set[String], Set[Int], Boolean)]()
+    def footerInfo(file: String): (Set[String], Set[Int], Boolean) =
+      footerCache.getOrElseUpdate(file, {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new HPath(file), conf))
+        try {
+          val mt = rdr.getFooter.getFileMetaData.getSchema
+          val fields = (0 until mt.getFieldCount).map(mt.getType)
+          (fields.map(_.getName).toSet,
+            fields.flatMap(t => Option(t.getId).map(_.intValue())).toSet,
+            fields.forall(_.getId != null))
+        } finally rdr.close()
+      })
+    lazy val defaultedIds: Map[String, Int] =
+      schemaNode.path("fields").elements().asScala()
+        .filter(f => initialDefaults.contains(f.path("name").asText()))
+        .map(f => f.path("name").asText() -> f.path("id").asInt(-1)).toMap
+    // the files' name for each defaulted column per the table's
+    // schema.name-mapping.default (id-less files resolve renames
+    // through it) — a defaulted column present in a footer under its
+    // MAPPED name is not absent either
+    lazy val defaultedMappedNames: Map[String, String] = {
+      val byId: Map[Int, String] =
+        md.path("properties").path("schema.name-mapping.default") match {
+          case t if t.isTextual =>
+            try om.readTree(t.asText()).elements().asScala().flatMap { e =>
+              val id = e.path("field-id").asInt(-1)
+              val names = e.path("names").elements().asScala()
+                .map(_.asText()).toSeq
+              if (id >= 0 && names.nonEmpty) Some(id -> names.head) else None
+            }.toMap
+            catch { case _: Exception => Map.empty[Int, String] }
+          case _ => Map.empty
+        }
+      defaultedIds.flatMap { case (n, id) => byId.get(id).map(n -> _) }
+    }
 
     // Rename detection #1 — schema history: Iceberg resolves columns by
     // FIELD ID, this reader by name. A field id carrying different
@@ -4892,7 +4946,25 @@ object IcebergInterop {
         .filterNot(initialDefaults.contains)
     val probeSchema = spark.read.parquet(dataFiles.head._1).schema
     val probe = probeSchema.fieldNames.toSet
-    val missing = stableCols.filterNot(probe.contains)
+    // a defaulted column whose FIELD ID appears in the probed footer
+    // under a different name is a RENAME, not a pre-add absence — the
+    // id-resolution upgrade must engage (the default fill already
+    // refuses to treat it as absent, see absentDefaulted)
+    val renamedDefaulted: Seq[String] =
+      if (initialDefaults.isEmpty) Nil
+      else initialDefaults.keySet.toSeq.filter(n =>
+        // EVERY file checked, not just the probe: any one file carrying
+        // the column under another name — by field id or by the name
+        // mapping — forces rename resolution for the scan instead of
+        // the default fill (the footers are already paid for by the
+        // fill split, and cached)
+        dataFiles.exists { case (f, _, _, _) =>
+          val (names, ids, _) = footerInfo(f)
+          !names.contains(n) &&
+            (ids.contains(defaultedIds.getOrElse(n, -1)) ||
+              defaultedMappedNames.get(n).exists(names.contains))
+        })
+    val missing = stableCols.filterNot(probe.contains) ++ renamedDefaulted
     // Field-id upgrade: when a rename is detected (schema history or
     // probe) AND the files carry parquet field ids, resolve columns BY
     // ID — Iceberg's own semantics — by annotating the read schema
@@ -4901,17 +4973,9 @@ object IcebergInterop {
     // file lacking ids in an id-read scan errors (ignoreMissing false).
     val needIdRead = renameDetail.isDefined || missing.nonEmpty
     // Spark's inferred schema drops parquet field ids — ask the footer
-    // itself whether every top-level column carries one
-    def footerHasFieldIds(file: String): Boolean = {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new HPath(file), conf))
-      try {
-        val mt = rdr.getFooter.getFileMetaData.getSchema
-        (0 until mt.getFieldCount).forall(i => mt.getType(i).getId != null)
-      } finally rdr.close()
-    }
+    // itself (via the shared cache) whether every top-level column
+    // carries one
+    def footerHasFieldIds(file: String): Boolean = footerInfo(file)._3
     // Per-file rename resolution, Iceberg's own precedence: files WITH
     // parquet field ids resolve BY ID (Spark's field-id matching over
     // an annotated schema); id-less files resolve through the table's
@@ -4962,24 +5026,21 @@ object IcebergInterop {
         .getOrElse(refuse(path, s"declares an initial-default " +
           s"${initialDefaults(name).toString} this reader cannot render " +
           s"as ${schema(name).dataType.simpleString}"))
-    // The defaulted columns a data file physically LACKS (footer field
-    // names, driver-side open) — the exact fill set per the spec:
-    // files written before the add take the default, files written
-    // after carry the column (explicit nulls stay null). Paid only on
-    // default-carrying v3 tables, O(#files-with-defaults-declared).
+    // The defaulted columns a data file physically LACKS — judged by
+    // footer NAME *and* FIELD ID (a renamed defaulted column's files
+    // carry the old name but the same id: they are NOT absent, and
+    // filling them would silently overwrite real data with the
+    // default). Pre-add files carry neither. One driver-side footer
+    // open per file, paid only on default-carrying v3 tables, shared
+    // with the rename scan through footerCache.
     def absentDefaulted(file: String): Set[String] =
       if (initialDefaults.isEmpty) Set.empty
       else {
-        val conf = spark.sparkContext.hadoopConfiguration
-        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new HPath(file), conf))
-        try {
-          val mt = rdr.getFooter.getFileMetaData.getSchema
-          val present = (0 until mt.getFieldCount)
-            .map(mt.getType(_).getName).toSet
-          initialDefaults.keySet.filterNot(present.contains)
-        } finally rdr.close()
+        val (names, ids, _) = footerInfo(file)
+        initialDefaults.keySet.filterNot(n =>
+          names.contains(n) ||
+            ids.contains(defaultedIds.getOrElse(n, -1)) ||
+            defaultedMappedNames.get(n).exists(names.contains))
       }
     /** Scan `files` at `scanSchema`, splitting id-resolvable from
       * name-mapped files when renames are in play, filling v3
@@ -4993,11 +5054,23 @@ object IcebergInterop {
         // deterministic union order (groupBy is hash-ordered)
         .sortBy(_._1.toSeq.sorted.mkString(","))
         .map { case (absent, group) =>
-          val scanned = readFilesRaw(scanSchema0, group, extra)
-          if (absent.isEmpty) scanned
-          else scanned.select(scanned.columns.toSeq.map(c =>
-            if (absent(c)) defaultLiteral(c).as(c)
-            else col(s"`$c`")): _*)
+          if (absent.isEmpty) readFilesRaw(scanSchema0, group, extra)
+          else {
+            // scan WITHOUT the absent columns (an id-resolving scan of
+            // a file lacking the field id would error; a name scan
+            // would null-fill) and re-project to the full order with
+            // the defaults as typed literals
+            val present =
+              StructType(scanSchema0.filterNot(f => absent(f.name)))
+            val scanned = readFilesRaw(present, group, extra)
+            val presentNames = present.fieldNames.toSet
+            val tail = scanned.columns.filterNot(presentNames.contains)
+            scanned.select(
+              (scanSchema0.map(f =>
+                if (absent(f.name)) defaultLiteral(f.name).as(f.name)
+                else col(s"`${f.name}`")) ++
+                tail.map(c => col(s"`$c`"))).toSeq: _*)
+          }
         }.reduce(_.unionAll(_))
     def readFilesRaw(scanSchema0: StructType, files: Seq[String],
         extra: Seq[org.apache.spark.sql.Column]): DataFrame = {

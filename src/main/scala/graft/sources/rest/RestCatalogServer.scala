@@ -578,10 +578,14 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
       }
     val n = om.createObjectNode()
     n.put("status", "completed")
-    // the snapshot's delete files, served whole; every task references
-    // all of them (a position delete naming another data file matches
-    // nothing when applied, so the superset is correct) — the spec's
-    // merge-on-read planning contract
+    // the snapshot's delete files, with per-task references scoped per
+    // the spec's application rules: equality deletes reference only
+    // tasks with a STRICTLY SMALLER data sequence number (a row
+    // re-inserted after the delete must survive — referencing it from
+    // newer files would make a conforming client drop it), deletion
+    // vectors reference only their named data file, and plain position
+    // deletes reference every task (they key rows by file path, so a
+    // foreign path matches nothing — a correct superset)
     val delArr = om.createArrayNode()
     plan.deleteFiles.foreach { d =>
       val dn = om.createObjectNode()
@@ -600,7 +604,12 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
       d.contentSizeInBytes.foreach(dn.put("content-size-in-bytes", _))
       delArr.add(dn)
     }
-    val allRefs = plan.deleteFiles.indices
+    def refsFor(t: graft.sources.IcebergInterop.PlannedFile): Seq[Int] =
+      plan.deleteFiles.zipWithIndex.collect {
+        case (d, i) if d.content == 2L && t.seq < d.seq => i
+        case (d, i) if d.content != 2L &&
+            d.referencedDataFile.forall(_ == t.path) => i
+      }
     val arr = om.createArrayNode()
     plan.dataFiles.foreach { t =>
       val task = om.createObjectNode()
@@ -613,7 +622,7 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
       dfn.put("file-size-in-bytes", t.sizeBytes)
       dfn.put("record-count", t.recordCount)
       val refs = task.putArray("delete-file-references")
-      allRefs.foreach(refs.add)
+      refsFor(t).foreach(refs.add)
       filterNode.foreach(f => task.set[JsonNode]("residual-filter", f))
       arr.add(task)
     }
@@ -978,11 +987,19 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
           om.writerWithDefaultPrettyPrinter().writeValueAsBytes(s.md))
         published += ((s, loc))
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          published.foreach { case (_, loc) => fs.delete(loc, false) }
-          throw CatalogError(409, "CommitFailedException",
-            "a table version was committed concurrently — the whole " +
-              "transaction rolled back; refresh and retry")
+        // ANY publish failure rolls the whole transaction back — a
+        // partial transaction must never survive, whatever the cause
+        case e: Throwable =>
+          published.foreach { case (_, loc) =>
+            try fs.delete(loc, false) catch { case _: Exception => () }
+          }
+          e match {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              throw CatalogError(409, "CommitFailedException",
+                "a table version was committed concurrently — the whole " +
+                  "transaction rolled back; refresh and retry")
+            case other => throw other
+          }
       }
       published.foreach { case (s, _) =>
         graft.sources.IcebergInterop.publishHint(fs, s.metaDir, s.curV + 1)

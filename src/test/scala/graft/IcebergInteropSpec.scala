@@ -730,11 +730,55 @@ class IcebergInteropSpec extends AnyFunSuite {
       IcebergInterop.appendToIceberg(Seq(Tuple1(30L)).toDF("id"), target)
     }
     assert(eMiss.getMessage.contains("schema mismatch"), eMiss.getMessage)
-    // nested defaults refuse loudly (this reader fills top-level only)
-    val curV = Files.list(Paths.get(target, "metadata")).toArray
+    // RENAME the defaulted column (same field id, default retained):
+    // files carrying the OLD name must read their REAL values by field
+    // id — never the default (the silent-overwrite hazard) — while
+    // pre-add files still fill
+    def latestV = Files.list(Paths.get(target, "metadata")).toArray
       .map(_.toString)
       .flatMap("v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(_))
       .map(_.group(1).toInt).max
+    val vRen = latestV
+    val mdRenPath = Paths.get(target, "metadata", s"v$vRen.metadata.json")
+    val mdRen = om.readTree(Files.readAllBytes(mdRenPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    def renameFlag(sc: com.fasterxml.jackson.databind.JsonNode): Unit =
+      sc.path("fields").forEach { f =>
+        if (f.path("name").asText() == "flag")
+          f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .put("name", "flag2"): Unit
+      }
+    if (mdRen.has("schemas")) mdRen.get("schemas").forEach(renameFlag(_))
+    if (mdRen.has("schema")) renameFlag(mdRen.get("schema"))
+    // the spec's rename contract for id-less files: a name mapping
+    // records the files' name for the field id
+    val props = mdRen.path("properties") match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+      case _ => mdRen.putObject("properties")
+    }
+    props.put("schema.name-mapping.default",
+      s"""[{"field-id":${lastId + 1},"names":["flag"]}]""")
+    patch(mdRenPath, om.writeValueAsBytes(mdRen))
+    val gotRen = IcebergInterop.readIceberg(spark, target)
+      .select("id", "flag2").as[(Long, Option[Int])].collect().toMap
+    assert(gotRen(1L) == Some(7) && gotRen(2L) == Some(7), gotRen.toString)
+    assert(gotRen(10L) == Some(1), gotRen.toString) // real value, by id
+    assert(gotRen(11L) == None, gotRen.toString)    // real null, by id
+    assert(gotRen(20L) == Some(7), gotRen.toString) // stored write-default
+    // rename back so the nested case below starts clean
+    def renameBack(sc: com.fasterxml.jackson.databind.JsonNode): Unit =
+      sc.path("fields").forEach { f =>
+        if (f.path("name").asText() == "flag2")
+          f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .put("name", "flag"): Unit
+      }
+    if (mdRen.has("schemas")) mdRen.get("schemas").forEach(renameBack(_))
+    if (mdRen.has("schema")) renameBack(mdRen.get("schema"))
+    props.remove("schema.name-mapping.default")
+    patch(mdRenPath, om.writeValueAsBytes(mdRen))
+
+    // nested defaults refuse loudly (this reader fills top-level only)
+    val curV = latestV
     val md2 = om.readTree(Files.readAllBytes(Paths.get(target, "metadata",
       s"v$curV.metadata.json")))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]

@@ -663,13 +663,39 @@ class RestCatalogSpec extends AnyFunSuite {
     assert(dels.isArray && dels.size() == 1, resp)
     assert(dels.get(0).path("content").asText() == "position-deletes", resp)
     assert(dels.get(0).path("file-path").asText().nonEmpty, resp)
-    // every task references the delete file by index
+    // every task references the position delete by index (path-keyed:
+    // a foreign path matches nothing, so the superset is correct)
     val tasks = plan.path("file-scan-tasks")
     assert(tasks.size() > 0, resp)
     (0 until tasks.size()).foreach { i =>
       val refs = tasks.get(i).path("delete-file-references")
       assert(refs.size() == 1 && refs.get(0).asInt() == 0, resp)
     }
+    // equality-delete a key, then RE-INSERT it: the re-inserting file
+    // (newer sequence) must NOT reference the equality delete — a
+    // conforming client applying it would drop the re-inserted row
+    import spark.implicits._
+    graft.sources.IcebergInterop.deleteFromIcebergByKey(
+      Seq(1L).toDF("id"), root)
+    graft.sources.IcebergInterop.appendToIceberg(
+      Seq((1L, 9.9)).toDF("id", "v"), root)
+    val resp2 =
+      httpReq("POST", "/v1/namespaces/ddb/tables/dt/plan", Some("{}"))._2
+    val plan2 = om.readTree(resp2)
+    val dels2 = plan2.path("delete-files")
+    val eqIdx = (0 until dels2.size()).find(i =>
+      dels2.get(i).path("content").asText() == "equality-deletes")
+    assert(eqIdx.isDefined, resp2)
+    val tasks2 = plan2.path("file-scan-tasks")
+    var sawScoped = false
+    var sawUnscoped = false
+    (0 until tasks2.size()).foreach { i =>
+      val refs = (0 until tasks2.get(i).path("delete-file-references").size())
+        .map(tasks2.get(i).path("delete-file-references").get(_).asInt())
+      if (refs.contains(eqIdx.get)) sawScoped = true else sawUnscoped = true
+    }
+    // older files reference the equality delete, the re-insert does not
+    assert(sawScoped && sawUnscoped, resp2)
   }
 
   test("transactions/commit: multi-table atomic commit, all-or-nothing") {
