@@ -4324,9 +4324,14 @@ object IcebergInterop {
 
   /** One planned file of a server-side scan (REST planTableScan):
     * path, size, record count, spec id, data sequence number (for
-    * scoping equality deletes). */
+    * scoping equality deletes), and the manifest's partition values
+    * (field name → raw metadata value string — identity values
+    * verbatim, transform grains in their metadata encoding, e.g.
+    * epoch-day ints for `day`), so a client can partition-prune the
+    * served tasks. */
   final case class PlannedFile(path: String, sizeBytes: Long,
-      recordCount: Long, specId: Int, seq: Long)
+      recordCount: Long, specId: Int, seq: Long,
+      partition: Seq[(String, String)])
 
   /** One delete file of a server-side scan: content 1 =
     * position deletes (puffin format = a v3 deletion vector, with blob
@@ -4373,6 +4378,21 @@ object IcebergInterop {
       new HPath(snap.path("manifest-list").asText())))
     val (manifests, deleteManifests) = allManifests.partition(m =>
       fieldOpt(m, "content").map(longOf).getOrElse(0L) == 0L)
+    // partition-spec field names BY SPEC ID, for rendering each data
+    // file's partition values (entries lay their partition struct out
+    // per their manifest's own spec)
+    val specNamesById: Map[Int, Seq[String]] =
+      if (md.has("partition-specs"))
+        md.get("partition-specs").elements().asScala().map { sp =>
+          sp.path("spec-id").asInt(0) ->
+            sp.path("fields").elements().asScala()
+              .map(_.path("name").asText()).toSeq
+        }.toMap
+      else if (md.has("partition-spec")) // v1 legacy single-spec field
+        Map(md.path("default-spec-id").asInt(0) ->
+          md.get("partition-spec").elements().asScala()
+            .map(_.path("name").asText()).toSeq)
+      else Map.empty
     // the snapshot's live delete files — served whole (no per-task
     // narrowing: a position delete naming another data file matches
     // nothing when applied, so the superset is correct)
@@ -4445,11 +4465,20 @@ object IcebergInterop {
               IcebergStats.toFileStats(schema, idOf,
                 longOf(df.get("record_count")), nulls, lowers, uppers)
             })
+          val pv: Seq[(String, String)] = df.get("partition") match {
+            case pr: GenericRecord =>
+              val names = specNamesById.getOrElse(specId, Nil)
+              names.zipWithIndex.flatMap { case (n, i) =>
+                if (pr.getSchema.getFields.size() <= i) None
+                else Option(pr.get(i)).map(v => n -> v.toString)
+              }
+            case _ => Nil
+          }
           if (!keep) None
           else Some(PlannedFile(df.get("file_path").toString,
             longOf(df.get("file_size_in_bytes")),
             longOf(df.get("record_count")), specId,
-            fieldOpt(e, "sequence_number").map(longOf).getOrElse(mseq)))
+            fieldOpt(e, "sequence_number").map(longOf).getOrElse(mseq), pv))
         }
       }
     }.distinct

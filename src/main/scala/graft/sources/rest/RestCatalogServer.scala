@@ -618,7 +618,8 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
       dfn.put("content", "data")
       dfn.put("file-path", t.path)
       dfn.put("file-format", "parquet")
-      dfn.putObject("partition")
+      val pn = dfn.putObject("partition")
+      t.partition.foreach { case (k, v) => pn.put(k, v) }
       dfn.put("file-size-in-bytes", t.sizeBytes)
       dfn.put("record-count", t.recordCount)
       val refs = task.putArray("delete-file-references")

@@ -698,6 +698,29 @@ class RestCatalogSpec extends AnyFunSuite {
     assert(sawScoped && sawUnscoped, resp2)
   }
 
+  test("plan route serves identity partition values on the data files") {
+    import spark.implicits._
+    val src = graft.sources.GraftTable.create(spark,
+      Files.createTempDirectory("graft_ppv_src_").toString + "/t",
+      Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "seg"),
+      partitionBy = Seq("seg"))
+    // the mirror publishes a REAL identity partition spec
+    graft.sources.IcebergInterop.mirrorToIceberg(src)
+    assert(httpReq("POST", "/v1/namespaces",
+      Some("""{"namespace":["pdb"]}"""))._1 == 200)
+    assert(httpReq("POST", "/v1/namespaces/pdb/register",
+      Some(s"""{"name":"pt","metadata-location":"${src.root}/metadata/v1.metadata.json"}"""))._1 == 200)
+    val (code, resp) =
+      httpReq("POST", "/v1/namespaces/pdb/tables/pt/plan", Some("{}"))
+    assert(code == 200, resp)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tasks = om.readTree(resp).path("file-scan-tasks")
+    assert(tasks.size() >= 2, resp) // one file per segment at least
+    val segs = (0 until tasks.size()).map(i =>
+      tasks.get(i).path("data-file").path("partition").path("seg").asText())
+    assert(segs.toSet == Set("A", "B"), resp)
+  }
+
   test("transactions/commit: multi-table atomic commit, all-or-nothing") {
     val s = restSession("rtxn")
     s.sql("CREATE NAMESPACE rtxn.xdb")
