@@ -1809,6 +1809,65 @@ object DeltaInterop {
       }
     }
 
+  /** Dense 0-based row index for identity assignment: one count pass
+    * over the (already-pinned) input groups rows by Spark partition
+    * id, the cumulative offsets ride a small literal map, and each
+    * row's index is offset(partition) + its position within the
+    * partition (the low 33 bits of monotonically_increasing_id).
+    * Unlike raw monotonically_increasing_id arithmetic, N input rows
+    * consume EXACTLY N identity slots — the high watermark advances
+    * by N·step per append, never by partitions·2^33·step, so
+    * long-lived many-partition tables cannot drift toward Long
+    * overflow. The caller must have persisted `df`: the count pass
+    * and the write pass must see the same partitioning. Returns the
+    * indexed frame (`__graft_dense_idx`) and the row count. */
+  private def denseRowIndex(df: DataFrame): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{monotonically_increasing_id,
+      spark_partition_id, typedLit, lit => flit}
+    val counts = df.groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
+    val offsetOf: Map[Int, Long] = counts.map(_._1).zip(offsets).toMap
+    val total = counts.map(_._2).sum
+    val idx =
+      (if (offsetOf.isEmpty) flit(0L)
+       else typedLit(offsetOf).apply(spark_partition_id())) +
+        monotonically_increasing_id().bitwiseAND(flit((1L << 33) - 1))
+    (df.withColumn("__graft_dense_idx", idx), total)
+  }
+
+  /** The identity declaration of a field, validated: the protocol
+    * types identity columns as bigint (enforcing it here also keeps
+    * the watermark bookkeeping getLong-safe on BOTH the assigned and
+    * the supplied path), and step must be non-zero. `base` is the
+    * value BEFORE the next assigned slot. */
+  private final case class IdentitySpec(name: String, start: Long,
+      step: Long, wm: Option[Long], allowExplicit: Boolean) {
+    def base: Long = wm.getOrElse(start - step)
+    /** base + n·step, refusing loudly on Long overflow instead of
+      * wrapping into duplicate ids. */
+    def valueAt(n: Long): Long =
+      try Math.addExact(base, Math.multiplyExact(n, step))
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"identity column '$name' overflows Long after $n more rows " +
+            s"(watermark $base, step $step)")
+      }
+  }
+  private def identitySpecOf(f: StructField): IdentitySpec = {
+    require(f.dataType == org.apache.spark.sql.types.LongType,
+      s"identity column '${f.name}' is ${f.dataType.simpleString} — " +
+        "Delta identity columns are BIGINT")
+    val step = f.metadata.getLong("delta.identity.step")
+    require(step != 0, s"identity column '${f.name}' declares step 0")
+    IdentitySpec(f.name, f.metadata.getLong("delta.identity.start"), step,
+      if (f.metadata.contains("delta.identity.highWaterMark"))
+        Some(f.metadata.getLong("delta.identity.highWaterMark"))
+      else None,
+      f.metadata.contains("delta.identity.allowExplicit") &&
+        f.metadata.getBoolean("delta.identity.allowExplicit"))
+  }
+
   def appendToDelta(df: DataFrame, path: String, maxRetries: Int = 20,
       txn: Option[(String, Long)] = None,
       mergeSchema: Boolean = false): Long = {
@@ -1884,88 +1943,85 @@ object DeltaInterop {
             s"`${f.name.replace("`", "``")}` <=> (($g))")
       }
       // Identity columns (delta.identity.{start,step,highWaterMark}):
-      // an OMITTED identity column is ASSIGNED here — values
-      // base + k·step strictly beyond the recorded high watermark in
-      // step direction (k from monotonically_increasing_id, so values
-      // are unique and monotone but GAPPED — the protocol permits
-      // gaps, and Delta's own assignment leaves them too) — and the
-      // commit advances delta.identity.highWaterMark in the same
+      // an OMITTED identity column is ASSIGNED here — DENSE values
+      // base + k·step for k = 1..N beyond the recorded high watermark
+      // in step direction (k from a per-partition-offset dense index,
+      // so N rows consume exactly N slots — no 2^33-per-partition
+      // watermark jumps, no silent Long wrap; overflow refuses) — and
+      // the commit advances delta.identity.highWaterMark in the same
       // metaData action. SUPPLIED values are accepted only when the
       // column declares allowExplicit (GENERATED BY DEFAULT); the
-      // watermark still advances past them. A peer moving the
-      // watermark mid-race changes the schema metadata, which the
-      // race re-validation refuses — concurrent identity appends
-      // serialize instead of colliding. Costs one extra aggregation
-      // pass over the input (the watermark read-back).
+      // watermark still advances past them (one aggregate read-back).
+      // A peer moving the watermark mid-race changes the schema
+      // metadata, which the race re-validation refuses — concurrent
+      // identity appends serialize instead of colliding.
       if (!dfWBuilt) { // first validate() only: the staged files
         // embed the first pass's assignment
         val idCols = schema.fields.toSeq.filter(
           _.metadata.contains("delta.identity.start"))
-        var assigned = false
-        idCols.foreach { f =>
-          val start = f.metadata.getLong("delta.identity.start")
-          val step = f.metadata.getLong("delta.identity.step")
-          require(step != 0, s"identity column '${f.name}' declares step 0")
-          val wm =
-            if (f.metadata.contains("delta.identity.highWaterMark"))
-              Some(f.metadata.getLong("delta.identity.highWaterMark"))
-            else None
-          if (!dfW.schema.fieldNames.contains(f.name)) {
-            val base = wm.getOrElse(start - step)
-            dfW = dfW.withColumn(f.name,
-              (org.apache.spark.sql.functions.lit(base) +
-                (org.apache.spark.sql.functions
-                  .monotonically_increasing_id() + 1L) *
-                  org.apache.spark.sql.functions.lit(step))
-                .cast(f.dataType))
-            assigned = true
-          } else if (!(f.metadata.contains("delta.identity.allowExplicit") &&
-              f.metadata.getBoolean("delta.identity.allowExplicit")))
-            refuseW(s"column '${f.name}' is GENERATED ALWAYS AS IDENTITY " +
+        val specs = idCols.map(identitySpecOf)
+        val (toAssign, supplied) = specs.partition(
+          s => !dfW.schema.fieldNames.contains(s.name))
+        supplied.foreach { s =>
+          if (!s.allowExplicit)
+            refuseW(s"column '${s.name}' is GENERATED ALWAYS AS IDENTITY " +
               "— it cannot take user-supplied values (omit it and this " +
               "writer assigns)")
           else
             // the watermark read-back below getLongs the aggregate —
             // mistyped input must hit the friendly refusal, not a CCE
-            require(dfW.schema(f.name).dataType == f.dataType,
+            require(dfW.schema(s.name).dataType ==
+                org.apache.spark.sql.types.LongType,
               s"append schema mismatch at $path: identity column " +
-                s"'${f.name}' is ${f.dataType.simpleString} in the table, " +
-                s"${dfW.schema(f.name).dataType.simpleString} in the " +
+                s"'${s.name}' is bigint in the table, " +
+                s"${dfW.schema(s.name).dataType.simpleString} in the " +
                 "input — cast before appending")
         }
         if (idCols.nonEmpty) {
-          // pin the assignment: the watermark read-back below and the
-          // file write later must see the SAME monotonic ids
-          if (assigned) {
-            dfW = dfW.persist(org.apache.spark.storage.StorageLevel
-              .MEMORY_AND_DISK)
-            persistedInput = Some(dfW)
-          }
-          import org.apache.spark.sql.functions.{max => fmax, min => fmin, col => fcol}
-          val aggs = idCols.map { f =>
-            val step = f.metadata.getLong("delta.identity.step")
-            (if (step > 0) fmax(fcol(f.name)) else fmin(fcol(f.name)))
-              .as(s"__wm_${f.name}")
-          }
-          val row = dfW.agg(aggs.head, aggs.tail: _*).collect()(0)
-          identityWm = idCols.zipWithIndex.flatMap { case (f, i) =>
-            if (row.isNullAt(i)) None // empty input: watermark keeps
-            else {
-              val step = f.metadata.getLong("delta.identity.step")
-              val got = row.getLong(i)
-              val old =
-                if (f.metadata.contains("delta.identity.highWaterMark"))
-                  Some(f.metadata.getLong("delta.identity.highWaterMark"))
-                else None
-              val next = old match {
-                case Some(o) =>
-                  if (step > 0) math.max(o, got) else math.min(o, got)
-                case None => got
-              }
-              if (old.contains(next)) None else Some(f.name -> next)
-            }
-          }.toMap
+          // pin the input: the count pass, the watermark read-back,
+          // and the file write must all see the SAME partitioning
+          dfW = dfW.persist(org.apache.spark.storage.StorageLevel
+            .MEMORY_AND_DISK)
+          persistedInput = Some(dfW)
         }
+        val assignedWm: Map[String, Long] =
+          if (toAssign.isEmpty) Map.empty
+          else {
+            val (indexed, total) = denseRowIndex(dfW)
+            dfW = toAssign.foldLeft(indexed) { (d, s) =>
+              d.withColumn(s.name,
+                org.apache.spark.sql.functions.lit(s.base) +
+                  (org.apache.spark.sql.functions
+                    .col("__graft_dense_idx") + 1L) *
+                    org.apache.spark.sql.functions.lit(s.step))
+            }.drop("__graft_dense_idx")
+            if (total == 0) Map.empty
+            else toAssign.map(s => s.name -> s.valueAt(total)).toMap
+          }
+        val suppliedWm: Map[String, Long] =
+          if (supplied.isEmpty) Map.empty
+          else {
+            import org.apache.spark.sql.functions.{max => fmax,
+              min => fmin, col => fcol}
+            val aggs = supplied.map { s =>
+              (if (s.step > 0) fmax(fcol(s.name)) else fmin(fcol(s.name)))
+                .as(s"__wm_${s.name}")
+            }
+            val row = dfW.agg(aggs.head, aggs.tail: _*).collect()(0)
+            supplied.zipWithIndex.flatMap { case (s, i) =>
+              if (row.isNullAt(i)) None // empty input: watermark keeps
+              else {
+                val got = row.getLong(i)
+                val next = s.wm match {
+                  case Some(o) =>
+                    if (s.step > 0) math.max(o, got) else math.min(o, got)
+                  case None => got
+                }
+                if (s.wm.contains(next)) None else Some(s.name -> next)
+              }
+            }.toMap
+          }
+        identityWm = assignedWm ++ suppliedWm
       }
       dfWBuilt = true
       // CHECK constraints + column invariants are ENFORCED, not
@@ -2319,11 +2375,16 @@ object DeltaInterop {
     *    commits carry no cdc (CDF readers derive deletes from the
     *    remove actions, DV-aware).
     *
-    * Writer obligations: refuses column mapping (rewritten files would
-    * need physical names), append-only tables (`delta.appendOnly`),
-    * writer protocols above 7, and unknown writer features; CHECK
-    * constraints, invariants and generated columns impose no
-    * obligation on DELETE (surviving rows are carried verbatim).
+    * Writer obligations: COLUMN-MAPPED tables (name and id mode)
+    * delete correctly — the detection scan reads physical names (id
+    * mode by field id) renamed back to the declared schema, rewritten
+    * survivor files carry physical names / field ids / physical hive
+    * dirs, and the commit's partitionValues keys stay physical, per
+    * the protocol's writer requirements. Refuses append-only tables
+    * (`delta.appendOnly`), writer protocols above 7, and unknown
+    * writer features; CHECK constraints, invariants and generated
+    * columns impose no obligation on DELETE (surviving rows are
+    * carried verbatim).
     *
     * Concurrency: the commit claims the next version slot via the
     * conditional-put protocol; a lost race RESTARTS the whole
@@ -2353,9 +2414,10 @@ object DeltaInterop {
 
     def validate(): DeltaSnapshot = {
       val st = replaySnapshot(spark, path, None)
-      if (st.colMapMode != "none")
-        refuseW("the table uses column mapping — rewritten files would " +
-          "need physical column names")
+      // column mapping (name or id mode) is handled, not refused: the
+      // detection scan reads physical names renamed back to logical,
+      // rewritten files are written through physicalWrite, and the
+      // commit's partitionValues keys stay physical
       if (st.configuration.get("delta.appendOnly").contains("true"))
         refuseW("the table is append-only (delta.appendOnly=true)")
       if (st.minWriter > 7)
@@ -2401,6 +2463,11 @@ object DeltaInterop {
       var rewriteFiles: Seq[(String, (Map[String, String],
         Option[DeletionVectors.Descriptor]))] = Nil
 
+      // partitionValues keys are PHYSICAL names on mapped tables
+      val physPartOf: Map[String, String] = partCols.map(pc =>
+        pc -> (if (st.colMapMode == "none") pc
+               else physicalField(schema(pc), withIds = false).name)).toMap
+
       if (partitionOnly) {
         // METADATA-ONLY: type the distinct partition tuples and let the
         // condition select them on the driver — no data scan
@@ -2412,7 +2479,7 @@ object DeltaInterop {
             nullable = false))
         val rows = idxed.map { case (pv, i) =>
           org.apache.spark.sql.Row.fromSeq(
-            partCols.map(pc => pv.get(pc).orNull) :+ i.toLong)
+            partCols.map(pc => pv.get(physPartOf(pc)).orNull) :+ i.toLong)
         }
         val typed = partCols.foldLeft(spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), pvSchema)) { (d, pc) =>
@@ -2430,7 +2497,7 @@ object DeltaInterop {
           try {
             result = commitDelete(io, logDir, st,
               System.currentTimeMillis(), condition.toString, removeWhole,
-              Nil, Nil, partCols)
+              Nil, Nil, partCols.map(physPartOf))
           } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
               attempts += 1
@@ -2542,8 +2609,10 @@ object DeltaInterop {
                   .drop("__file")
                   .select(schema.fieldNames.map(col).toSeq: _*)
             }
-            addStats = DeltaStats.writeWithStats(survivors,
-              staging.toString, partCols, dataSchema)
+            val (physSurv, physPartCols, physDataSchema) =
+              physicalWrite(spark, st, schema, partCols, survivors)
+            addStats = DeltaStats.writeWithStats(physSurv,
+              staging.toString, physPartCols, physDataSchema)
             val staged = listStagedParquet(fs, staging)
             staged.foreach { case (rel, _) =>
               val dst = new HPath(root, rel)
@@ -2564,10 +2633,12 @@ object DeltaInterop {
               Seq("_change_type" -> lit("delete")))
               .select((schema.fieldNames.map(col) :+
                 col("_change_type")).toSeq: _*)
+            val (physDeleted, cdcPartCols, _) =
+              physicalWrite(spark, st, schema, partCols, deleted)
             if (partCols.nonEmpty)
-              deleted.write.partitionBy(partCols: _*)
+              physDeleted.write.partitionBy(cdcPartCols: _*)
                 .parquet(cdcStaging.toString)
-            else deleted.write.parquet(cdcStaging.toString)
+            else physDeleted.write.parquet(cdcStaging.toString)
             val staged = listStagedParquet(fs, cdcStaging)
             staged.foreach { case (rel, _) =>
               val dst = new HPath(root, s"_change_data/$rel")
@@ -2586,7 +2657,7 @@ object DeltaInterop {
           // (still-valid bounds — a DV only strikes rows)
           result = commitDelete(io, logDir, st, now0, condition.toString,
             removeWhole ++ rewriteFiles.map { case (p, (pv, _)) => (p, pv) },
-            adds, cdcAdds, partCols, dvAdds = dvAdds,
+            adds, cdcAdds, partCols.map(physPartOf), dvAdds = dvAdds,
             statsOf = p => addStats.get(p).orElse(st.stats.get(p)))
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
@@ -2627,7 +2698,9 @@ object DeltaInterop {
     * a generated value refuses loudly; SETs not touching it or its
     * inputs pass) are ENFORCED over the rewritten rows in one
     * aggregate pass before any commit (the same pass appendToDelta
-    * runs). Refuses column mapping, append-only tables,
+    * runs). COLUMN-MAPPED tables (name and id mode) update correctly
+    * (physical-name scan + physical rewrite, see [[deleteFromDelta]]).
+    * Refuses append-only tables,
     * identity-column assignments (identity values never change),
     * partition-column assignments (rows would have to MOVE partitions
     * — use delete+append), and unknown writer features. A lost
@@ -2653,9 +2726,8 @@ object DeltaInterop {
 
     def validate(): DeltaSnapshot = {
       val st = replaySnapshot(spark, path, None)
-      if (st.colMapMode != "none")
-        refuseW("the table uses column mapping — rewritten files would " +
-          "need physical column names")
+      // column mapping (name or id mode) is handled, not refused —
+      // see deleteFromDelta: physical-name scan + physicalWrite
       if (st.configuration.get("delta.appendOnly").contains("true"))
         refuseW("the table is append-only (delta.appendOnly=true)")
       if (st.minWriter > 7)
@@ -2816,8 +2888,10 @@ object DeltaInterop {
                 case f if !f.nullable &&
                     assignments.contains(f.name) => f.name
               }), refuseW)
-          val addStats = DeltaStats.writeWithStats(rewritten,
-            staging.toString, partCols, dataSchema)
+          val (physRewritten, physPartCols, physDataSchema) =
+            physicalWrite(spark, st, schema, partCols, rewritten)
+          val addStats = DeltaStats.writeWithStats(physRewritten,
+            staging.toString, physPartCols, physDataSchema)
           val staged = listStagedParquet(fs, staging)
           staged.foreach { case (rel, _) =>
             val dst = new HPath(root, rel)
@@ -2838,9 +2912,11 @@ object DeltaInterop {
             val post = applied(matchedRows).drop("__file")
               .select(schema.fieldNames.map(col).toSeq: _*)
               .withColumn("_change_type", lit("update_postimage"))
-            val cdc = pre.unionByName(post)
+            val (cdc, cdcPartCols, _) = physicalWrite(spark, st, schema,
+              partCols, pre.unionByName(post))
             if (partCols.nonEmpty)
-              cdc.write.partitionBy(partCols: _*).parquet(cdcStaging.toString)
+              cdc.write.partitionBy(cdcPartCols: _*)
+                .parquet(cdcStaging.toString)
             else cdc.write.parquet(cdcStaging.toString)
             val cstaged = listStagedParquet(fs, cdcStaging)
             cstaged.foreach { case (rel, _) =>
@@ -2856,7 +2932,7 @@ object DeltaInterop {
           }
           result = commitDelete(io, logDir, st, now, condition.toString,
             entries.map { case (p, (pv, _)) => (p, pv) }, staged, cdcAdds,
-            partCols, operation = "UPDATE", dvAdds = dvAdds,
+            physPartCols, operation = "UPDATE", dvAdds = dvAdds,
             statsOf = p => addStats.get(p).orElse(st.stats.get(p)))
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
@@ -2924,14 +3000,21 @@ object DeltaInterop {
     *    not recomputed: a clause that stales a generated value
     *    refuses loudly) are ENFORCED over the rewritten + inserted
     *    rows in one aggregate pass before any commit (the same pass
-    *    [[appendToDelta]] runs). Identity tables take update/delete-
-    *    only merges; INSERT clauses and identity-touching SETs refuse
-    *    (the bookkeeping belongs to [[appendToDelta]]).
+    *    [[appendToDelta]] runs). Identity tables merge fully:
+    *    identity-touching SETs refuse (values never change), and
+    *    INSERT clauses ASSIGN — a source omitting the identity column
+    *    gets dense beyond-watermark values on its inserted rows with
+    *    the highWaterMark advanced in the same commit's metaData; a
+    *    source supplying it is accepted only under allowExplicit.
     *  - CDF tables get authoritative cdc files — update_preimage/
     *    update_postimage for updated rows, `delete` for deleted rows,
     *    `insert` for inserted rows.
+    *  - COLUMN-MAPPED tables (name and id mode) merge correctly —
+    *    physical-name scan + physical rewrite, see
+    *    [[deleteFromDelta]].
     *
-    * The source must carry exactly the table's columns, and its keys
+    * The source must carry exactly the table's columns (identity
+    * columns may be omitted — see above), and its keys
     * must be UNIQUE — ENFORCED with one bounded pass before any file
     * moves (a target row matching several source rows is the same
     * ambiguity Delta's MERGE rejects). A lost version race restarts
@@ -2962,11 +3045,14 @@ object DeltaInterop {
 
     val Harmless = HarmlessWriterFeatures
 
+    var mergeColl: Option[CheckpointCollector] = None
     def validate(): DeltaSnapshot = {
-      val st = replaySnapshot(spark, path, None)
-      if (st.colMapMode != "none")
-        refuseW("the table uses column mapping — rewritten files would " +
-          "need physical column names")
+      // the collector carries the metaData identity an identity-
+      // watermark-advancing commit must preserve
+      mergeColl = Some(new CheckpointCollector())
+      val st = replaySnapshot(spark, path, None, mergeColl)
+      // column mapping (name or id mode) is handled, not refused —
+      // see deleteFromDelta: physical-name scan + physicalWrite
       if (st.configuration.get("delta.appendOnly").contains("true"))
         refuseW("the table is append-only (delta.appendOnly=true)")
       if (st.minWriter > 7)
@@ -2980,13 +3066,19 @@ object DeltaInterop {
       val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
       // generated columns are allowed — consistency is VERIFIED over
       // everything the merge writes (transformed + carried + inserted
-      // rows) via generatedConsistencyChecks on the constraint pass;
-      // identity columns: no clause may CHANGE or CREATE identity
-      // values this writer would have to book-keep, so SET */SET
-      // touching the column and INSERT clauses refuse — update/delete-
-      // only merges (the CDC apply shape) work
+      // rows) via generatedConsistencyChecks on the constraint pass.
+      // Identity columns: no clause may CHANGE identity values, so
+      // SET */SET touching the column refuses (a partial SET that
+      // skips it works); INSERT clauses ASSIGN — a source that OMITS
+      // the identity column gets dense beyond-watermark values on its
+      // inserted rows (the appendToDelta assignment), the
+      // highWaterMark advancing in the same commit, while a source
+      // SUPPLYING the column is accepted only under allowExplicit
+      // (keys often need the identity column to match on — supplying
+      // it for matching is exactly the allowExplicit contract).
       schema.fields.foreach { f =>
         if (f.metadata.contains("delta.identity.start")) {
+          identitySpecOf(f) // validates bigint + non-zero step
           val idTouched =
             matched.exists {
               case u: Merge.MatchedUpdate =>
@@ -3000,13 +3092,25 @@ object DeltaInterop {
             refuseW(s"an UPDATE clause touches identity column " +
               s"'${f.name}' — identity values cannot be updated (a " +
               "partial SET that skips it works)")
-          if (notMatched.nonEmpty)
-            refuseW(s"INSERT clauses on a table with identity column " +
-              s"'${f.name}' would need identity bookkeeping — append " +
-              "the new rows with appendToDelta, which assigns")
+          if (notMatched.nonEmpty &&
+              source.schema.fieldNames.contains(f.name) &&
+              !identitySpecOf(f).allowExplicit)
+            refuseW(s"column '${f.name}' is GENERATED ALWAYS AS " +
+              "IDENTITY — INSERT clauses cannot take user-supplied " +
+              "values (omit it from the source and this writer assigns)")
         }
       }
-      require(schema.fieldNames.toSet == source.schema.fieldNames.toSet,
+      // the source must carry exactly the table's columns — except
+      // identity columns, which it may OMIT (inserted rows then take
+      // assigned values; such columns cannot be merge keys)
+      val omittable = schema.fields.toSeq.filter(f =>
+        f.metadata.contains("delta.identity.start") &&
+          !source.schema.fieldNames.contains(f.name)).map(_.name).toSet
+      omittable.foreach(c => require(!keys.contains(c),
+        s"mergeDeltaClauses at $path: key '$c' is an identity column " +
+          "absent from the source — supply it to match on it"))
+      require(schema.fieldNames.toSet -- omittable ==
+          source.schema.fieldNames.toSet,
         s"merge schema mismatch at $path: table columns " +
           s"[${schema.fieldNames.mkString(", ")}], source columns " +
           s"[${source.schema.fieldNames.mkString(", ")}]")
@@ -3057,7 +3161,18 @@ object DeltaInterop {
         st.active.map(e => qualified(resolveFile(root, e._1)) -> e).toMap
       val liveScan = liveMutationScan(spark, root, st, schema, partCols,
         dataSchema)
-      val src = source.select(schema.fieldNames.map(col).toSeq: _*)
+      // identity columns the source omits ride as null placeholders
+      // through the join/clause machinery (updates never read them —
+      // identity-touching SETs refuse) and take ASSIGNED values on
+      // the inserted rows below
+      val idSpecs = schema.fields.toSeq
+        .filter(_.metadata.contains("delta.identity.start"))
+        .map(identitySpecOf)
+      val omittedIds = idSpecs.filterNot(s =>
+        source.schema.fieldNames.contains(s.name))
+      val sourceFull = omittedIds.foldLeft(source)((d, s) =>
+        d.withColumn(s.name, lit(null).cast("long")))
+      val src = sourceFull.select(schema.fieldNames.map(col).toSeq: _*)
       // source columns under __src_ aliases (keys stay bare for the
       // equi-join; non-keys dual-ride so clause conditions can read
       // them through Merge.source)
@@ -3147,11 +3262,62 @@ object DeltaInterop {
       val insertCond =
         if (notMatched.isEmpty) lit(false)
         else notMatched.map(c => clauseCond(c.condition)).reduce(_ || _)
-      val inserts = src
+      val inserts0 = src
         .join(scanAll.select(keys.map(col): _*), keys, "left_anti")
         .where(insertCond)
         .select(schema.fields.map(f =>
           col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      // identity bookkeeping over the INSERTED rows — the
+      // appendToDelta assignment: omitted columns take dense
+      // beyond-watermark values (N inserts consume exactly N slots),
+      // supplied (allowExplicit) columns advance the watermark past
+      // their extremes; the commit re-declares the schema with the
+      // advanced highWaterMark in the same metaData action, so a peer
+      // moving it mid-race fails this commit's version slot and the
+      // retry re-reads the fresh watermark.
+      var pinnedInserts: Option[DataFrame] = None
+      var identityWm: Map[String, Long] = Map.empty
+      val inserts =
+        if (idSpecs.isEmpty || notMatched.isEmpty) inserts0
+        else {
+          val pinned = inserts0.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pinnedInserts = Some(pinned)
+          val (indexed, total) = denseRowIndex(pinned)
+          val assigned = omittedIds.foldLeft(indexed) { (d, s) =>
+            d.withColumn(s.name, lit(s.base) +
+              (col("__graft_dense_idx") + 1L) * lit(s.step))
+          }.drop("__graft_dense_idx")
+          val assignedWm: Map[String, Long] =
+            if (total == 0) Map.empty
+            else omittedIds.map(s => s.name -> s.valueAt(total)).toMap
+          val suppliedSpecs = idSpecs.filterNot(s =>
+            omittedIds.exists(_.name == s.name))
+          val suppliedWm: Map[String, Long] =
+            if (suppliedSpecs.isEmpty || total == 0) Map.empty
+            else {
+              import org.apache.spark.sql.functions.{max => fmax,
+                min => fmin}
+              val aggs = suppliedSpecs.map(s =>
+                (if (s.step > 0) fmax(col(s.name)) else fmin(col(s.name)))
+                  .as(s"__wm_${s.name}"))
+              val row = pinned.agg(aggs.head, aggs.tail: _*).collect()(0)
+              suppliedSpecs.zipWithIndex.flatMap { case (s, i) =>
+                if (row.isNullAt(i)) None
+                else {
+                  val got = row.getLong(i)
+                  val next = s.wm match {
+                    case Some(o) =>
+                      if (s.step > 0) math.max(o, got) else math.min(o, got)
+                    case None => got
+                  }
+                  if (s.wm.contains(next)) None else Some(s.name -> next)
+                }
+              }.toMap
+            }
+          identityWm = assignedWm ++ suppliedWm
+          assigned
+        }
 
       val entries = affected.toSeq.map(byQualified)
       val staging = new HPath(root,
@@ -3248,8 +3414,10 @@ object DeltaInterop {
               schema.fields.toSeq.filterNot(_.nullable).map(_.name)),
           refuseW)
 
-        val addStats = DeltaStats.writeWithStats(rewritten,
-          staging.toString, partCols, dataSchema)
+        val (physRewritten, physPartCols, physDataSchema) =
+          physicalWrite(spark, st, schema, partCols, rewritten)
+        val addStats = DeltaStats.writeWithStats(physRewritten,
+          staging.toString, physPartCols, physDataSchema)
         val staged = listStagedParquet(fs, staging)
         if (staged.isEmpty && entries.isEmpty) {
           // empty source, nothing matched: no-op
@@ -3284,10 +3452,12 @@ object DeltaInterop {
               .select(schema.fieldNames.map(col).toSeq: _*)
               .withColumn("_change_type", lit("delete")))
             val ins = inserts.withColumn("_change_type", lit("insert"))
-            val cdc = (pre.toSeq ++ post.toSeq ++ dels.toSeq :+ ins)
-              .reduce(_.unionByName(_))
+            val (cdc, cdcPartCols, _) = physicalWrite(spark, st, schema,
+              partCols, (pre.toSeq ++ post.toSeq ++ dels.toSeq :+ ins)
+                .reduce(_.unionByName(_)))
             if (partCols.nonEmpty)
-              cdc.write.partitionBy(partCols: _*).parquet(cdcStaging.toString)
+              cdc.write.partitionBy(cdcPartCols: _*)
+                .parquet(cdcStaging.toString)
             else cdc.write.parquet(cdcStaging.toString)
             val cstaged = listStagedParquet(fs, cdcStaging)
             cstaged.foreach { case (rel, _) =>
@@ -3301,11 +3471,25 @@ object DeltaInterop {
             fs.delete(cdcStaging, true)
             cdcAdds = cstaged
           }
+          val metaAction =
+            if (identityWm.isEmpty) None
+            else {
+              val schemaWithWm = StructType(schema.fields.map { f =>
+                identityWm.get(f.name).map { wm =>
+                  f.copy(metadata = new org.apache.spark.sql.types
+                    .MetadataBuilder().withMetadata(f.metadata)
+                    .putLong("delta.identity.highWaterMark", wm).build())
+                }.getOrElse(f)
+              })
+              Some(metaDataActionJson(schemaWithWm, partCols,
+                st.configuration, mergeColl, now))
+            }
           result = commitDelete(io, logDir, st, now,
             s"merge on (${keys.mkString(", ")})",
             entries.map { case (p, (pv, _)) => (p, pv) }, staged, cdcAdds,
-            partCols, operation = "MERGE", dvAdds = dvAdds,
-            statsOf = p => addStats.get(p).orElse(st.stats.get(p)))
+            physPartCols, operation = "MERGE", dvAdds = dvAdds,
+            statsOf = p => addStats.get(p).orElse(st.stats.get(p)),
+            metaDataAction = metaAction)
         }
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -3318,6 +3502,8 @@ object DeltaInterop {
         case e: Throwable =>
           try cleanupStaged() catch { case _: Exception => () }
           throw e
+      } finally {
+        pinnedInserts.foreach(_.unpersist(false))
       }
     }
     result
@@ -3336,8 +3522,9 @@ object DeltaInterop {
     *
     * Row contents are untouched, so constraints / invariants /
     * generated columns / append-only don't gate this (Delta allows
-    * OPTIMIZE on append-only tables); column mapping still refuses
-    * (rewritten files would need physical column names). A table with
+    * OPTIMIZE on append-only tables); COLUMN-MAPPED tables (name and
+    * id mode) compact correctly — physical-name scan + physical
+    * rewrite, see [[deleteFromDelta]]. A table with
     * nothing to compact (no partition holds two sub-target files or a
     * DV carrier) is a no-op. Lost version races restart against the
     * fresh state. Returns the committed (or current) version.
@@ -3400,15 +3587,24 @@ object DeltaInterop {
       // table (delta.clustering domain — Delta 3.2's clustered-table
       // state) re-clusters by its DECLARED columns, matching Delta's own
       // OPTIMIZE behavior on clustered tables; plain tables bin-pack.
+      // clustering-domain column paths are PHYSICAL names — translate
+      // back to the declared schema for the logical-named scan; an
+      // explicit zorderBy is logical already
+      val declaredZ = coll.domains.get("delta.clustering")
+        .collect { case (cfg, removed) if !removed =>
+          clusteringColumnsOf(cfg) }
+        .getOrElse(Nil)
+      val schemaForZ =
+        DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+      val zLogOf: Map[String, String] =
+        if (st.colMapMode == "none") Map.empty
+        else schemaForZ.fields.map(f =>
+          physicalField(f, withIds = false).name -> f.name).toMap
       val zCols =
         if (zorderBy.nonEmpty) zorderBy
-        else coll.domains.get("delta.clustering")
-          .collect { case (cfg, removed) if !removed =>
-            clusteringColumnsOf(cfg) }
-          .getOrElse(Nil)
-      if (st.colMapMode != "none")
-        refuseW("the table uses column mapping — rewritten files would " +
-          "need physical column names")
+        else declaredZ.map(c => zLogOf.getOrElse(c, c))
+      // column mapping (name or id mode) is handled, not refused —
+      // see deleteFromDelta: physical-name scan + physicalWrite
       if (st.minWriter > 7)
         refuseW(s"the table requires writer protocol ${st.minWriter}")
       if (st.minWriter == 7) {
@@ -3518,8 +3714,10 @@ object DeltaInterop {
           val now = System.currentTimeMillis()
           // fresh in-flight stats per compacted file — after a Z-order
           // rewrite these are what make the clustering skippable
-          val addStats = DeltaStats.writeWithStats(compacted,
-            staging.toString, partCols, dataSchema)
+          val (physCompacted, physPartCols, physDataSchema) =
+            physicalWrite(spark, st, schema, partCols, compacted)
+          val addStats = DeltaStats.writeWithStats(physCompacted,
+            staging.toString, physPartCols, physDataSchema)
           val staged = listStagedParquet(fs, staging)
           staged.foreach { case (rel, _) =>
             val dst = new HPath(root, rel)
@@ -3535,7 +3733,7 @@ object DeltaInterop {
               (if (zCols.nonEmpty)
                 s" zOrderBy=[${zCols.mkString(",")}]" else ""),
             entries.map { case (p, (pv, _)) => (p, pv) }, staged, Nil,
-            partCols, operation = "OPTIMIZE", dataChange = false,
+            physPartCols, operation = "OPTIMIZE", dataChange = false,
             statsOf = addStats.get)
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
@@ -3926,10 +4124,80 @@ object DeltaInterop {
   private def pruneCandidates(st: DeltaSnapshot, schema: StructType,
       conjs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[(String, (Map[String, String],
-        Option[DeletionVectors.Descriptor]))] =
+        Option[DeletionVectors.Descriptor]))] = {
+    // column-mapped tables record partitionValues and stats under
+    // PHYSICAL names; the conjuncts reference logical names. Rename
+    // the per-file metadata back to logical so the bounds test keeps
+    // pruning (top-level keys only — stats are top-level by design).
+    // mayMatch treats an unmapped/absent key as UNKNOWN, so a name
+    // this translation misses keeps the file — conservative.
+    val logOf: Map[String, String] =
+      if (st.colMapMode == "none") Map.empty
+      else schema.fields.map(f =>
+        physicalField(f, withIds = false).name -> f.name).toMap
+    def toLogicalPv(pv: Map[String, String]): Map[String, String] =
+      if (logOf.isEmpty) pv
+      else pv.map { case (k, v) => logOf.getOrElse(k, k) -> v }
+    def toLogicalStats(json: String): String =
+      if (logOf.isEmpty) json
+      else scala.util.Try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = om.readTree(json)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        Seq("minValues", "maxValues", "nullCount").foreach { sect =>
+          node.get(sect) match {
+            case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+              val renamed = om.createObjectNode()
+              o.fields().forEachRemaining { e =>
+                renamed.set[com.fasterxml.jackson.databind.JsonNode](
+                  logOf.getOrElse(e.getKey, e.getKey), e.getValue): Unit
+              }
+              node.set[com.fasterxml.jackson.databind.JsonNode](
+                sect, renamed): Unit
+            case _ => ()
+          }
+        }
+        om.writeValueAsString(node)
+      }.getOrElse(json)
     st.active.filter { case (p, (pv, _)) =>
-      DeltaStats.mayMatch(conjs, schema, st.partCols, pv, st.stats.get(p))
+      DeltaStats.mayMatch(conjs, schema, st.partCols, toLogicalPv(pv),
+        st.stats.get(p).map(toLogicalStats))
     }
+  }
+
+  /** Physical projection for REWRITE writes on a column-mapped table:
+    * the frame's table columns rename to their physical names at
+    * every nesting level (id mode additionally stamps
+    * `parquet.field.id`), extra non-table columns (materialized row
+    * ids, `_change_type`) pass through literally, and the returned
+    * partition-column names / data schema are the PHYSICAL ones the
+    * hive layout, partitionValues keys, and stats JSON must carry per
+    * the protocol's writer requirements. Identity on unmapped
+    * tables. */
+  private def physicalWrite(spark: SparkSession, st: DeltaSnapshot,
+      schema: StructType, partCols: Seq[String], df: DataFrame)
+      : (DataFrame, Seq[String], StructType) = {
+    val dataSchema =
+      StructType(schema.filterNot(f => partCols.contains(f.name)))
+    if (st.colMapMode == "none") (df, partCols, dataSchema)
+    else {
+      val withIds = st.colMapMode == "id"
+      if (withIds)
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val physFieldOf: Map[String, StructField] =
+        schema.fields.map(f => f.name -> physicalField(f, withIds)).toMap
+      val outCols = df.schema.fields.map { f =>
+        physFieldOf.get(f.name) match {
+          case Some(pf) =>
+            col(f.name).cast(pf.dataType).as(pf.name, pf.metadata)
+          case None => col(f.name)
+        }
+      }
+      (df.select(outCols.toSeq: _*),
+        partCols.map(pc => physFieldOf(pc).name),
+        StructType(dataSchema.fields.map(physicalField(_, withIds))))
+    }
+  }
 
   /** TEST HOOK: the file paths the DELETE/UPDATE detection scan for
     * `condition` would read at `path` — exactly the pruning
@@ -3993,6 +4261,23 @@ object DeltaInterop {
       val hp = new HPath(p)
       hp.getFileSystem(conf).makeQualified(hp).toString
     }
+    // column-mapped tables scan by PHYSICAL names (id mode: by field
+    // id) and rename back to the declared schema AFTER the __file/
+    // __pos/DV metadata ride — the detection predicates and rewrite
+    // transforms downstream see logical names only. Extra non-table
+    // columns in dataSchema (materialized row ids) carry no mapping
+    // metadata and pass through physicalField unchanged.
+    val mapped = st.colMapMode != "none"
+    if (st.colMapMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val physDataSchema =
+      if (mapped)
+        StructType(dataSchema.fields.map(physicalField(_,
+          st.colMapMode == "id")))
+      else dataSchema
+    val physPartName: Map[String, String] = partCols.map(pc =>
+      pc -> (if (mapped) physicalField(schema(pc), withIds = false).name
+             else pc)).toMap
     val bridge = org.apache.spark.sql.graftbridge.ColumnBridge
     val lookupMap = new java.util.HashMap[
       org.apache.spark.unsafe.types.UTF8String,
@@ -4006,7 +4291,7 @@ object DeltaInterop {
     val dvLookup = new DvLookup(lookupMap)
     entries =>
       entries.groupBy(_._2._1).map { case (pv, es) =>
-        val base = spark.read.schema(dataSchema)
+        val base = spark.read.schema(physDataSchema)
           .parquet(es.map(e => resolveFile(root, e._1)): _*)
         val dvPred = bridge.column(DvDeleted(
           bridge.expression(col("_metadata.file_path")),
@@ -4016,9 +4301,17 @@ object DeltaInterop {
             base.withColumn("__file", col("_metadata.file_path"))
               .withColumn("__pos", col("_metadata.row_index"))
           else base.withColumn("__file", col("_metadata.file_path"))
-        partCols.foldLeft(withMeta.where(!dvPred)) { (d, pc) =>
+        val live = withMeta.where(!dvPred)
+        val logical =
+          if (!mapped) live
+          else live.select(dataSchema.fields.zip(physDataSchema.fields)
+            .map { case (lf, pf) =>
+              col(pf.name).cast(lf.dataType).as(lf.name) }.toSeq ++
+            (col("__file") +:
+              (if (withPos) Seq(col("__pos")) else Nil)): _*)
+        partCols.foldLeft(logical) { (d, pc) =>
           d.withColumn(pc,
-            pv.get(pc).map(lit(_)).getOrElse(lit(null))
+            pv.get(physPartName(pc)).map(lit(_)).getOrElse(lit(null))
               .cast(schema(pc).dataType))
         }
       }.reduceOption(_.unionByName(_)).getOrElse(
@@ -4164,6 +4457,26 @@ object DeltaInterop {
       s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
   }
 
+  /** A metaData action re-declaring the table with `schema` — id/
+    * name/description/createdTime preserved from the replay collector
+    * — the shape an identity-watermark advance commits alongside its
+    * row changes. */
+  private def metaDataActionJson(schema: StructType, partCols: Seq[String],
+      configuration: Map[String, String],
+      coll: Option[CheckpointCollector], now: Long): String = {
+    val confJson = configuration.map { case (k, vv) =>
+      "\"" + jsonEscape(k) + "\":\"" + jsonEscape(vv) + "\""
+    }.mkString(",")
+    val nameJson = coll.flatMap(_.metaName)
+      .map(n => s""","name":"${jsonEscape(n)}"""").getOrElse("")
+    val descJson = coll.flatMap(_.metaDescription)
+      .map(d => s""","description":"${jsonEscape(d)}"""").getOrElse("")
+    s"""{"metaData":{"id":"${jsonEscape(coll.flatMap(_.metaId).getOrElse(
+      java.util.UUID.randomUUID().toString))}"$nameJson$descJson,"format":{"provider":"parquet","options":{}},"schemaString":"${jsonEscape(
+      schema.json)}","partitionColumns":[${partCols.map(c =>
+      "\"" + jsonEscape(c) + "\"").mkString(",")}],"configuration":{$confJson},"createdTime":${coll.flatMap(_.createdTime).getOrElse(now)}}}"""
+  }
+
   private def commitDelete(io: TableIO, logDir: HPath, st: DeltaSnapshot,
       now: Long, predicate: String,
       removeWhole: Seq[(String, Map[String, String])],
@@ -4172,9 +4485,11 @@ object DeltaInterop {
       dataChange: Boolean = true,
       dvAdds: Seq[(String, Map[String, String], Long,
         DeletionVectors.Descriptor)] = Nil,
-      statsOf: String => Option[String] = _ => None): Long = {
+      statsOf: String => Option[String] = _ => None,
+      metaDataAction: Option[String] = None): Long = {
     val actions = Seq.newBuilder[String]
     actions += s"""{"commitInfo":{"timestamp":$now,"operation":"$operation","operationParameters":{"predicate":"${jsonEscape(predicate)}"},"engineInfo":"graft-${operation.toLowerCase}"}}"""
+    metaDataAction.foreach(actions += _)
     def pvJson(pv: Seq[(String, String)]): String =
       pv.map { case (k, v) =>
         "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\""

@@ -4325,13 +4325,67 @@ object IcebergInterop {
   /** One planned file of a server-side scan (REST planTableScan):
     * path, size, record count, spec id, data sequence number (for
     * scoping equality deletes), and the manifest's partition values
-    * (field name → raw metadata value string — identity values
-    * verbatim, transform grains in their metadata encoding, e.g.
-    * epoch-day ints for `day`), so a client can partition-prune the
-    * served tasks. */
+    * TYPED per the spec's single-value serialization (field name →
+    * java.lang.Integer/Long/Boolean/Float/Double for numeric fields,
+    * String for string/date/timestamp/decimal/uuid renderings,
+    * hex String for fixed/binary), so a stock client deserializing
+    * the partition struct per the spec types can prune correctly;
+    * unrenderable values are omitted rather than misrendered. */
   final case class PlannedFile(path: String, sizeBytes: Long,
       recordCount: Long, specId: Int, seq: Long,
-      partition: Seq[(String, String)])
+      partition: Seq[(String, Any)])
+
+  /** One manifest partition-struct value as the spec's JSON
+    * single-value serialization renders it: numbers stay JSON numbers,
+    * logical date/timestamp/decimal/uuid values render to their spec
+    * string forms from the Avro field's logical type, fixed/binary
+    * render hexadecimal, anything else (nested types, unknown
+    * logicals) is None — the caller omits the field rather than
+    * serving an unusable `toString`. */
+  private def partitionJsonValue(field: org.apache.avro.Schema.Field,
+      v: AnyRef): Option[Any] = {
+    import org.apache.avro.Schema.{Type => AT}
+    import scala.jdk.CollectionConverters._
+    val sch = field.schema() match {
+      case u if u.getType == AT.UNION =>
+        u.getTypes.asScala.find(_.getType != AT.NULL).getOrElse(u)
+      case other => other
+    }
+    def bytesOfV: Option[Array[Byte]] = v match {
+      case bb: java.nio.ByteBuffer =>
+        val d = bb.duplicate(); val a = new Array[Byte](d.remaining())
+        d.get(a); Some(a)
+      case gf: org.apache.avro.generic.GenericFixed => Some(gf.bytes())
+      case _ => None
+    }
+    val logical = Option(sch.getLogicalType).map(_.getName)
+      .orElse(Option(sch.getProp("logicalType")))
+    (logical, sch.getType) match {
+      case (Some("date"), _) => scala.util.Try(
+        java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Number].longValue()).toString).toOption
+      case (Some("timestamp-micros"), _) => scala.util.Try {
+        val micros = v.asInstanceOf[Number].longValue()
+        java.time.Instant.EPOCH.plus(micros,
+          java.time.temporal.ChronoUnit.MICROS).toString
+      }.toOption
+      case (Some("decimal"), _) =>
+        val scale = Option(sch.getObjectProp("scale"))
+          .collect { case n: Number => n.intValue() }.getOrElse(0)
+        bytesOfV.map(b => new java.math.BigDecimal(
+          new java.math.BigInteger(b), scale).toPlainString)
+      case (Some("uuid"), _) => Some(v.toString)
+      case (_, AT.INT) => Some(Int.box(v.asInstanceOf[Number].intValue()))
+      case (_, AT.LONG) => Some(Long.box(v.asInstanceOf[Number].longValue()))
+      case (_, AT.BOOLEAN) => Some(v)
+      case (_, AT.FLOAT) => Some(v)
+      case (_, AT.DOUBLE) => Some(v)
+      case (_, AT.STRING) => Some(v.toString)
+      case (_, AT.BYTES) | (_, AT.FIXED) =>
+        bytesOfV.map(_.map(b => f"$b%02X").mkString)
+      case _ => None
+    }
+  }
 
   /** One delete file of a server-side scan: content 1 =
     * position deletes (puffin format = a v3 deletion vector, with blob
@@ -4465,12 +4519,14 @@ object IcebergInterop {
               IcebergStats.toFileStats(schema, idOf,
                 longOf(df.get("record_count")), nulls, lowers, uppers)
             })
-          val pv: Seq[(String, String)] = df.get("partition") match {
+          val pv: Seq[(String, Any)] = df.get("partition") match {
             case pr: GenericRecord =>
               val names = specNamesById.getOrElse(specId, Nil)
               names.zipWithIndex.flatMap { case (n, i) =>
                 if (pr.getSchema.getFields.size() <= i) None
-                else Option(pr.get(i)).map(v => n -> v.toString)
+                else Option(pr.get(i)).flatMap(v =>
+                  partitionJsonValue(pr.getSchema.getFields.get(i), v)
+                    .map(n -> _))
               }
             case _ => Nil
           }
@@ -4498,11 +4554,28 @@ object IcebergInterop {
     case DoubleType if v.isNumber => Some(lit(v.asDouble()))
     case BooleanType if v.isBoolean => Some(lit(v.asBoolean()))
     case StringType if v.isTextual => Some(lit(v.asText()))
-    case DateType if v.isTextual => Some(lit(v.asText()).cast(DateType))
+    // temporal/decimal defaults parse DRIVER-SIDE (java.time /
+    // BigDecimal): a malformed value must come back None so callers
+    // refuse loudly — a lit(text).cast(...) would instead yield a
+    // silently-NULLing fill (on the write path, committing NULLs
+    // into data files)
+    case DateType if v.isTextual =>
+      scala.util.Try(java.sql.Date.valueOf(
+        java.time.LocalDate.parse(v.asText()))).toOption.map(lit(_))
     case TimestampType if v.isTextual =>
-      Some(lit(v.asText()).cast(TimestampType))
-    case d: org.apache.spark.sql.types.DecimalType =>
-      Some(lit(v.asText()).cast(d))
+      scala.util.Try(java.sql.Timestamp.from(
+        java.time.OffsetDateTime.parse(v.asText()).toInstant)).toOption
+        .map(lit(_))
+    case TimestampNTZType if v.isTextual =>
+      scala.util.Try(java.time.LocalDateTime.parse(v.asText())).toOption
+        .map(lit(_))
+    case d: org.apache.spark.sql.types.DecimalType
+        if v.isTextual || v.isNumber =>
+      scala.util.Try {
+        val bd = new java.math.BigDecimal(v.asText()).setScale(d.scale)
+        require(bd.precision <= d.precision)
+        bd
+      }.toOption.map(bd => lit(bd).cast(d))
     case _ => None
   }
 

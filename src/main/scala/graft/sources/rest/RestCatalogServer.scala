@@ -618,8 +618,18 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
       dfn.put("content", "data")
       dfn.put("file-path", t.path)
       dfn.put("file-format", "parquet")
+      // partition values typed per the spec's single-value
+      // serialization (numbers as JSON numbers; date/timestamp/
+      // decimal/hex renderings arrive as pre-rendered strings)
       val pn = dfn.putObject("partition")
-      t.partition.foreach { case (k, v) => pn.put(k, v) }
+      t.partition.foreach {
+        case (k, v: java.lang.Integer) => pn.put(k, v.intValue())
+        case (k, v: java.lang.Long) => pn.put(k, v.longValue())
+        case (k, v: java.lang.Boolean) => pn.put(k, v.booleanValue())
+        case (k, v: java.lang.Float) => pn.put(k, v.floatValue())
+        case (k, v: java.lang.Double) => pn.put(k, v.doubleValue())
+        case (k, v) => pn.put(k, v.toString)
+      }
       dfn.put("file-size-in-bytes", t.sizeBytes)
       dfn.put("record-count", t.recordCount)
       val refs = task.putArray("delete-file-references")
@@ -896,10 +906,17 @@ class RestCatalogServer(spark: SparkSession, val warehouse: String,
     * metadata, apply `updates` in order, publish `v<N+1>` through the
     * conditional-put (a lost race is the spec's 409
     * CommitFailedException — the client re-reads and retries), reply
-    * with the CommitTableResponse (`metadata-location` + `metadata`). */
+    * with the CommitTableResponse (`metadata-location` + `metadata`).
+    * The read→check→publish runs under the SAME `ddlLock` the
+    * multi-table transaction holds: an in-server single-table commit
+    * can therefore never interleave with a transaction's stage/
+    * publish/rollback window (it would otherwise publish v<N+2> on
+    * top of a transaction version the rollback then deletes, letting
+    * aborted updates survive). Cross-server racers still land on the
+    * conditional put. */
   private def commitIcebergTable(x: HttpExchange, ns: Seq[String],
       name: String, path: HPath, metaDir: HPath, body: JsonNode,
-      updates: Seq[JsonNode]): Unit = {
+      updates: Seq[JsonNode]): Unit = ddlLock.synchronized {
     val (curV, md) = currentIcebergMeta(metaDir, path)
     val requirements = Option(body.get("requirements")).filter(_.isArray)
       .map(a => (0 until a.size()).map(a.get)).getOrElse(Nil)

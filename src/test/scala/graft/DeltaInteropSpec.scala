@@ -1727,21 +1727,20 @@ class DeltaInteropSpec extends AnyFunSuite {
       ).mkString("", "\n", "\n").getBytes("UTF-8"))
       root
     }
-    // GENERATED ALWAYS: omitted -> assigned (unique, in the declared
-    // arithmetic sequence, beyond start)
+    // GENERATED ALWAYS: omitted -> assigned DENSE (N rows consume
+    // exactly N slots of the declared arithmetic sequence — the
+    // watermark never jumps by partition-count artifacts)
     val root = mkTable(allowExplicit = false)
     DeltaInterop.appendToDelta(Seq("a", "b", "c").toDF("v"), root)
     val ids1 = DeltaInterop.readDelta(spark, root)
       .select("id").as[Long].collect().toSeq
-    assert(ids1.size == 3 && ids1.distinct.size == 3, ids1.toString)
-    assert(ids1.forall(i => i >= 100L && (i - 100L) % 10L == 0L), ids1.toString)
-    // the commit advanced the watermark: a second append lands STRICTLY
-    // beyond the first batch's values
+    assert(ids1.toSet == Set(100L, 110L, 120L), ids1.toString)
+    // the commit advanced the watermark by exactly N·step: a second
+    // append continues the dense sequence
     DeltaInterop.appendToDelta(Seq("d", "e").toDF("v"), root)
     val ids2 = DeltaInterop.readDelta(spark, root)
       .select("id").as[Long].collect().toSeq
-    assert(ids2.size == 5 && ids2.distinct.size == 5, ids2.toString)
-    assert(ids2.filterNot(ids1.contains).forall(_ > ids1.max), ids2.toString)
+    assert(ids2.toSet == Set(100L, 110L, 120L, 130L, 140L), ids2.toString)
     // the watermark rides the commit's metaData action
     val commit1 = new String(Files.readAllBytes(
       Paths.get(root, "_delta_log", "0" * 19 + "1.json")), "UTF-8")
@@ -1761,6 +1760,35 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(byDefault.size == 2 && byDefault(1000L) == "e", byDefault.toString)
     assert(byDefault.keys.filter(_ != 1000L).forall(_ > 1000L),
       byDefault.toString)
+  }
+
+  test("identity assignment is dense across partitions; non-bigint refuses") {
+    import spark.implicits._
+    def mkTable(idType: String): String = {
+      val root = tmp("graft_dapp_dense_")
+      Files.createDirectories(Paths.get(root, "_delta_log"))
+      val sj = s"""{\\"type\\":\\"struct\\",\\"fields\\":[{\\"name\\":\\"id\\",\\"type\\":\\"$idType\\",\\"nullable\\":true,\\"metadata\\":{\\"delta.identity.start\\":1,\\"delta.identity.step\\":1}},{\\"name\\":\\"v\\",\\"type\\":\\"string\\",\\"nullable\\":true,\\"metadata\\":{}}]}"""
+      Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
+        s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"$sj","partitionColumns":[],"configuration":{},"createdTime":1}}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      root
+    }
+    // a 16-partition 40-row append consumes EXACTLY 40 identity slots:
+    // the raw monotonically_increasing_id arithmetic would have spread
+    // them over 15·2^33 values and advanced the watermark accordingly
+    val root = mkTable("long")
+    DeltaInterop.appendToDelta(
+      (1 to 40).map(i => s"r$i").toDF("v").repartition(16), root)
+    val ids = DeltaInterop.readDelta(spark, root)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == (1L to 40L), s"${ids.take(5)}...${ids.takeRight(5)}")
+    // identity columns must be bigint (the protocol's type): anything
+    // else refuses loudly instead of CCE-ing the watermark bookkeeping
+    val e = intercept[Exception] {
+      DeltaInterop.appendToDelta(Seq("x").toDF("v"), mkTable("integer"))
+    }
+    assert(e.getMessage.contains("BIGINT"), e.getMessage)
   }
 
   test("UPDATE/MERGE on generated/identity tables: safe mutations land, staling refuses") {
@@ -1824,13 +1852,34 @@ class DeltaInteropSpec extends AnyFunSuite {
     val afterMerge = DeltaInterop.readDelta(spark, root)
       .select("id", "v").as[(Long, String)].collect().toSet
     assert(afterMerge == Set((100L, "a"), (2L, "merged")), afterMerge.toString)
-    // INSERT clauses on the identity table refuse with the append hint
+    // INSERT clauses SUPPLYING the GENERATED ALWAYS identity refuse —
+    // omit it and the merge assigns (covered by the dedicated merge-
+    // identity test below)
     val eIns = intercept[IllegalArgumentException] {
       DeltaInterop.mergeDeltaClauses(
         Seq((9L, "i", 18L, 9L)).toDF("id", "v", "y", "k"), root, Seq("id"),
         notMatched = Seq(graft.sources.Merge.NotMatchedInsert()))
     }
-    assert(eIns.getMessage.contains("identity bookkeeping"), eIns.getMessage)
+    assert(eIns.getMessage.contains("user-supplied"), eIns.getMessage)
+    // a source OMITTING the identity column upserts: the new row takes
+    // an ASSIGNED beyond-watermark value in the same commit
+    val kBefore = DeltaInterop.readDelta(spark, root)
+      .agg(org.apache.spark.sql.functions.max("k")).as[Long].collect()(0)
+    DeltaInterop.mergeDeltaClauses(
+      Seq((9L, "ins", 18L)).toDF("id", "v", "y"), root, Seq("id"),
+      matched = Seq(graft.sources.Merge.MatchedUpdate(None,
+        Map("v" -> graft.sources.Merge.source("v")))),
+      notMatched = Seq(graft.sources.Merge.NotMatchedInsert()))
+    val insK = DeltaInterop.readDelta(spark, root)
+      .where(col("id") === 9L).select("k").as[Long].collect().toSeq
+    assert(insK.size == 1 && insK.head > kBefore, insK.toString)
+    // ... and the watermark advanced in the SAME commit's metaData: a
+    // later append continues DENSELY beyond the merge-inserted value
+    DeltaInterop.appendToDelta(Seq((77L, "app", 154L)).toDF("id", "v", "y"),
+      root)
+    val appK = DeltaInterop.readDelta(spark, root)
+      .where(col("id") === 77L).select("k").as[Long].collect().toSeq
+    assert(appK == Seq(insK.head + 1L), appK.toString)
     // SET * (full replacement) touches the identity column -> refuses
     val eStar = intercept[IllegalArgumentException] {
       DeltaInterop.mergeDelta(
@@ -2087,7 +2136,7 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(got == Set(0L, 1L, 3L, 4L, 6L), got.toString)
   }
 
-  test("deleteFromDelta refuses append-only and column-mapped tables") {
+  test("deleteFromDelta refuses append-only tables") {
     import spark.implicits._
     def build(config: String): String = {
       val root = tmp("graft_ddelr_")
@@ -2114,12 +2163,6 @@ class DeltaInteropSpec extends AnyFunSuite {
         build("\"delta.appendOnly\":\"true\""), lit(true))
     }
     assert(ao.getMessage.contains("append-only"), ao.getMessage)
-    val cm = intercept[IllegalArgumentException] {
-      DeltaInterop.deleteFromDelta(spark,
-        build("\"delta.columnMapping.mode\":\"name\"," +
-          "\"delta.columnMapping.maxColumnId\":\"1\""), lit(true))
-    }
-    assert(cm.getMessage.contains("column mapping"), cm.getMessage)
   }
 
   test("appendToDelta writes physical names into column-mapped tables") {
@@ -2237,6 +2280,133 @@ class DeltaInteropSpec extends AnyFunSuite {
       .map(f => f.getName -> Option(f.getId).map(_.intValue())).toMap
     assert(ids("col-1").contains(1), ids.toString)
     assert(ids("col-2").contains(2), ids.toString)
+  }
+
+  test("DELETE/UPDATE/MERGE/OPTIMIZE on column-mapped tables (name mode)") {
+    import spark.implicits._
+    // name-mode partitioned table with RENAMED nested columns (logical
+    // names differ from every physical name — the post-ALTER-RENAME
+    // shape of the reference's Delta 3.2 tables)
+    val root = tmp("graft_dmlcm_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def meta(phys: String, id: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-1", 1)),
+      StructField("info", StructType(Seq(
+        StructField("a", org.apache.spark.sql.types.IntegerType,
+          nullable = true, meta("col-3", 3)),
+        StructField("b", StringType, nullable = true, meta("col-4", 4)))),
+        nullable = true, meta("col-2", 2)),
+      StructField("seg", StringType, nullable = true, meta("col-5", 5)))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":["seg"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"5"},"createdTime":1}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    def rows(d: (Long, Int, String, String)*) = d.toDF("id", "a0", "b0", "seg")
+      .coalesce(1) // one file per hive partition: the delete below
+        // must PARTIALLY match a file to exercise the rewrite path
+      .select(col("id"), struct(col("a0").as("a"), col("b0").as("b"))
+        .as("info"), col("seg"))
+    DeltaInterop.appendToDelta(rows((1L, 10, "x", "A"), (2L, 20, "y", "A"),
+      (3L, 30, "z", "B"), (4L, 40, "w", "B")), root)
+    def readAll = DeltaInterop.readDelta(spark, root)
+      .select($"id", $"info.a", $"info.b", $"seg")
+      .as[(Long, Int, String, String)].collect().toSet
+
+    // DELETE (row predicate): CoW rewrite in LOGICAL terms, files in
+    // PHYSICAL terms
+    DeltaInterop.deleteFromDelta(spark, root, col("id") === 2L)
+    assert(readAll == Set((1L, 10, "x", "A"), (3L, 30, "z", "B"),
+      (4L, 40, "w", "B")), readAll.toString)
+    val delLog = new String(Files.readAllBytes(Paths.get(root,
+      "_delta_log", "0" * 19 + "2.json")), "UTF-8")
+    assert(delLog.contains("\"col-5\":\"A\""), delLog) // physical pv keys
+    val rewritten = delLog.split('\n').filter(_.contains("\"add\""))
+      .map(l => l.split("\"path\":\"")(1).takeWhile(_ != '"')).head
+    val fileSchema = spark.read.parquet(root + "/" +
+      java.net.URLDecoder.decode(rewritten, "UTF-8")).schema
+    assert(fileSchema.fieldNames.toSet == Set("col-1", "col-2"),
+      fileSchema.treeString)
+    assert(fileSchema("col-2").dataType.asInstanceOf[StructType]
+      .fieldNames.toSet == Set("col-3", "col-4"), fileSchema.treeString)
+
+    // UPDATE: logical SET, physical rewrite
+    DeltaInterop.updateDelta(spark, root, col("id") === 3L,
+      Map("info" -> struct(lit(33).as("a"), lit("Z").as("b"))))
+    assert(readAll == Set((1L, 10, "x", "A"), (3L, 33, "Z", "B"),
+      (4L, 40, "w", "B")), readAll.toString)
+
+    // MERGE upsert: matched row replaced, new row inserted into the
+    // physical hive layout
+    DeltaInterop.mergeDelta(rows((4L, 44, "W", "B"), (5L, 50, "v", "A")),
+      root, Seq("id"))
+    assert(readAll == Set((1L, 10, "x", "A"), (3L, 33, "Z", "B"),
+      (4L, 44, "W", "B"), (5L, 50, "v", "A")), readAll.toString)
+
+    // stats pruning stays effective under mapping: graft's rewritten
+    // files carry stats under PHYSICAL keys, translated back for the
+    // bounds test — a keyed detection scan reads a strict subset
+    val st0 = DeltaInterop.candidateFiles(spark, root, col("id") === 5L)
+    val all = DeltaInterop.candidateFiles(spark, root, lit(true))
+    assert(st0.size < all.size, s"pruned ${st0.size} of ${all.size}")
+
+    // OPTIMIZE: bin-packs the small files, physical names preserved
+    DeltaInterop.optimizeDelta(spark, root)
+    assert(readAll == Set((1L, 10, "x", "A"), (3L, 33, "Z", "B"),
+      (4L, 44, "W", "B"), (5L, 50, "v", "A")), readAll.toString)
+
+    // partition-only DELETE: metadata-only, condition typed against
+    // LOGICAL names resolving PHYSICAL partitionValues keys
+    DeltaInterop.deleteFromDelta(spark, root, col("seg") === "B")
+    assert(readAll == Set((1L, 10, "x", "A"), (5L, 50, "v", "A")),
+      readAll.toString)
+  }
+
+  test("row-level mutations stamp parquet field ids on ID-mode tables") {
+    import spark.implicits._
+    val root = tmp("graft_dmlid_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def meta(phys: String, id: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-1", 1)),
+      StructField("v", StringType, nullable = true, meta("col-2", 2)))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    DeltaInterop.appendToDelta(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), root)
+    DeltaInterop.updateDelta(spark, root, col("id") === 2L,
+      Map("v" -> lit("B")))
+    DeltaInterop.mergeDelta(Seq((3L, "C"), (4L, "d")).toDF("id", "v"),
+      root, Seq("id"))
+    DeltaInterop.deleteFromDelta(spark, root, col("id") === 1L)
+    val got = DeltaInterop.readDelta(spark, root)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "B"), (3L, "C"), (4L, "d")), got.toString)
+    // every live file physically carries field ids 1 and 2 (the
+    // rewrites went through the id-stamping write path)
+    import scala.jdk.CollectionConverters._
+    val live = DeltaInterop.candidateFiles(spark, root, lit(true))
+    assert(live.nonEmpty)
+    live.foreach { f =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(root + "/" +
+            java.net.URLDecoder.decode(f, "UTF-8")),
+          spark.sparkContext.hadoopConfiguration))
+      val pq = try rdr.getFooter.getFileMetaData.getSchema
+        finally rdr.close()
+      val ids = pq.getFields.asScala
+        .map(fl => fl.getName -> Option(fl.getId).map(_.intValue())).toMap
+      assert(ids.values.toSet == Set(Some(1), Some(2)), s"$f -> $ids")
+    }
   }
 
   test("updateDelta: pre-update SET evaluation, partial files, null cond") {
