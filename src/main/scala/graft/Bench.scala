@@ -10,7 +10,21 @@ object Bench {
     * in 0.001 s would otherwise read as a speedup and hide the crash
     * (exactly how the r4 relCache bug stayed invisible). */
   private[graft] def measure(qs: Seq[(String, () => Unit)]): Seq[QResult] =
-    qs.map { case (name, run) =>
+    measureWithCanary(qs, () => 0.0, Int.MaxValue)._1
+
+  /** [[measure]] with a CANARY interleaved every `every` queries (and
+    * once after the last): the canary is a pinned, SF-independent
+    * probe whose quiet-band timing is known, so a co-tenant landing
+    * MID-RUN inflates a sample and flags the artifact — the r14 gate
+    * sampled host load only BEFORE the session started and stamped a
+    * mid-run-contaminated bench "quiet". The canary runs BETWEEN
+    * queries, when this bench's own Spark jobs are drained, so the
+    * bench cannot trip itself. */
+  private[graft] def measureWithCanary(qs: Seq[(String, () => Unit)],
+      canary: () => Double, every: Int): (Seq[QResult], Seq[Double]) = {
+    val samples = Seq.newBuilder[Double]
+    val rs = qs.zipWithIndex.map { case ((name, run), i) =>
+      if (every != Int.MaxValue && i % every == 0) samples += canary()
       val t0 = System.nanoTime()
       val err = try { run(); None } catch {
         case e: Throwable =>
@@ -19,6 +33,28 @@ object Bench {
       }
       QResult(name, (System.nanoTime() - t0) / 1e9, err)
     }
+    if (every != Int.MaxValue) samples += canary()
+    (rs, samples.result())
+  }
+
+  /** One canary pass: a fixed 8M-row hash aggregation over all local
+    * cores — SF-independent, ~50 ms quiet on 32 threads, and
+    * CPU-parallel enough that a co-tenant stealing cores inflates it
+    * roughly proportionally. Returns seconds. */
+  private[graft] def runCanary(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 8000000L, 1L, cpus)
+      .selectExpr("bit_xor(xxhash64(id)) AS h").collect(): Unit
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Did any mid-run canary sample leave the pinned quiet band? The
+    * band is generous (4× the calibrated base plus a 0.25 s absolute
+    * floor) so GC jitter and page-cache misses never trip it — a
+    * co-tenant saturating the cores does. */
+  private[graft] def canaryContended(base: Double,
+      samples: Seq[Double]): Boolean =
+    samples.exists(_ > base * 4 + 0.25)
 
   private def jstr(s: String): String =
     "\"" + s.flatMap {
@@ -80,12 +116,20 @@ object Bench {
     // run keeps everything so rounds stay comparable.
     val skipGroups = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP_GROUPS", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
-    val results = measure(SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) =>
-        skipGroups(name.takeWhile(!_.isDigit)) }
-      .map {
-        case (name, fn) => name -> (() => { fn(spark, sfDir).count(): Unit })
-      })
+    // canary calibration: three quiet passes (post-warmup, pre-suite),
+    // min = the pinned base; samples interleave every 10 queries and
+    // once at the end, catching a co-tenant that lands MID-RUN (the
+    // start-load gate above only sees contention that predates it)
+    val nCpus = cpus.toInt
+    val canaryBase = (1 to 3).map(_ => runCanary(spark, nCpus)).min
+    val (results, canarySamples) = measureWithCanary(
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (name, _) =>
+          skipGroups(name.takeWhile(!_.isDigit)) }
+        .map {
+          case (name, fn) => name -> (() => { fn(spark, sfDir).count(): Unit })
+        },
+      () => runCanary(spark, nCpus), every = 10)
     TempRoots.cleanup() // every result is materialized (count() above)
     val ok = results.collect { case QResult(n, s, None) => n -> s }
     val failed = results.collect { case QResult(n, _, Some(e)) => n -> e }
@@ -102,7 +146,13 @@ object Bench {
     // cores); a "contended" run must not be read as a regression. The
     // end value includes this bench's own threads, so the start value is
     // the cleaner ambient signal.
-    val loadLabel = if (loadStart > quietLimit) "contended" else "quiet"
+    // ... and the mid-run canary: a sample outside the pinned quiet
+    // band means a co-tenant landed while the suite ran — the
+    // timings are junk even though the START looked quiet (exactly
+    // the r14 artifact's failure mode)
+    val midRunContended = canaryContended(canaryBase, canarySamples)
+    val loadLabel =
+      if (loadStart > quietLimit || midRunContended) "contended" else "quiet"
     // Full per-query detail goes to a FILE: the harness that collects this
     // bench keeps only the last ~2000 chars of stdout, and a JSON line
     // carrying 80+ full-precision per-query timings overflows that window
@@ -114,7 +164,7 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       s"/tmp/graft-bench-detail-${System.currentTimeMillis()}.json")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(ok)},"n_failed":${failed.size},"errors":${jerr(failed)},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"load_label":"$loadLabel"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(ok)},"n_failed":${failed.size},"errors":${jerr(failed)},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"load_label":"$loadLabel","canary_base":${r3(canaryBase)},"canary_max":${r3(canarySamples.max)},"canary_samples":[${canarySamples.map(r3).mkString(",")}]}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -139,7 +189,7 @@ object Bench {
     val analyticTotal = ok.collect {
       case (k, s) if k.takeWhile(!_.isDigit) != "g" => s }.sum
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","analytic_total":${r3(analyticTotal)},"queries":${jmap(ok.filter(r => headline(r._1)))},"groups":${jmap(groups)},"n_queries":${results.size},"n_failed":${failed.size},"errors":${jerr(failed)},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"load_label":"$loadLabel","detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","analytic_total":${r3(analyticTotal)},"queries":${jmap(ok.filter(r => headline(r._1)))},"groups":${jmap(groups)},"n_queries":${results.size},"n_failed":${failed.size},"errors":${jerr(failed)},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"load_label":"$loadLabel","canary_base":${r3(canaryBase)},"canary_max":${r3(canarySamples.max)},"detail":"$detailPath"}"""
     // 1-minute load averages around the run: flags benches taken on a
     // contended shared host (observed >4× per-query swings under load —
     // the end value includes this bench's own threads, so the start

@@ -254,20 +254,46 @@ object Dedup {
     * small fraction of the full Σdf² shingle join — the standard exact
     * set-similarity algorithm at corpus scale. Candidates then pass the
     * full intersection verify, so the result is exactly the J ≥ t
-    * pairs. */
+    * pairs.
+    *
+    * POSITIONAL filter (r15, lossless): a shared shingle at sorted
+    * positions (i, j) bounds the overlap — commons before it number at
+    * most min(i−1, j−1) on either side, commons after at most
+    * min(|A|−i, |B|−j) — so the pair's TIGHTEST bound over its prefix
+    * matches must still reach the required overlap
+    * α = t/(1+t)·(|A|+|B|) or the intersection verify (the dominant
+    * cost: it fetches both full shingle arrays) provably cannot pass.
+    * The dedup aggregate the candidates needed anyway carries the
+    * bound for free. */
+  private[graft] def positionalPruned(joined: DataFrame,
+      t: Double): DataFrame = {
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val bound = least(col("a.rk") - 1, col("b.rk") - 1) + lit(1) +
+      least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))
+    joined
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(fmin(bound).as("__ub"),
+        fmax(col("a.n")).as("__na"), fmax(col("b.n")).as("__nb"))
+      // float guard: −1e-9 keeps an exactly-on-the-boundary pair
+      // (never drops a true positive to ulp noise)
+      .filter(col("__ub").cast("double") >=
+        lit(t / (1 + t)) * (col("__na") + col("__nb")) - lit(1e-9))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   private[graft] def prefixCandidates(sh: DataFrame, t: Double,
       sessionKey: Option[(SparkSession, String)] = None): DataFrame = {
     val prefixes = prefixesOf(sh, t, sessionKey)
-    prefixes.as("a")
-      .join(prefixes.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          // PPJoin length filter (lossless): J >= t forces
-          // t·max(|A|,|B|) <= min(|A|,|B|) — prune size-mismatched
-          // pairs before the (much costlier) intersection verify
-          least(col("a.n"), col("b.n")) >=
-            ceil(lit(t) * greatest(col("a.n"), col("b.n"))))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    positionalPruned(
+      prefixes.as("a")
+        .join(prefixes.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+            // PPJoin length filter (lossless): J >= t forces
+            // t·max(|A|,|B|) <= min(|A|,|B|) — prune size-mismatched
+            // pairs before the (much costlier) intersection verify
+            least(col("a.n"), col("b.n")) >=
+              ceil(lit(t) * greatest(col("a.n"), col("b.n")))),
+      t)
   }
 
   /** PPJoin prefix construction shared by [[prefixCandidates]] (full
@@ -314,7 +340,9 @@ object Dedup {
       // df = 1 shingles occupy prefix slots (they rank first) but can
       // never match another document — drop them after rank selection.
       .filter(col("df") >= 2)
-      .select(col("doc_id"), col("s"), col("n"))
+      // rk = the shingle's position in the FULL sorted set (computed
+      // before the prefix cut), feeding the positional filter
+      .select(col("doc_id"), col("s"), col("n"), col("rk"))
   }
 
   /** Incremental near-dup candidates: pairs where the RIGHT side is a
@@ -333,21 +361,21 @@ object Dedup {
     val flagged = prefixes.join(
         deltaIds.select(col("doc_id"), lit(true).as("__delta")),
         Seq("doc_id"), "left")
-      .select(col("doc_id"), col("s"), col("n"),
+      .select(col("doc_id"), col("s"), col("n"), col("rk"),
         coalesce(col("__delta"), lit(false)).as("is_delta"))
     val deltaPrefixes = prefixes
       .join(deltaIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    flagged.as("a")
-      .join(deltaPrefixes.as("b"),
-        col("a.s") === col("b.s") &&
-          // orientation: base docs pair with any delta doc; two delta
-          // docs orient by id (each unordered pair emitted once)
-          (!col("a.is_delta") && col("a.doc_id") =!= col("b.doc_id") ||
-            col("a.doc_id") < col("b.doc_id")) &&
-          least(col("a.n"), col("b.n")) >=
-            ceil(lit(t) * greatest(col("a.n"), col("b.n"))))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    positionalPruned(
+      flagged.as("a")
+        .join(deltaPrefixes.as("b"),
+          col("a.s") === col("b.s") &&
+            // orientation: base docs pair with any delta doc; two delta
+            // docs orient by id (each unordered pair emitted once)
+            (!col("a.is_delta") && col("a.doc_id") =!= col("b.doc_id") ||
+              col("a.doc_id") < col("b.doc_id")) &&
+            least(col("a.n"), col("b.n")) >=
+              ceil(lit(t) * greatest(col("a.n"), col("b.n")))),
+      t)
   }
 
   /** d2: exact n-gram (3-shingle) Jaccard near-dup pairs at J ≥ 0.5,

@@ -1348,7 +1348,128 @@ object LakehouseOps {
       |  FROM supplier
       |) ORDER BY s_suppkey""".stripMargin
 
+  /** g49: Iceberg STREAMING CHANGELOG gate
+    * ([[graft.sources.v2.IcebergSource]] with
+    * `option("readChangeFeed", "true")`, backed by
+    * [[graft.sources.IcebergInterop.readIcebergChangelog]]) — seed a
+    * third of supplier, append another third (an `append` snapshot),
+    * then MoR-delete the even half of the seed (a position-delete
+    * snapshot); an AvailableNow drain pinned after the seed must emit
+    * the appended rows as `insert` (ordinal 1) and the struck rows as
+    * DECODED `delete` rows (ordinal 2) — the g16 twin, exercising the
+    * change-snapshot decode a plain snapshot tail refuses. */
+  val g49_iceberg_cdf_stream: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val t = GraftTable.create(s, tmp(), sup.filter($"s_suppkey" % 3 === 0))
+    val target = graft.TempRoots.create("graft_icdc_").toString + "/t"
+    graft.sources.IcebergInterop.exportSnapshot(t, target)
+    val mdPath = java.nio.file.Paths.get(target, "metadata", "v1.metadata.json")
+    Files.write(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    Files.deleteIfExists(java.nio.file.Paths.get(target, "metadata",
+      ".v1.metadata.json.crc"))
+    val seeded = graft.sources.IcebergInterop
+      .icebergRefSnapshot(s, target, "main")
+    graft.sources.IcebergInterop.appendToIceberg(
+      sup.filter($"s_suppkey" % 3 === 1), target)
+    graft.sources.IcebergInterop.deleteFromIceberg(s, target,
+      $"s_suppkey" % 6 === 0)
+    val name = "gicdc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.format("graft.sources.v2.IcebergSource")
+      .option("readChangeFeed", "true")
+      .option("startingSnapshotId", seeded.toString)
+      .load(target)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination()
+    s.table(name)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"),
+        $"_change_type".as("change_type"),
+        $"_change_ordinal".as("ordinal"))
+      .orderBy($"s_suppkey", $"change_type")
+  }
+
+  val g49_sql: String =
+    """SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal,
+      | 'insert' AS change_type, CAST(1 AS INT) AS ordinal
+      |FROM supplier WHERE s_suppkey % 3 = 1
+      |UNION ALL
+      |SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 4) AS s_acctbal,
+      | 'delete' AS change_type, CAST(2 AS INT) AS ordinal
+      |FROM supplier WHERE s_suppkey % 6 = 0
+      |ORDER BY s_suppkey, change_type""".stripMargin
+
+  /** g50: COLUMN-MAPPED Delta DML gate — the g47 lifecycle (keyed
+    * UPDATE, keyed DELETE, upsert MERGE, then
+    * OPTIMIZE) through the Scala verbs against a NAME-MODE
+    * column-mapped Delta root whose physical parquet names differ
+    * from every logical column (the post-ALTER-RENAME shape of the
+    * reference's Delta 3.2 tables). Every verb must resolve logical
+    * predicates/assignments against physical file columns and write
+    * physical-named rewrites; the oracle checks the final state
+    * relationally, so one wrong name anywhere hash-fails. */
+  val g50_delta_mapped_dml: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val target = graft.TempRoots.create("graft_dml50_").toString + "/t"
+    // seed data files under PHYSICAL names c1/c2/c3
+    sup.select($"s_suppkey".as("c1"), $"s_nationkey".as("c2"),
+      $"s_acctbal".as("c3")).coalesce(4).write.parquet(target)
+    def meta(phys: String, id: Int) =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build()
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s_suppkey",
+        org.apache.spark.sql.types.LongType, nullable = true, meta("c1", 1)),
+      org.apache.spark.sql.types.StructField("s_nationkey",
+        org.apache.spark.sql.types.LongType, nullable = true, meta("c2", 2)),
+      org.apache.spark.sql.types.StructField("s_acctbal",
+        org.apache.spark.sql.types.DoubleType, nullable = true,
+        meta("c3", 3)))).json
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    val dirPath = java.nio.file.Paths.get(target)
+    val adds = java.nio.file.Files.list(dirPath).iterator()
+    val addActions = Seq.newBuilder[String]
+    while (adds.hasNext) {
+      val p = adds.next()
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet"))
+        addActions += s"""{"add":{"path":"${esc(n)}","partitionValues":{},"size":${java.nio.file.Files.size(p)},"modificationTime":1,"dataChange":true}}"""
+    }
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(target, "_delta_log"))
+    Files.write(java.nio.file.Paths.get(target, "_delta_log",
+      "0" * 20 + ".json"), (Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"g50","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"},"createdTime":1}}"""
+    ) ++ addActions.result()).mkString("", "\n", "\n").getBytes("UTF-8"))
+    graft.sources.DeltaInterop.updateDelta(s, target,
+      $"s_suppkey" % 7 === 0,
+      Map("s_acctbal" -> ($"s_acctbal" + 50)))
+    graft.sources.DeltaInterop.deleteFromDelta(s, target,
+      $"s_nationkey" === 3)
+    val src = sup.filter($"s_suppkey" % 10 === 0)
+      .withColumn("s_acctbal", lit(-1.0))
+      .unionByName(sup.select(($"s_suppkey" + 100000).as("s_suppkey"),
+        $"s_nationkey", lit(-1.0).as("s_acctbal")))
+    graft.sources.DeltaInterop.mergeDelta(src, target, Seq("s_suppkey"))
+    graft.sources.DeltaInterop.optimizeDelta(s, target)
+    graft.sources.DeltaInterop.readDelta(s, target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "g49_iceberg_cdf_stream" -> g49_iceberg_cdf_stream,
+    "g50_delta_mapped_dml" -> g50_delta_mapped_dml,
     "g47_foreign_sql_dml" -> g47_foreign_sql_dml,
     "g48_foreign_sql_dml_iceberg" -> g48_foreign_sql_dml_iceberg,
     "g46_sql_views" -> g46_sql_views,
@@ -1396,6 +1517,11 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "g49_iceberg_cdf_stream" -> g49_sql,
+    // g50 runs the g47 DML lifecycle through the Scala verbs against a
+    // column-mapped root; the final state is format-independent, so
+    // g47's oracle is the correct one here too.
+    "g50_delta_mapped_dml" -> g47_sql,
     "g47_foreign_sql_dml" -> g47_sql,
     // g48 runs g47's EXACT DML lifecycle against an Iceberg root
     // instead of a Delta root, and the oracle checks only the

@@ -4617,28 +4617,42 @@ object IcebergInterop {
     // nulls written after the add stay null, matching the spec's
     // read contract. `write-default` imposes nothing here (it binds
     // writers that omit columns; graft's own Iceberg writers always
-    // supply every column explicitly). NESTED defaults still refuse —
-    // the fill below is top-level. Row lineage needs nothing from a
-    // plain read.
+    // supply every column explicitly). STRUCT-NESTED defaults fill
+    // too (any depth of struct nesting); defaults under list/map
+    // elements refuse — per-element fills are a full client's job.
+    // Row lineage needs nothing from a plain read.
     var initialDefaults: Map[String, JsonNode] = Map.empty
+    // dotted struct path -> (segments, leaf field id, default node)
+    var nestedDefaults: Map[String, (Seq[String], Int, JsonNode)] = Map.empty
     if (formatVersion >= 3) {
-      def nestedDefault(node: JsonNode, top: Boolean): Option[String] = {
-        val fields = node.path("fields")
-        if (!fields.isArray) None
-        else fields.elements().asScala().flatMap { f =>
-          val own =
-            if (top) None // top-level defaults are the FILLED ones
-            else Option(f.get("initial-default")).filterNot(_.isNull)
-              .map(_ => f.path("name").asText())
-          own.orElse(if (f.path("type").isObject)
-            nestedDefault(f.path("type"), top = false) else None)
-        }.nextOption()
-      }
       val cur = currentSchemaNode(md, path)
-      nestedDefault(cur, top = true).foreach(colName =>
-        refuse(path, s"declares an initial-default on NESTED column " +
-          s"'$colName' (Iceberg v3 default values) — this reader fills " +
-          "top-level defaults only"))
+      def walk(node: JsonNode, prefix: Seq[String],
+          underColl: Boolean): Unit = {
+        val fields = node.path("fields")
+        if (!fields.isArray) return
+        fields.elements().asScala().foreach { f =>
+          val p = prefix :+ f.path("name").asText()
+          Option(f.get("initial-default")).filterNot(_.isNull).foreach { v =>
+            if (prefix.nonEmpty) {
+              if (underColl)
+                refuse(path, s"declares an initial-default on column " +
+                  s"'${p.mkString(".")}' under a list/map — this reader " +
+                  "fills struct-nested defaults only")
+              nestedDefaults += p.mkString(".") ->
+                ((p, f.path("id").asInt(-1), v))
+            }
+          }
+          val t = f.path("type")
+          if (t.isObject) {
+            if (t.path("type").asText("") == "struct") walk(t, p, underColl)
+            else Seq("element", "key", "value").foreach { k =>
+              val sub = t.path(k)
+              if (sub.isObject) walk(sub, p, underColl = true)
+            }
+          }
+        }
+      }
+      walk(cur, Nil, underColl = false)
       initialDefaults = cur.path("fields").elements().asScala().flatMap { f =>
         Option(f.get("initial-default")).filterNot(_.isNull)
           .map(v => f.path("name").asText() -> v)
@@ -4693,6 +4707,87 @@ object IcebergInterop {
         }
       defaultedIds.flatMap { case (n, id) => byId.get(id).map(n -> _) }
     }
+    // nested-default support: the file's FULL name-path for any field
+    // id, from schema.name-mapping.default walked recursively (id-less
+    // renamed files resolve their nested names through it)
+    lazy val mappingPathById: Map[Int, Seq[String]] = {
+      val mapping = md.path("properties").path("schema.name-mapping.default")
+      if (!mapping.isTextual) Map.empty
+      else try {
+        val b = Map.newBuilder[Int, Seq[String]]
+        def rec(arr: JsonNode, prefix: Seq[String]): Unit =
+          arr.elements().asScala().foreach { e =>
+            val id = e.path("field-id").asInt(-1)
+            val names = e.path("names").elements().asScala()
+              .map(_.asText()).toSeq
+            val p = prefix ++ names.headOption.toSeq
+            if (id >= 0 && names.nonEmpty) b += id -> p
+            if (e.path("fields").isArray && names.nonEmpty)
+              rec(e.get("fields"), p)
+          }
+        rec(om.readTree(mapping.asText()), Nil)
+        b.result()
+      } catch { case _: Exception => Map.empty[Int, Seq[String]] }
+    }
+    // one driver-side footer walk per file for NESTED judgment:
+    // (every dotted struct name-path, every field id anywhere in the
+    // tree, ids-complete-through-structs) — paid only when nested
+    // defaults or renames are in play
+    val nestedFooterCache =
+      scala.collection.mutable.Map[String, (Set[String], Set[Int], Boolean)]()
+    def nestedFooterInfo(file: String): (Set[String], Set[Int], Boolean) =
+      nestedFooterCache.getOrElseUpdate(file, {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new HPath(file), conf))
+        try {
+          val paths = Set.newBuilder[String]
+          val ids = Set.newBuilder[Int]
+          // "complete" = every struct-context field carries an id —
+          // a file with TOP-LEVEL ids only cannot id-resolve nested
+          // renames (Spark would silently fall back to name matching
+          // inside the structs); list/map plumbing groups don't count
+          var complete = true
+          def rec(t: org.apache.parquet.schema.Type,
+              prefix: Seq[String], structCtx: Boolean): Unit = {
+            val p = prefix :+ t.getName
+            paths += p.mkString(".")
+            Option(t.getId).foreach(ids += _.intValue())
+            if (structCtx && t.getId == null) complete = false
+            t match {
+              case g: org.apache.parquet.schema.GroupType =>
+                val childStruct =
+                  structCtx && g.getLogicalTypeAnnotation == null
+                (0 until g.getFieldCount)
+                  .foreach(i => rec(g.getType(i), p, childStruct))
+              case _ => ()
+            }
+          }
+          val mt = rdr.getFooter.getFileMetaData.getSchema
+          (0 until mt.getFieldCount)
+            .foreach(i => rec(mt.getType(i), Nil, structCtx = true))
+          (paths.result(), ids.result(), complete)
+        } finally rdr.close()
+      })
+    // The nested defaulted fields a data file physically LACKS —
+    // judged by footer NAME PATH *and* FIELD ID *and* the
+    // name-mapping path (the same rename-safe rule the top-level fill
+    // pins: a renamed nested field's files carry another name but the
+    // SAME id — they are NOT absent, and filling them would silently
+    // overwrite real data with the default).
+    def absentNested(file: String): Set[String] =
+      if (nestedDefaults.isEmpty) Set.empty
+      else {
+        val (paths, allIds, _) = nestedFooterInfo(file)
+        nestedDefaults.collect {
+          case (dotted, (_, id, _))
+            if !paths.contains(dotted) &&
+              !(id >= 0 && allIds.contains(id)) &&
+              !mappingPathById.get(id)
+                .exists(p => paths.contains(p.mkString("."))) => dotted
+        }.toSet
+      }
 
     // Rename detection #1 — schema history: Iceberg resolves columns by
     // FIELD ID, this reader by name. A field id carrying different
@@ -5066,7 +5161,21 @@ object IcebergInterop {
             (ids.contains(defaultedIds.getOrElse(n, -1)) ||
               defaultedMappedNames.get(n).exists(names.contains))
         })
-    val missing = stableCols.filterNot(probe.contains) ++ renamedDefaulted
+    // nested twin of renamedDefaulted: a file lacking the dotted path
+    // but carrying the field id (or the name-mapped path) was RENAMED
+    // — force id-resolution for the scan instead of the default fill
+    val renamedNestedDefaulted: Seq[String] =
+      if (nestedDefaults.isEmpty) Nil
+      else nestedDefaults.toSeq.collect { case (dotted, (_, id, _))
+        if dataFiles.exists { case (f, _, _, _) =>
+          val (paths, allIds, _) = nestedFooterInfo(f)
+          !paths.contains(dotted) &&
+            ((id >= 0 && allIds.contains(id)) ||
+              mappingPathById.get(id)
+                .exists(p => paths.contains(p.mkString("."))))
+        } => dotted }
+    val missing = stableCols.filterNot(probe.contains) ++
+      renamedDefaulted ++ renamedNestedDefaulted
     // Field-id upgrade: when a rename is detected (schema history or
     // probe) AND the files carry parquet field ids, resolve columns BY
     // ID — Iceberg's own semantics — by annotating the read schema
@@ -5077,7 +5186,11 @@ object IcebergInterop {
     // Spark's inferred schema drops parquet field ids — ask the footer
     // itself (via the shared cache) whether every top-level column
     // carries one
-    def footerHasFieldIds(file: String): Boolean = footerInfo(file)._3
+    val schemaHasNestedStructs =
+      schema.fields.exists(_.dataType.isInstanceOf[StructType])
+    def footerHasFieldIds(file: String): Boolean =
+      footerInfo(file)._3 &&
+        (!schemaHasNestedStructs || nestedFooterInfo(file)._3)
     // Per-file rename resolution, Iceberg's own precedence: files WITH
     // parquet field ids resolve BY ID (Spark's field-id matching over
     // an annotated schema); id-less files resolve through the table's
@@ -5102,6 +5215,22 @@ object IcebergInterop {
       if (!needIdRead) Map.empty
       else schemaNode.get("fields").elements().asScala()
         .map(f => f.path("name").asText() -> f.path("id").asInt(-1)).toMap
+    // declared field id by FULL name path (nested rename resolution)
+    lazy val idByPath: Map[Seq[String], Int] = {
+      val b = Map.newBuilder[Seq[String], Int]
+      def rec(node: JsonNode, prefix: Seq[String]): Unit = {
+        val fields = node.path("fields")
+        if (fields.isArray) fields.elements().asScala().foreach { f =>
+          val p = prefix :+ f.path("name").asText()
+          val id = f.path("id").asInt(-1)
+          if (id >= 0) b += p -> id
+          val t = f.path("type")
+          if (t.isObject && t.path("type").asText("") == "struct") rec(t, p)
+        }
+      }
+      rec(schemaNode, Nil)
+      b.result()
+    }
     val idFileSet: Set[String] =
       if (!needIdRead) Set.empty
       else dataFiles.map(_._1).distinct.filter(footerHasFieldIds).toSet
@@ -5144,33 +5273,96 @@ object IcebergInterop {
             ids.contains(defaultedIds.getOrElse(n, -1)) ||
             defaultedMappedNames.get(n).exists(names.contains))
       }
+    // nested default as a typed literal at its leaf type
+    def nestedDefaultLiteral(dotted: String): org.apache.spark.sql.Column = {
+      val (segs, _, node) = nestedDefaults(dotted)
+      val dt = segs.foldLeft[DataType](schema) {
+        case (s: StructType, seg) => s(seg).dataType
+        case (other, _) => other
+      }
+      jsonSingleValueLiteral(dt, node).getOrElse(refuse(path,
+        s"declares an initial-default ${node.toString} this reader " +
+          s"cannot render as ${dt.simpleString} (column '$dotted')"))
+    }
+    /** Drop the absent nested fields from the scan schema — an
+      * id-resolving scan of a file lacking the field id would error,
+      * a name scan would null-fill the default away. */
+    def pruneNestedAbsent(st: StructType,
+        absentN: Set[String]): StructType = {
+      def rec(s: StructType, prefix: Seq[String]): StructType =
+        StructType(s.fields.flatMap { f =>
+          val p = prefix :+ f.name
+          val dotted = p.mkString(".")
+          if (absentN.contains(dotted)) None
+          else f.dataType match {
+            case inner: StructType
+                if absentN.exists(_.startsWith(dotted + ".")) =>
+              val pr = rec(inner, p)
+              if (pr.fields.isEmpty)
+                refuse(path, s"data files lack every known field of " +
+                  s"struct '$dotted' — cannot scan an empty struct")
+              Some(f.copy(dataType = pr))
+            case _ => Some(f)
+          }
+        })
+      rec(st, Nil)
+    }
+    /** Rebuild a struct column whose scan omitted absent nested
+      * fields: each level re-assembles in DECLARED field order with
+      * the defaults as typed literals, and a parent struct that is
+      * NULL for a row stays null (never becomes a struct of
+      * defaults). */
+    def filledColumn(f: StructField,
+        absentN: Set[String]): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{struct, when}
+      def recCol(field: StructField, prefix: Seq[String],
+          ref: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val dotted = (prefix :+ field.name).mkString(".")
+        field.dataType match {
+          case s: StructType if absentN.exists(_.startsWith(dotted + ".")) =>
+            val children = s.fields.map { cf =>
+              val cd = (prefix :+ field.name :+ cf.name).mkString(".")
+              if (absentN.contains(cd)) nestedDefaultLiteral(cd).as(cf.name)
+              else recCol(cf, prefix :+ field.name, ref.getField(cf.name))
+                .as(cf.name)
+            }
+            when(ref.isNotNull, struct(children.toSeq: _*))
+              .otherwise(lit(null)).cast(field.dataType)
+          case _ => ref
+        }
+      }
+      recCol(f, Nil, col(s"`${f.name}`")).as(f.name)
+    }
     /** Scan `files` at `scanSchema`, splitting id-resolvable from
       * name-mapped files when renames are in play, filling v3
-      * initial-defaults per file group, and project the logical
-      * columns (+ `extra`, e.g. _metadata refs — selected per-scan
-      * because hidden columns don't survive a union). */
+      * initial-defaults (top-level AND struct-nested) per file group,
+      * and project the logical columns (+ `extra`, e.g. _metadata
+      * refs — selected per-scan because hidden columns don't survive
+      * a union). */
     def readFiles(scanSchema0: StructType, files: Seq[String],
         extra: Seq[org.apache.spark.sql.Column]): DataFrame =
-      if (initialDefaults.isEmpty) readFilesRaw(scanSchema0, files, extra)
-      else files.groupBy(absentDefaulted).toSeq
+      if (initialDefaults.isEmpty && nestedDefaults.isEmpty)
+        readFilesRaw(scanSchema0, files, extra)
+      else files.groupBy(f => (absentDefaulted(f), absentNested(f))).toSeq
         // deterministic union order (groupBy is hash-ordered)
-        .sortBy(_._1.toSeq.sorted.mkString(","))
-        .map { case (absent, group) =>
-          if (absent.isEmpty) readFilesRaw(scanSchema0, group, extra)
+        .sortBy { case ((a, n), _) =>
+          (a.toSeq.sorted.mkString(","), n.toSeq.sorted.mkString(",")) }
+        .map { case ((absent, absentN), group) =>
+          if (absent.isEmpty && absentN.isEmpty)
+            readFilesRaw(scanSchema0, group, extra)
           else {
-            // scan WITHOUT the absent columns (an id-resolving scan of
-            // a file lacking the field id would error; a name scan
-            // would null-fill) and re-project to the full order with
-            // the defaults as typed literals
-            val present =
-              StructType(scanSchema0.filterNot(f => absent(f.name)))
+            // scan WITHOUT the absent columns/fields and re-project to
+            // the full order with the defaults as typed literals
+            val present = pruneNestedAbsent(
+              StructType(scanSchema0.filterNot(f => absent(f.name))),
+              absentN)
             val scanned = readFilesRaw(present, group, extra)
             val presentNames = present.fieldNames.toSet
             val tail = scanned.columns.filterNot(presentNames.contains)
             scanned.select(
               (scanSchema0.map(f =>
                 if (absent(f.name)) defaultLiteral(f.name).as(f.name)
-                else col(s"`${f.name}`")) ++
+                else filledColumn(f, absentN)) ++
                 tail.map(c => col(s"`$c`"))).toSeq: _*)
           }
         }.reduce(_.unionAll(_))
@@ -5197,13 +5389,28 @@ object IcebergInterop {
             .schema(annotateFieldIds(scanSchema, schemaNode))
             .parquet(withIds: _*))
         if (without.nonEmpty) {
-          def physName(f: StructField): String =
-            idOfName.get(f.name).flatMap(nameMapping.get).getOrElse(f.name)
-          val physSchema =
-            StructType(scanSchema.map(f => f.copy(name = physName(f))))
+          // the mapping resolves NESTED renames too: scan under the
+          // FILE's name at every level (mappingPathById), then one
+          // positional struct cast renames back to the declared
+          // schema — the same write-side-inverse rule the Delta
+          // column-mapping reader pins
+          def fileField(f: StructField, prefix: Seq[String]): StructField = {
+            val p = prefix :+ f.name
+            val fname = idByPath.get(p).flatMap(mappingPathById.get)
+              .map(_.last).getOrElse(f.name)
+            val dt = f.dataType match {
+              case s: StructType =>
+                StructType(s.fields.map(fileField(_, p)))
+              case other => other
+            }
+            f.copy(name = fname, dataType = dt)
+          }
+          val physSchema = StructType(scanSchema.map(fileField(_, Nil)))
           scans += spark.read.schema(physSchema).parquet(without: _*)
-            .select(scanSchema.map(f => col(physName(f)).as(f.name)) ++
-              extra: _*)
+            .select(scanSchema.fields.zip(physSchema.fields).map {
+              case (lf, pf) =>
+                col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+            } ++ extra: _*)
         }
         scans.result().reduce(_.unionAll(_))
       }
@@ -5518,6 +5725,192 @@ object IcebergInterop {
     }.reduce(_.unionAll(_))
   }
 
+  /** ROW-LEVEL CHANGELOG between two snapshots — the CDF twin of
+    * [[readIcebergChanges]] that DECODES change snapshots instead of
+    * refusing them. Rows are tagged `_change_type`
+    * (`insert`/`delete`), `_snapshot_id`, and a 1-based
+    * `_change_ordinal` (the snapshot's position in the range):
+    *
+    *  - `append` snapshots contribute their ADDED files as inserts —
+    *    O(added) scan, no table read;
+    *  - `replace`/compaction/clustering snapshots rewrite the same
+    *    rows and contribute NOTHING (Iceberg's own changelog rule);
+    *  - a snapshot whose only row-level mechanism is ADDED POSITION
+    *    DELETE files (graft's merge-on-read DELETE/UPDATE/MERGE shape)
+    *    decodes with ONE table-as-of-previous scan: the struck
+    *    (file, pos) coordinates join back to their rows, emitted as
+    *    deletes (plus any added files as inserts);
+    *  - anything else (copy-on-write removes, equality deletes, v3
+    *    deletion vectors) decodes EXACTLY by lineage diff: rows live
+    *    at the previous snapshot but not at this one are deletes,
+    *    the converse are inserts — two table scans for that snapshot,
+    *    the same order Iceberg's own CoW changelog pays. Carried rows
+    *    of a CoW rewrite appear as delete+insert pairs, matching
+    *    Iceberg's (non-net) changelog semantics.
+    *
+    * Snapshots are decoded against the CURRENT schema (columns added
+    * later null-fill in older snapshots' rows, by-id semantics). An
+    * expired `fromSnapshotId` refuses with a restart message. Feeds
+    * the streaming changelog
+    * ([[graft.sources.v2.IcebergSource]] with
+    * `option("readChangeFeed", "true")`). */
+  def readIcebergChangelog(spark: SparkSession, path: String,
+      fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
+    val (fs, md) = currentMetadata(spark, path)
+    if (md.path("format-version").asInt(1) > 3)
+      refuse(path, s"is format version 4+")
+    val schemaNode = currentSchemaNode(md, path)
+    val schema = fromIcebergStruct(schemaNode, path)
+    val out = StructType(schema.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_snapshot_id", LongType),
+      StructField("_change_ordinal", IntegerType)))
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    val hist: Seq[JsonNode] =
+      if (md.has("snapshots")) md.get("snapshots").elements().asScala().toSeq
+      else Nil
+    val ids = hist.map(_.path("snapshot-id").asLong())
+    val si = ids.indexOf(fromSnapshotId)
+    require(si >= 0, s"snapshot $fromSnapshotId is no longer retained at " +
+      s"$path (expired or never existed) — changelog reads need a " +
+      "retained start; re-sync from a full readIceberg")
+    val endId =
+      toSnapshotId.getOrElse(md.path("current-snapshot-id").asLong(-1L))
+    val ei = ids.indexOf(endId)
+    require(ei >= 0, s"snapshot $endId not found at $path")
+    require(ei >= si,
+      s"end snapshot $endId precedes start $fromSnapshotId at $path")
+    if (ei == si) return empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): String = {
+      val hp = new HPath(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    def lineage(asOf: Long): DataFrame =
+      readIcebergInternal(spark, path, Some(asOf), None, withLineage = true)
+    def tag(df: DataFrame, ct: String, id: Long, ord: Int): DataFrame =
+      df.select(schema.map(f => col(f.name)): _*)
+        .withColumn("_change_type", lit(ct))
+        .withColumn("_snapshot_id", lit(id))
+        .withColumn("_change_ordinal", lit(ord))
+    def listRecords(snap: JsonNode): Seq[(Long, String, Long)] =
+      readAvro(readBytes(fs, new HPath(snap.get("manifest-list").asText())))
+        .map { r =>
+          (fieldOpt(r, "content").map(longOf).getOrElse(0L),
+            r.get("manifest_path").toString,
+            fieldOpt(r, "added_snapshot_id").map(longOf).getOrElse(-1L))
+        }
+    // v3 initial-defaults make raw fixed-schema scans of added files
+    // unsafe (they would null-fill the default) — such tables take the
+    // lineage paths throughout, which apply defaults correctly
+    val rawScanSafe = md.path("format-version").asInt(1) < 3 || {
+      def hasDefault(node: JsonNode): Boolean = {
+        val fields = node.path("fields")
+        fields.isArray && fields.elements().asScala().exists { f =>
+          (f.has("initial-default") && !f.get("initial-default").isNull) ||
+            (f.path("type").isObject && hasDefault(f.path("type")))
+        }
+      }
+      !hasDefault(schemaNode)
+    }
+    val parts: Seq[DataFrame] =
+      hist.slice(si + 1, ei + 1).zipWithIndex.flatMap { case (snap, i) =>
+        val id = snap.path("snapshot-id").asLong()
+        val prevId = ids(si + i)
+        val ord = i + 1
+        val op = snap.path("summary").path("operation").asText("")
+        val isRewrite = op == "replace" ||
+          op.startsWith("compact") || op.startsWith("cluster")
+        if (isRewrite) Nil
+        else {
+          val recs = listRecords(snap)
+          // mechanisms THIS snapshot introduced, from the manifests it
+          // added (carried manifests replay older state, not changes)
+          var addedData = Seq.empty[String]
+          var removedData = false
+          var posDeleteFiles = Seq.empty[String]
+          var otherDeletes = false
+          recs.foreach { case (content, mp, addedBy) =>
+            if (addedBy < 0 || addedBy == id) {
+              readAvro(readBytes(fs, new HPath(mp))).foreach { e =>
+                val df = e.get("data_file").asInstanceOf[GenericRecord]
+                val status = longOf(e.get("status"))
+                val entrySnap = fieldOpt(e, "snapshot_id").map(longOf)
+                  .getOrElse(addedBy)
+                if (content == 0L) {
+                  if (status == 2L) removedData = true
+                  else if (status == 1L && entrySnap == id) {
+                    val fmt = df.get("file_format").toString
+                    if (!fmt.equalsIgnoreCase("parquet"))
+                      refuse(path, s"has $fmt data files")
+                    addedData :+= df.get("file_path").toString
+                  }
+                } else if (status != 2L && entrySnap == id) {
+                  val fmt = df.get("file_format").toString
+                  val dfContent =
+                    fieldOpt(df, "content").map(longOf).getOrElse(0L)
+                  if (dfContent == 1L && fmt.equalsIgnoreCase("parquet"))
+                    posDeleteFiles :+= df.get("file_path").toString
+                  else otherDeletes = true
+                }
+              }
+            }
+          }
+          addedData = addedData.distinct
+          posDeleteFiles = posDeleteFiles.distinct
+          val rawInsertsOk = rawScanSafe && addedData.nonEmpty && {
+            val probe = spark.read.parquet(addedData.head)
+              .schema.fieldNames.toSet
+            schema.fieldNames.forall(probe.contains)
+          }
+          if (!removedData && !otherDeletes &&
+              (addedData.isEmpty || rawInsertsOk)) {
+            // merge-on-read / append fast path: inserts straight from
+            // the added files, deletes by joining the struck
+            // coordinates back to their rows as of the previous
+            // snapshot — at most ONE table scan
+            val ins =
+              if (addedData.isEmpty) None
+              else Some(tag(spark.read.schema(schema)
+                .parquet(addedData: _*), "insert", id, ord))
+            val dels =
+              if (posDeleteFiles.isEmpty) None
+              else {
+                import spark.implicits._
+                val posDF = spark.read.parquet(posDeleteFiles: _*)
+                  .select(col("file_path").cast("string").as("file_path"),
+                    col("pos").cast("long").as("__pos"))
+                // referenced data-file paths are metadata-scale —
+                // qualify driver-side to the scan's __fp convention
+                val refs = posDF.select("file_path").distinct()
+                  .collect().map(_.getString(0)).toSeq
+                val pathMap = refs.map(p => (p, qualified(p)))
+                  .toDF("file_path", "__fp")
+                val keys = posDF
+                  .join(org.apache.spark.sql.functions.broadcast(pathMap),
+                    Seq("file_path"))
+                  .select(col("__fp"), col("__pos"))
+                Some(tag(lineage(prevId).join(keys, Seq("__fp", "__pos")),
+                  "delete", id, ord))
+              }
+            ins.toSeq ++ dels.toSeq
+          } else {
+            // exact lineage diff: covers CoW removes, equality
+            // deletes, and v3 deletion vectors uniformly
+            val prev = lineage(prevId)
+            val curr = lineage(id)
+            Seq(
+              tag(prev.join(curr.select(col("__fp"), col("__pos")),
+                Seq("__fp", "__pos"), "left_anti"), "delete", id, ord),
+              tag(curr.join(prev.select(col("__fp"), col("__pos")),
+                Seq("__fp", "__pos"), "left_anti"), "insert", id, ord))
+          }
+        }
+      }
+    parts.reduceOption(_.unionAll(_)).getOrElse(empty)
+  }
+
   /** One optimistic metadata-only commit: read the newest
     * `v<N>.metadata.json`, apply `edit`, claim `v<N+1>` via conditional
     * put. Lost races re-read and re-apply — the edit closure sees the
@@ -5770,15 +6163,57 @@ object IcebergInterop {
       case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
       case other => throw new IllegalArgumentException(
         s"$what: type ${other.simpleString} is not a primitive Iceberg " +
-          "type — nested additions need multi-field-id allocation; use a " +
-          "full Iceberg client")
+          "type")
     }
 
+  /** The Iceberg type JSON for `dt`, allocating a fresh field id for
+    * EVERY nested struct field / list element / map key+value via
+    * `nextId` (pre-order, Iceberg's own fresh-id assignment) — the
+    * multi-field-id allocation nested ADD COLUMN needs. Primitives
+    * render as their type-string text node. */
+  private def icebergTypeNode(dt: DataType, nextId: () => Int,
+      what: String): JsonNode = dt match {
+    case s: org.apache.spark.sql.types.StructType =>
+      val n = om.createObjectNode()
+      n.put("type", "struct")
+      val fields = n.putArray("fields")
+      s.fields.foreach { f =>
+        val fn = om.createObjectNode()
+        fn.put("id", nextId())
+        fn.put("name", f.name)
+        fn.put("required", !f.nullable)
+        fn.set[JsonNode]("type", icebergTypeNode(f.dataType, nextId, what))
+        fields.add(fn): Unit
+      }
+      n
+    case a: org.apache.spark.sql.types.ArrayType =>
+      val n = om.createObjectNode()
+      n.put("type", "list")
+      n.put("element-id", nextId())
+      n.set[JsonNode]("element", icebergTypeNode(a.elementType, nextId, what))
+      n.put("element-required", !a.containsNull)
+      n
+    case m: org.apache.spark.sql.types.MapType =>
+      val n = om.createObjectNode()
+      n.put("type", "map")
+      n.put("key-id", nextId())
+      n.set[JsonNode]("key", icebergTypeNode(m.keyType, nextId, what))
+      n.put("value-id", nextId())
+      n.set[JsonNode]("value", icebergTypeNode(m.valueType, nextId, what))
+      n.put("value-required", !m.valueContainsNull)
+      n
+    case prim =>
+      new com.fasterxml.jackson.databind.node.TextNode(
+        primitiveIcebergType(prim, what))
+  }
+
   /** ALTER TABLE … ADD COLUMN on a file-based Iceberg table: one
-    * metadata-only commit appending an OPTIONAL primitive column with
-    * the next field id — existing files null-fill it on read, appends
-    * must then include it. Duplicate names (case-insensitive) refuse;
-    * nested types refuse (multi-id allocation). */
+    * metadata-only commit appending an OPTIONAL column with fresh
+    * field ids — existing files null-fill it on read, appends must
+    * then include it. NESTED types (struct / list / map, arbitrarily
+    * deep) allocate one fresh id per nested field/element/key/value
+    * in pre-order, bumping last-column-id over the whole allocation.
+    * Duplicate names (case-insensitive) refuse. */
   def addColumnToIceberg(spark: SparkSession, path: String, name: String,
       dataType: DataType, maxRetries: Int = 20): Int =
     commitMetadataEdit(spark, path, maxRetries, s"add column $name") { md =>
@@ -5787,17 +6222,62 @@ object IcebergInterop {
         .map(_.get("name").asText()).toSeq
       require(!existing.exists(_.equalsIgnoreCase(name)),
         s"column '$name' already exists at $path")
-      val newId = md.path("last-column-id").asInt(0) + 1
+      var lastId = md.path("last-column-id").asInt(0)
+      def nextId(): Int = { lastId += 1; lastId }
       val newSchema = cur.deepCopy[ObjectNode]()
       val fn = om.createObjectNode()
-      fn.put("id", newId)
+      fn.put("id", nextId())
       fn.put("name", name)
       fn.put("required", false)
-      fn.put("type", primitiveIcebergType(dataType,
+      fn.set[JsonNode]("type", icebergTypeNode(dataType, nextId,
         s"cannot add column '$name' to $path"))
       newSchema.get("fields")
         .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(fn)
-      publishSchema(md, newSchema, newId)
+      publishSchema(md, newSchema, lastId)
+    }
+
+  /** ALTER TABLE … ADD COLUMN into a NESTED struct: `parent` names a
+    * top-level (or dotted deeper) struct column; the new OPTIONAL
+    * field appends to that struct's field list with fresh pre-order
+    * ids. Existing files null-fill the new field on read (or take the
+    * v3 initial-default once the metadata declares one — the read
+    * fill is nested-aware). Parents that are not structs, or paths
+    * through list/map, refuse — those additions change element
+    * shapes, a full client's job. */
+  def addNestedColumnToIceberg(spark: SparkSession, path: String,
+      parent: String, name: String, dataType: DataType,
+      maxRetries: Int = 20): Int =
+    commitMetadataEdit(spark, path, maxRetries,
+      s"add column $parent.$name") { md =>
+      val cur = currentSchemaNode(md, path)
+      val newSchema = cur.deepCopy[ObjectNode]()
+      var node: ObjectNode = newSchema
+      parent.split('.').foreach { seg =>
+        val f = node.path("fields").elements().asScala()
+          .find(_.path("name").asText() == seg)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no struct column '$seg' on the way to '$parent' at $path"))
+        val t = f.path("type")
+        require(t.isObject && t.path("type").asText() == "struct",
+          s"'$seg' in '$parent' is not a struct column at $path — nested " +
+            "additions go into structs only")
+        node = t.asInstanceOf[ObjectNode]
+      }
+      val siblings = node.get("fields").elements().asScala()
+        .map(_.path("name").asText()).toSeq
+      require(!siblings.exists(_.equalsIgnoreCase(name)),
+        s"field '$name' already exists in '$parent' at $path")
+      var lastId = md.path("last-column-id").asInt(0)
+      def nextId(): Int = { lastId += 1; lastId }
+      val fn = om.createObjectNode()
+      fn.put("id", nextId())
+      fn.put("name", name)
+      fn.put("required", false)
+      fn.set[JsonNode]("type", icebergTypeNode(dataType, nextId,
+        s"cannot add field '$parent.$name' to $path"))
+      node.get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(fn)
+      publishSchema(md, newSchema, lastId)
     }
 
   /** ALTER TABLE … RENAME COLUMN on a file-based Iceberg table: field

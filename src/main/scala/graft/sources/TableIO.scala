@@ -44,7 +44,7 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *    commit, never a torn file (content still lands via whole-object
   *    PUT).
   */
-private[sources] object TableIO {
+private[graft] object TableIO {
   /** Hadoop 3.4+ conditional-write builder option, doubling as the
     * path capability a store advertises when `createFile(p)
     * .overwrite(false)` is enforced ATOMICALLY (create-if-absent /
@@ -52,7 +52,7 @@ private[sources] object TableIO {
   val ConditionalCreate = "fs.option.create.conditional.overwrite"
 }
 
-private[sources] final class TableIO(rootStr: String, conf: Configuration) {
+private[graft] final class TableIO(rootStr: String, conf: Configuration) {
   val root = new HPath(rootStr)
   val fs: FileSystem = root.getFileSystem(conf)
 
@@ -110,7 +110,14 @@ private[sources] final class TableIO(rootStr: String, conf: Configuration) {
   }
 
   def writeExclusive(p: HPath, bytes: Array[Byte]): Unit =
-    if (fs.getScheme == "file") {
+    if (S3CondPut.enabled(conf, fs.getScheme)) {
+      // opt-in S3-class adapter (graft.s3.condput.enabled): one
+      // SigV4-signed PUT with If-None-Match — the store arbitrates the
+      // slot, closing the exists-then-rename race that S3A without the
+      // Hadoop 3.4 conditional-create capability leaves open. Reads
+      // and data-file writes keep riding the configured FileSystem.
+      S3CondPut.putIfAbsent(conf, p, bytes)
+    } else if (fs.getScheme == "file") {
       val target = java.nio.file.Paths.get(p.toUri.getPath)
       val tmp = target.resolveSibling(
         s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")

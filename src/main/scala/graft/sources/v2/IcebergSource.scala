@@ -49,28 +49,37 @@ import graft.sources.IcebergInterop
   * Scale shape: planning is O(#manifests + #files) driver-side
   * metadata per batch; the data path is the native vectorized parquet
   * reader over only the added files. */
-class IcebergSource extends TableProvider {
+class IcebergSource extends TableProvider
+  with org.apache.spark.sql.sources.StreamSourceProvider {
   private def pathOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       "iceberg source needs a path: .load(<table root>)"))
+
+  private def cdfOf(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val path = pathOf(options)
     val (_, md) = IcebergInterop.currentMetadata(spark, path)
-    IcebergInterop.fromIcebergStruct(
+    val base = IcebergInterop.fromIcebergStruct(
       IcebergInterop.currentSchemaNode(md, path), path)
+    if (cdfOf(options)) IcebergSource.cdfSchema(base) else base
   }
 
   override def getTable(tableSchema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val path = pathOf(options)
+    val cdf = cdfOf(options)
     new Table with SupportsRead {
       override def name(): String = s"iceberg:$path"
       override def schema(): StructType = tableSchema
+      // changelog reads advertise NO micro-batch capability: streaming
+      // CDF rides the V1 Source fallback below (the DeltaSource shape)
       override def capabilities(): util.Set[TableCapability] =
-        util.EnumSet.of(TableCapability.BATCH_READ,
+        if (cdf) util.EnumSet.of(TableCapability.BATCH_READ)
+        else util.EnumSet.of(TableCapability.BATCH_READ,
           TableCapability.MICRO_BATCH_READ)
       override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
         new ScanBuilder {
@@ -86,14 +95,161 @@ class IcebergSource extends TableProvider {
                 override def sqlContext: SQLContext = context
                 override def schema: StructType = readSchema()
                 override def buildScan(): RDD[Row] =
-                  IcebergInterop.readIceberg(SparkSession.active, path).rdd
+                  if (!cdf)
+                    IcebergInterop.readIceberg(SparkSession.active, path).rdd
+                  else {
+                    // batch changelog: startingSnapshotId (exclusive,
+                    // required) .. endingSnapshotId (default current)
+                    val from = Option(opts.get("startingsnapshotid"))
+                      .getOrElse(throw new IllegalArgumentException(
+                        "batch readChangeFeed needs startingSnapshotId " +
+                          "(exclusive)")).toLong
+                    val to = Option(opts.get("endingsnapshotid"))
+                      .map(_.toLong)
+                    IcebergInterop.readIcebergChangelog(
+                      SparkSession.active, path, from, to).rdd
+                  }
               }.asInstanceOf[T]
           }
         }
     }
   }
 
+  // ---- V1 streaming fallback: changelog micro-batches (see
+  // DeltaSource for why sourceSchema must answer for both modes) ----
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val params = parameters.map {
+      case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
+    }
+    val path = params.getOrElse("path", throw new IllegalArgumentException(
+      "iceberg source needs a path: .load(<table root>)"))
+    val spark = sqlContext.sparkSession
+    val (_, md) = IcebergInterop.currentMetadata(spark, path)
+    val base = IcebergInterop.fromIcebergStruct(
+      IcebergInterop.currentSchemaNode(md, path), path)
+    if (params.get("readchangefeed").exists(_.toBoolean))
+      ("iceberg-cdf", IcebergSource.cdfSchema(base))
+    else ("iceberg", base)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    require(parameters.exists { case (k, v) =>
+      k.equalsIgnoreCase("readChangeFeed") && v.toBoolean
+    }, "the V1 streaming path of IcebergSource serves only " +
+      "readChangeFeed=true reads — plain streaming rides the " +
+      "micro-batch scan")
+    new IcebergCdfStreamSource(sqlContext.sparkSession, parameters)
+  }
+
   override def supportsExternalMetadata(): Boolean = false
+}
+
+object IcebergSource {
+  /** The changelog read schema: table columns plus the change
+    * metadata columns [[IcebergInterop.readIcebergChangelog]] tags. */
+  private[v2] def cdfSchema(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_snapshot_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_change_ordinal",
+        org.apache.spark.sql.types.IntegerType)))
+}
+
+/** Streaming CHANGELOG over an Iceberg table
+  * (`option("readChangeFeed", "true")`) — the Iceberg twin of
+  * [[DeltaCdfStreamSource]]: batch 0 is the complete snapshot at
+  * stream start emitted as `insert` rows (ordinal 0), and every later
+  * micro-batch is [[IcebergInterop.readIcebergChangelog]] over the
+  * snapshots in between — appends as inserts, merge-on-read and
+  * copy-on-write change snapshots DECODED into insert/delete rows
+  * instead of refusing (compactions stay invisible).
+  * `startingSnapshotId` (id, or "latest") skips batch 0 and streams
+  * changes strictly after that snapshot. Offsets are snapshot ids
+  * (durable in the checkpoint); an expired start refuses loudly with
+  * a restart message, like the batch reader. */
+class IcebergCdfStreamSource(spark: SparkSession,
+    parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Source {
+  private val params =
+    parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+  private val path = params.getOrElse("path",
+    throw new IllegalArgumentException(
+      "iceberg CDF source needs a path: .load(<table root>)"))
+
+  private def history(): Seq[Long] = {
+    val (_, md) = IcebergInterop.currentMetadata(spark, path)
+    if (!md.has("snapshots")) return Nil
+    val it = md.get("snapshots").elements()
+    val b = Seq.newBuilder[Long]
+    while (it.hasNext) b += it.next().get("snapshot-id").asLong()
+    b.result()
+  }
+
+  private val startingSnapshotId: Option[Long] =
+    params.get("startingsnapshotid").map {
+      case "latest" => history().lastOption.getOrElse(-1L)
+      case v => v.toLong
+    }
+
+  override val schema: StructType = {
+    val (_, md) = IcebergInterop.currentMetadata(spark, path)
+    IcebergSource.cdfSchema(IcebergInterop.fromIcebergStruct(
+      IcebergInterop.currentSchemaNode(md, path), path))
+  }
+
+  private def snapOf(
+      o: org.apache.spark.sql.execution.streaming.Offset): Long =
+    o.json.trim.toLong
+
+  override def getOffset
+      : Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    val hist = history()
+    val latest = hist.lastOption.getOrElse(return None)
+    if (startingSnapshotId.contains(latest)) None
+    else Some(IcebergCdfOffset(latest))
+  }
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val endId = snapOf(end)
+    val df = start.map(snapOf).orElse(startingSnapshotId) match {
+      case Some(s) if s >= 0 && s != endId =>
+        IcebergInterop.readIcebergChangelog(spark, path, s, Some(endId))
+      case Some(s) if s >= 0 => // s == endId: nothing new
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case _ =>
+        // batch 0 (fresh stream, or "latest" pinned on a then-empty
+        // table): the complete snapshot at `end` as inserts
+        IcebergInterop.readIcebergInternal(spark, path, Some(endId), None,
+            withLineage = false)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_snapshot_id", lit(endId))
+          .withColumn("_change_ordinal", lit(0))
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.asStreamingDataFrame(
+      df.select(schema.fieldNames.map(col).toSeq: _*))
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** V1 stream offset = Iceberg snapshot id (bare number JSON,
+  * restart-safe through the checkpoint's SerializedOffset
+  * round-trip). */
+case class IcebergCdfOffset(snapshotId: Long)
+    extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json: String = snapshotId.toString
 }
 
 /** Stream offset = Iceberg snapshot id (-1 = nothing processed). */

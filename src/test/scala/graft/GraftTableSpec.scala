@@ -817,6 +817,93 @@ class GraftTableSpec extends AnyFunSuite {
       assert(GraftTable.load(spark, root).read().count() == 9)
     } finally pool.shutdownNow()
   }
+
+  test("S3 conditional-PUT adapter: signed If-None-Match, one winner per slot") {
+    // fake MinIO-class endpoint: objects in a concurrent map,
+    // If-None-Match enforced ATOMICALLY (putIfAbsent), SigV4 verified
+    // by server-side recomputation over the same canonical inputs —
+    // the contract the real store provides, minus the network
+    val objects =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    val sigErrors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new com.sun.net.httpserver.HttpHandler {
+      def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+        val body = x.getRequestBody.readAllBytes()
+        val path = x.getRequestURI.getRawPath
+        val h = x.getRequestHeaders
+        val payloadHash = h.getFirst("x-amz-content-sha256")
+        val bodyHash = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(body).map(b => f"$b%02x").mkString
+        val expect = graft.sources.S3CondPut.authorization("PUT", path,
+          h.getFirst("Host"), h.getFirst("x-amz-date"), payloadHash,
+          "minioadmin", "miniosecret", "us-east-1")
+        if (h.getFirst("Authorization") != expect || payloadHash != bodyHash)
+          sigErrors.incrementAndGet(): Unit
+        val code =
+          if (x.getRequestMethod != "PUT") 405
+          else if (h.getFirst("If-None-Match") == "*" &&
+              objects.putIfAbsent(path, body) != null) 412
+          else 200
+        x.sendResponseHeaders(code, -1)
+        x.close()
+      }
+    })
+    server.start()
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)
+      conf.setBoolean("graft.s3.condput.enabled", true)
+      conf.set("graft.s3.condput.schemes", "s3a")
+      conf.set("fs.s3a.impl", classOf[S3SchemeTestFs].getName)
+      conf.set("fs.s3a.endpoint",
+        s"http://127.0.0.1:${server.getAddress.getPort}")
+      conf.set("fs.s3a.access.key", "minioadmin")
+      conf.set("fs.s3a.secret.key", "miniosecret")
+      conf.set("fs.s3a.endpoint.region", "us-east-1")
+      val io = new graft.sources.TableIO("s3a://warehouse/t", conf)
+      val slot = io.path("_graft_log", "00000001.json")
+      io.writeExclusive(slot, "commit-1".getBytes("UTF-8"))
+      assert(objects.size() == 1, objects.keySet().toString)
+      assert(new String(objects.values().iterator().next(), "UTF-8") ==
+        "commit-1")
+      // the occupied slot surfaces as the protocol's uniform signal
+      intercept[java.nio.file.FileAlreadyExistsException] {
+        io.writeExclusive(slot, "commit-1-loser".getBytes("UTF-8"))
+      }
+      // 8 racing writers of one fresh slot: exactly one wins
+      val slot2 = io.path("_graft_log", "00000002.json")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futs = (1 to 8).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean =
+              try { io.writeExclusive(slot2, s"w$i".getBytes("UTF-8")); true }
+              catch {
+                case _: java.nio.file.FileAlreadyExistsException => false
+              }
+          })
+        }
+        val wins = futs.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+        assert(wins.count(identity) == 1, wins.toString)
+      } finally pool.shutdownNow()
+      // every request carried a VALID SigV4 signature over the payload
+      assert(sigErrors.get() == 0, s"${sigErrors.get()} signature failures")
+      // keys are path-style bucket/key
+      assert(objects.keySet().iterator().next()
+        .startsWith("/warehouse/t/_graft_log/"), objects.keySet().toString)
+    } finally server.stop(0)
+  }
+}
+
+/** RawLocalFileSystem under the `s3a` scheme — lets the S3
+  * conditional-PUT contract spec construct a TableIO over an
+  * s3a-shaped root without hadoop-aws on the classpath (the adapter
+  * itself never touches the FileSystem; commit puts go over HTTP). */
+class S3SchemeTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "s3a"
+  override def getUri: java.net.URI = java.net.URI.create("s3a:///")
 }
 
 /** RawLocalFileSystem re-registered under a non-`file` scheme with

@@ -777,7 +777,8 @@ class IcebergInteropSpec extends AnyFunSuite {
     props.remove("schema.name-mapping.default")
     patch(mdRenPath, om.writeValueAsBytes(mdRen))
 
-    // nested defaults refuse loudly (this reader fills top-level only)
+    // defaults under LIST/MAP elements refuse loudly (struct-nested
+    // defaults fill — pinned by the dedicated nested test below)
     val curV = latestV
     val md2 = om.readTree(Files.readAllBytes(Paths.get(target, "metadata",
       s"v$curV.metadata.json")))
@@ -788,12 +789,17 @@ class IcebergInteropSpec extends AnyFunSuite {
     nested.put("id", lastId + 2); nested.put("name", "s")
     nested.put("required", false)
     val st = nested.putObject("type")
-    st.put("type", "struct")
+    st.put("type", "list")
+    st.put("element-id", lastId + 3)
     val inner = om.createObjectNode()
-    inner.put("id", lastId + 3); inner.put("name", "x")
-    inner.put("required", false); inner.put("type", "int")
-    inner.put("initial-default", 1)
-    st.putArray("fields").add(inner)
+    inner.put("type", "struct")
+    val innerF = om.createObjectNode()
+    innerF.put("id", lastId + 4); innerF.put("name", "x")
+    innerF.put("required", false); innerF.put("type", "int")
+    innerF.put("initial-default", 1)
+    inner.putArray("fields").add(innerF)
+    st.set[com.fasterxml.jackson.databind.JsonNode]("element", inner)
+    st.put("element-required", false)
     firstSchema.path("fields")
       .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(nested)
     patch(Paths.get(target, "metadata", s"v$curV.metadata.json"),
@@ -801,7 +807,128 @@ class IcebergInteropSpec extends AnyFunSuite {
     val eNested = intercept[IllegalArgumentException] {
       IcebergInterop.readIceberg(spark, target)
     }
-    assert(eNested.getMessage.contains("NESTED"), eNested.getMessage)
+    assert(eNested.getMessage.contains("list/map"), eNested.getMessage)
+  }
+
+  test("nested ADD COLUMN + nested v3 default: old files fill, renames read real data") {
+    import spark.implicits._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // seed: struct column s{y} exists from the start; one row carries
+    // a NULL struct (it must stay null through the fill)
+    val t = GraftTable.create(spark, tmp("graft_indflt_"),
+      Seq((1L, Some(10)), (2L, None)).toDF("id", "y")
+        .select($"id", org.apache.spark.sql.functions.when($"y".isNotNull,
+          org.apache.spark.sql.functions.struct($"y")).as("s"))
+        .coalesce(1))
+    val target = tmp("graft_indflt_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    // nested ADD COLUMN s.x — fresh field id, last-column-id bumped
+    IcebergInterop.addNestedColumnToIceberg(spark, target, "s", "x",
+      org.apache.spark.sql.types.IntegerType)
+    // bump to v3 and declare an initial-default on the new nested
+    // field in the CURRENT schema (what a foreign v3 writer's
+    // ADD COLUMN ... DEFAULT commits)
+    def latestV = Files.list(Paths.get(target, "metadata")).toArray
+      .map(_.toString)
+      .flatMap("v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt).max
+    val mdP = Paths.get(target, "metadata", s"v$latestV.metadata.json")
+    val md = om.readTree(Files.readAllBytes(mdP))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md.put("format-version", 3)
+    var xId = -1
+    def declareDefault(sc: com.fasterxml.jackson.databind.JsonNode): Unit =
+      sc.path("fields").forEach { f =>
+        if (f.path("name").asText() == "s" && f.path("type").isObject)
+          f.path("type").path("fields").forEach { nf =>
+            if (nf.path("name").asText() == "x") {
+              xId = nf.path("id").asInt(-1)
+              nf.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                .put("initial-default", 5): Unit
+            }
+          }
+      }
+    if (md.has("schemas")) md.get("schemas").forEach(declareDefault(_))
+    if (md.has("schema")) declareDefault(md.get("schema"))
+    patch(mdP, om.writeValueAsBytes(md))
+    assert(xId > 0)
+    // post-add append SUPPLIES s.x (including an explicit null)
+    IcebergInterop.appendToIceberg(
+      Seq((3L, 30, Some(7)), (4L, 40, Option.empty[Int]))
+        .toDF("id", "y0", "x0")
+        .select($"id", org.apache.spark.sql.functions.struct(
+          $"y0".as("y"), $"x0".as("x"))
+          .cast("struct<y:int,x:int>").as("s")).coalesce(1), target)
+    val got = IcebergInterop.readIceberg(spark, target)
+      .select($"id", $"s.y".as("y"), $"s.x".as("x"),
+        $"s".isNull.as("snull"))
+      .as[(Long, Option[Int], Option[Int], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((Some(10), Some(5), false)), got.toString) // filled
+    assert(got(2L) == ((None, None, true)), got.toString) // null struct stays
+    assert(got(3L) == ((Some(30), Some(7), false)), got.toString) // kept
+    assert(got(4L) == ((Some(40), None, false)), got.toString) // expl. null
+    // RENAME the defaulted nested field (same id, default retained):
+    // the post-add files carry the OLD name and must read their REAL
+    // values through the name-mapping — never the default
+    val mdP2 = Paths.get(target, "metadata", s"v$latestV.metadata.json")
+    val md2 = om.readTree(Files.readAllBytes(mdP2))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    def renameX(sc: com.fasterxml.jackson.databind.JsonNode): Unit =
+      sc.path("fields").forEach { f =>
+        if (f.path("name").asText() == "s" && f.path("type").isObject)
+          f.path("type").path("fields").forEach { nf =>
+            if (nf.path("name").asText() == "x")
+              nf.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                .put("name", "x2"): Unit
+          }
+      }
+    if (md2.has("schemas")) md2.get("schemas").forEach(renameX(_))
+    if (md2.has("schema")) renameX(md2.get("schema"))
+    // graft-written files carry no parquet field ids — the nested
+    // rename resolves through schema.name-mapping.default (the
+    // convert/migrate convention), extended with the nested entry
+    val sId = {
+      var found = -1
+      (if (md2.has("schema")) md2.get("schema") else
+        md2.get("schemas").get(0)).path("fields").forEach { f =>
+        if (f.path("name").asText() == "s") found = f.path("id").asInt(-1)
+      }
+      found
+    }
+    val yId = {
+      var found = -1
+      (if (md2.has("schema")) md2.get("schema") else
+        md2.get("schemas").get(0)).path("fields").forEach { f =>
+        if (f.path("name").asText() == "s")
+          f.path("type").path("fields").forEach { nf =>
+            if (nf.path("name").asText() == "y")
+              found = nf.path("id").asInt(-1)
+          }
+      }
+      found
+    }
+    val idIdNode = {
+      var found = -1
+      (if (md2.has("schema")) md2.get("schema") else
+        md2.get("schemas").get(0)).path("fields").forEach { f =>
+        if (f.path("name").asText() == "id") found = f.path("id").asInt(-1)
+      }
+      found
+    }
+    val props = md2.path("properties") match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+      case _ => md2.putObject("properties")
+    }
+    props.put("schema.name-mapping.default",
+      s"""[{"field-id":$idIdNode,"names":["id"]},{"field-id":$sId,"names":["s"],"fields":[{"field-id":$yId,"names":["y"]},{"field-id":$xId,"names":["x"]}]}]""")
+    patch(mdP2, om.writeValueAsBytes(md2))
+    val gotRen = IcebergInterop.readIceberg(spark, target)
+      .select($"id", $"s.x2".as("x2"))
+      .as[(Long, Option[Int])].collect().toMap
+    assert(gotRen(1L) == Some(5), gotRen.toString)  // pre-add: filled
+    assert(gotRen(3L) == Some(7), gotRen.toString)  // REAL value, mapped
+    assert(gotRen(4L) == None, gotRen.toString)     // real explicit null
   }
 
   test("refuses formats beyond v3 and renamed columns") {
@@ -1143,6 +1270,72 @@ class IcebergInteropSpec extends AnyFunSuite {
     val score = rows.map(r => Option(r.getAs[Any]("score")))
     assert(score(0).isEmpty && score(1).isEmpty && score(2).contains(7.5),
       rows.mkString(", "))
+  }
+
+  test("streaming changelog decodes MoR deletes and restarts from the checkpoint") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_icl_"),
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val target = tmp("graft_icl_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    patch(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    val seeded = IcebergInterop.icebergRefSnapshot(spark, target, "main")
+    val ckpt = Files.createTempDirectory("graft_icl_ck_").toString
+    val out = Files.createTempDirectory("graft_icl_sink_").toString
+    def run() = spark.readStream.format("graft.sources.v2.IcebergSource")
+      .option("readChangeFeed", "true").load(target)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    // batch 0: the complete snapshot as inserts, ordinal 0
+    val q = run(); try q.processAllAvailable() finally q.stop()
+    val b0 = spark.read.parquet(out)
+      .select($"id", $"_change_type", $"_change_ordinal")
+      .as[(Long, String, Int)].collect().toSet
+    assert(b0 == (1L to 6L).map(i => (i, "insert", 0)).toSet, b0.toString)
+    // while the stream is DOWN: an append snapshot and a MoR
+    // position-delete snapshot
+    IcebergInterop.appendToIceberg(
+      Seq((7L, "v7"), (8L, "v8")).toDF("id", "v"), target)
+    IcebergInterop.deleteFromIceberg(spark, target, col("id") <= 2L)
+    // restart: the catch-up batch decodes both — appended rows as
+    // inserts, struck rows as deletes; batch 0 is NOT replayed
+    val q2 = run(); try q2.processAllAvailable() finally q2.stop()
+    val all = spark.read.parquet(out)
+      .select($"id", $"_change_type", $"_change_ordinal")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(all.size == 10, all.sorted.mkString(", "))
+    val tail = all.filterNot(_._3 == 0).toSet
+    assert(tail == Set((7L, "insert", 1), (8L, "insert", 1),
+      (1L, "delete", 2), (2L, "delete", 2)), tail.toString)
+    // the batch changelog equals the drained tail
+    val batch = IcebergInterop.readIcebergChangelog(spark, target, seeded)
+      .select($"id", $"_change_type", $"_change_ordinal")
+      .as[(Long, String, Int)].collect().toSet
+    assert(batch == tail, batch.toString)
+  }
+
+  test("readIcebergChangelog decodes v3 DV deletes via lineage diff") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_icl3_"),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    val target = tmp("graft_icl3_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    patch(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 3")
+      .getBytes("UTF-8"))
+    val seeded = IcebergInterop.icebergRefSnapshot(spark, target, "main")
+    // a v3 delete writes a puffin DELETION VECTOR — not a position
+    // delete parquet, so the changelog takes the exact lineage-diff
+    // path instead of the MoR fast path
+    IcebergInterop.deleteFromIceberg(spark, target, col("id") === 2L)
+    val got = IcebergInterop.readIcebergChangelog(spark, target, seeded)
+      .select($"id", $"v", $"_change_type", $"_change_ordinal")
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(got == Set((2L, "b", "delete", 1)), got.toString)
   }
 
   test("renamed Iceberg tables read by parquet field id when files carry ids") {
@@ -3154,12 +3347,24 @@ class IcebergInteropSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       IcebergInterop.renameIcebergColumn(spark, src, "nope", "x")
     }
-    val e = intercept[IllegalArgumentException] {
-      IcebergInterop.addColumnToIceberg(spark, src, "arr",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType))
+    // NESTED types allocate multi-field ids (r15): list element and
+    // struct fields each take a fresh id, last-column-id covers all
+    val lastIdBefore = latestMeta(src).path("last-column-id").asInt()
+    IcebergInterop.addColumnToIceberg(spark, src, "arr",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+    val mdArr = latestMeta(src)
+    assert(mdArr.path("last-column-id").asInt() == lastIdBefore + 2,
+      mdArr.path("last-column-id").toString) // column id + element id
+    assert(IcebergInterop.readIceberg(spark, src)
+      .columns.toSeq == Seq("id", "label", "n", "arr"))
+    // additions INTO a nested struct go through the dedicated API;
+    // non-struct parents refuse
+    val eP = intercept[IllegalArgumentException] {
+      IcebergInterop.addNestedColumnToIceberg(spark, src, "label", "x",
+        org.apache.spark.sql.types.LongType)
     }
-    assert(e.getMessage.contains("primitive"), e.getMessage)
+    assert(eP.getMessage.contains("struct"), eP.getMessage)
     // properties CRUD
     IcebergInterop.setIcebergProperties(spark, src,
       Map("commit.retry.num-retries" -> "5", "graft.test" -> "yes"))
@@ -3169,9 +3374,10 @@ class IcebergInteropSpec extends AnyFunSuite {
     val props = latestMeta(src).path("properties")
     assert(!props.has("graft.test") &&
       props.path("commit.retry.num-retries").asText() == "5")
-    // schema bookkeeping: ids advanced, last-column-id covers the add
+    // schema bookkeeping: ids advanced, last-column-id covers every
+    // allocation (3 primitives + the list column's 2 ids)
     val md = latestMeta(src)
-    assert(md.get("last-column-id").asInt() == 3, md.toString)
+    assert(md.get("last-column-id").asInt() == 5, md.toString)
     assert(md.get("schemas").size() >= 3, md.toString)
   }
 

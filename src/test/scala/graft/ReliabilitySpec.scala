@@ -61,6 +61,28 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(boom.forall(!_.contains("second")))
   }
 
+  test("bench canary flips the contamination label on mid-run stress") {
+    // synthetic-stress shape of the r14 driver artifact: the host is
+    // quiet when the suite starts, a co-tenant lands mid-run. The
+    // canary samples interleave between queries, so the inflated
+    // sample flips the verdict even though the start looked quiet.
+    var tick = 0
+    val fakeCanary = () => {
+      tick += 1
+      if (tick >= 2) 2.0 else 0.05 // quiet base, then stressed
+    }
+    val qs = (1 to 15).map(i => s"q$i" -> (() => ())).toSeq
+    val (rs, samples) = Bench.measureWithCanary(qs, fakeCanary, every = 10)
+    assert(rs.size == 15 && samples.size == 3, samples.toString)
+    assert(Bench.canaryContended(base = 0.05, samples), samples.toString)
+    // an all-quiet run does NOT trip: GC-jitter-sized wobble stays
+    // inside the 4×+0.25s band
+    assert(!Bench.canaryContended(0.05, Seq(0.05, 0.12, 0.25)))
+    // the real canary runs and returns a plausible quiet timing
+    val real = Bench.runCanary(spark, 4)
+    assert(real > 0.0 && real < 30.0, real.toString)
+  }
+
   test("relCache evicts LRU by entry cap and unpersists what it drops") {
     // Eviction that only clears map entries strands the persisted
     // blocks in executor storage (the cache held the sole reference) —
