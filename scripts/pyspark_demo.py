@@ -222,6 +222,30 @@ assert merged.filter("lang = 'xx'").count() == n_kept
 print(f"foreign Delta after append+delete+merge: {merged.count()} rows "
       f"(version {v + 2}); foreign Iceberg snapshot {sid}")
 
+# Iceberg ROW-LEVEL CHANGELOG (r15): on a fresh foreign copy, MoR-
+# delete some rows, then DECODE the change snapshot into tagged delete
+# rows — the incremental append scan refuses such snapshots, the
+# changelog doesn't
+clog_path = tempfile.mkdtemp(prefix="graft_py_clog_") + "/t"
+base_t.export_iceberg(clog_path)
+# MoR position deletes need format v2 (the g19 bump)
+import os  # noqa: E402
+_mdp = clog_path + "/metadata/v1.metadata.json"
+with open(_mdp) as _f:
+    _mtxt = _f.read()
+with open(_mdp, "w") as _f:
+    _f.write(_mtxt.replace('"format-version" : 1', '"format-version" : 2'))
+_crc = clog_path + "/metadata/.v1.metadata.json.crc"
+if os.path.exists(_crc):
+    os.remove(_crc)
+clog_sid = table.append_to_iceberg(fdoc.exceptAll(fdoc.limit(20)), clog_path)
+n_small = table.read_iceberg(spark, clog_path).filter("n_chars < 200").count()
+table.delete_from_iceberg(spark, clog_path, F.col("n_chars") < 200)
+clog = table.read_iceberg_changelog(spark, clog_path, int(clog_sid))
+assert clog.filter("_change_type = 'delete'").count() == n_small, n_small
+assert clog.filter("_change_type = 'insert'").count() == 0
+print(f"iceberg changelog after MoR delete: {n_small} decoded delete rows")
+
 print("== 10b. Clause MERGE, keyed equality delete, v3 deletion vectors ==")
 # full-clause MERGE on the foreign Delta copy: delete small docs,
 # bump the rest from the source row, full-sync away unmatched evens
