@@ -5129,8 +5129,13 @@ object DeltaInterop {
     *    range); a commit pairing dataChange adds AND removes without
     *    cdc is an ambiguous update rewrite and refuses.
     *  - dataChange=false actions (compaction/optimize) produce no
-    *    rows. Schema changes inside the range and column-mapped
-    *    tables refuse. Commits cleaned below `fromVersion`'s base
+    *    rows. COLUMN-MAPPED tables (name and id mode) read correctly —
+    *    cdc/data files scan under physical names (id mode by field id)
+    *    and rename back to the declared schema; partitionValues keys
+    *    resolve physically. Schema changes inside the range, and
+    *    column-MAPPING changes inside the range (files on either side
+    *    carry different physical schemas — split the range), refuse.
+    *    Commits cleaned below `fromVersion`'s base
     *    state refuse with a retention message.
     *
     * Scale shape: per-commit driver-side log parsing, data read as
@@ -5148,8 +5153,12 @@ object DeltaInterop {
     val base: Option[DeltaSnapshot] =
       if (fromVersion == 0) None
       else Some(replaySnapshot(spark, path, Some(fromVersion - 1)))
-    base.foreach(st => require(st.colMapMode == "none",
-      s"CDF read of $path: column-mapped tables are not supported here"))
+    // column-mapped tables (name and id mode) read fine: cdc/data
+    // files carry PHYSICAL names (plus a literal _change_type) and the
+    // scan below renames back to the declared schema; a mapping CHANGE
+    // inside the range refuses (files before and after would need
+    // different physical schemas — split the range at the change)
+    var colMapMode: String = base.map(_.colMapMode).getOrElse("none")
     val pvOf = scala.collection.mutable.HashMap[String, Map[String, String]]()
     // DV descriptors ride along: a dataChange remove of a DV-carrying
     // file must emit only the still-LIVE rows as deletes — rows struck
@@ -5194,10 +5203,25 @@ object DeltaInterop {
           cdc += ((decodePath(unq(m.group(1))), pvIn, None)))
         SchemaStr.findFirstMatchIn(line).foreach { m =>
           val sj = unq(m.group(1))
-          if (checkColumnMapping(path, ColMapMode.findFirstMatchIn(line)
-              .map(mm => unq(mm.group(1))).getOrElse("")) != "none")
-            throw new IllegalArgumentException(
-              s"CDF read of $path: column-mapped tables are not supported here")
+          val modeNow = checkColumnMapping(path,
+            ColMapMode.findFirstMatchIn(line)
+              .map(mm => unq(mm.group(1))).getOrElse(""))
+          // the physical fingerprint (names + ids at every level,
+          // identity-watermark metadata stripped by physicalField)
+          // must hold across the range: files on either side of a
+          // mapping change carry different physical schemas
+          def physPrint(j: String): String =
+            StructType(DataType.fromJson(j).asInstanceOf[StructType]
+              .fields.map(physicalField(_, withIds = true))).json
+          schemaJson.foreach { prev =>
+            if (modeNow != colMapMode ||
+                (modeNow != "none" && physPrint(prev) != physPrint(sj)))
+              throw new IllegalArgumentException(
+                s"CDF read of $path: commit $v changes the column " +
+                  "mapping inside the requested range — split the " +
+                  s"range at $v")
+          }
+          colMapMode = modeNow
           schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]
             .fieldNames.toSet).foreach { prev =>
             val now = DataType.fromJson(sj).asInstanceOf[StructType]
@@ -5254,8 +5278,21 @@ object DeltaInterop {
         s"CDF read of $path: no metaData action at or before $fromVersion")))
       .asInstanceOf[StructType]
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
-    val cdcSchema = StructType(dataSchema.fields :+
+    // column-mapped tables scan by PHYSICAL names (id mode by field
+    // id) and rename back after the DV-membership ride
+    val mapped = colMapMode != "none"
+    if (colMapMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val physDataSchema =
+      if (mapped)
+        StructType(dataSchema.fields.map(physicalField(_,
+          colMapMode == "id")))
+      else dataSchema
+    val cdcSchema = StructType(physDataSchema.fields :+
       StructField("_change_type", org.apache.spark.sql.types.StringType))
+    val physPartName: Map[String, String] = partCols.map(pc =>
+      pc -> (if (mapped) physicalField(schema(pc), withIds = false).name
+             else pc)).toMap
     val outCols = schema.map(f => col(f.name)) ++ Seq(
       col("_change_type"), col("_commit_version"), col("_commit_timestamp"))
 
@@ -5275,8 +5312,17 @@ object DeltaInterop {
           if (kind == "cdc")
             spark.read.schema(cdcSchema).parquet(paths: _*)
           else
-            spark.read.schema(dataSchema).parquet(paths: _*)
+            spark.read.schema(physDataSchema).parquet(paths: _*)
               .withColumn("_change_type", lit(kind))
+        // physical -> declared rename (one positional cast per level);
+        // applied AFTER the DV membership filter, which needs only
+        // _metadata refs off the raw scan
+        def toLogical(df: DataFrame): DataFrame =
+          if (!mapped) df
+          else df.select(dataSchema.fields.zip(physDataSchema.fields)
+            .map { case (lf, pf) =>
+              col(pf.name).cast(lf.dataType).as(lf.name)
+            } :+ col("_change_type"): _*)
         // a removed DV-carrying file: its DV-struck rows were deleted
         // BEFORE this range — emit only the still-live rows as deletes
         // (same codegen'd membership filter the snapshot reader uses)
@@ -5300,11 +5346,13 @@ object DeltaInterop {
           }
         val plainScan: Option[DataFrame] =
           if (plain.isEmpty) None else Some(scanOf(plain.map(_._1)))
-        val base0 = (plainScan.toSeq ++ dvScan.toSeq).reduce(_.unionByName(_))
+        val base0 = toLogical(
+          (plainScan.toSeq ++ dvScan.toSeq).reduce(_.unionByName(_)))
         val withParts = partCols.foldLeft(base0) { (d, pc) =>
           val f = schema(pc)
-          d.withColumn(pc, pv.get(pc).map(lit(_)).getOrElse(lit(null))
-            .cast(f.dataType))
+          d.withColumn(pc,
+            pv.get(physPartName(pc)).map(lit(_)).getOrElse(lit(null))
+              .cast(f.dataType))
         }
         withParts
           .withColumn("_commit_version", lit(v))

@@ -2409,6 +2409,63 @@ class DeltaInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("CDF reads column-mapped tables; a mid-range mapping change refuses") {
+    import spark.implicits._
+    val root = tmp("graft_cdfcm_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def meta(phys: String, id: Int) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-1", 1)),
+      StructField("v", StringType, nullable = true, meta("col-2", 2)))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def metaLine(sj: String) =
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(sj)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2","delta.enableChangeDataFeed":"true"},"createdTime":1}}"""
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(schemaJson)
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    DeltaInterop.appendToDelta(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1), root)
+    DeltaInterop.updateDelta(spark, root, col("id") === 2L,
+      Map("v" -> lit("B")))
+    DeltaInterop.deleteFromDelta(spark, root, col("id") === 3L)
+    val cdf = DeltaInterop.readDeltaChanges(spark, root, 0, 3)
+      .select($"id", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(cdf == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 1L),
+      (2L, "b", "update_preimage", 2L), (2L, "B", "update_postimage", 2L),
+      (3L, "c", "delete", 3L)), cdf.toString)
+    // the streaming twin drains the same rows through the V1 source
+    val name = "cdfcm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("graft.sources.v2.DeltaSource")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+      .select($"id", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(streamed == cdf, streamed.toString)
+    // a commit CHANGING the mapping inside the range refuses loudly:
+    // files on either side carry different physical schemas
+    val renamed = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-1", 1)),
+      StructField("v", StringType, nullable = true, meta("col-9", 2)))).json
+    Files.write(Paths.get(root, "_delta_log", "0" * 19 + "4.json"), Seq(
+      """{"commitInfo":{"timestamp":4,"operation":"SET TBLPROPERTIES"}}""",
+      metaLine(renamed)
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.readDeltaChanges(spark, root, 0, 4).count()
+    }
+    assert(e.getMessage.contains("column mapping"), e.getMessage)
+  }
+
   test("updateDelta: pre-update SET evaluation, partial files, null cond") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_dup_"),
