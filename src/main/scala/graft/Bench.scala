@@ -56,6 +56,35 @@ object Bench {
       samples: Seq[Double]): Boolean =
     samples.exists(_ > base * 4 + 0.25)
 
+  /** HOST CPU busy fraction (user+sys+iowait+…, everything but idle)
+    * over a short window in which THIS bench is idle — /proc/stat is
+    * host-wide even inside a container, which is the point: a
+    * co-tenant outside this cgroup is invisible to ps but not to the
+    * kernel's aggregate counters, and iowait counts as busy so
+    * disk-hogging neighbors (which inflate shuffle-heavy streaming
+    * queries while leaving a CPU canary untouched) register too.
+    * Sampled between queries, when the bench's own jobs are drained —
+    * anything substantial in the window is somebody else. NaN when
+    * /proc/stat is unreadable (non-Linux). */
+  private[graft] def hostBusyFraction(windowMs: Long): Double = {
+    def cpuLine(): Option[Array[Long]] =
+      try {
+        val l = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+        if (!l.startsWith("cpu ")) None
+        else Some(l.trim.split("\\s+").drop(1).map(_.toLong))
+      } catch { case _: Throwable => None }
+    (for {
+      a <- cpuLine()
+      _ = Thread.sleep(windowMs)
+      b <- cpuLine()
+    } yield {
+      val total = (b.sum - a.sum).toDouble
+      val idle = (b(3) - a(3)).toDouble // pure idle; iowait stays busy
+      if (total <= 0) Double.NaN else 1.0 - idle / total
+    }).getOrElse(Double.NaN)
+  }
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
@@ -122,6 +151,14 @@ object Bench {
     // start-load gate above only sees contention that predates it)
     val nCpus = cpus.toInt
     val canaryBase = (1 to 3).map(_ => runCanary(spark, nCpus)).min
+    // each sampling point also measures HOST busy over an idle window
+    // (co-tenant detection the CPU canary can't give: IO hogs, and
+    // constant contention that inflates the canary base itself)
+    val idleBusy = scala.collection.mutable.Buffer[Double]()
+    val canaryFn = () => {
+      idleBusy += hostBusyFraction(150)
+      runCanary(spark, nCpus)
+    }
     val (results, canarySamples) = measureWithCanary(
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (name, _) =>
@@ -129,7 +166,7 @@ object Bench {
         .map {
           case (name, fn) => name -> (() => { fn(spark, sfDir).count(): Unit })
         },
-      () => runCanary(spark, nCpus), every = 10)
+      canaryFn, every = 10)
     TempRoots.cleanup() // every result is materialized (count() above)
     val ok = results.collect { case QResult(n, s, None) => n -> s }
     val failed = results.collect { case QResult(n, _, Some(e)) => n -> e }
@@ -160,8 +197,12 @@ object Bench {
     // calibration is already 2x off self-labels too.
     val baseContended = sys.env.get("SPARK_GRAFT_CANARY_QUIET_SEC")
       .map(_.toDouble).exists(q => canaryBase > q * 2 + 0.1)
+    // a host more than half-busy while THIS bench idles is a co-tenant
+    // (NaN samples — non-Linux — never trip; NaN > x is false)
+    val hostBusyContended = idleBusy.exists(_ > 0.5)
     val loadLabel =
-      if (loadStart > quietLimit || midRunContended || baseContended)
+      if (loadStart > quietLimit || midRunContended || baseContended ||
+          hostBusyContended)
         "contended"
       else "quiet"
     // Full per-query detail goes to a FILE: the harness that collects this
@@ -175,7 +216,7 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       s"/tmp/graft-bench-detail-${System.currentTimeMillis()}.json")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(ok)},"n_failed":${failed.size},"errors":${jerr(failed)},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"load_label":"$loadLabel","canary_base":${r3(canaryBase)},"canary_max":${r3(canarySamples.max)},"canary_samples":[${canarySamples.map(r3).mkString(",")}]}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(ok)},"n_failed":${failed.size},"errors":${jerr(failed)},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"load_label":"$loadLabel","canary_base":${r3(canaryBase)},"canary_max":${r3(canarySamples.max)},"canary_samples":[${canarySamples.map(r3).mkString(",")}],"host_busy_max":${r3(if (idleBusy.exists(!_.isNaN)) idleBusy.filter(!_.isNaN).max else -1.0)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -200,7 +241,7 @@ object Bench {
     val analyticTotal = ok.collect {
       case (k, s) if k.takeWhile(!_.isDigit) != "g" => s }.sum
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","analytic_total":${r3(analyticTotal)},"queries":${jmap(ok.filter(r => headline(r._1)))},"groups":${jmap(groups)},"n_queries":${results.size},"n_failed":${failed.size},"errors":${jerr(failed)},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"load_label":"$loadLabel","canary_base":${r3(canaryBase)},"canary_max":${r3(canarySamples.max)},"detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","analytic_total":${r3(analyticTotal)},"queries":${jmap(ok.filter(r => headline(r._1)))},"groups":${jmap(groups)},"n_queries":${results.size},"n_failed":${failed.size},"errors":${jerr(failed)},"sf":"$sfDir","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"load_label":"$loadLabel","canary_base":${r3(canaryBase)},"canary_max":${r3(canarySamples.max)},"host_busy_max":${r3(if (idleBusy.exists(!_.isNaN)) idleBusy.filter(!_.isNaN).max else -1.0)},"detail":"$detailPath"}"""
     // 1-minute load averages around the run: flags benches taken on a
     // contended shared host (observed >4× per-query swings under load —
     // the end value includes this bench's own threads, so the start

@@ -81,6 +81,12 @@ class ReliabilitySpec extends AnyFunSuite {
     // the real canary runs and returns a plausible quiet timing
     val real = Bench.runCanary(spark, 4)
     assert(real > 0.0 && real < 30.0, real.toString)
+    // the host-busy probe (the IO-visible co-tenant signal) returns a
+    // fraction in [0,1] on Linux, NaN elsewhere — and NaN never trips
+    // the contended comparison
+    val busy = Bench.hostBusyFraction(50)
+    assert(busy.isNaN || (busy >= 0.0 && busy <= 1.0), busy.toString)
+    assert(!(Double.NaN > 0.5))
   }
 
   test("relCache evicts LRU by entry cap and unpersists what it drops") {
