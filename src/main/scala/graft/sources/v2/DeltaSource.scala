@@ -404,8 +404,10 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
         if (st.colMapMode != "none")
           throw new IllegalStateException(
             s"delta stream over $path: table uses column mapping — the " +
-              "physical-name rename cannot ride the streaming scan; read " +
-              "it batch-side via DeltaInterop.readDelta")
+              "physical-name rename cannot ride the streaming scan; " +
+              "stream it with option(\"readChangeFeed\", \"true\") " +
+              "(mapped tables supported there) or read it batch-side " +
+              "via DeltaInterop.readDelta")
         st.active.foreach { case (p, (_, dv)) =>
           if (dv.isDefined)
             throw new IllegalStateException(
@@ -439,7 +441,8 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
           if (mode != "none")
             throw new IllegalStateException(
               s"delta stream over $path: commit $v enables column " +
-                "mapping — restart batch-side")
+                "mapping — restart with option(\"readChangeFeed\", " +
+                "\"true\") or read batch-side")
           // schema gate mirrors the graft source's restart-safe rule:
           // a commit ADDING columns the plan lacks refuses (the fixed-
           // schema scan would silently drop them; a restarted stream

@@ -838,7 +838,7 @@ class GraftTableSpec extends AnyFunSuite {
           .digest(body).map(b => f"$b%02x").mkString
         val expect = graft.sources.S3CondPut.authorization("PUT", path,
           h.getFirst("Host"), h.getFirst("x-amz-date"), payloadHash,
-          "minioadmin", "miniosecret", "us-east-1")
+          "graft-test-key", "graft-test-secret", "us-east-1")
         if (h.getFirst("Authorization") != expect || payloadHash != bodyHash)
           sigErrors.incrementAndGet(): Unit
         val code =
@@ -859,8 +859,8 @@ class GraftTableSpec extends AnyFunSuite {
       conf.set("fs.s3a.impl", classOf[S3SchemeTestFs].getName)
       conf.set("fs.s3a.endpoint",
         s"http://127.0.0.1:${server.getAddress.getPort}")
-      conf.set("fs.s3a.access.key", "minioadmin")
-      conf.set("fs.s3a.secret.key", "miniosecret")
+      conf.set("fs.s3a.access.key", "graft-test-key")
+      conf.set("fs.s3a.secret.key", "graft-test-secret")
       conf.set("fs.s3a.endpoint.region", "us-east-1")
       val io = new graft.sources.TableIO("s3a://warehouse/t", conf)
       val slot = io.path("_graft_log", "00000001.json")
