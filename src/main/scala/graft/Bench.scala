@@ -79,7 +79,10 @@ object Bench {
       _ = Thread.sleep(windowMs)
       b <- cpuLine()
     } yield {
-      val total = (b.sum - a.sum).toDouble
+      // first 8 fields only (user..steal): guest/guest_nice are already
+      // folded into user/nice — summing them double-counts VM co-tenant
+      // time and overstates busy
+      val total = (b.take(8).sum - a.take(8).sum).toDouble
       val idle = (b(3) - a(3)).toDouble // pure idle; iowait stays busy
       if (total <= 0) Double.NaN else 1.0 - idle / total
     }).getOrElse(Double.NaN)

@@ -1868,6 +1868,12 @@ object DeltaInterop {
         f.metadata.getBoolean("delta.identity.allowExplicit"))
   }
 
+  /** TEST SEAM: runs once after an append's files are staged and
+    * before its first commit attempt — lets a spec land a concurrent
+    * writer's version in the exact stage-to-commit window (the race
+    * re-validation's only deterministic entry point). */
+  private[graft] var appendRaceHook: Option[() => Unit] = None
+
   def appendToDelta(df: DataFrame, path: String, maxRetries: Int = 20,
       txn: Option[(String, Long)] = None,
       mergeSchema: Boolean = false): Long = {
@@ -2238,6 +2244,9 @@ object DeltaInterop {
       }
 
       // ---- optimistic commit: claim version slots until one lands ----
+      // test seam: lets a spec land a concurrent writer's version in
+      // the exact stage-to-commit window (one-shot)
+      appendRaceHook.foreach { h => appendRaceHook = None; h() }
       var v = st.version + 1
       var attempts = 0
       var committed = -1L
@@ -2269,19 +2278,20 @@ object DeltaInterop {
               // the peer must not have changed the TABLE's schema or
               // mapping (under mergeSchema, compare against the
               // pre-widen state — our metaData action still declares
-              // the correct union over pure-append peers)
-              val basePhys =
-                if (!mapped) tableSchema
-                else StructType(tableSchema.fields
-                  .map(physicalField(_, st.colMapMode == "id")))
-              val freshPhys =
-                if (st.colMapMode == "none")
-                  DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-                else StructType(DataType.fromJson(st.schemaJson)
-                  .asInstanceOf[StructType].fields
-                  .map(physicalField(_, st.colMapMode == "id")))
+              // the correct union over pure-append peers). The compare
+              // is over the FULL logical schema, METADATA INCLUDED, on
+              // mapped and unmapped tables alike: a physical-layout-
+              // only compare (physicalField strips field metadata)
+              // would let a peer's delta.identity.highWaterMark
+              // advance slip through on mapped tables, and this
+              // writer would then commit stale beyond-watermark
+              // identity values AND regress the watermark. Same-mode +
+              // logical-equality implies physical-layout equality, so
+              // nothing the old check caught is lost.
+              val freshLogical =
+                DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
               require((st.colMapMode != "none") == mapped &&
-                  freshPhys == basePhys,
+                  freshLogical == tableSchema,
                 s"table at $path changed its schema or column mapping " +
                   "during the append — retry the append against the new state")
               v = math.max(v + 1, st.version + 1)

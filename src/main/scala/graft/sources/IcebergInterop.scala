@@ -4366,15 +4366,41 @@ object IcebergInterop {
           v.asInstanceOf[Number].longValue()).toString).toOption
       case (Some("timestamp-micros"), _) => scala.util.Try {
         val micros = v.asInstanceOf[Number].longValue()
-        java.time.Instant.EPOCH.plus(micros,
-          java.time.temporal.ChronoUnit.MICROS).toString
+        val instant = java.time.Instant.EPOCH.plus(micros,
+          java.time.temporal.ChronoUnit.MICROS)
+        // Iceberg's Avro distinguishes timestamp vs timestamptz by the
+        // adjust-to-utc prop: a plain timestamp renders WITHOUT a zone
+        // per the spec's single-value form; absent prop = Avro's
+        // UTC-instant semantics (the timestamptz form)
+        val utc = Option(sch.getObjectProp("adjust-to-utc")) match {
+          case Some(b: java.lang.Boolean) => b.booleanValue()
+          case Some(other) => other.toString == "true"
+          case None => true
+        }
+        if (utc) instant.toString
+        else java.time.LocalDateTime
+          .ofInstant(instant, java.time.ZoneOffset.UTC).toString
       }.toOption
       case (Some("decimal"), _) =>
         val scale = Option(sch.getObjectProp("scale"))
           .collect { case n: Number => n.intValue() }.getOrElse(0)
         bytesOfV.map(b => new java.math.BigDecimal(
           new java.math.BigInteger(b), scale).toPlainString)
-      case (Some("uuid"), _) => Some(v.toString)
+      case (Some("uuid"), _) =>
+        // Iceberg manifests encode uuid as fixed[16] — render the
+        // canonical string; string-typed uuids pass through
+        bytesOfV match {
+          case Some(b) if b.length == 16 =>
+            val bb = java.nio.ByteBuffer.wrap(b)
+            Some(new java.util.UUID(bb.getLong, bb.getLong).toString)
+          case Some(_) => None
+          case None => Some(v.toString)
+        }
+      // any other logical type (time-micros, timestamp-nanos, …):
+      // OMIT rather than serve a misrendered raw number
+      case (Some(other), _)
+          if other != "timestamp-micros" && other != "date" &&
+            other != "decimal" && other != "uuid" => None
       case (_, AT.INT) => Some(Int.box(v.asInstanceOf[Number].intValue()))
       case (_, AT.LONG) => Some(Long.box(v.asInstanceOf[Number].longValue()))
       case (_, AT.BOOLEAN) => Some(v)
@@ -4670,6 +4696,13 @@ object IcebergInterop {
     // footer pass over the same files.
     val footerCache =
       scala.collection.mutable.Map[String, (Set[String], Set[Int], Boolean)]()
+    // the NESTED view of the same footer — (every dotted struct
+    // name-path, every field id anywhere in the tree,
+    // ids-complete-through-structs) — filled by the SAME footer open
+    // below, so nested-default/rename machinery never pays a second
+    // driver-side open per file
+    val nestedFooterCache =
+      scala.collection.mutable.Map[String, (Set[String], Set[Int], Boolean)]()
     def footerInfo(file: String): (Set[String], Set[Int], Boolean) =
       footerCache.getOrElseUpdate(file, {
         val conf = spark.sparkContext.hadoopConfiguration
@@ -4679,11 +4712,41 @@ object IcebergInterop {
         try {
           val mt = rdr.getFooter.getFileMetaData.getSchema
           val fields = (0 until mt.getFieldCount).map(mt.getType)
+          // nested walk (for nestedFooterCache): "complete" = every
+          // struct-context field carries an id — a file with TOP-LEVEL
+          // ids only cannot id-resolve nested renames (Spark silently
+          // falls back to name matching inside the structs); list/map
+          // plumbing groups don't count
+          val paths = Set.newBuilder[String]
+          val allIds = Set.newBuilder[Int]
+          var complete = true
+          def rec(t: org.apache.parquet.schema.Type,
+              prefix: Seq[String], structCtx: Boolean): Unit = {
+            val pp = prefix :+ t.getName
+            paths += pp.mkString(".")
+            Option(t.getId).foreach(allIds += _.intValue())
+            if (structCtx && t.getId == null) complete = false
+            t match {
+              case g: org.apache.parquet.schema.GroupType =>
+                val childStruct =
+                  structCtx && g.getLogicalTypeAnnotation == null
+                (0 until g.getFieldCount)
+                  .foreach(i => rec(g.getType(i), pp, childStruct))
+              case _ => ()
+            }
+          }
+          (0 until mt.getFieldCount)
+            .foreach(i => rec(mt.getType(i), Nil, structCtx = true))
+          nestedFooterCache(file) = (paths.result(), allIds.result(), complete)
           (fields.map(_.getName).toSet,
             fields.flatMap(t => Option(t.getId).map(_.intValue())).toSet,
             fields.forall(_.getId != null))
         } finally rdr.close()
       })
+    def nestedFooterInfo(file: String): (Set[String], Set[Int], Boolean) = {
+      if (!nestedFooterCache.contains(file)) footerInfo(file): Unit
+      nestedFooterCache(file)
+    }
     lazy val defaultedIds: Map[String, Int] =
       schemaNode.path("fields").elements().asScala()
         .filter(f => initialDefaults.contains(f.path("name").asText()))
@@ -4729,47 +4792,6 @@ object IcebergInterop {
         b.result()
       } catch { case _: Exception => Map.empty[Int, Seq[String]] }
     }
-    // one driver-side footer walk per file for NESTED judgment:
-    // (every dotted struct name-path, every field id anywhere in the
-    // tree, ids-complete-through-structs) — paid only when nested
-    // defaults or renames are in play
-    val nestedFooterCache =
-      scala.collection.mutable.Map[String, (Set[String], Set[Int], Boolean)]()
-    def nestedFooterInfo(file: String): (Set[String], Set[Int], Boolean) =
-      nestedFooterCache.getOrElseUpdate(file, {
-        val conf = spark.sparkContext.hadoopConfiguration
-        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new HPath(file), conf))
-        try {
-          val paths = Set.newBuilder[String]
-          val ids = Set.newBuilder[Int]
-          // "complete" = every struct-context field carries an id —
-          // a file with TOP-LEVEL ids only cannot id-resolve nested
-          // renames (Spark would silently fall back to name matching
-          // inside the structs); list/map plumbing groups don't count
-          var complete = true
-          def rec(t: org.apache.parquet.schema.Type,
-              prefix: Seq[String], structCtx: Boolean): Unit = {
-            val p = prefix :+ t.getName
-            paths += p.mkString(".")
-            Option(t.getId).foreach(ids += _.intValue())
-            if (structCtx && t.getId == null) complete = false
-            t match {
-              case g: org.apache.parquet.schema.GroupType =>
-                val childStruct =
-                  structCtx && g.getLogicalTypeAnnotation == null
-                (0 until g.getFieldCount)
-                  .foreach(i => rec(g.getType(i), p, childStruct))
-              case _ => ()
-            }
-          }
-          val mt = rdr.getFooter.getFileMetaData.getSchema
-          (0 until mt.getFieldCount)
-            .foreach(i => rec(mt.getType(i), Nil, structCtx = true))
-          (paths.result(), ids.result(), complete)
-        } finally rdr.close()
-      })
     // The nested defaulted fields a data file physically LACKS —
     // judged by footer NAME PATH *and* FIELD ID *and* the
     // name-mapping path (the same rename-safe rule the top-level fill
@@ -4799,10 +4821,12 @@ object IcebergInterop {
     // probe below instead of refusing. (The first-file probe is
     // detection #2, for single-schema metadata.)
     var renameDetail: Option[String] = None
+    var renamedIds: Set[Int] = Set.empty
     if (md.has("schemas")) {
       val byId = scala.collection.mutable.Map[Int, Set[String]]()
       md.get("schemas").elements().asScala().foreach(s => fieldNamesById(s, byId))
       val renamed = byId.filter(_._2.size > 1)
+      renamedIds = renamed.keySet.toSet
       if (renamed.nonEmpty)
         renameDetail = Some("renamed columns across schema versions (" +
           renamed.map { case (id, names) =>
@@ -5186,11 +5210,37 @@ object IcebergInterop {
     // Spark's inferred schema drops parquet field ids — ask the footer
     // itself (via the shared cache) whether every top-level column
     // carries one
-    val schemaHasNestedStructs =
-      schema.fields.exists(_.dataType.isInstanceOf[StructType])
+    // declared field id by FULL name path (nested rename resolution)
+    lazy val idByPath: Map[Seq[String], Int] = {
+      val b = Map.newBuilder[Seq[String], Int]
+      def rec(node: JsonNode, prefix: Seq[String]): Unit = {
+        val fields = node.path("fields")
+        if (fields.isArray) fields.elements().asScala().foreach { f =>
+          val p = prefix :+ f.path("name").asText()
+          val id = f.path("id").asInt(-1)
+          if (id >= 0) b += p -> id
+          val t = f.path("type")
+          if (t.isObject && t.path("type").asText("") == "struct") rec(t, p)
+        }
+      }
+      rec(schemaNode, Nil)
+      b.result()
+    }
+    // NESTED id-resolution is needed only when a renamed field id (or
+    // a renamed defaulted nested path) lives BELOW the top level —
+    // only then can a file carrying top-level-only parquet ids
+    // silently null-fill a nested column under id matching. A purely
+    // top-level rename keeps resolving with top-level ids (the r14
+    // behavior); requiring struct-complete ids for it would refuse
+    // reads that resolve correctly.
+    lazy val nestedSchemaIds: Set[Int] =
+      idByPath.collect { case (p, id) if p.size > 1 => id }.toSet
+    lazy val needNestedIdResolution =
+      renamedNestedDefaulted.nonEmpty ||
+        (renamedIds intersect nestedSchemaIds).nonEmpty
     def footerHasFieldIds(file: String): Boolean =
       footerInfo(file)._3 &&
-        (!schemaHasNestedStructs || nestedFooterInfo(file)._3)
+        (!needNestedIdResolution || nestedFooterInfo(file)._3)
     // Per-file rename resolution, Iceberg's own precedence: files WITH
     // parquet field ids resolve BY ID (Spark's field-id matching over
     // an annotated schema); id-less files resolve through the table's
@@ -5215,22 +5265,6 @@ object IcebergInterop {
       if (!needIdRead) Map.empty
       else schemaNode.get("fields").elements().asScala()
         .map(f => f.path("name").asText() -> f.path("id").asInt(-1)).toMap
-    // declared field id by FULL name path (nested rename resolution)
-    lazy val idByPath: Map[Seq[String], Int] = {
-      val b = Map.newBuilder[Seq[String], Int]
-      def rec(node: JsonNode, prefix: Seq[String]): Unit = {
-        val fields = node.path("fields")
-        if (fields.isArray) fields.elements().asScala().foreach { f =>
-          val p = prefix :+ f.path("name").asText()
-          val id = f.path("id").asInt(-1)
-          if (id >= 0) b += p -> id
-          val t = f.path("type")
-          if (t.isObject && t.path("type").asText("") == "struct") rec(t, p)
-        }
-      }
-      rec(schemaNode, Nil)
-      b.result()
-    }
     val idFileSet: Set[String] =
       if (!needIdRead) Set.empty
       else dataFiles.map(_._1).distinct.filter(footerHasFieldIds).toSet

@@ -109,7 +109,10 @@ private[graft] object S3CondPut {
       .getOrElse(throw new IllegalArgumentException(
         s"S3 path carries no bucket: $p"))
     val key = uri.getPath.stripPrefix("/")
-    val canonicalPath = "/" + encodeSegment(bucket) +
+    // a path-prefixed gateway endpoint (https://host/prefix) keeps its
+    // prefix in both the signed canonical path and the request URL
+    val prefix = Option(base.getPath).getOrElse("").stripSuffix("/")
+    val canonicalPath = prefix + "/" + encodeSegment(bucket) +
       key.split("/", -1).map(encodeSegment).mkString("/", "/", "")
     val hostHeader = base.getHost +
       (if (base.getPort > 0) s":${base.getPort}" else "")

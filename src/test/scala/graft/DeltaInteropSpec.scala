@@ -2409,6 +2409,67 @@ class DeltaInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("mapped identity append: a racing watermark move refuses, a benign peer retries") {
+    import spark.implicits._
+    def meta(phys: String, id: Int, extra: MetadataBuilder => MetadataBuilder = identity) =
+      extra(new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id)).build()
+    def schemaOf(wm: Option[Long]) = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-1", 1, b => {
+        b.putLong("delta.identity.start", 1L)
+          .putLong("delta.identity.step", 1L)
+        wm.foreach(b.putLong("delta.identity.highWaterMark", _))
+        b
+      })),
+      StructField("v", StringType, nullable = true, meta("col-2", 2)))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def metaLine(sj: String) =
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(sj)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}"""
+    def mkTable(): String = {
+      val root = tmp("graft_idrace_")
+      Files.createDirectories(Paths.get(root, "_delta_log"))
+      Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        metaLine(schemaOf(None))
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      root
+    }
+    // a peer ADVANCING the watermark in the stage-to-commit window:
+    // our staged files carry values computed against the stale
+    // watermark — committing them would duplicate ids and REGRESS the
+    // watermark, so the re-validation must refuse (on mapped tables a
+    // physical-layout-only compare missed this: physicalField strips
+    // the identity metadata)
+    val root1 = mkTable()
+    DeltaInterop.appendRaceHook = Some(() =>
+      Files.write(Paths.get(root1, "_delta_log", "0" * 19 + "1.json"), Seq(
+        """{"commitInfo":{"timestamp":2,"operation":"WRITE"}}""",
+        metaLine(schemaOf(Some(5L)))
+      ).mkString("", "\n", "\n").getBytes("UTF-8")): Unit)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DeltaInterop.appendToDelta(Seq("a", "b").toDF("v"), root1)
+      }
+      assert(e.getMessage.contains("changed its schema or column mapping"),
+        e.getMessage)
+    } finally DeltaInterop.appendRaceHook = None
+    // a benign peer (no schema change) just costs a slot: the retry
+    // lands at the next version with the staged assignment intact
+    val root2 = mkTable()
+    DeltaInterop.appendRaceHook = Some(() =>
+      Files.write(Paths.get(root2, "_delta_log", "0" * 19 + "1.json"),
+        """{"commitInfo":{"timestamp":2,"operation":"NOOP"}}"""
+          .concat("\n").getBytes("UTF-8")): Unit)
+    try {
+      val v = DeltaInterop.appendToDelta(Seq("a", "b").toDF("v"), root2)
+      assert(v == 2L, v.toString)
+      val ids = DeltaInterop.readDelta(spark, root2)
+        .select("id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L), ids.toString)
+    } finally DeltaInterop.appendRaceHook = None
+  }
+
   test("CDF reads column-mapped tables; a mid-range mapping change refuses") {
     import spark.implicits._
     val root = tmp("graft_cdfcm_")
