@@ -1317,6 +1317,37 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(batch == tail, batch.toString)
   }
 
+  test("readIcebergChangelog decodes EQUALITY-delete snapshots via lineage diff") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_icleq_"),
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val target = tmp("graft_icleq_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    patch(mdPath, new String(Files.readAllBytes(mdPath), "UTF-8")
+      .replace("\"format-version\" : 1", "\"format-version\" : 2")
+      .getBytes("UTF-8"))
+    val seeded = IcebergInterop.icebergRefSnapshot(spark, target, "main")
+    // a keyed EQUALITY delete (content-2 file) — not a position
+    // delete, so the changelog's MoR fast path does not apply and the
+    // exact lineage diff must decode it
+    IcebergInterop.deleteFromIcebergByKey(
+      Seq(2L, 5L).toDF("id"), target)
+    val got = IcebergInterop.readIcebergChangelog(spark, target, seeded)
+      .select($"id", $"_change_type", $"_change_ordinal")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((2L, "delete", 1), (5L, "delete", 1)), got.toString)
+    // a later re-insert of a deleted key is an APPEND snapshot: the
+    // changelog emits it as an insert, and the sequence-number guard
+    // keeps the earlier equality delete from eating it
+    IcebergInterop.appendToIceberg(Seq((2L, "v2b")).toDF("id", "v"), target)
+    val got2 = IcebergInterop.readIcebergChangelog(spark, target, seeded)
+      .select($"id", $"v", $"_change_type", $"_change_ordinal")
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(got2 == Set((2L, "v2", "delete", 1), (5L, "v5", "delete", 1),
+      (2L, "v2b", "insert", 2)), got2.toString)
+  }
+
   test("readIcebergChangelog decodes v3 DV deletes via lineage diff") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_icl3_"),
