@@ -1055,9 +1055,10 @@ object IcebergInterop {
   private def snapshotNode(snapId: Long, tsMs: Long, operation: String,
       manifestList: String, schemaId: Int,
       addedFilesSize: Long = -1L, addedDataFiles: Int = -1,
-      addedRecords: Long = -1L): ObjectNode = {
+      addedRecords: Long = -1L, parentId: Long = -1L): ObjectNode = {
     val snap = om.createObjectNode()
     snap.put("snapshot-id", snapId)
+    if (parentId >= 0) snap.put("parent-snapshot-id", parentId)
     snap.put("timestamp-ms", tsMs)
     val summary = snap.putObject("summary")
     summary.put("operation", operation)
@@ -1455,13 +1456,16 @@ object IcebergInterop {
         .find(_.path("schema-id").asInt(-1) == schemaId).get.deepCopy())
       md.put("last-column-id",
         math.max(md.path("last-column-id").asInt(0), lastColId))
+      // parent link BEFORE the head moves — ancestor-chain walkers
+      // (changelog, streams) follow it, never the array order
+      val parentSnap = md.path("current-snapshot-id").asLong(-1L)
       md.put("current-snapshot-id", snapId)
       val snaps =
         if (md.has("snapshots"))
           md.get("snapshots").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
         else md.putArray("snapshots")
       snaps.add(snapshotNode(snapId, c.timestampMs, c.action,
-        listPath.toString, schemaId))
+        listPath.toString, schemaId, parentId = parentSnap))
       // mirror progress rides the metadata (Iceberg table properties):
       // metadata version numbers diverge from graft versions once
       // expireSnapshots has written retention-only versions
@@ -4377,9 +4381,11 @@ object IcebergInterop {
           case Some(other) => other.toString == "true"
           case None => true
         }
-        if (utc) instant.toString
-        else java.time.LocalDateTime
+        // spec single-value serialization renders timestamptz with an
+        // explicit '+00:00' offset, never the ISO 'Z' shorthand
+        val local = java.time.LocalDateTime
           .ofInstant(instant, java.time.ZoneOffset.UTC).toString
+        if (utc) local + "+00:00" else local
       }.toOption
       case (Some("decimal"), _) =>
         val scale = Option(sch.getObjectProp("scale"))
@@ -4755,17 +4761,19 @@ object IcebergInterop {
     // schema.name-mapping.default (id-less files resolve renames
     // through it) — a defaulted column present in a footer under its
     // MAPPED name is not absent either
-    lazy val defaultedMappedNames: Map[String, String] = {
-      val byId: Map[Int, String] =
+    // EVERY alias in the entry's `names` array counts — a footer
+    // carrying a later-listed alias is still physically present
+    lazy val defaultedMappedNames: Map[String, Seq[String]] = {
+      val byId: Map[Int, Seq[String]] =
         md.path("properties").path("schema.name-mapping.default") match {
           case t if t.isTextual =>
             try om.readTree(t.asText()).elements().asScala().flatMap { e =>
               val id = e.path("field-id").asInt(-1)
               val names = e.path("names").elements().asScala()
                 .map(_.asText()).toSeq
-              if (id >= 0 && names.nonEmpty) Some(id -> names.head) else None
+              if (id >= 0 && names.nonEmpty) Some(id -> names) else None
             }.toMap
-            catch { case _: Exception => Map.empty[Int, String] }
+            catch { case _: Exception => Map.empty[Int, Seq[String]] }
           case _ => Map.empty
         }
       defaultedIds.flatMap { case (n, id) => byId.get(id).map(n -> _) }
@@ -4773,25 +4781,33 @@ object IcebergInterop {
     // nested-default support: the file's FULL name-path for any field
     // id, from schema.name-mapping.default walked recursively (id-less
     // renamed files resolve their nested names through it)
-    lazy val mappingPathById: Map[Int, Seq[String]] = {
+    // a mapping entry may list SEVERAL aliases in `names` — a footer
+    // carrying any later-listed alias is still physically present, so
+    // presence tests must check every alias path (cross-product
+    // through the nesting), not just the first
+    lazy val mappingPathsById: Map[Int, Seq[Seq[String]]] = {
       val mapping = md.path("properties").path("schema.name-mapping.default")
       if (!mapping.isTextual) Map.empty
       else try {
-        val b = Map.newBuilder[Int, Seq[String]]
-        def rec(arr: JsonNode, prefix: Seq[String]): Unit =
+        val b = Map.newBuilder[Int, Seq[Seq[String]]]
+        def rec(arr: JsonNode, prefixes: Seq[Seq[String]]): Unit =
           arr.elements().asScala().foreach { e =>
             val id = e.path("field-id").asInt(-1)
             val names = e.path("names").elements().asScala()
               .map(_.asText()).toSeq
-            val p = prefix ++ names.headOption.toSeq
-            if (id >= 0 && names.nonEmpty) b += id -> p
+            val ps = for (pre <- prefixes; n <- names) yield pre :+ n
+            if (id >= 0 && names.nonEmpty) b += id -> ps
             if (e.path("fields").isArray && names.nonEmpty)
-              rec(e.get("fields"), p)
+              rec(e.get("fields"), ps)
           }
-        rec(om.readTree(mapping.asText()), Nil)
+        rec(om.readTree(mapping.asText()), Seq(Nil))
         b.result()
-      } catch { case _: Exception => Map.empty[Int, Seq[String]] }
+      } catch { case _: Exception => Map.empty[Int, Seq[Seq[String]]] }
     }
+    // the PRIMARY (first-listed) alias path per id — the physical name
+    // the rename-back scan reads id-less files under
+    lazy val mappingPathById: Map[Int, Seq[String]] =
+      mappingPathsById.flatMap { case (id, ps) => ps.headOption.map(id -> _) }
     // The nested defaulted fields a data file physically LACKS —
     // judged by footer NAME PATH *and* FIELD ID *and* the
     // name-mapping path (the same rename-safe rule the top-level fill
@@ -4806,8 +4822,9 @@ object IcebergInterop {
           case (dotted, (_, id, _))
             if !paths.contains(dotted) &&
               !(id >= 0 && allIds.contains(id)) &&
-              !mappingPathById.get(id)
-                .exists(p => paths.contains(p.mkString("."))) => dotted
+              !mappingPathsById.get(id)
+                .exists(_.exists(p => paths.contains(p.mkString(".")))) =>
+            dotted
         }.toSet
       }
 
@@ -5183,7 +5200,7 @@ object IcebergInterop {
           val (names, ids, _) = footerInfo(f)
           !names.contains(n) &&
             (ids.contains(defaultedIds.getOrElse(n, -1)) ||
-              defaultedMappedNames.get(n).exists(names.contains))
+              defaultedMappedNames.get(n).exists(_.exists(names.contains)))
         })
     // nested twin of renamedDefaulted: a file lacking the dotted path
     // but carrying the field id (or the name-mapped path) was RENAMED
@@ -5195,8 +5212,8 @@ object IcebergInterop {
           val (paths, allIds, _) = nestedFooterInfo(f)
           !paths.contains(dotted) &&
             ((id >= 0 && allIds.contains(id)) ||
-              mappingPathById.get(id)
-                .exists(p => paths.contains(p.mkString("."))))
+              mappingPathsById.get(id)
+                .exists(_.exists(p => paths.contains(p.mkString(".")))))
         } => dotted }
     val missing = stableCols.filterNot(probe.contains) ++
       renamedDefaulted ++ renamedNestedDefaulted
@@ -5305,7 +5322,7 @@ object IcebergInterop {
         initialDefaults.keySet.filterNot(n =>
           names.contains(n) ||
             ids.contains(defaultedIds.getOrElse(n, -1)) ||
-            defaultedMappedNames.get(n).exists(names.contains))
+            defaultedMappedNames.get(n).exists(_.exists(names.contains)))
       }
     // nested default as a typed literal at its leaf type
     def nestedDefaultLiteral(dotted: String): org.apache.spark.sql.Column = {
@@ -5676,25 +5693,33 @@ object IcebergInterop {
       refuse(path, "is format version 3+")
     val schemaNode = currentSchemaNode(md, path)
     val schema = fromIcebergStruct(schemaNode, path)
-    val hist: Seq[JsonNode] =
-      if (md.has("snapshots")) md.get("snapshots").elements().asScala().toSeq
-      else Nil
-    val ids = hist.map(_.path("snapshot-id").asLong())
-    val si = ids.indexOf(fromSnapshotId)
-    require(si >= 0, s"snapshot $fromSnapshotId is no longer retained at " +
+    val byId = snapshotsById(md)
+    require(byId.contains(fromSnapshotId),
+      s"snapshot $fromSnapshotId is no longer retained at " +
       s"$path (expired or never existed) — incremental reads need a " +
       "retained start; re-sync from a full readIceberg")
-    val endId = toSnapshotId.getOrElse(md.path("current-snapshot-id").asLong(-1L))
-    val ei = ids.indexOf(endId)
-    require(ei >= 0, s"snapshot $endId not found at $path")
-    require(ei >= si,
-      s"end snapshot $endId precedes start $fromSnapshotId at $path")
+    val endId = toSnapshotId.getOrElse(currentHeadId(md))
+    require(byId.contains(endId), s"snapshot $endId not found at $path")
+    // the range is the BRANCH between the two snapshots — the ancestor
+    // chain of endId, never the snapshots array (after a rollback the
+    // array still ends with the abandoned commits)
+    val chain = ancestorChainOf(md, endId)
+    val si = chain.indexOf(fromSnapshotId)
+    if (si < 0 && fromSnapshotId != endId) {
+      if (ancestorChainOf(md, fromSnapshotId).contains(endId))
+        throw new IllegalArgumentException(
+          s"end snapshot $endId precedes start $fromSnapshotId at $path")
+      throw new IllegalArgumentException(
+        s"snapshot $fromSnapshotId is not an ancestor of $endId at $path " +
+          "(rolled back, or on an abandoned branch) — incremental reads " +
+          "follow the current branch; re-sync from a full readIceberg")
+    }
     val out = StructType(schema.fields ++ Seq(
       StructField("_snapshot_id", LongType),
       StructField("_change_ordinal", IntegerType)))
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
-    if (ei == si) return empty
+    if (fromSnapshotId == endId) return empty
     def listRecords(snap: JsonNode): Seq[(Long, String, Long)] =
       readAvro(readBytes(fs, new HPath(snap.get("manifest-list").asText())))
         .map { r =>
@@ -5703,8 +5728,8 @@ object IcebergInterop {
             fieldOpt(r, "added_snapshot_id").map(longOf).getOrElse(-1L))
         }
     val perSnap: Seq[(Long, Seq[String])] =
-      hist.slice(si + 1, ei + 1).flatMap { snap =>
-        val id = snap.path("snapshot-id").asLong()
+      chain.drop(si + 1).flatMap { id =>
+        val snap = byId(id)
         val op = snap.path("summary").path("operation").asText("")
         val recs = listRecords(snap)
         val isRewrite = op == "replace" ||
@@ -5769,18 +5794,37 @@ object IcebergInterop {
     *    O(added) scan, no table read;
     *  - `replace`/compaction/clustering snapshots rewrite the same
     *    rows and contribute NOTHING (Iceberg's own changelog rule);
-    *  - a snapshot whose only row-level mechanism is ADDED POSITION
+    *  - a snapshot whose row-level mechanisms are ADDED POSITION
     *    DELETE files (graft's merge-on-read DELETE/UPDATE/MERGE shape)
-    *    decodes with ONE table-as-of-previous scan: the struck
-    *    (file, pos) coordinates join back to their rows, emitted as
-    *    deletes (plus any added files as inserts);
-    *  - anything else (copy-on-write removes, equality deletes, v3
-    *    deletion vectors) decodes EXACTLY by lineage diff: rows live
-    *    at the previous snapshot but not at this one are deletes,
-    *    the converse are inserts — two table scans for that snapshot,
-    *    the same order Iceberg's own CoW changelog pays. Carried rows
-    *    of a CoW rewrite appear as delete+insert pairs, matching
-    *    Iceberg's (non-net) changelog semantics.
+    *    and/or ADDED EQUALITY DELETE files (the Flink-CDC upsert
+    *    shape) decodes with ONE table-as-of-previous scan: struck
+    *    (file, pos) coordinates join back to their rows, equality
+    *    keys null-safe SEMI-JOIN the previous snapshot's rows (the
+    *    spec's strictly-smaller-sequence rule scopes them to
+    *    pre-existing files, so a key re-inserted in the same commit
+    *    survives as an insert), and both delete sources dedup by row
+    *    coordinate. Position deletes that target data files added by
+    *    the SAME snapshot (legal since delete seq == data seq
+    *    applies; Flink writes them for within-batch upserts) strike
+    *    those rows OUT of the insert scan instead of producing
+    *    deletes — the rows never existed at the previous snapshot;
+    *  - anything else (copy-on-write removes, v3 deletion vectors,
+    *    an equality delete whose explicit sequence number reaches
+    *    back before the previous snapshot) decodes EXACTLY by
+    *    lineage diff: rows live at the previous snapshot but not at
+    *    this one are deletes, the converse are inserts — two table
+    *    scans for that snapshot, the same order Iceberg's own CoW
+    *    changelog pays. Carried rows of a CoW rewrite appear as
+    *    delete+insert pairs, matching Iceberg's (non-net) changelog
+    *    semantics.
+    *
+    * The range is resolved along the PARENT-SNAPSHOT-ID ancestor
+    * chain of the end snapshot (Iceberg's currentAncestors), never
+    * the metadata's snapshots array — after a [[rollbackIceberg]] the
+    * array still ends with the abandoned commits, which are not
+    * changes on the current branch. `fromSnapshotId` must be an
+    * ancestor of the end snapshot (a rolled-over start refuses with a
+    * re-sync message).
     *
     * Snapshots are decoded against the CURRENT schema (columns added
     * later null-fill in older snapshots' rows, by-id semantics). An
@@ -5801,40 +5845,53 @@ object IcebergInterop {
       StructField("_change_ordinal", IntegerType)))
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
-    val hist: Seq[JsonNode] =
-      if (md.has("snapshots")) md.get("snapshots").elements().asScala().toSeq
-      else Nil
-    val ids = hist.map(_.path("snapshot-id").asLong())
-    val si = ids.indexOf(fromSnapshotId)
-    require(si >= 0, s"snapshot $fromSnapshotId is no longer retained at " +
+    val byId = snapshotsById(md)
+    require(byId.contains(fromSnapshotId),
+      s"snapshot $fromSnapshotId is no longer retained at " +
       s"$path (expired or never existed) — changelog reads need a " +
       "retained start; re-sync from a full readIceberg")
-    val endId =
-      toSnapshotId.getOrElse(md.path("current-snapshot-id").asLong(-1L))
-    val ei = ids.indexOf(endId)
-    require(ei >= 0, s"snapshot $endId not found at $path")
-    require(ei >= si,
-      s"end snapshot $endId precedes start $fromSnapshotId at $path")
-    if (ei == si) return empty
+    val endId = toSnapshotId.getOrElse(currentHeadId(md))
+    require(byId.contains(endId), s"snapshot $endId not found at $path")
+    val chain = ancestorChainOf(md, endId)
+    val si = chain.indexOf(fromSnapshotId)
+    if (si < 0 && fromSnapshotId != endId) {
+      if (ancestorChainOf(md, fromSnapshotId).contains(endId))
+        throw new IllegalArgumentException(
+          s"end snapshot $endId precedes start $fromSnapshotId at $path")
+      throw new IllegalArgumentException(
+        s"snapshot $fromSnapshotId is not an ancestor of $endId at $path " +
+          "(rolled back, or on an abandoned branch) — the changelog " +
+          "follows the current branch; re-sync from a full readIceberg")
+    }
+    if (fromSnapshotId == endId) return empty
     val conf = spark.sparkContext.hadoopConfiguration
     def qualified(p: String): String = {
       val hp = new HPath(p)
       hp.getFileSystem(conf).makeQualified(hp).toString
     }
-    def lineage(asOf: Long): DataFrame =
+    def lineage(asOf: Long): DataFrame = {
+      changelogTableScans.incrementAndGet()
       readIcebergInternal(spark, path, Some(asOf), None, withLineage = true)
+    }
     def tag(df: DataFrame, ct: String, id: Long, ord: Int): DataFrame =
       df.select(schema.map(f => col(f.name)): _*)
         .withColumn("_change_type", lit(ct))
         .withColumn("_snapshot_id", lit(id))
         .withColumn("_change_ordinal", lit(ord))
-    def listRecords(snap: JsonNode): Seq[(Long, String, Long)] =
+    // (content, manifest path, added_snapshot_id, manifest seq)
+    def listRecords(snap: JsonNode): Seq[(Long, String, Long, Long)] =
       readAvro(readBytes(fs, new HPath(snap.get("manifest-list").asText())))
         .map { r =>
           (fieldOpt(r, "content").map(longOf).getOrElse(0L),
             r.get("manifest_path").toString,
-            fieldOpt(r, "added_snapshot_id").map(longOf).getOrElse(-1L))
+            fieldOpt(r, "added_snapshot_id").map(longOf).getOrElse(-1L),
+            fieldOpt(r, "sequence_number").map(longOf).getOrElse(0L))
         }
+    // current top-level column name per field id (equality_ids resolve
+    // against the CURRENT schema, by-id semantics)
+    val nameById: Map[Int, String] = schemaNode.path("fields")
+      .elements().asScala()
+      .map(f => f.path("id").asInt(-1) -> f.path("name").asText()).toMap
     // v3 initial-defaults make raw fixed-schema scans of added files
     // unsafe (they would null-fill the default) — such tables take the
     // lineage paths throughout, which apply defaults correctly
@@ -5849,9 +5906,9 @@ object IcebergInterop {
       !hasDefault(schemaNode)
     }
     val parts: Seq[DataFrame] =
-      hist.slice(si + 1, ei + 1).zipWithIndex.flatMap { case (snap, i) =>
-        val id = snap.path("snapshot-id").asLong()
-        val prevId = ids(si + i)
+      chain.drop(si + 1).zipWithIndex.flatMap { case (id, i) =>
+        val snap = byId(id)
+        val prevId = chain(si + i)
         val ord = i + 1
         val op = snap.path("summary").path("operation").asText("")
         val isRewrite = op == "replace" ||
@@ -5864,8 +5921,10 @@ object IcebergInterop {
           var addedData = Seq.empty[String]
           var removedData = false
           var posDeleteFiles = Seq.empty[String]
+          // (file path, equality ids, delete sequence number)
+          var eqDeletes = Seq.empty[(String, Seq[Int], Long)]
           var otherDeletes = false
-          recs.foreach { case (content, mp, addedBy) =>
+          recs.foreach { case (content, mp, addedBy, mseq) =>
             if (addedBy < 0 || addedBy == id) {
               readAvro(readBytes(fs, new HPath(mp))).foreach { e =>
                 val df = e.get("data_file").asInstanceOf[GenericRecord]
@@ -5884,54 +5943,146 @@ object IcebergInterop {
                   val fmt = df.get("file_format").toString
                   val dfContent =
                     fieldOpt(df, "content").map(longOf).getOrElse(0L)
+                  val eseq = fieldOpt(e, "sequence_number").map(longOf)
+                    .getOrElse(mseq)
                   if (dfContent == 1L && fmt.equalsIgnoreCase("parquet"))
                     posDeleteFiles :+= df.get("file_path").toString
-                  else otherDeletes = true
+                  else if (dfContent == 2L && fmt.equalsIgnoreCase("parquet")) {
+                    val ids = fieldOpt(df, "equality_ids").collect {
+                      case c: java.util.Collection[_] =>
+                        c.iterator().asScala()
+                          .map(x => longOf(x.asInstanceOf[AnyRef]).toInt)
+                          .toSeq
+                    }.getOrElse(Seq.empty)
+                    if (ids.isEmpty) otherDeletes = true
+                    else eqDeletes :+=
+                      ((df.get("file_path").toString, ids, eseq))
+                  } else otherDeletes = true
                 }
               }
             }
           }
           addedData = addedData.distinct
           posDeleteFiles = posDeleteFiles.distinct
+          eqDeletes = eqDeletes.distinct
           val rawInsertsOk = rawScanSafe && addedData.nonEmpty && {
             val probe = spark.read.parquet(addedData.head)
               .schema.fieldNames.toSet
             schema.fieldNames.forall(probe.contains)
           }
-          if (!removedData && !otherDeletes &&
+          // equality-delete KEY-PROBE guard: the probe semi-joins the
+          // keys against the previous snapshot, which is exact iff
+          // every delete's sequence number covers ALL files live at
+          // prev (the spec applies an equality delete to strictly
+          // smaller data sequence numbers). Inherited sequence numbers
+          // (the Flink-CDC shape) always do; an explicit seq reaching
+          // back INTO prev's history would over-delete, so it takes
+          // the lineage diff instead.
+          // v1-era snapshots (pre-upgrade) read as sequence 0, the
+          // spec's v1→v2 rule — every post-upgrade delete outranks them
+          val prevSeq = byId(prevId).path("sequence-number").asLong(0L)
+          val eqProbeOk = eqDeletes.isEmpty || {
+            eqDeletes.forall(_._3 > prevSeq) &&
+              eqDeletes.forall(_._2.forall(nameById.contains)) &&
+              // the delete files must carry the key columns under
+              // their CURRENT names (a renamed key column's old files
+              // take the exact diff instead of a silent null match)
+              eqDeletes.forall { case (f, eqIds, _) =>
+                val cols = spark.read.parquet(f).schema.fieldNames.toSet
+                eqIds.forall(i => nameById.get(i).exists(cols.contains))
+              }
+          }
+          if (!removedData && !otherDeletes && eqProbeOk &&
               (addedData.isEmpty || rawInsertsOk)) {
             // merge-on-read / append fast path: inserts straight from
-            // the added files, deletes by joining the struck
-            // coordinates back to their rows as of the previous
-            // snapshot — at most ONE table scan
-            val ins =
-              if (addedData.isEmpty) None
-              else Some(tag(spark.read.schema(schema)
-                .parquet(addedData: _*), "insert", id, ord))
-            val dels =
-              if (posDeleteFiles.isEmpty) None
+            // the added files, deletes by joining struck coordinates /
+            // equality keys back to their rows as of the previous
+            // snapshot — ONE table scan
+            import spark.implicits._
+            // position-delete coordinates, split own-snapshot vs prior
+            // files: referenced data-file paths are metadata-scale —
+            // qualify driver-side to the scan's __fp convention
+            val addedQualified = addedData.map(qualified).toSet
+            val (ownKeys, prevKeys) =
+              if (posDeleteFiles.isEmpty) (None, None)
               else {
-                import spark.implicits._
                 val posDF = spark.read.parquet(posDeleteFiles: _*)
                   .select(col("file_path").cast("string").as("file_path"),
                     col("pos").cast("long").as("__pos"))
-                // referenced data-file paths are metadata-scale —
-                // qualify driver-side to the scan's __fp convention
                 val refs = posDF.select("file_path").distinct()
                   .collect().map(_.getString(0)).toSeq
-                val pathMap = refs.map(p => (p, qualified(p)))
-                  .toDF("file_path", "__fp")
+                val pathMap = refs.map { p =>
+                  val q = qualified(p)
+                  (p, q, addedQualified.contains(q))
+                }.toDF("file_path", "__fp", "__own")
                 val keys = posDF
                   .join(org.apache.spark.sql.functions.broadcast(pathMap),
                     Seq("file_path"))
-                  .select(col("__fp"), col("__pos"))
-                Some(tag(lineage(prevId).join(keys, Seq("__fp", "__pos")),
-                  "delete", id, ord))
+                  .select(col("__fp"), col("__pos"), col("__own"))
+                val own = refs.exists(p => addedQualified.contains(qualified(p)))
+                val prior = refs.exists(p => !addedQualified.contains(qualified(p)))
+                (if (own) Some(keys.filter(col("__own"))
+                   .select(col("__fp"), col("__pos")).distinct()) else None,
+                 if (prior) Some(keys.filter(!col("__own"))
+                   .select(col("__fp"), col("__pos")).distinct()) else None)
               }
+            val ins =
+              if (addedData.isEmpty) None
+              else ownKeys match {
+                case None =>
+                  Some(tag(spark.read.schema(schema)
+                    .parquet(addedData: _*), "insert", id, ord))
+                case Some(own) =>
+                  // position deletes targeting files added by this
+                  // SAME snapshot (Flink within-batch upserts) strike
+                  // rows OUT of the insert scan — those rows never
+                  // existed at prev, so they are not deletes either
+                  val scan = spark.read.schema(schema)
+                    .parquet(addedData: _*)
+                    .select(schema.map(f => col(f.name)) ++ Seq(
+                      col("_metadata.file_path").as("__fp"),
+                      col("_metadata.row_index").as("__pos")): _*)
+                  Some(tag(scan.join(own, Seq("__fp", "__pos"),
+                    "left_anti"), "insert", id, ord))
+              }
+            lazy val prev = lineage(prevId)
+            val posDelRows = prevKeys.map(k =>
+              prev.join(k, Seq("__fp", "__pos")))
+            val eqDelRows =
+              if (eqDeletes.isEmpty) None
+              else {
+                // one null-safe semi-join per distinct equality-id
+                // set (Flink writes one); keys are deduped and
+                // broadcast-sized in the CDC shape
+                val matched = eqDeletes.groupBy(_._2).toSeq
+                  .map { case (eqIds, files) =>
+                    val keyCols = eqIds.map(nameById)
+                    val keys = spark.read.parquet(files.map(_._1): _*)
+                      .select(keyCols.map(col): _*).distinct()
+                    val cond = keyCols.map(c =>
+                      prev(c) <=> keys(c)).reduce(_ && _)
+                    prev.join(keys, cond, "left_semi")
+                  }
+                Some(matched.reduce(_.unionAll(_)))
+              }
+            val delSources = posDelRows.toSeq ++ eqDelRows.toSeq
+            val eqIdSets = eqDeletes.map(_._2).distinct.size
+            val dels = delSources match {
+              case Nil => None
+              case one :: Nil if eqIdSets <= 1 =>
+                // a single source is already coordinate-unique
+                // (distinct pos keys; one semi-join per prev row)
+                Some(tag(one, "delete", id, ord))
+              case many =>
+                // a row struck by both a position and an equality
+                // delete (or by several id sets) is ONE delete
+                Some(tag(many.reduce(_.unionAll(_))
+                  .dropDuplicates("__fp", "__pos"), "delete", id, ord))
+            }
             ins.toSeq ++ dels.toSeq
           } else {
-            // exact lineage diff: covers CoW removes, equality
-            // deletes, and v3 deletion vectors uniformly
+            // exact lineage diff: covers CoW removes, v3 deletion
+            // vectors, and seq-back-dated equality deletes uniformly
             val prev = lineage(prevId)
             val curr = lineage(id)
             Seq(
@@ -5944,6 +6095,12 @@ object IcebergInterop {
       }
     parts.reduceOption(_.unionAll(_)).getOrElse(empty)
   }
+
+  /** TEST SEAM: table-as-of scans performed by
+    * [[readIcebergChangelog]] decodes (the cost the eq-delete /
+    * MoR fast paths bound to one per snapshot). */
+  private[graft] val changelogTableScans =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** One optimistic metadata-only commit: read the newest
     * `v<N>.metadata.json`, apply `edit`, claim `v<N+1>` via conditional
@@ -5993,6 +6150,41 @@ object IcebergInterop {
       md.get("snapshots").elements().asScala()
         .map(_.path("snapshot-id").asLong()).toSeq
     else Nil
+
+  /** Retained snapshots by id. */
+  private[graft] def snapshotsById(md: JsonNode): Map[Long, JsonNode] =
+    if (md.has("snapshots"))
+      md.get("snapshots").elements().asScala()
+        .map(s => s.path("snapshot-id").asLong() -> s).toMap
+    else Map.empty
+
+  /** The CURRENT branch head: the `main` ref when the table carries
+    * refs, else `current-snapshot-id`. After [[rollbackIceberg]] the
+    * snapshots ARRAY still ends with the abandoned commits — history
+    * walks must start here and follow parent-snapshot-id, never the
+    * array tail. */
+  private[graft] def currentHeadId(md: JsonNode): Long = {
+    val ref = md.path("refs").path("main").path("snapshot-id")
+    if (ref.isNumber) ref.asLong()
+    else md.path("current-snapshot-id").asLong(-1L)
+  }
+
+  /** Ancestor chain of `endId` (Iceberg's currentAncestors shape),
+    * OLDEST→NEWEST inclusive, walked via parent-snapshot-id through
+    * the retained snapshots. Stops at the first unretained parent —
+    * expired history simply ends the chain. */
+  private[graft] def ancestorChainOf(md: JsonNode, endId: Long): Seq[Long] = {
+    val byId = snapshotsById(md)
+    val buf = scala.collection.mutable.ListBuffer.empty[Long]
+    var cur = endId
+    var guard = byId.size + 1
+    while (cur >= 0 && byId.contains(cur) && guard > 0) {
+      buf += cur
+      cur = byId(cur).path("parent-snapshot-id").asLong(-1L)
+      guard -= 1
+    }
+    buf.toList.reverse
+  }
 
   /** ROLLBACK a file-based Iceberg table to a RETAINED snapshot —
     * Iceberg's `set_current_snapshot` procedure: a METADATA-ONLY

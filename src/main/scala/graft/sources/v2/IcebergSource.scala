@@ -183,18 +183,17 @@ class IcebergCdfStreamSource(spark: SparkSession,
     throw new IllegalArgumentException(
       "iceberg CDF source needs a path: .load(<table root>)"))
 
-  private def history(): Seq[Long] = {
+  /** The CURRENT branch head (main ref / current-snapshot-id) — after
+    * a rollback the snapshots ARRAY still tails with abandoned
+    * commits, which are not on the stream's branch. */
+  private def headId(): Long = {
     val (_, md) = IcebergInterop.currentMetadata(spark, path)
-    if (!md.has("snapshots")) return Nil
-    val it = md.get("snapshots").elements()
-    val b = Seq.newBuilder[Long]
-    while (it.hasNext) b += it.next().get("snapshot-id").asLong()
-    b.result()
+    IcebergInterop.currentHeadId(md)
   }
 
   private val startingSnapshotId: Option[Long] =
     params.get("startingsnapshotid").map {
-      case "latest" => history().lastOption.getOrElse(-1L)
+      case "latest" => headId()
       case v => v.toLong
     }
 
@@ -210,9 +209,9 @@ class IcebergCdfStreamSource(spark: SparkSession,
 
   override def getOffset
       : Option[org.apache.spark.sql.execution.streaming.Offset] = {
-    val hist = history()
-    val latest = hist.lastOption.getOrElse(return None)
-    if (startingSnapshotId.contains(latest)) None
+    val latest = headId()
+    if (latest < 0) None
+    else if (startingSnapshotId.contains(latest)) None
     else Some(IcebergCdfOffset(latest))
   }
 
@@ -309,16 +308,14 @@ class IcebergMicroBatchStream(spark: SparkSession, path: String,
     b.result()
   }
 
-  /** Snapshot ids in history order (the metadata's append-ordered
-    * snapshots array); re-read per call so the stream sees snapshots
-    * landed after it started. */
+  /** Snapshot ids in history order: the CURRENT branch's ancestor
+    * chain (oldest→newest), walked via parent-snapshot-id from the
+    * main-ref / current head — never the raw snapshots array, whose
+    * tail still carries commits abandoned by a rollback. Re-read per
+    * call so the stream sees snapshots landed after it started. */
   private def history(): Seq[Long] = {
     val (_, md) = currentMetadata(spark, path)
-    if (!md.has("snapshots")) return Nil
-    val it = md.get("snapshots").elements()
-    val b = Seq.newBuilder[Long]
-    while (it.hasNext) b += it.next().get("snapshot-id").asLong()
-    b.result()
+    IcebergInterop.ancestorChainOf(md, IcebergInterop.currentHeadId(md))
   }
 
   /** `startingSnapshotId`: skip the initial snapshot scan and stream

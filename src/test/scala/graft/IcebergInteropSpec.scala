@@ -1317,7 +1317,8 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(batch == tail, batch.toString)
   }
 
-  test("readIcebergChangelog decodes EQUALITY-delete snapshots via lineage diff") {
+  test("readIcebergChangelog decodes EQUALITY-delete snapshots via a " +
+      "seq-scoped key probe — ONE table scan") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_icleq_"),
       (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
@@ -1328,24 +1329,32 @@ class IcebergInteropSpec extends AnyFunSuite {
       .replace("\"format-version\" : 1", "\"format-version\" : 2")
       .getBytes("UTF-8"))
     val seeded = IcebergInterop.icebergRefSnapshot(spark, target, "main")
-    // a keyed EQUALITY delete (content-2 file) — not a position
-    // delete, so the changelog's MoR fast path does not apply and the
-    // exact lineage diff must decode it
+    // a keyed EQUALITY delete (content-2 file): the delete's inherited
+    // sequence number outranks every file live at the previous
+    // snapshot, so the fast path semi-joins the keys against ONE
+    // table-as-of-prev scan instead of the two-scan lineage diff
     IcebergInterop.deleteFromIcebergByKey(
       Seq(2L, 5L).toDF("id"), target)
+    IcebergInterop.changelogTableScans.set(0L)
     val got = IcebergInterop.readIcebergChangelog(spark, target, seeded)
       .select($"id", $"_change_type", $"_change_ordinal")
       .as[(Long, String, Int)].collect().toSet
     assert(got == Set((2L, "delete", 1), (5L, "delete", 1)), got.toString)
+    assert(IcebergInterop.changelogTableScans.get() == 1L,
+      s"eq-delete decode paid ${IcebergInterop.changelogTableScans.get()} " +
+        "table scans; the key probe bounds it to one")
     // a later re-insert of a deleted key is an APPEND snapshot: the
     // changelog emits it as an insert, and the sequence-number guard
     // keeps the earlier equality delete from eating it
     IcebergInterop.appendToIceberg(Seq((2L, "v2b")).toDF("id", "v"), target)
+    IcebergInterop.changelogTableScans.set(0L)
     val got2 = IcebergInterop.readIcebergChangelog(spark, target, seeded)
       .select($"id", $"v", $"_change_type", $"_change_ordinal")
       .as[(Long, String, String, Int)].collect().toSet
     assert(got2 == Set((2L, "v2", "delete", 1), (5L, "v5", "delete", 1),
       (2L, "v2b", "insert", 2)), got2.toString)
+    // still one scan: the append snapshot decodes scan-free
+    assert(IcebergInterop.changelogTableScans.get() == 1L)
   }
 
   test("readIcebergChangelog decodes v3 DV deletes via lineage diff") {
@@ -1367,6 +1376,191 @@ class IcebergInteropSpec extends AnyFunSuite {
       .select($"id", $"v", $"_change_type", $"_change_ordinal")
       .as[(Long, String, String, Int)].collect().toSet
     assert(got == Set((2L, "b", "delete", 1)), got.toString)
+  }
+
+  test("changelog + streams follow the ancestor chain after rollback — " +
+      "abandoned snapshots are not changes") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp("graft_iclrb_"),
+      Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    val target = tmp("graft_iclrb_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    val s1 = IcebergInterop.icebergRefSnapshot(spark, target, "main")
+    IcebergInterop.appendToIceberg(Seq((2L, "bad")).toDF("id", "v"), target)
+    val s2 = IcebergInterop.icebergRefSnapshot(spark, target, "main")
+    IcebergInterop.rollbackIceberg(spark, target, s1)
+    // the stream's next offset after a rollback is the BRANCH HEAD
+    // (s1), never the snapshots array's tail (the abandoned s2)
+    val src = new graft.sources.v2.IcebergCdfStreamSource(
+      spark, Map("path" -> target))
+    assert(src.getOffset.map(_.json.trim.toLong).contains(s1),
+      src.getOffset.toString)
+    IcebergInterop.appendToIceberg(Seq((3L, "c")).toDF("id", "v"), target)
+    // the abandoned append (s2) decodes as NOTHING: only the
+    // post-rollback append is a change on the current branch — the
+    // old array-order walk would emit (2,"bad") as a phantom insert
+    val got = IcebergInterop.readIcebergChangelog(spark, target, s1)
+      .select($"id", $"v", $"_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((3L, "c", "insert")), got.toString)
+    val inc = IcebergInterop.readIcebergChanges(spark, target, s1)
+      .select($"id").as[Long].collect().toSet
+    assert(inc == Set(3L), inc.toString)
+    // a start on the abandoned branch refuses toward a re-sync
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readIcebergChangelog(spark, target, s2).count()
+    }
+    assert(e.getMessage.contains("not an ancestor"), e.getMessage)
+  }
+
+  test("changelog decodes a Flink-style upsert commit: same-snapshot " +
+      "position deletes strike the insert scan; eq keys probe prev — one scan") {
+    import spark.implicits._
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // base (seq 0, v1→v2): ids 1-3
+    val t = GraftTable.create(spark, tmp("graft_iclup_"),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    val target = tmp("graft_iclup_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val origMd = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val s1 = origMd.get("current-snapshot-id").asLong()
+    val s2 = s1 + 1
+    // the upsert's data file: a new version of id=2, a new id=10, and
+    // a within-batch duplicate of id=10 at pos 2 (struck below)
+    val dDir = tmp("graft_iclup_d_")
+    Seq((2L, "v2new"), (10L, "x10"), (10L, "x10dup")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dDir)
+    val dFile = new java.io.File(dDir).listFiles
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    // position delete striking the SAME snapshot's file at pos 2
+    val pdDir = tmp("graft_iclup_pd_")
+    Seq((dFile, 2L)).toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(pdDir)
+    val pdFile = new java.io.File(pdDir).listFiles
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    // equality delete on id (field 1): key 2 — strikes the OLD row
+    // only (the same-commit re-insert has the same sequence number)
+    val eqDir = tmp("graft_iclup_eq_")
+    Seq(2L).toDF("id").coalesce(1).write.mode("overwrite").parquet(eqDir)
+    val eqFile = new java.io.File(eqDir).listFiles
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
+        |]}}]}""".stripMargin.replace("\n", ""))
+    def writeManifest(dest: java.nio.file.Path, content: Int, fp: String,
+        eqIds: Seq[Int]): Unit = {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+      df.put("content", content)
+      df.put("file_path", fp)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", 1L)
+      df.put("file_size_in_bytes", new java.io.File(fp).length())
+      if (eqIds.nonEmpty) {
+        val arr = new java.util.ArrayList[Integer]()
+        eqIds.foreach(i => arr.add(i))
+        df.put("equality_ids", arr)
+      }
+      e.put("data_file", df)
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, dest.toFile)
+      w.append(e)
+      w.close()
+    }
+    val dManifest = Paths.get(target, "metadata", "up-data-m0.avro")
+    writeManifest(dManifest, content = 0, dFile, Nil)
+    val pdManifest = Paths.get(target, "metadata", "up-pos-m0.avro")
+    writeManifest(pdManifest, content = 1, pdFile, Nil)
+    val eqManifest = Paths.get(target, "metadata", "up-eq-m0.avro")
+    writeManifest(eqManifest, content = 2, eqFile, Seq(1))
+
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":"long"},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin.replace("\n", ""))
+    val baseList = origMd.get("snapshots").get(0).get("manifest-list").asText()
+    val baseManifests = {
+      val u = new java.net.URI(baseList)
+      val f = new java.io.File(if (u.getScheme == null) baseList else u.getPath)
+      val r = new org.apache.avro.file.DataFileReader[GenericRecord](
+        f, new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try Iterator.continually(r).takeWhile(_.hasNext)
+        .map(_.next().get("manifest_path").toString).toList
+      finally r.close()
+    }
+    val newList = Paths.get(target, "metadata", "snap-upsert.avro")
+    locally {
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      w.create(listSchema, newList.toFile)
+      (baseManifests.map((_, 0, 0L, s1)) ++ Seq(
+        (dManifest.toString, 0, 1L, s2),
+        (pdManifest.toString, 1, 1L, s2),
+        (eqManifest.toString, 1, 1L, s2))).foreach { case (p, c, sq, by) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", p)
+        r.put("manifest_length", 1L)
+        r.put("partition_spec_id", 0)
+        r.put("content", c)
+        r.put("sequence_number", sq)
+        r.put("added_snapshot_id", by)
+        w.append(r)
+      }
+      w.close()
+    }
+    val md2 = origMd.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    md2.put("format-version", 2)
+    md2.put("last-sequence-number", 1L)
+    md2.put("current-snapshot-id", s2)
+    val sn = om.createObjectNode()
+    sn.put("snapshot-id", s2)
+    sn.put("parent-snapshot-id", s1)
+    sn.put("sequence-number", 1L)
+    sn.put("timestamp-ms", System.currentTimeMillis())
+    sn.putObject("summary").put("operation", "overwrite")
+    sn.put("manifest-list", newList.toString)
+    md2.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(sn)
+    patch(mdPath, om.writeValueAsBytes(md2))
+
+    // sanity: the table state applies both delete mechanisms
+    val state = IcebergInterop.readIceberg(spark, target)
+      .as[(Long, String)].collect().toSet
+    assert(state == Set((1L, "a"), (3L, "c"), (2L, "v2new"), (10L, "x10")),
+      state.toString)
+    // the changelog decodes it in ONE table scan: eq key 2 probes
+    // prev (delete of the OLD (2,"b") only — the same-commit
+    // re-insert survives), and the own-file position delete strikes
+    // the pos-2 duplicate OUT of the insert scan without emitting a
+    // phantom delete
+    IcebergInterop.changelogTableScans.set(0L)
+    val got = IcebergInterop.readIcebergChangelog(spark, target, s1)
+      .select($"id", $"v", $"_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (2L, "b", "delete"),
+      (2L, "v2new", "insert"), (10L, "x10", "insert")), got.toString)
+    assert(IcebergInterop.changelogTableScans.get() == 1L,
+      s"upsert decode paid ${IcebergInterop.changelogTableScans.get()} scans")
   }
 
   test("renamed Iceberg tables read by parquet field id when files carry ids") {
