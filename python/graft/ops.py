@@ -63,6 +63,23 @@ def incremental_dedupe(base, delta, id_col, text_col, threshold=0.5,
         bool(check_disjoint)), base)
 
 
+def build_dedup_index(docs, id_col, text_col, threshold, index_root):
+    """Persist a DURABLE near-dup index (shingles + frozen-df order +
+    prefixes as versioned GraftTables) so later sessions dedup deltas in
+    |delta|-proportional work via incremental_dedupe_indexed."""
+    _ops(docs).buildDedupIndex(
+        docs._jdf, id_col, text_col, float(threshold), index_root)
+
+
+def incremental_dedupe_indexed(spark, index_root, delta, id_col, text_col,
+                               check_disjoint=True):
+    """Dedup a newly-arrived batch against a build_dedup_index root from
+    ANY session (threshold comes from the index manifest)."""
+    return _wrap(_ops(delta).incrementalDedupe(
+        spark._jsparkSession, index_root, delta._jdf, id_col, text_col,
+        bool(check_disjoint)), delta)
+
+
 def substring_spans(docs, id_col, text_col, window_tokens=20):
     """Exact substring-span dedup (Lee et al. 2022): per-doc token spans
     covered by any window_tokens-token window occurring verbatim elsewhere."""

@@ -490,5 +490,18 @@ print("RunEvent captured: %s -> %s (job %s)" % (
     [o["name"] for o in write_evt["outputs"]],
     write_evt["job"]["name"]))
 
+print("== durable dedup index (buildDedupIndex + indexed probe, r16) ==")
+idx_root = tempfile.mkdtemp(prefix="graft_py_idx_") + "/idx"
+base = docs.filter("source NOT IN ('src18', 'src19')")
+delta = docs.filter("source IN ('src18', 'src19')")
+ops.build_dedup_index(base, "doc_id", "text", 0.5, idx_root)
+indexed = ops.incremental_dedupe_indexed(spark, idx_root, delta,
+                                         "doc_id", "text")
+inline = ops.incremental_dedupe(base, delta, "doc_id", "text", 0.5)
+got = {(r.doc_a, r.doc_b) for r in indexed.collect()}
+want = {(r.doc_a, r.doc_b) for r in inline.collect()}
+assert got == want, (got - want, want - got)
+print(f"indexed probe == in-session incremental dedup ({len(got)} pairs)")
+
 spark.stop()
 print("demo complete — all assertions passed")

@@ -145,6 +145,136 @@ object GraftOps {
       threshold))
   }
 
+  /** Build a DURABLE near-dup index at `indexRoot` — the persisted
+    * twin of the in-session prefix index, so a daily 100 TB ingest
+    * pays |delta| work across SESSIONS, not just within one. Three
+    * versioned GraftTables land under the root:
+    *
+    *  - `shingles` (doc_id, s) — the verify side (exact-Jaccard
+    *    intersection needs the full sets);
+    *  - `df` (s, df) — the base corpus' shingle document frequencies:
+    *    the FROZEN global rare-first order every later delta ranks
+    *    its prefixes under (prefix filtering is lossless under ANY
+    *    total order, as long as both sides of a pair use the SAME
+    *    one — freezing the base order is what lets base prefixes be
+    *    reused verbatim);
+    *  - `prefixes` (doc_id, s, n, rk) — the probe side. Unlike the
+    *    static self-join path, df=1 shingles are KEPT: a future delta
+    *    doc can carry the same shingle, and dropping it from the
+    *    stored prefix would silently miss that pair.
+    *
+    * plus `_dedup_index.json` recording the threshold. The index is
+    * built for ONE threshold (prefix lengths depend on it); the
+    * indexRoot overload of `incrementalDedupe` reads it back in any
+    * later session. */
+  def buildDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5, indexRoot: String): Unit = {
+    val spark = docs.sparkSession
+    val sh = shingleRel(docs, idCol, textCol)
+    val dfRel = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .persist(Persist)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val rareFirst = byDoc.orderBy(col("df"), col("s"))
+    val prefixes = sh.join(dfRel, "s")
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(rareFirst))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("s"), col("n"), col("rk"))
+    try {
+      graft.sources.GraftTable.create(spark, s"$indexRoot/shingles",
+        sh.select(col("doc_id"), col("s")))
+      graft.sources.GraftTable.create(spark, s"$indexRoot/df", dfRel)
+      graft.sources.GraftTable.create(spark, s"$indexRoot/prefixes", prefixes)
+      val meta = s"""{"version":1,"threshold":$threshold}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(indexRoot, "_dedup_index.json"),
+        meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally { sh.unpersist(false); dfRel.unpersist(false) }
+  }
+
+  /** Incremental dedup against a DURABLE index
+    * ([[buildDedupIndex]]) — the cross-session daily-ingest shape:
+    * near-dup pairs (J ≥ the index's threshold) where the RIGHT side
+    * is a delta doc and the left side a base doc or a lower-id delta
+    * doc. Delta prefixes rank under the index's FROZEN (df, s) order
+    * (unseen shingles rank as df = 1 — rare-first, deterministic), so
+    * base prefixes are probed verbatim: candidate volume scales with
+    * |delta|, and the verify scans only candidate documents' shingle
+    * sets (semi-join pruned), not the whole base. Output:
+    * (doc_a, doc_b, jaccard) with doc_b ∈ delta. */
+  def incrementalDedupe(spark: org.apache.spark.sql.SparkSession,
+                        indexRoot: String, delta: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    incrementalDedupe(spark, indexRoot, delta, idCol, textCol,
+      checkDisjoint = true)
+
+  /** [[buildDedupIndex]] probe with the disjointness guard explicit
+    * (overloads cannot share default arguments). */
+  def incrementalDedupe(spark: org.apache.spark.sql.SparkSession,
+                        indexRoot: String, delta: DataFrame, idCol: String,
+                        textCol: String,
+                        checkDisjoint: Boolean): DataFrame = {
+    val metaPath = java.nio.file.Paths.get(indexRoot, "_dedup_index.json")
+    require(java.nio.file.Files.exists(metaPath),
+      s"no dedup index at $indexRoot — buildDedupIndex first")
+    val meta = new String(java.nio.file.Files.readAllBytes(metaPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val threshold = "\"threshold\"\\s*:\\s*([0-9.]+)".r
+      .findFirstMatchIn(meta).map(_.group(1).toDouble)
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed _dedup_index.json at $indexRoot: $meta"))
+    def load(name: String) =
+      graft.sources.GraftTable.load(spark, s"$indexRoot/$name").read()
+    val baseSh = load("shingles")
+    val dfRel = load("df")
+    val basePrefixes = load("prefixes")
+    if (checkDisjoint)
+      require(baseSh.select(col("doc_id")).distinct()
+          .join(delta.select(col(idCol).as("doc_id")), "doc_id")
+          .limit(1).count() == 0L,
+        s"base index and delta must have disjoint $idCol values " +
+          "(pass checkDisjoint = false to skip this probe)")
+    val deltaSh = shingleRel(delta, idCol, textCol)
+    // delta prefixes under the FROZEN order: shingles absent from the
+    // base df table rank as df = 1 (maximally rare — deterministic,
+    // and prefix filtering stays lossless because BOTH sides of every
+    // candidate pair rank under this same total order: base prefixes
+    // were stored under it, delta ones are computed under it here)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val rareFirst = byDoc.orderBy(col("df"), col("s"))
+    val deltaPrefixes = deltaSh.join(dfRel, Seq("s"), "left")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(rareFirst))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("s"), col("n"), col("rk"))
+      .persist(Persist)
+    val flagged = basePrefixes
+      .withColumn("is_delta", lit(false))
+      .unionByName(deltaPrefixes.withColumn("is_delta", lit(true)))
+    val cand = graft.operators.Dedup.positionalPruned(
+      flagged.as("a")
+        .join(deltaPrefixes.as("b"),
+          col("a.s") === col("b.s") &&
+            (!col("a.is_delta") && col("a.doc_id") =!= col("b.doc_id") ||
+              col("a.doc_id") < col("b.doc_id")) &&
+            least(col("a.n"), col("b.n")) >=
+              ceil(lit(threshold) * greatest(col("a.n"), col("b.n")))),
+      threshold).persist(Persist)
+    // verify over ONLY the candidate documents' shingle sets — the
+    // base table is semi-join pruned, so the verify cost follows the
+    // candidate volume, not the corpus
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val relevant = baseSh.unionByName(deltaSh.select(col("doc_id"), col("s")))
+      .join(candIds, Seq("doc_id"), "left_semi")
+    val arrs = shingleArrs(relevant)
+    finishing(deltaSh, deltaPrefixes, cand, arrs)(
+      verifyJaccard(arrs, cand, threshold))
+  }
+
   /** Exact substring-span dedup — the d10 shape (Lee et al. 2022):
     * per document, the token positions covered by any
     * `windowTokens`-token window occurring verbatim in ANOTHER

@@ -641,17 +641,34 @@ object Dedup {
     * collapses. Off by default (no extra aggregation in the plan);
     * when on, the width count is one map-side-combined agg on the
     * existing shuffle keys. */
-  private[graft] def capBuckets(blocks: DataFrame, keys: Seq[String]): DataFrame = {
-    val cap = blocks.sparkSession.conf.getOption("spark.graft.dedup.maxBandBucket")
-      .map(_.toLong).getOrElse(Long.MaxValue)
+  private[graft] def capBuckets(blocks: DataFrame, keys: Seq[String]): DataFrame =
+    capBucketsAt(blocks, keys,
+      blocks.sparkSession.conf.getOption("spark.graft.dedup.maxBandBucket")
+        .map(_.toLong).getOrElse(Long.MaxValue))
+
+  /** [[capBuckets]] with an explicit effective cap — the pHash path
+    * passes a NON-OFF default (r16): its 16-bit quarter bands have a
+    * FIXED key space (4 × 65536), so candidate volume grows
+    * quadratically with corpus size (measured: 80× candidate pairs at
+    * 10× docs, sf0.1→sf1) and an uncapped band join cannot survive
+    * web scale. Buckets wider than the cap drop entirely — the
+    * documented recall trade: a >cap-wide identical-quarter cluster
+    * is boilerplate/near-identical mass that exact dedup (d1/d6)
+    * collapses anyway. */
+  private[graft] def capBucketsAt(blocks: DataFrame, keys: Seq[String],
+      cap: Long): DataFrame = {
     if (cap == Long.MaxValue) blocks
     else {
-      require(cap >= 2, s"spark.graft.dedup.maxBandBucket must be >= 2, got $cap")
+      require(cap >= 2, s"band-bucket cap must be >= 2, got $cap")
       val hot = blocks.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__bucket_width"))
         .filter(col("__bucket_width") > cap)
         .select(keys.map(col): _*)
-      blocks.join(hot, keys, "left_anti")
+      // over-cap buckets are FEW by construction (each holds >cap
+      // rows) — broadcast the anti-join so the block relation never
+      // shuffles on the bucket keys just to subtract them
+      blocks.join(org.apache.spark.sql.functions.broadcast(hot),
+        keys, "left_anti")
     }
   }
 

@@ -1413,14 +1413,20 @@ object LakehouseOps {
     * predicates/assignments against physical file columns and write
     * physical-named rewrites; the oracle checks the final state
     * relationally, so one wrong name anywhere hash-fails. */
-  val g50_delta_mapped_dml: Relational.Q = (s, dir) => {
+  /** Bootstrap a NAME-mode column-mapped Delta table over supplier
+    * projection rows: data files under PHYSICAL names c1/c2/c3, one
+    * commit-0 log declaring the logical schema through
+    * delta.columnMapping metadata — the layout every post-RENAME
+    * Delta 3.x table has (shared by g50/g51). */
+  private def mappedSupplierBootstrap(seed: org.apache.spark.sql.DataFrame,
+      target: String, tableId: String): Unit = {
+    val s = seed.sparkSession
     import s.implicits._
-    val sup = Tables.supplier(s, dir)
-      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
-    val target = graft.TempRoots.create("graft_dml50_").toString + "/t"
-    // seed data files under PHYSICAL names c1/c2/c3
-    sup.select($"s_suppkey".as("c1"), $"s_nationkey".as("c2"),
-      $"s_acctbal".as("c3")).coalesce(4).write.parquet(target)
+    // physical files must carry the DECLARED types (s_nationkey is
+    // int32 in the testdata, bigint in the mapped schema)
+    seed.select($"s_suppkey".cast("bigint").as("c1"),
+      $"s_nationkey".cast("bigint").as("c2"),
+      $"s_acctbal".cast("double").as("c3")).coalesce(4).write.parquet(target)
     def meta(phys: String, id: Int) =
       new org.apache.spark.sql.types.MetadataBuilder()
         .putString("delta.columnMapping.physicalName", phys)
@@ -1448,8 +1454,16 @@ object LakehouseOps {
     Files.write(java.nio.file.Paths.get(target, "_delta_log",
       "0" * 20 + ".json"), (Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      s"""{"metaData":{"id":"g50","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"},"createdTime":1}}"""
+      s"""{"metaData":{"id":"$tableId","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"},"createdTime":1}}"""
     ) ++ addActions.result()).mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  val g50_delta_mapped_dml: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val target = graft.TempRoots.create("graft_dml50_").toString + "/t"
+    mappedSupplierBootstrap(sup, target, "g50")
     graft.sources.DeltaInterop.updateDelta(s, target,
       $"s_suppkey" % 7 === 0,
       Map("s_acctbal" -> ($"s_acctbal" + 50)))
@@ -1467,7 +1481,34 @@ object LakehouseOps {
       .orderBy($"s_suppkey")
   }
 
+  /** g51 (r16): COLUMN-MAPPED Delta table through the PLAIN streaming
+    * source — the g13 shape over a mapped mirror: seed a name-mode
+    * mapped table with a third of supplier, APPEND the rest through
+    * the physical-name writer, and drain via
+    * [[graft.sources.v2.DeltaSource]] WITHOUT readChangeFeed. The
+    * stream scans under the pinned physical schema in planned field
+    * order (positionally identical rows), so the drained content must
+    * equal the relational recomputation — the first thing a pipeline
+    * does to a renamed-column Delta 3.x table. */
+  val g51_delta_mapped_stream: Relational.Q = (s, dir) => {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    val target = graft.TempRoots.create("graft_dms51_").toString + "/t"
+    mappedSupplierBootstrap(sup.filter($"s_suppkey" % 3 === 0), target, "g51")
+    graft.sources.DeltaInterop.appendToDelta(
+      sup.filter($"s_suppkey" % 3 =!= 0)
+        .select($"s_suppkey".cast("bigint").as("s_suppkey"),
+          $"s_nationkey".cast("bigint").as("s_nationkey"),
+          $"s_acctbal".cast("double").as("s_acctbal")), target)
+    drainForeign(s, "graft.sources.v2.DeltaSource", target)
+      .select($"s_suppkey", $"s_nationkey",
+        round($"s_acctbal", 4).as("s_acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "g51_delta_mapped_stream" -> g51_delta_mapped_stream,
     "g49_iceberg_cdf_stream" -> g49_iceberg_cdf_stream,
     "g50_delta_mapped_dml" -> g50_delta_mapped_dml,
     "g47_foreign_sql_dml" -> g47_foreign_sql_dml,
@@ -1517,6 +1558,9 @@ object LakehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // g51 streams the full supplier projection out of a mapped table —
+    // the drained state is what g13's oracle already recomputes
+    "g51_delta_mapped_stream" -> g13_sql,
     "g49_iceberg_cdf_stream" -> g49_sql,
     // g50 runs the g47 DML lifecycle through the Scala verbs against a
     // column-mapped root; the final state is format-independent, so

@@ -216,11 +216,24 @@ object Multimodal {
       .withColumn("h", graft.functions.PHash64.phash64(col("__t")))
       .select(col("__id") +: (0 until 4).map(j =>
         expr(s"shiftrightunsigned(h, ${j * 16}) & 65535").as(s"b$j")): _*)
-    val blocks = graft.operators.Dedup.capBuckets(
+    // pHash bands have a FIXED 16-bit key space, so bucket occupancy —
+    // and the candidate join — grows linearly-then-quadratically with
+    // the corpus (measured r16: 80× candidate pairs at 10× docs).
+    // Unlike the shingle-keyed joins (whose key space grows with the
+    // corpus), this band join therefore caps hot buckets BY DEFAULT:
+    // spark.graft.phash.maxBandBucket (default 1024; generic
+    // spark.graft.dedup.maxBandBucket honored when set) — wider
+    // identical-quarter clusters are boilerplate mass exact dedup
+    // collapses, the d4-documented recall trade.
+    val conf = docs.sparkSession.conf
+    val cap = conf.getOption("spark.graft.phash.maxBandBucket")
+      .orElse(conf.getOption("spark.graft.dedup.maxBandBucket"))
+      .map(_.toLong).getOrElse(1024L)
+    val blocks = graft.operators.Dedup.capBucketsAt(
       sig.select(col("__id"),
         posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
           .as(Seq("blk", "bv"))),
-      Seq("blk", "bv"))
+      Seq("blk", "bv"), cap)
     val cand = blocks.as("x")
       .join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&

@@ -907,6 +907,36 @@ object DeltaInterop {
     case other => other
   }
 
+  /** Top-level logical→physical column names of a Delta schema JSON —
+    * identity for fields carrying no mapping metadata (mode `none`,
+    * or upgraded columns whose physical name IS the logical name).
+    * Physical names are immutable once assigned (PROTOCOL.md), which
+    * is what lets the streaming source pin one physical scan schema
+    * per run. */
+  private[graft] def physicalNamesOf(schemaJson: String): Map[String, String] =
+    DataType.fromJson(schemaJson).asInstanceOf[StructType].fields.map { f =>
+      f.name -> (if (f.metadata.contains(PhysNameKey))
+        f.metadata.getString(PhysNameKey) else f.name)
+    }.toMap
+
+  /** The PHYSICAL scan twin of a planned logical schema: each planned
+    * field renamed (at every nesting level) to its physical name per
+    * the snapshot's schema JSON, id mode attaching `parquet.field.id`.
+    * Field ORDER follows the planned schema — a scan under this schema
+    * yields rows positionally identical to the logical plan, so the
+    * streaming engine can consume them against the declared schema
+    * without a rename projection. */
+  private[graft] def physicalScanSchema(schemaJson: String, mode: String,
+      planned: StructType): StructType = {
+    val byName = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      .fields.map(f => f.name -> f).toMap
+    StructType(planned.fields.map { f =>
+      byName.get(f.name)
+        .map(sf => physicalField(sf, mode == "id").copy(nullable = f.nullable))
+        .getOrElse(f)
+    })
+  }
+
   /** Delta add/remove paths are percent-encoded RELATIVE URIs resolved
     * against the table root — or ABSOLUTE URIs for external files
     * (shallow clones etc., PROTOCOL.md), which must be used as-is, not
@@ -5142,11 +5172,13 @@ object DeltaInterop {
     *    rows. COLUMN-MAPPED tables (name and id mode) read correctly —
     *    cdc/data files scan under physical names (id mode by field id)
     *    and rename back to the declared schema; partitionValues keys
-    *    resolve physically. Schema changes inside the range, and
-    *    column-MAPPING changes inside the range (files on either side
-    *    carry different physical schemas — split the range), refuse.
-    *    Commits cleaned below `fromVersion`'s base
-    *    state refuse with a retention message.
+    *    resolve physically. A column-MAPPING change inside the range
+    *    starts a new EPOCH (r16): the range re-plans per metaData
+    *    epoch, each file scanning under the physical schema of the
+    *    epoch that wrote it, and the renamed-back epochs union — one
+    *    call serves the whole range. Logical schema changes inside
+    *    the range still refuse. Commits cleaned below `fromVersion`'s
+    *    base state refuse with a retention message.
     *
     * Scale shape: per-commit driver-side log parsing, data read as
     * pruned parquet scans of only the changed files. */
@@ -5165,10 +5197,19 @@ object DeltaInterop {
       else Some(replaySnapshot(spark, path, Some(fromVersion - 1)))
     // column-mapped tables (name and id mode) read fine: cdc/data
     // files carry PHYSICAL names (plus a literal _change_type) and the
-    // scan below renames back to the declared schema; a mapping CHANGE
-    // inside the range refuses (files before and after would need
-    // different physical schemas — split the range at the change)
-    var colMapMode: String = base.map(_.colMapMode).getOrElse("none")
+    // scan below renames back to the declared schema. A mapping CHANGE
+    // inside the range starts a NEW EPOCH (r16): the range is
+    // segmented at each metaData that alters the physical fingerprint,
+    // and every file scans under the physical schema of the epoch it
+    // was ADDED in — one call serves the whole range, no
+    // split-the-range refusal.
+    final case class Epoch(mode: String, schemaJson: Option[String],
+      partCols: Seq[String])
+    val epochs = scala.collection.mutable.Buffer[Epoch](Epoch(
+      base.map(_.colMapMode).getOrElse("none"),
+      base.map(_.schemaJson), base.map(_.partCols).getOrElse(Nil)))
+    // file -> the epoch whose mapping wrote it (base files: epoch 0)
+    val epochOf = scala.collection.mutable.HashMap[String, Int]()
     val pvOf = scala.collection.mutable.HashMap[String, Map[String, String]]()
     // DV descriptors ride along: a dataChange remove of a DV-carrying
     // file must emit only the still-LIVE rows as deletes — rows struck
@@ -5177,13 +5218,12 @@ object DeltaInterop {
       String, Option[DeletionVectors.Descriptor]]()
     base.foreach(_.active.foreach { case (p, (pv, dv)) =>
       pvOf(p) = pv; dvOf(p) = dv })
-    var schemaJson: Option[String] = base.map(_.schemaJson)
-    var partCols: Seq[String] = base.map(_.partCols).getOrElse(Nil)
 
-    // (version, commitTimestampMs, kind, files with pv + dv); kind:
-    // cdc | insert | delete — only delete files can carry a DV
+    // (version, commitTimestampMs, kind, files with pv + dv + epoch);
+    // kind: cdc | insert | delete — only delete files can carry a DV
     val pieces = scala.collection.mutable.Buffer[(Long, Long, String,
-      Seq[(String, Map[String, String], Option[DeletionVectors.Descriptor])])]()
+      Seq[(String, Map[String, String],
+        Option[DeletionVectors.Descriptor], Int)])]()
     (fromVersion to toVersion).foreach { v =>
       val commitPath = new HPath(logDir, f"$v%020d.json")
       if (!fs.exists(commitPath))
@@ -5193,11 +5233,14 @@ object DeltaInterop {
       val ts = fs.getFileStatus(commitPath).getModificationTime
       val text = readString(fs, commitPath)
       val cdc = scala.collection.mutable.Buffer[
-        (String, Map[String, String], Option[DeletionVectors.Descriptor])]()
+        (String, Map[String, String],
+          Option[DeletionVectors.Descriptor], Int)]()
       val ins = scala.collection.mutable.Buffer[
-        (String, Map[String, String], Option[DeletionVectors.Descriptor])]()
+        (String, Map[String, String],
+          Option[DeletionVectors.Descriptor], Int)]()
       val del = scala.collection.mutable.Buffer[
-        (String, Map[String, String], Option[DeletionVectors.Descriptor])]()
+        (String, Map[String, String],
+          Option[DeletionVectors.Descriptor], Int)]()
       var dvAdd = false
       text.split('\n').foreach { line =>
         def pvIn: Map[String, String] =
@@ -5210,29 +5253,26 @@ object DeltaInterop {
         def dataChange: Boolean =
           DataChangeRe.findFirstMatchIn(line).forall(_.group(1) == "true")
         CdcPath.findFirstMatchIn(line).foreach(m =>
-          cdc += ((decodePath(unq(m.group(1))), pvIn, None)))
+          cdc += ((decodePath(unq(m.group(1))), pvIn, None,
+            epochs.size - 1)))
         SchemaStr.findFirstMatchIn(line).foreach { m =>
           val sj = unq(m.group(1))
           val modeNow = checkColumnMapping(path,
             ColMapMode.findFirstMatchIn(line)
               .map(mm => unq(mm.group(1))).getOrElse(""))
           // the physical fingerprint (names + ids at every level,
-          // identity-watermark metadata stripped by physicalField)
-          // must hold across the range: files on either side of a
-          // mapping change carry different physical schemas
+          // identity-watermark metadata stripped by physicalField):
+          // a change means files on either side carry different
+          // physical schemas → new epoch
           def physPrint(j: String): String =
             StructType(DataType.fromJson(j).asInstanceOf[StructType]
               .fields.map(physicalField(_, withIds = true))).json
-          schemaJson.foreach { prev =>
-            if (modeNow != colMapMode ||
-                (modeNow != "none" && physPrint(prev) != physPrint(sj)))
-              throw new IllegalArgumentException(
-                s"CDF read of $path: commit $v changes the column " +
-                  "mapping inside the requested range — split the " +
-                  s"range at $v")
+          val cur = epochs.last
+          val mappingChanged = cur.schemaJson.exists { prev =>
+            modeNow != cur.mode ||
+              (modeNow != "none" && physPrint(prev) != physPrint(sj))
           }
-          colMapMode = modeNow
-          schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]
+          cur.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]
             .fieldNames.toSet).foreach { prev =>
             val now = DataType.fromJson(sj).asInstanceOf[StructType]
               .fieldNames.toSet
@@ -5241,11 +5281,15 @@ object DeltaInterop {
                 s"CDF read of $path: commit $v changes the table schema " +
                   "inside the requested range")
           }
-          schemaJson = Some(sj)
-          partCols = PartCols.findFirstMatchIn(line).map(_.group(1))
+          val pcNew = PartCols.findFirstMatchIn(line).map(_.group(1))
             .filter(_.trim.nonEmpty)
             .map(_.split(",").toSeq.map(_.trim.stripPrefix("\"")
-              .stripSuffix("\"")).filter(_.nonEmpty)).getOrElse(partCols)
+              .stripSuffix("\"")).filter(_.nonEmpty))
+            .getOrElse(cur.partCols)
+          if (mappingChanged)
+            epochs += Epoch(modeNow, Some(sj), pcNew)
+          else
+            epochs(epochs.size - 1) = Epoch(modeNow, Some(sj), pcNew)
         }
         if (!line.contains("\"cdc\"")) {
           AddPath.findFirstMatchIn(line).foreach { m =>
@@ -5253,16 +5297,19 @@ object DeltaInterop {
             val dvHere = parseDvDescriptor(line)
             pvOf(p) = pvIn
             dvOf(p) = dvHere
+            epochOf(p) = epochs.size - 1
             if (dataChange) {
               if (dvHere.isDefined) dvAdd = true
-              ins += ((p, pvIn, None))
+              ins += ((p, pvIn, None, epochs.size - 1))
             }
           }
           RemovePath.findFirstMatchIn(line).foreach { m =>
             val p = decodePath(unq(m.group(1)))
             val pv = pvOf.remove(p).getOrElse(pvIn)
             val dv = dvOf.remove(p).getOrElse(None)
-            if (dataChange) del += ((p, pv, dv))
+            // removed files scan under the epoch that WROTE them
+            val ep = epochOf.remove(p).getOrElse(0)
+            if (dataChange) del += ((p, pv, dv, ep))
           }
         }
       }
@@ -5283,26 +5330,37 @@ object DeltaInterop {
       }
     }
 
-    val schema = DataType.fromJson(schemaJson.getOrElse(
+    val finalSchemaJson = epochs.last.schemaJson.getOrElse(
       throw new IllegalStateException(
-        s"CDF read of $path: no metaData action at or before $fromVersion")))
-      .asInstanceOf[StructType]
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
-    // column-mapped tables scan by PHYSICAL names (id mode by field
-    // id) and rename back after the DV-membership ride
-    val mapped = colMapMode != "none"
-    if (colMapMode == "id")
+        s"CDF read of $path: no metaData action at or before $fromVersion"))
+    val schema = DataType.fromJson(finalSchemaJson).asInstanceOf[StructType]
+    // per-epoch scan context: column-mapped epochs scan by PHYSICAL
+    // names (id mode by field id) and rename back after the
+    // DV-membership ride; logical column names are range-stable (the
+    // schema-change guard above), so epoch outputs union cleanly
+    if (epochs.exists(_.mode == "id"))
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val physDataSchema =
-      if (mapped)
-        StructType(dataSchema.fields.map(physicalField(_,
-          colMapMode == "id")))
-      else dataSchema
-    val cdcSchema = StructType(physDataSchema.fields :+
-      StructField("_change_type", org.apache.spark.sql.types.StringType))
-    val physPartName: Map[String, String] = partCols.map(pc =>
-      pc -> (if (mapped) physicalField(schema(pc), withIds = false).name
-             else pc)).toMap
+    final case class EpCtx(mapped: Boolean, dataSchema: StructType,
+      physDataSchema: StructType, cdcSchema: StructType,
+      physPartName: Map[String, String], partCols: Seq[String])
+    val epCtx: IndexedSeq[EpCtx] = epochs.toIndexedSeq.map { ep =>
+      val epSchema = DataType.fromJson(
+        ep.schemaJson.getOrElse(finalSchemaJson)).asInstanceOf[StructType]
+      val dataSchema = StructType(
+        epSchema.filterNot(f => ep.partCols.contains(f.name)))
+      val mapped = ep.mode != "none"
+      val phys =
+        if (mapped)
+          StructType(dataSchema.fields.map(physicalField(_, ep.mode == "id")))
+        else dataSchema
+      EpCtx(mapped, dataSchema, phys,
+        StructType(phys.fields :+ StructField("_change_type",
+          org.apache.spark.sql.types.StringType)),
+        ep.partCols.map(pc => pc ->
+          (if (mapped) physicalField(epSchema(pc), withIds = false).name
+           else pc)).toMap,
+        ep.partCols)
+    }
     val outCols = schema.map(f => col(f.name)) ++ Seq(
       col("_change_type"), col("_commit_version"), col("_commit_timestamp"))
 
@@ -5313,23 +5371,24 @@ object DeltaInterop {
     }
     def emit(v: Long, ts: Long, kind: String,
              files: Seq[(String, Map[String, String],
-               Option[DeletionVectors.Descriptor])]): Seq[DataFrame] =
-      files.groupBy(_._2).toSeq.map { case (pv, fsOfPart) =>
-        val resolved = fsOfPart.map { case (p, _, dv) =>
+               Option[DeletionVectors.Descriptor], Int)]): Seq[DataFrame] =
+      files.groupBy(f => (f._2, f._4)).toSeq.map { case ((pv, ep), fsOfPart) =>
+        val c = epCtx(ep)
+        val resolved = fsOfPart.map { case (p, _, dv, _) =>
           (resolveFile(root, p), dv) }
         val (dvFiles, plain) = resolved.partition(_._2.isDefined)
         def scanOf(paths: Seq[String]): DataFrame =
           if (kind == "cdc")
-            spark.read.schema(cdcSchema).parquet(paths: _*)
+            spark.read.schema(c.cdcSchema).parquet(paths: _*)
           else
-            spark.read.schema(physDataSchema).parquet(paths: _*)
+            spark.read.schema(c.physDataSchema).parquet(paths: _*)
               .withColumn("_change_type", lit(kind))
         // physical -> declared rename (one positional cast per level);
         // applied AFTER the DV membership filter, which needs only
         // _metadata refs off the raw scan
         def toLogical(df: DataFrame): DataFrame =
-          if (!mapped) df
-          else df.select(dataSchema.fields.zip(physDataSchema.fields)
+          if (!c.mapped) df
+          else df.select(c.dataSchema.fields.zip(c.physDataSchema.fields)
             .map { case (lf, pf) =>
               col(pf.name).cast(lf.dataType).as(lf.name)
             } :+ col("_change_type"): _*)
@@ -5358,10 +5417,10 @@ object DeltaInterop {
           if (plain.isEmpty) None else Some(scanOf(plain.map(_._1)))
         val base0 = toLogical(
           (plainScan.toSeq ++ dvScan.toSeq).reduce(_.unionByName(_)))
-        val withParts = partCols.foldLeft(base0) { (d, pc) =>
+        val withParts = c.partCols.foldLeft(base0) { (d, pc) =>
           val f = schema(pc)
           d.withColumn(pc,
-            pv.get(physPartName(pc)).map(lit(_)).getOrElse(lit(null))
+            pv.get(c.physPartName(pc)).map(lit(_)).getOrElse(lit(null))
               .cast(f.dataType))
         }
         withParts

@@ -4267,7 +4267,7 @@ object IcebergInterop {
     * struct fields only); their inner columns resolve by name within
     * the id-matched group, which is stable because Iceberg renames
     * happen at field granularity with ids. */
-  private def annotateFieldIds(schema: StructType, node: JsonNode): StructType =
+  private[graft] def annotateFieldIds(schema: StructType, node: JsonNode): StructType =
     StructType(schema.fields.map { f =>
       val fieldNode = node.path("fields").elements().asScala()
         .find(_.path("name").asText() == f.name)
@@ -4654,37 +4654,44 @@ object IcebergInterop {
     // elements refuse — per-element fills are a full client's job.
     // Row lineage needs nothing from a plain read.
     var initialDefaults: Map[String, JsonNode] = Map.empty
-    // dotted struct path -> (segments, leaf field id, default node)
+    // dotted path -> (segments, leaf field id, default node). Paths
+    // use the Iceberg name-mapping step names through collections:
+    // `arr.element.x`, `m.value.y` — defaults under list elements and
+    // map VALUES fill per-element on the read path (r16); a default
+    // under a map KEY still refuses (filling keys would change key
+    // identity).
     var nestedDefaults: Map[String, (Seq[String], Int, JsonNode)] = Map.empty
     if (formatVersion >= 3) {
       val cur = currentSchemaNode(md, path)
       def walk(node: JsonNode, prefix: Seq[String],
-          underColl: Boolean): Unit = {
+          underKey: Boolean): Unit = {
         val fields = node.path("fields")
         if (!fields.isArray) return
         fields.elements().asScala().foreach { f =>
           val p = prefix :+ f.path("name").asText()
           Option(f.get("initial-default")).filterNot(_.isNull).foreach { v =>
             if (prefix.nonEmpty) {
-              if (underColl)
+              if (underKey)
                 refuse(path, s"declares an initial-default on column " +
-                  s"'${p.mkString(".")}' under a list/map — this reader " +
-                  "fills struct-nested defaults only")
+                  s"'${p.mkString(".")}' under a map KEY — filling key " +
+                  "fields would change key identity")
               nestedDefaults += p.mkString(".") ->
                 ((p, f.path("id").asInt(-1), v))
             }
           }
-          val t = f.path("type")
-          if (t.isObject) {
-            if (t.path("type").asText("") == "struct") walk(t, p, underColl)
-            else Seq("element", "key", "value").foreach { k =>
-              val sub = t.path(k)
-              if (sub.isObject) walk(sub, p, underColl = true)
-            }
-          }
+          walkType(f.path("type"), p, underKey)
         }
       }
-      walk(cur, Nil, underColl = false)
+      def walkType(t: JsonNode, p: Seq[String], underKey: Boolean): Unit =
+        if (t.isObject) {
+          if (t.path("type").asText("") == "struct") walk(t, p, underKey)
+          else Seq("element", "key", "value").foreach { k =>
+            val sub = t.path(k)
+            if (sub.isObject)
+              walkType(sub, p :+ k, underKey = underKey || k == "key")
+          }
+        }
+      walk(cur, Nil, underKey = false)
       initialDefaults = cur.path("fields").elements().asScala().flatMap { f =>
         Option(f.get("initial-default")).filterNot(_.isNull)
           .map(v => f.path("name").asText() -> v)
@@ -4726,23 +4733,69 @@ object IcebergInterop {
           val paths = Set.newBuilder[String]
           val allIds = Set.newBuilder[Int]
           var complete = true
-          def rec(t: org.apache.parquet.schema.Type,
-              prefix: Seq[String], structCtx: Boolean): Unit = {
-            val pp = prefix :+ t.getName
-            paths += pp.mkString(".")
+          // Two path spellings land in `paths` per node: the RAW
+          // parquet path (plumbing groups included) and the LOGICAL
+          // path with LIST/MAP plumbing collapsed to the Iceberg
+          // name-mapping step names ("element"/"key"/"value") — what
+          // collection-nested default presence tests match against.
+          // `logName` is this node's logical step name (== parquet
+          // name except for collection children).
+          def recT(t: org.apache.parquet.schema.Type,
+              rawPre: Seq[String], logPre: Seq[String], logName: String,
+              structCtx: Boolean): Unit = {
+            import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation}
+            val rawP = rawPre :+ t.getName
+            val logP = logPre :+ logName
+            paths += rawP.mkString(".")
+            paths += logP.mkString(".")
             Option(t.getId).foreach(allIds += _.intValue())
             if (structCtx && t.getId == null) complete = false
             t match {
-              case g: org.apache.parquet.schema.GroupType =>
-                val childStruct =
-                  structCtx && g.getLogicalTypeAnnotation == null
-                (0 until g.getFieldCount)
-                  .foreach(i => rec(g.getType(i), pp, childStruct))
+              case g: GroupType =>
+                g.getLogicalTypeAnnotation match {
+                  case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
+                    (0 until g.getFieldCount).foreach { i =>
+                      g.getType(i) match {
+                        case rg: GroupType if rg.isRepetition(
+                              org.apache.parquet.schema.Type.Repetition
+                                .REPEATED) && rg.getFieldCount == 1 &&
+                              rg.getLogicalTypeAnnotation == null =>
+                          // 3-level list: skip the repeated wrapper
+                          recT(rg.getType(0), rawP :+ rg.getName, logP,
+                            "element", structCtx = false)
+                        case other =>
+                          // legacy 2-level: the repeated child IS the
+                          // element
+                          recT(other, rawP, logP, "element",
+                            structCtx = false)
+                      }
+                    }
+                  case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation =>
+                    (0 until g.getFieldCount).foreach { i =>
+                      g.getType(i) match {
+                        case kv: GroupType if kv.getFieldCount == 2 =>
+                          recT(kv.getType(0), rawP :+ kv.getName, logP,
+                            "key", structCtx = false)
+                          recT(kv.getType(1), rawP :+ kv.getName, logP,
+                            "value", structCtx = false)
+                        case other =>
+                          recT(other, rawP, logP, other.getName,
+                            structCtx = false)
+                      }
+                    }
+                  case _ =>
+                    (0 until g.getFieldCount).foreach { i =>
+                      val c = g.getType(i)
+                      recT(c, rawP, logP, c.getName, structCtx)
+                    }
+                }
               case _ => ()
             }
           }
-          (0 until mt.getFieldCount)
-            .foreach(i => rec(mt.getType(i), Nil, structCtx = true))
+          (0 until mt.getFieldCount).foreach { i =>
+            val c = mt.getType(i)
+            recT(c, Nil, Nil, c.getName, structCtx = true)
+          }
           nestedFooterCache(file) = (paths.result(), allIds.result(), complete)
           (fields.map(_.getName).toSet,
             fields.flatMap(t => Option(t.getId).map(_.intValue())).toSet,
@@ -5207,14 +5260,25 @@ object IcebergInterop {
     // — force id-resolution for the scan instead of the default fill
     val renamedNestedDefaulted: Seq[String] =
       if (nestedDefaults.isEmpty) Nil
-      else nestedDefaults.toSeq.collect { case (dotted, (_, id, _))
+      else nestedDefaults.toSeq.collect { case (dotted, (segs, id, _))
         if dataFiles.exists { case (f, _, _, _) =>
           val (paths, allIds, _) = nestedFooterInfo(f)
           !paths.contains(dotted) &&
             ((id >= 0 && allIds.contains(id)) ||
               mappingPathsById.get(id)
                 .exists(_.exists(p => paths.contains(p.mkString(".")))))
-        } => dotted }
+        } =>
+          // a COLLECTION-nested defaulted field present under another
+          // name cannot id-resolve (Spark carries field ids on struct
+          // fields only, never on list/map element types) — an id scan
+          // would SILENTLY null the real data, so refuse instead
+          if (segs.exists(s => s == "element" || s == "key" || s == "value"))
+            refuse(path, s"data files carry defaulted column '$dotted' " +
+              "under another name inside a list/map — Spark cannot " +
+              "field-id-resolve collection element fields; rewrite the " +
+              "files under the current names")
+          dotted
+      }
     val missing = stableCols.filterNot(probe.contains) ++
       renamedDefaulted ++ renamedNestedDefaulted
     // Field-id upgrade: when a rename is detected (schema history or
@@ -5324,11 +5388,16 @@ object IcebergInterop {
             ids.contains(defaultedIds.getOrElse(n, -1)) ||
             defaultedMappedNames.get(n).exists(_.exists(names.contains)))
       }
-    // nested default as a typed literal at its leaf type
+    // nested default as a typed literal at its leaf type — segments
+    // step through collections via "element"/"key"/"value"
     def nestedDefaultLiteral(dotted: String): org.apache.spark.sql.Column = {
       val (segs, _, node) = nestedDefaults(dotted)
       val dt = segs.foldLeft[DataType](schema) {
         case (s: StructType, seg) => s(seg).dataType
+        case (a: org.apache.spark.sql.types.ArrayType, "element") =>
+          a.elementType
+        case (m: org.apache.spark.sql.types.MapType, "key") => m.keyType
+        case (m: org.apache.spark.sql.types.MapType, "value") => m.valueType
         case (other, _) => other
       }
       jsonSingleValueLiteral(dt, node).getOrElse(refuse(path,
@@ -5337,52 +5406,74 @@ object IcebergInterop {
     }
     /** Drop the absent nested fields from the scan schema — an
       * id-resolving scan of a file lacking the field id would error,
-      * a name scan would null-fill the default away. */
+      * a name scan would null-fill the default away. Descends through
+      * list elements / map values (steps "element"/"value"). */
     def pruneNestedAbsent(st: StructType,
         absentN: Set[String]): StructType = {
+      def recType(dt: DataType, p: Seq[String]): DataType = dt match {
+        case inner: StructType =>
+          val r = rec(inner, p)
+          if (r.fields.isEmpty)
+            refuse(path, s"data files lack every known field of " +
+              s"struct '${p.mkString(".")}' — cannot scan an empty struct")
+          r
+        case a: org.apache.spark.sql.types.ArrayType =>
+          a.copy(elementType = recType(a.elementType, p :+ "element"))
+        case m: org.apache.spark.sql.types.MapType =>
+          m.copy(valueType = recType(m.valueType, p :+ "value"))
+        case other => other
+      }
       def rec(s: StructType, prefix: Seq[String]): StructType =
         StructType(s.fields.flatMap { f =>
           val p = prefix :+ f.name
           val dotted = p.mkString(".")
           if (absentN.contains(dotted)) None
-          else f.dataType match {
-            case inner: StructType
-                if absentN.exists(_.startsWith(dotted + ".")) =>
-              val pr = rec(inner, p)
-              if (pr.fields.isEmpty)
-                refuse(path, s"data files lack every known field of " +
-                  s"struct '$dotted' — cannot scan an empty struct")
-              Some(f.copy(dataType = pr))
-            case _ => Some(f)
-          }
+          else if (absentN.exists(_.startsWith(dotted + ".")))
+            Some(f.copy(dataType = recType(f.dataType, p)))
+          else Some(f)
         })
       rec(st, Nil)
     }
-    /** Rebuild a struct column whose scan omitted absent nested
-      * fields: each level re-assembles in DECLARED field order with
-      * the defaults as typed literals, and a parent struct that is
-      * NULL for a row stays null (never becomes a struct of
-      * defaults). */
+    /** Rebuild a column whose scan omitted absent nested fields: each
+      * struct level re-assembles in DECLARED field order with the
+      * defaults as typed literals; a NULL container (struct, array,
+      * map, or element) stays null — never becomes a value of
+      * defaults. List elements rebuild per-element via `transform`,
+      * map values via `transform_values` (r16). */
     def filledColumn(f: StructField,
         absentN: Set[String]): org.apache.spark.sql.Column = {
-      import org.apache.spark.sql.functions.{struct, when}
-      def recCol(field: StructField, prefix: Seq[String],
+      import org.apache.spark.sql.functions.{struct, transform, transform_values, when}
+      def recVal(dt: DataType, p: Seq[String],
           ref: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val dotted = (prefix :+ field.name).mkString(".")
-        field.dataType match {
-          case s: StructType if absentN.exists(_.startsWith(dotted + ".")) =>
+        val dotted = p.mkString(".")
+        if (!absentN.exists(_.startsWith(dotted + "."))) ref
+        else dt match {
+          case s: StructType =>
             val children = s.fields.map { cf =>
-              val cd = (prefix :+ field.name :+ cf.name).mkString(".")
+              val cd = (p :+ cf.name).mkString(".")
               if (absentN.contains(cd)) nestedDefaultLiteral(cd).as(cf.name)
-              else recCol(cf, prefix :+ field.name, ref.getField(cf.name))
+              else recVal(cf.dataType, p :+ cf.name, ref.getField(cf.name))
                 .as(cf.name)
             }
             when(ref.isNotNull, struct(children.toSeq: _*))
-              .otherwise(lit(null)).cast(field.dataType)
+              .otherwise(lit(null)).cast(dt)
+          case a: org.apache.spark.sql.types.ArrayType =>
+            when(ref.isNotNull,
+              transform(ref, e =>
+                when(e.isNotNull,
+                  recVal(a.elementType, p :+ "element", e))
+                  .otherwise(lit(null))))
+              .otherwise(lit(null)).cast(dt)
+          case m: org.apache.spark.sql.types.MapType =>
+            when(ref.isNotNull,
+              transform_values(ref, (_, v) =>
+                when(v.isNotNull, recVal(m.valueType, p :+ "value", v))
+                  .otherwise(lit(null))))
+              .otherwise(lit(null)).cast(dt)
           case _ => ref
         }
       }
-      recCol(f, Nil, col(s"`${f.name}`")).as(f.name)
+      recVal(f.dataType, Seq(f.name), col(s"`${f.name}`")).as(f.name)
     }
     /** Scan `files` at `scanSchema`, splitting id-resolvable from
       * name-mapped files when renames are in play, filling v3

@@ -37,10 +37,12 @@ import graft.sources.DeltaInterop
   * — a restarted stream plans with the new schema. Partition columns
   * are recovered from the hive-style directory layout under one
   * explicit `basePath` (the universal Spark writer layout; adds whose
-  * paths don't encode every partition column refuse). Streaming
-  * requires a column-mapping-free table (the rename projection cannot
-  * ride the native batch scan); batch reads of mapped tables go
-  * through `DeltaInterop.readDelta`.
+  * paths don't encode every partition column refuse). COLUMN-MAPPED
+  * tables (every table that ever ran RENAME COLUMN under Delta 3.x)
+  * stream too: the scan runs under the pinned PHYSICAL schema in
+  * planned field order — positionally identical rows, no rename
+  * projection — relying on the protocol's physical-name immutability;
+  * an assignment rewrite (REPLACE TABLE) refuses non-retryably.
   *
   * Scale shape: planning is O(#commits + #files) driver-side metadata;
   * the data path is the native vectorized parquet batch reader over
@@ -291,6 +293,23 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
   private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def logDir = new HPath(root, "_delta_log")
 
+  /** Column-mapping posture, pinned ONCE per stream run from the
+    * latest snapshot: (mode, physical scan schema, logical→physical
+    * top-level names). Mapped tables scan their files under PHYSICAL
+    * names in the PLANNED field order — rows come out positionally
+    * identical to the declared schema, so no rename projection rides
+    * the streaming scan. Pinning once is sound because Delta physical
+    * names are immutable after assignment (PROTOCOL.md); the per-
+    * commit metaData gate below refuses the one illegal transition
+    * (an assignment rewrite, e.g. REPLACE TABLE). */
+  private lazy val mapInfo: (String, StructType, Map[String, String]) = {
+    val st = DeltaInterop.replaySnapshot(spark, path, None)
+    (st.colMapMode,
+      DeltaInterop.physicalScanSchema(st.schemaJson, st.colMapMode, schema),
+      DeltaInterop.physicalNamesOf(st.schemaJson))
+  }
+  private def physName(c: String): String = mapInfo._3.getOrElse(c, c)
+
   private def latestVersion(): Long = {
     val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
     val jsons = names.collect { case n if n.matches("\\d{20}\\.json") =>
@@ -401,13 +420,12 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
         // batch 0: the complete snapshot at version e — deterministic
         // on checkpoint recovery because the version pins the state
         val st = DeltaInterop.replaySnapshot(spark, path, Some(e))
-        if (st.colMapMode != "none")
+        if (st.colMapMode != mapInfo._1)
           throw new IllegalStateException(
-            s"delta stream over $path: table uses column mapping — the " +
-              "physical-name rename cannot ride the streaming scan; " +
-              "stream it with option(\"readChangeFeed\", \"true\") " +
-              "(mapped tables supported there) or read it batch-side " +
-              "via DeltaInterop.readDelta")
+            s"delta stream over $path: column-mapping mode at version " +
+              s"$e ('${st.colMapMode}') differs from the planned " +
+              s"snapshot's ('${mapInfo._1}') — the table was replaced " +
+              "under this stream; restart from a fresh checkpoint")
         st.active.foreach { case (p, (_, dv)) =>
           if (dv.isDefined)
             throw new IllegalStateException(
@@ -418,7 +436,8 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
         partColsAt(e) = st.partCols
         st.active.map { case (p, _) =>
           val f = DeltaInterop.resolveFile(root, p)
-          checkPartitionEncoding(st.partCols, f)
+          // mapped tables hive-encode partition dirs under PHYSICAL names
+          checkPartitionEncoding(st.partCols.map(physName), f)
           f
         }
       } else {
@@ -438,11 +457,28 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
           readText(commitPath))
         a.meta.foreach { case (sj, pc, mode) =>
           pcNow = pc
-          if (mode != "none")
+          // column-mapping gate: physical names are IMMUTABLE once
+          // assigned, so a replayed commit's assignment must agree
+          // with the planned snapshot's for every shared column —
+          // including the upgrade commit (upgraded columns take their
+          // logical name as physical name, so pre-upgrade files and
+          // the pinned physical scan schema agree). A disagreement
+          // means the assignment was REWRITTEN under this stream
+          // (REPLACE TABLE) — no restart can reconcile the range;
+          // re-sync from a fresh checkpoint.
+          val commitPhys = DeltaInterop.physicalNamesOf(sj)
+          val clash = commitPhys.collectFirst {
+            case (l, p) if mapInfo._3.getOrElse(l, l) != p &&
+              schema.fieldNames.contains(l) => (l, p)
+          }
+          clash.foreach { case (l, p) =>
             throw new IllegalStateException(
-              s"delta stream over $path: commit $v enables column " +
-                "mapping — restart with option(\"readChangeFeed\", " +
-                "\"true\") or read batch-side")
+              s"delta stream over $path: commit $v maps column '$l' to " +
+                s"physical name '$p' but the planned snapshot maps it " +
+                s"to '${mapInfo._3.getOrElse(l, l)}' — the column-" +
+                "mapping assignment was rewritten under this stream; " +
+                "re-sync from a fresh checkpoint")
+          }
           // schema gate mirrors the graft source's restart-safe rule:
           // a commit ADDING columns the plan lacks refuses (the fixed-
           // schema scan would silently drop them; a restarted stream
@@ -474,7 +510,7 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
         if (isChange) Nil
         else a.addActions.filter(_.dataChange).map { ad =>
           val f = DeltaInterop.resolveFile(root, ad.path)
-          checkPartitionEncoding(pcNow, f)
+          checkPartitionEncoding(pcNow.map(physName), f)
           f
         }
         }
@@ -513,7 +549,14 @@ class DeltaMicroBatchStream(spark: SparkSession, path: String,
     // and null-fills every partition column).
     val m = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
     m.put("basePath", path)
-    ParquetTableBridge.scanBuilder(spark, "delta-stream", files, schema,
+    // column-mapped tables scan under the pinned PHYSICAL schema in
+    // planned field order — rows are positionally identical to the
+    // declared schema (id mode resolves by parquet field id)
+    val (mode, physSchema, _) = mapInfo
+    if (mode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val scanSchema = if (mode == "none") schema else physSchema
+    ParquetTableBridge.scanBuilder(spark, "delta-stream", files, scanSchema,
       new CaseInsensitiveStringMap(m)).build().toBatch
   }
 

@@ -567,19 +567,44 @@ class IcebergMicroBatchStream(spark: SparkSession, path: String,
       }
     val probe = spark.read.parquet(files.head).schema.fieldNames.toSet
     val missing = stableCols.filterNot(probe.contains)
-    if (missing.nonEmpty)
-      throw new IllegalStateException(
-        s"iceberg stream over $path: data files lack declared columns " +
-          s"${missing.mkString(", ")} (identity partition values in " +
-          "manifest metadata, or a rename) — read this table batch-side " +
-          "via readIceberg")
+    if (missing.nonEmpty) {
+      // RENAMED tables whose files carry parquet FIELD IDS (real
+      // Iceberg writers always stamp them) upgrade to id-resolution
+      // (r16): the scan schema annotates each column's Iceberg field
+      // id and Spark's parquet readers match by id — old-name files
+      // read their real data positionally, exactly the batch reader's
+      // rename rule. Id-less files (hive-migrated / graft exports)
+      // keep the loud refusal toward readIceberg's name-mapping path.
+      val conf = spark.sparkContext.hadoopConfiguration
+      val allIdStamped = files.forall { f =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new HPath(f), conf))
+        try {
+          val sc = rdr.getFooter.getFileMetaData.getSchema
+          (0 until sc.getFieldCount).forall(i => sc.getType(i).getId != null)
+        } finally rdr.close()
+      }
+      if (!allIdStamped)
+        throw new IllegalStateException(
+          s"iceberg stream over $path: data files lack declared columns " +
+            s"${missing.mkString(", ")} (identity partition values in " +
+            "manifest metadata, or an id-less rename) — read this table " +
+            "batch-side via readIceberg")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      val b = scanBatch(files, IcebergInterop.annotateFieldIds(schema,
+        IcebergInterop.currentSchemaNode(md, path)))
+      currentBatch = b
+      return b.planInputPartitions()
+    }
     val b = scanBatch(files)
     currentBatch = b
     b.planInputPartitions()
   }
 
-  private def scanBatch(files: Seq[String]): Batch =
-    ParquetTableBridge.scanBuilder(spark, "iceberg-stream", files, schema,
+  private def scanBatch(files: Seq[String],
+      scanSchema: StructType = schema): Batch =
+    ParquetTableBridge.scanBuilder(spark, "iceberg-stream", files, scanSchema,
       options).build().toBatch
 
   // factory from the same per-batch scan (see DeltaMicroBatchStream)

@@ -73,6 +73,51 @@ class ApiSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("durable dedup index: built once, probed from a NEW session, " +
+      "equals the in-session d9 result") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val base = docs.filter(!$"source".isin("src18", "src19"))
+    val delta = docs.filter($"source".isin("src18", "src19"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dedupidx_").toString + "/idx"
+    GraftOps.buildDedupIndex(base, "doc_id", "text", 0.5, root)
+    // a FRESH session: no relCache, no persisted relations — everything
+    // the probe needs must come off the durable index tables
+    val s2 = spark.newSession()
+    val delta2 = graft.sources.Tables.documents(s2, sf)
+      .filter(col("source").isin("src18", "src19"))
+    val got = GraftOps.incrementalDedupe(s2, root, delta2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = SparkEntry.queries("d9_dedup_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, s"durable-index probe diverged: " +
+      s"missing=${expected -- got} extra=${got -- expected}")
+    // a delta shingle UNSEEN by the base still pairs two delta docs
+    // (frozen-order rank df=1), and base-internal pairs never re-emit
+    val tinyRoot = java.nio.file.Files
+      .createTempDirectory("graft_dedupidx2_").toString + "/idx"
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    GraftOps.buildDedupIndex(
+      Seq((1L, a), (2L, a), (10L, "completely different stuff here"))
+        .toDF("id", "txt"), "id", "txt", 0.5, tinyRoot)
+    val aNear = (1 to 38).map(i => s"w$i").mkString(" ") + " zz yy"
+    val tinyDelta = Seq((50L, aNear),
+      (60L, "alpha beta gamma delta epsilon zeta"),
+      (61L, "alpha beta gamma delta epsilon zeta"),
+      (70L, "novel content x")).toDF("id", "txt")
+    val tiny = GraftOps.incrementalDedupe(spark, tinyRoot, tinyDelta,
+        "id", "txt")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiny == Set((1L, 50L), (2L, 50L), (60L, 61L)), tiny.toString)
+    // overlapping ids refuse
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.incrementalDedupe(spark, tinyRoot,
+        Seq((1L, "x")).toDF("id", "txt"), "id", "txt")
+    }
+    assert(e.getMessage.contains("disjoint"), e.getMessage)
+  }
+
   test("nearDupClusters + applyDedup keep one representative per cluster") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")

@@ -1380,6 +1380,133 @@ class DeltaInteropSpec extends AnyFunSuite {
       .count() == 7)
   }
 
+  test("DeltaSource streams COLUMN-MAPPED tables: name mode with hive " +
+      "dirs + checkpointed restart; assignment rewrite refuses") {
+    import spark.implicits._
+    // NAME-mode mapped table, partitioned: physical col-1/col-2 data
+    // columns, partition column seg under physical name col-5 — the
+    // layout of every Delta 3.x table that ever ran RENAME COLUMN
+    val root = tmp("graft_dcmstr_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def meta(phys: String, id: Int) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-1", 1)),
+      StructField("v", StringType, nullable = true, meta("col-2", 2)),
+      StructField("seg", StringType, nullable = true, meta("col-5", 5)))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def writeDataFile(seg: String, rows: Seq[(Long, String)]): String = {
+      val sub = s"col-5=$seg"
+      rows.toDF("a", "b").select(col("a").as("col-1"), col("b").as("col-2"))
+        .coalesce(1).write.mode("append").parquet(root + "/" + sub)
+      val n = new java.io.File(root, sub).listFiles.toSeq
+        .filter(_.getName.endsWith(".parquet")).maxBy(_.getName).getName
+      sub + "/" + n
+    }
+    def addCommit(v: Long, seg: String, file: String): Unit =
+      Files.write(Paths.get(root, "_delta_log", f"$v%020d.json"), Seq(
+        s"""{"add":{"path":"${esc(file)}","partitionValues":{"col-5":"$seg"},"size":1,"modificationTime":$v,"dataChange":true}}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val fA = writeDataFile("A", Seq((1L, "x"), (2L, "y")))
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":["seg"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"5"},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(fA)}","partitionValues":{"col-5":"A"},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val ckpt = Files.createTempDirectory("graft_dcmstr_ck_").toString
+    val out = Files.createTempDirectory("graft_dcmstr_out_").toString
+    def start() = spark.readStream.format("graft.sources.v2.DeltaSource")
+      .load(root)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .outputMode("append").start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // batch 0: logical columns out of physical files; partition
+      // value recovered from the PHYSICAL hive dir
+      assert(spark.read.parquet(out).as[(Long, String, String)]
+        .collect().toSet == Set((1L, "x", "A"), (2L, "y", "A")))
+      // appends flow incrementally under the same pinned mapping
+      addCommit(1L, "B", writeDataFile("B", Seq((3L, "z"))))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 3)
+    } finally q.stop()
+    // checkpointed restart: catch-up decodes only the new commit
+    addCommit(2L, "C", writeDataFile("C", Seq((4L, "w"))))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(out).as[(Long, String, String)]
+        .collect().toSet == Set((1L, "x", "A"), (2L, "y", "A"),
+          (3L, "z", "B"), (4L, "w", "C")))
+      // an assignment REWRITE (REPLACE TABLE shape: same logical name,
+      // different physical name) refuses non-retryably
+      Files.write(Paths.get(root, "_delta_log", f"${3L}%020d.json"), Seq(
+        s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson.replace("col-1", "col-9"))}","partitionColumns":["seg"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"9"},"createdTime":3}}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("rewritten"), e.getMessage)
+    } finally q2.stop()
+  }
+
+  test("DeltaSource streams ID-mode mapped tables by parquet field id") {
+    import spark.implicits._
+    // id-mode: file columns named ANYTHING (xyz/abc), identified only
+    // by parquet field ids; the log's physical names match nothing
+    val root = tmp("graft_dcmidstr_")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def idMeta(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val fileSchema = StructType(Seq(
+      StructField("xyz", LongType, nullable = true, idMeta(1)),
+      StructField("abc", StringType, nullable = true, idMeta(2))))
+    def writeIdFile(sub: String, rows: Seq[(Long, String)]): String = {
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val rl = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      rows.foreach { case (a, b) =>
+        rl.add(org.apache.spark.sql.Row(a, b)) }
+      spark.createDataFrame(rl, fileSchema).coalesce(1)
+        .write.parquet(root + "/" + sub)
+      val n = new java.io.File(root, sub).listFiles.toSeq
+        .filter(_.getName.endsWith(".parquet")).maxBy(_.getName).getName
+      sub + "/" + n
+    }
+    def meta(phys: String, id: Int) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val schemaJson = StructType(Seq(
+      StructField("id", LongType, nullable = true, meta("col-1", 1)),
+      StructField("v", StringType, nullable = true, meta("col-2", 2)))).json
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val f0 = writeIdFile("p0", Seq((1L, "a"), (2L, "b")))
+    Files.write(Paths.get(root, "_delta_log", "0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(f0)}","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val name = "dcmid_mem"
+    val q = spark.readStream.format("graft.sources.v2.DeltaSource")
+      .load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b")))
+      val f1 = writeIdFile("p1", Seq((3L, "c")))
+      Files.write(Paths.get(root, "_delta_log", f"${1L}%020d.json"), Seq(
+        s"""{"add":{"path":"${esc(f1)}","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(spark.table(name).as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("DeltaSource schema gate: narrower catch-up passes, widening refuses") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp("graft_dsg_src_"),
@@ -2470,7 +2597,8 @@ class DeltaInteropSpec extends AnyFunSuite {
     } finally DeltaInterop.appendRaceHook = None
   }
 
-  test("CDF reads column-mapped tables; a mid-range mapping change refuses") {
+  test("CDF reads column-mapped tables; a mid-range mapping change " +
+      "re-plans per epoch in one call") {
     import spark.implicits._
     val root = tmp("graft_cdfcm_")
     Files.createDirectories(Paths.get(root, "_delta_log"))
@@ -2512,8 +2640,10 @@ class DeltaInteropSpec extends AnyFunSuite {
       .select($"id", $"v", $"_change_type", $"_commit_version")
       .as[(Long, String, String, Long)].collect().toSet
     assert(streamed == cdf, streamed.toString)
-    // a commit CHANGING the mapping inside the range refuses loudly:
-    // files on either side carry different physical schemas
+    // a commit CHANGING the mapping inside the range starts a new
+    // EPOCH (r16): the same call re-plans per metaData epoch — files
+    // written before the change scan under col-2, files after under
+    // col-9 — and serves the WHOLE range, no split-the-range refusal
     val renamed = StructType(Seq(
       StructField("id", LongType, nullable = true, meta("col-1", 1)),
       StructField("v", StringType, nullable = true, meta("col-9", 2)))).json
@@ -2521,10 +2651,15 @@ class DeltaInteropSpec extends AnyFunSuite {
       """{"commitInfo":{"timestamp":4,"operation":"SET TBLPROPERTIES"}}""",
       metaLine(renamed)
     ).mkString("", "\n", "\n").getBytes("UTF-8"))
-    val e = intercept[IllegalArgumentException] {
-      DeltaInterop.readDeltaChanges(spark, root, 0, 4).count()
-    }
-    assert(e.getMessage.contains("column mapping"), e.getMessage)
+    // commit 5 appends THROUGH the new mapping (physical col-9 files)
+    DeltaInterop.appendToDelta(Seq((9L, "i")).toDF("id", "v"), root)
+    val cross = DeltaInterop.readDeltaChanges(spark, root, 0, 5)
+      .select($"id", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(cross == cdf + ((9L, "i", "insert", 5L)), cross.toString)
+    // and the pre-change prefix still reads on its own
+    assert(DeltaInterop.readDeltaChanges(spark, root, 0, 4)
+      .count() == cdf.size)
   }
 
   test("updateDelta: pre-update SET evaluation, partial files, null cond") {

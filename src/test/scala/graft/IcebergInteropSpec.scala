@@ -777,8 +777,9 @@ class IcebergInteropSpec extends AnyFunSuite {
     props.remove("schema.name-mapping.default")
     patch(mdRenPath, om.writeValueAsBytes(mdRen))
 
-    // defaults under LIST/MAP elements refuse loudly (struct-nested
-    // defaults fill — pinned by the dedicated nested test below)
+    // defaults under a map KEY refuse loudly (filling key fields
+    // would change key identity); list-element / map-VALUE defaults
+    // fill — pinned by the dedicated per-element test below
     val curV = latestV
     val md2 = om.readTree(Files.readAllBytes(Paths.get(target, "metadata",
       s"v$curV.metadata.json")))
@@ -789,8 +790,9 @@ class IcebergInteropSpec extends AnyFunSuite {
     nested.put("id", lastId + 2); nested.put("name", "s")
     nested.put("required", false)
     val st = nested.putObject("type")
-    st.put("type", "list")
-    st.put("element-id", lastId + 3)
+    st.put("type", "map")
+    st.put("key-id", lastId + 3)
+    st.put("value-id", lastId + 5)
     val inner = om.createObjectNode()
     inner.put("type", "struct")
     val innerF = om.createObjectNode()
@@ -798,8 +800,9 @@ class IcebergInteropSpec extends AnyFunSuite {
     innerF.put("required", false); innerF.put("type", "int")
     innerF.put("initial-default", 1)
     inner.putArray("fields").add(innerF)
-    st.set[com.fasterxml.jackson.databind.JsonNode]("element", inner)
-    st.put("element-required", false)
+    st.set[com.fasterxml.jackson.databind.JsonNode]("key", inner)
+    st.put("value", "int")
+    st.put("value-required", false)
     firstSchema.path("fields")
       .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(nested)
     patch(Paths.get(target, "metadata", s"v$curV.metadata.json"),
@@ -807,7 +810,91 @@ class IcebergInteropSpec extends AnyFunSuite {
     val eNested = intercept[IllegalArgumentException] {
       IcebergInterop.readIceberg(spark, target)
     }
-    assert(eNested.getMessage.contains("list/map"), eNested.getMessage)
+    assert(eNested.getMessage.contains("map KEY"), eNested.getMessage)
+  }
+
+  test("v3 defaults under list elements and map values fill per element; " +
+      "null containers and elements stay null") {
+    import spark.implicits._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // seed: arr = list<struct<a>>, m = map<string, struct<x>> — one
+    // row with data, one with NULL containers, one with a null element
+    val t = GraftTable.create(spark, tmp("graft_icoll_"),
+      Seq(1L, 2L, 3L).toDF("id").select($"id",
+        org.apache.spark.sql.functions.when($"id" === 1L,
+          org.apache.spark.sql.functions.array(
+            org.apache.spark.sql.functions.struct(lit(10L).as("a")),
+            org.apache.spark.sql.functions.struct(lit(20L).as("a"))))
+          .when($"id" === 3L, org.apache.spark.sql.functions.array(
+            org.apache.spark.sql.functions.struct(lit(30L).as("a")),
+            lit(null).cast("struct<a:bigint>")))
+          .as("arr"),
+        org.apache.spark.sql.functions.when($"id" === 1L,
+          org.apache.spark.sql.functions.map(lit("k"),
+            org.apache.spark.sql.functions.struct(lit(100L).as("x"))))
+          .as("m")).coalesce(1))
+    val target = tmp("graft_icoll_out_")
+    IcebergInterop.exportSnapshot(t, target)
+    // bump to v3; add arr.element.b (default 5) and m.value.y
+    // (default 7) to every retained schema node
+    val mdPath = Paths.get(target, "metadata", "v1.metadata.json")
+    val md = om.readTree(Files.readAllBytes(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    md.put("format-version", 3)
+    val lastId = md.path("last-column-id").asInt()
+    def addDefaults(sc: com.fasterxml.jackson.databind.JsonNode): Unit =
+      sc.path("fields").forEach { f =>
+        val tn = f.path("type")
+        if (f.path("name").asText() == "arr" && tn.isObject) {
+          val b = om.createObjectNode()
+          b.put("id", lastId + 1); b.put("name", "b")
+          b.put("required", false); b.put("type", "long")
+          b.put("initial-default", 5)
+          tn.path("element").path("fields")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+            .add(b): Unit
+        }
+        if (f.path("name").asText() == "m" && tn.isObject) {
+          val y = om.createObjectNode()
+          y.put("id", lastId + 2); y.put("name", "y")
+          y.put("required", false); y.put("type", "long")
+          y.put("initial-default", 7)
+          tn.path("value").path("fields")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+            .add(y): Unit
+        }
+      }
+    if (md.has("schemas")) md.get("schemas").forEach(addDefaults(_))
+    if (md.has("schema")) addDefaults(md.get("schema"))
+    md.put("last-column-id", lastId + 2)
+    patch(mdPath, om.writeValueAsBytes(md))
+    // a post-add append SUPPLIES the element fields (explicit null b)
+    IcebergInterop.appendToIceberg(
+      Seq(4L).toDF("id").select($"id",
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.struct(lit(40L).as("a"),
+            lit(null).cast("bigint").as("b")))
+          .cast("array<struct<a:bigint,b:bigint>>").as("arr"),
+        org.apache.spark.sql.functions.map(lit("p"),
+          org.apache.spark.sql.functions.struct(lit(400L).as("x"),
+            lit(9L).as("y")))
+          .cast("map<string,struct<x:bigint,y:bigint>>").as("m"))
+        .coalesce(1), target)
+    val got = IcebergInterop.readIceberg(spark, target)
+      .select($"id",
+        $"arr".cast("string").as("arrs"), $"m".cast("string").as("ms"))
+      .as[(Long, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // old elements fill b=5 / y=7; null element + null containers stay
+    assert(got(1L)._1.contains("[{10, 5}, {20, 5}]"), got(1L).toString)
+    assert(got(1L)._2.contains("{k -> {100, 7}}"), got(1L).toString)
+    assert(got(2L) == ((None, None)), got(2L).toString)
+    assert(got(3L)._1.contains("[{30, 5}, null]"), got(3L).toString)
+    assert(got(3L)._2.isEmpty, got(3L).toString)
+    // the post-add file keeps its written values, incl. the explicit
+    // null b — presence is judged per file, so no fill applies
+    assert(got(4L)._1.contains("[{40, null}]"), got(4L).toString)
+    assert(got(4L)._2.contains("{p -> {400, 9}}"), got(4L).toString)
   }
 
   test("nested ADD COLUMN + nested v3 default: old files fill, renames read real data") {
@@ -1607,6 +1694,17 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(got.columns.toSeq == Seq("id", "label"))
     assert(got.as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "b")))
+    // the PLAIN STREAM takes the same id-upgrade (r16): old-name files
+    // scan under the id-annotated schema — real data, logical names
+    val name = "irn_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("graft.sources.v2.IcebergSource")
+      .load(target)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination()
+    val streamed = spark.table(name).as[(Long, String)].collect().toSet
+    assert(streamed == Set((1L, "a"), (2L, "b")), streamed.toString)
   }
 
   test("v2 equality deletes: null-safe matching, sequence-number guard") {

@@ -72,8 +72,10 @@ class ReliabilitySpec extends AnyFunSuite {
       if (tick >= 2) 2.0 else 0.05 // quiet base, then stressed
     }
     val qs = (1 to 15).map(i => s"q$i" -> (() => ())).toSeq
+    // default isContended never trips → no re-measure: 2 samples per
+    // window (opening + closing), 15 queries in 2 windows of 10
     val (rs, samples) = Bench.measureWithCanary(qs, fakeCanary, every = 10)
-    assert(rs.size == 15 && samples.size == 3, samples.toString)
+    assert(rs.size == 15 && samples.size == 4, samples.toString)
     assert(Bench.canaryContended(base = 0.05, samples), samples.toString)
     // an all-quiet run does NOT trip: GC-jitter-sized wobble stays
     // inside the 4×+0.25s band
@@ -87,6 +89,66 @@ class ReliabilitySpec extends AnyFunSuite {
     val busy = Bench.hostBusyFraction(50)
     assert(busy.isNaN || (busy >= 0.0 && busy <= 1.0), busy.toString)
     assert(!(Double.NaN > 0.5))
+  }
+
+  test("bench self-heals a contaminated window: re-measures once quiet, " +
+      "flags only windows that stay dirty") {
+    val band = (s: Double) => s > 0.05 * 4 + 0.25
+    def mkQs(runs: scala.collection.mutable.Map[String, Int]) =
+      (1 to 15).map { i =>
+        val n = s"q$i"
+        n -> (() => { runs(n) = runs.getOrElse(n, 0) + 1 })
+      }.toSeq
+    // a co-tenant lands during window 1 (its CLOSING sample trips) and
+    // leaves before the recovery poll: the window re-measures and the
+    // artifact carries CLEAN timings — no contended flags anywhere
+    locally {
+      var tick = 0
+      val canary = () => { tick += 1; if (tick == 2) 2.0 else 0.05 }
+      val runs = scala.collection.mutable.Map[String, Int]()
+      val (rs, samples) = Bench.measureWithCanary(mkQs(runs), canary,
+        every = 10, isContended = band, awaitQuiet = () => true)
+      assert(rs.forall(!_.contended), rs.filter(_.contended).toString)
+      // window 1 ran twice (10 queries re-measured), window 2 once
+      assert((1 to 10).forall(i => runs(s"q$i") == 2), runs.toString)
+      assert((11 to 15).forall(i => runs(s"q$i") == 1), runs.toString)
+      // w1: open + dirty close + re-measure close; w2: open + close
+      assert(samples.size == 5, samples.toString)
+    }
+    // recovery never comes (awaitQuiet times out): the window is NOT
+    // re-measured and its queries carry per-query contended flags —
+    // the clean window 2 stays unflagged
+    locally {
+      var tick = 0
+      val canary = () => { tick += 1; if (tick == 2) 2.0 else 0.05 }
+      val runs = scala.collection.mutable.Map[String, Int]()
+      val (rs, _) = Bench.measureWithCanary(mkQs(runs), canary,
+        every = 10, isContended = band, awaitQuiet = () => false)
+      assert((1 to 15).forall(i => runs(s"q$i") == 1), runs.toString)
+      assert(rs.take(10).forall(_.contended), rs.toString)
+      assert(rs.drop(10).forall(!_.contended), rs.toString)
+    }
+    // the re-measure budget bounds wall time: with budget 0 every
+    // dirty window flags instead of re-running
+    locally {
+      val canary = () => 2.0 // contended throughout
+      val runs = scala.collection.mutable.Map[String, Int]()
+      val (rs, _) = Bench.measureWithCanary(mkQs(runs), canary,
+        every = 10, isContended = band, awaitQuiet = () => true,
+        maxRemeasuredWindows = 0)
+      assert((1 to 15).forall(i => runs(s"q$i") == 1), runs.toString)
+      assert(rs.forall(_.contended), rs.toString)
+    }
+    // a re-measured window whose SECOND close is still dirty flags too
+    locally {
+      val canary = () => 2.0
+      val runs = scala.collection.mutable.Map[String, Int]()
+      val (rs, _) = Bench.measureWithCanary(mkQs(runs), canary,
+        every = 10, isContended = band, awaitQuiet = () => true,
+        maxRemeasuredWindows = 3)
+      assert((1 to 15).forall(i => runs(s"q$i") == 2), runs.toString)
+      assert(rs.forall(_.contended), rs.toString)
+    }
   }
 
   test("relCache evicts LRU by entry cap and unpersists what it drops") {

@@ -330,6 +330,31 @@ class TextDedupSpec extends AnyFunSuite {
     assert(Dedup.simHashBlockPairs(signed, 3).count() == 1770 + 3)
   }
 
+  test("pHash band join caps hot buckets BY DEFAULT (fixed 16-bit key " +
+      "space goes quadratic at scale); cap raisable per conf") {
+    import spark.implicits._
+    // adversarial: a 1030-doc identical cluster (> the 1024 default) —
+    // every quarter block collides — plus a 3-doc cluster that must
+    // survive the cap
+    val docs = ((0 until 1030).map(i =>
+        (i.toLong, "the same boilerplate text repeated verbatim across the crawl")) ++
+      Seq(2000L, 2001L, 2002L).map(id =>
+        (id, "a genuinely distinct document about alpha beta gamma delta")))
+      .toDF("doc_id", "text")
+    // default cap (1024) drops the giant cluster, keeps the small one
+    val capped = graft.operators.Multimodal
+      .phashPairsOn(docs, "doc_id", "text", maxHamming = 3).collect()
+    assert(capped.length == 3, capped.length.toString)
+    assert(capped.forall(_.getLong(0) >= 2000L), capped.take(5).mkString(","))
+    // raising the pHash-specific cap restores the cluster's pairs
+    spark.conf.set("spark.graft.phash.maxBandBucket", "5000")
+    try {
+      val n = graft.operators.Multimodal
+        .phashPairsOn(docs, "doc_id", "text", maxHamming = 3).count()
+      assert(n == 1030L * 1029 / 2 + 3, n.toString)
+    } finally spark.conf.unset("spark.graft.phash.maxBandBucket")
+  }
+
   test("connectedComponents labels a deep chain exactly (pointer-jump phase)") {
     // A 200-link chain has diameter 200 — hash-min alone would need 200
     // rounds. With jumpAfter forced low, the pointer-jumping phase must
