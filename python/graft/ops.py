@@ -71,6 +71,13 @@ def build_dedup_index(docs, id_col, text_col, threshold, index_root):
         docs._jdf, id_col, text_col, float(threshold), index_root)
 
 
+def extend_dedup_index(spark, index_root, delta, id_col, text_col):
+    """Fold a deduped delta INTO the durable index (shingles + prefixes
+    under the index's frozen order) so tomorrow's batch probes base+today."""
+    _ops(delta).extendDedupIndex(
+        spark._jsparkSession, index_root, delta._jdf, id_col, text_col)
+
+
 def incremental_dedupe_indexed(spark, index_root, delta, id_col, text_col,
                                check_disjoint=True):
     """Dedup a newly-arrived batch against a build_dedup_index root from

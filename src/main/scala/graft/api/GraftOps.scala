@@ -193,6 +193,61 @@ object GraftOps {
     } finally { sh.unpersist(false); dfRel.unpersist(false) }
   }
 
+  /** FOLD a deduped delta INTO a durable index ([[buildDedupIndex]])
+    * so tomorrow's batch probes (base + today) — the loop that makes
+    * the daily 100 TB ingest converge: the delta's shingles append to
+    * the verify table and its prefixes (ranked under the index's
+    * FROZEN (df, s) order, unseen shingles df = 1 — the same rule the
+    * probe uses, so the appended prefixes are exactly the ones the
+    * probe computed) append to the probe table. The df table stays
+    * FROZEN: the global order is pinned at build time, which is what
+    * keeps every past and future prefix comparable; it deliberately
+    * does NOT track drifting frequencies (rebuild the index when the
+    * corpus has grown enough that the original rare-first order no
+    * longer discriminates). */
+  def extendDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexRoot: String, delta: DataFrame, idCol: String,
+                       textCol: String): Unit = {
+    val threshold = indexThreshold(indexRoot)
+    def load(name: String) =
+      graft.sources.GraftTable.load(spark, s"$indexRoot/$name")
+    val dfRel = load("df").read()
+    val deltaSh = shingleRel(delta, idCol, textCol)
+    try {
+      load("shingles").append(deltaSh.select(col("doc_id"), col("s")))
+      load("prefixes").append(
+        frozenOrderPrefixes(deltaSh, dfRel, threshold))
+    } finally deltaSh.unpersist(false)
+  }
+
+  private def indexThreshold(indexRoot: String): Double = {
+    val metaPath = java.nio.file.Paths.get(indexRoot, "_dedup_index.json")
+    require(java.nio.file.Files.exists(metaPath),
+      s"no dedup index at $indexRoot — buildDedupIndex first")
+    val meta = new String(java.nio.file.Files.readAllBytes(metaPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    "\"threshold\"\\s*:\\s*([0-9.]+)".r
+      .findFirstMatchIn(meta).map(_.group(1).toDouble)
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed _dedup_index.json at $indexRoot: $meta"))
+  }
+
+  /** Prefixes of `sh` under an index's FROZEN (df, s) order — shared
+    * by the indexed probe and [[extendDedupIndex]] (both sides of any
+    * candidate pair must rank under the same total order). */
+  private def frozenOrderPrefixes(sh: DataFrame, dfRel: DataFrame,
+      threshold: Double): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val rareFirst = byDoc.orderBy(col("df"), col("s"))
+    sh.join(dfRel, Seq("s"), "left")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(rareFirst))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("s"), col("n"), col("rk"))
+  }
+
   /** Incremental dedup against a DURABLE index
     * ([[buildDedupIndex]]) — the cross-session daily-ingest shape:
     * near-dup pairs (J ≥ the index's threshold) where the RIGHT side
@@ -215,15 +270,7 @@ object GraftOps {
                         indexRoot: String, delta: DataFrame, idCol: String,
                         textCol: String,
                         checkDisjoint: Boolean): DataFrame = {
-    val metaPath = java.nio.file.Paths.get(indexRoot, "_dedup_index.json")
-    require(java.nio.file.Files.exists(metaPath),
-      s"no dedup index at $indexRoot — buildDedupIndex first")
-    val meta = new String(java.nio.file.Files.readAllBytes(metaPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val threshold = "\"threshold\"\\s*:\\s*([0-9.]+)".r
-      .findFirstMatchIn(meta).map(_.group(1).toDouble)
-      .getOrElse(throw new IllegalArgumentException(
-        s"malformed _dedup_index.json at $indexRoot: $meta"))
+    val threshold = indexThreshold(indexRoot)
     def load(name: String) =
       graft.sources.GraftTable.load(spark, s"$indexRoot/$name").read()
     val baseSh = load("shingles")
@@ -241,15 +288,7 @@ object GraftOps {
     // and prefix filtering stays lossless because BOTH sides of every
     // candidate pair rank under this same total order: base prefixes
     // were stored under it, delta ones are computed under it here)
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-    val rareFirst = byDoc.orderBy(col("df"), col("s"))
-    val deltaPrefixes = deltaSh.join(dfRel, Seq("s"), "left")
-      .withColumn("df", coalesce(col("df"), lit(1L)))
-      .withColumn("n", count(lit(1)).over(byDoc))
-      .withColumn("rk", row_number().over(rareFirst))
-      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("doc_id"), col("s"), col("n"), col("rk"))
+    val deltaPrefixes = frozenOrderPrefixes(deltaSh, dfRel, threshold)
       .persist(Persist)
     val flagged = basePrefixes
       .withColumn("is_delta", lit(false))

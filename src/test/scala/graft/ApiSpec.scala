@@ -116,6 +116,22 @@ class ApiSpec extends AnyFunSuite {
         Seq((1L, "x")).toDF("id", "txt"), "id", "txt")
     }
     assert(e.getMessage.contains("disjoint"), e.getMessage)
+    // DAY-2 loop: fold day 1 into the index, then a day-2 doc that
+    // near-duplicates a DAY-1 delta doc is found through the extended
+    // index (and day-1 pairs are not re-emitted)
+    GraftOps.extendDedupIndex(spark, tinyRoot, tinyDelta, "id", "txt")
+    val day2 = Seq((80L, "alpha beta gamma delta epsilon eta"))
+      .toDF("id", "txt")
+    val got2 = GraftOps.incrementalDedupe(spark, tinyRoot, day2,
+        "id", "txt")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((60L, 80L), (61L, 80L)), got2.toString)
+    // the fold also extends the disjointness domain
+    val e2 = intercept[IllegalArgumentException] {
+      GraftOps.incrementalDedupe(spark, tinyRoot,
+        Seq((50L, "x")).toDF("id", "txt"), "id", "txt")
+    }
+    assert(e2.getMessage.contains("disjoint"), e2.getMessage)
   }
 
   test("nearDupClusters + applyDedup keep one representative per cluster") {
