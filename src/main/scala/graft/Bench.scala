@@ -145,7 +145,8 @@ object Bench {
       Thread.sleep(15000)
     }
     val loadStart = loadAvg
-    val spark = SparkSession.builder()
+    val spark = Sessions.localFsConfs.foldLeft(SparkSession.builder()){
+        case (b, (k, v)) => b.config(k, v) }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // AQE off at bench scale: runtime re-planning costs ~0.5s/query in

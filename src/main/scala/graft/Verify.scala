@@ -11,7 +11,8 @@ object Verify {
     val only: Option[Seq[String]] =
       args.drop(2).headOption.map(_.split(",").toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = Sessions.localFsConfs.foldLeft(SparkSession.builder()){
+        case (b, (k, v)) => b.config(k, v) }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

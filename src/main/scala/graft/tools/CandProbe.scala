@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
 object CandProbe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.Sessions.localFsConfs.foldLeft(SparkSession.builder()){
+        case (b, (k, v)) => b.config(k, v) }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -10,7 +10,8 @@ object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val name = if (args.length > 1) args(1) else "d5_embed_neardup"
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val spark = graft.Sessions.localFsConfs.foldLeft(
+      org.apache.spark.sql.SparkSession.builder()){ case (b, (k, v)) => b.config(k, v) }
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "false")
