@@ -17,6 +17,14 @@ object Sessions {
   val localFsConfs: Seq[(String, String)] = Seq(
     "spark.hadoop.fs.file.impl" -> "graft.sources.NioLocalFileSystem",
     "spark.hadoop.fs.AbstractFileSystem.file.impl" -> "graft.sources.NioLocalFs")
+  // NOTE on timestamps: the SESSION keeps Spark's INT96 parquet default
+  // — Verify dumps query results with it and the external oracle's
+  // reader treats INT96 as tz-naive (a TIMESTAMP_MICROS dump reads
+  // back tz-aware and breaks the comparator). Graft-INTERNAL table
+  // writes (GraftTable data dirs, Delta/Iceberg interop files) go
+  // through StatsWriteBridge, which forces INT64 micros per write —
+  // spec-conformant interop files with usable footer statistics —
+  // without touching the session default.
 
   def local(appName: String = "graft", cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = localFsConfs.foldLeft(SparkSession.builder()

@@ -406,6 +406,94 @@ object TextAnalysis {
     * rounds instead of nMerges, removing the per-round scheduling
     * floor from the critical path without changing the learned
     * table. */
+  /** The sequential reference trainer over a collected (symbols, freq)
+    * vocabulary — the driver fast path of [[bpeTrainOn]]. Semantics
+    * are bit-identical to the distributed rounds: pair counts weighted
+    * by word frequency over ALL adjacent positions (overlaps count),
+    * argmax ties broken (count desc, left, right) with strings in
+    * UTF-8 unsigned-byte order (Spark's string ordering — a UTF-16
+    * `compareTo` would diverge on supplementary characters), merges
+    * applied leftmost-non-overlapping, `onRound` told how many vocab
+    * words each merge touched. */
+  private[operators] def driverBpeLoop(entries: Array[(Array[String], Long)],
+      nMerges: Int, onRound: Option[(Int, Long) => Unit])
+      : Seq[(Int, String, String, Long)] = {
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    var vocab = entries
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (sym, f) =>
+        var i = 0
+        while (i + 1 < sym.length) {
+          val p = (sym(i), sym(i + 1))
+          counts.merge(p, f, _ + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bl: String = null; var br: String = null; var bc = Long.MinValue
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val (l, r) = e.getKey
+          val c = e.getValue
+          if (c > bc || (c == bc && (utf8Lt(l, bl) ||
+              (l == bl && utf8Lt(r, br))))) { bl = l; br = r; bc = c }
+        }
+        rank += 1
+        onRound.foreach { f =>
+          var touched = 0L
+          vocab.foreach { case (sym, _) =>
+            var i = 0; var hit = false
+            while (!hit && i + 1 < sym.length) {
+              if (sym(i) == bl && sym(i + 1) == br) hit = true
+              i += 1
+            }
+            if (hit) touched += 1
+          }
+          f(rank, touched)
+        }
+        out += ((rank, bl, br, bc))
+        val merged = bl + br
+        vocab = vocab.map { case (sym, f) =>
+          var has = false
+          var i = 0
+          while (!has && i + 1 < sym.length) {
+            if (sym(i) == bl && sym(i + 1) == br) has = true
+            i += 1
+          }
+          if (!has) (sym, f)
+          else {
+            val b = Array.newBuilder[String]
+            i = 0
+            while (i < sym.length) {
+              if (i + 1 < sym.length && sym(i) == bl && sym(i + 1) == br) {
+                b += merged; i += 2
+              } else { b += sym(i); i += 1 }
+            }
+            (b.result(), f)
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
   def bpeTrainOn(docs: org.apache.spark.sql.DataFrame, textCol: String,
                  nMerges: Int,
                  onRound: Option[(Int, Long) => Unit] = None,
@@ -439,6 +527,31 @@ object TextAnalysis {
       // JVM-side encode loop could then never match
       .select(expr("regexp_extract_all(w, '(?s).', 0)").as("sym"), $"freq")
       .persist(MD)
+    // SIZE-GATED DRIVER FAST PATH: after the one distributed corpus
+    // pass (the word-frequency aggregation above), the training state
+    // is the (symbols, freq) vocabulary — Zipf-bounded, ~10⁵ entries
+    // for a bench corpus, far below driver budget. Below the gate the
+    // merge loop runs driver-side as the published sequential trainer
+    // (Sennrich learn_bpe on the word-freq map) — the EXACT semantics
+    // the distributed rounds reproduce, with argmax ties broken in
+    // UTF-8 byte order to match Spark's string ordering — removing
+    // ~7 scheduled stages per merge round from the critical path.
+    // Above the gate (a web-scale vocabulary) the distributed
+    // delta-recount loop below is unchanged. The corpus itself is
+    // never collected, only the aggregated vocabulary.
+    val driverSymbolMax = s.conf.getOption("spark.graft.text.bpeDriverSymbols")
+      .map(_.toLong).getOrElse(2000000L)
+    val sizeRow = vocab.agg(count(lit(1)), sum(size($"sym"))).collect()(0)
+    val totalSyms = if (sizeRow.isNullAt(1)) 0L else sizeRow.getLong(1)
+    if (totalSyms <= driverSymbolMax) {
+      val entries = vocab.collect().map { r =>
+        (r.getSeq[String](0).toArray, r.getLong(1))
+      }
+      vocab.unpersist(false)
+      val merges = driverBpeLoop(entries, nMerges, onRound)
+      return merges.toSeq.toDF("rank", "left", "right", "pair_freq")
+        .orderBy($"rank")
+    }
     var paircnt = pairsOf(vocab).persist(MD)
     paircnt.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -711,12 +824,14 @@ object TextAnalysis {
     * semantics pinned in ApiSpec (hand-computed merge application and
     * losslessness). */
   val t10_bpe_encode: Relational.Q = (s, dir) => {
-    // NOT spread: the per-partition word->encoding memo exploits Zipfian
-    // re-use, and fragmenting the corpus 2->32 partitions multiplies the
-    // distinct-word decode work per partition past the parallelism win
-    // (measured 6.3 s -> 18.8 s at sf0.1). The encode pass is memo-bound,
-    // not scan-bound.
-    val docs = Tables.documents(s, dir)
+    // Spread: with the trained table at bench depth (10 merges) the
+    // encode pass is scan-bound, not memo-bound — re-measured after the
+    // driver-side training fast path landed (spread 0.37 s vs unspread
+    // 0.55 s at sf0.1; the earlier 6.3→18.8 s reading that justified
+    // NOT spreading predates it and was training-dominated). Per-
+    // partition memo duplication only re-pays each partition's warm-up
+    // over the Zipf head, which the parallelism win covers.
+    val docs = Tables.documentsSpread(s, dir)
     val merges = trainedMerges(s, dir)
     bpeEncodeOn(docs, "doc_id", "text", merges)
       .select(col("doc_id"), col("n_tokens"))

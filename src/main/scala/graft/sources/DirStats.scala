@@ -61,9 +61,246 @@ object DirStats {
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** IN-FLIGHT stats payload for [[graftbridge.StatsWriteBridge]]-routed
+    * writes: each write TASK renders its just-closed file's row count +
+    * per-column bounds from the parquet FOOTER (page-cache hot, read
+    * where the data lives), so the commit needs NO second scan of the
+    * written data — at 100 TB the difference between one data pass and
+    * two per commit. The per-file JSON uses the stats-file grammar, so
+    * [[load]]'s parser doubles as the payload parser. */
+  final class FooterStatFn(schema: StructType)
+      extends org.apache.spark.sql.graftbridge.StatsWriteBridge.FooterPayload {
+    def apply(conf: org.apache.hadoop.conf.Configuration,
+        file: HPath): Option[String] = footerFileJson(conf, file, schema)
+  }
+
+  /** Per-FILE stats JSON from the parquet footer alone: `__count`
+    * always; min/max for eligible top-level primitive columns. Bound
+    * rendering matches [[write]]'s `cast(... as string)` exactly for
+    * the types both paths emit (integrals, float/double via
+    * `toString`, long-backed decimals via plain string, dates ISO,
+    * timestamps in the session-UTC "yyyy-MM-dd HH:mm:ss[.f]" form).
+    * Conservative drops (column contributes no bounds, the dir is
+    * kept by any predicate on it): INT96 timestamps (no ordered
+    * footer stats), NaN/∞ floats, binary-backed decimals, non-ASCII
+    * strings (footer byte order and the pruning comparator agree only
+    * on ASCII; parquet's truncated bounds stay valid bounds). */
+  private[sources] def footerFileJson(conf: org.apache.hadoop.conf.Configuration,
+      file: HPath, schema: StructType): Option[String] = scala.util.Try {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      val cols = schema.fields.flatMap { f =>
+        val kind = f.dataType match {
+          case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+               _: FloatType | _: DoubleType | _: DecimalType => Some("num")
+          case _: StringType | _: DateType | _: TimestampType => Some("str")
+          case _ => None
+        }
+        kind.flatMap { k =>
+          val chunks = blocks.flatMap(_.getColumns.asScala.find { c =>
+            val p = c.getPath.toArray
+            p.length == 1 && p(0) == f.name
+          })
+          if (chunks.size != blocks.size || blocks.isEmpty) None
+          else {
+            val stats = chunks.map(_.getStatistics)
+            val tsConv: Option[(Long, Boolean) => Long] = f.dataType match {
+              case TimestampType => DeltaStats.tsToMicros(chunks)
+              case _ => Some((v, _) => v)
+            }
+            if (!stats.forall(s => s != null && !s.isEmpty &&
+                s.hasNonNullValue) || tsConv.isEmpty) None
+            else scala.util.Try {
+              def render(upper: Boolean): Seq[String] = stats.map { s =>
+                val raw = (if (upper) s.genericGetMax else s.genericGetMin)
+                  .asInstanceOf[AnyRef]
+                footerRender(f.dataType, raw, tsConv.get, upper)
+              }
+              val los = render(upper = false)
+              val his = render(upper = true)
+              val lo = reduceBound(los, k, keepMin = true)
+              val hi = reduceBound(his, k, keepMin = false)
+              f.name -> ColStat(k, lo, hi)
+            }.toOption
+          }
+        }
+      }
+      renderStatsJson((RowCountKey -> ColStat("num", numRecords.toString,
+        numRecords.toString)) +: cols.toSeq)
+    } finally reader.close()
+  }.toOption
+
+  /** One footer value in [[write]]'s `cast-to-string` rendering. A
+    * value the rendering cannot represent faithfully throws (caller
+    * drops the column — conservative). */
+  private def footerRender(dt: DataType, v: AnyRef,
+      tsConv: (Long, Boolean) => Long, upper: Boolean): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      v.asInstanceOf[Number].longValue.toString
+    case FloatType =>
+      val f = v.asInstanceOf[Number].floatValue
+      require(!f.isNaN && !f.isInfinite, "unusable float bound"); f.toString
+    case DoubleType =>
+      val d = v.asInstanceOf[Number].doubleValue
+      require(!d.isNaN && !d.isInfinite, "unusable double bound"); d.toString
+    case t: DecimalType =>
+      java.math.BigDecimal.valueOf(v.asInstanceOf[Number].longValue, t.scale)
+        .toPlainString
+    case DateType =>
+      java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].intValue.toLong)
+        .toString
+    case TimestampType =>
+      val us = tsConv(v.asInstanceOf[Number].longValue, upper)
+      renderTimestampMicros(us)
+    case StringType =>
+      val s = v.asInstanceOf[org.apache.parquet.io.api.Binary]
+        .toStringUsingUTF8
+      require(s.forall(_ < 0x80), "non-ASCII string bound"); s
+    case other =>
+      throw new IllegalArgumentException(s"no stats for ${other.simpleString}")
+  }
+
+  /** Bound merge across files/row-groups under the SAME comparator the
+    * pruning side uses (num = BigDecimal, str = lexicographic). */
+  private def reduceBound(vs: Seq[String], kind: String,
+      keepMin: Boolean): String =
+    vs.reduceLeft { (a, b) =>
+      val c =
+        if (kind == "num") new java.math.BigDecimal(a)
+          .compareTo(new java.math.BigDecimal(b))
+        else a.compareTo(b)
+      if ((c <= 0) == keepMin) a else b
+    }
+
+  private def renderStatsJson(stats: Seq[(String, ColStat)]): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    stats.map { case (c, st) =>
+      s"${q(c)}:{\"kind\":${q(st.kind)},\"min\":${q(st.min)},\"max\":${q(st.max)}}"
+    }.mkString("{", ",", "}")
+  }
+
+  /** Parse one stats/payload JSON (the [[load]] grammar).
+    * Unrolled-loop string pattern ([^"\]* then (\\. [^"\]*)*): the
+    * per-char alternation form ((?:[^"\\]|\\.)*) backtrack-stacks one
+    * frame per character and overflows on multi-KB values (the base64
+    * bloom bitsets); the unrolled form consumes runs iteratively. */
+  private[sources] def parseStatsJson(s: String): Map[String, ColStat] = {
+    val str = "([^\"\\\\]*(?:\\\\.[^\"\\\\]*)*)"
+    val entry =
+      ("\"" + str + "\":\\{\"kind\":\"(num|str|bloom)\"," +
+        "\"min\":\"" + str + "\",\"max\":\"" + str + "\"\\}").r
+    def unq(x: String) = x.replace("\\\"", "\"").replace("\\\\", "\\")
+    entry.findAllMatchIn(s).map(m =>
+      unq(m.group(1)) -> ColStat(m.group(2), unq(m.group(3)), unq(m.group(4)))).toMap
+  }
+
+  /** Merge the per-file footer payloads of one written directory —
+    * plus partition-column bounds recovered from the files' hive
+    * paths — into the directory stats file, WITHOUT re-reading data.
+    * `relPaths` must name every parquet file in the dir (the write's
+    * payload keys, after the caller's missing-file repair). */
+  private[sources] def writeFromFooterPayloads(fs: FileSystem, dirPath: HPath,
+      perFile: Map[String, String], schema: StructType,
+      partCols: Seq[String]): Unit = {
+    val parsed = perFile.values.map(parseStatsJson).toSeq
+    val n = parsed.flatMap(_.get(RowCountKey)).map(_.min.toLong).sum
+    // empty part files (0-row write tasks) carry no bounds and no rows:
+    // they cannot widen any range, so only row-carrying files must
+    // agree on a column for its dir bound to be sound
+    val nonEmpty = parsed.filter(_.get(RowCountKey).exists(_.min.toLong > 0))
+    val dataCols = schema.fieldNames.filterNot(partCols.contains)
+    val colStats = dataCols.flatMap { c =>
+      val sts = nonEmpty.flatMap(_.get(c))
+      // every row-carrying file must bound the column, else unsound
+      if (sts.size != nonEmpty.size || sts.isEmpty) None
+      else {
+        val kind = sts.head.kind
+        Some(c -> ColStat(kind,
+          reduceBound(sts.map(_.min), kind, keepMin = true),
+          reduceBound(sts.map(_.max), kind, keepMin = false)))
+      }
+    }
+    // partition columns: values ride in the hive path segments
+    val partStats = partCols.flatMap { c =>
+      val vals = perFile.keys.toSeq.flatMap { rel =>
+        rel.split('/').dropRight(1).collectFirst {
+          case seg if seg.startsWith(c + "=") =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(seg.drop(c.length + 1))
+        }
+      }.filter(_ != "__HIVE_DEFAULT_PARTITION__")
+      if (vals.isEmpty) None
+      else {
+        val kind = schema.find(_.name == c).map(_.dataType) match {
+          case Some(_: ByteType | _: ShortType | _: IntegerType |
+                    _: LongType | _: FloatType | _: DoubleType |
+                    _: DecimalType) => Some("num")
+          case Some(_: StringType | _: DateType | _: TimestampType) => Some("str")
+          case _ => None
+        }
+        kind.map(k => c -> ColStat(k,
+          reduceBound(vals, k, keepMin = true),
+          reduceBound(vals, k, keepMin = false)))
+      }
+    }
+    put(fs, new HPath(dirPath, FileName), renderStatsJson(
+      (RowCountKey -> ColStat("num", n.toString, n.toString)) +:
+        (colStats.toSeq ++ partStats)))
+  }
+
+  /** Footer-based stats for a directory whose files were written by an
+    * external writer (no in-flight payloads to merge — the SQL
+    * row-level-operation path): same result as
+    * [[writeFromFooterPayloads]], with the footers read here instead
+    * of by the write tasks — driver-side for a handful of files, one
+    * distributed map job past 64 (the object-store round-trip knee).
+    * `schema` is the TABLE schema (partition columns included; their
+    * bounds come from the hive path segments). Falls back to the
+    * scanning [[write]] when the table carries bloom stats. */
+  def writeFromFooters(spark: SparkSession, dirPath: HPath,
+      schema: StructType, partCols: Seq[String]): Unit = {
+    val bloomCols = spark.conf.getOption("spark.graft.table.bloomCols")
+      .exists(_.split(",").exists(_.trim.nonEmpty))
+    if (bloomCols) { write(spark, dirPath); return }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = dirPath.getFileSystem(hconf)
+    def list(d: HPath, rel: String): Seq[String] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        val childRel = if (rel.isEmpty) name else s"$rel/$name"
+        if ((name.startsWith("_") || name.startsWith(".")) &&
+            !name.contains("=")) Nil
+        else if (st.isDirectory) list(st.getPath, childRel)
+        else if (name.endsWith(".parquet")) Seq(childRel)
+        else Nil
+      }
+    val files = list(dirPath, "")
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val perFile: Map[String, String] =
+      if (files.size > 64)
+        org.apache.spark.sql.graftbridge.StatsWriteBridge.mapFiles(
+          spark, hconf, files.map(r => r -> new HPath(dirPath, r).toString),
+          new FooterStatFn(dataSchema))
+      else files.flatMap(r =>
+        footerFileJson(hconf, new HPath(dirPath, r), dataSchema).map(r -> _)).toMap
+    // a footer that would not render leaves its file unrepresented —
+    // row counts would then UNDERCOUNT (unsound), so fall back to the
+    // scanning path for the whole dir
+    if (perFile.size != files.size) write(spark, dirPath)
+    else writeFromFooterPayloads(fs, dirPath, perFile, schema, partCols)
+  }
+
   /** Compute min/max for every stat-eligible column of the just-written
     * directory and persist them alongside the data. One cheap columnar
-    * aggregate over data that is hot in the page cache. */
+    * aggregate over data that is hot in the page cache. Kept as the
+    * fallback for bloom-carrying tables ([[BloomPrefix]] — blooms need
+    * the data, not just footers) and for footers the renderers cannot
+    * bound; the commit hot paths derive the same file from parquet
+    * footers via [[writeFromFooterPayloads]] / [[writeFromFooters]]. */
   def write(spark: SparkSession, dirPath: HPath): Unit = {
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val df =
@@ -125,17 +362,7 @@ object DirStats {
         try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
       }
-      // unrolled-loop string pattern ([^"\]* then (\\. [^"\]*)*): the
-      // per-char alternation form ((?:[^"\\]|\\.)*) backtrack-stacks one
-      // frame per character and overflows on multi-KB values (the base64
-      // bloom bitsets); the unrolled form consumes runs iteratively
-      val str = "([^\"\\\\]*(?:\\\\.[^\"\\\\]*)*)"
-      val entry =
-        ("\"" + str + "\":\\{\"kind\":\"(num|str|bloom)\"," +
-          "\"min\":\"" + str + "\",\"max\":\"" + str + "\"\\}").r
-      def unq(x: String) = x.replace("\\\"", "\"").replace("\\\\", "\\")
-      Some(entry.findAllMatchIn(s).map(m =>
-        unq(m.group(1)) -> ColStat(m.group(2), unq(m.group(3)), unq(m.group(4)))).toMap)
+      Some(parseStatsJson(s))
     }
   }
 

@@ -125,11 +125,49 @@ class GraftTable private (val spark: SparkSession, val root: String) {
         case None => d
       }
     }
-    val w = withDerived.write
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy.map(physicalPartCol): _*) else w)
-      .parquet(io.path(dir).toString)
-    if (spark.conf.getOption("spark.graft.stats.enabled").forall(_.toBoolean))
-      DirStats.write(spark, io.path(dir))
+    val physParts = partitionBy.map(physicalPartCol)
+    val statsEnabled =
+      spark.conf.getOption("spark.graft.stats.enabled").forall(_.toBoolean)
+    val bloomCols = spark.conf.getOption("spark.graft.table.bloomCols")
+      .exists(_.split(",").exists(_.trim.nonEmpty))
+    if (statsEnabled && !bloomCols) {
+      // Hot path: stats ride the write tasks (parquet-footer payloads
+      // merged driver-side) — ONE data pass per commit instead of the
+      // write + re-read-aggregate pair. Blooms opt the table out: they
+      // need the values, not just footer bounds.
+      val dataSchema = StructType(withDerived.schema
+        .filterNot(f => physParts.contains(f.name)).map(_.copy(nullable = true)))
+      val payloads = org.apache.spark.sql.graftbridge.StatsWriteBridge
+        .writeWithPayloads(withDerived, io.path(dir).toString, physParts,
+          new DirStats.FooterStatFn(dataSchema))
+      // repair: a file the task-side path mapping missed would silently
+      // UNDERCOUNT the dir (an unsound zero-ish row count could prune a
+      // live dir) — one driver footer read per missing file, usually none
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val fs = io.path(dir).getFileSystem(hconf)
+      def list(d: HPath, rel: String): Seq[String] =
+        fs.listStatus(d).toSeq.flatMap { st =>
+          val name = st.getPath.getName
+          val childRel = if (rel.isEmpty) name else s"$rel/$name"
+          if ((name.startsWith("_") || name.startsWith(".")) &&
+              !name.contains("=")) Nil
+          else if (st.isDirectory) list(st.getPath, childRel)
+          else if (name.endsWith(".parquet")) Seq(childRel)
+          else Nil
+        }
+      val all = list(io.path(dir), "")
+      val repaired = payloads ++ all.filterNot(payloads.contains).flatMap { rel =>
+        DirStats.footerFileJson(hconf, new HPath(io.path(dir), rel), dataSchema)
+          .map(rel -> _)
+      }
+      DirStats.writeFromFooterPayloads(fs, io.path(dir), repaired,
+        withDerived.schema, physParts)
+    } else {
+      val w = withDerived.write
+      (if (partitionBy.nonEmpty) w.partitionBy(physParts: _*) else w)
+        .parquet(io.path(dir).toString)
+      if (statsEnabled) DirStats.write(spark, io.path(dir))
+    }
     dir
   }
 
@@ -531,8 +569,15 @@ class GraftTable private (val spark: SparkSession, val root: String) {
     * ConcurrentModificationException (analyzed snapshot is stale). */
   private[sources] def commitRewrite(action: String, dir: String,
                                      replaced: Seq[String] = null): Int = {
-    if (spark.conf.getOption("spark.graft.stats.enabled").forall(_.toBoolean))
-      DirStats.write(spark, io.path(dir))
+    if (spark.conf.getOption("spark.graft.stats.enabled").forall(_.toBoolean)) {
+      // externally-written dir (Spark's parquet BatchWrite): derive the
+      // stats from the files' footers — no second data scan
+      val prev = latestVersion()
+      val schema =
+        if (prev < 0) new StructType() else readCommit(prev).schemaStruct
+      DirStats.writeFromFooters(spark, io.path(dir), schema,
+        if (prev < 0) Nil else readCommit(prev).partitionBy.map(physicalPartCol))
+    }
     val v = latestVersion() + 1
     // the dir was named with a predicted version — fix the prefix so
     // rename-chain versioning stays exact

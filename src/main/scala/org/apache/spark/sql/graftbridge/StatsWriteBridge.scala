@@ -78,6 +78,31 @@ object StatsWriteBridge {
       FilePayloads(perFile.toMap)
   }
 
+  /** Parquet format whose writes stamp timestamps as INT64 MICROS
+    * regardless of the session's `outputTimestampType` (stock
+    * `prepareWrite` copies the session value into the job conf; this
+    * re-sets it after). Reasons: the Iceberg spec REQUIRES int64
+    * micros (an INT96 mirror file is non-conformant), Delta
+    * recommends it, and INT96 footers carry no ordered statistics —
+    * with them neither the in-flight Delta add-action stats nor the
+    * GraftTable dir stats can bound a timestamp column, so every
+    * time-range mutation scans every file. Scoped to bridge-routed
+    * INTERNAL table writes: the session default stays INT96 because
+    * the driver-contract result dumps (graft.Verify) must keep the
+    * tz-naive shape the external oracle comparator reads. */
+  private class MicrosParquetFileFormat extends ParquetFileFormat {
+    override def prepareWrite(sparkSession: org.apache.spark.sql.SparkSession,
+        job: org.apache.hadoop.mapreduce.Job,
+        options: Map[String, String],
+        dataSchema: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.execution.datasources.OutputWriterFactory = {
+      val w = super.prepareWrite(sparkSession, job, options, dataSchema)
+      job.getConfiguration.set(
+        SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+      w
+    }
+  }
+
   private class JobTracker(serConf: SerializableConfiguration,
       fn: FooterPayload) extends WriteJobStatsTracker {
     @transient lazy val collected: mutable.Map[String, String] =
@@ -143,7 +168,7 @@ object StatsWriteBridge {
     FileFormatWriter.write(
       sparkSession = spark,
       plan = plan,
-      fileFormat = new ParquetFileFormat(),
+      fileFormat = new MicrosParquetFileFormat(),
       committer = committer,
       outputSpec = FileFormatWriter.OutputSpec(
         outputPath, Map.empty, output),

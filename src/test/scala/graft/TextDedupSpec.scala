@@ -415,29 +415,70 @@ class TextDedupSpec extends AnyFunSuite {
     // divergence between mergeBatch=1 and mergeBatch=4 on ANY seed is
     // a correctness bug in the batch selection or the safety bound.
     val alphabet = "abc"
-    for (seed <- Seq(1, 7, 42)) {
-      val rnd = new scala.util.Random(seed)
-      val words = Seq.fill(120) {
-        (0 until (1 + rnd.nextInt(6)))
-          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    // force the DISTRIBUTED rounds (gate=0): this test pins the batch
+    // selection + safety bound, which the driver fast path would skip
+    spark.conf.set("spark.graft.text.bpeDriverSymbols", "0")
+    try {
+      for (seed <- Seq(1, 7, 42)) {
+        val rnd = new scala.util.Random(seed)
+        val words = Seq.fill(120) {
+          (0 until (1 + rnd.nextInt(6)))
+            .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        }
+        val docs = words.grouped(8).map(_.mkString(" ")).toSeq.toDF("txt")
+        val seqTable = graft.operators.TextAnalysis
+          .bpeTrainOn(docs, "txt", 12, mergeBatch = 1).collect().toSeq
+        val batTable = graft.operators.TextAnalysis
+          .bpeTrainOn(docs, "txt", 12, mergeBatch = 4).collect().toSeq
+        assert(batTable.map(_.toSeq) == seqTable.map(_.toSeq),
+          s"seed=$seed: batched table diverged\nseq: $seqTable\nbat: $batTable")
       }
-      val docs = words.grouped(8).map(_.mkString(" ")).toSeq.toDF("txt")
-      val seqTable = graft.operators.TextAnalysis
-        .bpeTrainOn(docs, "txt", 12, mergeBatch = 1).collect().toSeq
-      val batTable = graft.operators.TextAnalysis
-        .bpeTrainOn(docs, "txt", 12, mergeBatch = 4).collect().toSeq
-      assert(batTable.map(_.toSeq) == seqTable.map(_.toSeq),
-        s"seed=$seed: batched table diverged\nseq: $seqTable\nbat: $batTable")
+    } finally spark.conf.unset("spark.graft.text.bpeDriverSymbols")
+  }
+
+  test("driver fast path learns the exact distributed merge table") {
+    import spark.implicits._
+    // adversarial small-alphabet corpora (ties + collisions), and the
+    // benchmark corpus: the size-gated driver loop and the distributed
+    // rounds must agree merge-for-merge, including telemetry counts
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(150) {
+        (0 until (1 + rnd.nextInt(5)))
+          .map(_ => "abcd" (rnd.nextInt(4))).mkString
+      }
+      val docs = words.grouped(10).map(_.mkString(" ")).toSeq.toDF("txt")
+      val distTouched = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      val drvTouched = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      spark.conf.set("spark.graft.text.bpeDriverSymbols", "0")
+      val dist =
+        try graft.operators.TextAnalysis.bpeTrainOn(docs, "txt", 10,
+          Some((r, n) => distTouched += ((r, n))), mergeBatch = 1)
+          .collect().toSeq
+        finally spark.conf.unset("spark.graft.text.bpeDriverSymbols")
+      val drv = graft.operators.TextAnalysis.bpeTrainOn(docs, "txt", 10,
+        Some((r, n) => drvTouched += ((r, n)))).collect().toSeq
+      assert(drv.map(_.toSeq) == dist.map(_.toSeq),
+        s"seed=$seed driver path diverged\ndist: $dist\ndrv: $drv")
+      assert(drvTouched.toSeq == distTouched.toSeq,
+        s"seed=$seed telemetry diverged")
     }
   }
 
   test("multi-merge equals single-merge on the documents corpus at depth 20") {
     val docs = graft.sources.Tables.documents(spark, sf)
-    val seqTable = graft.operators.TextAnalysis
-      .bpeTrainOn(docs, "text", 20, mergeBatch = 1).collect().toSeq
-    val batTable = graft.operators.TextAnalysis
-      .bpeTrainOn(docs, "text", 20, mergeBatch = 8).collect().toSeq
+    spark.conf.set("spark.graft.text.bpeDriverSymbols", "0")
+    val (seqTable, batTable) =
+      try (graft.operators.TextAnalysis
+          .bpeTrainOn(docs, "text", 20, mergeBatch = 1).collect().toSeq,
+        graft.operators.TextAnalysis
+          .bpeTrainOn(docs, "text", 20, mergeBatch = 8).collect().toSeq)
+      finally spark.conf.unset("spark.graft.text.bpeDriverSymbols")
     assert(batTable.map(_.toSeq) == seqTable.map(_.toSeq))
+    // the size-gated driver loop must learn the same table again
+    val drvTable = graft.operators.TextAnalysis
+      .bpeTrainOn(docs, "text", 20).collect().toSeq
+    assert(drvTable.map(_.toSeq) == seqTable.map(_.toSeq))
   }
 
   test("bpe train+encode round-trips supplementary (non-BMP) characters") {
