@@ -134,6 +134,11 @@ object Dedup {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     evictOverBudget(s, keep = k)
+    // NOT eagerly materialized: d2's two broadcast subtrees do race to
+    // compute an unmaterialized cache concurrently, but an A/B at
+    // sf0.1 measured the eager count() variant SLOWER overall (the
+    // extra materialization jobs cost more than the overlapped double
+    // compute — the branches run in parallel on idle cores anyway).
     df
   }
 

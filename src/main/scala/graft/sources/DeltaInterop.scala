@@ -2651,7 +2651,8 @@ object DeltaInterop {
             }
             val (physSurv, physPartCols, physDataSchema) =
               physicalWrite(spark, st, schema, partCols, survivors)
-            addStats = DeltaStats.writeWithStats(physSurv,
+            addStats = DeltaStats.writeWithStats(
+              Sizing.coalesceForWrite(physSurv),
               staging.toString, physPartCols, physDataSchema)
             val staged = listStagedParquet(fs, staging)
             staged.foreach { case (rel, _) =>
@@ -2930,7 +2931,8 @@ object DeltaInterop {
               }), refuseW)
           val (physRewritten, physPartCols, physDataSchema) =
             physicalWrite(spark, st, schema, partCols, rewritten)
-          val addStats = DeltaStats.writeWithStats(physRewritten,
+          val addStats = DeltaStats.writeWithStats(
+            Sizing.coalesceForWrite(physRewritten),
             staging.toString, physPartCols, physDataSchema)
           val staged = listStagedParquet(fs, staging)
           staged.foreach { case (rel, _) =>
@@ -3456,7 +3458,8 @@ object DeltaInterop {
 
         val (physRewritten, physPartCols, physDataSchema) =
           physicalWrite(spark, st, schema, partCols, rewritten)
-        val addStats = DeltaStats.writeWithStats(physRewritten,
+        val addStats = DeltaStats.writeWithStats(
+          Sizing.coalesceForWrite(physRewritten),
           staging.toString, physPartCols, physDataSchema)
         val staged = listStagedParquet(fs, staging)
         if (staged.isEmpty && entries.isEmpty) {

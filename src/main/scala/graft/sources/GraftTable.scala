@@ -201,7 +201,15 @@ class GraftTable private (val spark: SparkSession, val root: String) {
       if (partitionBy != null) partitionBy
       else if (pv == 0) Nil
       else readCommit(pv - 1).partitionBy
-    var (added, schema) = df match {
+    // row-level mutations write COMPUTED survivor sets whose partition
+    // fan-out is an accident of the joins that built them — size those
+    // to the target file size; appends/overwrites keep the caller's
+    // layout (an explicit repartition before append is intentional)
+    val sized = df.map(d =>
+      if (action == "update" || action == "delete" || action == "merge")
+        Sizing.coalesceForWrite(d)
+      else d)
+    var (added, schema) = sized match {
       // table schemas are always nullable (Delta/Iceberg semantics):
       // a non-null batch must not forbid nulls from other commits
       case Some(d) => (Seq(writeData(d, v, parts(v))),

@@ -3347,7 +3347,7 @@ object IcebergInterop {
             if (struck.isEmpty) { result = currentSnap }
             else {
               val (newDir, newFiles, partValuesOf, nb) =
-                writeSpecData(mkNewRows,
+                writeSpecData(Sizing.coalesceForWrite(mkNewRows),
                   root, fs, conf, parts, schemaNode, schema, "graft-update")
               commitV3DvSnapshot(fs, io, root, metaDir, md, vTop,
                 currentSnap, newSeq, schemaNode, schemaId, priorList,
@@ -3384,7 +3384,7 @@ object IcebergInterop {
             result = currentSnap // nothing matched
           } else {
             val (newDir, newFiles, partValuesOf, nb) =
-              writeSpecData(mkNewRows,
+              writeSpecData(Sizing.coalesceForWrite(mkNewRows),
                 root, fs, conf, parts, schemaNode, schema, "graft-update")
             val cleanupDirs = () => {
               fs.delete(delDir, true); fs.delete(newDir, true)
@@ -3831,7 +3831,7 @@ object IcebergInterop {
               .select(col("__uri"), col("__pos")),
             v3OldDvBytes(conf, priorDeletes))
           val (newDir, allNewFiles, partValuesOf, nb) =
-            writeSpecData(newRows,
+            writeSpecData(Sizing.coalesceForWrite(newRows),
               root, fs, conf, parts, schemaNode, schema, "graft-merge")
           val newFiles = allNewFiles.filter(_._3 > 0)
           if (struckDvs.isEmpty && newFiles.isEmpty) {
@@ -3862,7 +3862,7 @@ object IcebergInterop {
             .getOrElse(f.getPath.getName, footerRecordCount(conf, f))))
           .filter(_._3 > 0)
         val (newDir, allNewFiles, partValuesOf, nb) =
-          writeSpecData(newRows,
+          writeSpecData(Sizing.coalesceForWrite(newRows),
             root, fs, conf, parts, schemaNode, schema, "graft-merge")
         val newFiles = allNewFiles.filter(_._3 > 0)
         if (delFiles.isEmpty && newFiles.isEmpty) {

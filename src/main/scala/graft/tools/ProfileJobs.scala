@@ -12,7 +12,7 @@ import scala.collection.mutable
   */
 object ProfileJobs {
   private final case class J(id: Int, start: Long, var end: Long = -1L,
-    var stages: Int = 0, var tasks: Int = 0)
+    var stages: Int = 0, var tasks: Int = 0, var site: String = "")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -41,8 +41,10 @@ object ProfileJobs {
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.synchronized {
+          val site = e.stageInfos.sortBy(_.stageId).lastOption
+            .map(_.name.takeWhile(_ != '\n').take(70)).getOrElse("")
           jobs(e.jobId) = J(e.jobId, e.time, stages = e.stageInfos.size,
-            tasks = e.stageInfos.map(_.numTasks).sum)
+            tasks = e.stageInfos.map(_.numTasks).sum, site = site)
         }
       override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         jobs.synchronized { jobs.get(e.jobId).foreach(_.end = e.time) }
@@ -65,7 +67,7 @@ object ProfileJobs {
         if (wall > 0) jobMs += wall
         gapMs += gap
         prevEnd = math.max(prevEnd, if (j.end > 0) j.end else j.start)
-        f"  gap=$gap%5d ms | job ${j.id}%4d wall=$wall%6d ms stages=${j.stages}%2d tasks=${j.tasks}%4d"
+        f"  gap=$gap%5d ms | job ${j.id}%4d wall=$wall%6d ms stages=${j.stages}%2d tasks=${j.tasks}%4d  ${j.site}"
       }
       val tailGap = math.max(0L, t1 - prevEnd)
       println(s"== $name rep $rep rows=$n total=${t1 - t0} ms " +
