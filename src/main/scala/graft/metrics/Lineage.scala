@@ -29,6 +29,11 @@ object Lineage {
     def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
       p match {
         case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        // an EXECUTED adaptive plan materializes exchange subtrees as
+        // QueryStageExec leaves (children = Nil) — descend into the
+        // staged plan or every scan below an exchange is invisible
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
         case f: FileSourceScanExec =>
           f.relation.location.rootPaths.map(_.toString)
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>

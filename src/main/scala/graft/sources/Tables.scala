@@ -14,8 +14,32 @@ import org.apache.spark.sql.functions._
   * 06_pipeline_metrics_demo.ipynb — customers/orders star schema).
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Session-scoped DataFrame-HANDLE cache: `spark.read.parquet`
+    * re-infers the file schema on every call (a ~25–70 ms footer job
+    * at analysis time), and a 156-query bench loads each base table
+    * hundreds of times. Reusing the resolved handle reuses the
+    * analyzed relation — pure plan reuse, no data is cached or
+    * persisted; every action still computes from the parquet input.
+    * Keyed per session (a new session must re-resolve: conf like
+    * nanosAsLong can differ), bounded LRU. */
+  private val dfCache: java.util.Map[(String, String), DataFrame] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String), DataFrame](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String), DataFrame]): Boolean =
+          size() > 64
+      })
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val k = (graft.operators.Dedup.sessionId(spark), s"$dir/$name.parquet")
+    val hit = dfCache.get(k)
+    if (hit != null) hit
+    else {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      dfCache.put(k, df)
+      df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")

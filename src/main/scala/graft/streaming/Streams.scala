@@ -38,8 +38,9 @@ object Streams {
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // probe the batch footer for the physical ts type (metadata-only,
-    // no data read), then mirror Tables.events' normalization exactly
-    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    // no data read; handle cached per session), then mirror
+    // Tables.events' normalization exactly
+    val tsType = Tables.load(s, dir, "events").schema("ts").dataType
     // the streaming file source wants a directory; select the single
     // events file with a glob filter
     val raw = s.readStream.schema(rawSchema(tsType))
@@ -86,8 +87,25 @@ object Streams {
       parent.conf.get("spark.sql.session.timeZone"))
     s.conf.set("spark.sql.shuffle.partitions",
       parent.conf.get("spark.sql.shuffle.partitions"))
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // RocksDB by default: the HDFS-backed provider snapshots every
+    // partition's full state map per batch — with join/dedup state in
+    // the 100k-row range that dominates wall-time; RocksDB writes
+    // incrementally. Overridable for A/B (spark.graft.streaming.
+    // stateProvider=hdfs) since the trade inverts for tiny state.
+    if (!parent.conf.getOption("spark.graft.streaming.stateProvider")
+        .contains("hdfs"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Skip the trailing NO-DATA micro-batch Spark runs after the last
+    // data batch to advance the watermark: for these finite drains it
+    // exists only to evict state that the query teardown is about to
+    // drop anyway, and in Complete mode it RECOMPUTES the whole
+    // aggregation and rewrites the sink — a full duplicate pass per
+    // query. No drained query's OUTPUT depends on it: the h-family
+    // emits eagerly (Complete-mode aggs re-emit per data batch; inner
+    // stream-stream joins and dropDuplicates emit on arrival), which
+    // the batch≡stream specs and the driver oracle pin.
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     parent.conf.getOption("spark.graft.streaming.statePartitions") match {
       case Some(p) => s.conf.set("spark.sql.shuffle.partitions", p)
       case None if defaultStateParts > 0 =>
@@ -423,6 +441,7 @@ object Streams {
     * events ts drift exposed). */
   private def docStream(s: SparkSession, dir: String): DataFrame =
     s.readStream.schema(Tables.documents(s, dir).schema)
+      // (documents handle is session-cached in Tables.load)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
 
   /** h9: STREAM-STATIC decontamination — continuously arriving training

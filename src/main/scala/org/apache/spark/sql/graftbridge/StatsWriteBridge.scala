@@ -148,6 +148,14 @@ object StatsWriteBridge {
     val ds = df.asInstanceOf[
       org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = ds.sparkSession
+    // NOTE: executing the caller's own QueryExecution flips its
+    // AdaptiveSparkPlanExec to the final staged form (QueryStageExec
+    // leaves). Consumers that walk executed plans must descend into
+    // stages — Lineage.inputsOf does. (A fresh QueryExecution over the
+    // logical plan would isolate the caller instead, but it RE-PLANS
+    // and re-executes subtrees the caller already materialized —
+    // measured 8.6 s -> 39 s on the DV update+merge gate — so the
+    // shared execution stays.)
     val plan = ds.queryExecution.executedPlan
     val output = plan.output
     val partAttrs = partitionColumns.map { c =>
