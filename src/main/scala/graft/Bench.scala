@@ -165,6 +165,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.ConfSources.disableTracking(spark.sparkContext.hadoopConfiguration)
     // temp-dir hygiene: reap graft_ dirs leaked by crashed earlier runs,
     // and (below, untimed, after all queries drain) this run's own roots
     TempRoots.sweepStale()

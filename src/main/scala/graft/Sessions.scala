@@ -61,6 +61,7 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.ConfSources.disableTracking(spark.sparkContext.hadoopConfiguration)
     spark
   }
 }

@@ -22,6 +22,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.ConfSources.disableTracking(spark.sparkContext.hadoopConfiguration)
     TempRoots.sweepStale()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -23,6 +23,7 @@ object CandProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.ConfSources.disableTracking(spark.sparkContext.hadoopConfiguration)
     args.foreach { dir =>
       val docs = graft.sources.Tables.documents(spark, dir)
       val sig = docs

@@ -32,6 +32,7 @@ object ExplainDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.ConfSources.disableTracking(spark.sparkContext.hadoopConfiguration)
     graft.TempRoots.sweepStale()
     names.foreach { name =>
       try {

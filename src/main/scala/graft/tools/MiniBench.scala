@@ -31,6 +31,7 @@ object MiniBench {
     extra.foreach { case (k, v) => b = b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.ConfSources.disableTracking(spark.sparkContext.hadoopConfiguration)
     graft.TempRoots.sweepStale()
     spark.read.parquet(s"$dir/lineitem.parquet").count()
     spark.read.parquet(s"$dir/orders.parquet").count()

@@ -32,6 +32,7 @@ object ProfileJobs {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.ConfSources.disableTracking(spark.sparkContext.hadoopConfiguration)
     graft.TempRoots.sweepStale()
     // warmup (session/codegen/parquet-footer init)
     spark.read.parquet(s"$dir/lineitem.parquet").count()

@@ -24,6 +24,7 @@ object ProfileQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.ConfSources.disableTracking(spark.sparkContext.hadoopConfiguration)
     val maxConc = new java.util.concurrent.atomic.AtomicInteger(0)
     val cur = new java.util.concurrent.atomic.AtomicInteger(0)
     val nTasks = new java.util.concurrent.atomic.AtomicInteger(0)
