@@ -43,12 +43,24 @@ def connect(app_name="graft", master="local[*]", jar=None,
     every executed query automatically POSTs a RunEvent with its
     input/output datasets, zero per-query code.
     """
+    jar_path = jar or find_jar()
     b = (SparkSession.builder
          .master(master)
          .appName(app_name)
-         .config("spark.jars", jar or find_jar())
+         .config("spark.jars", jar_path)
+         # the jar must ALSO be on the driver's boot classpath: the
+         # fork-free FS classes below resolve during SparkContext init,
+         # before spark.jars attach
+         .config("spark.driver.extraClassPath", jar_path)
          .config("spark.sql.extensions", "graft.GraftExtensions")
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         # fork-free local FS (graft.sources.NioLocalFS): without
+         # libhadoop, stock Hadoop forks a chmod process per file
+         # create — these overrides use java.nio, identical semantics
+         .config("spark.hadoop.fs.file.impl",
+                 "graft.sources.NioLocalFileSystem")
+         .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+                 "graft.sources.NioLocalFs")
          .config("spark.sql.session.timeZone", "UTC"))
     for k, v in (conf or {}).items():
         b = b.config(k, v)
